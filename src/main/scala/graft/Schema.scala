@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.types._
+import SupportedType._
+
+/** Ordered column → type map with derived column roles.
+  *
+  * Mirrors the reference's `Schema` (/root/reference/tfrecorder/
+  * input_schema.py:30-102): a single scan of the ordered map derives
+  * `split_key` (required, exactly one), `label_key` (any *Label type) and
+  * `image_uri_key` (optional, max one). Two schema epochs exist — the input
+  * schema and the pre-transform schema where an ImageUri column is replaced
+  * by the five generated image columns (input_schema.py:51-58).
+  *
+  * Column order is significant (the reference serializes rows positionally
+  * through its CSV coder, input_schema.py:85-90); we keep the order for
+  * faithful CSV reads and artifact round-trips.
+  */
+final case class Schema(columns: Seq[(String, SupportedType)]) {
+  require(columns.nonEmpty, "schema must have at least one column")
+  require(columns.map(_._1).distinct.size == columns.size,
+    "duplicate column names in schema")
+
+  private val byType = columns.groupBy(_._2)
+
+  /** Exactly one SplitKey column is required (input_schema.py:62-63). */
+  val splitKey: String = byType.get(SplitKey) match {
+    case Some(Seq((n, _))) => n
+    case Some(_) => throw new IllegalArgumentException(
+      "schema must contain exactly one SplitKey column")
+    case None => throw new IllegalArgumentException(
+      "schema must contain a SplitKey column")
+  }
+
+  /** First label column, if any (input_schema.py:48-49). */
+  val labelKey: Option[String] =
+    columns.collectFirst { case (n, t) if isLabel(t) => n }
+
+  /** The ImageUri column, if any; max one (input_schema.py:51-58). */
+  val imageUriKey: Option[String] = byType.get(ImageUri) match {
+    case Some(Seq((n, _))) => Some(n)
+    case Some(_) => throw new IllegalArgumentException(
+      "schema may contain at most one ImageUri column")
+    case None => None
+  }
+
+  /** Names of all StringLabel columns (vocabulary targets). */
+  def stringLabelKeys: Seq[String] =
+    columns.collect { case (n, StringLabel) => n }
+
+  /** Names of all ScaledFloatInput columns (z-score targets, extension). */
+  def scaledKeys: Seq[String] =
+    columns.collect { case (n, ScaledFloatInput) => n }
+
+  /** Pre-transform schema: ImageUri replaced in place by the five generated
+    * image columns (input_schema.py:51-60).
+    */
+  def preTransformSchema: Schema = imageUriKey match {
+    case None => this
+    case Some(k) =>
+      Schema(columns.flatMap {
+        case (`k`, ImageUri) => Schema.generatedImageColumns
+        case other => Seq(other)
+      })
+  }
+
+  /** Post-transform schema: StringLabel becomes int64 (the vocab index;
+    * see golden transformed_metadata/schema.pbtxt in the reference).
+    */
+  def transformedSchema: Schema =
+    Schema(preTransformSchema.columns.map {
+      case (n, StringLabel) => (n, IntegerLabel)
+      case other => other
+    })
+
+  def toStructType: StructType =
+    StructType(columns.map { case (n, t) =>
+      // FixedLenFeature ⇒ required (presence min_fraction 1.0 in the
+      // reference's schema.pbtxt); Spark readers still mark parquet columns
+      // nullable, so nullability is advisory here.
+      StructField(n, t.sparkType, nullable = true)
+    })
+
+  def columnNames: Seq[String] = columns.map(_._1)
+
+  def typeOf(name: String): SupportedType =
+    columns.collectFirst { case (`name`, t) => t }.getOrElse(
+      throw new IllegalArgumentException(s"no such column: $name"))
+
+  /** JSON serialization — our analog of the reference's schema.pbtxt
+    * artifact (order-preserving array of [name, type] pairs).
+    */
+  def toJson: String =
+    columns.map { case (n, t) =>
+      s"""["${Schema.escape(n)}","${SupportedType.name(t)}"]"""
+    }.mkString("[", ",", "]")
+}
+
+object Schema {
+
+  /** The five generated image columns (input_schema.py:51-58). */
+  val generatedImageColumns: Seq[(String, SupportedType)] = Seq(
+    "image_name" -> ImageSupportString,
+    "image" -> ImageSupportString,
+    "image_height" -> ImageDim,
+    "image_width" -> ImageDim,
+    "image_channels" -> ImageDim,
+  )
+
+  /** The default AutoML-Vision "Image CSV" schema
+    * (input_schema.py:96-102).
+    */
+  val imageCsvSchema: Schema = Schema(Seq(
+    "split" -> SplitKey,
+    "image_uri" -> ImageUri,
+    "label" -> StringLabel,
+  ))
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** Parse the JSON produced by [[Schema.toJson]]. Hand-rolled (no JSON
+    * library on the classpath beyond Spark's shaded ones) but total for the
+    * strings we emit.
+    */
+  def fromJson(json: String): Schema = {
+    val pair = """\[\s*"((?:[^"\\]|\\.)*)"\s*,\s*"((?:[^"\\]|\\.)*)"\s*\]""".r
+    val inner = json.trim.stripPrefix("[").stripSuffix("]")
+    val cols = pair.findAllMatchIn(inner).map { m =>
+      (unescape(m.group(1)), SupportedType.fromName(unescape(m.group(2))))
+    }.toSeq
+    Schema(cols)
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

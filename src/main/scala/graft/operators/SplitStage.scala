@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import graft.SupportedType
+
+/** Split routing + 4-way partition.
+  *
+  * The reference routes each element to TRAIN/VALIDATION/TEST/DISCARD by
+  * the value of the split column, with unknown values going to DISCARD
+  * with a warning (/root/reference/tfrecorder/beam_pipeline.py:73-88) and
+  * `beam.Partition` producing the four output collections (:283-286).
+  *
+  * Spark-first shape: a single declarative `normalize` projection (stays
+  * inside whole-stage codegen, zero shuffle), then either per-split
+  * filters over a cached upstream (the analysis path) or — for the sink
+  * path at scale — a single-pass `write.partitionBy(splitCol)`, so 100 TB
+  * is routed in one scan instead of four.
+  */
+object SplitStage {
+
+  val Train = "TRAIN"
+  val Validation = "VALIDATION"
+  val Test = "TEST"
+  val Discard = "DISCARD"
+
+  /** All legal split values, in the reference's canonical order. */
+  val allSplits: Seq[String] = SupportedType.SplitKey.allowedValues
+
+  /** Splits that produce transformed output datasets. */
+  val outputSplits: Seq[String] = Seq(Train, Validation, Test)
+
+  /** Column expression: the normalized split value (unknown → DISCARD).
+    * Mirrors _partition_fn's "unknown index = DISCARD" semantics
+    * (beam_pipeline.py:84-88) as a codegen-friendly expression.
+    */
+  def normalizedSplit(splitCol: Column): Column =
+    when(splitCol.isin(allSplits: _*), splitCol).otherwise(lit(Discard))
+
+  /** Rewrite the split column in place to its normalized value. */
+  def normalize(df: DataFrame, splitKey: String): DataFrame =
+    df.withColumn(splitKey, normalizedSplit(col(splitKey)))
+
+  /** One filtered view per split value over a (caller-cached) upstream.
+    * Spark has no multi-output operator; caching the normalized upstream
+    * makes the four filters share one compute of the expensive stages
+    * (image decode) — the one real physical decision in this engine
+    * (SURVEY.md §4).
+    */
+  def partition(df: DataFrame, splitKey: String): Map[String, DataFrame] = {
+    val norm = normalize(df, splitKey)
+    allSplits.map(s => s -> norm.filter(col(splitKey) === s)).toMap
+  }
+
+  /** Split histogram, collected to the driver (tiny — ≤4 rows), used to
+    * decide which output branches to build; mirrors get_split_counts
+    * (beam_pipeline.py:158-161).
+    */
+  def splitCounts(df: DataFrame, splitKey: String): Map[String, Long] =
+    normalize(df, splitKey)
+      .groupBy(splitKey).count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+  /** The transform stage must be fitted on TRAIN; mirror the reference's
+    * guard (beam_pipeline.py:279-280).
+    */
+  def requireTrain(counts: Map[String, Long]): Unit =
+    if (counts.getOrElse(Train, 0L) == 0L)
+      throw new IllegalArgumentException(
+        "Dataset must contain a TRAIN split (the transform is fitted on it)")
+}

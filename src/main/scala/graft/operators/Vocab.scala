@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Train-fitted vocabulary integerization — the engine's one analytic
+  * aggregation.
+  *
+  * Mirrors `tft.compute_and_apply_vocabulary`
+  * (/root/reference/tfrecorder/beam_pipeline.py:120-130): distinct values
+  * of a string column are counted over the TRAIN split, ordered by
+  * descending frequency (value ascending as the deterministic tie-break —
+  * TFT's fixture vocab is `goat\ncat` where both tie at 1; TFT breaks ties
+  * by reverse insertion which is not reproducible, so we pick the
+  * lexicographic DESC order that reproduces the golden fixture), assigned
+  * indices 0..V-1, and out-of-vocabulary values map to -1 (the golden
+  * transformed_metadata/schema.pbtxt has int_domain {min: -1}).
+  *
+  * Scale notes (100 TB): the fit is a map-side-combinable groupBy-count —
+  * one shuffle of (value, partial-count) pairs whose width is the vocab
+  * cardinality, not the row count. The index assignment runs a window over
+  * the *distinct values* (cardinality ≪ rows); for vocabularies in the
+  * multi-million range swap to sort+zipWithIndex. The apply is a broadcast
+  * hash join (vocab tables are small by construction) — no shuffle of the
+  * data side, stays in whole-stage codegen.
+  */
+final case class VocabModel(vocabs: Map[String, DataFrame]) {
+
+  /** Integerize every fitted column of `df`; OOV → -1. Non-fitted columns
+    * pass through unchanged (the reference's _preprocessing_fn is identity
+    * for everything but StringLabel, beam_pipeline.py:120-130).
+    */
+  def apply(df: DataFrame): DataFrame =
+    vocabs.foldLeft(df) { case (acc, (column, vocab)) =>
+      Vocab.applyOne(acc, column, vocab)
+    }
+
+  /** Vocabulary terms of a column in index order (asset-file order). */
+  def terms(column: String): Seq[String] =
+    vocabs(column).orderBy("idx").collect().map(_.getString(0)).toSeq
+}
+
+object Vocab {
+
+  val OovIndex: Long = -1L
+
+  /** Fit a vocabulary for one column over the TRAIN dataframe.
+    * Returns a 2-column DataFrame (value: string, idx: long) — ordered by
+    * (count desc, value desc) to match the golden TFT fixture.
+    */
+  def fitOne(train: DataFrame, column: String,
+             frequencyThreshold: Long = 0L): DataFrame = {
+    val counts = train
+      .filter(col(column).isNotNull)
+      .groupBy(col(column).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= frequencyThreshold)
+    // Window over distinct values only: single partition is fine because
+    // |vocab| ≪ |rows|; see scale notes above.
+    val w = Window.orderBy(col("cnt").desc, col("value").desc)
+    counts
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+      .select("value", "idx")
+  }
+
+  /** Fit vocabularies for all given columns over TRAIN. */
+  def fit(train: DataFrame, columns: Seq[String],
+          frequencyThreshold: Long = 0L): VocabModel =
+    VocabModel(columns.map(c => c -> fitOne(train, c, frequencyThreshold)).toMap)
+
+  /** Apply one vocabulary: broadcast left join + coalesce(idx, -1),
+    * replacing the string column with its int64 index in place.
+    */
+  def applyOne(df: DataFrame, column: String, vocab: DataFrame): DataFrame = {
+    val v = broadcast(vocab.withColumnRenamed("value", "__vocab_value"))
+    df.join(v, df(column) === v("__vocab_value"), "left")
+      .withColumn(column, coalesce(col("idx"), lit(OovIndex)))
+      .drop("__vocab_value", "idx")
+  }
+
+  /** Write each vocabulary as a text asset (one term per line, index
+    * order) under `transform_fn/assets/` — same layout/naming as the
+    * reference's TFT asset
+    * (transform_fn/assets/vocab_compute_and_apply_vocabulary_vocabulary).
+    */
+  def writeAssets(model: VocabModel, transformFnDir: String): Unit = {
+    val assetsDir = new java.io.File(transformFnDir, "assets")
+    assetsDir.mkdirs()
+    model.vocabs.foreach { case (column, _) =>
+      val terms = model.terms(column)
+      val f = new java.io.File(assetsDir, s"vocab_$column")
+      java.nio.file.Files.write(
+        f.toPath,
+        terms.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Read vocab assets back into a model. */
+  def readAssets(spark: SparkSession, transformFnDir: String): VocabModel = {
+    val assetsDir = new java.io.File(transformFnDir, "assets")
+    val files = Option(assetsDir.listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("vocab_"))
+    val vocabs = files.map { f =>
+      val column = f.getName.stripPrefix("vocab_")
+      val terms = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n", -1).toSeq.filter(_.nonEmpty)
+      import spark.implicits._
+      column -> terms.zipWithIndex
+        .map { case (t, i) => (t, i.toLong) }
+        .toDF("value", "idx")
+    }.toMap
+    VocabModel(vocabs)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** The engine's column type system.
+  *
+  * Mirrors the reference's `SupportedType` dataclasses
+  * (/root/reference/tfrecorder/types.py:31-91): every type is a scalar
+  * "FixedLenFeature" — string, int64 or float32 — with optional
+  * allowed-value domains. Re-expressed as a sealed Scala ADT that compiles
+  * directly to Spark `DataType`s, so a [[Schema]] can be turned into a
+  * `StructType` and pushed into the parquet/CSV scans (column pruning +
+  * typed reads for free).
+  */
+sealed trait SupportedType {
+  /** Spark physical type for this logical column type. */
+  def sparkType: DataType
+  /** Closed value domain, if any (empty = unconstrained). */
+  def allowedValues: Seq[String] = Seq.empty
+}
+
+object SupportedType {
+
+  /** The dataset-partition column; reference types.py:45-49. */
+  case object SplitKey extends SupportedType {
+    val sparkType: DataType = StringType
+    override val allowedValues: Seq[String] =
+      Seq("TRAIN", "VALIDATION", "TEST", "DISCARD")
+  }
+
+  /** Path (local or remote FS) to an image file; reference types.py:38-42.
+    * At most one per schema.
+    */
+  case object ImageUri extends SupportedType {
+    val sparkType: DataType = StringType
+  }
+
+  /** Passthrough int64 feature; reference types.py:52-56. */
+  case object IntegerInput extends SupportedType {
+    val sparkType: DataType = LongType
+  }
+
+  /** Passthrough float32 feature; reference types.py:59-63. */
+  case object FloatInput extends SupportedType {
+    val sparkType: DataType = FloatType
+  }
+
+  /** Passthrough string feature; reference types.py:67-71. */
+  case object StringInput extends SupportedType {
+    val sparkType: DataType = StringType
+  }
+
+  /** Integer target, not transformed; reference types.py:74-76. */
+  case object IntegerLabel extends SupportedType {
+    val sparkType: DataType = LongType
+  }
+
+  /** String target: a vocabulary is fitted on TRAIN and the column is
+    * integerized everywhere (OOV → -1); reference types.py:79-81 +
+    * beam_pipeline.py:126-127.
+    */
+  case object StringLabel extends SupportedType {
+    val sparkType: DataType = StringType
+  }
+
+  /** Generated image string column (name / base64 raster); types.py:84-86. */
+  case object ImageSupportString extends SupportedType {
+    val sparkType: DataType = StringType
+  }
+
+  /** Generated image dimension column (h/w/channels); types.py:89-91. */
+  case object ImageDim extends SupportedType {
+    val sparkType: DataType = LongType
+  }
+
+  /** Extension (not in the reference's code; closes its README gap, see
+    * SURVEY.md §1): numeric feature z-score-scaled with TRAIN-fitted
+    * mean/stddev.
+    */
+  case object ScaledFloatInput extends SupportedType {
+    val sparkType: DataType = DoubleType
+  }
+
+  /** Extension: opaque multimodal payload (image/audio/video bytes) carried
+    * as a binary column with typed metadata derived by [[ops.Multimodal]].
+    */
+  case object BinaryInput extends SupportedType {
+    val sparkType: DataType = BinaryType
+  }
+
+  private val byName: Map[String, SupportedType] = Map(
+    "SplitKey" -> SplitKey,
+    "ImageUri" -> ImageUri,
+    "IntegerInput" -> IntegerInput,
+    "FloatInput" -> FloatInput,
+    "StringInput" -> StringInput,
+    "IntegerLabel" -> IntegerLabel,
+    "StringLabel" -> StringLabel,
+    "ImageSupportString" -> ImageSupportString,
+    "ImageDim" -> ImageDim,
+    "ScaledFloatInput" -> ScaledFloatInput,
+    "BinaryInput" -> BinaryInput,
+  )
+
+  def name(t: SupportedType): String = t.toString
+
+  def fromName(s: String): SupportedType =
+    byName.getOrElse(
+      s, throw new IllegalArgumentException(s"unknown SupportedType: $s"))
+
+  def isLabel(t: SupportedType): Boolean =
+    t == IntegerLabel || t == StringLabel
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import SupportedType._
+
+class SchemaSpec extends AnyFunSuite {
+
+  test("image CSV default schema derives the three roles") {
+    val s = Schema.imageCsvSchema
+    assert(s.splitKey == "split")
+    assert(s.labelKey.contains("label"))
+    assert(s.imageUriKey.contains("image_uri"))
+  }
+
+  test("missing SplitKey throws") {
+    assertThrows[IllegalArgumentException] {
+      Schema(Seq("a" -> StringInput))
+    }
+  }
+
+  test("two SplitKeys throw") {
+    assertThrows[IllegalArgumentException] {
+      Schema(Seq("a" -> SplitKey, "b" -> SplitKey))
+    }
+  }
+
+  test("two ImageUris throw") {
+    assertThrows[IllegalArgumentException] {
+      Schema(Seq("s" -> SplitKey, "a" -> ImageUri, "b" -> ImageUri))
+    }
+  }
+
+  test("preTransformSchema expands image_uri in place into 5 columns") {
+    val pre = Schema.imageCsvSchema.preTransformSchema
+    assert(pre.columnNames == Seq(
+      "split", "image_name", "image", "image_height", "image_width",
+      "image_channels", "label"))
+    assert(pre.typeOf("image_height") == ImageDim)
+    assert(pre.imageUriKey.isEmpty)
+  }
+
+  test("preTransformSchema is identity without image column") {
+    val s = Schema(Seq("split" -> SplitKey, "x" -> IntegerInput))
+    assert(s.preTransformSchema == s)
+  }
+
+  test("transformedSchema turns StringLabel into IntegerLabel") {
+    val t = Schema.imageCsvSchema.transformedSchema
+    assert(t.typeOf("label") == IntegerLabel)
+  }
+
+  test("toStructType maps physical types per the reference type system") {
+    val s = Schema(Seq(
+      "split" -> SplitKey, "i" -> IntegerInput, "f" -> FloatInput,
+      "t" -> StringInput, "il" -> IntegerLabel))
+    val st = s.toStructType
+    assert(st("split").dataType == StringType)
+    assert(st("i").dataType == LongType)
+    assert(st("f").dataType == FloatType)
+    assert(st("t").dataType == StringType)
+    assert(st("il").dataType == LongType)
+  }
+
+  test("JSON round-trip preserves order and types") {
+    val s = Schema(Seq(
+      "split" -> SplitKey, "image_uri" -> ImageUri,
+      "weird \"name\"" -> StringInput, "label" -> StringLabel))
+    assert(Schema.fromJson(s.toJson) == s)
+  }
+}

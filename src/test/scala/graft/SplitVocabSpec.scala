@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{SplitStage, Vocab}
+
+class SplitVocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleDf = Seq(
+    ("TRAIN", "cat"), ("TRAIN", "goat"),
+    ("VALIDATION", "cat"), ("VALIDATION", "goat"),
+    ("TEST", "cat"), ("TEST", "goat"),
+    ("BOGUS", "cat"), (null: String, "goat"),
+  ).toDF("split", "label")
+
+  test("normalize routes unknown and null split values to DISCARD") {
+    val norm = SplitStage.normalize(sampleDf, "split")
+    val counts = norm.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts == Map(
+      "TRAIN" -> 2L, "VALIDATION" -> 2L, "TEST" -> 2L, "DISCARD" -> 2L))
+  }
+
+  test("partition covers every row exactly once") {
+    val parts = SplitStage.partition(sampleDf, "split")
+    assert(parts.keySet == SplitStage.allSplits.toSet)
+    assert(parts.values.map(_.count()).sum == sampleDf.count())
+  }
+
+  test("requireTrain guards the fit") {
+    assertThrows[IllegalArgumentException] {
+      SplitStage.requireTrain(Map("TEST" -> 5L))
+    }
+    SplitStage.requireTrain(Map("TRAIN" -> 1L)) // no throw
+  }
+
+  test("vocab fit orders by count desc then value desc (golden goat/cat tie)") {
+    // The reference's golden fixture vocab is `goat\ncat` from one cat +
+    // one goat TRAIN row (test_data/sample_tfrecords/transform_fn/assets).
+    val train = Seq("cat", "goat").toDF("label")
+    val model = Vocab.fit(train, Seq("label"))
+    assert(model.terms("label") == Seq("goat", "cat"))
+  }
+
+  test("vocab fit: frequency dominates, OOV applies as -1") {
+    val train = Seq("b", "b", "b", "a", "a", "c").toDF("label")
+    val model = Vocab.fit(train, Seq("label"))
+    assert(model.terms("label") == Seq("b", "a", "c"))
+
+    val applied = model(Seq("a", "b", "c", "zebra").toDF("label"))
+    val got = applied.as[Long].collect().toSeq
+    assert(got.sorted == Seq(-1L, 0L, 1L, 2L))
+    // zebra (OOV) → -1
+    assert(applied.schema("label").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("frequencyThreshold drops rare terms (they become OOV)") {
+    val train = Seq("x", "x", "rare").toDF("label")
+    val model = Vocab.fit(train, Seq("label"), frequencyThreshold = 2L)
+    assert(model.terms("label") == Seq("x"))
+    val applied = model(Seq("rare").toDF("label"))
+    assert(applied.as[Long].head() == -1L)
+  }
+
+  test("vocab assets write/read round-trip") {
+    val train = Seq("cat", "goat", "goat").toDF("label")
+    val model = Vocab.fit(train, Seq("label"))
+    val dir = tmpDir("vocab-assets")
+    Vocab.writeAssets(model, dir)
+    val f = new java.io.File(dir, "assets/vocab_label")
+    assert(f.exists())
+    val back = Vocab.readAssets(spark, dir)
+    assert(back.terms("label") == Seq("goat", "cat"))
+    // re-applied model gives same integerization
+    val applied = back(Seq("cat", "goat", "emu").toDF("label"))
+      .as[Long].collect().toSeq
+    assert(applied == Seq(1L, 0L, -1L))
+  }
+}
