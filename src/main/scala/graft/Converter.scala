@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{ImageStage, SplitStage, Vocab, VocabModel}
+import graft.sinks.Sinks
+import graft.sources.Input
+
+/** Result of a convert job — the analog of the reference's returned dict
+  * `{job_id, metrics, tfrecord_dir}` (/root/reference/tfrecorder/
+  * converter.py:344-366) with the DirectRunner metric counters
+  * (rows / good_images / bad_images, converter.py:330-342).
+  */
+final case class ConvertResult(
+    jobId: String,
+    jobDir: String,
+    rowCount: Long,
+    goodImages: Long,
+    badImages: Long,
+    splitCounts: Map[String, Long])
+
+/** The front door: orchestrates ingest → validate → image-extract →
+  * split → fit-on-TRAIN transform → per-split sinks → artifacts.
+  *
+  * Mirrors `tfrecorder.convert` (/root/reference/tfrecorder/
+  * converter.py:248-366) re-expressed as a lazy DataFrame chain: the
+  * Catalyst logical plan is the IR, each sink write is an action, and the
+  * one deliberate physical decision is persisting the post-extraction
+  * frame so the four split sinks + the vocab fit share a single compute of
+  * the expensive image-decode stage (SURVEY.md §4).
+  */
+object Converter {
+
+  /** Job naming: `tfrecorder-<ts>[-label]` (converter.py:146-168). */
+  def jobName(label: Option[String] = None): String = {
+    val ts = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss"))
+    s"tfrecorder-$ts" + label.map("-" + _.toLowerCase).getOrElse("")
+  }
+
+  /** Run a full convert job.
+    *
+    * @param source     a DataFrame, or a path to a CSV / image directory
+    * @param schema     the declared input schema (default: image CSV)
+    * @param outputDir  parent dir; job output goes to `<outputDir>/<jobName>`
+    * @param numShards  files per split (0 = let Spark decide)
+    * @param compression parquet codec; reference semantics gzip|uncompressed
+    * @param frequencyThreshold vocab min term frequency (TFT option analog)
+    * @param format     "parquet" (primary, columnar/splittable for scale) or
+    *                   "tfrecord" (the reference's native format; shards
+    *                   named `<split>-NNNNN-of-MMMMM.tfrecord[.gz]` at the
+    *                   job-dir top level like the reference's layout)
+    */
+  def convert(spark: SparkSession,
+              source: Either[DataFrame, String],
+              schema: Schema = Schema.imageCsvSchema,
+              outputDir: String = "/tmp/tfrecorder",
+              jobLabel: Option[String] = None,
+              header: Input.Header = Input.Header.Infer,
+              names: Option[Seq[String]] = None,
+              numShards: Int = 0,
+              compression: String = "gzip",
+              frequencyThreshold: Long = 0L,
+              format: String = "parquet"): ConvertResult = {
+    val job = jobName(jobLabel)
+    val jobDir = s"${outputDir.stripSuffix("/")}/$job"
+
+    // 1. Ingest + validate + conform to declared types (S1-S7, P1-P2).
+    val raw = Input.toDataFrame(spark, source, header, names, Some(schema))
+    val typed = Input.conform(raw, schema)
+
+    // 2. Normalize split routing (unknown → DISCARD, P5/T1).
+    val routed = SplitStage.normalize(typed, schema.splitKey)
+
+    // 3. Image extraction if the schema declares an ImageUri column (I1-I5).
+    val good = spark.sparkContext.longAccumulator("image_good")
+    val bad = spark.sparkContext.longAccumulator("image_bad")
+    val preTft = schema.imageUriKey match {
+      case Some(_) => ImageStage.extract(routed, schema, good, bad)
+      case None => routed
+    }
+
+    // 4. Cache: four sinks + the vocab fit share one upstream compute.
+    //    MEMORY_AND_DISK because the widened image rows can exceed memory.
+    val cached = preTft.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = SplitStage.splitCounts(cached, schema.splitKey)
+      SplitStage.requireTrain(counts)
+      val parts = SplitStage.partition(cached, schema.splitKey)
+
+      // 5. Fit the transform on TRAIN only; apply everywhere (F1-F3).
+      val model = Vocab.fit(
+        parts(SplitStage.Train), schema.stringLabelKeys, frequencyThreshold)
+
+      // 6. Write each present output split, transformed (W1-W4).
+      SplitStage.outputSplits
+        .filter(s => counts.getOrElse(s, 0L) > 0L)
+        .foreach { s =>
+          format match {
+            case "tfrecord" =>
+              graft.sinks.TfRecord.write(model(parts(s)), jobDir,
+                s.toLowerCase, numShards, gzip = compression == "gzip")
+            case _ =>
+              Sinks.writeSplit(model(parts(s)), jobDir, s, numShards,
+                compression)
+          }
+        }
+
+      // 7. Discard sink (W3) — raw rows, untransformed, like the reference.
+      if (counts.getOrElse(SplitStage.Discard, 0L) > 0L)
+        Sinks.writeDiscard(parts(SplitStage.Discard), jobDir)
+
+      // 8. Artifacts (F5).
+      Sinks.writeTransformArtifacts(model, schema, jobDir)
+
+      ConvertResult(
+        jobId = job,
+        jobDir = jobDir,
+        rowCount = counts.values.sum,
+        goodImages = good.value,
+        badImages = bad.value,
+        splitCounts = counts)
+    } finally cached.unpersist()
+  }
+
+  /** convert then load (converter.py:369-373). */
+  def convertAndLoad(spark: SparkSession,
+                     source: Either[DataFrame, String],
+                     schema: Schema = Schema.imageCsvSchema,
+                     outputDir: String = "/tmp/tfrecorder",
+                     jobLabel: Option[String] = None): Map[String, DataFrame] = {
+    val result = convert(spark, source, schema, outputDir, jobLabel)
+    Loader.load(spark, result.jobDir)
+  }
+}
+
+/** Idiomatic-Scala analog of the reference's pandas accessor
+  * `df.tensorflow.to_tfr(...)` (/root/reference/tfrecorder/accessor.py:33-101).
+  */
+object accessor {
+  implicit final class GraftDataFrame(private val df: DataFrame) extends AnyVal {
+    def toTfr(outputDir: String,
+              schema: Schema = Schema.imageCsvSchema,
+              jobLabel: Option[String] = None,
+              numShards: Int = 0,
+              compression: String = "gzip"): ConvertResult =
+      Converter.convert(df.sparkSession, Left(df), schema, outputDir,
+        jobLabel, numShards = numShards, compression = compression)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{ImageStage, SplitStage}
+
+/** Read-back path: job dir → per-split DataFrames, plus `inspect`.
+  *
+  * Mirrors `dataset_loader.load` (/root/reference/tfrecorder/
+  * dataset_loader.py:82-129): validate that `transformed_metadata/` and
+  * `transform_fn/` exist, read the stored output schema, and build one
+  * dataset per present split; and `utils.inspect` (utils.py:51-101): take
+  * n records of a split, dump them to `data.csv` (excluding the `image`
+  * column) and reconstruct each image to a file.
+  */
+object Loader {
+
+  /** Directory validation (dataset_loader.py:38-48). */
+  def validateJobDir(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    require(d.isDirectory, s"not a directory: $dir")
+    Seq("transformed_metadata", "transform_fn").foreach { sub =>
+      require(new java.io.File(d, sub).isDirectory,
+        s"$dir does not contain a $sub directory — not a convert job output")
+    }
+  }
+
+  /** Stored transformed schema (our schema.json ↔ the reference's
+    * transformed_metadata/schema.pbtxt).
+    */
+  def transformedSchema(dir: String): Schema = {
+    val f = new java.io.File(dir, "transformed_metadata/schema.json")
+    Schema.fromJson(new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load every present split as a DataFrame, keyed TRAIN/VALIDATION/TEST
+    * (dataset_loader.py:82-129). The stored schema drives the read so
+    * column types survive the round-trip.
+    */
+  def load(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    validateJobDir(dir)
+    val schema = transformedSchema(dir)
+    val d = new java.io.File(dir)
+    SplitStage.outputSplits.flatMap { split =>
+      val lower = split.toLowerCase
+      val parquetDir = new java.io.File(d, lower)
+      // TFRecord shards sit at the job-dir top level with the split as the
+      // file prefix (the reference's glob, dataset_loader.py:52-69).
+      val tfrShards = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(s"$lower-") &&
+          f.getName.contains(".tfrecord"))
+      if (parquetDir.isDirectory)
+        Some(split -> spark.read.schema(schema.toStructType).parquet(
+          parquetDir.getAbsolutePath))
+      else if (tfrShards.nonEmpty)
+        Some(split -> graft.sinks.TfRecord.read(
+          spark, s"$dir/$lower-*", schema.toStructType))
+      else None
+    }.toMap
+  }
+
+  /** Dump `n` records of a split to `<outputDir>/data.csv` (minus the
+    * `image` column) and reconstruct each image to a PNG file
+    * (utils.py:51-101). Head-n, not top-k, matching the reference's
+    * `dataset.take`.
+    */
+  def inspect(spark: SparkSession, dir: String, split: String = "TRAIN",
+              numRecords: Int = 1, outputDir: String = "output"): String = {
+    val datasets = load(spark, dir)
+    require(datasets.contains(split),
+      s"split $split does not exist in $dir (has: ${datasets.keys.mkString(",")})")
+    val df = datasets(split)
+    val rows = df.limit(numRecords).collect()
+    val out = new java.io.File(outputDir)
+    out.mkdirs()
+
+    val hasImage = df.columns.contains("image")
+    val csvCols = df.columns.filterNot(_ == "image")
+    val sb = new StringBuilder(csvCols.mkString(",") + "\n")
+    rows.foreach { r =>
+      sb.append(csvCols.map { c =>
+        val v = r.get(r.fieldIndex(c))
+        if (v == null) "" else v.toString
+      }.mkString(",")).append("\n")
+    }
+    java.nio.file.Files.write(
+      new java.io.File(out, "data.csv").toPath,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    if (hasImage) rows.zipWithIndex.foreach { case (r, i) =>
+      val b64 = r.getAs[String]("image")
+      if (b64 != null) {
+        val img = ImageStage.decode(
+          b64,
+          r.getAs[Long]("image_width").toInt,
+          r.getAs[Long]("image_height").toInt,
+          r.getAs[Long]("image_channels").toInt)
+        val name = Option(r.getAs[String]("image_name"))
+          .getOrElse(s"image_$i.png")
+        javax.imageio.ImageIO.write(img, "png",
+          new java.io.File(out, name.replaceAll("\\.[^.]+$", "") + ".png"))
+      }
+    }
+    out.getAbsolutePath
+  }
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.util.LongAccumulator
+import graft.Schema
+
+/** Image load / encode / decode + the row-widening extraction stage.
+  *
+  * Mirrors /root/reference/tfrecorder/beam_image.py:
+  *  - `encode` is base64 of the RAW PIXEL BYTES (PIL `Image.tobytes()` —
+  *    uncompressed raster, NOT the original file bytes) with URL-safe
+  *    altchars `-_` (beam_image.py:29,44-51).
+  *  - channels rule: 1 if the mode is grayscale else 3 (beam_image.py:32-36).
+  *  - `ExtractImagesDoFn` (beam_image.py:78-119): per row, pop `image_uri`,
+  *    load, emit image_name/image/image_width/image_height/image_channels;
+  *    on ANY failure log + count + route the row to DISCARD (not dropped).
+  *
+  * Spark shape: a single `mapPartitions` over typed rows (imperative
+  * per-partition logic is exactly what mapPartitions is for — §2.4), with
+  * two LongAccumulators for the reference's `image_good`/`image_bad`
+  * counters. Partition-level batching amortizes the FileSystem handle; at
+  * cluster scale the reads are distributed with the rows, and the
+  * downstream cache means the decode cost is paid once for all four split
+  * sinks plus the vocab fit.
+  */
+object ImageStage {
+
+  /** Raw raster bytes of an image, row-major, 1 byte/px (grayscale) or
+    * 3 bytes/px RGB — byte-identical to PIL `tobytes()` for 'L'/'RGB'.
+    */
+  def rasterBytes(img: BufferedImage): Array[Byte] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val ch = channels(img)
+    val out = new Array[Byte](w * h * ch)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        if (ch == 1) {
+          // TYPE_BYTE_GRAY getRGB returns the gray value replicated.
+          out(i) = (rgb & 0xff).toByte; i += 1
+        } else {
+          out(i) = ((rgb >> 16) & 0xff).toByte
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i + 2) = (rgb & 0xff).toByte
+          i += 3
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** PIL mode→channel rule: `1 if 'L' in mode else 3` (beam_image.py:32-36).
+    * For BufferedImage: gray color space → 1, everything else 3.
+    */
+  def channels(img: BufferedImage): Int =
+    if (img.getColorModel.getColorSpace.getNumComponents == 1) 1 else 3
+
+  /** URL-safe (altchars `-_`, padded) base64 of the raster (beam_image.py:44-51). */
+  def encode(img: BufferedImage): String =
+    Base64.getUrlEncoder.encodeToString(rasterBytes(img))
+
+  /** Inverse of [[encode]]: rebuild the image from b64 raster + dims
+    * (beam_image.py:54-59; mode from channel count per channel_to_mode).
+    */
+  def decode(b64: String, width: Int, height: Int, channels: Int): BufferedImage = {
+    val bytes = Base64.getUrlDecoder.decode(b64)
+    val imgType =
+      if (channels == 1) BufferedImage.TYPE_BYTE_GRAY
+      else BufferedImage.TYPE_3BYTE_BGR
+    val img = new BufferedImage(width, height, imgType)
+    var i = 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        if (channels == 1) {
+          val v = bytes(i) & 0xff; i += 1
+          img.setRGB(x, y, (0xff << 24) | (v << 16) | (v << 8) | v)
+        } else {
+          val r = bytes(i) & 0xff
+          val g = bytes(i + 1) & 0xff
+          val b = bytes(i + 2) & 0xff
+          i += 3
+          img.setRGB(x, y, (0xff << 24) | (r << 16) | (g << 8) | b)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Load an image from a path (beam_image.py:62-73). Local or any Hadoop
+    * FS; throws on missing/undecodable file — callers route to DISCARD.
+    */
+  def load(uri: String,
+           conf: org.apache.hadoop.conf.Configuration): BufferedImage = {
+    val p = new org.apache.hadoop.fs.Path(uri)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val img = javax.imageio.ImageIO.read(in)
+      if (img == null)
+        throw new java.io.IOException(s"undecodable image: $uri")
+      img
+    } finally in.close()
+  }
+
+  /** The extraction stage: widen each row from the input schema to the
+    * pre-transform schema (drop image_uri; add name/b64/dims), routing
+    * failures to DISCARD with null image columns (the reference emits the
+    * partial dict to its text discard sink; a typed engine keeps the
+    * schema uniform — intentional, documented divergence).
+    */
+  def extract(df: DataFrame, schema: Schema,
+              good: LongAccumulator, bad: LongAccumulator): DataFrame = {
+    val uriKey = schema.imageUriKey.getOrElse(
+      throw new IllegalArgumentException("schema has no ImageUri column"))
+    val splitKey = schema.splitKey
+    val pre = schema.preTransformSchema
+    val outStruct = pre.toStructType
+    val inCols = df.columns.toSeq
+    val uriIdx = inCols.indexOf(uriKey)
+    require(uriIdx >= 0, s"missing column $uriKey")
+
+    // Precomputed per-output-column plan: >=0 → copy from that input
+    // index; -1..-5 → one of the five generated image fields.
+    val imageFieldSlot = Schema.generatedImageColumns.map(_._1)
+      .zipWithIndex.map { case (n, i) => n -> (-(i + 1)) }.toMap
+    val outNames = pre.columnNames
+    val plan: Array[Int] = outNames.map { n =>
+      imageFieldSlot.getOrElse(n, inCols.indexOf(n))
+    }.toArray
+    val outSplitPos = outNames.indexOf(splitKey)
+    val hadoopConfSer =
+      new org.apache.spark.util.SerializableConfiguration(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+
+    df.mapPartitions { rows =>
+      val conf = hadoopConfSer.value
+      rows.map { row =>
+        val extracted: Option[(String, String, Long, Long, Long)] =
+          try {
+            val img = load(row.getString(uriIdx), conf)
+            val name = new org.apache.hadoop.fs.Path(row.getString(uriIdx)).getName
+            good.add(1L)
+            Some((name, encode(img), img.getHeight.toLong,
+              img.getWidth.toLong, channels(img).toLong))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              bad.add(1L)
+              None
+          }
+        val values = new Array[Any](plan.length)
+        var i = 0
+        while (i < plan.length) {
+          values(i) = plan(i) match {
+            case idx if idx >= 0 => row.get(idx)
+            case slot => extracted match {
+              case Some((name, b64, h, w, c)) => slot match {
+                case -1 => name
+                case -2 => b64
+                case -3 => h
+                case -4 => w
+                case -5 => c
+              }
+              case None => null
+            }
+          }
+          i += 1
+        }
+        if (extracted.isEmpty) values(outSplitPos) = SplitStage.Discard
+        Row.fromSeq(values.toSeq)
+      }
+    }(Encoders.row(outStruct))
+  }
+}

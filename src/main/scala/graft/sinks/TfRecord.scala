@@ -1,0 +1,379 @@
+package graft.sinks
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, OutputStream, InputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32C
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, Encoders}
+import org.apache.spark.sql.types._
+
+/** TFRecord file format + tf.train.Example protobuf, hand-rolled.
+  *
+  * The reference's native sink is `WriteToTFRecord` of serialized
+  * `tf.train.Example` protos (/root/reference/tfrecorder/
+  * beam_pipeline.py:90-117,187-191) and its loader parses them back
+  * (dataset_loader.py:82-129). No protobuf runtime ships with Spark, so
+  * both the proto wire format and the TFRecord framing are implemented
+  * directly from their public specifications:
+  *
+  *  - TFRecord framing: each record is
+  *    `uint64 length (LE) | masked crc32c(length) | data | masked crc32c(data)`
+  *    with mask(crc) = ((crc >>> 15) | (crc << 17)) + 0xa282ead8 — the
+  *    format documented in the TensorFlow source
+  *    (tensorflow/core/lib/io/record_writer.h).
+  *  - tf.train.Example proto (tensorflow/core/example/example.proto /
+  *    feature.proto): Example{1: Features{1: map<string,Feature>}},
+  *    Feature = oneof {1: BytesList, 2: FloatList, 3: Int64List}, each
+  *    list = repeated field 1 (packed for numeric).
+  *
+  * Column mapping follows the engine's type system: string → BytesList
+  * (UTF-8), long/int → Int64List, float/double → FloatList — the same
+  * physical triple the reference's feature specs use (types.py:31-91).
+  */
+object TfRecord {
+
+  // ---- protobuf wire primitives -------------------------------------
+
+  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  private def keyBytes(fieldNumber: Int, wireType: Int): Int =
+    (fieldNumber << 3) | wireType
+
+  private def writeLenDelimited(out: ByteArrayOutputStream, field: Int,
+                                payload: Array[Byte]): Unit = {
+    out.write(keyBytes(field, 2))
+    writeVarint(out, payload.length.toLong)
+    out.write(payload, 0, payload.length)
+  }
+
+  // ---- Example encoding ----------------------------------------------
+
+  private def bytesListFeature(value: Array[Byte]): Array[Byte] = {
+    val list = new ByteArrayOutputStream()
+    writeLenDelimited(list, 1, value) // BytesList.value
+    val feature = new ByteArrayOutputStream()
+    writeLenDelimited(feature, 1, list.toByteArray) // Feature.bytes_list
+    feature.toByteArray
+  }
+
+  private def int64ListFeature(value: Long): Array[Byte] = {
+    val packed = new ByteArrayOutputStream()
+    writeVarint(packed, value)
+    val list = new ByteArrayOutputStream()
+    writeLenDelimited(list, 1, packed.toByteArray) // Int64List.value packed
+    val feature = new ByteArrayOutputStream()
+    writeLenDelimited(feature, 3, list.toByteArray) // Feature.int64_list
+    feature.toByteArray
+  }
+
+  private def floatListFeature(value: Float): Array[Byte] = {
+    val packed = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      .putFloat(value).array()
+    val list = new ByteArrayOutputStream()
+    writeLenDelimited(list, 1, packed) // FloatList.value packed
+    val feature = new ByteArrayOutputStream()
+    writeLenDelimited(feature, 2, list.toByteArray) // Feature.float_list
+    feature.toByteArray
+  }
+
+  /** Serialize one Row as a tf.train.Example, using the DataFrame schema
+    * to choose the feature kind per column. Null values become empty
+    * features of the right kind.
+    */
+  def encodeExample(row: Row, schema: StructType): Array[Byte] = {
+    val featuresMap = new ByteArrayOutputStream()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val isNull = row.isNullAt(i)
+      val featureBytes: Array[Byte] = f.dataType match {
+        case StringType =>
+          bytesListFeature(
+            if (isNull) Array.emptyByteArray
+            else row.getString(i).getBytes("UTF-8"))
+        case BinaryType =>
+          bytesListFeature(
+            if (isNull) Array.emptyByteArray else row.getAs[Array[Byte]](i))
+        case LongType => int64ListFeature(if (isNull) 0L else row.getLong(i))
+        case IntegerType => int64ListFeature(if (isNull) 0L else row.getInt(i).toLong)
+        case FloatType => floatListFeature(if (isNull) 0f else row.getFloat(i))
+        case DoubleType => floatListFeature(if (isNull) 0f else row.getDouble(i).toFloat)
+        case other => throw new IllegalArgumentException(
+          s"unsupported TFRecord column type for ${f.name}: $other")
+      }
+      // map<string, Feature> entry: {1: key, 2: value}
+      val entry = new ByteArrayOutputStream()
+      writeLenDelimited(entry, 1, f.name.getBytes("UTF-8"))
+      writeLenDelimited(entry, 2, featureBytes)
+      writeLenDelimited(featuresMap, 1, entry.toByteArray) // Features.feature
+    }
+    val example = new ByteArrayOutputStream()
+    writeLenDelimited(example, 1, featuresMap.toByteArray) // Example.features
+    example.toByteArray
+  }
+
+  // ---- TFRecord framing ----------------------------------------------
+
+  private def maskedCrc(bytes: Array[Byte]): Int = {
+    val crc = new CRC32C()
+    crc.update(bytes, 0, bytes.length)
+    val v = crc.getValue.toInt // unsigned 32 in low bits
+    ((v >>> 15) | (v << 17)) + 0xa282ead8
+  }
+
+  /** Frame one serialized record into a TFRecord entry. */
+  def frame(data: Array[Byte]): Array[Byte] = {
+    val lenBytes = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(data.length.toLong).array()
+    val out = ByteBuffer.allocate(8 + 4 + data.length + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(lenBytes)
+    out.putInt(maskedCrc(lenBytes))
+    out.put(data)
+    out.putInt(maskedCrc(data))
+    out.array()
+  }
+
+  /** Read back all records of a TFRecord stream (CRC-checked). */
+  def readRecords(in: InputStream): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private var nextRec: Array[Byte] = fetch()
+      private def readFully(n: Int): Option[Array[Byte]] = {
+        val buf = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = in.read(buf, off, n - off)
+          if (r < 0) return if (off == 0) None else
+            throw new java.io.EOFException("truncated TFRecord")
+          off += r
+        }
+        Some(buf)
+      }
+      private def fetch(): Array[Byte] = {
+        readFully(8) match {
+          case None => null
+          case Some(lenBytes) =>
+            val lenCrc = readFully(4).getOrElse(
+              throw new java.io.EOFException("truncated TFRecord header"))
+            require(ByteBuffer.wrap(lenCrc).order(ByteOrder.LITTLE_ENDIAN)
+              .getInt == maskedCrc(lenBytes), "length CRC mismatch")
+            val len = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN)
+              .getLong.toInt
+            val data = readFully(len).getOrElse(
+              throw new java.io.EOFException("truncated TFRecord data"))
+            val dataCrc = readFully(4).getOrElse(
+              throw new java.io.EOFException("truncated TFRecord footer"))
+            require(ByteBuffer.wrap(dataCrc).order(ByteOrder.LITTLE_ENDIAN)
+              .getInt == maskedCrc(data), "data CRC mismatch")
+            data
+        }
+      }
+      def hasNext: Boolean = nextRec != null
+      def next(): Array[Byte] = {
+        val r = nextRec; nextRec = fetch(); r
+      }
+    }
+
+  // ---- Example decoding ----------------------------------------------
+
+  private final class ProtoReader(buf: Array[Byte], start: Int, end: Int) {
+    private var pos = start
+    def hasMore: Boolean = pos < end
+    def readVarint(): Long = {
+      var shift = 0
+      var result = 0L
+      var b = 0
+      do {
+        b = buf(pos) & 0xff; pos += 1
+        result |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      result
+    }
+    def readTag(): (Int, Int) = {
+      val key = readVarint().toInt
+      (key >>> 3, key & 7)
+    }
+    def readLenDelimited(): (Int, Int) = {
+      val len = readVarint().toInt
+      val s = pos
+      pos += len
+      (s, s + len)
+    }
+    def skip(wireType: Int): Unit = wireType match {
+      case 0 => readVarint()
+      case 1 => pos += 8
+      case 2 => val len = readVarint().toInt; pos += len
+      case 5 => pos += 4
+      case other => throw new IllegalArgumentException(s"wire type $other")
+    }
+    def readFixed32Float(): Float = {
+      val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.LITTLE_ENDIAN)
+        .getFloat
+      pos += 4
+      v
+    }
+    def slice(s: Int, e: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(buf, s, e)
+  }
+
+  /** Parse a serialized tf.train.Example into column→value for the given
+    * schema (the inverse of [[encodeExample]]; the schema drives which
+    * feature kind is expected, like the reference's transformed feature
+    * spec drives parse_single_example, dataset_loader.py:113-126).
+    */
+  def decodeExample(bytes: Array[Byte], schema: StructType): Row = {
+    val values = collection.mutable.Map.empty[String, Any]
+    val top = new ProtoReader(bytes, 0, bytes.length)
+    while (top.hasMore) {
+      val (field, wt) = top.readTag()
+      if (field == 1 && wt == 2) { // Example.features
+        val (fs, fe) = top.readLenDelimited()
+        val features = new ProtoReader(bytes, fs, fe)
+        while (features.hasMore) {
+          val (ff, fwt) = features.readTag()
+          if (ff == 1 && fwt == 2) { // Features.feature map entry
+            val (es, ee) = features.readLenDelimited()
+            val entry = new ProtoReader(bytes, es, ee)
+            var key: String = null
+            var featRange: (Int, Int) = null
+            while (entry.hasMore) {
+              val (ef, ewt) = entry.readTag()
+              if (ef == 1 && ewt == 2) {
+                val (ks, ke) = entry.readLenDelimited()
+                key = new String(entry.slice(ks, ke), "UTF-8")
+              } else if (ef == 2 && ewt == 2) {
+                featRange = entry.readLenDelimited()
+              } else entry.skip(ewt)
+            }
+            if (key != null && featRange != null)
+              values(key) = decodeFeature(bytes, featRange._1, featRange._2)
+          } else features.skip(fwt)
+        }
+      } else top.skip(wt)
+    }
+    Row.fromSeq(schema.fields.toSeq.map { f =>
+      values.get(f.name).map(coerce(_, f.dataType)).orNull
+    })
+  }
+
+  /** Decode a Feature message to its scalar (single-element lists — the
+    * engine's type system is all-scalar, like the reference's).
+    */
+  private def decodeFeature(buf: Array[Byte], s: Int, e: Int): Any = {
+    val r = new ProtoReader(buf, s, e)
+    var out: Any = null
+    while (r.hasMore) {
+      val (field, wt) = r.readTag()
+      (field, wt) match {
+        case (1, 2) => // bytes_list
+          val (ls, le) = r.readLenDelimited()
+          val lr = new ProtoReader(buf, ls, le)
+          while (lr.hasMore) {
+            val (lf, lwt) = lr.readTag()
+            if (lf == 1 && lwt == 2) {
+              val (vs, ve) = lr.readLenDelimited()
+              out = lr.slice(vs, ve)
+            } else lr.skip(lwt)
+          }
+        case (2, 2) => // float_list (packed)
+          val (ls, le) = r.readLenDelimited()
+          val lr = new ProtoReader(buf, ls, le)
+          while (lr.hasMore) {
+            val (lf, lwt) = lr.readTag()
+            if (lf == 1 && lwt == 2) {
+              val (vs, ve) = lr.readLenDelimited()
+              val pr = new ProtoReader(buf, vs, ve)
+              while (pr.hasMore) out = pr.readFixed32Float()
+            } else if (lf == 1 && lwt == 5) {
+              out = lr.readFixed32Float()
+            } else lr.skip(lwt)
+          }
+        case (3, 2) => // int64_list (packed)
+          val (ls, le) = r.readLenDelimited()
+          val lr = new ProtoReader(buf, ls, le)
+          while (lr.hasMore) {
+            val (lf, lwt) = lr.readTag()
+            if (lf == 1 && lwt == 2) {
+              val (vs, ve) = lr.readLenDelimited()
+              val pr = new ProtoReader(buf, vs, ve)
+              while (pr.hasMore) out = pr.readVarint()
+            } else if (lf == 1 && lwt == 0) {
+              out = lr.readVarint()
+            } else lr.skip(lwt)
+          }
+        case (_, w) => r.skip(w)
+      }
+    }
+    out
+  }
+
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (b: Array[Byte], StringType) => new String(b, "UTF-8")
+    case (b: Array[Byte], BinaryType) => b
+    case (l: Long, LongType) => l
+    case (l: Long, IntegerType) => l.toInt
+    case (f: Float, FloatType) => f
+    case (f: Float, DoubleType) => f.toDouble
+    case (other, _) => other
+  }
+
+  // ---- distributed writer / reader ------------------------------------
+
+  /** Write a DataFrame as sharded TFRecord files
+    * `<dir>/<prefix>-NNNNN-of-MMMMM.tfrecord[.gz]` — the reference's
+    * shard naming (converter.py/beam output convention). numShards == 0
+    * keeps the current partitioning (the reference's "runner decides").
+    */
+  def write(df: DataFrame, dir: String, prefix: String,
+            numShards: Int = 0, gzip: Boolean = true): Unit = {
+    val shaped = if (numShards > 0) df.repartition(numShards) else df
+    val schema = shaped.schema
+    val n = shaped.rdd.getNumPartitions
+    val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    shaped.rdd.mapPartitionsWithIndex { case (idx, rows) =>
+      val name = f"$prefix-$idx%05d-of-$n%05d$suffix"
+      val path = new org.apache.hadoop.fs.Path(dir, name)
+      val fs = path.getFileSystem(confSer.value)
+      val raw: OutputStream = fs.create(path, true)
+      val out = new DataOutputStream(
+        if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw)
+      var count = 0L
+      try rows.foreach { row =>
+        out.write(frame(encodeExample(row, schema)))
+        count += 1
+      } finally out.close()
+      Iterator.single(count)
+    }.count(): Unit
+  }
+
+  /** Read TFRecord files back into a DataFrame with the given schema
+    * (compression inferred from extension, like dataset_loader.py:72-79).
+    */
+  def read(spark: SparkSession, pathGlob: String,
+           schema: StructType): DataFrame = {
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val files = spark.read.format("binaryFile").load(pathGlob)
+      .select("path").collect().map(_.getString(0))
+    val rdd = spark.sparkContext.parallelize(files.toSeq,
+        math.max(1, files.length))
+      .flatMap { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(confSer.value)
+        val raw: InputStream = fs.open(path)
+        val in = if (p.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(raw) else raw
+        try readRecords(in).map(decodeExample(_, schema)).toList
+        finally in.close()
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,196 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.File
+
+import org.apache.spark.sql.functions._
+import graft.operators.ImageStage
+import graft.sources.Input
+
+/** Scala twin of the reference's accessor_test.py:36-41 +
+  * dataset_loader_test.py:79-84 + utils_test.py inspect round-trip:
+  * full convert → load → inspect over a generated image-CSV fixture.
+  */
+class ConvertEndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic small RGB image (pattern varies by seed). */
+  private def makeImage(w: Int, h: Int, seed: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7 + seed) % 256
+      val g = (y * 13 + seed * 3) % 256
+      val b = (x + y + seed * 5) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  /** Build the reference fixture layout: images/<SPLIT>/<label>/<file>. */
+  private def buildFixture(): (String, String) = {
+    val base = tmpDir("fixture")
+    val rows = Seq(
+      ("TRAIN", "cat", 0), ("TRAIN", "goat", 1),
+      ("VALIDATION", "cat", 2), ("VALIDATION", "goat", 3),
+      ("TEST", "cat", 4), ("TEST", "goat", 5),
+    )
+    val csv = new StringBuilder("split,image_uri,label\n")
+    rows.foreach { case (split, label, seed) =>
+      val d = new File(s"$base/images/$split/$label")
+      d.mkdirs()
+      val f = new File(d, s"$label-$seed.png")
+      javax.imageio.ImageIO.write(makeImage(8, 6, seed), "png", f)
+      csv.append(s"$split,${f.getAbsolutePath},$label\n")
+    }
+    val csvFile = new File(base, "data.csv")
+    java.nio.file.Files.write(csvFile.toPath, csv.toString.getBytes)
+    (csvFile.getAbsolutePath, s"$base/images")
+  }
+
+  test("full convert → load round-trip on an image CSV") {
+    val (csvPath, _) = buildFixture()
+    val out = tmpDir("job-out")
+    val result = Converter.convert(spark, Right(csvPath), outputDir = out)
+
+    assert(result.rowCount == 6)
+    assert(result.goodImages == 6)
+    assert(result.badImages == 0)
+    assert(result.splitCounts ==
+      Map("TRAIN" -> 2L, "VALIDATION" -> 2L, "TEST" -> 2L))
+
+    val loaded = Loader.load(spark, result.jobDir)
+    assert(loaded.keySet == Set("TRAIN", "VALIDATION", "TEST"))
+    val train = loaded("TRAIN")
+    assert(train.columns.toSeq == Seq(
+      "split", "image_name", "image", "image_height", "image_width",
+      "image_channels", "label"))
+    // label integerized with the TRAIN-fitted vocab: {goat=0, cat=1}
+    // (count tie broken by value desc, matching the golden fixture).
+    val labels = train.select("image_name", "label").as[(String, Long)]
+      .collect().toMap
+    assert(labels.values.toSet == Set(0L, 1L))
+    assert(labels.filter(_._1.startsWith("goat")).values.toSet == Set(0L))
+    // vocab asset file written like the reference's
+    val asset = new File(result.jobDir, "transform_fn/assets/vocab_label")
+    assert(asset.exists())
+    assert(new String(java.nio.file.Files.readAllBytes(asset.toPath)) ==
+      "goat\ncat")
+    // image dims survived
+    val dims = train.select("image_width", "image_height", "image_channels")
+      .distinct().as[(Long, Long, Long)].collect().toSet
+    assert(dims == Set((8L, 6L, 3L)))
+  }
+
+  test("bad image uris route rows to DISCARD, not dropped") {
+    val df = Seq(
+      ("TRAIN", "/nonexistent/a.png", "cat"),
+      ("TRAIN", "/nonexistent/b.png", "goat"),
+    ).toDF("split", "image_uri", "label")
+    // need at least one good TRAIN image for the fit
+    val base = tmpDir("good-img")
+    val f = new File(base, "ok.png")
+    javax.imageio.ImageIO.write(makeImage(4, 4, 9), "png", f)
+    val withGood = df.union(
+      Seq(("TRAIN", f.getAbsolutePath, "cat")).toDF("split", "image_uri", "label"))
+
+    val out = tmpDir("job-out2")
+    val result = Converter.convert(spark, Left(withGood), outputDir = out)
+    assert(result.badImages == 2)
+    assert(result.goodImages == 1)
+    assert(result.splitCounts("DISCARD") == 2)
+    assert(result.splitCounts("TRAIN") == 1)
+    // discard sink exists with the 2 rows
+    val discard = spark.read.json(s"${result.jobDir}/discarded-data")
+    assert(discard.count() == 2)
+  }
+
+  test("image encode/decode round-trips pixels (RGB and grayscale)") {
+    val rgb = makeImage(5, 4, 2)
+    val b64 = ImageStage.encode(rgb)
+    // raster is 5*4*3 bytes, URL-safe base64 (no +/)
+    assert(!b64.contains("+") && !b64.contains("/"))
+    val back = ImageStage.decode(b64, 5, 4, 3)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert((back.getRGB(x, y) & 0xffffff) == (rgb.getRGB(x, y) & 0xffffff))
+
+    val gray = new BufferedImage(3, 3, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 3; x <- 0 until 3) {
+      val v = (x * 40 + y * 25) % 256
+      gray.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    assert(ImageStage.channels(gray) == 1)
+    val gb64 = ImageStage.encode(gray)
+    val gback = ImageStage.decode(gb64, 3, 3, 1)
+    for (y <- 0 until 3; x <- 0 until 3)
+      assert((gback.getRGB(x, y) & 0xff) == (gray.getRGB(x, y) & 0xff))
+  }
+
+  test("image directory ingest synthesizes the image-CSV frame") {
+    val (_, imgDir) = buildFixture()
+    val df = Input.readImageDirectory(spark, imgDir)
+    assert(df.columns.toSeq == Seq("split", "image_uri", "label"))
+    assert(df.count() == 6)
+    val bySplit = df.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit == Map("TRAIN" -> 2L, "VALIDATION" -> 2L, "TEST" -> 2L))
+    assert(df.select("label").distinct().as[String].collect().toSet ==
+      Set("cat", "goat"))
+    // uris resolve to readable files
+    val uri = df.select("image_uri").as[String].head()
+    assert(new File(uri).exists())
+  }
+
+  test("CSV header/names matrix (converter_test.py:269-299 twin)") {
+    val base = tmpDir("csv")
+    val withHeader = new File(base, "h.csv")
+    java.nio.file.Files.write(withHeader.toPath,
+      "split,image_uri,label\nTRAIN,/x.png,cat\n".getBytes)
+    val noHeader = new File(base, "nh.csv")
+    java.nio.file.Files.write(noHeader.toPath,
+      "TRAIN,/x.png,cat\n".getBytes)
+
+    val inferred = Input.readCsv(spark, withHeader.getAbsolutePath)
+    assert(inferred.columns.toSeq == Seq("split", "image_uri", "label"))
+
+    val defaulted = Input.readCsv(spark, noHeader.getAbsolutePath,
+      header = Input.Header.None)
+    assert(defaulted.columns.toSeq == Seq("split", "image_uri", "label"))
+    assert(defaulted.count() == 1)
+
+    val renamed = Input.readCsv(spark, noHeader.getAbsolutePath,
+      header = Input.Header.None, names = Some(Seq("a", "b", "c")))
+    assert(renamed.columns.toSeq == Seq("a", "b", "c"))
+  }
+
+  test("inspect dumps csv + reconstructed images") {
+    val (csvPath, _) = buildFixture()
+    val out = tmpDir("job-out3")
+    val result = Converter.convert(spark, Right(csvPath), outputDir = out)
+    val inspectDir = tmpDir("inspect")
+    Loader.inspect(spark, result.jobDir, "TRAIN", 2, inspectDir)
+    val csv = new String(java.nio.file.Files.readAllBytes(
+      new File(inspectDir, "data.csv").toPath))
+    assert(csv.startsWith(
+      "split,image_name,image_height,image_width,image_channels,label"))
+    assert(csv.linesIterator.size == 3) // header + 2 rows
+    val pngs = new File(inspectDir).listFiles().filter(_.getName.endsWith(".png"))
+    assert(pngs.length == 2)
+  }
+
+  test("validate rejects schema columns missing from data") {
+    val df = Seq(("TRAIN", "x")).toDF("split", "other")
+    assertThrows[IllegalArgumentException] {
+      Input.validate(df, Schema.imageCsvSchema)
+    }
+  }
+
+  test("accessor toTfr forwards to convert") {
+    import graft.accessor._
+    val base = tmpDir("acc-img")
+    val f = new File(base, "ok.png")
+    javax.imageio.ImageIO.write(makeImage(4, 4, 7), "png", f)
+    val df = Seq(("TRAIN", f.getAbsolutePath, "cat"))
+      .toDF("split", "image_uri", "label")
+    val res = df.toTfr(tmpDir("acc-out"))
+    assert(res.rowCount == 1 && res.goodImages == 1)
+  }
+}

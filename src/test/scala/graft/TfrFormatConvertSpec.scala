@@ -1,0 +1,28 @@
+package graft
+
+class TfrFormatConvertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("convert with format=tfrecord writes reference-layout shards and loads back") {
+    val df = Seq(
+      ("TRAIN", "cat"), ("TRAIN", "goat"), ("TEST", "cat"),
+    ).toDF("split", "label")
+    val schema = Schema(Seq(
+      "split" -> SupportedType.SplitKey, "label" -> SupportedType.StringLabel))
+    val out = tmpDir("tfr-convert")
+    val res = Converter.convert(spark, Left(df), schema, out,
+      numShards = 1, format = "tfrecord")
+
+    val files = new java.io.File(res.jobDir).listFiles().map(_.getName)
+    assert(files.contains("train-00000-of-00001.tfrecord.gz"))
+    assert(files.contains("test-00000-of-00001.tfrecord.gz"))
+    assert(!files.exists(_.startsWith("validation-")))
+
+    val loaded = Loader.load(spark, res.jobDir)
+    assert(loaded.keySet == Set("TRAIN", "TEST"))
+    val train = loaded("TRAIN").as[(String, Long)].collect().toSet
+    assert(train == Set(("TRAIN", 0L), ("TRAIN", 1L))) // goat=0, cat=1
+    val test = loaded("TEST").as[(String, Long)].collect().toSet
+    assert(test == Set(("TEST", 1L))) // cat encoded with TRAIN vocab
+  }
+}
