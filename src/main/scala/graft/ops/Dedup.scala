@@ -1,0 +1,275 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, and n-gram
+  * Jaccard — the standard toolbox for cleaning web-scale training corpora.
+  *
+  * Scale design:
+  *  - Exact dedup is a hash-aggregate on a fingerprint — one shuffle keyed
+  *    by a 128-bit digest, no wide rows moved (drop the payload first,
+  *    join survivors back if needed).
+  *  - MinHash signatures are computed per row (explode-free: a single
+  *    higher-order-function pass over the shingle array — no shuffle);
+  *    LSH banding then shuffles only (band_key → doc_id) pairs, and
+  *    candidate generation is a self-join *within buckets*, never the
+  *    quadratic all-pairs.
+  *  - SimHash is per-row and shuffle-free; near-dup candidates come from
+  *    banding the 64-bit signature into 4×16-bit sub-keys (any exact
+  *    sub-key match ⇒ candidate at Hamming distance ≤ 3 guaranteed).
+  *  - Exact pairwise Jaccard is provided for verification/small sets and
+  *    uses an inverted-index join with doc-frequency filtering, not a
+  *    cross join.
+  */
+object Dedup {
+
+  // ---- exact -----------------------------------------------------------
+
+  /** Exact dedup: one survivor (min orderCol) per identical value of
+    * `keyCol`. Returns the input columns plus `dup_count`.
+    */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val groups = df
+      .groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+    df.join(groups.select(col("keep_id"), col("dup_count")),
+        df(idCol) === col("keep_id"))
+      .drop("keep_id")
+  }
+
+  /** Exact dedup by content digest — at scale, shuffle the digest, not the
+    * text: groupBy md5(text).
+    */
+  def exactByFingerprint(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame = {
+    val keyed = df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val survivors = keyed
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+    keyed.join(survivors, keyed("__fp") === survivors("__fp") &&
+        keyed(idCol) === survivors("keep_id"))
+      .drop("__fp", "keep_id")
+  }
+
+  // ---- shingles ---------------------------------------------------------
+
+  /** Distinct word n-gram shingles of a text column, as an array column.
+    * Pure expression: sequence + transform + slice, no explode.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) < n, array())
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** Prime modulus for the affine MinHash permutations. 2^31-1 keeps
+    * a*x+b within a 64-bit long under ANSI arithmetic (a,x < 2^31 ⇒
+    * product < 2^62) — the same bound MLlib's MinHashLSH uses.
+    */
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic per-index affine coefficients (public splitmix64-style
+    * mixing — self-contained, no RNG state).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature (length k) over a shingle array column — one pass
+    * per hash function over the array, all inside codegen, no shuffle.
+    * h_i(s) = (a_i * x + b_i) mod p with x = xxhash64(shingle).
+    */
+  def minhashSignature(shingleArr: Column, k: Int): Column = {
+    val hashes = (0 until k).map { i =>
+      val a = math.abs(mix64(i.toLong * 2 + 1)) % (MinhashPrime - 1) + 1
+      val b = math.abs(mix64(i.toLong * 2 + 2)) % MinhashPrime
+      // min over the shingle array of the i-th affine permutation
+      array_min(transform(shingleArr,
+        s => pmod(pmod(xxhash64(s), lit(MinhashPrime)) * a + b, lit(MinhashPrime))))
+    }
+    array(hashes: _*)
+  }
+
+  /** Annotate each doc with its MinHash signature. */
+  def withMinhash(df: DataFrame, textCol: String,
+                  shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
+    df.withColumn("minhash",
+      minhashSignature(shingles(col(textCol), shingleSize), numHashes))
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * numHashes), bucket by (band index, hash of band slice), self-join
+    * within buckets. Returns (id_a, id_b, n_shared_bands).
+    *
+    * Shuffle profile: explode to one row per (doc, band) — B small rows
+    * per doc — then a groupBy-join keyed on the band bucket. No quadratic
+    * stage exists unless a bucket itself is quadratic (i.e. true
+    * near-duplicate cluster), which is the desired output.
+    */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3, numHashes: Int = 64,
+                    bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = withMinhash(df, textCol, shingleSize, numHashes)
+      .select(col(idCol), col("minhash"))
+      .filter(size(col("minhash")) > 0) // empty docs have no signature
+    val banded = sig.select(
+      col(idCol),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("minhash"), b * r + 1, lit(r)), b))).as(Seq("band", "bucket")))
+    val a = banded.select(col(idCol).as("id_a"),
+      col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"),
+      col("band").as("band_b"), col("bucket").as("bucket_b"))
+    a.join(b,
+        a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
+          a("id_a") < b("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Full MinHash near-dup pass: LSH candidates, then estimate Jaccard
+    * from signature agreement and keep pairs ≥ threshold.
+    */
+  def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.8, shingleSize: Int = 3,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sigs = withMinhash(df, textCol, shingleSize, numHashes)
+      .select(col(idCol), col("minhash"))
+    val cands = lshCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
+    val sa = sigs.select(col(idCol).as("id_a"), col("minhash").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("minhash").as("sig_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          (x === y).cast("int")), v => v === 1)).cast("double") /
+          size(col("sig_a")).cast("double"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over tokens — a single aggregate over the token array
+    * accumulating the 64 bit-counters, then sign extraction. Per-row, no
+    * shuffle, codegen'd.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)),
+        (a, b) => a + b))
+    // fold the sign bits into a long
+    aggregate(
+      zip_with(counters,
+        sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two simhash longs (pure expression). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates at Hamming distance ≤ maxDistance, via
+    * 16-bit banding (4 sub-keys ⇒ any pair within distance 3 shares at
+    * least one exact sub-key; verify with the exact Hamming distance).
+    */
+  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        maxDistance: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    val banded = sig.select(
+      col(idCol), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("simhash"), b * 16)
+          .bitwiseAND(0xffffL))).as(Seq("band", "bucket")))
+    val a = banded.select(col(idCol).as("id_a"),
+      col("simhash").as("sim_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"),
+      col("simhash").as("sim_b"), col("band").as("band_b"),
+      col("bucket").as("bucket_b"))
+    a.join(b, a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
+        a("id_a") < b("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  // ---- exact n-gram Jaccard ----------------------------------------------
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold, via an inverted-index
+    * join over distinct shingles. `maxShingleDocFreq` drops shingles that
+    * appear in more than that many docs (ubiquitous shingles contribute
+    * little to Jaccard but dominate the join fan-out — the standard
+    * posting-list cutoff).
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleDocFreq: Long = 0L): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("sh"))
+    val filtered = if (maxShingleDocFreq > 0) {
+      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDocFreq)
+        .select("sh")
+      sh.join(filtered_hint(freq), "sh")
+    } else sh
+    // Sizes over the same (possibly cutoff) shingle space so the Jaccard
+    // stays a true ratio of that space.
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = filtered.as("x").join(filtered.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  private def filtered_hint(df: DataFrame): DataFrame = broadcast(df)
+
+  // ---- embedding near-dup --------------------------------------------------
+
+  /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
+    * Candidates come from random-hyperplane LSH buckets
+    * ([[Similarity.hyperplaneSignature]]), verified with the exact cosine —
+    * no all-pairs stage.
+    */
+  def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double = 0.95, planes: Int = 16): DataFrame = {
+    val sig = df.select(col(idCol),
+      Similarity.normalized(col(vecCol)).as("__v"),
+      Similarity.hyperplaneSignature(col(vecCol), planes).as("__sig"))
+    val a = sig.select(col(idCol).as("id_a"), col("__v").as("va"),
+      col("__sig").as("siga"))
+    val b = sig.select(col(idCol).as("id_b"), col("__v").as("vb"),
+      col("__sig").as("sigb"))
+    a.join(b, col("siga") === col("sigb") && col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.dot(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

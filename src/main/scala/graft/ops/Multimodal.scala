@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Payloads travel as opaque `binary` columns with a typed metadata
+  * struct; decode / feature-extract / resize / frame-sample run as
+  * per-partition batch stages (`mapPartitions` — the JVM analog of a
+  * Pandas `mapInPandas` UDF: one batch in, one batch out, vectorizable).
+  *
+  * The decode step itself needs media codecs that are NOT in this
+  * environment, so it is STUBBED: [[MediaDecoder.Deterministic]] derives
+  * plausible metadata from the bytes (stable, testable), and the real
+  * implementation slot is [[MediaDecoder.Real]] (`???`). The Spark-side
+  * contract — schema, batching, partition sizing, null routing — is real
+  * and tested; swapping in a genuine decoder changes no plan shape.
+  */
+object Multimodal {
+
+  /** Metadata emitted by the decode stage. */
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("ok", BooleanType),
+  ))
+
+  /** The pluggable decoder contract: bytes → metadata row values. */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): (String, Int, Int, Int, Long, Boolean)
+  }
+
+  object MediaDecoder {
+    /** STUB decoder: deterministic fake metadata from the payload bytes.
+      * Media codecs (libjpeg/ffmpeg equivalents) are not available in
+      * this container; this keeps the pipeline runnable and the plumbing
+      * testable. Byte-layout sniffing is real for magic numbers.
+      */
+    object Deterministic extends MediaDecoder {
+      def decode(p: Array[Byte]): (String, Int, Int, Int, Long, Boolean) = {
+        if (p == null || p.length == 0) return ("empty", 0, 0, 0, 0L, false)
+        val fmt =
+          if (p.length > 3 && p(0) == 0x89.toByte && p(1) == 'P') "png"
+          else if (p.length > 2 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte) "jpeg"
+          else if (p.length > 3 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F') "riff"
+          else "bin"
+        // Deterministic fake dims from a stable byte hash.
+        var h = 1125899906842597L
+        var i = 0
+        while (i < math.min(p.length, 64)) { h = 31 * h + p(i); i += 1 }
+        val w = 16 + math.floorMod(h, 1024).toInt
+        val ht = 16 + math.floorMod(h >>> 10, 1024).toInt
+        val frames = 1 + math.floorMod(h >>> 20, 32).toInt
+        (fmt, w, ht, frames, frames.toLong * 40L, true)
+      }
+    }
+
+    /** Slot for a real decoder (requires media libraries absent here). */
+    object Real extends MediaDecoder {
+      def decode(p: Array[Byte]): (String, Int, Int, Int, Long, Boolean) = ???
+    }
+  }
+
+  /** Decode stage: binary column → appended metadata struct. Batch shape:
+    * one partition at a time; decode failures yield ok=false rows (routed,
+    * not dropped — same philosophy as the image stage's DISCARD).
+    */
+  def decodeStage(df: DataFrame, binaryCol: String,
+                  decoder: MediaDecoder = MediaDecoder.Deterministic,
+                  outCol: String = "media_meta"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, metadataSchema))
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"missing column $binaryCol")
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val meta = try {
+          val (f, w, h, n, d, ok) = decoder.decode(row.getAs[Array[Byte]](binIdx))
+          Row(f, w, h, n, d, ok)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Row(null, null, null, null, null, false)
+        }
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame-sampling plan: which frame indices to extract per row, given
+    * the decoded frame count — every `stride`-th frame capped at
+    * `maxFrames`. Pure expression; the actual pixel extraction belongs to
+    * the (stubbed) decoder.
+    */
+  def frameSamplePlan(nFrames: org.apache.spark.sql.Column, stride: Int,
+                      maxFrames: Int): org.apache.spark.sql.Column =
+    slice(
+      filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+        i => pmod(i, lit(stride)) === 0),
+      1, maxFrames)
+
+  /** Size-bucketed repartition: media rows are heavily skewed by payload
+    * size; bucketing by log2(size) before a heavy decode balances
+    * executors (the plan-shape piece of the scale story).
+    */
+  def repartitionBySize(df: DataFrame, binaryCol: String,
+                        partitions: Int): DataFrame =
+    df.withColumn("__size_bucket",
+        floor(log2(greatest(length(col(binaryCol)).cast("double"), lit(1.0)))))
+      .repartition(partitions, col("__size_bucket"), rand(42))
+      .drop("__size_bucket")
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small) query
+  *    set against the corpus, one scan, per-query top-k via window. Exact,
+  *    linear in corpus size, embarrassingly parallel — this IS the right
+  *    plan at any scale when the query set is small; the corpus is never
+  *    shuffled, only scanned.
+  *  - [[lshTopK]] — the approximate scale path: random-hyperplane LSH.
+  *    Signatures are computed per row (no shuffle); candidates come from
+  *    bucket equality on signature bands, so each query only scores a
+  *    bucket's worth of vectors. Recall tunes with bands/planes.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order expressions in
+  * double precision — inside codegen, no UDF, no driver collect.
+  */
+object Similarity {
+
+  /** Dot product of two array columns, accumulated left-to-right in
+    * double.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity (0 when either side has zero norm). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** L2-normalized copy of a vector column (double elements). */
+  def normalized(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Exact top-k neighbors per query.
+    *
+    * @param queries  small frame (id, vector) — broadcast
+    * @param corpus   large frame (id, vector) — scanned once
+    * @return (query_id, rank 1..k, neighbor_id, score) — cosine desc,
+    *         neighbor id asc on ties.
+    */
+  def bruteForceTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+                     corpus: DataFrame, cIdCol: String, cVecCol: String,
+                     k: Int, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(
+      col(qIdCol).as("query_id"), col(qVecCol).as("__qv")))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("__cv"))
+    val scored = c.join(q,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("score", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
+    * a fixed public-mixing hash mapped to ±1. Generating planes as
+    * expressions (not driver-side arrays) keeps the plan free of large
+    * literals at high dimensionality.
+    */
+  private def planeSign(plane: Int, dimIdx: Column): Column =
+    when(pmod(xxhash64(lit(plane), dimIdx), lit(2)) === 0, 1.0).otherwise(-1.0)
+
+  /** Random-hyperplane signature: bit i = sign(v · h_i), packed into a
+    * long (planes ≤ 63). Per-row expression, no shuffle.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int): Column = {
+    require(planes > 0 && planes <= 63, "planes must be 1..63")
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeSign(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates share at least one signature band with
+    * the query (multi-band hyperplane LSH), scored exactly, per-query
+    * top-k. Falls back to fewer than k results if the buckets are thin —
+    * raise bands (or lower planesPerBand) for recall.
+    */
+  def lshTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+              corpus: DataFrame, cIdCol: String, cVecCol: String,
+              k: Int, planesPerBand: Int = 8, bands: Int = 4,
+              excludeSelf: Boolean = true): DataFrame = {
+    require(planesPerBand * bands <= 63, "planesPerBand*bands must be <= 63")
+    val totalPlanes = planesPerBand * bands
+    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col("*"),
+          hyperplaneSignature(col(vecAs), totalPlanes).as("__sig"))
+        .select(col(idAs), col(vecAs), posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => call_function("shiftright", col("__sig"), b * planesPerBand)
+              .bitwiseAND((1L << planesPerBand) - 1)))
+          .as(Seq("band", "bucket")))
+    val qb = banded(queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("__qv")), "query_id", "__qv")
+    val cb = banded(corpus.select(col(cIdCol).as("neighbor_id"),
+      col(cVecCol).as("__cv")), "neighbor_id", "__cv")
+    val cand = qb.join(cb, Seq("band", "bucket"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select("query_id", "__qv", "neighbor_id", "__cv")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token/char statistics, quality scoring, language ID, and
+  * document fingerprinting.
+  *
+  * Everything here is a narrow projection built from
+  * `org.apache.spark.sql.functions` + lambda higher-order functions —
+  * per-row, zero-shuffle, whole-stage-codegen'd. At 100 TB these run at
+  * scan speed; the only shuffles are whatever aggregation the caller adds
+  * on top.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empties removed — `split` on a text that starts
+    * with a separator yields a leading "" we drop).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** A BPE-ish subword count: words are split at letter/digit boundaries
+    * and long words count one extra piece per 4 chars — a cheap, vectorized
+    * stand-in for a real tokenizer's token count (useful for budgeting
+    * LLM training data without shipping a vocab to every executor).
+    */
+  def approxBpeTokenCount(text: Column): Column = {
+    val pieces = filter(
+      split(text, "[^\\p{L}\\p{N}]+"), t => length(t) > 0)
+    aggregate(
+      pieces, lit(0L),
+      (acc, w) => acc + greatest(lit(1L), ceil(length(w) / lit(4)).cast("long")))
+  }
+
+  /** Ratio of punctuation chars to total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(length(text) === 0, 0.0)
+      .otherwise(punct.cast("double") / length(text).cast("double"))
+  }
+
+  /** Ratio of tokens that are stopwords (case-insensitive). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val stops = filter(toks, t => t.isin(stopwords.map(lit): _*))
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Mean token length (0 for empty). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Default English stopword set for quality scoring. */
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "is", "it", "that", "for",
+    "on", "was", "with", "as", "at", "by", "be", "this", "are", "or")
+
+  /** Composite quality features, one struct column. A Gopher-rules-style
+    * filter is then a plain predicate over these fields.
+    */
+  def qualityFeatures(text: Column,
+                      stopwords: Seq[String] = defaultStopwords): Column =
+    struct(
+      length(text).cast("long").as("n_chars"),
+      tokenCount(text).as("n_tokens"),
+      distinctTokenCount(text).as("n_distinct_tokens"),
+      meanTokenLength(text).as("mean_token_len"),
+      punctRatio(text).as("punct_ratio"),
+      stopwordRatio(text, stopwords).as("stopword_ratio"),
+    )
+
+  /** Marker-token profiles for the n-gram/stopword language-ID heuristic.
+    * Small on purpose: they broadcast as literals inside the plan.
+    */
+  val defaultLangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"),
+  )
+
+  /** Language-ID: score each profile by marker-token hits per token and
+    * take the argmax (ties broken by profile order; "und" = undetermined
+    * when nothing matches). Pure expression — argmax via array_max over
+    * (score, -index) structs.
+    */
+  def langId(text: Column,
+             profiles: Seq[(String, Seq[String])] = defaultLangProfiles): Column = {
+    val toks = tokens(lower(text))
+    val scored = profiles.zipWithIndex.map { case ((lang, markers), i) =>
+      val hits = size(filter(toks, t => t.isin(markers.map(lit): _*)))
+      struct(hits.as("score"), lit(-i).as("prio"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Stable 128-bit content fingerprint (hex MD5 of UTF-8 bytes) — the
+    * exact-dedup key.
+    */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Rolling polynomial hash over tokens (base 31, mod 2^31-1) — an
+    * order-sensitive fingerprint that, unlike MD5, can be computed
+    * incrementally and compared for shifted content. Pure expression; the
+    * small Mersenne prime keeps every intermediate product within a long
+    * under ANSI arithmetic.
+    */
+  def rollingHash(text: Column): Column = {
+    val p = lit(2147483647L) // 2^31 - 1
+    aggregate(
+      tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+  }
+
+  /** Convenience: annotate a documents frame with the full text-analysis
+    * column set.
+    */
+  def annotate(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("quality", qualityFeatures(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+      .withColumn("rolling_hash", rollingHash(col(textCol)))
+}

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "short text"),
+    (5L, ""),
+  ).toDF("doc_id", "text")
+
+  // ---- text analysis ----
+
+  test("tokens / counts / quality features") {
+    val q = docs.select(col("doc_id"),
+      TextAnalysis.qualityFeatures(col("text")).as("q"))
+      .select("doc_id", "q.*")
+      .as[(Long, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val d0 = q(0L)
+    assert(d0._2 == 43L) // n_chars
+    assert(d0._3 == 9L)  // n_tokens
+    assert(d0._4 == 8L)  // distinct ("the" twice)
+    assert(q(5L)._3 == 0L) // empty text: zero tokens
+    assert(q(5L)._5 == 0.0) // no NaN on empty
+  }
+
+  test("stopword ratio and langId") {
+    val r = docs.filter($"doc_id" === 0)
+      .select(
+        TextAnalysis.stopwordRatio(col("text"), TextAnalysis.defaultStopwords),
+        TextAnalysis.langId(col("text")))
+      .as[(Double, String)].head()
+    assert(math.abs(r._1 - 2.0 / 9.0) < 1e-12) // "the" ×2 of 9
+    assert(r._2 == "en")
+    val es = Seq("el perro que corre y la casa es una maravilla")
+      .toDF("text").select(TextAnalysis.langId(col("text"))).as[String].head()
+    assert(es == "es")
+    val und = Seq("zzz qqq xxx").toDF("text")
+      .select(TextAnalysis.langId(col("text"))).as[String].head()
+    assert(und == "und")
+  }
+
+  test("fingerprints: md5 matches duplicate texts, rolling hash is order-sensitive") {
+    val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(3L))
+    assert(fps(0L) != fps(1L))
+    val rh = Seq("a b c", "c b a").toDF("text")
+      .select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
+    assert(rh(0) != rh(1))
+  }
+
+  // ---- dedup ----
+
+  test("exact dedup keeps min-id survivor with dup_count") {
+    val out = Dedup.exactByFingerprint(docs, "text", "doc_id")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 2L)      // doc 3 collapsed into doc 0
+    assert(!out.contains(3L))
+    assert(out(1L) == 1L)
+    assert(out.size == 5)
+  }
+
+  test("shingles produce distinct word n-grams; short text yields empty") {
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(0L).contains("the quick brown"))
+    assert(sh(0L).size == 7)
+    assert(sh(4L) == Seq.empty) // 2 tokens < n=3
+    assert(sh(5L) == Seq.empty)
+  }
+
+  test("minhash estimate tracks exact jaccard; LSH finds the near-dup pair") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val trueJ01 = exact((0L, 1L))
+    assert(trueJ01 > 0.5 && trueJ01 < 1.0)
+    assert(exact((0L, 3L)) == 1.0) // exact dup
+
+    val est = Dedup.minhashDuplicates(docs, "doc_id", "text",
+        threshold = 0.3, numHashes = 128, bands = 32)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est.contains((0L, 3L)) && est((0L, 3L)) == 1.0)
+    assert(est.contains((0L, 1L)))
+    assert(math.abs(est((0L, 1L)) - trueJ01) < 0.25) // 128 hashes ≈ ±0.09 σ
+    assert(!est.keys.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("simhash: identical texts distance 0, near-dups close, banding finds them") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(0L) == sims(3L))
+    val d01 = java.lang.Long.bitCount(sims(0L) ^ sims(1L))
+    val d02 = java.lang.Long.bitCount(sims(0L) ^ sims(2L))
+    assert(d01 < d02) // near-dup closer than unrelated
+
+    val pairs = Dedup.simhashDuplicates(docs, "doc_id", "text", maxDistance = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 0L))
+  }
+
+  // ---- similarity ----
+
+  private def embeddings = {
+    // deterministic vectors: cluster A around e1, cluster B around e2
+    def vec(base: Int, jitter: Int): Array[Float] = {
+      val v = Array.fill(8)(0.01f * jitter)
+      v(base) = 1.0f
+      v
+    }
+    Seq(
+      (0L, vec(0, 1)), (1L, vec(0, 2)), (2L, vec(0, 3)),
+      (10L, vec(4, 1)), (11L, vec(4, 2)), (12L, vec(4, 3)),
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine / dot expressions") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
+      .toDF("a", "b")
+    val r = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(r(0)) < 1e-12)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks cluster members first") {
+    val res = Similarity.bruteForceTopK(
+      embeddings.filter($"vec_id" === 0L), "vec_id", "embedding",
+      embeddings, "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(res.map(_._3).toSeq == Seq(1L, 2L)) // same-cluster neighbors
+    assert(res.forall(_._4 > 0.9))
+  }
+
+  test("LSH top-k agrees with brute force on clustered data") {
+    val brute = Similarity.bruteForceTopK(
+      embeddings, "vec_id", "embedding", embeddings, "vec_id", "embedding",
+      k = 2).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(
+      embeddings, "vec_id", "embedding", embeddings, "vec_id", "embedding",
+      k = 2, planesPerBand = 4, bands = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // recall over this clustered toy set should be total
+    assert(brute.subsetOf(approx) || (brute intersect approx).size >= brute.size - 2)
+  }
+
+  test("embedding near-dup via hyperplane buckets") {
+    val dups = Dedup.embeddingDuplicates(embeddings, "vec_id", "embedding",
+        threshold = 0.95, planes = 8)
+      .as[(Long, Long, Double)].collect()
+    val pairs = dups.map(d => (d._1, d._2)).toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a < 10 && b >= 10 })
+  }
+
+  // ---- multimodal ----
+
+  test("multimodal decode stage appends metadata; failures flagged not dropped") {
+    val png = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, png), (2L, Array[Byte](1, 2, 3)), (3L, Array.emptyByteArray),
+    ).toDF("id", "payload")
+    val out = Multimodal.decodeStage(df, "payload")
+    assert(out.count() == 3)
+    val byId = out.select(col("id"), col("media_meta.format"),
+      col("media_meta.ok")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(byId(1L)._1 == "png" && byId(1L)._2)
+    assert(byId(2L)._1 == "bin")
+    assert(byId(3L) == (("empty", false)))
+  }
+
+  test("frame sample plan picks strided frames") {
+    val r = Seq(10).toDF("n")
+      .select(Multimodal.frameSamplePlan(col("n"), stride = 3, maxFrames = 3))
+      .as[Seq[Int]].head()
+    assert(r == Seq(0, 3, 6))
+  }
+}
