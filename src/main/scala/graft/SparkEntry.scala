@@ -1,13 +1,469 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SplitStage, Vocab}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB oracle
+  * in [[oracleSql]] where ANSI SQL can express it; Spark-only operators
+  * (xxhash64-based sketches, LSH) are rows-only checks.
+  *
+  * Determinism rules for oracle parity: every query ORDER BYs a unique
+  * key; aggregates output integers (or int-ratio doubles, which are
+  * bit-exact across engines); column names/aliases match the oracle SQL
+  * exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The reference's split semantics mapped onto the events table:
+    * click/view → TRAIN, signup → VALIDATION, purchase → TEST, anything
+    * else (error) is unknown and must land in DISCARD.
+    */
+  private def routedEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events").withColumn("split",
+      when(col("event_type").isin("click", "view"), "TRAIN")
+        .when(col("event_type") === "signup", "VALIDATION")
+        .when(col("event_type") === "purchase", "TEST")
+        .otherwise("UNKNOWN"))
+
+  /** Deterministic TRAIN/VALIDATION/TEST split of orders by key. */
+  private def splitOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").withColumn("split",
+      when(pmod(col("o_orderkey"), lit(10)) < 8, "TRAIN")
+        .when(pmod(col("o_orderkey"), lit(10)) === 8, "VALIDATION")
+        .otherwise("TEST"))
+
+  /** Flagship: full convert → load round-trip on sf0.001 orders (split
+    * routing + TRAIN-fitted vocab integerization + parquet sinks), then
+    * return the loaded TRAIN frame. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = splitOrders(spark, "/root/testdata/sf0.001")
+      .select("split", "o_orderkey", "o_orderpriority")
+    val schema = Schema(Seq(
+      "split" -> SupportedType.SplitKey,
+      "o_orderkey" -> SupportedType.IntegerInput,
+      "o_orderpriority" -> SupportedType.StringLabel))
+    val out = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val result = Converter.convert(spark, Left(df), schema, out)
+    Loader.load(spark, result.jobDir)(SplitStage.Train)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- split / partition stage (SURVEY §2.3, P5/T1/T2/T3/A1) ----
+
+    "q01_split_route" -> ((s, dir) => {
+      SplitStage.normalize(routedEvents(s, dir), "split")
+        .groupBy("split").agg(count(lit(1)).as("cnt"))
+        .orderBy("split")
+    }),
+
+    "q02_split_counts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q03_partition_train" -> ((s, dir) => {
+      SplitStage.partition(splitOrders(s, dir), "split")(SplitStage.Train)
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    "q04_discard_route" -> ((s, dir) => {
+      SplitStage.partition(routedEvents(s, dir), "split")(SplitStage.Discard)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // ---- vocabulary fit/apply (SURVEY §2.5-2.6, A2/F1-F3) ----
+
+    "q05_vocab_fit" -> ((s, dir) => {
+      val train = splitOrders(s, dir).filter(col("split") === "TRAIN")
+      Vocab.fitOne(train, "o_orderpriority").orderBy("idx")
+    }),
+
+    "q06_vocab_apply" -> ((s, dir) => {
+      val orders = splitOrders(s, dir)
+      // Restricted fit (5-LOW withheld) so the TEST apply exercises the
+      // OOV → -1 path on real data.
+      val train = orders.filter(col("split") === "TRAIN" &&
+        col("o_orderpriority") =!= "5-LOW")
+      val vocab = Vocab.fitOne(train, "o_orderpriority")
+      Vocab.applyOne(
+          orders.filter(col("split") === "TEST")
+            .select(col("o_orderkey"), col("o_orderpriority").as("label")),
+          "label", vocab)
+        .select("o_orderkey", "label")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- schema conform / projection (SURVEY §2.1-2.2, S7/P1) ----
+
+    "q07_schema_conform" -> ((s, dir) => {
+      val schema = Schema(Seq(
+        "split" -> SupportedType.SplitKey,
+        "l_orderkey" -> SupportedType.IntegerInput,
+        "l_linenumber" -> SupportedType.IntegerInput,
+        "l_quantity" -> SupportedType.FloatInput,
+        "l_returnflag" -> SupportedType.StringInput))
+      graft.sources.Input.conform(
+          t(s, dir, "lineitem").withColumn("split", lit("TRAIN")), schema)
+        .drop("split")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- inspect / limit (SURVEY §2.8, L1) ----
+
+    "q08_inspect_head" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .limit(5)
+    }),
+
+    // ---- image encode semantics (SURVEY §2.4, I2: URL-safe base64) ----
+
+    "q09_b64_urlsafe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          translate(base64(col("text").cast("binary")), "+/", "-_")
+            .as("image_b64"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup (extensions) ----
+
+    "q10_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("dup_count"))
+        .orderBy("fp")
+    }),
+
+    "q11_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- text analysis (extensions) ----
+
+    "q12_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"),
+          col("q.n_chars").as("n_chars"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.n_distinct_tokens").as("n_distinct_tokens"),
+          col("q.mean_token_len").as("mean_token_len"),
+          col("q.stopword_ratio").as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q13_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q14_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    "q15_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity search (extensions) ----
+
+    "q16_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- z-score scaling (extension closing the reference README gap) ----
+
+    "q20_zscore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val train = li.filter(pmod(col("l_orderkey"), lit(10)) < 8)
+      val stats = train.agg(
+        sum(col("l_quantity")).as("s1"),
+        sum(col("l_quantity") * col("l_quantity")).as("s2"),
+        count(lit(1)).as("n"))
+      val withStats = li.crossJoin(broadcast(stats))
+      withStats
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ((col("l_quantity") - col("s1") / col("n")) /
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - 1))).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- metrics counters analog (SURVEY §2.5 A3) ----
+
+    "q21_agg_metrics" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("users"),
+        count(when(col("event_type") === "error", 1)).as("errors"))
+    }),
+
+    // ---- Spark-only operators (no ANSI-SQL oracle → rows-only check) ----
+
+    "q30_minhash_dups" -> ((s, dir) => {
+      Dedup.minhashDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, numHashes = 128, bands = 32)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q31_simhash_dups" -> ((s, dir) => {
+      Dedup.simhashDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          maxDistance = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q32_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10,
+          planesPerBand = 4, bands = 12)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    "q33_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodeStage(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload")
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.ok").as("ok"))
+        .orderBy("doc_id")
+    }),
+
+    "q34_embedding_dups" -> ((s, dir) => {
+      Dedup.embeddingDuplicates(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.95, planes = 12)
+        .orderBy("id_a", "id_b")
+    }),
+  )
+
+  /** DuckDB-runnable oracles, column-name-aligned with the Spark results.
+    * Integer outputs wherever possible; doubles only as exact int ratios
+    * or identically-ordered arithmetic.
+    */
+  def oracleSql: Map[String, String] = {
+    val routedEventsSql =
+      """SELECT *, CASE WHEN event_type IN ('click','view') THEN 'TRAIN'
+        |  WHEN event_type = 'signup' THEN 'VALIDATION'
+        |  WHEN event_type = 'purchase' THEN 'TEST'
+        |  ELSE 'DISCARD' END AS split FROM events""".stripMargin
+    val splitOrdersSql =
+      """SELECT *, CASE WHEN o_orderkey % 10 < 8 THEN 'TRAIN'
+        |  WHEN o_orderkey % 10 = 8 THEN 'VALIDATION'
+        |  ELSE 'TEST' END AS split FROM orders""".stripMargin
+    val toksSql =
+      """SELECT doc_id, lang, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        |FROM documents""".stripMargin
+
+    Map(
+      "q01_split_route" ->
+        s"""WITH routed AS ($routedEventsSql)
+           |SELECT split, count(*) AS cnt FROM routed
+           |GROUP BY split ORDER BY split""".stripMargin,
+
+      "q02_split_counts" ->
+        """SELECT o_orderpriority, count(*) AS cnt FROM orders
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+      "q03_partition_train" ->
+        s"""WITH so AS ($splitOrdersSql)
+           |SELECT o_orderkey, o_orderpriority FROM so
+           |WHERE split = 'TRAIN' ORDER BY o_orderkey""".stripMargin,
+
+      "q04_discard_route" ->
+        s"""WITH routed AS ($routedEventsSql)
+           |SELECT event_id, event_type FROM routed
+           |WHERE split = 'DISCARD' ORDER BY event_id""".stripMargin,
+
+      "q05_vocab_fit" ->
+        s"""WITH so AS ($splitOrdersSql),
+           |counts AS (
+           |  SELECT o_orderpriority AS value, count(*) AS cnt FROM so
+           |  WHERE split = 'TRAIN' GROUP BY 1)
+           |SELECT value,
+           |  CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) - 1
+           |    AS BIGINT) AS idx
+           |FROM counts ORDER BY idx""".stripMargin,
+
+      "q06_vocab_apply" ->
+        s"""WITH so AS ($splitOrdersSql),
+           |counts AS (
+           |  SELECT o_orderpriority AS value, count(*) AS cnt FROM so
+           |  WHERE split = 'TRAIN' AND o_orderpriority <> '5-LOW' GROUP BY 1),
+           |vocab AS (
+           |  SELECT value,
+           |    CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) - 1
+           |      AS BIGINT) AS idx
+           |  FROM counts)
+           |SELECT o.o_orderkey, coalesce(v.idx, -1) AS label
+           |FROM so o LEFT JOIN vocab v ON o.o_orderpriority = v.value
+           |WHERE o.split = 'TEST' ORDER BY o.o_orderkey""".stripMargin,
+
+      "q07_schema_conform" ->
+        """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+          |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          |  CAST(l_quantity AS FLOAT) AS l_quantity,
+          |  CAST(l_returnflag AS VARCHAR) AS l_returnflag
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q08_inspect_head" ->
+        """SELECT doc_id, lang, n_chars FROM documents
+          |ORDER BY doc_id LIMIT 5""".stripMargin,
+
+      "q09_b64_urlsafe" ->
+        """SELECT doc_id,
+          |  translate(to_base64(encode(text)), '+/', '-_') AS image_b64
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q10_dedup_exact" ->
+        """SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+          |  count(*) AS dup_count
+          |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+      "q11_ngram_jaccard" ->
+        s"""WITH toks AS ($toksSql),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest([array_to_string(t[i:i+2], ' ')
+           |            for i in range(1, len(t) - 1)]) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, i / (na.n_sh + nb.n_sh - i) AS jaccard
+           |FROM inter
+           |JOIN sizes na ON na.doc_id = id_a
+           |JOIN sizes nb ON nb.doc_id = id_b
+           |WHERE i / (na.n_sh + nb.n_sh - i) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q12_text_quality" ->
+        s"""WITH toks AS ($toksSql)
+           |SELECT doc_id,
+           |  CAST(len(text) AS BIGINT) AS n_chars,
+           |  CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+           |    CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+           |      / len(t) END AS mean_token_len,
+           |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+           |    CAST(len(list_filter(list_transform(t, x -> lower(x)),
+           |      x -> x IN ('the','a','an','of','to','in','and','is','it',
+           |                 'that','for','on','was','with','as','at','by',
+           |                 'be','this','are','or'))) AS DOUBLE)
+           |      / len(t) END AS stopword_ratio
+           |FROM toks ORDER BY doc_id""".stripMargin,
+
+      "q13_lang_id" -> {
+        def hits(markers: Seq[String]): String =
+          s"len(list_filter(lt, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
+        val en = hits(Seq("the", "and", "of", "to", "is", "that", "it", "was"))
+        val es = hits(Seq("el", "la", "de", "que", "y", "los", "es", "una"))
+        val de = hits(Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"))
+        val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans", "que"))
+        val zh = hits(Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |      x -> len(x) > 0) AS lt
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de,
+           |    $fr AS s_fr, $zh AS s_zh FROM toks)
+           |SELECT doc_id,
+           |  CASE
+           |    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de
+           |      AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |    WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr
+           |      AND s_es >= s_zh THEN 'es'
+           |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |    WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+           |    WHEN s_zh > 0 THEN 'zh'
+           |    ELSE 'und' END AS lang_pred
+           |FROM scored ORDER BY doc_id""".stripMargin
+      },
+
+      "q14_token_stats" ->
+        s"""WITH toks AS ($toksSql)
+           |SELECT lang, CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+           |  count(*) AS n_docs
+           |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q15_fingerprint" ->
+        """SELECT doc_id, md5(text) AS fp FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      "q16_ann_brute" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          |  FROM embeddings WHERE vec_id < 5),
+          |scored AS (
+          |  SELECT q.query_id, c.vec_id AS neighbor_id,
+          |    CASE WHEN list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) = 0
+          |      OR list_dot_product(c.embedding::DOUBLE[],
+          |                          c.embedding::DOUBLE[]) = 0 THEN 0.0
+          |    ELSE list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[]) /
+          |      (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+          |       sqrt(list_dot_product(c.embedding::DOUBLE[],
+          |                             c.embedding::DOUBLE[]))) END AS score
+          |  FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+          |  FROM scored)
+          |SELECT query_id, rank, neighbor_id FROM ranked
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      "q20_zscore" ->
+        """WITH stats AS (
+          |  SELECT sum(l_quantity) AS s1,
+          |    sum(l_quantity * l_quantity) AS s2,
+          |    count(*) AS n
+          |  FROM lineitem WHERE l_orderkey % 10 < 8)
+          |SELECT l_orderkey, l_linenumber,
+          |  (l_quantity - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+          |FROM lineitem, stats
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q21_agg_metrics" ->
+        """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS users,
+          |  count(*) FILTER (WHERE event_type = 'error') AS errors
+          |FROM events""".stripMargin,
+    )
+  }
 }
