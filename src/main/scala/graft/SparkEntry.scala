@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.operators.{SplitStage, Vocab}
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -21,6 +22,9 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   /** The reference's split semantics mapped onto the events table:
     * click/view → TRAIN, signup → VALIDATION, purchase → TEST, anything
     * else (error) is unknown and must land in DISCARD.
@@ -39,6 +43,14 @@ object SparkEntry {
         .when(pmod(col("o_orderkey"), lit(10)) === 8, "VALIDATION")
         .otherwise("TEST"))
 
+  /** Unchunked URL-safe base64 (the reference's I2 encode semantics,
+    * beam_image.py:44-51). Spark's `base64` emits MIME-chunked output
+    * (CRLF every 76 chars); `translate` maps `+/` → `-_` and deletes the
+    * CRLFs (from-chars with no to-char are removed).
+    */
+  private def b64UrlSafe(bin: org.apache.spark.sql.Column) =
+    translate(base64(bin), "+/\r\n", "-_")
+
   /** Flagship: full convert → load round-trip on sf0.001 orders (split
     * routing + TRAIN-fitted vocab integerization + parquet sinks), then
     * return the loaded TRAIN frame. Driver smoke-checks rows > 0.
@@ -50,8 +62,7 @@ object SparkEntry {
       "split" -> SupportedType.SplitKey,
       "o_orderkey" -> SupportedType.IntegerInput,
       "o_orderpriority" -> SupportedType.StringLabel))
-    val out = java.nio.file.Files.createTempDirectory("graft-entry").toString
-    val result = Converter.convert(spark, Left(df), schema, out)
+    val result = Converter.convert(spark, Left(df), schema, tmpDir("graft-entry"))
     Loader.load(spark, result.jobDir)(SplitStage.Train)
   }
 
@@ -134,9 +145,56 @@ object SparkEntry {
     "q09_b64_urlsafe" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
-          translate(base64(col("text").cast("binary")), "+/", "-_")
-            .as("image_b64"))
+          b64UrlSafe(col("text").cast("binary")).as("image_b64"))
         .orderBy("doc_id")
+    }),
+
+    // ---- CSV source round-trip (SURVEY §2.1, S1/S3/S7) ----
+
+    "q17_csv_roundtrip" -> ((s, dir) => {
+      val out = tmpDir("graft-csv")
+      t(s, dir, "documents")
+        .select(lit("TRAIN").as("split"), col("doc_id"), col("text"),
+          col("lang"), col("n_chars"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = Schema(Seq(
+        "split" -> SupportedType.SplitKey,
+        "doc_id" -> SupportedType.IntegerInput,
+        "text" -> SupportedType.StringInput,
+        "lang" -> SupportedType.StringInput,
+        "n_chars" -> SupportedType.IntegerInput))
+      graft.sources.Input.readCsv(s, s"$out/*.csv",
+          graft.sources.Input.Header.Infer, None, Some(schema))
+        .drop("split")
+        .orderBy("doc_id")
+    }),
+
+    // ---- TFRecord sink/source round-trip (SURVEY §2.7/2.1, W1/W2/S8) ----
+
+    "q18_tfrecord_roundtrip" -> ((s, dir) => {
+      val out = tmpDir("graft-tfr")
+      val df = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("lang"), col("n_chars").cast("long").as("n_chars"))
+      graft.sinks.TfRecord.write(df, out, "part", numShards = 8, gzip = true)
+      graft.sinks.TfRecord.read(s, s"$out/part-*", df.schema)
+        .orderBy("doc_id")
+    }),
+
+    // ---- full convert pipeline e2e (SURVEY §2.9, O1/O2 + F1-F5 + W1-W4 + S8) ----
+
+    "q19_convert_e2e" -> ((s, dir) => {
+      val df = splitOrders(s, dir)
+        .select("split", "o_orderkey", "o_orderpriority")
+      val schema = Schema(Seq(
+        "split" -> SupportedType.SplitKey,
+        "o_orderkey" -> SupportedType.IntegerInput,
+        "o_orderpriority" -> SupportedType.StringLabel))
+      val result = Converter.convert(s, Left(df), schema, tmpDir("graft-e2e"))
+      Loader.load(s, result.jobDir)(SplitStage.Test)
+        .select(col("o_orderkey"), col("o_orderpriority").as("label"))
+        .orderBy("o_orderkey")
     }),
 
     // ---- dedup (extensions) ----
@@ -190,6 +248,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- quality filtering (Gopher-rules-style predicate over q12 features) ----
+
+    "q23_quality_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.n_distinct_tokens").as("n_distinct_tokens"),
+          col("q.mean_token_len").as("mean_token_len"))
+        .filter(col("n_tokens") >= 40 &&
+          col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0 &&
+          col("n_distinct_tokens").cast("double") >= col("n_tokens") * 0.2)
+        .select("doc_id", "n_tokens", "n_distinct_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus statistics: top terms per language (window/rank) ----
+
+    "q24_top_terms" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("tok").asc)
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select("lang", "rank", "tok", "cnt")
+        .orderBy("lang", "rank")
+    }),
+
+    // ---- BPE-ish token budgeting ----
+
+    "q25_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search (extensions) ----
 
     "q16_ann_brute" -> ((s, dir) => {
@@ -197,6 +296,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 10)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    "q35_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding",
+          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     }),
@@ -228,13 +338,33 @@ object SparkEntry {
         count(when(col("event_type") === "error", 1)).as("errors"))
     }),
 
-    // ---- Spark-only operators (no ANSI-SQL oracle → rows-only check) ----
+    // ---- LSH-verified near-dup (oracle: exact all-pairs Jaccard) ----
 
     "q30_minhash_dups" -> ((s, dir) => {
-      Dedup.minhashDuplicates(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.8, numHashes = 128, bands = 32)
+      Dedup.minhashDuplicatesVerified(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, shingleSize = 3, numHashes = 128, bands = 32)
         .orderBy("id_a", "id_b")
     }),
+
+    "q34_embedding_dups" -> ((s, dir) => {
+      Dedup.embeddingDuplicates(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.95, planes = 8, bands = 24)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- multimodal metadata stage (SQL-checkable subset) ----
+
+    "q33_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodeStage(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload")
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.ok").as("ok"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Spark-only operators (no ANSI-SQL oracle → rows-only check) ----
 
     "q31_simhash_dups" -> ((s, dir) => {
       Dedup.simhashDuplicates(t(s, dir, "documents"), "doc_id", "text",
@@ -252,20 +382,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    "q33_multimodal_meta" -> ((s, dir) => {
-      Multimodal.decodeStage(
-          t(s, dir, "documents")
-            .select(col("doc_id"), col("text").cast("binary").as("payload")),
-          "payload")
-        .select(col("doc_id"), col("media_meta.format").as("format"),
-          col("media_meta.ok").as("ok"))
-        .orderBy("doc_id")
-    }),
+    // ---- image directory scan + extraction stage (SURVEY §2.1 S2/S4, §2.4
+    //      I1-I5) on deterministic generated PNGs; Spark-side only (images
+    //      are not DuckDB-readable) → rows-only check ----
 
-    "q34_embedding_dups" -> ((s, dir) => {
-      Dedup.embeddingDuplicates(t(s, dir, "embeddings"), "vec_id",
-          "embedding", threshold = 0.95, planes = 12)
-        .orderBy("id_a", "id_b")
+    "q40_image_pipeline" -> ((s, dir) => {
+      val base = new java.io.File(tmpDir("graft-imgs"))
+      Seq(("TRAIN", "cat", 0), ("TRAIN", "goat", 1),
+          ("VALIDATION", "cat", 2), ("VALIDATION", "goat", 3),
+          ("TEST", "cat", 4), ("TEST", "goat", 5)).foreach {
+        case (split, label, seed) =>
+          val d = new java.io.File(base, s"$split/$label")
+          d.mkdirs()
+          val img = new java.awt.image.BufferedImage(8, 6,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 6; x <- 0 until 8)
+            img.setRGB(x, y,
+              (((seed * 37 + x * 13 + y * 7) % 256) << 16) |
+                (((x * 29 + y * 3) % 256) << 8) | ((seed + x + y) % 256))
+          javax.imageio.ImageIO.write(img, "png",
+            new java.io.File(d, s"$label-$seed.png"))
+      }
+      val listed = graft.sources.Input.readImageDirectory(s, base.toString)
+      val good = s.sparkContext.longAccumulator("q40_good")
+      val bad = s.sparkContext.longAccumulator("q40_bad")
+      graft.operators.ImageStage.extract(listed, Schema.imageCsvSchema,
+          good, bad)
+        .select(col("image_name"), col("label"), col("image_height"),
+          col("image_width"), col("image_channels"),
+          substring(col("image"), 1, 24).as("image_b64_head"))
+        .orderBy("image_name")
     }),
   )
 
@@ -287,6 +433,38 @@ object SparkEntry {
       """SELECT doc_id, lang, text,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
         |FROM documents""".stripMargin
+    // Exact all-pairs n-gram Jaccard (n=3) over an inverted shingle index —
+    // the oracle for both the inverted-index (q11) and the LSH-verified
+    // (q30) near-dup paths.
+    def jaccardSql(threshold: String): String =
+      s"""WITH toks AS ($toksSql),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(t[i:i+2], ' ')
+         |            for i in range(1, len(t) - 1)]) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, i / (na.n_sh + nb.n_sh - i) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = id_a
+         |JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE i / (na.n_sh + nb.n_sh - i) >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin
+    // Cosine with the zero-norm guard, matching Similarity.cosine term
+    // order exactly (norm(a)*norm(b), not sqrt(dot*dot)).
+    def cosSql(a: String, b: String): String =
+      s"""CASE WHEN sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
+         |  sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])) = 0 THEN 0.0
+         |ELSE list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+         |  (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
+         |   sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))) END""".stripMargin
+    val docsRoundtripSql =
+      """SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
 
     Map(
       "q01_split_route" ->
@@ -348,29 +526,32 @@ object SparkEntry {
           |  translate(to_base64(encode(text)), '+/', '-_') AS image_b64
           |FROM documents ORDER BY doc_id""".stripMargin,
 
+      "q17_csv_roundtrip" -> docsRoundtripSql,
+
+      "q18_tfrecord_roundtrip" -> docsRoundtripSql,
+
+      "q19_convert_e2e" ->
+        s"""WITH so AS ($splitOrdersSql),
+           |counts AS (
+           |  SELECT o_orderpriority AS value, count(*) AS cnt FROM so
+           |  WHERE split = 'TRAIN' GROUP BY 1),
+           |vocab AS (
+           |  SELECT value,
+           |    CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) - 1
+           |      AS BIGINT) AS idx
+           |  FROM counts)
+           |SELECT o.o_orderkey, coalesce(v.idx, -1) AS label
+           |FROM so o LEFT JOIN vocab v ON o.o_orderpriority = v.value
+           |WHERE o.split = 'TEST' ORDER BY o.o_orderkey""".stripMargin,
+
       "q10_dedup_exact" ->
         """SELECT md5(text) AS fp, min(doc_id) AS keep_id,
           |  count(*) AS dup_count
           |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
 
-      "q11_ngram_jaccard" ->
-        s"""WITH toks AS ($toksSql),
-           |sh AS (
-           |  SELECT DISTINCT doc_id,
-           |    unnest([array_to_string(t[i:i+2], ' ')
-           |            for i in range(1, len(t) - 1)]) AS s
-           |  FROM toks WHERE len(t) >= 3),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT id_a, id_b, i / (na.n_sh + nb.n_sh - i) AS jaccard
-           |FROM inter
-           |JOIN sizes na ON na.doc_id = id_a
-           |JOIN sizes nb ON nb.doc_id = id_b
-           |WHERE i / (na.n_sh + nb.n_sh - i) >= 0.8
-           |ORDER BY id_a, id_b""".stripMargin,
+      "q11_ngram_jaccard" -> jaccardSql("0.8"),
+
+      "q30_minhash_dups" -> jaccardSql("0.8"),
 
       "q12_text_quality" ->
         s"""WITH toks AS ($toksSql)
@@ -428,6 +609,47 @@ object SparkEntry {
         """SELECT doc_id, md5(text) AS fp FROM documents
           |ORDER BY doc_id""".stripMargin,
 
+      "q23_quality_filter" ->
+        s"""WITH toks AS ($toksSql),
+           |feats AS (
+           |  SELECT doc_id,
+           |    CAST(len(t) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+           |      CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+           |        / len(t) END AS mean_token_len
+           |  FROM toks)
+           |SELECT doc_id, n_tokens, n_distinct_tokens FROM feats
+           |WHERE n_tokens >= 40
+           |  AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+           |  AND CAST(n_distinct_tokens AS DOUBLE) >= n_tokens * 0.2
+           |ORDER BY doc_id""".stripMargin,
+
+      "q24_top_terms" ->
+        """WITH toks AS (
+          |  SELECT lang,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |counts AS (
+          |  SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT lang, tok, cnt,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank
+          |  FROM counts)
+          |SELECT lang, rank, tok, cnt FROM ranked
+          |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+      "q25_bpe_tokens" ->
+        """SELECT doc_id,
+          |  CAST(coalesce(list_sum(list_transform(
+          |    list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+          |      x -> len(x) > 0),
+          |    w -> greatest(1, CAST(ceil(len(w) / 4.0) AS BIGINT)))), 0)
+          |    AS BIGINT) AS n_bpe
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
       "q16_ann_brute" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
           |  FROM embeddings WHERE vec_id < 5),
@@ -448,6 +670,52 @@ object SparkEntry {
           |  FROM scored)
           |SELECT query_id, rank, neighbor_id FROM ranked
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      "q35_ivf_ann" ->
+        s"""WITH cent AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cv
+           |  FROM embeddings WHERE vec_id % 43 = 0),
+           |assigned AS (
+           |  SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id
+           |  FROM (
+           |    SELECT e.vec_id, e.embedding, c.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+           |          c.centroid_id ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c)
+           |  WHERE rn = 1),
+           |probes AS (
+           |  SELECT query_id, qv, centroid_id FROM (
+           |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${cosSql("q.embedding", "c.cv")} DESC,
+           |          c.centroid_id ASC) AS rn
+           |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5)
+           |  WHERE rn <= 3),
+           |ranked AS (
+           |  SELECT p.query_id, a.neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY p.query_id
+           |      ORDER BY ${cosSql("p.qv", "a.nv")} DESC,
+           |        a.neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM probes p JOIN assigned a USING (centroid_id)
+           |  WHERE a.neighbor_id <> p.query_id)
+           |SELECT query_id, rank, neighbor_id FROM ranked
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      "q34_embedding_dups" ->
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q33_multimodal_meta" ->
+        """SELECT doc_id,
+          |  CASE WHEN len(text) = 0 THEN 'empty'
+          |       WHEN substr(text, 1, 3) = 'RIF' THEN 'riff'
+          |       ELSE 'bin' END AS format,
+          |  len(text) > 0 AS ok
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q20_zscore" ->
         """WITH stats AS (

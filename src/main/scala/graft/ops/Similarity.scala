@@ -6,19 +6,29 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two paths:
+  * Three paths:
   *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small) query
   *    set against the corpus, one scan, per-query top-k via window. Exact,
   *    linear in corpus size, embarrassingly parallel — this IS the right
   *    plan at any scale when the query set is small; the corpus is never
   *    shuffled, only scanned.
-  *  - [[lshTopK]] — the approximate scale path: random-hyperplane LSH.
-  *    Signatures are computed per row (no shuffle); candidates come from
-  *    bucket equality on signature bands, so each query only scores a
-  *    bucket's worth of vectors. Recall tunes with bands/planes.
+  *  - [[lshTopK]] — random-hyperplane LSH: per-band bucket keys, candidates
+  *    from bucket equality, exact re-scoring. Recall tunes with
+  *    bands (OR) × planesPerBand (AND).
+  *  - [[ivfTopK]] — IVF (inverted-file) index: corpus vectors are assigned
+  *    to their nearest centroid (one broadcast-join scan — the "index
+  *    build"), queries probe the `nprobe` nearest centroid lists and score
+  *    only those. Deterministic given a centroid set, so it is exactly
+  *    reproducible — and at 100 TB the assignment doubles as the
+  *    physical layout (partition/bucket the corpus by centroid id so a
+  *    probe is a partition-pruned read, not a scan).
   *
   * All vector math is `zip_with`/`aggregate` higher-order expressions in
-  * double precision — inside codegen, no UDF, no driver collect.
+  * double precision — no UDF, no driver collect. The hyperplane
+  * projections deliberately do NOT use per-row lambda towers (k nested
+  * higher-order functions are CodegenFallback and k-plicate the plan);
+  * [[hyperplaneBucketFrame]] explodes dimensions and computes all
+  * projections as codegen'd sums in one groupBy.
   */
 object Similarity {
 
@@ -74,22 +84,57 @@ object Similarity {
     * expressions (not driver-side arrays) keeps the plan free of large
     * literals at high dimensionality.
     */
-  private def planeSign(plane: Int, dimIdx: Column): Column =
-    when(pmod(xxhash64(lit(plane), dimIdx), lit(2)) === 0, 1.0).otherwise(-1.0)
+  private def planeSign(plane: Column, dimIdx: Column): Column =
+    when(pmod(xxhash64(plane, dimIdx), lit(2)) === 0, 1.0).otherwise(-1.0)
 
   /** Random-hyperplane signature: bit i = sign(v · h_i), packed into a
-    * long (planes ≤ 63). Per-row expression, no shuffle.
+    * long (planes ≤ 63). Per-row expression — handy for ad-hoc use on
+    * small plane counts; the scale path is [[hyperplaneBucketFrame]].
     */
   def hyperplaneSignature(vec: Column, planes: Int): Column = {
     require(planes > 0 && planes <= 63, "planes must be 1..63")
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeSign(p, i)),
+          (x, i) => x.cast("double") * planeSign(lit(p), i)),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Per-row hyperplane LSH bucket keys: (idCol, vecCol, __buckets:
+    * array<long> of length `bands`), where band b's key packs the signs
+    * of planes [b*planesPerBand, (b+1)*planesPerBand).
+    *
+    * Shape: posexplode the vector to (dim, value) rows, compute ALL
+    * planes×bands projections as codegen'd `sum` aggregates in one
+    * groupBy (map-side combinable — the shuffle carries one partial
+    * projection row per (partition, id)), then fold sign bits into the
+    * per-band keys. No CodegenFallback lambda towers, plan size linear in
+    * planes.
+    */
+  def hyperplaneBucketFrame(df: DataFrame, idCol: String, vecCol: String,
+                            planesPerBand: Int, bands: Int): DataFrame = {
+    require(planesPerBand > 0 && planesPerBand <= 63,
+      "planesPerBand must be 1..63")
+    require(bands > 0, "bands must be positive")
+    val nPlanes = planesPerBand * bands
+    val dims = df.select(col(idCol), col(vecCol),
+      posexplode(col(vecCol)).as(Seq("__d", "__x")))
+    val projAggs = (0 until nPlanes).map { p =>
+      sum(col("__x").cast("double") * planeSign(lit(p), col("__d")))
+        .as(s"__p$p")
+    }
+    val aggd = dims.groupBy(col(idCol))
+      .agg(first(col(vecCol)).as(vecCol), projAggs: _*)
+    val buckets = (0 until bands).map { b =>
+      (0 until planesPerBand).map { j =>
+        when(col(s"__p${b * planesPerBand + j}") >= 0, shiftleft(lit(1L), j))
+          .otherwise(0L)
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }
+    aggd.select(col(idCol), col(vecCol), array(buckets: _*).as("__buckets"))
   }
 
   /** Approximate top-k: candidates share at least one signature band with
@@ -101,20 +146,15 @@ object Similarity {
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, planesPerBand: Int = 8, bands: Int = 4,
               excludeSelf: Boolean = true): DataFrame = {
-    require(planesPerBand * bands <= 63, "planesPerBand*bands must be <= 63")
-    val totalPlanes = planesPerBand * bands
-    def banded(df: DataFrame, idAs: String, vecAs: String): DataFrame =
-      df.select(col("*"),
-          hyperplaneSignature(col(vecAs), totalPlanes).as("__sig"))
-        .select(col(idAs), col(vecAs), posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => call_function("shiftright", col("__sig"), b * planesPerBand)
-              .bitwiseAND((1L << planesPerBand) - 1)))
-          .as(Seq("band", "bucket")))
-    val qb = banded(queries.select(col(qIdCol).as("query_id"),
-      col(qVecCol).as("__qv")), "query_id", "__qv")
-    val cb = banded(corpus.select(col(cIdCol).as("neighbor_id"),
-      col(cVecCol).as("__cv")), "neighbor_id", "__cv")
+    def banded(df: DataFrame, idAs: String, vecAs: String,
+               idCol: String, vecCol: String): DataFrame =
+      hyperplaneBucketFrame(
+          df.select(col(idCol).as(idAs), col(vecCol).as(vecAs)),
+          idAs, vecAs, planesPerBand, bands)
+        .select(col(idAs), col(vecAs),
+          posexplode(col("__buckets")).as(Seq("band", "bucket")))
+    val qb = banded(queries, "query_id", "__qv", qIdCol, qVecCol)
+    val cb = banded(corpus, "neighbor_id", "__cv", cIdCol, cVecCol)
     val cand = qb.join(cb, Seq("band", "bucket"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select("query_id", "__qv", "neighbor_id", "__cv")
@@ -122,6 +162,61 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cand
+      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  // ---- IVF ---------------------------------------------------------------
+
+  /** Assign each vector to its nearest centroid by cosine (ties → lowest
+    * centroid id). One broadcast join + window over |centroids| scored
+    * rows per vector; at scale this is the index build, and its output
+    * is the partitioning key for the corpus layout.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, centIdCol: String,
+                centVecCol: String): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(centIdCol).as("centroid_id"), col(centVecCol).as("__centv")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cscore").desc, col("centroid_id").asc)
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(cent)
+      .withColumn("__cscore", cosine(col(vecCol), col("__centv")))
+      .withColumn("__crank", row_number().over(w))
+      .filter(col("__crank") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` nearest centroid lists per
+    * query, exact-score only those lists. Deterministic for a fixed
+    * centroid set. Returns (query_id, rank, neighbor_id, score).
+    */
+  def ivfTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
+              corpus: DataFrame, cIdCol: String, cVecCol: String,
+              centroids: DataFrame, centIdCol: String, centVecCol: String,
+              k: Int, nprobe: Int = 3,
+              excludeSelf: Boolean = true): DataFrame = {
+    val assigned = ivfAssign(corpus, cIdCol, cVecCol,
+        centroids, centIdCol, centVecCol)
+      .select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("__cv"),
+        col("centroid_id"))
+    val cent = broadcast(centroids.select(
+      col(centIdCol).as("centroid_id"), col(centVecCol).as("__centv")))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("__cscore").desc, col("centroid_id").asc)
+    val probes = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+      .crossJoin(cent)
+      .withColumn("__cscore", cosine(col("__qv"), col("__centv")))
+      .withColumn("__crank", row_number().over(wProbe))
+      .filter(col("__crank") <= nprobe)
+      .select("query_id", "__qv", "centroid_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    probes.join(assigned, "centroid_id")
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("score", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
