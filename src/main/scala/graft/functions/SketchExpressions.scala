@@ -1,0 +1,360 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the sketch expressions, callable from generated
+  * code. All hashing reuses Spark's own XXH64 (seed 42) so values are
+  * bit-identical to the SQL `xxhash64` function — asserted in tests.
+  *
+  * Design note: these sketches were first built as explode + groupBy
+  * aggregations (k min/sum aggregate columns). That shape is correct and
+  * map-side combinable, but k=128 aggregate expressions generate enough
+  * Java to cost seconds of Janino compile per query and push the
+  * aggregate out of the vectorized path. A per-row kernel with an
+  * internal loop needs no shuffle at all, keeps the plan tiny, and runs
+  * the O(elements × k) arithmetic in primitive arrays.
+  */
+object SketchOps {
+
+  val MinhashPrime: Long = 2147483647L // 2^31 - 1
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val coefCache = new ConcurrentHashMap[Integer, (Array[Long], Array[Long])]
+
+  /** Deterministic affine coefficients (a_i in [1, p-1], b_i in [0, p-1])
+    * for the MinHash permutations h_i(x) = (a_i·x + b_i) mod p.
+    */
+  def coeffs(k: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(k, _ => {
+      val a = new Array[Long](k)
+      val b = new Array[Long](k)
+      var i = 0
+      while (i < k) {
+        a(i) = math.abs(mix64(i.toLong * 2 + 1)) % (MinhashPrime - 1) + 1
+        b(i) = math.abs(mix64(i.toLong * 2 + 2)) % MinhashPrime
+        i += 1
+      }
+      (a, b)
+    })
+
+  /** ASCII whitespace test on a UTF-8 byte — exactly the byte set the
+    * regex `\s` matches (Java `\s` is ASCII-only: space, \t, \n, \x0B,
+    * \f, \r). Multi-byte UTF-8 code points never contain these byte
+    * values, so a byte-level scan splits identically to
+    * `split(text, "\\s+")`.
+    */
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** xxhash64 (seed 42) of every whitespace-delimited token of `text`,
+    * computed by scanning the UTF-8 bytes in place — no regex, no token
+    * string materialization. Each value equals the SQL
+    * `xxhash64(<token>)` of the corresponding token.
+    */
+  def tokenHashes(text: UTF8String): Array[Long] = {
+    val base = text.getBaseObject
+    val offset = text.getBaseOffset
+    val n = text.numBytes()
+    // count tokens first to size the array exactly
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val ws = isWs(text.getByte(i))
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    val out = new Array[Long](count)
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (!isWs(text.getByte(i))) {
+        val start = i
+        while (i < n && !isWs(text.getByte(i))) i += 1
+        out(t) = XXH64.hashUnsafeBytes(base, offset + start, i - start, 42L)
+        t += 1
+      } else i += 1
+    }
+    out
+  }
+
+  /** MinHash signature straight from text: byte-scan tokens, hash each
+    * size-`n` shingle window by chaining the token hashes (distinct via a
+    * hash set), k affine permutations, running minima. Returns null when
+    * the text has fewer than `n` tokens (no shingles).
+    */
+  def minhashFromText(text: UTF8String, shingleSize: Int, k: Int): ArrayData = {
+    val th = tokenHashes(text)
+    if (th.length < shingleSize) return null
+    val (as, bs) = coeffs(k)
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    val last = th.length - shingleSize
+    while (i <= last) {
+      var h = 42L
+      var j = 0
+      while (j < shingleSize) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      if (seen.add(h)) {
+        val x = Math.floorMod(h, MinhashPrime)
+        var q = 0
+        while (q < k) {
+          val v = Math.floorMod(x * as(q) + bs(q), MinhashPrime)
+          if (v < out(q)) out(q) = v
+          q += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 64-bit SimHash straight from text: byte-scan tokens, xxhash64 per
+    * token, ±1 per bit into 64 counters, sign fold. Returns
+    * Long.MinValue sentinel never — caller handles empty → null.
+    */
+  def simhashFromText(text: UTF8String): Long = {
+    val th = tokenHashes(text)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < th.length) {
+      val h = th(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
+  /** Distinct hashes of the size-`n` token-window shingles of `text`
+    * (chained token xxhashes — the same keys [[minhashFromText]] ranks).
+    * Null when the text has fewer than `n` tokens.
+    */
+  def shingleHashes(text: UTF8String, shingleSize: Int): ArrayData = {
+    val th = tokenHashes(text)
+    if (th.length < shingleSize) return null
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](th.length - shingleSize + 1)
+    var m = 0
+    var i = 0
+    val last = th.length - shingleSize
+    while (i <= last) {
+      var h = 42L
+      var j = 0
+      while (j < shingleSize) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+
+  def tokenCountOf(text: UTF8String): Int = {
+    var count = 0
+    var i = 0
+    val n = text.numBytes()
+    var inTok = false
+    while (i < n) {
+      val ws = isWs(text.getByte(i))
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    count
+  }
+
+  // sign(plane, dim) = ±1 from xxhash64(plane, dim) parity — the same
+  // chain the SQL expression xxhash64(lit(p), d) computes (seed 42, field
+  // fold). Cached per (nPlanes, dim) row since every vector shares dims.
+  private val signCache = new ConcurrentHashMap[java.lang.Long, Array[Byte]]
+
+  private def signs(nPlanes: Int, d: Int): Array[Byte] =
+    signCache.computeIfAbsent((nPlanes.toLong << 32) | (d & 0xffffffffL), _ => {
+      val arr = new Array[Byte](nPlanes)
+      var p = 0
+      while (p < nPlanes) {
+        val h = XXH64.hashInt(d, XXH64.hashInt(p, 42L))
+        arr(p) = if (Math.floorMod(h, 2L) == 0L) 1 else -1
+        p += 1
+      }
+      arr
+    })
+
+  /** OR-amplified hyperplane LSH bucket keys: `bands` longs, band b
+    * packing the signs of its `planesPerBand` projections. Deterministic
+    * accumulation order (dim ascending). Caller handles empty → null.
+    */
+  def hyperplaneBuckets(vec: ArrayData, planesPerBand: Int, bands: Int,
+                        isFloat: Boolean): ArrayData = {
+    val nPlanes = planesPerBand * bands
+    val acc = new Array[Double](nPlanes)
+    val n = vec.numElements()
+    var d = 0
+    while (d < n) {
+      val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+      val sg = signs(nPlanes, d)
+      var p = 0
+      while (p < nPlanes) {
+        if (sg(p) == 1) acc(p) += x else acc(p) -= x
+        p += 1
+      }
+      d += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < planesPerBand) {
+        if (acc(b * planesPerBand + j) >= 0) key |= 1L << j
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** `graft_minhash(text, shingleSize, numHashes)`: MinHash signature of a
+  * text column; null when the text has fewer than shingleSize tokens.
+  */
+case class MinhashSignature(child: Expression, shingleSize: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(shingleSize > 0, "shingleSize must be positive")
+  require(numHashes > 0, "numHashes must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.minhashFromText(input.asInstanceOf[UTF8String], shingleSize,
+      numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      s"""
+         |${ev.value} = graft.functions.SketchOps.minhashFromText(
+         |  $text, $shingleSize, $numHashes);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** `graft_simhash(text)`: 64-bit SimHash of a text column; null when the
+  * text has no tokens.
+  */
+case class SimhashSignature(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    if (SketchOps.tokenCountOf(text) == 0) null
+    else SketchOps.simhashFromText(text)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      s"""
+         |if (graft.functions.SketchOps.tokenCountOf($text) == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.SketchOps.simhashFromText($text);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+/** `graft_hyperplane_buckets(vec, planesPerBand, bands)`: LSH bucket-key
+  * array, null for empty input.
+  */
+case class HyperplaneBuckets(child: Expression, planesPerBand: Int, bands: Int)
+    extends UnaryExpression {
+  require(planesPerBand > 0 && planesPerBand <= 63, "planesPerBand must be 1..63")
+  require(bands > 0, "bands must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) null
+    else SketchOps.hyperplaneBuckets(arr, planesPerBand, bands, isFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |if ($arr.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.SketchOps.hyperplaneBuckets(
+         |    $arr, $planesPerBand, $bands, $isFloat);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hyperplane_buckets"
+}
+
+/** `graft_shingle_hashes(text, shingleSize)`: distinct shingle-window
+  * hashes of a text column; null when the text has fewer than shingleSize
+  * tokens.
+  */
+case class ShingleHashes(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+  require(shingleSize > 0, "shingleSize must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.shingleHashes(input.asInstanceOf[UTF8String], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      s"""
+         |${ev.value} = graft.functions.SketchOps.shingleHashes($text, $shingleSize);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hashes"
+}

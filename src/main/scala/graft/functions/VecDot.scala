@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over two numeric array columns, accumulated
+  * left-to-right in double — the hot scalar of every similarity/dedup
+  * operator in this engine.
+  *
+  * Why a custom Catalyst expression: the composable formulation
+  * (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) is built from higher-order
+  * functions, which are CodegenFallback in Spark — every row pays lambda
+  * dispatch plus an intermediate array allocation, and the expression
+  * breaks the surrounding whole-stage-codegen span. This expression
+  * generates a tight primitive loop over the two `ArrayData` (no
+  * allocation, no virtual calls), so cosine scoring stays inside codegen.
+  * Value semantics are IDENTICAL to the HOF formulation: elements cast to
+  * double, products accumulated in input order (bit-exact parity is
+  * asserted in the test suite), null element or length mismatch → null —
+  * matching zip_with's null propagation.
+  *
+  * Spark offers no public stable API to wrap a custom Expression in a
+  * `Column`, so it is exposed through the function registry:
+  * [[GraftFunctions.ensureRegistered]] (idempotent, per session) or the
+  * canonical `spark.sql.extensions=graft.functions.GraftExtensions`, then
+  * `call_function("graft_vec_dot", a, b)`.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other => other // checkInputDataTypes rejects before evaluation
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_vec_dot needs two numeric arrays, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def getter(dt: DataType, arr: String, i: String): String = dt match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case other => throw new IllegalStateException(s"unsupported element $other")
+  }
+
+  private def getElem(dt: DataType, arr: ArrayData, i: Int): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported element $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val (lt, rt) = (elemType(left), elemType(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += getElem(lt, x, i) * getElem(rt, y, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (lt, rt) = (elemType(left), elemType(right))
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${getter(lt, x, i)} * ${getter(rt, y, i)};
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_vec_dot"
+}
+
+/** Session wiring for the engine's native functions. */
+object GraftFunctions {
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_vec_dot takes exactly 2 arguments")
+        VecDot(exprs(0), exprs(1))
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "graft_minhash takes (text, shingleSize, numHashes)")
+        MinhashSignature(exprs(0), litInt(exprs(1), "shingleSize"),
+          litInt(exprs(2), "numHashes"))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashSignature].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_simhash takes (text)")
+        SimhashSignature(exprs(0))
+      }),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_shingle_hashes takes (text, shingleSize)")
+        ShingleHashes(exprs(0), litInt(exprs(1), "shingleSize"))
+      }),
+    (FunctionIdentifier("graft_hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "graft_hyperplane_buckets takes (vec, planesPerBand, bands)")
+        HyperplaneBuckets(exprs(0), litInt(exprs(1), "planesPerBand"),
+          litInt(exprs(2), "bands"))
+      }),
+  )
+
+  /** Idempotent per-session registration — operator entry points call this
+    * so the engine works on any session, configured or not.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, _, builder) =>
+      if (!reg.functionExists(ident))
+        reg.createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — the canonical
+  * injection point for cluster deployments.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -11,21 +11,23 @@ import org.apache.spark.storage.StorageLevel
   * Scale design (the shapes that survive a 100 TB corpus):
   *  - Exact dedup is a hash-aggregate on a 128-bit digest — one shuffle of
   *    (digest, id), never the payload.
-  *  - MinHash signatures are computed with ONE explode + groupBy: the
-  *    (doc, shingle-hash) pairs stream through k codegen'd `min`
-  *    aggregates with map-side partial aggregation, so the shuffle carries
-  *    one k-long signature per (partition, doc) — not the shingles. This
-  *    deliberately avoids per-row array-lambda signature expressions: k
-  *    nested higher-order functions are CodegenFallback in Spark and blow
-  *    the plan up k-fold (measured: 1600s → ~5s at 5k docs for k=128).
+  *  - MinHash/SimHash signatures are SHUFFLE-FREE per-row projections
+  *    through native kernels ([[graft.functions.MinhashSignature]] /
+  *    [[graft.functions.SimhashSignature]]): a byte-level whitespace scan
+  *    tokenizes in place, shingle windows are hashed by chaining token
+  *    hashes (no string materialization), and the k permutations run in
+  *    primitive arrays. Two earlier designs were measured and rejected:
+  *    per-row higher-order-function lambda towers (CodegenFallback,
+  *    k-plicates the plan — 1600s at 5k docs) and explode + k-column
+  *    groupBy aggregation (correct but pays a shuffle, seconds of Janino
+  *    compile for the k-wide aggregate, and the SQL regex/array pipeline
+  *    dominated the runtime).
   *  - LSH banding shuffles only (band, bucket, doc_id) triples; candidate
   *    generation is a self-join *within buckets*, never all-pairs, and the
   *    signature arrays are joined back only for the surviving candidates.
-  *  - SimHash uses the same explode + groupBy shape (64 codegen'd
-  *    conditional sums); near-dup candidates come from banding the 64-bit
-  *    signature into 4×16-bit sub-keys (pigeonhole: any pair at Hamming
-  *    distance ≤ 3 shares at least one exact sub-key — a guarantee, not a
-  *    probability).
+  *  - SimHash near-dup candidates come from banding the 64-bit signature
+  *    into 4×16-bit sub-keys (pigeonhole: any pair at Hamming distance ≤ 3
+  *    shares at least one exact sub-key — a guarantee, not a probability).
   *  - Exact pairwise Jaccard joins an inverted index keyed by the 64-bit
   *    xxhash of the shingle (8-byte shuffle keys instead of strings), with
   *    doc-frequency cutoff for ubiquitous shingles.
@@ -78,62 +80,36 @@ object Dedup {
   }
 
   /** The inverted index: one row per (doc, distinct shingle), with the
-    * shingle collapsed to its 64-bit xxhash — every downstream join and
-    * aggregate works on 8-byte keys. Shared by the MinHash fit and the
-    * exact-Jaccard verification so the shingle scan happens once.
+    * shingle collapsed to a 64-bit hash of its token-hash window (the
+    * same keys the MinHash kernel ranks) — every downstream join and
+    * aggregate works on 8-byte keys and no shingle string is ever built.
     */
   def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
-                       n: Int): DataFrame =
-    df.select(col(idCol), explode(shingles(col(textCol), n)).as("__sh"))
-      .select(col(idCol), xxhash64(col("__sh")).as("__h"))
+                       n: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+      explode(call_function("graft_shingle_hashes", col(textCol), lit(n)))
+        .as("__h"))
+  }
 
   // ---- MinHash + LSH -----------------------------------------------------
 
-  /** Prime modulus for the affine MinHash permutations. 2^31-1 keeps
-    * a*x+b within a 64-bit long under ANSI arithmetic (a,x < 2^31 ⇒
-    * product < 2^62) — the same bound MLlib's MinHashLSH uses.
-    */
-  private val MinhashPrime = 2147483647L // 2^31 - 1
-
-  /** Deterministic per-index affine coefficients (public splitmix64-style
-    * mixing — self-contained, no RNG state).
-    */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  private def coef(i: Int): (Long, Long) = (
-    math.abs(mix64(i.toLong * 2 + 1)) % (MinhashPrime - 1) + 1,
-    math.abs(mix64(i.toLong * 2 + 2)) % MinhashPrime)
-
-  /** Signatures from a [[shingleHashFrame]]: k `min` aggregates over the
-    * affine permutations of each shingle hash. Map-side combinable — the
-    * shuffle carries one partial signature per (partition, doc).
-    */
-  def signaturesFromHashes(sh: DataFrame, idCol: String,
-                           numHashes: Int): DataFrame = {
-    val x = pmod(col("__h"), lit(MinhashPrime))
-    val aggs = (0 until numHashes).map { i =>
-      val (a, b) = coef(i)
-      min(pmod(x * a + b, lit(MinhashPrime))).as(s"__mh$i")
-    }
-    sh.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"__mh$i")): _*).as("minhash"))
-  }
-
   /** MinHash signature per doc: (idCol, minhash: array<long> of length
-    * numHashes). Docs with no shingles (fewer than `shingleSize` tokens)
-    * are absent — they cannot be near-duplicates by this metric.
+    * numHashes). A single shuffle-free projection through the native
+    * [[graft.functions.MinhashSignature]] kernel (xxhash64 per shingle, k
+    * affine permutations mod 2^31-1, running minima — the MLlib-style
+    * bound that keeps every product within a long). Docs with no shingles
+    * (fewer than `shingleSize` tokens) are absent — they cannot be
+    * near-duplicates by this metric.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, numHashes: Int = 64): DataFrame =
-    signaturesFromHashes(
-      shingleHashFrame(df, idCol, textCol, shingleSize), idCol, numHashes)
+                        shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        call_function("graft_minhash", col(textCol),
+          lit(shingleSize), lit(numHashes)).as("minhash"))
+      .filter(col("minhash").isNotNull)
+  }
 
   /** One row per (doc, band) with the band's bucket key = hash of the
     * signature slice. The only per-row lambda left in the MinHash path —
@@ -218,7 +194,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = shingleHashFrame(df, idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sigs = signaturesFromHashes(sh, idCol, numHashes)
+    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(bandedBuckets(sigs, idCol, numHashes, bands),
       idCol)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
@@ -266,26 +243,16 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** SimHash per doc via explode + groupBy: 64 conditional sums with
-    * map-side partial aggregation, then the sign fold — value-identical to
-    * [[simhash]] for non-empty docs (empty docs are absent). Returns
-    * (idCol, simhash: long).
+  /** SimHash per doc through the native [[graft.functions.SimhashSignature]]
+    * kernel — shuffle-free, value-identical to [[simhash]] for non-empty
+    * docs (empty docs are absent). Returns (idCol, simhash: long).
     */
   def simhashSignatures(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val tok = df
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__t"))
-      .select(col(idCol), xxhash64(col("__t")).as("__h"))
-    val bitAggs = (0 until 64).map { j =>
-      sum(when(shiftright(col("__h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"__b$j")
-    }
-    val folded = (0 until 64).map { j =>
-      when(col(s"__b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    tok.groupBy(col(idCol))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col(idCol), folded.as("simhash"))
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        call_function("graft_simhash", col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** Hamming distance between two simhash longs (pure expression). */
@@ -381,7 +348,7 @@ object Dedup {
     val va = bf.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val vb = bf.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     cands.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .withColumn("cosine", Similarity.fastCosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

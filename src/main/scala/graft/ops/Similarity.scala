@@ -55,6 +55,22 @@ object Similarity {
       .otherwise(transform(a, x => x.cast("double") / n))
   }
 
+  /** Cosine via the native codegen'd [[graft.functions.VecDot]] — value-
+    * identical to [[cosine]] (same accumulation order, same zero-norm
+    * guard) but ~50× cheaper per pair: no lambda dispatch, no intermediate
+    * arrays, stays inside whole-stage codegen. The DataFrame operators
+    * below register the function on their input's session and use this.
+    */
+  private[ops] def fastCosine(a: Column, b: Column): Column = {
+    val d = call_function("graft_vec_dot", a, b)
+    val n = sqrt(call_function("graft_vec_dot", a, a)) *
+      sqrt(call_function("graft_vec_dot", b, b))
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  private[ops] def registered(df: DataFrame): Unit =
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+
   /** Exact top-k neighbors per query.
     *
     * @param queries  small frame (id, vector) — broadcast
@@ -65,12 +81,13 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
                      corpus: DataFrame, cIdCol: String, cVecCol: String,
                      k: Int, excludeSelf: Boolean = true): DataFrame = {
+    registered(corpus)
     val q = broadcast(queries.select(
       col(qIdCol).as("query_id"), col(qVecCol).as("__qv")))
     val c = corpus.select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("__cv"))
     val scored = c.join(q,
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      .withColumn("score", fastCosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored
@@ -107,34 +124,19 @@ object Similarity {
     * array<long> of length `bands`), where band b's key packs the signs
     * of planes [b*planesPerBand, (b+1)*planesPerBand).
     *
-    * Shape: posexplode the vector to (dim, value) rows, compute ALL
-    * planes×bands projections as codegen'd `sum` aggregates in one
-    * groupBy (map-side combinable — the shuffle carries one partial
-    * projection row per (partition, id)), then fold sign bits into the
-    * per-band keys. No CodegenFallback lambda towers, plan size linear in
-    * planes.
+    * One shuffle-free projection through the native
+    * [[graft.functions.HyperplaneBuckets]] kernel (plane components are
+    * the same deterministic xxhash64(plane, dim) parity signs as
+    * [[hyperplaneSignature]], cached per dimension row). Empty vectors
+    * are dropped -- they have no direction to hash.
     */
   def hyperplaneBucketFrame(df: DataFrame, idCol: String, vecCol: String,
                             planesPerBand: Int, bands: Int): DataFrame = {
-    require(planesPerBand > 0 && planesPerBand <= 63,
-      "planesPerBand must be 1..63")
-    require(bands > 0, "bands must be positive")
-    val nPlanes = planesPerBand * bands
-    val dims = df.select(col(idCol), col(vecCol),
-      posexplode(col(vecCol)).as(Seq("__d", "__x")))
-    val projAggs = (0 until nPlanes).map { p =>
-      sum(col("__x").cast("double") * planeSign(lit(p), col("__d")))
-        .as(s"__p$p")
-    }
-    val aggd = dims.groupBy(col(idCol))
-      .agg(first(col(vecCol)).as(vecCol), projAggs: _*)
-    val buckets = (0 until bands).map { b =>
-      (0 until planesPerBand).map { j =>
-        when(col(s"__p${b * planesPerBand + j}") >= 0, shiftleft(lit(1L), j))
-          .otherwise(0L)
-      }.reduce((x, y) => x.bitwiseOR(y))
-    }
-    aggd.select(col(idCol), col(vecCol), array(buckets: _*).as("__buckets"))
+    registered(df)
+    df.select(col(idCol), col(vecCol),
+        call_function("graft_hyperplane_buckets", col(vecCol),
+          lit(planesPerBand), lit(bands)).as("__buckets"))
+      .filter(col("__buckets").isNotNull)
   }
 
   /** Approximate top-k: candidates share at least one signature band with
@@ -146,6 +148,7 @@ object Similarity {
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, planesPerBand: Int = 8, bands: Int = 4,
               excludeSelf: Boolean = true): DataFrame = {
+    registered(corpus)
     def banded(df: DataFrame, idAs: String, vecAs: String,
                idCol: String, vecCol: String): DataFrame =
       hyperplaneBucketFrame(
@@ -162,7 +165,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cand
-      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      .withColumn("score", fastCosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
@@ -178,13 +181,14 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, centIdCol: String,
                 centVecCol: String): DataFrame = {
+    registered(corpus)
     val cent = broadcast(centroids.select(
       col(centIdCol).as("centroid_id"), col(centVecCol).as("__centv")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__cscore").desc, col("centroid_id").asc)
     corpus.select(col(idCol), col(vecCol))
       .crossJoin(cent)
-      .withColumn("__cscore", cosine(col(vecCol), col("__centv")))
+      .withColumn("__cscore", fastCosine(col(vecCol), col("__centv")))
       .withColumn("__crank", row_number().over(w))
       .filter(col("__crank") === 1)
       .select(col(idCol), col(vecCol), col("centroid_id"))
@@ -209,7 +213,7 @@ object Similarity {
       .orderBy(col("__cscore").desc, col("centroid_id").asc)
     val probes = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
       .crossJoin(cent)
-      .withColumn("__cscore", cosine(col("__qv"), col("__centv")))
+      .withColumn("__cscore", fastCosine(col("__qv"), col("__centv")))
       .withColumn("__crank", row_number().over(wProbe))
       .filter(col("__crank") <= nprobe)
       .select("query_id", "__qv", "centroid_id")
@@ -217,7 +221,7 @@ object Similarity {
       .orderBy(col("score").desc, col("neighbor_id").asc)
     probes.join(assigned, "centroid_id")
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      .withColumn("score", fastCosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
