@@ -12,6 +12,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Steady-state warmup: initialize the session, codegen/JIT, and the
+    // parquet reader paths once so the first measured query isn't charged
+    // the one-time JVM costs.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "events", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -185,13 +185,21 @@ object SparkEntry {
     // ---- full convert pipeline e2e (SURVEY §2.9, O1/O2 + F1-F5 + W1-W4 + S8) ----
 
     "q19_convert_e2e" -> ((s, dir) => {
-      val df = splitOrders(s, dir)
+      // A junk split value for part of the would-be TEST rows exercises
+      // the unknown→DISCARD routing and the discard sink inside convert.
+      val df = t(s, dir, "orders").withColumn("split",
+          when(pmod(col("o_orderkey"), lit(10)) < 8, "TRAIN")
+            .when(pmod(col("o_orderkey"), lit(10)) === 8, "VALIDATION")
+            .when(pmod(col("o_custkey"), lit(7)) === 0, "JUNK")
+            .otherwise("TEST"))
         .select("split", "o_orderkey", "o_orderpriority")
       val schema = Schema(Seq(
         "split" -> SupportedType.SplitKey,
         "o_orderkey" -> SupportedType.IntegerInput,
         "o_orderpriority" -> SupportedType.StringLabel))
       val result = Converter.convert(s, Left(df), schema, tmpDir("graft-e2e"))
+      require(result.splitCounts.getOrElse(SplitStage.Discard, 0L) > 0L,
+        "expected some discarded rows")
       Loader.load(s, result.jobDir)(SplitStage.Test)
         .select(col("o_orderkey"), col("o_orderpriority").as("label"))
         .orderBy("o_orderkey")
@@ -531,18 +539,22 @@ object SparkEntry {
       "q18_tfrecord_roundtrip" -> docsRoundtripSql,
 
       "q19_convert_e2e" ->
-        s"""WITH so AS ($splitOrdersSql),
-           |counts AS (
-           |  SELECT o_orderpriority AS value, count(*) AS cnt FROM so
-           |  WHERE split = 'TRAIN' GROUP BY 1),
-           |vocab AS (
-           |  SELECT value,
-           |    CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) - 1
-           |      AS BIGINT) AS idx
-           |  FROM counts)
-           |SELECT o.o_orderkey, coalesce(v.idx, -1) AS label
-           |FROM so o LEFT JOIN vocab v ON o.o_orderpriority = v.value
-           |WHERE o.split = 'TEST' ORDER BY o.o_orderkey""".stripMargin,
+        """WITH so AS (
+          |  SELECT *, CASE WHEN o_orderkey % 10 < 8 THEN 'TRAIN'
+          |    WHEN o_orderkey % 10 = 8 THEN 'VALIDATION'
+          |    WHEN o_custkey % 7 = 0 THEN 'DISCARD'
+          |    ELSE 'TEST' END AS split FROM orders),
+          |counts AS (
+          |  SELECT o_orderpriority AS value, count(*) AS cnt FROM so
+          |  WHERE split = 'TRAIN' GROUP BY 1),
+          |vocab AS (
+          |  SELECT value,
+          |    CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) - 1
+          |      AS BIGINT) AS idx
+          |  FROM counts)
+          |SELECT o.o_orderkey, coalesce(v.idx, -1) AS label
+          |FROM so o LEFT JOIN vocab v ON o.o_orderpriority = v.value
+          |WHERE o.split = 'TEST' ORDER BY o.o_orderkey""".stripMargin,
 
       "q10_dedup_exact" ->
         """SELECT md5(text) AS fp, min(doc_id) AS keep_id,
