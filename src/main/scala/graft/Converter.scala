@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
-import graft.operators.{ImageStage, SplitStage, Vocab, VocabModel}
+import graft.operators.{ImageStage, Scaler, SplitStage, Vocab, VocabModel}
 import graft.sinks.Sinks
 import graft.sources.Input
 
@@ -90,9 +90,13 @@ object Converter {
       SplitStage.requireTrain(counts)
       val parts = SplitStage.partition(cached, schema.splitKey)
 
-      // 5. Fit the transform on TRAIN only; apply everywhere (F1-F3).
+      // 5. Fit the transforms on TRAIN only; apply everywhere (F1-F3):
+      //    vocabulary for StringLabel columns, z-score statistics for
+      //    ScaledFloatInput columns (extension; SURVEY.md §1).
       val model = Vocab.fit(
         parts(SplitStage.Train), schema.stringLabelKeys, frequencyThreshold)
+      val scaler = Scaler.fit(parts(SplitStage.Train), schema.scaledKeys)
+      def transform(df: DataFrame): DataFrame = scaler(model(df))
 
       // 6. Write each present output split, transformed (W1-W4).
       SplitStage.outputSplits
@@ -100,10 +104,10 @@ object Converter {
         .foreach { s =>
           format match {
             case "tfrecord" =>
-              graft.sinks.TfRecord.write(model(parts(s)), jobDir,
+              graft.sinks.TfRecord.write(transform(parts(s)), jobDir,
                 s.toLowerCase, numShards, gzip = compression == "gzip")
             case _ =>
-              Sinks.writeSplit(model(parts(s)), jobDir, s, numShards,
+              Sinks.writeSplit(transform(parts(s)), jobDir, s, numShards,
                 compression)
           }
         }
@@ -114,6 +118,7 @@ object Converter {
 
       // 8. Artifacts (F5).
       Sinks.writeTransformArtifacts(model, schema, jobDir)
+      Scaler.writeAssets(scaler, s"$jobDir/transform_fn")
 
       ConvertResult(
         jobId = job,

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TRAIN-fitted z-score scaling for `ScaledFloatInput` columns — the
+  * engine's second analyzer, closing the reference's README gap honestly
+  * (README.md:304-311 documents mean-0/variance-1 scaling that
+  * `_preprocessing_fn` never implemented; see SURVEY.md §1).
+  *
+  * Same fit-on-TRAIN / apply-everywhere contract as [[Vocab]]: statistics
+  * come from the TRAIN split only, and VALIDATION/TEST are scaled with
+  * those TRAIN statistics (no per-split re-analysis — the core TFT
+  * correctness semantic).
+  *
+  * Scale notes: the fit is ONE aggregation returning a single row
+  * (sum / sum-of-squares / count per column — map-side combinable), the
+  * apply is a literal-folded projection (mean/std are plan literals, so
+  * whole-stage codegen sees constants). Sample stddev (n-1) to match the
+  * usual training-pipeline convention.
+  */
+final case class ScalerModel(stats: Map[String, ScalerModel.ColStats]) {
+
+  /** Scale every fitted column in place; constant columns (std == 0)
+    * become 0.0 (centered), mirroring the 0-variance guard convention.
+    */
+  def apply(df: DataFrame): DataFrame =
+    stats.foldLeft(df) { case (acc, (c, s)) =>
+      val scaled =
+        if (s.std == 0.0 || s.std.isNaN) lit(0.0)
+        else (col(c) - s.mean) / s.std
+      acc.withColumn(c, scaled.cast("double"))
+    }
+}
+
+object ScalerModel {
+  final case class ColStats(mean: Double, std: Double, n: Long)
+}
+
+object Scaler {
+  import ScalerModel.ColStats
+
+  /** Fit mean/std for the given columns over the TRAIN frame — one
+    * aggregation, one collected row.
+    */
+  def fit(train: DataFrame, columns: Seq[String]): ScalerModel = {
+    if (columns.isEmpty) return ScalerModel(Map.empty)
+    val aggs = columns.flatMap { c =>
+      Seq(sum(col(c).cast("double")).as(s"__s1_$c"),
+        sum(col(c).cast("double") * col(c).cast("double")).as(s"__s2_$c"))
+    } :+ count(lit(1)).as("__n")
+    val row = train.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = row.getAs[Long]("__n")
+    val stats = columns.map { c =>
+      val s1 = row.getAs[Double](s"__s1_$c")
+      val s2 = row.getAs[Double](s"__s2_$c")
+      val mean = s1 / n
+      val variance = if (n > 1) (s2 - s1 * s1 / n) / (n - 1) else 0.0
+      c -> ColStats(mean, math.sqrt(math.max(variance, 0.0)), n)
+    }.toMap
+    ScalerModel(stats)
+  }
+
+  /** Persist fitted statistics under `transform_fn/assets/scaler_<col>`
+    * (one `mean std n` line each) — same artifact directory as the vocab
+    * assets so the loader's validation logic is shared.
+    */
+  def writeAssets(model: ScalerModel, transformFnDir: String): Unit = {
+    val assetsDir = new java.io.File(transformFnDir, "assets")
+    assetsDir.mkdirs()
+    model.stats.foreach { case (c, s) =>
+      java.nio.file.Files.write(
+        new java.io.File(assetsDir, s"scaler_$c").toPath,
+        s"${s.mean} ${s.std} ${s.n}".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Read scaler assets back into a model. */
+  def readAssets(spark: SparkSession, transformFnDir: String): ScalerModel = {
+    val assetsDir = new java.io.File(transformFnDir, "assets")
+    val files = Option(assetsDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("scaler_"))
+    ScalerModel(files.map { f =>
+      val Array(m, s, n) = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+      f.getName.stripPrefix("scaler_") ->
+        ScalerModel.ColStats(m.toDouble, s.toDouble, n.toLong)
+    }.toMap)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.Schema
+import graft.operators.{ScalerModel, SplitStage, VocabModel}
+
+/** Structured Streaming extension: continuous conversion.
+  *
+  * The reference is batch-only (SURVEY.md §2.10) — this is the engine's
+  * Spark-native extension for append-only ingest. The semantics follow
+  * directly from the fit-on-TRAIN / apply-everywhere contract: analyzers
+  * (vocabulary, scaler statistics) cannot run on an unbounded stream, so
+  * they are FITTED on a bounded TRAIN dataset first and APPLIED
+  * continuously — the streaming analog of `TransformDataset` (F3), where
+  * eval data is always encoded with the TRAIN-fitted transform.
+  *
+  * Physical shape: conform + split-normalize are stateless projections;
+  * vocabulary application is a stream-static broadcast join (no state
+  * store); the sink is an append-mode parquet writer partitioned by the
+  * split column, so a 24/7 ingest lands already routed — the streaming
+  * twin of [[graft.sinks.Sinks.writePartitionedBySplit]].
+  */
+object StreamingConvert {
+
+  /** Transform a streaming frame with pre-fitted models: conform to the
+    * declared schema, route unknown splits to DISCARD, integerize labels,
+    * scale numeric features. Pure projections + broadcast joins — safe on
+    * any streaming source.
+    */
+  def transformStream(stream: DataFrame, schema: Schema,
+                      vocab: VocabModel,
+                      scaler: ScalerModel = ScalerModel(Map.empty)): DataFrame = {
+    val typed = stream.select(schema.columns.map { case (n, t) =>
+      col(n).cast(t.sparkType).as(n)
+    }: _*)
+    scaler(vocab(SplitStage.normalize(typed, schema.splitKey)))
+  }
+
+  /** Start the continuous convert: transformed rows append to
+    * `<jobDir>/data/<splitKey>=<SPLIT>/` with exactly-once parquet sink
+    * semantics (checkpointed).
+    */
+  def start(stream: DataFrame, schema: Schema, vocab: VocabModel,
+            jobDir: String, checkpointDir: String,
+            scaler: ScalerModel = ScalerModel(Map.empty)): StreamingQuery =
+    transformStream(stream, schema, vocab, scaler)
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", checkpointDir)
+      .option("path", s"$jobDir/data")
+      .partitionBy(schema.splitKey)
+      .outputMode("append")
+      .start()
+
+  /** Live split-routing histogram over event time: watermarked tumbling
+    * windows — the streaming analog of the job's split counters (A3/T3).
+    */
+  def splitCountsStream(stream: DataFrame, splitKey: String,
+                        eventTimeCol: String,
+                        windowDuration: String = "1 minute",
+                        watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn(splitKey, SplitStage.normalizedSplit(col(splitKey)))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration), col(splitKey))
+      .count()
+}

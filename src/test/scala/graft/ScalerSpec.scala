@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.{Scaler, SplitStage}
+
+class ScalerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ScaledFloatInput: TRAIN-fitted z-score applied to every split, assets persisted") {
+    val df = Seq(
+      ("TRAIN", 1.0), ("TRAIN", 2.0), ("TRAIN", 3.0),
+      ("TEST", 4.0), ("VALIDATION", 2.0),
+    ).toDF("split", "x")
+    val schema = Schema(Seq(
+      "split" -> SupportedType.SplitKey,
+      "x" -> SupportedType.ScaledFloatInput))
+    val result = Converter.convert(spark, Left(df), schema, tmpDir("scaler"))
+    val loaded = Loader.load(spark, result.jobDir)
+
+    // TRAIN stats: mean 2, sample std 1 → TRAIN z-scores {-1, 0, 1}.
+    val train = loaded(SplitStage.Train).select("x").as[Double]
+      .collect().sorted
+    assert(train.toSeq == Seq(-1.0, 0.0, 1.0))
+    // TEST scaled with TRAIN statistics, not its own: (4-2)/1 = 2.
+    val test = loaded(SplitStage.Test).select("x").as[Double].collect()
+    assert(test.toSeq == Seq(2.0))
+    val validation = loaded(SplitStage.Validation).select("x").as[Double]
+      .collect()
+    assert(validation.toSeq == Seq(0.0))
+
+    // Assets round-trip.
+    val model = Scaler.readAssets(spark, s"${result.jobDir}/transform_fn")
+    assert(model.stats("x").mean == 2.0)
+    assert(model.stats("x").std == 1.0)
+    assert(model.stats("x").n == 3L)
+  }
+
+  test("constant column scales to 0.0 (no divide-by-zero)") {
+    val train = Seq(5.0, 5.0, 5.0).toDF("x")
+    val model = Scaler.fit(train, Seq("x"))
+    val out = model(Seq(5.0, 7.0).toDF("x")).as[Double].collect()
+    assert(out.toSeq == Seq(0.0, 0.0))
+  }
+}

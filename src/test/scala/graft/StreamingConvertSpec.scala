@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SplitStage, Vocab}
+import graft.streaming.StreamingConvert
+
+class StreamingConvertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = Schema(Seq(
+    "split" -> SupportedType.SplitKey,
+    "id" -> SupportedType.IntegerInput,
+    "label" -> SupportedType.StringLabel))
+
+  test("continuous convert: routed, vocab-applied, split-partitioned parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val stream = input.toDF().toDF("split", "id", "label")
+
+    // Fit on a bounded TRAIN set: cat×2, goat×1 → cat=0, goat=1.
+    val train = Seq(("TRAIN", 0L, "cat"), ("TRAIN", 1L, "cat"),
+      ("TRAIN", 2L, "goat")).toDF("split", "id", "label")
+    val vocab = Vocab.fit(train, Seq("label"))
+
+    val jobDir = tmpDir("stream-convert")
+    val query = StreamingConvert.start(stream, schema, vocab,
+      jobDir, tmpDir("stream-ckpt"))
+    try {
+      input.addData(
+        ("TRAIN", 10L, "cat"), ("TEST", 11L, "goat"),
+        ("VALIDATION", 12L, "dog"), // OOV → -1
+        ("bogus", 13L, "cat")) // unknown split → DISCARD
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.read.parquet(s"$jobDir/data")
+      .select("split", "id", "label")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq(
+      ("TRAIN", 10L, 0L), ("TEST", 11L, 1L),
+      ("VALIDATION", 12L, -1L), ("DISCARD", 13L, 0L)))
+  }
+
+  test("watermarked split-count stream aggregates per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = input.toDF().toDF("ts", "split")
+    val counts = StreamingConvert.splitCountsStream(
+      stream, "split", "ts", "1 minute", "0 seconds")
+    val query = counts.writeStream.format("memory")
+      .queryName("split_counts").outputMode("update").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:10")
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:30")
+      input.addData((t0, "TRAIN"), (t1, "TRAIN"), (t1, "whatever"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("split_counts")
+      .select("split", "count").as[(String, Long)].collect().toMap
+    assert(rows("TRAIN") == 2L)
+    assert(rows(SplitStage.Discard) == 1L)
+  }
+}
