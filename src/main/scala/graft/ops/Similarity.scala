@@ -194,6 +194,62 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
+  /** Build and persist the IVF index: every corpus vector written under
+    * `<indexDir>/centroid_id=<c>/` (parquet, partitioned by cluster).
+    * This is the physical layout that makes IVF pay at 100 TB: a probe of
+    * `nprobe` lists becomes a partition-PRUNED read — the scan never
+    * touches the other clusters' files (verify with
+    * `.explain`: `PartitionFilters: [centroid_id IN (...)]`).
+    */
+  def ivfIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, centIdCol: String,
+                    centVecCol: String, indexDir: String): Unit =
+    ivfAssign(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .write.mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(indexDir)
+
+  /** Top-k against a persisted IVF index: per-query probe lists are read
+    * with partition pruning; only the probed clusters are scanned.
+    */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String,
+                       queries: DataFrame, qIdCol: String, qVecCol: String,
+                       centroids: DataFrame, centIdCol: String,
+                       centVecCol: String,
+                       k: Int, nprobe: Int = 3,
+                       excludeSelf: Boolean = true): DataFrame = {
+    registered(queries)
+    val cent = broadcast(centroids.select(
+      col(centIdCol).as("centroid_id"), col(centVecCol).as("__centv")))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("__cscore").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+      .crossJoin(cent)
+      .withColumn("__cscore", fastCosine(col("__qv"), col("__centv")))
+      .withColumn("__crank", row_number().over(wProbe))
+      .filter(col("__crank") <= nprobe)
+      .select("query_id", "__qv", "centroid_id")
+    // Driver-side probe-set collection (|queries|×nprobe ids — tiny) so
+    // the index read carries a literal IN-list the scan can prune on.
+    val probedClusters = probes.select("centroid_id").distinct()
+      .collect().map(_.get(0))
+    // Read-back schema is (idCol, vecCol) + partition column centroid_id.
+    val index = spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(probedClusters: _*))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    index.select(col(index.columns(0)).as("neighbor_id"),
+        col(index.columns(1)).as("__cv"), col("centroid_id"))
+      .join(broadcast(probes), "centroid_id")
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("score", fastCosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** IVF approximate top-k: probe the `nprobe` nearest centroid lists per
     * query, exact-score only those lists. Deterministic for a fixed
     * centroid set. Returns (query_id, rank, neighbor_id, score).
@@ -219,7 +275,9 @@ object Similarity {
       .select("query_id", "__qv", "centroid_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    probes.join(assigned, "centroid_id")
+    // Probes are |queries|×nprobe rows — broadcast them so the
+    // corpus-sized assignment never shuffles for the join.
+    assigned.join(broadcast(probes), "centroid_id")
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("score", fastCosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w).cast("long"))

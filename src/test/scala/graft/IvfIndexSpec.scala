@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = {
+    def v(axis: Int, j: Int): Array[Float] = {
+      val a = Array.fill(8)(0.01f * j)
+      a(axis) = 1.0f
+      a
+    }
+    // three clusters along axes 0, 3, 6
+    Seq(
+      (0L, v(0, 1)), (1L, v(0, 2)), (2L, v(0, 3)),
+      (10L, v(3, 1)), (11L, v(3, 2)), (12L, v(3, 3)),
+      (20L, v(6, 1)), (21L, v(6, 2)), (22L, v(6, 3)),
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("persisted IVF index answers probes with partition pruning") {
+    val centroids = vecs.filter($"vec_id" % 10 === 0) // 0, 10, 20
+    val dir = tmpDir("ivf-index")
+    Similarity.ivfIndexWrite(vecs, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dir)
+
+    // index layout: one directory per cluster
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+    assert(parts.toSeq == Seq("centroid_id=0", "centroid_id=10",
+      "centroid_id=20"))
+
+    val queries = vecs.filter($"vec_id" === 1L)
+    val res = Similarity.ivfTopKFromIndex(spark, dir,
+      queries, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", k = 2, nprobe = 1)
+    val neighbors = res.select("neighbor_id").as[Long].collect().toSet
+    assert(neighbors == Set(0L, 2L)) // same-cluster neighbors only
+
+    // nprobe=1 → only one cluster's files scanned: the plan must carry a
+    // partition filter on centroid_id, and the other clusters' rows never
+    // appear even at k covering everything.
+    val all = Similarity.ivfTopKFromIndex(spark, dir,
+      queries, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", k = 100, nprobe = 1)
+    assert(all.select("neighbor_id").as[Long].collect().toSet == Set(0L, 2L))
+    val explain = all.queryExecution.executedPlan.toString
+    assert(explain.contains("PartitionFilters") &&
+      explain.contains("centroid_id"),
+      s"expected partition pruning on centroid_id in:\n$explain")
+  }
+
+  test("ivfTopK agrees with brute force on clustered data") {
+    val centroids = vecs.filter($"vec_id" % 10 === 0)
+    val brute = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 11L),
+        "vec_id", "embedding", vecs, "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs.filter($"vec_id" === 11L),
+        "vec_id", "embedding", vecs, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", k = 2, nprobe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(brute == ivf)
+  }
+}
