@@ -228,6 +228,7 @@ object TfRecord {
     * spec drives parse_single_example, dataset_loader.py:113-126).
     */
   def decodeExample(bytes: Array[Byte], schema: StructType): Row = {
+    val wanted = schema.fieldNames.toSet
     val values = collection.mutable.Map.empty[String, Any]
     val top = new ProtoReader(bytes, 0, bytes.length)
     while (top.hasMore) {
@@ -251,7 +252,9 @@ object TfRecord {
                 featRange = entry.readLenDelimited()
               } else entry.skip(ewt)
             }
-            if (key != null && featRange != null)
+            // Column pruning happens HERE: features outside the read
+            // schema are skipped at the wire level, never decoded.
+            if (key != null && featRange != null && wanted.contains(key))
               values(key) = decodeFeature(bytes, featRange._1, featRange._2)
           } else features.skip(fwt)
         }
@@ -356,24 +359,12 @@ object TfRecord {
 
   /** Read TFRecord files back into a DataFrame with the given schema
     * (compression inferred from extension, like dataset_loader.py:72-79).
+    * Delegates to the engine's DataSourceV2
+    * ([[graft.sources.TfRecordDataSource]], format "graft-tfrecord"):
+    * one input partition per shard, records streamed — never buffered
+    * whole-file — and column pruning pushed into the proto parser.
     */
   def read(spark: SparkSession, pathGlob: String,
-           schema: StructType): DataFrame = {
-    val confSer = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val files = spark.read.format("binaryFile").load(pathGlob)
-      .select("path").collect().map(_.getString(0))
-    val rdd = spark.sparkContext.parallelize(files.toSeq,
-        math.max(1, files.length))
-      .flatMap { p =>
-        val path = new org.apache.hadoop.fs.Path(p)
-        val fs = path.getFileSystem(confSer.value)
-        val raw: InputStream = fs.open(path)
-        val in = if (p.endsWith(".gz"))
-          new java.util.zip.GZIPInputStream(raw) else raw
-        try readRecords(in).map(decodeExample(_, schema)).toList
-        finally in.close()
-      }
-    spark.createDataFrame(rdd, schema)
-  }
+           schema: StructType): DataFrame =
+    spark.read.format("graft-tfrecord").schema(schema).load(pathGlob)
 }

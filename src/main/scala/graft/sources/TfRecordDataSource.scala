@@ -1,0 +1,147 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sinks.TfRecord
+
+/** DataSourceV2 reader for the TFRecord format:
+  * `spark.read.format("graft-tfrecord").schema(s).load(pathGlob)`.
+  *
+  * The scan-side twin of [[graft.sinks.TfRecord.write]] and the engine's
+  * native answer to the reference's `dataset_loader.load`
+  * (/root/reference/tfrecorder/dataset_loader.py:82-129): the
+  * user-supplied schema drives parsing exactly like the reference's
+  * transformed feature spec drives `parse_single_example`, and
+  * compression is inferred from the file extension (`.gz` → GZIP).
+  *
+  * Scale shape: one input partition per file (TFRecord framing has no
+  * sync markers, and gzip streams aren't splittable, so per-file is the
+  * correct split granularity — the reference's own sharding model:
+  * parallelism = shard count). Records stream through the partition
+  * reader one at a time — no whole-file buffering. Column pruning is
+  * pushed into the proto parser: pruned columns are never decoded, only
+  * skipped at the wire-format level.
+  */
+class TfRecordDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-tfrecord"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "graft-tfrecord requires an explicit read schema " +
+        "(.schema(...)): tf.train.Example features are schema-driven, " +
+        "like the reference's transformed feature spec")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new TfRecordTable(schema, properties.asScala.toMap)
+}
+
+final class TfRecordTable(schema: StructType, properties: Map[String, String])
+    extends Table with SupportsRead {
+
+  override def name(): String =
+    s"graft-tfrecord(${properties.getOrElse("path", "")})"
+
+  override def schema(): StructType = schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TfRecordScanBuilder(schema, options)
+}
+
+final class TfRecordScanBuilder(fullSchema: StructType,
+                                options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Keep the fields the scan needs, in full-schema order.
+    required = StructType(fullSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-tfrecord needs a path"))
+    new TfRecordScan(path, required)
+  }
+}
+
+final case class TfRecordFilePartition(path: String) extends InputPartition
+
+final class TfRecordScan(pathGlob: String, requiredSchema: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-tfrecord $pathGlob, ReadSchema: ${requiredSchema.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val hadoopConf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val p = new Path(pathGlob)
+    val fs = p.getFileSystem(hadoopConf)
+    val statuses: Array[FileStatus] =
+      Option(fs.globStatus(p)).getOrElse(Array.empty)
+    statuses.filter(_.isFile)
+      .map(s => TfRecordFilePartition(s.getPath.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confSer = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .hadoopConfiguration)
+    new TfRecordReaderFactory(requiredSchema, confSer)
+  }
+}
+
+final class TfRecordReaderFactory(schema: StructType,
+                                  confSer: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new TfRecordPartitionReader(
+      partition.asInstanceOf[TfRecordFilePartition].path, schema, confSer)
+}
+
+final class TfRecordPartitionReader(path: String, schema: StructType,
+                                    confSer: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+
+  private val serializer: ExpressionEncoder.Serializer[org.apache.spark.sql.Row] =
+    ExpressionEncoder(RowEncoder.encoderFor(schema)).createSerializer()
+
+  private val stream: java.io.InputStream = {
+    val p = new Path(path)
+    val raw = p.getFileSystem(confSer.value).open(p)
+    if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+  }
+  private val records = TfRecord.readRecords(stream)
+
+  override def next(): Boolean = records.hasNext
+
+  override def get(): InternalRow =
+    serializer(TfRecord.decodeExample(records.next(), schema)).copy()
+
+  override def close(): Unit = stream.close()
+}

@@ -71,4 +71,27 @@ class TfRecordSpec extends SparkSpec {
         Set(("a", 1L, 0.5f), ("b", 2L, 1.5f), ("c", 3L, 2.5f)))
     }
   }
+
+  test("DataSourceV2 format graft-tfrecord reads shards with column pruning") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val df = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "s", "v")
+    val dir = tmpDir("tfr-dsv2")
+    TfRecord.write(df, dir, "part", numShards = 2, gzip = true)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", LongType)))
+    val back = spark.read.format("graft-tfrecord").schema(schema)
+      .load(s"$dir/part-*")
+    assert(back.rdd.getNumPartitions == 2) // one partition per shard
+    assert(back.orderBy("id").as[(Long, String, Long)].collect().toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    // pruned read: only the projected column reaches the scan
+    val pruned = back.select("s")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("ReadSchema: struct<s:string>"),
+      s"expected pruned ReadSchema in:\n$scanDesc")
+    assert(pruned.as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+  }
 }
+
