@@ -297,6 +297,52 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- repetition signal (Gopher-style quality rule) ----
+
+    "q26_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionFrame(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- sessionization (event-time windows over the events stream table) ----
+
+    "q28_sessionize" -> ((s, dir) => {
+      // ts is TIMESTAMP(NANOS) read as long nanos (session config);
+      // session break = gap > 30 min. Integer arithmetic end to end.
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      t(s, dir, "events")
+        .withColumn("__new_sess",
+          when(col("ts") - lag(col("ts"), 1).over(w) >
+            lit(1800L * 1000000000L), 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg((sum(col("__new_sess")) + 1L).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- dimension enrichment (broadcast FK join) ----
+
+    "q29_join_enrich" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      t(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- multimodal frame-sample planning ----
+
+    "q36_frame_plan" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_frames", (lit(1L) + pmod(col("n_chars"), lit(32))).cast("long"))
+        .select(col("doc_id"), col("n_frames"),
+          array_join(Multimodal.frameSamplePlan(col("n_frames"),
+            stride = 3, maxFrames = 5), ",").as("frames"))
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search (extensions) ----
 
     "q16_ann_brute" -> ((s, dir) => {
@@ -652,6 +698,45 @@ object SparkEntry {
           |  FROM counts)
           |SELECT lang, rank, tok, cnt FROM ranked
           |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+      "q26_repetition" ->
+        s"""WITH toks AS ($toksSql),
+           |tc AS (
+           |  SELECT doc_id, unnest(t) AS tok FROM toks),
+           |counts AS (
+           |  SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  max(c) AS max_token_count,
+           |  CAST(sum(c) AS BIGINT) AS n_tokens,
+           |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           |    AS repetition_ratio
+           |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q28_sessionize" ->
+        """WITH g AS (
+          |  SELECT user_id, epoch_ns(ts) AS tns,
+          |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+          |      AS prev
+          |  FROM events)
+          |SELECT user_id,
+          |  CAST(1 + sum(CASE WHEN tns - prev > 1800000000000
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+          |  count(*) AS n_events
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q29_join_enrich" ->
+        """SELECT c_nationkey, count(*) AS n_orders,
+          |  count(DISTINCT o_custkey) AS n_customers
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+      "q36_frame_plan" ->
+        """SELECT doc_id,
+          |  CAST(1 + n_chars % 32 AS BIGINT) AS n_frames,
+          |  array_to_string(
+          |    [i for i in range(0, 1 + n_chars % 32) if i % 3 = 0][1:5],
+          |    ',') AS frames
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q25_bpe_tokens" ->
         """SELECT doc_id,

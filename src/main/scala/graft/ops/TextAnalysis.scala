@@ -127,6 +127,22 @@ object TextAnalysis {
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
   }
 
+  /** Token-repetition statistics per document — the Gopher-style
+    * "repetitious document" signal: the most frequent token's share of
+    * all tokens. One explode + two aggregations (both map-side
+    * combinable); docs with no tokens are absent.
+    */
+  def repetitionFrame(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("max_token_count"),
+        sum(col("__c")).as("n_tokens"))
+      .withColumn("repetition_ratio",
+        col("max_token_count").cast("double") / col("n_tokens").cast("double"))
+
   /** Convenience: annotate a documents frame with the full text-analysis
     * column set.
     */
