@@ -42,6 +42,7 @@ object Loader {
     validateJobDir(dir)
     val schema = transformedSchema(dir)
     val d = new java.io.File(dir)
+    val dataDir = new java.io.File(d, "data")
     SplitStage.outputSplits.flatMap { split =>
       val lower = split.toLowerCase
       val parquetDir = new java.io.File(d, lower)
@@ -56,6 +57,14 @@ object Loader {
       else if (tfrShards.nonEmpty)
         Some(split -> graft.sinks.TfRecord.read(
           spark, s"$dir/$lower-*", schema.toStructType))
+      else if (new java.io.File(dataDir, s"${schema.splitKey}=$split")
+          .isDirectory)
+        // Single-pass partitioned layout (Sinks.writePartitionedBySplit):
+        // the filter on the partition column becomes a partition-pruned
+        // read — only this split's directory is scanned.
+        Some(split -> spark.read.schema(schema.toStructType)
+          .parquet(dataDir.getAbsolutePath)
+          .filter(org.apache.spark.sql.functions.col(schema.splitKey) === split))
       else None
     }.toMap
   }

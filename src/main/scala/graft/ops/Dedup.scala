@@ -125,10 +125,30 @@ object Dedup {
         .as(Seq("band", "bucket")))
   }
 
-  /** Distinct candidate pairs (id_a < id_b) sharing at least one band. */
-  private def candidatePairs(banded: DataFrame, idCol: String): DataFrame = {
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("band").as("band_b"),
+  /** Distinct candidate pairs (id_a < id_b) sharing at least one band.
+    *
+    * `maxBucketSize` (0 = unlimited) drops buckets above the cap before
+    * the self-join — the skew guard for massive duplicate clusters, which
+    * put all their members in the same bucket in EVERY band and would
+    * otherwise go quadratic (a 100k-identical-document cluster is 5e9
+    * pairs). Such clusters are exact duplicates or near-exact ones;
+    * handle them with [[exactByFingerprint]] FIRST (see
+    * [[dedupPipeline]]), then the capped LSH pass only needs to find the
+    * non-identical near-dups.
+    */
+  private def candidatePairs(banded: DataFrame, idCol: String,
+                             maxBucketSize: Long = 0L): DataFrame = {
+    val kept =
+      if (maxBucketSize <= 0L) banded
+      else {
+        val ok = banded.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select("band", "bucket")
+        banded.join(ok, Seq("band", "bucket"))
+      }
+    val a = kept.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = kept.select(col(idCol).as("id_b"), col("band").as("band_b"),
       col("bucket").as("bucket_b"))
     a.join(b,
         a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
@@ -190,14 +210,15 @@ object Dedup {
     */
   def minhashDuplicatesVerified(df: DataFrame, idCol: String, textCol: String,
                                 threshold: Double = 0.8, shingleSize: Int = 3,
-                                numHashes: Int = 128, bands: Int = 32): DataFrame = {
+                                numHashes: Int = 128, bands: Int = 32,
+                                maxBucketSize: Long = 0L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = shingleHashFrame(df, idCol, textCol, shingleSize)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cands = candidatePairs(bandedBuckets(sigs, idCol, numHashes, bands),
-      idCol)
+      idCol, maxBucketSize)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val xa = sh.toDF("id_a", "__ha")
     val xb = sh.toDF("id_b", "__hb")
@@ -338,18 +359,65 @@ object Dedup {
     */
   def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
                           threshold: Double = 0.95, planes: Int = 8,
-                          bands: Int = 24): DataFrame = {
+                          bands: Int = 24, maxBucketSize: Long = 0L): DataFrame = {
     val bf = Similarity.hyperplaneBucketFrame(
         df.select(col(idCol), col(vecCol)), idCol, vecCol, planes, bands)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = bf.select(col(idCol),
       posexplode(col("__buckets")).as(Seq("band", "bucket")))
-    val cands = candidatePairs(banded, idCol)
+    val cands = candidatePairs(banded, idCol, maxBucketSize)
     val va = bf.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val vb = bf.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     cands.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", Similarity.fastCosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  // ---- the production dedup pipeline -------------------------------------
+
+  /** The order-of-operations that survives a 100 TB corpus with massive
+    * duplicate clusters:
+    *
+    *  1. EXACT dedup by content digest — collapses identical-text
+    *     clusters to one survivor each (a hash-aggregate; a cluster of
+    *     any size costs its row count, never its pair count).
+    *  2. MinHash-LSH near-dup over the survivors, with a bucket-size cap
+    *     as the residual skew guard, verified with the exact Jaccard.
+    *
+    * Returns the surviving frame (one row per unique text, `dup_count`
+    * attached) minus near-duplicates (the higher id of each verified
+    * pair is dropped — the same min-id-survives rule as exact dedup).
+    */
+  def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.8, shingleSize: Int = 3,
+                    numHashes: Int = 128, bands: Int = 32,
+                    maxBucketSize: Long = 100000L): DataFrame = {
+    val unique = exactByFingerprint(df, textCol, idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nearPairs = minhashDuplicatesVerified(unique, idCol, textCol,
+      threshold, shingleSize, numHashes, bands, maxBucketSize)
+    val losers = nearPairs.select(col("id_b").as("__loser")).distinct()
+    unique.join(losers, unique(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** Embedding twin of [[dedupPipeline]]: collapse BYTE-IDENTICAL vectors
+    * first (a hash-aggregate on the vector value — duplicate-cluster cost
+    * is its row count, never its pair count), then hyperplane-LSH
+    * near-dup over the unique vectors with a bucket-size cap. Returns the
+    * surviving (idCol, vecCol, dup_count) rows.
+    */
+  def embeddingDedupPipeline(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double = 0.95, planes: Int = 8,
+                             bands: Int = 24,
+                             maxBucketSize: Long = 100000L): DataFrame = {
+    val unique = df.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col(vecCol), col("dup_count"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = embeddingDuplicates(unique, idCol, vecCol, threshold,
+      planes, bands, maxBucketSize)
+    val losers = pairs.select(col("id_b").as("__loser")).distinct()
+    unique.join(losers, unique(idCol) === col("__loser"), "left_anti")
   }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{SplitStage, Vocab}
+import graft.ops.Dedup
+import graft.sinks.Sinks
+
+class DedupPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupPipeline: exact clusters collapse first, then near-dups drop") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy dog tonight today"), // near-dup of 0
+      (3L, "completely different content about spark engines and shuffles here"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight again"), // exact dup of 0
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupPipeline(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    // 0 survives its exact cluster {0,1,4} with dup_count 3; 2 (near-dup
+    // of 0) is dropped by the LSH pass; 3 survives alone.
+    assert(out == Map(0L -> 3L, 3L -> 1L))
+  }
+
+  test("bucket-size cap drops oversized buckets (skew guard)") {
+    // 30 identical docs → one bucket of 30 in every band; cap 10 kills it.
+    val docs = (0L until 30L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashDuplicatesVerified(docs, "doc_id", "text",
+      threshold = 0.5)
+    assert(uncapped.count() == 30L * 29 / 2)
+    val capped = Dedup.minhashDuplicatesVerified(docs, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 10L)
+    assert(capped.count() == 0L)
+  }
+
+  test("single-pass partitioned sink round-trips through the loader") {
+    val df = Seq(
+      ("TRAIN", 0L, "cat"), ("TRAIN", 1L, "goat"), ("TRAIN", 2L, "cat"),
+      ("VALIDATION", 3L, "cat"), ("TEST", 4L, "dog"),
+    ).toDF("split", "id", "label")
+    val schema = Schema(Seq(
+      "split" -> SupportedType.SplitKey,
+      "id" -> SupportedType.IntegerInput,
+      "label" -> SupportedType.StringLabel))
+    val vocab = Vocab.fit(df.filter($"split" === "TRAIN"), Seq("label"))
+    val jobDir = tmpDir("partitioned-sink")
+    Sinks.writePartitionedBySplit(vocab(df), jobDir, "split")
+    Sinks.writeTransformArtifacts(vocab, schema, jobDir)
+
+    val loaded = Loader.load(spark, jobDir)
+    assert(loaded.keySet == Set(SplitStage.Train, SplitStage.Validation,
+      SplitStage.Test))
+    val train = loaded(SplitStage.Train).select("id", "label")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(train.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 0L)))
+    // OOV "dog" in TEST → -1, encoded with the TRAIN vocabulary.
+    assert(loaded(SplitStage.Test).select("label").as[Long].collect()
+      .toSeq == Seq(-1L))
+    // the split filter prunes partitions, not post-filters a full scan
+    val plan = loaded(SplitStage.Train).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+
+  test("embeddingDedupPipeline collapses identical vectors then near-dups") {
+    def v(axis: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(eps); a(axis) = 1.0f; a
+    }
+    val vecs = Seq(
+      (0L, v(0, 0.0f)), (1L, v(0, 0.0f)), (2L, v(0, 0.0f)), // identical cluster
+      (3L, v(0, 0.001f)), // near-dup of the cluster
+      (4L, v(4, 0.0f)), // far away
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingDedupPipeline(vecs, "vec_id", "embedding",
+        threshold = 0.99)
+      .select("vec_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 3L, 4L -> 1L))
+  }
+}
