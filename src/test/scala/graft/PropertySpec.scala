@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+import graft.functions.SketchOps
+import graft.operators.SplitStage
+import graft.ops.{Dedup, TextAnalysis}
+import graft.sinks.TfRecord
+
+/** Property-based invariants (SURVEY.md §5 port strategy): routing
+  * totality, kernel/SQL parity, and serialization round-trips over
+  * generated inputs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling loop over a ScalaCheck generator (the
+    * scalatest-scalacheck bridge artifact isn't on the offline
+    * classpath; raw Gen + fixed seed keeps runs reproducible).
+    */
+  private def forAll[A](gen: Gen[A], n: Int = 30)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    var produced = 0
+    while (i < n * 4 && produced < n) {
+      gen.apply(params, seed).foreach { a => f(a); produced += 1 }
+      seed = seed.next
+      i += 1
+    }
+    assert(produced > 0, "generator produced no samples")
+  }
+
+  // Strings with adversarial whitespace: unicode, control chars, empties.
+  private val trickyText: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaNumStr.map(_.take(6)),
+    2 -> Gen.oneOf(" ", "\t", "\n", "\r", "\f", ""),
+    1 -> Gen.oneOf("带中文", "éàü", "🙂", " ", " "),
+  )).map(_.mkString)
+
+  test("property: split routing is total — every value lands in exactly one split") {
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("TRAIN", "VALIDATION", "TEST",
+        "DISCARD", "garbage", "", "train")), n = 10) { values =>
+      val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "split")
+      val parts = SplitStage.partition(df, "split")
+      val total = parts.values.map(_.count()).sum
+      assert(total == values.length.toLong)
+      assert(parts.keySet == SplitStage.allSplits.toSet)
+    }
+  }
+
+  test("property: kernel tokenization matches the SQL regex split on arbitrary text") {
+    forAll(Gen.listOfN(8, trickyText), n = 15) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val sqlCounts = df
+        .select(col("id"), TextAnalysis.tokenCount(col("text")).as("n"))
+        .as[(Long, Long)].collect().toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val kernel = SketchOps.tokenCountOf(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)).toLong
+        assert(kernel == sqlCounts(i.toLong),
+          s"token count mismatch on ${t.map(_.toInt.toHexString)}")
+      }
+    }
+  }
+
+  test("property: TFRecord round-trips arbitrary rows") {
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("i", LongType),
+      StructField("f", FloatType), StructField("b", BinaryType)))
+    forAll(Gen.listOfN(5, for {
+      s <- trickyText
+      i <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      f <- Gen.chooseNum(-1e30f, 1e30f)
+      b <- Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+    } yield (s, i, f, b.toArray))) { rows =>
+      rows.foreach { case (s, i, f, b) =>
+        val row = org.apache.spark.sql.Row(s, i, f, b)
+        val back = TfRecord.decodeExample(
+          TfRecord.encodeExample(row, schema), schema)
+        assert(back.getString(0) == s)
+        assert(back.getLong(1) == i)
+        assert(back.getFloat(2) == f)
+        assert(java.util.Arrays.equals(
+          back.getAs[Array[Byte]](3), b))
+      }
+    }
+  }
+
+  test("property: minhash estimate is bounded and exact for identical docs") {
+    forAll(trickyText.suchThat(t =>
+        SketchOps.tokenCountOf(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)) >= 3),
+        n = 8) { t =>
+      val df = Seq((0L, t), (1L, t)).toDF("doc_id", "text")
+      val est = Dedup.minhashDuplicates(df, "doc_id", "text",
+          threshold = 0.0, numHashes = 32, bands = 8)
+        .select("est_jaccard").as[Double].collect()
+      assert(est.length == 1 && est(0) == 1.0)
+    }
+  }
+
+  test("property: URL-safe base64 of the image stage round-trips bytes") {
+    forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) {
+      bytes =>
+      val b64 = java.util.Base64.getUrlEncoder.encodeToString(bytes.toArray)
+      assert(!b64.contains('+') && !b64.contains('/'))
+      assert(java.util.Base64.getUrlDecoder.decode(b64).toSeq == bytes)
+    }
+  }
+}
