@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Minimal CLI — the analog of the reference's Python-Fire entry points
+  * `tfrecorder convert|inspect` (/root/reference/tfrecorder/cli.py:25-31).
+  *
+  * {{{
+  * spark-submit --class graft.Cli app.jar \
+  *   convert --source data.csv --output-dir /out [--schema schema.json] \
+  *           [--format parquet|tfrecord] [--num-shards N] \
+  *           [--compression gzip|uncompressed]
+  * spark-submit --class graft.Cli app.jar \
+  *   inspect --job-dir /out/tfrecorder-... [--split TRAIN] [--num-records N] \
+  *           [--output-dir out]
+  * }}}
+  */
+object Cli {
+
+  private def parseArgs(args: Seq[String]): Map[String, String] =
+    args.grouped(2).collect {
+      case Seq(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.Cli convert|inspect --key value ...")
+      sys.exit(2)
+    }
+    val opts = parseArgs(args.toSeq.drop(1))
+    val spark = SparkSession.builder()
+      .appName(s"graft-${args(0)}")
+      .getOrCreate()
+    try args(0) match {
+      case "convert" =>
+        val source = opts.getOrElse("source",
+          sys.error("convert needs --source <csv|image-dir>"))
+        val schema = opts.get("schema")
+          .map(p => Schema.fromJson(new String(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+            java.nio.charset.StandardCharsets.UTF_8)))
+          .getOrElse(Schema.imageCsvSchema)
+        val result = Converter.convert(spark,
+          Right(source),
+          schema,
+          outputDir = opts.getOrElse("output-dir", "/tmp/tfrecorder"),
+          numShards = opts.getOrElse("num-shards", "0").toInt,
+          compression = opts.getOrElse("compression", "gzip"),
+          format = opts.getOrElse("format", "parquet"))
+        println(s"job_id=${result.jobId}")
+        println(s"job_dir=${result.jobDir}")
+        println(s"rows=${result.rowCount} good_images=${result.goodImages} " +
+          s"bad_images=${result.badImages}")
+        result.splitCounts.toSeq.sortBy(_._1).foreach { case (s, c) =>
+          println(s"split.$s=$c")
+        }
+      case "inspect" =>
+        val out = Loader.inspect(spark,
+          opts.getOrElse("job-dir", sys.error("inspect needs --job-dir")),
+          split = opts.getOrElse("split", "TRAIN"),
+          numRecords = opts.getOrElse("num-records", "1").toInt,
+          outputDir = opts.getOrElse("output-dir", "output"))
+        println(s"inspect_dir=$out")
+      case other =>
+        System.err.println(s"unknown command: $other (convert|inspect)")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+}

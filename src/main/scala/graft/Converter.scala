@@ -120,13 +120,28 @@ object Converter {
       Sinks.writeTransformArtifacts(model, schema, jobDir)
       Scaler.writeAssets(scaler, s"$jobDir/transform_fn")
 
-      ConvertResult(
+      val result = ConvertResult(
         jobId = job,
         jobDir = jobDir,
         rowCount = counts.values.sum,
         goodImages = good.value,
         badImages = bad.value,
         splitCounts = counts)
+
+      // 9. Job summary into the output dir — the analog of the
+      //    reference's copy_logfile_to_gcs (utils.py:109-119): the job's
+      //    observability record travels with its output.
+      val summary =
+        s"""{"job_id":"${result.jobId}","rows":${result.rowCount},""" +
+          s""""good_images":${result.goodImages},""" +
+          s""""bad_images":${result.badImages},""" +
+          s""""split_counts":{${counts.toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
+      java.nio.file.Files.write(
+        new java.io.File(jobDir, "job_summary.json").toPath,
+        summary.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+      result
     } finally cached.unpersist()
   }
 

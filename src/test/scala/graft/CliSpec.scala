@@ -1,0 +1,38 @@
+package graft
+
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("convert writes a job summary alongside the output") {
+    val df = Seq(("TRAIN", 1L, "a"), ("TEST", 2L, "b"), ("nope", 3L, "a"))
+      .toDF("split", "id", "label")
+    val schema = Schema(Seq(
+      "split" -> SupportedType.SplitKey,
+      "id" -> SupportedType.IntegerInput,
+      "label" -> SupportedType.StringLabel))
+    val result = Converter.convert(spark, Left(df), schema, tmpDir("cli"))
+    val summary = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(result.jobDir, "job_summary.json").toPath))
+    assert(summary.contains(s""""job_id":"${result.jobId}""""))
+    assert(summary.contains(""""rows":3"""))
+    assert(summary.contains(""""DISCARD":1"""))
+  }
+
+  test("CSV convert through the CLI front door produces a loadable job") {
+    // Build a tiny structured CSV and drive Converter the way the CLI does
+    // (Right(path) source dispatch + schema JSON round-trip).
+    val dir = tmpDir("cli-csv")
+    val csv = new java.io.File(dir, "in.csv")
+    java.nio.file.Files.write(csv.toPath,
+      "split,id,label\nTRAIN,1,a\nTRAIN,2,b\nTEST,3,a\n".getBytes)
+    val schema = Schema.fromJson(Schema(Seq(
+      "split" -> SupportedType.SplitKey,
+      "id" -> SupportedType.IntegerInput,
+      "label" -> SupportedType.StringLabel)).toJson)
+    val result = Converter.convert(spark, Right(csv.getAbsolutePath),
+      schema, tmpDir("cli-out"))
+    val loaded = Loader.load(spark, result.jobDir)
+    assert(loaded("TRAIN").count() == 2)
+    assert(loaded("TEST").count() == 1)
+  }
+}
