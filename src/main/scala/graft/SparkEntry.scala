@@ -243,9 +243,11 @@ object SparkEntry {
     }),
 
     "q14_token_stats" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       t(s, dir, "documents")
         .groupBy("lang")
-        .agg(sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+        .agg(sum(call_function("graft_token_count", col("text")))
+            .as("total_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")
     }),
@@ -276,11 +278,12 @@ object SparkEntry {
     // ---- corpus statistics: top terms per language (window/rank) ----
 
     "q24_top_terms" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
       val w = Window.partitionBy("lang")
         .orderBy(col("cnt").desc, col("tok").asc)
       t(s, dir, "documents")
         .select(col("lang"),
-          explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+          explode(call_function("graft_tokens", lower(col("text")))).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)

@@ -171,6 +171,38 @@ object SketchOps {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
   }
 
+  /** The whitespace tokens themselves, as UTF8String slices — value-
+    * identical to `filter(split(text, "\\s+"), t -> length(t) > 0)`
+    * (byte-scan boundaries; parity property-tested).
+    */
+  def tokens(text: UTF8String): ArrayData = {
+    val n = text.numBytes()
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val ws = isWs(text.getByte(i))
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    val out = new Array[AnyRef](count)
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (!isWs(text.getByte(i))) {
+        val start = i
+        while (i < n && !isWs(text.getByte(i))) i += 1
+        val bytes = new Array[Byte](i - start)
+        var j = 0
+        while (j < bytes.length) { bytes(j) = text.getByte(start + j); j += 1 }
+        out(t) = UTF8String.fromBytes(bytes)
+        t += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def tokenCountOf(text: UTF8String): Int = {
     var count = 0
     var i = 0
@@ -357,4 +389,37 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "graft_shingle_hashes"
+}
+
+/** `graft_tokens(text)`: whitespace tokens of a text column (byte-scan;
+  * value-identical to the composable `filter(split(text, "\\s+"), ...)`).
+  */
+case class TokensOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, text => s"graft.functions.SketchOps.tokens($text)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokensOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_tokens"
+}
+
+/** `graft_token_count(text)`: whitespace token count (byte-scan). */
+case class TokenCountOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.tokenCountOf(input.asInstanceOf[UTF8String]).toLong
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      text => s"(long) graft.functions.SketchOps.tokenCountOf($text)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCountOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_count"
 }

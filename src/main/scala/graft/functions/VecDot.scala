@@ -153,6 +153,18 @@ object GraftFunctions {
           "graft_shingle_hashes takes (text, shingleSize)")
         ShingleHashes(exprs(0), litInt(exprs(1), "shingleSize"))
       }),
+    (FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[TokensOf].getName, "graft_tokens"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_tokens takes (text)")
+        TokensOf(exprs(0))
+      }),
+    (FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenCountOf].getName, "graft_token_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_token_count takes (text)")
+        TokenCountOf(exprs(0))
+      }),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (exprs: Seq[Expression]) => {

@@ -53,17 +53,22 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: kernel tokenization matches the SQL regex split on arbitrary text") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     forAll(Gen.listOfN(8, trickyText), n = 15) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("id", "text")
-      val sqlCounts = df
-        .select(col("id"), TextAnalysis.tokenCount(col("text")).as("n"))
-        .as[(Long, Long)].collect().toMap
+      val sqlSide = df
+        .select(col("id"), TextAnalysis.tokens(col("text")).as("t"))
+        .as[(Long, Seq[String])].collect().toMap
+      val kernelSide = df
+        .select(col("id"), call_function("graft_tokens", col("text")).as("t"))
+        .as[(Long, Seq[String])].collect().toMap
       texts.zipWithIndex.foreach { case (t, i) =>
-        val kernel = SketchOps.tokenCountOf(
+        assert(kernelSide(i.toLong) == sqlSide(i.toLong),
+          s"token mismatch on ${t.map(_.toInt.toHexString)}")
+        val kernelCount = SketchOps.tokenCountOf(
           org.apache.spark.unsafe.types.UTF8String.fromString(t)).toLong
-        assert(kernel == sqlCounts(i.toLong),
-          s"token count mismatch on ${t.map(_.toInt.toHexString)}")
+        assert(kernelCount == sqlSide(i.toLong).length.toLong)
       }
     }
   }
