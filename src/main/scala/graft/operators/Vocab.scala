@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Train-fitted vocabulary integerization — the engine's one analytic
@@ -19,9 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB): the fit is a map-side-combinable groupBy-count —
   * one shuffle of (value, partial-count) pairs whose width is the vocab
-  * cardinality, not the row count. The index assignment runs a window over
-  * the *distinct values* (cardinality ≪ rows); for vocabularies in the
-  * multi-million range swap to sort+zipWithIndex. The apply is a broadcast
+  * cardinality, not the row count. The index assignment is a
+  * range-partitioned sort + zipWithIndex over the *distinct values*
+  * (fully distributed at any vocabulary size). The apply is a broadcast
   * hash join (vocab tables are small by construction) — no shuffle of the
   * data side, stays in whole-stage codegen.
   */
@@ -48,20 +47,32 @@ object Vocab {
   /** Fit a vocabulary for one column over the TRAIN dataframe.
     * Returns a 2-column DataFrame (value: string, idx: long) — ordered by
     * (count desc, value desc) to match the golden TFT fixture.
+    *
+    * Index assignment is a range-partitioned global sort +
+    * `zipWithIndex` — fully distributed, so a multi-million-term
+    * vocabulary never funnels through one partition (a global
+    * `row_number()` window would).
     */
   def fitOne(train: DataFrame, column: String,
              frequencyThreshold: Long = 0L): DataFrame = {
+    val spark = train.sparkSession
     val counts = train
       .filter(col(column).isNotNull)
       .groupBy(col(column).as("value"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= frequencyThreshold)
-    // Window over distinct values only: single partition is fine because
-    // |vocab| ≪ |rows|; see scale notes above.
-    val w = Window.orderBy(col("cnt").desc, col("value").desc)
-    counts
-      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
-      .select("value", "idx")
+    val indexed = counts
+      .orderBy(col("cnt").desc, col("value").desc)
+      .select("value")
+      .rdd
+      .zipWithIndex
+      .map { case (r, i) => Row(r.getString(0), i) }
+    spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("idx",
+          org.apache.spark.sql.types.LongType))))
   }
 
   /** Fit vocabularies for all given columns over TRAIN. */
