@@ -65,7 +65,7 @@ object Vocab {
       .orderBy(col("cnt").desc, col("value").desc)
       .select("value")
       .rdd
-      .zipWithIndex
+      .zipWithIndex()
       .map { case (r, i) => Row(r.getString(0), i) }
     spark.createDataFrame(indexed,
       org.apache.spark.sql.types.StructType(Seq(

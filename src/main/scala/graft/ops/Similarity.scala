@@ -237,7 +237,8 @@ object Similarity {
       .collect().map(_.get(0))
     // Read-back schema is (idCol, vecCol) + partition column centroid_id.
     val index = spark.read.parquet(indexDir)
-      .filter(col("centroid_id").isin(probedClusters: _*))
+      .filter(col("centroid_id").isin(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(probedClusters): _*))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     index.select(col(index.columns(0)).as("neighbor_id"),
