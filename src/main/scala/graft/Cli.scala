@@ -17,10 +17,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Cli {
 
-  private def parseArgs(args: Seq[String]): Map[String, String] =
-    args.grouped(2).collect {
-      case Seq(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+  private def parseArgs(args: Seq[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"arguments must come in --key value pairs, got: ${args.mkString(" ")}")
+    args.grouped(2).map {
+      case Seq(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.stripPrefix("--") -> v
+      case Seq(k, v) => sys.error(s"malformed argument pair: $k $v")
     }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {

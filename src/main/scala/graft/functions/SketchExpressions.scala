@@ -2,6 +2,7 @@ package graft.functions
 
 import java.util.concurrent.ConcurrentHashMap
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -238,14 +239,20 @@ object SketchOps {
     * packing the signs of its `planesPerBand` projections. Deterministic
     * accumulation order (dim ascending). Caller handles empty → null.
     */
+  /** elemKind: 0=float, 1=double, 2=int, 3=long. */
   def hyperplaneBuckets(vec: ArrayData, planesPerBand: Int, bands: Int,
-                        isFloat: Boolean): ArrayData = {
+                        elemKind: Int): ArrayData = {
     val nPlanes = planesPerBand * bands
     val acc = new Array[Double](nPlanes)
     val n = vec.numElements()
     var d = 0
     while (d < n) {
-      val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+      val x = elemKind match {
+        case 0 => vec.getFloat(d).toDouble
+        case 1 => vec.getDouble(d)
+        case 2 => vec.getInt(d).toDouble
+        case _ => vec.getLong(d).toDouble
+      }
       val sg = signs(nPlanes, d)
       var p = 0
       while (p < nPlanes) {
@@ -278,6 +285,12 @@ case class MinhashSignature(child: Expression, shingleSize: Int, numHashes: Int)
   require(shingleSize > 0, "shingleSize must be positive")
   require(numHashes > 0, "numHashes must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
@@ -303,6 +316,12 @@ case class MinhashSignature(child: Expression, shingleSize: Int, numHashes: Int)
   */
 case class SimhashSignature(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
@@ -337,15 +356,24 @@ case class HyperplaneBuckets(child: Expression, planesPerBand: Int, bands: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  private def isFloat: Boolean = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hyperplane_buckets needs a numeric array, got ${other.simpleString}")
+  }
+
+  private def elemKind: Int = child.dataType match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case _ => 3
   }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     if (arr.numElements() == 0) null
-    else SketchOps.hyperplaneBuckets(arr, planesPerBand, bands, isFloat)
+    else SketchOps.hyperplaneBuckets(arr, planesPerBand, bands, elemKind)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -355,7 +383,7 @@ case class HyperplaneBuckets(child: Expression, planesPerBand: Int, bands: Int)
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.SketchOps.hyperplaneBuckets(
-         |    $arr, $planesPerBand, $bands, $isFloat);
+         |    $arr, $planesPerBand, $bands, $elemKind);
          |}
        """.stripMargin
     })
@@ -373,6 +401,12 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
     extends UnaryExpression {
   require(shingleSize > 0, "shingleSize must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
@@ -397,6 +431,12 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
 case class TokensOf(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
   override def nullSafeEval(input: Any): Any =
     SketchOps.tokens(input.asInstanceOf[UTF8String])
 
@@ -411,6 +451,12 @@ case class TokensOf(child: Expression) extends UnaryExpression {
 /** `graft_token_count(text)`: whitespace token count (byte-scan). */
 case class TokenCountOf(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
 
   override def nullSafeEval(input: Any): Any =
     SketchOps.tokenCountOf(input.asInstanceOf[UTF8String]).toLong

@@ -41,20 +41,23 @@ object Scaler {
   import ScalerModel.ColStats
 
   /** Fit mean/std for the given columns over the TRAIN frame — one
-    * aggregation, one collected row.
+    * aggregation, one collected row. Each column uses its own NON-NULL
+    * count as the denominator (sum() skips nulls; counting all rows
+    * would silently bias the statistics when a column has nulls).
     */
   def fit(train: DataFrame, columns: Seq[String]): ScalerModel = {
     if (columns.isEmpty) return ScalerModel(Map.empty)
     val aggs = columns.flatMap { c =>
       Seq(sum(col(c).cast("double")).as(s"__s1_$c"),
-        sum(col(c).cast("double") * col(c).cast("double")).as(s"__s2_$c"))
-    } :+ count(lit(1)).as("__n")
+        sum(col(c).cast("double") * col(c).cast("double")).as(s"__s2_$c"),
+        count(col(c)).as(s"__n_$c"))
+    }
     val row = train.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val n = row.getAs[Long]("__n")
     val stats = columns.map { c =>
       val s1 = row.getAs[Double](s"__s1_$c")
       val s2 = row.getAs[Double](s"__s2_$c")
-      val mean = s1 / n
+      val n = row.getAs[Long](s"__n_$c")
+      val mean = if (n > 0) s1 / n else 0.0
       val variance = if (n > 1) (s2 - s1 * s1 / n) / (n - 1) else 0.0
       c -> ColStats(mean, math.sqrt(math.max(variance, 0.0)), n)
     }.toMap

@@ -34,6 +34,13 @@ import org.apache.spark.storage.StorageLevel
   *  - Embedding near-dup banding uses OR-amplified hyperplane LSH
   *    ([[Similarity.hyperplaneBucketFrame]]) and verifies candidates with
   *    the exact cosine — no all-pairs stage anywhere.
+  *
+  * Caching contract: operators persist their signature/shingle
+  * intermediates (MEMORY_AND_DISK) because they are read from multiple
+  * join branches of one lazy plan, and a lazy result cannot unpersist
+  * them itself. Long-lived sessions running many corpus passes should
+  * `spark.catalog.clearCache()` between passes (or materialize results
+  * and clear) — cached frames are otherwise evicted LRU.
   */
 object Dedup {
 

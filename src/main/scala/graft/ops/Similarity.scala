@@ -194,6 +194,25 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
+  /** Per-query probe lists: the `nprobe` nearest centroids by cosine
+    * (ties → lowest centroid id). Shared by the in-memory and persisted
+    * IVF paths so their probe semantics cannot diverge.
+    */
+  private def ivfProbes(queries: DataFrame, qIdCol: String, qVecCol: String,
+                        centroids: DataFrame, centIdCol: String,
+                        centVecCol: String, nprobe: Int): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(centIdCol).as("centroid_id"), col(centVecCol).as("__centv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__cscore").desc, col("centroid_id").asc)
+    queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+      .crossJoin(cent)
+      .withColumn("__cscore", fastCosine(col("__qv"), col("__centv")))
+      .withColumn("__crank", row_number().over(w))
+      .filter(col("__crank") <= nprobe)
+      .select("query_id", "__qv", "centroid_id")
+  }
+
   /** Build and persist the IVF index: every corpus vector written under
     * `<indexDir>/centroid_id=<c>/` (parquet, partitioned by cluster).
     * This is the physical layout that makes IVF pay at 100 TB: a probe of
@@ -220,17 +239,8 @@ object Similarity {
                        k: Int, nprobe: Int = 3,
                        excludeSelf: Boolean = true): DataFrame = {
     registered(queries)
-    val cent = broadcast(centroids.select(
-      col(centIdCol).as("centroid_id"), col(centVecCol).as("__centv")))
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("__cscore").desc, col("centroid_id").asc)
-    val probes = queries
-      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
-      .crossJoin(cent)
-      .withColumn("__cscore", fastCosine(col("__qv"), col("__centv")))
-      .withColumn("__crank", row_number().over(wProbe))
-      .filter(col("__crank") <= nprobe)
-      .select("query_id", "__qv", "centroid_id")
+    val probes = ivfProbes(queries, qIdCol, qVecCol,
+      centroids, centIdCol, centVecCol, nprobe)
     // Driver-side probe-set collection (|queries|×nprobe ids — tiny) so
     // the index read carries a literal IN-list the scan can prune on.
     val probedClusters = probes.select("centroid_id").distinct()
@@ -264,16 +274,8 @@ object Similarity {
         centroids, centIdCol, centVecCol)
       .select(col(cIdCol).as("neighbor_id"), col(cVecCol).as("__cv"),
         col("centroid_id"))
-    val cent = broadcast(centroids.select(
-      col(centIdCol).as("centroid_id"), col(centVecCol).as("__centv")))
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("__cscore").desc, col("centroid_id").asc)
-    val probes = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
-      .crossJoin(cent)
-      .withColumn("__cscore", fastCosine(col("__qv"), col("__centv")))
-      .withColumn("__crank", row_number().over(wProbe))
-      .filter(col("__crank") <= nprobe)
-      .select("query_id", "__qv", "centroid_id")
+    val probes = ivfProbes(queries, qIdCol, qVecCol,
+      centroids, centIdCol, centVecCol, nprobe)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id").asc)
     // Probes are |queries|×nprobe rows — broadcast them so the

@@ -227,8 +227,12 @@ object TfRecord {
     * feature kind is expected, like the reference's transformed feature
     * spec drives parse_single_example, dataset_loader.py:113-126).
     */
-  def decodeExample(bytes: Array[Byte], schema: StructType): Row = {
-    val wanted = schema.fieldNames.toSet
+  def decodeExample(bytes: Array[Byte], schema: StructType): Row =
+    decodeExample(bytes, schema, schema.fieldNames.toSet)
+
+  /** Hot-path overload: `wanted` precomputed once per scan, not per row. */
+  def decodeExample(bytes: Array[Byte], schema: StructType,
+                    wanted: Set[String]): Row = {
     val values = collection.mutable.Map.empty[String, Any]
     val top = new ProtoReader(bytes, 0, bytes.length)
     while (top.hasMore) {

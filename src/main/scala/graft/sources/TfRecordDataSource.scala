@@ -104,8 +104,13 @@ final class TfRecordScan(pathGlob: String, requiredSchema: StructType)
     val fs = p.getFileSystem(hadoopConf)
     val statuses: Array[FileStatus] =
       Option(fs.globStatus(p)).getOrElse(Array.empty)
-    statuses.filter(_.isFile)
-      .map(s => TfRecordFilePartition(s.getPath.toString): InputPartition)
+    // A glob resolves to files; a plain directory path resolves to the
+    // directory itself — expand it so directory reads see every shard.
+    statuses.flatMap {
+      case s if s.isFile => Array(s)
+      case s if s.isDirectory => fs.listStatus(s.getPath).filter(_.isFile)
+      case _ => Array.empty[FileStatus]
+    }.map(s => TfRecordFilePartition(s.getPath.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -137,11 +142,12 @@ final class TfRecordPartitionReader(path: String, schema: StructType,
     if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
   }
   private val records = TfRecord.readRecords(stream)
+  private val wanted = schema.fieldNames.toSet
 
   override def next(): Boolean = records.hasNext
 
   override def get(): InternalRow =
-    serializer(TfRecord.decodeExample(records.next(), schema)).copy()
+    serializer(TfRecord.decodeExample(records.next(), schema, wanted)).copy()
 
   override def close(): Unit = stream.close()
 }

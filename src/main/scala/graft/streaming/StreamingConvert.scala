@@ -41,12 +41,20 @@ object StreamingConvert {
 
   /** Start the continuous convert: transformed rows append to
     * `<jobDir>/data/<splitKey>=<SPLIT>/` with exactly-once parquet sink
-    * semantics (checkpointed).
+    * semantics (checkpointed). DISCARD rows are excluded by default —
+    * the batch pipeline keeps them out of the data sinks too; set
+    * `includeDiscard=true` to capture them under data/ (or run a second
+    * query over the same stream for a dedicated discard sink).
     */
   def start(stream: DataFrame, schema: Schema, vocab: VocabModel,
             jobDir: String, checkpointDir: String,
-            scaler: ScalerModel = ScalerModel(Map.empty)): StreamingQuery =
-    transformStream(stream, schema, vocab, scaler)
+            scaler: ScalerModel = ScalerModel(Map.empty),
+            includeDiscard: Boolean = false): StreamingQuery = {
+    val transformed = transformStream(stream, schema, vocab, scaler)
+    val routed =
+      if (includeDiscard) transformed
+      else transformed.filter(col(schema.splitKey) =!= SplitStage.Discard)
+    routed
       .writeStream
       .format("parquet")
       .option("checkpointLocation", checkpointDir)
@@ -54,6 +62,7 @@ object StreamingConvert {
       .partitionBy(schema.splitKey)
       .outputMode("append")
       .start()
+  }
 
   /** Live split-routing histogram over event time: watermarked tumbling
     * windows — the streaming analog of the job's split counters (A3/T3).

@@ -35,12 +35,13 @@ class StreamingConvertSpec extends SparkSpec {
       query.processAllAvailable()
     } finally query.stop()
 
+    // DISCARD rows are excluded from the data sink by default (matching
+    // the batch pipeline's data dirs).
     val out = spark.read.parquet(s"$jobDir/data")
       .select("split", "id", "label")
       .as[(String, Long, Long)].collect().sortBy(_._2)
     assert(out.toSeq == Seq(
-      ("TRAIN", 10L, 0L), ("TEST", 11L, 1L),
-      ("VALIDATION", 12L, -1L), ("DISCARD", 13L, 0L)))
+      ("TRAIN", 10L, 0L), ("TEST", 11L, 1L), ("VALIDATION", 12L, -1L)))
   }
 
   test("watermarked split-count stream aggregates per window") {
