@@ -40,4 +40,14 @@ class ScalerSpec extends SparkSpec {
     val out = model(Seq(5.0, 7.0).toDF("x")).as[Double].collect()
     assert(out.toSeq == Seq(0.0, 0.0))
   }
+
+  test("nulls in a scaled column do not bias the fitted statistics") {
+    val train = Seq[Option[Double]](Some(1.0), Some(3.0), None)
+      .toDF("x")
+    val model = Scaler.fit(train, Seq("x"))
+    assert(model.stats("x").n == 2L)
+    assert(model.stats("x").mean == 2.0)
+    val out = model(Seq(4.0).toDF("x")).as[Double].collect()
+    assert(out.toSeq == Seq((4.0 - 2.0) / model.stats("x").std))
+  }
 }

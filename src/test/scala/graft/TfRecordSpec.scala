@@ -93,5 +93,17 @@ class TfRecordSpec extends SparkSpec {
       s"expected pruned ReadSchema in:\n$scanDesc")
     assert(pruned.as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
   }
+
+  test("DSv2 reads a plain directory path (no glob) like the old reader") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    val dir = tmpDir("tfr-dirread")
+    TfRecord.write(df, dir, "part", numShards = 2, gzip = false)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType)))
+    val back = TfRecord.read(spark, dir, schema)
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "x"), (2L, "y")))
+  }
 }
 

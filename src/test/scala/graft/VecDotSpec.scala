@@ -89,4 +89,25 @@ class VecDotSpec extends SparkSpec {
     assert(agree(sigs(0L), sigs(1L)) > 0.5) // near-dups agree often
     assert(agree(sigs(0L), sigs(2L)) < 0.2) // unrelated rarely
   }
+
+  test("hyperplane buckets handle integer arrays and reject strings") {
+    GraftFunctions.ensureRegistered(spark)
+    // integer vectors must bucket like their double equivalents
+    val fromInts = spark.sql(
+      "SELECT graft_hyperplane_buckets(array(1, -2, 3), 8, 4) AS b")
+      .as[Seq[Long]].head()
+    val fromDoubles = spark.sql(
+      "SELECT graft_hyperplane_buckets(array(1.0D, -2.0D, 3.0D), 8, 4) AS b")
+      .as[Seq[Long]].head()
+    assert(fromInts == fromDoubles)
+    // non-numeric arrays fail analysis, not silently mis-hash
+    intercept[Exception] {
+      spark.sql("SELECT graft_hyperplane_buckets(array('a','b'), 8, 4)")
+        .collect()
+    }
+    // text kernels reject non-string inputs at analysis
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), 3, 8)").collect()
+    }
+  }
 }
