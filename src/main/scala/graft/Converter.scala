@@ -48,9 +48,13 @@ object Converter {
     * @param numShards  files per split (0 = let Spark decide)
     * @param compression parquet codec; reference semantics gzip|uncompressed
     * @param frequencyThreshold vocab min term frequency (TFT option analog)
-    * @param format     "parquet" (primary, columnar/splittable for scale) or
-    *                   "tfrecord" (the reference's native format; shards
-    *                   named `<split>-NNNNN-of-MMMMM.tfrecord[.gz]` at the
+    * @param format     "parquet" (primary: one directory per split),
+    *                   "partitioned" (single-pass dynamic partitioning:
+    *                   one write routes every split to
+    *                   `data/<splitKey>=<SPLIT>/` — the shape for inputs
+    *                   too large to cache), or "tfrecord" (the
+    *                   reference's native format; shards named
+    *                   `<split>-NNNNN-of-MMMMM.tfrecord[.gz]` at the
     *                   job-dir top level like the reference's layout)
     */
   def convert(spark: SparkSession,
@@ -99,18 +103,27 @@ object Converter {
       def transform(df: DataFrame): DataFrame = scaler(model(df))
 
       // 6. Write each present output split, transformed (W1-W4).
-      SplitStage.outputSplits
-        .filter(s => counts.getOrElse(s, 0L) > 0L)
-        .foreach { s =>
-          format match {
-            case "tfrecord" =>
-              graft.sinks.TfRecord.write(transform(parts(s)), jobDir,
-                s.toLowerCase, numShards, gzip = compression == "gzip")
-            case _ =>
-              Sinks.writeSplit(transform(parts(s)), jobDir, s, numShards,
-                compression)
-          }
-        }
+      format match {
+        case "partitioned" =>
+          // Single pass: every output split routed in one write.
+          val outputRows = cached.filter(
+            col(schema.splitKey) =!= SplitStage.Discard)
+          Sinks.writePartitionedBySplit(transform(outputRows), jobDir,
+            schema.splitKey, compression)
+        case _ =>
+          SplitStage.outputSplits
+            .filter(s => counts.getOrElse(s, 0L) > 0L)
+            .foreach { s =>
+              format match {
+                case "tfrecord" =>
+                  graft.sinks.TfRecord.write(transform(parts(s)), jobDir,
+                    s.toLowerCase, numShards, gzip = compression == "gzip")
+                case _ =>
+                  Sinks.writeSplit(transform(parts(s)), jobDir, s, numShards,
+                    compression)
+              }
+            }
+      }
 
       // 7. Discard sink (W3) — raw rows, untransformed, like the reference.
       if (counts.getOrElse(SplitStage.Discard, 0L) > 0L)

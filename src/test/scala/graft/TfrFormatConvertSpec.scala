@@ -25,4 +25,25 @@ class TfrFormatConvertSpec extends SparkSpec {
     val test = loaded("TEST").as[(String, Long)].collect().toSet
     assert(test == Set(("TEST", 1L))) // cat encoded with TRAIN vocab
   }
+
+  test("convert with format=partitioned writes the single-pass layout and loads back") {
+    import spark.implicits._
+    val df = Seq(
+      ("TRAIN", 1L, "cat"), ("TRAIN", 2L, "goat"), ("TEST", 3L, "cat"),
+      ("junk", 4L, "cat"),
+    ).toDF("split", "id", "label")
+    val schema = Schema(Seq(
+      "split" -> SupportedType.SplitKey,
+      "id" -> SupportedType.IntegerInput,
+      "label" -> SupportedType.StringLabel))
+    val result = Converter.convert(spark, Left(df), schema,
+      tmpDir("part-convert"), format = "partitioned")
+    assert(new java.io.File(result.jobDir, "data/split=TRAIN").isDirectory)
+    assert(!new java.io.File(result.jobDir, "data/split=DISCARD").exists())
+    assert(new java.io.File(result.jobDir, "discarded-data").isDirectory)
+    val loaded = Loader.load(spark, result.jobDir)
+    assert(loaded("TRAIN").count() == 2)
+    assert(loaded("TEST").select("label").as[Long].collect().toSeq ==
+      Seq(1L)) // TRAIN tie cat/goat breaks value-DESC (golden fixture): goat=0, cat=1
+  }
 }
