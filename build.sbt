@@ -29,3 +29,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Forked run output goes straight to the console (no sbt [info]/[error]
+// prefixes) so harness mains can print machine-parseable lines (the
+// bench's one-line JSON) to stdout verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
