@@ -1,0 +1,49 @@
+package graft
+
+/** Reversible encoding of column names into asset file names.
+  *
+  * Transform artifacts are stored one-file-per-column under
+  * `transform_fn/assets/` (`vocab_<col>`, `scaler_<col>` — the layout the
+  * reference's TFT assets use,
+  * /root/reference/tfrecorder/beam_pipeline.py:320-322). A column name
+  * containing `/`, `%`, or other non-filename-safe characters must not
+  * break the file layout, and the read side must recover the exact
+  * original name — so unsafe bytes are percent-encoded (UTF-8, `%XX`),
+  * which is bijective.
+  */
+object AssetNames {
+
+  private def safe(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'
+
+  /** Column name → filename-safe token (percent-encodes everything outside
+    * `[A-Za-z0-9._-]`, including `%` itself).
+    */
+  def encode(column: String): String = {
+    val sb = new StringBuilder
+    column.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c != '%' && safe(c)) sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[encode]]. */
+  def decode(token: String): String = {
+    val out = new java.io.ByteArrayOutputStream
+    var i = 0
+    while (i < token.length) {
+      val c = token.charAt(i)
+      if (c == '%' && i + 2 < token.length) {
+        out.write(Integer.parseInt(token.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        out.write(c.toInt)
+        i += 1
+      }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}

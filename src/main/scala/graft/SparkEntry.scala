@@ -164,7 +164,10 @@ object SparkEntry {
         "text" -> SupportedType.StringInput,
         "lang" -> SupportedType.StringInput,
         "n_chars" -> SupportedType.IntegerInput))
-      graft.sources.Input.readCsv(s, s"$out/*.csv",
+      // Read the directory (not a glob): Spark skips _SUCCESS markers on
+      // its own, and a glob path makes FileStreamSink.hasMetadata log a
+      // spurious FileNotFoundException stack on every read.
+      graft.sources.Input.readCsv(s, out,
           graft.sources.Input.Header.Infer, None, Some(schema))
         .drop("split")
         .orderBy("doc_id")

@@ -23,11 +23,13 @@ final case class ScalerModel(stats: Map[String, ScalerModel.ColStats]) {
 
   /** Scale every fitted column in place; constant columns (std == 0)
     * become 0.0 (centered), mirroring the 0-variance guard convention.
+    * NULL inputs stay NULL in both branches (the normal branch preserves
+    * them arithmetically; the zero-variance branch guards explicitly).
     */
   def apply(df: DataFrame): DataFrame =
     stats.foldLeft(df) { case (acc, (c, s)) =>
       val scaled =
-        if (s.std == 0.0 || s.std.isNaN) lit(0.0)
+        if (s.std == 0.0 || s.std.isNaN) when(col(c).isNotNull, lit(0.0))
         else (col(c) - s.mean) / s.std
       acc.withColumn(c, scaled.cast("double"))
     }
@@ -73,7 +75,7 @@ object Scaler {
     assetsDir.mkdirs()
     model.stats.foreach { case (c, s) =>
       java.nio.file.Files.write(
-        new java.io.File(assetsDir, s"scaler_$c").toPath,
+        new java.io.File(assetsDir, s"scaler_${graft.AssetNames.encode(c)}").toPath,
         s"${s.mean} ${s.std} ${s.n}".getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -85,11 +87,15 @@ object Scaler {
     val files = Option(assetsDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("scaler_"))
     ScalerModel(files.map { f =>
-      val Array(m, s, n) = new String(
+      val parts = new String(
         java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
-      f.getName.stripPrefix("scaler_") ->
-        ScalerModel.ColStats(m.toDouble, s.toDouble, n.toLong)
+      require(parts.length == 3,
+        s"malformed scaler asset ${f.getAbsolutePath}: expected " +
+          s"'mean std n', got ${parts.length} fields")
+      graft.AssetNames.decode(f.getName.stripPrefix("scaler_")) ->
+        ScalerModel.ColStats(parts(0).toDouble, parts(1).toDouble,
+          parts(2).toLong)
     }.toMap)
   }
 }

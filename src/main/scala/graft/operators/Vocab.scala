@@ -100,7 +100,7 @@ object Vocab {
     assetsDir.mkdirs()
     model.vocabs.foreach { case (column, _) =>
       val terms = model.terms(column)
-      val f = new java.io.File(assetsDir, s"vocab_$column")
+      val f = new java.io.File(assetsDir, s"vocab_${graft.AssetNames.encode(column)}")
       java.nio.file.Files.write(
         f.toPath,
         terms.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -114,7 +114,7 @@ object Vocab {
       .getOrElse(Array.empty)
       .filter(_.getName.startsWith("vocab_"))
     val vocabs = files.map { f =>
-      val column = f.getName.stripPrefix("vocab_")
+      val column = graft.AssetNames.decode(f.getName.stripPrefix("vocab_"))
       val terms = new String(
         java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)

@@ -38,11 +38,43 @@ import org.apache.spark.storage.StorageLevel
   * Caching contract: operators persist their signature/shingle
   * intermediates (MEMORY_AND_DISK) because they are read from multiple
   * join branches of one lazy plan, and a lazy result cannot unpersist
-  * them itself. Long-lived sessions running many corpus passes should
-  * `spark.catalog.clearCache()` between passes (or materialize results
-  * and clear) — cached frames are otherwise evicted LRU.
+  * them itself. Every persist is tracked; long-lived sessions running
+  * many corpus passes should call [[releaseIntermediates]] after
+  * materializing each pass's result (cached frames are otherwise only
+  * evicted LRU).
   */
 object Dedup {
+
+  private val persistedIntermediates =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist an intermediate and register it for [[releaseIntermediates]]. */
+  private def tracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    persistedIntermediates.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate this object has cached so far. Call
+    * after materializing (writing/collecting) the result of a dedup pass;
+    * results are lazy plans over these caches, so release only once the
+    * pass's output is on disk.
+    */
+  def releaseIntermediates(): Unit = {
+    var df = persistedIntermediates.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = persistedIntermediates.poll()
+    }
+  }
+
+  /** Run `body`, materialize its resulting frame with `materialize`, and
+    * release every intermediate cached during the pass — the eager,
+    * no-leak wrapper around any dedup pipeline.
+    */
+  def withReleasedIntermediates[A](body: => DataFrame)(
+      materialize: DataFrame => A): A =
+    try materialize(body) finally releaseIntermediates()
 
   // ---- exact -----------------------------------------------------------
 
@@ -172,7 +204,7 @@ object Dedup {
                     bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sig = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val banded = bandedBuckets(sig, idCol, numHashes, bands)
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"), col("band").as("band_b"),
@@ -194,7 +226,7 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val cands = candidatePairs(bandedBuckets(sigs, idCol, numHashes, bands),
       idCol)
     val sa = sigs.select(col(idCol).as("id_a"), col("minhash").as("sig_a"))
@@ -221,9 +253,9 @@ object Dedup {
                                 maxBucketSize: Long = 0L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = shingleHashFrame(df, idCol, textCol, shingleSize)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val cands = candidatePairs(bandedBuckets(sigs, idCol, numHashes, bands),
       idCol, maxBucketSize)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
@@ -294,7 +326,7 @@ object Dedup {
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
                         maxDistance: Int = 3): DataFrame = {
     val sig = simhashSignatures(df, idCol, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
@@ -329,12 +361,16 @@ object Dedup {
                    maxShingleDocFreq: Long = 0L): DataFrame = {
     val sh0 = shingleHashFrame(df, idCol, textCol, n)
       .toDF("doc_id", "sh")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val filtered = if (maxShingleDocFreq > 0) {
-      val freq = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDocFreq)
+      // Anti-join against the OVER-cutoff shingles: that set is bounded
+      // by totalPostings / maxShingleDocFreq (the under-cutoff set scales
+      // with the whole shingle vocabulary and must never be broadcast).
+      // No broadcast hint — AQE sizes the join at runtime.
+      val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDocFreq)
         .select("sh")
-      sh0.join(broadcast(freq), "sh")
+      sh0.join(hot, Seq("sh"), "left_anti")
     } else sh0
     // Sizes over the same (possibly cutoff) shingle space so the Jaccard
     // stays a true ratio of that space.
@@ -369,7 +405,7 @@ object Dedup {
                           bands: Int = 24, maxBucketSize: Long = 0L): DataFrame = {
     val bf = Similarity.hyperplaneBucketFrame(
         df.select(col(idCol), col(vecCol)), idCol, vecCol, planes, bands)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val banded = bf.select(col(idCol),
       posexplode(col("__buckets")).as(Seq("band", "bucket")))
     val cands = candidatePairs(banded, idCol, maxBucketSize)
@@ -401,7 +437,7 @@ object Dedup {
                     numHashes: Int = 128, bands: Int = 32,
                     maxBucketSize: Long = 100000L): DataFrame = {
     val unique = exactByFingerprint(df, textCol, idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val nearPairs = minhashDuplicatesVerified(unique, idCol, textCol,
       threshold, shingleSize, numHashes, bands, maxBucketSize)
     val losers = nearPairs.select(col("id_b").as("__loser")).distinct()
@@ -421,7 +457,7 @@ object Dedup {
     val unique = df.groupBy(col(vecCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col(vecCol), col("dup_count"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(tracked)
     val pairs = embeddingDuplicates(unique, idCol, vecCol, threshold,
       planes, bands, maxBucketSize)
     val losers = pairs.select(col("id_b").as("__loser")).distinct()

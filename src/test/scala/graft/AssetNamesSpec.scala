@@ -1,0 +1,44 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+class AssetNamesSpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 60)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = org.scalacheck.rng.Seed(42L)
+    var i = 0
+    var produced = 0
+    while (i < n * 4 && produced < n) {
+      gen.apply(params, seed).foreach { a => f(a); produced += 1 }
+      seed = seed.next
+      i += 1
+    }
+    assert(produced > 0, "generator produced no samples")
+  }
+
+  test("encode is identity on plain identifiers") {
+    assert(AssetNames.encode("o_orderpriority") == "o_orderpriority")
+    assert(AssetNames.encode("col.1-x_Y") == "col.1-x_Y")
+  }
+
+  test("unsafe characters are percent-encoded and filename-safe") {
+    val enc = AssetNames.encode("a/b c%d")
+    assert(!enc.contains("/") && !enc.contains(" "))
+    assert(AssetNames.decode(enc) == "a/b c%d")
+  }
+
+  test("round-trips arbitrary strings, including unicode and separators") {
+    val tricky = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumStr.map(_.take(4)),
+      2 -> Gen.oneOf("/", "\\", " ", "%", "..", "\n", ""),
+      1 -> Gen.oneOf("日本語", "éàü", "🙂"))).map(_.mkString)
+    forAll(tricky) { s =>
+      val enc = AssetNames.encode(s)
+      assert(!enc.exists(c => c == '/' || c == '\\' || c == ' ' || c == '\n'))
+      assert(AssetNames.decode(enc) == s)
+    }
+    assert(AssetNames.decode(AssetNames.encode("日本語/路径 %42")) == "日本語/路径 %42")
+  }
+}

@@ -78,4 +78,18 @@ class DedupPipelineSpec extends SparkSpec {
       .select("vec_id", "dup_count").as[(Long, Long)].collect().toMap
     assert(out == Map(0L -> 3L, 4L -> 1L))
   }
+
+  test("releaseIntermediates unpersists every cached dedup intermediate") {
+    spark.catalog.clearCache() // isolate from caches left by other suites
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "a completely different document about something else entirely"),
+    ).toDF("doc_id", "text")
+    Dedup.withReleasedIntermediates(
+      Dedup.dedupPipeline(docs, "doc_id", "text", threshold = 0.8)
+    ) { result => assert(result.count() >= 1L) }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedup intermediates still cached after releaseIntermediates")
+  }
 }

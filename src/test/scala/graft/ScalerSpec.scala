@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Scaler, SplitStage}
+import graft.operators.{Scaler, ScalerModel, SplitStage}
 
 class ScalerSpec extends SparkSpec {
   import spark.implicits._
@@ -39,6 +39,35 @@ class ScalerSpec extends SparkSpec {
     val model = Scaler.fit(train, Seq("x"))
     val out = model(Seq(5.0, 7.0).toDF("x")).as[Double].collect()
     assert(out.toSeq == Seq(0.0, 0.0))
+  }
+
+  test("NULLs stay NULL through apply in both branches (normal and zero-variance)") {
+    val normal = Scaler.fit(Seq(1.0, 3.0).toDF("x"), Seq("x"))(
+      Seq[Option[Double]](Some(1.0), None).toDF("x"))
+      .as[Option[Double]].collect()
+    assert(normal.toSeq == Seq(Some(-1.0 / math.sqrt(2.0)), None))
+    val constant = Scaler.fit(Seq(5.0, 5.0).toDF("x"), Seq("x"))(
+      Seq[Option[Double]](Some(7.0), None).toDF("x"))
+      .as[Option[Double]].collect()
+    assert(constant.toSeq == Seq(Some(0.0), None))
+  }
+
+  test("malformed scaler asset fails with a message naming the file") {
+    val dir = tmpDir("scaler-bad")
+    val assets = new java.io.File(dir, "assets"); assets.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(assets, "scaler_x").toPath, "1.0 2.0".getBytes)
+    val e = intercept[IllegalArgumentException](Scaler.readAssets(spark, dir))
+    assert(e.getMessage.contains("scaler_x"))
+  }
+
+  test("column names with path separators round-trip through assets") {
+    val dir = tmpDir("scaler-weird")
+    val model = ScalerModel(Map(
+      "a/b c%d" -> ScalerModel.ColStats(1.5, 0.5, 10L)))
+    Scaler.writeAssets(model, dir)
+    val back = Scaler.readAssets(spark, dir)
+    assert(back.stats == model.stats)
   }
 
   test("nulls in a scaled column do not bias the fitted statistics") {
