@@ -9,8 +9,11 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB oracle
-  * in [[oracleSql]] where ANSI SQL can express it; Spark-only operators
-  * (xxhash64-based sketches, LSH) are rows-only checks.
+  * in [[oracleSql]]. Every query is oracle-checked except the image
+  * pipeline (q40 — images are not DuckDB-readable): the sketch queries use
+  * SQL-reproducible hash variants (MD5-lo64 SimHash, LCG hyperplanes) or
+  * exact verification of LSH candidates so even the approximate operators
+  * hash-match an exact SQL computation.
   *
   * Determinism rules for oracle parity: every query ORDER BYs a unique
   * key; aggregates output integers (or int-ratio doubles, which are
@@ -424,20 +427,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- Spark-only operators (no ANSI-SQL oracle → rows-only check) ----
+    // ---- SimHash near-dup, oracle-checked end to end: the per-token
+    //      feature hash is MD5-lo64 (= DuckDB md5_number_lower), the
+    //      16-bit banding is a pigeonhole GUARANTEE at distance ≤ 3, and
+    //      the exact Hamming verify drops band false-positives — so the
+    //      output equals the all-pairs computation the oracle runs. ----
 
     "q31_simhash_dups" -> ((s, dir) => {
       Dedup.simhashDuplicates(t(s, dir, "documents"), "doc_id", "text",
-          maxDistance = 3)
+          maxDistance = 3, hashKind = graft.functions.SketchOps.HashMd5Lo64)
         .orderBy("id_a", "id_b")
     }),
+
+    // ---- hyperplane-LSH ANN, oracle-checked: LCG-generated plane signs
+    //      are pure integer arithmetic DuckDB replays exactly, so the
+    //      candidate set (and therefore the exact-scored top-k) is
+    //      engine-independent. ----
 
     "q32_lsh_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           emb, "vec_id", "embedding", k = 10,
-          planesPerBand = 4, bands = 12)
+          planesPerBand = 4, bands = 12,
+          planeGen = graft.functions.SketchOps.PlaneLcg)
         .select("query_id", "rank", "neighbor_id")
         .orderBy("query_id", "rank")
     }),
@@ -835,6 +848,66 @@ object SparkEntry {
         """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS users,
           |  count(*) FILTER (WHERE event_type = 'error') AS errors
           |FROM events""".stripMargin,
+
+      // All-pairs SimHash over md5_number_lower token hashes (the same
+      // feature hash the MD5-lo64 kernel computes) — exact because 16-bit
+      // banding is a pigeonhole guarantee at Hamming distance ≤ 3.
+      "q31_simhash_dups" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |hs AS (SELECT doc_id, list(md5_number_lower(tok)) AS h
+          |  FROM toks GROUP BY doc_id),
+          |sig AS (
+          |  SELECT doc_id,
+          |    CAST(list_sum([CASE
+          |      WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
+          |      THEN (1::UBIGINT << j) ELSE 0::UBIGINT END
+          |      for j in range(0, 64)]) AS UBIGINT) AS sig
+          |  FROM hs)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // LCG-hyperplane LSH: band b's bucket packs the signs of planes
+      // b*4+j; band identity is folded into the key (65536*b + bucket) so
+      // "shares a band" becomes list_intersect. Candidates then exact
+      // cosine-ranked — identical arithmetic to the Spark kernel.
+      "q32_lsh_ann" -> {
+        val bucketExpr =
+          """[
+            |  CAST(65536 * b + list_sum([
+            |     CASE WHEN list_sum([
+            |       CASE WHEN ((((1103515245 * ((b*4 + j)*4096 + (i-1)) + 12345)
+            |           % 2147483648) >> 16) & 1) = 1
+            |         THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+            |       for i in range(1, len(embedding)+1)]) >= 0
+            |     THEN (1::BIGINT << j) ELSE 0::BIGINT END
+            |     for j in range(0, 4)]) AS BIGINT)
+            |  for b in range(0, 12)]""".stripMargin
+        s"""WITH bk AS (
+           |  SELECT vec_id, embedding, $bucketExpr AS bks FROM embeddings),
+           |qb AS (SELECT vec_id AS query_id, embedding AS qv, bks AS qbks
+           |  FROM bk WHERE vec_id < 5),
+           |cand AS (
+           |  SELECT q.query_id, q.qv, c.vec_id AS neighbor_id,
+           |    c.embedding AS cv
+           |  FROM qb q, bk c
+           |  WHERE c.vec_id <> q.query_id
+           |    AND len(list_intersect(q.qbks, c.bks)) > 0),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id ASC)
+           |      AS BIGINT) AS rank
+           |  FROM cand)
+           |SELECT query_id, rank, neighbor_id FROM ranked
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
     )
   }
 }

@@ -124,12 +124,68 @@ object SketchOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** 64-bit SimHash straight from text: byte-scan tokens, xxhash64 per
-    * token, ±1 per bit into 64 counters, sign fold. Returns
-    * Long.MinValue sentinel never — caller handles empty → null.
+  /** Feature-hash selector for [[simhashFromText]]: 0 = xxhash64 seed 42
+    * (fastest; matches SQL `xxhash64`), 1 = lower 64 bits of MD5
+    * little-endian (≈100× slower per token but reproducible in external
+    * engines — DuckDB's `md5_number_lower` computes the identical value,
+    * which is what makes the SimHash path oracle-checkable end to end).
     */
-  def simhashFromText(text: UTF8String): Long = {
-    val th = tokenHashes(text)
+  val HashXx64 = 0
+  val HashMd5Lo64 = 1
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lower 64 bits of MD5(bytes[from, from+len)), little-endian — equal to
+    * DuckDB's `md5_number_lower` of the same bytes.
+    */
+  def md5Lo64(bytes: Array[Byte], from: Int, len: Int): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    md.update(bytes, from, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (d(8 + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** MD5-lo64 of every whitespace-delimited token of `text`. */
+  def tokenHashesMd5(text: UTF8String): Array[Long] = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val ws = isWs(bytes(i))
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    val out = new Array[Long](count)
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        out(t) = md5Lo64(bytes, start, i - start)
+        t += 1
+      } else i += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash straight from text: byte-scan tokens, feature hash per
+    * token ([[HashXx64]] | [[HashMd5Lo64]]), ±1 per bit into 64 counters,
+    * sign fold. Caller handles empty → null.
+    */
+  def simhashFromText(text: UTF8String, hashKind: Int): Long = {
+    val th =
+      if (hashKind == HashMd5Lo64) tokenHashesMd5(text) else tokenHashes(text)
     val counts = new Array[Int](64)
     var i = 0
     while (i < th.length) {
@@ -218,18 +274,36 @@ object SketchOps {
     count
   }
 
-  // sign(plane, dim) = ±1 from xxhash64(plane, dim) parity — the same
-  // chain the SQL expression xxhash64(lit(p), d) computes (seed 42, field
-  // fold). Cached per (nPlanes, dim) row since every vector shares dims.
+  /** Plane-generator selector for [[hyperplaneBuckets]]: 0 = xxhash64
+    * parity (the default), 1 = a 31-bit LCG over the flat (plane, dim)
+    * index — pure integer arithmetic that an external SQL engine can
+    * replay exactly (`((1103515245*(p*4096+d)+12345) mod 2^31) >> 16 & 1`),
+    * which is what makes the LSH bucket assignment oracle-checkable.
+    * Dim capacity of the LCG layout is 4096 per plane.
+    */
+  val PlaneXx64 = 0
+  val PlaneLcg = 1
+
+  // sign(plane, dim) = ±1 — cached per (gen, nPlanes, dim) row since every
+  // vector shares dims. xxhash gen matches the SQL chain
+  // xxhash64(lit(p), d) (seed 42, field fold).
   private val signCache = new ConcurrentHashMap[java.lang.Long, Array[Byte]]
 
-  private def signs(nPlanes: Int, d: Int): Array[Byte] =
-    signCache.computeIfAbsent((nPlanes.toLong << 32) | (d & 0xffffffffL), _ => {
+  private def signs(nPlanes: Int, d: Int, planeGen: Int): Array[Byte] =
+    signCache.computeIfAbsent(
+      (planeGen.toLong << 56) | (nPlanes.toLong << 32) | (d & 0xffffffffL), _ => {
       val arr = new Array[Byte](nPlanes)
       var p = 0
       while (p < nPlanes) {
-        val h = XXH64.hashInt(d, XXH64.hashInt(p, 42L))
-        arr(p) = if (Math.floorMod(h, 2L) == 0L) 1 else -1
+        arr(p) =
+          if (planeGen == PlaneLcg) {
+            val s = Math.floorMod(
+              1103515245L * (p.toLong * 4096L + d) + 12345L, 2147483648L)
+            if (((s >> 16) & 1L) == 1L) 1 else -1
+          } else {
+            val h = XXH64.hashInt(d, XXH64.hashInt(p, 42L))
+            if (Math.floorMod(h, 2L) == 0L) 1 else -1
+          }
         p += 1
       }
       arr
@@ -241,7 +315,7 @@ object SketchOps {
     */
   /** elemKind: 0=float, 1=double, 2=int, 3=long. */
   def hyperplaneBuckets(vec: ArrayData, planesPerBand: Int, bands: Int,
-                        elemKind: Int): ArrayData = {
+                        elemKind: Int, planeGen: Int): ArrayData = {
     val nPlanes = planesPerBand * bands
     val acc = new Array[Double](nPlanes)
     val n = vec.numElements()
@@ -253,7 +327,7 @@ object SketchOps {
         case 2 => vec.getInt(d).toDouble
         case _ => vec.getLong(d).toDouble
       }
-      val sg = signs(nPlanes, d)
+      val sg = signs(nPlanes, d, planeGen)
       var p = 0
       while (p < nPlanes) {
         if (sg(p) == 1) acc(p) += x else acc(p) -= x
@@ -311,10 +385,14 @@ case class MinhashSignature(child: Expression, shingleSize: Int, numHashes: Int)
   override def prettyName: String = "graft_minhash"
 }
 
-/** `graft_simhash(text)`: 64-bit SimHash of a text column; null when the
-  * text has no tokens.
+/** `graft_simhash(text[, hashKind])`: 64-bit SimHash of a text column;
+  * null when the text has no tokens. hashKind 0 = xxhash64 (default),
+  * 1 = MD5-lo64 (SQL-reproducible; see [[SketchOps.HashMd5Lo64]]).
   */
-case class SimhashSignature(child: Expression) extends UnaryExpression {
+case class SimhashSignature(child: Expression, hashKind: Int = 0)
+    extends UnaryExpression {
+  require(hashKind == SketchOps.HashXx64 || hashKind == SketchOps.HashMd5Lo64,
+    s"unknown hashKind $hashKind")
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -327,7 +405,7 @@ case class SimhashSignature(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String]
     if (SketchOps.tokenCountOf(text) == 0) null
-    else SketchOps.simhashFromText(text)
+    else SketchOps.simhashFromText(text, hashKind)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -336,7 +414,7 @@ case class SimhashSignature(child: Expression) extends UnaryExpression {
          |if (graft.functions.SketchOps.tokenCountOf($text) == 0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = graft.functions.SketchOps.simhashFromText($text);
+         |  ${ev.value} = graft.functions.SketchOps.simhashFromText($text, $hashKind);
          |}
        """.stripMargin
     })
@@ -346,13 +424,18 @@ case class SimhashSignature(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash"
 }
 
-/** `graft_hyperplane_buckets(vec, planesPerBand, bands)`: LSH bucket-key
-  * array, null for empty input.
+/** `graft_hyperplane_buckets(vec, planesPerBand, bands[, planeGen])`: LSH
+  * bucket-key array, null for empty input. planeGen 0 = xxhash64 parity
+  * signs (default), 1 = LCG signs (SQL-reproducible; see
+  * [[SketchOps.PlaneLcg]]).
   */
-case class HyperplaneBuckets(child: Expression, planesPerBand: Int, bands: Int)
+case class HyperplaneBuckets(child: Expression, planesPerBand: Int, bands: Int,
+                             planeGen: Int = 0)
     extends UnaryExpression {
   require(planesPerBand > 0 && planesPerBand <= 63, "planesPerBand must be 1..63")
   require(bands > 0, "bands must be positive")
+  require(planeGen == SketchOps.PlaneXx64 || planeGen == SketchOps.PlaneLcg,
+    s"unknown planeGen $planeGen")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -373,7 +456,8 @@ case class HyperplaneBuckets(child: Expression, planesPerBand: Int, bands: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     if (arr.numElements() == 0) null
-    else SketchOps.hyperplaneBuckets(arr, planesPerBand, bands, elemKind)
+    else SketchOps.hyperplaneBuckets(arr, planesPerBand, bands, elemKind,
+      planeGen)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -383,7 +467,7 @@ case class HyperplaneBuckets(child: Expression, planesPerBand: Int, bands: Int)
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = graft.functions.SketchOps.hyperplaneBuckets(
-         |    $arr, $planesPerBand, $bands, $elemKind);
+         |    $arr, $planesPerBand, $bands, $elemKind, $planeGen);
          |}
        """.stripMargin
     })

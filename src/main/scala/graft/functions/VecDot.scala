@@ -143,8 +143,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashSignature].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 1, "graft_simhash takes (text)")
-        SimhashSignature(exprs(0))
+        require(exprs.length == 1 || exprs.length == 2,
+          "graft_simhash takes (text[, hashKind])")
+        SimhashSignature(exprs(0),
+          if (exprs.length == 2) litInt(exprs(1), "hashKind") else 0)
       }),
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
@@ -168,10 +170,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 3,
-          "graft_hyperplane_buckets takes (vec, planesPerBand, bands)")
+        require(exprs.length == 3 || exprs.length == 4,
+          "graft_hyperplane_buckets takes (vec, planesPerBand, bands[, planeGen])")
         HyperplaneBuckets(exprs(0), litInt(exprs(1), "planesPerBand"),
-          litInt(exprs(2), "bands"))
+          litInt(exprs(2), "bands"),
+          if (exprs.length == 4) litInt(exprs(3), "planeGen") else 0)
       }),
   )
 

@@ -306,12 +306,19 @@ object Dedup {
   /** SimHash per doc through the native [[graft.functions.SimhashSignature]]
     * kernel — shuffle-free, value-identical to [[simhash]] for non-empty
     * docs (empty docs are absent). Returns (idCol, simhash: long).
+    *
+    * `hashKind` selects the per-token feature hash:
+    * [[graft.functions.SketchOps.HashXx64]] (default, fastest) or
+    * [[graft.functions.SketchOps.HashMd5Lo64]] (slower; bit-identical to
+    * DuckDB's `md5_number_lower`, making the whole SimHash pipeline
+    * reproducible in external SQL engines for verification).
     */
-  def simhashSignatures(df: DataFrame, idCol: String,
-                        textCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        hashKind: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.select(col(idCol),
-        call_function("graft_simhash", col(textCol)).as("simhash"))
+        call_function("graft_simhash", col(textCol), lit(hashKind))
+          .as("simhash"))
       .filter(col("simhash").isNotNull)
   }
 
@@ -324,8 +331,8 @@ object Dedup {
     * least one exact sub-key; verified with the exact Hamming distance).
     */
   def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-                        maxDistance: Int = 3): DataFrame = {
-    val sig = simhashSignatures(df, idCol, textCol)
+                        maxDistance: Int = 3, hashKind: Int = 0): DataFrame = {
+    val sig = simhashSignatures(df, idCol, textCol, hashKind)
       .transform(tracked)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
@@ -343,7 +350,7 @@ object Dedup {
     a.join(b, a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
         a("id_a") < b("id_b"))
       .select(col("id_a"), col("id_b"),
-        hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+        hammingDistance(col("sim_a"), col("sim_b")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }

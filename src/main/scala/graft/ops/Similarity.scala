@@ -131,11 +131,12 @@ object Similarity {
     * are dropped -- they have no direction to hash.
     */
   def hyperplaneBucketFrame(df: DataFrame, idCol: String, vecCol: String,
-                            planesPerBand: Int, bands: Int): DataFrame = {
+                            planesPerBand: Int, bands: Int,
+                            planeGen: Int = 0): DataFrame = {
     registered(df)
     df.select(col(idCol), col(vecCol),
         call_function("graft_hyperplane_buckets", col(vecCol),
-          lit(planesPerBand), lit(bands)).as("__buckets"))
+          lit(planesPerBand), lit(bands), lit(planeGen)).as("__buckets"))
       .filter(col("__buckets").isNotNull)
   }
 
@@ -147,13 +148,13 @@ object Similarity {
   def lshTopK(queries: DataFrame, qIdCol: String, qVecCol: String,
               corpus: DataFrame, cIdCol: String, cVecCol: String,
               k: Int, planesPerBand: Int = 8, bands: Int = 4,
-              excludeSelf: Boolean = true): DataFrame = {
+              excludeSelf: Boolean = true, planeGen: Int = 0): DataFrame = {
     registered(corpus)
     def banded(df: DataFrame, idAs: String, vecAs: String,
                idCol: String, vecCol: String): DataFrame =
       hyperplaneBucketFrame(
           df.select(col(idCol).as(idAs), col(vecCol).as(vecAs)),
-          idAs, vecAs, planesPerBand, bands)
+          idAs, vecAs, planesPerBand, bands, planeGen)
         .select(col(idAs), col(vecAs),
           posexplode(col("__buckets")).as(Seq("band", "bucket")))
     val qb = banded(queries, "query_id", "__qv", qIdCol, qVecCol)

@@ -110,4 +110,60 @@ class VecDotSpec extends SparkSpec {
       spark.sql("SELECT graft_minhash(array('a'), 3, 8)").collect()
     }
   }
+
+  test("md5Lo64 equals DuckDB md5_number_lower (little-endian low half)") {
+    // md5('abc') = 900150983cd24fb0 d6963f7d28e17f72;
+    // DuckDB: select md5_number_lower('abc') = 8250560606382298838.
+    val bytes = "abc".getBytes("UTF-8")
+    assert(graft.functions.SketchOps.md5Lo64(bytes, 0, bytes.length) ==
+      8250560606382298838L)
+    // and the upper-half convention is NOT what we compute (guards against
+    // silently flipping the halves)
+    assert(graft.functions.SketchOps.md5Lo64(bytes, 0, bytes.length) !=
+      java.lang.Long.parseUnsignedLong("12704604231530709392"))
+  }
+
+  test("simhash hashKind selects the feature hash; md5 variant matches a reference fold") {
+    GraftFunctions.ensureRegistered(spark)
+    val text = "goat cat goat"
+    val Seq(xx, md) = spark.sql(
+      s"SELECT graft_simhash('$text', 0) AS a, graft_simhash('$text', 1) AS b")
+      .selectExpr("a", "b").as[(Long, Long)].collect().toSeq
+      .flatMap(t => Seq(t._1, t._2))
+    assert(xx != md) // different feature hashes, different signatures
+    // reference fold of the md5 variant
+    val toks = text.split("\\s+")
+    val counts = new Array[Int](64)
+    toks.foreach { t =>
+      val b = t.getBytes("UTF-8")
+      val h = graft.functions.SketchOps.md5Lo64(b, 0, b.length)
+      (0 until 64).foreach { j =>
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+      }
+    }
+    val expected = (0 until 64).foldLeft(0L) { (acc, j) =>
+      if (counts(j) > 0) acc | (1L << j) else acc
+    }
+    assert(md == expected)
+  }
+
+  test("LCG plane generator matches the integer-arithmetic reference") {
+    GraftFunctions.ensureRegistered(spark)
+    val vec = Seq(0.5f, -1.25f, 2.0f, 0.125f)
+    val got = spark.sql(
+      s"SELECT graft_hyperplane_buckets(array(${vec.mkString("F,")}F), 4, 3, 1) AS b")
+      .as[Seq[Long]].head()
+    val expected = (0 until 3).map { b =>
+      (0 until 4).foldLeft(0L) { (key, j) =>
+        val p = b * 4 + j
+        val proj = vec.zipWithIndex.map { case (x, d) =>
+          val s = Math.floorMod(1103515245L * (p * 4096L + d) + 12345L,
+            2147483648L)
+          if (((s >> 16) & 1L) == 1L) x.toDouble else -x.toDouble
+        }.sum
+        if (proj >= 0) key | (1L << j) else key
+      }
+    }
+    assert(got == expected)
+  }
 }
