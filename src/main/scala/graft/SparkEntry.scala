@@ -284,16 +284,7 @@ object SparkEntry {
     // ---- corpus statistics: top terms per language (window/rank) ----
 
     "q24_top_terms" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val w = Window.partitionBy("lang")
-        .orderBy(col("cnt").desc, col("tok").asc)
-      t(s, dir, "documents")
-        .select(col("lang"),
-          explode(call_function("graft_tokens", lower(col("text")))).as("tok"))
-        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 5)
-        .select("lang", "rank", "tok", "cnt")
+      TextAnalysis.topTerms(t(s, dir, "documents"), "lang", "text", k = 5)
         .orderBy("lang", "rank")
     }),
 

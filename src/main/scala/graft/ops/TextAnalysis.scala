@@ -143,6 +143,42 @@ object TextAnalysis {
       .withColumn("repetition_ratio",
         col("max_token_count").cast("double") / col("n_tokens").cast("double"))
 
+  /** Exact top-k terms per group (corpus statistics), ranked by count
+    * descending with lexicographic tie-break.
+    *
+    * Two-phase ranking so no single task ever sorts a whole group's term
+    * list: phase 1 ranks within (group, hash-bucket of term) partitions
+    * and keeps k candidates per bucket; phase 2 ranks the ≤ k·buckets
+    * survivors per group. Exact because any term in a group's true top-k
+    * is also in its own bucket's top-k (fewer than k terms beat it
+    * anywhere, so fewer than k beat it within its bucket). With the
+    * single-phase formulation, a 5-language corpus at 100 TB funnels each
+    * language's full vocabulary through one window task; here the heavy
+    * phase fans out `buckets`-wide and the final window sees k·buckets
+    * rows per group.
+    */
+  def topTerms(df: DataFrame, groupCol: String, textCol: String, k: Int,
+               lowercase: Boolean = true, buckets: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val txt = if (lowercase) lower(col(textCol)) else col(textCol)
+    val counts = df
+      .select(col(groupCol), explode(call_function("graft_tokens", txt)).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
+    val wLocal = Window
+      .partitionBy(col(groupCol), pmod(xxhash64(col("tok")), lit(buckets)))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val candidates = counts
+      .withColumn("__r", row_number().over(wLocal))
+      .filter(col("__r") <= k).drop("__r")
+    val wGlobal = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    candidates
+      .withColumn("rank", row_number().over(wGlobal).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("tok"), col("cnt"))
+  }
+
   /** Convenience: annotate a documents frame with the full text-analysis
     * column set.
     */

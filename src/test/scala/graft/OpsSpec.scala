@@ -187,6 +187,30 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L) == (("empty", false)))
   }
 
+  test("two-phase topTerms equals the single-window formulation, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Seq(
+      ("en", "aa bb aa cc bb aa dd ee ff gg"),
+      ("en", "bb cc cc dd dd ee"), // dd/cc tie at 3, ee ties ff/gg at 2
+      ("de", "xx yy xx zz"),
+    ).toDF("lang", "text")
+    // tiny bucket count so buckets actually split the vocabulary
+    val fast = TextAnalysis.topTerms(corpus, "lang", "text", k = 3, buckets = 2)
+      .orderBy("lang", "rank")
+      .as[(String, Long, String, Long)].collect().toSeq
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok").asc)
+    val naive = corpus
+      .select(col("lang"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("lang", "rank", "tok", "cnt")
+      .orderBy("lang", "rank")
+      .as[(String, Long, String, Long)].collect().toSeq
+    assert(fast == naive)
+    assert(fast.filter(_._1 == "en").map(_._3) == Seq("aa", "bb", "cc"))
+  }
+
   test("frame sample plan picks strided frames") {
     val r = Seq(10).toDF("n")
       .select(Multimodal.frameSamplePlan(col("n"), stride = 3, maxFrames = 3))
