@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.{SplitStage, Vocab}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB oracle
@@ -186,6 +186,33 @@ object SparkEntry {
       graft.sinks.TfRecord.write(df, out, "part", numShards = 8, gzip = true)
       graft.sinks.TfRecord.read(s, s"$out/part-*", df.schema)
         .orderBy("doc_id")
+    }),
+
+    // ---- JSON-lines source round-trip (extension source format) ----
+
+    "q22_json_roundtrip" -> ((s, dir) => {
+      val out = tmpDir("graft-json")
+      t(s, dir, "documents")
+        .select(lit("TRAIN").as("split"), col("doc_id"), col("text"),
+          col("lang"), col("n_chars"))
+        .coalesce(1)
+        .write.mode("overwrite").json(out)
+      graft.sources.Input.readJson(s, out, Some(Schema(Seq(
+          "split" -> SupportedType.SplitKey,
+          "doc_id" -> SupportedType.IntegerInput,
+          "text" -> SupportedType.StringInput,
+          "lang" -> SupportedType.StringInput,
+          "n_chars" -> SupportedType.IntegerInput))))
+        .drop("split")
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic stratified sampling (extension) ----
+
+    "q27_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSampleCounts(t(s, dir, "orders"),
+          "o_orderpriority", "o_orderkey", fraction = 0.1, salt = 7L)
+        .orderBy("o_orderpriority")
     }),
 
     // ---- full convert pipeline e2e (SURVEY §2.9, O1/O2 + F1-F5 + W1-W4 + S8) ----
@@ -418,6 +445,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- duplicate clustering: connected components over near-dup pairs
+    //      (min-label propagation + pointer jumping; oracle = recursive
+    //      transitive closure over the same exact-Jaccard edge set) ----
+
+    "q37_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.duplicateClusters(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII scrubbing (extension; Java-regex/RE2-portable patterns) ----
+
+    "q38_pii_scrub" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.emailCount(col("text")).as("n_emails"),
+          TextAnalysis.ipCount(col("text")).as("n_ips"),
+          TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus-frequency familiarity scoring (extension) ----
+
+    "q39_familiarity" -> ((s, dir) => {
+      TextAnalysis.unigramFamiliarity(t(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 200)
+        .orderBy("doc_id")
+    }),
+
     // ---- SimHash near-dup, oracle-checked end to end: the per-token
     //      feature hash is MD5-lo64 (= DuckDB md5_number_lower), the
     //      16-bit banding is a pigeonhole GUARANTEE at distance ≤ 3, and
@@ -593,6 +651,73 @@ object SparkEntry {
       "q17_csv_roundtrip" -> docsRoundtripSql,
 
       "q18_tfrecord_roundtrip" -> docsRoundtripSql,
+
+      "q22_json_roundtrip" -> docsRoundtripSql,
+
+      "q27_stratified_sample" ->
+        """SELECT o_orderpriority, count(*) AS total,
+          |  count(*) FILTER (WHERE
+          |    ((o_orderkey + 7) * 2654435761) % 4294967296 < 429496729)
+          |    AS sampled
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+
+      // Recursive transitive closure over the exact-Jaccard(0.6) edge set
+      // — the ground truth the distributed label-propagation must match.
+      "q37_dup_clusters" ->
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT id_a, id_b FROM (${jaccardSql("0.6")}) j),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (SELECT a, b FROM sym
+           |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           |  FROM reach GROUP BY a),
+           |assigned AS (
+           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+           |csizes AS (SELECT cluster_id, count(*) AS cluster_size
+           |  FROM assigned GROUP BY cluster_id)
+           |SELECT a.doc_id, a.cluster_id, s.cluster_size
+           |FROM assigned a JOIN csizes s USING (cluster_id)
+           |ORDER BY a.doc_id""".stripMargin,
+
+      "q38_pii_scrub" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |    AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text,
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+          |    AS BIGINT) AS n_ips,
+          |  regexp_replace(
+          |    regexp_replace(text,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |      '<EMAIL>', 'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+          |    '<IP>', 'g') AS redacted
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q39_familiarity" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+          |vocab AS (
+          |  SELECT tok, cnt FROM (
+          |    SELECT tok, cnt,
+          |      row_number() OVER (ORDER BY cnt DESC, tok ASC) AS r
+          |    FROM counts)
+          |  WHERE r <= 200)
+          |SELECT t.doc_id,
+          |  count(*) AS n_tokens,
+          |  count(v.cnt) AS known_tokens,
+          |  CAST(coalesce(sum(v.cnt), 0) AS DOUBLE) / count(*)
+          |    AS familiarity
+          |FROM toks t LEFT JOIN vocab v USING (tok)
+          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
       "q19_convert_e2e" ->
         """WITH so AS (

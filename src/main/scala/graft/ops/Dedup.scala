@@ -424,6 +424,75 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  // ---- duplicate clustering ----------------------------------------------
+
+  /** Connected components over a near-duplicate pair frame: every node
+    * gets `cluster_id` = the minimum id reachable through the pair graph
+    * (itself when unpaired), plus the component's `cluster_size`. This is
+    * the step that turns pairwise dedup output into keep-one-per-cluster
+    * decisions that are consistent across chains (a≈b, b≈c ⇒ one cluster
+    * even when a≉c directly).
+    *
+    * Distributed min-label propagation with pointer jumping: each round
+    * relaxes labels across edges (min of neighbors) and then jumps
+    * `label := label(label)`, which contracts paths exponentially —
+    * O(log n) rounds for any component diameter, the standard MapReduce
+    * connected-components recipe. Each round shuffles only (node, label)
+    * pairs and the edge list; intermediates are persisted per round and
+    * released on convergence (the final labels frame stays tracked for
+    * [[releaseIntermediates]]).
+    *
+    * @param nodes frame containing `idCol` (one row per node; extra
+    *              columns ignored)
+    * @param pairs frame with `id_a`, `id_b` columns (the output shape of
+    *              every pairwise dedup operator here); ids must come from
+    *              `nodes`
+    */
+  def duplicateClusters(nodes: DataFrame, idCol: String,
+                        pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+    val sym = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .transform(tracked)
+    var labels = nodes.select(col(idCol).as("node")).distinct()
+      .withColumn("label", col("node"))
+      .transform(tracked)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // 1. edge relaxation: pull the minimum label across neighbors
+      val nbr = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("node2"))
+        .agg(min(col("label")).as("nlabel"))
+      val relaxed = labels.join(nbr, labels("node") === nbr("node2"), "left")
+        .select(labels("node").as("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+      // 2. pointer jumping: label := label(label) — contracts chains
+      val ptr = relaxed.select(col("node").as("pnode"),
+        col("label").as("plabel"))
+      val jumped = relaxed.join(ptr, relaxed("label") === ptr("pnode"), "left")
+        .select(relaxed("node").as("node"),
+          coalesce(col("plabel"), relaxed("label")).as("label"))
+        .transform(tracked)
+      converged = jumped.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels.unpersist(blocking = false)
+      labels = jumped
+      iter += 1
+    }
+    require(converged,
+      s"duplicateClusters did not converge in $maxIterations rounds")
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as(idCol), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
   // ---- the production dedup pipeline -------------------------------------
 
   /** The order-of-operations that survives a 100 TB corpus with massive

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-stable only for a fixed partitioning — a
+  * repartitioned or re-read input samples a different row set, which is
+  * poison for reproducible dataset builds. These operators decide per ROW
+  * from the row's own key, so the sample is a pure function of the data:
+  * stable across partitionings, re-runs, engines, and incremental
+  * appends (a row's in/out decision never changes when its neighbors
+  * change).
+  */
+object Sampling {
+
+  /** Knuth's multiplicative constant (2^32 / φ) — mixes consecutive keys
+    * to far-apart values mod 2^32.
+    */
+  val Multiplier: Long = 2654435761L
+  private val Mod: Long = 1L << 32
+
+  /** The keep-predicate: `((key + salt) * Multiplier) mod 2^32 <
+    * fraction*2^32`. The salt shifts the key BEFORE the multiplicative
+    * mix, so a different salt rotates essentially the whole sample (salt
+    * added after the multiply would only flip keys within `salt` of the
+    * threshold). Pure integer arithmetic — any engine replays it exactly
+    * (the verification oracle does). Keys beyond ~2^31 would overflow the
+    * multiply; hash the key first at that scale (the predicate composes
+    * with any long expression, e.g. `xxhash64`).
+    */
+  def keepPredicate(key: Column, fraction: Double, salt: Long = 0L): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    pmod((key + salt) * Multiplier, lit(Mod)) < lit((fraction * Mod).toLong)
+  }
+
+  /** Deterministic ~`fraction` sample of `df` keyed by `keyCol`. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+                          salt: Long = 0L): DataFrame =
+    df.filter(keepPredicate(col(keyCol), fraction, salt))
+
+  /** Per-stratum sampling accounting: for each value of `strataCol`, the
+    * stratum's total row count and how many rows the deterministic
+    * `fraction` sample keeps — the audit view a dataset build logs next
+    * to its output. One aggregation pass (map-side combinable).
+    */
+  def stratifiedSampleCounts(df: DataFrame, strataCol: String,
+                             keyCol: String, fraction: Double,
+                             salt: Long = 0L): DataFrame =
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("total"),
+        count(when(keepPredicate(col(keyCol), fraction, salt), 1))
+          .as("sampled"))
+}

@@ -143,6 +143,67 @@ object TextAnalysis {
       .withColumn("repetition_ratio",
         col("max_token_count").cast("double") / col("n_tokens").cast("double"))
 
+  // ---- PII scrubbing ------------------------------------------------------
+
+  /** Conservative PII patterns, deliberately restricted to regex features
+    * with identical semantics in Java regex and RE2 (so external engines
+    * can replay the scrub for verification): no backreferences, no
+    * lookaround, ASCII classes only.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count of email-shaped substrings. */
+  def emailCount(text: Column): Column =
+    regexp_count(text, lit(EmailPattern)).cast("long")
+
+  /** Count of IPv4-shaped substrings (counted BEFORE email redaction, so
+    * an address inside an email's domain part counts for both).
+    */
+  def ipCount(text: Column): Column =
+    regexp_count(text, lit(Ipv4Pattern)).cast("long")
+
+  /** Redact PII in place: emails → `<EMAIL>` first, then IPv4 → `<IP>`
+    * (order matters — a redacted email can no longer contribute an
+    * IP-shaped domain). Pure projection, scan-speed at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  // ---- corpus-frequency scoring ------------------------------------------
+
+  /** Unigram familiarity: score each document by how common its tokens
+    * are in the corpus — the cheap LM-free stand-in for perplexity
+    * filtering (rare-token-heavy docs score low; boilerplate scores
+    * high).
+    *
+    * Fit: the corpus's `vocabSize` most frequent lowercased tokens
+    * (count desc, token asc tie-break — the same two-phase exact top-k
+    * as [[topTerms]], so no single task ever ranks the whole
+    * vocabulary). Apply: broadcast the vocab (bounded by construction)
+    * and aggregate per doc — `n_tokens`, `known_tokens` (in-vocab
+    * occurrences), and `familiarity` = in-vocab corpus-count sum /
+    * n_tokens, an exact integer ratio (engine-independent, unlike a
+    * log-space mean). Docs with no tokens are absent.
+    */
+  def unigramFamiliarity(df: DataFrame, idCol: String, textCol: String,
+                         vocabSize: Int = 1000): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val vocab = topTerms(df.withColumn("__all", lit(1)), "__all", textCol,
+        k = vocabSize)
+      .select(col("tok"), col("cnt").as("__freq"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__freq")).as("known_tokens"),
+        (coalesce(sum(col("__freq")), lit(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("familiarity"))
+  }
+
   /** Exact top-k terms per group (corpus statistics), ranked by count
     * descending with lexicographic tie-break.
     *

@@ -62,6 +62,17 @@ object Input {
     }
   }
 
+  /** Read a JSON-lines file/directory into a typed DataFrame. Same
+    * schema-typed contract as [[readCsv]]: when `schema` is given the
+    * read is typed up front (no sampling-based inference pass — at scale,
+    * schema inference is a full extra scan).
+    */
+  def readJson(spark: SparkSession, path: String,
+               schema: Option[Schema] = None): DataFrame = schema match {
+    case Some(s) => spark.read.schema(s.toStructType).json(path)
+    case None => spark.read.json(path)
+  }
+
   /** Scan `<imageDir>/<SPLIT>/<label>/<file>` into the image-CSV frame
     * (split, image_uri, label) — the reference's directory-ingest
     * convention (converter.py:92-135). Unknown split directories are kept

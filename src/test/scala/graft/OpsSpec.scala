@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 class OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -209,6 +209,66 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, String, Long)].collect().toSeq
     assert(fast == naive)
     assert(fast.filter(_._1 == "en").map(_._3) == Seq("aa", "bb", "cc"))
+  }
+
+  test("duplicateClusters: chains merge transitively, singletons stay alone") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // chain 1-2-3-4 through pairwise edges only; 5 and 9 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(nodes, "id", pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (5L, 5L, 1L), (9L, 9L, 1L)))
+  }
+
+  test("PII scrub: emails and IPs counted and redacted, order-safe") {
+    val df = Seq(
+      (1L, "contact alice@example.com or 10.0.0.1 today"),
+      (2L, "nested bob@1.2.3.4 mail"), // IP inside the email's domain
+      (3L, "clean text"),
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.emailCount(col("text")).as("e"),
+        TextAnalysis.ipCount(col("text")).as("i"),
+        TextAnalysis.redactPii(col("text")).as("r"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 1L, 1L, "contact <EMAIL> or <IP> today")))
+    // "bob@1.2.3.4" is not an email (no alphabetic TLD) — the IP inside
+    // it is still caught and redacted
+    assert(out(1) == ((2L, 0L, 1L, "nested bob@<IP> mail")))
+    assert(out(2) == ((3L, 0L, 0L, "clean text")))
+  }
+
+  test("unigramFamiliarity scores common-token docs higher") {
+    val df = Seq(
+      (1L, "the the the cat"),
+      (2L, "zyzzyva qwerty"),
+      (3L, ""),
+    ).toDF("id", "text")
+    val out = TextAnalysis.unigramFamiliarity(df, "id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // vocab (k=2) = {the:3, cat:1}; doc1: 4 tokens all known,
+    // familiarity = (3+3+3+1)/4 = 2.5; doc2: none known; doc3 absent
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0) == ((1L, 4L, 4L, 2.5)))
+    assert(out(1) == ((2L, 2L, 0L, 0.0)))
+  }
+
+  test("deterministic sampling is a pure function of the key") {
+    val df = spark.range(0, 10000).toDF("id")
+    val a = Sampling.deterministicSample(df, "id", 0.2).as[Long].collect().toSet
+    val b = Sampling.deterministicSample(df.repartition(7), "id", 0.2)
+      .as[Long].collect().toSet
+    assert(a == b) // partitioning-independent
+    assert(math.abs(a.size / 10000.0 - 0.2) < 0.02)
+    val salted = Sampling.deterministicSample(df, "id", 0.2, salt = 99L)
+      .as[Long].collect().toSet
+    assert(salted != a) // salt rotates the sample
+    val counts = Sampling.stratifiedSampleCounts(
+        df.withColumn("s", pmod(col("id"), lit(2))), "s", "id", 0.2)
+      .as[(Long, Long, Long)].collect()
+    assert(counts.map(_._2).sum == 10000L)
+    assert(counts.map(_._3).sum == a.size.toLong)
   }
 
   test("frame sample plan picks strided frames") {
