@@ -450,7 +450,11 @@ object Dedup {
     */
   def duplicateClusters(nodes: DataFrame, idCol: String,
                         pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    // Persist the pair frame BEFORE symmetrizing: the union reads it from
+    // two branches, and without the cache the (possibly expensive)
+    // pair-generation plan would execute twice.
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .transform(tracked)
     val sym = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -467,21 +471,22 @@ object Dedup {
         .agg(min(col("label")).as("nlabel"))
       val relaxed = labels.join(nbr, labels("node") === nbr("node2"), "left")
         .select(labels("node").as("node"),
+          labels("label").as("old_label"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
-      // 2. pointer jumping: label := label(label) — contracts chains
+      // 2. pointer jumping: label := label(label) — contracts chains.
+      //    old_label rides along so convergence is a filter on the
+      //    materialized frame, not an extra join per round.
       val ptr = relaxed.select(col("node").as("pnode"),
         col("label").as("plabel"))
       val jumped = relaxed.join(ptr, relaxed("label") === ptr("pnode"), "left")
         .select(relaxed("node").as("node"),
-          coalesce(col("plabel"), relaxed("label")).as("label"))
+          coalesce(col("plabel"), relaxed("label")).as("label"),
+          relaxed("old_label").as("old_label"))
         .transform(tracked)
-      converged = jumped.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      converged = jumped.filter(col("label") =!= col("old_label")).isEmpty
       labels.unpersist(blocking = false)
-      labels = jumped
+      labels = jumped.select("node", "label")
       iter += 1
     }
     require(converged,
