@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.TextAnalysis
+
+/** Per-user session accumulator for [[StreamingOps.sessionizeStateful]]. */
+case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
+
+/** A finalized session emitted by [[StreamingOps.sessionizeStateful]]. */
+case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
+                      session_end: java.sql.Timestamp, n_events: Long)
+
+/** Structured Streaming twins of the batch pipeline operators — the
+  * pieces a 24/7 ingest needs beyond [[StreamingConvert]].
+  *
+  * Design stance (per the engine's Spark-first rule): use the built-in
+  * stateful operators where they express the semantics —
+  * `dropDuplicates[WithinWatermark]` for dedup state,
+  * `session_window` for gap-based sessions — and drop to
+  * `flatMapGroupsWithState` only for semantics they can't express
+  * (here: emitting per-session rows the moment the gap closes, with
+  * custom state shape and event-time timeouts).
+  */
+object StreamingOps {
+
+  /** Streaming exact dedup by content fingerprint: keeps the FIRST
+    * arrival of each distinct `textCol` value.
+    *
+    * With `eventTime` given, state is bounded: duplicates are only
+    * suppressed within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — the state store evicts
+    * fingerprints older than the delay). Without it, state grows with
+    * the distinct-content count — exact forever, unbounded; at corpus
+    * scale prefer the watermarked form plus a periodic batch
+    * [[graft.ops.Dedup.exactByFingerprint]] sweep over the landed data.
+    */
+  def dedupStream(stream: DataFrame, textCol: String,
+                  eventTime: Option[(String, String)] = None): DataFrame = {
+    val keyed = stream.withColumn("__fp",
+      TextAnalysis.fingerprint(col(textCol)))
+    val deduped = eventTime match {
+      case Some((tsCol, delay)) =>
+        keyed.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("__fp")
+      case None => keyed.dropDuplicates("__fp")
+    }
+    deduped.drop("__fp")
+  }
+
+  /** Gap-based sessionization with the BUILT-IN `session_window`
+    * aggregate (Catalyst-native state, watermark-evicted): one row per
+    * closed session with start/end/count. The streaming twin of the
+    * batch q28 formulation.
+    */
+  def sessionWindowStream(stream: DataFrame, userCol: String, tsCol: String,
+                          gap: String = "30 minutes",
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` with
+    * event-time timeouts — for when the built-in window can't express
+    * the semantics (custom accumulator shape, emit-on-close). Sessions
+    * close when a same-user event arrives past the gap, or when the
+    * watermark passes `last event + gap` (the state times out and the
+    * session flushes with no further input).
+    *
+    * Input must have `userCol` castable to long and `tsCol` a
+    * timestamp; `watermarkDelay` controls how much lateness is
+    * tolerated before a session can be finalized.
+    */
+  def sessionizeStateful(stream: DataFrame, userCol: String, tsCol: String,
+                         gap: java.time.Duration,
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gapMs = gap.toMillis
+    require(gapMs > 0, "gap must be positive")
+
+    def close(user: Long, a: SessionAcc): SessionRow =
+      SessionRow(user, new java.sql.Timestamp(a.startMs),
+        new java.sql.Timestamp(a.lastMs), a.n)
+
+    stream
+      // project/cast FIRST: a projection over a watermarked column
+      // produces a fresh attribute without the watermark tag, and
+      // event-time timeout requires the tag to survive to the operator
+      .select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: flush
+            val out = state.getOption.map(close(user, _)).iterator
+            state.remove()
+            out
+          } else {
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+            var acc = state.getOption
+            // in-batch events may arrive unordered; process in time order
+            events.map(_._2.getTime).toArray.sorted.foreach { t =>
+              acc match {
+                case None => acc = Some(SessionAcc(t, t, 1L))
+                case Some(a) if t - a.lastMs > gapMs =>
+                  closed += close(user, a)
+                  acc = Some(SessionAcc(t, t, 1L))
+                case Some(a) =>
+                  acc = Some(a.copy(lastMs = math.max(a.lastMs, t), n = a.n + 1))
+              }
+            }
+            acc.foreach { a =>
+              val timeoutAt = a.lastMs + gapMs
+              if (timeoutAt <= state.getCurrentWatermarkMs()) {
+                // already expired relative to the watermark: flush now
+                closed += close(user, a)
+                state.remove()
+              } else {
+                state.update(a)
+                state.setTimeoutTimestamp(timeoutAt)
+              }
+            }
+            closed.iterator
+          }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingOps
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("streaming dedup keeps the first arrival of each distinct text") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.dedupStream(
+      input.toDF().toDF("id", "text"), "text")
+    val query = out.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      query.processAllAvailable()
+      input.addData((4L, "alpha"), (5L, "gamma")) // alpha still suppressed
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("dedup_stream")
+      .select("id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
+  }
+
+  test("session_window stream closes gap-separated sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamingOps.sessionWindowStream(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gap = "1 minute", watermarkDelay = "0 seconds")
+    val query = out.writeStream.format("memory")
+      .queryName("sess_win").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2026-01-01 00:00:00")), (1L, ts("2026-01-01 00:00:30")),
+        (2L, ts("2026-01-01 00:00:10")))
+      query.processAllAvailable()
+      // jump far ahead: watermark passes, earlier sessions close
+      input.addData((1L, ts("2026-01-01 01:00:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("sess_win")
+      .select("user_id", "n_events").as[(Long, Long)].collect().sorted
+    assert(rows.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("stateful sessionization emits on gap-close and on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamingOps.sessionizeStateful(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gap = java.time.Duration.ofMinutes(1), watermarkDelay = "0 seconds")
+    val query = out.writeStream.format("memory")
+      .queryName("sess_state").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2026-01-01 00:00:00")), (1L, ts("2026-01-01 00:00:30")),
+        (2L, ts("2026-01-01 00:00:10")))
+      query.processAllAvailable()
+      // user 1's next event is past the gap → closes its first session
+      // in-line; user 2's session closes via watermark timeout
+      input.addData((1L, ts("2026-01-01 01:00:00")))
+      query.processAllAvailable()
+      input.addData((3L, ts("2026-01-01 02:00:00"))) // push watermark further
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("sess_state")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().sortBy(r => (r._1, r._2.getTime))
+    // user 1: two sessions (2 events spanning 30s, then the lone 01:00
+    // event closed by timeout); user 2: single-event session via timeout
+    assert(rows.map(r => (r._1, r._2, r._4)).toSet == Set(
+      (1L, ts("2026-01-01 00:00:00"), 2L),
+      (1L, ts("2026-01-01 01:00:00"), 1L),
+      (2L, ts("2026-01-01 00:00:10"), 1L)))
+    val u1 = rows.find(_._1 == 1L).get
+    assert(u1._2 == ts("2026-01-01 00:00:00") && u1._3 == ts("2026-01-01 00:00:30"))
+  }
+}
