@@ -479,11 +479,16 @@ object Dedup {
       //    materialized frame, not an extra join per round.
       val ptr = relaxed.select(col("node").as("pnode"),
         col("label").as("plabel"))
+      // localCheckpoint (eager): materializes the round AND truncates the
+      // logical plan to the materialized blocks. Without this the plan
+      // NESTS all previous rounds (persist caches data but not lineage)
+      // and grows geometrically — a 1M-node stress run hit a 2 GB plan
+      // string around round 10 before this was added.
       val jumped = relaxed.join(ptr, relaxed("label") === ptr("pnode"), "left")
         .select(relaxed("node").as("node"),
           coalesce(col("plabel"), relaxed("label")).as("label"),
           relaxed("old_label").as("old_label"))
-        .transform(tracked)
+        .localCheckpoint(true)
       converged = jumped.filter(col("label") =!= col("old_label")).isEmpty
       labels.unpersist(blocking = false)
       labels = jumped.select("node", "label")
