@@ -109,6 +109,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: duplicateClusters equals a local union-find on random graphs") {
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n, edges.distinct)
+    forAll(graphGen, n = 8) { case (n, edges) =>
+      // reference: plain union-find
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n.toInt).map { v =>
+        // min reachable id == the min-id root under min-union
+        var r = v; while (parent(r) != r) r = parent(r)
+        (v.toLong, r.toLong)
+      }.toMap
+      val sizes = expected.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nodes = (0L until n).toDF("id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      val got = graft.ops.Dedup.duplicateClusters(nodes, "id", pairs)
+        .as[(Long, Long, Long)].collect()
+      got.foreach { case (id, cid, csz) =>
+        assert(cid == expected(id), s"node $id: cluster $cid != ${expected(id)} (n=$n edges=$edges)")
+        assert(csz == sizes(expected(id)), s"node $id: size $csz != ${sizes(expected(id))}")
+      }
+      assert(got.length == n)
+      graft.ops.Dedup.releaseIntermediates()
+    }
+  }
+
   test("property: URL-safe base64 of the image stage round-trips bytes") {
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) {
       bytes =>
