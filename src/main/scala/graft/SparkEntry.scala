@@ -468,6 +468,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- token-budget chunking (extension) ----
+
+    "q41_chunking" -> ((s, dir) => {
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // ---- corpus-frequency familiarity scoring (extension) ----
 
     "q39_familiarity" -> ((s, dir) => {
@@ -697,6 +705,22 @@ object SparkEntry {
           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
           |    '<IP>', 'g') AS redacted
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q41_chunking" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |ch AS (
+          |  SELECT doc_id,
+          |    unnest([{'ci': s // 12, 'ct': array_to_string(t[s+1:s+16], ' '),
+          |             'cn': least(16, len(t) - s)}
+          |            for s in range(0, len(t), 12)]) AS u
+          |  FROM toks WHERE len(t) > 0)
+          |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
+          |  CAST(u.cn AS BIGINT) AS chunk_tokens, u.ct AS chunk_text
+          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "q39_familiarity" ->
         """WITH toks AS (

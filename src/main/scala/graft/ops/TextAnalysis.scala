@@ -204,6 +204,38 @@ object TextAnalysis {
           count(lit(1)).cast("double")).as("familiarity"))
   }
 
+  // ---- chunking -----------------------------------------------------------
+
+  /** Split each document into overlapping token-budget chunks — the
+    * standard shaping step before embedding or training on long
+    * documents. Chunk i covers tokens [i·(maxTokens-overlap),
+    * i·(maxTokens-overlap)+maxTokens); the final chunk may be short.
+    * Returns (idCol, chunk_idx, chunk_tokens, chunk_text); documents
+    * with no tokens produce no chunks.
+    *
+    * Per-row projection + generator — zero shuffle, linear in corpus
+    * size; chunk boundaries are a pure function of the token sequence,
+    * so re-runs and engines agree (the oracle replays it).
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      "overlap must be in [0, maxTokens)")
+    val stride = maxTokens - overlap
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), size(col("__t")) - 1, lit(stride)),
+          s => struct(
+            least(lit(maxTokens), size(col("__t")) - s).cast("long").as("cn"),
+            array_join(slice(col("__t"), s + 1, lit(maxTokens)), " ").as("ct"))))
+          .as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c.cn").as("chunk_tokens"), col("__c.ct").as("chunk_text"))
+  }
+
   /** Exact top-k terms per group (corpus statistics), ranked by count
     * descending with lexicographic tie-break.
     *

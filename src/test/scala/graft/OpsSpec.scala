@@ -187,6 +187,24 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L) == (("empty", false)))
   }
 
+  test("chunking: overlapping token windows cover the doc; empty docs vanish") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, max 3 overlap 1 → starts 0,2,4,6
+      (2L, "x"),
+      (3L, ""),
+    ).toDF("id", "text")
+    val out = TextAnalysis.chunk(df, "id", "text", maxTokens = 3, overlap = 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 3L, "e f g"), (1L, 3L, 1L, "g"),
+      (2L, 0L, 1L, "x")))
+    // every token index is covered by at least one chunk
+    val covered = out.filter(_._1 == 1L).map(_._4.split(" ").toSet)
+      .reduce(_ ++ _)
+    assert(covered == Set("a", "b", "c", "d", "e", "f", "g"))
+  }
+
   test("two-phase topTerms equals the single-window formulation, ties included") {
     import org.apache.spark.sql.expressions.Window
     val corpus = Seq(
