@@ -476,6 +476,22 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // ---- the composed corpus-prep pipeline: quality filter → exact
+    //      dedup → token-budget chunking, per-doc chunk accounting ----
+
+    "q42_pipeline" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val quality = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(call_function("graft_token_count", col("text")) >= 20)
+      val unique = Dedup.exactByFingerprint(quality, "text", "doc_id")
+      TextAnalysis.chunk(unique, "doc_id", "text", maxTokens = 32)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("total_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus-frequency familiarity scoring (extension) ----
 
     "q39_familiarity" -> ((s, dir) => {
@@ -721,6 +737,22 @@ object SparkEntry {
           |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
           |  CAST(u.cn AS BIGINT) AS chunk_tokens, u.ct AS chunk_text
           |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      // Closed-form chunk accounting: with overlap 0, a doc of n tokens
+      // yields ceil(n/32) chunks totaling n tokens; survivors are the
+      // min-id doc per distinct text among the quality-filtered set.
+      "q42_pipeline" ->
+        """WITH toks AS (
+          |  SELECT doc_id, text,
+          |    len(list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0)) AS n
+          |  FROM documents),
+          |q AS (SELECT doc_id, text, n FROM toks WHERE n >= 20),
+          |u AS (SELECT min(doc_id) AS doc_id, min(n) AS n
+          |  FROM q GROUP BY md5(text))
+          |SELECT doc_id, CAST(ceil(n / 32.0) AS BIGINT) AS n_chunks,
+          |  CAST(n AS BIGINT) AS total_tokens
+          |FROM u ORDER BY doc_id""".stripMargin,
 
       "q39_familiarity" ->
         """WITH toks AS (
