@@ -91,6 +91,96 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** The pluggable feature-extractor contract: bytes → fixed-dim
+    * embedding. Same stub philosophy as [[MediaDecoder]]: the real model
+    * inference needs libraries absent here; the deterministic stub keeps
+    * the pipeline runnable end to end (its output feeds the similarity /
+    * embedding-dedup operators directly).
+    */
+  trait FeatureExtractor extends Serializable {
+    def dim: Int
+    def extract(payload: Array[Byte]): Array[Float]
+  }
+
+  object FeatureExtractor {
+    /** STUB extractor: deterministic unit-norm vector from a byte hash. */
+    final case class Deterministic(dim: Int = 64) extends FeatureExtractor {
+      def extract(p: Array[Byte]): Array[Float] = {
+        val v = new Array[Float](dim)
+        var h = 1125899906842597L
+        var i = 0
+        while (i < math.min(if (p == null) 0 else p.length, 256)) {
+          h = 31 * h + p(i); i += 1
+        }
+        i = 0
+        while (i < dim) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          v(i) = ((h >>> 40).toInt % 1000) / 1000.0f
+          i += 1
+        }
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        if (n > 0) { i = 0; while (i < dim) { v(i) = (v(i) / n).toFloat; i += 1 } }
+        v
+      }
+    }
+  }
+
+  /** Feature-extraction stage: binary column → appended `Array[Float]`
+    * embedding column (null on failure). Per-partition batch shape like
+    * [[decodeStage]]; the output column plugs straight into
+    * [[Similarity]] / [[Dedup.embeddingDuplicates]].
+    */
+  def featureStage(df: DataFrame, binaryCol: String,
+                   extractor: FeatureExtractor = FeatureExtractor.Deterministic(),
+                   outCol: String = "embedding"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(FloatType)))
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"missing column $binaryCol")
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val vec = try extractor.extract(row.getAs[Array[Byte]](binIdx))
+        catch { case scala.util.control.NonFatal(_) => null }
+        Row.fromSeq(row.toSeq :+ vec)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** The pluggable media-resize contract (bytes → bytes at target dims) —
+    * stubbed like the decoder: real pixel work needs codecs absent here.
+    */
+  trait MediaResizer extends Serializable {
+    def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte]
+  }
+
+  object MediaResizer {
+    /** STUB resizer: passes bytes through (a real one re-encodes pixels);
+      * deterministic so downstream stages stay testable.
+      */
+    object PassThrough extends MediaResizer {
+      def resize(p: Array[Byte], w: Int, h: Int): Array[Byte] = p
+    }
+  }
+
+  /** Resize stage: rewrites the payload to target dims and stamps the
+    * requested dims into the metadata column when present. Plan shape
+    * (per-partition batches, payload column replaced in place) is real;
+    * pixel work lives behind [[MediaResizer]].
+    */
+  def resizeStage(df: DataFrame, binaryCol: String, width: Int, height: Int,
+                  resizer: MediaResizer = MediaResizer.PassThrough): DataFrame = {
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"missing column $binaryCol")
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val out = try resizer.resize(row.getAs[Array[Byte]](binIdx),
+          width, height)
+        catch { case scala.util.control.NonFatal(_) => null }
+        Row.fromSeq(row.toSeq.updated(binIdx, out))
+      }
+    }(Encoders.row(df.schema))
+  }
+
   /** Frame-sampling plan: which frame indices to extract per row, given
     * the decoded frame count — every `stride`-th frame capped at
     * `maxFrames`. Pure expression; the actual pixel extraction belongs to

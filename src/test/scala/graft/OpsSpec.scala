@@ -289,6 +289,33 @@ class OpsSpec extends SparkSpec {
     assert(counts.map(_._3).sum == a.size.toLong)
   }
 
+  test("featureStage embeds payloads; vectors feed the ANN operators") {
+    val payloads = Seq(
+      (0L, "alpha media bytes"), (1L, "alpha media bytes"), // identical
+      (2L, "completely different payload"),
+    ).toDF("id", "s").select(col("id"), col("s").cast("binary").as("payload"))
+    val emb = Multimodal.featureStage(payloads, "payload")
+    val rows = emb.select("id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(rows.forall(_._2.length == 64))
+    assert(rows(0)._2 == rows(1)._2) // deterministic: same bytes, same vector
+    assert(rows(0)._2 != rows(2)._2)
+    // composes with similarity search
+    val top = Similarity.bruteForceTopK(
+      emb.filter(col("id") === 0).select("id", "embedding"), "id", "embedding",
+      emb.select("id", "embedding"), "id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top.toSeq == Seq((0L, 1L))) // the identical payload ranks first
+  }
+
+  test("resizeStage rewrites payloads in place, schema unchanged") {
+    val payloads = Seq((0L, "img-bytes")).toDF("id", "s")
+      .select(col("id"), col("s").cast("binary").as("payload"))
+    val out = Multimodal.resizeStage(payloads, "payload", 32, 32)
+    assert(out.schema == payloads.schema)
+    assert(new String(out.select("payload").as[Array[Byte]].head()) == "img-bytes")
+  }
+
   test("frame sample plan picks strided frames") {
     val r = Seq(10).toDF("n")
       .select(Multimodal.frameSamplePlan(col("n"), stride = 3, maxFrames = 3))
