@@ -30,13 +30,20 @@ object AssetNames {
     sb.toString
   }
 
-  /** Inverse of [[encode]]. */
+  /** Inverse of [[encode]]. A `%` not followed by two hex digits cannot
+    * have been produced by [[encode]] (it always escapes `%`); such
+    * sequences pass through literally instead of crashing, so asset files
+    * written by earlier releases (raw names) still load.
+    */
   def decode(token: String): String = {
     val out = new java.io.ByteArrayOutputStream
     var i = 0
     while (i < token.length) {
       val c = token.charAt(i)
-      if (c == '%' && i + 2 < token.length) {
+      val isEscape = c == '%' && i + 2 < token.length &&
+        Character.digit(token.charAt(i + 1), 16) >= 0 &&
+        Character.digit(token.charAt(i + 2), 16) >= 0
+      if (isEscape) {
         out.write(Integer.parseInt(token.substring(i + 1, i + 3), 16))
         i += 3
       } else {

@@ -45,6 +45,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  // Strong references, bounded: a weak ref would be collected as soon as
+  // the operator returns (downstream plans keep the logical plan alive,
+  // not the Dataset wrapper), silently breaking release. The cap instead
+  // bounds what a never-releasing caller can pin: on overflow the OLDEST
+  // entry — from a long-finished pass — is unpersisted on the spot, which
+  // is exactly the cleanup that caller skipped.
+  private val MaxTracked = 1024
+  private val trackedCount = new java.util.concurrent.atomic.AtomicInteger(0)
   private val persistedIntermediates =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
@@ -52,6 +60,13 @@ object Dedup {
   private def tracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     persistedIntermediates.add(p)
+    if (trackedCount.incrementAndGet() > MaxTracked) {
+      val oldest = persistedIntermediates.poll()
+      if (oldest != null) {
+        trackedCount.decrementAndGet()
+        oldest.unpersist(blocking = false)
+      }
+    }
     p
   }
 
@@ -59,10 +74,17 @@ object Dedup {
     * after materializing (writing/collecting) the result of a dedup pass;
     * results are lazy plans over these caches, so release only once the
     * pass's output is on disk.
+    *
+    * The registry is process-global: in a session running dedup passes
+    * CONCURRENTLY from multiple threads, a release from one thread also
+    * drains the other's live intermediates (they recompute, correctly but
+    * slowly). Scope concurrent passes with [[withReleasedIntermediates]]
+    * per thread only when passes are sequential, or accept the recompute.
     */
   def releaseIntermediates(): Unit = {
     var df = persistedIntermediates.poll()
     while (df != null) {
+      trackedCount.decrementAndGet()
       df.unpersist(blocking = false)
       df = persistedIntermediates.poll()
     }
@@ -438,9 +460,12 @@ object Dedup {
     * `label := label(label)`, which contracts paths exponentially —
     * O(log n) rounds for any component diameter, the standard MapReduce
     * connected-components recipe. Each round shuffles only (node, label)
-    * pairs and the edge list; intermediates are persisted per round and
-    * released on convergence (the final labels frame stays tracked for
-    * [[releaseIntermediates]]).
+    * pairs and the edge list. The edge/init frames are tracked for
+    * [[releaseIntermediates]]; each round's `localCheckpoint` blocks
+    * live in the block manager OUTSIDE the cache registry and are
+    * reclaimed by Spark's ContextCleaner once the round's frame is
+    * unreferenced (i.e. shortly after the call returns and the caller
+    * drops the result) — not by [[releaseIntermediates]].
     *
     * @param nodes frame containing `idCol` (one row per node; extra
     *              columns ignored)

@@ -44,6 +44,7 @@ object Multimodal {
     object Deterministic extends MediaDecoder {
       def decode(p: Array[Byte]): (String, Int, Int, Int, Long, Boolean) = {
         if (p == null || p.length == 0) return ("empty", 0, 0, 0, 0L, false)
+        // (null/empty payloads are flagged not-ok rather than decoded)
         val fmt =
           if (p.length > 3 && p(0) == 0x89.toByte && p(1) == 'P') "png"
           else if (p.length > 2 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte) "jpeg"
@@ -139,8 +140,14 @@ object Multimodal {
     require(binIdx >= 0, s"missing column $binaryCol")
     df.mapPartitions { rows =>
       rows.map { row =>
-        val vec = try extractor.extract(row.getAs[Array[Byte]](binIdx))
-        catch { case scala.util.control.NonFatal(_) => null }
+        // NULL payloads get a NULL embedding, never a shared stub vector:
+        // a decode-failure row carried through decodeStage must not
+        // become everyone-else's cosine-1.0 duplicate downstream.
+        val payload = row.getAs[Array[Byte]](binIdx)
+        val vec =
+          if (payload == null) null
+          else try extractor.extract(payload)
+          catch { case scala.util.control.NonFatal(_) => null }
         Row.fromSeq(row.toSeq :+ vec)
       }
     }(Encoders.row(outSchema))

@@ -191,8 +191,14 @@ object TextAnalysis {
     */
   def unigramFamiliarity(df: DataFrame, idCol: String, textCol: String,
                          vocabSize: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // Fit and apply are two passes over the corpus by design (the same
+    // fit-on-corpus/apply-per-row shape as Vocab): caching the exploded
+    // token stream would cost more storage than the rescan at corpus
+    // scale. Both passes use the byte-scan kernel tokenizer, so the
+    // repeated work is a scan-speed projection, not the regex split.
     val toks = df.select(col(idCol),
-      explode(tokens(lower(col(textCol)))).as("tok"))
+      explode(call_function("graft_tokens", lower(col(textCol)))).as("tok"))
     val vocab = topTerms(df.withColumn("__all", lit(1)), "__all", textCol,
         k = vocabSize)
       .select(col("tok"), col("cnt").as("__freq"))

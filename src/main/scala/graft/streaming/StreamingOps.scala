@@ -110,15 +110,25 @@ object StreamingOps {
           } else {
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
             var acc = state.getOption
-            // in-batch events may arrive unordered; process in time order
+            // In-batch events may arrive unordered; process in time order.
+            // A late cross-batch event (within the watermark) can also
+            // predate the carried-over session: within `gap` BEFORE the
+            // session start it extends the session backwards; further out
+            // it is a session of its own (emitted closed immediately —
+            // anything adjacent to it is either already processed or
+            // would itself be beyond the lateness horizon).
             events.map(_._2.getTime).toArray.sorted.foreach { t =>
               acc match {
                 case None => acc = Some(SessionAcc(t, t, 1L))
-                case Some(a) if t - a.lastMs > gapMs =>
+                case Some(a) if t > a.lastMs + gapMs =>
                   closed += close(user, a)
                   acc = Some(SessionAcc(t, t, 1L))
+                case Some(a) if t < a.startMs - gapMs =>
+                  closed += SessionRow(user, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1L)
                 case Some(a) =>
-                  acc = Some(a.copy(lastMs = math.max(a.lastMs, t), n = a.n + 1))
+                  acc = Some(SessionAcc(math.min(a.startMs, t),
+                    math.max(a.lastMs, t), a.n + 1))
               }
             }
             acc.foreach { a =>

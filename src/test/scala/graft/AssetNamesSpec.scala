@@ -29,6 +29,12 @@ class AssetNamesSpec extends AnyFunSuite {
     assert(AssetNames.decode(enc) == "a/b c%d")
   }
 
+  test("decode passes non-encode-produced % sequences through literally") {
+    assert(AssetNames.decode("rate%4x") == "rate%4x") // not hex: literal
+    assert(AssetNames.decode("tail%") == "tail%") // trailing %: literal
+    assert(AssetNames.decode("a%2Fb") == "a/b") // real escape still decodes
+  }
+
   test("round-trips arbitrary strings, including unicode and separators") {
     val tricky = Gen.listOf(Gen.frequency(
       5 -> Gen.alphaNumStr.map(_.take(4)),

@@ -308,6 +308,16 @@ class OpsSpec extends SparkSpec {
     assert(top.toSeq == Seq((0L, 1L))) // the identical payload ranks first
   }
 
+  test("featureStage: null payloads get null embeddings, not a shared stub vector") {
+    val payloads = Seq((0L, Some("bytes")), (1L, None), (2L, None))
+      .toDF("id", "s").select(col("id"), col("s").cast("binary").as("payload"))
+    val rows = Multimodal.featureStage(payloads, "payload")
+      .select("id", "embedding").as[(Long, Option[Seq[Float]])]
+      .collect().sortBy(_._1)
+    assert(rows(0)._2.isDefined)
+    assert(rows(1)._2.isEmpty && rows(2)._2.isEmpty)
+  }
+
   test("resizeStage rewrites payloads in place, schema unchanged") {
     val payloads = Seq((0L, "img-bytes")).toDF("id", "s")
       .select(col("id"), col("s").cast("binary").as("payload"))

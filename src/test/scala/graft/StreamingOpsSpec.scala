@@ -82,4 +82,34 @@ class StreamingOpsSpec extends SparkSpec {
     val u1 = rows.find(_._1 == 1L).get
     assert(u1._2 == ts("2026-01-01 00:00:00") && u1._3 == ts("2026-01-01 00:00:30"))
   }
+
+  test("stateful sessionization handles late cross-batch events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamingOps.sessionizeStateful(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gap = java.time.Duration.ofMinutes(1), watermarkDelay = "2 hours")
+    val query = out.writeStream.format("memory")
+      .queryName("sess_late").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2026-01-01 12:00:00")))
+      query.processAllAvailable()
+      // within-gap late event extends the session BACKWARDS; the far-out
+      // late event becomes its own single-event session
+      input.addData((1L, ts("2026-01-01 11:59:30")), (1L, ts("2026-01-01 10:30:00")))
+      query.processAllAvailable()
+      input.addData((1L, ts("2026-01-01 15:00:00"))) // advance watermark past all
+      query.processAllAvailable()
+      input.addData((2L, ts("2026-01-01 20:00:00"))) // flush remaining state
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("sess_late")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().filter(_._1 == 1L).sortBy(_._2.getTime)
+    assert(rows.exists(r => r._2 == ts("2026-01-01 10:30:00") && r._4 == 1L))
+    assert(rows.exists(r =>
+      r._2 == ts("2026-01-01 11:59:30") && r._3 == ts("2026-01-01 12:00:00")
+        && r._4 == 2L))
+  }
 }
