@@ -61,6 +61,23 @@ object Sinks {
     out
   }
 
+  /** Write a bucketed (and optionally sorted) table: rows are
+    * hash-partitioned into `buckets` files per partition on `bucketCol`
+    * and registered in the catalog. Two tables bucketed the same way
+    * join WITHOUT a shuffle (and without even a sort when both are
+    * sorted) — the co-located-join layout for dimension/fact pipelines
+    * that join repeatedly on the same key at 100 TB, where re-shuffling
+    * the fact table per query is the dominant cost. Requires
+    * `saveAsTable` (bucket metadata lives in the catalog, not the
+    * files); asserted shuffle-free by BucketedJoinSpec.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+                         buckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w).saveAsTable(table)
+  }
+
   /** Discarded rows → `<jobDir>/discarded-data` as JSON lines (the
     * reference stringifies dicts to text, beam_pipeline.py:315-318).
     */

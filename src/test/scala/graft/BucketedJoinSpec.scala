@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Sinks
+
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("same-bucketed tables join with zero shuffle exchanges") {
+    val facts = (0L until 1000L).map(i => (i, s"f$i")).toDF("k", "fv")
+    val dims = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "dv")
+    Sinks.writeBucketedTable(facts, "bj_facts", "k", buckets = 4)
+    Sinks.writeBucketedTable(dims, "bj_dims", "k", buckets = 4)
+    try {
+      // force a non-broadcast join so the shuffle question is real
+      withSql("spark.sql.autoBroadcastJoinThreshold", "-1") {
+        val joined = spark.table("bj_facts")
+          .join(spark.table("bj_dims"), "k")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$plan")
+        assert(joined.count() == 100L)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bj_facts")
+      spark.sql("DROP TABLE IF EXISTS bj_dims")
+    }
+  }
+
+  private def withSql[A](key: String, value: String)(body: => A): A = {
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+}
