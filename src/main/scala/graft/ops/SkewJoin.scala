@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigated equi-join: salt the (large, skewed) probe side and
+  * replicate the (smaller) build side across the salt space, so a hot
+  * key's rows spread over `salts` tasks instead of one straggler.
+  *
+  * AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default) handles most cases at runtime and should be preferred; this
+  * operator is for the cases AQE cannot fix — aggregations keyed on the
+  * hot key downstream, or sinks that need the spread partitioning — and
+  * as the explicit, planner-independent form of the technique.
+  *
+  * Result equality with the plain join is exact: every probe row meets
+  * every matching build row exactly once (the probe row's salt value
+  * selects exactly one of the build side's `salts` replicas).
+  */
+object SkewJoin {
+
+  /** Inner equi-join `left.lKey == right.rKey` with `salts`-way salting.
+    * `left` is the large/skewed side (salted, never replicated); `right`
+    * is replicated `salts`× — keep it the smaller side. The salt is
+    * derived from the probe row's key hash mixed with a per-row spread
+    * (`spark_partition_id` + row position would be nondeterministic;
+    * `xxhash64` over all probe columns is deterministic and spreads a
+    * hot key's rows by their payload).
+    */
+  def saltedInnerJoin(left: DataFrame, lKey: String,
+                      right: DataFrame, rKey: String,
+                      salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val lCols = left.columns.map(col)
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(lCols.toIndexedSeq: _*), lit(salts)))
+    val replicas = right.crossJoin(
+      right.sparkSession.range(salts).toDF("__salt"))
+    salted.join(replicas,
+        salted(lKey) === replicas(rKey) &&
+          salted("__salt") === replicas("__salt"))
+      .drop("__salt")
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, SkewJoin, TextAnalysis}
 
 class OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -324,6 +324,22 @@ class OpsSpec extends SparkSpec {
     val out = Multimodal.resizeStage(payloads, "payload", 32, 32)
     assert(out.schema == payloads.schema)
     assert(new String(out.select("payload").as[Array[Byte]].head()) == "img-bytes")
+  }
+
+  test("salted skew join equals the plain join on hot-key data") {
+    // 90% of probe rows share one hot key
+    val probe = (0 until 500).map { i =>
+      (if (i % 10 == 0) i.toLong % 7 else 42L, s"p$i")
+    }.toDF("k", "pv")
+    val build = (0L until 50L).map(i => (i, s"d$i")).toDF("dk", "dv")
+    val plain = probe.join(build, col("k") === col("dk"))
+      .select("k", "pv", "dv").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    val salted = SkewJoin.saltedInnerJoin(probe, "k", build, "dk", salts = 8)
+      .select("k", "pv", "dv").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.count(_._1 == 42L) == 450) // the hot key really is hot
   }
 
   test("frame sample plan picks strided frames") {
