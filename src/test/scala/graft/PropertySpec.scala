@@ -109,6 +109,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: zero-overlap chunks reconstruct the token sequence exactly") {
+    import spark.implicits._
+    forAll(trickyText, n = 20) { text =>
+      val df = Seq((1L, text)).toDF("id", "text")
+      val chunks = TextAnalysis.chunk(df, "id", "text", maxTokens = 5)
+        .orderBy("chunk_idx")
+        .select("chunk_text").as[String].collect()
+      val expected = text.split("\\s+").filter(_.nonEmpty)
+      assert(chunks.flatMap(_.split(" ").filter(_.nonEmpty)).toSeq ==
+        expected.toSeq)
+      if (expected.isEmpty) assert(chunks.isEmpty)
+    }
+  }
+
+  test("property: md5 simhash kernel matches a plain-Scala reference fold") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    forAll(trickyText, n = 15) { text =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      val got = Seq(Tuple1(text)).toDF("text")
+        .selectExpr("graft_simhash(text, 1) AS s")
+        .as[Option[Long]].head()
+      if (toks.isEmpty) assert(got.isEmpty)
+      else {
+        val counts = new Array[Int](64)
+        toks.foreach { t =>
+          val b = t.getBytes("UTF-8")
+          val h = SketchOps.md5Lo64(b, 0, b.length)
+          var j = 0
+          while (j < 64) {
+            if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        val expected = (0 until 64).foldLeft(0L) { (acc, j) =>
+          if (counts(j) > 0) acc | (1L << j) else acc
+        }
+        assert(got.contains(expected))
+      }
+    }
+  }
+
   test("property: duplicateClusters equals a local union-find on random graphs") {
     import spark.implicits._
     val graphGen = for {
