@@ -410,6 +410,21 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- corpus length distribution (exact interpolated percentiles) ----
+
+    "q43_length_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_chars"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.9)).as("p90"))
+        .orderBy("lang")
+    }),
+
     // ---- metrics counters analog (SURVEY §2.5 A3) ----
 
     "q21_agg_metrics" -> ((s, dir) => {
@@ -1020,6 +1035,17 @@ object SparkEntry {
         """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS users,
           |  count(*) FILTER (WHERE event_type = 'error') AS errors
           |FROM events""".stripMargin,
+
+      // Exact percentiles: both engines interpolate linearly at rank
+      // (n-1)*p over the sorted values, so the doubles are bit-equal on
+      // integer inputs. Mean is an exact integer ratio.
+      "q43_length_stats" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+          |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+          |  quantile_cont(n_chars, 0.5) AS p50,
+          |  quantile_cont(n_chars, 0.9) AS p90
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
       // All-pairs SimHash over md5_number_lower token hashes (the same
       // feature hash the MD5-lo64 kernel computes) — exact because 16-bit

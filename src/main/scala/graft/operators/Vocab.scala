@@ -82,9 +82,18 @@ object Vocab {
 
   /** Apply one vocabulary: broadcast left join + coalesce(idx, -1),
     * replacing the string column with its int64 index in place.
+    *
+    * `broadcastHint = false` drops the broadcast for vocabularies too
+    * large to ship to every executor (a label space in the hundreds of
+    * millions): the join falls back to AQE's choice — usually sort-merge
+    * on the value, shuffling the data side once. Label vocabularies are
+    * small in practice; the escape hatch exists so the operator never
+    * OOMs the driver by construction.
     */
-  def applyOne(df: DataFrame, column: String, vocab: DataFrame): DataFrame = {
-    val v = broadcast(vocab.withColumnRenamed("value", "__vocab_value"))
+  def applyOne(df: DataFrame, column: String, vocab: DataFrame,
+               broadcastHint: Boolean = true): DataFrame = {
+    val v0 = vocab.withColumnRenamed("value", "__vocab_value")
+    val v = if (broadcastHint) broadcast(v0) else v0
     df.join(v, df(column) === v("__vocab_value"), "left")
       .withColumn(column, coalesce(col("idx"), lit(OovIndex)))
       .drop("__vocab_value", "idx")
