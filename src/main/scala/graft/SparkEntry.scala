@@ -410,6 +410,55 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- event analytics: ordered funnel, day-cohort retention, JSON
+    //      property extraction (ints end to end for oracle parity) ----
+
+    "q44_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts").as("tns"))
+      val s1 = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("tns")).as("t1"))
+      val s2 = e.join(broadcast(s1), "user_id")
+        .filter(col("event_type") === "signup" && col("tns") > col("t1"))
+        .groupBy("user_id").agg(min(col("tns")).as("t2"))
+      val s3 = e.join(broadcast(s2), "user_id")
+        .filter(col("event_type") === "purchase" && col("tns") > col("t2"))
+        .groupBy("user_id").agg(min(col("tns")).as("t3"))
+      def stage(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stage(s1, "stage1_click")
+        .union(stage(s2, "stage2_signup"))
+        .union(stage(s3, "stage3_purchase"))
+        .orderBy("stage")
+    }),
+
+    "q45_retention" -> ((s, dir) => {
+      // Integer day buckets from nanosecond epochs: `div`, never double
+      // division (ns magnitudes exceed double's exact-integer range).
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val first = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val ret = first.join(e,
+          e("user_id") === first("user_id") &&
+            e("day") === first("cohort_day") + 1)
+        .select(first("user_id"), first("cohort_day"))
+        .distinct()
+        .withColumn("__r", lit(1))
+      first.join(ret, Seq("user_id", "cohort_day"), "left")
+        .groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_users"), count(col("__r")).as("n_retained"))
+        .orderBy("cohort_day")
+    }),
+
+    "q46_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
     // ---- corpus length distribution (exact interpolated percentiles) ----
 
     "q43_length_stats" -> ((s, dir) => {
@@ -1035,6 +1084,38 @@ object SparkEntry {
         """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS users,
           |  count(*) FILTER (WHERE event_type = 'error') AS errors
           |FROM events""".stripMargin,
+
+      "q44_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns
+          |  FROM events),
+          |s1 AS (SELECT user_id, min(tns) AS t1 FROM e
+          |  WHERE event_type = 'click' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, min(tns) AS t2 FROM e JOIN s1 USING (user_id)
+          |  WHERE event_type = 'signup' AND tns > t1 GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(tns) AS t3 FROM e JOIN s2 USING (user_id)
+          |  WHERE event_type = 'purchase' AND tns > t2 GROUP BY e.user_id)
+          |SELECT 'stage1_click' AS stage, count(*) AS n_users FROM s1
+          |UNION ALL SELECT 'stage2_signup', count(*) FROM s2
+          |UNION ALL SELECT 'stage3_purchase', count(*) FROM s3
+          |ORDER BY stage""".stripMargin,
+
+      "q45_retention" ->
+        """WITH e AS (SELECT user_id,
+          |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+          |first AS (SELECT user_id, min(day) AS cohort_day FROM e
+          |  GROUP BY user_id),
+          |ret AS (SELECT DISTINCT f.user_id, f.cohort_day FROM first f
+          |  JOIN e ON e.user_id = f.user_id AND e.day = f.cohort_day + 1)
+          |SELECT f.cohort_day, count(*) AS n_users,
+          |  count(r.user_id) AS n_retained
+          |FROM first f LEFT JOIN ret r
+          |  ON f.user_id = r.user_id AND f.cohort_day = r.cohort_day
+          |GROUP BY f.cohort_day ORDER BY f.cohort_day""".stripMargin,
+
+      "q46_json_props" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       // Exact percentiles: both engines interpolate linearly at rank
       // (n-1)*p over the sorted values, so the doubles are bit-equal on
