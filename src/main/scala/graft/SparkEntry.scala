@@ -424,12 +424,16 @@ object SparkEntry {
       val s3 = e.join(broadcast(s2), "user_id")
         .filter(col("event_type") === "purchase" && col("tns") > col("t2"))
         .groupBy("user_id").agg(min(col("tns")).as("t3"))
-      def stage(df: DataFrame, name: String) =
-        df.agg(count(lit(1)).as("n_users"))
-          .select(lit(name).as("stage"), col("n_users"))
-      stage(s1, "stage1_click")
-        .union(stage(s2, "stage2_signup"))
-        .union(stage(s3, "stage3_purchase"))
+      // One aggregation over the stage-joined frame (stack unpivots it);
+      // identical stage subtrees collapse via ReuseExchange rather than
+      // three unioned aggregate branches re-deriving s1.
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+          count(col("t3")).as("n3"))
+        .selectExpr(
+          """stack(3, 'stage1_click', n1, 'stage2_signup', n2,
+            |'stage3_purchase', n3) AS (stage, n_users)""".stripMargin)
         .orderBy("stage")
     }),
 

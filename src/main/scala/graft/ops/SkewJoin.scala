@@ -21,19 +21,26 @@ object SkewJoin {
 
   /** Inner equi-join `left.lKey == right.rKey` with `salts`-way salting.
     * `left` is the large/skewed side (salted, never replicated); `right`
-    * is replicated `salts`× — keep it the smaller side. The salt is
-    * derived from the probe row's key hash mixed with a per-row spread
-    * (`spark_partition_id` + row position would be nondeterministic;
-    * `xxhash64` over all probe columns is deterministic and spreads a
-    * hot key's rows by their payload).
+    * is replicated `salts`× — keep it the smaller side.
+    *
+    * The salt comes from `monotonically_increasing_id`, which spreads a
+    * hot key's rows uniformly REGARDLESS of payload (a payload-hash salt
+    * degenerates to one bucket when the hot rows are identical or the
+    * probe was pre-projected to the key alone). Salt values are not
+    * stable across retries/partitionings, but the JOIN RESULT is exact
+    * for ANY salt assignment — each probe row meets each matching build
+    * row exactly once via its own salt's replica — so nondeterminism
+    * here affects routing only, never output.
     */
   def saltedInnerJoin(left: DataFrame, lKey: String,
                       right: DataFrame, rKey: String,
                       salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val lCols = left.columns.map(col)
+    require(!left.columns.contains("__salt") &&
+        !right.columns.contains("__salt"),
+      "inputs must not already have a __salt column")
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(lCols.toIndexedSeq: _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val replicas = right.crossJoin(
       right.sparkSession.range(salts).toDF("__salt"))
     salted.join(replicas,

@@ -10,9 +10,9 @@ class BucketedJoinSpec extends SparkSpec {
   test("same-bucketed tables join with zero shuffle exchanges") {
     val facts = (0L until 1000L).map(i => (i, s"f$i")).toDF("k", "fv")
     val dims = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "dv")
-    Sinks.writeBucketedTable(facts, "bj_facts", "k", buckets = 4)
-    Sinks.writeBucketedTable(dims, "bj_dims", "k", buckets = 4)
     try {
+      Sinks.writeBucketedTable(facts, "bj_facts", "k", buckets = 4)
+      Sinks.writeBucketedTable(dims, "bj_dims", "k", buckets = 4)
       // force a non-broadcast join so the shuffle question is real
       withSql("spark.sql.autoBroadcastJoinThreshold", "-1") {
         val joined = spark.table("bj_facts")

@@ -4,6 +4,21 @@ import org.apache.spark.sql.functions._
 import graft.operators.{SplitStage, Vocab}
 
 class SplitVocabSpec extends SparkSpec {
+
+  test("vocab apply without the broadcast hint matches the broadcast path") {
+    import spark.implicits._
+    import graft.operators.Vocab
+    val train = Seq("cat", "cat", "goat").toDF("label")
+    val vocab = Vocab.fitOne(train, "label")
+    val data = Seq(("a", "cat"), ("b", "goat"), ("c", "dog")).toDF("id", "label")
+    val broadcastPath = Vocab.applyOne(data, "label", vocab)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val shufflePath = Vocab.applyOne(data, "label", vocab,
+        broadcastHint = false)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(broadcastPath == shufflePath)
+    assert(broadcastPath == Seq(("a", 0L), ("b", 1L), ("c", -1L)))
+  }
   import spark.implicits._
 
   private def sampleDf = Seq(
