@@ -174,6 +174,81 @@ object Similarity {
 
   // ---- IVF ---------------------------------------------------------------
 
+  /** Fit `k` centroids with distributed Lloyd's iterations (cosine
+    * assignment, element-wise mean update) — the index-build step that
+    * feeds [[ivfAssign]]/[[ivfIndexWrite]] when no centroid set exists
+    * yet. Deterministic: seeds come from farthest-point (maximin)
+    * selection — the first seed is the lowest-id vector, each next seed
+    * is the vector least similar to every seed chosen so far (ties →
+    * lowest id). That costs k driver-coordinated scans but cannot drop
+    * two seeds into one tight cluster the way random seeding can (and an
+    * index build runs once, with k ≪ corpus). Every update is an exact
+    * mean in a fixed dimension order.
+    *
+    * Scale shape: each iteration is one broadcast-join assignment scan +
+    * one (centroid, dim) aggregation — map-side combinable, shuffle
+    * width k·dim, never corpus-sized. Each round `localCheckpoint`s the
+    * (tiny) centroid frame, truncating the iterative lineage (same
+    * lesson as [[Dedup.duplicateClusters]]: persist caches data, not
+    * plans). Returns (centroid_id: long, centroid: array<double>).
+    */
+  def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iterations: Int = 5): DataFrame = {
+    require(k > 0 && iterations >= 0, "k and iterations must be positive")
+    registered(corpus)
+    def vecOf(row: org.apache.spark.sql.Row): Array[Double] =
+      row.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray
+    val base = corpus.select(col(idCol), col(vecCol))
+    val first = base.orderBy(col(idCol)).limit(1).collect()(0)
+    val chosen = scala.collection.mutable.ArrayBuffer(vecOf(first))
+    while (chosen.length < k) {
+      val sims = chosen.toSeq.map(c => fastCosine(col(vecCol), lit(c)))
+      val maxSim = if (sims.length == 1) sims.head else greatest(sims: _*)
+      val next = base.orderBy(maxSim.asc, col(idCol).asc).limit(1).collect()(0)
+      chosen += vecOf(next)
+    }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    var cent = corpus.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            chosen.toSeq.zipWithIndex.map { case (v, i) =>
+              org.apache.spark.sql.Row(i.toLong, v.toSeq)
+            }).asJava),
+        centSchema)
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < iterations) {
+      val assigned = ivfAssign(corpus, idCol, vecCol,
+        cent, "centroid_id", "centroid")
+      val updated = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy(col("centroid_id"), col("__d"))
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__d"), col("__m")))),
+          s => s.getField("__m")).as("centroid"))
+      // keep centroids whose cluster emptied out (rare) from vanishing:
+      // fall back to the previous position via left join
+      cent = cent.select(col("centroid_id"), col("centroid").as("__prev"))
+        .join(updated, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("centroid"), col("__prev")).as("centroid"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    cent
+  }
+
   /** Assign each vector to its nearest centroid by cosine (ties → lowest
     * centroid id). One broadcast join + window over |centroids| scored
     * rows per vector; at scale this is the index build, and its output

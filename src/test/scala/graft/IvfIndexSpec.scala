@@ -4,6 +4,30 @@ import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 
 class IvfIndexSpec extends SparkSpec {
+
+  test("fitCentroids: Lloyd's iterations separate well-clustered vectors") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions._
+    // 3 tight clusters around orthogonal axes
+    def v(axis: Int, wobble: Float): Array[Float] = {
+      val a = Array.fill(6)(wobble); a(axis) = 1.0f; a
+    }
+    val corpus = (0 until 30).map { i =>
+      (i.toLong, v(i % 3, 0.01f * (i / 3)))
+    }.toDF("vec_id", "embedding")
+    val cent = Similarity.fitCentroids(corpus, "vec_id", "embedding",
+      k = 3, iterations = 4)
+    assert(cent.count() == 3)
+    // every vector's nearest fitted centroid groups it with its own axis
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+        cent, "centroid_id", "centroid")
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect()
+    val byAxis = assigned.groupBy(_._1 % 3).values.map(_.map(_._2).toSet)
+    assert(byAxis.forall(_.size == 1), s"mixed clusters: $byAxis")
+    assert(byAxis.flatten.toSet.size == 3)
+  }
   import spark.implicits._
 
   private def vecs = {
