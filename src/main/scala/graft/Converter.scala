@@ -150,9 +150,7 @@ object Converter {
           s""""bad_images":${result.badImages},""" +
           s""""split_counts":{${counts.toSeq.sortBy(_._1)
             .map { case (k, v) => s""""$k":$v""" }.mkString(",")}}}"""
-      java.nio.file.Files.write(
-        new java.io.File(jobDir, "job_summary.json").toPath,
-        summary.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Fs.writeString(Fs.join(jobDir, "job_summary.json"), summary)
 
       result
     } finally cached.unpersist()

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Driver-side artifact I/O over the Hadoop [[FileSystem]] API.
+  *
+  * Small job artifacts (vocab/scaler assets, `transformed_metadata/
+  * schema.json`, `job_summary.json`) and the loader's directory probes
+  * must work against whatever scheme the job dir lives on — `file://`,
+  * `hdfs://`, `s3a://` — exactly like the reference does via
+  * `tf.io.gfile` (/root/reference/tfrecorder/utils.py:109-119,
+  * dataset_loader.py:38-48). `java.io.File` silently binds them to the
+  * driver's local disk; every path here resolves its own FileSystem from
+  * the active session's Hadoop configuration instead, the same way the
+  * distributed writers already do (`TfRecord.write`, `ImageStage.load`).
+  *
+  * These helpers are for DRIVER-side, kilobyte-scale artifacts only —
+  * bulk data goes through Spark writers/readers.
+  */
+object Fs {
+
+  private def hadoopConf: Configuration =
+    SparkSession.active.sparkContext.hadoopConfiguration
+
+  private def fsFor(path: Path): FileSystem = path.getFileSystem(hadoopConf)
+
+  /** Join path segments under whatever scheme `dir` carries. */
+  def join(dir: String, child: String): String =
+    new Path(dir, child).toString
+
+  def exists(path: String): Boolean = {
+    val p = new Path(path)
+    fsFor(p).exists(p)
+  }
+
+  def isDirectory(path: String): Boolean = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  def mkdirs(path: String): Unit = {
+    val p = new Path(path)
+    fsFor(p).mkdirs(p)
+  }
+
+  /** Write a small text artifact (create-or-overwrite, UTF-8). */
+  def writeString(path: String, content: String): Unit = {
+    val p = new Path(path)
+    val out = fsFor(p).create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a small text artifact fully (UTF-8). */
+  def readString(path: String): String = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      new String(buf, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Non-recursive listing of a directory (empty if absent). */
+  def list(dir: String): Seq[FileStatus] = {
+    val p = new Path(dir)
+    val fs = fsFor(p)
+    if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty
+  }
+
+  /** File names (no path) in a directory whose name passes `pred`. */
+  def listNames(dir: String)(pred: String => Boolean): Seq[String] =
+    list(dir).filter(_.isFile).map(_.getPath.getName).filter(pred)
+
+  /** Open an output stream for a binary artifact (create-or-overwrite). */
+  def create(path: String): java.io.OutputStream = {
+    val p = new Path(path)
+    fsFor(p).create(p, true)
+  }
+}

@@ -14,12 +14,15 @@ import graft.operators.{ImageStage, SplitStage}
   */
 object Loader {
 
-  /** Directory validation (dataset_loader.py:38-48). */
+  /** Directory validation (dataset_loader.py:38-48). Probes go through
+    * the Hadoop [[Fs]] layer so a job dir on `hdfs://`/`s3a://` validates
+    * the same way a local one does (the reference uses `tf.io.gfile` for
+    * exactly this reason).
+    */
   def validateJobDir(dir: String): Unit = {
-    val d = new java.io.File(dir)
-    require(d.isDirectory, s"not a directory: $dir")
+    require(Fs.isDirectory(dir), s"not a directory: $dir")
     Seq("transformed_metadata", "transform_fn").foreach { sub =>
-      require(new java.io.File(d, sub).isDirectory,
+      require(Fs.isDirectory(Fs.join(dir, sub)),
         s"$dir does not contain a $sub directory — not a convert job output")
     }
   }
@@ -27,12 +30,9 @@ object Loader {
   /** Stored transformed schema (our schema.json ↔ the reference's
     * transformed_metadata/schema.pbtxt).
     */
-  def transformedSchema(dir: String): Schema = {
-    val f = new java.io.File(dir, "transformed_metadata/schema.json")
-    Schema.fromJson(new String(
-      java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8))
-  }
+  def transformedSchema(dir: String): Schema =
+    Schema.fromJson(
+      Fs.readString(Fs.join(dir, "transformed_metadata/schema.json")))
 
   /** Load every present split as a DataFrame, keyed TRAIN/VALIDATION/TEST
     * (dataset_loader.py:82-129). The stored schema drives the read so
@@ -41,29 +41,26 @@ object Loader {
   def load(spark: SparkSession, dir: String): Map[String, DataFrame] = {
     validateJobDir(dir)
     val schema = transformedSchema(dir)
-    val d = new java.io.File(dir)
-    val dataDir = new java.io.File(d, "data")
+    val dataDir = Fs.join(dir, "data")
+    // TFRecord shards sit at the job-dir top level with the split as the
+    // file prefix (the reference's glob, dataset_loader.py:52-69).
+    val topLevel = Fs.listNames(dir)(_.contains(".tfrecord"))
     SplitStage.outputSplits.flatMap { split =>
       val lower = split.toLowerCase
-      val parquetDir = new java.io.File(d, lower)
-      // TFRecord shards sit at the job-dir top level with the split as the
-      // file prefix (the reference's glob, dataset_loader.py:52-69).
-      val tfrShards = Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"$lower-") &&
-          f.getName.contains(".tfrecord"))
-      if (parquetDir.isDirectory)
-        Some(split -> spark.read.schema(schema.toStructType).parquet(
-          parquetDir.getAbsolutePath))
+      val parquetDir = Fs.join(dir, lower)
+      val tfrShards = topLevel.filter(_.startsWith(s"$lower-"))
+      if (Fs.isDirectory(parquetDir))
+        Some(split -> spark.read.schema(schema.toStructType)
+          .parquet(parquetDir))
       else if (tfrShards.nonEmpty)
         Some(split -> graft.sinks.TfRecord.read(
-          spark, s"$dir/$lower-*", schema.toStructType))
-      else if (new java.io.File(dataDir, s"${schema.splitKey}=$split")
-          .isDirectory)
+          spark, Fs.join(dir, s"$lower-*"), schema.toStructType))
+      else if (Fs.isDirectory(Fs.join(dataDir, s"${schema.splitKey}=$split")))
         // Single-pass partitioned layout (Sinks.writePartitionedBySplit):
         // the filter on the partition column becomes a partition-pruned
         // read — only this split's directory is scanned.
         Some(split -> spark.read.schema(schema.toStructType)
-          .parquet(dataDir.getAbsolutePath)
+          .parquet(dataDir)
           .filter(org.apache.spark.sql.functions.col(schema.splitKey) === split))
       else None
     }.toMap
@@ -81,8 +78,7 @@ object Loader {
       s"split $split does not exist in $dir (has: ${datasets.keys.mkString(",")})")
     val df = datasets(split)
     val rows = df.limit(numRecords).collect()
-    val out = new java.io.File(outputDir)
-    out.mkdirs()
+    Fs.mkdirs(outputDir)
 
     val hasImage = df.columns.contains("image")
     val csvCols = df.columns.filterNot(_ == "image")
@@ -93,9 +89,7 @@ object Loader {
         if (v == null) "" else v.toString
       }.mkString(",")).append("\n")
     }
-    java.nio.file.Files.write(
-      new java.io.File(out, "data.csv").toPath,
-      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Fs.writeString(Fs.join(outputDir, "data.csv"), sb.toString)
 
     if (hasImage) rows.zipWithIndex.foreach { case (r, i) =>
       val b64 = r.getAs[String]("image")
@@ -107,10 +101,12 @@ object Loader {
           r.getAs[Long]("image_channels").toInt)
         val name = Option(r.getAs[String]("image_name"))
           .getOrElse(s"image_$i.png")
-        javax.imageio.ImageIO.write(img, "png",
-          new java.io.File(out, name.replaceAll("\\.[^.]+$", "") + ".png"))
+        val out = Fs.create(
+          Fs.join(outputDir, name.replaceAll("\\.[^.]+$", "") + ".png"))
+        try javax.imageio.ImageIO.write(img, "png", out)
+        finally out.close()
       }
     }
-    out.getAbsolutePath
+    outputDir
   }
 }

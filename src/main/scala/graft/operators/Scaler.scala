@@ -71,29 +71,26 @@ object Scaler {
     * assets so the loader's validation logic is shared.
     */
   def writeAssets(model: ScalerModel, transformFnDir: String): Unit = {
-    val assetsDir = new java.io.File(transformFnDir, "assets")
-    assetsDir.mkdirs()
+    val assetsDir = graft.Fs.join(transformFnDir, "assets")
+    graft.Fs.mkdirs(assetsDir)
     model.stats.foreach { case (c, s) =>
-      java.nio.file.Files.write(
-        new java.io.File(assetsDir, s"scaler_${graft.AssetNames.encode(c)}").toPath,
-        s"${s.mean} ${s.std} ${s.n}".getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
+      graft.Fs.writeString(
+        graft.Fs.join(assetsDir, s"scaler_${graft.AssetNames.encode(c)}"),
+        s"${s.mean} ${s.std} ${s.n}")
     }
   }
 
   /** Read scaler assets back into a model. */
   def readAssets(spark: SparkSession, transformFnDir: String): ScalerModel = {
-    val assetsDir = new java.io.File(transformFnDir, "assets")
-    val files = Option(assetsDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("scaler_"))
-    ScalerModel(files.map { f =>
-      val parts = new String(
-        java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+    val assetsDir = graft.Fs.join(transformFnDir, "assets")
+    val names = graft.Fs.listNames(assetsDir)(_.startsWith("scaler_"))
+    ScalerModel(names.map { name =>
+      val path = graft.Fs.join(assetsDir, name)
+      val parts = graft.Fs.readString(path).trim.split(" ")
       require(parts.length == 3,
-        s"malformed scaler asset ${f.getAbsolutePath}: expected " +
+        s"malformed scaler asset $path: expected " +
           s"'mean std n', got ${parts.length} fields")
-      graft.AssetNames.decode(f.getName.stripPrefix("scaler_")) ->
+      graft.AssetNames.decode(name.stripPrefix("scaler_")) ->
         ScalerModel.ColStats(parts(0).toDouble, parts(1).toDouble,
           parts(2).toLong)
     }.toMap)

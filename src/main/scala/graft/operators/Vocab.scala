@@ -105,28 +105,23 @@ object Vocab {
     * (transform_fn/assets/vocab_compute_and_apply_vocabulary_vocabulary).
     */
   def writeAssets(model: VocabModel, transformFnDir: String): Unit = {
-    val assetsDir = new java.io.File(transformFnDir, "assets")
-    assetsDir.mkdirs()
+    val assetsDir = graft.Fs.join(transformFnDir, "assets")
+    graft.Fs.mkdirs(assetsDir)
     model.vocabs.foreach { case (column, _) =>
       val terms = model.terms(column)
-      val f = new java.io.File(assetsDir, s"vocab_${graft.AssetNames.encode(column)}")
-      java.nio.file.Files.write(
-        f.toPath,
-        terms.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      graft.Fs.writeString(
+        graft.Fs.join(assetsDir, s"vocab_${graft.AssetNames.encode(column)}"),
+        terms.mkString("\n"))
     }
   }
 
   /** Read vocab assets back into a model. */
   def readAssets(spark: SparkSession, transformFnDir: String): VocabModel = {
-    val assetsDir = new java.io.File(transformFnDir, "assets")
-    val files = Option(assetsDir.listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.startsWith("vocab_"))
-    val vocabs = files.map { f =>
-      val column = graft.AssetNames.decode(f.getName.stripPrefix("vocab_"))
-      val terms = new String(
-        java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
+    val assetsDir = graft.Fs.join(transformFnDir, "assets")
+    val names = graft.Fs.listNames(assetsDir)(_.startsWith("vocab_"))
+    val vocabs = names.map { name =>
+      val column = graft.AssetNames.decode(name.stripPrefix("vocab_"))
+      val terms = graft.Fs.readString(graft.Fs.join(assetsDir, name))
         .split("\n", -1).toSeq.filter(_.nonEmpty)
       import spark.implicits._
       column -> terms.zipWithIndex

@@ -95,13 +95,11 @@ object Sinks {
     */
   def writeTransformArtifacts(model: VocabModel, schema: Schema,
                               jobDir: String): Unit = {
-    Vocab.writeAssets(model, s"$jobDir/transform_fn")
-    val metaDir = new java.io.File(jobDir, "transformed_metadata")
-    metaDir.mkdirs()
-    java.nio.file.Files.write(
-      new java.io.File(metaDir, "schema.json").toPath,
-      schema.transformedSchema.toJson
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Vocab.writeAssets(model, graft.Fs.join(jobDir, "transform_fn"))
+    val metaDir = graft.Fs.join(jobDir, "transformed_metadata")
+    graft.Fs.mkdirs(metaDir)
+    graft.Fs.writeString(graft.Fs.join(metaDir, "schema.json"),
+      schema.transformedSchema.toJson)
   }
 
   /** Case-normalize helper for loaders reading `partitionBy` output. */
