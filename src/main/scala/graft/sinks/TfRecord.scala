@@ -336,29 +336,23 @@ object TfRecord {
     * `<dir>/<prefix>-NNNNN-of-MMMMM.tfrecord[.gz]` — the reference's
     * shard naming (converter.py/beam output convention). numShards == 0
     * keeps the current partitioning (the reference's "runner decides").
+    *
+    * Delegates to the engine's DataSourceV2 writer
+    * ([[graft.sources.TfRecordDataSource]], format "graft-tfrecord"):
+    * every task attempt writes to an attempt-unique staging file, the
+    * output commit coordinator admits one attempt per partition, and the
+    * job-level commit renames winners to their final names — so
+    * speculative execution / task retries can never corrupt a shard and a
+    * failed job publishes nothing.
     */
   def write(df: DataFrame, dir: String, prefix: String,
             numShards: Int = 0, gzip: Boolean = true): Unit = {
     val shaped = if (numShards > 0) df.repartition(numShards) else df
-    val schema = shaped.schema
-    val n = shaped.rdd.getNumPartitions
-    val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
-    val confSer = new org.apache.spark.util.SerializableConfiguration(
-      df.sparkSession.sparkContext.hadoopConfiguration)
-    shaped.rdd.mapPartitionsWithIndex { case (idx, rows) =>
-      val name = f"$prefix-$idx%05d-of-$n%05d$suffix"
-      val path = new org.apache.hadoop.fs.Path(dir, name)
-      val fs = path.getFileSystem(confSer.value)
-      val raw: OutputStream = fs.create(path, true)
-      val out = new DataOutputStream(
-        if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw)
-      var count = 0L
-      try rows.foreach { row =>
-        out.write(frame(encodeExample(row, schema)))
-        count += 1
-      } finally out.close()
-      Iterator.single(count)
-    }.count(): Unit
+    shaped.write.format("graft-tfrecord")
+      .option("prefix", prefix)
+      .option("gzip", gzip.toString)
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .save(dir)
   }
 
   /** Read TFRecord files back into a DataFrame with the given schema

@@ -7,9 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -17,23 +18,33 @@ import org.apache.spark.util.SerializableConfiguration
 
 import graft.sinks.TfRecord
 
-/** DataSourceV2 reader for the TFRecord format:
-  * `spark.read.format("graft-tfrecord").schema(s).load(pathGlob)`.
+/** DataSourceV2 reader AND writer for the TFRecord format:
+  * `spark.read.format("graft-tfrecord").schema(s).load(pathGlob)` /
+  * `df.write.format("graft-tfrecord").option("prefix", p).save(dir)`.
   *
-  * The scan-side twin of [[graft.sinks.TfRecord.write]] and the engine's
-  * native answer to the reference's `dataset_loader.load`
-  * (/root/reference/tfrecorder/dataset_loader.py:82-129): the
-  * user-supplied schema drives parsing exactly like the reference's
-  * transformed feature spec drives `parse_single_example`, and
-  * compression is inferred from the file extension (`.gz` → GZIP).
+  * The native answer to the reference's `dataset_loader.load` and Beam
+  * TFRecord sink (/root/reference/tfrecorder/dataset_loader.py:82-129,
+  * beam_pipeline.py:283-322): the user-supplied schema drives parsing
+  * exactly like the reference's transformed feature spec drives
+  * `parse_single_example`, and compression is inferred from the file
+  * extension (`.gz` → GZIP, `.zlib` → raw zlib).
   *
-  * Scale shape: one input partition per file (TFRecord framing has no
-  * sync markers, and gzip streams aren't splittable, so per-file is the
+  * Scale shape (read): one input partition per file (TFRecord framing has
+  * no sync markers, and gzip streams aren't splittable, so per-file is the
   * correct split granularity — the reference's own sharding model:
   * parallelism = shard count). Records stream through the partition
   * reader one at a time — no whole-file buffering. Column pruning is
   * pushed into the proto parser: pruned columns are never decoded, only
   * skipped at the wire-format level.
+  *
+  * Commit safety (write): each task attempt writes to an attempt-unique
+  * file under `<dir>/_temporary-<queryId>/`; Spark's output commit
+  * coordinator authorizes exactly one attempt per partition to commit,
+  * and the job-level commit renames the winners to their final
+  * `<prefix>-NNNNN-of-MMMMM` names. Speculative or retried attempts can
+  * never interleave bytes in a visible file, and a failed job leaves no
+  * partial output at final paths — the guarantees a plain
+  * `fs.create(path, overwrite)` per task cannot give.
   */
 class TfRecordDataSource extends TableProvider with DataSourceRegister {
 
@@ -53,7 +64,7 @@ class TfRecordDataSource extends TableProvider with DataSourceRegister {
 }
 
 final class TfRecordTable(schema: StructType, properties: Map[String, String])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
     s"graft-tfrecord(${properties.getOrElse("path", "")})"
@@ -61,10 +72,14 @@ final class TfRecordTable(schema: StructType, properties: Map[String, String])
   override def schema(): StructType = schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TfRecordScanBuilder(schema, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TfRecordWriteBuilder(info)
 }
 
 final class TfRecordScanBuilder(fullSchema: StructType,
@@ -139,7 +154,12 @@ final class TfRecordPartitionReader(path: String, schema: StructType,
   private val stream: java.io.InputStream = {
     val p = new Path(path)
     val raw = p.getFileSystem(confSer.value).open(p)
-    if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+    // Compression inferred from the extension like the reference
+    // (dataset_loader.py:72-79: '.gz' → GZIP, '.zlib' → ZLIB).
+    if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+    else if (path.endsWith(".zlib"))
+      new java.util.zip.InflaterInputStream(raw)
+    else raw
   }
   private val records = TfRecord.readRecords(stream)
   private val wanted = schema.fieldNames.toSet
@@ -150,4 +170,131 @@ final class TfRecordPartitionReader(path: String, schema: StructType,
     serializer(TfRecord.decodeExample(records.next(), schema, wanted)).copy()
 
   override def close(): Unit = stream.close()
+}
+
+// ---- write side ---------------------------------------------------------
+
+final class TfRecordWriteBuilder(info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  // Final files are replaced name-for-name at commit; a truncating
+  // overwrite needs no extra pre-delete pass beyond that.
+  override def truncate(): WriteBuilder = this
+
+  override def build(): Write = new TfRecordWrite(info)
+}
+
+final class TfRecordWrite(info: LogicalWriteInfo) extends Write {
+  override def toBatch: BatchWrite = {
+    val opts = info.options()
+    val dir = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-tfrecord needs a path"))
+    val prefix = Option(opts.get("prefix")).getOrElse("part")
+    val gzip = Option(opts.get("gzip")).forall(_.toBoolean)
+    new TfRecordBatchWrite(dir, prefix, gzip, info.schema(), info.queryId())
+  }
+}
+
+private[graft] final case class TfRecordCommitMessage(
+    partitionId: Int, tempPath: String, finalName: String)
+  extends WriterCommitMessage
+
+final class TfRecordBatchWrite(dir: String, prefix: String, gzip: Boolean,
+                               schema: StructType, queryId: String)
+    extends BatchWrite {
+
+  private val confSer = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext
+      .hadoopConfiguration)
+
+  private def staging = new Path(dir, s"_temporary-$queryId")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new TfRecordWriterFactory(staging.toString, prefix, gzip, schema,
+      info.numPartitions(), confSer)
+
+  // useCommitCoordinator defaults to true: exactly one attempt per
+  // partition is authorized to commit, so `messages` holds one winner
+  // per partition — the only files the job-level commit publishes.
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(confSer.value)
+    messages.foreach {
+      case TfRecordCommitMessage(_, tempPath, finalName) =>
+        val tmp = new Path(tempPath)
+        val fin = new Path(d, finalName)
+        if (fs.exists(fin)) fs.delete(fin, false)
+        if (!fs.rename(tmp, fin))
+          throw new java.io.IOException(
+            s"graft-tfrecord commit: rename failed $tmp -> $fin")
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message: $other")
+    }
+    fs.delete(staging, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = staging.getFileSystem(confSer.value)
+    fs.delete(staging, true)
+  }
+}
+
+final class TfRecordWriterFactory(stagingDir: String, prefix: String,
+                                  gzip: Boolean, schema: StructType,
+                                  numPartitions: Int,
+                                  confSer: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new TfRecordDataWriter(stagingDir, prefix, gzip, schema, numPartitions,
+      partitionId, taskId, confSer)
+}
+
+/** Per-attempt writer: all bytes go to an attempt-unique staging file
+  * (`<final-name>.task-<taskId>`), so two concurrent attempts of the same
+  * partition can never interleave. The file becomes visible only via the
+  * driver-side rename in [[TfRecordBatchWrite.commit]].
+  */
+final class TfRecordDataWriter(stagingDir: String, prefix: String,
+                               gzip: Boolean, schema: StructType,
+                               numPartitions: Int, partitionId: Int,
+                               taskId: Long,
+                               confSer: SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+
+  private val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
+  private val finalName =
+    f"$prefix-$partitionId%05d-of-$numPartitions%05d$suffix"
+  private val tempPath = new Path(stagingDir, s"$finalName.task-$taskId")
+
+  private val deserializer =
+    ExpressionEncoder(RowEncoder.encoderFor(schema))
+      .resolveAndBind().createDeserializer()
+
+  // Created eagerly: an empty partition still produces its shard, keeping
+  // the NNNNN-of-MMMMM sequence gap-free (the reference's shards are
+  // count-complete too).
+  private val out = {
+    val raw: java.io.OutputStream =
+      tempPath.getFileSystem(confSer.value).create(tempPath, true)
+    new java.io.DataOutputStream(
+      if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw)
+  }
+
+  override def write(record: InternalRow): Unit =
+    out.write(TfRecord.frame(
+      TfRecord.encodeExample(deserializer(record), schema)))
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    TfRecordCommitMessage(partitionId, tempPath.toString, finalName)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => }
+    tempPath.getFileSystem(confSer.value).delete(tempPath, false)
+  }
+
+  override def close(): Unit = ()
 }

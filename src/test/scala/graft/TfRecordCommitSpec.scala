@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.apache.spark.sql.types._
+
+import graft.sinks.TfRecord
+import graft.sources.{TfRecordBatchWrite, TfRecordDataWriter, TfRecordWriterFactory}
+import org.apache.spark.util.SerializableConfiguration
+
+/** Commit-protocol guarantees of the graft-tfrecord DSv2 writer: a
+  * duplicated (speculative/retried) task attempt cannot corrupt or
+  * duplicate records, and an aborted job publishes nothing. The races are
+  * simulated deterministically by driving the writer components directly —
+  * two writers for the same partition, commit one, abort the other — which
+  * is exactly the sequence Spark's output commit coordinator enforces.
+  */
+class TfRecordCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def rows(tag: String, n: Int): Seq[InternalRow] = {
+    val ser = ExpressionEncoder(RowEncoder.encoderFor(schema))
+      .createSerializer()
+    (0 until n).map(i =>
+      ser(org.apache.spark.sql.Row(i.toLong, s"$tag-$i")).copy())
+  }
+
+  private def visibleFiles(dir: String): Seq[String] =
+    Fs.list(dir).filter(_.isFile).map(_.getPath.getName).sorted
+
+  test("duplicate attempts of one partition: one winner, no interleaving") {
+    val dir = tmpDir("tfr-commit")
+    val confSer = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val batch = new TfRecordBatchWrite(dir, "train", false, schema, "q-dup")
+    val factory = new TfRecordWriterFactory(
+      Fs.join(dir, "_temporary-q-dup"), "train", false, schema,
+      numPartitions = 1, confSer)
+
+    // Two concurrent attempts of partition 0 — both write all their bytes.
+    val attempt1 = factory.createWriter(0, taskId = 11)
+    val attempt2 = factory.createWriter(0, taskId = 22)
+    rows("first", 3).foreach(attempt1.write)
+    rows("second", 3).foreach(attempt2.write)
+
+    // Coordinator admits attempt2; attempt1 is told to abort.
+    val winner = attempt2.commit()
+    attempt1.abort()
+    batch.commit(Array[WriterCommitMessage](winner))
+
+    assert(visibleFiles(dir) == Seq("train-00000-of-00001.tfrecord"))
+    val back = TfRecord.read(spark, Fs.join(dir, "train-*"), schema)
+      .select("v").as[String].collect().sorted.toSeq
+    assert(back == Seq("second-0", "second-1", "second-2"))
+  }
+
+  test("job abort publishes nothing, even after tasks committed") {
+    val dir = tmpDir("tfr-abort")
+    val confSer = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val batch = new TfRecordBatchWrite(dir, "train", true, schema, "q-abort")
+    val factory = new TfRecordWriterFactory(
+      Fs.join(dir, "_temporary-q-abort"), "train", true, schema,
+      numPartitions = 2, confSer)
+
+    val w0 = factory.createWriter(0, taskId = 1)
+    rows("a", 2).foreach(w0.write)
+    val m0 = w0.commit()
+    val w1 = factory.createWriter(1, taskId = 2)
+    rows("b", 2).foreach(w1.write)
+    w1.abort() // task 1 dies; job aborts
+
+    batch.abort(Array[WriterCommitMessage](m0))
+    assert(visibleFiles(dir).isEmpty)
+    assert(!Fs.exists(Fs.join(dir, "_temporary-q-abort")))
+  }
+
+  test("end-to-end DSv2 write: gap-free shards, no staging residue") {
+    val dir = tmpDir("tfr-e2e")
+    val df = (0L until 20L).toDF("id").withColumn("v",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("r"),
+        org.apache.spark.sql.functions.col("id")))
+    TfRecord.write(df.repartition(3), dir, "train", gzip = false)
+
+    val names = visibleFiles(dir)
+    assert(names == Seq("train-00000-of-00003.tfrecord",
+      "train-00001-of-00003.tfrecord", "train-00002-of-00003.tfrecord"))
+    val schema2 = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val back = TfRecord.read(spark, s"$dir/train-*", schema2)
+    assert(back.count() == 20)
+    assert(back.select("id").distinct().count() == 20)
+    // No staging residue.
+    assert(Fs.list(dir).forall(_.isFile))
+  }
+
+  test("end-to-end failed job publishes no partial output") {
+    val dir = tmpDir("tfr-fail")
+    val df = (0L until 10L).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.lit("x"))
+      .repartition(2)
+      .map { r =>
+        if (r.getLong(0) == 7L) throw new RuntimeException("boom")
+        (r.getLong(0), r.getString(1))
+      }.toDF("id", "v")
+    intercept[Exception] {
+      TfRecord.write(df, dir, "train", gzip = false)
+    }
+    // The other partition may have committed its task — but the failed
+    // job's abort must leave nothing visible at final paths.
+    assert(visibleFiles(dir).isEmpty)
+  }
+}
