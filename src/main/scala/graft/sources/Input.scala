@@ -19,13 +19,22 @@ import graft.Schema
   */
 object Input {
 
-  /** How to treat the first CSV line, mirroring pandas' header arg. */
+  /** How to treat the first CSV line, mirroring pandas' header arg
+    * (the reference passes it straight through, converter.py:177-187:
+    * `'infer'`, `None`, or an int row index).
+    */
   sealed trait Header
   object Header {
     /** First row is the header (pandas 'infer' with names=None). */
     case object Infer extends Header
     /** No header row; column names must come from `names` or default. */
     case object None extends Header
+    /** Row `index` (0-based) is the header; rows before it are preamble
+      * and skipped (pandas `header=<int>`). `Row(0)` ≡ [[Infer]].
+      */
+    final case class Row(index: Int) extends Header {
+      require(index >= 0, s"header row index must be >= 0, got $index")
+    }
   }
 
   /** Read a CSV into a typed DataFrame.
@@ -33,6 +42,8 @@ object Input {
     * - header=Infer, names=None  → first row is the header.
     * - header=None,  names=None  → headerless; default image-CSV names
     *   (converter.py:183-185).
+    * - header=Row(n) → row n is the header; rows 0..n-1 are preamble and
+    *   skipped (pandas `header=<int>`, passed through by converter.py:186).
     * - names given → they override/assign column names (converter.py:186).
     *
     * When the resulting names match `schema`, the read is schema-typed so
@@ -46,12 +57,32 @@ object Input {
       case (Header.None, None) => Some(Schema.imageCsvSchema.columnNames)
       case (_, n) => n
     }
+    val hasHeaderRow = header match {
+      case Header.None => false
+      case _ => true
+    }
     val reader = spark.read
-      .option("header", header == Header.Infer)
+      .option("header", hasHeaderRow)
       .option("mode", "PERMISSIVE")
-    val base = (schema, effectiveNames) match {
-      case (Some(s), _) => reader.schema(s.toStructType).csv(path)
-      case (None, _) => reader.csv(path)
+    val typed = schema match {
+      case Some(s) => reader.schema(s.toStructType)
+      case None => reader
+    }
+    val base = header match {
+      case Header.Row(n) if n > 0 =>
+        // Drop the preamble lines, keeping line order: zipWithIndex is a
+        // per-partition count + offset (one lightweight extra job), the
+        // filter is distributed, and the CSV parse runs on the remaining
+        // lines with row n as the header. Preamble skipping is a
+        // head-of-file semantic, so the bounded extra pass is the cost of
+        // exactness — bulk ingest at scale uses headerless CSV or parquet.
+        val body = spark.createDataset(
+          spark.sparkContext.textFile(path)
+            .zipWithIndex()
+            .filter(_._2 >= n.toLong)
+            .map(_._1))(org.apache.spark.sql.Encoders.STRING)
+        typed.csv(body)
+      case _ => typed.csv(path)
     }
     effectiveNames match {
       case Some(n) =>

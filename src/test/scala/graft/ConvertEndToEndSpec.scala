@@ -161,6 +161,36 @@ class ConvertEndToEndSpec extends SparkSpec {
     assert(renamed.columns.toSeq == Seq("a", "b", "c"))
   }
 
+  test("CSV header=Row(n) skips preamble rows (pandas int header)") {
+    val base = tmpDir("csv-rowidx")
+    val f = new File(base, "pre.csv")
+    java.nio.file.Files.write(f.toPath,
+      ("# exported 2026-01-01\n# source: somewhere\n" +
+        "split,image_uri,label\nTRAIN,/x.png,cat\nTEST,/y.png,goat\n").getBytes)
+
+    // Row(2): rows 0-1 are preamble, row 2 is the header.
+    val df = Input.readCsv(spark, f.getAbsolutePath,
+      header = Input.Header.Row(2))
+    assert(df.columns.toSeq == Seq("split", "image_uri", "label"))
+    assert(df.count() == 2)
+    assert(df.select("label").as[String].collect().toSet == Set("cat", "goat"))
+
+    // Row(0) ≡ Infer.
+    val h = new File(base, "h.csv")
+    java.nio.file.Files.write(h.toPath,
+      "split,image_uri,label\nTRAIN,/x.png,cat\n".getBytes)
+    val r0 = Input.readCsv(spark, h.getAbsolutePath,
+      header = Input.Header.Row(0))
+    assert(r0.columns.toSeq == Seq("split", "image_uri", "label"))
+    assert(r0.count() == 1)
+
+    // Row(n) + names: header row consumed, names override.
+    val named = Input.readCsv(spark, f.getAbsolutePath,
+      header = Input.Header.Row(2), names = Some(Seq("a", "b", "c")))
+    assert(named.columns.toSeq == Seq("a", "b", "c"))
+    assert(named.count() == 2)
+  }
+
   test("inspect dumps csv + reconstructed images") {
     val (csvPath, _) = buildFixture()
     val out = tmpDir("job-out3")

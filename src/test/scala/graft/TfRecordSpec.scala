@@ -72,6 +72,25 @@ class TfRecordSpec extends SparkSpec {
     }
   }
 
+  test(".zlib shards read back (extension-inferred, dataset_loader.py:72-79)") {
+    // Written by another tool with ZLIB record compression: frame the
+    // records, wrap in a raw zlib (deflate) stream, name it `.zlib`.
+    val dir = tmpDir("tfr-zlib")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val f = new java.io.File(dir, "ext-00000-of-00001.tfrecord.zlib")
+    val out = new java.util.zip.DeflaterOutputStream(
+      new java.io.FileOutputStream(f))
+    Seq("u", "v", "w").foreach { s =>
+      out.write(TfRecord.frame(TfRecord.encodeExample(
+        org.apache.spark.sql.Row(s), schema)))
+    }
+    out.close()
+    val back = TfRecord.read(spark, s"$dir/ext-*", schema)
+    assert(back.as[String].collect().sorted.toSeq == Seq("u", "v", "w"))
+  }
+
   test("DataSourceV2 format graft-tfrecord reads shards with column pruning") {
     import spark.implicits._
     import org.apache.spark.sql.types._
