@@ -37,6 +37,16 @@ object AssetNames {
     */
   def decode(token: String): String = {
     val out = new java.io.ByteArrayOutputStream
+    // Literal (non-escape) chars are batched and UTF-8-encoded as a
+    // string, not written as single low bytes: a legacy raw name with
+    // non-ASCII chars (or surrogate pairs) must survive the pass-through
+    // byte-identical, and `out` is interpreted as UTF-8 at the end.
+    val literal = new StringBuilder
+    def flushLiteral(): Unit = if (literal.nonEmpty) {
+      out.write(literal.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      literal.clear()
+    }
     var i = 0
     while (i < token.length) {
       val c = token.charAt(i)
@@ -44,13 +54,15 @@ object AssetNames {
         Character.digit(token.charAt(i + 1), 16) >= 0 &&
         Character.digit(token.charAt(i + 2), 16) >= 0
       if (isEscape) {
+        flushLiteral()
         out.write(Integer.parseInt(token.substring(i + 1, i + 3), 16))
         i += 3
       } else {
-        out.write(c.toInt)
+        literal.append(c)
         i += 1
       }
     }
+    flushLiteral()
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 }

@@ -790,6 +790,9 @@ object SparkEntry {
           |    '<IP>', 'g') AS redacted
           |FROM documents ORDER BY doc_id""".stripMargin,
 
+      // Start grid stops once a chunk reaches the last token
+      // (stop = len-overlap for overflowing docs, else one start) —
+      // mirrors TextAnalysis.chunk's trailing-subset-chunk rule.
       "q41_chunking" ->
         """WITH toks AS (
           |  SELECT doc_id,
@@ -800,7 +803,9 @@ object SparkEntry {
           |  SELECT doc_id,
           |    unnest([{'ci': s // 12, 'ct': array_to_string(t[s+1:s+16], ' '),
           |             'cn': least(16, len(t) - s)}
-          |            for s in range(0, len(t), 12)]) AS u
+          |            for s in range(0,
+          |              CASE WHEN len(t) <= 16 THEN 1 ELSE len(t) - 4 END,
+          |              12)]) AS u
           |  FROM toks WHERE len(t) > 0)
           |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
           |  CAST(u.cn AS BIGINT) AS chunk_tokens, u.ct AS chunk_text

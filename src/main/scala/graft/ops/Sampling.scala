@@ -26,13 +26,25 @@ object Sampling {
     * mix, so a different salt rotates essentially the whole sample (salt
     * added after the multiply would only flip keys within `salt` of the
     * threshold). Pure integer arithmetic — any engine replays it exactly
-    * (the verification oracle does). Keys beyond ~2^31 would overflow the
-    * multiply; hash the key first at that scale (the predicate composes
-    * with any long expression, e.g. `xxhash64`).
+    * (the verification oracle does).
+    *
+    * The modular product is computed in 16-bit limbs so no intermediate
+    * exceeds 2^49: a naive `(key + salt) * Multiplier` overflows Long for
+    * keys ≥ ~3.4e9, which under Spark 4's default ANSI mode throws at
+    * runtime. The limb form is congruent mod 2^32 for every key, so
+    * values in the pre-overflow range are unchanged (the oracle replay
+    * holds) and every 64-bit key now gets a defined decision. Only
+    * `key + salt` itself must stay within Long — true for any real id
+    * space.
     */
   def keepPredicate(key: Column, fraction: Double, salt: Long = 0L): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
-    pmod((key + salt) * Multiplier, lit(Mod)) < lit((fraction * Mod).toLong)
+    val x = pmod(key + salt, lit(Mod))               // < 2^32
+    val xh = shiftright(x, 16)                       // high 16 bits, < 2^16
+    val xl = pmod(x, lit(65536L))                    // low 16 bits
+    val mixed = pmod(
+      pmod(xh * Multiplier, lit(Mod)) * 65536L + xl * Multiplier, lit(Mod))
+    mixed < lit((fraction * Mod).toLong)
   }
 
   /** Deterministic ~`fraction` sample of `df` keyed by `keyCol`. */

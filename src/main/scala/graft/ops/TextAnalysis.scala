@@ -219,6 +219,14 @@ object TextAnalysis {
     * Returns (idCol, chunk_idx, chunk_tokens, chunk_text); documents
     * with no tokens produce no chunks.
     *
+    * Once a chunk reaches the last token, no further starts are
+    * generated: with overlap > 0 the naive stride grid can place one
+    * more start inside the final chunk, emitting a trailing chunk that
+    * is a pure subset of its predecessor (13 tokens, maxTokens=16,
+    * overlap=4 → starts {0, 12}; the 1-token chunk at 12 duplicates
+    * content downstream). The start bound is therefore
+    * `size - overlap - 1` when the document overflows one chunk, else 0.
+    *
     * Per-row projection + generator — zero shuffle, linear in corpus
     * size; chunk boundaries are a pure function of the token sequence,
     * so re-runs and engines agree (the oracle replays it).
@@ -229,11 +237,13 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < maxTokens,
       "overlap must be in [0, maxTokens)")
     val stride = maxTokens - overlap
+    val lastStart = when(size(col("__t")) <= maxTokens, lit(0))
+      .otherwise(size(col("__t")) - overlap - 1)
     df.select(col(idCol), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) > 0)
       .select(col(idCol),
         posexplode(transform(
-          sequence(lit(0), size(col("__t")) - 1, lit(stride)),
+          sequence(lit(0), lastStart, lit(stride)),
           s => struct(
             least(lit(maxTokens), size(col("__t")) - s).cast("long").as("cn"),
             array_join(slice(col("__t"), s + 1, lit(maxTokens)), " ").as("ct"))))

@@ -109,26 +109,40 @@ object StreamingOps {
             out
           } else {
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
-            var acc = state.getOption
-            // In-batch events may arrive unordered; process in time order.
-            // A late cross-batch event (within the watermark) can also
-            // predate the carried-over session: within `gap` BEFORE the
-            // session start it extends the session backwards; further out
-            // it is a session of its own (emitted closed immediately —
-            // anything adjacent to it is either already processed or
-            // would itself be beyond the lateness horizon).
-            events.map(_._2.getTime).toArray.sorted.foreach { t =>
+            // In-batch events may arrive unordered and can predate the
+            // carried-over session (late arrivals within the watermark).
+            // Treat every event as a 1-event interval, splice the carried
+            // session interval in by start order, and run one linear
+            // interval-merge pass: anything within `gap` of the running
+            // interval's end coalesces. This merges adjacent same-batch
+            // late events into one session (they'd each become a
+            // singleton under per-event routing), extends the carried
+            // session backwards when a late event lands within `gap` of
+            // its start, and closes an interval the moment the next one
+            // starts past the gap — a same-batch proof that no further
+            // event can join it. A late event adjacent only to a session
+            // emitted in an EARLIER batch still opens its own session:
+            // emitted rows are final (append mode), the accepted
+            // approximation for out-of-order input past emission.
+            val batch = events.map(_._2.getTime).toArray.sorted
+            val items: Iterator[SessionAcc] = state.getOption match {
+              case None => batch.iterator.map(t => SessionAcc(t, t, 1L))
+              case Some(a) =>
+                val (before, after) = batch.partition(_ < a.startMs)
+                before.iterator.map(t => SessionAcc(t, t, 1L)) ++
+                  Iterator.single(a) ++
+                  after.iterator.map(t => SessionAcc(t, t, 1L))
+            }
+            var acc: Option[SessionAcc] = None
+            items.foreach { it =>
               acc match {
-                case None => acc = Some(SessionAcc(t, t, 1L))
-                case Some(a) if t > a.lastMs + gapMs =>
-                  closed += close(user, a)
-                  acc = Some(SessionAcc(t, t, 1L))
-                case Some(a) if t < a.startMs - gapMs =>
-                  closed += SessionRow(user, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1L)
+                case Some(a) if it.startMs <= a.lastMs + gapMs =>
+                  acc = Some(SessionAcc(a.startMs,
+                    math.max(a.lastMs, it.lastMs), a.n + it.n))
                 case Some(a) =>
-                  acc = Some(SessionAcc(math.min(a.startMs, t),
-                    math.max(a.lastMs, t), a.n + 1))
+                  closed += close(user, a)
+                  acc = Some(it)
+                case None => acc = Some(it)
               }
             }
             acc.foreach { a =>

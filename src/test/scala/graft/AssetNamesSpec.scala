@@ -35,6 +35,14 @@ class AssetNamesSpec extends AnyFunSuite {
     assert(AssetNames.decode("a%2Fb") == "a/b") // real escape still decodes
   }
 
+  test("decode preserves legacy raw non-ASCII names byte-identically") {
+    // asset files written by earlier releases used raw column names; a
+    // non-ASCII name must pass through as UTF-8, not be low-byte-mangled
+    assert(AssetNames.decode("naïve日本語") == "naïve日本語")
+    assert(AssetNames.decode("emoji🙂col") == "emoji🙂col") // surrogate pair
+    assert(AssetNames.decode("café%2Fx") == "café/x") // mixed legacy + escape
+  }
+
   test("round-trips arbitrary strings, including unicode and separators") {
     val tricky = Gen.listOf(Gen.frequency(
       5 -> Gen.alphaNumStr.map(_.take(4)),

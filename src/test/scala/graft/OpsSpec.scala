@@ -189,20 +189,40 @@ class OpsSpec extends SparkSpec {
 
   test("chunking: overlapping token windows cover the doc; empty docs vanish") {
     val df = Seq(
-      (1L, "a b c d e f g"), // 7 tokens, max 3 overlap 1 → starts 0,2,4,6
+      (1L, "a b c d e f g"), // 7 tokens, max 3 overlap 1 → starts 0,2,4
       (2L, "x"),
       (3L, ""),
     ).toDF("id", "text")
     val out = TextAnalysis.chunk(df, "id", "text", maxTokens = 3, overlap = 1)
       .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // no start past 4: the chunk at 4 already reaches the last token, so
+    // a chunk at 6 ("g") would be a pure subset of it
     assert(out.toSeq == Seq(
       (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
-      (1L, 2L, 3L, "e f g"), (1L, 3L, 1L, "g"),
+      (1L, 2L, 3L, "e f g"),
       (2L, 0L, 1L, "x")))
     // every token index is covered by at least one chunk
     val covered = out.filter(_._1 == 1L).map(_._4.split(" ").toSet)
       .reduce(_ ++ _)
     assert(covered == Set("a", "b", "c", "d", "e", "f", "g"))
+  }
+
+  test("chunking never emits a chunk contained in its predecessor") {
+    // the ADVICE repro: 13 tokens, maxTokens=16, overlap=4 — the stride
+    // grid would place a second start at 12 whose 1-token chunk is a
+    // subset of chunk 0
+    val thirteen = (1 to 13).map(i => s"t$i").mkString(" ")
+    val one = TextAnalysis.chunk(Seq((1L, thirteen)).toDF("id", "text"),
+        "id", "text", maxTokens = 16, overlap = 4)
+      .as[(Long, Long, Long, String)].collect()
+    assert(one.toSeq == Seq((1L, 0L, 13L, thirteen)))
+    // 17 tokens DOES need the second chunk (token 17 is uncovered)
+    val seventeen = (1 to 17).map(i => s"t$i").mkString(" ")
+    val two = TextAnalysis.chunk(Seq((1L, seventeen)).toDF("id", "text"),
+        "id", "text", maxTokens = 16, overlap = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(two.length == 2 && two(1)._3 == 5L)
+    assert(two(1)._4 == (13 to 17).map(i => s"t$i").mkString(" "))
   }
 
   test("two-phase topTerms equals the single-window formulation, ties included") {
@@ -287,6 +307,22 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(counts.map(_._2).sum == 10000L)
     assert(counts.map(_._3).sum == a.size.toLong)
+  }
+
+  test("sampling keys beyond 2^32 neither overflow (ANSI) nor skew") {
+    // keys where the naive (key+salt)*2654435761 product exceeds Long —
+    // the limb-wise modular multiply must give the same answer as exact
+    // BigInt arithmetic and must not throw under ANSI mode
+    val base = (1L << 33) + 12345L
+    val df = spark.range(base, base + 4000).toDF("id")
+    val kept = Sampling.deterministicSample(df, "id", 0.25)
+      .as[Long].collect().toSet
+    val expected = (base until base + 4000).filter { k =>
+      (BigInt(k) * BigInt(2654435761L)).mod(BigInt(1L) << 32) <
+        BigInt((0.25 * (1L << 32).toDouble).toLong)
+    }.toSet
+    assert(kept == expected)
+    assert(math.abs(kept.size / 4000.0 - 0.25) < 0.05)
   }
 
   test("featureStage embeds payloads; vectors feed the ANN operators") {

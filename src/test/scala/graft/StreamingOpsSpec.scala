@@ -112,4 +112,35 @@ class StreamingOpsSpec extends SparkSpec {
       r._2 == ts("2026-01-01 11:59:30") && r._3 == ts("2026-01-01 12:00:00")
         && r._4 == 2L))
   }
+
+  test("stateful sessionization merges adjacent same-batch late events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val out = StreamingOps.sessionizeStateful(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gap = java.time.Duration.ofMinutes(1), watermarkDelay = "4 hours")
+    val query = out.writeStream.format("memory")
+      .queryName("sess_adjacent").outputMode("append").start()
+    try {
+      input.addData((1L, ts("2026-01-01 12:00:00")))
+      query.processAllAvailable()
+      // two late events 20s apart, both far before the carried session:
+      // they must coalesce into ONE 2-event session, not two singletons
+      input.addData(
+        (1L, ts("2026-01-01 10:30:00")), (1L, ts("2026-01-01 10:30:20")),
+        // and a third one past the gap from them → its own session
+        (1L, ts("2026-01-01 10:45:00")))
+      query.processAllAvailable()
+      input.addData((2L, ts("2026-01-01 20:00:00"))) // flush via watermark
+      query.processAllAvailable()
+    } finally query.stop()
+    val rows = spark.table("sess_adjacent")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().filter(_._1 == 1L).sortBy(_._2.getTime)
+    assert(rows.map(r => (r._2, r._3, r._4)).toSeq == Seq(
+      (ts("2026-01-01 10:30:00"), ts("2026-01-01 10:30:20"), 2L),
+      (ts("2026-01-01 10:45:00"), ts("2026-01-01 10:45:00"), 1L),
+      (ts("2026-01-01 12:00:00"), ts("2026-01-01 12:00:00"), 1L)))
+  }
 }
