@@ -27,6 +27,16 @@ object Cli {
     }.toMap
   }
 
+  /** Resolve `--schema` through the Hadoop [[Fs]] layer (not `java.nio`):
+    * the schema JSON may live on any scheme the job artifacts do
+    * (`hdfs://`, `s3a://`, ...). Defaults to the reference's image-CSV
+    * schema when absent, matching `tfrecorder convert`'s default.
+    */
+  private[graft] def schemaFrom(opts: Map[String, String]): Schema =
+    opts.get("schema")
+      .map(p => Schema.fromJson(Fs.readString(p)))
+      .getOrElse(Schema.imageCsvSchema)
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println("usage: graft.Cli convert|inspect --key value ...")
@@ -40,11 +50,7 @@ object Cli {
       case "convert" =>
         val source = opts.getOrElse("source",
           sys.error("convert needs --source <csv|image-dir>"))
-        val schema = opts.get("schema")
-          .map(p => Schema.fromJson(new String(
-            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
-            java.nio.charset.StandardCharsets.UTF_8)))
-          .getOrElse(Schema.imageCsvSchema)
+        val schema = schemaFrom(opts)
         val result = Converter.convert(spark,
           Right(source),
           schema,

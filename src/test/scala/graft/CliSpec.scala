@@ -18,6 +18,22 @@ class CliSpec extends SparkSpec {
     assert(summary.contains(""""DISCARD":1"""))
   }
 
+  test("--schema resolves through the Hadoop FileSystem, not java.nio") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockFs].getName)
+    val json = Schema(Seq(
+      "split" -> SupportedType.SplitKey,
+      "id" -> SupportedType.IntegerInput,
+      "label" -> SupportedType.StringLabel)).toJson
+    val path = "mockfs:" + tmpDir("cli-schema") + "/schema.json"
+    Fs.writeString(path, json)
+    // a java.nio read of a "mockfs:/..." path string would throw; the Fs
+    // route parses it back identically
+    val parsed = Cli.schemaFrom(Map("schema" -> path))
+    assert(parsed.toJson == json)
+    assert(Cli.schemaFrom(Map.empty).toJson == Schema.imageCsvSchema.toJson)
+  }
+
   test("CSV convert through the CLI front door produces a loadable job") {
     // Build a tiny structured CSV and drive Converter the way the CLI does
     // (Right(path) source dispatch + schema JSON round-trip).
