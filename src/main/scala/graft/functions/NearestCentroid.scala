@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Static kernel for [[NearestCentroid]], callable from generated code. */
+object VecOps {
+
+  /** Index of the centroid nearest to `arr` by cosine, ties → the earliest
+    * (centroids are pre-sorted by id ascending). Value semantics mirror
+    * the engine's cosine exactly ([[graft.ops.Similarity]].fastCosine):
+    * elements cast to double, dot products accumulated left-to-right,
+    * zero-norm pairs score 0.0. A centroid whose dimensionality differs
+    * from the row's scores null under the old formulation and therefore
+    * never wins; a row with a null element (or no scoring centroid at
+    * all) falls back to the lowest centroid id — the same row the old
+    * `row_number ... nulls last` ordering ranked first.
+    *
+    * elemKind: 0=float, 1=double, 2=int, 3=long.
+    */
+  def nearestCentroid(arr: ArrayData, elemKind: Int, ids: Array[Long],
+                      vecs: Array[Array[Double]],
+                      norms: Array[Double]): Long = {
+    val n = arr.numElements()
+    var i = 0
+    var daa = 0.0
+    while (i < n) {
+      if (arr.isNullAt(i)) return ids(0)
+      val x = elemKind match {
+        case 0 => arr.getFloat(i).toDouble
+        case 1 => arr.getDouble(i)
+        case 2 => arr.getInt(i).toDouble
+        case _ => arr.getLong(i).toDouble
+      }
+      daa += x * x
+      i += 1
+    }
+    val na = math.sqrt(daa)
+    var best = Double.NegativeInfinity
+    var bestId = ids(0)
+    var c = 0
+    while (c < vecs.length) {
+      val cv = vecs(c)
+      if (cv.length == n) {
+        var d = 0.0
+        i = 0
+        while (i < n) {
+          val x = elemKind match {
+            case 0 => arr.getFloat(i).toDouble
+            case 1 => arr.getDouble(i)
+            case 2 => arr.getInt(i).toDouble
+            case _ => arr.getLong(i).toDouble
+          }
+          d += x * cv(i)
+          i += 1
+        }
+        val nn = na * norms(c)
+        val s = if (nn == 0.0) 0.0 else d / nn
+        if (s > best) { best = s; bestId = ids(c) }
+      }
+      c += 1
+    }
+    bestId
+  }
+}
+
+/** `graft_nearest_centroid(vec, idsLiteral, vecsLiteral)`: the id of the
+  * centroid with the highest cosine similarity to `vec` (ties → lowest
+  * centroid id). The centroid set is captured at plan-construction time
+  * as expression state (a k×dim double matrix), shipped to executors
+  * once per stage inside the serialized plan — the codegen'd equivalent
+  * of a broadcast nearest-centroid map.
+  *
+  * This is the IVF assignment kernel: the old formulation
+  * (`crossJoin(broadcast(centroids))` + `row_number over (partition by
+  * id)`) expanded every corpus vector into k rows and shuffled the
+  * EXPANDED set through the window — a ~k×-corpus Exchange in the one
+  * pass that touches the whole corpus (the index build). This expression
+  * assigns in place: zero joins, zero shuffle, zero expansion, and the
+  * scan stays inside whole-stage codegen.
+  */
+case class NearestCentroid(child: Expression, ids: Array[Long],
+                           vecs: Array[Array[Double]])
+    extends UnaryExpression {
+  require(ids.nonEmpty && ids.length == vecs.length,
+    "graft_nearest_centroid needs a non-empty centroid set")
+  require((1 until ids.length).forall(i => ids(i - 1) < ids(i)),
+    "centroid ids must be strictly ascending (sorted, distinct)")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a numeric array, got ${other.simpleString}")
+  }
+
+  private def elemKind: Int = child.dataType match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case _ => 3
+  }
+
+  // Per-centroid sqrt(dot(c,c)), computed once per (de)serialized
+  // instance instead of once per row.
+  @transient private lazy val norms: Array[Double] =
+    vecs.map { cv =>
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+      math.sqrt(acc)
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    VecOps.nearestCentroid(input.asInstanceOf[ArrayData], elemKind, ids,
+      vecs, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
+    val vecsRef = ctx.addReferenceObj("centVecs", vecs, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = graft.functions.VecOps.nearestCentroid(
+         |  $arr, $elemKind, $idsRef, $vecsRef, $normsRef);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_centroid"
+}

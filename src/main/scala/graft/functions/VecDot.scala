@@ -167,6 +167,19 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_token_count takes (text)")
         TokenCountOf(exprs(0))
       }),
+    (FunctionIdentifier("graft_nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "graft_nearest_centroid takes (vec, idsLiteral, vecsLiteral)")
+        require(exprs(1).foldable && exprs(2).foldable,
+          "graft_nearest_centroid centroid ids/vectors must be literals")
+        val ids = exprs(1).eval().asInstanceOf[ArrayData].toLongArray()
+        val m = exprs(2).eval().asInstanceOf[ArrayData]
+        val vecs = Array.tabulate(m.numElements())(i =>
+          m.getArray(i).toDoubleArray())
+        NearestCentroid(exprs(0), ids, vecs)
+      }),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (exprs: Seq[Expression]) => {

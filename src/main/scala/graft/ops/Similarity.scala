@@ -174,42 +174,150 @@ object Similarity {
 
   // ---- IVF ---------------------------------------------------------------
 
+  /** Seeding modes for [[fitCentroids]]. */
+  val SeedMaximin = 0
+
+  /** Hash seeding: the k corpus vectors ranked lowest by a public LCG of
+    * their id — pure integer arithmetic any engine replays exactly
+    * (the verification oracle does). Cheap (one top-k scan), but a
+    * sampling mode: it can seed two identical vectors; prefer
+    * [[SeedMaximin]] when spread matters.
+    */
+  val SeedHash = 1
+
+  /** LCG rank used by [[SeedHash]] — `(1103515245·(id mod 2³¹) + 12345)
+    * mod 2³¹` (the POSIX rand constants, also used by the LSH plane
+    * generator's SQL-reproducible mode). The inner `mod 2³¹` keeps the
+    * product within Long for any 64-bit id (congruence is preserved).
+    */
+  private def lcgRank(id: Column): Column =
+    pmod(lit(1103515245L) * pmod(id.cast("long"), lit(2147483648L)) + 12345L,
+      lit(2147483648L))
+
+  /** Deterministic, distributed seed selection for [[fitCentroids]]:
+    * hash-sample a candidate pool of ~`oversample·k` vectors in ONE scan
+    * (the keep decision is a pure function of each row's id —
+    * partitioning-independent), then run farthest-point (maximin)
+    * selection over the POOL on the driver: first seed = the
+    * lexicographically-lowest distinct candidate vector, each next seed
+    * = the candidate least similar to every seed chosen so far (ties →
+    * the lexicographically-lower vector). This is the k-means‖ shape —
+    * it replaces k sequential full-corpus argmin scans (the previous
+    * formulation: O(k) jobs, each with an O(k·dim)-literal plan) with a
+    * constant number of scans plus driver-side refinement of a bounded
+    * pool.
+    *
+    * Driver cost is O(k·m·dim) flops over m = oversample·k candidates —
+    * compute, not coordination; no cluster round-trips inside the loop.
+    * Candidates are deduplicated by exact vector value, so seeds are
+    * distinct vectors; if the sample yields fewer than k distinct
+    * vectors, a distinct-vector fallback scan runs, and if the corpus
+    * itself has fewer than k distinct vectors the seed count is CAPPED
+    * at that number (no silently duplicated centroids).
+    */
+  private def maximinSeeds(base: DataFrame, idCol: String, vecCol: String,
+                           k: Int, oversample: Int): Array[Array[Double]] = {
+    val n = base.count()
+    require(n > 0, "fitCentroids: corpus is empty")
+    val m = math.max(oversample.toLong * k, 1024L)
+    val fraction = math.min(1.0, m.toDouble / n.toDouble)
+    // Distinct vectors in a canonical (content-lexicographic) order: the
+    // pool's order must not depend on collect order or on which row of a
+    // duplicate group survived.
+    def distinctSorted(rows: Array[org.apache.spark.sql.Row]): Array[Array[Double]] = {
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      rows.map(r => vecOfRow(r, 0))
+        .filter(v => seen.add(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(v)))
+        .sortBy(_.mkString(","))
+    }
+    val sampled = distinctSorted(base
+      .select(xxhash64(col(idCol)).cast("long").as("__sk"), col(vecCol))
+      .filter(Sampling.keepPredicate(col("__sk"), fraction, salt = k.toLong))
+      .select(col(vecCol))
+      .collect())
+    val pool =
+      if (sampled.length >= k) sampled
+      else distinctSorted(base // tiny/duplicate-heavy corpus
+        .select(col(vecCol)).dropDuplicates(vecCol)
+        .orderBy(col(vecCol)).limit(math.max(m, k.toLong).toInt)
+        .collect())
+    val kEff = math.min(k, pool.length)
+    // maximin over the pool, on normalized copies so similarity is a dot
+    val unit = pool.map { v =>
+      var na = 0.0; var i = 0
+      while (i < v.length) { na += v(i) * v(i); i += 1 }
+      val norm = math.sqrt(na)
+      if (norm == 0.0) v else v.map(_ / norm)
+    }
+    val taken = Array.fill(pool.length)(false)
+    val maxSim = Array.fill(pool.length)(Double.NegativeInfinity)
+    val chosenIdx = scala.collection.mutable.ArrayBuffer(0)
+    taken(0) = true
+    var last = 0
+    while (chosenIdx.length < kEff) {
+      var bestIdx = -1
+      var bestSim = Double.PositiveInfinity
+      var i = 0
+      while (i < pool.length) {
+        if (!taken(i)) {
+          val u = unit(last); val v = unit(i)
+          var s = 0.0
+          var j = 0
+          val lim = math.min(u.length, v.length)
+          while (j < lim) { s += u(j) * v(j); j += 1 }
+          if (s > maxSim(i)) maxSim(i) = s
+          // strictly-less keeps the earliest (lexicographically lowest)
+          // candidate on ties
+          if (maxSim(i) < bestSim) { bestSim = maxSim(i); bestIdx = i }
+        }
+        i += 1
+      }
+      chosenIdx += bestIdx
+      taken(bestIdx) = true
+      last = bestIdx
+    }
+    chosenIdx.map(pool).toArray
+  }
+
   /** Fit `k` centroids with distributed Lloyd's iterations (cosine
     * assignment, element-wise mean update) — the index-build step that
     * feeds [[ivfAssign]]/[[ivfIndexWrite]] when no centroid set exists
-    * yet. Deterministic: seeds come from farthest-point (maximin)
-    * selection — the first seed is the lowest-id vector, each next seed
-    * is the vector least similar to every seed chosen so far (ties →
-    * lowest id). That costs k driver-coordinated scans but cannot drop
-    * two seeds into one tight cluster the way random seeding can (and an
-    * index build runs once, with k ≪ corpus). Every update is an exact
-    * mean in a fixed dimension order.
+    * yet. Deterministic for a fixed corpus regardless of partitioning.
     *
-    * Scale shape: each iteration is one broadcast-join assignment scan +
-    * one (centroid, dim) aggregation — map-side combinable, shuffle
-    * width k·dim, never corpus-sized. Each round `localCheckpoint`s the
-    * (tiny) centroid frame, truncating the iterative lineage (same
-    * lesson as [[Dedup.duplicateClusters]]: persist caches data, not
-    * plans). Returns (centroid_id: long, centroid: array<double>).
+    * Seeding ([[SeedMaximin]] default): see [[maximinSeeds]] — one
+    * hash-sampled pool scan plus driver-side farthest-point refinement;
+    * seeds are distinct vectors and the seed count caps at the corpus's
+    * distinct-vector count. [[SeedHash]] instead takes the k vectors
+    * lowest by a public LCG of their id — one top-k scan, and exactly
+    * replayable in external SQL engines (the oracle does).
+    *
+    * Scale shape: each Lloyd iteration is one kernel assignment scan
+    * ([[ivfAssign]] — zero shuffle) + one (centroid, dim) aggregation —
+    * map-side combinable, shuffle width k·dim, never corpus-sized. Each
+    * round `localCheckpoint`s the (tiny) centroid frame, truncating the
+    * iterative lineage (same lesson as [[Dedup.duplicateClusters]]:
+    * persist caches data, not plans). Returns (centroid_id: long,
+    * centroid: array<double>).
     */
   def fitCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iterations: Int = 5): DataFrame = {
-    require(k > 0 && iterations >= 0, "k and iterations must be positive")
+                   k: Int, iterations: Int = 5,
+                   seeding: Int = SeedMaximin,
+                   oversample: Int = 8): DataFrame = {
+    require(k > 0 && iterations >= 0,
+      "k must be positive and iterations non-negative")
+    require(seeding == SeedMaximin || seeding == SeedHash,
+      s"unknown seeding mode $seeding")
     registered(corpus)
-    def vecOf(row: org.apache.spark.sql.Row): Array[Double] =
-      row.getSeq[Any](1).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: Number => n.doubleValue()
-      }.toArray
     val base = corpus.select(col(idCol), col(vecCol))
-    val first = base.orderBy(col(idCol)).limit(1).collect()(0)
-    val chosen = scala.collection.mutable.ArrayBuffer(vecOf(first))
-    while (chosen.length < k) {
-      val sims = chosen.toSeq.map(c => fastCosine(col(vecCol), lit(c)))
-      val maxSim = if (sims.length == 1) sims.head else greatest(sims: _*)
-      val next = base.orderBy(maxSim.asc, col(idCol).asc).limit(1).collect()(0)
-      chosen += vecOf(next)
+    val chosen: Array[Array[Double]] = seeding match {
+      case SeedHash =>
+        val rows = base
+          .orderBy(lcgRank(col(idCol)).asc, col(idCol).asc)
+          .limit(k).collect()
+        require(rows.nonEmpty, "fitCentroids: corpus is empty")
+        rows.map(r => vecOfRow(r, 1))
+      case _ => maximinSeeds(base, idCol, vecCol, k, oversample)
     }
     val centSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("centroid_id",
@@ -249,25 +357,53 @@ object Similarity {
     cent
   }
 
+  private[ops] def vecOfRow(row: org.apache.spark.sql.Row,
+                            idx: Int): Array[Double] =
+    row.getSeq[Any](idx).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray
+
+  /** Collect a (small, k-sized) centroid frame to the driver as
+    * id-ascending parallel arrays — the shape the
+    * [[graft.functions.NearestCentroid]] kernel captures.
+    */
+  private def collectCentroids(centroids: DataFrame, centIdCol: String,
+                               centVecCol: String): (Array[Long], Array[Array[Double]]) = {
+    val rows = centroids
+      .select(col(centIdCol).cast("long"), col(centVecCol))
+      .collect()
+    require(rows.nonEmpty, "centroid set is empty")
+    val sorted = rows.map(r => (r.getLong(0), vecOfRow(r, 1))).sortBy(_._1)
+    val ids = sorted.map(_._1)
+    require((1 until ids.length).forall(i => ids(i - 1) < ids(i)),
+      "centroid ids must be distinct")
+    (ids, sorted.map(_._2))
+  }
+
   /** Assign each vector to its nearest centroid by cosine (ties → lowest
-    * centroid id). One broadcast join + window over |centroids| scored
-    * rows per vector; at scale this is the index build, and its output
-    * is the partitioning key for the corpus layout.
+    * centroid id) through the codegen'd
+    * [[graft.functions.NearestCentroid]] kernel: the (small) centroid set
+    * is collected once and shipped inside the plan, and the assignment is
+    * a pure per-row projection — zero joins, zero shuffle, zero row
+    * expansion. At scale this is the index build (the one pass that
+    * touches the whole corpus), and its output is the partitioning key
+    * for the corpus layout. The earlier formulation
+    * (`crossJoin(broadcast)` + `row_number` window) k-plicated the corpus
+    * and shuffled the expanded set; this one scans it once in place.
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, centIdCol: String,
                 centVecCol: String): DataFrame = {
     registered(corpus)
-    val cent = broadcast(centroids.select(
-      col(centIdCol).as("centroid_id"), col(centVecCol).as("__centv")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__cscore").desc, col("centroid_id").asc)
-    corpus.select(col(idCol), col(vecCol))
-      .crossJoin(cent)
-      .withColumn("__cscore", fastCosine(col(vecCol), col("__centv")))
-      .withColumn("__crank", row_number().over(w))
-      .filter(col("__crank") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+    val (ids, vecs) = collectCentroids(centroids, centIdCol, centVecCol)
+    corpus.select(col(idCol), col(vecCol),
+      call_function("graft_nearest_centroid", col(vecCol),
+        typedLit(scala.collection.immutable.ArraySeq.unsafeWrapArray(ids)),
+        typedLit(vecs.map(v =>
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(v)).toSeq))
+        .as("centroid_id"))
   }
 
   /** Per-query probe lists: the `nprobe` nearest centroids by cosine

@@ -76,6 +76,117 @@ class IvfIndexSpec extends SparkSpec {
       s"expected partition pruning on centroid_id in:\n$explain")
   }
 
+  test("fitCentroids seeding is deterministic across partitionings") {
+    val corpus = (0 until 200).map { i =>
+      val a = Array.fill(6)(0.0f)
+      a(i % 6) = 1.0f + 0.01f * (i / 6)
+      a(( i + 1) % 6) = 0.05f * (i % 7)
+      (i.toLong, a)
+    }.toDF("vec_id", "embedding")
+    def centroidsOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.fitCentroids(df, "vec_id", "embedding", k = 4,
+          iterations = 2)
+        .orderBy("centroid_id")
+        .as[(Long, Seq[Double])].collect().toSeq
+    val a = centroidsOf(corpus)
+    val b = centroidsOf(corpus.repartition(17, col("vec_id")))
+    val c = centroidsOf(corpus.coalesce(1))
+    assert(a == b && b == c, s"partitioning changed the fit:\n$a\n$b\n$c")
+  }
+
+  test("fitCentroids guards: empty corpus fails, k > distinct caps") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.fitCentroids(empty, "vec_id", "embedding", k = 2)
+    }
+    assert(e.getMessage.contains("corpus is empty"), e.getMessage)
+
+    // 20 rows but only 2 distinct vectors: no duplicated centroids
+    val dupes = (0 until 20).map { i =>
+      (i.toLong, if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val cent = Similarity.fitCentroids(dupes, "vec_id", "embedding",
+        k = 5, iterations = 0)
+      .as[(Long, Seq[Double])].collect()
+    assert(cent.length == 2, s"expected cap at 2 distinct, got ${cent.length}")
+    assert(cent.map(_._2).toSet ==
+      Set(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+  }
+
+  test("hash seeding is a pure function of ids and caps at corpus size") {
+    val corpus = (0 until 50).map { i =>
+      (i.toLong, Array(i.toFloat, 1.0f))
+    }.toDF("vec_id", "embedding")
+    def seedsOf(df: org.apache.spark.sql.DataFrame, k: Int) =
+      Similarity.fitCentroids(df, "vec_id", "embedding", k,
+          iterations = 0, seeding = Similarity.SeedHash)
+        .orderBy("centroid_id")
+        .as[(Long, Seq[Double])].collect().toSeq
+    val a = seedsOf(corpus, 4)
+    val b = seedsOf(corpus.repartition(7), 4)
+    assert(a == b)
+    // the LCG ranking is replayable: recompute it here and cross-check
+    val expect = (0 until 50)
+      .sortBy(i => ((1103515245L * i + 12345L) % 2147483648L, i))
+      .take(4).map(i => Seq(i.toDouble, 1.0))
+    assert(a.map(_._2) == expect)
+    assert(seedsOf(corpus, 100).length == 50)
+  }
+
+  test("ivfAssign is a pure projection: no Exchange, no row expansion") {
+    val centroids = vecs.filter($"vec_id" % 10 === 0)
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding",
+      centroids, "vec_id", "embedding")
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"ivfAssign must not shuffle (old k-fold window shape):\n$plan")
+    assert(!plan.contains("Window"), s"ivfAssign must not window:\n$plan")
+    // assignment values: every vector lands on its own cluster's centroid
+    val got = assigned.select("vec_id", "centroid_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("nearest-centroid kernel matches the crossJoin+window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // adversarial vectors: ties, zero vectors, near-ties — the kernel must
+    // reproduce the old formulation's scores and tie-breaks exactly
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),       // zero norm → score 0 everywhere
+      (2L, Array(-1.0f, -1.0f, -1.0f)),
+      (3L, Array(0.5f, 0.5f, 0.0f)),       // equidistant from axes 0 and 1
+      (4L, Array(1e-8f, 2e-8f, 3e-8f)),
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (7L, Array(1.0, 0.0, 0.0)),
+      (8L, Array(0.0, 1.0, 0.0)),
+      (9L, Array(0.0, 0.0, 1.0)),
+    ).toDF("centroid_id", "centroid")
+    val fast = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+        cents, "centroid_id", "centroid")
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    // reference: the pre-kernel shape
+    val cent = broadcast(cents.select(col("centroid_id"),
+      col("centroid").as("__centv")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__cscore").desc, col("centroid_id").asc)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val slow = corpus.crossJoin(cent)
+      .withColumn("__cscore",
+        expr("""CASE WHEN sqrt(graft_vec_dot(embedding, embedding)) *
+                  sqrt(graft_vec_dot(__centv, __centv)) = 0 THEN 0.0
+                ELSE graft_vec_dot(embedding, __centv) /
+                  (sqrt(graft_vec_dot(embedding, embedding)) *
+                   sqrt(graft_vec_dot(__centv, __centv))) END"""))
+      .withColumn("__crank", row_number().over(w))
+      .filter(col("__crank") === 1)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(fast == slow, s"kernel=$fast windowed=$slow")
+  }
+
   test("ivfTopK agrees with brute force on clustered data") {
     val centroids = vecs.filter($"vec_id" % 10 === 0)
     val brute = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 11L),
