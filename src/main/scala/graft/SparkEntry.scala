@@ -69,6 +69,23 @@ object SparkEntry {
     Loader.load(spark, result.jobDir)(SplitStage.Train)
   }
 
+  /** documents ∪ 5 clones each of docs 0–2 (new ids 1000000+orig·10+j):
+    * the cloned-document input that makes the dedup skew guards FIRE —
+    * each clone group is 6 identical texts, so its shingles exceed any
+    * doc-freq cutoff < 6 and its LSH buckets exceed any size cap < 6.
+    * Derived inside the query (and replayed by the oracle) so the guard
+    * semantics are checked end to end on real table data.
+    */
+  private def clonedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select("doc_id", "text")
+    val clones = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), lit(5))).as("j"))
+      .select((lit(1000000) + col("doc_id") * 10 + col("j")).as("doc_id"),
+        col("text"))
+    docs.union(clones)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- split / partition stage (SURVEY §2.3, P5/T1/T2/T3/A1) ----
@@ -596,6 +613,58 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- skew guards under oracle check: the doc-frequency cutoff and
+    //      the LSH bucket cap, on input where they actually drop data ----
+
+    "q47_jaccard_capped" -> ((s, dir) => {
+      // maxShingleDocFreq=4 drops every clone-group shingle (df ≥ 6) and
+      // the base corpus's df 5–7 tail — the posting-list cutoff that
+      // bounds join fan-out at corpus scale, proven value-correct here.
+      Dedup.ngramJaccard(clonedDocs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8, maxShingleDocFreq = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q48_minhash_capped" -> ((s, dir) => {
+      // maxBucketSize=4 drops every bucket holding a 6-member clone
+      // group, so no clone pair can surface — the residual skew guard
+      // for massive duplicate clusters. The oracle replays the effect:
+      // exact all-pairs Jaccard minus pairs touching a capped group.
+      Dedup.minhashDuplicatesVerified(clonedDocs(s, dir), "doc_id", "text",
+          threshold = 0.8, shingleSize = 3, numHashes = 128, bands = 32,
+          maxBucketSize = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- persisted IVF index: write partitioned by centroid, answer
+    //      probes through the partition-pruned read path ----
+
+    "q49_ivf_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val indexDir = tmpDir("graft-ivf-index")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", indexDir)
+      Similarity.ivfTopKFromIndex(s, indexDir,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- fitted-centroid assignment: fitCentroids' SQL-replayable hash
+    //      seeding (LCG rank over ids) + the nearest-centroid kernel ----
+
+    "q50_ivf_fitted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = Similarity.fitCentroids(emb, "vec_id", "embedding",
+        k = 8, iterations = 0, seeding = Similarity.SeedHash)
+      Similarity.ivfAssign(emb, "vec_id", "embedding",
+          cent, "centroid_id", "centroid")
+        .select(col("vec_id"), col("centroid_id"))
+        .orderBy("vec_id")
+    }),
+
     // ---- image directory scan + extraction stage (SURVEY §2.1 S2/S4, §2.4
     //      I1-I5) on deterministic generated PNGs; Spark-side only (images
     //      are not DuckDB-readable) → rows-only check ----
@@ -679,6 +748,46 @@ object SparkEntry {
     val docsRoundtripSql =
       """SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin
+    // The cloned-documents corpus (see clonedDocs): docs 0-2 each gain 5
+    // identical-text clones under ids 1000000+orig*10+j.
+    val clonedDocsSql =
+      """SELECT doc_id, text FROM documents
+        |UNION ALL
+        |SELECT 1000000 + doc_id * 10 + j AS doc_id, text
+        |FROM documents, range(1, 6) r(j) WHERE doc_id < 3""".stripMargin
+    // IVF probe/assign/rank semantics over a fixed centroid set — shared
+    // by the in-memory (q35) and persisted (q49) paths, whose results
+    // must be identical.
+    val ivfSql =
+      s"""WITH cent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 43 = 0),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id
+         |  FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+         |          c.centroid_id ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cent c)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT query_id, qv, centroid_id FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "c.cv")} DESC,
+         |          c.centroid_id ASC) AS rn
+         |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5)
+         |  WHERE rn <= 3),
+         |ranked AS (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${cosSql("p.qv", "a.nv")} DESC,
+         |        a.neighbor_id ASC) AS BIGINT) AS rank
+         |  FROM probes p JOIN assigned a USING (centroid_id)
+         |  WHERE a.neighbor_id <> p.query_id)
+         |SELECT query_id, rank, neighbor_id FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
     Map(
       "q01_split_route" ->
@@ -1032,36 +1141,96 @@ object SparkEntry {
           |SELECT query_id, rank, neighbor_id FROM ranked
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-      "q35_ivf_ann" ->
-        s"""WITH cent AS (
-           |  SELECT vec_id AS centroid_id, embedding AS cv
-           |  FROM embeddings WHERE vec_id % 43 = 0),
-           |assigned AS (
-           |  SELECT vec_id AS neighbor_id, embedding AS nv, centroid_id
-           |  FROM (
-           |    SELECT e.vec_id, e.embedding, c.centroid_id,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
-           |          c.centroid_id ASC) AS rn
-           |    FROM embeddings e CROSS JOIN cent c)
-           |  WHERE rn = 1),
-           |probes AS (
-           |  SELECT query_id, qv, centroid_id FROM (
-           |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
-           |      row_number() OVER (PARTITION BY q.vec_id
-           |        ORDER BY ${cosSql("q.embedding", "c.cv")} DESC,
-           |          c.centroid_id ASC) AS rn
-           |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5)
-           |  WHERE rn <= 3),
-           |ranked AS (
-           |  SELECT p.query_id, a.neighbor_id,
-           |    CAST(row_number() OVER (PARTITION BY p.query_id
-           |      ORDER BY ${cosSql("p.qv", "a.nv")} DESC,
-           |        a.neighbor_id ASC) AS BIGINT) AS rank
-           |  FROM probes p JOIN assigned a USING (centroid_id)
-           |  WHERE a.neighbor_id <> p.query_id)
-           |SELECT query_id, rank, neighbor_id FROM ranked
-           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "q35_ivf_ann" -> ivfSql,
+
+      // Same semantics through the persisted, partition-pruned index
+      // path: the physical layout must not change a single answer.
+      "q49_ivf_persisted" -> ivfSql,
+
+      // The doc-frequency cutoff replayed literally: HAVING count(*) <= 4
+      // on the distinct shingle index before sizes/intersections.
+      "q47_jaccard_capped" ->
+        s"""WITH corpus AS ($clonedDocsSql),
+           |toks AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(text, '\\s+'),
+           |      x -> len(x) > 0) AS t
+           |  FROM corpus),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest([array_to_string(t[i:i+2], ' ')
+           |            for i in range(1, len(t) - 1)]) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 4),
+           |fsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, i / (na.n_sh + nb.n_sh - i) AS jaccard
+           |FROM inter
+           |JOIN sizes na ON na.doc_id = id_a
+           |JOIN sizes nb ON nb.doc_id = id_b
+           |WHERE i / (na.n_sh + nb.n_sh - i) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // The bucket cap's documented effect: an identical-text group
+      // larger than the cap fills every one of its buckets past the
+      // limit (identical texts ⇒ identical signatures), so none of its
+      // pairs can surface; all other pairs are exactly the all-pairs
+      // Jaccard result (q30's recall argument).
+      "q48_minhash_capped" ->
+        s"""WITH corpus AS ($clonedDocsSql),
+           |grp AS (SELECT text, count(*) AS g FROM corpus GROUP BY text),
+           |capped AS (
+           |  SELECT doc_id FROM corpus JOIN grp USING (text) WHERE g > 4),
+           |toks AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(text, '\\s+'),
+           |      x -> len(x) > 0) AS t
+           |  FROM corpus),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest([array_to_string(t[i:i+2], ' ')
+           |            for i in range(1, len(t) - 1)]) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, i / (na.n_sh + nb.n_sh - i) AS jaccard
+           |FROM inter
+           |JOIN sizes na ON na.doc_id = id_a
+           |JOIN sizes nb ON nb.doc_id = id_b
+           |WHERE i / (na.n_sh + nb.n_sh - i) >= 0.8
+           |  AND id_a NOT IN (SELECT doc_id FROM capped)
+           |  AND id_b NOT IN (SELECT doc_id FROM capped)
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // fitCentroids' hash seeding replayed: seeds = the 8 vectors lowest
+      // by the POSIX LCG of their id, centroid_id = seed rank; assignment
+      // = cosine argmax with ties to the lowest centroid id.
+      "q50_ivf_fitted" ->
+        s"""WITH ranked AS (
+           |  SELECT vec_id, embedding,
+           |    row_number() OVER (ORDER BY
+           |      (1103515245::BIGINT * (vec_id % 2147483648) + 12345)
+           |        % 2147483648 ASC,
+           |      vec_id ASC) AS rn
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT rn - 1 AS centroid_id, embedding AS cv
+           |  FROM ranked WHERE rn <= 8),
+           |a AS (
+           |  SELECT e.vec_id, c.centroid_id,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn2
+           |  FROM embeddings e CROSS JOIN cent c)
+           |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id
+           |FROM a WHERE rn2 = 1 ORDER BY vec_id""".stripMargin,
 
       "q34_embedding_dups" ->
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
