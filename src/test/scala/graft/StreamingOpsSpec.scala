@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamingOps
 
@@ -111,6 +112,85 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.exists(r =>
       r._2 == ts("2026-01-01 11:59:30") && r._3 == ts("2026-01-01 12:00:00")
         && r._4 == 2L))
+  }
+
+  test("streaming sessionization agrees with the batch formulation " +
+      "(incl. same-batch and cross-batch late events)") {
+    implicit val sqlCtx = spark.sqlContext
+    // One event set, three engines: sessionizeStateful (custom state),
+    // sessionWindowStream (built-in session_window), and the batch
+    // lag-window formulation (ground truth). All late events arrive
+    // while their session is still in state (within the watermark, no
+    // prior emission), so all three must close the SAME session set:
+    // (user, start, last event, n). gap = 1 minute.
+    val batches: Seq[Seq[(Long, java.sql.Timestamp)]] = Seq(
+      Seq( // batch 1 — includes same-batch out-of-order (user 2)
+        (1L, ts("2026-01-01 00:00:00")), (1L, ts("2026-01-01 00:00:30")),
+        (2L, ts("2026-01-01 00:02:10")), (2L, ts("2026-01-01 00:02:00")),
+        (3L, ts("2026-01-01 12:00:00"))),
+      Seq( // batch 2 — cross-batch late arrivals
+        (1L, ts("2026-01-01 00:00:50")), // extends user 1's open session
+        (1L, ts("2026-01-01 00:05:00")), // past gap → closes it, opens next
+        (2L, ts("2026-01-01 00:01:30")), // extends user 2's session BACKWARD
+        // user 3: two adjacent far-early late events + one past-gap one
+        (3L, ts("2026-01-01 10:30:00")), (3L, ts("2026-01-01 10:30:20")),
+        (3L, ts("2026-01-01 10:45:00"))),
+      Seq((99L, ts("2026-01-03 00:00:00"))), // sentinel: flush via watermark
+    )
+    val gap = java.time.Duration.ofMinutes(1)
+    // The delay must cover the spread between the global max event time
+    // (user 3's 12:00, which drives the watermark for ALL users) and the
+    // earliest late arrival (00:00:50 in batch 2) — otherwise Spark drops
+    // the late rows before the operator sees them and parity cannot hold.
+    val delay = "13 hours"
+
+    def runStream(name: String,
+                  build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val query = build(input.toDF().toDF("user_id", "ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => input.addData(b: _*); query.processAllAvailable() }
+      } finally query.stop()
+      spark.table(name)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().filter(_._1 != 99L).toSet
+    }
+
+    val stateful = runStream("par_state",
+      df => StreamingOps.sessionizeStateful(df, "user_id", "ts", gap,
+        watermarkDelay = delay))
+    // session_window ends at last event + gap: normalize back to the
+    // last event so the three results are directly comparable
+    val windowed = runStream("par_win",
+      df => StreamingOps.sessionWindowStream(df, "user_id", "ts",
+          gap = "1 minute", watermarkDelay = delay)
+        .withColumn("session_end",
+          (col("session_end").cast("long") - 60L).cast("timestamp")))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val batch = batches.flatten.toDF("user_id", "ts")
+      .filter(col("user_id") =!= 99L)
+      .withColumn("__new",
+        when(col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+          > 60L, 1L).otherwise(0L))
+      .withColumn("__sess", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "__sess")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+
+    assert(batch.nonEmpty && batch.size == 6, s"fixture drifted: $batch")
+    assert(stateful == batch,
+      s"stateful≠batch\nstateful: $stateful\nbatch: $batch")
+    assert(windowed == batch,
+      s"session_window≠batch\nwindowed: $windowed\nbatch: $batch")
   }
 
   test("stateful sessionization merges adjacent same-batch late events") {
