@@ -26,18 +26,31 @@ object VecOps {
                       norms: Array[Double]): Long = {
     val n = arr.numElements()
     var i = 0
-    var daa = 0.0
     while (i < n) {
       if (arr.isNullAt(i)) return ids(0)
-      val x = elemKind match {
-        case 0 => arr.getFloat(i).toDouble
-        case 1 => arr.getDouble(i)
-        case 2 => arr.getInt(i).toDouble
-        case _ => arr.getLong(i).toDouble
-      }
-      daa += x * x
       i += 1
     }
+    // One widening copy per row, then every inner loop runs over plain
+    // double arrays — the k×dim hot loop must not pay per-element
+    // ArrayData dispatch (measured ~2× on the 1M-vector index build).
+    val xs = new Array[Double](n)
+    elemKind match {
+      case 0 =>
+        val a = arr.toFloatArray(); i = 0
+        while (i < n) { xs(i) = a(i).toDouble; i += 1 }
+      case 1 =>
+        val a = arr.toDoubleArray(); i = 0
+        while (i < n) { xs(i) = a(i); i += 1 }
+      case 2 =>
+        val a = arr.toIntArray(); i = 0
+        while (i < n) { xs(i) = a(i).toDouble; i += 1 }
+      case _ =>
+        val a = arr.toLongArray(); i = 0
+        while (i < n) { xs(i) = a(i).toDouble; i += 1 }
+    }
+    var daa = 0.0
+    i = 0
+    while (i < n) { daa += xs(i) * xs(i); i += 1 }
     val na = math.sqrt(daa)
     var best = Double.NegativeInfinity
     var bestId = ids(0)
@@ -47,16 +60,7 @@ object VecOps {
       if (cv.length == n) {
         var d = 0.0
         i = 0
-        while (i < n) {
-          val x = elemKind match {
-            case 0 => arr.getFloat(i).toDouble
-            case 1 => arr.getDouble(i)
-            case 2 => arr.getInt(i).toDouble
-            case _ => arr.getLong(i).toDouble
-          }
-          d += x * cv(i)
-          i += 1
-        }
+        while (i < n) { d += xs(i) * cv(i); i += 1 }
         val nn = na * norms(c)
         val s = if (nn == 0.0) 0.0 else d / nn
         if (s > best) { best = s; bestId = ids(c) }
