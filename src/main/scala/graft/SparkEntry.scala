@@ -665,6 +665,33 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ---- benchmark decontamination: n-gram overlap against a held-out
+    //      eval set (here: every 97th doc), hash-keyed semi-join ----
+
+    "q51_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextAnalysis.decontaminate(docs, "doc_id", "text", bench, "text", n = 3)
+        .select(col("doc_id"), col("contaminated_ngrams"), col("is_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic corpus mixing: per-language token (char) budgets;
+    //      en/de downsample, fr's budget exceeds supply (keeps all),
+    //      zh has budget 0 and es none (both dropped) ----
+
+    "q52_corpus_mix" -> ((s, dir) => {
+      val mixed = Sampling.budgetedMix(t(s, dir, "documents"),
+        strataCol = "lang", keyCol = "doc_id", weightCol = "n_chars",
+        budgets = Map("en" -> 30000L, "de" -> 8000L, "fr" -> 1000000L,
+          "zh" -> 0L),
+        salt = 11L)
+      mixed.groupBy("lang")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("lang")
+    }),
+
     // ---- image directory scan + extraction stage (SURVEY §2.1 S2/S4, §2.4
     //      I1-I5) on deterministic generated PNGs; Spark-side only (images
     //      are not DuckDB-readable) → rows-only check ----
@@ -1208,6 +1235,53 @@ object SparkEntry {
            |  AND id_a NOT IN (SELECT doc_id FROM capped)
            |  AND id_b NOT IN (SELECT doc_id FROM capped)
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // The decontamination overlap replayed on shingle strings (the
+      // Spark side joins on shingle hashes — same distinct sets).
+      "q51_decontaminate" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM toks WHERE len(t) >= 3),
+          |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+          |hits AS (
+          |  SELECT sh.doc_id, count(*) AS c
+          |  FROM sh JOIN bsh USING (s) GROUP BY sh.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+          |  coalesce(h.c, 0) = 0 AS is_clean
+          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // The mixing plan replayed: per-lang availability, fraction =
+      // least(1, budget/available), threshold = trunc(fraction·2^32)
+      // (trunc, matching Spark's double→long cast), keep decision =
+      // the same multiplicative-mix predicate as q27.
+      "q52_corpus_mix" ->
+        """WITH avail AS (
+          |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
+          |  FROM documents GROUP BY lang),
+          |plan AS (
+          |  SELECT lang, available,
+          |    CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 8000
+          |      WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 0 END AS target
+          |  FROM avail),
+          |thr AS (
+          |  SELECT lang,
+          |    CAST(trunc(least(1.0, CAST(target AS DOUBLE) /
+          |      CAST(available AS DOUBLE)) * 4294967296) AS BIGINT) AS t
+          |  FROM plan WHERE target > 0)
+          |SELECT d.lang, count(*) AS kept_docs,
+          |  CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+          |FROM documents d JOIN thr ON d.lang = thr.lang
+          |WHERE ((d.doc_id + 11) * 2654435761) % 4294967296 < thr.t
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
       // fitCentroids' hash seeding replayed: seeds = the 8 vectors lowest
       // by the POSIX LCG of their id, centroid_id = seed rank; assignment

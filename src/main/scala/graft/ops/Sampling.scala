@@ -37,14 +37,20 @@ object Sampling {
     * `key + salt` itself must stay within Long — true for any real id
     * space.
     */
-  def keepPredicate(key: Column, fraction: Double, salt: Long = 0L): Column = {
-    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+  /** `((key + salt) · Multiplier) mod 2³²` in 16-bit limbs (see
+    * [[keepPredicate]]) — the uniform value every sampling decision here
+    * compares against a threshold.
+    */
+  private[ops] def mixedKey(key: Column, salt: Long): Column = {
     val x = pmod(key + salt, lit(Mod))               // < 2^32
     val xh = shiftright(x, 16)                       // high 16 bits, < 2^16
     val xl = pmod(x, lit(65536L))                    // low 16 bits
-    val mixed = pmod(
-      pmod(xh * Multiplier, lit(Mod)) * 65536L + xl * Multiplier, lit(Mod))
-    mixed < lit((fraction * Mod).toLong)
+    pmod(pmod(xh * Multiplier, lit(Mod)) * 65536L + xl * Multiplier, lit(Mod))
+  }
+
+  def keepPredicate(key: Column, fraction: Double, salt: Long = 0L): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    mixedKey(key, salt) < lit((fraction * Mod).toLong)
   }
 
   /** Deterministic ~`fraction` sample of `df` keyed by `keyCol`. */
@@ -64,4 +70,56 @@ object Sampling {
       .agg(count(lit(1)).as("total"),
         count(when(keepPredicate(col(keyCol), fraction, salt), 1))
           .as("sampled"))
+
+  /** The per-stratum plan behind [[budgetedMix]]: for each stratum, its
+    * available weight (sum of `weightCol`, integer), the requested
+    * budget, and the keep fraction `min(1, budget/available)`. Strata
+    * absent from `budgets` get fraction 0 (dropped). One aggregation
+    * scan; the result is #strata rows.
+    */
+  def budgetedMixPlan(df: DataFrame, strataCol: String, weightCol: String,
+                      budgets: Map[String, Long]): DataFrame = {
+    val frac = coalesce(
+      budgets.foldLeft(lit(null).cast("double")) { case (acc, (s, b)) =>
+        when(col(strataCol) === s,
+          least(lit(1.0), lit(b.toDouble) / col("available").cast("double")))
+          .otherwise(acc)
+      }, lit(0.0))
+    val target = coalesce(
+      budgets.foldLeft(lit(null).cast("long")) { case (acc, (s, b)) =>
+        when(col(strataCol) === s, lit(b)).otherwise(acc)
+      }, lit(0L))
+    df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).cast("long").as("available"))
+      .select(col(strataCol), col("available"), target.as("target"),
+        frac.as("fraction"))
+  }
+
+  /** Deterministic corpus mixing: downsample each stratum (source,
+    * language, domain, ...) to a target WEIGHT budget — e.g. "at most
+    * 2M tokens of each language" — the data-mixing step of a training
+    * corpus build. Each stratum keeps rows with the [[keepPredicate]]
+    * uniform below `min(1, budget/available)·2³²`, so the kept weight
+    * lands on the budget in expectation while every decision stays a
+    * pure function of (row key, salt): stable across partitionings,
+    * re-runs, engines, and appends, and replayable in external SQL
+    * (the oracle does).
+    *
+    * Scale shape: one aggregation for the per-stratum availability
+    * (map-side combinable; #strata rows collected), then one scan with
+    * the thresholds broadcast-joined on the stratum — no global sort, no
+    * per-stratum passes. Strata without a budget entry are dropped.
+    */
+  def budgetedMix(df: DataFrame, strataCol: String, keyCol: String,
+                  weightCol: String, budgets: Map[String, Long],
+                  salt: Long = 0L): DataFrame = {
+    require(budgets.values.forall(_ >= 0L), "budgets must be non-negative")
+    val plan = budgetedMixPlan(df, strataCol, weightCol, budgets)
+      .filter(col("target") > 0L)
+      .select(col(strataCol).as("__stratum"),
+        (col("fraction") * Mod).cast("long").as("__thr"))
+    df.join(broadcast(plan), df(strataCol) === col("__stratum"))
+      .filter(mixedKey(col(keyCol), salt) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
 }

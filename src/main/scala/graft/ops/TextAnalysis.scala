@@ -288,6 +288,46 @@ object TextAnalysis {
       .select(col(groupCol), col("rank"), col("tok"), col("cnt"))
   }
 
+  /** Benchmark decontamination: count, per document, the distinct word
+    * n-grams it shares with a held-out benchmark corpus, and flag clean
+    * documents — the standard eval-leakage guard run over every LLM
+    * training corpus (drop or audit any document overlapping the test
+    * sets).
+    *
+    * Scale shape: both sides reduce to 8-byte shingle hashes through the
+    * [[graft.functions.ShingleHashes]] kernel (shuffle-free projections);
+    * the overlap is one hash-keyed join of (doc, shingle-hash) against
+    * the DISTINCT benchmark shingle set — never the texts — followed by
+    * a count per doc and a left join back. The benchmark side is usually
+    * orders of magnitude smaller than the corpus; AQE broadcasts it when
+    * it fits, and the plan degrades to a plain shuffled hash join (still
+    * 8-byte keys) when it does not. No driver collection at any size.
+    *
+    * Returns the input columns plus `contaminated_ngrams` (long) and
+    * `is_clean` (boolean). Documents shorter than `n` tokens have no
+    * n-grams and are clean by construction.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val docSh = docs.select(col(idCol),
+      explode(call_function("graft_shingle_hashes", col(textCol), lit(n)))
+        .as("__h"))
+    val benchSh = bench
+      .select(explode(
+        call_function("graft_shingle_hashes", col(benchTextCol), lit(n)))
+        .as("__h"))
+      .distinct()
+    val hits = docSh.join(benchSh, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("contaminated_ngrams"))
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated_ngrams",
+        coalesce(col("contaminated_ngrams"), lit(0L)))
+      .withColumn("is_clean", col("contaminated_ngrams") === 0L)
+  }
+
   /** Convenience: annotate a documents frame with the full text-analysis
     * column set.
     */

@@ -384,4 +384,48 @@ class OpsSpec extends SparkSpec {
       .as[Seq[Int]].head()
     assert(r == Seq(0, 3, 6))
   }
+
+  test("decontaminate counts benchmark n-gram overlap and flags clean docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated text with no overlap at all here"),
+      (3L, "quick brown fox seen again"), // shares "quick brown fox"
+      (4L, "too short"),                  // < n tokens: clean by construction
+    ).toDF("doc_id", "text")
+    val bench = Seq("a benchmark asks about the quick brown fox story")
+      .toDF("text")
+    val out = TextAnalysis.decontaminate(docs, "doc_id", "text",
+        bench, "text", n = 3)
+      .select("doc_id", "contaminated_ngrams", "is_clean")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._3)) ==
+      Seq((1L, false), (2L, true), (3L, false), (4L, true)))
+    assert(out(0)._2 >= 1L && out(2)._2 >= 1L)
+  }
+
+  test("budgetedMix hits budgets deterministically and drops unbudgeted strata") {
+    val df = (0 until 400).map { i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", 100L)
+    }.toDF("id", "lang", "w")
+    val budgets = Map("en" -> 10000L, "de" -> 100000L) // en: half; de: all
+    val kept = Sampling.budgetedMix(df, "lang", "id", "w", budgets)
+    val counts = kept.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("de") == 200L) // budget above supply keeps everything
+    // en target = 10000/20000 = 0.5 → ~100 docs (deterministic exact count)
+    assert(counts("en") > 60L && counts("en") < 140L, counts.toString)
+    // pure function of the key: repartitioning changes nothing
+    val again = Sampling.budgetedMix(df.repartition(13), "lang", "id", "w",
+        budgets).select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+    // unbudgeted stratum → dropped
+    val noFr = Sampling.budgetedMix(
+      df.withColumn("lang", lit("fr")), "lang", "id", "w", budgets)
+    assert(noFr.isEmpty)
+    // audit plan: fractions and availability
+    val plan = Sampling.budgetedMixPlan(df, "lang", "w", budgets)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(plan == Seq(("de", 20000L, 100000L, 1.0),
+      ("en", 20000L, 10000L, 0.5)))
+  }
 }
