@@ -692,6 +692,25 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- incremental-ingest dedup: a new batch deduped within itself
+    //      AND against the accepted corpus via a digest anti-join.
+    //      documents has no exact dups, so the batch manufactures them:
+    //      docs %3==0 (new) plus clones of docs %5==0 under shifted ids
+    //      — %15==0 texts appear twice in the batch (within-batch dedup
+    //      fires), %5==0 ∧ %3≠0 texts already sit in the corpus
+    //      (anti-join drops them) ----
+
+    "q53_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.incremental(batch, corpus, "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("batch_dup_count"))
+        .orderBy("doc_id")
+    }),
+
     // ---- image directory scan + extraction stage (SURVEY §2.1 S2/S4, §2.4
     //      I1-I5) on deterministic generated PNGs; Spark-side only (images
     //      are not DuckDB-readable) → rows-only check ----
@@ -1282,6 +1301,28 @@ object SparkEntry {
           |FROM documents d JOIN thr ON d.lang = thr.lang
           |WHERE ((d.doc_id + 11) * 2654435761) % 4294967296 < thr.t
           |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+      // Incremental dedup replayed on text equality (digest equality ≡
+      // text equality): same batch construction, min-id survivor per
+      // batch text, anti-join against corpus texts.
+      "q53_incremental_dedup" ->
+        """WITH corpus AS (
+          |  SELECT text FROM documents WHERE doc_id % 3 <> 0),
+          |batch AS (
+          |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, lang, text FROM documents
+          |  WHERE doc_id % 5 = 0),
+          |surv AS (
+          |  SELECT text, min(doc_id) AS keep_id,
+          |    CAST(count(*) AS BIGINT) AS batch_dup_count
+          |  FROM batch GROUP BY text),
+          |fresh AS (
+          |  SELECT * FROM surv
+          |  WHERE text NOT IN (SELECT DISTINCT text FROM corpus))
+          |SELECT b.doc_id, b.lang, f.batch_dup_count
+          |FROM batch b JOIN fresh f ON b.doc_id = f.keep_id
+          |ORDER BY b.doc_id""".stripMargin,
 
       // fitCentroids' hash seeding replayed: seeds = the 8 vectors lowest
       // by the POSIX LCG of their id, centroid_id = seed rank; assignment

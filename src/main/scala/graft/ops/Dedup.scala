@@ -126,6 +126,52 @@ object Dedup {
       .drop("__fp", "keep_id")
   }
 
+  /** Incremental-ingest dedup: from a new `batch`, keep one survivor (min
+    * `idCol`) per content digest that does NOT already appear in the
+    * existing `corpus` — the snapshot-ingest path of a continuously grown
+    * training corpus (each crawl/delivery is deduplicated within itself
+    * and against everything already accepted, without ever re-deduping
+    * the accepted set).
+    *
+    * Scale shape: the corpus side collapses to its DISTINCT 128-bit
+    * digests before the join — a map-side-combinable aggregation whose
+    * output is 16 bytes/doc regardless of document size — and the batch
+    * joins it LEFT ANTI on the digest. Neither side ever shuffles a
+    * payload column for the membership test (the anti-join keys are
+    * digests; batch payloads ride along only on the batch's own
+    * shuffle). When the batch digest set fits in memory AQE turns the
+    * anti-join into a broadcast; at 100 TB corpus scale it degrades to a
+    * shuffled hash join on fixed 16-byte keys. In production the corpus
+    * digest set would be the persisted artifact of the previous ingest
+    * (write `corpusDigests` once, reuse every batch).
+    *
+    * Returns the batch's columns plus `batch_dup_count` (how many times
+    * the surviving digest occurred within the batch).
+    */
+  def incremental(batch: DataFrame, corpus: DataFrame, textCol: String,
+                  idCol: String): DataFrame = {
+    val seen = corpusDigests(corpus, textCol)
+    val keyed = batch.withColumn("__fp",
+      TextAnalysis.fingerprint(col(textCol)))
+    val survivors = keyed
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("batch_dup_count"))
+      .join(seen, Seq("__fp"), "left_anti")
+    keyed.join(survivors, keyed("__fp") === survivors("__fp") &&
+        keyed(idCol) === survivors("keep_id"))
+      .drop("__fp", "keep_id")
+  }
+
+  /** The persisted membership artifact behind [[incremental]]: the
+    * DISTINCT content digests of a corpus, one 16-byte row per unique
+    * document. Write this once per accepted snapshot; later ingests
+    * anti-join against it instead of against the corpus itself.
+    */
+  def corpusDigests(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+
   // ---- shingles ---------------------------------------------------------
 
   /** Distinct word n-gram shingles of a text column, as an array column.

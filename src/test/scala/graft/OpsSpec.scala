@@ -403,6 +403,22 @@ class OpsSpec extends SparkSpec {
     assert(out(0)._2 >= 1L && out(2)._2 >= 1L)
   }
 
+  test("incremental dedup drops corpus-seen texts and dedupes within the batch") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"),  // already in corpus → dropped
+      (11L, "gamma"),  // new, duplicated in batch → one survivor, count 2
+      (12L, "gamma"),
+      (13L, "delta"),  // new, unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(batch, corpus, "text", "doc_id")
+      .select("doc_id", "text", "batch_dup_count")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((11L, "gamma", 2L), (13L, "delta", 1L)))
+    // the persisted membership artifact is one digest per unique doc
+    assert(Dedup.corpusDigests(corpus, "text").count() == 2L)
+  }
+
   test("budgetedMix hits budgets deterministically and drops unbudgeted strata") {
     val df = (0 until 400).map { i =>
       (i.toLong, if (i % 2 == 0) "en" else "de", 100L)
