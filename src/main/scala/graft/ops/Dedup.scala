@@ -158,8 +158,11 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("batch_dup_count"))
       .join(seen, Seq("__fp"), "left_anti")
-    keyed.join(survivors, keyed("__fp") === survivors("__fp") &&
-        keyed(idCol) === survivors("keep_id"))
+      .select(col("keep_id"), col("batch_dup_count"))
+    // Rejoin on the id alone (as [[exact]] does): `keep_id` is itself a
+    // batch id, so with unique ids the digest equality is implied, and
+    // the join key stays a fixed 8 bytes instead of (id, digest).
+    keyed.join(survivors, keyed(idCol) === survivors("keep_id"))
       .drop("__fp", "keep_id")
   }
 

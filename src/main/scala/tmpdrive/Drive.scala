@@ -1,0 +1,24 @@
+package tmpdrive
+
+import org.apache.spark.sql.SparkSession
+
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q51_decontaminate", "q52_corpus_mix", "q53_incremental_dedup")) {
+      println(s"MARKER=== $q ===")
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
