@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   * per-partition batch stages (`mapPartitions` — the JVM analog of a
   * Pandas `mapInPandas` UDF: one batch in, one batch out, vectorizable).
   *
-  * The decode step itself needs media codecs that are NOT in this
-  * environment, so it is STUBBED: [[MediaDecoder.Deterministic]] derives
-  * plausible metadata from the bytes (stable, testable), and the real
-  * implementation slot is [[MediaDecoder.Real]] (`???`). The Spark-side
-  * contract — schema, batching, partition sizing, null routing — is real
-  * and tested; swapping in a genuine decoder changes no plan shape.
+  * Decoders are pluggable. Still images decode for real through the
+  * JDK's headless ImageIO codecs ([[MediaDecoder.ImageIo]] /
+  * [[MediaResizer.ImageIo]] — PNG/JPEG/GIF/BMP, no external libraries).
+  * Audio/video codecs (ffmpeg-class) are NOT in this environment, so AV
+  * payloads either route as ok=false through the real decoder or run
+  * under [[MediaDecoder.Deterministic]], a stub deriving stable fake
+  * metadata from the bytes (used by the oracle-checked harness query,
+  * whose output must be reproducible outside the JVM). The Spark-side
+  * contract — schema, batching, partition sizing, null routing — is
+  * identical for every decoder; swapping one in changes no plan shape.
   */
 object Multimodal {
 
@@ -61,9 +65,38 @@ object Multimodal {
       }
     }
 
-    /** Slot for a real decoder (requires media libraries absent here). */
-    object Real extends MediaDecoder {
-      def decode(p: Array[Byte]): (String, Int, Int, Int, Long, Boolean) = ???
+    /** Real still-image decoder over the JDK's headless ImageIO codecs
+      * (PNG/JPEG/GIF/BMP/WBMP — no external libraries). Formats beyond
+      * ImageIO's reach (audio/video containers: no in-container codec)
+      * decode to ok=false and route onward instead of throwing — the
+      * same contract as any decode failure. `n_frames` counts images in
+      * the stream (animated GIF); still formats answer 1. `duration_ms`
+      * stays 0 — frame timing is a property of AV containers, which a
+      * future ffmpeg-class decoder would fill in through this same slot.
+      */
+    object ImageIo extends MediaDecoder {
+      def decode(p: Array[Byte]): (String, Int, Int, Int, Long, Boolean) = {
+        if (p == null || p.length == 0) return ("empty", 0, 0, 0, 0L, false)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(p))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) ("bin", 0, 0, 0, 0L, false)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, false, true)
+              val fmt = r.getFormatName.toLowerCase
+              val n = math.max(1,
+                try r.getNumImages(true)
+                catch { case _: java.io.IOException => 1 })
+              (fmt, r.getWidth(0), r.getHeight(0), n, 0L, true)
+            } finally r.dispose()
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => ("bin", 0, 0, 0, 0L, false)
+        } finally if (iis != null) iis.close()
+      }
     }
   }
 
@@ -153,8 +186,9 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** The pluggable media-resize contract (bytes → bytes at target dims) —
-    * stubbed like the decoder: real pixel work needs codecs absent here.
+  /** The pluggable media-resize contract (bytes → bytes at target dims).
+    * [[MediaResizer.ImageIo]] does real pixel work for still images;
+    * [[MediaResizer.PassThrough]] stands in where byte-stability matters.
     */
   trait MediaResizer extends Serializable {
     def resize(payload: Array[Byte], width: Int, height: Int): Array[Byte]
@@ -166,6 +200,33 @@ object Multimodal {
       */
     object PassThrough extends MediaResizer {
       def resize(p: Array[Byte], w: Int, h: Int): Array[Byte] = p
+    }
+
+    /** Real still-image resizer: decode via headless ImageIO, bilinear
+      * rescale through `Graphics2D`, re-encode as PNG (lossless, so the
+      * output is deterministic for a given JDK). Undecodable payloads
+      * return null, which [[resizeStage]] routes as a null payload
+      * rather than dropping the row.
+      */
+    object ImageIo extends MediaResizer {
+      def resize(p: Array[Byte], w: Int, h: Int): Array[Byte] = {
+        require(w > 0 && h > 0, "target dims must be positive")
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null) null
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      }
     }
   }
 

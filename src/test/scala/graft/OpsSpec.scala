@@ -187,6 +187,36 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L) == (("empty", false)))
   }
 
+  test("ImageIo decoder and resizer do real pixel work through the JDK codecs") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff0000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // decode: real dims and format, not byte-hash fakes
+    val (fmt, w, h, n, _, ok) = Multimodal.MediaDecoder.ImageIo.decode(png(10, 8))
+    assert((fmt, w, h, n, ok) == (("png", 10, 8, 1, true)))
+    // undecodable and empty payloads route as not-ok, never throw
+    assert(!Multimodal.MediaDecoder.ImageIo.decode(Array[Byte](9, 9, 9))._6)
+    assert(Multimodal.MediaDecoder.ImageIo.decode(Array.emptyByteArray)
+      == (("empty", 0, 0, 0, 0L, false)))
+    // resize through the stage: output payload decodes at the target dims
+    val df = Seq((1L, png(10, 8)), (2L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val resized = Multimodal.resizeStage(df, "payload", 4, 3,
+        Multimodal.MediaResizer.ImageIo)
+    val out = Multimodal.decodeStage(resized, "payload",
+        Multimodal.MediaDecoder.ImageIo)
+      .select(col("id"), col("media_meta.width"), col("media_meta.height"),
+        col("media_meta.ok"))
+      .as[(Long, Option[Int], Option[Int], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((Some(4), Some(3), true)))
+    assert(!out(2L)._3) // undecodable payload → null payload → not-ok
+  }
+
   test("chunking: overlapping token windows cover the doc; empty docs vanish") {
     val df = Seq(
       (1L, "a b c d e f g"), // 7 tokens, max 3 overlap 1 → starts 0,2,4
