@@ -15,9 +15,17 @@ object VecOps {
     * elements cast to double, dot products accumulated left-to-right,
     * zero-norm pairs score 0.0. A centroid whose dimensionality differs
     * from the row's scores null under the old formulation and therefore
-    * never wins; a row with a null element (or no scoring centroid at
+    * never wins; a row with a null ELEMENT (or no scoring centroid at
     * all) falls back to the lowest centroid id — the same row the old
     * `row_number ... nulls last` ordering ranked first.
+    *
+    * A null ARRAY never reaches this kernel: the expression is
+    * null-intolerant, so a null vector yields a null centroid_id. That is
+    * a deliberate divergence from the old window formulation (which sent
+    * null vectors to the lowest centroid id): a null assignment routes
+    * failed-decode rows to the index's default partition — which probes
+    * never touch — and drops them from Lloyd centroid updates, instead of
+    * polluting centroid 0's partition on every probe of it.
     *
     * elemKind: 0=float, 1=double, 2=int, 3=long.
     */
@@ -86,13 +94,21 @@ object VecOps {
   * assigns in place: zero joins, zero shuffle, zero expansion, and the
   * scan stays inside whole-stage codegen.
   */
-case class NearestCentroid(child: Expression, ids: Array[Long],
-                           vecs: Array[Array[Double]])
+case class NearestCentroid(child: Expression, ids: Seq[Long],
+                           vecs: Seq[Seq[Double]])
     extends UnaryExpression {
+  // Seq (not Array) constructor params: case-class equality and Catalyst
+  // canonicalization stay structural, so two expressions built from the
+  // same centroid set compare equal (CSE, semanticEquals, plan-cache
+  // reuse). The kernel still runs on plain arrays via the lazy copies.
   require(ids.nonEmpty && ids.length == vecs.length,
     "graft_nearest_centroid needs a non-empty centroid set")
   require((1 until ids.length).forall(i => ids(i - 1) < ids(i)),
     "centroid ids must be strictly ascending (sorted, distinct)")
+
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val vecArr: Array[Array[Double]] =
+    vecs.map(_.toArray).toArray
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -114,7 +130,7 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
   // Per-centroid sqrt(dot(c,c)), computed once per (de)serialized
   // instance instead of once per row.
   @transient private lazy val norms: Array[Double] =
-    vecs.map { cv =>
+    vecArr.map { cv =>
       var acc = 0.0
       var i = 0
       while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
@@ -122,12 +138,12 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
     }
 
   override def nullSafeEval(input: Any): Any =
-    VecOps.nearestCentroid(input.asInstanceOf[ArrayData], elemKind, ids,
-      vecs, norms)
+    VecOps.nearestCentroid(input.asInstanceOf[ArrayData], elemKind, idArr,
+      vecArr, norms)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
-    val vecsRef = ctx.addReferenceObj("centVecs", vecs, "double[][]")
+    val idsRef = ctx.addReferenceObj("centIds", idArr, "long[]")
+    val vecsRef = ctx.addReferenceObj("centVecs", vecArr, "double[][]")
     val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
     nullSafeCodeGen(ctx, ev, arr => {
       s"""

@@ -176,9 +176,11 @@ object GraftFunctions {
           "graft_nearest_centroid centroid ids/vectors must be literals")
         val ids = exprs(1).eval().asInstanceOf[ArrayData].toLongArray()
         val m = exprs(2).eval().asInstanceOf[ArrayData]
-        val vecs = Array.tabulate(m.numElements())(i =>
-          m.getArray(i).toDoubleArray())
-        NearestCentroid(exprs(0), ids, vecs)
+        val vecs = Seq.tabulate(m.numElements())(i =>
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            m.getArray(i).toDoubleArray()): Seq[Double])
+        NearestCentroid(exprs(0),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(ids), vecs)
       }),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),

@@ -158,12 +158,17 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("batch_dup_count"))
       .join(seen, Seq("__fp"), "left_anti")
-      .select(col("keep_id"), col("batch_dup_count"))
-    // Rejoin on the id alone (as [[exact]] does): `keep_id` is itself a
-    // batch id, so with unique ids the digest equality is implied, and
-    // the join key stays a fixed 8 bytes instead of (id, digest).
-    keyed.join(survivors, keyed(idCol) === survivors("keep_id"))
-      .drop("__fp", "keep_id")
+      // fresh attribute for the digest so the rejoin condition resolves
+      // against both sides instead of degenerating to `__fp = __fp`
+      .select(col("__fp").as("__sfp"), col("keep_id"),
+        col("batch_dup_count"))
+    // Rejoin on (digest AND id): the id alone is NOT sufficient when the
+    // batch carries duplicate ids across different texts — a dropped
+    // (corpus-seen) group can share its keep_id with a surviving group,
+    // and an id-only join would resurrect the dropped row.
+    keyed.join(survivors, keyed("__fp") === col("__sfp") &&
+        keyed(idCol) === col("keep_id"))
+      .drop("__fp", "__sfp", "keep_id")
   }
 
   /** The persisted membership artifact behind [[incremental]]: the

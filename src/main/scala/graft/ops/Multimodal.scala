@@ -77,7 +77,10 @@ object Multimodal {
     object ImageIo extends MediaDecoder {
       def decode(p: Array[Byte]): (String, Int, Int, Int, Long, Boolean) = {
         if (p == null || p.length == 0) return ("empty", 0, 0, 0, 0L, false)
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // memory-backed stream: the default createImageInputStream spools
+        // every payload to an executor temp file when the JDK-default
+        // disk cache is on — pure waste for bytes already in memory
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(p))
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -210,8 +213,14 @@ object Multimodal {
       */
     object ImageIo extends MediaResizer {
       def resize(p: Array[Byte], w: Int, h: Int): Array[Byte] = {
-        require(w > 0 && h > 0, "target dims must be positive")
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (p == null || p.length == 0) return null
+        // memory-backed streams on both sides (see MediaDecoder.ImageIo).
+        // ImageIO.read closes the ImageInputStream itself — closing it
+        // again here would throw (ImageInputStreamImpl rejects a second
+        // close), so the read owns the stream.
+        val img = javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(p)))
         if (img == null) null
         else {
           val out = new java.awt.image.BufferedImage(w, h,
@@ -223,7 +232,11 @@ object Multimodal {
             g.drawImage(img, 0, 0, w, h, null)
           } finally g.dispose()
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+          try {
+            val ok = javax.imageio.ImageIO.write(out, "png", ios)
+            require(ok, "no PNG writer available")
+          } finally ios.close()
           bos.toByteArray
         }
       }
@@ -237,6 +250,10 @@ object Multimodal {
     */
   def resizeStage(df: DataFrame, binaryCol: String, width: Int, height: Int,
                   resizer: MediaResizer = MediaResizer.PassThrough): DataFrame = {
+    // checked here, once, at plan construction: inside the per-row
+    // resize call the blanket NonFatal catch would turn a caller bug
+    // into silently nulling every payload
+    require(width > 0 && height > 0, "target dims must be positive")
     val binIdx = df.columns.indexOf(binaryCol)
     require(binIdx >= 0, s"missing column $binaryCol")
     df.mapPartitions { rows =>

@@ -21,6 +21,17 @@ object Sampling {
   val Multiplier: Long = 2654435761L
   private val Mod: Long = 1L << 32
 
+  /** `((key + salt) · Multiplier) mod 2³²` in 16-bit limbs (see
+    * [[keepPredicate]]) — the uniform value every sampling decision here
+    * compares against a threshold.
+    */
+  private[ops] def mixedKey(key: Column, salt: Long): Column = {
+    val x = pmod(key + salt, lit(Mod))               // < 2^32
+    val xh = shiftright(x, 16)                       // high 16 bits, < 2^16
+    val xl = pmod(x, lit(65536L))                    // low 16 bits
+    pmod(pmod(xh * Multiplier, lit(Mod)) * 65536L + xl * Multiplier, lit(Mod))
+  }
+
   /** The keep-predicate: `((key + salt) * Multiplier) mod 2^32 <
     * fraction*2^32`. The salt shifts the key BEFORE the multiplicative
     * mix, so a different salt rotates essentially the whole sample (salt
@@ -37,17 +48,6 @@ object Sampling {
     * `key + salt` itself must stay within Long — true for any real id
     * space.
     */
-  /** `((key + salt) · Multiplier) mod 2³²` in 16-bit limbs (see
-    * [[keepPredicate]]) — the uniform value every sampling decision here
-    * compares against a threshold.
-    */
-  private[ops] def mixedKey(key: Column, salt: Long): Column = {
-    val x = pmod(key + salt, lit(Mod))               // < 2^32
-    val xh = shiftright(x, 16)                       // high 16 bits, < 2^16
-    val xl = pmod(x, lit(65536L))                    // low 16 bits
-    pmod(pmod(xh * Multiplier, lit(Mod)) * 65536L + xl * Multiplier, lit(Mod))
-  }
-
   def keepPredicate(key: Column, fraction: Double, salt: Long = 0L): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
     mixedKey(key, salt) < lit((fraction * Mod).toLong)

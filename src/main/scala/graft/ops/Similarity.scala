@@ -232,7 +232,11 @@ object Similarity {
         .sortBy(_.mkString(","))
     }
     val sampled = distinctSorted(base
-      .select(xxhash64(col(idCol)).cast("long").as("__sk"), col(vecCol))
+      // mask the hash to 32 bits: keepPredicate's documented precondition
+      // is that key + salt stays within Long, and a raw xxhash64 within
+      // `salt` of Long.MaxValue would overflow (ANSI throw)
+      .select(pmod(xxhash64(col(idCol)).cast("long"), lit(1L << 32))
+        .as("__sk"), col(vecCol))
       .filter(Sampling.keepPredicate(col("__sk"), fraction, salt = k.toLong))
       .select(col(vecCol))
       .collect())
@@ -392,6 +396,14 @@ object Similarity {
     * for the corpus layout. The earlier formulation
     * (`crossJoin(broadcast)` + `row_number` window) k-plicated the corpus
     * and shuffled the expanded set; this one scans it once in place.
+    *
+    * Null vectors (e.g. failed multimodal decodes carried through
+    * [[graft.ops.Multimodal.featureStage]]) get a NULL `centroid_id`:
+    * [[ivfIndexWrite]] routes them to the default partition — which
+    * probe reads never touch — and Lloyd updates in [[fitCentroids]]
+    * exclude them, both of which are the behavior you want for
+    * unembeddable rows. Filter them out beforehand to drop them
+    * entirely.
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, centIdCol: String,

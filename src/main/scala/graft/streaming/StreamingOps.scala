@@ -53,6 +53,13 @@ object StreamingOps {
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the
     * batch q28 formulation.
+    *
+    * Boundary convention: INCLUSIVE — an event exactly `gap` after the
+    * last one still merges (Spark coalesces session windows whose start
+    * equals the previous window's end), matching the batch q28
+    * formulation (`diff > gap` starts a session) and
+    * [[sessionizeStateful]]. Pinned by the boundary spec in
+    * StreamingOpsSpec so an engine change cannot silently diverge.
     */
   def sessionWindowStream(stream: DataFrame, userCol: String, tsCol: String,
                           gap: String = "30 minutes",
@@ -72,6 +79,11 @@ object StreamingOps {
     * close when a same-user event arrives past the gap, or when the
     * watermark passes `last event + gap` (the state times out and the
     * session flushes with no further input).
+    *
+    * Boundary convention: INCLUSIVE — an event exactly `gap` after the
+    * session's last event still merges, matching both the batch
+    * `diff > gap` formulation and [[sessionWindowStream]] (boundary spec
+    * in StreamingOpsSpec).
     *
     * Input must have `userCol` castable to long and `tsCol` a
     * timestamp; `watermarkDelay` controls how much lateness is

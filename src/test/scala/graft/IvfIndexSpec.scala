@@ -187,6 +187,21 @@ class IvfIndexSpec extends SparkSpec {
     assert(fast == slow, s"kernel=$fast windowed=$slow")
   }
 
+  test("ivfAssign: null vector yields null centroid_id; null element falls back") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, null.asInstanceOf[Array[Float]]), // failed decode → null vector
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((7L, Array(1.0, 0.0)), (8L, Array(0.0, 1.0)))
+      .toDF("centroid_id", "centroid")
+    val out = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+        cents, "centroid_id", "centroid")
+      .select("vec_id", "centroid_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(0L) == Some(7L))
+    assert(out(1L).isEmpty) // routed to the default partition, not centroid 7
+  }
+
   test("ivfTopK agrees with brute force on clustered data") {
     val centroids = vecs.filter($"vec_id" % 10 === 0)
     val brute = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 11L),

@@ -447,6 +447,13 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq((11L, "gamma", 2L), (13L, "delta", 1L)))
     // the persisted membership artifact is one digest per unique doc
     assert(Dedup.corpusDigests(corpus, "text").count() == 2L)
+    // duplicate ids across texts: the corpus-seen "alpha" group shares
+    // keep_id=5 with the surviving new-text group; the (digest AND id)
+    // rejoin must not resurrect the dropped "alpha" row
+    val dupIds = Seq((5L, "alpha"), (5L, "epsilon")).toDF("doc_id", "text")
+    val out2 = Dedup.incremental(dupIds, corpus, "text", "doc_id")
+      .select("text").as[String].collect().toSeq
+    assert(out2 == Seq("epsilon"))
   }
 
   test("budgetedMix hits budgets deterministically and drops unbudgeted strata") {

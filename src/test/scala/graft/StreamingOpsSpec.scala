@@ -193,6 +193,40 @@ class StreamingOpsSpec extends SparkSpec {
       s"session_window≠batch\nwindowed: $windowed\nbatch: $batch")
   }
 
+  test("exactly-gap spacing merges in BOTH session engines (inclusive boundary)") {
+    // The parity suite's fixtures avoid exactly-gap spacing, so pin the
+    // boundary explicitly: an event exactly `gap` after the last one
+    // merges under sessionizeStateful (<= in the interval merge), under
+    // the batch lag formulation (diff > gap starts a session), AND under
+    // the built-in session_window (measured here — Spark merges windows
+    // whose start equals the previous window's end). One convention,
+    // three engines; this test is what keeps that from drifting.
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (1L, ts("2026-01-01 12:00:00")), (1L, ts("2026-01-01 12:01:00")),
+      (99L, ts("2026-01-02 00:00:00"))) // sentinel: flush via watermark
+
+    def run(name: String,
+            build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val query = build(input.toDF().toDF("user_id", "ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(events: _*); query.processAllAvailable()
+      } finally query.stop()
+      spark.table(name).select("user_id", "n_events")
+        .as[(Long, Long)].collect().filter(_._1 == 1L).map(_._2).sorted.toSeq
+    }
+
+    val gap = java.time.Duration.ofMinutes(1)
+    assert(run("bound_state", df => StreamingOps.sessionizeStateful(
+      df, "user_id", "ts", gap, watermarkDelay = "1 minute")) == Seq(2L))
+    assert(run("bound_win", df => StreamingOps.sessionWindowStream(
+      df, "user_id", "ts", gap = "1 minute",
+      watermarkDelay = "1 minute")) == Seq(2L))
+  }
+
   test("stateful sessionization merges adjacent same-batch late events") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp)]
