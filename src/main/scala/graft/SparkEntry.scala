@@ -711,6 +711,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- cross-snapshot near-dup: a new batch (lightly-edited clones of
+    //      corpus docs under fresh ids) probed against the corpus's
+    //      PERSISTED minhash band-bucket + shingle artifacts (parquet
+    //      round-trip inside the query, as a real ingest would read
+    //      them); verification is exact Jaccard, so the oracle replays
+    //      the full cross-set computation ----
+
+    "q54_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .withColumnRenamed("doc_id", "corpus_id")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("batch_id"),
+          concat(col("text"), lit(" zzappendtoken")).as("text"))
+      val art = tmpDir("graft-neardup-art")
+      Dedup.minhashBandBuckets(corpus, "corpus_id", "text")
+        .write.mode("overwrite").parquet(s"$art/buckets")
+      Dedup.shingleHashFrame(corpus, "corpus_id", "text", n = 3)
+        .write.mode("overwrite").parquet(s"$art/shingles")
+      Dedup.incrementalNearDup(batch, "batch_id", "text",
+          s.read.parquet(s"$art/buckets"), s.read.parquet(s"$art/shingles"),
+          "corpus_id", threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // ---- image directory scan + extraction stage (SURVEY §2.1 S2/S4, §2.4
     //      I1-I5) on deterministic generated PNGs; Spark-side only (images
     //      are not DuckDB-readable) → rows-only check ----
@@ -1323,6 +1348,46 @@ object SparkEntry {
           |SELECT b.doc_id, b.lang, f.batch_dup_count
           |FROM batch b JOIN fresh f ON b.doc_id = f.keep_id
           |ORDER BY b.doc_id""".stripMargin,
+
+      // The cross-set near-dup replayed exactly: same batch perturbation,
+      // trigram shingle sets on both sides, exact Jaccard ≥ 0.8 (banding
+      // recall at t=0.8, r=4, b=32 leaves P[miss] ≈ 5e-8 per pair, as in
+      // q30).
+      "q54_incremental_neardup" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+          |batch AS (
+          |  SELECT doc_id + 1000000 AS batch_id,
+          |    text || ' zzappendtoken' AS text
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |ctoks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0) AS t FROM corpus),
+          |btoks AS (
+          |  SELECT batch_id, list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0) AS t FROM batch),
+          |csh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM ctoks WHERE len(t) >= 3),
+          |bsh AS (
+          |  SELECT DISTINCT batch_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM btoks WHERE len(t) >= 3),
+          |csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+          |bsizes AS (SELECT batch_id, count(*) AS n FROM bsh GROUP BY 1),
+          |inter AS (
+          |  SELECT b.batch_id, c.doc_id AS corpus_id, count(*) AS i
+          |  FROM bsh b JOIN csh c ON b.s = c.s GROUP BY 1, 2)
+          |SELECT inter.batch_id, corpus_id,
+          |  i / (bs.n + cs.n - i) AS jaccard
+          |FROM inter
+          |JOIN bsizes bs ON bs.batch_id = inter.batch_id
+          |JOIN csizes cs ON cs.doc_id = corpus_id
+          |WHERE i / (bs.n + cs.n - i) >= 0.8
+          |ORDER BY inter.batch_id, corpus_id""".stripMargin,
 
       // fitCentroids' hash seeding replayed: seeds = the 8 vectors lowest
       // by the POSIX LCG of their id, centroid_id = seed rank; assignment

@@ -353,6 +353,98 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** The banding view as a PUBLIC, persistable artifact: one row per
+    * (doc, band) with the band's bucket key. Together with
+    * [[shingleHashFrame]] this is the near-dup membership index of an
+    * accepted corpus — write both once per snapshot, and later ingests
+    * run [[incrementalNearDup]] against them without recomputing corpus
+    * signatures or re-reading corpus text. The (shingleSize, numHashes,
+    * bands) parameters are part of the artifact contract: a batch probed
+    * with different parameters produces incomparable buckets.
+    */
+  def minhashBandBuckets(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, numHashes: Int = 128,
+                         bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandedBuckets(
+      minhashSignatures(df, idCol, textCol, shingleSize, numHashes),
+      idCol, numHashes, bands)
+  }
+
+  /** Cross-snapshot near-dup: which documents of a new `batch` are
+    * near-duplicates (exact n-gram Jaccard ≥ `threshold`) of a document
+    * already in the accepted corpus — the MinHash twin of
+    * [[incremental]], for the ingest that must also reject paraphrased
+    * or lightly-edited re-crawls, not just byte-identical ones.
+    *
+    * The corpus enters ONLY through its persisted artifacts:
+    * `corpusBuckets` = [[minhashBandBuckets]] output (columns
+    * `corpusIdCol, band, bucket`) and `corpusShingles` =
+    * [[shingleHashFrame]] output (columns `corpusIdCol, __h`), both
+    * written at the previous snapshot with the SAME (shingleSize,
+    * numHashes, bands). Corpus text is never read and corpus signatures
+    * are never recomputed — per ingest, the corpus-sized work is two
+    * hash-keyed joins against fixed-width artifacts.
+    *
+    * Candidate generation joins batch buckets to corpus buckets on
+    * (band, bucket) — never a self-join, never all-pairs — and
+    * `maxBucketSize` (0 = unlimited) drops over-cap corpus buckets
+    * first, the same skew guard as [[minhashDuplicatesVerified]]
+    * (handle byte-identical floods with [[incremental]] BEFORE this
+    * pass). Candidates are verified by exact Jaccard between the
+    * batch's fresh shingle set and the corpus shingle artifact, so a
+    * returned pair is a TRUE near-dup, not an LSH guess.
+    *
+    * Returns (`batchIdCol`, `corpusIdCol`, jaccard), one row per
+    * qualifying (batch doc, corpus doc) pair; anti-join the batch on
+    * the first column to keep only genuinely new documents.
+    */
+  def incrementalNearDup(batch: DataFrame, batchIdCol: String,
+                         batchTextCol: String, corpusBuckets: DataFrame,
+                         corpusShingles: DataFrame, corpusIdCol: String,
+                         threshold: Double = 0.8, shingleSize: Int = 3,
+                         numHashes: Int = 128, bands: Int = 32,
+                         maxBucketSize: Long = 0L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(batchIdCol != corpusIdCol,
+      "batch and corpus id columns must have distinct names")
+    val batchBuckets = minhashBandBuckets(batch, batchIdCol, batchTextCol,
+      shingleSize, numHashes, bands).transform(tracked)
+    val keptCorpus =
+      if (maxBucketSize <= 0L) corpusBuckets
+      else {
+        val ok = corpusBuckets.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= maxBucketSize)
+          .select("band", "bucket")
+        corpusBuckets.join(ok, Seq("band", "bucket"))
+      }
+    val cands = batchBuckets
+      .join(keptCorpus.select(col(corpusIdCol), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(batchIdCol, corpusIdCol)
+      .distinct()
+    val bsh = shingleHashFrame(batch, batchIdCol, batchTextCol, shingleSize)
+      .transform(tracked)
+    val bSizes = bsh.groupBy(col(batchIdCol)).agg(count(lit(1)).as("__nb"))
+    val cSizes = corpusShingles.groupBy(col(corpusIdCol))
+      .agg(count(lit(1)).as("__nc"))
+    val inter = cands
+      .join(bsh.withColumnRenamed("__h", "__hb"), batchIdCol)
+      .join(corpusShingles.withColumnRenamed("__h", "__hc"), corpusIdCol)
+      .filter(col("__hb") === col("__hc"))
+      .groupBy(batchIdCol, corpusIdCol)
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(bSizes, batchIdCol)
+      .join(cSizes, corpusIdCol)
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (col("__nb") + col("__nc") - col("__inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(batchIdCol, corpusIdCol, "jaccard")
+  }
+
   // ---- SimHash -----------------------------------------------------------
 
   /** 64-bit SimHash over tokens as a per-row expression (aggregate over

@@ -456,6 +456,35 @@ class OpsSpec extends SparkSpec {
     assert(out2 == Seq("epsilon"))
   }
 
+  test("incrementalNearDup finds edited re-crawls via the persisted artifacts") {
+    val base = (0 until 30).map(i => s"w$i").mkString(" ") // 28 trigrams
+    val corpus = Seq((1L, base), (2L, "a completely different document text"))
+      .toDF("corpus_id", "text")
+    val buckets = Dedup.minhashBandBuckets(corpus, "corpus_id", "text")
+    val shingles = Dedup.shingleHashFrame(corpus, "corpus_id", "text", n = 3)
+    val batch = Seq(
+      (10L, base.replace("w15", "EDITED")), // 1 token changed: J = 25/31
+      (11L, base),                          // exact re-crawl: J = 1
+      (12L, "totally unrelated new content here"),
+    ).toDF("batch_id", "text")
+    val out = Dedup.incrementalNearDup(batch, "batch_id", "text",
+        buckets, shingles, "corpus_id", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((10L, 1L), (11L, 1L)))
+    assert(math.abs(out(0)._3 - 25.0 / 31.0) < 1e-12)
+    assert(out(1)._3 == 1.0)
+    // corpus-side skew guard: an identical-text flood puts all members in
+    // the same bucket in every band; the cap suppresses those buckets and
+    // the probe finds nothing (such floods belong to `incremental` first)
+    val flood = Seq((1L, base), (2L, base), (3L, base))
+      .toDF("corpus_id", "text")
+    val capped = Dedup.incrementalNearDup(batch, "batch_id", "text",
+        Dedup.minhashBandBuckets(flood, "corpus_id", "text"),
+        Dedup.shingleHashFrame(flood, "corpus_id", "text", n = 3),
+        "corpus_id", threshold = 0.8, maxBucketSize = 2L)
+    assert(capped.isEmpty)
+  }
+
   test("budgetedMix hits budgets deterministically and drops unbudgeted strata") {
     val df = (0 until 400).map { i =>
       (i.toLong, if (i % 2 == 0) "en" else "de", 100L)
