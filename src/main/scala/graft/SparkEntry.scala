@@ -398,6 +398,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- int8-quantized ANN: scores are integer dots rescaled by the
+    //      two symmetric scales; every arithmetic step is IEEE-portable,
+    //      so the oracle replays the quantized scores bit-exactly ----
+
+    "q55_quantized_ann" -> ((s, dir) => {
+      val quant = Similarity.quantizeEmbeddings(
+          t(s, dir, "embeddings"), "embedding")
+        .select("vec_id", "qvec", "qscale")
+      Similarity.quantizedTopK(quant.filter(col("vec_id") < 5), "vec_id",
+          quant, "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q35_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
@@ -1190,6 +1203,36 @@ object SparkEntry {
           |    w -> greatest(1, CAST(ceil(len(w) / 4.0) AS BIGINT)))), 0)
           |    AS BIGINT) AS n_bpe
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // Symmetric int8 quantization replayed: scale = max|v|/127, q_i =
+      // floor(|x|/s + 0.5) signed (spelled out, not library round), score
+      // = (intdot · s_a) · s_b in Spark's multiply order. Integer dots ≤
+      // 2^53 are exact in double, so scores hash-match bit-for-bit.
+      "q55_quantized_ann" ->
+        """WITH qn AS (
+          |  SELECT vec_id,
+          |    list_max(list_transform(embedding::DOUBLE[],
+          |      x -> abs(x))) / 127 AS s,
+          |    embedding::DOUBLE[] AS v
+          |  FROM embeddings),
+          |qv AS (
+          |  SELECT vec_id, s,
+          |    CASE WHEN s > 0 THEN list_transform(v,
+          |      x -> CASE WHEN x >= 0 THEN floor(x / s + 0.5)
+          |                ELSE -floor(-x / s + 0.5) END)
+          |    ELSE list_transform(v, x -> 0.0) END AS q
+          |  FROM qn),
+          |scored AS (
+          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |    list_dot_product(a.q, b.q) * a.s * b.s AS qscore
+          |  FROM qv a, qv b WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, qscore,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY qscore DESC, neighbor_id ASC) AS BIGINT) AS rank
+          |  FROM scored)
+          |SELECT query_id, rank, neighbor_id, qscore FROM ranked
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
       "q16_ann_brute" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

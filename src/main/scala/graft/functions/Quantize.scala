@@ -1,0 +1,209 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Static kernels for int8 embedding quantization, callable from generated
+  * code.
+  *
+  * Symmetric scalar quantization: `scale = max|v| / 127`, `q_i =
+  * round_half_away(v_i / scale)` packed into one byte each. A 100 TB
+  * float32 embedding store becomes ~25 TB of `binary` payloads plus one
+  * double per vector — the difference between an index that fits executor
+  * memory and one that doesn't — while inner products stay exact INTEGER
+  * arithmetic (`dot_i8`), rescaled by the two scales at the end.
+  *
+  * Every step is plain IEEE double arithmetic (divide, add 0.5, floor),
+  * so an external engine replays the quantized scores bit-exactly — the
+  * DuckDB oracle does, which is why rounding is spelled
+  * `floor(|x|/s + 0.5)` rather than delegated to a library round.
+  */
+object QuantOps {
+
+  /** `max|v| / 127`, the symmetric int8 scale; 0.0 for empty or all-zero
+    * vectors (quantize maps everything to 0 then).
+    */
+  def qscale(arr: ArrayData, elemKind: Int): Double = {
+    val n = arr.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(elem(arr, elemKind, i))
+      if (v > m) m = v
+      i += 1
+    }
+    m / 127.0
+  }
+
+  /** Pack the vector into int8 bytes at `scale` (round half away from
+    * zero). `scale <= 0` maps everything to 0.
+    */
+  def quantize(arr: ArrayData, elemKind: Int, scale: Double): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    if (scale > 0.0) {
+      var i = 0
+      while (i < n) {
+        val x = elem(arr, elemKind, i)
+        val q = if (x >= 0.0) math.floor(x / scale + 0.5)
+                else -math.floor(-x / scale + 0.5)
+        out(i) = q.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Exact integer dot product of two int8 vectors. */
+  def dotI8(a: Array[Byte], b: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { acc += a(i).toLong * b(i).toLong; i += 1 }
+    acc
+  }
+
+  private def elem(arr: ArrayData, elemKind: Int, i: Int): Double =
+    elemKind match {
+      case 0 => arr.getFloat(i).toDouble
+      case 1 => arr.getDouble(i)
+      case 2 => arr.getInt(i).toDouble
+      case _ => arr.getLong(i).toDouble
+    }
+}
+
+private[functions] trait NumericArrayArg { self: Expression =>
+  protected def vecArg: Expression
+
+  protected def elemKind: Int = vecArg.dataType match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case _ => 3
+  }
+
+  protected def checkNumericArray(name: String): TypeCheckResult =
+    vecArg.dataType match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name needs a numeric array, got ${other.simpleString}")
+    }
+}
+
+/** `graft_qscale(vec)` → the symmetric int8 scale `max|v| / 127`. */
+case class QScaleI8(child: Expression)
+    extends UnaryExpression with NumericArrayArg {
+  protected def vecArg: Expression = child
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkNumericArray(prettyName)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    QuantOps.qscale(arr, elemKind)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      s"""
+         |boolean anyNull = false;
+         |for (int $i = 0; $i < $arr.numElements(); $i++)
+         |  if ($arr.isNullAt($i)) { anyNull = true; break; }
+         |if (anyNull) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = graft.functions.QuantOps.qscale($arr, $elemKind);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QScaleI8 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_qscale"
+}
+
+/** `graft_quantize_i8(vec, scale)` → int8 bytes (BinaryType). */
+case class QuantizeI8(left: Expression, right: Expression)
+    extends BinaryExpression with NumericArrayArg {
+  protected def vecArg: Expression = left
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val v = checkNumericArray(prettyName)
+    if (v != TypeCheckResult.TypeCheckSuccess) v
+    else if (right.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a double scale, got ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i)) return null
+      i += 1
+    }
+    QuantOps.quantize(arr, elemKind, b.asInstanceOf[Double])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, s) => {
+      val i = ctx.freshName("i")
+      s"""
+         |boolean anyNull = false;
+         |for (int $i = 0; $i < $arr.numElements(); $i++)
+         |  if ($arr.isNullAt($i)) { anyNull = true; break; }
+         |if (anyNull) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = graft.functions.QuantOps.quantize($arr, $elemKind, $s);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizeI8 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_quantize_i8"
+}
+
+/** `graft_vec_dot_i8(a, b)` → exact integer dot of two int8 (binary)
+  * vectors; null on length mismatch (mirroring graft_vec_dot).
+  */
+case class VecDotI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two binary int8 vectors, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) null else QuantOps.dotI8(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |if ($x.length != $y.length) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = graft.functions.QuantOps.dotI8($x, $y);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotI8 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_vec_dot_i8"
+}

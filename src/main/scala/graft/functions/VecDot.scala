@@ -191,6 +191,24 @@ object GraftFunctions {
           litInt(exprs(2), "bands"),
           if (exprs.length == 4) litInt(exprs(3), "planeGen") else 0)
       }),
+    (FunctionIdentifier("graft_qscale"),
+      new ExpressionInfo(classOf[QScaleI8].getName, "graft_qscale"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_qscale takes (vec)")
+        QScaleI8(exprs(0))
+      }),
+    (FunctionIdentifier("graft_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_quantize_i8 takes (vec, scale)")
+        QuantizeI8(exprs(0), exprs(1))
+      }),
+    (FunctionIdentifier("graft_vec_dot_i8"),
+      new ExpressionInfo(classOf[VecDotI8].getName, "graft_vec_dot_i8"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_vec_dot_i8 takes (a, b)")
+        VecDotI8(exprs(0), exprs(1))
+      }),
   )
 
   /** Idempotent per-session registration — operator entry points call this

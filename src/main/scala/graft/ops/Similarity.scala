@@ -511,4 +511,60 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
+
+  // ---- int8 quantization -------------------------------------------------
+
+  /** Symmetric int8 quantization of an embedding column: appends
+    * `qvecCol` (binary, one byte per dimension) and `qscaleCol` (double,
+    * `max|v|/127`) through the codegen'd
+    * [[graft.functions.QScaleI8]]/[[graft.functions.QuantizeI8]] kernels.
+    *
+    * This is the embedding STORAGE story at 100 TB: a float32 vector
+    * column shrinks ~4× into fixed-width binary payloads that shuffle,
+    * broadcast, and cache in a quarter of the memory, while
+    * [[quantizedTopK]] scores them with exact integer dots. Shuffle-free
+    * per-row projection; drop the original column after quantizing to
+    * realize the saving.
+    */
+  def quantizeEmbeddings(df: DataFrame, vecCol: String,
+                         qvecCol: String = "qvec",
+                         qscaleCol: String = "qscale"): DataFrame = {
+    registered(df)
+    df.withColumn(qscaleCol, call_function("graft_qscale", col(vecCol)))
+      .withColumn(qvecCol,
+        call_function("graft_quantize_i8", col(vecCol), col(qscaleCol)))
+  }
+
+  /** Exact top-k over QUANTIZED vectors: score = `dot_i8(q_a, q_b) ·
+    * scale_a · scale_b` — the int8 approximation of the inner product
+    * (for unit-norm embeddings, of the cosine). Same broadcast-queries /
+    * scan-corpus shape as [[bruteForceTopK]], but each corpus row costs
+    * an integer dot over bytes and the corpus column is 4× smaller.
+    * Both sides must carry [[quantizeEmbeddings]] output columns.
+    *
+    * Every arithmetic step (integer dot, two double multiplies, the
+    * rank ordering with id tie-break) is engine-portable, so the DuckDB
+    * oracle replays the scores bit-exactly — quantization error and all.
+    */
+  def quantizedTopK(queries: DataFrame, qIdCol: String,
+                    corpus: DataFrame, cIdCol: String,
+                    k: Int, qvecCol: String = "qvec",
+                    qscaleCol: String = "qscale",
+                    excludeSelf: Boolean = true): DataFrame = {
+    registered(corpus)
+    val q = broadcast(queries.select(col(qIdCol).as("query_id"),
+      col(qvecCol).as("__qq"), col(qscaleCol).as("__qs")))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"),
+      col(qvecCol).as("__cq"), col(qscaleCol).as("__cs"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qscore").desc, col("neighbor_id").asc)
+    c.join(q,
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("qscore",
+        call_function("graft_vec_dot_i8", col("__qq"), col("__cq"))
+          .cast("double") * col("__qs") * col("__cs"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qscore")
+  }
 }

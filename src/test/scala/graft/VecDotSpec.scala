@@ -166,4 +166,52 @@ class VecDotSpec extends SparkSpec {
     }
     assert(got == expected)
   }
+
+  test("int8 quantization: error bound, exact dots, and top-k agreement") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(100) { i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat() * 4 - 2))
+    } :+ (100L, Array.fill(32)(0.0f)) // zero vector: scale 0, all-zero bytes
+    val df = rows.toDF("vec_id", "embedding")
+    val quant = Similarity.quantizeEmbeddings(df, "embedding")
+
+    // reconstruction error is bounded by scale/2 per element
+    val errs = quant.select(col("embedding"), col("qvec"), col("qscale"))
+      .as[(Array[Float], Array[Byte], Double)].collect()
+    errs.foreach { case (v, q, s) =>
+      assert(q.length == v.length)
+      v.indices.foreach { i =>
+        assert(math.abs(v(i) - q(i) * s) <= s / 2 + 1e-12,
+          s"dim $i: ${v(i)} vs ${q(i) * s} (scale $s)")
+      }
+    }
+    val zero = errs.find(_._1.forall(_ == 0.0f)).get
+    assert(zero._3 == 0.0 && zero._2.forall(_ == 0))
+
+    // quantized top-k ranks match float top-k on well-separated data
+    // (32 dims, k small, quantization error ~1/127 per dim)
+    val q5 = quant.filter(col("vec_id") < 3)
+    val qTop = Similarity.quantizedTopK(q5, "vec_id", quant, "vec_id", k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val fTop = Similarity.bruteForceTopK(
+        df.filter(col("vec_id") < 3), "vec_id", "embedding",
+        df, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // not asserted identical (quantization can swap near-ties): demand
+    // per-query overlap of at least 2 of 3
+    val overlap = qTop.map(t => (t._1, t._3)).intersect(
+      fTop.map(t => (t._1, t._3)))
+    assert(overlap.size >= 6, s"overlap too small: $overlap")
+
+    // the int8 dot itself is exact integer arithmetic
+    val d = quant.filter(col("vec_id") === 0L).select("qvec", "qscale")
+      .as[(Array[Byte], Double)].head()
+    val selfDot = quant.filter(col("vec_id") === 0L)
+      .select(call_function("graft_vec_dot_i8", col("qvec"), col("qvec")))
+      .as[Long].head()
+    assert(selfDot == d._1.map(b => b.toLong * b.toLong).sum)
+  }
 }
