@@ -555,6 +555,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- leakage-safe splitting: split hashed on the duplicate-CLUSTER
+    //      representative, so near-dup pairs never straddle train/eval ----
+
+    "q56_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+          trainFrac = 0.7, validationFrac = 0.15, salt = 5L)
+        .orderBy("doc_id")
+    }),
+
     // ---- PII scrubbing (extension; Java-regex/RE2-portable patterns) ----
 
     "q38_pii_scrub" -> ((s, dir) => {
@@ -966,6 +978,29 @@ object SparkEntry {
            |SELECT a.doc_id, a.cluster_id, s.cluster_size
            |FROM assigned a JOIN csizes s USING (cluster_id)
            |ORDER BY a.doc_id""".stripMargin,
+
+      // q37's recursive component labels + the q27/q52 multiplicative-mix
+      // keep arithmetic applied to the CLUSTER id; thresholds are the
+      // same double→long truncation Spark computes.
+      "q56_leakage_safe_split" ->
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT id_a, id_b FROM (${jaccardSql("0.6")}) j),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (SELECT a, b FROM sym
+           |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           |  FROM reach GROUP BY a),
+           |assigned AS (
+           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN ((cluster_id + 5) * 2654435761) % 4294967296
+           |         < ${(0.7 * 4294967296L).toLong} THEN 'TRAIN'
+           |       WHEN ((cluster_id + 5) * 2654435761) % 4294967296
+           |         < ${((0.7 + 0.15) * 4294967296L).toLong} THEN 'VALIDATION'
+           |       ELSE 'TEST' END AS split
+           |FROM assigned ORDER BY doc_id""".stripMargin,
 
       "q38_pii_scrub" ->
         """SELECT doc_id,

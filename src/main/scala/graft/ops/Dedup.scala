@@ -674,6 +674,44 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** Leakage-safe TRAIN/VALIDATION/TEST assignment: the split is a
+    * deterministic hash of the document's duplicate-CLUSTER
+    * representative, not of the document itself — so a near-duplicate
+    * pair can NEVER straddle the train/eval boundary (the classic
+    * leakage path: a document trains, its paraphrase evaluates).
+    * Per-document hash splits (including the reference's own
+    * random-split design) all have this hole; keying the hash on the
+    * connected-component label closes it structurally.
+    *
+    * `pairs` is the near-dup edge set from any pairwise operator here
+    * (`ngramJaccard`, `minhashDuplicatesVerified`, ...). Fractions are
+    * cluster-weighted in expectation: each CLUSTER (not each doc) lands
+    * in TRAIN with probability `trainFrac`, so massive duplicate
+    * clusters move whole — the price of zero leakage, and another
+    * reason to exact-dedup first. The assignment is a pure function of
+    * (cluster representative, salt): stable across partitionings,
+    * re-runs, and appends that don't bridge clusters, and replayable in
+    * external SQL (the oracle does).
+    *
+    * Returns one row per input document: (`idCol`, cluster_id, split).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       trainFrac: Double = 0.8, validationFrac: Double = 0.1,
+                       salt: Long = 0L): DataFrame = {
+    require(trainFrac > 0.0 && validationFrac >= 0.0 &&
+      trainFrac + validationFrac <= 1.0,
+      "need trainFrac > 0, validationFrac >= 0, sum <= 1")
+    val mod = 4294967296L // 2^32, keepPredicate's threshold domain
+    val trainThr = (trainFrac * mod).toLong
+    val valThr = ((trainFrac + validationFrac) * mod).toLong
+    val u = Sampling.mixedKey(col("cluster_id"), salt)
+    duplicateClusters(df, idCol, pairs)
+      .select(col(idCol), col("cluster_id"),
+        when(u < trainThr, "TRAIN")
+          .when(u < valThr, "VALIDATION")
+          .otherwise("TEST").as("split"))
+  }
+
   // ---- the production dedup pipeline -------------------------------------
 
   /** The order-of-operations that survives a 100 TB corpus with massive

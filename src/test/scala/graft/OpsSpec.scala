@@ -485,6 +485,31 @@ class OpsSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("leakageSafeSplit never lets a near-dup pair straddle splits") {
+    // 300 singleton docs + 3 chains of near-dup pairs
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (200L, 201L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+        trainFrac = 0.6, validationFrac = 0.2, salt = 3L)
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 300)
+    val byId = out.map(r => r._1 -> r._3).toMap
+    // connected docs share a split — the whole point
+    assert(byId(1L) == byId(2L) && byId(2L) == byId(3L))
+    assert(byId(10L) == byId(11L))
+    assert(byId(200L) == byId(201L))
+    // all three splits appear, roughly per the fractions
+    val counts = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(counts.keySet == Set("TRAIN", "VALIDATION", "TEST"))
+    assert(counts("TRAIN") > 120 && counts("TRAIN") < 240, counts.toString)
+    // pure function of (cluster, salt): repartitioning changes nothing
+    val again = Dedup.leakageSafeSplit(docs.repartition(7), "doc_id", pairs,
+        trainFrac = 0.6, validationFrac = 0.2, salt = 3L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("budgetedMix hits budgets deterministically and drops unbudgeted strata") {
     val df = (0 until 400).map { i =>
       (i.toLong, if (i % 2 == 0) "en" else "de", 100L)
