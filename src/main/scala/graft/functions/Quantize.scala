@@ -114,12 +114,16 @@ case class QScaleI8(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
+      // every local freshName'd: nullSafeCodeGen can emit this block
+      // unbraced, and two quantize-family expressions share a codegen
+      // scope inside one collapsed projection
       val i = ctx.freshName("i")
+      val anyNull = ctx.freshName("anyNull")
       s"""
-         |boolean anyNull = false;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $arr.numElements(); $i++)
-         |  if ($arr.isNullAt($i)) { anyNull = true; break; }
-         |if (anyNull) { ${ev.isNull} = true; } else {
+         |  if ($arr.isNullAt($i)) { $anyNull = true; break; }
+         |if ($anyNull) { ${ev.isNull} = true; } else {
          |  ${ev.value} = graft.functions.QuantOps.qscale($arr, $elemKind);
          |}
        """.stripMargin
@@ -157,11 +161,12 @@ case class QuantizeI8(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (arr, s) => {
       val i = ctx.freshName("i")
+      val anyNull = ctx.freshName("anyNull")
       s"""
-         |boolean anyNull = false;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $arr.numElements(); $i++)
-         |  if ($arr.isNullAt($i)) { anyNull = true; break; }
-         |if (anyNull) { ${ev.isNull} = true; } else {
+         |  if ($arr.isNullAt($i)) { $anyNull = true; break; }
+         |if ($anyNull) { ${ev.isNull} = true; } else {
          |  ${ev.value} = graft.functions.QuantOps.quantize($arr, $elemKind, $s);
          |}
        """.stripMargin

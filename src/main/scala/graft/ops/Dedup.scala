@@ -251,17 +251,22 @@ object Dedup {
     * [[dedupPipeline]]), then the capped LSH pass only needs to find the
     * non-identical near-dups.
     */
+  /** The bucket-size skew guard shared by every LSH path: drop (band,
+    * bucket) groups larger than `maxBucketSize` (0 = keep all).
+    */
+  private def capBuckets(banded: DataFrame, maxBucketSize: Long): DataFrame =
+    if (maxBucketSize <= 0L) banded
+    else {
+      val ok = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize)
+        .select("band", "bucket")
+      banded.join(ok, Seq("band", "bucket"))
+    }
+
   private def candidatePairs(banded: DataFrame, idCol: String,
                              maxBucketSize: Long = 0L): DataFrame = {
-    val kept =
-      if (maxBucketSize <= 0L) banded
-      else {
-        val ok = banded.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") <= maxBucketSize)
-          .select("band", "bucket")
-        banded.join(ok, Seq("band", "bucket"))
-      }
+    val kept = capBuckets(banded, maxBucketSize)
     val a = kept.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = kept.select(col(idCol).as("id_b"), col("band").as("band_b"),
       col("bucket").as("bucket_b"))
@@ -410,24 +415,24 @@ object Dedup {
       "batch and corpus id columns must have distinct names")
     val batchBuckets = minhashBandBuckets(batch, batchIdCol, batchTextCol,
       shingleSize, numHashes, bands).transform(tracked)
-    val keptCorpus =
-      if (maxBucketSize <= 0L) corpusBuckets
-      else {
-        val ok = corpusBuckets.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__bsz"))
-          .filter(col("__bsz") <= maxBucketSize)
-          .select("band", "bucket")
-        corpusBuckets.join(ok, Seq("band", "bucket"))
-      }
+    val keptCorpus = capBuckets(corpusBuckets, maxBucketSize)
     val cands = batchBuckets
       .join(keptCorpus.select(col(corpusIdCol), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select(batchIdCol, corpusIdCol)
       .distinct()
+      .transform(tracked)
     val bsh = shingleHashFrame(batch, batchIdCol, batchTextCol, shingleSize)
       .transform(tracked)
     val bSizes = bsh.groupBy(col(batchIdCol)).agg(count(lit(1)).as("__nb"))
-    val cSizes = corpusShingles.groupBy(col(corpusIdCol))
+    // Corpus shingle counts are snapshot-static, but only the CANDIDATE
+    // docs' counts matter per ingest — the semi-join keeps the
+    // aggregation bounded by the candidate set instead of shuffling a
+    // corpus-wide count for every batch.
+    val cSizes = corpusShingles
+      .join(cands.select(corpusIdCol).distinct(), Seq(corpusIdCol),
+        "left_semi")
+      .groupBy(col(corpusIdCol))
       .agg(count(lit(1)).as("__nc"))
     val inter = cands
       .join(bsh.withColumnRenamed("__h", "__hb"), batchIdCol)

@@ -71,6 +71,22 @@ object Similarity {
   private[ops] def registered(df: DataFrame): Unit =
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
 
+  /** The rank-and-truncate tail every top-k operator here shares: rank
+    * scored (query_id, neighbor_id, `scoreCol`) rows per query — score
+    * desc, neighbor id asc on ties — and keep the top k. Spark compiles
+    * the row_number filter to `WindowGroupLimit Partial/Final`, so rows
+    * past rank k are dropped BEFORE the rank shuffle.
+    */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       scoreCol: String): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col(scoreCol).desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", scoreCol)
+  }
+
   /** Exact top-k neighbors per query.
     *
     * @param queries  small frame (id, vector) — broadcast
@@ -88,12 +104,7 @@ object Similarity {
     val scored = c.join(q,
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("score", fastCosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+    rankTopK(scored, k, "score")
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim) —
@@ -163,13 +174,8 @@ object Similarity {
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select("query_id", "__qv", "neighbor_id", "__cv")
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    cand
-      .withColumn("score", fastCosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+    rankTopK(cand.withColumn("score", fastCosine(col("__qv"), col("__cv"))),
+      k, "score")
   }
 
   // ---- IVF ---------------------------------------------------------------
@@ -473,16 +479,13 @@ object Similarity {
     val index = spark.read.parquet(indexDir)
       .filter(col("centroid_id").isin(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(probedClusters): _*))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    index.select(col(index.columns(0)).as("neighbor_id"),
-        col(index.columns(1)).as("__cv"), col("centroid_id"))
-      .join(broadcast(probes), "centroid_id")
-      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("score", fastCosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+    rankTopK(
+      index.select(col(index.columns(0)).as("neighbor_id"),
+          col(index.columns(1)).as("__cv"), col("centroid_id"))
+        .join(broadcast(probes), "centroid_id")
+        .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+        .withColumn("score", fastCosine(col("__qv"), col("__cv"))),
+      k, "score")
   }
 
   /** IVF approximate top-k: probe the `nprobe` nearest centroid lists per
@@ -500,16 +503,13 @@ object Similarity {
         col("centroid_id"))
     val probes = ivfProbes(queries, qIdCol, qVecCol,
       centroids, centIdCol, centVecCol, nprobe)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
     // Probes are |queries|×nprobe rows — broadcast them so the
     // corpus-sized assignment never shuffles for the join.
-    assigned.join(broadcast(probes), "centroid_id")
-      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("score", fastCosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+    rankTopK(
+      assigned.join(broadcast(probes), "centroid_id")
+        .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+        .withColumn("score", fastCosine(col("__qv"), col("__cv"))),
+      k, "score")
   }
 
   // ---- int8 quantization -------------------------------------------------
@@ -556,15 +556,12 @@ object Similarity {
       col(qvecCol).as("__qq"), col(qscaleCol).as("__qs")))
     val c = corpus.select(col(cIdCol).as("neighbor_id"),
       col(qvecCol).as("__cq"), col(qscaleCol).as("__cs"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("qscore").desc, col("neighbor_id").asc)
-    c.join(q,
-        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("qscore",
-        call_function("graft_vec_dot_i8", col("__qq"), col("__cq"))
-          .cast("double") * col("__qs") * col("__cs"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "qscore")
+    rankTopK(
+      c.join(q,
+          if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+        .withColumn("qscore",
+          call_function("graft_vec_dot_i8", col("__qq"), col("__cq"))
+            .cast("double") * col("__qs") * col("__cs")),
+      k, "qscore")
   }
 }

@@ -177,34 +177,55 @@ class VecDotSpec extends SparkSpec {
     val quant = Similarity.quantizeEmbeddings(df, "embedding")
 
     // reconstruction error is bounded by scale/2 per element
-    val errs = quant.select(col("embedding"), col("qvec"), col("qscale"))
-      .as[(Array[Float], Array[Byte], Double)].collect()
-    errs.foreach { case (v, q, s) =>
+    val errs = quant.select(col("vec_id"), col("embedding"), col("qvec"),
+        col("qscale"))
+      .as[(Long, Array[Float], Array[Byte], Double)].collect()
+    errs.foreach { case (_, v, q, s) =>
       assert(q.length == v.length)
       v.indices.foreach { i =>
         assert(math.abs(v(i) - q(i) * s) <= s / 2 + 1e-12,
           s"dim $i: ${v(i)} vs ${q(i) * s} (scale $s)")
       }
     }
-    val zero = errs.find(_._1.forall(_ == 0.0f)).get
-    assert(zero._3 == 0.0 && zero._2.forall(_ == 0))
+    val zero = errs.find(_._2.forall(_ == 0.0f)).get
+    assert(zero._4 == 0.0 && zero._3.forall(_ == 0))
 
-    // quantized top-k ranks match float top-k on well-separated data
-    // (32 dims, k small, quantization error ~1/127 per dim)
-    val q5 = quant.filter(col("vec_id") < 3)
-    val qTop = Similarity.quantizedTopK(q5, "vec_id", quant, "vec_id", k = 3)
-      .select("query_id", "rank", "neighbor_id")
-      .as[(Long, Long, Long)].collect().toSet
-    val fTop = Similarity.bruteForceTopK(
-        df.filter(col("vec_id") < 3), "vec_id", "embedding",
-        df, "vec_id", "embedding", k = 3)
-      .select("query_id", "rank", "neighbor_id")
-      .as[(Long, Long, Long)].collect().toSet
-    // not asserted identical (quantization can swap near-ties): demand
-    // per-query overlap of at least 2 of 3
-    val overlap = qTop.map(t => (t._1, t._3)).intersect(
-      fTop.map(t => (t._1, t._3)))
-    assert(overlap.size >= 6, s"overlap too small: $overlap")
+    // quantized top-k equals a driver-side replay of the SAME arithmetic
+    // (integer dot, then * queryScale * corpusScale, ties to low id) —
+    // exact, no slack for the implementation to hide in
+    val byId = errs.map(e => e._1 -> ((e._3, e._4))).toMap
+    val expected = (for {
+      qid <- 0L until 3L
+      (qq, qs) = byId(qid)
+      ranked = byId.toSeq.filter(_._1 != qid)
+        .map { case (nid, (cq, cs)) =>
+          val dot = qq.indices.map(i => qq(i).toLong * cq(i).toLong).sum
+          (nid, dot.toDouble * qs * cs)
+        }
+        .sortBy { case (nid, score) => (-score, nid) }
+        .take(3)
+      ((nid, score), r) <- ranked.zipWithIndex
+    } yield (qid, (r + 1).toLong, nid, score)).toSet
+    val qTop = Similarity.quantizedTopK(
+        quant.filter(col("vec_id") < 3), "vec_id", quant, "vec_id", k = 3)
+      .select("query_id", "rank", "neighbor_id", "qscore")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(qTop == expected)
+
+    // regression: both quantize kernels in ONE projection over a
+    // NON-NULLABLE array column (nullSafeCodeGen's unbraced path) must
+    // compile — fallback off turns a Janino local-redefinition into a
+    // hard failure instead of silent interpreted execution
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val lit2 = spark.range(3)
+        .select(col("id"), array(lit(63.0f), lit(-127.0f)).as("embedding"))
+      val out = Similarity.quantizeEmbeddings(lit2, "embedding")
+        .select("qvec", "qscale")
+        .as[(Array[Byte], Double)].collect()
+      // maxabs = 127 → scale exactly 1.0 → bytes are the values
+      assert(out.forall(r => r._1.toSeq == Seq[Byte](63, -127) && r._2 == 1.0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
 
     // the int8 dot itself is exact integer arithmetic
     val d = quant.filter(col("vec_id") === 0L).select("qvec", "qscale")
