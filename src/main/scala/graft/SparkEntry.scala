@@ -555,6 +555,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus-wide paragraph dedup (C4-style boilerplate strip): docs
+    //      get paragraph structure (20-token chunks) plus an injected
+    //      boilerplate paragraph in EVERY doc; dedup keeps each distinct
+    //      paragraph's first (doc, position) occurrence corpus-wide ----
+
+    "q57_paragraph_dedup" -> ((s, dir) => {
+      val chunks = TextAnalysis.chunk(t(s, dir, "documents"),
+        "doc_id", "text", maxTokens = 20)
+      val pdocs = chunks.groupBy("doc_id")
+        .agg(concat(lit("subscribe to our newsletter today\n\n"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk_idx"),
+              col("chunk_text")))),
+            c => c("chunk_text")), "\n\n")).as("text"))
+      Dedup.dedupParagraphs(pdocs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- leakage-safe splitting: split hashed on the duplicate-CLUSTER
     //      representative, so near-dup pairs never straddle train/eval ----
 
@@ -978,6 +996,45 @@ object SparkEntry {
            |SELECT a.doc_id, a.cluster_id, s.cluster_size
            |FROM assigned a JOIN csizes s USING (cluster_id)
            |ORDER BY a.doc_id""".stripMargin,
+
+      // Paragraph structure rebuilt with the q41 chunk arithmetic
+      // (overlap 0 → starts are a plain stride grid), then first-
+      // occurrence-wins replayed with a (doc, position)-ordered window.
+      "q57_paragraph_dedup" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |ch AS (
+          |  SELECT doc_id,
+          |    unnest([{'ci': s // 20, 'ct': array_to_string(t[s+1:s+20], ' ')}
+          |            for s in range(0, len(t), 20)]) AS u
+          |  FROM toks WHERE len(t) > 0),
+          |pdocs AS (
+          |  SELECT doc_id,
+          |    'subscribe to our newsletter today' || chr(10) || chr(10) ||
+          |      string_agg(u.ct, chr(10) || chr(10) ORDER BY u.ci) AS text
+          |  FROM ch GROUP BY doc_id),
+          |paras AS (
+          |  SELECT doc_id, u.pi, u.p
+          |  FROM (SELECT doc_id,
+          |          string_split(text, chr(10) || chr(10)) AS ps
+          |        FROM pdocs),
+          |    unnest([{'pi': i - 1, 'p': ps[i]}
+          |            for i in range(1, len(ps) + 1)]) AS r(u)),
+          |keepers AS (
+          |  SELECT doc_id, pi, p,
+          |    row_number() OVER (PARTITION BY p ORDER BY doc_id, pi) = 1
+          |      AS keep
+          |  FROM paras)
+          |SELECT doc_id,
+          |  coalesce(string_agg(CASE WHEN keep THEN p END,
+          |    chr(10) || chr(10) ORDER BY pi), '') AS text,
+          |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS kept_paras,
+          |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT)
+          |    AS dropped_paras
+          |FROM keepers GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // q37's recursive component labels + the q27/q52 multiplicative-mix
       // keep arithmetic applied to the CLUSTER id; thresholds are the

@@ -679,6 +679,50 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** Corpus-wide paragraph dedup (the C4 move): split every document on
+    * `sep`, keep only the FIRST occurrence — lowest (doc id, position) —
+    * of each distinct paragraph across the WHOLE corpus, and reassemble
+    * documents from their surviving paragraphs in order. This is how
+    * boilerplate that exact/near doc-level dedup cannot see (cookie
+    * banners, nav text, license headers repeated inside otherwise-unique
+    * pages) gets stripped from a training corpus.
+    *
+    * Scale shape: paragraphs shuffle as 128-bit digests for the
+    * first-occurrence aggregate (map-side combinable `min(struct)` — the
+    * paragraph TEXT never shuffles for the membership decision), then one
+    * hash-keyed join back and a per-document reassembly aggregate whose
+    * `array_sort` restores paragraph order without a window. Documents
+    * whose every paragraph was seen earlier survive with empty text
+    * (filter on `kept_paras` to drop them).
+    *
+    * Returns (`idCol`, deduped text under `textCol`, kept_paras,
+    * dropped_paras). `sep` is a Java regex for splitting and a literal
+    * for rejoining — pass a literal separator.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), sep))
+        .as(Seq("__pi", "__p")))
+      .withColumn("__ph", TextAnalysis.fingerprint(col("__p")))
+    val firsts = paras
+      .groupBy(col("__ph"))
+      .agg(min(struct(col(idCol).as("fid"), col("__pi").as("fpi")))
+        .as("__first"))
+    val kept = paras.join(firsts, "__ph")
+      .withColumn("__keep",
+        col(idCol) === col("__first.fid") && col("__pi") === col("__first.fpi"))
+    kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pi"), col("__p"))))),
+          s => s("__p")), sep).as(textCol),
+        count(when(col("__keep"), 1)).as("kept_paras"),
+        count(when(!col("__keep"), 1)).as("dropped_paras"))
+  }
+
   /** Leakage-safe TRAIN/VALIDATION/TEST assignment: the split is a
     * deterministic hash of the document's duplicate-CLUSTER
     * representative, not of the document itself — so a near-duplicate

@@ -485,6 +485,22 @@ class OpsSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("dedupParagraphs keeps first occurrences and reassembles in order") {
+    val docs = Seq(
+      (1L, "intro one\n\nshared boilerplate\n\nbody one"),
+      (2L, "shared boilerplate\n\nbody two"),
+      (3L, "shared boilerplate"), // nothing left after dedup
+      (4L, "body two\n\nbody two\n\ntail"), // within-doc repeat too
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "intro one\n\nshared boilerplate\n\nbody one", 3L, 0L),
+      (2L, "body two", 1L, 1L),
+      (3L, "", 0L, 1L),
+      (4L, "tail", 1L, 2L))) // "body two" was doc 2's; its repeat drops too
+  }
+
   test("leakageSafeSplit never lets a near-dup pair straddle splits") {
     // 300 singleton docs + 3 chains of near-dup pairs
     val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
