@@ -555,6 +555,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- per-source corpus report card: composition + duplication by
+    //      (source, lang), integer-exact aggregates so the ratios
+    //      hash-match (single division of exact long sums) ----
+
+    "q58_corpus_report" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      t(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text")))
+            .as("n_unique_texts"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(call_function("graft_token_count", col("text")))
+            .cast("long").as("total_tokens"))
+        .withColumn("tokens_per_doc",
+          col("total_tokens").cast("double") / col("n_docs").cast("double"))
+        .orderBy("source", "lang")
+    }),
+
     // ---- corpus-wide paragraph dedup (C4-style boilerplate strip): docs
     //      get paragraph structure (20-token chunks) plus an injected
     //      boilerplate paragraph in EVERY doc; dedup keeps each distinct
@@ -996,6 +1015,19 @@ object SparkEntry {
            |SELECT a.doc_id, a.cluster_id, s.cluster_size
            |FROM assigned a JOIN csizes s USING (cluster_id)
            |ORDER BY a.doc_id""".stripMargin,
+
+      "q58_corpus_report" ->
+        """SELECT source, lang,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+          |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |    AS tokens_per_doc
+          |FROM documents GROUP BY source, lang
+          |ORDER BY source, lang""".stripMargin,
 
       // Paragraph structure rebuilt with the q41 chunk arithmetic
       // (overlap 0 → starts are a plain stride grid), then first-
