@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -687,17 +688,21 @@ object Dedup {
     * banners, nav text, license headers repeated inside otherwise-unique
     * pages) gets stripped from a training corpus.
     *
-    * Scale shape: paragraphs shuffle as 128-bit digests for the
-    * first-occurrence aggregate (map-side combinable `min(struct)` — the
-    * paragraph TEXT never shuffles for the membership decision), then one
-    * hash-keyed join back and a per-document reassembly aggregate whose
-    * `array_sort` restores paragraph order without a window. Documents
-    * whose every paragraph was seen earlier survive with empty text
-    * (filter on `kept_paras` to drop them).
+    * Scale shape: exactly two shuffles over the paragraph set — one by
+    * the 128-bit paragraph digest for the first-occurrence window (a
+    * window, not an aggregate-plus-join-back, so the corpus text is
+    * scanned and hashed ONCE), one by document id for the reassembly
+    * aggregate, whose `array_sort` restores paragraph order without a
+    * second window. Identical-paragraph floods co-locate on their digest
+    * exactly as they would on the equivalent join key; the per-digest
+    * state is one (id, position) pair.
     *
-    * Returns (`idCol`, deduped text under `textCol`, kept_paras,
-    * dropped_paras). `sep` is a Java regex for splitting and a literal
-    * for rejoining — pass a literal separator.
+    * Returns one row per input document — (`idCol`, deduped text under
+    * `textCol`, kept_paras, dropped_paras). Documents whose every
+    * paragraph was seen earlier survive with empty text (filter on
+    * `kept_paras` to drop them); documents with NULL text survive with
+    * NULL text and zero counts. `sep` is a Java regex for splitting and
+    * a literal for rejoining — pass a literal separator.
     */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
                       sep: String = "\n\n"): DataFrame = {
@@ -705,14 +710,13 @@ object Dedup {
       .select(col(idCol), posexplode(split(col(textCol), sep))
         .as(Seq("__pi", "__p")))
       .withColumn("__ph", TextAnalysis.fingerprint(col("__p")))
-    val firsts = paras
-      .groupBy(col("__ph"))
-      .agg(min(struct(col(idCol).as("fid"), col("__pi").as("fpi")))
-        .as("__first"))
-    val kept = paras.join(firsts, "__ph")
+    val w = Window.partitionBy("__ph")
+    val kept = paras
+      .withColumn("__first",
+        min(struct(col(idCol).as("fid"), col("__pi").as("fpi"))).over(w))
       .withColumn("__keep",
         col(idCol) === col("__first.fid") && col("__pi") === col("__first.fpi"))
-    kept
+    val rebuilt = kept
       .groupBy(col(idCol))
       .agg(
         array_join(transform(
@@ -721,6 +725,13 @@ object Dedup {
           s => s("__p")), sep).as(textCol),
         count(when(col("__keep"), 1)).as("kept_paras"),
         count(when(!col("__keep"), 1)).as("dropped_paras"))
+    // posexplode emits nothing for NULL text, which would silently DROP
+    // those documents from a frame that promises one row per input doc —
+    // restore them with NULL text and zero counts
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("kept_paras", coalesce(col("kept_paras"), lit(0L)))
+      .withColumn("dropped_paras", coalesce(col("dropped_paras"), lit(0L)))
   }
 
   /** Leakage-safe TRAIN/VALIDATION/TEST assignment: the split is a

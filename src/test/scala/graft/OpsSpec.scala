@@ -491,14 +491,16 @@ class OpsSpec extends SparkSpec {
       (2L, "shared boilerplate\n\nbody two"),
       (3L, "shared boilerplate"), // nothing left after dedup
       (4L, "body two\n\nbody two\n\ntail"), // within-doc repeat too
+      (5L, null),                           // null text must not vanish
     ).toDF("doc_id", "text")
     val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
-      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+      .as[(Long, Option[String], Long, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq(
-      (1L, "intro one\n\nshared boilerplate\n\nbody one", 3L, 0L),
-      (2L, "body two", 1L, 1L),
-      (3L, "", 0L, 1L),
-      (4L, "tail", 1L, 2L))) // "body two" was doc 2's; its repeat drops too
+      (1L, Some("intro one\n\nshared boilerplate\n\nbody one"), 3L, 0L),
+      (2L, Some("body two"), 1L, 1L),
+      (3L, Some(""), 0L, 1L),
+      (4L, Some("tail"), 1L, 2L), // "body two" was doc 2's; repeat drops too
+      (5L, None, 0L, 0L)))
   }
 
   test("leakageSafeSplit never lets a near-dup pair straddle splits") {
