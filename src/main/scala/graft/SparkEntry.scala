@@ -555,6 +555,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic shuffled-shard export: reproducible pseudo-random
+    //      shard assignment + within-shard order; read back and prove the
+    //      layout via per-shard stats the oracle recomputes from keys ----
+
+    "q59_shuffled_shards" -> ((s, dir) => {
+      val out = tmpDir("graft-shards")
+      Sampling.writeShuffledShards(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", numShards = 8, out, salt = 13L)
+      s.read.parquet(out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min_by(col("doc_id"), Sampling.mixedKey(col("doc_id"), 13L))
+            .as("first_doc"),
+          max_by(col("doc_id"), Sampling.mixedKey(col("doc_id"), 13L))
+            .as("last_doc"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("shard")
+    }),
+
     // ---- per-source corpus report card: composition + duplication by
     //      (source, lang), integer-exact aggregates so the ratios
     //      hash-match (single division of exact long sums) ----
@@ -1015,6 +1035,24 @@ object SparkEntry {
            |SELECT a.doc_id, a.cluster_id, s.cluster_size
            |FROM assigned a JOIN csizes s USING (cluster_id)
            |ORDER BY a.doc_id""".stripMargin,
+
+      // The shard layout recomputed from keys alone: mix = the q27/q52
+      // multiplicative hash, shard = mix mod 8, first/last = arg-min/max
+      // of the mix per shard.
+      "q59_shuffled_shards" ->
+        """WITH m AS (
+          |  SELECT doc_id, n_chars,
+          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, n_chars, mix,
+          |    CAST(mix % 8 AS INTEGER) AS shard
+          |  FROM m)
+          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          |  min_by(doc_id, mix) AS first_doc,
+          |  max_by(doc_id, mix) AS last_doc,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

@@ -23,9 +23,12 @@ object Sampling {
 
   /** `((key + salt) · Multiplier) mod 2³²` in 16-bit limbs (see
     * [[keepPredicate]]) — the uniform value every sampling decision here
-    * compares against a threshold.
+    * compares against a threshold, and the shuffle/sort key of
+    * [[writeShuffledShards]]. Public because external consumers (and the
+    * verification oracles) replay it to predict decisions without
+    * reading data.
     */
-  private[ops] def mixedKey(key: Column, salt: Long): Column = {
+  def mixedKey(key: Column, salt: Long): Column = {
     val x = pmod(key + salt, lit(Mod))               // < 2^32
     val xh = shiftright(x, 16)                       // high 16 bits, < 2^16
     val xl = pmod(x, lit(65536L))                    // low 16 bits
@@ -122,4 +125,43 @@ object Sampling {
       .filter(mixedKey(col(keyCol), salt) < col("__thr"))
       .drop("__stratum", "__thr")
   }
+
+  /** Deterministic shuffle-shard assignment: `pmod(mixedKey(key, salt),
+    * numShards)` — which of `numShards` output shards a row lands in
+    * under a reproducible pseudo-random shuffle. Same purity contract as
+    * every decision here: a function of (key, salt) alone, so the shard
+    * layout survives repartitioning, re-runs, and engine changes, and an
+    * external system can compute which shard holds a given key without
+    * reading anything.
+    */
+  def shardAssignment(key: Column, numShards: Int,
+                      salt: Long = 0L): Column = {
+    require(numShards > 0, "numShards must be positive")
+    pmod(mixedKey(key, salt), lit(numShards.toLong)).cast("int")
+  }
+
+  /** Materialize a training corpus as `numShards` parquet shards in
+    * DETERMINISTIC shuffled order — the export step before training,
+    * where examples must be well-mixed (no source/time runs) yet
+    * bit-reproducible across pipeline re-runs.
+    *
+    * Shard = [[shardAssignment]]; order within a shard = ascending
+    * [[mixedKey]] (the shuffle key doubles as the sort key, so the order
+    * is as mixed as the shard assignment and just as reproducible).
+    * Scale shape: ONE hash-partitioned exchange to `numShards`
+    * partitions with a per-partition sort — no global sort, no driver
+    * involvement; each shard streams out sorted. Readers get
+    * `shard=<k>/` directories they can consume independently.
+    */
+  def writeShuffledShards(df: DataFrame, keyCol: String, numShards: Int,
+                          path: String, salt: Long = 0L): Unit =
+    df.withColumn("shard", shardAssignment(col(keyCol), numShards, salt))
+      .withColumn("__ord", mixedKey(col(keyCol), salt))
+      .repartition(numShards, col("shard"))
+      // sort by (shard, __ord): the partitioned writer REQUIRES its input
+      // sorted by the partition column and would insert its own unstable
+      // shard-only sort otherwise, scrambling the within-shard order
+      .sortWithinPartitions(col("shard"), col("__ord"))
+      .drop("__ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

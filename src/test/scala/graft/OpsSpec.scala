@@ -485,6 +485,38 @@ class OpsSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("writeShuffledShards: deterministic assignment and within-shard order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-spec")
+      .toString
+    val df = (0L until 500L).map(i => (i, i * 10)).toDF("id", "payload")
+    Sampling.writeShuffledShards(df, "id", numShards = 4, dir, salt = 9L)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500)
+    // every row sits in the shard its key hashes to
+    val misplaced = back.filter(
+      col("shard") =!= Sampling.shardAssignment(col("id"), 4, 9L)).count()
+    assert(misplaced == 0)
+    // within each shard FILE, rows are in ascending mix order (parquet
+    // preserves row order, so training readers see the shuffled order)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(shards.length == 4)
+    shards.foreach { d =>
+      val mixes = spark.read.parquet(d.toString)
+        .select(Sampling.mixedKey(col("id"), 9L)).as[Long].collect()
+      assert(mixes.sameElements(mixes.sorted), s"unsorted shard ${d.getName}")
+    }
+    // reproducible: a repartitioned rewrite yields the identical layout
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shard-spec2")
+      .toString
+    Sampling.writeShuffledShards(df.repartition(13), "id", 4, dir2, salt = 9L)
+    val a = spark.read.parquet(dir).select("shard", "id", "payload")
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    val b = spark.read.parquet(dir2).select("shard", "id", "payload")
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("dedupParagraphs keeps first occurrences and reassembles in order") {
     val docs = Seq(
       (1L, "intro one\n\nshared boilerplate\n\nbody one"),
