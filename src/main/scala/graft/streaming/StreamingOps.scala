@@ -49,6 +49,27 @@ object StreamingOps {
     deduped.drop("__fp")
   }
 
+  /** Streaming incremental-ingest dedup: drop stream rows whose content
+    * digest already appears in the accepted corpus — the streaming twin
+    * of [[graft.ops.Dedup.incremental]], as a stream-static LEFT ANTI
+    * join against the persisted [[graft.ops.Dedup.corpusDigests]]
+    * artifact (column `__fp`). Compose with [[dedupStream]] to also
+    * suppress duplicates WITHIN the stream; this operator only tests
+    * membership against the static snapshot.
+    *
+    * Scale shape: the static side is 16 bytes per accepted document and
+    * is re-read per micro-batch (refresh it by replacing the underlying
+    * files between batches); Spark broadcasts it when it fits and
+    * shuffled-hash-joins on the digest when it does not. Stream state:
+    * none — membership is stateless, so no watermark is required.
+    */
+  def dedupStreamAgainstCorpus(stream: DataFrame, textCol: String,
+                               corpusDigests: DataFrame): DataFrame =
+    stream
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(corpusDigests, Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   /** Gap-based sessionization with the BUILT-IN `session_window`
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the

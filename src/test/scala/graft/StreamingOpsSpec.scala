@@ -28,6 +28,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
   }
 
+  test("stream-static dedup drops corpus-seen texts, batch parity held") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val digests = graft.ops.Dedup.corpusDigests(corpus, "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.dedupStreamAgainstCorpus(
+      input.toDF().toDF("id", "text"), "text", digests)
+    val query = out.writeStream.format("memory")
+      .queryName("corpus_dedup_stream").outputMode("append").start()
+    val arrivals = Seq(
+      (10L, "alpha"),  // corpus-seen → dropped
+      (11L, "gamma"),  // new → kept
+      (12L, "beta"),   // corpus-seen → dropped
+      (13L, "gamma"))  // stream-internal dup: NOT this operator's job
+    try {
+      input.addData(arrivals.take(2): _*); query.processAllAvailable()
+      input.addData(arrivals.drop(2): _*); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("corpus_dedup_stream")
+      .select("id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == Seq((11L, "gamma"), (13L, "gamma")))
+    // parity: the same membership decision as the batch anti-join path
+    val batch = arrivals.toDF("id", "text")
+      .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+      .join(digests, Seq("__fp"), "left_anti").drop("__fp")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(batch == streamed)
+  }
+
   test("session_window stream closes gap-separated sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp)]
