@@ -199,4 +199,48 @@ class PropertySpec extends SparkSpec {
       assert(java.util.Base64.getUrlDecoder.decode(b64).toSeq == bytes)
     }
   }
+
+  test("property: mixedKey limb arithmetic is congruent to the BigInt product") {
+    // the limb formulation exists to dodge Long overflow; its whole
+    // contract is congruence mod 2^32 with the plain product, for keys
+    // across the full non-negative Long range
+    val salt = 13L
+    forAll(Gen.listOfN(50,
+        Gen.chooseNum(0L, Long.MaxValue - salt)), n = 10) { keys =>
+      val got = keys.toDF("k")
+        .select(graft.ops.Sampling.mixedKey(col("k"), salt))
+        .as[Long].collect().toSeq
+      val expected = keys.map { k =>
+        ((BigInt(k) + salt) * BigInt(2654435761L))
+          .mod(BigInt(1L) << 32).toLong
+      }
+      assert(got == expected)
+    }
+  }
+
+  test("property: int8 quantization invariants over arbitrary vectors") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val vecGen = Gen.nonEmptyListOf(Gen.frequency(
+      6 -> Gen.chooseNum(-4.0f, 4.0f),
+      1 -> Gen.const(0.0f),
+      1 -> Gen.chooseNum(-1e-7f, 1e-7f), // denormal-adjacent tinies
+      1 -> Gen.chooseNum(-1e6f, 1e6f)))
+    forAll(Gen.listOfN(10, vecGen), n = 10) { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      val out = graft.ops.Similarity.quantizeEmbeddings(
+          rows.toDF("vec_id", "embedding"), "embedding")
+        .select("embedding", "qvec", "qscale")
+        .as[(Array[Float], Array[Byte], Double)].collect()
+      out.foreach { case (v, q, s) =>
+        // scale definition and error bound hold for every element
+        assert(s == v.map(x => math.abs(x.toDouble)).max / 127.0)
+        assert(q.length == v.length)
+        if (s == 0.0) assert(q.forall(_ == 0))
+        else v.indices.foreach { i =>
+          assert(math.abs(v(i) - q(i) * s) <= s / 2 * (1 + 1e-9),
+            s"dim $i: ${v(i)} vs ${q(i) * s} at scale $s")
+        }
+      }
+    }
+  }
 }
