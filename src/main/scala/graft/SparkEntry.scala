@@ -555,6 +555,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- capstone corpus build: decontaminate → quality filter →
+    //      budgeted language mix → leakage-safe split, all under ONE
+    //      oracle — the operators composing as a real corpus-prep
+    //      pipeline would run them ----
+
+    "q60_corpus_build" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "lang", "text", "n_chars")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val clean = TextAnalysis.decontaminate(docs, "doc_id", "text",
+          bench, "text", n = 3)
+        .filter(col("is_clean"))
+        .select("doc_id", "lang", "text", "n_chars")
+      val good = clean
+        .withColumn("__q", TextAnalysis.qualityFeatures(col("text")))
+        .filter(col("__q.n_tokens") >= 40 &&
+          col("__q.mean_token_len") >= 3.0 &&
+          col("__q.mean_token_len") <= 10.0 &&
+          col("__q.n_distinct_tokens").cast("double") >=
+            col("__q.n_tokens") * 0.2)
+        .drop("__q")
+      val mixed = Sampling.budgetedMix(good, "lang", "doc_id", "n_chars",
+        Map("en" -> 25000L, "de" -> 10000L, "fr" -> 1000000L,
+          "zh" -> 5000L), salt = 17L)
+      val pairs = Dedup.ngramJaccard(mixed, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.leakageSafeSplit(mixed, "doc_id", pairs, trainFrac = 0.7,
+          validationFrac = 0.15, salt = 5L)
+        .join(mixed.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("split", "lang")
+    }),
+
     // ---- deterministic shuffled-shard export: reproducible pseudo-random
     //      shard assignment + within-shard order; read back and prove the
     //      layout via per-shard stats the oracle recomputes from keys ----
@@ -1035,6 +1070,84 @@ object SparkEntry {
            |SELECT a.doc_id, a.cluster_id, s.cluster_size
            |FROM assigned a JOIN csizes s USING (cluster_id)
            |ORDER BY a.doc_id""".stripMargin,
+
+      // The full corpus-build replayed as one CTE chain: q51's
+      // decontamination membership, q23's quality features, q52's
+      // mix thresholds on the SURVIVING availability, q11's exact
+      // Jaccard pairs, q37's recursive components, q56's split hash.
+      "q60_corpus_build" ->
+        s"""WITH RECURSIVE toks AS ($toksSql),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest([array_to_string(t[i:i+2], ' ')
+           |            for i in range(1, len(t) - 1)]) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+           |clean AS (
+           |  SELECT d.doc_id, d.lang, d.n_chars
+           |  FROM documents d
+           |  WHERE d.doc_id NOT IN (
+           |    SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (s))),
+           |feats AS (
+           |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+           |      CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+           |        / len(t) END AS mean_token_len
+           |  FROM toks),
+           |good AS (
+           |  SELECT c.doc_id, c.lang, c.n_chars
+           |  FROM clean c JOIN feats f USING (doc_id)
+           |  WHERE f.n_tokens >= 40
+           |    AND f.mean_token_len >= 3.0 AND f.mean_token_len <= 10.0
+           |    AND CAST(f.n_distinct_tokens AS DOUBLE) >= f.n_tokens * 0.2),
+           |avail AS (
+           |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
+           |  FROM good GROUP BY lang),
+           |thr AS (
+           |  SELECT lang, CAST(trunc(least(1.0,
+           |    CAST(CASE lang WHEN 'en' THEN 25000 WHEN 'de' THEN 10000
+           |      WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 5000 END AS DOUBLE) /
+           |    CAST(available AS DOUBLE)) * 4294967296) AS BIGINT) AS t
+           |  FROM avail
+           |  WHERE CASE lang WHEN 'en' THEN 25000 WHEN 'de' THEN 10000
+           |    WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 5000 ELSE 0 END > 0),
+           |mixed AS (
+           |  SELECT g.doc_id, g.lang, g.n_chars
+           |  FROM good g JOIN thr USING (lang)
+           |  WHERE ((g.doc_id + 17) * 2654435761) % 4294967296 < thr.t),
+           |msh AS (
+           |  SELECT sh.doc_id, sh.s FROM sh JOIN mixed USING (doc_id)),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM msh
+           |  GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM msh a JOIN msh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |prs AS (
+           |  SELECT id_a, id_b FROM inter
+           |  JOIN sizes na ON na.doc_id = id_a
+           |  JOIN sizes nb ON nb.doc_id = id_b
+           |  WHERE i / (na.n_sh + nb.n_sh - i) >= 0.6),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM prs
+           |  UNION SELECT id_b, id_a FROM prs),
+           |reach AS (SELECT a, b FROM sym
+           |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           |  FROM reach GROUP BY a),
+           |assigned AS (
+           |  SELECT m.doc_id, m.lang, m.n_chars,
+           |    coalesce(c.cluster_id, m.doc_id) AS cluster_id
+           |  FROM mixed m LEFT JOIN comp c USING (doc_id))
+           |SELECT
+           |  CASE WHEN ((cluster_id + 5) * 2654435761) % 4294967296
+           |         < ${(0.7 * 4294967296L).toLong} THEN 'TRAIN'
+           |       WHEN ((cluster_id + 5) * 2654435761) % 4294967296
+           |         < ${((0.7 + 0.15) * 4294967296L).toLong} THEN 'VALIDATION'
+           |       ELSE 'TEST' END AS split,
+           |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       // The shard layout recomputed from keys alone: mix = the q27/q52
       // multiplicative hash, shard = mix mod 8, first/last = arg-min/max
