@@ -576,9 +576,13 @@ object SparkEntry {
           col("__q.n_distinct_tokens").cast("double") >=
             col("__q.n_tokens") * 0.2)
         .drop("__q")
+      // cache: `mixed` feeds pair generation, the split's node set, and
+      // the final join-back — without it the decontaminate + filter +
+      // mix upstream (incl. the benchmark shingle join) runs three times
       val mixed = Sampling.budgetedMix(good, "lang", "doc_id", "n_chars",
         Map("en" -> 25000L, "de" -> 10000L, "fr" -> 1000000L,
           "zh" -> 5000L), salt = 17L)
+        .cache()
       val pairs = Dedup.ngramJaccard(mixed, "doc_id", "text",
         n = 3, threshold = 0.6)
       Dedup.leakageSafeSplit(mixed, "doc_id", pairs, trainFrac = 0.7,

@@ -151,12 +151,19 @@ object Sampling {
     * Scale shape: ONE hash-partitioned exchange to `numShards`
     * partitions with a per-partition sort — no global sort, no driver
     * involvement; each shard streams out sorted. Readers get
-    * `shard=<k>/` directories they can consume independently.
+    * `shard=<k>/` directories they can consume independently — but a
+    * shard that receives no rows writes NO directory (Spark partitionBy
+    * semantics), so loaders must list the output rather than assume all
+    * `numShards` paths exist.
     */
   def writeShuffledShards(df: DataFrame, keyCol: String, numShards: Int,
-                          path: String, salt: Long = 0L): Unit =
-    df.withColumn("shard", shardAssignment(col(keyCol), numShards, salt))
-      .withColumn("__ord", mixedKey(col(keyCol), salt))
+                          path: String, salt: Long = 0L): Unit = {
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column; rename it before exporting")
+    df.withColumn("__ord", mixedKey(col(keyCol), salt))
+      // derive the shard from the order key: half the hash work, and the
+      // shard/within-shard-order consistency holds structurally
+      .withColumn("shard", pmod(col("__ord"), lit(numShards.toLong)).cast("int"))
       .repartition(numShards, col("shard"))
       // sort by (shard, __ord): the partitioned writer REQUIRES its input
       // sorted by the partition column and would insert its own unstable
@@ -164,4 +171,5 @@ object Sampling {
       .sortWithinPartitions(col("shard"), col("__ord"))
       .drop("__ord")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
 }

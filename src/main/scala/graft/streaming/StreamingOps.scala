@@ -57,11 +57,15 @@ object StreamingOps {
     * suppress duplicates WITHIN the stream; this operator only tests
     * membership against the static snapshot.
     *
-    * Scale shape: the static side is 16 bytes per accepted document and
-    * is re-read per micro-batch (refresh it by replacing the underlying
-    * files between batches); Spark broadcasts it when it fits and
-    * shuffled-hash-joins on the digest when it does not. Stream state:
-    * none — membership is stateless, so no watermark is required.
+    * Scale shape: the static side is 16 bytes per accepted document;
+    * Spark broadcasts it when it fits and shuffled-hash-joins on the
+    * digest when it does not. Stream state: none — membership is
+    * stateless, so no watermark is required. NOTE the static side's file
+    * listing is resolved when the frame is created: to pick up a NEW
+    * snapshot, restart the query against a re-read frame (or run the
+    * anti-join inside `foreachBatch`, reading the artifact per batch) —
+    * overwriting the files under a running query is not a refresh and
+    * can fail the stream when old part-files disappear.
     */
   def dedupStreamAgainstCorpus(stream: DataFrame, textCol: String,
                                corpusDigests: DataFrame): DataFrame =
