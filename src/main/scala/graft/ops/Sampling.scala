@@ -172,4 +172,49 @@ object Sampling {
       .drop("__ord")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
+
+  /** TFRecord variant of [[writeShuffledShards]] — the training-ready
+    * export in the reference's native format: exactly `numShards` files
+    * `<prefix>-NNNNN-of-MMMMM.tfrecord[.gz]` where file `k` holds
+    * precisely the rows of shard `k` ([[shardAssignment]]) in ascending
+    * [[mixedKey]] order. Shard membership, file index, and within-file
+    * position are all pure functions of the row key, so re-runs produce
+    * the identical layout and a reader can locate any key's file without
+    * an index.
+    *
+    * Why the RDD drop-down: DataFrame `repartition(n, col)` places rows
+    * by `hash(col) % n`, which cannot pin shard k to partition k (hash
+    * collisions merge shards into one file and leave others empty).
+    * Exact partition placement needs a custom `Partitioner` — the one
+    * genuine partitioning-control case the DataFrame API can't express.
+    * The per-partition sort and the commit-safe TFRecord DSv2 writer
+    * then run on the re-wrapped frame as usual.
+    */
+  def writeShuffledTfRecordShards(df: DataFrame, keyCol: String,
+                                  numShards: Int, dir: String,
+                                  prefix: String = "part", salt: Long = 0L,
+                                  gzip: Boolean = true): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column; rename it before exporting")
+    val spark = df.sparkSession
+    val withOrd = df
+      .withColumn("__ord", mixedKey(col(keyCol), salt))
+      .withColumn("__shard",
+        pmod(col("__ord"), lit(numShards.toLong)).cast("int"))
+    val schema = withOrd.schema
+    val shardIdx = schema.fieldIndex("__shard")
+    val placed = withOrd.rdd
+      .map(r => (r.getInt(shardIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = numShards
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    graft.sinks.TfRecord.write(
+      spark.createDataFrame(placed, schema)
+        .sortWithinPartitions(col("__ord"))
+        .drop("__ord", "__shard"),
+      dir, prefix, numShards = 0, gzip = gzip)
+  }
 }

@@ -517,6 +517,36 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("writeShuffledTfRecordShards: file k holds exactly shard k in mix order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfr-shards")
+      .toString
+    val df = (0L until 300L).map(i => (i, s"t$i")).toDF("id", "text")
+    Sampling.writeShuffledTfRecordShards(df, "id", numShards = 4, dir,
+      salt = 9L, gzip = false)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".tfrecord")).sorted.toSeq
+    assert(files == (0 until 4).map(k => f"part-$k%05d-of-00004.tfrecord"))
+    def mix(id: Long) = ((id + 9L) * 2654435761L) % 4294967296L
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    var total = 0L
+    (0 until 4).foreach { k =>
+      val ids = graft.sinks.TfRecord.read(spark,
+          s"$dir/part-0000$k-of-00004.tfrecord", schema)
+        .select("id").as[Long].collect()
+      total += ids.length
+      // membership: every row's key hashes to this file's shard index
+      ids.foreach(id => assert(mix(id) % 4 == k, s"id $id in file $k"))
+      // order: ascending mix within the file (the training read order)
+      val mixes = ids.map(mix)
+      assert(mixes.sameElements(mixes.sorted), s"unsorted file $k")
+    }
+    assert(total == 300)
+  }
+
   test("dedupParagraphs keeps first occurrences and reassembles in order") {
     val docs = Seq(
       (1L, "intro one\n\nshared boilerplate\n\nbody one"),
