@@ -48,6 +48,14 @@ object Fs {
     fsFor(p).mkdirs(p)
   }
 
+  /** Recursively delete `path` if it exists (no-op otherwise). */
+  def deleteRecursively(path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsFor(p)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
   /** Write a small text artifact (create-or-overwrite, UTF-8). */
   def writeString(path: String, content: String): Unit = {
     val p = new Path(path)

@@ -158,17 +158,19 @@ object Sampling {
     */
   def writeShuffledShards(df: DataFrame, keyCol: String, numShards: Int,
                           path: String, salt: Long = 0L): Unit = {
-    require(!df.columns.contains("shard"),
-      "input already has a 'shard' column; rename it before exporting")
+    Seq("shard", "__ord").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column; rename it before exporting"))
     df.withColumn("__ord", mixedKey(col(keyCol), salt))
       // derive the shard from the order key: half the hash work, and the
       // shard/within-shard-order consistency holds structurally
       .withColumn("shard", pmod(col("__ord"), lit(numShards.toLong)).cast("int"))
       .repartition(numShards, col("shard"))
-      // sort by (shard, __ord): the partitioned writer REQUIRES its input
-      // sorted by the partition column and would insert its own unstable
-      // shard-only sort otherwise, scrambling the within-shard order
-      .sortWithinPartitions(col("shard"), col("__ord"))
+      // sort by (shard, __ord, key): the partitioned writer REQUIRES its
+      // input sorted by the partition column and would insert its own
+      // unstable shard-only sort otherwise; the key tie-break makes the
+      // order total even for 64-bit keys that collide mod 2^32, keeping
+      // re-runs byte-identical
+      .sortWithinPartitions(col("shard"), col("__ord"), col(keyCol))
       .drop("__ord")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
   }
@@ -195,8 +197,8 @@ object Sampling {
                                   prefix: String = "part", salt: Long = 0L,
                                   gzip: Boolean = true): Unit = {
     require(numShards > 0, "numShards must be positive")
-    require(!df.columns.contains("shard"),
-      "input already has a 'shard' column; rename it before exporting")
+    Seq("__ord", "__shard").foreach(c => require(!df.columns.contains(c),
+      s"input already has a '$c' column; rename it before exporting"))
     val spark = df.sparkSession
     val withOrd = df
       .withColumn("__ord", mixedKey(col(keyCol), salt))
@@ -205,15 +207,30 @@ object Sampling {
     val schema = withOrd.schema
     val shardIdx = schema.fieldIndex("__shard")
     val placed = withOrd.rdd
-      .map(r => (r.getInt(shardIdx), r))
+      .map { r =>
+        // a null key yields a null shard — fail with the real cause
+        // instead of an executor NPE (the parquet variant can route
+        // nulls to a default directory; an exact file=shard layout
+        // cannot)
+        require(!r.isNullAt(shardIdx),
+          s"writeShuffledTfRecordShards: null '$keyCol' key — " +
+            "filter or fill null keys before exporting")
+        (r.getInt(shardIdx), r)
+      }
       .partitionBy(new org.apache.spark.Partitioner {
         def numPartitions: Int = numShards
         def getPartition(key: Any): Int = key.asInstanceOf[Int]
       })
       .map(_._2)
+    // match writeShuffledShards' overwrite semantics: the DSv2 writer
+    // appends and only replaces files name-for-name, so a re-export with
+    // a different shard count would otherwise leave stale part files
+    // that a later directory read would mix in
+    graft.Fs.deleteRecursively(dir)
     graft.sinks.TfRecord.write(
       spark.createDataFrame(placed, schema)
-        .sortWithinPartitions(col("__ord"))
+        // key tie-break: total order even for keys colliding mod 2^32
+        .sortWithinPartitions(col("__ord"), col(keyCol))
         .drop("__ord", "__shard"),
       dir, prefix, numShards = 0, gzip = gzip)
   }

@@ -545,6 +545,23 @@ class OpsSpec extends SparkSpec {
       assert(mixes.sameElements(mixes.sorted), s"unsorted file $k")
     }
     assert(total == 300)
+    // overwrite semantics: a re-export with a different shard count must
+    // not leave stale files for a directory read to mix in
+    Sampling.writeShuffledTfRecordShards(df, "id", numShards = 2, dir,
+      salt = 9L, gzip = false)
+    val after = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".tfrecord")).sorted.toSeq
+    assert(after == (0 until 2).map(k => f"part-$k%05d-of-00002.tfrecord"))
+    // null keys fail with a clear message, not an executor NPE
+    val withNull = Seq(Some(1L), None).map(o => (o, "t"))
+      .toDF("id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      Sampling.writeShuffledTfRecordShards(withNull, "id", 2,
+        java.nio.file.Files.createTempDirectory("graft-tfr-null").toString,
+        gzip = false)
+    }
+    assert(e.getMessage.contains("null 'id' key") ||
+      Option(e.getCause).exists(_.getMessage.contains("null 'id' key")))
   }
 
   test("dedupParagraphs keeps first occurrences and reassembles in order") {
