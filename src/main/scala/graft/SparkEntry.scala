@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators.{SplitStage, Vocab}
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TemporalJoin, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB oracle
@@ -491,6 +491,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
         .orderBy("event_type")
+    }),
+
+    // ---- temporal joins (TemporalJoin: as-of + interval containment) ----
+
+    "q61_asof_join" -> ((s, dir) => {
+      // Point-in-time enrichment: each purchase with the most recent view
+      // by the same user at or before it (ties -> greatest view_id).
+      // Microsecond ordinates on BOTH engines: DuckDB parses the parquet
+      // TIMESTAMP(NANOS) at us precision, so truncating before the join
+      // keeps the two engines' comparison semantics identical (truncating
+      // only the output would let a sub-us ordering difference flip a
+      // match).
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("tus").as("purchase_tus"))
+      val r = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+          col("tus").as("view_tus"))
+      TemporalJoin.asofJoin(l, "user_id", "purchase_tus",
+          r, "vuser", "view_tus", "view_id", Seq("view_id", "view_tus"))
+        .orderBy("purchase_id")
+    }),
+
+    "q62_range_join" -> ((s, dir) => {
+      // Incident attribution: clicks landing inside each error's 5-minute
+      // follow-up window [ts, ts+300s], per user; outer counts via
+      // aggregate-then-join-back (intervalJoin pairs are inner).
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus")) // us ordinates — see q61
+      val iv = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id").as("euser"),
+          col("tus").as("start_tus"),
+          (col("tus") + lit(300000000L)).as("end_tus"))
+      val p = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("tus").as("click_tus"))
+      val counts = TemporalJoin.intervalJoin(iv, "euser", "start_tus",
+          "end_tus", p, "cuser", "click_tus", bucketWidth = 300000000L)
+        .groupBy("error_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("click_tus")).as("first_click_tus"),
+          max(col("click_tus")).as("last_click_tus"))
+      iv.select("error_id").join(counts, Seq("error_id"), "left")
+        .select(col("error_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          col("first_click_tus"), col("last_click_tus"))
+        .orderBy("error_id")
     }),
 
     // ---- corpus length distribution (exact interpolated percentiles) ----
@@ -1796,6 +1846,44 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // As-of join replayed as max-ts-then-max-id over the inequality
+      // join — the quadratic formulation the operator avoids, exact at
+      // oracle scale. Both LEFT JOINs preserve match-less purchases.
+      // Microsecond ordinates (epoch_us ~ Spark's `ts div 1000`): DuckDB
+      // parses the TIMESTAMP(NANOS) column at us precision, so both
+      // engines must compare at us for identical join semantics.
+      "q61_asof_join" ->
+        """WITH l AS (SELECT event_id AS purchase_id, user_id,
+          |    epoch_us(ts) AS purchase_tus
+          |  FROM events WHERE event_type = 'purchase'),
+          |r AS (SELECT event_id AS view_id, user_id,
+          |    epoch_us(ts) AS view_tus
+          |  FROM events WHERE event_type = 'view'),
+          |m AS (SELECT l.purchase_id, l.user_id, l.purchase_tus,
+          |    max(r.view_tus) AS view_tus
+          |  FROM l LEFT JOIN r ON r.user_id = l.user_id
+          |    AND r.view_tus <= l.purchase_tus
+          |  GROUP BY 1, 2, 3)
+          |SELECT m.purchase_id, m.user_id, m.purchase_tus,
+          |  max(r.view_id) AS view_id, m.view_tus
+          |FROM m LEFT JOIN r ON r.user_id = m.user_id
+          |  AND r.view_tus = m.view_tus
+          |GROUP BY 1, 2, 3, 5 ORDER BY purchase_id""".stripMargin,
+
+      "q62_range_join" ->
+        """WITH i AS (SELECT event_id AS error_id, user_id,
+          |    epoch_us(ts) AS start_tus,
+          |    epoch_us(ts) + 300000000 AS end_tus
+          |  FROM events WHERE event_type = 'error'),
+          |p AS (SELECT user_id, epoch_us(ts) AS click_tus FROM events
+          |  WHERE event_type = 'click')
+          |SELECT i.error_id, count(p.click_tus) AS n_clicks,
+          |  min(p.click_tus) AS first_click_tus,
+          |  max(p.click_tus) AS last_click_tus
+          |FROM i LEFT JOIN p ON p.user_id = i.user_id
+          |  AND p.click_tus BETWEEN i.start_tus AND i.end_tus
+          |GROUP BY i.error_id ORDER BY error_id""".stripMargin,
 
       // Exact percentiles: both engines interpolate linearly at rank
       // (n-1)*p over the sorted values, so the doubles are bit-equal on

@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StructType}
+
+/** Temporal joins — the two inequality-join shapes an event pipeline needs
+  * that Spark has no first-class operator for:
+  *
+  *  - [[asofJoin]] — for each left row, the single most recent right row at
+  *    or before it (per key), the point-in-time enrichment every
+  *    feature-backfill job runs ("the last profile snapshot before this
+  *    event"). The reference has no temporal operators at all; this extends
+  *    the engine the same way the dedup/similarity layer does.
+  *  - [[intervalJoin]] — pair each point with every interval that contains
+  *    it (per key), the window-containment join behind
+  *    incident/session/exposure attribution.
+  *
+  * Both take LONG ordering columns (epoch nanoseconds, as the testdata's
+  * `ts` reads under `nanosAsLong`; any monotone integer works) — keeping
+  * time arithmetic in exact integers makes every decision replayable by an
+  * external oracle, the same policy as [[Sampling.mixedKey]].
+  *
+  * Why not express these as SQL inequality joins? Spark executes
+  * `l JOIN r ON l.k = r.k AND r.ts <= l.ts` as an equi-join on `k` whose
+  * output FANS OUT to every earlier right row before the per-left argmax
+  * prunes it — quadratic per key, and the plan carries the blow-up through
+  * a shuffle. The operators here never materialize that product:
+  *
+  *  - [[asofJoin]] unions the two sides (constant-width tagged rows),
+  *    shuffles ONCE on the key, and resolves every match with a running
+  *    `last(_, ignoreNulls)` over one sort — O(n log n) per partition,
+  *    output exactly |left| rows. This is the classic stream-merge
+  *    formulation (what kdb+/pandas `merge_asof` do single-node) laid out
+  *    on Spark's shuffle.
+  *  - [[intervalJoin]] quantizes time into fixed buckets, joins interval
+  *    cover-lists to point buckets as a plain EQUI-join (hash join,
+  *    broadcast-able, AQE-skew-splittable), then exact-filters
+  *    containment. Expansion is bounded by interval_len/bucketWidth + 1
+  *    per interval — pick `bucketWidth` near the typical interval length
+  *    and the join carries ~2 rows per interval, never a per-key product.
+  */
+object TemporalJoin {
+
+  private def floorDivExpr(c: String, w: Long): String =
+    s"(CAST($c AS BIGINT) - pmod(CAST($c AS BIGINT), ${w}L)) div ${w}L"
+
+  /** Backward as-of join: every `left` row, enriched with `rValueCols`
+    * from the single `right` row with the greatest `rTs <= lTs` (same
+    * key), provided `lTs - rTs <= tolerance`; NULLs when no right row
+    * qualifies (left-outer semantics). Ties on `rTs` resolve to the
+    * greatest `rTie` — pass a unique-per-(key,ts) column (an event id) so
+    * the result is deterministic under any partitioning.
+    *
+    * One shuffle (the union, on the key), one per-partition sort, zero
+    * row expansion. `lTs`/`rTs` must be integral (epoch nanos);
+    * `rValueCols` must not collide with `left`'s columns.
+    */
+  def asofJoin(left: DataFrame, lKey: String, lTs: String,
+               right: DataFrame, rKey: String, rTs: String, rTie: String,
+               rValueCols: Seq[String],
+               tolerance: Long = Long.MaxValue): DataFrame = {
+    require(rValueCols.nonEmpty, "asofJoin: rValueCols must be non-empty")
+    require(tolerance >= 0, "asofJoin: tolerance must be non-negative")
+    val collisions = rValueCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"asofJoin: right value columns collide with left: $collisions")
+    require(!rValueCols.contains("__rts"),
+      "asofJoin: __rts is reserved")
+    require(left.schema(lKey).dataType == right.schema(rKey).dataType,
+      s"asofJoin: key types differ (${left.schema(lKey).dataType} vs " +
+        s"${right.schema(rKey).dataType})")
+
+    val leftType = StructType(left.schema.fields)
+    val rPayload = struct(
+      rValueCols.map(c => col(quoted(c)).as(c)) :+
+        col(quoted(rTs)).cast("long").as("__rts"): _*)
+    val rightType = right.select(rPayload.as("__r")).schema("__r").dataType
+    val tieType = right.schema(rTie).dataType
+
+    val l = left.select(
+      col(quoted(lKey)).as("__k"),
+      col(quoted(lTs)).cast("long").as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(tieType).as("__tb"),
+      lit(null).cast(rightType).as("__r"),
+      struct(left.columns.toSeq.map(c => col(quoted(c)).as(c)): _*).as("__l"))
+    val r = right.select(
+      col(quoted(rKey)).as("__k"),
+      col(quoted(rTs)).cast("long").as("__t"),
+      lit(0).as("__side"),
+      col(quoted(rTie)).as("__tb"),
+      rPayload.as("__r"),
+      lit(null).cast(leftType).as("__l"))
+
+    // Right rows sort BEFORE left rows at equal __t (side 0 < 1), so a
+    // same-instant right row is visible to the left row — the inclusive
+    // (rTs <= lTs) convention. The running last(ignoreNulls) over the
+    // growing frame is Spark's O(1)-per-row UnboundedPreceding path.
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .withColumn("__ok",
+        col("__match").isNotNull &&
+          col("__t") - col("__match").getField("__rts") <= tolerance)
+
+    val outCols =
+      left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
+        rValueCols.map(c =>
+          when(col("__ok"), col("__match").getField(c)).as(c))
+    matched.select(outCols: _*)
+  }
+
+  /** Containment join: every (interval, point) pair with the same key and
+    * `iStart <= pTs <= iEnd` (both ends inclusive). Inner semantics —
+    * intervals with no points (and points in no interval) are absent;
+    * aggregate and join back for outer counts. Inverted intervals
+    * (`iEnd < iStart`) match nothing. Output carries all columns of both
+    * inputs, which must therefore be disjoint — pre-rename the sides.
+    *
+    * Physical shape: each interval explodes to its cover-list of
+    * `bucketWidth`-sized time buckets, each point maps to its single
+    * bucket, and the pairing is an equi-join on (key, bucket) — an exact
+    * containment filter then removes same-bucket near-misses. An interval
+    * wider than `maxBucketsPerInterval` buckets fails fast (a malformed
+    * open-ended interval would otherwise explode the cover-list); raise
+    * `bucketWidth` to cover legitimately long spans.
+    */
+  def intervalJoin(intervals: DataFrame, iKey: String, iStart: String,
+                   iEnd: String, points: DataFrame, pKey: String,
+                   pTs: String, bucketWidth: Long,
+                   maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, "intervalJoin: bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0,
+      "intervalJoin: maxBucketsPerInterval must be positive")
+    val collisions = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(collisions.isEmpty,
+      s"intervalJoin: column names collide across inputs: $collisions")
+    require(intervals.schema(iKey).dataType == points.schema(pKey).dataType,
+      s"intervalJoin: key types differ (${intervals.schema(iKey).dataType} " +
+        s"vs ${points.schema(pKey).dataType})")
+
+    // Bucket ids via exact integer floor-division: subtract pmod first so
+    // `div`'s truncation lands on an exact multiple (plain `div` truncates
+    // toward zero — wrong bucket for negative epochs; double division
+    // loses integer precision at nanosecond magnitudes).
+    val iv = intervals
+      .withColumn("__sb", expr(floorDivExpr(quoted(iStart), bucketWidth)))
+      .withColumn("__eb", expr(floorDivExpr(quoted(iEnd), bucketWidth)))
+      .withColumn("__b", explode(
+        when(col(quoted(iEnd)) < col(quoted(iStart)),
+          lit(Array.empty[Long]).cast(ArrayType(LongType)))
+          .when(col("__eb") - col("__sb") >= maxBucketsPerInterval,
+            raise_error(concat(
+              lit(s"intervalJoin: interval spans >= $maxBucketsPerInterval " +
+                "buckets (start "),
+              col(quoted(iStart)).cast("string"), lit(")"))))
+          .otherwise(sequence(col("__sb"), col("__eb")))))
+      .drop("__sb", "__eb")
+    val pt = points
+      .withColumn("__b", expr(floorDivExpr(quoted(pTs), bucketWidth)))
+
+    iv.join(pt,
+        iv("__b") === pt("__b") &&
+          iv(quoted(iKey)) === pt(quoted(pKey)))
+      .filter(col(quoted(pTs)) >= col(quoted(iStart)) &&
+        col(quoted(pTs)) <= col(quoted(iEnd)))
+      .select((intervals.columns ++ points.columns).toSeq
+        .map(c => col(quoted(c))): _*)
+  }
+
+  private def quoted(c: String): String = s"`$c`"
+}

@@ -1,0 +1,140 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+import graft.ops.TemporalJoin
+
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (quote_id, key, ts, px) — the right side of the as-of joins
+  private def quotes = Seq(
+    (100L, 1L, 10L, "a"),
+    (101L, 1L, 20L, "b"),
+    (102L, 1L, 20L, "c"), // tie with 101 at ts=20 — greater id wins
+    (103L, 2L, 50L, "d"),
+  ).toDF("quote_id", "key", "qts", "px")
+
+  private def trades = Seq(
+    (1L, 1L, 5L),   // before any quote
+    (2L, 1L, 10L),  // exactly at quote 100 — inclusive
+    (3L, 1L, 25L),  // after the ts=20 tie
+    (4L, 2L, 49L),  // just before key 2's only quote
+    (5L, 3L, 99L),  // key with no quotes at all
+  ).toDF("trade_id", "key", "tts")
+
+  private def asof(tolerance: Long = Long.MaxValue) =
+    TemporalJoin.asofJoin(trades, "key", "tts",
+        quotes, "key", "qts", "quote_id", Seq("quote_id", "px"), tolerance)
+      .orderBy("trade_id")
+      .select("trade_id", "quote_id", "px")
+      .as[(Long, Option[Long], Option[String])]
+      .collect().toSeq
+
+  test("asofJoin: backward match, inclusive boundary, tie -> greatest tie id") {
+    assert(asof() == Seq(
+      (1L, None, None),               // nothing at or before ts=5
+      (2L, Some(100L), Some("a")),    // same-instant quote matches
+      (3L, Some(102L), Some("c")),    // ts=20 tie -> quote_id 102
+      (4L, None, None),               // key 2's quote is later
+      (5L, None, None)))              // key 3 has no right rows
+  }
+
+  test("asofJoin: tolerance expires old matches") {
+    // trade 3 at ts=25 vs quote at ts=20: age 5 — in at 5, out at 4
+    assert(asof(tolerance = 5L)(2) == ((3L, Some(102L), Some("c"))))
+    assert(asof(tolerance = 4L)(2) == ((3L, None, None)))
+  }
+
+  test("asofJoin: invariant under input partitioning") {
+    val base = asof()
+    val shuffled = TemporalJoin.asofJoin(
+        trades.repartition(7, col("trade_id")), "key", "tts",
+        quotes.repartition(5, col("px")), "key", "qts", "quote_id",
+        Seq("quote_id", "px"))
+      .orderBy("trade_id").select("trade_id", "quote_id", "px")
+      .as[(Long, Option[Long], Option[String])].collect().toSeq
+    assert(shuffled == base)
+  }
+
+  test("asofJoin: rejects colliding right columns and mismatched key types") {
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(trades, "key", "tts",
+        quotes.withColumnRenamed("px", "trade_id"), "key", "qts",
+        "quote_id", Seq("trade_id"))
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(trades, "key", "tts",
+        quotes.withColumn("key", col("key").cast("int")), "key", "qts",
+        "quote_id", Seq("px"))
+    }
+  }
+
+  private def windows = Seq(
+    (10L, 1L, 100L, 200L),
+    (11L, 1L, 150L, 250L), // overlaps window 10 — points in both match both
+    (12L, 2L, 0L, 50L),
+    (13L, 2L, 40L, 30L),   // inverted — matches nothing
+  ).toDF("win_id", "wkey", "w_start", "w_end")
+
+  private def hits = Seq(
+    (20L, 1L, 100L),  // on window 10's start boundary
+    (21L, 1L, 175L),  // inside 10 AND 11
+    (22L, 1L, 200L),  // on 10's end boundary, inside 11
+    (23L, 1L, 251L),  // past both
+    (24L, 2L, 35L),   // inside 12 (and inside inverted 13's span — no match)
+    (25L, 3L, 120L),  // key with no windows
+  ).toDF("hit_id", "hkey", "h_ts")
+
+  test("intervalJoin: containment incl. boundaries, overlap, inverted, " +
+      "bucket-straddling points") {
+    // bucketWidth 64 makes windows straddle bucket boundaries
+    val pairs = TemporalJoin.intervalJoin(
+        windows, "wkey", "w_start", "w_end", hits, "hkey", "h_ts", 64L)
+      .select("win_id", "hit_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set(
+      (10L, 20L), (10L, 21L), (10L, 22L),
+      (11L, 21L), (11L, 22L),
+      (12L, 24L)))
+  }
+
+  test("intervalJoin: result is bucket-width independent") {
+    val expected = TemporalJoin.intervalJoin(
+        windows, "wkey", "w_start", "w_end", hits, "hkey", "h_ts", 64L)
+      .select("win_id", "hit_id").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val got = TemporalJoin.intervalJoin(
+          windows, "wkey", "w_start", "w_end", hits, "hkey", "h_ts", w)
+        .select("win_id", "hit_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"bucketWidth=$w")
+    }
+  }
+
+  test("intervalJoin: exact bucketing at nanosecond epoch magnitudes") {
+    // 1.7e18 ns epochs overflow double's integer range — the floor-div
+    // must stay in integer arithmetic for boundary hits to land
+    val base = 1700000000000000000L
+    val iv = Seq((1L, 1L, base, base + 300000000000L))
+      .toDF("win_id", "wkey", "w_start", "w_end")
+    val pts = Seq(
+        (1L, 1L, base),                 // start boundary
+        (2L, 1L, base + 300000000000L), // end boundary
+        (3L, 1L, base + 300000000001L)) // 1 ns past
+      .toDF("hit_id", "hkey", "h_ts")
+    val got = TemporalJoin.intervalJoin(iv, "wkey", "w_start", "w_end",
+        pts, "hkey", "h_ts", 300000000000L)
+      .select("hit_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("intervalJoin: fails fast on an interval wider than the bucket cap") {
+    val iv = Seq((1L, 1L, 0L, 1000000L)).toDF("win_id", "wkey", "s", "e")
+    val ex = intercept[Exception] {
+      TemporalJoin.intervalJoin(iv, "wkey", "s", "e",
+        hits, "hkey", "h_ts", 10L, maxBucketsPerInterval = 100).count()
+    }
+    // raise_error surfaces as SparkRuntimeException (USER_RAISED_EXCEPTION)
+    // wrapping our message
+    assert(ex.getMessage.contains("intervalJoin"))
+  }
+}
