@@ -1,0 +1,64 @@
+package tmpdrive
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.TemporalJoin
+
+object Drive {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"MARKER=$label%s ${(System.nanoTime() - t0) / 1e9}%.1f s -> $r")
+    r
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e0 = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"))
+    // 16 shifted copies: 1.6M events, 2400 distinct users, per-user
+    // density unchanged (~660 events/user)
+    val big = e0.withColumn("c", explode(sequence(lit(0), lit(15))))
+      .select((col("event_id") + col("c") * 10000000L).as("event_id"),
+        (col("user_id") + col("c") * 10000L).as("user_id"),
+        col("event_type"), col("tus"))
+      .repartition(32).cache()
+    println(s"MARKER=rows ${big.count()}")
+    val l = big.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tus").as("purchase_tus"))
+    val r = big.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+        col("tus").as("view_tus"))
+    time("asof_operator") {
+      TemporalJoin.asofJoin(l, "user_id", "purchase_tus",
+        r, "vuser", "view_tus", "view_id", Seq("view_id", "view_tus")).count()
+    }
+    time("asof_naive_ineq_join") {
+      l.join(r, col("vuser") === col("user_id") &&
+          col("view_tus") <= col("purchase_tus"), "left")
+        .groupBy("purchase_id")
+        .agg(max(struct(col("view_tus"), col("view_id"))).as("m")).count()
+    }
+    val iv = big.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("euser"),
+        col("tus").as("start_tus"), (col("tus") + 300000000L).as("end_tus"))
+    val p = big.filter(col("event_type") === "click")
+      .select(col("user_id").as("cuser"), col("tus").as("click_tus"))
+    time("interval_operator") {
+      TemporalJoin.intervalJoin(iv, "euser", "start_tus", "end_tus",
+        p, "cuser", "click_tus", 300000000L).count()
+    }
+    time("interval_naive_ineq_join") {
+      iv.join(p, col("cuser") === col("euser") &&
+        col("click_tus") >= col("start_tus") &&
+        col("click_tus") <= col("end_tus")).count()
+    }
+    spark.stop()
+  }
+}
