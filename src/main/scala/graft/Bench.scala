@@ -28,6 +28,15 @@ object Bench {
       val sec =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+      // Queries are independent: drain every block the finished query
+      // pinned (Dedup's tracked caches, .cache()'d stages, localCheckpoint
+      // blocks) so 62 queries in one JVM don't accumulate block-manager
+      // pressure that distorts later measurements. Outside the timed
+      // window — cleanup cost is charged to the suite, not the next query.
+      graft.ops.Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

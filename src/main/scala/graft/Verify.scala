@@ -29,6 +29,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Result is on disk — drain the finished query's pinned blocks
+      // (Dedup tracked caches, .cache() stages, localCheckpoints) so 62
+      // sequential dumps don't accumulate block-manager pressure.
+      ops.Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -10,8 +10,11 @@ import org.apache.spark.storage.StorageLevel
   * web-scale training corpora.
   *
   * Scale design (the shapes that survive a 100 TB corpus):
-  *  - Exact dedup is a hash-aggregate on a 128-bit digest — one shuffle of
-  *    (digest, id), never the payload.
+  *  - Exact dedup is ONE hash-aggregate on a 128-bit digest — `min_by`
+  *    folds survivor selection into the agg, so the map-side partial
+  *    already collapses clones (≤1 candidate row per digest per
+  *    partition crosses the wire) and no second survivor-rejoin shuffle
+  *    exists.
   *  - MinHash/SimHash signatures are SHUFFLE-FREE per-row projections
   *    through native kernels ([[graft.functions.MinhashSignature]] /
   *    [[graft.functions.SimhashSignature]]): a byte-level whitespace scan
@@ -101,31 +104,34 @@ object Dedup {
 
   // ---- exact -----------------------------------------------------------
 
-  /** Exact dedup: one survivor (min orderCol) per identical value of
+  /** Exact dedup: one survivor (min `idCol`) per identical value of
     * `keyCol`. Returns the input columns plus `dup_count`.
+    *
+    * ONE exchange: `min_by(struct(row), id)` folds survivor selection
+    * into the aggregation itself (partial agg keeps one candidate row
+    * per key per partition, so the map side already collapses clone
+    * floods), where the agg-then-rejoin form would shuffle the full
+    * input a second time against the survivor set. Ties on the minimum
+    * id keep exactly one row (the "one survivor" contract), not every
+    * tied row as a rejoin would.
     */
-  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val groups = df
-      .groupBy(col(keyCol))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
-    df.join(groups.select(col("keep_id"), col("dup_count")),
-        df(idCol) === col("keep_id"))
-      .drop("keep_id")
-  }
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("__key"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(idCol)).as("__row"),
+        count(lit(1)).as("dup_count"))
+      .select(col("__row.*") +: Seq(col("dup_count")): _*)
 
   /** Exact dedup by content digest — at scale, shuffle the digest, not the
-    * text: groupBy md5(text).
+    * text: groupBy md5(text). Same one-exchange `min_by` shape as
+    * [[exact]]; the payload shuffles once, keyed by its own 128-bit
+    * digest, and never meets a join.
     */
   def exactByFingerprint(df: DataFrame, textCol: String,
-                         idCol: String): DataFrame = {
-    val keyed = df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-    val survivors = keyed
-      .groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
-    keyed.join(survivors, keyed("__fp") === survivors("__fp") &&
-        keyed(idCol) === survivors("keep_id"))
-      .drop("__fp", "keep_id")
-  }
+                         idCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(idCol)).as("__row"),
+        count(lit(1)).as("dup_count"))
+      .select(col("__row.*") +: Seq(col("dup_count")): _*)
 
   /** Incremental-ingest dedup: from a new `batch`, keep one survivor (min
     * `idCol`) per content digest that does NOT already appear in the

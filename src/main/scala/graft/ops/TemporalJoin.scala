@@ -86,7 +86,12 @@ object TemporalJoin {
       lit(null).cast(tieType).as("__tb"),
       lit(null).cast(rightType).as("__r"),
       struct(left.columns.toSeq.map(c => col(quoted(c)).as(c)): _*).as("__l"))
-    val r = right.select(
+    // SQL equi-join semantics: NULL keys match nothing. The window would
+    // otherwise group null-key rows into one partition and enrich null-key
+    // left rows from null-key right rows. Dropping null-key RIGHT rows is
+    // sufficient: null-key left rows then see no candidates and come out
+    // with NULL enrichment (left-outer), exactly like a LEFT JOIN.
+    val r = right.filter(col(quoted(rKey)).isNotNull).select(
       col(quoted(rKey)).as("__k"),
       col(quoted(rTs)).cast("long").as("__t"),
       lit(0).as("__side"),
@@ -101,12 +106,19 @@ object TemporalJoin {
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Age via try_subtract: the true age is always >= 0 (the match comes
+    // from earlier-sorted rows), so a Long-overflowing span (e.g. a
+    // sentinel Long.MinValue right timestamp against a positive left)
+    // must REJECT, not wrap negative and pass `<= tolerance` — and under
+    // ANSI mode a plain `-` would throw instead of wrapping. try_subtract
+    // yields NULL on overflow in both modes; `between` then propagates
+    // NULL and the match is discarded.
+    val age = try_subtract(col("__t"), col("__match").getField("__rts"))
     val matched = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .withColumn("__ok",
-        col("__match").isNotNull &&
-          col("__t") - col("__match").getField("__rts") <= tolerance)
+        col("__match").isNotNull && age.between(0, tolerance))
 
     val outCols =
       left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++

@@ -1,0 +1,106 @@
+package graft
+
+import java.io.File
+
+import graft.operators.ImageStage
+
+/** Pixel-geometry parity against the reference's OWN six JPEG fixtures
+  * (tfrecorder/test_data/images, used by beam_image_test.py:67-82 and
+  * dataset_loader_test.py:77-84), copied into test resources.
+  *
+  * Golden values are decoder-independent: (width, height, components)
+  * come from each JPEG's SOF header, PIL `tobytes()` length is
+  * w*h*channels by definition for 'RGB'/'L' (beam_image.py:29-51), and
+  * padded base64 length is ceil(rawLen/3)*4. Byte-level content is
+  * asserted through our own encode→decode round-trip (JPEG IDCT rounding
+  * can differ ±1/pixel across decoder implementations, so cross-decoder
+  * byte equality is not a well-defined golden).
+  *
+  * Note goat-640x640-1.jpg is really 640x560 — the golden is the header,
+  * not the filename.
+  */
+class GoldenImageSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** (relative path, width, height, channels) from the JPEG SOF headers. */
+  private val golden = Seq(
+    ("TEST/cat/cat-800x600-3.jpg", 800, 600, 3),
+    ("TEST/goat/goat-640x427-3.jpg", 640, 427, 3),
+    ("TRAIN/cat/cat-640x853-1.jpg", 640, 853, 3),
+    ("TRAIN/goat/goat-640x640-1.jpg", 640, 560, 3),
+    ("VALIDATION/cat/cat-800x600-2.jpg", 800, 600, 3),
+    ("VALIDATION/goat/goat-320x320-2.jpg", 320, 213, 3),
+  )
+
+  private def imagesDir: File = {
+    val url = getClass.getResource("/golden/images")
+    assert(url != null, "golden image fixtures missing from test resources")
+    new File(url.toURI)
+  }
+
+  test("reference JPEGs: dims, channels, raster and b64 lengths match PIL semantics") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    golden.foreach { case (rel, w, h, ch) =>
+      val img = ImageStage.load(new File(imagesDir, rel).getAbsolutePath, conf)
+      assert(img.getWidth == w, s"$rel width")
+      assert(img.getHeight == h, s"$rel height")
+      assert(ImageStage.channels(img) == ch, s"$rel channels")
+      val raw = ImageStage.rasterBytes(img)
+      assert(raw.length == w * h * ch, s"$rel tobytes length")
+      val b64 = ImageStage.encode(img)
+      assert(b64.length == (raw.length + 2) / 3 * 4, s"$rel b64 length")
+      // URL-safe alphabet, padded — beam_image.py BASE64_ALTCHARS = b'-_'
+      assert(b64.forall(c => c.isLetterOrDigit || c == '-' || c == '_' || c == '='),
+        s"$rel b64 alphabet")
+    }
+  }
+
+  test("reference JPEG encode→decode round-trips the raster bit-exactly") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rel = "VALIDATION/goat/goat-320x320-2.jpg" // smallest fixture
+    val img = ImageStage.load(new File(imagesDir, rel).getAbsolutePath, conf)
+    val back = ImageStage.decode(ImageStage.encode(img),
+      img.getWidth, img.getHeight, ImageStage.channels(img))
+    assert(java.util.Arrays.equals(
+      ImageStage.rasterBytes(img), ImageStage.rasterBytes(back)))
+  }
+
+  test("full convert on the reference's own data.csv + JPEGs") {
+    // The shipped data.csv uses repo-relative URIs; rewrite to the test
+    // resource paths — same rows, same splits, same labels.
+    val base = imagesDir
+    val csv = new StringBuilder("split,image_uri,label\n")
+    golden.foreach { case (rel, _, _, _) =>
+      val label = rel.split('/')(1)
+      val split = rel.split('/')(0)
+      csv.append(s"$split,${new File(base, rel).getAbsolutePath},$label\n")
+    }
+    val csvFile = new File(tmpDir("golden-csv"), "data.csv")
+    java.nio.file.Files.write(csvFile.toPath, csv.toString.getBytes)
+
+    val out = tmpDir("golden-job")
+    val result = Converter.convert(spark, Right(csvFile.getAbsolutePath),
+      outputDir = out)
+    assert(result.rowCount == 6)
+    assert(result.goodImages == 6)
+    assert(result.badImages == 0)
+    assert(result.splitCounts ==
+      Map("TRAIN" -> 2L, "VALIDATION" -> 2L, "TEST" -> 2L))
+
+    val loaded = Loader.load(spark, result.jobDir)
+    // Each split carries its two fixtures' golden geometry.
+    val bySplit = golden.groupBy(_._1.split('/')(0))
+    Seq("TRAIN", "VALIDATION", "TEST").foreach { split =>
+      val dims = loaded(split)
+        .select("image_width", "image_height", "image_channels")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = bySplit(split)
+        .map { case (_, w, h, ch) => (w.toLong, h.toLong, ch.toLong) }.toSet
+      assert(dims == want, s"$split geometry")
+    }
+    // label vocab fitted on TRAIN: {cat, goat} tie broken by value desc
+    val asset = new File(result.jobDir, "transform_fn/assets/vocab_label")
+    assert(new String(java.nio.file.Files.readAllBytes(asset.toPath)) ==
+      "goat\ncat")
+  }
+}

@@ -57,6 +57,35 @@ class TemporalJoinSpec extends SparkSpec {
     assert(shuffled == base)
   }
 
+  test("asofJoin: NULL keys match nothing (SQL equi-join semantics)") {
+    val l = Seq((1L, Option(1L), 10L), (2L, Option.empty[Long], 10L))
+      .toDF("trade_id", "key", "tts")
+    val r = Seq((100L, Option(1L), 5L, "a"), (101L, Option.empty[Long], 5L, "b"))
+      .toDF("quote_id", "key", "qts", "px")
+    val out = TemporalJoin.asofJoin(l, "key", "tts",
+        r, "key", "qts", "quote_id", Seq("quote_id", "px"))
+      .orderBy("trade_id").select("trade_id", "quote_id", "px")
+      .as[(Long, Option[Long], Option[String])].collect().toSeq
+    // null-key left row is KEPT (left-outer) but never enriched from the
+    // null-key right row
+    assert(out == Seq(
+      (1L, Some(100L), Some("a")),
+      (2L, None, None)))
+  }
+
+  test("asofJoin: Long-overflowing age rejects instead of wrapping") {
+    // sentinel Long.MinValue right timestamp: true age overflows Long;
+    // a wrapping subtraction would come out negative and pass <= tolerance
+    val l = Seq((1L, 1L, 10L)).toDF("trade_id", "key", "tts")
+    val r = Seq((100L, 1L, Long.MinValue, "a")).toDF("quote_id", "key", "qts", "px")
+    val out = TemporalJoin.asofJoin(l, "key", "tts",
+        r, "key", "qts", "quote_id", Seq("quote_id", "px"),
+        tolerance = 1000L)
+      .select("trade_id", "quote_id", "px")
+      .as[(Long, Option[Long], Option[String])].collect().toSeq
+    assert(out == Seq((1L, None, None)))
+  }
+
   test("asofJoin: rejects colliding right columns and mismatched key types") {
     intercept[IllegalArgumentException] {
       TemporalJoin.asofJoin(trades, "key", "tts",
