@@ -31,12 +31,13 @@ object Bench {
       // Queries are independent: drain every block the finished query
       // pinned (Dedup's tracked caches, .cache()'d stages, localCheckpoint
       // blocks) so 62 queries in one JVM don't accumulate block-manager
-      // pressure that distorts later measurements. Outside the timed
-      // window — cleanup cost is charged to the suite, not the next query.
+      // pressure that distorts later measurements. BLOCKING removal,
+      // outside the timed window: an async unpersist storm would run
+      // concurrently with — and be charged to — the next query.
       graft.ops.Dedup.releaseIntermediates()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
