@@ -68,6 +68,19 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("exact dedup plans exactly ONE exchange (min_by, no survivor rejoin)") {
+    // The scale contract: survivor selection is folded into the single
+    // hash-aggregate; an agg-then-rejoin formulation would show a second
+    // Exchange for the join.
+    Seq(Dedup.exactByFingerprint(docs, "text", "doc_id"),
+        Dedup.exact(docs, "text", "doc_id")).foreach { out =>
+      val plan = out.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1, s"expected 1 exchange, got $exchanges in:\n$plan")
+      assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+    }
+  }
+
   test("shingles produce distinct word n-grams; short text yields empty") {
     val sh = docs.select(col("doc_id"),
       Dedup.shingles(col("text"), 3).as("sh"))
