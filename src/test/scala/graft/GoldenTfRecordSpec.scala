@@ -1,0 +1,100 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.types._
+
+import graft.operators.ImageStage
+import graft.sinks.TfRecord
+
+/** Wire-format parity against the reference's OWN pre-built golden output
+  * (tfrecorder/test_data/sample_tfrecords, produced by the reference's
+  * Beam+TFT pipeline from data.csv + the six JPEGs, and used as the
+  * golden in dataset_loader_test.py:77-84). The six JPEG fixtures only
+  * prove our encode path round-trips itself; these shards prove the
+  * reader parses bytes a DIFFERENT writer (TensorFlow's) produced —
+  * record framing, gzip, Example proto wire format, and TFT's transformed
+  * feature values all at once.
+  */
+class GoldenTfRecordSpec extends SparkSpec {
+
+  /** The golden transformed schema (sample_tfrecords/schema.pbtxt):
+    * BYTES features read as strings (image is the reference's URL-safe
+    * base64 raster, beam_image.py:29-59), INT features as longs.
+    */
+  private val schema = StructType(Seq(
+    StructField("image", StringType),
+    StructField("image_channels", LongType),
+    StructField("image_height", LongType),
+    StructField("image_name", StringType),
+    StructField("image_width", LongType),
+    StructField("label", LongType),
+    StructField("split", StringType)))
+
+  private def fixture(name: String): String = {
+    val url = getClass.getResource(s"/golden/sample_tfrecords/$name")
+    assert(url != null, s"golden tfrecord fixture $name missing")
+    new File(url.toURI).getAbsolutePath
+  }
+
+  /** shard → (split, image_name → (w, h, ch, label)). Geometry is each
+    * JPEG's SOF header (goat-640x640-1 is really 640x560); label ids are
+    * the golden transform_fn vocab asset order: goat=0, cat=1.
+    */
+  private val golden = Seq(
+    ("train-00000-of-00001.tfrecord.gz", "TRAIN", Map(
+      "cat-640x853-1.jpg" -> ((640L, 853L, 3L, 1L)),
+      "goat-640x640-1.jpg" -> ((640L, 560L, 3L, 0L)))),
+    ("validation-00000-of-00001.tfrecord.gz", "VALIDATION", Map(
+      "cat-800x600-2.jpg" -> ((800L, 600L, 3L, 1L)),
+      "goat-320x320-2.jpg" -> ((320L, 213L, 3L, 0L)))),
+    ("test-00000-of-00001.tfrecord.gz", "TEST", Map(
+      "cat-800x600-3.jpg" -> ((800L, 600L, 3L, 1L)),
+      "goat-640x427-3.jpg" -> ((640L, 427L, 3L, 0L)))))
+
+  test("reference-written golden shards parse: rows, geometry, vocab labels") {
+    golden.foreach { case (shard, split, want) =>
+      val rows = TfRecord.read(spark, fixture(shard), schema).collect()
+      assert(rows.length == 2, s"$shard rows")
+      val seen = rows.map { r =>
+        assert(r.getAs[String]("split") == split, s"$shard split")
+        val w = r.getAs[Long]("image_width")
+        val h = r.getAs[Long]("image_height")
+        val ch = r.getAs[Long]("image_channels")
+        // PIL tobytes length, padded URL-safe base64 (beam_image.py:29-59)
+        assert(r.getAs[String]("image").length == (w * h * ch + 2) / 3 * 4,
+          s"$shard b64 length")
+        r.getAs[String]("image_name") ->
+          ((w, h, ch, r.getAs[Long]("label")))
+      }.toMap
+      assert(seen == want, s"$shard content")
+    }
+  }
+
+  test("golden raster pixels agree with our decoder on the same JPEG") {
+    // PIL's raster (decoded from the golden shard) vs ours (ImageIO on
+    // the identical JPEG fixture): equal length, and near-equal bytes.
+    // JPEG IDCT/chroma-upsampling rounding differs across decoder
+    // implementations, so bytes aren't exactly equal — but a channel
+    // -order (BGR vs RGB) or row-order mismatch would push the mean
+    // per-byte difference to ~tens, far past this bound.
+    val rows = TfRecord
+      .read(spark, fixture("validation-00000-of-00001.tfrecord.gz"), schema)
+      .collect().map(r => r.getAs[String]("image_name") -> r).toMap
+    val pil = java.util.Base64.getUrlDecoder
+      .decode(rows("goat-320x320-2.jpg").getAs[String]("image"))
+    val jpeg = getClass.getResource("/golden/images/VALIDATION/goat/goat-320x320-2.jpg")
+    val ours = ImageStage.rasterBytes(ImageStage.load(
+      new File(jpeg.toURI).getAbsolutePath,
+      spark.sparkContext.hadoopConfiguration))
+    assert(pil.length == ours.length, "raster length")
+    var sum = 0L
+    var i = 0
+    while (i < pil.length) {
+      sum += math.abs((pil(i) & 0xff) - (ours(i) & 0xff))
+      i += 1
+    }
+    val mean = sum.toDouble / pil.length
+    assert(mean < 3.0, s"mean per-byte decoder difference $mean")
+  }
+}
