@@ -543,6 +543,24 @@ object SparkEntry {
         .orderBy("error_id")
     }),
 
+    // ---- Bloom-prefiltered incremental ingest: q53's exact semantics
+    //      (the sketch only routes rows — negatives bypass the anti-join,
+    //      positives still adjudicate against the corpus digests), so the
+    //      oracle replays plain incremental dedup and MUST hash-match
+    //      regardless of the sketch's false-positive rate ----
+
+    "q63_bloom_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.incrementalBloom(batch, corpus, "text", "doc_id",
+          expectedCorpusDocs = 1 << 16)
+        .select(col("doc_id"), col("lang"), col("batch_dup_count"))
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus length distribution (exact interpolated percentiles) ----
 
     "q43_length_stats" -> ((s, dir) => {
@@ -1884,6 +1902,28 @@ object SparkEntry {
           |FROM i LEFT JOIN p ON p.user_id = i.user_id
           |  AND p.click_tus BETWEEN i.start_tus AND i.end_tus
           |GROUP BY i.error_id ORDER BY error_id""".stripMargin,
+
+      // Bloom-prefiltered incremental ingest is result-identical to plain
+      // incremental dedup (the sketch is routing, not adjudication), so
+      // the oracle is q53's replay verbatim.
+      "q63_bloom_incremental" ->
+        """WITH corpus AS (
+          |  SELECT text FROM documents WHERE doc_id % 3 <> 0),
+          |batch AS (
+          |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, lang, text FROM documents
+          |  WHERE doc_id % 5 = 0),
+          |surv AS (
+          |  SELECT text, min(doc_id) AS keep_id,
+          |    CAST(count(*) AS BIGINT) AS batch_dup_count
+          |  FROM batch GROUP BY text),
+          |fresh AS (
+          |  SELECT * FROM surv
+          |  WHERE text NOT IN (SELECT DISTINCT text FROM corpus))
+          |SELECT b.doc_id, b.lang, f.batch_dup_count
+          |FROM batch b JOIN fresh f ON b.doc_id = f.keep_id
+          |ORDER BY b.doc_id""".stripMargin,
 
       // Exact percentiles: both engines interpolate linearly at rank
       // (n-1)*p over the sorted values, so the doubles are bit-equal on

@@ -125,6 +125,16 @@ object GraftFunctions {
     }
   }
 
+  private def litLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal long")
+    e.eval() match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal long, got $other")
+    }
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
@@ -208,6 +218,33 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_vec_dot_i8 takes (a, b)")
         VecDotI8(exprs(0), exprs(1))
+      }),
+    // Membership sketches over arbitrary values, built on Spark's own
+    // Bloom expression pair (the one its runtime join filters inject,
+    // which the DataFrame API doesn't expose). Both sides hash through
+    // the same xxhash64 HERE, so a build can never disagree with a probe
+    // about the hashing of the sketched value.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_bloom_agg takes (value, expectedItems)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0))),
+          litLong(exprs(1), "expectedItems"))
+      }),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_might_contain takes (sketch, value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))
       }),
   )
 

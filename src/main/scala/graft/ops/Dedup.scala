@@ -178,6 +178,61 @@ object Dedup {
       .drop("__fp", "__sfp", "keep_id")
   }
 
+  /** [[incremental]] with a Bloom membership prefilter — identical
+    * result (the exact anti-join still adjudicates every possible
+    * duplicate), but the overwhelmingly-common case at ingest time, a
+    * genuinely new document, never reaches the join.
+    *
+    * Scale shape: the corpus digest set aggregates once into Spark's own
+    * Bloom sketch (`BloomFilterAggregate` over `xxhash64(digest)` — the
+    * same expression pair the engine's runtime join filters inject), and
+    * batch survivor digests probe it through the codegen'd
+    * `BloomFilterMightContain` with the sketch embedded as a plan
+    * literal. A negative probe is DEFINITELY new (Bloom filters have no
+    * false negatives) and bypasses the anti-join; only true duplicates
+    * plus the false-positive sliver shuffle against the corpus digests,
+    * shrinking the join's batch side from |batch| to |dups| + fpp·|batch|
+    * rows. In production the serialized sketch is the natural companion
+    * artifact to [[corpusDigests]]: rebuild (or union — Bloom bitsets
+    * OR together) per accepted snapshot, probe on every ingest.
+    *
+    * Sizing: `expectedCorpusDocs` at Spark's default fpp costs ~1.2 MB
+    * per 10^6 documents. A monolithic sketch stops scaling around 10^9
+    * docs (a multi-GB literal); past that, partition the digest space
+    * into per-range sketches or fall back to [[incremental]]'s plain
+    * anti-join on 16-byte keys — correctness never depends on the
+    * sketch, so the fallback is free.
+    */
+  def incrementalBloom(batch: DataFrame, corpus: DataFrame, textCol: String,
+                       idCol: String, expectedCorpusDocs: Long): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val seen = tracked(corpusDigests(corpus, textCol)) // bloom build + anti-join
+    val sketch = seen
+      .agg(call_function("graft_bloom_agg", col("__fp"),
+        lit(expectedCorpusDocs)).as("bloom"))
+      .head.getAs[Array[Byte]]("bloom")
+
+    val keyed = batch.withColumn("__fp",
+      TextAnalysis.fingerprint(col(textCol)))
+    val survivors = tracked(keyed
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("keep_id"),
+        count(lit(1)).as("batch_dup_count")))
+    // Empty corpus → the aggregate yields null, and everything is new.
+    val fresh =
+      if (sketch == null) survivors
+      else {
+        val mightContain =
+          call_function("graft_might_contain", lit(sketch), col("__fp"))
+        survivors.where(!mightContain).unionByName(
+          survivors.where(mightContain).join(seen, Seq("__fp"), "left_anti"))
+      }
+    keyed.join(fresh.select(col("__fp").as("__sfp"), col("keep_id"),
+          col("batch_dup_count")),
+        keyed("__fp") === col("__sfp") && keyed(idCol) === col("keep_id"))
+      .drop("__fp", "__sfp", "keep_id")
+  }
+
   /** The persisted membership artifact behind [[incremental]]: the
     * DISTINCT content digests of a corpus, one 16-byte row per unique
     * document. Write this once per accepted snapshot; later ingests

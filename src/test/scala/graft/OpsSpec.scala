@@ -469,6 +469,38 @@ class OpsSpec extends SparkSpec {
     assert(out2 == Seq("epsilon"))
   }
 
+  test("incrementalBloom equals incremental: sketch routes, anti-join adjudicates") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha"), (11L, "gamma"), (12L, "gamma"), (13L, "delta"),
+      // duplicate id across texts — the adversarial rejoin case
+      (5L, "beta"), (5L, "epsilon"),
+    ).toDF("doc_id", "text")
+    val plain = Dedup.incremental(batch, corpus, "text", "doc_id")
+      .select("doc_id", "text", "batch_dup_count")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val bloomed = Dedup.incrementalBloom(batch, corpus, "text", "doc_id",
+        expectedCorpusDocs = 1024)
+      .select("doc_id", "text", "batch_dup_count")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(bloomed == plain)
+    assert(bloomed.map(_._2).toSet == Set("gamma", "delta", "epsilon"))
+    // a deliberately tiny sketch saturates → false positives everywhere;
+    // the result must not change (positives go through the exact join)
+    val saturated = Dedup.incrementalBloom(batch, corpus, "text", "doc_id",
+        expectedCorpusDocs = 1)
+      .select("doc_id", "text", "batch_dup_count")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(saturated == plain)
+    // empty corpus → no sketch; the whole batch survives its own dedup
+    val none = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    val allNew = Dedup.incrementalBloom(batch, none, "text", "doc_id",
+        expectedCorpusDocs = 1024)
+      .select("text").as[String].collect().toSet
+    assert(allNew == Set("alpha", "gamma", "delta", "beta", "epsilon"))
+    Dedup.releaseIntermediates()
+  }
+
   test("incrementalNearDup finds edited re-crawls via the persisted artifacts") {
     val base = (0 until 30).map(i => s"w$i").mkString(" ") // 28 trigrams
     val corpus = Seq((1L, base), (2L, "a completely different document text"))
