@@ -74,6 +74,40 @@ object StreamingOps {
       .join(corpusDigests, Seq("__fp"), "left_anti")
       .drop("__fp")
 
+  /** [[dedupStreamAgainstCorpus]] with a Bloom prefilter — the streaming
+    * twin of [[graft.ops.Dedup.incrementalBloom]]. The sketch is built
+    * ONCE from the digest artifact when the query is defined (like the
+    * static join side, it reflects that snapshot; restart to refresh),
+    * and every micro-batch probes it through the codegen'd
+    * `graft_might_contain`: rows whose digest is definitely unseen skip
+    * the stream-static anti-join entirely, so the per-batch join work is
+    * |seen| + fpp·|batch| rows instead of |batch|. Results are
+    * sketch-independent — positives still adjudicate against the exact
+    * digest set — which is what makes the prefilter safe on the 24/7
+    * path.
+    */
+  def dedupStreamAgainstCorpusBloom(stream: DataFrame, textCol: String,
+                                    corpusDigests: DataFrame,
+                                    expectedCorpusDocs: Long): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    val sketch = corpusDigests
+      .agg(call_function("graft_bloom_agg", col("__fp"),
+        lit(expectedCorpusDocs)).as("bloom"))
+      .head.getAs[Array[Byte]]("bloom")
+    val keyed = stream.withColumn("__fp",
+      TextAnalysis.fingerprint(col(textCol)))
+    // Empty corpus → no sketch, nothing to test membership against.
+    if (sketch == null) keyed.drop("__fp")
+    else {
+      val mightContain =
+        call_function("graft_might_contain", lit(sketch), col("__fp"))
+      keyed.where(!mightContain).unionByName(
+          keyed.where(mightContain)
+            .join(corpusDigests, Seq("__fp"), "left_anti"))
+        .drop("__fp")
+    }
+  }
+
   /** Gap-based sessionization with the BUILT-IN `session_window`
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the

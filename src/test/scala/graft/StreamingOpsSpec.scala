@@ -57,6 +57,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("bloom-prefiltered stream-static dedup matches the plain path") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val digests = graft.ops.Dedup.corpusDigests(corpus, "text")
+    val arrivals = Seq(
+      (10L, "alpha"), (11L, "gamma"), (12L, "beta"), (13L, "gamma"))
+    def run(name: String,
+            mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Seq[(Long, String)] = {
+      val input = MemoryStream[(Long, String)]
+      val query = mk(input.toDF().toDF("id", "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(arrivals: _*); query.processAllAvailable()
+      } finally query.stop()
+      spark.table(name).select("id", "text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+    }
+    val plain = run("corpus_dedup_plain",
+      StreamingOps.dedupStreamAgainstCorpus(_, "text", digests))
+    // normal sizing AND a saturated 1-slot sketch (false positives on
+    // every digest) — both must equal the plain anti-join result
+    val bloomed = run("corpus_dedup_bloom",
+      StreamingOps.dedupStreamAgainstCorpusBloom(_, "text", digests, 1024))
+    val saturated = run("corpus_dedup_bloom_sat",
+      StreamingOps.dedupStreamAgainstCorpusBloom(_, "text", digests, 1))
+    assert(bloomed == plain)
+    assert(saturated == plain)
+    assert(plain == Seq((11L, "gamma"), (13L, "gamma")))
+  }
+
   test("session_window stream closes gap-separated sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp)]
