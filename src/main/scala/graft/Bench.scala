@@ -33,11 +33,16 @@ object Bench {
       // blocks) so 62 queries in one JVM don't accumulate block-manager
       // pressure that distorts later measurements. BLOCKING removal,
       // outside the timed window: an async unpersist storm would run
-      // concurrently with — and be charged to — the next query.
-      graft.ops.Dedup.releaseIntermediates()
-      spark.catalog.clearCache()
+      // concurrently with — and be charged to — the next query. ORDER
+      // MATTERS: the blocking per-RDD loop must run FIRST — it sees every
+      // persisted RDD (tracked caches, catalog caches, localCheckpoints)
+      // at the block level, whereas releaseIntermediates/clearCache
+      // deregister those RDDs from the context map as they issue their
+      // own (async) removals, hiding them from a later blocking loop.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      graft.ops.Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

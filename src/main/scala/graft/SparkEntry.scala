@@ -1736,7 +1736,8 @@ object SparkEntry {
           |  SELECT * FROM surv
           |  WHERE text NOT IN (SELECT DISTINCT text FROM corpus))
           |SELECT b.doc_id, b.lang, f.batch_dup_count
-          |FROM batch b JOIN fresh f ON b.doc_id = f.keep_id
+          |FROM batch b JOIN fresh f
+          |  ON b.doc_id = f.keep_id AND b.text = f.text
           |ORDER BY b.doc_id""".stripMargin,
 
       // The cross-set near-dup replayed exactly: same batch perturbation,
@@ -1922,7 +1923,8 @@ object SparkEntry {
           |  SELECT * FROM surv
           |  WHERE text NOT IN (SELECT DISTINCT text FROM corpus))
           |SELECT b.doc_id, b.lang, f.batch_dup_count
-          |FROM batch b JOIN fresh f ON b.doc_id = f.keep_id
+          |FROM batch b JOIN fresh f
+          |  ON b.doc_id = f.keep_id AND b.text = f.text
           |ORDER BY b.doc_id""".stripMargin,
 
       // Exact percentiles: both engines interpolate linearly at rank

@@ -31,11 +31,14 @@ object Verify {
       }
       // Result is on disk — drain the finished query's pinned blocks
       // (Dedup tracked caches, .cache() stages, localCheckpoints) so 62
-      // sequential dumps don't accumulate block-manager pressure.
-      ops.Dedup.releaseIntermediates()
-      spark.catalog.clearCache()
+      // sequential dumps don't accumulate block-manager pressure. The
+      // per-RDD loop runs FIRST: releaseIntermediates/clearCache
+      // deregister RDDs from the context map as they issue removals,
+      // hiding them from a later loop (see Bench for the timing variant).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      ops.Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -113,24 +113,35 @@ object Dedup {
     * floods), where the agg-then-rejoin form would shuffle the full
     * input a second time against the survivor set. Ties on the minimum
     * id keep exactly one row (the "one survivor" contract), not every
-    * tied row as a rejoin would.
+    * tied row as a rejoin would — WHICH tied row is
+    * partitioning-dependent, so make `idCol` unique when byte-exact
+    * replayability across runs matters. A group whose every id is NULL
+    * has no selectable survivor (`min_by` skips NULL ordering values)
+    * and is dropped, matching the rejoin form; the NULL-struct guard
+    * below is what prevents such a group from fabricating an all-NULL
+    * output row.
     */
   def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
     df.groupBy(col(keyCol).as("__key"))
       .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(idCol)).as("__row"),
         count(lit(1)).as("dup_count"))
+      .where(col("__row").isNotNull)
       .select(col("__row.*") +: Seq(col("dup_count")): _*)
 
   /** Exact dedup by content digest — at scale, shuffle the digest, not the
-    * text: groupBy md5(text). Same one-exchange `min_by` shape as
-    * [[exact]]; the payload shuffles once, keyed by its own 128-bit
-    * digest, and never meets a join.
+    * text: groupBy md5(text). Same one-exchange `min_by` shape (and the
+    * same NULL/tie semantics) as [[exact]]; the payload shuffles once,
+    * keyed by its own 128-bit digest, and never meets a join. NULL texts
+    * share the NULL digest, so they collapse to one surviving NULL-text
+    * row rather than being dropped — a dedup should not silently discard
+    * documents.
     */
   def exactByFingerprint(df: DataFrame, textCol: String,
                          idCol: String): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
       .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(idCol)).as("__row"),
         count(lit(1)).as("dup_count"))
+      .where(col("__row").isNotNull)
       .select(col("__row.*") +: Seq(col("dup_count")): _*)
 
   /** Incremental-ingest dedup: from a new `batch`, keep one survivor (min
@@ -205,33 +216,51 @@ object Dedup {
     */
   def incrementalBloom(batch: DataFrame, corpus: DataFrame, textCol: String,
                        idCol: String, expectedCorpusDocs: Long): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val seen = tracked(corpusDigests(corpus, textCol)) // bloom build + anti-join
-    val sketch = seen
-      .agg(call_function("graft_bloom_agg", col("__fp"),
-        lit(expectedCorpusDocs)).as("bloom"))
-      .head.getAs[Array[Byte]]("bloom")
-
+    val sketch = digestSketch(seen, expectedCorpusDocs)
     val keyed = batch.withColumn("__fp",
       TextAnalysis.fingerprint(col(textCol)))
     val survivors = tracked(keyed
       .groupBy(col("__fp"))
       .agg(min(col(idCol)).as("keep_id"),
         count(lit(1)).as("batch_dup_count")))
-    // Empty corpus → the aggregate yields null, and everything is new.
-    val fresh =
-      if (sketch == null) survivors
-      else {
-        val mightContain =
-          call_function("graft_might_contain", lit(sketch), col("__fp"))
-        survivors.where(!mightContain).unionByName(
-          survivors.where(mightContain).join(seen, Seq("__fp"), "left_anti"))
-      }
+    val fresh = bloomRoute(survivors, seen, sketch)
     keyed.join(fresh.select(col("__fp").as("__sfp"), col("keep_id"),
           col("batch_dup_count")),
         keyed("__fp") === col("__sfp") && keyed(idCol) === col("keep_id"))
       .drop("__fp", "__sfp", "keep_id")
   }
+
+  /** The serialized Bloom membership sketch of a digest frame (column
+    * `__fp`, as produced by [[corpusDigests]]) — one `graft_bloom_agg`
+    * pass; `null` for an empty frame. Persist alongside the digest
+    * artifact and feed to [[bloomRoute]] (or its streaming twin) at
+    * ingest time.
+    */
+  def digestSketch(digests: DataFrame, expectedItems: Long): Array[Byte] = {
+    graft.functions.GraftFunctions.ensureRegistered(digests.sparkSession)
+    digests
+      .agg(call_function("graft_bloom_agg", col("__fp"),
+        lit(expectedItems)).as("bloom"))
+      .head.getAs[Array[Byte]]("bloom")
+  }
+
+  /** Membership routing shared by the batch and streaming Bloom ingest
+    * paths: rows of `keyed` (must carry a `__fp` digest column) that the
+    * sketch has DEFINITELY never seen bypass the anti-join; possible
+    * members adjudicate exactly against `digests`. A null sketch (empty
+    * corpus) means nothing can be a member. Result is sketch-independent
+    * by construction — the sketch only routes.
+    */
+  private[graft] def bloomRoute(keyed: DataFrame, digests: DataFrame,
+                                sketch: Array[Byte]): DataFrame =
+    if (sketch == null) keyed
+    else {
+      val mightContain =
+        call_function("graft_might_contain", lit(sketch), col("__fp"))
+      keyed.where(!mightContain).unionByName(
+        keyed.where(mightContain).join(digests, Seq("__fp"), "left_anti"))
+    }
 
   /** The persisted membership artifact behind [[incremental]]: the
     * DISTINCT content digests of a corpus, one 16-byte row per unique

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.ops.TextAnalysis
+import graft.ops.{Dedup, TextAnalysis}
 
 /** Per-user session accumulator for [[StreamingOps.sessionizeStateful]]. */
 case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
@@ -89,23 +89,10 @@ object StreamingOps {
   def dedupStreamAgainstCorpusBloom(stream: DataFrame, textCol: String,
                                     corpusDigests: DataFrame,
                                     expectedCorpusDocs: Long): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
-    val sketch = corpusDigests
-      .agg(call_function("graft_bloom_agg", col("__fp"),
-        lit(expectedCorpusDocs)).as("bloom"))
-      .head.getAs[Array[Byte]]("bloom")
+    val sketch = Dedup.digestSketch(corpusDigests, expectedCorpusDocs)
     val keyed = stream.withColumn("__fp",
       TextAnalysis.fingerprint(col(textCol)))
-    // Empty corpus → no sketch, nothing to test membership against.
-    if (sketch == null) keyed.drop("__fp")
-    else {
-      val mightContain =
-        call_function("graft_might_contain", lit(sketch), col("__fp"))
-      keyed.where(!mightContain).unionByName(
-          keyed.where(mightContain)
-            .join(corpusDigests, Seq("__fp"), "left_anti"))
-        .drop("__fp")
-    }
+    Dedup.bloomRoute(keyed, corpusDigests, sketch).drop("__fp")
   }
 
   /** Gap-based sessionization with the BUILT-IN `session_window`

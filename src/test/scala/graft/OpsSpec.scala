@@ -68,6 +68,26 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("exact dedup NULL edges: all-NULL-id group dropped, NULL texts collapse") {
+    val in = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("a")), // normal group
+      (None, Some("b")), (None, Some("b")),         // ids all NULL → dropped
+      (Some(7L), None), (Some(8L), None),           // NULL texts → one survivor
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactByFingerprint(in, "text", "doc_id")
+      .select("doc_id", "text", "dup_count")
+      .as[(Option[Long], Option[String], Long)].collect().toSet
+    // no fabricated all-NULL row from the id-less "b" group; NULL texts
+    // dedup to their min-id row (a dedup must not silently drop docs)
+    assert(out == Set(
+      (Some(1L), Some("a"), 2L),
+      (Some(7L), None, 2L)))
+    val outKey = Dedup.exact(in, "text", "doc_id")
+      .select("doc_id", "dup_count")
+      .as[(Option[Long], Long)].collect().toSet
+    assert(outKey == Set((Some(1L), 2L), (Some(7L), 2L)))
+  }
+
   test("exact dedup plans exactly ONE exchange (min_by, no survivor rejoin)") {
     // The scale contract: survivor selection is folded into the single
     // hash-aggregate; an agg-then-rejoin formulation would show a second
