@@ -153,41 +153,55 @@ object Dedup {
     *
     * Scale shape: the corpus side collapses to its DISTINCT 128-bit
     * digests before the join — a map-side-combinable aggregation whose
-    * output is 16 bytes/doc regardless of document size — and the batch
-    * joins it LEFT ANTI on the digest. Neither side ever shuffles a
-    * payload column for the membership test (the anti-join keys are
-    * digests; batch payloads ride along only on the batch's own
-    * shuffle). When the batch digest set fits in memory AQE turns the
-    * anti-join into a broadcast; at 100 TB corpus scale it degrades to a
-    * shuffled hash join on fixed 16-byte keys. In production the corpus
-    * digest set would be the persisted artifact of the previous ingest
-    * (write `corpusDigests` once, reuse every batch).
+    * output is 16 bytes/doc regardless of document size — and the
+    * batch's `min_by` survivor aggregate (same one-exchange shape and
+    * NULL/tie semantics as [[exact]]) joins it LEFT ANTI on the digest.
+    * The batch payload shuffles exactly ONCE, into its own aggregate
+    * (map-side partials collapse within-batch clones before the wire);
+    * the pre-min_by form shuffled the full batch a second time to
+    * rejoin survivors, and needed a (digest AND id) rejoin condition to
+    * avoid resurrecting dropped rows under duplicate ids — folding
+    * selection into the agg removes that hazard entirely. When the
+    * survivor digest set fits in memory AQE turns the anti-join into a
+    * broadcast; at 100 TB corpus scale it degrades to a shuffled hash
+    * join on fixed 16-byte keys. In production the corpus digest set
+    * would be the persisted artifact of the previous ingest (write
+    * `corpusDigests` once, reuse every batch). NULL-text batch rows
+    * collapse to one survivor and are always "new" (a NULL digest never
+    * equals a corpus digest).
     *
     * Returns the batch's columns plus `batch_dup_count` (how many times
     * the surviving digest occurred within the batch).
     */
   def incremental(batch: DataFrame, corpus: DataFrame, textCol: String,
-                  idCol: String): DataFrame = {
-    val seen = corpusDigests(corpus, textCol)
-    val keyed = batch.withColumn("__fp",
-      TextAnalysis.fingerprint(col(textCol)))
-    val survivors = keyed
-      .groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("keep_id"),
+                  idCol: String): DataFrame =
+    incrementalAgainstDigests(batch, corpusDigests(corpus, textCol),
+      textCol, idCol)
+
+  /** [[incremental]] against a PREBUILT digest frame (the persisted
+    * [[corpusDigests]] artifact) — the production ingest entry point:
+    * the accepted corpus is never re-read, only its 16-byte-per-doc
+    * membership artifact is.
+    */
+  def incrementalAgainstDigests(batch: DataFrame, corpusDigestsDf: DataFrame,
+                                textCol: String, idCol: String): DataFrame =
+    batchSurvivors(batch, textCol, idCol)
+      .join(corpusDigestsDf, Seq("__fp"), "left_anti")
+      .select(col("__row.*") +: Seq(col("batch_dup_count")): _*)
+
+  /** The within-batch survivor aggregate shared by [[incremental]] and
+    * [[incrementalBloom]]: one `min_by` row per content digest, with the
+    * digest kept as `__fp` for the membership join and the occurrence
+    * count as `batch_dup_count`.
+    */
+  private def batchSurvivors(batch: DataFrame, textCol: String,
+                             idCol: String): DataFrame =
+    batch
+      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(struct(batch.columns.toIndexedSeq.map(col): _*),
+          col(idCol)).as("__row"),
         count(lit(1)).as("batch_dup_count"))
-      .join(seen, Seq("__fp"), "left_anti")
-      // fresh attribute for the digest so the rejoin condition resolves
-      // against both sides instead of degenerating to `__fp = __fp`
-      .select(col("__fp").as("__sfp"), col("keep_id"),
-        col("batch_dup_count"))
-    // Rejoin on (digest AND id): the id alone is NOT sufficient when the
-    // batch carries duplicate ids across different texts — a dropped
-    // (corpus-seen) group can share its keep_id with a surviving group,
-    // and an id-only join would resurrect the dropped row.
-    keyed.join(survivors, keyed("__fp") === col("__sfp") &&
-        keyed(idCol) === col("keep_id"))
-      .drop("__fp", "__sfp", "keep_id")
-  }
+      .where(col("__row").isNotNull)
 
   /** [[incremental]] with a Bloom membership prefilter — identical
     * result (the exact anti-join still adjudicates every possible
@@ -217,18 +231,36 @@ object Dedup {
   def incrementalBloom(batch: DataFrame, corpus: DataFrame, textCol: String,
                        idCol: String, expectedCorpusDocs: Long): DataFrame = {
     val seen = tracked(corpusDigests(corpus, textCol)) // bloom build + anti-join
-    val sketch = digestSketch(seen, expectedCorpusDocs)
-    val keyed = batch.withColumn("__fp",
-      TextAnalysis.fingerprint(col(textCol)))
-    val survivors = tracked(keyed
-      .groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("keep_id"),
-        count(lit(1)).as("batch_dup_count")))
-    val fresh = bloomRoute(survivors, seen, sketch)
-    keyed.join(fresh.select(col("__fp").as("__sfp"), col("keep_id"),
-          col("batch_dup_count")),
-        keyed("__fp") === col("__sfp") && keyed(idCol) === col("keep_id"))
-      .drop("__fp", "__sfp", "keep_id")
+    incrementalBloom(batch, seen, textCol, idCol,
+      digestSketch(seen, expectedCorpusDocs))
+  }
+
+  /** The artifact form of [[incrementalBloom]]: both membership
+    * artifacts — the digest frame AND the serialized sketch — are
+    * PREBUILT (persisted once per accepted snapshot, loaded per ingest),
+    * so an ingest pays only the batch aggregate plus the routed
+    * anti-join, never a corpus-side pass.
+    *
+    * Measured honestly (BASELINE.md, 1M digests / 200k batch / 95% new):
+    * the plain [[incrementalAgainstDigests]] anti-join BEAT this path in
+    * both the broadcast regime (3.7 vs 4.3 s) and the forced-shuffle
+    * regime (2.9 vs 5.0 s) — the digest side shuffles fully either way,
+    * so the sketch saves only batch-side volume while paying a survivor
+    * cache and a two-branch union. Reach for it only when the batch
+    * payload is very wide AND the digest artifact is co-partitioned with
+    * the batch shuffle (digest side then never moves), or when you want
+    * the sketch itself: ~1.3 MB per 10^6 docs, probeable with
+    * `graft_might_contain` from any SQL context — a membership summary
+    * cheap enough to hand to services that can't touch the corpus.
+    * Results are identical to [[incremental]] at any false-positive
+    * rate; only the plan differs.
+    */
+  def incrementalBloom(batch: DataFrame, corpusDigestsDf: DataFrame,
+                       textCol: String, idCol: String,
+                       sketch: Array[Byte]): DataFrame = {
+    val survivors = tracked(batchSurvivors(batch, textCol, idCol))
+    bloomRoute(survivors, corpusDigestsDf, sketch)
+      .select(col("__row.*") +: Seq(col("batch_dup_count")): _*)
   }
 
   /** The serialized Bloom membership sketch of a digest frame (column

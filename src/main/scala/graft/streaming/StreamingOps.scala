@@ -80,11 +80,13 @@ object StreamingOps {
     * static join side, it reflects that snapshot; restart to refresh),
     * and every micro-batch probes it through the codegen'd
     * `graft_might_contain`: rows whose digest is definitely unseen skip
-    * the stream-static anti-join entirely, so the per-batch join work is
-    * |seen| + fpp·|batch| rows instead of |batch|. Results are
-    * sketch-independent — positives still adjudicate against the exact
-    * digest set — which is what makes the prefilter safe on the 24/7
-    * path.
+    * the stream-static anti-join, so only |seen| + fpp·|batch| rows per
+    * micro-batch reach the join. Results are sketch-independent —
+    * positives still adjudicate against the exact digest set — which is
+    * what makes the prefilter safe on the 24/7 path. Same honest caveat
+    * as the batch form (see [[graft.ops.Dedup.incrementalBloom]]):
+    * measure against the plain anti-join for your batch/corpus shape
+    * before adopting.
     */
   def dedupStreamAgainstCorpusBloom(stream: DataFrame, textCol: String,
                                     corpusDigests: DataFrame,
