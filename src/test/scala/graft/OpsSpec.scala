@@ -521,6 +521,24 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("digest sketch is a portable artifact: file round-trip + SQL probe") {
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val sketch = Dedup.digestSketch(
+      Dedup.corpusDigests(corpus, "text"), expectedItems = 1024)
+    // persist next to the digest artifact; a consumer that never touches
+    // the corpus (or Spark cluster) reloads the bytes and probes
+    val f = java.nio.file.Paths.get(tmpDir("sketch"), "corpus.bloom")
+    java.nio.file.Files.write(f, sketch)
+    val loaded = java.nio.file.Files.readAllBytes(f)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val probe = Seq("alpha", "beta", "gamma").toDF("text")
+      .withColumn("maybe_seen", call_function("graft_might_contain",
+        lit(loaded), TextAnalysis.fingerprint(col("text"))))
+      .select("text", "maybe_seen").as[(String, Boolean)].collect().toMap
+    assert(probe("alpha") && probe("beta")) // Bloom: no false negatives
+    assert(!probe("gamma")) // fpp at 3/1024 occupancy is ~0 for this value
+  }
+
   test("incrementalNearDup finds edited re-crawls via the persisted artifacts") {
     val base = (0 until 30).map(i => s"w$i").mkString(" ") // 28 trigrams
     val corpus = Seq((1L, base), (2L, "a completely different document text"))
