@@ -191,6 +191,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bloom-routed ingest equals plain ingest on adversarial batches") {
+    // (id, text) with duplicate ids, shared texts, null texts, and
+    // varying sketch capacity — incremental and incrementalBloom must
+    // return identical rows at ANY false-positive rate.
+    val doc: Gen[(Long, Option[String])] = for {
+      id <- Gen.chooseNum(0L, 6L) // tight range forces id collisions
+      t <- Gen.frequency(
+        6 -> Gen.oneOf("alpha", "beta", "gamma", "delta").map(Option(_)),
+        2 -> trickyText.map(Option(_)),
+        1 -> Gen.const(Option.empty[String]))
+    } yield (id, t)
+    val cfg = for {
+      corpus <- Gen.listOfN(4, doc)
+      batch <- Gen.listOfN(8, doc)
+      cap <- Gen.oneOf(1L, 2L, 64L, 4096L) // saturated through roomy
+    } yield (corpus, batch, cap)
+    forAll(cfg, n = 12) { case (corpusRows, batchRows, cap) =>
+      val corpus = corpusRows.toDF("doc_id", "text")
+      val batch = batchRows.toDF("doc_id", "text")
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "text", "batch_dup_count")
+        .as[(Option[Long], Option[String], Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+      val plain = canon(Dedup.incremental(batch, corpus, "text", "doc_id"))
+      val routed = canon(Dedup.incrementalBloom(batch, corpus, "text",
+        "doc_id", expectedCorpusDocs = cap))
+      assert(routed == plain, s"cap=$cap corpus=$corpusRows batch=$batchRows")
+      Dedup.releaseIntermediates()
+    }
+  }
+
   test("property: URL-safe base64 of the image stage round-trips bytes") {
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) {
       bytes =>
