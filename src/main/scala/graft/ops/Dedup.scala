@@ -729,7 +729,15 @@ object Dedup {
     * decisions that are consistent across chains (a≈b, b≈c ⇒ one cluster
     * even when a≉c directly).
     *
-    * Distributed min-label propagation with pointer jumping: each round
+    * Size-adaptive: pair graphs at or under `driverEdgeLimit` edges (and
+    * integral ids) run a driver union-find over just the edge endpoints —
+    * identical labels, milliseconds instead of ~1 s of scheduling +
+    * checkpoint cost PER ROUND of the distributed loop. The default limit
+    * is measured, not guessed (BASELINE r6): at 10^6 edges the driver
+    * path's own costs (building and broadcasting the 2M-row label map)
+    * already exceed the loop's, so the crossover sits near 10^5 edges.
+    * Larger graphs run distributed min-label propagation with pointer
+    * jumping: each round
     * relaxes labels across edges (min of neighbors) and then jumps
     * `label := label(label)`, which contracts paths exponentially —
     * O(log n) rounds for any component diameter, the standard MapReduce
@@ -748,12 +756,30 @@ object Dedup {
     *              `nodes`
     */
   def duplicateClusters(nodes: DataFrame, idCol: String,
-                        pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+                        pairs: DataFrame, maxIterations: Int = 25,
+                        driverEdgeLimit: Long = 100000L): DataFrame = {
     // Persist the pair frame BEFORE symmetrizing: the union reads it from
     // two branches, and without the cache the (possibly expensive)
     // pair-generation plan would execute twice.
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .transform(tracked)
+    // Size-adaptive strategy, the same observe-then-choose move AQE makes
+    // for joins: duplicate-pair graphs are usually TINY next to the
+    // corpus (every pair survived dedup's candidate capping), and each
+    // distributed round below costs whole-job scheduling + a
+    // localCheckpoint — ~1s/round of pure fixed cost at any data size.
+    // When the edge list is bounded (and ids are integral), a driver
+    // union-find over only the edge ENDPOINTS computes the same min-id
+    // labels in milliseconds; nodes untouched by any edge never leave
+    // the cluster (they join against the broadcast label map). The
+    // distributed loop remains the path for genuinely large graphs.
+    val idIsIntegral = nodes.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (idIsIntegral && edges.count() <= driverEdgeLimit)
+      return duplicateClustersDriver(nodes, idCol, edges)
     val sym = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -795,6 +821,59 @@ object Dedup {
     }
     require(converged,
       s"duplicateClusters did not converge in $maxIterations rounds")
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as(idCol), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  /** Driver union-find fast path of [[duplicateClusters]] — identical
+    * min-id-per-component labels, for bounded pair graphs. Only edge
+    * ENDPOINTS reach the driver (≤ 2 × driverEdgeLimit ids; the pair
+    * list already survived dedup's candidate caps); the corpus-sized
+    * node frame is labeled through a broadcast map join and never moves.
+    * Union-by-min keeps every root at its component's minimum id, so
+    * `find` IS the label the iterative min-label loop converges to.
+    */
+  private def duplicateClustersDriver(nodes: DataFrame, idCol: String,
+                                      edges: DataFrame): DataFrame = {
+    val dt = nodes.schema(idCol).dataType
+    val nodeIds = nodes.select(col(idCol).as("node")).distinct()
+      .transform(tracked)
+    // Mirror the distributed loop: an edge with an endpoint outside
+    // `nodes` (or null) merges nothing.
+    val valid = edges
+      .join(nodeIds.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(nodeIds.select(col("node").as("b")), Seq("b"), "left_semi")
+      .select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    valid.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    val resolved = parent.keySet().asScala.toSeq.map(k => (k, find(k)))
+    val spark = nodes.sparkSession
+    val mapDf = spark.createDataFrame(resolved).toDF("mnode", "mlabel")
+      .select(col("mnode").cast(dt).as("mnode"),
+        col("mlabel").cast(dt).as("mlabel"))
+    val labels = nodeIds
+      .join(broadcast(mapDf), nodeIds("node") === col("mnode"), "left")
+      .select(col("node"), coalesce(col("mlabel"), col("node")).as("label"))
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")

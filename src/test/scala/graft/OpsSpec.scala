@@ -316,10 +316,36 @@ class OpsSpec extends SparkSpec {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
     // chain 1-2-3-4 through pairwise edges only; 5 and 9 unpaired
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val want = Set((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (5L, 5L, 1L), (9L, 9L, 1L))
+    // small graph takes the driver union-find fast path...
     val out = Dedup.duplicateClusters(nodes, "id", pairs)
       .as[(Long, Long, Long)].collect().toSet
-    assert(out == Set((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
-      (5L, 5L, 1L), (9L, 9L, 1L)))
+    assert(out == want)
+    // ...and the distributed min-label loop (forced) must agree exactly
+    val loop = Dedup.duplicateClusters(nodes, "id", pairs,
+        driverEdgeLimit = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(loop == want)
+  }
+
+  test("duplicateClusters paths agree on merged stars, dup edges, unknown endpoints") {
+    val nodes = Seq(10L, 11L, 12L, 20L, 21L, 22L, 30L).toDF("id")
+    val pairs = Seq(
+      (11L, 10L), (12L, 10L),          // star at 10
+      (21L, 20L), (22L, 21L),          // chain at 20
+      (12L, 20L),                      // merges the two components
+      (11L, 10L), (10L, 11L),          // duplicate + reversed edges
+      (30L, 99L),                      // endpoint 99 not in nodes: no merge
+    ).toDF("id_a", "id_b")
+    val fast = Dedup.duplicateClusters(nodes, "id", pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    val loop = Dedup.duplicateClusters(nodes, "id", pairs,
+        driverEdgeLimit = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == loop)
+    assert(fast == Set((10L, 10L, 6L), (11L, 10L, 6L), (12L, 10L, 6L),
+      (20L, 10L, 6L), (21L, 10L, 6L), (22L, 10L, 6L), (30L, 30L, 1L)))
   }
 
   test("PII scrub: emails and IPs counted and redacted, order-safe") {
