@@ -122,11 +122,24 @@ object Dedup {
     * output row.
     */
   def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
-    df.groupBy(col(keyCol).as("__key"))
-      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(idCol)).as("__row"),
-        count(lit(1)).as("dup_count"))
-      .where(col("__row").isNotNull)
+    survivorAgg(df, col(keyCol), idCol, "dup_count")
       .select(col("__row.*") +: Seq(col("dup_count")): _*)
+
+  /** The one-exchange survivor aggregate shared by every exact-dedup
+    * entry point: one `min_by(struct(row), id)` row per key (kept as
+    * `__key`, with the full surviving row under `__row`), plus the
+    * group's occurrence count. The NULL-struct guard drops groups whose
+    * every id is NULL — `min_by` skips NULL ordering values and would
+    * otherwise fabricate an all-NULL row. This is THE definition of the
+    * engine's survivor/NULL/tie semantics; keep it in one place.
+    */
+  private def survivorAgg(df: DataFrame, key: Column, idCol: String,
+                          countAlias: String): DataFrame =
+    df.groupBy(key.as("__key"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*),
+          col(idCol)).as("__row"),
+        count(lit(1)).as(countAlias))
+      .where(col("__row").isNotNull)
 
   /** Exact dedup by content digest — at scale, shuffle the digest, not the
     * text: groupBy md5(text). Same one-exchange `min_by` shape (and the
@@ -138,10 +151,8 @@ object Dedup {
     */
   def exactByFingerprint(df: DataFrame, textCol: String,
                          idCol: String): DataFrame =
-    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*), col(idCol)).as("__row"),
-        count(lit(1)).as("dup_count"))
-      .where(col("__row").isNotNull)
+    survivorAgg(df, TextAnalysis.fingerprint(col(textCol)), idCol,
+        "dup_count")
       .select(col("__row.*") +: Seq(col("dup_count")): _*)
 
   /** Incremental-ingest dedup: from a new `batch`, keep one survivor (min
@@ -196,12 +207,9 @@ object Dedup {
     */
   private def batchSurvivors(batch: DataFrame, textCol: String,
                              idCol: String): DataFrame =
-    batch
-      .groupBy(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-      .agg(min_by(struct(batch.columns.toIndexedSeq.map(col): _*),
-          col(idCol)).as("__row"),
-        count(lit(1)).as("batch_dup_count"))
-      .where(col("__row").isNotNull)
+    survivorAgg(batch, TextAnalysis.fingerprint(col(textCol)), idCol,
+        "batch_dup_count")
+      .withColumnRenamed("__key", "__fp")
 
   /** [[incremental]] with a Bloom membership prefilter — identical
     * result (the exact anti-join still adjudicates every possible
@@ -258,7 +266,10 @@ object Dedup {
   def incrementalBloom(batch: DataFrame, corpusDigestsDf: DataFrame,
                        textCol: String, idCol: String,
                        sketch: Array[Byte]): DataFrame = {
-    val survivors = tracked(batchSurvivors(batch, textCol, idCol))
+    val survivors0 = batchSurvivors(batch, textCol, idCol)
+    // the cache pays off only when bloomRoute's two branches re-read it;
+    // a null sketch (empty corpus) is a single pass-through read
+    val survivors = if (sketch == null) survivors0 else tracked(survivors0)
     bloomRoute(survivors, corpusDigestsDf, sketch)
       .select(col("__row.*") +: Seq(col("batch_dup_count")): _*)
   }
@@ -750,14 +761,21 @@ object Dedup {
     * drops the result) — not by [[releaseIntermediates]].
     *
     * @param nodes frame containing `idCol` (one row per node; extra
-    *              columns ignored)
+    *              columns ignored). NULL ids are excluded up front —
+    *              there is no identity to cluster on, and leaving them
+    *              in would silently drop them at the final label join
+    *              instead (a NULL label matches nothing).
     * @param pairs frame with `id_a`, `id_b` columns (the output shape of
     *              every pairwise dedup operator here); ids must come from
     *              `nodes`
     */
-  def duplicateClusters(nodes: DataFrame, idCol: String,
+  def duplicateClusters(nodesRaw: DataFrame, idCol: String,
                         pairs: DataFrame, maxIterations: Int = 25,
                         driverEdgeLimit: Long = 100000L): DataFrame = {
+    // NULL ids excluded up front (see @param nodes): explicit here, where
+    // the semantics are documented, rather than implicitly at the final
+    // label join.
+    val nodes = nodesRaw.where(col(idCol).isNotNull)
     // Persist the pair frame BEFORE symmetrizing: the union reads it from
     // two branches, and without the cache the (possibly expensive)
     // pair-generation plan would execute twice.
@@ -865,20 +883,28 @@ object Dedup {
       if (ra < rb) parent.put(rb, ra)
       else if (rb < ra) parent.put(ra, rb)
     }
+    // Sizes are free on the driver: every member of a ≥2 cluster is an
+    // edge endpoint (membership requires an edge), so component sizes are
+    // endpoint counts per root and ride the broadcast map — no
+    // corpus-wide size aggregate or corpus×corpus join, which would
+    // otherwise dominate this "fast" path for a large node frame.
     import scala.jdk.CollectionConverters._
-    val resolved = parent.keySet().asScala.toSeq.map(k => (k, find(k)))
+    val rootSize = new java.util.HashMap[Long, Long]()
+    parent.keySet().asScala.foreach { k =>
+      rootSize.merge(find(k), 1L, (x, y) => x + y)
+    }
+    val resolved = parent.keySet().asScala.toSeq
+      .map { k => val r = find(k); (k, r, rootSize.get(r)) }
     val spark = nodes.sparkSession
-    val mapDf = spark.createDataFrame(resolved).toDF("mnode", "mlabel")
+    val mapDf = spark.createDataFrame(resolved)
+      .toDF("mnode", "mlabel", "msize")
       .select(col("mnode").cast(dt).as("mnode"),
-        col("mlabel").cast(dt).as("mlabel"))
-    val labels = nodeIds
+        col("mlabel").cast(dt).as("mlabel"), col("msize"))
+    nodeIds
       .join(broadcast(mapDf), nodeIds("node") === col("mnode"), "left")
-      .select(col("node"), coalesce(col("mlabel"), col("node")).as("label"))
-    val sizes = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("node").as(idCol), col("label").as("cluster_id"),
-        col("cluster_size"))
+      .select(col("node").as(idCol),
+        coalesce(col("mlabel"), col("node")).as("cluster_id"),
+        coalesce(col("msize"), lit(1L)).as("cluster_size"))
   }
 
   /** Corpus-wide paragraph dedup (the C4 move): split every document on

@@ -329,6 +329,17 @@ class OpsSpec extends SparkSpec {
     assert(loop == want)
   }
 
+  test("duplicateClusters excludes NULL-id nodes explicitly in both paths") {
+    val nodes = Seq(Some(1L), Some(2L), None).toDF("id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    Seq(100000L, 0L).foreach { limit => // driver path, then forced loop
+      val out = Dedup.duplicateClusters(nodes, "id", pairs,
+          driverEdgeLimit = limit)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out == Set((1L, 1L, 2L), (2L, 1L, 2L)), s"limit=$limit")
+    }
+  }
+
   test("duplicateClusters paths agree on merged stars, dup edges, unknown endpoints") {
     val nodes = Seq(10L, 11L, 12L, 20L, 21L, 22L, 30L).toDF("id")
     val pairs = Seq(
