@@ -561,6 +561,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- composite-key exact dedup: one survivor (min doc_id) per
+    //      (lang, source) stratum — deterministic because doc_id is
+    //      unique, so the oracle's min-id rejoin replays it exactly ----
+
+    "q64_composite_dedup" -> ((s, dir) => {
+      Dedup.exactByColumns(
+          t(s, dir, "documents").select("doc_id", "lang", "source"),
+          Seq("lang", "source"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus length distribution (exact interpolated percentiles) ----
 
     "q43_length_stats" -> ((s, dir) => {
@@ -1926,6 +1937,17 @@ object SparkEntry {
           |FROM batch b JOIN fresh f
           |  ON b.doc_id = f.keep_id AND b.text = f.text
           |ORDER BY b.doc_id""".stripMargin,
+
+      // Composite-key min-id survivor: doc_id is unique, so join-on-min-id
+      // reproduces min_by's choice deterministically.
+      "q64_composite_dedup" ->
+        """WITH surv AS (
+          |  SELECT lang, source, min(doc_id) AS keep_id,
+          |    CAST(count(*) AS BIGINT) AS dup_count
+          |  FROM documents GROUP BY lang, source)
+          |SELECT d.doc_id, d.lang, d.source, s.dup_count
+          |FROM documents d JOIN surv s ON d.doc_id = s.keep_id
+          |ORDER BY d.doc_id""".stripMargin,
 
       // Exact percentiles: both engines interpolate linearly at rank
       // (n-1)*p over the sorted values, so the doubles are bit-equal on

@@ -141,6 +141,19 @@ object Dedup {
         count(lit(1)).as(countAlias))
       .where(col("__row").isNotNull)
 
+  /** [[exact]] over a COMPOSITE key — one survivor per distinct
+    * combination of `keyCols` (e.g. (url, normalized_title)). The struct
+    * key keeps the same one-exchange shape; a NULL component makes two
+    * keys distinct-by-that-component equal only if both are NULL, the
+    * usual struct grouping semantics.
+    */
+  def exactByColumns(df: DataFrame, keyCols: Seq[String],
+                     idCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "exactByColumns needs at least one key column")
+    survivorAgg(df, struct(keyCols.map(col): _*), idCol, "dup_count")
+      .select(col("__row.*") +: Seq(col("dup_count")): _*)
+  }
+
   /** Exact dedup by content digest — at scale, shuffle the digest, not the
     * text: groupBy md5(text). Same one-exchange `min_by` shape (and the
     * same NULL/tie semantics) as [[exact]]; the payload shuffles once,

@@ -68,6 +68,20 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("exactByColumns dedups on a composite key, one exchange") {
+    val in = Seq(
+      (1L, "a.com", "Title"), (2L, "a.com", "Title"),  // same (url,title)
+      (3L, "a.com", "Other"),                          // same url only
+      (4L, "b.com", "Title"),                          // same title only
+    ).toDF("doc_id", "url", "title")
+    val out = Dedup.exactByColumns(in, Seq("url", "title"), "doc_id")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+    val plan = Dedup.exactByColumns(in, Seq("url", "title"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1)
+  }
+
   test("exact dedup NULL edges: all-NULL-id group dropped, NULL texts collapse") {
     val in = Seq(
       (Some(1L), Some("a")), (Some(2L), Some("a")), // normal group
