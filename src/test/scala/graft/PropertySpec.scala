@@ -6,7 +6,7 @@ import org.scalacheck.Gen
 
 import graft.functions.SketchOps
 import graft.operators.SplitStage
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Dedup, TemporalJoin, TextAnalysis}
 import graft.sinks.TfRecord
 
 /** Property-based invariants (SURVEY.md §5 port strategy): routing
@@ -219,6 +219,40 @@ class PropertySpec extends SparkSpec {
         "doc_id", expectedCorpusDocs = cap))
       assert(routed == plain, s"cap=$cap corpus=$corpusRows batch=$batchRows")
       Dedup.releaseIntermediates()
+    }
+  }
+
+  test("property: asofJoin equals the naive SQL argmax formulation") {
+    // Dense keys/timestamps force ties, shared timestamps, empty keys,
+    // and tolerance expiry; the operator's union+window plan must agree
+    // with the quadratic join+argmax reference on every draw.
+    val row: Gen[(Long, Long, Long)] = for {
+      id <- Gen.chooseNum(0L, 999L)
+      k <- Gen.chooseNum(0L, 3L)
+      ts <- Gen.chooseNum(0L, 20L)
+    } yield (id, k, ts)
+    val cfg = for {
+      lRows <- Gen.listOfN(12, row)
+      rRows <- Gen.listOfN(12, row)
+      tol <- Gen.oneOf(Long.MaxValue, 5L, 0L)
+    } yield (lRows, rRows.distinctBy(_._1), tol) // unique right ids (tie col)
+    forAll(cfg, n = 10) { case (lRows, rRows, tol) =>
+      val l = lRows.toDF("lid", "lk", "lts")
+      val r = rRows.toDF("rid", "rk", "rts")
+      val got = TemporalJoin.asofJoin(l, "lk", "lts", r, "rk", "rts",
+          "rid", Seq("rid"), tol)
+        .select("lid", "lk", "lts", "rid")
+        .as[(Long, Long, Long, Option[Long])].collect().sorted.toSeq
+      // reference: per left row, the right row with max (rts, rid) among
+      // rk = lk, rts <= lts, lts - rts <= tol
+      val want = lRows.map { case (lid, lk, lts) =>
+        val cand = rRows.filter { case (_, rk, rts) =>
+          rk == lk && rts <= lts && lts - rts <= tol }
+        val best = if (cand.isEmpty) None
+          else Some(cand.maxBy { case (rid, _, rts) => (rts, rid) }._1)
+        (lid, lk, lts, best)
+      }.sorted.toSeq
+      assert(got == want, s"tol=$tol l=$lRows r=$rRows")
     }
   }
 
