@@ -256,6 +256,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: intervalJoin equals the naive BETWEEN join") {
+    // Random bounded intervals (incl. inverted and empty) against dense
+    // points; the bucketed plan must agree with the quadratic BETWEEN
+    // join under every bucket width.
+    val iv: Gen[(Long, Long, Long, Long)] = for {
+      id <- Gen.chooseNum(0L, 999L)
+      k <- Gen.chooseNum(0L, 2L)
+      s <- Gen.chooseNum(0L, 20L)
+      len <- Gen.chooseNum(-3L, 8L) // negative → inverted interval
+    } yield (id, k, s, s + len)
+    val pt: Gen[(Long, Long)] = for {
+      k <- Gen.chooseNum(0L, 2L)
+      t <- Gen.chooseNum(0L, 25L)
+    } yield (k, t)
+    val cfg = for {
+      ivs <- Gen.listOfN(8, iv)
+      pts <- Gen.listOfN(15, pt)
+      bw <- Gen.oneOf(1L, 4L, 64L)
+    } yield (ivs.distinctBy(_._1), pts, bw)
+    forAll(cfg, n = 10) { case (ivs, pts, bw) =>
+      val i = ivs.toDF("iv_id", "ik", "s", "e")
+      val p = pts.toDF("pk", "t")
+      val got = TemporalJoin.intervalJoin(i, "ik", "s", "e", p, "pk", "t",
+          bucketWidth = bw)
+        .select("iv_id", "t").as[(Long, Long)].collect().sorted.toSeq
+      val want = (for {
+        (id, k, s, e) <- ivs
+        (pk, t) <- pts
+        if pk == k && t >= s && t <= e
+      } yield (id, t)).sorted.toSeq
+      assert(got == want, s"bw=$bw ivs=$ivs pts=$pts")
+    }
+  }
+
   test("property: URL-safe base64 of the image stage round-trips bytes") {
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) {
       bytes =>
