@@ -572,6 +572,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- exact repeated-span dedup (Lee et al. 2022 substring dedup at
+    //      W-token granularity): windows keyed by md5 of the joined
+    //      tokens, so the oracle replays hashes bit-exactly ----
+
+    "q65_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", windowTokens = 8, minOccurrences = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    "q66_strip_spans" -> ((s, dir) => {
+      Dedup.stripRepeatedSpans(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", windowTokens = 8, minOccurrences = 2)
+        .select(col("doc_id"), col("kept_tokens"), col("dropped_tokens"),
+          substring(col("text"), 1, 80).as("text_head"))
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus length distribution (exact interpolated percentiles) ----
 
     "q43_length_stats" -> ((s, dir) => {
@@ -1937,6 +1956,69 @@ object SparkEntry {
           |FROM batch b JOIN fresh f
           |  ON b.doc_id = f.keep_id AND b.text = f.text
           |ORDER BY b.doc_id""".stripMargin,
+
+      // Repeated W-token windows replayed exactly: same whitespace
+      // tokenization as q14/q24, same md5 window keys, same maximal-run
+      // merge via the gap trick.
+      "q65_repeated_spans" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+          |  FROM documents),
+          |wins AS (
+          |  SELECT doc_id, i - 1 AS pos,
+          |    md5(array_to_string(ts[i:i+7], ' ')) AS wk
+          |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)
+          |  WHERE len(ts) >= 8),
+          |hot AS (SELECT wk FROM wins GROUP BY wk HAVING count(*) >= 2),
+          |flagged AS (
+          |  SELECT doc_id, pos FROM wins WHERE wk IN (SELECT wk FROM hot)),
+          |grp AS (
+          |  SELECT doc_id, pos,
+          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          |  FROM flagged)
+          |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+          |  CAST(count(*) AS BIGINT) AS n_windows
+          |FROM grp GROUP BY doc_id, g
+          |ORDER BY doc_id, span_start""".stripMargin,
+
+      // Strip replay: tokens outside every covered index survive in
+      // position order; docs reduced to nothing keep an empty string.
+      "q66_strip_spans" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+          |  FROM documents),
+          |wins AS (
+          |  SELECT doc_id, i - 1 AS pos,
+          |    md5(array_to_string(ts[i:i+7], ' ')) AS wk
+          |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)
+          |  WHERE len(ts) >= 8),
+          |hot AS (SELECT wk FROM wins GROUP BY wk HAVING count(*) >= 2),
+          |covered AS (
+          |  SELECT DISTINCT w.doc_id, w.pos + d.o AS cpos
+          |  FROM wins w, unnest(range(0, 8)) AS d(o)
+          |  WHERE w.wk IN (SELECT wk FROM hot)),
+          |tokpos AS (
+          |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+          |  FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)),
+          |kept AS (
+          |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+          |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+          |    WHERE c.doc_id = tp.doc_id AND c.cpos = tp.pos)),
+          |rebuilt AS (
+          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+          |    CAST(count(*) AS BIGINT) AS kept_tokens
+          |  FROM kept GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  COALESCE(r.kept_tokens, 0) AS kept_tokens,
+          |  CAST(len(t.ts) - COALESCE(r.kept_tokens, 0) AS BIGINT)
+          |    AS dropped_tokens,
+          |  substr(COALESCE(r.text, ''), 1, 80) AS text_head
+          |FROM documents d
+          |JOIN toks t ON t.doc_id = d.doc_id
+          |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
 
       // Composite-key min-id survivor: doc_id is unique, so join-on-min-id
       // reproduces min_by's choice deterministically.

@@ -974,6 +974,97 @@ object Dedup {
       .withColumn("dropped_paras", coalesce(col("dropped_paras"), lit(0L)))
   }
 
+  /** Exact repeated-span detection at W-token granularity — the
+    * substring-level dedup of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al. 2022), re-expressed
+    * relationally instead of via a suffix array: a token position is
+    * flagged when its W-token window occurs at least `minOccurrences`
+    * times CORPUS-WIDE (across and within documents), and maximal runs
+    * of flagged positions merge into spans. Doc-level and
+    * paragraph-level dedup cannot see these: boilerplate sentences,
+    * license blocks, and templated passages repeated inside
+    * otherwise-unique pages.
+    *
+    * Scale shape: one pass computes every window's 128-bit md5 key as a
+    * per-row projection (no token explode — `transform` over the token
+    * array inside codegen), then ONE explode of (doc, pos, key) rows.
+    * The hot-key set is a map-side-combinable aggregate on the 16-byte
+    * key; flagged positions come back via LEFT SEMI on the same key;
+    * span merging is a per-document window over integer positions. The
+    * text itself is never shuffled. md5 (not a 64-bit hash) keys make
+    * collisions ignorable at corpus scale AND let external SQL replay
+    * the computation bit-exactly.
+    *
+    * Returns (`idCol`, `span_start`, `span_end`, `n_windows`) — token
+    * indices, 0-based, `span_end` inclusive of the last window's tail
+    * (`= last flagged pos + windowTokens - 1`).
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int = 20,
+                    minOccurrences: Long = 2L): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val winKeys = when(size(toks) < windowTokens,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - windowTokens),
+        i => TextAnalysis.fingerprint(
+          concat_ws(" ", slice(toks, i + 1, lit(windowTokens))))))
+    val pos = df.select(col(idCol), posexplode(winKeys).as(Seq("pos", "wk")))
+      .transform(tracked) // read by the hot aggregate AND the semi-join
+    val hot = pos.groupBy("wk").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select("wk")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    pos.join(hot, Seq("wk"), "left_semi")
+      .withColumn("__g", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(windowTokens - 1)).cast("long")
+          .as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** Remove every repeated span found by [[repeatedSpans]] from the
+    * corpus: tokens covered by any flagged span are dropped (ALL
+    * occurrences — the conservative policy for training data; compose
+    * with exact/near dedup first so whole-document clones are collapsed
+    * rather than blanked). Returns one row per input document:
+    * (`idCol`, cleaned text under `textCol`, `kept_tokens`,
+    * `dropped_tokens`); NULL-text documents survive with NULL text.
+    */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         windowTokens: Int = 20,
+                         minOccurrences: Long = 2L): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, windowTokens,
+      minOccurrences)
+    val covered = spans.select(col(idCol),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val rebuilt = toks
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s("tok"))).as(textCol),
+        count(lit(1)).as("kept_tokens"))
+    val totals = df.select(col(idCol),
+      col(textCol).isNull.as("__tnull"),
+      coalesce(size(TextAnalysis.tokens(col(textCol))), lit(0))
+        .cast("long").as("__total"))
+    totals
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__tnull"), lit(null))
+          .otherwise(coalesce(col(textCol), lit(""))).as(textCol),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("__total") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("dropped_tokens"))
+  }
+
   /** Leakage-safe TRAIN/VALIDATION/TEST assignment: the split is a
     * deterministic hash of the document's duplicate-CLUSTER
     * representative, not of the document itself — so a near-duplicate

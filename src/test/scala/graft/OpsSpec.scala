@@ -590,6 +590,35 @@ class OpsSpec extends SparkSpec {
     assert(!probe("gamma")) // fpp at 3/1024 occupancy is ~0 for this value
   }
 
+  test("repeatedSpans flags cross-doc boilerplate; strip removes all copies") {
+    val boiler = "all rights reserved copyright notice applies here fully"
+    val df = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),
+      (2L, s"zeta eta theta iota $boiler kappa"),
+      (3L, "totally unique words that never repeat anywhere at all"),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text",
+        windowTokens = 8, minOccurrences = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the 8-token boilerplate is the only repeated window: doc 1 at
+    // token 3, doc 2 at token 4; single-window spans cover 8 tokens
+    assert(spans == Set((1L, 3L, 10L, 1L), (2L, 4L, 11L, 1L)))
+    val stripped = Dedup.stripRepeatedSpans(df, "doc_id", "text",
+        windowTokens = 8, minOccurrences = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(stripped(1L) == (("alpha beta gamma delta epsilon", 5L, 8L)))
+    assert(stripped(2L) == (("zeta eta theta iota kappa", 5L, 8L)))
+    assert(stripped(3L)._3 == 0L) // untouched
+    // a doc that is ENTIRELY a repeat of another survives as empty text
+    val clones = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val blanked = Dedup.stripRepeatedSpans(clones, "doc_id", "text",
+        windowTokens = 8, minOccurrences = 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(blanked == Set((1L, "", 0L, 8L), (2L, "", 0L, 8L)))
+    Dedup.releaseIntermediates()
+  }
+
   test("incrementalNearDup finds edited re-crawls via the persisted artifacts") {
     val base = (0 until 30).map(i => s"w$i").mkString(" ") // 28 trigrams
     val corpus = Seq((1L, base), (2L, "a completely different document text"))
