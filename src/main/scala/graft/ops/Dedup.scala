@@ -1004,11 +1004,14 @@ object Dedup {
                     minOccurrences: Long = 2L): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be >= 1")
     val toks = TextAnalysis.tokens(col(textCol))
+    // 16-byte binary keys on the wire (un-hexed md5): the key never
+    // reaches the output, so the oracle's hex-string grouping is
+    // equivalent while the explode/shuffle rows stay half as wide.
     val winKeys = when(size(toks) < windowTokens,
-        array().cast("array<string>"))
+        array().cast("array<binary>"))
       .otherwise(transform(sequence(lit(0), size(toks) - windowTokens),
-        i => TextAnalysis.fingerprint(
-          concat_ws(" ", slice(toks, i + 1, lit(windowTokens))))))
+        i => unhex(TextAnalysis.fingerprint(
+          concat_ws(" ", slice(toks, i + 1, lit(windowTokens)))))))
     val pos = df.select(col(idCol), posexplode(winKeys).as(Seq("pos", "wk")))
       .transform(tracked) // read by the hot aggregate AND the semi-join
     val hot = pos.groupBy("wk").agg(count(lit(1)).as("occ"))
@@ -1039,8 +1042,15 @@ object Dedup {
                          minOccurrences: Long = 2L): DataFrame = {
     val spans = repeatedSpans(df, idCol, textCol, windowTokens,
       minOccurrences)
+    // sort-merge, never broadcast or hash-build: the planner estimates
+    // `covered` BEFORE the sequence-explode, so on a boilerplate-heavy
+    // corpus it happily broadcasts (driver OOM) or hash-builds (executor
+    // OOM) what turns out to be a token-scale frame — the 1M-doc stress
+    // hit both. SMJ on (id, pos) sorts and SPILLS; it is the only
+    // formulation whose memory is bounded at any span density.
     val covered = spans.select(col(idCol),
       explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .hint("merge")
     val toks = df.select(col(idCol),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
     val rebuilt = toks
