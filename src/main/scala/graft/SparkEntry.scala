@@ -586,6 +586,12 @@ object SparkEntry {
       Dedup.stripRepeatedSpans(
           t(s, dir, "documents").select("doc_id", "text"),
           "doc_id", "text", windowTokens = 8, minOccurrences = 2)
+        // non-foldable predicate on the rebuilt side: without it, a bare
+        // count() of this query lets Catalyst ELIMINATE the strip join
+        // entirely (left join on a unique-keyed aggregate preserves
+        // cardinality), and the bench would time a projection instead of
+        // the pipeline
+        .where(col("kept_tokens") >= 0)
         .select(col("doc_id"), col("kept_tokens"), col("dropped_tokens"),
           substring(col("text"), 1, 80).as("text_head"))
         .orderBy("doc_id")
