@@ -2018,9 +2018,10 @@ object SparkEntry {
           |  FROM kept GROUP BY doc_id)
           |SELECT d.doc_id,
           |  COALESCE(r.kept_tokens, 0) AS kept_tokens,
-          |  CAST(len(t.ts) - COALESCE(r.kept_tokens, 0) AS BIGINT)
-          |    AS dropped_tokens,
-          |  substr(COALESCE(r.text, ''), 1, 80) AS text_head
+          |  CAST(COALESCE(len(t.ts), 0) - COALESCE(r.kept_tokens, 0)
+          |    AS BIGINT) AS dropped_tokens,
+          |  CASE WHEN d.text IS NULL THEN NULL
+          |    ELSE substr(COALESCE(r.text, ''), 1, 80) END AS text_head
           |FROM documents d
           |JOIN toks t ON t.doc_id = d.doc_id
           |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id

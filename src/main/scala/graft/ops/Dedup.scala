@@ -959,10 +959,7 @@ object Dedup {
     val rebuilt = kept
       .groupBy(col(idCol))
       .agg(
-        array_join(transform(
-          array_sort(collect_list(when(col("__keep"),
-            struct(col("__pi"), col("__p"))))),
-          s => s("__p")), sep).as(textCol),
+        reassemble(col("__pi"), col("__p"), sep, col("__keep")).as(textCol),
         count(when(col("__keep"), 1)).as("kept_paras"),
         count(when(!col("__keep"), 1)).as("dropped_paras"))
     // posexplode emits nothing for NULL text, which would silently DROP
@@ -973,6 +970,19 @@ object Dedup {
       .withColumn("kept_paras", coalesce(col("kept_paras"), lit(0L)))
       .withColumn("dropped_paras", coalesce(col("dropped_paras"), lit(0L)))
   }
+
+  /** Order-preserving positional reassembly shared by the paragraph- and
+    * span-level strippers: sort collected (pos, piece) structs by
+    * position, join the pieces. `keep=false` entries drop (collect_list
+    * skips the NULL the `when` produces) — this is THE definition of how
+    * stripped documents are rebuilt; keep it in one place.
+    */
+  private def reassemble(pos: Column, piece: Column, sep: String,
+                         keep: Column = lit(true)): Column =
+    array_join(transform(
+      array_sort(collect_list(when(keep,
+        struct(pos.as("__rp"), piece.as("__rv"))))),
+      s => s("__rv")), sep)
 
   /** Exact repeated-span detection at W-token granularity — the
     * substring-level dedup of "Deduplicating Training Data Makes
@@ -1003,6 +1013,10 @@ object Dedup {
                     windowTokens: Int = 20,
                     minOccurrences: Long = 2L): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be >= 1")
+    // minOccurrences <= 1 would flag EVERY window (everything occurs at
+    // least once) and stripRepeatedSpans would then blank the corpus —
+    // a silent total-data-loss mode, so fail fast instead.
+    require(minOccurrences >= 2, "minOccurrences must be >= 2")
     val toks = TextAnalysis.tokens(col(textCol))
     // 16-byte binary keys on the wire (un-hexed md5): the key never
     // reaches the output, so the oracle's hex-string grouping is
@@ -1057,13 +1071,16 @@ object Dedup {
       .join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))
       .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s("tok"))).as(textCol),
+        reassemble(col("pos"), col("tok"), " ").as(textCol),
         count(lit(1)).as("kept_tokens"))
+    // totals via the byte-scan token-count kernel: this is the THIRD
+    // tokenization-shaped pass over the corpus (winKeys projection and
+    // the toks explode are the other two), so it must not pay the regex
+    // split again — the kernel counts boundaries in place.
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val totals = df.select(col(idCol),
       col(textCol).isNull.as("__tnull"),
-      coalesce(size(TextAnalysis.tokens(col(textCol))), lit(0))
+      coalesce(call_function("graft_token_count", col(textCol)), lit(0))
         .cast("long").as("__total"))
     totals
       .join(rebuilt, Seq(idCol), "left")

@@ -610,12 +610,19 @@ class OpsSpec extends SparkSpec {
     assert(stripped(1L) == (("alpha beta gamma delta epsilon", 5L, 8L)))
     assert(stripped(2L) == (("zeta eta theta iota kappa", 5L, 8L)))
     assert(stripped(3L)._3 == 0L) // untouched
-    // a doc that is ENTIRELY a repeat of another survives as empty text
-    val clones = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    // a doc that is ENTIRELY a repeat of another survives as empty text;
+    // a NULL-text doc survives with NULL text and zero counts
+    val clones = Seq((1L, Some(boiler)), (2L, Some(boiler)),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
     val blanked = Dedup.stripRepeatedSpans(clones, "doc_id", "text",
         windowTokens = 8, minOccurrences = 2)
-      .as[(Long, String, Long, Long)].collect().toSet
-    assert(blanked == Set((1L, "", 0L, 8L), (2L, "", 0L, 8L)))
+      .as[(Long, Option[String], Long, Long)].collect().toSet
+    assert(blanked == Set((1L, Some(""), 0L, 8L), (2L, Some(""), 0L, 8L),
+      (3L, None, 0L, 0L)))
+    // minOccurrences <= 1 is a corpus-blanking foot-gun: fail fast
+    intercept[IllegalArgumentException] {
+      Dedup.repeatedSpans(df, "doc_id", "text", 8, minOccurrences = 1)
+    }
     Dedup.releaseIntermediates()
   }
 
