@@ -117,7 +117,10 @@ object Converter {
               format match {
                 case "tfrecord" =>
                   graft.sinks.TfRecord.write(transform(parts(s)), jobDir,
-                    s.toLowerCase, numShards, gzip = compression == "gzip")
+                    s.toLowerCase, numShards, compression match {
+                      case "uncompressed" | "" => "none"
+                      case c => c // gzip | zlib | none
+                    })
                 case _ =>
                   Sinks.writeSplit(transform(parts(s)), jobDir, s, numShards,
                     compression)

@@ -346,11 +346,19 @@ object TfRecord {
     * failed job publishes nothing.
     */
   def write(df: DataFrame, dir: String, prefix: String,
-            numShards: Int = 0, gzip: Boolean = true): Unit = {
+            numShards: Int = 0, gzip: Boolean = true): Unit =
+    write(df, dir, prefix, numShards, if (gzip) "gzip" else "none")
+
+  /** As above with a named codec: gzip | zlib | none. Write-side zlib
+    * completes the symmetry with the reader's extension inference
+    * (dataset_loader.py:72-79 accepts both .gz and .zlib).
+    */
+  def write(df: DataFrame, dir: String, prefix: String, numShards: Int,
+            compression: String): Unit = {
     val shaped = if (numShards > 0) df.repartition(numShards) else df
     shaped.write.format("graft-tfrecord")
       .option("prefix", prefix)
-      .option("gzip", gzip.toString)
+      .option("compression", compression)
       .mode(org.apache.spark.sql.SaveMode.Append)
       .save(dir)
   }

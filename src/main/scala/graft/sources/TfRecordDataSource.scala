@@ -190,8 +190,14 @@ final class TfRecordWrite(info: LogicalWriteInfo) extends Write {
     val dir = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-tfrecord needs a path"))
     val prefix = Option(opts.get("prefix")).getOrElse("part")
-    val gzip = Option(opts.get("gzip")).forall(_.toBoolean)
-    new TfRecordBatchWrite(dir, prefix, gzip, info.schema(), info.queryId())
+    // `compression` (gzip|zlib|none) wins; the legacy `gzip` boolean maps
+    // onto it for existing callers
+    val compression = Option(opts.get("compression")).getOrElse(
+      if (Option(opts.get("gzip")).forall(_.toBoolean)) "gzip" else "none")
+    require(Set("gzip", "zlib", "none").contains(compression),
+      s"graft-tfrecord compression must be gzip|zlib|none, got $compression")
+    new TfRecordBatchWrite(dir, prefix, compression, info.schema(),
+      info.queryId())
   }
 }
 
@@ -199,7 +205,8 @@ private[graft] final case class TfRecordCommitMessage(
     partitionId: Int, tempPath: String, finalName: String)
   extends WriterCommitMessage
 
-final class TfRecordBatchWrite(dir: String, prefix: String, gzip: Boolean,
+final class TfRecordBatchWrite(dir: String, prefix: String,
+                               compression: String,
                                schema: StructType, queryId: String)
     extends BatchWrite {
 
@@ -211,8 +218,8 @@ final class TfRecordBatchWrite(dir: String, prefix: String, gzip: Boolean,
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new TfRecordWriterFactory(staging.toString, prefix, gzip, schema,
-      info.numPartitions(), confSer)
+    new TfRecordWriterFactory(staging.toString, prefix, compression,
+      schema, info.numPartitions(), confSer)
 
   // useCommitCoordinator defaults to true: exactly one attempt per
   // partition is authorized to commit, so `messages` holds one winner
@@ -241,14 +248,14 @@ final class TfRecordBatchWrite(dir: String, prefix: String, gzip: Boolean,
 }
 
 final class TfRecordWriterFactory(stagingDir: String, prefix: String,
-                                  gzip: Boolean, schema: StructType,
+                                  compression: String, schema: StructType,
                                   numPartitions: Int,
                                   confSer: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new TfRecordDataWriter(stagingDir, prefix, gzip, schema, numPartitions,
-      partitionId, taskId, confSer)
+    new TfRecordDataWriter(stagingDir, prefix, compression, schema,
+      numPartitions, partitionId, taskId, confSer)
 }
 
 /** Per-attempt writer: all bytes go to an attempt-unique staging file
@@ -257,13 +264,17 @@ final class TfRecordWriterFactory(stagingDir: String, prefix: String,
   * driver-side rename in [[TfRecordBatchWrite.commit]].
   */
 final class TfRecordDataWriter(stagingDir: String, prefix: String,
-                               gzip: Boolean, schema: StructType,
+                               compression: String, schema: StructType,
                                numPartitions: Int, partitionId: Int,
                                taskId: Long,
                                confSer: SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
-  private val suffix = if (gzip) ".tfrecord.gz" else ".tfrecord"
+  private val suffix = compression match {
+    case "gzip" => ".tfrecord.gz"
+    case "zlib" => ".tfrecord.zlib"
+    case _ => ".tfrecord"
+  }
   private val finalName =
     f"$prefix-$partitionId%05d-of-$numPartitions%05d$suffix"
   private val tempPath = new Path(stagingDir, s"$finalName.task-$taskId")
@@ -278,8 +289,11 @@ final class TfRecordDataWriter(stagingDir: String, prefix: String,
   private val out = {
     val raw: java.io.OutputStream =
       tempPath.getFileSystem(confSer.value).create(tempPath, true)
-    new java.io.DataOutputStream(
-      if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw)
+    new java.io.DataOutputStream(compression match {
+      case "gzip" => new java.util.zip.GZIPOutputStream(raw)
+      case "zlib" => new java.util.zip.DeflaterOutputStream(raw)
+      case _ => raw
+    })
   }
 
   override def write(record: InternalRow): Unit =

@@ -36,9 +36,9 @@ class TfRecordCommitSpec extends SparkSpec {
     val dir = tmpDir("tfr-commit")
     val confSer = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val batch = new TfRecordBatchWrite(dir, "train", false, schema, "q-dup")
+    val batch = new TfRecordBatchWrite(dir, "train", "none", schema, "q-dup")
     val factory = new TfRecordWriterFactory(
-      Fs.join(dir, "_temporary-q-dup"), "train", false, schema,
+      Fs.join(dir, "_temporary-q-dup"), "train", "none", schema,
       numPartitions = 1, confSer)
 
     // Two concurrent attempts of partition 0 — both write all their bytes.
@@ -62,9 +62,9 @@ class TfRecordCommitSpec extends SparkSpec {
     val dir = tmpDir("tfr-abort")
     val confSer = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val batch = new TfRecordBatchWrite(dir, "train", true, schema, "q-abort")
+    val batch = new TfRecordBatchWrite(dir, "train", "gzip", schema, "q-abort")
     val factory = new TfRecordWriterFactory(
-      Fs.join(dir, "_temporary-q-abort"), "train", true, schema,
+      Fs.join(dir, "_temporary-q-abort"), "train", "gzip", schema,
       numPartitions = 2, confSer)
 
     val w0 = factory.createWriter(0, taskId = 1)

@@ -91,6 +91,19 @@ class TfRecordSpec extends SparkSpec {
     assert(back.as[String].collect().sorted.toSeq == Seq("u", "v", "w"))
   }
 
+  test("writer-side zlib: .zlib shards written and read back") {
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("s", "i")
+    val dir = tmpDir("tfr-zlib-w")
+    TfRecord.write(df, dir, "train", numShards = 2, compression = "zlib")
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.toSeq == Seq("train-00000-of-00002.tfrecord.zlib",
+      "train-00001-of-00002.tfrecord.zlib"))
+    val back = TfRecord.read(spark, s"$dir/train-*", df.schema)
+    assert(back.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
   test("DataSourceV2 format graft-tfrecord reads shards with column pruning") {
     import spark.implicits._
     import org.apache.spark.sql.types._
