@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Cli app.jar \
   *   convert --source data.csv --output-dir /out [--schema schema.json] \
   *           [--format parquet|tfrecord] [--num-shards N] \
-  *           [--compression gzip|uncompressed]
+  *           [--compression gzip|zlib|uncompressed]
   * spark-submit --class graft.Cli app.jar \
   *   inspect --job-dir /out/tfrecorder-... [--split TRAIN] [--num-records N] \
   *           [--output-dir out]

@@ -47,6 +47,7 @@ object Converter {
     * @param outputDir  parent dir; job output goes to `<outputDir>/<jobName>`
     * @param numShards  files per split (0 = let Spark decide)
     * @param compression parquet codec; reference semantics gzip|uncompressed
+    *                    (for format="tfrecord": gzip|zlib|uncompressed|none)
     * @param frequencyThreshold vocab min term frequency (TFT option analog)
     * @param format     "parquet" (primary: one directory per split),
     *                   "partitioned" (single-pass dynamic partitioning:
@@ -54,7 +55,7 @@ object Converter {
     *                   `data/<splitKey>=<SPLIT>/` — the shape for inputs
     *                   too large to cache), or "tfrecord" (the
     *                   reference's native format; shards named
-    *                   `<split>-NNNNN-of-MMMMM.tfrecord[.gz]` at the
+    *                   `<split>-NNNNN-of-MMMMM.tfrecord[.gz|.zlib]` at the
     *                   job-dir top level like the reference's layout)
     */
   def convert(spark: SparkSession,
@@ -70,6 +71,9 @@ object Converter {
               format: String = "parquet"): ConvertResult = {
     val job = jobName(jobLabel)
     val jobDir = s"${outputDir.stripSuffix("/")}/$job"
+    // Fail fast on an unsupported TFRecord codec — catching it at the
+    // first split WRITE would waste the whole job's ingest/fit compute.
+    if (format == "tfrecord") Sinks.tfrecordCodec(compression)
 
     // 1. Ingest + validate + conform to declared types (S1-S7, P1-P2).
     val raw = Input.toDataFrame(spark, source, header, names, Some(schema))
@@ -117,10 +121,8 @@ object Converter {
               format match {
                 case "tfrecord" =>
                   graft.sinks.TfRecord.write(transform(parts(s)), jobDir,
-                    s.toLowerCase, numShards, compression match {
-                      case "uncompressed" | "" => "none"
-                      case c => c // gzip | zlib | none
-                    })
+                    s.toLowerCase, numShards,
+                    Sinks.tfrecordCodec(compression))
                 case _ =>
                   Sinks.writeSplit(transform(parts(s)), jobDir, s, numShards,
                     compression)

@@ -35,6 +35,22 @@ object Sinks {
     case other => other // allow native parquet codecs (snappy, zstd…)
   }
 
+  /** Normalize + VALIDATE the compression arg for the TFRecord sink
+    * (gzip | zlib | none, with the reference's `uncompressed` alias).
+    * Called at `convert()` entry so an unsupported codec fails before
+    * any pipeline work runs, not at the first split write.
+    */
+  private[graft] def tfrecordCodec(compression: String): String = {
+    val c = compression.toLowerCase match {
+      case "uncompressed" | "" => "none"
+      case other => other
+    }
+    require(Set("gzip", "zlib", "none").contains(c),
+      s"tfrecord compression must be gzip|zlib|uncompressed|none, got " +
+        s"'$compression'")
+    c
+  }
+
   /** Write one split dataset to `<jobDir>/<split-lowercase>`. */
   def writeSplit(df: DataFrame, jobDir: String, split: String,
                  numShards: Int = 0, compression: String = "gzip"): String = {

@@ -333,7 +333,7 @@ object TfRecord {
   // ---- distributed writer / reader ------------------------------------
 
   /** Write a DataFrame as sharded TFRecord files
-    * `<dir>/<prefix>-NNNNN-of-MMMMM.tfrecord[.gz]` — the reference's
+    * `<dir>/<prefix>-NNNNN-of-MMMMM.tfrecord[.gz|.zlib]` — the reference's
     * shard naming (converter.py/beam output convention). numShards == 0
     * keeps the current partitioning (the reference's "runner decides").
     *
