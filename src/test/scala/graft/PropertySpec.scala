@@ -290,6 +290,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: repeatedSpans equals a brute-force window scan") {
+    // tiny alphabet → dense cross-doc repeats, overlapping runs, and
+    // whole-doc spans; W=3 keeps the reference scan cheap
+    val W = 3
+    val docGen = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+    forAll(Gen.listOfN(4, docGen), n = 10) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val windows = for {
+        (ts, i) <- docs.zipWithIndex
+        p <- 0 to ts.length - W
+      } yield (i.toLong, p, ts.slice(p, p + W).mkString(" "))
+      val counts = windows.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = windows.filter(w => counts(w._3) >= 2)
+        .groupBy(_._1).flatMap { case (id, ws) =>
+          val runs = ws.map(_._2).sorted
+            .foldLeft(List.empty[List[Int]]) {
+              case (run :: rest, p) if run.head == p - 1 =>
+                (p :: run) :: rest
+              case (acc, p) => List(p) :: acc
+            }
+          runs.map(r =>
+            (id, r.min.toLong, (r.max + W - 1).toLong, r.size.toLong))
+        }.toSet
+      val got = Dedup.repeatedSpans(df, "doc_id", "text", W, 2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"docs=$docs")
+      Dedup.releaseIntermediates()
+    }
+  }
+
   test("property: URL-safe base64 of the image stage round-trips bytes") {
     forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) {
       bytes =>
