@@ -597,6 +597,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ingest-time span cleanup: the corpus's hot window keys become
+    //      a persisted artifact (parquet round-trip inside the query, as
+    //      a real ingest would read it) and the batch strips against it
+    //      without re-reading the corpus ----
+
+    "q67_span_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val art = tmpDir("graft-spankeys")
+      Dedup.repeatedSpanKeys(corpus, "text", windowTokens = 8,
+          minOccurrences = 2)
+        .write.mode("overwrite").parquet(art)
+      Dedup.stripSpansAgainstKeys(batch, "doc_id", "text",
+          s.read.parquet(art), windowTokens = 8)
+        .where(col("kept_tokens") >= 0) // see q66: keep count() honest
+        .select(col("doc_id"), col("kept_tokens"), col("dropped_tokens"),
+          substring(col("text"), 1, 80).as("text_head"))
+        .orderBy("doc_id")
+    }),
+
     // ---- corpus length distribution (exact interpolated percentiles) ----
 
     "q43_length_stats" -> ((s, dir) => {
@@ -2026,6 +2047,50 @@ object SparkEntry {
           |JOIN toks t ON t.doc_id = d.doc_id
           |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+
+      // Ingest strip replay: hot window keys from the CORPUS side only,
+      // batch tokens outside every covered index survive in order.
+      "q67_span_ingest" ->
+        """WITH toks AS (
+          |  SELECT doc_id, text,
+          |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+          |  FROM documents),
+          |corpus AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+          |batch AS (SELECT * FROM toks WHERE doc_id % 3 = 0),
+          |cwins AS (
+          |  SELECT md5(array_to_string(ts[i:i+7], ' ')) AS wk
+          |  FROM corpus, unnest(range(1, len(ts) - 6)) AS t(i)
+          |  WHERE len(ts) >= 8),
+          |hot AS (SELECT wk FROM cwins GROUP BY wk HAVING count(*) >= 2),
+          |bwins AS (
+          |  SELECT doc_id, i - 1 AS pos,
+          |    md5(array_to_string(ts[i:i+7], ' ')) AS wk
+          |  FROM batch, unnest(range(1, len(ts) - 6)) AS t(i)
+          |  WHERE len(ts) >= 8),
+          |covered AS (
+          |  SELECT DISTINCT b.doc_id, b.pos + d.o AS cpos
+          |  FROM bwins b, unnest(range(0, 8)) AS d(o)
+          |  WHERE b.wk IN (SELECT wk FROM hot)),
+          |tokpos AS (
+          |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+          |  FROM batch, unnest(range(1, len(ts) + 1)) AS t(i)),
+          |kept AS (
+          |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+          |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+          |    WHERE c.doc_id = tp.doc_id AND c.cpos = tp.pos)),
+          |rebuilt AS (
+          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+          |    CAST(count(*) AS BIGINT) AS kept_tokens
+          |  FROM kept GROUP BY doc_id)
+          |SELECT b.doc_id,
+          |  COALESCE(r.kept_tokens, 0) AS kept_tokens,
+          |  CAST(COALESCE(len(b.ts), 0) - COALESCE(r.kept_tokens, 0)
+          |    AS BIGINT) AS dropped_tokens,
+          |  CASE WHEN b.text IS NULL THEN NULL
+          |    ELSE substr(COALESCE(r.text, ''), 1, 80) END AS text_head
+          |FROM batch b
+          |LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
 
       // Composite-key min-id survivor: doc_id is unique, so join-on-min-id
       // reproduces min_by's choice deterministically.

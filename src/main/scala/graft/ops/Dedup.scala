@@ -1017,22 +1017,36 @@ object Dedup {
     // least once) and stripRepeatedSpans would then blank the corpus —
     // a silent total-data-loss mode, so fail fast instead.
     require(minOccurrences >= 2, "minOccurrences must be >= 2")
-    val toks = TextAnalysis.tokens(col(textCol))
-    // 16-byte binary keys on the wire (un-hexed md5): the key never
-    // reaches the output, so the oracle's hex-string grouping is
-    // equivalent while the explode/shuffle rows stay half as wide.
-    val winKeys = when(size(toks) < windowTokens,
-        array().cast("array<binary>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - windowTokens),
-        i => unhex(TextAnalysis.fingerprint(
-          concat_ws(" ", slice(toks, i + 1, lit(windowTokens)))))))
-    val pos = df.select(col(idCol), posexplode(winKeys).as(Seq("pos", "wk")))
+    val pos = df.select(col(idCol),
+        posexplode(windowKeys(textCol, windowTokens)).as(Seq("pos", "wk")))
       .transform(tracked) // read by the hot aggregate AND the semi-join
     val hot = pos.groupBy("wk").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccurrences)
       .select("wk")
+    mergeFlagged(pos.join(hot, Seq("wk"), "left_semi"), idCol, windowTokens)
+  }
+
+  /** Per-position W-token window keys of a text column, as an array
+    * column (index = 0-based start position). 16-byte binary keys
+    * (un-hexed md5) on the wire: the key never reaches any output, so an
+    * oracle's hex-string grouping is equivalent while the explode/
+    * shuffle rows stay half as wide.
+    */
+  private def windowKeys(textCol: String, windowTokens: Int): Column = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    when(size(toks) < windowTokens, array().cast("array<binary>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - windowTokens),
+        i => unhex(TextAnalysis.fingerprint(
+          concat_ws(" ", slice(toks, i + 1, lit(windowTokens)))))))
+  }
+
+  /** Merge flagged (id, pos) window starts into maximal spans — the gap
+    * trick: consecutive positions share `pos - row_number()`.
+    */
+  private def mergeFlagged(flagged: DataFrame, idCol: String,
+                           windowTokens: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    pos.join(hot, Seq("wk"), "left_semi")
+    flagged
       .withColumn("__g", col("pos") - row_number().over(w))
       .groupBy(col(idCol), col("__g"))
       .agg(min(col("pos")).cast("long").as("span_start"),
@@ -1041,6 +1055,43 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col(idCol), col("span_start"), col("span_end"),
         col("n_windows"))
+  }
+
+  /** The persisted artifact behind ingest-time span cleanup: the
+    * DISTINCT window keys occurring at least `minOccurrences` times in
+    * the corpus — one 16-byte row per hot window. Write once per
+    * accepted snapshot; [[stripSpansAgainstKeys]] applies it to every
+    * later delivery without re-reading the corpus.
+    */
+  def repeatedSpanKeys(corpus: DataFrame, textCol: String,
+                       windowTokens: Int = 20,
+                       minOccurrences: Long = 2L): DataFrame = {
+    require(minOccurrences >= 2, "minOccurrences must be >= 2")
+    corpus
+      .select(explode(windowKeys(textCol, windowTokens)).as("__wk"))
+      .groupBy("__wk").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select("__wk")
+  }
+
+  /** Ingest-time span cleanup: strip from `batch` every span whose
+    * window key appears in the persisted `hotKeys` artifact
+    * ([[repeatedSpanKeys]], column `__wk`) — the incremental companion
+    * to [[stripRepeatedSpans]], applying corpus-level boilerplate
+    * removal to each new delivery at the cost of one batch pass plus a
+    * semi-join on 16-byte keys. (Windows repeated only WITHIN the new
+    * batch are out of scope here by design — run the corpus-level pass
+    * when the batch is accepted, then refresh the artifact.)
+    */
+  def stripSpansAgainstKeys(batch: DataFrame, idCol: String,
+                            textCol: String, hotKeys: DataFrame,
+                            windowTokens: Int = 20): DataFrame = {
+    val pos = batch.select(col(idCol),
+      posexplode(windowKeys(textCol, windowTokens)).as(Seq("pos", "wk")))
+    val flagged = pos.join(hotKeys.select(col("__wk").as("wk")),
+      Seq("wk"), "left_semi")
+    stripCovered(batch, idCol, textCol,
+      mergeFlagged(flagged, idCol, windowTokens))
   }
 
   /** Remove every repeated span found by [[repeatedSpans]] from the
@@ -1053,9 +1104,15 @@ object Dedup {
     */
   def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          windowTokens: Int = 20,
-                         minOccurrences: Long = 2L): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, windowTokens,
-      minOccurrences)
+                         minOccurrences: Long = 2L): DataFrame =
+    stripCovered(df, idCol, textCol,
+      repeatedSpans(df, idCol, textCol, windowTokens, minOccurrences))
+
+  /** Shared strip tail: drop every token of `df` covered by a span of
+    * `spans` (the [[repeatedSpans]] output shape) and reassemble.
+    */
+  private def stripCovered(df: DataFrame, idCol: String, textCol: String,
+                           spans: DataFrame): DataFrame = {
     // sort-merge, never broadcast or hash-build: the planner estimates
     // `covered` BEFORE the sequence-explode, so on a boilerplate-heavy
     // corpus it happily broadcasts (driver OOM) or hash-builds (executor

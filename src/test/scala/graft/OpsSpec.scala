@@ -626,6 +626,31 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("stripSpansAgainstKeys applies corpus hot keys to a new batch") {
+    val boiler = "all rights reserved copyright notice applies here fully"
+    val corpus = Seq(
+      (1L, s"one two three $boiler"),
+      (2L, s"$boiler four five six"),
+    ).toDF("doc_id", "text")
+    val keys = Dedup.repeatedSpanKeys(corpus, "text",
+      windowTokens = 8, minOccurrences = 2)
+    assert(keys.count() == 1) // only the boilerplate window repeats
+    // batch: one doc carrying the known-hot span, one clean doc, and one
+    // with a batch-internal repeat that is NOT in the artifact (ignored
+    // by design — ingest strips against ACCEPTED knowledge only)
+    val batch = Seq(
+      (10L, s"seven eight $boiler nine"),
+      (11L, "totally novel words that never appeared before anywhere at"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripSpansAgainstKeys(batch, "doc_id", "text",
+        keys, windowTokens = 8)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) == (("seven eight nine", 3L, 8L)))
+    assert(out(11L)._3 == 0L)
+    Dedup.releaseIntermediates()
+  }
+
   test("incrementalNearDup finds edited re-crawls via the persisted artifacts") {
     val base = (0 until 30).map(i => s"w$i").mkString(" ") // 28 trigrams
     val corpus = Seq((1L, base), (2L, "a completely different document text"))
