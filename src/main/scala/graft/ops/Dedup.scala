@@ -1066,12 +1066,16 @@ object Dedup {
   def repeatedSpanKeys(corpus: DataFrame, textCol: String,
                        windowTokens: Int = 20,
                        minOccurrences: Long = 2L): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
     require(minOccurrences >= 2, "minOccurrences must be >= 2")
     corpus
       .select(explode(windowKeys(textCol, windowTokens)).as("__wk"))
       .groupBy("__wk").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccurrences)
-      .select("__wk")
+      // the window size travels WITH the artifact: keys built at one W
+      // can never match probes at another, and without the recorded W a
+      // mismatch would be a silent cleanup no-op (strip asserts it).
+      .select(col("__wk"), lit(windowTokens).as("__w"))
   }
 
   /** Ingest-time span cleanup: strip from `batch` every span whose
@@ -1086,6 +1090,15 @@ object Dedup {
   def stripSpansAgainstKeys(batch: DataFrame, idCol: String,
                             textCol: String, hotKeys: DataFrame,
                             windowTokens: Int = 20): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    // refuse a window-size mismatch with the artifact: probes at W' can
+    // never match keys built at W, so the strip would silently no-op
+    if (hotKeys.columns.contains("__w")) {
+      val ws = hotKeys.select("__w").distinct().collect().map(_.getInt(0))
+      require(ws.isEmpty || ws.sameElements(Array(windowTokens)),
+        s"hotKeys artifact built with windowTokens=${ws.mkString(",")}, " +
+          s"strip called with $windowTokens")
+    }
     val pos = batch.select(col(idCol),
       posexplode(windowKeys(textCol, windowTokens)).as(Seq("pos", "wk")))
     val flagged = pos.join(hotKeys.select(col("__wk").as("wk")),

@@ -638,9 +638,11 @@ class OpsSpec extends SparkSpec {
     // batch: one doc carrying the known-hot span, one clean doc, and one
     // with a batch-internal repeat that is NOT in the artifact (ignored
     // by design — ingest strips against ACCEPTED knowledge only)
+    val internal = "x1 x2 x3 x4 x5 x6 x7 x8"
     val batch = Seq(
       (10L, s"seven eight $boiler nine"),
       (11L, "totally novel words that never appeared before anywhere at"),
+      (12L, s"$internal bridge $internal"),
     ).toDF("doc_id", "text")
     val out = Dedup.stripSpansAgainstKeys(batch, "doc_id", "text",
         keys, windowTokens = 8)
@@ -648,6 +650,14 @@ class OpsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(out(10L) == (("seven eight nine", 3L, 8L)))
     assert(out(11L)._3 == 0L)
+    // batch-internal repeats are out of scope for the ingest path
+    assert(out(12L)._3 == 0L)
+    // window-size mismatch with the artifact is refused, not a silent
+    // no-op (keys at W=8 can never match probes at W=5)
+    intercept[IllegalArgumentException] {
+      Dedup.stripSpansAgainstKeys(batch, "doc_id", "text", keys,
+        windowTokens = 5)
+    }
     Dedup.releaseIntermediates()
   }
 
