@@ -45,10 +45,16 @@ object Bench {
       spark.catalog.clearCache()
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision, not the raw 9-decimal doubles: 67 queries of full
+    // doubles push the JSON line past the driver's stdout-tail capture
+    // window — r6's official record lost ~5 query times (incl. q66) to
+    // exactly that. 1 ms resolution is far below run-to-run noise.
+    def ms(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -226,6 +226,67 @@ object SketchOps {
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** MD5 keys of every W-token window of `text`, one pass: byte-scan the
+    * token boundaries once, then feed each window's bytes (tokens joined
+    * by a single 0x20) straight into a reused MessageDigest. Byte-
+    * identical to the composable formulation
+    * `unhex(md5(concat_ws(" ", slice(tokens, i+1, W))))` — same split
+    * (ASCII `\s+`), same joiner, same digest — but with ZERO per-window
+    * materialization: no token array, no sliced sub-array, no
+    * concatenated string, no 32-char hex round-trip. The md5 work itself
+    * is inherently O(tokens × W) bytes (md5 does not roll); what this
+    * kernel removes is the allocation traffic around it, which dominated
+    * the composable version's detect cost. Returns an empty array when
+    * the text has fewer than W tokens (no windows).
+    */
+  def windowMd5Keys(text: UTF8String, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // token boundary scan (same split as tokenHashes)
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val ws = isWs(bytes(i))
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    if (count < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    val starts = new Array[Int](count)
+    val lens = new Array[Int](count)
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        starts(t) = start
+        lens(t) = i - start
+        t += 1
+      } else i += 1
+    }
+    val md = md5Digest.get()
+    val out = new Array[AnyRef](count - w + 1)
+    val sp = Array[Byte](0x20)
+    var p = 0
+    while (p <= count - w) {
+      md.reset()
+      md.update(bytes, starts(p), lens(p))
+      var j = 1
+      while (j < w) {
+        md.update(sp, 0, 1)
+        md.update(bytes, starts(p + j), lens(p + j))
+        j += 1
+      }
+      out(p) = md.digest() // 16 fresh bytes; digest() also resets
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** The whitespace tokens themselves, as UTF8String slices — value-
@@ -530,6 +591,98 @@ case class TokensOf(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TokensOf =
     copy(child = newChild)
   override def prettyName: String = "graft_tokens"
+}
+
+/** `graft_window_keys(text, windowTokens)`: md5 key per W-token window
+  * (index = 0-based start position), empty array when fewer than W
+  * tokens, null for null text — the span-dedup detect kernel (see
+  * [[SketchOps.windowMd5Keys]] for the byte-parity contract).
+  */
+case class WindowMd5Keys(child: Expression, windowTokens: Int)
+    extends UnaryExpression {
+  require(windowTokens >= 1, "windowTokens must be >= 1")
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.windowMd5Keys(input.asInstanceOf[UTF8String], windowTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, text =>
+      s"graft.functions.SketchOps.windowMd5Keys($text, $windowTokens)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowMd5Keys =
+    copy(child = newChild)
+  override def prettyName: String = "graft_window_keys"
+}
+
+/** `graft_sharded_might_contain(sketchesLit, shard, value)`: probe of a
+  * digest-range-SHARDED Bloom membership sketch — the scale path past the
+  * single-sketch ceiling (`spark.sql.optimizer.runtime.bloomFilter.
+  * maxNumItems`, default 4e6): N independent sketches, each sized for its
+  * own shard, probed per row by shard index. Spark's own
+  * `BloomFilterMightContain` cannot express this — it requires the sketch
+  * to be ONE foldable expression, so a per-row `element_at(sketches,
+  * shard)` selection fails analysis. This expression carries the N
+  * deserialized filters as a plan reference instead and indexes them in
+  * codegen.
+  *
+  * `left` is the shard index (int, in [0, N)); `right` is the xxhash64
+  * (seed 42) of the probed value — the builder wraps the raw value in
+  * `XxHash64` exactly as `graft_bloom_agg` does on the build side, so a
+  * probe can never disagree with a build about hashing. A null (absent)
+  * shard sketch means NOTHING was inserted for that shard: definitely not
+  * a member, false.
+  */
+case class ShardedBloomMightContain(sketches: Seq[Array[Byte]],
+                                    left: Expression, right: Expression)
+    extends BinaryExpression {
+  require(sketches.nonEmpty, "need at least one shard sketch")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (int shard, long hash), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  @transient lazy val filters: Array[org.apache.spark.util.sketch.BloomFilter] =
+    sketches.map { bytes =>
+      if (bytes == null) null
+      else org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    }.toArray
+
+  override def nullSafeEval(shard: Any, hashed: Any): Any = {
+    val f = filters(shard.asInstanceOf[Int])
+    f != null && f.mightContainLong(hashed.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shardFilters", filters,
+      "org.apache.spark.util.sketch.BloomFilter[]")
+    nullSafeCodeGen(ctx, ev, (s, h) => {
+      val f = ctx.freshName("filter")
+      s"""
+         |org.apache.spark.util.sketch.BloomFilter $f = $ref[$s];
+         |${ev.value} = $f != null && $f.mightContainLong($h);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShardedBloomMightContain =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sharded_might_contain"
 }
 
 /** `graft_token_count(text)`: whitespace token count (byte-scan). */

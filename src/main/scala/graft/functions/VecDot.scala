@@ -246,6 +246,28 @@ object GraftFunctions {
           exprs(0),
           new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))
       }),
+    (FunctionIdentifier("graft_sharded_might_contain"),
+      new ExpressionInfo(classOf[ShardedBloomMightContain].getName,
+        "graft_sharded_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "graft_sharded_might_contain takes (sketchesLiteral, shard, value)")
+        require(exprs(0).foldable,
+          "graft_sharded_might_contain sketches must be a literal array<binary>")
+        val ad = exprs(0).eval().asInstanceOf[ArrayData]
+        val sketches = Seq.tabulate(ad.numElements()) { i =>
+          if (ad.isNullAt(i)) null else ad.getBinary(i)
+        }
+        ShardedBloomMightContain(sketches, exprs(1),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(2))))
+      }),
+    (FunctionIdentifier("graft_window_keys"),
+      new ExpressionInfo(classOf[WindowMd5Keys].getName, "graft_window_keys"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_window_keys takes (text, windowTokens)")
+        WindowMd5Keys(exprs(0), litInt(exprs(1), "windowTokens"))
+      }),
   )
 
   /** Idempotent per-session registration — operator entry points call this

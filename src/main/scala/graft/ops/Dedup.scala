@@ -243,11 +243,14 @@ object Dedup {
     * OR together) per accepted snapshot, probe on every ingest.
     *
     * Sizing: `expectedCorpusDocs` at Spark's default fpp costs ~1.2 MB
-    * per 10^6 documents. A monolithic sketch stops scaling around 10^9
-    * docs (a multi-GB literal); past that, partition the digest space
-    * into per-range sketches or fall back to [[incremental]]'s plain
-    * anti-join on 16-byte keys — correctness never depends on the
-    * sketch, so the fallback is free.
+    * per 10^6 documents, and Spark's aggregate refuses expectations above
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4e6)
+    * / `maxNumBits` (default 8 MB) — [[digestSketch]] fails fast with the
+    * conf names. Past the conf ceiling, shard the digest space with
+    * [[shardedDigestSketch]]/[[bloomRouteSharded]] (each shard sizes
+    * independently) or fall back to [[incremental]]'s plain anti-join on
+    * 16-byte keys — correctness never depends on the sketch, so the
+    * fallback is free.
     */
   def incrementalBloom(batch: DataFrame, corpus: DataFrame, textCol: String,
                        idCol: String, expectedCorpusDocs: Long): DataFrame = {
@@ -295,10 +298,22 @@ object Dedup {
     */
   def digestSketch(digests: DataFrame, expectedItems: Long): Array[Byte] = {
     graft.functions.GraftFunctions.ensureRegistered(digests.sparkSession)
+    // Spark's BloomFilterAggregate rejects expectedItems above
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems (default 4e6)
+    // at ANALYSIS time with an opaque type-check error — surface the
+    // limit and the two ways past it (raise the conf, or shard via
+    // [[shardedDigestSketch]]) before the plan ever builds.
+    val maxItems = digests.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    require(expectedItems > 0 && expectedItems <= maxItems,
+      s"expectedItems=$expectedItems outside (0, $maxItems]: raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems (and " +
+        "maxNumBits) or use the sharded sketch variant for larger corpora")
     digests
       .agg(call_function("graft_bloom_agg", col("__fp"),
         lit(expectedItems)).as("bloom"))
-      .head.getAs[Array[Byte]]("bloom")
+      .head().getAs[Array[Byte]]("bloom")
   }
 
   /** Membership routing shared by the batch and streaming Bloom ingest
@@ -312,11 +327,87 @@ object Dedup {
                                 sketch: Array[Byte]): DataFrame =
     if (sketch == null) keyed
     else {
+      // register here, not only in digestSketch: the artifact form loads
+      // the sketch bytes from disk and reaches this probe without ever
+      // building a sketch in this session
+      graft.functions.GraftFunctions.ensureRegistered(keyed.sparkSession)
       val mightContain =
         call_function("graft_might_contain", lit(sketch), col("__fp"))
       keyed.where(!mightContain).unionByName(
         keyed.where(mightContain).join(digests, Seq("__fp"), "left_anti"))
     }
+
+  /** The digest-range-SHARDED membership sketch: `shards` independent
+    * Bloom sketches, sketch `s` built over exactly the digests with
+    * [[digestShard]]`(__fp) == s` — the scale path past the monolithic
+    * [[digestSketch]]'s conf ceiling (4e6 expected items / 8 MB bits by
+    * default). Each shard sizes independently to `expectedItemsPerShard`
+    * (= |corpus| / shards for a uniform digest space — md5 is), so a
+    * 10^9-doc corpus at 256 shards is 256 × ~4M-item sketches instead of
+    * one unbuildable 4-billion-item one, and shard sketches
+    * rebuild/persist independently per ingest. One aggregation pass over
+    * the digest frame (map-side combinable, `shards` result rows).
+    * Entries for empty shards are null — [[bloomRouteSharded]] treats a
+    * null shard as "definitely not a member", which is exact (nothing
+    * was inserted there).
+    */
+  def shardedDigestSketch(digests: DataFrame, shards: Int,
+                          expectedItemsPerShard: Long): Array[Array[Byte]] = {
+    require(shards >= 1, "shards must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(digests.sparkSession)
+    val rows = digests
+      .groupBy(digestShard(col("__fp"), shards).as("__shard"))
+      .agg(call_function("graft_bloom_agg", col("__fp"),
+        lit(expectedItemsPerShard)).as("bloom"))
+      .collect()
+    val out = new Array[Array[Byte]](shards)
+    rows.foreach(r => out(r.getInt(0)) = r.getAs[Array[Byte]](1))
+    out
+  }
+
+  /** The shard-routing function shared by [[shardedDigestSketch]] builds
+    * and [[bloomRouteSharded]] probes: murmur3 of the digest bytes mod
+    * `shards`. Deliberately a DIFFERENT hash family from the sketches'
+    * internal xxhash64, so shard membership carries no information about
+    * Bloom bit positions within a shard.
+    */
+  private[graft] def digestShard(fp: Column, shards: Int): Column =
+    pmod(hash(fp), lit(shards))
+
+  /** [[bloomRoute]] against a sharded sketch ([[shardedDigestSketch]]):
+    * identical routing semantics — a negative probe of the row's OWN
+    * shard sketch bypasses the anti-join — with the N deserialized
+    * filters carried as a plan reference and indexed per row
+    * (`graft_sharded_might_contain`). Result is sketch-independent by
+    * construction, exactly as [[bloomRoute]].
+    */
+  private[graft] def bloomRouteSharded(keyed: DataFrame, digests: DataFrame,
+                                       sketches: Array[Array[Byte]]): DataFrame =
+    if (sketches == null || sketches.forall(_ == null)) keyed
+    else {
+      graft.functions.GraftFunctions.ensureRegistered(keyed.sparkSession)
+      val mightContain = call_function("graft_sharded_might_contain",
+        typedLit(sketches.toSeq), digestShard(col("__fp"), sketches.length),
+        col("__fp"))
+      keyed.where(!mightContain).unionByName(
+        keyed.where(mightContain).join(digests, Seq("__fp"), "left_anti"))
+    }
+
+  /** The sharded-artifact form of [[incrementalBloom]]: both persisted
+    * membership artifacts — the digest frame and the PER-SHARD sketch
+    * array — are prebuilt, so an ingest pays only the batch aggregate
+    * plus the routed anti-join. Semantics identical to [[incremental]]
+    * at any shard count (the sketches only route).
+    */
+  def incrementalBloomSharded(batch: DataFrame, corpusDigestsDf: DataFrame,
+                              textCol: String, idCol: String,
+                              sketches: Array[Array[Byte]]): DataFrame = {
+    val survivors0 = batchSurvivors(batch, textCol, idCol)
+    val noSketch = sketches == null || sketches.forall(_ == null)
+    val survivors = if (noSketch) survivors0 else tracked(survivors0)
+    bloomRouteSharded(survivors, corpusDigestsDf, sketches)
+      .select(col("__row.*") +: Seq(col("batch_dup_count")): _*)
+  }
 
   /** The persisted membership artifact behind [[incremental]]: the
     * DISTINCT content digests of a corpus, one 16-byte row per unique
@@ -1017,6 +1108,7 @@ object Dedup {
     // least once) and stripRepeatedSpans would then blank the corpus —
     // a silent total-data-loss mode, so fail fast instead.
     require(minOccurrences >= 2, "minOccurrences must be >= 2")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val pos = df.select(col(idCol),
         posexplode(windowKeys(textCol, windowTokens)).as(Seq("pos", "wk")))
       .transform(tracked) // read by the hot aggregate AND the semi-join
@@ -1030,15 +1122,16 @@ object Dedup {
     * column (index = 0-based start position). 16-byte binary keys
     * (un-hexed md5) on the wire: the key never reaches any output, so an
     * oracle's hex-string grouping is equivalent while the explode/
-    * shuffle rows stay half as wide.
+    * shuffle rows stay half as wide. One-pass native kernel
+    * ([[graft.functions.SketchOps.windowMd5Keys]]): the earlier
+    * composable form (`transform` + `slice` + `concat_ws` + `md5` +
+    * `unhex`) materialized every window as a string and round-tripped
+    * each digest through 32 hex chars — byte-identical keys, ~W× the
+    * allocation traffic (parity property-tested in PropertySpec).
+    * Callers must GraftFunctions.ensureRegistered first.
     */
-  private def windowKeys(textCol: String, windowTokens: Int): Column = {
-    val toks = TextAnalysis.tokens(col(textCol))
-    when(size(toks) < windowTokens, array().cast("array<binary>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - windowTokens),
-        i => unhex(TextAnalysis.fingerprint(
-          concat_ws(" ", slice(toks, i + 1, lit(windowTokens)))))))
-  }
+  private def windowKeys(textCol: String, windowTokens: Int): Column =
+    call_function("graft_window_keys", col(textCol), lit(windowTokens))
 
   /** Merge flagged (id, pos) window starts into maximal spans — the gap
     * trick: consecutive positions share `pos - row_number()`.
@@ -1068,6 +1161,7 @@ object Dedup {
                        minOccurrences: Long = 2L): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be >= 1")
     require(minOccurrences >= 2, "minOccurrences must be >= 2")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     corpus
       .select(explode(windowKeys(textCol, windowTokens)).as("__wk"))
       .groupBy("__wk").agg(count(lit(1)).as("occ"))
@@ -1086,11 +1180,15 @@ object Dedup {
     * semi-join on 16-byte keys. (Windows repeated only WITHIN the new
     * batch are out of scope here by design — run the corpus-level pass
     * when the batch is accepted, then refresh the artifact.)
+    *
+    * PRECONDITION: `idCol` must be unique per row (as for
+    * [[stripRepeatedSpans]] — see there for the failure mode).
     */
   def stripSpansAgainstKeys(batch: DataFrame, idCol: String,
                             textCol: String, hotKeys: DataFrame,
                             windowTokens: Int = 20): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
     // refuse a window-size mismatch with the artifact: probes at W' can
     // never match keys built at W, so the strip would silently no-op
     if (hotKeys.columns.contains("__w")) {
@@ -1114,6 +1212,13 @@ object Dedup {
     * rather than blanked). Returns one row per input document:
     * (`idCol`, cleaned text under `textCol`, `kept_tokens`,
     * `dropped_tokens`); NULL-text documents survive with NULL text.
+    *
+    * PRECONDITION: `idCol` must be unique per row — the strip reassembles
+    * text by grouping surviving (id, pos, token) rows, so two rows
+    * sharing an id would interleave their token streams under colliding
+    * positions into garbled text (the same contract
+    * [[duplicateClusters]] documents for its node frame). Run
+    * [[exact]]/[[exactByFingerprint]] first if ids may repeat.
     */
   def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          windowTokens: Int = 20,

@@ -590,6 +590,86 @@ class OpsSpec extends SparkSpec {
     assert(!probe("gamma")) // fpp at 3/1024 occupancy is ~0 for this value
   }
 
+  test("sharded digest sketch routes identically to the plain ingest") {
+    val corpus = (0 until 40).map(i => (i.toLong, s"doc $i body text"))
+      .toDF("doc_id", "text")
+    val digests = Dedup.corpusDigests(corpus, "text")
+    val batch = ((0 until 10).map(i => (100L + i, s"doc $i body text")) ++
+      (0 until 10).map(i => (200L + i, s"new $i body text")))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "batch_dup_count")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val plain = canon(Dedup.incrementalAgainstDigests(batch, digests,
+      "text", "doc_id"))
+    assert(plain.count(_._2.startsWith("new")) == 10)
+    for (shards <- Seq(1, 4, 16)) {
+      val sk = Dedup.shardedDigestSketch(digests, shards,
+        expectedItemsPerShard = 64)
+      assert(sk.length == shards)
+      val routed = canon(Dedup.incrementalBloomSharded(batch, digests,
+        "text", "doc_id", sk))
+      assert(routed == plain, s"shards=$shards")
+      // saturated per-shard sketches (capacity 1): false positives
+      // everywhere, identical result — the sketch only routes
+      val tiny = Dedup.shardedDigestSketch(digests, shards,
+        expectedItemsPerShard = 1)
+      assert(canon(Dedup.incrementalBloomSharded(batch, digests,
+        "text", "doc_id", tiny)) == plain, s"saturated shards=$shards")
+      Dedup.releaseIntermediates()
+    }
+    // 40 digests over 64 shards leave some shards empty (null sketch) —
+    // a null shard means "definitely new", which is exact
+    val sk64 = Dedup.shardedDigestSketch(digests, 64,
+      expectedItemsPerShard = 16)
+    assert(sk64.contains(null))
+    assert(canon(Dedup.incrementalBloomSharded(batch, digests,
+      "text", "doc_id", sk64)) == plain)
+    // no false negatives across the shard ROUTING: every corpus digest
+    // probes true in its own shard's sketch
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val missed = digests.withColumn("hit",
+        call_function("graft_sharded_might_contain",
+          typedLit(sk64.toSeq), pmod(hash(col("__fp")), lit(64)),
+          col("__fp")))
+      .filter(!col("hit")).count()
+    assert(missed == 0L)
+    Dedup.releaseIntermediates()
+  }
+
+  test("bloom artifact paths register their own functions; cap fails fast") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    def dropAll(): Unit =
+      Seq("graft_might_contain", "graft_sharded_might_contain").foreach(n =>
+        reg.dropFunction(FunctionIdentifier(n)))
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val digests = Dedup.corpusDigests(corpus, "text")
+    val sketch = Dedup.digestSketch(digests, expectedItems = 1024)
+    val shardedSketch = Dedup.shardedDigestSketch(digests, 4,
+      expectedItemsPerShard = 1024)
+    val batch = Seq((10L, "alpha"), (11L, "gamma")).toDF("doc_id", "text")
+    // the production ingest shape: a FRESH session loads persisted
+    // artifacts and probes without ever having built a sketch — the
+    // probe function must self-register (regression: it didn't, and
+    // only passed because digestSketch registered first)
+    dropAll()
+    val out = Dedup.incrementalBloom(batch, digests, "text", "doc_id",
+      sketch).select("text").as[String].collect().toSet
+    assert(out == Set("gamma"))
+    dropAll()
+    val outSharded = Dedup.incrementalBloomSharded(batch, digests, "text",
+      "doc_id", shardedSketch).select("text").as[String].collect().toSet
+    assert(outSharded == Set("gamma"))
+    // expectedItems above Spark's bloom aggregate ceiling is refused
+    // with the conf names, not an opaque analysis error
+    val e = intercept[IllegalArgumentException] {
+      Dedup.digestSketch(digests, expectedItems = 5000000L)
+    }
+    assert(e.getMessage.contains("maxNumItems"))
+    Dedup.releaseIntermediates()
+  }
+
   test("repeatedSpans flags cross-doc boilerplate; strip removes all copies") {
     val boiler = "all rights reserved copyright notice applies here fully"
     val df = Seq(

@@ -290,6 +290,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: window-keys kernel is byte-identical to the composable md5 form") {
+    // the kernel replaced transform+slice+concat_ws+md5+unhex — same
+    // split (`\s+`), same " " joiner, same digest — on texts with mixed
+    // whitespace, empties, multi-byte UTF-8, and NBSP (NOT ascii ws)
+    val doc: Gen[Option[String]] = Gen.frequency(
+      8 -> trickyText.map(Option(_)),
+      1 -> Gen.const(Option.empty[String]))
+    val cfg = for {
+      docs <- Gen.listOfN(6, doc)
+      w <- Gen.oneOf(1, 2, 3, 5)
+    } yield (docs, w)
+    forAll(cfg, n = 15) { case (docs, w) =>
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+      val composable = when(size(toks) < w, array().cast("array<binary>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - w),
+          i => unhex(md5(concat_ws(" ", slice(toks, i + 1, lit(w)))
+            .cast("binary")))))
+      val rows = df.select(col("doc_id"),
+          call_function("graft_window_keys", col("text"), lit(w)).as("k"),
+          composable.as("c"))
+        .as[(Long, Option[Seq[Array[Byte]]], Option[Seq[Array[Byte]]])]
+        .collect()
+      def hex(x: Option[Seq[Array[Byte]]]): Option[Seq[String]] =
+        x.map(_.map(_.map(b => f"$b%02x").mkString))
+      rows.foreach { case (id, k, c) =>
+        assert(hex(k) == hex(c), s"doc=$id w=$w docs=$docs")
+      }
+    }
+  }
+
   test("property: repeatedSpans equals a brute-force window scan") {
     // tiny alphabet → dense cross-doc repeats, overlapping runs, and
     // whole-doc spans; W=3 keeps the reference scan cheap
