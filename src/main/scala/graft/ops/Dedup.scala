@@ -1100,6 +1100,12 @@ object Dedup {
     * indices, 0-based, `span_end` inclusive of the last window's tail
     * (`= last flagged pos + windowTokens - 1`).
     */
+  /** Hot-key broadcast ceiling for [[repeatedSpans]]: 2M 16-byte keys ≈
+    * 32 MB of key payload — comfortably broadcastable; above it the
+    * semi-join stays distributed.
+    */
+  private val MaxBroadcastHotKeys = 2000000L
+
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     windowTokens: Int = 20,
                     minOccurrences: Long = 2L): DataFrame = {
@@ -1109,13 +1115,27 @@ object Dedup {
     // a silent total-data-loss mode, so fail fast instead.
     require(minOccurrences >= 2, "minOccurrences must be >= 2")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val pos = df.select(col(idCol),
-        posexplode(windowKeys(textCol, windowTokens)).as(Seq("pos", "wk")))
-      .transform(tracked) // read by the hot aggregate AND the semi-join
-    val hot = pos.groupBy("wk").agg(count(lit(1)).as("occ"))
+    // The (doc, pos, key) projection feeds the hot aggregate AND the
+    // semi-join but is deliberately NOT cached: at ~28 bytes per token it
+    // is 4-5x the text volume, and the kernel regenerates it for ~1.5 s
+    // per 10^6 docs (measured) — far below the cost of materializing a
+    // token-scale frame. Cache `df` upstream if ITS lineage is expensive.
+    def pos = df.select(col(idCol),
+      posexplode(windowKeys(textCol, windowTokens)).as(Seq("pos", "wk")))
+    // The hot-key set is tiny next to the window stream (16 bytes per
+    // distinct hot key), but the planner cannot see that — its estimate
+    // of an aggregate-over-explode subtree forces a sort-merge semi-join
+    // that re-sorts the FULL window stream (measured: SMJ doubled the
+    // whole detect pass at 1M docs / 62M windows, 40.7 vs 21.6 s).
+    // Observe the real size and broadcast when it fits; the distributed
+    // join remains for genuinely huge hot sets (same observe-then-pick
+    // pattern as duplicateClusters' size-adaptive clustering).
+    val hot = tracked(pos.groupBy("wk").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOccurrences)
-      .select("wk")
-    mergeFlagged(pos.join(hot, Seq("wk"), "left_semi"), idCol, windowTokens)
+      .select("wk"))
+    val probe =
+      if (hot.count() <= MaxBroadcastHotKeys) broadcast(hot) else hot
+    mergeFlagged(pos.join(probe, Seq("wk"), "left_semi"), idCol, windowTokens)
   }
 
   /** Per-position W-token window keys of a text column, as an array
