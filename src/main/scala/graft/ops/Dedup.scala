@@ -626,8 +626,10 @@ object Dedup {
     * [[shingleHashFrame]] output (columns `corpusIdCol, __h`), both
     * written at the previous snapshot with the SAME (shingleSize,
     * numHashes, bands). Corpus text is never read and corpus signatures
-    * are never recomputed — per ingest, the corpus-sized work is two
-    * hash-keyed joins against fixed-width artifacts.
+    * are never recomputed — per ingest, the only corpus-sized work is
+    * ONE hash-keyed join against the fixed-width bucket artifact
+    * (~20 bytes/row); the shingle artifact is semi-join-bounded to the
+    * candidate docs before the verify join ever sees it.
     *
     * Candidate generation joins batch buckets to corpus buckets on
     * (band, bucket) — never a self-join, never all-pairs — and
@@ -663,18 +665,24 @@ object Dedup {
     val bsh = shingleHashFrame(batch, batchIdCol, batchTextCol, shingleSize)
       .transform(tracked)
     val bSizes = bsh.groupBy(col(batchIdCol)).agg(count(lit(1)).as("__nb"))
-    // Corpus shingle counts are snapshot-static, but only the CANDIDATE
-    // docs' counts matter per ingest — the semi-join keeps the
-    // aggregation bounded by the candidate set instead of shuffling a
-    // corpus-wide count for every batch.
-    val cSizes = corpusShingles
+    // The corpus shingle artifact is CORPUS-sized; per ingest only the
+    // CANDIDATE docs' shingles matter, so bound it by the candidate set
+    // ONCE and feed the bounded frame to both the count aggregate and
+    // the intersection join. Without this the verify join shuffled the
+    // whole artifact every ingest — the 1M-doc stress spent ~3/4 of its
+    // probe time there (87.9 s → 22.4 s after; BASELINE.md r7) and at a
+    // 10^9-doc corpus it would be the difference between verify cost
+    // scaling with the candidate set vs with the corpus.
+    val candShingles = corpusShingles
       .join(cands.select(corpusIdCol).distinct(), Seq(corpusIdCol),
         "left_semi")
+      .transform(tracked)
+    val cSizes = candShingles
       .groupBy(col(corpusIdCol))
       .agg(count(lit(1)).as("__nc"))
     val inter = cands
       .join(bsh.withColumnRenamed("__h", "__hb"), batchIdCol)
-      .join(corpusShingles.withColumnRenamed("__h", "__hc"), corpusIdCol)
+      .join(candShingles.withColumnRenamed("__h", "__hc"), corpusIdCol)
       .filter(col("__hb") === col("__hc"))
       .groupBy(batchIdCol, corpusIdCol)
       .agg(count(lit(1)).as("__inter"))
