@@ -561,6 +561,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- sharded-Bloom artifact ingest: both persisted membership
+    //      artifacts (digest frame + per-shard sketch array) prebuilt,
+    //      batch routed per row through its own shard's sketch; result
+    //      is sketch-independent, so the oracle is plain ingest ----
+
+    "q68_sharded_bloom_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+      val digests = Dedup.corpusDigests(corpus, "text")
+      val sketches = Dedup.shardedDigestSketch(digests, shards = 8,
+        expectedItemsPerShard = 1 << 13)
+      Dedup.incrementalBloomSharded(batch, digests, "text", "doc_id",
+          sketches)
+        .select(col("doc_id"), col("lang"), col("batch_dup_count"))
+        .orderBy("doc_id")
+    }),
+
     // ---- composite-key exact dedup: one survivor (min doc_id) per
     //      (lang, source) stratum — deterministic because doc_id is
     //      unique, so the oracle's min-id rejoin replays it exactly ----
@@ -1972,6 +1992,30 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT doc_id + 1000000, lang, text FROM documents
           |  WHERE doc_id % 5 = 0),
+          |surv AS (
+          |  SELECT text, min(doc_id) AS keep_id,
+          |    CAST(count(*) AS BIGINT) AS batch_dup_count
+          |  FROM batch GROUP BY text),
+          |fresh AS (
+          |  SELECT * FROM surv
+          |  WHERE text NOT IN (SELECT DISTINCT text FROM corpus))
+          |SELECT b.doc_id, b.lang, f.batch_dup_count
+          |FROM batch b JOIN fresh f
+          |  ON b.doc_id = f.keep_id AND b.text = f.text
+          |ORDER BY b.doc_id""".stripMargin,
+
+      // Sharded-Bloom routing is result-identical to plain incremental
+      // ingest at ANY shard count (shard sketches only route; the
+      // anti-join adjudicates), so the oracle replays q63's shape on
+      // this query's own corpus/batch split.
+      "q68_sharded_bloom_ingest" ->
+        """WITH corpus AS (
+          |  SELECT text FROM documents WHERE doc_id % 4 <> 0),
+          |batch AS (
+          |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, lang, text FROM documents
+          |  WHERE doc_id % 7 = 0),
           |surv AS (
           |  SELECT text, min(doc_id) AS keep_id,
           |    CAST(count(*) AS BIGINT) AS batch_dup_count
