@@ -581,6 +581,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic sequence packing: route docs to 16 packing
+    //      streams by the multiplicative hash, greedy-fill 512-token
+    //      packs; the whole layout is integer arithmetic the oracle
+    //      replays (same mixedKey replay as q59) ----
+
+    "q69_pack_sequences" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val withCounts = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(call_function("graft_token_count", col("text")), lit(0L))
+          .as("n_tokens"))
+      Sampling.packSequences(withCounts, "doc_id", "n_tokens",
+          budgetTokens = 512, groups = 16, salt = 13L)
+        .orderBy("doc_id")
+    }),
+
     // ---- composite-key exact dedup: one survivor (min doc_id) per
     //      (lang, source) stratum — deterministic because doc_id is
     //      unique, so the oracle's min-id rejoin replays it exactly ----
@@ -2003,6 +2018,32 @@ object SparkEntry {
           |FROM batch b JOIN fresh f
           |  ON b.doc_id = f.keep_id AND b.text = f.text
           |ORDER BY b.doc_id""".stripMargin,
+
+      // The packing layout is pure integer arithmetic: the q59 mixedKey
+      // replay routes and orders the streams, a running token sum bins
+      // into 512-token packs, and DuckDB window functions replay every
+      // (pack_id, pack_pos, pack_offset) exactly.
+      "q69_pack_sequences" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    COALESCE(CAST(len(list_filter(regexp_split_to_array(text,
+          |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS n_tokens,
+          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
+          |  FROM documents),
+          |g AS (SELECT *, mix % 16 AS grp FROM tok),
+          |c AS (
+          |  SELECT *, sum(n_tokens) OVER (PARTITION BY grp
+          |      ORDER BY mix, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    - n_tokens AS strt
+          |  FROM g),
+          |p AS (SELECT *, CAST(strt // 512 AS BIGINT) AS pack FROM c)
+          |SELECT doc_id, n_tokens,
+          |  CAST(grp * 1099511627776 + pack AS BIGINT) AS pack_id,
+          |  CAST(row_number() OVER (PARTITION BY grp, pack
+          |    ORDER BY mix, doc_id) - 1 AS BIGINT) AS pack_pos,
+          |  CAST(strt - pack * 512 AS BIGINT) AS pack_offset
+          |FROM p ORDER BY doc_id""".stripMargin,
 
       // Sharded-Bloom routing is result-identical to plain incremental
       // ingest at ANY shard count (shard sketches only route; the

@@ -270,12 +270,16 @@ object Dedup {
     * both the broadcast regime (3.7 vs 4.3 s) and the forced-shuffle
     * regime (2.9 vs 5.0 s) — the digest side shuffles fully either way,
     * so the sketch saves only batch-side volume while paying a survivor
-    * cache and a two-branch union. Reach for it only when the batch
-    * payload is very wide AND the digest artifact is co-partitioned with
-    * the batch shuffle (digest side then never moves), or when you want
-    * the sketch itself: ~1.3 MB per 10^6 docs, probeable with
-    * `graft_might_contain` from any SQL context — a membership summary
-    * cheap enough to hand to services that can't touch the corpus.
+    * cache and a two-branch union. The verdict FLIPS as the corpus
+    * outgrows the batch: at 10^7 digests / 2M batch the sharded route
+    * measured 3.5 s vs the plain anti-join's 5.2 (BASELINE.md r7) —
+    * the batch-side shrink then outweighs the union overhead. Also
+    * reach for it when the batch payload is very wide AND the digest
+    * artifact is co-partitioned with the batch shuffle (digest side
+    * then never moves), or when you want the sketch itself: ~1.3 MB
+    * per 10^6 docs, probeable with `graft_might_contain` from any SQL
+    * context — a membership summary cheap enough to hand to services
+    * that can't touch the corpus.
     * Results are identical to [[incremental]] at any false-positive
     * rate; only the plan differs.
     */

@@ -156,6 +156,62 @@ object Sampling {
     * semantics), so loaders must list the output rather than assume all
     * `numShards` paths exist.
     */
+  /** Deterministic token-budget sequence packing: assign every document
+    * to a fixed-budget training sequence (a "pack"), with its ordinal
+    * and token offset inside the pack — the export-side step that turns
+    * a cleaned corpus into dense fixed-length training batches without
+    * a driver-side loop.
+    *
+    * Packing is the K-stream parallel form of greedy contiguous
+    * filling: documents route to `groups` independent packing streams
+    * by the multiplicative key hash and order within their stream by
+    * the same hash plus an id tie-break (the layout is as shuffled as
+    * [[shardAssignment]]'s and exactly as reproducible); inside a
+    * stream, pack = floor(exclusive-running-token-sum / budget). A
+    * document crossing a budget boundary OVERFLOWS its pack — packs
+    * can exceed `budgetTokens` by less than one document — which is
+    * the standard pack-then-truncate contract: chunk over-long
+    * documents first ([[TextAnalysis.chunk]]) if overflow must be
+    * bounded. Each stream's final pack may be underfull; the waste is
+    * bounded by `groups × budgetTokens` tokens corpus-wide, negligible
+    * when corpus tokens >> groups × budget.
+    *
+    * Scale shape: ONE hash exchange to `groups` streams + per-stream
+    * sorted windows (the second window re-sorts within the partition
+    * but never re-shuffles — pack is monotone in the stream order, the
+    * planner just can't see it). No global sort, no driver state; a
+    * stream's running sum is one long. Pure integer arithmetic end to
+    * end, so external SQL replays the full layout exactly (the q69
+    * oracle does).
+    *
+    * Returns (`idCol`, n_tokens, pack_id, pack_pos, pack_offset):
+    * pack_id = stream × 2^40 + pack (globally unique), pack_pos =
+    * 0-based document ordinal within the pack, pack_offset = token
+    * offset where the document starts. NULL token counts pack as 0
+    * tokens (they consume no budget but keep their slot).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
+                    budgetTokens: Long, groups: Int = 1024,
+                    salt: Long = 0L): DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    require(groups >= 1 && groups <= (1 << 20), "groups must be in [1, 2^20]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__ord"), col(idCol))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__pack"))
+      .orderBy(col("__ord"), col(idCol))
+    df.select(col(idCol),
+        coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("n_tokens"),
+        mixedKey(col(idCol), salt).as("__ord"))
+      .withColumn("__g", pmod(col("__ord"), lit(groups.toLong)))
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("__pack", floor(col("__start") / budgetTokens))
+      .select(col(idCol), col("n_tokens"),
+        (col("__g") * (1L << 40) + col("__pack")).as("pack_id"),
+        (row_number().over(wp) - 1).cast("long").as("pack_pos"),
+        (col("__start") - col("__pack") * budgetTokens).as("pack_offset"))
+  }
+
   def writeShuffledShards(df: DataFrame, keyCol: String, numShards: Int,
                           path: String, salt: Long = 0L): Unit = {
     Seq("shard", "__ord").foreach(c => require(!df.columns.contains(c),

@@ -706,6 +706,22 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("repeatedSpans broadcasts the semi-join when the hot set is small") {
+    // the planner's estimate of the aggregate-over-explode hot-key
+    // subtree would pick a sort-merge semi that re-sorts the whole
+    // window stream (measured 2x the detect pass at 1M docs) — the
+    // operator observes the true hot-key count and broadcasts under the
+    // ceiling; pin that plan shape so it can't silently regress
+    val boiler = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val df = Seq((1L, s"a b $boiler"), (2L, s"$boiler c d"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.repeatedSpans(df, "doc_id", "text", 8, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi-join in:\n$plan")
+    Dedup.releaseIntermediates()
+  }
+
   test("stripSpansAgainstKeys applies corpus hot keys to a new batch") {
     val boiler = "all rights reserved copyright notice applies here fully"
     val corpus = Seq(
@@ -890,6 +906,45 @@ class OpsSpec extends SparkSpec {
         trainFrac = 0.6, validationFrac = 0.2, salt = 3L)
       .as[(Long, Long, String)].collect().toSet
     assert(again == out.toSet)
+  }
+
+  test("packSequences: dense packs, exact offsets, partitioning-invariant") {
+    val df = (0 until 300).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packSequences(df, "doc_id", "n_tokens",
+        budgetTokens = 16, groups = 4, salt = 5L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 300) // every doc packed exactly once
+    val byPack = out.groupBy(_._3)
+    byPack.foreach { case (pid, docs) =>
+      val sorted = docs.sortBy(_._4)
+      // positions are 0..n-1 and offsets are the exclusive running sum
+      assert(sorted.map(_._4).toSeq == (0L until docs.length).toSeq, s"pack $pid")
+      var off = sorted.head._5
+      sorted.foreach { d => assert(d._5 == off, s"pack $pid doc ${d._1}"); off += d._2 }
+      // a pack starts within budget; only its LAST doc may overflow it
+      assert(sorted.head._5 < 16L, s"pack $pid starts past budget")
+      sorted.init.foreach(d => assert(d._5 < 16L, s"pack $pid non-tail doc past budget"))
+    }
+    // every non-final pack of each stream is filled to >= budget
+    // (greedy contiguous filling leaves no internal gaps)
+    byPack.toSeq.groupBy(_._1 >> 40).foreach { case (_, packs) =>
+      val maxPack = packs.map(_._1).max
+      packs.filter(_._1 != maxPack).foreach { case (pid, docs) =>
+        assert(docs.map(_._2).sum + docs.map(_._5).min >= 16L, s"pack $pid underfull")
+      }
+    }
+    // layout is a pure function of (key, salt): partitioning-invariant
+    val again = Sampling.packSequences(df.repartition(13), "doc_id",
+        "n_tokens", budgetTokens = 16, groups = 4, salt = 5L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.toSet == out.toSet)
+    // null token counts pack as zero-width but keep their slot
+    val withNull = Seq((1L, Some(3L)), (2L, Option.empty[Long]), (3L, Some(2L)))
+      .toDF("doc_id", "n_tokens")
+    val nOut = Sampling.packSequences(withNull, "doc_id", "n_tokens", 100L,
+        groups = 1).as[(Long, Long, Long, Long, Long)].collect()
+    assert(nOut.length == 3 && nOut.find(_._1 == 2L).get._2 == 0L)
   }
 
   test("budgetedMix hits budgets deterministically and drops unbudgeted strata") {
