@@ -97,6 +97,24 @@ object StreamingOps {
     Dedup.bloomRoute(keyed, corpusDigests, sketch).drop("__fp")
   }
 
+  /** Sharded-sketch form of [[dedupStreamAgainstCorpusBloom]] — the
+    * streaming twin of [[graft.ops.Dedup.incrementalBloomSharded]], for
+    * corpora past the single-sketch conf ceiling (4e6 expected items by
+    * default). The caller supplies the per-shard sketch array — built
+    * here once via [[graft.ops.Dedup.shardedDigestSketch]] or loaded
+    * from the snapshot's persisted artifacts — and every micro-batch
+    * routes each row through its own shard's filter
+    * (`graft_sharded_might_contain`). Results are sketch- and
+    * shard-count-independent, exactly as the batch form.
+    */
+  def dedupStreamAgainstCorpusSharded(stream: DataFrame, textCol: String,
+                                      corpusDigests: DataFrame,
+                                      sketches: Array[Array[Byte]]): DataFrame = {
+    val keyed = stream.withColumn("__fp",
+      TextAnalysis.fingerprint(col(textCol)))
+    Dedup.bloomRouteSharded(keyed, corpusDigests, sketches).drop("__fp")
+  }
+
   /** Gap-based sessionization with the BUILT-IN `session_window`
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the

@@ -87,6 +87,15 @@ class StreamingOpsSpec extends SparkSpec {
     assert(bloomed == plain)
     assert(saturated == plain)
     assert(plain == Seq((11L, "gamma"), (13L, "gamma")))
+    // sharded sketches (incl. saturated 1-item-per-shard): same parity
+    val sharded = run("corpus_dedup_sharded",
+      StreamingOps.dedupStreamAgainstCorpusSharded(_, "text", digests,
+        graft.ops.Dedup.shardedDigestSketch(digests, 4, 1024)))
+    val shardedSat = run("corpus_dedup_sharded_sat",
+      StreamingOps.dedupStreamAgainstCorpusSharded(_, "text", digests,
+        graft.ops.Dedup.shardedDigestSketch(digests, 4, 1)))
+    assert(sharded == plain)
+    assert(shardedSat == plain)
   }
 
   test("session_window stream closes gap-separated sessions") {
