@@ -596,6 +596,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- SemDeDup-style semantic dedup: nearest-centroid partition +
+    //      within-cluster exact cosine. Scaled clones (×2, exact in
+    //      float) of vecs 0-3 inject cosine-1.0 semantic pairs; scale
+    //      invariance puts each clone in its original's cluster ----
+
+    "q70_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val clones = emb.filter(col("vec_id") < 4)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      Dedup.semanticDuplicates(emb.unionAll(clones), "vec_id", "embedding",
+          centroids, "vec_id", "embedding", threshold = 0.95,
+          maxClusterSize = 1000)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- composite-key exact dedup: one survivor (min doc_id) per
     //      (lang, source) stratum — deterministic because doc_id is
     //      unique, so the oracle's min-id rejoin replays it exactly ----
@@ -1894,6 +1911,40 @@ object SparkEntry {
            |  FROM embeddings e CROSS JOIN cent c)
            |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id
            |FROM a WHERE rn2 = 1 ORDER BY vec_id""".stripMargin,
+
+      // SemDeDup replay: scaled clones (×2 is exact in IEEE float, and
+      // sqrt(4x) = 2·sqrt(x) exactly), cosine-ranked nearest-centroid
+      // assignment with the lowest-id tie-break, cluster cap, then
+      // within-cluster exact cosine — all in double from the same float
+      // inputs, so values hash-match.
+      "q70_semantic_dedup" ->
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+           |all_v AS (
+           |  SELECT vec_id, embedding FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> (x * 2.0)::FLOAT)
+           |  FROM base WHERE vec_id < 4),
+           |cent AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cv
+           |  FROM base WHERE vec_id % 43 = 0),
+           |assigned AS (
+           |  SELECT v.vec_id, v.embedding, c.centroid_id,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${cosSql("v.embedding", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |  FROM all_v v CROSS JOIN cent c),
+           |a1 AS (SELECT vec_id, embedding, centroid_id
+           |  FROM assigned WHERE rn = 1),
+           |ok AS (SELECT centroid_id FROM a1
+           |  GROUP BY centroid_id HAVING count(*) <= 1000),
+           |k AS (SELECT a1.* FROM a1 JOIN ok USING (centroid_id))
+           |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |  ${cosSql("x.embedding", "y.embedding")} AS cosine
+           |FROM k x JOIN k y
+           |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+           |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.95
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "q34_embedding_dups" ->
         s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

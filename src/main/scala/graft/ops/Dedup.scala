@@ -847,6 +847,67 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Semantic near-duplicate pairs (SemDeDup-style, after Abbas et al.
+    * 2023 "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): assign every embedding to its nearest
+    * centroid — cosine, ties → lowest centroid id, via the zero-shuffle
+    * [[Similarity.ivfAssign]] kernel — then compare pairs only WITHIN a
+    * centroid cluster by exact cosine. Where [[embeddingDuplicates]]
+    * finds pairs the random-hyperplane LSH can catch (high cosine),
+    * the centroid partition targets SEMANTIC redundancy at lower
+    * thresholds, where hyperplane banding's per-plane agreement decays
+    * and its candidate sets explode.
+    *
+    * Scale shape: assignment is a per-row projection (centroids are a
+    * plan literal — the k ≪ n regime this engine's IVF already
+    * assumes); candidate generation is a self-join within clusters —
+    * never all-pairs — and `maxClusterSize` (0 = unlimited) drops
+    * over-cap clusters, the same skew guard as the LSH bucket cap (a
+    * cluster over the cap means the centroid set is too coarse: refit
+    * with larger k rather than raising the cap).
+    *
+    * Returns (id_a, id_b, cosine), id_a < id_b, cosine ≥ `threshold`.
+    */
+  def semanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, centIdCol: String,
+                         centVecCol: String, threshold: Double = 0.9,
+                         maxClusterSize: Long = 100000L): DataFrame = {
+    val assigned = tracked(Similarity.ivfAssign(df, idCol, vecCol,
+      centroids, centIdCol, centVecCol))
+    val capped =
+      if (maxClusterSize <= 0L) assigned
+      else {
+        val ok = assigned.groupBy("centroid_id")
+          .agg(count(lit(1)).as("__csz"))
+          .filter(col("__csz") <= maxClusterSize)
+          .select("centroid_id")
+        assigned.join(ok, Seq("centroid_id"))
+      }
+    val a = capped.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = capped.select(col("centroid_id").as("__cb"),
+      col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, a("centroid_id") === b("__cb") && col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.fastCosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Keep-one-per-semantic-pair survivor view of [[semanticDuplicates]]
+    * (min id survives, the same rule as every pipeline here). For
+    * chain-consistent keep decisions across transitive pairs, feed the
+    * pairs to [[duplicateClusters]] + [[leakageSafeSplit]] instead.
+    */
+  def semanticDedupPipeline(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, centIdCol: String,
+                            centVecCol: String, threshold: Double = 0.9,
+                            maxClusterSize: Long = 100000L): DataFrame = {
+    val pairs = semanticDuplicates(df, idCol, vecCol, centroids, centIdCol,
+      centVecCol, threshold, maxClusterSize)
+    val losers = pairs.select(col("id_b").as("__loser")).distinct()
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   // ---- duplicate clustering ----------------------------------------------
 
   /** Connected components over a near-duplicate pair frame: every node

@@ -908,6 +908,34 @@ class OpsSpec extends SparkSpec {
     assert(again == out.toSet)
   }
 
+  test("semanticDuplicates: within-cluster pairs only, cap drops coarse clusters") {
+    // two tight direction families (x-ish, y-ish) + centroids on the axes;
+    // scaled vectors are semantic duplicates (cosine is scale-invariant)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.01f)), (1L, Seq(2.0f, 0.02f)),   // x family
+      (2L, Seq(0.02f, 2.0f)), (3L, Seq(0.01f, 1.0f)),   // y family
+      (4L, Seq(-1.0f, 0.0f)),                            // lone negative-x
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((100L, Seq(1.0f, 0.0f)), (200L, Seq(0.0f, 1.0f)),
+      (300L, Seq(-1.0f, 0.0f))).toDF("cid", "cv")
+    val pairs = Dedup.semanticDuplicates(vecs, "vec_id", "embedding",
+        cents, "cid", "cv", threshold = 0.9, maxClusterSize = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // cross-family pairs (cosine ~0) and the lone vector never appear
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+    // a cap below the family size drops those clusters' pairs entirely
+    val capped = Dedup.semanticDuplicates(vecs, "vec_id", "embedding",
+        cents, "cid", "cv", threshold = 0.9, maxClusterSize = 1L)
+      .count()
+    assert(capped == 0L)
+    // survivor pipeline: min id of each pair family remains
+    val kept = Dedup.semanticDedupPipeline(vecs, "vec_id", "embedding",
+        cents, "cid", "cv", threshold = 0.9, maxClusterSize = 0L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 4L))
+    Dedup.releaseIntermediates()
+  }
+
   test("packSequences: dense packs, exact offsets, partitioning-invariant") {
     val df = (0 until 300).map(i => (i.toLong, (i % 7 + 1).toLong))
       .toDF("doc_id", "n_tokens")
