@@ -613,6 +613,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- BM25 keyword retrieval: fixed-point micro-unit scores make
+    //      the float sum order-independent, so the oracle hash-matches
+    //      the full (rank, score) output ----
+
+    "q71_bm25_topk" -> ((s, dir) => {
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          queries, "qid", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- composite-key exact dedup: one survivor (min doc_id) per
     //      (lang, source) stratum — deterministic because doc_id is
     //      unique, so the oracle's min-id rejoin replays it exactly ----
@@ -2095,6 +2109,61 @@ object SparkEntry {
           |    ORDER BY mix, doc_id) - 1 AS BIGINT) AS pack_pos,
           |  CAST(strt - pack * 512 AS BIGINT) AS pack_offset
           |FROM p ORDER BY doc_id""".stripMargin,
+
+      // BM25 replayed term-exactly: same tokenization, the same formula
+      // tree shape (so IEEE doubles agree), contributions floored to
+      // micro-units and summed as integers (order-independent), one
+      // final division. ln() may differ from Math.log by an ulp; the
+      // 1e-6 quantum absorbs it.
+      "q71_bm25_topk" ->
+        """WITH q(query_id, qtext) AS (VALUES
+          |    (1, 'spark join hash'),
+          |    (2, 'customer order query'),
+          |    (3, 'vector stream window group')),
+          |d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+          |dl AS (SELECT doc_id,
+          |    COALESCE(CAST(len(list_filter(regexp_split_to_array(lt,
+          |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS dl
+          |  FROM d),
+          |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          |    CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+          |toks AS (SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(lt, '\s+'),
+          |      x -> len(x) > 0)) AS t
+          |  FROM d),
+          |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+          |  FROM toks GROUP BY doc_id, t),
+          |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+          |  FROM tf GROUP BY t),
+          |qt AS (SELECT query_id,
+          |    unnest(list_distinct(list_filter(regexp_split_to_array(
+          |      lower(qtext), '\s+'), x -> len(x) > 0))) AS t
+          |  FROM q),
+          |contrib AS (
+          |  SELECT qt.query_id, tf.doc_id,
+          |    CAST(floor(
+          |      ln(1.0 + (CAST(s.n AS DOUBLE) - tf2.df + 0.5)
+          |        / (tf2.df + 0.5))
+          |      * (tf.tf * 2.2)
+          |      / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
+          |        / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE))))
+          |      * 1000000.0) AS BIGINT) AS cm
+          |  FROM tf
+          |  JOIN qt ON qt.t = tf.t
+          |  JOIN dft tf2 ON tf2.t = tf.t
+          |  JOIN dl ON dl.doc_id = tf.doc_id
+          |  CROSS JOIN stats s),
+          |scores AS (SELECT query_id, doc_id,
+          |    CAST(sum(cm) AS BIGINT) AS sm
+          |  FROM contrib GROUP BY query_id, doc_id),
+          |ranked AS (SELECT query_id, doc_id, sm,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY sm DESC, doc_id ASC) AS BIGINT) AS rank
+          |  FROM scores)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+          |  CAST(sm AS DOUBLE) / 1000000.0 AS score
+          |FROM ranked WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin,
 
       // Sharded-Bloom routing is result-identical to plain incremental
       // ingest at ANY shard count (shard sketches only route; the

@@ -210,6 +210,82 @@ object TextAnalysis {
           count(lit(1)).cast("double")).as("familiarity"))
   }
 
+  /** BM25 top-k keyword retrieval over a document corpus — the lexical
+    * complement to the embedding ANN paths (and the retrieval step of a
+    * retrieval-based decontamination or data-exploration pass).
+    * Okapi BM25 with the Lucene-style non-negative idf
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`; `N` and `avgdl` count every
+    * corpus document (zero-token docs can never match but do shape the
+    * statistics, the conventional choice).
+    *
+    * Determinism: per-term contributions are QUANTIZED to fixed-point
+    * micro-units (`floor(contribution × 1e6)` as a long) and summed as
+    * integers, so the per-document score is independent of aggregation
+    * order — float sums are not — and external SQL replays the result
+    * hash-exactly (the q71 oracle does). The 1e-6 quantum is far below
+    * anything that should influence a ranking decision; ranking ties
+    * break by ascending doc id on the integer score.
+    *
+    * Scale shape: the corpus-sized work is one tokenize+explode pass
+    * into per-(doc, term) counts and one fixed-width join against the
+    * per-doc token-length projection; query terms and their df rows
+    * broadcast (a query workload is small by assumption, and the df
+    * frame is semi-join-bounded to the query vocabulary first).
+    * `maxTermDocFreq` (0 = unlimited) drops terms whose posting lists
+    * exceed the cap — the stop-term fan-out guard, same contract as
+    * [[graft.ops.Dedup.ngramJaccard]]'s doc-frequency cutoff (dropped
+    * terms contribute nothing; idf already makes them near-worthless).
+    *
+    * Returns (query_id, rank, doc_id, score), rank 1..k per query.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               maxTermDocFreq: Long = 0L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val dl = docs.select(col(idCol).as("__doc"),
+      coalesce(call_function("graft_token_count", lower(col(textCol))),
+        lit(0L)).as("__dl"))
+    // global stats: one 2-value aggregate row (k-sized collect)
+    val g = dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("t")).head()
+    val nDocs = g.getLong(0)
+    val totTok = g.getLong(1)
+    require(nDocs > 0, "empty corpus")
+    val avgdl = totTok.toDouble / nDocs // one division, deterministic
+    val tf = docs.select(col(idCol).as("__doc"),
+        explode(call_function("graft_tokens", lower(col(textCol))))
+          .as("__t"))
+      .groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
+    val dfT0 = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val dfT =
+      if (maxTermDocFreq <= 0L) dfT0
+      else dfT0.filter(col("__df") <= maxTermDocFreq)
+    val qt = queries.select(col(qIdCol).as("query_id"),
+      explode(array_distinct(
+        call_function("graft_tokens", lower(col(qTextCol))))).as("__t"))
+    val qdf = dfT.join(qt.select("__t").distinct(), Seq("__t"), "left_semi")
+    val contrib = tf
+      .join(broadcast(qt), Seq("__t"))
+      .join(broadcast(qdf), Seq("__t"))
+      .join(dl, Seq("__doc"))
+      .withColumn("__idf", log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__c", col("__idf") * (col("__tf") * lit(k1 + 1.0)) /
+        (col("__tf") + lit(k1) *
+          (lit(1.0 - b) + (lit(b) * col("__dl")) / lit(avgdl))))
+      .withColumn("__cm", floor(col("__c") * lit(1e6)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("__sm").desc, col("__doc").asc)
+    contrib.groupBy(col("query_id"), col("__doc"))
+      .agg(sum(col("__cm")).as("__sm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("__doc").as("doc_id"),
+        (col("__sm").cast("double") / lit(1e6)).as("score"))
+  }
+
   // ---- chunking -----------------------------------------------------------
 
   /** Split each document into overlapping token-budget chunks — the

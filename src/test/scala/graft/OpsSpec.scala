@@ -908,6 +908,35 @@ class OpsSpec extends SparkSpec {
     assert(again == out.toSet)
   }
 
+  test("bm25TopK ranks term-dense docs first; cap drops stop-term postings") {
+    val corpus = Seq(
+      (1L, "spark spark spark engine"),      // high tf for "spark"
+      (2L, "spark engine overview text"),    // one "spark"
+      (3L, "the the the filler filler"),     // stop-termy, no query terms
+      (4L, "spark"),                          // short doc, high tf share
+      (5L, ""),                               // empty
+    ).toDF("doc_id", "text")
+    val qs = Seq((7L, "spark")).toDF("qid", "qtext")
+    val out = TextAnalysis.bm25TopK(corpus, "doc_id", "text", qs, "qid",
+        "qtext", k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    // only docs containing the term appear; scores strictly ordered
+    assert(out.map(_._3).toSet == Set(1L, 2L, 4L))
+    assert(out.map(_._4).toSeq == out.map(_._4).sorted.reverse.toSeq)
+    // the short all-match doc beats the single-mention long doc
+    val rankOf = out.map(r => r._3 -> r._2).toMap
+    assert(rankOf(4L) < rankOf(2L))
+    // results are partitioning-invariant (pure function of the corpus)
+    val again = TextAnalysis.bm25TopK(corpus.repartition(5), "doc_id",
+        "text", qs, "qid", "qtext", k = 10)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(again.toSeq == out.toSeq)
+    // a doc-frequency cap below "spark"'s df (3) silences the term
+    assert(TextAnalysis.bm25TopK(corpus, "doc_id", "text", qs, "qid",
+      "qtext", k = 10, maxTermDocFreq = 2L).count() == 0L)
+  }
+
   test("semanticDuplicates: within-cluster pairs only, cap drops coarse clusters") {
     // two tight direction families (x-ish, y-ish) + centroids on the axes;
     // scaled vectors are semantic duplicates (cosine is scale-invariant)
