@@ -365,6 +365,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: packSequences equals a sequential greedy-fill reference") {
+    // random ids (collision-free draw) and token counts; the reference
+    // replays routing (mixedKey mod G), stream order (mix, id), running
+    // sums, and pack arithmetic sequentially in plain Scala
+    val salt = 5L
+    def mix(k: Long): Long =
+      ((BigInt(k) + salt) * BigInt(2654435761L)).mod(BigInt(1L) << 32).toLong
+    val rows: Gen[List[(Long, Long)]] = Gen.listOfN(40, for {
+      id <- Gen.chooseNum(0L, 5000L)
+      n <- Gen.chooseNum(0L, 9L)
+    } yield (id, n)).map(_.distinctBy(_._1))
+    val cfg = for {
+      rs <- rows
+      budget <- Gen.oneOf(1L, 7L, 16L)
+      groups <- Gen.oneOf(1, 3, 8)
+    } yield (rs, budget, groups)
+    forAll(cfg, n = 12) { case (rs, budget, groups) =>
+      val got = graft.ops.Sampling.packSequences(
+          rs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+          budget, groups, salt)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val expected = rs
+        .groupBy { case (id, _) => Math.floorMod(mix(id), groups.toLong) }
+        .flatMap { case (g, docs) =>
+          var start = 0L
+          val inOrder = docs.sortBy { case (id, _) => (mix(id), id) }
+          val packed = inOrder.map { case (id, n) =>
+            val pack = start / budget
+            val r = (id, (n, g * (1L << 40) + pack, start - pack * budget))
+            start += n
+            r
+          }
+          // pack_pos = ordinal within (group, pack)
+          packed.groupBy(_._2._2).flatMap { case (_, ds) =>
+            ds.zipWithIndex.map { case ((id, (n, pid, off)), i) =>
+              id -> ((n, pid, i.toLong, off))
+            }
+          }
+        }
+      assert(got == expected, s"budget=$budget groups=$groups rs=$rs")
+    }
+  }
+
   test("property: mixedKey limb arithmetic is congruent to the BigInt product") {
     // the limb formulation exists to dodge Long overflow; its whole
     // contract is congruence mod 2^32 with the plain product, for keys
