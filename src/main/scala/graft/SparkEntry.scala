@@ -1048,6 +1048,27 @@ object SparkEntry {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // ---- bucketed near-dup artifacts: same ingest semantics as q54,
+    //      corpus artifacts persisted as BUCKETED catalog tables so the
+    //      probe's candidate join never re-shuffles the corpus side;
+    //      bucketing is physical only → the oracle replays plain
+    //      cross-set Jaccard ----
+
+    "q72_bucketed_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .withColumnRenamed("doc_id", "corpus_id")
+      val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 3000000L).as("batch_id"),
+          concat(col("text"), lit(" zzappendtoken")).as("text"))
+      Dedup.nearDupArtifactsSaveBucketed(corpus, "corpus_id", "text",
+        "graft_q72_buckets", "graft_q72_shingles", numBuckets = 8)
+      Dedup.incrementalNearDup(batch, "batch_id", "text",
+          s.table("graft_q72_buckets"), s.table("graft_q72_shingles"),
+          "corpus_id", threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // ---- image directory scan + extraction stage (SURVEY §2.1 S2/S4, §2.4
     //      I1-I5) on deterministic generated PNGs; Spark-side only (images
     //      are not DuckDB-readable) → rows-only check ----
@@ -1874,6 +1895,44 @@ object SparkEntry {
           |  SELECT doc_id + 1000000 AS batch_id,
           |    text || ' zzappendtoken' AS text
           |  FROM documents WHERE doc_id % 5 = 0),
+          |ctoks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0) AS t FROM corpus),
+          |btoks AS (
+          |  SELECT batch_id, list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0) AS t FROM batch),
+          |csh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM ctoks WHERE len(t) >= 3),
+          |bsh AS (
+          |  SELECT DISTINCT batch_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM btoks WHERE len(t) >= 3),
+          |csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+          |bsizes AS (SELECT batch_id, count(*) AS n FROM bsh GROUP BY 1),
+          |inter AS (
+          |  SELECT b.batch_id, c.doc_id AS corpus_id, count(*) AS i
+          |  FROM bsh b JOIN csh c ON b.s = c.s GROUP BY 1, 2)
+          |SELECT inter.batch_id, corpus_id,
+          |  i / (bs.n + cs.n - i) AS jaccard
+          |FROM inter
+          |JOIN bsizes bs ON bs.batch_id = inter.batch_id
+          |JOIN csizes cs ON cs.doc_id = corpus_id
+          |WHERE i / (bs.n + cs.n - i) >= 0.8
+          |ORDER BY inter.batch_id, corpus_id""".stripMargin,
+
+      // Bucketing is physical layout only: the oracle is q54's exact
+      // cross-set Jaccard replay on this query's own corpus/batch split.
+      "q72_bucketed_neardup" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+          |batch AS (
+          |  SELECT doc_id + 3000000 AS batch_id,
+          |    text || ' zzappendtoken' AS text
+          |  FROM documents WHERE doc_id % 7 = 0),
           |ctoks AS (
           |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
           |    x -> len(x) > 0) AS t FROM corpus),

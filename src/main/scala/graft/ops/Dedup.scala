@@ -618,6 +618,62 @@ object Dedup {
       idCol, numHashes, bands)
   }
 
+  /** Write the near-dup membership artifacts as BUCKETED catalog tables
+    * — the zero-corpus-shuffle ingest path. A parquet-directory artifact
+    * (the [[minhashBandBuckets]] docs' default) re-shuffles its full
+    * corpus-sized bucket frame on (band, bucket) for EVERY ingest's
+    * candidate join — the one remaining corpus-sized exchange in
+    * [[incrementalNearDup]] (11 s of the 22 s probe at the 1M-doc
+    * stress). Writing the artifact `bucketBy(numBuckets, band, bucket)`
+    * (and the shingle artifact `bucketBy(numBuckets, idCol)`) records
+    * the physical layout in the catalog, so the probe's joins satisfy
+    * their distribution requirement from the scan itself: only the
+    * (small) batch side exchanges — spec-asserted — and the saving is
+    * per ingest, forever, for one bucketed write per snapshot.
+    * Read back with `spark.table(...)` and pass to
+    * [[incrementalNearDup]] unchanged; results are identical (bucketing
+    * is physical layout only — q72 proves it against the q54 oracle
+    * shape).
+    */
+  def nearDupArtifactsSaveBucketed(corpus: DataFrame, idCol: String,
+                                   textCol: String, bucketsTable: String,
+                                   shinglesTable: String,
+                                   numBuckets: Int = 64,
+                                   shingleSize: Int = 3,
+                                   numHashes: Int = 128,
+                                   bands: Int = 32): Unit = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    val spark = corpus.sparkSession
+    // a fresh session (new in-memory catalog) over an old warehouse dir
+    // hits LOCATION_ALREADY_EXISTS even in overwrite mode: the metadata
+    // is gone but the managed location survived. Drop both.
+    Seq(bucketsTable, shinglesTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    // repartition INTO the bucket layout before writing: repartition's
+    // hash is the same murmur3-pmod the bucket spec uses, so each task
+    // holds exactly one bucket — ONE file per bucket (not one per
+    // (task, bucket) pair), and with sortBy the scan reports its files
+    // sorted, letting the probe's sort-merge join skip both the
+    // exchange AND the sort on the corpus side.
+    minhashBandBuckets(corpus, idCol, textCol, shingleSize, numHashes, bands)
+      .repartition(numBuckets, col("band"), col("bucket"))
+      .write.format("parquet")
+      .bucketBy(numBuckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .mode("overwrite").saveAsTable(bucketsTable)
+    shingleHashFrame(corpus, idCol, textCol, shingleSize)
+      .repartition(numBuckets, col(idCol))
+      .write.format("parquet")
+      .bucketBy(numBuckets, idCol)
+      .sortBy(idCol)
+      .mode("overwrite").saveAsTable(shinglesTable)
+  }
+
   /** Cross-snapshot near-dup: which documents of a new `batch` are
     * near-duplicates (exact n-gram Jaccard ≥ `threshold`) of a document
     * already in the accepted corpus — the MinHash twin of

@@ -908,6 +908,58 @@ class OpsSpec extends SparkSpec {
     assert(again == out.toSet)
   }
 
+  test("bucketed near-dup artifacts: corpus side never re-shuffles, same results") {
+    def docText(i: Int) =
+      s"w${i % 7} w${i % 5} w${i % 3} w$i tail tokens here and more words"
+    val corpus = (0 until 60).map(i => (i.toLong, docText(i)))
+      .toDF("corpus_id", "text")
+    // a light edit of corpus doc 1 — the q54 re-crawl shape
+    val batch = Seq((1000L, docText(1) + " extra")).toDF("batch_id", "text")
+    Dedup.nearDupArtifactsSaveBucketed(corpus, "corpus_id", "text",
+      "graft_spec_buckets", "graft_spec_shingles", numBuckets = 4)
+    val cb = spark.table("graft_spec_buckets")
+    val bb = Dedup.minhashBandBuckets(batch, "batch_id", "text")
+    val flat = tmpDir("graft-flat-buckets")
+    Dedup.minhashBandBuckets(corpus, "corpus_id", "text")
+      .write.mode("overwrite").parquet(flat)
+    // plan-shape assertions need the shuffle join path — tiny spec frames
+    // would broadcast and prove nothing about the corpus side
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // candidate join against the BUCKETED artifact: only the batch
+      // side exchanges — the scan satisfies the (band, bucket)
+      // distribution from its recorded layout
+      val bucketedPlan = bb.join(cb.select("corpus_id", "band", "bucket"),
+          Seq("band", "bucket"))
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(bucketedPlan).size == 1,
+        s"expected only the batch-side exchange in:\n$bucketedPlan")
+      // the same join against a plain parquet artifact shuffles BOTH sides
+      val flatPlan = bb.join(
+          spark.read.parquet(flat).select("corpus_id", "band", "bucket"),
+          Seq("band", "bucket"))
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(flatPlan).size == 2)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    // results are identical through the full probe (bucketing is layout)
+    def probe(cbkt: org.apache.spark.sql.DataFrame,
+              csh: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDup(batch, "batch_id", "text", cbkt, csh,
+          "corpus_id", threshold = 0.1)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val shFlat = tmpDir("graft-flat-shingles")
+    Dedup.shingleHashFrame(corpus, "corpus_id", "text", 3)
+      .write.mode("overwrite").parquet(shFlat)
+    val viaTables = probe(cb, spark.table("graft_spec_shingles"))
+    val viaParquet = probe(spark.read.parquet(flat),
+      spark.read.parquet(shFlat))
+    assert(viaTables == viaParquet && viaTables.nonEmpty)
+    Seq("graft_spec_buckets", "graft_spec_shingles")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.releaseIntermediates()
+  }
+
   test("bm25TopK ranks term-dense docs first; cap drops stop-term postings") {
     val corpus = Seq(
       (1L, "spark spark spark engine"),      // high tf for "spark"
