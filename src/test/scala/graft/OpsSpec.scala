@@ -1054,6 +1054,12 @@ class OpsSpec extends SparkSpec {
     val nOut = Sampling.packSequences(withNull, "doc_id", "n_tokens", 100L,
         groups = 1).as[(Long, Long, Long, Long, Long)].collect()
     assert(nOut.length == 3 && nOut.find(_._1 == 2L).get._2 == 0L)
+    // plan pin: ONE exchange (the stream routing); the second window
+    // re-sorts within partitions but must not re-shuffle
+    val plan = Sampling.packSequences(df, "doc_id", "n_tokens", 16L, 4, 5L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange in:\n$plan")
   }
 
   test("budgetedMix hits budgets deterministically and drops unbudgeted strata") {
