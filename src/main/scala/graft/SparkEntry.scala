@@ -1069,6 +1069,23 @@ object SparkEntry {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // ---- ANN recall evaluation: the IVF approximation (q35's exact
+    //      configuration) measured per-query against brute-force ground
+    //      truth; recall = n_hits/k is an exact small-integer ratio, so
+    //      the oracle replays both searches and the metric hash-exactly ----
+
+    "q73_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 10)
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val approx = Similarity.ivfTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", centroids, "vec_id", "embedding",
+        k = 10, nprobe = 3)
+      Similarity.recallAtK(truth, approx, k = 10).orderBy("query_id")
+    }),
+
     // ---- image directory scan + extraction stage (SURVEY §2.1 S2/S4, §2.4
     //      I1-I5) on deterministic generated PNGs; Spark-side only (images
     //      are not DuckDB-readable) → rows-only check ----
@@ -1192,6 +1209,29 @@ object SparkEntry {
          |  WHERE a.neighbor_id <> p.query_id)
          |SELECT query_id, rank, neighbor_id FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+    // Brute-force exact top-10 for the same query set — q16's oracle,
+    // shared with the recall evaluation (q73).
+    val bruteSql =
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) = 0
+        |      OR list_dot_product(c.embedding::DOUBLE[],
+        |                          c.embedding::DOUBLE[]) = 0 THEN 0.0
+        |    ELSE list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[],
+        |                             c.embedding::DOUBLE[]))) END AS score
+        |  FROM q, embeddings c WHERE c.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
     Map(
       "q01_split_route" ->
@@ -1725,26 +1765,20 @@ object SparkEntry {
           |SELECT query_id, rank, neighbor_id, qscore FROM ranked
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-      "q16_ann_brute" ->
-        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-          |  FROM embeddings WHERE vec_id < 5),
-          |scored AS (
-          |  SELECT q.query_id, c.vec_id AS neighbor_id,
-          |    CASE WHEN list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) = 0
-          |      OR list_dot_product(c.embedding::DOUBLE[],
-          |                          c.embedding::DOUBLE[]) = 0 THEN 0.0
-          |    ELSE list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[]) /
-          |      (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])) *
-          |       sqrt(list_dot_product(c.embedding::DOUBLE[],
-          |                             c.embedding::DOUBLE[]))) END AS score
-          |  FROM q, embeddings c WHERE c.vec_id <> q.query_id),
-          |ranked AS (
-          |  SELECT query_id, neighbor_id,
-          |    CAST(row_number() OVER (PARTITION BY query_id
-          |      ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
-          |  FROM scored)
-          |SELECT query_id, rank, neighbor_id FROM ranked
-          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "q16_ann_brute" -> bruteSql,
+
+      // Recall@10 of the IVF path vs brute-force ground truth: both
+      // searches replayed from their (already hash-green) oracle forms,
+      // joined on the neighbor sets; recall is the exact ratio n_hits/10.
+      "q73_ann_recall" ->
+        s"""WITH brute AS ($bruteSql),
+           |ivf AS ($ivfSql)
+           |SELECT b.query_id,
+           |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           |  CAST(count(i.neighbor_id) AS DOUBLE) / 10.0 AS recall
+           |FROM brute b LEFT JOIN ivf i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
 
       "q35_ivf_ann" -> ivfSql,
 

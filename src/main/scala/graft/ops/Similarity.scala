@@ -564,4 +564,36 @@ object Similarity {
             .cast("double") * col("__qs") * col("__cs")),
       k, "qscore")
   }
+
+  // ---- recall evaluation --------------------------------------------------
+
+  /** Recall@k of an approximate neighbor frame against exact ground
+    * truth: per query, the fraction of the true top-k the approximate
+    * path recovered. Both inputs are `(query_id, neighbor_id)`-shaped
+    * frames as produced by the topK operators above.
+    *
+    * This is how an ANN configuration gets TUNED before a 100 TB run:
+    * measure recall on a query sample against [[bruteForceTopK]] ground
+    * truth, then dial nprobe / bands until the recall-cost point is
+    * right. Both inputs are |queries|×k rows — corpus-independent — so
+    * the left join is trivially broadcastable and the whole evaluation
+    * costs nothing beyond the two searches that produced its inputs.
+    *
+    * `recall = n_hits / k` is an exact small-integer ratio, so the
+    * double is bit-portable across engines (oracle-hashable).
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int,
+                queryIdCol: String = "query_id",
+                neighborIdCol: String = "neighbor_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val t = truth.select(col(queryIdCol).as("query_id"),
+      col(neighborIdCol).as("neighbor_id"))
+    val a = approx.select(col(queryIdCol).as("query_id"),
+        col(neighborIdCol).as("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    t.join(broadcast(a), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(k.toDouble))
+  }
 }

@@ -202,6 +202,37 @@ class OpsSpec extends SparkSpec {
     assert(brute.subsetOf(approx) || (brute intersect approx).size >= brute.size - 2)
   }
 
+  test("recallAtK: exhaustive probing scores 1.0; starved probing loses cluster B") {
+    val truth = Similarity.bruteForceTopK(
+      embeddings, "vec_id", "embedding", embeddings, "vec_id", "embedding",
+      k = 2)
+    // one centroid per cluster
+    val centroids = embeddings.filter($"vec_id".isin(0L, 10L))
+    def ivf(nprobe: Int) = Similarity.ivfTopK(
+      embeddings, "vec_id", "embedding", embeddings, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", k = 2, nprobe = nprobe)
+    // probing every cell IS brute force: recall 1.0 on all queries
+    val full = Similarity.recallAtK(truth, ivf(nprobe = 2), k = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(full.length == 6 && full.forall(r => r._2 == 2L && r._3 == 1.0))
+    // self-evaluation is the identity
+    val self = Similarity.recallAtK(truth, truth, k = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(self.forall(_._3 == 1.0))
+    // nprobe=1 keeps each query inside its own (correct) cell here, so
+    // recall stays total — tighten by querying a cross-cluster midpoint
+    val mid = Seq((99L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val midTruth = Similarity.bruteForceTopK(mid, "vec_id", "embedding",
+      embeddings, "vec_id", "embedding", k = 4)
+    val midApprox = Similarity.ivfTopK(mid, "vec_id", "embedding",
+      embeddings, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", k = 4, nprobe = 1)
+    val midR = Similarity.recallAtK(midTruth, midApprox, k = 4)
+      .as[(Long, Long, Double)].collect()
+    // a single probe can only see one cluster's 3 members of the true 4
+    assert(midR.length == 1 && midR.head._2 <= 3L && midR.head._3 <= 0.75)
+  }
+
   test("embedding near-dup via hyperplane buckets") {
     val dups = Dedup.embeddingDuplicates(embeddings, "vec_id", "embedding",
         threshold = 0.95, planes = 8)
