@@ -1086,6 +1086,24 @@ object SparkEntry {
       Similarity.recallAtK(truth, approx, k = 10).orderBy("query_id")
     }),
 
+    // ---- snapshot diff: the delta between two corpus snapshots by
+    //      content digest (added / removed / changed; unchanged docs not
+    //      emitted) — only (id, md5) rows ever reach the full-outer join ----
+
+    "q74_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 1)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" editedtoken")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(col("text"), lit(" newdoc")).as("text")))
+      Dedup.snapshotDiff(docs, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- image directory scan + extraction stage (SURVEY §2.1 S2/S4, §2.4
     //      I1-I5) on deterministic generated PNGs; Spark-side only (images
     //      are not DuckDB-readable) → rows-only check ----
@@ -1779,6 +1797,28 @@ object SparkEntry {
            |FROM brute b LEFT JOIN ivf i
            |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
            |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
+      // Digest-level diff replayed literally: both sides reduced to
+      // (doc_id, md5) before the full outer join, same null-driven CASE.
+      "q74_snapshot_diff" ->
+        """WITH o AS (SELECT doc_id, md5(text) AS d FROM documents),
+          |news AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 7 = 0 THEN text || ' editedtoken'
+          |         ELSE text END AS text
+          |  FROM documents WHERE doc_id % 5 <> 1
+          |  UNION ALL
+          |  SELECT doc_id + 4000000 AS doc_id, text || ' newdoc' AS text
+          |  FROM documents WHERE doc_id % 11 = 0),
+          |n AS (SELECT doc_id, md5(text) AS d FROM news),
+          |j AS (
+          |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+          |    CASE WHEN o.d IS NULL THEN 'added'
+          |         WHEN n.d IS NULL THEN 'removed'
+          |         WHEN o.d <> n.d THEN 'changed' END AS status
+          |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+          |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
 
       "q35_ivf_ann" -> ivfSql,
 

@@ -422,6 +422,37 @@ object Dedup {
     corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
       .distinct()
 
+  /** Delta between two corpus snapshots by content digest: which ids were
+    * `added`, `removed`, or `changed` in `newSnap` relative to `oldSnap`.
+    * Unchanged documents — the overwhelming majority of a real snapshot
+    * pair — are not emitted: the output is delta-sized, and it is what
+    * drives incremental downstream work (re-embed the changed docs,
+    * retire the removed ones) without re-processing either snapshot.
+    *
+    * Scale shape: each side is projected to (id, 16-byte md5) BEFORE the
+    * full-outer join, so the join's two exchanges move fixed-width
+    * ~50-byte rows — the document text never shuffles. The verdict
+    * compares digests, not text, so the join itself is cheap regardless
+    * of document size.
+    *
+    * PRECONDITION: `idCol` unique per row within each snapshot (as for
+    * [[stripCovered]]); a duplicated id would fan the full-outer join out.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__od"))
+    val n = newSnap.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__nd"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__od").isNull, lit("added"))
+          .when(col("__nd").isNull, lit("removed"))
+          .when(col("__od") =!= col("__nd"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
+
   // ---- shingles ---------------------------------------------------------
 
   /** Distinct word n-gram shingles of a text column, as an array column.

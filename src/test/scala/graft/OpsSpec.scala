@@ -68,6 +68,26 @@ class OpsSpec extends SparkSpec {
     assert(out.size == 5)
   }
 
+  test("snapshotDiff emits only the delta, classified by digest") {
+    val oldSnap = Seq(
+      (1L, "kept as is"), (2L, "will change"), (3L, "will be removed"),
+    ).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (1L, "kept as is"), (2L, "has changed"), (4L, "brand new"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // identical snapshots → empty delta
+    assert(Dedup.snapshotDiff(oldSnap, oldSnap, "doc_id", "text").count() == 0)
+    // digests (not raw text) feed the full-outer join: each side's output
+    // is (id, __od/__nd) — the text column never reaches the join
+    val plan = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("FullOuter") && plan.contains("__od") &&
+      !plan.linesIterator.exists(l => l.contains("Join") && l.contains("text")))
+  }
+
   test("exactByColumns dedups on a composite key, one exchange") {
     val in = Seq(
       (1L, "a.com", "Title"), (2L, "a.com", "Title"),  // same (url,title)
