@@ -427,6 +427,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: snapshotDiff equals the naive per-id set comparison") {
+    // ids drawn from a small range so snapshots overlap heavily; texts
+    // from a tiny alphabet so edits and coincidental equality both occur
+    val snapGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 15L),
+        Gen.oneOf("aa", "bb", "cc")))
+      .map(_.toMap) // last-wins dedup keeps ids unique (the precondition)
+    forAll(Gen.zip(snapGen, snapGen), n = 15) { case (oldM, newM) =>
+      val oldDf = oldM.toSeq.toDF("doc_id", "text")
+      val newDf = newM.toSeq.toDF("doc_id", "text")
+      val got = Dedup.snapshotDiff(oldDf, newDf, "doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      val expected =
+        (newM.keySet -- oldM.keySet).map(_ -> "added").toMap ++
+          (oldM.keySet -- newM.keySet).map(_ -> "removed").toMap ++
+          (oldM.keySet & newM.keySet).collect {
+            case id if oldM(id) != newM(id) => id -> "changed"
+          }.toMap
+      assert(got == expected)
+    }
+  }
+
   test("property: int8 quantization invariants over arbitrary vectors") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val vecGen = Gen.nonEmptyListOf(Gen.frequency(
