@@ -1104,6 +1104,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- snapshot diff, production form: the old side is a persisted
+    //      (id, digest) catalog artifact written once per accepted
+    //      snapshot — the old corpus is never re-read. Same delta as q74
+    //      by construction, and the oracle replays the same digest diff ----
+
+    "q75_snapshot_diff_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val art = tmpDir("graft-snapdiff-art")
+      Dedup.snapshotDigests(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(art)
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 1)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" editedtoken")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(col("text"), lit(" newdoc")).as("text")))
+      Dedup.snapshotDiffAgainstDigests(s.read.parquet(art), newSnap,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- image directory scan + extraction stage (SURVEY §2.1 S2/S4, §2.4
     //      I1-I5) on deterministic generated PNGs; Spark-side only (images
     //      are not DuckDB-readable) → rows-only check ----
@@ -1227,6 +1250,28 @@ object SparkEntry {
          |  WHERE a.neighbor_id <> p.query_id)
          |SELECT query_id, rank, neighbor_id FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+    // Digest-level snapshot diff — shared by the direct (q74) and
+    // persisted-catalog (q75) paths, whose deltas must be identical.
+    val snapshotDiffSql =
+      """WITH o AS (SELECT doc_id, md5(text) AS d FROM documents),
+        |news AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' editedtoken'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 1
+        |  UNION ALL
+        |  SELECT doc_id + 4000000 AS doc_id, text || ' newdoc' AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |n AS (SELECT doc_id, md5(text) AS d FROM news),
+        |j AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.d IS NULL THEN 'added'
+        |         WHEN n.d IS NULL THEN 'removed'
+        |         WHEN o.d <> n.d THEN 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin
 
     // Brute-force exact top-10 for the same query set — q16's oracle,
     // shared with the recall evaluation (q73).
@@ -1800,25 +1845,11 @@ object SparkEntry {
 
       // Digest-level diff replayed literally: both sides reduced to
       // (doc_id, md5) before the full outer join, same null-driven CASE.
-      "q74_snapshot_diff" ->
-        """WITH o AS (SELECT doc_id, md5(text) AS d FROM documents),
-          |news AS (
-          |  SELECT doc_id,
-          |    CASE WHEN doc_id % 7 = 0 THEN text || ' editedtoken'
-          |         ELSE text END AS text
-          |  FROM documents WHERE doc_id % 5 <> 1
-          |  UNION ALL
-          |  SELECT doc_id + 4000000 AS doc_id, text || ' newdoc' AS text
-          |  FROM documents WHERE doc_id % 11 = 0),
-          |n AS (SELECT doc_id, md5(text) AS d FROM news),
-          |j AS (
-          |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-          |    CASE WHEN o.d IS NULL THEN 'added'
-          |         WHEN n.d IS NULL THEN 'removed'
-          |         WHEN o.d <> n.d THEN 'changed' END AS status
-          |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
-          |SELECT doc_id, status FROM j WHERE status IS NOT NULL
-          |ORDER BY doc_id""".stripMargin,
+      "q74_snapshot_diff" -> snapshotDiffSql,
+
+      // The persisted-catalog path must produce the identical delta: the
+      // artifact is a physical optimization, not a semantic one.
+      "q75_snapshot_diff_ingest" -> snapshotDiffSql,
 
       "q35_ivf_ann" -> ivfSql,
 

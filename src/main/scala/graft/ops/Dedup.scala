@@ -439,11 +439,40 @@ object Dedup {
     * [[stripCovered]]); a duplicated id would fan the full-outer join out.
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
-                   idCol: String, textCol: String): DataFrame = {
-    val o = oldSnap.select(col(idCol),
-      TextAnalysis.fingerprint(col(textCol)).as("__od"))
-    val n = newSnap.select(col(idCol),
-      TextAnalysis.fingerprint(col(textCol)).as("__nd"))
+                   idCol: String, textCol: String): DataFrame =
+    diffDigestFrames(
+      oldSnap.select(col(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as("__od")),
+      newSnap.select(col(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as("__nd")),
+      idCol)
+
+  /** The persisted side of [[snapshotDiff]]: the (id, digest) catalog of
+    * an accepted snapshot — ~50 bytes per document regardless of document
+    * size. Write this once per snapshot; the next snapshot diffs against
+    * it via [[snapshotDiffAgainstDigests]] without the old corpus ever
+    * being re-read.
+    */
+  def snapshotDigests(snap: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    snap.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+
+  /** [[snapshotDiff]] in its production form: the old side is a persisted
+    * [[snapshotDigests]] artifact, so computing "what changed since the
+    * last accepted snapshot" costs one scan of the NEW snapshot plus a
+    * fixed-width join against the catalog — the 100 TB old corpus
+    * contributes only its ~50-byte-per-doc digest rows.
+    */
+  def snapshotDiffAgainstDigests(oldDigests: DataFrame, newSnap: DataFrame,
+                                 idCol: String, textCol: String): DataFrame =
+    diffDigestFrames(
+      oldDigests.select(col(idCol), col("__fp").as("__od")),
+      newSnap.select(col(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as("__nd")),
+      idCol)
+
+  private def diffDigestFrames(o: DataFrame, n: DataFrame,
+                               idCol: String): DataFrame =
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
         when(col("__od").isNull, lit("added"))
@@ -451,7 +480,6 @@ object Dedup {
           .when(col("__od") =!= col("__nd"), lit("changed")))
       .filter(col("status").isNotNull)
       .select(col(idCol), col("status"))
-  }
 
   // ---- shingles ---------------------------------------------------------
 

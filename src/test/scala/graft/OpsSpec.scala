@@ -86,6 +86,15 @@ class OpsSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("FullOuter") && plan.contains("__od") &&
       !plan.linesIterator.exists(l => l.contains("Join") && l.contains("text")))
+    // the persisted-catalog path produces the identical delta after a
+    // parquet round-trip of the digest artifact
+    val art = java.nio.file.Files.createTempDirectory("snapdiff").toString
+    Dedup.snapshotDigests(oldSnap, "doc_id", "text")
+      .write.mode("overwrite").parquet(art)
+    val viaArtifact = Dedup.snapshotDiffAgainstDigests(
+        spark.read.parquet(art), newSnap, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(viaArtifact == out)
   }
 
   test("exactByColumns dedups on a composite key, one exchange") {
