@@ -1104,6 +1104,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- temperature mixing (T5-style alpha=0.5): per-source targets
+    //      derived from availability via fixed-point sqrt weights, then
+    //      the deterministic keep-predicate; output is the audited plan
+    //      (available/weight/target) plus the realized kept count ----
+
+    "q76_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val plan = Sampling.temperatureMixPlan(docs, "source", total = 300L)
+      val kept = Sampling.temperatureMix(docs, "source", "doc_id",
+          total = 300L, salt = 5L)
+        .groupBy("source").agg(count(lit(1)).as("kept"))
+      plan.join(kept, Seq("source"), "left")
+        .withColumn("kept", coalesce(col("kept"), lit(0L)))
+        .orderBy("source")
+    }),
+
     // ---- snapshot diff, production form: the old side is a persisted
     //      (id, digest) catalog artifact written once per accepted
     //      snapshot — the old corpus is never re-read. Same delta as q74
@@ -1850,6 +1866,34 @@ object SparkEntry {
       // The persisted-catalog path must produce the identical delta: the
       // artifact is a physical optimization, not a semantic one.
       "q75_snapshot_diff_ingest" -> snapshotDiffSql,
+
+      // Temperature mixing replayed literally: fixed-point sqrt weights
+      // (floor(sqrt(n)*1e6) — sqrt is correctly rounded, everything after
+      // is integer math), integer-division targets, trunc'd 2^32
+      // thresholds against the multiplicative mixed key.
+      "q76_temperature_mix" ->
+        """WITH counts AS (
+          |  SELECT source, count(*) AS available,
+          |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS weight
+          |  FROM documents GROUP BY source),
+          |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM counts),
+          |plan AS (
+          |  SELECT source, available, weight,
+          |    CAST(least(available, (300 * weight) // tw.w) AS BIGINT)
+          |      AS target
+          |  FROM counts, tw),
+          |kept AS (
+          |  SELECT d.source, count(*) AS kept
+          |  FROM documents d JOIN plan p ON d.source = p.source
+          |  WHERE p.target > 0
+          |    AND ((d.doc_id + 5) * 2654435761) % 4294967296 <
+          |      CAST(trunc(CAST(p.target AS DOUBLE) /
+          |        CAST(p.available AS DOUBLE) * 4294967296) AS BIGINT)
+          |  GROUP BY d.source)
+          |SELECT p.source, p.available, p.weight, p.target,
+          |  COALESCE(k.kept, 0) AS kept
+          |FROM plan p LEFT JOIN kept k ON p.source = k.source
+          |ORDER BY p.source""".stripMargin,
 
       "q35_ivf_ann" -> ivfSql,
 

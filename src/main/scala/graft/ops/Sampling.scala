@@ -126,6 +126,62 @@ object Sampling {
       .drop("__stratum", "__thr")
   }
 
+  /** The per-stratum plan behind [[temperatureMix]]: T5-style
+    * temperature-2 source weighting. For each stratum with `n` available
+    * rows, weight `w = floor(sqrt(n) · 10⁶)` (alpha = 1/T = 0.5 — the
+    * classic multilingual-mixing exponent) and keep target
+    * `min(n, (total · w) div Σw)`.
+    *
+    * Every step is engine-portable by construction: sqrt is
+    * IEEE-correctly-rounded, the 10⁶ scaling truncates to an integer,
+    * the weight SUM and the budget split are pure integer arithmetic —
+    * so external SQL replays the targets bit-exactly (the oracle does).
+    * A pow(n, alpha)-based weight would not be: pow is not correctly
+    * rounded, and a one-ulp disagreement flips a floor boundary.
+    *
+    * One aggregation scan (map-side combinable) to #strata rows; the Σw
+    * join is a broadcast of ONE row.
+    */
+  def temperatureMixPlan(df: DataFrame, strataCol: String,
+                         total: Long): DataFrame = {
+    require(total >= 0L, "total must be non-negative")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("available"))
+      .withColumn("weight",
+        floor(sqrt(col("available").cast("double")) * 1e6).cast("long"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("weight")).as("__tw"))))
+      .withColumn("target",
+        least(col("available"),
+          expr(s"($total * weight) div __tw")))
+      .select(col(strataCol), col("available"), col("weight"), col("target"))
+  }
+
+  /** Temperature-based corpus mixing: downsample each stratum to its
+    * [[temperatureMixPlan]] target — up-weighting small sources relative
+    * to raw proportions without the flat cap of an explicit budget map
+    * (that is [[budgetedMix]]; this derives the budgets from
+    * availability). Selection reuses the [[keepPredicate]] machinery:
+    * per-stratum threshold `(target/available) · 2³²` against the
+    * [[mixedKey]] uniform, so every keep decision is a pure function of
+    * (row key, salt) — partitioning-independent, append-stable, and
+    * replayable in external SQL.
+    *
+    * Same scale shape as [[budgetedMix]]: one tiny aggregate, thresholds
+    * broadcast, one corpus scan. No shuffle of the data being sampled.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
+                     total: Long, salt: Long = 0L): DataFrame = {
+    val plan = temperatureMixPlan(df, strataCol, total)
+      .filter(col("target") > 0L)
+      .select(col(strataCol).as("__stratum"),
+        (col("target").cast("double") / col("available").cast("double")
+          * Mod).cast("long").as("__thr"))
+    df.join(broadcast(plan), df(strataCol) === col("__stratum"))
+      .filter(mixedKey(col(keyCol), salt) < col("__thr"))
+      .drop("__stratum", "__thr")
+  }
+
   /** Deterministic shuffle-shard assignment: `pmod(mixedKey(key, salt),
     * numShards)` — which of `numShards` output shards a row lands in
     * under a reproducible pseudo-random shuffle. Same purity contract as

@@ -1122,6 +1122,29 @@ class OpsSpec extends SparkSpec {
       s"expected exactly one exchange in:\n$plan")
   }
 
+  test("temperatureMix up-weights small sources; plan is integer-exact") {
+    // 100 big + 4 small: proportional 26-row split would be 25/1; the
+    // sqrt weighting (T=2) plans 21/4
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 104).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val plan = Sampling.temperatureMixPlan(df, "src", total = 26L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // weights: floor(sqrt(100)*1e6)=1e7, floor(sqrt(4)*1e6)=2e6; tw=1.2e7
+    // targets: (26*1e7) div 1.2e7 = 21; (26*2e6) div 1.2e7 = 4 (= all of it)
+    assert(plan == Seq(("big", 100L, 10000000L, 21L),
+      ("small", 4L, 2000000L, 4L)))
+    val kept = Sampling.temperatureMix(df, "src", "id", total = 26L)
+    val counts = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("small") == 4L) // target == available → keep all
+    assert(counts("big") > 5L && counts("big") < 40L) // thresholded ~21
+    // pure function of the key: repartitioning changes nothing
+    val again = Sampling.temperatureMix(df.repartition(13), "src", "id", 26L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("id").as[Long].collect().sorted.toSeq)
+    // total = 0 → empty output, zero targets
+    assert(Sampling.temperatureMix(df, "src", "id", total = 0L).isEmpty)
+  }
+
   test("budgetedMix hits budgets deterministically and drops unbudgeted strata") {
     val df = (0 until 400).map { i =>
       (i.toLong, if (i % 2 == 0) "en" else "de", 100L)
