@@ -171,16 +171,34 @@ object Sampling {
     * broadcast, one corpus scan. No shuffle of the data being sampled.
     */
   def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
-                     total: Long, salt: Long = 0L): DataFrame = {
-    val plan = temperatureMixPlan(df, strataCol, total)
-      .filter(col("target") > 0L)
+                     total: Long, salt: Long = 0L): DataFrame =
+    applyMixThresholds(df,
+      mixThresholds(temperatureMixPlan(df, strataCol, total), strataCol),
+      strataCol, keyCol, salt)
+
+  /** The `(stratum, 2³²-scaled threshold)` frame a `(stratum, available,
+    * target)` plan induces — public so a STREAM can apply the identical
+    * decisions ([[graft.streaming.StreamingOps.mixStream]]): thresholds
+    * are computed once from the batch plan, and the per-row keep verdict
+    * is a pure function of (key, salt), so batch and stream keep exactly
+    * the same rows.
+    */
+  def mixThresholds(plan: DataFrame, strataCol: String): DataFrame =
+    plan.filter(col("target") > 0L)
       .select(col(strataCol).as("__stratum"),
         (col("target").cast("double") / col("available").cast("double")
           * Mod).cast("long").as("__thr"))
-    df.join(broadcast(plan), df(strataCol) === col("__stratum"))
+
+  /** Keep the rows of `df` (batch or streaming) whose [[mixedKey]]
+    * uniform falls under their stratum's [[mixThresholds]] threshold.
+    * The thresholds frame is tiny (#strata rows) and broadcast.
+    */
+  def applyMixThresholds(df: DataFrame, thresholds: DataFrame,
+                         strataCol: String, keyCol: String,
+                         salt: Long = 0L): DataFrame =
+    df.join(broadcast(thresholds), df(strataCol) === col("__stratum"))
       .filter(mixedKey(col(keyCol), salt) < col("__thr"))
       .drop("__stratum", "__thr")
-  }
 
   /** Deterministic shuffle-shard assignment: `pmod(mixedKey(key, salt),
     * numShards)` — which of `numShards` output shards a row lands in

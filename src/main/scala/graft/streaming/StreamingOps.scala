@@ -115,6 +115,25 @@ object StreamingOps {
     Dedup.bloomRouteSharded(keyed, corpusDigests, sketches).drop("__fp")
   }
 
+  /** Streaming corpus mixing: apply a batch-computed mixing plan's
+    * thresholds ([[graft.ops.Sampling.mixThresholds]] over a
+    * [[graft.ops.Sampling.temperatureMixPlan]] or `budgetedMixPlan`) to
+    * a live stream. Stateless — a broadcast stream-static join plus the
+    * codegen'd mixed-key predicate — so no watermark is needed, and
+    * because every keep decision is a pure function of (row key, salt),
+    * the stream keeps EXACTLY the rows the batch operator would keep on
+    * the same data (parity property in StreamingOpsSpec).
+    *
+    * The thresholds are fixed at plan time: a 24/7 ingest recomputes the
+    * plan per accepted snapshot (cheap — one aggregate over the corpus)
+    * and restarts the query, the same refresh discipline as
+    * [[dedupStreamAgainstCorpus]].
+    */
+  def mixStream(stream: DataFrame, strataCol: String, keyCol: String,
+                thresholds: DataFrame, salt: Long = 0L): DataFrame =
+    graft.ops.Sampling.applyMixThresholds(stream, thresholds, strataCol,
+      keyCol, salt)
+
   /** Gap-based sessionization with the BUILT-IN `session_window`
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the

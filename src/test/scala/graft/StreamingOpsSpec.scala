@@ -57,6 +57,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("streaming mix keeps exactly the batch temperatureMix rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 104).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val thresholds = graft.ops.Sampling.mixThresholds(
+      graft.ops.Sampling.temperatureMixPlan(corpus, "src", total = 26L),
+      "src")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.mixStream(
+      input.toDF().toDF("id", "src"), "src", "id", thresholds, salt = 3L)
+    val query = out.writeStream.format("memory")
+      .queryName("mix_stream").outputMode("append").start()
+    val arrivals = (0 until 104).map(i =>
+      (i.toLong, if (i < 100) "big" else "small"))
+    try {
+      input.addData(arrivals.take(50): _*); query.processAllAvailable()
+      input.addData(arrivals.drop(50): _*); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("mix_stream")
+      .select("id").as[Long].collect().sorted.toSeq
+    val batch = graft.ops.Sampling.applyMixThresholds(
+        arrivals.toDF("id", "src"), thresholds, "src", "id", salt = 3L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // all 4 small-source rows survive (target == available)
+    assert(streamed.count(_ >= 100L) == 4)
+  }
+
   test("bloom-prefiltered stream-static dedup matches the plain path") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
