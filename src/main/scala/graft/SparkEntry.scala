@@ -1282,9 +1282,9 @@ object SparkEntry {
         |n AS (SELECT doc_id, md5(text) AS d FROM news),
         |j AS (
         |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-        |    CASE WHEN o.d IS NULL THEN 'added'
-        |         WHEN n.d IS NULL THEN 'removed'
-        |         WHEN o.d <> n.d THEN 'changed' END AS status
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.d IS DISTINCT FROM n.d THEN 'changed' END AS status
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status FROM j WHERE status IS NOT NULL
         |ORDER BY doc_id""".stripMargin

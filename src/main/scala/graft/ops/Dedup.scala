@@ -471,13 +471,20 @@ object Dedup {
         TextAnalysis.fingerprint(col(textCol)).as("__nd")),
       idCol)
 
+  /** Presence is tracked by flag columns, not by digest nullness: a row
+    * whose TEXT is null has a null digest but still EXISTS in its
+    * snapshot, and must diff as present (null vs null text → unchanged,
+    * null vs non-null → changed, via null-safe equality) — keying
+    * presence off the digest would misread it as added/removed.
+    */
   private def diffDigestFrames(o: DataFrame, n: DataFrame,
                                idCol: String): DataFrame =
-    o.join(n, Seq(idCol), "full_outer")
+    o.withColumn("__po", lit(1))
+      .join(n.withColumn("__pn", lit(1)), Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("__od").isNull, lit("added"))
-          .when(col("__nd").isNull, lit("removed"))
-          .when(col("__od") =!= col("__nd"), lit("changed")))
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
+          .when(!(col("__od") <=> col("__nd")), lit("changed")))
       .filter(col("status").isNotNull)
       .select(col(idCol), col("status"))
 

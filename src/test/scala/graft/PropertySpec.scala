@@ -429,9 +429,10 @@ class PropertySpec extends SparkSpec {
 
   test("property: snapshotDiff equals the naive per-id set comparison") {
     // ids drawn from a small range so snapshots overlap heavily; texts
-    // from a tiny alphabet so edits and coincidental equality both occur
+    // from a tiny alphabet (incl. null) so edits, coincidental equality,
+    // and the null-text presence edge all occur
     val snapGen = Gen.listOf(Gen.zip(Gen.chooseNum(0L, 15L),
-        Gen.oneOf("aa", "bb", "cc")))
+        Gen.oneOf("aa", "bb", "cc", null)))
       .map(_.toMap) // last-wins dedup keeps ids unique (the precondition)
     forAll(Gen.zip(snapGen, snapGen), n = 15) { case (oldM, newM) =>
       val oldDf = oldM.toSeq.toDF("doc_id", "text")
