@@ -271,6 +271,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- dedup threshold sweep: per-threshold pair/doc kill counts from
+    //      ONE exact-Jaccard pass — how the threshold gets chosen before
+    //      committing a full dedup run ----
+
+    "q77_jaccard_sweep" -> ((s, dir) => {
+      Dedup.jaccardThresholdSweep(t(s, dir, "documents"), "doc_id", "text",
+          thresholds = Seq(0.5, 0.7, 0.9), n = 3)
+        // non-foldable predicate: both count joins land on unique-keyed
+        // aggregates, so a bare count() would let Catalyst eliminate them
+        // and the bench would time a 3-row literal scan, not the pairs pass
+        .where(col("n_pairs") >= 0 && col("n_dup_docs") >= 0)
+        .orderBy("threshold")
+    }),
+
     // ---- text analysis (extensions) ----
 
     "q12_text_quality" -> ((s, dir) => {
@@ -1675,6 +1689,27 @@ object SparkEntry {
           |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
 
       "q11_ngram_jaccard" -> jaccardSql("0.8"),
+
+      // One exact pairs pass at the lowest threshold, re-filtered per
+      // sweep point — the replay of jaccardThresholdSweep's shape.
+      "q77_jaccard_sweep" ->
+        s"""WITH pairs AS (${jaccardSql("0.5")}),
+           |thr(threshold) AS (VALUES (0.5), (0.7), (0.9)),
+           |hit AS (
+           |  SELECT t.threshold, p.id_a, p.id_b FROM pairs p
+           |  JOIN thr t ON p.jaccard >= t.threshold),
+           |pc AS (SELECT threshold, count(*) AS n_pairs FROM hit GROUP BY 1),
+           |dc AS (
+           |  SELECT threshold, count(DISTINCT doc) AS n_dup_docs FROM (
+           |    SELECT threshold, id_a AS doc FROM hit
+           |    UNION ALL SELECT threshold, id_b FROM hit)
+           |  GROUP BY 1)
+           |SELECT t.threshold, COALESCE(pc.n_pairs, 0) AS n_pairs,
+           |  COALESCE(dc.n_dup_docs, 0) AS n_dup_docs
+           |FROM thr t
+           |LEFT JOIN pc ON pc.threshold = t.threshold
+           |LEFT JOIN dc ON dc.threshold = t.threshold
+           |ORDER BY t.threshold""".stripMargin,
 
       "q30_minhash_dups" -> jaccardSql("0.8"),
 

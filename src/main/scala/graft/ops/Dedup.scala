@@ -941,6 +941,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Dedup TUNING report: for each candidate threshold, how many exact
+    * n-gram-Jaccard pairs exist and how many distinct documents they
+    * implicate — all from ONE [[ngramJaccard]] pass at `min(thresholds)`.
+    * This is how a dedup threshold gets CHOSEN before a 100 TB pass
+    * (the dedup-side twin of [[graft.ops.Similarity.recallAtK]]'s
+    * ANN tuning): sweep on a sample, read the kill counts per
+    * threshold, commit one. The thresholds frame is a broadcast literal;
+    * the per-threshold re-filtering costs pairs×|thresholds| rows of a
+    * three-column frame, never a second corpus pass.
+    */
+  def jaccardThresholdSweep(df: DataFrame, idCol: String, textCol: String,
+                            thresholds: Seq[Double], n: Int = 3,
+                            maxShingleDocFreq: Long = 0L): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val pairs = ngramJaccard(df, idCol, textCol, n, thresholds.min,
+      maxShingleDocFreq)
+    val spark = df.sparkSession
+    val thrDf = spark.createDataFrame(
+        thresholds.distinct.sorted.map(Tuple1(_)))
+      .toDF("threshold")
+    val hit = pairs.join(broadcast(thrDf), col("jaccard") >= col("threshold"))
+    val pairCounts = hit.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val docCounts = hit
+      .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("__doc"))
+      .groupBy("threshold")
+      .agg(countDistinct(col("__doc")).as("n_dup_docs"))
+    thrDf.join(pairCounts, Seq("threshold"), "left")
+      .join(docCounts, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
+  }
+
   // ---- embedding near-dup --------------------------------------------------
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.

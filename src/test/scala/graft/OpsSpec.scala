@@ -144,6 +144,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("jaccardThresholdSweep: monotone kill counts from one pairs pass") {
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),      // jaccard 1.0
+      (3L, "a b c d e x"), (4L, "a b c d e f"),      // 3~{1,2,4}: 0.5; 4~{1,2}: 1.0
+      (5L, "p q r s t u"),                           // isolated
+    ).toDF("doc_id", "text")
+    val sweep = Dedup.jaccardThresholdSweep(df, "doc_id", "text",
+        thresholds = Seq(0.4, 0.8), n = 3)
+      .as[(Double, Long, Long)].collect().sortBy(_._1).toSeq
+    // at 0.4: pairs (1,2),(1,4),(2,4) at 1.0 plus (1,3),(2,3),(3,4) at 0.5
+    // at 0.8: only the three exact-clone pairs, implicating docs {1,2,4}
+    assert(sweep == Seq((0.4, 6L, 4L), (0.8, 3L, 3L)))
+    // counts are monotone non-increasing in the threshold by construction
+    assert(sweep.sliding(2).forall {
+      case Seq((_, p1, d1), (_, p2, d2)) => p2 <= p1 && d2 <= d1
+      case _ => true
+    })
+  }
+
   test("shingles produce distinct word n-grams; short text yields empty") {
     val sh = docs.select(col("doc_id"),
       Dedup.shingles(col("text"), 3).as("sh"))
