@@ -141,6 +141,13 @@ object Sampling {
     *
     * One aggregation scan (map-side combinable) to #strata rows; the Σw
     * join is a broadcast of ONE row.
+    *
+    * Overflow bound: the split computes `total · w` in Long, so
+    * `total · sqrt(maxStratumRows) · 10⁶` must stay under 2⁶³ — e.g. a
+    * 10⁹-row budget over 10¹⁰-row strata peaks at ~10²⁰ and would
+    * overflow. Spark 4's ANSI arithmetic THROWS in that case (fail-fast,
+    * never a silently wrapped budget); shrink `total`'s unit (rows →
+    * thousands of rows) to re-enter the bound.
     */
   def temperatureMixPlan(df: DataFrame, strataCol: String,
                          total: Long): DataFrame = {
