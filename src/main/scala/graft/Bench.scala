@@ -54,7 +54,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's stdout capture has repeatedly clipped this line (r6 and
+    // r7 official records both lost entries / failed to parse). The file is
+    // the durable record: every query time, every round, machine-readable.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LOCAL_latest.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () } // stdout already has it; never fail the bench
     spark.stop()
   }
 }

@@ -1694,7 +1694,9 @@ object SparkEntry {
       // sweep point — the replay of jaccardThresholdSweep's shape.
       "q77_jaccard_sweep" ->
         s"""WITH pairs AS (${jaccardSql("0.5")}),
-           |thr(threshold) AS (VALUES (0.5), (0.7), (0.9)),
+           |thr(threshold) AS (
+           |  VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
+           |         (CAST(0.9 AS DOUBLE))),
            |hit AS (
            |  SELECT t.threshold, p.id_a, p.id_b FROM pairs p
            |  JOIN thr t ON p.jaccard >= t.threshold),

@@ -663,16 +663,33 @@ case class ShardedBloomMightContain(sketches: Seq[Array[Byte]],
     }.toArray
 
   override def nullSafeEval(shard: Any, hashed: Any): Any = {
-    val f = filters(shard.asInstanceOf[Int])
+    val s = shard.asInstanceOf[Int]
+    // session-registered → any SQL caller can pass any int; a raw
+    // ArrayIndexOutOfBoundsException from a task is useless, so name the
+    // valid range and the likely cause (shard routing ≠ sketch build)
+    if (s < 0 || s >= filters.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: shard index $s outside [0, ${filters.length}); " +
+          "the shard column must be computed with the same digestShard " +
+          "routing (and shard count) the sketch array was built with")
+    val f = filters(s)
     f != null && f.mightContainLong(hashed.asInstanceOf[Long])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("shardFilters", filters,
       "org.apache.spark.util.sketch.BloomFilter[]")
+    val name = prettyName
     nullSafeCodeGen(ctx, ev, (s, h) => {
       val f = ctx.freshName("filter")
       s"""
+         |if ($s < 0 || $s >= $ref.length) {
+         |  throw new IllegalArgumentException(
+         |    "$name: shard index " + $s + " outside [0, " + $ref.length +
+         |    "); the shard column must be computed with the same " +
+         |    "digestShard routing (and shard count) the sketch array " +
+         |    "was built with");
+         |}
          |org.apache.spark.util.sketch.BloomFilter $f = $ref[$s];
          |${ev.value} = $f != null && $f.mightContainLong($h);
        """.stripMargin

@@ -358,6 +358,20 @@ object Dedup {
   def shardedDigestSketch(digests: DataFrame, shards: Int,
                           expectedItemsPerShard: Long): Array[Array[Byte]] = {
     require(shards >= 1, "shards must be >= 1")
+    // Same analysis-time ceiling as [[digestSketch]], applied PER SHARD:
+    // each shard's graft_bloom_agg sizes to expectedItemsPerShard, so an
+    // over-ceiling per-shard estimate dies with the same opaque
+    // type-check error the monolithic path fails fast on. Surface it
+    // here too — the fix at scale is more shards, not a bigger sketch.
+    val maxItems = digests.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    require(expectedItemsPerShard > 0 && expectedItemsPerShard <= maxItems,
+      s"expectedItemsPerShard=$expectedItemsPerShard outside (0, " +
+        s"$maxItems]: raise shards (items spread uniformly across the " +
+        "md5 digest space) or raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems (and " +
+        "maxNumBits)")
     graft.functions.GraftFunctions.ensureRegistered(digests.sparkSession)
     val rows = digests
       .groupBy(digestShard(col("__fp"), shards).as("__shard"))
@@ -710,13 +724,32 @@ object Dedup {
                                    bands: Int = 32): Unit = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     val spark = corpus.sparkSession
+    // UNQUALIFIED identifiers only: for a 'db.tbl' name both the
+    // backtick-quoted DROP below and the computed warehouse path would
+    // target the wrong object, and the path delete could remove a
+    // directory that belongs to something else entirely. Fail fast
+    // instead of deleting the wrong thing.
+    Seq(bucketsTable, shinglesTable).foreach(t =>
+      require(t.matches("[A-Za-z0-9_]+"),
+        s"table name '$t' must be an unqualified identifier " +
+          "([A-Za-z0-9_]+); database-qualified or quoted names would " +
+          "desynchronize the DROP from the managed-location cleanup"))
     // a fresh session (new in-memory catalog) over an old warehouse dir
     // hits LOCATION_ALREADY_EXISTS even in overwrite mode: the metadata
-    // is gone but the managed location survived. Drop both.
+    // is gone but the managed location survived. Drop both — and when
+    // the catalog KNOWS the table, delete its actual resolved location
+    // rather than the name-derived default.
     Seq(bucketsTable, shinglesTable).foreach { t =>
+      val resolved: Option[org.apache.hadoop.fs.Path] =
+        if (spark.catalog.tableExists(t))
+          scala.util.Try(new org.apache.hadoop.fs.Path(new java.net.URI(
+            spark.sql(s"DESCRIBE TABLE EXTENDED `$t`")
+              .where(col("col_name") === "Location")
+              .head().getString(1)))).toOption
+        else None
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val loc = resolved.getOrElse(new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase))
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(loc, true)
     }
@@ -1325,6 +1358,15 @@ object Dedup {
     * Returns (`idCol`, `span_start`, `span_end`, `n_windows`) — token
     * indices, 0-based, `span_end` inclusive of the last window's tail
     * (`= last flagged pos + windowTokens - 1`).
+    *
+    * EAGER at call time: picking the hot-key join strategy requires the
+    * REAL hot-key count (`hot.count()`), so this method runs the full
+    * window aggregate over `df` when it is CALLED, not when the returned
+    * frame is first consumed — and it pins the hot-key frame in the
+    * tracked cache until [[releaseIntermediates]]. Callers composing
+    * plans lazily should call this last, once the inputs are final; the
+    * observe-then-pick trade (a plan-build-time job for a 2x faster
+    * probe) is deliberate, same as [[duplicateClusters]]' size probe.
     */
   /** Hot-key broadcast ceiling for [[repeatedSpans]]: 2M 16-byte keys ≈
     * 32 MB of key payload — comfortably broadcastable; above it the

@@ -286,7 +286,10 @@ object Sampling {
         mixedKey(col(idCol), salt).as("__ord"))
       .withColumn("__g", pmod(col("__ord"), lit(groups.toLong)))
       .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .withColumn("__pack", floor(col("__start") / budgetTokens))
+      // integral division (SQL `div`), NOT floor(double /): the replay
+      // contract is pure integer arithmetic end to end, and double
+      // division misrounds once running token sums pass ~2^52/budget
+      .withColumn("__pack", expr(s"__start div ${budgetTokens}L"))
       .select(col(idCol), col("n_tokens"),
         (col("__g") * (1L << 40) + col("__pack")).as("pack_id"),
         (row_number().over(wp) - 1).cast("long").as("pack_pos"),

@@ -746,6 +746,27 @@ class OpsSpec extends SparkSpec {
       Dedup.digestSketch(digests, expectedItems = 5000000L)
     }
     assert(e.getMessage.contains("maxNumItems"))
+    // the sharded builder has the SAME per-shard ceiling (each shard's
+    // graft_bloom_agg sizes independently) — refused with the conf name
+    // and the scale-path remedy (more shards), not an analysis error
+    val eSharded = intercept[IllegalArgumentException] {
+      Dedup.shardedDigestSketch(digests, 4,
+        expectedItemsPerShard = 5000000L)
+    }
+    assert(eSharded.getMessage.contains("maxNumItems"))
+    assert(eSharded.getMessage.contains("shards"))
+    // graft_sharded_might_contain is session-registered: an arbitrary
+    // SQL caller passing a shard outside [0, N) gets a named-range
+    // error, not a raw ArrayIndexOutOfBoundsException from the task
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val oob = intercept[Exception] {
+      digests.select(call_function("graft_sharded_might_contain",
+        typedLit(shardedSketch.toSeq), lit(99), col("__fp"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(oob).exists(c =>
+      c.getMessage != null && c.getMessage.contains("outside [0, 4)")))
     Dedup.releaseIntermediates()
   }
 
