@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Fresh-JVM isolated re-run of selected bench queries — the standing
+  * adjudication tool behind the q48 (r7) and q60 (r8) official-bench
+  * root-causes: same session config, warmup, and blocking cache-drain
+  * protocol as [[Bench]], but only the named queries, repeated
+  * `SPARK_GRAFT_REPS` times (default 3), so ambient-load variance on a
+  * shared box can be separated from real plan regressions. Rep 1 of
+  * each query carries that query shape's one-time codegen+JIT charge;
+  * reps 2+ are the steady-state cost to compare against official
+  * records.
+  *
+  * Usage: `sbt "runMain graft.BenchOne q60_corpus_build q45_retention"`
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val names = args.toSeq
+    require(names.nonEmpty, "pass one or more SparkEntry.queries names")
+    names.foreach(n => require(SparkEntry.queries.contains(n),
+      s"unknown query '$n'"))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () }
+      }
+    for (r <- 1 to reps; name <- names) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      graft.ops.Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+      println(f"MARKER rep=$r $name%-24s $sec%.3f s")
+    }
+    spark.stop()
+  }
+}
