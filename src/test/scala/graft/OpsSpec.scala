@@ -1089,6 +1089,45 @@ class OpsSpec extends SparkSpec {
       "qtext", k = 10, maxTermDocFreq = 2L).count() == 0L)
   }
 
+  test("bm25 persisted artifacts replay the live scores exactly") {
+    val corpus = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark engine overview text"),
+      (3L, "the the the filler filler"),
+      (4L, "spark"),
+      (5L, ""),
+      (6L, "engine room text filler overview"),
+    ).toDF("doc_id", "text")
+    val qs = Seq((7L, "spark engine"), (8L, "filler text"))
+      .toDF("qid", "qtext")
+    val art = tmpDir("bm25art")
+    TextAnalysis.bm25ArtifactsSave(corpus, "doc_id", "text", art)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    val live = canon(TextAnalysis.bm25TopK(corpus, "doc_id", "text", qs,
+      "qid", "qtext", k = 10))
+    // identical fixed-point scores (not just ranks): both paths run the
+    // shared scoring tail on the same (tf, df, dl, stats) inputs
+    assert(canon(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10)) == live)
+    // past the pushdown cap the probe falls back to the join alone —
+    // same result, only the scan filter is lost
+    assert(canon(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10, maxPushdownTerms = 1)) == live)
+    // the stop-term cap behaves identically on the denormalized __df
+    assert(canon(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10, maxTermDocFreq = 2L)) ==
+      canon(TextAnalysis.bm25TopK(corpus, "doc_id", "text", qs, "qid",
+        "qtext", k = 10, maxTermDocFreq = 2L)))
+    // the term-literal pushdown reaches the parquet scan
+    val plan = TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(__t"),
+      s"expected term IN pushdown in:\n$plan")
+  }
+
   test("semanticDuplicates: within-cluster pairs only, cap drops coarse clusters") {
     // two tight direction families (x-ish, y-ish) + centroids on the axes;
     // scaled vectors are semantic duplicates (cosine is scale-invariant)
