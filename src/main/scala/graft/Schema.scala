@@ -94,6 +94,36 @@ final case class Schema(columns: Seq[(String, SupportedType)]) {
     columns.map { case (n, t) =>
       s"""["${Schema.escape(n)}","${SupportedType.name(t)}"]"""
     }.mkString("[", ",", "]")
+
+  /** TF Metadata text-format serialization (`schema.pbtxt`) — the
+    * interop seam a TensorFlow consumer reads via
+    * `tft.TFTransformOutput(...).transformed_feature_spec()`
+    * (dataset_loader.py:113-114). Matches the golden
+    * `test_data/sample_tfrecords/transformed_metadata/schema.pbtxt`
+    * shape: features alphabetical by name, scalar (`shape {}`) and
+    * required (`presence { min_fraction: 1.0 }` — every type is a
+    * `FixedLenFeature([])`, types.py:31-91); columns listed in
+    * `intDomains` carry `int_domain { min max is_categorical: true }`,
+    * which for a vocab-integerized label is (-1, vocabSize-1) — OOV maps
+    * to -1, golden label domain is (-1, 1) for its 2-term vocab.
+    */
+  def toPbtxt(intDomains: Map[String, (Long, Long)] = Map.empty): String = {
+    def pb(t: SupportedType): String = t.sparkType match {
+      case StringType | BinaryType => "BYTES"
+      case LongType | IntegerType => "INT"
+      case FloatType | DoubleType => "FLOAT"
+      case other => throw new IllegalArgumentException(
+        s"no TF Metadata type for Spark type ${other.simpleString}")
+    }
+    columns.sortBy(_._1).map { case (n, t) =>
+      val dom = intDomains.get(n).map { case (mn, mx) =>
+        s"  int_domain {\n    min: $mn\n    max: $mx\n" +
+          "    is_categorical: true\n  }\n"
+      }.getOrElse("")
+      s"feature {\n  name: \"${Schema.escape(n)}\"\n  type: ${pb(t)}\n" +
+        dom + "  presence {\n    min_fraction: 1.0\n  }\n  shape {\n  }\n}\n"
+    }.mkString
+  }
 }
 
 object Schema {

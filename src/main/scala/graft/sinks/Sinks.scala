@@ -116,6 +116,15 @@ object Sinks {
     graft.Fs.mkdirs(metaDir)
     graft.Fs.writeString(graft.Fs.join(metaDir, "schema.json"),
       schema.transformedSchema.toJson)
+    // the TF-tooling-readable twin (tft.TFTransformOutput reads this
+    // file name/format from the same directory, dataset_loader.py:113):
+    // vocab-integerized labels carry int_domain (-1, vocabSize-1) — the
+    // vocab frames are driver-small by construction (Vocab scaladoc)
+    val domains = model.vocabs.map { case (k, v) =>
+      k -> ((-1L, v.count() - 1L))
+    }
+    graft.Fs.writeString(graft.Fs.join(metaDir, "schema.pbtxt"),
+      schema.transformedSchema.toPbtxt(domains))
   }
 
   /** Case-normalize helper for loaders reading `partitionBy` output. */

@@ -102,5 +102,14 @@ class GoldenImageSpec extends SparkSpec {
     val asset = new File(result.jobDir, "transform_fn/assets/vocab_label")
     assert(new String(java.nio.file.Files.readAllBytes(asset.toPath)) ==
       "goat\ncat")
+    // the job's emitted schema.pbtxt is feature-identical to the golden
+    // TFT metadata from the reference's own run on this same input
+    val emitted = new String(java.nio.file.Files.readAllBytes(
+      new File(result.jobDir, "transformed_metadata/schema.pbtxt").toPath))
+    val goldenPbtxt = new String(java.nio.file.Files.readAllBytes(new File(
+      getClass.getResource("/golden/transformed_metadata/schema.pbtxt")
+        .toURI).toPath))
+    assert(GoldenTfRecordSpec.parsePbtxtFeatures(emitted) ==
+      GoldenTfRecordSpec.parsePbtxtFeatures(goldenPbtxt))
   }
 }

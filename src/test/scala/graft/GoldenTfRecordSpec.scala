@@ -97,4 +97,49 @@ class GoldenTfRecordSpec extends SparkSpec {
     val mean = sum.toDouble / pil.length
     assert(mean < 3.0, s"mean per-byte decoder difference $mean")
   }
+
+  test("emitted schema.pbtxt matches the golden TFT metadata feature-for-feature") {
+    val goldenUrl =
+      getClass.getResource("/golden/transformed_metadata/schema.pbtxt")
+    assert(goldenUrl != null, "golden schema.pbtxt fixture missing")
+    val goldenTxt = new String(java.nio.file.Files.readAllBytes(
+      new File(goldenUrl.toURI).toPath))
+    // our emission for the same pipeline: IMAGE_CSV schema, 2-term label
+    // vocab (goat, cat) → int_domain (-1, 1), exactly the golden run
+    val ours = Schema.imageCsvSchema.transformedSchema
+      .toPbtxt(Map("label" -> ((-1L, 1L))))
+    val g = GoldenTfRecordSpec.parsePbtxtFeatures(goldenTxt)
+    val o = GoldenTfRecordSpec.parsePbtxtFeatures(ours)
+    assert(o == g, s"parsed features differ:\nours=$o\ngolden=$g")
+    // and the golden parse itself is sane (guards the parser, not TFT)
+    assert(g.map(_._1) == Seq("image", "image_channels", "image_height",
+      "image_name", "image_width", "label", "split"))
+    assert(g.toMap.apply("label") == (("INT", Some((-1L, 1L)))))
+  }
+}
+
+object GoldenTfRecordSpec {
+
+  /** Minimal text-proto feature parser for TF Metadata schemas: returns
+    * (name, type, int_domain min/max) per `feature { ... }` block, in
+    * file order. Tolerates arbitrary whitespace so it reads both TFT's
+    * emission and ours.
+    */
+  def parsePbtxtFeatures(txt: String)
+      : Seq[(String, (String, Option[(Long, Long)]))] = {
+    val feature = """(?s)feature\s*\{(.*?)\n\}""".r
+    val name = """name:\s*"([^"]*)"""".r
+    val tpe = """type:\s*(\w+)""".r
+    val dom = """(?s)int_domain\s*\{[^}]*?min:\s*(-?\d+)[^}]*?max:\s*(-?\d+)""".r
+    feature.findAllMatchIn(txt).map { m =>
+      val body = m.group(1)
+      val n = name.findFirstMatchIn(body).map(_.group(1))
+        .getOrElse(sys.error(s"feature without name in: $body"))
+      val t = tpe.findFirstMatchIn(body).map(_.group(1))
+        .getOrElse(sys.error(s"feature without type in: $body"))
+      val d = dom.findFirstMatchIn(body)
+        .map(dm => (dm.group(1).toLong, dm.group(2).toLong))
+      n -> ((t, d))
+    }.toSeq
+  }
 }
