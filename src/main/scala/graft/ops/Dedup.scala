@@ -1370,9 +1370,17 @@ object Dedup {
     */
   /** Hot-key broadcast ceiling for [[repeatedSpans]]: 2M 16-byte keys ≈
     * 32 MB of key payload — comfortably broadcastable; above it the
-    * semi-join stays distributed.
+    * semi-join stays distributed. Overridable via the session conf
+    * `spark.graft.repeatedSpans.maxBroadcastHotKeys` (0 forces the
+    * distributed join — how the parity spec and the boundary stress
+    * exercise the fallback on corpora whose hot set fits).
     */
   private val MaxBroadcastHotKeys = 2000000L
+
+  private def maxBroadcastHotKeys(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.repeatedSpans.maxBroadcastHotKeys",
+        MaxBroadcastHotKeys.toString).toLong
 
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     windowTokens: Int = 20,
@@ -1402,7 +1410,7 @@ object Dedup {
       .filter(col("occ") >= minOccurrences)
       .select("wk"))
     val probe =
-      if (hot.count() <= MaxBroadcastHotKeys) broadcast(hot) else hot
+      if (hot.count() <= maxBroadcastHotKeys(df)) broadcast(hot) else hot
     mergeFlagged(pos.join(probe, Seq("wk"), "left_semi"), idCol, windowTokens)
   }
 

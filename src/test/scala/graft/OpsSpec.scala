@@ -770,6 +770,32 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("repeatedSpans: distributed fallback is span-identical to the broadcast path") {
+    // richer corpus than the boilerplate case: cross-doc boilerplate,
+    // an in-doc repeat, and unique filler — so the hot set is non-trivial
+    val boiler = "one two three four five six seven eight"
+    val df = (0L until 40L).map { i =>
+      val body =
+        if (i % 3 == 0) s"prefix$i $boiler suffix$i"
+        else if (i % 7 == 0) s"a$i b$i $boiler $boiler tail$i"
+        else s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e"
+      (i, body)
+    }.toDF("doc_id", "text")
+    def spans() = Dedup.repeatedSpans(df, "doc_id", "text",
+        windowTokens = 8, minOccurrences = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaBroadcast = spans() // default ceiling: hot set fits, broadcasts
+    assert(viaBroadcast.nonEmpty)
+    spark.conf.set("spark.graft.repeatedSpans.maxBroadcastHotKeys", "0")
+    try {
+      // ceiling 0 forces the distributed semi-join — the >2M-hot-key
+      // plan shape — on the same input; spans must be identical
+      assert(spans() == viaBroadcast)
+    } finally
+      spark.conf.unset("spark.graft.repeatedSpans.maxBroadcastHotKeys")
+    Dedup.releaseIntermediates()
+  }
+
   test("repeatedSpans flags cross-doc boilerplate; strip removes all copies") {
     val boiler = "all rights reserved copyright notice applies here fully"
     val df = Seq(
