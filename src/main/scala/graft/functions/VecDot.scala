@@ -261,6 +261,12 @@ object GraftFunctions {
         ShardedBloomMightContain(sketches, exprs(1),
           new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(2))))
       }),
+    (FunctionIdentifier("graft_vec_sum"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "graft_vec_sum"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_vec_sum takes (vec)")
+        VecSumAgg(exprs(0))
+      }),
     (FunctionIdentifier("graft_window_keys"),
       new ExpressionInfo(classOf[WindowMd5Keys].getName, "graft_window_keys"),
       (exprs: Seq[Expression]) => {

@@ -347,14 +347,22 @@ object Similarity {
     while (iter < iterations) {
       val assigned = ivfAssign(corpus, idCol, vecCol,
         cent, "centroid_id", "centroid")
+      // ONE array-accumulating aggregate (graft_vec_sum, map-side
+      // combinable: |k|·dim doubles per map task on the wire) instead
+      // of the composable posexplode → per-(centroid, dim) avg → dim
+      // reassembly, which manufactured a row per ELEMENT — 64M rows per
+      // iteration at 1M×64d — and aggregated twice. Same mean (sum of
+      // doubles / row count; vec_sum skips null vectors exactly as avg
+      // skips nulls; 1M-stress checksums identical). Measured at 1M×64d,
+      // k=64: the update stage alone 1.7-2.4 s → 0.3-0.8 s (~4×); whole
+      // 5-iteration fit 37.9 → 30.0 s (the assign scan dominates).
       val updated = assigned
-        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
-        .groupBy(col("centroid_id"), col("__d"))
-        .agg(avg(col("__x").cast("double")).as("__m"))
         .groupBy(col("centroid_id"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("__d"), col("__m")))),
-          s => s.getField("__m")).as("centroid"))
+        .agg(call_function("graft_vec_sum", col(vecCol)).as("__s"),
+          count(col(vecCol)).as("__n"))
+        .filter(col("__n") > 0)
+        .select(col("centroid_id"),
+          transform(col("__s"), x => x / col("__n")).as("centroid"))
       // keep centroids whose cluster emptied out (rare) from vanishing:
       // fall back to the previous position via left join
       cent = cent.select(col("centroid_id"), col("centroid").as("__prev"))

@@ -235,4 +235,71 @@ class VecDotSpec extends SparkSpec {
       .as[Long].head()
     assert(selfDot == d._1.map(b => b.toLong * b.toLong).sum)
   }
+
+  test("graft_vec_sum matches the posexplode formulation across partitions") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(500) { i =>
+      (i % 7, Array.fill(16)(rnd.nextFloat() * 4 - 2))
+    }
+    // 8 partitions force real partial-merge traffic through
+    // serialize/deserialize, not just a single in-memory buffer
+    val df = rows.toDF("g", "v").repartition(8)
+    val native = df.groupBy(col("g"))
+      .agg(call_function("graft_vec_sum", col("v")).as("s"))
+      .as[(Int, Array[Double])].collect().toMap
+    val composed = df
+      .select(col("g"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("g"), col("d"))
+      .agg(sum(col("x").cast("double")).as("s"))
+      .as[(Int, Int, Double)].collect()
+      .groupBy(_._1).map { case (g, ds) =>
+        g -> ds.sortBy(_._2).map(_._3).toArray
+      }
+    assert(native.keySet == composed.keySet)
+    // same additions in a different order: compare to 1 ulp-ish tolerance
+    native.foreach { case (g, s) =>
+      s.zip(composed(g)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= math.max(1.0, math.abs(b)) * 1e-12,
+          s"group $g: $a vs $b")
+      }
+    }
+  }
+
+  test("graft_vec_sum null semantics: skip null vectors, refuse corrupt ones") {
+    GraftFunctions.ensureRegistered(spark)
+    // null ARRAY rows are skipped like sum() skips nulls
+    val withNulls = Seq(
+      (1, Option(Array(1.0, 2.0))),
+      (1, None),
+      (1, Option(Array(10.0, 20.0))),
+      (2, None),
+    ).toDF("g", "v")
+    val out = withNulls.groupBy(col("g"))
+      .agg(call_function("graft_vec_sum", col("v")).as("s"))
+      .as[(Int, Option[Seq[Double]])].collect().toMap
+    assert(out(1).get == Seq(11.0, 22.0))
+    assert(out(2).isEmpty, "all-null group must sum to null")
+    // mismatched lengths in one group → named error, not silent garbage
+    val bad = Seq((1, Array(1.0)), (1, Array(1.0, 2.0))).toDF("g", "v")
+    val e1 = intercept[Exception] {
+      bad.groupBy(col("g"))
+        .agg(call_function("graft_vec_sum", col("v"))).collect()
+    }
+    assert(e1.getMessage.contains("dimensionality") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("dimensionality"))
+    // null ELEMENT → named error (corrupt embedding)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_vec_sum(v) FROM VALUES " +
+          "(array(cast(1.0 as double), cast(null as double))) AS t(v)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("dense") ||
+      e2.getCause != null && e2.getCause.getMessage.contains("dense"))
+    // type guard: non-float/double arrays refused at analysis
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_vec_sum(array(1, 2))").collect()
+    }
+    assert(e3.getMessage.contains("array<float> or array<double>"))
+  }
 }
