@@ -70,17 +70,33 @@ object Input {
     }
     val base = header match {
       case Header.Row(n) if n > 0 =>
-        // Drop the preamble lines, keeping line order: zipWithIndex is a
-        // per-partition count + offset (one lightweight extra job), the
-        // filter is distributed, and the CSV parse runs on the remaining
-        // lines with row n as the header. Preamble skipping is a
-        // head-of-file semantic, so the bounded extra pass is the cost of
-        // exactness — bulk ingest at scale uses headerless CSV or parquet.
-        val body = spark.createDataset(
-          spark.sparkContext.textFile(path)
-            .zipWithIndex()
-            .filter(_._2 >= n.toLong)
-            .map(_._1))(org.apache.spark.sql.Encoders.STRING)
+        // Preamble skipping is a head-of-FILE semantic. When the file
+        // fits in one scan split, the `text` source yields exactly one
+        // order-preserving partition, so "the first n lines" is
+        // precisely monotonically_increasing_id() < n — a single job,
+        // no RDD round-trip, and the parse stays a Dataset end to end.
+        // Larger files fall back to zipWithIndex over the Hadoop
+        // line RDD: that is the only ORDER-CORRECT distributed line
+        // index (the DataFrame file scan packs splits sorted by length
+        // descending, not by byte offset, so a monotonic id over a
+        // multi-split text read does not number lines in file order);
+        // its extra per-partition count job is the price of exactness.
+        // In practice preamble'd CSVs are small hand-authored exports —
+        // bulk ingest at scale uses headerless CSV or parquet.
+        val body =
+          if (fitsOneSplit(spark, path)) {
+            import org.apache.spark.sql.Encoders
+            spark.read.text(path)
+              .filter(monotonically_increasing_id() >= n.toLong)
+              .select(col("value"))
+              .as(Encoders.STRING)
+          } else {
+            spark.createDataset(
+              spark.sparkContext.textFile(path)
+                .zipWithIndex()
+                .filter(_._2 >= n.toLong)
+                .map(_._1))(org.apache.spark.sql.Encoders.STRING)
+          }
         typed.csv(body)
       case _ => typed.csv(path)
     }
@@ -90,6 +106,22 @@ object Input {
           s"names has ${n.size} entries but CSV has ${base.columns.length} columns")
         base.toDF(n: _*)
       case None => base
+    }
+  }
+
+  /** True iff `path` is a single file no larger than one scan split
+    * (`spark.sql.files.maxPartitionBytes`) — the regime where a `text`
+    * read is one partition and therefore line-order-preserving. One
+    * driver-side FileSystem.getFileStatus, no Spark job.
+    */
+  private def fitsOneSplit(spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val st = fs.getFileStatus(hPath)
+      st.isFile && st.getLen <= spark.sessionState.conf.filesMaxPartitionBytes
+    } catch {
+      case _: java.io.FileNotFoundException => false // globs → fallback
     }
   }
 

@@ -189,6 +189,45 @@ class ConvertEndToEndSpec extends SparkSpec {
       header = Input.Header.Row(2), names = Some(Seq("a", "b", "c")))
     assert(named.columns.toSeq == Seq("a", "b", "c"))
     assert(named.count() == 2)
+
+    // Single-split files take the text-scan preamble filter; oversized
+    // files fall back to the order-correct zipWithIndex path. Same rows
+    // either way, and the fast path must cost strictly fewer Spark jobs
+    // (the fallback adds zipWithIndex's per-partition count pass). Both
+    // end in csv(Dataset[String]) — which parses via an internal RDD —
+    // so job count, not plan shape, is the observable difference.
+    def jobsFor(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      try body finally spark.sparkContext.clearJobGroup()
+      // statusTracker fills asynchronously: poll until stable
+      var last = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      while (cur != last) {
+        last = cur; Thread.sleep(200)
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      }
+      cur
+    }
+    val fastJobs = jobsFor("rown-fast") {
+      val r = Input.readCsv(spark, f.getAbsolutePath,
+        header = Input.Header.Row(2))
+      assert(r.select("label").as[String].collect().toSet ==
+        Set("cat", "goat"))
+    }
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val slowJobs = try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4")
+      jobsFor("rown-fallback") {
+        val big = Input.readCsv(spark, f.getAbsolutePath,
+          header = Input.Header.Row(2))
+        assert(big.columns.toSeq == Seq("split", "image_uri", "label"))
+        assert(big.select("label").as[String].collect().toSet ==
+          Set("cat", "goat"))
+      }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    assert(fastJobs < slowJobs,
+      s"single-split path ran $fastJobs jobs, fallback $slowJobs — " +
+        "expected strictly fewer")
   }
 
   test("inspect dumps csv + reconstructed images") {
