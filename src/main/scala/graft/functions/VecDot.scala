@@ -267,6 +267,14 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_vec_sum takes (vec)")
         VecSumAgg(exprs(0))
       }),
+    (FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_sorted_intersect_count takes (a, b)")
+        SortedIntersectCount(exprs(0), exprs(1))
+      }),
     (FunctionIdentifier("graft_window_keys"),
       new ExpressionInfo(classOf[WindowMd5Keys].getName, "graft_window_keys"),
       (exprs: Seq[Expression]) => {

@@ -655,27 +655,41 @@ object Dedup {
                                 numHashes: Int = 128, bands: Int = 32,
                                 maxBucketSize: Long = 0L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = shingleHashFrame(df, idCol, textCol, shingleSize)
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // Verification stays ONE row per candidate pair: each doc carries its
+    // distinct shingle hashes as a single sorted array (a pure projection
+    // — no explode, no regroup), the pair join attaches two arrays, and
+    // the codegen'd merge-scan kernel counts the intersection in place.
+    // The previous formulation exploded both sides to (pair, hash) rows
+    // and counted through a join + aggregate; at the 10M mutated-family
+    // stress (250k unique docs, ~6.1M candidate pairs) that meant ~305M
+    // intermediate rows and a 56 GiB spill. Array payloads are bounded by
+    // document shingle counts (~8 bytes per distinct shingle), and the
+    // candidate set — already bounded by banding + maxBucketSize — is the
+    // only thing that ever shuffles them.
+    val arrs = df
+      .select(col(idCol),
+        sort_array(call_function("graft_shingle_hashes", col(textCol),
+          lit(shingleSize))).as("__sharr"))
+      .filter(col("__sharr").isNotNull)
       .transform(tracked)
     val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
       .transform(tracked)
     val cands = candidatePairs(bandedBuckets(sigs, idCol, numHashes, bands),
       idCol, maxBucketSize)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val xa = sh.toDF("id_a", "__ha")
-    val xb = sh.toDF("id_b", "__hb")
-    val inter = cands
-      .join(xa, "id_a")
-      .join(xb, "id_b")
-      .filter(col("__ha") === col("__hb"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.toDF("id_a", "__na"), "id_a")
-      .join(sizes.toDF("id_b", "__nb"), "id_b")
+    cands
+      .join(arrs.toDF("id_a", "__aa"), "id_a")
+      .join(arrs.toDF("id_b", "__ab"), "id_b")
+      .withColumn("__inter",
+        call_function("graft_sorted_intersect_count",
+          col("__aa"), col("__ab")))
+      // zero-overlap candidates never surface (the explode-join form had
+      // no inner-join row for them), so threshold=0 behaves identically
+      .filter(col("__inter") > 0)
       .withColumn("jaccard",
         col("__inter").cast("double") /
-          (col("__na") + col("__nb") - col("__inter")).cast("double"))
+          (size(col("__aa")) + size(col("__ab")) - col("__inter"))
+            .cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -821,36 +835,45 @@ object Dedup {
       .select(batchIdCol, corpusIdCol)
       .distinct()
       .transform(tracked)
-    val bsh = shingleHashFrame(batch, batchIdCol, batchTextCol, shingleSize)
-      .transform(tracked)
-    val bSizes = bsh.groupBy(col(batchIdCol)).agg(count(lit(1)).as("__nb"))
     // The corpus shingle artifact is CORPUS-sized; per ingest only the
     // CANDIDATE docs' shingles matter, so bound it by the candidate set
-    // ONCE and feed the bounded frame to both the count aggregate and
-    // the intersection join. Without this the verify join shuffled the
-    // whole artifact every ingest — the 1M-doc stress spent ~3/4 of its
-    // probe time there (87.9 s → 22.4 s after; BASELINE.md r7) and at a
-    // 10^9-doc corpus it would be the difference between verify cost
-    // scaling with the candidate set vs with the corpus.
+    // ONCE. Without this the verify join shuffled the whole artifact
+    // every ingest — the 1M-doc stress spent ~3/4 of its probe time
+    // there (87.9 s → 22.4 s after; BASELINE.md r7) and at a 10^9-doc
+    // corpus it would be the difference between verify cost scaling
+    // with the candidate set vs with the corpus.
+    //
+    // Verification itself stays ONE row per candidate pair (same shape
+    // as [[minhashDuplicatesVerified]]): the bounded artifact rows
+    // regroup to one sorted array per candidate doc, the batch side is
+    // a pure projection, and the codegen'd merge-scan kernel counts the
+    // intersection in place — no (pair, hash) explosion, and the
+    // per-doc size aggregates collapse into size(array).
     val candShingles = corpusShingles
       .join(cands.select(corpusIdCol).distinct(), Seq(corpusIdCol),
         "left_semi")
       .transform(tracked)
-    val cSizes = candShingles
+    val cArr = candShingles
       .groupBy(col(corpusIdCol))
-      .agg(count(lit(1)).as("__nc"))
-    val inter = cands
-      .join(bsh.withColumnRenamed("__h", "__hb"), batchIdCol)
-      .join(candShingles.withColumnRenamed("__h", "__hc"), corpusIdCol)
-      .filter(col("__hb") === col("__hc"))
-      .groupBy(batchIdCol, corpusIdCol)
-      .agg(count(lit(1)).as("__inter"))
-    inter
-      .join(bSizes, batchIdCol)
-      .join(cSizes, corpusIdCol)
+      .agg(sort_array(collect_list(col("__h"))).as("__ca"))
+    val bArr = batch
+      .select(col(batchIdCol),
+        sort_array(call_function("graft_shingle_hashes",
+          col(batchTextCol), lit(shingleSize))).as("__ba"))
+      .filter(col("__ba").isNotNull)
+    cands
+      .join(bArr, batchIdCol)
+      .join(cArr, corpusIdCol)
+      .withColumn("__inter",
+        call_function("graft_sorted_intersect_count",
+          col("__ba"), col("__ca")))
+      // zero-overlap candidates never surface (the explode-join form
+      // had no inner-join row for them): threshold=0 behaves identically
+      .filter(col("__inter") > 0)
       .withColumn("jaccard",
         col("__inter").cast("double") /
-          (col("__nb") + col("__nc") - col("__inter")).cast("double"))
+          (size(col("__ba")) + size(col("__ca")) - col("__inter"))
+            .cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(batchIdCol, corpusIdCol, "jaccard")
   }

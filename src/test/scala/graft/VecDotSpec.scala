@@ -236,6 +236,37 @@ class VecDotSpec extends SparkSpec {
     assert(selfDot == d._1.map(b => b.toLong * b.toLong).sum)
   }
 
+  test("graft_sorted_intersect_count matches array_intersect on sorted distinct arrays") {
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(300) { i =>
+      val a = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong)
+        .distinct.sorted.toArray
+      val b = Seq.fill(rnd.nextInt(60))(rnd.nextInt(80).toLong)
+        .distinct.sorted.toArray
+      (i, a, b)
+    }
+    val out = rows.toDF("i", "a", "b")
+      .select(col("i"),
+        call_function("graft_sorted_intersect_count", col("a"), col("b"))
+          .as("n"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .as[(Int, Long, Int)].collect()
+    out.foreach { case (i, n, ref) =>
+      assert(n == ref.toLong, s"row $i: kernel $n vs array_intersect $ref")
+    }
+    // null propagation + type guard
+    val nullOut = spark.sql(
+      "SELECT graft_sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
+      .collect()(0)
+    assert(nullOut.isNullAt(0))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_sorted_intersect_count(array(1), array(1L))")
+        .collect()
+    }
+    assert(e.getMessage.contains("array<long>"))
+  }
+
   test("graft_vec_sum matches the posexplode formulation across partitions") {
     GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(11)
