@@ -192,6 +192,25 @@ class OpsSpec extends SparkSpec {
     assert(!est.keys.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("minhash verify is the merge-scan kernel: one row per pair, no re-aggregate") {
+    // The scale contract behind the 10M mutated-family stress (129 -> 46.5 s,
+    // BASELINE.md r8): verification attaches each side's sorted shingle-hash
+    // array and counts the intersection IN PLACE. The old shape exploded to
+    // (pair, hash) rows and counted through a join + HashAggregate keyed on
+    // (id_a, id_b); its reappearance would mean ~50x the candidate rows in
+    // flight at the stress shape.
+    val plan = Dedup.minhashDuplicatesVerified(docs, "doc_id", "text",
+        threshold = 0.3, numHashes = 128, bands = 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sorted_intersect_count"),
+      s"verify kernel missing from plan:\n$plan")
+    // candidatePairs' band-dedup distinct (functions=[]) is expected; a
+    // COUNT aggregate keyed on the pair is the old shape coming back.
+    assert(!"""keys=\[id_a#\d+L?, id_b#\d+L?\], functions=\[count"""
+        .r.findFirstIn(plan).isDefined,
+      s"pair-keyed count re-aggregate resurfaced in:\n$plan")
+  }
+
   test("simhash: identical texts distance 0, near-dups close, banding finds them") {
     val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")))
       .as[(Long, Long)].collect().toMap
