@@ -778,6 +778,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- quality-aware survivor selection (FineWeb-style keep
+    //      decision): per duplicate cluster keep the member with the
+    //      highest lexical-diversity score, ties -> lowest id. Same
+    //      cluster assignment as q37; the score is exact integer-ratio
+    //      arithmetic so the oracle replays it bit-for-bit ----
+
+    "q79_quality_survivors" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, when}
+      val docs = t(s, dir, "documents")
+      val scored = docs
+        .withColumn("__f", TextAnalysis.qualityFeatures(col("text")))
+        .withColumn("score",
+          when(col("__f.n_tokens") > 0,
+            col("__f.n_distinct_tokens").cast("double") /
+              col("__f.n_tokens").cast("double"))
+            .otherwise(0.0))
+        .select("doc_id", "text", "score")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.qualitySurvivors(scored, "doc_id", pairs, "score")
+        .orderBy("cluster_id")
+    }),
+
     // ---- capstone corpus build: decontaminate → quality filter →
     //      budgeted language mix → leakage-safe split, all under ONE
     //      oracle — the operators composing as a real corpus-prep
@@ -1489,6 +1512,40 @@ object SparkEntry {
            |SELECT a.doc_id, a.cluster_id, s.cluster_size
            |FROM assigned a JOIN csizes s USING (cluster_id)
            |ORDER BY a.doc_id""".stripMargin,
+
+      // q37's cluster assignment + a per-cluster argmax on the
+      // distinct-token ratio (ties -> lowest doc_id).
+      "q79_quality_survivors" ->
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT id_a, id_b FROM (${jaccardSql("0.6")}) j),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (SELECT a, b FROM sym
+           |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           |  FROM reach GROUP BY a),
+           |toks AS ($toksSql),
+           |scored AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(t) = 0 THEN 0.0
+           |      ELSE CAST(len(list_distinct(t)) AS DOUBLE) /
+           |        CAST(len(t) AS DOUBLE) END AS score
+           |  FROM toks),
+           |assigned AS (
+           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           |    s.score
+           |  FROM documents d
+           |  LEFT JOIN comp c ON d.doc_id = c.doc_id
+           |  JOIN scored s ON s.doc_id = d.doc_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |      ORDER BY score DESC, doc_id ASC) AS rn,
+           |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+           |  FROM assigned)
+           |SELECT cluster_id, doc_id, score, cluster_size,
+           |  cluster_size - 1 AS n_dropped
+           |FROM ranked WHERE rn = 1
+           |ORDER BY cluster_id""".stripMargin,
 
       // The full corpus-build replayed as one CTE chain: q51's
       // decontamination membership, q23's quality features, q52's

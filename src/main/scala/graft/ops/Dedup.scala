@@ -1293,6 +1293,51 @@ object Dedup {
         coalesce(col("msize"), lit(1L)).as("cluster_size"))
   }
 
+  /** Quality-aware survivor selection: one row per duplicate cluster,
+    * keeping the HIGHEST-`scoreCol` member (ties → lowest id) instead of
+    * [[dedupPipeline]]'s lowest-id convention. This is the keep decision
+    * of quality-first corpus builds (FineWeb, RefinedWeb): when a
+    * near-dup cluster mixes a clean original with mangled re-crawls, the
+    * survivor should be chosen by quality, not by ingestion order.
+    *
+    * `docs` must carry `idCol` and `scoreCol` (any ordered numeric —
+    * e.g. a lexical-diversity ratio from
+    * [[graft.ops.TextAnalysis.qualityFeatures]], a model score, or a
+    * composite); `pairs` is the (id_a, id_b) output of any pairwise
+    * dedup operator here. Scale shape: [[duplicateClusters]]' labeling
+    * plus ONE cluster-keyed max-struct aggregate — the argmax folds into
+    * the hash aggregate (map-side combinable), never a window or a
+    * rejoin against the corpus. NULL scores sort below every non-NULL
+    * score (the aggregate ignores NULL structs; an all-NULL cluster
+    * falls back to its lowest id with a NULL score).
+    *
+    * Returns (`cluster_id`, `idCol` = survivor, `scoreCol` = its score,
+    * cluster_size, n_dropped).
+    */
+  def qualitySurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       scoreCol: String): DataFrame = {
+    val clusters = duplicateClusters(docs, idCol, pairs)
+    // max over (score, -id) structs: highest score wins, ties resolve to
+    // the LOWEST id (negation flips min-id into the max ordering). The
+    // NULL-score fallback rides the same aggregate as a min-id struct.
+    val survivors = clusters
+      .join(docs.select(col(idCol), col(scoreCol)), idCol)
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(when(col(scoreCol).isNotNull,
+          struct(col(scoreCol).as("s"), negate(col(idCol)).as("negid"))))
+          .as("__best"),
+        min(col(idCol)).as("__fallback"),
+        // constant per cluster; max instead of first for determinism
+        max(col("cluster_size")).as("cluster_size"))
+    survivors.select(
+      col("cluster_id"),
+      coalesce(negate(col("__best.negid")), col("__fallback")).as(idCol),
+      col("__best.s").as(scoreCol),
+      col("cluster_size"),
+      (col("cluster_size") - 1L).as("n_dropped"))
+  }
+
   /** Corpus-wide paragraph dedup (the C4 move): split every document on
     * `sep`, keep only the FIRST occurrence — lowest (doc id, position) —
     * of each distinct paragraph across the WHOLE corpus, and reassemble

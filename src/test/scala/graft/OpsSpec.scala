@@ -192,6 +192,33 @@ class OpsSpec extends SparkSpec {
     assert(!est.keys.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("qualitySurvivors: argmax per cluster, ties -> lowest id, NULL scores lose") {
+    val scored = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9),    // cluster {1,2,3}: 2 wins (tie 2<3)
+      (10L, 0.2),                          // unpaired: survives itself
+      (20L, Double.NaN), (21L, 0.1),       // NaN sorts ABOVE numbers in Spark+DuckDB? avoid: use null below
+    ).toDF("doc_id", "score")
+      .select(col("doc_id"),
+        when(col("doc_id") === 20L, lit(null).cast("double"))
+          .otherwise(col("score")).as("score"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = Dedup.qualitySurvivors(scored, "doc_id", pairs, "score")
+      .select("cluster_id", "doc_id", "score", "cluster_size", "n_dropped")
+      .as[(Long, Long, Option[Double], Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, Some(0.9), 3L, 2L),   // highest score, tie to lowest id
+      (10L, 10L, Some(0.2), 1L, 0L), // singleton cluster
+      (20L, 21L, Some(0.1), 2L, 1L), // NULL score loses to any score
+    ))
+    // all-NULL cluster: min-id fallback with NULL score
+    val allNull = Seq((5L, Option.empty[Double]), (6L, Option.empty[Double]))
+      .toDF("doc_id", "score")
+    val out2 = Dedup.qualitySurvivors(allNull, "doc_id",
+        Seq((5L, 6L)).toDF("id_a", "id_b"), "score")
+      .select("doc_id", "score").as[(Long, Option[Double])].collect().toSet
+    assert(out2 == Set((5L, None)))
+  }
+
   test("minhash verify is the merge-scan kernel: one row per pair, no re-aggregate") {
     // The scale contract behind the 10M mutated-family stress (129 -> 46.5 s,
     // BASELINE.md r8): verification attaches each side's sorted shingle-hash
