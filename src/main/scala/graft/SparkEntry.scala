@@ -801,6 +801,27 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // ---- the flagship dedup pipeline with the quality-first keep
+    //      decision: exact collapse -> LSH+verified pairs (recall ~1 at
+    //      threshold 0.8, so the oracle's exact all-pairs replay
+    //      matches) -> highest-score survivor per duplicate cluster ----
+
+    "q80_quality_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, when}
+      val docs = t(s, dir, "documents")
+      val scored = docs
+        .withColumn("__f", TextAnalysis.qualityFeatures(col("text")))
+        .withColumn("score",
+          when(col("__f.n_tokens") > 0,
+            col("__f.n_distinct_tokens").cast("double") /
+              col("__f.n_tokens").cast("double"))
+            .otherwise(0.0))
+        .select("doc_id", "text", "score")
+      Dedup.dedupPipelineQuality(scored, "doc_id", "text", "score",
+          threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
     // ---- capstone corpus build: decontaminate → quality filter →
     //      budgeted language mix → leakage-safe split, all under ONE
     //      oracle — the operators composing as a real corpus-prep
@@ -1546,6 +1567,56 @@ object SparkEntry {
            |  cluster_size - 1 AS n_dropped
            |FROM ranked WHERE rn = 1
            |ORDER BY cluster_id""".stripMargin,
+
+      // Exact collapse (q10's min-id-per-md5), exact all-pairs Jaccard
+      // at 0.8 over the SURVIVING unique docs, recursive components,
+      // then the per-cluster argmax on the distinct-token ratio.
+      "q80_quality_pipeline" ->
+        s"""WITH RECURSIVE toks AS ($toksSql),
+           |scored AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(t) = 0 THEN 0.0
+           |      ELSE CAST(len(list_distinct(t)) AS DOUBLE) /
+           |        CAST(len(t) AS DOUBLE) END AS score
+           |  FROM toks),
+           |u AS (SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+           |  FROM documents GROUP BY md5(text)),
+           |ush AS (
+           |  SELECT DISTINCT tk.doc_id,
+           |    unnest([array_to_string(tk.t[i:i+2], ' ')
+           |            for i in range(1, len(tk.t) - 1)]) AS s
+           |  FROM toks tk JOIN u ON u.doc_id = tk.doc_id
+           |  WHERE len(tk.t) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ush GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM ush a JOIN ush b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pairs AS (
+           |  SELECT id_a, id_b FROM inter
+           |  JOIN sizes na ON na.doc_id = id_a
+           |  JOIN sizes nb ON nb.doc_id = id_b
+           |  WHERE i / (na.n_sh + nb.n_sh - i) >= 0.8),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (SELECT a, b FROM sym
+           |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           |  FROM reach GROUP BY a),
+           |assigned AS (
+           |  SELECT u.doc_id, coalesce(c.cluster_id, u.doc_id) AS cluster_id,
+           |    s.score, u.dup_count
+           |  FROM u
+           |  LEFT JOIN comp c ON c.doc_id = u.doc_id
+           |  JOIN scored s ON s.doc_id = u.doc_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |      ORDER BY score DESC, doc_id ASC) AS rn
+           |  FROM assigned)
+           |SELECT r.doc_id, d.text, r.score, r.dup_count
+           |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+           |WHERE r.rn = 1
+           |ORDER BY r.doc_id""".stripMargin,
 
       // The full corpus-build replayed as one CTE chain: q51's
       // decontamination membership, q23's quality features, q52's

@@ -728,6 +728,14 @@ object Dedup {
     * [[incrementalNearDup]] unchanged; results are identical (bucketing
     * is physical layout only — q72 proves it against the q54 oracle
     * shape).
+    *
+    * Sizing `numBuckets`: the probe's zero-exchange plan buffers bucket
+    * files in place where the flat plan's exchange would spill — its
+    * peak task memory tracks corpus_size/numBuckets (measured at the
+    * 10M-doc stress: 24.9 GiB peak at 64 buckets, and the probe died
+    * under a heap the flat path survived in; BASELINE r8). At a fixed
+    * executor memory, a bigger corpus means MORE buckets, not more
+    * spill headroom.
     */
   def nearDupArtifactsSaveBucketed(corpus: DataFrame, idCol: String,
                                    textCol: String, bucketsTable: String,
@@ -1694,6 +1702,35 @@ object Dedup {
       threshold, shingleSize, numHashes, bands, maxBucketSize)
     val losers = nearPairs.select(col("id_b").as("__loser")).distinct()
     unique.join(losers, unique(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** [[dedupPipeline]] with the quality-first keep decision: exact
+    * collapse (byte-identical texts share a score, so min-id is already
+    * quality-consistent there), LSH + exact-Jaccard verified pairs over
+    * the unique docs, then ONE [[qualitySurvivors]] pass — the survivor
+    * of every near-dup CLUSTER is its highest-`scoreCol` member (ties →
+    * lowest id), not the lowest id. Cluster-consistent where the
+    * drop-all-`id_b` rule is pairwise: in a chain a≈b, b≈c the pairwise
+    * rule can drop b and c both, while the cluster rule keeps exactly
+    * one representative — the best one.
+    *
+    * `df` must carry `scoreCol` alongside id and text. Returns the
+    * surviving rows of the exact-collapse frame (id, text, score,
+    * dup_count) — `dup_count` still counts byte-identical clones.
+    */
+  def dedupPipelineQuality(df: DataFrame, idCol: String, textCol: String,
+                           scoreCol: String, threshold: Double = 0.8,
+                           shingleSize: Int = 3, numHashes: Int = 128,
+                           bands: Int = 32,
+                           maxBucketSize: Long = 100000L): DataFrame = {
+    val unique = exactByFingerprint(
+        df.select(col(idCol), col(textCol), col(scoreCol)), textCol, idCol)
+      .transform(tracked)
+    val nearPairs = minhashDuplicatesVerified(unique, idCol, textCol,
+      threshold, shingleSize, numHashes, bands, maxBucketSize)
+    val keep = qualitySurvivors(unique, idCol, nearPairs, scoreCol)
+      .select(col(idCol).as("__keep"))
+    unique.join(keep, unique(idCol) === col("__keep"), "left_semi")
   }
 
   /** Embedding twin of [[dedupPipeline]]: collapse BYTE-IDENTICAL vectors

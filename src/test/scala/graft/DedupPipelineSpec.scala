@@ -23,6 +23,30 @@ class DedupPipelineSpec extends SparkSpec {
     assert(out == Map(0L -> 3L, 3L -> 1L))
   }
 
+  test("dedupPipelineQuality: best-of-cluster survives; chains keep exactly one") {
+    // a ≈ b ≈ c is one chain cluster (a and c need not match directly).
+    // The pairwise drop-all-id_b rule keeps only a; the quality rule must
+    // keep exactly the highest-score member — here c — and must still
+    // collapse exact clones first.
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight again", 0.2),
+      (1L, "the quick brown fox jumps over the lazy dog tonight today", 0.5),
+      (2L, "a quick brown fox jumps over the lazy dog tonight today", 0.9),
+      (3L, "completely different content about spark engines and shuffles", 0.1),
+      (4L, "the quick brown fox jumps over the lazy dog tonight again", 0.2), // clone of 0
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.dedupPipelineQuality(docs, "doc_id", "text", "score",
+        threshold = 0.5)
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    // cluster {0,1,2} (chain through 1) -> 2 wins on score; 3 alone.
+    assert(out == Map(2L -> 1L, 3L -> 1L))
+    // same input through the min-id pipeline keeps 0 (the chain head)
+    val minId = Dedup.dedupPipeline(docs.select("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(0L, 3L))
+  }
+
   test("bucket-size cap drops oversized buckets (skew guard)") {
     // 30 identical docs → one bucket of 30 in every band; cap 10 kills it.
     val docs = (0L until 30L)
