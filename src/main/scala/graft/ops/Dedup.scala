@@ -1321,6 +1321,11 @@ object Dedup {
     *
     * Returns (`cluster_id`, `idCol` = survivor, `scoreCol` = its score,
     * cluster_size, n_dropped).
+    *
+    * EAGER at call time, like every [[duplicateClusters]] caller: the
+    * size-adaptive clustering counts the pair frame (and may run the
+    * whole labeling) when this method is CALLED — compose it last, once
+    * `pairs` is final.
     */
   def qualitySurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
                        scoreCol: String): DataFrame = {
