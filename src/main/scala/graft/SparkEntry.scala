@@ -554,6 +554,7 @@ object SparkEntry {
         .select(col("error_id"),
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
           col("first_click_tus"), col("last_click_tus"))
+        .where(col("n_clicks") >= 0) // see q66: keep count() honest
         .orderBy("error_id")
     }),
 
@@ -1061,6 +1062,7 @@ object SparkEntry {
       val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       TextAnalysis.decontaminate(docs, "doc_id", "text", bench, "text", n = 3)
         .select(col("doc_id"), col("contaminated_ngrams"), col("is_clean"))
+        .where(col("contaminated_ngrams") >= 0) // see q66: keep count() honest
         .orderBy("doc_id")
     }),
 
@@ -1193,6 +1195,7 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("kept"))
       plan.join(kept, Seq("source"), "left")
         .withColumn("kept", coalesce(col("kept"), lit(0L)))
+        .where(col("kept") >= 0) // see q66: keep count() honest
         .orderBy("source")
     }),
 

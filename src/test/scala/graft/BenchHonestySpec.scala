@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the join-elimination guards on queries whose tail is a LEFT
+  * join against a unique-keyed aggregate: without a predicate
+  * referencing the joined side, a bare `count()` (exactly what
+  * `graft.Bench` times) lets Catalyst drop the query's expensive
+  * subtree entirely — the bench then times a projection and reports a
+  * fiction. q66 was fixed for this at r6; the r8 10M span stress
+  * re-found the hazard, and this spec keeps every guarded query
+  * honest: the COUNT-optimized plan must still contain a Join.
+  */
+class BenchHonestySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def haveData =
+    new java.io.File(s"$sfDir/documents.parquet").exists()
+
+  private val guarded = Seq(
+    "q51_decontaminate",
+    "q62_range_join",
+    "q66_strip_spans",
+    "q67_span_ingest",
+    "q76_temperature_mix",
+    "q77_jaccard_sweep")
+
+  test("count()-optimized plans keep their joins (bench times real work)") {
+    assume(haveData, s"$sfDir not present")
+    // the events table stores nanosecond timestamps; same conf Bench sets
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    guarded.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // the exact shape Bench executes: count() over the query frame
+      val plan = df.select(count(lit(1)))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("Join"),
+        s"$name: count() plan lost every join — its bench timing would " +
+          s"measure a projection, not the operator:\n$plan")
+    }
+  }
+}
