@@ -28,6 +28,23 @@ object SparkEntry {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** The q79/q80 lexical-diversity score: distinct-token ratio, 0.0 for
+    * zero-token texts, NULL for NULL texts (matching the oracles' CASE,
+    * where len(NULL) is NULL — a NULL score then always LOSES the
+    * qualitySurvivors argmax, the right outcome for an unscorable doc).
+    * ONE definition for both flagship quality queries so they cannot
+    * diverge.
+    */
+  private def diversityScored(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__f", TextAnalysis.qualityFeatures(col("text")))
+      .withColumn("score",
+        when(col("__f.n_tokens") > 0,
+          col("__f.n_distinct_tokens").cast("double") /
+            col("__f.n_tokens").cast("double"))
+          .when(col("__f.n_tokens").isNotNull, lit(0.0)))
+      .select("doc_id", "text", "score")
+
   /** The reference's split semantics mapped onto the events table:
     * click/view → TRAIN, signup → VALIDATION, purchase → TEST, anything
     * else (error) is unknown and must land in DISCARD.
@@ -786,19 +803,10 @@ object SparkEntry {
     //      arithmetic so the oracle replays it bit-for-bit ----
 
     "q79_quality_survivors" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{col, when}
       val docs = t(s, dir, "documents")
-      val scored = docs
-        .withColumn("__f", TextAnalysis.qualityFeatures(col("text")))
-        .withColumn("score",
-          when(col("__f.n_tokens") > 0,
-            col("__f.n_distinct_tokens").cast("double") /
-              col("__f.n_tokens").cast("double"))
-            .otherwise(0.0))
-        .select("doc_id", "text", "score")
       val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
         n = 3, threshold = 0.6)
-      Dedup.qualitySurvivors(scored, "doc_id", pairs, "score")
+      Dedup.qualitySurvivors(diversityScored(docs), "doc_id", pairs, "score")
         .orderBy("cluster_id")
     }),
 
@@ -808,18 +816,8 @@ object SparkEntry {
     //      matches) -> highest-score survivor per duplicate cluster ----
 
     "q80_quality_pipeline" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{col, when}
-      val docs = t(s, dir, "documents")
-      val scored = docs
-        .withColumn("__f", TextAnalysis.qualityFeatures(col("text")))
-        .withColumn("score",
-          when(col("__f.n_tokens") > 0,
-            col("__f.n_distinct_tokens").cast("double") /
-              col("__f.n_tokens").cast("double"))
-            .otherwise(0.0))
-        .select("doc_id", "text", "score")
-      Dedup.dedupPipelineQuality(scored, "doc_id", "text", "score",
-          threshold = 0.8)
+      Dedup.dedupPipelineQuality(diversityScored(t(s, dir, "documents")),
+          "doc_id", "text", "score", threshold = 0.8)
         .orderBy("doc_id")
     }),
 

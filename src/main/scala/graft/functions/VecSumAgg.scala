@@ -93,10 +93,15 @@ case class VecSumAgg(child: Expression,
   override def eval(buffer: Array[Double]): Any =
     if (buffer == null) null else new GenericArrayData(buffer)
 
+  // one presence byte ahead of the doubles: a bare length-0 encoding
+  // would conflate "no vector seen" (null buffer) with "saw zero-length
+  // vectors" (valid empty sum), making the aggregate's result depend on
+  // whether a serialize round-trip (partial aggregation) happened
   override def serialize(buffer: Array[Double]): Array[Byte] =
     if (buffer == null) Array.emptyByteArray
     else {
-      val bb = ByteBuffer.allocate(buffer.length * 8)
+      val bb = ByteBuffer.allocate(1 + buffer.length * 8)
+      bb.put(1: Byte)
       buffer.foreach(bb.putDouble)
       bb.array()
     }
@@ -105,7 +110,8 @@ case class VecSumAgg(child: Expression,
     if (bytes.isEmpty) null
     else {
       val bb = ByteBuffer.wrap(bytes)
-      Array.fill(bytes.length / 8)(bb.getDouble)
+      bb.get() // presence marker
+      Array.fill((bytes.length - 1) / 8)(bb.getDouble)
     }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VecSumAgg =

@@ -104,11 +104,15 @@ object Vocab {
     * reference's TFT asset
     * (transform_fn/assets/vocab_compute_and_apply_vocabulary_vocabulary).
     */
-  def writeAssets(model: VocabModel, transformFnDir: String): Unit = {
+  def writeAssets(model: VocabModel, transformFnDir: String,
+                  precollected: Map[String, Seq[String]] = Map.empty): Unit = {
     val assetsDir = graft.Fs.join(transformFnDir, "assets")
     graft.Fs.mkdirs(assetsDir)
     model.vocabs.foreach { case (column, _) =>
-      val terms = model.terms(column)
+      // terms() collects a Spark frame per call — a caller that already
+      // holds the lists (Sinks shares them with the pbtxt domains) passes
+      // them in rather than re-running the vocab plan
+      val terms = precollected.getOrElse(column, model.terms(column))
       graft.Fs.writeString(
         graft.Fs.join(assetsDir, s"vocab_${graft.AssetNames.encode(column)}"),
         terms.mkString("\n"))

@@ -1329,6 +1329,16 @@ object Dedup {
     */
   def qualitySurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
                        scoreCol: String): DataFrame = {
+    // The tie-break rides max(struct(score, -id)), so the id must negate:
+    // for a string id the implicit cast would NULL every negid and the
+    // argmax would silently pair min(id) with max(score) — fail fast
+    // instead (numeric ids only; duplicateClusters itself is generic).
+    docs.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"qualitySurvivors needs a numeric id column for its argmax " +
+          s"tie-break; '$idCol' is ${other.simpleString}")
+    }
     val clusters = duplicateClusters(docs, idCol, pairs)
     // max over (score, -id) structs: highest score wins, ties resolve to
     // the LOWEST id (negation flips min-id into the max ordering). The

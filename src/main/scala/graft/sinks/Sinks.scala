@@ -111,17 +111,20 @@ object Sinks {
     */
   def writeTransformArtifacts(model: VocabModel, schema: Schema,
                               jobDir: String): Unit = {
-    Vocab.writeAssets(model, graft.Fs.join(jobDir, "transform_fn"))
+    // ONE terms collection per vocab column, shared by the text assets
+    // and the pbtxt int_domains (terms() runs the vocab plan per call)
+    val termLists = model.vocabs.keys.map(k => k -> model.terms(k)).toMap
+    Vocab.writeAssets(model, graft.Fs.join(jobDir, "transform_fn"),
+      termLists)
     val metaDir = graft.Fs.join(jobDir, "transformed_metadata")
     graft.Fs.mkdirs(metaDir)
     graft.Fs.writeString(graft.Fs.join(metaDir, "schema.json"),
       schema.transformedSchema.toJson)
     // the TF-tooling-readable twin (tft.TFTransformOutput reads this
     // file name/format from the same directory, dataset_loader.py:113):
-    // vocab-integerized labels carry int_domain (-1, vocabSize-1) — the
-    // vocab frames are driver-small by construction (Vocab scaladoc)
-    val domains = model.vocabs.map { case (k, v) =>
-      k -> ((-1L, v.count() - 1L))
+    // vocab-integerized labels carry int_domain (-1, vocabSize-1)
+    val domains = termLists.map { case (k, ts) =>
+      k -> ((-1L, ts.length - 1L))
     }
     graft.Fs.writeString(graft.Fs.join(metaDir, "schema.pbtxt"),
       schema.transformedSchema.toPbtxt(domains))

@@ -83,10 +83,15 @@ object Input {
         // its extra per-partition count job is the price of exactness.
         // In practice preamble'd CSVs are small hand-authored exports —
         // bulk ingest at scale uses headerless CSV or parquet.
+        // the one-partition premise is checked against the ACTUAL scan
+        // (getNumPartitions lists files, runs no job) — the effective
+        // split size is min(maxPartitionBytes, max(openCost, bytesPerCore)),
+        // so a conf-derived guess would pass files that scan multi-split
+        val text = spark.read.text(path)
         val body =
-          if (fitsOneSplit(spark, path)) {
+          if (isSingleFile(spark, path) && text.rdd.getNumPartitions == 1) {
             import org.apache.spark.sql.Encoders
-            spark.read.text(path)
+            text
               .filter(monotonically_increasing_id() >= n.toLong)
               .select(col("value"))
               .as(Encoders.STRING)
@@ -109,18 +114,16 @@ object Input {
     }
   }
 
-  /** True iff `path` is a single file no larger than one scan split
-    * (`spark.sql.files.maxPartitionBytes`) — the regime where a `text`
-    * read is one partition and therefore line-order-preserving. One
-    * driver-side FileSystem.getFileStatus, no Spark job.
+  /** True iff `path` names exactly one plain file (not a directory or
+    * glob) — the precondition for the single-split preamble fast path;
+    * the split count itself is read off the actual scan. One driver-side
+    * FileSystem.getFileStatus, no Spark job.
     */
-  private def fitsOneSplit(spark: SparkSession, path: String): Boolean = {
+  private def isSingleFile(spark: SparkSession, path: String): Boolean = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try {
-      val st = fs.getFileStatus(hPath)
-      st.isFile && st.getLen <= spark.sessionState.conf.filesMaxPartitionBytes
-    } catch {
+    try fs.getFileStatus(hPath).isFile
+    catch {
       case _: java.io.FileNotFoundException => false // globs → fallback
     }
   }

@@ -217,6 +217,13 @@ class OpsSpec extends SparkSpec {
         Seq((5L, 6L)).toDF("id_a", "id_b"), "score")
       .select("doc_id", "score").as[(Long, Option[Double])].collect().toSet
     assert(out2 == Set((5L, None)))
+    // non-numeric id: the negate-based tie-break would NULL out — refuse
+    val e = intercept[IllegalArgumentException] {
+      Dedup.qualitySurvivors(
+        Seq(("a", 0.1), ("b", 0.9)).toDF("doc_id", "score"),
+        "doc_id", Seq(("a", "b")).toDF("id_a", "id_b"), "score")
+    }
+    assert(e.getMessage.contains("numeric id"))
   }
 
   test("minhash verify is the merge-scan kernel: one row per pair, no re-aggregate") {

@@ -267,6 +267,24 @@ class VecDotSpec extends SparkSpec {
     assert(e.getMessage.contains("array<long>"))
   }
 
+  test("graft_vec_sum: zero-length vectors sum to an empty array on any plan") {
+    GraftFunctions.ensureRegistered(spark)
+    // single partition (no serialize round-trip) and many partitions
+    // (partial aggregation forces serialize/deserialize) must agree:
+    // a group of empty vectors is an EMPTY sum, not a null one
+    Seq(1, 8).foreach { parts =>
+      val df = spark.range(16).repartition(parts)
+        .selectExpr("id % 2 AS g", "CAST(array() AS ARRAY<DOUBLE>) AS v")
+      val out = df.groupBy("g")
+        .agg(call_function("graft_vec_sum", col("v")).as("s"))
+        .select("s").collect()
+      out.foreach { r =>
+        assert(!r.isNullAt(0), s"null sum at $parts partitions")
+        assert(r.getSeq[Double](0).isEmpty)
+      }
+    }
+  }
+
   test("graft_vec_sum matches the posexplode formulation across partitions") {
     GraftFunctions.ensureRegistered(spark)
     val rnd = new scala.util.Random(11)
