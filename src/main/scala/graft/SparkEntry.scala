@@ -1064,6 +1064,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- fraction-thresholded decontamination: dirty above 50%
+    //      distinct-n-gram overlap with the benchmark (the GPT-3/PaLM
+    //      policy shape), vs q51's any-overlap flag ----
+
+    "q81_decontaminate_fraction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextAnalysis.decontaminateFraction(docs, "doc_id", "text", bench,
+          "text", n = 3, maxFraction = 0.5)
+        .select(col("doc_id"), col("contaminated_ngrams"),
+          col("total_ngrams"), col("contamination_fraction"),
+          col("is_clean"))
+        .where(col("contaminated_ngrams") >= 0) // see q66: keep count() honest
+        .orderBy("doc_id")
+    }),
+
     // ---- deterministic corpus mixing: per-language token (char) budgets;
     //      en/de downsample, fr's budget exceeds supply (keeps all),
     //      zh has budget 0 and es none (both dropped) ----
@@ -2220,6 +2236,38 @@ object SparkEntry {
           |  CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
           |  coalesce(h.c, 0) = 0 AS is_clean
           |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // q51's membership join plus the per-doc distinct-shingle total;
+      // fraction as an exact BIGINT/BIGINT double division.
+      "q81_decontaminate_fraction" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM toks WHERE len(t) >= 3),
+          |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+          |totals AS (SELECT doc_id, count(*) AS tot FROM sh GROUP BY doc_id),
+          |hits AS (
+          |  SELECT sh.doc_id, count(*) AS c
+          |  FROM sh JOIN bsh USING (s) GROUP BY sh.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+          |  CAST(coalesce(tt.tot, 0) AS BIGINT) AS total_ngrams,
+          |  CASE WHEN coalesce(tt.tot, 0) > 0 THEN
+          |    CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(tt.tot AS DOUBLE)
+          |  ELSE 0.0 END AS contamination_fraction,
+          |  CASE WHEN coalesce(tt.tot, 0) > 0 THEN
+          |    CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(tt.tot AS DOUBLE)
+          |  ELSE 0.0 END <= 0.5 AS is_clean
+          |FROM documents d
+          |LEFT JOIN totals tt ON tt.doc_id = d.doc_id
+          |LEFT JOIN hits h ON h.doc_id = d.doc_id
           |ORDER BY d.doc_id""".stripMargin,
 
       // The mixing plan replayed: per-lang availability, fraction =

@@ -508,6 +508,57 @@ object TextAnalysis {
       .withColumn("is_clean", col("contaminated_ngrams") === 0L)
   }
 
+  /** [[decontaminate]] with the FRACTION-thresholded policy most
+    * production decontamination runs use (e.g. GPT-3's 13-gram and
+    * PaLM's 70%-overlap variants): a document is dirty when MORE than
+    * `maxFraction` of its distinct n-grams appear in the benchmark set,
+    * so boilerplate that incidentally shares a phrase with an eval
+    * question survives while genuine test-set copies (including
+    * partially rewritten ones) are flagged. `maxFraction = 0.0`
+    * reproduces [[decontaminate]]'s any-overlap flag.
+    *
+    * Same scale shape as [[decontaminate]] — the per-doc distinct
+    * n-gram total is `size()` of the kernel's array (a scan-bound
+    * projection, no second shuffle). Documents with no n-grams
+    * (shorter than `n` tokens, or NULL text) have fraction 0.0 and are
+    * clean by construction.
+    *
+    * Returns the input columns plus `contaminated_ngrams`,
+    * `total_ngrams`, `contamination_fraction`, `is_clean`.
+    */
+  def decontaminateFraction(docs: DataFrame, idCol: String, textCol: String,
+                            bench: DataFrame, benchTextCol: String,
+                            n: Int = 8,
+                            maxFraction: Double = 0.05): DataFrame = {
+    require(maxFraction >= 0.0 && maxFraction <= 1.0,
+      s"maxFraction must be in [0, 1], got $maxFraction")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val docSh = docs.select(col(idCol),
+      explode(call_function("graft_shingle_hashes", col(textCol), lit(n)))
+        .as("__h"))
+    val benchSh = bench
+      .select(explode(
+        call_function("graft_shingle_hashes", col(benchTextCol), lit(n)))
+        .as("__h"))
+      .distinct()
+    val hits = docSh.join(benchSh, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("contaminated_ngrams"))
+    docs
+      .withColumn("total_ngrams",
+        coalesce(size(call_function("graft_shingle_hashes", col(textCol),
+          lit(n))), lit(0)).cast("long"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("contaminated_ngrams",
+        coalesce(col("contaminated_ngrams"), lit(0L)))
+      .withColumn("contamination_fraction",
+        when(col("total_ngrams") > 0,
+          col("contaminated_ngrams").cast("double") /
+            col("total_ngrams").cast("double"))
+          .otherwise(0.0))
+      .withColumn("is_clean", col("contamination_fraction") <= maxFraction)
+  }
+
   /** Convenience: annotate a documents frame with the full text-analysis
     * column set.
     */

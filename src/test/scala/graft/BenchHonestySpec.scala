@@ -23,7 +23,8 @@ class BenchHonestySpec extends SparkSpec {
     "q66_strip_spans",
     "q67_span_ingest",
     "q76_temperature_mix",
-    "q77_jaccard_sweep")
+    "q77_jaccard_sweep",
+    "q81_decontaminate_fraction")
 
   test("count()-optimized plans keep their joins (bench times real work)") {
     assume(haveData, s"$sfDir not present")
