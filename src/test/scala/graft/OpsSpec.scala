@@ -649,6 +649,33 @@ class OpsSpec extends SparkSpec {
     assert(out(0)._2 >= 1L && out(2)._2 >= 1L)
   }
 
+  test("decontaminateFraction: ratio thresholding; maxFraction=0 equals any-overlap") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // partial overlap
+      (2L, "completely unrelated text with no overlap at all here"),
+      (3L, "a benchmark asks about the quick brown fox story"), // = bench: 100%
+      (4L, "too short"),                                   // 0 n-grams: clean
+    ).toDF("doc_id", "text")
+    val bench = Seq("a benchmark asks about the quick brown fox story")
+      .toDF("text")
+    val out = TextAnalysis.decontaminateFraction(docs, "doc_id", "text",
+        bench, "text", n = 3, maxFraction = 0.5)
+      .select("doc_id", "contamination_fraction", "is_clean")
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out(0)._2 > 0.0 && out(0)._2 <= 0.5 && out(0)._3)  // shares a phrase, kept
+    assert(out(1) == (2L, 0.0, true))
+    assert(out(2) == (3L, 1.0, false))                        // verbatim copy, dropped
+    assert(out(3) == (4L, 0.0, true))
+    // maxFraction = 0 reproduces decontaminate's any-overlap flag exactly
+    val anyOverlap = TextAnalysis.decontaminate(docs, "doc_id", "text",
+        bench, "text", n = 3)
+      .select("doc_id", "is_clean").as[(Long, Boolean)].collect().toMap
+    val zeroThresh = TextAnalysis.decontaminateFraction(docs, "doc_id",
+        "text", bench, "text", n = 3, maxFraction = 0.0)
+      .select("doc_id", "is_clean").as[(Long, Boolean)].collect().toMap
+    assert(zeroThresh == anyOverlap)
+  }
+
   test("incremental dedup drops corpus-seen texts and dedupes within the batch") {
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
     val batch = Seq(
