@@ -60,8 +60,10 @@ object Bench {
     // The driver's stdout capture has repeatedly clipped this line (r6 and
     // r7 official records both lost entries / failed to parse). The file is
     // the durable record: every query time, every round, machine-readable.
+    // cwd-relative default so any checkout location gets its record next
+    // to the build, not at a machine-specific absolute path
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LOCAL_latest.json")
+      "BENCH_LOCAL_latest.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

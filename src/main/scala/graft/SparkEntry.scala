@@ -45,6 +45,19 @@ object SparkEntry {
           .when(col("__f.n_tokens").isNotNull, lit(0.0)))
       .select("doc_id", "text", "score")
 
+  /** The documents table re-keyed by STRING id (`doc:00000042`) — the
+    * id shape of real corpora (URLs, UUIDs). q82/q83 run the flagship
+    * quality-dedup queries over this frame to pin the string-id path of
+    * [[graft.functions.ArgBestAgg]] / [[Dedup.duplicateClusters]];
+    * zero-padding keeps lexicographic order aligned with numeric order
+    * so the oracle's `least`/`min` replay is shape-independent.
+    */
+  private def strIdDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      concat(lit("doc:"), lpad(col("doc_id").cast("string"), 8, "0"))
+        .as("doc_id"),
+      col("text"))
+
   /** The reference's split semantics mapped onto the events table:
     * click/view → TRAIN, signup → VALIDATION, purchase → TEST, anything
     * else (error) is unknown and must land in DISCARD.
@@ -821,6 +834,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- q79 with STRING document ids (URLs/UUIDs are the common
+    //      real-corpus shape): same clusters, same argmax, tie-break on
+    //      the id's own lexicographic order via graft_arg_best ----
+
+    "q82_quality_survivors_strid" -> ((s, dir) => {
+      val docs = strIdDocs(t(s, dir, "documents"))
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.qualitySurvivors(diversityScored(docs), "doc_id", pairs, "score")
+        .orderBy("cluster_id")
+    }),
+
+    // ---- q80 with STRING document ids: the full quality-first dedup
+    //      pipeline over string keys ----
+
+    "q83_quality_pipeline_strid" -> ((s, dir) => {
+      Dedup.dedupPipelineQuality(
+          diversityScored(strIdDocs(t(s, dir, "documents"))),
+          "doc_id", "text", "score", threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
     // ---- capstone corpus build: decontaminate → quality filter →
     //      budgeted language mix → leakage-safe split, all under ONE
     //      oracle — the operators composing as a real corpus-prep
@@ -1335,15 +1370,24 @@ object SparkEntry {
       """SELECT *, CASE WHEN o_orderkey % 10 < 8 THEN 'TRAIN'
         |  WHEN o_orderkey % 10 = 8 THEN 'VALIDATION'
         |  ELSE 'TEST' END AS split FROM orders""".stripMargin
-    val toksSql =
-      """SELECT doc_id, lang, text,
-        |  list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
-        |FROM documents""".stripMargin
+    // `src` parameterizes the document source so the string-id variants
+    // (q82/q83) replay the SAME oracle bodies over a re-keyed subquery;
+    // "documents" yields the original q79/q80 SQL.
+    def toksSqlFrom(src: String): String =
+      s"""SELECT doc_id, lang, text,
+         |  list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
+         |FROM $src""".stripMargin
+    val toksSql = toksSqlFrom("documents")
+    // The documents table re-keyed by string id, mirroring strIdDocs.
+    // No trailing alias: call sites append their own (`FROM $src d`).
+    val strDocsSql =
+      """(SELECT 'doc:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+        |   lang, text FROM documents)""".stripMargin
     // Exact all-pairs n-gram Jaccard (n=3) over an inverted shingle index —
     // the oracle for both the inverted-index (q11) and the LSH-verified
     // (q30) near-dup paths.
-    def jaccardSql(threshold: String): String =
-      s"""WITH toks AS ($toksSql),
+    def jaccardSqlFrom(src: String, threshold: String): String =
+      s"""WITH toks AS (${toksSqlFrom(src)}),
          |sh AS (
          |  SELECT DISTINCT doc_id,
          |    unnest([array_to_string(t[i:i+2], ' ')
@@ -1360,6 +1404,91 @@ object SparkEntry {
          |JOIN sizes nb ON nb.doc_id = id_b
          |WHERE i / (na.n_sh + nb.n_sh - i) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
+    def jaccardSql(threshold: String): String =
+      jaccardSqlFrom("documents", threshold)
+    // q79's oracle body over any document source: cluster assignment via
+    // recursive reachability + per-cluster argmax on the distinct-token
+    // ratio (ties -> lowest id under the id type's own ordering).
+    def qualitySurvSqlFrom(src: String): String =
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id_a, id_b FROM (${jaccardSqlFrom(src, "0.6")}) j),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT a, b FROM sym
+         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a),
+         |toks AS (${toksSqlFrom(src)}),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) = 0 THEN 0.0
+         |      ELSE CAST(len(list_distinct(t)) AS DOUBLE) /
+         |        CAST(len(t) AS DOUBLE) END AS score
+         |  FROM toks),
+         |assigned AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |    s.score
+         |  FROM $src d
+         |  LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |  JOIN scored s ON s.doc_id = d.doc_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY score DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM assigned)
+         |SELECT cluster_id, doc_id, score, cluster_size,
+         |  cluster_size - 1 AS n_dropped
+         |FROM ranked WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin
+    // q80's oracle body over any document source: exact collapse
+    // (min-id-per-md5), exact all-pairs Jaccard at 0.8 over the
+    // SURVIVING unique docs, recursive components, per-cluster argmax.
+    def qualityPipeSqlFrom(src: String): String =
+      s"""WITH RECURSIVE toks AS (${toksSqlFrom(src)}),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(t) = 0 THEN 0.0
+         |      ELSE CAST(len(list_distinct(t)) AS DOUBLE) /
+         |        CAST(len(t) AS DOUBLE) END AS score
+         |  FROM toks),
+         |u AS (SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         |  FROM $src GROUP BY md5(text)),
+         |ush AS (
+         |  SELECT DISTINCT tk.doc_id,
+         |    unnest([array_to_string(tk.t[i:i+2], ' ')
+         |            for i in range(1, len(tk.t) - 1)]) AS s
+         |  FROM toks tk JOIN u ON u.doc_id = tk.doc_id
+         |  WHERE len(tk.t) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ush GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM ush a JOIN ush b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes na ON na.doc_id = id_a
+         |  JOIN sizes nb ON nb.doc_id = id_b
+         |  WHERE i / (na.n_sh + nb.n_sh - i) >= 0.8),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (SELECT a, b FROM sym
+         |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |  FROM reach GROUP BY a),
+         |assigned AS (
+         |  SELECT u.doc_id, coalesce(c.cluster_id, u.doc_id) AS cluster_id,
+         |    s.score, u.dup_count
+         |  FROM u
+         |  LEFT JOIN comp c ON c.doc_id = u.doc_id
+         |  JOIN scored s ON s.doc_id = u.doc_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM assigned)
+         |SELECT r.doc_id, d.text, r.score, r.dup_count
+         |FROM ranked r JOIN $src d ON d.doc_id = r.doc_id
+         |WHERE r.rn = 1
+         |ORDER BY r.doc_id""".stripMargin
     // Cosine with the zero-norm guard, matching Similarity.cosine term
     // order exactly (norm(a)*norm(b), not sqrt(dot*dot)).
     def cosSql(a: String, b: String): String =
@@ -1553,87 +1682,17 @@ object SparkEntry {
 
       // q37's cluster assignment + a per-cluster argmax on the
       // distinct-token ratio (ties -> lowest doc_id).
-      "q79_quality_survivors" ->
-        s"""WITH RECURSIVE pairs AS (
-           |  SELECT id_a, id_b FROM (${jaccardSql("0.6")}) j),
-           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-           |  UNION SELECT id_b, id_a FROM pairs),
-           |reach AS (SELECT a, b FROM sym
-           |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-           |  FROM reach GROUP BY a),
-           |toks AS ($toksSql),
-           |scored AS (
-           |  SELECT doc_id,
-           |    CASE WHEN len(t) = 0 THEN 0.0
-           |      ELSE CAST(len(list_distinct(t)) AS DOUBLE) /
-           |        CAST(len(t) AS DOUBLE) END AS score
-           |  FROM toks),
-           |assigned AS (
-           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-           |    s.score
-           |  FROM documents d
-           |  LEFT JOIN comp c ON d.doc_id = c.doc_id
-           |  JOIN scored s ON s.doc_id = d.doc_id),
-           |ranked AS (
-           |  SELECT *, row_number() OVER (PARTITION BY cluster_id
-           |      ORDER BY score DESC, doc_id ASC) AS rn,
-           |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-           |  FROM assigned)
-           |SELECT cluster_id, doc_id, score, cluster_size,
-           |  cluster_size - 1 AS n_dropped
-           |FROM ranked WHERE rn = 1
-           |ORDER BY cluster_id""".stripMargin,
+      "q79_quality_survivors" -> qualitySurvSqlFrom("documents"),
 
       // Exact collapse (q10's min-id-per-md5), exact all-pairs Jaccard
       // at 0.8 over the SURVIVING unique docs, recursive components,
       // then the per-cluster argmax on the distinct-token ratio.
-      "q80_quality_pipeline" ->
-        s"""WITH RECURSIVE toks AS ($toksSql),
-           |scored AS (
-           |  SELECT doc_id,
-           |    CASE WHEN len(t) = 0 THEN 0.0
-           |      ELSE CAST(len(list_distinct(t)) AS DOUBLE) /
-           |        CAST(len(t) AS DOUBLE) END AS score
-           |  FROM toks),
-           |u AS (SELECT min(doc_id) AS doc_id, count(*) AS dup_count
-           |  FROM documents GROUP BY md5(text)),
-           |ush AS (
-           |  SELECT DISTINCT tk.doc_id,
-           |    unnest([array_to_string(tk.t[i:i+2], ' ')
-           |            for i in range(1, len(tk.t) - 1)]) AS s
-           |  FROM toks tk JOIN u ON u.doc_id = tk.doc_id
-           |  WHERE len(tk.t) >= 3),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ush GROUP BY doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-           |  FROM ush a JOIN ush b ON a.s = b.s AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
-           |pairs AS (
-           |  SELECT id_a, id_b FROM inter
-           |  JOIN sizes na ON na.doc_id = id_a
-           |  JOIN sizes nb ON nb.doc_id = id_b
-           |  WHERE i / (na.n_sh + nb.n_sh - i) >= 0.8),
-           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-           |  UNION SELECT id_b, id_a FROM pairs),
-           |reach AS (SELECT a, b FROM sym
-           |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
-           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-           |  FROM reach GROUP BY a),
-           |assigned AS (
-           |  SELECT u.doc_id, coalesce(c.cluster_id, u.doc_id) AS cluster_id,
-           |    s.score, u.dup_count
-           |  FROM u
-           |  LEFT JOIN comp c ON c.doc_id = u.doc_id
-           |  JOIN scored s ON s.doc_id = u.doc_id),
-           |ranked AS (
-           |  SELECT *, row_number() OVER (PARTITION BY cluster_id
-           |      ORDER BY score DESC, doc_id ASC) AS rn
-           |  FROM assigned)
-           |SELECT r.doc_id, d.text, r.score, r.dup_count
-           |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
-           |WHERE r.rn = 1
-           |ORDER BY r.doc_id""".stripMargin,
+      "q80_quality_pipeline" -> qualityPipeSqlFrom("documents"),
+
+      // q79/q80 over STRING document ids: identical bodies, re-keyed
+      // source — tie-breaks ride the VARCHAR ordering on both sides.
+      "q82_quality_survivors_strid" -> qualitySurvSqlFrom(strDocsSql),
+      "q83_quality_pipeline_strid" -> qualityPipeSqlFrom(strDocsSql),
 
       // The full corpus-build replayed as one CTE chain: q51's
       // decontamination membership, q23's quality features, q52's

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.types._
+
+/** `graft_arg_best(score, id)`: ONE map-side-combinable argmax with a
+  * deterministic tie-break — keeps the (score, id) pair with the
+  * HIGHEST score; among equal scores, the LOWEST id. Returns
+  * `struct(s: scoreType, id: idType)`, or NULL when no row qualified.
+  *
+  * This replaces the `max(struct(score, -id))` formulation
+  * ([[graft.ops.Dedup.qualitySurvivors]]): the negate trick only
+  * reverses orderings that have an exact additive inverse, so it
+  * (a) excluded string ids entirely — the most common id shape in real
+  * corpora (URLs, UUIDs; the reference itself keys images by string
+  * name, tfrecorder `beam_image.py:105`) — and (b) silently wrapped on
+  * `Long.MinValue`/`Int.MinValue` ids under non-ANSI arithmetic. Here
+  * the tie-break is a plain interpreted ordering on the id's own type:
+  * any orderable id works, no arithmetic involved.
+  *
+  * Semantics, pinned:
+  *  - NULL score → the row is ignored (matches `max`'s null handling);
+  *    an all-NULL group evaluates to NULL.
+  *  - NaN score (float/double) → the row is IGNORED, same as NULL. This
+  *    is a deliberate divergence from Spark's ordering (where NaN sorts
+  *    ABOVE every number, so `max(struct(score, …))` lets one NaN-scored
+  *    doc beat every real score): a quality score of NaN is a failed
+  *    computation, not the best document in the cluster.
+  *  - NULL id → the row is ignored (a survivor must have an identity;
+  *    upstream [[graft.ops.Dedup.duplicateClusters]] excludes NULL ids
+  *    already).
+  *
+  * Scale shape: the buffer is ONE (score, id) pair per group per
+  * partition, merged pairwise — partial aggregation applies, so the
+  * shuffle carries one pair per (map task, group), never the rows.
+  * Serialization between partial and final stages rides an
+  * `UnsafeProjection` over (scoreType, idType), so every orderable id
+  * type serializes without a hand-rolled wire format.
+  */
+case class ArgBestAgg(score: Expression, id: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArgBestAgg.Buf]
+    with BinaryLike[Expression] {
+
+  override def left: Expression = score
+  override def right: Expression = id
+
+  override def checkInputDataTypes(): TypeCheckResult = score.dataType match {
+    case _: NumericType => TypeUtils.checkForOrderingExpr(id.dataType, prettyName)
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a numeric score, got ${other.simpleString}")
+  }
+
+  @transient private lazy val scoreOrd: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(score.dataType)
+  @transient private lazy val idOrd: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(id.dataType)
+
+  private def isNaN(s: Any): Boolean = s match {
+    case d: Double => d.isNaN
+    case f: Float => f.isNaN
+    case _ => false
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("s", score.dataType, nullable = false),
+    StructField("id", id.dataType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): ArgBestAgg.Buf = null
+
+  /** true when (s, i) beats the current buffer under
+    * (score DESC, id ASC). */
+  private def beats(buf: ArgBestAgg.Buf, s: Any, i: Any): Boolean = {
+    val c = scoreOrd.compare(s, buf.s)
+    c > 0 || (c == 0 && idOrd.compare(i, buf.id) < 0)
+  }
+
+  override def update(buffer: ArgBestAgg.Buf,
+                      input: InternalRow): ArgBestAgg.Buf = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s == null || i == null || isNaN(s)) buffer
+    else if (buffer == null || beats(buffer, s, i))
+      // copy: eval over unsafe rows returns views into reused buffers
+      ArgBestAgg.Buf(InternalRow.copyValue(s), InternalRow.copyValue(i))
+    else buffer
+  }
+
+  override def merge(buffer: ArgBestAgg.Buf,
+                     other: ArgBestAgg.Buf): ArgBestAgg.Buf =
+    if (other == null) buffer
+    else if (buffer == null || beats(buffer, other.s, other.id)) other
+    else buffer
+
+  override def eval(buffer: ArgBestAgg.Buf): Any =
+    if (buffer == null) null
+    else InternalRow(buffer.s, buffer.id)
+
+  @transient private lazy val serProj =
+    UnsafeProjection.create(Array(score.dataType, id.dataType))
+
+  override def serialize(buffer: ArgBestAgg.Buf): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray
+    else serProj(InternalRow(buffer.s, buffer.id)).getBytes
+
+  override def deserialize(bytes: Array[Byte]): ArgBestAgg.Buf =
+    if (bytes.isEmpty) null
+    else {
+      val row = new UnsafeRow(2)
+      row.pointTo(bytes, bytes.length)
+      ArgBestAgg.Buf(
+        InternalRow.copyValue(row.get(0, score.dataType)),
+        InternalRow.copyValue(row.get(1, id.dataType)))
+    }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ArgBestAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ArgBestAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgBestAgg =
+    copy(score = newLeft, id = newRight)
+  override def prettyName: String = "graft_arg_best"
+}
+
+object ArgBestAgg {
+  /** (score, id) of the best row seen so far; null buffer = none yet. */
+  final case class Buf(s: Any, id: Any)
+}

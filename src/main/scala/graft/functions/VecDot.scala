@@ -267,6 +267,12 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_vec_sum takes (vec)")
         VecSumAgg(exprs(0))
       }),
+    (FunctionIdentifier("graft_arg_best"),
+      new ExpressionInfo(classOf[ArgBestAgg].getName, "graft_arg_best"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_arg_best takes (score, id)")
+        ArgBestAgg(exprs(0), exprs(1))
+      }),
     (FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),

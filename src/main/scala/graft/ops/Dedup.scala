@@ -759,18 +759,27 @@ object Dedup {
     // a fresh session (new in-memory catalog) over an old warehouse dir
     // hits LOCATION_ALREADY_EXISTS even in overwrite mode: the metadata
     // is gone but the managed location survived. Drop both — and when
-    // the catalog KNOWS the table, delete its actual resolved location
-    // rather than the name-derived default.
+    // the catalog KNOWS the table AND owns its data (Type=MANAGED),
+    // delete its actual resolved location rather than the name-derived
+    // default. An EXTERNAL table's location is user data that DROP
+    // TABLE intentionally preserves — never delete it on a mere name
+    // collision; clear only the warehouse-derived default path so the
+    // managed saveAsTable below can't hit a stale directory.
     Seq(bucketsTable, shinglesTable).foreach { t =>
-      val resolved: Option[org.apache.hadoop.fs.Path] =
+      val resolvedManaged: Option[org.apache.hadoop.fs.Path] =
         if (spark.catalog.tableExists(t))
-          scala.util.Try(new org.apache.hadoop.fs.Path(new java.net.URI(
-            spark.sql(s"DESCRIBE TABLE EXTENDED `$t`")
-              .where(col("col_name") === "Location")
-              .head().getString(1)))).toOption
+          scala.util.Try {
+            val desc = spark.sql(s"DESCRIBE TABLE EXTENDED `$t`")
+              .where(col("col_name").isin("Location", "Type"))
+              .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+            if (desc.get("Type").exists(_.equalsIgnoreCase("MANAGED")))
+              Some(new org.apache.hadoop.fs.Path(
+                new java.net.URI(desc("Location"))))
+            else None
+          }.toOption.flatten
         else None
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      val loc = resolved.getOrElse(new org.apache.hadoop.fs.Path(
+      val loc = resolvedManaged.getOrElse(new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase))
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(loc, true)
@@ -1313,11 +1322,15 @@ object Dedup {
     * [[graft.ops.TextAnalysis.qualityFeatures]], a model score, or a
     * composite); `pairs` is the (id_a, id_b) output of any pairwise
     * dedup operator here. Scale shape: [[duplicateClusters]]' labeling
-    * plus ONE cluster-keyed max-struct aggregate — the argmax folds into
-    * the hash aggregate (map-side combinable), never a window or a
-    * rejoin against the corpus. NULL scores sort below every non-NULL
-    * score (the aggregate ignores NULL structs; an all-NULL cluster
-    * falls back to its lowest id with a NULL score).
+    * plus ONE cluster-keyed [[graft.functions.ArgBestAgg]] pass — the
+    * argmax folds into the aggregate (map-side combinable), never a
+    * window or a rejoin against the corpus. NULL and NaN scores are
+    * ignored (a NaN quality score is a failed computation, not the best
+    * document — this deliberately diverges from Spark's NaN-sorts-last
+    * ordering); an all-NULL/NaN cluster falls back to its lowest id
+    * with a NULL score. `idCol` may be ANY orderable type — numeric,
+    * string (URLs, UUIDs), date — the tie-break is an interpreted
+    * ordering on the id's own type, not arithmetic.
     *
     * Returns (`cluster_id`, `idCol` = survivor, `scoreCol` = its score,
     * cluster_size, n_dropped).
@@ -1329,33 +1342,24 @@ object Dedup {
     */
   def qualitySurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
                        scoreCol: String): DataFrame = {
-    // The tie-break rides max(struct(score, -id)), so the id must negate:
-    // for a string id the implicit cast would NULL every negid and the
-    // argmax would silently pair min(id) with max(score) — fail fast
-    // instead (numeric ids only; duplicateClusters itself is generic).
-    docs.schema(idCol).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => ()
-      case other => throw new IllegalArgumentException(
-        s"qualitySurvivors needs a numeric id column for its argmax " +
-          s"tie-break; '$idCol' is ${other.simpleString}")
-    }
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val clusters = duplicateClusters(docs, idCol, pairs)
-    // max over (score, -id) structs: highest score wins, ties resolve to
-    // the LOWEST id (negation flips min-id into the max ordering). The
-    // NULL-score fallback rides the same aggregate as a min-id struct.
+    // graft_arg_best: highest score wins, ties resolve to the LOWEST id
+    // under the id type's own ordering — no negate arithmetic, so string
+    // ids and Long.MinValue work and NaN scores are ignored rather than
+    // beating every real score. The NULL/NaN fallback is a plain min(id).
     val survivors = clusters
       .join(docs.select(col(idCol), col(scoreCol)), idCol)
       .groupBy(col("cluster_id"))
       .agg(
-        max(when(col(scoreCol).isNotNull,
-          struct(col(scoreCol).as("s"), negate(col(idCol)).as("negid"))))
+        call_function("graft_arg_best", col(scoreCol), col(idCol))
           .as("__best"),
         min(col(idCol)).as("__fallback"),
         // constant per cluster; max instead of first for determinism
         max(col("cluster_size")).as("cluster_size"))
     survivors.select(
       col("cluster_id"),
-      coalesce(negate(col("__best.negid")), col("__fallback")).as(idCol),
+      coalesce(col("__best.id"), col("__fallback")).as(idCol),
       col("__best.s").as(scoreCol),
       col("cluster_size"),
       (col("cluster_size") - 1L).as("n_dropped"))

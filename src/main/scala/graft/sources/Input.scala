@@ -124,7 +124,12 @@ object Input {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try fs.getFileStatus(hPath).isFile
     catch {
-      case _: java.io.FileNotFoundException => false // globs → fallback
+      // FileNotFound (globs), permissions, transient object-store
+      // failures, invalid-URI IllegalArgumentException: all degrade to
+      // the generic fallback path, which re-attempts the read through
+      // the scan itself — the probe must never abort a read the
+      // fallback would have served.
+      case scala.util.control.NonFatal(_) => false
     }
   }
 

@@ -196,17 +196,34 @@ class ConvertEndToEndSpec extends SparkSpec {
     // (the fallback adds zipWithIndex's per-partition count pass). Both
     // end in csv(Dataset[String]) — which parses via an internal RDD —
     // so job count, not plan shape, is the observable difference.
+    // A SparkListener counts job STARTS for this group and awaits every
+    // counted job's END — no sleep-based stabilization (a job registered
+    // after a fixed poll window was missed on loaded machines, and an
+    // unrelated concurrent job could inflate a group-free count; the
+    // group property filters those out deterministically).
     def jobsFor(group: String)(body: => Unit): Int = {
-      spark.sparkContext.setJobGroup(group, group)
-      try body finally spark.sparkContext.clearJobGroup()
-      // statusTracker fills asynchronously: poll until stable
-      var last = -1
-      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
-      while (cur != last) {
-        last = cur; Thread.sleep(200)
-        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      val started = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (e.properties != null &&
+              group == e.properties.getProperty("spark.jobGroup.id"))
+            started.incrementAndGet()
       }
-      cur
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        spark.sparkContext.setJobGroup(group, group)
+        try body finally spark.sparkContext.clearJobGroup()
+        // body is synchronous (every action collects), so all group jobs
+        // have STARTED by here; drain the listener bus so their start
+        // events (and everything before them) are counted before reading.
+        // listenerBus is private[spark] — package-private is public in
+        // bytecode, so reflection reaches the test-standard waitUntilEmpty
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        started.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
     }
     val fastJobs = jobsFor("rown-fast") {
       val r = Input.readCsv(spark, f.getAbsolutePath,

@@ -217,13 +217,48 @@ class OpsSpec extends SparkSpec {
         Seq((5L, 6L)).toDF("id_a", "id_b"), "score")
       .select("doc_id", "score").as[(Long, Option[Double])].collect().toSet
     assert(out2 == Set((5L, None)))
-    // non-numeric id: the negate-based tie-break would NULL out — refuse
-    val e = intercept[IllegalArgumentException] {
-      Dedup.qualitySurvivors(
-        Seq(("a", 0.1), ("b", 0.9)).toDF("doc_id", "score"),
-        "doc_id", Seq(("a", "b")).toDF("id_a", "id_b"), "score")
-    }
-    assert(e.getMessage.contains("numeric id"))
+    // string ids (URLs/UUIDs — the common real-corpus id shape): the
+    // graft_arg_best tie-break orders on the id's OWN type, so the
+    // string path works and ties still resolve to the lexicographically
+    // lowest id
+    val sOut = Dedup.qualitySurvivors(
+        Seq(("http://a", 0.5), ("http://b", 0.9), ("http://c", 0.9),
+          ("urn:solo", 0.2)).toDF("doc_id", "score"),
+        "doc_id",
+        Seq(("http://a", "http://b"), ("http://b", "http://c"))
+          .toDF("id_a", "id_b"), "score")
+      .select("cluster_id", "doc_id", "score", "cluster_size", "n_dropped")
+      .as[(String, String, Option[Double], Long, Long)].collect().toSet
+    assert(sOut == Set(
+      ("http://a", "http://b", Some(0.9), 3L, 2L),
+      ("urn:solo", "urn:solo", Some(0.2), 1L, 0L)))
+  }
+
+  test("qualitySurvivors: NaN scores ignored; Long.MinValue id ties safely") {
+    // NaN is a failed score computation, not the best doc: graft_arg_best
+    // skips it like NULL (the old max(struct(score, -id)) let a NaN-scored
+    // doc beat every real score). All-NaN cluster -> min-id fallback.
+    val nan = Seq((1L, Double.NaN), (2L, 0.3), (3L, Double.NaN))
+      .toDF("doc_id", "score")
+    val nanOut = Dedup.qualitySurvivors(nan, "doc_id",
+        Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), "score")
+      .select("doc_id", "score").as[(Long, Option[Double])].collect().toSet
+    assert(nanOut == Set((2L, Some(0.3))))
+    val allNan = Seq((7L, Double.NaN), (8L, Double.NaN))
+      .toDF("doc_id", "score")
+    val allNanOut = Dedup.qualitySurvivors(allNan, "doc_id",
+        Seq((7L, 8L)).toDF("id_a", "id_b"), "score")
+      .select("doc_id", "score").as[(Long, Option[Double])].collect().toSet
+    assert(allNanOut == Set((7L, None)))
+    // Long.MinValue id: the old negate tie-break wrapped silently under
+    // non-ANSI arithmetic; the interpreted ordering has no arithmetic,
+    // so MinValue is just the smallest id and wins its tie
+    val minv = Seq((Long.MinValue, 0.9), (5L, 0.9), (6L, 0.1))
+      .toDF("doc_id", "score")
+    val minvOut = Dedup.qualitySurvivors(minv, "doc_id",
+        Seq((Long.MinValue, 5L), (5L, 6L)).toDF("id_a", "id_b"), "score")
+      .select("doc_id", "score").as[(Long, Option[Double])].collect().toSet
+    assert(minvOut == Set((Long.MinValue, Some(0.9))))
   }
 
   test("minhash verify is the merge-scan kernel: one row per pair, no re-aggregate") {
@@ -1162,6 +1197,31 @@ class OpsSpec extends SparkSpec {
       spark.read.parquet(shFlat))
     assert(viaTables == viaParquet && viaTables.nonEmpty)
     Seq("graft_spec_buckets", "graft_spec_shingles")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.releaseIntermediates()
+  }
+
+  test("bucketed artifact save never deletes an EXTERNAL table's data") {
+    // A name collision with an unrelated EXTERNAL table must not destroy
+    // its underlying directory: DROP TABLE preserves external data by
+    // contract, and the managed-location cleanup must respect that too.
+    val extDir = tmpDir("graft-ext-data")
+    Seq((1L, "user data that must survive")).toDF("id", "v")
+      .write.mode("overwrite").parquet(extDir)
+    spark.sql("DROP TABLE IF EXISTS graft_spec_extbkt")
+    spark.sql("DROP TABLE IF EXISTS graft_spec_extsh")
+    spark.sql(s"CREATE TABLE graft_spec_extbkt (id BIGINT, v STRING) " +
+      s"USING parquet LOCATION '$extDir'")
+    val corpus = (0 until 20).map(i => (i.toLong, s"w${i % 3} w$i body"))
+      .toDF("corpus_id", "text")
+    Dedup.nearDupArtifactsSaveBucketed(corpus, "corpus_id", "text",
+      "graft_spec_extbkt", "graft_spec_extsh", numBuckets = 2)
+    // the external directory's data file is intact after the overwrite
+    assert(spark.read.parquet(extDir).as[(Long, String)].collect().toSeq ==
+      Seq((1L, "user data that must survive")))
+    // and the artifact tables themselves work (now MANAGED)
+    assert(spark.table("graft_spec_extbkt").count() > 0)
+    Seq("graft_spec_extbkt", "graft_spec_extsh")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     Dedup.releaseIntermediates()
   }
