@@ -1248,6 +1248,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- temperature mixing WITH up-sampling (epochs): total = 4x the
+    //      corpus, so every non-dominant language's share exceeds its
+    //      availability — de/es/fr/zh hit the 3-epoch cap, en gets 2
+    //      full epochs plus a ~0.8 fractional epoch. Output is the
+    //      replicated corpus with its epoch index ----
+
+    "q84_temperature_mix_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val total = 4L * docs.count()
+      Sampling.temperatureMixEpochs(docs, "lang", "doc_id", total,
+          maxEpochs = 3L, salt = 9L)
+        .select("doc_id", "lang", "epoch")
+        .orderBy("lang", "doc_id", "epoch")
+    }),
+
     // ---- snapshot diff, production form: the old side is a persisted
     //      (id, digest) catalog artifact written once per accepted
     //      snapshot — the old corpus is never re-read. Same delta as q74
@@ -2205,6 +2220,36 @@ object SparkEntry {
           |  COALESCE(k.kept, 0) AS kept
           |FROM plan p LEFT JOIN kept k ON p.source = k.source
           |ORDER BY p.source""".stripMargin,
+
+      // The epoch plan replayed in integer arithmetic: sqrt fixed-point
+      // weights, targets capped at 3 epochs, full copies via a bounded
+      // epoch series join (DuckDB lacks lateral generate_series; the
+      // static range is bounded by maxEpochs), and the epoch-salted
+      // mixed-key fractional keep.
+      "q84_temperature_mix_epochs" ->
+        """WITH counts AS (
+          |  SELECT lang, count(*) AS available,
+          |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS weight
+          |  FROM documents GROUP BY lang),
+          |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM counts),
+          |tot AS (SELECT 4 * count(*) AS t FROM documents),
+          |plan AS (
+          |  SELECT lang, available, weight,
+          |    CAST(least(3 * available, (tot.t * weight) // tw.w)
+          |      AS BIGINT) AS target
+          |  FROM counts, tw, tot),
+          |thr AS (
+          |  SELECT lang, target // available AS nfull,
+          |    ((target % available) * 4294967296) // available AS fthr
+          |  FROM plan WHERE target > 0),
+          |epochs AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS epoch)
+          |SELECT d.doc_id, d.lang, g.epoch
+          |FROM documents d
+          |JOIN thr t ON d.lang = t.lang
+          |JOIN epochs g ON g.epoch <= t.nfull
+          |WHERE g.epoch < t.nfull
+          |  OR ((d.doc_id + t.nfull + 9) * 2654435761) % 4294967296 < t.fthr
+          |ORDER BY d.lang, d.doc_id, g.epoch""".stripMargin,
 
       "q35_ivf_ann" -> ivfSql,
 

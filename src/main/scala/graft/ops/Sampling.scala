@@ -183,6 +183,95 @@ object Sampling {
       mixThresholds(temperatureMixPlan(df, strataCol, total), strataCol),
       strataCol, keyCol, salt)
 
+  /** [[temperatureMixPlan]] WITHOUT the 1-epoch cap: targets may exceed
+    * availability up to `maxEpochs` copies of a stratum — the T5/DoReMi
+    * up-sampling regime, where a small high-value source (e.g. curated
+    * reference text in a web-scale mix) is repeated rather than
+    * flattened to its raw share. `target = min(available · maxEpochs,
+    * (total · w) div Σw)` with the same engine-portable integer weight
+    * `w = floor(sqrt(n)·10⁶)`; everything stays pure integer arithmetic
+    * so external SQL replays targets bit-exactly.
+    *
+    * Same scale/overflow shape as [[temperatureMixPlan]]; additionally
+    * `available · maxEpochs` must stay in Long (ANSI fail-fast if not).
+    */
+  def temperatureMixPlanEpochs(df: DataFrame, strataCol: String,
+                               total: Long, maxEpochs: Long): DataFrame = {
+    require(total >= 0L, "total must be non-negative")
+    require(maxEpochs >= 1L, "maxEpochs must be >= 1")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("available"))
+      .withColumn("weight",
+        floor(sqrt(col("available").cast("double")) * 1e6).cast("long"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("weight")).as("__tw"))))
+      .withColumn("target",
+        least(col("available") * maxEpochs,
+          expr(s"($total * weight) div __tw")))
+      .select(col(strataCol), col("available"), col("weight"), col("target"))
+  }
+
+  /** The `(stratum, full-epoch count, 2³²-scaled fractional threshold)`
+    * frame an up-sampling `(stratum, available, target)` plan induces:
+    * `__full = target div available` complete copies of every row, plus
+    * a fractional epoch keeping `(target mod available)/available` of
+    * the keys. Integer arithmetic throughout (`div`/`mod` and an
+    * integral 2³² scale), so the oracle replays thresholds exactly.
+    * Public for the same reason as [[mixThresholds]]: a STREAM applies
+    * the identical decisions ([[graft.streaming.StreamingOps]]).
+    */
+  def epochThresholds(plan: DataFrame, strataCol: String): DataFrame =
+    plan.filter(col("target") > 0L)
+      .select(col(strataCol).as("__stratum"),
+        expr("target div available").as("__full"),
+        expr(s"((target % available) * ${Mod}L) div available").as("__thr"))
+
+  /** Replicate-and-keep: every row of `df` appears `__full` times (epoch
+    * 0..__full-1) plus once more in the FRACTIONAL epoch `__full` iff
+    * its [[mixedKey]] uniform — salted by the epoch index, so the
+    * fractional keep is independent of same-salt downsampling decisions
+    * elsewhere — falls under the stratum's `__thr`. The copy index is
+    * returned as `epoch`, making (`keyCol`, `epoch`) the unique key of
+    * the output (downstream packing/shard export must key on both, or a
+    * repeated doc collapses back to one).
+    *
+    * Every decision is pure in (key, epoch, salt): partitioning-
+    * independent, append-stable, replayable in external SQL, and
+    * identical between batch and stream (the replication is a
+    * broadcast-join + generator — stateless, so it runs unchanged under
+    * Structured Streaming).
+    *
+    * Scale shape: one broadcast of #strata rows, one generator per row
+    * (output rows = Σ target, the training-set size — there is no way to
+    * emit an epoch'd corpus in fewer rows), no shuffle of `df`.
+    */
+  def applyEpochThresholds(df: DataFrame, thresholds: DataFrame,
+                           strataCol: String, keyCol: String,
+                           salt: Long = 0L): DataFrame =
+    df.join(broadcast(thresholds), df(strataCol) === col("__stratum"))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__full"))))
+      // mixedKey(key, salt) mixes key+salt, so key + __full under salt
+      // IS the epoch-salted uniform mixedKey(key, salt + __full) — one
+      // expression, still pure integer limb arithmetic
+      .filter(col("epoch") < col("__full") ||
+        mixedKey(col(keyCol) + col("__full"), salt) < col("__thr"))
+      .drop("__stratum", "__full", "__thr")
+
+  /** Temperature mixing WITH up-sampling: strata whose temperature share
+    * exceeds their availability are repeated (up to `maxEpochs` copies)
+    * instead of capped at one pass — [[temperatureMixPlanEpochs]]
+    * targets applied by [[applyEpochThresholds]]. Returns `df`'s columns
+    * plus `epoch`.
+    */
+  def temperatureMixEpochs(df: DataFrame, strataCol: String, keyCol: String,
+                           total: Long, maxEpochs: Long,
+                           salt: Long = 0L): DataFrame =
+    applyEpochThresholds(df,
+      epochThresholds(
+        temperatureMixPlanEpochs(df, strataCol, total, maxEpochs),
+        strataCol),
+      strataCol, keyCol, salt)
+
   /** The `(stratum, 2³²-scaled threshold)` frame a `(stratum, available,
     * target)` plan induces — public so a STREAM can apply the identical
     * decisions ([[graft.streaming.StreamingOps.mixStream]]): thresholds

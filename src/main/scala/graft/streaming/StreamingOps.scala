@@ -134,6 +134,22 @@ object StreamingOps {
     graft.ops.Sampling.applyMixThresholds(stream, thresholds, strataCol,
       keyCol, salt)
 
+  /** Streaming UP-SAMPLING mix: apply a batch-computed epoch plan
+    * ([[graft.ops.Sampling.epochThresholds]] over a
+    * [[graft.ops.Sampling.temperatureMixPlanEpochs]]) to a live stream —
+    * rows of under-represented strata are REPLICATED (with an `epoch`
+    * column) exactly as the batch operator would replicate them.
+    * Stateless like [[mixStream]]: broadcast stream-static join + a
+    * generator + the pure (key, epoch, salt) keep predicate, so batch
+    * and stream emit exactly the same (row, epoch) set on the same data
+    * (parity property in StreamingOpsSpec). Same plan-refresh
+    * discipline as [[mixStream]].
+    */
+  def mixStreamEpochs(stream: DataFrame, strataCol: String, keyCol: String,
+                      thresholds: DataFrame, salt: Long = 0L): DataFrame =
+    graft.ops.Sampling.applyEpochThresholds(stream, thresholds, strataCol,
+      keyCol, salt)
+
   /** Gap-based sessionization with the BUILT-IN `session_window`
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the

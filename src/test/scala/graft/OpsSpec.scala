@@ -1390,6 +1390,44 @@ class OpsSpec extends SparkSpec {
     assert(Sampling.temperatureMix(df, "src", "id", total = 0L).isEmpty)
   }
 
+  test("temperatureMixEpochs up-samples past availability, exact layout") {
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 104).map(i => (i.toLong, "small"))).toDF("id", "src")
+    // weights 1e7 / 2e6, tw = 1.2e7; total=60 → big (60*1e7) div 1.2e7
+    // = 50 (full 0, frac 1/2), small (60*2e6) div 1.2e7 = 10, capped at
+    // 4*2=8 by maxEpochs=2 → full 2, frac 0
+    val plan = Sampling.temperatureMixPlanEpochs(df, "src", total = 60L,
+        maxEpochs = 2L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(plan == Seq(("big", 100L, 10000000L, 50L),
+      ("small", 4L, 2000000L, 8L)))
+    val out = Sampling.temperatureMixEpochs(df, "src", "id", total = 60L,
+      maxEpochs = 2L, salt = 7L)
+    val rows = out.select("id", "src", "epoch")
+      .as[(Long, String, Long)].collect()
+    // small: target = 2 epochs exactly — every row appears twice, epochs
+    // 0 and 1, and the fractional epoch (2) keeps nothing (thr = 0)
+    val small = rows.filter(_._2 == "small")
+    assert(small.length == 8)
+    assert(small.groupBy(_._1).values.map(_.map(_._3).sorted.toSeq).toSet ==
+      Set(Seq(0L, 1L)))
+    // big: full = 0 → epochs all 0, thresholded ~50 of 100
+    val big = rows.filter(_._2 == "big")
+    assert(big.forall(_._3 == 0L))
+    assert(big.length > 25 && big.length < 75)
+    // pure in (key, epoch, salt): partitioning-invariant
+    val again = Sampling.temperatureMixEpochs(df.repartition(13), "src",
+        "id", total = 60L, maxEpochs = 2L, salt = 7L)
+      .select("id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(again == rows.map(r => (r._1, r._3)).sorted.toSeq)
+    // a target that is a strict multiple of availability never leaks a
+    // fractional-epoch row, and maxEpochs = 1 reduces to the capped
+    // downsampling regime (no epoch above 0)
+    val capped = Sampling.temperatureMixEpochs(df, "src", "id",
+      total = 60L, maxEpochs = 1L, salt = 7L)
+    assert(capped.select("epoch").as[Long].collect().forall(_ == 0L))
+  }
+
   test("budgetedMix hits budgets deterministically and drops unbudgeted strata") {
     val df = (0 until 400).map { i =>
       (i.toLong, if (i % 2 == 0) "en" else "de", 100L)

@@ -85,6 +85,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.count(_ >= 100L) == 4)
   }
 
+  test("streaming epoch mix emits exactly the batch (row, epoch) set") {
+    implicit val sqlCtx = spark.sqlContext
+    // small stratum's temperature share exceeds its availability ->
+    // replication; big stratum downsamples (full = 0, fractional only)
+    val corpus = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 104).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val thresholds = graft.ops.Sampling.epochThresholds(
+      graft.ops.Sampling.temperatureMixPlanEpochs(corpus, "src",
+        total = 60L, maxEpochs = 4L),
+      "src")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.mixStreamEpochs(
+      input.toDF().toDF("id", "src"), "src", "id", thresholds, salt = 3L)
+    val query = out.writeStream.format("memory")
+      .queryName("mix_stream_epochs").outputMode("append").start()
+    val arrivals = (0 until 104).map(i =>
+      (i.toLong, if (i < 100) "big" else "small"))
+    try {
+      input.addData(arrivals.take(50): _*); query.processAllAvailable()
+      input.addData(arrivals.drop(50): _*); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("mix_stream_epochs")
+      .select("id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    val batch = graft.ops.Sampling.applyEpochThresholds(
+        arrivals.toDF("id", "src"), thresholds, "src", "id", salt = 3L)
+      .select("id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+    // the small stratum really up-sampled: some id appears > once
+    assert(streamed.count(_._1 >= 100L) > 4)
+  }
+
   test("bloom-prefiltered stream-static dedup matches the plain path") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
