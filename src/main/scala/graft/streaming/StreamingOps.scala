@@ -150,6 +150,56 @@ object StreamingOps {
     graft.ops.Sampling.applyEpochThresholds(stream, thresholds, strataCol,
       keyCol, salt)
 
+  /** Streaming NEAR-dup ingest against a persisted corpus: every
+    * micro-batch is probed with the full
+    * [[graft.ops.Dedup.incrementalNearDup]] pipeline — MinHash band
+    * buckets, candidate join against the corpus bucket artifact,
+    * candidate-bounded shingle fetch, merge-scan exact-Jaccard verify —
+    * and `sink` receives the verified `(batchIdCol, corpusIdCol,
+    * jaccard)` pairs per batch, with the micro-batch id for exactly-once
+    * bookkeeping (idempotent re-writes on replay).
+    *
+    * Shape: `foreachBatch`, NOT a stream-static join chain. The probe
+    * needs per-pair candidate dedup and corpus-side aggregation —
+    * stateful operators a declarative stream-static plan would either
+    * forbid or re-express with watermark state the batch semantics
+    * doesn't have. `foreachBatch` runs the BATCH operator on each
+    * micro-batch, so stream results equal
+    * [[graft.ops.Dedup.incrementalNearDup]] on the same rows BY
+    * CONSTRUCTION (parity spec in StreamingOpsSpec), every batch-side
+    * optimization (bucketed zero-exchange corpus scan when
+    * `corpusBuckets` comes from
+    * [[graft.ops.Dedup.nearDupArtifactsSaveBucketed]] tables, the
+    * candidate-bounded artifact fetch, the codegen'd intersect kernel)
+    * applies unchanged, and there is no cross-batch state — the corpus
+    * artifacts ARE the state, refreshed per accepted snapshot like
+    * [[dedupStreamAgainstCorpus]].
+    *
+    * Returns the configured `DataStreamWriter` — the caller sets
+    * checkpoint/trigger options and calls `start()`.
+    */
+  def nearDupStream(stream: DataFrame, batchIdCol: String,
+                    batchTextCol: String, corpusBuckets: DataFrame,
+                    corpusShingles: DataFrame, corpusIdCol: String,
+                    threshold: Double = 0.8, shingleSize: Int = 3,
+                    numHashes: Int = 128, bands: Int = 32,
+                    maxBucketSize: Long = 0L)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        // release the pass's tracked caches once the sink has
+        // materialized the result — a 24/7 query must not accumulate
+        // per-batch persisted intermediates
+        Dedup.withReleasedIntermediates {
+          Dedup.incrementalNearDup(mb.toDF(), batchIdCol, batchTextCol,
+            corpusBuckets, corpusShingles, corpusIdCol, threshold,
+            shingleSize, numHashes, bands, maxBucketSize)
+        }(res => sink(res, batchId))
+    }
+
   /** Gap-based sessionization with the BUILT-IN `session_window`
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the

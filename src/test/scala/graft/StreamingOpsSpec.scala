@@ -116,6 +116,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.count(_._1 >= 100L) > 4)
   }
 
+  test("nearDupStream: per-batch pairs equal incrementalNearDup exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    def docText(i: Int) =
+      s"w${i % 7} w${i % 5} w${i % 3} w$i tail tokens here and more words"
+    val corpus = (0 until 50).map(i => (i.toLong, docText(i)))
+      .toDF("corpus_id", "text")
+    val cBuckets = graft.ops.Dedup.minhashBandBuckets(
+      corpus, "corpus_id", "text")
+    val cShingles = graft.ops.Dedup.shingleHashFrame(
+      corpus, "corpus_id", "text", 3)
+    // two ingest batches: re-crawls of corpus docs 1 and 7 plus a novel doc
+    val batch1 = Seq((1000L, docText(1) + " extra"), (1001L, "novel stuff"))
+    val batch2 = Seq((2000L, docText(7) + " tweak"))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Double)]]()
+    val query = StreamingOps.nearDupStream(
+        input.toDF().toDF("batch_id", "text"), "batch_id", "text",
+        cBuckets, cShingles, "corpus_id", threshold = 0.1) { (res, id) =>
+      got.synchronized {
+        got(id) = res.select("batch_id", "corpus_id", "jaccard")
+          .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      }
+    }.start()
+    try {
+      input.addData(batch1: _*); query.processAllAvailable()
+      input.addData(batch2: _*); query.processAllAvailable()
+    } finally query.stop()
+    def batchRun(rows: Seq[(Long, String)]) =
+      graft.ops.Dedup.withReleasedIntermediates {
+        graft.ops.Dedup.incrementalNearDup(rows.toDF("batch_id", "text"),
+          "batch_id", "text", cBuckets, cShingles, "corpus_id",
+          threshold = 0.1)
+      }(_.as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq)
+    val expected1 = batchRun(batch1)
+    val expected2 = batchRun(batch2)
+    assert(got.size == 2)
+    assert(got(0L) == expected1 && expected1.nonEmpty)
+    assert(got(1L) == expected2 && expected2.nonEmpty)
+    // the novel doc matched nothing
+    assert(!got(0L).exists(_._1 == 1001L))
+  }
+
   test("bloom-prefiltered stream-static dedup matches the plain path") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
