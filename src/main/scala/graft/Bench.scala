@@ -23,7 +23,12 @@ object Bench {
       }
     // A query that throws reports -1 sec — never its wall time, which
     // would silently pass a broken query off as a fast one.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name subset (local
+    // iteration / targeted scale passes); unset = the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val sec =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

@@ -47,7 +47,22 @@ import org.apache.spark.storage.StorageLevel
   * materializing each pass's result (cached frames are otherwise only
   * evicted LRU).
   */
+/** Observability for the most recent [[Dedup.duplicateClusters]] run on
+  * this JVM: which path labeled the graph, rounds to converge, and
+  * per-round wall millis (empty for the driver union-find path). A
+  * production monitor alerts on `rounds` approaching `maxIterations` —
+  * graph diameter growing past the pointer-jumping budget — without the
+  * operator logging anything itself.
+  */
+case class ClusteringStats(rounds: Int, roundMillis: Seq[Long],
+                           driverPath: Boolean)
+
 object Dedup {
+
+  /** Stats of the most recent [[duplicateClusters]] call (see
+    * [[ClusteringStats]]); None until the first call on this JVM.
+    */
+  @volatile var lastClusteringStats: Option[ClusteringStats] = None
 
   // Strong references, bounded: a weak ref would be collected as soon as
   // the operator returns (downstream plans keep the logical plan alive,
@@ -1199,8 +1214,10 @@ object Dedup {
            org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
-    if (idIsIntegral && edges.count() <= driverEdgeLimit)
+    if (idIsIntegral && edges.count() <= driverEdgeLimit) {
+      lastClusteringStats = Some(ClusteringStats(0, Nil, driverPath = true))
       return duplicateClustersDriver(nodes, idCol, edges)
+    }
     val sym = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -1210,7 +1227,9 @@ object Dedup {
       .transform(tracked)
     var converged = false
     var iter = 0
+    val roundMillis = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (!converged && iter < maxIterations) {
+      val roundStart = System.nanoTime()
       // 1. edge relaxation: pull the minimum label across neighbors
       val nbr = sym.join(labels, sym("b") === labels("node"))
         .groupBy(sym("a").as("node2"))
@@ -1239,7 +1258,10 @@ object Dedup {
       labels.unpersist(blocking = false)
       labels = jumped.select("node", "label")
       iter += 1
+      roundMillis += (System.nanoTime() - roundStart) / 1000000L
     }
+    lastClusteringStats =
+      Some(ClusteringStats(iter, roundMillis.toSeq, driverPath = false))
     require(converged,
       s"duplicateClusters did not converge in $maxIterations rounds")
     val sizes = labels.groupBy(col("label"))

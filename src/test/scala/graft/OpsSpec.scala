@@ -1292,6 +1292,15 @@ class OpsSpec extends SparkSpec {
       "qtext", k = 10).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("In(__t"),
       s"expected term IN pushdown in:\n$plan")
+    // and past the cap the SCAN filter is really gone (both boundary
+    // plan shapes pinned, like the repeated-spans fallback): results
+    // above proved value parity; this proves the fallback exercised the
+    // full-scan path rather than quietly still pushing terms down
+    val fbPlan = TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10, maxPushdownTerms = 1)
+      .queryExecution.executedPlan.toString
+    assert(!fbPlan.contains("In(__t"),
+      s"expected NO term pushdown past the cap in:\n$fbPlan")
   }
 
   test("semanticDuplicates: within-cluster pairs only, cap drops coarse clusters") {
