@@ -508,6 +508,14 @@ class OpsSpec extends SparkSpec {
         driverEdgeLimit = 0)
       .as[(Long, Long, Long)].collect().toSet
     assert(loop == want)
+    // observability: the loop reported its rounds and per-round timings
+    // (a 4-chain needs >= 2 rounds: relax+jump, then converge-check)
+    val stats = Dedup.lastClusteringStats.get
+    assert(!stats.driverPath && stats.rounds >= 2 &&
+      stats.roundMillis.length == stats.rounds)
+    // and the driver path marks itself
+    Dedup.duplicateClusters(nodes, "id", pairs)
+    assert(Dedup.lastClusteringStats.get.driverPath)
   }
 
   test("duplicateClusters excludes NULL-id nodes explicitly in both paths") {
