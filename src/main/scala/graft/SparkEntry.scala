@@ -1103,6 +1103,16 @@ object SparkEntry {
     //      distinct-n-gram overlap with the benchmark (the GPT-3/PaLM
     //      policy shape), vs q51's any-overlap flag ----
 
+    "q82_domain_cap" -> ((s, dir) => {
+      // at most 10 docs per source, best-first by length — every source
+      // exceeds the cap at sf0.01, and duplicate n_chars within a
+      // source exercises the lowest-id tie-break
+      Sampling.capPerKey(t(s, dir, "documents"), "source", "n_chars",
+          "doc_id", maxPerKey = 10)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    }),
+
     "q81_decontaminate_fraction" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
@@ -2344,6 +2354,15 @@ object SparkEntry {
 
       // q51's membership join plus the per-doc distinct-shingle total;
       // fraction as an exact BIGINT/BIGINT double division.
+      "q82_domain_cap" ->
+        """SELECT doc_id, source, n_chars FROM (
+          |  SELECT doc_id, source, n_chars,
+          |    row_number() OVER (
+          |      PARTITION BY source
+          |      ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents) WHERE rn <= 10
+          |ORDER BY source, doc_id""".stripMargin,
+
       "q81_decontaminate_fraction" ->
         """WITH toks AS (
           |  SELECT doc_id,

@@ -1,0 +1,234 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** `graft_top_k(score, id, k)`: the top-k generalization of
+  * [[ArgBestAgg]] — ONE map-side-combinable aggregate keeping the k
+  * best (score, id) pairs per group under (score DESC, id ASC).
+  * Returns `array<struct(s: scoreType, id: idType)>` sorted best-first
+  * (ties broken by the LOWEST id); an empty group evaluates to an
+  * empty array.
+  *
+  * This powers [[graft.ops.Sampling.capPerKey]] (RefinedWeb-style
+  * "at most k documents per domain"): the window-function
+  * formulation (`row_number() OVER (PARTITION BY key ORDER BY …)`)
+  * shuffles EVERY row of a key to one task and sorts them there —
+  * at 100 TB a single hot domain (half the crawl is often a handful
+  * of hosts) becomes one straggler task sorting billions of rows.
+  * Here partial aggregation bounds the shuffle to ≤ k pairs per
+  * (map task, group), and the hot key's final merge is a k-bounded
+  * heap merge, not a sort of its row count.
+  *
+  * Semantics match [[ArgBestAgg]], pinned by spec:
+  *  - NULL score, NaN score, or NULL id → the row is ignored (a NaN
+  *    quality score is a failed computation, not a best document).
+  *  - k must be >= 1 (checked at construction).
+  *
+  * The buffer is a worst-first binary heap of at most k pairs:
+  * update is O(log k) against the weakest held pair, merge folds the
+  * smaller heap into the larger. Serialization between partial and
+  * final stages rides an `UnsafeProjection` over (scoreType, idType)
+  * with a length prefix per entry, so any orderable id type
+  * serializes without a hand-rolled per-type wire format.
+  */
+case class TopKAgg(score: Expression, id: Expression, k: Int,
+                   mutableAggBufferOffset: Int = 0,
+                   inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKAgg.Buf]
+    with BinaryLike[Expression] {
+
+  require(k >= 1, s"graft_top_k needs k >= 1, got $k")
+
+  override def left: Expression = score
+  override def right: Expression = id
+
+  override def checkInputDataTypes(): TypeCheckResult = score.dataType match {
+    case _: NumericType => TypeUtils.checkForOrderingExpr(id.dataType, prettyName)
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a numeric score, got ${other.simpleString}")
+  }
+
+  @transient private lazy val scoreOrd: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(score.dataType)
+  @transient private lazy val idOrd: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(id.dataType)
+
+  private def isNaN(s: Any): Boolean = s match {
+    case d: Double => d.isNaN
+    case f: Float => f.isNaN
+    case _ => false
+  }
+
+  /** (sa, ia) ranks strictly better than (sb, ib) under
+    * (score DESC, id ASC). */
+  private def better(sa: Any, ia: Any, sb: Any, ib: Any): Boolean = {
+    val c = scoreOrd.compare(sa, sb)
+    c > 0 || (c == 0 && idOrd.compare(ia, ib) < 0)
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("s", score.dataType, nullable = false),
+    StructField("id", id.dataType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKAgg.Buf = new TopKAgg.Buf(k)
+
+  override def update(buffer: TopKAgg.Buf,
+                      input: InternalRow): TopKAgg.Buf = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s == null || i == null || isNaN(s)) buffer
+    else {
+      // offer copies: eval over unsafe rows returns views into reused
+      // buffers, and the heap outlives the input row
+      buffer.offer(InternalRow.copyValue(s), InternalRow.copyValue(i), better)
+      buffer
+    }
+  }
+
+  override def merge(buffer: TopKAgg.Buf, other: TopKAgg.Buf): TopKAgg.Buf = {
+    // fold the smaller heap into the larger: min(n,m) offers, not n+m
+    val (into, from) =
+      if (buffer.size >= other.size) (buffer, other) else (other, buffer)
+    from.foreach((s, i) => into.offer(s, i, better))
+    into
+  }
+
+  override def eval(buffer: TopKAgg.Buf): Any = {
+    val sorted = buffer.sortedBestFirst(better)
+    new GenericArrayData(sorted.map { case (s, i) => InternalRow(s, i) })
+  }
+
+  @transient private lazy val serProj =
+    UnsafeProjection.create(Array(score.dataType, id.dataType))
+
+  override def serialize(buffer: TopKAgg.Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    buffer.foreach { (s, i) =>
+      val bytes = serProj(InternalRow(s, i)).getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKAgg.Buf = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new TopKAgg.Buf(k)
+    var j = 0
+    while (j < n) {
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      val row = new UnsafeRow(2)
+      row.pointTo(rowBytes, len)
+      buf.offer(
+        InternalRow.copyValue(row.get(0, score.dataType)),
+        InternalRow.copyValue(row.get(1, id.dataType)), better)
+      j += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKAgg =
+    copy(score = newLeft, id = newRight)
+  override def prettyName: String = "graft_top_k"
+}
+
+object TopKAgg {
+  /** Worst-first bounded binary heap of (score, id) pairs: the root is
+    * the WEAKEST held pair, so a full heap replaces its root iff the
+    * offered pair ranks better. `better(sa, ia, sb, ib)` is the
+    * best-first strict order (score DESC, id ASC); the heap property
+    * uses its inverse.
+    */
+  final class Buf(k: Int) {
+    private val scores = new Array[Any](k)
+    private val ids = new Array[Any](k)
+    private var n = 0
+
+    def size: Int = n
+
+    def foreach(f: (Any, Any) => Unit): Unit = {
+      var j = 0
+      while (j < n) { f(scores(j), ids(j)); j += 1 }
+    }
+
+    /** insert if not full, else replace the weakest iff strictly better */
+    def offer(s: Any, i: Any,
+              better: (Any, Any, Any, Any) => Boolean): Unit =
+      if (n < k) {
+        scores(n) = s; ids(n) = i; n += 1
+        siftUp(n - 1, better)
+      } else if (better(s, i, scores(0), ids(0))) {
+        scores(0) = s; ids(0) = i
+        siftDown(0, better)
+      }
+
+    /** drain into a best-first sorted seq (the heap is cleared) */
+    def sortedBestFirst(
+        better: (Any, Any, Any, Any) => Boolean): Array[(Any, Any)] = {
+      val out = new Array[(Any, Any)](n)
+      var j = n - 1
+      while (j >= 0) { // repeatedly pop the weakest → fills tail-first
+        out(j) = (scores(0), ids(0))
+        n -= 1
+        scores(0) = scores(n); ids(0) = ids(n)
+        scores(n) = null; ids(n) = null
+        siftDown(0, better)
+        j -= 1
+      }
+      out
+    }
+
+    // weaker-than: the heap-order comparison (inverse of best-first)
+    private def weaker(a: Int, b: Int,
+                       better: (Any, Any, Any, Any) => Boolean): Boolean =
+      better(scores(b), ids(b), scores(a), ids(a))
+
+    private def siftUp(start: Int,
+                       better: (Any, Any, Any, Any) => Boolean): Unit = {
+      var j = start
+      while (j > 0 && weaker(j, (j - 1) / 2, better)) {
+        swap(j, (j - 1) / 2); j = (j - 1) / 2
+      }
+    }
+
+    private def siftDown(start: Int,
+                         better: (Any, Any, Any, Any) => Boolean): Unit = {
+      var j = start
+      var done = false
+      while (!done) {
+        val l = 2 * j + 1
+        val r = l + 1
+        var weakest = j
+        if (l < n && weaker(l, weakest, better)) weakest = l
+        if (r < n && weaker(r, weakest, better)) weakest = r
+        if (weakest == j) done = true
+        else { swap(j, weakest); j = weakest }
+      }
+    }
+
+    private def swap(a: Int, b: Int): Unit = {
+      val ts = scores(a); scores(a) = scores(b); scores(b) = ts
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+  }
+}

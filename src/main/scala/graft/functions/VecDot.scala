@@ -273,6 +273,12 @@ object GraftFunctions {
         require(exprs.length == 2, "graft_arg_best takes (score, id)")
         ArgBestAgg(exprs(0), exprs(1))
       }),
+    (FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "graft_top_k takes (score, id, k)")
+        TopKAgg(exprs(0), exprs(1), litInt(exprs(2), "k"))
+      }),
     (FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),

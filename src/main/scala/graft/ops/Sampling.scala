@@ -360,6 +360,75 @@ object Sampling {
     * offset where the document starts. NULL token counts pack as 0
     * tokens (they consume no budget but keep their slot).
     */
+  /** At most `maxPerKey` rows per key, ranked by (`scoreCol` DESC,
+    * `idCol` ASC) — the RefinedWeb/CCNet-style "cap documents per
+    * domain" selection, deterministic: the boundary tie resolves to the
+    * lowest id, so re-runs and engines agree row-for-row.
+    *
+    * Rows with a NULL/NaN score or NULL id never survive (a NaN quality
+    * score is a failed computation, not a top document) — matching
+    * [[graft.functions.ArgBestAgg]]'s pinned semantics, which this
+    * operator generalizes from k=1. Survivors are identified by
+    * (key, id): `idCol` must be unique within a key (a duplicated id
+    * would make its rows survive or drop together).
+    *
+    * Scale shape — the reason this is NOT `row_number() OVER
+    * (PARTITION BY key …)`: the window form shuffles EVERY row of a
+    * key to one task and sorts its full row count there; at corpus
+    * scale a hot domain (half a crawl is often a handful of hosts)
+    * becomes one straggler task. The default path instead runs ONE
+    * map-side-combinable [[graft.functions.TopKAgg]] — each map task
+    * contributes at most k (score, id) pairs per key to the shuffle,
+    * the hot key's reduce is a k-bounded heap merge — then keeps the
+    * winners with a left-semi join on (key, id), which AQE broadcasts
+    * when the survivor set is small. Past `maxAggregateK` (k large
+    * enough that k-pair heaps stop being "bounded") it falls back to
+    * the window form, whose cost is then the honest one; parity of the
+    * two paths is spec-pinned.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, scoreCol: String,
+                idCol: String, maxPerKey: Int,
+                maxAggregateK: Int = 1024): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    if (maxPerKey > maxAggregateK)
+      capPerKeyWindow(df, keyCol, scoreCol, idCol, maxPerKey)
+    else {
+      Seq("__k", "__sid").foreach(c => require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it before capping"))
+      graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+      val top = df.groupBy(col(keyCol))
+        .agg(call_function("graft_top_k",
+          col(scoreCol), col(idCol), lit(maxPerKey)).as("__top"))
+        .select(col(keyCol).as("__k"),
+          explode(col("__top")).as("__e"))
+        .select(col("__k"), col("__e").getField("id").as("__sid"))
+      // null-safe on the key: the NULL-key group is capped and kept
+      // like any other
+      df.join(top,
+        col(keyCol) <=> col("__k") && col(idCol) === col("__sid"),
+        "left_semi")
+    }
+  }
+
+  /** The window-function formulation of [[capPerKey]] — identical
+    * survivors (spec-pinned), full-row-count shuffle + sort per key.
+    * The fallback past `maxAggregateK`, and the parity reference.
+    */
+  def capPerKeyWindow(df: DataFrame, keyCol: String, scoreCol: String,
+                      idCol: String, maxPerKey: Int): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    require(!df.columns.contains("__rn"),
+      "input already has a '__rn' column; rename it before capping")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double"))
+        && col(idCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerKey)
+      .drop("__rn")
+  }
+
   def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
                     budgetTokens: Long, groups: Int = 1024,
                     salt: Long = 0L): DataFrame = {

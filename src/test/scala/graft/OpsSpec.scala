@@ -1445,6 +1445,61 @@ class OpsSpec extends SparkSpec {
     assert(capped.select("epoch").as[Long].collect().forall(_ == 0L))
   }
 
+  test("capPerKey: agg and window paths agree; boundary ties -> lowest id") {
+    // skewed keys (one hot key with 200 rows vs several small), score
+    // ties across the k boundary, NULL/NaN scores, NULL ids
+    val rows = (0 until 200).map(i => (i.toLong, "hot", (i / 10).toDouble)) ++
+      Seq((500L, "cold", 1.0), (501L, "cold", 2.0), (502L, "cold", 2.0),
+        (600L, "nul", Double.NaN), (601L, "nul", 0.1)) ++
+      Seq((700L, null.asInstanceOf[String], 5.0),
+        (701L, null.asInstanceOf[String], 6.0))
+    val df = rows.toDF("id", "key", "score")
+      .select(col("id"), col("key"),
+        when(col("id") === 600L, lit(Double.NaN))
+          .when(col("id") === 601L, lit(null).cast("double"))
+          .otherwise(col("score")).as("score"))
+    val agg = Sampling.capPerKey(df, "key", "score", "id", 7)
+      .select("id", "key").as[(Long, Option[String])].collect().toSet
+    val win = Sampling.capPerKeyWindow(df, "key", "score", "id", 7)
+      .select("id", "key").as[(Long, Option[String])].collect().toSet
+    assert(agg == win)
+    // hot key: scores tie in blocks of 10 (i/10); top scores 19 (ids
+    // 190-199), boundary at k=7 inside the block -> lowest ids win
+    assert(agg.filter(_._2.contains("hot")).map(_._1) ==
+      Set(190L, 191L, 192L, 193L, 194L, 195L, 196L))
+    // cold: 3 rows under the cap -> all kept
+    assert(agg.filter(_._2.contains("cold")).map(_._1) == Set(500L, 501L, 502L))
+    // NaN score never survives even when the key has spare capacity
+    assert(agg.filter(_._2.contains("nul")).isEmpty)
+    // NULL key is a real capped group
+    assert(agg.filter(_._2.isEmpty).map(_._1) == Set(700L, 701L))
+    // the forced-window dispatch (maxAggregateK below k) matches too
+    val forced = Sampling.capPerKey(df, "key", "score", "id", 7,
+        maxAggregateK = 1)
+      .select("id", "key").as[(Long, Option[String])].collect().toSet
+    assert(forced == agg)
+  }
+
+  test("capPerKey: string ids, k >= group, partial aggregation in the plan") {
+    val df = Seq(
+      ("http://b", "d1", 2.0), ("http://a", "d1", 2.0), ("http://c", "d1", 9.0),
+      ("urn:x", "d2", 1.0)).toDF("url", "domain", "score")
+    val out = Sampling.capPerKey(df, "domain", "score", "url", 2)
+      .select("url").as[String].collect().toSet
+    // d1: 9.0 wins, then the 2.0 tie -> lexicographically lowest url
+    assert(out == Set("http://c", "http://a", "urn:x"))
+    // k past every group size keeps everything
+    assert(Sampling.capPerKey(df, "domain", "score", "url", 50).count() == 4)
+    // scale contract: the top-k aggregate must run partial (map-side
+    // combine bounds the shuffle to k pairs per map task per key)
+    val plan = Sampling.capPerKey(df, "domain", "score", "url", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_top_k"))
+    // and the aggregate path must NOT contain a window exchange-sort of
+    // the full row stream
+    assert(!plan.contains("Window"))
+  }
+
   test("budgetedMix hits budgets deterministically and drops unbudgeted strata") {
     val df = (0 until 400).map { i =>
       (i.toLong, if (i % 2 == 0) "en" else "de", 100L)
