@@ -1,0 +1,63 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10M-doc persisted-BM25 stress: artifact build once, then the probe in
+  * both boundary regimes — term-IN pushdown vs the past-cap full-scan
+  * fallback — with value parity checked between them. args(0): artifact
+  * dir (reused across runs if it exists); args(1): "build" | "probe".
+  */
+object Bm25Stress {
+  def main(args: Array[String]): Unit = {
+    val art = args(0)
+    val mode = args(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // 10M docs: sf0.1 documents x 2000 suffix-tagged clones (the r8
+    // lesson: repartition the small base BEFORE the expansion so the
+    // generation parallelizes)
+    def corpus = {
+      val base = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text").repartition(64)
+      base.crossJoin(spark.range(2000).toDF("rep"))
+        .select((col("doc_id") * 2000L + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"))
+    }
+    val queries = Seq(
+      (1L, "customer final accounts"),
+      (2L, "express requests deposits"),
+      (3L, "quick brown theodolites")).toDF("qid", "qtext")
+
+    if (mode == "build") {
+      val t0 = System.nanoTime()
+      graft.ops.TextAnalysis.bm25ArtifactsSave(corpus, "doc_id", "text", art)
+      println(f"MARKER_build=${(System.nanoTime() - t0) / 1e9}%.1f")
+    } else {
+      def probe(tag: String, cap: Int): Long = {
+        val t0 = System.nanoTime()
+        val res = graft.ops.TextAnalysis.bm25TopKPersisted(spark, art,
+          queries, "qid", "qtext", k = 10, maxPushdownTerms = cap)
+        val rows = res.select("query_id", "rank", "doc_id", "score")
+          .collect()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val chk = rows.map(r =>
+          r.getLong(0) * 31 + r.getLong(2) * 7 + r.getLong(1)).sum
+        println(f"MARKER_${tag}=$secs%.2f rows=${rows.length} chk=$chk")
+        chk
+      }
+      probe("pushdown_cold", 8192)
+      val a = probe("pushdown_steady", 8192)
+      val b = probe("fallback_fullscan", 1) // cap exceeded -> no IN filter
+      val c = probe("pushdown_steady2", 8192)
+      println(s"MARKER_parity=${a == b && b == c}")
+    }
+    spark.stop()
+  }
+}

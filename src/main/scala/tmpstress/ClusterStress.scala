@@ -1,0 +1,52 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10M-node duplicateClusters stress: clone-heavy (100k stars of 100)
+  * and chain-heavy (312.5k chains of 32) regimes. args(0): "star" |
+  * "chain".
+  */
+object ClusterStress {
+  def main(args: Array[String]): Unit = {
+    val regime = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "32g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val n = 10000000L
+    val nodes = spark.range(n).toDF("doc_id")
+    val pairs = regime match {
+      case "star" =>
+        // 100k clusters of 100: hub c*100 edges to its 99 members
+        spark.range(n).toDF("id")
+          .filter(pmod(col("id"), lit(100L)) =!= 0L)
+          .select((col("id") - pmod(col("id"), lit(100L))).as("id_a"),
+            col("id").as("id_b"))
+      case "chain" =>
+        // 312,500 chains of 32: i -> i+1 within each block
+        spark.range(n).toDF("id")
+          .filter(pmod(col("id"), lit(32L)) =!= 31L)
+          .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    }
+    val t0 = System.nanoTime()
+    val out = graft.ops.Dedup.duplicateClusters(nodes, "doc_id", pairs)
+    val agg = out.agg(
+      countDistinct(col("cluster_id")).as("clusters"),
+      max(col("cluster_size")).as("maxsz"),
+      sum(col("cluster_size")).as("szsum"),
+      count(lit(1)).as("rows")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val stats = graft.ops.Dedup.lastClusteringStats.get
+    println(f"MARKER_regime=$regime wall=$secs%.1f rounds=${stats.rounds} " +
+      s"roundMillis=${stats.roundMillis.mkString(",")} " +
+      s"clusters=${agg.getLong(0)} maxSize=${agg.getLong(1)} " +
+      s"rows=${agg.getLong(3)} sizeSum=${agg.getLong(2)}")
+    graft.ops.Dedup.releaseIntermediates()
+    spark.stop()
+  }
+}

@@ -1,0 +1,46 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Generate /tmp/sf1/documents.parquet: sf0.1 documents x 10, each
+  * replica extended with a length-proportional run of replica-unique
+  * tokens (~1 per 6 original tokens), so replicas of a doc sit at
+  * n-gram Jaccard ~0.72-0.75 vs each other — below the 0.8 flagship
+  * near-dup threshold at every doc length, above the 0.6 sweep
+  * thresholds (a re-crawl-rich corpus, honestly documented).
+  */
+object GenSf1 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .repartition(32)
+    val out = base
+      .crossJoin(spark.range(10).toDF("rep"))
+      .withColumn("__nid", col("doc_id") * 10L + col("rep"))
+      .withColumn("__nt",
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)))
+      .withColumn("text",
+        concat(col("text"), lit(" "),
+          array_join(
+            transform(
+              sequence(lit(1), greatest(lit(2),
+                ceil(col("__nt") / 6.0).cast("int"))),
+              i => concat(lit("zz"), col("__nid"), lit("x"), i)),
+            " ")))
+      .withColumn("doc_id", col("__nid"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("rep", "__nid", "__nt")
+    out.select(base.columns.map(col).toIndexedSeq: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet("/tmp/sf1/documents.parquet")
+    val chk = spark.read.parquet("/tmp/sf1/documents.parquet")
+    println(s"MARKER_sf1_docs=${chk.count()} cols=${chk.columns.mkString(",")}")
+    spark.stop()
+  }
+}

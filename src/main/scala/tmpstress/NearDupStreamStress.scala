@@ -1,0 +1,250 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** nearDupStream throughput stress: 1M-doc corpus artifacts (the r7
+  * incrementalNearDup stress shape), 200k one-token-edit probe rows
+  * streamed as 4 file-source micro-batches. args(0): work dir;
+  * args(1): "build" | "run"; args(2) (run only): files per trigger
+  * (8 = one staged 50k batch; 32 = all four in one trigger — the
+  * batch-size amortization A/B).
+  */
+object NearDupStreamStress {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val mode = args(1)
+    val filesPerTrigger = if (args.length > 2) args(2).toInt else 8
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // 1M mutually-dissimilar docs: sf0.1 documents x 200, each clone
+    // extended with a length-proportional run of clone-unique tokens
+    // (~1 per 6 original tokens) so siblings sit at 3-gram Jaccard
+    // ~0.72-0.75 — below the 0.8 threshold at every doc length (the
+    // r7 incrementalNearDup stress recipe; a fixed 2-token suffix
+    // leaves long-doc siblings ABOVE threshold and the probe matches
+    // whole 200-clone families instead of its origin doc)
+    def corpus = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text").repartition(64)
+      .crossJoin(spark.range(200).toDF("rep"))
+      .withColumn("corpus_id", col("doc_id") * 200L + col("rep"))
+      .withColumn("__nt",
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)))
+      .select(col("corpus_id"),
+        concat(col("text"), lit(" "),
+          array_join(
+            transform(
+              sequence(lit(1), greatest(lit(2),
+                ceil(col("__nt") / 6.0).cast("int"))),
+              i => concat(lit("zz"), col("corpus_id"), lit("x"), i)),
+            " ")).as("text"))
+
+    if (mode == "build") {
+      var t0 = System.nanoTime()
+      val c = corpus.cache()
+      c.count()
+      graft.ops.Dedup.minhashBandBuckets(c, "corpus_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/buckets")
+      graft.ops.Dedup.shingleHashFrame(c, "corpus_id", "text", 3)
+        .write.mode("overwrite").parquet(s"$dir/shingles")
+      println(f"MARKER_build=${(System.nanoTime() - t0) / 1e9}%.1f")
+      // probe batches: 200k one-token-edited re-crawls of corpus docs,
+      // 4 files of 50k (one per trigger)
+      t0 = System.nanoTime()
+      val probes = c.filter(pmod(col("corpus_id"), lit(5L)) === 0L)
+        .select((col("corpus_id") + 10000000L).as("batch_id"),
+          concat(col("text"), lit(" editz")).as("text"),
+          pmod(col("corpus_id"), lit(20L)).as("__f"))
+      (0 until 4).foreach { f =>
+        probes.filter(col("__f") === (f * 5L)).drop("__f")
+          .coalesce(8)
+          .write.mode("overwrite").parquet(s"$dir/in_staging/f$f")
+      }
+      println(f"MARKER_probe_staged=${(System.nanoTime() - t0) / 1e9}%.1f")
+    } else if (mode == "batch") {
+      // the batch twin on the SAME probes/artifacts: isolates streaming
+      // overhead from operator cost
+      val buckets = spark.read.parquet(s"$dir/buckets")
+      val shingles = spark.read.parquet(s"$dir/shingles")
+      val probes = spark.read.parquet(s"$dir/in")
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.withReleasedIntermediates {
+        graft.ops.Dedup.incrementalNearDup(probes, "batch_id", "text",
+          buckets, shingles, "corpus_id", threshold = 0.8)
+      } { res =>
+        println(f"MARKER_batch_direct=${(System.nanoTime() - t0) / 1e9}%.1f " +
+          s"pairs=${res.count()}")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/plan_batch.txt"),
+          res.queryExecution.executedPlan.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } else if (mode == "batchdiag") {
+      // the diag stage sequence, probes read straight from parquet:
+      // separates "streaming is slow" from "decomposition changes the plan"
+      val buckets = spark.read.parquet(s"$dir/buckets")
+      val shingles = spark.read.parquet(s"$dir/shingles")
+      val mb = spark.read.parquet(s"$dir/in")
+      def tsec(t0: Long) = f"${(System.nanoTime() - t0) / 1e9}%.1f"
+      var t0 = System.nanoTime()
+      println(s"MARKER_mb_count=${mb.count()} secs=${tsec(t0)}")
+      t0 = System.nanoTime()
+      val bb = graft.ops.Dedup.minhashBandBuckets(mb.toDF(),
+        "batch_id", "text").cache()
+      println(s"MARKER_bb=${bb.count()} secs=${tsec(t0)}")
+      t0 = System.nanoTime()
+      val cands = bb
+        .join(buckets.select(col("corpus_id"), col("band"),
+          col("bucket")), Seq("band", "bucket"))
+        .select("batch_id", "corpus_id").distinct().cache()
+      println(s"MARKER_cands=${cands.count()} secs=${tsec(t0)}")
+      t0 = System.nanoTime()
+      val candShingles = shingles.join(
+        cands.select("corpus_id").distinct(), Seq("corpus_id"),
+        "left_semi").cache()
+      println(s"MARKER_candsh=${candShingles.count()} secs=${tsec(t0)}")
+      t0 = System.nanoTime()
+      val cArr = candShingles.groupBy(col("corpus_id"))
+        .agg(sort_array(collect_list(col("__h"))).as("__ca"))
+      val bArr = mb.toDF().select(col("batch_id"),
+        sort_array(call_function("graft_shingle_hashes",
+          col("text"), lit(3))).as("__ba"))
+        .filter(col("__ba").isNotNull)
+      val n = cands.join(bArr, "batch_id").join(cArr, "corpus_id")
+        .withColumn("__inter",
+          call_function("graft_sorted_intersect_count",
+            col("__ba"), col("__ca")))
+        .filter(col("__inter") > 0)
+        .withColumn("jaccard", col("__inter").cast("double") /
+          (size(col("__ba")) + size(col("__ca")) - col("__inter"))
+            .cast("double"))
+        .filter(col("jaccard") >= 0.8)
+        .count()
+      println(s"MARKER_verify=$n secs=${tsec(t0)}")
+    } else if (mode == "diag") {
+      // stage-decomposed single-trigger stream: times the micro-batch
+      // materialization separately from each probe stage, using the
+      // same public API pieces incrementalNearDup composes
+      val buckets = spark.read.parquet(s"$dir/buckets")
+      val shingles = spark.read.parquet(s"$dir/shingles")
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$dir/in")).deleteRecursively()
+      new Directory(new java.io.File(s"$dir/ckpt")).deleteRecursively()
+      new java.io.File(s"$dir/in").mkdirs()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 32)
+        .parquet(s"$dir/in")
+      def tsec(t0: Long) = f"${(System.nanoTime() - t0) / 1e9}%.1f"
+      val query = stream.writeStream.foreachBatch {
+        (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          var t0 = System.nanoTime()
+          println(s"MARKER_mb_count=${mb.count()} secs=${tsec(t0)}")
+          t0 = System.nanoTime()
+          val bb = graft.ops.Dedup.minhashBandBuckets(mb.toDF(),
+            "batch_id", "text").cache()
+          println(s"MARKER_bb=${bb.count()} secs=${tsec(t0)}")
+          t0 = System.nanoTime()
+          val cands = bb
+            .join(buckets.select(col("corpus_id"), col("band"),
+              col("bucket")), Seq("band", "bucket"))
+            .select("batch_id", "corpus_id").distinct().cache()
+          println(s"MARKER_cands=${cands.count()} secs=${tsec(t0)}")
+          t0 = System.nanoTime()
+          val candShingles = shingles.join(
+            cands.select("corpus_id").distinct(), Seq("corpus_id"),
+            "left_semi").cache()
+          println(s"MARKER_candsh=${candShingles.count()} secs=${tsec(t0)}")
+          t0 = System.nanoTime()
+          val cArr = candShingles.groupBy(col("corpus_id"))
+            .agg(sort_array(collect_list(col("__h"))).as("__ca"))
+          val bArr = mb.toDF().select(col("batch_id"),
+            sort_array(call_function("graft_shingle_hashes",
+              col("text"), lit(3))).as("__ba"))
+            .filter(col("__ba").isNotNull)
+          val n = cands.join(bArr, "batch_id").join(cArr, "corpus_id")
+            .withColumn("__inter",
+              call_function("graft_sorted_intersect_count",
+                col("__ba"), col("__ca")))
+            .filter(col("__inter") > 0)
+            .withColumn("jaccard", col("__inter").cast("double") /
+              (size(col("__ba")) + size(col("__ca")) - col("__inter"))
+                .cast("double"))
+            .filter(col("jaccard") >= 0.8)
+            .count()
+          println(s"MARKER_verify=$n secs=${tsec(t0)}")
+          bb.unpersist(); cands.unpersist(); candShingles.unpersist()
+          ()
+      }.option("checkpointLocation", s"$dir/ckpt").start()
+      val t0 = System.nanoTime()
+      (0 until 4).foreach { f =>
+        val src = new java.io.File(s"$dir/in_staging/f$f")
+        src.listFiles().filter(_.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (pf, i) =>
+            java.nio.file.Files.copy(pf.toPath,
+              new java.io.File(s"$dir/in/b${f}_$i.parquet").toPath)
+          }
+      }
+      query.processAllAvailable()
+      println(f"MARKER_stream_total=${(System.nanoTime() - t0) / 1e9}%.1f")
+      query.stop()
+    } else {
+      val buckets = spark.read.parquet(s"$dir/buckets")
+      val shingles = spark.read.parquet(s"$dir/shingles")
+      // fresh stream state per run
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$dir/in")).deleteRecursively()
+      new Directory(new java.io.File(s"$dir/ckpt")).deleteRecursively()
+      new java.io.File(s"$dir/in").mkdirs()
+      val counts = new java.util.concurrent.atomic.AtomicLong(0)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .parquet(s"$dir/in")
+      val query = graft.streaming.StreamingOps.nearDupStream(
+          stream, "batch_id", "text", buckets, shingles, "corpus_id",
+          threshold = 0.8) { (res, id) =>
+        val n = res.count()
+        counts.addAndGet(n)
+        batches.incrementAndGet()
+        println(s"MARKER_batch_$id=$n")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$dir/plan_stream_$id.txt"),
+          res.queryExecution.executedPlan.toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }.option("checkpointLocation", s"$dir/ckpt").start()
+      // move the 4 staged batches' part-files in flat, then drain
+      val t0 = System.nanoTime()
+      (0 until 4).foreach { f =>
+        val src = new java.io.File(s"$dir/in_staging/f$f")
+        src.listFiles().filter(_.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (pf, i) =>
+            java.nio.file.Files.copy(pf.toPath,
+              new java.io.File(s"$dir/in/b${f}_$i.parquet").toPath)
+          }
+      }
+      query.processAllAvailable()
+      val secs = (System.nanoTime() - t0) / 1e9
+      query.stop()
+      println(f"MARKER_stream=$secs%.1f batches=${batches.get()} " +
+        s"pairs=${counts.get()} rate=${(200000 / secs).toLong}rows/s")
+    }
+    spark.stop()
+  }
+}
