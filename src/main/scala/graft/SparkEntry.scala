@@ -22,8 +22,29 @@ import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TemporalJoin, TextAna
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The events table's `ts` has shipped as both TIMESTAMP(NANOS)
+    // (read as long nanos under spark.sql.legacy.parquet.nanosAsLong)
+    // and TIMESTAMP(MICROS) (read as timestamp/ntz) across testdata
+    // generations. Normalize to the long-nanosecond epoch ordinates
+    // every downstream query — and every DuckDB oracle via
+    // epoch_ns()/epoch_us() — assumes. Sessions here run with
+    // spark.sql.session.timeZone=UTC, so the NTZ→timestamp cast is
+    // wall-clock-preserving and matches DuckDB's naive-as-UTC epoch_*.
+    df.schema.find(f => f.name == "ts" && f.dataType != LongType) match {
+      case Some(f) =>
+        val us = f.dataType match {
+          case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+          case TimestampType    => unix_micros(col("ts"))
+          case other => throw new IllegalStateException(
+            s"unsupported ts type $other in $dir/$name.parquet")
+        }
+        df.withColumn("ts", us * lit(1000L))
+      case None => df
+    }
+  }
 
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
