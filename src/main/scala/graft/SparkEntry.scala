@@ -1294,6 +1294,17 @@ object SparkEntry {
         .orderBy("lang", "doc_id", "epoch")
     }),
 
+    // ---- hashed bag-of-tokens linear classifier scoring (fastText-/
+    //      CCNet-style quality model inference; weights here are the
+    //      derived integer-valued table so the oracle replays the
+    //      bucket→weight map as pure integer arithmetic) ----
+
+    "q85_quality_classifier" -> ((s, dir) => {
+      TextAnalysis.hashedLinearScore(t(s, dir, "documents"),
+          "doc_id", "text", TextAnalysis.derivedWeights(1 << 20))
+        .orderBy("doc_id")
+    }),
+
     // ---- snapshot diff, production form: the old side is a persisted
     //      (id, digest) catalog artifact written once per accepted
     //      snapshot — the old corpus is never re-read. Same delta as q74
@@ -2281,6 +2292,24 @@ object SparkEntry {
           |WHERE g.epoch < t.nfull
           |  OR ((d.doc_id + t.nfull + 9) * 2654435761) % 4294967296 < t.fthr
           |ORDER BY d.lang, d.doc_id, g.epoch""".stripMargin,
+
+      // The hashed linear classifier replayed token by token: bucket =
+      // md5 lower-64 (UNSIGNED — identical to the kernel's signed long
+      // under the power-of-two mask) & (2^20-1); weight = the derived
+      // integer table w[b] = ((b·2654435761) mod 2^32) − 2^31. Weights
+      // are integer-valued, docs are ≪ 2^21 tokens, so the double sum
+      // is exact on both engines.
+      "q85_quality_classifier" ->
+        s"""WITH toks AS ($toksSql)
+           |SELECT doc_id,
+           |  CASE WHEN t IS NULL THEN NULL ELSE
+           |    CAST(COALESCE(list_sum(list_transform(t, x ->
+           |      CAST((((md5_number_lower(x) & 1048575) * 2654435761)
+           |            & 4294967295) AS BIGINT) - 2147483648)), 0)
+           |      AS DOUBLE)
+           |  END AS score,
+           |  CAST(len(t) AS BIGINT) AS n_tokens
+           |FROM toks ORDER BY doc_id""".stripMargin,
 
       "q35_ivf_ann" -> ivfSql,
 

@@ -179,6 +179,34 @@ object SketchOps {
     out
   }
 
+  /** Hashed bag-of-tokens linear score: one byte-scan over `text`,
+    * each whitespace token feature-hashed with [[md5Lo64]] and masked
+    * into the `weights` table (`weights.length` MUST be a power of
+    * two — the mask makes the bucket identical for the signed JVM long
+    * and an external engine's unsigned md5 lower-64, which a `mod`
+    * would not). Returns Σ weights[bucket] over tokens in text order
+    * (0.0 for a token-free text) — the scoring half of a
+    * fastText-style linear classifier, with training done offline.
+    * Summation order is the token order, so engines replaying the same
+    * order agree bit-for-bit; with integer-valued weights and fewer
+    * than 2^21 tokens the double sum is exact regardless.
+    */
+  def linearScore(text: UTF8String, weights: Array[Double]): Double = {
+    val mask = weights.length - 1
+    val bytes = text.getBytes
+    val n = bytes.length
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        sum += weights((md5Lo64(bytes, start, i - start) & mask).toInt)
+      } else i += 1
+    }
+    sum
+  }
+
   /** 64-bit SimHash straight from text: byte-scan tokens, feature hash per
     * token ([[HashXx64]] | [[HashMd5Lo64]]), ±1 per bit into 64 counters,
     * sign fold. Caller handles empty → null.
@@ -700,6 +728,42 @@ case class ShardedBloomMightContain(sketches: Seq[Array[Byte]],
       newLeft: Expression, newRight: Expression): ShardedBloomMightContain =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_sharded_might_contain"
+}
+
+/** `graft_linear_score(text, weights)`: hashed bag-of-tokens linear
+  * score — Σ weights[md5_lo64(token) & (dim-1)] in one byte-scan (see
+  * [[SketchOps.linearScore]]). The weight table rides the plan as a
+  * reference object (like [[ShardedBloomMightContain]]'s sketches), so
+  * it broadcasts once per executor with the task binary instead of
+  * joining per token; dims past ~2^22 (32 MB) belong in the
+  * explode+broadcast-join formulation instead, not a bigger literal.
+  * Null text → null score.
+  */
+case class LinearScoreOf(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  require(weights.length > 0 && (weights.length & (weights.length - 1)) == 0,
+    s"weights length must be a power of two, got ${weights.length}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.linearScore(input.asInstanceOf[UTF8String], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("weights", weights, "double[]")
+    defineCodeGen(ctx, ev,
+      text => s"graft.functions.SketchOps.linearScore($text, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LinearScoreOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_linear_score"
 }
 
 /** `graft_token_count(text)`: whitespace token count (byte-scan). */

@@ -294,6 +294,16 @@ object GraftFunctions {
           "graft_window_keys takes (text, windowTokens)")
         WindowMd5Keys(exprs(0), litInt(exprs(1), "windowTokens"))
       }),
+    (FunctionIdentifier("graft_linear_score"),
+      new ExpressionInfo(classOf[LinearScoreOf].getName, "graft_linear_score"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_linear_score takes (text, weightsLiteral)")
+        require(exprs(1).foldable,
+          "graft_linear_score weights must be a literal array<double>")
+        val ad = exprs(1).eval().asInstanceOf[ArrayData]
+        LinearScoreOf(exprs(0), ad.toDoubleArray())
+      }),
   )
 
   /** Idempotent per-session registration — operator entry points call this

@@ -109,6 +109,47 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** fastText-/CCNet-style hashed bag-of-tokens linear classifier
+    * SCORING — the model-based quality-filter step of a corpus build
+    * (train offline, score every document at ingest). `weights` is the
+    * trained weight table indexed by `md5_lo64(token) & (dim-1)`; dim =
+    * `weights.length` must be a power of two (the bitmask keeps the
+    * bucket identical between the JVM's signed long and an external
+    * engine's unsigned lower-64 — reference `fasttext` hashes tokens
+    * into a fixed table the same way, see tensorflow-recorder has no
+    * counterpart; this is an LLM-pipeline extension).
+    *
+    * Scale shape: ONE codegen'd byte-scan per document
+    * ([[graft.functions.LinearScoreOf]]) — no tokenize array, no
+    * explode, no join; the weight table ships once per executor as a
+    * plan reference object. That holds to ~2^22 buckets (32 MB); a
+    * larger vocabulary belongs in the explode + broadcast-join
+    * formulation (tokens → bucket → join weights frame → sum), which
+    * [[LinearScoreOf]]'s scaladoc spells out. Output: (id, score,
+    * n_tokens) — score = intercept + Σ w[bucket(token)], NULL for NULL
+    * text, `intercept` alone for a token-free text.
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        weights: Array[Double],
+                        intercept: Double = 0.0): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+      (call_function("graft_linear_score", col(textCol), lit(weights)) +
+        lit(intercept)).as("score"),
+      tokenCount(col(textCol)).as("n_tokens"))
+  }
+
+  /** Deterministic integer-valued stand-in weight table for
+    * [[hashedLinearScore]] specs and oracles: w[b] = ((b·2654435761)
+    * mod 2^32) − 2^31, i.e. a Knuth-mixed value in [−2^31, 2^31).
+    * Integer-valued doubles keep the token-order sum EXACT below 2^21
+    * tokens/doc, so an external engine's integer replay (the DuckDB
+    * oracle's) matches bit-for-bit.
+    */
+  def derivedWeights(dim: Int): Array[Double] =
+    Array.tabulate(dim)(b =>
+      (((b.toLong * 2654435761L) & 0xffffffffL) - 2147483648L).toDouble)
+
   /** Stable 128-bit content fingerprint (hex MD5 of UTF-8 bytes) — the
     * exact-dedup key.
     */

@@ -1525,4 +1525,42 @@ class OpsSpec extends SparkSpec {
     assert(plan == Seq(("de", 20000L, 100000L, 1.0),
       ("en", 20000L, 10000L, 0.5)))
   }
+
+  test("hashedLinearScore: kernel equals the explode+lookup formulation " +
+      "on arbitrary weights; null/empty/intercept semantics") {
+    // arbitrary (non-derived) weights: the kernel must implement the
+    // general trained-model contract, not just the oracle's table
+    val dim = 1 << 10
+    val rnd = new scala.util.Random(7)
+    val w = Array.fill(dim)(rnd.nextGaussian())
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  leading and\ttrailing\nwhitespace  "),
+      (3L, ""),
+      (4L, null),
+      (5L, "unicode tökens 漢字 mixed in")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", w,
+        intercept = 0.25)
+      .orderBy("doc_id")
+      .as[(Long, Option[Double], Option[Long])].collect().toSeq
+    // reference: per-token md5-lo64 buckets through a driver-side lookup
+    val ref = docs.as[(Long, String)].collect().toMap.map { case (id, txt) =>
+      id -> Option(txt).map { s =>
+        val toks = s.split("\\s+").filter(_.nonEmpty)
+        0.25 + toks.map(t => w((graft.functions.SketchOps.md5Lo64(
+          t.getBytes("UTF-8"), 0, t.getBytes("UTF-8").length) &
+          (dim - 1)).toInt)).sum
+      }
+    }
+    got.foreach { case (id, score, n) =>
+      assert(score == ref(id), s"doc $id")
+      if (ref(id).isEmpty) assert(n.isEmpty) else assert(n.nonEmpty)
+    }
+    assert(got.find(_._1 == 3L).get._2.contains(0.25)) // empty → intercept
+    // non-power-of-two dim rejected (the mask is the unsigned-parity trick)
+    intercept[Exception] {
+      TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
+        Array.fill(1000)(0.0)).collect()
+    }
+  }
 }
