@@ -1305,6 +1305,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- WebDataset tar-shard export: write the corpus as 8 tar shards
+    //      (text + lang payload entries per sample), then read back the
+    //      headers-only manifest. The oracle replays the whole layout —
+    //      shard routing via the Knuth mix, entry naming, UTF-8 byte
+    //      sizes — from the parquet alone, so a hash match proves the
+    //      binary sink wrote exactly the right bytes to exactly the
+    //      right files. ----
+
+    "q86_webdataset_export" -> ((s, dir) => {
+      val out = tmpDir("wds")
+      graft.sinks.WebDataset.writeShards(
+        t(s, dir, "documents").select("doc_id", "text", "lang"),
+        "doc_id", Seq("text" -> "txt", "lang" -> "lng"), out,
+        numShards = 8, salt = 3L)
+      graft.sinks.WebDataset.readManifest(s, out).orderBy("entry")
+    }),
+
     // ---- snapshot diff, production form: the old side is a persisted
     //      (id, digest) catalog artifact written once per accepted
     //      snapshot — the old corpus is never re-read. Same delta as q74
@@ -2310,6 +2327,26 @@ object SparkEntry {
            |  END AS score,
            |  CAST(len(t) AS BIGINT) AS n_tokens
            |FROM toks ORDER BY doc_id""".stripMargin,
+
+      // The tar layout replayed from the parquet: shard = Knuth-mixed
+      // key mod 8 (salt 3), entry = '<doc_id>.<ext>', size = UTF-8 byte
+      // length (DuckDB strlen counts bytes). Missing-payload samples
+      // would drop their entry (WHERE IS NOT NULL), matching the sink.
+      "q86_webdataset_export" ->
+        """WITH m AS (
+          |  SELECT CAST(((doc_id + 3) * 2654435761) % 4294967296 % 8
+          |      AS INT) AS shard,
+          |    CAST(doc_id AS VARCHAR) || '.txt' AS entry,
+          |    CAST(strlen(text) AS BIGINT) AS size_bytes
+          |  FROM documents WHERE text IS NOT NULL
+          |  UNION ALL
+          |  SELECT CAST(((doc_id + 3) * 2654435761) % 4294967296 % 8
+          |      AS INT),
+          |    CAST(doc_id AS VARCHAR) || '.lng',
+          |    CAST(strlen(lang) AS BIGINT)
+          |  FROM documents WHERE lang IS NOT NULL)
+          |SELECT shard, entry, size_bytes FROM m
+          |ORDER BY entry""".stripMargin,
 
       "q35_ivf_ann" -> ivfSql,
 

@@ -1,0 +1,304 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.ops.Sampling
+
+/** WebDataset-style tar-shard export/import for multimodal training
+  * corpora.
+  *
+  * Large-scale image/audio/video training jobs consume samples as POSIX
+  * tar shards ("WebDataset" convention): shard `k` is one tar file whose
+  * entries are `<key>.<ext>` — all entries of a sample ADJACENT, sample
+  * order randomized — so a data loader streams each shard sequentially
+  * with zero seeks and zero index lookups. The reference's TFRecord
+  * output covers TF loaders ([[TfRecord]]); this sink covers the
+  * PyTorch-ecosystem loader shape the same corpora feed. Hand-rolled
+  * ustar writer/reader: no tar library ships with Spark, and the format
+  * is 512-byte headers + payload blocks (verified golden against a
+  * Python-`tarfile`-produced archive in WebDatasetSpec).
+  *
+  * Determinism contract (same as [[Sampling.writeShuffledTfRecordShards]]):
+  * shard = Knuth-mixed key mod numShards, within-shard order = ascending
+  * mixed key with a key tie-break, entry mtime pinned to 0 — a re-run
+  * produces byte-identical shards, and any engine can replay the layout
+  * from the key alone (the q86 oracle does).
+  *
+  * Scale shape: ONE exchange (exact shard→partition placement via a
+  * custom Partitioner — DataFrame `repartition(n, col)` cannot pin shard
+  * k to file k), a per-partition sort, then each task streams its tar
+  * sequentially. Shard count is the operator's memory knob: nothing is
+  * buffered beyond one entry's payload, so executor memory bounds the
+  * largest single payload, not the shard. Readers: [[readManifest]] is a
+  * headers-only scan (payloads are SKIPPED via stream seek — listing a
+  * 100-TB corpus reads ~0.1% of it); [[readSamples]] streams payloads
+  * and regroups adjacent entries without any shuffle.
+  */
+object WebDataset {
+
+  // ---- ustar block layer ----------------------------------------------
+
+  private val BlockSize = 512
+
+  private def putOctal(h: Array[Byte], off: Int, width: Int, v: Long): Unit = {
+    // "%0<width-1>o" + NUL — the POSIX numeric field form GNU/bsdtar and
+    // Python tarfile all write for values that fit
+    val s = ("%0" + (width - 1) + "o").format(v)
+    require(s.length == width - 1, s"value $v overflows a $width-byte octal field")
+    var i = 0
+    while (i < s.length) { h(off + i) = s.charAt(i).toByte; i += 1 }
+    h(off + width - 1) = 0
+  }
+
+  /** One 512-byte ustar header for a regular file `name` of `size` bytes
+    * (mode 0644, uid/gid 0, mtime 0, empty uname/gname — every field
+    * deterministic).
+    */
+  def tarHeader(name: String, size: Long): Array[Byte] = {
+    val nameBytes = name.getBytes("UTF-8")
+    require(nameBytes.length <= 100,
+      s"entry name '$name' exceeds the 100-byte ustar name field; " +
+        "shorten the key or extension")
+    require(size >= 0, s"negative entry size $size")
+    val h = new Array[Byte](BlockSize)
+    System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
+    putOctal(h, 100, 8, 420 /* 0644 */)
+    putOctal(h, 108, 8, 0) // uid
+    putOctal(h, 116, 8, 0) // gid
+    putOctal(h, 124, 12, size)
+    putOctal(h, 136, 12, 0) // mtime — pinned for byte-identical re-runs
+    h(156) = '0' // typeflag: regular file
+    val magic = "ustar".getBytes("US-ASCII")
+    System.arraycopy(magic, 0, h, 257, 5) // h(262) stays NUL
+    h(263) = '0'; h(264) = '0' // version "00"
+    // checksum: sum of all header bytes with the chksum field as spaces,
+    // then 6 octal digits + NUL + space
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    var sum = 0; var i = 0
+    while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
+    val oct = "%06o".format(sum).getBytes("US-ASCII")
+    System.arraycopy(oct, 0, h, 148, 6)
+    h(154) = 0; h(155) = ' '
+    h
+  }
+
+  private def padTo(n: Long): Int =
+    ((BlockSize - (n % BlockSize)) % BlockSize).toInt
+
+  // ---- writer ----------------------------------------------------------
+
+  /** Export `df` as `numShards` WebDataset tar shards under `dir`
+    * (`<prefix>-NNNNN-of-MMMMM.tar`). `entries` maps payload column →
+    * entry extension; columns may be `binary` or `string` (strings are
+    * written as their UTF-8 bytes). A NULL payload column simply omits
+    * that entry for the sample (a missing modality); a null KEY fails
+    * fast. Entry name = `<key>.<ext>`, all of a sample's entries
+    * adjacent, samples in ascending-[[Sampling.mixedKey]] order.
+    */
+  def writeShards(df: DataFrame, keyCol: String,
+                  entries: Seq[(String, String)], dir: String,
+                  numShards: Int, salt: Long = 0L,
+                  prefix: String = "shard"): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    require(entries.nonEmpty, "need at least one (column, extension) entry")
+    require(entries.map(_._2).distinct.size == entries.size,
+      "entry extensions must be distinct — a sample's entries share its key")
+    Seq("__ord", "__shard", "__key").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it before exporting"))
+    val spark = df.sparkSession
+    val binCols = entries.map { case (c, _) =>
+      df.schema(c).dataType match {
+        case BinaryType => col(c)
+        case StringType => col(c).cast(BinaryType)
+        case other => throw new IllegalArgumentException(
+          s"payload column '$c' must be binary or string, got $other")
+      }
+    }
+    val withOrd = df
+      .withColumn("__ord", Sampling.mixedKey(col(keyCol), salt))
+      .withColumn("__shard",
+        pmod(col("__ord"), lit(numShards.toLong)).cast("int"))
+      .select(Seq(col("__shard"), col("__ord"),
+        col(keyCol).cast(StringType).as("__key")) ++ binCols: _*)
+    val shardIdx = 0
+    val placed = withOrd.rdd
+      .map { r =>
+        require(!r.isNullAt(shardIdx),
+          s"writeShards: null '$keyCol' key — filter or fill null keys " +
+            "before exporting")
+        (r.getInt(shardIdx), r)
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = numShards
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    val sorted = spark.createDataFrame(placed, withOrd.schema)
+      .sortWithinPartitions(col("__ord"), col("__key"))
+    val exts = entries.map(_._2)
+    val confSer = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // overwrite semantics: a re-export with a different shard count must
+    // not leave stale files a directory read would mix in
+    graft.Fs.deleteRecursively(dir)
+    graft.Fs.mkdirs(dir)
+    val total = numShards
+    sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val name = f"$prefix-$pid%05d-of-$total%05d.tar"
+      val path = new Path(dir, name)
+      val tmp = new Path(dir, s".$name.inprogress")
+      val fs = path.getFileSystem(confSer.value)
+      val out = fs.create(tmp, true)
+      var n = 0L
+      rows.foreach { ir =>
+        val key = ir.getUTF8String(2).toString
+        var e = 0
+        while (e < exts.length) {
+          if (!ir.isNullAt(3 + e)) {
+            val payload = ir.getBinary(3 + e)
+            out.write(tarHeader(s"$key.${exts(e)}", payload.length))
+            out.write(payload)
+            val pad = padTo(payload.length)
+            if (pad > 0) out.write(new Array[Byte](pad))
+            n += 1
+          }
+          e += 1
+        }
+      }
+      out.write(new Array[Byte](2 * BlockSize)) // end-of-archive marker
+      out.close()
+      // task-side rename commit: the .inprogress file only takes its
+      // final name after a complete write, so a killed task never leaves
+      // a truncated shard under the published name
+      if (fs.exists(path)) fs.delete(path, false)
+      require(fs.rename(tmp, path), s"rename $tmp -> $path failed")
+      Iterator.single(n)
+    }.count()
+    ()
+  }
+
+  // ---- readers ---------------------------------------------------------
+
+  private case class Entry(shard: Int, name: String, size: Long)
+
+  private def shardOf(fileName: String): Int = {
+    val m = "-([0-9]{5})-of-[0-9]{5}\\.tar$".r.findFirstMatchIn(fileName)
+    require(m.isDefined, s"not a shard file name: $fileName")
+    m.get.group(1).toInt
+  }
+
+  private def listShards(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.matches(".*-[0-9]{5}-of-[0-9]{5}\\.tar"))
+      .map(_.toString).sorted.toSeq
+  }
+
+  private def parseName(h: Array[Byte]): String = {
+    var end = 0
+    while (end < 100 && h(end) != 0) end += 1
+    new String(h, 0, end, "UTF-8")
+  }
+
+  private def parseOctal(h: Array[Byte], off: Int, width: Int): Long = {
+    var v = 0L; var i = off
+    val stop = off + width
+    while (i < stop && h(i) != 0 && h(i) != ' ') {
+      v = (v << 3) + (h(i) - '0'); i += 1
+    }
+    v
+  }
+
+  /** Headers-only shard listing: (shard, entry, size_bytes), one row per
+    * tar entry. Payloads are skipped via stream positioning, never read —
+    * the corpus-sized IO of a manifest over S bytes of shards is
+    * S/(payload/512)-ish header blocks, not S.
+    */
+  def readManifest(spark: SparkSession, dir: String): DataFrame = {
+    val files = listShards(spark, dir)
+    val confSer = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .flatMap { f =>
+        val path = new Path(f)
+        val fs = path.getFileSystem(confSer.value)
+        val shard = shardOf(path.getName)
+        val in = fs.open(path)
+        val h = new Array[Byte](BlockSize)
+        val out = Seq.newBuilder[Entry]
+        var pos = 0L
+        var done = false
+        while (!done) {
+          in.readFully(pos, h, 0, BlockSize)
+          pos += BlockSize
+          if (h.forall(_ == 0)) done = true // end-of-archive zero block
+          else {
+            val size = parseOctal(h, 124, 12)
+            out += Entry(shard, parseName(h), size)
+            pos += size + padTo(size)
+          }
+        }
+        in.close()
+        out.result()
+      }
+    spark.createDataFrame(rows).toDF("shard", "entry", "size_bytes")
+  }
+
+  /** Full sample read-back: (shard, key, entries map<ext, payload>),
+    * adjacent same-key entries regrouped per sample WITHIN the shard
+    * stream — no shuffle; loader-shaped output for round-trip checks and
+    * small-scale consumption. (Training loaders stream the tar files
+    * directly; this reader is the verification path.)
+    */
+  def readSamples(spark: SparkSession, dir: String): DataFrame = {
+    val files = listShards(spark, dir)
+    val confSer = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, files.size))
+      .flatMap { f =>
+        val path = new Path(f)
+        val fs = path.getFileSystem(confSer.value)
+        val shard = shardOf(path.getName)
+        val in = fs.open(path)
+        val h = new Array[Byte](BlockSize)
+        var pos = 0L
+        var done = false
+        var curKey: String = null
+        var cur = Vector.empty[(String, Array[Byte])]
+        val out = Seq.newBuilder[(Int, String, Map[String, Array[Byte]])]
+        while (!done) {
+          in.readFully(pos, h, 0, BlockSize)
+          pos += BlockSize
+          if (h.forall(_ == 0)) done = true
+          else {
+            val name = parseName(h)
+            val size = parseOctal(h, 124, 12)
+            require(size <= Int.MaxValue, s"entry $name too large: $size")
+            val dot = name.lastIndexOf('.')
+            val (key, ext) =
+              if (dot < 0) (name, "") else (name.take(dot), name.drop(dot + 1))
+            val payload = new Array[Byte](size.toInt)
+            in.readFully(pos, payload, 0, size.toInt)
+            pos += size + padTo(size)
+            if (key != curKey && curKey != null) {
+              out += ((shard, curKey, cur.toMap)); cur = Vector.empty
+            }
+            curKey = key
+            cur :+= (ext -> payload)
+          }
+        }
+        if (curKey != null) out += ((shard, curKey, cur.toMap))
+        in.close()
+        out.result()
+      }
+    spark.createDataFrame(rows).toDF("shard", "key", "entries")
+  }
+}
