@@ -1124,7 +1124,7 @@ object SparkEntry {
     //      distinct-n-gram overlap with the benchmark (the GPT-3/PaLM
     //      policy shape), vs q51's any-overlap flag ----
 
-    "q82_domain_cap" -> ((s, dir) => {
+    "q87_domain_cap" -> ((s, dir) => {
       // at most 10 docs per source, best-first by length — every source
       // exceeds the cap at sf0.01, and duplicate n_chars within a
       // source exercises the lowest-id tie-break
@@ -1300,8 +1300,12 @@ object SparkEntry {
     //      bucket→weight map as pure integer arithmetic) ----
 
     "q85_quality_classifier" -> ((s, dir) => {
+      // MD5-lo64 feature hash = DuckDB md5_number_lower, the same
+      // external-parity trade q31 makes; production scoring uses the
+      // default xx64 kind (kernel parity spec-pinned in OpsSpec)
       TextAnalysis.hashedLinearScore(t(s, dir, "documents"),
-          "doc_id", "text", TextAnalysis.derivedWeights(1 << 20))
+          "doc_id", "text", TextAnalysis.derivedWeights(1 << 20),
+          hashKind = graft.functions.SketchOps.HashMd5Lo64)
         .orderBy("doc_id")
     }),
 
@@ -2441,7 +2445,7 @@ object SparkEntry {
 
       // q51's membership join plus the per-doc distinct-shingle total;
       // fraction as an exact BIGINT/BIGINT double division.
-      "q82_domain_cap" ->
+      "q87_domain_cap" ->
         """SELECT doc_id, source, n_chars FROM (
           |  SELECT doc_id, source, n_chars,
           |    row_number() OVER (

@@ -191,18 +191,38 @@ object SketchOps {
     * order agree bit-for-bit; with integer-valued weights and fewer
     * than 2^21 tokens the double sum is exact regardless.
     */
-  def linearScore(text: UTF8String, weights: Array[Double]): Double = {
+  def linearScore(text: UTF8String, weights: Array[Double],
+                  hashKind: Int): Double = {
     val mask = weights.length - 1
-    val bytes = text.getBytes
-    val n = bytes.length
     var sum = 0.0
-    var i = 0
-    while (i < n) {
-      if (!isWs(bytes(i))) {
-        val start = i
-        while (i < n && !isWs(bytes(i))) i += 1
-        sum += weights((md5Lo64(bytes, start, i - start) & mask).toInt)
-      } else i += 1
+    if (hashKind == HashMd5Lo64) {
+      val bytes = text.getBytes
+      val n = bytes.length
+      var i = 0
+      while (i < n) {
+        if (!isWs(bytes(i))) {
+          val start = i
+          while (i < n && !isWs(bytes(i))) i += 1
+          sum += weights((md5Lo64(bytes, start, i - start) & mask).toInt)
+        } else i += 1
+      }
+    } else {
+      // xx64 fast path: hash straight off the UTF8String's backing
+      // memory, no byte-array copy (the training-time featurizer must
+      // use the same hash — this is the production kind, md5 the
+      // external-oracle kind, exactly like [[simhashFromText]])
+      val base = text.getBaseObject
+      val offset = text.getBaseOffset
+      val n = text.numBytes()
+      var i = 0
+      while (i < n) {
+        if (!isWs(text.getByte(i))) {
+          val start = i
+          while (i < n && !isWs(text.getByte(i))) i += 1
+          sum += weights((XXH64.hashUnsafeBytes(base, offset + start,
+            i - start, 42L) & mask).toInt)
+        } else i += 1
+      }
     }
     sum
   }
@@ -739,7 +759,8 @@ case class ShardedBloomMightContain(sketches: Seq[Array[Byte]],
   * explode+broadcast-join formulation instead, not a bigger literal.
   * Null text → null score.
   */
-case class LinearScoreOf(child: Expression, weights: Array[Double])
+case class LinearScoreOf(child: Expression, weights: Array[Double],
+                         hashKind: Int = 0)
     extends UnaryExpression {
   require(weights.length > 0 && (weights.length & (weights.length - 1)) == 0,
     s"weights length must be a power of two, got ${weights.length}")
@@ -753,12 +774,12 @@ case class LinearScoreOf(child: Expression, weights: Array[Double])
   }
 
   override def nullSafeEval(input: Any): Any =
-    SketchOps.linearScore(input.asInstanceOf[UTF8String], weights)
+    SketchOps.linearScore(input.asInstanceOf[UTF8String], weights, hashKind)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("weights", weights, "double[]")
     defineCodeGen(ctx, ev,
-      text => s"graft.functions.SketchOps.linearScore($text, $w)")
+      text => s"graft.functions.SketchOps.linearScore($text, $w, $hashKind)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): LinearScoreOf =

@@ -297,12 +297,13 @@ object GraftFunctions {
     (FunctionIdentifier("graft_linear_score"),
       new ExpressionInfo(classOf[LinearScoreOf].getName, "graft_linear_score"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          "graft_linear_score takes (text, weightsLiteral)")
+        require(exprs.length == 2 || exprs.length == 3,
+          "graft_linear_score takes (text, weightsLiteral[, hashKind])")
         require(exprs(1).foldable,
           "graft_linear_score weights must be a literal array<double>")
         val ad = exprs(1).eval().asInstanceOf[ArrayData]
-        LinearScoreOf(exprs(0), ad.toDoubleArray())
+        LinearScoreOf(exprs(0), ad.toDoubleArray(),
+          if (exprs.length == 3) litInt(exprs(2), "hashKind") else 0)
       }),
   )
 

@@ -112,12 +112,16 @@ object TextAnalysis {
   /** fastText-/CCNet-style hashed bag-of-tokens linear classifier
     * SCORING — the model-based quality-filter step of a corpus build
     * (train offline, score every document at ingest). `weights` is the
-    * trained weight table indexed by `md5_lo64(token) & (dim-1)`; dim =
+    * trained weight table indexed by `hash(token) & (dim-1)`; dim =
     * `weights.length` must be a power of two (the bitmask keeps the
     * bucket identical between the JVM's signed long and an external
-    * engine's unsigned lower-64 — reference `fasttext` hashes tokens
-    * into a fixed table the same way, see tensorflow-recorder has no
-    * counterpart; this is an LLM-pipeline extension).
+    * engine's unsigned lower-64; fastText hashes tokens into a fixed
+    * table the same way — tensorflow-recorder has no counterpart, this
+    * is an LLM-pipeline extension). `hashKind` mirrors the SimHash
+    * choice: xx64 seed 42 (default — production speed; the offline
+    * trainer must featurize with the same hash) or MD5-lo64
+    * (~100× slower per token, equal to DuckDB `md5_number_lower` —
+    * what makes q85 oracle-checkable end to end).
     *
     * Scale shape: ONE codegen'd byte-scan per document
     * ([[graft.functions.LinearScoreOf]]) — no tokenize array, no
@@ -131,11 +135,13 @@ object TextAnalysis {
     */
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
                         weights: Array[Double],
-                        intercept: Double = 0.0): DataFrame = {
+                        intercept: Double = 0.0,
+                        hashKind: Int = graft.functions.SketchOps.HashXx64)
+      : DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.select(col(idCol),
-      (call_function("graft_linear_score", col(textCol), lit(weights)) +
-        lit(intercept)).as("score"),
+      (call_function("graft_linear_score", col(textCol), lit(weights),
+        lit(hashKind)) + lit(intercept)).as("score"),
       tokenCount(col(textCol)).as("n_tokens"))
   }
 

@@ -78,8 +78,9 @@ object NearDupStreamStress {
         graft.ops.Dedup.incrementalNearDup(probes, "batch_id", "text",
           buckets, shingles, "corpus_id", threshold = 0.8)
       } { res =>
+        val pairs = res.count() // execute BEFORE reading the clock
         println(f"MARKER_batch_direct=${(System.nanoTime() - t0) / 1e9}%.1f " +
-          s"pairs=${res.count()}")
+          s"pairs=$pairs")
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/plan_batch.txt"),
           res.queryExecution.executedPlan.toString

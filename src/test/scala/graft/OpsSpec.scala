@@ -1539,24 +1539,34 @@ class OpsSpec extends SparkSpec {
       (3L, ""),
       (4L, null),
       (5L, "unicode tökens 漢字 mixed in")).toDF("doc_id", "text")
-    val got = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", w,
-        intercept = 0.25)
-      .orderBy("doc_id")
-      .as[(Long, Option[Double], Option[Long])].collect().toSeq
-    // reference: per-token md5-lo64 buckets through a driver-side lookup
-    val ref = docs.as[(Long, String)].collect().toMap.map { case (id, txt) =>
-      id -> Option(txt).map { s =>
-        val toks = s.split("\\s+").filter(_.nonEmpty)
-        0.25 + toks.map(t => w((graft.functions.SketchOps.md5Lo64(
-          t.getBytes("UTF-8"), 0, t.getBytes("UTF-8").length) &
-          (dim - 1)).toInt)).sum
+    // both hash kinds against a driver-side per-token lookup reference:
+    // xx64 is the production kind, md5-lo64 the external-oracle kind
+    for (kind <- Seq(graft.functions.SketchOps.HashXx64,
+        graft.functions.SketchOps.HashMd5Lo64)) {
+      val got = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", w,
+          intercept = 0.25, hashKind = kind)
+        .orderBy("doc_id")
+        .as[(Long, Option[Double], Option[Long])].collect().toSeq
+      val ref = docs.as[(Long, String)].collect().toMap.map { case (id, txt) =>
+        id -> Option(txt).map { s =>
+          val hashes = s.split("\\s+").filter(_.nonEmpty).map { t =>
+            val b = t.getBytes("UTF-8")
+            if (kind == graft.functions.SketchOps.HashMd5Lo64)
+              graft.functions.SketchOps.md5Lo64(b, 0, b.length)
+            else org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(b,
+                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                b.length, 42L)
+          }
+          0.25 + hashes.map(h => w((h & (dim - 1)).toInt)).sum
+        }
       }
+      got.foreach { case (id, score, n) =>
+        assert(score == ref(id), s"doc $id kind $kind")
+        if (ref(id).isEmpty) assert(n.isEmpty) else assert(n.nonEmpty)
+      }
+      assert(got.find(_._1 == 3L).get._2.contains(0.25)) // empty → intercept
     }
-    got.foreach { case (id, score, n) =>
-      assert(score == ref(id), s"doc $id")
-      if (ref(id).isEmpty) assert(n.isEmpty) else assert(n.nonEmpty)
-    }
-    assert(got.find(_._1 == 3L).get._2.contains(0.25)) // empty → intercept
     // non-power-of-two dim rejected (the mask is the unsigned-parity trick)
     intercept[Exception] {
       TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
