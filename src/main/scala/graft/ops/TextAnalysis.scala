@@ -118,10 +118,12 @@ object TextAnalysis {
     * engine's unsigned lower-64; fastText hashes tokens into a fixed
     * table the same way — tensorflow-recorder has no counterpart, this
     * is an LLM-pipeline extension). `hashKind` mirrors the SimHash
-    * choice: xx64 seed 42 (default — production speed; the offline
-    * trainer must featurize with the same hash) or MD5-lo64
-    * (~100× slower per token, equal to DuckDB `md5_number_lower` —
-    * what makes q85 oracle-checkable end to end).
+    * choice: xx64 seed 42 (default; the offline trainer must featurize
+    * with the same hash) or MD5-lo64 (equal to DuckDB
+    * `md5_number_lower` — what makes q85 oracle-checkable end to end).
+    * Measured at 1M docs / 55M tokens (BASELINE r9): both kinds are
+    * scan-bound steady-state (1.0 vs 1.2 s) — short-token MD5 costs
+    * far less than its reputation; pick by parity need, not speed.
     *
     * Scale shape: ONE codegen'd byte-scan per document
     * ([[graft.functions.LinearScoreOf]]) — no tokenize array, no

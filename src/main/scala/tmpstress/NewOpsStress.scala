@@ -1,0 +1,73 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput stress for the r9 additions: hashedLinearScore (both hash
+  * kinds, 1M docs) and the WebDataset tar sink/readers (1M docs).
+  * args(0): scratch dir.
+  */
+object NewOpsStress {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1M docs: sf0.1 documents x 200 with a distinct suffix per clone
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text", "lang").repartition(64)
+      .crossJoin(spark.range(200).toDF("rep"))
+      .withColumn("id", col("doc_id") * 200L + col("rep"))
+      .withColumn("text", concat(col("text"), lit(" s"), col("id")))
+      .select("id", "text", "lang")
+      .cache()
+    val nDocs = corpus.count()
+    val nTokens = corpus
+      .agg(sum(graft.ops.TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+    println(s"MARKER_corpus=$nDocs tokens=$nTokens")
+
+    val w = graft.ops.TextAnalysis.derivedWeights(1 << 20)
+    def timeScore(kind: Int, label: String): Unit = {
+      val t0 = System.nanoTime()
+      val r = graft.ops.TextAnalysis
+        .hashedLinearScore(corpus, "id", "text", w, hashKind = kind)
+        .agg(sum("score"), sum("n_tokens")).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"MARKER_score_$label=$secs%.1f sum=${r.getDouble(0)}%.0f " +
+        s"ntok=${r.getLong(1)}")
+    }
+    // two reps each: first carries codegen
+    timeScore(graft.functions.SketchOps.HashXx64, "xx64_rep1")
+    timeScore(graft.functions.SketchOps.HashXx64, "xx64_rep2")
+    timeScore(graft.functions.SketchOps.HashMd5Lo64, "md5_rep1")
+    timeScore(graft.functions.SketchOps.HashMd5Lo64, "md5_rep2")
+
+    // WebDataset export: 1M samples, text + lang entries, 64 shards
+    var t0 = System.nanoTime()
+    graft.sinks.WebDataset.writeShards(corpus, "id",
+      Seq("text" -> "txt", "lang" -> "lng"), s"$dir/wds", numShards = 64,
+      salt = 5L)
+    println(f"MARKER_wds_write64=${(System.nanoTime() - t0) / 1e9}%.1f")
+    t0 = System.nanoTime()
+    val m = graft.sinks.WebDataset.readManifest(spark, s"$dir/wds")
+      .agg(count(lit(1)), sum("size_bytes")).head()
+    println(f"MARKER_wds_manifest=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"entries=${m.getLong(0)} bytes=${m.getLong(1)}")
+    t0 = System.nanoTime()
+    val s = graft.sinks.WebDataset.readSamples(spark, s"$dir/wds")
+      .agg(count(lit(1))).head()
+    println(f"MARKER_wds_samples=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"samples=${s.getLong(0)}")
+    // shard-count sweep point: 8 shards (fatter files, fewer tasks)
+    t0 = System.nanoTime()
+    graft.sinks.WebDataset.writeShards(corpus, "id",
+      Seq("text" -> "txt", "lang" -> "lng"), s"$dir/wds8", numShards = 8,
+      salt = 5L)
+    println(f"MARKER_wds_write8=${(System.nanoTime() - t0) / 1e9}%.1f")
+    spark.stop()
+  }
+}
