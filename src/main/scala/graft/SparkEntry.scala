@@ -1095,6 +1095,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- incremental index ingest: base index + appended batch must
+    //      answer EXACTLY like one index over the union corpus (q49's
+    //      oracle, unchanged — the append is physical only) ----
+
+    "q88_ivf_appended" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val indexDir = tmpDir("graft-ivf-append")
+      Similarity.ivfIndexWrite(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        centroids, "vec_id", "embedding", indexDir)
+      Similarity.ivfIndexAppend(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
+        centroids, "vec_id", "embedding", indexDir)
+      Similarity.ivfTopKFromIndex(s, indexDir,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- fitted-centroid assignment: fitCentroids' SQL-replayable hash
     //      seeding (LCG rank over ids) + the nearest-centroid kernel ----
 
@@ -2357,6 +2378,11 @@ object SparkEntry {
       // Same semantics through the persisted, partition-pruned index
       // path: the physical layout must not change a single answer.
       "q49_ivf_persisted" -> ivfSql,
+
+      // Build-then-append must equal one build over the union — the
+      // same oracle again; any layout leakage into semantics would
+      // hash-mismatch.
+      "q88_ivf_appended" -> ivfSql,
 
       // The doc-frequency cutoff replayed literally: HAVING count(*) <= 4
       // on the distinct shingle index before sizes/intersections.

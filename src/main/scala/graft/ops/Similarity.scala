@@ -466,6 +466,35 @@ object Similarity {
       .partitionBy("centroid_id")
       .parquet(indexDir)
 
+  /** Incremental index ingest: assign ONLY the new batch against the
+    * SAME centroids the index was built with and append its rows under
+    * the existing `centroid_id=` partition directories. This is the
+    * ANN family's artifact-economics path (the twin of the dedup
+    * digest/band-bucket and BM25 ingests): per-batch cost is the
+    * batch's own zero-shuffle centroid assignment plus one partitioned
+    * write — the existing index files are never read, rewritten, or
+    * shuffled. Searches over the appended index are searches over the
+    * union corpus, identical to a full rebuild (the layout is physical
+    * only — q88 proves it against q49's oracle; spec asserts existing
+    * files are untouched).
+    *
+    * Caller contract: `centroids` MUST be the build-time set (a
+    * different set silently splits the corpus across inconsistent
+    * cluster geometries), and batch ids should be new (appending an
+    * existing id yields two index rows for it, exactly like appending
+    * to any corpus — compose with [[graft.ops.Dedup.incremental]]
+    * upstream when re-crawls can repeat ids). Centroid drift over many
+    * appends degrades recall gradually; refit + `ivfIndexWrite` is the
+    * periodic compaction, and [[recallAtK]] the monitor.
+    */
+  def ivfIndexAppend(newVecs: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, centIdCol: String,
+                     centVecCol: String, indexDir: String): Unit =
+    ivfAssign(newVecs, idCol, vecCol, centroids, centIdCol, centVecCol)
+      .write.mode("append")
+      .partitionBy("centroid_id")
+      .parquet(indexDir)
+
   /** Top-k against a persisted IVF index: per-query probe lists are read
     * with partition pruning; only the probed clusters are scanned.
     */

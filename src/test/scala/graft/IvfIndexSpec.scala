@@ -76,6 +76,41 @@ class IvfIndexSpec extends SparkSpec {
       s"expected partition pruning on centroid_id in:\n$explain")
   }
 
+  test("ivfIndexAppend: appended index ≡ full rebuild; existing files " +
+      "untouched") {
+    val centroids = vecs.filter($"vec_id" % 10 === 0)
+    val dirA = tmpDir("ivf-append")
+    val dirB = tmpDir("ivf-full")
+    // A: build on evens, append odds. B: one build over everything.
+    Similarity.ivfIndexWrite(vecs.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", centroids, "vec_id", "embedding", dirA)
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(dirA))
+      .filter(p => p.toString.endsWith(".parquet")).toArray.map { p =>
+        val path = p.asInstanceOf[java.nio.file.Path]
+        path.toString -> java.nio.file.Files.getLastModifiedTime(path)
+      }.toMap
+    assert(before.nonEmpty)
+    Similarity.ivfIndexAppend(vecs.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", centroids, "vec_id", "embedding", dirA)
+    // append-only: every pre-existing data file survives byte-untouched
+    before.foreach { case (p, mtime) =>
+      val path = java.nio.file.Paths.get(p)
+      assert(java.nio.file.Files.exists(path), s"append removed $p")
+      assert(java.nio.file.Files.getLastModifiedTime(path) == mtime,
+        s"append rewrote $p")
+    }
+    Similarity.ivfIndexWrite(vecs, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dirB)
+    val queries = vecs.filter($"vec_id" < 3)
+    def answers(dir: String) = Similarity.ivfTopKFromIndex(spark, dir,
+        queries, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", k = 5, nprobe = 2)
+      .select(col("query_id"), col("rank").cast("long"),
+        col("neighbor_id"), col("score"))
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(answers(dirA) == answers(dirB))
+  }
+
   test("fitCentroids seeding is deterministic across partitionings") {
     val corpus = (0 until 200).map { i =>
       val a = Array.fill(6)(0.0f)
