@@ -1159,7 +1159,8 @@ object Dedup {
     * even when a≉c directly).
     *
     * Size-adaptive: pair graphs at or under `driverEdgeLimit` edges (and
-    * integral ids) run a driver union-find over just the edge endpoints —
+    * integral or string ids) run a driver union-find over just the edge
+    * endpoints —
     * identical labels, milliseconds instead of ~1 s of scheduling +
     * checkpoint cost PER ROUND of the distributed loop. The default limit
     * is measured, not guessed (BASELINE r6): at 10^6 edges the driver
@@ -1204,17 +1205,18 @@ object Dedup {
     // corpus (every pair survived dedup's candidate capping), and each
     // distributed round below costs whole-job scheduling + a
     // localCheckpoint — ~1s/round of pure fixed cost at any data size.
-    // When the edge list is bounded (and ids are integral), a driver
+    // When the edge list is bounded (and ids are integral or string), a driver
     // union-find over only the edge ENDPOINTS computes the same min-id
     // labels in milliseconds; nodes untouched by any edge never leave
     // the cluster (they join against the broadcast label map). The
     // distributed loop remains the path for genuinely large graphs.
-    val idIsIntegral = nodes.schema(idCol).dataType match {
+    val idSupportsDriver = nodes.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType => true
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
       case _ => false
     }
-    if (idIsIntegral && edges.count() <= driverEdgeLimit) {
+    if (idSupportsDriver && edges.count() <= driverEdgeLimit) {
       lastClusteringStats = Some(ClusteringStats(0, Nil, driverPath = true))
       return duplicateClustersDriver(nodes, idCol, edges)
     }
@@ -1289,40 +1291,66 @@ object Dedup {
     val valid = edges
       .join(nodeIds.select(col("node").as("a")), Seq("a"), "left_semi")
       .join(nodeIds.select(col("node").as("b")), Seq("b"), "left_semi")
-      .select(col("a").cast("long"), col("b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
 
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.get(r) != r) r = parent.get(r)
-      var c = x
-      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
-      r
+    // Union-find generic over the id type: `lt` must agree with the SQL
+    // `min(label)` ordering the distributed loop uses, or the two paths
+    // would pick different (still-valid) representatives.
+    def unionFind[T](pairsLocal: Array[(T, T)],
+                     lt: (T, T) => Boolean): Seq[(T, T, Long)] = {
+      val parent = new java.util.HashMap[T, T]()
+      def find(x: T): T = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      pairsLocal.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (lt(ra, rb)) parent.put(rb, ra)
+        else if (lt(rb, ra)) parent.put(ra, rb)
+      }
+      // Sizes are free on the driver: every member of a ≥2 cluster is an
+      // edge endpoint (membership requires an edge), so component sizes
+      // are endpoint counts per root and ride the broadcast map — no
+      // corpus-wide size aggregate or corpus×corpus join, which would
+      // otherwise dominate this "fast" path for a large node frame.
+      import scala.jdk.CollectionConverters._
+      val rootSize = new java.util.HashMap[T, Long]()
+      parent.keySet().asScala.foreach { k =>
+        rootSize.merge(find(k), 1L, (x, y) => x + y)
+      }
+      parent.keySet().asScala.toSeq
+        .map { k => val r = find(k); (k, r, rootSize.get(r)) }
     }
-    valid.foreach { case (a, b) =>
-      parent.putIfAbsent(a, a)
-      parent.putIfAbsent(b, b)
-      val ra = find(a)
-      val rb = find(b)
-      if (ra < rb) parent.put(rb, ra)
-      else if (rb < ra) parent.put(ra, rb)
-    }
-    // Sizes are free on the driver: every member of a ≥2 cluster is an
-    // edge endpoint (membership requires an edge), so component sizes are
-    // endpoint counts per root and ride the broadcast map — no
-    // corpus-wide size aggregate or corpus×corpus join, which would
-    // otherwise dominate this "fast" path for a large node frame.
-    import scala.jdk.CollectionConverters._
-    val rootSize = new java.util.HashMap[Long, Long]()
-    parent.keySet().asScala.foreach { k =>
-      rootSize.merge(find(k), 1L, (x, y) => x + y)
-    }
-    val resolved = parent.keySet().asScala.toSeq
-      .map { k => val r = find(k); (k, r, rootSize.get(r)) }
+
     val spark = nodes.sparkSession
-    val mapDf = spark.createDataFrame(resolved)
-      .toDF("mnode", "mlabel", "msize")
+    import spark.implicits._
+    val mapDf = (dt match {
+      case org.apache.spark.sql.types.StringType =>
+        // Spark compares strings as unsigned UTF-8 bytes; Java
+        // String.compareTo compares UTF-16 code units — they diverge
+        // past the BMP. Route through UTF8String.compareTo for exact
+        // engine-ordering parity with the distributed path's min(label).
+        import org.apache.spark.unsafe.types.UTF8String
+        unionFind[String](
+          valid.select(col("a").cast("string"), col("b").cast("string"))
+            .collect().map(r => (r.getString(0), r.getString(1))),
+          (x, y) => UTF8String.fromString(x)
+            .compareTo(UTF8String.fromString(y)) < 0)
+          .toDF("mnode", "mlabel", "msize")
+      case _ =>
+        unionFind[Long](
+          valid.select(col("a").cast("long"), col("b").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))),
+          _ < _)
+          .toDF("mnode", "mlabel", "msize")
+    })
       .select(col("mnode").cast(dt).as("mnode"),
         col("mlabel").cast(dt).as("mlabel"), col("msize"))
     nodeIds

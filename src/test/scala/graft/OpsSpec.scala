@@ -548,6 +548,31 @@ class OpsSpec extends SparkSpec {
       (20L, 10L, 6L), (21L, 10L, 6L), (22L, 10L, 6L), (30L, 30L, 1L)))
   }
 
+  test("duplicateClusters string ids: driver path (r9) agrees with the " +
+      "distributed loop, incl. non-ASCII label ordering") {
+    // ids where UTF-8 byte order is exercised: plain, zero-padded, and a
+    // multi-byte char; min label must match SQL min() on both paths
+    val nodes = Seq("doc:0002", "doc:0001", "doc:0010", "ü-doc", "z-doc",
+      "lone").toDF("id")
+    val pairs = Seq(
+      ("doc:0002", "doc:0001"), ("doc:0010", "doc:0002"), // chain → doc:0001
+      ("z-doc", "ü-doc"),                                  // 'z' < 'ü' in UTF-8
+    ).toDF("id_a", "id_b")
+    val want = Set(
+      ("doc:0001", "doc:0001", 3L), ("doc:0002", "doc:0001", 3L),
+      ("doc:0010", "doc:0001", 3L),
+      ("z-doc", "z-doc", 2L), ("ü-doc", "z-doc", 2L),
+      ("lone", "lone", 1L))
+    val fast = Dedup.duplicateClusters(nodes, "id", pairs)
+      .as[(String, String, Long)].collect().toSet
+    assert(Dedup.lastClusteringStats.get.driverPath) // string ids qualify now
+    val loop = Dedup.duplicateClusters(nodes, "id", pairs,
+        driverEdgeLimit = 0)
+      .as[(String, String, Long)].collect().toSet
+    assert(fast == want)
+    assert(loop == want)
+  }
+
   test("PII scrub: emails and IPs counted and redacted, order-safe") {
     val df = Seq(
       (1L, "contact alice@example.com or 10.0.0.1 today"),
