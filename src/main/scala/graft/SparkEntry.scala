@@ -1315,6 +1315,17 @@ object SparkEntry {
         .orderBy("lang", "doc_id", "epoch")
     }),
 
+    // ---- exact-quota deterministic sampling: exactly min(quota, n)
+    //      rows per stratum in mixed-key order — selection replayed by
+    //      the oracle as a window rank over the same integer hash ----
+
+    "q89_exact_quota_sample" -> ((s, dir) => {
+      Sampling.exactQuotaSample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", quota = 37, salt = 13L)
+        .orderBy("doc_id")
+    }),
+
     // ---- hashed bag-of-tokens linear classifier scoring (fastText-/
     //      CCNet-style quality model inference; weights here are the
     //      derived integer-valued table so the oracle replays the
@@ -2334,6 +2345,17 @@ object SparkEntry {
           |WHERE g.epoch < t.nfull
           |  OR ((d.doc_id + t.nfull + 9) * 2654435761) % 4294967296 < t.fthr
           |ORDER BY d.lang, d.doc_id, g.epoch""".stripMargin,
+
+      // Exact-quota sampling replayed as a rank over the same Knuth
+      // mix: ascending hash, doc_id tie-break, rank <= quota.
+      "q89_exact_quota_sample" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang, row_number() OVER (
+          |    PARTITION BY lang
+          |    ORDER BY ((doc_id + 13) * 2654435761) % 4294967296, doc_id)
+          |    AS rk
+          |  FROM documents)
+          |WHERE rk <= 37 ORDER BY doc_id""".stripMargin,
 
       // The hashed linear classifier replayed token by token: bucket =
       // md5 lower-64 (UNSIGNED — identical to the kernel's signed long

@@ -61,6 +61,35 @@ object Sampling {
                           salt: Long = 0L): DataFrame =
     df.filter(keepPredicate(col(keyCol), fraction, salt))
 
+  /** EXACT-quota deterministic sampling: keep exactly
+    * `min(quota, |stratum|)` rows per stratum — the "exactly 100k docs
+    * per language" contract that [[deterministicSample]]'s
+    * expected-value fraction cannot give. Selection order is ascending
+    * [[mixedKey]] (id tie-break), so the kept set is a pure function of
+    * (key, salt): stable across partitionings and re-runs, replayable
+    * in external SQL (the q89 oracle is a window-rank replay), and
+    * NESTED across quotas — the quota-50 sample of a stratum is a
+    * superset of its quota-10 sample, the property that lets a corpus
+    * publish consistent size tiers.
+    *
+    * Scale shape: rides [[capPerKey]]'s k-bounded
+    * [[graft.functions.TopKAgg]] — each map task ships at most `quota`
+    * (hash, id) pairs per stratum, so a 100-TB stratum's selection
+    * never materializes or sorts the stratum; past
+    * [[capPerKey]]'s `maxAggregateK` it inherits the window fallback
+    * (identical rows, spec-pinned there).
+    */
+  def exactQuotaSample(df: DataFrame, strataCol: String, keyCol: String,
+                       quota: Int, salt: Long = 0L): DataFrame = {
+    require(!df.columns.contains("__negmk"),
+      "input already has a '__negmk' column; rename it before sampling")
+    // capPerKey keeps the HIGHEST score; ascending mixed-key order is
+    // descending negated key. mixedKey < 2^32, so negation is exact.
+    capPerKey(df.withColumn("__negmk", -mixedKey(col(keyCol), salt)),
+        strataCol, "__negmk", keyCol, quota)
+      .drop("__negmk")
+  }
+
   /** Per-stratum sampling accounting: for each value of `strataCol`, the
     * stratum's total row count and how many rows the deterministic
     * `fraction` sample keeps — the audit view a dataset build logs next

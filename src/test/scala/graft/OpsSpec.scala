@@ -1551,6 +1551,37 @@ class OpsSpec extends SparkSpec {
       ("en", 20000L, 10000L, 0.5)))
   }
 
+  test("exactQuotaSample: exact per-stratum counts, quota nesting, " +
+      "partitioning invariance") {
+    val df = (0L until 1000L).map(i =>
+      (i, if (i % 10 < 7) "en" else if (i % 10 < 9) "de" else "fr"))
+      .toDF("id", "lang")
+    val kept = Sampling.exactQuotaSample(df, "lang", "id", quota = 50,
+        salt = 3L)
+    val counts = kept.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // every stratum has > 50 rows → exactly 50 each (vs the
+    // fraction sampler's expected-value counts)
+    assert(counts == Map("en" -> 50L, "de" -> 50L, "fr" -> 50L))
+    // quota above supply keeps the whole stratum
+    val all = Sampling.exactQuotaSample(df.filter(col("lang") === "fr"),
+      "lang", "id", quota = 10000, salt = 3L)
+    assert(all.count() == 100)
+    // nesting: the quota-10 sample is a subset of the quota-50 sample
+    val small = Sampling.exactQuotaSample(df, "lang", "id", quota = 10,
+        salt = 3L).select("id").as[Long].collect().toSet
+    val big = kept.select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big) && small.size == 30)
+    // pure function of (key, salt): partitioning changes nothing
+    val again = Sampling.exactQuotaSample(df.repartition(17), "lang", "id",
+        quota = 50, salt = 3L).select("id").as[Long].collect().toSet
+    assert(again == big)
+    // different salt rotates the selection
+    val other = Sampling.exactQuotaSample(df, "lang", "id", quota = 50,
+        salt = 4L).select("id").as[Long].collect().toSet
+    assert(other != big)
+  }
+
   test("hashedLinearScore: kernel equals the explode+lookup formulation " +
       "on arbitrary weights; null/empty/intercept semantics") {
     // arbitrary (non-derived) weights: the kernel must implement the
