@@ -401,19 +401,24 @@ object Sampling {
     * (key, id): `idCol` must be unique within a key (a duplicated id
     * would make its rows survive or drop together).
     *
-    * Scale shape — the reason this is NOT `row_number() OVER
-    * (PARTITION BY key …)`: the window form shuffles EVERY row of a
-    * key to one task and sorts its full row count there; at corpus
-    * scale a hot domain (half a crawl is often a handful of hosts)
-    * becomes one straggler task. The default path instead runs ONE
-    * map-side-combinable [[graft.functions.TopKAgg]] — each map task
-    * contributes at most k (score, id) pairs per key to the shuffle,
-    * the hot key's reduce is a k-bounded heap merge — then keeps the
-    * winners with a left-semi join on (key, id), which AQE broadcasts
-    * when the survivor set is small. Past `maxAggregateK` (k large
-    * enough that k-pair heaps stop being "bounded") it falls back to
-    * the window form, whose cost is then the honest one; parity of the
-    * two paths is spec-pinned.
+    * Scale shape, measured honestly (BASELINE r9, 10M rows, 3×3M-row
+    * hot keys + 10k tail keys, k=1000): Spark 4's `WindowGroupLimit`
+    * makes the window formulation map-side-bounded TOO (a partial
+    * group-limit runs before the exchange, so ≤ k rows per key per
+    * task reach the shuffle — the classic "window shuffles every row
+    * of the hot key" hazard no longer holds), and the two paths
+    * measure within noise of each other (~5-6 s, identical
+    * survivors). The remaining structural difference: the window path
+    * SORTS each map partition (O(n log n), spillable) and is
+    * single-pass; this aggregate path heaps without sorting
+    * (O(n log k), no map-side spill) but pays a second corpus scan for
+    * the survivor semi-join (AQE broadcasts it when the survivor set
+    * is small). Prefer the default here when the input is an expensive
+    * unmaterialized plan you'd rather not sort, the window form when
+    * rescanning the input is the dearer resource. Past `maxAggregateK`
+    * (k large enough that k-pair heaps stop being "bounded") it always
+    * falls back to the window form; parity of the two paths is
+    * spec-pinned.
     */
   def capPerKey(df: DataFrame, keyCol: String, scoreCol: String,
                 idCol: String, maxPerKey: Int,
@@ -440,7 +445,9 @@ object Sampling {
   }
 
   /** The window-function formulation of [[capPerKey]] — identical
-    * survivors (spec-pinned), full-row-count shuffle + sort per key.
+    * survivors (spec-pinned); single-pass, map-side-bounded via Spark
+    * 4's `WindowGroupLimit` partial (see the measured comparison in
+    * [[capPerKey]]'s scaladoc), at the cost of a full map-side sort.
     * The fallback past `maxAggregateK`, and the parity reference.
     */
   def capPerKeyWindow(df: DataFrame, keyCol: String, scoreCol: String,

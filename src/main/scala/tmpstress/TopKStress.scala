@@ -1,0 +1,54 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10M-row stress for the k-bounded per-key cap family: capPerKey's
+  * TopKAgg path vs the window fallback on a hot-key distribution, plus
+  * exactQuotaSample. args(0): "agg" | "window" | "quota" (separate JVMs
+  * so paths don't share page-cache/JIT warmth).
+  */
+object TopKStress {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 10M rows, 3 hot domains with 3M rows each + 1M spread over 10k
+    // tail domains — the crawl-cap shape (few giant hosts, long tail)
+    val df = spark.range(10000000L).toDF("id")
+      .withColumn("domain",
+        when(col("id") % 10 < 3, lit("hot-a"))
+          .when(col("id") % 10 < 6, lit("hot-b"))
+          .when(col("id") % 10 < 9, lit("hot-c"))
+          .otherwise(concat(lit("tail-"), pmod(col("id"), lit(10000L)))))
+      .withColumn("score", pmod(col("id") * 2654435761L, lit(1000003L)))
+      .cache()
+    df.count()
+
+    def checksum(res: org.apache.spark.sql.DataFrame): Long =
+      res.agg(sum(col("id"))).head().getLong(0)
+
+    val t0 = System.nanoTime()
+    val (label, cs, rows) = mode match {
+      case "agg" =>
+        val r = graft.ops.Sampling.capPerKey(df, "domain", "score", "id",
+          maxPerKey = 1000)
+        ("capPerKey_agg", checksum(r), r.count())
+      case "window" =>
+        val r = graft.ops.Sampling.capPerKeyWindow(df, "domain", "score",
+          "id", maxPerKey = 1000)
+        ("capPerKey_window", checksum(r), r.count())
+      case "quota" =>
+        val r = graft.ops.Sampling.exactQuotaSample(df, "domain", "id",
+          quota = 1000, salt = 7L)
+        ("exactQuotaSample", checksum(r), r.count())
+    }
+    println(f"MARKER_$label=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"rows=$rows checksum=$cs")
+    spark.stop()
+  }
+}
