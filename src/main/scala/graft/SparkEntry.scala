@@ -1315,6 +1315,31 @@ object SparkEntry {
         .orderBy("lang", "doc_id", "epoch")
     }),
 
+    // ---- URL canonicalization: messy URLs constructed from the
+    //      documents table (uppercase authority, default ports,
+    //      unsorted/trailing-& queries, fragments), normalized; the
+    //      oracle replays rule by rule with the same regexes ----
+
+    "q90_url_canonical" -> ((s, dir) => {
+      val messy = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, "HTTPS://WWW.")
+            .otherwise(lit("http://sub.")),
+          col("source"), lit(".Example.ORG"),
+          when(pmod(col("doc_id"), lit(2)) === 0, ":443").otherwise(":80"),
+          lit("/"), col("lang"), lit("/doc/"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "?b=2&a=1&")
+            .when(pmod(col("doc_id"), lit(3)) === 1, "?")
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0, "#frag")
+            .otherwise(lit(""))).as("url"))
+      val canon = TextAnalysis.canonicalizeUrl(col("url"))
+      messy.select(col("doc_id"), canon.as("canon"),
+          TextAnalysis.urlHost(canon).as("host"),
+          TextAnalysis.apexDomain(TextAnalysis.urlHost(canon)).as("apex"))
+        .orderBy("doc_id")
+    }),
+
     // ---- exact-quota deterministic sampling: exactly min(quota, n)
     //      rows per stratum in mixed-key order — selection replayed by
     //      the oracle as a window rank over the same integer hash ----
@@ -2345,6 +2370,47 @@ object SparkEntry {
           |WHERE g.epoch < t.nfull
           |  OR ((d.doc_id + t.nfull + 9) * 2654435761) % 4294967296 < t.fthr
           |ORDER BY d.lang, d.doc_id, g.epoch""".stripMargin,
+
+      // The canonicalization rules replayed literally: same regexes
+      // (RE2 ≡ Java for this feature subset), same list sort/filter,
+      // same default-port and empty-query cases.
+      "q90_url_canonical" ->
+        """WITH messy AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+           |      ELSE 'http://sub.' END
+           |    || source || '.Example.ORG'
+           |    || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+           |    || '/' || lang || '/doc/' || doc_id
+           |    || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1&'
+           |       WHEN doc_id % 3 = 1 THEN '?' ELSE '' END
+           |    || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+           |  FROM documents),
+           |nofrag AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u
+           |  FROM messy),
+           |parts AS (SELECT doc_id, url,
+           |    lower(regexp_extract(u, '^[^/?#]*//[^/?#]*')) AS prefix,
+           |    regexp_extract(u, '^[^/?#]*//[^/?#]*([^?#]*)', 1) AS path,
+           |    regexp_extract(u, '\?([^#]*)', 1) AS q
+           |  FROM nofrag),
+           |canon AS (SELECT doc_id,
+           |    CASE WHEN prefix = '' THEN url ELSE
+           |    regexp_replace(regexp_replace(prefix,
+           |      '^(https://[^/:]+):443$', '\1'),
+           |      '^(http://[^/:]+):80$', '\1')
+           |    || path ||
+           |    CASE WHEN q = '' THEN '' ELSE
+           |      '?' || list_aggr(list_sort(list_filter(
+           |        string_split(q, '&'), x -> len(x) > 0)),
+           |        'string_agg', '&') END END AS canon
+           |  FROM parts)
+           |SELECT doc_id, canon,
+           |  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+           |    AS host,
+           |  regexp_extract(regexp_extract(canon,
+           |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+           |    '([^.]+\.[^.]+)$', 1) AS apex
+           |FROM canon ORDER BY doc_id""".stripMargin,
 
       // Exact-quota sampling replayed as a rank over the same Knuth
       // mix: ascending hash, doc_id tie-break, rank <= quota.

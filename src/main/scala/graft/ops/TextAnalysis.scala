@@ -192,6 +192,55 @@ object TextAnalysis {
       .withColumn("repetition_ratio",
         col("max_token_count").cast("double") / col("n_tokens").cast("double"))
 
+  // ---- URL canonicalization ----------------------------------------------
+
+  /** URL canonicalization for web-corpus curation — the normalization
+    * step BEFORE URL-keyed dedup and per-domain capping (CommonCrawl
+    * pipelines dedup on canonical URL first; un-normalized URLs split
+    * one page across `Dedup.exact` keys and leak crawl budget past
+    * [[graft.ops.Sampling.capPerKey]]). Rules, deliberately the
+    * high-yield subset every canonicalizer agrees on: strip the
+    * fragment; lowercase scheme and authority; drop default ports
+    * (`:80` http, `:443` https); sort query parameters (byte order);
+    * drop an empty `?`. Path case, trailing slashes, and %-encoding
+    * are left untouched — they are semantics-changing on real servers.
+    *
+    * Pure projection built ONLY from regex/string/array expressions
+    * with identical semantics in Java regex and RE2 (no lookaround, no
+    * backrefs in patterns) — scan-speed at any scale, and an external
+    * engine can replay it exactly (the q90 oracle does). A string with
+    * no `scheme://authority` shape passes through UNCHANGED (a
+    * non-URL key should keep deduping as itself, not collapse with
+    * every other non-URL onto ''); [[urlHost]] of it is ''.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val prefix = lower(regexp_extract(noFrag, "^[^/?#]*//[^/?#]*", 0))
+    val path = regexp_extract(noFrag, "^[^/?#]*//[^/?#]*([^?#]*)", 1)
+    val q = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val noPort = regexp_replace(
+      regexp_replace(prefix, "^(https://[^/:]+):443$", "$1"),
+      "^(http://[^/:]+):80$", "$1")
+    val sortedQ = array_join(
+      array_sort(filter(split(q, "&"), x => length(x) > 0)), "&")
+    when(prefix === "", url).otherwise(
+      concat(noPort, path,
+        when(q === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+  }
+
+  /** Host of a [[canonicalizeUrl]]-normalized URL ('' for non-URLs). */
+  def urlHost(canonicalUrl: Column): Column =
+    regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+  /** Last-two-label apex domain of a host — the per-SITE cap key where
+    * [[urlHost]] is the per-host one. A heuristic, not the public
+    * suffix list (which is data, not an algorithm): `a.co.uk` yields
+    * `co.uk`. Good enough for cap keys; swap in a PSL join where
+    * registrable-domain exactness matters.
+    */
+  def apexDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
   // ---- PII scrubbing ------------------------------------------------------
 
   /** Conservative PII patterns, deliberately restricted to regex features

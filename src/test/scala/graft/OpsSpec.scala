@@ -1551,6 +1551,44 @@ class OpsSpec extends SparkSpec {
       ("en", 20000L, 10000L, 0.5)))
   }
 
+  test("canonicalizeUrl: rules, edge cases, and idempotence") {
+    val cases = Seq(
+      // uppercase authority + default port + unsorted/trailing-& query + fragment
+      ("HTTPS://Sub.Example.COM:443/path/Doc?b=2&a=1&#frag",
+        "https://sub.example.com/path/Doc?a=1&b=2", "sub.example.com",
+        "example.com"),
+      ("http://HOST.org:80/x?", "http://host.org/x", "host.org", "host.org"),
+      // non-default port kept; deep subdomain apex = last two labels
+      ("http://a.b.c.net:8080/y?z=1#top", "http://a.b.c.net:8080/y?z=1",
+        "a.b.c.net", "c.net"),
+      ("https://plain.io/p", "https://plain.io/p", "plain.io", "plain.io"),
+      // single-label host: apex heuristic yields '' (no two labels)
+      ("http://localhost/q", "http://localhost/q", "localhost", ""),
+      // garbage in, garbage out; host is ''
+      ("not a url", "not a url", "", ""),
+    )
+    val df = cases.map(_._1).zipWithIndex.map(_.swap).toDF("i", "url")
+    val canon = TextAnalysis.canonicalizeUrl(col("url"))
+    val got = df.select(col("i"), canon.as("c"),
+        TextAnalysis.urlHost(canon).as("h"),
+        TextAnalysis.apexDomain(TextAnalysis.urlHost(canon)).as("a"))
+      .orderBy("i").as[(Int, String, String, String)].collect()
+    got.zip(cases).foreach { case ((_, c, h, a), (in, wc, wh, wa)) =>
+      assert(c == wc, s"canon of $in")
+      assert(h == wh, s"host of $in")
+      assert(a == wa, s"apex of $in")
+    }
+    // canonicalization is idempotent: canon(canon(u)) == canon(u)
+    val twice = df.select(TextAnalysis.canonicalizeUrl(
+        TextAnalysis.canonicalizeUrl(col("url"))).as("c2"), col("i"))
+      .orderBy("i").as[(String, Int)].collect().map(_._1)
+    assert(twice.toSeq == got.map(_._2).toSeq)
+    // null propagates
+    val n = Seq((1, Option.empty[String])).toDF("i", "url")
+      .select(TextAnalysis.canonicalizeUrl(col("url"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("exactQuotaSample: exact per-stratum counts, quota nesting, " +
       "partitioning invariance") {
     val df = (0L until 1000L).map(i =>
