@@ -1315,6 +1315,23 @@ object SparkEntry {
         .orderBy("lang", "doc_id", "epoch")
     }),
 
+    // ---- budget-constrained quality thresholding: the score cutoff
+    //      that keeps >= 30% of corpus tokens, via the bins-row
+    //      histogram (observe-then-broadcast — no global sort); the
+    //      oracle replays stats, binning, and the top-down cumulative
+    //      walk with identical arithmetic ----
+
+    "q91_budget_threshold" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("wt"))
+      val (thr, kept, total) = TextAnalysis.scoreThresholdForBudget(
+        docs, "n_chars", "wt", keepFraction = 0.3)
+      Seq((thr, kept, total))
+        .toDF("threshold", "kept_weight", "total_weight")
+    }),
+
     // ---- URL canonicalization: messy URLs constructed from the
     //      documents table (uppercase authority, default ports,
     //      unsorted/trailing-& queries, fragments), normalized; the
@@ -2370,6 +2387,34 @@ object SparkEntry {
           |WHERE g.epoch < t.nfull
           |  OR ((d.doc_id + t.nfull + 9) * 2654435761) % 4294967296 < t.fthr
           |ORDER BY d.lang, d.doc_id, g.epoch""".stripMargin,
+
+      // The histogram walk replayed: same IEEE bin arithmetic (scores
+      // are integer-valued so every edge is engine-exact), reverse
+      // cumulative sum, max bin reaching ceil(0.3·total), same
+      // threshold formula.
+      "q91_budget_threshold" ->
+        s"""WITH d AS (
+           |  SELECT CAST(n_chars AS DOUBLE) AS s,
+           |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+           |      x -> len(x) > 0)) AS BIGINT) AS wt
+           |  FROM documents),
+           |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM d),
+           |st AS (SELECT min(s) AS lo, max(s) AS hi FROM d
+           |  WHERE s IS NOT NULL AND NOT isnan(s)),
+           |b AS (SELECT CAST(least(9999,
+           |      floor((s - lo) / (hi - lo) * 10000)) AS INT) AS bin,
+           |    CAST(sum(wt) AS BIGINT) AS w
+           |  FROM d, st WHERE s IS NOT NULL AND NOT isnan(s) GROUP BY 1),
+           |cum AS (SELECT bin,
+           |    CAST(sum(w) OVER (ORDER BY bin DESC) AS BIGINT) AS c
+           |  FROM b),
+           |ch AS (SELECT COALESCE(
+           |    (SELECT max(bin) FROM cum, tot
+           |     WHERE c >= CAST(ceil(0.3 * total) AS BIGINT)), 0) AS chosen)
+           |SELECT lo + (hi - lo) * chosen / 10000 AS threshold,
+           |  (SELECT c FROM cum WHERE bin = chosen) AS kept_weight,
+           |  total AS total_weight
+           |FROM st, ch, tot""".stripMargin,
 
       // The canonicalization rules replayed literally: same regexes
       // (RE2 ≡ Java for this feature subset), same list sort/filter,

@@ -192,6 +192,74 @@ object TextAnalysis {
       .withColumn("repetition_ratio",
         col("max_token_count").cast("double") / col("n_tokens").cast("double"))
 
+  // ---- budget-constrained quality thresholding ---------------------------
+
+  /** Pick the score cutoff that keeps (at least) `keepFraction` of the
+    * corpus WEIGHT (tokens, bytes, rows) when filtering
+    * `scoreCol >= threshold` — the budget side of model-based quality
+    * filtering: "keep the best 30% of tokens", not "keep score > 0.7
+    * and hope". Returns (threshold, keptWeight, totalWeight) where
+    * keptWeight is the histogram mass at or above the chosen bin —
+    * within one bin edge's float rounding of what the literal
+    * `>= threshold` filter retains.
+    *
+    * Scale shape — the observe-then-broadcast pattern, never a global
+    * sort: one min/max aggregate, one `bins`-row histogram aggregate
+    * (map-side combinable), a driver walk over ≤ `bins` rows from the
+    * top bin down, then callers filter with the returned literal. An
+    * exact weighted quantile would need a corpus-wide sort + running
+    * sum; the histogram answers within one bin's granularity of the
+    * requested fraction (conservative: never keeps LESS than asked),
+    * which is what a token budget actually needs. Bin edges are plain
+    * IEEE double arithmetic — with integer-valued scores the whole
+    * computation is engine-exact (the q91 oracle replays it).
+    *
+    * NULL/NaN scores carry weight in `totalWeight` but can never be
+    * kept (`score >= threshold` is false/NULL for them) — they are
+    * unscorable, not best; budget accordingly.
+    */
+  def scoreThresholdForBudget(df: DataFrame, scoreCol: String,
+                              weightCol: String, keepFraction: Double,
+                              bins: Int = 10000): (Double, Long, Long) = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      "keepFraction must be in (0, 1]")
+    require(bins >= 1, "bins must be >= 1")
+    val score = col(scoreCol).cast("double")
+    // min/max over SCORED rows only — a single NaN would otherwise
+    // poison max() (NaN sorts greatest) and with it every bin edge;
+    // total over everything, so unscorable weight still counts against
+    // the budget denominator.
+    val total = df.agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)))
+      .head().getLong(0)
+    val scored = df.filter(score.isNotNull && !score.isNaN)
+    val stats = scored.agg(min(score).as("lo"), max(score).as("hi")).head()
+    if (stats.isNullAt(0)) return (Double.NegativeInfinity, 0L, total)
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    if (lo == hi) { // one bin; keeping anything keeps everything scored
+      val kept = df.filter(score >= lo)
+        .agg(sum(col(weightCol).cast("long"))).head().getLong(0)
+      return (lo, kept, total)
+    }
+    val bin = least(lit(bins - 1),
+      floor((score - lit(lo)) / (lit(hi) - lit(lo)) * lit(bins)))
+      .cast("int")
+    val hist = scored
+      .groupBy(bin.as("__bin"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val target = math.ceil(keepFraction * total).toLong
+    var acc = 0L
+    var b = bins - 1
+    var chosen = bins - 1
+    while (b >= 0 && acc < target) {
+      acc += hist.getOrElse(b, 0L)
+      chosen = b
+      b -= 1
+    }
+    val threshold = lo + (hi - lo) * chosen / bins
+    (threshold, acc, total)
+  }
+
   // ---- URL canonicalization ----------------------------------------------
 
   /** URL canonicalization for web-corpus curation — the normalization

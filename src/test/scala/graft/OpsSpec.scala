@@ -1551,6 +1551,41 @@ class OpsSpec extends SparkSpec {
       ("en", 20000L, 10000L, 0.5)))
   }
 
+  test("scoreThresholdForBudget: budget fraction, degenerate and " +
+      "unscorable inputs") {
+    // scores 1..100, weight 10 each (total 1000); keep 30% = 300 weight
+    // → the top 30 scores (71..100); threshold must land in (70, 71]
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble, 10L))
+      .toDF("id", "score", "w")
+    val (thr, kept, total) =
+      TextAnalysis.scoreThresholdForBudget(df, "score", "w", 0.3)
+    assert(total == 1000L)
+    assert(kept == 300L, s"kept $kept")
+    assert(thr > 70.0 && thr <= 71.0, s"threshold $thr")
+    // the literal filter keeps exactly the histogram mass here
+    assert(df.filter(col("score") >= thr).agg(sum("w"))
+      .head().getLong(0) == kept)
+    // conservative: asking for a fraction between bin masses keeps MORE
+    val (_, kept2, _) =
+      TextAnalysis.scoreThresholdForBudget(df, "score", "w", 0.295)
+    assert(kept2 >= 295L)
+    // degenerate: all scores equal → threshold = that score, all kept
+    val flat = Seq((1L, 5.0, 7L), (2L, 5.0, 3L)).toDF("id", "score", "w")
+    assert(TextAnalysis.scoreThresholdForBudget(flat, "score", "w", 0.5)
+      == ((5.0, 10L, 10L)))
+    // NaN/null scores: counted in total, never kept, don't poison edges
+    val mixed = Seq((1L, Some(1.0), 5L), (2L, Some(2.0), 5L),
+      (3L, Some(Double.NaN), 90L), (4L, None, 100L))
+      .toDF("id", "score", "w")
+    val (t3, k3, tot3) =
+      TextAnalysis.scoreThresholdForBudget(mixed, "score", "w", 0.02)
+    assert(tot3 == 200L && k3 == 5L && t3 > 1.0 && t3 <= 2.0)
+    // all unscorable → sentinel threshold, zero kept
+    val none = Seq((1L, Option.empty[Double], 5L)).toDF("id", "score", "w")
+    assert(TextAnalysis.scoreThresholdForBudget(none, "score", "w", 0.5)
+      == ((Double.NegativeInfinity, 0L, 5L)))
+  }
+
   test("canonicalizeUrl: rules, edge cases, and idempotence") {
     val cases = Seq(
       // uppercase authority + default port + unsorted/trailing-& query + fragment
