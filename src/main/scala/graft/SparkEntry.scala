@@ -66,6 +66,26 @@ object SparkEntry {
           .when(col("__f.n_tokens").isNotNull, lit(0.0)))
       .select("doc_id", "text", "score")
 
+  /** Deterministically-messy URLs derived from the documents table
+    * (uppercase authority, default ports, unsorted/trailing-& queries,
+    * fragments) — the q90/q92 input, constructed identically in the
+    * oracles' `messy` CTE so both engines canonicalize the same
+    * strings.
+    */
+  private def messyUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+      concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, "HTTPS://WWW.")
+          .otherwise(lit("http://sub.")),
+        col("source"), lit(".Example.ORG"),
+        when(pmod(col("doc_id"), lit(2)) === 0, ":443").otherwise(":80"),
+        lit("/"), col("lang"), lit("/doc/"), col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "?b=2&a=1&")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "?")
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0, "#frag")
+          .otherwise(lit(""))).as("url"))
+
   /** The documents table re-keyed by STRING id (`doc:00000042`) — the
     * id shape of real corpora (URLs, UUIDs). q82/q83 run the flagship
     * quality-dedup queries over this frame to pin the string-id path of
@@ -1338,22 +1358,25 @@ object SparkEntry {
     //      oracle replays rule by rule with the same regexes ----
 
     "q90_url_canonical" -> ((s, dir) => {
-      val messy = t(s, dir, "documents").select(col("doc_id"),
-        concat(
-          when(pmod(col("doc_id"), lit(2)) === 0, "HTTPS://WWW.")
-            .otherwise(lit("http://sub.")),
-          col("source"), lit(".Example.ORG"),
-          when(pmod(col("doc_id"), lit(2)) === 0, ":443").otherwise(":80"),
-          lit("/"), col("lang"), lit("/doc/"), col("doc_id"),
-          when(pmod(col("doc_id"), lit(3)) === 0, "?b=2&a=1&")
-            .when(pmod(col("doc_id"), lit(3)) === 1, "?")
-            .otherwise(lit("")),
-          when(pmod(col("doc_id"), lit(5)) === 0, "#frag")
-            .otherwise(lit(""))).as("url"))
       val canon = TextAnalysis.canonicalizeUrl(col("url"))
-      messy.select(col("doc_id"), canon.as("canon"),
+      messyUrls(s, dir).select(col("doc_id"), canon.as("canon"),
           TextAnalysis.urlHost(canon).as("host"),
           TextAnalysis.apexDomain(TextAnalysis.urlHost(canon)).as("apex"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- the curation chain end to end: canonical URL → apex domain →
+    //      per-domain cap (best-first by length). The composition real
+    //      crawl pipelines run before dedup; oracle replays q90's
+    //      rules + q87's rank shape over the derived apex key ----
+
+    "q92_domain_capped_urls" -> ((s, dir) => {
+      val canon = TextAnalysis.canonicalizeUrl(col("url"))
+      val withApex = messyUrls(s, dir).select(col("doc_id"), col("n_chars"),
+        TextAnalysis.apexDomain(TextAnalysis.urlHost(canon)).as("apex"))
+      Sampling.capPerKey(withApex, "apex", "n_chars", "doc_id",
+          maxPerKey = 20)
+        .select("doc_id", "apex", "n_chars")
         .orderBy("doc_id")
     }),
 
@@ -1530,6 +1553,40 @@ object SparkEntry {
          |  list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
          |FROM $src""".stripMargin
     val toksSql = toksSqlFrom("documents")
+    // q90/q92 shared canonicalization chain: messy-URL construction +
+    // the rule-by-rule canon CTE (must mirror SparkEntry.messyUrls and
+    // TextAnalysis.canonicalizeUrl exactly).
+    val urlCanonSql =
+      """WITH messy AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+         |      ELSE 'http://sub.' END
+         |    || source || '.Example.ORG'
+         |    || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+         |    || '/' || lang || '/doc/' || doc_id
+         |    || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1&'
+         |       WHEN doc_id % 3 = 1 THEN '?' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+         |  FROM documents),
+         |nofrag AS (SELECT doc_id, n_chars, url,
+         |    regexp_replace(url, '#.*', '') AS u
+         |  FROM messy),
+         |parts AS (SELECT doc_id, n_chars, url,
+         |    lower(regexp_extract(u, '^[^/?#]*//[^/?#]*')) AS prefix,
+         |    regexp_extract(u, '^[^/?#]*//[^/?#]*([^?#]*)', 1) AS path,
+         |    regexp_extract(u, '\?([^#]*)', 1) AS q
+         |  FROM nofrag),
+         |canon AS (SELECT doc_id, n_chars,
+         |    CASE WHEN prefix = '' THEN url ELSE
+         |    regexp_replace(regexp_replace(prefix,
+         |      '^(https://[^/:]+):443$', '\1'),
+         |      '^(http://[^/:]+):80$', '\1')
+         |    || path ||
+         |    CASE WHEN q = '' THEN '' ELSE
+         |      '?' || list_aggr(list_sort(list_filter(
+         |        string_split(q, '&'), x -> len(x) > 0)),
+         |        'string_agg', '&') END END AS canon
+         |  FROM parts)""".stripMargin
     // The documents table re-keyed by string id, mirroring strIdDocs.
     // No trailing alias: call sites append their own (`FROM $src d`).
     val strDocsSql =
@@ -2420,42 +2477,31 @@ object SparkEntry {
       // (RE2 ≡ Java for this feature subset), same list sort/filter,
       // same default-port and empty-query cases.
       "q90_url_canonical" ->
-        """WITH messy AS (
-           |  SELECT doc_id,
-           |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
-           |      ELSE 'http://sub.' END
-           |    || source || '.Example.ORG'
-           |    || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
-           |    || '/' || lang || '/doc/' || doc_id
-           |    || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1&'
-           |       WHEN doc_id % 3 = 1 THEN '?' ELSE '' END
-           |    || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
-           |  FROM documents),
-           |nofrag AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u
-           |  FROM messy),
-           |parts AS (SELECT doc_id, url,
-           |    lower(regexp_extract(u, '^[^/?#]*//[^/?#]*')) AS prefix,
-           |    regexp_extract(u, '^[^/?#]*//[^/?#]*([^?#]*)', 1) AS path,
-           |    regexp_extract(u, '\?([^#]*)', 1) AS q
-           |  FROM nofrag),
-           |canon AS (SELECT doc_id,
-           |    CASE WHEN prefix = '' THEN url ELSE
-           |    regexp_replace(regexp_replace(prefix,
-           |      '^(https://[^/:]+):443$', '\1'),
-           |      '^(http://[^/:]+):80$', '\1')
-           |    || path ||
-           |    CASE WHEN q = '' THEN '' ELSE
-           |      '?' || list_aggr(list_sort(list_filter(
-           |        string_split(q, '&'), x -> len(x) > 0)),
-           |        'string_agg', '&') END END AS canon
-           |  FROM parts)
-           |SELECT doc_id, canon,
-           |  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
-           |    AS host,
-           |  regexp_extract(regexp_extract(canon,
-           |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
-           |    '([^.]+\.[^.]+)$', 1) AS apex
-           |FROM canon ORDER BY doc_id""".stripMargin,
+        (urlCanonSql + "\n" +
+          """SELECT doc_id, canon,
+            |  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+            |    AS host,
+            |  regexp_extract(regexp_extract(canon,
+            |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+            |    '([^.]+\.[^.]+)$', 1) AS apex
+            |FROM canon ORDER BY doc_id""".stripMargin),
+
+      // The curation chain: q90's canon rules -> apex -> q87's rank
+      // shape (n_chars DESC, doc_id tie-break) capped at 20 per apex.
+      "q92_domain_capped_urls" ->
+        (urlCanonSql + "\n" +
+          """SELECT doc_id, apex, n_chars FROM (
+            |  SELECT doc_id, n_chars,
+            |    regexp_extract(regexp_extract(canon,
+            |        '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+            |      '([^.]+\.[^.]+)$', 1) AS apex,
+            |    row_number() OVER (
+            |      PARTITION BY regexp_extract(regexp_extract(canon,
+            |          '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+            |        '([^.]+\.[^.]+)$', 1)
+            |      ORDER BY n_chars DESC, doc_id) AS rn
+            |  FROM canon) WHERE rn <= 20
+            |ORDER BY doc_id""".stripMargin),
 
       // Exact-quota sampling replayed as a rank over the same Knuth
       // mix: ascending hash, doc_id tie-break, rank <= quota.
