@@ -1,0 +1,66 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10M-doc A/B of dedupPipelineQuality with NUMERIC vs STRING ids —
+  * same corpus, same JVM, numeric/strid/numeric bracketing so box
+  * drift is visible in the record. Corpus = the r8 mutated-family
+  * recipe (each original → 50 textual variants × 40 exact copies) that
+  * produced the 46.5 s numeric-pipeline headline.
+  */
+object StridQualityStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // r8 mutated-family recipe: sf0.1 docs × 50 variants × 40 copies.
+    // Variant v mutates every 20th token (distinct text per variant,
+    // ~J0.96 between variants of a family); copies are exact clones.
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text").repartition(64)
+    val corpus = base
+      .crossJoin(spark.range(50).toDF("variant"))
+      .withColumn("vtext",
+        array_join(
+          zip_with(
+            split(col("text"), " "),
+            sequence(lit(0), size(split(col("text"), " ")) - 1),
+            (t, i) => when(pmod(i, lit(20)) === pmod(col("variant"), lit(20)),
+              concat(t, lit("v"), col("variant"))).otherwise(t)),
+          " "))
+      .crossJoin(spark.range(40).toDF("copy"))
+      .withColumn("id",
+        col("doc_id") * 2000L + col("variant") * 40L + col("copy"))
+      .withColumn("score",
+        (pmod(col("id") * 2654435761L, lit(1000003L)).cast("double") /
+          lit(1000003.0)))
+      .select("id", "vtext", "score")
+      .withColumnRenamed("vtext", "text")
+      .cache()
+    println(s"MARKER_corpus=${corpus.count()}")
+
+    def run(label: String, df: org.apache.spark.sql.DataFrame,
+            idCol: String): Unit = {
+      val t0 = System.nanoTime()
+      val n = graft.ops.Dedup.withReleasedIntermediates {
+        graft.ops.Dedup.dedupPipelineQuality(df, idCol, "text", "score")
+      } { _.count() }
+      println(f"MARKER_$label=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        s"survivors=$n")
+    }
+
+    val strid = corpus.withColumn("id",
+      concat(lit("doc:"), lpad(col("id").cast("string"), 9, "0")))
+    run("numeric_rep1", corpus, "id")
+    run("strid_rep1", strid, "id")
+    run("numeric_rep2", corpus, "id")
+    run("strid_rep2", strid, "id")
+    spark.stop()
+  }
+}

@@ -10,6 +10,34 @@ class StreamingOpsSpec extends SparkSpec {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("hashedLinearScore scores a stream statelessly, batch parity held") {
+    // quality-model scoring at ingest: the expression is a pure per-row
+    // projection, so it runs on a stream unchanged — no state, no
+    // watermark, per-batch cost is batch-sized
+    implicit val sqlCtx = spark.sqlContext
+    val w = graft.ops.TextAnalysis.derivedWeights(1 << 12)
+    val input = MemoryStream[(Long, String)]
+    val out = graft.ops.TextAnalysis.hashedLinearScore(
+      input.toDF().toDF("id", "text"), "id", "text", w, intercept = 1.5)
+    val query = out.writeStream.format("memory")
+      .queryName("score_stream").outputMode("append").start()
+    val rows = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "alpha alpha"))
+    try {
+      input.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("score_stream")
+      .select("id", "score", "n_tokens")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val batch = graft.ops.TextAnalysis.hashedLinearScore(
+        rows.toDF("id", "text"), "id", "text", w, intercept = 1.5)
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.find(_._1 == 2L).get._2 == 1.5) // empty → intercept
+  }
+
   test("streaming dedup keeps the first arrival of each distinct text") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
