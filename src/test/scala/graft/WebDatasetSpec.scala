@@ -101,6 +101,36 @@ class WebDatasetSpec extends SparkSpec {
     }
   }
 
+  test("multimodal loop: WebDataset samples feed decodeStage directly") {
+    // the consumption path a training job runs: tar shards → samples →
+    // per-payload decode; the deterministic decoder stands in for the
+    // absent codec libraries, the plumbing (schema, null-free binary
+    // column, per-row decode) is real
+    val dir = tmpDir("wds-mm")
+    val payloads = (0L until 20L).map { i =>
+      (i, Array.tabulate[Byte](16 + (i % 4).toInt)(j => (i * 7 + j).toByte))
+    }
+    WebDataset.writeShards(payloads.toDF("id", "img"), "id",
+      Seq("img" -> "bin"), dir, numShards = 2)
+    val samples = WebDataset.readSamples(spark, dir)
+      .select(col("key"), element_at(col("entries"), "bin").as("img"))
+    val decoded = graft.ops.Multimodal.decodeStage(samples, "img")
+    assert(decoded.count() == 20)
+    // decode consumed the ACTUAL payload bytes: the deterministic
+    // decoder's dims are a hash of them, so agreement with a
+    // driver-side decode of the original payloads proves byte fidelity
+    // through tar write → read → element_at → decodeStage
+    val dims = decoded
+      .select(col("key"), col("media_meta.width"), col("media_meta.ok"))
+      .as[(String, Int, Boolean)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    payloads.foreach { case (i, bytes) =>
+      val expect = graft.ops.Multimodal.MediaDecoder.Deterministic
+        .decode(bytes)
+      assert(dims(i.toString) == ((expect._2, true)), s"key $i")
+    }
+  }
+
   test("guards: null keys, over-long names, non-payload column types") {
     val dir = tmpDir("wds-guards")
     intercept[Exception] {
