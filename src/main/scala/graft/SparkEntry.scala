@@ -2457,11 +2457,11 @@ object SparkEntry {
            |  FROM documents),
            |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM d),
            |st AS (SELECT min(s) AS lo, max(s) AS hi FROM d
-           |  WHERE s IS NOT NULL AND NOT isnan(s)),
+           |  WHERE s IS NOT NULL AND isfinite(s)),
            |b AS (SELECT CAST(least(9999,
            |      floor((s - lo) / (hi - lo) * 10000)) AS INT) AS bin,
            |    CAST(sum(wt) AS BIGINT) AS w
-           |  FROM d, st WHERE s IS NOT NULL AND NOT isnan(s) GROUP BY 1),
+           |  FROM d, st WHERE s IS NOT NULL AND isfinite(s) GROUP BY 1),
            |cum AS (SELECT bin,
            |    CAST(sum(w) OVER (ORDER BY bin DESC) AS BIGINT) AS c
            |  FROM b),

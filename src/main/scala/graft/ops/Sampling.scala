@@ -83,6 +83,12 @@ object Sampling {
                        quota: Int, salt: Long = 0L): DataFrame = {
     require(!df.columns.contains("__negmk"),
       "input already has a '__negmk' column; rename it before sampling")
+    // fail fast with the real cause: the mixed-key arithmetic needs a
+    // numeric key (string ids: hash to a long first, e.g. xxhash64)
+    require(df.schema(keyCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"exactQuotaSample needs a numeric '$keyCol' key for the " +
+        "deterministic mix; hash string keys to a long (xxhash64) first")
     // capPerKey keeps the HIGHEST score; ascending mixed-key order is
     // descending negated key. mixedKey < 2^32, so negation is exact.
     capPerKey(df.withColumn("__negmk", -mixedKey(col(keyCol), salt)),

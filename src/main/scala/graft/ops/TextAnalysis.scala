@@ -231,7 +231,10 @@ object TextAnalysis {
     // the budget denominator.
     val total = df.agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)))
       .head().getLong(0)
-    val scored = df.filter(score.isNotNull && !score.isNaN)
+    // ±Infinity is unscorable like NaN: an infinite lo/hi would poison
+    // every bin edge ((hi-lo) = Inf ⇒ all finite scores bin to 0)
+    val scored = df.filter(score.isNotNull && !score.isNaN &&
+      abs(score) <= lit(Double.MaxValue))
     val stats = scored.agg(min(score).as("lo"), max(score).as("hi")).head()
     if (stats.isNullAt(0)) return (Double.NegativeInfinity, 0L, total)
     val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))

@@ -110,6 +110,13 @@ object WebDataset {
     Seq("__ord", "__shard", "__key").foreach(c =>
       require(!df.columns.contains(c),
         s"input already has a '$c' column; rename it before exporting"))
+    // fail fast with the real cause: shard/order come from the numeric
+    // mixed-key (same contract as writeShuffledTfRecordShards); string
+    // keys: hash to a long first and keep the string as a payload/name
+    require(df.schema(keyCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"writeShards needs a numeric '$keyCol' key for deterministic " +
+        "shard routing; hash string keys to a long (xxhash64) first")
     val spark = df.sparkSession
     val binCols = entries.map { case (c, _) =>
       df.schema(c).dataType match {

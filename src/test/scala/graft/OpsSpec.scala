@@ -1584,6 +1584,28 @@ class OpsSpec extends SparkSpec {
     val none = Seq((1L, Option.empty[Double], 5L)).toDF("id", "score", "w")
     assert(TextAnalysis.scoreThresholdForBudget(none, "score", "w", 0.5)
       == ((Double.NegativeInfinity, 0L, 5L)))
+    // ±Infinity scores are unscorable like NaN — they must not poison
+    // the bin edges of the finite scores
+    val inf = Seq((1L, 1.0, 10L), (2L, 2.0, 10L),
+      (3L, Double.PositiveInfinity, 10L),
+      (4L, Double.NegativeInfinity, 10L)).toDF("id", "score", "w")
+    val (ti, ki, toti) =
+      TextAnalysis.scoreThresholdForBudget(inf, "score", "w", 0.25)
+    assert(toti == 40L && ki == 10L && ti > 1.0 && ti <= 2.0)
+  }
+
+  test("exactQuotaSample and WebDataset.writeShards fail fast on " +
+      "string keys") {
+    val df = Seq(("a", "en"), ("b", "en")).toDF("id", "lang")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.exactQuotaSample(df, "lang", "id", 1)
+    }
+    assert(e1.getMessage.contains("numeric"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sinks.WebDataset.writeShards(df, "id",
+        Seq("lang" -> "txt"), tmpDir("wds-guard"), 1)
+    }
+    assert(e2.getMessage.contains("numeric"))
   }
 
   test("canonicalizeUrl: rules, edge cases, and idempotence") {
