@@ -489,11 +489,26 @@ object Similarity {
     */
   def ivfIndexAppend(newVecs: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, centIdCol: String,
-                     centVecCol: String, indexDir: String): Unit =
-    ivfAssign(newVecs, idCol, vecCol, centroids, centIdCol, centVecCol)
-      .write.mode("append")
+                     centVecCol: String, indexDir: String): Unit = {
+    val assigned = ivfAssign(newVecs, idCol, vecCol,
+      centroids, centIdCol, centVecCol)
+    // schema guard: readers consume the index POSITIONALLY
+    // (columns(0)=id, columns(1)=vec); appending different column
+    // names would mix schemas inside one directory and surface as
+    // nulls on whichever files lost — fail fast instead
+    scala.util.Try(newVecs.sparkSession.read.parquet(indexDir).schema)
+      .toOption.foreach { existing =>
+        require(existing.fieldNames.toSet ==
+            assigned.schema.fieldNames.toSet,
+          s"index at $indexDir has columns " +
+            s"[${existing.fieldNames.mkString(",")}] but the batch " +
+            s"assigns [${assigned.schema.fieldNames.mkString(",")}]; " +
+            "append with the index's own column names")
+      }
+    assigned.write.mode("append")
       .partitionBy("centroid_id")
       .parquet(indexDir)
+  }
 
   /** Top-k against a persisted IVF index: per-query probe lists are read
     * with partition pruning; only the probed clusters are scanned.

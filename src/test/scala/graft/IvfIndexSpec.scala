@@ -101,6 +101,14 @@ class IvfIndexSpec extends SparkSpec {
     }
     Similarity.ivfIndexWrite(vecs, "vec_id", "embedding",
       centroids, "vec_id", "embedding", dirB)
+    // mismatched column names must fail fast, not mix schemas
+    val renamed = vecs.filter($"vec_id" % 2 === 1)
+      .withColumnRenamed("vec_id", "other_id")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(renamed, "other_id", "embedding",
+        centroids, "vec_id", "embedding", dirA)
+    }
+    assert(err.getMessage.contains("column"))
     val queries = vecs.filter($"vec_id" < 3)
     def answers(dir: String) = Similarity.ivfTopKFromIndex(spark, dir,
         queries, "vec_id", "embedding",
