@@ -546,6 +546,50 @@ object Dedup {
 
   // ---- MinHash + LSH -----------------------------------------------------
 
+  /** Choose LSH banding parameters for a Jaccard `threshold`: among the
+    * (bands, rows) factorizations of `numHashes`, pick the one whose
+    * collision S-curve `1 − (1 − s^rows)^bands` best approximates the
+    * ideal step at the threshold, weighting the false-positive integral
+    * (collisions below `threshold`) by `fpWeight` and the
+    * false-negative integral (misses above) by `1 − fpWeight` — the
+    * standard banding-parameter optimization (Leskovec/Rajaraman/Ullman
+    * ch. 3; the same criterion the public `datasketch` library
+    * optimizes). Verification-backed pipelines here reject every band
+    * false positive exactly, so bias `fpWeight` LOW (cheap false
+    * positives, irrecoverable false negatives) — the 0.25 default;
+    * candidate-only pipelines should raise it.
+    *
+    * Driver-side pure arithmetic (numerical integration over ≤
+    * numHashes factorizations × 1000 points) — call once, pass the
+    * result to [[minhashDuplicatesVerified]]/[[minhashBandBuckets]].
+    * Returns (bands, rows) with bands·rows = numHashes.
+    */
+  def minhashParams(threshold: Double, numHashes: Int = 128,
+                    fpWeight: Double = 0.25): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      "threshold must be in (0, 1)")
+    require(numHashes >= 2, "numHashes must be >= 2")
+    require(fpWeight >= 0.0 && fpWeight <= 1.0,
+      "fpWeight must be in [0, 1]")
+    val candidates = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    val n = 1000
+    def error(bands: Int, rows: Int): Double = {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < n) {
+        val s = (i + 0.5) / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      (fpWeight * fp + (1.0 - fpWeight) * fn) / n
+    }
+    candidates.minBy { case (b, r) => error(b, r) }
+  }
+
   /** MinHash signature per doc: (idCol, minhash: array<long> of length
     * numHashes). A single shuffle-free projection through the native
     * [[graft.functions.MinhashSignature]] kernel (xxhash64 per shingle, k

@@ -94,10 +94,13 @@ object WebDataset {
   /** Export `df` as `numShards` WebDataset tar shards under `dir`
     * (`<prefix>-NNNNN-of-MMMMM.tar`). `entries` maps payload column →
     * entry extension; columns may be `binary` or `string` (strings are
-    * written as their UTF-8 bytes). A NULL payload column simply omits
-    * that entry for the sample (a missing modality); a null KEY fails
-    * fast. Entry name = `<key>.<ext>`, all of a sample's entries
-    * adjacent, samples in ascending-[[Sampling.mixedKey]] order.
+    * written as their UTF-8 bytes — the conventional per-sample
+    * `.json` metadata entry is just a string column holding
+    * pre-serialized JSON, e.g. `to_json(struct(...)) -> "json"`). A
+    * NULL payload column simply omits that entry for the sample (a
+    * missing modality); a null KEY fails fast. Entry name =
+    * `<key>.<ext>`, all of a sample's entries adjacent, samples in
+    * ascending-[[Sampling.mixedKey]] order.
     */
   def writeShards(df: DataFrame, keyCol: String,
                   entries: Seq[(String, String)], dir: String,

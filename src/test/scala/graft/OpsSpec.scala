@@ -493,6 +493,27 @@ class OpsSpec extends SparkSpec {
     assert(fast.filter(_._1 == "en").map(_._3) == Seq("aa", "bb", "cc"))
   }
 
+  test("minhashParams: S-curve optimization picks sane band/row splits") {
+    // the engine's own default (128 hashes, 0.8 threshold) must be near
+    // the hand-chosen 32×4: the curve's midpoint (1/2)^(1/rows) scaled
+    // by bands sits at ~(1/b)^(1/r) ≈ threshold
+    val (b8, r8) = Dedup.minhashParams(0.8, 128)
+    assert(b8 * r8 == 128)
+    val mid8 = math.pow(1.0 / b8, 1.0 / r8) // s where collision p ≈ 1-1/e
+    assert(mid8 > 0.55 && mid8 < 0.85, s"($b8,$r8) midpoint $mid8")
+    // lower thresholds want more bands / shorter rows (catch lower sims)
+    val (b3, r3) = Dedup.minhashParams(0.3, 128)
+    assert(b3 > b8 && r3 < r8, s"0.3 -> ($b3,$r3) vs 0.8 -> ($b8,$r8)")
+    // raising fpWeight trades toward fewer bands (fewer collisions)
+    val (bStrict, _) = Dedup.minhashParams(0.8, 128, fpWeight = 0.9)
+    assert(bStrict <= b8)
+    // exact product constraint + guards
+    assert(Dedup.minhashParams(0.5, 64)._1 * Dedup.minhashParams(0.5, 64)._2
+      == 64)
+    intercept[IllegalArgumentException] { Dedup.minhashParams(0.0, 128) }
+    intercept[IllegalArgumentException] { Dedup.minhashParams(0.5, 1) }
+  }
+
   test("duplicateClusters: chains merge transitively, singletons stay alone") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
     // chain 1-2-3-4 through pairwise edges only; 5 and 9 unpaired
