@@ -474,4 +474,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: WebDataset round-trips arbitrary binary payloads " +
+      "byte-for-byte") {
+    val payloadGen = Gen.listOfN(12,
+      Gen.chooseNum(0, 700).flatMap(len =>
+        Gen.listOfN(len, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+          .map(_.toArray)))
+    forAll(payloadGen, n = 8) { payloads =>
+      val dir = tmpDir("wds-prop")
+      val rows = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      graft.sinks.WebDataset.writeShards(rows.toDF("id", "bin"),
+        "id", Seq("bin" -> "dat"), dir, numShards = 3, salt = 1L)
+      val back = graft.sinks.WebDataset.readSamples(spark, dir)
+        .select("key", "entries")
+        .as[(String, Map[String, Array[Byte]])].collect()
+        .map { case (k, m) => k.toLong -> m("dat") }.toMap
+      assert(back.size == rows.size)
+      rows.foreach { case (i, p) =>
+        // includes zero-length payloads and 512-multiple lengths — the
+        // tar padding edge cases
+        assert(java.util.Arrays.equals(back(i), p), s"key $i len ${p.length}")
+      }
+    }
+  }
+
+  test("property: exactQuotaSample equals the sort-based reference " +
+      "on arbitrary strata") {
+    val rowsGen = Gen.listOfN(120, Gen.zip(
+      Gen.chooseNum(0L, 5000L), Gen.oneOf("a", "b", "c", "d")))
+      .map(_.distinctBy(_._1)) // unique keys
+    forAll(Gen.zip(rowsGen, Gen.chooseNum(1, 15)), n = 12) {
+      case (rows, quota) =>
+        val got = graft.ops.Sampling.exactQuotaSample(
+            rows.toDF("id", "lang"), "lang", "id", quota, salt = 5L)
+          .select("id").as[Long].collect().toSet
+        // reference: per-stratum ascending (mixedKey, id) prefix
+        def mk(id: Long): Long = {
+          val x = (id + 5L) % 4294967296L
+          ((x >> 16) * 2654435761L % 4294967296L * 65536L +
+            (x % 65536L) * 2654435761L) % 4294967296L
+        }
+        val want = rows.groupBy(_._2).values.flatMap { g =>
+          g.map(_._1).sortBy(id => (mk(id), id)).take(quota)
+        }.toSet
+        assert(got == want)
+    }
+  }
 }
