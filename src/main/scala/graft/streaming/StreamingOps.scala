@@ -200,6 +200,31 @@ object StreamingOps {
         }(res => sink(res, batchId))
     }
 
+  /** Streaming WebDataset export: each micro-batch becomes its own
+    * complete shard set under `dir/batch=<id>/` via
+    * [[graft.sinks.WebDataset.writeShards]] — the "export as it
+    * arrives" tail of a standing ingest pipeline (score → dedup →
+    * export, all stream-side). Per-batch subdirectories keep the
+    * deterministic shard/order contract INTACT within a batch (a
+    * re-processed micro-batch — streaming's at-least-once replay —
+    * rewrites its own directory byte-identically instead of appending
+    * duplicates, so the sink is effectively idempotent per batch), and
+    * training loaders glob the `batch=N` directories exactly like any
+    * other partitioned layout. Shard count applies per batch: size it
+    * for the TRIGGER volume, not the corpus.
+    */
+  def webDatasetStream(stream: DataFrame, keyCol: String,
+                       entries: Seq[(String, String)], dir: String,
+                       numShardsPerBatch: Int, salt: Long = 0L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        graft.sinks.WebDataset.writeShards(mb.toDF(), keyCol, entries,
+          graft.Fs.join(dir, s"batch=$batchId"), numShardsPerBatch, salt)
+    }
+
   /** Gap-based sessionization with the BUILT-IN `session_window`
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the
