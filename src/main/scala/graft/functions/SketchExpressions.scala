@@ -764,6 +764,8 @@ case class LinearScoreOf(child: Expression, weights: Array[Double],
     extends UnaryExpression {
   require(weights.length > 0 && (weights.length & (weights.length - 1)) == 0,
     s"weights length must be a power of two, got ${weights.length}")
+  require(hashKind == SketchOps.HashXx64 || hashKind == SketchOps.HashMd5Lo64,
+    s"unknown hashKind $hashKind")
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 

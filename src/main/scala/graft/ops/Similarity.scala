@@ -495,16 +495,19 @@ object Similarity {
     // schema guard: readers consume the index POSITIONALLY
     // (columns(0)=id, columns(1)=vec); appending different column
     // names would mix schemas inside one directory and surface as
-    // nulls on whichever files lost — fail fast instead
-    scala.util.Try(newVecs.sparkSession.read.parquet(indexDir).schema)
-      .toOption.foreach { existing =>
-        require(existing.fieldNames.toSet ==
-            assigned.schema.fieldNames.toSet,
-          s"index at $indexDir has columns " +
-            s"[${existing.fieldNames.mkString(",")}] but the batch " +
-            s"assigns [${assigned.schema.fieldNames.mkString(",")}]; " +
-            "append with the index's own column names")
-      }
+    // nulls on whichever files lost — fail fast instead. The guard is
+    // skipped ONLY when the index does not exist yet (first append
+    // bootstraps it); any other read failure (corrupt footer,
+    // permission) must surface, not be appended over.
+    if (graft.Fs.exists(indexDir)) {
+      val existing = newVecs.sparkSession.read.parquet(indexDir).schema
+      require(existing.fieldNames.toSet ==
+          assigned.schema.fieldNames.toSet,
+        s"index at $indexDir has columns " +
+          s"[${existing.fieldNames.mkString(",")}] but the batch " +
+          s"assigns [${assigned.schema.fieldNames.mkString(",")}]; " +
+          "append with the index's own column names")
+    }
     assigned.write.mode("append")
       .partitionBy("centroid_id")
       .parquet(indexDir)

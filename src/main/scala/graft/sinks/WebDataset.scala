@@ -161,12 +161,31 @@ object WebDataset {
     sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val name = f"$prefix-$pid%05d-of-$total%05d.tar"
       val path = new Path(dir, name)
-      val tmp = new Path(dir, s".$name.inprogress")
+      // attempt-UNIQUE temp name: with speculative execution or a
+      // zombie task surviving a stage retry, two attempts of this
+      // partition may write concurrently — a shared temp name would
+      // have them truncate each other mid-write (corrupting on object
+      // stores). Each attempt writes its own file; whichever renames
+      // last wins, and shard bytes are deterministic so both are
+      // identical anyway.
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmp = new Path(dir, s".$name.$attempt.inprogress")
       val fs = path.getFileSystem(confSer.value)
       val out = fs.create(tmp, true)
       var n = 0L
+      var lastKey: String = null
       rows.foreach { ir =>
         val key = ir.getUTF8String(2).toString
+        // duplicate keys sort adjacently (same mixed key, same
+        // tie-break), and readSamples would merge their entries into
+        // one sample whose map silently keeps one payload per
+        // extension — fail fast here instead of losing data on read
+        require(key != lastKey,
+          s"writeShards: duplicate key '$key' — a WebDataset sample " +
+            "key must be unique; dedup (graft.ops.Dedup.exact) before " +
+            "exporting")
+        lastKey = key
         var e = 0
         while (e < exts.length) {
           if (!ir.isNullAt(3 + e)) {
@@ -189,8 +208,25 @@ object WebDataset {
       require(fs.rename(tmp, path), s"rename $tmp -> $path failed")
       Iterator.single(n)
     }.count()
-    ()
+    // job-level commit marker: written only after EVERY shard task has
+    // renamed its file into place, so a mid-job failure leaves a
+    // marker-less directory that [[isComplete]] flags as partial
+    graft.Fs.writeString(graft.Fs.join(dir, SuccessMarker), "")
   }
+
+  /** Name of the job-level commit marker [[writeShards]] drops after all
+    * shards are committed.
+    */
+  val SuccessMarker = "_SUCCESS"
+
+  /** True when `dir` holds a COMPLETE export — [[writeShards]] writes
+    * the [[SuccessMarker]] only after every shard task committed, so a
+    * job that died mid-export leaves no marker. Readers do not require
+    * the marker (shard dirs produced by external WebDataset writers
+    * lack one); consumption pipelines should gate on this instead.
+    */
+  def isComplete(dir: String): Boolean =
+    graft.Fs.exists(graft.Fs.join(dir, SuccessMarker))
 
   // ---- readers ---------------------------------------------------------
 
@@ -225,10 +261,63 @@ object WebDataset {
     v
   }
 
+  /** Buffer for the sequential shard scans: one underlying FS read per
+    * buffer-full of small entries instead of one positioned read per
+    * entry — on an object store each positioned read is an HTTP range
+    * request, so the op count is the cost that matters.
+    */
+  private val ReadBufferBytes = 1 << 20
+
+  private def readBlock(in: java.io.InputStream, h: Array[Byte]): Boolean = {
+    var off = 0
+    while (off < h.length) {
+      val n = in.read(h, off, h.length - off)
+      if (n < 0) {
+        // a writer that died before the end-of-archive marker leaves a
+        // truncated tar; mid-block EOF is corruption either way
+        require(off == 0, s"truncated tar: EOF $off bytes into a block")
+        return false
+      }
+      off += n
+    }
+    true
+  }
+
+  private def skipFully(in: java.io.InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      require(s > 0, s"truncated tar: cannot skip $left payload bytes")
+      left -= s
+    }
+  }
+
+  /** Header-scan kernel over ONE open shard stream: sequential reads,
+    * payloads skipped (a skip that stays inside the buffer costs no FS
+    * op; a long one collapses to one underlying seek). Package-visible
+    * so the op-count stress can wrap `in` in a counting stream.
+    */
+  private[graft] def scanHeaders(in: java.io.InputStream,
+                                 shard: Int): Seq[(Int, String, Long)] = {
+    val h = new Array[Byte](BlockSize)
+    val out = Seq.newBuilder[(Int, String, Long)]
+    var done = false
+    while (!done) {
+      if (!readBlock(in, h) || h.forall(_ == 0)) done = true
+      else {
+        val size = parseOctal(h, 124, 12)
+        out += ((shard, parseName(h), size))
+        skipFully(in, size + padTo(size))
+      }
+    }
+    out.result()
+  }
+
   /** Headers-only shard listing: (shard, entry, size_bytes), one row per
-    * tar entry. Payloads are skipped via stream positioning, never read —
-    * the corpus-sized IO of a manifest over S bytes of shards is
-    * S/(payload/512)-ish header blocks, not S.
+    * tar entry. One buffered sequential scan per shard — payload bytes
+    * are skipped, and entries smaller than the 1 MiB buffer cost no
+    * extra FS operation at all, so listing a 100-TB corpus reads (and
+    * issues ops for) ~headers only.
     */
   def readManifest(spark: SparkSession, dir: String): DataFrame = {
     val files = listShards(spark, dir)
@@ -240,25 +329,47 @@ object WebDataset {
         val path = new Path(f)
         val fs = path.getFileSystem(confSer.value)
         val shard = shardOf(path.getName)
-        val in = fs.open(path)
-        val h = new Array[Byte](BlockSize)
-        val out = Seq.newBuilder[Entry]
-        var pos = 0L
-        var done = false
-        while (!done) {
-          in.readFully(pos, h, 0, BlockSize)
-          pos += BlockSize
-          if (h.forall(_ == 0)) done = true // end-of-archive zero block
-          else {
-            val size = parseOctal(h, 124, 12)
-            out += Entry(shard, parseName(h), size)
-            pos += size + padTo(size)
-          }
-        }
-        in.close()
-        out.result()
+        val in = new java.io.BufferedInputStream(fs.open(path),
+          ReadBufferBytes)
+        try WebDataset.scanHeaders(in, shard)
+          .map { case (s, n, sz) => Entry(s, n, sz) }
+        finally in.close()
       }
     spark.createDataFrame(rows).toDF("shard", "entry", "size_bytes")
+  }
+
+  /** Sample-scan kernel over ONE open shard stream (see [[scanHeaders]]
+    * for the IO shape; this one reads payloads too).
+    */
+  private[graft] def scanSamples(in: java.io.InputStream, shard: Int)
+      : Seq[(Int, String, Map[String, Array[Byte]])] = {
+    val h = new Array[Byte](BlockSize)
+    var done = false
+    var curKey: String = null
+    var cur = Vector.empty[(String, Array[Byte])]
+    val out = Seq.newBuilder[(Int, String, Map[String, Array[Byte]])]
+    while (!done) {
+      if (!readBlock(in, h) || h.forall(_ == 0)) done = true
+      else {
+        val name = parseName(h)
+        val size = parseOctal(h, 124, 12)
+        require(size <= Int.MaxValue, s"entry $name too large: $size")
+        val dot = name.lastIndexOf('.')
+        val (key, ext) =
+          if (dot < 0) (name, "") else (name.take(dot), name.drop(dot + 1))
+        val payload = new Array[Byte](size.toInt)
+        require(readBlock(in, payload) || size == 0,
+          s"truncated tar: EOF inside payload of $name")
+        skipFully(in, padTo(size).toLong)
+        if (key != curKey && curKey != null) {
+          out += ((shard, curKey, cur.toMap)); cur = Vector.empty
+        }
+        curKey = key
+        cur :+= (ext -> payload)
+      }
+    }
+    if (curKey != null) out += ((shard, curKey, cur.toMap))
+    out.result()
   }
 
   /** Full sample read-back: (shard, key, entries map<ext, payload>),
@@ -277,37 +388,10 @@ object WebDataset {
         val path = new Path(f)
         val fs = path.getFileSystem(confSer.value)
         val shard = shardOf(path.getName)
-        val in = fs.open(path)
-        val h = new Array[Byte](BlockSize)
-        var pos = 0L
-        var done = false
-        var curKey: String = null
-        var cur = Vector.empty[(String, Array[Byte])]
-        val out = Seq.newBuilder[(Int, String, Map[String, Array[Byte]])]
-        while (!done) {
-          in.readFully(pos, h, 0, BlockSize)
-          pos += BlockSize
-          if (h.forall(_ == 0)) done = true
-          else {
-            val name = parseName(h)
-            val size = parseOctal(h, 124, 12)
-            require(size <= Int.MaxValue, s"entry $name too large: $size")
-            val dot = name.lastIndexOf('.')
-            val (key, ext) =
-              if (dot < 0) (name, "") else (name.take(dot), name.drop(dot + 1))
-            val payload = new Array[Byte](size.toInt)
-            in.readFully(pos, payload, 0, size.toInt)
-            pos += size + padTo(size)
-            if (key != curKey && curKey != null) {
-              out += ((shard, curKey, cur.toMap)); cur = Vector.empty
-            }
-            curKey = key
-            cur :+= (ext -> payload)
-          }
-        }
-        if (curKey != null) out += ((shard, curKey, cur.toMap))
-        in.close()
-        out.result()
+        val in = new java.io.BufferedInputStream(fs.open(path),
+          ReadBufferBytes)
+        try WebDataset.scanSamples(in, shard)
+        finally in.close()
       }
     spark.createDataFrame(rows).toDF("shard", "key", "entries")
   }

@@ -119,6 +119,27 @@ class IvfIndexSpec extends SparkSpec {
     assert(answers(dirA) == answers(dirB))
   }
 
+  test("ivfIndexAppend: a corrupt existing index fails the append " +
+      "instead of silently skipping the schema guard") {
+    val centroids = vecs.filter($"vec_id" % 10 === 0)
+    val dir = tmpDir("ivf-corrupt")
+    // an index dir whose parquet read fails for a non-missing reason —
+    // a garbage file with a .parquet name (bad footer)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00000.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    intercept[Exception] {
+      Similarity.ivfIndexAppend(vecs.limit(4), "vec_id", "embedding",
+        centroids, "vec_id", "embedding", dir)
+    }
+    // and nothing was appended over the broken index
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString)
+    assert(files.forall(!_.contains("centroid_id=")),
+      s"append proceeded over a corrupt index: ${files.mkString(",")}")
+  }
+
   test("fitCentroids seeding is deterministic across partitionings") {
     val corpus = (0 until 200).map { i =>
       val a = Array.fill(6)(0.0f)

@@ -1744,5 +1744,12 @@ class OpsSpec extends SparkSpec {
       TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
         Array.fill(1000)(0.0)).collect()
     }
+    // unknown hashKind rejected at construction, not silently scored
+    // with the wrong hash
+    intercept[IllegalArgumentException] {
+      graft.functions.LinearScoreOf(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"),
+        Array.fill(16)(0.0), hashKind = 2)
+    }
   }
 }

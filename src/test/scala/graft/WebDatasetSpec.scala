@@ -131,6 +131,35 @@ class WebDatasetSpec extends SparkSpec {
     }
   }
 
+  test("duplicate keys fail fast at write time (read-back would " +
+      "silently drop payloads)") {
+    val dir = tmpDir("wds-dup")
+    val ex = intercept[org.apache.spark.SparkException] {
+      WebDataset.writeShards(
+        Seq((1L, "a"), (2L, "b"), (1L, "c")).toDF("id", "text"),
+        "id", Seq("text" -> "txt"), dir, numShards = 1)
+    }
+    assert(ex.getMessage.contains("duplicate key")
+      || Option(ex.getCause).exists(_.getMessage.contains("duplicate key")))
+  }
+
+  test("_SUCCESS commit marker: written on success, detectable via " +
+      "isComplete, absent after a failed export") {
+    val dir = tmpDir("wds-marker")
+    WebDataset.writeShards(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "text"),
+      "id", Seq("text" -> "txt"), dir, numShards = 2)
+    assert(WebDataset.isComplete(dir))
+    // a failing re-export wipes the dir first (overwrite semantics) and
+    // never reaches the marker — the partial state is detectable
+    intercept[Exception] {
+      WebDataset.writeShards(
+        Seq((1L, "a"), (1L, "b")).toDF("id", "text"),
+        "id", Seq("text" -> "txt"), dir, numShards = 1)
+    }
+    assert(!WebDataset.isComplete(dir))
+  }
+
   test("guards: null keys, over-long names, non-payload column types") {
     val dir = tmpDir("wds-guards")
     intercept[Exception] {
