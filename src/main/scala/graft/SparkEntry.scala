@@ -86,6 +86,26 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(5)) === 0, "#frag")
           .otherwise(lit(""))).as("url"))
 
+  /** [[messyUrls]] with click-attribution query params mixed in
+    * (lowercase `utm_*`/`gclid`/`fbclid` to strip, uppercase `UTM_X`
+    * and content params to KEEP — the strip is name-case-sensitive by
+    * design) — the q93 input, mirrored in its oracle's `messy` CTE.
+    */
+  private def messyTrackedUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, "HTTPS://WWW.")
+          .otherwise(lit("http://sub.")),
+        col("source"), lit(".Example.ORG"),
+        when(pmod(col("doc_id"), lit(2)) === 0, ":443").otherwise(lit(":80")),
+        lit("/"), col("lang"), lit("/doc/"), col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+            "?b=2&utm_source=feed&a=1&UTM_X=9&gclid=G1")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "?fbclid=abc123")
+          .otherwise(lit("?utm_campaign=x&utm_medium=y&")),
+        when(pmod(col("doc_id"), lit(5)) === 0, "#frag")
+          .otherwise(lit(""))).as("url"))
+
   /** The documents table re-keyed by STRING id (`doc:00000042`) — the
     * id shape of real corpora (URLs, UUIDs). q82/q83 run the flagship
     * quality-dedup queries over this frame to pin the string-id path of
@@ -1365,6 +1385,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- opt-in tracking-param strip: utm_*/gclid/fbclid-class query
+    //      tokens dropped before the sort; a query left EMPTY by the
+    //      strip drops its '?' (stripped == never-tracked, the collapse
+    //      URL-keyed dedup needs); uppercase UTM_X and content params
+    //      survive. Oracle replays the token filter with the same
+    //      anchored RE2-safe pattern ----
+
+    "q93_url_strip_tracking" -> ((s, dir) => {
+      val stripped = TextAnalysis.canonicalizeUrl(col("url"),
+        stripTracking = true)
+      messyTrackedUrls(s, dir).select(col("doc_id"),
+          stripped.as("canon"),
+          TextAnalysis.urlHost(stripped).as("host"))
+        .orderBy("doc_id")
+    }),
+
     // ---- the curation chain end to end: canonical URL → apex domain →
     //      per-domain cap (best-first by length). The composition real
     //      crawl pipelines run before dedup; oracle replays q90's
@@ -2485,6 +2521,53 @@ object SparkEntry {
             |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
             |    '([^.]+\.[^.]+)$', 1) AS apex
             |FROM canon ORDER BY doc_id""".stripMargin),
+
+      // The tracking strip replayed token by token: same messy input
+      // (tracked variant), same anchored name pattern, same
+      // empty-after-strip '?' drop.
+      "q93_url_strip_tracking" ->
+        """WITH messy AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+          |      ELSE 'http://sub.' END
+          |    || source || '.Example.ORG'
+          |    || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+          |    || '/' || lang || '/doc/' || doc_id
+          |    || CASE WHEN doc_id % 3 = 0
+          |         THEN '?b=2&utm_source=feed&a=1&UTM_X=9&gclid=G1'
+          |       WHEN doc_id % 3 = 1 THEN '?fbclid=abc123'
+          |       ELSE '?utm_campaign=x&utm_medium=y&' END
+          |    || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+          |  FROM documents),
+          |nofrag AS (SELECT doc_id, url,
+          |    regexp_replace(url, '#.*', '') AS u
+          |  FROM messy),
+          |parts AS (SELECT doc_id, url,
+          |    lower(regexp_extract(u, '^[^/?#]*//[^/?#]*')) AS prefix,
+          |    regexp_extract(u, '^[^/?#]*//[^/?#]*([^?#]*)', 1) AS path,
+          |    regexp_extract(u, '\?([^#]*)', 1) AS q
+          |  FROM nofrag),
+          |kept AS (SELECT doc_id, url, prefix, path,
+          |    list_sort(list_filter(list_filter(
+          |      string_split(q, '&'), x -> len(x) > 0),
+          |      x -> NOT regexp_matches(x,
+          |        '^(utm_[^=]*|fbclid|gclid|dclid|gbraid|wbraid|msclkid|mc_eid|mc_cid|igshid|yclid|_ga|_gl)(=.*)?$')))
+          |      AS ks
+          |  FROM parts),
+          |canon AS (SELECT doc_id,
+          |    CASE WHEN prefix = '' THEN url ELSE
+          |      regexp_replace(regexp_replace(prefix,
+          |        '^(https://[^/:]+):443$', '\1'),
+          |        '^(http://[^/:]+):80$', '\1')
+          |      || path ||
+          |      CASE WHEN len(ks) = 0 THEN ''
+          |        ELSE '?' || list_aggr(ks, 'string_agg', '&') END
+          |    END AS canon
+          |  FROM kept)
+          |SELECT doc_id, canon,
+          |  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+          |    AS host
+          |FROM canon ORDER BY doc_id""".stripMargin,
 
       // The curation chain: q90's canon rules -> apex -> q87's rank
       // shape (n_chars DESC, doc_id tie-break) capped at 20 per apex.

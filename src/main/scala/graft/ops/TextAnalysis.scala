@@ -284,7 +284,29 @@ object TextAnalysis {
     * non-URL key should keep deduping as itself, not collapse with
     * every other non-URL onto ''); [[urlHost]] of it is ''.
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(url: Column): Column =
+    canonicalizeUrl(url, stripTracking = false)
+
+  /** Query-parameter names that carry click/campaign attribution, not
+    * content identity (the set CommonCrawl-style pipelines drop before
+    * URL-keyed dedup). Anchored token pattern: matches a whole
+    * `name=value` (or bare `name`) query token. RE2 ≡ Java semantics —
+    * external engines replay the filter verbatim.
+    */
+  val TrackingParamPattern: String =
+    "^(utm_[^=]*|fbclid|gclid|dclid|gbraid|wbraid|msclkid|mc_eid|" +
+      "mc_cid|igshid|yclid|_ga|_gl)(=.*)?$"
+
+  /** [[canonicalizeUrl]] with an OPT-IN tracking-parameter strip:
+    * query tokens matching [[TrackingParamPattern]] are dropped before
+    * the sort, and a query left empty by the strip drops its `?`
+    * entirely (the stripped URL must equal the never-tracked URL —
+    * that collapse is the point: `?utm_source=feed` and no-query are
+    * the same page). Opt-in because stripping is semantics-changing on
+    * servers that (ab)use these names; the default canonicalizer never
+    * alters content-relevant parts.
+    */
+  def canonicalizeUrl(url: Column, stripTracking: Boolean): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
     val prefix = lower(regexp_extract(noFrag, "^[^/?#]*//[^/?#]*", 0))
     val path = regexp_extract(noFrag, "^[^/?#]*//[^/?#]*([^?#]*)", 1)
@@ -292,11 +314,18 @@ object TextAnalysis {
     val noPort = regexp_replace(
       regexp_replace(prefix, "^(https://[^/:]+):443$", "$1"),
       "^(http://[^/:]+):80$", "$1")
-    val sortedQ = array_join(
-      array_sort(filter(split(q, "&"), x => length(x) > 0)), "&")
-    when(prefix === "", url).otherwise(
-      concat(noPort, path,
-        when(q === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+    val kept0 = filter(split(q, "&"), x => length(x) > 0)
+    val kept =
+      if (stripTracking) filter(kept0, x => !x.rlike(TrackingParamPattern))
+      else kept0
+    val sortedQ = array_join(array_sort(kept), "&")
+    val queryPart =
+      if (stripTracking)
+        when(length(sortedQ) === 0, lit(""))
+          .otherwise(concat(lit("?"), sortedQ))
+      else
+        when(q === "", lit("")).otherwise(concat(lit("?"), sortedQ))
+    when(prefix === "", url).otherwise(concat(noPort, path, queryPart))
   }
 
   /** Host of a [[canonicalizeUrl]]-normalized URL ('' for non-URLs). */

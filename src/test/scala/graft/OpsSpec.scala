@@ -1667,6 +1667,38 @@ class OpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("canonicalizeUrl stripTracking: attribution params dropped, " +
+      "content params kept, empty-after-strip drops '?'") {
+    val cases = Seq(
+      // mixed: tracking stripped, content + UPPERCASE utm kept & sorted
+      ("http://h.com/x?b=2&utm_source=feed&a=1&UTM_X=9&gclid=G1",
+        "http://h.com/x?UTM_X=9&a=1&b=2"),
+      // all params tracking → '?' dropped: equals the never-tracked URL
+      ("http://h.com/x?fbclid=abc123", "http://h.com/x"),
+      ("http://h.com/x?utm_campaign=c&utm_medium=m&", "http://h.com/x"),
+      // bare tracking name without '=' is still stripped
+      ("http://h.com/x?gclid&a=1", "http://h.com/x?a=1"),
+      // a VALUE containing a tracking name is not a tracking param
+      ("http://h.com/x?q=utm_source", "http://h.com/x?q=utm_source"),
+      // non-URL passes through unchanged
+      ("not a url", "not a url"),
+    )
+    val df = cases.map(_._1).zipWithIndex.map(_.swap).toDF("i", "url")
+    val got = df.select(col("i"),
+        TextAnalysis.canonicalizeUrl(col("url"), stripTracking = true)
+          .as("c"))
+      .orderBy("i").as[(Int, String)].collect()
+    got.zip(cases).foreach { case ((_, c), (in, want)) =>
+      assert(c == want, s"strip of $in")
+    }
+    // default canonicalizer is unchanged by the overload's existence
+    val keep = Seq((0, "http://h.com/x?utm_source=feed&a=1"))
+      .toDF("i", "url")
+      .select(TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[String].head()
+    assert(keep == "http://h.com/x?a=1&utm_source=feed")
+  }
+
   test("exactQuotaSample: exact per-stratum counts, quota nesting, " +
       "partitioning invariance") {
     val df = (0L until 1000L).map(i =>
