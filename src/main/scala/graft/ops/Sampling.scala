@@ -425,12 +425,32 @@ object Sampling {
     * (k large enough that k-pair heaps stop being "bounded") it always
     * falls back to the window form; parity of the two paths is
     * spec-pinned.
+    *
+    * The aggregate path's semi-join is only sane while the survivor
+    * set (≤ keys × maxPerKey rows of (key, id)) BROADCASTS; at
+    * web-scale key cardinality it would silently become a full
+    * sort-merge join of the corpus — strictly worse than the window
+    * form. Two guards close that hole: the broadcast is PINNED in the
+    * plan (`broadcast(top)`: the optimizer may not downgrade it), and
+    * the route itself checks keys × maxPerKey against
+    * `maxBroadcastSurvivors` first. Pass the key cardinality via
+    * `approxKeys` when you know it; leave it at -1 and the operator
+    * estimates it with one `approx_count_distinct` over the
+    * column-pruned key — an eager driver-side job, cheap next to
+    * either formulation, and the price of never mis-planning the
+    * corpus join.
     */
   def capPerKey(df: DataFrame, keyCol: String, scoreCol: String,
                 idCol: String, maxPerKey: Int,
-                maxAggregateK: Int = 1024): DataFrame = {
+                maxAggregateK: Int = 1024,
+                approxKeys: Long = -1L,
+                maxBroadcastSurvivors: Long = 8L * 1000 * 1000): DataFrame = {
     require(maxPerKey >= 1, "maxPerKey must be >= 1")
-    if (maxPerKey > maxAggregateK)
+    lazy val keyEstimate =
+      if (approxKeys >= 0) approxKeys
+      else df.select(approx_count_distinct(col(keyCol))).head().getLong(0)
+    if (maxPerKey > maxAggregateK ||
+        keyEstimate * maxPerKey > maxBroadcastSurvivors)
       capPerKeyWindow(df, keyCol, scoreCol, idCol, maxPerKey)
     else {
       Seq("__k", "__sid").foreach(c => require(!df.columns.contains(c),
@@ -443,8 +463,8 @@ object Sampling {
           explode(col("__top")).as("__e"))
         .select(col("__k"), col("__e").getField("id").as("__sid"))
       // null-safe on the key: the NULL-key group is capped and kept
-      // like any other
-      df.join(top,
+      // like any other; broadcast pinned — see scaladoc
+      df.join(broadcast(top),
         col(keyCol) <=> col("__k") && col(idCol) === col("__sid"),
         "left_semi")
     }

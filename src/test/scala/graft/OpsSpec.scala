@@ -1667,6 +1667,28 @@ class OpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("capPerKey routing: pinned broadcast semi-join under the " +
+      "survivor threshold, window form past it, same survivors") {
+    val df = (0L until 500L).map(i => (i, s"d${i % 20}", (i % 7).toDouble))
+      .toDF("id", "domain", "score")
+    val small = Sampling.capPerKey(df, "domain", "score", "id", 3)
+    val planSmall = small.queryExecution.executedPlan.toString
+    // broadcast is PINNED: the survivor semi-join may never degrade to
+    // a corpus-wide sort-merge join behind our back
+    assert(planSmall.contains("BroadcastHashJoin"), planSmall)
+    assert(!planSmall.contains("SortMergeJoin"), planSmall)
+    // a key estimate past the survivor threshold routes to the window
+    // form: no join at all, group-limited window instead
+    val big = Sampling.capPerKey(df, "domain", "score", "id", 3,
+      approxKeys = 100000000L)
+    val planBig = big.queryExecution.executedPlan.toString
+    assert(planBig.contains("Window"), planBig)
+    assert(!planBig.contains("Join"), planBig)
+    // both regimes select the same survivors
+    assert(small.select("id").as[Long].collect().toSet ==
+      big.select("id").as[Long].collect().toSet)
+  }
+
   test("canonicalizeUrl stripTracking: attribution params dropped, " +
       "content params kept, empty-after-strip drops '?'") {
     val cases = Seq(
