@@ -49,6 +49,32 @@ object SparkEntry {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** The deterministic 8×6 RGB PNG fixture set (split/label directory
+    * layout, pixel values a pure function of (seed, x, y)) shared by
+    * q40 and q94 — both queries must extract the SAME images so the
+    * q94 manifest oracle can replay entry sizes from the construction
+    * constants (8·6·3 raster bytes, the enumerated names).
+    */
+  private def genImageFixtures(): String = {
+    val base = new java.io.File(tmpDir("graft-imgs"))
+    Seq(("TRAIN", "cat", 0), ("TRAIN", "goat", 1),
+        ("VALIDATION", "cat", 2), ("VALIDATION", "goat", 3),
+        ("TEST", "cat", 4), ("TEST", "goat", 5)).foreach {
+      case (split, label, seed) =>
+        val d = new java.io.File(base, s"$split/$label")
+        d.mkdirs()
+        val img = new java.awt.image.BufferedImage(8, 6,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 6; x <- 0 until 8)
+          img.setRGB(x, y,
+            (((seed * 37 + x * 13 + y * 7) % 256) << 16) |
+              (((x * 29 + y * 3) % 256) << 8) | ((seed + x + y) % 256))
+        javax.imageio.ImageIO.write(img, "png",
+          new java.io.File(d, s"$label-$seed.png"))
+    }
+    base.toString
+  }
+
   /** The q79/q80 lexical-diversity score: distinct-token ratio, 0.0 for
     * zero-token texts, NULL for NULL texts (matching the oracles' CASE,
     * where len(NULL) is NULL — a NULL score then always LOSES the
@@ -1487,23 +1513,8 @@ object SparkEntry {
     //      are not DuckDB-readable) → rows-only check ----
 
     "q40_image_pipeline" -> ((s, dir) => {
-      val base = new java.io.File(tmpDir("graft-imgs"))
-      Seq(("TRAIN", "cat", 0), ("TRAIN", "goat", 1),
-          ("VALIDATION", "cat", 2), ("VALIDATION", "goat", 3),
-          ("TEST", "cat", 4), ("TEST", "goat", 5)).foreach {
-        case (split, label, seed) =>
-          val d = new java.io.File(base, s"$split/$label")
-          d.mkdirs()
-          val img = new java.awt.image.BufferedImage(8, 6,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          for (y <- 0 until 6; x <- 0 until 8)
-            img.setRGB(x, y,
-              (((seed * 37 + x * 13 + y * 7) % 256) << 16) |
-                (((x * 29 + y * 3) % 256) << 8) | ((seed + x + y) % 256))
-          javax.imageio.ImageIO.write(img, "png",
-            new java.io.File(d, s"$label-$seed.png"))
-      }
-      val listed = graft.sources.Input.readImageDirectory(s, base.toString)
+      val listed = graft.sources.Input.readImageDirectory(s,
+        genImageFixtures())
       val good = s.sparkContext.longAccumulator("q40_good")
       val bad = s.sparkContext.longAccumulator("q40_bad")
       graft.operators.ImageStage.extract(listed, Schema.imageCsvSchema,
@@ -1512,6 +1523,43 @@ object SparkEntry {
           col("image_width"), col("image_channels"),
           substring(col("image"), 1, 24).as("image_b64_head"))
         .orderBy("image_name")
+    }),
+
+    // ---- multimodal WebDataset export: the q40 image pipeline's
+    //      output written as tar shards with a BINARY raster entry +
+    //      a JSON metadata entry per sample. The manifest oracle
+    //      replays the full layout — shard routing, entry names, the
+    //      raster's h·w·c byte size, the metadata string's UTF-8
+    //      length — from the fixture construction constants, so a
+    //      hash match proves the sink put exactly the right number of
+    //      binary bytes under exactly the right names. Payload BYTE
+    //      content is golden-checked in WebDatasetSpec/GoldenImageSpec
+    //      (DuckDB cannot decode rasters). ----
+
+    "q94_webdataset_images" -> ((s, dir) => {
+      val listed = graft.sources.Input.readImageDirectory(s,
+        genImageFixtures())
+      val good = s.sparkContext.longAccumulator("q94_good")
+      val bad = s.sparkContext.longAccumulator("q94_bad")
+      val extracted = graft.operators.ImageStage.extract(listed,
+        Schema.imageCsvSchema, good, bad)
+      // raw raster payload: our b64 is URL-safe (-_); translate to the
+      // standard alphabet for unbase64 — engine-builtin decode, no UDF
+      val samples = extracted.select(
+        regexp_extract(col("image_name"), "-([0-9]+)\\.png$", 1)
+          .cast("long").as("img_id"),
+        unbase64(translate(col("image"), "-_", "+/")).as("raster"),
+        concat(lit("{\"name\":\""), col("image_name"),
+          lit("\",\"label\":\""), col("label"),
+          lit("\",\"split\":\""), col("split"),
+          lit("\",\"h\":"), col("image_height").cast("string"),
+          lit(",\"w\":"), col("image_width").cast("string"),
+          lit(",\"c\":"), col("image_channels").cast("string"),
+          lit("}")).as("meta"))
+      val out = tmpDir("wds-img")
+      graft.sinks.WebDataset.writeShards(samples, "img_id",
+        Seq("raster" -> "img", "meta" -> "json"), out, numShards = 2)
+      graft.sinks.WebDataset.readManifest(s, out).orderBy("entry")
     }),
   )
 
@@ -2634,6 +2682,32 @@ object SparkEntry {
           |  FROM documents WHERE lang IS NOT NULL)
           |SELECT shard, entry, size_bytes FROM m
           |ORDER BY entry""".stripMargin,
+
+      // The multimodal tar layout replayed from the fixture
+      // construction constants: 6 enumerated 8×6 RGB PNGs → raster
+      // entry = h·w·c = 144 bytes, json entry = the same concat-built
+      // metadata string's byte length, shard = Knuth mix (salt 0)
+      // mod 2 of the seed key.
+      "q94_webdataset_images" ->
+        """WITH fx(seed, split, label) AS (VALUES
+          |  (0, 'TRAIN', 'cat'), (1, 'TRAIN', 'goat'),
+          |  (2, 'VALIDATION', 'cat'), (3, 'VALIDATION', 'goat'),
+          |  (4, 'TEST', 'cat'), (5, 'TEST', 'goat')),
+          |meta AS (SELECT seed,
+          |    CAST((seed * 2654435761) % 4294967296 % 2 AS INT) AS shard,
+          |    '{"name":"' || label || '-' || seed || '.png","label":"'
+          |      || label || '","split":"' || split
+          |      || '","h":6,"w":8,"c":3}' AS m
+          |  FROM fx),
+          |m2 AS (
+          |  SELECT shard, CAST(seed AS VARCHAR) || '.img' AS entry,
+          |    CAST(6 * 8 * 3 AS BIGINT) AS size_bytes
+          |  FROM meta
+          |  UNION ALL
+          |  SELECT shard, CAST(seed AS VARCHAR) || '.json',
+          |    CAST(strlen(m) AS BIGINT)
+          |  FROM meta)
+          |SELECT shard, entry, size_bytes FROM m2 ORDER BY entry""".stripMargin,
 
       "q35_ivf_ann" -> ivfSql,
 

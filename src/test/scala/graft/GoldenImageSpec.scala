@@ -65,6 +65,42 @@ class GoldenImageSpec extends SparkSpec {
       ImageStage.rasterBytes(img), ImageStage.rasterBytes(back)))
   }
 
+  test("WebDataset export of the reference JPEGs round-trips payload " +
+      "bytes exactly; manifest sizes are the on-disk file sizes") {
+    val dir = tmpDir("wds-golden-jpg")
+    val rows = golden.zipWithIndex.map { case ((rel, w, h, ch), i) =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        new File(imagesDir, rel).toPath)
+      (i.toLong, bytes,
+        s"""{"path":"$rel","w":$w,"h":$h,"c":$ch}""")
+    }
+    graft.sinks.WebDataset.writeShards(rows.toDF("id", "jpg", "meta"),
+      "id", Seq("jpg" -> "jpg", "meta" -> "json"), dir, numShards = 2)
+    assert(graft.sinks.WebDataset.isComplete(dir))
+    // real multi-hundred-KB binary payloads (not block-aligned)
+    // round-trip bit-exactly through the tar write + sequential read
+    val back = graft.sinks.WebDataset.readSamples(spark, dir)
+      .as[(Int, String, Map[String, Array[Byte]])].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(back.size == rows.size)
+    rows.foreach { case (id, bytes, meta) =>
+      val entries = back(id.toString)
+      assert(java.util.Arrays.equals(entries("jpg"), bytes),
+        s"jpg payload of sample $id")
+      assert(new String(entries("json"), "UTF-8") == meta,
+        s"json payload of sample $id")
+    }
+    // and the headers-only manifest reports exactly the file sizes
+    val jpgSizes = graft.sinks.WebDataset.readManifest(spark, dir)
+      .as[(Int, String, Long)].collect()
+      .collect { case (_, e, n) if e.endsWith(".jpg") =>
+        e.stripSuffix(".jpg") -> n }.toMap
+    rows.foreach { case (id, bytes, _) =>
+      assert(jpgSizes(id.toString) == bytes.length.toLong,
+        s"manifest size of sample $id")
+    }
+  }
+
   test("full convert on the reference's own data.csv + JPEGs") {
     // The shipped data.csv uses repo-relative URIs; rewrite to the test
     // resource paths — same rows, same splits, same labels.
