@@ -1,0 +1,112 @@
+package graft.tmpstress
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** FS-operation-count A/B for the WebDataset manifest scan: the legacy
+  * one-positioned-read-per-entry kernel vs the buffered sequential
+  * kernel ([[graft.sinks.WebDataset.scanHeaders]]). The op count is
+  * the object-store cost model — each underlying read/seek is one HTTP
+  * range request on S3-class stores — so both kernels run driver-side
+  * sequentially over the same 64-shard, ~2M-entry export and report
+  * (elapsed, underlying FS ops, entries). args(0): scratch dir.
+  */
+object ManifestIoStress {
+
+  /** Counts every call that reaches the underlying stream — the ops an
+    * object store would bill as range requests.
+    */
+  private final class CountingIn(raw: java.io.InputStream)
+      extends java.io.InputStream {
+    var ops = 0L
+    override def read(): Int = { ops += 1; raw.read() }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      ops += 1; raw.read(b, off, len)
+    }
+    override def skip(n: Long): Long = { ops += 1; raw.skip(n) }
+    override def close(): Unit = raw.close()
+  }
+
+  private def parseOctal(h: Array[Byte], off: Int, width: Int): Long = {
+    var v = 0L; var i = off
+    val stop = off + width
+    while (i < stop && h(i) != 0 && h(i) != ' ') {
+      v = (v << 3) + (h(i) - '0'); i += 1
+    }
+    v
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // same corpus recipe as NewOpsStress: 1M docs → 2M tar entries
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text", "lang").repartition(64)
+      .crossJoin(spark.range(200).toDF("rep"))
+      .withColumn("id", col("doc_id") * 200L + col("rep"))
+      .withColumn("text", concat(col("text"), lit(" s"), col("id")))
+      .select("id", "text", "lang")
+    graft.sinks.WebDataset.writeShards(corpus, "id",
+      Seq("text" -> "txt", "lang" -> "lng"), s"$dir/wds", numShards = 64,
+      salt = 5L)
+
+    val p = new Path(s"$dir/wds")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+
+    // legacy kernel: one positioned readFully per 512-byte header
+    var t0 = System.nanoTime()
+    var legacyOps = 0L
+    var legacyEntries = 0L
+    shards.foreach { f =>
+      val in = fs.open(f)
+      val h = new Array[Byte](512)
+      var pos = 0L
+      var done = false
+      while (!done) {
+        in.readFully(pos, h, 0, 512); legacyOps += 1; pos += 512
+        if (h.forall(_ == 0)) done = true
+        else {
+          val size = parseOctal(h, 124, 12)
+          legacyEntries += 1
+          pos += size + ((512 - size % 512) % 512)
+        }
+      }
+      in.close()
+    }
+    println(f"MARKER_legacy=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"ops=$legacyOps entries=$legacyEntries")
+
+    // sequential kernel: buffered stream, skips stay in-buffer
+    t0 = System.nanoTime()
+    var seqOps = 0L
+    var seqEntries = 0L
+    shards.foreach { f =>
+      val counting = new CountingIn(fs.open(f))
+      val in = new java.io.BufferedInputStream(counting, 1 << 20)
+      seqEntries += graft.sinks.WebDataset.scanHeaders(in, 0).size
+      seqOps += counting.ops
+      in.close()
+    }
+    println(f"MARKER_sequential=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"ops=$seqOps entries=$seqEntries")
+    require(seqEntries == legacyEntries, "kernel disagreement")
+    println(f"MARKER_ratio=${legacyOps.toDouble / seqOps}%.0f")
+
+    // the distributed reader wall-clock (the BASELINE row's number)
+    t0 = System.nanoTime()
+    val m = graft.sinks.WebDataset.readManifest(spark, s"$dir/wds")
+      .agg(count(lit(1)), sum("size_bytes")).head()
+    println(f"MARKER_manifest_dist=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"entries=${m.getLong(0)} bytes=${m.getLong(1)}")
+    spark.stop()
+  }
+}
