@@ -1182,6 +1182,48 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- recall after centroid-blind append vs refit: a drifted batch
+    //      (direction-reversed embeddings under shifted ids — a later
+    //      crawl whose distribution the build-time centroids never saw)
+    //      appended under the STALE centroid set vs a full rebuild
+    //      under a REFIT set selected from the union; recall@10 for
+    //      drifted-region queries against brute-force truth, both
+    //      indexes side by side. The quantitative drift curve and the
+    //      rebuild trigger live in BASELINE (IvfDriftStress); this
+    //      query oracle-pins the measurement machinery itself. ----
+
+    "q95_ivf_append_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val drifted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      val union = emb.unionByName(drifted)
+      val stale = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val refit = union.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val dirA = tmpDir("graft-ivf-drift-append")
+      val dirB = tmpDir("graft-ivf-drift-refit")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        stale, "vec_id", "embedding", dirA)
+      Similarity.ivfIndexAppend(drifted, "vec_id", "embedding",
+        stale, "vec_id", "embedding", dirA)
+      Similarity.ivfIndexWrite(union, "vec_id", "embedding",
+        refit, "vec_id", "embedding", dirB)
+      val queries = drifted.filter(col("vec_id") < 100005L)
+      val truth = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
+        union, "vec_id", "embedding", k = 10)
+      val stale10 = Similarity.ivfTopKFromIndex(s, dirA, queries,
+        "vec_id", "embedding", stale, "vec_id", "embedding",
+        k = 10, nprobe = 3)
+      val refit10 = Similarity.ivfTopKFromIndex(s, dirB, queries,
+        "vec_id", "embedding", refit, "vec_id", "embedding",
+        k = 10, nprobe = 3)
+      Similarity.recallAtK(truth, stale10, 10)
+        .select(col("query_id"), col("recall").as("recall_stale"))
+        .join(Similarity.recallAtK(truth, refit10, 10)
+          .select(col("query_id"), col("recall").as("recall_refit")),
+          "query_id")
+        .orderBy("query_id")
+    }),
+
     // ---- fitted-centroid assignment: fitCentroids' SQL-replayable hash
     //      seeding (LCG rank over ids) + the nearest-centroid kernel ----
 
@@ -1878,6 +1920,70 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+    // Recall-after-append replay (q95): union corpus = base + the
+    // reversed/shifted drift batch; stale centroids from the base ids,
+    // refit centroids from the union ids (same modulo rule); one IVF
+    // replay per centroid set; recall@10 of each against brute truth
+    // for the drifted-region queries.
+    val ivfDriftRecallSql = {
+      def ivfOver(cent: String): String =
+        s"""SELECT p.query_id, a.neighbor_id FROM (
+           |  SELECT query_id, qv, centroid_id FROM (
+           |    SELECT q.query_id, q.qv, c.centroid_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${cosSql("q.qv", "c.cv")} DESC,
+           |          c.centroid_id ASC) AS rn
+           |    FROM q CROSS JOIN $cent c)
+           |  WHERE rn <= 3) p
+           |JOIN (
+           |  SELECT neighbor_id, nv, centroid_id FROM (
+           |    SELECT e.vec_id AS neighbor_id, e.embedding AS nv,
+           |      c.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+           |          c.centroid_id ASC) AS rn
+           |    FROM un e CROSS JOIN $cent c)
+           |  WHERE rn = 1) a USING (centroid_id)
+           |WHERE a.neighbor_id <> p.query_id
+           |QUALIFY row_number() OVER (PARTITION BY p.query_id
+           |  ORDER BY ${cosSql("p.qv", "a.nv")} DESC,
+           |    a.neighbor_id ASC) <= 10""".stripMargin
+      s"""WITH un AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id,
+         |    list_reverse(embedding) AS embedding
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM un
+         |  WHERE vec_id >= 100000 AND vec_id < 100005),
+         |centA AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 43 = 0),
+         |centB AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM un WHERE vec_id % 43 = 0),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosSql("q.qv", "c.embedding")} DESC,
+         |          c.vec_id ASC) AS rank
+         |    FROM q, un c WHERE c.vec_id <> q.query_id)
+         |  WHERE rank <= 10),
+         |ivfa AS (${ivfOver("centA")}),
+         |ivfb AS (${ivfOver("centB")}),
+         |rs AS (SELECT b.query_id,
+         |    CAST(count(a.neighbor_id) AS DOUBLE) / 10.0 AS recall_stale
+         |  FROM brute b LEFT JOIN ivfa a
+         |    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+         |  GROUP BY b.query_id),
+         |rr AS (SELECT b.query_id,
+         |    CAST(count(a.neighbor_id) AS DOUBLE) / 10.0 AS recall_refit
+         |  FROM brute b LEFT JOIN ivfb a
+         |    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+         |  GROUP BY b.query_id)
+         |SELECT rs.query_id, rs.recall_stale, rr.recall_refit
+         |FROM rs JOIN rr USING (query_id) ORDER BY query_id""".stripMargin
+    }
 
     Map(
       "q01_split_route" ->
@@ -2719,6 +2825,10 @@ object SparkEntry {
       // same oracle again; any layout leakage into semantics would
       // hash-mismatch.
       "q88_ivf_appended" -> ivfSql,
+
+      // Append-under-stale-centroids vs refit, measured: recall@10 per
+      // drifted query against brute truth, replayed fully in SQL.
+      "q95_ivf_append_recall" -> ivfDriftRecallSql,
 
       // The doc-frequency cutoff replayed literally: HAVING count(*) <= 4
       // on the distinct shingle index before sizes/intersections.

@@ -484,8 +484,17 @@ object Similarity {
     * existing id yields two index rows for it, exactly like appending
     * to any corpus — compose with [[graft.ops.Dedup.incremental]]
     * upstream when re-crawls can repeat ids). Centroid drift over many
-    * appends degrades recall gradually; refit + `ivfIndexWrite` is the
-    * periodic compaction, and [[recallAtK]] the monitor.
+    * appends was MEASURED (r10 IvfDriftStress, BASELINE: 5 drifting
+    * 200k-row appends onto a 200k-base k=64 index): recall@10 does
+    * NOT degrade (≥0.98 every step — drifted mass lands in few stale
+    * lists, and drifted queries probe exactly those lists); what
+    * degrades is list BALANCE (max list 44k→261k rows, skew max/mean
+    * 7.1→13.9 vs a refit's 3.5–5.1) — probe latency, and at scale a
+    * straggler task scanning one mega-list. The rebuild trigger is
+    * therefore the skew metric (one groupBy-count over the index),
+    * past ~8 — NOT [[recallAtK]], which stays green throughout; refit
+    * + `ivfIndexWrite` is the periodic compaction. q95 oracle-pins the
+    * recall measurement machinery.
     */
   def ivfIndexAppend(newVecs: DataFrame, idCol: String, vecCol: String,
                      centroids: DataFrame, centIdCol: String,

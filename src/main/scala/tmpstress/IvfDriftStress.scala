@@ -1,0 +1,117 @@
+package graft.tmpstress
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Recall drift under centroid-blind IVF appends, measured: 5 batches
+  * of progressively drifting vectors (blend factor a = 0.2i toward a
+  * fixed alternating-sign direction) appended to an index whose
+  * centroids were fitted on the BASE distribution only, vs a REFIT
+  * index rebuilt on the union at each step. recall@10 for 50
+  * drifted-batch queries against brute-force truth after every append.
+  * Output: one MARKER line per step with (a, recall_appended,
+  * recall_refit) — the BASELINE drift curve and the rebuild-trigger
+  * evidence. args(0): scratch dir.
+  */
+object IvfDriftStress {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 200k base vectors: sf0.1 embeddings ×100 clones, each clone's
+    // direction nudged so the base isn't 100 exact copies
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .crossJoin(spark.range(100).toDF("rep"))
+      .select((col("vec_id") * 100L + col("rep")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("rep").cast("float") * lit(0.003f))
+          .as("embedding"))
+      .repartition(32).cache()
+    println(s"MARKER_base=${base.count()}")
+
+    // drift batch: per-vector blend magnitude (a smear, not a point
+    // mass) toward one of two alternating-sign directions (per-vector
+    // phase) — two elongated drift clusters the base centroids never saw
+    def driftBatch(step: Int): DataFrame = {
+      val a = 0.2f * step
+      base.select((col("vec_id") + step * 10000000L).as("vec_id"),
+        transform(col("embedding"), (x, j) => {
+          val av = lit(a) * (lit(0.5f) + lit(0.5f) *
+            pmod(col("vec_id"), lit(97)).cast("float") / lit(97.0f))
+          x * (lit(1.0f) - av) +
+            when(pmod(j + col("vec_id"), lit(2)) === 1, av).otherwise(-av)
+        }).as("embedding"))
+    }
+
+    // list-balance stats of a persisted index: (max, mean) rows per
+    // centroid list — the cheap monitorable that says when the
+    // appended mass has piled into few stale lists
+    def listStats(indexDir: String): (Long, Double) = {
+      val c = spark.read.parquet(indexDir).groupBy("centroid_id").count()
+        .agg(max("count"), avg("count")).head()
+      (c.getLong(0), c.getDouble(1))
+    }
+
+    val staleDir = s"$dir/ivf-stale"
+    val stale = Similarity.fitCentroids(base, "vec_id", "embedding",
+      k = 64, iterations = 2, seeding = Similarity.SeedHash).cache()
+    stale.count()
+    Similarity.ivfIndexWrite(base, "vec_id", "embedding",
+      stale, "centroid_id", "centroid", staleDir)
+
+    var union = base
+    (1 to 5).foreach { step =>
+      val t0 = System.nanoTime()
+      val batch = driftBatch(step)
+      Similarity.ivfIndexAppend(batch, "vec_id", "embedding",
+        stale, "centroid_id", "centroid", staleDir)
+      union = union.unionByName(batch)
+      val u = union.cache(); u.count()
+      val queries = batch
+        .filter(pmod(col("vec_id"), lit(4099L)) === 0).limit(50)
+        .cache()
+      val nq = queries.count()
+      val truth = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
+        u, "vec_id", "embedding", k = 10)
+      var p0 = System.nanoTime()
+      val appRecall = Similarity.recallAtK(truth,
+          Similarity.ivfTopKFromIndex(spark, staleDir, queries,
+            "vec_id", "embedding", stale, "centroid_id", "centroid",
+            k = 10, nprobe = 3), 10)
+        .agg(avg("recall")).head().getDouble(0)
+      val appProbeSecs = (System.nanoTime() - p0) / 1e9
+      val (appMax, appMean) = listStats(staleDir)
+      // refit: centroids re-fitted on the union, index rebuilt
+      val refitDir = s"$dir/ivf-refit-$step"
+      val refit = Similarity.fitCentroids(u, "vec_id", "embedding",
+        k = 64, iterations = 2, seeding = Similarity.SeedHash)
+      Similarity.ivfIndexWrite(u, "vec_id", "embedding",
+        refit, "centroid_id", "centroid", refitDir)
+      p0 = System.nanoTime()
+      val refitRecall = Similarity.recallAtK(truth,
+          Similarity.ivfTopKFromIndex(spark, refitDir, queries,
+            "vec_id", "embedding", refit, "centroid_id", "centroid",
+            k = 10, nprobe = 3), 10)
+        .agg(avg("recall")).head().getDouble(0)
+      val refitProbeSecs = (System.nanoTime() - p0) / 1e9
+      val (refMax, refMean) = listStats(refitDir)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"MARKER_step$step=a${0.2 * step}%.1f " +
+        f"appended=$appRecall%.3f refit=$refitRecall%.3f nq=$nq " +
+        f"appProbe=$appProbeSecs%.1f refitProbe=$refitProbeSecs%.1f " +
+        f"appMaxList=$appMax appSkew=${appMax / appMean}%.1f " +
+        f"refitMaxList=$refMax refitSkew=${refMax / refMean}%.1f " +
+        f"elapsed=$secs%.0f")
+      queries.unpersist()
+    }
+    spark.stop()
+  }
+}
