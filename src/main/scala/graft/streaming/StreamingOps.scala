@@ -225,6 +225,47 @@ object StreamingOps {
           graft.Fs.join(dir, s"batch=$batchId"), numShardsPerBatch, salt)
     }
 
+  /** The standing curation chain, end to end on one stream: quality
+    * score (hashed linear classifier, pure projection) → threshold
+    * gate → exact dedup against the accepted corpus (stream-static
+    * anti-join on 16-byte digests) → WebDataset tar export
+    * ([[webDatasetStream]]'s per-batch idempotent shard sets). The
+    * streaming twin of the batch score→cap→export compositions
+    * (q85/q92/q94): every stage is stateless stream-side — the
+    * classifier is a codegen'd byte-scan, the digest set is the only
+    * "state" and it is a per-snapshot artifact, and the export runs in
+    * the terminal `foreachBatch` — so chain results equal the batch
+    * formulation on the same rows BY CONSTRUCTION (parity spec in
+    * StreamingOpsSpec).
+    *
+    * The kept quality score rides along as a STRING column named
+    * `scoreCol` so the caller can export it as a metadata entry
+    * (list it in `entries`) or ignore it. Same snapshot-refresh
+    * discipline as [[dedupStreamAgainstCorpus]] for the digest side.
+    */
+  def curationStream(stream: DataFrame, keyCol: String, textCol: String,
+                     weights: Array[Double], minScore: Double,
+                     corpusDigests: DataFrame,
+                     entries: Seq[(String, String)], dir: String,
+                     numShardsPerBatch: Int, salt: Long = 0L,
+                     intercept: Double = 0.0,
+                     scoreCol: String = "score",
+                     hashKind: Int = graft.functions.SketchOps.HashXx64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    require(!stream.columns.contains(scoreCol),
+      s"input already has a '$scoreCol' column; pass a different scoreCol")
+    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    val scored = stream.withColumn(scoreCol,
+      call_function("graft_linear_score", col(textCol), lit(weights),
+        lit(hashKind)) + lit(intercept))
+    val kept = scored.filter(col(scoreCol) >= minScore)
+    val fresh = dedupStreamAgainstCorpus(kept, textCol, corpusDigests)
+    webDatasetStream(
+      fresh.withColumn(scoreCol, col(scoreCol).cast("string")),
+      keyCol, entries, dir, numShardsPerBatch, salt)
+  }
+
   /** Gap-based sessionization with the BUILT-IN `session_window`
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the

@@ -1,0 +1,81 @@
+package graft.tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput for the standing curation chain
+  * ([[graft.streaming.StreamingOps.curationStream]]): 1M docs land as
+  * parquet files, a file-source stream consumes them in ~4 micro-batches
+  * (score → threshold gate → digest anti-join vs a 200k accepted corpus
+  * with 20% stream overlap → WebDataset export, 16 shards/batch).
+  * Reports end-to-end wall, docs/s, and the survivor count vs the batch
+  * formulation's count on the same rows. args(0): scratch dir.
+  */
+object CurationStreamStress {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text").repartition(32)
+      .crossJoin(spark.range(200).toDF("rep"))
+      .withColumn("id", col("doc_id") * 200L + col("rep"))
+      .withColumn("text", concat(col("text"), lit(" s"), col("id")))
+      .select("id", "text")
+    // landing zone: 8 files → 4 micro-batches at maxFilesPerTrigger=2
+    corpus.repartition(8).write.mode("overwrite")
+      .parquet(s"$dir/landing")
+    // accepted corpus: every 5th stream text (20% overlap), as digests
+    val accepted = spark.read.parquet(s"$dir/landing")
+      .filter(pmod(col("id"), lit(5)) === 0)
+    graft.ops.Dedup.corpusDigests(accepted, "text")
+      .write.mode("overwrite").parquet(s"$dir/digests")
+    val digests = spark.read.parquet(s"$dir/digests")
+
+    val w = graft.ops.TextAnalysis.derivedWeights(1 << 20)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/landing").schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$dir/landing")
+    val t0 = System.nanoTime()
+    val query = graft.streaming.StreamingOps.curationStream(
+        stream, "id", "text", w, minScore = 0.0, digests,
+        Seq("text" -> "txt", "score" -> "json"), s"$dir/out",
+        numShardsPerBatch = 16, salt = 7L)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val streamed = graft.sinks.WebDataset
+      .readManifest(spark, s"$dir/out/batch=0")
+    val batches = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted
+    val exported = batches.map { b =>
+      graft.sinks.WebDataset.readSamples(spark, s"$dir/out/$b").count()
+    }.sum
+    val nDocs = spark.read.parquet(s"$dir/landing").count()
+    println(f"MARKER_chain=$secs%.1f docs=$nDocs " +
+      f"docsPerSec=${nDocs / secs}%.0f batches=${batches.length} " +
+      s"exported=$exported")
+
+    // batch twin on the same rows: survivor count must match
+    val batchScored = spark.read.parquet(s"$dir/landing")
+      .withColumn("score", call_function("graft_linear_score",
+        col("text"), lit(w), lit(0)))
+      .filter(col("score") >= 0.0)
+      .withColumn("__fp",
+        graft.ops.TextAnalysis.fingerprint(col("text")))
+      .join(digests, Seq("__fp"), "left_anti")
+    val batchCount = batchScored.count()
+    println(s"MARKER_batch_survivors=$batchCount " +
+      s"parity=${batchCount == exported}")
+    require(streamed.count() > 0)
+    spark.stop()
+  }
+}

@@ -83,6 +83,68 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("curationStream: score→gate→corpus-dedup→export chain equals " +
+      "the batch formulation per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("curation-stream")
+    val w = graft.ops.TextAnalysis.derivedWeights(1 << 12)
+    // accepted corpus: 'seen alpha' is already in; its digest must gate
+    // the stream even when the row scores above threshold
+    val corpus = Seq((100L, "seen alpha")).toDF("id", "text")
+    val digests = graft.ops.Dedup.corpusDigests(corpus, "text").cache()
+    digests.count()
+    def scoreOf(text: String): Double =
+      graft.ops.TextAnalysis.hashedLinearScore(
+        Seq((0L, text)).toDF("id", "text"), "id", "text", w)
+        .select("score").as[Double].head()
+    val rows = Seq((1L, "seen alpha"), (2L, "fresh beta"),
+      (3L, "fresh gamma"), (4L, "fresh delta"))
+    // threshold between the fresh rows' scores so the gate really cuts
+    val scores = rows.map { case (_, t) => scoreOf(t) }
+    val thr = scores.drop(1).sorted.apply(1) // second-lowest fresh score
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingOps.curationStream(
+        input.toDF().toDF("id", "text"), "id", "text", w, thr, digests,
+        Seq("text" -> "txt", "score" -> "json"), dir,
+        numShardsPerBatch = 2, salt = 3L)
+      .option("checkpointLocation", tmpDir("curation-ckpt"))
+      .start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // batch twin: same score, same gate, same anti-join, same writer
+    val expected = rows.filter { case (id, t) =>
+      scoreOf(t) >= thr && t != "seen alpha" }
+    val again = tmpDir("curation-again")
+    val batchKept = {
+      import org.apache.spark.sql.functions.{call_function, col, lit}
+      expected.toDF("id", "text")
+        .withColumn("score",
+          call_function("graft_linear_score", col("text"), lit(w), lit(0))
+            .cast("string"))
+        .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+        .join(digests, Seq("__fp"), "left_anti")
+        .drop("__fp")
+    }
+    graft.sinks.WebDataset.writeShards(batchKept, "id",
+      Seq("text" -> "txt", "score" -> "json"), again,
+      numShards = 2, salt = 3L)
+    assert(graft.sinks.WebDataset.isComplete(s"$dir/batch=0"))
+    (0 until 2).foreach { k =>
+      val f = f"shard-$k%05d-of-00002.tar"
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/batch=0", f)),
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(again, f))), s"shard $k")
+    }
+    // and the survivors are exactly the gated, unseen rows
+    val got = graft.sinks.WebDataset.readSamples(spark, s"$dir/batch=0")
+      .select("key").as[String].collect().map(_.toLong).toSet
+    assert(got == expected.map(_._1).toSet && got.size == 2)
+  }
+
   test("streaming dedup keeps the first arrival of each distinct text") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
