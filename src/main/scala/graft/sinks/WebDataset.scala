@@ -223,10 +223,35 @@ object WebDataset {
     * the [[SuccessMarker]] only after every shard task committed, so a
     * job that died mid-export leaves no marker. Readers do not require
     * the marker (shard dirs produced by external WebDataset writers
-    * lack one); consumption pipelines should gate on this instead.
+    * lack one); consumption pipelines should gate on this instead, or
+    * on [[validateShardSet]] for marker-less external dirs.
     */
   def isComplete(dir: String): Boolean =
     graft.Fs.exists(graft.Fs.join(dir, SuccessMarker))
+
+  /** Structural completeness check that needs no marker: every shard
+    * file's `-of-MMMMM` total must agree, and shards `0..M-1` must all
+    * be present exactly once. Catches the partial exports an external
+    * (marker-less) writer can leave, and shard sets assembled from
+    * mixed exports. Returns the shard count; throws on any gap,
+    * duplicate, or total mismatch.
+    */
+  def validateShardSet(spark: SparkSession, dir: String): Int = {
+    val files = listShards(spark, dir)
+    require(files.nonEmpty, s"no shard files under $dir")
+    val totals = files.map { f =>
+      "-[0-9]{5}-of-([0-9]{5})\\.tar$".r
+        .findFirstMatchIn(f).get.group(1).toInt
+    }.distinct
+    require(totals.size == 1,
+      s"mixed shard sets under $dir: -of- totals ${totals.mkString(",")}")
+    val total = totals.head
+    val present = files.map(f => shardOf(new Path(f).getName)).sorted
+    require(present == (0 until total),
+      s"incomplete shard set under $dir: have ${present.size} of $total " +
+        s"(missing ${(0 until total).diff(present).take(5).mkString(",")}…)")
+    total
+  }
 
   // ---- readers ---------------------------------------------------------
 

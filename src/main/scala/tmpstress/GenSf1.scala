@@ -41,6 +41,20 @@ object GenSf1 {
       .write.mode("overwrite").parquet("/tmp/sf1/documents.parquet")
     val chk = spark.read.parquet("/tmp/sf1/documents.parquet")
     println(s"MARKER_sf1_docs=${chk.count()} cols=${chk.columns.mkString(",")}")
+    // embeddings ×10 for q88: jittered clones under shifted ids (the
+    // jitter keeps clones from being exact duplicates of their base)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+    emb.crossJoin(spark.range(10).toDF("rep"))
+      .select((col("vec_id") * 10L + col("rep")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("rep").cast("float") * lit(0.001f))
+          .as("embedding"),
+        col("label"))
+      .repartition(8)
+      .write.mode("overwrite").parquet("/tmp/sf1/embeddings.parquet")
+    val echk = spark.read.parquet("/tmp/sf1/embeddings.parquet")
+    println(s"MARKER_sf1_emb=${echk.count()}")
     spark.stop()
   }
 }

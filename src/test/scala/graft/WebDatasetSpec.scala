@@ -160,6 +160,30 @@ class WebDatasetSpec extends SparkSpec {
     assert(!WebDataset.isComplete(dir))
   }
 
+  test("validateShardSet: complete sets pass, gaps and mixed -of- " +
+      "totals fail") {
+    val dir = tmpDir("wds-validate")
+    WebDataset.writeShards(
+      (0L until 20L).map(i => (i, s"t$i")).toDF("id", "text"),
+      "id", Seq("text" -> "txt"), dir, numShards = 3)
+    assert(WebDataset.validateShardSet(spark, dir) == 3)
+    // a deleted shard is a detected gap
+    val victim = new java.io.File(dir, "shard-00001-of-00003.tar")
+    assert(victim.delete())
+    val gap = intercept[IllegalArgumentException] {
+      WebDataset.validateShardSet(spark, dir)
+    }
+    assert(gap.getMessage.contains("incomplete"))
+    // a stray file from a different-sized export is a detected mix
+    java.nio.file.Files.write(
+      new java.io.File(dir, "shard-00001-of-00004.tar").toPath,
+      new Array[Byte](1024))
+    val mix = intercept[IllegalArgumentException] {
+      WebDataset.validateShardSet(spark, dir)
+    }
+    assert(mix.getMessage.contains("mixed"))
+  }
+
   test("guards: null keys, over-long names, non-payload column types") {
     val dir = tmpDir("wds-guards")
     intercept[Exception] {
