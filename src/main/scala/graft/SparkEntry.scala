@@ -479,6 +479,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- n-gram repetition (the Gopher duplicate-n-gram-fraction and
+    //      top-n-gram-share rules, n=3); oracle rebuilds the 3-gram
+    //      multiset with the jaccard CTEs' slice arithmetic ----
+
+    "q96_ngram_repetition" -> ((s, dir) => {
+      TextAnalysis.ngramRepetitionFrame(t(s, dir, "documents"),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // ---- sessionization (event-time windows over the events stream table) ----
 
     "q28_sessionize" -> ((s, dir) => {
@@ -2487,6 +2497,28 @@ object SparkEntry {
            |  CAST(sum(c) AS BIGINT) AS n_tokens,
            |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
            |    AS repetition_ratio
+           |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // The 3-gram multiset rebuilt with the jaccard CTEs' slice
+      // arithmetic (WITHOUT the DISTINCT — repetition needs the
+      // multiset), then the same two-aggregate reduction as q26.
+      "q96_ngram_repetition" ->
+        s"""WITH toks AS ($toksSql),
+           |g AS (
+           |  SELECT doc_id,
+           |    unnest([array_to_string(t[i:i+2], ' ')
+           |            for i in range(1, len(t) - 1)]) AS g
+           |  FROM toks WHERE len(t) >= 3),
+           |counts AS (
+           |  SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  CAST(sum(c) AS BIGINT) AS n_ngrams,
+           |  CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
+           |  max(c) AS top_ngram_count,
+           |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           |    AS dup_ngram_ratio,
+           |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           |    AS top_ngram_share
            |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q28_sessionize" ->

@@ -192,6 +192,43 @@ object TextAnalysis {
       .withColumn("repetition_ratio",
         col("max_token_count").cast("double") / col("n_tokens").cast("double"))
 
+  /** N-gram repetition statistics per document — the Gopher-style
+    * repetition filters generalized past single tokens
+    * ([[repetitionFrame]]): `dup_ngram_ratio` = fraction of the doc's
+    * n-gram occurrences that are repeats (1 − distinct/total, the
+    * "duplicate n-gram fraction" rule), `top_ngram_share` = the most
+    * frequent n-gram's share. Boilerplate-heavy and spun documents
+    * score high on both long before single-token repetition fires.
+    *
+    * Same shape as [[repetitionFrame]]: one explode + two map-side
+    * combinable aggregations, n-grams built with
+    * `transform(sequence)/slice/concat_ws` — no UDF, scan-bound at any
+    * scale. Docs with fewer than `n` tokens are absent (no n-grams).
+    * Both ratios are small-integer quotients — bit-portable across
+    * engines (the q96 oracle hash-matches them).
+    */
+  def ngramRepetitionFrame(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => concat_ws(" ", slice(col("__t"), i, lit(n))))).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("n_ngrams"),
+        count(lit(1)).as("n_distinct_ngrams"),
+        max("__c").as("top_ngram_count"))
+      .withColumn("dup_ngram_ratio",
+        lit(1.0) - col("n_distinct_ngrams").cast("double") /
+          col("n_ngrams").cast("double"))
+      .withColumn("top_ngram_share",
+        col("top_ngram_count").cast("double") /
+          col("n_ngrams").cast("double"))
+  }
+
   // ---- budget-constrained quality thresholding ---------------------------
 
   /** Pick the score cutoff that keeps (at least) `keepFraction` of the

@@ -1667,6 +1667,27 @@ class OpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("ngramRepetitionFrame: crafted docs hit exact Gopher-rule values") {
+    val docs = Seq(
+      // "a b a b a b": 3-grams = [a b a, b a b, a b a, b a b] →
+      // 4 total, 2 distinct, top count 2
+      (1L, "a b a b a b"),
+      // all-distinct 3-grams → dup ratio 0, top share 1/3
+      (2L, "one two three four five"),
+      // fewer than 3 tokens → absent
+      (3L, "too short"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramRepetitionFrame(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_ngrams", "n_distinct_ngrams",
+        "top_ngram_count", "dup_ngram_ratio", "top_ngram_share")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 2L, 0.5, 0.5),
+      (2L, 3L, 3L, 1L, 0.0, 1.0 / 3.0)))
+  }
+
   test("capPerKey routing: pinned broadcast semi-join under the " +
       "survivor threshold, window form past it, same survivors") {
     val df = (0L until 500L).map(i => (i, s"d${i % 20}", (i % 7).toDouble))
