@@ -337,6 +337,77 @@ object SketchOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** One-pass n-gram repetition statistics: (n_ngrams, n_distinct,
+    * top_count) over the W-token windows of `text` — the zero-shuffle
+    * kernel behind [[graft.ops.TextAnalysis.ngramRepetitionFrame]].
+    * Same window construction as [[windowMd5Keys]] (tokens joined by
+    * one 0x20, md5-128 per window), counted in a per-row hash map
+    * keyed by the md5 folded to 64 bits (lo ⊕ hi·golden). The fold can
+    * merge windows whose md5-128 differ only past the fold — odds
+    * ~windows²/2⁶⁴ per DOCUMENT, ≪1e-12 at any real doc length — in
+    * which case distinct under-counts by the collision count; the
+    * composable explode formulation is the exact reference the
+    * property spec compares against. Null when the text has fewer
+    * than `w` tokens (no windows).
+    */
+  def ngramRepStats(text: UTF8String, w: Int): Array[Long] = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var count = 0
+    var i = 0
+    var inTok = false
+    while (i < n) {
+      val ws = isWs(bytes(i))
+      if (!ws && !inTok) { count += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    if (count < w) return null
+    val starts = new Array[Int](count)
+    val lens = new Array[Int](count)
+    var t = 0
+    i = 0
+    while (i < n) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        starts(t) = start
+        lens(t) = i - start
+        t += 1
+      } else i += 1
+    }
+    val md = md5Digest.get()
+    val sp = Array[Byte](0x20)
+    val total = count - w + 1
+    val map = new java.util.HashMap[java.lang.Long, Integer](
+      math.min(total * 2, 1 << 16))
+    var top = 0
+    var p = 0
+    while (p < total) {
+      md.reset()
+      md.update(bytes, starts(p), lens(p))
+      var j = 1
+      while (j < w) {
+        md.update(sp, 0, 1)
+        md.update(bytes, starts(p + j), lens(p + j))
+        j += 1
+      }
+      val d = md.digest()
+      var lo = 0L; var hi = 0L
+      var k = 0
+      while (k < 8) {
+        lo = (lo << 8) | (d(k) & 0xffL)
+        hi = (hi << 8) | (d(k + 8) & 0xffL)
+        k += 1
+      }
+      val c = map.merge(lo ^ (hi * 0x9E3779B97F4A7C15L), 1,
+        (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      if (c > top) top = c
+      p += 1
+    }
+    Array(total.toLong, map.size.toLong, top.toLong)
+  }
+
   /** The whitespace tokens themselves, as UTF8String slices — value-
     * identical to `filter(split(text, "\\s+"), t -> length(t) > 0)`
     * (byte-scan boundaries; parity property-tested).
@@ -668,6 +739,64 @@ case class WindowMd5Keys(child: Expression, windowTokens: Int)
   override protected def withNewChildInternal(newChild: Expression): WindowMd5Keys =
     copy(child = newChild)
   override def prettyName: String = "graft_window_keys"
+}
+
+/** `graft_ngram_rep(text, n)`: one-pass n-gram repetition statistics —
+  * struct(n_ngrams, n_distinct_ngrams, top_ngram_count) over the
+  * W-token windows (see [[SketchOps.ngramRepStats]]). Null when the
+  * text is null or has fewer than `n` tokens. The zero-shuffle kernel
+  * behind the Gopher repetition rules: the explode+groupBy
+  * formulation shuffles every n-gram occurrence; this computes the
+  * same three numbers inside the scan.
+  */
+case class NgramRepStatsOf(child: Expression, windowTokens: Int)
+    extends UnaryExpression {
+  require(windowTokens >= 1, "windowTokens must be >= 1")
+  override def dataType: DataType = NgramRepStatsOf.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = SketchOps.ngramRepStats(input.asInstanceOf[UTF8String],
+      windowTokens)
+    if (a == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0), a(1), a(2)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val arr = ctx.freshName("repStats")
+      s"""
+         |long[] $arr = graft.functions.SketchOps.ngramRepStats(
+         |  $text, $windowTokens);
+         |if ($arr == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[] { java.lang.Long.valueOf($arr[0]),
+         |        java.lang.Long.valueOf($arr[1]),
+         |        java.lang.Long.valueOf($arr[2]) });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepStatsOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ngram_rep"
+}
+
+object NgramRepStatsOf {
+  val schema: StructType = StructType(Seq(
+    StructField("n_ngrams", LongType, nullable = false),
+    StructField("n_distinct_ngrams", LongType, nullable = false),
+    StructField("top_ngram_count", LongType, nullable = false)))
 }
 
 /** `graft_sharded_might_contain(sketchesLit, shard, value)`: probe of a

@@ -294,6 +294,13 @@ object GraftFunctions {
           "graft_window_keys takes (text, windowTokens)")
         WindowMd5Keys(exprs(0), litInt(exprs(1), "windowTokens"))
       }),
+    (FunctionIdentifier("graft_ngram_rep"),
+      new ExpressionInfo(classOf[NgramRepStatsOf].getName, "graft_ngram_rep"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_ngram_rep takes (text, windowTokens)")
+        NgramRepStatsOf(exprs(0), litInt(exprs(1), "windowTokens"))
+      }),
     (FunctionIdentifier("graft_linear_score"),
       new ExpressionInfo(classOf[LinearScoreOf].getName, "graft_linear_score"),
       (exprs: Seq[Expression]) => {

@@ -200,15 +200,44 @@ object TextAnalysis {
     * frequent n-gram's share. Boilerplate-heavy and spun documents
     * score high on both long before single-token repetition fires.
     *
-    * Same shape as [[repetitionFrame]]: one explode + two map-side
-    * combinable aggregations, n-grams built with
-    * `transform(sequence)/slice/concat_ws` — no UDF, scan-bound at any
-    * scale. Docs with fewer than `n` tokens are absent (no n-grams).
-    * Both ratios are small-integer quotients — bit-portable across
-    * engines (the q96 oracle hash-matches them).
+    * ZERO-shuffle: the three counts come from the codegen'd
+    * `graft_ngram_rep` kernel ([[graft.functions.NgramRepStatsOf]] —
+    * one byte-scan + per-row count map inside the scan), so the cost
+    * IS the corpus scan. The naive formulation explodes and SHUFFLES
+    * every n-gram occurrence (~tokens rows per doc) just to count
+    * within the doc — measured 28-37 s vs 1.6-2.4 s at 1M docs /
+    * 53M 3-grams, ~17x (BASELINE r10); [[ngramRepetitionFrameExploded]]
+    * keeps that form as the kernel's exact parity reference. Docs
+    * with fewer than `n` tokens are absent (no n-grams). Both ratios
+    * are small-integer quotients — bit-portable across engines (the
+    * q96 oracle hash-matches them).
     */
   def ngramRepetitionFrame(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        call_function("graft_ngram_rep", col(textCol), lit(n)).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col(idCol),
+        col("__r.n_ngrams").as("n_ngrams"),
+        col("__r.n_distinct_ngrams").as("n_distinct_ngrams"),
+        col("__r.top_ngram_count").as("top_ngram_count"))
+      .withColumn("dup_ngram_ratio",
+        lit(1.0) - col("n_distinct_ngrams").cast("double") /
+          col("n_ngrams").cast("double"))
+      .withColumn("top_ngram_share",
+        col("top_ngram_count").cast("double") /
+          col("n_ngrams").cast("double"))
+  }
+
+  /** The composable explode+groupBy formulation of
+    * [[ngramRepetitionFrame]] — the exact (hash-free) reference its
+    * parity spec compares against; shuffles every n-gram occurrence,
+    * so prefer the kernel form everywhere else.
+    */
+  def ngramRepetitionFrameExploded(df: DataFrame, idCol: String,
+                                   textCol: String, n: Int = 3): DataFrame = {
     require(n >= 1, "n must be >= 1")
     df.select(col(idCol), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= n)

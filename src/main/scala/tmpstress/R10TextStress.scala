@@ -1,0 +1,64 @@
+package graft.tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 1M-doc throughput rows for the r10 text additions:
+  * ngramRepetitionFrame (explode + two aggs) and the tracking-strip
+  * canonicalizer (pure projection over 1M synthetic tracked URLs).
+  * Two reps each — rep 1 carries codegen.
+  */
+object R10TextStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text").repartition(32)
+      .crossJoin(spark.range(200).toDF("rep"))
+      .withColumn("id", col("doc_id") * 200L + col("rep"))
+      .withColumn("text", concat(col("text"), lit(" s"), col("id")))
+      .select("id", "text")
+      .cache()
+    println(s"MARKER_corpus=${corpus.count()}")
+
+    for (r <- 1 to 2) {
+      var t0 = System.nanoTime()
+      val k = graft.ops.TextAnalysis
+        .ngramRepetitionFrame(corpus, "id", "text", n = 3)
+        .agg(sum("n_ngrams"), sum("n_distinct_ngrams"),
+          sum("dup_ngram_ratio")).head()
+      println(f"MARKER_ngram_kernel$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        f"ngrams=${k.getLong(0)} sumDup=${k.getDouble(2)}%.1f")
+      t0 = System.nanoTime()
+      val e = graft.ops.TextAnalysis
+        .ngramRepetitionFrameExploded(corpus, "id", "text", n = 3)
+        .agg(sum("n_ngrams"), sum("n_distinct_ngrams"),
+          sum("dup_ngram_ratio")).head()
+      println(f"MARKER_ngram_explode$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        f"ngrams=${e.getLong(0)} sumDup=${e.getDouble(2)}%.1f " +
+        s"longParity=${k.getLong(0) == e.getLong(0) && k.getLong(1) == e.getLong(1)}")
+    }
+
+    val urls = corpus.select(col("id"),
+      concat(lit("https://h"), pmod(col("id"), lit(999)),
+        lit(".example.org/p/"), col("id"),
+        lit("?b=2&utm_source=feed&a=1&gclid=G"), col("id"),
+        lit("&fbclid=F"), col("id")).as("url"))
+      .cache()
+    urls.count()
+    for (r <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = urls.select(graft.ops.TextAnalysis
+          .canonicalizeUrl(col("url"), stripTracking = true).as("c"))
+        .agg(sum(length(col("c")))).head().getLong(0)
+      println(f"MARKER_strip$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        s"chars=$n")
+    }
+    spark.stop()
+  }
+}

@@ -290,6 +290,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: ngram-rep kernel equals the exact explode formulation") {
+    // the zero-shuffle graft_ngram_rep kernel vs the exact
+    // explode+groupBy reference — same tokenization, same windows; the
+    // kernel's folded-md5 counting must produce identical stats on
+    // arbitrary text (collisions are ~2^-64-scale, never in a spec run)
+    val doc: Gen[Option[String]] = Gen.frequency(
+      8 -> trickyText.map(Option(_)),
+      1 -> Gen.const(Option.empty[String]))
+    val cfg = for {
+      docs <- Gen.listOfN(6, doc)
+      w <- Gen.oneOf(1, 2, 3, 5)
+    } yield (docs, w)
+    forAll(cfg, n = 15) { case (docs, w) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def rows(f: org.apache.spark.sql.DataFrame) = f
+        .select("doc_id", "n_ngrams", "n_distinct_ngrams",
+          "top_ngram_count", "dup_ngram_ratio", "top_ngram_share")
+        .as[(Long, Long, Long, Long, Double, Double)]
+        .collect().sortBy(_._1).toSeq
+      val kernel = rows(
+        graft.ops.TextAnalysis.ngramRepetitionFrame(df, "doc_id", "text", w))
+      val exact = rows(graft.ops.TextAnalysis
+        .ngramRepetitionFrameExploded(df, "doc_id", "text", w))
+      assert(kernel == exact, s"w=$w docs=$docs")
+    }
+  }
+
   test("property: window-keys kernel is byte-identical to the composable md5 form") {
     // the kernel replaced transform+slice+concat_ws+md5+unhex — same
     // split (`\s+`), same " " joiner, same digest — on texts with mixed
