@@ -1135,6 +1135,25 @@ object SparkEntry {
     // ---- skew guards under oracle check: the doc-frequency cutoff and
     //      the LSH bucket cap, on input where they actually drop data ----
 
+    // ---- asymmetric containment: derived docs = each %10 doc's first
+    //      half; their shingles are a subset of the original's, so
+    //      containment(derived→orig) = 1.0 while Jaccard sits near
+    //      0.5 — the quote/subset case a Jaccard threshold misses.
+    //      Oracle replays both directions from one intersection ----
+
+    "q97_ngram_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val derived = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest(lit(3L), floor(size(toks) / 2)).cast("int")), " ")
+            .as("text"))
+      Dedup.ngramContainment(docs.unionByName(derived), "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .orderBy("doc_id", "other_id")
+    }),
+
     "q47_jaccard_capped" -> ((s, dir) => {
       // maxShingleDocFreq=4 drops every clone-group shingle (df ≥ 6) and
       // the base corpus's df 5–7 tail — the posting-list cutoff that
@@ -2864,6 +2883,52 @@ object SparkEntry {
 
       // The doc-frequency cutoff replayed literally: HAVING count(*) <= 4
       // on the distinct shingle index before sizes/intersections.
+      // Both containment directions derived from one intersection over
+      // the distinct-shingle index; the derived corpus's half-docs are
+      // rebuilt with the same slice arithmetic.
+      "q97_ngram_containment" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id,
+          |    array_to_string(
+          |      t[1:CAST(greatest(3, len(t) // 2) AS INT)], ' ') AS text
+          |  FROM (SELECT doc_id,
+          |      list_filter(regexp_split_to_array(text, '\s+'),
+          |        x -> len(x) > 0) AS t
+          |    FROM documents)
+          |  WHERE doc_id % 10 = 0),
+          |toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM corpus),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM toks WHERE len(t) >= 3),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |j AS (
+          |  SELECT id_a, id_b, i, na.n_sh AS na, nb.n_sh AS nb
+          |  FROM inter
+          |  JOIN sizes na ON na.doc_id = id_a
+          |  JOIN sizes nb ON nb.doc_id = id_b),
+          |dirs AS (
+          |  SELECT id_a AS doc_id, id_b AS other_id,
+          |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+          |  FROM j
+          |  UNION ALL
+          |  SELECT id_b, id_a, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
+          |  FROM j)
+          |SELECT doc_id, other_id, containment FROM dirs
+          |WHERE containment >= 0.9
+          |ORDER BY doc_id, other_id""".stripMargin,
+
       "q47_jaccard_capped" ->
         s"""WITH corpus AS ($clonedDocsSql),
            |toks AS (

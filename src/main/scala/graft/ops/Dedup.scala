@@ -1073,6 +1073,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: `containment(a→b) =
+    * |sh(a) ∩ sh(b)| / |sh(a)|` — the quote/extraction/subset detector
+    * Jaccard structurally misses: a short document fully quoted inside
+    * a long one has containment 1.0 toward the long one but Jaccard
+    * only ~|a|/|b| (below any sane threshold once the host is a few
+    * times longer). Emits DIRECTED rows (doc_id, other_id,
+    * containment) — doc_id's shingles are `containment`-covered by
+    * other_id's — one row per direction that clears `threshold`.
+    *
+    * Same one-pass inverted-shingle-index shape as [[ngramJaccard]]
+    * (same `maxShingleDocFreq` hot-shingle cutoff, same candidate
+    * economics): the intersection is computed ONCE per unordered
+    * candidate pair and both directions derive from it, so the
+    * asymmetric semantics cost nothing over the symmetric ones. Pair
+    * volume — not corpus size — is the cost driver at scale, exactly
+    * as measured for the Jaccard family (BASELINE sf1).
+    */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9,
+                       maxShingleDocFreq: Long = 0L): DataFrame = {
+    val sh0 = shingleHashFrame(df, idCol, textCol, n)
+      .toDF("doc_id", "sh")
+      .transform(tracked)
+    val filtered = if (maxShingleDocFreq > 0) {
+      val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDocFreq)
+        .select("sh")
+      sh0.join(hot, Seq("sh"), "left_anti")
+    } else sh0
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = filtered.as("x").join(filtered.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val both = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+    both.select(col("id_a").as("doc_id"), col("id_b").as("other_id"),
+        (col("inter").cast("double") / col("na").cast("double"))
+          .as("containment"))
+      .unionByName(
+        both.select(col("id_b").as("doc_id"), col("id_a").as("other_id"),
+          (col("inter").cast("double") / col("nb").cast("double"))
+            .as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Dedup TUNING report: for each candidate threshold, how many exact
     * n-gram-Jaccard pairs exist and how many distinct documents they
     * implicate — all from ONE [[ngramJaccard]] pass at `min(thresholds)`.

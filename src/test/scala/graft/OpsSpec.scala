@@ -1667,6 +1667,29 @@ class OpsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("ngramContainment: catches the quoted-subset pair Jaccard misses; " +
+      "directions independent") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 40).map(i => s"host$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "unrelated text entirely here"))
+      .toDF("doc_id", "text")
+    // every 3-gram of the short doc appears in the long doc →
+    // containment(short→long) = 1.0
+    val got = Dedup.ngramContainment(docs, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0)))
+    // ...while Jaccard for the same pair is 3/43 — invisible to any
+    // sane symmetric threshold
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        threshold = 0.0)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("jaccard").as[Double].head()
+    assert(j < 0.1, s"jaccard was $j")
+    // reverse direction (long→short) is that same small ratio: absent
+    assert(!got.exists(p => p._1 == 2L))
+  }
+
   test("ngramRepetitionFrame: crafted docs hit exact Gopher-rule values") {
     val docs = Seq(
       // "a b a b a b": 3-grams = [a b a, b a b, a b a, b a b] →
