@@ -489,6 +489,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- duplicate-line rules over a line-structured rebuild of the
+    //      corpus (a boilerplate line wraps every doc; even ids repeat
+    //      their own text as a second body line) — oracle replays the
+    //      construction and the line multiset with strlen bytes ----
+
+    "q98_line_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val lined = docs.select(col("doc_id"),
+        concat(lit("promo line\n"), col("text"), lit("\npromo line\n"),
+          when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+            .otherwise(lit("tail"))).as("text"))
+      TextAnalysis.lineRepetitionFrame(lined, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- sessionization (event-time windows over the events stream table) ----
 
     "q28_sessionize" -> ((s, dir) => {
@@ -2773,6 +2788,43 @@ object SparkEntry {
           |  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
           |    AS host
           |FROM canon ORDER BY doc_id""".stripMargin,
+
+      // The duplicate-line rules replayed over the same line-structured
+      // construction: non-empty chr(10) lines, per-line counts, dup
+      // mass via strlen bytes (the kernel counts bytes too).
+      "q98_line_repetition" ->
+        """WITH lined AS (
+          |  SELECT doc_id,
+          |    'promo line' || chr(10) || text || chr(10) || 'promo line'
+          |      || chr(10)
+          |      || CASE WHEN doc_id % 2 = 0 THEN text ELSE 'tail' END
+          |      AS text
+          |  FROM documents),
+          |ln AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split(text, chr(10)),
+          |      x -> strlen(x) > 0)) AS l
+          |  FROM lined),
+          |counts AS (
+          |  SELECT doc_id, l, count(*) AS c, strlen(l) AS b
+          |  FROM ln GROUP BY doc_id, l),
+          |r AS (SELECT doc_id,
+          |    CAST(sum(c) AS BIGINT) AS n_lines,
+          |    CAST(count(*) AS BIGINT) AS n_distinct_lines,
+          |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+          |      AS BIGINT) AS dup_line_count,
+          |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c * b END), 0)
+          |      AS BIGINT) AS dup_line_bytes,
+          |    CAST(sum(c * b) AS BIGINT) AS total_line_bytes
+          |  FROM counts GROUP BY doc_id)
+          |SELECT doc_id, n_lines, n_distinct_lines, dup_line_count,
+          |  dup_line_bytes, total_line_bytes,
+          |  CAST(dup_line_count AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          |    AS dup_line_fraction,
+          |  CAST(dup_line_bytes AS DOUBLE)
+          |    / CAST(total_line_bytes AS DOUBLE)
+          |    AS dup_line_byte_fraction
+          |FROM r ORDER BY doc_id""".stripMargin,
 
       // The curation chain: q90's canon rules -> apex -> q87's rank
       // shape (n_chars DESC, doc_id tie-break) capped at 20 per apex.

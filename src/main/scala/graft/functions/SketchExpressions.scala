@@ -408,6 +408,60 @@ object SketchOps {
     Array(total.toLong, map.size.toLong, top.toLong)
   }
 
+  /** One-pass LINE repetition statistics: (n_lines, n_distinct_lines,
+    * dup_line_count, dup_line_bytes, total_line_bytes) over the
+    * non-empty `\n`-separated lines of `text` — the Gopher
+    * duplicate-line rules' kernel. dup_line_count/bytes count EVERY
+    * occurrence of a line whose count is > 1 (the rule's "fraction of
+    * lines/chars in duplicated lines"); byte lengths, not codepoints,
+    * so DuckDB `strlen` replays them exactly. Lines keyed by folded
+    * md5 like [[ngramRepStats]] (same negligible-collision caveat).
+    * Null when the text has no non-empty lines.
+    */
+  def lineRepStats(text: UTF8String): Array[Long] = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val md = md5Digest.get()
+    // map: folded md5 → (count << 40 | byteLen)  (len < 2^40 always)
+    val map = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    var total = 0L
+    var i = 0
+    while (i <= n) {
+      val start = i
+      while (i < n && bytes(i) != 0x0a) i += 1
+      val len = i - start
+      if (len > 0) {
+        total += 1
+        md.reset()
+        md.update(bytes, start, len)
+        val d = md.digest()
+        var lo = 0L; var hi = 0L
+        var k = 0
+        while (k < 8) {
+          lo = (lo << 8) | (d(k) & 0xffL)
+          hi = (hi << 8) | (d(k + 8) & 0xffL)
+          k += 1
+        }
+        val key = java.lang.Long.valueOf(lo ^ (hi * 0x9E3779B97F4A7C15L))
+        val cur = map.get(key)
+        if (cur == null) map.put(key, Array(1L, len.toLong))
+        else cur(0) += 1L
+      }
+      i += 1
+    }
+    if (total == 0L) return null
+    var dupLines = 0L
+    var dupBytes = 0L
+    var totalBytes = 0L
+    val it = map.values().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      totalBytes += e(0) * e(1)
+      if (e(0) > 1L) { dupLines += e(0); dupBytes += e(0) * e(1) }
+    }
+    Array(total, map.size.toLong, dupLines, dupBytes, totalBytes)
+  }
+
   /** The whitespace tokens themselves, as UTF8String slices — value-
     * identical to `filter(split(text, "\\s+"), t -> length(t) > 0)`
     * (byte-scan boundaries; parity property-tested).
@@ -797,6 +851,62 @@ object NgramRepStatsOf {
     StructField("n_ngrams", LongType, nullable = false),
     StructField("n_distinct_ngrams", LongType, nullable = false),
     StructField("top_ngram_count", LongType, nullable = false)))
+}
+
+/** `graft_line_rep(text)`: one-pass duplicate-line statistics —
+  * struct(n_lines, n_distinct_lines, dup_line_count, dup_line_bytes,
+  * total_line_bytes) over the non-empty `\n`-separated lines (see
+  * [[SketchOps.lineRepStats]]). Null for null text or a text with no
+  * non-empty lines.
+  */
+case class LineRepStatsOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LineRepStatsOf.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = SketchOps.lineRepStats(input.asInstanceOf[UTF8String])
+    if (a == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0), a(1), a(2), a(3), a(4)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, text => {
+      val arr = ctx.freshName("lineStats")
+      s"""
+         |long[] $arr = graft.functions.SketchOps.lineRepStats($text);
+         |if ($arr == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[] { java.lang.Long.valueOf($arr[0]),
+         |        java.lang.Long.valueOf($arr[1]),
+         |        java.lang.Long.valueOf($arr[2]),
+         |        java.lang.Long.valueOf($arr[3]),
+         |        java.lang.Long.valueOf($arr[4]) });
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LineRepStatsOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_line_rep"
+}
+
+object LineRepStatsOf {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_distinct_lines", LongType, nullable = false),
+    StructField("dup_line_count", LongType, nullable = false),
+    StructField("dup_line_bytes", LongType, nullable = false),
+    StructField("total_line_bytes", LongType, nullable = false)))
 }
 
 /** `graft_sharded_might_contain(sketchesLit, shard, value)`: probe of a

@@ -294,6 +294,12 @@ object GraftFunctions {
           "graft_window_keys takes (text, windowTokens)")
         WindowMd5Keys(exprs(0), litInt(exprs(1), "windowTokens"))
       }),
+    (FunctionIdentifier("graft_line_rep"),
+      new ExpressionInfo(classOf[LineRepStatsOf].getName, "graft_line_rep"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_line_rep takes (text)")
+        LineRepStatsOf(exprs(0))
+      }),
     (FunctionIdentifier("graft_ngram_rep"),
       new ExpressionInfo(classOf[NgramRepStatsOf].getName, "graft_ngram_rep"),
       (exprs: Seq[Expression]) => {

@@ -231,6 +231,36 @@ object TextAnalysis {
           col("n_ngrams").cast("double"))
   }
 
+  /** Duplicate-LINE statistics per document — the other half of the
+    * Gopher repetition rules: `dup_line_fraction` = occurrences of
+    * repeated lines / all lines, `dup_line_byte_fraction` = their byte
+    * mass share (byte lengths, so DuckDB `strlen` replays exactly).
+    * Zero-shuffle like [[ngramRepetitionFrame]]: the codegen'd
+    * `graft_line_rep` kernel counts non-empty `\n`-lines in one pass.
+    * Docs with no non-empty lines are absent. Boilerplate-riddled
+    * pages (nav bars, cookie banners, repeated CTAs) fire these long
+    * before token-level repetition moves.
+    */
+  def lineRepetitionFrame(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        call_function("graft_line_rep", col(textCol)).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col(idCol),
+        col("__r.n_lines").as("n_lines"),
+        col("__r.n_distinct_lines").as("n_distinct_lines"),
+        col("__r.dup_line_count").as("dup_line_count"),
+        col("__r.dup_line_bytes").as("dup_line_bytes"),
+        col("__r.total_line_bytes").as("total_line_bytes"))
+      .withColumn("dup_line_fraction",
+        col("dup_line_count").cast("double") /
+          col("n_lines").cast("double"))
+      .withColumn("dup_line_byte_fraction",
+        col("dup_line_bytes").cast("double") /
+          col("total_line_bytes").cast("double"))
+  }
+
   /** The composable explode+groupBy formulation of
     * [[ngramRepetitionFrame]] — the exact (hash-free) reference its
     * parity spec compares against; shuffles every n-gram occurrence,

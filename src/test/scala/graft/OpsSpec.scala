@@ -1690,6 +1690,28 @@ class OpsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 2L))
   }
 
+  test("lineRepetitionFrame: crafted docs hit exact duplicate-line " +
+      "values; byte (not char) mass; empty lines dropped") {
+    val docs = Seq(
+      // lines: [ad, body, ad] → 2 of 3 lines duplicated; ad = 2 bytes,
+      // body 'héllo' = 6 BYTES (5 chars) → dup bytes 4 of 10
+      (1L, "ad\nhéllo\n\nad"),
+      // all lines distinct
+      (2L, "x\ny\nz"),
+      // no non-empty lines → absent
+      (3L, "\n\n"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineRepetitionFrame(docs, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_distinct_lines", "dup_line_count",
+        "dup_line_bytes", "total_line_bytes", "dup_line_fraction",
+        "dup_line_byte_fraction")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 2L, 4L, 10L, 2.0 / 3.0, 0.4),
+      (2L, 3L, 3L, 0L, 0L, 3L, 0.0, 0.0)))
+  }
+
   test("ngramRepetitionFrame: crafted docs hit exact Gopher-rule values") {
     val docs = Seq(
       // "a b a b a b": 3-grams = [a b a, b a b, a b a, b a b] →
