@@ -1169,6 +1169,26 @@ object SparkEntry {
         .orderBy("doc_id", "other_id")
     }),
 
+    // ---- the containment ACTION on the same corpus: derived half-docs
+    //      are dropped toward their bigger hosts, everything else
+    //      survives; oracle replays the drop rule (bigger host, or
+    //      equal-size lower id) over the q97 CTEs ----
+
+    "q99_drop_contained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val derived = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest(lit(3L), floor(size(toks) / 2)).cast("int")), " ")
+            .as("text"))
+      Dedup.dropContained(docs.unionByName(derived), "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .select(col("doc_id"), octet_length(col("text")).cast("long")
+          .as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     "q47_jaccard_capped" -> ((s, dir) => {
       // maxShingleDocFreq=4 drops every clone-group shingle (df ≥ 6) and
       // the base corpus's df 5–7 tail — the posting-list cutoff that
@@ -2028,6 +2048,43 @@ object SparkEntry {
          |SELECT rs.query_id, rs.recall_stale, rr.recall_refit
          |FROM rs JOIN rr USING (query_id) ORDER BY query_id""".stripMargin
     }
+
+    // Shared CTE chain for the containment family (q97/q99): the
+    // derived-half-doc corpus, its distinct-shingle index, sizes, and
+    // the one-per-unordered-pair intersection both directions derive
+    // from.
+    val containmentBaseSql =
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    array_to_string(
+        |      t[1:CAST(greatest(3, len(t) // 2) AS INT)], ' ') AS text
+        |  FROM (SELECT doc_id,
+        |      list_filter(regexp_split_to_array(text, '\s+'),
+        |        x -> len(x) > 0) AS t
+        |    FROM documents)
+        |  WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([array_to_string(t[i:i+2], ' ')
+        |            for i in range(1, len(t) - 1)]) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT id_a, id_b, i, na.n_sh AS na, nb.n_sh AS nb
+        |  FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b)""".stripMargin
 
     Map(
       "q01_split_route" ->
@@ -2939,47 +2996,40 @@ object SparkEntry {
       // the distinct-shingle index; the derived corpus's half-docs are
       // rebuilt with the same slice arithmetic.
       "q97_ngram_containment" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 2000000 AS doc_id,
-          |    array_to_string(
-          |      t[1:CAST(greatest(3, len(t) // 2) AS INT)], ' ') AS text
-          |  FROM (SELECT doc_id,
-          |      list_filter(regexp_split_to_array(text, '\s+'),
-          |        x -> len(x) > 0) AS t
-          |    FROM documents)
-          |  WHERE doc_id % 10 = 0),
-          |toks AS (
-          |  SELECT doc_id,
-          |    list_filter(regexp_split_to_array(text, '\s+'),
-          |      x -> len(x) > 0) AS t
-          |  FROM corpus),
-          |sh AS (
-          |  SELECT DISTINCT doc_id,
-          |    unnest([array_to_string(t[i:i+2], ' ')
-          |            for i in range(1, len(t) - 1)]) AS s
-          |  FROM toks WHERE len(t) >= 3),
-          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-          |inter AS (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          |  GROUP BY 1, 2),
-          |j AS (
-          |  SELECT id_a, id_b, i, na.n_sh AS na, nb.n_sh AS nb
-          |  FROM inter
-          |  JOIN sizes na ON na.doc_id = id_a
-          |  JOIN sizes nb ON nb.doc_id = id_b),
-          |dirs AS (
-          |  SELECT id_a AS doc_id, id_b AS other_id,
-          |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
-          |  FROM j
-          |  UNION ALL
-          |  SELECT id_b, id_a, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
-          |  FROM j)
-          |SELECT doc_id, other_id, containment FROM dirs
-          |WHERE containment >= 0.9
-          |ORDER BY doc_id, other_id""".stripMargin,
+        s"""$containmentBaseSql,
+           |dirs AS (
+           |  SELECT id_a AS doc_id, id_b AS other_id,
+           |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+           |  FROM j
+           |  UNION ALL
+           |  SELECT id_b, id_a, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
+           |  FROM j)
+           |SELECT doc_id, other_id, containment FROM dirs
+           |WHERE containment >= 0.9
+           |ORDER BY doc_id, other_id""".stripMargin,
+
+      // The drop rule over the same CTEs: drop toward a strictly
+      // bigger host (or equal-size lower id); survivors = corpus minus
+      // the dropped set, byte lengths via strlen.
+      "q99_drop_contained" ->
+        s"""$containmentBaseSql,
+           |dirs AS (
+           |  SELECT id_a AS doc_id, id_b AS other_id,
+           |    na AS sz_doc, nb AS sz_other,
+           |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+           |  FROM j
+           |  UNION ALL
+           |  SELECT id_b, id_a, nb, na, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
+           |  FROM j),
+           |dropped AS (
+           |  SELECT DISTINCT doc_id FROM dirs
+           |  WHERE containment >= 0.9
+           |    AND (sz_other > sz_doc
+           |      OR (sz_other = sz_doc AND other_id < doc_id)))
+           |SELECT c.doc_id, CAST(strlen(c.text) AS BIGINT) AS n_bytes
+           |FROM corpus c
+           |WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+           |ORDER BY c.doc_id""".stripMargin,
 
       "q47_jaccard_capped" ->
         s"""WITH corpus AS ($clonedDocsSql),

@@ -1120,6 +1120,37 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** Containment DEDUP action: drop every document whose shingle set is
+    * `threshold`-contained in a BIGGER host (more distinct shingles;
+    * equal sizes tie-break to keep the lower id) — the "delete the
+    * quoted/extracted copy, keep the superset" rule
+    * [[ngramContainment]] measures. Deterministic and
+    * orientation-safe: a doc is only dropped toward a host that cannot
+    * simultaneously be dropped toward it (strictly bigger, or
+    * equal-size with a smaller id — an asymmetric relation), so chains
+    * resolve without clustering: A⊂B⊂C drops A and B, keeps C.
+    * Returns the surviving rows of `df` unchanged.
+    */
+  def dropContained(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, threshold: Double = 0.9,
+                    maxShingleDocFreq: Long = 0L): DataFrame = {
+    val pairs = ngramContainment(df, idCol, textCol, n, threshold,
+      maxShingleDocFreq)
+    val sizes = shingleHashFrame(df, idCol, textCol, n)
+      .toDF("doc_id", "sh")
+      .transform(tracked)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dropped = pairs
+      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), "doc_id")
+      .join(sizes.select(col("doc_id").as("other_id"),
+        col("n_sh").as("nb")), "other_id")
+      .filter(col("nb") > col("na") ||
+        (col("nb") === col("na") && col("other_id") < col("doc_id")))
+      .select(col("doc_id").as("__drop"))
+      .distinct()
+    df.join(dropped, col(idCol) === col("__drop"), "left_anti")
+  }
+
   /** Dedup TUNING report: for each candidate threshold, how many exact
     * n-gram-Jaccard pairs exist and how many distinct documents they
     * implicate — all from ONE [[ngramJaccard]] pass at `min(thresholds)`.

@@ -1712,6 +1712,23 @@ class OpsSpec extends SparkSpec {
       (2L, 3L, 3L, 0L, 0L, 3L, 0.0, 0.0)))
   }
 
+  test("dropContained: chains resolve to the biggest host; equal-size " +
+      "duplicates keep the lowest id; unrelated docs survive") {
+    val a = "alpha beta gamma delta epsilon"
+    val b = a + " zeta eta theta iota kappa"
+    val c = b + " " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, a), (2L, b), (3L, c),            // chain a ⊂ b ⊂ c
+      (10L, "same same-sized doc here ok"), // equal-size identical pair:
+      (11L, "same same-sized doc here ok"), //   lower id 10 survives
+      (20L, "completely different content words"),
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(docs, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 10L, 20L))
+  }
+
   test("ngramRepetitionFrame: crafted docs hit exact Gopher-rule values") {
     val docs = Seq(
       // "a b a b a b": 3-grams = [a b a, b a b, a b a, b a b] →
