@@ -1093,6 +1093,27 @@ object Dedup {
   def ngramContainment(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.9,
                        maxShingleDocFreq: Long = 0L): DataFrame = {
+    val both = containmentPairsSized(df, idCol, textCol, n,
+      maxShingleDocFreq)
+    both.select(col("id_a").as("doc_id"), col("id_b").as("other_id"),
+        (col("inter").cast("double") / col("na").cast("double"))
+          .as("containment"))
+      .unionByName(
+        both.select(col("id_b").as("doc_id"), col("id_a").as("other_id"),
+          (col("inter").cast("double") / col("nb").cast("double"))
+            .as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Shared containment kernel: one intersection per unordered
+    * candidate pair with BOTH docs' shingle-set sizes attached —
+    * (id_a, id_b, inter, na, nb), sizes measured over the same
+    * (possibly doc-freq-cutoff) shingle space as the intersections so
+    * ratios and tie-breaks stay consistent.
+    */
+  private def containmentPairsSized(df: DataFrame, idCol: String,
+                                    textCol: String, n: Int,
+                                    maxShingleDocFreq: Long): DataFrame = {
     val sh0 = shingleHashFrame(df, idCol, textCol, n)
       .toDF("doc_id", "sh")
       .transform(tracked)
@@ -1103,21 +1124,12 @@ object Dedup {
       sh0.join(hot, Seq("sh"), "left_anti")
     } else sh0
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = filtered.as("x").join(filtered.as("y"),
+    filtered.as("x").join(filtered.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    val both = inter
       .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
-    both.select(col("id_a").as("doc_id"), col("id_b").as("other_id"),
-        (col("inter").cast("double") / col("na").cast("double"))
-          .as("containment"))
-      .unionByName(
-        both.select(col("id_b").as("doc_id"), col("id_a").as("other_id"),
-          (col("inter").cast("double") / col("nb").cast("double"))
-            .as("containment")))
-      .filter(col("containment") >= threshold)
   }
 
   /** Containment DEDUP action: drop every document whose shingle set is
@@ -1134,19 +1146,25 @@ object Dedup {
   def dropContained(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, threshold: Double = 0.9,
                     maxShingleDocFreq: Long = 0L): DataFrame = {
-    val pairs = ngramContainment(df, idCol, textCol, n, threshold,
+    // one shingle pass: the pair frame already carries both sizes, and
+    // they are measured over the SAME (possibly cutoff) shingle space
+    // as the containment ratios — rule and ratio cannot disagree
+    val both = containmentPairsSized(df, idCol, textCol, n,
       maxShingleDocFreq)
-    val sizes = shingleHashFrame(df, idCol, textCol, n)
-      .toDF("doc_id", "sh")
-      .transform(tracked)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dropped = pairs
-      .join(sizes.select(col("doc_id"), col("n_sh").as("na")), "doc_id")
-      .join(sizes.select(col("doc_id").as("other_id"),
-        col("n_sh").as("nb")), "other_id")
-      .filter(col("nb") > col("na") ||
-        (col("nb") === col("na") && col("other_id") < col("doc_id")))
-      .select(col("doc_id").as("__drop"))
+    val dropped = both
+      .select(
+        when(col("inter").cast("double") / col("na").cast("double")
+            >= threshold &&
+            (col("nb") > col("na") ||
+              (col("nb") === col("na") && col("id_b") < col("id_a"))),
+          col("id_a"))
+          .when(col("inter").cast("double") / col("nb").cast("double")
+            >= threshold &&
+            (col("na") > col("nb") ||
+              (col("na") === col("nb") && col("id_a") < col("id_b"))),
+            col("id_b"))
+          .as("__drop"))
+      .filter(col("__drop").isNotNull)
       .distinct()
     df.join(dropped, col(idCol) === col("__drop"), "left_anti")
   }
