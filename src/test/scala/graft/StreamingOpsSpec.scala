@@ -83,6 +83,49 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetition kernels score a stream statelessly, batch parity " +
+      "held") {
+    // both Gopher-rule frames are pure per-row projections (the
+    // kernels run inside the scan), so they stream unchanged — no
+    // state, no watermark
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val input = MemoryStream[(Long, String)]
+    val src = input.toDF().toDF("id", "text")
+    // one projection carrying BOTH kernels (a stream-stream self-join
+    // would need watermarks — and is pointless for per-row scorers)
+    val out = src.select(col("id"),
+        org.apache.spark.sql.functions.call_function("graft_ngram_rep",
+          col("text"), org.apache.spark.sql.functions.lit(2)).as("__n"),
+        org.apache.spark.sql.functions.call_function("graft_line_rep",
+          col("text")).as("__l"))
+      .filter(col("__n").isNotNull)
+      .select(col("id"),
+        col("__n.n_ngrams").as("n_ngrams"),
+        (org.apache.spark.sql.functions.lit(1.0) -
+          col("__n.n_distinct_ngrams").cast("double") /
+            col("__n.n_ngrams").cast("double")).as("dup_ngram_ratio"),
+        (col("__l.dup_line_count").cast("double") /
+          col("__l.n_lines").cast("double")).as("dup_line_fraction"))
+    val query = out.writeStream.format("memory")
+      .queryName("rep_stream").outputMode("append").start()
+    val rows = Seq((1L, "a b a b\nx\nx"), (2L, "one two three"), (3L, ""))
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("rep_stream")
+      .select("id", "n_ngrams", "dup_ngram_ratio", "dup_line_fraction")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // doc 1: '\n' is token whitespace, so 2-grams span lines —
+    // [a b, b a, a b, b x, x x], 5 total 4 distinct → dup ratio
+    // 1 − 4/5; lines [a b a b, x, x] → dup fraction 2/3. doc 3
+    // (empty) absent.
+    assert(streamed == Seq(
+      (1L, 5L, 1.0 - 4.0 / 5.0, 2.0 / 3.0),
+      (2L, 2L, 0.0, 0.0)))
+  }
+
   test("curationStream: score→gate→corpus-dedup→export chain equals " +
       "the batch formulation per batch") {
     implicit val sqlCtx = spark.sqlContext
