@@ -1667,6 +1667,73 @@ object SparkEntry {
         Seq("raster" -> "img", "meta" -> "json"), out, numShards = 2)
       graft.sinks.WebDataset.readManifest(s, out).orderBy("entry")
     }),
+
+    // ---- bigram LM familiarity: the CCNet-style perplexity gate as
+    //      exact integer arithmetic — fit add-one smoothed bigram stats
+    //      on the English stratum, score EVERY document by mean smoothed
+    //      bigram probability in micro-units; the oracle refits and
+    //      rescores the identical integer model ----
+
+    "q100_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
+          "text", docs.filter(col("lang") === "en"), "text",
+          minBigramCount = 2L, minUnigramCount = 1L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- boilerplate strip by document frequency: per-source footers
+    //      injected into every document get removed from ALL documents
+    //      (kept NOWHERE — the contrast with q57's keep-first paragraph
+    //      dedup); unique paragraphs are untouched ----
+
+    "q101_boilerplate_strip" -> ((s, dir) => {
+      val withFooter = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("text"),
+            concat(lit("Subscribe to "), col("source"), lit(" today!")))
+            .as("text"))
+      Dedup.stripBoilerplateParagraphs(withFooter, "doc_id", "text",
+          minDocs = 10L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- normalization-keyed exact dedup: whitespace-mangled clones
+    //      (doubled spaces, leading/trailing junk) collapse back onto
+    //      their originals; the survivor keeps its ORIGINAL bytes ----
+
+    "q102_normalized_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("  "), regexp_replace(col("text"), " ", "  "),
+          lit(" \t\n")).as("text"))
+      Dedup.exactNormalized(docs.unionByName(mangled), "text", "doc_id")
+        .select(col("doc_id"), col("dup_count"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- domain-level curation: per-host corpus stats (doc count +
+    //      integer mean quality), then the mean-quality gate that drops
+    //      whole domains with every document they contributed ----
+
+    "q103_domain_stats" -> ((s, dir) => {
+      val canon = TextAnalysis.canonicalizeUrl(col("url"))
+      val hosts = messyUrls(s, dir).select(col("doc_id"), col("n_chars"),
+        TextAnalysis.urlHost(canon).as("host"))
+      TextAnalysis.domainStats(hosts, "host", "n_chars")
+        .orderBy("host")
+    }),
+
+    "q104_domain_gate" -> ((s, dir) => {
+      val canon = TextAnalysis.canonicalizeUrl(col("url"))
+      val hosts = messyUrls(s, dir).select(col("doc_id"), col("n_chars"),
+        TextAnalysis.urlHost(canon).as("host"))
+      TextAnalysis.filterByDomainQuality(hosts, "host", "n_chars",
+          minMeanMicro = 290000000L)
+        .select("doc_id", "host", "n_chars")
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB-runnable oracles, column-name-aligned with the Spark results.
@@ -3712,6 +3779,128 @@ object SparkEntry {
            |SELECT query_id, rank, neighbor_id FROM ranked
            |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
       },
+
+      // The integer bigram LM refit and rescored from scratch: same
+      // tokenizer, same add-one arithmetic in BIGINT micro-units, same
+      // pruning thresholds — floor division replays exactly because
+      // both engines divide nonnegative integers.
+      "q100_bigram_lm" ->
+        """WITH toks AS (
+          |  SELECT doc_id, lang,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |uni AS (
+          |  SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c1
+          |  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+          |  GROUP BY 1 HAVING count(*) >= 1),
+          |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+          |rbi0 AS (
+          |  SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+          |                 for i in range(1, len(t))]) AS p
+          |  FROM toks WHERE lang = 'en' AND len(t) >= 2),
+          |bi AS (
+          |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+          |  FROM rbi0 GROUP BY 1, 2 HAVING count(*) >= 2),
+          |dp0 AS (
+          |  SELECT doc_id, unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+          |                         for i in range(1, len(t))]) AS p
+          |  FROM toks WHERE len(t) >= 2),
+          |dp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM dp0),
+          |j AS (
+          |  SELECT d.doc_id,
+          |    (1000000::BIGINT * (coalesce(bi.c12, 0) + 1)) //
+          |      (coalesce(uni.c1, 0) + v.v + 1) AS micro
+          |  FROM dp d CROSS JOIN v
+          |  LEFT JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+          |  LEFT JOIN uni ON d.w1 = uni.w1)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST(sum(micro) AS BIGINT) AS score_micro,
+          |  CAST(sum(micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+          |    AS mean_micro
+          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // Document-frequency boilerplate replayed on paragraph CONTENT
+      // (md5 grouping and content grouping are the same partition), with
+      // the q57-style positional reassembly.
+      "q101_boilerplate_strip" ->
+        """WITH pdocs AS (
+          |  SELECT doc_id, concat_ws(chr(10) || chr(10), text,
+          |    'Subscribe to ' || source || ' today!') AS text
+          |  FROM documents),
+          |paras AS (
+          |  SELECT doc_id, u.pi, u.p
+          |  FROM (SELECT doc_id,
+          |          string_split(text, chr(10) || chr(10)) AS ps
+          |        FROM pdocs),
+          |    unnest([{'pi': i - 1, 'p': ps[i]}
+          |            for i in range(1, len(ps) + 1)]) AS r(u)),
+          |hot AS (
+          |  SELECT p FROM (
+          |    SELECT p, count(DISTINCT doc_id) AS d FROM paras GROUP BY p)
+          |  WHERE d >= 10),
+          |k AS (
+          |  SELECT doc_id, pi, p,
+          |    p NOT IN (SELECT p FROM hot) AS keep
+          |  FROM paras)
+          |SELECT doc_id,
+          |  coalesce(string_agg(CASE WHEN keep THEN p END,
+          |    chr(10) || chr(10) ORDER BY pi), '') AS text,
+          |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS kept_paras,
+          |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT)
+          |    AS dropped_paras
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // Normalization-keyed exact collapse: the same mangling, the same
+      // canonical form (lower, ASCII-whitespace runs → one space, trim),
+      // min-id survivor keeping its ORIGINAL bytes via arg_min.
+      "q102_normalized_dedup" ->
+        """WITH u AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 3000000,
+          |    '  ' || regexp_replace(text, ' ', '  ', 'g')
+          |      || ' ' || chr(9) || chr(10)
+          |  FROM documents),
+          |k AS (
+          |  SELECT doc_id, text,
+          |    md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')))
+          |      AS key
+          |  FROM u)
+          |SELECT min(doc_id) AS doc_id, count(*) AS dup_count,
+          |  CAST(strlen(arg_min(text, doc_id)) AS BIGINT) AS n_bytes
+          |FROM k GROUP BY key ORDER BY doc_id""".stripMargin,
+
+      // q90's canonicalization chain, rolled up per host with the same
+      // integer mean arithmetic as domainStats.
+      "q103_domain_stats" ->
+        (urlCanonSql + ",\n" +
+          """h AS (SELECT doc_id, n_chars,
+            |    regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+            |      AS host
+            |  FROM canon)
+            |SELECT host, count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS score_sum,
+            |  (1000000::BIGINT * CAST(sum(n_chars) AS BIGINT)) //
+            |    CAST(count(*) AS BIGINT) AS mean_score_micro
+            |FROM h GROUP BY host ORDER BY host""".stripMargin),
+
+      // The domain gate replayed: hosts whose integer mean clears the
+      // bar keep every row they contributed; the rest vanish entirely.
+      "q104_domain_gate" ->
+        (urlCanonSql + ",\n" +
+          """h AS (SELECT doc_id, n_chars,
+            |    regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+            |      AS host
+            |  FROM canon),
+            |stats AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+            |    CAST(sum(n_chars) AS BIGINT) AS ss
+            |  FROM h GROUP BY host),
+            |pass AS (SELECT host FROM stats
+            |  WHERE (1000000::BIGINT * ss) // n_docs >= 290000000)
+            |SELECT doc_id, host, n_chars FROM h
+            |WHERE host IN (SELECT host FROM pass)
+            |ORDER BY doc_id""".stripMargin),
     )
   }
 }

@@ -1606,6 +1606,69 @@ object Dedup {
       .withColumn("dropped_paras", coalesce(col("dropped_paras"), lit(0L)))
   }
 
+  /** Boilerplate-paragraph strip by corpus document frequency — the
+    * complement of [[dedupParagraphs]]: instead of keeping each distinct
+    * paragraph's FIRST occurrence, a paragraph that appears in at least
+    * `minDocs` DISTINCT documents is judged boilerplate (footers, cookie
+    * banners, license blocks) and removed from EVERY document, first
+    * occurrence included. First-occurrence dedup preserves one copy of
+    * the banner in whichever page crawled first; a training pipeline
+    * usually wants zero copies — that page's banner is no more content
+    * than the others'.
+    *
+    * Scale shape: the paragraph stream is hashed once (128-bit digest,
+    * per-row projection); the document-frequency fit is a DISTINCT on
+    * (digest, id) — one exchange that collapses within-doc repeats
+    * map-side — followed by a map-side-combinable count. The hot set
+    * (paragraphs over the threshold) is a post-aggregate frame joined
+    * LEFT back onto the paragraph stream, so AQE broadcasts it while it
+    * fits (boilerplate vocabularies are small next to a corpus) and
+    * degrades to a shuffled join on the 16-byte digest beyond that. The
+    * reassembly aggregate on `idCol` is the only text-sized exchange —
+    * the same single-reshuffle bound as [[dedupParagraphs]].
+    *
+    * Returns one row per input document — (`idCol`, stripped text under
+    * `textCol`, `kept_paras`, `dropped_paras`), NULL-text documents
+    * preserved with NULL text and zero counts, same contract as
+    * [[dedupParagraphs]].
+    */
+  def stripBoilerplateParagraphs(df: DataFrame, idCol: String,
+                                 textCol: String, minDocs: Long,
+                                 sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), sep))
+        .as(Seq("__pi", "__p")))
+      .withColumn("__ph", TextAnalysis.fingerprint(col("__p")))
+    val hot = paras.select(col("__ph"), col(idCol)).distinct()
+      .groupBy("__ph").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__ph"), lit(true).as("__hot"))
+    val rebuilt = paras.join(hot, Seq("__ph"), "left")
+      .withColumn("__keep", col("__hot").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        reassemble(col("__pi"), col("__p"), sep, col("__keep")).as(textCol),
+        count(when(col("__keep"), 1)).as("kept_paras"),
+        count(when(!col("__keep"), 1)).as("dropped_paras"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("kept_paras", coalesce(col("kept_paras"), lit(0L)))
+      .withColumn("dropped_paras", coalesce(col("dropped_paras"), lit(0L)))
+  }
+
+  /** Exact dedup under [[TextAnalysis.normalizeText]]'s canonical form:
+    * case flips and re-wrapped whitespace no longer defeat the digest.
+    * Same one-exchange `min_by` survivor shape and NULL/tie semantics
+    * as [[exactByFingerprint]]; the survivor keeps its ORIGINAL text —
+    * normalization decides identity, not what ships to training.
+    */
+  def exactNormalized(df: DataFrame, textCol: String,
+                      idCol: String): DataFrame =
+    survivorAgg(df,
+        TextAnalysis.fingerprint(TextAnalysis.normalizeText(col(textCol))),
+        idCol, "dup_count")
+      .select(col("__row.*") +: Seq(col("dup_count")): _*)
+
   /** Order-preserving positional reassembly shared by the paragraph- and
     * span-level strippers: sort collected (pos, piece) structs by
     * position, join the pieces. `keep=false` entries drop (collect_list

@@ -853,6 +853,146 @@ object TextAnalysis {
       .withColumn("is_clean", col("contamination_fraction") <= maxFraction)
   }
 
+  // ---- bigram language-model familiarity ----------------------------------
+
+  /** Adjacent lowercased token pairs as `(w1, w2)` structs — one element
+    * per bigram position, built inside codegen from the token array
+    * (`zip_with` over two `slice`s; no token-level explode happens until
+    * the caller chooses to `explode` the result).
+    */
+  def bigramPairs(text: Column): Column = {
+    val tk = call_function("graft_tokens", lower(text))
+    zip_with(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** Bigram language-model familiarity — the CCNet-style perplexity
+    * filter re-expressed as exact integer arithmetic: fit add-one
+    * smoothed bigram statistics on a REFERENCE corpus (the high-quality
+    * stratum a perplexity filter would train its KenLM on), then score
+    * every target document by its mean smoothed bigram probability.
+    * Rare or never-seen transitions pull the score down exactly the way
+    * high perplexity would; the monotone relationship is all a
+    * keep/drop gate consumes, and the integer form is replayable by any
+    * engine (a log-space float mean is not — the reason
+    * [[unigramFamiliarity]] made the same trade).
+    *
+    * Per bigram position `(w1, w2)` the contribution is
+    * `floor(1e6 * (c(w1,w2) + 1) / (c(w1) + V + 1))` where counts come
+    * from the pruned reference tables and `V` is the pruned unigram
+    * vocabulary size (the `+1` keeps the denominator positive even for
+    * an empty reference). A document's `score_micro` is the sum over
+    * its positions, `mean_micro` the integer mean — sums of longs, so
+    * aggregation order can never change the result.
+    *
+    * Scale shape: fitting is two map-side-combinable aggregates over
+    * the reference's token/pair streams; pruning (`minBigramCount`,
+    * `minUnigramCount`) bounds the model, and the pruned tables enter
+    * the scoring pass as BROADCAST joins onto the target's exploded
+    * pair stream — the target corpus itself never shuffles; the only
+    * target-sized exchange is the per-doc aggregate on `idCol`. At
+    * 100 TB the knobs are the contract: an n-gram LM you cannot
+    * broadcast is an LM you should prune (raise the min counts) — the
+    * tail you cut contributes at most 1 count to any numerator. `V` is
+    * observed EAGERLY at call time (one count job over the reference),
+    * the same observe-then-plan trade as [[graft.ops.Dedup.repeatedSpans]].
+    *
+    * Returns `(idCol, n_bigrams, score_micro, mean_micro)`; documents
+    * with fewer than two tokens have no bigram positions and are
+    * absent, the same contract as the repetition frames.
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    ref: DataFrame, refTextCol: String,
+                    minBigramCount: Long = 2L,
+                    minUnigramCount: Long = 1L): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val uni = ref
+      .select(explode(
+        call_function("graft_tokens", lower(col(refTextCol)))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__c1"))
+      .filter(col("__c1") >= minUnigramCount)
+    val bi = ref
+      .select(explode(bigramPairs(col(refTextCol))).as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+      .filter(col("__c12") >= minBigramCount)
+    // One extra reference scan instead of caching the pruned vocab: the
+    // fit passes are scan-speed kernel projections, and a 100 TB target
+    // corpus dwarfs a re-read of the (much smaller) reference stratum.
+    val vocabV = uni.count()
+    docs
+      .select(col(idCol), explode(bigramPairs(col(textCol))).as("__p"))
+      .select(col(idCol), col("__p.w1"), col("__p.w2"))
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .withColumn("__micro",
+        expr(s"(1000000L * (coalesce(__c12, 0L) + 1L)) div " +
+          s"(coalesce(__c1, 0L) + ${vocabV + 1L}L)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__micro")).as("score_micro"))
+      .withColumn("mean_micro", expr("score_micro div n_bigrams"))
+  }
+
+  // ---- normalization ------------------------------------------------------
+
+  /** Dedup-key text normalization: lowercase, collapse ASCII whitespace
+    * runs to a single space, trim. The canonical form under which
+    * "same document, different formatting" collapses — feed it to
+    * [[graft.ops.Dedup.exactNormalized]] (or use it as a shingle
+    * pre-pass) so exact dedup stops being defeated by case flips and
+    * re-wrapped whitespace. Restricted to ASCII rules with identical
+    * semantics in Java regex and RE2 so external engines replay the key
+    * byte-for-byte; Unicode-confusable folding is a different (locale-
+    * dependent) operation and deliberately NOT bundled here.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[ \\t\\n\\r]+", " "))
+
+  // ---- domain-level curation ----------------------------------------------
+
+  /** Per-domain corpus statistics: document count and mean quality in
+    * exact integer micro-units (`floor(1e6 * sum / count)`), keyed by
+    * any domain-ish column ([[apexDomain]] for the registrable-domain
+    * roll-up, [[urlHost]] for host granularity). One map-side-combinable
+    * aggregate; the output is domain-cardinality-sized (bounded by the
+    * web's host population, not the corpus), which is what makes
+    * domain-level gating cheap at 100 TB.
+    */
+  def domainStats(df: DataFrame, domainCol: String,
+                  scoreCol: String): DataFrame =
+    df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(scoreCol).cast("long")).as("score_sum"))
+      .withColumn("mean_score_micro", expr("(1000000L * score_sum) div n_docs"))
+
+  /** Domain-level quality gate — the FineWeb-style curation move of
+    * judging DOMAINS, not documents: a domain whose mean quality falls
+    * below `minMeanMicro` (or, with `maxDocs > 0`, one so over-
+    * represented it exceeds the cap — SEO farms and mirror hosts) drops
+    * with every document it contributed. Per-document scores keep
+    * within-domain outliers from deciding anything; the domain mean is
+    * the judged unit.
+    *
+    * Scale shape: [[domainStats]]' aggregate (domain-cardinality-sized
+    * output) filtered to the passing set, then ONE left-semi join back
+    * against the corpus on the domain key. The passing set is a post-
+    * aggregate frame, so AQE broadcasts it while it fits and degrades
+    * to a shuffled semi join on the (short string) key beyond that —
+    * both fine; the corpus is never shuffled twice.
+    */
+  def filterByDomainQuality(df: DataFrame, domainCol: String,
+                            scoreCol: String, minMeanMicro: Long,
+                            maxDocs: Long = 0L): DataFrame = {
+    val pass = domainStats(df, domainCol, scoreCol)
+      .filter(col("mean_score_micro") >= minMeanMicro &&
+        (if (maxDocs > 0L) col("n_docs") <= maxDocs else lit(true)))
+      .select(col(domainCol))
+    df.join(pass, Seq(domainCol), "left_semi")
+  }
+
   /** Convenience: annotate a documents frame with the full text-analysis
     * column set.
     */

@@ -1889,4 +1889,111 @@ class OpsSpec extends SparkSpec {
         Array.fill(16)(0.0), hashKind = 2)
     }
   }
+
+  // ---- bigram LM familiarity ----
+
+  test("bigramLmScore: hand-computed add-one integer model, OOV and pruning") {
+    // ref: "a b a b" + "a c" → uni a:3 b:2 c:1 (V=3);
+    // bigrams (a,b):2 (b,a):1 (a,c):1 → minBigramCount=2 keeps only (a,b)
+    val ref = Seq((10L, "a b a b"), (11L, "a c")).toDF("doc_id", "text")
+    val targets = Seq(
+      (1L, "a b x"), // (a,b): floor(1e6*3/(3+4))=428571; (b,x): floor(1e6/(2+4))=166666
+      (2L, "z"),     // one token → no bigram positions → absent
+      (3L, "q q"),   // fully OOV: floor(1e6*1/(0+4))=250000
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(targets, "doc_id", "text",
+        ref, "text", minBigramCount = 2L, minUnigramCount = 1L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(2L))
+    assert(got(1L) == ((1L, 2L, 428571L + 166666L, (428571L + 166666L) / 2)))
+    assert(got(3L) == ((3L, 1L, 250000L, 250000L)))
+    // pruning: minBigramCount=3 drops (a,b) too → its numerator falls to 1
+    val pruned = TextAnalysis.bigramLmScore(targets, "doc_id", "text",
+        ref, "text", minBigramCount = 3L, minUnigramCount = 1L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(pruned(1L)._3 == 142857L + 166666L) // floor(1e6*1/7) + unchanged
+    // unigram pruning shrinks V and drops pruned unigrams' counts:
+    // minUnigramCount=2 keeps a,b → V=2; (q,q): floor(1e6/(0+3))=333333
+    val uniPruned = TextAnalysis.bigramLmScore(targets, "doc_id", "text",
+        ref, "text", minBigramCount = 2L, minUnigramCount = 2L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(uniPruned(3L)._3 == 333333L)
+  }
+
+  test("bigramLmScore plan: pruned LM tables broadcast, target never sort-merges") {
+    val ref = Seq((10L, "a b a b"), (11L, "a c")).toDF("doc_id", "text")
+    val targets = Seq((1L, "a b x")).toDF("doc_id", "text")
+    val plan = TextAnalysis.bigramLmScore(targets, "doc_id", "text",
+        ref, "text").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"LM join must not shuffle the target pair stream:\n$plan")
+  }
+
+  // ---- boilerplate paragraph strip ----
+
+  test("stripBoilerplateParagraphs: DF-hot paragraphs removed everywhere") {
+    val df = Seq(
+      (1L, "u1\n\nBOILER"),
+      (2L, "u2\n\nBOILER"),
+      (3L, "BOILER\n\nu3\n\nBOILER"), // within-doc repeat: ONE doc for DF
+      (4L, "u4"),
+      (5L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripBoilerplateParagraphs(df, "doc_id", "text",
+        minDocs = 3L)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "u1", 1L, 1L)))
+    assert(got(2L) == ((2L, "u2", 1L, 1L)))
+    assert(got(3L) == ((3L, "u3", 1L, 2L))) // both copies stripped
+    assert(got(4L) == ((4L, "u4", 1L, 0L)))
+    assert(got(5L)._2 == null && got(5L)._3 == 0L && got(5L)._4 == 0L)
+    // below the threshold nothing is boilerplate: minDocs=4 keeps BOILER
+    val keep = Dedup.stripBoilerplateParagraphs(df, "doc_id", "text",
+        minDocs = 4L)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(keep(1L)._2 == "u1\n\nBOILER" && keep(1L)._4 == 0L)
+    assert(keep(3L)._2 == "BOILER\n\nu3\n\nBOILER")
+  }
+
+  // ---- normalization-keyed exact dedup ----
+
+  test("normalizeText and exactNormalized: formatting variants collapse, survivor keeps original bytes") {
+    val n = Seq(" A  B\t\nC ").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).as[String].head()
+    assert(n == "a b c")
+    val df = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, " HELLO\tWORLD \n"),
+      (4L, "different"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactNormalized(df, "text", "doc_id")
+      .select("doc_id", "text", "dup_count")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 4L))
+    assert(got(1L) == ((1L, "Hello  World", 3L))) // original bytes survive
+    assert(got(4L) == ((4L, "different", 1L)))
+  }
+
+  // ---- domain-level curation ----
+
+  test("domainStats and filterByDomainQuality: integer means, mean gate, over-representation cap") {
+    val df = Seq(
+      (1L, "a.com", 10L), (2L, "a.com", 20L),
+      (3L, "b.com", 1L), (4L, "b.com", 2L),
+      (5L, "c.com", 100L),
+    ).toDF("doc_id", "host", "score")
+    val stats = TextAnalysis.domainStats(df, "host", "score")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(stats("a.com") == (("a.com", 2L, 30L, 15000000L)))
+    assert(stats("b.com") == (("b.com", 2L, 3L, 1500000L)))
+    assert(stats("c.com") == (("c.com", 1L, 100L, 100000000L)))
+    val gated = TextAnalysis.filterByDomainQuality(df, "host", "score",
+      minMeanMicro = 10000000L).select("doc_id").as[Long].collect().sorted
+    assert(gated.toSeq == Seq(1L, 2L, 5L)) // b.com vanishes entirely
+    val capped = TextAnalysis.filterByDomainQuality(df, "host", "score",
+      minMeanMicro = 0L, maxDocs = 1L).select("doc_id").as[Long].collect()
+    assert(capped.toSeq == Seq(5L)) // only the single-doc domain survives
+  }
 }
