@@ -1734,6 +1734,21 @@ object SparkEntry {
         .select("doc_id", "host", "n_chars")
         .orderBy("doc_id")
     }),
+
+    // ---- q100's production twin: the same integer bigram LM scored by
+    //      the single-pass graft_bigram_lm kernel (model as a plan
+    //      reference — zero joins, zero shuffle). Shares q100's oracle:
+    //      the two paths are value-identical by construction ----
+
+    "q105_bigram_lm_kernel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.bigramLmFit(
+        docs.filter(col("lang") === "en"), "text",
+        minBigramCount = 2L, minUnigramCount = 1L)
+      TextAnalysis.bigramLmScoreKernel(docs.select("doc_id", "text"),
+          "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB-runnable oracles, column-name-aligned with the Spark results.
@@ -2153,7 +2168,7 @@ object SparkEntry {
         |  JOIN sizes na ON na.doc_id = id_a
         |  JOIN sizes nb ON nb.doc_id = id_b)""".stripMargin
 
-    Map(
+    val base = Map(
       "q01_split_route" ->
         s"""WITH routed AS ($routedEventsSql)
            |SELECT split, count(*) AS cnt FROM routed
@@ -3783,7 +3798,9 @@ object SparkEntry {
       // The integer bigram LM refit and rescored from scratch: same
       // tokenizer, same add-one arithmetic in BIGINT micro-units, same
       // pruning thresholds — floor division replays exactly because
-      // both engines divide nonnegative integers.
+      // both engines divide nonnegative integers. Shared verbatim with
+      // q105 (the single-pass kernel path): both engine formulations
+      // are value-identical by construction, so one SQL proves both.
       "q100_bigram_lm" ->
         """WITH toks AS (
           |  SELECT doc_id, lang,
@@ -3902,5 +3919,9 @@ object SparkEntry {
             |WHERE host IN (SELECT host FROM pass)
             |ORDER BY doc_id""".stripMargin),
     )
+    // q105 is q100's single-pass-kernel twin — the two engine paths are
+    // value-identical by construction, so ONE oracle SQL proves both
+    // (the q71/q78 shared-oracle precedent).
+    base + ("q105_bigram_lm_kernel" -> base("q100_bigram_lm"))
   }
 }

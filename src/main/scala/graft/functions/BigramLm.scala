@@ -1,0 +1,117 @@
+package graft.functions
+
+import java.util.Arrays
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fitted bigram language model for the single-pass scoring kernel
+  * [[BigramLmOf]]: the pruned unigram/bigram count tables keyed by
+  * 64-bit token hashes (Spark's XXH64, seed 42 — the same hash
+  * [[SketchOps.tokenHashes]] produces, so the fit and the scan can
+  * never disagree about a token), held as SORTED parallel arrays and
+  * probed by binary search. Bigram keys chain the two token hashes
+  * through `XXH64.hashLong(h2, seed = h1)` — order-sensitive, so
+  * (a,b) and (b,a) never alias.
+  *
+  * This is the production twin of the exact string-keyed broadcast-join
+  * formulation (`TextAnalysis.bigramLmScore`): identical arithmetic on
+  * 64-bit-hashed keys instead of strings. A hash collision inside the
+  * pruned vocabulary could merge two counts; at realistic model sizes
+  * (≤2^22 entries) the birthday bound puts any collision at ~1e-6 —
+  * and a collision perturbs one smoothed count, it does not corrupt
+  * the scan. The join formulation remains the external-replay path
+  * (exactly the [[SketchOps.linearScore]] xx64-vs-md5 split).
+  */
+final class BigramLmModel(val uniKeys: Array[Long], val uniCounts: Array[Long],
+                          val biKeys: Array[Long], val biCounts: Array[Long],
+                          val vPlus1: Long) extends Serializable {
+  require(uniKeys.length == uniCounts.length, "unigram arrays misaligned")
+  require(biKeys.length == biCounts.length, "bigram arrays misaligned")
+  require(vPlus1 >= 1L, "vPlus1 must be >= 1")
+
+  /** One-pass score: token-hash the text ([[SketchOps.tokenHashes]]),
+    * then for each adjacent pair accumulate
+    * `(1e6 * (c12 + 1)) / (c1 + vPlus1)` in long arithmetic (operands
+    * nonnegative, so truncating division IS floor division — the same
+    * result the join formulation's `div` produces). Returns
+    * `[n_bigrams, score_micro]`, or null for fewer than two tokens.
+    */
+  def score(text: UTF8String): Array[Long] = {
+    val hs = SketchOps.tokenHashes(text)
+    val n = hs.length - 1
+    if (n < 1) return null
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val h1 = hs(i)
+      val bk = XXH64.hashLong(hs(i + 1), h1)
+      val ui = Arrays.binarySearch(uniKeys, h1)
+      val bi = Arrays.binarySearch(biKeys, bk)
+      val c1 = if (ui >= 0) uniCounts(ui) else 0L
+      val c12 = if (bi >= 0) biCounts(bi) else 0L
+      sum += (1000000L * (c12 + 1L)) / (c1 + vPlus1)
+      i += 1
+    }
+    Array(n.toLong, sum)
+  }
+}
+
+/** `graft_bigram_lm(text)`: single-pass bigram-LM familiarity —
+  * struct(n_bigrams, score_micro) from ONE byte-scan over the text,
+  * the fitted model riding the plan as a reference object (broadcast
+  * once per executor with the task binary, like
+  * [[ShardedBloomMightContain]]'s sketches and [[LinearScoreOf]]'s
+  * weights). Zero joins, zero shuffle, streaming-safe by construction.
+  * Null text or fewer than two tokens → null.
+  */
+case class BigramLmOf(child: Expression, model: BigramLmModel)
+    extends UnaryExpression {
+  override def dataType: DataType = BigramLmOf.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = model.score(input.asInstanceOf[UTF8String])
+    if (a == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0), a(1)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramLmModel", model,
+      "graft.functions.BigramLmModel")
+    nullSafeCodeGen(ctx, ev, text => {
+      val arr = ctx.freshName("lmScore")
+      s"""
+         |long[] $arr = $ref.score($text);
+         |if ($arr == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[] { java.lang.Long.valueOf($arr[0]),
+         |        java.lang.Long.valueOf($arr[1]) });
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramLmOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bigram_lm"
+}
+
+object BigramLmOf {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("score_micro", LongType, nullable = false)))
+}

@@ -318,6 +318,23 @@ object GraftFunctions {
         LinearScoreOf(exprs(0), ad.toDoubleArray(),
           if (exprs.length == 3) litInt(exprs(2), "hashKind") else 0)
       }),
+    (FunctionIdentifier("graft_bigram_lm"),
+      new ExpressionInfo(classOf[BigramLmOf].getName, "graft_bigram_lm"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 6,
+          "graft_bigram_lm takes (text, uniKeys, uniCounts, biKeys, " +
+            "biCounts, vPlus1) with literal model arrays")
+        def longs(e: Expression, what: String): Array[Long] = {
+          require(e.foldable, s"graft_bigram_lm $what must be a literal " +
+            "array<long>")
+          e.eval().asInstanceOf[ArrayData].toLongArray()
+        }
+        require(exprs(5).foldable, "graft_bigram_lm vPlus1 must be a literal")
+        BigramLmOf(exprs(0), new BigramLmModel(
+          longs(exprs(1), "uniKeys"), longs(exprs(2), "uniCounts"),
+          longs(exprs(3), "biKeys"), longs(exprs(4), "biCounts"),
+          exprs(5).eval().asInstanceOf[Number].longValue()))
+      }),
   )
 
   /** Idempotent per-session registration — operator entry points call this

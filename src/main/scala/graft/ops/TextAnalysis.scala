@@ -936,6 +936,95 @@ object TextAnalysis {
       .withColumn("mean_micro", expr("score_micro div n_bigrams"))
   }
 
+  /** Fit a [[graft.functions.BigramLmModel]] for the single-pass scoring
+    * kernel: the same two pruned aggregates as [[bigramLmScore]]'s fit,
+    * COLLECTED to the driver (pruning is what makes that legal — the
+    * thresholds bound the model, and `maxEntries` fails fast if they
+    * don't) and re-keyed by the scan kernel's 64-bit token hashes.
+    * `V` is the STRING-distinct pruned vocabulary size, identical to
+    * the join formulation's; hash-collided entries (if any ever occur)
+    * merge by summing counts, deterministically.
+    */
+  def bigramLmFit(ref: DataFrame, refTextCol: String,
+                  minBigramCount: Long = 2L,
+                  minUnigramCount: Long = 1L,
+                  maxEntries: Int = 1 << 22): graft.functions.BigramLmModel = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    graft.functions.GraftFunctions.ensureRegistered(ref.sparkSession)
+    def tokHash(s: String): Long = {
+      val u = UTF8String.fromString(s)
+      XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    }
+    def mergeSorted(pairs: Array[(Long, Long)]): (Array[Long], Array[Long]) = {
+      val sorted = pairs.sortBy(_._1)
+      val keys = Array.newBuilder[Long]
+      val counts = Array.newBuilder[Long]
+      var i = 0
+      while (i < sorted.length) {
+        val k = sorted(i)._1
+        var c = sorted(i)._2
+        var j = i + 1
+        while (j < sorted.length && sorted(j)._1 == k) {
+          c += sorted(j)._2; j += 1
+        }
+        keys += k; counts += c; i = j
+      }
+      (keys.result(), counts.result())
+    }
+    val uniRows = ref
+      .select(explode(
+        call_function("graft_tokens", lower(col(refTextCol)))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minUnigramCount)
+      .collect()
+    require(uniRows.length <= maxEntries,
+      s"pruned unigram table has ${uniRows.length} entries (> $maxEntries): " +
+        "raise minUnigramCount — an n-gram LM too big to ship per-executor " +
+        "belongs in the broadcast-join formulation (bigramLmScore)")
+    val biRows = ref
+      .select(explode(bigramPairs(col(refTextCol))).as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minBigramCount)
+      .collect()
+    require(biRows.length <= maxEntries,
+      s"pruned bigram table has ${biRows.length} entries (> $maxEntries): " +
+        "raise minBigramCount — an n-gram LM too big to ship per-executor " +
+        "belongs in the broadcast-join formulation (bigramLmScore)")
+    val (uk, uc) = mergeSorted(uniRows.map(r =>
+      (tokHash(r.getString(0)), r.getLong(1))))
+    val (bk, bc) = mergeSorted(biRows.map(r =>
+      (XXH64.hashLong(tokHash(r.getString(1)), tokHash(r.getString(0))),
+        r.getLong(2))))
+    new graft.functions.BigramLmModel(uk, uc, bk, bc, uniRows.length + 1L)
+  }
+
+  /** [[bigramLmScore]]'s production twin: score with a pre-fitted
+    * [[graft.functions.BigramLmModel]] in ONE codegen'd byte-scan per
+    * document — no pair explode, no joins, no shuffle at all; the model
+    * rides the plan as a reference object shipped once per executor.
+    * Being a pure projection it streams unchanged (the structured-
+    * streaming quality gate), and at 100 TB it runs at scan bandwidth
+    * like [[hashedLinearScore]]. Same output frame and absent-under-two-
+    * tokens contract as [[bigramLmScore]]; equality of the two paths is
+    * spec-pinned (modulo 64-bit hash collisions in the model, which the
+    * kernel's scaladoc prices).
+    */
+  def bigramLmScoreKernel(docs: DataFrame, idCol: String, textCol: String,
+                          model: graft.functions.BigramLmModel): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol),
+        call_function("graft_bigram_lm", lower(col(textCol)),
+          lit(model.uniKeys), lit(model.uniCounts),
+          lit(model.biKeys), lit(model.biCounts),
+          lit(model.vPlus1)).as("__lm"))
+      .filter(col("__lm").isNotNull)
+      .select(col(idCol), col("__lm.n_bigrams").as("n_bigrams"),
+        col("__lm.score_micro").as("score_micro"))
+      .withColumn("mean_micro", expr("score_micro div n_bigrams"))
+  }
+
   // ---- normalization ------------------------------------------------------
 
   /** Dedup-key text normalization: lowercase, collapse ASCII whitespace

@@ -1920,6 +1920,36 @@ class OpsSpec extends SparkSpec {
     assert(uniPruned(3L)._3 == 333333L)
   }
 
+  test("bigramLmScoreKernel: equals the broadcast-join formulation; zero-shuffle plan") {
+    val ref = Seq((10L, "a b a b"), (11L, "a c")).toDF("doc_id", "text")
+    val targets = Seq(
+      (1L, "a b x"), (2L, "z"), (3L, "q q"),
+      (4L, "A  B a\tb"), // case+whitespace: lower() feeds both paths
+      (5L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    for ((minBi, minUni) <- Seq((2L, 1L), (3L, 1L), (2L, 2L))) {
+      val joined = TextAnalysis.bigramLmScore(targets, "doc_id", "text",
+          ref, "text", minBi, minUni)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+      val model = TextAnalysis.bigramLmFit(ref, "text", minBi, minUni)
+      val kernel = TextAnalysis.bigramLmScoreKernel(targets, "doc_id",
+          "text", model)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(kernel == joined, s"minBi=$minBi minUni=$minUni")
+    }
+    // the kernel path is one projection: no join, no exchange anywhere
+    val model = TextAnalysis.bigramLmFit(ref, "text")
+    val plan = TextAnalysis.bigramLmScoreKernel(targets, "doc_id", "text",
+      model).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"kernel scoring must be a pure projection:\n$plan")
+    // fail fast instead of collecting an unprunable model
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bigramLmFit(ref, "text", minBigramCount = 1L,
+        minUnigramCount = 1L, maxEntries = 2)
+    }
+  }
+
   test("bigramLmScore plan: pruned LM tables broadcast, target never sort-merges") {
     val ref = Seq((10L, "a b a b"), (11L, "a c")).toDF("doc_id", "text")
     val targets = Seq((1L, "a b x")).toDF("doc_id", "text")

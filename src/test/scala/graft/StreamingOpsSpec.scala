@@ -126,6 +126,32 @@ class StreamingOpsSpec extends SparkSpec {
       (2L, 2L, 0.0, 0.0)))
   }
 
+  test("bigramLmScoreKernel streams statelessly with batch parity") {
+    // the fitted model rides the plan as a reference object and the
+    // scorer is a pure projection — the stream twin IS the batch call
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ref = Seq((10L, "a b a b"), (11L, "a c")).toDF("doc_id", "text")
+    val model = graft.ops.TextAnalysis.bigramLmFit(ref, "text",
+      minBigramCount = 2L, minUnigramCount = 1L)
+    val rows = Seq((1L, "a b x"), (2L, "z"), (3L, "q q"))
+    val input = MemoryStream[(Long, String)]
+    val out = graft.ops.TextAnalysis.bigramLmScoreKernel(
+      input.toDF().toDF("id", "text"), "id", "text", model)
+    val query = out.writeStream.format("memory")
+      .queryName("lm_stream").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("lm_stream")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batch = graft.ops.TextAnalysis.bigramLmScoreKernel(
+        rows.toDF("id", "text"), "id", "text", model)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch && streamed.map(_._1) == Seq(1L, 3L))
+  }
+
   test("curationStream: score→gate→corpus-dedup→export chain equals " +
       "the batch formulation per batch") {
     implicit val sqlCtx = spark.sqlContext
