@@ -1749,6 +1749,25 @@ object SparkEntry {
           "doc_id", "text", model)
         .orderBy("doc_id")
     }),
+
+    // ---- C4-style line filter: 4-line docs built from the corpus (one
+    //      always-kept sentence, one too-short line, one data-driven
+    //      token line whose fate hangs on its last character, one
+    //      javascript line) cleaned by the rule set; the oracle replays
+    //      every keep decision line by line ----
+
+    "q106_c4_line_filter" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val built = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("Quality sentence about "), col("source"), lit(".\n"),
+          lit("too short.\n"),
+          array_join(slice(toks, lit(1), lit(12)), " "), lit("\n"),
+          lit("Please enable JavaScript to view comments.")).as("text"))
+      TextAnalysis.c4LineFilter(built, "doc_id", "text",
+          minLineWords = 3, minKeptLines = 2)
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB-runnable oracles, column-name-aligned with the Spark results.
@@ -3918,6 +3937,39 @@ object SparkEntry {
             |SELECT doc_id, host, n_chars FROM h
             |WHERE host IN (SELECT host FROM pass)
             |ORDER BY doc_id""".stripMargin),
+      // The C4 rule set replayed literally: same line split, same
+      // trimmed terminal-punct regex (RE2 ≡ Java here), same word-count
+      // and token-containment tests, same doc-level flags.
+      "q106_c4_line_filter" ->
+        """WITH toks AS (
+          |  SELECT doc_id, source,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |built AS (
+          |  SELECT doc_id,
+          |    'Quality sentence about ' || source || '.' || chr(10) ||
+          |    'too short.' || chr(10) ||
+          |    array_to_string(t[1:12], ' ') || chr(10) ||
+          |    'Please enable JavaScript to view comments.' AS text
+          |  FROM toks),
+          |k AS (
+          |  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+          |    list_filter(string_split(text, chr(10)), l ->
+          |      regexp_matches(trim(l), '[.!?"]$')
+          |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+          |        w -> len(w) > 0)) >= 3
+          |      AND NOT contains(lower(trim(l)), 'javascript')) AS kl
+          |  FROM built)
+          |SELECT doc_id,
+          |  CASE WHEN text IS NULL THEN NULL
+          |    ELSE array_to_string(kl, chr(10)) END AS text,
+          |  COALESCE(CAST(len(kl) AS BIGINT), 0) AS kept_lines,
+          |  COALESCE(CAST(len(ls) - len(kl) AS BIGINT), 0) AS dropped_lines,
+          |  COALESCE(len(kl) >= 2
+          |    AND NOT contains(lower(text), 'lorem ipsum')
+          |    AND NOT contains(text, '{'), false) AS is_kept
+          |FROM k ORDER BY doc_id""".stripMargin,
     )
     // q105 is q100's single-pass-kernel twin — the two engine paths are
     // value-identical by construction, so ONE oracle SQL proves both

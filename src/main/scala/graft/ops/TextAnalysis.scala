@@ -1040,6 +1040,66 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(lower(text), "[ \\t\\n\\r]+", " "))
 
+  // ---- C4-style line/document filtering -----------------------------------
+
+  /** The C4 cleaning pass (Raffel et al. 2020) re-expressed as one
+    * codegen'd projection: per LINE, keep only lines that end in a
+    * terminal punctuation mark (`.` `!` `?` `"`), carry at least
+    * `minLineWords` whitespace words, and contain none of
+    * `lineDropTokens` (case-insensitive — C4 drops "javascript"
+    * lines); per DOCUMENT, flag as kept only documents whose surviving
+    * line count reaches `minKeptLines` and whose FULL original text
+    * contains neither any of `docDropTokens` ("lorem ipsum") nor — with
+    * `dropCurlyBrace` — a `{` (C4's code-page heuristic).
+    *
+    * Everything is `split`/`filter`/`rlike`/`contains` over the line
+    * array inside whole-stage codegen: zero shuffles, scan-bandwidth at
+    * 100 TB, and streaming-safe by construction. The regex/string rules
+    * are restricted to the Java≡RE2 feature subset so external engines
+    * replay every keep decision.
+    *
+    * Returns one row per input document — (`idCol`, cleaned text under
+    * `textCol`, `kept_lines`, `dropped_lines`, `is_kept`); NULL-text
+    * documents keep NULL text with zero counts and `is_kept = false`.
+    */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minLineWords: Int = 3,
+                   lineDropTokens: Seq[String] = Seq("javascript"),
+                   docDropTokens: Seq[String] = Seq("lorem ipsum"),
+                   dropCurlyBrace: Boolean = true,
+                   minKeptLines: Int = 3): DataFrame = {
+    require(lineDropTokens.forall(_.nonEmpty) && docDropTokens.forall(_.nonEmpty),
+      "drop tokens must be non-empty strings")
+    val lines = split(col(textCol), "\n")
+    def lineKeep(l: Column): Column = {
+      val t = trim(l)
+      val words = size(filter(split(t, "\\s+"), w => length(w) > 0))
+      val noDrop = lineDropTokens
+        .map(tk => !lower(t).contains(lit(tk)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      t.rlike("[.!?\"]$") && words >= minLineWords && noDrop
+    }
+    val kept = filter(lines, lineKeep _)
+    val docClean = {
+      val noDrop = docDropTokens
+        .map(tk => !lower(col(textCol)).contains(lit(tk)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      if (dropCurlyBrace) noDrop && !col(textCol).contains(lit("{"))
+      else noDrop
+    }
+    df.withColumn("__kept", kept)
+      .withColumn("kept_lines",
+        coalesce(size(col("__kept")).cast("long"), lit(0L)))
+      .withColumn("dropped_lines",
+        coalesce((size(lines) - size(col("__kept"))).cast("long"), lit(0L)))
+      .withColumn("is_kept",
+        coalesce(col("kept_lines") >= minKeptLines && docClean, lit(false)))
+      .withColumn(textCol,
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(array_join(col("__kept"), "\n")))
+      .drop("__kept")
+  }
+
   // ---- domain-level curation ----------------------------------------------
 
   /** Per-domain corpus statistics: document count and mean quality in

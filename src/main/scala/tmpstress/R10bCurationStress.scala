@@ -1,0 +1,100 @@
+package graft.tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 1M-doc throughput rows for the r10 curation quartet:
+  *
+  *  - bigramLmScore: fit on a ~50k-doc reference, score 1M docs. The
+  *    1M corpus carries a UNIQUE suffix token per doc, so an unpruned
+  *    unigram table would be corpus-sized — the stress runs both
+  *    minUnigramCount=1 (worst case, still broadcastable here) and
+  *    minUnigramCount=2 (the scale configuration: the unique-token tail
+  *    vanishes from the broadcast) to price the pruning knob.
+  *  - stripBoilerplateParagraphs: 40 footer variants × 1M docs,
+  *    df-threshold far above any organic paragraph.
+  *  - exactNormalized: whitespace-mangled clones of half the corpus.
+  *  - filterByDomainQuality: 2k synthetic hosts over 1M rows.
+  *
+  * Two reps each — rep 1 carries codegen.
+  */
+object R10bCurationStress {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = base.repartition(32)
+      .crossJoin(spark.range(200).toDF("rep"))
+      .withColumn("id", col("doc_id") * 200L + col("rep"))
+      .withColumn("text", concat(col("text"), lit(" s"), col("id")))
+      .select("id", "text")
+      .cache()
+    println(s"MARKER_corpus=${corpus.count()}")
+    val ref = base.limit(5000).cache()
+    println(s"MARKER_ref=${ref.count()}")
+
+    for (r <- 1 to 2) {
+      var t0 = System.nanoTime()
+      val lm1 = graft.ops.TextAnalysis.bigramLmScore(corpus, "id", "text",
+          ref, "text", minBigramCount = 2L, minUnigramCount = 1L)
+        .agg(sum("n_bigrams"), sum("score_micro")).head()
+      println(f"MARKER_lm_unpruned$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        s"bigrams=${lm1.getLong(0)} score=${lm1.getLong(1)}")
+
+      t0 = System.nanoTime()
+      val lm2 = graft.ops.TextAnalysis.bigramLmScore(corpus, "id", "text",
+          ref, "text", minBigramCount = 2L, minUnigramCount = 2L)
+        .agg(sum("n_bigrams"), sum("score_micro")).head()
+      println(f"MARKER_lm_pruned$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        s"bigrams=${lm2.getLong(0)} score=${lm2.getLong(1)}")
+
+      t0 = System.nanoTime()
+      val model = graft.ops.TextAnalysis.bigramLmFit(ref, "text",
+        minBigramCount = 2L, minUnigramCount = 1L)
+      val fitSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val lmK = graft.ops.TextAnalysis.bigramLmScoreKernel(corpus, "id",
+          "text", model)
+        .agg(sum("n_bigrams"), sum("score_micro")).head()
+      println(f"MARKER_lm_kernel$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        f"fit=$fitSec%.1f bigrams=${lmK.getLong(0)} score=${lmK.getLong(1)}")
+
+      t0 = System.nanoTime()
+      val boiler = corpus.withColumn("text",
+        concat_ws("\n\n", col("text"),
+          concat(lit("Subscribe to src"), pmod(col("id"), lit(40)),
+            lit(" today!"))))
+      val st = graft.ops.Dedup.stripBoilerplateParagraphs(boiler, "id",
+          "text", minDocs = 1000L)
+        .agg(sum("kept_paras"), sum("dropped_paras")).head()
+      println(f"MARKER_boiler$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        s"kept=${st.getLong(0)} dropped=${st.getLong(1)}")
+
+      t0 = System.nanoTime()
+      val mangled = corpus.filter(pmod(col("id"), lit(2)) === 0)
+        .select((col("id") + 10000000L).as("id"),
+          concat(lit("  "), regexp_replace(col("text"), " ", "  "),
+            lit(" \t\n")).as("text"))
+      val nd = graft.ops.Dedup.exactNormalized(
+        corpus.unionByName(mangled), "text", "id")
+      println(f"MARKER_normdedup$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        s"survivors=${nd.count()}")
+
+      t0 = System.nanoTime()
+      val hosts = corpus.withColumn("host",
+          concat(lit("h"), pmod(col("id"), lit(2000)), lit(".example.org")))
+        .withColumn("score", octet_length(col("text")).cast("long"))
+      val dg = graft.ops.TextAnalysis.filterByDomainQuality(hosts, "host",
+        "score", minMeanMicro = 0L, maxDocs = 500L)
+      println(f"MARKER_domain$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        s"kept=${dg.count()}")
+    }
+    spark.stop()
+  }
+}

@@ -2006,6 +2006,41 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) == ((4L, "different", 1L)))
   }
 
+  // ---- C4-style line filter ----
+
+  test("c4LineFilter: terminal-punct/word-count/token line rules, doc flags, NULL text") {
+    val df = Seq(
+      (1L, "Good long sentence here.\nno punct line at all\nAnother fine sentence!"),
+      (2L, "Enable JAVASCRIPT to proceed.\nShort.\nA quoted ending works \""),
+      (3L, "This page uses { braces } everywhere.\nSecond good sentence here.\nThird good sentence here."),
+      (4L, "Contains Lorem Ipsum filler text.\nSecond good sentence here.\nThird good sentence here."),
+      (5L, null.asInstanceOf[String]),
+      (6L, "Only one good sentence survives here."),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineFilter(df, "doc_id", "text",
+        minLineWords = 3, minKeptLines = 2)
+      .select("doc_id", "text", "kept_lines", "dropped_lines", "is_kept")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: middle line lacks terminal punct → dropped
+    assert(got(1L) == ((1L,
+      "Good long sentence here.\nAnother fine sentence!", 2L, 1L, true)))
+    // doc 2: javascript (case-insensitive) and a 1-word line drop; the
+    // quote-terminal line survives
+    assert(got(2L) == ((2L, "A quoted ending works \"", 1L, 2L, false)))
+    // docs 3/4: lines pass but the doc-level flags kill them
+    assert(got(3L)._3 == 3L && !got(3L)._5) // '{' in original text
+    assert(got(4L)._3 == 3L && !got(4L)._5) // lorem ipsum
+    assert(got(5L) == ((5L, null, 0L, 0L, false)))
+    assert(got(6L) == ((6L,
+      "Only one good sentence survives here.", 1L, 0L, false))) // < minKeptLines
+    // plan: one projection, no shuffle
+    val plan = TextAnalysis.c4LineFilter(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"line filter must be a pure projection:\n$plan")
+  }
+
   // ---- domain-level curation ----
 
   test("domainStats and filterByDomainQuality: integer means, mean gate, over-representation cap") {
