@@ -56,6 +56,15 @@ object Fs {
     ()
   }
 
+  /** Directory rename (same filesystem). Returns the FS verdict; callers
+    * that need the move MUST check it — a silent false would strand a
+    * tmp directory and leave the destination missing.
+    */
+  def rename(src: String, dst: String): Boolean = {
+    val s = new Path(src)
+    fsFor(s).rename(s, new Path(dst))
+  }
+
   /** Write a small text artifact (create-or-overwrite, UTF-8). */
   def writeString(path: String, content: String): Unit = {
     val p = new Path(path)

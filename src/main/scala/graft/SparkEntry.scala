@@ -1756,6 +1756,30 @@ object SparkEntry {
     //      javascript line) cleaned by the rule set; the oracle replays
     //      every keep decision line by line ----
 
+    // ---- incremental BM25 index maintenance: build on two-thirds of
+    //      the corpus, APPEND the rest, probe — the split df/stats
+    //      layout keeps every existing term's idf honest, so the result
+    //      is score-identical to a from-scratch build and q71's oracle
+    //      replays it over the full corpus ----
+
+    "q107_bm25_append" -> ((s, dir) => {
+      val art = tmpDir("graft-bm25-append")
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25ArtifactsSave(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text",
+        art)
+      TextAnalysis.bm25ArtifactsAppend(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text",
+        art)
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      TextAnalysis.bm25TopKPersisted(s, art, queries, "qid", "qtext",
+          k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     "q106_c4_line_filter" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       val built = t(s, dir, "documents").select(col("doc_id"),
@@ -3598,6 +3622,10 @@ object SparkEntry {
       // scoring replayed from the persisted artifact is fixed-point
       // identical to the live path — the SAME oracle proves both
       "q78_bm25_persisted" -> bm25Sql,
+      // append-then-probe is score-identical to the from-scratch build
+      // by construction (the split-df layout's whole point), so the
+      // same full-corpus SQL proves the append path too
+      "q107_bm25_append" -> bm25Sql,
 
 
       // Sharded-Bloom routing is result-identical to plain incremental

@@ -608,35 +608,95 @@ object TextAnalysis {
     * ([[bm25TopKPersisted]]), never the corpus-sized index build that
     * [[bm25TopK]] re-runs per call.
     *
-    * Layout under `path`:
-    *  - `postings/`: one row per (term, doc) with the term's doc
-    *    frequency and the doc's token length DENORMALIZED in
-    *    (`__t, __doc, __tf, __df, __dl`) — scoring needs no join against
-    *    any other corpus-sized frame. Range-partitioned and sorted by
+    * Layout under `path` (per-doc facts live WITH the posting; per-TERM
+    * and GLOBAL facts live in their own small tables — the split is what
+    * makes [[bm25ArtifactsAppend]] possible, because appending documents
+    * changes every existing term's doc frequency and the global stats,
+    * but never an existing posting row):
+    *  - `postings/`: one row per (term, doc) — (`__t, __doc, __tf,
+    *    __dl`), the term count and the doc's token length (per-doc
+    *    facts, append-stable). Range-partitioned and sorted by
     *    (`__t, __doc`), so every parquet row group covers a narrow term
     *    range and a probe's term-literal pushdown skips the rest of the
     *    corpus at the scan.
+    *  - `df/`: one row per term (`__t, __df`) — term-cardinality-sized
+    *    (bounded by vocabulary, not corpus), rewritten on append.
     *  - `stats/`: one row (`n_docs`, `total_tokens`) — the global
     *    statistics BM25's idf and length normalization need.
     */
   def bm25ArtifactsSave(docs: DataFrame, idCol: String, textCol: String,
                         path: String): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val dl = docs.select(col(idCol).as("__doc"),
-      coalesce(call_function("graft_token_count", lower(col(textCol))),
-        lit(0L)).as("__dl"))
-    val tf = docs.select(col(idCol).as("__doc"),
-        explode(call_function("graft_tokens", lower(col(textCol))))
-          .as("__t"))
-      .groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
-    val dfT = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    tf.join(dfT, Seq("__t"))
-      .join(dl, Seq("__doc"))
+    val dl = bm25DocLengths(docs, idCol, textCol)
+    val tf = bm25TermCounts(docs, idCol, textCol)
+    tf.join(dl, Seq("__doc"))
       .repartitionByRange(col("__t"), col("__doc"))
       .sortWithinPartitions("__t", "__doc")
       .write.mode("overwrite").parquet(s"$path/postings")
+    tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+      .write.mode("overwrite").parquet(s"$path/df")
     dl.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("__dl")), lit(0L)).as("total_tokens"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  private def bm25DocLengths(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    docs.select(col(idCol).as("__doc"),
+      coalesce(call_function("graft_token_count", lower(col(textCol))),
+        lit(0L)).as("__dl"))
+
+  private def bm25TermCounts(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    docs.select(col(idCol).as("__doc"),
+        explode(call_function("graft_tokens", lower(col(textCol))))
+          .as("__t"))
+      .groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
+
+  /** Append a document batch to a persisted [[bm25ArtifactsSave]] index
+    * without re-reading the corpus — the BM25 twin of
+    * [[graft.ops.Similarity.ivfIndexAppend]] and the digest-artifact
+    * ingest paths. The batch's postings land as NEW files under
+    * `postings/` (their own (`__t, __doc`) range layout — pushdown still
+    * prunes per file); the term-cardinality `df/` table and the one-row
+    * `stats/` are the only artifacts REWRITTEN, because they are the
+    * only ones whose values change when documents arrive. The `df/`
+    * rewrite goes through a tmp-dir + rename swap so a failure mid-merge
+    * leaves the old table readable, never a half-written one.
+    *
+    * Correctness note: this is exactly why the layout keeps `__df` OUT
+    * of the posting rows — an appended corpus changes every existing
+    * term's doc frequency, and a denormalized `__df` would go silently
+    * stale (the probe would score old documents with old idf). The
+    * append-then-probe result is spec-pinned equal to a from-scratch
+    * build over the union corpus, score-for-score.
+    */
+  def bm25ArtifactsAppend(docs: DataFrame, idCol: String, textCol: String,
+                          path: String): Unit = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val spark = docs.sparkSession
+    val dl = bm25DocLengths(docs, idCol, textCol)
+    val tf = bm25TermCounts(docs, idCol, textCol)
+    tf.join(dl, Seq("__doc"))
+      .repartitionByRange(col("__t"), col("__doc"))
+      .sortWithinPartitions("__t", "__doc")
+      .write.mode("append").parquet(s"$path/postings")
+    // read old stats BEFORE overwriting (head() materializes the row)
+    val st = spark.read.parquet(s"$path/stats").head()
+    val bs = dl.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
+    val merged = spark.read.parquet(s"$path/df")
+      .unionByName(tf.groupBy("__t").agg(count(lit(1)).as("__df")))
+      .groupBy("__t").agg(sum(col("__df")).as("__df"))
+    val tmp = s"$path/df_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    graft.Fs.deleteRecursively(s"$path/df")
+    require(graft.Fs.rename(tmp, s"$path/df"),
+      s"failed to move merged df table into place at $path/df")
+    import spark.implicits._
+    Seq((st.getAs[Long]("n_docs") + bs.getAs[Long]("n"),
+        st.getAs[Long]("total_tokens") + bs.getAs[Long]("t")))
+      .toDF("n_docs", "total_tokens")
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
@@ -672,15 +732,22 @@ object TextAnalysis {
     val termSample = qt.select("__t").distinct()
       .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
     val postings0 = spark.read.parquet(s"$path/postings")
-    val postings1 =
+    val postings =
       if (termSample.length <= maxPushdownTerms)
         postings0.where(col("__t").isin(termSample.toIndexedSeq: _*))
       else postings0
-    // same stop-term guard as bm25TopK: over-cap terms contribute nothing
-    val postings =
-      if (maxTermDocFreq <= 0L) postings1
-      else postings1.filter(col("__df") <= maxTermDocFreq)
-    bm25ScoreAndRank(postings.join(broadcast(qt), Seq("__t")),
+    // per-term doc frequencies come from the split df/ table (the layout
+    // that keeps appends honest): bounded to the query vocabulary by a
+    // broadcast semi-ish join before touching the postings, with the
+    // stop-term guard applied where the df rows live
+    val dfQ0 = spark.read.parquet(s"$path/df")
+      .join(broadcast(qt.select("__t").distinct()), Seq("__t"))
+    val dfQ =
+      if (maxTermDocFreq <= 0L) dfQ0
+      else dfQ0.filter(col("__df") <= maxTermDocFreq)
+    bm25ScoreAndRank(
+      postings.join(broadcast(qt), Seq("__t"))
+        .join(broadcast(dfQ), Seq("__t")),
       nDocs, avgdl, k, k1, b)
   }
 

@@ -1357,6 +1357,52 @@ class OpsSpec extends SparkSpec {
       s"expected NO term pushdown past the cap in:\n$fbPlan")
   }
 
+  test("bm25ArtifactsAppend: append-then-probe equals the from-scratch union build") {
+    // "spark" lives in BOTH halves: its df changes when the batch lands,
+    // so the probe scoring base docs with a stale idf would diverge —
+    // the exact failure the split-df layout exists to prevent
+    val base = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark engine overview text"),
+      (3L, "the the the filler filler"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, "spark"),
+      (5L, ""),
+      (6L, "engine room text filler overview"),
+    ).toDF("doc_id", "text")
+    val qs = Seq((7L, "spark engine"), (8L, "filler text"))
+      .toDF("qid", "qtext")
+    val art = tmpDir("bm25append")
+    TextAnalysis.bm25ArtifactsSave(base, "doc_id", "text", art)
+    TextAnalysis.bm25ArtifactsAppend(batch, "doc_id", "text", art)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    val live = canon(TextAnalysis.bm25TopK(base.unionByName(batch),
+      "doc_id", "text", qs, "qid", "qtext", k = 10))
+    assert(canon(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10)) == live)
+    // global stats merged exactly (zero-token doc 5 counts in n_docs)
+    val st = spark.read.parquet(s"$art/stats").head()
+    assert(st.getAs[Long]("n_docs") == 6L)
+    assert(st.getAs[Long]("total_tokens") == 4L + 4L + 5L + 1L + 0L + 5L)
+    // df table merged, not duplicated: one row per term
+    val dfT = spark.read.parquet(s"$art/df")
+    assert(dfT.count() == dfT.select("__t").distinct().count())
+    // a second append keeps compounding correctly
+    TextAnalysis.bm25ArtifactsAppend(
+      Seq((9L, "spark filler")).toDF("doc_id", "text"),
+      "doc_id", "text", art)
+    val live2 = canon(TextAnalysis.bm25TopK(
+      base.unionByName(batch).unionByName(
+        Seq((9L, "spark filler")).toDF("doc_id", "text")),
+      "doc_id", "text", qs, "qid", "qtext", k = 10))
+    assert(canon(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10)) == live2)
+  }
+
   test("semanticDuplicates: within-cluster pairs only, cap drops coarse clusters") {
     // two tight direction families (x-ish, y-ish) + centroids on the axes;
     // scaled vectors are semantic duplicates (cosine is scale-invariant)
