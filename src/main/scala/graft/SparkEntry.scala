@@ -1780,6 +1780,48 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- perceptual near-dup over image BYTES: aHash + banded Hamming
+    //      join over block-pattern PNG fixtures whose aHash recovers a
+    //      chosen 64-bit pattern EXACTLY (2×2 white/black blocks at
+    //      16×16 → the 8×8 mean threshold reads the pattern back), so
+    //      the expected pairs are constructed: byte-identical clones at
+    //      hamming 0 and one crafted 3-bit-band near-dup. No DuckDB
+    //      oracle can decode images (q40 precedent) — hash semantics
+    //      are golden-spec'd on the reference JPEGs; this row is the
+    //      rows-only distributed-path check ----
+
+    "q108_image_phash_dups" -> ((s, dir) => {
+      val base = new java.io.File(tmpDir("graft-phash"))
+      // pairwise-distant patterns + img1's 3-bit neighbor (band 0)
+      val patterns: Seq[(String, Long)] = Seq(
+        "img1" -> 0x0123456789ABCDEFL,
+        "img2" -> 0xF0E1D2C3B4A59687L,
+        "img3" -> 0x00FF00FF00FF00FFL,
+        "img4" -> 0x5A5A5A5AA5A5A5A5L,
+        "near1" -> (0x0123456789ABCDEFL ^ 0x7L),
+      )
+      patterns.foreach { case (name, p) =>
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (cy <- 0 until 8; cx <- 0 until 8) {
+          val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255 else 0
+          for (dy <- 0 until 2; dx <- 0 until 2)
+            img.getRaster.setSample(cx * 2 + dx, cy * 2 + dy, 0, v)
+        }
+        javax.imageio.ImageIO.write(img, "png",
+          new java.io.File(base, s"$name.png"))
+      }
+      val imgs = s.read.format("binaryFile")
+        .load(base.getAbsolutePath + "/*.png")
+        .select(regexp_extract(col("path"), "/([^/]+)\\.png$", 1)
+          .as("img_id"), col("content"))
+      val cloned = imgs.select(
+        concat(lit("copy-"), col("img_id")).as("img_id"), col("content"))
+      Multimodal.imageNearDuplicates(imgs.unionByName(cloned), "img_id",
+          "content")
+        .orderBy("id_a", "id_b")
+    }),
+
     "q106_c4_line_filter" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       val built = t(s, dir, "documents").select(col("doc_id"),

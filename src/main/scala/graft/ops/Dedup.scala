@@ -1011,18 +1011,35 @@ object Dedup {
                         maxDistance: Int = 3, hashKind: Int = 0): DataFrame = {
     val sig = simhashSignatures(df, idCol, textCol, hashKind)
       .transform(tracked)
+    hammingDuplicates(sig, idCol, "simhash", maxDistance)
+  }
+
+  /** Generic 64-bit-signature Hamming near-dup pairs — the banding join
+    * [[simhashDuplicates]] runs, usable on ANY 64-bit signature column
+    * (SimHash, [[graft.ops.Multimodal.perceptualHashStage]]'s image
+    * aHash, …). Signatures split into 4 × 16-bit bands; by pigeonhole a
+    * pair within Hamming distance ≤ 3 agrees EXACTLY on at least one
+    * band, so the band-equality join is a complete candidate generator
+    * for the default distance (for `maxDistance` > 3 it becomes
+    * approximate — documented, same trade as every LSH path). One
+    * explode to 4 rows per signature, one hash-keyed self-join on
+    * (band, bucket), verification inline via `bit_count(a XOR b)`.
+    * Returns (id_a, id_b, hamming), each pair once.
+    */
+  def hammingDuplicates(df: DataFrame, idCol: String, sigCol: String,
+                        maxDistance: Int = 3): DataFrame = {
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+        shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
     }
-    val banded = sig
-      .select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col("simhash"),
+    val banded = df
+      .select(col(idCol), col(sigCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col(sigCol),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.select(col(idCol).as("id_a"),
-      col("simhash").as("sim_a"), col("band"), col("bucket"))
+      col(sigCol).as("sim_a"), col("band"), col("bucket"))
     val b = banded.select(col(idCol).as("id_b"),
-      col("simhash").as("sim_b"), col("band").as("band_b"),
+      col(sigCol).as("sim_b"), col("band").as("band_b"),
       col("bucket").as("bucket_b"))
     a.join(b, a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
         a("id_a") < b("id_b"))

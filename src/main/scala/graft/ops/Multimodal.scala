@@ -278,6 +278,82 @@ object Multimodal {
         i => pmod(i, lit(stride)) === 0),
       1, maxFrames)
 
+  // ---- perceptual image hashing -------------------------------------------
+
+  /** 64-bit average-hash (aHash) of a still image: ImageIO decode →
+    * 8×8 bilinear luma resample → each cell compared against the integer
+    * mean (strictly greater → bit set, bit i = cell i row-major). Images
+    * that are re-encodes, resizes, or small edits of each other land
+    * within a few bits — the image twin of SimHash, and the signature
+    * [[imageNearDuplicates]] bands. None for null/undecodable payloads.
+    *
+    * Determinism: a pure function of the payload bytes on a given JDK
+    * (ImageIO decode + `Graphics2D` bilinear resampling are
+    * implementation-stable but not specified cross-JDK) — which is why
+    * the hash is golden-spec'd rather than SQL-oracle'd; transcode
+    * invariance (decode → lossless PNG → decode) IS exact and asserted.
+    */
+  def aHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val small = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 8, 8, null)
+    } finally g.dispose()
+    val px = new Array[Int](64)
+    small.getRaster.getPixels(0, 0, 8, 8, px)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += px(i); i += 1 }
+    val mean = sum / 64L
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (px(i) > mean) bits |= 1L << i; i += 1 }
+    Some(bits)
+  }
+
+  /** Append the [[aHash]] signature as a nullable long column — the same
+    * per-partition batch stage shape as [[decodeStage]] (decode work
+    * stays off the driver and off the shuffle; the output is 8 bytes a
+    * row no matter the payload size).
+    */
+  def perceptualHashStage(df: DataFrame, binaryCol: String,
+                          outCol: String = "phash"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"missing column $binaryCol")
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        Row.fromSeq(row.toSeq :+
+          aHash(row.getAs[Array[Byte]](binIdx)).map(Long.box).orNull)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Near-duplicate image pairs by perceptual-hash Hamming distance:
+    * [[perceptualHashStage]] (one decode pass, 8-byte signatures) →
+    * [[graft.ops.Dedup.hammingDuplicates]]' banded self-join — complete
+    * for `maxDistance` ≤ 3 by pigeonhole, and the only thing that ever
+    * shuffles is (id, signature, band): the image bytes stay in the
+    * scan. Undecodable payloads can never pair. Returns
+    * (id_a, id_b, hamming).
+    */
+  def imageNearDuplicates(df: DataFrame, idCol: String, binaryCol: String,
+                          maxDistance: Int = 3): DataFrame =
+    Dedup.hammingDuplicates(
+      perceptualHashStage(df, binaryCol)
+        .filter(col("phash").isNotNull)
+        .select(col(idCol), col("phash")),
+      idCol, "phash", maxDistance)
+
   /** Size-bucketed repartition: media rows are heavily skewed by payload
     * size; bucketing by log2(size) before a heavy decode balances
     * executors (the plan-shape piece of the scale story).

@@ -55,6 +55,30 @@ class GoldenImageSpec extends SparkSpec {
     }
   }
 
+  test("reference JPEGs: aHash is transcode-invariant and separates the photos") {
+    // lossless transcode invariance is EXACT: decode → PNG → decode
+    // yields the identical raster, so the identical hash (the property
+    // a perceptual near-dup pass needs from format churn in a crawl)
+    val hashes = golden.map { case (rel, _, _, _) =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        new File(imagesDir, rel).toPath)
+      val h = graft.ops.Multimodal.aHash(bytes)
+      assert(h.nonEmpty, s"$rel failed to hash")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      assert(graft.ops.Multimodal.aHash(bos.toByteArray) == h,
+        s"$rel hash changed under lossless transcode")
+      rel -> h.get
+    }
+    // six distinct photographs: all pairwise distinct signatures, and no
+    // cross-photo pair within the near-dup band distance
+    assert(hashes.map(_._2).distinct.size == golden.size)
+    for (Seq((ra, a), (rb, b)) <- hashes.combinations(2))
+      assert(java.lang.Long.bitCount(a ^ b) > 3, s"$ra vs $rb too close")
+  }
+
   test("reference JPEG encode→decode round-trips the raster bit-exactly") {
     val conf = spark.sparkContext.hadoopConfiguration
     val rel = "VALIDATION/goat/goat-320x320-2.jpg" // smallest fixture

@@ -2052,6 +2052,65 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) == ((4L, "different", 1L)))
   }
 
+  // ---- perceptual image hashing ----
+
+  test("aHash: constructed extremes, stage null routing, near-dup pairs") {
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // top half black / bottom half white at native 8x8: mean (0*32 +
+    // 255*32)/64 = 127, so exactly the white cells (indices 32..63) set
+    val split8 = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      split8.getRaster.setSample(x, y, 0, if (y < 4) 0 else 255)
+    assert(Multimodal.aHash(png(split8)).contains(0xFFFFFFFF00000000L))
+    // uniform image: no cell exceeds the mean → hash 0
+    val flat = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      flat.getRaster.setSample(x, y, 0, 200)
+    assert(Multimodal.aHash(png(flat)).contains(0L))
+    // 2x nearest-neighbor upscale = uniform 2x2 blocks → the bilinear
+    // resample reproduces the original cells near-exactly
+    val up = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      up.getRaster.setSample(x, y, 0, if (y < 8) 0 else 255)
+    val d = java.lang.Long.bitCount(
+      Multimodal.aHash(png(up)).get ^ 0xFFFFFFFF00000000L)
+    assert(d <= 4, s"upscaled twin drifted $d bits")
+    // undecodable payloads hash to null in the stage and never pair
+    val rows = Seq(
+      (1L, png(split8)), (2L, png(split8)), // exact clones
+      (3L, png(flat)),
+      (4L, "not an image".getBytes("UTF-8")),
+      (5L, null.asInstanceOf[Array[Byte]]),
+    ).toDF("img_id", "payload")
+    val hashed = Multimodal.perceptualHashStage(rows, "payload")
+      .select("img_id", "phash").as[(Long, Option[Long])].collect().toMap
+    assert(hashed(4L).isEmpty && hashed(5L).isEmpty)
+    assert(hashed(1L) == hashed(2L) && hashed(1L).nonEmpty)
+    val pairs = Multimodal.imageNearDuplicates(rows, "img_id", "payload")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L))) // clones pair; flat is far; junk absent
+  }
+
+  test("hammingDuplicates: banding is complete to distance 3, boundary exact") {
+    // base signature plus variants: 3 bits flipped inside ONE band
+    // (candidate via the other three bands, hamming 3 → kept), 4 bits
+    // flipped one per band (no band agrees → structurally absent even
+    // though hamming 4 would also fail the distance filter)
+    val base = 0x0123456789ABCDEFL
+    val in3 = base ^ 0x7L            // 3 low bits, all in band 0
+    val spread4 = base ^ 0x0001000100010001L // one bit in each band
+    val sigs = Seq((1L, base), (2L, in3), (3L, spread4))
+      .toDF("id", "sig")
+    val got = Dedup.hammingDuplicates(sigs, "id", "sig", maxDistance = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L)))
+  }
+
   // ---- C4-style line filter ----
 
   test("c4LineFilter: terminal-punct/word-count/token line rules, doc flags, NULL text") {
