@@ -549,4 +549,35 @@ class PropertySpec extends SparkSpec {
         assert(got == want)
     }
   }
+
+  test("property: bigram LM kernel equals the broadcast-join formulation " +
+      "on generated corpora and pruning settings") {
+    // small alphabet forces real count collisions (shared unigrams and
+    // bigrams across docs) so the smoothed arithmetic is exercised, not
+    // just the OOV floor; whitespace junk exercises tokenizer parity
+    val word: Gen[String] = Gen.oneOf("aa", "bb", "cc", "dd", "e")
+    val doc: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> word, 2 -> Gen.oneOf(" ", "\t", "\n"))).map(_.mkString(" "))
+    val corpus: Gen[(List[String], List[String], Long, Long)] = for {
+      refDocs <- Gen.nonEmptyListOf(doc)
+      targets <- Gen.nonEmptyListOf(doc)
+      minBi <- Gen.choose(1L, 3L)
+      minUni <- Gen.choose(1L, 3L)
+    } yield (refDocs, targets, minBi, minUni)
+    forAll(corpus, n = 8) { case (refDocs, targets, minBi, minUni) =>
+      val ref = refDocs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val tgt = targets.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val joined = TextAnalysis.bigramLmScore(tgt, "doc_id", "text",
+          ref, "text", minBi, minUni)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+      val model = TextAnalysis.bigramLmFit(ref, "text", minBi, minUni)
+      val kernel = TextAnalysis.bigramLmScoreKernel(tgt, "doc_id", "text",
+          model)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(kernel == joined,
+        s"minBi=$minBi minUni=$minUni ref=$refDocs targets=$targets")
+    }
+  }
 }
