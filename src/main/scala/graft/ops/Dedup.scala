@@ -1014,39 +1014,95 @@ object Dedup {
     hammingDuplicates(sig, idCol, "simhash", maxDistance)
   }
 
-  /** Generic 64-bit-signature Hamming near-dup pairs — the banding join
-    * [[simhashDuplicates]] runs, usable on ANY 64-bit signature column
-    * (SimHash, [[graft.ops.Multimodal.perceptualHashStage]]'s image
-    * aHash, …). Signatures split into 4 × 16-bit bands; by pigeonhole a
-    * pair within Hamming distance ≤ 3 agrees EXACTLY on at least one
-    * band, so the band-equality join is a complete candidate generator
-    * for the default distance (for `maxDistance` > 3 it becomes
-    * approximate — documented, same trade as every LSH path). One
-    * explode to 4 rows per signature, one hash-keyed self-join on
-    * (band, bucket), verification inline via `bit_count(a XOR b)`.
-    * Returns (id_a, id_b, hamming), each pair once.
+  /** Generic 64-bit-signature Hamming near-dup pairs — the candidate
+    * join [[simhashDuplicates]] runs, usable on ANY 64-bit signature
+    * column (SimHash, [[graft.ops.Multimodal.perceptualHashStage]]'s
+    * image aHash, …). Returns (id_a, id_b, hamming), each pair once,
+    * id_a < id_b. Null signatures never pair.
+    *
+    * Two stages, both chosen for the 100-TB shape:
+    *
+    * 1. **Exact-dup collapse.** The join runs over DISTINCT signatures
+    *    only; identical signatures (hamming 0 — re-encoded images, byte-
+    *    identical boilerplate docs) pair through a plain sig-equality
+    *    self-join and never enter the banded explode. On dup-heavy
+    *    corpora (the reason a dedup op is running at all) this shrinks
+    *    the candidate stage by the duplication factor.
+    *
+    * 2. **Multi-block candidate keys** (the simhash paper's multi-index:
+    *    Manku/Jain/Sarma, "Detecting Near-Duplicates for Web Crawling",
+    *    WWW'07 §3). The 64 bits split into 6 blocks (11,11,11,11,10,10
+    *    bits); a pair within Hamming distance d ≤ 3 has ≥ 3 clean
+    *    blocks, so it agrees exactly on at least one of the C(6,3)=20
+    *    block TRIPLES — each triple concatenates to a ~33-bit key.
+    *    Complete for `maxDistance` ≤ 3 (approximate above — documented,
+    *    same trade as every LSH path). The wide key is the scale point:
+    *    the earlier 4×16-bit banding is complete for the same d ≤ 3 but
+    *    keys carry only 16 bits, so uniform-random corpora generate
+    *    ~4·N²/2¹⁶ accidental candidates — ~6×10⁹ at N=10M. The
+    *    20-triple index pays 5× the exploded rows for ~2⁻¹⁷ of the
+    *    accidental candidates (~20·N²/2³³). `scheme = "bands"` keeps
+    *    the narrow-key shape for tiny corpora where the explode
+    *    dominates; output is identical (both schemes are complete,
+    *    verification is exact either way).
     */
   def hammingDuplicates(df: DataFrame, idCol: String, sigCol: String,
-                        maxDistance: Int = 3): DataFrame = {
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xffffL)).as("bucket"))
+                        maxDistance: Int = 3,
+                        scheme: String = "blocks"): DataFrame = {
+    require(scheme == "blocks" || scheme == "bands",
+      s"unknown candidate scheme '$scheme' (expected blocks | bands)")
+    val ids = df.select(col(idCol), col(sigCol))
+      .filter(col(sigCol).isNotNull)
+    val sigs = ids.select(sigCol).distinct()
+    val keyCols: Seq[Column] = scheme match {
+      case "bands" =>
+        (0 until 4).map { b =>
+          struct(lit(b).as("t"),
+            shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xffffL))
+              .as("key"))
+        }
+      case _ =>
+        // blocks at bit offsets 0,11,22,33,44,54 (widths 11×4, 10×2);
+        // triple (i<j<k) packs exactly (≤33 bits), no hashing — a key
+        // collision would only add candidates, but exact packing keeps
+        // the candidate math honest
+        val off = Seq(0, 11, 22, 33, 44, 54)
+        val w = Seq(11, 11, 11, 11, 10, 10)
+        val block = (i: Int) =>
+          shiftright(col(sigCol), off(i)).bitwiseAND(lit((1L << w(i)) - 1))
+        (0 until 6).combinations(3).zipWithIndex.map { case (t, n) =>
+          struct(lit(n).as("t"),
+            shiftleft(block(t(0)), 22).bitwiseOR(shiftleft(block(t(1)), 11))
+              .bitwiseOR(block(t(2))).as("key"))
+        }.toSeq
     }
-    val banded = df
-      .select(col(idCol), col(sigCol), explode(array(bandCols: _*)).as("bb"))
-      .select(col(idCol), col(sigCol),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.select(col(idCol).as("id_a"),
-      col(sigCol).as("sim_a"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"),
-      col(sigCol).as("sim_b"), col("band").as("band_b"),
-      col("bucket").as("bucket_b"))
-    a.join(b, a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
-        a("id_a") < b("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("sim_a"), col("sim_b")).cast("long").as("hamming"))
-      .distinct()
+    val keyed = sigs
+      .select(col(sigCol), explode(array(keyCols: _*)).as("kk"))
+      .select(col(sigCol), col("kk.t").as("t"), col("kk.key").as("key"))
+    val a = keyed.select(col(sigCol).as("sig_a"), col("t"), col("key"))
+    val b = keyed.select(col(sigCol).as("sig_b"), col("t").as("t_b"),
+      col("key").as("key_b"))
+    val sigPairs = a
+      .join(b, a("t") === b("t_b") && a("key") === b("key_b") &&
+        a("sig_a") < b("sig_b"))
+      .select(col("sig_a"), col("sig_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= maxDistance)
+      .distinct()
+    val la = ids.select(col(idCol).as("__ia"), col(sigCol).as("sig_a"))
+    val lb = ids.select(col(idCol).as("__ib"), col(sigCol).as("sig_b"))
+    // id order is independent of signature order, so cross-sig pairs
+    // re-canonicalize on ids; each unordered id pair appears exactly
+    // once (sig pairs are canonical and each id has one signature)
+    val cross = sigPairs.join(la, "sig_a").join(lb, "sig_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val l = ids.select(col(idCol).as("id_a"), col(sigCol).as("__s"))
+    val r = ids.select(col(idCol).as("id_b"), col(sigCol).as("__s2"))
+    val intra = l.join(r, l("__s") === r("__s2") && l("id_a") < r("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    cross.unionByName(intra)
   }
 
   // ---- exact n-gram Jaccard ----------------------------------------------

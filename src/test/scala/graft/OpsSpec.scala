@@ -2096,19 +2096,58 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0L))) // clones pair; flat is far; junk absent
   }
 
-  test("hammingDuplicates: banding is complete to distance 3, boundary exact") {
-    // base signature plus variants: 3 bits flipped inside ONE band
-    // (candidate via the other three bands, hamming 3 → kept), 4 bits
-    // flipped one per band (no band agrees → structurally absent even
-    // though hamming 4 would also fail the distance filter)
+  test("hammingDuplicates: candidate schemes complete to distance 3, boundary exact") {
+    // base signature plus variants: 3 bits flipped in one low block
+    // (≥3 clean blocks / 3 clean bands → candidate under both schemes,
+    // hamming 3 → kept), 4 bits spread across 4 blocks AND 4 bands
+    // (bits 0,16,32,48 → no clean block triple, no clean band —
+    // structurally absent under both schemes, and hamming 4 would also
+    // fail the distance filter)
     val base = 0x0123456789ABCDEFL
-    val in3 = base ^ 0x7L            // 3 low bits, all in band 0
-    val spread4 = base ^ 0x0001000100010001L // one bit in each band
+    val in3 = base ^ 0x7L            // 3 low bits, one block/band
+    val spread4 = base ^ 0x0001000100010001L
     val sigs = Seq((1L, base), (2L, in3), (3L, spread4))
       .toDF("id", "sig")
-    val got = Dedup.hammingDuplicates(sigs, "id", "sig", maxDistance = 3)
-      .as[(Long, Long, Long)].collect().toSet
-    assert(got == Set((1L, 2L, 3L)))
+    for (scheme <- Seq("blocks", "bands")) {
+      val got = Dedup.hammingDuplicates(sigs, "id", "sig",
+          maxDistance = 3, scheme = scheme)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L, 3L)), s"scheme=$scheme")
+    }
+  }
+
+  test("hammingDuplicates: scheme parity vs brute force; dup collapse; nulls") {
+    // deterministic pseudo-random corpus with planted structure: exact
+    // dup groups (identical sigs), ≤3-bit neighbors at assorted
+    // positions, a null signature, and unrelated random sigs. Both
+    // candidate schemes must reproduce the O(n²) reference exactly.
+    val rnd = new scala.util.Random(421)
+    val bases = Vector.fill(30)(rnd.nextLong())
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, java.lang.Long)]()
+    var id = 0L
+    bases.foreach { s =>
+      rows += ((id, s)); id += 1
+      if (id % 3 == 0) { rows += ((id, s)); id += 1 } // exact dup
+      if (id % 4 == 1) { // planted neighbor: 1-3 random bit flips
+        var v = s
+        (0 until 1 + rnd.nextInt(3)).foreach(_ => v ^= 1L << rnd.nextInt(64))
+        rows += ((id, v)); id += 1
+      }
+    }
+    rows += ((id, null)); id += 1
+    val present = rows.toSeq.collect { case (i, s) if s != null => (i, s.longValue) }
+    val expect = (for {
+      (ia, sa) <- present; (ib, sb) <- present if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    val df = rows.toSeq.toDF("id", "sig")
+    for (scheme <- Seq("blocks", "bands")) {
+      val got = Dedup.hammingDuplicates(df, "id", "sig",
+          maxDistance = 3, scheme = scheme)
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"dup pairs, scheme=$scheme")
+      assert(got.toSet == expect, s"scheme=$scheme")
+    }
   }
 
   // ---- C4-style line filter ----
