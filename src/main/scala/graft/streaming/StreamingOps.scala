@@ -9,6 +9,9 @@ import graft.ops.{Dedup, TextAnalysis}
 /** Per-user session accumulator for [[StreamingOps.sessionizeStateful]]. */
 case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
 
+/** Per-key admitted count for [[StreamingOps.capPerKeyStream]]. */
+case class CapAcc(admitted: Long)
+
 /** A finalized session emitted by [[StreamingOps.sessionizeStateful]]. */
 case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
                       session_end: java.sql.Timestamp, n_events: Long)
@@ -149,6 +152,98 @@ object StreamingOps {
                       thresholds: DataFrame, salt: Long = 0L): DataFrame =
     graft.ops.Sampling.applyEpochThresholds(stream, thresholds, strataCol,
       keyCol, salt)
+
+  /** Streaming per-key admission cap: pass through at most `maxPerKey`
+    * rows per key over the life of the stream (or per watermark-TTL
+    * window) — the ONLINE twin of [[graft.ops.Sampling.capPerKey]]. A
+    * 24/7 crawl ingest caps each domain the moment its quota fills,
+    * instead of landing everything and capping in a nightly batch.
+    *
+    * Semantics divergence from the batch operator, inherent to online
+    * admission: the batch form keeps the BEST `maxPerKey` rows by a
+    * score (it sees the whole corpus); a stream cannot un-admit, so
+    * this keeps the FIRST `maxPerKey` in arrival order — arrival order
+    * is the stream's delivery order, deterministic only as far as the
+    * source's ordering guarantees (spec pins single-partition arrival
+    * parity against the batch operator with an arrival-index score).
+    *
+    * This is `flatMapGroupsWithState` territory by the design stance
+    * above: the built-in stateful ops express "first ONE per key"
+    * (`dropDuplicates`) but not "first N per key". State is one long
+    * per key. With `eventTime = Some((tsCol, watermarkDelay))`, idle
+    * keys evict `stateTtl` of EVENT time after their last arrival and
+    * the quota resets on the key's next appearance — the same bounded-
+    * state trade [[dedupStream]] makes with
+    * `dropDuplicatesWithinWatermark` (a key idle past the TTL re-admits
+    * up to the cap). Without `eventTime`, state grows with key
+    * cardinality: exact forever — at one long per key, 100M keys ≈
+    * gigabytes of state store, so prefer the TTL form on unbounded key
+    * domains.
+    */
+  def capPerKeyStream(stream: DataFrame, keyCol: String, maxPerKey: Int,
+                      eventTime: Option[(String, String)] = None,
+                      stateTtl: java.time.Duration =
+                        java.time.Duration.ofHours(24)): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    val rowSchema = stream.schema
+    val rowEnc: Encoder[Row] = Encoders.row(rowSchema)
+    val ttlMs = stateTtl.toMillis
+    require(ttlMs > 0, "stateTtl must be positive")
+    val keyExpr = col(keyCol).cast("string").as("__k")
+    val rowExpr = struct(stream.columns.map(col): _*).as("__r")
+    eventTime match {
+      case Some((tsCol, delay)) =>
+        // project FIRST, watermark the projected column (see
+        // sessionizeStateful: projection strips the watermark tag)
+        val src = stream
+          .select(keyExpr, rowExpr, col(tsCol).cast("timestamp").as("__ts"))
+          .withWatermark("__ts", delay)
+        val ds = src.as[(String, Row, java.sql.Timestamp)](
+          Encoders.tuple(Encoders.STRING, rowEnc, Encoders.TIMESTAMP))
+        ds.groupByKey(_._1)(Encoders.STRING)
+          .flatMapGroupsWithState[CapAcc, Row](
+            OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (_: String, rows: Iterator[(String, Row, java.sql.Timestamp)],
+             state: GroupState[CapAcc]) =>
+              if (state.hasTimedOut) { state.remove(); Iterator.empty }
+              else {
+                var admitted =
+                  state.getOption.map(_.admitted).getOrElse(0L)
+                var lastMs = Long.MinValue
+                val out =
+                  scala.collection.mutable.ArrayBuffer.empty[Row]
+                rows.foreach { case (_, r, ts) =>
+                  if (ts != null) lastMs = math.max(lastMs, ts.getTime)
+                  if (admitted < maxPerKey) { out += r; admitted += 1 }
+                }
+                state.update(CapAcc(admitted))
+                if (lastMs != Long.MinValue)
+                  state.setTimeoutTimestamp(math.max(lastMs + ttlMs,
+                    state.getCurrentWatermarkMs() + 1))
+                out.iterator
+              }
+          }(Encoders.product[CapAcc], rowEnc)
+          .toDF()
+      case None =>
+        val src = stream.select(keyExpr, rowExpr)
+        val ds = src.as[(String, Row)](Encoders.tuple(Encoders.STRING, rowEnc))
+        ds.groupByKey(_._1)(Encoders.STRING)
+          .flatMapGroupsWithState[CapAcc, Row](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (_: String, rows: Iterator[(String, Row)],
+             state: GroupState[CapAcc]) =>
+              var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+              val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+              rows.foreach { case (_, r) =>
+                if (admitted < maxPerKey) { out += r; admitted += 1 }
+              }
+              state.update(CapAcc(admitted))
+              out.iterator
+          }(Encoders.product[CapAcc], rowEnc)
+          .toDF()
+    }
+  }
 
   /** Streaming NEAR-dup ingest against a persisted corpus: every
     * micro-batch is probed with the full

@@ -1,0 +1,139 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r10 scale rows for the newest index surfaces.
+  *
+  * mode "bm25": 1M-doc append economics — base 800k build + 200k
+  *   append vs a from-scratch 1M rebuild, probe checksum parity
+  *   between the appended and rebuilt artifacts (the q107 semantics at
+  *   200× the spec corpus).
+  * mode "sig": hammingDuplicates candidate schemes — blocks at 10M
+  *   signatures (uniform + 10k planted ≤3-bit families + 1000
+  *   dup-clusters of 100), and a 1M blocks-vs-bands A/B where the
+  *   narrow-key candidate volume (~4·N²/2¹⁶) is still feasible.
+  * mode "phash": decode+hash throughput over 50k generated PNGs.
+  */
+object R10cIndexStress {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def docsTimes(reps: Int, repOff: Int) = {
+      val base = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text").repartition(64)
+      base.crossJoin(spark.range(reps).toDF("rep"))
+        .select((col("doc_id") * 1000L + col("rep") + repOff).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep") + repOff).as("text"))
+    }
+    val queries = Seq(
+      (1L, "customer final accounts"),
+      (2L, "express requests deposits"),
+      (3L, "quick brown theodolites")).toDF("qid", "qtext")
+    def probeChk(art: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = graft.ops.TextAnalysis.bm25TopKPersisted(spark, art,
+          queries, "qid", "qtext", k = 10)
+        .select("query_id", "rank", "doc_id", "score").collect()
+      ((System.nanoTime() - t0) / 1e9,
+        rows.map(r => r.getLong(0) * 31 + r.getInt(1) * 7 + r.getLong(2) +
+          math.round(r.getDouble(3) * 1e6)).sum)
+    }
+
+    mode match {
+      case "bm25" =>
+        val art = "/tmp/r10c_bm25_app"
+        val artFull = "/tmp/r10c_bm25_full"
+        graft.Fs.deleteRecursively(art)
+        graft.Fs.deleteRecursively(artFull)
+        var t0 = System.nanoTime()
+        graft.ops.TextAnalysis.bm25ArtifactsSave(
+          docsTimes(160, 0), "doc_id", "text", art)
+        println(f"MARKER_base800k=${(System.nanoTime() - t0) / 1e9}%.1f")
+        t0 = System.nanoTime()
+        graft.ops.TextAnalysis.bm25ArtifactsAppend(
+          docsTimes(40, 160), "doc_id", "text", art)
+        println(f"MARKER_append200k=${(System.nanoTime() - t0) / 1e9}%.1f")
+        t0 = System.nanoTime()
+        graft.ops.TextAnalysis.bm25ArtifactsSave(
+          docsTimes(160, 0).unionByName(docsTimes(40, 160)),
+          "doc_id", "text", artFull)
+        println(f"MARKER_rebuild1m=${(System.nanoTime() - t0) / 1e9}%.1f")
+        val (sa, ca) = probeChk(art)
+        val (sf, cf) = probeChk(artFull)
+        println(f"MARKER_probeApp=$sa%.2f chk=$ca")
+        println(f"MARKER_probeFull=$sf%.2f chk=$cf parity=${ca == cf}")
+
+      case "sig" =>
+        def sigFrame(n: Long) = {
+          val uniform = spark.range(n)
+            .select(col("id"), xxhash64(col("id")).as("sig"))
+          // ≤3-bit neighbor for every 1000th id, flip position varies
+          val planted = spark.range(n / 1000)
+            .select((col("id") * 1000L + n).as("id"),
+              xxhash64(col("id") * 1000L).bitwiseXOR(
+                expr("shiftleft(7L, CAST(id % 60 AS INT))")).as("sig"))
+          // 1000 dup clusters of 100 identical sigs
+          val dups = spark.range(100000L)
+            .select((col("id") + 2L * n).as("id"),
+              xxhash64(pmod(col("id"), lit(1000L)).cast("long") * lit(999983L))
+                .as("sig"))
+          uniform.unionByName(planted).unionByName(dups)
+        }
+        for ((n, schemes) <- Seq(
+            (1000000L, Seq("blocks", "bands")),
+            (3000000L, Seq("blocks", "bands")),
+            (10000000L, Seq("blocks")));
+             scheme <- schemes) {
+          val df = sigFrame(n).cache()
+          df.count()
+          val t0 = System.nanoTime()
+          val res = graft.ops.Dedup.hammingDuplicates(df, "id", "sig",
+              maxDistance = 3, scheme = scheme)
+            .agg(count(lit(1)), sum(col("hamming"))).head()
+          println(f"MARKER_sig_${scheme}_$n=${(System.nanoTime() - t0) / 1e9}%.1f " +
+            s"pairs=${res.getLong(0)} sumH=${res.getLong(1)}")
+          df.unpersist()
+        }
+
+      case "phash" =>
+        // 50k 32x32 PNGs generated in-executor (pattern varies per id)
+        val imgs = spark.range(50000).mapPartitions { it =>
+          it.map { id =>
+            val img = new java.awt.image.BufferedImage(32, 32,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 32) {
+              var x = 0
+              while (x < 32) {
+                img.setRGB(x, y,
+                  (java.lang.Long.hashCode(id * 1024 + y * 32 + x) * 2654435761L)
+                    .toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (id, bos.toByteArray)
+          }
+        }.toDF("img_id", "payload").cache()
+        imgs.count()
+        for (r <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val n = graft.ops.Multimodal
+            .perceptualHashStage(imgs, "payload")
+            .agg(count(col("phash"))).head().getLong(0)
+          println(f"MARKER_phash$r=${(System.nanoTime() - t0) / 1e9}%.1f hashed=$n")
+        }
+    }
+    spark.stop()
+  }
+}

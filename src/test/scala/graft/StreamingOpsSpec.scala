@@ -232,6 +232,69 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
   }
 
+  test("capPerKeyStream: admission cap holds across batches, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.capPerKeyStream(
+      input.toDF().toDF("id", "host"), "host", maxPerKey = 2)
+    val query = out.writeStream.format("memory")
+      .queryName("cap_stream").outputMode("append").start()
+    // batch 1 fills a's quota exactly and half of b's; batch 2 is all
+    // over-quota for a, fills b — admitted SET is order-independent
+    try {
+      input.addData((1L, "a"), (2L, "a"), (3L, "b"))
+      query.processAllAvailable()
+      input.addData((4L, "a"), (5L, "a"), (6L, "b"), (7L, "b"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("cap_stream")
+      .select("id", "host").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == Seq((1L, "a"), (2L, "a"), (3L, "b"), (6L, "b")))
+    // parity: batch capPerKey with an arrival-index score (earlier =
+    // better, via negated id) admits the same rows it did online
+    val batchRows = graft.ops.Sampling.capPerKey(
+        Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "a"),
+          (6L, "b"), (7L, "b")).toDF("id", "host")
+          .withColumn("score", -col("id")),
+        "host", "score", "id", maxPerKey = 2)
+      .select("id", "host").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(batchRows == streamed)
+  }
+
+  test("capPerKeyStream: event-time TTL evicts idle keys and resets quota") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.capPerKeyStream(
+      input.toDF().toDF("id", "host", "ts"), "host", maxPerKey = 2,
+      eventTime = Some(("ts", "1 minute")),
+      stateTtl = java.time.Duration.ofHours(1))
+    val query = out.writeStream.format("memory")
+      .queryName("cap_ttl_stream").outputMode("append").start()
+    try {
+      // quota fills; third arrival over-quota
+      input.addData((1L, "a", ts("2024-01-01 10:00:00")),
+        (2L, "a", ts("2024-01-01 10:00:01")),
+        (3L, "a", ts("2024-01-01 10:00:02")))
+      query.processAllAvailable()
+      input.addData((4L, "a", ts("2024-01-01 10:05:00"))) // still capped
+      query.processAllAvailable()
+      // advance event time: watermark passes a's last-seen + 1h, state
+      // evicts on the NEXT batch's timeout pass
+      input.addData((5L, "z", ts("2024-01-01 13:00:00")))
+      query.processAllAvailable()
+      input.addData((6L, "z", ts("2024-01-01 13:00:30")))
+      query.processAllAvailable()
+      // a's quota has reset — re-admits up to the cap
+      input.addData((7L, "a", ts("2024-01-01 13:01:00")),
+        (8L, "a", ts("2024-01-01 13:01:10")),
+        (9L, "a", ts("2024-01-01 13:01:20")))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("cap_ttl_stream")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 5L, 6L, 7L, 8L))
+  }
+
   test("stream-static dedup drops corpus-seen texts, batch parity held") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
