@@ -516,6 +516,74 @@ object Sampling {
         (col("__start") - col("__pack") * budgetTokens).as("pack_offset"))
   }
 
+  /** Length-bucketed batch planning — the dynamic-batching step before
+    * training: group documents of similar token length so each batch
+    * pads to its BUCKET's cap instead of the corpus max. Every doc gets
+    * (bucket, bucket_cap, batch_id, batch_pos, pad_tokens); a batch
+    * holds `batchTokens div cap` docs of one bucket, so its padded
+    * footprint never exceeds the token budget.
+    *
+    * Deterministic and engine-replayable like [[packSequences]]: batch
+    * membership is a pure function of (id, salt) — order within a
+    * bucket is [[mixedKey]] order, a pseudo-random interleave, so
+    * batches are length-homogeneous but content-shuffled (the reason
+    * length-bucketing is safe for SGD at all).
+    *
+    * Scale shape (the [[packSequences]] lesson): a window partitioned
+    * by bucket alone would funnel the corpus into |buckets| tasks; the
+    * `groups`-way salt split bounds every window partition at
+    * ~N/(buckets·groups) rows. `batch_id` packs (bucket, group, seq)
+    * into one long: bucket·groups+group in the high 24 bits' worth,
+    * sequence below 2⁴⁰ — collision-free while a (bucket, group) emits
+    * < 2⁴⁰ batches.
+    *
+    * Rows with `n_tokens` > the last boundary are EXCLUDED from the
+    * plan (batch shapes must be known up front); chunk long documents
+    * first ([[graft.ops.TextAnalysis]] chunking). Null/zero counts land
+    * in the smallest bucket.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String,
+                          tokenCountCol: String, boundaries: Seq[Int],
+                          batchTokens: Long, groups: Int = 1024,
+                          salt: Long = 0L): DataFrame = {
+    require(boundaries.nonEmpty, "at least one bucket boundary")
+    require(boundaries.head > 0 && boundaries.sameElements(boundaries.sorted)
+        && boundaries.distinct.size == boundaries.size,
+      "boundaries must be strictly increasing positive token caps")
+    require(batchTokens >= boundaries.last,
+      "batchTokens must fit at least one doc of the largest bucket")
+    require(groups >= 1 && groups <= (1 << 20), "groups must be in [1, 2^20]")
+    // bucket index via a CASE chain (|boundaries| is small by contract);
+    // capacity rides the same chain so both replay in external SQL
+    val n = coalesce(col(tokenCountCol).cast("long"), lit(0L))
+    val bucket = boundaries.zipWithIndex.reverse
+      .foldLeft(lit(-1L)) { case (els, (cap, i)) =>
+        when(n <= cap, lit(i.toLong)).otherwise(els)
+      }
+    val capCol = boundaries.zipWithIndex.reverse
+      .foldLeft(lit(0L)) { case (els, (cap, i)) =>
+        when(col("bucket") === i.toLong, lit(cap.toLong)).otherwise(els)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("__g"))
+      .orderBy(col("__ord"), col(idCol))
+    df.select(col(idCol), n.as("n_tokens"),
+        mixedKey(col(idCol), salt).as("__ord"))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") >= 0L)
+      .withColumn("__g", pmod(col("__ord"), lit(groups.toLong)))
+      .withColumn("bucket_cap", capCol)
+      .withColumn("__rn", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__seq",
+        expr(s"__rn div (${batchTokens}L div bucket_cap)"))
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("bucket_cap"),
+        ((col("bucket") * groups + col("__g")) * (1L << 40) + col("__seq"))
+          .as("batch_id"),
+        pmod(col("__rn"), expr(s"${batchTokens}L div bucket_cap"))
+          .as("batch_pos"),
+        (col("bucket_cap") - col("n_tokens")).as("pad_tokens"))
+  }
+
   def writeShuffledShards(df: DataFrame, keyCol: String, numShards: Int,
                           path: String, salt: Long = 0L): Unit = {
     Seq("shard", "__ord").foreach(c => require(!df.columns.contains(c),

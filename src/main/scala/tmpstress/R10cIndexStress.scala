@@ -88,9 +88,7 @@ object R10cIndexStress {
           uniform.unionByName(planted).unionByName(dups)
         }
         for ((n, schemes) <- Seq(
-            (1000000L, Seq("blocks", "bands")),
-            (3000000L, Seq("blocks", "bands")),
-            (10000000L, Seq("blocks")));
+            (10000000L, Seq("bands")));
              scheme <- schemes) {
           val df = sigFrame(n).cache()
           df.count()
