@@ -1834,6 +1834,17 @@ object SparkEntry {
           minLineWords = 3, minKeptLines = 2)
         .orderBy("doc_id")
     }),
+
+    "q109_length_batches" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val withCounts = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(call_function("graft_token_count", col("text")), lit(0L))
+          .as("n_tokens"))
+      Sampling.lengthBucketBatches(withCounts, "doc_id", "n_tokens",
+          boundaries = Seq(64, 128, 256, 512), batchTokens = 1024,
+          groups = 8, salt = 13L)
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB-runnable oracles, column-name-aligned with the Spark results.
@@ -4040,6 +4051,38 @@ object SparkEntry {
           |    AND NOT contains(lower(text), 'lorem ipsum')
           |    AND NOT contains(text, '{'), false) AS is_kept
           |FROM k ORDER BY doc_id""".stripMargin,
+
+      // length-bucketed batch planning: mixedKey/grouping/row-number
+      // arithmetic replayed verbatim (the q69 pack_sequences pattern);
+      // integer `//` division end to end
+      "q109_length_batches" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    COALESCE(CAST(len(list_filter(regexp_split_to_array(text,
+          |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS n_tokens,
+          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
+          |  FROM documents),
+          |b AS (
+          |  SELECT *, CASE WHEN n_tokens <= 64 THEN 0
+          |    WHEN n_tokens <= 128 THEN 1 WHEN n_tokens <= 256 THEN 2
+          |    WHEN n_tokens <= 512 THEN 3 ELSE -1 END AS bucket
+          |  FROM tok),
+          |f AS (
+          |  SELECT *, mix % 8 AS grp,
+          |    CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 128
+          |      WHEN 2 THEN 256 ELSE 512 END AS bucket_cap
+          |  FROM b WHERE bucket >= 0),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY bucket, grp
+          |    ORDER BY mix, doc_id) - 1 AS rn
+          |  FROM f)
+          |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+          |  CAST(bucket_cap AS BIGINT) AS bucket_cap,
+          |  CAST((bucket * 8 + grp) * 1099511627776
+          |    + rn // (1024 // bucket_cap) AS BIGINT) AS batch_id,
+          |  CAST(rn % (1024 // bucket_cap) AS BIGINT) AS batch_pos,
+          |  CAST(bucket_cap - n_tokens AS BIGINT) AS pad_tokens
+          |FROM r ORDER BY doc_id""".stripMargin,
     )
     // q105 is q100's single-pass-kernel twin — the two engine paths are
     // value-identical by construction, so ONE oracle SQL proves both

@@ -43,7 +43,7 @@ object R10cIndexStress {
           queries, "qid", "qtext", k = 10)
         .select("query_id", "rank", "doc_id", "score").collect()
       ((System.nanoTime() - t0) / 1e9,
-        rows.map(r => r.getLong(0) * 31 + r.getInt(1) * 7 + r.getLong(2) +
+        rows.map(r => r.getLong(0) * 31 + r.getLong(1) * 7 + r.getLong(2) +
           math.round(r.getDouble(3) * 1e6)).sum)
     }
 
@@ -70,6 +70,14 @@ object R10cIndexStress {
         val (sf, cf) = probeChk(artFull)
         println(f"MARKER_probeApp=$sa%.2f chk=$ca")
         println(f"MARKER_probeFull=$sf%.2f chk=$cf parity=${ca == cf}")
+
+      case "bm25probe" =>
+        for (r <- 1 to 2) {
+          val (sf, cf) = probeChk("/tmp/r10c_bm25_full")
+          val (sa, ca) = probeChk("/tmp/r10c_bm25_app")
+          println(f"MARKER_probeFull$r=$sf%.2f chk=$cf")
+          println(f"MARKER_probeApp$r=$sa%.2f chk=$ca parity=${ca == cf}")
+        }
 
       case "sig" =>
         def sigFrame(n: Long) = {

@@ -1431,6 +1431,43 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("lengthBucketBatches: bucket routing, capacity, exclusion, invariance") {
+    val rows = Seq(
+      (1L, Some(10L)),   // bucket 0
+      (2L, Some(64L)),   // bucket 0 (boundary inclusive)
+      (3L, Some(65L)),   // bucket 1
+      (4L, Some(600L)),  // over last boundary → excluded
+      (5L, None),        // null count → 0 tokens → bucket 0
+      (6L, Some(512L)),  // bucket 3
+    ) ++ (100 until 200).map(i => (i.toLong, Some((i % 512 + 1).toLong)))
+    val df = rows.toDF("doc_id", "n_tokens")
+    val out = Sampling.lengthBucketBatches(df, "doc_id", "n_tokens",
+        boundaries = Seq(64, 128, 256, 512), batchTokens = 1024,
+        groups = 4, salt = 5L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length == rows.size - 1 && !byId.contains(4L)) // one excluded
+    assert(byId(1L)._3 == 0L && byId(2L)._3 == 0L && byId(3L)._3 == 1L
+      && byId(5L)._3 == 0L && byId(6L)._3 == 3L)
+    assert(byId(5L)._2 == 0L && byId(5L)._7 == 64L)     // null → full pad
+    assert(byId(6L)._4 == 512L && byId(6L)._7 == 0L)    // exact fit, no pad
+    // every batch: single bucket, size ≤ its capacity, positions dense,
+    // padded footprint ≤ the token budget
+    out.groupBy(_._5).foreach { case (_, b) =>
+      assert(b.map(_._3).distinct.length == 1)
+      val cap = 1024L / b.head._4
+      assert(b.length <= cap)
+      assert(b.map(_._6).sorted.toSeq == (0L until b.length).toSeq)
+      assert(b.length * b.head._4 <= 1024L)
+    }
+    // pure function of (id, salt): partitioning cannot move a doc
+    val re = Sampling.lengthBucketBatches(df.repartition(7), "doc_id",
+        "n_tokens", boundaries = Seq(64, 128, 256, 512),
+        batchTokens = 1024, groups = 4, salt = 5L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("packSequences: dense packs, exact offsets, partitioning-invariant") {
     val df = (0 until 300).map(i => (i.toLong, (i % 7 + 1).toLong))
       .toDF("doc_id", "n_tokens")
