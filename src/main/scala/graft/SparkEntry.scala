@@ -1845,6 +1845,13 @@ object SparkEntry {
           groups = 8, salt = 13L)
         .orderBy("doc_id")
     }),
+
+    "q110_token_vocab" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      TextAnalysis.tokenVocabFit(t(s, dir, "documents"), "text",
+          vocabSize = 50)
+        .orderBy("rank")
+    }),
   )
 
   /** DuckDB-runnable oracles, column-name-aligned with the Spark results.
@@ -4083,6 +4090,24 @@ object SparkEntry {
           |  CAST(rn % (1024 // bucket_cap) AS BIGINT) AS batch_pos,
           |  CAST(bucket_cap - n_tokens AS BIGINT) AS pad_tokens
           |FROM r ORDER BY doc_id""".stripMargin,
+
+      "q110_token_vocab" ->
+        """WITH toks AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+          |    '\s+'), x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |c AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS count
+          |  FROM toks GROUP BY tok),
+          |r AS (SELECT *, row_number()
+          |    OVER (ORDER BY count DESC, token ASC) AS rank
+          |  FROM c),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+          |SELECT CAST(rank AS BIGINT) AS rank, token, count,
+          |  CAST(sum(count) OVER (ORDER BY rank
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS BIGINT) AS cum_count,
+          |  (SELECT total FROM t) AS total_tokens
+          |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
     )
     // q105 is q100's single-pass-kernel twin — the two engine paths are
     // value-identical by construction, so ONE oracle SQL proves both

@@ -829,6 +829,42 @@ object TextAnalysis {
       .select(col(groupCol), col("rank"), col("tok"), col("cnt"))
   }
 
+  /** Frequency-truncated token vocabulary with cumulative coverage — the
+    * tokenizer-budget artifact ("what vocab size covers 95% of corpus
+    * tokens?") and the input to OOV-rate monitoring. One row per kept
+    * token: (rank, token, count, cum_count, total_tokens), rank by
+    * (count desc, token asc); `cum_count / total_tokens` is the
+    * coverage at that rank, kept as two exact longs so the frame is
+    * engine-replayable (the caller divides).
+    *
+    * Scale shape: the count aggregate is map-side combinable; the top-V
+    * truncation is [[topTerms]]' two-phase exact top-k, so no task ever
+    * ranks the whole vocabulary; ranking/running-sum windows then run
+    * over the ≤ `vocabSize`-row result, and the corpus-total aggregate
+    * is a second scan-speed kernel pass (same two-pass trade as
+    * [[unigramFamiliarity]], and why `total_tokens` rides every row:
+    * the artifact is self-contained for downstream joins). OOV rate
+    * against the fitted vocab = `1 − known_tokens/n_tokens` from
+    * [[unigramFamiliarity]] at the same `vocabSize`.
+    */
+  def tokenVocabFit(df: DataFrame, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val total = df
+      .agg(coalesce(sum(call_function("graft_token_count",
+        lower(col(textCol)))), lit(0L)))
+      .head().getLong(0)
+    val w = Window.orderBy(col("rank"))
+    topTerms(df.withColumn("__all", lit(1)), "__all", textCol,
+        k = vocabSize)
+      .select(col("rank"), col("tok").as("token"), col("cnt").as("count"))
+      .withColumn("cum_count", sum(col("count")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_tokens", lit(total))
+  }
+
   /** Benchmark decontamination: count, per document, the distinct word
     * n-grams it shares with a held-out benchmark corpus, and flag clean
     * documents — the standard eval-leakage guard run over every LLM

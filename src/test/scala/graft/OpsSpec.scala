@@ -1431,6 +1431,21 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("tokenVocabFit: ranks, tie-break, cumulative coverage, truncation") {
+    val docs = Seq(
+      (1L, "b b b a a C"),   // lowercased: c joins the cs
+      (2L, "a c d"),
+      (3L, ""),              // contributes nothing
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenVocabFit(docs, "text", vocabSize = 3)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // counts: a=3, b=3, c=2, d=1; total=9; tie a<b; d truncated
+    assert(got == Seq(
+      (1L, "a", 3L, 3L, 9L),
+      (2L, "b", 3L, 6L, 9L),
+      (3L, "c", 2L, 8L, 9L)))
+  }
+
   test("lengthBucketBatches: bucket routing, capacity, exclusion, invariance") {
     val rows = Seq(
       (1L, Some(10L)),   // bucket 0
