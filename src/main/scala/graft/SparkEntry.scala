@@ -1852,6 +1852,26 @@ object SparkEntry {
           vocabSize = 50)
         .orderBy("rank")
     }),
+
+    "q111_encoding_artifacts" -> ((s, dir) => {
+      // inject deterministic artifacts into the (clean, ASCII) corpus so
+      // every detector fires on known rows
+      val built = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(" cafÃ© dÃ©jÃ "))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" bad�byte"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit(" ctlx"))
+            .otherwise(lit(""))).as("text"))
+      built.select(col("doc_id"),
+          TextAnalysis.encodingArtifacts(col("text")).as("ea"))
+        .select(col("doc_id"), col("ea.n_replacement").as("n_replacement"),
+          col("ea.n_control").as("n_control"),
+          col("ea.n_mojibake").as("n_mojibake"),
+          col("ea.is_clean").as("is_clean"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** DuckDB-runnable oracles, column-name-aligned with the Spark results.
@@ -4108,6 +4128,35 @@ object SparkEntry {
           |    AS BIGINT) AS cum_count,
           |  (SELECT total FROM t) AS total_tokens
           |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+      // every count is literal substring/regex arithmetic; the mojibake
+      // marker sum is generated from the same Seq the engine uses
+      "q111_encoding_artifacts" -> {
+        val moji = TextAnalysis.defaultMojibakeMarkers
+          .map(m => s"(len(t) - len(replace(t, '$m', ''))) // ${m.length}")
+          .mkString(" + ")
+        s"""WITH built AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' cafÃ© dÃ©jÃ ' ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0
+           |      THEN ' bad' || chr(65533) || 'byte' ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 0
+           |      THEN ' ctl' || chr(7) || 'x' ELSE '' END AS t
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |    CAST(len(t) - len(replace(t, chr(65533), ''))
+           |      AS BIGINT) AS n_replacement,
+           |    CAST(len(regexp_extract_all(t,
+           |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))
+           |      AS BIGINT) AS n_control,
+           |    CAST($moji AS BIGINT) AS n_mojibake
+           |  FROM built)
+           |SELECT doc_id, n_replacement, n_control, n_mojibake,
+           |  (n_replacement = 0 AND n_control = 0 AND n_mojibake = 0)
+           |    AS is_clean
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
     )
     // q105 is q100's single-pass-kernel twin — the two engine paths are
     // value-identical by construction, so ONE oracle SQL proves both

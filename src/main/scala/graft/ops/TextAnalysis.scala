@@ -82,6 +82,47 @@ object TextAnalysis {
       stopwordRatio(text, stopwords).as("stopword_ratio"),
     )
 
+  /** The classic UTF-8-read-as-Latin-1/cp1252 double-encoding markers:
+    * curly quotes/dashes become `â€¦` sequences, accented Latin letters
+    * become `Ã?` pairs, NBSP becomes `Â `, and a mis-decoded U+FFFD
+    * becomes `ï¿½`. Literal substrings on purpose — counts are exact,
+    * cheap (no regex), and replay identically in any SQL engine.
+    */
+  val defaultMojibakeMarkers: Seq[String] = Seq(
+    "â€™", "â€œ", "â€", "â€“", "â€”", "â€¦",
+    "Ã©", "Ã¨", "Ã¤", "Ã¶", "Ã¼", "Ã±", "Ã§", "Â ", "ï¿½")
+
+  private def substrCount(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit("")))) /
+      marker.length).cast("long")
+
+  /** Encoding-artifact profile — the CCNet-style cleanliness signal a
+    * crawl corpus is gated on before any model sees it: `n_replacement`
+    * (U+FFFD replacement characters: upstream decode already failed),
+    * `n_control` (C0 control characters other than tab/newline/CR —
+    * binary junk in "text"), `n_mojibake` (occurrences of
+    * [[defaultMojibakeMarkers]] — UTF-8 bytes mis-decoded as
+    * Latin-1/cp1252 somewhere in the pipeline), and `is_clean` (all
+    * three zero). Null text profiles as empty (clean). Pure projection
+    * — scan-speed, streams unchanged; every count is exact literal
+    * arithmetic an external engine replays verbatim.
+    */
+  def encodingArtifacts(text: Column,
+                        markers: Seq[String] = defaultMojibakeMarkers)
+      : Column = {
+    val t = coalesce(text, lit(""))
+    val moji = markers.map(substrCount(t, _))
+      .reduce(_ + _)
+    val ctrl = regexp_count(t,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
+    val repl = substrCount(t, "�")
+    struct(
+      repl.as("n_replacement"),
+      ctrl.as("n_control"),
+      moji.as("n_mojibake"),
+      (repl === 0L && ctrl === 0L && moji === 0L).as("is_clean"))
+  }
+
   /** Marker-token profiles for the n-gram/stopword language-ID heuristic.
     * Small on purpose: they broadcast as literals inside the plan.
     */

@@ -1431,6 +1431,27 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("encodingArtifacts: replacement/control/mojibake counts, null text") {
+    val docs = Seq(
+      (1L, "perfectly clean ascii text."),
+      (2L, "bad�byte and another �"),          // 2 replacements
+      (3L, "bell and esc but tab\t ok\nnl"), // 2 control
+      (4L, "cafÃ© naÃ¯ve? no - cafÃ© again, plus â€™"),  // Ã©×2 + â€™
+      (5L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.encodingArtifacts(col("text")).as("ea"))
+      .select(col("doc_id"), col("ea.n_replacement"), col("ea.n_control"),
+        col("ea.n_mojibake"), col("ea.is_clean"))
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0L, 0L, 0L, true)))
+    assert(got(2L) == ((2L, 2L, 0L, 0L, false)))
+    assert(got(3L) == ((3L, 0L, 2L, 0L, false))) // tab/newline exempt
+    assert(got(4L) == ((4L, 0L, 0L, 3L, false)))
+    assert(got(5L) == ((5L, 0L, 0L, 0L, true))) // null profiles clean
+  }
+
   test("tokenVocabFit: ranks, tie-break, cumulative coverage, truncation") {
     val docs = Seq(
       (1L, "b b b a a C"),   // lowercased: c joins the cs
