@@ -1853,6 +1853,24 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q112_proportional_mix" -> ((s, dir) => {
+      // declared Pile-style mixture over lang: es undeclared (dropped),
+      // zh declared 0 (dropped), "xx" declared but absent (must not
+      // burn share — Σw normalizes over present strata)
+      val mix = Map("en" -> 60L, "de" -> 25L, "fr" -> 10L, "zh" -> 0L,
+        "xx" -> 100L)
+      val docs = t(s, dir, "documents")
+      val plan = Sampling.proportionalMixPlan(docs, "lang", mix,
+        total = 300L)
+      val kept = Sampling.proportionalMix(docs, "lang", "doc_id", mix,
+          total = 300L, salt = 11L)
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+      plan.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("available"), col("weight"),
+          col("target"), coalesce(col("kept"), lit(0L)).as("kept"))
+        .orderBy("lang")
+    }),
+
     "q111_encoding_artifacts" -> ((s, dir) => {
       // inject deterministic artifacts into the (clean, ASCII) corpus so
       // every detector fires on known rows
@@ -4128,6 +4146,34 @@ object SparkEntry {
           |    AS BIGINT) AS cum_count,
           |  (SELECT total FROM t) AS total_tokens
           |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+      // declared-weights mix: plan arithmetic + trunc'd threshold keep,
+      // the q76 replay pattern with CASE weights instead of sqrt
+      "q112_proportional_mix" ->
+        """WITH counts AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS available,
+          |    CAST(CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 25
+          |      WHEN 'fr' THEN 10 WHEN 'zh' THEN 0 WHEN 'xx' THEN 100
+          |      ELSE 0 END AS BIGINT) AS weight
+          |  FROM documents GROUP BY lang),
+          |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM counts),
+          |plan AS (
+          |  SELECT lang, available, weight,
+          |    CAST(least(available, (300 * weight) // tw.w) AS BIGINT)
+          |      AS target
+          |  FROM counts, tw),
+          |kept AS (
+          |  SELECT d.lang, count(*) AS kept
+          |  FROM documents d JOIN plan p ON d.lang = p.lang
+          |  WHERE p.target > 0
+          |    AND ((d.doc_id + 11) * 2654435761) % 4294967296 <
+          |      CAST(trunc(CAST(p.target AS DOUBLE) /
+          |        CAST(p.available AS DOUBLE) * 4294967296) AS BIGINT)
+          |  GROUP BY d.lang)
+          |SELECT p.lang, p.available, p.weight, p.target,
+          |  COALESCE(k.kept, 0) AS kept
+          |FROM plan p LEFT JOIN kept k ON p.lang = k.lang
+          |ORDER BY p.lang""".stripMargin,
 
       // every count is literal substring/regex arithmetic; the mojibake
       // marker sum is generated from the same Seq the engine uses

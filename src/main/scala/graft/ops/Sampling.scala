@@ -218,6 +218,62 @@ object Sampling {
       mixThresholds(temperatureMixPlan(df, strataCol, total), strataCol),
       strataCol, keyCol, salt)
 
+  /** The per-stratum plan behind [[proportionalMix]]: declared integer
+    * proportions (any scale — shares of Σw, the Pile/Dolma-style
+    * mixture spec) normalized over the strata PRESENT in the data,
+    * targets `min(available, (total·w) div Σw_present)`. Undeclared
+    * strata get weight 0 (dropped); a declared-but-absent stratum
+    * contributes nothing to Σw_present, so its share is not silently
+    * burned (the alternative — normalizing over the declared spec —
+    * under-fills `total` whenever a source is missing; callers wanting
+    * that audit the plan frame, where both numbers are visible).
+    * Infeasible shares (stratum too small) cap at availability and are
+    * NOT redistributed — one pass, faithful to the declared ratios;
+    * re-run on the plan's shortfall to redistribute. Pure integer
+    * arithmetic, engine-replayable.
+    */
+  def proportionalMixPlan(df: DataFrame, strataCol: String,
+                          proportions: Map[String, Long],
+                          total: Long): DataFrame = {
+    require(total >= 0L, "total must be non-negative")
+    require(proportions.values.forall(_ >= 0L),
+      "proportions must be non-negative")
+    val w = coalesce(
+      proportions.foldLeft(lit(null).cast("long")) { case (acc, (s, p)) =>
+        when(col(strataCol) === s, lit(p)).otherwise(acc)
+      }, lit(0L))
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("available"))
+      .withColumn("weight", w)
+    counts
+      .crossJoin(broadcast(counts.agg(
+        coalesce(sum(col("weight")), lit(0L)).as("__tw"))))
+      .withColumn("target",
+        when(col("__tw") > 0L,
+          least(col("available"), expr(s"($total * weight) div __tw")))
+          .otherwise(lit(0L)))
+      .select(col(strataCol), col("available"), col("weight"), col("target"))
+  }
+
+  /** Explicit-proportion corpus mixing — downsample each stratum toward
+    * a DECLARED mixture (e.g. the Pile weights: 24% web, 16% academic,
+    * …) instead of [[temperatureMix]]'s availability-derived √n
+    * weights or [[budgetedMix]]'s absolute caps. Same selection
+    * machinery ([[keepPredicate]] thresholds over [[mixedKey]]): every
+    * keep decision is a pure function of (key, salt) — deterministic,
+    * append-stable, streaming-compatible ([[applyMixThresholds]] on a
+    * refreshed plan), external-SQL-replayable. Same scale shape as the
+    * other mixes: one tiny aggregate, broadcast thresholds, one corpus
+    * scan, zero shuffle of the sampled data.
+    */
+  def proportionalMix(df: DataFrame, strataCol: String, keyCol: String,
+                      proportions: Map[String, Long], total: Long,
+                      salt: Long = 0L): DataFrame =
+    applyMixThresholds(df,
+      mixThresholds(proportionalMixPlan(df, strataCol, proportions, total),
+        strataCol),
+      strataCol, keyCol, salt)
+
   /** [[temperatureMixPlan]] WITHOUT the 1-epoch cap: targets may exceed
     * availability up to `maxEpochs` copies of a stratum — the T5/DoReMi
     * up-sampling regime, where a small high-value source (e.g. curated

@@ -109,6 +109,28 @@ object R10cIndexStress {
           df.unpersist()
         }
 
+      case "batch" =>
+        // 10M docs, length distribution skewed short (realistic)
+        val docs = spark.range(10000000L)
+          .select(col("id"), (pmod(xxhash64(col("id")),
+            pmod(xxhash64(col("id") + 7L), lit(512L)) + 1L) + 1L)
+            .as("n_tokens"))
+          .cache()
+        docs.count()
+        for (r <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val agg = graft.ops.Sampling.lengthBucketBatches(docs, "id",
+              "n_tokens", boundaries = Seq(64, 128, 256, 512),
+              batchTokens = 8192, groups = 1024, salt = 7L)
+            .agg(count(lit(1)), count_distinct(col("batch_id")),
+              sum(col("pad_tokens")), sum(col("n_tokens"))).head()
+          val waste = agg.getLong(2).toDouble /
+            (agg.getLong(2) + agg.getLong(3))
+          println(f"MARKER_batch$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+            f"rows=${agg.getLong(0)} batches=${agg.getLong(1)} " +
+            f"waste=$waste%.3f")
+        }
+
       case "phash" =>
         // 50k 32x32 PNGs generated in-executor (pattern varies per id)
         val imgs = spark.range(50000).mapPartitions { it =>

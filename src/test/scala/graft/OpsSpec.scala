@@ -1431,6 +1431,32 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("proportionalMix: declared shares, infeasible cap, absent/undeclared") {
+    // a: 100 rows, b: 10 (infeasible for its share), c: undeclared,
+    // x: declared 50 but ABSENT (must not burn share)
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 110).map(i => (i.toLong, "b")) ++
+      (111 to 130).map(i => (i.toLong, "c"))).toDF("id", "s")
+    val plan = Sampling.proportionalMixPlan(df, "s",
+        Map("a" -> 30L, "b" -> 70L, "x" -> 50L), total = 60L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // Σw over present strata = 30 + 70 = 100 (x absent, c weight 0)
+    assert(plan("a") == (("a", 100L, 30L, 18L)))  // 60*30/100
+    assert(plan("b") == (("b", 10L, 70L, 10L)))   // capped at available
+    assert(plan("c") == (("c", 20L, 0L, 0L)))     // undeclared → dropped
+    val kept = Sampling.proportionalMix(df, "s", "id",
+        Map("a" -> 30L, "b" -> 70L, "x" -> 50L), total = 60L, salt = 3L)
+      .as[(Long, String)].collect()
+    assert(kept.forall(_._2 != "c"))
+    assert(kept.count(_._2 == "b") == 10)          // fraction 1 keeps all
+    // fraction-18/100 stratum keeps ~that share, deterministically
+    val keptA = kept.filter(_._2 == "a").map(_._1).toSet
+    val again = Sampling.proportionalMix(df.repartition(5), "s", "id",
+        Map("a" -> 30L, "b" -> 70L, "x" -> 50L), total = 60L, salt = 3L)
+      .as[(Long, String)].collect().filter(_._2 == "a").map(_._1).toSet
+    assert(keptA == again)
+  }
+
   test("encodingArtifacts: replacement/control/mojibake counts, null text") {
     val docs = Seq(
       (1L, "perfectly clean ascii text."),
