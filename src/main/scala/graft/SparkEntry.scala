@@ -1853,6 +1853,43 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // q113/q114: tokenized-dataset materialization, join form vs kernel
+    // twin. Array outputs are spec-verified; the harness emits the
+    // scalar profile (count/OOV/positional fold) the oracle can replay.
+    "q113_token_ids" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.tokenVocabFit(docs, "text", vocabSize = 50)
+      val ids = TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab)
+      ids.select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), x => x === -1L)).cast("long")
+            .as("n_oov"),
+          aggregate(
+            transform(col("token_ids"),
+              (x, i) => (x + 2L) * (i.cast("long") + 1L)),
+            lit(0L), (acc, x) => acc + x).as("ids_fold"))
+        .orderBy("doc_id")
+    }),
+
+    "q114_token_ids_kernel" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.tokenIdModel(
+        TextAnalysis.tokenVocabFit(docs, "text", vocabSize = 50))
+      val ids = TextAnalysis.tokenizeToIdsKernel(docs, "doc_id", "text",
+        model)
+      ids.select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), x => x === -1L)).cast("long")
+            .as("n_oov"),
+          aggregate(
+            transform(col("token_ids"),
+              (x, i) => (x + 2L) * (i.cast("long") + 1L)),
+            lit(0L), (acc, x) => acc + x).as("ids_fold"))
+        .orderBy("doc_id")
+    }),
+
     "q112_proportional_mix" -> ((s, dir) => {
       // declared Pile-style mixture over lang: es undeclared (dropped),
       // zh declared 0 (dropped), "xx" declared but absent (must not
@@ -4147,6 +4184,42 @@ object SparkEntry {
           |  (SELECT total FROM t) AS total_tokens
           |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
+      // token-id materialization: the q110 vocab CTE + zipped unnest
+      // ordinality + the positional fold; OOV = -1 by the A2 convention
+      "q113_token_ids" ->
+        """WITH toks0 AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+          |    '\s+'), x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |c AS (SELECT tok AS token, count(*) AS cnt
+          |  FROM toks0 GROUP BY tok),
+          |vocab AS (
+          |  SELECT token, CAST(row_number()
+          |    OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+          |  FROM c QUALIFY rank <= 50),
+          |dtok AS (
+          |  SELECT doc_id, unnest(ts) AS tok,
+          |    unnest(range(1, len(ts) + 1)) AS ord
+          |  FROM (SELECT doc_id,
+          |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |        x -> len(x) > 0) AS ts
+          |    FROM documents WHERE text IS NOT NULL)),
+          |j AS (
+          |  SELECT d.doc_id, d.ord, COALESCE(v.rank, -1) AS tid
+          |  FROM dtok d LEFT JOIN vocab v ON d.tok = v.token),
+          |a AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |    CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_oov,
+          |    CAST(sum((tid + 2) * ord) AS BIGINT) AS ids_fold
+          |  FROM j GROUP BY doc_id)
+          |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+          |  COALESCE(a.n_oov, 0) AS n_oov,
+          |  COALESCE(a.ids_fold, 0) AS ids_fold
+          |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+          |LEFT JOIN a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
       // declared-weights mix: plan arithmetic + trunc'd threshold keep,
       // the q76 replay pattern with CASE weights instead of sqrt
       "q112_proportional_mix" ->
@@ -4204,9 +4277,10 @@ object SparkEntry {
            |FROM c ORDER BY doc_id""".stripMargin
       },
     )
-    // q105 is q100's single-pass-kernel twin — the two engine paths are
-    // value-identical by construction, so ONE oracle SQL proves both
-    // (the q71/q78 shared-oracle precedent).
-    base + ("q105_bigram_lm_kernel" -> base("q100_bigram_lm"))
+    // q105 is q100's single-pass-kernel twin, q114 is q113's — each
+    // engine-path pair is value-identical by construction, so ONE
+    // oracle SQL proves both (the q71/q78 shared-oracle precedent).
+    base + ("q105_bigram_lm_kernel" -> base("q100_bigram_lm")) +
+      ("q114_token_ids_kernel" -> base("q113_token_ids"))
   }
 }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import java.util.Arrays
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fitted token→id table for the single-pass tokenization kernel
+  * [[TokenIdsOf]]: vocabulary tokens keyed by their 64-bit XXH64 hash
+  * (seed 42 — the exact per-token hash [[SketchOps.tokenHashes]]
+  * computes, so the vocab fit and the scan can never disagree about a
+  * token), held as sorted parallel arrays and probed by binary search;
+  * misses map to `oovId`.
+  *
+  * This is the production twin of the exact string-keyed
+  * broadcast-join formulation (`TextAnalysis.tokenizeToIds`) — the
+  * same split as `graft_bigram_lm` vs `bigramLmScore`: hashed keys
+  * buy a zero-join, zero-shuffle scan; the join form stays the
+  * external-replay path. A key collision INSIDE the vocabulary is
+  * rejected at model build ([[TokenIdModel.fromPairs]] fails loud); a
+  * corpus token colliding with a vocab key mis-ids that one token at
+  * the 2⁻⁶⁴-per-pair birthday rate — the priced trade.
+  */
+final class TokenIdModel(val keys: Array[Long], val ids: Array[Long],
+                         val oovId: Long) extends Serializable {
+  require(keys.length == ids.length, "token-id arrays misaligned")
+
+  /** One byte-scan tokenize+lookup. Null handled by the expression;
+    * zero-token text yields an empty array.
+    */
+  def tokenIds(text: UTF8String): ArrayData = {
+    val hs = SketchOps.tokenHashes(text)
+    val out = new Array[Long](hs.length)
+    var i = 0
+    while (i < hs.length) {
+      val j = Arrays.binarySearch(keys, hs(i))
+      out(i) = if (j >= 0) ids(j) else oovId
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object TokenIdModel {
+  /** Hash of one vocabulary token — MUST equal what the byte-scan
+    * produces for that token in running text.
+    */
+  def hashToken(token: String): Long = {
+    val u = UTF8String.fromString(token)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+  }
+
+  /** Build from (token, id) pairs; fails loud on an in-vocabulary hash
+    * collision (bounded probability ~V²·2⁻⁶⁴, and silently merging two
+    * vocab entries would be a correctness bug, not noise).
+    */
+  def fromPairs(pairs: Seq[(String, Long)], oovId: Long): TokenIdModel = {
+    val sorted = pairs.map { case (t, id) => (hashToken(t), id) }.sortBy(_._1)
+    sorted.iterator.sliding(2).withPartial(false).foreach { w =>
+      require(w(0)._1 != w(1)._1,
+        s"token hash collision inside the vocabulary (ids ${w(0)._2} and " +
+          s"${w(1)._2}); re-fit with a different vocabulary")
+    }
+    new TokenIdModel(sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+      oovId)
+  }
+}
+
+/** `graft_token_ids(text, keys, ids, oovId)`: single-pass text →
+  * `array<long>` token ids from ONE byte-scan, the fitted table riding
+  * the plan as a reference object. Zero joins, zero shuffle,
+  * streaming-safe by construction. Null text → null; no tokens →
+  * empty array.
+  */
+case class TokenIdsOf(child: Expression, model: TokenIdModel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    model.tokenIds(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenIdModel", model,
+      "graft.functions.TokenIdModel")
+    defineCodeGen(ctx, ev, text => s"$ref.tokenIds($text)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenIdsOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_ids"
+}

@@ -335,6 +335,27 @@ object GraftFunctions {
           longs(exprs(3), "biKeys"), longs(exprs(4), "biCounts"),
           exprs(5).eval().asInstanceOf[Number].longValue()))
       }),
+    (FunctionIdentifier("graft_token_ids"),
+      new ExpressionInfo(classOf[TokenIdsOf].getName, "graft_token_ids"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          "graft_token_ids takes (text, keys, ids, oovId) with literal " +
+            "model arrays")
+        def longs(e: Expression, what: String): Array[Long] = {
+          require(e.foldable, s"graft_token_ids $what must be a literal " +
+            "array<long>")
+          e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toLongArray()
+        }
+        require(exprs(3).foldable, "graft_token_ids oovId must be a literal")
+        // keys arrive pre-sorted from TokenIdModel.fromPairs via the
+        // operator wrapper; re-validate cheaply rather than trusting SQL
+        val keys = longs(exprs(1), "keys")
+        require((1 until keys.length).forall(i => keys(i - 1) < keys(i)),
+          "graft_token_ids keys must be strictly ascending")
+        TokenIdsOf(exprs(0), new TokenIdModel(keys, longs(exprs(2), "ids"),
+          exprs(3).eval().asInstanceOf[Number].longValue()))
+      }),
   )
 
   /** Idempotent per-session registration — operator entry points call this

@@ -1169,6 +1169,76 @@ object TextAnalysis {
       .withColumn("mean_micro", expr("score_micro div n_bigrams"))
   }
 
+  // ---- tokenized-dataset materialization ----------------------------------
+
+  /** Text → `array<long>` token ids against a fitted vocabulary — the
+    * LAST materialization step of a training-corpus build (what the
+    * packed sequences and shard sinks actually carry). Exact
+    * string-keyed formulation: posexplode the lowercased tokens,
+    * broadcast-join the (token → id) table, re-assemble in position
+    * order; OOV → `oovId` (the Vocab A2 convention, -1). One row per
+    * non-null-text document; zero-token text → empty array. This is
+    * the external-replay twin of [[tokenizeToIdsKernel]] — the
+    * bigramLmScore/kernel split — and the aggregate is the plan cost:
+    * one (id, pos, tid) exchange to rebuild arrays.
+    *
+    * `vocab` is any (tokenCol, idCol) frame — [[tokenVocabFit]]'s
+    * (token, rank) output is the natural source. Tokens must be
+    * whitespace-free (they are, if they came from a tokenizer fit).
+    */
+  def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, tokenCol: String = "token",
+                    vocabIdCol: String = "rank",
+                    oovId: Long = -1L): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), lower(col(textCol)).as("__t"))
+    val ex = base.select(col(idCol),
+      posexplode(tokens(col("__t"))).as(Seq("__pos", "__tok")))
+    val v = broadcast(vocab.select(col(tokenCol).as("__tok"),
+      col(vocabIdCol).cast("long").as("__tid")))
+    val assembled = ex.join(v, Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"),
+          coalesce(col("__tid"), lit(oovId)).as("__tid")))),
+        e => e.getField("__tid")).as("token_ids"))
+    base.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<long>"))
+          .as("token_ids"))
+  }
+
+  /** Zero-shuffle twin of [[tokenizeToIds]]: ONE codegen'd byte-scan
+    * per document — tokenize, hash, binary-search the fitted
+    * [[graft.functions.TokenIdModel]] riding the plan — no explode, no
+    * join, no array re-assembly exchange; streams unchanged. The
+    * production materialization path at 100 TB (the corpus's only pass
+    * is the scan itself); value-identical to the join form modulo the
+    * priced 2⁻⁶⁴ per-pair hash-collision rate (parity spec-pinned).
+    */
+  def tokenizeToIdsKernel(docs: DataFrame, idCol: String, textCol: String,
+                          model: graft.functions.TokenIdModel): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        call_function("graft_token_ids", lower(col(textCol)),
+          lit(model.keys), lit(model.ids), lit(model.oovId))
+          .as("token_ids"))
+  }
+
+  /** Fit a [[graft.functions.TokenIdModel]] from a (token, id) frame —
+    * typically [[tokenVocabFit]] output. Collects the vocabulary
+    * (bounded by construction) and fails loud on an in-vocab hash
+    * collision.
+    */
+  def tokenIdModel(vocab: DataFrame, tokenCol: String = "token",
+                   vocabIdCol: String = "rank",
+                   oovId: Long = -1L): graft.functions.TokenIdModel =
+    graft.functions.TokenIdModel.fromPairs(
+      vocab.select(col(tokenCol), col(vocabIdCol).cast("long")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq,
+      oovId)
+
   // ---- normalization ------------------------------------------------------
 
   /** Dedup-key text normalization: lowercase, collapse ASCII whitespace

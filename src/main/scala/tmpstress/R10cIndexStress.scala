@@ -109,6 +109,36 @@ object R10cIndexStress {
           df.unpersist()
         }
 
+      case "tokids" =>
+        val corpus = docsTimes(200, 0).cache()
+        println(s"MARKER_corpus=${corpus.count()}")
+        val vocab = graft.ops.TextAnalysis
+          .tokenVocabFit(corpus, "text", vocabSize = 4096)
+          .select("token", "rank").cache()
+        println(s"MARKER_vocab=${vocab.count()}")
+        def fold(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.select(
+            aggregate(transform(col("token_ids"),
+              (x, i) => (x + 2L) * (i.cast("long") + 1L)),
+              lit(0L), (a, x) => a + x).as("f"),
+            size(col("token_ids")).cast("long").as("n"))
+            .agg(sum(col("f")), sum(col("n"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val model = graft.ops.TextAnalysis.tokenIdModel(vocab)
+        for (r <- 1 to 2) {
+          var t0 = System.nanoTime()
+          val (fk, nk) = fold(graft.ops.TextAnalysis
+            .tokenizeToIdsKernel(corpus, "doc_id", "text", model))
+          println(f"MARKER_kernel$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+            s"fold=$fk toks=$nk")
+          t0 = System.nanoTime()
+          val (fj, nj) = fold(graft.ops.TextAnalysis
+            .tokenizeToIds(corpus, "doc_id", "text", vocab))
+          println(f"MARKER_join$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+            s"fold=$fj toks=$nj parity=${fk == fj && nk == nj}")
+        }
+
       case "batch" =>
         // 10M docs, length distribution skewed short (realistic)
         val docs = spark.range(10000000L)

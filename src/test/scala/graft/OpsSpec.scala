@@ -1431,6 +1431,36 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("tokenizeToIds: join/kernel parity, OOV, empty and null text") {
+    val docs = Seq((1L, "a B c a zz"), (2L, ""), (3L, null),
+      (4L, "zz yy")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("token", "rank")
+    val j = TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(j == Seq((1L, Seq(1L, 2L, 3L, 1L, -1L)), (2L, Seq()),
+      (4L, Seq(-1L, -1L))))
+    val model = TextAnalysis.tokenIdModel(vocab)
+    val k = TextAnalysis.tokenizeToIdsKernel(docs, "doc_id", "text", model)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(k == j)
+    // generated-corpus parity: 300 docs over a 40-word alphabet, vocab
+    // fitted from the corpus itself (the q113/q114 shape)
+    val rnd = new scala.util.Random(77)
+    val words = Vector.tabulate(40)(i => s"w$i")
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(20))(
+        words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fitted = TextAnalysis.tokenVocabFit(corpus, "text", vocabSize = 15)
+    val jj = TextAnalysis.tokenizeToIds(corpus, "doc_id", "text", fitted)
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    val kk = TextAnalysis.tokenizeToIdsKernel(corpus, "doc_id", "text",
+        TextAnalysis.tokenIdModel(fitted))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    assert(jj == kk)
+    assert(jj.flatMap(_._2).toSet.subsetOf((1L to 15L).toSet + -1L))
+  }
+
   test("proportionalMix: declared shares, infeasible cap, absent/undeclared") {
     // a: 100 rows, b: 10 (infeasible for its share), c: undeclared,
     // x: declared 50 but ABSENT (must not burn share)
