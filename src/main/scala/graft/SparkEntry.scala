@@ -1853,6 +1853,14 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q115_jsonl_shards" -> ((s, dir) => {
+      val out = tmpDir("graft-jsonl")
+      graft.sinks.Jsonl.writeShards(
+        t(s, dir, "documents").select("doc_id", "lang", "source", "text"),
+        "doc_id", numShards = 8, out, salt = 13L)
+      graft.sinks.Jsonl.manifest(s, out).orderBy("shard")
+    }),
+
     // q113/q114: tokenized-dataset materialization, join form vs kernel
     // twin. Array outputs are spec-verified; the harness emits the
     // scalar profile (count/OOV/positional fold) the oracle can replay.
@@ -4183,6 +4191,14 @@ object SparkEntry {
           |    AS BIGINT) AS cum_count,
           |  (SELECT total FROM t) AS total_tokens
           |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+      // shard membership is a pure function of the key — the manifest
+      // replays without reading a single exported byte
+      "q115_jsonl_shards" ->
+        """SELECT CAST(((doc_id + 13) * 2654435761) % 4294967296 % 8
+          |    AS INT) AS shard,
+          |  CAST(count(*) AS BIGINT) AS n_rows
+          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
       // token-id materialization: the q110 vocab CTE + zipped unnest
       // ordinality + the positional fold; OOV = -1 by the A2 convention

@@ -1,0 +1,116 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.ops.Sampling
+
+/** Deterministic sharded JSONL export — the interchange format corpora
+  * move between pipelines in (one JSON object per line, gzip per
+  * shard), with the same exact-placement/exact-order contract as
+  * [[graft.ops.Sampling.writeShuffledShards]] and
+  * [[WebDataset.writeShards]]: exactly `numShards` files
+  * `<prefix>-NNNNN-of-MMMMM.jsonl[.gz]`, shard membership and
+  * within-file position pure functions of the row key (shard k =
+  * partition k via a custom Partitioner; ascending [[Sampling
+  * .mixedKey]] order inside) — so re-runs are byte-identical (Java's
+  * GZIP header carries no timestamp) and any consumer can locate a
+  * key's file without an index.
+  *
+  * Commit safety mirrors [[WebDataset.writeShards]] (the r9-review
+  * hardening): attempt-unique `.inprogress` temp names + task-side
+  * rename, then a job-level `_SUCCESS` marker only after every shard
+  * committed.
+  */
+object Jsonl {
+
+  def writeShards(df: DataFrame, keyCol: String, numShards: Int,
+                  dir: String, salt: Long = 0L, prefix: String = "part",
+                  gzip: Boolean = true): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    Seq("__ord", "__shard", "__json").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it before exporting"))
+    require(df.schema(keyCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"writeShards needs a numeric '$keyCol' key for deterministic " +
+        "shard routing; hash string keys to a long (xxhash64) first")
+    val spark = df.sparkSession
+    val withOrd = df
+      .withColumn("__json", to_json(struct(df.columns.map(col): _*)))
+      .withColumn("__ord", Sampling.mixedKey(col(keyCol), salt))
+      .withColumn("__shard",
+        pmod(col("__ord"), lit(numShards.toLong)).cast("int"))
+      .select(col("__shard"), col("__ord"),
+        col(keyCol).cast("string").as("__key"), col("__json"))
+    val placed = withOrd.rdd
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"writeShards: null '$keyCol' key — filter or fill null keys " +
+            "before exporting")
+        (r.getInt(0), r)
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = numShards
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    val sorted = spark.createDataFrame(placed, withOrd.schema)
+      .sortWithinPartitions(col("__ord"), col("__key"))
+    val confSer = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    graft.Fs.deleteRecursively(dir)
+    graft.Fs.mkdirs(dir)
+    val total = numShards
+    val ext = if (gzip) "jsonl.gz" else "jsonl"
+    sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      val name = f"$prefix-$pid%05d-of-$total%05d.$ext"
+      val path = new Path(dir, name)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmp = new Path(dir, s".$name.$attempt.inprogress")
+      val fs = path.getFileSystem(confSer.value)
+      val raw = fs.create(tmp, true)
+      val out = if (gzip)
+        new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+      else raw
+      var n = 0L
+      rows.foreach { ir =>
+        out.write(ir.getUTF8String(3).getBytes)
+        out.write('\n')
+        n += 1
+      }
+      out.close()
+      if (fs.exists(path)) fs.delete(path, false)
+      require(fs.rename(tmp, path), s"rename $tmp -> $path failed")
+      Iterator.single(n)
+    }.count()
+    graft.Fs.writeString(graft.Fs.join(dir, WebDataset.SuccessMarker), "")
+  }
+
+  /** Read a [[writeShards]] directory back with a declared schema (no
+    * inference scan — the writer's input schema IS the contract; gzip
+    * decompresses by extension).
+    */
+  def readShards(spark: SparkSession, dir: String,
+                 schema: StructType): DataFrame =
+    spark.read.schema(schema).json(s"$dir/*.jsonl*")
+
+  /** Per-shard row counts straight from the files — the audit frame an
+    * export job logs (and the replayable surface: shard membership is
+    * `mixedKey(key, salt) mod numShards`, so an external engine can
+    * predict every count). One distributed line-count pass; payload
+    * lines never reach the driver.
+    */
+  def manifest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.textFile(s"$dir/*.jsonl*").toDF("line")
+      .select(input_file_name().as("file"))
+      .select(regexp_extract(col("file"), "-(\\d+)-of-\\d+\\.jsonl", 1)
+        .cast("int").as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{Jsonl, WebDataset}
+
+class JsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = (0 until 200)
+    .map(i => (i.toLong, s"text $i", i % 3)).toDF("id", "text", "grp")
+
+  test("writeShards: exact layout, round-trip, byte-determinism, marker") {
+    val dir = tmpDir("jsonl-basic")
+    Jsonl.writeShards(sample, "id", numShards = 4, dir, salt = 13L)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+      .filterNot(n => n == WebDataset.SuccessMarker || n.startsWith("."))
+    assert(files.toSeq == (0 until 4).map(i =>
+      f"part-$i%05d-of-00004.jsonl.gz"))
+    assert(WebDataset.isComplete(dir))
+    // round-trip with the declared schema
+    val back = Jsonl.readShards(spark, dir, sample.schema)
+      .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+    assert(back == sample.as[(Long, String, Int)].collect().sortBy(_._1).toSeq)
+    // shard membership replays from the key
+    val man = Jsonl.manifest(spark, dir)
+      .as[(Int, Long)].collect().toMap
+    val expect = (0 until 200).map(i =>
+        (((i + 13L) * 2654435761L) % 4294967296L % 4).toInt)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(man == expect)
+    // byte-identical re-run (gzip carries no timestamp)
+    val bytes1 = files.map(f => java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, f)).toSeq)
+    Jsonl.writeShards(sample.repartition(7), "id", 4, dir, salt = 13L)
+    val bytes2 = files.map(f => java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, f)).toSeq)
+    assert(bytes1.toSeq == bytes2.toSeq)
+  }
+
+  test("writeShards: plain-text mode, null key fail-fast, column guard") {
+    val dir = tmpDir("jsonl-plain")
+    Jsonl.writeShards(sample, "id", 2, dir, gzip = false)
+    assert(new java.io.File(dir).listFiles().map(_.getName)
+      .count(_.endsWith(".jsonl")) == 2)
+    val withNull = sample.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "x", 0))
+        .toDF("id", "text", "grp").select(col("id").cast("long"),
+          col("text"), col("grp")))
+    val e = intercept[org.apache.spark.SparkException] {
+      Jsonl.writeShards(withNull, "id", 2, tmpDir("jsonl-null"))
+    }
+    assert(e.getMessage.contains("null") ||
+      e.getCause != null && e.getCause.getMessage.contains("null"))
+    intercept[IllegalArgumentException] {
+      Jsonl.writeShards(sample.withColumn("__ord", lit(1)), "id", 2, dir)
+    }
+  }
+}
