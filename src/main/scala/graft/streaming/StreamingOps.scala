@@ -320,6 +320,27 @@ object StreamingOps {
           graft.Fs.join(dir, s"batch=$batchId"), numShardsPerBatch, salt)
     }
 
+  /** Streaming JSONL export — [[webDatasetStream]]'s contract for the
+    * interchange format: each micro-batch becomes its own complete
+    * [[graft.sinks.Jsonl.writeShards]] shard set under
+    * `dir/batch=<id>/`, so a replayed micro-batch rewrites its
+    * directory byte-identically (per-batch idempotence) and consumers
+    * glob `batch=N` like any partitioned layout. Shard count is per
+    * TRIGGER volume, not corpus.
+    */
+  def jsonlStream(stream: DataFrame, keyCol: String, dir: String,
+                  numShardsPerBatch: Int, salt: Long = 0L,
+                  gzip: Boolean = true)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        graft.sinks.Jsonl.writeShards(mb.toDF(), keyCol,
+          numShardsPerBatch, graft.Fs.join(dir, s"batch=$batchId"),
+          salt, gzip = gzip)
+    }
+
   /** The standing curation chain, end to end on one stream: quality
     * score (hashed linear classifier, pure projection) → threshold
     * gate → exact dedup against the accepted corpus (stream-static

@@ -232,6 +232,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
   }
 
+  test("jsonlStream: per-batch shard sets equal the direct batch write") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("jsonl-stream")
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingOps.jsonlStream(
+        input.toDF().toDF("id", "text"), "id", dir,
+        numShardsPerBatch = 2, salt = 5L)
+      .option("checkpointLocation", tmpDir("jsonl-stream-ckpt")).start()
+    val b1 = (0 until 40).map(i => (i.toLong, s"doc $i"))
+    val b2 = (40 until 70).map(i => (i.toLong, s"doc $i"))
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+    import graft.sinks.{Jsonl, WebDataset}
+    assert(WebDataset.isComplete(s"$dir/batch=0")
+      && WebDataset.isComplete(s"$dir/batch=1"))
+    // byte parity with the direct batch write of the same rows
+    val ref = tmpDir("jsonl-stream-ref")
+    Jsonl.writeShards(b1.toDF("id", "text"), "id", 2, ref, salt = 5L)
+    def bytes(d: String) = new java.io.File(d).listFiles().toSeq
+      .filter(_.getName.endsWith(".jsonl.gz")).sortBy(_.getName)
+      .map(f => java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+    assert(bytes(s"$dir/batch=0") == bytes(ref))
+    // both batches read back complete
+    val all = Jsonl.readShards(spark, s"$dir/batch=*",
+        b1.toDF("id", "text").schema)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(all == (b1 ++ b2).sortBy(_._1).toSeq)
+  }
+
   test("capPerKeyStream: admission cap holds across batches, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
