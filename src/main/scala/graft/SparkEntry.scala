@@ -1853,6 +1853,19 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q116_dedup_provenance" -> ((s, dir) => {
+      // clone injection (the corpus has no exact dups at these SFs):
+      // every 4th doc gets one clone, every 20th a second
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val c1 = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val c2 = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Dedup.exactProvenance(docs.unionByName(c1).unionByName(c2),
+          "text", "doc_id")
+        .orderBy("dropped_id")
+    }),
+
     "q115_jsonl_shards" -> ((s, dir) => {
       val out = tmpDir("graft-jsonl")
       graft.sinks.Jsonl.writeShards(
@@ -4191,6 +4204,21 @@ object SparkEntry {
           |    AS BIGINT) AS cum_count,
           |  (SELECT total FROM t) AS total_tokens
           |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+      "q116_dedup_provenance" ->
+        """WITH all_docs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+          |    WHERE doc_id % 4 = 0
+          |  UNION ALL SELECT doc_id + 2000000, text FROM documents
+          |    WHERE doc_id % 20 = 0),
+          |fp AS (SELECT doc_id, md5(text) AS fp FROM all_docs),
+          |surv AS (SELECT fp, min(doc_id) AS survivor_id
+          |  FROM fp GROUP BY fp)
+          |SELECT f.doc_id AS dropped_id, s.survivor_id
+          |FROM fp f JOIN surv s ON f.fp IS NOT DISTINCT FROM s.fp
+          |WHERE f.doc_id <> s.survivor_id
+          |ORDER BY dropped_id""".stripMargin,
 
       // shard membership is a pure function of the key — the manifest
       // replays without reading a single exported byte

@@ -451,6 +451,34 @@ object Dedup {
     corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
       .distinct()
 
+  /** Exact-dedup PROVENANCE: one (dropped_id, survivor_id) row per
+    * discarded document — the audit trail a corpus build logs next to
+    * its survivors ("where did my document go?"), and the reverse index
+    * that lets duplicate-weighted analyses re-expand. Survivor choice
+    * matches [[exactByFingerprint]] exactly (min id per content
+    * digest, NULL texts share the NULL digest), so the pair frame is
+    * the complement of that operator's output on the same input.
+    *
+    * Scale shape: deliberately NOT a `collect_list` per digest (a
+    * pathological dup group — blank pages — would build one giant
+    * array); instead one min-aggregate on the 16-byte digest and one
+    * digest-keyed join back, both fixed-width shuffles, output sized by
+    * the drop count.
+    */
+  def exactProvenance(df: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val fp = df.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val surv = fp.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("survivor_id"))
+      .select(col("__fp").as("__fp2"), col("survivor_id"))
+    // null-SAFE digest join: NULL texts share the NULL digest group in
+    // exactByFingerprint, so their dropped ids must get provenance too
+    fp.join(surv, col("__fp") <=> col("__fp2"))
+      .filter(col(idCol) =!= col("survivor_id"))
+      .select(col(idCol).as("dropped_id"), col("survivor_id"))
+  }
+
   /** Delta between two corpus snapshots by content digest: which ids were
     * `added`, `removed`, or `changed` in `newSnap` relative to `oldSnap`.
     * Unchanged documents — the overwhelming majority of a real snapshot

@@ -105,7 +105,9 @@ object Jsonl {
     * export job logs (and the replayable surface: shard membership is
     * `mixedKey(key, salt) mod numShards`, so an external engine can
     * predict every count). One distributed line-count pass; payload
-    * lines never reach the driver.
+    * lines never reach the driver. A shard that received zero rows has
+    * no lines to count and is absent from the frame (exactly as it is
+    * absent from a key-arithmetic replay).
     */
   def manifest(spark: SparkSession, dir: String): DataFrame =
     spark.read.textFile(s"$dir/*.jsonl*").toDF("line")

@@ -1431,6 +1431,22 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("exactProvenance: complement of exactByFingerprint, null-text group") {
+    val docs = Seq((5L, "alpha"), (2L, "alpha"), (9L, "alpha"),
+      (3L, "beta"), (7L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val pairs = Dedup.exactProvenance(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(pairs == Seq((5L, 2L), (7L, 4L), (9L, 2L)))
+    // complement check against the survivor operator on the same input
+    val survivors = Dedup.exactByFingerprint(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(2L, 3L, 4L))
+    assert((survivors ++ pairs.map(_._1)).toSeq.sorted ==
+      Seq(2L, 3L, 4L, 5L, 7L, 9L))
+    assert(pairs.map(_._2).toSet.subsetOf(survivors))
+  }
+
   test("tokenizeToIds: join/kernel parity, OOV, empty and null text") {
     val docs = Seq((1L, "a B c a zz"), (2L, ""), (3L, null),
       (4L, "zz yy")).toDF("doc_id", "text")
