@@ -1853,6 +1853,19 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q117_semantic_sweep" -> ((s, dir) => {
+      // q70's construction, swept over three thresholds in one pass
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val clones = emb.filter(col("vec_id") < 4)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      Dedup.semanticThresholdSweep(emb.unionAll(clones), "vec_id",
+          "embedding", centroids, "vec_id", "embedding",
+          thresholds = Seq(0.95, 0.98, 0.999), maxClusterSize = 1000)
+        .orderBy("threshold")
+    }),
+
     "q116_dedup_provenance" -> ((s, dir) => {
       // clone injection (the corpus has no exact dups at these SFs):
       // every 4th doc gets one clone, every 20th a second
@@ -4204,6 +4217,51 @@ object SparkEntry {
           |    AS BIGINT) AS cum_count,
           |  (SELECT total FROM t) AS total_tokens
           |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+      // q70's CTE chain swept: pairs at the min threshold once, counts
+      // per threshold via the unnest'd literal list
+      "q117_semantic_sweep" ->
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+           |all_v AS (
+           |  SELECT vec_id, embedding FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> (x * 2.0)::FLOAT)
+           |  FROM base WHERE vec_id < 4),
+           |cent AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cv
+           |  FROM base WHERE vec_id % 43 = 0),
+           |assigned AS (
+           |  SELECT v.vec_id, v.embedding, c.centroid_id,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${cosSql("v.embedding", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |  FROM all_v v CROSS JOIN cent c),
+           |a1 AS (SELECT vec_id, embedding, centroid_id
+           |  FROM assigned WHERE rn = 1),
+           |ok AS (SELECT centroid_id FROM a1
+           |  GROUP BY centroid_id HAVING count(*) <= 1000),
+           |k AS (SELECT a1.* FROM a1 JOIN ok USING (centroid_id)),
+           |p AS (
+           |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |    ${cosSql("x.embedding", "y.embedding")} AS cosine
+           |  FROM k x JOIN k y
+           |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+           |  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.95),
+           |t AS (SELECT unnest([0.95, 0.98, 0.999]) AS threshold),
+           |hit AS (SELECT t.threshold, p.id_a, p.id_b
+           |  FROM p JOIN t ON p.cosine >= t.threshold),
+           |pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+           |  FROM hit GROUP BY threshold),
+           |dc AS (SELECT threshold,
+           |    CAST(count(DISTINCT d) AS BIGINT) AS n_dup_docs
+           |  FROM (SELECT threshold, unnest([id_a, id_b]) AS d FROM hit)
+           |  GROUP BY threshold)
+           |SELECT t.threshold, COALESCE(pc.n_pairs, 0) AS n_pairs,
+           |  COALESCE(dc.n_dup_docs, 0) AS n_dup_docs
+           |FROM t LEFT JOIN pc USING (threshold)
+           |LEFT JOIN dc USING (threshold)
+           |ORDER BY t.threshold""".stripMargin,
 
       "q116_dedup_provenance" ->
         """WITH all_docs AS (

@@ -1389,6 +1389,38 @@ object Dedup {
     * chain-consistent keep decisions across transitive pairs, feed the
     * pairs to [[duplicateClusters]] + [[leakageSafeSplit]] instead.
     */
+  /** Threshold-calibration sweep for semantic dedup — the embedding
+    * twin of [[jaccardThresholdSweep]], answering "how aggressive is
+    * cosine ≥ t on MY corpus?" before committing to a threshold. ONE
+    * [[semanticDuplicates]] candidate/verify pass at `thresholds.min`,
+    * then per-threshold pair and distinct-document counts via a
+    * broadcast threshold join — the sweep costs one pass no matter how
+    * many thresholds are probed.
+    */
+  def semanticThresholdSweep(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: DataFrame, centIdCol: String,
+                             centVecCol: String, thresholds: Seq[Double],
+                             maxClusterSize: Long = 100000L): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val pairs = semanticDuplicates(df, idCol, vecCol, centroids, centIdCol,
+      centVecCol, thresholds.min, maxClusterSize)
+    val thrDf = df.sparkSession.createDataFrame(
+        thresholds.distinct.sorted.map(Tuple1(_)))
+      .toDF("threshold")
+    val hit = pairs.join(broadcast(thrDf),
+      col("cosine") >= col("threshold"))
+    val pairCounts = hit.groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = hit
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("__doc"))
+      .groupBy("threshold")
+      .agg(countDistinct(col("__doc")).as("n_dup_docs"))
+    thrDf.join(pairCounts, Seq("threshold"), "left")
+      .join(docCounts, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
+  }
+
   def semanticDedupPipeline(df: DataFrame, idCol: String, vecCol: String,
                             centroids: DataFrame, centIdCol: String,
                             centVecCol: String, threshold: Double = 0.9,

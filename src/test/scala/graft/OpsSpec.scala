@@ -1431,6 +1431,30 @@ class OpsSpec extends SparkSpec {
     Dedup.releaseIntermediates()
   }
 
+  test("semanticThresholdSweep: one pass matches per-threshold reruns") {
+    // 3 exact-dup vector pairs (cosine 1.0), one near pair, noise
+    val vecs = (Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(2f, 0f, 0f)),     // cos 1.0
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0f, 3f, 0f)),     // cos 1.0
+      (5L, Array(1f, 1f, 0f)), (6L, Array(1f, 0.9f, 0f)),   // cos ~0.997
+      (7L, Array(0f, 0f, 1f)))).toDF("vec_id", "embedding")
+    val cents = Seq((100L, Array(1f, 1f, 0f)), (101L, Array(0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val thr = Seq(0.9, 0.999, 1.1)
+    val sweep = graft.ops.Dedup.semanticThresholdSweep(vecs, "vec_id",
+        "embedding", cents, "vec_id", "embedding", thr)
+      .as[(Double, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for (t <- thr) {
+      val pairs = graft.ops.Dedup.semanticDuplicates(vecs, "vec_id",
+          "embedding", cents, "vec_id", "embedding", threshold = t)
+        .as[(Long, Long, Double)].collect()
+      assert(sweep(t)._2 == pairs.length, s"t=$t")
+      assert(sweep(t)._3 ==
+        pairs.flatMap(p => Seq(p._1, p._2)).distinct.length, s"t=$t")
+    }
+    assert(sweep(1.1) == ((1.1, 0L, 0L))) // unreachable threshold
+  }
+
   test("exactProvenance: complement of exactByFingerprint, null-text group") {
     val docs = Seq((5L, "alpha"), (2L, "alpha"), (9L, "alpha"),
       (3L, "beta"), (7L, null.asInstanceOf[String]),
