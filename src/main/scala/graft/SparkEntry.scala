@@ -1853,6 +1853,38 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // The corpus→training-batches capstone chain: artifact injection →
+    // clone injection → encoding-clean gate → exact dedup → vocab fit →
+    // token-id materialization → length-bucketed batch plan. Every
+    // stage is an already-oracle-verified operator; the oracle replays
+    // the whole composition.
+    "q118_training_chain" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val built = base.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" bad�byte"))
+            .otherwise(lit(""))).as("text"))
+      val withClones = built.unionByName(
+        built.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      val clean = withClones.filter(
+        TextAnalysis.encodingArtifacts(col("text")).getField("is_clean"))
+      val surv = Dedup.exactByFingerprint(clean, "text", "doc_id")
+        .select("doc_id", "text")
+      val vocab = TextAnalysis.tokenVocabFit(surv, "text", vocabSize = 50)
+      val ids = TextAnalysis.tokenizeToIds(surv, "doc_id", "text", vocab)
+      val counted = ids.select(col("doc_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        size(filter(col("token_ids"), x => x === -1L)).cast("long")
+          .as("n_oov"))
+      Sampling.lengthBucketBatches(counted, "doc_id", "n_tokens",
+          boundaries = Seq(64, 128, 256, 512), batchTokens = 1024,
+          groups = 8, salt = 13L)
+        .join(counted.select("doc_id", "n_oov"), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "q117_semantic_sweep" -> ((s, dir) => {
       // q70's construction, swept over three thresholds in one pass
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -4217,6 +4249,90 @@ object SparkEntry {
           |    AS BIGINT) AS cum_count,
           |  (SELECT total FROM t) AS total_tokens
           |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+      // the full chain replay: q111's clean gate (marker sum generated
+      // from the same Seq), md5 min-id dedup, q110's vocab, q113's
+      // token counts, q109's batch arithmetic
+      "q118_training_chain" -> {
+        val moji = TextAnalysis.defaultMojibakeMarkers
+          .map(m => s"(len(t.text) - len(replace(t.text, '$m', ''))) " +
+            s"// ${m.length}")
+          .mkString(" + ")
+        s"""WITH built AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 7 = 0
+           |      THEN ' bad' || chr(65533) || 'byte' ELSE '' END AS text
+           |  FROM documents),
+           |allv AS (
+           |  SELECT * FROM built
+           |  UNION ALL SELECT doc_id + 500000, text FROM built
+           |    WHERE doc_id % 5 = 0),
+           |clean AS (
+           |  SELECT t.doc_id, t.text FROM allv t
+           |  WHERE len(t.text) - len(replace(t.text, chr(65533), '')) = 0
+           |    AND len(regexp_extract_all(t.text,
+           |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) = 0
+           |    AND ($moji) = 0),
+           |surv AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS sid
+           |    FROM clean)
+           |  WHERE doc_id = sid),
+           |toks0 AS (
+           |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+           |    '\\s+'), x -> len(x) > 0)) AS tok
+           |  FROM surv),
+           |c AS (SELECT tok AS token, count(*) AS cnt
+           |  FROM toks0 GROUP BY tok),
+           |vocab AS (
+           |  SELECT token, CAST(row_number()
+           |    OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+           |  FROM c QUALIFY rank <= 50),
+           |dtok AS (
+           |  SELECT doc_id, unnest(ts) AS tok,
+           |    unnest(range(1, len(ts) + 1)) AS ord
+           |  FROM (SELECT doc_id,
+           |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |        x -> len(x) > 0) AS ts
+           |    FROM surv)),
+           |jt AS (
+           |  SELECT d.doc_id, COALESCE(v.rank, -1) AS tid
+           |  FROM dtok d LEFT JOIN vocab v ON d.tok = v.token),
+           |cnts AS (
+           |  SELECT s.doc_id,
+           |    COALESCE(a.n_tokens, 0) AS n_tokens,
+           |    COALESCE(a.n_oov, 0) AS n_oov
+           |  FROM surv s LEFT JOIN (
+           |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |      CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           |        AS n_oov
+           |    FROM jt GROUP BY doc_id) a ON s.doc_id = a.doc_id),
+           |mx AS (
+           |  SELECT *, ((doc_id + 13) * 2654435761) % 4294967296 AS mix
+           |  FROM cnts),
+           |b AS (
+           |  SELECT *, CASE WHEN n_tokens <= 64 THEN 0
+           |    WHEN n_tokens <= 128 THEN 1 WHEN n_tokens <= 256 THEN 2
+           |    WHEN n_tokens <= 512 THEN 3 ELSE -1 END AS bucket
+           |  FROM mx),
+           |f AS (
+           |  SELECT *, mix % 8 AS grp,
+           |    CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 128
+           |      WHEN 2 THEN 256 ELSE 512 END AS bucket_cap
+           |  FROM b WHERE bucket >= 0),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY bucket, grp
+           |    ORDER BY mix, doc_id) - 1 AS rn
+           |  FROM f)
+           |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+           |  CAST(bucket_cap AS BIGINT) AS bucket_cap,
+           |  CAST((bucket * 8 + grp) * 1099511627776
+           |    + rn // (1024 // bucket_cap) AS BIGINT) AS batch_id,
+           |  CAST(rn % (1024 // bucket_cap) AS BIGINT) AS batch_pos,
+           |  CAST(bucket_cap - n_tokens AS BIGINT) AS pad_tokens,
+           |  n_oov
+           |FROM r ORDER BY doc_id""".stripMargin
+      },
 
       // q70's CTE chain swept: pairs at the min threshold once, counts
       // per threshold via the unnest'd literal list

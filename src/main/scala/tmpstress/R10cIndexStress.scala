@@ -109,6 +109,21 @@ object R10cIndexStress {
           df.unpersist()
         }
 
+      case "jsonl" =>
+        val docs = docsTimes(200, 0).cache()
+        println(s"MARKER_corpus=${docs.count()}")
+        for (r <- 1 to 2) {
+          val dir = s"/tmp/r10c_jsonl_$r"
+          graft.Fs.deleteRecursively(dir)
+          val t0 = System.nanoTime()
+          graft.sinks.Jsonl.writeShards(docs, "doc_id", 64, dir, salt = 7L)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val man = graft.sinks.Jsonl.manifest(spark, dir)
+            .agg(count(lit(1)), sum(col("n_rows"))).head()
+          println(f"MARKER_jsonl$r=$secs%.1f shards=${man.getLong(0)} " +
+            s"rows=${man.getLong(1)}")
+        }
+
       case "tokids" =>
         val corpus = docsTimes(200, 0).cache()
         println(s"MARKER_corpus=${corpus.count()}")
