@@ -319,21 +319,63 @@ object Multimodal {
     Some(bits)
   }
 
-  /** Append the [[aHash]] signature as a nullable long column — the same
-    * per-partition batch stage shape as [[decodeStage]] (decode work
-    * stays off the driver and off the shuffle; the output is 8 bytes a
-    * row no matter the payload size).
+  /** 64-bit difference-hash (dHash): decode → 9×8 bilinear luma →
+    * bit (row, col) = luma[row][col] < luma[row][col+1] (horizontal
+    * gradient sign, row-major). The standard robustness upgrade over
+    * [[aHash]]: a global brightness or contrast shift moves every cell
+    * AND the mean, which can flip many aHash bits near the mean, while
+    * gradient SIGNS survive any monotone tone mapping. Same
+    * determinism/goldening story as aHash; None for null/undecodable.
+    */
+  def dHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val small = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = small.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    val px = new Array[Int](72)
+    small.getRaster.getPixels(0, 0, 9, 8, px)
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (px(r * 9 + c) < px(r * 9 + c + 1)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some(bits)
+  }
+
+  /** Append the [[aHash]] (default) or [[dHash]] signature as a nullable
+    * long column — the same per-partition batch stage shape as
+    * [[decodeStage]] (decode work stays off the driver and off the
+    * shuffle; the output is 8 bytes a row no matter the payload size).
     */
   def perceptualHashStage(df: DataFrame, binaryCol: String,
-                          outCol: String = "phash"): DataFrame = {
+                          outCol: String = "phash",
+                          kind: String = "ahash"): DataFrame = {
+    require(kind == "ahash" || kind == "dhash",
+      s"unknown perceptual hash kind '$kind' (expected ahash | dhash)")
+    val useD = kind == "dhash"
     val outSchema = StructType(df.schema.fields :+
       StructField(outCol, LongType, nullable = true))
     val binIdx = df.columns.indexOf(binaryCol)
     require(binIdx >= 0, s"missing column $binaryCol")
     df.mapPartitions { rows =>
       rows.map { row =>
-        Row.fromSeq(row.toSeq :+
-          aHash(row.getAs[Array[Byte]](binIdx)).map(Long.box).orNull)
+        val p = row.getAs[Array[Byte]](binIdx)
+        val h = if (useD) dHash(p) else aHash(p)
+        Row.fromSeq(row.toSeq :+ h.map(Long.box).orNull)
       }
     }(Encoders.row(outSchema))
   }
@@ -347,9 +389,10 @@ object Multimodal {
     * (id_a, id_b, hamming).
     */
   def imageNearDuplicates(df: DataFrame, idCol: String, binaryCol: String,
-                          maxDistance: Int = 3): DataFrame =
+                          maxDistance: Int = 3,
+                          kind: String = "ahash"): DataFrame =
     Dedup.hammingDuplicates(
-      perceptualHashStage(df, binaryCol)
+      perceptualHashStage(df, binaryCol, kind = kind)
         .filter(col("phash").isNotNull)
         .select(col(idCol), col("phash")),
       idCol, "phash", maxDistance)

@@ -2223,6 +2223,40 @@ class OpsSpec extends SparkSpec {
 
   // ---- perceptual image hashing ----
 
+  test("dHash: gradient signs, brightness-shift invariance vs aHash") {
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 32; x <- 0 until 32)
+        img.getRaster.setSample(x, y, 0, f(x, y).max(0).min(255))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // strictly increasing horizontal ramp → every gradient bit set
+    val ramp = Multimodal.dHash(png((x, _) => x * 8)).get
+    assert(ramp == -1L) // all 64 bits
+    // strictly decreasing → no bits
+    assert(Multimodal.dHash(png((x, _) => 255 - x * 8)).get == 0L)
+    // a global brightness shift preserves the dHash EXACTLY while the
+    // same shift perturbs the aHash's mean-relative bits on an image
+    // whose cells hug the mean (checkerboard + mild ramp)
+    def scene(off: Int) = png((x, y) =>
+      off + (if (((x / 4) + (y / 4)) % 2 == 0) 90 else 110) + x / 8)
+    assert(Multimodal.dHash(scene(0)) == Multimodal.dHash(scene(40)))
+    // flat image: no gradients, well-defined zero hash
+    assert(Multimodal.dHash(png((_, _) => 128)).get == 0L)
+    // undecodable routes to None like aHash
+    assert(Multimodal.dHash("junk".getBytes).isEmpty)
+    // the stage dispatches by kind and pairs clones under dhash
+    val rows = Seq((1L, scene(0)), (2L, scene(40)), (3L, png((x, _) => x * 8)))
+      .toDF("img_id", "payload")
+    val pairs = Multimodal.imageNearDuplicates(rows, "img_id", "payload",
+        kind = "dhash")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L))) // brightness twins pair; ramp far
+  }
+
   test("aHash: constructed extremes, stage null routing, near-dup pairs") {
     import java.awt.image.BufferedImage
     def png(img: BufferedImage): Array[Byte] = {
