@@ -1853,6 +1853,24 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // build → delete a third of the corpus → probe: score-identical to
+    // an index built from the survivors alone (the delete lifecycle)
+    "q119_bm25_delete" -> ((s, dir) => {
+      val art = tmpDir("graft-bm25-del")
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+      TextAnalysis.bm25ArtifactsDelete(s, art,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id"),
+        "doc_id")
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      TextAnalysis.bm25TopKPersisted(s, art, queries, "qid", "qtext",
+          k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // The corpus→training-batches capstone chain: artifact injection →
     // clone injection → encoding-clean gate → exact dedup → vocab fit →
     // token-id materialization → length-bucketed batch plan. Every
@@ -3827,6 +3845,12 @@ object SparkEntry {
       // by construction (the split-df layout's whole point), so the
       // same full-corpus SQL proves the append path too
       "q107_bm25_append" -> bm25Sql,
+      // delete-then-probe must equal the SAME replay restricted to the
+      // surviving corpus — df/stats corrections and tombstones all
+      // collapse into the WHERE clause
+      "q119_bm25_delete" -> bm25Sql.replace(
+        "AS lt FROM documents)",
+        "AS lt FROM documents WHERE doc_id % 3 <> 0)"),
 
 
       // Sharded-Bloom routing is result-identical to plain incremental

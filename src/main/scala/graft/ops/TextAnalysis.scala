@@ -676,6 +676,11 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$path/postings")
     tf.groupBy("__t").agg(count(lit(1)).as("__df"))
       .write.mode("overwrite").parquet(s"$path/df")
+    // per-doc length table: the probe never reads it (postings carry
+    // __dl), but [[bm25ArtifactsDelete]] needs it — a zero-token doc
+    // has NO posting row, so postings alone cannot say whether a
+    // deleted id contributed to n_docs
+    dl.write.mode("overwrite").parquet(s"$path/dl")
     dl.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("__dl")), lit(0L)).as("total_tokens"))
       .write.mode("overwrite").parquet(s"$path/stats")
@@ -722,6 +727,7 @@ object TextAnalysis {
       .repartitionByRange(col("__t"), col("__doc"))
       .sortWithinPartitions("__t", "__doc")
       .write.mode("append").parquet(s"$path/postings")
+    dl.write.mode("append").parquet(s"$path/dl")
     // read old stats BEFORE overwriting (head() materializes the row)
     val st = spark.read.parquet(s"$path/stats").head()
     val bs = dl.agg(count(lit(1)).as("n"),
@@ -739,6 +745,94 @@ object TextAnalysis {
         st.getAs[Long]("total_tokens") + bs.getAs[Long]("t")))
       .toDF("n_docs", "total_tokens")
       .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Delete documents from a persisted BM25 index WITHOUT re-reading the
+    * corpus — the GDPR/takedown path, completing the index lifecycle
+    * (build → [[bm25ArtifactsAppend]] → delete). Deletion rewrites
+    * exactly the artifacts whose VALUES change and tombstones the rest:
+    *
+    *  - `df/` decrements per-term doc frequency by the deleted docs'
+    *    postings (rows reaching 0 drop) — term-cardinality-sized, the
+    *    same tmp+rename swap as append.
+    *  - `dl/` drops the deleted docs' rows (same swap). Rewriting — not
+    *    tombstoning — this table is what makes a REPEATED delete of the
+    *    same id a no-op instead of a double-subtraction.
+    *  - `stats/` subtracts the deleted docs found in `dl/` (n_docs and
+    *    token totals exact even for zero-token docs, which have no
+    *    posting to find them by — the reason `dl/` exists).
+    *  - `postings/` are NOT rewritten (corpus-sized, term-range-sorted;
+    *    an in-place rewrite would be a full rebuild): deleted ids land
+    *    in `tombstones/` and [[bm25TopKPersisted]] anti-joins them at
+    *    probe time. Tombstones accumulate across delete batches —
+    *    once they are a material fraction of the corpus, rebuild the
+    *    index (one [[bm25ArtifactsSave]]); the probe cost of the
+    *    anti-join is proportional to tombstone count, not corpus.
+    *
+    * After a delete, probes are score-for-score identical to a
+    * from-scratch build over the surviving corpus (spec-pinned; q119
+    * proves it against the full external replay). Ids absent from the
+    * index are ignored. Fails loud on a pre-`dl/` index (older layout):
+    * rebuild once to adopt the lifecycle.
+    *
+    * Consistency: each table update is individually atomic (tmp+rename
+    * swap — readers never see a half-written table), but like
+    * [[bm25ArtifactsAppend]] the multi-table sequence is not one
+    * transaction: a job that dies BETWEEN table updates leaves a
+    * readable but cross-table-inconsistent index. Do not re-run the
+    * delete (df/ would double-subtract); rebuild from the corpus.
+    */
+  def bm25ArtifactsDelete(spark: org.apache.spark.sql.SparkSession,
+                          path: String, ids: DataFrame,
+                          idCol: String): Unit = {
+    require(graft.Fs.exists(s"$path/dl"),
+      s"$path has no dl/ table (pre-delete layout) — rebuild the index " +
+        "with bm25ArtifactsSave once to enable deletes")
+    val del = ids.select(col(idCol).as("__doc")).distinct()
+    val dl = spark.read.parquet(s"$path/dl")
+    // removed BEFORE the dl/ swap, EAGERLY checkpointed: a cached plan
+    // could be evicted and silently recomputed against the post-swap
+    // dl/ (losing the tombstones); the checkpoint severs the lineage
+    val removed = dl.join(del, Seq("__doc")).localCheckpoint(true)
+    val rm = removed.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
+    val nRemoved = rm.getAs[Long]("n")
+    if (nRemoved > 0L) {
+      // per-term decrement from the deleted docs' postings
+      val dec = spark.read.parquet(s"$path/postings")
+        .join(del, Seq("__doc"))
+        .groupBy("__t").agg(count(lit(1)).as("__dec"))
+      val newDf = spark.read.parquet(s"$path/df")
+        .join(dec, Seq("__t"), "left")
+        .select(col("__t"),
+          (col("__df") - coalesce(col("__dec"), lit(0L))).as("__df"))
+        .filter(col("__df") > 0L)
+      swapTable(spark, newDf, s"$path/df")
+      swapTable(spark, dl.join(del, Seq("__doc"), "left_anti"),
+        s"$path/dl")
+      val st = spark.read.parquet(s"$path/stats").head()
+      import spark.implicits._
+      Seq((st.getAs[Long]("n_docs") - nRemoved,
+          st.getAs[Long]("total_tokens") - rm.getAs[Long]("t")))
+        .toDF("n_docs", "total_tokens")
+        .write.mode("overwrite").parquet(s"$path/stats")
+      removed.select("__doc")
+        .write.mode("append").parquet(s"$path/tombstones")
+    }
+    removed.unpersist()
+  }
+
+  /** Rewrite-and-swap a small artifact table (the df/dl pattern): a
+    * failure mid-merge leaves the old table readable, never a
+    * half-written one.
+    */
+  private def swapTable(spark: org.apache.spark.sql.SparkSession,
+                        table: DataFrame, dest: String): Unit = {
+    val tmp = s"${dest}_tmp"
+    table.write.mode("overwrite").parquet(tmp)
+    graft.Fs.deleteRecursively(dest)
+    require(graft.Fs.rename(tmp, dest),
+      s"failed to move rewritten table into place at $dest")
   }
 
   /** BM25 top-k against a persisted [[bm25ArtifactsSave]] snapshot —
@@ -772,7 +866,16 @@ object TextAnalysis {
     // scan pushdown, never correctness (the join still filters exactly)
     val termSample = qt.select("__t").distinct()
       .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
-    val postings0 = spark.read.parquet(s"$path/postings")
+    val postingsRaw = spark.read.parquet(s"$path/postings")
+    // deleted docs ([[bm25ArtifactsDelete]]) are tombstoned, not
+    // rewritten out of the corpus-sized postings: anti-join them here.
+    // The branch only exists after a delete, so pre-delete probe plans
+    // (and their pushdown plan pins) are untouched
+    val postings0 =
+      if (graft.Fs.exists(s"$path/tombstones"))
+        postingsRaw.join(spark.read.parquet(s"$path/tombstones"),
+          Seq("__doc"), "left_anti")
+      else postingsRaw
     val postings =
       if (termSample.length <= maxPushdownTerms)
         postings0.where(col("__t").isin(termSample.toIndexedSeq: _*))

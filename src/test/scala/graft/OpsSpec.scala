@@ -1403,6 +1403,54 @@ class OpsSpec extends SparkSpec {
       "qtext", k = 10)) == live2)
   }
 
+  test("bm25ArtifactsDelete: delete == build on survivors; repeat no-op; append after") {
+    val docs = Seq(
+      (1L, "spark spark spark engine"),
+      (2L, "spark engine overview text"),
+      (3L, "the the the filler filler"),
+      (4L, "spark"),
+      (5L, ""),                              // zero-token: only dl/ knows it
+      (6L, "engine room text filler overview"),
+    ).toDF("doc_id", "text")
+    val qs = Seq((7L, "spark engine"), (8L, "filler text"))
+      .toDF("qid", "qtext")
+    val art = tmpDir("bm25delete")
+    TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    // delete a scoring doc, the zero-token doc, and an absent id
+    TextAnalysis.bm25ArtifactsDelete(spark, art,
+      Seq(2L, 5L, 99L).toDF("doc_id"), "doc_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    val survivors = docs.filter(!col("doc_id").isin(2L, 5L))
+    val expect = canon(TextAnalysis.bm25TopK(survivors, "doc_id", "text",
+      qs, "qid", "qtext", k = 10))
+    assert(canon(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10)) == expect)
+    assert(expect.map(_._3).toSet.intersect(Set(2L, 5L)).isEmpty)
+    // stats exact incl. the zero-token doc (n_docs 6→4)
+    val st = spark.read.parquet(s"$art/stats").head()
+    assert(st.getAs[Long]("n_docs") == 4L)
+    assert(st.getAs[Long]("total_tokens") == 4L + 5L + 1L + 5L)
+    // repeating the SAME delete is a no-op (dl/ gating, no double
+    // subtraction)
+    TextAnalysis.bm25ArtifactsDelete(spark, art,
+      Seq(2L, 5L).toDF("doc_id"), "doc_id")
+    assert(spark.read.parquet(s"$art/stats").head()
+      .getAs[Long]("n_docs") == 4L)
+    assert(canon(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10)) == expect)
+    // the lifecycle composes: append AFTER a delete stays exact
+    val batch = Seq((9L, "spark filler text")).toDF("doc_id", "text")
+    TextAnalysis.bm25ArtifactsAppend(batch, "doc_id", "text", art)
+    val expect2 = canon(TextAnalysis.bm25TopK(
+      survivors.unionByName(batch), "doc_id", "text", qs, "qid", "qtext",
+      k = 10))
+    assert(canon(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10)) == expect2)
+  }
+
   test("semanticDuplicates: within-cluster pairs only, cap drops coarse clusters") {
     // two tight direction families (x-ish, y-ish) + centroids on the axes;
     // scaled vectors are semantic duplicates (cosine is scale-invariant)
