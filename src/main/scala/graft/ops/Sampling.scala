@@ -273,6 +273,9 @@ object Sampling {
       mixThresholds(proportionalMixPlan(df, strataCol, proportions, total),
         strataCol),
       strataCol, keyCol, salt)
+  // streaming: feed mixThresholds(proportionalMixPlan(...)) to
+  // graft.streaming.StreamingOps.mixStream — the plan frame is the
+  // declared mixture as data, so batch and stream share it verbatim
 
   /** [[temperatureMixPlan]] WITHOUT the 1-epoch cap: targets may exceed
     * availability up to `maxEpochs` copies of a stratum — the T5/DoReMi

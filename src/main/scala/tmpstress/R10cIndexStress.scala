@@ -79,6 +79,33 @@ object R10cIndexStress {
           println(f"MARKER_probeApp$r=$sa%.2f chk=$ca parity=${ca == cf}")
         }
 
+      case "bm25del" =>
+        val art = "/tmp/r10c_bm25_del"
+        val artSurv = "/tmp/r10c_bm25_surv"
+        graft.Fs.deleteRecursively(art)
+        graft.Fs.deleteRecursively(artSurv)
+        val corpus = docsTimes(200, 0)
+        var t0 = System.nanoTime()
+        graft.ops.TextAnalysis.bm25ArtifactsSave(corpus, "doc_id", "text",
+          art)
+        println(f"MARKER_build1m=${(System.nanoTime() - t0) / 1e9}%.1f")
+        // delete 20%: every id with rep < 40 of the 200 clones
+        val delIds = corpus.filter(pmod(col("doc_id"), lit(1000L)) < 40L)
+          .select("doc_id")
+        t0 = System.nanoTime()
+        graft.ops.TextAnalysis.bm25ArtifactsDelete(spark, art, delIds,
+          "doc_id")
+        println(f"MARKER_delete200k=${(System.nanoTime() - t0) / 1e9}%.1f")
+        val surv = corpus.filter(pmod(col("doc_id"), lit(1000L)) >= 40L)
+        t0 = System.nanoTime()
+        graft.ops.TextAnalysis.bm25ArtifactsSave(surv, "doc_id", "text",
+          artSurv)
+        println(f"MARKER_rebuildSurv=${(System.nanoTime() - t0) / 1e9}%.1f")
+        val (sd, cd) = probeChk(art)
+        val (ss, cs) = probeChk(artSurv)
+        println(f"MARKER_probeDel=$sd%.2f chk=$cd")
+        println(f"MARKER_probeSurv=$ss%.2f chk=$cs parity=${cd == cs}")
+
       case "sig" =>
         def sigFrame(n: Long) = {
           val uniform = spark.range(n)
