@@ -263,6 +263,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(all == (b1 ++ b2).sortBy(_._1).toSeq)
   }
 
+  test("proportionalMix plan drives mixStream: stream keeps the batch rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0 until 120).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+    val df = rows.toDF("id", "s")
+    val mix = Map("a" -> 70L, "b" -> 30L) // c undeclared → dropped
+    val thresholds = graft.ops.Sampling.mixThresholds(
+      graft.ops.Sampling.proportionalMixPlan(df, "s", mix, total = 40L),
+      "s")
+    val batch = graft.ops.Sampling.proportionalMix(df, "s", "id", mix,
+        total = 40L, salt = 3L)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.mixStream(
+      input.toDF().toDF("id", "s"), "s", "id", thresholds, salt = 3L)
+    val query = out.writeStream.format("memory")
+      .queryName("prop_mix_stream").outputMode("append").start()
+    try {
+      input.addData(rows.take(60): _*); query.processAllAvailable()
+      input.addData(rows.drop(60): _*); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("prop_mix_stream")
+      .select("id", "s").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.forall(_._2 != "c"))
+  }
+
   test("capPerKeyStream: admission cap holds across batches, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
