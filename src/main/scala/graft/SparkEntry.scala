@@ -1853,6 +1853,23 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q120_title_dedup" -> ((s, dir) => {
+      // short-string (title) dedup: 3-token titles + planted one-char-
+      // deletion typos; SymSpell deletion-neighborhood candidates,
+      // exact levenshtein verify
+      val titles = t(s, dir, "documents").select(col("doc_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 3), " ")
+          .as("title"))
+      val typos = titles
+        .filter(pmod(col("doc_id"), lit(6)) === 0 && length(col("title")) >= 3)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(substring(col("title"), 1, 2), expr("substring(title, 4)"))
+            .as("title"))
+      Dedup.editDistanceDuplicates(titles.unionByName(typos), "doc_id",
+          "title", maxDistance = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
     // build → delete a third of the corpus → probe: score-identical to
     // an index built from the survivors alone (the delete lifecycle)
     "q119_bm25_delete" -> ((s, dir) => {
@@ -3845,6 +3862,25 @@ object SparkEntry {
       // by construction (the split-df layout's whole point), so the
       // same full-corpus SQL proves the append path too
       "q107_bm25_append" -> bm25Sql,
+      // candidate generation is invisible to semantics: the oracle is
+      // the all-pairs exact levenshtein (DuckDB builtin == Spark's)
+      "q120_title_dedup" ->
+        """WITH t0 AS (
+          |  SELECT doc_id,
+          |    array_to_string(list_filter(regexp_split_to_array(text,
+          |      '\s+'), x -> len(x) > 0)[1:3], ' ') AS title
+          |  FROM documents),
+          |ty AS (
+          |  SELECT doc_id + 700000 AS doc_id,
+          |    substr(title, 1, 2) || substr(title, 4) AS title
+          |  FROM t0 WHERE doc_id % 6 = 0 AND len(title) >= 3),
+          |allt AS (SELECT * FROM t0 UNION ALL SELECT * FROM ty)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
+          |FROM allt a JOIN allt b ON a.doc_id < b.doc_id
+          |WHERE levenshtein(a.title, b.title) <= 1
+          |ORDER BY id_a, id_b""".stripMargin,
+
       // delete-then-probe must equal the SAME replay restricted to the
       // surviving corpus — df/stats corrections and tombstones all
       // collapse into the WHERE clause

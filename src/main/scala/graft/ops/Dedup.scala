@@ -1142,6 +1142,64 @@ object Dedup {
     cross.unionByName(intra)
   }
 
+  /** Edit-distance near-duplicate pairs for SHORT strings — titles,
+    * product names, queries — where the token-shingle families are
+    * blind (a one-character typo changes no token boundary but should
+    * still pair). Candidate generation is the deletion-neighborhood
+    * trick (SymSpell, public domain): every string explodes to its
+    * deletes of depth ≤ `maxDistance`, and two strings within edit
+    * distance d share a deletion variant at depth ≤ d (substitution =
+    * one delete on each side at the same position; insertion/deletion =
+    * one delete on the longer side) — so the variant-equality join is a
+    * COMPLETE candidate generator, verified exactly with
+    * `levenshtein(a, b) ≤ maxDistance` (the engine's builtin replays in
+    * external SQL). Returns (id_a, id_b, distance), each pair once.
+    *
+    * Exact duplicates pair through the depth-0 variant (the string
+    * itself); null strings never pair; rows longer than `maxLen`
+    * characters are EXCLUDED (neighborhood size is length^depth — this
+    * operator is for short strings; long text belongs to the
+    * MinHash/SimHash families).
+    *
+    * Scale shape: the explode emits ~len^d variants per row (len+1 at
+    * d=1); the join keys are variant strings of ≤ `maxLen` chars;
+    * verification is one codegen'd `levenshtein` per candidate;
+    * `distinct` collapses multi-variant agreement. `maxDistance` ≤ 2
+    * enforced — depth-2 already multiplies rows by ~len²/2, the
+    * documented ceiling of the trick.
+    */
+  def editDistanceDuplicates(df: DataFrame, idCol: String, strCol: String,
+                             maxDistance: Int = 1,
+                             maxLen: Int = 128): DataFrame = {
+    require(maxDistance >= 1 && maxDistance <= 2,
+      "maxDistance must be 1 or 2 (deletion-neighborhood depth)")
+    require(maxLen >= 1 && maxLen <= 1024, "maxLen must be in [1, 1024]")
+    val base = df.select(col(idCol), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull && length(col("__s")) <= maxLen)
+    // guard the empty string: sequence(0, -1) would step DOWNWARD
+    def dels(s: Column): Column =
+      when(length(s) > 0,
+        transform(sequence(lit(0), length(s) - 1), i =>
+          concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
+        .otherwise(array().cast("array<string>"))
+    val d1 = dels(col("__s"))
+    val variants =
+      if (maxDistance == 1) array_distinct(concat(array(col("__s")), d1))
+      else array_distinct(concat(array(col("__s")), d1,
+        flatten(transform(d1, v => dels(v)))))
+    val keyed = base
+      .select(col(idCol), col("__s"), explode(variants).as("__v"))
+    val a = keyed.select(col(idCol).as("id_a"), col("__s").as("__sa"),
+      col("__v"))
+    val b = keyed.select(col(idCol).as("id_b"), col("__s").as("__sb"),
+      col("__v").as("__vb"))
+    a.join(b, a("__v") === b("__vb") && a("id_a") < b("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).cast("long").as("distance"))
+      .filter(col("distance") <= maxDistance)
+      .distinct()
+  }
+
   // ---- exact n-gram Jaccard ----------------------------------------------
 
   /** Exact pairwise n-gram Jaccard ≥ threshold, via an inverted-index

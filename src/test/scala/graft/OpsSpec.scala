@@ -1403,6 +1403,54 @@ class OpsSpec extends SparkSpec {
       "qtext", k = 10)) == live2)
   }
 
+  test("editDistanceDuplicates: brute-force parity at d=1/d=2, guards") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(99)
+    val ab = "abcd"
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    (0 until 40).foreach { _ =>
+      val s = Seq.fill(rnd.nextInt(9))(ab(rnd.nextInt(4))).mkString
+      rows += ((id, s)); id += 1
+      rnd.nextInt(3) match { // planted: sub / insert / delete
+        case 0 if s.nonEmpty =>
+          val i = rnd.nextInt(s.length)
+          rows += ((id, s.updated(i, ab((ab.indexOf(s(i)) + 1) % 4))))
+          id += 1
+        case 1 =>
+          val i = rnd.nextInt(s.length + 1)
+          rows += ((id, s.take(i) + ab(rnd.nextInt(4)) + s.drop(i)))
+          id += 1
+        case _ if s.nonEmpty =>
+          val i = rnd.nextInt(s.length)
+          rows += ((id, s.take(i) + s.drop(i + 1))); id += 1
+        case _ =>
+      }
+    }
+    rows += ((id, null)); id += 1
+    rows += ((id, "x" * 200)); id += 1 // over maxLen → excluded
+    val df = rows.toSeq.toDF("id", "s")
+    val inPlay = rows.toSeq.filter(r => r._2 != null && r._2.length <= 128)
+    for (d <- 1 to 2) {
+      val expect = (for {
+        (ia, sa) <- inPlay; (ib, sb) <- inPlay if ia < ib
+        dist = lev(sa, sb) if dist <= d
+      } yield (ia, ib, dist.toLong)).toSet
+      val got = Dedup.editDistanceDuplicates(df, "id", "s",
+          maxDistance = d, maxLen = 128)
+        .as[(Long, Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"d=$d dup pairs")
+      assert(got.toSet == expect, s"d=$d")
+    }
+  }
+
   test("bm25ArtifactsDelete: delete == build on survivors; repeat no-op; append after") {
     val docs = Seq(
       (1L, "spark spark spark engine"),
