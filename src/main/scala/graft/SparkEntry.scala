@@ -1853,6 +1853,16 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q121_contains_probe" -> ((s, dir) => {
+      val probes = s.createDataFrame(Seq(
+        (1L, "carefully"),
+        (2L, "slyly final"),
+        (3L, "QUICK brown"))).toDF("qid", "qstr")
+      TextAnalysis.containsProbe(t(s, dir, "documents"), "doc_id", "text",
+          probes, "qid", "qstr", caseInsensitive = true)
+        .orderBy("query_id", "doc_id")
+    }),
+
     "q120_title_dedup" -> ((s, dir) => {
       // short-string (title) dedup: 3-token titles + planted one-char-
       // deletion typos; SymSpell deletion-neighborhood candidates,
@@ -3862,6 +3872,14 @@ object SparkEntry {
       // by construction (the split-df layout's whole point), so the
       // same full-corpus SQL proves the append path too
       "q107_bm25_append" -> bm25Sql,
+      "q121_contains_probe" ->
+        """WITH q(qid, qstr) AS (VALUES
+          |  (1, 'carefully'), (2, 'slyly final'), (3, 'QUICK brown'))
+          |SELECT CAST(q.qid AS BIGINT) AS query_id, d.doc_id
+          |FROM documents d JOIN q
+          |  ON contains(lower(d.text), lower(q.qstr))
+          |ORDER BY query_id, doc_id""".stripMargin,
+
       // candidate generation is invisible to semantics: the oracle is
       // the all-pairs exact levenshtein (DuckDB builtin == Spark's)
       "q120_title_dedup" ->

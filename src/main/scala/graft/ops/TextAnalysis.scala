@@ -1272,6 +1272,31 @@ object TextAnalysis {
       .withColumn("mean_micro", expr("score_micro div n_bigrams"))
   }
 
+  /** Exact-substring attribution probe: which corpus documents contain
+    * each query string VERBATIM — the takedown/quote-attribution scan
+    * ("which training docs carry this sentence?"). Distinct from
+    * [[decontaminate]]: that matches word n-grams after tokenization;
+    * this matches raw character substrings, so punctuation, casing
+    * (unless `caseInsensitive`) and sub-token fragments all count.
+    *
+    * Scale shape: the query set is the declared-small side — it
+    * broadcasts into a nested-loop join whose condition is a codegen'd
+    * `contains` per (doc, query), i.e. ONE corpus scan doing |queries|
+    * substring tests per row; the corpus never shuffles. For query sets
+    * past a few thousand strings build an Aho-Corasick-style pass
+    * instead — out of scope here, priced for honesty. Returns
+    * (query_id, doc_id) hit pairs.
+    */
+  def containsProbe(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, qIdCol: String, qStrCol: String,
+                    caseInsensitive: Boolean = false): DataFrame = {
+    val t0 = col(textCol)
+    val q0 = col(qStrCol)
+    val (t, q) = if (caseInsensitive) (lower(t0), lower(q0)) else (t0, q0)
+    docs.join(broadcast(queries), contains(t, q))
+      .select(col(qIdCol).as("query_id"), col(idCol).as("doc_id"))
+  }
+
   // ---- tokenized-dataset materialization ----------------------------------
 
   /** Text → `array<long>` token ids against a fitted vocabulary — the

@@ -136,6 +136,26 @@ object R10cIndexStress {
           df.unpersist()
         }
 
+      case "edit" =>
+        // 1M 10-char strings + a planted 1-edit typo per 100th row
+        val strs = spark.range(1000000L)
+          .select(col("id"), substring(sha2(col("id").cast("string"), 256),
+            1, 10).as("s"))
+        val typos = spark.range(10000L)
+          .select((col("id") * 100L + 1000000L).as("id"),
+            concat(lit("z"), substring(sha2((col("id") * 100L)
+              .cast("string"), 256), 2, 9)).as("s"))
+        val df = strs.unionByName(typos).cache()
+        println(s"MARKER_corpus=${df.count()}")
+        for (r <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val res = graft.ops.Dedup.editDistanceDuplicates(df, "id", "s",
+              maxDistance = 1)
+            .agg(count(lit(1)), sum(col("distance"))).head()
+          println(f"MARKER_edit$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+            s"pairs=${res.getLong(0)} sumD=${res.getLong(1)}")
+        }
+
       case "jsonl" =>
         val docs = docsTimes(200, 0).cache()
         println(s"MARKER_corpus=${docs.count()}")

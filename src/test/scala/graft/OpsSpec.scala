@@ -1403,6 +1403,23 @@ class OpsSpec extends SparkSpec {
       "qtext", k = 10)) == live2)
   }
 
+  test("containsProbe: verbatim substring hits, case switch, null text") {
+    val docs = Seq(
+      (1L, "The quick brown fox."),
+      (2L, "quick, brown"),               // punctuation breaks the phrase
+      (3L, "QUICK BROWN thing"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val qs = Seq((10L, "quick brown")).toDF("qid", "qstr")
+    val cs = TextAnalysis.containsProbe(docs, "doc_id", "text", qs,
+        "qid", "qstr")
+      .as[(Long, Long)].collect().toSet
+    assert(cs == Set((10L, 1L)))          // exact case only
+    val ci = TextAnalysis.containsProbe(docs, "doc_id", "text", qs,
+        "qid", "qstr", caseInsensitive = true)
+      .as[(Long, Long)].collect().toSet
+    assert(ci == Set((10L, 1L), (10L, 3L))) // null text never hits
+  }
+
   test("editDistanceDuplicates: brute-force parity at d=1/d=2, guards") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
