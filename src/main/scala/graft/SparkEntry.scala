@@ -1853,6 +1853,18 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q122_contains_probe_kernel" -> ((s, dir) => {
+      // the Aho-Corasick path over a wider, overlap-heavy bank (prefix/
+      // suffix relations stress the failure links)
+      val probes = s.createDataFrame(Seq(
+        (1L, "carefully"), (2L, "care"), (3L, "fully"),
+        (4L, "slyly final"), (5L, "final"), (6L, "quick"),
+        (7L, "requests"), (8L, "quests"))).toDF("qid", "qstr")
+      TextAnalysis.containsProbeKernel(t(s, dir, "documents"), "doc_id",
+          "text", probes, "qid", "qstr", caseInsensitive = true)
+        .orderBy("query_id", "doc_id")
+    }),
+
     "q121_contains_probe" -> ((s, dir) => {
       val probes = s.createDataFrame(Seq(
         (1L, "carefully"),
@@ -3872,6 +3884,18 @@ object SparkEntry {
       // by construction (the split-df layout's whole point), so the
       // same full-corpus SQL proves the append path too
       "q107_bm25_append" -> bm25Sql,
+      // the kernel's hit set is definitionally contains() — the oracle
+      // replays the join form over the wider bank
+      "q122_contains_probe_kernel" ->
+        """WITH q(qid, qstr) AS (VALUES
+          |  (1, 'carefully'), (2, 'care'), (3, 'fully'),
+          |  (4, 'slyly final'), (5, 'final'), (6, 'quick'),
+          |  (7, 'requests'), (8, 'quests'))
+          |SELECT CAST(q.qid AS BIGINT) AS query_id, d.doc_id
+          |FROM documents d JOIN q
+          |  ON contains(lower(d.text), lower(q.qstr))
+          |ORDER BY query_id, doc_id""".stripMargin,
+
       "q121_contains_probe" ->
         """WITH q(qid, qstr) AS (VALUES
           |  (1, 'carefully'), (2, 'slyly final'), (3, 'QUICK brown'))

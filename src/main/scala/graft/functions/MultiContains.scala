@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick multi-pattern automaton for [[MultiContainsOf]] — the
+  * scale escalation of the broadcast-`contains` probe: one pass over
+  * the text finds ALL of potentially thousands of patterns (blocklists,
+  * PII term banks, quote attribution) instead of |patterns| substring
+  * scans per row. Classic construction (trie + BFS failure links with
+  * merged output sets, Aho & Corasick 1975); matching walks the text
+  * once, following failure links on mismatch, and collects the DISTINCT
+  * pattern indexes seen.
+  *
+  * Matching is over UTF-16 chars of the decoded string — identical
+  * match positions to `String.contains` for every valid string, so the
+  * kernel is position-for-position the builtin's semantics. Patterns
+  * must be non-empty (an empty pattern makes `contains` vacuously true;
+  * the probe operator rejects it up front rather than encode that
+  * degenerate case in the automaton).
+  */
+final class AhoCorasick(patterns: Array[String]) extends Serializable {
+  require(patterns.nonEmpty && patterns.forall(p => p != null && p.nonEmpty),
+    "patterns must be non-empty strings")
+
+  // trie: growable parallel structures; goto maps are per-node HashMaps
+  // (pattern alphabets are sparse; a dense char table would be 128 KiB
+  // per node)
+  private val gotoMaps =
+    scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+  private val fail = scala.collection.mutable.ArrayBuffer(0)
+  private val out = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+
+  patterns.zipWithIndex.foreach { case (p, pi) =>
+    var node = 0
+    p.foreach { ch =>
+      val m = gotoMaps(node)
+      val nxt = m.get(ch)
+      node = if (nxt != null) nxt.intValue()
+      else {
+        gotoMaps += new java.util.HashMap[Character, Integer]()
+        fail += 0
+        out += Nil
+        val id = gotoMaps.size - 1
+        m.put(ch, Integer.valueOf(id))
+        id
+      }
+    }
+    out(node) = pi :: out(node)
+  }
+  // BFS failure links; outputs merge along the failure chain
+  locally {
+    val queue = new java.util.ArrayDeque[Integer]()
+    gotoMaps(0).values().forEach { v => fail(v) = 0; queue.add(v) }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      gotoMaps(u).entrySet().forEach { e =>
+        val (ch, v) = (e.getKey.charValue(), e.getValue.intValue())
+        var f = fail(u)
+        while (f != 0 && !gotoMaps(f).containsKey(ch)) f = fail(f)
+        val fv = gotoMaps(f).get(ch)
+        fail(v) =
+          if (fv != null && fv.intValue() != v) fv.intValue() else 0
+        out(v) = out(v) ++ out(fail(v))
+        queue.add(v)
+      }
+    }
+  }
+  private val gotoArr: Array[java.util.HashMap[Character, Integer]] =
+    gotoMaps.toArray
+  private val failArr: Array[Int] = fail.toArray
+  private val outArr: Array[Array[Int]] = out.map(_.toArray).toArray
+  private val nPatterns = patterns.length
+
+  /** Distinct indexes of the patterns occurring in `text`, ascending. */
+  def hits(text: UTF8String): GenericArrayData = {
+    val s = text.toString
+    val seen = new Array[Boolean](nPatterns)
+    var found = 0
+    var node = 0
+    var i = 0
+    val n = s.length
+    while (i < n && found < nPatterns) {
+      val ch = Character.valueOf(s.charAt(i))
+      while (node != 0 && !gotoArr(node).containsKey(ch)) node = failArr(node)
+      val nxt = gotoArr(node).get(ch)
+      node = if (nxt != null) nxt.intValue() else 0
+      val o = outArr(node)
+      var k = 0
+      while (k < o.length) {
+        if (!seen(o(k))) { seen(o(k)) = true; found += 1 }
+        k += 1
+      }
+      i += 1
+    }
+    val res = new Array[Int](found)
+    var p = 0
+    var j = 0
+    while (j < nPatterns) {
+      if (seen(j)) { res(p) = j; p += 1 }
+      j += 1
+    }
+    new GenericArrayData(res)
+  }
+}
+
+/** `graft_multi_contains(text)`: distinct indexes (ascending) of the
+  * model's patterns occurring verbatim in the text — ONE automaton walk
+  * per row regardless of pattern count, the model riding the plan as a
+  * reference object. Null text → null; no hits → empty array.
+  */
+case class MultiContainsOf(child: Expression, model: AhoCorasick)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    model.hits(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acModel", model,
+      "graft.functions.AhoCorasick")
+    defineCodeGen(ctx, ev, text => s"$ref.hits($text)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiContainsOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_multi_contains"
+}

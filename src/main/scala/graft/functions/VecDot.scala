@@ -335,6 +335,20 @@ object GraftFunctions {
           longs(exprs(3), "biKeys"), longs(exprs(4), "biCounts"),
           exprs(5).eval().asInstanceOf[Number].longValue()))
       }),
+    (FunctionIdentifier("graft_multi_contains"),
+      new ExpressionInfo(classOf[MultiContainsOf].getName,
+        "graft_multi_contains"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_multi_contains takes (text, patternsLiteral)")
+        require(exprs(1).foldable,
+          "graft_multi_contains patterns must be a literal array<string>")
+        val ad = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val pats = (0 until ad.numElements())
+          .map(i => ad.getUTF8String(i).toString).toArray
+        MultiContainsOf(exprs(0), new AhoCorasick(pats))
+      }),
     (FunctionIdentifier("graft_token_ids"),
       new ExpressionInfo(classOf[TokenIdsOf].getName, "graft_token_ids"),
       (exprs: Seq[Expression]) => {

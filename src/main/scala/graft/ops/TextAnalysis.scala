@@ -1297,6 +1297,41 @@ object TextAnalysis {
       .select(col(qIdCol).as("query_id"), col(idCol).as("doc_id"))
   }
 
+  /** Kernel twin of [[containsProbe]] for LARGE pattern banks: one
+    * Aho–Corasick automaton walk per document finds every matching
+    * pattern at once (`graft_multi_contains`), instead of |queries|
+    * `contains` scans per row — the blocklist/PII-bank/attribution
+    * probe at thousands of patterns. Identical hit semantics to the
+    * broadcast-`contains` join (spec-pinned parity), which remains the
+    * external-replay/oracle form — the containsProbe/[[containsProbe]]
+    * split mirrors q113/q114's join-vs-kernel pattern. The query set is
+    * collected (bounded: it is the declared-small side by contract);
+    * empty patterns are rejected (a vacuous match-everything). Returns
+    * (query_id, doc_id) hit pairs like the join form.
+    */
+  def containsProbeKernel(docs: DataFrame, idCol: String, textCol: String,
+                          queries: DataFrame, qIdCol: String,
+                          qStrCol: String,
+                          caseInsensitive: Boolean = false): DataFrame = {
+    val rows = queries.select(col(qIdCol).cast("long"), col(qStrCol))
+      .collect()
+    require(rows.nonEmpty, "containsProbeKernel needs at least one pattern")
+    val ids = rows.map(_.getLong(0))
+    val pats = rows.map { r =>
+      val p = r.getString(1)
+      require(p != null && p.nonEmpty,
+        "containsProbeKernel patterns must be non-empty strings")
+      if (caseInsensitive) p.toLowerCase else p
+    }
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val t = if (caseInsensitive) lower(col(textCol)) else col(textCol)
+    docs.select(col(idCol).as("doc_id"),
+        explode(call_function("graft_multi_contains", t, lit(pats)))
+          .as("__pi"))
+      .select(element_at(lit(ids), col("__pi") + 1).as("query_id"),
+        col("doc_id"))
+  }
+
   // ---- tokenized-dataset materialization ----------------------------------
 
   /** Text → `array<long>` token ids against a fitted vocabulary — the

@@ -136,6 +136,35 @@ object R10cIndexStress {
           df.unpersist()
         }
 
+      case "ac" =>
+        val docs = docsTimes(200, 0).cache()
+        println(s"MARKER_corpus=${docs.count()}")
+        // 1000-pattern bank: 500 real corpus tokens (hits) + 500 misses
+        val hits = docs.limit(2000)
+          .select(explode(split(lower(col("text")), "\\s+")).as("p"))
+          .filter(length(col("p")) >= 4).distinct().limit(500)
+          .collect().map(_.getString(0))
+        val bank = (hits.zipWithIndex.map { case (p, i) => (i.toLong, p) } ++
+          (0 until 500).map(i => (500L + i, s"zzq${i}xy"))).toSeq
+          .toDF("qid", "qstr")
+        println(s"MARKER_bank=${bank.count()}")
+        for (r <- 1 to 2) {
+          var t0 = System.nanoTime()
+          val k = graft.ops.TextAnalysis.containsProbeKernel(docs,
+              "doc_id", "text", bank, "qid", "qstr",
+              caseInsensitive = true)
+            .agg(count(lit(1)), count_distinct(col("query_id"))).head()
+          println(f"MARKER_ac_kernel$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+            s"hits=${k.getLong(0)} qs=${k.getLong(1)}")
+          t0 = System.nanoTime()
+          val j = graft.ops.TextAnalysis.containsProbe(docs, "doc_id",
+              "text", bank, "qid", "qstr", caseInsensitive = true)
+            .agg(count(lit(1)), count_distinct(col("query_id"))).head()
+          println(f"MARKER_ac_join$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+            s"hits=${j.getLong(0)} qs=${j.getLong(1)} " +
+            s"parity=${k.getLong(0) == j.getLong(0)}")
+        }
+
       case "edit" =>
         // 1M 10-char strings + a planted 1-edit typo per 100th row
         val strs = spark.range(1000000L)

@@ -1420,6 +1420,46 @@ class OpsSpec extends SparkSpec {
     assert(ci == Set((10L, 1L), (10L, 3L))) // null text never hits
   }
 
+  test("containsProbeKernel: Aho-Corasick parity with the contains join") {
+    // the classic overlapping bank: suffix patterns must fire through
+    // failure links ("hers" ends "he"+"hers"; "she" ends "she"+"he")
+    val qs = Seq((1L, "he"), (2L, "she"), (3L, "his"), (4L, "hers"))
+      .toDF("qid", "qstr")
+    val docs = Seq(
+      (10L, "ushers gather"), (11L, "this history"), (12L, "nothing"),
+      (13L, "x"), (14L, null.asInstanceOf[String]), (15L, "hehehers"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val join = canon(TextAnalysis.containsProbe(docs, "doc_id", "text",
+      qs, "qid", "qstr"))
+    val kern = canon(TextAnalysis.containsProbeKernel(docs, "doc_id",
+      "text", qs, "qid", "qstr"))
+    assert(kern == join)
+    assert(join.contains((1L, 10L)) && join.contains((2L, 10L))
+      && join.contains((4L, 10L)) && join.contains((3L, 11L)))
+    // generated parity: random corpora over a tiny alphabet maximize
+    // overlap stress on the failure links
+    val rnd = new scala.util.Random(41)
+    val gen = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))("ab" (rnd.nextInt(2))).mkString))
+      .toDF("doc_id", "text")
+    val bank = Seq((1L, "a"), (2L, "ab"), (3L, "ba"), (4L, "aba"),
+      (5L, "bb"), (6L, "abab"), (7L, "bbbb")).toDF("qid", "qstr")
+    assert(canon(TextAnalysis.containsProbeKernel(gen, "doc_id", "text",
+        bank, "qid", "qstr")) ==
+      canon(TextAnalysis.containsProbe(gen, "doc_id", "text",
+        bank, "qid", "qstr")))
+    // case-insensitive switch flows through the kernel too
+    assert(canon(TextAnalysis.containsProbeKernel(docs, "doc_id", "text",
+        Seq((9L, "USHER")).toDF("qid", "qstr"), "qid", "qstr",
+        caseInsensitive = true)) == Set((9L, 10L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.containsProbeKernel(docs, "doc_id", "text",
+        Seq((9L, "")).toDF("qid", "qstr"), "qid", "qstr")
+    }
+  }
+
   test("editDistanceDuplicates: brute-force parity at d=1/d=2, guards") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
