@@ -16,6 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * once, following failure links on mismatch, and collects the DISTINCT
   * pattern indexes seen.
   *
+  * The held state is ONLY the final flattened automaton — per-node
+  * SORTED char/next arrays probed by binary search (no boxed maps: the
+  * construction scaffolding lives in [[AhoCorasick.build]] and is
+  * garbage before the model ever serializes), so the reference object
+  * shipped with each task binary is four primitive-array families, and
+  * the matching loop allocates nothing per character.
+  *
   * Matching is over UTF-16 chars of the decoded string — identical
   * match positions to `String.contains` for every valid string, so the
   * kernel is position-for-position the builtin's semantics. Patterns
@@ -23,59 +30,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * the probe operator rejects it up front rather than encode that
   * degenerate case in the automaton).
   */
-final class AhoCorasick(patterns: Array[String]) extends Serializable {
-  require(patterns.nonEmpty && patterns.forall(p => p != null && p.nonEmpty),
-    "patterns must be non-empty strings")
+final class AhoCorasick private (
+    private val chars: Array[Array[Char]],   // per node, sorted
+    private val next: Array[Array[Int]],     // parallel to chars
+    private val fail: Array[Int],
+    private val out: Array[Array[Int]],
+    private val nPatterns: Int) extends Serializable {
 
-  // trie: growable parallel structures; goto maps are per-node HashMaps
-  // (pattern alphabets are sparse; a dense char table would be 128 KiB
-  // per node)
-  private val gotoMaps =
-    scala.collection.mutable.ArrayBuffer(
-      new java.util.HashMap[Character, Integer]())
-  private val fail = scala.collection.mutable.ArrayBuffer(0)
-  private val out = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
-
-  patterns.zipWithIndex.foreach { case (p, pi) =>
-    var node = 0
-    p.foreach { ch =>
-      val m = gotoMaps(node)
-      val nxt = m.get(ch)
-      node = if (nxt != null) nxt.intValue()
-      else {
-        gotoMaps += new java.util.HashMap[Character, Integer]()
-        fail += 0
-        out += Nil
-        val id = gotoMaps.size - 1
-        m.put(ch, Integer.valueOf(id))
-        id
-      }
+  @inline private def step(node: Int, ch: Char): Int = {
+    val cs = chars(node)
+    var lo = 0
+    var hi = cs.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = cs(mid)
+      if (c == ch) return next(node)(mid)
+      else if (c < ch) lo = mid + 1
+      else hi = mid - 1
     }
-    out(node) = pi :: out(node)
+    -1
   }
-  // BFS failure links; outputs merge along the failure chain
-  locally {
-    val queue = new java.util.ArrayDeque[Integer]()
-    gotoMaps(0).values().forEach { v => fail(v) = 0; queue.add(v) }
-    while (!queue.isEmpty) {
-      val u = queue.poll().intValue()
-      gotoMaps(u).entrySet().forEach { e =>
-        val (ch, v) = (e.getKey.charValue(), e.getValue.intValue())
-        var f = fail(u)
-        while (f != 0 && !gotoMaps(f).containsKey(ch)) f = fail(f)
-        val fv = gotoMaps(f).get(ch)
-        fail(v) =
-          if (fv != null && fv.intValue() != v) fv.intValue() else 0
-        out(v) = out(v) ++ out(fail(v))
-        queue.add(v)
-      }
-    }
-  }
-  private val gotoArr: Array[java.util.HashMap[Character, Integer]] =
-    gotoMaps.toArray
-  private val failArr: Array[Int] = fail.toArray
-  private val outArr: Array[Array[Int]] = out.map(_.toArray).toArray
-  private val nPatterns = patterns.length
 
   /** Distinct indexes of the patterns occurring in `text`, ascending. */
   def hits(text: UTF8String): GenericArrayData = {
@@ -86,11 +60,11 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
     var i = 0
     val n = s.length
     while (i < n && found < nPatterns) {
-      val ch = Character.valueOf(s.charAt(i))
-      while (node != 0 && !gotoArr(node).containsKey(ch)) node = failArr(node)
-      val nxt = gotoArr(node).get(ch)
-      node = if (nxt != null) nxt.intValue() else 0
-      val o = outArr(node)
+      val ch = s.charAt(i)
+      var nxt = step(node, ch)
+      while (nxt < 0 && node != 0) { node = fail(node); nxt = step(node, ch) }
+      node = if (nxt >= 0) nxt else 0
+      val o = out(node)
       var k = 0
       while (k < o.length) {
         if (!seen(o(k))) { seen(o(k)) = true; found += 1 }
@@ -106,6 +80,80 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
       j += 1
     }
     new GenericArrayData(res)
+  }
+}
+
+object AhoCorasick {
+  /** Trie + BFS failure-link construction; returns only the flattened
+    * final arrays (the scaffolding never escapes). Memoized per call
+    * site via the constructor's single use — see [[apply]].
+    */
+  private[functions] def build(patterns: Array[String])
+      : (Array[Array[Char]], Array[Array[Int]], Array[Int],
+         Array[Array[Int]]) = {
+    require(patterns.nonEmpty &&
+        patterns.forall(p => p != null && p.nonEmpty),
+      "patterns must be non-empty strings")
+    val gotoMaps = scala.collection.mutable.ArrayBuffer(
+      new java.util.TreeMap[Character, Integer]())
+    val fail = scala.collection.mutable.ArrayBuffer(0)
+    val out = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      p.foreach { ch =>
+        val m = gotoMaps(node)
+        val nxt = m.get(ch)
+        node = if (nxt != null) nxt.intValue()
+        else {
+          gotoMaps += new java.util.TreeMap[Character, Integer]()
+          fail += 0
+          out += Nil
+          val id = gotoMaps.size - 1
+          m.put(ch, Integer.valueOf(id))
+          id
+        }
+      }
+      out(node) = pi :: out(node)
+    }
+    val queue = new java.util.ArrayDeque[Integer]()
+    gotoMaps(0).values().forEach { v => fail(v) = 0; queue.add(v) }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      gotoMaps(u).entrySet().forEach { e =>
+        val (ch, v) = (e.getKey.charValue(), e.getValue.intValue())
+        var f = fail(u)
+        while (f != 0 && !gotoMaps(f).containsKey(ch)) f = fail(f)
+        val fv = gotoMaps(f).get(ch)
+        fail(v) =
+          if (fv != null && fv.intValue() != v) fv.intValue() else 0
+        out(v) = out(v) ++ out(fail(v))
+        queue.add(v)
+      }
+    }
+    // flatten: TreeMap iteration is char-ascending, so the per-node
+    // arrays arrive pre-sorted for the binary-search walk
+    val n = gotoMaps.size
+    val chars = new Array[Array[Char]](n)
+    val next = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      val m = gotoMaps(i)
+      val cs = new Array[Char](m.size())
+      val ns = new Array[Int](m.size())
+      var k = 0
+      m.entrySet().forEach { e =>
+        cs(k) = e.getKey.charValue(); ns(k) = e.getValue.intValue(); k += 1
+      }
+      chars(i) = cs
+      next(i) = ns
+      i += 1
+    }
+    (chars, next, fail.toArray, out.map(_.toArray).toArray)
+  }
+
+  def apply(patterns: Array[String]): AhoCorasick = {
+    val (c, nx, f, o) = build(patterns)
+    new AhoCorasick(c, nx, f, o, patterns.length)
   }
 }
 

@@ -28,6 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
 final class TokenIdModel(val keys: Array[Long], val ids: Array[Long],
                          val oovId: Long) extends Serializable {
   require(keys.length == ids.length, "token-id arrays misaligned")
+  // binarySearch's contract is undefined on unsorted input — enforce the
+  // invariant HERE so programmatic construction cannot silently corrupt
+  // lookups (the SQL builder path relies on this same check)
+  require((1 until keys.length).forall(i => keys(i - 1) < keys(i)),
+    "token-id keys must be strictly ascending")
 
   /** One byte-scan tokenize+lookup. Null handled by the expression;
     * zero-token text yields an empty array.
@@ -59,13 +64,21 @@ object TokenIdModel {
     * vocab entries would be a correctness bug, not noise).
     */
   def fromPairs(pairs: Seq[(String, Long)], oovId: Long): TokenIdModel = {
-    val sorted = pairs.map { case (t, id) => (hashToken(t), id) }.sortBy(_._1)
+    val sorted = pairs.map { case (t, id) => (hashToken(t), t, id) }
+      .sortBy(_._1)
     sorted.iterator.sliding(2).withPartial(false).foreach { w =>
+      // distinguish the common dirty input (same token listed twice —
+      // fix the vocabulary) from a genuine 2⁻⁶⁴ hash collision (re-fit)
       require(w(0)._1 != w(1)._1,
-        s"token hash collision inside the vocabulary (ids ${w(0)._2} and " +
-          s"${w(1)._2}); re-fit with a different vocabulary")
+        if (w(0)._2 == w(1)._2)
+          s"duplicate vocabulary token '${w(0)._2}' (ids ${w(0)._3} and " +
+            s"${w(1)._3}); dedup the vocabulary"
+        else
+          s"token hash collision between '${w(0)._2}' and '${w(1)._2}' " +
+            s"(ids ${w(0)._3}, ${w(1)._3}); re-fit with a different " +
+            "vocabulary")
     }
-    new TokenIdModel(sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+    new TokenIdModel(sorted.map(_._1).toArray, sorted.map(_._3).toArray,
       oovId)
   }
 }

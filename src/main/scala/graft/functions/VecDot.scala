@@ -347,7 +347,7 @@ object GraftFunctions {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val pats = (0 until ad.numElements())
           .map(i => ad.getUTF8String(i).toString).toArray
-        MultiContainsOf(exprs(0), new AhoCorasick(pats))
+        MultiContainsOf(exprs(0), AhoCorasick(pats))
       }),
     (FunctionIdentifier("graft_token_ids"),
       new ExpressionInfo(classOf[TokenIdsOf].getName, "graft_token_ids"),

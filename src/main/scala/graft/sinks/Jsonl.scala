@@ -46,8 +46,12 @@ object Jsonl {
       .withColumn("__ord", Sampling.mixedKey(col(keyCol), salt))
       .withColumn("__shard",
         pmod(col("__ord"), lit(numShards.toLong)).cast("int"))
-      .select(col("__shard"), col("__ord"),
-        col(keyCol).cast("string").as("__key"), col("__json"))
+      // numeric key tie-break (NOT a string cast): keys colliding mod
+      // 2^32 must order exactly as the Sampling shard siblings order
+      // them, or the documented key-arithmetic contract mispredicts
+      // within-file positions
+      .select(col("__shard"), col("__ord"), col(keyCol).as("__key"),
+        col("__json"))
     val placed = withOrd.rdd
       .map { r =>
         require(!r.isNullAt(0),
