@@ -1853,6 +1853,14 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q123_blocklist_gate" -> ((s, dir) => {
+      TextAnalysis.filterByBlocklist(t(s, dir, "documents")
+          .select("doc_id", "lang", "text"), "text",
+          Seq("slyly final", "ironic", "QUICK brown"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "q122_contains_probe_kernel" -> ((s, dir) => {
       // the Aho-Corasick path over a wider, overlap-heavy bank (prefix/
       // suffix relations stress the failure links)
@@ -3884,6 +3892,13 @@ object SparkEntry {
       // by construction (the split-df layout's whole point), so the
       // same full-corpus SQL proves the append path too
       "q107_bm25_append" -> bm25Sql,
+      "q123_blocklist_gate" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE NOT (contains(lower(text), 'slyly final')
+          |  OR contains(lower(text), 'ironic')
+          |  OR contains(lower(text), lower('QUICK brown')))
+          |ORDER BY doc_id""".stripMargin,
+
       // the kernel's hit set is definitionally contains() — the oracle
       // replays the join form over the wider bank
       "q122_contains_probe_kernel" ->

@@ -1332,6 +1332,31 @@ object TextAnalysis {
         col("doc_id"))
   }
 
+  /** Blocklist gate: drop every document containing ANY of the banned
+    * substrings — the curation-filter form of the attribution probe
+    * (NSFW/spam/PII term banks). One [[graft.functions.AhoCorasick]]
+    * walk per document (`size(graft_multi_contains(text)) == 0` keeps),
+    * so the gate costs one scan regardless of bank size and composes
+    * into streams unchanged. Case-insensitive by default (the usual
+    * blocklist contract); patterns must be non-empty.
+    */
+  def filterByBlocklist(docs: DataFrame, textCol: String,
+                        patterns: Seq[String],
+                        caseInsensitive: Boolean = true): DataFrame = {
+    require(patterns.nonEmpty, "empty blocklist")
+    require(patterns.forall(p => p != null && p.nonEmpty),
+      "blocklist patterns must be non-empty strings")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val pats =
+      (if (caseInsensitive) patterns.map(_.toLowerCase) else patterns)
+        .toArray
+    val t = if (caseInsensitive) lower(col(textCol)) else col(textCol)
+    // null text carries no banned substring → kept (the gate removes
+    // positives; emptiness checks belong to the quality filters)
+    docs.filter(col(textCol).isNull ||
+      size(call_function("graft_multi_contains", t, lit(pats))) === 0)
+  }
+
   // ---- tokenized-dataset materialization ----------------------------------
 
   /** Text → `array<long>` token ids against a fitted vocabulary — the

@@ -1420,6 +1420,27 @@ class OpsSpec extends SparkSpec {
     assert(ci == Set((10L, 1L), (10L, 3L))) // null text never hits
   }
 
+  test("filterByBlocklist: AC gate drops positives, null text kept") {
+    val docs = Seq(
+      (1L, "totally fine text"),
+      (2L, "contains BADWORD here"),      // ci hit
+      (3L, "embedded xbadwordy too"),     // substring semantics
+      (4L, null.asInstanceOf[String]),
+      (5L, "also clean")).toDF("doc_id", "text")
+    val kept = TextAnalysis.filterByBlocklist(docs, "text",
+        Seq("badword", "nope"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+    // case-sensitive opt-out keeps the uppercase row
+    val cs = TextAnalysis.filterByBlocklist(docs, "text",
+        Seq("badword"), caseInsensitive = false)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(cs == Seq(1L, 2L, 4L, 5L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.filterByBlocklist(docs, "text", Seq(""))
+    }
+  }
+
   test("containsProbeKernel: Aho-Corasick parity with the contains join") {
     // the classic overlapping bank: suffix patterns must fire through
     // failure links ("hers" ends "he"+"hers"; "she" ends "she"+"he")
