@@ -4584,10 +4584,15 @@ object SparkEntry {
           |ORDER BY p.lang""".stripMargin,
 
       // every count is literal substring/regex arithmetic; the mojibake
-      // marker sum is generated from the same Seq the engine uses
+      // terms (marker, overlap-adjusting coefficient) are generated from
+      // the same Seq + adjustment the engine uses (mojibakeTerms), so a
+      // curly-quote artifact counts once on both sides
       "q111_encoding_artifacts" -> {
-        val moji = TextAnalysis.defaultMojibakeMarkers
-          .map(m => s"(len(t) - len(replace(t, '$m', ''))) // ${m.length}")
+        val moji = TextAnalysis.mojibakeTerms(
+            TextAnalysis.defaultMojibakeMarkers)
+          .filter(_._2 != 0L)
+          .map { case (m, c) =>
+            s"((len(t) - len(replace(t, '$m', ''))) // ${m.length}) * $c" }
           .mkString(" + ")
         s"""WITH built AS (
            |  SELECT doc_id, text ||

@@ -32,6 +32,14 @@ final class BigramLmModel(val uniKeys: Array[Long], val uniCounts: Array[Long],
   require(uniKeys.length == uniCounts.length, "unigram arrays misaligned")
   require(biKeys.length == biCounts.length, "bigram arrays misaligned")
   require(vPlus1 >= 1L, "vPlus1 must be >= 1")
+  // binarySearch's contract is undefined on unsorted input — enforce the
+  // invariant HERE (mirroring TokenIdModel) so neither programmatic
+  // construction nor the graft_bigram_lm SQL builder can silently feed
+  // the probe unsorted arrays and return wrong counts
+  require((1 until uniKeys.length).forall(i => uniKeys(i - 1) < uniKeys(i)),
+    "unigram keys must be strictly ascending")
+  require((1 until biKeys.length).forall(i => biKeys(i - 1) < biKeys(i)),
+    "bigram keys must be strictly ascending")
 
   /** One-pass score: token-hash the text ([[SketchOps.tokenHashes]]),
     * then for each adjacent pair accumulate

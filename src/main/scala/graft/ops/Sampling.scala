@@ -612,6 +612,13 @@ object Sampling {
     require(batchTokens >= boundaries.last,
       "batchTokens must fit at least one doc of the largest bucket")
     require(groups >= 1 && groups <= (1 << 20), "groups must be in [1, 2^20]")
+    // batch_id packs (bucket*groups + group) into the bits above 2^40;
+    // keep that multiplier under 2^23 so the shift can never overflow a
+    // signed long — without this, 8+ boundaries at max groups produced
+    // negative/colliding ids despite the collision-free claim
+    require(boundaries.size.toLong * groups < (1L << 23),
+      s"boundaries.size (${boundaries.size}) * groups ($groups) must stay " +
+        "below 2^23 so batch_id packing cannot overflow")
     // bucket index via a CASE chain (|boundaries| is small by contract);
     // capacity rides the same chain so both replay in external SQL
     val n = coalesce(col(tokenCountCol).cast("long"), lit(0L))

@@ -96,6 +96,35 @@ object TextAnalysis {
     ((length(text) - length(replace(text, lit(marker), lit("")))) /
       marker.length).cast("long")
 
+  /** (marker, coefficient) terms whose weighted substring-count sum
+    * counts each mojibake artifact exactly ONCE even when one marker is
+    * a strict substring of another. The DEFAULTS have no such
+    * containment — the third curly-quote marker only RENDERS like a
+    * 2-char prefix of its siblings because its final char is the
+    * invisible U+009D; all six curly markers are 3 chars ending in
+    * distinct codepoints, so every default coefficient is 1 and this is
+    * the identity on them. The adjustment exists for CUSTOM marker sets:
+    * `coeff(m) = 1 - sum of occ(s, m)` over strict marker-substrings s
+    * of m, so each long-marker hit nets to the 1 its embedded
+    * short-marker occurrences already contributed (exact whenever
+    * containments don't overlap in position). Shared with the q111
+    * oracle generator so engine and replay can never disagree.
+    */
+  private[graft] def mojibakeTerms(markers: Seq[String]): Seq[(String, Long)] = {
+    def occ(s: String, l: String): Long = {
+      var n = 0L
+      var i = l.indexOf(s)
+      while (i >= 0) { n += 1L; i = l.indexOf(s, i + 1) }
+      n
+    }
+    markers.map { m =>
+      val embedded = markers
+        .filter(s => s.length < m.length && m.contains(s))
+        .map(s => occ(s, m)).sum
+      (m, 1L - embedded)
+    }
+  }
+
   /** Encoding-artifact profile — the CCNet-style cleanliness signal a
     * crawl corpus is gated on before any model sees it: `n_replacement`
     * (U+FFFD replacement characters: upstream decode already failed),
@@ -111,7 +140,10 @@ object TextAnalysis {
                         markers: Seq[String] = defaultMojibakeMarkers)
       : Column = {
     val t = coalesce(text, lit(""))
-    val moji = markers.map(substrCount(t, _))
+    // overlap-adjusted: each artifact counts once even where one marker
+    // contains another (see [[mojibakeTerms]])
+    val moji = mojibakeTerms(markers)
+      .map { case (m, c) => substrCount(t, m) * lit(c) }
       .reduce(_ + _)
     val ctrl = regexp_count(t,
       lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long")
@@ -798,9 +830,16 @@ object TextAnalysis {
       coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
     val nRemoved = rm.getAs[Long]("n")
     if (nRemoved > 0L) {
-      // per-term decrement from the deleted docs' postings
+      // per-term decrement from the deleted docs' postings — joined
+      // against `removed` (the dl/-intersected live set), NOT the raw
+      // request `del`: tombstoned docs keep their postings rows, so a
+      // batch mixing an already-deleted id with a live one would
+      // double-subtract the re-deleted id's terms from df/ (corrupting
+      // idf, and via the __df > 0 filter possibly dropping still-live
+      // terms entirely). `removed` is exactly the set whose counts are
+      // still in df/.
       val dec = spark.read.parquet(s"$path/postings")
-        .join(del, Seq("__doc"))
+        .join(removed.select("__doc"), Seq("__doc"))
         .groupBy("__t").agg(count(lit(1)).as("__dec"))
       val newDf = spark.read.parquet(s"$path/df")
         .join(dec, Seq("__t"), "left")
@@ -1476,15 +1515,17 @@ object TextAnalysis {
     def lineKeep(l: Column): Column = {
       val t = trim(l)
       val words = size(filter(split(t, "\\s+"), w => length(w) > 0))
+      // lowercase BOTH sides: a mixed-case caller token ("JavaScript")
+      // must match, per the documented case-insensitive contract
       val noDrop = lineDropTokens
-        .map(tk => !lower(t).contains(lit(tk)))
+        .map(tk => !lower(t).contains(lit(tk.toLowerCase)))
         .reduceOption(_ && _).getOrElse(lit(true))
       t.rlike("[.!?\"]$") && words >= minLineWords && noDrop
     }
     val kept = filter(lines, lineKeep _)
     val docClean = {
       val noDrop = docDropTokens
-        .map(tk => !lower(col(textCol)).contains(lit(tk)))
+        .map(tk => !lower(col(textCol)).contains(lit(tk.toLowerCase)))
         .reduceOption(_ && _).getOrElse(lit(true))
       if (dropCurlyBrace) noDrop && !col(textCol).contains(lit("{"))
       else noDrop

@@ -1575,6 +1575,30 @@ class OpsSpec extends SparkSpec {
       k = 10))
     assert(canon(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
       "qtext", k = 10)) == expect2)
+    // a MIXED batch re-deleting a tombstoned id (2L — its postings rows
+    // are still in postings/) alongside a live id (3L) must subtract
+    // ONLY the live id's terms from df/: the old `del`-joined decrement
+    // double-subtracted the re-deleted id's terms, corrupting idf and
+    // potentially dropping still-live terms from df/ via the __df > 0
+    // filter. nRemoved > 0 here, so the no-op short-circuit can't hide it.
+    TextAnalysis.bm25ArtifactsDelete(spark, art,
+      Seq(2L, 3L).toDF("doc_id"), "doc_id")
+    val survivors2 = docs.filter(!col("doc_id").isin(2L, 3L, 5L))
+      .unionByName(batch)
+    val expect3 = canon(TextAnalysis.bm25TopK(survivors2, "doc_id",
+      "text", qs, "qid", "qtext", k = 10))
+    assert(canon(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10)) == expect3)
+    assert(spark.read.parquet(s"$art/stats").head()
+      .getAs[Long]("n_docs") == 4L)
+    // "the" appears ONLY in doc 3; df/ must still agree row-for-row
+    // with a from-scratch build on the survivors (a double-subtraction
+    // of doc 2's terms would show here even where rank order survives)
+    val freshArt = tmpDir("bm25delete_fresh")
+    TextAnalysis.bm25ArtifactsSave(survivors2, "doc_id", "text", freshArt)
+    def dfMap(p: String) = spark.read.parquet(s"$p/df")
+      .as[(String, Long)].collect().toMap
+    assert(dfMap(art) == dfMap(freshArt))
   }
 
   test("semanticDuplicates: within-cluster pairs only, cap drops coarse clusters") {
@@ -1720,6 +1744,20 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 0L, 2L, 0L, false))) // tab/newline exempt
     assert(got(4L) == ((4L, 0L, 0L, 3L, false)))
     assert(got(5L) == ((5L, 0L, 0L, 0L, true))) // null profiles clean
+    // the default markers have NO substring containment (the
+    // curly-quote trio only renders that way — U+009D is invisible),
+    // so every overlap coefficient is 1 ...
+    assert(TextAnalysis.mojibakeTerms(TextAnalysis.defaultMojibakeMarkers)
+      .forall(_._2 == 1L))
+    // ... while a custom set with true containment gets the adjustment
+    // that counts each artifact once: "ab" inside "xaby" nets to 1
+    assert(TextAnalysis.mojibakeTerms(Seq("ab", "xaby", "zz")).toMap ==
+      Map("ab" -> 1L, "xaby" -> 0L, "zz" -> 1L))
+    val custom = Seq((1L, "w xaby w ab t")).toDF("doc_id", "text")
+      .select(TextAnalysis.encodingArtifacts(col("text"),
+        markers = Seq("ab", "xaby", "zz")).getField("n_mojibake"))
+      .as[Long].head()
+    assert(custom == 2L) // one embedded artifact + one standalone
   }
 
   test("tokenVocabFit: ranks, tie-break, cumulative coverage, truncation") {
@@ -1772,6 +1810,13 @@ class OpsSpec extends SparkSpec {
         batchTokens = 1024, groups = 4, salt = 5L)
       .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
     assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // the batch_id packing guard: boundaries*groups at the signed-long
+    // overflow edge must be rejected up front, not wrap to negative ids
+    val wide = (1 to 9).map(i => i * 64)
+    intercept[IllegalArgumentException] {
+      Sampling.lengthBucketBatches(df, "doc_id", "n_tokens",
+        boundaries = wide, batchTokens = 1024, groups = 1 << 20)
+    }
   }
 
   test("packSequences: dense packs, exact offsets, partitioning-invariant") {
@@ -2337,6 +2382,17 @@ class OpsSpec extends SparkSpec {
       TextAnalysis.bigramLmFit(ref, "text", minBigramCount = 1L,
         minUnigramCount = 1L, maxEntries = 2)
     }
+    // binarySearch's contract needs sorted keys: unsorted arrays must be
+    // rejected at construction (mirroring TokenIdModel), not silently
+    // return wrong counts — the SQL builder path relies on this check
+    intercept[IllegalArgumentException] {
+      new graft.functions.BigramLmModel(Array(5L, 3L), Array(1L, 1L),
+        Array.empty[Long], Array.empty[Long], 2L)
+    }
+    intercept[IllegalArgumentException] {
+      new graft.functions.BigramLmModel(Array(3L), Array(1L),
+        Array(9L, 9L), Array(1L, 1L), 2L)
+    }
   }
 
   test("bigramLmScore plan: pruned LM tables broadcast, target never sort-merges") {
@@ -2555,6 +2611,15 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == ((5L, null, 0L, 0L, false)))
     assert(got(6L) == ((6L,
       "Only one good sentence survives here.", 1L, 0L, false))) // < minKeptLines
+    // mixed-case CALLER tokens match too (both sides lowercased)
+    val mixed = TextAnalysis.c4LineFilter(df, "doc_id", "text",
+        minLineWords = 3, minKeptLines = 2,
+        lineDropTokens = Seq("JavaScript"),
+        docDropTokens = Seq("LOREM Ipsum"))
+      .select("doc_id", "kept_lines", "is_kept")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(mixed(2L)._2 == 1L)  // JAVASCRIPT line still dropped
+    assert(!mixed(4L)._3)       // Lorem Ipsum doc still flagged
     // plan: one projection, no shuffle
     val plan = TextAnalysis.c4LineFilter(df, "doc_id", "text")
       .queryExecution.executedPlan.toString
