@@ -2478,6 +2478,59 @@ object SparkEntry {
         |  JOIN sizes nb ON nb.doc_id = id_b)""".stripMargin
 
     val base = Map(
+      // q40's expected rows replayed from the fixture CONSTRUCTION
+      // constants (genImageFixtures: pixel (x,y) of seed s is a pure
+      // formula), not from engine code: the first 24 url-safe-b64 chars
+      // encode the first 18 raster bytes = pixels (0..5, 0) in RGB
+      // order, and PNG is lossless, so a hash match proves the whole
+      // listing→load→decode→b64 pipeline bit-exact. The q94 manifest
+      // oracle already replays entry SIZES this way; this adds content.
+      "q40_image_pipeline" -> {
+        val rows = Seq(("cat", 0), ("goat", 1), ("cat", 2), ("goat", 3),
+            ("cat", 4), ("goat", 5)).map { case (label, seed) =>
+          val head18 = (0 until 6).flatMap { x =>
+            Seq((seed * 37 + x * 13) % 256, (x * 29) % 256,
+              (seed + x) % 256)
+          }.map(_.toByte).toArray
+          val b64 = java.util.Base64.getUrlEncoder.encodeToString(head18)
+          s"('$label-$seed.png', '$label', 6, 8, 3, '$b64')"
+        }
+        s"""SELECT image_name, label,
+           |  CAST(image_height AS BIGINT) AS image_height,
+           |  CAST(image_width AS BIGINT) AS image_width,
+           |  CAST(image_channels AS BIGINT) AS image_channels,
+           |  image_b64_head
+           |FROM (VALUES ${rows.mkString(", ")})
+           |  AS t(image_name, label, image_height, image_width,
+           |       image_channels, image_b64_head)
+           |ORDER BY image_name""".stripMargin
+      },
+
+      // q108's expected pairs replayed from the pattern constants: the
+      // fixture doubles each 8x8 bit cell to 2x2 uniform pixels, so the
+      // bilinear 8x8 downsample returns the cell values exactly and
+      // aHash(img) == its pattern long (255 > mean for any non-full
+      // pattern, 0 never is) — the pair set is then pure popcount
+      // arithmetic over the pattern longs, id_a < id_b as strings.
+      "q108_image_phash_dups" -> {
+        val patterns: Seq[(String, Long)] = Seq(
+          "img1" -> 0x0123456789ABCDEFL,
+          "img2" -> 0xF0E1D2C3B4A59687L,
+          "img3" -> 0x00FF00FF00FF00FFL,
+          "img4" -> 0x5A5A5A5AA5A5A5A5L,
+          "near1" -> (0x0123456789ABCDEFL ^ 0x7L))
+        val all = patterns.flatMap { case (n, p) =>
+          Seq(n -> p, s"copy-$n" -> p) }
+        val pairs = (for {
+          (a, pa) <- all; (b, pb) <- all if a < b
+          d = java.lang.Long.bitCount(pa ^ pb) if d <= 3
+        } yield s"('$a', '$b', $d)").sorted
+        s"""SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+           |FROM (VALUES ${pairs.mkString(", ")})
+           |  AS t(id_a, id_b, hamming)
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
       "q01_split_route" ->
         s"""WITH routed AS ($routedEventsSql)
            |SELECT split, count(*) AS cnt FROM routed
