@@ -113,9 +113,12 @@ object Vocab {
       // holds the lists (Sinks shares them with the pbtxt domains) passes
       // them in rather than re-running the vocab plan
       val terms = precollected.getOrElse(column, model.terms(column))
+      // one term per line INCLUDING the final newline — byte-identical
+      // to TFT's text vocab emission (golden
+      // sample_tfrecords/transform_fn/assets ends in 0x0a)
       graft.Fs.writeString(
         graft.Fs.join(assetsDir, s"vocab_${graft.AssetNames.encode(column)}"),
-        terms.mkString("\n"))
+        terms.mkString("", "\n", "\n"))
     }
   }
 

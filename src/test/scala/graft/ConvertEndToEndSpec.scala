@@ -74,7 +74,7 @@ class ConvertEndToEndSpec extends SparkSpec {
     val asset = new File(result.jobDir, "transform_fn/assets/vocab_label")
     assert(asset.exists())
     assert(new String(java.nio.file.Files.readAllBytes(asset.toPath)) ==
-      "goat\ncat")
+      "goat\ncat\n")
     // image dims survived
     val dims = train.select("image_width", "image_height", "image_channels")
       .distinct().as[(Long, Long, Long)].collect().toSet

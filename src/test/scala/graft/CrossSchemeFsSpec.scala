@@ -56,7 +56,7 @@ class CrossSchemeFsSpec extends SparkSpec {
     assert(Fs.exists(Fs.join(result.jobDir, "job_summary.json")))
     val vocab = Fs.readString(
       Fs.join(result.jobDir, "transform_fn/assets/vocab_label"))
-    assert(vocab == "cat\ngoat")
+    assert(vocab == "cat\ngoat\n")
     val scaler = graft.operators.Scaler.readAssets(
       spark, Fs.join(result.jobDir, "transform_fn"))
     assert(scaler.stats.contains("weight") && scaler.stats("weight").n == 3)

@@ -158,11 +158,24 @@ class GoldenImageSpec extends SparkSpec {
         .map { case (_, w, h, ch) => (w.toLong, h.toLong, ch.toLong) }.toSet
       assert(dims == want, s"$split geometry")
     }
-    // label vocab fitted on TRAIN: {cat, goat} tie broken by value desc
+    // label vocab fitted on TRAIN: {cat, goat} tie broken by value desc.
+    // Asset BYTES are identical to the reference's own golden emission
+    // (TFT text vocab: one term per line incl. trailing newline) — only
+    // the file NAME differs (vocab_<column> vs TFT's auto-generated
+    // vocab_compute_and_apply_vocabulary_vocabulary).
     val asset = new File(result.jobDir, "transform_fn/assets/vocab_label")
-    assert(new String(java.nio.file.Files.readAllBytes(asset.toPath)) ==
-      "goat\ncat")
-    // the job's emitted schema.pbtxt is feature-identical to the golden
+    val assetBytes = java.nio.file.Files.readAllBytes(asset.toPath)
+    assert(new String(assetBytes) == "goat\ncat\n")
+    val goldenAssetUrl = getClass.getResource(
+      "/golden/transform_fn/assets/" +
+        "vocab_compute_and_apply_vocabulary_vocabulary")
+    if (goldenAssetUrl != null) {
+      val goldenAsset = java.nio.file.Files.readAllBytes(
+        new File(goldenAssetUrl.toURI).toPath)
+      assert(java.util.Arrays.equals(assetBytes, goldenAsset),
+        "vocab asset bytes diverge from the reference golden")
+    }
+    // the job's emitted schema.pbtxt is BYTE-identical to the golden
     // TFT metadata from the reference's own run on this same input
     val emitted = new String(java.nio.file.Files.readAllBytes(
       new File(result.jobDir, "transformed_metadata/schema.pbtxt").toPath))
@@ -171,5 +184,13 @@ class GoldenImageSpec extends SparkSpec {
         .toURI).toPath))
     assert(GoldenTfRecordSpec.parsePbtxtFeatures(emitted) ==
       GoldenTfRecordSpec.parsePbtxtFeatures(goldenPbtxt))
+    assert(emitted == goldenPbtxt,
+      "emitted schema.pbtxt must be byte-identical to the golden")
+    // the DOCUMENTED transform_fn contract (README "Artifact fidelity"):
+    // assets + metadata are byte-compatible analogs, but no TensorFlow
+    // SavedModel graph is emitted — a tft.TFTransformOutput consumer
+    // loads the vocab/metadata files, not the transform graph
+    assert(!new File(result.jobDir, "transform_fn/saved_model.pb").exists(),
+      "saved_model.pb is intentionally absent per the documented contract")
   }
 }

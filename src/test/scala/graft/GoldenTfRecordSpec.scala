@@ -111,6 +111,10 @@ class GoldenTfRecordSpec extends SparkSpec {
     val g = GoldenTfRecordSpec.parsePbtxtFeatures(goldenTxt)
     val o = GoldenTfRecordSpec.parsePbtxtFeatures(ours)
     assert(o == g, s"parsed features differ:\nours=$o\ngolden=$g")
+    // byte-compatible, not just semantically equal: a TFT consumer (or
+    // plain diff) sees the identical file the reference writes
+    assert(ours == goldenTxt,
+      s"emitted pbtxt is not byte-identical to the golden:\n$ours")
     // and the golden parse itself is sane (guards the parser, not TFT)
     assert(g.map(_._1) == Seq("image", "image_channels", "image_height",
       "image_name", "image_width", "label", "split"))
