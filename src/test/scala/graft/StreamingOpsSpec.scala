@@ -483,6 +483,65 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!got(0L).exists(_._1 == 1001L))
   }
 
+  test("nearDupStream over BUCKETED catalog artifacts: q72 semantics as " +
+      "a stream, batch parity held") {
+    // the 24/7 form of the q54/q72 ingest: the corpus enters the stream
+    // ONLY through nearDupArtifactsSaveBucketed's catalog tables, whose
+    // bucketed layout satisfies the probe joins' distribution from the
+    // scan itself (zero corpus-side exchange — plan pinned by
+    // BucketedJoinSpec; value parity pinned here)
+    implicit val sqlCtx = spark.sqlContext
+    def docText(i: Int) =
+      s"s${i % 11} s${i % 6} s${i % 4} s$i filler words run along here"
+    val corpus = (0 until 60).map(i => (i.toLong, docText(i)))
+      .toDF("corpus_id", "text")
+    graft.ops.Dedup.nearDupArtifactsSaveBucketed(corpus, "corpus_id",
+      "text", "snd_buckets", "snd_shingles", numBuckets = 4)
+    val cBuckets = spark.table("snd_buckets")
+    val cShingles = spark.table("snd_shingles")
+    val batch1 = Seq((900L, docText(3) + " extra"), (901L, "unrelated novel"))
+    val batch2 = Seq((950L, docText(8) + " tweak"), (951L, docText(3)))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Double)]]()
+    val query = StreamingOps.nearDupStream(
+        input.toDF().toDF("batch_id", "text"), "batch_id", "text",
+        cBuckets, cShingles, "corpus_id", threshold = 0.1) { (res, id) =>
+      got.synchronized {
+        got(id) = res.select("batch_id", "corpus_id", "jaccard")
+          .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      }
+    }.start()
+    try {
+      input.addData(batch1: _*); query.processAllAvailable()
+      input.addData(batch2: _*); query.processAllAvailable()
+    } finally query.stop()
+    def batchRun(rows: Seq[(Long, String)]) =
+      graft.ops.Dedup.withReleasedIntermediates {
+        graft.ops.Dedup.incrementalNearDup(rows.toDF("batch_id", "text"),
+          "batch_id", "text", cBuckets, cShingles, "corpus_id",
+          threshold = 0.1)
+      }(_.as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq)
+    assert(got.size == 2)
+    assert(got(0L) == batchRun(batch1) && got(0L).nonEmpty)
+    assert(got(1L) == batchRun(batch2) && got(1L).nonEmpty)
+    assert(!got(0L).exists(_._1 == 901L)) // the novel doc matched nothing
+    // and the bucketed-artifact stream results equal the PLAIN-artifact
+    // formulation exactly (bucketing is physical layout only)
+    val flatBuckets = graft.ops.Dedup.minhashBandBuckets(
+      corpus, "corpus_id", "text")
+    val flatShingles = graft.ops.Dedup.shingleHashFrame(
+      corpus, "corpus_id", "text", 3)
+    def flatRun(rows: Seq[(Long, String)]) =
+      graft.ops.Dedup.withReleasedIntermediates {
+        graft.ops.Dedup.incrementalNearDup(rows.toDF("batch_id", "text"),
+          "batch_id", "text", flatBuckets, flatShingles, "corpus_id",
+          threshold = 0.1)
+      }(_.as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq)
+    assert(got(0L) == flatRun(batch1) && got(1L) == flatRun(batch2))
+    spark.sql("DROP TABLE IF EXISTS snd_buckets")
+    spark.sql("DROP TABLE IF EXISTS snd_shingles")
+  }
+
   test("bloom-prefiltered stream-static dedup matches the plain path") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
