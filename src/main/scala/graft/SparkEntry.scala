@@ -1883,6 +1883,32 @@ object SparkEntry {
         .orderBy("query_id", "doc_id")
     }),
 
+    "q124_tiered_title_dedup" -> ((s, dir) => {
+      // mixed-length titles (3 tokens for even ids, 8 for odd) with
+      // typos planted in both tiers: a 2-deletion variant of short
+      // titles (%6=0) pairs only through the d=2 short-tier pass, a
+      // 1-deletion variant of long titles (%6=3) only through the
+      // global d=1 pass — the documented tier contract end to end
+      val titles = t(s, dir, "documents").select(col("doc_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), lit(1),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(3)).otherwise(lit(8))),
+          " ").as("title"))
+      val typos2 = titles
+        .filter(pmod(col("doc_id"), lit(6)) === 0 && length(col("title")) >= 8)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(substring(col("title"), 1, 2), substring(col("title"), 4, 3),
+            expr("substring(title, 8)")).as("title"))
+      val typos1 = titles
+        .filter(pmod(col("doc_id"), lit(6)) === 3 && length(col("title")) >= 4)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          concat(substring(col("title"), 1, 2), expr("substring(title, 4)"))
+            .as("title"))
+      Dedup.editDistanceDuplicatesTiered(
+          titles.unionByName(typos2).unionByName(typos1), "doc_id",
+          "title", d2MaxLen = 18)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q120_title_dedup" -> ((s, dir) => {
       // short-string (title) dedup: 3-token titles + planted one-char-
       // deletion typos; SymSpell deletion-neighborhood candidates,
@@ -3974,6 +4000,38 @@ object SparkEntry {
 
       // candidate generation is invisible to semantics: the oracle is
       // the all-pairs exact levenshtein (DuckDB builtin == Spark's)
+      // the tier contract verbatim: all pairs at lev<=1 (any length up
+      // to 128) UNION pairs at lev=2 where BOTH strings are <= the
+      // d2MaxLen cap — a distance-2 pair with a long member is
+      // intentionally absent (the cost the tiering exists to avoid)
+      "q124_tiered_title_dedup" ->
+        """WITH t0 AS (
+          |  SELECT doc_id,
+          |    array_to_string(list_filter(regexp_split_to_array(text,
+          |      '\s+'), x -> len(x) > 0)
+          |      [1:(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 8 END)], ' ')
+          |      AS title
+          |  FROM documents),
+          |ty2 AS (
+          |  SELECT doc_id + 700000 AS doc_id,
+          |    substr(title, 1, 2) || substr(title, 4, 3) || substr(title, 8)
+          |      AS title
+          |  FROM t0 WHERE doc_id % 6 = 0 AND len(title) >= 8),
+          |ty1 AS (
+          |  SELECT doc_id + 800000 AS doc_id,
+          |    substr(title, 1, 2) || substr(title, 4) AS title
+          |  FROM t0 WHERE doc_id % 6 = 3 AND len(title) >= 4),
+          |allt AS (SELECT * FROM t0 UNION ALL SELECT * FROM ty2
+          |  UNION ALL SELECT * FROM ty1)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
+          |FROM allt a JOIN allt b ON a.doc_id < b.doc_id
+          |WHERE len(a.title) <= 128 AND len(b.title) <= 128
+          |  AND (levenshtein(a.title, b.title) <= 1
+          |    OR (levenshtein(a.title, b.title) = 2
+          |      AND len(a.title) <= 18 AND len(b.title) <= 18))
+          |ORDER BY id_a, id_b""".stripMargin,
+
       "q120_title_dedup" ->
         """WITH t0 AS (
           |  SELECT doc_id,

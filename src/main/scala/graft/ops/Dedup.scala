@@ -1162,11 +1162,18 @@ object Dedup {
     * MinHash/SimHash families).
     *
     * Scale shape: the explode emits ~len^d variants per row (len+1 at
-    * d=1); the join keys are variant strings of ≤ `maxLen` chars;
-    * verification is one codegen'd `levenshtein` per candidate;
-    * `distinct` collapses multi-variant agreement. `maxDistance` ≤ 2
+    * d=1), but what SHUFFLES is (id, xxhash64(variant)) — 16 fixed
+    * bytes per variant row, never the variant or source strings. The
+    * candidate-pair set (post-`distinct`) then re-joins the corpus
+    * twice on id to fetch the two strings for the exact codegen'd
+    * `levenshtein` verify: two corpus-row-count-sized hash joins,
+    * independent of the variant fan-out — at 10M×d=2 that swaps ~2
+    * orders of magnitude of string-shuffle bytes for two id joins. A
+    * hash collision only ever ADDS a candidate pair, which the exact
+    * verify rejects; results are hash-independent. `maxDistance` ≤ 2
     * enforced — depth-2 already multiplies rows by ~len²/2, the
-    * documented ceiling of the trick.
+    * documented ceiling of the trick (BASELINE.md carries the 10M-title
+    * stress for both depths).
     */
   def editDistanceDuplicates(df: DataFrame, idCol: String, strCol: String,
                              maxDistance: Int = 1,
@@ -1187,17 +1194,64 @@ object Dedup {
       if (maxDistance == 1) array_distinct(concat(array(col("__s")), d1))
       else array_distinct(concat(array(col("__s")), d1,
         flatten(transform(d1, v => dels(v)))))
+    // only (id, 8-byte variant hash) ever shuffles; candidate pairs
+    // collapse BEFORE any string is fetched for the verify
     val keyed = base
-      .select(col(idCol), col("__s"), explode(variants).as("__v"))
-    val a = keyed.select(col(idCol).as("id_a"), col("__s").as("__sa"),
-      col("__v"))
-    val b = keyed.select(col(idCol).as("id_b"), col("__s").as("__sb"),
-      col("__v").as("__vb"))
-    a.join(b, a("__v") === b("__vb") && a("id_a") < b("id_b"))
+      .select(col(idCol), explode(variants).as("__v"))
+      .select(col(idCol), xxhash64(col("__v")).as("__vh"))
+    val a = keyed.select(col(idCol).as("id_a"), col("__vh"))
+    val b = keyed.select(col(idCol).as("id_b"), col("__vh").as("__vhb"))
+    val cands = a.join(b, a("__vh") === b("__vhb") && a("id_a") < b("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(base.select(col(idCol).as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("__s").as("__sb")), "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__sa"), col("__sb")).cast("long").as("distance"))
       .filter(col("distance") <= maxDistance)
-      .distinct()
+  }
+
+  /** Length-tiered [[editDistanceDuplicates]] — the documented fallback
+    * for corpora where depth-2 over the FULL length range blows past
+    * executor/disk budgets (the 10M×19-char d=2 stress spilled >73 GB
+    * on one 32-thread box and ran neither rep to completion; BASELINE
+    * r11): the d=2 fan-out is ~len²/2 variants per row, so pushing the
+    * depth-2 guarantee down to the strings that are actually short
+    * caps the explode at ~d2MaxLen²/2 while the cheap depth-1 pass
+    * still covers every length up to `maxLen`.
+    *
+    * Returned pair guarantee — exact, tier-wise:
+    *  - distance ≤ 1: complete over ALL strings ≤ `maxLen` (the d=1
+    *    pass, identical to [[editDistanceDuplicates]] semantics);
+    *  - distance = 2: complete where BOTH strings are ≤ `d2MaxLen`
+    *    (the d=2 pass on the short tier). A distance-2 pair with a
+    *    long member is NOT reported — deliberately: guaranteeing it
+    *    requires depth-2 deletes of the long side, which is exactly
+    *    the cost this variant exists to avoid.
+    *
+    * Each qualifying pair appears exactly once (within-short-tier
+    * distance-≤1 pairs are found by both passes; the d=1 side drops
+    * pairs whose members are both short before the union).
+    */
+  def editDistanceDuplicatesTiered(df: DataFrame, idCol: String,
+                                   strCol: String, d2MaxLen: Int = 32,
+                                   maxLen: Int = 128): DataFrame = {
+    require(d2MaxLen >= 1 && d2MaxLen <= maxLen,
+      "d2MaxLen must be in [1, maxLen]")
+    val lens = df.select(col(idCol), length(col(strCol)).as("__len"))
+    val p2 = editDistanceDuplicates(
+      df.filter(col(strCol).isNotNull && length(col(strCol)) <= d2MaxLen),
+      idCol, strCol, maxDistance = 2, maxLen = d2MaxLen)
+    val p1 = editDistanceDuplicates(df, idCol, strCol, maxDistance = 1,
+        maxLen = maxLen)
+      .join(lens.select(col(idCol).as("id_a"), col("__len").as("__la")),
+        "id_a")
+      .join(lens.select(col(idCol).as("id_b"), col("__len").as("__lb")),
+        "id_b")
+      .filter(col("__la") > d2MaxLen || col("__lb") > d2MaxLen)
+      .select("id_a", "id_b", "distance")
+    p2.unionByName(p1)
   }
 
   // ---- exact n-gram Jaccard ----------------------------------------------

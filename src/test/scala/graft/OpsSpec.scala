@@ -1481,15 +1481,17 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // brute-force levenshtein shared by the edit-distance parity tests
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("editDistanceDuplicates: brute-force parity at d=1/d=2, guards") {
-    def lev(a: String, b: String): Int = {
-      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
-        if (i == 0) j else if (j == 0) i else 0)
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      d(a.length)(b.length)
-    }
     val rnd = new scala.util.Random(99)
     val ab = "abcd"
     val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
@@ -1527,6 +1529,39 @@ class OpsSpec extends SparkSpec {
       assert(got.length == got.toSet.size, s"d=$d dup pairs")
       assert(got.toSet == expect, s"d=$d")
     }
+  }
+
+  test("editDistanceDuplicatesTiered: d2 within tier + d1 globally, each pair once") {
+    val rnd = new scala.util.Random(77)
+    val ab = "abcd"
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    // mixed-length corpus: short (≤8) and long (12-20) strings plus
+    // planted 1- and 2-edit variants in both tiers
+    for (_ <- 0 until 40) {
+      val len = if (rnd.nextBoolean()) 4 + rnd.nextInt(5) else 12 + rnd.nextInt(9)
+      val s = Seq.fill(len)(ab(rnd.nextInt(4))).mkString
+      rows += ((id, s)); id += 1
+      if (rnd.nextInt(3) == 0) { // 1-edit: drop a char
+        rows += ((id, s.take(1) + s.drop(2))); id += 1
+      }
+      if (rnd.nextInt(3) == 0) { // 2-edit: drop two chars
+        rows += ((id, s.take(1) + s.slice(2, len - 1))); id += 1
+      }
+    }
+    val df = rows.toSeq.toDF("id", "s")
+    val cap = 8
+    val expect = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = lev(sa, sb)
+      if (d <= 1 && sa.length <= 128 && sb.length <= 128) ||
+        (d == 2 && sa.length <= cap && sb.length <= cap)
+    } yield (ia, ib, d.toLong)).toSet
+    val got = Dedup.editDistanceDuplicatesTiered(df, "id", "s",
+        d2MaxLen = cap)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == got.toSet.size, "each pair exactly once")
+    assert(got.toSet == expect)
   }
 
   test("bm25ArtifactsDelete: delete == build on survivors; repeat no-op; append after") {

@@ -9,8 +9,44 @@ import org.apache.spark.sql.functions._
   * n-gram Jaccard ~0.72-0.75 vs each other — below the 0.8 flagship
   * near-dup threshold at every doc length, above the 0.6 sweep
   * thresholds (a re-crawl-rich corpus, honestly documented).
+  *
+  * With arg `full`, ALSO replicates the relational tables x 10 with
+  * join-consistent key shifts (every key k — primary AND foreign —
+  * becomes k*10+rep, so replica rep of lineitem joins replica rep of
+  * orders exactly as the original pair did; dims region/nation copy
+  * as-is), giving the 123-query bench a complete sf1 directory.
   */
 object GenSf1 {
+
+  private def sf1Full(spark: SparkSession): Unit = {
+    val reps = spark.range(10).toDF("rep")
+    def shift(c: String) = (col(c) * 10L + col("rep")).as(c)
+    def times10(table: String, keyCols: Seq[String],
+                rows: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+                  = identity): Unit = {
+      val base = spark.read.parquet(s"/root/testdata/sf0.1/$table.parquet")
+      val out = rows(base.crossJoin(reps))
+        .select(base.columns.map(c =>
+          if (keyCols.contains(c)) shift(c) else col(c)).toIndexedSeq: _*)
+      out.repartition(32).write.mode("overwrite")
+        .parquet(s"/tmp/sf1/$table.parquet")
+      println(s"MARKER_sf1_$table=" +
+        spark.read.parquet(s"/tmp/sf1/$table.parquet").count())
+    }
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet")
+        .write.mode("overwrite").parquet(s"/tmp/sf1/$t.parquet")
+      println(s"MARKER_sf1_$t=" +
+        spark.read.parquet(s"/tmp/sf1/$t.parquet").count())
+    }
+    times10("customer", Seq("c_custkey"))
+    times10("supplier", Seq("s_suppkey"))
+    times10("part", Seq("p_partkey"))
+    times10("orders", Seq("o_orderkey", "o_custkey"))
+    times10("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    times10("events", Seq("event_id", "user_id"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -55,6 +91,7 @@ object GenSf1 {
       .write.mode("overwrite").parquet("/tmp/sf1/embeddings.parquet")
     val echk = spark.read.parquet("/tmp/sf1/embeddings.parquet")
     println(s"MARKER_sf1_emb=${echk.count()}")
+    if (args.headOption.contains("full")) sf1Full(spark)
     spark.stop()
   }
 }

@@ -1,0 +1,81 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10M-title stress for the SymSpell deletion-neighborhood path
+  * (Dedup.editDistanceDuplicates) — the r11 follow-up to the 1M "edit"
+  * case in R10cIndexStress. Titles are ~19-char hex strings (sha2
+  * prefixes), the realistic short-string regime; 1% planted one-char
+  * substitutions pair with their sources at d=1, and a further 0.1%
+  * two-edit variants only at d=2.
+  *
+  * Run: sbt "Test/runMain tmpstress.TitleStress d1" (or d2).
+  */
+object TitleStress {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("d1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/tmp/spark-titlestress")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = 10000000L
+    // `tiered` mode: half the corpus short (10 chars, inside the d=2
+    // tier), half long (19 chars, d=1-only) — the mixed regime the
+    // tiered fallback exists for
+    val titleLen =
+      if (mode == "tiered") when(pmod(col("id"), lit(2)) === 0, 10)
+        .otherwise(19)
+      else lit(19)
+    val base = spark.range(n)
+      .select(col("id"),
+        substring(sha2(col("id").cast("string"), 256), lit(1), titleLen)
+          .as("s"))
+    // 100k one-edit typos (substitute char 1) + 10k two-edit variants
+    // (substitute char 1, delete char 10)
+    val typo1 = spark.range(n / 100)
+      .select((col("id") * 100L + n).as("id"),
+        concat(lit("z"), substring(sha2((col("id") * 100L).cast("string"),
+          256), 2, 18)).as("s"))
+    val typo2 = spark.range(n / 1000)
+      .select((col("id") * 1000L + 2L * n).as("id"),
+        concat(lit("z"),
+          substring(sha2((col("id") * 1000L).cast("string"), 256), 2, 8),
+          substring(sha2((col("id") * 1000L).cast("string"), 256), 11, 9))
+          .as("s"))
+    val df = base.unionByName(typo1).unionByName(typo2).cache()
+    println(s"MARKER_corpus=${df.count()}")
+    val d = if (mode == "d2") 2 else 1
+    for (r <- 1 to 2) {
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        val spilled = new java.util.concurrent.atomic.AtomicLong
+        val shuffleW = new java.util.concurrent.atomic.AtomicLong
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (t.taskMetrics != null) {
+            spilled.addAndGet(t.taskMetrics.diskBytesSpilled)
+            shuffleW.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val pairs =
+        if (mode == "tiered")
+          graft.ops.Dedup.editDistanceDuplicatesTiered(df, "id", "s",
+            d2MaxLen = 12)
+        else graft.ops.Dedup.editDistanceDuplicates(df, "id", "s",
+          maxDistance = d)
+      val res = pairs.agg(count(lit(1)), sum(col("distance"))).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"MARKER_edit_${mode}_$r=$secs%.1f pairs=${res.getLong(0)} " +
+        s"sumD=${res.getLong(1)} " +
+        f"shuffleGiB=${listener.shuffleW.get / 1024.0 / 1024 / 1024}%.1f " +
+        f"spillGiB=${listener.spilled.get / 1024.0 / 1024 / 1024}%.1f")
+    }
+    spark.stop()
+  }
+}
