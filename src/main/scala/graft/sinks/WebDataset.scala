@@ -255,7 +255,6 @@ object WebDataset {
 
   // ---- readers ---------------------------------------------------------
 
-  private case class Entry(shard: Int, name: String, size: Long)
 
   private def shardOf(fileName: String): Int = {
     val m = "-([0-9]{5})-of-[0-9]{5}\\.tar$".r.findFirstMatchIn(fileName)
@@ -357,7 +356,6 @@ object WebDataset {
         val in = new java.io.BufferedInputStream(fs.open(path),
           ReadBufferBytes)
         try WebDataset.scanHeaders(in, shard)
-          .map { case (s, n, sz) => Entry(s, n, sz) }
         finally in.close()
       }
     spark.createDataFrame(rows).toDF("shard", "entry", "size_bytes")
