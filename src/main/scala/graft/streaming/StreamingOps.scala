@@ -295,6 +295,56 @@ object StreamingOps {
         }(res => sink(res, batchId))
     }
 
+  /** Streaming BM25 retrieval service: a stream of text queries probed
+    * per micro-batch against a persisted
+    * [[graft.ops.TextAnalysis.bm25ArtifactsSave]] snapshot — the
+    * standing-retrieval twin of [[nearDupStream]], same `foreachBatch`
+    * rationale (the probe's term-literal scan pushdown and per-batch
+    * query-term collection are batch-operator machinery, so stream
+    * results are score-for-score [[graft.ops.TextAnalysis
+    * .bm25TopKPersisted]] on the same rows BY CONSTRUCTION; parity spec
+    * in StreamingOpsSpec). No cross-batch state — the index artifacts
+    * ARE the state, and [[graft.ops.TextAnalysis.bm25ArtifactsAppend]]/
+    * `Delete` maintenance between restarts is picked up because the
+    * artifact is re-read per batch.
+    */
+  def bm25Stream(stream: DataFrame, artifactPath: String, qIdCol: String,
+                 qTextCol: String, k: Int = 10, k1: Double = 1.2,
+                 b: Double = 0.75)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        sink(graft.ops.TextAnalysis.bm25TopKPersisted(mb.sparkSession,
+          artifactPath, mb.toDF(), qIdCol, qTextCol, k, k1, b), batchId)
+    }
+
+  /** Streaming ANN service: a stream of query vectors probed per
+    * micro-batch against a persisted
+    * [[graft.ops.Similarity.ivfIndexWrite]] index — partition-pruned
+    * nprobe reads and all, because `foreachBatch` runs the exact batch
+    * operator ([[graft.ops.Similarity.ivfTopKFromIndex]]; parity spec
+    * in StreamingOpsSpec). `excludeSelf` defaults OFF here: a live
+    * query stream is not the indexed corpus, so identical ids are
+    * coincidence, not self-matches.
+    */
+  def annStream(stream: DataFrame, indexDir: String, qIdCol: String,
+                qVecCol: String, centroids: DataFrame, centIdCol: String,
+                centVecCol: String, k: Int, nprobe: Int = 3,
+                excludeSelf: Boolean = false)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        sink(graft.ops.Similarity.ivfTopKFromIndex(mb.sparkSession,
+          indexDir, mb.toDF(), qIdCol, qVecCol, centroids, centIdCol,
+          centVecCol, k, nprobe, excludeSelf), batchId)
+    }
+
   /** Streaming WebDataset export: each micro-batch becomes its own
     * complete shard set under `dir/batch=<id>/` via
     * [[graft.sinks.WebDataset.writeShards]] — the "export as it

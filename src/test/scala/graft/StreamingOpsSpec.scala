@@ -542,6 +542,82 @@ class StreamingOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS snd_shingles")
   }
 
+  test("bm25Stream: per-batch rankings equal bm25TopKPersisted exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark spark engine overview"),
+      (2L, "query engine internals text"),
+      (3L, "stream processing engine notes"),
+      (4L, "unrelated filler words here"),
+    ).toDF("doc_id", "text")
+    val art = tmpDir("bm25stream")
+    graft.ops.TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    val b1 = Seq((10L, "spark engine"), (11L, "filler"))
+    val b2 = Seq((20L, "stream engine text"))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Double)]]()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    val query = StreamingOps.bm25Stream(
+        input.toDF().toDF("qid", "qtext"), art, "qid", "qtext", k = 3) {
+      (res, id) => got.synchronized { got(id) = canon(res) }
+    }.start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+    assert(got.size == 2)
+    def expect(rows: Seq[(Long, String)]) =
+      canon(graft.ops.TextAnalysis.bm25TopKPersisted(spark, art,
+        rows.toDF("qid", "qtext"), "qid", "qtext", k = 3))
+    assert(got(0L) == expect(b1) && got(0L).nonEmpty)
+    assert(got(1L) == expect(b2) && got(1L).nonEmpty)
+  }
+
+  test("annStream: per-batch neighbors equal ivfTopKFromIndex exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    def v(axis: Int, j: Int): Array[Float] = {
+      val a = Array.fill(6)(0.01f * j); a(axis) = 1.0f; a
+    }
+    val corpus = Seq(
+      (0L, v(0, 1)), (1L, v(0, 2)), (2L, v(0, 3)),
+      (10L, v(2, 1)), (11L, v(2, 2)), (12L, v(2, 3)),
+      (20L, v(4, 1)), (21L, v(4, 2)),
+    ).toDF("vec_id", "embedding")
+    val centroids = corpus.filter(col("vec_id") % 10 === 0)
+    val dir = tmpDir("ann-stream")
+    graft.ops.Similarity.ivfIndexWrite(corpus, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dir)
+    val b1 = Seq((100L, v(0, 5)), (101L, v(4, 5)))
+    val b2 = Seq((200L, v(2, 4)))
+    val input = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long)]]()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val query = StreamingOps.annStream(
+        input.toDF().toDF("qid", "qvec"), dir, "qid", "qvec",
+        centroids, "vec_id", "embedding", k = 2, nprobe = 1) {
+      (res, id) => got.synchronized { got(id) = canon(res) }
+    }.start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+    assert(got.size == 2)
+    def expect(rows: Seq[(Long, Array[Float])]) =
+      canon(graft.ops.Similarity.ivfTopKFromIndex(spark, dir,
+        rows.toDF("qid", "qvec"), "qid", "qvec", centroids, "vec_id",
+        "embedding", k = 2, nprobe = 1, excludeSelf = false))
+    assert(got(0L) == expect(b1) && got(0L).nonEmpty)
+    assert(got(1L) == expect(b2) && got(1L).nonEmpty)
+    // same-cluster-only neighbors: the partition-pruned probe semantics
+    assert(got(0L).filter(_._1 == 100L).map(_._3).toSet.subsetOf(
+      Set(0L, 1L, 2L)))
+  }
+
   test("bloom-prefiltered stream-static dedup matches the plain path") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
