@@ -1230,28 +1230,53 @@ object Dedup {
     *    requires depth-2 deletes of the long side, which is exactly
     *    the cost this variant exists to avoid.
     *
-    * Each qualifying pair appears exactly once (within-short-tier
-    * distance-≤1 pairs are found by both passes; the d=1 side drops
-    * pairs whose members are both short before the union).
+    * Each qualifying pair appears exactly once. ONE mixed-depth pass:
+    * rows ≤ `d2MaxLen` explode to depth-2 deletes, longer rows to
+    * depth-1, through a single hashed-variant self-join (the
+    * [[editDistanceDuplicates]] shuffle shape), and the tier rule is
+    * the verify predicate — completeness per tier follows from both
+    * members of a guaranteed pair exploding to the depth that pair
+    * needs (d≤1 pairs: depth ≥1 on both sides always; d=2 pairs with
+    * both short: depth 2 on both sides). A depth-2/depth-1 join can
+    * surface a distance-2 candidate with a long member; the predicate
+    * drops it, keeping the contract partition-independent.
     */
   def editDistanceDuplicatesTiered(df: DataFrame, idCol: String,
                                    strCol: String, d2MaxLen: Int = 32,
                                    maxLen: Int = 128): DataFrame = {
     require(d2MaxLen >= 1 && d2MaxLen <= maxLen,
       "d2MaxLen must be in [1, maxLen]")
-    val lens = df.select(col(idCol), length(col(strCol)).as("__len"))
-    val p2 = editDistanceDuplicates(
-      df.filter(col(strCol).isNotNull && length(col(strCol)) <= d2MaxLen),
-      idCol, strCol, maxDistance = 2, maxLen = d2MaxLen)
-    val p1 = editDistanceDuplicates(df, idCol, strCol, maxDistance = 1,
-        maxLen = maxLen)
-      .join(lens.select(col(idCol).as("id_a"), col("__len").as("__la")),
-        "id_a")
-      .join(lens.select(col(idCol).as("id_b"), col("__len").as("__lb")),
-        "id_b")
-      .filter(col("__la") > d2MaxLen || col("__lb") > d2MaxLen)
+    require(maxLen <= 1024, "maxLen must be in [1, 1024]")
+    val base = df.select(col(idCol), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull && length(col("__s")) <= maxLen)
+    def dels(s: Column): Column =
+      when(length(s) > 0,
+        transform(sequence(lit(0), length(s) - 1), i =>
+          concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
+        .otherwise(array().cast("array<string>"))
+    val d1 = dels(col("__s"))
+    val variants = when(length(col("__s")) <= d2MaxLen,
+        array_distinct(concat(array(col("__s")), d1,
+          flatten(transform(d1, v => dels(v))))))
+      .otherwise(array_distinct(concat(array(col("__s")), d1)))
+    val keyed = base
+      .select(col(idCol), explode(variants).as("__v"))
+      .select(col(idCol), xxhash64(col("__v")).as("__vh"))
+    val a = keyed.select(col(idCol).as("id_a"), col("__vh"))
+    val b = keyed.select(col(idCol).as("id_b"), col("__vh").as("__vhb"))
+    val cands = a.join(b, a("__vh") === b("__vhb") && a("id_a") < b("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(base.select(col(idCol).as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("__s").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).cast("long").as("distance"),
+        length(col("__sa")).as("__la"), length(col("__sb")).as("__lb"))
+      .filter(col("distance") <= 1 ||
+        (col("distance") === 2 &&
+          col("__la") <= d2MaxLen && col("__lb") <= d2MaxLen))
       .select("id_a", "id_b", "distance")
-    p2.unionByName(p1)
   }
 
   // ---- exact n-gram Jaccard ----------------------------------------------
