@@ -1883,6 +1883,35 @@ object SparkEntry {
         .orderBy("query_id", "doc_id")
     }),
 
+    "q125_bpe_pair_stats" -> ((s, dir) => {
+      // the BPE fit's first-round frequency table, top-25 — external SQL
+      // replays the exact counts and the fit's deterministic tie-break
+      TextAnalysis.bpePairStats(t(s, dir, "documents"), "text", k = 25)
+        .orderBy("rank")
+    }),
+
+    "q126_bpe_roundtrip" -> ((s, dir) => {
+      // learned-BPE end to end on the real corpus: fit (one corpus pass
+      // + driver merges over the bounded word table) then the codegen
+      // encode kernel. The oracle-replayable invariant: tokenize →
+      // subword-encode → concatenate is content-preserving for every
+      // document (joined == whitespace-stripped lowercased text), with
+      // n_words pinning the tokenization the subwords came from. Merge
+      // SEMANTICS (which pairs, what order) are pinned by the q125
+      // stats oracle + the hand-computed OpsSpec sequence.
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val model = TextAnalysis.bpeFit(docs, "text", numMerges = 200,
+        minWordCount = 2L)
+      TextAnalysis.bpeEncodeKernel(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          concat_ws("", col("subwords")).as("joined"))
+        .join(docs.select(col("doc_id"),
+          size(call_function("graft_tokens", lower(col("text"))))
+            .cast("long").as("n_words")), "doc_id")
+        .select("doc_id", "n_words", "joined")
+        .orderBy("doc_id")
+    }),
+
     "q124_tiered_title_dedup" -> ((s, dir) => {
       // mixed-length titles (3 tokens for even ids, 8 for odd) with
       // typos planted in both tiers: a 2-deletion variant of short
@@ -4000,6 +4029,39 @@ object SparkEntry {
 
       // candidate generation is invisible to semantics: the oracle is
       // the all-pairs exact levenshtein (DuckDB builtin == Spark's)
+      // the exact get_stats table BPE's first merge maximizes: every
+      // adjacent character position of every word occurrence counts
+      // (incl. overlapping runs); ordering = the fit's tie-break
+      "q125_bpe_pair_stats" ->
+        """WITH w AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+          |    '\s+'), x -> len(x) > 0)) AS w
+          |  FROM documents),
+          |pairs AS (
+          |  SELECT substr(w, i, 1) AS "left", substr(w, i + 1, 1) AS "right"
+          |  FROM w, unnest(range(1, len(w))) AS t(i)
+          |  WHERE len(w) >= 2 AND len(w) <= 1024),
+          |c AS (
+          |  SELECT "left", "right", CAST(count(*) AS BIGINT) AS cnt
+          |  FROM pairs GROUP BY 1, 2),
+          |r AS (
+          |  SELECT *, row_number()
+          |    OVER (ORDER BY cnt DESC, "left", "right") AS rank
+          |  FROM c)
+          |SELECT CAST(rank AS BIGINT) AS rank, "left", "right", cnt
+          |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+      // content preservation is the replayable contract: subword concat
+      // rebuilds the whitespace-stripped lowercased text exactly,
+      // whatever merges the fit learned
+      "q126_bpe_roundtrip" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(regexp_split_to_array(lower(text),
+          |    '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+          |  regexp_replace(lower(text), '[ \t\n\r]+', '', 'g') AS joined
+          |FROM documents WHERE text IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
+
       // the tier contract verbatim: all pairs at lev<=1 (any length up
       // to 128) UNION pairs at lev=2 where BOTH strings are <= the
       // d2MaxLen cap — a distance-2 pair with a long member is

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fitted byte-pair-encoding merge table for the single-pass subword
+  * kernel [[BpeEncodeOf]] — the learned-tokenizer step a training-data
+  * pipeline runs between corpus curation and example packing
+  * (reference scope ends at whole-string label vocabularies;
+  * `tfrecorder/beam_pipeline.py:200-217` fits those — subword
+  * tokenization is part of this repo's LLM-pipeline extension surface).
+  *
+  * `lefts(i)`/`rights(i)` is the i-th merge, rank = i (lower merges
+  * first). Encoding a word starts from its character symbols and
+  * repeatedly applies the PRESENT merge with the lowest rank to all
+  * its non-overlapping occurrences left-to-right — exactly the update
+  * [[graft.ops.TextAnalysis.bpeFit]] applies to its word table, so
+  * encoding a fit-corpus word with the full table reproduces the
+  * fit's final symbols for it (spec-pinned). Content is NEVER altered:
+  * the concatenation of a word's subwords equals the word, for any
+  * merge table (the q126 corpus-wide oracle invariant).
+  *
+  * Words longer than `maxWordLen` chars are emitted as ONE unmerged
+  * token (the merge loop is O(len²) worst-case; a 10k-char "word" is
+  * junk a quality gate should have dropped, and emitting it whole
+  * keeps the losslessness invariant). The fit skips such words from
+  * its statistics for the same reason — both sides documented.
+  */
+final class BpeModel(val lefts: Array[String], val rights: Array[String],
+                     val maxWordLen: Int = 1024) extends Serializable {
+  require(lefts.length == rights.length, "merge arrays misaligned")
+  require(lefts.forall(_.nonEmpty) && rights.forall(_.nonEmpty),
+    "merge symbols must be non-empty")
+  require(maxWordLen >= 1, "maxWordLen must be >= 1")
+
+  /** rank of (left, right); symbols never contain whitespace (words are
+    * whitespace-split), so the space-joined key is injective.
+    */
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](lefts.length * 2)
+    var i = 0
+    while (i < lefts.length) {
+      val prev = m.putIfAbsent(lefts(i) + " " + rights(i), Integer.valueOf(i))
+      require(prev == null,
+        s"duplicate merge (${lefts(i)}, ${rights(i)}) at ranks $prev and $i")
+      i += 1
+    }
+    m
+  }
+
+  /** BPE-encode one word: char symbols → repeated lowest-rank merge,
+    * all non-overlapping occurrences left-to-right per round.
+    */
+  def encodeWord(w: String): Array[String] = {
+    if (w.length <= 1 || w.length > maxWordLen || lefts.length == 0)
+      return Array(w)
+    var syms = new Array[String](w.length)
+    var i = 0
+    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var done = false
+    while (!done && syms.length > 1) {
+      // lowest-rank pair present
+      var best = Int.MaxValue
+      i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val l = lefts(best); val rr = rights(best)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+            out += (l + rr); i += 2 // non-overlapping, left-to-right
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+    }
+    syms
+  }
+
+  /** Whitespace-split (the [[SketchOps.tokens]] byte rule: space, tab,
+    * LF, CR) then per-word encode; flat subword array in reading order.
+    */
+  def encode(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+      else {
+        val start = i
+        while (i < n && { val d = s.charAt(i)
+          d != ' ' && d != '\t' && d != '\n' && d != '\r' }) i += 1
+        val subs = encodeWord(s.substring(start, i))
+        var j = 0
+        while (j < subs.length) {
+          out += UTF8String.fromString(subs(j)); j += 1
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_bpe_encode(text, lefts, rights)`: single-pass text →
+  * `array<string>` subword tokens, the fitted merge table riding the
+  * plan as a reference object (the [[TokenIdsOf]] shape). Zero joins,
+  * zero shuffle, streaming-safe. Null text → null; no tokens → empty
+  * array.
+  */
+case class BpeEncodeOf(child: Expression, model: BpeModel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    model.encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model,
+      "graft.functions.BpeModel")
+    defineCodeGen(ctx, ev, text => s"$ref.encode($text)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_encode"
+}

@@ -335,6 +335,23 @@ object GraftFunctions {
           longs(exprs(3), "biKeys"), longs(exprs(4), "biCounts"),
           exprs(5).eval().asInstanceOf[Number].longValue()))
       }),
+    (FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncodeOf].getName, "graft_bpe_encode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "graft_bpe_encode takes (text, lefts, rights) with literal " +
+            "merge arrays")
+        def strs(e: Expression, what: String): Array[String] = {
+          require(e.foldable, s"graft_bpe_encode $what must be a literal " +
+            "array<string>")
+          val ad = e.eval()
+            .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until ad.numElements())
+            .map(i => ad.getUTF8String(i).toString).toArray
+        }
+        BpeEncodeOf(exprs(0),
+          new BpeModel(strs(exprs(1), "lefts"), strs(exprs(2), "rights")))
+      }),
     (FunctionIdentifier("graft_multi_contains"),
       new ExpressionInfo(classOf[MultiContainsOf].getName,
         "graft_multi_contains"),

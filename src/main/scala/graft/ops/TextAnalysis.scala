@@ -1466,6 +1466,140 @@ object TextAnalysis {
         .map(r => (r.getString(0), r.getLong(1))).toSeq,
       oovId)
 
+  // ---- learned BPE subword tokenization ------------------------------------
+
+  /** Top-k adjacent character-pair statistics over the corpus's word
+    * OCCURRENCES — exactly the frequency table [[bpeFit]]'s first merge
+    * round maximizes (every adjacent position counts, including
+    * overlapping runs: "aaa" contributes (a,a) twice, the classic
+    * get_stats rule). Ordering: count desc, then (left, right) asc —
+    * the fit's deterministic tie-break, replayable in external SQL
+    * (q125). Words longer than `maxWordLen` are skipped, matching the
+    * fit. One explode pass; the only exchange is the pair aggregate.
+    */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int = 20,
+                   maxWordLen: Int = 1024): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("left"), col("right"))
+    df.select(explode(call_function("graft_tokens",
+        lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) >= 2 && length(col("w")) <= maxWordLen)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => struct(substring(col("w"), i, lit(1)).as("left"),
+          substring(col("w"), i + 1, lit(1)).as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "left", "right", "cnt")
+  }
+
+  /** Fit a [[graft.functions.BpeModel]]: ONE corpus pass aggregates the
+    * word-occurrence table (the only corpus-sized work — byte-pair
+    * merges then run driver-side over that bounded table, which is how
+    * reference BPE trainers operate), then `numMerges` rounds of
+    * count-weighted pair selection (count desc, (left, right) asc
+    * tie-break; every adjacent position counts) and left-to-right
+    * non-overlapping merge application. Stops early when no pair
+    * reaches `minPairCount` — a merge supported by one stray word is
+    * noise. `maxWords` bounds the driver table; raise `minWordCount`
+    * for corpora with bigger vocabularies (the [[bigramLmFit]]
+    * fail-loud discipline).
+    */
+  def bpeFit(df: DataFrame, textCol: String, numMerges: Int,
+             minWordCount: Long = 1L, maxWords: Int = 1 << 16,
+             minPairCount: Long = 2L,
+             maxWordLen: Int = 1024): graft.functions.BpeModel = {
+    require(numMerges >= 1 && numMerges <= 65536,
+      "numMerges must be in [1, 65536]")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val rows = df.select(explode(call_function("graft_tokens",
+        lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) >= 2 && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minWordCount)
+      .collect()
+    require(rows.length <= maxWords,
+      s"word table has ${rows.length} entries (> $maxWords): raise " +
+        "minWordCount — a vocabulary too big to fold on the driver " +
+        "needs a sampled fit, not a silent truncation")
+    // symbolized word table; merges mutate these arrays in place
+    val words: Array[Array[String]] = rows.map(r =>
+      r.getString(0).toCharArray.map(String.valueOf))
+    val counts: Array[Long] = rows.map(_.getLong(1))
+    val lefts = Array.newBuilder[String]
+    val rights = Array.newBuilder[String]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val stats = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      var i = 0
+      while (i < words.length) {
+        val s = words(i); val c = counts(i)
+        var j = 0
+        while (j < s.length - 1) {
+          val p = (s(j), s(j + 1))
+          stats(p) = stats.getOrElse(p, 0L) + c
+          j += 1
+        }
+        i += 1
+      }
+      var best: (String, String) = null
+      var bestC = 0L
+      stats.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2))))
+          { best = p; bestC = c }
+      }
+      if (best == null || bestC < minPairCount) exhausted = true
+      else {
+        lefts += best._1; rights += best._2
+        val merged = best._1 + best._2
+        i = 0
+        while (i < words.length) {
+          val s = words(i)
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) {
+            has = s(j) == best._1 && s(j + 1) == best._2; j += 1
+          }
+          if (has) {
+            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == best._1 && s(j + 1) == best._2)
+                { out += merged; j += 2 }
+              else { out += s(j); j += 1 }
+            }
+            words(i) = out.toArray
+          }
+          i += 1
+        }
+        round += 1
+      }
+    }
+    new graft.functions.BpeModel(lefts.result(), rights.result(), maxWordLen)
+  }
+
+  /** Apply a fitted BPE model as ONE codegen'd scan: (id, subwords) with
+    * the flat subword array in reading order — the learned-tokenizer
+    * twin of [[tokenizeToIdsKernel]] (same model-as-reference-object
+    * shape, zero joins, zero shuffle, streaming-safe). Subword
+    * concatenation per word is content-identical to the word for ANY
+    * model (q126 proves it corpus-wide).
+    */
+  def bpeEncodeKernel(docs: DataFrame, idCol: String, textCol: String,
+                      model: graft.functions.BpeModel): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        call_function("graft_bpe_encode", lower(col(textCol)),
+          lit(model.lefts), lit(model.rights)).as("subwords"))
+  }
+
   // ---- normalization ------------------------------------------------------
 
   /** Dedup-key text normalization: lowercase, collapse ASCII whitespace

@@ -1564,6 +1564,78 @@ class OpsSpec extends SparkSpec {
     assert(got.toSet == expect)
   }
 
+  test("bpeFit/bpeEncodeKernel: hand-computed merges, fit-encode agreement, losslessness") {
+    // corpus word table: {"aaab": 2, "ab": 3}. Hand-computed rounds:
+    //  r1: (a,a)=4 [two overlapping positions per "aaab"], (a,b)=2+3=5
+    //      -> merge (a,b); words become [a,a,ab], [ab]
+    //  r2: (a,a)=2, (a,ab)=2 -> tie, lexicographic smallest -> (a,a);
+    //      words become [aa,ab], [ab]
+    //  r3: (aa,ab)=2 -> merge; no pairs remain -> stop
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab ab"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.bpeFit(docs, "text", numMerges = 10)
+    assert(model.lefts.toSeq == Seq("a", "a", "aa"))
+    assert(model.rights.toSeq == Seq("b", "a", "ab"))
+    // encode reproduces the fit's final symbols for fit-corpus words,
+    // applies partially elsewhere, and never invents content
+    assert(model.encodeWord("aaab").toSeq == Seq("aaab"))
+    assert(model.encodeWord("ab").toSeq == Seq("ab"))
+    assert(model.encodeWord("aab").toSeq == Seq("a", "ab"))
+    assert(model.encodeWord("ba").toSeq == Seq("b", "a"))
+    assert(model.encodeWord("x").toSeq == Seq("x"))
+    // the kernel: one projection, flat reading-order subwords
+    val enc = TextAnalysis.bpeEncodeKernel(
+        Seq((9L, "AAAB ba\tab"), (10L, ""), (11L, "  ")).toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(enc(9L) == Seq("aaab", "b", "a", "ab"))
+    assert(enc(10L) == Seq.empty && enc(11L) == Seq.empty)
+    val plan = TextAnalysis.bpeEncodeKernel(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"bpe encode must be a pure projection:\n$plan")
+    // losslessness: per-word subword concat == word, for a model fit on
+    // random text applied to OTHER random text
+    val rnd = new scala.util.Random(123)
+    def randText() = Seq.fill(8)(
+      Seq.fill(1 + rnd.nextInt(7))("abc" (rnd.nextInt(3))).mkString)
+      .mkString(" ")
+    val ref = (1 to 30).map(i => (i.toLong, randText())).toDF("doc_id", "text")
+    val m2 = TextAnalysis.bpeFit(ref, "text", numMerges = 50)
+    assert(m2.lefts.nonEmpty)
+    (1 to 20).foreach { _ =>
+      val t = randText()
+      t.split(" ").filter(_.nonEmpty).foreach { w =>
+        assert(m2.encodeWord(w).mkString == w, s"content changed for '$w'")
+      }
+    }
+    // first learned merge == the corpus's top adjacent pair (q125's base)
+    val top = TextAnalysis.bpePairStats(ref, "text", k = 1)
+      .select("left", "right").as[(String, String)].head()
+    assert((m2.lefts(0), m2.rights(0)) == top)
+    // guards: no merge reaches minPairCount -> empty model, identity encode
+    val m3 = TextAnalysis.bpeFit(Seq((1L, "xy")).toDF("doc_id", "text"),
+      "text", numMerges = 5)
+    assert(m3.lefts.isEmpty && m3.encodeWord("xy").toSeq == Seq("xy"))
+    // over-long words are emitted whole, skipped by the fit
+    val m4 = new graft.functions.BpeModel(Array("a"), Array("b"),
+      maxWordLen = 3)
+    assert(m4.encodeWord("abab").toSeq == Seq("abab"))
+    assert(m4.encodeWord("ab").toSeq == Seq("ab"))
+    // SQL path: literal arrays, same result; non-literal rejected
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val viaSql = Seq(("aab")).toDF("t")
+      .selectExpr("graft_bpe_encode(t, array('a','a','aa'), " +
+        "array('b','a','ab')) AS s")
+      .as[Seq[String]].head()
+    assert(viaSql == Seq("a", "ab"))
+    intercept[Exception] {
+      Seq(("aab")).toDF("t")
+        .selectExpr("graft_bpe_encode(t, array(t), array('b')) AS s")
+        .collect()
+    }
+  }
+
   test("bm25ArtifactsDelete: delete == build on survivors; repeat no-op; append after") {
     val docs = Seq(
       (1L, "spark spark spark engine"),
