@@ -200,6 +200,27 @@ object R10cIndexStress {
             s"rows=${man.getLong(1)}")
         }
 
+      case "bpe" =>
+        // 1M docs (~54M word occurrences): fit cost = one word-table
+        // aggregate + driver merges; encode cost = one codegen scan
+        val corpus = docsTimes(200, 0).cache()
+        println(s"MARKER_corpus=${corpus.count()}")
+        var t0 = System.nanoTime()
+        val model = graft.ops.TextAnalysis.bpeFit(corpus, "text",
+          numMerges = 1000, minWordCount = 2L)
+        println(f"MARKER_bpe_fit=${(System.nanoTime() - t0) / 1e9}%.1f " +
+          s"merges=${model.lefts.length}")
+        for (r <- 1 to 2) {
+          t0 = System.nanoTime()
+          val agg = graft.ops.TextAnalysis
+            .bpeEncodeKernel(corpus, "doc_id", "text", model)
+            .select(size(col("subwords")).cast("long").as("n"),
+              length(concat_ws("", col("subwords"))).cast("long").as("b"))
+            .agg(sum(col("n")), sum(col("b"))).head()
+          println(f"MARKER_bpe_encode$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+            s"subwords=${agg.getLong(0)} bytes=${agg.getLong(1)}")
+        }
+
       case "tokids" =>
         val corpus = docsTimes(200, 0).cache()
         println(s"MARKER_corpus=${corpus.count()}")
