@@ -1634,6 +1634,24 @@ class OpsSpec extends SparkSpec {
         .selectExpr("graft_bpe_encode(t, array(t), array('b')) AS s")
         .collect()
     }
+    // id materialization composes with the token-id kernel: subwords
+    // never contain whitespace, so re-joining them with spaces and
+    // running graft_token_ids yields one id per subword — text → BPE
+    // subword ids in two codegen scans, zero joins
+    val bpeVocab = (model.lefts.zip(model.rights).map { case (l, r) => l + r }
+      ++ Seq("a", "b", "x")).distinct.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }
+    val idModel = graft.functions.TokenIdModel.fromPairs(bpeVocab, -1L)
+    val ids = TextAnalysis.tokenizeToIdsKernel(
+      TextAnalysis.bpeEncodeKernel(
+          Seq((1L, "aaab aab zq")).toDF("doc_id", "text"),
+          "doc_id", "text", model)
+        .select(col("doc_id"), concat_ws(" ", col("subwords")).as("text")),
+      "doc_id", "text", idModel)
+      .as[(Long, Seq[Long])].head()._2
+    val vmap = bpeVocab.toMap
+    // "aaab"→[aaab], "aab"→[a, ab], "zq"→[z, q] (both OOV)
+    assert(ids == Seq(vmap("aaab"), vmap("a"), vmap("ab"), -1L, -1L))
   }
 
   test("bm25ArtifactsDelete: delete == build on survivors; repeat no-op; append after") {

@@ -152,6 +152,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch && streamed.map(_._1) == Seq(1L, 3L))
   }
 
+  test("bpeEncodeKernel streams statelessly with batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((10L, "aaab ab aaab ab"), (11L, "ab ab")).toDF("doc_id", "text")
+    val model = graft.ops.TextAnalysis.bpeFit(ref, "text", numMerges = 10)
+    val rows = Seq((1L, "aaab aab"), (2L, "ba"), (3L, ""))
+    val input = MemoryStream[(Long, String)]
+    val out = graft.ops.TextAnalysis.bpeEncodeKernel(
+      input.toDF().toDF("id", "text"), "id", "text", model)
+    val query = out.writeStream.format("memory")
+      .queryName("bpe_stream").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("bpe_stream")
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    val batch = graft.ops.TextAnalysis.bpeEncodeKernel(
+        rows.toDF("id", "text"), "id", "text", model)
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(streamed == batch && streamed.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
   test("curationStream: score→gate→corpus-dedup→export chain equals " +
       "the batch formulation per batch") {
     implicit val sqlCtx = spark.sqlContext
