@@ -1,6 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query committed seconds out of a bench JSON record line (the
+    * BENCH_COMMITTED.json format == the emitted record format). Query
+    * names all start with `q`, which is what keeps the flat regex from
+    * matching the envelope's metric/value/sf fields. Spec-pinned.
+    */
+  def parseCommitted(txt: String): Map[String, Double] = {
+    // scope to the "queries" object FIRST: a record emitted by this
+    // Bench also carries "t_start" (same q-names, different values) —
+    // a flat scan would let start offsets shadow committed seconds
+    val start = txt.indexOf("\"queries\":{")
+    if (start < 0) return Map.empty
+    val body = txt.substring(start + 11, txt.indexOf('}', start))
+    val re = """"(q[A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
+    re.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** The in-run re-measure rule: first rep exceeded 3× the committed
+    * record AND 1 s absolute (sub-second blips are run-to-run noise, not
+    * the multi-second stall windows this protocol exists for — r11 lost
+    * ~92 s to one). No committed record → never re-measure. Spec-pinned.
+    */
+  def needsRemeasure(r1: Double, committed: Option[Double]): Boolean =
+    committed.exists(c => r1 > 3 * c && r1 > 1.0)
+
+  /** Headline seconds when a re-measure ran: min of the reps (the
+    * standing BenchOne steady-state adjudication applied in-run; both
+    * reps stay in the record under "reps"). A failed rep2 (-1) never
+    * masks a successful rep1. Spec-pinned.
+    */
+  def headline(r1: Double, r2: Double): Double =
+    if (r2 < 0) r1 else math.min(r1, r2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -21,46 +54,89 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => () } // missing table: its query scores -1
       }
+    // Stall resistance (r12, prompted by the r11 official record losing
+    // ~92 s to one contiguous box-stall window across three consecutive
+    // queries): per-query committed records from BENCH_COMMITTED.json
+    // (the adjudicated steady-state record, maintained in-repo) arm an
+    // in-run re-measure — a query whose first rep exceeds 3× its
+    // committed time AND 1 s absolute (sub-second blips are noise, not
+    // stalls) runs ONCE more after the normal cache drain, both reps are
+    // reported under "reps", and the headline time is their min (the
+    // standing BenchOne steady-state adjudication, applied in-run). Per-
+    // query wall-clock start offsets ("t_start", seconds since bench
+    // start) localize any residual stall window in the record itself.
+    val committed: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_COMMITTED",
+        "BENCH_COMMITTED.json")
+      try parseCommitted(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => Map.empty } // no record: no re-measure
+    }
+    // Queries are independent: drain every block the finished query
+    // pinned (Dedup's tracked caches, .cache()'d stages, localCheckpoint
+    // blocks) so 126 queries in one JVM don't accumulate block-manager
+    // pressure that distorts later measurements. BLOCKING removal,
+    // outside the timed window: an async unpersist storm would run
+    // concurrently with — and be charged to — the next query. ORDER
+    // MATTERS: the blocking per-RDD loop must run FIRST — it sees every
+    // persisted RDD (tracked caches, catalog caches, localCheckpoints)
+    // at the block level, whereas releaseIntermediates/clearCache
+    // deregister those RDDs from the context map as they issue their
+    // own (async) removals, hiding them from a later blocking loop.
+    def drain(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      graft.ops.Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+    }
     // A query that throws reports -1 sec — never its wall time, which
     // would silently pass a broken query off as a fast one.
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name subset (local
     // iteration / targeted scale passes); unset = the full suite.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val benchT0 = System.nanoTime()
+    val tStarts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val repsLog =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        val sec =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        drain()
+        sec
+      }
+      tStarts(name) = (System.nanoTime() - benchT0) / 1e9
+      val r1 = rep()
       val sec =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      // Queries are independent: drain every block the finished query
-      // pinned (Dedup's tracked caches, .cache()'d stages, localCheckpoint
-      // blocks) so 62 queries in one JVM don't accumulate block-manager
-      // pressure that distorts later measurements. BLOCKING removal,
-      // outside the timed window: an async unpersist storm would run
-      // concurrently with — and be charged to — the next query. ORDER
-      // MATTERS: the blocking per-RDD loop must run FIRST — it sees every
-      // persisted RDD (tracked caches, catalog caches, localCheckpoints)
-      // at the block level, whereas releaseIntermediates/clearCache
-      // deregister those RDDs from the context map as they issue their
-      // own (async) removals, hiding them from a later blocking loop.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      graft.ops.Dedup.releaseIntermediates()
-      spark.catalog.clearCache()
+        if (needsRemeasure(r1, committed.get(name))) {
+          val r2 = rep()
+          repsLog(name) = Seq(r1, r2)
+          headline(r1, r2)
+        } else r1
       name -> sec
     }
-    // ms precision, not the raw 9-decimal doubles: 67 queries of full
+    // ms precision, not the raw 9-decimal doubles: 126 queries of full
     // doubles push the JSON line past the driver's stdout-tail capture
     // window — r6's official record lost ~5 query times (incl. q66) to
     // exactly that. 1 ms resolution is far below run-to-run noise.
     def ms(v: Double): String =
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    def obj(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map { case (k, v) => k -> ms(v) })
+    val ts = obj(tStarts.map { case (k, v) => k -> ms(v) })
+    val reps = obj(repsLog.map { case (k, vs) =>
+      k -> vs.map(ms).mkString("[", ",", "]") })
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // t_start/reps go AFTER sf: if the driver's stdout-tail capture clips
+    // the (now longer) line, the historically-parsed prefix still parses
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","t_start":$ts,"reps":$reps}"""
     println(line)
     // The driver's stdout capture has repeatedly clipped this line (r6 and
     // r7 official records both lost entries / failed to parse). The file is

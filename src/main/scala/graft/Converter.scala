@@ -137,6 +137,9 @@ object Converter {
       // 8. Artifacts (F5).
       Sinks.writeTransformArtifacts(model, schema, jobDir)
       Scaler.writeAssets(scaler, s"$jobDir/transform_fn")
+      // ... then the SavedModel wrapper AFTER all assets exist, so its
+      // asset_file_def lists the complete set (vocab + scaler)
+      graft.sinks.SavedModelPb.write(s"$jobDir/transform_fn")
 
       val result = ConvertResult(
         jobId = job,

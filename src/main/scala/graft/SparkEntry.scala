@@ -1912,6 +1912,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q127_bpe_cjk" -> ((s, dir) => {
+      // the CJK-pretokenizer contract on genuinely spaceless Han text.
+      // The corpus's zh stratum is synthetic ASCII tokens, so the query
+      // first DERIVES real CJK deterministically: translate() maps the
+      // 26 letters onto 26 Han characters and DELETES spaces (27-char
+      // from, 26-char to — identical Postgres-style semantics in Spark
+      // and DuckDB), yielding one unbroken CJK run per document — the
+      // exact shape whitespace pretokenization chokes on (one giant
+      // "word" the fit skips and the encoder passes through unmerged).
+      // Under pretok='cjk' the run is real merge material. The oracle
+      // replays n_cp and pins three engine-computed contract booleans
+      // to TRUE: losslessness (subword concat rebuilds the text),
+      // has_merges (n_subwords < n_cp — the fit LEARNED something,
+      // impossible in ws mode), is_multi (n_subwords > 1 — no giant
+      // single token).
+      val from = "abcdefghijklmnopqrstuvwxyz "
+      val to = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+      val zh = t(s, dir, "documents")
+        .filter(col("lang") === "zh" && col("text").isNotNull)
+        .select(col("doc_id"),
+          translate(lower(col("text")), from, to).as("zh_text"))
+      val model = TextAnalysis.bpeFit(zh, "zh_text", numMerges = 100,
+        pretok = graft.functions.BpeModel.PretokCjk)
+      TextAnalysis.bpeEncodeKernel(zh, "doc_id", "zh_text", model)
+        .join(zh, "doc_id")
+        .select(col("doc_id"),
+          length(col("zh_text")).cast("long").as("n_cp"),
+          (concat_ws("", col("subwords")) === col("zh_text"))
+            .as("is_lossless"),
+          (size(col("subwords")) < length(col("zh_text")))
+            .as("has_merges"),
+          (size(col("subwords")) > 1).as("is_multi"))
+        .orderBy("doc_id")
+    }),
+
     "q124_tiered_title_dedup" -> ((s, dir) => {
       // mixed-length titles (3 tokens for even ids, 8 for odd) with
       // typos planted in both tiers: a 2-deletion variant of short
@@ -4060,6 +4095,21 @@ object SparkEntry {
           |    '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
           |  regexp_replace(lower(text), '[ \t\n\r]+', '', 'g') AS joined
           |FROM documents WHERE text IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
+
+      // n_cp replays through the same translate(); the three contract
+      // booleans are pinned TRUE — engine-computed, so a regression to
+      // giant-unmerged-token behavior (ws-mode symptom) hash-mismatches
+      "q127_bpe_cjk" ->
+        """SELECT doc_id,
+          |  CAST(length(translate(lower(text),
+          |    'abcdefghijklmnopqrstuvwxyz ',
+          |    '的一是不了人我在有他这中大来上国个到说们为子和你地出'))
+          |    AS BIGINT) AS n_cp,
+          |  TRUE AS is_lossless,
+          |  TRUE AS has_merges,
+          |  TRUE AS is_multi
+          |FROM documents WHERE lang = 'zh' AND text IS NOT NULL
           |ORDER BY doc_id""".stripMargin,
 
       // the tier contract verbatim: all pairs at lev<=1 (any length up

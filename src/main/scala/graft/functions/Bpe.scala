@@ -24,18 +24,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * the concatenation of a word's subwords equals the word, for any
   * merge table (the q126 corpus-wide oracle invariant).
   *
-  * Words longer than `maxWordLen` chars are emitted as ONE unmerged
-  * token (the merge loop is O(len²) worst-case; a 10k-char "word" is
-  * junk a quality gate should have dropped, and emitting it whole
-  * keeps the losslessness invariant). The fit skips such words from
-  * its statistics for the same reason — both sides documented.
+  * Symbols are Unicode CODE POINTS, not UTF-16 units: a supplementary
+  * character (emoji, CJK extension B — routine in crawl corpora) is
+  * ONE symbol, never a pair of lone surrogates, so every emitted
+  * subword is valid UTF-8 and the losslessness invariant survives
+  * non-BMP text. Code points are also what Spark's `length`/
+  * `substring` count, so the fit, the encode kernel, and the q125
+  * pair-stats oracle all agree on the same unit.
+  *
+  * Words longer than `maxWordLen` CODE POINTS are emitted as ONE
+  * unmerged token (the merge loop is O(len²) worst-case; a 10k-char
+  * "word" is junk a quality gate should have dropped, and emitting it
+  * whole keeps the losslessness invariant). The fit skips such words
+  * from its statistics for the same reason — both sides documented.
+  *
+  * `pretok` selects the pretokenizer — the rule that cuts text into
+  * the words BPE merges within (merges never cross word boundaries):
+  *  - [[BpeModel.PretokWs]] (default): whitespace split (space, tab,
+  *    LF, CR — the [[SketchOps]] tokens rule).
+  *  - [[BpeModel.PretokCjk]]: whitespace split, then each maximal run
+  *    of CJK code points (Han incl. extensions, kana, Hangul) inside a
+  *    word becomes its own word, chunked at `maxWordLen` code points.
+  *    Without this, a Chinese document — which has no spaces — is one
+  *    giant "word" that exceeds `maxWordLen`, so the fit learns
+  *    nothing from it and the encoder passes it through unmerged.
+  *    With it, CJK runs are real merge material (frequent character
+  *    pairs like 的是 become subwords) while still bounded by the
+  *    O(len²) cap. Content and reading order are unchanged — the
+  *    pretokenizer only adds boundaries.
   */
 final class BpeModel(val lefts: Array[String], val rights: Array[String],
-                     val maxWordLen: Int = 1024) extends Serializable {
+                     val maxWordLen: Int = 1024,
+                     val pretok: String = BpeModel.PretokWs)
+    extends Serializable {
   require(lefts.length == rights.length, "merge arrays misaligned")
   require(lefts.forall(_.nonEmpty) && rights.forall(_.nonEmpty),
     "merge symbols must be non-empty")
   require(maxWordLen >= 1, "maxWordLen must be >= 1")
+  require(pretok == BpeModel.PretokWs || pretok == BpeModel.PretokCjk,
+    s"unknown pretokenizer '$pretok'")
 
   /** rank of (left, right); symbols never contain whitespace (words are
     * whitespace-split), so the space-joined key is injective.
@@ -52,16 +79,16 @@ final class BpeModel(val lefts: Array[String], val rights: Array[String],
     m
   }
 
-  /** BPE-encode one word: char symbols → repeated lowest-rank merge,
-    * all non-overlapping occurrences left-to-right per round.
+  /** BPE-encode one word: code-point symbols → repeated lowest-rank
+    * merge, all non-overlapping occurrences left-to-right per round.
     */
   def encodeWord(w: String): Array[String] = {
-    if (w.length <= 1 || w.length > maxWordLen || lefts.length == 0)
+    val n = w.codePointCount(0, w.length)
+    if (n <= 1 || n > maxWordLen || lefts.length == 0)
       return Array(w)
-    var syms = new Array[String](w.length)
-    var i = 0
-    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var syms = BpeModel.symbols(w, n)
     var done = false
+    var i = 0
     while (!done && syms.length > 1) {
       // lowest-rank pair present
       var best = Int.MaxValue
@@ -87,12 +114,68 @@ final class BpeModel(val lefts: Array[String], val rights: Array[String],
     syms
   }
 
-  /** Whitespace-split (the [[SketchOps.tokens]] byte rule: space, tab,
-    * LF, CR) then per-word encode; flat subword array in reading order.
+  /** Pretokenize (per `pretok`) then per-word encode; flat subword
+    * array in reading order.
     */
   def encode(text: UTF8String): ArrayData = {
-    val s = text.toString
+    val ws = BpeModel.pretokenize(text.toString, pretok, maxWordLen)
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    while (i < ws.length) {
+      val subs = encodeWord(ws(i))
+      var j = 0
+      while (j < subs.length) {
+        out += UTF8String.fromString(subs(j)); j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+object BpeModel {
+  /** Whitespace-only pretokenization (the default). */
+  val PretokWs = "ws"
+  /** Whitespace + CJK-run splitting (see class doc). */
+  val PretokCjk = "cjk"
+
+  /** CJK code points that get run-split under [[PretokCjk]]: Han
+    * (unified U+4E00–9FFF, ext A U+3400–4DBF, compatibility
+    * U+F900–FAFF, supplementary planes U+20000–2FFFF), Hiragana,
+    * Katakana, and Hangul syllables — the scripts written without
+    * inter-word spaces. Fixed public ranges so any engine replays the
+    * boundary decisions.
+    */
+  def isCjk(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+    (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x20000 && cp <= 0x2FFFF) ||
+    (cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0xAC00 && cp <= 0xD7AF)
+
+  /** Split a word into code-point symbols (`n` = its code-point count,
+    * pre-computed by the caller). A surrogate pair stays one symbol.
+    */
+  def symbols(w: String, n: Int): Array[String] = {
+    val syms = new Array[String](n)
+    var i = 0; var k = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      syms(k) = w.substring(i, i + cc)
+      k += 1; i += cc
+    }
+    syms
+  }
+
+  def symbols(w: String): Array[String] =
+    symbols(w, w.codePointCount(0, w.length))
+
+  /** Cut `s` into BPE words under `pretok`. Concatenating the result
+    * always equals `s` with its whitespace removed — the pretokenizer
+    * adds boundaries, never content — which is what keeps the q126/
+    * q127 losslessness oracle pretokenizer-independent.
+    */
+  def pretokenize(s: String, pretok: String, maxWordLen: Int): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cjk = pretok == PretokCjk
     var i = 0
     val n = s.length
     while (i < n) {
@@ -102,22 +185,87 @@ final class BpeModel(val lefts: Array[String], val rights: Array[String],
         val start = i
         while (i < n && { val d = s.charAt(i)
           d != ' ' && d != '\t' && d != '\n' && d != '\r' }) i += 1
-        val subs = encodeWord(s.substring(start, i))
-        var j = 0
-        while (j < subs.length) {
-          out += UTF8String.fromString(subs(j)); j += 1
+        val w = s.substring(start, i)
+        if (!cjk) out += w
+        else {
+          // alternate non-CJK / CJK segments; CJK runs chunk at
+          // maxWordLen code points so the fit never skips them
+          var j = 0
+          while (j < w.length) {
+            val segStart = j
+            val segCjk = isCjk(w.codePointAt(j))
+            var cps = 0
+            while (j < w.length && isCjk(w.codePointAt(j)) == segCjk &&
+                   (!segCjk || cps < maxWordLen)) {
+              cps += 1
+              j += Character.charCount(w.codePointAt(j))
+            }
+            out += w.substring(segStart, j)
+          }
         }
       }
     }
-    new GenericArrayData(out.toArray)
+    out.toArray
   }
 }
 
-/** `graft_bpe_encode(text, lefts, rights)`: single-pass text →
-  * `array<string>` subword tokens, the fitted merge table riding the
-  * plan as a reference object (the [[TokenIdsOf]] shape). Zero joins,
-  * zero shuffle, streaming-safe. Null text → null; no tokens → empty
-  * array.
+/** `graft_bpe_words(text, pretok, maxWordLen)`: cut text into the BPE
+  * word stream [[BpeModel.pretokenize]] defines — the distributed word
+  * extractor behind [[graft.ops.TextAnalysis.bpeFit]]'s one corpus
+  * pass (explode → groupBy over this array), guaranteed to agree with
+  * the encoder's boundaries because both call the same static. Under
+  * `'ws'` this is exactly the [[TokensOf]] whitespace rule; `'cjk'`
+  * additionally run-splits CJK scripts. Pure projection, codegen'd.
+  */
+case class BpeWordsOf(child: Expression, pretok: String, maxWordLen: Int)
+    extends UnaryExpression {
+  require(pretok == BpeModel.PretokWs || pretok == BpeModel.PretokCjk,
+    s"unknown pretokenizer '$pretok'")
+  require(maxWordLen >= 1, "maxWordLen must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = BpeModel.pretokenize(input.asInstanceOf[UTF8String].toString,
+      pretok, maxWordLen)
+    new GenericArrayData(
+      ws.map(w => UTF8String.fromString(w): AnyRef))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "graft.functions.BpeWordsOf"
+    defineCodeGen(ctx, ev, text =>
+      s"""$cls.evalJava($text, "$pretok", $maxWordLen)""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeWordsOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_words"
+}
+
+object BpeWordsOf {
+  /** Codegen entry point (static, boxing-free call site). */
+  def evalJava(text: UTF8String, pretok: String, maxWordLen: Int): ArrayData = {
+    val ws = BpeModel.pretokenize(text.toString, pretok, maxWordLen)
+    new GenericArrayData(ws.map(w => UTF8String.fromString(w): AnyRef))
+  }
+}
+
+/** `graft_bpe_encode(text, lefts, rights[, maxWordLen[, pretok]])`:
+  * single-pass text → `array<string>` subword tokens, the fitted merge
+  * table riding the plan as a reference object (the [[TokenIdsOf]]
+  * shape). The optional literals default to 1024 / 'ws' and MUST match
+  * the fit's settings — [[graft.ops.TextAnalysis.bpeEncodeKernel]]
+  * threads them from the model so fit and encode can never disagree on
+  * the long-word cutoff or the word boundaries. Zero joins, zero
+  * shuffle, streaming-safe. Null text → null; no tokens → empty array.
   */
 case class BpeEncodeOf(child: Expression, model: BpeModel)
     extends UnaryExpression {

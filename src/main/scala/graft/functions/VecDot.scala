@@ -338,9 +338,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncodeOf].getName, "graft_bpe_encode"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 3,
-          "graft_bpe_encode takes (text, lefts, rights) with literal " +
-            "merge arrays")
+        require(exprs.length >= 3 && exprs.length <= 5,
+          "graft_bpe_encode takes (text, lefts, rights[, maxWordLen[, " +
+            "pretok]]) with literal merge arrays")
         def strs(e: Expression, what: String): Array[String] = {
           require(e.foldable, s"graft_bpe_encode $what must be a literal " +
             "array<string>")
@@ -349,8 +349,33 @@ object GraftFunctions {
           (0 until ad.numElements())
             .map(i => ad.getUTF8String(i).toString).toArray
         }
+        val maxWordLen =
+          if (exprs.length < 4) 1024
+          else {
+            require(exprs(3).foldable,
+              "graft_bpe_encode maxWordLen must be a literal int")
+            exprs(3).eval().asInstanceOf[Number].intValue()
+          }
+        val pretok =
+          if (exprs.length < 5) BpeModel.PretokWs
+          else {
+            require(exprs(4).foldable,
+              "graft_bpe_encode pretok must be a literal string")
+            exprs(4).eval().toString
+          }
         BpeEncodeOf(exprs(0),
-          new BpeModel(strs(exprs(1), "lefts"), strs(exprs(2), "rights")))
+          new BpeModel(strs(exprs(1), "lefts"), strs(exprs(2), "rights"),
+            maxWordLen, pretok))
+      }),
+    (FunctionIdentifier("graft_bpe_words"),
+      new ExpressionInfo(classOf[BpeWordsOf].getName, "graft_bpe_words"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "graft_bpe_words takes (text, pretokLiteral, maxWordLenLiteral)")
+        require(exprs(1).foldable && exprs(2).foldable,
+          "graft_bpe_words pretok and maxWordLen must be literals")
+        BpeWordsOf(exprs(0), exprs(1).eval().toString,
+          exprs(2).eval().asInstanceOf[Number].intValue())
       }),
     (FunctionIdentifier("graft_multi_contains"),
       new ExpressionInfo(classOf[MultiContainsOf].getName,

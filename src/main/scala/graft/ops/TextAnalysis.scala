@@ -103,11 +103,15 @@ object TextAnalysis {
     * 2-char prefix of its siblings because its final char is the
     * invisible U+009D; all six curly markers are 3 chars ending in
     * distinct codepoints, so every default coefficient is 1 and this is
-    * the identity on them. The adjustment exists for CUSTOM marker sets:
-    * `coeff(m) = 1 - sum of occ(s, m)` over strict marker-substrings s
-    * of m, so each long-marker hit nets to the 1 its embedded
-    * short-marker occurrences already contributed (exact whenever
-    * containments don't overlap in position). Shared with the q111
+    * the identity on them. The adjustment exists for CUSTOM marker sets
+    * and is the proper Möbius recursion `coeff(m) = 1 - sum of
+    * coeff(s) * occ(s, m)` over strict marker-substrings s of m,
+    * computed shortest-first, so each long-marker hit nets to exactly 1
+    * even through NESTED containment chains — for ("a","ab","abc") the
+    * coefficients are (1, 0, 0), counting text "abc" once where the
+    * non-recursive `1 - occ` sum would give "abc" coefficient -1 and
+    * net it to 0 (exact whenever containments don't overlap in
+    * position). Shared with the q111
     * oracle generator so engine and replay can never disagree.
     */
   private[graft] def mojibakeTerms(markers: Seq[String]): Seq[(String, Long)] = {
@@ -117,12 +121,14 @@ object TextAnalysis {
       while (i >= 0) { n += 1L; i = l.indexOf(s, i + 1) }
       n
     }
-    markers.map { m =>
-      val embedded = markers
-        .filter(s => s.length < m.length && m.contains(s))
-        .map(s => occ(s, m)).sum
-      (m, 1L - embedded)
+    val coeff = scala.collection.mutable.HashMap.empty[String, Long]
+    markers.distinct.sortBy(_.length).foreach { m =>
+      val embedded = coeff.iterator
+        .filter { case (s, _) => s.length < m.length && m.contains(s) }
+        .map { case (s, c) => c * occ(s, m) }.sum
+      coeff(m) = 1L - embedded
     }
+    markers.map(m => (m, coeff(m)))
   }
 
   /** Encoding-artifact profile — the CCNet-style cleanliness signal a
@@ -1478,13 +1484,15 @@ object TextAnalysis {
     * fit. One explode pass; the only exchange is the pair aggregate.
     */
   def bpePairStats(df: DataFrame, textCol: String, k: Int = 20,
-                   maxWordLen: Int = 1024): DataFrame = {
+                   maxWordLen: Int = 1024,
+                   pretok: String = graft.functions.BpeModel.PretokWs)
+      : DataFrame = {
     require(k >= 1, "k must be >= 1")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("left"), col("right"))
-    df.select(explode(call_function("graft_tokens",
-        lower(col(textCol)))).as("w"))
+    df.select(explode(call_function("graft_bpe_words",
+        lower(col(textCol)), lit(pretok), lit(maxWordLen))).as("w"))
       .filter(length(col("w")) >= 2 && length(col("w")) <= maxWordLen)
       .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
         i => struct(substring(col("w"), i, lit(1)).as("left"),
@@ -1511,12 +1519,14 @@ object TextAnalysis {
   def bpeFit(df: DataFrame, textCol: String, numMerges: Int,
              minWordCount: Long = 1L, maxWords: Int = 1 << 16,
              minPairCount: Long = 2L,
-             maxWordLen: Int = 1024): graft.functions.BpeModel = {
+             maxWordLen: Int = 1024,
+             pretok: String = graft.functions.BpeModel.PretokWs)
+      : graft.functions.BpeModel = {
     require(numMerges >= 1 && numMerges <= 65536,
       "numMerges must be in [1, 65536]")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val rows = df.select(explode(call_function("graft_tokens",
-        lower(col(textCol)))).as("w"))
+    val rows = df.select(explode(call_function("graft_bpe_words",
+        lower(col(textCol)), lit(pretok), lit(maxWordLen))).as("w"))
       .filter(length(col("w")) >= 2 && length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minWordCount)
@@ -1525,48 +1535,92 @@ object TextAnalysis {
       s"word table has ${rows.length} entries (> $maxWords): raise " +
         "minWordCount — a vocabulary too big to fold on the driver " +
         "needs a sampled fit, not a silent truncation")
-    // symbolized word table; merges mutate these arrays in place
+    // Symbolized word table (code-point symbols; merges mutate the
+    // arrays in place) + INCREMENTAL pair statistics: the full pair
+    // table is built once, then each merge round updates only the
+    // words that contain the merged pair — subtract their old adjacent
+    // pairs, apply the merge, add the new ones. Identical stats (hence
+    // the identical merge sequence — spec-pinned against a full-
+    // recompute reference) at O(affected-word chars) per round instead
+    // of O(table chars): a 32k-merge vocab stops being
+    // O(numMerges × corpus-vocab) driver work. Selection is a lazy-
+    // deletion max-heap ordered by the fit's deterministic tie-break
+    // (count desc, then (left, right) asc); stale entries — pushed
+    // before a later count change — are dropped when popped by
+    // checking against the live stats map.
     val words: Array[Array[String]] = rows.map(r =>
-      r.getString(0).toCharArray.map(String.valueOf))
+      graft.functions.BpeModel.symbols(r.getString(0)))
     val counts: Array[Long] = rows.map(_.getLong(1))
+    val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // superset index: word indices that EVER contained the pair (no
+    // removal on decrement; stale members are skipped by re-checking
+    // adjacency when the pair is merged)
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2) // smaller left wins the tie
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)](heapOrd)
+    def addPairs(i: Int, sign: Long,
+                 touched: scala.collection.mutable.HashSet[(String, String)])
+        : Unit = {
+      val s = words(i); val c = counts(i) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        stats(p) = stats.getOrElse(p, 0L) + c
+        if (sign > 0)
+          where.getOrElseUpdate(p,
+            scala.collection.mutable.HashSet.empty[Int]) += i
+        if (touched != null) touched += p
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { addPairs(i, 1L, null); i += 1 }
+    stats.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
     val lefts = Array.newBuilder[String]
     val rights = Array.newBuilder[String]
     var round = 0
     var exhausted = false
     while (round < numMerges && !exhausted) {
-      val stats = scala.collection.mutable.HashMap
-        .empty[(String, String), Long]
-      var i = 0
-      while (i < words.length) {
-        val s = words(i); val c = counts(i)
-        var j = 0
-        while (j < s.length - 1) {
-          val p = (s(j), s(j + 1))
-          stats(p) = stats.getOrElse(p, 0L) + c
-          j += 1
-        }
-        i += 1
-      }
       var best: (String, String) = null
       var bestC = 0L
-      stats.foreach { case (p, c) =>
-        if (c > bestC || (c == bestC &&
-            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2))))
-          { best = p; bestC = c }
+      while (best == null && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (c > 0L && stats.getOrElse((l, r), 0L) == c) {
+          best = (l, r); bestC = c
+        } // else: stale entry, drop
       }
       if (best == null || bestC < minPairCount) exhausted = true
       else {
         lefts += best._1; rights += best._2
         val merged = best._1 + best._2
-        i = 0
-        while (i < words.length) {
-          val s = words(i)
+        val touched =
+          scala.collection.mutable.HashSet.empty[(String, String)]
+        // iterate a snapshot: addPairs mutates `where` member sets
+        val affected = where.getOrElse(best,
+          scala.collection.mutable.HashSet.empty[Int]).toArray
+        java.util.Arrays.sort(affected)
+        var a = 0
+        while (a < affected.length) {
+          val w = affected(a)
+          val s = words(w)
           var has = false
           var j = 0
           while (!has && j < s.length - 1) {
             has = s(j) == best._1 && s(j + 1) == best._2; j += 1
           }
           if (has) {
+            addPairs(w, -1L, touched)
             val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
             j = 0
             while (j < s.length) {
@@ -1574,14 +1628,21 @@ object TextAnalysis {
                 { out += merged; j += 2 }
               else { out += s(j); j += 1 }
             }
-            words(i) = out.toArray
+            words(w) = out.toArray
+            addPairs(w, 1L, touched)
           }
-          i += 1
+          a += 1
+        }
+        touched.foreach { p =>
+          val c = stats.getOrElse(p, 0L)
+          if (c > 0L) heap.enqueue((c, p._1, p._2))
+          else { stats.remove(p); where.remove(p) }
         }
         round += 1
       }
     }
-    new graft.functions.BpeModel(lefts.result(), rights.result(), maxWordLen)
+    new graft.functions.BpeModel(lefts.result(), rights.result(),
+      maxWordLen, pretok)
   }
 
   /** Apply a fitted BPE model as ONE codegen'd scan: (id, subwords) with
@@ -1597,7 +1658,8 @@ object TextAnalysis {
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         call_function("graft_bpe_encode", lower(col(textCol)),
-          lit(model.lefts), lit(model.rights)).as("subwords"))
+          lit(model.lefts), lit(model.rights), lit(model.maxWordLen),
+          lit(model.pretok)).as("subwords"))
   }
 
   // ---- normalization ------------------------------------------------------

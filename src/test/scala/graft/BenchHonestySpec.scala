@@ -40,4 +40,28 @@ class BenchHonestySpec extends SparkSpec {
           s"measure a projection, not the operator:\n$plan")
     }
   }
+
+  test("stall-resistance protocol: committed-record parse, re-measure rule, headline") {
+    // parser: query entries only — the envelope's metric/value/unit/sf
+    // fields and the t_start/reps tails never leak into the map
+    val rec = """{"metric":"total","value":130.946,"unit":"sec",""" +
+      """"queries":{"q01_split_route":0.421,"q60_corpus_build":2.262},""" +
+      """"sf":"/root/testdata/sf0.1","t_start":{"q01_split_route":0.0},""" +
+      """"reps":{"q60_corpus_build":[61.62,2.31]}}"""
+    val m = Bench.parseCommitted(rec)
+    assert(m("q01_split_route") == 0.421 && m("q60_corpus_build") == 2.262)
+    assert(!m.contains("metric") && !m.contains("value") &&
+      !m.contains("total") && m.size == 2)
+    // re-measure rule: 3× AND >1 s absolute; no record → never
+    assert(Bench.needsRemeasure(61.62, Some(2.262)))   // the r11 q60 stall
+    assert(Bench.needsRemeasure(15.06, Some(0.36)))    // the r11 q45 stall
+    assert(!Bench.needsRemeasure(0.9, Some(0.1)))      // sub-second blip
+    assert(!Bench.needsRemeasure(2.0, Some(1.0)))      // within 3×
+    assert(!Bench.needsRemeasure(50.0, None))          // new query, no record
+    assert(!Bench.needsRemeasure(-1.0, Some(1.0)))     // failed query
+    // headline: min of reps; a failed rep2 never masks rep1
+    assert(Bench.headline(61.62, 2.31) == 2.31)
+    assert(Bench.headline(1.5, 4.0) == 1.5)
+    assert(Bench.headline(61.62, -1.0) == 61.62)
+  }
 }

@@ -186,11 +186,24 @@ class GoldenImageSpec extends SparkSpec {
       GoldenTfRecordSpec.parsePbtxtFeatures(goldenPbtxt))
     assert(emitted == goldenPbtxt,
       "emitted schema.pbtxt must be byte-identical to the golden")
-    // the DOCUMENTED transform_fn contract (README "Artifact fidelity"):
-    // assets + metadata are byte-compatible analogs, but no TensorFlow
-    // SavedModel graph is emitted — a tft.TFTransformOutput consumer
-    // loads the vocab/metadata files, not the transform graph
-    assert(!new File(result.jobDir, "transform_fn/saved_model.pb").exists(),
-      "saved_model.pb is intentionally absent per the documented contract")
+    // the transform_fn contract (README "Artifact fidelity", r12): the
+    // directory matches the golden LISTING — saved_model.pb + assets/ —
+    // with a structurally valid SavedModel declaring the assets; the
+    // documented divergence is narrowed to "no executable transform
+    // graph inside the pb" (SavedModelPbSpec parses the bytes)
+    val pb = new File(result.jobDir, "transform_fn/saved_model.pb")
+    assert(pb.exists(), "saved_model.pb must be emitted (golden listing)")
+    val parsed = SavedModelPbSpec.parse(
+      java.nio.file.Files.readAllBytes(pb.toPath))
+    assert(parsed.schemaVersion == 1L && parsed.tags == Seq("transform"))
+    val assetNames = new File(result.jobDir, "transform_fn/assets")
+      .listFiles().map(_.getName).toSeq
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).sorted
+    assert(parsed.assetFilenames == assetNames,
+      "asset_file_def must list exactly the emitted assets")
+    assert(new File(result.jobDir, "transform_fn").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet ==
+      Set("assets", "saved_model.pb"),
+      "transform_fn listing must match the golden layout")
   }
 }

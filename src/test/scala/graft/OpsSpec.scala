@@ -1654,6 +1654,135 @@ class OpsSpec extends SparkSpec {
     assert(ids == Seq(vmap("aaab"), vmap("a"), vmap("ab"), -1L, -1L))
   }
 
+  test("bpe: code-point symbols — non-BMP text never splits into surrogates") {
+    import graft.functions.BpeModel
+    // U+1F600 (😀) is a surrogate pair in UTF-16; one SYMBOL here
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(BpeModel.symbols(s"a${emoji}b").toSeq == Seq("a", emoji, "b"))
+    val m0 = new BpeModel(Array.empty, Array.empty)
+    assert(m0.encodeWord(s"a${emoji}b").toSeq == Seq(s"a${emoji}b"))
+    // a fit over emoji-bearing words learns valid-UTF-8 merges and the
+    // kernel round-trips them losslessly (the old charAt symbolization
+    // emitted lone surrogates that UTF8String turned into '?')
+    val docs = (1 to 4).map(i => (i.toLong, s"${emoji}x ${emoji}x y"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeFit(docs, "text", numMerges = 5)
+    assert(m.lefts.nonEmpty && (m.lefts(0), m.rights(0)) == ((emoji, "x")))
+    val enc = TextAnalysis.bpeEncodeKernel(docs, "doc_id", "text", m)
+      .select(concat_ws("", col("subwords")).as("j")).as[String].collect()
+    assert(enc.forall(_ == s"${emoji}x${emoji}xy"),
+      s"lossless through UTF8String: ${enc.toSeq}")
+    // maxWordLen counts CODE POINTS: a 3-cp word passes a len-3 cutoff
+    // even though it is 4 UTF-16 units
+    val m3 = new BpeModel(Array(emoji), Array("x"), maxWordLen = 3)
+    assert(m3.encodeWord(s"${emoji}xz").toSeq == Seq(s"${emoji}x", "z"))
+    // fit (Spark length = code points) and encode agree on the cutoff
+    val mShort = TextAnalysis.bpeFit(docs, "text", numMerges = 5,
+      maxWordLen = 2)
+    assert((mShort.lefts(0), mShort.rights(0)) == ((emoji, "x")))
+  }
+
+  test("bpeFit incremental pair-stats == full-recompute reference on random text") {
+    // naive reference trainer: full stats rebuild every round, the
+    // r11 implementation's semantics verbatim
+    def naiveFit(wordCounts: Seq[(String, Long)], numMerges: Int,
+                 minPairCount: Long): Seq[(String, String)] = {
+      var words = wordCounts.map { case (w, _) =>
+        graft.functions.BpeModel.symbols(w) }.toArray
+      val counts = wordCounts.map(_._2).toArray
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (!done && merges.length < numMerges) {
+        val stats = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        for (i <- words.indices; j <- 0 until words(i).length - 1) {
+          val p = (words(i)(j), words(i)(j + 1))
+          stats(p) = stats.getOrElse(p, 0L) + counts(i)
+        }
+        val best = stats.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        best match {
+          case Some((p, c)) if c >= minPairCount =>
+            merges += p
+            words = words.map { s =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var j = 0
+              while (j < s.length) {
+                if (j < s.length - 1 && s(j) == p._1 && s(j + 1) == p._2)
+                  { out += (p._1 + p._2); j += 2 }
+                else { out += s(j); j += 1 }
+              }
+              out.toArray
+            }
+          case _ => done = true
+        }
+      }
+      merges.toSeq
+    }
+    val rnd = new scala.util.Random(77)
+    def randText() = Seq.fill(12)(
+      Seq.fill(1 + rnd.nextInt(8))("abcd" (rnd.nextInt(4))).mkString)
+      .mkString(" ")
+    val docs = (1 to 40).map(i => (i.toLong, randText()))
+    val df = docs.toDF("doc_id", "text")
+    // the reference runs over the SAME word table the fit aggregates
+    val wordCounts = docs.flatMap(_._2.split(" ").filter(_.length >= 2))
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }
+      .toSeq.sortBy(_._1)
+    for (nm <- Seq(1, 5, 40, 200)) {
+      val fit = TextAnalysis.bpeFit(df, "text", numMerges = nm)
+      val ref = naiveFit(wordCounts, nm, minPairCount = 2L)
+      assert(fit.lefts.zip(fit.rights).toSeq == ref,
+        s"merge sequence diverged at numMerges=$nm")
+    }
+  }
+
+  test("bpe cjk pretokenizer: run splitting, chunking, zh merges, losslessness") {
+    import graft.functions.BpeModel
+    // boundary rules: whitespace first, then CJK runs split out of
+    // mixed words; chunking caps a run at maxWordLen code points
+    assert(BpeModel.pretokenize("abc你好def", BpeModel.PretokCjk, 1024)
+      .toSeq == Seq("abc", "你好", "def"))
+    assert(BpeModel.pretokenize("你好世界", BpeModel.PretokCjk, 3)
+      .toSeq == Seq("你好世", "界"))
+    assert(BpeModel.pretokenize("a b", BpeModel.PretokCjk, 1024)
+      .toSeq == Seq("a", "b"))
+    // ws mode is unchanged by CJK content
+    assert(BpeModel.pretokenize("abc你好 def", BpeModel.PretokWs, 1024)
+      .toSeq == Seq("abc你好", "def"))
+    // a spaceless zh corpus: ws mode learns NOTHING (one giant word >
+    // maxWordLen is skipped); cjk mode learns the frequent pair
+    val zh = ("的是" * 40) + "了"
+    val docs = (1 to 3).map(i => (i.toLong, zh)).toDF("doc_id", "text")
+    val mWs = TextAnalysis.bpeFit(docs, "text", numMerges = 5,
+      maxWordLen = 16)
+    assert(mWs.lefts.isEmpty, "ws mode must skip the giant zh word")
+    val mCjk = TextAnalysis.bpeFit(docs, "text", numMerges = 5,
+      maxWordLen = 16, pretok = BpeModel.PretokCjk)
+    assert(mCjk.lefts.nonEmpty &&
+      (mCjk.lefts(0), mCjk.rights(0)) == (("的", "是")))
+    // kernel: subwords > ws-words, bounded by code points, lossless
+    val out = TextAnalysis.bpeEncodeKernel(docs, "doc_id", "text", mCjk)
+      .select(col("doc_id"), size(col("subwords")).cast("long").as("n"),
+        concat_ws("", col("subwords")).as("j"))
+      .as[(Long, Long, String)].collect()
+    out.foreach { case (_, n, j) =>
+      assert(j == zh, "cjk pretok must not alter content")
+      assert(n > 1L && n < zh.length, s"merges must apply: $n subwords")
+    }
+    // model round-trips pretok through the SQL function literals
+    val viaSql = spark.sql(
+      s"SELECT graft_bpe_encode('的是的是', array('的'), array('是'), " +
+        "16, 'cjk') AS s").as[Seq[String]].head()
+    assert(viaSql == Seq("的是", "的是"))
+    // ... and maxWordLen through the 4-arg form: a 4-cp word over a
+    // len-3 cutoff passes through whole even though merges exist
+    val viaSql2 = spark.sql(
+      "SELECT graft_bpe_encode('aaaa aa', array('a'), array('a'), 3, " +
+        "'ws') AS s").as[Seq[String]].head()
+    assert(viaSql2 == Seq("aaaa", "aa"))
+  }
+
   test("bm25ArtifactsDelete: delete == build on survivors; repeat no-op; append after") {
     val docs = Seq(
       (1L, "spark spark spark engine"),
@@ -1883,6 +2012,17 @@ class OpsSpec extends SparkSpec {
         markers = Seq("ab", "xaby", "zz")).getField("n_mojibake"))
       .as[Long].head()
     assert(custom == 2L) // one embedded artifact + one standalone
+    // nested containment CHAIN: the Möbius recursion gives ("a","ab",
+    // "abc") coefficients (1,0,0) so "abc" counts ONCE — the naive
+    // 1 - occ-sum form gave "abc" coefficient -1 and netted it to 0
+    assert(TextAnalysis.mojibakeTerms(Seq("a", "ab", "abc")).toMap ==
+      Map("a" -> 1L, "ab" -> 0L, "abc" -> 0L))
+    val nested = Seq((1L, "abc"), (2L, "ab abc"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.encodingArtifacts(col("text"),
+        markers = Seq("a", "ab", "abc")).getField("n_mojibake"))
+      .as[(Long, Long)].collect().toMap
+    assert(nested == Map(1L -> 1L, 2L -> 2L, 3L -> 0L))
   }
 
   test("tokenVocabFit: ranks, tie-break, cumulative coverage, truncation") {
