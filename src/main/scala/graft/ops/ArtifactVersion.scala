@@ -1,0 +1,34 @@
+package graft.ops
+
+/** Snapshot-version marker for persisted retrieval artifacts (BM25
+  * index dirs, IVF index dirs): a tiny `_graft_version` file holding an
+  * opaque unique token, REWRITTEN by every mutating operation
+  * (save/append/delete). Long-running readers — the streaming
+  * retrieval services — compare the token instead of re-listing the
+  * (corpus-sized) artifact directories every micro-batch: one
+  * kilobyte-file read per check, a full re-resolution only when the
+  * token actually changed. The underscore prefix keeps Spark's parquet
+  * file index from treating the marker as data (same convention as
+  * `_SUCCESS`).
+  *
+  * A missing marker (artifact written by a pre-r12 build, or an
+  * external writer that didn't stamp) reads as `None`, which consumers
+  * MUST treat as "assume changed" — correctness degrades to the old
+  * re-resolve-every-batch behavior, never to a stale snapshot.
+  */
+object ArtifactVersion {
+  val FileName = "_graft_version"
+
+  /** Stamp `dir` with a fresh unique version token; returns the token. */
+  def stamp(dir: String): String = {
+    val v = java.util.UUID.randomUUID().toString
+    graft.Fs.writeString(graft.Fs.join(dir, FileName), v)
+    v
+  }
+
+  /** The current version token, or None when the marker is absent. */
+  def read(dir: String): Option[String] = {
+    val p = graft.Fs.join(dir, FileName)
+    if (graft.Fs.exists(p)) Some(graft.Fs.readString(p)) else None
+  }
+}

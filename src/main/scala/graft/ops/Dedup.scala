@@ -57,7 +57,17 @@ import org.apache.spark.storage.StorageLevel
 case class ClusteringStats(rounds: Int, roundMillis: Seq[Long],
                            driverPath: Boolean)
 
-object Dedup {
+object Dedup
+    extends DedupExact
+    with DedupIncremental
+    with DedupMinHash
+    with DedupSimHash
+    with DedupEdit
+    with DedupNgram
+    with DedupSemantic
+    with DedupCluster
+    with DedupSpans
+    with DedupPipelines {
 
   /** Stats of the most recent [[duplicateClusters]] call (see
     * [[ClusteringStats]]); None until the first call on this JVM.
@@ -70,13 +80,13 @@ object Dedup {
   // bounds what a never-releasing caller can pin: on overflow the OLDEST
   // entry — from a long-finished pass — is unpersisted on the spot, which
   // is exactly the cleanup that caller skipped.
-  private val MaxTracked = 1024
-  private val trackedCount = new java.util.concurrent.atomic.AtomicInteger(0)
-  private val persistedIntermediates =
+  private[ops] val MaxTracked = 1024
+  private[ops] val trackedCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[ops] val persistedIntermediates =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Persist an intermediate and register it for [[releaseIntermediates]]. */
-  private def tracked(df: DataFrame): DataFrame = {
+  private[ops] def tracked(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     persistedIntermediates.add(p)
     if (trackedCount.incrementAndGet() > MaxTracked) {
@@ -116,2191 +126,4 @@ object Dedup {
   def withReleasedIntermediates[A](body: => DataFrame)(
       materialize: DataFrame => A): A =
     try materialize(body) finally releaseIntermediates()
-
-  // ---- exact -----------------------------------------------------------
-
-  /** Exact dedup: one survivor (min `idCol`) per identical value of
-    * `keyCol`. Returns the input columns plus `dup_count`.
-    *
-    * ONE exchange: `min_by(struct(row), id)` folds survivor selection
-    * into the aggregation itself (partial agg keeps one candidate row
-    * per key per partition, so the map side already collapses clone
-    * floods), where the agg-then-rejoin form would shuffle the full
-    * input a second time against the survivor set. Ties on the minimum
-    * id keep exactly one row (the "one survivor" contract), not every
-    * tied row as a rejoin would — WHICH tied row is
-    * partitioning-dependent, so make `idCol` unique when byte-exact
-    * replayability across runs matters. A group whose every id is NULL
-    * has no selectable survivor (`min_by` skips NULL ordering values)
-    * and is dropped, matching the rejoin form; the NULL-struct guard
-    * below is what prevents such a group from fabricating an all-NULL
-    * output row.
-    */
-  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
-    survivorAgg(df, col(keyCol), idCol, "dup_count")
-      .select(col("__row.*") +: Seq(col("dup_count")): _*)
-
-  /** The one-exchange survivor aggregate shared by every exact-dedup
-    * entry point: one `min_by(struct(row), id)` row per key (kept as
-    * `__key`, with the full surviving row under `__row`), plus the
-    * group's occurrence count. The NULL-struct guard drops groups whose
-    * every id is NULL — `min_by` skips NULL ordering values and would
-    * otherwise fabricate an all-NULL row. This is THE definition of the
-    * engine's survivor/NULL/tie semantics; keep it in one place.
-    */
-  private def survivorAgg(df: DataFrame, key: Column, idCol: String,
-                          countAlias: String): DataFrame =
-    df.groupBy(key.as("__key"))
-      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*),
-          col(idCol)).as("__row"),
-        count(lit(1)).as(countAlias))
-      .where(col("__row").isNotNull)
-
-  /** [[exact]] over a COMPOSITE key — one survivor per distinct
-    * combination of `keyCols` (e.g. (url, normalized_title)). The struct
-    * key keeps the same one-exchange shape; a NULL component makes two
-    * keys distinct-by-that-component equal only if both are NULL, the
-    * usual struct grouping semantics.
-    */
-  def exactByColumns(df: DataFrame, keyCols: Seq[String],
-                     idCol: String): DataFrame = {
-    require(keyCols.nonEmpty, "exactByColumns needs at least one key column")
-    survivorAgg(df, struct(keyCols.map(col): _*), idCol, "dup_count")
-      .select(col("__row.*") +: Seq(col("dup_count")): _*)
-  }
-
-  /** Exact dedup by content digest — at scale, shuffle the digest, not the
-    * text: groupBy md5(text). Same one-exchange `min_by` shape (and the
-    * same NULL/tie semantics) as [[exact]]; the payload shuffles once,
-    * keyed by its own 128-bit digest, and never meets a join. NULL texts
-    * share the NULL digest, so they collapse to one surviving NULL-text
-    * row rather than being dropped — a dedup should not silently discard
-    * documents.
-    */
-  def exactByFingerprint(df: DataFrame, textCol: String,
-                         idCol: String): DataFrame =
-    survivorAgg(df, TextAnalysis.fingerprint(col(textCol)), idCol,
-        "dup_count")
-      .select(col("__row.*") +: Seq(col("dup_count")): _*)
-
-  /** Incremental-ingest dedup: from a new `batch`, keep one survivor (min
-    * `idCol`) per content digest that does NOT already appear in the
-    * existing `corpus` — the snapshot-ingest path of a continuously grown
-    * training corpus (each crawl/delivery is deduplicated within itself
-    * and against everything already accepted, without ever re-deduping
-    * the accepted set).
-    *
-    * Scale shape: the corpus side collapses to its DISTINCT 128-bit
-    * digests before the join — a map-side-combinable aggregation whose
-    * output is 16 bytes/doc regardless of document size — and the
-    * batch's `min_by` survivor aggregate (same one-exchange shape and
-    * NULL/tie semantics as [[exact]]) joins it LEFT ANTI on the digest.
-    * The batch payload shuffles exactly ONCE, into its own aggregate
-    * (map-side partials collapse within-batch clones before the wire);
-    * the pre-min_by form shuffled the full batch a second time to
-    * rejoin survivors, and needed a (digest AND id) rejoin condition to
-    * avoid resurrecting dropped rows under duplicate ids — folding
-    * selection into the agg removes that hazard entirely. When the
-    * survivor digest set fits in memory AQE turns the anti-join into a
-    * broadcast; at 100 TB corpus scale it degrades to a shuffled hash
-    * join on fixed 16-byte keys. In production the corpus digest set
-    * would be the persisted artifact of the previous ingest (write
-    * `corpusDigests` once, reuse every batch). NULL-text batch rows
-    * collapse to one survivor and are always "new" (a NULL digest never
-    * equals a corpus digest).
-    *
-    * Returns the batch's columns plus `batch_dup_count` (how many times
-    * the surviving digest occurred within the batch).
-    */
-  def incremental(batch: DataFrame, corpus: DataFrame, textCol: String,
-                  idCol: String): DataFrame =
-    incrementalAgainstDigests(batch, corpusDigests(corpus, textCol),
-      textCol, idCol)
-
-  /** [[incremental]] against a PREBUILT digest frame (the persisted
-    * [[corpusDigests]] artifact) — the production ingest entry point:
-    * the accepted corpus is never re-read, only its 16-byte-per-doc
-    * membership artifact is.
-    */
-  def incrementalAgainstDigests(batch: DataFrame, corpusDigestsDf: DataFrame,
-                                textCol: String, idCol: String): DataFrame =
-    batchSurvivors(batch, textCol, idCol)
-      .join(corpusDigestsDf, Seq("__fp"), "left_anti")
-      .select(col("__row.*") +: Seq(col("batch_dup_count")): _*)
-
-  /** The within-batch survivor aggregate shared by [[incremental]] and
-    * [[incrementalBloom]]: one `min_by` row per content digest, with the
-    * digest kept as `__fp` for the membership join and the occurrence
-    * count as `batch_dup_count`.
-    */
-  private def batchSurvivors(batch: DataFrame, textCol: String,
-                             idCol: String): DataFrame =
-    survivorAgg(batch, TextAnalysis.fingerprint(col(textCol)), idCol,
-        "batch_dup_count")
-      .withColumnRenamed("__key", "__fp")
-
-  /** [[incremental]] with a Bloom membership prefilter — identical
-    * result (the exact anti-join still adjudicates every possible
-    * duplicate), but the overwhelmingly-common case at ingest time, a
-    * genuinely new document, never reaches the join.
-    *
-    * Scale shape: the corpus digest set aggregates once into Spark's own
-    * Bloom sketch (`BloomFilterAggregate` over `xxhash64(digest)` — the
-    * same expression pair the engine's runtime join filters inject), and
-    * batch survivor digests probe it through the codegen'd
-    * `BloomFilterMightContain` with the sketch embedded as a plan
-    * literal. A negative probe is DEFINITELY new (Bloom filters have no
-    * false negatives) and bypasses the anti-join; only true duplicates
-    * plus the false-positive sliver shuffle against the corpus digests,
-    * shrinking the join's batch side from |batch| to |dups| + fpp·|batch|
-    * rows. In production the serialized sketch is the natural companion
-    * artifact to [[corpusDigests]]: rebuild (or union — Bloom bitsets
-    * OR together) per accepted snapshot, probe on every ingest.
-    *
-    * Sizing: `expectedCorpusDocs` at Spark's default fpp costs ~1.2 MB
-    * per 10^6 documents, and Spark's aggregate refuses expectations above
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4e6)
-    * / `maxNumBits` (default 8 MB) — [[digestSketch]] fails fast with the
-    * conf names. Past the conf ceiling, shard the digest space with
-    * [[shardedDigestSketch]]/[[bloomRouteSharded]] (each shard sizes
-    * independently) or fall back to [[incremental]]'s plain anti-join on
-    * 16-byte keys — correctness never depends on the sketch, so the
-    * fallback is free.
-    */
-  def incrementalBloom(batch: DataFrame, corpus: DataFrame, textCol: String,
-                       idCol: String, expectedCorpusDocs: Long): DataFrame = {
-    val seen = tracked(corpusDigests(corpus, textCol)) // bloom build + anti-join
-    incrementalBloom(batch, seen, textCol, idCol,
-      digestSketch(seen, expectedCorpusDocs))
-  }
-
-  /** The artifact form of [[incrementalBloom]]: both membership
-    * artifacts — the digest frame AND the serialized sketch — are
-    * PREBUILT (persisted once per accepted snapshot, loaded per ingest),
-    * so an ingest pays only the batch aggregate plus the routed
-    * anti-join, never a corpus-side pass.
-    *
-    * Measured honestly (BASELINE.md, 1M digests / 200k batch / 95% new):
-    * the plain [[incrementalAgainstDigests]] anti-join BEAT this path in
-    * both the broadcast regime (3.7 vs 4.3 s) and the forced-shuffle
-    * regime (2.9 vs 5.0 s) — the digest side shuffles fully either way,
-    * so the sketch saves only batch-side volume while paying a survivor
-    * cache and a two-branch union. The verdict FLIPS as the corpus
-    * outgrows the batch: at 10^7 digests / 2M batch the sharded route
-    * measured 3.5 s vs the plain anti-join's 5.2 (BASELINE.md r7) —
-    * the batch-side shrink then outweighs the union overhead. Also
-    * reach for it when the batch payload is very wide AND the digest
-    * artifact is co-partitioned with the batch shuffle (digest side
-    * then never moves), or when you want the sketch itself: ~1.3 MB
-    * per 10^6 docs, probeable with `graft_might_contain` from any SQL
-    * context — a membership summary cheap enough to hand to services
-    * that can't touch the corpus.
-    * Results are identical to [[incremental]] at any false-positive
-    * rate; only the plan differs.
-    */
-  def incrementalBloom(batch: DataFrame, corpusDigestsDf: DataFrame,
-                       textCol: String, idCol: String,
-                       sketch: Array[Byte]): DataFrame = {
-    val survivors0 = batchSurvivors(batch, textCol, idCol)
-    // the cache pays off only when bloomRoute's two branches re-read it;
-    // a null sketch (empty corpus) is a single pass-through read
-    val survivors = if (sketch == null) survivors0 else tracked(survivors0)
-    bloomRoute(survivors, corpusDigestsDf, sketch)
-      .select(col("__row.*") +: Seq(col("batch_dup_count")): _*)
-  }
-
-  /** The serialized Bloom membership sketch of a digest frame (column
-    * `__fp`, as produced by [[corpusDigests]]) — one `graft_bloom_agg`
-    * pass; `null` for an empty frame. Persist alongside the digest
-    * artifact and feed to [[bloomRoute]] (or its streaming twin) at
-    * ingest time.
-    */
-  def digestSketch(digests: DataFrame, expectedItems: Long): Array[Byte] = {
-    graft.functions.GraftFunctions.ensureRegistered(digests.sparkSession)
-    // Spark's BloomFilterAggregate rejects expectedItems above
-    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems (default 4e6)
-    // at ANALYSIS time with an opaque type-check error — surface the
-    // limit and the two ways past it (raise the conf, or shard via
-    // [[shardedDigestSketch]]) before the plan ever builds.
-    val maxItems = digests.sparkSession.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
-      .toLong
-    require(expectedItems > 0 && expectedItems <= maxItems,
-      s"expectedItems=$expectedItems outside (0, $maxItems]: raise " +
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems (and " +
-        "maxNumBits) or use the sharded sketch variant for larger corpora")
-    digests
-      .agg(call_function("graft_bloom_agg", col("__fp"),
-        lit(expectedItems)).as("bloom"))
-      .head().getAs[Array[Byte]]("bloom")
-  }
-
-  /** Membership routing shared by the batch and streaming Bloom ingest
-    * paths: rows of `keyed` (must carry a `__fp` digest column) that the
-    * sketch has DEFINITELY never seen bypass the anti-join; possible
-    * members adjudicate exactly against `digests`. A null sketch (empty
-    * corpus) means nothing can be a member. Result is sketch-independent
-    * by construction — the sketch only routes.
-    */
-  private[graft] def bloomRoute(keyed: DataFrame, digests: DataFrame,
-                                sketch: Array[Byte]): DataFrame =
-    if (sketch == null) keyed
-    else {
-      // register here, not only in digestSketch: the artifact form loads
-      // the sketch bytes from disk and reaches this probe without ever
-      // building a sketch in this session
-      graft.functions.GraftFunctions.ensureRegistered(keyed.sparkSession)
-      val mightContain =
-        call_function("graft_might_contain", lit(sketch), col("__fp"))
-      keyed.where(!mightContain).unionByName(
-        keyed.where(mightContain).join(digests, Seq("__fp"), "left_anti"))
-    }
-
-  /** The digest-range-SHARDED membership sketch: `shards` independent
-    * Bloom sketches, sketch `s` built over exactly the digests with
-    * [[digestShard]]`(__fp) == s` — the scale path past the monolithic
-    * [[digestSketch]]'s conf ceiling (4e6 expected items / 8 MB bits by
-    * default). Each shard sizes independently to `expectedItemsPerShard`
-    * (= |corpus| / shards for a uniform digest space — md5 is), so a
-    * 10^9-doc corpus at 256 shards is 256 × ~4M-item sketches instead of
-    * one unbuildable 4-billion-item one, and shard sketches
-    * rebuild/persist independently per ingest. One aggregation pass over
-    * the digest frame (map-side combinable, `shards` result rows).
-    * Entries for empty shards are null — [[bloomRouteSharded]] treats a
-    * null shard as "definitely not a member", which is exact (nothing
-    * was inserted there).
-    */
-  def shardedDigestSketch(digests: DataFrame, shards: Int,
-                          expectedItemsPerShard: Long): Array[Array[Byte]] = {
-    require(shards >= 1, "shards must be >= 1")
-    // Same analysis-time ceiling as [[digestSketch]], applied PER SHARD:
-    // each shard's graft_bloom_agg sizes to expectedItemsPerShard, so an
-    // over-ceiling per-shard estimate dies with the same opaque
-    // type-check error the monolithic path fails fast on. Surface it
-    // here too — the fix at scale is more shards, not a bigger sketch.
-    val maxItems = digests.sparkSession.conf
-      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
-      .toLong
-    require(expectedItemsPerShard > 0 && expectedItemsPerShard <= maxItems,
-      s"expectedItemsPerShard=$expectedItemsPerShard outside (0, " +
-        s"$maxItems]: raise shards (items spread uniformly across the " +
-        "md5 digest space) or raise " +
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems (and " +
-        "maxNumBits)")
-    graft.functions.GraftFunctions.ensureRegistered(digests.sparkSession)
-    val rows = digests
-      .groupBy(digestShard(col("__fp"), shards).as("__shard"))
-      .agg(call_function("graft_bloom_agg", col("__fp"),
-        lit(expectedItemsPerShard)).as("bloom"))
-      .collect()
-    val out = new Array[Array[Byte]](shards)
-    rows.foreach(r => out(r.getInt(0)) = r.getAs[Array[Byte]](1))
-    out
-  }
-
-  /** The shard-routing function shared by [[shardedDigestSketch]] builds
-    * and [[bloomRouteSharded]] probes: murmur3 of the digest bytes mod
-    * `shards`. Deliberately a DIFFERENT hash family from the sketches'
-    * internal xxhash64, so shard membership carries no information about
-    * Bloom bit positions within a shard.
-    */
-  private[graft] def digestShard(fp: Column, shards: Int): Column =
-    pmod(hash(fp), lit(shards))
-
-  /** [[bloomRoute]] against a sharded sketch ([[shardedDigestSketch]]):
-    * identical routing semantics — a negative probe of the row's OWN
-    * shard sketch bypasses the anti-join — with the N deserialized
-    * filters carried as a plan reference and indexed per row
-    * (`graft_sharded_might_contain`). Result is sketch-independent by
-    * construction, exactly as [[bloomRoute]].
-    */
-  private[graft] def bloomRouteSharded(keyed: DataFrame, digests: DataFrame,
-                                       sketches: Array[Array[Byte]]): DataFrame =
-    if (sketches == null || sketches.forall(_ == null)) keyed
-    else {
-      graft.functions.GraftFunctions.ensureRegistered(keyed.sparkSession)
-      val mightContain = call_function("graft_sharded_might_contain",
-        typedLit(sketches.toSeq), digestShard(col("__fp"), sketches.length),
-        col("__fp"))
-      keyed.where(!mightContain).unionByName(
-        keyed.where(mightContain).join(digests, Seq("__fp"), "left_anti"))
-    }
-
-  /** The sharded-artifact form of [[incrementalBloom]]: both persisted
-    * membership artifacts — the digest frame and the PER-SHARD sketch
-    * array — are prebuilt, so an ingest pays only the batch aggregate
-    * plus the routed anti-join. Semantics identical to [[incremental]]
-    * at any shard count (the sketches only route).
-    */
-  def incrementalBloomSharded(batch: DataFrame, corpusDigestsDf: DataFrame,
-                              textCol: String, idCol: String,
-                              sketches: Array[Array[Byte]]): DataFrame = {
-    val survivors0 = batchSurvivors(batch, textCol, idCol)
-    val noSketch = sketches == null || sketches.forall(_ == null)
-    val survivors = if (noSketch) survivors0 else tracked(survivors0)
-    bloomRouteSharded(survivors, corpusDigestsDf, sketches)
-      .select(col("__row.*") +: Seq(col("batch_dup_count")): _*)
-  }
-
-  /** The persisted membership artifact behind [[incremental]]: the
-    * DISTINCT content digests of a corpus, one 16-byte row per unique
-    * document. Write this once per accepted snapshot; later ingests
-    * anti-join against it instead of against the corpus itself.
-    */
-  def corpusDigests(corpus: DataFrame, textCol: String): DataFrame =
-    corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-      .distinct()
-
-  /** Exact-dedup PROVENANCE: one (dropped_id, survivor_id) row per
-    * discarded document — the audit trail a corpus build logs next to
-    * its survivors ("where did my document go?"), and the reverse index
-    * that lets duplicate-weighted analyses re-expand. Survivor choice
-    * matches [[exactByFingerprint]] exactly (min id per content
-    * digest, NULL texts share the NULL digest), so the pair frame is
-    * the complement of that operator's output on the same input.
-    *
-    * Scale shape: deliberately NOT a `collect_list` per digest (a
-    * pathological dup group — blank pages — would build one giant
-    * array); instead one min-aggregate on the 16-byte digest and one
-    * digest-keyed join back, both fixed-width shuffles, output sized by
-    * the drop count.
-    */
-  def exactProvenance(df: DataFrame, textCol: String,
-                      idCol: String): DataFrame = {
-    val fp = df.select(col(idCol),
-      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-    val surv = fp.groupBy(col("__fp"))
-      .agg(min(col(idCol)).as("survivor_id"))
-      .select(col("__fp").as("__fp2"), col("survivor_id"))
-    // null-SAFE digest join: NULL texts share the NULL digest group in
-    // exactByFingerprint, so their dropped ids must get provenance too
-    fp.join(surv, col("__fp") <=> col("__fp2"))
-      .filter(col(idCol) =!= col("survivor_id"))
-      .select(col(idCol).as("dropped_id"), col("survivor_id"))
-  }
-
-  /** Delta between two corpus snapshots by content digest: which ids were
-    * `added`, `removed`, or `changed` in `newSnap` relative to `oldSnap`.
-    * Unchanged documents — the overwhelming majority of a real snapshot
-    * pair — are not emitted: the output is delta-sized, and it is what
-    * drives incremental downstream work (re-embed the changed docs,
-    * retire the removed ones) without re-processing either snapshot.
-    *
-    * Scale shape: each side is projected to (id, 16-byte md5) BEFORE the
-    * full-outer join, so the join's two exchanges move fixed-width
-    * ~50-byte rows — the document text never shuffles. The verdict
-    * compares digests, not text, so the join itself is cheap regardless
-    * of document size.
-    *
-    * PRECONDITION: `idCol` unique per row within each snapshot (as for
-    * [[stripCovered]]); a duplicated id would fan the full-outer join out.
-    */
-  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
-                   idCol: String, textCol: String): DataFrame =
-    diffDigestFrames(
-      oldSnap.select(col(idCol),
-        TextAnalysis.fingerprint(col(textCol)).as("__od")),
-      newSnap.select(col(idCol),
-        TextAnalysis.fingerprint(col(textCol)).as("__nd")),
-      idCol)
-
-  /** The persisted side of [[snapshotDiff]]: the (id, digest) catalog of
-    * an accepted snapshot — ~50 bytes per document regardless of document
-    * size. Write this once per snapshot; the next snapshot diffs against
-    * it via [[snapshotDiffAgainstDigests]] without the old corpus ever
-    * being re-read.
-    */
-  def snapshotDigests(snap: DataFrame, idCol: String,
-                      textCol: String): DataFrame =
-    snap.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-
-  /** [[snapshotDiff]] in its production form: the old side is a persisted
-    * [[snapshotDigests]] artifact, so computing "what changed since the
-    * last accepted snapshot" costs one scan of the NEW snapshot plus a
-    * fixed-width join against the catalog — the 100 TB old corpus
-    * contributes only its ~50-byte-per-doc digest rows.
-    */
-  def snapshotDiffAgainstDigests(oldDigests: DataFrame, newSnap: DataFrame,
-                                 idCol: String, textCol: String): DataFrame =
-    diffDigestFrames(
-      oldDigests.select(col(idCol), col("__fp").as("__od")),
-      newSnap.select(col(idCol),
-        TextAnalysis.fingerprint(col(textCol)).as("__nd")),
-      idCol)
-
-  /** Presence is tracked by flag columns, not by digest nullness: a row
-    * whose TEXT is null has a null digest but still EXISTS in its
-    * snapshot, and must diff as present (null vs null text → unchanged,
-    * null vs non-null → changed, via null-safe equality) — keying
-    * presence off the digest would misread it as added/removed.
-    */
-  private def diffDigestFrames(o: DataFrame, n: DataFrame,
-                               idCol: String): DataFrame =
-    o.withColumn("__po", lit(1))
-      .join(n.withColumn("__pn", lit(1)), Seq(idCol), "full_outer")
-      .withColumn("status",
-        when(col("__po").isNull, lit("added"))
-          .when(col("__pn").isNull, lit("removed"))
-          .when(!(col("__od") <=> col("__nd")), lit("changed")))
-      .filter(col("status").isNotNull)
-      .select(col(idCol), col("status"))
-
-  // ---- shingles ---------------------------------------------------------
-
-  /** Distinct word n-gram shingles of a text column, as an array column.
-    * Pure expression: sequence + transform + slice, no explode.
-    */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      when(size(toks) < n, array())
-        .otherwise(transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))
-  }
-
-  /** The inverted index: one row per (doc, distinct shingle), with the
-    * shingle collapsed to a 64-bit hash of its token-hash window (the
-    * same keys the MinHash kernel ranks) — every downstream join and
-    * aggregate works on 8-byte keys and no shingle string is ever built.
-    */
-  def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
-                       n: Int): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    df.select(col(idCol),
-      explode(call_function("graft_shingle_hashes", col(textCol), lit(n)))
-        .as("__h"))
-  }
-
-  // ---- MinHash + LSH -----------------------------------------------------
-
-  /** Choose LSH banding parameters for a Jaccard `threshold`: among the
-    * (bands, rows) factorizations of `numHashes`, pick the one whose
-    * collision S-curve `1 − (1 − s^rows)^bands` best approximates the
-    * ideal step at the threshold, weighting the false-positive integral
-    * (collisions below `threshold`) by `fpWeight` and the
-    * false-negative integral (misses above) by `1 − fpWeight` — the
-    * standard banding-parameter optimization (Leskovec/Rajaraman/Ullman
-    * ch. 3; the same criterion the public `datasketch` library
-    * optimizes). Verification-backed pipelines here reject every band
-    * false positive exactly, so bias `fpWeight` LOW (cheap false
-    * positives, irrecoverable false negatives) — the 0.25 default;
-    * candidate-only pipelines should raise it.
-    *
-    * Driver-side pure arithmetic (numerical integration over ≤
-    * numHashes factorizations × 1000 points) — call once, pass the
-    * result to [[minhashDuplicatesVerified]]/[[minhashBandBuckets]].
-    * Returns (bands, rows) with bands·rows = numHashes.
-    */
-  def minhashParams(threshold: Double, numHashes: Int = 128,
-                    fpWeight: Double = 0.25): (Int, Int) = {
-    require(threshold > 0.0 && threshold < 1.0,
-      "threshold must be in (0, 1)")
-    require(numHashes >= 2, "numHashes must be >= 2")
-    require(fpWeight >= 0.0 && fpWeight <= 1.0,
-      "fpWeight must be in [0, 1]")
-    val candidates = (1 to numHashes)
-      .filter(numHashes % _ == 0)
-      .map(b => (b, numHashes / b))
-    val n = 1000
-    def error(bands: Int, rows: Int): Double = {
-      var fp = 0.0
-      var fn = 0.0
-      var i = 0
-      while (i < n) {
-        val s = (i + 0.5) / n
-        val p = 1.0 - math.pow(1.0 - math.pow(s, rows), bands)
-        if (s < threshold) fp += p else fn += (1.0 - p)
-        i += 1
-      }
-      (fpWeight * fp + (1.0 - fpWeight) * fn) / n
-    }
-    candidates.minBy { case (b, r) => error(b, r) }
-  }
-
-  /** MinHash signature per doc: (idCol, minhash: array<long> of length
-    * numHashes). A single shuffle-free projection through the native
-    * [[graft.functions.MinhashSignature]] kernel (xxhash64 per shingle, k
-    * affine permutations mod 2^31-1, running minima — the MLlib-style
-    * bound that keeps every product within a long). Docs with no shingles
-    * (fewer than `shingleSize` tokens) are absent — they cannot be
-    * near-duplicates by this metric.
-    */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    df.select(col(idCol),
-        call_function("graft_minhash", col(textCol),
-          lit(shingleSize), lit(numHashes)).as("minhash"))
-      .filter(col("minhash").isNotNull)
-  }
-
-  /** One row per (doc, band) with the band's bucket key = hash of the
-    * signature slice. The only per-row lambda left in the MinHash path —
-    * `bands` elements over an in-memory array, negligible.
-    */
-  private def bandedBuckets(sig: DataFrame, idCol: String,
-                            numHashes: Int, bands: Int): DataFrame = {
-    val r = numHashes / bands
-    sig.select(col(idCol),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("minhash"), b * r + 1, lit(r)), b)))
-        .as(Seq("band", "bucket")))
-  }
-
-  /** Distinct candidate pairs (id_a < id_b) sharing at least one band.
-    *
-    * `maxBucketSize` (0 = unlimited) drops buckets above the cap before
-    * the self-join — the skew guard for massive duplicate clusters, which
-    * put all their members in the same bucket in EVERY band and would
-    * otherwise go quadratic (a 100k-identical-document cluster is 5e9
-    * pairs). Such clusters are exact duplicates or near-exact ones;
-    * handle them with [[exactByFingerprint]] FIRST (see
-    * [[dedupPipeline]]), then the capped LSH pass only needs to find the
-    * non-identical near-dups.
-    */
-  /** The bucket-size skew guard shared by every LSH path: drop (band,
-    * bucket) groups larger than `maxBucketSize` (0 = keep all).
-    */
-  private def capBuckets(banded: DataFrame, maxBucketSize: Long): DataFrame =
-    if (maxBucketSize <= 0L) banded
-    else {
-      val ok = banded.groupBy("band", "bucket")
-        .agg(count(lit(1)).as("__bsz"))
-        .filter(col("__bsz") <= maxBucketSize)
-        .select("band", "bucket")
-      banded.join(ok, Seq("band", "bucket"))
-    }
-
-  private def candidatePairs(banded: DataFrame, idCol: String,
-                             maxBucketSize: Long = 0L): DataFrame = {
-    val kept = capBuckets(banded, maxBucketSize)
-    val a = kept.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = kept.select(col(idCol).as("id_b"), col("band").as("band_b"),
-      col("bucket").as("bucket_b"))
-    a.join(b,
-        a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
-          a("id_a") < b("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-  }
-
-  /** LSH candidate pairs with the number of shared bands — the raw
-    * recall-tuning view. Returns (id_a, id_b, n_shared_bands).
-    */
-  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-                    shingleSize: Int = 3, numHashes: Int = 64,
-                    bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val sig = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
-      .transform(tracked)
-    val banded = bandedBuckets(sig, idCol, numHashes, bands)
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("band").as("band_b"),
-      col("bucket").as("bucket_b"))
-    a.join(b,
-        a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
-          a("id_a") < b("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_shared_bands"))
-  }
-
-  /** MinHash near-dup pass with the Jaccard ESTIMATED from signature
-    * agreement: LSH candidates, then keep pairs with est ≥ threshold.
-    * Returns (id_a, id_b, est_jaccard). Cheapest variant — one pass over
-    * the signatures, no second look at the shingles.
-    */
-  def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double = 0.8, shingleSize: Int = 3,
-                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
-      .transform(tracked)
-    val cands = candidatePairs(bandedBuckets(sigs, idCol, numHashes, bands),
-      idCol)
-    val sa = sigs.select(col(idCol).as("id_a"), col("minhash").as("sig_a"))
-    val sb = sigs.select(col(idCol).as("id_b"), col("minhash").as("sig_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          (x === y).cast("int")), v => v === 1)).cast("double") /
-          size(col("sig_a")).cast("double"))
-      .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
-  }
-
-  /** The production near-dup pipeline: MinHash-LSH candidate generation,
-    * then EXACT n-gram Jaccard verification of the candidates over the
-    * same shingle index. Returns (id_a, id_b, jaccard) with the true
-    * Jaccard — so the output equals the all-pairs exact computation
-    * whenever the banding recall holds (P[miss] = (1-t^r)^b; at t=0.8,
-    * r=4, b=32 that is ~5e-8 per pair), at a fraction of the cost.
-    */
-  def minhashDuplicatesVerified(df: DataFrame, idCol: String, textCol: String,
-                                threshold: Double = 0.8, shingleSize: Int = 3,
-                                numHashes: Int = 128, bands: Int = 32,
-                                maxBucketSize: Long = 0L): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    // Verification stays ONE row per candidate pair: each doc carries its
-    // distinct shingle hashes as a single sorted array (a pure projection
-    // — no explode, no regroup), the pair join attaches two arrays, and
-    // the codegen'd merge-scan kernel counts the intersection in place.
-    // The previous formulation exploded both sides to (pair, hash) rows
-    // and counted through a join + aggregate; at the 10M mutated-family
-    // stress (250k unique docs, ~6.1M candidate pairs) that meant ~305M
-    // intermediate rows and a 56 GiB spill. Array payloads are bounded by
-    // document shingle counts (~8 bytes per distinct shingle), and the
-    // candidate set — already bounded by banding + maxBucketSize — is the
-    // only thing that ever shuffles them.
-    val arrs = df
-      .select(col(idCol),
-        sort_array(call_function("graft_shingle_hashes", col(textCol),
-          lit(shingleSize))).as("__sharr"))
-      .filter(col("__sharr").isNotNull)
-      .transform(tracked)
-    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
-      .transform(tracked)
-    val cands = candidatePairs(bandedBuckets(sigs, idCol, numHashes, bands),
-      idCol, maxBucketSize)
-    cands
-      .join(arrs.toDF("id_a", "__aa"), "id_a")
-      .join(arrs.toDF("id_b", "__ab"), "id_b")
-      .withColumn("__inter",
-        call_function("graft_sorted_intersect_count",
-          col("__aa"), col("__ab")))
-      // zero-overlap candidates never surface (the explode-join form had
-      // no inner-join row for them), so threshold=0 behaves identically
-      .filter(col("__inter") > 0)
-      .withColumn("jaccard",
-        col("__inter").cast("double") /
-          (size(col("__aa")) + size(col("__ab")) - col("__inter"))
-            .cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
-
-  /** The banding view as a PUBLIC, persistable artifact: one row per
-    * (doc, band) with the band's bucket key. Together with
-    * [[shingleHashFrame]] this is the near-dup membership index of an
-    * accepted corpus — write both once per snapshot, and later ingests
-    * run [[incrementalNearDup]] against them without recomputing corpus
-    * signatures or re-reading corpus text. The (shingleSize, numHashes,
-    * bands) parameters are part of the artifact contract: a batch probed
-    * with different parameters produces incomparable buckets.
-    */
-  def minhashBandBuckets(df: DataFrame, idCol: String, textCol: String,
-                         shingleSize: Int = 3, numHashes: Int = 128,
-                         bands: Int = 32): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    bandedBuckets(
-      minhashSignatures(df, idCol, textCol, shingleSize, numHashes),
-      idCol, numHashes, bands)
-  }
-
-  /** Write the near-dup membership artifacts as BUCKETED catalog tables
-    * — the zero-corpus-shuffle ingest path. A parquet-directory artifact
-    * (the [[minhashBandBuckets]] docs' default) re-shuffles its full
-    * corpus-sized bucket frame on (band, bucket) for EVERY ingest's
-    * candidate join — the one remaining corpus-sized exchange in
-    * [[incrementalNearDup]] (11 s of the 22 s probe at the 1M-doc
-    * stress). Writing the artifact `bucketBy(numBuckets, band, bucket)`
-    * (and the shingle artifact `bucketBy(numBuckets, idCol)`) records
-    * the physical layout in the catalog, so the probe's joins satisfy
-    * their distribution requirement from the scan itself: only the
-    * (small) batch side exchanges — spec-asserted — and the saving is
-    * per ingest, forever, for one bucketed write per snapshot.
-    * Read back with `spark.table(...)` and pass to
-    * [[incrementalNearDup]] unchanged; results are identical (bucketing
-    * is physical layout only — q72 proves it against the q54 oracle
-    * shape).
-    *
-    * Sizing `numBuckets`: the probe's zero-exchange plan buffers bucket
-    * files in place where the flat plan's exchange would spill — its
-    * peak task memory tracks corpus_size/numBuckets (measured at the
-    * 10M-doc stress: 24.9 GiB peak at 64 buckets, and the probe died
-    * under a heap the flat path survived in; BASELINE r8). At a fixed
-    * executor memory, a bigger corpus means MORE buckets, not more
-    * spill headroom.
-    */
-  def nearDupArtifactsSaveBucketed(corpus: DataFrame, idCol: String,
-                                   textCol: String, bucketsTable: String,
-                                   shinglesTable: String,
-                                   numBuckets: Int = 64,
-                                   shingleSize: Int = 3,
-                                   numHashes: Int = 128,
-                                   bands: Int = 32): Unit = {
-    require(numBuckets >= 1, "numBuckets must be >= 1")
-    val spark = corpus.sparkSession
-    // UNQUALIFIED identifiers only: for a 'db.tbl' name both the
-    // backtick-quoted DROP below and the computed warehouse path would
-    // target the wrong object, and the path delete could remove a
-    // directory that belongs to something else entirely. Fail fast
-    // instead of deleting the wrong thing.
-    Seq(bucketsTable, shinglesTable).foreach(t =>
-      require(t.matches("[A-Za-z0-9_]+"),
-        s"table name '$t' must be an unqualified identifier " +
-          "([A-Za-z0-9_]+); database-qualified or quoted names would " +
-          "desynchronize the DROP from the managed-location cleanup"))
-    // a fresh session (new in-memory catalog) over an old warehouse dir
-    // hits LOCATION_ALREADY_EXISTS even in overwrite mode: the metadata
-    // is gone but the managed location survived. Drop both — and when
-    // the catalog KNOWS the table AND owns its data (Type=MANAGED),
-    // delete its actual resolved location rather than the name-derived
-    // default. An EXTERNAL table's location is user data that DROP
-    // TABLE intentionally preserves — never delete it on a mere name
-    // collision; clear only the warehouse-derived default path so the
-    // managed saveAsTable below can't hit a stale directory.
-    Seq(bucketsTable, shinglesTable).foreach { t =>
-      val resolvedManaged: Option[org.apache.hadoop.fs.Path] =
-        if (spark.catalog.tableExists(t))
-          scala.util.Try {
-            val desc = spark.sql(s"DESCRIBE TABLE EXTENDED `$t`")
-              .where(col("col_name").isin("Location", "Type"))
-              .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-            if (desc.get("Type").exists(_.equalsIgnoreCase("MANAGED")))
-              Some(new org.apache.hadoop.fs.Path(
-                new java.net.URI(desc("Location"))))
-            else None
-          }.toOption.flatten
-        else None
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      val loc = resolvedManaged.getOrElse(new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase))
-      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(loc, true)
-    }
-    // repartition INTO the bucket layout before writing: repartition's
-    // hash is the same murmur3-pmod the bucket spec uses, so each task
-    // holds exactly one bucket — ONE file per bucket (not one per
-    // (task, bucket) pair), and with sortBy the scan reports its files
-    // sorted, letting the probe's sort-merge join skip both the
-    // exchange AND the sort on the corpus side.
-    minhashBandBuckets(corpus, idCol, textCol, shingleSize, numHashes, bands)
-      .repartition(numBuckets, col("band"), col("bucket"))
-      .write.format("parquet")
-      .bucketBy(numBuckets, "band", "bucket")
-      .sortBy("band", "bucket")
-      .mode("overwrite").saveAsTable(bucketsTable)
-    shingleHashFrame(corpus, idCol, textCol, shingleSize)
-      .repartition(numBuckets, col(idCol))
-      .write.format("parquet")
-      .bucketBy(numBuckets, idCol)
-      .sortBy(idCol)
-      .mode("overwrite").saveAsTable(shinglesTable)
-  }
-
-  /** Cross-snapshot near-dup: which documents of a new `batch` are
-    * near-duplicates (exact n-gram Jaccard ≥ `threshold`) of a document
-    * already in the accepted corpus — the MinHash twin of
-    * [[incremental]], for the ingest that must also reject paraphrased
-    * or lightly-edited re-crawls, not just byte-identical ones.
-    *
-    * The corpus enters ONLY through its persisted artifacts:
-    * `corpusBuckets` = [[minhashBandBuckets]] output (columns
-    * `corpusIdCol, band, bucket`) and `corpusShingles` =
-    * [[shingleHashFrame]] output (columns `corpusIdCol, __h`), both
-    * written at the previous snapshot with the SAME (shingleSize,
-    * numHashes, bands). Corpus text is never read and corpus signatures
-    * are never recomputed — per ingest, the only corpus-sized work is
-    * ONE hash-keyed join against the fixed-width bucket artifact
-    * (~20 bytes/row); the shingle artifact is semi-join-bounded to the
-    * candidate docs before the verify join ever sees it.
-    *
-    * Candidate generation joins batch buckets to corpus buckets on
-    * (band, bucket) — never a self-join, never all-pairs — and
-    * `maxBucketSize` (0 = unlimited) drops over-cap corpus buckets
-    * first, the same skew guard as [[minhashDuplicatesVerified]]
-    * (handle byte-identical floods with [[incremental]] BEFORE this
-    * pass). Candidates are verified by exact Jaccard between the
-    * batch's fresh shingle set and the corpus shingle artifact, so a
-    * returned pair is a TRUE near-dup, not an LSH guess.
-    *
-    * Returns (`batchIdCol`, `corpusIdCol`, jaccard), one row per
-    * qualifying (batch doc, corpus doc) pair; anti-join the batch on
-    * the first column to keep only genuinely new documents.
-    */
-  def incrementalNearDup(batch: DataFrame, batchIdCol: String,
-                         batchTextCol: String, corpusBuckets: DataFrame,
-                         corpusShingles: DataFrame, corpusIdCol: String,
-                         threshold: Double = 0.8, shingleSize: Int = 3,
-                         numHashes: Int = 128, bands: Int = 32,
-                         maxBucketSize: Long = 0L): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    require(batchIdCol != corpusIdCol,
-      "batch and corpus id columns must have distinct names")
-    val batchBuckets = minhashBandBuckets(batch, batchIdCol, batchTextCol,
-      shingleSize, numHashes, bands).transform(tracked)
-    val keptCorpus = capBuckets(corpusBuckets, maxBucketSize)
-    val cands = batchBuckets
-      .join(keptCorpus.select(col(corpusIdCol), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .select(batchIdCol, corpusIdCol)
-      .distinct()
-      .transform(tracked)
-    // The corpus shingle artifact is CORPUS-sized; per ingest only the
-    // CANDIDATE docs' shingles matter, so bound it by the candidate set
-    // ONCE. Without this the verify join shuffled the whole artifact
-    // every ingest — the 1M-doc stress spent ~3/4 of its probe time
-    // there (87.9 s → 22.4 s after; BASELINE.md r7) and at a 10^9-doc
-    // corpus it would be the difference between verify cost scaling
-    // with the candidate set vs with the corpus.
-    //
-    // Verification itself stays ONE row per candidate pair (same shape
-    // as [[minhashDuplicatesVerified]]): the bounded artifact rows
-    // regroup to one sorted array per candidate doc, the batch side is
-    // a pure projection, and the codegen'd merge-scan kernel counts the
-    // intersection in place — no (pair, hash) explosion, and the
-    // per-doc size aggregates collapse into size(array).
-    val candShingles = corpusShingles
-      .join(cands.select(corpusIdCol).distinct(), Seq(corpusIdCol),
-        "left_semi")
-      .transform(tracked)
-    val cArr = candShingles
-      .groupBy(col(corpusIdCol))
-      .agg(sort_array(collect_list(col("__h"))).as("__ca"))
-    val bArr = batch
-      .select(col(batchIdCol),
-        sort_array(call_function("graft_shingle_hashes",
-          col(batchTextCol), lit(shingleSize))).as("__ba"))
-      .filter(col("__ba").isNotNull)
-    cands
-      .join(bArr, batchIdCol)
-      .join(cArr, corpusIdCol)
-      .withColumn("__inter",
-        call_function("graft_sorted_intersect_count",
-          col("__ba"), col("__ca")))
-      // zero-overlap candidates never surface (the explode-join form
-      // had no inner-join row for them): threshold=0 behaves identically
-      .filter(col("__inter") > 0)
-      .withColumn("jaccard",
-        col("__inter").cast("double") /
-          (size(col("__ba")) + size(col("__ca")) - col("__inter"))
-            .cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(batchIdCol, corpusIdCol, "jaccard")
-  }
-
-  // ---- SimHash -----------------------------------------------------------
-
-  /** 64-bit SimHash over tokens as a per-row expression (aggregate over
-    * the token array accumulating 64 bit-counters). Fine for small frames
-    * and unit tests; the distributed path is [[simhashSignatures]], which
-    * computes the identical value through codegen'd aggregates.
-    */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val counters = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)),
-        (a, b) => a + b))
-    // fold the sign bits into a long
-    aggregate(
-      zip_with(counters,
-        sequence(lit(0), lit(63)),
-        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
-
-  /** SimHash per doc through the native [[graft.functions.SimhashSignature]]
-    * kernel — shuffle-free, value-identical to [[simhash]] for non-empty
-    * docs (empty docs are absent). Returns (idCol, simhash: long).
-    *
-    * `hashKind` selects the per-token feature hash:
-    * [[graft.functions.SketchOps.HashXx64]] (default, fastest) or
-    * [[graft.functions.SketchOps.HashMd5Lo64]] (slower; bit-identical to
-    * DuckDB's `md5_number_lower`, making the whole SimHash pipeline
-    * reproducible in external SQL engines for verification).
-    */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        hashKind: Int = 0): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    df.select(col(idCol),
-        call_function("graft_simhash", col(textCol), lit(hashKind))
-          .as("simhash"))
-      .filter(col("simhash").isNotNull)
-  }
-
-  /** Hamming distance between two simhash longs (pure expression). */
-  def hammingDistance(a: Column, b: Column): Column =
-    bit_count(a.bitwiseXOR(b))
-
-  /** SimHash near-dup candidates at Hamming distance ≤ maxDistance, via
-    * 16-bit banding (4 sub-keys ⇒ any pair within distance 3 shares at
-    * least one exact sub-key; verified with the exact Hamming distance).
-    */
-  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
-                        maxDistance: Int = 3, hashKind: Int = 0): DataFrame = {
-    val sig = simhashSignatures(df, idCol, textCol, hashKind)
-      .transform(tracked)
-    hammingDuplicates(sig, idCol, "simhash", maxDistance)
-  }
-
-  /** Generic 64-bit-signature Hamming near-dup pairs — the candidate
-    * join [[simhashDuplicates]] runs, usable on ANY 64-bit signature
-    * column (SimHash, [[graft.ops.Multimodal.perceptualHashStage]]'s
-    * image aHash, …). Returns (id_a, id_b, hamming), each pair once,
-    * id_a < id_b. Null signatures never pair.
-    *
-    * Two stages, both chosen for the 100-TB shape:
-    *
-    * 1. **Exact-dup collapse.** The join runs over DISTINCT signatures
-    *    only; identical signatures (hamming 0 — re-encoded images, byte-
-    *    identical boilerplate docs) pair through a plain sig-equality
-    *    self-join and never enter the banded explode. On dup-heavy
-    *    corpora (the reason a dedup op is running at all) this shrinks
-    *    the candidate stage by the duplication factor.
-    *
-    * 2. **Candidate keys, two schemes — defaults set by MEASUREMENT,
-    *    not the asymptotic story.** `"bands"` (default): 4 × 16-bit
-    *    bands; a pair within distance ≤ 3 shares a clean band by
-    *    pigeonhole. `"blocks"`: the simhash paper's multi-index
-    *    (Manku/Jain/Sarma, "Detecting Near-Duplicates for Web
-    *    Crawling", WWW'07 §3) — 6 blocks (11,11,11,11,10,10 bits),
-    *    C(6,3)=20 block-triple keys of ~33 bits, complete for the same
-    *    d ≤ 3 (≥ 3 clean blocks ⇒ some clean triple). Both are exact
-    *    after the inline `bit_count` verify; `maxDistance` > 3 is
-    *    approximate under either (documented, same trade as every LSH
-    *    path).
-    *
-    *    The trade: bands probe ~4·N²/2¹⁶ accidental same-key pairs on
-    *    uniform signatures (quadratic), blocks ~20·N²/2³³ (~2⁻¹⁷ of
-    *    that) but explode 20 rows per signature instead of 4. Measured
-    *    on uniform+planted corpora (r10 stress): bands win THROUGH AT
-    *    LEAST 10M signatures — 7.9/11.0/23.9 s at 1M/3M/10M (the 6×10⁹
-    *    accidental probes at 10M stay inside the codegen'd join and
-    *    never materialize) vs blocks' 17–24/24/75 s, where the 5×
-    *    explode-and-shuffle dominates everything. Identical outputs,
-    *    pinned by the brute-force parity spec. Extrapolating the two
-    *    cost shapes, the bands' quadratic term overtakes the blocks'
-    *    linear one around ~10⁸ distinct signatures — switch to
-    *    `"blocks"` for corpora in that regime (a 100-TB image/document
-    *    store), keep `"bands"` below it.
-    */
-  def hammingDuplicates(df: DataFrame, idCol: String, sigCol: String,
-                        maxDistance: Int = 3,
-                        scheme: String = "bands"): DataFrame = {
-    require(scheme == "blocks" || scheme == "bands",
-      s"unknown candidate scheme '$scheme' (expected blocks | bands)")
-    val ids = df.select(col(idCol), col(sigCol))
-      .filter(col(sigCol).isNotNull)
-    val sigs = ids.select(sigCol).distinct()
-    val keyCols: Seq[Column] = scheme match {
-      case "bands" =>
-        (0 until 4).map { b =>
-          struct(lit(b).as("t"),
-            shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xffffL))
-              .as("key"))
-        }
-      case _ =>
-        // blocks at bit offsets 0,11,22,33,44,54 (widths 11×4, 10×2);
-        // triple (i<j<k) packs exactly (≤33 bits), no hashing — a key
-        // collision would only add candidates, but exact packing keeps
-        // the candidate math honest
-        val off = Seq(0, 11, 22, 33, 44, 54)
-        val w = Seq(11, 11, 11, 11, 10, 10)
-        val block = (i: Int) =>
-          shiftright(col(sigCol), off(i)).bitwiseAND(lit((1L << w(i)) - 1))
-        (0 until 6).combinations(3).zipWithIndex.map { case (t, n) =>
-          struct(lit(n).as("t"),
-            shiftleft(block(t(0)), 22).bitwiseOR(shiftleft(block(t(1)), 11))
-              .bitwiseOR(block(t(2))).as("key"))
-        }.toSeq
-    }
-    val keyed = sigs
-      .select(col(sigCol), explode(array(keyCols: _*)).as("kk"))
-      .select(col(sigCol), col("kk.t").as("t"), col("kk.key").as("key"))
-    val a = keyed.select(col(sigCol).as("sig_a"), col("t"), col("key"))
-    val b = keyed.select(col(sigCol).as("sig_b"), col("t").as("t_b"),
-      col("key").as("key_b"))
-    val sigPairs = a
-      .join(b, a("t") === b("t_b") && a("key") === b("key_b") &&
-        a("sig_a") < b("sig_b"))
-      .select(col("sig_a"), col("sig_b"),
-        hammingDistance(col("sig_a"), col("sig_b")).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= maxDistance)
-      .distinct()
-    val la = ids.select(col(idCol).as("__ia"), col(sigCol).as("sig_a"))
-    val lb = ids.select(col(idCol).as("__ib"), col(sigCol).as("sig_b"))
-    // id order is independent of signature order, so cross-sig pairs
-    // re-canonicalize on ids; each unordered id pair appears exactly
-    // once (sig pairs are canonical and each id has one signature)
-    val cross = sigPairs.join(la, "sig_a").join(lb, "sig_b")
-      .select(least(col("__ia"), col("__ib")).as("id_a"),
-        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
-    val l = ids.select(col(idCol).as("id_a"), col(sigCol).as("__s"))
-    val r = ids.select(col(idCol).as("id_b"), col(sigCol).as("__s2"))
-    val intra = l.join(r, l("__s") === r("__s2") && l("id_a") < r("id_b"))
-      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
-    cross.unionByName(intra)
-  }
-
-  /** Edit-distance near-duplicate pairs for SHORT strings — titles,
-    * product names, queries — where the token-shingle families are
-    * blind (a one-character typo changes no token boundary but should
-    * still pair). Candidate generation is the deletion-neighborhood
-    * trick (SymSpell, public domain): every string explodes to its
-    * deletes of depth ≤ `maxDistance`, and two strings within edit
-    * distance d share a deletion variant at depth ≤ d (substitution =
-    * one delete on each side at the same position; insertion/deletion =
-    * one delete on the longer side) — so the variant-equality join is a
-    * COMPLETE candidate generator, verified exactly with
-    * `levenshtein(a, b) ≤ maxDistance` (the engine's builtin replays in
-    * external SQL). Returns (id_a, id_b, distance), each pair once.
-    *
-    * Exact duplicates pair through the depth-0 variant (the string
-    * itself); null strings never pair; rows longer than `maxLen`
-    * characters are EXCLUDED (neighborhood size is length^depth — this
-    * operator is for short strings; long text belongs to the
-    * MinHash/SimHash families).
-    *
-    * Scale shape: the explode emits ~len^d variants per row (len+1 at
-    * d=1), but what SHUFFLES is (id, xxhash64(variant)) — 16 fixed
-    * bytes per variant row, never the variant or source strings. The
-    * candidate-pair set (post-`distinct`) then re-joins the corpus
-    * twice on id to fetch the two strings for the exact codegen'd
-    * `levenshtein` verify: two corpus-row-count-sized hash joins,
-    * independent of the variant fan-out — at 10M×d=2 that swaps ~2
-    * orders of magnitude of string-shuffle bytes for two id joins. A
-    * hash collision only ever ADDS a candidate pair, which the exact
-    * verify rejects; results are hash-independent. `maxDistance` ≤ 2
-    * enforced — depth-2 already multiplies rows by ~len²/2, the
-    * documented ceiling of the trick (BASELINE.md carries the 10M-title
-    * stress for both depths).
-    */
-  def editDistanceDuplicates(df: DataFrame, idCol: String, strCol: String,
-                             maxDistance: Int = 1,
-                             maxLen: Int = 128): DataFrame = {
-    require(maxDistance >= 1 && maxDistance <= 2,
-      "maxDistance must be 1 or 2 (deletion-neighborhood depth)")
-    require(maxLen >= 1 && maxLen <= 1024, "maxLen must be in [1, 1024]")
-    val base = df.select(col(idCol), col(strCol).as("__s"))
-      .filter(col("__s").isNotNull && length(col("__s")) <= maxLen)
-    // guard the empty string: sequence(0, -1) would step DOWNWARD
-    def dels(s: Column): Column =
-      when(length(s) > 0,
-        transform(sequence(lit(0), length(s) - 1), i =>
-          concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
-        .otherwise(array().cast("array<string>"))
-    val d1 = dels(col("__s"))
-    val variants =
-      if (maxDistance == 1) array_distinct(concat(array(col("__s")), d1))
-      else array_distinct(concat(array(col("__s")), d1,
-        flatten(transform(d1, v => dels(v)))))
-    // only (id, 8-byte variant hash) ever shuffles; candidate pairs
-    // collapse BEFORE any string is fetched for the verify
-    val keyed = base
-      .select(col(idCol), explode(variants).as("__v"))
-      .select(col(idCol), xxhash64(col("__v")).as("__vh"))
-    val a = keyed.select(col(idCol).as("id_a"), col("__vh"))
-    val b = keyed.select(col(idCol).as("id_b"), col("__vh").as("__vhb"))
-    val cands = a.join(b, a("__vh") === b("__vhb") && a("id_a") < b("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    cands
-      .join(base.select(col(idCol).as("id_a"), col("__s").as("__sa")), "id_a")
-      .join(base.select(col(idCol).as("id_b"), col("__s").as("__sb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb")).cast("long").as("distance"))
-      .filter(col("distance") <= maxDistance)
-  }
-
-  /** Length-tiered [[editDistanceDuplicates]] — the documented fallback
-    * for corpora where depth-2 over the FULL length range blows past
-    * executor/disk budgets (the 10M×19-char d=2 stress spilled >73 GB
-    * on one 32-thread box and ran neither rep to completion; BASELINE
-    * r11): the d=2 fan-out is ~len²/2 variants per row, so pushing the
-    * depth-2 guarantee down to the strings that are actually short
-    * caps the explode at ~d2MaxLen²/2 while the cheap depth-1 pass
-    * still covers every length up to `maxLen`.
-    *
-    * Returned pair guarantee — exact, tier-wise:
-    *  - distance ≤ 1: complete over ALL strings ≤ `maxLen` (the d=1
-    *    pass, identical to [[editDistanceDuplicates]] semantics);
-    *  - distance = 2: complete where BOTH strings are ≤ `d2MaxLen`
-    *    (the d=2 pass on the short tier). A distance-2 pair with a
-    *    long member is NOT reported — deliberately: guaranteeing it
-    *    requires depth-2 deletes of the long side, which is exactly
-    *    the cost this variant exists to avoid.
-    *
-    * Each qualifying pair appears exactly once. ONE mixed-depth pass:
-    * rows ≤ `d2MaxLen` explode to depth-2 deletes, longer rows to
-    * depth-1, through a single hashed-variant self-join (the
-    * [[editDistanceDuplicates]] shuffle shape), and the tier rule is
-    * the verify predicate — completeness per tier follows from both
-    * members of a guaranteed pair exploding to the depth that pair
-    * needs (d≤1 pairs: depth ≥1 on both sides always; d=2 pairs with
-    * both short: depth 2 on both sides). A depth-2/depth-1 join can
-    * surface a distance-2 candidate with a long member; the predicate
-    * drops it, keeping the contract partition-independent.
-    */
-  def editDistanceDuplicatesTiered(df: DataFrame, idCol: String,
-                                   strCol: String, d2MaxLen: Int = 32,
-                                   maxLen: Int = 128): DataFrame = {
-    require(d2MaxLen >= 1 && d2MaxLen <= maxLen,
-      "d2MaxLen must be in [1, maxLen]")
-    require(maxLen <= 1024, "maxLen must be in [1, 1024]")
-    val base = df.select(col(idCol), col(strCol).as("__s"))
-      .filter(col("__s").isNotNull && length(col("__s")) <= maxLen)
-    def dels(s: Column): Column =
-      when(length(s) > 0,
-        transform(sequence(lit(0), length(s) - 1), i =>
-          concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
-        .otherwise(array().cast("array<string>"))
-    val d1 = dels(col("__s"))
-    val variants = when(length(col("__s")) <= d2MaxLen,
-        array_distinct(concat(array(col("__s")), d1,
-          flatten(transform(d1, v => dels(v))))))
-      .otherwise(array_distinct(concat(array(col("__s")), d1)))
-    val keyed = base
-      .select(col(idCol), explode(variants).as("__v"))
-      .select(col(idCol), xxhash64(col("__v")).as("__vh"))
-    val a = keyed.select(col(idCol).as("id_a"), col("__vh"))
-    val b = keyed.select(col(idCol).as("id_b"), col("__vh").as("__vhb"))
-    val cands = a.join(b, a("__vh") === b("__vhb") && a("id_a") < b("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    cands
-      .join(base.select(col(idCol).as("id_a"), col("__s").as("__sa")), "id_a")
-      .join(base.select(col(idCol).as("id_b"), col("__s").as("__sb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("__sa"), col("__sb")).cast("long").as("distance"),
-        length(col("__sa")).as("__la"), length(col("__sb")).as("__lb"))
-      .filter(col("distance") <= 1 ||
-        (col("distance") === 2 &&
-          col("__la") <= d2MaxLen && col("__lb") <= d2MaxLen))
-      .select("id_a", "id_b", "distance")
-  }
-
-  // ---- exact n-gram Jaccard ----------------------------------------------
-
-  /** Exact pairwise n-gram Jaccard ≥ threshold, via an inverted-index
-    * join over distinct shingle hashes. `maxShingleDocFreq` drops shingles
-    * that appear in more than that many docs (ubiquitous shingles
-    * contribute little to Jaccard but dominate the join fan-out — the
-    * standard posting-list cutoff).
-    */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5,
-                   maxShingleDocFreq: Long = 0L): DataFrame = {
-    val sh0 = shingleHashFrame(df, idCol, textCol, n)
-      .toDF("doc_id", "sh")
-      .transform(tracked)
-    val filtered = if (maxShingleDocFreq > 0) {
-      // Anti-join against the OVER-cutoff shingles: that set is bounded
-      // by totalPostings / maxShingleDocFreq (the under-cutoff set scales
-      // with the whole shingle vocabulary and must never be broadcast).
-      // No broadcast hint — AQE sizes the join at runtime.
-      val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxShingleDocFreq)
-        .select("sh")
-      sh0.join(hot, Seq("sh"), "left_anti")
-    } else sh0
-    // Sizes over the same (possibly cutoff) shingle space so the Jaccard
-    // stays a true ratio of that space.
-    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = filtered.as("x").join(filtered.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
-
-  /** Asymmetric n-gram CONTAINMENT pairs: `containment(a→b) =
-    * |sh(a) ∩ sh(b)| / |sh(a)|` — the quote/extraction/subset detector
-    * Jaccard structurally misses: a short document fully quoted inside
-    * a long one has containment 1.0 toward the long one but Jaccard
-    * only ~|a|/|b| (below any sane threshold once the host is a few
-    * times longer). Emits DIRECTED rows (doc_id, other_id,
-    * containment) — doc_id's shingles are `containment`-covered by
-    * other_id's — one row per direction that clears `threshold`.
-    *
-    * Same one-pass inverted-shingle-index shape as [[ngramJaccard]]
-    * (same `maxShingleDocFreq` hot-shingle cutoff, same candidate
-    * economics): the intersection is computed ONCE per unordered
-    * candidate pair and both directions derive from it, so the
-    * asymmetric semantics cost nothing over the symmetric ones. Pair
-    * volume — not corpus size — is the cost driver at scale, exactly
-    * as measured for the Jaccard family (BASELINE sf1).
-    */
-  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.9,
-                       maxShingleDocFreq: Long = 0L): DataFrame = {
-    val both = containmentPairsSized(df, idCol, textCol, n,
-      maxShingleDocFreq)
-    both.select(col("id_a").as("doc_id"), col("id_b").as("other_id"),
-        (col("inter").cast("double") / col("na").cast("double"))
-          .as("containment"))
-      .unionByName(
-        both.select(col("id_b").as("doc_id"), col("id_a").as("other_id"),
-          (col("inter").cast("double") / col("nb").cast("double"))
-            .as("containment")))
-      .filter(col("containment") >= threshold)
-  }
-
-  /** Shared containment kernel: one intersection per unordered
-    * candidate pair with BOTH docs' shingle-set sizes attached —
-    * (id_a, id_b, inter, na, nb), sizes measured over the same
-    * (possibly doc-freq-cutoff) shingle space as the intersections so
-    * ratios and tie-breaks stay consistent.
-    */
-  private def containmentPairsSized(df: DataFrame, idCol: String,
-                                    textCol: String, n: Int,
-                                    maxShingleDocFreq: Long): DataFrame = {
-    val sh0 = shingleHashFrame(df, idCol, textCol, n)
-      .toDF("doc_id", "sh")
-      .transform(tracked)
-    val filtered = if (maxShingleDocFreq > 0) {
-      val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxShingleDocFreq)
-        .select("sh")
-      sh0.join(hot, Seq("sh"), "left_anti")
-    } else sh0
-    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    filtered.as("x").join(filtered.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
-  }
-
-  /** Containment DEDUP action: drop every document whose shingle set is
-    * `threshold`-contained in a BIGGER host (more distinct shingles;
-    * equal sizes tie-break to keep the lower id) — the "delete the
-    * quoted/extracted copy, keep the superset" rule
-    * [[ngramContainment]] measures. Deterministic and
-    * orientation-safe: a doc is only dropped toward a host that cannot
-    * simultaneously be dropped toward it (strictly bigger, or
-    * equal-size with a smaller id — an asymmetric relation), so chains
-    * resolve without clustering: A⊂B⊂C drops A and B, keeps C.
-    * Returns the surviving rows of `df` unchanged.
-    */
-  def dropContained(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = 3, threshold: Double = 0.9,
-                    maxShingleDocFreq: Long = 0L): DataFrame = {
-    // one shingle pass: the pair frame already carries both sizes, and
-    // they are measured over the SAME (possibly cutoff) shingle space
-    // as the containment ratios — rule and ratio cannot disagree
-    val both = containmentPairsSized(df, idCol, textCol, n,
-      maxShingleDocFreq)
-    val dropped = both
-      .select(
-        when(col("inter").cast("double") / col("na").cast("double")
-            >= threshold &&
-            (col("nb") > col("na") ||
-              (col("nb") === col("na") && col("id_b") < col("id_a"))),
-          col("id_a"))
-          .when(col("inter").cast("double") / col("nb").cast("double")
-            >= threshold &&
-            (col("na") > col("nb") ||
-              (col("na") === col("nb") && col("id_a") < col("id_b"))),
-            col("id_b"))
-          .as("__drop"))
-      .filter(col("__drop").isNotNull)
-      .distinct()
-    df.join(dropped, col(idCol) === col("__drop"), "left_anti")
-  }
-
-  /** Dedup TUNING report: for each candidate threshold, how many exact
-    * n-gram-Jaccard pairs exist and how many distinct documents they
-    * implicate — all from ONE [[ngramJaccard]] pass at `min(thresholds)`.
-    * This is how a dedup threshold gets CHOSEN before a 100 TB pass
-    * (the dedup-side twin of [[graft.ops.Similarity.recallAtK]]'s
-    * ANN tuning): sweep on a sample, read the kill counts per
-    * threshold, commit one. The thresholds frame is a broadcast literal;
-    * the per-threshold re-filtering costs pairs×|thresholds| rows of a
-    * three-column frame, never a second corpus pass.
-    */
-  def jaccardThresholdSweep(df: DataFrame, idCol: String, textCol: String,
-                            thresholds: Seq[Double], n: Int = 3,
-                            maxShingleDocFreq: Long = 0L): DataFrame = {
-    require(thresholds.nonEmpty, "thresholds must be non-empty")
-    val pairs = ngramJaccard(df, idCol, textCol, n, thresholds.min,
-      maxShingleDocFreq)
-    val spark = df.sparkSession
-    val thrDf = spark.createDataFrame(
-        thresholds.distinct.sorted.map(Tuple1(_)))
-      .toDF("threshold")
-    val hit = pairs.join(broadcast(thrDf), col("jaccard") >= col("threshold"))
-    val pairCounts = hit.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
-    val docCounts = hit
-      .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("__doc"))
-      .groupBy("threshold")
-      .agg(countDistinct(col("__doc")).as("n_dup_docs"))
-    thrDf.join(pairCounts, Seq("threshold"), "left")
-      .join(docCounts, Seq("threshold"), "left")
-      .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
-  }
-
-  // ---- embedding near-dup --------------------------------------------------
-
-  /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
-    * Candidates come from OR-amplified random-hyperplane LSH
-    * ([[Similarity.hyperplaneBucketFrame]]: `bands` buckets of
-    * `planes`-bit sub-signatures; a pair is a candidate if ANY band
-    * matches), verified with the exact cosine. At threshold 0.95 the
-    * per-plane agreement is ~0.90, so P[miss] = (1-0.9^planes)^bands —
-    * ~2e-6 at planes=8, bands=24 — while random pairs collide in a band
-    * with p≈2^-planes, keeping the candidate set near-linear.
-    */
-  def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
-                          threshold: Double = 0.95, planes: Int = 8,
-                          bands: Int = 24, maxBucketSize: Long = 0L): DataFrame = {
-    val bf = Similarity.hyperplaneBucketFrame(
-        df.select(col(idCol), col(vecCol)), idCol, vecCol, planes, bands)
-      .transform(tracked)
-    val banded = bf.select(col(idCol),
-      posexplode(col("__buckets")).as(Seq("band", "bucket")))
-    val cands = candidatePairs(banded, idCol, maxBucketSize)
-    val va = bf.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val vb = bf.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    cands.join(va, "id_a").join(vb, "id_b")
-      .withColumn("cosine", Similarity.fastCosine(col("__va"), col("__vb")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
-  }
-
-  /** Semantic near-duplicate pairs (SemDeDup-style, after Abbas et al.
-    * 2023 "SemDeDup: Data-efficient learning at web-scale through
-    * semantic deduplication"): assign every embedding to its nearest
-    * centroid — cosine, ties → lowest centroid id, via the zero-shuffle
-    * [[Similarity.ivfAssign]] kernel — then compare pairs only WITHIN a
-    * centroid cluster by exact cosine. Where [[embeddingDuplicates]]
-    * finds pairs the random-hyperplane LSH can catch (high cosine),
-    * the centroid partition targets SEMANTIC redundancy at lower
-    * thresholds, where hyperplane banding's per-plane agreement decays
-    * and its candidate sets explode.
-    *
-    * Scale shape: assignment is a per-row projection (centroids are a
-    * plan literal — the k ≪ n regime this engine's IVF already
-    * assumes); candidate generation is a self-join within clusters —
-    * never all-pairs — and `maxClusterSize` (0 = unlimited) drops
-    * over-cap clusters, the same skew guard as the LSH bucket cap (a
-    * cluster over the cap means the centroid set is too coarse: refit
-    * with larger k rather than raising the cap).
-    *
-    * Returns (id_a, id_b, cosine), id_a < id_b, cosine ≥ `threshold`.
-    */
-  def semanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
-                         centroids: DataFrame, centIdCol: String,
-                         centVecCol: String, threshold: Double = 0.9,
-                         maxClusterSize: Long = 100000L): DataFrame = {
-    val assigned = tracked(Similarity.ivfAssign(df, idCol, vecCol,
-      centroids, centIdCol, centVecCol))
-    val capped =
-      if (maxClusterSize <= 0L) assigned
-      else {
-        val ok = assigned.groupBy("centroid_id")
-          .agg(count(lit(1)).as("__csz"))
-          .filter(col("__csz") <= maxClusterSize)
-          .select("centroid_id")
-        assigned.join(ok, Seq("centroid_id"))
-      }
-    val a = capped.select(col("centroid_id"), col(idCol).as("id_a"),
-      col(vecCol).as("__va"))
-    val b = capped.select(col("centroid_id").as("__cb"),
-      col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    a.join(b, a("centroid_id") === b("__cb") && col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.fastCosine(col("__va"), col("__vb")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
-  }
-
-  /** Keep-one-per-semantic-pair survivor view of [[semanticDuplicates]]
-    * (min id survives, the same rule as every pipeline here). For
-    * chain-consistent keep decisions across transitive pairs, feed the
-    * pairs to [[duplicateClusters]] + [[leakageSafeSplit]] instead.
-    */
-  /** Threshold-calibration sweep for semantic dedup — the embedding
-    * twin of [[jaccardThresholdSweep]], answering "how aggressive is
-    * cosine ≥ t on MY corpus?" before committing to a threshold. ONE
-    * [[semanticDuplicates]] candidate/verify pass at `thresholds.min`,
-    * then per-threshold pair and distinct-document counts via a
-    * broadcast threshold join — the sweep costs one pass no matter how
-    * many thresholds are probed.
-    */
-  def semanticThresholdSweep(df: DataFrame, idCol: String, vecCol: String,
-                             centroids: DataFrame, centIdCol: String,
-                             centVecCol: String, thresholds: Seq[Double],
-                             maxClusterSize: Long = 100000L): DataFrame = {
-    require(thresholds.nonEmpty, "thresholds must be non-empty")
-    val pairs = semanticDuplicates(df, idCol, vecCol, centroids, centIdCol,
-      centVecCol, thresholds.min, maxClusterSize)
-    val thrDf = df.sparkSession.createDataFrame(
-        thresholds.distinct.sorted.map(Tuple1(_)))
-      .toDF("threshold")
-    val hit = pairs.join(broadcast(thrDf),
-      col("cosine") >= col("threshold"))
-    val pairCounts = hit.groupBy("threshold")
-      .agg(count(lit(1)).as("n_pairs"))
-    val docCounts = hit
-      .select(col("threshold"),
-        explode(array(col("id_a"), col("id_b"))).as("__doc"))
-      .groupBy("threshold")
-      .agg(countDistinct(col("__doc")).as("n_dup_docs"))
-    thrDf.join(pairCounts, Seq("threshold"), "left")
-      .join(docCounts, Seq("threshold"), "left")
-      .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
-  }
-
-  def semanticDedupPipeline(df: DataFrame, idCol: String, vecCol: String,
-                            centroids: DataFrame, centIdCol: String,
-                            centVecCol: String, threshold: Double = 0.9,
-                            maxClusterSize: Long = 100000L): DataFrame = {
-    val pairs = semanticDuplicates(df, idCol, vecCol, centroids, centIdCol,
-      centVecCol, threshold, maxClusterSize)
-    val losers = pairs.select(col("id_b").as("__loser")).distinct()
-    df.join(losers, df(idCol) === col("__loser"), "left_anti")
-  }
-
-  // ---- duplicate clustering ----------------------------------------------
-
-  /** Connected components over a near-duplicate pair frame: every node
-    * gets `cluster_id` = the minimum id reachable through the pair graph
-    * (itself when unpaired), plus the component's `cluster_size`. This is
-    * the step that turns pairwise dedup output into keep-one-per-cluster
-    * decisions that are consistent across chains (a≈b, b≈c ⇒ one cluster
-    * even when a≉c directly).
-    *
-    * Size-adaptive: pair graphs at or under `driverEdgeLimit` edges (and
-    * integral or string ids) run a driver union-find over just the edge
-    * endpoints —
-    * identical labels, milliseconds instead of ~1 s of scheduling +
-    * checkpoint cost PER ROUND of the distributed loop. The default limit
-    * is measured, not guessed (BASELINE r6): at 10^6 edges the driver
-    * path's own costs (building and broadcasting the 2M-row label map)
-    * already exceed the loop's, so the crossover sits near 10^5 edges.
-    * Larger graphs run distributed min-label propagation with pointer
-    * jumping: each round
-    * relaxes labels across edges (min of neighbors) and then jumps
-    * `label := label(label)`, which contracts paths exponentially —
-    * O(log n) rounds for any component diameter, the standard MapReduce
-    * connected-components recipe. Each round shuffles only (node, label)
-    * pairs and the edge list. The edge/init frames are tracked for
-    * [[releaseIntermediates]]; each round's `localCheckpoint` blocks
-    * live in the block manager OUTSIDE the cache registry and are
-    * reclaimed by Spark's ContextCleaner once the round's frame is
-    * unreferenced (i.e. shortly after the call returns and the caller
-    * drops the result) — not by [[releaseIntermediates]].
-    *
-    * @param nodes frame containing `idCol` (one row per node; extra
-    *              columns ignored). NULL ids are excluded up front —
-    *              there is no identity to cluster on, and leaving them
-    *              in would silently drop them at the final label join
-    *              instead (a NULL label matches nothing).
-    * @param pairs frame with `id_a`, `id_b` columns (the output shape of
-    *              every pairwise dedup operator here); ids must come from
-    *              `nodes`
-    */
-  def duplicateClusters(nodesRaw: DataFrame, idCol: String,
-                        pairs: DataFrame, maxIterations: Int = 25,
-                        driverEdgeLimit: Long = 100000L): DataFrame = {
-    // NULL ids excluded up front (see @param nodes): explicit here, where
-    // the semantics are documented, rather than implicitly at the final
-    // label join.
-    val nodes = nodesRaw.where(col(idCol).isNotNull)
-    // Persist the pair frame BEFORE symmetrizing: the union reads it from
-    // two branches, and without the cache the (possibly expensive)
-    // pair-generation plan would execute twice.
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .transform(tracked)
-    // Size-adaptive strategy, the same observe-then-choose move AQE makes
-    // for joins: duplicate-pair graphs are usually TINY next to the
-    // corpus (every pair survived dedup's candidate capping), and each
-    // distributed round below costs whole-job scheduling + a
-    // localCheckpoint — ~1s/round of pure fixed cost at any data size.
-    // When the edge list is bounded (and ids are integral or string), a driver
-    // union-find over only the edge ENDPOINTS computes the same min-id
-    // labels in milliseconds; nodes untouched by any edge never leave
-    // the cluster (they join against the broadcast label map). The
-    // distributed loop remains the path for genuinely large graphs.
-    val idSupportsDriver = nodes.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.StringType => true
-      case _ => false
-    }
-    if (idSupportsDriver && edges.count() <= driverEdgeLimit) {
-      lastClusteringStats = Some(ClusteringStats(0, Nil, driverPath = true))
-      return duplicateClustersDriver(nodes, idCol, edges)
-    }
-    val sym = edges
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .transform(tracked)
-    var labels = nodes.select(col(idCol).as("node")).distinct()
-      .withColumn("label", col("node"))
-      .transform(tracked)
-    var converged = false
-    var iter = 0
-    val roundMillis = scala.collection.mutable.ArrayBuffer.empty[Long]
-    while (!converged && iter < maxIterations) {
-      val roundStart = System.nanoTime()
-      // 1. edge relaxation: pull the minimum label across neighbors
-      val nbr = sym.join(labels, sym("b") === labels("node"))
-        .groupBy(sym("a").as("node2"))
-        .agg(min(col("label")).as("nlabel"))
-      val relaxed = labels.join(nbr, labels("node") === nbr("node2"), "left")
-        .select(labels("node").as("node"),
-          labels("label").as("old_label"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
-      // 2. pointer jumping: label := label(label) — contracts chains.
-      //    old_label rides along so convergence is a filter on the
-      //    materialized frame, not an extra join per round.
-      val ptr = relaxed.select(col("node").as("pnode"),
-        col("label").as("plabel"))
-      // localCheckpoint (eager): materializes the round AND truncates the
-      // logical plan to the materialized blocks. Without this the plan
-      // NESTS all previous rounds (persist caches data but not lineage)
-      // and grows geometrically — a 1M-node stress run hit a 2 GB plan
-      // string around round 10 before this was added.
-      val jumped = relaxed.join(ptr, relaxed("label") === ptr("pnode"), "left")
-        .select(relaxed("node").as("node"),
-          coalesce(col("plabel"), relaxed("label")).as("label"),
-          relaxed("old_label").as("old_label"))
-        .localCheckpoint(true)
-      converged = jumped.filter(col("label") =!= col("old_label")).isEmpty
-      labels.unpersist(blocking = false)
-      labels = jumped.select("node", "label")
-      iter += 1
-      roundMillis += (System.nanoTime() - roundStart) / 1000000L
-    }
-    lastClusteringStats =
-      Some(ClusteringStats(iter, roundMillis.toSeq, driverPath = false))
-    require(converged,
-      s"duplicateClusters did not converge in $maxIterations rounds")
-    val sizes = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("node").as(idCol), col("label").as("cluster_id"),
-        col("cluster_size"))
-  }
-
-  /** Driver union-find fast path of [[duplicateClusters]] — identical
-    * min-id-per-component labels, for bounded pair graphs. Only edge
-    * ENDPOINTS reach the driver (≤ 2 × driverEdgeLimit ids; the pair
-    * list already survived dedup's candidate caps); the corpus-sized
-    * node frame is labeled through a broadcast map join and never moves.
-    * Union-by-min keeps every root at its component's minimum id, so
-    * `find` IS the label the iterative min-label loop converges to.
-    */
-  private def duplicateClustersDriver(nodes: DataFrame, idCol: String,
-                                      edges: DataFrame): DataFrame = {
-    val dt = nodes.schema(idCol).dataType
-    val nodeIds = nodes.select(col(idCol).as("node")).distinct()
-      .transform(tracked)
-    // Mirror the distributed loop: an edge with an endpoint outside
-    // `nodes` (or null) merges nothing.
-    val valid = edges
-      .join(nodeIds.select(col("node").as("a")), Seq("a"), "left_semi")
-      .join(nodeIds.select(col("node").as("b")), Seq("b"), "left_semi")
-
-    // Union-find generic over the id type: `lt` must agree with the SQL
-    // `min(label)` ordering the distributed loop uses, or the two paths
-    // would pick different (still-valid) representatives.
-    def unionFind[T](pairsLocal: Array[(T, T)],
-                     lt: (T, T) => Boolean): Seq[(T, T, Long)] = {
-      val parent = new java.util.HashMap[T, T]()
-      def find(x: T): T = {
-        var r = x
-        while (parent.get(r) != r) r = parent.get(r)
-        var c = x
-        while (parent.get(c) != r) {
-          val n = parent.get(c); parent.put(c, r); c = n
-        }
-        r
-      }
-      pairsLocal.foreach { case (a, b) =>
-        parent.putIfAbsent(a, a)
-        parent.putIfAbsent(b, b)
-        val ra = find(a)
-        val rb = find(b)
-        if (lt(ra, rb)) parent.put(rb, ra)
-        else if (lt(rb, ra)) parent.put(ra, rb)
-      }
-      // Sizes are free on the driver: every member of a ≥2 cluster is an
-      // edge endpoint (membership requires an edge), so component sizes
-      // are endpoint counts per root and ride the broadcast map — no
-      // corpus-wide size aggregate or corpus×corpus join, which would
-      // otherwise dominate this "fast" path for a large node frame.
-      import scala.jdk.CollectionConverters._
-      val rootSize = new java.util.HashMap[T, Long]()
-      parent.keySet().asScala.foreach { k =>
-        rootSize.merge(find(k), 1L, (x, y) => x + y)
-      }
-      parent.keySet().asScala.toSeq
-        .map { k => val r = find(k); (k, r, rootSize.get(r)) }
-    }
-
-    val spark = nodes.sparkSession
-    import spark.implicits._
-    val mapDf = (dt match {
-      case org.apache.spark.sql.types.StringType =>
-        // Spark compares strings as unsigned UTF-8 bytes; Java
-        // String.compareTo compares UTF-16 code units — they diverge
-        // past the BMP. Route through UTF8String.compareTo for exact
-        // engine-ordering parity with the distributed path's min(label).
-        import org.apache.spark.unsafe.types.UTF8String
-        unionFind[String](
-          valid.select(col("a").cast("string"), col("b").cast("string"))
-            .collect().map(r => (r.getString(0), r.getString(1))),
-          (x, y) => UTF8String.fromString(x)
-            .compareTo(UTF8String.fromString(y)) < 0)
-          .toDF("mnode", "mlabel", "msize")
-      case _ =>
-        unionFind[Long](
-          valid.select(col("a").cast("long"), col("b").cast("long"))
-            .collect().map(r => (r.getLong(0), r.getLong(1))),
-          _ < _)
-          .toDF("mnode", "mlabel", "msize")
-    })
-      .select(col("mnode").cast(dt).as("mnode"),
-        col("mlabel").cast(dt).as("mlabel"), col("msize"))
-    nodeIds
-      .join(broadcast(mapDf), nodeIds("node") === col("mnode"), "left")
-      .select(col("node").as(idCol),
-        coalesce(col("mlabel"), col("node")).as("cluster_id"),
-        coalesce(col("msize"), lit(1L)).as("cluster_size"))
-  }
-
-  /** Quality-aware survivor selection: one row per duplicate cluster,
-    * keeping the HIGHEST-`scoreCol` member (ties → lowest id) instead of
-    * [[dedupPipeline]]'s lowest-id convention. This is the keep decision
-    * of quality-first corpus builds (FineWeb, RefinedWeb): when a
-    * near-dup cluster mixes a clean original with mangled re-crawls, the
-    * survivor should be chosen by quality, not by ingestion order.
-    *
-    * `docs` must carry `idCol` and `scoreCol` (any ordered numeric —
-    * e.g. a lexical-diversity ratio from
-    * [[graft.ops.TextAnalysis.qualityFeatures]], a model score, or a
-    * composite); `pairs` is the (id_a, id_b) output of any pairwise
-    * dedup operator here. Scale shape: [[duplicateClusters]]' labeling
-    * plus ONE cluster-keyed [[graft.functions.ArgBestAgg]] pass — the
-    * argmax folds into the aggregate (map-side combinable), never a
-    * window or a rejoin against the corpus. NULL and NaN scores are
-    * ignored (a NaN quality score is a failed computation, not the best
-    * document — this deliberately diverges from Spark's NaN-sorts-last
-    * ordering); an all-NULL/NaN cluster falls back to its lowest id
-    * with a NULL score. `idCol` may be ANY orderable type — numeric,
-    * string (URLs, UUIDs), date — the tie-break is an interpreted
-    * ordering on the id's own type, not arithmetic.
-    *
-    * Returns (`cluster_id`, `idCol` = survivor, `scoreCol` = its score,
-    * cluster_size, n_dropped).
-    *
-    * EAGER at call time, like every [[duplicateClusters]] caller: the
-    * size-adaptive clustering counts the pair frame (and may run the
-    * whole labeling) when this method is CALLED — compose it last, once
-    * `pairs` is final.
-    */
-  def qualitySurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
-                       scoreCol: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val clusters = duplicateClusters(docs, idCol, pairs)
-    // graft_arg_best: highest score wins, ties resolve to the LOWEST id
-    // under the id type's own ordering — no negate arithmetic, so string
-    // ids and Long.MinValue work and NaN scores are ignored rather than
-    // beating every real score. The NULL/NaN fallback is a plain min(id).
-    val survivors = clusters
-      .join(docs.select(col(idCol), col(scoreCol)), idCol)
-      .groupBy(col("cluster_id"))
-      .agg(
-        call_function("graft_arg_best", col(scoreCol), col(idCol))
-          .as("__best"),
-        min(col(idCol)).as("__fallback"),
-        // constant per cluster; max instead of first for determinism
-        max(col("cluster_size")).as("cluster_size"))
-    survivors.select(
-      col("cluster_id"),
-      coalesce(col("__best.id"), col("__fallback")).as(idCol),
-      col("__best.s").as(scoreCol),
-      col("cluster_size"),
-      (col("cluster_size") - 1L).as("n_dropped"))
-  }
-
-  /** Corpus-wide paragraph dedup (the C4 move): split every document on
-    * `sep`, keep only the FIRST occurrence — lowest (doc id, position) —
-    * of each distinct paragraph across the WHOLE corpus, and reassemble
-    * documents from their surviving paragraphs in order. This is how
-    * boilerplate that exact/near doc-level dedup cannot see (cookie
-    * banners, nav text, license headers repeated inside otherwise-unique
-    * pages) gets stripped from a training corpus.
-    *
-    * Scale shape: exactly two shuffles over the paragraph set — one by
-    * the 128-bit paragraph digest for the first-occurrence window (a
-    * window, not an aggregate-plus-join-back, so the corpus text is
-    * scanned and hashed ONCE), one by document id for the reassembly
-    * aggregate, whose `array_sort` restores paragraph order without a
-    * second window. Identical-paragraph floods co-locate on their digest
-    * exactly as they would on the equivalent join key; the per-digest
-    * state is one (id, position) pair.
-    *
-    * Returns one row per input document — (`idCol`, deduped text under
-    * `textCol`, kept_paras, dropped_paras). Documents whose every
-    * paragraph was seen earlier survive with empty text (filter on
-    * `kept_paras` to drop them); documents with NULL text survive with
-    * NULL text and zero counts. `sep` is a Java regex for splitting and
-    * a literal for rejoining — pass a literal separator.
-    */
-  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
-                      sep: String = "\n\n"): DataFrame = {
-    val paras = df
-      .select(col(idCol), posexplode(split(col(textCol), sep))
-        .as(Seq("__pi", "__p")))
-      .withColumn("__ph", TextAnalysis.fingerprint(col("__p")))
-    val w = Window.partitionBy("__ph")
-    val kept = paras
-      .withColumn("__first",
-        min(struct(col(idCol).as("fid"), col("__pi").as("fpi"))).over(w))
-      .withColumn("__keep",
-        col(idCol) === col("__first.fid") && col("__pi") === col("__first.fpi"))
-    val rebuilt = kept
-      .groupBy(col(idCol))
-      .agg(
-        reassemble(col("__pi"), col("__p"), sep, col("__keep")).as(textCol),
-        count(when(col("__keep"), 1)).as("kept_paras"),
-        count(when(!col("__keep"), 1)).as("dropped_paras"))
-    // posexplode emits nothing for NULL text, which would silently DROP
-    // those documents from a frame that promises one row per input doc —
-    // restore them with NULL text and zero counts
-    df.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .withColumn("kept_paras", coalesce(col("kept_paras"), lit(0L)))
-      .withColumn("dropped_paras", coalesce(col("dropped_paras"), lit(0L)))
-  }
-
-  /** Boilerplate-paragraph strip by corpus document frequency — the
-    * complement of [[dedupParagraphs]]: instead of keeping each distinct
-    * paragraph's FIRST occurrence, a paragraph that appears in at least
-    * `minDocs` DISTINCT documents is judged boilerplate (footers, cookie
-    * banners, license blocks) and removed from EVERY document, first
-    * occurrence included. First-occurrence dedup preserves one copy of
-    * the banner in whichever page crawled first; a training pipeline
-    * usually wants zero copies — that page's banner is no more content
-    * than the others'.
-    *
-    * Scale shape: the paragraph stream is hashed once (128-bit digest,
-    * per-row projection); the document-frequency fit is a DISTINCT on
-    * (digest, id) — one exchange that collapses within-doc repeats
-    * map-side — followed by a map-side-combinable count. The hot set
-    * (paragraphs over the threshold) is a post-aggregate frame joined
-    * LEFT back onto the paragraph stream, so AQE broadcasts it while it
-    * fits (boilerplate vocabularies are small next to a corpus) and
-    * degrades to a shuffled join on the 16-byte digest beyond that. The
-    * reassembly aggregate on `idCol` is the only text-sized exchange —
-    * the same single-reshuffle bound as [[dedupParagraphs]].
-    *
-    * Returns one row per input document — (`idCol`, stripped text under
-    * `textCol`, `kept_paras`, `dropped_paras`), NULL-text documents
-    * preserved with NULL text and zero counts, same contract as
-    * [[dedupParagraphs]].
-    */
-  def stripBoilerplateParagraphs(df: DataFrame, idCol: String,
-                                 textCol: String, minDocs: Long,
-                                 sep: String = "\n\n"): DataFrame = {
-    val paras = df
-      .select(col(idCol), posexplode(split(col(textCol), sep))
-        .as(Seq("__pi", "__p")))
-      .withColumn("__ph", TextAnalysis.fingerprint(col("__p")))
-    val hot = paras.select(col("__ph"), col(idCol)).distinct()
-      .groupBy("__ph").agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") >= minDocs)
-      .select(col("__ph"), lit(true).as("__hot"))
-    val rebuilt = paras.join(hot, Seq("__ph"), "left")
-      .withColumn("__keep", col("__hot").isNull)
-      .groupBy(col(idCol))
-      .agg(
-        reassemble(col("__pi"), col("__p"), sep, col("__keep")).as(textCol),
-        count(when(col("__keep"), 1)).as("kept_paras"),
-        count(when(!col("__keep"), 1)).as("dropped_paras"))
-    df.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .withColumn("kept_paras", coalesce(col("kept_paras"), lit(0L)))
-      .withColumn("dropped_paras", coalesce(col("dropped_paras"), lit(0L)))
-  }
-
-  /** Exact dedup under [[TextAnalysis.normalizeText]]'s canonical form:
-    * case flips and re-wrapped whitespace no longer defeat the digest.
-    * Same one-exchange `min_by` survivor shape and NULL/tie semantics
-    * as [[exactByFingerprint]]; the survivor keeps its ORIGINAL text —
-    * normalization decides identity, not what ships to training.
-    */
-  def exactNormalized(df: DataFrame, textCol: String,
-                      idCol: String): DataFrame =
-    survivorAgg(df,
-        TextAnalysis.fingerprint(TextAnalysis.normalizeText(col(textCol))),
-        idCol, "dup_count")
-      .select(col("__row.*") +: Seq(col("dup_count")): _*)
-
-  /** Order-preserving positional reassembly shared by the paragraph- and
-    * span-level strippers: sort collected (pos, piece) structs by
-    * position, join the pieces. `keep=false` entries drop (collect_list
-    * skips the NULL the `when` produces) — this is THE definition of how
-    * stripped documents are rebuilt; keep it in one place.
-    */
-  private def reassemble(pos: Column, piece: Column, sep: String,
-                         keep: Column = lit(true)): Column =
-    array_join(transform(
-      array_sort(collect_list(when(keep,
-        struct(pos.as("__rp"), piece.as("__rv"))))),
-      s => s("__rv")), sep)
-
-  /** Exact repeated-span detection at W-token granularity — the
-    * substring-level dedup of "Deduplicating Training Data Makes
-    * Language Models Better" (Lee et al. 2022), re-expressed
-    * relationally instead of via a suffix array: a token position is
-    * flagged when its W-token window occurs at least `minOccurrences`
-    * times CORPUS-WIDE (across and within documents), and maximal runs
-    * of flagged positions merge into spans. Doc-level and
-    * paragraph-level dedup cannot see these: boilerplate sentences,
-    * license blocks, and templated passages repeated inside
-    * otherwise-unique pages.
-    *
-    * Scale shape: one pass computes every window's 128-bit md5 key as a
-    * per-row projection (no token explode — `transform` over the token
-    * array inside codegen), then ONE explode of (doc, pos, key) rows.
-    * The hot-key set is a map-side-combinable aggregate on the 16-byte
-    * key; flagged positions come back via LEFT SEMI on the same key;
-    * span merging is a per-document window over integer positions. The
-    * text itself is never shuffled. md5 (not a 64-bit hash) keys make
-    * collisions ignorable at corpus scale AND let external SQL replay
-    * the computation bit-exactly.
-    *
-    * Returns (`idCol`, `span_start`, `span_end`, `n_windows`) — token
-    * indices, 0-based, `span_end` inclusive of the last window's tail
-    * (`= last flagged pos + windowTokens - 1`).
-    *
-    * EAGER at call time: picking the hot-key join strategy requires the
-    * REAL hot-key count (`hot.count()`), so this method runs the full
-    * window aggregate over `df` when it is CALLED, not when the returned
-    * frame is first consumed — and it pins the hot-key frame in the
-    * tracked cache until [[releaseIntermediates]]. Callers composing
-    * plans lazily should call this last, once the inputs are final; the
-    * observe-then-pick trade (a plan-build-time job for a 2x faster
-    * probe) is deliberate, same as [[duplicateClusters]]' size probe.
-    */
-  /** Hot-key broadcast ceiling for [[repeatedSpans]]: 2M 16-byte keys ≈
-    * 32 MB of key payload — comfortably broadcastable; above it the
-    * semi-join stays distributed. Overridable via the session conf
-    * `spark.graft.repeatedSpans.maxBroadcastHotKeys` (0 forces the
-    * distributed join — how the parity spec and the boundary stress
-    * exercise the fallback on corpora whose hot set fits).
-    */
-  private val MaxBroadcastHotKeys = 2000000L
-
-  private def maxBroadcastHotKeys(df: DataFrame): Long =
-    df.sparkSession.conf
-      .get("spark.graft.repeatedSpans.maxBroadcastHotKeys",
-        MaxBroadcastHotKeys.toString).toLong
-
-  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                    windowTokens: Int = 20,
-                    minOccurrences: Long = 2L): DataFrame = {
-    require(windowTokens >= 1, "windowTokens must be >= 1")
-    // minOccurrences <= 1 would flag EVERY window (everything occurs at
-    // least once) and stripRepeatedSpans would then blank the corpus —
-    // a silent total-data-loss mode, so fail fast instead.
-    require(minOccurrences >= 2, "minOccurrences must be >= 2")
-    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    // The (doc, pos, key) projection feeds the hot aggregate AND the
-    // semi-join but is deliberately NOT cached: at ~28 bytes per token it
-    // is 4-5x the text volume, and the kernel regenerates it for ~1.5 s
-    // per 10^6 docs (measured) — far below the cost of materializing a
-    // token-scale frame. Cache `df` upstream if ITS lineage is expensive.
-    def pos = df.select(col(idCol),
-      posexplode(windowKeys(textCol, windowTokens)).as(Seq("pos", "wk")))
-    // The hot-key set is tiny next to the window stream (16 bytes per
-    // distinct hot key), but the planner cannot see that — its estimate
-    // of an aggregate-over-explode subtree forces a sort-merge semi-join
-    // that re-sorts the FULL window stream (measured: SMJ doubled the
-    // whole detect pass at 1M docs / 62M windows, 40.7 vs 21.6 s).
-    // Observe the real size and broadcast when it fits; the distributed
-    // join remains for genuinely huge hot sets (same observe-then-pick
-    // pattern as duplicateClusters' size-adaptive clustering).
-    val hot = tracked(pos.groupBy("wk").agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= minOccurrences)
-      .select("wk"))
-    val probe =
-      if (hot.count() <= maxBroadcastHotKeys(df)) broadcast(hot) else hot
-    mergeFlagged(pos.join(probe, Seq("wk"), "left_semi"), idCol, windowTokens)
-  }
-
-  /** Per-position W-token window keys of a text column, as an array
-    * column (index = 0-based start position). 16-byte binary keys
-    * (un-hexed md5) on the wire: the key never reaches any output, so an
-    * oracle's hex-string grouping is equivalent while the explode/
-    * shuffle rows stay half as wide. One-pass native kernel
-    * ([[graft.functions.SketchOps.windowMd5Keys]]): the earlier
-    * composable form (`transform` + `slice` + `concat_ws` + `md5` +
-    * `unhex`) materialized every window as a string and round-tripped
-    * each digest through 32 hex chars — byte-identical keys, ~W× the
-    * allocation traffic (parity property-tested in PropertySpec).
-    * Callers must GraftFunctions.ensureRegistered first.
-    */
-  private def windowKeys(textCol: String, windowTokens: Int): Column =
-    call_function("graft_window_keys", col(textCol), lit(windowTokens))
-
-  /** Merge flagged (id, pos) window starts into maximal spans — the gap
-    * trick: consecutive positions share `pos - row_number()`.
-    */
-  private def mergeFlagged(flagged: DataFrame, idCol: String,
-                           windowTokens: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    flagged
-      .withColumn("__g", col("pos") - row_number().over(w))
-      .groupBy(col(idCol), col("__g"))
-      .agg(min(col("pos")).cast("long").as("span_start"),
-        (max(col("pos")) + lit(windowTokens - 1)).cast("long")
-          .as("span_end"),
-        count(lit(1)).as("n_windows"))
-      .select(col(idCol), col("span_start"), col("span_end"),
-        col("n_windows"))
-  }
-
-  /** The persisted artifact behind ingest-time span cleanup: the
-    * DISTINCT window keys occurring at least `minOccurrences` times in
-    * the corpus — one 16-byte row per hot window. Write once per
-    * accepted snapshot; [[stripSpansAgainstKeys]] applies it to every
-    * later delivery without re-reading the corpus.
-    */
-  def repeatedSpanKeys(corpus: DataFrame, textCol: String,
-                       windowTokens: Int = 20,
-                       minOccurrences: Long = 2L): DataFrame = {
-    require(windowTokens >= 1, "windowTokens must be >= 1")
-    require(minOccurrences >= 2, "minOccurrences must be >= 2")
-    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    corpus
-      .select(explode(windowKeys(textCol, windowTokens)).as("__wk"))
-      .groupBy("__wk").agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= minOccurrences)
-      // the window size travels WITH the artifact: keys built at one W
-      // can never match probes at another, and without the recorded W a
-      // mismatch would be a silent cleanup no-op (strip asserts it).
-      .select(col("__wk"), lit(windowTokens).as("__w"))
-  }
-
-  /** Ingest-time span cleanup: strip from `batch` every span whose
-    * window key appears in the persisted `hotKeys` artifact
-    * ([[repeatedSpanKeys]], column `__wk`) — the incremental companion
-    * to [[stripRepeatedSpans]], applying corpus-level boilerplate
-    * removal to each new delivery at the cost of one batch pass plus a
-    * semi-join on 16-byte keys. (Windows repeated only WITHIN the new
-    * batch are out of scope here by design — run the corpus-level pass
-    * when the batch is accepted, then refresh the artifact.)
-    *
-    * PRECONDITION: `idCol` must be unique per row (as for
-    * [[stripRepeatedSpans]] — see there for the failure mode).
-    */
-  def stripSpansAgainstKeys(batch: DataFrame, idCol: String,
-                            textCol: String, hotKeys: DataFrame,
-                            windowTokens: Int = 20): DataFrame = {
-    require(windowTokens >= 1, "windowTokens must be >= 1")
-    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
-    // refuse a window-size mismatch with the artifact: probes at W' can
-    // never match keys built at W, so the strip would silently no-op
-    if (hotKeys.columns.contains("__w")) {
-      val ws = hotKeys.select("__w").distinct().collect().map(_.getInt(0))
-      require(ws.isEmpty || ws.sameElements(Array(windowTokens)),
-        s"hotKeys artifact built with windowTokens=${ws.mkString(",")}, " +
-          s"strip called with $windowTokens")
-    }
-    val pos = batch.select(col(idCol),
-      posexplode(windowKeys(textCol, windowTokens)).as(Seq("pos", "wk")))
-    val flagged = pos.join(hotKeys.select(col("__wk").as("wk")),
-      Seq("wk"), "left_semi")
-    stripCovered(batch, idCol, textCol,
-      mergeFlagged(flagged, idCol, windowTokens))
-  }
-
-  /** Remove every repeated span found by [[repeatedSpans]] from the
-    * corpus: tokens covered by any flagged span are dropped (ALL
-    * occurrences — the conservative policy for training data; compose
-    * with exact/near dedup first so whole-document clones are collapsed
-    * rather than blanked). Returns one row per input document:
-    * (`idCol`, cleaned text under `textCol`, `kept_tokens`,
-    * `dropped_tokens`); NULL-text documents survive with NULL text.
-    *
-    * PRECONDITION: `idCol` must be unique per row — the strip reassembles
-    * text by grouping surviving (id, pos, token) rows, so two rows
-    * sharing an id would interleave their token streams under colliding
-    * positions into garbled text (the same contract
-    * [[duplicateClusters]] documents for its node frame). Run
-    * [[exact]]/[[exactByFingerprint]] first if ids may repeat.
-    */
-  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                         windowTokens: Int = 20,
-                         minOccurrences: Long = 2L): DataFrame =
-    stripCovered(df, idCol, textCol,
-      repeatedSpans(df, idCol, textCol, windowTokens, minOccurrences))
-
-  /** Shared strip tail: drop every token of `df` covered by a span of
-    * `spans` (the [[repeatedSpans]] output shape) and reassemble.
-    */
-  private def stripCovered(df: DataFrame, idCol: String, textCol: String,
-                           spans: DataFrame): DataFrame = {
-    // sort-merge, never broadcast or hash-build: the planner estimates
-    // `covered` BEFORE the sequence-explode, so on a boilerplate-heavy
-    // corpus it happily broadcasts (driver OOM) or hash-builds (executor
-    // OOM) what turns out to be a token-scale frame — the 1M-doc stress
-    // hit both. SMJ on (id, pos) sorts and SPILLS; it is the only
-    // formulation whose memory is bounded at any span density.
-    val covered = spans.select(col(idCol),
-      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
-      .hint("merge")
-    val toks = df.select(col(idCol),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val rebuilt = toks
-      .join(covered, Seq(idCol, "pos"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        reassemble(col("pos"), col("tok"), " ").as(textCol),
-        count(lit(1)).as("kept_tokens"))
-    // totals via the byte-scan token-count kernel: this is the THIRD
-    // tokenization-shaped pass over the corpus (winKeys projection and
-    // the toks explode are the other two), so it must not pay the regex
-    // split again — the kernel counts boundaries in place.
-    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val totals = df.select(col(idCol),
-      col(textCol).isNull.as("__tnull"),
-      coalesce(call_function("graft_token_count", col(textCol)), lit(0))
-        .cast("long").as("__total"))
-    totals
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("__tnull"), lit(null))
-          .otherwise(coalesce(col(textCol), lit(""))).as(textCol),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        (col("__total") - coalesce(col("kept_tokens"), lit(0L)))
-          .as("dropped_tokens"))
-  }
-
-  /** Leakage-safe TRAIN/VALIDATION/TEST assignment: the split is a
-    * deterministic hash of the document's duplicate-CLUSTER
-    * representative, not of the document itself — so a near-duplicate
-    * pair can NEVER straddle the train/eval boundary (the classic
-    * leakage path: a document trains, its paraphrase evaluates).
-    * Per-document hash splits (including the reference's own
-    * random-split design) all have this hole; keying the hash on the
-    * connected-component label closes it structurally.
-    *
-    * `pairs` is the near-dup edge set from any pairwise operator here
-    * (`ngramJaccard`, `minhashDuplicatesVerified`, ...). Fractions are
-    * cluster-weighted in expectation: each CLUSTER (not each doc) lands
-    * in TRAIN with probability `trainFrac`, so massive duplicate
-    * clusters move whole — the price of zero leakage, and another
-    * reason to exact-dedup first. The assignment is a pure function of
-    * (cluster representative, salt): stable across partitionings,
-    * re-runs, and appends that don't bridge clusters, and replayable in
-    * external SQL (the oracle does).
-    *
-    * Returns one row per input document: (`idCol`, cluster_id, split).
-    */
-  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
-                       trainFrac: Double = 0.8, validationFrac: Double = 0.1,
-                       salt: Long = 0L): DataFrame = {
-    require(trainFrac > 0.0 && validationFrac >= 0.0 &&
-      trainFrac + validationFrac <= 1.0,
-      "need trainFrac > 0, validationFrac >= 0, sum <= 1")
-    val mod = 4294967296L // 2^32, keepPredicate's threshold domain
-    val trainThr = (trainFrac * mod).toLong
-    val valThr = ((trainFrac + validationFrac) * mod).toLong
-    val u = Sampling.mixedKey(col("cluster_id"), salt)
-    duplicateClusters(df, idCol, pairs)
-      .select(col(idCol), col("cluster_id"),
-        when(u < trainThr, "TRAIN")
-          .when(u < valThr, "VALIDATION")
-          .otherwise("TEST").as("split"))
-  }
-
-  // ---- the production dedup pipeline -------------------------------------
-
-  /** The order-of-operations that survives a 100 TB corpus with massive
-    * duplicate clusters:
-    *
-    *  1. EXACT dedup by content digest — collapses identical-text
-    *     clusters to one survivor each (a hash-aggregate; a cluster of
-    *     any size costs its row count, never its pair count).
-    *  2. MinHash-LSH near-dup over the survivors, with a bucket-size cap
-    *     as the residual skew guard, verified with the exact Jaccard.
-    *
-    * Returns the surviving frame (one row per unique text, `dup_count`
-    * attached) minus near-duplicates (the higher id of each verified
-    * pair is dropped — the same min-id-survives rule as exact dedup).
-    */
-  def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
-                    threshold: Double = 0.8, shingleSize: Int = 3,
-                    numHashes: Int = 128, bands: Int = 32,
-                    maxBucketSize: Long = 100000L): DataFrame = {
-    val unique = exactByFingerprint(df, textCol, idCol)
-      .transform(tracked)
-    val nearPairs = minhashDuplicatesVerified(unique, idCol, textCol,
-      threshold, shingleSize, numHashes, bands, maxBucketSize)
-    val losers = nearPairs.select(col("id_b").as("__loser")).distinct()
-    unique.join(losers, unique(idCol) === col("__loser"), "left_anti")
-  }
-
-  /** [[dedupPipeline]] with the quality-first keep decision: exact
-    * collapse (byte-identical texts share a score, so min-id is already
-    * quality-consistent there), LSH + exact-Jaccard verified pairs over
-    * the unique docs, then ONE [[qualitySurvivors]] pass — the survivor
-    * of every near-dup CLUSTER is its highest-`scoreCol` member (ties →
-    * lowest id), not the lowest id. Cluster-consistent where the
-    * drop-all-`id_b` rule is pairwise: in a chain a≈b, b≈c the pairwise
-    * rule can drop b and c both, while the cluster rule keeps exactly
-    * one representative — the best one.
-    *
-    * `df` must carry `scoreCol` alongside id and text. Returns the
-    * surviving rows of the exact-collapse frame (id, text, score,
-    * dup_count) — `dup_count` still counts byte-identical clones.
-    */
-  def dedupPipelineQuality(df: DataFrame, idCol: String, textCol: String,
-                           scoreCol: String, threshold: Double = 0.8,
-                           shingleSize: Int = 3, numHashes: Int = 128,
-                           bands: Int = 32,
-                           maxBucketSize: Long = 100000L): DataFrame = {
-    val unique = exactByFingerprint(
-        df.select(col(idCol), col(textCol), col(scoreCol)), textCol, idCol)
-      .transform(tracked)
-    val nearPairs = minhashDuplicatesVerified(unique, idCol, textCol,
-      threshold, shingleSize, numHashes, bands, maxBucketSize)
-    val keep = qualitySurvivors(unique, idCol, nearPairs, scoreCol)
-      .select(col(idCol).as("__keep"))
-    unique.join(keep, unique(idCol) === col("__keep"), "left_semi")
-  }
-
-  /** Embedding twin of [[dedupPipeline]]: collapse BYTE-IDENTICAL vectors
-    * first (a hash-aggregate on the vector value — duplicate-cluster cost
-    * is its row count, never its pair count), then hyperplane-LSH
-    * near-dup over the unique vectors with a bucket-size cap. Returns the
-    * surviving (idCol, vecCol, dup_count) rows.
-    */
-  def embeddingDedupPipeline(df: DataFrame, idCol: String, vecCol: String,
-                             threshold: Double = 0.95, planes: Int = 8,
-                             bands: Int = 24,
-                             maxBucketSize: Long = 100000L): DataFrame = {
-    val unique = df.groupBy(col(vecCol))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
-      .select(col(idCol), col(vecCol), col("dup_count"))
-      .transform(tracked)
-    val pairs = embeddingDuplicates(unique, idCol, vecCol, threshold,
-      planes, bands, maxBucketSize)
-    val losers = pairs.select(col("id_b").as("__loser")).distinct()
-    unique.join(losers, unique(idCol) === col("__loser"), "left_anti")
-  }
 }

@@ -1,0 +1,227 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate clustering: size-adaptive driver union-find / distributed pointer-jumping.
+  *
+  * One family of the [[Dedup]] surface (split from the original
+  * single-file object in r12, hygiene only): every member is mixed
+  * into — and documented as part of — `object Dedup`, which remains
+  * the sole public entry point.
+  */
+private[graft] trait DedupCluster { this: Dedup.type =>
+
+  // ---- duplicate clustering ----------------------------------------------
+
+  /** Connected components over a near-duplicate pair frame: every node
+    * gets `cluster_id` = the minimum id reachable through the pair graph
+    * (itself when unpaired), plus the component's `cluster_size`. This is
+    * the step that turns pairwise dedup output into keep-one-per-cluster
+    * decisions that are consistent across chains (a≈b, b≈c ⇒ one cluster
+    * even when a≉c directly).
+    *
+    * Size-adaptive: pair graphs at or under `driverEdgeLimit` edges (and
+    * integral or string ids) run a driver union-find over just the edge
+    * endpoints —
+    * identical labels, milliseconds instead of ~1 s of scheduling +
+    * checkpoint cost PER ROUND of the distributed loop. The default limit
+    * is measured, not guessed (BASELINE r6): at 10^6 edges the driver
+    * path's own costs (building and broadcasting the 2M-row label map)
+    * already exceed the loop's, so the crossover sits near 10^5 edges.
+    * Larger graphs run distributed min-label propagation with pointer
+    * jumping: each round
+    * relaxes labels across edges (min of neighbors) and then jumps
+    * `label := label(label)`, which contracts paths exponentially —
+    * O(log n) rounds for any component diameter, the standard MapReduce
+    * connected-components recipe. Each round shuffles only (node, label)
+    * pairs and the edge list. The edge/init frames are tracked for
+    * [[releaseIntermediates]]; each round's `localCheckpoint` blocks
+    * live in the block manager OUTSIDE the cache registry and are
+    * reclaimed by Spark's ContextCleaner once the round's frame is
+    * unreferenced (i.e. shortly after the call returns and the caller
+    * drops the result) — not by [[releaseIntermediates]].
+    *
+    * @param nodes frame containing `idCol` (one row per node; extra
+    *              columns ignored). NULL ids are excluded up front —
+    *              there is no identity to cluster on, and leaving them
+    *              in would silently drop them at the final label join
+    *              instead (a NULL label matches nothing).
+    * @param pairs frame with `id_a`, `id_b` columns (the output shape of
+    *              every pairwise dedup operator here); ids must come from
+    *              `nodes`
+    */
+  def duplicateClusters(nodesRaw: DataFrame, idCol: String,
+                        pairs: DataFrame, maxIterations: Int = 25,
+                        driverEdgeLimit: Long = 100000L): DataFrame = {
+    // NULL ids excluded up front (see @param nodes): explicit here, where
+    // the semantics are documented, rather than implicitly at the final
+    // label join.
+    val nodes = nodesRaw.where(col(idCol).isNotNull)
+    // Persist the pair frame BEFORE symmetrizing: the union reads it from
+    // two branches, and without the cache the (possibly expensive)
+    // pair-generation plan would execute twice.
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .transform(tracked)
+    // Size-adaptive strategy, the same observe-then-choose move AQE makes
+    // for joins: duplicate-pair graphs are usually TINY next to the
+    // corpus (every pair survived dedup's candidate capping), and each
+    // distributed round below costs whole-job scheduling + a
+    // localCheckpoint — ~1s/round of pure fixed cost at any data size.
+    // When the edge list is bounded (and ids are integral or string), a driver
+    // union-find over only the edge ENDPOINTS computes the same min-id
+    // labels in milliseconds; nodes untouched by any edge never leave
+    // the cluster (they join against the broadcast label map). The
+    // distributed loop remains the path for genuinely large graphs.
+    val idSupportsDriver = nodes.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (idSupportsDriver && edges.count() <= driverEdgeLimit) {
+      lastClusteringStats = Some(ClusteringStats(0, Nil, driverPath = true))
+      return duplicateClustersDriver(nodes, idCol, edges)
+    }
+    val sym = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .transform(tracked)
+    var labels = nodes.select(col(idCol).as("node")).distinct()
+      .withColumn("label", col("node"))
+      .transform(tracked)
+    var converged = false
+    var iter = 0
+    val roundMillis = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (!converged && iter < maxIterations) {
+      val roundStart = System.nanoTime()
+      // 1. edge relaxation: pull the minimum label across neighbors
+      val nbr = sym.join(labels, sym("b") === labels("node"))
+        .groupBy(sym("a").as("node2"))
+        .agg(min(col("label")).as("nlabel"))
+      val relaxed = labels.join(nbr, labels("node") === nbr("node2"), "left")
+        .select(labels("node").as("node"),
+          labels("label").as("old_label"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+      // 2. pointer jumping: label := label(label) — contracts chains.
+      //    old_label rides along so convergence is a filter on the
+      //    materialized frame, not an extra join per round.
+      val ptr = relaxed.select(col("node").as("pnode"),
+        col("label").as("plabel"))
+      // localCheckpoint (eager): materializes the round AND truncates the
+      // logical plan to the materialized blocks. Without this the plan
+      // NESTS all previous rounds (persist caches data but not lineage)
+      // and grows geometrically — a 1M-node stress run hit a 2 GB plan
+      // string around round 10 before this was added.
+      val jumped = relaxed.join(ptr, relaxed("label") === ptr("pnode"), "left")
+        .select(relaxed("node").as("node"),
+          coalesce(col("plabel"), relaxed("label")).as("label"),
+          relaxed("old_label").as("old_label"))
+        .localCheckpoint(true)
+      converged = jumped.filter(col("label") =!= col("old_label")).isEmpty
+      labels.unpersist(blocking = false)
+      labels = jumped.select("node", "label")
+      iter += 1
+      roundMillis += (System.nanoTime() - roundStart) / 1000000L
+    }
+    lastClusteringStats =
+      Some(ClusteringStats(iter, roundMillis.toSeq, driverPath = false))
+    require(converged,
+      s"duplicateClusters did not converge in $maxIterations rounds")
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as(idCol), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  /** Driver union-find fast path of [[duplicateClusters]] — identical
+    * min-id-per-component labels, for bounded pair graphs. Only edge
+    * ENDPOINTS reach the driver (≤ 2 × driverEdgeLimit ids; the pair
+    * list already survived dedup's candidate caps); the corpus-sized
+    * node frame is labeled through a broadcast map join and never moves.
+    * Union-by-min keeps every root at its component's minimum id, so
+    * `find` IS the label the iterative min-label loop converges to.
+    */
+  private[ops] def duplicateClustersDriver(nodes: DataFrame, idCol: String,
+                                      edges: DataFrame): DataFrame = {
+    val dt = nodes.schema(idCol).dataType
+    val nodeIds = nodes.select(col(idCol).as("node")).distinct()
+      .transform(tracked)
+    // Mirror the distributed loop: an edge with an endpoint outside
+    // `nodes` (or null) merges nothing.
+    val valid = edges
+      .join(nodeIds.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(nodeIds.select(col("node").as("b")), Seq("b"), "left_semi")
+
+    // Union-find generic over the id type: `lt` must agree with the SQL
+    // `min(label)` ordering the distributed loop uses, or the two paths
+    // would pick different (still-valid) representatives.
+    def unionFind[T](pairsLocal: Array[(T, T)],
+                     lt: (T, T) => Boolean): Seq[(T, T, Long)] = {
+      val parent = new java.util.HashMap[T, T]()
+      def find(x: T): T = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      pairsLocal.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (lt(ra, rb)) parent.put(rb, ra)
+        else if (lt(rb, ra)) parent.put(ra, rb)
+      }
+      // Sizes are free on the driver: every member of a ≥2 cluster is an
+      // edge endpoint (membership requires an edge), so component sizes
+      // are endpoint counts per root and ride the broadcast map — no
+      // corpus-wide size aggregate or corpus×corpus join, which would
+      // otherwise dominate this "fast" path for a large node frame.
+      import scala.jdk.CollectionConverters._
+      val rootSize = new java.util.HashMap[T, Long]()
+      parent.keySet().asScala.foreach { k =>
+        rootSize.merge(find(k), 1L, (x, y) => x + y)
+      }
+      parent.keySet().asScala.toSeq
+        .map { k => val r = find(k); (k, r, rootSize.get(r)) }
+    }
+
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val mapDf = (dt match {
+      case org.apache.spark.sql.types.StringType =>
+        // Spark compares strings as unsigned UTF-8 bytes; Java
+        // String.compareTo compares UTF-16 code units — they diverge
+        // past the BMP. Route through UTF8String.compareTo for exact
+        // engine-ordering parity with the distributed path's min(label).
+        import org.apache.spark.unsafe.types.UTF8String
+        unionFind[String](
+          valid.select(col("a").cast("string"), col("b").cast("string"))
+            .collect().map(r => (r.getString(0), r.getString(1))),
+          (x, y) => UTF8String.fromString(x)
+            .compareTo(UTF8String.fromString(y)) < 0)
+          .toDF("mnode", "mlabel", "msize")
+      case _ =>
+        unionFind[Long](
+          valid.select(col("a").cast("long"), col("b").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))),
+          _ < _)
+          .toDF("mnode", "mlabel", "msize")
+    })
+      .select(col("mnode").cast(dt).as("mnode"),
+        col("mlabel").cast(dt).as("mlabel"), col("msize"))
+    nodeIds
+      .join(broadcast(mapDf), nodeIds("node") === col("mnode"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("mlabel"), col("node")).as("cluster_id"),
+        coalesce(col("msize"), lit(1L)).as("cluster_size"))
+  }
+}

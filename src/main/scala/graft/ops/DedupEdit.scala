@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Edit-distance duplicates via hashed deletion variants, flat and tiered mixed-depth.
+  *
+  * One family of the [[Dedup]] surface (split from the original
+  * single-file object in r12, hygiene only): every member is mixed
+  * into — and documented as part of — `object Dedup`, which remains
+  * the sole public entry point.
+  */
+private[graft] trait DedupEdit { this: Dedup.type =>
+
+
+  /** Edit-distance near-duplicate pairs for SHORT strings — titles,
+    * product names, queries — where the token-shingle families are
+    * blind (a one-character typo changes no token boundary but should
+    * still pair). Candidate generation is the deletion-neighborhood
+    * trick (SymSpell, public domain): every string explodes to its
+    * deletes of depth ≤ `maxDistance`, and two strings within edit
+    * distance d share a deletion variant at depth ≤ d (substitution =
+    * one delete on each side at the same position; insertion/deletion =
+    * one delete on the longer side) — so the variant-equality join is a
+    * COMPLETE candidate generator, verified exactly with
+    * `levenshtein(a, b) ≤ maxDistance` (the engine's builtin replays in
+    * external SQL). Returns (id_a, id_b, distance), each pair once.
+    *
+    * Exact duplicates pair through the depth-0 variant (the string
+    * itself); null strings never pair; rows longer than `maxLen`
+    * characters are EXCLUDED (neighborhood size is length^depth — this
+    * operator is for short strings; long text belongs to the
+    * MinHash/SimHash families).
+    *
+    * Scale shape: the explode emits ~len^d variants per row (len+1 at
+    * d=1), but what SHUFFLES is (id, xxhash64(variant)) — 16 fixed
+    * bytes per variant row, never the variant or source strings. The
+    * candidate-pair set (post-`distinct`) then re-joins the corpus
+    * twice on id to fetch the two strings for the exact codegen'd
+    * `levenshtein` verify: two corpus-row-count-sized hash joins,
+    * independent of the variant fan-out — at 10M×d=2 that swaps ~2
+    * orders of magnitude of string-shuffle bytes for two id joins. A
+    * hash collision only ever ADDS a candidate pair, which the exact
+    * verify rejects; results are hash-independent. `maxDistance` ≤ 2
+    * enforced — depth-2 already multiplies rows by ~len²/2, the
+    * documented ceiling of the trick (BASELINE.md carries the 10M-title
+    * stress for both depths).
+    */
+  def editDistanceDuplicates(df: DataFrame, idCol: String, strCol: String,
+                             maxDistance: Int = 1,
+                             maxLen: Int = 128): DataFrame = {
+    require(maxDistance >= 1 && maxDistance <= 2,
+      "maxDistance must be 1 or 2 (deletion-neighborhood depth)")
+    require(maxLen >= 1 && maxLen <= 1024, "maxLen must be in [1, 1024]")
+    val base = df.select(col(idCol), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull && length(col("__s")) <= maxLen)
+    // guard the empty string: sequence(0, -1) would step DOWNWARD
+    def dels(s: Column): Column =
+      when(length(s) > 0,
+        transform(sequence(lit(0), length(s) - 1), i =>
+          concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
+        .otherwise(array().cast("array<string>"))
+    val d1 = dels(col("__s"))
+    val variants =
+      if (maxDistance == 1) array_distinct(concat(array(col("__s")), d1))
+      else array_distinct(concat(array(col("__s")), d1,
+        flatten(transform(d1, v => dels(v)))))
+    // only (id, 8-byte variant hash) ever shuffles; candidate pairs
+    // collapse BEFORE any string is fetched for the verify
+    val keyed = base
+      .select(col(idCol), explode(variants).as("__v"))
+      .select(col(idCol), xxhash64(col("__v")).as("__vh"))
+    val a = keyed.select(col(idCol).as("id_a"), col("__vh"))
+    val b = keyed.select(col(idCol).as("id_b"), col("__vh").as("__vhb"))
+    val cands = a.join(b, a("__vh") === b("__vhb") && a("id_a") < b("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(base.select(col(idCol).as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("__s").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).cast("long").as("distance"))
+      .filter(col("distance") <= maxDistance)
+  }
+
+  /** Length-tiered [[editDistanceDuplicates]] — the documented fallback
+    * for corpora where depth-2 over the FULL length range blows past
+    * executor/disk budgets (the 10M×19-char d=2 stress spilled >73 GB
+    * on one 32-thread box and ran neither rep to completion; BASELINE
+    * r11): the d=2 fan-out is ~len²/2 variants per row, so pushing the
+    * depth-2 guarantee down to the strings that are actually short
+    * caps the explode at ~d2MaxLen²/2 while the cheap depth-1 pass
+    * still covers every length up to `maxLen`.
+    *
+    * Returned pair guarantee — exact, tier-wise:
+    *  - distance ≤ 1: complete over ALL strings ≤ `maxLen` (the d=1
+    *    pass, identical to [[editDistanceDuplicates]] semantics);
+    *  - distance = 2: complete where BOTH strings are ≤ `d2MaxLen`
+    *    (the d=2 pass on the short tier). A distance-2 pair with a
+    *    long member is NOT reported — deliberately: guaranteeing it
+    *    requires depth-2 deletes of the long side, which is exactly
+    *    the cost this variant exists to avoid.
+    *
+    * Each qualifying pair appears exactly once. ONE mixed-depth pass:
+    * rows ≤ `d2MaxLen` explode to depth-2 deletes, longer rows to
+    * depth-1, through a single hashed-variant self-join (the
+    * [[editDistanceDuplicates]] shuffle shape), and the tier rule is
+    * the verify predicate — completeness per tier follows from both
+    * members of a guaranteed pair exploding to the depth that pair
+    * needs (d≤1 pairs: depth ≥1 on both sides always; d=2 pairs with
+    * both short: depth 2 on both sides). A depth-2/depth-1 join can
+    * surface a distance-2 candidate with a long member; the predicate
+    * drops it, keeping the contract partition-independent.
+    */
+  def editDistanceDuplicatesTiered(df: DataFrame, idCol: String,
+                                   strCol: String, d2MaxLen: Int = 32,
+                                   maxLen: Int = 128): DataFrame = {
+    require(d2MaxLen >= 1 && d2MaxLen <= maxLen,
+      "d2MaxLen must be in [1, maxLen]")
+    require(maxLen <= 1024, "maxLen must be in [1, 1024]")
+    val base = df.select(col(idCol), col(strCol).as("__s"))
+      .filter(col("__s").isNotNull && length(col("__s")) <= maxLen)
+    def dels(s: Column): Column =
+      when(length(s) > 0,
+        transform(sequence(lit(0), length(s) - 1), i =>
+          concat(s.substr(lit(1), i), s.substr(i + lit(2), length(s)))))
+        .otherwise(array().cast("array<string>"))
+    val d1 = dels(col("__s"))
+    val variants = when(length(col("__s")) <= d2MaxLen,
+        array_distinct(concat(array(col("__s")), d1,
+          flatten(transform(d1, v => dels(v))))))
+      .otherwise(array_distinct(concat(array(col("__s")), d1)))
+    val keyed = base
+      .select(col(idCol), explode(variants).as("__v"))
+      .select(col(idCol), xxhash64(col("__v")).as("__vh"))
+    val a = keyed.select(col(idCol).as("id_a"), col("__vh"))
+    val b = keyed.select(col(idCol).as("id_b"), col("__vh").as("__vhb"))
+    val cands = a.join(b, a("__vh") === b("__vhb") && a("id_a") < b("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(base.select(col(idCol).as("id_a"), col("__s").as("__sa")), "id_a")
+      .join(base.select(col(idCol).as("id_b"), col("__s").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__sa"), col("__sb")).cast("long").as("distance"),
+        length(col("__sa")).as("__la"), length(col("__sb")).as("__lb"))
+      .filter(col("distance") <= 1 ||
+        (col("distance") === 2 &&
+          col("__la") <= d2MaxLen && col("__lb") <= d2MaxLen))
+      .select("id_a", "id_b", "distance")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact deduplication: digest-keyed survivor selection, composite keys, fingerprints, provenance, normalized keys.
+  *
+  * One family of the [[Dedup]] surface (split from the original
+  * single-file object in r12, hygiene only): every member is mixed
+  * into — and documented as part of — `object Dedup`, which remains
+  * the sole public entry point.
+  */
+private[graft] trait DedupExact { this: Dedup.type =>
+
+  // ---- exact -----------------------------------------------------------
+
+  /** Exact dedup: one survivor (min `idCol`) per identical value of
+    * `keyCol`. Returns the input columns plus `dup_count`.
+    *
+    * ONE exchange: `min_by(struct(row), id)` folds survivor selection
+    * into the aggregation itself (partial agg keeps one candidate row
+    * per key per partition, so the map side already collapses clone
+    * floods), where the agg-then-rejoin form would shuffle the full
+    * input a second time against the survivor set. Ties on the minimum
+    * id keep exactly one row (the "one survivor" contract), not every
+    * tied row as a rejoin would — WHICH tied row is
+    * partitioning-dependent, so make `idCol` unique when byte-exact
+    * replayability across runs matters. A group whose every id is NULL
+    * has no selectable survivor (`min_by` skips NULL ordering values)
+    * and is dropped, matching the rejoin form; the NULL-struct guard
+    * below is what prevents such a group from fabricating an all-NULL
+    * output row.
+    */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    survivorAgg(df, col(keyCol), idCol, "dup_count")
+      .select(col("__row.*") +: Seq(col("dup_count")): _*)
+
+  /** The one-exchange survivor aggregate shared by every exact-dedup
+    * entry point: one `min_by(struct(row), id)` row per key (kept as
+    * `__key`, with the full surviving row under `__row`), plus the
+    * group's occurrence count. The NULL-struct guard drops groups whose
+    * every id is NULL — `min_by` skips NULL ordering values and would
+    * otherwise fabricate an all-NULL row. This is THE definition of the
+    * engine's survivor/NULL/tie semantics; keep it in one place.
+    */
+  private[ops] def survivorAgg(df: DataFrame, key: Column, idCol: String,
+                          countAlias: String): DataFrame =
+    df.groupBy(key.as("__key"))
+      .agg(min_by(struct(df.columns.toIndexedSeq.map(col): _*),
+          col(idCol)).as("__row"),
+        count(lit(1)).as(countAlias))
+      .where(col("__row").isNotNull)
+
+  /** [[exact]] over a COMPOSITE key — one survivor per distinct
+    * combination of `keyCols` (e.g. (url, normalized_title)). The struct
+    * key keeps the same one-exchange shape; a NULL component makes two
+    * keys distinct-by-that-component equal only if both are NULL, the
+    * usual struct grouping semantics.
+    */
+  def exactByColumns(df: DataFrame, keyCols: Seq[String],
+                     idCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "exactByColumns needs at least one key column")
+    survivorAgg(df, struct(keyCols.map(col): _*), idCol, "dup_count")
+      .select(col("__row.*") +: Seq(col("dup_count")): _*)
+  }
+
+  /** Exact dedup by content digest — at scale, shuffle the digest, not the
+    * text: groupBy md5(text). Same one-exchange `min_by` shape (and the
+    * same NULL/tie semantics) as [[exact]]; the payload shuffles once,
+    * keyed by its own 128-bit digest, and never meets a join. NULL texts
+    * share the NULL digest, so they collapse to one surviving NULL-text
+    * row rather than being dropped — a dedup should not silently discard
+    * documents.
+    */
+  def exactByFingerprint(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame =
+    survivorAgg(df, TextAnalysis.fingerprint(col(textCol)), idCol,
+        "dup_count")
+      .select(col("__row.*") +: Seq(col("dup_count")): _*)
+}

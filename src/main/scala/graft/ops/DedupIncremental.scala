@@ -1,0 +1,379 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Incremental ingest: batch-vs-corpus digest joins, Bloom prefilters (whole and sharded), snapshot diffs.
+  *
+  * One family of the [[Dedup]] surface (split from the original
+  * single-file object in r12, hygiene only): every member is mixed
+  * into — and documented as part of — `object Dedup`, which remains
+  * the sole public entry point.
+  */
+private[graft] trait DedupIncremental { this: Dedup.type =>
+
+
+  /** Incremental-ingest dedup: from a new `batch`, keep one survivor (min
+    * `idCol`) per content digest that does NOT already appear in the
+    * existing `corpus` — the snapshot-ingest path of a continuously grown
+    * training corpus (each crawl/delivery is deduplicated within itself
+    * and against everything already accepted, without ever re-deduping
+    * the accepted set).
+    *
+    * Scale shape: the corpus side collapses to its DISTINCT 128-bit
+    * digests before the join — a map-side-combinable aggregation whose
+    * output is 16 bytes/doc regardless of document size — and the
+    * batch's `min_by` survivor aggregate (same one-exchange shape and
+    * NULL/tie semantics as [[exact]]) joins it LEFT ANTI on the digest.
+    * The batch payload shuffles exactly ONCE, into its own aggregate
+    * (map-side partials collapse within-batch clones before the wire);
+    * the pre-min_by form shuffled the full batch a second time to
+    * rejoin survivors, and needed a (digest AND id) rejoin condition to
+    * avoid resurrecting dropped rows under duplicate ids — folding
+    * selection into the agg removes that hazard entirely. When the
+    * survivor digest set fits in memory AQE turns the anti-join into a
+    * broadcast; at 100 TB corpus scale it degrades to a shuffled hash
+    * join on fixed 16-byte keys. In production the corpus digest set
+    * would be the persisted artifact of the previous ingest (write
+    * `corpusDigests` once, reuse every batch). NULL-text batch rows
+    * collapse to one survivor and are always "new" (a NULL digest never
+    * equals a corpus digest).
+    *
+    * Returns the batch's columns plus `batch_dup_count` (how many times
+    * the surviving digest occurred within the batch).
+    */
+  def incremental(batch: DataFrame, corpus: DataFrame, textCol: String,
+                  idCol: String): DataFrame =
+    incrementalAgainstDigests(batch, corpusDigests(corpus, textCol),
+      textCol, idCol)
+
+  /** [[incremental]] against a PREBUILT digest frame (the persisted
+    * [[corpusDigests]] artifact) — the production ingest entry point:
+    * the accepted corpus is never re-read, only its 16-byte-per-doc
+    * membership artifact is.
+    */
+  def incrementalAgainstDigests(batch: DataFrame, corpusDigestsDf: DataFrame,
+                                textCol: String, idCol: String): DataFrame =
+    batchSurvivors(batch, textCol, idCol)
+      .join(corpusDigestsDf, Seq("__fp"), "left_anti")
+      .select(col("__row.*") +: Seq(col("batch_dup_count")): _*)
+
+  /** The within-batch survivor aggregate shared by [[incremental]] and
+    * [[incrementalBloom]]: one `min_by` row per content digest, with the
+    * digest kept as `__fp` for the membership join and the occurrence
+    * count as `batch_dup_count`.
+    */
+  private[ops] def batchSurvivors(batch: DataFrame, textCol: String,
+                             idCol: String): DataFrame =
+    survivorAgg(batch, TextAnalysis.fingerprint(col(textCol)), idCol,
+        "batch_dup_count")
+      .withColumnRenamed("__key", "__fp")
+
+  /** [[incremental]] with a Bloom membership prefilter — identical
+    * result (the exact anti-join still adjudicates every possible
+    * duplicate), but the overwhelmingly-common case at ingest time, a
+    * genuinely new document, never reaches the join.
+    *
+    * Scale shape: the corpus digest set aggregates once into Spark's own
+    * Bloom sketch (`BloomFilterAggregate` over `xxhash64(digest)` — the
+    * same expression pair the engine's runtime join filters inject), and
+    * batch survivor digests probe it through the codegen'd
+    * `BloomFilterMightContain` with the sketch embedded as a plan
+    * literal. A negative probe is DEFINITELY new (Bloom filters have no
+    * false negatives) and bypasses the anti-join; only true duplicates
+    * plus the false-positive sliver shuffle against the corpus digests,
+    * shrinking the join's batch side from |batch| to |dups| + fpp·|batch|
+    * rows. In production the serialized sketch is the natural companion
+    * artifact to [[corpusDigests]]: rebuild (or union — Bloom bitsets
+    * OR together) per accepted snapshot, probe on every ingest.
+    *
+    * Sizing: `expectedCorpusDocs` at Spark's default fpp costs ~1.2 MB
+    * per 10^6 documents, and Spark's aggregate refuses expectations above
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4e6)
+    * / `maxNumBits` (default 8 MB) — [[digestSketch]] fails fast with the
+    * conf names. Past the conf ceiling, shard the digest space with
+    * [[shardedDigestSketch]]/[[bloomRouteSharded]] (each shard sizes
+    * independently) or fall back to [[incremental]]'s plain anti-join on
+    * 16-byte keys — correctness never depends on the sketch, so the
+    * fallback is free.
+    */
+  def incrementalBloom(batch: DataFrame, corpus: DataFrame, textCol: String,
+                       idCol: String, expectedCorpusDocs: Long): DataFrame = {
+    val seen = tracked(corpusDigests(corpus, textCol)) // bloom build + anti-join
+    incrementalBloom(batch, seen, textCol, idCol,
+      digestSketch(seen, expectedCorpusDocs))
+  }
+
+  /** The artifact form of [[incrementalBloom]]: both membership
+    * artifacts — the digest frame AND the serialized sketch — are
+    * PREBUILT (persisted once per accepted snapshot, loaded per ingest),
+    * so an ingest pays only the batch aggregate plus the routed
+    * anti-join, never a corpus-side pass.
+    *
+    * Measured honestly (BASELINE.md, 1M digests / 200k batch / 95% new):
+    * the plain [[incrementalAgainstDigests]] anti-join BEAT this path in
+    * both the broadcast regime (3.7 vs 4.3 s) and the forced-shuffle
+    * regime (2.9 vs 5.0 s) — the digest side shuffles fully either way,
+    * so the sketch saves only batch-side volume while paying a survivor
+    * cache and a two-branch union. The verdict FLIPS as the corpus
+    * outgrows the batch: at 10^7 digests / 2M batch the sharded route
+    * measured 3.5 s vs the plain anti-join's 5.2 (BASELINE.md r7) —
+    * the batch-side shrink then outweighs the union overhead. Also
+    * reach for it when the batch payload is very wide AND the digest
+    * artifact is co-partitioned with the batch shuffle (digest side
+    * then never moves), or when you want the sketch itself: ~1.3 MB
+    * per 10^6 docs, probeable with `graft_might_contain` from any SQL
+    * context — a membership summary cheap enough to hand to services
+    * that can't touch the corpus.
+    * Results are identical to [[incremental]] at any false-positive
+    * rate; only the plan differs.
+    */
+  def incrementalBloom(batch: DataFrame, corpusDigestsDf: DataFrame,
+                       textCol: String, idCol: String,
+                       sketch: Array[Byte]): DataFrame = {
+    val survivors0 = batchSurvivors(batch, textCol, idCol)
+    // the cache pays off only when bloomRoute's two branches re-read it;
+    // a null sketch (empty corpus) is a single pass-through read
+    val survivors = if (sketch == null) survivors0 else tracked(survivors0)
+    bloomRoute(survivors, corpusDigestsDf, sketch)
+      .select(col("__row.*") +: Seq(col("batch_dup_count")): _*)
+  }
+
+  /** The serialized Bloom membership sketch of a digest frame (column
+    * `__fp`, as produced by [[corpusDigests]]) — one `graft_bloom_agg`
+    * pass; `null` for an empty frame. Persist alongside the digest
+    * artifact and feed to [[bloomRoute]] (or its streaming twin) at
+    * ingest time.
+    */
+  def digestSketch(digests: DataFrame, expectedItems: Long): Array[Byte] = {
+    graft.functions.GraftFunctions.ensureRegistered(digests.sparkSession)
+    // Spark's BloomFilterAggregate rejects expectedItems above
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems (default 4e6)
+    // at ANALYSIS time with an opaque type-check error — surface the
+    // limit and the two ways past it (raise the conf, or shard via
+    // [[shardedDigestSketch]]) before the plan ever builds.
+    val maxItems = digests.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    require(expectedItems > 0 && expectedItems <= maxItems,
+      s"expectedItems=$expectedItems outside (0, $maxItems]: raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems (and " +
+        "maxNumBits) or use the sharded sketch variant for larger corpora")
+    digests
+      .agg(call_function("graft_bloom_agg", col("__fp"),
+        lit(expectedItems)).as("bloom"))
+      .head().getAs[Array[Byte]]("bloom")
+  }
+
+  /** Membership routing shared by the batch and streaming Bloom ingest
+    * paths: rows of `keyed` (must carry a `__fp` digest column) that the
+    * sketch has DEFINITELY never seen bypass the anti-join; possible
+    * members adjudicate exactly against `digests`. A null sketch (empty
+    * corpus) means nothing can be a member. Result is sketch-independent
+    * by construction — the sketch only routes.
+    */
+  private[graft] def bloomRoute(keyed: DataFrame, digests: DataFrame,
+                                sketch: Array[Byte]): DataFrame =
+    if (sketch == null) keyed
+    else {
+      // register here, not only in digestSketch: the artifact form loads
+      // the sketch bytes from disk and reaches this probe without ever
+      // building a sketch in this session
+      graft.functions.GraftFunctions.ensureRegistered(keyed.sparkSession)
+      val mightContain =
+        call_function("graft_might_contain", lit(sketch), col("__fp"))
+      keyed.where(!mightContain).unionByName(
+        keyed.where(mightContain).join(digests, Seq("__fp"), "left_anti"))
+    }
+
+  /** The digest-range-SHARDED membership sketch: `shards` independent
+    * Bloom sketches, sketch `s` built over exactly the digests with
+    * [[digestShard]]`(__fp) == s` — the scale path past the monolithic
+    * [[digestSketch]]'s conf ceiling (4e6 expected items / 8 MB bits by
+    * default). Each shard sizes independently to `expectedItemsPerShard`
+    * (= |corpus| / shards for a uniform digest space — md5 is), so a
+    * 10^9-doc corpus at 256 shards is 256 × ~4M-item sketches instead of
+    * one unbuildable 4-billion-item one, and shard sketches
+    * rebuild/persist independently per ingest. One aggregation pass over
+    * the digest frame (map-side combinable, `shards` result rows).
+    * Entries for empty shards are null — [[bloomRouteSharded]] treats a
+    * null shard as "definitely not a member", which is exact (nothing
+    * was inserted there).
+    */
+  def shardedDigestSketch(digests: DataFrame, shards: Int,
+                          expectedItemsPerShard: Long): Array[Array[Byte]] = {
+    require(shards >= 1, "shards must be >= 1")
+    // Same analysis-time ceiling as [[digestSketch]], applied PER SHARD:
+    // each shard's graft_bloom_agg sizes to expectedItemsPerShard, so an
+    // over-ceiling per-shard estimate dies with the same opaque
+    // type-check error the monolithic path fails fast on. Surface it
+    // here too — the fix at scale is more shards, not a bigger sketch.
+    val maxItems = digests.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    require(expectedItemsPerShard > 0 && expectedItemsPerShard <= maxItems,
+      s"expectedItemsPerShard=$expectedItemsPerShard outside (0, " +
+        s"$maxItems]: raise shards (items spread uniformly across the " +
+        "md5 digest space) or raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems (and " +
+        "maxNumBits)")
+    graft.functions.GraftFunctions.ensureRegistered(digests.sparkSession)
+    val rows = digests
+      .groupBy(digestShard(col("__fp"), shards).as("__shard"))
+      .agg(call_function("graft_bloom_agg", col("__fp"),
+        lit(expectedItemsPerShard)).as("bloom"))
+      .collect()
+    val out = new Array[Array[Byte]](shards)
+    rows.foreach(r => out(r.getInt(0)) = r.getAs[Array[Byte]](1))
+    out
+  }
+
+  /** The shard-routing function shared by [[shardedDigestSketch]] builds
+    * and [[bloomRouteSharded]] probes: murmur3 of the digest bytes mod
+    * `shards`. Deliberately a DIFFERENT hash family from the sketches'
+    * internal xxhash64, so shard membership carries no information about
+    * Bloom bit positions within a shard.
+    */
+  private[graft] def digestShard(fp: Column, shards: Int): Column =
+    pmod(hash(fp), lit(shards))
+
+  /** [[bloomRoute]] against a sharded sketch ([[shardedDigestSketch]]):
+    * identical routing semantics — a negative probe of the row's OWN
+    * shard sketch bypasses the anti-join — with the N deserialized
+    * filters carried as a plan reference and indexed per row
+    * (`graft_sharded_might_contain`). Result is sketch-independent by
+    * construction, exactly as [[bloomRoute]].
+    */
+  private[graft] def bloomRouteSharded(keyed: DataFrame, digests: DataFrame,
+                                       sketches: Array[Array[Byte]]): DataFrame =
+    if (sketches == null || sketches.forall(_ == null)) keyed
+    else {
+      graft.functions.GraftFunctions.ensureRegistered(keyed.sparkSession)
+      val mightContain = call_function("graft_sharded_might_contain",
+        typedLit(sketches.toSeq), digestShard(col("__fp"), sketches.length),
+        col("__fp"))
+      keyed.where(!mightContain).unionByName(
+        keyed.where(mightContain).join(digests, Seq("__fp"), "left_anti"))
+    }
+
+  /** The sharded-artifact form of [[incrementalBloom]]: both persisted
+    * membership artifacts — the digest frame and the PER-SHARD sketch
+    * array — are prebuilt, so an ingest pays only the batch aggregate
+    * plus the routed anti-join. Semantics identical to [[incremental]]
+    * at any shard count (the sketches only route).
+    */
+  def incrementalBloomSharded(batch: DataFrame, corpusDigestsDf: DataFrame,
+                              textCol: String, idCol: String,
+                              sketches: Array[Array[Byte]]): DataFrame = {
+    val survivors0 = batchSurvivors(batch, textCol, idCol)
+    val noSketch = sketches == null || sketches.forall(_ == null)
+    val survivors = if (noSketch) survivors0 else tracked(survivors0)
+    bloomRouteSharded(survivors, corpusDigestsDf, sketches)
+      .select(col("__row.*") +: Seq(col("batch_dup_count")): _*)
+  }
+
+  /** The persisted membership artifact behind [[incremental]]: the
+    * DISTINCT content digests of a corpus, one 16-byte row per unique
+    * document. Write this once per accepted snapshot; later ingests
+    * anti-join against it instead of against the corpus itself.
+    */
+  def corpusDigests(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .distinct()
+
+  /** Exact-dedup PROVENANCE: one (dropped_id, survivor_id) row per
+    * discarded document — the audit trail a corpus build logs next to
+    * its survivors ("where did my document go?"), and the reverse index
+    * that lets duplicate-weighted analyses re-expand. Survivor choice
+    * matches [[exactByFingerprint]] exactly (min id per content
+    * digest, NULL texts share the NULL digest), so the pair frame is
+    * the complement of that operator's output on the same input.
+    *
+    * Scale shape: deliberately NOT a `collect_list` per digest (a
+    * pathological dup group — blank pages — would build one giant
+    * array); instead one min-aggregate on the 16-byte digest and one
+    * digest-keyed join back, both fixed-width shuffles, output sized by
+    * the drop count.
+    */
+  def exactProvenance(df: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val fp = df.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val surv = fp.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("survivor_id"))
+      .select(col("__fp").as("__fp2"), col("survivor_id"))
+    // null-SAFE digest join: NULL texts share the NULL digest group in
+    // exactByFingerprint, so their dropped ids must get provenance too
+    fp.join(surv, col("__fp") <=> col("__fp2"))
+      .filter(col(idCol) =!= col("survivor_id"))
+      .select(col(idCol).as("dropped_id"), col("survivor_id"))
+  }
+
+  /** Delta between two corpus snapshots by content digest: which ids were
+    * `added`, `removed`, or `changed` in `newSnap` relative to `oldSnap`.
+    * Unchanged documents — the overwhelming majority of a real snapshot
+    * pair — are not emitted: the output is delta-sized, and it is what
+    * drives incremental downstream work (re-embed the changed docs,
+    * retire the removed ones) without re-processing either snapshot.
+    *
+    * Scale shape: each side is projected to (id, 16-byte md5) BEFORE the
+    * full-outer join, so the join's two exchanges move fixed-width
+    * ~50-byte rows — the document text never shuffles. The verdict
+    * compares digests, not text, so the join itself is cheap regardless
+    * of document size.
+    *
+    * PRECONDITION: `idCol` unique per row within each snapshot (as for
+    * [[stripCovered]]); a duplicated id would fan the full-outer join out.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, textCol: String): DataFrame =
+    diffDigestFrames(
+      oldSnap.select(col(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as("__od")),
+      newSnap.select(col(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as("__nd")),
+      idCol)
+
+  /** The persisted side of [[snapshotDiff]]: the (id, digest) catalog of
+    * an accepted snapshot — ~50 bytes per document regardless of document
+    * size. Write this once per snapshot; the next snapshot diffs against
+    * it via [[snapshotDiffAgainstDigests]] without the old corpus ever
+    * being re-read.
+    */
+  def snapshotDigests(snap: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    snap.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+
+  /** [[snapshotDiff]] in its production form: the old side is a persisted
+    * [[snapshotDigests]] artifact, so computing "what changed since the
+    * last accepted snapshot" costs one scan of the NEW snapshot plus a
+    * fixed-width join against the catalog — the 100 TB old corpus
+    * contributes only its ~50-byte-per-doc digest rows.
+    */
+  def snapshotDiffAgainstDigests(oldDigests: DataFrame, newSnap: DataFrame,
+                                 idCol: String, textCol: String): DataFrame =
+    diffDigestFrames(
+      oldDigests.select(col(idCol), col("__fp").as("__od")),
+      newSnap.select(col(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as("__nd")),
+      idCol)
+
+  /** Presence is tracked by flag columns, not by digest nullness: a row
+    * whose TEXT is null has a null digest but still EXISTS in its
+    * snapshot, and must diff as present (null vs null text → unchanged,
+    * null vs non-null → changed, via null-safe equality) — keying
+    * presence off the digest would misread it as added/removed.
+    */
+  private[ops] def diffDigestFrames(o: DataFrame, n: DataFrame,
+                               idCol: String): DataFrame =
+    o.withColumn("__po", lit(1))
+      .join(n.withColumn("__pn", lit(1)), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
+          .when(!(col("__od") <=> col("__nd")), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+}

@@ -1,0 +1,453 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Shingling, MinHash signatures, banded LSH buckets, persisted near-dup artifacts, incremental near-dup.
+  *
+  * One family of the [[Dedup]] surface (split from the original
+  * single-file object in r12, hygiene only): every member is mixed
+  * into — and documented as part of — `object Dedup`, which remains
+  * the sole public entry point.
+  */
+private[graft] trait DedupMinHash { this: Dedup.type =>
+
+  // ---- shingles ---------------------------------------------------------
+
+  /** Distinct word n-gram shingles of a text column, as an array column.
+    * Pure expression: sequence + transform + slice, no explode.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) < n, array())
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  /** The inverted index: one row per (doc, distinct shingle), with the
+    * shingle collapsed to a 64-bit hash of its token-hash window (the
+    * same keys the MinHash kernel ranks) — every downstream join and
+    * aggregate works on 8-byte keys and no shingle string is ever built.
+    */
+  def shingleHashFrame(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+      explode(call_function("graft_shingle_hashes", col(textCol), lit(n)))
+        .as("__h"))
+  }
+
+  // ---- MinHash + LSH -----------------------------------------------------
+
+  /** Choose LSH banding parameters for a Jaccard `threshold`: among the
+    * (bands, rows) factorizations of `numHashes`, pick the one whose
+    * collision S-curve `1 − (1 − s^rows)^bands` best approximates the
+    * ideal step at the threshold, weighting the false-positive integral
+    * (collisions below `threshold`) by `fpWeight` and the
+    * false-negative integral (misses above) by `1 − fpWeight` — the
+    * standard banding-parameter optimization (Leskovec/Rajaraman/Ullman
+    * ch. 3; the same criterion the public `datasketch` library
+    * optimizes). Verification-backed pipelines here reject every band
+    * false positive exactly, so bias `fpWeight` LOW (cheap false
+    * positives, irrecoverable false negatives) — the 0.25 default;
+    * candidate-only pipelines should raise it.
+    *
+    * Driver-side pure arithmetic (numerical integration over ≤
+    * numHashes factorizations × 1000 points) — call once, pass the
+    * result to [[minhashDuplicatesVerified]]/[[minhashBandBuckets]].
+    * Returns (bands, rows) with bands·rows = numHashes.
+    */
+  def minhashParams(threshold: Double, numHashes: Int = 128,
+                    fpWeight: Double = 0.25): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      "threshold must be in (0, 1)")
+    require(numHashes >= 2, "numHashes must be >= 2")
+    require(fpWeight >= 0.0 && fpWeight <= 1.0,
+      "fpWeight must be in [0, 1]")
+    val candidates = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    val n = 1000
+    def error(bands: Int, rows: Int): Double = {
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < n) {
+        val s = (i + 0.5) / n
+        val p = 1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      (fpWeight * fp + (1.0 - fpWeight) * fn) / n
+    }
+    candidates.minBy { case (b, r) => error(b, r) }
+  }
+
+  /** MinHash signature per doc: (idCol, minhash: array<long> of length
+    * numHashes). A single shuffle-free projection through the native
+    * [[graft.functions.MinhashSignature]] kernel (xxhash64 per shingle, k
+    * affine permutations mod 2^31-1, running minima — the MLlib-style
+    * bound that keeps every product within a long). Docs with no shingles
+    * (fewer than `shingleSize` tokens) are absent — they cannot be
+    * near-duplicates by this metric.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, numHashes: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        call_function("graft_minhash", col(textCol),
+          lit(shingleSize), lit(numHashes)).as("minhash"))
+      .filter(col("minhash").isNotNull)
+  }
+
+  /** One row per (doc, band) with the band's bucket key = hash of the
+    * signature slice. The only per-row lambda left in the MinHash path —
+    * `bands` elements over an in-memory array, negligible.
+    */
+  private[ops] def bandedBuckets(sig: DataFrame, idCol: String,
+                            numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sig.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("minhash"), b * r + 1, lit(r)), b)))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) sharing at least one band.
+    *
+    * `maxBucketSize` (0 = unlimited) drops buckets above the cap before
+    * the self-join — the skew guard for massive duplicate clusters, which
+    * put all their members in the same bucket in EVERY band and would
+    * otherwise go quadratic (a 100k-identical-document cluster is 5e9
+    * pairs). Such clusters are exact duplicates or near-exact ones;
+    * handle them with [[exactByFingerprint]] FIRST (see
+    * [[dedupPipeline]]), then the capped LSH pass only needs to find the
+    * non-identical near-dups.
+    */
+  /** The bucket-size skew guard shared by every LSH path: drop (band,
+    * bucket) groups larger than `maxBucketSize` (0 = keep all).
+    */
+  private[ops] def capBuckets(banded: DataFrame, maxBucketSize: Long): DataFrame =
+    if (maxBucketSize <= 0L) banded
+    else {
+      val ok = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucketSize)
+        .select("band", "bucket")
+      banded.join(ok, Seq("band", "bucket"))
+    }
+
+  private[ops] def candidatePairs(banded: DataFrame, idCol: String,
+                             maxBucketSize: Long = 0L): DataFrame = {
+    val kept = capBuckets(banded, maxBucketSize)
+    val a = kept.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = kept.select(col(idCol).as("id_b"), col("band").as("band_b"),
+      col("bucket").as("bucket_b"))
+    a.join(b,
+        a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
+          a("id_a") < b("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** LSH candidate pairs with the number of shared bands — the raw
+    * recall-tuning view. Returns (id_a, id_b, n_shared_bands).
+    */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 3, numHashes: Int = 64,
+                    bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sig = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .transform(tracked)
+    val banded = bandedBuckets(sig, idCol, numHashes, bands)
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band").as("band_b"),
+      col("bucket").as("bucket_b"))
+    a.join(b,
+        a("band") === b("band_b") && a("bucket") === b("bucket_b") &&
+          a("id_a") < b("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** MinHash near-dup pass with the Jaccard ESTIMATED from signature
+    * agreement: LSH candidates, then keep pairs with est ≥ threshold.
+    * Returns (id_a, id_b, est_jaccard). Cheapest variant — one pass over
+    * the signatures, no second look at the shingles.
+    */
+  def minhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.8, shingleSize: Int = 3,
+                        numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .transform(tracked)
+    val cands = candidatePairs(bandedBuckets(sigs, idCol, numHashes, bands),
+      idCol)
+    val sa = sigs.select(col(idCol).as("id_a"), col("minhash").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("minhash").as("sig_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          (x === y).cast("int")), v => v === 1)).cast("double") /
+          size(col("sig_a")).cast("double"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** The production near-dup pipeline: MinHash-LSH candidate generation,
+    * then EXACT n-gram Jaccard verification of the candidates over the
+    * same shingle index. Returns (id_a, id_b, jaccard) with the true
+    * Jaccard — so the output equals the all-pairs exact computation
+    * whenever the banding recall holds (P[miss] = (1-t^r)^b; at t=0.8,
+    * r=4, b=32 that is ~5e-8 per pair), at a fraction of the cost.
+    */
+  def minhashDuplicatesVerified(df: DataFrame, idCol: String, textCol: String,
+                                threshold: Double = 0.8, shingleSize: Int = 3,
+                                numHashes: Int = 128, bands: Int = 32,
+                                maxBucketSize: Long = 0L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // Verification stays ONE row per candidate pair: each doc carries its
+    // distinct shingle hashes as a single sorted array (a pure projection
+    // — no explode, no regroup), the pair join attaches two arrays, and
+    // the codegen'd merge-scan kernel counts the intersection in place.
+    // The previous formulation exploded both sides to (pair, hash) rows
+    // and counted through a join + aggregate; at the 10M mutated-family
+    // stress (250k unique docs, ~6.1M candidate pairs) that meant ~305M
+    // intermediate rows and a 56 GiB spill. Array payloads are bounded by
+    // document shingle counts (~8 bytes per distinct shingle), and the
+    // candidate set — already bounded by banding + maxBucketSize — is the
+    // only thing that ever shuffles them.
+    val arrs = df
+      .select(col(idCol),
+        sort_array(call_function("graft_shingle_hashes", col(textCol),
+          lit(shingleSize))).as("__sharr"))
+      .filter(col("__sharr").isNotNull)
+      .transform(tracked)
+    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes)
+      .transform(tracked)
+    val cands = candidatePairs(bandedBuckets(sigs, idCol, numHashes, bands),
+      idCol, maxBucketSize)
+    cands
+      .join(arrs.toDF("id_a", "__aa"), "id_a")
+      .join(arrs.toDF("id_b", "__ab"), "id_b")
+      .withColumn("__inter",
+        call_function("graft_sorted_intersect_count",
+          col("__aa"), col("__ab")))
+      // zero-overlap candidates never surface (the explode-join form had
+      // no inner-join row for them), so threshold=0 behaves identically
+      .filter(col("__inter") > 0)
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (size(col("__aa")) + size(col("__ab")) - col("__inter"))
+            .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** The banding view as a PUBLIC, persistable artifact: one row per
+    * (doc, band) with the band's bucket key. Together with
+    * [[shingleHashFrame]] this is the near-dup membership index of an
+    * accepted corpus — write both once per snapshot, and later ingests
+    * run [[incrementalNearDup]] against them without recomputing corpus
+    * signatures or re-reading corpus text. The (shingleSize, numHashes,
+    * bands) parameters are part of the artifact contract: a batch probed
+    * with different parameters produces incomparable buckets.
+    */
+  def minhashBandBuckets(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, numHashes: Int = 128,
+                         bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandedBuckets(
+      minhashSignatures(df, idCol, textCol, shingleSize, numHashes),
+      idCol, numHashes, bands)
+  }
+
+  /** Write the near-dup membership artifacts as BUCKETED catalog tables
+    * — the zero-corpus-shuffle ingest path. A parquet-directory artifact
+    * (the [[minhashBandBuckets]] docs' default) re-shuffles its full
+    * corpus-sized bucket frame on (band, bucket) for EVERY ingest's
+    * candidate join — the one remaining corpus-sized exchange in
+    * [[incrementalNearDup]] (11 s of the 22 s probe at the 1M-doc
+    * stress). Writing the artifact `bucketBy(numBuckets, band, bucket)`
+    * (and the shingle artifact `bucketBy(numBuckets, idCol)`) records
+    * the physical layout in the catalog, so the probe's joins satisfy
+    * their distribution requirement from the scan itself: only the
+    * (small) batch side exchanges — spec-asserted — and the saving is
+    * per ingest, forever, for one bucketed write per snapshot.
+    * Read back with `spark.table(...)` and pass to
+    * [[incrementalNearDup]] unchanged; results are identical (bucketing
+    * is physical layout only — q72 proves it against the q54 oracle
+    * shape).
+    *
+    * Sizing `numBuckets`: the probe's zero-exchange plan buffers bucket
+    * files in place where the flat plan's exchange would spill — its
+    * peak task memory tracks corpus_size/numBuckets (measured at the
+    * 10M-doc stress: 24.9 GiB peak at 64 buckets, and the probe died
+    * under a heap the flat path survived in; BASELINE r8). At a fixed
+    * executor memory, a bigger corpus means MORE buckets, not more
+    * spill headroom.
+    */
+  def nearDupArtifactsSaveBucketed(corpus: DataFrame, idCol: String,
+                                   textCol: String, bucketsTable: String,
+                                   shinglesTable: String,
+                                   numBuckets: Int = 64,
+                                   shingleSize: Int = 3,
+                                   numHashes: Int = 128,
+                                   bands: Int = 32): Unit = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    val spark = corpus.sparkSession
+    // UNQUALIFIED identifiers only: for a 'db.tbl' name both the
+    // backtick-quoted DROP below and the computed warehouse path would
+    // target the wrong object, and the path delete could remove a
+    // directory that belongs to something else entirely. Fail fast
+    // instead of deleting the wrong thing.
+    Seq(bucketsTable, shinglesTable).foreach(t =>
+      require(t.matches("[A-Za-z0-9_]+"),
+        s"table name '$t' must be an unqualified identifier " +
+          "([A-Za-z0-9_]+); database-qualified or quoted names would " +
+          "desynchronize the DROP from the managed-location cleanup"))
+    // a fresh session (new in-memory catalog) over an old warehouse dir
+    // hits LOCATION_ALREADY_EXISTS even in overwrite mode: the metadata
+    // is gone but the managed location survived. Drop both — and when
+    // the catalog KNOWS the table AND owns its data (Type=MANAGED),
+    // delete its actual resolved location rather than the name-derived
+    // default. An EXTERNAL table's location is user data that DROP
+    // TABLE intentionally preserves — never delete it on a mere name
+    // collision; clear only the warehouse-derived default path so the
+    // managed saveAsTable below can't hit a stale directory.
+    Seq(bucketsTable, shinglesTable).foreach { t =>
+      val resolvedManaged: Option[org.apache.hadoop.fs.Path] =
+        if (spark.catalog.tableExists(t))
+          scala.util.Try {
+            val desc = spark.sql(s"DESCRIBE TABLE EXTENDED `$t`")
+              .where(col("col_name").isin("Location", "Type"))
+              .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+            if (desc.get("Type").exists(_.equalsIgnoreCase("MANAGED")))
+              Some(new org.apache.hadoop.fs.Path(
+                new java.net.URI(desc("Location"))))
+            else None
+          }.toOption.flatten
+        else None
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = resolvedManaged.getOrElse(new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase))
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
+    // repartition INTO the bucket layout before writing: repartition's
+    // hash is the same murmur3-pmod the bucket spec uses, so each task
+    // holds exactly one bucket — ONE file per bucket (not one per
+    // (task, bucket) pair), and with sortBy the scan reports its files
+    // sorted, letting the probe's sort-merge join skip both the
+    // exchange AND the sort on the corpus side.
+    minhashBandBuckets(corpus, idCol, textCol, shingleSize, numHashes, bands)
+      .repartition(numBuckets, col("band"), col("bucket"))
+      .write.format("parquet")
+      .bucketBy(numBuckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .mode("overwrite").saveAsTable(bucketsTable)
+    shingleHashFrame(corpus, idCol, textCol, shingleSize)
+      .repartition(numBuckets, col(idCol))
+      .write.format("parquet")
+      .bucketBy(numBuckets, idCol)
+      .sortBy(idCol)
+      .mode("overwrite").saveAsTable(shinglesTable)
+  }
+
+  /** Cross-snapshot near-dup: which documents of a new `batch` are
+    * near-duplicates (exact n-gram Jaccard ≥ `threshold`) of a document
+    * already in the accepted corpus — the MinHash twin of
+    * [[incremental]], for the ingest that must also reject paraphrased
+    * or lightly-edited re-crawls, not just byte-identical ones.
+    *
+    * The corpus enters ONLY through its persisted artifacts:
+    * `corpusBuckets` = [[minhashBandBuckets]] output (columns
+    * `corpusIdCol, band, bucket`) and `corpusShingles` =
+    * [[shingleHashFrame]] output (columns `corpusIdCol, __h`), both
+    * written at the previous snapshot with the SAME (shingleSize,
+    * numHashes, bands). Corpus text is never read and corpus signatures
+    * are never recomputed — per ingest, the only corpus-sized work is
+    * ONE hash-keyed join against the fixed-width bucket artifact
+    * (~20 bytes/row); the shingle artifact is semi-join-bounded to the
+    * candidate docs before the verify join ever sees it.
+    *
+    * Candidate generation joins batch buckets to corpus buckets on
+    * (band, bucket) — never a self-join, never all-pairs — and
+    * `maxBucketSize` (0 = unlimited) drops over-cap corpus buckets
+    * first, the same skew guard as [[minhashDuplicatesVerified]]
+    * (handle byte-identical floods with [[incremental]] BEFORE this
+    * pass). Candidates are verified by exact Jaccard between the
+    * batch's fresh shingle set and the corpus shingle artifact, so a
+    * returned pair is a TRUE near-dup, not an LSH guess.
+    *
+    * Returns (`batchIdCol`, `corpusIdCol`, jaccard), one row per
+    * qualifying (batch doc, corpus doc) pair; anti-join the batch on
+    * the first column to keep only genuinely new documents.
+    */
+  def incrementalNearDup(batch: DataFrame, batchIdCol: String,
+                         batchTextCol: String, corpusBuckets: DataFrame,
+                         corpusShingles: DataFrame, corpusIdCol: String,
+                         threshold: Double = 0.8, shingleSize: Int = 3,
+                         numHashes: Int = 128, bands: Int = 32,
+                         maxBucketSize: Long = 0L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(batchIdCol != corpusIdCol,
+      "batch and corpus id columns must have distinct names")
+    val batchBuckets = minhashBandBuckets(batch, batchIdCol, batchTextCol,
+      shingleSize, numHashes, bands).transform(tracked)
+    val keptCorpus = capBuckets(corpusBuckets, maxBucketSize)
+    val cands = batchBuckets
+      .join(keptCorpus.select(col(corpusIdCol), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(batchIdCol, corpusIdCol)
+      .distinct()
+      .transform(tracked)
+    // The corpus shingle artifact is CORPUS-sized; per ingest only the
+    // CANDIDATE docs' shingles matter, so bound it by the candidate set
+    // ONCE. Without this the verify join shuffled the whole artifact
+    // every ingest — the 1M-doc stress spent ~3/4 of its probe time
+    // there (87.9 s → 22.4 s after; BASELINE.md r7) and at a 10^9-doc
+    // corpus it would be the difference between verify cost scaling
+    // with the candidate set vs with the corpus.
+    //
+    // Verification itself stays ONE row per candidate pair (same shape
+    // as [[minhashDuplicatesVerified]]): the bounded artifact rows
+    // regroup to one sorted array per candidate doc, the batch side is
+    // a pure projection, and the codegen'd merge-scan kernel counts the
+    // intersection in place — no (pair, hash) explosion, and the
+    // per-doc size aggregates collapse into size(array).
+    val candShingles = corpusShingles
+      .join(cands.select(corpusIdCol).distinct(), Seq(corpusIdCol),
+        "left_semi")
+      .transform(tracked)
+    val cArr = candShingles
+      .groupBy(col(corpusIdCol))
+      .agg(sort_array(collect_list(col("__h"))).as("__ca"))
+    val bArr = batch
+      .select(col(batchIdCol),
+        sort_array(call_function("graft_shingle_hashes",
+          col(batchTextCol), lit(shingleSize))).as("__ba"))
+      .filter(col("__ba").isNotNull)
+    cands
+      .join(bArr, batchIdCol)
+      .join(cArr, corpusIdCol)
+      .withColumn("__inter",
+        call_function("graft_sorted_intersect_count",
+          col("__ba"), col("__ca")))
+      // zero-overlap candidates never surface (the explode-join form
+      // had no inner-join row for them): threshold=0 behaves identically
+      .filter(col("__inter") > 0)
+      .withColumn("jaccard",
+        col("__inter").cast("double") /
+          (size(col("__ba")) + size(col("__ca")) - col("__inter"))
+            .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(batchIdCol, corpusIdCol, "jaccard")
+  }
+}

@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact n-gram Jaccard, containment, drop-contained, and threshold sweeps over inverted indexes.
+  *
+  * One family of the [[Dedup]] surface (split from the original
+  * single-file object in r12, hygiene only): every member is mixed
+  * into — and documented as part of — `object Dedup`, which remains
+  * the sole public entry point.
+  */
+private[graft] trait DedupNgram { this: Dedup.type =>
+
+  // ---- exact n-gram Jaccard ----------------------------------------------
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold, via an inverted-index
+    * join over distinct shingle hashes. `maxShingleDocFreq` drops shingles
+    * that appear in more than that many docs (ubiquitous shingles
+    * contribute little to Jaccard but dominate the join fan-out — the
+    * standard posting-list cutoff).
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxShingleDocFreq: Long = 0L): DataFrame = {
+    val sh0 = shingleHashFrame(df, idCol, textCol, n)
+      .toDF("doc_id", "sh")
+      .transform(tracked)
+    val filtered = if (maxShingleDocFreq > 0) {
+      // Anti-join against the OVER-cutoff shingles: that set is bounded
+      // by totalPostings / maxShingleDocFreq (the under-cutoff set scales
+      // with the whole shingle vocabulary and must never be broadcast).
+      // No broadcast hint — AQE sizes the join at runtime.
+      val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDocFreq)
+        .select("sh")
+      sh0.join(hot, Seq("sh"), "left_anti")
+    } else sh0
+    // Sizes over the same (possibly cutoff) shingle space so the Jaccard
+    // stays a true ratio of that space.
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = filtered.as("x").join(filtered.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Asymmetric n-gram CONTAINMENT pairs: `containment(a→b) =
+    * |sh(a) ∩ sh(b)| / |sh(a)|` — the quote/extraction/subset detector
+    * Jaccard structurally misses: a short document fully quoted inside
+    * a long one has containment 1.0 toward the long one but Jaccard
+    * only ~|a|/|b| (below any sane threshold once the host is a few
+    * times longer). Emits DIRECTED rows (doc_id, other_id,
+    * containment) — doc_id's shingles are `containment`-covered by
+    * other_id's — one row per direction that clears `threshold`.
+    *
+    * Same one-pass inverted-shingle-index shape as [[ngramJaccard]]
+    * (same `maxShingleDocFreq` hot-shingle cutoff, same candidate
+    * economics): the intersection is computed ONCE per unordered
+    * candidate pair and both directions derive from it, so the
+    * asymmetric semantics cost nothing over the symmetric ones. Pair
+    * volume — not corpus size — is the cost driver at scale, exactly
+    * as measured for the Jaccard family (BASELINE sf1).
+    */
+  def ngramContainment(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9,
+                       maxShingleDocFreq: Long = 0L): DataFrame = {
+    val both = containmentPairsSized(df, idCol, textCol, n,
+      maxShingleDocFreq)
+    both.select(col("id_a").as("doc_id"), col("id_b").as("other_id"),
+        (col("inter").cast("double") / col("na").cast("double"))
+          .as("containment"))
+      .unionByName(
+        both.select(col("id_b").as("doc_id"), col("id_a").as("other_id"),
+          (col("inter").cast("double") / col("nb").cast("double"))
+            .as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** Shared containment kernel: one intersection per unordered
+    * candidate pair with BOTH docs' shingle-set sizes attached —
+    * (id_a, id_b, inter, na, nb), sizes measured over the same
+    * (possibly doc-freq-cutoff) shingle space as the intersections so
+    * ratios and tie-breaks stay consistent.
+    */
+  private[ops] def containmentPairsSized(df: DataFrame, idCol: String,
+                                    textCol: String, n: Int,
+                                    maxShingleDocFreq: Long): DataFrame = {
+    val sh0 = shingleHashFrame(df, idCol, textCol, n)
+      .toDF("doc_id", "sh")
+      .transform(tracked)
+    val filtered = if (maxShingleDocFreq > 0) {
+      val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDocFreq)
+        .select("sh")
+      sh0.join(hot, Seq("sh"), "left_anti")
+    } else sh0
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    filtered.as("x").join(filtered.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+  }
+
+  /** Containment DEDUP action: drop every document whose shingle set is
+    * `threshold`-contained in a BIGGER host (more distinct shingles;
+    * equal sizes tie-break to keep the lower id) — the "delete the
+    * quoted/extracted copy, keep the superset" rule
+    * [[ngramContainment]] measures. Deterministic and
+    * orientation-safe: a doc is only dropped toward a host that cannot
+    * simultaneously be dropped toward it (strictly bigger, or
+    * equal-size with a smaller id — an asymmetric relation), so chains
+    * resolve without clustering: A⊂B⊂C drops A and B, keeps C.
+    * Returns the surviving rows of `df` unchanged.
+    */
+  def dropContained(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, threshold: Double = 0.9,
+                    maxShingleDocFreq: Long = 0L): DataFrame = {
+    // one shingle pass: the pair frame already carries both sizes, and
+    // they are measured over the SAME (possibly cutoff) shingle space
+    // as the containment ratios — rule and ratio cannot disagree
+    val both = containmentPairsSized(df, idCol, textCol, n,
+      maxShingleDocFreq)
+    val dropped = both
+      .select(
+        when(col("inter").cast("double") / col("na").cast("double")
+            >= threshold &&
+            (col("nb") > col("na") ||
+              (col("nb") === col("na") && col("id_b") < col("id_a"))),
+          col("id_a"))
+          .when(col("inter").cast("double") / col("nb").cast("double")
+            >= threshold &&
+            (col("na") > col("nb") ||
+              (col("na") === col("nb") && col("id_a") < col("id_b"))),
+            col("id_b"))
+          .as("__drop"))
+      .filter(col("__drop").isNotNull)
+      .distinct()
+    df.join(dropped, col(idCol) === col("__drop"), "left_anti")
+  }
+
+  /** Dedup TUNING report: for each candidate threshold, how many exact
+    * n-gram-Jaccard pairs exist and how many distinct documents they
+    * implicate — all from ONE [[ngramJaccard]] pass at `min(thresholds)`.
+    * This is how a dedup threshold gets CHOSEN before a 100 TB pass
+    * (the dedup-side twin of [[graft.ops.Similarity.recallAtK]]'s
+    * ANN tuning): sweep on a sample, read the kill counts per
+    * threshold, commit one. The thresholds frame is a broadcast literal;
+    * the per-threshold re-filtering costs pairs×|thresholds| rows of a
+    * three-column frame, never a second corpus pass.
+    */
+  def jaccardThresholdSweep(df: DataFrame, idCol: String, textCol: String,
+                            thresholds: Seq[Double], n: Int = 3,
+                            maxShingleDocFreq: Long = 0L): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val pairs = ngramJaccard(df, idCol, textCol, n, thresholds.min,
+      maxShingleDocFreq)
+    val spark = df.sparkSession
+    val thrDf = spark.createDataFrame(
+        thresholds.distinct.sorted.map(Tuple1(_)))
+      .toDF("threshold")
+    val hit = pairs.join(broadcast(thrDf), col("jaccard") >= col("threshold"))
+    val pairCounts = hit.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val docCounts = hit
+      .select(col("threshold"), explode(array(col("id_a"), col("id_b"))).as("__doc"))
+      .groupBy("threshold")
+      .agg(countDistinct(col("__doc")).as("n_dup_docs"))
+    thrDf.join(pairCounts, Seq("threshold"), "left")
+      .join(docCounts, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Composed production dedup pipelines (exact -> near-dup -> survivor selection).
+  *
+  * One family of the [[Dedup]] surface (split from the original
+  * single-file object in r12, hygiene only): every member is mixed
+  * into — and documented as part of — `object Dedup`, which remains
+  * the sole public entry point.
+  */
+private[graft] trait DedupPipelines { this: Dedup.type =>
+
+  // ---- the production dedup pipeline -------------------------------------
+
+  /** The order-of-operations that survives a 100 TB corpus with massive
+    * duplicate clusters:
+    *
+    *  1. EXACT dedup by content digest — collapses identical-text
+    *     clusters to one survivor each (a hash-aggregate; a cluster of
+    *     any size costs its row count, never its pair count).
+    *  2. MinHash-LSH near-dup over the survivors, with a bucket-size cap
+    *     as the residual skew guard, verified with the exact Jaccard.
+    *
+    * Returns the surviving frame (one row per unique text, `dup_count`
+    * attached) minus near-duplicates (the higher id of each verified
+    * pair is dropped — the same min-id-survives rule as exact dedup).
+    */
+  def dedupPipeline(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.8, shingleSize: Int = 3,
+                    numHashes: Int = 128, bands: Int = 32,
+                    maxBucketSize: Long = 100000L): DataFrame = {
+    val unique = exactByFingerprint(df, textCol, idCol)
+      .transform(tracked)
+    val nearPairs = minhashDuplicatesVerified(unique, idCol, textCol,
+      threshold, shingleSize, numHashes, bands, maxBucketSize)
+    val losers = nearPairs.select(col("id_b").as("__loser")).distinct()
+    unique.join(losers, unique(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** [[dedupPipeline]] with the quality-first keep decision: exact
+    * collapse (byte-identical texts share a score, so min-id is already
+    * quality-consistent there), LSH + exact-Jaccard verified pairs over
+    * the unique docs, then ONE [[qualitySurvivors]] pass — the survivor
+    * of every near-dup CLUSTER is its highest-`scoreCol` member (ties →
+    * lowest id), not the lowest id. Cluster-consistent where the
+    * drop-all-`id_b` rule is pairwise: in a chain a≈b, b≈c the pairwise
+    * rule can drop b and c both, while the cluster rule keeps exactly
+    * one representative — the best one.
+    *
+    * `df` must carry `scoreCol` alongside id and text. Returns the
+    * surviving rows of the exact-collapse frame (id, text, score,
+    * dup_count) — `dup_count` still counts byte-identical clones.
+    */
+  def dedupPipelineQuality(df: DataFrame, idCol: String, textCol: String,
+                           scoreCol: String, threshold: Double = 0.8,
+                           shingleSize: Int = 3, numHashes: Int = 128,
+                           bands: Int = 32,
+                           maxBucketSize: Long = 100000L): DataFrame = {
+    val unique = exactByFingerprint(
+        df.select(col(idCol), col(textCol), col(scoreCol)), textCol, idCol)
+      .transform(tracked)
+    val nearPairs = minhashDuplicatesVerified(unique, idCol, textCol,
+      threshold, shingleSize, numHashes, bands, maxBucketSize)
+    val keep = qualitySurvivors(unique, idCol, nearPairs, scoreCol)
+      .select(col(idCol).as("__keep"))
+    unique.join(keep, unique(idCol) === col("__keep"), "left_semi")
+  }
+
+  /** Embedding twin of [[dedupPipeline]]: collapse BYTE-IDENTICAL vectors
+    * first (a hash-aggregate on the vector value — duplicate-cluster cost
+    * is its row count, never its pair count), then hyperplane-LSH
+    * near-dup over the unique vectors with a bucket-size cap. Returns the
+    * surviving (idCol, vecCol, dup_count) rows.
+    */
+  def embeddingDedupPipeline(df: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double = 0.95, planes: Int = 8,
+                             bands: Int = 24,
+                             maxBucketSize: Long = 100000L): DataFrame = {
+    val unique = df.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col(vecCol), col("dup_count"))
+      .transform(tracked)
+    val pairs = embeddingDuplicates(unique, idCol, vecCol, threshold,
+      planes, bands, maxBucketSize)
+    val losers = pairs.select(col("id_b").as("__loser")).distinct()
+    unique.join(losers, unique(idCol) === col("__loser"), "left_anti")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Embedding near-dup: hyperplane-LSH pairs and centroid-partitioned SemDeDup.
+  *
+  * One family of the [[Dedup]] surface (split from the original
+  * single-file object in r12, hygiene only): every member is mixed
+  * into — and documented as part of — `object Dedup`, which remains
+  * the sole public entry point.
+  */
+private[graft] trait DedupSemantic { this: Dedup.type =>
+
+  // ---- embedding near-dup --------------------------------------------------
+
+  /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
+    * Candidates come from OR-amplified random-hyperplane LSH
+    * ([[Similarity.hyperplaneBucketFrame]]: `bands` buckets of
+    * `planes`-bit sub-signatures; a pair is a candidate if ANY band
+    * matches), verified with the exact cosine. At threshold 0.95 the
+    * per-plane agreement is ~0.90, so P[miss] = (1-0.9^planes)^bands —
+    * ~2e-6 at planes=8, bands=24 — while random pairs collide in a band
+    * with p≈2^-planes, keeping the candidate set near-linear.
+    */
+  def embeddingDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double = 0.95, planes: Int = 8,
+                          bands: Int = 24, maxBucketSize: Long = 0L): DataFrame = {
+    val bf = Similarity.hyperplaneBucketFrame(
+        df.select(col(idCol), col(vecCol)), idCol, vecCol, planes, bands)
+      .transform(tracked)
+    val banded = bf.select(col(idCol),
+      posexplode(col("__buckets")).as(Seq("band", "bucket")))
+    val cands = candidatePairs(banded, idCol, maxBucketSize)
+    val va = bf.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = bf.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cosine", Similarity.fastCosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Semantic near-duplicate pairs (SemDeDup-style, after Abbas et al.
+    * 2023 "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): assign every embedding to its nearest
+    * centroid — cosine, ties → lowest centroid id, via the zero-shuffle
+    * [[Similarity.ivfAssign]] kernel — then compare pairs only WITHIN a
+    * centroid cluster by exact cosine. Where [[embeddingDuplicates]]
+    * finds pairs the random-hyperplane LSH can catch (high cosine),
+    * the centroid partition targets SEMANTIC redundancy at lower
+    * thresholds, where hyperplane banding's per-plane agreement decays
+    * and its candidate sets explode.
+    *
+    * Scale shape: assignment is a per-row projection (centroids are a
+    * plan literal — the k ≪ n regime this engine's IVF already
+    * assumes); candidate generation is a self-join within clusters —
+    * never all-pairs — and `maxClusterSize` (0 = unlimited) drops
+    * over-cap clusters, the same skew guard as the LSH bucket cap (a
+    * cluster over the cap means the centroid set is too coarse: refit
+    * with larger k rather than raising the cap).
+    *
+    * Returns (id_a, id_b, cosine), id_a < id_b, cosine ≥ `threshold`.
+    */
+  def semanticDuplicates(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame, centIdCol: String,
+                         centVecCol: String, threshold: Double = 0.9,
+                         maxClusterSize: Long = 100000L): DataFrame = {
+    val assigned = tracked(Similarity.ivfAssign(df, idCol, vecCol,
+      centroids, centIdCol, centVecCol))
+    val capped =
+      if (maxClusterSize <= 0L) assigned
+      else {
+        val ok = assigned.groupBy("centroid_id")
+          .agg(count(lit(1)).as("__csz"))
+          .filter(col("__csz") <= maxClusterSize)
+          .select("centroid_id")
+        assigned.join(ok, Seq("centroid_id"))
+      }
+    val a = capped.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val b = capped.select(col("centroid_id").as("__cb"),
+      col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, a("centroid_id") === b("__cb") && col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.fastCosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Keep-one-per-semantic-pair survivor view of [[semanticDuplicates]]
+    * (min id survives, the same rule as every pipeline here). For
+    * chain-consistent keep decisions across transitive pairs, feed the
+    * pairs to [[duplicateClusters]] + [[leakageSafeSplit]] instead.
+    */
+  /** Threshold-calibration sweep for semantic dedup — the embedding
+    * twin of [[jaccardThresholdSweep]], answering "how aggressive is
+    * cosine ≥ t on MY corpus?" before committing to a threshold. ONE
+    * [[semanticDuplicates]] candidate/verify pass at `thresholds.min`,
+    * then per-threshold pair and distinct-document counts via a
+    * broadcast threshold join — the sweep costs one pass no matter how
+    * many thresholds are probed.
+    */
+  def semanticThresholdSweep(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: DataFrame, centIdCol: String,
+                             centVecCol: String, thresholds: Seq[Double],
+                             maxClusterSize: Long = 100000L): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val pairs = semanticDuplicates(df, idCol, vecCol, centroids, centIdCol,
+      centVecCol, thresholds.min, maxClusterSize)
+    val thrDf = df.sparkSession.createDataFrame(
+        thresholds.distinct.sorted.map(Tuple1(_)))
+      .toDF("threshold")
+    val hit = pairs.join(broadcast(thrDf),
+      col("cosine") >= col("threshold"))
+    val pairCounts = hit.groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = hit
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("__doc"))
+      .groupBy("threshold")
+      .agg(countDistinct(col("__doc")).as("n_dup_docs"))
+    thrDf.join(pairCounts, Seq("threshold"), "left")
+      .join(docCounts, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
+  }
+
+  def semanticDedupPipeline(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, centIdCol: String,
+                            centVecCol: String, threshold: Double = 0.9,
+                            maxClusterSize: Long = 100000L): DataFrame = {
+    val pairs = semanticDuplicates(df, idCol, vecCol, centroids, centIdCol,
+      centVecCol, threshold, maxClusterSize)
+    val losers = pairs.select(col("id_b").as("__loser")).distinct()
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+}

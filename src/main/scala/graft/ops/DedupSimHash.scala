@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** SimHash signatures and Hamming-distance duplicate detection (incl. the Manku multi-block scheme).
+  *
+  * One family of the [[Dedup]] surface (split from the original
+  * single-file object in r12, hygiene only): every member is mixed
+  * into — and documented as part of — `object Dedup`, which remains
+  * the sole public entry point.
+  */
+private[graft] trait DedupSimHash { this: Dedup.type =>
+
+  // ---- SimHash -----------------------------------------------------------
+
+  /** 64-bit SimHash over tokens as a per-row expression (aggregate over
+    * the token array accumulating 64 bit-counters). Fine for small frames
+    * and unit tests; the distributed path is [[simhashSignatures]], which
+    * computes the identical value through codegen'd aggregates.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)),
+        (a, b) => a + b))
+    // fold the sign bits into a long
+    aggregate(
+      zip_with(counters,
+        sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash per doc through the native [[graft.functions.SimhashSignature]]
+    * kernel — shuffle-free, value-identical to [[simhash]] for non-empty
+    * docs (empty docs are absent). Returns (idCol, simhash: long).
+    *
+    * `hashKind` selects the per-token feature hash:
+    * [[graft.functions.SketchOps.HashXx64]] (default, fastest) or
+    * [[graft.functions.SketchOps.HashMd5Lo64]] (slower; bit-identical to
+    * DuckDB's `md5_number_lower`, making the whole SimHash pipeline
+    * reproducible in external SQL engines for verification).
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        hashKind: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        call_function("graft_simhash", col(textCol), lit(hashKind))
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** Hamming distance between two simhash longs (pure expression). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates at Hamming distance ≤ maxDistance, via
+    * 16-bit banding (4 sub-keys ⇒ any pair within distance 3 shares at
+    * least one exact sub-key; verified with the exact Hamming distance).
+    */
+  def simhashDuplicates(df: DataFrame, idCol: String, textCol: String,
+                        maxDistance: Int = 3, hashKind: Int = 0): DataFrame = {
+    val sig = simhashSignatures(df, idCol, textCol, hashKind)
+      .transform(tracked)
+    hammingDuplicates(sig, idCol, "simhash", maxDistance)
+  }
+
+  /** Generic 64-bit-signature Hamming near-dup pairs — the candidate
+    * join [[simhashDuplicates]] runs, usable on ANY 64-bit signature
+    * column (SimHash, [[graft.ops.Multimodal.perceptualHashStage]]'s
+    * image aHash, …). Returns (id_a, id_b, hamming), each pair once,
+    * id_a < id_b. Null signatures never pair.
+    *
+    * Two stages, both chosen for the 100-TB shape:
+    *
+    * 1. **Exact-dup collapse.** The join runs over DISTINCT signatures
+    *    only; identical signatures (hamming 0 — re-encoded images, byte-
+    *    identical boilerplate docs) pair through a plain sig-equality
+    *    self-join and never enter the banded explode. On dup-heavy
+    *    corpora (the reason a dedup op is running at all) this shrinks
+    *    the candidate stage by the duplication factor.
+    *
+    * 2. **Candidate keys, two schemes — defaults set by MEASUREMENT,
+    *    not the asymptotic story.** `"bands"` (default): 4 × 16-bit
+    *    bands; a pair within distance ≤ 3 shares a clean band by
+    *    pigeonhole. `"blocks"`: the simhash paper's multi-index
+    *    (Manku/Jain/Sarma, "Detecting Near-Duplicates for Web
+    *    Crawling", WWW'07 §3) — 6 blocks (11,11,11,11,10,10 bits),
+    *    C(6,3)=20 block-triple keys of ~33 bits, complete for the same
+    *    d ≤ 3 (≥ 3 clean blocks ⇒ some clean triple). Both are exact
+    *    after the inline `bit_count` verify; `maxDistance` > 3 is
+    *    approximate under either (documented, same trade as every LSH
+    *    path).
+    *
+    *    The trade: bands probe ~4·N²/2¹⁶ accidental same-key pairs on
+    *    uniform signatures (quadratic), blocks ~20·N²/2³³ (~2⁻¹⁷ of
+    *    that) but explode 20 rows per signature instead of 4. Measured
+    *    on uniform+planted corpora (r10 stress): bands win THROUGH AT
+    *    LEAST 10M signatures — 7.9/11.0/23.9 s at 1M/3M/10M (the 6×10⁹
+    *    accidental probes at 10M stay inside the codegen'd join and
+    *    never materialize) vs blocks' 17–24/24/75 s, where the 5×
+    *    explode-and-shuffle dominates everything. Identical outputs,
+    *    pinned by the brute-force parity spec. Extrapolating the two
+    *    cost shapes, the bands' quadratic term overtakes the blocks'
+    *    linear one around ~10⁸ distinct signatures — switch to
+    *    `"blocks"` for corpora in that regime (a 100-TB image/document
+    *    store), keep `"bands"` below it.
+    */
+  def hammingDuplicates(df: DataFrame, idCol: String, sigCol: String,
+                        maxDistance: Int = 3,
+                        scheme: String = "bands"): DataFrame = {
+    require(scheme == "blocks" || scheme == "bands",
+      s"unknown candidate scheme '$scheme' (expected blocks | bands)")
+    val ids = df.select(col(idCol), col(sigCol))
+      .filter(col(sigCol).isNotNull)
+    val sigs = ids.select(sigCol).distinct()
+    val keyCols: Seq[Column] = scheme match {
+      case "bands" =>
+        (0 until 4).map { b =>
+          struct(lit(b).as("t"),
+            shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xffffL))
+              .as("key"))
+        }
+      case _ =>
+        // blocks at bit offsets 0,11,22,33,44,54 (widths 11×4, 10×2);
+        // triple (i<j<k) packs exactly (≤33 bits), no hashing — a key
+        // collision would only add candidates, but exact packing keeps
+        // the candidate math honest
+        val off = Seq(0, 11, 22, 33, 44, 54)
+        val w = Seq(11, 11, 11, 11, 10, 10)
+        val block = (i: Int) =>
+          shiftright(col(sigCol), off(i)).bitwiseAND(lit((1L << w(i)) - 1))
+        (0 until 6).combinations(3).zipWithIndex.map { case (t, n) =>
+          struct(lit(n).as("t"),
+            shiftleft(block(t(0)), 22).bitwiseOR(shiftleft(block(t(1)), 11))
+              .bitwiseOR(block(t(2))).as("key"))
+        }.toSeq
+    }
+    val keyed = sigs
+      .select(col(sigCol), explode(array(keyCols: _*)).as("kk"))
+      .select(col(sigCol), col("kk.t").as("t"), col("kk.key").as("key"))
+    val a = keyed.select(col(sigCol).as("sig_a"), col("t"), col("key"))
+    val b = keyed.select(col(sigCol).as("sig_b"), col("t").as("t_b"),
+      col("key").as("key_b"))
+    val sigPairs = a
+      .join(b, a("t") === b("t_b") && a("key") === b("key_b") &&
+        a("sig_a") < b("sig_b"))
+      .select(col("sig_a"), col("sig_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+      .distinct()
+    val la = ids.select(col(idCol).as("__ia"), col(sigCol).as("sig_a"))
+    val lb = ids.select(col(idCol).as("__ib"), col(sigCol).as("sig_b"))
+    // id order is independent of signature order, so cross-sig pairs
+    // re-canonicalize on ids; each unordered id pair appears exactly
+    // once (sig pairs are canonical and each id has one signature)
+    val cross = sigPairs.join(la, "sig_a").join(lb, "sig_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    val l = ids.select(col(idCol).as("id_a"), col(sigCol).as("__s"))
+    val r = ids.select(col(idCol).as("id_b"), col(sigCol).as("__s2"))
+    val intra = l.join(r, l("__s") === r("__s2") && l("id_a") < r("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
+    cross.unionByName(intra)
+  }
+}

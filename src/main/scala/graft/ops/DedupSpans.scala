@@ -1,0 +1,466 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Document-structure dedup: survivor quality selection, paragraph/span dedup, boilerplate strip, leakage-safe splits.
+  *
+  * One family of the [[Dedup]] surface (split from the original
+  * single-file object in r12, hygiene only): every member is mixed
+  * into — and documented as part of — `object Dedup`, which remains
+  * the sole public entry point.
+  */
+private[graft] trait DedupSpans { this: Dedup.type =>
+
+
+  /** Quality-aware survivor selection: one row per duplicate cluster,
+    * keeping the HIGHEST-`scoreCol` member (ties → lowest id) instead of
+    * [[dedupPipeline]]'s lowest-id convention. This is the keep decision
+    * of quality-first corpus builds (FineWeb, RefinedWeb): when a
+    * near-dup cluster mixes a clean original with mangled re-crawls, the
+    * survivor should be chosen by quality, not by ingestion order.
+    *
+    * `docs` must carry `idCol` and `scoreCol` (any ordered numeric —
+    * e.g. a lexical-diversity ratio from
+    * [[graft.ops.TextAnalysis.qualityFeatures]], a model score, or a
+    * composite); `pairs` is the (id_a, id_b) output of any pairwise
+    * dedup operator here. Scale shape: [[duplicateClusters]]' labeling
+    * plus ONE cluster-keyed [[graft.functions.ArgBestAgg]] pass — the
+    * argmax folds into the aggregate (map-side combinable), never a
+    * window or a rejoin against the corpus. NULL and NaN scores are
+    * ignored (a NaN quality score is a failed computation, not the best
+    * document — this deliberately diverges from Spark's NaN-sorts-last
+    * ordering); an all-NULL/NaN cluster falls back to its lowest id
+    * with a NULL score. `idCol` may be ANY orderable type — numeric,
+    * string (URLs, UUIDs), date — the tie-break is an interpreted
+    * ordering on the id's own type, not arithmetic.
+    *
+    * Returns (`cluster_id`, `idCol` = survivor, `scoreCol` = its score,
+    * cluster_size, n_dropped).
+    *
+    * EAGER at call time, like every [[duplicateClusters]] caller: the
+    * size-adaptive clustering counts the pair frame (and may run the
+    * whole labeling) when this method is CALLED — compose it last, once
+    * `pairs` is final.
+    */
+  def qualitySurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       scoreCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val clusters = duplicateClusters(docs, idCol, pairs)
+    // graft_arg_best: highest score wins, ties resolve to the LOWEST id
+    // under the id type's own ordering — no negate arithmetic, so string
+    // ids and Long.MinValue work and NaN scores are ignored rather than
+    // beating every real score. The NULL/NaN fallback is a plain min(id).
+    val survivors = clusters
+      .join(docs.select(col(idCol), col(scoreCol)), idCol)
+      .groupBy(col("cluster_id"))
+      .agg(
+        call_function("graft_arg_best", col(scoreCol), col(idCol))
+          .as("__best"),
+        min(col(idCol)).as("__fallback"),
+        // constant per cluster; max instead of first for determinism
+        max(col("cluster_size")).as("cluster_size"))
+    survivors.select(
+      col("cluster_id"),
+      coalesce(col("__best.id"), col("__fallback")).as(idCol),
+      col("__best.s").as(scoreCol),
+      col("cluster_size"),
+      (col("cluster_size") - 1L).as("n_dropped"))
+  }
+
+  /** Corpus-wide paragraph dedup (the C4 move): split every document on
+    * `sep`, keep only the FIRST occurrence — lowest (doc id, position) —
+    * of each distinct paragraph across the WHOLE corpus, and reassemble
+    * documents from their surviving paragraphs in order. This is how
+    * boilerplate that exact/near doc-level dedup cannot see (cookie
+    * banners, nav text, license headers repeated inside otherwise-unique
+    * pages) gets stripped from a training corpus.
+    *
+    * Scale shape: exactly two shuffles over the paragraph set — one by
+    * the 128-bit paragraph digest for the first-occurrence window (a
+    * window, not an aggregate-plus-join-back, so the corpus text is
+    * scanned and hashed ONCE), one by document id for the reassembly
+    * aggregate, whose `array_sort` restores paragraph order without a
+    * second window. Identical-paragraph floods co-locate on their digest
+    * exactly as they would on the equivalent join key; the per-digest
+    * state is one (id, position) pair.
+    *
+    * Returns one row per input document — (`idCol`, deduped text under
+    * `textCol`, kept_paras, dropped_paras). Documents whose every
+    * paragraph was seen earlier survive with empty text (filter on
+    * `kept_paras` to drop them); documents with NULL text survive with
+    * NULL text and zero counts. `sep` is a Java regex for splitting and
+    * a literal for rejoining — pass a literal separator.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), sep))
+        .as(Seq("__pi", "__p")))
+      .withColumn("__ph", TextAnalysis.fingerprint(col("__p")))
+    val w = Window.partitionBy("__ph")
+    val kept = paras
+      .withColumn("__first",
+        min(struct(col(idCol).as("fid"), col("__pi").as("fpi"))).over(w))
+      .withColumn("__keep",
+        col(idCol) === col("__first.fid") && col("__pi") === col("__first.fpi"))
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        reassemble(col("__pi"), col("__p"), sep, col("__keep")).as(textCol),
+        count(when(col("__keep"), 1)).as("kept_paras"),
+        count(when(!col("__keep"), 1)).as("dropped_paras"))
+    // posexplode emits nothing for NULL text, which would silently DROP
+    // those documents from a frame that promises one row per input doc —
+    // restore them with NULL text and zero counts
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("kept_paras", coalesce(col("kept_paras"), lit(0L)))
+      .withColumn("dropped_paras", coalesce(col("dropped_paras"), lit(0L)))
+  }
+
+  /** Boilerplate-paragraph strip by corpus document frequency — the
+    * complement of [[dedupParagraphs]]: instead of keeping each distinct
+    * paragraph's FIRST occurrence, a paragraph that appears in at least
+    * `minDocs` DISTINCT documents is judged boilerplate (footers, cookie
+    * banners, license blocks) and removed from EVERY document, first
+    * occurrence included. First-occurrence dedup preserves one copy of
+    * the banner in whichever page crawled first; a training pipeline
+    * usually wants zero copies — that page's banner is no more content
+    * than the others'.
+    *
+    * Scale shape: the paragraph stream is hashed once (128-bit digest,
+    * per-row projection); the document-frequency fit is a DISTINCT on
+    * (digest, id) — one exchange that collapses within-doc repeats
+    * map-side — followed by a map-side-combinable count. The hot set
+    * (paragraphs over the threshold) is a post-aggregate frame joined
+    * LEFT back onto the paragraph stream, so AQE broadcasts it while it
+    * fits (boilerplate vocabularies are small next to a corpus) and
+    * degrades to a shuffled join on the 16-byte digest beyond that. The
+    * reassembly aggregate on `idCol` is the only text-sized exchange —
+    * the same single-reshuffle bound as [[dedupParagraphs]].
+    *
+    * Returns one row per input document — (`idCol`, stripped text under
+    * `textCol`, `kept_paras`, `dropped_paras`), NULL-text documents
+    * preserved with NULL text and zero counts, same contract as
+    * [[dedupParagraphs]].
+    */
+  def stripBoilerplateParagraphs(df: DataFrame, idCol: String,
+                                 textCol: String, minDocs: Long,
+                                 sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), sep))
+        .as(Seq("__pi", "__p")))
+      .withColumn("__ph", TextAnalysis.fingerprint(col("__p")))
+    val hot = paras.select(col("__ph"), col(idCol)).distinct()
+      .groupBy("__ph").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__ph"), lit(true).as("__hot"))
+    val rebuilt = paras.join(hot, Seq("__ph"), "left")
+      .withColumn("__keep", col("__hot").isNull)
+      .groupBy(col(idCol))
+      .agg(
+        reassemble(col("__pi"), col("__p"), sep, col("__keep")).as(textCol),
+        count(when(col("__keep"), 1)).as("kept_paras"),
+        count(when(!col("__keep"), 1)).as("dropped_paras"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("kept_paras", coalesce(col("kept_paras"), lit(0L)))
+      .withColumn("dropped_paras", coalesce(col("dropped_paras"), lit(0L)))
+  }
+
+  /** Exact dedup under [[TextAnalysis.normalizeText]]'s canonical form:
+    * case flips and re-wrapped whitespace no longer defeat the digest.
+    * Same one-exchange `min_by` survivor shape and NULL/tie semantics
+    * as [[exactByFingerprint]]; the survivor keeps its ORIGINAL text —
+    * normalization decides identity, not what ships to training.
+    */
+  def exactNormalized(df: DataFrame, textCol: String,
+                      idCol: String): DataFrame =
+    survivorAgg(df,
+        TextAnalysis.fingerprint(TextAnalysis.normalizeText(col(textCol))),
+        idCol, "dup_count")
+      .select(col("__row.*") +: Seq(col("dup_count")): _*)
+
+  /** Order-preserving positional reassembly shared by the paragraph- and
+    * span-level strippers: sort collected (pos, piece) structs by
+    * position, join the pieces. `keep=false` entries drop (collect_list
+    * skips the NULL the `when` produces) — this is THE definition of how
+    * stripped documents are rebuilt; keep it in one place.
+    */
+  private[ops] def reassemble(pos: Column, piece: Column, sep: String,
+                         keep: Column = lit(true)): Column =
+    array_join(transform(
+      array_sort(collect_list(when(keep,
+        struct(pos.as("__rp"), piece.as("__rv"))))),
+      s => s("__rv")), sep)
+
+  /** Exact repeated-span detection at W-token granularity — the
+    * substring-level dedup of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al. 2022), re-expressed
+    * relationally instead of via a suffix array: a token position is
+    * flagged when its W-token window occurs at least `minOccurrences`
+    * times CORPUS-WIDE (across and within documents), and maximal runs
+    * of flagged positions merge into spans. Doc-level and
+    * paragraph-level dedup cannot see these: boilerplate sentences,
+    * license blocks, and templated passages repeated inside
+    * otherwise-unique pages.
+    *
+    * Scale shape: one pass computes every window's 128-bit md5 key as a
+    * per-row projection (no token explode — `transform` over the token
+    * array inside codegen), then ONE explode of (doc, pos, key) rows.
+    * The hot-key set is a map-side-combinable aggregate on the 16-byte
+    * key; flagged positions come back via LEFT SEMI on the same key;
+    * span merging is a per-document window over integer positions. The
+    * text itself is never shuffled. md5 (not a 64-bit hash) keys make
+    * collisions ignorable at corpus scale AND let external SQL replay
+    * the computation bit-exactly.
+    *
+    * Returns (`idCol`, `span_start`, `span_end`, `n_windows`) — token
+    * indices, 0-based, `span_end` inclusive of the last window's tail
+    * (`= last flagged pos + windowTokens - 1`).
+    *
+    * EAGER at call time: picking the hot-key join strategy requires the
+    * REAL hot-key count (`hot.count()`), so this method runs the full
+    * window aggregate over `df` when it is CALLED, not when the returned
+    * frame is first consumed — and it pins the hot-key frame in the
+    * tracked cache until [[releaseIntermediates]]. Callers composing
+    * plans lazily should call this last, once the inputs are final; the
+    * observe-then-pick trade (a plan-build-time job for a 2x faster
+    * probe) is deliberate, same as [[duplicateClusters]]' size probe.
+    */
+  /** Hot-key broadcast ceiling for [[repeatedSpans]]: 2M 16-byte keys ≈
+    * 32 MB of key payload — comfortably broadcastable; above it the
+    * semi-join stays distributed. Overridable via the session conf
+    * `spark.graft.repeatedSpans.maxBroadcastHotKeys` (0 forces the
+    * distributed join — how the parity spec and the boundary stress
+    * exercise the fallback on corpora whose hot set fits).
+    */
+  private[ops] val MaxBroadcastHotKeys = 2000000L
+
+  private[ops] def maxBroadcastHotKeys(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.repeatedSpans.maxBroadcastHotKeys",
+        MaxBroadcastHotKeys.toString).toLong
+
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int = 20,
+                    minOccurrences: Long = 2L): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    // minOccurrences <= 1 would flag EVERY window (everything occurs at
+    // least once) and stripRepeatedSpans would then blank the corpus —
+    // a silent total-data-loss mode, so fail fast instead.
+    require(minOccurrences >= 2, "minOccurrences must be >= 2")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // The (doc, pos, key) projection feeds the hot aggregate AND the
+    // semi-join but is deliberately NOT cached: at ~28 bytes per token it
+    // is 4-5x the text volume, and the kernel regenerates it for ~1.5 s
+    // per 10^6 docs (measured) — far below the cost of materializing a
+    // token-scale frame. Cache `df` upstream if ITS lineage is expensive.
+    def pos = df.select(col(idCol),
+      posexplode(windowKeys(textCol, windowTokens)).as(Seq("pos", "wk")))
+    // The hot-key set is tiny next to the window stream (16 bytes per
+    // distinct hot key), but the planner cannot see that — its estimate
+    // of an aggregate-over-explode subtree forces a sort-merge semi-join
+    // that re-sorts the FULL window stream (measured: SMJ doubled the
+    // whole detect pass at 1M docs / 62M windows, 40.7 vs 21.6 s).
+    // Observe the real size and broadcast when it fits; the distributed
+    // join remains for genuinely huge hot sets (same observe-then-pick
+    // pattern as duplicateClusters' size-adaptive clustering).
+    val hot = tracked(pos.groupBy("wk").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      .select("wk"))
+    val probe =
+      if (hot.count() <= maxBroadcastHotKeys(df)) broadcast(hot) else hot
+    mergeFlagged(pos.join(probe, Seq("wk"), "left_semi"), idCol, windowTokens)
+  }
+
+  /** Per-position W-token window keys of a text column, as an array
+    * column (index = 0-based start position). 16-byte binary keys
+    * (un-hexed md5) on the wire: the key never reaches any output, so an
+    * oracle's hex-string grouping is equivalent while the explode/
+    * shuffle rows stay half as wide. One-pass native kernel
+    * ([[graft.functions.SketchOps.windowMd5Keys]]): the earlier
+    * composable form (`transform` + `slice` + `concat_ws` + `md5` +
+    * `unhex`) materialized every window as a string and round-tripped
+    * each digest through 32 hex chars — byte-identical keys, ~W× the
+    * allocation traffic (parity property-tested in PropertySpec).
+    * Callers must GraftFunctions.ensureRegistered first.
+    */
+  private[ops] def windowKeys(textCol: String, windowTokens: Int): Column =
+    call_function("graft_window_keys", col(textCol), lit(windowTokens))
+
+  /** Merge flagged (id, pos) window starts into maximal spans — the gap
+    * trick: consecutive positions share `pos - row_number()`.
+    */
+  private[ops] def mergeFlagged(flagged: DataFrame, idCol: String,
+                           windowTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    flagged
+      .withColumn("__g", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(windowTokens - 1)).cast("long")
+          .as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** The persisted artifact behind ingest-time span cleanup: the
+    * DISTINCT window keys occurring at least `minOccurrences` times in
+    * the corpus — one 16-byte row per hot window. Write once per
+    * accepted snapshot; [[stripSpansAgainstKeys]] applies it to every
+    * later delivery without re-reading the corpus.
+    */
+  def repeatedSpanKeys(corpus: DataFrame, textCol: String,
+                       windowTokens: Int = 20,
+                       minOccurrences: Long = 2L): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(minOccurrences >= 2, "minOccurrences must be >= 2")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    corpus
+      .select(explode(windowKeys(textCol, windowTokens)).as("__wk"))
+      .groupBy("__wk").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOccurrences)
+      // the window size travels WITH the artifact: keys built at one W
+      // can never match probes at another, and without the recorded W a
+      // mismatch would be a silent cleanup no-op (strip asserts it).
+      .select(col("__wk"), lit(windowTokens).as("__w"))
+  }
+
+  /** Ingest-time span cleanup: strip from `batch` every span whose
+    * window key appears in the persisted `hotKeys` artifact
+    * ([[repeatedSpanKeys]], column `__wk`) — the incremental companion
+    * to [[stripRepeatedSpans]], applying corpus-level boilerplate
+    * removal to each new delivery at the cost of one batch pass plus a
+    * semi-join on 16-byte keys. (Windows repeated only WITHIN the new
+    * batch are out of scope here by design — run the corpus-level pass
+    * when the batch is accepted, then refresh the artifact.)
+    *
+    * PRECONDITION: `idCol` must be unique per row (as for
+    * [[stripRepeatedSpans]] — see there for the failure mode).
+    */
+  def stripSpansAgainstKeys(batch: DataFrame, idCol: String,
+                            textCol: String, hotKeys: DataFrame,
+                            windowTokens: Int = 20): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    // refuse a window-size mismatch with the artifact: probes at W' can
+    // never match keys built at W, so the strip would silently no-op
+    if (hotKeys.columns.contains("__w")) {
+      val ws = hotKeys.select("__w").distinct().collect().map(_.getInt(0))
+      require(ws.isEmpty || ws.sameElements(Array(windowTokens)),
+        s"hotKeys artifact built with windowTokens=${ws.mkString(",")}, " +
+          s"strip called with $windowTokens")
+    }
+    val pos = batch.select(col(idCol),
+      posexplode(windowKeys(textCol, windowTokens)).as(Seq("pos", "wk")))
+    val flagged = pos.join(hotKeys.select(col("__wk").as("wk")),
+      Seq("wk"), "left_semi")
+    stripCovered(batch, idCol, textCol,
+      mergeFlagged(flagged, idCol, windowTokens))
+  }
+
+  /** Remove every repeated span found by [[repeatedSpans]] from the
+    * corpus: tokens covered by any flagged span are dropped (ALL
+    * occurrences — the conservative policy for training data; compose
+    * with exact/near dedup first so whole-document clones are collapsed
+    * rather than blanked). Returns one row per input document:
+    * (`idCol`, cleaned text under `textCol`, `kept_tokens`,
+    * `dropped_tokens`); NULL-text documents survive with NULL text.
+    *
+    * PRECONDITION: `idCol` must be unique per row — the strip reassembles
+    * text by grouping surviving (id, pos, token) rows, so two rows
+    * sharing an id would interleave their token streams under colliding
+    * positions into garbled text (the same contract
+    * [[duplicateClusters]] documents for its node frame). Run
+    * [[exact]]/[[exactByFingerprint]] first if ids may repeat.
+    */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         windowTokens: Int = 20,
+                         minOccurrences: Long = 2L): DataFrame =
+    stripCovered(df, idCol, textCol,
+      repeatedSpans(df, idCol, textCol, windowTokens, minOccurrences))
+
+  /** Shared strip tail: drop every token of `df` covered by a span of
+    * `spans` (the [[repeatedSpans]] output shape) and reassemble.
+    */
+  private[ops] def stripCovered(df: DataFrame, idCol: String, textCol: String,
+                           spans: DataFrame): DataFrame = {
+    // sort-merge, never broadcast or hash-build: the planner estimates
+    // `covered` BEFORE the sequence-explode, so on a boilerplate-heavy
+    // corpus it happily broadcasts (driver OOM) or hash-builds (executor
+    // OOM) what turns out to be a token-scale frame — the 1M-doc stress
+    // hit both. SMJ on (id, pos) sorts and SPILLS; it is the only
+    // formulation whose memory is bounded at any span density.
+    val covered = spans.select(col(idCol),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+      .hint("merge")
+    val toks = df.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val rebuilt = toks
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        reassemble(col("pos"), col("tok"), " ").as(textCol),
+        count(lit(1)).as("kept_tokens"))
+    // totals via the byte-scan token-count kernel: this is the THIRD
+    // tokenization-shaped pass over the corpus (winKeys projection and
+    // the toks explode are the other two), so it must not pay the regex
+    // split again — the kernel counts boundaries in place.
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val totals = df.select(col(idCol),
+      col(textCol).isNull.as("__tnull"),
+      coalesce(call_function("graft_token_count", col(textCol)), lit(0))
+        .cast("long").as("__total"))
+    totals
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__tnull"), lit(null))
+          .otherwise(coalesce(col(textCol), lit(""))).as(textCol),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("__total") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("dropped_tokens"))
+  }
+
+  /** Leakage-safe TRAIN/VALIDATION/TEST assignment: the split is a
+    * deterministic hash of the document's duplicate-CLUSTER
+    * representative, not of the document itself — so a near-duplicate
+    * pair can NEVER straddle the train/eval boundary (the classic
+    * leakage path: a document trains, its paraphrase evaluates).
+    * Per-document hash splits (including the reference's own
+    * random-split design) all have this hole; keying the hash on the
+    * connected-component label closes it structurally.
+    *
+    * `pairs` is the near-dup edge set from any pairwise operator here
+    * (`ngramJaccard`, `minhashDuplicatesVerified`, ...). Fractions are
+    * cluster-weighted in expectation: each CLUSTER (not each doc) lands
+    * in TRAIN with probability `trainFrac`, so massive duplicate
+    * clusters move whole — the price of zero leakage, and another
+    * reason to exact-dedup first. The assignment is a pure function of
+    * (cluster representative, salt): stable across partitionings,
+    * re-runs, and appends that don't bridge clusters, and replayable in
+    * external SQL (the oracle does).
+    *
+    * Returns one row per input document: (`idCol`, cluster_id, split).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       trainFrac: Double = 0.8, validationFrac: Double = 0.1,
+                       salt: Long = 0L): DataFrame = {
+    require(trainFrac > 0.0 && validationFrac >= 0.0 &&
+      trainFrac + validationFrac <= 1.0,
+      "need trainFrac > 0, validationFrac >= 0, sum <= 1")
+    val mod = 4294967296L // 2^32, keepPredicate's threshold domain
+    val trainThr = (trainFrac * mod).toLong
+    val valThr = ((trainFrac + validationFrac) * mod).toLong
+    val u = Sampling.mixedKey(col("cluster_id"), salt)
+    duplicateClusters(df, idCol, pairs)
+      .select(col(idCol), col("cluster_id"),
+        when(u < trainThr, "TRAIN")
+          .when(u < valThr, "VALIDATION")
+          .otherwise("TEST").as("split"))
+  }
+}

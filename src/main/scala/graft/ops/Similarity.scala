@@ -460,11 +460,15 @@ object Similarity {
     */
   def ivfIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, centIdCol: String,
-                    centVecCol: String, indexDir: String): Unit =
+                    centVecCol: String, indexDir: String): Unit = {
     ivfAssign(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
       .write.mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(indexDir)
+    // underscore-prefixed marker: invisible to Spark's parquet file
+    // index, read by snapshot-pinned consumers (annStream)
+    ArtifactVersion.stamp(indexDir)
+  }
 
   /** Incremental index ingest: assign ONLY the new batch against the
     * SAME centroids the index was built with and append its rows under
@@ -520,6 +524,7 @@ object Similarity {
     assigned.write.mode("append")
       .partitionBy("centroid_id")
       .parquet(indexDir)
+    ArtifactVersion.stamp(indexDir)
   }
 
   /** Top-k against a persisted IVF index: per-query probe lists are read
@@ -531,7 +536,34 @@ object Similarity {
                        centroids: DataFrame, centIdCol: String,
                        centVecCol: String,
                        k: Int, nprobe: Int = 3,
-                       excludeSelf: Boolean = true): DataFrame = {
+                       excludeSelf: Boolean = true): DataFrame =
+    ivfTopKFromSnapshot(ivfSnapshotLoad(spark, indexDir), queries,
+      qIdCol, qVecCol, centroids, centIdCol, centVecCol, k, nprobe,
+      excludeSelf)
+
+  /** One resolved read of an [[ivfIndexWrite]] index: the partitioned
+    * relation plus the [[ArtifactVersion]] token captured at load. The
+    * relation pins the file listing taken at load time, so a standing
+    * ANN service ([[graft.streaming.StreamingOps.annStream]]) probes
+    * the same snapshot every batch without re-listing the (corpus-
+    * sized) index directory, re-loading only when the version token
+    * moves. Partition pruning on `centroid_id` still applies per probe
+    * — the filter composes onto the pinned relation.
+    */
+  final case class IvfSnapshot(indexDir: String, version: Option[String],
+                               index: DataFrame)
+
+  def ivfSnapshotLoad(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): IvfSnapshot =
+    IvfSnapshot(indexDir, ArtifactVersion.read(indexDir),
+      spark.read.parquet(indexDir))
+
+  def ivfTopKFromSnapshot(snap: IvfSnapshot,
+                          queries: DataFrame, qIdCol: String,
+                          qVecCol: String, centroids: DataFrame,
+                          centIdCol: String, centVecCol: String,
+                          k: Int, nprobe: Int = 3,
+                          excludeSelf: Boolean = true): DataFrame = {
     registered(queries)
     val probes = ivfProbes(queries, qIdCol, qVecCol,
       centroids, centIdCol, centVecCol, nprobe)
@@ -540,7 +572,7 @@ object Similarity {
     val probedClusters = probes.select("centroid_id").distinct()
       .collect().map(_.get(0))
     // Read-back schema is (idCol, vecCol) + partition column centroid_id.
-    val index = spark.read.parquet(indexDir)
+    val index = snap.index
       .filter(col("centroid_id").isin(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(probedClusters): _*))
     rankTopK(

@@ -722,6 +722,7 @@ object TextAnalysis {
     dl.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("__dl")), lit(0L)).as("total_tokens"))
       .write.mode("overwrite").parquet(s"$path/stats")
+    ArtifactVersion.stamp(path)
   }
 
   private def bm25DocLengths(docs: DataFrame, idCol: String,
@@ -783,6 +784,7 @@ object TextAnalysis {
         st.getAs[Long]("total_tokens") + bs.getAs[Long]("t")))
       .toDF("n_docs", "total_tokens")
       .write.mode("overwrite").parquet(s"$path/stats")
+    ArtifactVersion.stamp(path)
   }
 
   /** Delete documents from a persisted BM25 index WITHOUT re-reading the
@@ -863,6 +865,7 @@ object TextAnalysis {
         .write.mode("overwrite").parquet(s"$path/stats")
       removed.select("__doc")
         .write.mode("append").parquet(s"$path/tombstones")
+      ArtifactVersion.stamp(path)
     }
     removed.unpersist()
   }
@@ -898,38 +901,66 @@ object TextAnalysis {
                         path: String, queries: DataFrame, qIdCol: String,
                         qTextCol: String, k: Int = 10, k1: Double = 1.2,
                         b: Double = 0.75, maxTermDocFreq: Long = 0L,
-                        maxPushdownTerms: Int = 8192): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    graft.functions.GraftFunctions.ensureRegistered(spark)
+                        maxPushdownTerms: Int = 8192): DataFrame =
+    bm25TopKFromSnapshot(bm25SnapshotLoad(spark, path), queries,
+      qIdCol, qTextCol, k, k1, b, maxTermDocFreq, maxPushdownTerms)
+
+  /** One resolved read of a [[bm25ArtifactsSave]] artifact: global
+    * stats, the tombstone-filtered postings relation, and the df table,
+    * plus the [[ArtifactVersion]] token captured at load. The relations
+    * pin the FILE LISTING taken at load time (Spark resolves a parquet
+    * relation's file index once), which is the point: a standing
+    * retrieval service probes the same snapshot every batch for free
+    * and re-loads only when the version token moves —
+    * [[graft.streaming.StreamingOps.bm25Stream]]'s refresh discipline.
+    * Files appended after load are intentionally invisible until then.
+    */
+  final case class Bm25Snapshot(path: String, version: Option[String],
+                                nDocs: Long, avgdl: Double,
+                                postings: DataFrame, dfTable: DataFrame)
+
+  def bm25SnapshotLoad(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Bm25Snapshot = {
     val st = spark.read.parquet(s"$path/stats").head()
     val nDocs = st.getAs[Long]("n_docs")
     val totTok = st.getAs[Long]("total_tokens")
     require(nDocs > 0, "empty corpus artifact")
     val avgdl = totTok.toDouble / nDocs // same one division as bm25TopK
-    val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
-    // limit+collect bounds driver memory: past the cap we only lose the
-    // scan pushdown, never correctness (the join still filters exactly)
-    val termSample = qt.select("__t").distinct()
-      .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
     val postingsRaw = spark.read.parquet(s"$path/postings")
     // deleted docs ([[bm25ArtifactsDelete]]) are tombstoned, not
     // rewritten out of the corpus-sized postings: anti-join them here.
     // The branch only exists after a delete, so pre-delete probe plans
     // (and their pushdown plan pins) are untouched
-    val postings0 =
+    val postings =
       if (graft.Fs.exists(s"$path/tombstones"))
         postingsRaw.join(spark.read.parquet(s"$path/tombstones"),
           Seq("__doc"), "left_anti")
       else postingsRaw
+    Bm25Snapshot(path, ArtifactVersion.read(path), nDocs, avgdl,
+      postings, spark.read.parquet(s"$path/df"))
+  }
+
+  def bm25TopKFromSnapshot(snap: Bm25Snapshot, queries: DataFrame,
+                           qIdCol: String, qTextCol: String, k: Int = 10,
+                           k1: Double = 1.2, b: Double = 0.75,
+                           maxTermDocFreq: Long = 0L,
+                           maxPushdownTerms: Int = 8192): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
+    val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
+    // limit+collect bounds driver memory: past the cap we only lose the
+    // scan pushdown, never correctness (the join still filters exactly)
+    val termSample = qt.select("__t").distinct()
+      .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
     val postings =
       if (termSample.length <= maxPushdownTerms)
-        postings0.where(col("__t").isin(termSample.toIndexedSeq: _*))
-      else postings0
+        snap.postings.where(col("__t").isin(termSample.toIndexedSeq: _*))
+      else snap.postings
     // per-term doc frequencies come from the split df/ table (the layout
     // that keeps appends honest): bounded to the query vocabulary by a
     // broadcast semi-ish join before touching the postings, with the
     // stop-term guard applied where the df rows live
-    val dfQ0 = spark.read.parquet(s"$path/df")
+    val dfQ0 = snap.dfTable
       .join(broadcast(qt.select("__t").distinct()), Seq("__t"))
     val dfQ =
       if (maxTermDocFreq <= 0L) dfQ0
@@ -937,7 +968,7 @@ object TextAnalysis {
     bm25ScoreAndRank(
       postings.join(broadcast(qt), Seq("__t"))
         .join(broadcast(dfQ), Seq("__t")),
-      nDocs, avgdl, k, k1, b)
+      snap.nDocs, snap.avgdl, k, k1, b)
   }
 
   // ---- chunking -----------------------------------------------------------

@@ -303,23 +303,42 @@ object StreamingOps {
     * query-term collection are batch-operator machinery, so stream
     * results are score-for-score [[graft.ops.TextAnalysis
     * .bm25TopKPersisted]] on the same rows BY CONSTRUCTION; parity spec
-    * in StreamingOpsSpec). No cross-batch state — the index artifacts
-    * ARE the state, and [[graft.ops.TextAnalysis.bm25ArtifactsAppend]]/
-    * `Delete` maintenance between restarts is picked up because the
-    * artifact is re-read per batch.
+    * in StreamingOpsSpec). No cross-batch state beyond the pinned
+    * artifact SNAPSHOT (r12): the index relations are resolved once and
+    * reused, so a 24/7 service stops re-listing the corpus-sized
+    * `postings/` directory and re-reading `stats/` every micro-batch.
+    * Every `refreshEveryBatches` batches the [[graft.ops
+    * .ArtifactVersion]] token is re-read (one kilobyte file) and the
+    * snapshot re-resolved ONLY if the token moved — which every
+    * [[graft.ops.TextAnalysis.bm25ArtifactsAppend]]/`Delete` does, so
+    * index maintenance is picked up at the next check. An artifact
+    * without a version marker (pre-r12 or externally written) re-loads
+    * at every check — the conservative legacy behavior, never a stale
+    * pin. Spec-pinned: a mid-stream append is visible after refresh; a
+    * postings file injected WITHOUT a version bump provably is not
+    * (the snapshot did not re-list).
     */
   def bm25Stream(stream: DataFrame, artifactPath: String, qIdCol: String,
                  qTextCol: String, k: Int = 10, k1: Double = 1.2,
-                 b: Double = 0.75)(
+                 b: Double = 0.75, refreshEveryBatches: Int = 1)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-          org.apache.spark.sql.Row] =
+          org.apache.spark.sql.Row] = {
+    require(refreshEveryBatches >= 1, "refreshEveryBatches must be >= 1")
+    var snap: graft.ops.TextAnalysis.Bm25Snapshot = null
     stream.writeStream.foreachBatch {
       (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
-        sink(graft.ops.TextAnalysis.bm25TopKPersisted(mb.sparkSession,
-          artifactPath, mb.toDF(), qIdCol, qTextCol, k, k1, b), batchId)
+        if (snap == null ||
+            (batchId % refreshEveryBatches == 0 &&
+              (snap.version.isEmpty ||
+                snap.version != graft.ops.ArtifactVersion.read(artifactPath))))
+          snap = graft.ops.TextAnalysis.bm25SnapshotLoad(mb.sparkSession,
+            artifactPath)
+        sink(graft.ops.TextAnalysis.bm25TopKFromSnapshot(snap,
+          mb.toDF(), qIdCol, qTextCol, k, k1, b), batchId)
     }
+  }
 
   /** Streaming ANN service: a stream of query vectors probed per
     * micro-batch against a persisted
@@ -328,22 +347,36 @@ object StreamingOps {
     * operator ([[graft.ops.Similarity.ivfTopKFromIndex]]; parity spec
     * in StreamingOpsSpec). `excludeSelf` defaults OFF here: a live
     * query stream is not the indexed corpus, so identical ids are
-    * coincidence, not self-matches.
+    * coincidence, not self-matches. Same snapshot-pin/version-refresh
+    * discipline as [[bm25Stream]] (r12): the partitioned index relation
+    * is resolved once and re-listed only when the
+    * [[graft.ops.ArtifactVersion]] token moves — every
+    * [[graft.ops.Similarity.ivfIndexAppend]]/`Write` bumps it.
     */
   def annStream(stream: DataFrame, indexDir: String, qIdCol: String,
                 qVecCol: String, centroids: DataFrame, centIdCol: String,
                 centVecCol: String, k: Int, nprobe: Int = 3,
-                excludeSelf: Boolean = false)(
+                excludeSelf: Boolean = false,
+                refreshEveryBatches: Int = 1)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-          org.apache.spark.sql.Row] =
+          org.apache.spark.sql.Row] = {
+    require(refreshEveryBatches >= 1, "refreshEveryBatches must be >= 1")
+    var snap: graft.ops.Similarity.IvfSnapshot = null
     stream.writeStream.foreachBatch {
       (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
-        sink(graft.ops.Similarity.ivfTopKFromIndex(mb.sparkSession,
-          indexDir, mb.toDF(), qIdCol, qVecCol, centroids, centIdCol,
-          centVecCol, k, nprobe, excludeSelf), batchId)
+        if (snap == null ||
+            (batchId % refreshEveryBatches == 0 &&
+              (snap.version.isEmpty ||
+                snap.version != graft.ops.ArtifactVersion.read(indexDir))))
+          snap = graft.ops.Similarity.ivfSnapshotLoad(mb.sparkSession,
+            indexDir)
+        sink(graft.ops.Similarity.ivfTopKFromSnapshot(snap, mb.toDF(),
+          qIdCol, qVecCol, centroids, centIdCol, centVecCol, k, nprobe,
+          excludeSelf), batchId)
     }
+  }
 
   /** Streaming WebDataset export: each micro-batch becomes its own
     * complete shard set under `dir/batch=<id>/` via

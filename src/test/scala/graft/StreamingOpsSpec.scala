@@ -640,6 +640,107 @@ class StreamingOpsSpec extends SparkSpec {
       Set(0L, 1L, 2L)))
   }
 
+  test("bm25Stream snapshot pin: version bump refreshes, unchanged version skips re-listing") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark engine overview"),
+      (2L, "spark spark internals"),
+      (3L, "filler words here"),
+    ).toDF("doc_id", "text")
+    val art = tmpDir("bm25pin")
+    graft.ops.TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    assert(graft.ops.ArtifactVersion.read(art).nonEmpty,
+      "save must stamp a version marker")
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Set[Long]]()
+    val query = StreamingOps.bm25Stream(
+        input.toDF().toDF("qid", "qtext"), art, "qid", "qtext", k = 10) {
+      (res, id) => got.synchronized {
+        got(id) = res.select("doc_id").as[Long].collect().toSet }
+    }.start()
+    try {
+      input.addData((100L, "spark")); query.processAllAvailable()
+      assert(got(0L) == Set(1L, 2L))
+      // mid-stream maintenance through the API bumps the version →
+      // picked up at the next batch's refresh check, score-parity with
+      // a fresh batch probe over the appended artifact
+      graft.ops.TextAnalysis.bm25ArtifactsAppend(
+        Seq((10L, "spark spark spark spark")).toDF("doc_id", "text"),
+        "doc_id", "text", art)
+      input.addData((101L, "spark")); query.processAllAvailable()
+      assert(got(1L) == Set(1L, 2L, 10L))
+      assert(got(1L) == graft.ops.TextAnalysis.bm25TopKPersisted(spark,
+        art, Seq((101L, "spark")).toDF("qid", "qtext"), "qid", "qtext",
+        k = 10).select("doc_id").as[Long].collect().toSet)
+      // a postings file injected WITHOUT a version bump: physically
+      // present — the negative control proves a re-listing reader sees
+      // it — but the pinned snapshot must NOT (no re-list happened)
+      Seq(("spark", 99L, 50L, 4L)).toDF("__t", "__doc", "__tf", "__dl")
+        .write.mode("append").parquet(s"$art/postings")
+      assert(graft.ops.TextAnalysis.bm25TopKPersisted(spark, art,
+        Seq((1L, "spark")).toDF("qid", "qtext"), "qid", "qtext", k = 10)
+        .select("doc_id").as[Long].collect().toSet.contains(99L),
+        "negative control: a fresh (re-listing) probe must see the file")
+      input.addData((102L, "spark")); query.processAllAvailable()
+      assert(got(2L) == Set(1L, 2L, 10L),
+        "unchanged version: the snapshot must not re-list postings/")
+      // bumping the version re-resolves at the next check
+      graft.ops.ArtifactVersion.stamp(art)
+      input.addData((103L, "spark")); query.processAllAvailable()
+      assert(got(3L).contains(99L), "bumped version: snapshot refreshed")
+    } finally query.stop()
+  }
+
+  test("annStream snapshot pin: version bump refreshes, unchanged version skips re-listing") {
+    implicit val sqlCtx = spark.sqlContext
+    def v(axis: Int, j: Int): Array[Float] = {
+      val a = Array.fill(6)(0.01f * j); a(axis) = 1.0f; a
+    }
+    val corpus = Seq(
+      (0L, v(0, 1)), (1L, v(0, 2)), (2L, v(0, 3)),
+      (10L, v(2, 1)), (11L, v(2, 2)),
+    ).toDF("vec_id", "embedding")
+    val centroids = corpus.filter(col("vec_id") % 10 === 0)
+    val dir = tmpDir("ann-pin")
+    graft.ops.Similarity.ivfIndexWrite(corpus, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dir)
+    assert(graft.ops.ArtifactVersion.read(dir).nonEmpty,
+      "index write must stamp a version marker")
+    val input = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map[Long, Set[Long]]()
+    val query = StreamingOps.annStream(
+        input.toDF().toDF("qid", "qvec"), dir, "qid", "qvec",
+        centroids, "vec_id", "embedding", k = 10, nprobe = 1) {
+      (res, id) => got.synchronized {
+        got(id) = res.select("neighbor_id").as[Long].collect().toSet }
+    }.start()
+    try {
+      input.addData((100L, v(0, 5))); query.processAllAvailable()
+      assert(got(0L) == Set(0L, 1L, 2L))
+      // API append bumps the version → next batch sees the new vector
+      graft.ops.Similarity.ivfIndexAppend(
+        Seq((3L, v(0, 4))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", centroids, "vec_id", "embedding", dir)
+      input.addData((101L, v(0, 5))); query.processAllAvailable()
+      assert(got(1L) == Set(0L, 1L, 2L, 3L))
+      // raw file injected into the partition dir without a bump: a
+      // fresh (re-listing) probe sees it; the pinned snapshot must not
+      Seq((4L, v(0, 5))).toDF("vec_id", "embedding")
+        .write.mode("append").parquet(s"$dir/centroid_id=0")
+      assert(graft.ops.Similarity.ivfTopKFromIndex(spark, dir,
+        Seq((1L, v(0, 5))).toDF("qid", "qvec"), "qid", "qvec", centroids,
+        "vec_id", "embedding", k = 10, nprobe = 1, excludeSelf = false)
+        .select("neighbor_id").as[Long].collect().toSet.contains(4L),
+        "negative control: a fresh (re-listing) probe must see the file")
+      input.addData((102L, v(0, 5))); query.processAllAvailable()
+      assert(got(2L) == Set(0L, 1L, 2L, 3L),
+        "unchanged version: the snapshot must not re-list the index")
+      graft.ops.ArtifactVersion.stamp(dir)
+      input.addData((103L, v(0, 5))); query.processAllAvailable()
+      assert(got(3L).contains(4L), "bumped version: snapshot refreshed")
+    } finally query.stop()
+  }
+
   test("bloom-prefiltered stream-static dedup matches the plain path") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")

@@ -1,0 +1,57 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r12 BPE-fit stress: ≥8k merges over a 1M-doc corpus whose word table
+  * actually SUPPORTS thousands of merges (the sf0.1-replica corpora
+  * reuse a few hundred distinct English words, which exhaust after a
+  * few hundred merges — fine for encode throughput, useless for
+  * training-cost scaling). Here each document carries 50 md5-hex
+  * "words" drawn from a 20050-entry pool (32 hex chars each → ~640k
+  * table chars, hundreds of thousands of learnable merges), the shape
+  * of a real 32k-merge tokenizer fit over a capped word table.
+  *
+  * Measures: the corpus word-table aggregate + driver merge rounds
+  * (incremental pair-stats; the pre-r12 full-recompute form is
+  * O(numMerges × table-chars) — ~13G pair increments at 8192 merges on
+  * this table) and the encode kernel over the fitted model.
+  *
+  * Run: `sbt "Test/runMain tmpstress.R12BpeStress 8192"`
+  */
+object R12BpeStress {
+  def main(args: Array[String]): Unit = {
+    val numMerges = if (args.nonEmpty) args(0).toInt else 8192
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val words = 20050L
+    val corpus = spark.range(1000000L).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 50).map(k =>
+          md5(concat(pmod(col("id") + k, lit(words)).cast("string"),
+            lit("w")))): _*).as("text"))
+      .repartition(64).cache()
+    println(s"MARKER_corpus=${corpus.count()}")
+
+    var t0 = System.nanoTime()
+    val model = graft.ops.TextAnalysis.bpeFit(corpus, "text",
+      numMerges = numMerges, minWordCount = 2L, maxWords = 1 << 16)
+    println(f"MARKER_bpe_fit=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      s"merges=${model.lefts.length}")
+
+    for (r <- 1 to 2) {
+      t0 = System.nanoTime()
+      val agg = graft.ops.TextAnalysis
+        .bpeEncodeKernel(corpus, "doc_id", "text", model)
+        .select(size(col("subwords")).cast("long").as("n"),
+          length(concat_ws("", col("subwords"))).cast("long").as("b"))
+        .agg(sum(col("n")), sum(col("b"))).head()
+      println(f"MARKER_bpe_encode$r=${(System.nanoTime() - t0) / 1e9}%.1f " +
+        s"subwords=${agg.getLong(0)} bytes=${agg.getLong(1)}")
+    }
+    spark.stop()
+  }
+}

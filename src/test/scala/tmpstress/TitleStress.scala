@@ -75,6 +75,29 @@ object TitleStress {
         s"sumD=${res.getLong(1)} " +
         f"shuffleGiB=${listener.shuffleW.get / 1024.0 / 1024 / 1024}%.1f " +
         f"spillGiB=${listener.spilled.get / 1024.0 / 1024 / 1024}%.1f")
+      // r12 residue instrumentation: what survives a finished rep in
+      // the block manager / heap before the next rep starts
+      def memLine(tag: String): Unit = {
+        val (mx, rem) = spark.sparkContext.getExecutorMemoryStatus
+          .values.head
+        val cached = spark.sparkContext.getRDDStorageInfo
+          .map(i => i.memSize).sum
+        val rt = Runtime.getRuntime
+        println(f"MARKER_mem_${tag}_$r storeFreeGiB=${rem / 1024.0 / 1024 / 1024}%.2f" +
+          f"/${mx / 1024.0 / 1024 / 1024}%.2f cachedGiB=${cached / 1024.0 / 1024 / 1024}%.2f" +
+          f" heapUsedGiB=${(rt.totalMemory - rt.freeMemory) / 1024.0 / 1024 / 1024}%.2f")
+      }
+      memLine("post")
+      // TITLESTRESS_GC=1: force the ContextCleaner's weak-ref cleanup
+      // (shuffle state, broadcast blocks) to actually run between reps —
+      // it is GC-driven, and back-to-back reps give the JVM no natural
+      // full-GC point (spark.cleaner.periodicGC.interval defaults to
+      // 30min, longer than the whole stress)
+      if (sys.env.get("TITLESTRESS_GC").contains("1")) {
+        System.gc()
+        Thread.sleep(2000) // let async cleanup land
+        memLine("gc")
+      }
     }
     spark.stop()
   }
