@@ -23,12 +23,16 @@ object BenchOne {
     require(names.nonEmpty, "pass one or more SparkEntry.queries names")
     names.foreach(n => require(SparkEntry.queries.contains(n),
       s"unknown query '$n'"))
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // SPARK_GRAFT_PAGE_SIZE: Tungsten page-size override (the r12
+    // GCLocker finding — see Bench); unset = Spark's auto-size
+    val spark = sys.env.get("SPARK_GRAFT_PAGE_SIZE")
+      .fold(builder)(p => builder.config("spark.buffer.pageSize", p))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()

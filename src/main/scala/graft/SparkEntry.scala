@@ -1912,6 +1912,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q128_bpe_artifact_roundtrip" -> ((s, dir) => {
+      // tokenizer lifecycle end to end: fit → persist the merge-table
+      // artifact → load → encode with the LOADED model (the q107/q88
+      // in-query-artifact pattern applied to the tokenizer). The
+      // oracle replays q126's content-preservation invariant; the
+      // engine-computed table_equal boolean (loaded merge table ==
+      // fitted, rank for rank) is pinned TRUE, so any save/load
+      // reorder or loss hash-mismatches
+      val art = tmpDir("graft-bpe-model")
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val fit = TextAnalysis.bpeFit(docs, "text", numMerges = 200,
+        minWordCount = 2L)
+      TextAnalysis.bpeModelSave(s, fit, art)
+      val loaded = TextAnalysis.bpeModelLoad(s, art)
+      val tableEqual = loaded.lefts.sameElements(fit.lefts) &&
+        loaded.rights.sameElements(fit.rights) &&
+        loaded.maxWordLen == fit.maxWordLen && loaded.pretok == fit.pretok
+      TextAnalysis.bpeEncodeKernel(docs, "doc_id", "text", loaded)
+        .select(col("doc_id"),
+          concat_ws("", col("subwords")).as("joined"))
+        .join(docs.select(col("doc_id"),
+          size(call_function("graft_tokens", lower(col("text"))))
+            .cast("long").as("n_words")), "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          lit(tableEqual).as("table_equal"), col("joined"))
+        .orderBy("doc_id")
+    }),
+
     "q127_bpe_cjk" -> ((s, dir) => {
       // the CJK-pretokenizer contract on genuinely spaceless Han text.
       // The corpus's zh stratum is synthetic ASCII tokens, so the query
@@ -4093,6 +4121,17 @@ object SparkEntry {
         """SELECT doc_id,
           |  CAST(len(list_filter(regexp_split_to_array(lower(text),
           |    '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+          |  regexp_replace(lower(text), '[ \t\n\r]+', '', 'g') AS joined
+          |FROM documents WHERE text IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
+
+      // q126's replayable invariant over the LOADED model, plus the
+      // engine-computed merge-table-fidelity boolean pinned TRUE
+      "q128_bpe_artifact_roundtrip" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(regexp_split_to_array(lower(text),
+          |    '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+          |  TRUE AS table_equal,
           |  regexp_replace(lower(text), '[ \t\n\r]+', '', 'g') AS joined
           |FROM documents WHERE text IS NOT NULL
           |ORDER BY doc_id""".stripMargin,

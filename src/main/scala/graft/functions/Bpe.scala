@@ -64,20 +64,46 @@ final class BpeModel(val lefts: Array[String], val rights: Array[String],
   require(pretok == BpeModel.PretokWs || pretok == BpeModel.PretokCjk,
     s"unknown pretokenizer '$pretok'")
 
-  /** rank of (left, right); symbols never contain whitespace (words are
-    * whitespace-split), so the space-joined key is injective.
+  /** Interned symbol ids + sorted (leftId<<32 | rightId) → rank table.
+    *
+    * Only symbols that appear as a merge's left or right ever need an
+    * id: a pair involving any OTHER symbol (raw characters outside the
+    * merge alphabet, merge products no later merge consumes) can never
+    * match a rank, so it maps to the `Unk` sentinel and the lookup is
+    * skipped outright. Lookups are then one `Arrays.binarySearch` over
+    * a packed long[] — no per-pair string concatenation or boxing,
+    * which is what the encode hot loop spends its time on for long
+    * words against deep merge tables (the r12 8k-merge stress).
+    * Duplicate-merge detection rides the same table build.
     */
-  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](lefts.length * 2)
+  @transient private lazy val lookup: (java.util.HashMap[String, Integer],
+      Array[Long], Array[Int]) = {
+    val ids = new java.util.HashMap[String, Integer](lefts.length * 3)
+    def intern(s: String): Int = {
+      val prev = ids.putIfAbsent(s, Integer.valueOf(ids.size))
+      if (prev == null) ids.size - 1 else prev.intValue()
+    }
+    val keys = new Array[Long](lefts.length)
     var i = 0
     while (i < lefts.length) {
-      val prev = m.putIfAbsent(lefts(i) + " " + rights(i), Integer.valueOf(i))
-      require(prev == null,
-        s"duplicate merge (${lefts(i)}, ${rights(i)}) at ranks $prev and $i")
+      keys(i) = (intern(lefts(i)).toLong << 32) | intern(rights(i)).toLong
       i += 1
     }
-    m
+    val order = (0 until lefts.length).sortBy(keys)
+    val sortedKeys = new Array[Long](lefts.length)
+    val ranks = new Array[Int](lefts.length)
+    i = 0
+    while (i < order.length) {
+      sortedKeys(i) = keys(order(i)); ranks(i) = order(i)
+      require(i == 0 || sortedKeys(i) != sortedKeys(i - 1),
+        s"duplicate merge (${lefts(ranks(i))}, ${rights(ranks(i))}) at " +
+          s"ranks ${ranks(i - 1)} and ${ranks(i)}")
+      i += 1
+    }
+    (ids, sortedKeys, ranks)
   }
+
+  private val Unk = -1
 
   /** BPE-encode one word: code-point symbols → repeated lowest-rank
     * merge, all non-overlapping occurrences left-to-right per round.
@@ -86,29 +112,45 @@ final class BpeModel(val lefts: Array[String], val rights: Array[String],
     val n = w.codePointCount(0, w.length)
     if (n <= 1 || n > maxWordLen || lefts.length == 0)
       return Array(w)
+    val (symId, pairKeys, pairRanks) = lookup
+    def idOf(s: String): Int = {
+      val v = symId.get(s)
+      if (v == null) Unk else v.intValue()
+    }
     var syms = BpeModel.symbols(w, n)
-    var done = false
+    var ids = new Array[Int](syms.length)
     var i = 0
+    while (i < syms.length) { ids(i) = idOf(syms(i)); i += 1 }
+    var done = false
     while (!done && syms.length > 1) {
       // lowest-rank pair present
       var best = Int.MaxValue
       i = 0
       while (i < syms.length - 1) {
-        val r = rank.get(syms(i) + " " + syms(i + 1))
-        if (r != null && r.intValue() < best) best = r.intValue()
+        if (ids(i) != Unk && ids(i + 1) != Unk) {
+          val at = java.util.Arrays.binarySearch(pairKeys,
+            (ids(i).toLong << 32) | ids(i + 1).toLong)
+          if (at >= 0 && pairRanks(at) < best) best = pairRanks(at)
+        }
         i += 1
       }
       if (best == Int.MaxValue) done = true
       else {
-        val l = lefts(best); val rr = rights(best)
-        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        val li = idOf(lefts(best)); val ri = idOf(rights(best))
+        val merged = lefts(best) + rights(best)
+        val mi = idOf(merged)
+        val outS = new Array[String](syms.length)
+        val outI = new Array[Int](syms.length)
+        var k = 0
         i = 0
         while (i < syms.length) {
-          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
-            out += (l + rr); i += 2 // non-overlapping, left-to-right
-          } else { out += syms(i); i += 1 }
+          if (i < syms.length - 1 && ids(i) == li && ids(i + 1) == ri) {
+            outS(k) = merged; outI(k) = mi
+            k += 1; i += 2 // non-overlapping, left-to-right
+          } else { outS(k) = syms(i); outI(k) = ids(i); k += 1; i += 1 }
         }
-        syms = out.toArray
+        syms = java.util.Arrays.copyOf(outS, k)
+        ids = java.util.Arrays.copyOf(outI, k)
       }
     }
     syms

@@ -1676,6 +1676,59 @@ object TextAnalysis {
       maxWordLen, pretok)
   }
 
+  /** Persist a fitted [[graft.functions.BpeModel]] as a reusable job
+    * artifact — the tokenizer-lifecycle step every multi-job pipeline
+    * needs (fit ONCE over the curated corpus, then encode in every
+    * training-data job and in [[graft.streaming.StreamingOps]]
+    * streams without refitting). Layout under `path`:
+    *  - `merges/`: one parquet row per merge (`rank`, `left`,
+    *    `right`) — rank = application order, externally readable (the
+    *    table IS the model, exactly the classic `merges.txt` content);
+    *  - `meta.json`: `max_word_len` + `pretok`, the two settings the
+    *    encoder must agree with the fit on;
+    *  - the [[ArtifactVersion]] marker, so standing consumers can
+    *    snapshot-pin the model like the BM25/IVF artifacts.
+    */
+  def bpeModelSave(spark: org.apache.spark.sql.SparkSession,
+                   model: graft.functions.BpeModel, path: String): Unit = {
+    import spark.implicits._
+    model.lefts.indices
+      .map(i => (i.toLong, model.lefts(i), model.rights(i)))
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    graft.Fs.writeString(graft.Fs.join(path, "meta.json"),
+      s"""{"max_word_len": ${model.maxWordLen}, """ +
+        s""""pretok": "${model.pretok}"}""")
+    ArtifactVersion.stamp(path)
+  }
+
+  /** Load a [[bpeModelSave]] artifact. Fails loud on a gapped or
+    * duplicated rank sequence — merge ORDER is the model; a silently
+    * reordered table would encode different subwords.
+    */
+  def bpeModelLoad(spark: org.apache.spark.sql.SparkSession,
+                   path: String): graft.functions.BpeModel = {
+    val meta = graft.Fs.readString(graft.Fs.join(path, "meta.json"))
+    def field(name: String): String = {
+      val m = (s""""$name"\\s*:\\s*"?([^",}]+)"?""").r
+        .findFirstMatchIn(meta)
+      require(m.nonEmpty, s"meta.json at $path lacks $name")
+      m.get.group(1).trim
+    }
+    val rows = spark.read.parquet(s"$path/merges")
+      .select("rank", "left", "right").orderBy("rank")
+      .collect()
+    rows.iterator.zipWithIndex.foreach { case (r, i) =>
+      require(r.getLong(0) == i.toLong,
+        s"merge table at $path has rank ${r.getLong(0)} at position $i " +
+          "— gapped or duplicated ranks would reorder the merge " +
+          "sequence; rebuild the artifact")
+    }
+    new graft.functions.BpeModel(
+      rows.map(_.getString(1)), rows.map(_.getString(2)),
+      field("max_word_len").toInt, field("pretok"))
+  }
+
   /** Apply a fitted BPE model as ONE codegen'd scan: (id, subwords) with
     * the flat subword array in reading order — the learned-tokenizer
     * twin of [[tokenizeToIdsKernel]] (same model-as-reference-object

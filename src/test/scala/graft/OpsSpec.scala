@@ -1737,6 +1737,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bpeModelSave/Load: merge order, settings fidelity, version stamp, gap fail-loud") {
+    val docs = Seq((1L, "aaab ab"), (2L, "aaab ab"), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val fit = TextAnalysis.bpeFit(docs, "text", numMerges = 10,
+      maxWordLen = 77, pretok = graft.functions.BpeModel.PretokCjk)
+    val dir = tmpDir("bpe-model")
+    TextAnalysis.bpeModelSave(spark, fit, dir)
+    assert(graft.ops.ArtifactVersion.read(dir).nonEmpty)
+    val loaded = TextAnalysis.bpeModelLoad(spark, dir)
+    assert(loaded.lefts.toSeq == fit.lefts.toSeq &&
+      loaded.rights.toSeq == fit.rights.toSeq)
+    assert(loaded.maxWordLen == 77 &&
+      loaded.pretok == graft.functions.BpeModel.PretokCjk)
+    assert(loaded.encodeWord("aaab").toSeq == Seq("aaab"))
+    // the merges table is externally readable in rank order
+    assert(spark.read.parquet(s"$dir/merges").orderBy("rank")
+      .select("left", "right").as[(String, String)].collect().toSeq ==
+      fit.lefts.zip(fit.rights).toSeq)
+    // a gapped rank sequence (artifact corruption / partial rewrite)
+    // fails loud instead of silently reordering the merge sequence
+    spark.read.parquet(s"$dir/merges").filter(col("rank") =!= 1L)
+      .write.mode("overwrite").parquet(s"$dir/merges_tmp")
+    graft.Fs.deleteRecursively(s"$dir/merges")
+    assert(graft.Fs.rename(s"$dir/merges_tmp", s"$dir/merges"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeModelLoad(spark, dir)
+    }
+  }
+
   test("bpe cjk pretokenizer: run splitting, chunking, zh merges, losslessness") {
     import graft.functions.BpeModel
     // boundary rules: whitespace first, then CJK runs split out of

@@ -19,6 +19,15 @@ object TitleStress {
       .config("spark.sql.shuffle.partitions", 64)
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/tmp/spark-titlestress")
+      // r12 finding (BASELINE "tiered rep-2" adjudication): Spark
+      // auto-sizes Tungsten pages to 128 MB for this heap/core count;
+      // 32 threads concurrently allocating 128 MB on-heap pages at an
+      // 8 GiB heap stochastically trips JDK-17 GCLocker retry
+      // exhaustion (the r11 UNABLE_TO_ACQUIRE_MEMORY / cleanup-NPE
+      // deaths). Capping the page size smooths the allocator pattern;
+      // override via TITLESTRESS_PAGE.
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("TITLESTRESS_PAGE", "16m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val n = 10000000L
