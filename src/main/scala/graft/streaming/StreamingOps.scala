@@ -378,6 +378,46 @@ object StreamingOps {
     }
   }
 
+  /** Streaming subword tokenization against a persisted
+    * [[graft.ops.TextAnalysis.bpeModelSave]] artifact — the tokenizer
+    * twin of [[bm25Stream]]'s snapshot discipline: the merge table
+    * loads once, rides every batch's encode Project as a plan
+    * reference object ([[graft.ops.TextAnalysis.bpeEncodeKernel]] —
+    * zero joins, zero shuffle, batch-parity by construction), and
+    * re-loads only when the artifact's [[graft.ops.ArtifactVersion]]
+    * marker moves. That makes a REFIT a hot swap: save the new model
+    * over the artifact and the stream picks it up at the next version
+    * check, no restart — the upgrade path a 24/7 ingest pipeline needs
+    * when the tokenizer is retrained on a fresher corpus. An
+    * unversioned artifact re-loads at every check (conservative
+    * legacy behavior). Spec-pinned: a mid-stream refit changes the
+    * emitted subwords at the next batch, batch parity holds per model.
+    */
+  def bpeEncodeStream(stream: DataFrame, modelPath: String,
+                      idCol: String, textCol: String,
+                      refreshEveryBatches: Int = 1)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    require(refreshEveryBatches >= 1, "refreshEveryBatches must be >= 1")
+    var version: Option[String] = null
+    var model: graft.functions.BpeModel = null
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        if (model == null ||
+            (batchId % refreshEveryBatches == 0 &&
+              (version.isEmpty ||
+                version != graft.ops.ArtifactVersion.read(modelPath)))) {
+          version = graft.ops.ArtifactVersion.read(modelPath)
+          model = graft.ops.TextAnalysis.bpeModelLoad(mb.sparkSession,
+            modelPath)
+        }
+        sink(graft.ops.TextAnalysis.bpeEncodeKernel(mb.toDF(), idCol,
+          textCol, model), batchId)
+    }
+  }
+
   /** Streaming WebDataset export: each micro-batch becomes its own
     * complete shard set under `dir/batch=<id>/` via
     * [[graft.sinks.WebDataset.writeShards]] — the "export as it

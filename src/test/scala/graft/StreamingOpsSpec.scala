@@ -741,6 +741,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bpeEncodeStream: hot tokenizer swap on version bump, batch parity per model") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusA = Seq((1L, "ab ab ab"), (2L, "ab ab")).toDF("doc_id", "text")
+    val modelA = graft.ops.TextAnalysis.bpeFit(corpusA, "text",
+      numMerges = 1) // learns (a,b) only
+    val art = tmpDir("bpe-stream-model")
+    graft.ops.TextAnalysis.bpeModelSave(spark, modelA, art)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Map[Long, Seq[String]]]()
+    val query = StreamingOps.bpeEncodeStream(
+        input.toDF().toDF("doc_id", "text"), art, "doc_id", "text") {
+      (res, id) => got.synchronized {
+        got(id) = res.as[(Long, Seq[String])].collect().toMap }
+    }.start()
+    try {
+      input.addData((10L, "abc")); query.processAllAvailable()
+      assert(got(0L)(10L) == Seq("ab", "c")) // model A: only (a,b)
+      // REFIT on a corpus that also teaches (ab,c); save over the
+      // artifact → version bump → next batch encodes with the new model
+      val corpusB = Seq((1L, "abc abc abc abc")).toDF("doc_id", "text")
+      val modelB = graft.ops.TextAnalysis.bpeFit(corpusB, "text",
+        numMerges = 5)
+      graft.ops.TextAnalysis.bpeModelSave(spark, modelB, art)
+      input.addData((11L, "abc")); query.processAllAvailable()
+      assert(got(1L)(11L) == Seq("abc"), s"hot swap: ${got(1L)}")
+      // parity with the batch kernel under the loaded model
+      val batch = graft.ops.TextAnalysis.bpeEncodeKernel(
+          Seq((11L, "abc")).toDF("doc_id", "text"), "doc_id", "text",
+          graft.ops.TextAnalysis.bpeModelLoad(spark, art))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(batch == got(1L))
+    } finally query.stop()
+  }
+
   test("bloom-prefiltered stream-static dedup matches the plain path") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")

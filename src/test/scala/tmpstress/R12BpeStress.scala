@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
 object R12BpeStress {
   def main(args: Array[String]): Unit = {
     val numMerges = if (args.nonEmpty) args(0).toInt else 8192
+    val mode = args.lift(1).getOrElse("hex") // hex | cjk
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
       .config("spark.ui.enabled", "false")
@@ -29,16 +30,33 @@ object R12BpeStress {
     spark.sparkContext.setLogLevel("WARN")
 
     val words = 20050L
-    val corpus = spark.range(1000000L).select(col("id").as("doc_id"),
-        concat_ws(" ", (0 until 50).map(k =>
-          md5(concat(pmod(col("id") + k, lit(words)).cast("string"),
-            lit("w")))): _*).as("text"))
+    val hexText = concat_ws(" ", (0 until 50).map(k =>
+      md5(concat(pmod(col("id") + k, lit(words)).cast("string"),
+        lit("w")))): _*)
+    // cjk mode: the q127 derivation at 1M docs — hex → Han via
+    // translate with the separator deleted, producing genuinely
+    // SPACELESS text (1600-cp runs) that only the cjk pretokenizer
+    // can learn from (chunked at maxWordLen=256 code points)
+    val text =
+      if (mode == "cjk") translate(hexText,
+        "abcdef0123456789 ", "的一是不了人我在有他这中大来上国")
+      else hexText
+    val pretok =
+      if (mode == "cjk") graft.functions.BpeModel.PretokCjk
+      else graft.functions.BpeModel.PretokWs
+    val maxWordLen = if (mode == "cjk") 256 else 1024
+    val corpus = spark.range(1000000L)
+      .select(col("id").as("doc_id"), text.as("text"))
       .repartition(64).cache()
     println(s"MARKER_corpus=${corpus.count()}")
 
     var t0 = System.nanoTime()
+    // cjk chunking yields ~7 distinct 256-cp words per distinct doc
+    // (~140k table entries) — a bigger but still driver-bounded table
     val model = graft.ops.TextAnalysis.bpeFit(corpus, "text",
-      numMerges = numMerges, minWordCount = 2L, maxWords = 1 << 16)
+      numMerges = numMerges, minWordCount = 2L,
+      maxWords = if (mode == "cjk") 1 << 18 else 1 << 16,
+      maxWordLen = maxWordLen, pretok = pretok)
     println(f"MARKER_bpe_fit=${(System.nanoTime() - t0) / 1e9}%.1f " +
       s"merges=${model.lefts.length}")
 
