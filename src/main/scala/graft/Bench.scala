@@ -6,7 +6,18 @@ object Bench {
     * names all start with `q`, which is what keeps the flat regex from
     * matching the envelope's metric/value/sf fields. Spec-pinned.
     */
-  def parseCommitted(txt: String): Map[String, Double] = {
+  def parseCommitted(txt: String): Map[String, Double] =
+    parseCommitted(txt, None)
+
+  /** With `sfDir` given, a record taken at a DIFFERENT scale factor is
+    * ignored entirely — at sf1 every query legitimately exceeds 3× its
+    * sf0.1 committed time, and a cross-SF record would re-measure the
+    * whole suite. Spec-pinned.
+    */
+  def parseCommitted(txt: String, sfDir: Option[String])
+      : Map[String, Double] = {
+    if (sfDir.exists(d => !txt.contains("\"sf\":\"" + d + "\"")))
+      return Map.empty
     // scope to the "queries" object FIRST: a record emitted by this
     // Bench also carries "t_start" (same q-names, different values) —
     // a flat scan would let start offsets shadow committed seconds
@@ -70,7 +81,7 @@ object Bench {
         "BENCH_COMMITTED.json")
       try parseCommitted(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)),
-        java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.charset.StandardCharsets.UTF_8), Some(sfDir))
       catch { case _: Throwable => Map.empty } // no record: no re-measure
     }
     // Queries are independent: drain every block the finished query

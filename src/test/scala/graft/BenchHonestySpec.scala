@@ -52,6 +52,11 @@ class BenchHonestySpec extends SparkSpec {
     assert(m("q01_split_route") == 0.421 && m("q60_corpus_build") == 2.262)
     assert(!m.contains("metric") && !m.contains("value") &&
       !m.contains("total") && m.size == 2)
+    // cross-SF guard: a committed record only applies at its own scale
+    // factor — at sf1 every query legitimately exceeds 3× its sf0.1
+    // record, and the re-measure would otherwise double the whole run
+    assert(Bench.parseCommitted(rec, Some("/root/testdata/sf0.1")).size == 2)
+    assert(Bench.parseCommitted(rec, Some("/tmp/sf1")).isEmpty)
     // re-measure rule: 3× AND >1 s absolute; no record → never
     assert(Bench.needsRemeasure(61.62, Some(2.262)))   // the r11 q60 stall
     assert(Bench.needsRemeasure(15.06, Some(0.36)))    // the r11 q45 stall
