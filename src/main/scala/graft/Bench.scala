@@ -35,7 +35,10 @@ object Bench {
     * ~92 s to one). No committed record → never re-measure. Spec-pinned.
     */
   def needsRemeasure(r1: Double, committed: Option[Double]): Boolean =
-    committed.exists(c => r1 > 3 * c && r1 > 1.0)
+    // c > 0 guards a committed -1 (the emitted format's failure
+    // sentinel): a non-positive record would otherwise vacuously
+    // re-measure its query on every run
+    committed.exists(c => c > 0 && r1 > 3 * c && r1 > 1.0)
 
   /** Headline seconds when a re-measure ran: min of the reps (the
     * standing BenchOne steady-state adjudication applied in-run; both

@@ -128,7 +128,11 @@ object TextAnalysis {
         .map { case (s, c) => c * occ(s, m) }.sum
       coeff(m) = 1L - embedded
     }
-    markers.map(m => (m, coeff(m)))
+    // one term per DISTINCT marker: the coefficients are computed over
+    // the distinct set, so a duplicated input marker must not emit its
+    // (coefficient-1) term twice — that would double-count every
+    // occurrence the containment adjustment already netted to one
+    markers.distinct.map(m => (m, coeff(m)))
   }
 
   /** Encoding-artifact profile — the CCNet-style cleanliness signal a
@@ -712,8 +716,8 @@ object TextAnalysis {
       .repartitionByRange(col("__t"), col("__doc"))
       .sortWithinPartitions("__t", "__doc")
       .write.mode("overwrite").parquet(s"$path/postings")
-    tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-      .write.mode("overwrite").parquet(s"$path/df")
+    bm25DfAdvance(path, tf.groupBy("__t").agg(count(lit(1)).as("__df")),
+      keepGenerations = 1)
     // per-doc length table: the probe never reads it (postings carry
     // __dl), but [[bm25ArtifactsDelete]] needs it — a zero-token doc
     // has NO posting row, so postings alone cannot say whether a
@@ -743,11 +747,15 @@ object TextAnalysis {
     * [[graft.ops.Similarity.ivfIndexAppend]] and the digest-artifact
     * ingest paths. The batch's postings land as NEW files under
     * `postings/` (their own (`__t, __doc`) range layout — pushdown still
-    * prunes per file); the term-cardinality `df/` table and the one-row
+    * prunes per file); the term-cardinality df table and the one-row
     * `stats/` are the only artifacts REWRITTEN, because they are the
-    * only ones whose values change when documents arrive. The `df/`
-    * rewrite goes through a tmp-dir + rename swap so a failure mid-merge
-    * leaves the old table readable, never a half-written one.
+    * only ones whose values change when documents arrive. The df
+    * rewrite publishes a NEW GENERATION directory and flips the
+    * `df_current` pointer ([[bm25DfAdvance]], r12): a failure
+    * mid-merge leaves the old generation live, and a probe snapshot
+    * pinned between stream refreshes keeps its files intact instead of
+    * crashing on a delete+rename swap — `keepGenerations` bounds the
+    * retained history (snapshot-expiry contract in [[bm25DfAdvance]]).
     *
     * Correctness note: this is exactly why the layout keeps `__df` OUT
     * of the posting rows — an appended corpus changes every existing
@@ -757,7 +765,7 @@ object TextAnalysis {
     * build over the union corpus, score-for-score.
     */
   def bm25ArtifactsAppend(docs: DataFrame, idCol: String, textCol: String,
-                          path: String): Unit = {
+                          path: String, keepGenerations: Int = 3): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val spark = docs.sparkSession
     val dl = bm25DocLengths(docs, idCol, textCol)
@@ -771,14 +779,10 @@ object TextAnalysis {
     val st = spark.read.parquet(s"$path/stats").head()
     val bs = dl.agg(count(lit(1)).as("n"),
       coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
-    val merged = spark.read.parquet(s"$path/df")
+    val merged = spark.read.parquet(bm25DfDir(path))
       .unionByName(tf.groupBy("__t").agg(count(lit(1)).as("__df")))
       .groupBy("__t").agg(sum(col("__df")).as("__df"))
-    val tmp = s"$path/df_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    graft.Fs.deleteRecursively(s"$path/df")
-    require(graft.Fs.rename(tmp, s"$path/df"),
-      s"failed to move merged df table into place at $path/df")
+    bm25DfAdvance(path, merged, keepGenerations)
     import spark.implicits._
     Seq((st.getAs[Long]("n_docs") + bs.getAs[Long]("n"),
         st.getAs[Long]("total_tokens") + bs.getAs[Long]("t")))
@@ -824,7 +828,7 @@ object TextAnalysis {
     */
   def bm25ArtifactsDelete(spark: org.apache.spark.sql.SparkSession,
                           path: String, ids: DataFrame,
-                          idCol: String): Unit = {
+                          idCol: String, keepGenerations: Int = 3): Unit = {
     require(graft.Fs.exists(s"$path/dl"),
       s"$path has no dl/ table (pre-delete layout) — rebuild the index " +
         "with bm25ArtifactsSave once to enable deletes")
@@ -849,12 +853,12 @@ object TextAnalysis {
       val dec = spark.read.parquet(s"$path/postings")
         .join(removed.select("__doc"), Seq("__doc"))
         .groupBy("__t").agg(count(lit(1)).as("__dec"))
-      val newDf = spark.read.parquet(s"$path/df")
+      val newDf = spark.read.parquet(bm25DfDir(path))
         .join(dec, Seq("__t"), "left")
         .select(col("__t"),
           (col("__df") - coalesce(col("__dec"), lit(0L))).as("__df"))
         .filter(col("__df") > 0L)
-      swapTable(spark, newDf, s"$path/df")
+      bm25DfAdvance(path, newDf, keepGenerations)
       swapTable(spark, dl.join(del, Seq("__doc"), "left_anti"),
         s"$path/dl")
       val st = spark.read.parquet(s"$path/stats").head()
@@ -870,9 +874,13 @@ object TextAnalysis {
     removed.unpersist()
   }
 
-  /** Rewrite-and-swap a small artifact table (the df/dl pattern): a
+  /** Rewrite-and-swap a small artifact table (the dl/ pattern): a
     * failure mid-merge leaves the old table readable, never a
-    * half-written one.
+    * half-written one. Used only for tables no PROBE ever pins (dl/ is
+    * read exclusively inside [[bm25ArtifactsDelete]] itself); the
+    * probe-pinned df table uses [[bm25DfAdvance]] generations instead,
+    * because this swap deletes the old files a pinned snapshot still
+    * references.
     */
   private def swapTable(spark: org.apache.spark.sql.SparkSession,
                         table: DataFrame, dest: String): Unit = {
@@ -881,6 +889,55 @@ object TextAnalysis {
     graft.Fs.deleteRecursively(dest)
     require(graft.Fs.rename(tmp, dest),
       s"failed to move rewritten table into place at $dest")
+  }
+
+  /** Current df-table directory: the `df_current` pointer file names
+    * the live generation (`df_gNNNN`); a pre-generation artifact falls
+    * back to the legacy in-place `df/` directory.
+    */
+  private[graft] def bm25DfDir(path: String): String = {
+    val ptr = graft.Fs.join(path, "df_current")
+    if (graft.Fs.exists(ptr))
+      graft.Fs.join(path, graft.Fs.readString(ptr).trim)
+    else graft.Fs.join(path, "df")
+  }
+
+  /** Publish a new df-table generation: write the FULL new table under
+    * a fresh `df_gNNNN` directory, flip the `df_current` pointer (a
+    * kilobyte file write — effectively atomic), then drop generations
+    * beyond the `keepGenerations` newest. Readers that pinned an older
+    * generation (a [[Bm25Snapshot]] between refreshes) keep working
+    * against intact files instead of crashing on the deleted part-files
+    * an in-place delete+rename swap leaves behind; retention is the
+    * contract — a snapshot idle across MORE than `keepGenerations - 1`
+    * maintenance operations can still lose its files and must
+    * re-resolve (the standard snapshot-expiry trade; size
+    * `keepGenerations` to exceed the maintenance ops possible within
+    * one stream refresh interval). A crash mid-publish leaves the old
+    * pointer valid and at worst an orphaned unreferenced directory.
+    * The legacy `df/` directory, when present, is never deleted — it
+    * may be pinned by a pre-generation reader.
+    */
+  private def bm25DfAdvance(path: String, table: DataFrame,
+                            keepGenerations: Int): Unit = {
+    require(keepGenerations >= 1, "keepGenerations must be >= 1")
+    val ptr = graft.Fs.join(path, "df_current")
+    val cur =
+      if (graft.Fs.exists(ptr)) {
+        val name = graft.Fs.readString(ptr).trim
+        require(name.startsWith("df_g"),
+          s"unexpected df_current content '$name' at $path")
+        name.stripPrefix("df_g").toInt
+      } else -1
+    val next = f"df_g${cur + 1}%04d"
+    table.write.mode("overwrite")
+      .parquet(graft.Fs.join(path, next))
+    graft.Fs.writeString(ptr, next)
+    var g = cur + 1 - keepGenerations
+    while (g >= 0) {
+      graft.Fs.deleteRecursively(graft.Fs.join(path, f"df_g$g%04d"))
+      g -= 1
+    }
   }
 
   /** BM25 top-k against a persisted [[bm25ArtifactsSave]] snapshot —
@@ -914,6 +971,14 @@ object TextAnalysis {
     * and re-loads only when the version token moves —
     * [[graft.streaming.StreamingOps.bm25Stream]]'s refresh discipline.
     * Files appended after load are intentionally invisible until then.
+    * Maintenance-safety: [[bm25ArtifactsAppend]]/`Delete` never remove
+    * files a snapshot can hold (postings append additively; the df
+    * table advances by GENERATION with bounded retention —
+    * [[bm25DfAdvance]]). A full in-place REBUILD
+    * ([[bm25ArtifactsSave]] over the same path) is the one operation
+    * that does delete pinned postings files: run it with streaming
+    * consumers paused, or accept one failed batch and restart the
+    * query (streaming retries re-resolve the new artifact).
     */
   final case class Bm25Snapshot(path: String, version: Option[String],
                                 nDocs: Long, avgdl: Double,
@@ -921,6 +986,12 @@ object TextAnalysis {
 
   def bm25SnapshotLoad(spark: org.apache.spark.sql.SparkSession,
                        path: String): Bm25Snapshot = {
+    // version token FIRST, data after: a write landing mid-load then
+    // leaves the snapshot carrying the OLD token with (possibly) newer
+    // data, so the next refresh check sees a mismatch and re-loads —
+    // one spurious reload. The inverted order would pin old data under
+    // the new token and never refresh.
+    val version = ArtifactVersion.read(path)
     val st = spark.read.parquet(s"$path/stats").head()
     val nDocs = st.getAs[Long]("n_docs")
     val totTok = st.getAs[Long]("total_tokens")
@@ -936,8 +1007,8 @@ object TextAnalysis {
         postingsRaw.join(spark.read.parquet(s"$path/tombstones"),
           Seq("__doc"), "left_anti")
       else postingsRaw
-    Bm25Snapshot(path, ArtifactVersion.read(path), nDocs, avgdl,
-      postings, spark.read.parquet(s"$path/df"))
+    Bm25Snapshot(path, version, nDocs, avgdl,
+      postings, spark.read.parquet(bm25DfDir(path)))
   }
 
   def bm25TopKFromSnapshot(snap: Bm25Snapshot, queries: DataFrame,

@@ -324,19 +324,47 @@ object StreamingOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
-    require(refreshEveryBatches >= 1, "refreshEveryBatches must be >= 1")
-    var snap: graft.ops.TextAnalysis.Bm25Snapshot = null
+    val pin = new SnapshotPin(artifactPath, refreshEveryBatches)(
+      (spark, _) => graft.ops.TextAnalysis.bm25SnapshotLoad(spark,
+        artifactPath))
     stream.writeStream.foreachBatch {
       (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
-        if (snap == null ||
-            (batchId % refreshEveryBatches == 0 &&
-              (snap.version.isEmpty ||
-                snap.version != graft.ops.ArtifactVersion.read(artifactPath))))
-          snap = graft.ops.TextAnalysis.bm25SnapshotLoad(mb.sparkSession,
-            artifactPath)
-        sink(graft.ops.TextAnalysis.bm25TopKFromSnapshot(snap,
-          mb.toDF(), qIdCol, qTextCol, k, k1, b), batchId)
+        sink(graft.ops.TextAnalysis.bm25TopKFromSnapshot(
+          pin.get(mb.sparkSession, batchId), mb.toDF(), qIdCol, qTextCol,
+          k, k1, b), batchId)
+    }
+  }
+
+  /** The shared snapshot-refresh discipline of the standing services
+    * ([[bm25Stream]], [[annStream]], [[bpeEncodeStream]]): hold a
+    * loaded value, re-check the artifact's [[graft.ops
+    * .ArtifactVersion]] token every `every` batches (ONE kilobyte-file
+    * read), and re-run `load` only when the token moved or the
+    * artifact is unversioned. The token is captured ONCE, BEFORE
+    * loading, and stored with the value — a write racing the load then
+    * leaves an old token over possibly-newer data, which the next
+    * check resolves with one spurious reload; reading the token after
+    * (or twice) could pin old data under the new token forever.
+    * Single-threaded by construction: foreachBatch callbacks for one
+    * query never run concurrently.
+    */
+  private final class SnapshotPin[A](path: String, every: Int)(
+      load: (org.apache.spark.sql.SparkSession, Option[String]) => A) {
+    require(every >= 1, "refreshEveryBatches must be >= 1")
+    private var version: Option[String] = null
+    private var value: A = null.asInstanceOf[A]
+
+    def get(spark: org.apache.spark.sql.SparkSession, batchId: Long): A = {
+      if (version == null || (batchId % every == 0 && {
+            val v = graft.ops.ArtifactVersion.read(path)
+            if (version.isEmpty || version != v) { version = v; true }
+            else false
+          })) {
+        if (version == null) version = graft.ops.ArtifactVersion.read(path)
+        value = load(spark, version)
+      }
+      value
     }
   }
 
@@ -361,18 +389,13 @@ object StreamingOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
-    require(refreshEveryBatches >= 1, "refreshEveryBatches must be >= 1")
-    var snap: graft.ops.Similarity.IvfSnapshot = null
+    val pin = new SnapshotPin(indexDir, refreshEveryBatches)(
+      (spark, _) => graft.ops.Similarity.ivfSnapshotLoad(spark, indexDir))
     stream.writeStream.foreachBatch {
       (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
-        if (snap == null ||
-            (batchId % refreshEveryBatches == 0 &&
-              (snap.version.isEmpty ||
-                snap.version != graft.ops.ArtifactVersion.read(indexDir))))
-          snap = graft.ops.Similarity.ivfSnapshotLoad(mb.sparkSession,
-            indexDir)
-        sink(graft.ops.Similarity.ivfTopKFromSnapshot(snap, mb.toDF(),
+        sink(graft.ops.Similarity.ivfTopKFromSnapshot(
+          pin.get(mb.sparkSession, batchId), mb.toDF(),
           qIdCol, qVecCol, centroids, centIdCol, centVecCol, k, nprobe,
           excludeSelf), batchId)
     }
@@ -399,22 +422,13 @@ object StreamingOps {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
-    require(refreshEveryBatches >= 1, "refreshEveryBatches must be >= 1")
-    var version: Option[String] = null
-    var model: graft.functions.BpeModel = null
+    val pin = new SnapshotPin(modelPath, refreshEveryBatches)(
+      (spark, _) => graft.ops.TextAnalysis.bpeModelLoad(spark, modelPath))
     stream.writeStream.foreachBatch {
       (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
-        if (model == null ||
-            (batchId % refreshEveryBatches == 0 &&
-              (version.isEmpty ||
-                version != graft.ops.ArtifactVersion.read(modelPath)))) {
-          version = graft.ops.ArtifactVersion.read(modelPath)
-          model = graft.ops.TextAnalysis.bpeModelLoad(mb.sparkSession,
-            modelPath)
-        }
         sink(graft.ops.TextAnalysis.bpeEncodeKernel(mb.toDF(), idCol,
-          textCol, model), batchId)
+          textCol, pin.get(mb.sparkSession, batchId)), batchId)
     }
   }
 

@@ -64,6 +64,7 @@ class BenchHonestySpec extends SparkSpec {
     assert(!Bench.needsRemeasure(2.0, Some(1.0)))      // within 3×
     assert(!Bench.needsRemeasure(50.0, None))          // new query, no record
     assert(!Bench.needsRemeasure(-1.0, Some(1.0)))     // failed query
+    assert(!Bench.needsRemeasure(50.0, Some(-1.0)))    // failed-record sentinel
     // headline: min of reps; a failed rep2 never masks rep1
     assert(Bench.headline(61.62, 2.31) == 2.31)
     assert(Bench.headline(1.5, 4.0) == 1.5)

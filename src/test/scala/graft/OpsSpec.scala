@@ -1389,7 +1389,7 @@ class OpsSpec extends SparkSpec {
     assert(st.getAs[Long]("n_docs") == 6L)
     assert(st.getAs[Long]("total_tokens") == 4L + 4L + 5L + 1L + 0L + 5L)
     // df table merged, not duplicated: one row per term
-    val dfT = spark.read.parquet(s"$art/df")
+    val dfT = spark.read.parquet(TextAnalysis.bm25DfDir(art))
     assert(dfT.count() == dfT.select("__t").distinct().count())
     // a second append keeps compounding correctly
     TextAnalysis.bm25ArtifactsAppend(
@@ -1737,6 +1737,47 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 df generations: pinned snapshot survives appends; retention bounds history") {
+    val art = tmpDir("bm25gen")
+    val base = Seq((1L, "spark engine"), (2L, "spark text"),
+      (3L, "filler words")).toDF("doc_id", "text")
+    TextAnalysis.bm25ArtifactsSave(base, "doc_id", "text", art)
+    assert(TextAnalysis.bm25DfDir(art).endsWith("df_g0000"))
+    val qs = Seq((1L, "spark")).toDF("qid", "qtext")
+    def docIds(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    // pin a snapshot, then run TWO maintenance appends over it
+    val pinned = TextAnalysis.bm25SnapshotLoad(spark, art)
+    TextAnalysis.bm25ArtifactsAppend(
+      Seq((10L, "spark spark")).toDF("doc_id", "text"), "doc_id", "text",
+      art)
+    TextAnalysis.bm25ArtifactsAppend(
+      Seq((11L, "spark spark spark")).toDF("doc_id", "text"), "doc_id",
+      "text", art)
+    // the OLD snapshot still probes (its df generation was retained —
+    // the delete+rename swap would have crashed this with
+    // FileNotFoundException) and serves its own corpus view; note the
+    // additively-appended postings ARE new files, so only docs present
+    // at pin time score — the df/stats view is what stays consistent
+    val viaPinned = docIds(TextAnalysis.bm25TopKFromSnapshot(pinned, qs,
+      "qid", "qtext", k = 10))
+    assert(viaPinned == Set(1L, 2L))
+    // a fresh load serves the union corpus
+    assert(docIds(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10)) == Set(1L, 2L, 10L, 11L))
+    assert(TextAnalysis.bm25DfDir(art).endsWith("df_g0002"))
+    // retention: keepGenerations=1 drops everything but the newest
+    TextAnalysis.bm25ArtifactsAppend(
+      Seq((12L, "spark")).toDF("doc_id", "text"), "doc_id", "text", art,
+      keepGenerations = 1)
+    assert(TextAnalysis.bm25DfDir(art).endsWith("df_g0003"))
+    assert(!graft.Fs.exists(s"$art/df_g0000") &&
+      !graft.Fs.exists(s"$art/df_g0001") &&
+      !graft.Fs.exists(s"$art/df_g0002"))
+    assert(docIds(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+      "qtext", k = 10)) == Set(1L, 2L, 10L, 11L, 12L))
+  }
+
   test("bpeModelSave/Load: merge order, settings fidelity, version stamp, gap fail-loud") {
     val docs = Seq((1L, "aaab ab"), (2L, "aaab ab"), (3L, "ab"))
       .toDF("doc_id", "text")
@@ -1879,7 +1920,7 @@ class OpsSpec extends SparkSpec {
     // of doc 2's terms would show here even where rank order survives)
     val freshArt = tmpDir("bm25delete_fresh")
     TextAnalysis.bm25ArtifactsSave(survivors2, "doc_id", "text", freshArt)
-    def dfMap(p: String) = spark.read.parquet(s"$p/df")
+    def dfMap(p: String) = spark.read.parquet(TextAnalysis.bm25DfDir(p))
       .as[(String, Long)].collect().toMap
     assert(dfMap(art) == dfMap(freshArt))
   }
@@ -2052,6 +2093,16 @@ class OpsSpec extends SparkSpec {
         markers = Seq("a", "ab", "abc")).getField("n_mojibake"))
       .as[(Long, Long)].collect().toMap
     assert(nested == Map(1L -> 1L, 2L -> 2L, 3L -> 0L))
+    // duplicated input markers collapse: coefficients are computed over
+    // the distinct set, and emitting a duplicate's term twice would
+    // double-count what the containment adjustment netted to one
+    assert(TextAnalysis.mojibakeTerms(Seq("a", "a", "ab")) ==
+      Seq(("a", 1L), ("ab", 0L)))
+    val dup = Seq((1L, "ab")).toDF("doc_id", "text")
+      .select(TextAnalysis.encodingArtifacts(col("text"),
+        markers = Seq("a", "a", "ab")).getField("n_mojibake"))
+      .as[Long].head()
+    assert(dup == 1L)
   }
 
   test("tokenVocabFit: ranks, tie-break, cumulative coverage, truncation") {
