@@ -549,6 +549,12 @@ object Similarity {
     * sized) index directory, re-loading only when the version token
     * moves. Partition pruning on `centroid_id` still applies per probe
     * — the filter composes onto the pinned relation.
+    * Maintenance-safety: [[ivfIndexAppend]] is purely additive (new
+    * files under existing partition dirs — a pinned snapshot keeps
+    * working against its own file set); a full in-place REBUILD
+    * ([[ivfIndexWrite]] over the same dir) deletes pinned files — run
+    * it with streaming consumers paused, or accept one failed batch
+    * and restart the query.
     */
   final case class IvfSnapshot(indexDir: String, version: Option[String],
                                index: DataFrame)

@@ -691,6 +691,41 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("bm25Stream with refreshEveryBatches > 1: maintenance between checks never crashes the pinned snapshot") {
+    // the regression test for the df delete+rename hazard: an append
+    // REPLACES the df table while the stream is pinned and NOT yet due
+    // for a version check — with in-place swapping the next batch died
+    // FileNotFoundException on the deleted part-files; with generations
+    // it keeps serving the pinned view until the check batch
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((1L, "spark engine"), (2L, "spark text"))
+      .toDF("doc_id", "text")
+    val art = tmpDir("bm25pin-every3")
+    graft.ops.TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Set[Long]]()
+    val query = StreamingOps.bm25Stream(
+        input.toDF().toDF("qid", "qtext"), art, "qid", "qtext", k = 10,
+        refreshEveryBatches = 3) {
+      (res, id) => got.synchronized {
+        got(id) = res.select("doc_id").as[Long].collect().toSet }
+    }.start()
+    try {
+      input.addData((100L, "spark")); query.processAllAvailable() // b0: load
+      assert(got(0L) == Set(1L, 2L))
+      // maintenance lands while batches 1 and 2 are NOT due for a check
+      graft.ops.TextAnalysis.bm25ArtifactsAppend(
+        Seq((10L, "spark spark")).toDF("doc_id", "text"), "doc_id",
+        "text", art)
+      input.addData((101L, "spark")); query.processAllAvailable() // b1
+      input.addData((102L, "spark")); query.processAllAvailable() // b2
+      assert(got(1L) == Set(1L, 2L) && got(2L) == Set(1L, 2L),
+        "pinned view must keep serving (and not crash) between checks")
+      input.addData((103L, "spark")); query.processAllAvailable() // b3: check
+      assert(got(3L) == Set(1L, 2L, 10L), "check batch picks up the append")
+    } finally query.stop()
+  }
+
   test("annStream snapshot pin: version bump refreshes, unchanged version skips re-listing") {
     implicit val sqlCtx = spark.sqlContext
     def v(axis: Int, j: Int): Array[Float] = {
