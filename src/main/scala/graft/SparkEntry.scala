@@ -2020,6 +2020,36 @@ object SparkEntry {
 
     // build → delete a third of the corpus → probe: score-identical to
     // an index built from the survivors alone (the delete lifecycle)
+    "q129_bm25_compact" -> ((s, dir) => {
+      // the full index lifecycle: build → delete (tombstones) →
+      // COMPACT (fold tombstones into a fresh range-laid postings
+      // generation, corpus-free) → probe. The oracle is q119's exact
+      // survivor replay — compaction must be probe-invisible — and the
+      // lifecycle evidence gates the rows: if compaction failed to
+      // drop the tombstones or to advance the postings pointer, the
+      // filter empties the result and the row-count check goes red
+      val art = tmpDir("graft-bm25-compact")
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+      TextAnalysis.bm25ArtifactsDelete(s, art,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id"),
+        "doc_id")
+      val didCompact = TextAnalysis.bm25ArtifactsCompact(s, art,
+        keepGenerations = 1)
+      val evidence = didCompact &&
+        !graft.Fs.exists(s"$art/tombstones") &&
+        TextAnalysis.bm25PostingsDir(art).endsWith("postings_g0000") &&
+        !graft.Fs.exists(s"$art/postings")
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      TextAnalysis.bm25TopKPersisted(s, art, queries, "qid", "qtext",
+          k = 10)
+        .filter(lit(evidence))
+        .orderBy("query_id", "rank")
+    }),
+
     "q119_bm25_delete" -> ((s, dir) => {
       val art = tmpDir("graft-bm25-del")
       val docs = t(s, dir, "documents")
@@ -4204,6 +4234,12 @@ object SparkEntry {
       // surviving corpus — df/stats corrections and tombstones all
       // collapse into the WHERE clause
       "q119_bm25_delete" -> bm25Sql.replace(
+        "AS lt FROM documents)",
+        "AS lt FROM documents WHERE doc_id % 3 <> 0)"),
+
+      // compaction is probe-invisible: the oracle is q119's survivor
+      // replay verbatim (engine-side lifecycle evidence gates the rows)
+      "q129_bm25_compact" -> bm25Sql.replace(
         "AS lt FROM documents)",
         "AS lt FROM documents WHERE doc_id % 3 <> 0)"),
 

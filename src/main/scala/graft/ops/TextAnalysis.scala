@@ -716,6 +716,15 @@ object TextAnalysis {
       .repartitionByRange(col("__t"), col("__doc"))
       .sortWithinPartitions("__t", "__doc")
       .write.mode("overwrite").parquet(s"$path/postings")
+    // a REBUILD over a previously-maintained path must reset its
+    // lifecycle state: compaction generations + pointer (the fresh
+    // postings live at the legacy name) and any tombstones — stale
+    // tombstones would wrongly suppress re-saved doc ids at probe time
+    graft.Fs.deleteRecursively(graft.Fs.join(path, "postings_current"))
+    if (graft.Fs.isDirectory(path))
+      graft.Fs.listNames(path)(_.startsWith("postings_g")).foreach(n =>
+        graft.Fs.deleteRecursively(graft.Fs.join(path, n)))
+    graft.Fs.deleteRecursively(s"$path/tombstones")
     bm25DfAdvance(path, tf.groupBy("__t").agg(count(lit(1)).as("__df")),
       keepGenerations = 1)
     // per-doc length table: the probe never reads it (postings carry
@@ -773,7 +782,7 @@ object TextAnalysis {
     tf.join(dl, Seq("__doc"))
       .repartitionByRange(col("__t"), col("__doc"))
       .sortWithinPartitions("__t", "__doc")
-      .write.mode("append").parquet(s"$path/postings")
+      .write.mode("append").parquet(bm25PostingsDir(path))
     dl.write.mode("append").parquet(s"$path/dl")
     // read old stats BEFORE overwriting (head() materializes the row)
     val st = spark.read.parquet(s"$path/stats").head()
@@ -850,7 +859,7 @@ object TextAnalysis {
       // idf, and via the __df > 0 filter possibly dropping still-live
       // terms entirely). `removed` is exactly the set whose counts are
       // still in df/.
-      val dec = spark.read.parquet(s"$path/postings")
+      val dec = spark.read.parquet(bm25PostingsDir(path))
         .join(removed.select("__doc"), Seq("__doc"))
         .groupBy("__t").agg(count(lit(1)).as("__dec"))
       val newDf = spark.read.parquet(bm25DfDir(path))
@@ -891,53 +900,113 @@ object TextAnalysis {
       s"failed to move rewritten table into place at $dest")
   }
 
-  /** Current df-table directory: the `df_current` pointer file names
-    * the live generation (`df_gNNNN`); a pre-generation artifact falls
-    * back to the legacy in-place `df/` directory.
+  /** Current directory of a generation-versioned artifact table: the
+    * `<base>_current` pointer file names the live generation
+    * (`<base>_gNNNN`); a pre-generation artifact falls back to the
+    * legacy in-place `<base>/` directory.
     */
-  private[graft] def bm25DfDir(path: String): String = {
-    val ptr = graft.Fs.join(path, "df_current")
+  private[graft] def bm25TableDir(path: String, base: String): String = {
+    val ptr = graft.Fs.join(path, s"${base}_current")
     if (graft.Fs.exists(ptr))
       graft.Fs.join(path, graft.Fs.readString(ptr).trim)
-    else graft.Fs.join(path, "df")
+    else graft.Fs.join(path, base)
   }
 
-  /** Publish a new df-table generation: write the FULL new table under
-    * a fresh `df_gNNNN` directory, flip the `df_current` pointer (a
-    * kilobyte file write — effectively atomic), then drop generations
-    * beyond the `keepGenerations` newest. Readers that pinned an older
-    * generation (a [[Bm25Snapshot]] between refreshes) keep working
-    * against intact files instead of crashing on the deleted part-files
-    * an in-place delete+rename swap leaves behind; retention is the
+  private[graft] def bm25DfDir(path: String): String =
+    bm25TableDir(path, "df")
+
+  private[graft] def bm25PostingsDir(path: String): String =
+    bm25TableDir(path, "postings")
+
+  /** Publish a new generation of an artifact table: write the FULL new
+    * table under a fresh `<base>_gNNNN` directory, flip the
+    * `<base>_current` pointer (a kilobyte file write — effectively
+    * atomic), then drop generations beyond the `keepGenerations`
+    * newest. Readers that pinned an older generation (a
+    * [[Bm25Snapshot]] between stream refreshes) keep working against
+    * intact files instead of crashing on the deleted part-files an
+    * in-place delete+rename swap leaves behind; retention is the
     * contract — a snapshot idle across MORE than `keepGenerations - 1`
-    * maintenance operations can still lose its files and must
-    * re-resolve (the standard snapshot-expiry trade; size
-    * `keepGenerations` to exceed the maintenance ops possible within
-    * one stream refresh interval). A crash mid-publish leaves the old
-    * pointer valid and at worst an orphaned unreferenced directory.
-    * The legacy `df/` directory, when present, is never deleted — it
-    * may be pinned by a pre-generation reader.
+    * publishes can still lose its files and must re-resolve (the
+    * standard snapshot-expiry trade; size `keepGenerations` to exceed
+    * the maintenance ops possible within one stream refresh interval).
+    * A crash mid-publish leaves the old pointer valid and at worst an
+    * orphaned unreferenced directory.
+    *
+    * The legacy `<base>/` directory counts as the oldest generation:
+    * with `deleteLegacy` it falls under the same retention rule (the
+    * postings policy — reclaiming it is the point of compaction);
+    * without, it is never deleted (the df policy — it is small and may
+    * be pinned by a pre-generation reader).
     */
-  private def bm25DfAdvance(path: String, table: DataFrame,
-                            keepGenerations: Int): Unit = {
+  private def bm25TableAdvance(path: String, base: String,
+                               table: DataFrame, keepGenerations: Int,
+                               deleteLegacy: Boolean = false): Unit = {
     require(keepGenerations >= 1, "keepGenerations must be >= 1")
-    val ptr = graft.Fs.join(path, "df_current")
+    val ptr = graft.Fs.join(path, s"${base}_current")
     val cur =
       if (graft.Fs.exists(ptr)) {
         val name = graft.Fs.readString(ptr).trim
-        require(name.startsWith("df_g"),
-          s"unexpected df_current content '$name' at $path")
-        name.stripPrefix("df_g").toInt
+        require(name.startsWith(s"${base}_g"),
+          s"unexpected ${base}_current content '$name' at $path")
+        name.stripPrefix(s"${base}_g").toInt
       } else -1
-    val next = f"df_g${cur + 1}%04d"
+    val next = f"${base}_g${cur + 1}%04d"
     table.write.mode("overwrite")
       .parquet(graft.Fs.join(path, next))
     graft.Fs.writeString(ptr, next)
     var g = cur + 1 - keepGenerations
     while (g >= 0) {
-      graft.Fs.deleteRecursively(graft.Fs.join(path, f"df_g$g%04d"))
+      graft.Fs.deleteRecursively(graft.Fs.join(path, f"${base}_g$g%04d"))
       g -= 1
     }
+    if (deleteLegacy && cur + 1 - keepGenerations >= -1)
+      graft.Fs.deleteRecursively(graft.Fs.join(path, base))
+  }
+
+  private def bm25DfAdvance(path: String, table: DataFrame,
+                            keepGenerations: Int): Unit =
+    bm25TableAdvance(path, "df", table, keepGenerations)
+
+  /** Fold accumulated [[bm25ArtifactsDelete]] tombstones into the
+    * postings WITHOUT re-reading the corpus — the compaction step that
+    * completes the index lifecycle (build → append → delete →
+    * compact): the surviving postings rewrite into a fresh
+    * `postings_gNNNN` generation with the (`__t, __doc`) range layout
+    * restored (term-literal pushdown prunes like a fresh build again),
+    * the `postings_current` pointer flips, the tombstones drop, and
+    * the probe's anti-join branch disappears from future snapshots.
+    * df/dl/stats are untouched — deletion already maintained their
+    * values; the tombstones were only ever a postings-side patch.
+    *
+    * Cost: ONE scan + range-repartition of the current postings
+    * generation — corpus-sized but corpus-FREE (no raw text needed),
+    * which is what makes periodic compaction schedulable from the
+    * artifact alone. Generation retention follows [[bm25TableAdvance]]
+    * with `deleteLegacy` (reclaiming superseded postings space is the
+    * point); pinned snapshots keep `keepGenerations` of safety.
+    * Returns false (no-op) when there are no tombstones to fold.
+    * Probe results are identical before and after by construction
+    * (spec + q129 pin it).
+    */
+  def bm25ArtifactsCompact(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           keepGenerations: Int = 2): Boolean = {
+    if (!graft.Fs.exists(s"$path/tombstones")) return false
+    val survivors = spark.read.parquet(bm25PostingsDir(path))
+      .join(spark.read.parquet(s"$path/tombstones"), Seq("__doc"),
+        "left_anti")
+      .repartitionByRange(col("__t"), col("__doc"))
+      .sortWithinPartitions("__t", "__doc")
+    bm25TableAdvance(path, "postings", survivors, keepGenerations,
+      deleteLegacy = true)
+    // pointer already serves the compacted generation; a crash before
+    // this delete leaves tombstones whose ids the new postings no
+    // longer contain — the probe's anti-join is then a no-op, and the
+    // next compact call retries the cleanup
+    graft.Fs.deleteRecursively(s"$path/tombstones")
+    ArtifactVersion.stamp(path)
+    true
   }
 
   /** BM25 top-k against a persisted [[bm25ArtifactsSave]] snapshot —
@@ -997,7 +1066,7 @@ object TextAnalysis {
     val totTok = st.getAs[Long]("total_tokens")
     require(nDocs > 0, "empty corpus artifact")
     val avgdl = totTok.toDouble / nDocs // same one division as bm25TopK
-    val postingsRaw = spark.read.parquet(s"$path/postings")
+    val postingsRaw = spark.read.parquet(bm25PostingsDir(path))
     // deleted docs ([[bm25ArtifactsDelete]]) are tombstoned, not
     // rewritten out of the corpus-sized postings: anti-join them here.
     // The branch only exists after a delete, so pre-delete probe plans

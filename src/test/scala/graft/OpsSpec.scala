@@ -1778,6 +1778,68 @@ class OpsSpec extends SparkSpec {
       "qtext", k = 10)) == Set(1L, 2L, 10L, 11L, 12L))
   }
 
+  test("bm25ArtifactsCompact: probe-invisible, tombstones folded, lifecycle continues") {
+    val art = tmpDir("bm25compact")
+    val docs = Seq(
+      (1L, "spark spark engine"), (2L, "spark text words"),
+      (3L, "engine room notes"), (4L, "filler text"), (5L, ""),
+    ).toDF("doc_id", "text")
+    TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    TextAnalysis.bm25ArtifactsDelete(spark, art,
+      Seq(2L, 5L).toDF("doc_id"), "doc_id")
+    val qs = Seq((1L, "spark engine text")).toDF("qid", "qtext")
+    def canon() = TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid",
+        "qtext", k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      .toSeq
+    val before = canon()
+    assert(graft.Fs.exists(s"$art/tombstones"))
+    // compact: fold tombstones; probe results identical score-for-score
+    assert(TextAnalysis.bm25ArtifactsCompact(spark, art))
+    assert(!graft.Fs.exists(s"$art/tombstones"))
+    assert(TextAnalysis.bm25PostingsDir(art).endsWith("postings_g0000"))
+    assert(canon() == before)
+    // the compacted postings physically exclude the deleted docs
+    assert(spark.read.parquet(TextAnalysis.bm25PostingsDir(art))
+      .select("__doc").distinct().as[Long].collect().toSet ==
+      Set(1L, 3L, 4L))
+    // no tombstones -> compact is a no-op
+    assert(!TextAnalysis.bm25ArtifactsCompact(spark, art))
+    // lifecycle continues: append lands in the CURRENT generation,
+    // a later delete+compact advances it (keep=1 drops g0000 + legacy)
+    TextAnalysis.bm25ArtifactsAppend(
+      Seq((10L, "spark spark spark")).toDF("doc_id", "text"),
+      "doc_id", "text", art)
+    TextAnalysis.bm25ArtifactsDelete(spark, art,
+      Seq(4L).toDF("doc_id"), "doc_id")
+    assert(TextAnalysis.bm25ArtifactsCompact(spark, art,
+      keepGenerations = 1))
+    assert(TextAnalysis.bm25PostingsDir(art).endsWith("postings_g0001"))
+    assert(!graft.Fs.exists(s"$art/postings_g0000") &&
+      !graft.Fs.exists(s"$art/postings"))
+    // final state == a fresh build on the survivors, score-for-score
+    val fresh = tmpDir("bm25compact_fresh")
+    TextAnalysis.bm25ArtifactsSave(
+      Seq((1L, "spark spark engine"), (3L, "engine room notes"),
+        (10L, "spark spark spark")).toDF("doc_id", "text"),
+      "doc_id", "text", fresh)
+    def canonAt(p: String) = TextAnalysis.bm25TopKPersisted(spark, p, qs,
+        "qid", "qtext", k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      .toSeq
+    assert(canonAt(art) == canonAt(fresh))
+    // a rebuild over the maintained path resets lifecycle state
+    TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    assert(!graft.Fs.exists(s"$art/postings_current") &&
+      !graft.Fs.exists(s"$art/tombstones") &&
+      graft.Fs.exists(s"$art/postings"))
+    assert(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid", "qtext",
+        k = 10).select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 3L, 4L))
+  }
+
   test("bpeModelSave/Load: merge order, settings fidelity, version stamp, gap fail-loud") {
     val docs = Seq((1L, "aaab ab"), (2L, "aaab ab"), (3L, "ab"))
       .toDF("doc_id", "text")
