@@ -35,23 +35,42 @@ object Bm25Stress {
       (2L, "express requests deposits"),
       (3L, "quick brown theodolites")).toDF("qid", "qtext")
 
+    def probe(tag: String, cap: Int = 8192): Long = {
+      val t0 = System.nanoTime()
+      val res = graft.ops.TextAnalysis.bm25TopKPersisted(spark, art,
+        queries, "qid", "qtext", k = 10, maxPushdownTerms = cap)
+      val rows = res.select("query_id", "rank", "doc_id", "score")
+        .collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val chk = rows.map(r =>
+        r.getLong(0) * 31 + r.getLong(2) * 7 + r.getLong(1)).sum
+      println(f"MARKER_${tag}=$secs%.2f rows=${rows.length} chk=$chk")
+      chk
+    }
+
     if (mode == "build") {
       val t0 = System.nanoTime()
       graft.ops.TextAnalysis.bm25ArtifactsSave(corpus, "doc_id", "text", art)
       println(f"MARKER_build=${(System.nanoTime() - t0) / 1e9}%.1f")
+    } else if (mode == "compact") {
+      // r12 lifecycle at 10M: delete 2% (every 50th id) → tombstoned
+      // probe → corpus-free compact → clean probe; tombstoned and
+      // compacted probes must agree checksum-for-checksum
+      var t0 = System.nanoTime()
+      graft.ops.TextAnalysis.bm25ArtifactsDelete(spark, art,
+        spark.range(10000000L / 50).select((col("id") * 50L).as("doc_id")),
+        "doc_id")
+      println(f"MARKER_delete200k=${(System.nanoTime() - t0) / 1e9}%.1f")
+      val a = probe("probe_tombstoned")
+      val a2 = probe("probe_tombstoned2")
+      t0 = System.nanoTime()
+      require(graft.ops.TextAnalysis.bm25ArtifactsCompact(spark, art,
+        keepGenerations = 1))
+      println(f"MARKER_compact=${(System.nanoTime() - t0) / 1e9}%.1f")
+      val b = probe("probe_compacted")
+      val b2 = probe("probe_compacted2")
+      println(s"MARKER_parity=${a == a2 && a == b && b == b2}")
     } else {
-      def probe(tag: String, cap: Int): Long = {
-        val t0 = System.nanoTime()
-        val res = graft.ops.TextAnalysis.bm25TopKPersisted(spark, art,
-          queries, "qid", "qtext", k = 10, maxPushdownTerms = cap)
-        val rows = res.select("query_id", "rank", "doc_id", "score")
-          .collect()
-        val secs = (System.nanoTime() - t0) / 1e9
-        val chk = rows.map(r =>
-          r.getLong(0) * 31 + r.getLong(2) * 7 + r.getLong(1)).sum
-        println(f"MARKER_${tag}=$secs%.2f rows=${rows.length} chk=$chk")
-        chk
-      }
       probe("pushdown_cold", 8192)
       val a = probe("pushdown_steady", 8192)
       val b = probe("fallback_fullscan", 1) // cap exceeded -> no IN filter
