@@ -2018,8 +2018,6 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // build → delete a third of the corpus → probe: score-identical to
-    // an index built from the survivors alone (the delete lifecycle)
     "q129_bm25_compact" -> ((s, dir) => {
       // the full index lifecycle: build → delete (tombstones) →
       // COMPACT (fold tombstones into a fresh range-laid postings
@@ -2050,6 +2048,8 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // build → delete a third of the corpus → probe: score-identical to
+    // an index built from the survivors alone (the delete lifecycle)
     "q119_bm25_delete" -> ((s, dir) => {
       val art = tmpDir("graft-bm25-del")
       val docs = t(s, dir, "documents")

@@ -721,9 +721,11 @@ object TextAnalysis {
     // postings live at the legacy name) and any tombstones — stale
     // tombstones would wrongly suppress re-saved doc ids at probe time
     graft.Fs.deleteRecursively(graft.Fs.join(path, "postings_current"))
-    if (graft.Fs.isDirectory(path))
-      graft.Fs.listNames(path)(_.startsWith("postings_g")).foreach(n =>
-        graft.Fs.deleteRecursively(graft.Fs.join(path, n)))
+    // generation DIRECTORIES (listNames returns files only — using it
+    // here silently skipped every corpus-sized postings_gNNNN dir)
+    graft.Fs.list(path).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("postings_g"))
+      .foreach(n => graft.Fs.deleteRecursively(graft.Fs.join(path, n)))
     graft.Fs.deleteRecursively(s"$path/tombstones")
     bm25DfAdvance(path, tf.groupBy("__t").agg(count(lit(1)).as("__df")),
       keepGenerations = 1)
@@ -955,9 +957,17 @@ object TextAnalysis {
     table.write.mode("overwrite")
       .parquet(graft.Fs.join(path, next))
     graft.Fs.writeString(ptr, next)
+    // generations are contiguous and prior publishes already trimmed
+    // their expirees, so stop at the first missing dir — one existence
+    // check per publish instead of an unbounded walk to zero (matters
+    // on remote filesystems under per-batch streaming appends); a
+    // shrunken keepGenerations still drains multiple in one pass
     var g = cur + 1 - keepGenerations
-    while (g >= 0) {
-      graft.Fs.deleteRecursively(graft.Fs.join(path, f"${base}_g$g%04d"))
+    var cont = true
+    while (g >= 0 && cont) {
+      val dir = graft.Fs.join(path, f"${base}_g$g%04d")
+      if (graft.Fs.exists(dir)) graft.Fs.deleteRecursively(dir)
+      else cont = false
       g -= 1
     }
     if (deleteLegacy && cur + 1 - keepGenerations >= -1)

@@ -1830,10 +1830,13 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
       .toSeq
     assert(canonAt(art) == canonAt(fresh))
-    // a rebuild over the maintained path resets lifecycle state
+    // a rebuild over the maintained path resets lifecycle state —
+    // including the corpus-sized generation DIRECTORIES (the file-only
+    // listNames bug left them leaking)
     TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
     assert(!graft.Fs.exists(s"$art/postings_current") &&
       !graft.Fs.exists(s"$art/tombstones") &&
+      !graft.Fs.exists(s"$art/postings_g0001") &&
       graft.Fs.exists(s"$art/postings"))
     assert(TextAnalysis.bm25TopKPersisted(spark, art, qs, "qid", "qtext",
         k = 10).select("doc_id").as[Long].collect().toSet

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** 10M-doc persisted-BM25 stress: artifact build once, then the probe in
   * both boundary regimes — term-IN pushdown vs the past-cap full-scan
-  * fallback — with value parity checked between them. args(0): artifact
-  * dir (reused across runs if it exists); args(1): "build" | "probe".
+  * fallback — with value parity checked between them; the r12 "compact"
+  * mode runs the delete→tombstoned-probe→compact→clean-probe lifecycle
+  * on the built artifact. args(0): artifact dir (reused across runs if
+  * it exists); args(1): "build" | "compact" | anything else = probe.
   */
 object Bm25Stress {
   def main(args: Array[String]): Unit = {
