@@ -2018,6 +2018,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q130_ivf_delete_compact" -> ((s, dir) => {
+      // the ANN index lifecycle twin of q129: build the partitioned
+      // IVF index → tombstone-delete a slice → COMPACT (fold the
+      // tombstones into a rewritten partition layout, corpus-free) →
+      // probe. Oracle = q49's exact IVF replay with the deleted ids
+      // removed from the ASSIGNED (index) side only — queries and
+      // centroids unchanged; lifecycle evidence gates the rows
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val indexDir = tmpDir("graft-ivf-del")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", indexDir)
+      Similarity.ivfIndexDelete(s, indexDir,
+        emb.filter(pmod(col("vec_id"), lit(17)) === 3).select("vec_id"),
+        "vec_id")
+      val evidence = Similarity.ivfIndexCompact(s, indexDir) &&
+        !graft.Fs.exists(s"$indexDir/_tombstones")
+      Similarity.ivfTopKFromIndex(s, indexDir,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
+        .filter(lit(evidence))
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
     "q129_bm25_compact" -> ((s, dir) => {
       // the full index lifecycle: build → delete (tombstones) →
       // COMPACT (fold tombstones into a fresh range-laid postings
@@ -3572,6 +3597,12 @@ object SparkEntry {
       // Same semantics through the persisted, partition-pruned index
       // path: the physical layout must not change a single answer.
       "q49_ivf_persisted" -> ivfSql,
+
+      // delete+compact is probe-invisible vs the survivor index: q49's
+      // replay with deleted ids removed from the assigned side only
+      "q130_ivf_delete_compact" -> ivfSql.replace(
+        "FROM embeddings e CROSS JOIN cent c)",
+        "FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 17 <> 3)"),
 
       // Build-then-append must equal one build over the union — the
       // same oracle again; any layout leakage into semantics would

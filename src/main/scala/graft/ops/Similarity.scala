@@ -560,9 +560,79 @@ object Similarity {
                                index: DataFrame)
 
   def ivfSnapshotLoad(spark: org.apache.spark.sql.SparkSession,
-                      indexDir: String): IvfSnapshot =
-    IvfSnapshot(indexDir, ArtifactVersion.read(indexDir),
-      spark.read.parquet(indexDir))
+                      indexDir: String): IvfSnapshot = {
+    // token before data (the Bm25Snapshot ordering rationale): a write
+    // racing the load leaves an old token over newer data — resolved
+    // by one spurious reload at the next check, never a stale pin
+    val version = ArtifactVersion.read(indexDir)
+    val raw = spark.read.parquet(indexDir)
+    // deleted vectors ([[ivfIndexDelete]]) are tombstoned, not
+    // rewritten out of the partitioned index: anti-join them here. The
+    // underscore-prefixed _tombstones dir is invisible to the parquet
+    // partition discovery, so the index schema/pruning are untouched;
+    // the branch only exists after a delete
+    val index =
+      if (graft.Fs.exists(s"$indexDir/_tombstones")) {
+        val tomb = spark.read.parquet(s"$indexDir/_tombstones")
+        raw.join(tomb, raw(raw.columns(0)) === tomb("__del_id"),
+          "left_anti")
+      } else raw
+    IvfSnapshot(indexDir, version, index)
+  }
+
+  /** Delete vectors from a persisted IVF index WITHOUT touching its
+    * (corpus-sized, partition-laid) files — the ANN twin of
+    * [[graft.ops.TextAnalysis.bm25ArtifactsDelete]], completing the
+    * index lifecycle (build → [[ivfIndexAppend]] → delete →
+    * [[ivfIndexCompact]]): deleted ids append into an
+    * `_tombstones/` table INSIDE the index dir (underscore-prefixed —
+    * Spark's partition discovery ignores it) and every probe
+    * anti-joins them at snapshot load. Purely additive, so pinned
+    * streaming snapshots are never broken; the version stamp makes
+    * [[graft.streaming.StreamingOps.annStream]] pick the delete up at
+    * its next refresh check. Repeating a delete is a no-op (duplicate
+    * tombstones change nothing); ids absent from the index are
+    * ignored. Probe cost grows with tombstone count — compact once
+    * they are a material fraction.
+    */
+  def ivfIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, ids: DataFrame,
+                     idCol: String): Unit = {
+    ids.select(col(idCol).as("__del_id")).distinct()
+      .write.mode("append").parquet(s"$indexDir/_tombstones")
+    ArtifactVersion.stamp(indexDir)
+  }
+
+  /** Fold accumulated [[ivfIndexDelete]] tombstones into the index:
+    * rewrite the surviving vectors under a fresh partition layout and
+    * drop the tombstones, so probes lose the anti-join branch and scan
+    * only live rows again. Corpus-FREE (reads only the index) but
+    * REBUILD-CLASS for pinned readers: unlike the append/delete paths,
+    * the rewrite replaces the index files in place (write to a tmp
+    * sibling, swap, stamp), so run it with streaming consumers paused
+    * or accept one failed batch + query restart — same contract as
+    * [[ivfIndexWrite]] re-builds, documented on [[IvfSnapshot]]. This
+    * is also the natural moment to refit centroids if the append-skew
+    * trigger fired (see [[ivfIndexAppend]]): refit + [[ivfIndexWrite]]
+    * subsumes this compaction. Returns false (no-op) when there are no
+    * tombstones.
+    */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): Boolean = {
+    if (!graft.Fs.exists(s"$indexDir/_tombstones")) return false
+    val raw = spark.read.parquet(indexDir)
+    val tomb = spark.read.parquet(s"$indexDir/_tombstones")
+    val tmp = s"${indexDir}_compact_tmp"
+    raw.join(tomb, raw(raw.columns(0)) === tomb("__del_id"), "left_anti")
+      .write.mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(tmp)
+    graft.Fs.deleteRecursively(indexDir)
+    require(graft.Fs.rename(tmp, indexDir),
+      s"failed to move compacted index into place at $indexDir")
+    ArtifactVersion.stamp(indexDir)
+    true
+  }
 
   def ivfTopKFromSnapshot(snap: IvfSnapshot,
                           queries: DataFrame, qIdCol: String,

@@ -119,6 +119,46 @@ class IvfIndexSpec extends SparkSpec {
     assert(answers(dirA) == answers(dirB))
   }
 
+  test("ivfIndexDelete/Compact: tombstoned == compacted == survivor rebuild; lifecycle continues") {
+    val centroids = vecs.filter($"vec_id" % 10 === 0)
+    val dir = tmpDir("ivf-del")
+    Similarity.ivfIndexWrite(vecs, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dir)
+    val queries = vecs.filter($"vec_id" === 1L || $"vec_id" === 11L)
+    def canon(d: String) = Similarity.ivfTopKFromIndex(spark, d, queries,
+        "vec_id", "embedding", centroids, "vec_id", "embedding", k = 5,
+        nprobe = 1)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // delete 2 and 12; repeat one id (idempotent)
+    Similarity.ivfIndexDelete(spark, dir,
+      Seq(2L, 12L).toDF("vec_id"), "vec_id")
+    Similarity.ivfIndexDelete(spark, dir, Seq(12L).toDF("vec_id"),
+      "vec_id")
+    val tombstoned = canon(dir)
+    assert(!tombstoned.map(_._3).contains(2L) &&
+      !tombstoned.map(_._3).contains(12L))
+    // the survivor rebuild is the ground truth
+    val fresh = tmpDir("ivf-del-fresh")
+    Similarity.ivfIndexWrite(
+      vecs.filter($"vec_id" =!= 2L && $"vec_id" =!= 12L), "vec_id",
+      "embedding", centroids, "vec_id", "embedding", fresh)
+    assert(tombstoned == canon(fresh))
+    // compact: probe-invisible, tombstones folded, rows physically gone
+    assert(Similarity.ivfIndexCompact(spark, dir))
+    assert(!graft.Fs.exists(s"$dir/_tombstones"))
+    assert(canon(dir) == tombstoned)
+    assert(spark.read.parquet(dir).select("vec_id").as[Long].collect()
+      .toSet == Set(0L, 1L, 10L, 11L, 20L, 21L, 22L))
+    // no tombstones -> no-op; lifecycle continues: append after compact
+    assert(!Similarity.ivfIndexCompact(spark, dir))
+    Similarity.ivfIndexAppend(
+      Seq((3L, Array.fill(8)(0.02f).updated(0, 1.0f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, "vec_id", "embedding", dir)
+    assert(canon(dir).map(_._3).contains(3L))
+  }
+
   test("ivfIndexAppend: a corrupt existing index fails the append " +
       "instead of silently skipping the schema guard") {
     val centroids = vecs.filter($"vec_id" % 10 === 0)
