@@ -909,9 +909,29 @@ object TextAnalysis {
     */
   private[graft] def bm25TableDir(path: String, base: String): String = {
     val ptr = graft.Fs.join(path, s"${base}_current")
-    if (graft.Fs.exists(ptr))
-      graft.Fs.join(path, graft.Fs.readString(ptr).trim)
-    else graft.Fs.join(path, base)
+    // the flip is tmp-write + delete + rename ([[bm25TableAdvance]]),
+    // so a racing reader can catch the pointer mid-replacement:
+    // momentarily absent (between delete and rename) or, on a
+    // filesystem without atomic rename, torn. One short-backoff
+    // recheck disambiguates that window from a genuinely-legacy
+    // artifact; content is validated so a torn read can never resolve
+    // to a bogus path
+    def attempt(): Option[String] =
+      if (!graft.Fs.exists(ptr)) None
+      else {
+        val name = graft.Fs.readString(ptr).trim
+        if (name.startsWith(s"${base}_g")) Some(graft.Fs.join(path, name))
+        else None
+      }
+    attempt().orElse {
+      // only a mid-flip artifact HAS generation dirs — a legacy layout
+      // (no pointer, no generations, the common probe path) resolves
+      // immediately without paying the backoff
+      val midFlip = graft.Fs.isDirectory(path) &&
+        graft.Fs.list(path).exists(
+          _.getPath.getName.startsWith(s"${base}_g"))
+      if (midFlip) { Thread.sleep(50L); attempt() } else None
+    }.getOrElse(graft.Fs.join(path, base))
   }
 
   private[graft] def bm25DfDir(path: String): String =
@@ -956,7 +976,17 @@ object TextAnalysis {
     val next = f"${base}_g${cur + 1}%04d"
     table.write.mode("overwrite")
       .parquet(graft.Fs.join(path, next))
-    graft.Fs.writeString(ptr, next)
+    // flip via tmp + rename, not an in-place truncate-and-rewrite: an
+    // overwriting create leaves a window where a concurrent reader
+    // sees an EMPTY pointer file. Hadoop rename refuses an existing
+    // destination, so the old pointer is deleted first — the
+    // resulting brief pointer-absent window is what bm25TableDir's
+    // recheck covers
+    val tmpPtr = ptr + "_tmp"
+    graft.Fs.writeString(tmpPtr, next)
+    graft.Fs.deleteRecursively(ptr)
+    require(graft.Fs.rename(tmpPtr, ptr),
+      s"failed to flip ${base}_current at $path")
     // generations are contiguous and prior publishes already trimmed
     // their expirees, so stop at the first missing dir — one existence
     // check per publish instead of an unbounded walk to zero (matters

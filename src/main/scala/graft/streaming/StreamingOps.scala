@@ -325,7 +325,7 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
     val pin = new SnapshotPin(artifactPath, refreshEveryBatches)(
-      (spark, _) => graft.ops.TextAnalysis.bm25SnapshotLoad(spark,
+      spark => graft.ops.TextAnalysis.bm25SnapshotLoad(spark,
         artifactPath))
     stream.writeStream.foreachBatch {
       (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -350,19 +350,25 @@ object StreamingOps {
     * query never run concurrently.
     */
   private final class SnapshotPin[A](path: String, every: Int)(
-      load: (org.apache.spark.sql.SparkSession, Option[String]) => A) {
+      load: org.apache.spark.sql.SparkSession => A) {
     require(every >= 1, "refreshEveryBatches must be >= 1")
     private var version: Option[String] = null
     private var value: A = null.asInstanceOf[A]
 
     def get(spark: org.apache.spark.sql.SparkSession, batchId: Long): A = {
-      if (version == null || (batchId % every == 0 && {
-            val v = graft.ops.ArtifactVersion.read(path)
-            if (version.isEmpty || version != v) { version = v; true }
-            else false
-          })) {
-        if (version == null) version = graft.ops.ArtifactVersion.read(path)
-        value = load(spark, version)
+      val due = version == null || batchId % every == 0
+      if (due) {
+        val v = graft.ops.ArtifactVersion.read(path)
+        if (version == null || version.isEmpty || version != v) {
+          // load FIRST, commit state after: a transient load failure
+          // (maintenance mid-overwrite, FS hiccup) must leave the pin
+          // unchanged so the streaming retry re-attempts the refresh —
+          // committing the token up front would pin the OLD snapshot
+          // under the NEW token and serve stale results forever
+          val loaded = load(spark)
+          value = loaded
+          version = v
+        }
       }
       value
     }
@@ -390,7 +396,7 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
     val pin = new SnapshotPin(indexDir, refreshEveryBatches)(
-      (spark, _) => graft.ops.Similarity.ivfSnapshotLoad(spark, indexDir))
+      spark => graft.ops.Similarity.ivfSnapshotLoad(spark, indexDir))
     stream.writeStream.foreachBatch {
       (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>
@@ -423,7 +429,7 @@ object StreamingOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
     val pin = new SnapshotPin(modelPath, refreshEveryBatches)(
-      (spark, _) => graft.ops.TextAnalysis.bpeModelLoad(spark, modelPath))
+      spark => graft.ops.TextAnalysis.bpeModelLoad(spark, modelPath))
     stream.writeStream.foreachBatch {
       (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
        batchId: Long) =>

@@ -14,8 +14,8 @@ import org.apache.spark.sql.functions._
   *
   * Measures: the corpus word-table aggregate + driver merge rounds
   * (incremental pair-stats; the pre-r12 full-recompute form is
-  * O(numMerges × table-chars) — ~13G pair increments at 8192 merges on
-  * this table) and the encode kernel over the fitted model.
+  * O(numMerges × table-chars) — ~5.3G pair increments at 8192 merges
+  * on this table) and the encode kernel over the fitted model.
   *
   * Run: `sbt "Test/runMain tmpstress.R12BpeStress 8192"`
   */
