@@ -2043,6 +2043,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // sentence-packed ~48-token chunks (sentences never split) via
+    // prefix-sum bucketing — q41's token-window chunker's sibling for
+    // retrieval units that must respect sentence boundaries; the same
+    // zero-shuffle projection+explode shape
+    "q131_chunk_sentences" -> ((s, dir) =>
+      TextAnalysis.chunkBySentence(t(s, dir, "documents"), "doc_id", "text",
+          targetTokens = 48)
+        .orderBy("doc_id", "chunk_id")),
+
     "q129_bm25_compact" -> ((s, dir) => {
       // the full index lifecycle: build → delete (tombstones) →
       // COMPACT (fold tombstones into a fresh range-laid postings
@@ -4273,6 +4282,33 @@ object SparkEntry {
       "q129_bm25_compact" -> bm25Sql.replace(
         "AS lt FROM documents)",
         "AS lt FROM documents WHERE doc_id % 3 <> 0)"),
+
+      // sentence-packed ~48-token chunks: a sentence ends after any
+      // token whose last char is . ! or ?; sentence with c preceding
+      // tokens lands in chunk c // 48 (prefix-sum bucketing). The
+      // engine computes this per-row with an aggregate() fold; the
+      // oracle replays it as the explicit window/groupBy shape — full
+      // chunk TEXT is hash-compared, not just boundaries.
+      "q131_chunk_sentences" ->
+        s"""WITH toks AS ($toksSql),
+           |tok AS (SELECT doc_id, t[u.i] AS tk, u.i AS i
+           |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+           |  WHERE len(t) > 0),
+           |flg AS (SELECT doc_id, tk, i,
+           |  CASE WHEN tk LIKE '%.' OR tk LIKE '%!' OR tk LIKE '%?'
+           |    THEN 1 ELSE 0 END AS e FROM tok),
+           |sid AS (SELECT doc_id, tk, i,
+           |  coalesce(sum(e) OVER (PARTITION BY doc_id ORDER BY i
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS s FROM flg),
+           |st AS (SELECT doc_id, tk, i,
+           |  min(i) OVER (PARTITION BY doc_id, s) AS sent_start FROM sid)
+           |SELECT doc_id,
+           |  CAST((sent_start - 1) // 48 AS BIGINT) AS chunk_id,
+           |  string_agg(tk, ' ' ORDER BY i) AS chunk_text,
+           |  count(*) AS n_tokens
+           |FROM st GROUP BY doc_id, chunk_id
+           |ORDER BY doc_id, chunk_id""".stripMargin,
 
 
       // Sharded-Bloom routing is result-identical to plain incremental

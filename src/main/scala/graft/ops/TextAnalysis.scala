@@ -1193,6 +1193,85 @@ object TextAnalysis {
         col("__c.cn").as("chunk_tokens"), col("__c.ct").as("chunk_text"))
   }
 
+  /** Sentence-packed chunks — [[chunk]]'s sibling for retrieval units
+    * that must not cut mid-sentence (RAG passages, citation spans):
+    * sentences never split across chunks, and sentences pack toward
+    * `targetTokens` per chunk. The boundary rule is deliberately
+    * token-level and engine-replayable: a sentence ends AFTER any token
+    * whose last character is `.`, `!`, or `?` (so `"end."`,
+    * `"really?!"`, `"etc..."` all close one; a document with no
+    * terminal punctuation is one sentence). Assignment is prefix-sum
+    * bucketing, not greedy-reset packing: a sentence preceded by `c`
+    * tokens lands in chunk `c div targetTokens`. That keeps membership
+    * a pure function of (document, targetTokens) — replayable by a
+    * plain SQL window, independent of partitioning (the q131 oracle) —
+    * at the cost that a chunk can overshoot `targetTokens` by up to
+    * one sentence (and a single over-long sentence exceeds it
+    * outright; chain [[chunk]] after when a HARD cap matters more than
+    * sentence integrity). A sentence spanning past a whole bucket
+    * skips that chunk id — ids are NOT contiguous per doc; no empty
+    * chunks are emitted.
+    *
+    * Returns one row per chunk: (`idCol`, `chunk_id` 0-based,
+    * `chunk_text` = its sentences' tokens joined by single spaces,
+    * `n_tokens`). Like [[chunk]]: whitespace-normalized text, no-token
+    * documents produce no chunks.
+    *
+    * Scale shape: zero-shuffle like [[chunk]] — the per-token sentence
+    * starts come from ONE `aggregate` fold over the token array
+    * (carrying (prev-token-ended, current-start) through the fold),
+    * chunk ids are integer division on those starts, and reassembly
+    * filters the zipped (token, chunk) array per exploded chunk id.
+    * The reassembly is O(chunks × tokens) PER ROW — bounded by
+    * document length squared over target, fine for documents (a
+    * 100k-token outlier is what the quality gates upstream are for) —
+    * in exchange for keeping the corpus off the wire entirely; the
+    * posexplode+groupBy alternative shuffles every token of every
+    * document and is exactly the shape the oracle replays externally.
+    */
+  def chunkBySentence(df: DataFrame, idCol: String, textCol: String,
+                      targetTokens: Int): DataFrame = {
+    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      // __starts(i) = 0-based index of the first token of token i's
+      // sentence. Fold state: pos = tokens consumed, ended = did the
+      // PREVIOUS token close a sentence (seeded 1 so token 0 starts
+      // one), cur = current sentence's start.
+      .withColumn("__starts", expr(
+        """aggregate(
+          |  __toks,
+          |  struct(0 AS pos, 1 AS ended,
+          |         0 AS cur, CAST(array() AS ARRAY<INT>) AS out),
+          |  (acc, t) -> struct(
+          |    acc.pos + 1 AS pos,
+          |    CASE WHEN endswith(t, '.') OR endswith(t, '!')
+          |           OR endswith(t, '?') THEN 1 ELSE 0 END AS ended,
+          |    CASE WHEN acc.ended = 1 THEN acc.pos ELSE acc.cur END AS cur,
+          |    concat(acc.out, array(
+          |      CASE WHEN acc.ended = 1 THEN acc.pos ELSE acc.cur END)) AS out),
+          |  acc -> acc.out)""".stripMargin))
+      .withColumn("__zip",
+        zip_with(col("__toks"), col("__starts"),
+          (t, s) => struct(t.as("t"),
+            (s.cast("long") / targetTokens).cast("long").as("c"))))
+      .select(col(idCol), col("__zip"),
+        explode(sequence(lit(0L),
+          (element_at(col("__starts"), -1).cast("long") / targetTokens)
+            .cast("long"))).as("chunk_id"))
+      .withColumn("__mine",
+        filter(col("__zip"), p => p.getField("c") === col("chunk_id")))
+      // prefix-sum bucketing only skips a chunk id when one sentence
+      // spans past a whole bucket — emit no empty chunks
+      .where(size(col("__mine")) > 0)
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        array_join(transform(col("__mine"), p => p.getField("t")), " ")
+          .as("chunk_text"),
+        size(col("__mine")).cast("long").as("n_tokens"))
+  }
+
   /** Exact top-k terms per group (corpus statistics), ranked by count
     * descending with lexicographic tie-break.
     *

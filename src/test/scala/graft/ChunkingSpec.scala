@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.ops.TextAnalysis
+
+/** Hand-computed chunk tables for the sentence-packed chunker
+  * ([[TextAnalysis.chunkBySentence]] — [[TextAnalysis.chunk]]'s
+  * sibling; that one is covered in OpsSpec/PropertySpec): the packing
+  * and overshoot semantics the scaladoc promises, boundary-rule edges,
+  * skipped bucket ids, losslessness, and the zero-shuffle plan pin.
+  */
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packs toward target, sentences never split, overshoot allowed") {
+    val df = Seq((1L, "Hi there. How are you? Fine thanks. Yes"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkBySentence(df, "doc_id", "text",
+        targetTokens = 4)
+      .orderBy("chunk_id").collect().toSeq
+    // sentence starts (0-based): 0, 2, 5, 7 -> chunks 0, 0, 1, 1;
+    // chunk 0 overshoots target by one sentence (documented semantics)
+    assert(got === Seq(
+      Row(1L, 0L, "Hi there. How are you?", 5L),
+      Row(1L, 1L, "Fine thanks. Yes", 3L)))
+  }
+
+  test("no terminal punctuation = one sentence, one (overshooting) chunk") {
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkBySentence(df, "doc_id", "text",
+        targetTokens = 2)
+      .collect().toSeq
+    assert(got === Seq(Row(1L, 0L, "a b c d e f", 6L)))
+  }
+
+  test("a bucket-spanning sentence skips chunk ids; no empty chunks") {
+    // sentence 1 = 10 tokens (start 0 -> chunk 0), sentence 2 starts at
+    // token 10 -> chunk 2; bucket 1 has no sentence start and is skipped
+    val df = Seq((1L, "a b c d e f g h i j. x")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkBySentence(df, "doc_id", "text",
+        targetTokens = 4)
+      .orderBy("chunk_id").collect().toSeq
+    assert(got.map(_.getLong(1)) === Seq(0L, 2L))
+    assert(got.map(_.getString(2)) === Seq("a b c d e f g h i j.", "x"))
+  }
+
+  test("terminal ! and ? close sentences; chunk concat is lossless") {
+    val text = "Really?! Go now! Stop. ok"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkBySentence(df, "doc_id", "text",
+        targetTokens = 2)
+      .orderBy("chunk_id").collect().toSeq
+    // starts: Really?!(0) Go now!(1) Stop.(3) ok(4) -> chunks 0,0,1,2
+    assert(got.map(_.getString(2)) ===
+      Seq("Really?! Go now!", "Stop.", "ok"))
+    // chunk concat == whitespace-normalized doc (no token lost/duplicated)
+    assert(got.map(_.getString(2)).mkString(" ") === text)
+  }
+
+  test("whitespace normalizes; empty and null docs emit nothing") {
+    val df = Seq((1L, "  a\t b. \n c "), (2L, "   "), (3L, null))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkBySentence(df, "doc_id", "text",
+        targetTokens = 10)
+      .collect().toSeq
+    assert(got === Seq(Row(1L, 0L, "a b. c", 3L)))
+  }
+
+  test("zero-shuffle projection (no Exchange in the executed plan)") {
+    val df = Seq((1L, "a b. c d")).toDF("doc_id", "text")
+    val plan = TextAnalysis.chunkBySentence(df, "doc_id", "text",
+        targetTokens = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("rejects non-positive target") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkBySentence(df, "doc_id", "text", targetTokens = 0))
+  }
+
+  test("hard-cap composition: chunk() after caps an over-long sentence") {
+    // one 7-token sentence, target 3 -> one overshooting chunk; the
+    // documented remedy is chaining the token-window chunker after
+    val df = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val soft = TextAnalysis.chunkBySentence(df, "doc_id", "text",
+      targetTokens = 3)
+    val hard = TextAnalysis.chunk(
+      soft.withColumnRenamed("chunk_text", "text"), "doc_id", "text",
+      maxTokens = 3)
+    assert(hard.collect().map(_.getAs[String]("chunk_text")).sorted.toSeq ===
+      Seq("a b c", "d e f", "g"))
+  }
+}
