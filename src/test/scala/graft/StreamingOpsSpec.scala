@@ -174,6 +174,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch && streamed.map(_._1) == Seq(1L, 2L, 3L))
   }
 
+  test("chunkBySentence streams statelessly with batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "Hi there. How are you? Fine thanks. Yes"),
+      (2L, "no punctuation at all"), (3L, ""))
+    val input = MemoryStream[(Long, String)]
+    val out = graft.ops.TextAnalysis.chunkBySentence(
+      input.toDF().toDF("id", "text"), "id", "text", targetTokens = 4)
+    val query = out.writeStream.format("memory")
+      .queryName("chunk_stream").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("chunk_stream")
+      .as[(Long, Long, String, Long)].collect().sorted.toSeq
+    val batch = graft.ops.TextAnalysis.chunkBySentence(
+        rows.toDF("id", "text"), "id", "text", targetTokens = 4)
+      .as[(Long, Long, String, Long)].collect().sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("curationStream: score→gate→corpus-dedup→export chain equals " +
       "the batch formulation per batch") {
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,61 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Sentence-chunker throughput at 1M documents: each doc is 40
+  * sentences of 8 tokens (~320 tokens/doc — a real web-page shape,
+  * 320M tokens total), chunked at targetTokens=64. Measures both
+  * chunkers over the SAME corpus so the sentence-packing premium over
+  * the plain token-window grid is the reported number (both are
+  * zero-shuffle projections; the sentence form pays the per-row
+  * aggregate() fold + O(chunks × tokens) reassembly).
+  *
+  * Run: `sbt "Test/runMain tmpstress.ChunkStress"`
+  */
+object ChunkStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 40 sentences x 8 tokens; last token of each sentence ends '.'
+    val sentence = (k: Int) => concat_ws(" ",
+      (0 until 7).map(j =>
+        md5(concat(pmod(col("id") + k * 7 + j, lit(9973L)).cast("string"),
+          lit("t")))) :+
+        concat(md5(concat(pmod(col("id") + k, lit(9973L)).cast("string"),
+          lit("e"))), lit(".")): _*)
+    val text = concat_ws(" ", (0 until 40).map(sentence): _*)
+    val corpus = spark.range(nDocs)
+      .select(col("id").as("doc_id"), text.as("text"))
+      .repartition(64).cache()
+    println(s"MARKER corpus=${corpus.count()}")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"MARKER $label%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    for (rep <- 1 to 3) {
+      val ns = time(s"sentence rep$rep") {
+        graft.ops.TextAnalysis.chunkBySentence(
+          corpus, "doc_id", "text", targetTokens = 64)
+          .agg(count(lit(1)), sum(length(col("chunk_text")))).collect()(0)
+      }
+      val nw = time(s"window   rep$rep") {
+        graft.ops.TextAnalysis.chunk(
+          corpus, "doc_id", "text", maxTokens = 64)
+          .agg(count(lit(1)), sum(length(col("chunk_text")))).collect()(0)
+      }
+      println(s"MARKER rep$rep sentence_chunks=${ns.getLong(0)} " +
+        s"window_chunks=${nw.getLong(0)}")
+    }
+    spark.stop()
+  }
+}
