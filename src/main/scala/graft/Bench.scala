@@ -13,20 +13,71 @@ object Bench {
     * ignored entirely — at sf1 every query legitimately exceeds 3× its
     * sf0.1 committed time, and a cross-SF record would re-measure the
     * whole suite. Spec-pinned.
+    *
+    * Whitespace-tolerant on BOTH sides of every colon: the checked-in
+    * BENCH_COMMITTED.json may be pretty-printed (r12's was — and the
+    * compact-only regexes this replaced silently parsed it to an empty
+    * map, so the stall-resistance protocol never armed that round).
+    * The spec now parses the ACTUAL checked-in file, not a synthetic
+    * compact string.
     */
   def parseCommitted(txt: String, sfDir: Option[String])
       : Map[String, Double] = {
-    if (sfDir.exists(d => !txt.contains("\"sf\":\"" + d + "\"")))
+    def lit(s: String) = java.util.regex.Pattern.quote(s)
+    if (sfDir.exists(d =>
+        ("\"sf\"\\s*:\\s*\"" + lit(d) + "\"").r.findFirstIn(txt).isEmpty))
       return Map.empty
     // scope to the "queries" object FIRST: a record emitted by this
     // Bench also carries "t_start" (same q-names, different values) —
     // a flat scan would let start offsets shadow committed seconds
-    val start = txt.indexOf("\"queries\":{")
-    if (start < 0) return Map.empty
-    val body = txt.substring(start + 11, txt.indexOf('}', start))
-    val re = """"(q[A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
+    val qStart = """"queries"\s*:\s*\{""".r.findFirstMatchIn(txt)
+      .getOrElse(return Map.empty)
+    val body = txt.substring(qStart.end, txt.indexOf('}', qStart.end))
+    val re = """"(q[A-Za-z0-9_]+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r
     re.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Compact stdout summary sized to the DRIVER's ~2000-char stdout-tail
+    * capture window. The full per-query line (all names, t_start, reps)
+    * has been ~15k chars since r5 — every official record r5..r12 came
+    * back `parsed: null`, and r12's tail showed only the t_start section
+    * (cumulative offsets of 97–151 s that READ like query times). This
+    * line is what actually lands in BENCH_r{N}.json: query keys are
+    * shortened to their unique `qNN` prefix, entries ordered
+    * slowest-first, and the fastest entries dropped only if the line
+    * would still exceed `budget` (the `omitted` field then says how
+    * many). `value` stays the FULL-suite total. Spec-pinned ≤ budget on
+    * the real committed suite.
+    */
+  def summaryLine(results: Seq[(String, Double)], sfDir: String,
+                  budget: Int = 1800): String = {
+    def fmt(v: Double, dec: Int) =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+    val total = results.map { case (_, v) => math.max(v, 0.0) }.sum
+    val prefixes = results.map { case (n, _) => n -> n.takeWhile(_ != '_') }
+    val collides = prefixes.groupBy(_._2).collect {
+      case (p, g) if g.size > 1 => p
+    }.toSet
+    val byName = results.toMap
+    val short = prefixes.map { case (n, p) =>
+      (if (collides(p)) n else p) -> byName(n)
+    }.sortBy { case (_, v) => -v }
+    def line(keep: Int): String = {
+      val qs = short.take(keep)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+        .mkString(",")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
+        s""""sf":"$sfDir","n_queries":${results.size},""" +
+        s""""omitted":${results.size - keep},""" +
+        s""""note":"keys = qNN prefix of full query name, slowest first;""" +
+        s""" full record in BENCH_LOCAL_latest.json (committed)",""" +
+        s""""queries":{$qs}}"""
+    }
+    // largest slowest-first subset that fits; at most ~150 queries so the
+    // quadratic retry is trivial
+    (short.size to 0 by -1).iterator.map(line)
+      .find(_.length <= budget).getOrElse(line(0))
   }
 
   /** The in-run re-measure rule: first rep exceeded 3× the committed
@@ -152,11 +203,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","t_start":$ts,"reps":$reps}"""
     println(line)
-    // The driver's stdout capture has repeatedly clipped this line (r6 and
-    // r7 official records both lost entries / failed to parse). The file is
-    // the durable record: every query time, every round, machine-readable.
-    // cwd-relative default so any checkout location gets its record next
-    // to the build, not at a machine-specific absolute path
+    // The driver's stdout capture keeps only the LAST ~2000 chars; the
+    // full line above has exceeded that since r5 (every official record
+    // r5..r12: parsed null, tail showing t_start offsets that read like
+    // query times). The LAST stdout line is therefore a compact summary
+    // sized to fit that window — the full record persists to the file.
+    println(summaryLine(results.toSeq, sfDir))
+    // The file is the durable complete record: every query time, every
+    // round, machine-readable. cwd-relative default so any checkout
+    // location gets its record next to the build, not at a
+    // machine-specific absolute path
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_LOCAL_latest.json")
     try java.nio.file.Files.write(

@@ -2068,10 +2068,16 @@ object SparkEntry {
         "doc_id")
       val didCompact = TextAnalysis.bm25ArtifactsCompact(s, art,
         keepGenerations = 1)
+      // tombstones retire by GENERATION (r13): with keepGenerations = 1
+      // the legacy dir drops immediately and the current generation is
+      // an EMPTY table; a second compact must see nothing to fold
       val evidence = didCompact &&
         !graft.Fs.exists(s"$art/tombstones") &&
         TextAnalysis.bm25PostingsDir(art).endsWith("postings_g0000") &&
-        !graft.Fs.exists(s"$art/postings")
+        !graft.Fs.exists(s"$art/postings") &&
+        TextAnalysis.bm25TombstonesDir(art).endsWith("tombstones_g0000") &&
+        s.read.parquet(TextAnalysis.bm25TombstonesDir(art)).isEmpty &&
+        !TextAnalysis.bm25ArtifactsCompact(s, art, keepGenerations = 1)
       val queries = s.createDataFrame(Seq(
         (1L, "spark join hash"),
         (2L, "customer order query"),
