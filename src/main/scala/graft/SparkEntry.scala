@@ -2052,6 +2052,30 @@ object SparkEntry {
           targetTokens = 48)
         .orderBy("doc_id", "chunk_id")),
 
+    // ---- DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    //      score every doc by log p_target − log p_raw over HASHED token
+    //      features (2^18 md5-lo64 buckets — the bounded-vocabulary
+    //      100 TB path, and the q85 external-hash-parity trade so the
+    //      oracle replays the buckets exactly); target = the English
+    //      slice. Per-feature micro-quantization keeps every per-doc
+    //      sum integer-exact across engines. ----
+
+    "q132_dsir_weights" -> ((s, dir) =>
+      Sampling.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", hashBuckets = 1 << 18,
+          hashKind = graft.functions.SketchOps.HashMd5Lo64)
+        .orderBy("doc_id")),
+
+    // Gumbel top-k resampling over the q132 weights — sampling ∝
+    // exp(weight) without replacement, deterministic via the Knuth mix
+    // (the q89 replay contract), so the oracle picks the identical 100.
+    "q133_dsir_resample" -> ((s, dir) =>
+      Sampling.dsirResample(
+        Sampling.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", hashBuckets = 1 << 18,
+          hashKind = graft.functions.SketchOps.HashMd5Lo64),
+        "doc_id", "weight_micro", k = 100, salt = 7L)),
+
     "q129_bm25_compact" -> ((s, dir) => {
       // the full index lifecycle: build → delete (tombstones) →
       // COMPACT (fold tombstones into a fresh range-laid postings
@@ -4316,6 +4340,77 @@ object SparkEntry {
            |FROM st GROUP BY doc_id, chunk_id
            |ORDER BY doc_id, chunk_id""".stripMargin,
 
+      // DSIR replayed feature by feature: bucket = md5-lo64 & (2^18−1)
+      // (UNSIGNED — identical to the kernel's signed long under the
+      // power-of-two mask, the q85 contract); per-feature micro log-prob
+      // floor-quantized BEFORE the per-doc sum, so both engines sum the
+      // same integers in any order. Smoothing: (c+1)/(N+V), V = distinct
+      // observed buckets.
+      "q132_dsir_weights" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, lang = 'en' AS is_t,
+           |    unnest(list_transform(
+           |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |        x -> len(x) > 0),
+           |      x -> CAST((md5_number_lower(x) & 262143) AS BIGINT))) AS f
+           |  FROM documents),
+           |counts AS (
+           |  SELECT f, CAST(count(*) AS BIGINT) AS cr,
+           |    CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct
+           |  FROM b GROUP BY 1),
+           |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+           |  CAST(sum(ct) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS v
+           |  FROM counts),
+           |fw AS (
+           |  SELECT f,
+           |    CAST(floor(1000000.0 * ln((ct + 1) / CAST(nt + v AS DOUBLE)))
+           |      AS BIGINT)
+           |    - CAST(floor(1000000.0 * ln((cr + 1) / CAST(nr + v AS DOUBLE)))
+           |      AS BIGINT) AS dw
+           |  FROM counts CROSS JOIN tot)
+           |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(dw) AS BIGINT) AS weight_micro
+           |FROM b JOIN fw USING (f)
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      // q132's weights + the Knuth-mix Gumbel key (u = (mix + 0.5)/2^32
+      // is an exact power-of-two division — both engines see the same
+      // double), floor-quantized to micro; top-100 by integer key.
+      "q133_dsir_resample" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, lang = 'en' AS is_t,
+           |    unnest(list_transform(
+           |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |        x -> len(x) > 0),
+           |      x -> CAST((md5_number_lower(x) & 262143) AS BIGINT))) AS f
+           |  FROM documents),
+           |counts AS (
+           |  SELECT f, CAST(count(*) AS BIGINT) AS cr,
+           |    CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct
+           |  FROM b GROUP BY 1),
+           |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+           |  CAST(sum(ct) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS v
+           |  FROM counts),
+           |fw AS (
+           |  SELECT f,
+           |    CAST(floor(1000000.0 * ln((ct + 1) / CAST(nt + v AS DOUBLE)))
+           |      AS BIGINT)
+           |    - CAST(floor(1000000.0 * ln((cr + 1) / CAST(nr + v AS DOUBLE)))
+           |      AS BIGINT) AS dw
+           |  FROM counts CROSS JOIN tot),
+           |w AS (
+           |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    CAST(sum(dw) AS BIGINT) AS weight_micro
+           |  FROM b JOIN fw USING (f) GROUP BY 1),
+           |r AS (
+           |  SELECT doc_id, n_tokens, weight_micro,
+           |    CAST(floor(1000000.0 * -ln(-ln(
+           |      ((((doc_id + 7) * 2654435761) % 4294967296) + 0.5)
+           |        / 4294967296.0))) AS BIGINT) AS gumbel_micro
+           |  FROM w)
+           |SELECT doc_id, n_tokens, weight_micro, gumbel_micro,
+           |  weight_micro + gumbel_micro AS resample_key
+           |FROM r ORDER BY resample_key DESC, doc_id LIMIT 100""".stripMargin,
 
       // Sharded-Bloom routing is result-identical to plain incremental
       // ingest at ANY shard count (shard sketches only route; the

@@ -179,6 +179,23 @@ object SketchOps {
     out
   }
 
+  /** Feature bucket (hash & (dim-1)) of every whitespace token of `text`,
+    * in token order — the bounded-vocabulary featurizer behind
+    * [[graft.ops.Sampling.dsirWeights]]'s hashed path. `dim` MUST be a
+    * power of two: the mask keeps the bucket identical between the
+    * signed JVM long and an external engine's unsigned 64-bit hash
+    * (DuckDB `md5_number_lower`), the same trade [[linearScore]] makes.
+    */
+  def tokenBuckets(text: UTF8String, dim: Int, hashKind: Int): ArrayData = {
+    val mask = (dim - 1).toLong
+    val hs =
+      if (hashKind == HashMd5Lo64) tokenHashesMd5(text) else tokenHashes(text)
+    val out = new Array[Long](hs.length)
+    var i = 0
+    while (i < hs.length) { out(i) = hs(i) & mask; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Hashed bag-of-tokens linear score: one byte-scan over `text`,
     * each whitespace token feature-hashed with [[md5Lo64]] and masked
     * into the `weights` table (`weights.length` MUST be a power of
@@ -764,6 +781,37 @@ case class TokensOf(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TokensOf =
     copy(child = newChild)
   override def prettyName: String = "graft_tokens"
+}
+
+/** `graft_token_buckets(text, dim[, hashKind])`: hashed feature bucket
+  * (hash & (dim-1)) of each whitespace token, in token order; empty
+  * array for a token-free text. `dim` must be a power of two. hashKind
+  * 0 = xxhash64 (default, fastest), 1 = MD5-lo64 (SQL-reproducible —
+  * DuckDB `md5_number_lower(tok) & (dim-1)`).
+  */
+case class TokenBuckets(child: Expression, dim: Int, hashKind: Int = 0)
+    extends UnaryExpression {
+  require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+  require(hashKind == SketchOps.HashXx64 || hashKind == SketchOps.HashMd5Lo64,
+    s"unknown hashKind $hashKind")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.tokenBuckets(input.asInstanceOf[UTF8String], dim, hashKind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, text =>
+      s"graft.functions.SketchOps.tokenBuckets($text, $dim, $hashKind)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenBuckets =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_buckets"
 }
 
 /** `graft_window_keys(text, windowTokens)`: md5 key per W-token window

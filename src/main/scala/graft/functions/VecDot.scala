@@ -177,6 +177,14 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_token_count takes (text)")
         TokenCountOf(exprs(0))
       }),
+    (FunctionIdentifier("graft_token_buckets"),
+      new ExpressionInfo(classOf[TokenBuckets].getName, "graft_token_buckets"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          "graft_token_buckets takes (text, dim[, hashKind])")
+        TokenBuckets(exprs(0), litInt(exprs(1), "dim"),
+          if (exprs.length == 3) litInt(exprs(2), "hashKind") else 0)
+      }),
     (FunctionIdentifier("graft_nearest_centroid"),
       new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest_centroid"),
       (exprs: Seq[Expression]) => {

@@ -650,6 +650,121 @@ object Sampling {
         (col("bucket_cap") - col("n_tokens")).as("pad_tokens"))
   }
 
+  // ---- DSIR importance weighting -----------------------------------------
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — arXiv:2302.03169): score every
+    * document of a raw corpus by how much MORE likely its bag of token
+    * features is under a TARGET distribution than under the raw corpus'
+    * own, `log p_target(doc) − log p_raw(doc)` with add-one smoothing —
+    * the standard recipe for selecting pretraining data that "looks
+    * like" a trusted target set. `isTarget` marks the target rows (a
+    * predicate over `docs`' columns — a quality flag, a source, a
+    * joined-in membership bit); weights are computed for ALL rows, the
+    * target rows included (exclude them downstream if the target is
+    * in-corpus).
+    *
+    * Feature space: whitespace tokens of `lower(text)` when
+    * `hashBuckets == 0`, else each token hashed into `hashBuckets`
+    * buckets (power of two) — the 100 TB path, because it bounds the
+    * feature table at `hashBuckets` rows REGARDLESS of corpus
+    * vocabulary, letting the per-token join broadcast. `hashKind`
+    * follows [[graft.functions.SketchOps]]: xx64 (default, fastest) or
+    * MD5-lo64 (bit-identical to DuckDB `md5_number_lower & (dim-1)` —
+    * the external-oracle kind, q132's trade).
+    *
+    * Exact-replay contract (the q100 integer-micro discipline): the
+    * ONLY floating-point step is per-FEATURE — `floor(1e6 ·
+    * ln((c+1)/(N+V)))`, quantized to an integer micro-log at the
+    * feature-table level — so the per-document weight is an INTEGER sum,
+    * independent of summation order and bit-replayable by an external
+    * engine. Per-doc weights never drift with partitioning.
+    *
+    * Plan shape: a FIT pass and a SCORE pass over the corpus — the
+    * two-scan shape inherent to fitting a distribution you then apply.
+    * The fit explode feeds BOTH distributions in a single conditional
+    * aggregate (target counts are `sum(when(...))` over the same rows,
+    * not a third scan), a single-row totals aggregate broadcasts back
+    * over the feature table, and the score pass is one feature join
+    * (broadcast when hashed — the feature table is bucket-bounded) +
+    * one per-doc aggregate, both map-side combinable. No driver
+    * collection anywhere; two corpus shuffles total (feature counts,
+    * per-doc sum).
+    *
+    * Returns (`idCol`, n_tokens, weight_micro); documents with no
+    * tokens (null/empty text) are absent — they have no features, so no
+    * importance weight is defined for them.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, hashBuckets: Int = 0,
+                  hashKind: Int = graft.functions.SketchOps.HashXx64)
+      : DataFrame = {
+    require(hashBuckets == 0 ||
+        (hashBuckets > 1 && (hashBuckets & (hashBuckets - 1)) == 0),
+      "hashBuckets must be 0 (raw tokens) or a power of two >= 2")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val feats =
+      if (hashBuckets > 0)
+        call_function("graft_token_buckets", lower(col(textCol)),
+          lit(hashBuckets), lit(hashKind))
+      else call_function("graft_tokens", lower(col(textCol)))
+    val base = docs.select(col(idCol).as("__doc"),
+      isTarget.as("__is_t"), explode(feats).as("__f"))
+    val counts = base.groupBy("__f").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("__ct"))
+    val totals = counts.agg(sum(col("__cr")).as("__nr"),
+      sum(col("__ct")).as("__nt"), count(lit(1)).as("__v"))
+    // per-feature micro log-prob, quantized HERE so every downstream sum
+    // is integer arithmetic (see the exact-replay contract above)
+    def micro(c: Column, n: Column): Column =
+      floor(lit(1e6) *
+        log((c + lit(1L)).cast("double") / n.cast("double")))
+    val featW = counts.crossJoin(broadcast(totals))
+      .select(col("__f"),
+        (micro(col("__ct"), col("__nt") + col("__v")) -
+          micro(col("__cr"), col("__nr") + col("__v")))
+          .cast("long").as("__dw"))
+    val joined =
+      if (hashBuckets > 0) base.join(broadcast(featW), Seq("__f"))
+      else base.join(featW, Seq("__f"))
+    joined.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__dw")).as("weight_micro"))
+      .select(col("__doc").as(idCol), col("n_tokens"), col("weight_micro"))
+  }
+
+  /** The resampling half of DSIR: Gumbel top-k over the
+    * [[dsirWeights]] micro-log weights — equivalent to sampling k
+    * documents WITHOUT replacement with probability ∝ exp(weight)
+    * (the Gumbel-max trick), but fully deterministic: the noise comes
+    * from [[mixedKey]] of the document id, so re-runs (and external
+    * replays) pick the identical k. `u = (mix + 0.5) / 2³²` is an exact
+    * power-of-two division — both engines see the same double — and the
+    * Gumbel value is floor-quantized to micro like the weights, keeping
+    * the selection key an integer.
+    *
+    * Scale shape: one projection + global top-k (TakeOrdered — per-
+    * partition partial top-k, no shuffle of the corpus). Returns the
+    * k rows ordered by (resample_key desc, id) with `gumbel_micro` and
+    * `resample_key` appended.
+    */
+  def dsirResample(weights: DataFrame, idCol: String, weightCol: String,
+                   k: Int, salt: Long = 0L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    Seq("gumbel_micro", "resample_key").foreach(c =>
+      require(!weights.columns.contains(c),
+        s"input already has a '$c' column; rename it before resampling"))
+    val u = (mixedKey(col(idCol), salt).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    weights
+      .withColumn("gumbel_micro",
+        floor(lit(1e6) * -log(-log(u))).cast("long"))
+      .withColumn("resample_key", col(weightCol) + col("gumbel_micro"))
+      .orderBy(col("resample_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   def writeShuffledShards(df: DataFrame, keyCol: String, numShards: Int,
                           path: String, salt: Long = 0L): Unit = {
     Seq("shard", "__ord").foreach(c => require(!df.columns.contains(c),

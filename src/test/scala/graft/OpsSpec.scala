@@ -3079,4 +3079,99 @@ class OpsSpec extends SparkSpec {
       minMeanMicro = 0L, maxDocs = 1L).select("doc_id").as[Long].collect()
     assert(capped.toSeq == Seq(5L)) // only the single-doc domain survives
   }
+
+  // ---- DSIR importance weighting ----
+
+  test("dsirWeights: hand-computed micro weights, smoothing, target direction") {
+    val df = Seq(
+      (1L, "a a b"), // the target doc
+      (2L, "a c"),
+      (3L, "b b"),
+      (4L, ""),      // token-free: absent from the output
+    ).toDF("doc_id", "text")
+    // by hand: raw counts a:3 b:3 c:1 (N_r=7), target counts a:2 b:1 c:0
+    // (N_t=3), V=3 distinct features; per-feature micro = floor(1e6 ·
+    // ln((c+1)/(N+V))), dw = micro_t − micro_r
+    def micro(c: Long, n: Long): Long =
+      math.floor(1e6 * math.log((c + 1).toDouble / n.toDouble)).toLong
+    val dwA = micro(2, 6) - micro(3, 10)
+    val dwB = micro(1, 6) - micro(3, 10)
+    val dwC = micro(0, 6) - micro(1, 10)
+    val got = Sampling.dsirWeights(df, "doc_id", "text", col("doc_id") === 1L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // doc 4 has no features
+    assert(got(1L) == ((1L, 3L, 2 * dwA + dwB)))
+    assert(got(2L) == ((2L, 2L, dwA + dwC)))
+    assert(got(3L) == ((3L, 2L, 2 * dwB)))
+    // the target-looking doc outranks the rest (the point of DSIR)
+    assert(got(1L)._3 > got(2L)._3 && got(1L)._3 > got(3L)._3)
+  }
+
+  test("dsirWeights: hashed buckets match raw tokens when collision-free; both hash kinds") {
+    val df = Seq(
+      (1L, "Alpha beta GAMMA alpha"), (2L, "beta delta"),
+      (3L, "gamma gamma epsilon"), (4L, "zeta alpha beta"),
+    ).toDF("doc_id", "text")
+    val tgt = col("doc_id") <= 2L
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val raw = canon(Sampling.dsirWeights(df, "doc_id", "text", tgt))
+    // 6 distinct tokens into 2^18 buckets: collision-free, so the hashed
+    // feature space is a relabeling — identical counts, identical weights
+    for (kind <- Seq(graft.functions.SketchOps.HashXx64,
+        graft.functions.SketchOps.HashMd5Lo64))
+      assert(canon(Sampling.dsirWeights(df, "doc_id", "text", tgt,
+        hashBuckets = 1 << 18, hashKind = kind)) == raw, s"kind $kind")
+    // non-power-of-two bucket count fails loud
+    intercept[IllegalArgumentException] {
+      Sampling.dsirWeights(df, "doc_id", "text", tgt, hashBuckets = 100)
+    }
+  }
+
+  test("graft_token_buckets kernel: md5 parity, mask, nulls, empties") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = Seq((1L, "x y x"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        call_function("graft_token_buckets", col("t"), lit(8),
+          lit(graft.functions.SketchOps.HashMd5Lo64)).as("b"))
+      .as[(Long, Option[Seq[Long]])].collect().map(r => r._1 -> r._2).toMap
+    def b(s: String): Long = {
+      val bytes = s.getBytes("UTF-8")
+      graft.functions.SketchOps.md5Lo64(bytes, 0, bytes.length) & 7L
+    }
+    assert(got(1L).get == Seq(b("x"), b("y"), b("x")))
+    assert(got(2L).get == Seq.empty) // token-free text: empty array
+    assert(got(3L).isEmpty)          // null text: null
+    assert(got(1L).get.forall(v => v >= 0 && v < 8))
+  }
+
+  test("dsirResample: deterministic Gumbel top-k, exact replay, guard columns") {
+    val w = Seq((1L, 5L, 1000000L), (2L, 5L, 900000L), (3L, 5L, -500000L),
+      (4L, 5L, 950000L)).toDF("doc_id", "n_tokens", "weight_micro")
+    // replay the key by hand: u = (mix + 0.5)/2^32, gumbel = floor(1e6 ·
+    // −ln(−ln u)), key = weight + gumbel
+    def key(id: Long, wm: Long, salt: Long): Long = {
+      val mix = ((id + salt) * 2654435761L) & 0xffffffffL
+      val u = (mix + 0.5) / 4294967296.0
+      wm + math.floor(1e6 * -math.log(-math.log(u))).toLong
+    }
+    val expect = Seq(1L, 2L, 3L, 4L).map(id =>
+      id -> key(id, Map(1L -> 1000000L, 2L -> 900000L, 3L -> -500000L,
+        4L -> 950000L)(id), 7L))
+      .sortBy { case (id, k) => (-k, id) }.take(2)
+    val got = Sampling.dsirResample(w, "doc_id", "weight_micro",
+        k = 2, salt = 7L)
+      .select("doc_id", "resample_key").as[(Long, Long)].collect().toSeq
+    assert(got == expect)
+    // re-run identical (pure function of ids + salt)
+    assert(Sampling.dsirResample(w, "doc_id", "weight_micro", k = 2,
+      salt = 7L).select("doc_id", "resample_key")
+      .as[(Long, Long)].collect().toSeq == expect)
+    // reserved-column guard
+    intercept[IllegalArgumentException] {
+      Sampling.dsirResample(w.withColumn("resample_key", lit(1L)),
+        "doc_id", "weight_micro", k = 1)
+    }
+  }
 }
