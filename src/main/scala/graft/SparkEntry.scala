@@ -2076,6 +2076,22 @@ object SparkEntry {
           hashKind = graft.functions.SketchOps.HashMd5Lo64),
         "doc_id", "weight_micro", k = 100, salt = 7L)),
 
+    // ---- GPT-style contiguous-stream packing: docs laid end to end in
+    //      Knuth-mix group-major order, cut into fixed 256-token
+    //      sequences, documents SPLITTING across boundaries (q69's
+    //      no-split packer's complement). One fragment row per
+    //      (doc × sequence) overlap; pure integer layout, replayed
+    //      end to end by the oracle. ----
+    "q134_stream_pack" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val withCounts = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(call_function("graft_token_count", col("text")), lit(0L))
+          .as("n_tokens"))
+      Sampling.packTokenStream(withCounts, "doc_id", "n_tokens",
+          seqLen = 256, groups = 16, salt = 13L)
+        .orderBy("doc_id", "seq_id")
+    }),
+
     "q129_bm25_compact" -> ((s, dir) => {
       // the full index lifecycle: build → delete (tombstones) →
       // COMPACT (fold tombstones into a fresh range-laid postings
@@ -4411,6 +4427,47 @@ object SparkEntry {
            |SELECT doc_id, n_tokens, weight_micro, gumbel_micro,
            |  weight_micro + gumbel_micro AS resample_key
            |FROM r ORDER BY resample_key DESC, doc_id LIMIT 100""".stripMargin,
+
+      // The contiguous stream replayed position by position: group-major
+      // Knuth-mix order, within-group prefix sum, groups-sized exclusive
+      // offset scan, then the (doc × sequence) overlap fragments by
+      // integer interval arithmetic — byte-for-byte the operator's
+      // layout contract.
+      "q134_stream_pack" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    COALESCE(CAST(len(list_filter(regexp_split_to_array(text,
+          |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS n_tokens,
+          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
+          |  FROM documents),
+          |g AS (SELECT *, mix % 16 AS grp FROM tok WHERE n_tokens > 0),
+          |c AS (
+          |  SELECT *, sum(n_tokens) OVER (PARTITION BY grp
+          |      ORDER BY mix, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    - n_tokens AS s0
+          |  FROM g),
+          |go AS (
+          |  SELECT grp, sum(tot) OVER (ORDER BY grp
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    - tot AS goff
+          |  FROM (SELECT grp, sum(n_tokens) AS tot FROM g GROUP BY grp)),
+          |p AS (
+          |  -- sum() over BIGINT is HUGEINT in DuckDB; generate_series
+          |  -- needs BIGINT operands
+          |  SELECT c.doc_id, c.n_tokens,
+          |    CAST(go.goff + c.s0 AS BIGINT) AS s1
+          |  FROM c JOIN go USING (grp)),
+          |f AS (
+          |  SELECT doc_id, n_tokens, s1, unnest(generate_series(
+          |    s1 // 256, (s1 + n_tokens - 1) // 256)) AS seq_id
+          |  FROM p)
+          |SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+          |  CAST(greatest(0, seq_id * 256 - s1) AS BIGINT) AS doc_offset,
+          |  CAST(greatest(0, s1 - seq_id * 256) AS BIGINT) AS seq_offset,
+          |  CAST(least(s1 + n_tokens, (seq_id + 1) * 256)
+          |    - greatest(s1, seq_id * 256) AS BIGINT) AS frag_len
+          |FROM f ORDER BY doc_id, seq_id""".stripMargin,
 
       // Sharded-Bloom routing is result-identical to plain incremental
       // ingest at ANY shard count (shard sketches only route; the

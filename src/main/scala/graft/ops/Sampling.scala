@@ -650,6 +650,72 @@ object Sampling {
         (col("bucket_cap") - col("n_tokens")).as("pad_tokens"))
   }
 
+  /** GPT-style contiguous-stream packing: lay every document end to end
+    * in a deterministic pseudo-random order and cut the stream into
+    * fixed `seqLen`-token training sequences, SPLITTING documents across
+    * sequence boundaries — the concat-and-chunk shaping used for decoder
+    * pretraining, and [[packSequences]]'s complement (that operator
+    * never splits a document; this one wastes zero tokens to padding
+    * except in the final sequence). Emits one row per (document ×
+    * sequence) overlap fragment: (`idCol`, n_tokens, seq_id, doc_offset,
+    * seq_offset, frag_len) — enough for a loader to materialize any
+    * sequence by fetching exactly the fragments with its seq_id.
+    *
+    * Determinism/replay: stream position is a pure integer function of
+    * (id, salt) — group-major [[mixedKey]] order — so re-runs and
+    * external engines reproduce the identical layout (the
+    * [[packSequences]] contract).
+    *
+    * Scale shape: a GLOBAL running prefix-sum via one window would
+    * funnel the corpus through a single partition. Instead: docs hash
+    * into `groups` salt-groups laid group-major (all of group g precedes
+    * g+1); the within-group prefix sum is a window bounded at ~N/groups
+    * rows, and the group OFFSETS come from a groups-sized aggregate
+    * whose own prefix window is trivially small, broadcast back. One
+    * corpus shuffle total; no driver collection. Zero-token documents
+    * occupy no stream space and are absent from the output.
+    */
+  def packTokenStream(df: DataFrame, idCol: String, tokenCountCol: String,
+                      seqLen: Int, groups: Int = 1024,
+                      salt: Long = 0L): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    require(groups >= 1 && groups <= (1 << 20), "groups must be in [1, 2^20]")
+    Seq("__g", "__ord", "__sg", "__goff", "__s0", "__s1").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column; rename it before packing"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__ord"), col(idCol))
+    // groups-sized exclusive prefix over group totals: the one
+    // single-partition window, bounded at `groups` rows by construction
+    val wg = org.apache.spark.sql.expressions.Window.orderBy(col("__g"))
+    val base = df.select(col(idCol),
+        coalesce(col(tokenCountCol).cast("long"), lit(0L)).as("n_tokens"),
+        mixedKey(col(idCol), salt).as("__ord"))
+      .filter(col("n_tokens") > 0L)
+      .withColumn("__g", pmod(col("__ord"), lit(groups.toLong)))
+    val offsets = base.groupBy(col("__g"))
+      .agg(sum(col("n_tokens")).as("__sg"))
+      .select(col("__g"),
+        (sum(col("__sg")).over(wg) - col("__sg")).as("__goff"))
+    val placed = base
+      .withColumn("__s0",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .join(broadcast(offsets), Seq("__g"))
+      .withColumn("__s1", col("__goff") + col("__s0")) // global start
+    placed.select(col(idCol), col("n_tokens"), col("__s1"),
+        explode(sequence(
+          expr(s"__s1 div ${seqLen}L"),
+          expr(s"(__s1 + n_tokens - 1) div ${seqLen}L"))).as("seq_id"))
+      .select(col(idCol), col("n_tokens"), col("seq_id"),
+        greatest(lit(0L), col("seq_id") * seqLen - col("__s1"))
+          .as("doc_offset"),
+        greatest(lit(0L), col("__s1") - col("seq_id") * seqLen)
+          .as("seq_offset"),
+        (least(col("__s1") + col("n_tokens"),
+            (col("seq_id") + 1L) * seqLen) -
+          greatest(col("__s1"), col("seq_id") * seqLen)).as("frag_len"))
+  }
+
   // ---- DSIR importance weighting -----------------------------------------
 
   /** DSIR-style importance weights (Data Selection via Importance

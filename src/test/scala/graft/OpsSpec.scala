@@ -3174,4 +3174,49 @@ class OpsSpec extends SparkSpec {
         "doc_id", "weight_micro", k = 1)
     }
   }
+
+  test("packTokenStream: independent replay, split fragments, seq budgets") {
+    val df = Seq((1L, 3L), (2L, 7L), (3L, 0L), (4L, 5L), (5L, 9L),
+      (6L, 1L)).toDF("doc_id", "n_tokens")
+    val L = 4
+    val got = Sampling.packTokenStream(df, "doc_id", "n_tokens",
+        seqLen = L, groups = 2, salt = 11L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    // independent replay of the layout contract (group-major Knuth-mix
+    // order → global prefix → interval fragments), written here from the
+    // scaladoc, not the implementation
+    val counts = Map(1L -> 3L, 2L -> 7L, 4L -> 5L, 5L -> 9L, 6L -> 1L)
+    def mix(id: Long) = ((id + 11L) * 2654435761L) & 0xffffffffL
+    val order = counts.keys.toSeq
+      .sortBy(id => (mix(id) % 2, mix(id), id))
+    val starts = order.scanLeft(0L)((acc, id) => acc + counts(id))
+      .zip(order).map { case (s, id) => id -> s }.toMap
+    val expect = order.flatMap { id =>
+      val s1 = starts(id); val n = counts(id)
+      (s1 / L to (s1 + n - 1) / L).map { sq =>
+        (id, n, sq, math.max(0L, sq * L - s1), math.max(0L, s1 - sq * L),
+          math.min(s1 + n, (sq + 1) * L) - math.max(s1, sq * L))
+      }
+    }.sortBy(r => (r._1, r._3))
+    assert(got == expect)
+    // zero-token doc is absent; every doc's fragments sum to its count
+    assert(!got.exists(_._1 == 3L))
+    assert(got.groupBy(_._1).forall { case (id, fs) =>
+      fs.map(_._6).sum == counts(id)
+    })
+    // every sequence except the last is exactly full
+    val perSeq = got.groupBy(_._3).view.mapValues(_.map(_._6).sum).toMap
+    val lastSeq = perSeq.keys.max
+    assert(perSeq.filter(_._1 != lastSeq).values.forall(_ == L))
+    assert(perSeq(lastSeq) <= L)
+    // fragment geometry: offsets within bounds, lens positive
+    assert(got.forall(r => r._6 >= 1 && r._5 >= 0 && r._5 < L &&
+      r._4 >= 0 && r._4 < r._2))
+    // reserved-column guard
+    intercept[IllegalArgumentException] {
+      Sampling.packTokenStream(df.withColumn("__g", lit(1L)),
+        "doc_id", "n_tokens", seqLen = 4)
+    }
+  }
 }
