@@ -2076,6 +2076,24 @@ object SparkEntry {
           hashKind = graft.functions.SketchOps.HashMd5Lo64),
         "doc_id", "weight_micro", k = 100, salt = 7L)),
 
+    // ---- persisted-DSIR lifecycle: fit the importance model ONCE on
+    //      the corpus (target = English slice), freeze it as an
+    //      artifact, then score a NEW batch (shifted ids + a token the
+    //      fit never saw, exercising the out-of-vocabulary weight)
+    //      without touching the fit corpus again. Oracle replays fit +
+    //      apply end to end. ----
+    "q135_dsir_apply_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val art = tmpDir("graft-dsir")
+      Sampling.dsirModelSave(docs, "doc_id", "text", col("lang") === "en",
+        art, hashBuckets = 1 << 18,
+        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+      val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzqunseen")).as("text"))
+      Sampling.dsirModelApply(s, art, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- GPT-style contiguous-stream packing: docs laid end to end in
     //      Knuth-mix group-major order, cut into fixed 256-token
     //      sequences, documents SPLITTING across boundaries (q69's
@@ -4427,6 +4445,55 @@ object SparkEntry {
            |SELECT doc_id, n_tokens, weight_micro, gumbel_micro,
            |  weight_micro + gumbel_micro AS resample_key
            |FROM r ORDER BY resample_key DESC, doc_id LIMIT 100""".stripMargin,
+
+      // Fit replayed exactly as q132's CTEs, then the apply half: the
+      // shifted batch's buckets LEFT-join the fitted table and
+      // out-of-vocabulary features score the smoothed dw0 = micro(0,
+      // N_t+V) − micro(0, N_r+V) — the ' zzqunseen' suffix exercises
+      // the path on every row (unless its bucket collides with a seen
+      // token's, in which case both engines agree on the seen weight;
+      // the spec pins OOV exactly in token mode).
+      "q135_dsir_apply_persisted" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, lang = 'en' AS is_t,
+           |    unnest(list_transform(
+           |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |        x -> len(x) > 0),
+           |      x -> CAST((md5_number_lower(x) & 262143) AS BIGINT))) AS f
+           |  FROM documents),
+           |counts AS (
+           |  SELECT f, CAST(count(*) AS BIGINT) AS cr,
+           |    CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct
+           |  FROM b GROUP BY 1),
+           |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+           |  CAST(sum(ct) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS v
+           |  FROM counts),
+           |fw AS (
+           |  SELECT f,
+           |    CAST(floor(1000000.0 * ln((ct + 1) / CAST(nt + v AS DOUBLE)))
+           |      AS BIGINT)
+           |    - CAST(floor(1000000.0 * ln((cr + 1) / CAST(nr + v AS DOUBLE)))
+           |      AS BIGINT) AS dw
+           |  FROM counts CROSS JOIN tot),
+           |d0 AS (
+           |  SELECT
+           |    CAST(floor(1000000.0 * ln(1 / CAST(nt + v AS DOUBLE)))
+           |      AS BIGINT)
+           |    - CAST(floor(1000000.0 * ln(1 / CAST(nr + v AS DOUBLE)))
+           |      AS BIGINT) AS dw0
+           |  FROM tot),
+           |bb AS (
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |    unnest(list_transform(
+           |      list_filter(regexp_split_to_array(
+           |        lower(text || ' zzqunseen'), '\\s+'),
+           |        x -> len(x) > 0),
+           |      x -> CAST((md5_number_lower(x) & 262143) AS BIGINT))) AS f
+           |  FROM documents)
+           |SELECT bb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(coalesce(fw.dw, d0.dw0)) AS BIGINT) AS weight_micro
+           |FROM bb LEFT JOIN fw USING (f) CROSS JOIN d0
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
       // The contiguous stream replayed position by position: group-major
       // Knuth-mix order, within-group prefix sum, groups-sized exclusive

@@ -765,38 +765,115 @@ object Sampling {
                   isTarget: Column, hashBuckets: Int = 0,
                   hashKind: Int = graft.functions.SketchOps.HashXx64)
       : DataFrame = {
-    require(hashBuckets == 0 ||
-        (hashBuckets > 1 && (hashBuckets & (hashBuckets - 1)) == 0),
-      "hashBuckets must be 0 (raw tokens) or a power of two >= 2")
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val feats =
-      if (hashBuckets > 0)
-        call_function("graft_token_buckets", lower(col(textCol)),
-          lit(hashBuckets), lit(hashKind))
-      else call_function("graft_tokens", lower(col(textCol)))
+    val (featW, _) = dsirFit(docs, textCol, isTarget, hashBuckets, hashKind)
     val base = docs.select(col(idCol).as("__doc"),
-      isTarget.as("__is_t"), explode(feats).as("__f"))
-    val counts = base.groupBy("__f").agg(
-      count(lit(1)).as("__cr"),
-      sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("__ct"))
-    val totals = counts.agg(sum(col("__cr")).as("__nr"),
-      sum(col("__ct")).as("__nt"), count(lit(1)).as("__v"))
-    // per-feature micro log-prob, quantized HERE so every downstream sum
-    // is integer arithmetic (see the exact-replay contract above)
-    def micro(c: Column, n: Column): Column =
-      floor(lit(1e6) *
-        log((c + lit(1L)).cast("double") / n.cast("double")))
-    val featW = counts.crossJoin(broadcast(totals))
-      .select(col("__f"),
-        (micro(col("__ct"), col("__nt") + col("__v")) -
-          micro(col("__cr"), col("__nr") + col("__v")))
-          .cast("long").as("__dw"))
+      explode(dsirFeatures(textCol, hashBuckets, hashKind)).as("__f"))
+    // inner join: every in-corpus feature is in the fitted table by
+    // construction (the model-apply path handles unseen features)
     val joined =
       if (hashBuckets > 0) base.join(broadcast(featW), Seq("__f"))
       else base.join(featW, Seq("__f"))
     joined.groupBy(col("__doc"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("__dw")).as("weight_micro"))
+      .select(col("__doc").as(idCol), col("n_tokens"), col("weight_micro"))
+  }
+
+  private def dsirFeatures(textCol: String, hashBuckets: Int,
+                           hashKind: Int): Column =
+    if (hashBuckets > 0)
+      call_function("graft_token_buckets", lower(col(textCol)),
+        lit(hashBuckets), lit(hashKind))
+    else call_function("graft_tokens", lower(col(textCol)))
+
+  /** Per-feature micro log-prob, quantized at the FEATURE level so every
+    * downstream per-doc sum is integer arithmetic (the [[dsirWeights]]
+    * exact-replay contract).
+    */
+  private def dsirMicro(c: Column, n: Column): Column =
+    floor(lit(1e6) * log((c + lit(1L)).cast("double") / n.cast("double")))
+
+  /** The fit half of DSIR: (feature table (__f, __dw), one-row meta
+    * (__nr, __nt, __v, __dw0)) where __dw0 is the smoothed weight of a
+    * feature NEVER seen at fit time — what [[dsirModelApply]] scores
+    * out-of-vocabulary tokens with.
+    */
+  private def dsirFit(docs: DataFrame, textCol: String, isTarget: Column,
+                      hashBuckets: Int, hashKind: Int)
+      : (DataFrame, DataFrame) = {
+    require(hashBuckets == 0 ||
+        (hashBuckets > 1 && (hashBuckets & (hashBuckets - 1)) == 0),
+      "hashBuckets must be 0 (raw tokens) or a power of two >= 2")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val counts = docs.select(isTarget.as("__is_t"),
+        explode(dsirFeatures(textCol, hashBuckets, hashKind)).as("__f"))
+      .groupBy("__f").agg(
+        count(lit(1)).as("__cr"),
+        sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("__ct"))
+    val totals = counts.agg(sum(col("__cr")).as("__nr"),
+      sum(col("__ct")).as("__nt"), count(lit(1)).as("__v"))
+    val featW = counts.crossJoin(broadcast(totals))
+      .select(col("__f"),
+        (dsirMicro(col("__ct"), col("__nt") + col("__v")) -
+          dsirMicro(col("__cr"), col("__nr") + col("__v")))
+          .cast("long").as("__dw"))
+    val meta = totals.select(col("__nr"), col("__nt"), col("__v"),
+      (dsirMicro(lit(0L), col("__nt") + col("__v")) -
+        dsirMicro(lit(0L), col("__nr") + col("__v")))
+        .cast("long").as("__dw0"))
+    (featW, meta)
+  }
+
+  /** Persist a fitted DSIR model — the production shape: fit ONCE on a
+    * reference corpus + target slice, then [[dsirModelApply]] the frozen
+    * model to every incoming crawl batch (or stream) without re-reading
+    * the reference corpus. Artifacts: `features/` (the (__f, __dw)
+    * table — bucket-bounded when hashed) and a one-row `meta/`
+    * (totals, the out-of-vocabulary weight `__dw0`, and the feature-
+    * space settings, which apply enforces). Version-stamped like the
+    * BM25/IVF artifacts so a standing consumer can cheap-check for
+    * refits.
+    */
+  def dsirModelSave(docs: DataFrame, idCol: String, textCol: String,
+                    isTarget: Column, path: String, hashBuckets: Int = 0,
+                    hashKind: Int = graft.functions.SketchOps.HashXx64)
+      : Unit = {
+    val (featW, meta) = dsirFit(docs, textCol, isTarget, hashBuckets,
+      hashKind)
+    featW.write.mode("overwrite").parquet(s"$path/features")
+    meta.withColumn("__hash_buckets", lit(hashBuckets))
+      .withColumn("__hash_kind", lit(hashKind))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    ArtifactVersion.stamp(path)
+  }
+
+  /** Score a NEW document batch against a persisted [[dsirModelSave]]
+    * model: same (`idCol`, n_tokens, weight_micro) frame as
+    * [[dsirWeights]], with tokens the fit never saw scored at the
+    * model's smoothed out-of-vocabulary weight (`__dw0` — a left join +
+    * coalesce, so the apply plan stays one broadcast join + one per-doc
+    * aggregate). Applying the model to its own fit corpus reproduces
+    * [[dsirWeights]] exactly (spec-pinned); the feature-space settings
+    * come from the artifact, not the caller, so a batch can never be
+    * hashed differently than the fit.
+    */
+  def dsirModelApply(spark: org.apache.spark.sql.SparkSession, path: String,
+                     docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val hashBuckets = meta.getAs[Int]("__hash_buckets")
+    val hashKind = meta.getAs[Int]("__hash_kind")
+    val dw0 = meta.getAs[Long]("__dw0")
+    val base = docs.select(col(idCol).as("__doc"),
+      explode(dsirFeatures(textCol, hashBuckets, hashKind)).as("__f"))
+    val featW = spark.read.parquet(s"$path/features")
+    val joined =
+      if (hashBuckets > 0) base.join(broadcast(featW), Seq("__f"), "left")
+      else base.join(featW, Seq("__f"), "left")
+    joined.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__dw"), lit(dw0))).as("weight_micro"))
       .select(col("__doc").as(idCol), col("n_tokens"), col("weight_micro"))
   }
 

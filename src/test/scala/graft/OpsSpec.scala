@@ -3175,6 +3175,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dsirModelSave/Apply: self-apply parity, OOV weight, settings from artifact") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b"))
+      .toDF("doc_id", "text")
+    val tgt = col("doc_id") === 1L
+    val dir = tmpDir("dsir-model")
+    Sampling.dsirModelSave(df, "doc_id", "text", tgt, dir)
+    assert(graft.ops.ArtifactVersion.read(dir).nonEmpty)
+    // applying the model to its own fit corpus == the in-query weights
+    val self = Sampling.dsirModelApply(spark, dir, df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val direct = Sampling.dsirWeights(df, "doc_id", "text", tgt)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(self == direct)
+    // a token the fit never saw scores the smoothed zero-count weight
+    // (N_t=3, N_r=7, V=3 — the dsirWeights hand-computed corpus)
+    def micro(c: Long, n: Long): Long =
+      math.floor(1e6 * math.log((c + 1).toDouble / n.toDouble)).toLong
+    val dw0 = micro(0, 6) - micro(0, 10)
+    val oov = Sampling.dsirModelApply(spark, dir,
+        Seq((9L, "qqq")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].head()
+    assert(oov == ((9L, 1L, dw0)))
+    // mixed seen/unseen sums both kinds
+    val mixed = Sampling.dsirModelApply(spark, dir,
+        Seq((8L, "a qqq")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].head()
+    assert(mixed == ((8L, 2L, (micro(2, 6) - micro(3, 10)) + dw0)))
+    // hashed model: feature-space settings come from the ARTIFACT (the
+    // caller can't re-hash a batch differently than the fit)
+    val dirH = tmpDir("dsir-model-h")
+    Sampling.dsirModelSave(df, "doc_id", "text", tgt, dirH,
+      hashBuckets = 1 << 18,
+      hashKind = graft.functions.SketchOps.HashMd5Lo64)
+    assert(Sampling.dsirModelApply(spark, dirH, df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq == direct)
+  }
+
   test("packTokenStream: independent replay, split fragments, seq budgets") {
     val df = Seq((1L, 3L), (2L, 7L), (3L, 0L), (4L, 5L), (5L, 9L),
       (6L, 1L)).toDF("doc_id", "n_tokens")
