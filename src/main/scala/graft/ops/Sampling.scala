@@ -847,6 +847,29 @@ object Sampling {
     ArtifactVersion.stamp(path)
   }
 
+  /** One resolved read of a [[dsirModelSave]] artifact: meta values, the
+    * feature relation (file listing pinned at load — the
+    * [[graft.ops.TextAnalysis.Bm25Snapshot]] rationale), and the
+    * [[ArtifactVersion]] token captured BEFORE the data so a racing
+    * refit costs one spurious reload, never a stale pin. A standing
+    * scoring service ([[graft.streaming.StreamingOps.dsirStream]])
+    * probes the same snapshot every batch and re-loads only when the
+    * token moves.
+    */
+  final case class DsirSnapshot(path: String, version: Option[String],
+                                hashBuckets: Int, hashKind: Int,
+                                dw0: Long, features: DataFrame)
+
+  def dsirModelLoad(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DsirSnapshot = {
+    val version = ArtifactVersion.read(path)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    DsirSnapshot(path, version,
+      meta.getAs[Int]("__hash_buckets"), meta.getAs[Int]("__hash_kind"),
+      meta.getAs[Long]("__dw0"),
+      spark.read.parquet(s"$path/features"))
+  }
+
   /** Score a NEW document batch against a persisted [[dsirModelSave]]
     * model: same (`idCol`, n_tokens, weight_micro) frame as
     * [[dsirWeights]], with tokens the fit never saw scored at the
@@ -859,21 +882,22 @@ object Sampling {
     */
   def dsirModelApply(spark: org.apache.spark.sql.SparkSession, path: String,
                      docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val hashBuckets = meta.getAs[Int]("__hash_buckets")
-    val hashKind = meta.getAs[Int]("__hash_kind")
-    val dw0 = meta.getAs[Long]("__dw0")
+      : DataFrame =
+    dsirApplyFromSnapshot(dsirModelLoad(spark, path), docs, idCol, textCol)
+
+  def dsirApplyFromSnapshot(snap: DsirSnapshot, docs: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val base = docs.select(col(idCol).as("__doc"),
-      explode(dsirFeatures(textCol, hashBuckets, hashKind)).as("__f"))
-    val featW = spark.read.parquet(s"$path/features")
+      explode(dsirFeatures(textCol, snap.hashBuckets, snap.hashKind))
+        .as("__f"))
     val joined =
-      if (hashBuckets > 0) base.join(broadcast(featW), Seq("__f"), "left")
-      else base.join(featW, Seq("__f"), "left")
+      if (snap.hashBuckets > 0)
+        base.join(broadcast(snap.features), Seq("__f"), "left")
+      else base.join(snap.features, Seq("__f"), "left")
     joined.groupBy(col("__doc"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("__dw"), lit(dw0))).as("weight_micro"))
+        sum(coalesce(col("__dw"), lit(snap.dw0))).as("weight_micro"))
       .select(col("__doc").as(idCol), col("n_tokens"), col("weight_micro"))
   }
 

@@ -422,6 +422,35 @@ object StreamingOps {
     * legacy behavior). Spec-pinned: a mid-stream refit changes the
     * emitted subwords at the next batch, batch parity holds per model.
     */
+  /** Streaming DSIR scoring service: every micro-batch of documents gets
+    * its importance weight against a persisted
+    * [[graft.ops.Sampling.dsirModelSave]] model — the admission-scoring
+    * front of a continuous ingest pipeline (gate or down-weight crawl
+    * batches that don't look like the target distribution before they
+    * cost downstream compute). `foreachBatch` runs the EXACT batch
+    * operator ([[graft.ops.Sampling.dsirApplyFromSnapshot]]; parity
+    * spec in StreamingOpsSpec), so out-of-vocabulary smoothing and the
+    * integer-micro weights apply unchanged. Same snapshot-pin/version-
+    * refresh discipline as [[bm25Stream]]: the feature relation resolves
+    * once, a refit ([[graft.ops.Sampling.dsirModelSave]] over the same
+    * path bumps the version) hot-swaps at the next check.
+    */
+  def dsirStream(stream: DataFrame, modelPath: String, idCol: String,
+                 textCol: String, refreshEveryBatches: Int = 1)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    val pin = new SnapshotPin(modelPath, refreshEveryBatches)(
+      spark => graft.ops.Sampling.dsirModelLoad(spark, modelPath))
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        sink(graft.ops.Sampling.dsirApplyFromSnapshot(
+          pin.get(mb.sparkSession, batchId), mb.toDF(), idCol, textCol),
+          batchId)
+    }
+  }
+
   def bpeEncodeStream(stream: DataFrame, modelPath: String,
                       idCol: String, textCol: String,
                       refreshEveryBatches: Int = 1)(

@@ -831,6 +831,43 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("dsirStream: batch parity, OOV smoothing, refit hot swap on version bump") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusA = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b"))
+      .toDF("doc_id", "text")
+    val art = tmpDir("dsir-stream-model")
+    graft.ops.Sampling.dsirModelSave(corpusA, "doc_id", "text",
+      col("doc_id") === 1L, art)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Map[Long, (Long, Long)]]()
+    val query = StreamingOps.dsirStream(
+        input.toDF().toDF("doc_id", "text"), art, "doc_id", "text") {
+      (res, id) => got.synchronized {
+        got(id) = res.as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap }
+    }.start()
+    try {
+      input.addData((10L, "a qqq")); query.processAllAvailable()
+      // parity with the batch apply on the same rows (incl. the OOV token)
+      val batch = graft.ops.Sampling.dsirModelApply(spark, art,
+          Seq((10L, "a qqq")).toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got(0L) == batch)
+      // REFIT over a different target slice → version bump → the next
+      // batch scores under the new model (weights provably change)
+      graft.ops.Sampling.dsirModelSave(corpusA, "doc_id", "text",
+        col("doc_id") === 3L, art)
+      input.addData((11L, "a qqq")); query.processAllAvailable()
+      assert(got(1L)(11L) != got(0L)(10L),
+        s"hot swap did not change the scores: ${got(1L)}")
+      assert(got(1L) == graft.ops.Sampling.dsirModelApply(spark, art,
+          Seq((11L, "a qqq")).toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap)
+    } finally query.stop()
+  }
+
   test("bloom-prefiltered stream-static dedup matches the plain path") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")

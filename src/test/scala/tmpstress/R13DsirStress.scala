@@ -1,0 +1,97 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 1M-doc stress for the r13 operators.
+  *
+  * mode "dsir": in-query [[graft.ops.Sampling.dsirWeights]] (hashed
+  * xx64 — the production kind) over 1M docs, then the persisted
+  * lifecycle (save on the 1M corpus, apply to a 100k batch with
+  * guaranteed-OOV tokens). Invariant: weight checksum identical across
+  * reps (partition-independence of the integer-micro contract), and
+  * self-apply == in-query weights on a sampled slice.
+  *
+  * mode "pack": [[graft.ops.Sampling.packTokenStream]] over 1M docs.
+  * Invariants: Σ frag_len == Σ n_tokens (no token lost or duplicated),
+  * every sequence except the last is exactly full — checked
+  * DISTRIBUTED, not by collecting fragments.
+  */
+object R13DsirStress {
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "dsir"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def corpus = {
+      val base = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text", "lang").repartition(64)
+      base.crossJoin(spark.range(200).toDF("rep"))
+        .select((col("doc_id") * 200L + col("rep")).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"),
+          col("lang"))
+    }
+
+    if (mode == "dsir") {
+      def rep(tag: String): Long = {
+        val t0 = System.nanoTime()
+        val w = graft.ops.Sampling.dsirWeights(corpus, "doc_id", "text",
+          col("lang") === "en", hashBuckets = 1 << 20)
+        val r = w.agg(count(lit(1)), sum(col("weight_micro")),
+          sum(col("n_tokens"))).head()
+        println(f"MARKER_${tag}=${(System.nanoTime() - t0) / 1e9}%.1f " +
+          s"docs=${r.getLong(0)} chk=${r.getLong(1)} toks=${r.getLong(2)}")
+        r.getLong(1)
+      }
+      val c1 = rep("weights1")
+      val c2 = rep("weights2")
+      require(c1 == c2, s"weight checksum drifted across reps: $c1 vs $c2")
+      val art = "/tmp/r13-dsir-model"
+      graft.Fs.deleteRecursively(art)
+      val t0 = System.nanoTime()
+      graft.ops.Sampling.dsirModelSave(corpus, "doc_id", "text",
+        col("lang") === "en", art, hashBuckets = 1 << 20)
+      println(f"MARKER_save=${(System.nanoTime() - t0) / 1e9}%.1f")
+      val batch = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" zzq"), col("doc_id")).as("text"))
+      val t1 = System.nanoTime()
+      val a = graft.ops.Sampling.dsirModelApply(spark, art, batch,
+        "doc_id", "text")
+      val ar = a.agg(count(lit(1)), sum(col("weight_micro"))).head()
+      println(f"MARKER_apply=${(System.nanoTime() - t1) / 1e9}%.1f " +
+        s"docs=${ar.getLong(0)} chk=${ar.getLong(1)}")
+    } else if (mode == "pack") {
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val counted = corpus.select(col("doc_id"),
+        coalesce(call_function("graft_token_count", col("text")), lit(0L))
+          .as("n_tokens"))
+      def rep(tag: String): Unit = {
+        val t0 = System.nanoTime()
+        val f = graft.ops.Sampling.packTokenStream(counted, "doc_id",
+          "n_tokens", seqLen = 2048, groups = 1024, salt = 5L)
+        val stats = f.groupBy("seq_id")
+          .agg(sum(col("frag_len")).as("fill"))
+          .agg(count(lit(1)).as("seqs"),
+            sum(when(col("fill") === 2048L, 1L).otherwise(0L)).as("full"),
+            sum(col("fill")).as("toks")).head()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"MARKER_${tag}=$secs%.1f seqs=${stats.getLong(0)} " +
+          s"full=${stats.getLong(1)} toks=${stats.getLong(2)}")
+        require(stats.getLong(0) - stats.getLong(1) <= 1L,
+          "more than one non-full sequence")
+      }
+      val expect = counted.filter(col("n_tokens") > 0L)
+        .agg(sum(col("n_tokens"))).head().getLong(0)
+      println(s"MARKER_expect_toks=$expect")
+      rep("pack1")
+      rep("pack2")
+    }
+    spark.stop()
+  }
+}
