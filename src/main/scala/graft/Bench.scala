@@ -197,7 +197,10 @@ object Bench {
     val ts = obj(tStarts.map { case (k, v) => k -> ms(v) })
     val reps = obj(repsLog.map { case (k, vs) =>
       k -> vs.map(ms).mkString("[", ",", "]") })
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries report -1 per entry; the TOTAL excludes them (a
+    // failure must not subtract from — i.e. flatter — the headline),
+    // matching summaryLine's sum so the two records never disagree
+    val total = results.values.map(v => math.max(v, 0.0)).sum
     // t_start/reps go AFTER sf: if the driver's stdout-tail capture clips
     // the (now longer) line, the historically-parsed prefix still parses
     val line =
