@@ -2076,6 +2076,37 @@ object SparkEntry {
           hashKind = graft.functions.SketchOps.HashMd5Lo64),
         "doc_id", "weight_micro", k = 100, salt = 7L)),
 
+    // ---- artifact consistency audit: build the BM25 and IVF index
+    //      artifacts, run a delete on each (so the tombstone-aware
+    //      invariants are exercised, not vacuous), then the cross-table
+    //      validators — the detector for the "maintenance job died
+    //      between table updates" failure mode both delete contracts
+    //      document. All nine invariants must hold on a healthy
+    //      artifact; the oracle is the literal expected verdict table
+    //      (the corruption-DETECTION side is spec-pinned, where the
+    //      test can safely mangle tables). ----
+    "q136_artifact_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val art = tmpDir("graft-audit-bm25")
+      TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+      TextAnalysis.bm25ArtifactsDelete(s, art,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0).select("doc_id"),
+        "doc_id")
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val idx = tmpDir("graft-audit-ivf")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", idx)
+      Similarity.ivfIndexDelete(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(17)) === 3).select("vec_id"),
+        "vec_id")
+      TextAnalysis.bm25ArtifactsValidate(s, art)
+        .select(lit("bm25").as("family"), col("check"), col("ok"))
+        .unionByName(Similarity.ivfIndexValidate(s, idx)
+          .select(lit("ivf").as("family"), col("check"), col("ok")))
+        .orderBy("family", "check")
+    }),
+
     // ---- persisted-DSIR lifecycle: fit the importance model ONCE on
     //      the corpus (target = English slice), freeze it as an
     //      artifact, then score a NEW batch (shifted ids + a token the
@@ -4445,6 +4476,24 @@ object SparkEntry {
            |SELECT doc_id, n_tokens, weight_micro, gumbel_micro,
            |  weight_micro + gumbel_micro AS resample_key
            |FROM r ORDER BY resample_key DESC, doc_id LIMIT 100""".stripMargin,
+
+      // The audit's contract is the verdict table itself: a healthy
+      // maintained artifact passes all nine invariants. (Detection of
+      // actual corruption is spec-pinned — OpsSpec/IvfIndexSpec mangle
+      // tables and assert the specific rows flip.)
+      "q136_artifact_audit" ->
+        """SELECT * FROM (VALUES
+          |  ('bm25', 'df_matches_postings', true),
+          |  ('bm25', 'postings_docs_have_dl', true),
+          |  ('bm25', 'stats_n_docs', true),
+          |  ('bm25', 'stats_total_tokens', true),
+          |  ('bm25', 'tombstones_not_in_dl', true),
+          |  ('ivf', 'ids_unique', true),
+          |  ('ivf', 'no_null_vectors', true),
+          |  ('ivf', 'tombstones_resolved', true),
+          |  ('ivf', 'vec_dims_uniform', true))
+          |  AS t(family, "check", ok)
+          |ORDER BY family, "check"""".stripMargin,
 
       // Fit replayed exactly as q132's CTEs, then the apply half: the
       // shifted batch's buckets LEFT-join the fitted table and

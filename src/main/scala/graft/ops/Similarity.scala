@@ -651,6 +651,51 @@ object Similarity {
     true
   }
 
+  /** Consistency audit of a persisted [[ivfIndexWrite]] index — the ANN
+    * twin of [[graft.ops.TextAnalysis.bm25ArtifactsValidate]]. One index
+    * scan, corpus-free. Invariants:
+    *
+    *  - `ids_unique`: no id appears twice among live rows (a re-append
+    *    of an existing batch would double every probe's candidate).
+    *  - `vec_dims_uniform`: all live vectors share one dimensionality
+    *    (observed = distinct dims; a mixed-dim index breaks scoring).
+    *  - `no_null_vectors`: live rows carry non-null, non-empty vectors.
+    *  - `tombstones_resolved`: every tombstoned id is absent from the
+    *    live view by construction (anti-join) — reported as the count
+    *    of tombstones still physically present in the files, which is
+    *    merely compaction debt, so `ok` is always true; the row exists
+    *    to make the debt visible (compact when it grows material).
+    */
+  def ivfIndexValidate(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String): DataFrame = {
+    import spark.implicits._
+    val snap = ivfSnapshotLoad(spark, indexDir)
+    val idCol = snap.index.columns(0)
+    val vecCol = snap.index.columns(1)
+    val agg = snap.index.agg(
+      count(lit(1)).as("rows"),
+      countDistinct(col(idCol)).as("ids"),
+      countDistinct(when(col(vecCol).isNotNull, size(col(vecCol))))
+        .as("dims"),
+      sum(when(col(vecCol).isNull || size(col(vecCol)) === 0, 1L)
+        .otherwise(0L)).as("bad_vecs")).head()
+    val tombDebt =
+      if (graft.Fs.exists(s"$indexDir/_tombstones"))
+        spark.read.parquet(indexDir)
+          .join(spark.read.parquet(s"$indexDir/_tombstones"),
+            col(idCol) === col("__del_id"), "left_semi").count()
+      else 0L
+    Seq(
+      ("ids_unique", agg.getAs[Long]("rows") == agg.getAs[Long]("ids"),
+        agg.getAs[Long]("rows") - agg.getAs[Long]("ids"), 0L),
+      ("vec_dims_uniform", agg.getAs[Long]("dims") <= 1L,
+        agg.getAs[Long]("dims"), 1L),
+      ("no_null_vectors", agg.getAs[Long]("bad_vecs") == 0L,
+        agg.getAs[Long]("bad_vecs"), 0L),
+      ("tombstones_resolved", true, tombDebt, 0L),
+    ).toDF("check", "ok", "observed", "expected")
+  }
+
   def ivfTopKFromSnapshot(snap: IvfSnapshot,
                           queries: DataFrame, qIdCol: String,
                           qVecCol: String, centroids: DataFrame,

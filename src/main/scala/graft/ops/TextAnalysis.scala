@@ -1082,6 +1082,70 @@ object TextAnalysis {
     true
   }
 
+  /** Cross-table consistency audit of a persisted [[bm25ArtifactsSave]]
+    * artifact — the detector for the failure mode the
+    * [[bm25ArtifactsDelete]] contract warns about (a job dying BETWEEN
+    * table updates leaves a readable but cross-table-inconsistent
+    * index, and a re-run would double-subtract df). Run it before
+    * trusting an artifact whose maintenance job may have died, or on a
+    * schedule next to compaction. Returns one row per invariant:
+    * (check, ok, observed, expected), where the frame is all-`ok` iff
+    * every derived table agrees with a recount from the live postings:
+    *
+    *  - `stats_n_docs` / `stats_total_tokens` == the dl/ table's count
+    *    and token sum (the pair every delete rewrites together).
+    *  - `df_matches_postings`: the df/ table is EXACTLY the per-term
+    *    live-doc count recomputed from tombstone-filtered postings —
+    *    a missing term, an extra term, or any drifted count fails
+    *    (observed = number of disagreeing terms).
+    *  - `postings_docs_have_dl`: every live posting doc has a dl/ row
+    *    (observed = orphaned docs).
+    *  - `tombstones_not_in_dl`: no tombstoned doc still has a dl/ row
+    *    (a delete crash between the tombstone append and the dl swap
+    *    shows up here).
+    *
+    * Cost: ONE scan of the live postings (corpus-sized, corpus-FREE —
+    * schedulable from the artifact alone, the [[bm25ArtifactsCompact]]
+    * economics) plus the vocabulary-sized df/dl comparisons.
+    */
+  def bm25ArtifactsValidate(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
+    import spark.implicits._
+    val st = spark.read.parquet(s"$path/stats").head()
+    val dl = spark.read.parquet(s"$path/dl")
+    val tombDir = bm25TombstonesDir(path)
+    val postingsRaw = spark.read.parquet(bm25PostingsDir(path))
+    val live =
+      if (graft.Fs.exists(tombDir))
+        postingsRaw.join(spark.read.parquet(tombDir), Seq("__doc"),
+          "left_anti")
+      else postingsRaw
+    val dlAgg = dl.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
+    val recount = live.groupBy("__t").agg(count(lit(1)).as("__rc"))
+    val dfMismatch = spark.read.parquet(bm25DfDir(path))
+      .join(recount, Seq("__t"), "full_outer")
+      .filter(!(col("__df") <=> col("__rc")))
+      .count()
+    val orphanDocs = live.select("__doc").distinct()
+      .join(dl, Seq("__doc"), "left_anti").count()
+    val tombInDl =
+      if (graft.Fs.exists(tombDir))
+        spark.read.parquet(tombDir).join(dl, Seq("__doc"), "left_semi")
+          .count()
+      else 0L
+    Seq(
+      ("stats_n_docs", st.getAs[Long]("n_docs") == dlAgg.getAs[Long]("n"),
+        dlAgg.getAs[Long]("n"), st.getAs[Long]("n_docs")),
+      ("stats_total_tokens",
+        st.getAs[Long]("total_tokens") == dlAgg.getAs[Long]("t"),
+        dlAgg.getAs[Long]("t"), st.getAs[Long]("total_tokens")),
+      ("df_matches_postings", dfMismatch == 0L, dfMismatch, 0L),
+      ("postings_docs_have_dl", orphanDocs == 0L, orphanDocs, 0L),
+      ("tombstones_not_in_dl", tombInDl == 0L, tombInDl, 0L),
+    ).toDF("check", "ok", "observed", "expected")
+  }
+
   /** BM25 top-k against a persisted [[bm25ArtifactsSave]] snapshot —
     * scoring only, scores fixed-point-IDENTICAL to [[bm25TopK]] on the
     * same corpus (both run [[bm25ScoreAndRank]] on the same inputs; q78

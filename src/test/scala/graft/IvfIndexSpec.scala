@@ -159,6 +159,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(canon(dir).map(_._3).contains(3L))
   }
 
+  test("ivfIndexValidate: healthy all-ok, tombstone debt visible, dup append detected") {
+    val centroids = vecs.filter($"vec_id" % 10 === 0)
+    val dir = tmpDir("ivf-validate")
+    Similarity.ivfIndexWrite(vecs, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dir)
+    def verdicts() = Similarity.ivfIndexValidate(spark, dir)
+      .as[(String, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val healthy = verdicts()
+    assert(healthy.values.forall(_._1), s"healthy: $healthy")
+    assert(healthy("tombstones_resolved")._2 == 0L)
+    // delete → the anti-joined view stays consistent, but the physical
+    // tombstone debt is reported (compaction signal)
+    Similarity.ivfIndexDelete(spark, dir, Seq(2L).toDF("vec_id"), "vec_id")
+    val afterDel = verdicts()
+    assert(afterDel.values.forall(_._1))
+    assert(afterDel("tombstones_resolved")._2 == 1L)
+    // appending an already-indexed batch double-counts ids — detected
+    Similarity.ivfIndexAppend(
+      vecs.filter($"vec_id" === 1L), "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dir)
+    val dup = verdicts()
+    assert(!dup("ids_unique")._1 && dup("ids_unique")._2 == 1L, s"$dup")
+  }
+
   test("ivfIndexAppend: a corrupt existing index fails the append " +
       "instead of silently skipping the schema guard") {
     val centroids = vecs.filter($"vec_id" % 10 === 0)

@@ -3080,6 +3080,40 @@ class OpsSpec extends SparkSpec {
     assert(capped.toSeq == Seq(5L)) // only the single-doc domain survives
   }
 
+  test("bm25ArtifactsValidate: healthy artifact all-ok; corruption detected") {
+    val art = tmpDir("bm25validate")
+    val docs = Seq(
+      (1L, "spark spark engine"), (2L, "spark text words"),
+      (3L, "engine room notes"), (4L, "filler text"), (5L, ""),
+    ).toDF("doc_id", "text")
+    TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    TextAnalysis.bm25ArtifactsDelete(spark, art,
+      Seq(2L).toDF("doc_id"), "doc_id")
+    def verdicts() = TextAnalysis.bm25ArtifactsValidate(spark, art)
+      .as[(String, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(verdicts().values.forall(identity), s"healthy: ${verdicts()}")
+    // simulate a delete that died between the tombstone append and the
+    // dl/stats rewrites: put doc 2's dl row back without touching stats
+    val dl2 = spark.read.parquet(s"$art/dl")
+      .unionByName(Seq((2L, 3L)).toDF("__doc", "__dl"))
+      .localCheckpoint(true)
+    dl2.write.mode("overwrite").parquet(s"$art/dl")
+    val v = verdicts()
+    assert(!v("stats_n_docs") && !v("stats_total_tokens") &&
+      !v("tombstones_not_in_dl"), s"corruption missed: $v")
+    assert(v("df_matches_postings") && v("postings_docs_have_dl"))
+    // df drift (the double-subtract failure mode): bump one term's count
+    val dfDir = TextAnalysis.bm25DfDir(art)
+    val dfCorrupt = spark.read.parquet(dfDir)
+      .withColumn("__df",
+        when(col("__t") === "engine", col("__df") + 1L)
+          .otherwise(col("__df")))
+      .localCheckpoint(true)
+    dfCorrupt.write.mode("overwrite").parquet(dfDir)
+    assert(!verdicts()("df_matches_postings"))
+  }
+
   // ---- DSIR importance weighting ----
 
   test("dsirWeights: hand-computed micro weights, smoothing, target direction") {
