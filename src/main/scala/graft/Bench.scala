@@ -24,6 +24,15 @@ object Bench {
   def parseCommitted(txt: String, sfDir: Option[String])
       : Map[String, Double] = {
     def lit(s: String) = java.util.regex.Pattern.quote(s)
+    // REFUSE the compact stdout SUMMARY format (its "omitted" field is
+    // the marker): its qNN-shortened keys would parse cleanly but match
+    // no full query name, silently disarming the re-measure protocol —
+    // the r12 failure re-introduced via a new path if an official
+    // BENCH_r{N}.json (which the driver parses from the summary line)
+    // were ever adopted as BENCH_COMMITTED.json. Committed records must
+    // be the FULL emitted record (BENCH_LOCAL_latest.json). Spec-pinned.
+    if ("\"omitted\"\\s*:".r.findFirstIn(txt).isDefined)
+      return Map.empty
     if (sfDir.exists(d =>
         ("\"sf\"\\s*:\\s*\"" + lit(d) + "\"").r.findFirstIn(txt).isEmpty))
       return Map.empty

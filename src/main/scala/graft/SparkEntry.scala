@@ -2411,6 +2411,35 @@ object SparkEntry {
          |  list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
          |FROM $src""".stripMargin
     val toksSql = toksSqlFrom("documents")
+    // Shared DSIR fit CTEs (q132/q133/q135 — one definition so a
+    // smoothing/bucket/tokenizer fix can never diverge the three):
+    // bucket = md5-lo64 & (2^18−1) (UNSIGNED — identical to the
+    // kernel's signed long under the power-of-two mask, the q85
+    // contract); per-feature micro log-prob floor-quantized BEFORE any
+    // per-doc sum, so both engines sum the same integers in any order.
+    // Smoothing: (c+1)/(N+V), V = distinct observed buckets.
+    val dsirFitCtes =
+      """b AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |    unnest(list_transform(
+        |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        x -> len(x) > 0),
+        |      x -> CAST((md5_number_lower(x) & 262143) AS BIGINT))) AS f
+        |  FROM documents),
+        |counts AS (
+        |  SELECT f, CAST(count(*) AS BIGINT) AS cr,
+        |    CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |  CAST(sum(ct) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS v
+        |  FROM counts),
+        |fw AS (
+        |  SELECT f,
+        |    CAST(floor(1000000.0 * ln((ct + 1) / CAST(nt + v AS DOUBLE)))
+        |      AS BIGINT)
+        |    - CAST(floor(1000000.0 * ln((cr + 1) / CAST(nr + v AS DOUBLE)))
+        |      AS BIGINT) AS dw
+        |  FROM counts CROSS JOIN tot)""".stripMargin
     // q90/q92 shared canonicalization chain: messy-URL construction +
     // the rule-by-rule canon CTE (must mirror SparkEntry.messyUrls and
     // TextAnalysis.canonicalizeUrl exactly).
@@ -4405,34 +4434,11 @@ object SparkEntry {
            |FROM st GROUP BY doc_id, chunk_id
            |ORDER BY doc_id, chunk_id""".stripMargin,
 
-      // DSIR replayed feature by feature: bucket = md5-lo64 & (2^18−1)
-      // (UNSIGNED — identical to the kernel's signed long under the
-      // power-of-two mask, the q85 contract); per-feature micro log-prob
-      // floor-quantized BEFORE the per-doc sum, so both engines sum the
-      // same integers in any order. Smoothing: (c+1)/(N+V), V = distinct
-      // observed buckets.
+      // DSIR replayed feature by feature — fit CTEs shared via
+      // dsirFitCtes (see its definition for the hash/quantization
+      // contract).
       "q132_dsir_weights" ->
-        s"""WITH b AS (
-           |  SELECT doc_id, lang = 'en' AS is_t,
-           |    unnest(list_transform(
-           |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
-           |        x -> len(x) > 0),
-           |      x -> CAST((md5_number_lower(x) & 262143) AS BIGINT))) AS f
-           |  FROM documents),
-           |counts AS (
-           |  SELECT f, CAST(count(*) AS BIGINT) AS cr,
-           |    CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct
-           |  FROM b GROUP BY 1),
-           |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
-           |  CAST(sum(ct) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS v
-           |  FROM counts),
-           |fw AS (
-           |  SELECT f,
-           |    CAST(floor(1000000.0 * ln((ct + 1) / CAST(nt + v AS DOUBLE)))
-           |      AS BIGINT)
-           |    - CAST(floor(1000000.0 * ln((cr + 1) / CAST(nr + v AS DOUBLE)))
-           |      AS BIGINT) AS dw
-           |  FROM counts CROSS JOIN tot)
+        s"""WITH $dsirFitCtes
            |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            |  CAST(sum(dw) AS BIGINT) AS weight_micro
            |FROM b JOIN fw USING (f)
@@ -4442,27 +4448,7 @@ object SparkEntry {
       // is an exact power-of-two division — both engines see the same
       // double), floor-quantized to micro; top-100 by integer key.
       "q133_dsir_resample" ->
-        s"""WITH b AS (
-           |  SELECT doc_id, lang = 'en' AS is_t,
-           |    unnest(list_transform(
-           |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
-           |        x -> len(x) > 0),
-           |      x -> CAST((md5_number_lower(x) & 262143) AS BIGINT))) AS f
-           |  FROM documents),
-           |counts AS (
-           |  SELECT f, CAST(count(*) AS BIGINT) AS cr,
-           |    CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct
-           |  FROM b GROUP BY 1),
-           |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
-           |  CAST(sum(ct) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS v
-           |  FROM counts),
-           |fw AS (
-           |  SELECT f,
-           |    CAST(floor(1000000.0 * ln((ct + 1) / CAST(nt + v AS DOUBLE)))
-           |      AS BIGINT)
-           |    - CAST(floor(1000000.0 * ln((cr + 1) / CAST(nr + v AS DOUBLE)))
-           |      AS BIGINT) AS dw
-           |  FROM counts CROSS JOIN tot),
+        s"""WITH $dsirFitCtes,
            |w AS (
            |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            |    CAST(sum(dw) AS BIGINT) AS weight_micro
@@ -4503,27 +4489,7 @@ object SparkEntry {
       // token's, in which case both engines agree on the seen weight;
       // the spec pins OOV exactly in token mode).
       "q135_dsir_apply_persisted" ->
-        s"""WITH b AS (
-           |  SELECT doc_id, lang = 'en' AS is_t,
-           |    unnest(list_transform(
-           |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
-           |        x -> len(x) > 0),
-           |      x -> CAST((md5_number_lower(x) & 262143) AS BIGINT))) AS f
-           |  FROM documents),
-           |counts AS (
-           |  SELECT f, CAST(count(*) AS BIGINT) AS cr,
-           |    CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct
-           |  FROM b GROUP BY 1),
-           |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
-           |  CAST(sum(ct) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS v
-           |  FROM counts),
-           |fw AS (
-           |  SELECT f,
-           |    CAST(floor(1000000.0 * ln((ct + 1) / CAST(nt + v AS DOUBLE)))
-           |      AS BIGINT)
-           |    - CAST(floor(1000000.0 * ln((cr + 1) / CAST(nr + v AS DOUBLE)))
-           |      AS BIGINT) AS dw
-           |  FROM counts CROSS JOIN tot),
+        s"""WITH $dsirFitCtes,
            |d0 AS (
            |  SELECT
            |    CAST(floor(1000000.0 * ln(1 / CAST(nt + v AS DOUBLE)))

@@ -1,0 +1,121 @@
+package graft.ops
+
+/** Generation-versioned artifact tables — the machinery behind every
+  * probe-pinned table in the BM25/IVF/DSIR artifact families (factored
+  * out of the BM25 lifecycle in r13 when the DSIR model artifact needed
+  * the identical discipline).
+  *
+  * Layout: `<path>/<base>_gNNNN/` directories plus a kilobyte
+  * `<path>/<base>_current` pointer file naming the live generation; a
+  * pre-generation artifact serves the legacy `<path>/<base>/`
+  * directory. Publishing writes the FULL new table under a fresh
+  * generation, flips the pointer (tmp-write + delete + rename —
+  * effectively atomic, with the brief pointer-absent window covered by
+  * [[dir]]'s backoff recheck), then drops generations beyond the
+  * `keepGenerations` newest. Readers that pinned an older generation's
+  * file listing (a snapshot between stream refreshes) keep working
+  * against intact files instead of crashing on an in-place
+  * delete+rename swap; retention is the contract — a snapshot idle
+  * across MORE than `keepGenerations − 1` publishes can still lose its
+  * files and must re-resolve (the standard snapshot-expiry trade; size
+  * `keepGenerations` above the maintenance ops possible within one
+  * stream refresh interval). A crash mid-publish leaves the old pointer
+  * valid and at worst an orphaned unreferenced directory.
+  */
+private[graft] object GenerationTable {
+
+  /** Current directory of the table: the `<base>_current` pointer names
+    * the live generation; a pre-generation artifact falls back to the
+    * legacy in-place `<base>/` directory. The flip is tmp-write +
+    * delete + rename ([[advance]]), so a racing reader can catch the
+    * pointer mid-replacement: momentarily absent (between delete and
+    * rename) or, on a filesystem without atomic rename, torn. One
+    * short-backoff recheck disambiguates that window from a
+    * genuinely-legacy artifact; content is validated so a torn read can
+    * never resolve to a bogus path.
+    */
+  def dir(path: String, base: String): String = {
+    val ptr = graft.Fs.join(path, s"${base}_current")
+    def attempt(): Option[String] =
+      if (!graft.Fs.exists(ptr)) None
+      else {
+        val name = graft.Fs.readString(ptr).trim
+        if (name.startsWith(s"${base}_g")) Some(graft.Fs.join(path, name))
+        else None
+      }
+    attempt().orElse {
+      // only a mid-flip artifact HAS generation dirs — a legacy layout
+      // (no pointer, no generations, the common probe path) resolves
+      // immediately without paying the backoff
+      val midFlip = graft.Fs.isDirectory(path) &&
+        graft.Fs.list(path).exists(
+          _.getPath.getName.startsWith(s"${base}_g"))
+      if (midFlip) { Thread.sleep(50L); attempt() } else None
+    }.getOrElse(graft.Fs.join(path, base))
+  }
+
+  /** Publish a new generation: `write` receives the fresh
+    * `<base>_gNNNN` directory and must leave it fully written on return
+    * (a table write, or a table write PLUS underscore-prefixed
+    * side-files — the DSIR artifact co-locates its `_meta` table so a
+    * generation is always internally consistent); then the pointer
+    * flips and retention trims. The legacy `<base>/` directory counts
+    * as the oldest generation: with `deleteLegacy` it falls under the
+    * same retention rule (the postings policy — reclaiming it is the
+    * point of compaction); without, it is never deleted (the df policy
+    * — small, and possibly pinned by a pre-generation reader).
+    */
+  def advance(path: String, base: String, keepGenerations: Int,
+              deleteLegacy: Boolean)(write: String => Unit): Unit = {
+    require(keepGenerations >= 1, "keepGenerations must be >= 1")
+    val ptr = graft.Fs.join(path, s"${base}_current")
+    val cur =
+      if (graft.Fs.exists(ptr)) {
+        val name = graft.Fs.readString(ptr).trim
+        require(name.startsWith(s"${base}_g"),
+          s"unexpected ${base}_current content '$name' at $path")
+        name.stripPrefix(s"${base}_g").toInt
+      } else -1
+    val next = f"${base}_g${cur + 1}%04d"
+    write(graft.Fs.join(path, next))
+    // flip via tmp + rename, not an in-place truncate-and-rewrite: an
+    // overwriting create leaves a window where a concurrent reader
+    // sees an EMPTY pointer file. Hadoop rename refuses an existing
+    // destination, so the old pointer is deleted first — the resulting
+    // brief pointer-absent window is what [[dir]]'s recheck covers
+    val tmpPtr = ptr + "_tmp"
+    graft.Fs.writeString(tmpPtr, next)
+    graft.Fs.deleteRecursively(ptr)
+    require(graft.Fs.rename(tmpPtr, ptr),
+      s"failed to flip ${base}_current at $path")
+    // generations are contiguous and prior publishes already trimmed
+    // their expirees, so stop at the first missing dir — one existence
+    // check per publish instead of an unbounded walk to zero (matters
+    // on remote filesystems under per-batch streaming appends); a
+    // shrunken keepGenerations still drains multiple in one pass
+    var g = cur + 1 - keepGenerations
+    var cont = true
+    while (g >= 0 && cont) {
+      val d = graft.Fs.join(path, f"${base}_g$g%04d")
+      if (graft.Fs.exists(d)) graft.Fs.deleteRecursively(d)
+      else cont = false
+      g -= 1
+    }
+    if (deleteLegacy && cur + 1 - keepGenerations >= -1)
+      graft.Fs.deleteRecursively(graft.Fs.join(path, base))
+  }
+
+  /** Reset a table's lifecycle state for a full REBUILD over the same
+    * path: pointer + every generation directory (+ the legacy dir when
+    * `deleteLegacy`). Rebuild-class for pinned readers by definition.
+    */
+  def reset(path: String, base: String, deleteLegacy: Boolean): Unit = {
+    graft.Fs.deleteRecursively(graft.Fs.join(path, s"${base}_current"))
+    if (graft.Fs.isDirectory(path))
+      graft.Fs.list(path).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith(s"${base}_g"))
+        .foreach(n => graft.Fs.deleteRecursively(graft.Fs.join(path, n)))
+    if (deleteLegacy)
+      graft.Fs.deleteRecursively(graft.Fs.join(path, base))
+  }
+}

@@ -827,23 +827,37 @@ object Sampling {
   /** Persist a fitted DSIR model — the production shape: fit ONCE on a
     * reference corpus + target slice, then [[dsirModelApply]] the frozen
     * model to every incoming crawl batch (or stream) without re-reading
-    * the reference corpus. Artifacts: `features/` (the (__f, __dw)
-    * table — bucket-bounded when hashed) and a one-row `meta/`
-    * (totals, the out-of-vocabulary weight `__dw0`, and the feature-
-    * space settings, which apply enforces). Version-stamped like the
-    * BM25/IVF artifacts so a standing consumer can cheap-check for
-    * refits.
+    * the reference corpus.
+    *
+    * A REFIT over the same path publishes a new GENERATION
+    * (`features_gNNNN` + pointer flip — [[GenerationTable.advance]],
+    * r13 self-review: an in-place overwrite deleted the files a pinned
+    * [[DsirSnapshot]] still read, so a refit under a live
+    * [[graft.streaming.StreamingOps.dsirStream]] could FileNotFound the
+    * stream — the exact failure mode the BM25 tombstone fix closed).
+    * The one-row meta table (totals, the out-of-vocabulary weight
+    * `__dw0`, and the feature-space settings apply enforces) rides
+    * INSIDE the generation directory as an underscore-prefixed `_meta/`
+    * (invisible to parquet discovery), so a generation is always
+    * internally consistent — no snapshot can ever pair one refit's
+    * features with another's smoothing constants. Pinned snapshots keep
+    * `keepGenerations` of retention (the standard contract); the
+    * version stamp makes standing consumers pick the refit up at their
+    * next check.
     */
   def dsirModelSave(docs: DataFrame, idCol: String, textCol: String,
                     isTarget: Column, path: String, hashBuckets: Int = 0,
-                    hashKind: Int = graft.functions.SketchOps.HashXx64)
-      : Unit = {
+                    hashKind: Int = graft.functions.SketchOps.HashXx64,
+                    keepGenerations: Int = 2): Unit = {
     val (featW, meta) = dsirFit(docs, textCol, isTarget, hashBuckets,
       hashKind)
-    featW.write.mode("overwrite").parquet(s"$path/features")
-    meta.withColumn("__hash_buckets", lit(hashBuckets))
-      .withColumn("__hash_kind", lit(hashKind))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    GenerationTable.advance(path, "features", keepGenerations,
+        deleteLegacy = false) { dir =>
+      featW.write.mode("overwrite").parquet(dir)
+      meta.withColumn("__hash_buckets", lit(hashBuckets))
+        .withColumn("__hash_kind", lit(hashKind))
+        .write.mode("overwrite").parquet(graft.Fs.join(dir, "_meta"))
+    }
     ArtifactVersion.stamp(path)
   }
 
@@ -862,12 +876,22 @@ object Sampling {
 
   def dsirModelLoad(spark: org.apache.spark.sql.SparkSession,
                     path: String): DsirSnapshot = {
+    // token BEFORE data (the Bm25Snapshot ordering rationale): a refit
+    // landing mid-load leaves an old token over newer data — resolved
+    // by one spurious reload at the next check, never a stale pin
     val version = ArtifactVersion.read(path)
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val featDir = GenerationTable.dir(path, "features")
+    // meta rides inside the generation ([[dsirModelSave]]); a
+    // pre-generation artifact carries the legacy top-level meta/
+    val metaDir = {
+      val m = graft.Fs.join(featDir, "_meta")
+      if (graft.Fs.exists(m)) m else s"$path/meta"
+    }
+    val meta = spark.read.parquet(metaDir).head()
     DsirSnapshot(path, version,
       meta.getAs[Int]("__hash_buckets"), meta.getAs[Int]("__hash_kind"),
       meta.getAs[Long]("__dw0"),
-      spark.read.parquet(s"$path/features"))
+      spark.read.parquet(featDir))
   }
 
   /** Score a NEW document batch against a persisted [[dsirModelSave]]

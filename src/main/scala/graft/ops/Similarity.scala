@@ -669,22 +669,31 @@ object Similarity {
   def ivfIndexValidate(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String): DataFrame = {
     import spark.implicits._
-    val snap = ivfSnapshotLoad(spark, indexDir)
-    val idCol = snap.index.columns(0)
-    val vecCol = snap.index.columns(1)
-    val agg = snap.index.agg(
-      count(lit(1)).as("rows"),
-      countDistinct(col(idCol)).as("ids"),
-      countDistinct(when(col(vecCol).isNotNull, size(col(vecCol))))
-        .as("dims"),
-      sum(when(col(vecCol).isNull || size(col(vecCol)) === 0, 1L)
-        .otherwise(0L)).as("bad_vecs")).head()
-    val tombDebt =
+    val raw = spark.read.parquet(indexDir)
+    val idCol = raw.columns(0)
+    val vecCol = raw.columns(1)
+    // ONE scan: tombstone-mark via a left join against the DEDUPED
+    // tombstone ids (repeated deletes legally append duplicates — an
+    // un-deduped join would multiply matched rows and corrupt every
+    // count below), then all four invariants out of a single aggregate
+    // over the marked rows.
+    val marked =
       if (graft.Fs.exists(s"$indexDir/_tombstones"))
-        spark.read.parquet(indexDir)
-          .join(spark.read.parquet(s"$indexDir/_tombstones"),
-            col(idCol) === col("__del_id"), "left_semi").count()
-      else 0L
+        raw.join(
+          spark.read.parquet(s"$indexDir/_tombstones")
+            .select(col("__del_id")).distinct()
+            .withColumn("__dead", lit(true)),
+          raw(idCol) === col("__del_id"), "left")
+      else raw.withColumn("__dead", lit(false))
+    val dead = coalesce(col("__dead"), lit(false))
+    val agg = marked.agg(
+      sum(when(!dead, 1L).otherwise(0L)).as("rows"),
+      countDistinct(when(!dead, col(idCol))).as("ids"),
+      countDistinct(when(!dead && col(vecCol).isNotNull,
+        size(col(vecCol)))).as("dims"),
+      sum(when(!dead && (col(vecCol).isNull || size(col(vecCol)) === 0),
+        1L).otherwise(0L)).as("bad_vecs"),
+      sum(when(dead, 1L).otherwise(0L)).as("debt")).head()
     Seq(
       ("ids_unique", agg.getAs[Long]("rows") == agg.getAs[Long]("ids"),
         agg.getAs[Long]("rows") - agg.getAs[Long]("ids"), 0L),
@@ -692,7 +701,7 @@ object Similarity {
         agg.getAs[Long]("dims"), 1L),
       ("no_null_vectors", agg.getAs[Long]("bad_vecs") == 0L,
         agg.getAs[Long]("bad_vecs"), 0L),
-      ("tombstones_resolved", true, tombDebt, 0L),
+      ("tombstones_resolved", true, agg.getAs[Long]("debt"), 0L),
     ).toDF("check", "ok", "observed", "expected")
   }
 

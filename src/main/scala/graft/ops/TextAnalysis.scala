@@ -718,19 +718,13 @@ object TextAnalysis {
       .write.mode("overwrite").parquet(s"$path/postings")
     // a REBUILD over a previously-maintained path must reset its
     // lifecycle state: compaction generations + pointers (the fresh
-    // postings live at the legacy name) and any tombstones — stale
-    // tombstones would wrongly suppress re-saved doc ids at probe time.
-    // Tombstones are generation-versioned too (r13), so their pointer
-    // and generation dirs reset alongside the postings'.
-    graft.Fs.deleteRecursively(graft.Fs.join(path, "postings_current"))
-    graft.Fs.deleteRecursively(graft.Fs.join(path, "tombstones_current"))
-    // generation DIRECTORIES (listNames returns files only — using it
-    // here silently skipped every corpus-sized postings_gNNNN dir)
-    graft.Fs.list(path).filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(n => n.startsWith("postings_g") || n.startsWith("tombstones_g"))
-      .foreach(n => graft.Fs.deleteRecursively(graft.Fs.join(path, n)))
-    graft.Fs.deleteRecursively(s"$path/tombstones")
+    // postings live at the legacy name, so the postings reset keeps
+    // it) and any tombstones — stale tombstones would wrongly suppress
+    // re-saved doc ids at probe time. Tombstones are generation-
+    // versioned too (r13), so their pointer and generation dirs reset
+    // alongside the postings'.
+    GenerationTable.reset(path, "postings", deleteLegacy = false)
+    GenerationTable.reset(path, "tombstones", deleteLegacy = true)
     bm25DfAdvance(path, tf.groupBy("__t").agg(count(lit(1)).as("__df")),
       keepGenerations = 1)
     // per-doc length table: the probe never reads it (postings carry
@@ -907,37 +901,12 @@ object TextAnalysis {
       s"failed to move rewritten table into place at $dest")
   }
 
-  /** Current directory of a generation-versioned artifact table: the
-    * `<base>_current` pointer file names the live generation
-    * (`<base>_gNNNN`); a pre-generation artifact falls back to the
-    * legacy in-place `<base>/` directory.
+  /** Current directory of a generation-versioned artifact table — see
+    * [[GenerationTable.dir]] (the machinery was factored out in r13
+    * when the DSIR model artifact adopted the same discipline).
     */
-  private[graft] def bm25TableDir(path: String, base: String): String = {
-    val ptr = graft.Fs.join(path, s"${base}_current")
-    // the flip is tmp-write + delete + rename ([[bm25TableAdvance]]),
-    // so a racing reader can catch the pointer mid-replacement:
-    // momentarily absent (between delete and rename) or, on a
-    // filesystem without atomic rename, torn. One short-backoff
-    // recheck disambiguates that window from a genuinely-legacy
-    // artifact; content is validated so a torn read can never resolve
-    // to a bogus path
-    def attempt(): Option[String] =
-      if (!graft.Fs.exists(ptr)) None
-      else {
-        val name = graft.Fs.readString(ptr).trim
-        if (name.startsWith(s"${base}_g")) Some(graft.Fs.join(path, name))
-        else None
-      }
-    attempt().orElse {
-      // only a mid-flip artifact HAS generation dirs — a legacy layout
-      // (no pointer, no generations, the common probe path) resolves
-      // immediately without paying the backoff
-      val midFlip = graft.Fs.isDirectory(path) &&
-        graft.Fs.list(path).exists(
-          _.getPath.getName.startsWith(s"${base}_g"))
-      if (midFlip) { Thread.sleep(50L); attempt() } else None
-    }.getOrElse(graft.Fs.join(path, base))
-  }
+  private[graft] def bm25TableDir(path: String, base: String): String =
+    GenerationTable.dir(path, base)
 
   private[graft] def bm25DfDir(path: String): String =
     bm25TableDir(path, "df")
@@ -958,69 +927,18 @@ object TextAnalysis {
   private[graft] def bm25TombstonesDir(path: String): String =
     bm25TableDir(path, "tombstones")
 
-  /** Publish a new generation of an artifact table: write the FULL new
-    * table under a fresh `<base>_gNNNN` directory, flip the
-    * `<base>_current` pointer (a kilobyte file write — effectively
-    * atomic), then drop generations beyond the `keepGenerations`
-    * newest. Readers that pinned an older generation (a
-    * [[Bm25Snapshot]] between stream refreshes) keep working against
-    * intact files instead of crashing on the deleted part-files an
-    * in-place delete+rename swap leaves behind; retention is the
-    * contract — a snapshot idle across MORE than `keepGenerations - 1`
-    * publishes can still lose its files and must re-resolve (the
-    * standard snapshot-expiry trade; size `keepGenerations` to exceed
-    * the maintenance ops possible within one stream refresh interval).
-    * A crash mid-publish leaves the old pointer valid and at worst an
-    * orphaned unreferenced directory.
-    *
-    * The legacy `<base>/` directory counts as the oldest generation:
-    * with `deleteLegacy` it falls under the same retention rule (the
-    * postings policy — reclaiming it is the point of compaction);
-    * without, it is never deleted (the df policy — it is small and may
-    * be pinned by a pre-generation reader).
+  /** Publish a new generation of an artifact table — see
+    * [[GenerationTable.advance]] for the full pointer/retention
+    * contract (readers pinned to an older generation — a
+    * [[Bm25Snapshot]] between stream refreshes — keep intact files for
+    * `keepGenerations` publishes).
     */
   private def bm25TableAdvance(path: String, base: String,
                                table: DataFrame, keepGenerations: Int,
-                               deleteLegacy: Boolean = false): Unit = {
-    require(keepGenerations >= 1, "keepGenerations must be >= 1")
-    val ptr = graft.Fs.join(path, s"${base}_current")
-    val cur =
-      if (graft.Fs.exists(ptr)) {
-        val name = graft.Fs.readString(ptr).trim
-        require(name.startsWith(s"${base}_g"),
-          s"unexpected ${base}_current content '$name' at $path")
-        name.stripPrefix(s"${base}_g").toInt
-      } else -1
-    val next = f"${base}_g${cur + 1}%04d"
-    table.write.mode("overwrite")
-      .parquet(graft.Fs.join(path, next))
-    // flip via tmp + rename, not an in-place truncate-and-rewrite: an
-    // overwriting create leaves a window where a concurrent reader
-    // sees an EMPTY pointer file. Hadoop rename refuses an existing
-    // destination, so the old pointer is deleted first — the
-    // resulting brief pointer-absent window is what bm25TableDir's
-    // recheck covers
-    val tmpPtr = ptr + "_tmp"
-    graft.Fs.writeString(tmpPtr, next)
-    graft.Fs.deleteRecursively(ptr)
-    require(graft.Fs.rename(tmpPtr, ptr),
-      s"failed to flip ${base}_current at $path")
-    // generations are contiguous and prior publishes already trimmed
-    // their expirees, so stop at the first missing dir — one existence
-    // check per publish instead of an unbounded walk to zero (matters
-    // on remote filesystems under per-batch streaming appends); a
-    // shrunken keepGenerations still drains multiple in one pass
-    var g = cur + 1 - keepGenerations
-    var cont = true
-    while (g >= 0 && cont) {
-      val dir = graft.Fs.join(path, f"${base}_g$g%04d")
-      if (graft.Fs.exists(dir)) graft.Fs.deleteRecursively(dir)
-      else cont = false
-      g -= 1
+                               deleteLegacy: Boolean = false): Unit =
+    GenerationTable.advance(path, base, keepGenerations, deleteLegacy) {
+      dir => table.write.mode("overwrite").parquet(dir)
     }
-    if (deleteLegacy && cur + 1 - keepGenerations >= -1)
-      graft.Fs.deleteRecursively(graft.Fs.join(path, base))
-  }
 
   private def bm25DfAdvance(path: String, table: DataFrame,
                             keepGenerations: Int): Unit =

@@ -407,21 +407,6 @@ object StreamingOps {
     }
   }
 
-  /** Streaming subword tokenization against a persisted
-    * [[graft.ops.TextAnalysis.bpeModelSave]] artifact — the tokenizer
-    * twin of [[bm25Stream]]'s snapshot discipline: the merge table
-    * loads once, rides every batch's encode Project as a plan
-    * reference object ([[graft.ops.TextAnalysis.bpeEncodeKernel]] —
-    * zero joins, zero shuffle, batch-parity by construction), and
-    * re-loads only when the artifact's [[graft.ops.ArtifactVersion]]
-    * marker moves. That makes a REFIT a hot swap: save the new model
-    * over the artifact and the stream picks it up at the next version
-    * check, no restart — the upgrade path a 24/7 ingest pipeline needs
-    * when the tokenizer is retrained on a fresher corpus. An
-    * unversioned artifact re-loads at every check (conservative
-    * legacy behavior). Spec-pinned: a mid-stream refit changes the
-    * emitted subwords at the next batch, batch parity holds per model.
-    */
   /** Streaming DSIR scoring service: every micro-batch of documents gets
     * its importance weight against a persisted
     * [[graft.ops.Sampling.dsirModelSave]] model — the admission-scoring
@@ -432,8 +417,12 @@ object StreamingOps {
     * spec in StreamingOpsSpec), so out-of-vocabulary smoothing and the
     * integer-micro weights apply unchanged. Same snapshot-pin/version-
     * refresh discipline as [[bm25Stream]]: the feature relation resolves
-    * once, a refit ([[graft.ops.Sampling.dsirModelSave]] over the same
-    * path bumps the version) hot-swaps at the next check.
+    * once, and a refit ([[graft.ops.Sampling.dsirModelSave]] over the
+    * same path) hot-swaps at the next version check — SAFELY, because a
+    * refit publishes a new features GENERATION and the pinned
+    * snapshot's files stay intact for `keepGenerations` publishes (the
+    * retention contract; an in-place overwrite would FileNotFound the
+    * pinned probe between refreshes).
     */
   def dsirStream(stream: DataFrame, modelPath: String, idCol: String,
                  textCol: String, refreshEveryBatches: Int = 1)(
@@ -451,6 +440,25 @@ object StreamingOps {
     }
   }
 
+  /** Streaming subword tokenization against a persisted
+    * [[graft.ops.TextAnalysis.bpeModelSave]] artifact — the tokenizer
+    * twin of [[bm25Stream]]'s snapshot discipline: the merge table
+    * loads once, rides every batch's encode Project as a plan
+    * reference object ([[graft.ops.TextAnalysis.bpeEncodeKernel]] —
+    * zero joins, zero shuffle, batch-parity by construction), and
+    * re-loads only when the artifact's [[graft.ops.ArtifactVersion]]
+    * marker moves. That makes a REFIT a hot swap: save the new model
+    * over the artifact and the stream picks it up at the next version
+    * check, no restart — the upgrade path a 24/7 ingest pipeline needs
+    * when the tokenizer is retrained on a fresher corpus. (Unlike the
+    * snapshot-pinned index/model services, the loaded merge table is
+    * driver-memory data embedded in the plan — no file listing is
+    * pinned, so the overwrite-style [[graft.ops.TextAnalysis
+    * .bpeModelSave]] is hot-swap-safe as is.) An unversioned artifact
+    * re-loads at every check (conservative legacy behavior).
+    * Spec-pinned: a mid-stream refit changes the emitted subwords at
+    * the next batch, batch parity holds per model.
+    */
   def bpeEncodeStream(stream: DataFrame, modelPath: String,
                       idCol: String, textCol: String,
                       refreshEveryBatches: Int = 1)(

@@ -96,6 +96,15 @@ class BenchHonestySpec extends SparkSpec {
       | "sf" : "/root/testdata/sf0.1" }""".stripMargin
     val pm = Bench.parseCommitted(pretty, Some("/root/testdata/sf0.1"))
     assert(pm == Map("q01_split_route" -> 0.421, "q60_corpus_build" -> 2.262))
+    // the compact stdout SUMMARY (qNN-shortened keys, "omitted" marker)
+    // must be REFUSED, not parsed into never-matching short keys — an
+    // official BENCH_r{N}.json adopted as the committed record would
+    // otherwise silently disarm the protocol (the r12 failure again)
+    val summary = Bench.summaryLine(
+      Seq("q01_split_route" -> 0.4, "q60_corpus_build" -> 2.2),
+      "/root/testdata/sf0.1")
+    assert(Bench.parseCommitted(summary).isEmpty)
+    assert(Bench.parseCommitted(summary, Some("/root/testdata/sf0.1")).isEmpty)
   }
 
   test("summary stdout line fits the driver's tail window on the real suite") {

@@ -854,10 +854,23 @@ class StreamingOpsSpec extends SparkSpec {
         .as[(Long, Long, Long)].collect()
         .map(r => r._1 -> (r._2, r._3)).toMap
       assert(got(0L) == batch)
+      // a snapshot pinned BEFORE the refit (a stream between refreshes)
+      val pinned = graft.ops.Sampling.dsirModelLoad(spark, art)
       // REFIT over a different target slice → version bump → the next
       // batch scores under the new model (weights provably change)
       graft.ops.Sampling.dsirModelSave(corpusA, "doc_id", "text",
         col("doc_id") === 3L, art)
+      // the refit published a NEW features generation; the pinned
+      // snapshot's files are retained and it still scores — under the
+      // OLD model (r13 self-review: an in-place overwrite deleted the
+      // pinned listing and FileNotFound'ed the stream)
+      assert(graft.Fs.exists(s"$art/features_g0000") &&
+        graft.Fs.exists(s"$art/features_g0001"))
+      val pinnedScore = graft.ops.Sampling.dsirApplyFromSnapshot(pinned,
+          Seq((10L, "a qqq")).toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(pinnedScore == got(0L))
       input.addData((11L, "a qqq")); query.processAllAvailable()
       assert(got(1L)(11L) != got(0L)(10L),
         s"hot swap did not change the scores: ${got(1L)}")
