@@ -3244,6 +3244,19 @@ class OpsSpec extends SparkSpec {
       hashKind = graft.functions.SketchOps.HashMd5Lo64)
     assert(Sampling.dsirModelApply(spark, dirH, df, "doc_id", "text")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq == direct)
+    // a refit publishes a new generation and retains the old one
+    // (default keepGenerations = 2 — pinned readers keep their files)
+    Sampling.dsirModelSave(df, "doc_id", "text", col("doc_id") === 2L, dir)
+    assert(graft.Fs.exists(s"$dir/features_g0000") &&
+      graft.Fs.exists(s"$dir/features_g0001"))
+    // legacy (pre-generation) layout still loads: top-level features/
+    // + meta/, no pointer
+    val legacy = tmpDir("dsir-model-legacy")
+    graft.Fs.mkdirs(legacy)
+    assert(graft.Fs.rename(s"$dir/features_g0000/_meta", s"$legacy/meta"))
+    assert(graft.Fs.rename(s"$dir/features_g0000", s"$legacy/features"))
+    assert(Sampling.dsirModelApply(spark, legacy, df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq == direct)
   }
 
   test("packTokenStream: independent replay, split fragments, seq budgets") {
