@@ -37,7 +37,7 @@ object Converter {
   def jobName(label: Option[String] = None): String = {
     val ts = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss"))
-    s"tfrecorder-$ts" + label.map("-" + _.toLowerCase).getOrElse("")
+    s"tfrecorder-$ts" + label.map("-" + _.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
   }
 
   /** Run a full convert job.
@@ -121,7 +121,7 @@ object Converter {
               format match {
                 case "tfrecord" =>
                   graft.sinks.TfRecord.write(transform(parts(s)), jobDir,
-                    s.toLowerCase, numShards,
+                    s.toLowerCase(java.util.Locale.ROOT), numShards,
                     Sinks.tfrecordCodec(compression))
                 case _ =>
                   Sinks.writeSplit(transform(parts(s)), jobDir, s, numShards,

@@ -46,7 +46,7 @@ object Loader {
     // file prefix (the reference's glob, dataset_loader.py:52-69).
     val topLevel = Fs.listNames(dir)(_.contains(".tfrecord"))
     SplitStage.outputSplits.flatMap { split =>
-      val lower = split.toLowerCase
+      val lower = split.toLowerCase(java.util.Locale.ROOT)
       val parquetDir = Fs.join(dir, lower)
       val tfrShards = topLevel.filter(_.startsWith(s"$lower-"))
       if (Fs.isDirectory(parquetDir))

@@ -336,7 +336,7 @@ private[graft] trait DedupMinHash { this: Dedup.type =>
         else None
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
       val loc = resolvedManaged.getOrElse(new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase))
+        spark.conf.get("spark.sql.warehouse.dir"), t.toLowerCase(java.util.Locale.ROOT)))
       loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(loc, true)
     }

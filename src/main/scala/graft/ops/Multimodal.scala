@@ -89,7 +89,7 @@ object Multimodal {
             val r = readers.next()
             try {
               r.setInput(iis, false, true)
-              val fmt = r.getFormatName.toLowerCase
+              val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
               val n = math.max(1,
                 try r.getNumImages(true)
                 catch { case _: java.io.IOException => 1 })

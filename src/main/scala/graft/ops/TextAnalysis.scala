@@ -1675,7 +1675,7 @@ object TextAnalysis {
       val p = r.getString(1)
       require(p != null && p.nonEmpty,
         "containsProbeKernel patterns must be non-empty strings")
-      if (caseInsensitive) p.toLowerCase else p
+      if (caseInsensitive) p.toLowerCase(java.util.Locale.ROOT) else p
     }
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val t = if (caseInsensitive) lower(col(textCol)) else col(textCol)
@@ -1702,7 +1702,7 @@ object TextAnalysis {
       "blocklist patterns must be non-empty strings")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val pats =
-      (if (caseInsensitive) patterns.map(_.toLowerCase) else patterns)
+      (if (caseInsensitive) patterns.map(_.toLowerCase(java.util.Locale.ROOT)) else patterns)
         .toArray
     val t = if (caseInsensitive) lower(col(textCol)) else col(textCol)
     // null text carries no banned substring → kept (the gate removes
@@ -2076,14 +2076,14 @@ object TextAnalysis {
       // lowercase BOTH sides: a mixed-case caller token ("JavaScript")
       // must match, per the documented case-insensitive contract
       val noDrop = lineDropTokens
-        .map(tk => !lower(t).contains(lit(tk.toLowerCase)))
+        .map(tk => !lower(t).contains(lit(tk.toLowerCase(java.util.Locale.ROOT))))
         .reduceOption(_ && _).getOrElse(lit(true))
       t.rlike("[.!?\"]$") && words >= minLineWords && noDrop
     }
     val kept = filter(lines, lineKeep _)
     val docClean = {
       val noDrop = docDropTokens
-        .map(tk => !lower(col(textCol)).contains(lit(tk.toLowerCase)))
+        .map(tk => !lower(col(textCol)).contains(lit(tk.toLowerCase(java.util.Locale.ROOT))))
         .reduceOption(_ && _).getOrElse(lit(true))
       if (dropCurlyBrace) noDrop && !col(textCol).contains(lit("{"))
       else noDrop

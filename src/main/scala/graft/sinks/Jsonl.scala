@@ -72,6 +72,13 @@ object Jsonl {
     graft.Fs.mkdirs(dir)
     val total = numShards
     val ext = if (gzip) "jsonl.gz" else "jsonl"
+    // NOTE: the placement/commit machinery below (exact Partitioner,
+    // attempt-unique .inprogress temp, task-side rename, _SUCCESS) is
+    // DELIBERATELY mirrored in WebDataset.writeShards — the byte
+    // formats differ too much to share a kernel without obscuring
+    // both, so any hardening applied here must be applied there too
+    // (and vice versa; the r9 rename fix and the r13 numeric tie-break
+    // both needed the double application).
     sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       val name = f"$prefix-$pid%05d-of-$total%05d.$ext"
       val path = new Path(dir, name)

@@ -41,7 +41,7 @@ object Sinks {
     * any pipeline work runs, not at the first split write.
     */
   private[graft] def tfrecordCodec(compression: String): String = {
-    val c = compression.toLowerCase match {
+    val c = compression.toLowerCase(java.util.Locale.ROOT) match {
       case "uncompressed" | "" => "none"
       case other => other
     }
@@ -54,7 +54,7 @@ object Sinks {
   /** Write one split dataset to `<jobDir>/<split-lowercase>`. */
   def writeSplit(df: DataFrame, jobDir: String, split: String,
                  numShards: Int = 0, compression: String = "gzip"): String = {
-    val out = s"$jobDir/${split.toLowerCase}"
+    val out = s"$jobDir/${split.toLowerCase(java.util.Locale.ROOT)}"
     val shaped = if (numShards > 0) df.repartition(numShards) else df
     shaped.write.mode(SaveMode.Overwrite)
       .option("compression", codec(compression))
@@ -132,7 +132,7 @@ object Sinks {
 
   /** Case-normalize helper for loaders reading `partitionBy` output. */
   def splitFilter(df: DataFrame, splitKey: String, split: String): DataFrame =
-    df.filter(lower(col(splitKey)) === split.toLowerCase)
+    df.filter(lower(col(splitKey)) === split.toLowerCase(java.util.Locale.ROOT))
 
   /** All output split names in canonical order. */
   def outputSplits: Seq[String] = SplitStage.outputSplits

@@ -43,8 +43,17 @@ object TfRecord {
     out.write(v.toInt)
   }
 
-  private def keyBytes(fieldNumber: Int, wireType: Int): Int =
+  private def keyBytes(fieldNumber: Int, wireType: Int): Int = {
+    // single-byte tag form: valid ONLY for field numbers 1..15 (a
+    // field >= 16 needs a 2-byte varint tag — writing its low 8 bits
+    // would silently emit unparseable protos; SavedModelPb varint-
+    // encodes tags generally). tf.train.Example uses fields 1-3, so
+    // this fails loud if a future caller outgrows the fast form.
+    require(fieldNumber >= 1 && fieldNumber <= 15,
+      s"keyBytes: field $fieldNumber needs a varint tag (write via " +
+        "writeVarint((field << 3) | wireType))")
     (fieldNumber << 3) | wireType
+  }
 
   private def writeLenDelimited(out: ByteArrayOutputStream, field: Int,
                                 payload: Array[Byte]): Unit = {

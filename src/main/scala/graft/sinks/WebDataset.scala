@@ -133,7 +133,14 @@ object WebDataset {
       .withColumn("__ord", Sampling.mixedKey(col(keyCol), salt))
       .withColumn("__shard",
         pmod(col("__ord"), lit(numShards.toLong)).cast("int"))
+      // the NUMERIC key rides separately for the within-shard tie-break
+      // (r13 review find): keys colliding mod 2^32 share an __ord, and
+      // a string-cast sort ("4294967301" < "5") would diverge from the
+      // numeric order Sampling.writeShuffledTfRecordShards and
+      // Jsonl.writeShards use — breaking the documented key-arithmetic
+      // replay parity. __key (string) exists only for the entry NAME.
       .select(Seq(col("__shard"), col("__ord"),
+        col(keyCol).as("__tiekey"),
         col(keyCol).cast(StringType).as("__key")) ++ binCols: _*)
     val shardIdx = 0
     val placed = withOrd.rdd
@@ -149,7 +156,7 @@ object WebDataset {
       })
       .map(_._2)
     val sorted = spark.createDataFrame(placed, withOrd.schema)
-      .sortWithinPartitions(col("__ord"), col("__key"))
+      .sortWithinPartitions(col("__ord"), col("__tiekey"))
     val exts = entries.map(_._2)
     val confSer = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -176,7 +183,8 @@ object WebDataset {
       var n = 0L
       var lastKey: String = null
       rows.foreach { ir =>
-        val key = ir.getUTF8String(2).toString
+        // row layout: (__shard, __ord, __tiekey, __key, payloads...)
+        val key = ir.getUTF8String(3).toString
         // duplicate keys sort adjacently (same mixed key, same
         // tie-break), and readSamples would merge their entries into
         // one sample whose map silently keeps one payload per
@@ -188,8 +196,8 @@ object WebDataset {
         lastKey = key
         var e = 0
         while (e < exts.length) {
-          if (!ir.isNullAt(3 + e)) {
-            val payload = ir.getBinary(3 + e)
+          if (!ir.isNullAt(4 + e)) {
+            val payload = ir.getBinary(4 + e)
             out.write(tarHeader(s"$key.${exts(e)}", payload.length))
             out.write(payload)
             val pad = padTo(payload.length)
@@ -364,36 +372,59 @@ object WebDataset {
   /** Sample-scan kernel over ONE open shard stream (see [[scanHeaders]]
     * for the IO shape; this one reads payloads too).
     */
+  /** LAZY sample iterator (r13 review find: the previous Seq return
+    * materialized every payload of the shard at once, so reading a
+    * 10 GB tar cost 10 GB of executor memory — contradicting the
+    * file's own scale note). Memory now holds ONE sample at a time;
+    * the caller owns closing the stream after exhaustion/failure.
+    */
   private[graft] def scanSamples(in: java.io.InputStream, shard: Int)
-      : Seq[(Int, String, Map[String, Array[Byte]])] = {
-    val h = new Array[Byte](BlockSize)
-    var done = false
-    var curKey: String = null
-    var cur = Vector.empty[(String, Array[Byte])]
-    val out = Seq.newBuilder[(Int, String, Map[String, Array[Byte]])]
-    while (!done) {
-      if (!readBlock(in, h) || h.forall(_ == 0)) done = true
-      else {
-        val name = parseName(h)
-        val size = parseOctal(h, 124, 12)
-        require(size <= Int.MaxValue, s"entry $name too large: $size")
-        val dot = name.lastIndexOf('.')
-        val (key, ext) =
-          if (dot < 0) (name, "") else (name.take(dot), name.drop(dot + 1))
-        val payload = new Array[Byte](size.toInt)
-        require(readBlock(in, payload) || size == 0,
-          s"truncated tar: EOF inside payload of $name")
-        skipFully(in, padTo(size).toLong)
-        if (key != curKey && curKey != null) {
-          out += ((shard, curKey, cur.toMap)); cur = Vector.empty
+      : Iterator[(Int, String, Map[String, Array[Byte]])] =
+    new Iterator[(Int, String, Map[String, Array[Byte]])] {
+      private val h = new Array[Byte](BlockSize)
+      private var eof = false
+      private var curKey: String = null
+      private var cur = Vector.empty[(String, Array[Byte])]
+      private var ready: (Int, String, Map[String, Array[Byte]]) = null
+
+      // read tar entries until a key boundary completes a sample (or
+      // EOF flushes the last one)
+      private def advance(): Unit = {
+        while (ready == null && !eof) {
+          if (!readBlock(in, h) || h.forall(_ == 0)) {
+            eof = true
+            if (curKey != null) {
+              ready = ((shard, curKey, cur.toMap))
+              curKey = null; cur = Vector.empty
+            }
+          } else {
+            val name = parseName(h)
+            val size = parseOctal(h, 124, 12)
+            require(size <= Int.MaxValue, s"entry $name too large: $size")
+            val dot = name.lastIndexOf('.')
+            val (key, ext) =
+              if (dot < 0) (name, "")
+              else (name.take(dot), name.drop(dot + 1))
+            val payload = new Array[Byte](size.toInt)
+            require(readBlock(in, payload) || size == 0,
+              s"truncated tar: EOF inside payload of $name")
+            // qualified: Iterator also defines a padTo
+            skipFully(in, WebDataset.padTo(size).toLong)
+            if (key != curKey && curKey != null) {
+              ready = ((shard, curKey, cur.toMap)); cur = Vector.empty
+            }
+            curKey = key
+            cur :+= (ext -> payload)
+          }
         }
-        curKey = key
-        cur :+= (ext -> payload)
+      }
+      advance()
+      override def hasNext: Boolean = ready != null
+      override def next(): (Int, String, Map[String, Array[Byte]]) = {
+        if (ready == null) throw new NoSuchElementException("scanSamples")
+        val r = ready; ready = null; advance(); r
       }
     }
-    if (curKey != null) out += ((shard, curKey, cur.toMap))
-    out.result()
-  }
 
   /** Full sample read-back: (shard, key, entries map<ext, payload>),
     * adjacent same-key entries regrouped per sample WITHIN the shard
@@ -413,8 +444,24 @@ object WebDataset {
         val shard = shardOf(path.getName)
         val in = new java.io.BufferedInputStream(fs.open(path),
           ReadBufferBytes)
-        try WebDataset.scanSamples(in, shard)
-        finally in.close()
+        // scanSamples is LAZY (one sample in memory): close the stream
+        // on exhaustion or on the first failure, not before consumption
+        val it = WebDataset.scanSamples(in, shard)
+        new Iterator[(Int, String, Map[String, Array[Byte]])] {
+          private var closed = false
+          private def closeNow(): Unit =
+            if (!closed) { closed = true; in.close() }
+          override def hasNext: Boolean = {
+            val h =
+              try it.hasNext
+              catch { case t: Throwable => closeNow(); throw t }
+            if (!h) closeNow()
+            h
+          }
+          override def next(): (Int, String, Map[String, Array[Byte]]) =
+            try it.next()
+            catch { case t: Throwable => closeNow(); throw t }
+        }
       }
     spark.createDataFrame(rows).toDF("shard", "key", "entries")
   }

@@ -177,7 +177,7 @@ object Input {
                   schema: Option[Schema] = None): DataFrame = source match {
     case Left(df) =>
       names.map(n => df.select(n.map(col): _*)).getOrElse(df)
-    case Right(path) if path.toLowerCase.endsWith(".csv") =>
+    case Right(path) if path.toLowerCase(java.util.Locale.ROOT).endsWith(".csv") =>
       readCsv(spark, path, header, names, schema)
     case Right(path) if isDirectory(spark, path) =>
       readImageDirectory(spark, path)

@@ -9,8 +9,13 @@ import graft.ops.{Dedup, TextAnalysis}
 /** Per-user session accumulator for [[StreamingOps.sessionizeStateful]]. */
 case class SessionAcc(startMs: Long, lastMs: Long, n: Long)
 
-/** Per-key admitted count for [[StreamingOps.capPerKeyStream]]. */
-case class CapAcc(admitted: Long)
+/** Per-key admission state for [[StreamingOps.capPerKeyStream]].
+  * `maxSeenMs` = the largest event time EVER seen for the key (not the
+  * current batch's max): the TTL timeout must be monotone, or one late
+  * row rewinds it, evicts active state at the next watermark advance,
+  * and silently resets the admission quota (r13 review find).
+  */
+case class CapAcc(admitted: Long, maxSeenMs: Long = Long.MinValue)
 
 /** A finalized session emitted by [[StreamingOps.sessionizeStateful]]. */
 case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
@@ -29,6 +34,14 @@ case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
   */
 object StreamingOps {
 
+  // the sinks' reserved-column discipline: a user column named __fp
+  // would be silently overwritten and then dropped by the dedup
+  // operators below (r13 review find) — fail loud instead
+  private def requireNoFp(stream: DataFrame): Unit =
+    require(!stream.columns.contains("__fp"),
+      "input already has a '__fp' column; rename it before streaming dedup")
+
+
   /** Streaming exact dedup by content fingerprint: keeps the FIRST
     * arrival of each distinct `textCol` value.
     *
@@ -42,6 +55,7 @@ object StreamingOps {
     */
   def dedupStream(stream: DataFrame, textCol: String,
                   eventTime: Option[(String, String)] = None): DataFrame = {
+    requireNoFp(stream)
     val keyed = stream.withColumn("__fp",
       TextAnalysis.fingerprint(col(textCol)))
     val deduped = eventTime match {
@@ -71,11 +85,13 @@ object StreamingOps {
     * can fail the stream when old part-files disappear.
     */
   def dedupStreamAgainstCorpus(stream: DataFrame, textCol: String,
-                               corpusDigests: DataFrame): DataFrame =
+                               corpusDigests: DataFrame): DataFrame = {
+    requireNoFp(stream)
     stream
       .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
       .join(corpusDigests, Seq("__fp"), "left_anti")
       .drop("__fp")
+  }
 
   /** [[dedupStreamAgainstCorpus]] with a Bloom prefilter — the streaming
     * twin of [[graft.ops.Dedup.incrementalBloom]]. The sketch is built
@@ -94,6 +110,7 @@ object StreamingOps {
   def dedupStreamAgainstCorpusBloom(stream: DataFrame, textCol: String,
                                     corpusDigests: DataFrame,
                                     expectedCorpusDocs: Long): DataFrame = {
+    requireNoFp(stream)
     val sketch = Dedup.digestSketch(corpusDigests, expectedCorpusDocs)
     val keyed = stream.withColumn("__fp",
       TextAnalysis.fingerprint(col(textCol)))
@@ -113,6 +130,7 @@ object StreamingOps {
   def dedupStreamAgainstCorpusSharded(stream: DataFrame, textCol: String,
                                       corpusDigests: DataFrame,
                                       sketches: Array[Array[Byte]]): DataFrame = {
+    requireNoFp(stream)
     val keyed = stream.withColumn("__fp",
       TextAnalysis.fingerprint(col(textCol)))
     Dedup.bloomRouteSharded(keyed, corpusDigests, sketches).drop("__fp")
@@ -208,19 +226,28 @@ object StreamingOps {
              state: GroupState[CapAcc]) =>
               if (state.hasTimedOut) { state.remove(); Iterator.empty }
               else {
-                var admitted =
-                  state.getOption.map(_.admitted).getOrElse(0L)
-                var lastMs = Long.MinValue
+                val prev = state.getOption
+                var admitted = prev.map(_.admitted).getOrElse(0L)
+                // carry the key's max event time ACROSS batches: the
+                // timeout below must be monotone, or a late row rewinds
+                // it to ~watermark, the state evicts on the next
+                // advance, and the quota silently resets (r13 review)
+                var lastMs = prev.map(_.maxSeenMs).getOrElse(Long.MinValue)
                 val out =
                   scala.collection.mutable.ArrayBuffer.empty[Row]
                 rows.foreach { case (_, r, ts) =>
                   if (ts != null) lastMs = math.max(lastMs, ts.getTime)
                   if (admitted < maxPerKey) { out += r; admitted += 1 }
                 }
-                state.update(CapAcc(admitted))
-                if (lastMs != Long.MinValue)
-                  state.setTimeoutTimestamp(math.max(lastMs + ttlMs,
-                    state.getCurrentWatermarkMs() + 1))
+                state.update(CapAcc(admitted, lastMs))
+                // ALWAYS set a timeout: a key whose rows only ever carry
+                // null event times would otherwise hold state forever
+                // under EventTimeTimeout (no registered timeout never
+                // fires) — it expires at the next watermark advance
+                // instead (MinValue + ttl stays hugely negative, no
+                // overflow, so max() picks the watermark bound)
+                state.setTimeoutTimestamp(math.max(lastMs + ttlMs,
+                  state.getCurrentWatermarkMs() + 1))
                 out.iterator
               }
           }(Encoders.product[CapAcc], rowEnc)
@@ -355,7 +382,13 @@ object StreamingOps {
     private var version: Option[String] = null
     private var value: A = null.asInstanceOf[A]
 
-    def get(spark: org.apache.spark.sql.SparkSession, batchId: Long): A = {
+    // synchronized: one writer can legally be start()ed more than once,
+    // giving concurrent foreachBatch callbacks over the SHARED pin; an
+    // unsynchronized check-load-commit interleave could commit an old
+    // snapshot under a new token — the serve-stale-forever failure the
+    // ordering note below exists to prevent (r13 review find)
+    def get(spark: org.apache.spark.sql.SparkSession, batchId: Long): A =
+      this.synchronized {
       val due = version == null || batchId % every == 0
       if (due) {
         val v = graft.ops.ArtifactVersion.read(path)
@@ -620,6 +653,11 @@ object StreamingOps {
       // event-time timeout requires the tag to survive to the operator
       .select(col(userCol).cast("long").as("user_id"),
         col(tsCol).cast("timestamp").as("ts"))
+      // a null user/ts (or a cast that nulls) would NPE inside the
+      // group function / fail the primitive-Long tuple encoder and
+      // kill the 24/7 query — drop such rows before the stateful op
+      // (the capPerKeyStream null-ts discipline; r13 review find)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)

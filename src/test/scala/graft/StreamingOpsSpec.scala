@@ -396,6 +396,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 5L, 6L, 7L, 8L))
   }
 
+  test("capPerKeyStream: a late row does not rewind the TTL or reset the quota") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingOps.capPerKeyStream(
+      input.toDF().toDF("id", "host", "ts"), "host", maxPerKey = 1,
+      eventTime = Some(("ts", "0 seconds")),
+      stateTtl = java.time.Duration.ofHours(24))
+    val query = out.writeStream.format("memory")
+      .queryName("cap_late_stream").outputMode("append").start()
+    try {
+      // admit at 10:00 — timeout horizon 10:00 next day
+      input.addData((1L, "a", ts("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      // a LATE row (event time long before the key's max): rejected by
+      // the cap — and it must NOT rewind the timeout to ~watermark
+      // (r13 review find: the pre-fix timeout used only the BATCH max,
+      // so this row armed an eviction at the next watermark advance)
+      input.addData((2L, "a", ts("2024-01-01 02:00:00")))
+      query.processAllAvailable()
+      // advance the watermark well past the late row (but inside TTL):
+      // under the bug, a's state evicts here and row 4 re-admits
+      input.addData((3L, "z", ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      input.addData((4L, "a", ts("2024-01-01 12:30:00")))
+      query.processAllAvailable()
+      // null-ts-only key: admitted, and its state carries a
+      // next-watermark timeout instead of living forever
+      input.addData((5L, "n", null.asInstanceOf[java.sql.Timestamp]))
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("cap_late_stream")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L, 5L))
+  }
+
   test("stream-static dedup drops corpus-seen texts, batch parity held") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")

@@ -131,6 +131,35 @@ class WebDatasetSpec extends SparkSpec {
     }
   }
 
+  test("keys colliding mod 2^32 tie-break NUMERICALLY, matching the " +
+      "other exact-placement sinks") {
+    // 5 and 5 + 2^32 share a mixedKey (it reduces mod 2^32), so they
+    // land in one shard with equal __ord; the tie-break must be the
+    // NUMERIC key (5 first), not the string cast ("4294967301" < "5")
+    // — r13 review find; Jsonl/TfRecord shards already order this way,
+    // and the q86-style key-arithmetic replay depends on it
+    val lo = 5L
+    val hi = 5L + (1L << 32)
+    val dir = tmpDir("wds-collide")
+    WebDataset.writeShards(
+      Seq((lo, s"t$lo"), (hi, s"t$hi")).toDF("id", "text"),
+      "id", Seq("text" -> "txt"), dir, numShards = 2, salt = 11L)
+    val samples = WebDataset.readSamples(spark, dir)
+      .as[(Int, String, Map[String, Array[Byte]])].collect()
+    assert(samples.map(_._2.toLong).toSet == Set(lo, hi))
+    assert(samples.map(_._1).distinct.length == 1, "collided keys " +
+      "must share a shard (same mixed key)")
+    // tar order within the shard: read the single shard file directly
+    val shardFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar")).head
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(shardFile))
+    val order =
+      try WebDataset.scanSamples(in, 0).map(_._2.toLong).toSeq
+      finally in.close()
+    assert(order == Seq(lo, hi), s"tar order $order is not numeric")
+  }
+
   test("duplicate keys fail fast at write time (read-back would " +
       "silently drop payloads)") {
     val dir = tmpDir("wds-dup")
