@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked-list post-processing for retrieval pipelines: hybrid score
+  * fusion across engines and diversity-capped re-ranking.
+  *
+  * Both operators consume the CANDIDATE lists the engine operators
+  * produce — [[TextAnalysis.bm25TopK]] (lexical) and the
+  * [[Similarity]] top-k family (semantic) both emit
+  * `(query_id, rank, <id>, score)` — so every input here is
+  * (queries × k)-sized, never corpus-sized. At 100 TB the corpus-side
+  * cost lives entirely in the upstream engines; fusion and re-ranking
+  * are a post-pass over a few thousand rows per query batch. The one
+  * corpus-sized touch in this file is [[diversifiedTopK]]'s group
+  * lookup join, which broadcasts the (tiny) candidate side so the
+  * group table is scanned once with zero shuffle.
+  */
+object Retrieval {
+
+  /** Micro-units per 1.0 of reciprocal-rank score: contributions are
+    * floor-quantized to 1e-9 so fused scores sum as integers.
+    */
+  private val RrfMicro = 1e9
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of N ranked candidate lists — the standard hybrid-retrieval
+    * combiner (BM25 + embedding ANN) precisely because it needs no
+    * score calibration across engines: only ranks enter the fused
+    * score, so a lexical leg scoring in BM25 units and a semantic leg
+    * scoring in cosine fuse without normalization.
+    *
+    * Each list contributes `weight / (rrfK + rank)` for every
+    * (query, doc) it ranked; docs absent from a list get nothing from
+    * it. Contributions are floor-quantized to 1e-9 units BEFORE the
+    * sum (`floor(weight * 1e9 / (rrfK + rank))` — one double multiply,
+    * one divide, one floor, all IEEE-portable), so the fused score is
+    * an order-independent INTEGER sum that external SQL replays
+    * hash-exactly (the q137 oracle), the same fixed-point contract as
+    * [[TextAnalysis.bm25TopK]]. Ties on the fused score break by
+    * ascending doc id.
+    *
+    * Input contract per list: columns `query_id`, `rank` (1-based,
+    * dense per query — a `row_number`, as every engine here emits),
+    * and the named id column; id columns must share one type across
+    * lists. `rrfK` is the standard smoothing constant (60 in the
+    * paper) damping the gap between adjacent top ranks.
+    *
+    * Scale shape: union of (queries × k)-sized inputs, one hash
+    * aggregate on (query_id, doc), one per-query window that Spark
+    * runs as `WindowGroupLimit` (rows past rank k drop before the rank
+    * shuffle). No corpus-sized stage.
+    *
+    * @param lists (rankedList, idColumnName, weight > 0) per engine
+    * @return (query_id, rank 1..k, doc_id, score) — fused score desc,
+    *         doc id asc on ties; `score` is the de-quantized double.
+    */
+  def rrfFuse(lists: Seq[(DataFrame, String, Double)], k: Int,
+              rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k >= 1, "k must be >= 1")
+    require(rrfK >= 0, "rrfK must be non-negative")
+    val parts = lists.map { case (df, idCol, weight) =>
+      require(weight > 0, s"list weight must be positive, got $weight")
+      df.select(col("query_id"), col(idCol).as("doc_id"),
+        floor(lit(weight) * lit(RrfMicro) /
+            (lit(rrfK).cast("double") + col("rank").cast("double")))
+          .cast("long").as("__cm"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__sm").desc, col("doc_id").asc)
+    parts.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__cm")).as("__sm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("__sm").cast("double") / lit(RrfMicro)).as("score"))
+  }
+
+  /** Diversity-capped re-rank: keep at most `maxPerGroup` candidates
+    * of any one group (embedding cluster, domain, source …) per query,
+    * then take the best `k` that survive — the scalable form of
+    * result diversification. Unlike MMR-style sequential selection it
+    * is one declarative pass (two windows), so it stays distributed
+    * and deterministic at any query-batch size; with `groups` = an
+    * [[Similarity.ivfAssign]] assignment it caps semantic redundancy,
+    * with a doc→domain table it caps source monoculture.
+    *
+    * `ranked` carries (query_id, rank, idCol) — any engine's top-k
+    * output, oversampled (k' > k) so the cap has spares to promote.
+    * `groups` maps doc id → group (`gIdCol`, `groupCol`); docs missing
+    * from it count as their OWN singleton group (never capped, never
+    * capping others) — retrieval must not silently drop a candidate
+    * because the group table lagged the corpus.
+    *
+    * Join shape: the candidate side is (queries × k')-sized and is
+    * broadcast; the (possibly corpus-sized) group table is scanned
+    * once, filtered by the broadcast hash join, zero shuffle of the
+    * group table. Both windows partition by query — queries × k' rows
+    * through a hash exchange, nothing corpus-sized.
+    *
+    * @return (query_id, rank 1..k, doc_id, group) — rank re-numbered
+    *         after the cap, preserving the engine's candidate order;
+    *         `group` is the grouping value as a string (null-safe
+    *         sentinel form for ungrouped docs).
+    */
+  def diversifiedTopK(ranked: DataFrame, idCol: String,
+                      groups: DataFrame, gIdCol: String, groupCol: String,
+                      k: Int, maxPerGroup: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxPerGroup >= 1, "maxPerGroup must be >= 1")
+    val cand = ranked.select(col("query_id"),
+      col("rank").as("__r0"), col(idCol).as("doc_id"))
+    val g = groups.select(col(gIdCol).as("doc_id"),
+      col(groupCol).cast("string").as("__g"))
+    // two broadcast-small-side joins, corpus scanned once: (1) semi-join
+    // the group table down to the candidate ids (broadcast the tiny id
+    // set — a right-outer with a broadcast stream side would force the
+    // corpus through a sort-merge shuffle instead), then (2) attach the
+    // now-candidate-sized group rows to the candidates. `groups` must be
+    // unique per doc id (an assignment, not a relation) — a duplicate
+    // would duplicate its candidate row.
+    val gSmall = g.join(broadcast(cand.select("doc_id").distinct()),
+      Seq("doc_id"), "left_semi")
+    // ungrouped docs become singleton groups (sentinel = own id); the
+    // "s:" prefix keeps a real group VALUE equal to some doc id from
+    // colliding with the sentinel space
+    val tagged = cand.join(broadcast(gSmall), Seq("doc_id"), "left")
+      .withColumn("group",
+        coalesce(col("__g"), concat(lit("s:"), col("doc_id").cast("string"))))
+    val wg = Window.partitionBy("query_id", "group").orderBy(col("__r0").asc)
+    val wq = Window.partitionBy("query_id").orderBy(col("__r0").asc)
+    tagged
+      .withColumn("__gn", row_number().over(wg))
+      .filter(col("__gn") <= maxPerGroup)
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("group"))
+  }
+}

@@ -96,6 +96,40 @@ object Sampling {
       .drop("__negmk")
   }
 
+  /** Embedding-cluster-balanced sampling: assign every vector to its
+    * nearest centroid ([[Similarity.ivfAssign]] — pure per-row codegen
+    * projection, zero shuffle), then keep a deterministic
+    * [[exactQuotaSample]] of `quota` rows PER CLUSTER. The coverage
+    * sampler for pretraining-mix construction: a uniform-by-key sample
+    * keeps the corpus's mode density (a thousand near-identical boiler-
+    * plate pages crowd out a rare domain), while the per-cluster quota
+    * flattens semantic density — every region of embedding space is
+    * represented, none dominates. Centroids come from the caller
+    * ([[Similarity.fitCentroids]], or a persisted IVF index's) so the
+    * same geometry can drive indexing and sampling.
+    *
+    * Null vectors (unembeddable rows — NULL `centroid_id` out of the
+    * assignment kernel) are dropped: a coverage sample of embedding
+    * space has no cluster to charge them to.
+    *
+    * Scale shape: one corpus scan for assignment, one exchange on
+    * `centroid_id` for the quota windows (the only shuffle), quota
+    * selection itself is the [[capPerKey]] mixed-key argmin — pure
+    * (key, salt) arithmetic, replayable (the q138 oracle).
+    *
+    * @return the sampled rows as (idCol, centroid_id).
+    */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, centIdCol: String,
+                            centVecCol: String, quota: Int,
+                            salt: Long = 0L): DataFrame =
+    exactQuotaSample(
+      Similarity.ivfAssign(emb, idCol, vecCol,
+          centroids, centIdCol, centVecCol)
+        .filter(col("centroid_id").isNotNull),
+      "centroid_id", idCol, quota, salt)
+      .drop(vecCol)
+
   /** Per-stratum sampling accounting: for each value of `strataCol`, the
     * stratum's total row count and how many rows the deterministic
     * `fraction` sample keeps — the audit view a dataset build logs next

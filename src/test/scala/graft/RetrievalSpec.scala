@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Retrieval, Sampling, Similarity}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def list(rows: (Long, Long, Long)*) =
+    rows.toDF("query_id", "rank", "doc_id")
+
+  test("rrfFuse: hand-computed fusion of two overlapping lists") {
+    // lex: q1 ranks docs 10, 20, 30; sem: q1 ranks 20, 40
+    val lex = list((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))
+    val sem = list((1L, 1L, 20L), (1L, 2L, 40L))
+    val out = Retrieval.rrfFuse(
+        Seq((lex, "doc_id", 1.0), (sem, "doc_id", 1.0)), k = 10)
+      .orderBy("rank")
+      .as[(Long, Long, Long, Double)].collect()
+    def c(r: Long) = math.floor(1e9 / (60.0 + r)).toLong
+    // doc 20: rank 2 (lex) + rank 1 (sem) — the only doc in both lists,
+    // and its fused score tops every single-list doc
+    val expect = Seq(
+      20L -> (c(2) + c(1)),
+      10L -> c(1),   // ties with nothing; 1/(60+1) beats 1/(60+2)
+      40L -> c(2),
+      30L -> c(3))
+    assert(out.map(_._3).toSeq == expect.map(_._1))
+    assert(out.map(r => math.round(r._4 * 1e9)).toSeq == expect.map(_._2))
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("rrfFuse: equal fused scores tie-break by ascending doc id") {
+    // two docs each appear once at the same rank in different lists
+    val a = list((7L, 1L, 99L))
+    val b = list((7L, 1L, 11L))
+    val out = Retrieval.rrfFuse(
+        Seq((a, "doc_id", 1.0), (b, "doc_id", 1.0)), k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._3).toSeq == Seq(11L, 99L))
+  }
+
+  test("rrfFuse: weights scale contributions (quantized before the sum)") {
+    val a = list((1L, 1L, 10L))
+    val b = list((1L, 1L, 20L))
+    val out = Retrieval.rrfFuse(
+        Seq((a, "doc_id", 3.0), (b, "doc_id", 1.0)), k = 10, rrfK = 0)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._3).toSeq == Seq(10L, 20L))
+    assert(math.round(out(0)._4 * 1e9) == math.floor(3.0 * 1e9 / 1.0).toLong)
+    // k truncation
+    assert(Retrieval.rrfFuse(Seq((a, "doc_id", 1.0), (b, "doc_id", 1.0)),
+      k = 1).count() == 1)
+  }
+
+  test("rrfFuse: rejects empty list set and non-positive weights") {
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.empty, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq((list((1L, 1L, 1L)), "doc_id", 0.0)), k = 5)
+    }
+  }
+
+  test("diversifiedTopK: caps per group, re-ranks, singleton fallback") {
+    // q1 candidates ranked 1..6; docs 1-3 in group A, 4-5 in group B,
+    // doc 6 missing from the group table (singleton fallback)
+    val cand = list((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L),
+      (1L, 4L, 4L), (1L, 5L, 5L), (1L, 6L, 6L))
+    val groups = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, "B")).toDF("id", "grp")
+    val out = Retrieval.diversifiedTopK(cand, "doc_id", groups, "id",
+        "grp", k = 10, maxPerGroup = 2)
+      .orderBy("rank").as[(Long, Long, Long, String)].collect()
+    // doc 3 (third of group A) is capped out; everything else survives
+    // in original-rank order with ranks renumbered densely
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 4L, 5L, 6L))
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.map(_._4).toSeq == Seq("A", "A", "B", "B", "s:6"))
+  }
+
+  test("diversifiedTopK: k truncation after the cap, per query") {
+    val cand = list((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L),
+      (2L, 1L, 1L), (2L, 2L, 2L))
+    val groups = Seq((1L, "g"), (2L, "g"), (3L, "h")).toDF("id", "grp")
+    val out = Retrieval.diversifiedTopK(cand, "doc_id", groups, "id",
+        "grp", k = 2, maxPerGroup = 1)
+      .orderBy("query_id", "rank").as[(Long, Long, Long, String)].collect()
+    // q1: doc1 (g), doc3 (h) — doc2 capped; q2: doc1 only (doc2 capped)
+    assert(out.map(r => (r._1, r._3)).toSeq ==
+      Seq((1L, 1L), (1L, 3L), (2L, 1L)))
+  }
+
+  test("diversifiedTopK plan: the group table is not shuffled (both " +
+      "joins broadcast the candidate-sized side)") {
+    val cand = list((1L, 1L, 1L), (1L, 2L, 2L))
+    val groups = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "grp")
+    val plan = Retrieval.diversifiedTopK(cand, "doc_id", groups, "id",
+      "grp", k = 2, maxPerGroup = 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"group lookup fell back to a shuffle join:\n$plan")
+  }
+
+  test("clusterBalancedSample: per-cluster quota, null vectors dropped") {
+    // two well-separated 2d clusters of 4 vectors each + a null vector
+    val emb = Seq(
+      (1L, Some(Seq(1.0f, 0.0f))), (2L, Some(Seq(0.9f, 0.1f))),
+      (3L, Some(Seq(1.0f, 0.1f))), (4L, Some(Seq(0.8f, 0.0f))),
+      (11L, Some(Seq(0.0f, 1.0f))), (12L, Some(Seq(0.1f, 0.9f))),
+      (13L, Some(Seq(0.0f, 0.8f))), (14L, Some(Seq(0.1f, 1.0f))),
+      (99L, Option.empty[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val cent = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("centroid_id", "centroid")
+    val out = Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+        cent, "centroid_id", "centroid", quota = 2, salt = 5L)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.size == 4)
+    assert(out.count(_._2 == 0L) == 2 && out.count(_._2 == 1L) == 2)
+    assert(!out.exists(_._1 == 99L))
+    // the kept ids are the mixed-key argmins, replayed
+    def mk(id: Long) = ((id + 5L) * 2654435761L) % 4294967296L
+    val byCluster = Map(
+      0L -> Seq(1L, 2L, 3L, 4L), 1L -> Seq(11L, 12L, 13L, 14L))
+    byCluster.foreach { case (cid, ids) =>
+      val want = ids.sortBy(id => (mk(id), id)).take(2).toSet
+      assert(out.filter(_._2 == cid).map(_._1).toSet == want,
+        s"cluster $cid")
+    }
+  }
+
+  test("rrfFuse matches the single-engine ranking when given one list") {
+    val solo = list((1L, 1L, 5L), (1L, 2L, 9L), (1L, 3L, 2L))
+    val out = Retrieval.rrfFuse(Seq((solo, "doc_id", 1.0)), k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._3).toSeq == Seq(5L, 9L, 2L))
+  }
+
+  test("hybrid fuse of real engine outputs agrees doc-by-doc with " +
+      "driver-side recomputation") {
+    // tiny corpus where the lexical and semantic legs disagree, so the
+    // fusion actually mixes: doc 1 matches the text query best, doc 3
+    // is nearest the query vector
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"),
+      (3L, "delta epsilon")).toDF("doc_id", "text")
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.7f, 0.7f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, "gamma")).toDF("qid", "qtext")
+    val lex = graft.ops.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      queries, "qid", "qtext", k = 3)
+    val qv = Seq((1L, Seq(0.0f, 1.0f))).toDF("qid", "qv")
+    val sem = Similarity.bruteForceTopK(qv, "qid", "qv", emb, "vec_id",
+      "embedding", k = 3, excludeSelf = false)
+    val fused = Retrieval.rrfFuse(
+        Seq((lex, "doc_id", 1.0), (sem, "neighbor_id", 1.0)), k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
+    val lexRanks = lex.select("doc_id", "rank").as[(Long, Long)]
+      .collect().toMap
+    val semRanks = sem.select("neighbor_id", "rank").as[(Long, Long)]
+      .collect().toMap
+    def cm(r: Option[Long]) =
+      r.map(x => math.floor(1e9 / (60.0 + x)).toLong).getOrElse(0L)
+    val want = (lexRanks.keySet ++ semRanks.keySet).toSeq
+      .map(d => (d, cm(lexRanks.get(d)) + cm(semRanks.get(d))))
+      .sortBy { case (d, s) => (-s, d) }
+    assert(fused.map(_._3).toSeq == want.map(_._1))
+    assert(fused.map(r => math.round(r._4 * 1e9)).toSeq == want.map(_._2))
+  }
+}
