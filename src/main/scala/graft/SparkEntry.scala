@@ -2085,6 +2085,24 @@ object SparkEntry {
     //      artifact; the oracle is the literal expected verdict table
     //      (the corruption-DETECTION side is spec-pinned, where the
     //      test can safely mangle tables). ----
+    // ---- cross-source duplication matrix: q97's derived-quote corpus
+    //      labeled by source ('quotes' for the derived half-docs), the
+    //      containment relation aggregated per (contained, host) source
+    //      pair — integer counts, the provenance leakage report ----
+    "q140_source_overlap_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val toks = TextAnalysis.tokens(col("text"))
+      val derived = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest(lit(3L), floor(size(toks) / 2)).cast("int")), " ")
+            .as("text"),
+          lit("quotes").as("source"))
+      Dedup.sourceOverlapMatrix(docs.unionByName(derived), "doc_id",
+          "text", "source", n = 3, threshold = 0.9)
+        .orderBy("source_contained", "source_host")
+    }),
+
     // ---- hybrid retrieval: the BM25 lexical leg and the brute-force
     //      semantic leg (both k=20) fused by reciprocal-rank fusion.
     //      Rank-only fusion needs no score calibration across engines;
@@ -4512,6 +4530,59 @@ object SparkEntry {
            |SELECT doc_id, n_tokens, weight_micro, gumbel_micro,
            |  weight_micro + gumbel_micro AS resample_key
            |FROM r ORDER BY resample_key DESC, doc_id LIMIT 100""".stripMargin,
+
+      // q97's containment CTEs with a source label carried through the
+      // derived corpus; the matrix is integer counts per source pair.
+      "q140_source_overlap_matrix" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text, source FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id,
+          |    array_to_string(
+          |      t[1:CAST(greatest(3, len(t) // 2) AS INT)], ' ') AS text,
+          |    'quotes' AS source
+          |  FROM (SELECT doc_id,
+          |      list_filter(regexp_split_to_array(text, '\s+'),
+          |        x -> len(x) > 0) AS t
+          |    FROM documents)
+          |  WHERE doc_id % 10 = 0),
+          |toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM corpus),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM toks WHERE len(t) >= 3),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |j AS (
+          |  SELECT id_a, id_b, i, na.n_sh AS na, nb.n_sh AS nb
+          |  FROM inter
+          |  JOIN sizes na ON na.doc_id = id_a
+          |  JOIN sizes nb ON nb.doc_id = id_b),
+          |dirs AS (
+          |  SELECT id_a AS doc_id, id_b AS other_id,
+          |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+          |  FROM j
+          |  UNION ALL
+          |  SELECT id_b, id_a, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
+          |  FROM j),
+          |hits AS (SELECT doc_id, other_id FROM dirs
+          |  WHERE containment >= 0.9)
+          |SELECT ca.source AS source_contained, cb.source AS source_host,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs
+          |FROM hits h
+          |JOIN corpus ca ON ca.doc_id = h.doc_id
+          |JOIN corpus cb ON cb.doc_id = h.other_id
+          |GROUP BY 1, 2
+          |ORDER BY source_contained, source_host""".stripMargin,
 
       // Hybrid retrieval replayed end to end: the q71 BM25 CTEs (k=20)
       // and the q16 brute-cosine CTEs (k=20, self kept) feed the RRF

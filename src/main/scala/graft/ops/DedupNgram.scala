@@ -87,6 +87,44 @@ private[graft] trait DedupNgram { this: Dedup.type =>
       .filter(col("containment") >= threshold)
   }
 
+  /** Cross-source duplication matrix: for every ordered source pair
+    * (where, from), how much of `where`'s content is `threshold`-
+    * contained in documents of `from` — the provenance leakage report a
+    * corpus build logs before mixing sources (the Dolma/RefinedWeb-style
+    * "which crawls duplicate which" audit, and the "is source X just
+    * quotes of source Y" acquisition check). The diagonal (same source
+    * both sides) is within-source duplication.
+    *
+    * Built on the same one-intersection-per-candidate-pair kernel as
+    * [[ngramContainment]] (same `maxShingleDocFreq` hot-shingle cutoff,
+    * same pair-volume cost driver); the matrix step adds one join of the
+    * pair rows against the 2-column (id, source) projection and one
+    * aggregate bounded by |sources|² output rows. Counts are integers
+    * (`n_pairs` directed relations, `n_docs` distinct contained docs),
+    * so the report is engine-exact (the q140 oracle).
+    *
+    * @return (source_contained, source_host, n_pairs, n_docs) — docs of
+    *         `source_contained` whose shingles are ≥`threshold`-covered
+    *         by a doc of `source_host`; one row per pair with ≥1 hit.
+    */
+  def sourceOverlapMatrix(df: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, n: Int = 3,
+                          threshold: Double = 0.9,
+                          maxShingleDocFreq: Long = 0L): DataFrame = {
+    val dirs = ngramContainment(df, idCol, textCol, n, threshold,
+      maxShingleDocFreq)
+    val src = df.select(col(idCol).as("doc_id"),
+      col(sourceCol).cast("string").as("__src"))
+    dirs
+      .join(src, Seq("doc_id"))
+      .withColumnRenamed("__src", "source_contained")
+      .join(src.select(col("doc_id").as("other_id"),
+        col("__src").as("source_host")), Seq("other_id"))
+      .groupBy("source_contained", "source_host")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
   /** Shared containment kernel: one intersection per unordered
     * candidate pair with BOTH docs' shingle-set sizes attached —
     * (id_a, id_b, inter, na, nb), sizes measured over the same

@@ -440,6 +440,62 @@ object StreamingOps {
     }
   }
 
+  /** Streaming HYBRID retrieval service: each micro-batch of queries
+    * (carrying BOTH a text and a vector column) probes the snapshot-
+    * pinned BM25 postings AND the snapshot-pinned IVF index, and the two
+    * candidate lists fuse through [[graft.ops.Retrieval.rrfFuse]] — the
+    * standing-service form of q137's batch hybrid. Both legs run the
+    * EXACT batch probe operators (parity spec in StreamingOpsSpec), so
+    * scores, ranks, and the integer fused sum are identical to a batch
+    * run over the same snapshot. Each artifact carries its own
+    * [[SnapshotPin]] (same version-refresh discipline as [[bm25Stream]]
+    * / [[annStream]]): the index relations resolve once, re-resolve only
+    * when that artifact's version marker moves — the two artifacts
+    * refresh independently, as their maintenance jobs run independently.
+    *
+    * `candidatesPerLeg` is each engine's k' (oversampled above the fused
+    * `k` so a doc strong in one modality can displace one mediocre in
+    * both); `lexWeight`/`semWeight` tilt the fusion without any score
+    * calibration (rank-only, the RRF property).
+    */
+  def hybridStream(stream: DataFrame, bm25Path: String, indexDir: String,
+                   qIdCol: String, qTextCol: String, qVecCol: String,
+                   centroids: DataFrame, centIdCol: String,
+                   centVecCol: String, k: Int = 10,
+                   candidatesPerLeg: Int = 20, lexWeight: Double = 1.0,
+                   semWeight: Double = 1.0, rrfK: Int = 60,
+                   nprobe: Int = 3, k1: Double = 1.2, b: Double = 0.75,
+                   refreshEveryBatches: Int = 1)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    require(candidatesPerLeg >= k,
+      "candidatesPerLeg must be >= k (each leg must be able to fill " +
+        "the fused top-k on its own)")
+    val lexPin = new SnapshotPin(bm25Path, refreshEveryBatches)(
+      spark => graft.ops.TextAnalysis.bm25SnapshotLoad(spark, bm25Path))
+    val semPin = new SnapshotPin(indexDir, refreshEveryBatches)(
+      spark => graft.ops.Similarity.ivfSnapshotLoad(spark, indexDir))
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val q = mb.toDF()
+        val lex = graft.ops.TextAnalysis.bm25TopKFromSnapshot(
+          lexPin.get(mb.sparkSession, batchId), q, qIdCol, qTextCol,
+          candidatesPerLeg, k1, b)
+        // excludeSelf=false: a service's query ids live in their own id
+        // space — a corpus doc must never vanish because its id happens
+        // to equal the query's
+        val sem = graft.ops.Similarity.ivfTopKFromSnapshot(
+          semPin.get(mb.sparkSession, batchId), q, qIdCol, qVecCol,
+          centroids, centIdCol, centVecCol, candidatesPerLeg, nprobe,
+          excludeSelf = false)
+        sink(graft.ops.Retrieval.rrfFuse(
+          Seq((lex, "doc_id", lexWeight), (sem, "neighbor_id", semWeight)),
+          k, rrfK), batchId)
+    }
+  }
+
   /** Streaming DSIR scoring service: every micro-batch of documents gets
     * its importance weight against a persisted
     * [[graft.ops.Sampling.dsirModelSave]] model — the admission-scoring

@@ -2556,6 +2556,31 @@ class OpsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 2L))
   }
 
+  test("sourceOverlapMatrix: directed source-pair counts incl. the " +
+      "within-source diagonal; distinct docs counted once") {
+    val quoted = "alpha beta gamma delta epsilon"
+    val hostA = quoted + " " + (1 to 40).map(i => s"a$i").mkString(" ")
+    val hostB = quoted + " " + (1 to 40).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      // doc 1 (src q) is contained in host 2 (src A) AND host 3
+      // (src B) — two directed pairs, ONE distinct contained doc
+      (1L, quoted, "q"),
+      (2L, hostA, "A"),
+      (3L, hostB, "B"),
+      // within-source duplicate pair: both directions inside src A
+      (10L, "same exact words in this one", "A"),
+      (11L, "same exact words in this one", "A"),
+      (20L, "completely unrelated filler content", "B"),
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMatrix(docs, "doc_id", "text", "source",
+        n = 3, threshold = 0.9)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("q", "A", 1L, 1L),
+      ("q", "B", 1L, 1L),
+      ("A", "A", 2L, 2L)))  // 10→11 and 11→10, two distinct docs
+  }
+
   test("lineRepetitionFrame: crafted docs hit exact duplicate-line " +
       "values; byte (not char) mass; empty lines dropped") {
     val docs = Seq(

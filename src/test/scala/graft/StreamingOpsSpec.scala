@@ -696,6 +696,64 @@ class StreamingOpsSpec extends SparkSpec {
       Set(0L, 1L, 2L)))
   }
 
+  test("hybridStream: per-batch fusion equals the batch RRF of both " +
+      "snapshot probes") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus where the lexical and semantic legs disagree, so fusion
+    // actually mixes: doc ids shared across documents and embeddings
+    val docs = Seq(
+      (1L, "spark engine spark overview"),
+      (2L, "query planner internals"),
+      (3L, "stream processing notes"),
+    ).toDF("doc_id", "text")
+    def v(x: Float, y: Float) = Array(x, y, 0.01f, 0.01f)
+    val emb = Seq((1L, v(1f, 0f)), (2L, v(0.6f, 0.8f)), (3L, v(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") =!= 2L)
+    val art = tmpDir("hyb-bm25"); val idx = tmpDir("hyb-ivf")
+    graft.ops.TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    graft.ops.Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", idx)
+    // query 100: text matches doc 1, vector points at doc 3
+    val b1 = Seq((100L, "spark overview", v(0f, 1f)))
+    val b2 = Seq((200L, "planner notes", v(1f, 0f)),
+      (201L, "stream internals", v(0.6f, 0.8f)))
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Double)]]()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val query = StreamingOps.hybridStream(
+        input.toDF().toDF("qid", "qtext", "qvec"), art, idx,
+        "qid", "qtext", "qvec", centroids, "vec_id", "embedding",
+        k = 3, candidatesPerLeg = 3, nprobe = 2) {
+      (res, id) => got.synchronized { got(id) = canon(res) }
+    }.start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+    assert(got.size == 2)
+    def expect(rows: Seq[(Long, String, Array[Float])]) = {
+      val q = rows.toDF("qid", "qtext", "qvec")
+      val lex = graft.ops.TextAnalysis.bm25TopKPersisted(spark, art,
+        q, "qid", "qtext", k = 3)
+      val sem = graft.ops.Similarity.ivfTopKFromIndex(spark, idx,
+        q, "qid", "qvec", centroids, "vec_id", "embedding", k = 3,
+        nprobe = 2, excludeSelf = false)
+      canon(graft.ops.Retrieval.rrfFuse(
+        Seq((lex, "doc_id", 1.0), (sem, "neighbor_id", 1.0)), k = 3))
+    }
+    assert(got(0L) == expect(b1) && got(0L).nonEmpty)
+    assert(got(1L) == expect(b2) && got(1L).nonEmpty)
+    // the fusion genuinely mixed: for query 100, the lexical favorite
+    // (doc 1) and the semantic favorite (doc 3) BOTH rank above the
+    // doc neither engine favored
+    val q100 = got(0L).filter(_._1 == 100L).map(_._3)
+    assert(q100.take(2).toSet == Set(1L, 3L), s"got $q100")
+  }
+
   test("bm25Stream snapshot pin: version bump refreshes, unchanged version skips re-listing") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
