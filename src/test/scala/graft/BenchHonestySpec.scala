@@ -105,6 +105,12 @@ class BenchHonestySpec extends SparkSpec {
       "/root/testdata/sf0.1")
     assert(Bench.parseCommitted(summary).isEmpty)
     assert(Bench.parseCommitted(summary, Some("/root/testdata/sf0.1")).isEmpty)
+    // a record TRUNCATED before the queries object closes degrades to
+    // empty instead of throwing StringIndexOutOfBounds (r13 ADVICE)
+    val truncated = pretty.substring(0, pretty.indexOf("q60"))
+    assert(Bench.parseCommitted(truncated).isEmpty)
+    assert(Bench.parseCommitted(
+      truncated, Some("/root/testdata/sf0.1")).isEmpty)
   }
 
   test("summary stdout line fits the driver's tail window on the real suite") {

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.GenerationTable
+
+/** Lifecycle of the generation-versioned artifact table machinery —
+  * pointer flips, retention, and the crash-window reader fallbacks the
+  * r13 ADVICE hardened (pointer lost mid-flip must resolve to the
+  * newest on-disk generation, not a possibly-compacted legacy dir).
+  */
+class GenerationTableSpec extends SparkSpec {
+
+  private def tmp(): String = {
+    spark // Fs resolves the Hadoop conf from the active session
+    val d = java.nio.file.Files.createTempDirectory("gentab").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("advance publishes generations, dir follows the pointer," +
+      " retention trims") {
+    val root = tmp()
+    GenerationTable.advance(root, "tbl", keepGenerations = 2,
+      deleteLegacy = false) { d => Fs.writeString(Fs.join(d, "x"), "g0") }
+    assert(GenerationTable.dir(root, "tbl").endsWith("tbl_g0000"))
+    GenerationTable.advance(root, "tbl", keepGenerations = 2,
+      deleteLegacy = false) { d => Fs.writeString(Fs.join(d, "x"), "g1") }
+    GenerationTable.advance(root, "tbl", keepGenerations = 2,
+      deleteLegacy = false) { d => Fs.writeString(Fs.join(d, "x"), "g2") }
+    assert(GenerationTable.dir(root, "tbl").endsWith("tbl_g0002"))
+    // keepGenerations=2 → g0 trimmed, g1 kept for pinned readers
+    assert(!Fs.exists(Fs.join(root, "tbl_g0000")))
+    assert(Fs.exists(Fs.join(root, "tbl_g0001")))
+  }
+
+  test("dir resolves the HIGHEST generation when the pointer is lost" +
+      " mid-flip (r13 ADVICE)") {
+    val root = tmp()
+    GenerationTable.advance(root, "tbl", keepGenerations = 3,
+      deleteLegacy = true) { d => Fs.writeString(Fs.join(d, "x"), "g0") }
+    GenerationTable.advance(root, "tbl", keepGenerations = 3,
+      deleteLegacy = true) { d => Fs.writeString(Fs.join(d, "x"), "g1") }
+    // simulate the crash window: pointer deleted, rename never landed.
+    // deleteLegacy=true means the legacy <root>/tbl dir is NOT a valid
+    // fallback — the reader must pick tbl_g0001, the newest full table.
+    Fs.deleteRecursively(Fs.join(root, "tbl_current"))
+    assert(GenerationTable.dir(root, "tbl").endsWith("tbl_g0001"))
+    assert(Fs.readString(
+      Fs.join(GenerationTable.dir(root, "tbl"), "x")) == "g1")
+  }
+
+  test("dir on a legacy layout (no pointer, no generations) resolves" +
+      " the in-place dir without backoff") {
+    val root = tmp()
+    Fs.writeString(Fs.join(Fs.join(root, "tbl"), "x"), "legacy")
+    assert(GenerationTable.dir(root, "tbl") == Fs.join(root, "tbl"))
+  }
+}

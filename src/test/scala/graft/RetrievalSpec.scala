@@ -79,6 +79,22 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == Seq("A", "A", "B", "B", "s:6"))
   }
 
+  test("diversifiedTopK: a real group named 's:<id>' never captures an" +
+      " ungrouped doc's singleton (r13 ADVICE)") {
+    // docs 1,2 belong to a REAL group whose value is the literal "s:3";
+    // doc 3 is ungrouped — its singleton sentinel displays as "s:3" but
+    // must NOT be capped against the real group of the same name
+    val cand = list((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L))
+    val groups = Seq((1L, "s:3"), (2L, "s:3")).toDF("id", "grp")
+    val out = Retrieval.diversifiedTopK(cand, "doc_id", groups, "id",
+        "grp", k = 10, maxPerGroup = 2)
+      .orderBy("rank").as[(Long, Long, Long, String)].collect()
+    // all three survive: the real group holds exactly its cap (docs 1,2)
+    // and doc 3 is a singleton despite the display-name collision
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_._4).toSeq == Seq("s:3", "s:3", "s:3"))
+  }
+
   test("diversifiedTopK: k truncation after the cap, per query") {
     val cand = list((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L),
       (2L, 1L, 1L), (2L, 2L, 2L))
