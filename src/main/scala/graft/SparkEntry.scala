@@ -20,9 +20,11 @@ import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJo
   * bit-exact across engines); column names/aliases match the oracle SQL
   * exactly.
   */
-object SparkEntry {
+object SparkEntry extends EntriesConvert with EntriesDedup
+    with EntriesText with EntriesSampling with EntriesSimilarity
+    with EntriesEvents with EntriesMedia with EntriesRetrieval {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // The events table's `ts` has shipped as both TIMESTAMP(NANOS)
@@ -46,7 +48,7 @@ object SparkEntry {
     }
   }
 
-  private def tmpDir(prefix: String): String =
+  private[graft] def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
   /** The deterministic 8×6 RGB PNG fixture set (split/label directory
@@ -55,7 +57,7 @@ object SparkEntry {
     * q94 manifest oracle can replay entry sizes from the construction
     * constants (8·6·3 raster bytes, the enumerated names).
     */
-  private def genImageFixtures(): String = {
+  private[graft] def genImageFixtures(): String = {
     val base = new java.io.File(tmpDir("graft-imgs"))
     Seq(("TRAIN", "cat", 0), ("TRAIN", "goat", 1),
         ("VALIDATION", "cat", 2), ("VALIDATION", "goat", 3),
@@ -82,7 +84,7 @@ object SparkEntry {
     * ONE definition for both flagship quality queries so they cannot
     * diverge.
     */
-  private def diversityScored(docs: DataFrame): DataFrame =
+  private[graft] def diversityScored(docs: DataFrame): DataFrame =
     docs
       .withColumn("__f", TextAnalysis.qualityFeatures(col("text")))
       .withColumn("score",
@@ -98,7 +100,7 @@ object SparkEntry {
     * oracles' `messy` CTE so both engines canonicalize the same
     * strings.
     */
-  private def messyUrls(s: SparkSession, dir: String): DataFrame =
+  private[graft] def messyUrls(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
       concat(
         when(pmod(col("doc_id"), lit(2)) === 0, "HTTPS://WWW.")
@@ -117,7 +119,7 @@ object SparkEntry {
     * and content params to KEEP — the strip is name-case-sensitive by
     * design) — the q93 input, mirrored in its oracle's `messy` CTE.
     */
-  private def messyTrackedUrls(s: SparkSession, dir: String): DataFrame =
+  private[graft] def messyTrackedUrls(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       concat(
         when(pmod(col("doc_id"), lit(2)) === 0, "HTTPS://WWW.")
@@ -139,7 +141,7 @@ object SparkEntry {
     * zero-padding keeps lexicographic order aligned with numeric order
     * so the oracle's `least`/`min` replay is shape-independent.
     */
-  private def strIdDocs(docs: DataFrame): DataFrame =
+  private[graft] def strIdDocs(docs: DataFrame): DataFrame =
     docs.select(
       concat(lit("doc:"), lpad(col("doc_id").cast("string"), 8, "0"))
         .as("doc_id"),
@@ -149,7 +151,7 @@ object SparkEntry {
     * click/view → TRAIN, signup → VALIDATION, purchase → TEST, anything
     * else (error) is unknown and must land in DISCARD.
     */
-  private def routedEvents(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def routedEvents(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events").withColumn("split",
       when(col("event_type").isin("click", "view"), "TRAIN")
         .when(col("event_type") === "signup", "VALIDATION")
@@ -157,7 +159,7 @@ object SparkEntry {
         .otherwise("UNKNOWN"))
 
   /** Deterministic TRAIN/VALIDATION/TEST split of orders by key. */
-  private def splitOrders(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def splitOrders(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders").withColumn("split",
       when(pmod(col("o_orderkey"), lit(10)) < 8, "TRAIN")
         .when(pmod(col("o_orderkey"), lit(10)) === 8, "VALIDATION")
@@ -168,7 +170,7 @@ object SparkEntry {
     * (CRLF every 76 chars); `translate` maps `+/` → `-_` and deletes the
     * CRLFs (from-chars with no to-char are removed).
     */
-  private def b64UrlSafe(bin: org.apache.spark.sql.Column) =
+  private[graft] def b64UrlSafe(bin: org.apache.spark.sql.Column) =
     translate(base64(bin), "+/\r\n", "-_")
 
   /** Flagship: full convert → load round-trip on sf0.001 orders (split
@@ -193,7 +195,7 @@ object SparkEntry {
     * Derived inside the query (and replayed by the oracle) so the guard
     * semantics are checked end to end on real table data.
     */
-  private def clonedDocs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def clonedDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select("doc_id", "text")
     val clones = docs.filter(col("doc_id") < 3)
       .select(col("doc_id"), col("text"),
@@ -202,2218 +204,12 @@ object SparkEntry {
         col("text"))
     docs.union(clones)
   }
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // ---- split / partition stage (SURVEY §2.3, P5/T1/T2/T3/A1) ----
-
-    "q01_split_route" -> ((s, dir) => {
-      SplitStage.normalize(routedEvents(s, dir), "split")
-        .groupBy("split").agg(count(lit(1)).as("cnt"))
-        .orderBy("split")
-    }),
-
-    "q02_split_counts" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
-        .orderBy("o_orderpriority")
-    }),
-
-    "q03_partition_train" -> ((s, dir) => {
-      SplitStage.partition(splitOrders(s, dir), "split")(SplitStage.Train)
-        .select("o_orderkey", "o_orderpriority")
-        .orderBy("o_orderkey")
-    }),
-
-    "q04_discard_route" -> ((s, dir) => {
-      SplitStage.partition(routedEvents(s, dir), "split")(SplitStage.Discard)
-        .select("event_id", "event_type")
-        .orderBy("event_id")
-    }),
-
-    // ---- vocabulary fit/apply (SURVEY §2.5-2.6, A2/F1-F3) ----
-
-    "q05_vocab_fit" -> ((s, dir) => {
-      val train = splitOrders(s, dir).filter(col("split") === "TRAIN")
-      Vocab.fitOne(train, "o_orderpriority").orderBy("idx")
-    }),
-
-    "q06_vocab_apply" -> ((s, dir) => {
-      val orders = splitOrders(s, dir)
-      // Restricted fit (5-LOW withheld) so the TEST apply exercises the
-      // OOV → -1 path on real data.
-      val train = orders.filter(col("split") === "TRAIN" &&
-        col("o_orderpriority") =!= "5-LOW")
-      val vocab = Vocab.fitOne(train, "o_orderpriority")
-      Vocab.applyOne(
-          orders.filter(col("split") === "TEST")
-            .select(col("o_orderkey"), col("o_orderpriority").as("label")),
-          "label", vocab)
-        .select("o_orderkey", "label")
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- schema conform / projection (SURVEY §2.1-2.2, S7/P1) ----
-
-    "q07_schema_conform" -> ((s, dir) => {
-      val schema = Schema(Seq(
-        "split" -> SupportedType.SplitKey,
-        "l_orderkey" -> SupportedType.IntegerInput,
-        "l_linenumber" -> SupportedType.IntegerInput,
-        "l_quantity" -> SupportedType.FloatInput,
-        "l_returnflag" -> SupportedType.StringInput))
-      graft.sources.Input.conform(
-          t(s, dir, "lineitem").withColumn("split", lit("TRAIN")), schema)
-        .drop("split")
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // ---- inspect / limit (SURVEY §2.8, L1) ----
-
-    "q08_inspect_head" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
-        .limit(5)
-    }),
-
-    // ---- image encode semantics (SURVEY §2.4, I2: URL-safe base64) ----
-
-    "q09_b64_urlsafe" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          b64UrlSafe(col("text").cast("binary")).as("image_b64"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- CSV source round-trip (SURVEY §2.1, S1/S3/S7) ----
-
-    "q17_csv_roundtrip" -> ((s, dir) => {
-      val out = tmpDir("graft-csv")
-      t(s, dir, "documents")
-        .select(lit("TRAIN").as("split"), col("doc_id"), col("text"),
-          col("lang"), col("n_chars"))
-        .coalesce(1)
-        .write.mode("overwrite").option("header", "true").csv(out)
-      val schema = Schema(Seq(
-        "split" -> SupportedType.SplitKey,
-        "doc_id" -> SupportedType.IntegerInput,
-        "text" -> SupportedType.StringInput,
-        "lang" -> SupportedType.StringInput,
-        "n_chars" -> SupportedType.IntegerInput))
-      // Read the directory (not a glob): Spark skips _SUCCESS markers on
-      // its own, and a glob path makes FileStreamSink.hasMetadata log a
-      // spurious FileNotFoundException stack on every read.
-      graft.sources.Input.readCsv(s, out,
-          graft.sources.Input.Header.Infer, None, Some(schema))
-        .drop("split")
-        .orderBy("doc_id")
-    }),
-
-    // ---- TFRecord sink/source round-trip (SURVEY §2.7/2.1, W1/W2/S8) ----
-
-    "q18_tfrecord_roundtrip" -> ((s, dir) => {
-      val out = tmpDir("graft-tfr")
-      val df = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-          col("lang"), col("n_chars").cast("long").as("n_chars"))
-      graft.sinks.TfRecord.write(df, out, "part", numShards = 8, gzip = true)
-      graft.sinks.TfRecord.read(s, s"$out/part-*", df.schema)
-        .orderBy("doc_id")
-    }),
-
-    // ---- JSON-lines source round-trip (extension source format) ----
-
-    "q22_json_roundtrip" -> ((s, dir) => {
-      val out = tmpDir("graft-json")
-      t(s, dir, "documents")
-        .select(lit("TRAIN").as("split"), col("doc_id"), col("text"),
-          col("lang"), col("n_chars"))
-        .coalesce(1)
-        .write.mode("overwrite").json(out)
-      graft.sources.Input.readJson(s, out, Some(Schema(Seq(
-          "split" -> SupportedType.SplitKey,
-          "doc_id" -> SupportedType.IntegerInput,
-          "text" -> SupportedType.StringInput,
-          "lang" -> SupportedType.StringInput,
-          "n_chars" -> SupportedType.IntegerInput))))
-        .drop("split")
-        .orderBy("doc_id")
-    }),
-
-    // ---- deterministic stratified sampling (extension) ----
-
-    "q27_stratified_sample" -> ((s, dir) => {
-      Sampling.stratifiedSampleCounts(t(s, dir, "orders"),
-          "o_orderpriority", "o_orderkey", fraction = 0.1, salt = 7L)
-        .orderBy("o_orderpriority")
-    }),
-
-    // ---- full convert pipeline e2e (SURVEY §2.9, O1/O2 + F1-F5 + W1-W4 + S8) ----
-
-    "q19_convert_e2e" -> ((s, dir) => {
-      // A junk split value for part of the would-be TEST rows exercises
-      // the unknown→DISCARD routing and the discard sink inside convert.
-      val df = t(s, dir, "orders").withColumn("split",
-          when(pmod(col("o_orderkey"), lit(10)) < 8, "TRAIN")
-            .when(pmod(col("o_orderkey"), lit(10)) === 8, "VALIDATION")
-            .when(pmod(col("o_custkey"), lit(7)) === 0, "JUNK")
-            .otherwise("TEST"))
-        .select("split", "o_orderkey", "o_orderpriority")
-      val schema = Schema(Seq(
-        "split" -> SupportedType.SplitKey,
-        "o_orderkey" -> SupportedType.IntegerInput,
-        "o_orderpriority" -> SupportedType.StringLabel))
-      val result = Converter.convert(s, Left(df), schema, tmpDir("graft-e2e"))
-      require(result.splitCounts.getOrElse(SplitStage.Discard, 0L) > 0L,
-        "expected some discarded rows")
-      Loader.load(s, result.jobDir)(SplitStage.Test)
-        .select(col("o_orderkey"), col("o_orderpriority").as("label"))
-        .orderBy("o_orderkey")
-    }),
-
-    // ---- dedup (extensions) ----
-
-    "q10_dedup_exact" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("keep_id"),
-          count(lit(1)).as("dup_count"))
-        .orderBy("fp")
-    }),
-
-    "q11_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, threshold = 0.8)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- dedup threshold sweep: per-threshold pair/doc kill counts from
-    //      ONE exact-Jaccard pass — how the threshold gets chosen before
-    //      committing a full dedup run ----
-
-    "q77_jaccard_sweep" -> ((s, dir) => {
-      Dedup.jaccardThresholdSweep(t(s, dir, "documents"), "doc_id", "text",
-          thresholds = Seq(0.5, 0.7, 0.9), n = 3)
-        // non-foldable predicate: both count joins land on unique-keyed
-        // aggregates, so a bare count() would let Catalyst eliminate them
-        // and the bench would time a 3-row literal scan, not the pairs pass
-        .where(col("n_pairs") >= 0 && col("n_dup_docs") >= 0)
-        .orderBy("threshold")
-    }),
-
-    // ---- text analysis (extensions) ----
-
-    "q12_text_quality" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.qualityFeatures(col("text")).as("q"))
-        .select(col("doc_id"),
-          col("q.n_chars").as("n_chars"),
-          col("q.n_tokens").as("n_tokens"),
-          col("q.n_distinct_tokens").as("n_distinct_tokens"),
-          col("q.mean_token_len").as("mean_token_len"),
-          col("q.stopword_ratio").as("stopword_ratio"))
-        .orderBy("doc_id")
-    }),
-
-    "q13_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
-    }),
-
-    "q14_token_stats" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      t(s, dir, "documents")
-        .groupBy("lang")
-        .agg(sum(call_function("graft_token_count", col("text")))
-            .as("total_tokens"),
-          count(lit(1)).as("n_docs"))
-        .orderBy("lang")
-    }),
-
-    "q15_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- quality filtering (Gopher-rules-style predicate over q12 features) ----
-
-    "q23_quality_filter" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.qualityFeatures(col("text")).as("q"))
-        .select(col("doc_id"),
-          col("q.n_tokens").as("n_tokens"),
-          col("q.n_distinct_tokens").as("n_distinct_tokens"),
-          col("q.mean_token_len").as("mean_token_len"))
-        .filter(col("n_tokens") >= 40 &&
-          col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0 &&
-          col("n_distinct_tokens").cast("double") >= col("n_tokens") * 0.2)
-        .select("doc_id", "n_tokens", "n_distinct_tokens")
-        .orderBy("doc_id")
-    }),
-
-    // ---- corpus statistics: top terms per language (window/rank) ----
-
-    "q24_top_terms" -> ((s, dir) => {
-      TextAnalysis.topTerms(t(s, dir, "documents"), "lang", "text", k = 5)
-        .orderBy("lang", "rank")
-    }),
-
-    // ---- BPE-ish token budgeting ----
-
-    "q25_bpe_tokens" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- repetition signal (Gopher-style quality rule) ----
-
-    "q26_repetition" -> ((s, dir) => {
-      TextAnalysis.repetitionFrame(t(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // ---- n-gram repetition (the Gopher duplicate-n-gram-fraction and
-    //      top-n-gram-share rules, n=3); oracle rebuilds the 3-gram
-    //      multiset with the jaccard CTEs' slice arithmetic ----
-
-    "q96_ngram_repetition" -> ((s, dir) => {
-      TextAnalysis.ngramRepetitionFrame(t(s, dir, "documents"),
-          "doc_id", "text", n = 3)
-        .orderBy("doc_id")
-    }),
-
-    // ---- duplicate-line rules over a line-structured rebuild of the
-    //      corpus (a boilerplate line wraps every doc; even ids repeat
-    //      their own text as a second body line) — oracle replays the
-    //      construction and the line multiset with strlen bytes ----
-
-    "q98_line_repetition" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val lined = docs.select(col("doc_id"),
-        concat(lit("promo line\n"), col("text"), lit("\npromo line\n"),
-          when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
-            .otherwise(lit("tail"))).as("text"))
-      TextAnalysis.lineRepetitionFrame(lined, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // ---- sessionization (event-time windows over the events stream table) ----
-
-    "q28_sessionize" -> ((s, dir) => {
-      // ts is TIMESTAMP(NANOS) read as long nanos (session config);
-      // session break = gap > 30 min. Integer arithmetic end to end.
-      val w = Window.partitionBy("user_id").orderBy("ts")
-      t(s, dir, "events")
-        .withColumn("__new_sess",
-          when(col("ts") - lag(col("ts"), 1).over(w) >
-            lit(1800L * 1000000000L), 1L).otherwise(0L))
-        .groupBy("user_id")
-        .agg((sum(col("__new_sess")) + 1L).as("n_sessions"),
-          count(lit(1)).as("n_events"))
-        .orderBy("user_id")
-    }),
-
-    // ---- dimension enrichment (broadcast FK join) ----
-
-    "q29_join_enrich" -> ((s, dir) => {
-      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
-      t(s, dir, "orders")
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_nationkey")
-        .agg(count(lit(1)).as("n_orders"),
-          countDistinct(col("o_custkey")).as("n_customers"))
-        .orderBy("c_nationkey")
-    }),
-
-    // ---- multimodal frame-sample planning ----
-
-    "q36_frame_plan" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .withColumn("n_frames", (lit(1L) + pmod(col("n_chars"), lit(32))).cast("long"))
-        .select(col("doc_id"), col("n_frames"),
-          array_join(Multimodal.frameSamplePlan(col("n_frames"),
-            stride = 3, maxFrames = 5), ",").as("frames"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- similarity search (extensions) ----
-
-    "q16_ann_brute" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.bruteForceTopK(
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- int8-quantized ANN: scores are integer dots rescaled by the
-    //      two symmetric scales; every arithmetic step is IEEE-portable,
-    //      so the oracle replays the quantized scores bit-exactly ----
-
-    "q55_quantized_ann" -> ((s, dir) => {
-      val quant = Similarity.quantizeEmbeddings(
-          t(s, dir, "embeddings"), "embedding")
-        .select("vec_id", "qvec", "qscale")
-      Similarity.quantizedTopK(quant.filter(col("vec_id") < 5), "vec_id",
-          quant, "vec_id", k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    "q35_ivf_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
-      Similarity.ivfTopK(
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          emb, "vec_id", "embedding",
-          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- z-score scaling (extension closing the reference README gap) ----
-
-    "q20_zscore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val train = li.filter(pmod(col("l_orderkey"), lit(10)) < 8)
-      val stats = train.agg(
-        sum(col("l_quantity")).as("s1"),
-        sum(col("l_quantity") * col("l_quantity")).as("s2"),
-        count(lit(1)).as("n"))
-      val withStats = li.crossJoin(broadcast(stats))
-      withStats
-        .select(col("l_orderkey"), col("l_linenumber"),
-          ((col("l_quantity") - col("s1") / col("n")) /
-            sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
-              (col("n") - 1))).as("z"))
-        .orderBy("l_orderkey", "l_linenumber")
-    }),
-
-    // ---- event analytics: ordered funnel, day-cohort retention, JSON
-    //      property extraction (ints end to end for oracle parity) ----
-
-    "q44_funnel" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_type"), col("ts").as("tns"))
-      val s1 = e.filter(col("event_type") === "click")
-        .groupBy("user_id").agg(min(col("tns")).as("t1"))
-      val s2 = e.join(broadcast(s1), "user_id")
-        .filter(col("event_type") === "signup" && col("tns") > col("t1"))
-        .groupBy("user_id").agg(min(col("tns")).as("t2"))
-      val s3 = e.join(broadcast(s2), "user_id")
-        .filter(col("event_type") === "purchase" && col("tns") > col("t2"))
-        .groupBy("user_id").agg(min(col("tns")).as("t3"))
-      // One aggregation over the stage-joined frame (stack unpivots it);
-      // identical stage subtrees collapse via ReuseExchange rather than
-      // three unioned aggregate branches re-deriving s1.
-      s1.join(s2, Seq("user_id"), "left")
-        .join(s3, Seq("user_id"), "left")
-        .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
-          count(col("t3")).as("n3"))
-        .selectExpr(
-          """stack(3, 'stage1_click', n1, 'stage2_signup', n2,
-            |'stage3_purchase', n3) AS (stage, n_users)""".stripMargin)
-        .orderBy("stage")
-    }),
-
-    "q45_retention" -> ((s, dir) => {
-      // Integer day buckets from nanosecond epochs: `div`, never double
-      // division (ns magnitudes exceed double's exact-integer range).
-      val e = t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
-      val first = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-      val ret = first.join(e,
-          e("user_id") === first("user_id") &&
-            e("day") === first("cohort_day") + 1)
-        .select(first("user_id"), first("cohort_day"))
-        .distinct()
-        .withColumn("__r", lit(1))
-      first.join(ret, Seq("user_id", "cohort_day"), "left")
-        .groupBy("cohort_day")
-        .agg(count(lit(1)).as("n_users"), count(col("__r")).as("n_retained"))
-        .orderBy("cohort_day")
-    }),
-
-    "q46_json_props" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
-        .orderBy("event_type")
-    }),
-
-    // ---- temporal joins (TemporalJoin: as-of + interval containment) ----
-
-    "q61_asof_join" -> ((s, dir) => {
-      // Point-in-time enrichment: each purchase with the most recent view
-      // by the same user at or before it (ties -> greatest view_id).
-      // Microsecond ordinates on BOTH engines: DuckDB parses the parquet
-      // TIMESTAMP(NANOS) at us precision, so truncating before the join
-      // keeps the two engines' comparison semantics identical (truncating
-      // only the output would let a sub-us ordering difference flip a
-      // match).
-      val e = t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("tus"))
-      val l = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("tus").as("purchase_tus"))
-      val r = e.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
-          col("tus").as("view_tus"))
-      TemporalJoin.asofJoin(l, "user_id", "purchase_tus",
-          r, "vuser", "view_tus", "view_id", Seq("view_id", "view_tus"))
-        .orderBy("purchase_id")
-    }),
-
-    "q62_range_join" -> ((s, dir) => {
-      // Incident attribution: clicks landing inside each error's 5-minute
-      // follow-up window [ts, ts+300s], per user; outer counts via
-      // aggregate-then-join-back (intervalJoin pairs are inner).
-      val e = t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("tus")) // us ordinates — see q61
-      val iv = e.filter(col("event_type") === "error")
-        .select(col("event_id").as("error_id"), col("user_id").as("euser"),
-          col("tus").as("start_tus"),
-          (col("tus") + lit(300000000L)).as("end_tus"))
-      val p = e.filter(col("event_type") === "click")
-        .select(col("user_id").as("cuser"), col("tus").as("click_tus"))
-      val counts = TemporalJoin.intervalJoin(iv, "euser", "start_tus",
-          "end_tus", p, "cuser", "click_tus", bucketWidth = 300000000L)
-        .groupBy("error_id")
-        .agg(count(lit(1)).as("n_clicks"),
-          min(col("click_tus")).as("first_click_tus"),
-          max(col("click_tus")).as("last_click_tus"))
-      iv.select("error_id").join(counts, Seq("error_id"), "left")
-        .select(col("error_id"),
-          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
-          col("first_click_tus"), col("last_click_tus"))
-        .where(col("n_clicks") >= 0) // see q66: keep count() honest
-        .orderBy("error_id")
-    }),
-
-    // ---- Bloom-prefiltered incremental ingest: q53's exact semantics
-    //      (the sketch only routes rows — negatives bypass the anti-join,
-    //      positives still adjudicate against the corpus digests), so the
-    //      oracle replays plain incremental dedup and MUST hash-match
-    //      regardless of the sketch's false-positive rate ----
-
-    "q63_bloom_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
-      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .unionAll(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
-      Dedup.incrementalBloom(batch, corpus, "text", "doc_id",
-          expectedCorpusDocs = 1 << 16)
-        .select(col("doc_id"), col("lang"), col("batch_dup_count"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- sharded-Bloom artifact ingest: both persisted membership
-    //      artifacts (digest frame + per-shard sketch array) prebuilt,
-    //      batch routed per row through its own shard's sketch; result
-    //      is sketch-independent, so the oracle is plain ingest ----
-
-    "q68_sharded_bloom_ingest" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
-      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
-      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
-        .unionAll(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-          .withColumn("doc_id", col("doc_id") + 2000000L))
-      val digests = Dedup.corpusDigests(corpus, "text")
-      val sketches = Dedup.shardedDigestSketch(digests, shards = 8,
-        expectedItemsPerShard = 1 << 13)
-      Dedup.incrementalBloomSharded(batch, digests, "text", "doc_id",
-          sketches)
-        .select(col("doc_id"), col("lang"), col("batch_dup_count"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- deterministic sequence packing: route docs to 16 packing
-    //      streams by the multiplicative hash, greedy-fill 512-token
-    //      packs; the whole layout is integer arithmetic the oracle
-    //      replays (same mixedKey replay as q59) ----
-
-    "q69_pack_sequences" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val withCounts = t(s, dir, "documents").select(col("doc_id"),
-        coalesce(call_function("graft_token_count", col("text")), lit(0L))
-          .as("n_tokens"))
-      Sampling.packSequences(withCounts, "doc_id", "n_tokens",
-          budgetTokens = 512, groups = 16, salt = 13L)
-        .orderBy("doc_id")
-    }),
-
-    // ---- SemDeDup-style semantic dedup: nearest-centroid partition +
-    //      within-cluster exact cosine. Scaled clones (×2, exact in
-    //      float) of vecs 0-3 inject cosine-1.0 semantic pairs; scale
-    //      invariance puts each clone in its original's cluster ----
-
-    "q70_semantic_dedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val clones = emb.filter(col("vec_id") < 4)
-        .select((col("vec_id") + 100000L).as("vec_id"),
-          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
-      Dedup.semanticDuplicates(emb.unionAll(clones), "vec_id", "embedding",
-          centroids, "vec_id", "embedding", threshold = 0.95,
-          maxClusterSize = 1000)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- BM25 keyword retrieval: fixed-point micro-unit scores make
-    //      the float sum order-independent, so the oracle hash-matches
-    //      the full (rank, score) output ----
-
-    "q71_bm25_topk" -> ((s, dir) => {
-      val queries = s.createDataFrame(Seq(
-        (1L, "spark join hash"),
-        (2L, "customer order query"),
-        (3L, "vector stream window group"))).toDF("qid", "qtext")
-      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-          queries, "qid", "qtext", k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- BM25 from PERSISTED artifacts: the index build runs once per
-    //      snapshot (inside this query, for the harness); the probe is
-    //      scoring-only with term-literal scan pushdown. Fixed-point
-    //      scores identical to q71 — same oracle SQL replays both ----
-
-    "q78_bm25_persisted" -> ((s, dir) => {
-      val art = tmpDir("graft-bm25-art")
-      TextAnalysis.bm25ArtifactsSave(t(s, dir, "documents"), "doc_id",
-        "text", art)
-      val queries = s.createDataFrame(Seq(
-        (1L, "spark join hash"),
-        (2L, "customer order query"),
-        (3L, "vector stream window group"))).toDF("qid", "qtext")
-      TextAnalysis.bm25TopKPersisted(s, art, queries, "qid", "qtext",
-          k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- composite-key exact dedup: one survivor (min doc_id) per
-    //      (lang, source) stratum — deterministic because doc_id is
-    //      unique, so the oracle's min-id rejoin replays it exactly ----
-
-    "q64_composite_dedup" -> ((s, dir) => {
-      Dedup.exactByColumns(
-          t(s, dir, "documents").select("doc_id", "lang", "source"),
-          Seq("lang", "source"), "doc_id")
-        .orderBy("doc_id")
-    }),
-
-    // ---- exact repeated-span dedup (Lee et al. 2022 substring dedup at
-    //      W-token granularity): windows keyed by md5 of the joined
-    //      tokens, so the oracle replays hashes bit-exactly ----
-
-    "q65_repeated_spans" -> ((s, dir) => {
-      Dedup.repeatedSpans(t(s, dir, "documents").select("doc_id", "text"),
-          "doc_id", "text", windowTokens = 8, minOccurrences = 2)
-        .orderBy("doc_id", "span_start")
-    }),
-
-    "q66_strip_spans" -> ((s, dir) => {
-      Dedup.stripRepeatedSpans(
-          t(s, dir, "documents").select("doc_id", "text"),
-          "doc_id", "text", windowTokens = 8, minOccurrences = 2)
-        // non-foldable predicate on the rebuilt side: without it, a bare
-        // count() of this query lets Catalyst ELIMINATE the strip join
-        // entirely (left join on a unique-keyed aggregate preserves
-        // cardinality), and the bench would time a projection instead of
-        // the pipeline
-        .where(col("kept_tokens") >= 0)
-        .select(col("doc_id"), col("kept_tokens"), col("dropped_tokens"),
-          substring(col("text"), 1, 80).as("text_head"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- ingest-time span cleanup: the corpus's hot window keys become
-    //      a persisted artifact (parquet round-trip inside the query, as
-    //      a real ingest would read it) and the batch strips against it
-    //      without re-reading the corpus ----
-
-    "q67_span_ingest" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-      val art = tmpDir("graft-spankeys")
-      Dedup.repeatedSpanKeys(corpus, "text", windowTokens = 8,
-          minOccurrences = 2)
-        .write.mode("overwrite").parquet(art)
-      Dedup.stripSpansAgainstKeys(batch, "doc_id", "text",
-          s.read.parquet(art), windowTokens = 8)
-        .where(col("kept_tokens") >= 0) // see q66: keep count() honest
-        .select(col("doc_id"), col("kept_tokens"), col("dropped_tokens"),
-          substring(col("text"), 1, 80).as("text_head"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- corpus length distribution (exact interpolated percentiles) ----
-
-    "q43_length_stats" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("n_chars")).as("min_chars"),
-          max(col("n_chars")).as("max_chars"),
-          (sum(col("n_chars")).cast("double") /
-            count(lit(1)).cast("double")).as("mean_chars"),
-          percentile(col("n_chars"), lit(0.5)).as("p50"),
-          percentile(col("n_chars"), lit(0.9)).as("p90"))
-        .orderBy("lang")
-    }),
-
-    // ---- metrics counters analog (SURVEY §2.5 A3) ----
-
-    "q21_agg_metrics" -> ((s, dir) => {
-      t(s, dir, "events").agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("user_id")).as("users"),
-        count(when(col("event_type") === "error", 1)).as("errors"))
-    }),
-
-    // ---- LSH-verified near-dup (oracle: exact all-pairs Jaccard) ----
-
-    "q30_minhash_dups" -> ((s, dir) => {
-      Dedup.minhashDuplicatesVerified(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.8, shingleSize = 3, numHashes = 128, bands = 32)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "q34_embedding_dups" -> ((s, dir) => {
-      Dedup.embeddingDuplicates(t(s, dir, "embeddings"), "vec_id",
-          "embedding", threshold = 0.95, planes = 8, bands = 24)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- multimodal metadata stage (SQL-checkable subset) ----
-
-    "q33_multimodal_meta" -> ((s, dir) => {
-      Multimodal.decodeStage(
-          t(s, dir, "documents")
-            .select(col("doc_id"), col("text").cast("binary").as("payload")),
-          "payload")
-        .select(col("doc_id"), col("media_meta.format").as("format"),
-          col("media_meta.ok").as("ok"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- duplicate clustering: connected components over near-dup pairs
-    //      (min-label propagation + pointer jumping; oracle = recursive
-    //      transitive closure over the same exact-Jaccard edge set) ----
-
-    "q37_dup_clusters" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-        n = 3, threshold = 0.6)
-      Dedup.duplicateClusters(docs, "doc_id", pairs)
-        .orderBy("doc_id")
-    }),
-
-    // ---- quality-aware survivor selection (FineWeb-style keep
-    //      decision): per duplicate cluster keep the member with the
-    //      highest lexical-diversity score, ties -> lowest id. Same
-    //      cluster assignment as q37; the score is exact integer-ratio
-    //      arithmetic so the oracle replays it bit-for-bit ----
-
-    "q79_quality_survivors" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-        n = 3, threshold = 0.6)
-      Dedup.qualitySurvivors(diversityScored(docs), "doc_id", pairs, "score")
-        .orderBy("cluster_id")
-    }),
-
-    // ---- the flagship dedup pipeline with the quality-first keep
-    //      decision: exact collapse -> LSH+verified pairs (recall ~1 at
-    //      threshold 0.8, so the oracle's exact all-pairs replay
-    //      matches) -> highest-score survivor per duplicate cluster ----
-
-    "q80_quality_pipeline" -> ((s, dir) => {
-      Dedup.dedupPipelineQuality(diversityScored(t(s, dir, "documents")),
-          "doc_id", "text", "score", threshold = 0.8)
-        .orderBy("doc_id")
-    }),
-
-    // ---- q79 with STRING document ids (URLs/UUIDs are the common
-    //      real-corpus shape): same clusters, same argmax, tie-break on
-    //      the id's own lexicographic order via graft_arg_best ----
-
-    "q82_quality_survivors_strid" -> ((s, dir) => {
-      val docs = strIdDocs(t(s, dir, "documents"))
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-        n = 3, threshold = 0.6)
-      Dedup.qualitySurvivors(diversityScored(docs), "doc_id", pairs, "score")
-        .orderBy("cluster_id")
-    }),
-
-    // ---- q80 with STRING document ids: the full quality-first dedup
-    //      pipeline over string keys ----
-
-    "q83_quality_pipeline_strid" -> ((s, dir) => {
-      Dedup.dedupPipelineQuality(
-          diversityScored(strIdDocs(t(s, dir, "documents"))),
-          "doc_id", "text", "score", threshold = 0.8)
-        .orderBy("doc_id")
-    }),
-
-    // ---- capstone corpus build: decontaminate → quality filter →
-    //      budgeted language mix → leakage-safe split, all under ONE
-    //      oracle — the operators composing as a real corpus-prep
-    //      pipeline would run them ----
-
-    "q60_corpus_build" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select("doc_id", "lang", "text", "n_chars")
-      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      val clean = TextAnalysis.decontaminate(docs, "doc_id", "text",
-          bench, "text", n = 3)
-        .filter(col("is_clean"))
-        .select("doc_id", "lang", "text", "n_chars")
-      val good = clean
-        .withColumn("__q", TextAnalysis.qualityFeatures(col("text")))
-        .filter(col("__q.n_tokens") >= 40 &&
-          col("__q.mean_token_len") >= 3.0 &&
-          col("__q.mean_token_len") <= 10.0 &&
-          col("__q.n_distinct_tokens").cast("double") >=
-            col("__q.n_tokens") * 0.2)
-        .drop("__q")
-      // cache: `mixed` feeds pair generation, the split's node set, and
-      // the final join-back — without it the decontaminate + filter +
-      // mix upstream (incl. the benchmark shingle join) runs three times
-      val mixed = Sampling.budgetedMix(good, "lang", "doc_id", "n_chars",
-        Map("en" -> 25000L, "de" -> 10000L, "fr" -> 1000000L,
-          "zh" -> 5000L), salt = 17L)
-        .cache()
-      val pairs = Dedup.ngramJaccard(mixed, "doc_id", "text",
-        n = 3, threshold = 0.6)
-      Dedup.leakageSafeSplit(mixed, "doc_id", pairs, trainFrac = 0.7,
-          validationFrac = 0.15, salt = 5L)
-        .join(mixed.select("doc_id", "lang", "n_chars"), "doc_id")
-        .groupBy("split", "lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).cast("long").as("total_chars"))
-        .orderBy("split", "lang")
-    }),
-
-    // ---- deterministic shuffled-shard export: reproducible pseudo-random
-    //      shard assignment + within-shard order; read back and prove the
-    //      layout via per-shard stats the oracle recomputes from keys ----
-
-    "q59_shuffled_shards" -> ((s, dir) => {
-      val out = tmpDir("graft-shards")
-      Sampling.writeShuffledShards(
-        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
-        "doc_id", numShards = 8, out, salt = 13L)
-      s.read.parquet(out)
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"),
-          min_by(col("doc_id"), Sampling.mixedKey(col("doc_id"), 13L))
-            .as("first_doc"),
-          max_by(col("doc_id"), Sampling.mixedKey(col("doc_id"), 13L))
-            .as("last_doc"),
-          sum(col("n_chars")).cast("long").as("total_chars"))
-        .orderBy("shard")
-    }),
-
-    // ---- per-source corpus report card: composition + duplication by
-    //      (source, lang), integer-exact aggregates so the ratios
-    //      hash-match (single division of exact long sums) ----
-
-    "q58_corpus_report" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      t(s, dir, "documents")
-        .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(TextAnalysis.fingerprint(col("text")))
-            .as("n_unique_texts"),
-          sum(col("n_chars")).cast("long").as("total_chars"),
-          sum(call_function("graft_token_count", col("text")))
-            .cast("long").as("total_tokens"))
-        .withColumn("tokens_per_doc",
-          col("total_tokens").cast("double") / col("n_docs").cast("double"))
-        .orderBy("source", "lang")
-    }),
-
-    // ---- corpus-wide paragraph dedup (C4-style boilerplate strip): docs
-    //      get paragraph structure (20-token chunks) plus an injected
-    //      boilerplate paragraph in EVERY doc; dedup keeps each distinct
-    //      paragraph's first (doc, position) occurrence corpus-wide ----
-
-    "q57_paragraph_dedup" -> ((s, dir) => {
-      val chunks = TextAnalysis.chunk(t(s, dir, "documents"),
-        "doc_id", "text", maxTokens = 20)
-      val pdocs = chunks.groupBy("doc_id")
-        .agg(concat(lit("subscribe to our newsletter today\n\n"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("chunk_idx"),
-              col("chunk_text")))),
-            c => c("chunk_text")), "\n\n")).as("text"))
-      Dedup.dedupParagraphs(pdocs, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // ---- leakage-safe splitting: split hashed on the duplicate-CLUSTER
-    //      representative, so near-dup pairs never straddle train/eval ----
-
-    "q56_leakage_safe_split" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-        n = 3, threshold = 0.6)
-      Dedup.leakageSafeSplit(docs, "doc_id", pairs,
-          trainFrac = 0.7, validationFrac = 0.15, salt = 5L)
-        .orderBy("doc_id")
-    }),
-
-    // ---- PII scrubbing (extension; Java-regex/RE2-portable patterns) ----
-
-    "q38_pii_scrub" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.emailCount(col("text")).as("n_emails"),
-          TextAnalysis.ipCount(col("text")).as("n_ips"),
-          TextAnalysis.redactPii(col("text")).as("redacted"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- token-budget chunking (extension) ----
-
-    "q41_chunking" -> ((s, dir) => {
-      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
-          maxTokens = 16, overlap = 4)
-        .orderBy("doc_id", "chunk_idx")
-    }),
-
-    // ---- the composed corpus-prep pipeline: quality filter → exact
-    //      dedup → token-budget chunking, per-doc chunk accounting ----
-
-    "q42_pipeline" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val quality = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .filter(call_function("graft_token_count", col("text")) >= 20)
-      val unique = Dedup.exactByFingerprint(quality, "text", "doc_id")
-      TextAnalysis.chunk(unique, "doc_id", "text", maxTokens = 32)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(col("chunk_tokens")).as("total_tokens"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- corpus-frequency familiarity scoring (extension) ----
-
-    "q39_familiarity" -> ((s, dir) => {
-      TextAnalysis.unigramFamiliarity(t(s, dir, "documents"),
-          "doc_id", "text", vocabSize = 200)
-        .orderBy("doc_id")
-    }),
-
-    // ---- SimHash near-dup, oracle-checked end to end: the per-token
-    //      feature hash is MD5-lo64 (= DuckDB md5_number_lower), the
-    //      16-bit banding is a pigeonhole GUARANTEE at distance ≤ 3, and
-    //      the exact Hamming verify drops band false-positives — so the
-    //      output equals the all-pairs computation the oracle runs. ----
-
-    "q31_simhash_dups" -> ((s, dir) => {
-      Dedup.simhashDuplicates(t(s, dir, "documents"), "doc_id", "text",
-          maxDistance = 3, hashKind = graft.functions.SketchOps.HashMd5Lo64)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- hyperplane-LSH ANN, oracle-checked: LCG-generated plane signs
-    //      are pure integer arithmetic DuckDB replays exactly, so the
-    //      candidate set (and therefore the exact-scored top-k) is
-    //      engine-independent. ----
-
-    "q32_lsh_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          emb, "vec_id", "embedding", k = 10,
-          planesPerBand = 4, bands = 12,
-          planeGen = graft.functions.SketchOps.PlaneLcg)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- skew guards under oracle check: the doc-frequency cutoff and
-    //      the LSH bucket cap, on input where they actually drop data ----
-
-    // ---- asymmetric containment: derived docs = each %10 doc's first
-    //      half; their shingles are a subset of the original's, so
-    //      containment(derived→orig) = 1.0 while Jaccard sits near
-    //      0.5 — the quote/subset case a Jaccard threshold misses.
-    //      Oracle replays both directions from one intersection ----
-
-    "q97_ngram_containment" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val toks = TextAnalysis.tokens(col("text"))
-      val derived = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          array_join(slice(toks, lit(1),
-            greatest(lit(3L), floor(size(toks) / 2)).cast("int")), " ")
-            .as("text"))
-      Dedup.ngramContainment(docs.unionByName(derived), "doc_id", "text",
-          n = 3, threshold = 0.9)
-        .orderBy("doc_id", "other_id")
-    }),
-
-    // ---- the containment ACTION on the same corpus: derived half-docs
-    //      are dropped toward their bigger hosts, everything else
-    //      survives; oracle replays the drop rule (bigger host, or
-    //      equal-size lower id) over the q97 CTEs ----
-
-    "q99_drop_contained" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val toks = TextAnalysis.tokens(col("text"))
-      val derived = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          array_join(slice(toks, lit(1),
-            greatest(lit(3L), floor(size(toks) / 2)).cast("int")), " ")
-            .as("text"))
-      Dedup.dropContained(docs.unionByName(derived), "doc_id", "text",
-          n = 3, threshold = 0.9)
-        .select(col("doc_id"), octet_length(col("text")).cast("long")
-          .as("n_bytes"))
-        .orderBy("doc_id")
-    }),
-
-    "q47_jaccard_capped" -> ((s, dir) => {
-      // maxShingleDocFreq=4 drops every clone-group shingle (df ≥ 6) and
-      // the base corpus's df 5–7 tail — the posting-list cutoff that
-      // bounds join fan-out at corpus scale, proven value-correct here.
-      Dedup.ngramJaccard(clonedDocs(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.8, maxShingleDocFreq = 4)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "q48_minhash_capped" -> ((s, dir) => {
-      // maxBucketSize=4 drops every bucket holding a 6-member clone
-      // group, so no clone pair can surface — the residual skew guard
-      // for massive duplicate clusters. The oracle replays the effect:
-      // exact all-pairs Jaccard minus pairs touching a capped group.
-      Dedup.minhashDuplicatesVerified(clonedDocs(s, dir), "doc_id", "text",
-          threshold = 0.8, shingleSize = 3, numHashes = 128, bands = 32,
-          maxBucketSize = 4)
-        .orderBy("id_a", "id_b")
-    }),
-
-    // ---- persisted IVF index: write partitioned by centroid, answer
-    //      probes through the partition-pruned read path ----
-
-    "q49_ivf_persisted" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
-      val indexDir = tmpDir("graft-ivf-index")
-      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
-        centroids, "vec_id", "embedding", indexDir)
-      Similarity.ivfTopKFromIndex(s, indexDir,
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- incremental index ingest: base index + appended batch must
-    //      answer EXACTLY like one index over the union corpus (q49's
-    //      oracle, unchanged — the append is physical only) ----
-
-    "q88_ivf_appended" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
-      val indexDir = tmpDir("graft-ivf-append")
-      Similarity.ivfIndexWrite(
-        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
-        centroids, "vec_id", "embedding", indexDir)
-      Similarity.ivfIndexAppend(
-        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
-        centroids, "vec_id", "embedding", indexDir)
-      Similarity.ivfTopKFromIndex(s, indexDir,
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- recall after centroid-blind append vs refit: a drifted batch
-    //      (direction-reversed embeddings under shifted ids — a later
-    //      crawl whose distribution the build-time centroids never saw)
-    //      appended under the STALE centroid set vs a full rebuild
-    //      under a REFIT set selected from the union; recall@10 for
-    //      drifted-region queries against brute-force truth, both
-    //      indexes side by side. The quantitative drift curve and the
-    //      rebuild trigger live in BASELINE (IvfDriftStress); this
-    //      query oracle-pins the measurement machinery itself. ----
-
-    "q95_ivf_append_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val drifted = emb.select((col("vec_id") + 100000L).as("vec_id"),
-        reverse(col("embedding")).as("embedding"))
-      val union = emb.unionByName(drifted)
-      val stale = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
-      val refit = union.filter(pmod(col("vec_id"), lit(43)) === 0)
-      val dirA = tmpDir("graft-ivf-drift-append")
-      val dirB = tmpDir("graft-ivf-drift-refit")
-      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
-        stale, "vec_id", "embedding", dirA)
-      Similarity.ivfIndexAppend(drifted, "vec_id", "embedding",
-        stale, "vec_id", "embedding", dirA)
-      Similarity.ivfIndexWrite(union, "vec_id", "embedding",
-        refit, "vec_id", "embedding", dirB)
-      val queries = drifted.filter(col("vec_id") < 100005L)
-      val truth = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
-        union, "vec_id", "embedding", k = 10)
-      val stale10 = Similarity.ivfTopKFromIndex(s, dirA, queries,
-        "vec_id", "embedding", stale, "vec_id", "embedding",
-        k = 10, nprobe = 3)
-      val refit10 = Similarity.ivfTopKFromIndex(s, dirB, queries,
-        "vec_id", "embedding", refit, "vec_id", "embedding",
-        k = 10, nprobe = 3)
-      Similarity.recallAtK(truth, stale10, 10)
-        .select(col("query_id"), col("recall").as("recall_stale"))
-        .join(Similarity.recallAtK(truth, refit10, 10)
-          .select(col("query_id"), col("recall").as("recall_refit")),
-          "query_id")
-        .orderBy("query_id")
-    }),
-
-    // ---- fitted-centroid assignment: fitCentroids' SQL-replayable hash
-    //      seeding (LCG rank over ids) + the nearest-centroid kernel ----
-
-    "q50_ivf_fitted" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val cent = Similarity.fitCentroids(emb, "vec_id", "embedding",
-        k = 8, iterations = 0, seeding = Similarity.SeedHash)
-      Similarity.ivfAssign(emb, "vec_id", "embedding",
-          cent, "centroid_id", "centroid")
-        .select(col("vec_id"), col("centroid_id"))
-        .orderBy("vec_id")
-    }),
-
-    // ---- benchmark decontamination: n-gram overlap against a held-out
-    //      eval set (here: every 97th doc), hash-keyed semi-join ----
-
-    "q51_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      TextAnalysis.decontaminate(docs, "doc_id", "text", bench, "text", n = 3)
-        .select(col("doc_id"), col("contaminated_ngrams"), col("is_clean"))
-        .where(col("contaminated_ngrams") >= 0) // see q66: keep count() honest
-        .orderBy("doc_id")
-    }),
-
-    // ---- fraction-thresholded decontamination: dirty above 50%
-    //      distinct-n-gram overlap with the benchmark (the GPT-3/PaLM
-    //      policy shape), vs q51's any-overlap flag ----
-
-    "q87_domain_cap" -> ((s, dir) => {
-      // at most 10 docs per source, best-first by length — every source
-      // exceeds the cap at sf0.01, and duplicate n_chars within a
-      // source exercises the lowest-id tie-break
-      Sampling.capPerKey(t(s, dir, "documents"), "source", "n_chars",
-          "doc_id", maxPerKey = 10)
-        .select("doc_id", "source", "n_chars")
-        .orderBy("source", "doc_id")
-    }),
-
-    "q81_decontaminate_fraction" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      TextAnalysis.decontaminateFraction(docs, "doc_id", "text", bench,
-          "text", n = 3, maxFraction = 0.5)
-        .select(col("doc_id"), col("contaminated_ngrams"),
-          col("total_ngrams"), col("contamination_fraction"),
-          col("is_clean"))
-        .where(col("contaminated_ngrams") >= 0) // see q66: keep count() honest
-        .orderBy("doc_id")
-    }),
-
-    // ---- deterministic corpus mixing: per-language token (char) budgets;
-    //      en/de downsample, fr's budget exceeds supply (keeps all),
-    //      zh has budget 0 and es none (both dropped) ----
-
-    "q52_corpus_mix" -> ((s, dir) => {
-      val mixed = Sampling.budgetedMix(t(s, dir, "documents"),
-        strataCol = "lang", keyCol = "doc_id", weightCol = "n_chars",
-        budgets = Map("en" -> 30000L, "de" -> 8000L, "fr" -> 1000000L,
-          "zh" -> 0L),
-        salt = 11L)
-      mixed.groupBy("lang")
-        .agg(count(lit(1)).as("kept_docs"),
-          sum(col("n_chars")).cast("long").as("kept_chars"))
-        .orderBy("lang")
-    }),
-
-    // ---- incremental-ingest dedup: a new batch deduped within itself
-    //      AND against the accepted corpus via a digest anti-join.
-    //      documents has no exact dups, so the batch manufactures them:
-    //      docs %3==0 (new) plus clones of docs %5==0 under shifted ids
-    //      — %15==0 texts appear twice in the batch (within-batch dedup
-    //      fires), %5==0 ∧ %3≠0 texts already sit in the corpus
-    //      (anti-join drops them) ----
-
-    "q53_incremental_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
-      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .unionAll(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
-      Dedup.incremental(batch, corpus, "text", "doc_id")
-        .select(col("doc_id"), col("lang"), col("batch_dup_count"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- cross-snapshot near-dup: a new batch (lightly-edited clones of
-    //      corpus docs under fresh ids) probed against the corpus's
-    //      PERSISTED minhash band-bucket + shingle artifacts (parquet
-    //      round-trip inside the query, as a real ingest would read
-    //      them); verification is exact Jaccard, so the oracle replays
-    //      the full cross-set computation ----
-
-    "q54_incremental_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
-        .withColumnRenamed("doc_id", "corpus_id")
-      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select((col("doc_id") + 1000000L).as("batch_id"),
-          concat(col("text"), lit(" zzappendtoken")).as("text"))
-      val art = tmpDir("graft-neardup-art")
-      Dedup.minhashBandBuckets(corpus, "corpus_id", "text")
-        .write.mode("overwrite").parquet(s"$art/buckets")
-      Dedup.shingleHashFrame(corpus, "corpus_id", "text", n = 3)
-        .write.mode("overwrite").parquet(s"$art/shingles")
-      Dedup.incrementalNearDup(batch, "batch_id", "text",
-          s.read.parquet(s"$art/buckets"), s.read.parquet(s"$art/shingles"),
-          "corpus_id", threshold = 0.8)
-        .orderBy("batch_id", "corpus_id")
-    }),
-
-    // ---- bucketed near-dup artifacts: same ingest semantics as q54,
-    //      corpus artifacts persisted as BUCKETED catalog tables so the
-    //      probe's candidate join never re-shuffles the corpus side;
-    //      bucketing is physical only → the oracle replays plain
-    //      cross-set Jaccard ----
-
-    "q72_bucketed_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
-        .withColumnRenamed("doc_id", "corpus_id")
-      val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 3000000L).as("batch_id"),
-          concat(col("text"), lit(" zzappendtoken")).as("text"))
-      Dedup.nearDupArtifactsSaveBucketed(corpus, "corpus_id", "text",
-        "graft_q72_buckets", "graft_q72_shingles", numBuckets = 8)
-      Dedup.incrementalNearDup(batch, "batch_id", "text",
-          s.table("graft_q72_buckets"), s.table("graft_q72_shingles"),
-          "corpus_id", threshold = 0.8)
-        .orderBy("batch_id", "corpus_id")
-    }),
-
-    // ---- ANN recall evaluation: the IVF approximation (q35's exact
-    //      configuration) measured per-query against brute-force ground
-    //      truth; recall = n_hits/k is an exact small-integer ratio, so
-    //      the oracle replays both searches and the metric hash-exactly ----
-
-    "q73_ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-      val truth = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
-        emb, "vec_id", "embedding", k = 10)
-      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
-      val approx = Similarity.ivfTopK(queries, "vec_id", "embedding",
-        emb, "vec_id", "embedding", centroids, "vec_id", "embedding",
-        k = 10, nprobe = 3)
-      Similarity.recallAtK(truth, approx, k = 10).orderBy("query_id")
-    }),
-
-    // ---- snapshot diff: the delta between two corpus snapshots by
-    //      content digest (added / removed / changed; unchanged docs not
-    //      emitted) — only (id, md5) rows ever reach the full-outer join ----
-
-    "q74_snapshot_diff" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 1)
-        .withColumn("text",
-          when(pmod(col("doc_id"), lit(7)) === 0,
-            concat(col("text"), lit(" editedtoken")))
-            .otherwise(col("text")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-          .select((col("doc_id") + 4000000L).as("doc_id"),
-            concat(col("text"), lit(" newdoc")).as("text")))
-      Dedup.snapshotDiff(docs, newSnap, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // ---- temperature mixing (T5-style alpha=0.5): per-source targets
-    //      derived from availability via fixed-point sqrt weights, then
-    //      the deterministic keep-predicate; output is the audited plan
-    //      (available/weight/target) plus the realized kept count ----
-
-    "q76_temperature_mix" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val plan = Sampling.temperatureMixPlan(docs, "source", total = 300L)
-      val kept = Sampling.temperatureMix(docs, "source", "doc_id",
-          total = 300L, salt = 5L)
-        .groupBy("source").agg(count(lit(1)).as("kept"))
-      plan.join(kept, Seq("source"), "left")
-        .withColumn("kept", coalesce(col("kept"), lit(0L)))
-        .where(col("kept") >= 0) // see q66: keep count() honest
-        .orderBy("source")
-    }),
-
-    // ---- temperature mixing WITH up-sampling (epochs): total = 4x the
-    //      corpus, so every non-dominant language's share exceeds its
-    //      availability — de/es/fr/zh hit the 3-epoch cap, en gets 2
-    //      full epochs plus a ~0.8 fractional epoch. Output is the
-    //      replicated corpus with its epoch index ----
-
-    "q84_temperature_mix_epochs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "lang")
-      val total = 4L * docs.count()
-      Sampling.temperatureMixEpochs(docs, "lang", "doc_id", total,
-          maxEpochs = 3L, salt = 9L)
-        .select("doc_id", "lang", "epoch")
-        .orderBy("lang", "doc_id", "epoch")
-    }),
-
-    // ---- budget-constrained quality thresholding: the score cutoff
-    //      that keeps >= 30% of corpus tokens, via the bins-row
-    //      histogram (observe-then-broadcast — no global sort); the
-    //      oracle replays stats, binning, and the top-down cumulative
-    //      walk with identical arithmetic ----
-
-    "q91_budget_threshold" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"),
-          TextAnalysis.tokenCount(col("text")).as("wt"))
-      val (thr, kept, total) = TextAnalysis.scoreThresholdForBudget(
-        docs, "n_chars", "wt", keepFraction = 0.3)
-      Seq((thr, kept, total))
-        .toDF("threshold", "kept_weight", "total_weight")
-    }),
-
-    // ---- URL canonicalization: messy URLs constructed from the
-    //      documents table (uppercase authority, default ports,
-    //      unsorted/trailing-& queries, fragments), normalized; the
-    //      oracle replays rule by rule with the same regexes ----
-
-    "q90_url_canonical" -> ((s, dir) => {
-      val canon = TextAnalysis.canonicalizeUrl(col("url"))
-      messyUrls(s, dir).select(col("doc_id"), canon.as("canon"),
-          TextAnalysis.urlHost(canon).as("host"),
-          TextAnalysis.apexDomain(TextAnalysis.urlHost(canon)).as("apex"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- opt-in tracking-param strip: utm_*/gclid/fbclid-class query
-    //      tokens dropped before the sort; a query left EMPTY by the
-    //      strip drops its '?' (stripped == never-tracked, the collapse
-    //      URL-keyed dedup needs); uppercase UTM_X and content params
-    //      survive. Oracle replays the token filter with the same
-    //      anchored RE2-safe pattern ----
-
-    "q93_url_strip_tracking" -> ((s, dir) => {
-      val stripped = TextAnalysis.canonicalizeUrl(col("url"),
-        stripTracking = true)
-      messyTrackedUrls(s, dir).select(col("doc_id"),
-          stripped.as("canon"),
-          TextAnalysis.urlHost(stripped).as("host"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- the curation chain end to end: canonical URL → apex domain →
-    //      per-domain cap (best-first by length). The composition real
-    //      crawl pipelines run before dedup; oracle replays q90's
-    //      rules + q87's rank shape over the derived apex key ----
-
-    "q92_domain_capped_urls" -> ((s, dir) => {
-      val canon = TextAnalysis.canonicalizeUrl(col("url"))
-      val withApex = messyUrls(s, dir).select(col("doc_id"), col("n_chars"),
-        TextAnalysis.apexDomain(TextAnalysis.urlHost(canon)).as("apex"))
-      Sampling.capPerKey(withApex, "apex", "n_chars", "doc_id",
-          maxPerKey = 20)
-        .select("doc_id", "apex", "n_chars")
-        .orderBy("doc_id")
-    }),
-
-    // ---- exact-quota deterministic sampling: exactly min(quota, n)
-    //      rows per stratum in mixed-key order — selection replayed by
-    //      the oracle as a window rank over the same integer hash ----
-
-    "q89_exact_quota_sample" -> ((s, dir) => {
-      Sampling.exactQuotaSample(
-          t(s, dir, "documents").select("doc_id", "lang"),
-          "lang", "doc_id", quota = 37, salt = 13L)
-        .orderBy("doc_id")
-    }),
-
-    // ---- hashed bag-of-tokens linear classifier scoring (fastText-/
-    //      CCNet-style quality model inference; weights here are the
-    //      derived integer-valued table so the oracle replays the
-    //      bucket→weight map as pure integer arithmetic) ----
-
-    "q85_quality_classifier" -> ((s, dir) => {
-      // MD5-lo64 feature hash = DuckDB md5_number_lower, the same
-      // external-parity trade q31 makes; production scoring uses the
-      // default xx64 kind (kernel parity spec-pinned in OpsSpec)
-      TextAnalysis.hashedLinearScore(t(s, dir, "documents"),
-          "doc_id", "text", TextAnalysis.derivedWeights(1 << 20),
-          hashKind = graft.functions.SketchOps.HashMd5Lo64)
-        .orderBy("doc_id")
-    }),
-
-    // ---- WebDataset tar-shard export: write the corpus as 8 tar shards
-    //      (text + lang payload entries per sample), then read back the
-    //      headers-only manifest. The oracle replays the whole layout —
-    //      shard routing via the Knuth mix, entry naming, UTF-8 byte
-    //      sizes — from the parquet alone, so a hash match proves the
-    //      binary sink wrote exactly the right bytes to exactly the
-    //      right files. ----
-
-    "q86_webdataset_export" -> ((s, dir) => {
-      val out = tmpDir("wds")
-      graft.sinks.WebDataset.writeShards(
-        t(s, dir, "documents").select("doc_id", "text", "lang"),
-        "doc_id", Seq("text" -> "txt", "lang" -> "lng"), out,
-        numShards = 8, salt = 3L)
-      graft.sinks.WebDataset.readManifest(s, out).orderBy("entry")
-    }),
-
-    // ---- snapshot diff, production form: the old side is a persisted
-    //      (id, digest) catalog artifact written once per accepted
-    //      snapshot — the old corpus is never re-read. Same delta as q74
-    //      by construction, and the oracle replays the same digest diff ----
-
-    "q75_snapshot_diff_ingest" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val art = tmpDir("graft-snapdiff-art")
-      Dedup.snapshotDigests(docs, "doc_id", "text")
-        .write.mode("overwrite").parquet(art)
-      val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 1)
-        .withColumn("text",
-          when(pmod(col("doc_id"), lit(7)) === 0,
-            concat(col("text"), lit(" editedtoken")))
-            .otherwise(col("text")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-          .select((col("doc_id") + 4000000L).as("doc_id"),
-            concat(col("text"), lit(" newdoc")).as("text")))
-      Dedup.snapshotDiffAgainstDigests(s.read.parquet(art), newSnap,
-          "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // ---- image directory scan + extraction stage (SURVEY §2.1 S2/S4, §2.4
-    //      I1-I5) on deterministic generated PNGs; Spark-side only (images
-    //      are not DuckDB-readable) → rows-only check ----
-
-    "q40_image_pipeline" -> ((s, dir) => {
-      val listed = graft.sources.Input.readImageDirectory(s,
-        genImageFixtures())
-      val good = s.sparkContext.longAccumulator("q40_good")
-      val bad = s.sparkContext.longAccumulator("q40_bad")
-      graft.operators.ImageStage.extract(listed, Schema.imageCsvSchema,
-          good, bad)
-        .select(col("image_name"), col("label"), col("image_height"),
-          col("image_width"), col("image_channels"),
-          substring(col("image"), 1, 24).as("image_b64_head"))
-        .orderBy("image_name")
-    }),
-
-    // ---- multimodal WebDataset export: the q40 image pipeline's
-    //      output written as tar shards with a BINARY raster entry +
-    //      a JSON metadata entry per sample. The manifest oracle
-    //      replays the full layout — shard routing, entry names, the
-    //      raster's h·w·c byte size, the metadata string's UTF-8
-    //      length — from the fixture construction constants, so a
-    //      hash match proves the sink put exactly the right number of
-    //      binary bytes under exactly the right names. Payload BYTE
-    //      content is golden-checked in WebDatasetSpec/GoldenImageSpec
-    //      (DuckDB cannot decode rasters). ----
-
-    "q94_webdataset_images" -> ((s, dir) => {
-      val listed = graft.sources.Input.readImageDirectory(s,
-        genImageFixtures())
-      val good = s.sparkContext.longAccumulator("q94_good")
-      val bad = s.sparkContext.longAccumulator("q94_bad")
-      val extracted = graft.operators.ImageStage.extract(listed,
-        Schema.imageCsvSchema, good, bad)
-      // raw raster payload: our b64 is URL-safe (-_); translate to the
-      // standard alphabet for unbase64 — engine-builtin decode, no UDF
-      val samples = extracted.select(
-        regexp_extract(col("image_name"), "-([0-9]+)\\.png$", 1)
-          .cast("long").as("img_id"),
-        unbase64(translate(col("image"), "-_", "+/")).as("raster"),
-        concat(lit("{\"name\":\""), col("image_name"),
-          lit("\",\"label\":\""), col("label"),
-          lit("\",\"split\":\""), col("split"),
-          lit("\",\"h\":"), col("image_height").cast("string"),
-          lit(",\"w\":"), col("image_width").cast("string"),
-          lit(",\"c\":"), col("image_channels").cast("string"),
-          lit("}")).as("meta"))
-      val out = tmpDir("wds-img")
-      graft.sinks.WebDataset.writeShards(samples, "img_id",
-        Seq("raster" -> "img", "meta" -> "json"), out, numShards = 2)
-      graft.sinks.WebDataset.readManifest(s, out).orderBy("entry")
-    }),
-
-    // ---- bigram LM familiarity: the CCNet-style perplexity gate as
-    //      exact integer arithmetic — fit add-one smoothed bigram stats
-    //      on the English stratum, score EVERY document by mean smoothed
-    //      bigram probability in micro-units; the oracle refits and
-    //      rescores the identical integer model ----
-
-    "q100_bigram_lm" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
-          "text", docs.filter(col("lang") === "en"), "text",
-          minBigramCount = 2L, minUnigramCount = 1L)
-        .orderBy("doc_id")
-    }),
-
-    // ---- boilerplate strip by document frequency: per-source footers
-    //      injected into every document get removed from ALL documents
-    //      (kept NOWHERE — the contrast with q57's keep-first paragraph
-    //      dedup); unique paragraphs are untouched ----
-
-    "q101_boilerplate_strip" -> ((s, dir) => {
-      val withFooter = t(s, dir, "documents")
-        .select(col("doc_id"),
-          concat_ws("\n\n", col("text"),
-            concat(lit("Subscribe to "), col("source"), lit(" today!")))
-            .as("text"))
-      Dedup.stripBoilerplateParagraphs(withFooter, "doc_id", "text",
-          minDocs = 10L)
-        .orderBy("doc_id")
-    }),
-
-    // ---- normalization-keyed exact dedup: whitespace-mangled clones
-    //      (doubled spaces, leading/trailing junk) collapse back onto
-    //      their originals; the survivor keeps its ORIGINAL bytes ----
-
-    "q102_normalized_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val mangled = docs.select((col("doc_id") + 3000000L).as("doc_id"),
-        concat(lit("  "), regexp_replace(col("text"), " ", "  "),
-          lit(" \t\n")).as("text"))
-      Dedup.exactNormalized(docs.unionByName(mangled), "text", "doc_id")
-        .select(col("doc_id"), col("dup_count"),
-          octet_length(col("text")).cast("long").as("n_bytes"))
-        .orderBy("doc_id")
-    }),
-
-    // ---- domain-level curation: per-host corpus stats (doc count +
-    //      integer mean quality), then the mean-quality gate that drops
-    //      whole domains with every document they contributed ----
-
-    "q103_domain_stats" -> ((s, dir) => {
-      val canon = TextAnalysis.canonicalizeUrl(col("url"))
-      val hosts = messyUrls(s, dir).select(col("doc_id"), col("n_chars"),
-        TextAnalysis.urlHost(canon).as("host"))
-      TextAnalysis.domainStats(hosts, "host", "n_chars")
-        .orderBy("host")
-    }),
-
-    "q104_domain_gate" -> ((s, dir) => {
-      val canon = TextAnalysis.canonicalizeUrl(col("url"))
-      val hosts = messyUrls(s, dir).select(col("doc_id"), col("n_chars"),
-        TextAnalysis.urlHost(canon).as("host"))
-      TextAnalysis.filterByDomainQuality(hosts, "host", "n_chars",
-          minMeanMicro = 290000000L)
-        .select("doc_id", "host", "n_chars")
-        .orderBy("doc_id")
-    }),
-
-    // ---- q100's production twin: the same integer bigram LM scored by
-    //      the single-pass graft_bigram_lm kernel (model as a plan
-    //      reference — zero joins, zero shuffle). Shares q100's oracle:
-    //      the two paths are value-identical by construction ----
-
-    "q105_bigram_lm_kernel" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val model = TextAnalysis.bigramLmFit(
-        docs.filter(col("lang") === "en"), "text",
-        minBigramCount = 2L, minUnigramCount = 1L)
-      TextAnalysis.bigramLmScoreKernel(docs.select("doc_id", "text"),
-          "doc_id", "text", model)
-        .orderBy("doc_id")
-    }),
-
-    // ---- C4-style line filter: 4-line docs built from the corpus (one
-    //      always-kept sentence, one too-short line, one data-driven
-    //      token line whose fate hangs on its last character, one
-    //      javascript line) cleaned by the rule set; the oracle replays
-    //      every keep decision line by line ----
-
-    // ---- incremental BM25 index maintenance: build on two-thirds of
-    //      the corpus, APPEND the rest, probe — the split df/stats
-    //      layout keeps every existing term's idf honest, so the result
-    //      is score-identical to a from-scratch build and q71's oracle
-    //      replays it over the full corpus ----
-
-    "q107_bm25_append" -> ((s, dir) => {
-      val art = tmpDir("graft-bm25-append")
-      val docs = t(s, dir, "documents")
-      TextAnalysis.bm25ArtifactsSave(
-        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text",
-        art)
-      TextAnalysis.bm25ArtifactsAppend(
-        docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text",
-        art)
-      val queries = s.createDataFrame(Seq(
-        (1L, "spark join hash"),
-        (2L, "customer order query"),
-        (3L, "vector stream window group"))).toDF("qid", "qtext")
-      TextAnalysis.bm25TopKPersisted(s, art, queries, "qid", "qtext",
-          k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- perceptual near-dup over image BYTES: aHash + banded Hamming
-    //      join over block-pattern PNG fixtures whose aHash recovers a
-    //      chosen 64-bit pattern EXACTLY (2×2 white/black blocks at
-    //      16×16 → the 8×8 mean threshold reads the pattern back), so
-    //      the expected pairs are constructed: byte-identical clones at
-    //      hamming 0 and one crafted 3-bit-band near-dup. No DuckDB
-    //      oracle can decode images (q40 precedent) — hash semantics
-    //      are golden-spec'd on the reference JPEGs; this row is the
-    //      rows-only distributed-path check ----
-
-    "q108_image_phash_dups" -> ((s, dir) => {
-      val base = new java.io.File(tmpDir("graft-phash"))
-      // pairwise-distant patterns + img1's 3-bit neighbor (band 0)
-      val patterns: Seq[(String, Long)] = Seq(
-        "img1" -> 0x0123456789ABCDEFL,
-        "img2" -> 0xF0E1D2C3B4A59687L,
-        "img3" -> 0x00FF00FF00FF00FFL,
-        "img4" -> 0x5A5A5A5AA5A5A5A5L,
-        "near1" -> (0x0123456789ABCDEFL ^ 0x7L),
-      )
-      patterns.foreach { case (name, p) =>
-        val img = new java.awt.image.BufferedImage(16, 16,
-          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        for (cy <- 0 until 8; cx <- 0 until 8) {
-          val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255 else 0
-          for (dy <- 0 until 2; dx <- 0 until 2)
-            img.getRaster.setSample(cx * 2 + dx, cy * 2 + dy, 0, v)
-        }
-        javax.imageio.ImageIO.write(img, "png",
-          new java.io.File(base, s"$name.png"))
-      }
-      val imgs = s.read.format("binaryFile")
-        .load(base.getAbsolutePath + "/*.png")
-        .select(regexp_extract(col("path"), "/([^/]+)\\.png$", 1)
-          .as("img_id"), col("content"))
-      val cloned = imgs.select(
-        concat(lit("copy-"), col("img_id")).as("img_id"), col("content"))
-      Multimodal.imageNearDuplicates(imgs.unionByName(cloned), "img_id",
-          "content")
-        .orderBy("id_a", "id_b")
-    }),
-
-    "q106_c4_line_filter" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      val built = t(s, dir, "documents").select(col("doc_id"),
-        concat(
-          lit("Quality sentence about "), col("source"), lit(".\n"),
-          lit("too short.\n"),
-          array_join(slice(toks, lit(1), lit(12)), " "), lit("\n"),
-          lit("Please enable JavaScript to view comments.")).as("text"))
-      TextAnalysis.c4LineFilter(built, "doc_id", "text",
-          minLineWords = 3, minKeptLines = 2)
-        .orderBy("doc_id")
-    }),
-
-    "q109_length_batches" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val withCounts = t(s, dir, "documents").select(col("doc_id"),
-        coalesce(call_function("graft_token_count", col("text")), lit(0L))
-          .as("n_tokens"))
-      Sampling.lengthBucketBatches(withCounts, "doc_id", "n_tokens",
-          boundaries = Seq(64, 128, 256, 512), batchTokens = 1024,
-          groups = 8, salt = 13L)
-        .orderBy("doc_id")
-    }),
-
-    "q110_token_vocab" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      TextAnalysis.tokenVocabFit(t(s, dir, "documents"), "text",
-          vocabSize = 50)
-        .orderBy("rank")
-    }),
-
-    "q123_blocklist_gate" -> ((s, dir) => {
-      TextAnalysis.filterByBlocklist(t(s, dir, "documents")
-          .select("doc_id", "lang", "text"), "text",
-          Seq("slyly final", "ironic", "QUICK brown"))
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
-    }),
-
-    "q122_contains_probe_kernel" -> ((s, dir) => {
-      // the Aho-Corasick path over a wider, overlap-heavy bank (prefix/
-      // suffix relations stress the failure links)
-      val probes = s.createDataFrame(Seq(
-        (1L, "carefully"), (2L, "care"), (3L, "fully"),
-        (4L, "slyly final"), (5L, "final"), (6L, "quick"),
-        (7L, "requests"), (8L, "quests"))).toDF("qid", "qstr")
-      TextAnalysis.containsProbeKernel(t(s, dir, "documents"), "doc_id",
-          "text", probes, "qid", "qstr", caseInsensitive = true)
-        .orderBy("query_id", "doc_id")
-    }),
-
-    "q121_contains_probe" -> ((s, dir) => {
-      val probes = s.createDataFrame(Seq(
-        (1L, "carefully"),
-        (2L, "slyly final"),
-        (3L, "QUICK brown"))).toDF("qid", "qstr")
-      TextAnalysis.containsProbe(t(s, dir, "documents"), "doc_id", "text",
-          probes, "qid", "qstr", caseInsensitive = true)
-        .orderBy("query_id", "doc_id")
-    }),
-
-    "q125_bpe_pair_stats" -> ((s, dir) => {
-      // the BPE fit's first-round frequency table, top-25 — external SQL
-      // replays the exact counts and the fit's deterministic tie-break
-      TextAnalysis.bpePairStats(t(s, dir, "documents"), "text", k = 25)
-        .orderBy("rank")
-    }),
-
-    "q126_bpe_roundtrip" -> ((s, dir) => {
-      // learned-BPE end to end on the real corpus: fit (one corpus pass
-      // + driver merges over the bounded word table) then the codegen
-      // encode kernel. The oracle-replayable invariant: tokenize →
-      // subword-encode → concatenate is content-preserving for every
-      // document (joined == whitespace-stripped lowercased text), with
-      // n_words pinning the tokenization the subwords came from. Merge
-      // SEMANTICS (which pairs, what order) are pinned by the q125
-      // stats oracle + the hand-computed OpsSpec sequence.
-      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
-      val model = TextAnalysis.bpeFit(docs, "text", numMerges = 200,
-        minWordCount = 2L)
-      TextAnalysis.bpeEncodeKernel(docs, "doc_id", "text", model)
-        .select(col("doc_id"),
-          concat_ws("", col("subwords")).as("joined"))
-        .join(docs.select(col("doc_id"),
-          size(call_function("graft_tokens", lower(col("text"))))
-            .cast("long").as("n_words")), "doc_id")
-        .select("doc_id", "n_words", "joined")
-        .orderBy("doc_id")
-    }),
-
-    "q128_bpe_artifact_roundtrip" -> ((s, dir) => {
-      // tokenizer lifecycle end to end: fit → persist the merge-table
-      // artifact → load → encode with the LOADED model (the q107/q88
-      // in-query-artifact pattern applied to the tokenizer). The
-      // oracle replays q126's content-preservation invariant; the
-      // engine-computed table_equal boolean (loaded merge table ==
-      // fitted, rank for rank) is pinned TRUE, so any save/load
-      // reorder or loss hash-mismatches
-      val art = tmpDir("graft-bpe-model")
-      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
-      val fit = TextAnalysis.bpeFit(docs, "text", numMerges = 200,
-        minWordCount = 2L)
-      TextAnalysis.bpeModelSave(s, fit, art)
-      val loaded = TextAnalysis.bpeModelLoad(s, art)
-      val tableEqual = loaded.lefts.sameElements(fit.lefts) &&
-        loaded.rights.sameElements(fit.rights) &&
-        loaded.maxWordLen == fit.maxWordLen && loaded.pretok == fit.pretok
-      TextAnalysis.bpeEncodeKernel(docs, "doc_id", "text", loaded)
-        .select(col("doc_id"),
-          concat_ws("", col("subwords")).as("joined"))
-        .join(docs.select(col("doc_id"),
-          size(call_function("graft_tokens", lower(col("text"))))
-            .cast("long").as("n_words")), "doc_id")
-        .select(col("doc_id"), col("n_words"),
-          lit(tableEqual).as("table_equal"), col("joined"))
-        .orderBy("doc_id")
-    }),
-
-    "q127_bpe_cjk" -> ((s, dir) => {
-      // the CJK-pretokenizer contract on genuinely spaceless Han text.
-      // The corpus's zh stratum is synthetic ASCII tokens, so the query
-      // first DERIVES real CJK deterministically: translate() maps the
-      // 26 letters onto 26 Han characters and DELETES spaces (27-char
-      // from, 26-char to — identical Postgres-style semantics in Spark
-      // and DuckDB), yielding one unbroken CJK run per document — the
-      // exact shape whitespace pretokenization chokes on (one giant
-      // "word" the fit skips and the encoder passes through unmerged).
-      // Under pretok='cjk' the run is real merge material. The oracle
-      // replays n_cp and pins three engine-computed contract booleans
-      // to TRUE: losslessness (subword concat rebuilds the text),
-      // has_merges (n_subwords < n_cp — the fit LEARNED something,
-      // impossible in ws mode), is_multi (n_subwords > 1 — no giant
-      // single token).
-      val from = "abcdefghijklmnopqrstuvwxyz "
-      val to = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
-      val zh = t(s, dir, "documents")
-        .filter(col("lang") === "zh" && col("text").isNotNull)
-        .select(col("doc_id"),
-          translate(lower(col("text")), from, to).as("zh_text"))
-      val model = TextAnalysis.bpeFit(zh, "zh_text", numMerges = 100,
-        pretok = graft.functions.BpeModel.PretokCjk)
-      TextAnalysis.bpeEncodeKernel(zh, "doc_id", "zh_text", model)
-        .join(zh, "doc_id")
-        .select(col("doc_id"),
-          length(col("zh_text")).cast("long").as("n_cp"),
-          (concat_ws("", col("subwords")) === col("zh_text"))
-            .as("is_lossless"),
-          (size(col("subwords")) < length(col("zh_text")))
-            .as("has_merges"),
-          (size(col("subwords")) > 1).as("is_multi"))
-        .orderBy("doc_id")
-    }),
-
-    "q124_tiered_title_dedup" -> ((s, dir) => {
-      // mixed-length titles (3 tokens for even ids, 8 for odd) with
-      // typos planted in both tiers: a 2-deletion variant of short
-      // titles (%6=0) pairs only through the d=2 short-tier pass, a
-      // 1-deletion variant of long titles (%6=3) only through the
-      // global d=1 pass — the documented tier contract end to end
-      val titles = t(s, dir, "documents").select(col("doc_id"),
-        array_join(slice(TextAnalysis.tokens(col("text")), lit(1),
-          when(pmod(col("doc_id"), lit(2)) === 0, lit(3)).otherwise(lit(8))),
-          " ").as("title"))
-      val typos2 = titles
-        .filter(pmod(col("doc_id"), lit(6)) === 0 && length(col("title")) >= 8)
-        .select((col("doc_id") + 700000L).as("doc_id"),
-          concat(substring(col("title"), 1, 2), substring(col("title"), 4, 3),
-            expr("substring(title, 8)")).as("title"))
-      val typos1 = titles
-        .filter(pmod(col("doc_id"), lit(6)) === 3 && length(col("title")) >= 4)
-        .select((col("doc_id") + 800000L).as("doc_id"),
-          concat(substring(col("title"), 1, 2), expr("substring(title, 4)"))
-            .as("title"))
-      Dedup.editDistanceDuplicatesTiered(
-          titles.unionByName(typos2).unionByName(typos1), "doc_id",
-          "title", d2MaxLen = 18)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "q120_title_dedup" -> ((s, dir) => {
-      // short-string (title) dedup: 3-token titles + planted one-char-
-      // deletion typos; SymSpell deletion-neighborhood candidates,
-      // exact levenshtein verify
-      val titles = t(s, dir, "documents").select(col("doc_id"),
-        array_join(slice(TextAnalysis.tokens(col("text")), 1, 3), " ")
-          .as("title"))
-      val typos = titles
-        .filter(pmod(col("doc_id"), lit(6)) === 0 && length(col("title")) >= 3)
-        .select((col("doc_id") + 700000L).as("doc_id"),
-          concat(substring(col("title"), 1, 2), expr("substring(title, 4)"))
-            .as("title"))
-      Dedup.editDistanceDuplicates(titles.unionByName(typos), "doc_id",
-          "title", maxDistance = 1)
-        .orderBy("id_a", "id_b")
-    }),
-
-    "q130_ivf_delete_compact" -> ((s, dir) => {
-      // the ANN index lifecycle twin of q129: build the partitioned
-      // IVF index → tombstone-delete a slice → COMPACT (fold the
-      // tombstones into a rewritten partition layout, corpus-free) →
-      // probe. Oracle = q49's exact IVF replay with the deleted ids
-      // removed from the ASSIGNED (index) side only — queries and
-      // centroids unchanged; lifecycle evidence gates the rows
-      val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
-      val indexDir = tmpDir("graft-ivf-del")
-      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
-        centroids, "vec_id", "embedding", indexDir)
-      Similarity.ivfIndexDelete(s, indexDir,
-        emb.filter(pmod(col("vec_id"), lit(17)) === 3).select("vec_id"),
-        "vec_id")
-      val evidence = Similarity.ivfIndexCompact(s, indexDir) &&
-        !graft.Fs.exists(s"$indexDir/_tombstones")
-      Similarity.ivfTopKFromIndex(s, indexDir,
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
-        .filter(lit(evidence))
-        .select("query_id", "rank", "neighbor_id")
-        .orderBy("query_id", "rank")
-    }),
-
-    // sentence-packed ~48-token chunks (sentences never split) via
-    // prefix-sum bucketing — q41's token-window chunker's sibling for
-    // retrieval units that must respect sentence boundaries; the same
-    // zero-shuffle projection+explode shape
-    "q131_chunk_sentences" -> ((s, dir) =>
-      TextAnalysis.chunkBySentence(t(s, dir, "documents"), "doc_id", "text",
-          targetTokens = 48)
-        .orderBy("doc_id", "chunk_id")),
-
-    // ---- DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169):
-    //      score every doc by log p_target − log p_raw over HASHED token
-    //      features (2^18 md5-lo64 buckets — the bounded-vocabulary
-    //      100 TB path, and the q85 external-hash-parity trade so the
-    //      oracle replays the buckets exactly); target = the English
-    //      slice. Per-feature micro-quantization keeps every per-doc
-    //      sum integer-exact across engines. ----
-
-    "q132_dsir_weights" -> ((s, dir) =>
-      Sampling.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
-          col("lang") === "en", hashBuckets = 1 << 18,
-          hashKind = graft.functions.SketchOps.HashMd5Lo64)
-        .orderBy("doc_id")),
-
-    // Gumbel top-k resampling over the q132 weights — sampling ∝
-    // exp(weight) without replacement, deterministic via the Knuth mix
-    // (the q89 replay contract), so the oracle picks the identical 100.
-    "q133_dsir_resample" -> ((s, dir) =>
-      Sampling.dsirResample(
-        Sampling.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
-          col("lang") === "en", hashBuckets = 1 << 18,
-          hashKind = graft.functions.SketchOps.HashMd5Lo64),
-        "doc_id", "weight_micro", k = 100, salt = 7L)),
-
-    // ---- artifact consistency audit: build the BM25 and IVF index
-    //      artifacts, run a delete on each (so the tombstone-aware
-    //      invariants are exercised, not vacuous), then the cross-table
-    //      validators — the detector for the "maintenance job died
-    //      between table updates" failure mode both delete contracts
-    //      document. All nine invariants must hold on a healthy
-    //      artifact; the oracle is the literal expected verdict table
-    //      (the corruption-DETECTION side is spec-pinned, where the
-    //      test can safely mangle tables). ----
-    // ---- cross-source duplication matrix: q97's derived-quote corpus
-    //      labeled by source ('quotes' for the derived half-docs), the
-    //      containment relation aggregated per (contained, host) source
-    //      pair — integer counts, the provenance leakage report ----
-    "q140_source_overlap_matrix" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
-      val toks = TextAnalysis.tokens(col("text"))
-      val derived = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
-          array_join(slice(toks, lit(1),
-            greatest(lit(3L), floor(size(toks) / 2)).cast("int")), " ")
-            .as("text"),
-          lit("quotes").as("source"))
-      Dedup.sourceOverlapMatrix(docs.unionByName(derived), "doc_id",
-          "text", "source", n = 3, threshold = 0.9)
-        .orderBy("source_contained", "source_host")
-    }),
-
-    // ---- hybrid retrieval: the BM25 lexical leg and the brute-force
-    //      semantic leg (both k=20) fused by reciprocal-rank fusion.
-    //      Rank-only fusion needs no score calibration across engines;
-    //      nano-unit floor quantization makes the fused score an
-    //      order-independent integer sum, so the oracle replays both
-    //      engines AND the fusion hash-exactly ----
-    "q137_hybrid_retrieval" -> ((s, dir) => {
-      val queries = s.createDataFrame(Seq(
-        (1L, "spark join hash"),
-        (2L, "customer order query"),
-        (3L, "vector stream window group"))).toDF("qid", "qtext")
-      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id",
-        "text", queries, "qid", "qtext", k = 20)
-      val emb = t(s, dir, "embeddings")
-      val sem = Similarity.bruteForceTopK(
-        emb.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
-        emb, "vec_id", "embedding", k = 20, excludeSelf = false)
-      Retrieval.rrfFuse(
-          Seq((lex, "doc_id", 1.0), (sem, "neighbor_id", 1.0)), k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    // ---- embedding-cluster-balanced coverage sample: nearest-centroid
-    //      assignment (q50's SQL-replayable hash-seeded centroids) +
-    //      a per-cluster exact quota via the mixed-key argmin ----
-    "q138_cluster_balanced_sample" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val cent = Similarity.fitCentroids(emb, "vec_id", "embedding",
-        k = 8, iterations = 0, seeding = Similarity.SeedHash)
-      Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
-          cent, "centroid_id", "centroid", quota = 50, salt = 7L)
-        .orderBy("vec_id")
-    }),
-
-    // ---- diversity-capped re-rank: brute-force top-30 candidates,
-    //      at most 3 per embedding cluster, best 10 survivors ----
-    "q139_diversified_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val cent = Similarity.fitCentroids(emb, "vec_id", "embedding",
-        k = 8, iterations = 0, seeding = Similarity.SeedHash)
-      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
-        cent, "centroid_id", "centroid").select("vec_id", "centroid_id")
-      val base = Similarity.bruteForceTopK(
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        emb, "vec_id", "embedding", k = 30)
-      Retrieval.diversifiedTopK(base, "neighbor_id",
-          assigned, "vec_id", "centroid_id", k = 10, maxPerGroup = 3)
-        .orderBy("query_id", "rank")
-    }),
-
-    "q136_artifact_audit" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val art = tmpDir("graft-audit-bm25")
-      TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
-      TextAnalysis.bm25ArtifactsDelete(s, art,
-        docs.filter(pmod(col("doc_id"), lit(5)) === 0).select("doc_id"),
-        "doc_id")
-      val emb = t(s, dir, "embeddings")
-      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
-      val idx = tmpDir("graft-audit-ivf")
-      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
-        centroids, "vec_id", "embedding", idx)
-      Similarity.ivfIndexDelete(s, idx,
-        emb.filter(pmod(col("vec_id"), lit(17)) === 3).select("vec_id"),
-        "vec_id")
-      TextAnalysis.bm25ArtifactsValidate(s, art)
-        .select(lit("bm25").as("family"), col("check"), col("ok"))
-        .unionByName(Similarity.ivfIndexValidate(s, idx)
-          .select(lit("ivf").as("family"), col("check"), col("ok")))
-        .orderBy("family", "check")
-    }),
-
-    // ---- persisted-DSIR lifecycle: fit the importance model ONCE on
-    //      the corpus (target = English slice), freeze it as an
-    //      artifact, then score a NEW batch (shifted ids + a token the
-    //      fit never saw, exercising the out-of-vocabulary weight)
-    //      without touching the fit corpus again. Oracle replays fit +
-    //      apply end to end. ----
-    "q135_dsir_apply_persisted" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val art = tmpDir("graft-dsir")
-      Sampling.dsirModelSave(docs, "doc_id", "text", col("lang") === "en",
-        art, hashBuckets = 1 << 18,
-        hashKind = graft.functions.SketchOps.HashMd5Lo64)
-      val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" zzqunseen")).as("text"))
-      Sampling.dsirModelApply(s, art, batch, "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-
-    // ---- GPT-style contiguous-stream packing: docs laid end to end in
-    //      Knuth-mix group-major order, cut into fixed 256-token
-    //      sequences, documents SPLITTING across boundaries (q69's
-    //      no-split packer's complement). One fragment row per
-    //      (doc × sequence) overlap; pure integer layout, replayed
-    //      end to end by the oracle. ----
-    "q134_stream_pack" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val withCounts = t(s, dir, "documents").select(col("doc_id"),
-        coalesce(call_function("graft_token_count", col("text")), lit(0L))
-          .as("n_tokens"))
-      Sampling.packTokenStream(withCounts, "doc_id", "n_tokens",
-          seqLen = 256, groups = 16, salt = 13L)
-        .orderBy("doc_id", "seq_id")
-    }),
-
-    "q129_bm25_compact" -> ((s, dir) => {
-      // the full index lifecycle: build → delete (tombstones) →
-      // COMPACT (fold tombstones into a fresh range-laid postings
-      // generation, corpus-free) → probe. The oracle is q119's exact
-      // survivor replay — compaction must be probe-invisible — and the
-      // lifecycle evidence gates the rows: if compaction failed to
-      // drop the tombstones or to advance the postings pointer, the
-      // filter empties the result and the row-count check goes red
-      val art = tmpDir("graft-bm25-compact")
-      val docs = t(s, dir, "documents")
-      TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
-      TextAnalysis.bm25ArtifactsDelete(s, art,
-        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id"),
-        "doc_id")
-      val didCompact = TextAnalysis.bm25ArtifactsCompact(s, art,
-        keepGenerations = 1)
-      // tombstones retire by GENERATION (r13): with keepGenerations = 1
-      // the legacy dir drops immediately and the current generation is
-      // an EMPTY table; a second compact must see nothing to fold
-      val evidence = didCompact &&
-        !graft.Fs.exists(s"$art/tombstones") &&
-        TextAnalysis.bm25PostingsDir(art).endsWith("postings_g0000") &&
-        !graft.Fs.exists(s"$art/postings") &&
-        TextAnalysis.bm25TombstonesDir(art).endsWith("tombstones_g0000") &&
-        s.read.parquet(TextAnalysis.bm25TombstonesDir(art)).isEmpty &&
-        !TextAnalysis.bm25ArtifactsCompact(s, art, keepGenerations = 1)
-      val queries = s.createDataFrame(Seq(
-        (1L, "spark join hash"),
-        (2L, "customer order query"),
-        (3L, "vector stream window group"))).toDF("qid", "qtext")
-      TextAnalysis.bm25TopKPersisted(s, art, queries, "qid", "qtext",
-          k = 10)
-        .filter(lit(evidence))
-        .orderBy("query_id", "rank")
-    }),
-
-    // build → delete a third of the corpus → probe: score-identical to
-    // an index built from the survivors alone (the delete lifecycle)
-    "q119_bm25_delete" -> ((s, dir) => {
-      val art = tmpDir("graft-bm25-del")
-      val docs = t(s, dir, "documents")
-      TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
-      TextAnalysis.bm25ArtifactsDelete(s, art,
-        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id"),
-        "doc_id")
-      val queries = s.createDataFrame(Seq(
-        (1L, "spark join hash"),
-        (2L, "customer order query"),
-        (3L, "vector stream window group"))).toDF("qid", "qtext")
-      TextAnalysis.bm25TopKPersisted(s, art, queries, "qid", "qtext",
-          k = 10)
-        .orderBy("query_id", "rank")
-    }),
-
-    // The corpus→training-batches capstone chain: artifact injection →
-    // clone injection → encoding-clean gate → exact dedup → vocab fit →
-    // token-id materialization → length-bucketed batch plan. Every
-    // stage is an already-oracle-verified operator; the oracle replays
-    // the whole composition.
-    "q118_training_chain" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val base = t(s, dir, "documents").select("doc_id", "text")
-      val built = base.select(col("doc_id"),
-        concat(col("text"),
-          when(pmod(col("doc_id"), lit(7)) === 0, lit(" bad�byte"))
-            .otherwise(lit(""))).as("text"))
-      val withClones = built.unionByName(
-        built.filter(pmod(col("doc_id"), lit(5)) === 0)
-          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
-      val clean = withClones.filter(
-        TextAnalysis.encodingArtifacts(col("text")).getField("is_clean"))
-      val surv = Dedup.exactByFingerprint(clean, "text", "doc_id")
-        .select("doc_id", "text")
-      val vocab = TextAnalysis.tokenVocabFit(surv, "text", vocabSize = 50)
-      val ids = TextAnalysis.tokenizeToIds(surv, "doc_id", "text", vocab)
-      val counted = ids.select(col("doc_id"),
-        size(col("token_ids")).cast("long").as("n_tokens"),
-        size(filter(col("token_ids"), x => x === -1L)).cast("long")
-          .as("n_oov"))
-      Sampling.lengthBucketBatches(counted, "doc_id", "n_tokens",
-          boundaries = Seq(64, 128, 256, 512), batchTokens = 1024,
-          groups = 8, salt = 13L)
-        .join(counted.select("doc_id", "n_oov"), Seq("doc_id"))
-        .orderBy("doc_id")
-    }),
-
-    "q117_semantic_sweep" -> ((s, dir) => {
-      // q70's construction, swept over three thresholds in one pass
-      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
-      val clones = emb.filter(col("vec_id") < 4)
-        .select((col("vec_id") + 100000L).as("vec_id"),
-          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
-      Dedup.semanticThresholdSweep(emb.unionAll(clones), "vec_id",
-          "embedding", centroids, "vec_id", "embedding",
-          thresholds = Seq(0.95, 0.98, 0.999), maxClusterSize = 1000)
-        .orderBy("threshold")
-    }),
-
-    "q116_dedup_provenance" -> ((s, dir) => {
-      // clone injection (the corpus has no exact dups at these SFs):
-      // every 4th doc gets one clone, every 20th a second
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      val c1 = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
-      val c2 = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
-      Dedup.exactProvenance(docs.unionByName(c1).unionByName(c2),
-          "text", "doc_id")
-        .orderBy("dropped_id")
-    }),
-
-    "q115_jsonl_shards" -> ((s, dir) => {
-      val out = tmpDir("graft-jsonl")
-      graft.sinks.Jsonl.writeShards(
-        t(s, dir, "documents").select("doc_id", "lang", "source", "text"),
-        "doc_id", numShards = 8, out, salt = 13L)
-      graft.sinks.Jsonl.manifest(s, out).orderBy("shard")
-    }),
-
-    // q113/q114: tokenized-dataset materialization, join form vs kernel
-    // twin. Array outputs are spec-verified; the harness emits the
-    // scalar profile (count/OOV/positional fold) the oracle can replay.
-    "q113_token_ids" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val docs = t(s, dir, "documents")
-      val vocab = TextAnalysis.tokenVocabFit(docs, "text", vocabSize = 50)
-      val ids = TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab)
-      ids.select(col("doc_id"),
-          size(col("token_ids")).cast("long").as("n_tokens"),
-          size(filter(col("token_ids"), x => x === -1L)).cast("long")
-            .as("n_oov"),
-          aggregate(
-            transform(col("token_ids"),
-              (x, i) => (x + 2L) * (i.cast("long") + 1L)),
-            lit(0L), (acc, x) => acc + x).as("ids_fold"))
-        .orderBy("doc_id")
-    }),
-
-    "q114_token_ids_kernel" -> ((s, dir) => {
-      graft.functions.GraftFunctions.ensureRegistered(s)
-      val docs = t(s, dir, "documents")
-      val model = TextAnalysis.tokenIdModel(
-        TextAnalysis.tokenVocabFit(docs, "text", vocabSize = 50))
-      val ids = TextAnalysis.tokenizeToIdsKernel(docs, "doc_id", "text",
-        model)
-      ids.select(col("doc_id"),
-          size(col("token_ids")).cast("long").as("n_tokens"),
-          size(filter(col("token_ids"), x => x === -1L)).cast("long")
-            .as("n_oov"),
-          aggregate(
-            transform(col("token_ids"),
-              (x, i) => (x + 2L) * (i.cast("long") + 1L)),
-            lit(0L), (acc, x) => acc + x).as("ids_fold"))
-        .orderBy("doc_id")
-    }),
-
-    "q112_proportional_mix" -> ((s, dir) => {
-      // declared Pile-style mixture over lang: es undeclared (dropped),
-      // zh declared 0 (dropped), "xx" declared but absent (must not
-      // burn share — Σw normalizes over present strata)
-      val mix = Map("en" -> 60L, "de" -> 25L, "fr" -> 10L, "zh" -> 0L,
-        "xx" -> 100L)
-      val docs = t(s, dir, "documents")
-      val plan = Sampling.proportionalMixPlan(docs, "lang", mix,
-        total = 300L)
-      val kept = Sampling.proportionalMix(docs, "lang", "doc_id", mix,
-          total = 300L, salt = 11L)
-        .groupBy("lang").agg(count(lit(1)).as("kept"))
-      plan.join(kept, Seq("lang"), "left")
-        .select(col("lang"), col("available"), col("weight"),
-          col("target"), coalesce(col("kept"), lit(0L)).as("kept"))
-        .orderBy("lang")
-    }),
-
-    "q111_encoding_artifacts" -> ((s, dir) => {
-      // inject deterministic artifacts into the (clean, ASCII) corpus so
-      // every detector fires on known rows
-      val built = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(pmod(col("doc_id"), lit(5)) === 0, lit(" cafÃ© dÃ©jÃ "))
-            .otherwise(lit("")),
-          when(pmod(col("doc_id"), lit(7)) === 0, lit(" bad�byte"))
-            .otherwise(lit("")),
-          when(pmod(col("doc_id"), lit(11)) === 0, lit(" ctlx"))
-            .otherwise(lit(""))).as("text"))
-      built.select(col("doc_id"),
-          TextAnalysis.encodingArtifacts(col("text")).as("ea"))
-        .select(col("doc_id"), col("ea.n_replacement").as("n_replacement"),
-          col("ea.n_control").as("n_control"),
-          col("ea.n_mojibake").as("n_mojibake"),
-          col("ea.is_clean").as("is_clean"))
-        .orderBy("doc_id")
-    }),
-  )
-
-  /** DuckDB-runnable oracles, column-name-aligned with the Spark results.
-    * Integer outputs wherever possible; doubles only as exact int ratios
-    * or identically-ordered arithmetic.
-    */
-  def oracleSql: Map[String, String] = {
+  // ---- shared oracle SQL fragments (used across the Entries* family
+  //      traits; hoisted from the oracleSql body in the r14 split) ----
     // The BM25 oracle, shared verbatim by q71 (live index build) and
     // q78 (persisted-artifact probe): both engine paths are
     // fixed-point identical by construction, so one SQL proves both.
-    val bm25Sql =
+  private[graft] val bm25Sql =
       """WITH q(query_id, qtext) AS (VALUES
           |    (1, 'spark join hash'),
           |    (2, 'customer order query'),
@@ -2462,23 +258,23 @@ object SparkEntry {
           |  CAST(sm AS DOUBLE) / 1000000.0 AS score
           |FROM ranked WHERE rank <= 10
           |ORDER BY query_id, rank""".stripMargin
-    val routedEventsSql =
+  private[graft] val routedEventsSql =
       """SELECT *, CASE WHEN event_type IN ('click','view') THEN 'TRAIN'
         |  WHEN event_type = 'signup' THEN 'VALIDATION'
         |  WHEN event_type = 'purchase' THEN 'TEST'
         |  ELSE 'DISCARD' END AS split FROM events""".stripMargin
-    val splitOrdersSql =
+  private[graft] val splitOrdersSql =
       """SELECT *, CASE WHEN o_orderkey % 10 < 8 THEN 'TRAIN'
         |  WHEN o_orderkey % 10 = 8 THEN 'VALIDATION'
         |  ELSE 'TEST' END AS split FROM orders""".stripMargin
     // `src` parameterizes the document source so the string-id variants
     // (q82/q83) replay the SAME oracle bodies over a re-keyed subquery;
     // "documents" yields the original q79/q80 SQL.
-    def toksSqlFrom(src: String): String =
+  private[graft] def toksSqlFrom(src: String): String =
       s"""SELECT doc_id, lang, text,
          |  list_filter(regexp_split_to_array(text, '\\s+'), x -> len(x) > 0) AS t
          |FROM $src""".stripMargin
-    val toksSql = toksSqlFrom("documents")
+  private[graft] val toksSql = toksSqlFrom("documents")
     // Shared DSIR fit CTEs (q132/q133/q135 — one definition so a
     // smoothing/bucket/tokenizer fix can never diverge the three):
     // bucket = md5-lo64 & (2^18−1) (UNSIGNED — identical to the
@@ -2486,7 +282,7 @@ object SparkEntry {
     // contract); per-feature micro log-prob floor-quantized BEFORE any
     // per-doc sum, so both engines sum the same integers in any order.
     // Smoothing: (c+1)/(N+V), V = distinct observed buckets.
-    val dsirFitCtes =
+  private[graft] val dsirFitCtes =
       """b AS (
         |  SELECT doc_id, lang = 'en' AS is_t,
         |    unnest(list_transform(
@@ -2511,7 +307,7 @@ object SparkEntry {
     // q90/q92 shared canonicalization chain: messy-URL construction +
     // the rule-by-rule canon CTE (must mirror SparkEntry.messyUrls and
     // TextAnalysis.canonicalizeUrl exactly).
-    val urlCanonSql =
+  private[graft] val urlCanonSql =
       """WITH messy AS (
          |  SELECT doc_id, n_chars,
          |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
@@ -2544,13 +340,13 @@ object SparkEntry {
          |  FROM parts)""".stripMargin
     // The documents table re-keyed by string id, mirroring strIdDocs.
     // No trailing alias: call sites append their own (`FROM $src d`).
-    val strDocsSql =
+  private[graft] val strDocsSql =
       """(SELECT 'doc:' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
         |   lang, text FROM documents)""".stripMargin
     // Exact all-pairs n-gram Jaccard (n=3) over an inverted shingle index —
     // the oracle for both the inverted-index (q11) and the LSH-verified
     // (q30) near-dup paths.
-    def jaccardSqlFrom(src: String, threshold: String): String =
+  private[graft] def jaccardSqlFrom(src: String, threshold: String): String =
       s"""WITH toks AS (${toksSqlFrom(src)}),
          |sh AS (
          |  SELECT DISTINCT doc_id,
@@ -2568,12 +364,12 @@ object SparkEntry {
          |JOIN sizes nb ON nb.doc_id = id_b
          |WHERE i / (na.n_sh + nb.n_sh - i) >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
-    def jaccardSql(threshold: String): String =
+  private[graft] def jaccardSql(threshold: String): String =
       jaccardSqlFrom("documents", threshold)
     // q79's oracle body over any document source: cluster assignment via
     // recursive reachability + per-cluster argmax on the distinct-token
     // ratio (ties -> lowest id under the id type's own ordering).
-    def qualitySurvSqlFrom(src: String): String =
+  private[graft] def qualitySurvSqlFrom(src: String): String =
       s"""WITH RECURSIVE pairs AS (
          |  SELECT id_a, id_b FROM (${jaccardSqlFrom(src, "0.6")}) j),
          |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
@@ -2607,7 +403,7 @@ object SparkEntry {
     // q80's oracle body over any document source: exact collapse
     // (min-id-per-md5), exact all-pairs Jaccard at 0.8 over the
     // SURVIVING unique docs, recursive components, per-cluster argmax.
-    def qualityPipeSqlFrom(src: String): String =
+  private[graft] def qualityPipeSqlFrom(src: String): String =
       s"""WITH RECURSIVE toks AS (${toksSqlFrom(src)}),
          |scored AS (
          |  SELECT doc_id,
@@ -2655,18 +451,18 @@ object SparkEntry {
          |ORDER BY r.doc_id""".stripMargin
     // Cosine with the zero-norm guard, matching Similarity.cosine term
     // order exactly (norm(a)*norm(b), not sqrt(dot*dot)).
-    def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
       s"""CASE WHEN sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
          |  sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[])) = 0 THEN 0.0
          |ELSE list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
          |  (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
          |   sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))) END""".stripMargin
-    val docsRoundtripSql =
+  private[graft] val docsRoundtripSql =
       """SELECT doc_id, text, lang, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin
     // The cloned-documents corpus (see clonedDocs): docs 0-2 each gain 5
     // identical-text clones under ids 1000000+orig*10+j.
-    val clonedDocsSql =
+  private[graft] val clonedDocsSql =
       """SELECT doc_id, text FROM documents
         |UNION ALL
         |SELECT 1000000 + doc_id * 10 + j AS doc_id, text
@@ -2674,7 +470,7 @@ object SparkEntry {
     // IVF probe/assign/rank semantics over a fixed centroid set — shared
     // by the in-memory (q35) and persisted (q49) paths, whose results
     // must be identical.
-    val ivfSql =
+  private[graft] val ivfSql =
       s"""WITH cent AS (
          |  SELECT vec_id AS centroid_id, embedding AS cv
          |  FROM embeddings WHERE vec_id % 43 = 0),
@@ -2707,7 +503,7 @@ object SparkEntry {
 
     // Digest-level snapshot diff — shared by the direct (q74) and
     // persisted-catalog (q75) paths, whose deltas must be identical.
-    val snapshotDiffSql =
+  private[graft] val snapshotDiffSql =
       """WITH o AS (SELECT doc_id, md5(text) AS d FROM documents),
         |news AS (
         |  SELECT doc_id,
@@ -2729,7 +525,7 @@ object SparkEntry {
 
     // Brute-force exact top-10 for the same query set — q16's oracle,
     // shared with the recall evaluation (q73).
-    val bruteSql =
+  private[graft] val bruteSql =
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |  FROM embeddings WHERE vec_id < 5),
         |scored AS (
@@ -2755,7 +551,7 @@ object SparkEntry {
     // refit centroids from the union ids (same modulo rule); one IVF
     // replay per centroid set; recall@10 of each against brute truth
     // for the drifted-region queries.
-    val ivfDriftRecallSql = {
+  private[graft] val ivfDriftRecallSql = {
       def ivfOver(cent: String): String =
         s"""SELECT p.query_id, a.neighbor_id FROM (
            |  SELECT query_id, qv, centroid_id FROM (
@@ -2818,7 +614,7 @@ object SparkEntry {
     // derived-half-doc corpus, its distinct-shingle index, sizes, and
     // the one-per-unordered-pair intersection both directions derive
     // from.
-    val containmentBaseSql =
+  private[graft] val containmentBaseSql =
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
@@ -2851,2655 +647,19 @@ object SparkEntry {
         |  JOIN sizes na ON na.doc_id = id_a
         |  JOIN sizes nb ON nb.doc_id = id_b)""".stripMargin
 
-    val base = Map(
-      // q40's expected rows replayed from the fixture CONSTRUCTION
-      // constants (genImageFixtures: pixel (x,y) of seed s is a pure
-      // formula), not from engine code: the first 24 url-safe-b64 chars
-      // encode the first 18 raster bytes = pixels (0..5, 0) in RGB
-      // order, and PNG is lossless, so a hash match proves the whole
-      // listing→load→decode→b64 pipeline bit-exact. The q94 manifest
-      // oracle already replays entry SIZES this way; this adds content.
-      "q40_image_pipeline" -> {
-        val rows = Seq(("cat", 0), ("goat", 1), ("cat", 2), ("goat", 3),
-            ("cat", 4), ("goat", 5)).map { case (label, seed) =>
-          val head18 = (0 until 6).flatMap { x =>
-            Seq((seed * 37 + x * 13) % 256, (x * 29) % 256,
-              (seed + x) % 256)
-          }.map(_.toByte).toArray
-          val b64 = java.util.Base64.getUrlEncoder.encodeToString(head18)
-          s"('$label-$seed.png', '$label', 6, 8, 3, '$b64')"
-        }
-        s"""SELECT image_name, label,
-           |  CAST(image_height AS BIGINT) AS image_height,
-           |  CAST(image_width AS BIGINT) AS image_width,
-           |  CAST(image_channels AS BIGINT) AS image_channels,
-           |  image_b64_head
-           |FROM (VALUES ${rows.mkString(", ")})
-           |  AS t(image_name, label, image_height, image_width,
-           |       image_channels, image_b64_head)
-           |ORDER BY image_name""".stripMargin
-      },
 
-      // q108's expected pairs replayed from the pattern constants: the
-      // fixture doubles each 8x8 bit cell to 2x2 uniform pixels, so the
-      // bilinear 8x8 downsample returns the cell values exactly and
-      // aHash(img) == its pattern long (255 > mean for any non-full
-      // pattern, 0 never is) — the pair set is then pure popcount
-      // arithmetic over the pattern longs, id_a < id_b as strings.
-      "q108_image_phash_dups" -> {
-        val patterns: Seq[(String, Long)] = Seq(
-          "img1" -> 0x0123456789ABCDEFL,
-          "img2" -> 0xF0E1D2C3B4A59687L,
-          "img3" -> 0x00FF00FF00FF00FFL,
-          "img4" -> 0x5A5A5A5AA5A5A5A5L,
-          "near1" -> (0x0123456789ABCDEFL ^ 0x7L))
-        val all = patterns.flatMap { case (n, p) =>
-          Seq(n -> p, s"copy-$n" -> p) }
-        val pairs = (for {
-          (a, pa) <- all; (b, pb) <- all if a < b
-          d = java.lang.Long.bitCount(pa ^ pb) if d <= 3
-        } yield s"('$a', '$b', $d)").sorted
-        s"""SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-           |FROM (VALUES ${pairs.mkString(", ")})
-           |  AS t(id_a, id_b, hamming)
-           |ORDER BY id_a, id_b""".stripMargin
-      },
-
-      "q01_split_route" ->
-        s"""WITH routed AS ($routedEventsSql)
-           |SELECT split, count(*) AS cnt FROM routed
-           |GROUP BY split ORDER BY split""".stripMargin,
-
-      "q02_split_counts" ->
-        """SELECT o_orderpriority, count(*) AS cnt FROM orders
-          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-
-      "q03_partition_train" ->
-        s"""WITH so AS ($splitOrdersSql)
-           |SELECT o_orderkey, o_orderpriority FROM so
-           |WHERE split = 'TRAIN' ORDER BY o_orderkey""".stripMargin,
-
-      "q04_discard_route" ->
-        s"""WITH routed AS ($routedEventsSql)
-           |SELECT event_id, event_type FROM routed
-           |WHERE split = 'DISCARD' ORDER BY event_id""".stripMargin,
-
-      "q05_vocab_fit" ->
-        s"""WITH so AS ($splitOrdersSql),
-           |counts AS (
-           |  SELECT o_orderpriority AS value, count(*) AS cnt FROM so
-           |  WHERE split = 'TRAIN' GROUP BY 1)
-           |SELECT value,
-           |  CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) - 1
-           |    AS BIGINT) AS idx
-           |FROM counts ORDER BY idx""".stripMargin,
-
-      "q06_vocab_apply" ->
-        s"""WITH so AS ($splitOrdersSql),
-           |counts AS (
-           |  SELECT o_orderpriority AS value, count(*) AS cnt FROM so
-           |  WHERE split = 'TRAIN' AND o_orderpriority <> '5-LOW' GROUP BY 1),
-           |vocab AS (
-           |  SELECT value,
-           |    CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) - 1
-           |      AS BIGINT) AS idx
-           |  FROM counts)
-           |SELECT o.o_orderkey, coalesce(v.idx, -1) AS label
-           |FROM so o LEFT JOIN vocab v ON o.o_orderpriority = v.value
-           |WHERE o.split = 'TEST' ORDER BY o.o_orderkey""".stripMargin,
-
-      "q07_schema_conform" ->
-        """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
-          |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
-          |  CAST(l_quantity AS FLOAT) AS l_quantity,
-          |  CAST(l_returnflag AS VARCHAR) AS l_returnflag
-          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-      "q08_inspect_head" ->
-        """SELECT doc_id, lang, n_chars FROM documents
-          |ORDER BY doc_id LIMIT 5""".stripMargin,
-
-      "q09_b64_urlsafe" ->
-        """SELECT doc_id,
-          |  translate(to_base64(encode(text)), '+/', '-_') AS image_b64
-          |FROM documents ORDER BY doc_id""".stripMargin,
-
-      "q17_csv_roundtrip" -> docsRoundtripSql,
-
-      "q18_tfrecord_roundtrip" -> docsRoundtripSql,
-
-      "q22_json_roundtrip" -> docsRoundtripSql,
-
-      "q27_stratified_sample" ->
-        """SELECT o_orderpriority, count(*) AS total,
-          |  count(*) FILTER (WHERE
-          |    ((o_orderkey + 7) * 2654435761) % 4294967296 < 429496729)
-          |    AS sampled
-          |FROM orders GROUP BY o_orderpriority
-          |ORDER BY o_orderpriority""".stripMargin,
-
-      // Recursive transitive closure over the exact-Jaccard(0.6) edge set
-      // — the ground truth the distributed label-propagation must match.
-      "q37_dup_clusters" ->
-        s"""WITH RECURSIVE pairs AS (
-           |  SELECT id_a, id_b FROM (${jaccardSql("0.6")}) j),
-           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-           |  UNION SELECT id_b, id_a FROM pairs),
-           |reach AS (SELECT a, b FROM sym
-           |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-           |  FROM reach GROUP BY a),
-           |assigned AS (
-           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
-           |csizes AS (SELECT cluster_id, count(*) AS cluster_size
-           |  FROM assigned GROUP BY cluster_id)
-           |SELECT a.doc_id, a.cluster_id, s.cluster_size
-           |FROM assigned a JOIN csizes s USING (cluster_id)
-           |ORDER BY a.doc_id""".stripMargin,
-
-      // q37's cluster assignment + a per-cluster argmax on the
-      // distinct-token ratio (ties -> lowest doc_id).
-      "q79_quality_survivors" -> qualitySurvSqlFrom("documents"),
-
-      // Exact collapse (q10's min-id-per-md5), exact all-pairs Jaccard
-      // at 0.8 over the SURVIVING unique docs, recursive components,
-      // then the per-cluster argmax on the distinct-token ratio.
-      "q80_quality_pipeline" -> qualityPipeSqlFrom("documents"),
-
-      // q79/q80 over STRING document ids: identical bodies, re-keyed
-      // source — tie-breaks ride the VARCHAR ordering on both sides.
-      "q82_quality_survivors_strid" -> qualitySurvSqlFrom(strDocsSql),
-      "q83_quality_pipeline_strid" -> qualityPipeSqlFrom(strDocsSql),
-
-      // The full corpus-build replayed as one CTE chain: q51's
-      // decontamination membership, q23's quality features, q52's
-      // mix thresholds on the SURVIVING availability, q11's exact
-      // Jaccard pairs, q37's recursive components, q56's split hash.
-      "q60_corpus_build" ->
-        s"""WITH RECURSIVE toks AS ($toksSql),
-           |sh AS (
-           |  SELECT DISTINCT doc_id,
-           |    unnest([array_to_string(t[i:i+2], ' ')
-           |            for i in range(1, len(t) - 1)]) AS s
-           |  FROM toks WHERE len(t) >= 3),
-           |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-           |clean AS (
-           |  SELECT d.doc_id, d.lang, d.n_chars
-           |  FROM documents d
-           |  WHERE d.doc_id NOT IN (
-           |    SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (s))),
-           |feats AS (
-           |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-           |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
-           |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
-           |      CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
-           |        / len(t) END AS mean_token_len
-           |  FROM toks),
-           |good AS (
-           |  SELECT c.doc_id, c.lang, c.n_chars
-           |  FROM clean c JOIN feats f USING (doc_id)
-           |  WHERE f.n_tokens >= 40
-           |    AND f.mean_token_len >= 3.0 AND f.mean_token_len <= 10.0
-           |    AND CAST(f.n_distinct_tokens AS DOUBLE) >= f.n_tokens * 0.2),
-           |avail AS (
-           |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
-           |  FROM good GROUP BY lang),
-           |thr AS (
-           |  SELECT lang, CAST(trunc(least(1.0,
-           |    CAST(CASE lang WHEN 'en' THEN 25000 WHEN 'de' THEN 10000
-           |      WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 5000 END AS DOUBLE) /
-           |    CAST(available AS DOUBLE)) * 4294967296) AS BIGINT) AS t
-           |  FROM avail
-           |  WHERE CASE lang WHEN 'en' THEN 25000 WHEN 'de' THEN 10000
-           |    WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 5000 ELSE 0 END > 0),
-           |mixed AS (
-           |  SELECT g.doc_id, g.lang, g.n_chars
-           |  FROM good g JOIN thr USING (lang)
-           |  WHERE ((g.doc_id + 17) * 2654435761) % 4294967296 < thr.t),
-           |msh AS (
-           |  SELECT sh.doc_id, sh.s FROM sh JOIN mixed USING (doc_id)),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM msh
-           |  GROUP BY doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-           |  FROM msh a JOIN msh b ON a.s = b.s AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2),
-           |prs AS (
-           |  SELECT id_a, id_b FROM inter
-           |  JOIN sizes na ON na.doc_id = id_a
-           |  JOIN sizes nb ON nb.doc_id = id_b
-           |  WHERE i / (na.n_sh + nb.n_sh - i) >= 0.6),
-           |sym AS (SELECT id_a AS a, id_b AS b FROM prs
-           |  UNION SELECT id_b, id_a FROM prs),
-           |reach AS (SELECT a, b FROM sym
-           |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
-           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-           |  FROM reach GROUP BY a),
-           |assigned AS (
-           |  SELECT m.doc_id, m.lang, m.n_chars,
-           |    coalesce(c.cluster_id, m.doc_id) AS cluster_id
-           |  FROM mixed m LEFT JOIN comp c USING (doc_id))
-           |SELECT
-           |  CASE WHEN ((cluster_id + 5) * 2654435761) % 4294967296
-           |         < ${(0.7 * 4294967296L).toLong} THEN 'TRAIN'
-           |       WHEN ((cluster_id + 5) * 2654435761) % 4294967296
-           |         < ${((0.7 + 0.15) * 4294967296L).toLong} THEN 'VALIDATION'
-           |       ELSE 'TEST' END AS split,
-           |  lang, CAST(count(*) AS BIGINT) AS n_docs,
-           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-           |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-      // The shard layout recomputed from keys alone: mix = the q27/q52
-      // multiplicative hash, shard = mix mod 8, first/last = arg-min/max
-      // of the mix per shard.
-      "q59_shuffled_shards" ->
-        """WITH m AS (
-          |  SELECT doc_id, n_chars,
-          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
-          |  FROM documents),
-          |sh AS (
-          |  SELECT doc_id, n_chars, mix,
-          |    CAST(mix % 8 AS INTEGER) AS shard
-          |  FROM m)
-          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-          |  min_by(doc_id, mix) AS first_doc,
-          |  max_by(doc_id, mix) AS last_doc,
-          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
-
-      "q58_corpus_report" ->
-        """SELECT source, lang,
-          |  CAST(count(*) AS BIGINT) AS n_docs,
-          |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
-          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-          |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
-          |    x -> len(x) > 0))) AS BIGINT) AS total_tokens,
-          |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
-          |    x -> len(x) > 0))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-          |    AS tokens_per_doc
-          |FROM documents GROUP BY source, lang
-          |ORDER BY source, lang""".stripMargin,
-
-      // Paragraph structure rebuilt with the q41 chunk arithmetic
-      // (overlap 0 → starts are a plain stride grid), then first-
-      // occurrence-wins replayed with a (doc, position)-ordered window.
-      "q57_paragraph_dedup" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    list_filter(regexp_split_to_array(text, '\s+'),
-          |      x -> len(x) > 0) AS t
-          |  FROM documents),
-          |ch AS (
-          |  SELECT doc_id,
-          |    unnest([{'ci': s // 20, 'ct': array_to_string(t[s+1:s+20], ' ')}
-          |            for s in range(0, len(t), 20)]) AS u
-          |  FROM toks WHERE len(t) > 0),
-          |pdocs AS (
-          |  SELECT doc_id,
-          |    'subscribe to our newsletter today' || chr(10) || chr(10) ||
-          |      string_agg(u.ct, chr(10) || chr(10) ORDER BY u.ci) AS text
-          |  FROM ch GROUP BY doc_id),
-          |paras AS (
-          |  SELECT doc_id, u.pi, u.p
-          |  FROM (SELECT doc_id,
-          |          string_split(text, chr(10) || chr(10)) AS ps
-          |        FROM pdocs),
-          |    unnest([{'pi': i - 1, 'p': ps[i]}
-          |            for i in range(1, len(ps) + 1)]) AS r(u)),
-          |keepers AS (
-          |  SELECT doc_id, pi, p,
-          |    row_number() OVER (PARTITION BY p ORDER BY doc_id, pi) = 1
-          |      AS keep
-          |  FROM paras)
-          |SELECT doc_id,
-          |  coalesce(string_agg(CASE WHEN keep THEN p END,
-          |    chr(10) || chr(10) ORDER BY pi), '') AS text,
-          |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS kept_paras,
-          |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT)
-          |    AS dropped_paras
-          |FROM keepers GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-      // q37's recursive component labels + the q27/q52 multiplicative-mix
-      // keep arithmetic applied to the CLUSTER id; thresholds are the
-      // same double→long truncation Spark computes.
-      "q56_leakage_safe_split" ->
-        s"""WITH RECURSIVE pairs AS (
-           |  SELECT id_a, id_b FROM (${jaccardSql("0.6")}) j),
-           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-           |  UNION SELECT id_b, id_a FROM pairs),
-           |reach AS (SELECT a, b FROM sym
-           |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-           |  FROM reach GROUP BY a),
-           |assigned AS (
-           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
-           |SELECT doc_id, cluster_id,
-           |  CASE WHEN ((cluster_id + 5) * 2654435761) % 4294967296
-           |         < ${(0.7 * 4294967296L).toLong} THEN 'TRAIN'
-           |       WHEN ((cluster_id + 5) * 2654435761) % 4294967296
-           |         < ${((0.7 + 0.15) * 4294967296L).toLong} THEN 'VALIDATION'
-           |       ELSE 'TEST' END AS split
-           |FROM assigned ORDER BY doc_id""".stripMargin,
-
-      "q38_pii_scrub" ->
-        """SELECT doc_id,
-          |  CAST(len(regexp_extract_all(text,
-          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-          |    AS BIGINT) AS n_emails,
-          |  CAST(len(regexp_extract_all(text,
-          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
-          |    AS BIGINT) AS n_ips,
-          |  regexp_replace(
-          |    regexp_replace(text,
-          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-          |      '<EMAIL>', 'g'),
-          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
-          |    '<IP>', 'g') AS redacted
-          |FROM documents ORDER BY doc_id""".stripMargin,
-
-      // Start grid stops once a chunk reaches the last token
-      // (stop = len-overlap for overflowing docs, else one start) —
-      // mirrors TextAnalysis.chunk's trailing-subset-chunk rule.
-      "q41_chunking" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    list_filter(regexp_split_to_array(text, '\s+'),
-          |      x -> len(x) > 0) AS t
-          |  FROM documents),
-          |ch AS (
-          |  SELECT doc_id,
-          |    unnest([{'ci': s // 12, 'ct': array_to_string(t[s+1:s+16], ' '),
-          |             'cn': least(16, len(t) - s)}
-          |            for s in range(0,
-          |              CASE WHEN len(t) <= 16 THEN 1 ELSE len(t) - 4 END,
-          |              12)]) AS u
-          |  FROM toks WHERE len(t) > 0)
-          |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
-          |  CAST(u.cn AS BIGINT) AS chunk_tokens, u.ct AS chunk_text
-          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
-
-      // Closed-form chunk accounting: with overlap 0, a doc of n tokens
-      // yields ceil(n/32) chunks totaling n tokens; survivors are the
-      // min-id doc per distinct text among the quality-filtered set.
-      "q42_pipeline" ->
-        """WITH toks AS (
-          |  SELECT doc_id, text,
-          |    len(list_filter(regexp_split_to_array(text, '\s+'),
-          |      x -> len(x) > 0)) AS n
-          |  FROM documents),
-          |q AS (SELECT doc_id, text, n FROM toks WHERE n >= 20),
-          |u AS (SELECT min(doc_id) AS doc_id, min(n) AS n
-          |  FROM q GROUP BY md5(text))
-          |SELECT doc_id, CAST(ceil(n / 32.0) AS BIGINT) AS n_chunks,
-          |  CAST(n AS BIGINT) AS total_tokens
-          |FROM u ORDER BY doc_id""".stripMargin,
-
-      "q39_familiarity" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-          |      x -> len(x) > 0)) AS tok
-          |  FROM documents),
-          |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
-          |vocab AS (
-          |  SELECT tok, cnt FROM (
-          |    SELECT tok, cnt,
-          |      row_number() OVER (ORDER BY cnt DESC, tok ASC) AS r
-          |    FROM counts)
-          |  WHERE r <= 200)
-          |SELECT t.doc_id,
-          |  count(*) AS n_tokens,
-          |  count(v.cnt) AS known_tokens,
-          |  CAST(coalesce(sum(v.cnt), 0) AS DOUBLE) / count(*)
-          |    AS familiarity
-          |FROM toks t LEFT JOIN vocab v USING (tok)
-          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
-
-      "q19_convert_e2e" ->
-        """WITH so AS (
-          |  SELECT *, CASE WHEN o_orderkey % 10 < 8 THEN 'TRAIN'
-          |    WHEN o_orderkey % 10 = 8 THEN 'VALIDATION'
-          |    WHEN o_custkey % 7 = 0 THEN 'DISCARD'
-          |    ELSE 'TEST' END AS split FROM orders),
-          |counts AS (
-          |  SELECT o_orderpriority AS value, count(*) AS cnt FROM so
-          |  WHERE split = 'TRAIN' GROUP BY 1),
-          |vocab AS (
-          |  SELECT value,
-          |    CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) - 1
-          |      AS BIGINT) AS idx
-          |  FROM counts)
-          |SELECT o.o_orderkey, coalesce(v.idx, -1) AS label
-          |FROM so o LEFT JOIN vocab v ON o.o_orderpriority = v.value
-          |WHERE o.split = 'TEST' ORDER BY o.o_orderkey""".stripMargin,
-
-      "q10_dedup_exact" ->
-        """SELECT md5(text) AS fp, min(doc_id) AS keep_id,
-          |  count(*) AS dup_count
-          |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
-
-      "q11_ngram_jaccard" -> jaccardSql("0.8"),
-
-      // One exact pairs pass at the lowest threshold, re-filtered per
-      // sweep point — the replay of jaccardThresholdSweep's shape.
-      "q77_jaccard_sweep" ->
-        s"""WITH pairs AS (${jaccardSql("0.5")}),
-           |thr(threshold) AS (
-           |  VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
-           |         (CAST(0.9 AS DOUBLE))),
-           |hit AS (
-           |  SELECT t.threshold, p.id_a, p.id_b FROM pairs p
-           |  JOIN thr t ON p.jaccard >= t.threshold),
-           |pc AS (SELECT threshold, count(*) AS n_pairs FROM hit GROUP BY 1),
-           |dc AS (
-           |  SELECT threshold, count(DISTINCT doc) AS n_dup_docs FROM (
-           |    SELECT threshold, id_a AS doc FROM hit
-           |    UNION ALL SELECT threshold, id_b FROM hit)
-           |  GROUP BY 1)
-           |SELECT t.threshold, COALESCE(pc.n_pairs, 0) AS n_pairs,
-           |  COALESCE(dc.n_dup_docs, 0) AS n_dup_docs
-           |FROM thr t
-           |LEFT JOIN pc ON pc.threshold = t.threshold
-           |LEFT JOIN dc ON dc.threshold = t.threshold
-           |ORDER BY t.threshold""".stripMargin,
-
-      "q30_minhash_dups" -> jaccardSql("0.8"),
-
-      "q12_text_quality" ->
-        s"""WITH toks AS ($toksSql)
-           |SELECT doc_id,
-           |  CAST(len(text) AS BIGINT) AS n_chars,
-           |  CAST(len(t) AS BIGINT) AS n_tokens,
-           |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
-           |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
-           |    CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
-           |      / len(t) END AS mean_token_len,
-           |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
-           |    CAST(len(list_filter(list_transform(t, x -> lower(x)),
-           |      x -> x IN ('the','a','an','of','to','in','and','is','it',
-           |                 'that','for','on','was','with','as','at','by',
-           |                 'be','this','are','or'))) AS DOUBLE)
-           |      / len(t) END AS stopword_ratio
-           |FROM toks ORDER BY doc_id""".stripMargin,
-
-      "q13_lang_id" -> {
-        def hits(markers: Seq[String]): String =
-          s"len(list_filter(lt, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
-        val en = hits(Seq("the", "and", "of", "to", "is", "that", "it", "was"))
-        val es = hits(Seq("el", "la", "de", "que", "y", "los", "es", "una"))
-        val de = hits(Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"))
-        val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans", "que"))
-        val zh = hits(Seq("的", "是", "了", "在", "我", "有", "和", "不"))
-        s"""WITH toks AS (
-           |  SELECT doc_id,
-           |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
-           |      x -> len(x) > 0) AS lt
-           |  FROM documents),
-           |scored AS (
-           |  SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de,
-           |    $fr AS s_fr, $zh AS s_zh FROM toks)
-           |SELECT doc_id,
-           |  CASE
-           |    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de
-           |      AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-           |    WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr
-           |      AND s_es >= s_zh THEN 'es'
-           |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-           |    WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
-           |    WHEN s_zh > 0 THEN 'zh'
-           |    ELSE 'und' END AS lang_pred
-           |FROM scored ORDER BY doc_id""".stripMargin
-      },
-
-      "q14_token_stats" ->
-        s"""WITH toks AS ($toksSql)
-           |SELECT lang, CAST(sum(len(t)) AS BIGINT) AS total_tokens,
-           |  count(*) AS n_docs
-           |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
-
-      "q15_fingerprint" ->
-        """SELECT doc_id, md5(text) AS fp FROM documents
-          |ORDER BY doc_id""".stripMargin,
-
-      "q23_quality_filter" ->
-        s"""WITH toks AS ($toksSql),
-           |feats AS (
-           |  SELECT doc_id,
-           |    CAST(len(t) AS BIGINT) AS n_tokens,
-           |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
-           |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
-           |      CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
-           |        / len(t) END AS mean_token_len
-           |  FROM toks)
-           |SELECT doc_id, n_tokens, n_distinct_tokens FROM feats
-           |WHERE n_tokens >= 40
-           |  AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
-           |  AND CAST(n_distinct_tokens AS DOUBLE) >= n_tokens * 0.2
-           |ORDER BY doc_id""".stripMargin,
-
-      "q24_top_terms" ->
-        """WITH toks AS (
-          |  SELECT lang,
-          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-          |      x -> len(x) > 0)) AS tok
-          |  FROM documents),
-          |counts AS (
-          |  SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
-          |ranked AS (
-          |  SELECT lang, tok, cnt,
-          |    CAST(row_number() OVER (PARTITION BY lang
-          |      ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank
-          |  FROM counts)
-          |SELECT lang, rank, tok, cnt FROM ranked
-          |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
-
-      "q26_repetition" ->
-        s"""WITH toks AS ($toksSql),
-           |tc AS (
-           |  SELECT doc_id, unnest(t) AS tok FROM toks),
-           |counts AS (
-           |  SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2)
-           |SELECT doc_id,
-           |  max(c) AS max_token_count,
-           |  CAST(sum(c) AS BIGINT) AS n_tokens,
-           |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
-           |    AS repetition_ratio
-           |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-      // The 3-gram multiset rebuilt with the jaccard CTEs' slice
-      // arithmetic (WITHOUT the DISTINCT — repetition needs the
-      // multiset), then the same two-aggregate reduction as q26.
-      "q96_ngram_repetition" ->
-        s"""WITH toks AS ($toksSql),
-           |g AS (
-           |  SELECT doc_id,
-           |    unnest([array_to_string(t[i:i+2], ' ')
-           |            for i in range(1, len(t) - 1)]) AS g
-           |  FROM toks WHERE len(t) >= 3),
-           |counts AS (
-           |  SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
-           |SELECT doc_id,
-           |  CAST(sum(c) AS BIGINT) AS n_ngrams,
-           |  CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
-           |  max(c) AS top_ngram_count,
-           |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
-           |    AS dup_ngram_ratio,
-           |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
-           |    AS top_ngram_share
-           |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-      "q28_sessionize" ->
-        """WITH g AS (
-          |  SELECT user_id, epoch_ns(ts) AS tns,
-          |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)
-          |      AS prev
-          |  FROM events)
-          |SELECT user_id,
-          |  CAST(1 + sum(CASE WHEN tns - prev > 1800000000000
-          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-          |  count(*) AS n_events
-          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-      "q29_join_enrich" ->
-        """SELECT c_nationkey, count(*) AS n_orders,
-          |  count(DISTINCT o_custkey) AS n_customers
-          |FROM orders JOIN customer ON o_custkey = c_custkey
-          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
-
-      "q36_frame_plan" ->
-        """SELECT doc_id,
-          |  CAST(1 + n_chars % 32 AS BIGINT) AS n_frames,
-          |  array_to_string(
-          |    [i for i in range(0, 1 + n_chars % 32) if i % 3 = 0][1:5],
-          |    ',') AS frames
-          |FROM documents ORDER BY doc_id""".stripMargin,
-
-      "q25_bpe_tokens" ->
-        """SELECT doc_id,
-          |  CAST(coalesce(list_sum(list_transform(
-          |    list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
-          |      x -> len(x) > 0),
-          |    w -> greatest(1, CAST(ceil(len(w) / 4.0) AS BIGINT)))), 0)
-          |    AS BIGINT) AS n_bpe
-          |FROM documents ORDER BY doc_id""".stripMargin,
-
-      // Symmetric int8 quantization replayed: scale = max|v|/127, q_i =
-      // floor(|x|/s + 0.5) signed (spelled out, not library round), score
-      // = (intdot · s_a) · s_b in Spark's multiply order. Integer dots ≤
-      // 2^53 are exact in double, so scores hash-match bit-for-bit.
-      "q55_quantized_ann" ->
-        """WITH qn AS (
-          |  SELECT vec_id,
-          |    list_max(list_transform(embedding::DOUBLE[],
-          |      x -> abs(x))) / 127 AS s,
-          |    embedding::DOUBLE[] AS v
-          |  FROM embeddings),
-          |qv AS (
-          |  SELECT vec_id, s,
-          |    CASE WHEN s > 0 THEN list_transform(v,
-          |      x -> CASE WHEN x >= 0 THEN floor(x / s + 0.5)
-          |                ELSE -floor(-x / s + 0.5) END)
-          |    ELSE list_transform(v, x -> 0.0) END AS q
-          |  FROM qn),
-          |scored AS (
-          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-          |    list_dot_product(a.q, b.q) * a.s * b.s AS qscore
-          |  FROM qv a, qv b WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
-          |ranked AS (
-          |  SELECT query_id, neighbor_id, qscore,
-          |    CAST(row_number() OVER (PARTITION BY query_id
-          |      ORDER BY qscore DESC, neighbor_id ASC) AS BIGINT) AS rank
-          |  FROM scored)
-          |SELECT query_id, rank, neighbor_id, qscore FROM ranked
-          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-
-      "q16_ann_brute" -> bruteSql,
-
-      // Recall@10 of the IVF path vs brute-force ground truth: both
-      // searches replayed from their (already hash-green) oracle forms,
-      // joined on the neighbor sets; recall is the exact ratio n_hits/10.
-      "q73_ann_recall" ->
-        s"""WITH brute AS ($bruteSql),
-           |ivf AS ($ivfSql)
-           |SELECT b.query_id,
-           |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
-           |  CAST(count(i.neighbor_id) AS DOUBLE) / 10.0 AS recall
-           |FROM brute b LEFT JOIN ivf i
-           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
-           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
-
-      // Digest-level diff replayed literally: both sides reduced to
-      // (doc_id, md5) before the full outer join, same null-driven CASE.
-      "q74_snapshot_diff" -> snapshotDiffSql,
-
-      // The persisted-catalog path must produce the identical delta: the
-      // artifact is a physical optimization, not a semantic one.
-      "q75_snapshot_diff_ingest" -> snapshotDiffSql,
-
-      // Temperature mixing replayed literally: fixed-point sqrt weights
-      // (floor(sqrt(n)*1e6) — sqrt is correctly rounded, everything after
-      // is integer math), integer-division targets, trunc'd 2^32
-      // thresholds against the multiplicative mixed key.
-      "q76_temperature_mix" ->
-        """WITH counts AS (
-          |  SELECT source, count(*) AS available,
-          |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS weight
-          |  FROM documents GROUP BY source),
-          |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM counts),
-          |plan AS (
-          |  SELECT source, available, weight,
-          |    CAST(least(available, (300 * weight) // tw.w) AS BIGINT)
-          |      AS target
-          |  FROM counts, tw),
-          |kept AS (
-          |  SELECT d.source, count(*) AS kept
-          |  FROM documents d JOIN plan p ON d.source = p.source
-          |  WHERE p.target > 0
-          |    AND ((d.doc_id + 5) * 2654435761) % 4294967296 <
-          |      CAST(trunc(CAST(p.target AS DOUBLE) /
-          |        CAST(p.available AS DOUBLE) * 4294967296) AS BIGINT)
-          |  GROUP BY d.source)
-          |SELECT p.source, p.available, p.weight, p.target,
-          |  COALESCE(k.kept, 0) AS kept
-          |FROM plan p LEFT JOIN kept k ON p.source = k.source
-          |ORDER BY p.source""".stripMargin,
-
-      // The epoch plan replayed in integer arithmetic: sqrt fixed-point
-      // weights, targets capped at 3 epochs, full copies via a bounded
-      // epoch series join (DuckDB lacks lateral generate_series; the
-      // static range is bounded by maxEpochs), and the epoch-salted
-      // mixed-key fractional keep.
-      "q84_temperature_mix_epochs" ->
-        """WITH counts AS (
-          |  SELECT lang, count(*) AS available,
-          |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS weight
-          |  FROM documents GROUP BY lang),
-          |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM counts),
-          |tot AS (SELECT 4 * count(*) AS t FROM documents),
-          |plan AS (
-          |  SELECT lang, available, weight,
-          |    CAST(least(3 * available, (tot.t * weight) // tw.w)
-          |      AS BIGINT) AS target
-          |  FROM counts, tw, tot),
-          |thr AS (
-          |  SELECT lang, target // available AS nfull,
-          |    ((target % available) * 4294967296) // available AS fthr
-          |  FROM plan WHERE target > 0),
-          |epochs AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS epoch)
-          |SELECT d.doc_id, d.lang, g.epoch
-          |FROM documents d
-          |JOIN thr t ON d.lang = t.lang
-          |JOIN epochs g ON g.epoch <= t.nfull
-          |WHERE g.epoch < t.nfull
-          |  OR ((d.doc_id + t.nfull + 9) * 2654435761) % 4294967296 < t.fthr
-          |ORDER BY d.lang, d.doc_id, g.epoch""".stripMargin,
-
-      // The histogram walk replayed: same IEEE bin arithmetic (scores
-      // are integer-valued so every edge is engine-exact), reverse
-      // cumulative sum, max bin reaching ceil(0.3·total), same
-      // threshold formula.
-      "q91_budget_threshold" ->
-        s"""WITH d AS (
-           |  SELECT CAST(n_chars AS DOUBLE) AS s,
-           |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
-           |      x -> len(x) > 0)) AS BIGINT) AS wt
-           |  FROM documents),
-           |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM d),
-           |st AS (SELECT min(s) AS lo, max(s) AS hi FROM d
-           |  WHERE s IS NOT NULL AND isfinite(s)),
-           |b AS (SELECT CAST(least(9999,
-           |      floor((s - lo) / (hi - lo) * 10000)) AS INT) AS bin,
-           |    CAST(sum(wt) AS BIGINT) AS w
-           |  FROM d, st WHERE s IS NOT NULL AND isfinite(s) GROUP BY 1),
-           |cum AS (SELECT bin,
-           |    CAST(sum(w) OVER (ORDER BY bin DESC) AS BIGINT) AS c
-           |  FROM b),
-           |ch AS (SELECT COALESCE(
-           |    (SELECT max(bin) FROM cum, tot
-           |     WHERE c >= CAST(ceil(0.3 * total) AS BIGINT)), 0) AS chosen)
-           |SELECT lo + (hi - lo) * chosen / 10000 AS threshold,
-           |  (SELECT c FROM cum WHERE bin = chosen) AS kept_weight,
-           |  total AS total_weight
-           |FROM st, ch, tot""".stripMargin,
-
-      // The canonicalization rules replayed literally: same regexes
-      // (RE2 ≡ Java for this feature subset), same list sort/filter,
-      // same default-port and empty-query cases.
-      "q90_url_canonical" ->
-        (urlCanonSql + "\n" +
-          """SELECT doc_id, canon,
-            |  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
-            |    AS host,
-            |  regexp_extract(regexp_extract(canon,
-            |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
-            |    '([^.]+\.[^.]+)$', 1) AS apex
-            |FROM canon ORDER BY doc_id""".stripMargin),
-
-      // The tracking strip replayed token by token: same messy input
-      // (tracked variant), same anchored name pattern, same
-      // empty-after-strip '?' drop.
-      "q93_url_strip_tracking" ->
-        """WITH messy AS (
-          |  SELECT doc_id,
-          |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
-          |      ELSE 'http://sub.' END
-          |    || source || '.Example.ORG'
-          |    || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
-          |    || '/' || lang || '/doc/' || doc_id
-          |    || CASE WHEN doc_id % 3 = 0
-          |         THEN '?b=2&utm_source=feed&a=1&UTM_X=9&gclid=G1'
-          |       WHEN doc_id % 3 = 1 THEN '?fbclid=abc123'
-          |       ELSE '?utm_campaign=x&utm_medium=y&' END
-          |    || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
-          |  FROM documents),
-          |nofrag AS (SELECT doc_id, url,
-          |    regexp_replace(url, '#.*', '') AS u
-          |  FROM messy),
-          |parts AS (SELECT doc_id, url,
-          |    lower(regexp_extract(u, '^[^/?#]*//[^/?#]*')) AS prefix,
-          |    regexp_extract(u, '^[^/?#]*//[^/?#]*([^?#]*)', 1) AS path,
-          |    regexp_extract(u, '\?([^#]*)', 1) AS q
-          |  FROM nofrag),
-          |kept AS (SELECT doc_id, url, prefix, path,
-          |    list_sort(list_filter(list_filter(
-          |      string_split(q, '&'), x -> len(x) > 0),
-          |      x -> NOT regexp_matches(x,
-          |        '^(utm_[^=]*|fbclid|gclid|dclid|gbraid|wbraid|msclkid|mc_eid|mc_cid|igshid|yclid|_ga|_gl)(=.*)?$')))
-          |      AS ks
-          |  FROM parts),
-          |canon AS (SELECT doc_id,
-          |    CASE WHEN prefix = '' THEN url ELSE
-          |      regexp_replace(regexp_replace(prefix,
-          |        '^(https://[^/:]+):443$', '\1'),
-          |        '^(http://[^/:]+):80$', '\1')
-          |      || path ||
-          |      CASE WHEN len(ks) = 0 THEN ''
-          |        ELSE '?' || list_aggr(ks, 'string_agg', '&') END
-          |    END AS canon
-          |  FROM kept)
-          |SELECT doc_id, canon,
-          |  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
-          |    AS host
-          |FROM canon ORDER BY doc_id""".stripMargin,
-
-      // The duplicate-line rules replayed over the same line-structured
-      // construction: non-empty chr(10) lines, per-line counts, dup
-      // mass via strlen bytes (the kernel counts bytes too).
-      "q98_line_repetition" ->
-        """WITH lined AS (
-          |  SELECT doc_id,
-          |    'promo line' || chr(10) || text || chr(10) || 'promo line'
-          |      || chr(10)
-          |      || CASE WHEN doc_id % 2 = 0 THEN text ELSE 'tail' END
-          |      AS text
-          |  FROM documents),
-          |ln AS (
-          |  SELECT doc_id,
-          |    unnest(list_filter(string_split(text, chr(10)),
-          |      x -> strlen(x) > 0)) AS l
-          |  FROM lined),
-          |counts AS (
-          |  SELECT doc_id, l, count(*) AS c, strlen(l) AS b
-          |  FROM ln GROUP BY doc_id, l),
-          |r AS (SELECT doc_id,
-          |    CAST(sum(c) AS BIGINT) AS n_lines,
-          |    CAST(count(*) AS BIGINT) AS n_distinct_lines,
-          |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
-          |      AS BIGINT) AS dup_line_count,
-          |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c * b END), 0)
-          |      AS BIGINT) AS dup_line_bytes,
-          |    CAST(sum(c * b) AS BIGINT) AS total_line_bytes
-          |  FROM counts GROUP BY doc_id)
-          |SELECT doc_id, n_lines, n_distinct_lines, dup_line_count,
-          |  dup_line_bytes, total_line_bytes,
-          |  CAST(dup_line_count AS DOUBLE) / CAST(n_lines AS DOUBLE)
-          |    AS dup_line_fraction,
-          |  CAST(dup_line_bytes AS DOUBLE)
-          |    / CAST(total_line_bytes AS DOUBLE)
-          |    AS dup_line_byte_fraction
-          |FROM r ORDER BY doc_id""".stripMargin,
-
-      // The curation chain: q90's canon rules -> apex -> q87's rank
-      // shape (n_chars DESC, doc_id tie-break) capped at 20 per apex.
-      "q92_domain_capped_urls" ->
-        (urlCanonSql + "\n" +
-          """SELECT doc_id, apex, n_chars FROM (
-            |  SELECT doc_id, n_chars,
-            |    regexp_extract(regexp_extract(canon,
-            |        '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
-            |      '([^.]+\.[^.]+)$', 1) AS apex,
-            |    row_number() OVER (
-            |      PARTITION BY regexp_extract(regexp_extract(canon,
-            |          '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
-            |        '([^.]+\.[^.]+)$', 1)
-            |      ORDER BY n_chars DESC, doc_id) AS rn
-            |  FROM canon) WHERE rn <= 20
-            |ORDER BY doc_id""".stripMargin),
-
-      // Exact-quota sampling replayed as a rank over the same Knuth
-      // mix: ascending hash, doc_id tie-break, rank <= quota.
-      "q89_exact_quota_sample" ->
-        """SELECT doc_id, lang FROM (
-          |  SELECT doc_id, lang, row_number() OVER (
-          |    PARTITION BY lang
-          |    ORDER BY ((doc_id + 13) * 2654435761) % 4294967296, doc_id)
-          |    AS rk
-          |  FROM documents)
-          |WHERE rk <= 37 ORDER BY doc_id""".stripMargin,
-
-      // The hashed linear classifier replayed token by token: bucket =
-      // md5 lower-64 (UNSIGNED — identical to the kernel's signed long
-      // under the power-of-two mask) & (2^20-1); weight = the derived
-      // integer table w[b] = ((b·2654435761) mod 2^32) − 2^31. Weights
-      // are integer-valued, docs are ≪ 2^21 tokens, so the double sum
-      // is exact on both engines.
-      "q85_quality_classifier" ->
-        s"""WITH toks AS ($toksSql)
-           |SELECT doc_id,
-           |  CASE WHEN t IS NULL THEN NULL ELSE
-           |    CAST(COALESCE(list_sum(list_transform(t, x ->
-           |      CAST((((md5_number_lower(x) & 1048575) * 2654435761)
-           |            & 4294967295) AS BIGINT) - 2147483648)), 0)
-           |      AS DOUBLE)
-           |  END AS score,
-           |  CAST(len(t) AS BIGINT) AS n_tokens
-           |FROM toks ORDER BY doc_id""".stripMargin,
-
-      // The tar layout replayed from the parquet: shard = Knuth-mixed
-      // key mod 8 (salt 3), entry = '<doc_id>.<ext>', size = UTF-8 byte
-      // length (DuckDB strlen counts bytes). Missing-payload samples
-      // would drop their entry (WHERE IS NOT NULL), matching the sink.
-      "q86_webdataset_export" ->
-        """WITH m AS (
-          |  SELECT CAST(((doc_id + 3) * 2654435761) % 4294967296 % 8
-          |      AS INT) AS shard,
-          |    CAST(doc_id AS VARCHAR) || '.txt' AS entry,
-          |    CAST(strlen(text) AS BIGINT) AS size_bytes
-          |  FROM documents WHERE text IS NOT NULL
-          |  UNION ALL
-          |  SELECT CAST(((doc_id + 3) * 2654435761) % 4294967296 % 8
-          |      AS INT),
-          |    CAST(doc_id AS VARCHAR) || '.lng',
-          |    CAST(strlen(lang) AS BIGINT)
-          |  FROM documents WHERE lang IS NOT NULL)
-          |SELECT shard, entry, size_bytes FROM m
-          |ORDER BY entry""".stripMargin,
-
-      // The multimodal tar layout replayed from the fixture
-      // construction constants: 6 enumerated 8×6 RGB PNGs → raster
-      // entry = h·w·c = 144 bytes, json entry = the same concat-built
-      // metadata string's byte length, shard = Knuth mix (salt 0)
-      // mod 2 of the seed key.
-      "q94_webdataset_images" ->
-        """WITH fx(seed, split, label) AS (VALUES
-          |  (0, 'TRAIN', 'cat'), (1, 'TRAIN', 'goat'),
-          |  (2, 'VALIDATION', 'cat'), (3, 'VALIDATION', 'goat'),
-          |  (4, 'TEST', 'cat'), (5, 'TEST', 'goat')),
-          |meta AS (SELECT seed,
-          |    CAST((seed * 2654435761) % 4294967296 % 2 AS INT) AS shard,
-          |    '{"name":"' || label || '-' || seed || '.png","label":"'
-          |      || label || '","split":"' || split
-          |      || '","h":6,"w":8,"c":3}' AS m
-          |  FROM fx),
-          |m2 AS (
-          |  SELECT shard, CAST(seed AS VARCHAR) || '.img' AS entry,
-          |    CAST(6 * 8 * 3 AS BIGINT) AS size_bytes
-          |  FROM meta
-          |  UNION ALL
-          |  SELECT shard, CAST(seed AS VARCHAR) || '.json',
-          |    CAST(strlen(m) AS BIGINT)
-          |  FROM meta)
-          |SELECT shard, entry, size_bytes FROM m2 ORDER BY entry""".stripMargin,
-
-      "q35_ivf_ann" -> ivfSql,
-
-      // Same semantics through the persisted, partition-pruned index
-      // path: the physical layout must not change a single answer.
-      "q49_ivf_persisted" -> ivfSql,
-
-      // delete+compact is probe-invisible vs the survivor index: q49's
-      // replay with deleted ids removed from the assigned side only
-      "q130_ivf_delete_compact" -> ivfSql.replace(
-        "FROM embeddings e CROSS JOIN cent c)",
-        "FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 17 <> 3)"),
-
-      // Build-then-append must equal one build over the union — the
-      // same oracle again; any layout leakage into semantics would
-      // hash-mismatch.
-      "q88_ivf_appended" -> ivfSql,
-
-      // Append-under-stale-centroids vs refit, measured: recall@10 per
-      // drifted query against brute truth, replayed fully in SQL.
-      "q95_ivf_append_recall" -> ivfDriftRecallSql,
-
-      // The doc-frequency cutoff replayed literally: HAVING count(*) <= 4
-      // on the distinct shingle index before sizes/intersections.
-      // Both containment directions derived from one intersection over
-      // the distinct-shingle index; the derived corpus's half-docs are
-      // rebuilt with the same slice arithmetic.
-      "q97_ngram_containment" ->
-        s"""$containmentBaseSql,
-           |dirs AS (
-           |  SELECT id_a AS doc_id, id_b AS other_id,
-           |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
-           |  FROM j
-           |  UNION ALL
-           |  SELECT id_b, id_a, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
-           |  FROM j)
-           |SELECT doc_id, other_id, containment FROM dirs
-           |WHERE containment >= 0.9
-           |ORDER BY doc_id, other_id""".stripMargin,
-
-      // The drop rule over the same CTEs: drop toward a strictly
-      // bigger host (or equal-size lower id); survivors = corpus minus
-      // the dropped set, byte lengths via strlen.
-      "q99_drop_contained" ->
-        s"""$containmentBaseSql,
-           |dirs AS (
-           |  SELECT id_a AS doc_id, id_b AS other_id,
-           |    na AS sz_doc, nb AS sz_other,
-           |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
-           |  FROM j
-           |  UNION ALL
-           |  SELECT id_b, id_a, nb, na, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
-           |  FROM j),
-           |dropped AS (
-           |  SELECT DISTINCT doc_id FROM dirs
-           |  WHERE containment >= 0.9
-           |    AND (sz_other > sz_doc
-           |      OR (sz_other = sz_doc AND other_id < doc_id)))
-           |SELECT c.doc_id, CAST(strlen(c.text) AS BIGINT) AS n_bytes
-           |FROM corpus c
-           |WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
-           |ORDER BY c.doc_id""".stripMargin,
-
-      "q47_jaccard_capped" ->
-        s"""WITH corpus AS ($clonedDocsSql),
-           |toks AS (
-           |  SELECT doc_id,
-           |    list_filter(regexp_split_to_array(text, '\\s+'),
-           |      x -> len(x) > 0) AS t
-           |  FROM corpus),
-           |sh AS (
-           |  SELECT DISTINCT doc_id,
-           |    unnest([array_to_string(t[i:i+2], ' ')
-           |            for i in range(1, len(t) - 1)]) AS s
-           |  FROM toks WHERE len(t) >= 3),
-           |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 4),
-           |fsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-           |  FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT id_a, id_b, i / (na.n_sh + nb.n_sh - i) AS jaccard
-           |FROM inter
-           |JOIN sizes na ON na.doc_id = id_a
-           |JOIN sizes nb ON nb.doc_id = id_b
-           |WHERE i / (na.n_sh + nb.n_sh - i) >= 0.8
-           |ORDER BY id_a, id_b""".stripMargin,
-
-      // The bucket cap's documented effect: an identical-text group
-      // larger than the cap fills every one of its buckets past the
-      // limit (identical texts ⇒ identical signatures), so none of its
-      // pairs can surface; all other pairs are exactly the all-pairs
-      // Jaccard result (q30's recall argument).
-      "q48_minhash_capped" ->
-        s"""WITH corpus AS ($clonedDocsSql),
-           |grp AS (SELECT text, count(*) AS g FROM corpus GROUP BY text),
-           |capped AS (
-           |  SELECT doc_id FROM corpus JOIN grp USING (text) WHERE g > 4),
-           |toks AS (
-           |  SELECT doc_id,
-           |    list_filter(regexp_split_to_array(text, '\\s+'),
-           |      x -> len(x) > 0) AS t
-           |  FROM corpus),
-           |sh AS (
-           |  SELECT DISTINCT doc_id,
-           |    unnest([array_to_string(t[i:i+2], ' ')
-           |            for i in range(1, len(t) - 1)]) AS s
-           |  FROM toks WHERE len(t) >= 3),
-           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-           |inter AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT id_a, id_b, i / (na.n_sh + nb.n_sh - i) AS jaccard
-           |FROM inter
-           |JOIN sizes na ON na.doc_id = id_a
-           |JOIN sizes nb ON nb.doc_id = id_b
-           |WHERE i / (na.n_sh + nb.n_sh - i) >= 0.8
-           |  AND id_a NOT IN (SELECT doc_id FROM capped)
-           |  AND id_b NOT IN (SELECT doc_id FROM capped)
-           |ORDER BY id_a, id_b""".stripMargin,
-
-      // The decontamination overlap replayed on shingle strings (the
-      // Spark side joins on shingle hashes — same distinct sets).
-      "q51_decontaminate" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    list_filter(regexp_split_to_array(text, '\s+'),
-          |      x -> len(x) > 0) AS t
-          |  FROM documents),
-          |sh AS (
-          |  SELECT DISTINCT doc_id,
-          |    unnest([array_to_string(t[i:i+2], ' ')
-          |            for i in range(1, len(t) - 1)]) AS s
-          |  FROM toks WHERE len(t) >= 3),
-          |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-          |hits AS (
-          |  SELECT sh.doc_id, count(*) AS c
-          |  FROM sh JOIN bsh USING (s) GROUP BY sh.doc_id)
-          |SELECT d.doc_id,
-          |  CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
-          |  coalesce(h.c, 0) = 0 AS is_clean
-          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-          |ORDER BY d.doc_id""".stripMargin,
-
-      // q51's membership join plus the per-doc distinct-shingle total;
-      // fraction as an exact BIGINT/BIGINT double division.
-      "q87_domain_cap" ->
-        """SELECT doc_id, source, n_chars FROM (
-          |  SELECT doc_id, source, n_chars,
-          |    row_number() OVER (
-          |      PARTITION BY source
-          |      ORDER BY n_chars DESC, doc_id) AS rn
-          |  FROM documents) WHERE rn <= 10
-          |ORDER BY source, doc_id""".stripMargin,
-
-      "q81_decontaminate_fraction" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    list_filter(regexp_split_to_array(text, '\s+'),
-          |      x -> len(x) > 0) AS t
-          |  FROM documents),
-          |sh AS (
-          |  SELECT DISTINCT doc_id,
-          |    unnest([array_to_string(t[i:i+2], ' ')
-          |            for i in range(1, len(t) - 1)]) AS s
-          |  FROM toks WHERE len(t) >= 3),
-          |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
-          |totals AS (SELECT doc_id, count(*) AS tot FROM sh GROUP BY doc_id),
-          |hits AS (
-          |  SELECT sh.doc_id, count(*) AS c
-          |  FROM sh JOIN bsh USING (s) GROUP BY sh.doc_id)
-          |SELECT d.doc_id,
-          |  CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
-          |  CAST(coalesce(tt.tot, 0) AS BIGINT) AS total_ngrams,
-          |  CASE WHEN coalesce(tt.tot, 0) > 0 THEN
-          |    CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(tt.tot AS DOUBLE)
-          |  ELSE 0.0 END AS contamination_fraction,
-          |  CASE WHEN coalesce(tt.tot, 0) > 0 THEN
-          |    CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(tt.tot AS DOUBLE)
-          |  ELSE 0.0 END <= 0.5 AS is_clean
-          |FROM documents d
-          |LEFT JOIN totals tt ON tt.doc_id = d.doc_id
-          |LEFT JOIN hits h ON h.doc_id = d.doc_id
-          |ORDER BY d.doc_id""".stripMargin,
-
-      // The mixing plan replayed: per-lang availability, fraction =
-      // least(1, budget/available), threshold = trunc(fraction·2^32)
-      // (trunc, matching Spark's double→long cast), keep decision =
-      // the same multiplicative-mix predicate as q27.
-      "q52_corpus_mix" ->
-        """WITH avail AS (
-          |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
-          |  FROM documents GROUP BY lang),
-          |plan AS (
-          |  SELECT lang, available,
-          |    CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 8000
-          |      WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 0 END AS target
-          |  FROM avail),
-          |thr AS (
-          |  SELECT lang,
-          |    CAST(trunc(least(1.0, CAST(target AS DOUBLE) /
-          |      CAST(available AS DOUBLE)) * 4294967296) AS BIGINT) AS t
-          |  FROM plan WHERE target > 0)
-          |SELECT d.lang, count(*) AS kept_docs,
-          |  CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
-          |FROM documents d JOIN thr ON d.lang = thr.lang
-          |WHERE ((d.doc_id + 11) * 2654435761) % 4294967296 < thr.t
-          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
-
-      // Incremental dedup replayed on text equality (digest equality ≡
-      // text equality): same batch construction, min-id survivor per
-      // batch text, anti-join against corpus texts.
-      "q53_incremental_dedup" ->
-        """WITH corpus AS (
-          |  SELECT text FROM documents WHERE doc_id % 3 <> 0),
-          |batch AS (
-          |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 1000000, lang, text FROM documents
-          |  WHERE doc_id % 5 = 0),
-          |surv AS (
-          |  SELECT text, min(doc_id) AS keep_id,
-          |    CAST(count(*) AS BIGINT) AS batch_dup_count
-          |  FROM batch GROUP BY text),
-          |fresh AS (
-          |  SELECT * FROM surv
-          |  WHERE text NOT IN (SELECT DISTINCT text FROM corpus))
-          |SELECT b.doc_id, b.lang, f.batch_dup_count
-          |FROM batch b JOIN fresh f
-          |  ON b.doc_id = f.keep_id AND b.text = f.text
-          |ORDER BY b.doc_id""".stripMargin,
-
-      // The cross-set near-dup replayed exactly: same batch perturbation,
-      // trigram shingle sets on both sides, exact Jaccard ≥ 0.8 (banding
-      // recall at t=0.8, r=4, b=32 leaves P[miss] ≈ 5e-8 per pair, as in
-      // q30).
-      "q54_incremental_neardup" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
-          |batch AS (
-          |  SELECT doc_id + 1000000 AS batch_id,
-          |    text || ' zzappendtoken' AS text
-          |  FROM documents WHERE doc_id % 5 = 0),
-          |ctoks AS (
-          |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
-          |    x -> len(x) > 0) AS t FROM corpus),
-          |btoks AS (
-          |  SELECT batch_id, list_filter(regexp_split_to_array(text, '\s+'),
-          |    x -> len(x) > 0) AS t FROM batch),
-          |csh AS (
-          |  SELECT DISTINCT doc_id,
-          |    unnest([array_to_string(t[i:i+2], ' ')
-          |            for i in range(1, len(t) - 1)]) AS s
-          |  FROM ctoks WHERE len(t) >= 3),
-          |bsh AS (
-          |  SELECT DISTINCT batch_id,
-          |    unnest([array_to_string(t[i:i+2], ' ')
-          |            for i in range(1, len(t) - 1)]) AS s
-          |  FROM btoks WHERE len(t) >= 3),
-          |csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
-          |bsizes AS (SELECT batch_id, count(*) AS n FROM bsh GROUP BY 1),
-          |inter AS (
-          |  SELECT b.batch_id, c.doc_id AS corpus_id, count(*) AS i
-          |  FROM bsh b JOIN csh c ON b.s = c.s GROUP BY 1, 2)
-          |SELECT inter.batch_id, corpus_id,
-          |  i / (bs.n + cs.n - i) AS jaccard
-          |FROM inter
-          |JOIN bsizes bs ON bs.batch_id = inter.batch_id
-          |JOIN csizes cs ON cs.doc_id = corpus_id
-          |WHERE i / (bs.n + cs.n - i) >= 0.8
-          |ORDER BY inter.batch_id, corpus_id""".stripMargin,
-
-      // Bucketing is physical layout only: the oracle is q54's exact
-      // cross-set Jaccard replay on this query's own corpus/batch split.
-      "q72_bucketed_neardup" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-          |batch AS (
-          |  SELECT doc_id + 3000000 AS batch_id,
-          |    text || ' zzappendtoken' AS text
-          |  FROM documents WHERE doc_id % 7 = 0),
-          |ctoks AS (
-          |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
-          |    x -> len(x) > 0) AS t FROM corpus),
-          |btoks AS (
-          |  SELECT batch_id, list_filter(regexp_split_to_array(text, '\s+'),
-          |    x -> len(x) > 0) AS t FROM batch),
-          |csh AS (
-          |  SELECT DISTINCT doc_id,
-          |    unnest([array_to_string(t[i:i+2], ' ')
-          |            for i in range(1, len(t) - 1)]) AS s
-          |  FROM ctoks WHERE len(t) >= 3),
-          |bsh AS (
-          |  SELECT DISTINCT batch_id,
-          |    unnest([array_to_string(t[i:i+2], ' ')
-          |            for i in range(1, len(t) - 1)]) AS s
-          |  FROM btoks WHERE len(t) >= 3),
-          |csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
-          |bsizes AS (SELECT batch_id, count(*) AS n FROM bsh GROUP BY 1),
-          |inter AS (
-          |  SELECT b.batch_id, c.doc_id AS corpus_id, count(*) AS i
-          |  FROM bsh b JOIN csh c ON b.s = c.s GROUP BY 1, 2)
-          |SELECT inter.batch_id, corpus_id,
-          |  i / (bs.n + cs.n - i) AS jaccard
-          |FROM inter
-          |JOIN bsizes bs ON bs.batch_id = inter.batch_id
-          |JOIN csizes cs ON cs.doc_id = corpus_id
-          |WHERE i / (bs.n + cs.n - i) >= 0.8
-          |ORDER BY inter.batch_id, corpus_id""".stripMargin,
-
-      // fitCentroids' hash seeding replayed: seeds = the 8 vectors lowest
-      // by the POSIX LCG of their id, centroid_id = seed rank; assignment
-      // = cosine argmax with ties to the lowest centroid id.
-      "q50_ivf_fitted" ->
-        s"""WITH ranked AS (
-           |  SELECT vec_id, embedding,
-           |    row_number() OVER (ORDER BY
-           |      (1103515245::BIGINT * (vec_id % 2147483648) + 12345)
-           |        % 2147483648 ASC,
-           |      vec_id ASC) AS rn
-           |  FROM embeddings),
-           |cent AS (
-           |  SELECT rn - 1 AS centroid_id, embedding AS cv
-           |  FROM ranked WHERE rn <= 8),
-           |a AS (
-           |  SELECT e.vec_id, c.centroid_id,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
-           |        c.centroid_id ASC) AS rn2
-           |  FROM embeddings e CROSS JOIN cent c)
-           |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id
-           |FROM a WHERE rn2 = 1 ORDER BY vec_id""".stripMargin,
-
-      // SemDeDup replay: scaled clones (×2 is exact in IEEE float, and
-      // sqrt(4x) = 2·sqrt(x) exactly), cosine-ranked nearest-centroid
-      // assignment with the lowest-id tie-break, cluster cap, then
-      // within-cluster exact cosine — all in double from the same float
-      // inputs, so values hash-match.
-      "q70_semantic_dedup" ->
-        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-           |all_v AS (
-           |  SELECT vec_id, embedding FROM base
-           |  UNION ALL
-           |  SELECT vec_id + 100000,
-           |    list_transform(embedding, x -> (x * 2.0)::FLOAT)
-           |  FROM base WHERE vec_id < 4),
-           |cent AS (
-           |  SELECT vec_id AS centroid_id, embedding AS cv
-           |  FROM base WHERE vec_id % 43 = 0),
-           |assigned AS (
-           |  SELECT v.vec_id, v.embedding, c.centroid_id,
-           |    row_number() OVER (PARTITION BY v.vec_id
-           |      ORDER BY ${cosSql("v.embedding", "c.cv")} DESC,
-           |        c.centroid_id ASC) AS rn
-           |  FROM all_v v CROSS JOIN cent c),
-           |a1 AS (SELECT vec_id, embedding, centroid_id
-           |  FROM assigned WHERE rn = 1),
-           |ok AS (SELECT centroid_id FROM a1
-           |  GROUP BY centroid_id HAVING count(*) <= 1000),
-           |k AS (SELECT a1.* FROM a1 JOIN ok USING (centroid_id))
-           |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-           |  ${cosSql("x.embedding", "y.embedding")} AS cosine
-           |FROM k x JOIN k y
-           |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
-           |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.95
-           |ORDER BY id_a, id_b""".stripMargin,
-
-      "q34_embedding_dups" ->
-        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |  ${cosSql("a.embedding", "b.embedding")} AS cosine
-           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-           |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95
-           |ORDER BY id_a, id_b""".stripMargin,
-
-      "q33_multimodal_meta" ->
-        """SELECT doc_id,
-          |  CASE WHEN len(text) = 0 THEN 'empty'
-          |       WHEN substr(text, 1, 3) = 'RIF' THEN 'riff'
-          |       ELSE 'bin' END AS format,
-          |  len(text) > 0 AS ok
-          |FROM documents ORDER BY doc_id""".stripMargin,
-
-      "q20_zscore" ->
-        """WITH stats AS (
-          |  SELECT sum(l_quantity) AS s1,
-          |    sum(l_quantity * l_quantity) AS s2,
-          |    count(*) AS n
-          |  FROM lineitem WHERE l_orderkey % 10 < 8)
-          |SELECT l_orderkey, l_linenumber,
-          |  (l_quantity - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
-          |FROM lineitem, stats
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-      "q21_agg_metrics" ->
-        """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS users,
-          |  count(*) FILTER (WHERE event_type = 'error') AS errors
-          |FROM events""".stripMargin,
-
-      "q44_funnel" ->
-        """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns
-          |  FROM events),
-          |s1 AS (SELECT user_id, min(tns) AS t1 FROM e
-          |  WHERE event_type = 'click' GROUP BY user_id),
-          |s2 AS (SELECT e.user_id, min(tns) AS t2 FROM e JOIN s1 USING (user_id)
-          |  WHERE event_type = 'signup' AND tns > t1 GROUP BY e.user_id),
-          |s3 AS (SELECT e.user_id, min(tns) AS t3 FROM e JOIN s2 USING (user_id)
-          |  WHERE event_type = 'purchase' AND tns > t2 GROUP BY e.user_id)
-          |SELECT 'stage1_click' AS stage, count(*) AS n_users FROM s1
-          |UNION ALL SELECT 'stage2_signup', count(*) FROM s2
-          |UNION ALL SELECT 'stage3_purchase', count(*) FROM s3
-          |ORDER BY stage""".stripMargin,
-
-      "q45_retention" ->
-        """WITH e AS (SELECT user_id,
-          |    epoch_ns(ts) // 86400000000000 AS day FROM events),
-          |first AS (SELECT user_id, min(day) AS cohort_day FROM e
-          |  GROUP BY user_id),
-          |ret AS (SELECT DISTINCT f.user_id, f.cohort_day FROM first f
-          |  JOIN e ON e.user_id = f.user_id AND e.day = f.cohort_day + 1)
-          |SELECT f.cohort_day, count(*) AS n_users,
-          |  count(r.user_id) AS n_retained
-          |FROM first f LEFT JOIN ret r
-          |  ON f.user_id = r.user_id AND f.cohort_day = r.cohort_day
-          |GROUP BY f.cohort_day ORDER BY f.cohort_day""".stripMargin,
-
-      "q46_json_props" ->
-        """SELECT event_type, count(*) AS n,
-          |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
-          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-      // As-of join replayed as max-ts-then-max-id over the inequality
-      // join — the quadratic formulation the operator avoids, exact at
-      // oracle scale. Both LEFT JOINs preserve match-less purchases.
-      // Microsecond ordinates (epoch_us ~ Spark's `ts div 1000`): DuckDB
-      // parses the TIMESTAMP(NANOS) column at us precision, so both
-      // engines must compare at us for identical join semantics.
-      "q61_asof_join" ->
-        """WITH l AS (SELECT event_id AS purchase_id, user_id,
-          |    epoch_us(ts) AS purchase_tus
-          |  FROM events WHERE event_type = 'purchase'),
-          |r AS (SELECT event_id AS view_id, user_id,
-          |    epoch_us(ts) AS view_tus
-          |  FROM events WHERE event_type = 'view'),
-          |m AS (SELECT l.purchase_id, l.user_id, l.purchase_tus,
-          |    max(r.view_tus) AS view_tus
-          |  FROM l LEFT JOIN r ON r.user_id = l.user_id
-          |    AND r.view_tus <= l.purchase_tus
-          |  GROUP BY 1, 2, 3)
-          |SELECT m.purchase_id, m.user_id, m.purchase_tus,
-          |  max(r.view_id) AS view_id, m.view_tus
-          |FROM m LEFT JOIN r ON r.user_id = m.user_id
-          |  AND r.view_tus = m.view_tus
-          |GROUP BY 1, 2, 3, 5 ORDER BY purchase_id""".stripMargin,
-
-      "q62_range_join" ->
-        """WITH i AS (SELECT event_id AS error_id, user_id,
-          |    epoch_us(ts) AS start_tus,
-          |    epoch_us(ts) + 300000000 AS end_tus
-          |  FROM events WHERE event_type = 'error'),
-          |p AS (SELECT user_id, epoch_us(ts) AS click_tus FROM events
-          |  WHERE event_type = 'click')
-          |SELECT i.error_id, count(p.click_tus) AS n_clicks,
-          |  min(p.click_tus) AS first_click_tus,
-          |  max(p.click_tus) AS last_click_tus
-          |FROM i LEFT JOIN p ON p.user_id = i.user_id
-          |  AND p.click_tus BETWEEN i.start_tus AND i.end_tus
-          |GROUP BY i.error_id ORDER BY error_id""".stripMargin,
-
-      // Bloom-prefiltered incremental ingest is result-identical to plain
-      // incremental dedup (the sketch is routing, not adjudication), so
-      // the oracle is q53's replay verbatim.
-      "q63_bloom_incremental" ->
-        """WITH corpus AS (
-          |  SELECT text FROM documents WHERE doc_id % 3 <> 0),
-          |batch AS (
-          |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 1000000, lang, text FROM documents
-          |  WHERE doc_id % 5 = 0),
-          |surv AS (
-          |  SELECT text, min(doc_id) AS keep_id,
-          |    CAST(count(*) AS BIGINT) AS batch_dup_count
-          |  FROM batch GROUP BY text),
-          |fresh AS (
-          |  SELECT * FROM surv
-          |  WHERE text NOT IN (SELECT DISTINCT text FROM corpus))
-          |SELECT b.doc_id, b.lang, f.batch_dup_count
-          |FROM batch b JOIN fresh f
-          |  ON b.doc_id = f.keep_id AND b.text = f.text
-          |ORDER BY b.doc_id""".stripMargin,
-
-      // The packing layout is pure integer arithmetic: the q59 mixedKey
-      // replay routes and orders the streams, a running token sum bins
-      // into 512-token packs, and DuckDB window functions replay every
-      // (pack_id, pack_pos, pack_offset) exactly.
-      "q69_pack_sequences" ->
-        """WITH tok AS (
-          |  SELECT doc_id,
-          |    COALESCE(CAST(len(list_filter(regexp_split_to_array(text,
-          |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS n_tokens,
-          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
-          |  FROM documents),
-          |g AS (SELECT *, mix % 16 AS grp FROM tok),
-          |c AS (
-          |  SELECT *, sum(n_tokens) OVER (PARTITION BY grp
-          |      ORDER BY mix, doc_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |    - n_tokens AS strt
-          |  FROM g),
-          |p AS (SELECT *, CAST(strt // 512 AS BIGINT) AS pack FROM c)
-          |SELECT doc_id, n_tokens,
-          |  CAST(grp * 1099511627776 + pack AS BIGINT) AS pack_id,
-          |  CAST(row_number() OVER (PARTITION BY grp, pack
-          |    ORDER BY mix, doc_id) - 1 AS BIGINT) AS pack_pos,
-          |  CAST(strt - pack * 512 AS BIGINT) AS pack_offset
-          |FROM p ORDER BY doc_id""".stripMargin,
-
-      // BM25 replayed term-exactly: same tokenization, the same formula
-      // tree shape (so IEEE doubles agree), contributions floored to
-      // micro-units and summed as integers (order-independent), one
-      // final division. ln() may differ from Math.log by an ulp; the
-      // 1e-6 quantum absorbs it.
-      "q71_bm25_topk" -> bm25Sql,
-
-      // scoring replayed from the persisted artifact is fixed-point
-      // identical to the live path — the SAME oracle proves both
-      "q78_bm25_persisted" -> bm25Sql,
-      // append-then-probe is score-identical to the from-scratch build
-      // by construction (the split-df layout's whole point), so the
-      // same full-corpus SQL proves the append path too
-      "q107_bm25_append" -> bm25Sql,
-      "q123_blocklist_gate" ->
-        """SELECT doc_id, lang FROM documents
-          |WHERE NOT (contains(lower(text), 'slyly final')
-          |  OR contains(lower(text), 'ironic')
-          |  OR contains(lower(text), lower('QUICK brown')))
-          |ORDER BY doc_id""".stripMargin,
-
-      // the kernel's hit set is definitionally contains() — the oracle
-      // replays the join form over the wider bank
-      "q122_contains_probe_kernel" ->
-        """WITH q(qid, qstr) AS (VALUES
-          |  (1, 'carefully'), (2, 'care'), (3, 'fully'),
-          |  (4, 'slyly final'), (5, 'final'), (6, 'quick'),
-          |  (7, 'requests'), (8, 'quests'))
-          |SELECT CAST(q.qid AS BIGINT) AS query_id, d.doc_id
-          |FROM documents d JOIN q
-          |  ON contains(lower(d.text), lower(q.qstr))
-          |ORDER BY query_id, doc_id""".stripMargin,
-
-      "q121_contains_probe" ->
-        """WITH q(qid, qstr) AS (VALUES
-          |  (1, 'carefully'), (2, 'slyly final'), (3, 'QUICK brown'))
-          |SELECT CAST(q.qid AS BIGINT) AS query_id, d.doc_id
-          |FROM documents d JOIN q
-          |  ON contains(lower(d.text), lower(q.qstr))
-          |ORDER BY query_id, doc_id""".stripMargin,
-
-      // candidate generation is invisible to semantics: the oracle is
-      // the all-pairs exact levenshtein (DuckDB builtin == Spark's)
-      // the exact get_stats table BPE's first merge maximizes: every
-      // adjacent character position of every word occurrence counts
-      // (incl. overlapping runs); ordering = the fit's tie-break
-      "q125_bpe_pair_stats" ->
-        """WITH w AS (
-          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
-          |    '\s+'), x -> len(x) > 0)) AS w
-          |  FROM documents),
-          |pairs AS (
-          |  SELECT substr(w, i, 1) AS "left", substr(w, i + 1, 1) AS "right"
-          |  FROM w, unnest(range(1, len(w))) AS t(i)
-          |  WHERE len(w) >= 2 AND len(w) <= 1024),
-          |c AS (
-          |  SELECT "left", "right", CAST(count(*) AS BIGINT) AS cnt
-          |  FROM pairs GROUP BY 1, 2),
-          |r AS (
-          |  SELECT *, row_number()
-          |    OVER (ORDER BY cnt DESC, "left", "right") AS rank
-          |  FROM c)
-          |SELECT CAST(rank AS BIGINT) AS rank, "left", "right", cnt
-          |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
-
-      // content preservation is the replayable contract: subword concat
-      // rebuilds the whitespace-stripped lowercased text exactly,
-      // whatever merges the fit learned
-      "q126_bpe_roundtrip" ->
-        """SELECT doc_id,
-          |  CAST(len(list_filter(regexp_split_to_array(lower(text),
-          |    '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
-          |  regexp_replace(lower(text), '[ \t\n\r]+', '', 'g') AS joined
-          |FROM documents WHERE text IS NOT NULL
-          |ORDER BY doc_id""".stripMargin,
-
-      // q126's replayable invariant over the LOADED model, plus the
-      // engine-computed merge-table-fidelity boolean pinned TRUE
-      "q128_bpe_artifact_roundtrip" ->
-        """SELECT doc_id,
-          |  CAST(len(list_filter(regexp_split_to_array(lower(text),
-          |    '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
-          |  TRUE AS table_equal,
-          |  regexp_replace(lower(text), '[ \t\n\r]+', '', 'g') AS joined
-          |FROM documents WHERE text IS NOT NULL
-          |ORDER BY doc_id""".stripMargin,
-
-      // n_cp replays through the same translate(); the three contract
-      // booleans are pinned TRUE — engine-computed, so a regression to
-      // giant-unmerged-token behavior (ws-mode symptom) hash-mismatches
-      "q127_bpe_cjk" ->
-        """SELECT doc_id,
-          |  CAST(length(translate(lower(text),
-          |    'abcdefghijklmnopqrstuvwxyz ',
-          |    '的一是不了人我在有他这中大来上国个到说们为子和你地出'))
-          |    AS BIGINT) AS n_cp,
-          |  TRUE AS is_lossless,
-          |  TRUE AS has_merges,
-          |  TRUE AS is_multi
-          |FROM documents WHERE lang = 'zh' AND text IS NOT NULL
-          |ORDER BY doc_id""".stripMargin,
-
-      // the tier contract verbatim: all pairs at lev<=1 (any length up
-      // to 128) UNION pairs at lev=2 where BOTH strings are <= the
-      // d2MaxLen cap — a distance-2 pair with a long member is
-      // intentionally absent (the cost the tiering exists to avoid)
-      "q124_tiered_title_dedup" ->
-        """WITH t0 AS (
-          |  SELECT doc_id,
-          |    array_to_string(list_filter(regexp_split_to_array(text,
-          |      '\s+'), x -> len(x) > 0)
-          |      [1:(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 8 END)], ' ')
-          |      AS title
-          |  FROM documents),
-          |ty2 AS (
-          |  SELECT doc_id + 700000 AS doc_id,
-          |    substr(title, 1, 2) || substr(title, 4, 3) || substr(title, 8)
-          |      AS title
-          |  FROM t0 WHERE doc_id % 6 = 0 AND len(title) >= 8),
-          |ty1 AS (
-          |  SELECT doc_id + 800000 AS doc_id,
-          |    substr(title, 1, 2) || substr(title, 4) AS title
-          |  FROM t0 WHERE doc_id % 6 = 3 AND len(title) >= 4),
-          |allt AS (SELECT * FROM t0 UNION ALL SELECT * FROM ty2
-          |  UNION ALL SELECT * FROM ty1)
-          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
-          |FROM allt a JOIN allt b ON a.doc_id < b.doc_id
-          |WHERE len(a.title) <= 128 AND len(b.title) <= 128
-          |  AND (levenshtein(a.title, b.title) <= 1
-          |    OR (levenshtein(a.title, b.title) = 2
-          |      AND len(a.title) <= 18 AND len(b.title) <= 18))
-          |ORDER BY id_a, id_b""".stripMargin,
-
-      "q120_title_dedup" ->
-        """WITH t0 AS (
-          |  SELECT doc_id,
-          |    array_to_string(list_filter(regexp_split_to_array(text,
-          |      '\s+'), x -> len(x) > 0)[1:3], ' ') AS title
-          |  FROM documents),
-          |ty AS (
-          |  SELECT doc_id + 700000 AS doc_id,
-          |    substr(title, 1, 2) || substr(title, 4) AS title
-          |  FROM t0 WHERE doc_id % 6 = 0 AND len(title) >= 3),
-          |allt AS (SELECT * FROM t0 UNION ALL SELECT * FROM ty)
-          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
-          |FROM allt a JOIN allt b ON a.doc_id < b.doc_id
-          |WHERE levenshtein(a.title, b.title) <= 1
-          |ORDER BY id_a, id_b""".stripMargin,
-
-      // delete-then-probe must equal the SAME replay restricted to the
-      // surviving corpus — df/stats corrections and tombstones all
-      // collapse into the WHERE clause
-      "q119_bm25_delete" -> bm25Sql.replace(
-        "AS lt FROM documents)",
-        "AS lt FROM documents WHERE doc_id % 3 <> 0)"),
-
-      // compaction is probe-invisible: the oracle is q119's survivor
-      // replay verbatim (engine-side lifecycle evidence gates the rows)
-      "q129_bm25_compact" -> bm25Sql.replace(
-        "AS lt FROM documents)",
-        "AS lt FROM documents WHERE doc_id % 3 <> 0)"),
-
-      // sentence-packed ~48-token chunks: a sentence ends after any
-      // token whose last char is . ! or ?; sentence with c preceding
-      // tokens lands in chunk c // 48 (prefix-sum bucketing). The
-      // engine computes this per-row with an aggregate() fold; the
-      // oracle replays it as the explicit window/groupBy shape — full
-      // chunk TEXT is hash-compared, not just boundaries.
-      "q131_chunk_sentences" ->
-        s"""WITH toks AS ($toksSql),
-           |tok AS (SELECT doc_id, t[u.i] AS tk, u.i AS i
-           |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
-           |  WHERE len(t) > 0),
-           |flg AS (SELECT doc_id, tk, i,
-           |  CASE WHEN tk LIKE '%.' OR tk LIKE '%!' OR tk LIKE '%?'
-           |    THEN 1 ELSE 0 END AS e FROM tok),
-           |sid AS (SELECT doc_id, tk, i,
-           |  coalesce(sum(e) OVER (PARTITION BY doc_id ORDER BY i
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           |    AS s FROM flg),
-           |st AS (SELECT doc_id, tk, i,
-           |  min(i) OVER (PARTITION BY doc_id, s) AS sent_start FROM sid)
-           |SELECT doc_id,
-           |  CAST((sent_start - 1) // 48 AS BIGINT) AS chunk_id,
-           |  string_agg(tk, ' ' ORDER BY i) AS chunk_text,
-           |  count(*) AS n_tokens
-           |FROM st GROUP BY doc_id, chunk_id
-           |ORDER BY doc_id, chunk_id""".stripMargin,
-
-      // DSIR replayed feature by feature — fit CTEs shared via
-      // dsirFitCtes (see its definition for the hash/quantization
-      // contract).
-      "q132_dsir_weights" ->
-        s"""WITH $dsirFitCtes
-           |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           |  CAST(sum(dw) AS BIGINT) AS weight_micro
-           |FROM b JOIN fw USING (f)
-           |GROUP BY 1 ORDER BY doc_id""".stripMargin,
-
-      // q132's weights + the Knuth-mix Gumbel key (u = (mix + 0.5)/2^32
-      // is an exact power-of-two division — both engines see the same
-      // double), floor-quantized to micro; top-100 by integer key.
-      "q133_dsir_resample" ->
-        s"""WITH $dsirFitCtes,
-           |w AS (
-           |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           |    CAST(sum(dw) AS BIGINT) AS weight_micro
-           |  FROM b JOIN fw USING (f) GROUP BY 1),
-           |r AS (
-           |  SELECT doc_id, n_tokens, weight_micro,
-           |    CAST(floor(1000000.0 * -ln(-ln(
-           |      ((((doc_id + 7) * 2654435761) % 4294967296) + 0.5)
-           |        / 4294967296.0))) AS BIGINT) AS gumbel_micro
-           |  FROM w)
-           |SELECT doc_id, n_tokens, weight_micro, gumbel_micro,
-           |  weight_micro + gumbel_micro AS resample_key
-           |FROM r ORDER BY resample_key DESC, doc_id LIMIT 100""".stripMargin,
-
-      // q97's containment CTEs with a source label carried through the
-      // derived corpus; the matrix is integer counts per source pair.
-      "q140_source_overlap_matrix" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, text, source FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 2000000 AS doc_id,
-          |    array_to_string(
-          |      t[1:CAST(greatest(3, len(t) // 2) AS INT)], ' ') AS text,
-          |    'quotes' AS source
-          |  FROM (SELECT doc_id,
-          |      list_filter(regexp_split_to_array(text, '\s+'),
-          |        x -> len(x) > 0) AS t
-          |    FROM documents)
-          |  WHERE doc_id % 10 = 0),
-          |toks AS (
-          |  SELECT doc_id,
-          |    list_filter(regexp_split_to_array(text, '\s+'),
-          |      x -> len(x) > 0) AS t
-          |  FROM corpus),
-          |sh AS (
-          |  SELECT DISTINCT doc_id,
-          |    unnest([array_to_string(t[i:i+2], ' ')
-          |            for i in range(1, len(t) - 1)]) AS s
-          |  FROM toks WHERE len(t) >= 3),
-          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-          |inter AS (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          |  GROUP BY 1, 2),
-          |j AS (
-          |  SELECT id_a, id_b, i, na.n_sh AS na, nb.n_sh AS nb
-          |  FROM inter
-          |  JOIN sizes na ON na.doc_id = id_a
-          |  JOIN sizes nb ON nb.doc_id = id_b),
-          |dirs AS (
-          |  SELECT id_a AS doc_id, id_b AS other_id,
-          |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
-          |  FROM j
-          |  UNION ALL
-          |  SELECT id_b, id_a, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
-          |  FROM j),
-          |hits AS (SELECT doc_id, other_id FROM dirs
-          |  WHERE containment >= 0.9)
-          |SELECT ca.source AS source_contained, cb.source AS source_host,
-          |  CAST(count(*) AS BIGINT) AS n_pairs,
-          |  CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs
-          |FROM hits h
-          |JOIN corpus ca ON ca.doc_id = h.doc_id
-          |JOIN corpus cb ON cb.doc_id = h.other_id
-          |GROUP BY 1, 2
-          |ORDER BY source_contained, source_host""".stripMargin,
-
-      // Hybrid retrieval replayed end to end: the q71 BM25 CTEs (k=20)
-      // and the q16 brute-cosine CTEs (k=20, self kept) feed the RRF
-      // combiner — per-list contribution floor(1e9/(60+rank)) as pure
-      // integer micro-units, so the fused sum is order-independent and
-      // hash-exact on both engines.
-      "q137_hybrid_retrieval" ->
-        s"""WITH q(query_id, qtext) AS (VALUES
-           |    (1, 'spark join hash'),
-           |    (2, 'customer order query'),
-           |    (3, 'vector stream window group')),
-           |d AS (SELECT doc_id, lower(text) AS lt FROM documents),
-           |dl AS (SELECT doc_id,
-           |    COALESCE(CAST(len(list_filter(regexp_split_to_array(lt,
-           |      '\\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS dl
-           |  FROM d),
-           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-           |    CAST(sum(dl) AS BIGINT) AS tot FROM dl),
-           |toks AS (SELECT doc_id,
-           |    unnest(list_filter(regexp_split_to_array(lt, '\\s+'),
-           |      x -> len(x) > 0)) AS t
-           |  FROM d),
-           |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
-           |  FROM toks GROUP BY doc_id, t),
-           |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df
-           |  FROM tf GROUP BY t),
-           |qt AS (SELECT query_id,
-           |    unnest(list_distinct(list_filter(regexp_split_to_array(
-           |      lower(qtext), '\\s+'), x -> len(x) > 0))) AS t
-           |  FROM q),
-           |contrib AS (
-           |  SELECT qt.query_id, tf.doc_id,
-           |    CAST(floor(
-           |      ln(1.0 + (CAST(s.n AS DOUBLE) - tf2.df + 0.5)
-           |        / (tf2.df + 0.5))
-           |      * (tf.tf * 2.2)
-           |      / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
-           |        / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE))))
-           |      * 1000000.0) AS BIGINT) AS cm
-           |  FROM tf
-           |  JOIN qt ON qt.t = tf.t
-           |  JOIN dft tf2 ON tf2.t = tf.t
-           |  JOIN dl ON dl.doc_id = tf.doc_id
-           |  CROSS JOIN stats s),
-           |lexs AS (SELECT query_id, doc_id,
-           |    CAST(sum(cm) AS BIGINT) AS sm
-           |  FROM contrib GROUP BY query_id, doc_id),
-           |lex AS (SELECT query_id, doc_id,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY sm DESC, doc_id ASC) AS rank
-           |  FROM lexs),
-           |vq AS (SELECT vec_id AS query_id, embedding AS qv
-           |  FROM embeddings WHERE vec_id IN (1, 2, 3)),
-           |vscored AS (SELECT vq.query_id, c.vec_id AS neighbor_id,
-           |    ${cosSql("vq.qv", "c.embedding")} AS score
-           |  FROM vq CROSS JOIN embeddings c),
-           |sem AS (SELECT query_id, neighbor_id AS doc_id,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY score DESC, neighbor_id ASC) AS rank
-           |  FROM vscored),
-           |contribs AS (
-           |  SELECT query_id, doc_id,
-           |    CAST(floor(1.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
-           |      AS cm
-           |  FROM lex WHERE rank <= 20
-           |  UNION ALL
-           |  SELECT query_id, doc_id,
-           |    CAST(floor(1.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
-           |      AS cm
-           |  FROM sem WHERE rank <= 20),
-           |fused AS (SELECT query_id, doc_id,
-           |    CAST(sum(cm) AS BIGINT) AS sm
-           |  FROM contribs GROUP BY query_id, doc_id),
-           |fr AS (SELECT query_id, doc_id, sm,
-           |    CAST(row_number() OVER (PARTITION BY query_id
-           |      ORDER BY sm DESC, doc_id ASC) AS BIGINT) AS rank
-           |  FROM fused)
-           |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
-           |  CAST(sm AS DOUBLE) / 1000000000.0 AS score
-           |FROM fr WHERE rank <= 10
-           |ORDER BY query_id, rank""".stripMargin,
-
-      // q50's hash-seeded fit + nearest-centroid assignment, then the
-      // q89 mixed-key quota replay PER CLUSTER (salt 7, quota 50).
-      "q138_cluster_balanced_sample" ->
-        s"""WITH ranked AS (
-           |  SELECT vec_id, embedding,
-           |    row_number() OVER (ORDER BY
-           |      (1103515245::BIGINT * (vec_id % 2147483648) + 12345)
-           |        % 2147483648 ASC,
-           |      vec_id ASC) AS rn
-           |  FROM embeddings),
-           |cent AS (
-           |  SELECT rn - 1 AS centroid_id, embedding AS cv
-           |  FROM ranked WHERE rn <= 8),
-           |a AS (
-           |  SELECT e.vec_id, c.centroid_id,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
-           |        c.centroid_id ASC) AS rn2
-           |  FROM embeddings e CROSS JOIN cent c),
-           |asg AS (SELECT vec_id, centroid_id FROM a WHERE rn2 = 1),
-           |keep AS (SELECT vec_id, centroid_id,
-           |    row_number() OVER (PARTITION BY centroid_id
-           |      ORDER BY ((vec_id + 7) * 2654435761) % 4294967296,
-           |        vec_id) AS rk
-           |  FROM asg)
-           |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id
-           |FROM keep WHERE rk <= 50 ORDER BY vec_id""".stripMargin,
-
-      // Brute top-30 candidates (q16's CTEs), q50's cluster assignment
-      // as the diversity groups, cap 3 per (query, cluster) by original
-      // rank, re-rank the survivors, keep 10.
-      "q139_diversified_topk" ->
-        s"""WITH ranked AS (
-           |  SELECT vec_id, embedding,
-           |    row_number() OVER (ORDER BY
-           |      (1103515245::BIGINT * (vec_id % 2147483648) + 12345)
-           |        % 2147483648 ASC,
-           |      vec_id ASC) AS rn
-           |  FROM embeddings),
-           |cent AS (
-           |  SELECT rn - 1 AS centroid_id, embedding AS cv
-           |  FROM ranked WHERE rn <= 8),
-           |a AS (
-           |  SELECT e.vec_id, c.centroid_id,
-           |    row_number() OVER (PARTITION BY e.vec_id
-           |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
-           |        c.centroid_id ASC) AS rn2
-           |  FROM embeddings e CROSS JOIN cent c),
-           |asg AS (SELECT vec_id, centroid_id FROM a WHERE rn2 = 1),
-           |vq AS (SELECT vec_id AS query_id, embedding AS qv
-           |  FROM embeddings WHERE vec_id < 5),
-           |scored AS (SELECT vq.query_id, c.vec_id AS neighbor_id,
-           |    ${cosSql("vq.qv", "c.embedding")} AS score
-           |  FROM vq CROSS JOIN embeddings c
-           |  WHERE c.vec_id <> vq.query_id),
-           |base AS (SELECT query_id, neighbor_id,
-           |    row_number() OVER (PARTITION BY query_id
-           |      ORDER BY score DESC, neighbor_id ASC) AS r0
-           |  FROM scored),
-           |cand AS (SELECT query_id, neighbor_id AS doc_id, r0
-           |  FROM base WHERE r0 <= 30),
-           |tagged AS (SELECT cand.query_id, cand.doc_id, cand.r0,
-           |    CAST(asg.centroid_id AS VARCHAR) AS grp
-           |  FROM cand JOIN asg ON asg.vec_id = cand.doc_id),
-           |capped AS (SELECT query_id, doc_id, r0, grp,
-           |    row_number() OVER (PARTITION BY query_id, grp
-           |      ORDER BY r0) AS gn
-           |  FROM tagged),
-           |fin AS (SELECT query_id, doc_id, grp,
-           |    CAST(row_number() OVER (PARTITION BY query_id
-           |      ORDER BY r0) AS BIGINT) AS rank
-           |  FROM capped WHERE gn <= 3)
-           |SELECT query_id, rank, doc_id, grp AS "group"
-           |FROM fin WHERE rank <= 10
-           |ORDER BY query_id, rank""".stripMargin,
-
-      // The audit's contract is the verdict table itself: a healthy
-      // maintained artifact passes all nine invariants. (Detection of
-      // actual corruption is spec-pinned — OpsSpec/IvfIndexSpec mangle
-      // tables and assert the specific rows flip.)
-      "q136_artifact_audit" ->
-        """SELECT * FROM (VALUES
-          |  ('bm25', 'df_matches_postings', true),
-          |  ('bm25', 'postings_docs_have_dl', true),
-          |  ('bm25', 'stats_n_docs', true),
-          |  ('bm25', 'stats_total_tokens', true),
-          |  ('bm25', 'tombstones_not_in_dl', true),
-          |  ('ivf', 'ids_unique', true),
-          |  ('ivf', 'no_null_vectors', true),
-          |  ('ivf', 'tombstones_resolved', true),
-          |  ('ivf', 'vec_dims_uniform', true))
-          |  AS t(family, "check", ok)
-          |ORDER BY family, "check"""".stripMargin,
-
-      // Fit replayed exactly as q132's CTEs, then the apply half: the
-      // shifted batch's buckets LEFT-join the fitted table and
-      // out-of-vocabulary features score the smoothed dw0 = micro(0,
-      // N_t+V) − micro(0, N_r+V) — the ' zzqunseen' suffix exercises
-      // the path on every row (unless its bucket collides with a seen
-      // token's, in which case both engines agree on the seen weight;
-      // the spec pins OOV exactly in token mode).
-      "q135_dsir_apply_persisted" ->
-        s"""WITH $dsirFitCtes,
-           |d0 AS (
-           |  SELECT
-           |    CAST(floor(1000000.0 * ln(1 / CAST(nt + v AS DOUBLE)))
-           |      AS BIGINT)
-           |    - CAST(floor(1000000.0 * ln(1 / CAST(nr + v AS DOUBLE)))
-           |      AS BIGINT) AS dw0
-           |  FROM tot),
-           |bb AS (
-           |  SELECT doc_id + 1000000 AS doc_id,
-           |    unnest(list_transform(
-           |      list_filter(regexp_split_to_array(
-           |        lower(text || ' zzqunseen'), '\\s+'),
-           |        x -> len(x) > 0),
-           |      x -> CAST((md5_number_lower(x) & 262143) AS BIGINT))) AS f
-           |  FROM documents)
-           |SELECT bb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           |  CAST(sum(coalesce(fw.dw, d0.dw0)) AS BIGINT) AS weight_micro
-           |FROM bb LEFT JOIN fw USING (f) CROSS JOIN d0
-           |GROUP BY 1 ORDER BY doc_id""".stripMargin,
-
-      // The contiguous stream replayed position by position: group-major
-      // Knuth-mix order, within-group prefix sum, groups-sized exclusive
-      // offset scan, then the (doc × sequence) overlap fragments by
-      // integer interval arithmetic — byte-for-byte the operator's
-      // layout contract.
-      "q134_stream_pack" ->
-        """WITH tok AS (
-          |  SELECT doc_id,
-          |    COALESCE(CAST(len(list_filter(regexp_split_to_array(text,
-          |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS n_tokens,
-          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
-          |  FROM documents),
-          |g AS (SELECT *, mix % 16 AS grp FROM tok WHERE n_tokens > 0),
-          |c AS (
-          |  SELECT *, sum(n_tokens) OVER (PARTITION BY grp
-          |      ORDER BY mix, doc_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |    - n_tokens AS s0
-          |  FROM g),
-          |go AS (
-          |  SELECT grp, sum(tot) OVER (ORDER BY grp
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |    - tot AS goff
-          |  FROM (SELECT grp, sum(n_tokens) AS tot FROM g GROUP BY grp)),
-          |p AS (
-          |  -- sum() over BIGINT is HUGEINT in DuckDB; generate_series
-          |  -- needs BIGINT operands
-          |  SELECT c.doc_id, c.n_tokens,
-          |    CAST(go.goff + c.s0 AS BIGINT) AS s1
-          |  FROM c JOIN go USING (grp)),
-          |f AS (
-          |  SELECT doc_id, n_tokens, s1, unnest(generate_series(
-          |    s1 // 256, (s1 + n_tokens - 1) // 256)) AS seq_id
-          |  FROM p)
-          |SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
-          |  CAST(greatest(0, seq_id * 256 - s1) AS BIGINT) AS doc_offset,
-          |  CAST(greatest(0, s1 - seq_id * 256) AS BIGINT) AS seq_offset,
-          |  CAST(least(s1 + n_tokens, (seq_id + 1) * 256)
-          |    - greatest(s1, seq_id * 256) AS BIGINT) AS frag_len
-          |FROM f ORDER BY doc_id, seq_id""".stripMargin,
-
-      // Sharded-Bloom routing is result-identical to plain incremental
-      // ingest at ANY shard count (shard sketches only route; the
-      // anti-join adjudicates), so the oracle replays q63's shape on
-      // this query's own corpus/batch split.
-      "q68_sharded_bloom_ingest" ->
-        """WITH corpus AS (
-          |  SELECT text FROM documents WHERE doc_id % 4 <> 0),
-          |batch AS (
-          |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 2000000, lang, text FROM documents
-          |  WHERE doc_id % 7 = 0),
-          |surv AS (
-          |  SELECT text, min(doc_id) AS keep_id,
-          |    CAST(count(*) AS BIGINT) AS batch_dup_count
-          |  FROM batch GROUP BY text),
-          |fresh AS (
-          |  SELECT * FROM surv
-          |  WHERE text NOT IN (SELECT DISTINCT text FROM corpus))
-          |SELECT b.doc_id, b.lang, f.batch_dup_count
-          |FROM batch b JOIN fresh f
-          |  ON b.doc_id = f.keep_id AND b.text = f.text
-          |ORDER BY b.doc_id""".stripMargin,
-
-      // Repeated W-token windows replayed exactly: same whitespace
-      // tokenization as q14/q24, same md5 window keys, same maximal-run
-      // merge via the gap trick.
-      "q65_repeated_spans" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
-          |  FROM documents),
-          |wins AS (
-          |  SELECT doc_id, i - 1 AS pos,
-          |    md5(array_to_string(ts[i:i+7], ' ')) AS wk
-          |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)
-          |  WHERE len(ts) >= 8),
-          |hot AS (SELECT wk FROM wins GROUP BY wk HAVING count(*) >= 2),
-          |flagged AS (
-          |  SELECT doc_id, pos FROM wins WHERE wk IN (SELECT wk FROM hot)),
-          |grp AS (
-          |  SELECT doc_id, pos,
-          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
-          |  FROM flagged)
-          |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
-          |  CAST(count(*) AS BIGINT) AS n_windows
-          |FROM grp GROUP BY doc_id, g
-          |ORDER BY doc_id, span_start""".stripMargin,
-
-      // Strip replay: tokens outside every covered index survive in
-      // position order; docs reduced to nothing keep an empty string.
-      "q66_strip_spans" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
-          |  FROM documents),
-          |wins AS (
-          |  SELECT doc_id, i - 1 AS pos,
-          |    md5(array_to_string(ts[i:i+7], ' ')) AS wk
-          |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)
-          |  WHERE len(ts) >= 8),
-          |hot AS (SELECT wk FROM wins GROUP BY wk HAVING count(*) >= 2),
-          |covered AS (
-          |  SELECT DISTINCT w.doc_id, w.pos + d.o AS cpos
-          |  FROM wins w, unnest(range(0, 8)) AS d(o)
-          |  WHERE w.wk IN (SELECT wk FROM hot)),
-          |tokpos AS (
-          |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
-          |  FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)),
-          |kept AS (
-          |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
-          |  WHERE NOT EXISTS (SELECT 1 FROM covered c
-          |    WHERE c.doc_id = tp.doc_id AND c.cpos = tp.pos)),
-          |rebuilt AS (
-          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
-          |    CAST(count(*) AS BIGINT) AS kept_tokens
-          |  FROM kept GROUP BY doc_id)
-          |SELECT d.doc_id,
-          |  COALESCE(r.kept_tokens, 0) AS kept_tokens,
-          |  CAST(COALESCE(len(t.ts), 0) - COALESCE(r.kept_tokens, 0)
-          |    AS BIGINT) AS dropped_tokens,
-          |  CASE WHEN d.text IS NULL THEN NULL
-          |    ELSE substr(COALESCE(r.text, ''), 1, 80) END AS text_head
-          |FROM documents d
-          |JOIN toks t ON t.doc_id = d.doc_id
-          |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
-          |ORDER BY d.doc_id""".stripMargin,
-
-      // Ingest strip replay: hot window keys from the CORPUS side only,
-      // batch tokens outside every covered index survive in order.
-      "q67_span_ingest" ->
-        """WITH toks AS (
-          |  SELECT doc_id, text,
-          |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
-          |  FROM documents),
-          |corpus AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
-          |batch AS (SELECT * FROM toks WHERE doc_id % 3 = 0),
-          |cwins AS (
-          |  SELECT md5(array_to_string(ts[i:i+7], ' ')) AS wk
-          |  FROM corpus, unnest(range(1, len(ts) - 6)) AS t(i)
-          |  WHERE len(ts) >= 8),
-          |hot AS (SELECT wk FROM cwins GROUP BY wk HAVING count(*) >= 2),
-          |bwins AS (
-          |  SELECT doc_id, i - 1 AS pos,
-          |    md5(array_to_string(ts[i:i+7], ' ')) AS wk
-          |  FROM batch, unnest(range(1, len(ts) - 6)) AS t(i)
-          |  WHERE len(ts) >= 8),
-          |covered AS (
-          |  SELECT DISTINCT b.doc_id, b.pos + d.o AS cpos
-          |  FROM bwins b, unnest(range(0, 8)) AS d(o)
-          |  WHERE b.wk IN (SELECT wk FROM hot)),
-          |tokpos AS (
-          |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
-          |  FROM batch, unnest(range(1, len(ts) + 1)) AS t(i)),
-          |kept AS (
-          |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
-          |  WHERE NOT EXISTS (SELECT 1 FROM covered c
-          |    WHERE c.doc_id = tp.doc_id AND c.cpos = tp.pos)),
-          |rebuilt AS (
-          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
-          |    CAST(count(*) AS BIGINT) AS kept_tokens
-          |  FROM kept GROUP BY doc_id)
-          |SELECT b.doc_id,
-          |  COALESCE(r.kept_tokens, 0) AS kept_tokens,
-          |  CAST(COALESCE(len(b.ts), 0) - COALESCE(r.kept_tokens, 0)
-          |    AS BIGINT) AS dropped_tokens,
-          |  CASE WHEN b.text IS NULL THEN NULL
-          |    ELSE substr(COALESCE(r.text, ''), 1, 80) END AS text_head
-          |FROM batch b
-          |LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
-          |ORDER BY b.doc_id""".stripMargin,
-
-      // Composite-key min-id survivor: doc_id is unique, so join-on-min-id
-      // reproduces min_by's choice deterministically.
-      "q64_composite_dedup" ->
-        """WITH surv AS (
-          |  SELECT lang, source, min(doc_id) AS keep_id,
-          |    CAST(count(*) AS BIGINT) AS dup_count
-          |  FROM documents GROUP BY lang, source)
-          |SELECT d.doc_id, d.lang, d.source, s.dup_count
-          |FROM documents d JOIN surv s ON d.doc_id = s.keep_id
-          |ORDER BY d.doc_id""".stripMargin,
-
-      // Exact percentiles: both engines interpolate linearly at rank
-      // (n-1)*p over the sorted values, so the doubles are bit-equal on
-      // integer inputs. Mean is an exact integer ratio.
-      "q43_length_stats" ->
-        """SELECT lang, count(*) AS n_docs,
-          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
-          |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
-          |  quantile_cont(n_chars, 0.5) AS p50,
-          |  quantile_cont(n_chars, 0.9) AS p90
-          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-
-      // All-pairs SimHash over md5_number_lower token hashes (the same
-      // feature hash the MD5-lo64 kernel computes) — exact because 16-bit
-      // banding is a pigeonhole guarantee at Hamming distance ≤ 3.
-      "q31_simhash_dups" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
-          |      x -> len(x) > 0)) AS tok
-          |  FROM documents),
-          |hs AS (SELECT doc_id, list(md5_number_lower(tok)) AS h
-          |  FROM toks GROUP BY doc_id),
-          |sig AS (
-          |  SELECT doc_id,
-          |    CAST(list_sum([CASE
-          |      WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
-          |      THEN (1::UBIGINT << j) ELSE 0::UBIGINT END
-          |      for j in range(0, 64)]) AS UBIGINT) AS sig
-          |  FROM hs)
-          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-          |ORDER BY id_a, id_b""".stripMargin,
-
-      // LCG-hyperplane LSH: band b's bucket packs the signs of planes
-      // b*4+j; band identity is folded into the key (65536*b + bucket) so
-      // "shares a band" becomes list_intersect. Candidates then exact
-      // cosine-ranked — identical arithmetic to the Spark kernel.
-      "q32_lsh_ann" -> {
-        val bucketExpr =
-          """[
-            |  CAST(65536 * b + list_sum([
-            |     CASE WHEN list_sum([
-            |       CASE WHEN ((((1103515245 * ((b*4 + j)*4096 + (i-1)) + 12345)
-            |           % 2147483648) >> 16) & 1) = 1
-            |         THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
-            |       for i in range(1, len(embedding)+1)]) >= 0
-            |     THEN (1::BIGINT << j) ELSE 0::BIGINT END
-            |     for j in range(0, 4)]) AS BIGINT)
-            |  for b in range(0, 12)]""".stripMargin
-        s"""WITH bk AS (
-           |  SELECT vec_id, embedding, $bucketExpr AS bks FROM embeddings),
-           |qb AS (SELECT vec_id AS query_id, embedding AS qv, bks AS qbks
-           |  FROM bk WHERE vec_id < 5),
-           |cand AS (
-           |  SELECT q.query_id, q.qv, c.vec_id AS neighbor_id,
-           |    c.embedding AS cv
-           |  FROM qb q, bk c
-           |  WHERE c.vec_id <> q.query_id
-           |    AND len(list_intersect(q.qbks, c.bks)) > 0),
-           |ranked AS (
-           |  SELECT query_id, neighbor_id,
-           |    CAST(row_number() OVER (PARTITION BY query_id
-           |      ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id ASC)
-           |      AS BIGINT) AS rank
-           |  FROM cand)
-           |SELECT query_id, rank, neighbor_id FROM ranked
-           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-      },
-
-      // The integer bigram LM refit and rescored from scratch: same
-      // tokenizer, same add-one arithmetic in BIGINT micro-units, same
-      // pruning thresholds — floor division replays exactly because
-      // both engines divide nonnegative integers. Shared verbatim with
-      // q105 (the single-pass kernel path): both engine formulations
-      // are value-identical by construction, so one SQL proves both.
-      "q100_bigram_lm" ->
-        """WITH toks AS (
-          |  SELECT doc_id, lang,
-          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-          |      x -> len(x) > 0) AS t
-          |  FROM documents),
-          |uni AS (
-          |  SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c1
-          |  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
-          |  GROUP BY 1 HAVING count(*) >= 1),
-          |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
-          |rbi0 AS (
-          |  SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
-          |                 for i in range(1, len(t))]) AS p
-          |  FROM toks WHERE lang = 'en' AND len(t) >= 2),
-          |bi AS (
-          |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
-          |  FROM rbi0 GROUP BY 1, 2 HAVING count(*) >= 2),
-          |dp0 AS (
-          |  SELECT doc_id, unnest([struct_pack(w1 := t[i], w2 := t[i+1])
-          |                         for i in range(1, len(t))]) AS p
-          |  FROM toks WHERE len(t) >= 2),
-          |dp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM dp0),
-          |j AS (
-          |  SELECT d.doc_id,
-          |    (1000000::BIGINT * (coalesce(bi.c12, 0) + 1)) //
-          |      (coalesce(uni.c1, 0) + v.v + 1) AS micro
-          |  FROM dp d CROSS JOIN v
-          |  LEFT JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
-          |  LEFT JOIN uni ON d.w1 = uni.w1)
-          |SELECT doc_id, count(*) AS n_bigrams,
-          |  CAST(sum(micro) AS BIGINT) AS score_micro,
-          |  CAST(sum(micro) AS BIGINT) // CAST(count(*) AS BIGINT)
-          |    AS mean_micro
-          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-      // Document-frequency boilerplate replayed on paragraph CONTENT
-      // (md5 grouping and content grouping are the same partition), with
-      // the q57-style positional reassembly.
-      "q101_boilerplate_strip" ->
-        """WITH pdocs AS (
-          |  SELECT doc_id, concat_ws(chr(10) || chr(10), text,
-          |    'Subscribe to ' || source || ' today!') AS text
-          |  FROM documents),
-          |paras AS (
-          |  SELECT doc_id, u.pi, u.p
-          |  FROM (SELECT doc_id,
-          |          string_split(text, chr(10) || chr(10)) AS ps
-          |        FROM pdocs),
-          |    unnest([{'pi': i - 1, 'p': ps[i]}
-          |            for i in range(1, len(ps) + 1)]) AS r(u)),
-          |hot AS (
-          |  SELECT p FROM (
-          |    SELECT p, count(DISTINCT doc_id) AS d FROM paras GROUP BY p)
-          |  WHERE d >= 10),
-          |k AS (
-          |  SELECT doc_id, pi, p,
-          |    p NOT IN (SELECT p FROM hot) AS keep
-          |  FROM paras)
-          |SELECT doc_id,
-          |  coalesce(string_agg(CASE WHEN keep THEN p END,
-          |    chr(10) || chr(10) ORDER BY pi), '') AS text,
-          |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS kept_paras,
-          |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT)
-          |    AS dropped_paras
-          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-      // Normalization-keyed exact collapse: the same mangling, the same
-      // canonical form (lower, ASCII-whitespace runs → one space, trim),
-      // min-id survivor keeping its ORIGINAL bytes via arg_min.
-      "q102_normalized_dedup" ->
-        """WITH u AS (
-          |  SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 3000000,
-          |    '  ' || regexp_replace(text, ' ', '  ', 'g')
-          |      || ' ' || chr(9) || chr(10)
-          |  FROM documents),
-          |k AS (
-          |  SELECT doc_id, text,
-          |    md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')))
-          |      AS key
-          |  FROM u)
-          |SELECT min(doc_id) AS doc_id, count(*) AS dup_count,
-          |  CAST(strlen(arg_min(text, doc_id)) AS BIGINT) AS n_bytes
-          |FROM k GROUP BY key ORDER BY doc_id""".stripMargin,
-
-      // q90's canonicalization chain, rolled up per host with the same
-      // integer mean arithmetic as domainStats.
-      "q103_domain_stats" ->
-        (urlCanonSql + ",\n" +
-          """h AS (SELECT doc_id, n_chars,
-            |    regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
-            |      AS host
-            |  FROM canon)
-            |SELECT host, count(*) AS n_docs,
-            |  CAST(sum(n_chars) AS BIGINT) AS score_sum,
-            |  (1000000::BIGINT * CAST(sum(n_chars) AS BIGINT)) //
-            |    CAST(count(*) AS BIGINT) AS mean_score_micro
-            |FROM h GROUP BY host ORDER BY host""".stripMargin),
-
-      // The domain gate replayed: hosts whose integer mean clears the
-      // bar keep every row they contributed; the rest vanish entirely.
-      "q104_domain_gate" ->
-        (urlCanonSql + ",\n" +
-          """h AS (SELECT doc_id, n_chars,
-            |    regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
-            |      AS host
-            |  FROM canon),
-            |stats AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
-            |    CAST(sum(n_chars) AS BIGINT) AS ss
-            |  FROM h GROUP BY host),
-            |pass AS (SELECT host FROM stats
-            |  WHERE (1000000::BIGINT * ss) // n_docs >= 290000000)
-            |SELECT doc_id, host, n_chars FROM h
-            |WHERE host IN (SELECT host FROM pass)
-            |ORDER BY doc_id""".stripMargin),
-      // The C4 rule set replayed literally: same line split, same
-      // trimmed terminal-punct regex (RE2 ≡ Java here), same word-count
-      // and token-containment tests, same doc-level flags.
-      "q106_c4_line_filter" ->
-        """WITH toks AS (
-          |  SELECT doc_id, source,
-          |    list_filter(regexp_split_to_array(text, '\s+'),
-          |      x -> len(x) > 0) AS t
-          |  FROM documents),
-          |built AS (
-          |  SELECT doc_id,
-          |    'Quality sentence about ' || source || '.' || chr(10) ||
-          |    'too short.' || chr(10) ||
-          |    array_to_string(t[1:12], ' ') || chr(10) ||
-          |    'Please enable JavaScript to view comments.' AS text
-          |  FROM toks),
-          |k AS (
-          |  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
-          |    list_filter(string_split(text, chr(10)), l ->
-          |      regexp_matches(trim(l), '[.!?"]$')
-          |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
-          |        w -> len(w) > 0)) >= 3
-          |      AND NOT contains(lower(trim(l)), 'javascript')) AS kl
-          |  FROM built)
-          |SELECT doc_id,
-          |  CASE WHEN text IS NULL THEN NULL
-          |    ELSE array_to_string(kl, chr(10)) END AS text,
-          |  COALESCE(CAST(len(kl) AS BIGINT), 0) AS kept_lines,
-          |  COALESCE(CAST(len(ls) - len(kl) AS BIGINT), 0) AS dropped_lines,
-          |  COALESCE(len(kl) >= 2
-          |    AND NOT contains(lower(text), 'lorem ipsum')
-          |    AND NOT contains(text, '{'), false) AS is_kept
-          |FROM k ORDER BY doc_id""".stripMargin,
-
-      // length-bucketed batch planning: mixedKey/grouping/row-number
-      // arithmetic replayed verbatim (the q69 pack_sequences pattern);
-      // integer `//` division end to end
-      "q109_length_batches" ->
-        """WITH tok AS (
-          |  SELECT doc_id,
-          |    COALESCE(CAST(len(list_filter(regexp_split_to_array(text,
-          |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS n_tokens,
-          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
-          |  FROM documents),
-          |b AS (
-          |  SELECT *, CASE WHEN n_tokens <= 64 THEN 0
-          |    WHEN n_tokens <= 128 THEN 1 WHEN n_tokens <= 256 THEN 2
-          |    WHEN n_tokens <= 512 THEN 3 ELSE -1 END AS bucket
-          |  FROM tok),
-          |f AS (
-          |  SELECT *, mix % 8 AS grp,
-          |    CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 128
-          |      WHEN 2 THEN 256 ELSE 512 END AS bucket_cap
-          |  FROM b WHERE bucket >= 0),
-          |r AS (
-          |  SELECT *, row_number() OVER (PARTITION BY bucket, grp
-          |    ORDER BY mix, doc_id) - 1 AS rn
-          |  FROM f)
-          |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
-          |  CAST(bucket_cap AS BIGINT) AS bucket_cap,
-          |  CAST((bucket * 8 + grp) * 1099511627776
-          |    + rn // (1024 // bucket_cap) AS BIGINT) AS batch_id,
-          |  CAST(rn % (1024 // bucket_cap) AS BIGINT) AS batch_pos,
-          |  CAST(bucket_cap - n_tokens AS BIGINT) AS pad_tokens
-          |FROM r ORDER BY doc_id""".stripMargin,
-
-      "q110_token_vocab" ->
-        """WITH toks AS (
-          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
-          |    '\s+'), x -> len(x) > 0)) AS tok
-          |  FROM documents),
-          |c AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS count
-          |  FROM toks GROUP BY tok),
-          |r AS (SELECT *, row_number()
-          |    OVER (ORDER BY count DESC, token ASC) AS rank
-          |  FROM c),
-          |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
-          |SELECT CAST(rank AS BIGINT) AS rank, token, count,
-          |  CAST(sum(count) OVER (ORDER BY rank
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |    AS BIGINT) AS cum_count,
-          |  (SELECT total FROM t) AS total_tokens
-          |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
-
-      // the full chain replay: q111's clean gate (marker sum generated
-      // from the same Seq), md5 min-id dedup, q110's vocab, q113's
-      // token counts, q109's batch arithmetic
-      "q118_training_chain" -> {
-        val moji = TextAnalysis.defaultMojibakeMarkers
-          .map(m => s"(len(t.text) - len(replace(t.text, '$m', ''))) " +
-            s"// ${m.length}")
-          .mkString(" + ")
-        s"""WITH built AS (
-           |  SELECT doc_id, text ||
-           |    CASE WHEN doc_id % 7 = 0
-           |      THEN ' bad' || chr(65533) || 'byte' ELSE '' END AS text
-           |  FROM documents),
-           |allv AS (
-           |  SELECT * FROM built
-           |  UNION ALL SELECT doc_id + 500000, text FROM built
-           |    WHERE doc_id % 5 = 0),
-           |clean AS (
-           |  SELECT t.doc_id, t.text FROM allv t
-           |  WHERE len(t.text) - len(replace(t.text, chr(65533), '')) = 0
-           |    AND len(regexp_extract_all(t.text,
-           |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) = 0
-           |    AND ($moji) = 0),
-           |surv AS (
-           |  SELECT doc_id, text FROM (
-           |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS sid
-           |    FROM clean)
-           |  WHERE doc_id = sid),
-           |toks0 AS (
-           |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
-           |    '\\s+'), x -> len(x) > 0)) AS tok
-           |  FROM surv),
-           |c AS (SELECT tok AS token, count(*) AS cnt
-           |  FROM toks0 GROUP BY tok),
-           |vocab AS (
-           |  SELECT token, CAST(row_number()
-           |    OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
-           |  FROM c QUALIFY rank <= 50),
-           |dtok AS (
-           |  SELECT doc_id, unnest(ts) AS tok,
-           |    unnest(range(1, len(ts) + 1)) AS ord
-           |  FROM (SELECT doc_id,
-           |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
-           |        x -> len(x) > 0) AS ts
-           |    FROM surv)),
-           |jt AS (
-           |  SELECT d.doc_id, COALESCE(v.rank, -1) AS tid
-           |  FROM dtok d LEFT JOIN vocab v ON d.tok = v.token),
-           |cnts AS (
-           |  SELECT s.doc_id,
-           |    COALESCE(a.n_tokens, 0) AS n_tokens,
-           |    COALESCE(a.n_oov, 0) AS n_oov
-           |  FROM surv s LEFT JOIN (
-           |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           |      CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
-           |        AS n_oov
-           |    FROM jt GROUP BY doc_id) a ON s.doc_id = a.doc_id),
-           |mx AS (
-           |  SELECT *, ((doc_id + 13) * 2654435761) % 4294967296 AS mix
-           |  FROM cnts),
-           |b AS (
-           |  SELECT *, CASE WHEN n_tokens <= 64 THEN 0
-           |    WHEN n_tokens <= 128 THEN 1 WHEN n_tokens <= 256 THEN 2
-           |    WHEN n_tokens <= 512 THEN 3 ELSE -1 END AS bucket
-           |  FROM mx),
-           |f AS (
-           |  SELECT *, mix % 8 AS grp,
-           |    CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 128
-           |      WHEN 2 THEN 256 ELSE 512 END AS bucket_cap
-           |  FROM b WHERE bucket >= 0),
-           |r AS (
-           |  SELECT *, row_number() OVER (PARTITION BY bucket, grp
-           |    ORDER BY mix, doc_id) - 1 AS rn
-           |  FROM f)
-           |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
-           |  CAST(bucket_cap AS BIGINT) AS bucket_cap,
-           |  CAST((bucket * 8 + grp) * 1099511627776
-           |    + rn // (1024 // bucket_cap) AS BIGINT) AS batch_id,
-           |  CAST(rn % (1024 // bucket_cap) AS BIGINT) AS batch_pos,
-           |  CAST(bucket_cap - n_tokens AS BIGINT) AS pad_tokens,
-           |  n_oov
-           |FROM r ORDER BY doc_id""".stripMargin
-      },
-
-      // q70's CTE chain swept: pairs at the min threshold once, counts
-      // per threshold via the unnest'd literal list
-      "q117_semantic_sweep" ->
-        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
-           |all_v AS (
-           |  SELECT vec_id, embedding FROM base
-           |  UNION ALL
-           |  SELECT vec_id + 100000,
-           |    list_transform(embedding, x -> (x * 2.0)::FLOAT)
-           |  FROM base WHERE vec_id < 4),
-           |cent AS (
-           |  SELECT vec_id AS centroid_id, embedding AS cv
-           |  FROM base WHERE vec_id % 43 = 0),
-           |assigned AS (
-           |  SELECT v.vec_id, v.embedding, c.centroid_id,
-           |    row_number() OVER (PARTITION BY v.vec_id
-           |      ORDER BY ${cosSql("v.embedding", "c.cv")} DESC,
-           |        c.centroid_id ASC) AS rn
-           |  FROM all_v v CROSS JOIN cent c),
-           |a1 AS (SELECT vec_id, embedding, centroid_id
-           |  FROM assigned WHERE rn = 1),
-           |ok AS (SELECT centroid_id FROM a1
-           |  GROUP BY centroid_id HAVING count(*) <= 1000),
-           |k AS (SELECT a1.* FROM a1 JOIN ok USING (centroid_id)),
-           |p AS (
-           |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-           |    ${cosSql("x.embedding", "y.embedding")} AS cosine
-           |  FROM k x JOIN k y
-           |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
-           |  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.95),
-           |t AS (SELECT unnest([0.95, 0.98, 0.999]) AS threshold),
-           |hit AS (SELECT t.threshold, p.id_a, p.id_b
-           |  FROM p JOIN t ON p.cosine >= t.threshold),
-           |pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
-           |  FROM hit GROUP BY threshold),
-           |dc AS (SELECT threshold,
-           |    CAST(count(DISTINCT d) AS BIGINT) AS n_dup_docs
-           |  FROM (SELECT threshold, unnest([id_a, id_b]) AS d FROM hit)
-           |  GROUP BY threshold)
-           |SELECT t.threshold, COALESCE(pc.n_pairs, 0) AS n_pairs,
-           |  COALESCE(dc.n_dup_docs, 0) AS n_dup_docs
-           |FROM t LEFT JOIN pc USING (threshold)
-           |LEFT JOIN dc USING (threshold)
-           |ORDER BY t.threshold""".stripMargin,
-
-      "q116_dedup_provenance" ->
-        """WITH all_docs AS (
-          |  SELECT doc_id, text FROM documents
-          |  UNION ALL SELECT doc_id + 1000000, text FROM documents
-          |    WHERE doc_id % 4 = 0
-          |  UNION ALL SELECT doc_id + 2000000, text FROM documents
-          |    WHERE doc_id % 20 = 0),
-          |fp AS (SELECT doc_id, md5(text) AS fp FROM all_docs),
-          |surv AS (SELECT fp, min(doc_id) AS survivor_id
-          |  FROM fp GROUP BY fp)
-          |SELECT f.doc_id AS dropped_id, s.survivor_id
-          |FROM fp f JOIN surv s ON f.fp IS NOT DISTINCT FROM s.fp
-          |WHERE f.doc_id <> s.survivor_id
-          |ORDER BY dropped_id""".stripMargin,
-
-      // shard membership is a pure function of the key — the manifest
-      // replays without reading a single exported byte
-      "q115_jsonl_shards" ->
-        """SELECT CAST(((doc_id + 13) * 2654435761) % 4294967296 % 8
-          |    AS INT) AS shard,
-          |  CAST(count(*) AS BIGINT) AS n_rows
-          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
-
-      // token-id materialization: the q110 vocab CTE + zipped unnest
-      // ordinality + the positional fold; OOV = -1 by the A2 convention
-      "q113_token_ids" ->
-        """WITH toks0 AS (
-          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
-          |    '\s+'), x -> len(x) > 0)) AS tok
-          |  FROM documents),
-          |c AS (SELECT tok AS token, count(*) AS cnt
-          |  FROM toks0 GROUP BY tok),
-          |vocab AS (
-          |  SELECT token, CAST(row_number()
-          |    OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
-          |  FROM c QUALIFY rank <= 50),
-          |dtok AS (
-          |  SELECT doc_id, unnest(ts) AS tok,
-          |    unnest(range(1, len(ts) + 1)) AS ord
-          |  FROM (SELECT doc_id,
-          |      list_filter(regexp_split_to_array(lower(text), '\s+'),
-          |        x -> len(x) > 0) AS ts
-          |    FROM documents WHERE text IS NOT NULL)),
-          |j AS (
-          |  SELECT d.doc_id, d.ord, COALESCE(v.rank, -1) AS tid
-          |  FROM dtok d LEFT JOIN vocab v ON d.tok = v.token),
-          |a AS (
-          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-          |    CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
-          |      AS n_oov,
-          |    CAST(sum((tid + 2) * ord) AS BIGINT) AS ids_fold
-          |  FROM j GROUP BY doc_id)
-          |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
-          |  COALESCE(a.n_oov, 0) AS n_oov,
-          |  COALESCE(a.ids_fold, 0) AS ids_fold
-          |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
-          |LEFT JOIN a ON d.doc_id = a.doc_id
-          |ORDER BY d.doc_id""".stripMargin,
-
-      // declared-weights mix: plan arithmetic + trunc'd threshold keep,
-      // the q76 replay pattern with CASE weights instead of sqrt
-      "q112_proportional_mix" ->
-        """WITH counts AS (
-          |  SELECT lang, CAST(count(*) AS BIGINT) AS available,
-          |    CAST(CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 25
-          |      WHEN 'fr' THEN 10 WHEN 'zh' THEN 0 WHEN 'xx' THEN 100
-          |      ELSE 0 END AS BIGINT) AS weight
-          |  FROM documents GROUP BY lang),
-          |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM counts),
-          |plan AS (
-          |  SELECT lang, available, weight,
-          |    CAST(least(available, (300 * weight) // tw.w) AS BIGINT)
-          |      AS target
-          |  FROM counts, tw),
-          |kept AS (
-          |  SELECT d.lang, count(*) AS kept
-          |  FROM documents d JOIN plan p ON d.lang = p.lang
-          |  WHERE p.target > 0
-          |    AND ((d.doc_id + 11) * 2654435761) % 4294967296 <
-          |      CAST(trunc(CAST(p.target AS DOUBLE) /
-          |        CAST(p.available AS DOUBLE) * 4294967296) AS BIGINT)
-          |  GROUP BY d.lang)
-          |SELECT p.lang, p.available, p.weight, p.target,
-          |  COALESCE(k.kept, 0) AS kept
-          |FROM plan p LEFT JOIN kept k ON p.lang = k.lang
-          |ORDER BY p.lang""".stripMargin,
-
-      // every count is literal substring/regex arithmetic; the mojibake
-      // terms (marker, overlap-adjusting coefficient) are generated from
-      // the same Seq + adjustment the engine uses (mojibakeTerms), so a
-      // curly-quote artifact counts once on both sides
-      "q111_encoding_artifacts" -> {
-        val moji = TextAnalysis.mojibakeTerms(
-            TextAnalysis.defaultMojibakeMarkers)
-          .filter(_._2 != 0L)
-          .map { case (m, c) =>
-            s"((len(t) - len(replace(t, '$m', ''))) // ${m.length}) * $c" }
-          .mkString(" + ")
-        s"""WITH built AS (
-           |  SELECT doc_id, text ||
-           |    CASE WHEN doc_id % 5 = 0 THEN ' cafÃ© dÃ©jÃ ' ELSE '' END ||
-           |    CASE WHEN doc_id % 7 = 0
-           |      THEN ' bad' || chr(65533) || 'byte' ELSE '' END ||
-           |    CASE WHEN doc_id % 11 = 0
-           |      THEN ' ctl' || chr(7) || 'x' ELSE '' END AS t
-           |  FROM documents),
-           |c AS (
-           |  SELECT doc_id,
-           |    CAST(len(t) - len(replace(t, chr(65533), ''))
-           |      AS BIGINT) AS n_replacement,
-           |    CAST(len(regexp_extract_all(t,
-           |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))
-           |      AS BIGINT) AS n_control,
-           |    CAST($moji AS BIGINT) AS n_mojibake
-           |  FROM built)
-           |SELECT doc_id, n_replacement, n_control, n_mojibake,
-           |  (n_replacement = 0 AND n_control = 0 AND n_mojibake = 0)
-           |    AS is_clean
-           |FROM c ORDER BY doc_id""".stripMargin
-      },
-    )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    convertQueries ++ dedupQueries ++ textQueries ++ samplingQueries ++
+      similarityQueries ++ eventsQueries ++ mediaQueries ++ retrievalQueries
+
+
+  /** DuckDB-runnable oracles, column-name-aligned with the Spark results.
+    * Integer outputs wherever possible; doubles only as exact int ratios
+    * or identically-ordered arithmetic.
+    */
+  def oracleSql: Map[String, String] = {
+    val base = convertOracle ++ dedupOracle ++ textOracle ++ samplingOracle ++
+      similarityOracle ++ eventsOracle ++ mediaOracle ++ retrievalOracle
     // q105 is q100's single-pass-kernel twin, q114 is q113's — each
     // engine-path pair is value-identical by construction, so ONE
     // oracle SQL proves both (the q71/q78 shared-oracle precedent).
@@ -5507,3 +667,4 @@ object SparkEntry {
       ("q114_token_ids_kernel" -> base("q113_token_ids"))
   }
 }
+

@@ -1,0 +1,326 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{SplitStage, Vocab}
+import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJoin, TextAnalysis}
+
+/** Reference-surface queries: split routing, vocab, schema conform, CSV/TFRecord/JSON round-trips, the image pipeline, and the convert end-to-end flow (SURVEY §2.1-§2.7).
+  *
+  * One family of the [[SparkEntry]] query registry (split from the
+  * original single-file object in r14, hygiene only — the r11 Dedup
+  * precedent): every entry is mixed into — and documented as part
+  * of — `object SparkEntry`, which remains the sole driver contract.
+  */
+private[graft] trait EntriesConvert { this: SparkEntry.type =>
+
+  private[graft] def convertQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- split / partition stage (SURVEY §2.3, P5/T1/T2/T3/A1) ----
+
+    "q01_split_route" -> ((s, dir) => {
+      SplitStage.normalize(routedEvents(s, dir), "split")
+        .groupBy("split").agg(count(lit(1)).as("cnt"))
+        .orderBy("split")
+    }),
+
+    "q02_split_counts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q03_partition_train" -> ((s, dir) => {
+      SplitStage.partition(splitOrders(s, dir), "split")(SplitStage.Train)
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")
+    }),
+
+    "q04_discard_route" -> ((s, dir) => {
+      SplitStage.partition(routedEvents(s, dir), "split")(SplitStage.Discard)
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // ---- vocabulary fit/apply (SURVEY §2.5-2.6, A2/F1-F3) ----
+
+    "q05_vocab_fit" -> ((s, dir) => {
+      val train = splitOrders(s, dir).filter(col("split") === "TRAIN")
+      Vocab.fitOne(train, "o_orderpriority").orderBy("idx")
+    }),
+
+    "q06_vocab_apply" -> ((s, dir) => {
+      val orders = splitOrders(s, dir)
+      // Restricted fit (5-LOW withheld) so the TEST apply exercises the
+      // OOV → -1 path on real data.
+      val train = orders.filter(col("split") === "TRAIN" &&
+        col("o_orderpriority") =!= "5-LOW")
+      val vocab = Vocab.fitOne(train, "o_orderpriority")
+      Vocab.applyOne(
+          orders.filter(col("split") === "TEST")
+            .select(col("o_orderkey"), col("o_orderpriority").as("label")),
+          "label", vocab)
+        .select("o_orderkey", "label")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- schema conform / projection (SURVEY §2.1-2.2, S7/P1) ----
+
+    "q07_schema_conform" -> ((s, dir) => {
+      val schema = Schema(Seq(
+        "split" -> SupportedType.SplitKey,
+        "l_orderkey" -> SupportedType.IntegerInput,
+        "l_linenumber" -> SupportedType.IntegerInput,
+        "l_quantity" -> SupportedType.FloatInput,
+        "l_returnflag" -> SupportedType.StringInput))
+      graft.sources.Input.conform(
+          t(s, dir, "lineitem").withColumn("split", lit("TRAIN")), schema)
+        .drop("split")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- inspect / limit (SURVEY §2.8, L1) ----
+
+    "q08_inspect_head" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .limit(5)
+    }),
+
+    // ---- image encode semantics (SURVEY §2.4, I2: URL-safe base64) ----
+
+    "q09_b64_urlsafe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          b64UrlSafe(col("text").cast("binary")).as("image_b64"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- CSV source round-trip (SURVEY §2.1, S1/S3/S7) ----
+
+    "q17_csv_roundtrip" -> ((s, dir) => {
+      val out = tmpDir("graft-csv")
+      t(s, dir, "documents")
+        .select(lit("TRAIN").as("split"), col("doc_id"), col("text"),
+          col("lang"), col("n_chars"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = Schema(Seq(
+        "split" -> SupportedType.SplitKey,
+        "doc_id" -> SupportedType.IntegerInput,
+        "text" -> SupportedType.StringInput,
+        "lang" -> SupportedType.StringInput,
+        "n_chars" -> SupportedType.IntegerInput))
+      // Read the directory (not a glob): Spark skips _SUCCESS markers on
+      // its own, and a glob path makes FileStreamSink.hasMetadata log a
+      // spurious FileNotFoundException stack on every read.
+      graft.sources.Input.readCsv(s, out,
+          graft.sources.Input.Header.Infer, None, Some(schema))
+        .drop("split")
+        .orderBy("doc_id")
+    }),
+
+    // ---- TFRecord sink/source round-trip (SURVEY §2.7/2.1, W1/W2/S8) ----
+
+    "q18_tfrecord_roundtrip" -> ((s, dir) => {
+      val out = tmpDir("graft-tfr")
+      val df = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+          col("lang"), col("n_chars").cast("long").as("n_chars"))
+      graft.sinks.TfRecord.write(df, out, "part", numShards = 8, gzip = true)
+      graft.sinks.TfRecord.read(s, s"$out/part-*", df.schema)
+        .orderBy("doc_id")
+    }),
+
+    // ---- JSON-lines source round-trip (extension source format) ----
+
+    "q22_json_roundtrip" -> ((s, dir) => {
+      val out = tmpDir("graft-json")
+      t(s, dir, "documents")
+        .select(lit("TRAIN").as("split"), col("doc_id"), col("text"),
+          col("lang"), col("n_chars"))
+        .coalesce(1)
+        .write.mode("overwrite").json(out)
+      graft.sources.Input.readJson(s, out, Some(Schema(Seq(
+          "split" -> SupportedType.SplitKey,
+          "doc_id" -> SupportedType.IntegerInput,
+          "text" -> SupportedType.StringInput,
+          "lang" -> SupportedType.StringInput,
+          "n_chars" -> SupportedType.IntegerInput))))
+        .drop("split")
+        .orderBy("doc_id")
+    }),
+
+    // ---- full convert pipeline e2e (SURVEY §2.9, O1/O2 + F1-F5 + W1-W4 + S8) ----
+
+    "q19_convert_e2e" -> ((s, dir) => {
+      // A junk split value for part of the would-be TEST rows exercises
+      // the unknown→DISCARD routing and the discard sink inside convert.
+      val df = t(s, dir, "orders").withColumn("split",
+          when(pmod(col("o_orderkey"), lit(10)) < 8, "TRAIN")
+            .when(pmod(col("o_orderkey"), lit(10)) === 8, "VALIDATION")
+            .when(pmod(col("o_custkey"), lit(7)) === 0, "JUNK")
+            .otherwise("TEST"))
+        .select("split", "o_orderkey", "o_orderpriority")
+      val schema = Schema(Seq(
+        "split" -> SupportedType.SplitKey,
+        "o_orderkey" -> SupportedType.IntegerInput,
+        "o_orderpriority" -> SupportedType.StringLabel))
+      val result = Converter.convert(s, Left(df), schema, tmpDir("graft-e2e"))
+      require(result.splitCounts.getOrElse(SplitStage.Discard, 0L) > 0L,
+        "expected some discarded rows")
+      Loader.load(s, result.jobDir)(SplitStage.Test)
+        .select(col("o_orderkey"), col("o_orderpriority").as("label"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- metrics counters analog (SURVEY §2.5 A3) ----
+
+    "q21_agg_metrics" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("users"),
+        count(when(col("event_type") === "error", 1)).as("errors"))
+    }),
+
+    // ---- image directory scan + extraction stage (SURVEY §2.1 S2/S4, §2.4
+    //      I1-I5) on deterministic generated PNGs; Spark-side only (images
+    //      are not DuckDB-readable) → rows-only check ----
+
+    "q40_image_pipeline" -> ((s, dir) => {
+      val listed = graft.sources.Input.readImageDirectory(s,
+        genImageFixtures())
+      val good = s.sparkContext.longAccumulator("q40_good")
+      val bad = s.sparkContext.longAccumulator("q40_bad")
+      graft.operators.ImageStage.extract(listed, Schema.imageCsvSchema,
+          good, bad)
+        .select(col("image_name"), col("label"), col("image_height"),
+          col("image_width"), col("image_channels"),
+          substring(col("image"), 1, 24).as("image_b64_head"))
+        .orderBy("image_name")
+    }),
+
+  )
+
+  private[graft] def convertOracle: Map[String, String] = Map(
+
+      // constants (genImageFixtures: pixel (x,y) of seed s is a pure
+      // formula), not from engine code: the first 24 url-safe-b64 chars
+      // encode the first 18 raster bytes = pixels (0..5, 0) in RGB
+      // order, and PNG is lossless, so a hash match proves the whole
+      // listing→load→decode→b64 pipeline bit-exact. The q94 manifest
+      // oracle already replays entry SIZES this way; this adds content.
+      "q40_image_pipeline" -> {
+        val rows = Seq(("cat", 0), ("goat", 1), ("cat", 2), ("goat", 3),
+            ("cat", 4), ("goat", 5)).map { case (label, seed) =>
+          val head18 = (0 until 6).flatMap { x =>
+            Seq((seed * 37 + x * 13) % 256, (x * 29) % 256,
+              (seed + x) % 256)
+          }.map(_.toByte).toArray
+          val b64 = java.util.Base64.getUrlEncoder.encodeToString(head18)
+          s"('$label-$seed.png', '$label', 6, 8, 3, '$b64')"
+        }
+        s"""SELECT image_name, label,
+           |  CAST(image_height AS BIGINT) AS image_height,
+           |  CAST(image_width AS BIGINT) AS image_width,
+           |  CAST(image_channels AS BIGINT) AS image_channels,
+           |  image_b64_head
+           |FROM (VALUES ${rows.mkString(", ")})
+           |  AS t(image_name, label, image_height, image_width,
+           |       image_channels, image_b64_head)
+           |ORDER BY image_name""".stripMargin
+      },
+
+      "q01_split_route" ->
+        s"""WITH routed AS ($routedEventsSql)
+           |SELECT split, count(*) AS cnt FROM routed
+           |GROUP BY split ORDER BY split""".stripMargin,
+
+      "q02_split_counts" ->
+        """SELECT o_orderpriority, count(*) AS cnt FROM orders
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+      "q03_partition_train" ->
+        s"""WITH so AS ($splitOrdersSql)
+           |SELECT o_orderkey, o_orderpriority FROM so
+           |WHERE split = 'TRAIN' ORDER BY o_orderkey""".stripMargin,
+
+      "q04_discard_route" ->
+        s"""WITH routed AS ($routedEventsSql)
+           |SELECT event_id, event_type FROM routed
+           |WHERE split = 'DISCARD' ORDER BY event_id""".stripMargin,
+
+      "q05_vocab_fit" ->
+        s"""WITH so AS ($splitOrdersSql),
+           |counts AS (
+           |  SELECT o_orderpriority AS value, count(*) AS cnt FROM so
+           |  WHERE split = 'TRAIN' GROUP BY 1)
+           |SELECT value,
+           |  CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) - 1
+           |    AS BIGINT) AS idx
+           |FROM counts ORDER BY idx""".stripMargin,
+
+      "q06_vocab_apply" ->
+        s"""WITH so AS ($splitOrdersSql),
+           |counts AS (
+           |  SELECT o_orderpriority AS value, count(*) AS cnt FROM so
+           |  WHERE split = 'TRAIN' AND o_orderpriority <> '5-LOW' GROUP BY 1),
+           |vocab AS (
+           |  SELECT value,
+           |    CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) - 1
+           |      AS BIGINT) AS idx
+           |  FROM counts)
+           |SELECT o.o_orderkey, coalesce(v.idx, -1) AS label
+           |FROM so o LEFT JOIN vocab v ON o.o_orderpriority = v.value
+           |WHERE o.split = 'TEST' ORDER BY o.o_orderkey""".stripMargin,
+
+      "q07_schema_conform" ->
+        """SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+          |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          |  CAST(l_quantity AS FLOAT) AS l_quantity,
+          |  CAST(l_returnflag AS VARCHAR) AS l_returnflag
+          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q08_inspect_head" ->
+        """SELECT doc_id, lang, n_chars FROM documents
+          |ORDER BY doc_id LIMIT 5""".stripMargin,
+
+      "q09_b64_urlsafe" ->
+        """SELECT doc_id,
+          |  translate(to_base64(encode(text)), '+/', '-_') AS image_b64
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q17_csv_roundtrip" -> docsRoundtripSql,
+
+      "q18_tfrecord_roundtrip" -> docsRoundtripSql,
+
+      "q22_json_roundtrip" -> docsRoundtripSql,
+
+      "q19_convert_e2e" ->
+        """WITH so AS (
+          |  SELECT *, CASE WHEN o_orderkey % 10 < 8 THEN 'TRAIN'
+          |    WHEN o_orderkey % 10 = 8 THEN 'VALIDATION'
+          |    WHEN o_custkey % 7 = 0 THEN 'DISCARD'
+          |    ELSE 'TEST' END AS split FROM orders),
+          |counts AS (
+          |  SELECT o_orderpriority AS value, count(*) AS cnt FROM so
+          |  WHERE split = 'TRAIN' GROUP BY 1),
+          |vocab AS (
+          |  SELECT value,
+          |    CAST(row_number() OVER (ORDER BY cnt DESC, value DESC) - 1
+          |      AS BIGINT) AS idx
+          |  FROM counts)
+          |SELECT o.o_orderkey, coalesce(v.idx, -1) AS label
+          |FROM so o LEFT JOIN vocab v ON o.o_orderpriority = v.value
+          |WHERE o.split = 'TEST' ORDER BY o.o_orderkey""".stripMargin,
+
+      "q21_agg_metrics" ->
+        """SELECT count(*) AS n_rows, count(DISTINCT user_id) AS users,
+          |  count(*) FILTER (WHERE event_type = 'error') AS errors
+          |FROM events""".stripMargin,
+
+  )
+}

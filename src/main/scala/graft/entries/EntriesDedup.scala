@@ -1,0 +1,1393 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{SplitStage, Vocab}
+import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJoin, TextAnalysis}
+
+/** Deduplication-family queries: exact/normalized/composite, MinHash/SimHash/semantic/edit near-dup, n-gram Jaccard/containment, incremental ingest, spans, provenance, and the cross-source overlap matrix.
+  *
+  * One family of the [[SparkEntry]] query registry (split from the
+  * original single-file object in r14, hygiene only — the r11 Dedup
+  * precedent): every entry is mixed into — and documented as part
+  * of — `object SparkEntry`, which remains the sole driver contract.
+  */
+private[graft] trait EntriesDedup { this: SparkEntry.type =>
+
+  private[graft] def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- dedup (extensions) ----
+
+    "q10_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("dup_count"))
+        .orderBy("fp")
+    }),
+
+    "q11_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- dedup threshold sweep: per-threshold pair/doc kill counts from
+    //      ONE exact-Jaccard pass — how the threshold gets chosen before
+    //      committing a full dedup run ----
+
+    "q77_jaccard_sweep" -> ((s, dir) => {
+      Dedup.jaccardThresholdSweep(t(s, dir, "documents"), "doc_id", "text",
+          thresholds = Seq(0.5, 0.7, 0.9), n = 3)
+        // non-foldable predicate: both count joins land on unique-keyed
+        // aggregates, so a bare count() would let Catalyst eliminate them
+        // and the bench would time a 3-row literal scan, not the pairs pass
+        .where(col("n_pairs") >= 0 && col("n_dup_docs") >= 0)
+        .orderBy("threshold")
+    }),
+
+    // ---- Bloom-prefiltered incremental ingest: q53's exact semantics
+    //      (the sketch only routes rows — negatives bypass the anti-join,
+    //      positives still adjudicate against the corpus digests), so the
+    //      oracle replays plain incremental dedup and MUST hash-match
+    //      regardless of the sketch's false-positive rate ----
+
+    "q63_bloom_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.incrementalBloom(batch, corpus, "text", "doc_id",
+          expectedCorpusDocs = 1 << 16)
+        .select(col("doc_id"), col("lang"), col("batch_dup_count"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- sharded-Bloom artifact ingest: both persisted membership
+    //      artifacts (digest frame + per-shard sketch array) prebuilt,
+    //      batch routed per row through its own shard's sketch; result
+    //      is sketch-independent, so the oracle is plain ingest ----
+
+    "q68_sharded_bloom_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L))
+      val digests = Dedup.corpusDigests(corpus, "text")
+      val sketches = Dedup.shardedDigestSketch(digests, shards = 8,
+        expectedItemsPerShard = 1 << 13)
+      Dedup.incrementalBloomSharded(batch, digests, "text", "doc_id",
+          sketches)
+        .select(col("doc_id"), col("lang"), col("batch_dup_count"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- SemDeDup-style semantic dedup: nearest-centroid partition +
+    //      within-cluster exact cosine. Scaled clones (×2, exact in
+    //      float) of vecs 0-3 inject cosine-1.0 semantic pairs; scale
+    //      invariance puts each clone in its original's cluster ----
+
+    "q70_semantic_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val clones = emb.filter(col("vec_id") < 4)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      Dedup.semanticDuplicates(emb.unionAll(clones), "vec_id", "embedding",
+          centroids, "vec_id", "embedding", threshold = 0.95,
+          maxClusterSize = 1000)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- composite-key exact dedup: one survivor (min doc_id) per
+    //      (lang, source) stratum — deterministic because doc_id is
+    //      unique, so the oracle's min-id rejoin replays it exactly ----
+
+    "q64_composite_dedup" -> ((s, dir) => {
+      Dedup.exactByColumns(
+          t(s, dir, "documents").select("doc_id", "lang", "source"),
+          Seq("lang", "source"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact repeated-span dedup (Lee et al. 2022 substring dedup at
+    //      W-token granularity): windows keyed by md5 of the joined
+    //      tokens, so the oracle replays hashes bit-exactly ----
+
+    "q65_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", windowTokens = 8, minOccurrences = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    "q66_strip_spans" -> ((s, dir) => {
+      Dedup.stripRepeatedSpans(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", windowTokens = 8, minOccurrences = 2)
+        // non-foldable predicate on the rebuilt side: without it, a bare
+        // count() of this query lets Catalyst ELIMINATE the strip join
+        // entirely (left join on a unique-keyed aggregate preserves
+        // cardinality), and the bench would time a projection instead of
+        // the pipeline
+        .where(col("kept_tokens") >= 0)
+        .select(col("doc_id"), col("kept_tokens"), col("dropped_tokens"),
+          substring(col("text"), 1, 80).as("text_head"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- ingest-time span cleanup: the corpus's hot window keys become
+    //      a persisted artifact (parquet round-trip inside the query, as
+    //      a real ingest would read it) and the batch strips against it
+    //      without re-reading the corpus ----
+
+    "q67_span_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val art = tmpDir("graft-spankeys")
+      Dedup.repeatedSpanKeys(corpus, "text", windowTokens = 8,
+          minOccurrences = 2)
+        .write.mode("overwrite").parquet(art)
+      Dedup.stripSpansAgainstKeys(batch, "doc_id", "text",
+          s.read.parquet(art), windowTokens = 8)
+        .where(col("kept_tokens") >= 0) // see q66: keep count() honest
+        .select(col("doc_id"), col("kept_tokens"), col("dropped_tokens"),
+          substring(col("text"), 1, 80).as("text_head"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- LSH-verified near-dup (oracle: exact all-pairs Jaccard) ----
+
+    "q30_minhash_dups" -> ((s, dir) => {
+      Dedup.minhashDuplicatesVerified(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, shingleSize = 3, numHashes = 128, bands = 32)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q34_embedding_dups" -> ((s, dir) => {
+      Dedup.embeddingDuplicates(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.95, planes = 8, bands = 24)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- duplicate clustering: connected components over near-dup pairs
+    //      (min-label propagation + pointer jumping; oracle = recursive
+    //      transitive closure over the same exact-Jaccard edge set) ----
+
+    "q37_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.duplicateClusters(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
+    // ---- quality-aware survivor selection (FineWeb-style keep
+    //      decision): per duplicate cluster keep the member with the
+    //      highest lexical-diversity score, ties -> lowest id. Same
+    //      cluster assignment as q37; the score is exact integer-ratio
+    //      arithmetic so the oracle replays it bit-for-bit ----
+
+    "q79_quality_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.qualitySurvivors(diversityScored(docs), "doc_id", pairs, "score")
+        .orderBy("cluster_id")
+    }),
+
+    // ---- the flagship dedup pipeline with the quality-first keep
+    //      decision: exact collapse -> LSH+verified pairs (recall ~1 at
+    //      threshold 0.8, so the oracle's exact all-pairs replay
+    //      matches) -> highest-score survivor per duplicate cluster ----
+
+    "q80_quality_pipeline" -> ((s, dir) => {
+      Dedup.dedupPipelineQuality(diversityScored(t(s, dir, "documents")),
+          "doc_id", "text", "score", threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- q79 with STRING document ids (URLs/UUIDs are the common
+    //      real-corpus shape): same clusters, same argmax, tie-break on
+    //      the id's own lexicographic order via graft_arg_best ----
+
+    "q82_quality_survivors_strid" -> ((s, dir) => {
+      val docs = strIdDocs(t(s, dir, "documents"))
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.qualitySurvivors(diversityScored(docs), "doc_id", pairs, "score")
+        .orderBy("cluster_id")
+    }),
+
+    // ---- q80 with STRING document ids: the full quality-first dedup
+    //      pipeline over string keys ----
+
+    "q83_quality_pipeline_strid" -> ((s, dir) => {
+      Dedup.dedupPipelineQuality(
+          diversityScored(strIdDocs(t(s, dir, "documents"))),
+          "doc_id", "text", "score", threshold = 0.8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus-wide paragraph dedup (C4-style boilerplate strip): docs
+    //      get paragraph structure (20-token chunks) plus an injected
+    //      boilerplate paragraph in EVERY doc; dedup keeps each distinct
+    //      paragraph's first (doc, position) occurrence corpus-wide ----
+
+    "q57_paragraph_dedup" -> ((s, dir) => {
+      val chunks = TextAnalysis.chunk(t(s, dir, "documents"),
+        "doc_id", "text", maxTokens = 20)
+      val pdocs = chunks.groupBy("doc_id")
+        .agg(concat(lit("subscribe to our newsletter today\n\n"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk_idx"),
+              col("chunk_text")))),
+            c => c("chunk_text")), "\n\n")).as("text"))
+      Dedup.dedupParagraphs(pdocs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- leakage-safe splitting: split hashed on the duplicate-CLUSTER
+    //      representative, so near-dup pairs never straddle train/eval ----
+
+    "q56_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+          trainFrac = 0.7, validationFrac = 0.15, salt = 5L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- the composed corpus-prep pipeline: quality filter → exact
+    //      dedup → token-budget chunking, per-doc chunk accounting ----
+
+    "q42_pipeline" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val quality = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(call_function("graft_token_count", col("text")) >= 20)
+      val unique = Dedup.exactByFingerprint(quality, "text", "doc_id")
+      TextAnalysis.chunk(unique, "doc_id", "text", maxTokens = 32)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("total_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- SimHash near-dup, oracle-checked end to end: the per-token
+    //      feature hash is MD5-lo64 (= DuckDB md5_number_lower), the
+    //      16-bit banding is a pigeonhole GUARANTEE at distance ≤ 3, and
+    //      the exact Hamming verify drops band false-positives — so the
+    //      output equals the all-pairs computation the oracle runs. ----
+
+    "q31_simhash_dups" -> ((s, dir) => {
+      Dedup.simhashDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          maxDistance = 3, hashKind = graft.functions.SketchOps.HashMd5Lo64)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- skew guards under oracle check: the doc-frequency cutoff and
+    //      the LSH bucket cap, on input where they actually drop data ----
+
+    // ---- asymmetric containment: derived docs = each %10 doc's first
+    //      half; their shingles are a subset of the original's, so
+    //      containment(derived→orig) = 1.0 while Jaccard sits near
+    //      0.5 — the quote/subset case a Jaccard threshold misses.
+    //      Oracle replays both directions from one intersection ----
+
+    "q97_ngram_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val derived = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest(lit(3L), floor(size(toks) / 2)).cast("int")), " ")
+            .as("text"))
+      Dedup.ngramContainment(docs.unionByName(derived), "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .orderBy("doc_id", "other_id")
+    }),
+
+    // ---- the containment ACTION on the same corpus: derived half-docs
+    //      are dropped toward their bigger hosts, everything else
+    //      survives; oracle replays the drop rule (bigger host, or
+    //      equal-size lower id) over the q97 CTEs ----
+
+    "q99_drop_contained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val toks = TextAnalysis.tokens(col("text"))
+      val derived = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest(lit(3L), floor(size(toks) / 2)).cast("int")), " ")
+            .as("text"))
+      Dedup.dropContained(docs.unionByName(derived), "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .select(col("doc_id"), octet_length(col("text")).cast("long")
+          .as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    "q47_jaccard_capped" -> ((s, dir) => {
+      // maxShingleDocFreq=4 drops every clone-group shingle (df ≥ 6) and
+      // the base corpus's df 5–7 tail — the posting-list cutoff that
+      // bounds join fan-out at corpus scale, proven value-correct here.
+      Dedup.ngramJaccard(clonedDocs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.8, maxShingleDocFreq = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q48_minhash_capped" -> ((s, dir) => {
+      // maxBucketSize=4 drops every bucket holding a 6-member clone
+      // group, so no clone pair can surface — the residual skew guard
+      // for massive duplicate clusters. The oracle replays the effect:
+      // exact all-pairs Jaccard minus pairs touching a capped group.
+      Dedup.minhashDuplicatesVerified(clonedDocs(s, dir), "doc_id", "text",
+          threshold = 0.8, shingleSize = 3, numHashes = 128, bands = 32,
+          maxBucketSize = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- incremental-ingest dedup: a new batch deduped within itself
+    //      AND against the accepted corpus via a digest anti-join.
+    //      documents has no exact dups, so the batch manufactures them:
+    //      docs %3==0 (new) plus clones of docs %5==0 under shifted ids
+    //      — %15==0 texts appear twice in the batch (within-batch dedup
+    //      fires), %5==0 ∧ %3≠0 texts already sit in the corpus
+    //      (anti-join drops them) ----
+
+    "q53_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .unionAll(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.incremental(batch, corpus, "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("batch_dup_count"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- cross-snapshot near-dup: a new batch (lightly-edited clones of
+    //      corpus docs under fresh ids) probed against the corpus's
+    //      PERSISTED minhash band-bucket + shingle artifacts (parquet
+    //      round-trip inside the query, as a real ingest would read
+    //      them); verification is exact Jaccard, so the oracle replays
+    //      the full cross-set computation ----
+
+    "q54_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .withColumnRenamed("doc_id", "corpus_id")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("batch_id"),
+          concat(col("text"), lit(" zzappendtoken")).as("text"))
+      val art = tmpDir("graft-neardup-art")
+      Dedup.minhashBandBuckets(corpus, "corpus_id", "text")
+        .write.mode("overwrite").parquet(s"$art/buckets")
+      Dedup.shingleHashFrame(corpus, "corpus_id", "text", n = 3)
+        .write.mode("overwrite").parquet(s"$art/shingles")
+      Dedup.incrementalNearDup(batch, "batch_id", "text",
+          s.read.parquet(s"$art/buckets"), s.read.parquet(s"$art/shingles"),
+          "corpus_id", threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // ---- bucketed near-dup artifacts: same ingest semantics as q54,
+    //      corpus artifacts persisted as BUCKETED catalog tables so the
+    //      probe's candidate join never re-shuffles the corpus side;
+    //      bucketing is physical only → the oracle replays plain
+    //      cross-set Jaccard ----
+
+    "q72_bucketed_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .withColumnRenamed("doc_id", "corpus_id")
+      val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 3000000L).as("batch_id"),
+          concat(col("text"), lit(" zzappendtoken")).as("text"))
+      Dedup.nearDupArtifactsSaveBucketed(corpus, "corpus_id", "text",
+        "graft_q72_buckets", "graft_q72_shingles", numBuckets = 8)
+      Dedup.incrementalNearDup(batch, "batch_id", "text",
+          s.table("graft_q72_buckets"), s.table("graft_q72_shingles"),
+          "corpus_id", threshold = 0.8)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // ---- snapshot diff: the delta between two corpus snapshots by
+    //      content digest (added / removed / changed; unchanged docs not
+    //      emitted) — only (id, md5) rows ever reach the full-outer join ----
+
+    "q74_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 1)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" editedtoken")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(col("text"), lit(" newdoc")).as("text")))
+      Dedup.snapshotDiff(docs, newSnap, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- snapshot diff, production form: the old side is a persisted
+    //      (id, digest) catalog artifact written once per accepted
+    //      snapshot — the old corpus is never re-read. Same delta as q74
+    //      by construction, and the oracle replays the same digest diff ----
+
+    "q75_snapshot_diff_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val art = tmpDir("graft-snapdiff-art")
+      Dedup.snapshotDigests(docs, "doc_id", "text")
+        .write.mode("overwrite").parquet(art)
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 1)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" editedtoken")))
+            .otherwise(col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            concat(col("text"), lit(" newdoc")).as("text")))
+      Dedup.snapshotDiffAgainstDigests(s.read.parquet(art), newSnap,
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- boilerplate strip by document frequency: per-source footers
+    //      injected into every document get removed from ALL documents
+    //      (kept NOWHERE — the contrast with q57's keep-first paragraph
+    //      dedup); unique paragraphs are untouched ----
+
+    "q101_boilerplate_strip" -> ((s, dir) => {
+      val withFooter = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("text"),
+            concat(lit("Subscribe to "), col("source"), lit(" today!")))
+            .as("text"))
+      Dedup.stripBoilerplateParagraphs(withFooter, "doc_id", "text",
+          minDocs = 10L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- normalization-keyed exact dedup: whitespace-mangled clones
+    //      (doubled spaces, leading/trailing junk) collapse back onto
+    //      their originals; the survivor keeps its ORIGINAL bytes ----
+
+    "q102_normalized_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mangled = docs.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat(lit("  "), regexp_replace(col("text"), " ", "  "),
+          lit(" \t\n")).as("text"))
+      Dedup.exactNormalized(docs.unionByName(mangled), "text", "doc_id")
+        .select(col("doc_id"), col("dup_count"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    "q124_tiered_title_dedup" -> ((s, dir) => {
+      // mixed-length titles (3 tokens for even ids, 8 for odd) with
+      // typos planted in both tiers: a 2-deletion variant of short
+      // titles (%6=0) pairs only through the d=2 short-tier pass, a
+      // 1-deletion variant of long titles (%6=3) only through the
+      // global d=1 pass — the documented tier contract end to end
+      val titles = t(s, dir, "documents").select(col("doc_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), lit(1),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(3)).otherwise(lit(8))),
+          " ").as("title"))
+      val typos2 = titles
+        .filter(pmod(col("doc_id"), lit(6)) === 0 && length(col("title")) >= 8)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(substring(col("title"), 1, 2), substring(col("title"), 4, 3),
+            expr("substring(title, 8)")).as("title"))
+      val typos1 = titles
+        .filter(pmod(col("doc_id"), lit(6)) === 3 && length(col("title")) >= 4)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          concat(substring(col("title"), 1, 2), expr("substring(title, 4)"))
+            .as("title"))
+      Dedup.editDistanceDuplicatesTiered(
+          titles.unionByName(typos2).unionByName(typos1), "doc_id",
+          "title", d2MaxLen = 18)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q120_title_dedup" -> ((s, dir) => {
+      // short-string (title) dedup: 3-token titles + planted one-char-
+      // deletion typos; SymSpell deletion-neighborhood candidates,
+      // exact levenshtein verify
+      val titles = t(s, dir, "documents").select(col("doc_id"),
+        array_join(slice(TextAnalysis.tokens(col("text")), 1, 3), " ")
+          .as("title"))
+      val typos = titles
+        .filter(pmod(col("doc_id"), lit(6)) === 0 && length(col("title")) >= 3)
+        .select((col("doc_id") + 700000L).as("doc_id"),
+          concat(substring(col("title"), 1, 2), expr("substring(title, 4)"))
+            .as("title"))
+      Dedup.editDistanceDuplicates(titles.unionByName(typos), "doc_id",
+          "title", maxDistance = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- artifact consistency audit: build the BM25 and IVF index
+    //      artifacts, run a delete on each (so the tombstone-aware
+    //      invariants are exercised, not vacuous), then the cross-table
+    //      validators — the detector for the "maintenance job died
+    //      between table updates" failure mode both delete contracts
+    //      document. All nine invariants must hold on a healthy
+    //      artifact; the oracle is the literal expected verdict table
+    //      (the corruption-DETECTION side is spec-pinned, where the
+    //      test can safely mangle tables). ----
+    // ---- cross-source duplication matrix: q97's derived-quote corpus
+    //      labeled by source ('quotes' for the derived half-docs), the
+    //      containment relation aggregated per (contained, host) source
+    //      pair — integer counts, the provenance leakage report ----
+    "q140_source_overlap_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val toks = TextAnalysis.tokens(col("text"))
+      val derived = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest(lit(3L), floor(size(toks) / 2)).cast("int")), " ")
+            .as("text"),
+          lit("quotes").as("source"))
+      Dedup.sourceOverlapMatrix(docs.unionByName(derived), "doc_id",
+          "text", "source", n = 3, threshold = 0.9)
+        .orderBy("source_contained", "source_host")
+    }),
+
+    "q117_semantic_sweep" -> ((s, dir) => {
+      // q70's construction, swept over three thresholds in one pass
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val clones = emb.filter(col("vec_id") < 4)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      Dedup.semanticThresholdSweep(emb.unionAll(clones), "vec_id",
+          "embedding", centroids, "vec_id", "embedding",
+          thresholds = Seq(0.95, 0.98, 0.999), maxClusterSize = 1000)
+        .orderBy("threshold")
+    }),
+
+    "q116_dedup_provenance" -> ((s, dir) => {
+      // clone injection (the corpus has no exact dups at these SFs):
+      // every 4th doc gets one clone, every 20th a second
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val c1 = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val c2 = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Dedup.exactProvenance(docs.unionByName(c1).unionByName(c2),
+          "text", "doc_id")
+        .orderBy("dropped_id")
+    }),
+
+  )
+
+  private[graft] def dedupOracle: Map[String, String] = Map(
+
+      // Recursive transitive closure over the exact-Jaccard(0.6) edge set
+      // — the ground truth the distributed label-propagation must match.
+      "q37_dup_clusters" ->
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT id_a, id_b FROM (${jaccardSql("0.6")}) j),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (SELECT a, b FROM sym
+           |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           |  FROM reach GROUP BY a),
+           |assigned AS (
+           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+           |csizes AS (SELECT cluster_id, count(*) AS cluster_size
+           |  FROM assigned GROUP BY cluster_id)
+           |SELECT a.doc_id, a.cluster_id, s.cluster_size
+           |FROM assigned a JOIN csizes s USING (cluster_id)
+           |ORDER BY a.doc_id""".stripMargin,
+
+      // q37's cluster assignment + a per-cluster argmax on the
+      // distinct-token ratio (ties -> lowest doc_id).
+      "q79_quality_survivors" -> qualitySurvSqlFrom("documents"),
+
+      // Exact collapse (q10's min-id-per-md5), exact all-pairs Jaccard
+      // at 0.8 over the SURVIVING unique docs, recursive components,
+      // then the per-cluster argmax on the distinct-token ratio.
+      "q80_quality_pipeline" -> qualityPipeSqlFrom("documents"),
+
+      // q79/q80 over STRING document ids: identical bodies, re-keyed
+      // source — tie-breaks ride the VARCHAR ordering on both sides.
+      "q82_quality_survivors_strid" -> qualitySurvSqlFrom(strDocsSql),
+
+      "q83_quality_pipeline_strid" -> qualityPipeSqlFrom(strDocsSql),
+
+      // Paragraph structure rebuilt with the q41 chunk arithmetic
+      // (overlap 0 → starts are a plain stride grid), then first-
+      // occurrence-wins replayed with a (doc, position)-ordered window.
+      "q57_paragraph_dedup" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |ch AS (
+          |  SELECT doc_id,
+          |    unnest([{'ci': s // 20, 'ct': array_to_string(t[s+1:s+20], ' ')}
+          |            for s in range(0, len(t), 20)]) AS u
+          |  FROM toks WHERE len(t) > 0),
+          |pdocs AS (
+          |  SELECT doc_id,
+          |    'subscribe to our newsletter today' || chr(10) || chr(10) ||
+          |      string_agg(u.ct, chr(10) || chr(10) ORDER BY u.ci) AS text
+          |  FROM ch GROUP BY doc_id),
+          |paras AS (
+          |  SELECT doc_id, u.pi, u.p
+          |  FROM (SELECT doc_id,
+          |          string_split(text, chr(10) || chr(10)) AS ps
+          |        FROM pdocs),
+          |    unnest([{'pi': i - 1, 'p': ps[i]}
+          |            for i in range(1, len(ps) + 1)]) AS r(u)),
+          |keepers AS (
+          |  SELECT doc_id, pi, p,
+          |    row_number() OVER (PARTITION BY p ORDER BY doc_id, pi) = 1
+          |      AS keep
+          |  FROM paras)
+          |SELECT doc_id,
+          |  coalesce(string_agg(CASE WHEN keep THEN p END,
+          |    chr(10) || chr(10) ORDER BY pi), '') AS text,
+          |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS kept_paras,
+          |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT)
+          |    AS dropped_paras
+          |FROM keepers GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // q37's recursive component labels + the q27/q52 multiplicative-mix
+      // keep arithmetic applied to the CLUSTER id; thresholds are the
+      // same double→long truncation Spark computes.
+      "q56_leakage_safe_split" ->
+        s"""WITH RECURSIVE pairs AS (
+           |  SELECT id_a, id_b FROM (${jaccardSql("0.6")}) j),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach AS (SELECT a, b FROM sym
+           |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           |  FROM reach GROUP BY a),
+           |assigned AS (
+           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+           |SELECT doc_id, cluster_id,
+           |  CASE WHEN ((cluster_id + 5) * 2654435761) % 4294967296
+           |         < ${(0.7 * 4294967296L).toLong} THEN 'TRAIN'
+           |       WHEN ((cluster_id + 5) * 2654435761) % 4294967296
+           |         < ${((0.7 + 0.15) * 4294967296L).toLong} THEN 'VALIDATION'
+           |       ELSE 'TEST' END AS split
+           |FROM assigned ORDER BY doc_id""".stripMargin,
+
+      // Closed-form chunk accounting: with overlap 0, a doc of n tokens
+      // yields ceil(n/32) chunks totaling n tokens; survivors are the
+      // min-id doc per distinct text among the quality-filtered set.
+      "q42_pipeline" ->
+        """WITH toks AS (
+          |  SELECT doc_id, text,
+          |    len(list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0)) AS n
+          |  FROM documents),
+          |q AS (SELECT doc_id, text, n FROM toks WHERE n >= 20),
+          |u AS (SELECT min(doc_id) AS doc_id, min(n) AS n
+          |  FROM q GROUP BY md5(text))
+          |SELECT doc_id, CAST(ceil(n / 32.0) AS BIGINT) AS n_chunks,
+          |  CAST(n AS BIGINT) AS total_tokens
+          |FROM u ORDER BY doc_id""".stripMargin,
+
+      "q10_dedup_exact" ->
+        """SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+          |  count(*) AS dup_count
+          |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin,
+
+      "q11_ngram_jaccard" -> jaccardSql("0.8"),
+
+      // One exact pairs pass at the lowest threshold, re-filtered per
+      // sweep point — the replay of jaccardThresholdSweep's shape.
+      "q77_jaccard_sweep" ->
+        s"""WITH pairs AS (${jaccardSql("0.5")}),
+           |thr(threshold) AS (
+           |  VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
+           |         (CAST(0.9 AS DOUBLE))),
+           |hit AS (
+           |  SELECT t.threshold, p.id_a, p.id_b FROM pairs p
+           |  JOIN thr t ON p.jaccard >= t.threshold),
+           |pc AS (SELECT threshold, count(*) AS n_pairs FROM hit GROUP BY 1),
+           |dc AS (
+           |  SELECT threshold, count(DISTINCT doc) AS n_dup_docs FROM (
+           |    SELECT threshold, id_a AS doc FROM hit
+           |    UNION ALL SELECT threshold, id_b FROM hit)
+           |  GROUP BY 1)
+           |SELECT t.threshold, COALESCE(pc.n_pairs, 0) AS n_pairs,
+           |  COALESCE(dc.n_dup_docs, 0) AS n_dup_docs
+           |FROM thr t
+           |LEFT JOIN pc ON pc.threshold = t.threshold
+           |LEFT JOIN dc ON dc.threshold = t.threshold
+           |ORDER BY t.threshold""".stripMargin,
+
+      "q30_minhash_dups" -> jaccardSql("0.8"),
+
+      // Digest-level diff replayed literally: both sides reduced to
+      // (doc_id, md5) before the full outer join, same null-driven CASE.
+      "q74_snapshot_diff" -> snapshotDiffSql,
+
+      // The persisted-catalog path must produce the identical delta: the
+      // artifact is a physical optimization, not a semantic one.
+      "q75_snapshot_diff_ingest" -> snapshotDiffSql,
+
+      // The doc-frequency cutoff replayed literally: HAVING count(*) <= 4
+      // on the distinct shingle index before sizes/intersections.
+      // Both containment directions derived from one intersection over
+      // the distinct-shingle index; the derived corpus's half-docs are
+      // rebuilt with the same slice arithmetic.
+      "q97_ngram_containment" ->
+        s"""$containmentBaseSql,
+           |dirs AS (
+           |  SELECT id_a AS doc_id, id_b AS other_id,
+           |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+           |  FROM j
+           |  UNION ALL
+           |  SELECT id_b, id_a, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
+           |  FROM j)
+           |SELECT doc_id, other_id, containment FROM dirs
+           |WHERE containment >= 0.9
+           |ORDER BY doc_id, other_id""".stripMargin,
+
+      // The drop rule over the same CTEs: drop toward a strictly
+      // bigger host (or equal-size lower id); survivors = corpus minus
+      // the dropped set, byte lengths via strlen.
+      "q99_drop_contained" ->
+        s"""$containmentBaseSql,
+           |dirs AS (
+           |  SELECT id_a AS doc_id, id_b AS other_id,
+           |    na AS sz_doc, nb AS sz_other,
+           |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+           |  FROM j
+           |  UNION ALL
+           |  SELECT id_b, id_a, nb, na, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
+           |  FROM j),
+           |dropped AS (
+           |  SELECT DISTINCT doc_id FROM dirs
+           |  WHERE containment >= 0.9
+           |    AND (sz_other > sz_doc
+           |      OR (sz_other = sz_doc AND other_id < doc_id)))
+           |SELECT c.doc_id, CAST(strlen(c.text) AS BIGINT) AS n_bytes
+           |FROM corpus c
+           |WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)
+           |ORDER BY c.doc_id""".stripMargin,
+
+      "q47_jaccard_capped" ->
+        s"""WITH corpus AS ($clonedDocsSql),
+           |toks AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(text, '\\s+'),
+           |      x -> len(x) > 0) AS t
+           |  FROM corpus),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest([array_to_string(t[i:i+2], ' ')
+           |            for i in range(1, len(t) - 1)]) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 4),
+           |fsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, i / (na.n_sh + nb.n_sh - i) AS jaccard
+           |FROM inter
+           |JOIN sizes na ON na.doc_id = id_a
+           |JOIN sizes nb ON nb.doc_id = id_b
+           |WHERE i / (na.n_sh + nb.n_sh - i) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // The bucket cap's documented effect: an identical-text group
+      // larger than the cap fills every one of its buckets past the
+      // limit (identical texts ⇒ identical signatures), so none of its
+      // pairs can surface; all other pairs are exactly the all-pairs
+      // Jaccard result (q30's recall argument).
+      "q48_minhash_capped" ->
+        s"""WITH corpus AS ($clonedDocsSql),
+           |grp AS (SELECT text, count(*) AS g FROM corpus GROUP BY text),
+           |capped AS (
+           |  SELECT doc_id FROM corpus JOIN grp USING (text) WHERE g > 4),
+           |toks AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(text, '\\s+'),
+           |      x -> len(x) > 0) AS t
+           |  FROM corpus),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest([array_to_string(t[i:i+2], ' ')
+           |            for i in range(1, len(t) - 1)]) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, i / (na.n_sh + nb.n_sh - i) AS jaccard
+           |FROM inter
+           |JOIN sizes na ON na.doc_id = id_a
+           |JOIN sizes nb ON nb.doc_id = id_b
+           |WHERE i / (na.n_sh + nb.n_sh - i) >= 0.8
+           |  AND id_a NOT IN (SELECT doc_id FROM capped)
+           |  AND id_b NOT IN (SELECT doc_id FROM capped)
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // Incremental dedup replayed on text equality (digest equality ≡
+      // text equality): same batch construction, min-id survivor per
+      // batch text, anti-join against corpus texts.
+      "q53_incremental_dedup" ->
+        """WITH corpus AS (
+          |  SELECT text FROM documents WHERE doc_id % 3 <> 0),
+          |batch AS (
+          |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, lang, text FROM documents
+          |  WHERE doc_id % 5 = 0),
+          |surv AS (
+          |  SELECT text, min(doc_id) AS keep_id,
+          |    CAST(count(*) AS BIGINT) AS batch_dup_count
+          |  FROM batch GROUP BY text),
+          |fresh AS (
+          |  SELECT * FROM surv
+          |  WHERE text NOT IN (SELECT DISTINCT text FROM corpus))
+          |SELECT b.doc_id, b.lang, f.batch_dup_count
+          |FROM batch b JOIN fresh f
+          |  ON b.doc_id = f.keep_id AND b.text = f.text
+          |ORDER BY b.doc_id""".stripMargin,
+
+      // The cross-set near-dup replayed exactly: same batch perturbation,
+      // trigram shingle sets on both sides, exact Jaccard ≥ 0.8 (banding
+      // recall at t=0.8, r=4, b=32 leaves P[miss] ≈ 5e-8 per pair, as in
+      // q30).
+      "q54_incremental_neardup" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+          |batch AS (
+          |  SELECT doc_id + 1000000 AS batch_id,
+          |    text || ' zzappendtoken' AS text
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |ctoks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0) AS t FROM corpus),
+          |btoks AS (
+          |  SELECT batch_id, list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0) AS t FROM batch),
+          |csh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM ctoks WHERE len(t) >= 3),
+          |bsh AS (
+          |  SELECT DISTINCT batch_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM btoks WHERE len(t) >= 3),
+          |csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+          |bsizes AS (SELECT batch_id, count(*) AS n FROM bsh GROUP BY 1),
+          |inter AS (
+          |  SELECT b.batch_id, c.doc_id AS corpus_id, count(*) AS i
+          |  FROM bsh b JOIN csh c ON b.s = c.s GROUP BY 1, 2)
+          |SELECT inter.batch_id, corpus_id,
+          |  i / (bs.n + cs.n - i) AS jaccard
+          |FROM inter
+          |JOIN bsizes bs ON bs.batch_id = inter.batch_id
+          |JOIN csizes cs ON cs.doc_id = corpus_id
+          |WHERE i / (bs.n + cs.n - i) >= 0.8
+          |ORDER BY inter.batch_id, corpus_id""".stripMargin,
+
+      // Bucketing is physical layout only: the oracle is q54's exact
+      // cross-set Jaccard replay on this query's own corpus/batch split.
+      "q72_bucketed_neardup" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+          |batch AS (
+          |  SELECT doc_id + 3000000 AS batch_id,
+          |    text || ' zzappendtoken' AS text
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |ctoks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0) AS t FROM corpus),
+          |btoks AS (
+          |  SELECT batch_id, list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0) AS t FROM batch),
+          |csh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM ctoks WHERE len(t) >= 3),
+          |bsh AS (
+          |  SELECT DISTINCT batch_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM btoks WHERE len(t) >= 3),
+          |csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+          |bsizes AS (SELECT batch_id, count(*) AS n FROM bsh GROUP BY 1),
+          |inter AS (
+          |  SELECT b.batch_id, c.doc_id AS corpus_id, count(*) AS i
+          |  FROM bsh b JOIN csh c ON b.s = c.s GROUP BY 1, 2)
+          |SELECT inter.batch_id, corpus_id,
+          |  i / (bs.n + cs.n - i) AS jaccard
+          |FROM inter
+          |JOIN bsizes bs ON bs.batch_id = inter.batch_id
+          |JOIN csizes cs ON cs.doc_id = corpus_id
+          |WHERE i / (bs.n + cs.n - i) >= 0.8
+          |ORDER BY inter.batch_id, corpus_id""".stripMargin,
+
+      // SemDeDup replay: scaled clones (×2 is exact in IEEE float, and
+      // sqrt(4x) = 2·sqrt(x) exactly), cosine-ranked nearest-centroid
+      // assignment with the lowest-id tie-break, cluster cap, then
+      // within-cluster exact cosine — all in double from the same float
+      // inputs, so values hash-match.
+      "q70_semantic_dedup" ->
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+           |all_v AS (
+           |  SELECT vec_id, embedding FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> (x * 2.0)::FLOAT)
+           |  FROM base WHERE vec_id < 4),
+           |cent AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cv
+           |  FROM base WHERE vec_id % 43 = 0),
+           |assigned AS (
+           |  SELECT v.vec_id, v.embedding, c.centroid_id,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${cosSql("v.embedding", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |  FROM all_v v CROSS JOIN cent c),
+           |a1 AS (SELECT vec_id, embedding, centroid_id
+           |  FROM assigned WHERE rn = 1),
+           |ok AS (SELECT centroid_id FROM a1
+           |  GROUP BY centroid_id HAVING count(*) <= 1000),
+           |k AS (SELECT a1.* FROM a1 JOIN ok USING (centroid_id))
+           |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |  ${cosSql("x.embedding", "y.embedding")} AS cosine
+           |FROM k x JOIN k y
+           |  ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+           |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.95
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q34_embedding_dups" ->
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  ${cosSql("a.embedding", "b.embedding")} AS cosine
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.95
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // Bloom-prefiltered incremental ingest is result-identical to plain
+      // incremental dedup (the sketch is routing, not adjudication), so
+      // the oracle is q53's replay verbatim.
+      "q63_bloom_incremental" ->
+        """WITH corpus AS (
+          |  SELECT text FROM documents WHERE doc_id % 3 <> 0),
+          |batch AS (
+          |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, lang, text FROM documents
+          |  WHERE doc_id % 5 = 0),
+          |surv AS (
+          |  SELECT text, min(doc_id) AS keep_id,
+          |    CAST(count(*) AS BIGINT) AS batch_dup_count
+          |  FROM batch GROUP BY text),
+          |fresh AS (
+          |  SELECT * FROM surv
+          |  WHERE text NOT IN (SELECT DISTINCT text FROM corpus))
+          |SELECT b.doc_id, b.lang, f.batch_dup_count
+          |FROM batch b JOIN fresh f
+          |  ON b.doc_id = f.keep_id AND b.text = f.text
+          |ORDER BY b.doc_id""".stripMargin,
+
+      // the tier contract verbatim: all pairs at lev<=1 (any length up
+      // to 128) UNION pairs at lev=2 where BOTH strings are <= the
+      // d2MaxLen cap — a distance-2 pair with a long member is
+      // intentionally absent (the cost the tiering exists to avoid)
+      "q124_tiered_title_dedup" ->
+        """WITH t0 AS (
+          |  SELECT doc_id,
+          |    array_to_string(list_filter(regexp_split_to_array(text,
+          |      '\s+'), x -> len(x) > 0)
+          |      [1:(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 8 END)], ' ')
+          |      AS title
+          |  FROM documents),
+          |ty2 AS (
+          |  SELECT doc_id + 700000 AS doc_id,
+          |    substr(title, 1, 2) || substr(title, 4, 3) || substr(title, 8)
+          |      AS title
+          |  FROM t0 WHERE doc_id % 6 = 0 AND len(title) >= 8),
+          |ty1 AS (
+          |  SELECT doc_id + 800000 AS doc_id,
+          |    substr(title, 1, 2) || substr(title, 4) AS title
+          |  FROM t0 WHERE doc_id % 6 = 3 AND len(title) >= 4),
+          |allt AS (SELECT * FROM t0 UNION ALL SELECT * FROM ty2
+          |  UNION ALL SELECT * FROM ty1)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
+          |FROM allt a JOIN allt b ON a.doc_id < b.doc_id
+          |WHERE len(a.title) <= 128 AND len(b.title) <= 128
+          |  AND (levenshtein(a.title, b.title) <= 1
+          |    OR (levenshtein(a.title, b.title) = 2
+          |      AND len(a.title) <= 18 AND len(b.title) <= 18))
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "q120_title_dedup" ->
+        """WITH t0 AS (
+          |  SELECT doc_id,
+          |    array_to_string(list_filter(regexp_split_to_array(text,
+          |      '\s+'), x -> len(x) > 0)[1:3], ' ') AS title
+          |  FROM documents),
+          |ty AS (
+          |  SELECT doc_id + 700000 AS doc_id,
+          |    substr(title, 1, 2) || substr(title, 4) AS title
+          |  FROM t0 WHERE doc_id % 6 = 0 AND len(title) >= 3),
+          |allt AS (SELECT * FROM t0 UNION ALL SELECT * FROM ty)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS distance
+          |FROM allt a JOIN allt b ON a.doc_id < b.doc_id
+          |WHERE levenshtein(a.title, b.title) <= 1
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // q97's containment CTEs with a source label carried through the
+      // derived corpus; the matrix is integer counts per source pair.
+      "q140_source_overlap_matrix" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text, source FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id,
+          |    array_to_string(
+          |      t[1:CAST(greatest(3, len(t) // 2) AS INT)], ' ') AS text,
+          |    'quotes' AS source
+          |  FROM (SELECT doc_id,
+          |      list_filter(regexp_split_to_array(text, '\s+'),
+          |        x -> len(x) > 0) AS t
+          |    FROM documents)
+          |  WHERE doc_id % 10 = 0),
+          |toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM corpus),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM toks WHERE len(t) >= 3),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |j AS (
+          |  SELECT id_a, id_b, i, na.n_sh AS na, nb.n_sh AS nb
+          |  FROM inter
+          |  JOIN sizes na ON na.doc_id = id_a
+          |  JOIN sizes nb ON nb.doc_id = id_b),
+          |dirs AS (
+          |  SELECT id_a AS doc_id, id_b AS other_id,
+          |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+          |  FROM j
+          |  UNION ALL
+          |  SELECT id_b, id_a, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
+          |  FROM j),
+          |hits AS (SELECT doc_id, other_id FROM dirs
+          |  WHERE containment >= 0.9)
+          |SELECT ca.source AS source_contained, cb.source AS source_host,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs
+          |FROM hits h
+          |JOIN corpus ca ON ca.doc_id = h.doc_id
+          |JOIN corpus cb ON cb.doc_id = h.other_id
+          |GROUP BY 1, 2
+          |ORDER BY source_contained, source_host""".stripMargin,
+
+      // Sharded-Bloom routing is result-identical to plain incremental
+      // ingest at ANY shard count (shard sketches only route; the
+      // anti-join adjudicates), so the oracle replays q63's shape on
+      // this query's own corpus/batch split.
+      "q68_sharded_bloom_ingest" ->
+        """WITH corpus AS (
+          |  SELECT text FROM documents WHERE doc_id % 4 <> 0),
+          |batch AS (
+          |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 2000000, lang, text FROM documents
+          |  WHERE doc_id % 7 = 0),
+          |surv AS (
+          |  SELECT text, min(doc_id) AS keep_id,
+          |    CAST(count(*) AS BIGINT) AS batch_dup_count
+          |  FROM batch GROUP BY text),
+          |fresh AS (
+          |  SELECT * FROM surv
+          |  WHERE text NOT IN (SELECT DISTINCT text FROM corpus))
+          |SELECT b.doc_id, b.lang, f.batch_dup_count
+          |FROM batch b JOIN fresh f
+          |  ON b.doc_id = f.keep_id AND b.text = f.text
+          |ORDER BY b.doc_id""".stripMargin,
+
+      // Repeated W-token windows replayed exactly: same whitespace
+      // tokenization as q14/q24, same md5 window keys, same maximal-run
+      // merge via the gap trick.
+      "q65_repeated_spans" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+          |  FROM documents),
+          |wins AS (
+          |  SELECT doc_id, i - 1 AS pos,
+          |    md5(array_to_string(ts[i:i+7], ' ')) AS wk
+          |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)
+          |  WHERE len(ts) >= 8),
+          |hot AS (SELECT wk FROM wins GROUP BY wk HAVING count(*) >= 2),
+          |flagged AS (
+          |  SELECT doc_id, pos FROM wins WHERE wk IN (SELECT wk FROM hot)),
+          |grp AS (
+          |  SELECT doc_id, pos,
+          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+          |  FROM flagged)
+          |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+          |  CAST(count(*) AS BIGINT) AS n_windows
+          |FROM grp GROUP BY doc_id, g
+          |ORDER BY doc_id, span_start""".stripMargin,
+
+      // Strip replay: tokens outside every covered index survive in
+      // position order; docs reduced to nothing keep an empty string.
+      "q66_strip_spans" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+          |  FROM documents),
+          |wins AS (
+          |  SELECT doc_id, i - 1 AS pos,
+          |    md5(array_to_string(ts[i:i+7], ' ')) AS wk
+          |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)
+          |  WHERE len(ts) >= 8),
+          |hot AS (SELECT wk FROM wins GROUP BY wk HAVING count(*) >= 2),
+          |covered AS (
+          |  SELECT DISTINCT w.doc_id, w.pos + d.o AS cpos
+          |  FROM wins w, unnest(range(0, 8)) AS d(o)
+          |  WHERE w.wk IN (SELECT wk FROM hot)),
+          |tokpos AS (
+          |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+          |  FROM toks, unnest(range(1, len(ts) + 1)) AS t(i)),
+          |kept AS (
+          |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+          |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+          |    WHERE c.doc_id = tp.doc_id AND c.cpos = tp.pos)),
+          |rebuilt AS (
+          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+          |    CAST(count(*) AS BIGINT) AS kept_tokens
+          |  FROM kept GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  COALESCE(r.kept_tokens, 0) AS kept_tokens,
+          |  CAST(COALESCE(len(t.ts), 0) - COALESCE(r.kept_tokens, 0)
+          |    AS BIGINT) AS dropped_tokens,
+          |  CASE WHEN d.text IS NULL THEN NULL
+          |    ELSE substr(COALESCE(r.text, ''), 1, 80) END AS text_head
+          |FROM documents d
+          |JOIN toks t ON t.doc_id = d.doc_id
+          |LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // Ingest strip replay: hot window keys from the CORPUS side only,
+      // batch tokens outside every covered index survive in order.
+      "q67_span_ingest" ->
+        """WITH toks AS (
+          |  SELECT doc_id, text,
+          |    list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS ts
+          |  FROM documents),
+          |corpus AS (SELECT * FROM toks WHERE doc_id % 3 <> 0),
+          |batch AS (SELECT * FROM toks WHERE doc_id % 3 = 0),
+          |cwins AS (
+          |  SELECT md5(array_to_string(ts[i:i+7], ' ')) AS wk
+          |  FROM corpus, unnest(range(1, len(ts) - 6)) AS t(i)
+          |  WHERE len(ts) >= 8),
+          |hot AS (SELECT wk FROM cwins GROUP BY wk HAVING count(*) >= 2),
+          |bwins AS (
+          |  SELECT doc_id, i - 1 AS pos,
+          |    md5(array_to_string(ts[i:i+7], ' ')) AS wk
+          |  FROM batch, unnest(range(1, len(ts) - 6)) AS t(i)
+          |  WHERE len(ts) >= 8),
+          |covered AS (
+          |  SELECT DISTINCT b.doc_id, b.pos + d.o AS cpos
+          |  FROM bwins b, unnest(range(0, 8)) AS d(o)
+          |  WHERE b.wk IN (SELECT wk FROM hot)),
+          |tokpos AS (
+          |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+          |  FROM batch, unnest(range(1, len(ts) + 1)) AS t(i)),
+          |kept AS (
+          |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+          |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+          |    WHERE c.doc_id = tp.doc_id AND c.cpos = tp.pos)),
+          |rebuilt AS (
+          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+          |    CAST(count(*) AS BIGINT) AS kept_tokens
+          |  FROM kept GROUP BY doc_id)
+          |SELECT b.doc_id,
+          |  COALESCE(r.kept_tokens, 0) AS kept_tokens,
+          |  CAST(COALESCE(len(b.ts), 0) - COALESCE(r.kept_tokens, 0)
+          |    AS BIGINT) AS dropped_tokens,
+          |  CASE WHEN b.text IS NULL THEN NULL
+          |    ELSE substr(COALESCE(r.text, ''), 1, 80) END AS text_head
+          |FROM batch b
+          |LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
+
+      // Composite-key min-id survivor: doc_id is unique, so join-on-min-id
+      // reproduces min_by's choice deterministically.
+      "q64_composite_dedup" ->
+        """WITH surv AS (
+          |  SELECT lang, source, min(doc_id) AS keep_id,
+          |    CAST(count(*) AS BIGINT) AS dup_count
+          |  FROM documents GROUP BY lang, source)
+          |SELECT d.doc_id, d.lang, d.source, s.dup_count
+          |FROM documents d JOIN surv s ON d.doc_id = s.keep_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // All-pairs SimHash over md5_number_lower token hashes (the same
+      // feature hash the MD5-lo64 kernel computes) — exact because 16-bit
+      // banding is a pigeonhole guarantee at Hamming distance ≤ 3.
+      "q31_simhash_dups" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |hs AS (SELECT doc_id, list(md5_number_lower(tok)) AS h
+          |  FROM toks GROUP BY doc_id),
+          |sig AS (
+          |  SELECT doc_id,
+          |    CAST(list_sum([CASE
+          |      WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
+          |      THEN (1::UBIGINT << j) ELSE 0::UBIGINT END
+          |      for j in range(0, 64)]) AS UBIGINT) AS sig
+          |  FROM hs)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // Document-frequency boilerplate replayed on paragraph CONTENT
+      // (md5 grouping and content grouping are the same partition), with
+      // the q57-style positional reassembly.
+      "q101_boilerplate_strip" ->
+        """WITH pdocs AS (
+          |  SELECT doc_id, concat_ws(chr(10) || chr(10), text,
+          |    'Subscribe to ' || source || ' today!') AS text
+          |  FROM documents),
+          |paras AS (
+          |  SELECT doc_id, u.pi, u.p
+          |  FROM (SELECT doc_id,
+          |          string_split(text, chr(10) || chr(10)) AS ps
+          |        FROM pdocs),
+          |    unnest([{'pi': i - 1, 'p': ps[i]}
+          |            for i in range(1, len(ps) + 1)]) AS r(u)),
+          |hot AS (
+          |  SELECT p FROM (
+          |    SELECT p, count(DISTINCT doc_id) AS d FROM paras GROUP BY p)
+          |  WHERE d >= 10),
+          |k AS (
+          |  SELECT doc_id, pi, p,
+          |    p NOT IN (SELECT p FROM hot) AS keep
+          |  FROM paras)
+          |SELECT doc_id,
+          |  coalesce(string_agg(CASE WHEN keep THEN p END,
+          |    chr(10) || chr(10) ORDER BY pi), '') AS text,
+          |  CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS kept_paras,
+          |  CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT)
+          |    AS dropped_paras
+          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // Normalization-keyed exact collapse: the same mangling, the same
+      // canonical form (lower, ASCII-whitespace runs → one space, trim),
+      // min-id survivor keeping its ORIGINAL bytes via arg_min.
+      "q102_normalized_dedup" ->
+        """WITH u AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 3000000,
+          |    '  ' || regexp_replace(text, ' ', '  ', 'g')
+          |      || ' ' || chr(9) || chr(10)
+          |  FROM documents),
+          |k AS (
+          |  SELECT doc_id, text,
+          |    md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')))
+          |      AS key
+          |  FROM u)
+          |SELECT min(doc_id) AS doc_id, count(*) AS dup_count,
+          |  CAST(strlen(arg_min(text, doc_id)) AS BIGINT) AS n_bytes
+          |FROM k GROUP BY key ORDER BY doc_id""".stripMargin,
+
+      // q70's CTE chain swept: pairs at the min threshold once, counts
+      // per threshold via the unnest'd literal list
+      "q117_semantic_sweep" ->
+        s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+           |all_v AS (
+           |  SELECT vec_id, embedding FROM base
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(embedding, x -> (x * 2.0)::FLOAT)
+           |  FROM base WHERE vec_id < 4),
+           |cent AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cv
+           |  FROM base WHERE vec_id % 43 = 0),
+           |assigned AS (
+           |  SELECT v.vec_id, v.embedding, c.centroid_id,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${cosSql("v.embedding", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |  FROM all_v v CROSS JOIN cent c),
+           |a1 AS (SELECT vec_id, embedding, centroid_id
+           |  FROM assigned WHERE rn = 1),
+           |ok AS (SELECT centroid_id FROM a1
+           |  GROUP BY centroid_id HAVING count(*) <= 1000),
+           |k AS (SELECT a1.* FROM a1 JOIN ok USING (centroid_id)),
+           |p AS (
+           |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           |    ${cosSql("x.embedding", "y.embedding")} AS cosine
+           |  FROM k x JOIN k y
+           |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+           |  WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.95),
+           |t AS (SELECT unnest([0.95, 0.98, 0.999]) AS threshold),
+           |hit AS (SELECT t.threshold, p.id_a, p.id_b
+           |  FROM p JOIN t ON p.cosine >= t.threshold),
+           |pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+           |  FROM hit GROUP BY threshold),
+           |dc AS (SELECT threshold,
+           |    CAST(count(DISTINCT d) AS BIGINT) AS n_dup_docs
+           |  FROM (SELECT threshold, unnest([id_a, id_b]) AS d FROM hit)
+           |  GROUP BY threshold)
+           |SELECT t.threshold, COALESCE(pc.n_pairs, 0) AS n_pairs,
+           |  COALESCE(dc.n_dup_docs, 0) AS n_dup_docs
+           |FROM t LEFT JOIN pc USING (threshold)
+           |LEFT JOIN dc USING (threshold)
+           |ORDER BY t.threshold""".stripMargin,
+
+      "q116_dedup_provenance" ->
+        """WITH all_docs AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+          |    WHERE doc_id % 4 = 0
+          |  UNION ALL SELECT doc_id + 2000000, text FROM documents
+          |    WHERE doc_id % 20 = 0),
+          |fp AS (SELECT doc_id, md5(text) AS fp FROM all_docs),
+          |surv AS (SELECT fp, min(doc_id) AS survivor_id
+          |  FROM fp GROUP BY fp)
+          |SELECT f.doc_id AS dropped_id, s.survivor_id
+          |FROM fp f JOIN surv s ON f.fp IS NOT DISTINCT FROM s.fp
+          |WHERE f.doc_id <> s.survivor_id
+          |ORDER BY dropped_id""".stripMargin,
+
+  )
+}

@@ -1,0 +1,317 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{SplitStage, Vocab}
+import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJoin, TextAnalysis}
+
+/** Event/relational analytics queries: sessionization, funnels, retention, temporal joins, token/length stats over the events and orders tables.
+  *
+  * One family of the [[SparkEntry]] query registry (split from the
+  * original single-file object in r14, hygiene only — the r11 Dedup
+  * precedent): every entry is mixed into — and documented as part
+  * of — `object SparkEntry`, which remains the sole driver contract.
+  */
+private[graft] trait EntriesEvents { this: SparkEntry.type =>
+
+  private[graft] def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q14_token_stats" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(sum(call_function("graft_token_count", col("text")))
+            .as("total_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // ---- sessionization (event-time windows over the events stream table) ----
+
+    "q28_sessionize" -> ((s, dir) => {
+      // ts is TIMESTAMP(NANOS) read as long nanos (session config);
+      // session break = gap > 30 min. Integer arithmetic end to end.
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      t(s, dir, "events")
+        .withColumn("__new_sess",
+          when(col("ts") - lag(col("ts"), 1).over(w) >
+            lit(1800L * 1000000000L), 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg((sum(col("__new_sess")) + 1L).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- dimension enrichment (broadcast FK join) ----
+
+    "q29_join_enrich" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      t(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- z-score scaling (extension closing the reference README gap) ----
+
+    "q20_zscore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val train = li.filter(pmod(col("l_orderkey"), lit(10)) < 8)
+      val stats = train.agg(
+        sum(col("l_quantity")).as("s1"),
+        sum(col("l_quantity") * col("l_quantity")).as("s2"),
+        count(lit(1)).as("n"))
+      val withStats = li.crossJoin(broadcast(stats))
+      withStats
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ((col("l_quantity") - col("s1") / col("n")) /
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+              (col("n") - 1))).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- event analytics: ordered funnel, day-cohort retention, JSON
+    //      property extraction (ints end to end for oracle parity) ----
+
+    "q44_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts").as("tns"))
+      val s1 = e.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("tns")).as("t1"))
+      val s2 = e.join(broadcast(s1), "user_id")
+        .filter(col("event_type") === "signup" && col("tns") > col("t1"))
+        .groupBy("user_id").agg(min(col("tns")).as("t2"))
+      val s3 = e.join(broadcast(s2), "user_id")
+        .filter(col("event_type") === "purchase" && col("tns") > col("t2"))
+        .groupBy("user_id").agg(min(col("tns")).as("t3"))
+      // One aggregation over the stage-joined frame (stack unpivots it);
+      // identical stage subtrees collapse via ReuseExchange rather than
+      // three unioned aggregate branches re-deriving s1.
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+          count(col("t3")).as("n3"))
+        .selectExpr(
+          """stack(3, 'stage1_click', n1, 'stage2_signup', n2,
+            |'stage3_purchase', n3) AS (stage, n_users)""".stripMargin)
+        .orderBy("stage")
+    }),
+
+    "q45_retention" -> ((s, dir) => {
+      // Integer day buckets from nanosecond epochs: `div`, never double
+      // division (ns magnitudes exceed double's exact-integer range).
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      val first = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val ret = first.join(e,
+          e("user_id") === first("user_id") &&
+            e("day") === first("cohort_day") + 1)
+        .select(first("user_id"), first("cohort_day"))
+        .distinct()
+        .withColumn("__r", lit(1))
+      first.join(ret, Seq("user_id", "cohort_day"), "left")
+        .groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_users"), count(col("__r")).as("n_retained"))
+        .orderBy("cohort_day")
+    }),
+
+    "q46_json_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
+    // ---- temporal joins (TemporalJoin: as-of + interval containment) ----
+
+    "q61_asof_join" -> ((s, dir) => {
+      // Point-in-time enrichment: each purchase with the most recent view
+      // by the same user at or before it (ties -> greatest view_id).
+      // Microsecond ordinates on BOTH engines: DuckDB parses the parquet
+      // TIMESTAMP(NANOS) at us precision, so truncating before the join
+      // keeps the two engines' comparison semantics identical (truncating
+      // only the output would let a sub-us ordering difference flip a
+      // match).
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"))
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("tus").as("purchase_tus"))
+      val r = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("vuser"),
+          col("tus").as("view_tus"))
+      TemporalJoin.asofJoin(l, "user_id", "purchase_tus",
+          r, "vuser", "view_tus", "view_id", Seq("view_id", "view_tus"))
+        .orderBy("purchase_id")
+    }),
+
+    "q62_range_join" -> ((s, dir) => {
+      // Incident attribution: clicks landing inside each error's 5-minute
+      // follow-up window [ts, ts+300s], per user; outer counts via
+      // aggregate-then-join-back (intervalJoin pairs are inner).
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus")) // us ordinates — see q61
+      val iv = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id").as("euser"),
+          col("tus").as("start_tus"),
+          (col("tus") + lit(300000000L)).as("end_tus"))
+      val p = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cuser"), col("tus").as("click_tus"))
+      val counts = TemporalJoin.intervalJoin(iv, "euser", "start_tus",
+          "end_tus", p, "cuser", "click_tus", bucketWidth = 300000000L)
+        .groupBy("error_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("click_tus")).as("first_click_tus"),
+          max(col("click_tus")).as("last_click_tus"))
+      iv.select("error_id").join(counts, Seq("error_id"), "left")
+        .select(col("error_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          col("first_click_tus"), col("last_click_tus"))
+        .where(col("n_clicks") >= 0) // see q66: keep count() honest
+        .orderBy("error_id")
+    }),
+
+    // ---- corpus length distribution (exact interpolated percentiles) ----
+
+    "q43_length_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          (sum(col("n_chars")).cast("double") /
+            count(lit(1)).cast("double")).as("mean_chars"),
+          percentile(col("n_chars"), lit(0.5)).as("p50"),
+          percentile(col("n_chars"), lit(0.9)).as("p90"))
+        .orderBy("lang")
+    }),
+
+  )
+
+  private[graft] def eventsOracle: Map[String, String] = Map(
+
+      "q14_token_stats" ->
+        s"""WITH toks AS ($toksSql)
+           |SELECT lang, CAST(sum(len(t)) AS BIGINT) AS total_tokens,
+           |  count(*) AS n_docs
+           |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+
+      "q28_sessionize" ->
+        """WITH g AS (
+          |  SELECT user_id, epoch_ns(ts) AS tns,
+          |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+          |      AS prev
+          |  FROM events)
+          |SELECT user_id,
+          |  CAST(1 + sum(CASE WHEN tns - prev > 1800000000000
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+          |  count(*) AS n_events
+          |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q29_join_enrich" ->
+        """SELECT c_nationkey, count(*) AS n_orders,
+          |  count(DISTINCT o_custkey) AS n_customers
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+      "q20_zscore" ->
+        """WITH stats AS (
+          |  SELECT sum(l_quantity) AS s1,
+          |    sum(l_quantity * l_quantity) AS s2,
+          |    count(*) AS n
+          |  FROM lineitem WHERE l_orderkey % 10 < 8)
+          |SELECT l_orderkey, l_linenumber,
+          |  (l_quantity - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS z
+          |FROM lineitem, stats
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q44_funnel" ->
+        """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS tns
+          |  FROM events),
+          |s1 AS (SELECT user_id, min(tns) AS t1 FROM e
+          |  WHERE event_type = 'click' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, min(tns) AS t2 FROM e JOIN s1 USING (user_id)
+          |  WHERE event_type = 'signup' AND tns > t1 GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(tns) AS t3 FROM e JOIN s2 USING (user_id)
+          |  WHERE event_type = 'purchase' AND tns > t2 GROUP BY e.user_id)
+          |SELECT 'stage1_click' AS stage, count(*) AS n_users FROM s1
+          |UNION ALL SELECT 'stage2_signup', count(*) FROM s2
+          |UNION ALL SELECT 'stage3_purchase', count(*) FROM s3
+          |ORDER BY stage""".stripMargin,
+
+      "q45_retention" ->
+        """WITH e AS (SELECT user_id,
+          |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+          |first AS (SELECT user_id, min(day) AS cohort_day FROM e
+          |  GROUP BY user_id),
+          |ret AS (SELECT DISTINCT f.user_id, f.cohort_day FROM first f
+          |  JOIN e ON e.user_id = f.user_id AND e.day = f.cohort_day + 1)
+          |SELECT f.cohort_day, count(*) AS n_users,
+          |  count(r.user_id) AS n_retained
+          |FROM first f LEFT JOIN ret r
+          |  ON f.user_id = r.user_id AND f.cohort_day = r.cohort_day
+          |GROUP BY f.cohort_day ORDER BY f.cohort_day""".stripMargin,
+
+      "q46_json_props" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // As-of join replayed as max-ts-then-max-id over the inequality
+      // join — the quadratic formulation the operator avoids, exact at
+      // oracle scale. Both LEFT JOINs preserve match-less purchases.
+      // Microsecond ordinates (epoch_us ~ Spark's `ts div 1000`): DuckDB
+      // parses the TIMESTAMP(NANOS) column at us precision, so both
+      // engines must compare at us for identical join semantics.
+      "q61_asof_join" ->
+        """WITH l AS (SELECT event_id AS purchase_id, user_id,
+          |    epoch_us(ts) AS purchase_tus
+          |  FROM events WHERE event_type = 'purchase'),
+          |r AS (SELECT event_id AS view_id, user_id,
+          |    epoch_us(ts) AS view_tus
+          |  FROM events WHERE event_type = 'view'),
+          |m AS (SELECT l.purchase_id, l.user_id, l.purchase_tus,
+          |    max(r.view_tus) AS view_tus
+          |  FROM l LEFT JOIN r ON r.user_id = l.user_id
+          |    AND r.view_tus <= l.purchase_tus
+          |  GROUP BY 1, 2, 3)
+          |SELECT m.purchase_id, m.user_id, m.purchase_tus,
+          |  max(r.view_id) AS view_id, m.view_tus
+          |FROM m LEFT JOIN r ON r.user_id = m.user_id
+          |  AND r.view_tus = m.view_tus
+          |GROUP BY 1, 2, 3, 5 ORDER BY purchase_id""".stripMargin,
+
+      "q62_range_join" ->
+        """WITH i AS (SELECT event_id AS error_id, user_id,
+          |    epoch_us(ts) AS start_tus,
+          |    epoch_us(ts) + 300000000 AS end_tus
+          |  FROM events WHERE event_type = 'error'),
+          |p AS (SELECT user_id, epoch_us(ts) AS click_tus FROM events
+          |  WHERE event_type = 'click')
+          |SELECT i.error_id, count(p.click_tus) AS n_clicks,
+          |  min(p.click_tus) AS first_click_tus,
+          |  max(p.click_tus) AS last_click_tus
+          |FROM i LEFT JOIN p ON p.user_id = i.user_id
+          |  AND p.click_tus BETWEEN i.start_tus AND i.end_tus
+          |GROUP BY i.error_id ORDER BY error_id""".stripMargin,
+
+      // Exact percentiles: both engines interpolate linearly at rank
+      // (n-1)*p over the sorted values, so the doubles are bit-equal on
+      // integer inputs. Mean is an exact integer ratio.
+      "q43_length_stats" ->
+        """SELECT lang, count(*) AS n_docs,
+          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+          |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+          |  quantile_cont(n_chars, 0.5) AS p50,
+          |  quantile_cont(n_chars, 0.9) AS p90
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+  )
+}

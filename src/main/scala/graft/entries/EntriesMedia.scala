@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{SplitStage, Vocab}
+import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJoin, TextAnalysis}
+
+/** Multimodal and sink queries: binary payload metadata, frame plans, pHash dedup, WebDataset/JSONL exports.
+  *
+  * One family of the [[SparkEntry]] query registry (split from the
+  * original single-file object in r14, hygiene only — the r11 Dedup
+  * precedent): every entry is mixed into — and documented as part
+  * of — `object SparkEntry`, which remains the sole driver contract.
+  */
+private[graft] trait EntriesMedia { this: SparkEntry.type =>
+
+  private[graft] def mediaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- multimodal frame-sample planning ----
+
+    "q36_frame_plan" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_frames", (lit(1L) + pmod(col("n_chars"), lit(32))).cast("long"))
+        .select(col("doc_id"), col("n_frames"),
+          array_join(Multimodal.frameSamplePlan(col("n_frames"),
+            stride = 3, maxFrames = 5), ",").as("frames"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal metadata stage (SQL-checkable subset) ----
+
+    "q33_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodeStage(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("text").cast("binary").as("payload")),
+          "payload")
+        .select(col("doc_id"), col("media_meta.format").as("format"),
+          col("media_meta.ok").as("ok"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- WebDataset tar-shard export: write the corpus as 8 tar shards
+    //      (text + lang payload entries per sample), then read back the
+    //      headers-only manifest. The oracle replays the whole layout —
+    //      shard routing via the Knuth mix, entry naming, UTF-8 byte
+    //      sizes — from the parquet alone, so a hash match proves the
+    //      binary sink wrote exactly the right bytes to exactly the
+    //      right files. ----
+
+    "q86_webdataset_export" -> ((s, dir) => {
+      val out = tmpDir("wds")
+      graft.sinks.WebDataset.writeShards(
+        t(s, dir, "documents").select("doc_id", "text", "lang"),
+        "doc_id", Seq("text" -> "txt", "lang" -> "lng"), out,
+        numShards = 8, salt = 3L)
+      graft.sinks.WebDataset.readManifest(s, out).orderBy("entry")
+    }),
+
+    // ---- multimodal WebDataset export: the q40 image pipeline's
+    //      output written as tar shards with a BINARY raster entry +
+    //      a JSON metadata entry per sample. The manifest oracle
+    //      replays the full layout — shard routing, entry names, the
+    //      raster's h·w·c byte size, the metadata string's UTF-8
+    //      length — from the fixture construction constants, so a
+    //      hash match proves the sink put exactly the right number of
+    //      binary bytes under exactly the right names. Payload BYTE
+    //      content is golden-checked in WebDatasetSpec/GoldenImageSpec
+    //      (DuckDB cannot decode rasters). ----
+
+    "q94_webdataset_images" -> ((s, dir) => {
+      val listed = graft.sources.Input.readImageDirectory(s,
+        genImageFixtures())
+      val good = s.sparkContext.longAccumulator("q94_good")
+      val bad = s.sparkContext.longAccumulator("q94_bad")
+      val extracted = graft.operators.ImageStage.extract(listed,
+        Schema.imageCsvSchema, good, bad)
+      // raw raster payload: our b64 is URL-safe (-_); translate to the
+      // standard alphabet for unbase64 — engine-builtin decode, no UDF
+      val samples = extracted.select(
+        regexp_extract(col("image_name"), "-([0-9]+)\\.png$", 1)
+          .cast("long").as("img_id"),
+        unbase64(translate(col("image"), "-_", "+/")).as("raster"),
+        concat(lit("{\"name\":\""), col("image_name"),
+          lit("\",\"label\":\""), col("label"),
+          lit("\",\"split\":\""), col("split"),
+          lit("\",\"h\":"), col("image_height").cast("string"),
+          lit(",\"w\":"), col("image_width").cast("string"),
+          lit(",\"c\":"), col("image_channels").cast("string"),
+          lit("}")).as("meta"))
+      val out = tmpDir("wds-img")
+      graft.sinks.WebDataset.writeShards(samples, "img_id",
+        Seq("raster" -> "img", "meta" -> "json"), out, numShards = 2)
+      graft.sinks.WebDataset.readManifest(s, out).orderBy("entry")
+    }),
+
+    // ---- perceptual near-dup over image BYTES: aHash + banded Hamming
+    //      join over block-pattern PNG fixtures whose aHash recovers a
+    //      chosen 64-bit pattern EXACTLY (2×2 white/black blocks at
+    //      16×16 → the 8×8 mean threshold reads the pattern back), so
+    //      the expected pairs are constructed: byte-identical clones at
+    //      hamming 0 and one crafted 3-bit-band near-dup. No DuckDB
+    //      oracle can decode images (q40 precedent) — hash semantics
+    //      are golden-spec'd on the reference JPEGs; this row is the
+    //      rows-only distributed-path check ----
+
+    "q108_image_phash_dups" -> ((s, dir) => {
+      val base = new java.io.File(tmpDir("graft-phash"))
+      // pairwise-distant patterns + img1's 3-bit neighbor (band 0)
+      val patterns: Seq[(String, Long)] = Seq(
+        "img1" -> 0x0123456789ABCDEFL,
+        "img2" -> 0xF0E1D2C3B4A59687L,
+        "img3" -> 0x00FF00FF00FF00FFL,
+        "img4" -> 0x5A5A5A5AA5A5A5A5L,
+        "near1" -> (0x0123456789ABCDEFL ^ 0x7L),
+      )
+      patterns.foreach { case (name, p) =>
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        for (cy <- 0 until 8; cx <- 0 until 8) {
+          val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255 else 0
+          for (dy <- 0 until 2; dx <- 0 until 2)
+            img.getRaster.setSample(cx * 2 + dx, cy * 2 + dy, 0, v)
+        }
+        javax.imageio.ImageIO.write(img, "png",
+          new java.io.File(base, s"$name.png"))
+      }
+      val imgs = s.read.format("binaryFile")
+        .load(base.getAbsolutePath + "/*.png")
+        .select(regexp_extract(col("path"), "/([^/]+)\\.png$", 1)
+          .as("img_id"), col("content"))
+      val cloned = imgs.select(
+        concat(lit("copy-"), col("img_id")).as("img_id"), col("content"))
+      Multimodal.imageNearDuplicates(imgs.unionByName(cloned), "img_id",
+          "content")
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q115_jsonl_shards" -> ((s, dir) => {
+      val out = tmpDir("graft-jsonl")
+      graft.sinks.Jsonl.writeShards(
+        t(s, dir, "documents").select("doc_id", "lang", "source", "text"),
+        "doc_id", numShards = 8, out, salt = 13L)
+      graft.sinks.Jsonl.manifest(s, out).orderBy("shard")
+    }),
+
+  )
+
+  private[graft] def mediaOracle: Map[String, String] = Map(
+
+      // q108's expected pairs replayed from the pattern constants: the
+      // fixture doubles each 8x8 bit cell to 2x2 uniform pixels, so the
+      // bilinear 8x8 downsample returns the cell values exactly and
+      // aHash(img) == its pattern long (255 > mean for any non-full
+      // pattern, 0 never is) — the pair set is then pure popcount
+      // arithmetic over the pattern longs, id_a < id_b as strings.
+      "q108_image_phash_dups" -> {
+        val patterns: Seq[(String, Long)] = Seq(
+          "img1" -> 0x0123456789ABCDEFL,
+          "img2" -> 0xF0E1D2C3B4A59687L,
+          "img3" -> 0x00FF00FF00FF00FFL,
+          "img4" -> 0x5A5A5A5AA5A5A5A5L,
+          "near1" -> (0x0123456789ABCDEFL ^ 0x7L))
+        val all = patterns.flatMap { case (n, p) =>
+          Seq(n -> p, s"copy-$n" -> p) }
+        val pairs = (for {
+          (a, pa) <- all; (b, pb) <- all if a < b
+          d = java.lang.Long.bitCount(pa ^ pb) if d <= 3
+        } yield s"('$a', '$b', $d)").sorted
+        s"""SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+           |FROM (VALUES ${pairs.mkString(", ")})
+           |  AS t(id_a, id_b, hamming)
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q36_frame_plan" ->
+        """SELECT doc_id,
+          |  CAST(1 + n_chars % 32 AS BIGINT) AS n_frames,
+          |  array_to_string(
+          |    [i for i in range(0, 1 + n_chars % 32) if i % 3 = 0][1:5],
+          |    ',') AS frames
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // The tar layout replayed from the parquet: shard = Knuth-mixed
+      // key mod 8 (salt 3), entry = '<doc_id>.<ext>', size = UTF-8 byte
+      // length (DuckDB strlen counts bytes). Missing-payload samples
+      // would drop their entry (WHERE IS NOT NULL), matching the sink.
+      "q86_webdataset_export" ->
+        """WITH m AS (
+          |  SELECT CAST(((doc_id + 3) * 2654435761) % 4294967296 % 8
+          |      AS INT) AS shard,
+          |    CAST(doc_id AS VARCHAR) || '.txt' AS entry,
+          |    CAST(strlen(text) AS BIGINT) AS size_bytes
+          |  FROM documents WHERE text IS NOT NULL
+          |  UNION ALL
+          |  SELECT CAST(((doc_id + 3) * 2654435761) % 4294967296 % 8
+          |      AS INT),
+          |    CAST(doc_id AS VARCHAR) || '.lng',
+          |    CAST(strlen(lang) AS BIGINT)
+          |  FROM documents WHERE lang IS NOT NULL)
+          |SELECT shard, entry, size_bytes FROM m
+          |ORDER BY entry""".stripMargin,
+
+      // The multimodal tar layout replayed from the fixture
+      // construction constants: 6 enumerated 8×6 RGB PNGs → raster
+      // entry = h·w·c = 144 bytes, json entry = the same concat-built
+      // metadata string's byte length, shard = Knuth mix (salt 0)
+      // mod 2 of the seed key.
+      "q94_webdataset_images" ->
+        """WITH fx(seed, split, label) AS (VALUES
+          |  (0, 'TRAIN', 'cat'), (1, 'TRAIN', 'goat'),
+          |  (2, 'VALIDATION', 'cat'), (3, 'VALIDATION', 'goat'),
+          |  (4, 'TEST', 'cat'), (5, 'TEST', 'goat')),
+          |meta AS (SELECT seed,
+          |    CAST((seed * 2654435761) % 4294967296 % 2 AS INT) AS shard,
+          |    '{"name":"' || label || '-' || seed || '.png","label":"'
+          |      || label || '","split":"' || split
+          |      || '","h":6,"w":8,"c":3}' AS m
+          |  FROM fx),
+          |m2 AS (
+          |  SELECT shard, CAST(seed AS VARCHAR) || '.img' AS entry,
+          |    CAST(6 * 8 * 3 AS BIGINT) AS size_bytes
+          |  FROM meta
+          |  UNION ALL
+          |  SELECT shard, CAST(seed AS VARCHAR) || '.json',
+          |    CAST(strlen(m) AS BIGINT)
+          |  FROM meta)
+          |SELECT shard, entry, size_bytes FROM m2 ORDER BY entry""".stripMargin,
+
+      "q33_multimodal_meta" ->
+        """SELECT doc_id,
+          |  CASE WHEN len(text) = 0 THEN 'empty'
+          |       WHEN substr(text, 1, 3) = 'RIF' THEN 'riff'
+          |       ELSE 'bin' END AS format,
+          |  len(text) > 0 AS ok
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // shard membership is a pure function of the key — the manifest
+      // replays without reading a single exported byte
+      "q115_jsonl_shards" ->
+        """SELECT CAST(((doc_id + 13) * 2654435761) % 4294967296 % 8
+          |    AS INT) AS shard,
+          |  CAST(count(*) AS BIGINT) AS n_rows
+          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+  )
+}

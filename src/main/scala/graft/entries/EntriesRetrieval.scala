@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{SplitStage, Vocab}
+import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJoin, TextAnalysis}
+
+/** Retrieval-fusion queries: hybrid RRF over the lexical and semantic legs, diversity-capped re-ranking.
+  *
+  * One family of the [[SparkEntry]] query registry (split from the
+  * original single-file object in r14, hygiene only — the r11 Dedup
+  * precedent): every entry is mixed into — and documented as part
+  * of — `object SparkEntry`, which remains the sole driver contract.
+  */
+private[graft] trait EntriesRetrieval { this: SparkEntry.type =>
+
+  private[graft] def retrievalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- hybrid retrieval: the BM25 lexical leg and the brute-force
+    //      semantic leg (both k=20) fused by reciprocal-rank fusion.
+    //      Rank-only fusion needs no score calibration across engines;
+    //      nano-unit floor quantization makes the fused score an
+    //      order-independent integer sum, so the oracle replays both
+    //      engines AND the fusion hash-exactly ----
+    "q137_hybrid_retrieval" -> ((s, dir) => {
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id",
+        "text", queries, "qid", "qtext", k = 20)
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 20, excludeSelf = false)
+      Retrieval.rrfFuse(
+          Seq((lex, "doc_id", 1.0), (sem, "neighbor_id", 1.0)), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- diversity-capped re-rank: brute-force top-30 candidates,
+    //      at most 3 per embedding cluster, best 10 survivors ----
+    "q139_diversified_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = Similarity.fitCentroids(emb, "vec_id", "embedding",
+        k = 8, iterations = 0, seeding = Similarity.SeedHash)
+      val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding",
+        cent, "centroid_id", "centroid").select("vec_id", "centroid_id")
+      val base = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 30)
+      Retrieval.diversifiedTopK(base, "neighbor_id",
+          assigned, "vec_id", "centroid_id", k = 10, maxPerGroup = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+  )
+
+  private[graft] def retrievalOracle: Map[String, String] = Map(
+
+      // Hybrid retrieval replayed end to end: the q71 BM25 CTEs (k=20)
+      // and the q16 brute-cosine CTEs (k=20, self kept) feed the RRF
+      // combiner — per-list contribution floor(1e9/(60+rank)) as pure
+      // integer micro-units, so the fused sum is order-independent and
+      // hash-exact on both engines.
+      "q137_hybrid_retrieval" ->
+        s"""WITH q(query_id, qtext) AS (VALUES
+           |    (1, 'spark join hash'),
+           |    (2, 'customer order query'),
+           |    (3, 'vector stream window group')),
+           |d AS (SELECT doc_id, lower(text) AS lt FROM documents),
+           |dl AS (SELECT doc_id,
+           |    COALESCE(CAST(len(list_filter(regexp_split_to_array(lt,
+           |      '\\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS dl
+           |  FROM d),
+           |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+           |toks AS (SELECT doc_id,
+           |    unnest(list_filter(regexp_split_to_array(lt, '\\s+'),
+           |      x -> len(x) > 0)) AS t
+           |  FROM d),
+           |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           |  FROM toks GROUP BY doc_id, t),
+           |dft AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+           |  FROM tf GROUP BY t),
+           |qt AS (SELECT query_id,
+           |    unnest(list_distinct(list_filter(regexp_split_to_array(
+           |      lower(qtext), '\\s+'), x -> len(x) > 0))) AS t
+           |  FROM q),
+           |contrib AS (
+           |  SELECT qt.query_id, tf.doc_id,
+           |    CAST(floor(
+           |      ln(1.0 + (CAST(s.n AS DOUBLE) - tf2.df + 0.5)
+           |        / (tf2.df + 0.5))
+           |      * (tf.tf * 2.2)
+           |      / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl)
+           |        / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE))))
+           |      * 1000000.0) AS BIGINT) AS cm
+           |  FROM tf
+           |  JOIN qt ON qt.t = tf.t
+           |  JOIN dft tf2 ON tf2.t = tf.t
+           |  JOIN dl ON dl.doc_id = tf.doc_id
+           |  CROSS JOIN stats s),
+           |lexs AS (SELECT query_id, doc_id,
+           |    CAST(sum(cm) AS BIGINT) AS sm
+           |  FROM contrib GROUP BY query_id, doc_id),
+           |lex AS (SELECT query_id, doc_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sm DESC, doc_id ASC) AS rank
+           |  FROM lexs),
+           |vq AS (SELECT vec_id AS query_id, embedding AS qv
+           |  FROM embeddings WHERE vec_id IN (1, 2, 3)),
+           |vscored AS (SELECT vq.query_id, c.vec_id AS neighbor_id,
+           |    ${cosSql("vq.qv", "c.embedding")} AS score
+           |  FROM vq CROSS JOIN embeddings c),
+           |sem AS (SELECT query_id, neighbor_id AS doc_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, neighbor_id ASC) AS rank
+           |  FROM vscored),
+           |contribs AS (
+           |  SELECT query_id, doc_id,
+           |    CAST(floor(1.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
+           |      AS cm
+           |  FROM lex WHERE rank <= 20
+           |  UNION ALL
+           |  SELECT query_id, doc_id,
+           |    CAST(floor(1.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
+           |      AS cm
+           |  FROM sem WHERE rank <= 20),
+           |fused AS (SELECT query_id, doc_id,
+           |    CAST(sum(cm) AS BIGINT) AS sm
+           |  FROM contribs GROUP BY query_id, doc_id),
+           |fr AS (SELECT query_id, doc_id, sm,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sm DESC, doc_id ASC) AS BIGINT) AS rank
+           |  FROM fused)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+           |  CAST(sm AS DOUBLE) / 1000000000.0 AS score
+           |FROM fr WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin,
+
+      // Brute top-30 candidates (q16's CTEs), q50's cluster assignment
+      // as the diversity groups, cap 3 per (query, cluster) by original
+      // rank, re-rank the survivors, keep 10.
+      "q139_diversified_topk" ->
+        s"""WITH ranked AS (
+           |  SELECT vec_id, embedding,
+           |    row_number() OVER (ORDER BY
+           |      (1103515245::BIGINT * (vec_id % 2147483648) + 12345)
+           |        % 2147483648 ASC,
+           |      vec_id ASC) AS rn
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT rn - 1 AS centroid_id, embedding AS cv
+           |  FROM ranked WHERE rn <= 8),
+           |a AS (
+           |  SELECT e.vec_id, c.centroid_id,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn2
+           |  FROM embeddings e CROSS JOIN cent c),
+           |asg AS (SELECT vec_id, centroid_id FROM a WHERE rn2 = 1),
+           |vq AS (SELECT vec_id AS query_id, embedding AS qv
+           |  FROM embeddings WHERE vec_id < 5),
+           |scored AS (SELECT vq.query_id, c.vec_id AS neighbor_id,
+           |    ${cosSql("vq.qv", "c.embedding")} AS score
+           |  FROM vq CROSS JOIN embeddings c
+           |  WHERE c.vec_id <> vq.query_id),
+           |base AS (SELECT query_id, neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, neighbor_id ASC) AS r0
+           |  FROM scored),
+           |cand AS (SELECT query_id, neighbor_id AS doc_id, r0
+           |  FROM base WHERE r0 <= 30),
+           |tagged AS (SELECT cand.query_id, cand.doc_id, cand.r0,
+           |    CAST(asg.centroid_id AS VARCHAR) AS grp
+           |  FROM cand JOIN asg ON asg.vec_id = cand.doc_id),
+           |capped AS (SELECT query_id, doc_id, r0, grp,
+           |    row_number() OVER (PARTITION BY query_id, grp
+           |      ORDER BY r0) AS gn
+           |  FROM tagged),
+           |fin AS (SELECT query_id, doc_id, grp,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY r0) AS BIGINT) AS rank
+           |  FROM capped WHERE gn <= 3)
+           |SELECT query_id, rank, doc_id, grp AS "group"
+           |FROM fin WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin,
+
+  )
+}

@@ -1,0 +1,849 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{SplitStage, Vocab}
+import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJoin, TextAnalysis}
+
+/** Sampling/mixing/packing queries: stratified and quota samples, temperature mixes, domain caps, DSIR, corpus build, sequence packing and length batching.
+  *
+  * One family of the [[SparkEntry]] query registry (split from the
+  * original single-file object in r14, hygiene only — the r11 Dedup
+  * precedent): every entry is mixed into — and documented as part
+  * of — `object SparkEntry`, which remains the sole driver contract.
+  */
+private[graft] trait EntriesSampling { this: SparkEntry.type =>
+
+  private[graft] def samplingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- deterministic stratified sampling (extension) ----
+
+    "q27_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSampleCounts(t(s, dir, "orders"),
+          "o_orderpriority", "o_orderkey", fraction = 0.1, salt = 7L)
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- deterministic sequence packing: route docs to 16 packing
+    //      streams by the multiplicative hash, greedy-fill 512-token
+    //      packs; the whole layout is integer arithmetic the oracle
+    //      replays (same mixedKey replay as q59) ----
+
+    "q69_pack_sequences" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val withCounts = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(call_function("graft_token_count", col("text")), lit(0L))
+          .as("n_tokens"))
+      Sampling.packSequences(withCounts, "doc_id", "n_tokens",
+          budgetTokens = 512, groups = 16, salt = 13L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- capstone corpus build: decontaminate → quality filter →
+    //      budgeted language mix → leakage-safe split, all under ONE
+    //      oracle — the operators composing as a real corpus-prep
+    //      pipeline would run them ----
+
+    "q60_corpus_build" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "lang", "text", "n_chars")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val clean = TextAnalysis.decontaminate(docs, "doc_id", "text",
+          bench, "text", n = 3)
+        .filter(col("is_clean"))
+        .select("doc_id", "lang", "text", "n_chars")
+      val good = clean
+        .withColumn("__q", TextAnalysis.qualityFeatures(col("text")))
+        .filter(col("__q.n_tokens") >= 40 &&
+          col("__q.mean_token_len") >= 3.0 &&
+          col("__q.mean_token_len") <= 10.0 &&
+          col("__q.n_distinct_tokens").cast("double") >=
+            col("__q.n_tokens") * 0.2)
+        .drop("__q")
+      // cache: `mixed` feeds pair generation, the split's node set, and
+      // the final join-back — without it the decontaminate + filter +
+      // mix upstream (incl. the benchmark shingle join) runs three times
+      val mixed = Sampling.budgetedMix(good, "lang", "doc_id", "n_chars",
+        Map("en" -> 25000L, "de" -> 10000L, "fr" -> 1000000L,
+          "zh" -> 5000L), salt = 17L)
+        .cache()
+      val pairs = Dedup.ngramJaccard(mixed, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.leakageSafeSplit(mixed, "doc_id", pairs, trainFrac = 0.7,
+          validationFrac = 0.15, salt = 5L)
+        .join(mixed.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("split", "lang")
+    }),
+
+    // ---- deterministic shuffled-shard export: reproducible pseudo-random
+    //      shard assignment + within-shard order; read back and prove the
+    //      layout via per-shard stats the oracle recomputes from keys ----
+
+    "q59_shuffled_shards" -> ((s, dir) => {
+      val out = tmpDir("graft-shards")
+      Sampling.writeShuffledShards(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", numShards = 8, out, salt = 13L)
+      s.read.parquet(out)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min_by(col("doc_id"), Sampling.mixedKey(col("doc_id"), 13L))
+            .as("first_doc"),
+          max_by(col("doc_id"), Sampling.mixedKey(col("doc_id"), 13L))
+            .as("last_doc"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("shard")
+    }),
+
+    // ---- fraction-thresholded decontamination: dirty above 50%
+    //      distinct-n-gram overlap with the benchmark (the GPT-3/PaLM
+    //      policy shape), vs q51's any-overlap flag ----
+
+    "q87_domain_cap" -> ((s, dir) => {
+      // at most 10 docs per source, best-first by length — every source
+      // exceeds the cap at sf0.01, and duplicate n_chars within a
+      // source exercises the lowest-id tie-break
+      Sampling.capPerKey(t(s, dir, "documents"), "source", "n_chars",
+          "doc_id", maxPerKey = 10)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    }),
+
+    // ---- deterministic corpus mixing: per-language token (char) budgets;
+    //      en/de downsample, fr's budget exceeds supply (keeps all),
+    //      zh has budget 0 and es none (both dropped) ----
+
+    "q52_corpus_mix" -> ((s, dir) => {
+      val mixed = Sampling.budgetedMix(t(s, dir, "documents"),
+        strataCol = "lang", keyCol = "doc_id", weightCol = "n_chars",
+        budgets = Map("en" -> 30000L, "de" -> 8000L, "fr" -> 1000000L,
+          "zh" -> 0L),
+        salt = 11L)
+      mixed.groupBy("lang")
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+        .orderBy("lang")
+    }),
+
+    // ---- temperature mixing (T5-style alpha=0.5): per-source targets
+    //      derived from availability via fixed-point sqrt weights, then
+    //      the deterministic keep-predicate; output is the audited plan
+    //      (available/weight/target) plus the realized kept count ----
+
+    "q76_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val plan = Sampling.temperatureMixPlan(docs, "source", total = 300L)
+      val kept = Sampling.temperatureMix(docs, "source", "doc_id",
+          total = 300L, salt = 5L)
+        .groupBy("source").agg(count(lit(1)).as("kept"))
+      plan.join(kept, Seq("source"), "left")
+        .withColumn("kept", coalesce(col("kept"), lit(0L)))
+        .where(col("kept") >= 0) // see q66: keep count() honest
+        .orderBy("source")
+    }),
+
+    // ---- temperature mixing WITH up-sampling (epochs): total = 4x the
+    //      corpus, so every non-dominant language's share exceeds its
+    //      availability — de/es/fr/zh hit the 3-epoch cap, en gets 2
+    //      full epochs plus a ~0.8 fractional epoch. Output is the
+    //      replicated corpus with its epoch index ----
+
+    "q84_temperature_mix_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val total = 4L * docs.count()
+      Sampling.temperatureMixEpochs(docs, "lang", "doc_id", total,
+          maxEpochs = 3L, salt = 9L)
+        .select("doc_id", "lang", "epoch")
+        .orderBy("lang", "doc_id", "epoch")
+    }),
+
+    // ---- the curation chain end to end: canonical URL → apex domain →
+    //      per-domain cap (best-first by length). The composition real
+    //      crawl pipelines run before dedup; oracle replays q90's
+    //      rules + q87's rank shape over the derived apex key ----
+
+    "q92_domain_capped_urls" -> ((s, dir) => {
+      val canon = TextAnalysis.canonicalizeUrl(col("url"))
+      val withApex = messyUrls(s, dir).select(col("doc_id"), col("n_chars"),
+        TextAnalysis.apexDomain(TextAnalysis.urlHost(canon)).as("apex"))
+      Sampling.capPerKey(withApex, "apex", "n_chars", "doc_id",
+          maxPerKey = 20)
+        .select("doc_id", "apex", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // ---- exact-quota deterministic sampling: exactly min(quota, n)
+    //      rows per stratum in mixed-key order — selection replayed by
+    //      the oracle as a window rank over the same integer hash ----
+
+    "q89_exact_quota_sample" -> ((s, dir) => {
+      Sampling.exactQuotaSample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", quota = 37, salt = 13L)
+        .orderBy("doc_id")
+    }),
+
+    "q109_length_batches" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val withCounts = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(call_function("graft_token_count", col("text")), lit(0L))
+          .as("n_tokens"))
+      Sampling.lengthBucketBatches(withCounts, "doc_id", "n_tokens",
+          boundaries = Seq(64, 128, 256, 512), batchTokens = 1024,
+          groups = 8, salt = 13L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    //      score every doc by log p_target − log p_raw over HASHED token
+    //      features (2^18 md5-lo64 buckets — the bounded-vocabulary
+    //      100 TB path, and the q85 external-hash-parity trade so the
+    //      oracle replays the buckets exactly); target = the English
+    //      slice. Per-feature micro-quantization keeps every per-doc
+    //      sum integer-exact across engines. ----
+
+    "q132_dsir_weights" -> ((s, dir) =>
+      Sampling.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", hashBuckets = 1 << 18,
+          hashKind = graft.functions.SketchOps.HashMd5Lo64)
+        .orderBy("doc_id")),
+
+    // Gumbel top-k resampling over the q132 weights — sampling ∝
+    // exp(weight) without replacement, deterministic via the Knuth mix
+    // (the q89 replay contract), so the oracle picks the identical 100.
+    "q133_dsir_resample" -> ((s, dir) =>
+      Sampling.dsirResample(
+        Sampling.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", hashBuckets = 1 << 18,
+          hashKind = graft.functions.SketchOps.HashMd5Lo64),
+        "doc_id", "weight_micro", k = 100, salt = 7L)),
+
+    // ---- embedding-cluster-balanced coverage sample: nearest-centroid
+    //      assignment (q50's SQL-replayable hash-seeded centroids) +
+    //      a per-cluster exact quota via the mixed-key argmin ----
+    "q138_cluster_balanced_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = Similarity.fitCentroids(emb, "vec_id", "embedding",
+        k = 8, iterations = 0, seeding = Similarity.SeedHash)
+      Sampling.clusterBalancedSample(emb, "vec_id", "embedding",
+          cent, "centroid_id", "centroid", quota = 50, salt = 7L)
+        .orderBy("vec_id")
+    }),
+
+    // ---- persisted-DSIR lifecycle: fit the importance model ONCE on
+    //      the corpus (target = English slice), freeze it as an
+    //      artifact, then score a NEW batch (shifted ids + a token the
+    //      fit never saw, exercising the out-of-vocabulary weight)
+    //      without touching the fit corpus again. Oracle replays fit +
+    //      apply end to end. ----
+    "q135_dsir_apply_persisted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val art = tmpDir("graft-dsir")
+      Sampling.dsirModelSave(docs, "doc_id", "text", col("lang") === "en",
+        art, hashBuckets = 1 << 18,
+        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+      val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzqunseen")).as("text"))
+      Sampling.dsirModelApply(s, art, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- GPT-style contiguous-stream packing: docs laid end to end in
+    //      Knuth-mix group-major order, cut into fixed 256-token
+    //      sequences, documents SPLITTING across boundaries (q69's
+    //      no-split packer's complement). One fragment row per
+    //      (doc × sequence) overlap; pure integer layout, replayed
+    //      end to end by the oracle. ----
+    "q134_stream_pack" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val withCounts = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(call_function("graft_token_count", col("text")), lit(0L))
+          .as("n_tokens"))
+      Sampling.packTokenStream(withCounts, "doc_id", "n_tokens",
+          seqLen = 256, groups = 16, salt = 13L)
+        .orderBy("doc_id", "seq_id")
+    }),
+
+    // The corpus→training-batches capstone chain: artifact injection →
+    // clone injection → encoding-clean gate → exact dedup → vocab fit →
+    // token-id materialization → length-bucketed batch plan. Every
+    // stage is an already-oracle-verified operator; the oracle replays
+    // the whole composition.
+    "q118_training_chain" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val base = t(s, dir, "documents").select("doc_id", "text")
+      val built = base.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" bad�byte"))
+            .otherwise(lit(""))).as("text"))
+      val withClones = built.unionByName(
+        built.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      val clean = withClones.filter(
+        TextAnalysis.encodingArtifacts(col("text")).getField("is_clean"))
+      val surv = Dedup.exactByFingerprint(clean, "text", "doc_id")
+        .select("doc_id", "text")
+      val vocab = TextAnalysis.tokenVocabFit(surv, "text", vocabSize = 50)
+      val ids = TextAnalysis.tokenizeToIds(surv, "doc_id", "text", vocab)
+      val counted = ids.select(col("doc_id"),
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        size(filter(col("token_ids"), x => x === -1L)).cast("long")
+          .as("n_oov"))
+      Sampling.lengthBucketBatches(counted, "doc_id", "n_tokens",
+          boundaries = Seq(64, 128, 256, 512), batchTokens = 1024,
+          groups = 8, salt = 13L)
+        .join(counted.select("doc_id", "n_oov"), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    "q112_proportional_mix" -> ((s, dir) => {
+      // declared Pile-style mixture over lang: es undeclared (dropped),
+      // zh declared 0 (dropped), "xx" declared but absent (must not
+      // burn share — Σw normalizes over present strata)
+      val mix = Map("en" -> 60L, "de" -> 25L, "fr" -> 10L, "zh" -> 0L,
+        "xx" -> 100L)
+      val docs = t(s, dir, "documents")
+      val plan = Sampling.proportionalMixPlan(docs, "lang", mix,
+        total = 300L)
+      val kept = Sampling.proportionalMix(docs, "lang", "doc_id", mix,
+          total = 300L, salt = 11L)
+        .groupBy("lang").agg(count(lit(1)).as("kept"))
+      plan.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("available"), col("weight"),
+          col("target"), coalesce(col("kept"), lit(0L)).as("kept"))
+        .orderBy("lang")
+    }),
+
+  )
+
+  private[graft] def samplingOracle: Map[String, String] = Map(
+
+      "q27_stratified_sample" ->
+        """SELECT o_orderpriority, count(*) AS total,
+          |  count(*) FILTER (WHERE
+          |    ((o_orderkey + 7) * 2654435761) % 4294967296 < 429496729)
+          |    AS sampled
+          |FROM orders GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+
+      // The full corpus-build replayed as one CTE chain: q51's
+      // decontamination membership, q23's quality features, q52's
+      // mix thresholds on the SURVIVING availability, q11's exact
+      // Jaccard pairs, q37's recursive components, q56's split hash.
+      "q60_corpus_build" ->
+        s"""WITH RECURSIVE toks AS ($toksSql),
+           |sh AS (
+           |  SELECT DISTINCT doc_id,
+           |    unnest([array_to_string(t[i:i+2], ' ')
+           |            for i in range(1, len(t) - 1)]) AS s
+           |  FROM toks WHERE len(t) >= 3),
+           |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+           |clean AS (
+           |  SELECT d.doc_id, d.lang, d.n_chars
+           |  FROM documents d
+           |  WHERE d.doc_id NOT IN (
+           |    SELECT DISTINCT sh.doc_id FROM sh JOIN bsh USING (s))),
+           |feats AS (
+           |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+           |      CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+           |        / len(t) END AS mean_token_len
+           |  FROM toks),
+           |good AS (
+           |  SELECT c.doc_id, c.lang, c.n_chars
+           |  FROM clean c JOIN feats f USING (doc_id)
+           |  WHERE f.n_tokens >= 40
+           |    AND f.mean_token_len >= 3.0 AND f.mean_token_len <= 10.0
+           |    AND CAST(f.n_distinct_tokens AS DOUBLE) >= f.n_tokens * 0.2),
+           |avail AS (
+           |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
+           |  FROM good GROUP BY lang),
+           |thr AS (
+           |  SELECT lang, CAST(trunc(least(1.0,
+           |    CAST(CASE lang WHEN 'en' THEN 25000 WHEN 'de' THEN 10000
+           |      WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 5000 END AS DOUBLE) /
+           |    CAST(available AS DOUBLE)) * 4294967296) AS BIGINT) AS t
+           |  FROM avail
+           |  WHERE CASE lang WHEN 'en' THEN 25000 WHEN 'de' THEN 10000
+           |    WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 5000 ELSE 0 END > 0),
+           |mixed AS (
+           |  SELECT g.doc_id, g.lang, g.n_chars
+           |  FROM good g JOIN thr USING (lang)
+           |  WHERE ((g.doc_id + 17) * 2654435761) % 4294967296 < thr.t),
+           |msh AS (
+           |  SELECT sh.doc_id, sh.s FROM sh JOIN mixed USING (doc_id)),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM msh
+           |  GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           |  FROM msh a JOIN msh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |prs AS (
+           |  SELECT id_a, id_b FROM inter
+           |  JOIN sizes na ON na.doc_id = id_a
+           |  JOIN sizes nb ON nb.doc_id = id_b
+           |  WHERE i / (na.n_sh + nb.n_sh - i) >= 0.6),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM prs
+           |  UNION SELECT id_b, id_a FROM prs),
+           |reach AS (SELECT a, b FROM sym
+           |  UNION SELECT r.a, s2.b FROM reach r JOIN sym s2 ON r.b = s2.a),
+           |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+           |  FROM reach GROUP BY a),
+           |assigned AS (
+           |  SELECT m.doc_id, m.lang, m.n_chars,
+           |    coalesce(c.cluster_id, m.doc_id) AS cluster_id
+           |  FROM mixed m LEFT JOIN comp c USING (doc_id))
+           |SELECT
+           |  CASE WHEN ((cluster_id + 5) * 2654435761) % 4294967296
+           |         < ${(0.7 * 4294967296L).toLong} THEN 'TRAIN'
+           |       WHEN ((cluster_id + 5) * 2654435761) % 4294967296
+           |         < ${((0.7 + 0.15) * 4294967296L).toLong} THEN 'VALIDATION'
+           |       ELSE 'TEST' END AS split,
+           |  lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+           |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // The shard layout recomputed from keys alone: mix = the q27/q52
+      // multiplicative hash, shard = mix mod 8, first/last = arg-min/max
+      // of the mix per shard.
+      "q59_shuffled_shards" ->
+        """WITH m AS (
+          |  SELECT doc_id, n_chars,
+          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
+          |  FROM documents),
+          |sh AS (
+          |  SELECT doc_id, n_chars, mix,
+          |    CAST(mix % 8 AS INTEGER) AS shard
+          |  FROM m)
+          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          |  min_by(doc_id, mix) AS first_doc,
+          |  max_by(doc_id, mix) AS last_doc,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+      // Temperature mixing replayed literally: fixed-point sqrt weights
+      // (floor(sqrt(n)*1e6) — sqrt is correctly rounded, everything after
+      // is integer math), integer-division targets, trunc'd 2^32
+      // thresholds against the multiplicative mixed key.
+      "q76_temperature_mix" ->
+        """WITH counts AS (
+          |  SELECT source, count(*) AS available,
+          |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS weight
+          |  FROM documents GROUP BY source),
+          |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM counts),
+          |plan AS (
+          |  SELECT source, available, weight,
+          |    CAST(least(available, (300 * weight) // tw.w) AS BIGINT)
+          |      AS target
+          |  FROM counts, tw),
+          |kept AS (
+          |  SELECT d.source, count(*) AS kept
+          |  FROM documents d JOIN plan p ON d.source = p.source
+          |  WHERE p.target > 0
+          |    AND ((d.doc_id + 5) * 2654435761) % 4294967296 <
+          |      CAST(trunc(CAST(p.target AS DOUBLE) /
+          |        CAST(p.available AS DOUBLE) * 4294967296) AS BIGINT)
+          |  GROUP BY d.source)
+          |SELECT p.source, p.available, p.weight, p.target,
+          |  COALESCE(k.kept, 0) AS kept
+          |FROM plan p LEFT JOIN kept k ON p.source = k.source
+          |ORDER BY p.source""".stripMargin,
+
+      // The epoch plan replayed in integer arithmetic: sqrt fixed-point
+      // weights, targets capped at 3 epochs, full copies via a bounded
+      // epoch series join (DuckDB lacks lateral generate_series; the
+      // static range is bounded by maxEpochs), and the epoch-salted
+      // mixed-key fractional keep.
+      "q84_temperature_mix_epochs" ->
+        """WITH counts AS (
+          |  SELECT lang, count(*) AS available,
+          |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS weight
+          |  FROM documents GROUP BY lang),
+          |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM counts),
+          |tot AS (SELECT 4 * count(*) AS t FROM documents),
+          |plan AS (
+          |  SELECT lang, available, weight,
+          |    CAST(least(3 * available, (tot.t * weight) // tw.w)
+          |      AS BIGINT) AS target
+          |  FROM counts, tw, tot),
+          |thr AS (
+          |  SELECT lang, target // available AS nfull,
+          |    ((target % available) * 4294967296) // available AS fthr
+          |  FROM plan WHERE target > 0),
+          |epochs AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS epoch)
+          |SELECT d.doc_id, d.lang, g.epoch
+          |FROM documents d
+          |JOIN thr t ON d.lang = t.lang
+          |JOIN epochs g ON g.epoch <= t.nfull
+          |WHERE g.epoch < t.nfull
+          |  OR ((d.doc_id + t.nfull + 9) * 2654435761) % 4294967296 < t.fthr
+          |ORDER BY d.lang, d.doc_id, g.epoch""".stripMargin,
+
+      // The curation chain: q90's canon rules -> apex -> q87's rank
+      // shape (n_chars DESC, doc_id tie-break) capped at 20 per apex.
+      "q92_domain_capped_urls" ->
+        (urlCanonSql + "\n" +
+          """SELECT doc_id, apex, n_chars FROM (
+            |  SELECT doc_id, n_chars,
+            |    regexp_extract(regexp_extract(canon,
+            |        '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+            |      '([^.]+\.[^.]+)$', 1) AS apex,
+            |    row_number() OVER (
+            |      PARTITION BY regexp_extract(regexp_extract(canon,
+            |          '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+            |        '([^.]+\.[^.]+)$', 1)
+            |      ORDER BY n_chars DESC, doc_id) AS rn
+            |  FROM canon) WHERE rn <= 20
+            |ORDER BY doc_id""".stripMargin),
+
+      // Exact-quota sampling replayed as a rank over the same Knuth
+      // mix: ascending hash, doc_id tie-break, rank <= quota.
+      "q89_exact_quota_sample" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang, row_number() OVER (
+          |    PARTITION BY lang
+          |    ORDER BY ((doc_id + 13) * 2654435761) % 4294967296, doc_id)
+          |    AS rk
+          |  FROM documents)
+          |WHERE rk <= 37 ORDER BY doc_id""".stripMargin,
+
+      // q51's membership join plus the per-doc distinct-shingle total;
+      // fraction as an exact BIGINT/BIGINT double division.
+      "q87_domain_cap" ->
+        """SELECT doc_id, source, n_chars FROM (
+          |  SELECT doc_id, source, n_chars,
+          |    row_number() OVER (
+          |      PARTITION BY source
+          |      ORDER BY n_chars DESC, doc_id) AS rn
+          |  FROM documents) WHERE rn <= 10
+          |ORDER BY source, doc_id""".stripMargin,
+
+      // The mixing plan replayed: per-lang availability, fraction =
+      // least(1, budget/available), threshold = trunc(fraction·2^32)
+      // (trunc, matching Spark's double→long cast), keep decision =
+      // the same multiplicative-mix predicate as q27.
+      "q52_corpus_mix" ->
+        """WITH avail AS (
+          |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS available
+          |  FROM documents GROUP BY lang),
+          |plan AS (
+          |  SELECT lang, available,
+          |    CASE lang WHEN 'en' THEN 30000 WHEN 'de' THEN 8000
+          |      WHEN 'fr' THEN 1000000 WHEN 'zh' THEN 0 END AS target
+          |  FROM avail),
+          |thr AS (
+          |  SELECT lang,
+          |    CAST(trunc(least(1.0, CAST(target AS DOUBLE) /
+          |      CAST(available AS DOUBLE)) * 4294967296) AS BIGINT) AS t
+          |  FROM plan WHERE target > 0)
+          |SELECT d.lang, count(*) AS kept_docs,
+          |  CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+          |FROM documents d JOIN thr ON d.lang = thr.lang
+          |WHERE ((d.doc_id + 11) * 2654435761) % 4294967296 < thr.t
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+      // The packing layout is pure integer arithmetic: the q59 mixedKey
+      // replay routes and orders the streams, a running token sum bins
+      // into 512-token packs, and DuckDB window functions replay every
+      // (pack_id, pack_pos, pack_offset) exactly.
+      "q69_pack_sequences" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    COALESCE(CAST(len(list_filter(regexp_split_to_array(text,
+          |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS n_tokens,
+          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
+          |  FROM documents),
+          |g AS (SELECT *, mix % 16 AS grp FROM tok),
+          |c AS (
+          |  SELECT *, sum(n_tokens) OVER (PARTITION BY grp
+          |      ORDER BY mix, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    - n_tokens AS strt
+          |  FROM g),
+          |p AS (SELECT *, CAST(strt // 512 AS BIGINT) AS pack FROM c)
+          |SELECT doc_id, n_tokens,
+          |  CAST(grp * 1099511627776 + pack AS BIGINT) AS pack_id,
+          |  CAST(row_number() OVER (PARTITION BY grp, pack
+          |    ORDER BY mix, doc_id) - 1 AS BIGINT) AS pack_pos,
+          |  CAST(strt - pack * 512 AS BIGINT) AS pack_offset
+          |FROM p ORDER BY doc_id""".stripMargin,
+
+      // DSIR replayed feature by feature — fit CTEs shared via
+      // dsirFitCtes (see its definition for the hash/quantization
+      // contract).
+      "q132_dsir_weights" ->
+        s"""WITH $dsirFitCtes
+           |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(dw) AS BIGINT) AS weight_micro
+           |FROM b JOIN fw USING (f)
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      // q132's weights + the Knuth-mix Gumbel key (u = (mix + 0.5)/2^32
+      // is an exact power-of-two division — both engines see the same
+      // double), floor-quantized to micro; top-100 by integer key.
+      "q133_dsir_resample" ->
+        s"""WITH $dsirFitCtes,
+           |w AS (
+           |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    CAST(sum(dw) AS BIGINT) AS weight_micro
+           |  FROM b JOIN fw USING (f) GROUP BY 1),
+           |r AS (
+           |  SELECT doc_id, n_tokens, weight_micro,
+           |    CAST(floor(1000000.0 * -ln(-ln(
+           |      ((((doc_id + 7) * 2654435761) % 4294967296) + 0.5)
+           |        / 4294967296.0))) AS BIGINT) AS gumbel_micro
+           |  FROM w)
+           |SELECT doc_id, n_tokens, weight_micro, gumbel_micro,
+           |  weight_micro + gumbel_micro AS resample_key
+           |FROM r ORDER BY resample_key DESC, doc_id LIMIT 100""".stripMargin,
+
+      // q50's hash-seeded fit + nearest-centroid assignment, then the
+      // q89 mixed-key quota replay PER CLUSTER (salt 7, quota 50).
+      "q138_cluster_balanced_sample" ->
+        s"""WITH ranked AS (
+           |  SELECT vec_id, embedding,
+           |    row_number() OVER (ORDER BY
+           |      (1103515245::BIGINT * (vec_id % 2147483648) + 12345)
+           |        % 2147483648 ASC,
+           |      vec_id ASC) AS rn
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT rn - 1 AS centroid_id, embedding AS cv
+           |  FROM ranked WHERE rn <= 8),
+           |a AS (
+           |  SELECT e.vec_id, c.centroid_id,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn2
+           |  FROM embeddings e CROSS JOIN cent c),
+           |asg AS (SELECT vec_id, centroid_id FROM a WHERE rn2 = 1),
+           |keep AS (SELECT vec_id, centroid_id,
+           |    row_number() OVER (PARTITION BY centroid_id
+           |      ORDER BY ((vec_id + 7) * 2654435761) % 4294967296,
+           |        vec_id) AS rk
+           |  FROM asg)
+           |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id
+           |FROM keep WHERE rk <= 50 ORDER BY vec_id""".stripMargin,
+
+      // Fit replayed exactly as q132's CTEs, then the apply half: the
+      // shifted batch's buckets LEFT-join the fitted table and
+      // out-of-vocabulary features score the smoothed dw0 = micro(0,
+      // N_t+V) − micro(0, N_r+V) — the ' zzqunseen' suffix exercises
+      // the path on every row (unless its bucket collides with a seen
+      // token's, in which case both engines agree on the seen weight;
+      // the spec pins OOV exactly in token mode).
+      "q135_dsir_apply_persisted" ->
+        s"""WITH $dsirFitCtes,
+           |d0 AS (
+           |  SELECT
+           |    CAST(floor(1000000.0 * ln(1 / CAST(nt + v AS DOUBLE)))
+           |      AS BIGINT)
+           |    - CAST(floor(1000000.0 * ln(1 / CAST(nr + v AS DOUBLE)))
+           |      AS BIGINT) AS dw0
+           |  FROM tot),
+           |bb AS (
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |    unnest(list_transform(
+           |      list_filter(regexp_split_to_array(
+           |        lower(text || ' zzqunseen'), '\\s+'),
+           |        x -> len(x) > 0),
+           |      x -> CAST((md5_number_lower(x) & 262143) AS BIGINT))) AS f
+           |  FROM documents)
+           |SELECT bb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(coalesce(fw.dw, d0.dw0)) AS BIGINT) AS weight_micro
+           |FROM bb LEFT JOIN fw USING (f) CROSS JOIN d0
+           |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      // The contiguous stream replayed position by position: group-major
+      // Knuth-mix order, within-group prefix sum, groups-sized exclusive
+      // offset scan, then the (doc × sequence) overlap fragments by
+      // integer interval arithmetic — byte-for-byte the operator's
+      // layout contract.
+      "q134_stream_pack" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    COALESCE(CAST(len(list_filter(regexp_split_to_array(text,
+          |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS n_tokens,
+          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
+          |  FROM documents),
+          |g AS (SELECT *, mix % 16 AS grp FROM tok WHERE n_tokens > 0),
+          |c AS (
+          |  SELECT *, sum(n_tokens) OVER (PARTITION BY grp
+          |      ORDER BY mix, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    - n_tokens AS s0
+          |  FROM g),
+          |go AS (
+          |  SELECT grp, sum(tot) OVER (ORDER BY grp
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    - tot AS goff
+          |  FROM (SELECT grp, sum(n_tokens) AS tot FROM g GROUP BY grp)),
+          |p AS (
+          |  -- sum() over BIGINT is HUGEINT in DuckDB; generate_series
+          |  -- needs BIGINT operands
+          |  SELECT c.doc_id, c.n_tokens,
+          |    CAST(go.goff + c.s0 AS BIGINT) AS s1
+          |  FROM c JOIN go USING (grp)),
+          |f AS (
+          |  SELECT doc_id, n_tokens, s1, unnest(generate_series(
+          |    s1 // 256, (s1 + n_tokens - 1) // 256)) AS seq_id
+          |  FROM p)
+          |SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+          |  CAST(greatest(0, seq_id * 256 - s1) AS BIGINT) AS doc_offset,
+          |  CAST(greatest(0, s1 - seq_id * 256) AS BIGINT) AS seq_offset,
+          |  CAST(least(s1 + n_tokens, (seq_id + 1) * 256)
+          |    - greatest(s1, seq_id * 256) AS BIGINT) AS frag_len
+          |FROM f ORDER BY doc_id, seq_id""".stripMargin,
+
+      // length-bucketed batch planning: mixedKey/grouping/row-number
+      // arithmetic replayed verbatim (the q69 pack_sequences pattern);
+      // integer `//` division end to end
+      "q109_length_batches" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    COALESCE(CAST(len(list_filter(regexp_split_to_array(text,
+          |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS n_tokens,
+          |    ((doc_id + 13) * 2654435761) % 4294967296 AS mix
+          |  FROM documents),
+          |b AS (
+          |  SELECT *, CASE WHEN n_tokens <= 64 THEN 0
+          |    WHEN n_tokens <= 128 THEN 1 WHEN n_tokens <= 256 THEN 2
+          |    WHEN n_tokens <= 512 THEN 3 ELSE -1 END AS bucket
+          |  FROM tok),
+          |f AS (
+          |  SELECT *, mix % 8 AS grp,
+          |    CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 128
+          |      WHEN 2 THEN 256 ELSE 512 END AS bucket_cap
+          |  FROM b WHERE bucket >= 0),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY bucket, grp
+          |    ORDER BY mix, doc_id) - 1 AS rn
+          |  FROM f)
+          |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+          |  CAST(bucket_cap AS BIGINT) AS bucket_cap,
+          |  CAST((bucket * 8 + grp) * 1099511627776
+          |    + rn // (1024 // bucket_cap) AS BIGINT) AS batch_id,
+          |  CAST(rn % (1024 // bucket_cap) AS BIGINT) AS batch_pos,
+          |  CAST(bucket_cap - n_tokens AS BIGINT) AS pad_tokens
+          |FROM r ORDER BY doc_id""".stripMargin,
+
+      // the full chain replay: q111's clean gate (marker sum generated
+      // from the same Seq), md5 min-id dedup, q110's vocab, q113's
+      // token counts, q109's batch arithmetic
+      "q118_training_chain" -> {
+        val moji = TextAnalysis.defaultMojibakeMarkers
+          .map(m => s"(len(t.text) - len(replace(t.text, '$m', ''))) " +
+            s"// ${m.length}")
+          .mkString(" + ")
+        s"""WITH built AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 7 = 0
+           |      THEN ' bad' || chr(65533) || 'byte' ELSE '' END AS text
+           |  FROM documents),
+           |allv AS (
+           |  SELECT * FROM built
+           |  UNION ALL SELECT doc_id + 500000, text FROM built
+           |    WHERE doc_id % 5 = 0),
+           |clean AS (
+           |  SELECT t.doc_id, t.text FROM allv t
+           |  WHERE len(t.text) - len(replace(t.text, chr(65533), '')) = 0
+           |    AND len(regexp_extract_all(t.text,
+           |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) = 0
+           |    AND ($moji) = 0),
+           |surv AS (
+           |  SELECT doc_id, text FROM (
+           |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS sid
+           |    FROM clean)
+           |  WHERE doc_id = sid),
+           |toks0 AS (
+           |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+           |    '\\s+'), x -> len(x) > 0)) AS tok
+           |  FROM surv),
+           |c AS (SELECT tok AS token, count(*) AS cnt
+           |  FROM toks0 GROUP BY tok),
+           |vocab AS (
+           |  SELECT token, CAST(row_number()
+           |    OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+           |  FROM c QUALIFY rank <= 50),
+           |dtok AS (
+           |  SELECT doc_id, unnest(ts) AS tok,
+           |    unnest(range(1, len(ts) + 1)) AS ord
+           |  FROM (SELECT doc_id,
+           |      list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |        x -> len(x) > 0) AS ts
+           |    FROM surv)),
+           |jt AS (
+           |  SELECT d.doc_id, COALESCE(v.rank, -1) AS tid
+           |  FROM dtok d LEFT JOIN vocab v ON d.tok = v.token),
+           |cnts AS (
+           |  SELECT s.doc_id,
+           |    COALESCE(a.n_tokens, 0) AS n_tokens,
+           |    COALESCE(a.n_oov, 0) AS n_oov
+           |  FROM surv s LEFT JOIN (
+           |    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |      CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           |        AS n_oov
+           |    FROM jt GROUP BY doc_id) a ON s.doc_id = a.doc_id),
+           |mx AS (
+           |  SELECT *, ((doc_id + 13) * 2654435761) % 4294967296 AS mix
+           |  FROM cnts),
+           |b AS (
+           |  SELECT *, CASE WHEN n_tokens <= 64 THEN 0
+           |    WHEN n_tokens <= 128 THEN 1 WHEN n_tokens <= 256 THEN 2
+           |    WHEN n_tokens <= 512 THEN 3 ELSE -1 END AS bucket
+           |  FROM mx),
+           |f AS (
+           |  SELECT *, mix % 8 AS grp,
+           |    CASE bucket WHEN 0 THEN 64 WHEN 1 THEN 128
+           |      WHEN 2 THEN 256 ELSE 512 END AS bucket_cap
+           |  FROM b WHERE bucket >= 0),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY bucket, grp
+           |    ORDER BY mix, doc_id) - 1 AS rn
+           |  FROM f)
+           |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+           |  CAST(bucket_cap AS BIGINT) AS bucket_cap,
+           |  CAST((bucket * 8 + grp) * 1099511627776
+           |    + rn // (1024 // bucket_cap) AS BIGINT) AS batch_id,
+           |  CAST(rn % (1024 // bucket_cap) AS BIGINT) AS batch_pos,
+           |  CAST(bucket_cap - n_tokens AS BIGINT) AS pad_tokens,
+           |  n_oov
+           |FROM r ORDER BY doc_id""".stripMargin
+      },
+
+      // declared-weights mix: plan arithmetic + trunc'd threshold keep,
+      // the q76 replay pattern with CASE weights instead of sqrt
+      "q112_proportional_mix" ->
+        """WITH counts AS (
+          |  SELECT lang, CAST(count(*) AS BIGINT) AS available,
+          |    CAST(CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 25
+          |      WHEN 'fr' THEN 10 WHEN 'zh' THEN 0 WHEN 'xx' THEN 100
+          |      ELSE 0 END AS BIGINT) AS weight
+          |  FROM documents GROUP BY lang),
+          |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM counts),
+          |plan AS (
+          |  SELECT lang, available, weight,
+          |    CAST(least(available, (300 * weight) // tw.w) AS BIGINT)
+          |      AS target
+          |  FROM counts, tw),
+          |kept AS (
+          |  SELECT d.lang, count(*) AS kept
+          |  FROM documents d JOIN plan p ON d.lang = p.lang
+          |  WHERE p.target > 0
+          |    AND ((d.doc_id + 11) * 2654435761) % 4294967296 <
+          |      CAST(trunc(CAST(p.target AS DOUBLE) /
+          |        CAST(p.available AS DOUBLE) * 4294967296) AS BIGINT)
+          |  GROUP BY d.lang)
+          |SELECT p.lang, p.available, p.weight, p.target,
+          |  COALESCE(k.kept, 0) AS kept
+          |FROM plan p LEFT JOIN kept k ON p.lang = k.lang
+          |ORDER BY p.lang""".stripMargin,
+
+  )
+}

@@ -1,0 +1,376 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{SplitStage, Vocab}
+import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJoin, TextAnalysis}
+
+/** ANN-family queries: brute/LSH/IVF top-k, quantization, persisted index lifecycle (append/delete/compact), recall evaluation, artifact audits.
+  *
+  * One family of the [[SparkEntry]] query registry (split from the
+  * original single-file object in r14, hygiene only — the r11 Dedup
+  * precedent): every entry is mixed into — and documented as part
+  * of — `object SparkEntry`, which remains the sole driver contract.
+  */
+private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
+
+  private[graft] def similarityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- similarity search (extensions) ----
+
+    "q16_ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- int8-quantized ANN: scores are integer dots rescaled by the
+    //      two symmetric scales; every arithmetic step is IEEE-portable,
+    //      so the oracle replays the quantized scores bit-exactly ----
+
+    "q55_quantized_ann" -> ((s, dir) => {
+      val quant = Similarity.quantizeEmbeddings(
+          t(s, dir, "embeddings"), "embedding")
+        .select("vec_id", "qvec", "qscale")
+      Similarity.quantizedTopK(quant.filter(col("vec_id") < 5), "vec_id",
+          quant, "vec_id", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q35_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding",
+          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- hyperplane-LSH ANN, oracle-checked: LCG-generated plane signs
+    //      are pure integer arithmetic DuckDB replays exactly, so the
+    //      candidate set (and therefore the exact-scored top-k) is
+    //      engine-independent. ----
+
+    "q32_lsh_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 10,
+          planesPerBand = 4, bands = 12,
+          planeGen = graft.functions.SketchOps.PlaneLcg)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- persisted IVF index: write partitioned by centroid, answer
+    //      probes through the partition-pruned read path ----
+
+    "q49_ivf_persisted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val indexDir = tmpDir("graft-ivf-index")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", indexDir)
+      Similarity.ivfTopKFromIndex(s, indexDir,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- incremental index ingest: base index + appended batch must
+    //      answer EXACTLY like one index over the union corpus (q49's
+    //      oracle, unchanged — the append is physical only) ----
+
+    "q88_ivf_appended" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val indexDir = tmpDir("graft-ivf-append")
+      Similarity.ivfIndexWrite(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        centroids, "vec_id", "embedding", indexDir)
+      Similarity.ivfIndexAppend(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding",
+        centroids, "vec_id", "embedding", indexDir)
+      Similarity.ivfTopKFromIndex(s, indexDir,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- recall after centroid-blind append vs refit: a drifted batch
+    //      (direction-reversed embeddings under shifted ids — a later
+    //      crawl whose distribution the build-time centroids never saw)
+    //      appended under the STALE centroid set vs a full rebuild
+    //      under a REFIT set selected from the union; recall@10 for
+    //      drifted-region queries against brute-force truth, both
+    //      indexes side by side. The quantitative drift curve and the
+    //      rebuild trigger live in BASELINE (IvfDriftStress); this
+    //      query oracle-pins the measurement machinery itself. ----
+
+    "q95_ivf_append_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val drifted = emb.select((col("vec_id") + 100000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      val union = emb.unionByName(drifted)
+      val stale = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val refit = union.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val dirA = tmpDir("graft-ivf-drift-append")
+      val dirB = tmpDir("graft-ivf-drift-refit")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        stale, "vec_id", "embedding", dirA)
+      Similarity.ivfIndexAppend(drifted, "vec_id", "embedding",
+        stale, "vec_id", "embedding", dirA)
+      Similarity.ivfIndexWrite(union, "vec_id", "embedding",
+        refit, "vec_id", "embedding", dirB)
+      val queries = drifted.filter(col("vec_id") < 100005L)
+      val truth = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
+        union, "vec_id", "embedding", k = 10)
+      val stale10 = Similarity.ivfTopKFromIndex(s, dirA, queries,
+        "vec_id", "embedding", stale, "vec_id", "embedding",
+        k = 10, nprobe = 3)
+      val refit10 = Similarity.ivfTopKFromIndex(s, dirB, queries,
+        "vec_id", "embedding", refit, "vec_id", "embedding",
+        k = 10, nprobe = 3)
+      Similarity.recallAtK(truth, stale10, 10)
+        .select(col("query_id"), col("recall").as("recall_stale"))
+        .join(Similarity.recallAtK(truth, refit10, 10)
+          .select(col("query_id"), col("recall").as("recall_refit")),
+          "query_id")
+        .orderBy("query_id")
+    }),
+
+    // ---- fitted-centroid assignment: fitCentroids' SQL-replayable hash
+    //      seeding (LCG rank over ids) + the nearest-centroid kernel ----
+
+    "q50_ivf_fitted" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = Similarity.fitCentroids(emb, "vec_id", "embedding",
+        k = 8, iterations = 0, seeding = Similarity.SeedHash)
+      Similarity.ivfAssign(emb, "vec_id", "embedding",
+          cent, "centroid_id", "centroid")
+        .select(col("vec_id"), col("centroid_id"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- ANN recall evaluation: the IVF approximation (q35's exact
+    //      configuration) measured per-query against brute-force ground
+    //      truth; recall = n_hits/k is an exact small-integer ratio, so
+    //      the oracle replays both searches and the metric hash-exactly ----
+
+    "q73_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val truth = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 10)
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val approx = Similarity.ivfTopK(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", centroids, "vec_id", "embedding",
+        k = 10, nprobe = 3)
+      Similarity.recallAtK(truth, approx, k = 10).orderBy("query_id")
+    }),
+
+    "q130_ivf_delete_compact" -> ((s, dir) => {
+      // the ANN index lifecycle twin of q129: build the partitioned
+      // IVF index → tombstone-delete a slice → COMPACT (fold the
+      // tombstones into a rewritten partition layout, corpus-free) →
+      // probe. Oracle = q49's exact IVF replay with the deleted ids
+      // removed from the ASSIGNED (index) side only — queries and
+      // centroids unchanged; lifecycle evidence gates the rows
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val indexDir = tmpDir("graft-ivf-del")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", indexDir)
+      Similarity.ivfIndexDelete(s, indexDir,
+        emb.filter(pmod(col("vec_id"), lit(17)) === 3).select("vec_id"),
+        "vec_id")
+      val evidence = Similarity.ivfIndexCompact(s, indexDir) &&
+        !graft.Fs.exists(s"$indexDir/_tombstones")
+      Similarity.ivfTopKFromIndex(s, indexDir,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          centroids, "vec_id", "embedding", k = 10, nprobe = 3)
+        .filter(lit(evidence))
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    }),
+
+    "q136_artifact_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val art = tmpDir("graft-audit-bm25")
+      TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+      TextAnalysis.bm25ArtifactsDelete(s, art,
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0).select("doc_id"),
+        "doc_id")
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val idx = tmpDir("graft-audit-ivf")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", idx)
+      Similarity.ivfIndexDelete(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(17)) === 3).select("vec_id"),
+        "vec_id")
+      TextAnalysis.bm25ArtifactsValidate(s, art)
+        .select(lit("bm25").as("family"), col("check"), col("ok"))
+        .unionByName(Similarity.ivfIndexValidate(s, idx)
+          .select(lit("ivf").as("family"), col("check"), col("ok")))
+        .orderBy("family", "check")
+    }),
+
+  )
+
+  private[graft] def similarityOracle: Map[String, String] = Map(
+
+      // Symmetric int8 quantization replayed: scale = max|v|/127, q_i =
+      // floor(|x|/s + 0.5) signed (spelled out, not library round), score
+      // = (intdot · s_a) · s_b in Spark's multiply order. Integer dots ≤
+      // 2^53 are exact in double, so scores hash-match bit-for-bit.
+      "q55_quantized_ann" ->
+        """WITH qn AS (
+          |  SELECT vec_id,
+          |    list_max(list_transform(embedding::DOUBLE[],
+          |      x -> abs(x))) / 127 AS s,
+          |    embedding::DOUBLE[] AS v
+          |  FROM embeddings),
+          |qv AS (
+          |  SELECT vec_id, s,
+          |    CASE WHEN s > 0 THEN list_transform(v,
+          |      x -> CASE WHEN x >= 0 THEN floor(x / s + 0.5)
+          |                ELSE -floor(-x / s + 0.5) END)
+          |    ELSE list_transform(v, x -> 0.0) END AS q
+          |  FROM qn),
+          |scored AS (
+          |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+          |    list_dot_product(a.q, b.q) * a.s * b.s AS qscore
+          |  FROM qv a, qv b WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, qscore,
+          |    CAST(row_number() OVER (PARTITION BY query_id
+          |      ORDER BY qscore DESC, neighbor_id ASC) AS BIGINT) AS rank
+          |  FROM scored)
+          |SELECT query_id, rank, neighbor_id, qscore FROM ranked
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      "q16_ann_brute" -> bruteSql,
+
+      // Recall@10 of the IVF path vs brute-force ground truth: both
+      // searches replayed from their (already hash-green) oracle forms,
+      // joined on the neighbor sets; recall is the exact ratio n_hits/10.
+      "q73_ann_recall" ->
+        s"""WITH brute AS ($bruteSql),
+           |ivf AS ($ivfSql)
+           |SELECT b.query_id,
+           |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           |  CAST(count(i.neighbor_id) AS DOUBLE) / 10.0 AS recall
+           |FROM brute b LEFT JOIN ivf i
+           |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
+      "q35_ivf_ann" -> ivfSql,
+
+      // Same semantics through the persisted, partition-pruned index
+      // path: the physical layout must not change a single answer.
+      "q49_ivf_persisted" -> ivfSql,
+
+      // delete+compact is probe-invisible vs the survivor index: q49's
+      // replay with deleted ids removed from the assigned side only
+      "q130_ivf_delete_compact" -> ivfSql.replace(
+        "FROM embeddings e CROSS JOIN cent c)",
+        "FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 17 <> 3)"),
+
+      // Build-then-append must equal one build over the union — the
+      // same oracle again; any layout leakage into semantics would
+      // hash-mismatch.
+      "q88_ivf_appended" -> ivfSql,
+
+      // Append-under-stale-centroids vs refit, measured: recall@10 per
+      // drifted query against brute truth, replayed fully in SQL.
+      "q95_ivf_append_recall" -> ivfDriftRecallSql,
+
+      // fitCentroids' hash seeding replayed: seeds = the 8 vectors lowest
+      // by the POSIX LCG of their id, centroid_id = seed rank; assignment
+      // = cosine argmax with ties to the lowest centroid id.
+      "q50_ivf_fitted" ->
+        s"""WITH ranked AS (
+           |  SELECT vec_id, embedding,
+           |    row_number() OVER (ORDER BY
+           |      (1103515245::BIGINT * (vec_id % 2147483648) + 12345)
+           |        % 2147483648 ASC,
+           |      vec_id ASC) AS rn
+           |  FROM embeddings),
+           |cent AS (
+           |  SELECT rn - 1 AS centroid_id, embedding AS cv
+           |  FROM ranked WHERE rn <= 8),
+           |a AS (
+           |  SELECT e.vec_id, c.centroid_id,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn2
+           |  FROM embeddings e CROSS JOIN cent c)
+           |SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id
+           |FROM a WHERE rn2 = 1 ORDER BY vec_id""".stripMargin,
+
+      // The audit's contract is the verdict table itself: a healthy
+      // maintained artifact passes all nine invariants. (Detection of
+      // actual corruption is spec-pinned — OpsSpec/IvfIndexSpec mangle
+      // tables and assert the specific rows flip.)
+      "q136_artifact_audit" ->
+        """SELECT * FROM (VALUES
+          |  ('bm25', 'df_matches_postings', true),
+          |  ('bm25', 'postings_docs_have_dl', true),
+          |  ('bm25', 'stats_n_docs', true),
+          |  ('bm25', 'stats_total_tokens', true),
+          |  ('bm25', 'tombstones_not_in_dl', true),
+          |  ('ivf', 'ids_unique', true),
+          |  ('ivf', 'no_null_vectors', true),
+          |  ('ivf', 'tombstones_resolved', true),
+          |  ('ivf', 'vec_dims_uniform', true))
+          |  AS t(family, "check", ok)
+          |ORDER BY family, "check"""".stripMargin,
+
+      // LCG-hyperplane LSH: band b's bucket packs the signs of planes
+      // b*4+j; band identity is folded into the key (65536*b + bucket) so
+      // "shares a band" becomes list_intersect. Candidates then exact
+      // cosine-ranked — identical arithmetic to the Spark kernel.
+      "q32_lsh_ann" -> {
+        val bucketExpr =
+          """[
+            |  CAST(65536 * b + list_sum([
+            |     CASE WHEN list_sum([
+            |       CASE WHEN ((((1103515245 * ((b*4 + j)*4096 + (i-1)) + 12345)
+            |           % 2147483648) >> 16) & 1) = 1
+            |         THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END
+            |       for i in range(1, len(embedding)+1)]) >= 0
+            |     THEN (1::BIGINT << j) ELSE 0::BIGINT END
+            |     for j in range(0, 4)]) AS BIGINT)
+            |  for b in range(0, 12)]""".stripMargin
+        s"""WITH bk AS (
+           |  SELECT vec_id, embedding, $bucketExpr AS bks FROM embeddings),
+           |qb AS (SELECT vec_id AS query_id, embedding AS qv, bks AS qbks
+           |  FROM bk WHERE vec_id < 5),
+           |cand AS (
+           |  SELECT q.query_id, q.qv, c.vec_id AS neighbor_id,
+           |    c.embedding AS cv
+           |  FROM qb q, bk c
+           |  WHERE c.vec_id <> q.query_id
+           |    AND len(list_intersect(q.qbks, c.bks)) > 0),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id ASC)
+           |      AS BIGINT) AS rank
+           |  FROM cand)
+           |SELECT query_id, rank, neighbor_id FROM ranked
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      },
+
+  )
+}

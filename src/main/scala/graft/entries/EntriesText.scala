@@ -1,0 +1,1356 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.operators.{SplitStage, Vocab}
+import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJoin, TextAnalysis}
+
+/** Text-analysis queries: quality/lang-id/PII/C4/Gopher gates, decontamination, BM25 lifecycle, BPE, token kernels, URL canonicalization, encoding artifacts.
+  *
+  * One family of the [[SparkEntry]] query registry (split from the
+  * original single-file object in r14, hygiene only — the r11 Dedup
+  * precedent): every entry is mixed into — and documented as part
+  * of — `object SparkEntry`, which remains the sole driver contract.
+  */
+private[graft] trait EntriesText { this: SparkEntry.type =>
+
+  private[graft] def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis (extensions) ----
+
+    "q12_text_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"),
+          col("q.n_chars").as("n_chars"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.n_distinct_tokens").as("n_distinct_tokens"),
+          col("q.mean_token_len").as("mean_token_len"),
+          col("q.stopword_ratio").as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q13_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "q15_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quality filtering (Gopher-rules-style predicate over q12 features) ----
+
+    "q23_quality_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.n_distinct_tokens").as("n_distinct_tokens"),
+          col("q.mean_token_len").as("mean_token_len"))
+        .filter(col("n_tokens") >= 40 &&
+          col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0 &&
+          col("n_distinct_tokens").cast("double") >= col("n_tokens") * 0.2)
+        .select("doc_id", "n_tokens", "n_distinct_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // ---- corpus statistics: top terms per language (window/rank) ----
+
+    "q24_top_terms" -> ((s, dir) => {
+      TextAnalysis.topTerms(t(s, dir, "documents"), "lang", "text", k = 5)
+        .orderBy("lang", "rank")
+    }),
+
+    // ---- BPE-ish token budgeting ----
+
+    "q25_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.approxBpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- repetition signal (Gopher-style quality rule) ----
+
+    "q26_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionFrame(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- n-gram repetition (the Gopher duplicate-n-gram-fraction and
+    //      top-n-gram-share rules, n=3); oracle rebuilds the 3-gram
+    //      multiset with the jaccard CTEs' slice arithmetic ----
+
+    "q96_ngram_repetition" -> ((s, dir) => {
+      TextAnalysis.ngramRepetitionFrame(t(s, dir, "documents"),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // ---- duplicate-line rules over a line-structured rebuild of the
+    //      corpus (a boilerplate line wraps every doc; even ids repeat
+    //      their own text as a second body line) — oracle replays the
+    //      construction and the line multiset with strlen bytes ----
+
+    "q98_line_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val lined = docs.select(col("doc_id"),
+        concat(lit("promo line\n"), col("text"), lit("\npromo line\n"),
+          when(pmod(col("doc_id"), lit(2)) === 0, col("text"))
+            .otherwise(lit("tail"))).as("text"))
+      TextAnalysis.lineRepetitionFrame(lined, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- BM25 keyword retrieval: fixed-point micro-unit scores make
+    //      the float sum order-independent, so the oracle hash-matches
+    //      the full (rank, score) output ----
+
+    "q71_bm25_topk" -> ((s, dir) => {
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          queries, "qid", "qtext", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- BM25 from PERSISTED artifacts: the index build runs once per
+    //      snapshot (inside this query, for the harness); the probe is
+    //      scoring-only with term-literal scan pushdown. Fixed-point
+    //      scores identical to q71 — same oracle SQL replays both ----
+
+    "q78_bm25_persisted" -> ((s, dir) => {
+      val art = tmpDir("graft-bm25-art")
+      TextAnalysis.bm25ArtifactsSave(t(s, dir, "documents"), "doc_id",
+        "text", art)
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      TextAnalysis.bm25TopKPersisted(s, art, queries, "qid", "qtext",
+          k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- per-source corpus report card: composition + duplication by
+    //      (source, lang), integer-exact aggregates so the ratios
+    //      hash-match (single division of exact long sums) ----
+
+    "q58_corpus_report" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      t(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text")))
+            .as("n_unique_texts"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(call_function("graft_token_count", col("text")))
+            .cast("long").as("total_tokens"))
+        .withColumn("tokens_per_doc",
+          col("total_tokens").cast("double") / col("n_docs").cast("double"))
+        .orderBy("source", "lang")
+    }),
+
+    // ---- PII scrubbing (extension; Java-regex/RE2-portable patterns) ----
+
+    "q38_pii_scrub" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.emailCount(col("text")).as("n_emails"),
+          TextAnalysis.ipCount(col("text")).as("n_ips"),
+          TextAnalysis.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- token-budget chunking (extension) ----
+
+    "q41_chunking" -> ((s, dir) => {
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- corpus-frequency familiarity scoring (extension) ----
+
+    "q39_familiarity" -> ((s, dir) => {
+      TextAnalysis.unigramFamiliarity(t(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 200)
+        .orderBy("doc_id")
+    }),
+
+    // ---- benchmark decontamination: n-gram overlap against a held-out
+    //      eval set (here: every 97th doc), hash-keyed semi-join ----
+
+    "q51_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextAnalysis.decontaminate(docs, "doc_id", "text", bench, "text", n = 3)
+        .select(col("doc_id"), col("contaminated_ngrams"), col("is_clean"))
+        .where(col("contaminated_ngrams") >= 0) // see q66: keep count() honest
+        .orderBy("doc_id")
+    }),
+
+    "q81_decontaminate_fraction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextAnalysis.decontaminateFraction(docs, "doc_id", "text", bench,
+          "text", n = 3, maxFraction = 0.5)
+        .select(col("doc_id"), col("contaminated_ngrams"),
+          col("total_ngrams"), col("contamination_fraction"),
+          col("is_clean"))
+        .where(col("contaminated_ngrams") >= 0) // see q66: keep count() honest
+        .orderBy("doc_id")
+    }),
+
+    // ---- budget-constrained quality thresholding: the score cutoff
+    //      that keeps >= 30% of corpus tokens, via the bins-row
+    //      histogram (observe-then-broadcast — no global sort); the
+    //      oracle replays stats, binning, and the top-down cumulative
+    //      walk with identical arithmetic ----
+
+    "q91_budget_threshold" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).as("wt"))
+      val (thr, kept, total) = TextAnalysis.scoreThresholdForBudget(
+        docs, "n_chars", "wt", keepFraction = 0.3)
+      Seq((thr, kept, total))
+        .toDF("threshold", "kept_weight", "total_weight")
+    }),
+
+    // ---- URL canonicalization: messy URLs constructed from the
+    //      documents table (uppercase authority, default ports,
+    //      unsorted/trailing-& queries, fragments), normalized; the
+    //      oracle replays rule by rule with the same regexes ----
+
+    "q90_url_canonical" -> ((s, dir) => {
+      val canon = TextAnalysis.canonicalizeUrl(col("url"))
+      messyUrls(s, dir).select(col("doc_id"), canon.as("canon"),
+          TextAnalysis.urlHost(canon).as("host"),
+          TextAnalysis.apexDomain(TextAnalysis.urlHost(canon)).as("apex"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- opt-in tracking-param strip: utm_*/gclid/fbclid-class query
+    //      tokens dropped before the sort; a query left EMPTY by the
+    //      strip drops its '?' (stripped == never-tracked, the collapse
+    //      URL-keyed dedup needs); uppercase UTM_X and content params
+    //      survive. Oracle replays the token filter with the same
+    //      anchored RE2-safe pattern ----
+
+    "q93_url_strip_tracking" -> ((s, dir) => {
+      val stripped = TextAnalysis.canonicalizeUrl(col("url"),
+        stripTracking = true)
+      messyTrackedUrls(s, dir).select(col("doc_id"),
+          stripped.as("canon"),
+          TextAnalysis.urlHost(stripped).as("host"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- hashed bag-of-tokens linear classifier scoring (fastText-/
+    //      CCNet-style quality model inference; weights here are the
+    //      derived integer-valued table so the oracle replays the
+    //      bucket→weight map as pure integer arithmetic) ----
+
+    "q85_quality_classifier" -> ((s, dir) => {
+      // MD5-lo64 feature hash = DuckDB md5_number_lower, the same
+      // external-parity trade q31 makes; production scoring uses the
+      // default xx64 kind (kernel parity spec-pinned in OpsSpec)
+      TextAnalysis.hashedLinearScore(t(s, dir, "documents"),
+          "doc_id", "text", TextAnalysis.derivedWeights(1 << 20),
+          hashKind = graft.functions.SketchOps.HashMd5Lo64)
+        .orderBy("doc_id")
+    }),
+
+    // ---- bigram LM familiarity: the CCNet-style perplexity gate as
+    //      exact integer arithmetic — fit add-one smoothed bigram stats
+    //      on the English stratum, score EVERY document by mean smoothed
+    //      bigram probability in micro-units; the oracle refits and
+    //      rescores the identical integer model ----
+
+    "q100_bigram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
+          "text", docs.filter(col("lang") === "en"), "text",
+          minBigramCount = 2L, minUnigramCount = 1L)
+        .orderBy("doc_id")
+    }),
+
+    // ---- domain-level curation: per-host corpus stats (doc count +
+    //      integer mean quality), then the mean-quality gate that drops
+    //      whole domains with every document they contributed ----
+
+    "q103_domain_stats" -> ((s, dir) => {
+      val canon = TextAnalysis.canonicalizeUrl(col("url"))
+      val hosts = messyUrls(s, dir).select(col("doc_id"), col("n_chars"),
+        TextAnalysis.urlHost(canon).as("host"))
+      TextAnalysis.domainStats(hosts, "host", "n_chars")
+        .orderBy("host")
+    }),
+
+    "q104_domain_gate" -> ((s, dir) => {
+      val canon = TextAnalysis.canonicalizeUrl(col("url"))
+      val hosts = messyUrls(s, dir).select(col("doc_id"), col("n_chars"),
+        TextAnalysis.urlHost(canon).as("host"))
+      TextAnalysis.filterByDomainQuality(hosts, "host", "n_chars",
+          minMeanMicro = 290000000L)
+        .select("doc_id", "host", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // ---- q100's production twin: the same integer bigram LM scored by
+    //      the single-pass graft_bigram_lm kernel (model as a plan
+    //      reference — zero joins, zero shuffle). Shares q100's oracle:
+    //      the two paths are value-identical by construction ----
+
+    "q105_bigram_lm_kernel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.bigramLmFit(
+        docs.filter(col("lang") === "en"), "text",
+        minBigramCount = 2L, minUnigramCount = 1L)
+      TextAnalysis.bigramLmScoreKernel(docs.select("doc_id", "text"),
+          "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
+    // ---- C4-style line filter: 4-line docs built from the corpus (one
+    //      always-kept sentence, one too-short line, one data-driven
+    //      token line whose fate hangs on its last character, one
+    //      javascript line) cleaned by the rule set; the oracle replays
+    //      every keep decision line by line ----
+
+    // ---- incremental BM25 index maintenance: build on two-thirds of
+    //      the corpus, APPEND the rest, probe — the split df/stats
+    //      layout keeps every existing term's idf honest, so the result
+    //      is score-identical to a from-scratch build and q71's oracle
+    //      replays it over the full corpus ----
+
+    "q107_bm25_append" -> ((s, dir) => {
+      val art = tmpDir("graft-bm25-append")
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25ArtifactsSave(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id", "text",
+        art)
+      TextAnalysis.bm25ArtifactsAppend(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text",
+        art)
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      TextAnalysis.bm25TopKPersisted(s, art, queries, "qid", "qtext",
+          k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "q106_c4_line_filter" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val built = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("Quality sentence about "), col("source"), lit(".\n"),
+          lit("too short.\n"),
+          array_join(slice(toks, lit(1), lit(12)), " "), lit("\n"),
+          lit("Please enable JavaScript to view comments.")).as("text"))
+      TextAnalysis.c4LineFilter(built, "doc_id", "text",
+          minLineWords = 3, minKeptLines = 2)
+        .orderBy("doc_id")
+    }),
+
+    "q110_token_vocab" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      TextAnalysis.tokenVocabFit(t(s, dir, "documents"), "text",
+          vocabSize = 50)
+        .orderBy("rank")
+    }),
+
+    "q123_blocklist_gate" -> ((s, dir) => {
+      TextAnalysis.filterByBlocklist(t(s, dir, "documents")
+          .select("doc_id", "lang", "text"), "text",
+          Seq("slyly final", "ironic", "QUICK brown"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    "q122_contains_probe_kernel" -> ((s, dir) => {
+      // the Aho-Corasick path over a wider, overlap-heavy bank (prefix/
+      // suffix relations stress the failure links)
+      val probes = s.createDataFrame(Seq(
+        (1L, "carefully"), (2L, "care"), (3L, "fully"),
+        (4L, "slyly final"), (5L, "final"), (6L, "quick"),
+        (7L, "requests"), (8L, "quests"))).toDF("qid", "qstr")
+      TextAnalysis.containsProbeKernel(t(s, dir, "documents"), "doc_id",
+          "text", probes, "qid", "qstr", caseInsensitive = true)
+        .orderBy("query_id", "doc_id")
+    }),
+
+    "q121_contains_probe" -> ((s, dir) => {
+      val probes = s.createDataFrame(Seq(
+        (1L, "carefully"),
+        (2L, "slyly final"),
+        (3L, "QUICK brown"))).toDF("qid", "qstr")
+      TextAnalysis.containsProbe(t(s, dir, "documents"), "doc_id", "text",
+          probes, "qid", "qstr", caseInsensitive = true)
+        .orderBy("query_id", "doc_id")
+    }),
+
+    "q125_bpe_pair_stats" -> ((s, dir) => {
+      // the BPE fit's first-round frequency table, top-25 — external SQL
+      // replays the exact counts and the fit's deterministic tie-break
+      TextAnalysis.bpePairStats(t(s, dir, "documents"), "text", k = 25)
+        .orderBy("rank")
+    }),
+
+    "q126_bpe_roundtrip" -> ((s, dir) => {
+      // learned-BPE end to end on the real corpus: fit (one corpus pass
+      // + driver merges over the bounded word table) then the codegen
+      // encode kernel. The oracle-replayable invariant: tokenize →
+      // subword-encode → concatenate is content-preserving for every
+      // document (joined == whitespace-stripped lowercased text), with
+      // n_words pinning the tokenization the subwords came from. Merge
+      // SEMANTICS (which pairs, what order) are pinned by the q125
+      // stats oracle + the hand-computed OpsSpec sequence.
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val model = TextAnalysis.bpeFit(docs, "text", numMerges = 200,
+        minWordCount = 2L)
+      TextAnalysis.bpeEncodeKernel(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          concat_ws("", col("subwords")).as("joined"))
+        .join(docs.select(col("doc_id"),
+          size(call_function("graft_tokens", lower(col("text"))))
+            .cast("long").as("n_words")), "doc_id")
+        .select("doc_id", "n_words", "joined")
+        .orderBy("doc_id")
+    }),
+
+    "q128_bpe_artifact_roundtrip" -> ((s, dir) => {
+      // tokenizer lifecycle end to end: fit → persist the merge-table
+      // artifact → load → encode with the LOADED model (the q107/q88
+      // in-query-artifact pattern applied to the tokenizer). The
+      // oracle replays q126's content-preservation invariant; the
+      // engine-computed table_equal boolean (loaded merge table ==
+      // fitted, rank for rank) is pinned TRUE, so any save/load
+      // reorder or loss hash-mismatches
+      val art = tmpDir("graft-bpe-model")
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val fit = TextAnalysis.bpeFit(docs, "text", numMerges = 200,
+        minWordCount = 2L)
+      TextAnalysis.bpeModelSave(s, fit, art)
+      val loaded = TextAnalysis.bpeModelLoad(s, art)
+      val tableEqual = loaded.lefts.sameElements(fit.lefts) &&
+        loaded.rights.sameElements(fit.rights) &&
+        loaded.maxWordLen == fit.maxWordLen && loaded.pretok == fit.pretok
+      TextAnalysis.bpeEncodeKernel(docs, "doc_id", "text", loaded)
+        .select(col("doc_id"),
+          concat_ws("", col("subwords")).as("joined"))
+        .join(docs.select(col("doc_id"),
+          size(call_function("graft_tokens", lower(col("text"))))
+            .cast("long").as("n_words")), "doc_id")
+        .select(col("doc_id"), col("n_words"),
+          lit(tableEqual).as("table_equal"), col("joined"))
+        .orderBy("doc_id")
+    }),
+
+    "q127_bpe_cjk" -> ((s, dir) => {
+      // the CJK-pretokenizer contract on genuinely spaceless Han text.
+      // The corpus's zh stratum is synthetic ASCII tokens, so the query
+      // first DERIVES real CJK deterministically: translate() maps the
+      // 26 letters onto 26 Han characters and DELETES spaces (27-char
+      // from, 26-char to — identical Postgres-style semantics in Spark
+      // and DuckDB), yielding one unbroken CJK run per document — the
+      // exact shape whitespace pretokenization chokes on (one giant
+      // "word" the fit skips and the encoder passes through unmerged).
+      // Under pretok='cjk' the run is real merge material. The oracle
+      // replays n_cp and pins three engine-computed contract booleans
+      // to TRUE: losslessness (subword concat rebuilds the text),
+      // has_merges (n_subwords < n_cp — the fit LEARNED something,
+      // impossible in ws mode), is_multi (n_subwords > 1 — no giant
+      // single token).
+      val from = "abcdefghijklmnopqrstuvwxyz "
+      val to = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+      val zh = t(s, dir, "documents")
+        .filter(col("lang") === "zh" && col("text").isNotNull)
+        .select(col("doc_id"),
+          translate(lower(col("text")), from, to).as("zh_text"))
+      val model = TextAnalysis.bpeFit(zh, "zh_text", numMerges = 100,
+        pretok = graft.functions.BpeModel.PretokCjk)
+      TextAnalysis.bpeEncodeKernel(zh, "doc_id", "zh_text", model)
+        .join(zh, "doc_id")
+        .select(col("doc_id"),
+          length(col("zh_text")).cast("long").as("n_cp"),
+          (concat_ws("", col("subwords")) === col("zh_text"))
+            .as("is_lossless"),
+          (size(col("subwords")) < length(col("zh_text")))
+            .as("has_merges"),
+          (size(col("subwords")) > 1).as("is_multi"))
+        .orderBy("doc_id")
+    }),
+
+    // sentence-packed ~48-token chunks (sentences never split) via
+    // prefix-sum bucketing — q41's token-window chunker's sibling for
+    // retrieval units that must respect sentence boundaries; the same
+    // zero-shuffle projection+explode shape
+    "q131_chunk_sentences" -> ((s, dir) =>
+      TextAnalysis.chunkBySentence(t(s, dir, "documents"), "doc_id", "text",
+          targetTokens = 48)
+        .orderBy("doc_id", "chunk_id")),
+
+    "q129_bm25_compact" -> ((s, dir) => {
+      // the full index lifecycle: build → delete (tombstones) →
+      // COMPACT (fold tombstones into a fresh range-laid postings
+      // generation, corpus-free) → probe. The oracle is q119's exact
+      // survivor replay — compaction must be probe-invisible — and the
+      // lifecycle evidence gates the rows: if compaction failed to
+      // drop the tombstones or to advance the postings pointer, the
+      // filter empties the result and the row-count check goes red
+      val art = tmpDir("graft-bm25-compact")
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+      TextAnalysis.bm25ArtifactsDelete(s, art,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id"),
+        "doc_id")
+      val didCompact = TextAnalysis.bm25ArtifactsCompact(s, art,
+        keepGenerations = 1)
+      // tombstones retire by GENERATION (r13): with keepGenerations = 1
+      // the legacy dir drops immediately and the current generation is
+      // an EMPTY table; a second compact must see nothing to fold
+      val evidence = didCompact &&
+        !graft.Fs.exists(s"$art/tombstones") &&
+        TextAnalysis.bm25PostingsDir(art).endsWith("postings_g0000") &&
+        !graft.Fs.exists(s"$art/postings") &&
+        TextAnalysis.bm25TombstonesDir(art).endsWith("tombstones_g0000") &&
+        s.read.parquet(TextAnalysis.bm25TombstonesDir(art)).isEmpty &&
+        !TextAnalysis.bm25ArtifactsCompact(s, art, keepGenerations = 1)
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      TextAnalysis.bm25TopKPersisted(s, art, queries, "qid", "qtext",
+          k = 10)
+        .filter(lit(evidence))
+        .orderBy("query_id", "rank")
+    }),
+
+    // build → delete a third of the corpus → probe: score-identical to
+    // an index built from the survivors alone (the delete lifecycle)
+    "q119_bm25_delete" -> ((s, dir) => {
+      val art = tmpDir("graft-bm25-del")
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+      TextAnalysis.bm25ArtifactsDelete(s, art,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id"),
+        "doc_id")
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      TextAnalysis.bm25TopKPersisted(s, art, queries, "qid", "qtext",
+          k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // q113/q114: tokenized-dataset materialization, join form vs kernel
+    // twin. Array outputs are spec-verified; the harness emits the
+    // scalar profile (count/OOV/positional fold) the oracle can replay.
+    "q113_token_ids" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.tokenVocabFit(docs, "text", vocabSize = 50)
+      val ids = TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab)
+      ids.select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), x => x === -1L)).cast("long")
+            .as("n_oov"),
+          aggregate(
+            transform(col("token_ids"),
+              (x, i) => (x + 2L) * (i.cast("long") + 1L)),
+            lit(0L), (acc, x) => acc + x).as("ids_fold"))
+        .orderBy("doc_id")
+    }),
+
+    "q114_token_ids_kernel" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.tokenIdModel(
+        TextAnalysis.tokenVocabFit(docs, "text", vocabSize = 50))
+      val ids = TextAnalysis.tokenizeToIdsKernel(docs, "doc_id", "text",
+        model)
+      ids.select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), x => x === -1L)).cast("long")
+            .as("n_oov"),
+          aggregate(
+            transform(col("token_ids"),
+              (x, i) => (x + 2L) * (i.cast("long") + 1L)),
+            lit(0L), (acc, x) => acc + x).as("ids_fold"))
+        .orderBy("doc_id")
+    }),
+
+    "q111_encoding_artifacts" -> ((s, dir) => {
+      // inject deterministic artifacts into the (clean, ASCII) corpus so
+      // every detector fires on known rows
+      val built = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(5)) === 0, lit(" cafÃ© dÃ©jÃ "))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" bad�byte"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit(" ctlx"))
+            .otherwise(lit(""))).as("text"))
+      built.select(col("doc_id"),
+          TextAnalysis.encodingArtifacts(col("text")).as("ea"))
+        .select(col("doc_id"), col("ea.n_replacement").as("n_replacement"),
+          col("ea.n_control").as("n_control"),
+          col("ea.n_mojibake").as("n_mojibake"),
+          col("ea.is_clean").as("is_clean"))
+        .orderBy("doc_id")
+    }),
+
+  )
+
+  private[graft] def textOracle: Map[String, String] = Map(
+
+      "q58_corpus_report" ->
+        """SELECT source, lang,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+          |  CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> len(x) > 0))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          |    AS tokens_per_doc
+          |FROM documents GROUP BY source, lang
+          |ORDER BY source, lang""".stripMargin,
+
+      "q38_pii_scrub" ->
+        """SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          |    AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text,
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+          |    AS BIGINT) AS n_ips,
+          |  regexp_replace(
+          |    regexp_replace(text,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |      '<EMAIL>', 'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+          |    '<IP>', 'g') AS redacted
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // Start grid stops once a chunk reaches the last token
+      // (stop = len-overlap for overflowing docs, else one start) —
+      // mirrors TextAnalysis.chunk's trailing-subset-chunk rule.
+      "q41_chunking" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |ch AS (
+          |  SELECT doc_id,
+          |    unnest([{'ci': s // 12, 'ct': array_to_string(t[s+1:s+16], ' '),
+          |             'cn': least(16, len(t) - s)}
+          |            for s in range(0,
+          |              CASE WHEN len(t) <= 16 THEN 1 ELSE len(t) - 4 END,
+          |              12)]) AS u
+          |  FROM toks WHERE len(t) > 0)
+          |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx,
+          |  CAST(u.cn AS BIGINT) AS chunk_tokens, u.ct AS chunk_text
+          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "q39_familiarity" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+          |vocab AS (
+          |  SELECT tok, cnt FROM (
+          |    SELECT tok, cnt,
+          |      row_number() OVER (ORDER BY cnt DESC, tok ASC) AS r
+          |    FROM counts)
+          |  WHERE r <= 200)
+          |SELECT t.doc_id,
+          |  count(*) AS n_tokens,
+          |  count(v.cnt) AS known_tokens,
+          |  CAST(coalesce(sum(v.cnt), 0) AS DOUBLE) / count(*)
+          |    AS familiarity
+          |FROM toks t LEFT JOIN vocab v USING (tok)
+          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+      "q12_text_quality" ->
+        s"""WITH toks AS ($toksSql)
+           |SELECT doc_id,
+           |  CAST(len(text) AS BIGINT) AS n_chars,
+           |  CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+           |    CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+           |      / len(t) END AS mean_token_len,
+           |  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+           |    CAST(len(list_filter(list_transform(t, x -> lower(x)),
+           |      x -> x IN ('the','a','an','of','to','in','and','is','it',
+           |                 'that','for','on','was','with','as','at','by',
+           |                 'be','this','are','or'))) AS DOUBLE)
+           |      / len(t) END AS stopword_ratio
+           |FROM toks ORDER BY doc_id""".stripMargin,
+
+      "q13_lang_id" -> {
+        def hits(markers: Seq[String]): String =
+          s"len(list_filter(lt, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
+        val en = hits(Seq("the", "and", "of", "to", "is", "that", "it", "was"))
+        val es = hits(Seq("el", "la", "de", "que", "y", "los", "es", "una"))
+        val de = hits(Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"))
+        val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans", "que"))
+        val zh = hits(Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           |      x -> len(x) > 0) AS lt
+           |  FROM documents),
+           |scored AS (
+           |  SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de,
+           |    $fr AS s_fr, $zh AS s_zh FROM toks)
+           |SELECT doc_id,
+           |  CASE
+           |    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de
+           |      AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |    WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr
+           |      AND s_es >= s_zh THEN 'es'
+           |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |    WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+           |    WHEN s_zh > 0 THEN 'zh'
+           |    ELSE 'und' END AS lang_pred
+           |FROM scored ORDER BY doc_id""".stripMargin
+      },
+
+      "q15_fingerprint" ->
+        """SELECT doc_id, md5(text) AS fp FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      "q23_quality_filter" ->
+        s"""WITH toks AS ($toksSql),
+           |feats AS (
+           |  SELECT doc_id,
+           |    CAST(len(t) AS BIGINT) AS n_tokens,
+           |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+           |      CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+           |        / len(t) END AS mean_token_len
+           |  FROM toks)
+           |SELECT doc_id, n_tokens, n_distinct_tokens FROM feats
+           |WHERE n_tokens >= 40
+           |  AND mean_token_len >= 3.0 AND mean_token_len <= 10.0
+           |  AND CAST(n_distinct_tokens AS DOUBLE) >= n_tokens * 0.2
+           |ORDER BY doc_id""".stripMargin,
+
+      "q24_top_terms" ->
+        """WITH toks AS (
+          |  SELECT lang,
+          |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |counts AS (
+          |  SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT lang, tok, cnt,
+          |    CAST(row_number() OVER (PARTITION BY lang
+          |      ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank
+          |  FROM counts)
+          |SELECT lang, rank, tok, cnt FROM ranked
+          |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+      "q26_repetition" ->
+        s"""WITH toks AS ($toksSql),
+           |tc AS (
+           |  SELECT doc_id, unnest(t) AS tok FROM toks),
+           |counts AS (
+           |  SELECT doc_id, tok, count(*) AS c FROM tc GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  max(c) AS max_token_count,
+           |  CAST(sum(c) AS BIGINT) AS n_tokens,
+           |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           |    AS repetition_ratio
+           |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // The 3-gram multiset rebuilt with the jaccard CTEs' slice
+      // arithmetic (WITHOUT the DISTINCT — repetition needs the
+      // multiset), then the same two-aggregate reduction as q26.
+      "q96_ngram_repetition" ->
+        s"""WITH toks AS ($toksSql),
+           |g AS (
+           |  SELECT doc_id,
+           |    unnest([array_to_string(t[i:i+2], ' ')
+           |            for i in range(1, len(t) - 1)]) AS g
+           |  FROM toks WHERE len(t) >= 3),
+           |counts AS (
+           |  SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+           |SELECT doc_id,
+           |  CAST(sum(c) AS BIGINT) AS n_ngrams,
+           |  CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
+           |  max(c) AS top_ngram_count,
+           |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           |    AS dup_ngram_ratio,
+           |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+           |    AS top_ngram_share
+           |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "q25_bpe_tokens" ->
+        """SELECT doc_id,
+          |  CAST(coalesce(list_sum(list_transform(
+          |    list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+          |      x -> len(x) > 0),
+          |    w -> greatest(1, CAST(ceil(len(w) / 4.0) AS BIGINT)))), 0)
+          |    AS BIGINT) AS n_bpe
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // The histogram walk replayed: same IEEE bin arithmetic (scores
+      // are integer-valued so every edge is engine-exact), reverse
+      // cumulative sum, max bin reaching ceil(0.3·total), same
+      // threshold formula.
+      "q91_budget_threshold" ->
+        s"""WITH d AS (
+           |  SELECT CAST(n_chars AS DOUBLE) AS s,
+           |    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+           |      x -> len(x) > 0)) AS BIGINT) AS wt
+           |  FROM documents),
+           |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM d),
+           |st AS (SELECT min(s) AS lo, max(s) AS hi FROM d
+           |  WHERE s IS NOT NULL AND isfinite(s)),
+           |b AS (SELECT CAST(least(9999,
+           |      floor((s - lo) / (hi - lo) * 10000)) AS INT) AS bin,
+           |    CAST(sum(wt) AS BIGINT) AS w
+           |  FROM d, st WHERE s IS NOT NULL AND isfinite(s) GROUP BY 1),
+           |cum AS (SELECT bin,
+           |    CAST(sum(w) OVER (ORDER BY bin DESC) AS BIGINT) AS c
+           |  FROM b),
+           |ch AS (SELECT COALESCE(
+           |    (SELECT max(bin) FROM cum, tot
+           |     WHERE c >= CAST(ceil(0.3 * total) AS BIGINT)), 0) AS chosen)
+           |SELECT lo + (hi - lo) * chosen / 10000 AS threshold,
+           |  (SELECT c FROM cum WHERE bin = chosen) AS kept_weight,
+           |  total AS total_weight
+           |FROM st, ch, tot""".stripMargin,
+
+      // The canonicalization rules replayed literally: same regexes
+      // (RE2 ≡ Java for this feature subset), same list sort/filter,
+      // same default-port and empty-query cases.
+      "q90_url_canonical" ->
+        (urlCanonSql + "\n" +
+          """SELECT doc_id, canon,
+            |  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+            |    AS host,
+            |  regexp_extract(regexp_extract(canon,
+            |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+            |    '([^.]+\.[^.]+)$', 1) AS apex
+            |FROM canon ORDER BY doc_id""".stripMargin),
+
+      // The tracking strip replayed token by token: same messy input
+      // (tracked variant), same anchored name pattern, same
+      // empty-after-strip '?' drop.
+      "q93_url_strip_tracking" ->
+        """WITH messy AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+          |      ELSE 'http://sub.' END
+          |    || source || '.Example.ORG'
+          |    || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+          |    || '/' || lang || '/doc/' || doc_id
+          |    || CASE WHEN doc_id % 3 = 0
+          |         THEN '?b=2&utm_source=feed&a=1&UTM_X=9&gclid=G1'
+          |       WHEN doc_id % 3 = 1 THEN '?fbclid=abc123'
+          |       ELSE '?utm_campaign=x&utm_medium=y&' END
+          |    || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+          |  FROM documents),
+          |nofrag AS (SELECT doc_id, url,
+          |    regexp_replace(url, '#.*', '') AS u
+          |  FROM messy),
+          |parts AS (SELECT doc_id, url,
+          |    lower(regexp_extract(u, '^[^/?#]*//[^/?#]*')) AS prefix,
+          |    regexp_extract(u, '^[^/?#]*//[^/?#]*([^?#]*)', 1) AS path,
+          |    regexp_extract(u, '\?([^#]*)', 1) AS q
+          |  FROM nofrag),
+          |kept AS (SELECT doc_id, url, prefix, path,
+          |    list_sort(list_filter(list_filter(
+          |      string_split(q, '&'), x -> len(x) > 0),
+          |      x -> NOT regexp_matches(x,
+          |        '^(utm_[^=]*|fbclid|gclid|dclid|gbraid|wbraid|msclkid|mc_eid|mc_cid|igshid|yclid|_ga|_gl)(=.*)?$')))
+          |      AS ks
+          |  FROM parts),
+          |canon AS (SELECT doc_id,
+          |    CASE WHEN prefix = '' THEN url ELSE
+          |      regexp_replace(regexp_replace(prefix,
+          |        '^(https://[^/:]+):443$', '\1'),
+          |        '^(http://[^/:]+):80$', '\1')
+          |      || path ||
+          |      CASE WHEN len(ks) = 0 THEN ''
+          |        ELSE '?' || list_aggr(ks, 'string_agg', '&') END
+          |    END AS canon
+          |  FROM kept)
+          |SELECT doc_id, canon,
+          |  regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+          |    AS host
+          |FROM canon ORDER BY doc_id""".stripMargin,
+
+      // The duplicate-line rules replayed over the same line-structured
+      // construction: non-empty chr(10) lines, per-line counts, dup
+      // mass via strlen bytes (the kernel counts bytes too).
+      "q98_line_repetition" ->
+        """WITH lined AS (
+          |  SELECT doc_id,
+          |    'promo line' || chr(10) || text || chr(10) || 'promo line'
+          |      || chr(10)
+          |      || CASE WHEN doc_id % 2 = 0 THEN text ELSE 'tail' END
+          |      AS text
+          |  FROM documents),
+          |ln AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split(text, chr(10)),
+          |      x -> strlen(x) > 0)) AS l
+          |  FROM lined),
+          |counts AS (
+          |  SELECT doc_id, l, count(*) AS c, strlen(l) AS b
+          |  FROM ln GROUP BY doc_id, l),
+          |r AS (SELECT doc_id,
+          |    CAST(sum(c) AS BIGINT) AS n_lines,
+          |    CAST(count(*) AS BIGINT) AS n_distinct_lines,
+          |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+          |      AS BIGINT) AS dup_line_count,
+          |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c * b END), 0)
+          |      AS BIGINT) AS dup_line_bytes,
+          |    CAST(sum(c * b) AS BIGINT) AS total_line_bytes
+          |  FROM counts GROUP BY doc_id)
+          |SELECT doc_id, n_lines, n_distinct_lines, dup_line_count,
+          |  dup_line_bytes, total_line_bytes,
+          |  CAST(dup_line_count AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          |    AS dup_line_fraction,
+          |  CAST(dup_line_bytes AS DOUBLE)
+          |    / CAST(total_line_bytes AS DOUBLE)
+          |    AS dup_line_byte_fraction
+          |FROM r ORDER BY doc_id""".stripMargin,
+
+      // The hashed linear classifier replayed token by token: bucket =
+      // md5 lower-64 (UNSIGNED — identical to the kernel's signed long
+      // under the power-of-two mask) & (2^20-1); weight = the derived
+      // integer table w[b] = ((b·2654435761) mod 2^32) − 2^31. Weights
+      // are integer-valued, docs are ≪ 2^21 tokens, so the double sum
+      // is exact on both engines.
+      "q85_quality_classifier" ->
+        s"""WITH toks AS ($toksSql)
+           |SELECT doc_id,
+           |  CASE WHEN t IS NULL THEN NULL ELSE
+           |    CAST(COALESCE(list_sum(list_transform(t, x ->
+           |      CAST((((md5_number_lower(x) & 1048575) * 2654435761)
+           |            & 4294967295) AS BIGINT) - 2147483648)), 0)
+           |      AS DOUBLE)
+           |  END AS score,
+           |  CAST(len(t) AS BIGINT) AS n_tokens
+           |FROM toks ORDER BY doc_id""".stripMargin,
+
+      // The decontamination overlap replayed on shingle strings (the
+      // Spark side joins on shingle hashes — same distinct sets).
+      "q51_decontaminate" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM toks WHERE len(t) >= 3),
+          |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+          |hits AS (
+          |  SELECT sh.doc_id, count(*) AS c
+          |  FROM sh JOIN bsh USING (s) GROUP BY sh.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+          |  coalesce(h.c, 0) = 0 AS is_clean
+          |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      "q81_decontaminate_fraction" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM toks WHERE len(t) >= 3),
+          |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+          |totals AS (SELECT doc_id, count(*) AS tot FROM sh GROUP BY doc_id),
+          |hits AS (
+          |  SELECT sh.doc_id, count(*) AS c
+          |  FROM sh JOIN bsh USING (s) GROUP BY sh.doc_id)
+          |SELECT d.doc_id,
+          |  CAST(coalesce(h.c, 0) AS BIGINT) AS contaminated_ngrams,
+          |  CAST(coalesce(tt.tot, 0) AS BIGINT) AS total_ngrams,
+          |  CASE WHEN coalesce(tt.tot, 0) > 0 THEN
+          |    CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(tt.tot AS DOUBLE)
+          |  ELSE 0.0 END AS contamination_fraction,
+          |  CASE WHEN coalesce(tt.tot, 0) > 0 THEN
+          |    CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(tt.tot AS DOUBLE)
+          |  ELSE 0.0 END <= 0.5 AS is_clean
+          |FROM documents d
+          |LEFT JOIN totals tt ON tt.doc_id = d.doc_id
+          |LEFT JOIN hits h ON h.doc_id = d.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // BM25 replayed term-exactly: same tokenization, the same formula
+      // tree shape (so IEEE doubles agree), contributions floored to
+      // micro-units and summed as integers (order-independent), one
+      // final division. ln() may differ from Math.log by an ulp; the
+      // 1e-6 quantum absorbs it.
+      "q71_bm25_topk" -> bm25Sql,
+
+      // scoring replayed from the persisted artifact is fixed-point
+      // identical to the live path — the SAME oracle proves both
+      "q78_bm25_persisted" -> bm25Sql,
+
+      // append-then-probe is score-identical to the from-scratch build
+      // by construction (the split-df layout's whole point), so the
+      // same full-corpus SQL proves the append path too
+      "q107_bm25_append" -> bm25Sql,
+
+      "q123_blocklist_gate" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE NOT (contains(lower(text), 'slyly final')
+          |  OR contains(lower(text), 'ironic')
+          |  OR contains(lower(text), lower('QUICK brown')))
+          |ORDER BY doc_id""".stripMargin,
+
+      // the kernel's hit set is definitionally contains() — the oracle
+      // replays the join form over the wider bank
+      "q122_contains_probe_kernel" ->
+        """WITH q(qid, qstr) AS (VALUES
+          |  (1, 'carefully'), (2, 'care'), (3, 'fully'),
+          |  (4, 'slyly final'), (5, 'final'), (6, 'quick'),
+          |  (7, 'requests'), (8, 'quests'))
+          |SELECT CAST(q.qid AS BIGINT) AS query_id, d.doc_id
+          |FROM documents d JOIN q
+          |  ON contains(lower(d.text), lower(q.qstr))
+          |ORDER BY query_id, doc_id""".stripMargin,
+
+      "q121_contains_probe" ->
+        """WITH q(qid, qstr) AS (VALUES
+          |  (1, 'carefully'), (2, 'slyly final'), (3, 'QUICK brown'))
+          |SELECT CAST(q.qid AS BIGINT) AS query_id, d.doc_id
+          |FROM documents d JOIN q
+          |  ON contains(lower(d.text), lower(q.qstr))
+          |ORDER BY query_id, doc_id""".stripMargin,
+
+      // candidate generation is invisible to semantics: the oracle is
+      // the all-pairs exact levenshtein (DuckDB builtin == Spark's)
+      // the exact get_stats table BPE's first merge maximizes: every
+      // adjacent character position of every word occurrence counts
+      // (incl. overlapping runs); ordering = the fit's tie-break
+      "q125_bpe_pair_stats" ->
+        """WITH w AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+          |    '\s+'), x -> len(x) > 0)) AS w
+          |  FROM documents),
+          |pairs AS (
+          |  SELECT substr(w, i, 1) AS "left", substr(w, i + 1, 1) AS "right"
+          |  FROM w, unnest(range(1, len(w))) AS t(i)
+          |  WHERE len(w) >= 2 AND len(w) <= 1024),
+          |c AS (
+          |  SELECT "left", "right", CAST(count(*) AS BIGINT) AS cnt
+          |  FROM pairs GROUP BY 1, 2),
+          |r AS (
+          |  SELECT *, row_number()
+          |    OVER (ORDER BY cnt DESC, "left", "right") AS rank
+          |  FROM c)
+          |SELECT CAST(rank AS BIGINT) AS rank, "left", "right", cnt
+          |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+      // content preservation is the replayable contract: subword concat
+      // rebuilds the whitespace-stripped lowercased text exactly,
+      // whatever merges the fit learned
+      "q126_bpe_roundtrip" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(regexp_split_to_array(lower(text),
+          |    '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+          |  regexp_replace(lower(text), '[ \t\n\r]+', '', 'g') AS joined
+          |FROM documents WHERE text IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
+
+      // q126's replayable invariant over the LOADED model, plus the
+      // engine-computed merge-table-fidelity boolean pinned TRUE
+      "q128_bpe_artifact_roundtrip" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(regexp_split_to_array(lower(text),
+          |    '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
+          |  TRUE AS table_equal,
+          |  regexp_replace(lower(text), '[ \t\n\r]+', '', 'g') AS joined
+          |FROM documents WHERE text IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
+
+      // n_cp replays through the same translate(); the three contract
+      // booleans are pinned TRUE — engine-computed, so a regression to
+      // giant-unmerged-token behavior (ws-mode symptom) hash-mismatches
+      "q127_bpe_cjk" ->
+        """SELECT doc_id,
+          |  CAST(length(translate(lower(text),
+          |    'abcdefghijklmnopqrstuvwxyz ',
+          |    '的一是不了人我在有他这中大来上国个到说们为子和你地出'))
+          |    AS BIGINT) AS n_cp,
+          |  TRUE AS is_lossless,
+          |  TRUE AS has_merges,
+          |  TRUE AS is_multi
+          |FROM documents WHERE lang = 'zh' AND text IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
+
+      // delete-then-probe must equal the SAME replay restricted to the
+      // surviving corpus — df/stats corrections and tombstones all
+      // collapse into the WHERE clause
+      "q119_bm25_delete" -> bm25Sql.replace(
+        "AS lt FROM documents)",
+        "AS lt FROM documents WHERE doc_id % 3 <> 0)"),
+
+      // compaction is probe-invisible: the oracle is q119's survivor
+      // replay verbatim (engine-side lifecycle evidence gates the rows)
+      "q129_bm25_compact" -> bm25Sql.replace(
+        "AS lt FROM documents)",
+        "AS lt FROM documents WHERE doc_id % 3 <> 0)"),
+
+      // sentence-packed ~48-token chunks: a sentence ends after any
+      // token whose last char is . ! or ?; sentence with c preceding
+      // tokens lands in chunk c // 48 (prefix-sum bucketing). The
+      // engine computes this per-row with an aggregate() fold; the
+      // oracle replays it as the explicit window/groupBy shape — full
+      // chunk TEXT is hash-compared, not just boundaries.
+      "q131_chunk_sentences" ->
+        s"""WITH toks AS ($toksSql),
+           |tok AS (SELECT doc_id, t[u.i] AS tk, u.i AS i
+           |  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+           |  WHERE len(t) > 0),
+           |flg AS (SELECT doc_id, tk, i,
+           |  CASE WHEN tk LIKE '%.' OR tk LIKE '%!' OR tk LIKE '%?'
+           |    THEN 1 ELSE 0 END AS e FROM tok),
+           |sid AS (SELECT doc_id, tk, i,
+           |  coalesce(sum(e) OVER (PARTITION BY doc_id ORDER BY i
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS s FROM flg),
+           |st AS (SELECT doc_id, tk, i,
+           |  min(i) OVER (PARTITION BY doc_id, s) AS sent_start FROM sid)
+           |SELECT doc_id,
+           |  CAST((sent_start - 1) // 48 AS BIGINT) AS chunk_id,
+           |  string_agg(tk, ' ' ORDER BY i) AS chunk_text,
+           |  count(*) AS n_tokens
+           |FROM st GROUP BY doc_id, chunk_id
+           |ORDER BY doc_id, chunk_id""".stripMargin,
+
+      // The integer bigram LM refit and rescored from scratch: same
+      // tokenizer, same add-one arithmetic in BIGINT micro-units, same
+      // pruning thresholds — floor division replays exactly because
+      // both engines divide nonnegative integers. Shared verbatim with
+      // q105 (the single-pass kernel path): both engine formulations
+      // are value-identical by construction, so one SQL proves both.
+      "q100_bigram_lm" ->
+        """WITH toks AS (
+          |  SELECT doc_id, lang,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |uni AS (
+          |  SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c1
+          |  FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+          |  GROUP BY 1 HAVING count(*) >= 1),
+          |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+          |rbi0 AS (
+          |  SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+          |                 for i in range(1, len(t))]) AS p
+          |  FROM toks WHERE lang = 'en' AND len(t) >= 2),
+          |bi AS (
+          |  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+          |  FROM rbi0 GROUP BY 1, 2 HAVING count(*) >= 2),
+          |dp0 AS (
+          |  SELECT doc_id, unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+          |                         for i in range(1, len(t))]) AS p
+          |  FROM toks WHERE len(t) >= 2),
+          |dp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM dp0),
+          |j AS (
+          |  SELECT d.doc_id,
+          |    (1000000::BIGINT * (coalesce(bi.c12, 0) + 1)) //
+          |      (coalesce(uni.c1, 0) + v.v + 1) AS micro
+          |  FROM dp d CROSS JOIN v
+          |  LEFT JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+          |  LEFT JOIN uni ON d.w1 = uni.w1)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST(sum(micro) AS BIGINT) AS score_micro,
+          |  CAST(sum(micro) AS BIGINT) // CAST(count(*) AS BIGINT)
+          |    AS mean_micro
+          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // q90's canonicalization chain, rolled up per host with the same
+      // integer mean arithmetic as domainStats.
+      "q103_domain_stats" ->
+        (urlCanonSql + ",\n" +
+          """h AS (SELECT doc_id, n_chars,
+            |    regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+            |      AS host
+            |  FROM canon)
+            |SELECT host, count(*) AS n_docs,
+            |  CAST(sum(n_chars) AS BIGINT) AS score_sum,
+            |  (1000000::BIGINT * CAST(sum(n_chars) AS BIGINT)) //
+            |    CAST(count(*) AS BIGINT) AS mean_score_micro
+            |FROM h GROUP BY host ORDER BY host""".stripMargin),
+
+      // The domain gate replayed: hosts whose integer mean clears the
+      // bar keep every row they contributed; the rest vanish entirely.
+      "q104_domain_gate" ->
+        (urlCanonSql + ",\n" +
+          """h AS (SELECT doc_id, n_chars,
+            |    regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+            |      AS host
+            |  FROM canon),
+            |stats AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+            |    CAST(sum(n_chars) AS BIGINT) AS ss
+            |  FROM h GROUP BY host),
+            |pass AS (SELECT host FROM stats
+            |  WHERE (1000000::BIGINT * ss) // n_docs >= 290000000)
+            |SELECT doc_id, host, n_chars FROM h
+            |WHERE host IN (SELECT host FROM pass)
+            |ORDER BY doc_id""".stripMargin),
+
+      // The C4 rule set replayed literally: same line split, same
+      // trimmed terminal-punct regex (RE2 ≡ Java here), same word-count
+      // and token-containment tests, same doc-level flags.
+      "q106_c4_line_filter" ->
+        """WITH toks AS (
+          |  SELECT doc_id, source,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |built AS (
+          |  SELECT doc_id,
+          |    'Quality sentence about ' || source || '.' || chr(10) ||
+          |    'too short.' || chr(10) ||
+          |    array_to_string(t[1:12], ' ') || chr(10) ||
+          |    'Please enable JavaScript to view comments.' AS text
+          |  FROM toks),
+          |k AS (
+          |  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+          |    list_filter(string_split(text, chr(10)), l ->
+          |      regexp_matches(trim(l), '[.!?"]$')
+          |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+          |        w -> len(w) > 0)) >= 3
+          |      AND NOT contains(lower(trim(l)), 'javascript')) AS kl
+          |  FROM built)
+          |SELECT doc_id,
+          |  CASE WHEN text IS NULL THEN NULL
+          |    ELSE array_to_string(kl, chr(10)) END AS text,
+          |  COALESCE(CAST(len(kl) AS BIGINT), 0) AS kept_lines,
+          |  COALESCE(CAST(len(ls) - len(kl) AS BIGINT), 0) AS dropped_lines,
+          |  COALESCE(len(kl) >= 2
+          |    AND NOT contains(lower(text), 'lorem ipsum')
+          |    AND NOT contains(text, '{'), false) AS is_kept
+          |FROM k ORDER BY doc_id""".stripMargin,
+
+      "q110_token_vocab" ->
+        """WITH toks AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+          |    '\s+'), x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |c AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS count
+          |  FROM toks GROUP BY tok),
+          |r AS (SELECT *, row_number()
+          |    OVER (ORDER BY count DESC, token ASC) AS rank
+          |  FROM c),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks)
+          |SELECT CAST(rank AS BIGINT) AS rank, token, count,
+          |  CAST(sum(count) OVER (ORDER BY rank
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS BIGINT) AS cum_count,
+          |  (SELECT total FROM t) AS total_tokens
+          |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+      // token-id materialization: the q110 vocab CTE + zipped unnest
+      // ordinality + the positional fold; OOV = -1 by the A2 convention
+      "q113_token_ids" ->
+        """WITH toks0 AS (
+          |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+          |    '\s+'), x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |c AS (SELECT tok AS token, count(*) AS cnt
+          |  FROM toks0 GROUP BY tok),
+          |vocab AS (
+          |  SELECT token, CAST(row_number()
+          |    OVER (ORDER BY cnt DESC, token ASC) AS BIGINT) AS rank
+          |  FROM c QUALIFY rank <= 50),
+          |dtok AS (
+          |  SELECT doc_id, unnest(ts) AS tok,
+          |    unnest(range(1, len(ts) + 1)) AS ord
+          |  FROM (SELECT doc_id,
+          |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |        x -> len(x) > 0) AS ts
+          |    FROM documents WHERE text IS NOT NULL)),
+          |j AS (
+          |  SELECT d.doc_id, d.ord, COALESCE(v.rank, -1) AS tid
+          |  FROM dtok d LEFT JOIN vocab v ON d.tok = v.token),
+          |a AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |    CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_oov,
+          |    CAST(sum((tid + 2) * ord) AS BIGINT) AS ids_fold
+          |  FROM j GROUP BY doc_id)
+          |SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+          |  COALESCE(a.n_oov, 0) AS n_oov,
+          |  COALESCE(a.ids_fold, 0) AS ids_fold
+          |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+          |LEFT JOIN a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // every count is literal substring/regex arithmetic; the mojibake
+      // terms (marker, overlap-adjusting coefficient) are generated from
+      // the same Seq + adjustment the engine uses (mojibakeTerms), so a
+      // curly-quote artifact counts once on both sides
+      "q111_encoding_artifacts" -> {
+        val moji = TextAnalysis.mojibakeTerms(
+            TextAnalysis.defaultMojibakeMarkers)
+          .filter(_._2 != 0L)
+          .map { case (m, c) =>
+            s"((len(t) - len(replace(t, '$m', ''))) // ${m.length}) * $c" }
+          .mkString(" + ")
+        s"""WITH built AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' cafÃ© dÃ©jÃ ' ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0
+           |      THEN ' bad' || chr(65533) || 'byte' ELSE '' END ||
+           |    CASE WHEN doc_id % 11 = 0
+           |      THEN ' ctl' || chr(7) || 'x' ELSE '' END AS t
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |    CAST(len(t) - len(replace(t, chr(65533), ''))
+           |      AS BIGINT) AS n_replacement,
+           |    CAST(len(regexp_extract_all(t,
+           |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]'))
+           |      AS BIGINT) AS n_control,
+           |    CAST($moji AS BIGINT) AS n_mojibake
+           |  FROM built)
+           |SELECT doc_id, n_replacement, n_control, n_mojibake,
+           |  (n_replacement = 0 AND n_control = 0 AND n_mojibake = 0)
+           |    AS is_clean
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
+
+  )
+}
