@@ -560,6 +560,37 @@ private[graft] trait EntriesDedup { this: SparkEntry.type =>
         .orderBy("source_contained", "source_host")
     }),
 
+    // ---- the capped form of the matrix — the configuration a user
+    //      points at a whole raw crawl. q140's corpus with a shared
+    //      boilerplate header prepended to EVERY document (the nav-menu
+    //      pathology): every header shingle has df = |corpus|, so the
+    //      uncapped inverted-index self-join would emit O(|corpus|²)
+    //      candidate pairs AND drown real containment in shared
+    //      boilerplate. maxShingleDocFreq=4 drops the header shingles
+    //      (and the base corpus's hot tail) BEFORE the join — q47's
+    //      posting-list cutoff applied to the provenance matrix — and
+    //      the oracle replays the cutoff as HAVING df <= 4 over the
+    //      same shingle space, proving the capped semantics (sizes AND
+    //      intersections over the filtered space) value-exact ----
+    "q141_source_overlap_capped" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val toks = TextAnalysis.tokens(col("text"))
+      val derived = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(toks, lit(1),
+            greatest(lit(3L), floor(size(toks) / 2)).cast("int")), " ")
+            .as("text"),
+          lit("quotes").as("source"))
+      val corpus = docs.unionByName(derived)
+        .select(col("doc_id"),
+          concat(lit("home about contact login search terms privacy "),
+            col("text")).as("text"),
+          col("source"))
+      Dedup.sourceOverlapMatrix(corpus, "doc_id", "text", "source",
+          n = 3, threshold = 0.9, maxShingleDocFreq = 4)
+        .orderBy("source_contained", "source_host")
+    }),
+
     "q117_semantic_sweep" -> ((s, dir) => {
       // q70's construction, swept over three thresholds in one pass
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -1087,6 +1118,68 @@ private[graft] trait EntriesDedup { this: SparkEntry.type =>
           |inter AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
           |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2),
+          |j AS (
+          |  SELECT id_a, id_b, i, na.n_sh AS na, nb.n_sh AS nb
+          |  FROM inter
+          |  JOIN sizes na ON na.doc_id = id_a
+          |  JOIN sizes nb ON nb.doc_id = id_b),
+          |dirs AS (
+          |  SELECT id_a AS doc_id, id_b AS other_id,
+          |    CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+          |  FROM j
+          |  UNION ALL
+          |  SELECT id_b, id_a, CAST(i AS DOUBLE) / CAST(nb AS DOUBLE)
+          |  FROM j),
+          |hits AS (SELECT doc_id, other_id FROM dirs
+          |  WHERE containment >= 0.9)
+          |SELECT ca.source AS source_contained, cb.source AS source_host,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs
+          |FROM hits h
+          |JOIN corpus ca ON ca.doc_id = h.doc_id
+          |JOIN corpus cb ON cb.doc_id = h.other_id
+          |GROUP BY 1, 2
+          |ORDER BY source_contained, source_host""".stripMargin,
+
+      // q140's CTEs with (a) the shared boilerplate header prepended to
+      // every corpus row and (b) the hot-shingle cutoff replayed as
+      // HAVING df <= 4 — sizes and intersections both over the
+      // filtered shingle space, exactly the operator's contract.
+      "q141_source_overlap_capped" ->
+        """WITH corpus0 AS (
+          |  SELECT doc_id, text, source FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id,
+          |    array_to_string(
+          |      t[1:CAST(greatest(3, len(t) // 2) AS INT)], ' ') AS text,
+          |    'quotes' AS source
+          |  FROM (SELECT doc_id,
+          |      list_filter(regexp_split_to_array(text, '\s+'),
+          |        x -> len(x) > 0) AS t
+          |    FROM documents)
+          |  WHERE doc_id % 10 = 0),
+          |corpus AS (
+          |  SELECT doc_id,
+          |    'home about contact login search terms privacy ' || text
+          |      AS text, source
+          |  FROM corpus0),
+          |toks AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM corpus),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest([array_to_string(t[i:i+2], ' ')
+          |            for i in range(1, len(t) - 1)]) AS s
+          |  FROM toks WHERE len(t) >= 3),
+          |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 4),
+          |fsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM fsh GROUP BY doc_id),
+          |inter AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          |  FROM fsh a JOIN fsh b ON a.s = b.s AND a.doc_id < b.doc_id
           |  GROUP BY 1, 2),
           |j AS (
           |  SELECT id_a, id_b, i, na.n_sh AS na, nb.n_sh AS nb

@@ -1,0 +1,62 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 1M-doc hot-boilerplate stress for the source-overlap matrix: every
+  * document shares one header shingle, so the UNCAPPED inverted-index
+  * self-join would emit ~0.5×10¹² candidate pairs from that shingle
+  * alone (it is not run — the point is that it cannot be); the capped
+  * run (`maxShingleDocFreq`) drops the header postings before the join
+  * and completes. args(0): "capped" | "uncapped" | "uncapped-small".
+  * "uncapped-small" runs the uncapped form on 1/32 of the corpus to
+  * price the quadratic term empirically.
+  */
+object OverlapStress {
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "capped"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1M docs over 20 sources behind one shared 5-token boilerplate
+    // header (df-1M shingles). Bodies are id-salted mod 250k, so each
+    // body group has 4 identical members — all in the SAME source (ids
+    // differ by 250000 ≡ 0 mod 20), giving the TRUE matrix a clean
+    // same-source diagonal; every 10th doc adds a half-length derived
+    // quote ('quotes' → src* containment cells). Cap-surviving posting
+    // lists stay O(group) while the header's 1M-long lists are cut.
+    val n = if (mode == "uncapped-small") 8000L else 1000000L
+    def body(idc: String) = concat_ws(" ",
+      (0 until 12).map(j => concat(lit(s"w${j}x"), expr(idc))): _*)
+    val base = spark.range(n).toDF("doc_id")
+      .repartition(64)
+      .select(col("doc_id"),
+        concat(lit("home about contact login search "),
+          body("doc_id % 250000")).as("text"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"))
+    val derived = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("home about contact login search "),
+          concat_ws(" ", (0 until 6).map(j =>
+            concat(lit(s"w${j}x"), expr("doc_id % 250000"))): _*))
+          .as("text"),
+        lit("quotes").as("source"))
+    val corpus = base.unionByName(derived)
+
+    val cap = if (mode == "capped") 64L else 0L
+    val t0 = System.nanoTime()
+    val out = graft.ops.Dedup.sourceOverlapMatrix(corpus, "doc_id",
+        "text", "source", n = 3, threshold = 0.9,
+        maxShingleDocFreq = cap)
+      .agg(sum("n_pairs").cast("long"), sum("n_docs").cast("long"),
+        count(lit(1)))
+      .collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"MARKER_${mode}=$secs%.1f n=$n pairs=${out.getLong(0)} " +
+      s"docs=${out.getLong(1)} cells=${out.getLong(2)}")
+    spark.stop()
+  }
+}
