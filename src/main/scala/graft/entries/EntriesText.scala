@@ -496,6 +496,46 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    "q142_bpe_bytes" -> ((s, dir) => {
+      // byte-level BPE (the GPT-2/Llama production-tokenizer form) on a
+      // mixed CJK/mojibake/emoji slice, under PLAIN whitespace
+      // pretokenization — each Han char is already three byte symbols,
+      // so spaceless scripts are merge material with no CJK special
+      // case. q127's derivation (letters → Han, spaces deleted) sliced
+      // to 96 cps for bounded words, plus a fixed suffix word mixing
+      // 2-byte mojibake (Ã © Â »), a 4-byte non-BMP emoji, a 3-byte
+      // snowman, and ASCII. The oracle replays n_cp/n_bytes and pins
+      // three engine-computed contract booleans TRUE: is_lossless
+      // (graft_bpe_unbytes of the subword concat rebuilds the
+      // lowercased content exactly — the losslessness-on-ANY-input
+      // guarantee byte mode exists for), has_merges (subword count
+      // below the non-whitespace byte count — the fit LEARNED and the
+      // encoder APPLIED merges), is_multi (no giant single token).
+      val from = "abcdefghijklmnopqrstuvwxyz "
+      val to = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+      val mixed = t(s, dir, "documents")
+        .filter(col("lang") === "zh" && col("text").isNotNull &&
+          length(col("text")) >= 1)
+        .select(col("doc_id"),
+          concat(substring(translate(lower(col("text")), from, to),
+            1, 96), lit(" Ã©Â»😀☃x")).as("mx"))
+      val model = TextAnalysis.bpeFit(mixed, "mx", numMerges = 150,
+        symbols = graft.functions.BpeModel.SymBytes)
+      TextAnalysis.bpeEncodeKernel(mixed, "doc_id", "mx", model)
+        .join(mixed, "doc_id")
+        .select(col("doc_id"),
+          length(col("mx")).cast("long").as("n_cp"),
+          octet_length(col("mx")).cast("long").as("n_bytes"),
+          (call_function("graft_bpe_unbytes",
+            concat_ws("", col("subwords"))) ===
+            concat_ws("", call_function("graft_tokens",
+              lower(col("mx"))))).as("is_lossless"),
+          (size(col("subwords")).cast("long") <
+            octet_length(col("mx")) - 1).as("has_merges"),
+          (size(col("subwords")) > 1).as("is_multi"))
+        .orderBy("doc_id")
+    }),
+
     // sentence-packed ~48-token chunks (sentences never split) via
     // prefix-sum bucketing — q41's token-window chunker's sibling for
     // retrieval units that must respect sentence boundaries; the same
@@ -1115,6 +1155,27 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  TRUE AS has_merges,
           |  TRUE AS is_multi
           |FROM documents WHERE lang = 'zh' AND text IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
+
+      // byte-level BPE: the oracle replays the derived mixed slice's
+      // code-point and byte lengths and pins the engine-computed
+      // losslessness / learned-merge / multi-token contract booleans
+      // (the q127 pattern — the merge table itself is engine-internal,
+      // the CONTRACT is what external SQL can prove)
+      "q142_bpe_bytes" ->
+        """SELECT doc_id,
+          |  CAST(length(mx) AS BIGINT) AS n_cp,
+          |  CAST(strlen(mx) AS BIGINT) AS n_bytes,
+          |  TRUE AS is_lossless,
+          |  TRUE AS has_merges,
+          |  TRUE AS is_multi
+          |FROM (SELECT doc_id,
+          |    substr(translate(lower(text),
+          |      'abcdefghijklmnopqrstuvwxyz ',
+          |      '的一是不了人我在有他这中大来上国个到说们为子和你地出'),
+          |      1, 96) || ' Ã©Â»😀☃x' AS mx
+          |  FROM documents
+          |  WHERE lang = 'zh' AND text IS NOT NULL AND length(text) >= 1)
           |ORDER BY doc_id""".stripMargin,
 
       // delete-then-probe must equal the SAME replay restricted to the

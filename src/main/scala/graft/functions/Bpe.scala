@@ -55,7 +55,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class BpeModel(val lefts: Array[String], val rights: Array[String],
                      val maxWordLen: Int = 1024,
-                     val pretok: String = BpeModel.PretokWs)
+                     val pretok: String = BpeModel.PretokWs,
+                     val symbolsKind: String = BpeModel.SymCodepoints)
     extends Serializable {
   require(lefts.length == rights.length, "merge arrays misaligned")
   require(lefts.forall(_.nonEmpty) && rights.forall(_.nonEmpty),
@@ -63,6 +64,9 @@ final class BpeModel(val lefts: Array[String], val rights: Array[String],
   require(maxWordLen >= 1, "maxWordLen must be >= 1")
   require(pretok == BpeModel.PretokWs || pretok == BpeModel.PretokCjk,
     s"unknown pretokenizer '$pretok'")
+  require(symbolsKind == BpeModel.SymCodepoints ||
+    symbolsKind == BpeModel.SymBytes,
+    s"unknown symbols kind '$symbolsKind'")
 
   /** Interned symbol ids + sorted (leftId<<32 | rightId) → rank table.
     *
@@ -160,7 +164,8 @@ final class BpeModel(val lefts: Array[String], val rights: Array[String],
     * array in reading order.
     */
   def encode(text: UTF8String): ArrayData = {
-    val ws = BpeModel.pretokenize(text.toString, pretok, maxWordLen)
+    val ws = BpeModel.pretokenize(text.toString, pretok, maxWordLen,
+      symbolsKind)
     val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
     var i = 0
     while (i < ws.length) {
@@ -180,6 +185,76 @@ object BpeModel {
   val PretokWs = "ws"
   /** Whitespace + CJK-run splitting (see class doc). */
   val PretokCjk = "cjk"
+  /** Code-point symbols (the default; see class doc). */
+  val SymCodepoints = "codepoints"
+  /** Byte symbols: merges operate on the UTF-8 BYTES of each word,
+    * rendered through the standard printable byte↔code-point bijection
+    * (the GPT-2/Llama production-tokenizer form) so every symbol and
+    * subword stays a valid string. Lossless on ANY input by
+    * construction — a base alphabet of 256 covers everything, including
+    * mojibake and replacement chars, with no "unknown symbol"
+    * possibility — and multi-byte scripts are merge material under
+    * plain whitespace pretokenization (each CJK char is already 3
+    * byte-symbols), so `pretok="cjk"` becomes an optimization (bounding
+    * word length), not a correctness requirement. [[unByteMap]] is the
+    * decode back to original bytes.
+    */
+  val SymBytes = "bytes"
+
+  /** The printable byte↔code-point bijection (public GPT-2 rule):
+    * visibly printable bytes — `!`..`~`, `¡`..`¬`, `®`..`ÿ` — map to
+    * themselves; the other 68 bytes map to U+0100+k in byte order.
+    * Every mapped code point is a single BMP char, so byte-mode words
+    * and subwords are ordinary strings whose `length` IS their byte
+    * count.
+    */
+  private[graft] val byteToCh: Array[Char] = {
+    val out = new Array[Char](256)
+    var k = 0
+    var b = 0
+    while (b < 256) {
+      val printable = (b >= '!' && b <= '~') || (b >= 0xA1 && b <= 0xAC) ||
+        (b >= 0xAE && b <= 0xFF)
+      if (printable) out(b) = b.toChar
+      else { out(b) = (0x100 + k).toChar; k += 1 }
+      b += 1
+    }
+    out
+  }
+  private[graft] val chToByte: Array[Int] = {
+    val out = Array.fill(0x100 + 68)(-1)
+    var b = 0
+    while (b < 256) { out(byteToCh(b)) = b; b += 1 }
+    out
+  }
+
+  /** Render a word's UTF-8 bytes through the byte alphabet. */
+  def byteMap(w: String): String = {
+    val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val cs = new Array[Char](bs.length)
+    var i = 0
+    while (i < bs.length) { cs(i) = byteToCh(bs(i) & 0xFF); i += 1 }
+    new String(cs)
+  }
+
+  /** Decode a byte-alphabet string back to the original bytes' string —
+    * the inverse of [[byteMap]] over any concatenation of byte-mode
+    * subwords. Fails loudly on a char outside the byte alphabet (such a
+    * string cannot have come from [[byteMap]]).
+    */
+  def unByteMap(s: String): String = {
+    val bs = new Array[Byte](s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i).toInt
+      val b = if (c < chToByte.length) chToByte(c) else -1
+      require(b >= 0,
+        s"char U+${c.toHexString} is not in the BPE byte alphabet")
+      bs(i) = b.toByte
+      i += 1
+    }
+    new String(bs, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /** CJK code points that get run-split under [[PretokCjk]]: Han
     * (unified U+4E00–9FFF, ext A U+3400–4DBF, compatibility
@@ -215,9 +290,26 @@ object BpeModel {
     * adds boundaries, never content — which is what keeps the q126/
     * q127 losslessness oracle pretokenizer-independent.
     */
-  def pretokenize(s: String, pretok: String, maxWordLen: Int): Array[String] = {
+  def pretokenize(s: String, pretok: String, maxWordLen: Int): Array[String] =
+    pretokenize(s, pretok, maxWordLen, SymCodepoints)
+
+  /** As above; under [[SymBytes]] every emitted word is rendered
+    * through [[byteMap]] (so word `length` = UTF-8 byte count, the
+    * unit `maxWordLen` then bounds) and CJK-run chunks budget by BYTES
+    * so a chunk is never auto-skipped for tripling in width. The
+    * content contract becomes: [[unByteMap]] of the concatenation
+    * equals `s` with its whitespace removed.
+    */
+  def pretokenize(s: String, pretok: String, maxWordLen: Int,
+                  symbolsKind: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cjk = pretok == PretokCjk
+    val bytes = symbolsKind == SymBytes
+    def emit(w: String): Unit = out += (if (bytes) byteMap(w) else w)
+    def cpWidth(cp: Int): Int =
+      if (!bytes) 1
+      else if (cp < 0x80) 1 else if (cp < 0x800) 2
+      else if (cp < 0x10000) 3 else 4
     var i = 0
     val n = s.length
     while (i < n) {
@@ -228,21 +320,26 @@ object BpeModel {
         while (i < n && { val d = s.charAt(i)
           d != ' ' && d != '\t' && d != '\n' && d != '\r' }) i += 1
         val w = s.substring(start, i)
-        if (!cjk) out += w
+        if (!cjk) emit(w)
         else {
           // alternate non-CJK / CJK segments; CJK runs chunk at
-          // maxWordLen code points so the fit never skips them
+          // maxWordLen symbols so the fit never skips them
           var j = 0
           while (j < w.length) {
             val segStart = j
             val segCjk = isCjk(w.codePointAt(j))
-            var cps = 0
+            var width = 0
             while (j < w.length && isCjk(w.codePointAt(j)) == segCjk &&
-                   (!segCjk || cps < maxWordLen)) {
-              cps += 1
+                   (!segCjk ||
+                     width + cpWidth(w.codePointAt(j)) <= maxWordLen)) {
+              width += cpWidth(w.codePointAt(j))
               j += Character.charCount(w.codePointAt(j))
             }
-            out += w.substring(segStart, j)
+            // a single code point wider than maxWordLen still advances
+            // (emitted alone, encoder passes it through unmerged)
+            if (j == segStart)
+              j += Character.charCount(w.codePointAt(j))
+            emit(w.substring(segStart, j))
           }
         }
       }
@@ -259,11 +356,15 @@ object BpeModel {
   * `'ws'` this is exactly the [[TokensOf]] whitespace rule; `'cjk'`
   * additionally run-splits CJK scripts. Pure projection, codegen'd.
   */
-case class BpeWordsOf(child: Expression, pretok: String, maxWordLen: Int)
+case class BpeWordsOf(child: Expression, pretok: String, maxWordLen: Int,
+                      symbolsKind: String = BpeModel.SymCodepoints)
     extends UnaryExpression {
   require(pretok == BpeModel.PretokWs || pretok == BpeModel.PretokCjk,
     s"unknown pretokenizer '$pretok'")
   require(maxWordLen >= 1, "maxWordLen must be >= 1")
+  require(symbolsKind == BpeModel.SymCodepoints ||
+    symbolsKind == BpeModel.SymBytes,
+    s"unknown symbols kind '$symbolsKind'")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
@@ -274,17 +375,14 @@ case class BpeWordsOf(child: Expression, pretok: String, maxWordLen: Int)
       s"$prettyName needs a string column, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val ws = BpeModel.pretokenize(input.asInstanceOf[UTF8String].toString,
-      pretok, maxWordLen)
-    new GenericArrayData(
-      ws.map(w => UTF8String.fromString(w): AnyRef))
-  }
+  override def nullSafeEval(input: Any): Any =
+    BpeWordsOf.evalJava(input.asInstanceOf[UTF8String], pretok,
+      maxWordLen, symbolsKind)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cls = "graft.functions.BpeWordsOf"
     defineCodeGen(ctx, ev, text =>
-      s"""$cls.evalJava($text, "$pretok", $maxWordLen)""")
+      s"""$cls.evalJava($text, "$pretok", $maxWordLen, "$symbolsKind")""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeWordsOf =
@@ -294,10 +392,47 @@ case class BpeWordsOf(child: Expression, pretok: String, maxWordLen: Int)
 
 object BpeWordsOf {
   /** Codegen entry point (static, boxing-free call site). */
-  def evalJava(text: UTF8String, pretok: String, maxWordLen: Int): ArrayData = {
-    val ws = BpeModel.pretokenize(text.toString, pretok, maxWordLen)
+  def evalJava(text: UTF8String, pretok: String, maxWordLen: Int,
+               symbolsKind: String): ArrayData = {
+    val ws = BpeModel.pretokenize(text.toString, pretok, maxWordLen,
+      symbolsKind)
     new GenericArrayData(ws.map(w => UTF8String.fromString(w): AnyRef))
   }
+}
+
+/** `graft_bpe_unbytes(text)`: decode a byte-mode BPE string (a subword,
+  * or any concatenation of byte-mode subwords) back to the original
+  * bytes' string — [[BpeModel.unByteMap]] as a codegen'd projection.
+  * This is the verification/consumption side of `symbols="bytes"`: the
+  * q142 losslessness oracle pins `unbytes(concat(subwords)) == content`.
+  */
+case class BpeUnbytesOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeUnbytesOf.evalJava(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "graft.functions.BpeUnbytesOf"
+    defineCodeGen(ctx, ev, text => s"$cls.evalJava($text)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeUnbytesOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_bpe_unbytes"
+}
+
+object BpeUnbytesOf {
+  /** Codegen entry point (static, boxing-free call site). */
+  def evalJava(text: UTF8String): UTF8String =
+    UTF8String.fromString(BpeModel.unByteMap(text.toString))
 }
 
 /** `graft_bpe_encode(text, lefts, rights[, maxWordLen[, pretok]])`:

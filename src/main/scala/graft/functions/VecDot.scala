@@ -346,9 +346,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncodeOf].getName, "graft_bpe_encode"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length >= 3 && exprs.length <= 5,
+        require(exprs.length >= 3 && exprs.length <= 6,
           "graft_bpe_encode takes (text, lefts, rights[, maxWordLen[, " +
-            "pretok]]) with literal merge arrays")
+            "pretok[, symbols]]]) with literal merge arrays")
         def strs(e: Expression, what: String): Array[String] = {
           require(e.foldable, s"graft_bpe_encode $what must be a literal " +
             "array<string>")
@@ -371,19 +371,36 @@ object GraftFunctions {
               "graft_bpe_encode pretok must be a literal string")
             exprs(4).eval().toString
           }
+        val symbolsKind =
+          if (exprs.length < 6) BpeModel.SymCodepoints
+          else {
+            require(exprs(5).foldable,
+              "graft_bpe_encode symbols must be a literal string")
+            exprs(5).eval().toString
+          }
         BpeEncodeOf(exprs(0),
           new BpeModel(strs(exprs(1), "lefts"), strs(exprs(2), "rights"),
-            maxWordLen, pretok))
+            maxWordLen, pretok, symbolsKind))
       }),
     (FunctionIdentifier("graft_bpe_words"),
       new ExpressionInfo(classOf[BpeWordsOf].getName, "graft_bpe_words"),
       (exprs: Seq[Expression]) => {
-        require(exprs.length == 3,
-          "graft_bpe_words takes (text, pretokLiteral, maxWordLenLiteral)")
-        require(exprs(1).foldable && exprs(2).foldable,
-          "graft_bpe_words pretok and maxWordLen must be literals")
+        require(exprs.length == 3 || exprs.length == 4,
+          "graft_bpe_words takes (text, pretokLiteral, maxWordLenLiteral" +
+            "[, symbolsLiteral])")
+        require(exprs.drop(1).forall(_.foldable),
+          "graft_bpe_words pretok/maxWordLen/symbols must be literals")
         BpeWordsOf(exprs(0), exprs(1).eval().toString,
-          exprs(2).eval().asInstanceOf[Number].intValue())
+          exprs(2).eval().asInstanceOf[Number].intValue(),
+          if (exprs.length < 4) BpeModel.SymCodepoints
+          else exprs(3).eval().toString)
+      }),
+    (FunctionIdentifier("graft_bpe_unbytes"),
+      new ExpressionInfo(classOf[BpeUnbytesOf].getName,
+        "graft_bpe_unbytes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_bpe_unbytes takes (text)")
+        BpeUnbytesOf(exprs(0))
       }),
     (FunctionIdentifier("graft_multi_contains"),
       new ExpressionInfo(classOf[MultiContainsOf].getName,

@@ -1794,14 +1794,19 @@ object TextAnalysis {
     */
   def bpePairStats(df: DataFrame, textCol: String, k: Int = 20,
                    maxWordLen: Int = 1024,
-                   pretok: String = graft.functions.BpeModel.PretokWs)
+                   pretok: String = graft.functions.BpeModel.PretokWs,
+                   symbols: String =
+                     graft.functions.BpeModel.SymCodepoints)
       : DataFrame = {
     require(k >= 1, "k must be >= 1")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("left"), col("right"))
+    // under symbols="bytes" the kernel emits byte-alphabet words, so
+    // the per-position substring pairs below ARE byte pairs
     df.select(explode(call_function("graft_bpe_words",
-        lower(col(textCol)), lit(pretok), lit(maxWordLen))).as("w"))
+        lower(col(textCol)), lit(pretok), lit(maxWordLen),
+        lit(symbols))).as("w"))
       .filter(length(col("w")) >= 2 && length(col("w")) <= maxWordLen)
       .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
         i => struct(substring(col("w"), i, lit(1)).as("left"),
@@ -1829,13 +1834,18 @@ object TextAnalysis {
              minWordCount: Long = 1L, maxWords: Int = 1 << 16,
              minPairCount: Long = 2L,
              maxWordLen: Int = 1024,
-             pretok: String = graft.functions.BpeModel.PretokWs)
+             pretok: String = graft.functions.BpeModel.PretokWs,
+             symbols: String = graft.functions.BpeModel.SymCodepoints)
       : graft.functions.BpeModel = {
     require(numMerges >= 1 && numMerges <= 65536,
       "numMerges must be in [1, 65536]")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // under symbols="bytes" the word extractor emits byte-alphabet
+    // words (word length = UTF-8 byte count), so the whole driver-side
+    // merge machinery below runs unchanged over byte symbols
     val rows = df.select(explode(call_function("graft_bpe_words",
-        lower(col(textCol)), lit(pretok), lit(maxWordLen))).as("w"))
+        lower(col(textCol)), lit(pretok), lit(maxWordLen),
+        lit(symbols))).as("w"))
       .filter(length(col("w")) >= 2 && length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minWordCount)
@@ -1951,7 +1961,7 @@ object TextAnalysis {
       }
     }
     new graft.functions.BpeModel(lefts.result(), rights.result(),
-      maxWordLen, pretok)
+      maxWordLen, pretok, symbols)
   }
 
   /** Persist a fitted [[graft.functions.BpeModel]] as a reusable job
@@ -1962,8 +1972,8 @@ object TextAnalysis {
     *  - `merges/`: one parquet row per merge (`rank`, `left`,
     *    `right`) — rank = application order, externally readable (the
     *    table IS the model, exactly the classic `merges.txt` content);
-    *  - `meta.json`: `max_word_len` + `pretok`, the two settings the
-    *    encoder must agree with the fit on;
+    *  - `meta.json`: `max_word_len` + `pretok` + `symbols`, the
+    *    settings the encoder must agree with the fit on;
     *  - the [[ArtifactVersion]] marker, so standing consumers can
     *    snapshot-pin the model like the BM25/IVF artifacts.
     */
@@ -1976,7 +1986,8 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
     graft.Fs.writeString(graft.Fs.join(path, "meta.json"),
       s"""{"max_word_len": ${model.maxWordLen}, """ +
-        s""""pretok": "${model.pretok}"}""")
+        s""""pretok": "${model.pretok}", """ +
+        s""""symbols": "${model.symbolsKind}"}""")
     ArtifactVersion.stamp(path)
   }
 
@@ -2002,9 +2013,14 @@ object TextAnalysis {
           "— gapped or duplicated ranks would reorder the merge " +
           "sequence; rebuild the artifact")
     }
+    // legacy (pre-r14) artifacts lack the symbols field — they were
+    // all fitted with code-point symbols, so default rather than fail
+    val symbols = (s""""symbols"\\s*:\\s*"([^"]+)"""").r
+      .findFirstMatchIn(meta).map(_.group(1))
+      .getOrElse(graft.functions.BpeModel.SymCodepoints)
     new graft.functions.BpeModel(
       rows.map(_.getString(1)), rows.map(_.getString(2)),
-      field("max_word_len").toInt, field("pretok"))
+      field("max_word_len").toInt, field("pretok"), symbols)
   }
 
   /** Apply a fitted BPE model as ONE codegen'd scan: (id, subwords) with
@@ -2021,7 +2037,7 @@ object TextAnalysis {
       .select(col(idCol),
         call_function("graft_bpe_encode", lower(col(textCol)),
           lit(model.lefts), lit(model.rights), lit(model.maxWordLen),
-          lit(model.pretok)).as("subwords"))
+          lit(model.pretok), lit(model.symbolsKind)).as("subwords"))
   }
 
   // ---- normalization ------------------------------------------------------

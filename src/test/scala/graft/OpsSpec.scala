@@ -1682,6 +1682,82 @@ class OpsSpec extends SparkSpec {
     assert((mShort.lefts(0), mShort.rights(0)) == ((emoji, "x")))
   }
 
+  test("bpe bytes mode: alphabet bijection, round-trip, CJK chunk budget") {
+    import graft.functions.BpeModel
+    // the printable-byte alphabet is a true bijection over all 256 bytes
+    assert(BpeModel.byteToCh.distinct.length == 256)
+    (0 until 256).foreach { b =>
+      assert(BpeModel.chToByte(BpeModel.byteToCh(b)) == b)
+    }
+    // printable ASCII maps to itself — the ASCII-parity precondition
+    assert(BpeModel.byteMap("hello!") == "hello!")
+    // unByteMap inverts byteMap on 1-4 byte UTF-8: ASCII, mojibake
+    // (latin-1), Han (3 bytes), emoji (4 bytes, non-BMP)
+    val emoji = new String(Character.toChars(0x1F600))
+    val mixed = s"ab Ã©Â» 的一是 $emoji$emoji x"
+    assert(BpeModel.unByteMap(BpeModel.byteMap(mixed)) == mixed)
+    // a char outside the byte alphabet cannot decode
+    intercept[IllegalArgumentException] { BpeModel.unByteMap("的") }
+    // bytes+cjk: run chunks budget by BYTES (3 per Han cp), so a
+    // maxWordLen=6 cut yields 2-cp (6-symbol) words, none skippable
+    val ws = BpeModel.pretokenize("的一是不", BpeModel.PretokCjk, 6,
+      BpeModel.SymBytes)
+    assert(ws.length == 2 && ws.forall(_.length == 6))
+    assert(ws.map(BpeModel.unByteMap).mkString == "的一是不")
+  }
+
+  test("bpe bytes mode: ASCII parity with code points; lossless multi-byte fit/encode; artifact symbols") {
+    import graft.functions.BpeModel
+    // pure-printable-ASCII corpus: byteMap is the identity, so the two
+    // modes must produce the IDENTICAL merge table and encoding
+    val ascii = (1 to 6).map(i =>
+      (i.toLong, "low lower lowest newer newest wide widest low low"))
+      .toDF("doc_id", "text")
+    val mCp = TextAnalysis.bpeFit(ascii, "text", numMerges = 30)
+    val mBy = TextAnalysis.bpeFit(ascii, "text", numMerges = 30,
+      symbols = BpeModel.SymBytes)
+    assert(mBy.lefts.toSeq == mCp.lefts.toSeq &&
+      mBy.rights.toSeq == mCp.rights.toSeq)
+    def enc(m: BpeModel) = TextAnalysis
+      .bpeEncodeKernel(ascii, "doc_id", "text", m)
+      .orderBy("doc_id")
+      .select(concat_ws(" ", col("subwords"))).as[String].collect().toSeq
+    assert(enc(mBy) == enc(mCp))
+    // multi-byte corpus: bytes mode learns merges under PLAIN ws
+    // pretokenization (each Han char is 3 byte symbols — no cjk
+    // special case needed) and the kernel output decodes losslessly
+    val emoji = new String(Character.toChars(0x1F600))
+    val docs = (1 to 5).map(i =>
+      (i.toLong, s"的是的是 mÃ©nu $emoji$emoji")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeFit(docs, "text", numMerges = 40,
+      symbols = BpeModel.SymBytes)
+    assert(m.lefts.nonEmpty && m.symbolsKind == BpeModel.SymBytes)
+    val out = TextAnalysis.bpeEncodeKernel(docs, "doc_id", "text", m)
+      .select(col("doc_id"), col("subwords"),
+        call_function("graft_bpe_unbytes",
+          concat_ws("", col("subwords"))).as("decoded"))
+      .orderBy("doc_id")
+      .as[(Long, Seq[String], String)].collect()
+    out.foreach { case (_, subs, decoded) =>
+      // the kernel lowercases its input (Ã → ã), like every fit path
+      assert(decoded == s"的是的是mã©nu$emoji$emoji")
+      assert(subs.length > 1 && subs.length < decoded
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length,
+        s"merges must have applied: ${subs.length} subwords")
+    }
+    // artifact round-trip keeps the symbols kind; a legacy meta.json
+    // without the field loads as code points (pre-r14 artifacts)
+    val art = tmpDir("bpe-bytes-art")
+    TextAnalysis.bpeModelSave(spark, m, art)
+    val loaded = TextAnalysis.bpeModelLoad(spark, art)
+    assert(loaded.symbolsKind == BpeModel.SymBytes &&
+      loaded.lefts.sameElements(m.lefts))
+    graft.Fs.writeString(graft.Fs.join(art, "meta.json"),
+      s"""{"max_word_len": ${m.maxWordLen}, "pretok": "${m.pretok}"}""")
+    assert(TextAnalysis.bpeModelLoad(spark, art).symbolsKind ==
+      BpeModel.SymCodepoints)
+  }
+
   test("bpeFit incremental pair-stats == full-recompute reference on random text") {
     // naive reference trainer: full stats rebuild every round, the
     // r11 implementation's semantics verbatim
