@@ -148,6 +148,48 @@ private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
         .orderBy("query_id")
     }),
 
+    // ---- maintenance planner: the decision layer over the audit
+    //      metrics — q136 detects, q95 measures, q143 DECIDES. Both
+    //      artifact families are built, take real deletes, and emit
+    //      their one-row verdicts under four threshold settings chosen
+    //      to drive compact (IVF debt 1/3), none (lenient), rebuild-
+    //      by-skew (skew floor 1.0 — any non-uniform assignment), and
+    //      rebuild-by-debt (BM25 debt 1/2 past 0.4). The oracle
+    //      replays every metric (assignment lists, tombstone counts)
+    //      and the decision CASE itself as integer micro-unit
+    //      arithmetic — engine and SQL must agree on the ACTION. ----
+    "q143_maintenance_plan" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cent = emb.filter(pmod(col("vec_id"), lit(43)) === 0)
+      val ivfDir = tmpDir("graft-ivf-plan")
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        cent, "vec_id", "embedding", ivfDir)
+      Similarity.ivfIndexDelete(s, ivfDir,
+        emb.filter(pmod(col("vec_id"), lit(3)) === 0).select("vec_id"),
+        "vec_id")
+      val bmDir = tmpDir("graft-bm25-plan")
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", bmDir)
+      TextAnalysis.bm25ArtifactsDelete(s, bmDir,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id"),
+        "doc_id")
+      Similarity.ivfMaintenancePlan(s, ivfDir)
+        .select(lit("ivf_debt").as("artifact"), col("*"))
+        .unionByName(Similarity
+          .ivfMaintenancePlan(s, ivfDir, compactDebtFraction = 0.9,
+            rebuildDebtFraction = 0.95, rebuildListSkew = 1000.0)
+          .select(lit("ivf_lenient").as("artifact"), col("*")))
+        .unionByName(Similarity
+          .ivfMaintenancePlan(s, ivfDir, compactDebtFraction = 0.9,
+            rebuildDebtFraction = 0.95, rebuildListSkew = 1.0)
+          .select(lit("ivf_skew").as("artifact"), col("*")))
+        .unionByName(TextAnalysis
+          .bm25MaintenancePlan(s, bmDir, compactDebtFraction = 0.2,
+            rebuildDebtFraction = 0.4)
+          .select(lit("bm25_rebuild").as("artifact"), col("*")))
+        .orderBy("artifact")
+    }),
+
     // ---- fitted-centroid assignment: fitCentroids' SQL-replayable hash
     //      seeding (LCG rank over ids) + the nearest-centroid kernel ----
 
@@ -258,6 +300,83 @@ private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
           |  FROM scored)
           |SELECT query_id, rank, neighbor_id, qscore FROM ranked
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+      // the planner's verdicts replayed end to end: assignment lists
+      // (q49's CTEs), tombstone counts from the delete predicates,
+      // micro-unit integer division, and the decision CASE itself —
+      // engine and SQL must agree on every ACTION string
+      "q143_maintenance_plan" ->
+        s"""WITH cent AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cv
+           |  FROM embeddings WHERE vec_id % 43 = 0),
+           |assigned AS (
+           |  SELECT vec_id AS neighbor_id, centroid_id
+           |  FROM (
+           |    SELECT e.vec_id, c.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+           |          c.centroid_id ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c)
+           |  WHERE rn = 1),
+           |lists AS (
+           |  SELECT centroid_id,
+           |    CAST(sum(CASE WHEN neighbor_id % 3 <> 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS live_l
+           |  FROM assigned GROUP BY centroid_id),
+           |im AS (
+           |  SELECT CAST(sum(live_l) AS BIGINT) AS live,
+           |    CAST((SELECT count(*) FROM embeddings WHERE vec_id % 3 = 0)
+           |      AS BIGINT) AS tombs,
+           |    CAST(count(*) AS BIGINT) AS n_lists,
+           |    CAST(max(live_l) AS BIGINT) AS max_list
+           |  FROM lists),
+           |imm AS (
+           |  SELECT live, tombs,
+           |    tombs * 1000000 // (live + tombs) AS debt_micro,
+           |    max_list * n_lists * 1000000 // live AS skew_micro
+           |  FROM im),
+           |bm AS (
+           |  SELECT
+           |    CAST((SELECT count(*) FROM documents WHERE doc_id % 2 <> 0)
+           |      AS BIGINT) AS live,
+           |    CAST((SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+           |      AS BIGINT) AS tombs),
+           |bmm AS (
+           |  SELECT live, tombs,
+           |    tombs * 1000000 // (live + tombs) AS debt_micro,
+           |    CAST(0 AS BIGINT) AS skew_micro
+           |  FROM bm),
+           |verdict AS (
+           |  SELECT 'ivf_debt' AS artifact, live, tombs, debt_micro,
+           |    skew_micro, 200000 AS c_thr, 500000 AS r_thr,
+           |    8000000 AS s_thr FROM imm
+           |  UNION ALL
+           |  SELECT 'ivf_lenient', live, tombs, debt_micro, skew_micro,
+           |    900000, 950000, 1000000000 FROM imm
+           |  UNION ALL
+           |  SELECT 'ivf_skew', live, tombs, debt_micro, skew_micro,
+           |    900000, 950000, 1000000 FROM imm
+           |  UNION ALL
+           |  SELECT 'bm25_rebuild', live, tombs, debt_micro, skew_micro,
+           |    200000, 400000, 1000000000 FROM bmm)
+           |SELECT artifact,
+           |  CASE WHEN skew_micro > s_thr THEN 'rebuild'
+           |       WHEN debt_micro > r_thr THEN 'rebuild'
+           |       WHEN debt_micro > c_thr THEN 'compact'
+           |       ELSE 'none' END AS action,
+           |  CASE WHEN skew_micro > s_thr THEN
+           |         'skew_micro=' || CAST(skew_micro AS VARCHAR) ||
+           |         ' > skew_threshold_micro=' || CAST(s_thr AS VARCHAR)
+           |       WHEN debt_micro > r_thr THEN
+           |         'debt_micro=' || CAST(debt_micro AS VARCHAR) ||
+           |         ' > rebuild_micro=' || CAST(r_thr AS VARCHAR)
+           |       WHEN debt_micro > c_thr THEN
+           |         'debt_micro=' || CAST(debt_micro AS VARCHAR) ||
+           |         ' > compact_micro=' || CAST(c_thr AS VARCHAR)
+           |       ELSE 'healthy' END AS reason,
+           |  live AS live_rows, tombs AS tombstones, debt_micro,
+           |  skew_micro
+           |FROM verdict ORDER BY artifact""".stripMargin,
 
       "q16_ann_brute" -> bruteSql,
 

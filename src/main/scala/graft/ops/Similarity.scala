@@ -705,6 +705,92 @@ object Similarity {
     ).toDF("check", "ok", "observed", "expected")
   }
 
+  /** Maintenance PLANNER for a persisted IVF index: turns the audit
+    * metrics ([[ivfIndexValidate]]'s tombstone debt, q95's list-balance
+    * skew) into the decision a maintenance scheduler acts on — the
+    * missing step between "the trigger is measured" and "a job runs".
+    * One index scan (live/dead per centroid list), then pure threshold
+    * arithmetic in integer micro-units so external SQL replays the
+    * verdict exactly (the q143 oracle).
+    *
+    * Metrics:
+    *  - `debt_micro` = tombstoned rows ÷ physical rows, in micro-units
+    *    (floor) — dead weight every probe pays to anti-join away.
+    *  - `skew_micro` = max live list ÷ mean live list, in micro-units —
+    *    drifted ingest piles new vectors onto few stale centroids
+    *    (BASELINE IvfDriftStress: skew rises ~8× before recall moves),
+    *    making probe cost balloon on exactly the hot lists.
+    *
+    * Decision (priority order; compaction is priced at ~1/5 of a
+    * rebuild — BASELINE r12 — so rebuild only when compaction cannot
+    * help):
+    *  - `rebuild` when `skew_micro` > `rebuildListSkew` (only a refit
+    *    fixes assignment balance) or `debt_micro` >
+    *    `rebuildDebtFraction` (mostly-dead index: rewriting the
+    *    survivors IS the compaction, and a refit rides along free);
+    *  - `compact` when `debt_micro` > `compactDebtFraction`;
+    *  - `none` otherwise.
+    *
+    * @return one row (action, reason, live_rows, tombstones,
+    *         debt_micro, skew_micro); `reason` names the triggering
+    *         comparison in micro-units, or "healthy".
+    */
+  def ivfMaintenancePlan(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String,
+                         compactDebtFraction: Double = 0.2,
+                         rebuildDebtFraction: Double = 0.5,
+                         rebuildListSkew: Double = 8.0): DataFrame = {
+    import spark.implicits._
+    require(compactDebtFraction > 0 && rebuildDebtFraction > 0 &&
+      rebuildListSkew > 0, "thresholds must be positive")
+    val raw = spark.read.parquet(indexDir)
+    val idCol = raw.columns(0)
+    val marked =
+      if (graft.Fs.exists(s"$indexDir/_tombstones"))
+        raw.join(
+          spark.read.parquet(s"$indexDir/_tombstones")
+            .select(col("__del_id")).distinct()
+            .withColumn("__dead", lit(true)),
+          raw(idCol) === col("__del_id"), "left")
+      else raw.withColumn("__dead", lit(false))
+    val dead = coalesce(col("__dead"), lit(false))
+    // per-list live counts first (centroid-partitioned scan, one
+    // exchange on the lists-sized frame), then the global fold
+    val agg = marked.groupBy(col("centroid_id"))
+      .agg(sum(when(!dead, 1L).otherwise(0L)).as("__live"),
+        sum(when(dead, 1L).otherwise(0L)).as("__dead_n"))
+      .agg(coalesce(sum("__live"), lit(0L)).as("live"),
+        coalesce(sum("__dead_n"), lit(0L)).as("debt"),
+        count(lit(1)).as("n_lists"),
+        coalesce(max("__live"), lit(0L)).as("max_list")).head()
+    val live = agg.getAs[Long]("live")
+    val debt = agg.getAs[Long]("debt")
+    val nLists = agg.getAs[Long]("n_lists")
+    val maxList = agg.getAs[Long]("max_list")
+    // integer micro-unit arithmetic (BigInt against overflow at scale;
+    // positive-operand division == floor, the oracle's // semantics)
+    val debtMicro =
+      if (live + debt == 0) 0L
+      else (BigInt(debt) * 1000000 / (live + debt)).toLong
+    val skewMicro =
+      if (live == 0) 0L
+      else (BigInt(maxList) * nLists * 1000000 / live).toLong
+    val cThr = math.floor(compactDebtFraction * 1e6).toLong
+    val rThr = math.floor(rebuildDebtFraction * 1e6).toLong
+    val sThr = math.floor(rebuildListSkew * 1e6).toLong
+    val (action, reason) =
+      if (skewMicro > sThr)
+        ("rebuild", s"skew_micro=$skewMicro > skew_threshold_micro=$sThr")
+      else if (debtMicro > rThr)
+        ("rebuild", s"debt_micro=$debtMicro > rebuild_micro=$rThr")
+      else if (debtMicro > cThr)
+        ("compact", s"debt_micro=$debtMicro > compact_micro=$cThr")
+      else ("none", "healthy")
+    Seq((action, reason, live, debt, debtMicro, skewMicro))
+      .toDF("action", "reason", "live_rows", "tombstones", "debt_micro",
+        "skew_micro")
+  }
+
   def ivfTopKFromSnapshot(snap: IvfSnapshot,
                           queries: DataFrame, qIdCol: String,
                           qVecCol: String, centroids: DataFrame,

@@ -1064,6 +1064,49 @@ object TextAnalysis {
     ).toDF("check", "ok", "observed", "expected")
   }
 
+  /** Maintenance planner for a persisted BM25 artifact — the lexical
+    * twin of [[graft.ops.Similarity.ivfMaintenancePlan]], same
+    * integer-micro-unit verdict contract (the q143 oracle replays the
+    * threshold arithmetic). The one debt metric: tombstoned docs as a
+    * fraction of the PHYSICAL doc population (live `stats.n_docs` +
+    * distinct tombstones) — the share of postings every probe
+    * anti-joins away. Compaction folds it corpus-free at ~1/5 rebuild
+    * cost (BASELINE r12), so: `rebuild` past `rebuildDebtFraction`
+    * (mostly-dead artifact — rebuilding the survivors IS the fold),
+    * `compact` past `compactDebtFraction`, else `none`. Output schema
+    * matches the IVF planner (skew has no lexical analog → 0) so a
+    * fleet scheduler unions the verdicts across artifact families.
+    */
+  def bm25MaintenancePlan(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          compactDebtFraction: Double = 0.2,
+                          rebuildDebtFraction: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    require(compactDebtFraction > 0 && rebuildDebtFraction > 0,
+      "thresholds must be positive")
+    val live = spark.read.parquet(s"$path/stats").head()
+      .getAs[Long]("n_docs")
+    val tombDir = bm25TombstonesDir(path)
+    val tombs =
+      if (graft.Fs.exists(tombDir))
+        spark.read.parquet(tombDir).select("__doc").distinct().count()
+      else 0L
+    val debtMicro =
+      if (live + tombs == 0) 0L
+      else (BigInt(tombs) * 1000000 / (live + tombs)).toLong
+    val cThr = math.floor(compactDebtFraction * 1e6).toLong
+    val rThr = math.floor(rebuildDebtFraction * 1e6).toLong
+    val (action, reason) =
+      if (debtMicro > rThr)
+        ("rebuild", s"debt_micro=$debtMicro > rebuild_micro=$rThr")
+      else if (debtMicro > cThr)
+        ("compact", s"debt_micro=$debtMicro > compact_micro=$cThr")
+      else ("none", "healthy")
+    Seq((action, reason, live, tombs, debtMicro, 0L))
+      .toDF("action", "reason", "live_rows", "tombstones", "debt_micro",
+        "skew_micro")
+  }
+
   /** BM25 top-k against a persisted [[bm25ArtifactsSave]] snapshot —
     * scoring only, scores fixed-point-IDENTICAL to [[bm25TopK]] on the
     * same corpus (both run [[bm25ScoreAndRank]] on the same inputs; q78

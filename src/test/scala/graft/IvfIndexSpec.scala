@@ -184,6 +184,69 @@ class IvfIndexSpec extends SparkSpec {
     assert(!dup("ids_unique")._1 && dup("ids_unique")._2 == 1L, s"$dup")
   }
 
+  test("ivfMaintenancePlan: every action branch, exact micro metrics") {
+    val centroids = vecs.filter($"vec_id" % 10 === 0) // 0, 10, 20
+    val dir = tmpDir("ivf-plan")
+    Similarity.ivfIndexWrite(vecs, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dir)
+    def plan(c: Double = 0.2, r: Double = 0.5, s: Double = 8.0) =
+      Similarity.ivfMaintenancePlan(spark, dir, c, r, s)
+        .as[(String, String, Long, Long, Long, Long)].collect()(0)
+    // healthy: 9 live over 3 uniform lists, zero debt, skew = 1.0
+    val h = plan()
+    assert(h == (("none", "healthy", 9L, 0L, 0L, 1000000L)), s"$h")
+    // delete 2/9 → debt_micro = 222222: compact band
+    Similarity.ivfIndexDelete(spark, dir,
+      Seq(1L, 2L).toDF("vec_id"), "vec_id")
+    val c = plan()
+    assert(c._1 == "compact" &&
+      c._2 == "debt_micro=222222 > compact_micro=200000" &&
+      (c._3, c._4, c._5) == ((7L, 2L, 222222L)), s"$c")
+    // the delete also skewed the lists (3,3,1 live → max 3 of mean
+    // 7/3): skew_micro = 3*3*1e6/7 = 1285714; a floor of 1.2 fires
+    // rebuild, which outranks the compact verdict
+    assert(c._6 == 1285714L)
+    val s = plan(c = 0.9, r = 0.95, s = 1.2)
+    assert(s._1 == "rebuild" &&
+      s._2 == "skew_micro=1285714 > skew_threshold_micro=1200000", s"$s")
+    // delete past the rebuild fraction: 5/9 → 555555 > 500000
+    Similarity.ivfIndexDelete(spark, dir,
+      Seq(10L, 11L, 12L).toDF("vec_id"), "vec_id")
+    val r = plan()
+    assert(r._1 == "rebuild" &&
+      r._2 == "debt_micro=555555 > rebuild_micro=500000" &&
+      (r._3, r._4) == ((4L, 5L)), s"$r")
+  }
+
+  test("bm25MaintenancePlan: none / compact / rebuild over real deletes") {
+    import graft.ops.TextAnalysis
+    val docs = (1L to 10L).map(i => (i, s"alpha beta doc$i"))
+      .toDF("doc_id", "text")
+    val art = tmpDir("bm25-plan")
+    TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    def plan(c: Double = 0.2, r: Double = 0.5) =
+      TextAnalysis.bm25MaintenancePlan(spark, art, c, r)
+        .as[(String, String, Long, Long, Long, Long)].collect()(0)
+    assert(plan() == (("none", "healthy", 10L, 0L, 0L, 0L)))
+    // 3/10 deleted → 300000: compact band; repeat deletes of the same
+    // ids must not inflate the debt (tombstones dedupe)
+    TextAnalysis.bm25ArtifactsDelete(spark, art,
+      Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id")
+    val c = plan()
+    assert(c._1 == "compact" &&
+      c._2 == "debt_micro=300000 > compact_micro=200000" &&
+      (c._3, c._4, c._5) == ((7L, 3L, 300000L)), s"$c")
+    // 6/10 → 600000 past the rebuild fraction
+    TextAnalysis.bm25ArtifactsDelete(spark, art,
+      Seq(4L, 5L, 6L).toDF("doc_id"), "doc_id")
+    val r = plan()
+    assert(r._1 == "rebuild" &&
+      r._2 == "debt_micro=600000 > rebuild_micro=500000", s"$r")
+    // compaction clears the debt → the verdict returns to none
+    assert(TextAnalysis.bm25ArtifactsCompact(spark, art))
+    assert(plan()._1 == "none")
+  }
+
   test("ivfIndexAppend: a corrupt existing index fails the append " +
       "instead of silently skipping the schema guard") {
     val centroids = vecs.filter($"vec_id" % 10 === 0)
