@@ -16,6 +16,18 @@ import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJo
   */
 private[graft] trait EntriesMedia { this: SparkEntry.type =>
 
+  /** q144's construction constants (shared by entry and oracle):
+    * pairwise-distant 64-bit patterns + clip1's 3-bit neighbor — the
+    * q108 fixture design applied to audio fingerprints.
+    */
+  private val audioPatterns: Seq[(String, Long)] = Seq(
+    "clip1" -> 0x0123456789ABCDEFL,
+    "clip2" -> 0xF0E1D2C3B4A59687L,
+    "clip3" -> 0x00FF00FF00FF00FFL,
+    "clip4" -> 0x5A5A5A5AA5A5A5A5L,
+    "near1" -> (0x0123456789ABCDEFL ^ 0x7L),
+  )
+
   private[graft] def mediaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- multimodal frame-sample planning ----
@@ -137,6 +149,38 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- audio near-dup over REAL WAV bytes: synthesized PCM16 clips
+    //      (JDK RIFF writer) whose sign-of-energy-delta fingerprint
+    //      recovers a chosen 64-bit pattern EXACTLY — each of the 65
+    //      windows is a square wave at a known amplitude, the amplitude
+    //      walks up/down per pattern bit, and window energy is monotone
+    //      in amplitude, so fingerprint(clip) == its pattern long. The
+    //      clips go through the REAL decode path (javax.sound WAV parse
+    //      → mono float → re-quantize → window energies); expected
+    //      pairs are then pure popcount arithmetic over the pattern
+    //      constants (the q108 oracle discipline). ----
+
+    "q144_audio_fingerprint_dups" -> ((s, dir) => {
+      val rows = (audioPatterns ++ audioPatterns.map {
+        case (n, p) => (s"copy-$n", p)
+      }).map { case (name, p) =>
+        val amps = new Array[Int](65)
+        amps(0) = 8000
+        for (w <- 0 until 64)
+          amps(w + 1) = amps(w) +
+            (if (((p >>> w) & 1L) == 1L) 100 else -100)
+        val wlen = 160 // samples per window at 8 kHz (1.3 s clips)
+        val samples = new Array[Short](65 * wlen)
+        for (w <- 0 until 65; j <- 0 until wlen)
+          samples(w * wlen + j) =
+            (if (j % 2 == 0) amps(w) else -amps(w)).toShort
+        (name, graft.ops.Audio.synthesizeWavPcm16(samples, 8000))
+      }
+      graft.ops.Audio.audioNearDuplicates(
+          s.createDataFrame(rows).toDF("clip_id", "wav"), "clip_id", "wav")
+        .orderBy("id_a", "id_b")
+    }),
+
     "q115_jsonl_shards" -> ((s, dir) => {
       val out = tmpDir("graft-jsonl")
       graft.sinks.Jsonl.writeShards(
@@ -227,6 +271,25 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
           |    CAST(strlen(m) AS BIGINT)
           |  FROM meta)
           |SELECT shard, entry, size_bytes FROM m2 ORDER BY entry""".stripMargin,
+
+      // q144's expected pairs replayed from the pattern constants: the
+      // amplitude walk makes window energy (wlen·A(w)²) monotone in the
+      // strictly-positive amplitude, so each clip's fingerprint equals
+      // its pattern long bit for bit — the pair set is pure popcount
+      // arithmetic over the constants, id_a < id_b as strings (the
+      // q108 oracle verbatim, over the audio construction).
+      "q144_audio_fingerprint_dups" -> {
+        val all = audioPatterns.flatMap { case (n, p) =>
+          Seq(n -> p, s"copy-$n" -> p) }
+        val pairs = (for {
+          (a, pa) <- all; (b, pb) <- all if a < b
+          d = java.lang.Long.bitCount(pa ^ pb) if d <= 3
+        } yield s"('$a', '$b', $d)").sorted
+        s"""SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+           |FROM (VALUES ${pairs.mkString(", ")})
+           |  AS t(id_a, id_b, hamming)
+           |ORDER BY id_a, id_b""".stripMargin
+      },
 
       "q33_multimodal_meta" ->
         """SELECT doc_id,

@@ -1,0 +1,271 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+/** Real audio decode + fingerprint for the multimodal family.
+  *
+  * The container has no ffmpeg-class codecs, so compressed audio
+  * (mp3/aac/ogg) stays behind the documented [[Multimodal.MediaDecoder]]
+  * stub — but WAV/PCM needs only `javax.sound.sampled` (pure JDK,
+  * headless), so this path is REAL end to end: RIFF parse, PCM decode
+  * (incl. the JDK's built-in u-law/a-law/8-bit conversions), channel
+  * downmix, linear resample, and an integer-exact 64-bit fingerprint.
+  * The fingerprint feeds [[Dedup.hammingDuplicates]] exactly like the
+  * perceptual image hashes (the q108 pattern): audio BYTES never
+  * shuffle — the wire carries (id, signature) no matter the payload
+  * size, and the decode work runs as the same per-partition batch
+  * stage shape as [[Multimodal.decodeStage]].
+  *
+  * Fingerprint design (chromaprint-shaped, deliberately simpler): the
+  * clip is cut into `windows` equal time windows; each window's energy
+  * is an exact Long sum of squared 16-bit sample quanta; bit `w` of
+  * the signature is the SIGN of the energy delta between windows `w`
+  * and `w+1`. Sign-of-delta over coarse energy bins is the core trick
+  * chromaprint/shazam-class fingerprints rest on (deltas survive
+  * volume normalization errors, codec noise, and resampling far better
+  * than absolute energies); skipping the FFT band split keeps every
+  * bit INTEGER-EXACT — a pure function of the decoded PCM — which is
+  * what lets q144 replay expected signatures from construction
+  * constants as popcount arithmetic, the q108 oracle discipline.
+  */
+object Audio {
+
+  /** Decoded clip: mono float frames in [-1, 1) at `sampleRate` Hz.
+    * `channels` is the SOURCE channel count (before the downmix).
+    */
+  final case class AudioClip(sampleRate: Float, channels: Int,
+                             frames: Array[Float])
+
+  /** Metadata emitted by [[audioDecodeStage]] — the audio analog of
+    * [[Multimodal.metadataSchema]] (sample geometry instead of pixel
+    * geometry).
+    */
+  val audioMetadataSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType),
+    StructField("ok", BooleanType),
+  ))
+
+  /** Decode WAV (or any `javax.sound`-supported container: AU, AIFF)
+    * bytes to mono float frames. Non-PCM16 encodings (u-law, a-law,
+    * 8-bit PCM) are converted through the JDK's codec chain to signed
+    * 16-bit first, so every decode lands in the same quantization the
+    * fingerprint assumes. Channels downmix by exact mean:
+    * `mono = (Σ_c s_c) / (channels · 32768)` — for mono input this is
+    * the lossless `s / 32768`, so quantizing back recovers the source
+    * sample exactly. None for null/empty/undecodable payloads (the
+    * route-not-throw contract of every decoder here).
+    */
+  def decodeWav(payload: Array[Byte]): Option[AudioClip] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val src = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = src.getFormat
+        val pcm: AudioInputStream =
+          if (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16 && !f.isBigEndian) src
+          else AudioSystem.getAudioInputStream(
+            new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+              f.getSampleRate, false), src)
+        val channels = pcm.getFormat.getChannels
+        if (channels <= 0) return None
+        val bytes = pcm.readAllBytes()
+        val nFrames = bytes.length / (2 * channels)
+        val mono = new Array[Float](nFrames)
+        val denom = channels * 32768.0f
+        var i = 0
+        while (i < nFrames) {
+          var sum = 0
+          var c = 0
+          while (c < channels) {
+            val off = (i * channels + c) * 2
+            sum += ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+            c += 1
+          }
+          mono(i) = sum / denom
+          i += 1
+        }
+        Some(AudioClip(pcm.getFormat.getSampleRate, channels, mono))
+      } finally src.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Linear-interpolation resample of mono frames. Identity when the
+    * rates match (bit-preserving — the common fingerprint path);
+    * otherwise `out(i) = lerp(in, i · src/dst)`. Linear is the right
+    * tool here: the fingerprint consumes coarse WINDOW energies, so
+    * the windowed-sinc fidelity a playback resampler needs buys
+    * nothing (and its convolution tails would break the exact-replay
+    * construction specs pin).
+    */
+  def resampleLinear(frames: Array[Float], srcRate: Float,
+                     dstRate: Float): Array[Float] = {
+    require(srcRate > 0 && dstRate > 0, "sample rates must be positive")
+    if (srcRate == dstRate || frames.isEmpty) return frames
+    val ratio = srcRate.toDouble / dstRate.toDouble
+    val n = (frames.length / ratio).toInt
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val pos = i * ratio
+      val lo = pos.toInt
+      val hi = math.min(lo + 1, frames.length - 1)
+      val frac = (pos - lo).toFloat
+      out(i) = frames(lo) + (frames(hi) - frames(lo)) * frac
+      i += 1
+    }
+    out
+  }
+
+  /** 65 equal time windows → 64 energy deltas → the 64-bit signature. */
+  val FingerprintWindows = 65
+
+  /** 64-bit sign-of-energy-delta fingerprint over
+    * [[FingerprintWindows]] equal time windows. Each frame
+    * re-quantizes to its 16-bit integer (`round(f · 32768)` — exact
+    * for PCM16-decoded values), window energy is the Long sum of
+    * squared quanta, and bit `w` is set iff
+    * `energy(w+1) > energy(w)`. Integer-exact by construction: for
+    * clips synthesized with known per-window amplitudes the signature
+    * IS the amplitude-comparison pattern, which is what the q144
+    * oracle replays. None when the clip is too short to give every
+    * window at least one frame.
+    */
+  def fingerprint64(frames: Array[Float]): Option[Long] = {
+    val windows = FingerprintWindows
+    if (frames == null || frames.length < windows) return None
+    val w = frames.length / windows
+    val energy = new Array[Long](windows)
+    var b = 0
+    while (b < windows) {
+      var e = 0L
+      var i = b * w
+      val end = i + w
+      while (i < end) {
+        val q = math.round(frames(i) * 32768f).toLong
+        e += q * q
+        i += 1
+      }
+      energy(b) = e
+      b += 1
+    }
+    var bits = 0L
+    b = 0
+    while (b < 64) {
+      if (energy(b + 1) > energy(b)) bits |= 1L << b
+      b += 1
+    }
+    Some(bits)
+  }
+
+  /** Encode interleaved signed-16-bit samples as a real WAV byte
+    * payload through the JDK's RIFF writer — the fixture generator for
+    * the golden specs and the q144 construction (synthesized clips
+    * whose fingerprint is known by construction go through the REAL
+    * decode path end to end).
+    */
+  def synthesizeWavPcm16(samples: Array[Short], sampleRate: Int,
+                         channels: Int = 1): Array[Byte] = {
+    require(channels >= 1, "channels must be >= 1")
+    require(samples.length % channels == 0,
+      "sample count must be a multiple of the channel count")
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, channels * 2,
+      sampleRate.toFloat, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt,
+      samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode stage: binary column → appended audio metadata struct —
+    * the [[Multimodal.decodeStage]] shape (per-partition batches,
+    * failures route as ok=false rows, never thrown). `duration_ms` is
+    * exact integer arithmetic (`frames · 1000 / rate`, floor).
+    */
+  def audioDecodeStage(df: DataFrame, binaryCol: String,
+                       outCol: String = "audio_meta"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, audioMetadataSchema))
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"missing column $binaryCol")
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val meta = decodeWav(row.getAs[Array[Byte]](binIdx)) match {
+          case Some(c) =>
+            val rate = math.round(c.sampleRate)
+            Row("wav", rate, c.channels, c.frames.length.toLong,
+              if (rate > 0) c.frames.length.toLong * 1000L / rate else 0L,
+              true)
+          case None => Row(null, null, null, null, null, false)
+        }
+        Row.fromSeq(row.toSeq :+ meta)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Fingerprint stage: binary WAV column → appended nullable long
+    * signature (decode → downmix → optional resample to `targetRate`,
+    * 0 = keep native → [[fingerprint64]]); 8 bytes a row out no matter
+    * the payload size, exactly [[Multimodal.perceptualHashStage]]'s
+    * economics.
+    */
+  def audioFingerprintStage(df: DataFrame, binaryCol: String,
+                            outCol: String = "afp",
+                            targetRate: Float = 0f): DataFrame = {
+    require(targetRate >= 0f, "targetRate must be >= 0 (0 = native)")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = true))
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(binIdx >= 0, s"missing column $binaryCol")
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val sig = decodeWav(row.getAs[Array[Byte]](binIdx)).flatMap { c =>
+          val f = if (targetRate > 0f)
+            resampleLinear(c.frames, c.sampleRate, targetRate)
+          else c.frames
+          fingerprint64(f)
+        }
+        Row.fromSeq(row.toSeq :+ sig.map(Long.box).orNull)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Near-duplicate audio pairs by fingerprint Hamming distance:
+    * [[audioFingerprintStage]] (one decode pass, 8-byte signatures) →
+    * [[Dedup.hammingDuplicates]]' banded self-join (complete for
+    * `maxDistance` ≤ 3 by pigeonhole) — re-encoded, re-sampled, or
+    * lightly edited clips land within a few bits. Undecodable or
+    * too-short payloads can never pair. Returns (id_a, id_b, hamming).
+    */
+  def audioNearDuplicates(df: DataFrame, idCol: String, binaryCol: String,
+                          maxDistance: Int = 3,
+                          targetRate: Float = 0f): DataFrame =
+    Dedup.hammingDuplicates(
+      audioFingerprintStage(df, binaryCol, targetRate = targetRate)
+        .filter(col("afp").isNotNull)
+        .select(col(idCol), col("afp")),
+      idCol, "afp", maxDistance)
+}

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Audio
+
+/** Real-WAV round-trip and fingerprint semantics for the audio family:
+  * the JDK encode→decode path must be lossless for PCM16, the downmix
+  * and resampler must be exact where the construction makes them exact,
+  * and the sign-of-energy-delta fingerprint must recover a constructed
+  * bit pattern EXACTLY — the invariant q144's value-exact oracle rests
+  * on (the GoldenImageSpec discipline applied to audio).
+  */
+class AudioSpec extends SparkSpec {
+
+  /** Synthesize the q144-style clip for a pattern: 65 windows of a
+    * square wave whose amplitude walks ±step per pattern bit.
+    */
+  private def patternClip(p: Long, wlen: Int = 160,
+                          channels: Int = 1): Array[Short] = {
+    val amps = new Array[Int](65)
+    amps(0) = 8000
+    for (w <- 0 until 64)
+      amps(w + 1) = amps(w) + (if (((p >>> w) & 1L) == 1L) 100 else -100)
+    val out = new Array[Short](65 * wlen * channels)
+    for (w <- 0 until 65; j <- 0 until wlen; c <- 0 until channels)
+      out((w * wlen + j) * channels + c) =
+        (if (j % 2 == 0) amps(w) else -amps(w)).toShort
+    out
+  }
+
+  test("decodeWav round-trips PCM16 mono exactly") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 12345, -1)
+    val wav = Audio.synthesizeWavPcm16(samples, 8000)
+    // a real RIFF container came out of the JDK writer
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val clip = Audio.decodeWav(wav).get
+    assert(clip.sampleRate == 8000f)
+    assert(clip.channels == 1)
+    assert(clip.frames.length == samples.length)
+    // every decoded frame re-quantizes to its source sample exactly
+    val back = clip.frames.map(f => math.round(f * 32768f).toShort)
+    assert(back.toSeq == samples.toSeq)
+  }
+
+  test("stereo downmix is the exact channel mean") {
+    // frame 0: L=+1000 R=-1000 -> 0; frame 1: L=R=400 -> 400;
+    // frame 2: L=100 R=300 -> 200
+    val interleaved = Array[Short](1000, -1000, 400, 400, 100, 300)
+    val clip = Audio.decodeWav(
+      Audio.synthesizeWavPcm16(interleaved, 16000, channels = 2)).get
+    assert(clip.channels == 2)
+    assert(clip.sampleRate == 16000f)
+    assert(clip.frames.length == 3)
+    val q = clip.frames.map(f => math.round(f * 32768f))
+    assert(q.toSeq == Seq(0, 400, 200))
+  }
+
+  test("8-bit unsigned PCM converts through the JDK codec chain") {
+    // hand-build an 8-bit unsigned WAV via javax.sound and make sure
+    // decodeWav's conversion lands in the 16-bit quantization
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val raw = Array[Byte](128.toByte, 255.toByte, 0.toByte) // 0, +127, -128
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, raw.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val clip = Audio.decodeWav(bos.toByteArray).get
+    assert(clip.frames.length == 3)
+    // the exact 8->16 widening is codec-defined (shift vs replicate vs
+    // saturate differ across implementations); signs and magnitudes
+    // must hold to within one 8-bit LSB (256 in 16-bit units)
+    val q = clip.frames.map(f => math.round(f * 32768f))
+    assert(q(0) == 0)
+    assert(q(1) >= 127 * 256 && q(1) <= 32767)
+    assert(q(2) <= -128 * 256 + 256 && q(2) >= -32768)
+  }
+
+  test("garbage, empty, and null payloads decode to None") {
+    assert(Audio.decodeWav(null).isEmpty)
+    assert(Audio.decodeWav(Array.emptyByteArray).isEmpty)
+    assert(Audio.decodeWav("not audio at all".getBytes).isEmpty)
+    // a RIFF magic number with trash inside must not throw either
+    assert(Audio.decodeWav("RIFFxxxxWAVEtrash".getBytes).isEmpty)
+  }
+
+  test("resampleLinear: identity, decimation, and midpoint interpolation") {
+    val f = Array(0f, 1f, 2f, 3f, 4f, 5f, 6f, 7f)
+    // same rate: the very same array back (bit-preserving fast path)
+    assert(Audio.resampleLinear(f, 8000f, 8000f) eq f)
+    // 2:1 decimation picks exact source samples
+    assert(Audio.resampleLinear(f, 8000f, 4000f).toSeq ==
+      Seq(0f, 2f, 4f, 6f))
+    // 1:2 upsampling interpolates exact midpoints
+    val up = Audio.resampleLinear(Array(0f, 1f), 4000f, 8000f)
+    assert(up.length == 4)
+    assert(up(0) == 0f && up(1) == 0.5f && up(2) == 1f)
+  }
+
+  test("fingerprint64 recovers the constructed pattern exactly") {
+    for (p <- Seq(0x0123456789ABCDEFL, 0L, -1L, 0x5A5A5A5AA5A5A5A5L)) {
+      val wav = Audio.synthesizeWavPcm16(patternClip(p), 8000)
+      val clip = Audio.decodeWav(wav).get
+      assert(Audio.fingerprint64(clip.frames).contains(p),
+        s"pattern ${p.toHexString} did not survive the decode path")
+    }
+    // too short: fewer frames than windows -> None
+    assert(Audio.fingerprint64(new Array[Float](64)).isEmpty)
+  }
+
+  test("fingerprint survives resampling and stereo downmix") {
+    val p = 0xF0E1D2C3B4A59687L
+    // stereo clip (both channels the same walk): downmix keeps energies
+    val stereo = Audio.decodeWav(
+      Audio.synthesizeWavPcm16(patternClip(p, channels = 2), 8000,
+        channels = 2)).get
+    assert(Audio.fingerprint64(stereo.frames).contains(p))
+    // 2:1 decimation picks the even (positive) samples of each window:
+    // energy stays monotone in the amplitude, the signature holds
+    val mono = Audio.decodeWav(
+      Audio.synthesizeWavPcm16(patternClip(p), 8000)).get
+    val half = Audio.resampleLinear(mono.frames, 8000f, 4000f)
+    assert(Audio.fingerprint64(half).contains(p))
+  }
+
+  test("audioDecodeStage emits exact metadata and routes failures") {
+    val wav = Audio.synthesizeWavPcm16(new Array[Short](12000), 8000)
+    val df = spark.createDataFrame(Seq(
+      ("good", wav),
+      ("bad", "trash".getBytes),
+    )).toDF("id", "payload")
+    val out = Audio.audioDecodeStage(df, "payload")
+      .select("id", "audio_meta.*").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g = out("good")
+    assert(g.getString(1) == "wav")
+    assert(g.getInt(2) == 8000 && g.getInt(3) == 1)
+    assert(g.getLong(4) == 12000L)
+    assert(g.getLong(5) == 1500L) // 12000 frames / 8 kHz = 1.5 s
+    assert(g.getBoolean(6))
+    assert(!out("bad").getBoolean(6))
+  }
+
+  test("audioNearDuplicates: clones at 0, the 3-bit neighbor, no others") {
+    val patterns = Seq(
+      "a" -> 0x0123456789ABCDEFL,
+      "b" -> 0xF0E1D2C3B4A59687L,
+      "n" -> (0x0123456789ABCDEFL ^ 0x7L))
+    val rows = (patterns ++ patterns.map { case (n, p) =>
+      (s"c-$n", p) }).map { case (name, p) =>
+      (name, Audio.synthesizeWavPcm16(patternClip(p), 8000))
+    } :+ (("junk", "not a wav".getBytes)) // never pairs
+    val got = Audio.audioNearDuplicates(
+        spark.createDataFrame(rows).toDF("clip_id", "wav"),
+        "clip_id", "wav")
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val all = patterns.flatMap { case (n, p) => Seq(n -> p, s"c-$n" -> p) }
+    val want = (for {
+      (x, px) <- all; (y, py) <- all if x < y
+      d = java.lang.Long.bitCount(px ^ py) if d <= 3
+    } yield (x, y, d.toLong)).sorted
+    assert(got.toSeq == want)
+  }
+}
