@@ -40,6 +40,41 @@ private[graft] trait EntriesRetrieval { this: SparkEntry.type =>
         .orderBy("query_id", "rank")
     }),
 
+    // ---- retrieval quality harness: recall@10 of four systems (lexical
+    //      leg, semantic leg, RRF 1:1, RRF 2:1) against shared
+    //      multi-evidence qrels — each query's relevant set is the union
+    //      of both legs' deep top-5 (a constructed stand-in for labeled
+    //      qrels: docs with strong evidence in EITHER modality), so a
+    //      single leg structurally caps near 0.5 recall and the fusion's
+    //      gain over its legs is measured, not assumed. This is the
+    //      tuning evidence (candidatesPerLeg, rrfK, weights) a rollout
+    //      reads; every recall is one IEEE division of two small ints. ----
+    "q145_retrieval_quality" -> ((s, dir) => {
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id",
+        "text", queries, "qid", "qtext", k = 20)
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 20, excludeSelf = false)
+      val qrels = lex.filter(col("rank") <= 5)
+        .select(col("query_id"), col("doc_id"))
+        .unionByName(sem.filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id").as("doc_id")))
+      val legs = Seq((lex, "doc_id", 1.0), (sem, "neighbor_id", 1.0))
+      val legs21 = Seq((lex, "doc_id", 2.0), (sem, "neighbor_id", 1.0))
+      Retrieval.recallVsRelevance(qrels, Seq(
+          ("lex", lex, "doc_id"),
+          ("sem", sem, "neighbor_id"),
+          ("rrf_1_1", Retrieval.rrfFuse(legs, k = 10), "doc_id"),
+          ("rrf_2_1", Retrieval.rrfFuse(legs21, k = 10), "doc_id")),
+          k = 10)
+        .orderBy("system", "query_id")
+    }),
+
     // ---- diversity-capped re-rank: brute-force top-30 candidates,
     //      at most 3 per embedding cluster, best 10 survivors ----
     "q139_diversified_topk" -> ((s, dir) => {
@@ -58,15 +93,14 @@ private[graft] trait EntriesRetrieval { this: SparkEntry.type =>
 
   )
 
-  private[graft] def retrievalOracle: Map[String, String] = Map(
-
-      // Hybrid retrieval replayed end to end: the q71 BM25 CTEs (k=20)
-      // and the q16 brute-cosine CTEs (k=20, self kept) feed the RRF
-      // combiner — per-list contribution floor(1e9/(60+rank)) as pure
-      // integer micro-units, so the fused sum is order-independent and
-      // hash-exact on both engines.
-      "q137_hybrid_retrieval" ->
-        s"""WITH q(query_id, qtext) AS (VALUES
+  /** Shared oracle leg CTEs (q137 + q145): the q71 BM25 ranking over
+    * ALL matching docs (`lex`: query_id, doc_id, rank) and the q16
+    * brute-cosine ranking (`sem`, self kept) for the three fixed
+    * hybrid queries — one text, two consumers, so the replays can
+    * never drift apart.
+    */
+  private def retrievalLegsCtes: String =
+        s"""q(query_id, qtext) AS (VALUES
            |    (1, 'spark join hash'),
            |    (2, 'customer order query'),
            |    (3, 'vector stream window group')),
@@ -118,7 +152,17 @@ private[graft] trait EntriesRetrieval { this: SparkEntry.type =>
            |sem AS (SELECT query_id, neighbor_id AS doc_id,
            |    row_number() OVER (PARTITION BY query_id
            |      ORDER BY score DESC, neighbor_id ASC) AS rank
-           |  FROM vscored),
+           |  FROM vscored)""".stripMargin
+
+  private[graft] def retrievalOracle: Map[String, String] = Map(
+
+      // Hybrid retrieval replayed end to end: the q71 BM25 CTEs (k=20)
+      // and the q16 brute-cosine CTEs (k=20, self kept) feed the RRF
+      // combiner — per-list contribution floor(1e9/(60+rank)) as pure
+      // integer micro-units, so the fused sum is order-independent and
+      // hash-exact on both engines.
+      "q137_hybrid_retrieval" ->
+        s"""WITH $retrievalLegsCtes,
            |contribs AS (
            |  SELECT query_id, doc_id,
            |    CAST(floor(1.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
@@ -140,6 +184,77 @@ private[graft] trait EntriesRetrieval { this: SparkEntry.type =>
            |  CAST(sm AS DOUBLE) / 1000000000.0 AS score
            |FROM fr WHERE rank <= 10
            |ORDER BY query_id, rank""".stripMargin,
+
+      // The quality harness replayed end to end: the shared leg CTEs,
+      // qrels = union of both legs' top-5, two fused lists (1:1 and
+      // 2:1 lexical weight — contribution floor(w·1e9/(60+rank)), the
+      // q137 integer micro-units), then per (system, query) hit counts
+      // and recall as one division of two small ints.
+      "q145_retrieval_quality" ->
+        s"""WITH $retrievalLegsCtes,
+           |rel AS (SELECT DISTINCT query_id, doc_id FROM (
+           |    SELECT query_id, doc_id FROM lex WHERE rank <= 5
+           |    UNION ALL
+           |    SELECT query_id, doc_id FROM sem WHERE rank <= 5)),
+           |nrel AS (SELECT query_id,
+           |    CAST(count(*) AS BIGINT) AS n_rel
+           |  FROM rel GROUP BY query_id),
+           |c11 AS (
+           |  SELECT query_id, doc_id,
+           |    CAST(floor(1.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
+           |      AS cm
+           |  FROM lex WHERE rank <= 20
+           |  UNION ALL
+           |  SELECT query_id, doc_id,
+           |    CAST(floor(1.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
+           |      AS cm
+           |  FROM sem WHERE rank <= 20),
+           |f11 AS (SELECT query_id, doc_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sum_cm DESC, doc_id ASC) AS rank
+           |  FROM (SELECT query_id, doc_id,
+           |      CAST(sum(cm) AS BIGINT) AS sum_cm
+           |    FROM c11 GROUP BY query_id, doc_id)),
+           |c21 AS (
+           |  SELECT query_id, doc_id,
+           |    CAST(floor(2.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
+           |      AS cm
+           |  FROM lex WHERE rank <= 20
+           |  UNION ALL
+           |  SELECT query_id, doc_id,
+           |    CAST(floor(1.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
+           |      AS cm
+           |  FROM sem WHERE rank <= 20),
+           |f21 AS (SELECT query_id, doc_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sum_cm DESC, doc_id ASC) AS rank
+           |  FROM (SELECT query_id, doc_id,
+           |      CAST(sum(cm) AS BIGINT) AS sum_cm
+           |    FROM c21 GROUP BY query_id, doc_id)),
+           |allhits AS (
+           |  SELECT 'lex' AS system, query_id, doc_id
+           |  FROM lex WHERE rank <= 10
+           |  UNION ALL
+           |  SELECT 'sem', query_id, doc_id FROM sem WHERE rank <= 10
+           |  UNION ALL
+           |  SELECT 'rrf_1_1', query_id, doc_id FROM f11 WHERE rank <= 10
+           |  UNION ALL
+           |  SELECT 'rrf_2_1', query_id, doc_id FROM f21 WHERE rank <= 10),
+           |sys(system) AS (VALUES
+           |  ('lex'), ('sem'), ('rrf_1_1'), ('rrf_2_1')),
+           |hitc AS (
+           |  SELECT s.system, r.query_id,
+           |    CAST(count(h.doc_id) AS BIGINT) AS n_hits
+           |  FROM rel r
+           |  CROSS JOIN sys s
+           |  LEFT JOIN allhits h ON h.system = s.system
+           |    AND h.query_id = r.query_id AND h.doc_id = r.doc_id
+           |  GROUP BY s.system, r.query_id)
+           |SELECT h.system, CAST(h.query_id AS BIGINT) AS query_id,
+           |  n.n_rel, h.n_hits,
+           |  CAST(h.n_hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS recall
+           |FROM hitc h JOIN nrel n ON n.query_id = h.query_id
+           |ORDER BY system, query_id""".stripMargin,
 
       // Brute top-30 candidates (q16's CTEs), q50's cluster assignment
       // as the diversity groups, cap 3 per (query, cluster) by original

@@ -149,4 +149,62 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("group"))
   }
+
+  /** Retrieval quality harness: recall@k of N SYSTEMS against one
+    * shared relevance table — the evidence a hybrid-retrieval rollout
+    * needs before committing `candidatesPerLeg`/`rrfK`/weights at
+    * corpus scale. [[graft.ops.Similarity.recallAtK]] scores ONE
+    * approximate search against brute truth of the SAME metric; this
+    * harness scores heterogeneous systems (lexical, semantic, fused —
+    * incompatible score spaces) against metric-independent qrels
+    * (human labels, click pseudo-labels, or constructed multi-evidence
+    * sets as in q145), which is the only ground truth a FUSION can be
+    * judged by.
+    *
+    * `qrels` carries (query_id, doc_id) relevant pairs (duplicates
+    * tolerated — deduped here); each system is (name, ranked frame,
+    * id column) where the frame has `query_id`/`rank` (1-based) plus
+    * the id column — exactly what [[TextAnalysis.bm25TopK]], the
+    * [[Similarity]] top-k family, and [[rrfFuse]] emit. Only rows with
+    * `rank <= k` count.
+    *
+    * Output: one row per (system, query in qrels) — `n_rel`, `n_hits`,
+    * `recall = n_hits / n_rel` (one IEEE division of two small ints:
+    * bit-portable, the [[Similarity.recallAtK]] contract). Queries a
+    * system missed entirely still report (hits 0), so a dead leg reads
+    * as recall 0, never as a missing row.
+    *
+    * Scale shape: every input is (queries × k)-sized; the hit checks
+    * are broadcast semi-joins and the aggregates are queries-sized —
+    * corpus cost lives entirely in the upstream searches. This is the
+    * tuning loop run on a query SAMPLE before a 100 TB rollout.
+    */
+  def recallVsRelevance(qrels: DataFrame,
+                        systems: Seq[(String, DataFrame, String)],
+                        k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(systems.nonEmpty, "at least one system to evaluate")
+    require(systems.map(_._1).distinct.size == systems.size,
+      "system names must be distinct")
+    val rel = qrels.select(col("query_id"), col("doc_id")).distinct()
+    val nRel = rel.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = systems.map { case (name, ranked, idCol) =>
+      rel.join(
+          broadcast(ranked.filter(col("rank") <= k)
+            .select(col("query_id"), col(idCol).as("doc_id"))),
+          Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("system", lit(name))
+    }.reduce(_ unionByName _)
+    val sys = qrels.sparkSession.createDataFrame(
+      systems.map(s => Tuple1(s._1))).toDF("system")
+    nRel.crossJoin(broadcast(sys))
+      .join(broadcast(hits), Seq("system", "query_id"), "left")
+      .select(col("system"), col("query_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_rel").cast("double"))
+  }
 }

@@ -182,4 +182,57 @@ class RetrievalSpec extends SparkSpec {
     assert(fused.map(_._3).toSeq == want.map(_._1))
     assert(fused.map(r => math.round(r._4 * 1e9)).toSeq == want.map(_._2))
   }
+
+  test("recallVsRelevance: exact counts, zero-hit rows, qrels dedup, " +
+      "rank cutoff") {
+    val qrels = Seq((1L, 10L), (1L, 20L), (1L, 20L), // dup collapses
+      (1L, 30L), (2L, 40L)).toDF("query_id", "doc_id")
+    // sysA hits 10 and 20 for q1 (30 ranked past k), nothing for q2;
+    // sysB returns nothing anywhere
+    val sysA = list((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      (2L, 1L, 99L))
+    val sysB = list()
+    val out = Retrieval.recallVsRelevance(qrels,
+        Seq(("A", sysA, "doc_id"), ("B", sysB, "doc_id")), k = 2)
+      .orderBy("system", "query_id")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      ("A", 1L, 3L, 2L, 2.0 / 3.0),
+      ("A", 2L, 1L, 0L, 0.0),
+      ("B", 1L, 3L, 0L, 0.0),
+      ("B", 2L, 1L, 0L, 0.0)))
+  }
+
+  test("recallVsRelevance: fusion recovers multi-evidence qrels " +
+      "neither leg can alone") {
+    // d10 is lexical-only evidence, d20 semantic-only: each leg ranks
+    // its own doc first and misses the other at k=2; the 1:1 fusion's
+    // top-2 holds both — recall 1.0 vs 0.5 per leg. The constructed
+    // form of the q145 finding.
+    val lex = list((1L, 1L, 10L), (1L, 2L, 30L), (1L, 3L, 20L))
+    val sem = list((1L, 1L, 20L), (1L, 2L, 40L), (1L, 3L, 10L))
+    val qrels = Seq((1L, 10L), (1L, 20L)).toDF("query_id", "doc_id")
+    val fused = Retrieval.rrfFuse(
+      Seq((lex, "doc_id", 1.0), (sem, "doc_id", 1.0)), k = 2)
+    val out = Retrieval.recallVsRelevance(qrels, Seq(
+        ("lex", lex, "doc_id"), ("sem", sem, "doc_id"),
+        ("rrf", fused, "doc_id")), k = 2)
+      .orderBy("system")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out.map(r => r._1 -> r._5).toSeq ==
+      Seq("lex" -> 0.5, "rrf" -> 1.0, "sem" -> 0.5))
+  }
+
+  test("recallVsRelevance: rejects duplicate system names and empty " +
+      "system sets") {
+    val qrels = Seq((1L, 10L)).toDF("query_id", "doc_id")
+    val s1 = list((1L, 1L, 10L))
+    intercept[IllegalArgumentException] {
+      Retrieval.recallVsRelevance(qrels, Seq.empty, k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.recallVsRelevance(qrels,
+        Seq(("x", s1, "doc_id"), ("x", s1, "doc_id")), k = 5)
+    }
+  }
 }
