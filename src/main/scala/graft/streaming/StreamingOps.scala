@@ -651,6 +651,78 @@ object StreamingOps {
       keyCol, entries, dir, numShardsPerBatch, salt)
   }
 
+  /** [[curationStream]] with the DSIR importance gate composed in —
+    * the full CCNet/DSIR-style admission front on one stream:
+    * admission = classifier gate AND importance threshold, then the
+    * corpus-digest dedup and the per-batch WebDataset export. The
+    * classifier leg is the same codegen'd byte-scan projection as
+    * [[curationStream]] (stateless, batch-parity by construction); the
+    * DSIR leg scores each micro-batch against a persisted
+    * [[graft.ops.Sampling.dsirModelSave]] model through the
+    * [[dsirStream]] snapshot pin (one broadcast feature join per
+    * batch, hot-swapped on a refit's version bump), and a row is
+    * admitted only when its integer micro-log importance weight
+    * reaches `minWeightMicro`. Both gates are pure projections /
+    * broadcast joins, so chain results equal the batch formulation on
+    * the same rows BY CONSTRUCTION (parity spec in StreamingOpsSpec).
+    *
+    * Gate order is cost order: the classifier projection runs first so
+    * only rows that pass it pay the DSIR feature explode + join. A row
+    * with NO scoreable tokens (empty/whitespace text) has no
+    * measurable importance and is NOT admitted — the conservative
+    * reading of "admit what looks like the target distribution".
+    *
+    * The kept gate evidence rides along as STRING columns (`scoreCol`,
+    * `dsirCol`) so the caller can export either as a metadata entry.
+    */
+  def curationStreamDsir(stream: DataFrame, keyCol: String, textCol: String,
+                         weights: Array[Double], minScore: Double,
+                         dsirModelPath: String, minWeightMicro: Long,
+                         corpusDigests: DataFrame,
+                         entries: Seq[(String, String)], dir: String,
+                         numShardsPerBatch: Int, salt: Long = 0L,
+                         intercept: Double = 0.0,
+                         scoreCol: String = "score",
+                         dsirCol: String = "dsir_micro",
+                         hashKind: Int = graft.functions.SketchOps.HashXx64,
+                         refreshEveryBatches: Int = 1)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    Seq(scoreCol, dsirCol).foreach(c =>
+      require(!stream.columns.contains(c),
+        s"input already has a '$c' column; pass a different name"))
+    requireNoFp(stream)
+    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    val pin = new SnapshotPin(dsirModelPath, refreshEveryBatches)(
+      spark => graft.ops.Sampling.dsirModelLoad(spark, dsirModelPath))
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val scored = mb.toDF()
+          .withColumn(scoreCol,
+            call_function("graft_linear_score", col(textCol),
+              lit(weights), lit(hashKind)) + lit(intercept))
+          .filter(col(scoreCol) >= minScore)
+        val dw = graft.ops.Sampling.dsirApplyFromSnapshot(
+            pin.get(mb.sparkSession, batchId), scored, keyCol, textCol)
+          .select(col(keyCol), col("weight_micro").as(dsirCol))
+        // inner join: a no-token row has no importance row and drops
+        // here (see scaladoc); both sides are batch-sized
+        val admitted = scored.join(dw, Seq(keyCol))
+          .filter(col(dsirCol) >= minWeightMicro)
+        val fresh = admitted
+          .withColumn("__fp",
+            graft.ops.TextAnalysis.fingerprint(col(textCol)))
+          .join(corpusDigests, Seq("__fp"), "left_anti")
+          .drop("__fp")
+        graft.sinks.WebDataset.writeShards(
+          fresh.withColumn(scoreCol, col(scoreCol).cast("string"))
+            .withColumn(dsirCol, col(dsirCol).cast("string")),
+          keyCol, entries, graft.Fs.join(dir, s"batch=$batchId"),
+          numShardsPerBatch, salt)
+    }
+  }
+
   /** Gap-based sessionization with the BUILT-IN `session_window`
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the
