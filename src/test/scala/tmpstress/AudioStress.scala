@@ -1,0 +1,111 @@
+package tmpstress
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Audio pipeline at scale: 1M synthesized WAV clips (real RIFF bytes,
+  * ~2.2 KB each) through the REAL decode → fingerprint → banded
+  * Hamming join pipeline.
+  *
+  * Construction: 100k families × 10 variants. Variant 0 carries the
+  * family's 64-bit pattern exactly; variants 1-2 flip one distinct low
+  * bit each (near-dups at hamming 1/1/2 within the family); variants
+  * 3-9 flip 8 spread bits (far — never pair). Family patterns are
+  * splitmix-style mixes of the family id, so cross-family collisions
+  * within hamming 3 are ~C(64,≤3)/2^64 — absent at this N. Expected
+  * pair count = 3 × families, checked exactly.
+  */
+object AudioStress {
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def patternOf(id: Long): Long = {
+    val fam = id / 10
+    val v = (id % 10).toInt
+    val base = mix64(fam)
+    if (v == 0) base
+    else if (v <= 2) base ^ (1L << (v - 1))
+    else base ^ (0x0101010101010101L << (v - 3)) // 8 spread bits
+  }
+
+  def clipOf(p: Long, wlen: Int): Array[Byte] = {
+    val amps = new Array[Int](65)
+    amps(0) = 8000
+    var w = 0
+    while (w < 64) {
+      amps(w + 1) = amps(w) + (if (((p >>> w) & 1L) == 1L) 100 else -100)
+      w += 1
+    }
+    val samples = new Array[Short](65 * wlen)
+    w = 0
+    while (w < 65) {
+      var j = 0
+      while (j < wlen) {
+        samples(w * wlen + j) =
+          (if (j % 2 == 0) amps(w) else -amps(w)).toShort
+        j += 1
+      }
+      w += 1
+    }
+    graft.ops.Audio.synthesizeWavPcm16(samples, 8000)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val wlen = 16 // samples per window: short clips, the decode still real
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val schema = StructType(Seq(
+      StructField("clip_id", LongType, nullable = false),
+      StructField("wav", BinaryType, nullable = false)))
+    val clips = spark.createDataFrame(
+      spark.range(n).toDF("id").repartition(64).rdd.map { r =>
+        val id = r.getLong(0)
+        Row(id, clipOf(patternOf(id), wlen))
+      }, schema)
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"MARKER_${label}=${(System.nanoTime() - t0) / 1e9}%.1f")
+      a
+    }
+
+    // 1) decode + fingerprint throughput (scan-local, 8 B/row out)
+    val fp = timed("fingerprint_sec") {
+      val s = graft.ops.Audio.audioFingerprintStage(clips, "wav")
+        .select("clip_id", "afp").cache()
+      println(s"MARKER_fingerprinted=${s.count()}")
+      s
+    }
+    // fingerprints must equal the construction patterns exactly
+    val bad = timed("fp_check_sec") {
+      fp.rdd.filter { r =>
+        r.isNullAt(1) || r.getLong(1) != patternOf(r.getLong(0))
+      }.count()
+    }
+    println(s"MARKER_fp_mismatches=$bad")
+
+    // 2) the banded Hamming join over the cached signatures
+    val pairs = timed("hamming_sec") {
+      graft.ops.Dedup.hammingDuplicates(fp, "clip_id", "afp", 3).count()
+    }
+    println(s"MARKER_pairs=$pairs (expect ${3 * (n / 10)})")
+
+    // 3) end to end from bytes (decode not amortized by the cache)
+    val e2e = timed("end_to_end_sec") {
+      graft.ops.Audio.audioNearDuplicates(clips, "clip_id", "wav").count()
+    }
+    println(s"MARKER_e2e_pairs=$e2e")
+    spark.stop()
+  }
+}
