@@ -80,6 +80,79 @@ class AudioSpec extends SparkSpec {
     assert(q(2) <= -128 * 256 + 256 && q(2) >= -32768)
   }
 
+  test("hand-emitted WAV header is byte-identical to the JDK writer") {
+    for ((rate, ch, n) <- Seq((8000, 1, 6), (44100, 2, 8), (16000, 1, 0))) {
+      val samples = Array.tabulate[Short](n)(i => (i * 1111 - 3000).toShort)
+      val ours = Audio.synthesizeWavPcm16(samples, rate, ch)
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat, 16, ch, ch * 2, rate.toFloat, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, n / ch),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(java.util.Arrays.equals(ours, bos.toByteArray),
+        s"rate=$rate ch=$ch n=$n")
+    }
+  }
+
+  test("fast PCM16 parser matches the javax.sound path bit for bit " +
+      "and rejects what it cannot parse") {
+    // the fast parser and the SPI fallback must agree on PCM16 exactly
+    for ((rate, ch) <- Seq((8000, 1), (16000, 2), (44100, 3))) {
+      val samples = Array.tabulate[Short](60 * ch)(i => (i * 997 - 7000).toShort)
+      val wav = Audio.synthesizeWavPcm16(samples, rate, ch)
+      val fast = Audio.decodeWavPcm16Fast(wav).get
+      val clip = Audio.decodeWav(wav).get // routes through the fast path
+      assert(fast.sampleRate == rate.toFloat && fast.channels == ch)
+      assert(java.util.Arrays.equals(fast.frames, clip.frames))
+      // SPI path forced: prepend a junk chunk the fast parser skips but
+      // keep a second copy routed through javax.sound via an 8-bit WAV?
+      // — simplest exact check: decode through AudioSystem directly
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val raw = ais.readAllBytes(); ais.close()
+      val viaSpi = Array.tabulate(raw.length / (2 * ch)) { i =>
+        var sum = 0
+        (0 until ch).foreach { c =>
+          val o = (i * ch + c) * 2
+          sum += (((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort).toInt
+        }
+        sum / (ch * 32768.0f)
+      }
+      assert(java.util.Arrays.equals(fast.frames, viaSpi))
+    }
+    // metadata chunks (LIST before data) are walked over, odd-length
+    // chunks honor the RIFF pad byte
+    val base = Audio.synthesizeWavPcm16(Array[Short](1, 2, 3), 8000)
+    val (head, data) = base.splitAt(36)
+    val list = "LIST".getBytes ++ Array[Byte](5, 0, 0, 0) ++
+      "INFOx".getBytes ++ Array[Byte](0) // 5-byte body + pad
+    val withMeta = head ++ list ++ data
+    // fix the RIFF size field for honesty (parser doesn't check it)
+    val got = Audio.decodeWavPcm16Fast(withMeta).get
+    assert(got.frames.length == 3)
+    // not-PCM16 shapes fall through to None (8-bit unsigned)
+    val fmt8 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array[Byte](128.toByte)), fmt8, 1),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos8)
+    assert(Audio.decodeWavPcm16Fast(bos8.toByteArray).isEmpty)
+    assert(Audio.decodeWav(bos8.toByteArray).isDefined) // fallback catches it
+    // truncated data chunk: declared length past the buffer -> None
+    assert(Audio.decodeWavPcm16Fast(base.dropRight(2)).isEmpty)
+  }
+
   test("garbage, empty, and null payloads decode to None") {
     assert(Audio.decodeWav(null).isEmpty)
     assert(Audio.decodeWav(Array.emptyByteArray).isEmpty)
