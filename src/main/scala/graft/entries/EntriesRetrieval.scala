@@ -75,6 +75,41 @@ private[graft] trait EntriesRetrieval { this: SparkEntry.type =>
         .orderBy("system", "query_id")
     }),
 
+    // ---- graded-relevance nDCG@10: the q145 systems scored by the
+    //      rank-sensitive metric — grade 2 for docs with evidence in
+    //      BOTH legs' deep top-5, grade 1 for one leg. Fixed-point DCG
+    //      (floor(grade·1e9/ln(rank+1)) micro-units — ln, not log2, so
+    //      the replay stays on the one transcendental the BM25 oracles
+    //      already prove bit-portable; the ln(2) factor cancels from
+    //      the ratio) makes dcg/idcg order-independent integer sums. ----
+    "q146_retrieval_ndcg" -> ((s, dir) => {
+      val queries = s.createDataFrame(Seq(
+        (1L, "spark join hash"),
+        (2L, "customer order query"),
+        (3L, "vector stream window group"))).toDF("qid", "qtext")
+      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id",
+        "text", queries, "qid", "qtext", k = 20)
+      val emb = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 20, excludeSelf = false)
+      val qrels = lex.filter(col("rank") <= 5)
+        .select(col("query_id"), col("doc_id"))
+        .unionByName(sem.filter(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id").as("doc_id")))
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).as("grade")) // 2 = both legs, 1 = one leg
+      val legs = Seq((lex, "doc_id", 1.0), (sem, "neighbor_id", 1.0))
+      val legs21 = Seq((lex, "doc_id", 2.0), (sem, "neighbor_id", 1.0))
+      Retrieval.ndcgVsRelevance(qrels, Seq(
+          ("lex", lex, "doc_id"),
+          ("sem", sem, "neighbor_id"),
+          ("rrf_1_1", Retrieval.rrfFuse(legs, k = 10), "doc_id"),
+          ("rrf_2_1", Retrieval.rrfFuse(legs21, k = 10), "doc_id")),
+          k = 10)
+        .orderBy("system", "query_id")
+    }),
+
     // ---- diversity-capped re-rank: brute-force top-30 candidates,
     //      at most 3 per embedding cluster, best 10 survivors ----
     "q139_diversified_topk" -> ((s, dir) => {
@@ -254,6 +289,90 @@ private[graft] trait EntriesRetrieval { this: SparkEntry.type =>
            |  n.n_rel, h.n_hits,
            |  CAST(h.n_hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS recall
            |FROM hitc h JOIN nrel n ON n.query_id = h.query_id
+           |ORDER BY system, query_id""".stripMargin,
+
+      // nDCG replayed end to end: graded qrels (count of legs whose
+      // top-5 carries the doc), ideal ranking (grade desc, doc asc),
+      // the two fused lists, and per-system fixed-point DCG sums.
+      "q146_retrieval_ndcg" ->
+        s"""WITH $retrievalLegsCtes,
+           |rel AS (SELECT query_id, doc_id,
+           |    CAST(count(*) AS BIGINT) AS grade
+           |  FROM (
+           |    SELECT query_id, doc_id FROM lex WHERE rank <= 5
+           |    UNION ALL
+           |    SELECT query_id, doc_id FROM sem WHERE rank <= 5)
+           |  GROUP BY query_id, doc_id),
+           |ideal AS (SELECT query_id, grade,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY grade DESC, doc_id ASC) AS r
+           |  FROM rel),
+           |idcg AS (SELECT query_id,
+           |    CAST(sum(CAST(floor(grade * 1000000000.0 / ln(r + 1.0))
+           |      AS BIGINT)) AS BIGINT) AS idcg_micro
+           |  FROM ideal WHERE r <= 10 GROUP BY query_id),
+           |c11 AS (
+           |  SELECT query_id, doc_id,
+           |    CAST(floor(1.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
+           |      AS cm
+           |  FROM lex WHERE rank <= 20
+           |  UNION ALL
+           |  SELECT query_id, doc_id,
+           |    CAST(floor(1.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
+           |      AS cm
+           |  FROM sem WHERE rank <= 20),
+           |f11 AS (SELECT query_id, doc_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sum_cm DESC, doc_id ASC) AS rank
+           |  FROM (SELECT query_id, doc_id,
+           |      CAST(sum(cm) AS BIGINT) AS sum_cm
+           |    FROM c11 GROUP BY query_id, doc_id)),
+           |c21 AS (
+           |  SELECT query_id, doc_id,
+           |    CAST(floor(2.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
+           |      AS cm
+           |  FROM lex WHERE rank <= 20
+           |  UNION ALL
+           |  SELECT query_id, doc_id,
+           |    CAST(floor(1.0 * 1000000000.0 / (60.0 + rank)) AS BIGINT)
+           |      AS cm
+           |  FROM sem WHERE rank <= 20),
+           |f21 AS (SELECT query_id, doc_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sum_cm DESC, doc_id ASC) AS rank
+           |  FROM (SELECT query_id, doc_id,
+           |      CAST(sum(cm) AS BIGINT) AS sum_cm
+           |    FROM c21 GROUP BY query_id, doc_id)),
+           |allranks AS (
+           |  SELECT 'lex' AS system, query_id, doc_id, rank
+           |  FROM lex WHERE rank <= 10
+           |  UNION ALL
+           |  SELECT 'sem', query_id, doc_id, rank
+           |  FROM sem WHERE rank <= 10
+           |  UNION ALL
+           |  SELECT 'rrf_1_1', query_id, doc_id, rank
+           |  FROM f11 WHERE rank <= 10
+           |  UNION ALL
+           |  SELECT 'rrf_2_1', query_id, doc_id, rank
+           |  FROM f21 WHERE rank <= 10),
+           |sys(system) AS (VALUES
+           |  ('lex'), ('sem'), ('rrf_1_1'), ('rrf_2_1')),
+           |dcg AS (
+           |  SELECT s.system, r.query_id,
+           |    CAST(sum(CASE WHEN a.rank IS NULL THEN 0
+           |      ELSE CAST(floor(r.grade * 1000000000.0
+           |        / ln(a.rank + 1.0)) AS BIGINT) END) AS BIGINT)
+           |      AS dcg_micro
+           |  FROM rel r
+           |  CROSS JOIN sys s
+           |  LEFT JOIN allranks a ON a.system = s.system
+           |    AND a.query_id = r.query_id AND a.doc_id = r.doc_id
+           |  GROUP BY s.system, r.query_id)
+           |SELECT d.system, CAST(d.query_id AS BIGINT) AS query_id,
+           |  d.dcg_micro, i.idcg_micro,
+           |  CAST(d.dcg_micro AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE)
+           |    AS ndcg
+           |FROM dcg d JOIN idcg i ON i.query_id = d.query_id
            |ORDER BY system, query_id""".stripMargin,
 
       // Brute top-30 candidates (q16's CTEs), q50's cluster assignment

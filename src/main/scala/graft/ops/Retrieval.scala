@@ -207,4 +207,69 @@ object Retrieval {
       .withColumn("recall",
         col("n_hits").cast("double") / col("n_rel").cast("double"))
   }
+
+  /** nDCG@k of N systems against GRADED relevance — the rank-sensitive
+    * companion to [[recallVsRelevance]] (recall says whether relevant
+    * docs made the list; nDCG says whether the MOST relevant made the
+    * TOP). `qrels` carries (query_id, doc_id, grade); grades are
+    * positive integers (rows with grade ≤ 0 are dropped, duplicate
+    * (query, doc) rows keep their max grade).
+    *
+    * Fixed-point contract: each hit contributes
+    * `floor(grade · 1e9 / ln(rank + 1))` micro-units — DCG's log2
+    * discount with the constant ln(2) factor dropped, which cancels
+    * from the nDCG ratio anyway and keeps the replay on `ln` (the one
+    * transcendental the engine's oracles already prove bit-portable,
+    * the BM25 idf precedent) instead of a second `log2` whose libm
+    * path differs. DCG and the ideal DCG are then order-independent
+    * integer sums, and `ndcg = dcg_micro / idcg_micro` is one IEEE
+    * division. The ideal ordering breaks grade ties by ascending doc
+    * id, so IDCG is deterministic.
+    *
+    * Same scale shape as [[recallVsRelevance]]: everything is
+    * (queries × k)-sized, hit joins broadcast, zero corpus cost.
+    * Queries a system missed report dcg 0, never a missing row.
+    */
+  def ndcgVsRelevance(qrels: DataFrame,
+                      systems: Seq[(String, DataFrame, String)],
+                      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(systems.nonEmpty, "at least one system to evaluate")
+    require(systems.map(_._1).distinct.size == systems.size,
+      "system names must be distinct")
+    val rel = qrels
+      .select(col("query_id"), col("doc_id"),
+        col("grade").cast("long").as("grade"))
+      .filter(col("grade") > 0)
+      .groupBy("query_id", "doc_id").agg(max("grade").as("grade"))
+    def contrib(rank: org.apache.spark.sql.Column,
+                grade: org.apache.spark.sql.Column) =
+      floor(grade.cast("double") * lit(1e9) /
+        log(rank.cast("double") + lit(1.0))).cast("long")
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("grade").desc, col("doc_id").asc)
+    val idcg = rel.withColumn("__r", row_number().over(wIdeal))
+      .filter(col("__r") <= k)
+      .groupBy("query_id")
+      .agg(sum(contrib(col("__r"), col("grade"))).as("idcg_micro"))
+    val dcg = systems.map { case (name, ranked, idCol) =>
+      rel.join(
+          broadcast(ranked.filter(col("rank") <= k)
+            .select(col("query_id"), col(idCol).as("doc_id"),
+              col("rank"))),
+          Seq("query_id", "doc_id"))
+        .groupBy("query_id")
+        .agg(sum(contrib(col("rank"), col("grade"))).as("dcg_micro"))
+        .withColumn("system", lit(name))
+    }.reduce(_ unionByName _)
+    val sys = qrels.sparkSession.createDataFrame(
+      systems.map(s => Tuple1(s._1))).toDF("system")
+    idcg.crossJoin(broadcast(sys))
+      .join(broadcast(dcg), Seq("system", "query_id"), "left")
+      .select(col("system"), col("query_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"))
+      .withColumn("ndcg",
+        col("dcg_micro").cast("double") / col("idcg_micro").cast("double"))
+  }
 }

@@ -223,6 +223,47 @@ class RetrievalSpec extends SparkSpec {
       Seq("lex" -> 0.5, "rrf" -> 1.0, "sem" -> 0.5))
   }
 
+  test("ndcgVsRelevance: hand-computed fixed-point DCG, perfect " +
+      "ranking hits exactly 1.0, missing system reads 0") {
+    val qrels = Seq((1L, 10L, 2L), (1L, 20L, 1L), (1L, 30L, 1L))
+      .toDF("query_id", "doc_id", "grade")
+    val perfect = list((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L))
+    val reversed = list((1L, 1L, 30L), (1L, 2L, 20L), (1L, 3L, 10L))
+    val empty = list()
+    val out = Retrieval.ndcgVsRelevance(qrels, Seq(
+        ("perfect", perfect, "doc_id"),
+        ("reversed", reversed, "doc_id"),
+        ("empty", empty, "doc_id")), k = 10)
+      .orderBy("system")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    def c(g: Long, r: Long) =
+      math.floor(g * 1e9 / math.log(r + 1.0)).toLong
+    val idcg = c(2, 1) + c(1, 2) + c(1, 3)
+    assert(out("perfect") == ((idcg, idcg, 1.0)))
+    val revDcg = c(2, 3) + c(1, 2) + c(1, 1)
+    assert(out("reversed") == ((revDcg, idcg, revDcg.toDouble / idcg)))
+    assert(revDcg < idcg) // the metric actually punishes the inversion
+    assert(out("empty") == ((0L, idcg, 0.0)))
+  }
+
+  test("ndcgVsRelevance: max-grade dedup, grade-0 drop, rank cutoff, " +
+      "ideal tie-break by doc id") {
+    // d10 duplicated at grades 1 and 3 -> keeps 3; d40 grade 0 dropped;
+    // system ranks d10 at rank 3 (counts, k=3) and d20 at rank 4 (cut)
+    val qrels = Seq((1L, 10L, 1L), (1L, 10L, 3L), (1L, 20L, 2L),
+      (1L, 40L, 0L)).toDF("query_id", "doc_id", "grade")
+    val sysA = list((1L, 1L, 99L), (1L, 2L, 98L), (1L, 3L, 10L),
+      (1L, 4L, 20L))
+    val out = Retrieval.ndcgVsRelevance(qrels,
+        Seq(("A", sysA, "doc_id")), k = 3)
+      .as[(String, Long, Long, Long, Double)].head()
+    def c(g: Long, r: Long) =
+      math.floor(g * 1e9 / math.log(r + 1.0)).toLong
+    assert(out._3 == c(3, 3))             // only the in-cutoff hit
+    assert(out._4 == c(3, 1) + c(2, 2))   // ideal: d10(g3) then d20(g2)
+  }
+
   test("recallVsRelevance: rejects duplicate system names and empty " +
       "system sets") {
     val qrels = Seq((1L, 10L)).toDF("query_id", "doc_id")
