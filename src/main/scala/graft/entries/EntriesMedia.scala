@@ -28,6 +28,25 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
     "near1" -> (0x0123456789ABCDEFL ^ 0x7L),
   )
 
+  /** q147's construction constants (shared by entry and oracle): each
+    * video is a SET of 16×16 block-pattern frames whose average-hash
+    * recovers the pattern long exactly; 0L is the black frame present
+    * in EVERY video (the ubiquitous-frame cap must exclude it). The
+    * A/B family shares two content frames (Jaccard 0.5 after the cap);
+    * C shares nothing but black with them.
+    */
+  private val videoSets: Seq[(String, Seq[Long])] = {
+    val (p1, p2, p3, p4, p5, p6, p7) = (
+      0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L, 0x00FF00FF00FF00FFL,
+      0x5A5A5A5AA5A5A5A5L, 0x1122334455667788L, 0x99AABBCCDDEEFF01L,
+      0x0F0F0F0FF0F0F0F0L)
+    val base = Seq(
+      "vidA" -> Seq(p1, p2, p3, 0L),
+      "vidB" -> Seq(p1, p2, p4, 0L),
+      "vidC" -> Seq(p5, p6, p7, 0L))
+    base ++ base.map { case (n, ps) => (s"copy-$n", ps) }
+  }
+
   private[graft] def mediaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- multimodal frame-sample planning ----
@@ -181,6 +200,37 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- video near-dup over REAL uncompressed-AVI bytes: synthesized
+    //      RIFF/DIB containers whose 16×16 block-pattern frames hash
+    //      back to their pattern longs exactly through the real decode
+    //      (chunk walk, bottom-up BGR rows, integer luma, 8×8 area
+    //      average). Every video carries the black frame; the
+    //      frame-document-frequency cap (the q141 boilerplate lesson at
+    //      frame granularity) excludes it BEFORE the inverted-index
+    //      self-join — without the cap the A×C pairs (sharing ONLY
+    //      black, Jaccard 1/7 ≥ the 0.1 threshold) would appear, so the
+    //      oracle's HAVING df <= cap replay proves the exclusion. ----
+
+    "q147_video_framehash_dups" -> ((s, dir) => {
+      def frame(p: Long): Array[Byte] = {
+        val f = new Array[Byte](16 * 16 * 3)
+        for (cy <- 0 until 8; cx <- 0 until 8) {
+          val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255.toByte
+                  else 0.toByte
+          for (dy <- 0 until 2; dx <- 0 until 2; ch <- 0 until 3)
+            f(((cy * 2 + dy) * 16 + (cx * 2 + dx)) * 3 + ch) = v
+        }
+        f
+      }
+      val vids = videoSets.map { case (name, ps) =>
+        (name, graft.ops.Video.synthesizeAviRgb24(ps.map(frame), 16, 16))
+      }
+      graft.ops.Video.videoNearDuplicates(
+          s.createDataFrame(vids).toDF("video_id", "avi"),
+          "video_id", "avi", minJaccard = 0.1, maxFrameDocFreq = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q115_jsonl_shards" -> ((s, dir) => {
       val out = tmpDir("graft-jsonl")
       graft.sinks.Jsonl.writeShards(
@@ -288,6 +338,43 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         s"""SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
            |FROM (VALUES ${pairs.mkString(", ")})
            |  AS t(id_a, id_b, hamming)
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // q147 replayed as REAL SQL over the construction constants: the
+      // (video, frame-pattern) table, the df cap, the inverted-index
+      // pair join, exact Jaccard, threshold — the operator's semantics
+      // re-derived end to end, with the frame hashes themselves pinned
+      // by the decode (a hash drift would change shared counts and
+      // break the join).
+      "q147_video_framehash_dups" -> {
+        val vf = videoSets.flatMap { case (n, ps) =>
+          ps.map(p => s"('$n', CAST($p AS BIGINT))") }
+        s"""WITH vf(video_id, fh) AS (VALUES ${vf.mkString(", ")}),
+           |kept AS (
+           |  SELECT video_id, fh FROM vf
+           |  WHERE fh IN (
+           |    SELECT fh FROM (
+           |      SELECT fh, count(DISTINCT video_id) AS df
+           |      FROM vf GROUP BY fh)
+           |    WHERE df <= 4)),
+           |sizes AS (SELECT video_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM kept GROUP BY video_id),
+           |pairs AS (
+           |  SELECT a.video_id AS id_a, b.video_id AS id_b,
+           |    CAST(count(*) AS BIGINT) AS shared_frames
+           |  FROM kept a
+           |  JOIN kept b ON a.fh = b.fh AND a.video_id < b.video_id
+           |  GROUP BY a.video_id, b.video_id),
+           |j AS (
+           |  SELECT id_a, id_b, shared_frames,
+           |    CAST(shared_frames AS DOUBLE)
+           |      / CAST(sa.n + sb.n - shared_frames AS DOUBLE) AS jaccard
+           |  FROM pairs
+           |  JOIN sizes sa ON sa.video_id = id_a
+           |  JOIN sizes sb ON sb.video_id = id_b)
+           |SELECT id_a, id_b, shared_frames, jaccard
+           |FROM j WHERE jaccard >= 0.1
            |ORDER BY id_a, id_b""".stripMargin
       },
 

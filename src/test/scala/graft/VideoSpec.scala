@@ -1,0 +1,130 @@
+package graft
+
+import graft.ops.Video
+
+/** Real-AVI round-trip and frame-hash semantics for the video family —
+  * the AudioSpec discipline applied to the RIFF/DIB container: the
+  * hand-emitted writer must produce the public layout at its public
+  * byte offsets, the parser must decode it losslessly (incl. row
+  * padding and bottom-up order), and the per-frame average-hash must
+  * recover constructed patterns EXACTLY (q147's oracle contract).
+  */
+class VideoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grayFrame(p: Long, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val f = new Array[Byte](w * h * 3)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255.toByte else 0.toByte
+      val (cw, ch2) = (w / 8, h / 8)
+      for (dy <- 0 until ch2; dx <- 0 until cw; c <- 0 until 3)
+        f(((cy * ch2 + dy) * w + (cx * cw + dx)) * 3 + c) = v
+    }
+    f
+  }
+
+  test("AVI writer emits the public layout at its public offsets") {
+    val avi = Video.synthesizeAviRgb24(
+      Seq(grayFrame(0x1234L)), 16, 16, microSecPerFrame = 40000L)
+    def fcc(off: Int) = new String(avi.slice(off, off + 4), "US-ASCII")
+    def u32(off: Int) =
+      (avi(off) & 0xffL) | ((avi(off + 1) & 0xffL) << 8) |
+        ((avi(off + 2) & 0xffL) << 16) | ((avi(off + 3) & 0xffL) << 24)
+    assert(fcc(0) == "RIFF" && fcc(8) == "AVI ")
+    assert(u32(4) == avi.length - 8) // RIFF size covers the rest
+    assert(fcc(12) == "LIST" && fcc(20) == "hdrl")
+    assert(fcc(24) == "avih" && u32(28) == 56)
+    assert(u32(32) == 40000L)       // dwMicroSecPerFrame
+    assert(u32(32 + 16) == 1L)      // dwTotalFrames
+    assert(u32(32 + 32) == 16L && u32(32 + 36) == 16L) // dwWidth/Height
+  }
+
+  test("decodeAvi round-trips frames losslessly incl. row padding") {
+    // 10x8 forces 2 pad bytes per row (30 -> 32); non-gray pixels check
+    // the BGR order and the integer luma
+    val w = 10; val h = 8
+    val rgb = Array.tabulate[Byte](w * h * 3) { i =>
+      ((i * 37 + 11) % 251).toByte
+    }
+    val avi = Video.synthesizeAviRgb24(Seq(rgb, rgb), w, h, 20000L)
+    val clip = Video.decodeAvi(avi).get
+    assert(clip.width == w && clip.height == h)
+    assert(clip.microSecPerFrame == 20000L)
+    assert(clip.frames.size == 2)
+    val expect = Array.tabulate(w * h) { i =>
+      val r = rgb(3 * i) & 0xff
+      val g = rgb(3 * i + 1) & 0xff
+      val b = rgb(3 * i + 2) & 0xff
+      (77 * r + 150 * g + 29 * b) >> 8
+    }
+    assert(clip.frames(0).toSeq == expect.toSeq)
+    assert(clip.frames(1).toSeq == expect.toSeq)
+  }
+
+  test("frameHash64 recovers constructed patterns exactly") {
+    for (p <- Seq(0L, 0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+        0x8000000000000001L)) {
+      val clip = Video.decodeAvi(
+        Video.synthesizeAviRgb24(Seq(grayFrame(p)), 16, 16)).get
+      assert(Video.frameHash64(clip.frames(0), 16, 16) == p,
+        s"pattern ${p.toHexString}")
+    }
+  }
+
+  test("decodeAvi rejects what it cannot parse, without throwing") {
+    assert(Video.decodeAvi(null).isEmpty)
+    assert(Video.decodeAvi(Array.emptyByteArray).isEmpty)
+    assert(Video.decodeAvi("garbage not a container".getBytes).isEmpty)
+    // RIFF but a WAV, not an AVI
+    val wav = graft.ops.Audio.synthesizeWavPcm16(Array[Short](1, 2), 8000)
+    assert(Video.decodeAvi(wav).isEmpty)
+    // truncated mid-frame: the cut chunk fails bounds and routes None
+    val avi = Video.synthesizeAviRgb24(Seq(grayFrame(0x77L)), 16, 16)
+    assert(Video.decodeAvi(avi.dropRight(10)).isEmpty)
+    // compressed fourcc: flip BI_RGB to something else
+    val hacked = avi.clone()
+    // strf biCompression lives 16 bytes into the strf body; find it by
+    // scanning for the 'strf' tag (layout pinned by the offsets spec)
+    val strf = hacked.indexOfSlice("strf".getBytes.toSeq)
+    hacked(strf + 8 + 16) = 1 // BI_RLE8
+    assert(Video.decodeAvi(hacked).isEmpty)
+  }
+
+  test("videoFrameHashStage: stride sampling, cap, null routing") {
+    val ps = Seq(0x01L, 0x02L, 0x03L, 0x04L, 0x05L)
+    val avi = Video.synthesizeAviRgb24(ps.map(grayFrame(_)), 16, 16)
+    val df = spark.createDataFrame(Seq(
+      ("v", avi), ("bad", "junk".getBytes))).toDF("id", "avi")
+    val out = Video.videoFrameHashStage(df, "avi", stride = 2, maxFrames = 2)
+      .select("id", "frame_hashes").collect()
+      .map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(out("v").get.toSeq == Seq(0x01L, 0x03L)) // frames 0, 2 (cap 2)
+    assert(out("bad").isEmpty)
+  }
+
+  test("videoNearDuplicates: clone and overlap pairs, ubiquitous-frame " +
+      "cap excludes the shared black frame") {
+    val mk = (ps: Seq[Long]) =>
+      Video.synthesizeAviRgb24(ps.map(grayFrame(_)), 16, 16)
+    val vids = Seq(
+      ("a", mk(Seq(0x11L, 0x22L, 0x33L, 0L))),
+      ("b", mk(Seq(0x11L, 0x22L, 0x44L, 0L))),
+      ("c", mk(Seq(0x55L, 0x66L, 0x77L, 0L))),
+      ("ca", mk(Seq(0x11L, 0x22L, 0x33L, 0L))))
+    val got = Video.videoNearDuplicates(
+        spark.createDataFrame(vids).toDF("id", "avi"), "id", "avi",
+        minJaccard = 0.1, maxFrameDocFreq = 3)
+      .orderBy("id_a", "id_b")
+      .as[(String, String, Long, Double)].collect()
+    // black (df 4 > 3) is capped out: c pairs with nothing; a/b share
+    // 2 of 4 distinct content frames, a/ca are exact clones
+    assert(got.toSeq == Seq(
+      ("a", "b", 2L, 0.5), ("a", "ca", 3L, 1.0), ("b", "ca", 2L, 0.5)))
+    // without the cap, black bridges c into low-jaccard pairs
+    val uncapped = Video.videoNearDuplicates(
+        spark.createDataFrame(vids).toDF("id", "avi"), "id", "avi",
+        minJaccard = 0.1, maxFrameDocFreq = 100)
+      .as[(String, String, Long, Double)].collect()
+    assert(uncapped.exists(r => r._1 == "a" && r._2 == "c"))
+  }
+}
