@@ -1,0 +1,92 @@
+package tmpstress
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Video pipeline at scale: 1M synthesized uncompressed AVIs (~3.4 KB
+  * each: four 16×16 RGB24 frames) through the REAL decode → per-frame
+  * hash → capped inverted-index Jaccard join.
+  *
+  * Construction: 100k families × 10 variants over block-pattern
+  * frames. Variant 0 = frames {A,B,C}; variants 1-2 swap one frame
+  * (share 2 of 4 distinct → Jaccard 0.5 pairs within the trio);
+  * variants 3-9 use family-unique frames (never pair). EVERY video
+  * also carries the black frame — the `maxFrameDocFreq` cap must
+  * drop it or the inverted index degenerates to all-pairs on one
+  * posting list (the q141 stress design at frame granularity).
+  * Expected pairs: C(3,2)=3 per family × 100k.
+  */
+object VideoStress {
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  // family frame k (k < 64 — ×64 packing so keys NEVER alias across
+  // families; a ×16 packing let (f,v9) share two frames with (f+1,v3)
+  // and produced 399,999 pairs where 300,000 were constructed);
+  // 0 is reserved for the ubiquitous black frame
+  private def pat(fam: Long, k: Int): Long = {
+    val p = mix64(fam * 64 + k)
+    if (p == 0L || p == -1L) 1L << (k + 1) else p // dodge degenerate hashes
+  }
+
+  def framesOf(id: Long): Seq[Long] = {
+    val fam = id / 10
+    val v = (id % 10).toInt
+    val content =
+      if (v == 0) Seq(pat(fam, 1), pat(fam, 2), pat(fam, 3))
+      else if (v == 1) Seq(pat(fam, 1), pat(fam, 2), pat(fam, 4))
+      else if (v == 2) Seq(pat(fam, 1), pat(fam, 2), pat(fam, 5))
+      else Seq(pat(fam, 6 + v), pat(fam, 16 + v), pat(fam, 26 + v))
+    content :+ 0L // the black frame, on every video
+  }
+
+  private def frame(p: Long): Array[Byte] = {
+    val f = new Array[Byte](16 * 16 * 3)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255.toByte else 0.toByte
+      for (dy <- 0 until 2; dx <- 0 until 2; c <- 0 until 3)
+        f(((cy * 2 + dy) * 16 + (cx * 2 + dx)) * 3 + c) = v
+    }
+    f
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val schema = StructType(Seq(
+      StructField("video_id", LongType, nullable = false),
+      StructField("avi", BinaryType, nullable = false)))
+    val vids = spark.createDataFrame(
+      spark.range(n).toDF("id").repartition(64).rdd.map { r =>
+        val id = r.getLong(0)
+        Row(id, graft.ops.Video.synthesizeAviRgb24(
+          framesOf(id).map(frame), 16, 16))
+      }, schema)
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"MARKER_${label}=${(System.nanoTime() - t0) / 1e9}%.1f")
+      a
+    }
+    // decode + hash throughput (includes the synth cost — same scan)
+    timed("hash_sec") {
+      println("MARKER_hashed=" + graft.ops.Video
+        .videoFrameHashStage(vids, "avi").count())
+    }
+    // end to end with the cap: black frame df = n, capped out
+    val pairs = timed("neardup_sec") {
+      graft.ops.Video.videoNearDuplicates(vids, "video_id", "avi",
+        minJaccard = 0.4, maxFrameDocFreq = 10).count()
+    }
+    println(s"MARKER_pairs=$pairs (expect ${3 * (n / 10)})")
+    spark.stop()
+  }
+}
