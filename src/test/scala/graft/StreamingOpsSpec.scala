@@ -356,6 +356,50 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got == Set(2L, 4L))
   }
 
+  test("media fingerprint stages run unchanged on streams with exact " +
+      "batch parity (stateless per-partition stages)") {
+    implicit val sqlCtx = spark.sqlContext
+    // one WAV clip and one AVI per row, through BOTH stages on a stream
+    def wavOf(seed: Int): Array[Byte] = {
+      val amps = Array.tabulate(65)(w => 2000 + 100 * ((seed + w) % 7))
+      val samples = new Array[Short](65 * 16)
+      for (w <- 0 until 65; j <- 0 until 16)
+        samples(w * 16 + j) =
+          (if (j % 2 == 0) amps(w) else -amps(w)).toShort
+      graft.ops.Audio.synthesizeWavPcm16(samples, 8000)
+    }
+    def aviOf(seed: Int): Array[Byte] = {
+      val f = new Array[Byte](16 * 16 * 3)
+      for (cy <- 0 until 8; cx <- 0 until 8) {
+        val v = if (((seed.toLong * 0x9E3779B9L) >>> (cy * 8 + cx) & 1L)
+          == 1L) 255.toByte else 0.toByte
+        for (dy <- 0 until 2; dx <- 0 until 2; c <- 0 until 3)
+          f(((cy * 2 + dy) * 16 + (cx * 2 + dx)) * 3 + c) = v
+      }
+      graft.ops.Video.synthesizeAviRgb24(Seq(f), 16, 16)
+    }
+    val rows = (0 until 8).map(i => (i.toLong, wavOf(i), aviOf(i)))
+    val input = MemoryStream[(Long, Array[Byte], Array[Byte])]
+    val streamed = graft.ops.Video.videoFrameHashStage(
+      graft.ops.Audio.audioFingerprintStage(
+        input.toDF().toDF("id", "wav", "avi"), "wav"), "avi")
+      .select(col("id"), col("afp"), col("frame_hashes"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("media_stages").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = spark.table("media_stages")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    val want = graft.ops.Video.videoFrameHashStage(
+        graft.ops.Audio.audioFingerprintStage(
+          rows.toDF("id", "wav", "avi"), "wav"), "avi")
+      .select(col("id"), col("afp"), col("frame_hashes"))
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq && got.length == 8)
+  }
+
   test("streaming dedup keeps the first arrival of each distinct text") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
