@@ -231,6 +231,43 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- incremental media-signature ingest: the corpus's 64-bit
+    //      signatures (pHash / audio fingerprint / frame hash — the
+    //      q108/q144/q147 outputs) persist once as a banded artifact;
+    //      each ingest batch probes it WITHOUT re-decoding or re-reading
+    //      any corpus media. Build → append → probe all in-query; the
+    //      oracle replays the probe BRUTE-FORCE (bit_count(xor) over the
+    //      construction constants), so a hash match proves the banded
+    //      candidate path is COMPLETE at d ≤ 3 — banding can only be
+    //      wrong by missing pairs, and the brute replay would catch it. ----
+
+    "q148_incremental_media_dedup" -> ((s, dir) => {
+      val base = tmpDir("graft-hamm")
+      val p1 = 0x0123456789ABCDEFL
+      val p2 = 0xF0E1D2C3B4A59687L
+      val p3 = 0x00FF00FF00FF00FFL
+      val p4 = 0x5A5A5A5AA5A5A5A5L
+      val q5 = 0x1122334455667788L
+      graft.ops.Dedup.hammingArtifactSave(
+        s.createDataFrame(Seq(("c1", p1), ("c2", p2), ("c3", p3),
+          ("c4", p4))).toDF("media_id", "sig"),
+        "media_id", "sig", base)
+      graft.ops.Dedup.hammingArtifactAppend(s, base,
+        s.createDataFrame(Seq(("c5", q5))).toDF("media_id", "sig"),
+        "media_id", "sig")
+      val batch = s.createDataFrame(Seq(
+        ("b1", p1),          // exact re-upload: hamming 0
+        ("b2", p2 ^ 0x7L),   // 3-bit re-encode: caught at the boundary
+        ("b3", p3 ^ 0x1FL),  // 5 bits: novel, must NOT pair
+        ("b4", 0x7777000011110000L), // fresh content
+        ("b5", p1 ^ 0x1L),   // 1-bit tweak of c1
+        ("b6", q5 ^ 0x3L),   // 2 bits off the APPENDED item
+      )).toDF("media_id", "sig")
+      graft.ops.Dedup.incrementalHammingDuplicates(s, base, batch,
+          "media_id", "sig")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     "q115_jsonl_shards" -> ((s, dir) => {
       val out = tmpDir("graft-jsonl")
       graft.sinks.Jsonl.writeShards(
@@ -376,6 +413,34 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
            |SELECT id_a, id_b, shared_frames, jaccard
            |FROM j WHERE jaccard >= 0.1
            |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // q148's brute-force replay: every (batch, corpus) pair's exact
+      // two's-complement popcount of the xor, thresholded — the banded
+      // artifact path must reproduce this EXACTLY (completeness at
+      // d ≤ 3 by pigeonhole; a missed band pair would drop a row and
+      // break the hash).
+      "q148_incremental_media_dedup" -> {
+        val p1 = 0x0123456789ABCDEFL
+        val p2 = 0xF0E1D2C3B4A59687L
+        val p3 = 0x00FF00FF00FF00FFL
+        val p4 = 0x5A5A5A5AA5A5A5A5L
+        val q5 = 0x1122334455667788L
+        val corpus = Seq("c1" -> p1, "c2" -> p2, "c3" -> p3, "c4" -> p4,
+          "c5" -> q5)
+        val batch = Seq("b1" -> p1, "b2" -> (p2 ^ 0x7L),
+          "b3" -> (p3 ^ 0x1FL), "b4" -> 0x7777000011110000L,
+          "b5" -> (p1 ^ 0x1L), "b6" -> (q5 ^ 0x3L))
+        def vals(xs: Seq[(String, Long)]) =
+          xs.map { case (n, v) => s"('$n', CAST($v AS BIGINT))" }
+            .mkString(", ")
+        s"""WITH corpus(corpus_id, csig) AS (VALUES ${vals(corpus)}),
+           |b(batch_id, bsig) AS (VALUES ${vals(batch)})
+           |SELECT batch_id, corpus_id,
+           |  CAST(bit_count(xor(bsig, csig)) AS BIGINT) AS hamming
+           |FROM b CROSS JOIN corpus
+           |WHERE bit_count(xor(bsig, csig)) <= 3
+           |ORDER BY batch_id, corpus_id""".stripMargin
       },
 
       "q33_multimodal_meta" ->

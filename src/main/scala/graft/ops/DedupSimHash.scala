@@ -123,28 +123,7 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
     val ids = df.select(col(idCol), col(sigCol))
       .filter(col(sigCol).isNotNull)
     val sigs = ids.select(sigCol).distinct()
-    val keyCols: Seq[Column] = scheme match {
-      case "bands" =>
-        (0 until 4).map { b =>
-          struct(lit(b).as("t"),
-            shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xffffL))
-              .as("key"))
-        }
-      case _ =>
-        // blocks at bit offsets 0,11,22,33,44,54 (widths 11×4, 10×2);
-        // triple (i<j<k) packs exactly (≤33 bits), no hashing — a key
-        // collision would only add candidates, but exact packing keeps
-        // the candidate math honest
-        val off = Seq(0, 11, 22, 33, 44, 54)
-        val w = Seq(11, 11, 11, 11, 10, 10)
-        val block = (i: Int) =>
-          shiftright(col(sigCol), off(i)).bitwiseAND(lit((1L << w(i)) - 1))
-        (0 until 6).combinations(3).zipWithIndex.map { case (t, n) =>
-          struct(lit(n).as("t"),
-            shiftleft(block(t(0)), 22).bitwiseOR(shiftleft(block(t(1)), 11))
-              .bitwiseOR(block(t(2))).as("key"))
-        }.toSeq
-    }
+    val keyCols = hammingKeyCols(sigCol, scheme)
     val keyed = sigs
       .select(col(sigCol), explode(array(keyCols: _*)).as("kk"))
       .select(col(sigCol), col("kk.t").as("t"), col("kk.key").as("key"))
@@ -172,5 +151,133 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
     val intra = l.join(r, l("__s") === r("__s2") && l("id_a") < r("id_b"))
       .select(col("id_a"), col("id_b"), lit(0L).as("hamming"))
     cross.unionByName(intra)
+  }
+
+  /** The candidate-key generator behind [[hammingDuplicates]] — one
+    * (t, key) struct per band/block-triple, shared verbatim by the
+    * batch self-join and the persisted-artifact probe so the two paths
+    * can never band differently.
+    */
+  private[ops] def hammingKeyCols(sigCol: String, scheme: String)
+      : Seq[Column] = scheme match {
+    case "bands" =>
+      (0 until 4).map { b =>
+        struct(lit(b).as("t"),
+          shiftright(col(sigCol), b * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))
+      }
+    case _ =>
+      // blocks at bit offsets 0,11,22,33,44,54 (widths 11×4, 10×2);
+      // triple (i<j<k) packs exactly (≤33 bits), no hashing — a key
+      // collision would only add candidates, but exact packing keeps
+      // the candidate math honest
+      val off = Seq(0, 11, 22, 33, 44, 54)
+      val w = Seq(11, 11, 11, 11, 10, 10)
+      val block = (i: Int) =>
+        shiftright(col(sigCol), off(i)).bitwiseAND(lit((1L << w(i)) - 1))
+      (0 until 6).combinations(3).zipWithIndex.map { case (t, n) =>
+        struct(lit(n).as("t"),
+          shiftleft(block(t(0)), 22).bitwiseOR(shiftleft(block(t(1)), 11))
+            .bitwiseOR(block(t(2))).as("key"))
+      }.toSeq
+  }
+
+  /** Persist the corpus side of a standing 64-bit-signature dedup —
+    * the media twin of [[DedupIncremental]]'s digest / band-bucket
+    * artifacts, for SimHash, pHash, audio-fingerprint, and frame-hash
+    * signatures alike. Two tables under `path`: `sigs/` = one
+    * (__sig, id) row per item (the verify/fan-out side) and `keys/` =
+    * the banded (t, key, __sig) index over DISTINCT signatures (the
+    * candidate side — exact-duplicate floods collapse before the
+    * index, the [[hammingDuplicates]] move). `_meta` pins the banding
+    * scheme so a probe can never band differently than the artifact;
+    * an [[ArtifactVersion]] stamp makes refreshes visible to pinned
+    * streaming readers.
+    *
+    * Ingest economics (the q54/q72 contract): a batch probe reads the
+    * fixed-width artifact and the batch — the corpus media bytes are
+    * never re-decoded, never re-read.
+    */
+  def hammingArtifactSave(df: DataFrame, idCol: String, sigCol: String,
+                          path: String, scheme: String = "bands"): Unit = {
+    require(scheme == "blocks" || scheme == "bands",
+      s"unknown candidate scheme '$scheme' (expected blocks | bands)")
+    val ids = df.select(col(idCol).as("id"), col(sigCol).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    ids.write.mode("overwrite").parquet(graft.Fs.join(path, "sigs"))
+    ids.select("__sig").distinct()
+      .select(col("__sig"),
+        explode(array(hammingKeyCols("__sig", scheme): _*)).as("kk"))
+      .select(col("__sig"), col("kk.t").as("t"), col("kk.key").as("key"))
+      .write.mode("overwrite").parquet(graft.Fs.join(path, "keys"))
+    df.sparkSession.createDataFrame(Seq(Tuple1(scheme))).toDF("__scheme")
+      .write.mode("overwrite").parquet(graft.Fs.join(path, "_meta"))
+    ArtifactVersion.stamp(path)
+  }
+
+  /** Grow the artifact with a new batch: APPEND the batch's (sig, id)
+    * rows and its banded keys — existing files are never read or
+    * rewritten (the ivfIndexAppend economics). A signature already in
+    * the corpus gains duplicate key rows, which is harmless: the probe
+    * distincts candidate signature pairs before verification, so
+    * results are append-layout-independent (spec-pinned).
+    */
+  def hammingArtifactAppend(spark: org.apache.spark.sql.SparkSession,
+                            path: String, df: DataFrame, idCol: String,
+                            sigCol: String): Unit = {
+    val scheme = spark.read.parquet(graft.Fs.join(path, "_meta"))
+      .head().getString(0)
+    val ids = df.select(col(idCol).as("id"), col(sigCol).as("__sig"))
+      .filter(col("__sig").isNotNull)
+    ids.write.mode("append").parquet(graft.Fs.join(path, "sigs"))
+    ids.select("__sig").distinct()
+      .select(col("__sig"),
+        explode(array(hammingKeyCols("__sig", scheme): _*)).as("kk"))
+      .select(col("__sig"), col("kk.t").as("t"), col("kk.key").as("key"))
+      .write.mode("append").parquet(graft.Fs.join(path, "keys"))
+    ArtifactVersion.stamp(path)
+  }
+
+  /** Probe a new batch against the persisted signature corpus: which
+    * batch items are within `maxDistance` bits of something already
+    * ingested? Batch signatures band with the artifact's OWN scheme
+    * (read from `_meta`), candidates come from one equi-join on the
+    * fixed-width (t, key) index, and the exact `bit_count` verify
+    * gates every pair — complete for `maxDistance` ≤ 3 by pigeonhole,
+    * including exact re-uploads (hamming 0 shares every band). Returns
+    * (batch id, corpus id, hamming) — feed the id set to an anti-join
+    * to admit only novel media, the [[DedupIncremental.incremental]]
+    * shape.
+    *
+    * Scale shape: the corpus-sized inputs are two fixed-width parquet
+    * scans (~40 B and ~10 B per item); batch keys broadcast when small
+    * (AQE), candidate volume is bounded by band-bucket co-residency,
+    * and media BYTES appear nowhere.
+    */
+  def incrementalHammingDuplicates(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, batch: DataFrame,
+                                   idCol: String, sigCol: String,
+                                   maxDistance: Int = 3): DataFrame = {
+    val scheme = spark.read.parquet(graft.Fs.join(path, "_meta"))
+      .head().getString(0)
+    val corpusKeys = spark.read.parquet(graft.Fs.join(path, "keys"))
+      .select(col("__sig").as("__csig"), col("t"), col("key"))
+    val corpusIds = spark.read.parquet(graft.Fs.join(path, "sigs"))
+      .select(col("id").as("corpus_id"), col("__sig").as("__csig"))
+    val bids = batch.select(col(idCol).as("batch_id"),
+        col(sigCol).as("__bsig"))
+      .filter(col("__bsig").isNotNull)
+    val batchKeys = bids.select("__bsig").distinct()
+      .select(col("__bsig"),
+        explode(array(hammingKeyCols("__bsig", scheme): _*)).as("kk"))
+      .select(col("__bsig"), col("kk.t").as("t"), col("kk.key").as("key"))
+    val sigPairs = batchKeys.join(corpusKeys, Seq("t", "key"))
+      .select("__bsig", "__csig").distinct()
+      .withColumn("hamming",
+        hammingDistance(col("__bsig"), col("__csig")).cast("long"))
+      .filter(col("hamming") <= maxDistance)
+    sigPairs.join(bids, Seq("__bsig"))
+      .join(corpusIds, Seq("__csig"))
+      .select(col("batch_id"), col("corpus_id"), col("hamming"))
   }
 }

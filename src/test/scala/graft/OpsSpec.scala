@@ -3116,6 +3116,41 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalHammingDuplicates: artifact save/append/probe == " +
+      "brute force, scheme pinned from meta, layout-independent appends") {
+    val rnd = new scala.util.Random(77)
+    val corpus1 = (0 until 25).map(i => (s"c$i", rnd.nextLong()))
+    // second wave: fresh sigs PLUS a signature already in the corpus
+    // (duplicate key rows in the artifact must not duplicate results)
+    val corpus2 = (25 until 40).map(i => (s"c$i", rnd.nextLong())) :+
+      (("c40", corpus1.head._2))
+    val batch = corpus1.take(5).map { case (n, s) => (s"b-$n", s) } ++ //exact
+      corpus2.take(4).map { case (n, s) =>
+        var v = s
+        (0 until 1 + rnd.nextInt(3)).foreach(_ => v ^= 1L << rnd.nextInt(64))
+        (s"b-near-$n", v)
+      } ++ Seq(("b-fresh", rnd.nextLong()))
+    val all = corpus1 ++ corpus2
+    val expect = (for {
+      (bn, bs) <- batch; (cn, cs) <- all
+      h = java.lang.Long.bitCount(bs ^ cs) if h <= 3
+    } yield (bn, cn, h.toLong)).toSet
+    for (scheme <- Seq("bands", "blocks")) {
+      val dir = tmpDir(s"hamm-$scheme")
+      Dedup.hammingArtifactSave(corpus1.toDF("id", "sig"), "id", "sig",
+        dir, scheme = scheme)
+      Dedup.hammingArtifactAppend(spark, dir, corpus2.toDF("id", "sig"),
+        "id", "sig")
+      // probe takes NO scheme argument — it bands however the artifact
+      // was built (a mismatch would silently lose candidates)
+      val got = Dedup.incrementalHammingDuplicates(spark, dir,
+          batch.toDF("id", "sig"), "id", "sig")
+        .as[(String, String, Long)].collect()
+      assert(got.length == got.toSet.size, s"dup rows, scheme=$scheme")
+      assert(got.toSet == expect, s"scheme=$scheme")
+    }
+  }
+
   // ---- C4-style line filter ----
 
   test("c4LineFilter: terminal-punct/word-count/token line rules, doc flags, NULL text") {
