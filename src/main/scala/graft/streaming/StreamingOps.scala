@@ -723,6 +723,36 @@ object StreamingOps {
     }
   }
 
+  /** Standing media-ingest dedup: each micro-batch of 64-bit media
+    * signatures (pHash / audio fingerprint / frame hash — emitted
+    * stream-side by the stateless fingerprint stages) probes the
+    * persisted [[graft.ops.Dedup.hammingArtifactSave]] artifact and
+    * only rows with NO corpus neighbor within `maxDistance` bits reach
+    * the sink — the media twin of [[nearDupStream]], with the same
+    * economics: per-batch cost is batch-sized plus a fixed-width
+    * artifact scan, corpus media bytes are never re-decoded, and the
+    * artifact is the only cross-batch state (grow it between batches
+    * with [[graft.ops.Dedup.hammingArtifactAppend]]; artifacts re-read
+    * per batch, so appends become visible at the next micro-batch).
+    * `foreachBatch` runs the EXACT batch probe — parity spec in
+    * StreamingOpsSpec.
+    */
+  def hammingDedupStream(stream: DataFrame, idCol: String, sigCol: String,
+                         artifactPath: String, maxDistance: Int = 3)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val batch = mb.toDF()
+        val dupIds = graft.ops.Dedup.incrementalHammingDuplicates(
+            mb.sparkSession, artifactPath, batch, idCol, sigCol,
+            maxDistance)
+          .select(col("batch_id").as(idCol)).distinct()
+        sink(batch.join(dupIds, Seq(idCol), "left_anti"), batchId)
+    }
+
   /** Gap-based sessionization with the BUILT-IN `session_window`
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the

@@ -400,6 +400,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq && got.length == 8)
   }
 
+  test("hammingDedupStream: per-batch admission equals the batch probe; " +
+      "mid-stream artifact appends become visible next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("hamm-stream")
+    val p1 = 0x0123456789ABCDEFL
+    val p2 = 0xF0E1D2C3B4A59687L
+    val q5 = 0x1122334455667788L
+    graft.ops.Dedup.hammingArtifactSave(
+      Seq(("c1", p1), ("c2", p2)).toDF("id", "sig"), "id", "sig", dir)
+    val input = MemoryStream[(String, Long)]
+    val admitted = scala.collection.mutable.Map[Long, Set[String]]()
+    val query = StreamingOps.hammingDedupStream(
+        input.toDF().toDF("id", "sig"), "id", "sig", dir) {
+      (df, bid) =>
+        admitted(bid) = df.select("id").as[String].collect().toSet
+    }.option("checkpointLocation", tmpDir("hamm-stream-ckpt")).start()
+    try {
+      // batch 0: exact re-upload + 2-bit neighbor rejected, fresh kept
+      input.addData(("b1", p1), ("b2", p2 ^ 0x3L), ("b3", q5))
+      query.processAllAvailable()
+      // the corpus grows mid-stream; q5-like content now rejects
+      graft.ops.Dedup.hammingArtifactAppend(spark, dir,
+        Seq(("c3", q5)).toDF("id", "sig"), "id", "sig")
+      input.addData(("b4", q5 ^ 0x1L), ("b5", 0x7777000011110000L))
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(admitted(0L) == Set("b3"))
+    assert(admitted(1L) == Set("b5"))
+  }
+
   test("streaming dedup keeps the first arrival of each distinct text") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
