@@ -1,0 +1,76 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Incremental media-signature ingest at scale: a 10M-signature corpus
+  * artifact probed by a 1M-item batch — the daily-crawl shape for a
+  * large image/audio/video store.
+  *
+  * Construction: corpus sigs are splitmix mixes of the id (uniform);
+  * the batch is 50% planted neighbors (corpus sig with 0-3 random bit
+  * flips → MUST pair) and 50% fresh uniform sigs (cross pairs within
+  * hamming 3 have probability ~C(64,≤3)·10⁷/2⁶⁴ ≈ 2.4×10⁻⁸ per
+  * probe — absent at this N). Expected pair count ≥ the planted count
+  * (a planted flip can land on another corpus item's neighborhood too,
+  * so the check is planted-recall, not exact equality).
+  */
+object HammingIngestStress {
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nCorpus = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val nBatch = args.lift(1).map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hamm-ingest").toString
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"MARKER_${label}=${(System.nanoTime() - t0) / 1e9}%.1f")
+      a
+    }
+    val corpus = spark.range(nCorpus)
+      .select(col("id"), expr(
+        // splitmix in SQL-free form: derive via xxhash64 of the id —
+        // uniformity is all that matters here
+        "xxhash64(id)").as("sig"))
+    timed("artifact_save_sec") {
+      graft.ops.Dedup.hammingArtifactSave(corpus, "id", "sig", dir)
+    }
+    // batch: even ids plant a 0- or 1-bit neighbor of corpus item
+    // id DIV 2 (25% exact re-uploads, 75% one flipped bit), odd ids
+    // are fresh uniform sigs
+    val batch = spark.range(nBatch).select(col("id"), expr(
+      """CASE WHEN id % 2 = 0 THEN
+        |  xxhash64(id DIV 2) ^
+        |    (CASE WHEN pmod(xxhash64(id, 9), 4) = 0 THEN CAST(0 AS BIGINT)
+        |     ELSE shiftleft(CAST(1 AS BIGINT),
+        |       CAST(pmod(xxhash64(id, 7), 64) AS INT)) END)
+        |ELSE xxhash64(id + 9000000000) END""".stripMargin).as("sig"))
+    val planted = nBatch / 2
+    val pairs = timed("probe_sec") {
+      graft.ops.Dedup.incrementalHammingDuplicates(spark, dir, batch,
+        "id", "sig").count()
+    }
+    println(s"MARKER_pairs=$pairs (planted $planted)")
+    // recall check: every planted neighbor must be found
+    val found = timed("recall_check_sec") {
+      graft.ops.Dedup.incrementalHammingDuplicates(spark, dir, batch,
+          "id", "sig")
+        .filter(expr("batch_id % 2 = 0 AND corpus_id = batch_id DIV 2"))
+        .count()
+    }
+    println(s"MARKER_planted_found=$found (expect $planted)")
+    spark.stop()
+  }
+}
