@@ -213,6 +213,29 @@ private[graft] trait EntriesSampling { this: SparkEntry.type =>
           hashKind = graft.functions.SketchOps.HashMd5Lo64)
         .orderBy("doc_id")),
 
+    // ---- the composed CCNet/DSIR admission front, BATCH form (the
+    //      oracle-checked twin of StreamingOps.curationStreamDsir):
+    //      admission = hashed-classifier gate AND DSIR importance
+    //      threshold. Both gate inputs are the q85 and q132 operators
+    //      verbatim, so the oracle replays the classifier sum, the
+    //      importance fit+score, and the AND itself — a doc with no
+    //      scoreable tokens has no importance row and drops at the
+    //      inner join (the stream's documented conservative rule). ----
+    "q149_curation_admission" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
+        TextAnalysis.derivedWeights(1 << 20),
+        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+      val dw = Sampling.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en", hashBuckets = 1 << 18,
+        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+      scored.select(col("doc_id"), col("score"))
+        .join(dw.select(col("doc_id"), col("weight_micro")), Seq("doc_id"))
+        .withColumn("admit",
+          col("score") >= 0.0 && col("weight_micro") >= 0L)
+        .orderBy("doc_id")
+    }),
+
     // Gumbel top-k resampling over the q132 weights — sampling ∝
     // exp(weight) without replacement, deterministic via the Knuth mix
     // (the q89 replay contract), so the oracle picks the identical 100.
@@ -583,6 +606,29 @@ private[graft] trait EntriesSampling { this: SparkEntry.type =>
            |  CAST(sum(dw) AS BIGINT) AS weight_micro
            |FROM b JOIN fw USING (f)
            |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+      // The composed admission replayed end to end: the q85 classifier
+      // sum (md5 & 2^20−1 → Knuth mix → signed 32-bit weight) AND the
+      // q132 importance weight, joined on doc id — the gate itself is
+      // the boolean the oracle computes, so a threshold drift on either
+      // leg breaks the hash.
+      "q149_curation_admission" ->
+        s"""WITH $dsirFitCtes,
+           |docw AS (
+           |  SELECT b.doc_id, CAST(sum(dw) AS BIGINT) AS weight_micro
+           |  FROM b JOIN fw USING (f) GROUP BY 1),
+           |toks AS ($toksSql),
+           |cls AS (
+           |  SELECT doc_id,
+           |    CAST(COALESCE(list_sum(list_transform(t, x ->
+           |      CAST((((md5_number_lower(x) & 1048575) * 2654435761)
+           |            & 4294967295) AS BIGINT) - 2147483648)), 0)
+           |      AS DOUBLE) AS score
+           |  FROM toks WHERE t IS NOT NULL)
+           |SELECT c.doc_id, c.score, d.weight_micro,
+           |  (c.score >= 0 AND d.weight_micro >= 0) AS admit
+           |FROM cls c JOIN docw d ON d.doc_id = c.doc_id
+           |ORDER BY c.doc_id""".stripMargin,
 
       // q132's weights + the Knuth-mix Gumbel key (u = (mix + 0.5)/2^32
       // is an exact power-of-two division — both engines see the same
