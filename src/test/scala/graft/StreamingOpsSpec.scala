@@ -425,9 +425,17 @@ class StreamingOpsSpec extends SparkSpec {
         Seq(("c3", q5)).toDF("id", "sig"), "id", "sig")
       input.addData(("b4", q5 ^ 0x1L), ("b5", 0x7777000011110000L))
       query.processAllAvailable()
+      // batch 2: INTRA-batch near-dups (nothing near the corpus) — the
+      // min-id representative of each pair survives, the exact copy and
+      // the 2-bit neighbor drop (r14 ADVICE fix)
+      val f1 = 0x5A5A00FF5A5A00FFL
+      input.addData(("b6", f1), ("b7", f1 ^ 0x6L), ("b8", f1),
+        ("b9", 0x0F0F0F0F0F0F0F0FL))
+      query.processAllAvailable()
     } finally query.stop()
     assert(admitted(0L) == Set("b3"))
     assert(admitted(1L) == Set("b5"))
+    assert(admitted(2L) == Set("b6", "b9"))
   }
 
   test("streaming dedup keeps the first arrival of each distinct text") {

@@ -93,13 +93,20 @@ class VideoSpec extends SparkSpec {
   test("videoFrameHashStage: stride sampling, cap, null routing") {
     val ps = Seq(0x01L, 0x02L, 0x03L, 0x04L, 0x05L)
     val avi = Video.synthesizeAviRgb24(ps.map(grayFrame(_)), 16, 16)
+    // a VALID 4x4 clip: decodable, but smaller than the 8x8 hash grid —
+    // must route to a null hash array, not throw (r14 ADVICE fix)
+    val tiny = Video.synthesizeAviRgb24(
+      Seq(Array.fill[Byte](4 * 4 * 3)(100.toByte)), 4, 4)
+    assert(Video.decodeAvi(tiny).nonEmpty) // decodable, merely unhashable
     val df = spark.createDataFrame(Seq(
-      ("v", avi), ("bad", "junk".getBytes))).toDF("id", "avi")
+      ("v", avi), ("bad", "junk".getBytes), ("tiny", tiny)))
+      .toDF("id", "avi")
     val out = Video.videoFrameHashStage(df, "avi", stride = 2, maxFrames = 2)
       .select("id", "frame_hashes").collect()
       .map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
     assert(out("v").get.toSeq == Seq(0x01L, 0x03L)) // frames 0, 2 (cap 2)
     assert(out("bad").isEmpty)
+    assert(out("tiny").isEmpty)
   }
 
   test("videoNearDuplicates: clone and overlap pairs, ubiquitous-frame " +
