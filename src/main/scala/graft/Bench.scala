@@ -59,10 +59,14 @@ object Bench {
     * (cumulative offsets of 97–151 s that READ like query times). This
     * line is what actually lands in BENCH_r{N}.json: query keys are
     * shortened to their unique `qNN` prefix, entries ordered
-    * slowest-first, and the fastest entries dropped only if the line
-    * would still exceed `budget` (the `omitted` field then says how
-    * many). `value` stays the FULL-suite total. Spec-pinned ≤ budget on
-    * the real committed suite.
+    * slowest-first, values are CENTISECOND INTEGERS (declared by the
+    * `q_unit` field and the note; 2-decimal seconds at 149 queries blew
+    * the window and dropped the 11 fastest — r14's `omitted: 11`, its
+    * one named bench defect), `-1` = failed query. Fastest entries are
+    * dropped only if the line would STILL exceed `budget` (the
+    * `omitted` field then says how many). `value` stays the FULL-suite
+    * total in seconds. Spec-pinned ≤ budget AND `omitted: 0` on the
+    * real committed suite.
     */
   def summaryLine(results: Seq[(String, Double)], sfDir: String,
                   budget: Int = 1800): String = {
@@ -77,18 +81,24 @@ object Bench {
     val short = prefixes.map { case (n, p) =>
       (if (collides(p)) n else p) -> byName(n)
     }.sortBy { case (_, v) => -v }
+    // the failure sentinel stays -1 (not -100): a reader treating it as
+    // centiseconds would see -0.01 s, which still reads as "failed"
+    def cs(v: Double): String =
+      if (v < 0) "-1" else math.round(v * 100).toString
     def line(keep: Int): String = {
       val qs = short.take(keep)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+        .map { case (k, v) => "\"" + k + "\":" + cs(v) }
         .mkString(",")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
         s""""sf":"$sfDir","n_queries":${results.size},""" +
         s""""omitted":${results.size - keep},""" +
-        s""""note":"keys = qNN prefix of full query name, slowest first;""" +
-        s""" full record in BENCH_LOCAL_latest.json (committed)",""" +
+        s""""q_unit":"centisec",""" +
+        s""""note":"queries = CENTISECOND ints, keys = qNN prefix,""" +
+        s""" slowest first, -1 = failed; full record in""" +
+        s""" BENCH_LOCAL_latest.json",""" +
         s""""queries":{$qs}}"""
     }
-    // largest slowest-first subset that fits; at most ~150 queries so the
+    // largest slowest-first subset that fits; at most ~160 queries so the
     // quadratic retry is trivial
     (short.size to 0 by -1).iterator.map(line)
       .find(_.length <= budget).getOrElse(line(0))

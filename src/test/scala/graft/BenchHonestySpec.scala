@@ -126,6 +126,13 @@ class BenchHonestySpec extends SparkSpec {
     assert(line.length <= 1800, s"summary line ${line.length} chars")
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(!line.contains("t_start") && !line.contains("reps"))
+    // the whole suite must fit: the centisecond encoding exists so the
+    // official record never again drops its fastest queries (r14's
+    // omitted: 11); the q_unit field declares the encoding
+    assert(line.contains("\"omitted\":0"),
+      s"summary drops queries on the real suite: " +
+        """"omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1)))
+    assert(line.contains("\"q_unit\":\"centisec\""))
     // slowest-first and short-keyed: the slowest query's qNN prefix is
     // the first key in the queries object
     val slowest = results.maxBy(_._2)._1.takeWhile(_ != '_')
@@ -138,17 +145,20 @@ class BenchHonestySpec extends SparkSpec {
     val keys = """"(q[A-Za-z0-9_]+)":""".r
       .findAllMatchIn(line.substring(qIdx + 11)).map(_.group(1)).toSeq
     assert(keys.distinct.size == keys.size)
-    // collision fallback: two names sharing a qNN prefix keep full names
+    // collision fallback: two names sharing a qNN prefix keep full names;
+    // values are centisecond ints (2.0 s -> 200), failures stay -1
     val coll = Bench.summaryLine(
-      Seq("q1_alpha" -> 2.0, "q1_beta" -> 1.0, "q2_gamma" -> 0.5), "/x")
-    assert(coll.contains("\"q1_alpha\":2.00") &&
-      coll.contains("\"q1_beta\":1.00") && coll.contains("\"q2\":0.50"))
+      Seq("q1_alpha" -> 2.0, "q1_beta" -> 1.0, "q2_gamma" -> 0.505,
+        "q3_failed" -> -1.0), "/x")
+    assert(coll.contains("\"q1_alpha\":200") &&
+      coll.contains("\"q1_beta\":100") && coll.contains("\"q2\":51") &&
+      coll.contains("\"q3\":-1"))
     // over-budget input degrades by dropping FASTEST entries and says so
     val many = (1 to 400).map(i => f"q$i%03d_very_long_query_name" -> i.toDouble)
     val tight = Bench.summaryLine(many, "/x", budget = 600)
     assert(tight.length <= 600)
     assert(""""omitted":(\d+)""".r.findFirstMatchIn(tight)
       .exists(_.group(1).toInt > 0))
-    assert(tight.contains("\"q400\":400.00") && !tight.contains("\"q001\":"))
+    assert(tight.contains("\"q400\":40000") && !tight.contains("\"q001\":"))
   }
 }
