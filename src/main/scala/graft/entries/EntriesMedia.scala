@@ -47,6 +47,31 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
     base ++ base.map { case (n, ps) => (s"copy-$n", ps) }
   }
 
+  /** q150's construction constants (shared by entry and oracle): each
+    * video is (name, isMjpeg, 64×64 frame patterns). The MJPEG entries
+    * are REAL lossy re-encodes — standalone JPEGs inside the 'MJPG'
+    * container, decoded by the JDK codec — whose block-aligned frames
+    * round-trip hash-exactly (VideoSpec pins the property), so the
+    * stored patterns ARE the decoded hashes and the oracle replays the
+    * hamming-tolerant matcher brute-force over them. mjpgA is a
+    * transcode of vidA's content with light edits (2-, 3-, 0-bit frame
+    * drifts — all within the d≤3 budget); mjpgC drifted 5 bits on two
+    * frames (past the budget) and 2 on one. Black (0L) is in every
+    * video; df = 5 > cap 4 excludes it.
+    */
+  private val reencodeSets: Seq[(String, Boolean, Seq[Long])] = {
+    val (p1, p2, p3, p4, p5, p6, p7, q8) = (
+      0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L, 0x00FF00FF00FF00FFL,
+      0x5A5A5A5AA5A5A5A5L, 0x1122334455667788L, 0x99AABBCCDDEEFF01L,
+      0x0F0F0F0FF0F0F0F0L, 0x7777000011110000L)
+    Seq(
+      ("vidA", false, Seq(p1, p2, p3, 0L)),
+      ("mjpgA", true, Seq(p1 ^ 0x3L, p2 ^ 0x7L, p3, 0L)),
+      ("vidB", false, Seq(p1, p4, p5, 0L)),
+      ("vidC", false, Seq(p6, p7, q8, 0L)),
+      ("mjpgC", true, Seq(p6 ^ 0xF8L, p7 ^ 0x1F00L, q8 ^ 0x6L, 0L)))
+  }
+
   private[graft] def mediaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- multimodal frame-sample planning ----
@@ -231,6 +256,51 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- hamming-tolerant video near-dup over REAL mixed containers:
+    //      DIB originals plus MJPEG re-encodes (standalone JPEGs in the
+    //      'MJPG' container, decoded by the real JDK codec — not the
+    //      compressed-codec stub). Frame patterns drift a controlled
+    //      number of bits between original and re-encode; the banded
+    //      candidate scheme must pair exactly the drifts within d ≤ 3
+    //      and nothing past it, and the oracle replays the matcher
+    //      brute-force over the constants (a banding miss, a JPEG
+    //      decode drift, or a score change all break the hash). ----
+
+    "q150_video_reencode_dups" -> ((s, dir) => {
+      def rgbFrame(p: Long): Array[Byte] = {
+        val f = new Array[Byte](64 * 64 * 3)
+        for (cy <- 0 until 8; cx <- 0 until 8) {
+          val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255.toByte
+                  else 0.toByte
+          for (dy <- 0 until 8; dx <- 0 until 8; ch <- 0 until 3)
+            f(((cy * 8 + dy) * 64 + (cx * 8 + dx)) * 3 + ch) = v
+        }
+        f
+      }
+      def lumaGrid(p: Long): Array[Int] = {
+        val g = new Array[Int](64 * 64)
+        for (cy <- 0 until 8; cx <- 0 until 8) {
+          val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255 else 0
+          for (dy <- 0 until 8; dx <- 0 until 8)
+            g((cy * 8 + dy) * 64 + (cx * 8 + dx)) = v
+        }
+        g
+      }
+      val vids = reencodeSets.map { case (name, isMjpeg, ps) =>
+        val bytes =
+          if (isMjpeg) graft.ops.Video.synthesizeAviMjpeg(
+            ps.map(p => graft.ops.Video.encodeJpegLuma(lumaGrid(p), 64, 64)),
+            64, 64)
+          else graft.ops.Video.synthesizeAviRgb24(ps.map(rgbFrame), 64, 64)
+        (name, bytes)
+      }
+      graft.ops.Video.videoNearDuplicatesHamming(
+          s.createDataFrame(vids).toDF("video_id", "avi"),
+          "video_id", "avi", maxDistance = 3, minScore = 0.3,
+          maxFrameDocFreq = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- incremental media-signature ingest: the corpus's 64-bit
     //      signatures (pHash / audio fingerprint / frame hash — the
     //      q108/q144/q147 outputs) persist once as a banded artifact;
@@ -412,6 +482,48 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
            |  JOIN sizes sb ON sb.video_id = id_b)
            |SELECT id_a, id_b, shared_frames, jaccard
            |FROM j WHERE jaccard >= 0.1
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // q150 replayed as REAL SQL over the construction constants: the
+      // (video, frame-pattern) table — where the MJPEG videos' stored
+      // patterns equal their decoded hashes only because the lossy
+      // JPEG cycle is hash-exact on block-aligned frames — then the df
+      // cap, the brute-force hamming match (the banded path must
+      // reproduce it exactly: completeness at d ≤ 3 by pigeonhole),
+      // per-ordered-pair matched counts, and the symmetric Dice-style
+      // score with its threshold.
+      "q150_video_reencode_dups" -> {
+        val vf = reencodeSets.flatMap { case (n, _, ps) =>
+          ps.map(p => s"('$n', CAST($p AS BIGINT))") }
+        s"""WITH vf(video_id, fh) AS (VALUES ${vf.mkString(", ")}),
+           |kept AS (
+           |  SELECT video_id, fh FROM vf
+           |  WHERE fh IN (
+           |    SELECT fh FROM (
+           |      SELECT fh, count(DISTINCT video_id) AS df
+           |      FROM vf GROUP BY fh)
+           |    WHERE df <= 4)),
+           |sizes AS (SELECT video_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM kept GROUP BY video_id),
+           |m AS (
+           |  SELECT a.video_id AS va, b.video_id AS vb,
+           |    CAST(count(DISTINCT a.fh) AS BIGINT) AS matched
+           |  FROM kept a
+           |  JOIN kept b ON a.video_id <> b.video_id
+           |    AND bit_count(xor(a.fh, b.fh)) <= 3
+           |  GROUP BY a.video_id, b.video_id),
+           |j AS (
+           |  SELECT f.va AS id_a, f.vb AS id_b,
+           |    f.matched AS matched_a, r.matched AS matched_b,
+           |    CAST(f.matched + r.matched AS DOUBLE)
+           |      / CAST(sa.n + sb.n AS DOUBLE) AS score
+           |  FROM m f
+           |  JOIN m r ON f.va = r.vb AND f.vb = r.va AND f.va < f.vb
+           |  JOIN sizes sa ON sa.video_id = f.va
+           |  JOIN sizes sb ON sb.video_id = f.vb)
+           |SELECT id_a, id_b, matched_a, matched_b, score
+           |FROM j WHERE score >= 0.3
            |ORDER BY id_a, id_b""".stripMargin
       },
 

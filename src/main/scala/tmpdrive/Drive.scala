@@ -1,0 +1,91 @@
+package tmpdrive
+
+/** Scratch probe: does a JPEG round-trip of 64x64 frames built from
+  * uniform 8x8-pixel 0/255 cells recover frameHash64 exactly? And how
+  * fast is per-frame JPEG decode with a reused reader?
+  */
+object Drive {
+  def rgbFrame(p: Long, w: Int = 64, h: Int = 64): Array[Byte] = {
+    val f = new Array[Byte](w * h * 3)
+    val cw = w / 8; val ch = h / 8
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255.toByte else 0.toByte
+      for (dy <- 0 until ch; dx <- 0 until cw; c <- 0 until 3)
+        f(((cy * ch + dy) * w + (cx * cw + dx)) * 3 + c) = v
+    }
+    f
+  }
+  def jpegBytes(rgb: Array[Byte], w: Int, h: Int, q: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8)
+        | (rgb(o + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val wri = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wri.setOutput(ios)
+    val prm = wri.getDefaultWriteParam
+    prm.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    prm.setCompressionQuality(q)
+    wri.write(null, new javax.imageio.IIOImage(img, null, null), prm)
+    ios.close(); wri.dispose()
+    bos.toByteArray
+  }
+  def lumaOfJpeg(b: Array[Byte], w: Int, h: Int): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val g = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff
+      val bl = rgb & 0xff
+      g(y * w + x) = (77 * r + 150 * gg + 29 * bl) >> 8
+    }
+    g
+  }
+  def main(args: Array[String]): Unit = {
+    val pats = Seq(0L, 0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+      0x00FF00FF00FF00FFL, 0x5A5A5A5AA5A5A5A5L, 0x1122334455667788L,
+      0x99AABBCCDDEEFF01L, 0x0F0F0F0FF0F0F0F0L,
+      0x0123456789ABCDEFL ^ 0x6L, 0x8000000000000001L,
+      0xFFFFFFFFFFFFFFFEL)
+    for (q <- Seq(0.7f, 0.85f, 0.95f)) {
+      var allOk = true
+      var maxDev = 0
+      for (p <- pats) {
+        val rgb = rgbFrame(p)
+        val jb = jpegBytes(rgb, 64, 64, q)
+        val g = lumaOfJpeg(jb, 64, 64)
+        // deviation of decoded values from 0/255
+        for (i <- g.indices) {
+          val want = if (rgb(i * 3) == 255.toByte) 255 else 0
+          maxDev = math.max(maxDev, math.abs(g(i) - want))
+        }
+        val h = graft.ops.Video.frameHash64(g, 64, 64)
+        if (h != p) { allOk = false
+          println(s"MARKER=MISMATCH q=$q p=${p.toHexString} h=${h.toHexString}") }
+      }
+      println(s"MARKER=Q$q ok=$allOk maxDev=$maxDev " +
+        s"bytes=${jpegBytes(rgbFrame(pats(1)), 64, 64, q).length}")
+    }
+    // decode throughput: reused reader vs ImageIO.read
+    val jb = jpegBytes(rgbFrame(0x0123456789ABCDEFL), 64, 64, 0.85f)
+    val n = 2000
+    var t0 = System.nanoTime()
+    for (_ <- 0 until n)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
+    println(s"MARKER=ImageIO.read ${(System.nanoTime()-t0)/1e6/n} ms/frame")
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    t0 = System.nanoTime()
+    for (_ <- 0 until n) {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(jb))
+      rdr.setInput(iis)
+      rdr.read(0)
+      iis.close()
+    }
+    println(s"MARKER=reused-reader ${(System.nanoTime()-t0)/1e6/n} ms/frame")
+  }
+}

@@ -109,6 +109,97 @@ class VideoSpec extends SparkSpec {
     assert(out("tiny").isEmpty)
   }
 
+  private def lumaGrid(p: Long, w: Int = 64, h: Int = 64): Array[Int] = {
+    val g = new Array[Int](w * h)
+    val cw = w / 8; val ch2 = h / 8
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255 else 0
+      for (dy <- 0 until ch2; dx <- 0 until cw)
+        g((cy * ch2 + dy) * w + (cx * cw + dx)) = v
+    }
+    g
+  }
+
+  test("MJPEG round-trip: block-aligned patterns survive the real JPEG " +
+      "encode/decode cycle hash-exactly (the q150 fixture property)") {
+    val pats = Seq(0L, 0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+      0x0123456789ABCDEFL ^ 0x3L, 0x8000000000000001L)
+    val mjpeg = Video.synthesizeAviMjpeg(
+      pats.map(p => Video.encodeJpegLuma(lumaGrid(p), 64, 64)), 64, 64,
+      microSecPerFrame = 33333L)
+    val clip = Video.decodeAvi(mjpeg).get
+    assert(clip.width == 64 && clip.height == 64)
+    assert(clip.microSecPerFrame == 33333L)
+    assert(clip.frames.size == pats.size)
+    for ((p, i) <- pats.zipWithIndex)
+      assert(Video.frameHash64(clip.frames(i), 64, 64) == p,
+        s"frame $i pattern ${p.toHexString}")
+  }
+
+  test("reencodeAsMjpeg: a DIB original re-encoded as MJPEG keeps its " +
+      "frame hashes on block-aligned content; container is real MJPG") {
+    val ps = Seq(0x11L, 0x22L, 0x33L)
+    def frame64(p: Long) = grayFrame(p, 64, 64)
+    val dib = Video.synthesizeAviRgb24(ps.map(frame64), 64, 64, 20000L)
+    val mjpeg = Video.reencodeAsMjpeg(dib).get
+    // genuinely the compressed shape: much smaller than the raw DIB and
+    // carrying the MJPG fourcc in strf
+    assert(mjpeg.length < dib.length / 2)
+    val strf = mjpeg.indexOfSlice("strf".getBytes.toSeq)
+    assert(new String(mjpeg.slice(strf + 8 + 16, strf + 8 + 20),
+      "US-ASCII") == "MJPG")
+    val clip = Video.decodeAvi(mjpeg).get
+    assert(clip.microSecPerFrame == 20000L)
+    assert(clip.frames.indices.map(i =>
+        Video.frameHash64(clip.frames(i), 64, 64)) == ps)
+    // undecodable input routes None, not an exception
+    assert(Video.reencodeAsMjpeg("junk".getBytes).isEmpty)
+  }
+
+  test("decodeAvi MJPEG branch rejects malformed frames without throwing") {
+    val good = Video.encodeJpegLuma(lumaGrid(0x42L), 64, 64)
+    // a non-JPEG chunk where a frame should be
+    val junkFrame = Video.synthesizeAviMjpeg(
+      Seq(good, "not a jpeg at all".getBytes), 64, 64)
+    assert(Video.decodeAvi(junkFrame).isEmpty)
+    // a REAL jpeg whose dims disagree with the container header
+    val wrongDims = Video.synthesizeAviMjpeg(
+      Seq(Video.encodeJpegLuma(lumaGrid(0x42L, 32, 32), 32, 32)), 64, 64)
+    assert(Video.decodeAvi(wrongDims).isEmpty)
+  }
+
+  test("videoNearDuplicatesHamming: re-encoded copies pair at exact " +
+      "hamming budgets; >maxDistance stays unpaired; cap still applies") {
+    def dib(ps: Seq[Long]) =
+      Video.synthesizeAviRgb24(ps.map(grayFrame(_, 64, 64)), 64, 64)
+    def mjpg(ps: Seq[Long]) = Video.synthesizeAviMjpeg(
+      ps.map(p => Video.encodeJpegLuma(lumaGrid(p), 64, 64)), 64, 64)
+    val (p1, p2, p3) = (0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+      0x00FF00FF00FF00FFL)
+    val vids = Seq(
+      ("orig", dib(Seq(p1, p2, p3, 0L))),
+      // transcoded + slightly edited: 2 and 3 bit drifts, one exact
+      ("reenc", mjpg(Seq(p1 ^ 0x3L, p2 ^ 0x7L, p3, 0L))),
+      // drifted past the budget on every content frame — vs BOTH orig
+      // (5 bits) and reenc (flip sets disjoint from reenc's: 7-8 bits)
+      ("far", mjpg(Seq(p1 ^ 0xF8L, p2 ^ 0x1F00L, p3 ^ 0x1FL, 0L))))
+    val got = Video.videoNearDuplicatesHamming(
+        spark.createDataFrame(vids).toDF("id", "avi"), "id", "avi",
+        maxDistance = 3, minScore = 0.5, maxFrameDocFreq = 2)
+      .orderBy("id_a", "id_b")
+      .as[(String, String, Long, Long, Double)].collect()
+    // black frame (df 3 > 2) capped out; orig/reenc match all 3 content
+    // frames bidirectionally; far matches nothing within d=3
+    assert(got.toSeq == Seq(("orig", "reenc", 3L, 3L, 1.0)))
+    // at a generous budget far pairs too (5 bits ≤ 8): approximate
+    // regime above d=3, candidates still via shared bands
+    val loose = Video.videoNearDuplicatesHamming(
+        spark.createDataFrame(vids).toDF("id", "avi"), "id", "avi",
+        maxDistance = 8, minScore = 0.2, maxFrameDocFreq = 2)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(loose.exists(r => r._1 == "far" || r._2 == "far"))
+  }
+
   test("videoNearDuplicates: clone and overlap pairs, ubiquitous-frame " +
       "cap excludes the shared black frame") {
     val mk = (ps: Seq[Long]) =>

@@ -1,0 +1,100 @@
+package tmpstress
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Re-encoded-video dedup at scale: 1M mixed-container AVIs — 900k
+  * uncompressed DIB originals plus 100k REAL MJPEG re-encodes (each
+  * built through [[graft.ops.Video.reencodeAsMjpeg]]: full decode →
+  * per-frame JDK JPEG encode → 'MJPG' re-wrap) — through the
+  * hamming-tolerant frame matcher.
+  *
+  * Construction: 100k families × 10 variants over 64×64 block-pattern
+  * frames (8×8-pixel cells aligned to the JPEG block grid, so the
+  * lossy cycle is hash-exact and recall is EXACTLY countable).
+  * Variant 0 = DIB original {A,B,C}; variant 1 = MJPEG re-encode of
+  * the same content with per-frame 2-bit edits (within the d≤3
+  * budget: the planted near-dup); variants 2-9 use family-unique
+  * frames and must never pair. Every video carries the black frame —
+  * the `maxFrameDocFreq` cap must drop it (df = N) or the inverted
+  * frame index degenerates. Expected pairs: exactly 1 per family
+  * (v0–v1, score 1.0), 100k total; accidental ≤3-bit collisions
+  * between mix64 patterns have expectation ~0.01 across all ~4.5e12
+  * cross-pairs.
+  */
+object MjpegStress {
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def pat(fam: Long, k: Int): Long = {
+    val p = mix64(fam * 64 + k)
+    if (p == 0L || p == -1L) 1L << (k + 1) else p
+  }
+
+  /** (patterns, isMjpeg) of one video: v0 original, v1 its 2-bit-edited
+    * re-encode, v2-9 unique content.
+    */
+  def framesOf(id: Long): (Seq[Long], Boolean) = {
+    val fam = id / 10
+    val v = (id % 10).toInt
+    if (v == 0) (Seq(pat(fam, 1), pat(fam, 2), pat(fam, 3), 0L), false)
+    else if (v == 1)
+      (Seq(pat(fam, 1) ^ 0x3L, pat(fam, 2) ^ 0x30L, pat(fam, 3) ^ 0x300L,
+        0L), true)
+    else (Seq(pat(fam, 6 + v), pat(fam, 16 + v), pat(fam, 26 + v), 0L),
+      false)
+  }
+
+  private def frame(p: Long): Array[Byte] = {
+    val f = new Array[Byte](64 * 64 * 3)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255.toByte else 0.toByte
+      for (dy <- 0 until 8; dx <- 0 until 8; c <- 0 until 3)
+        f(((cy * 8 + dy) * 64 + (cx * 8 + dx)) * 3 + c) = v
+    }
+    f
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val schema = StructType(Seq(
+      StructField("video_id", LongType, nullable = false),
+      StructField("avi", BinaryType, nullable = false)))
+    val vids = spark.createDataFrame(
+      spark.range(n).toDF("id").repartition(64).rdd.map { r =>
+        val id = r.getLong(0)
+        val (ps, isMjpeg) = framesOf(id)
+        val dib = graft.ops.Video.synthesizeAviRgb24(ps.map(frame), 64, 64)
+        Row(id,
+          if (isMjpeg) graft.ops.Video.reencodeAsMjpeg(dib).get else dib)
+      }, schema)
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"MARKER_${label}=${(System.nanoTime() - t0) / 1e9}%.1f")
+      a
+    }
+    // mixed decode + hash throughput (includes synth + the 100k real
+    // re-encode cycles — same scan)
+    timed("hash_sec") {
+      println("MARKER_hashed=" + graft.ops.Video
+        .videoFrameHashStage(vids, "avi").count())
+    }
+    // end to end: banded hamming candidates, black frame capped out
+    val pairs = timed("neardup_sec") {
+      graft.ops.Video.videoNearDuplicatesHamming(vids, "video_id", "avi",
+        maxDistance = 3, minScore = 0.5, maxFrameDocFreq = 10).count()
+    }
+    println(s"MARKER_pairs=$pairs (expect ${n / 10})")
+    spark.stop()
+  }
+}
