@@ -16,6 +16,51 @@ import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJo
   */
 private[graft] trait EntriesText { this: SparkEntry.type =>
 
+  /** q151's construction constants (shared by entry and oracle): a
+    * hand-chosen unigram piece table over {a..e} with distinct
+    * prime-offset micro scores (no two candidate segmentations of the
+    * fixture words tie — the oracle BUILDER asserts strict-argmax
+    * uniqueness when it brute-forces the expected rows, so the
+    * per-position Viterbi tie rule is never load-bearing here), and
+    * fixture docs exercising multi-piece optima, repeated words, an
+    * unknown code point, and piece-vs-singles trade-offs.
+    */
+  private val unigramFixturePieces: Seq[(String, Long)] = Seq(
+    "a" -> -2000003L, "b" -> -2500019L, "c" -> -2500043L,
+    "d" -> -3000017L, "e" -> -3000029L,
+    "ab" -> -3000101L, "abc" -> -4000099L, "bc" -> -2800057L,
+    "cd" -> -4500041L, "de" -> -5200013L, "abcd" -> -8000063L)
+
+  private val unigramFixtureDocs: Seq[(Long, String)] = Seq(
+    (1L, "abcde ab"), (2L, "ababab cdcd"), (3L, "eabcd"),
+    (4L, "axc de"), (5L, "abc abcd bc"))
+
+  /** Brute-force expected (pieces, score) of one fixture word under
+    * the q151 constants — every segmentation into vocabulary pieces or
+    * unknown SINGLE code points, summed in exact micro units, strict
+    * argmax (ties fail loud at oracle-build time).
+    */
+  private def unigramBrute(w: String): (Seq[String], Long) = {
+    val vocab = unigramFixturePieces.toMap
+    def segs(s: String): Seq[(List[String], Long)] =
+      if (s.isEmpty) Seq((Nil, 0L))
+      else (1 to s.length).flatMap { k =>
+        val piece = s.substring(0, k)
+        val sc = vocab.get(piece)
+          .orElse(if (k == 1)
+            Some(graft.functions.UnigramModel.DefaultUnkMicro) else None)
+        sc.toSeq.flatMap { pv =>
+          segs(s.substring(k)).map { case (rest, rs) =>
+            (piece :: rest, pv + rs) }
+        }
+      }
+    val all = segs(w).sortBy(-_._2)
+    require(all.size == 1 || all.head._2 > all(1)._2,
+      s"q151 fixture word '$w' has tied optimal segmentations — " +
+        "adjust the piece scores")
+    (all.head._1, all.head._2)
+  }
+
   private[graft] def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis (extensions) ----
@@ -533,6 +578,61 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           (size(col("subwords")).cast("long") <
             octet_length(col("mx")) - 1).as("has_merges"),
           (size(col("subwords")) > 1).as("is_multi"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- unigram-LM (SentencePiece-style) tokenizer, the BPE
+    //      sibling: q151 pins the Viterbi DP EXACTLY — constructed
+    //      piece table through the full artifact lifecycle (save →
+    //      load → encode with the LOADED model, the q128 pattern), and
+    //      the oracle's expected rows are BRUTE-FORCED over the
+    //      constants at oracle-build time (every segmentation
+    //      enumerated, strict argmax asserted), so a DP bug, a score
+    //      drift, a lookup miss, or an artifact reorder all
+    //      hash-mismatch. q153 is the fit-on-real-corpus twin with the
+    //      q126 invariants. ----
+
+    "q151_unigram_encode" -> ((s, dir) => {
+      val art = tmpDir("graft-unigram-art")
+      val fitted = new graft.functions.UnigramModel(
+        unigramFixturePieces.map(_._1).toArray,
+        unigramFixturePieces.map(_._2).toArray)
+      TextAnalysis.unigramModelSave(s, fitted, art)
+      val loaded = TextAnalysis.unigramModelLoad(s, art)
+      val tableEqual = loaded.pieces.zip(loaded.scoresMicro).sorted.toSeq ==
+        fitted.pieces.zip(fitted.scoresMicro).sorted.toSeq &&
+        loaded.maxWordLen == fitted.maxWordLen &&
+        loaded.pretok == fitted.pretok &&
+        loaded.unkScoreMicro == fitted.unkScoreMicro
+      val docs = s.createDataFrame(unigramFixtureDocs).toDF("doc_id", "text")
+      TextAnalysis.unigramEncodeKernel(docs, "doc_id", "text", loaded)
+        .join(TextAnalysis.unigramScoreKernel(docs, "doc_id", "text",
+          loaded), "doc_id")
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          col("score_micro"),
+          concat_ws("|", col("pieces")).as("pieces"),
+          lit(tableEqual).as("table_equal"))
+        .orderBy("doc_id")
+    }),
+
+    "q153_unigram_fit" -> ((s, dir) => {
+      // fit on the real corpus (bounded driver EM over the word
+      // table), encode with the fitted model; the oracle replays the
+      // q126 invariants — losslessness (piece concat rebuilds the
+      // whitespace-stripped lowercased text) with n_words pinning the
+      // tokenization — while fit/DP semantics are pinned by q151's
+      // exact replay and the hand-computed UnigramSpec EM contracts
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val model = TextAnalysis.unigramFit(docs, "text", vocabSize = 400,
+        emIters = 2, minWordCount = 2L)
+      TextAnalysis.unigramEncodeKernel(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          concat_ws("", col("pieces")).as("joined"))
+        .join(docs.select(col("doc_id"),
+          size(call_function("graft_tokens", lower(col("text"))))
+            .cast("long").as("n_words")), "doc_id")
+        .select("doc_id", "n_words", "joined")
         .orderBy("doc_id")
     }),
 
@@ -1138,6 +1238,42 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  CAST(len(list_filter(regexp_split_to_array(lower(text),
           |    '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
           |  TRUE AS table_equal,
+          |  regexp_replace(lower(text), '[ \t\n\r]+', '', 'g') AS joined
+          |FROM documents WHERE text IS NOT NULL
+          |ORDER BY doc_id""".stripMargin,
+
+      // q151's expected rows BRUTE-FORCED over the construction
+      // constants: for each fixture word, EVERY segmentation into
+      // vocabulary pieces / unknown single code points is enumerated
+      // and scored in exact micro units, the strict argmax is asserted
+      // unique, and the per-doc piece sequences and score sums are
+      // emitted as literal VALUES — the engine's distributed Viterbi
+      // DP must land on exactly these rows
+      "q151_unigram_encode" -> {
+        val rows = unigramFixtureDocs.map { case (id, text) =>
+          val perWord = text.toLowerCase.split("\\s+")
+            .filter(_.nonEmpty).map(unigramBrute)
+          val pieces = perWord.flatMap(_._1)
+          val score = perWord.map(_._2).sum
+          s"($id, ${pieces.length}, $score, " +
+            s"'${pieces.mkString("|")}', TRUE)"
+        }
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(n_pieces AS BIGINT) AS n_pieces,
+           |  CAST(score_micro AS BIGINT) AS score_micro,
+           |  pieces, table_equal
+           |FROM (VALUES ${rows.mkString(", ")})
+           |  AS t(doc_id, n_pieces, score_micro, pieces, table_equal)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      // the q126 invariant verbatim for the unigram family: piece
+      // concat rebuilds the whitespace-stripped lowercased text,
+      // whatever pieces the fit learned
+      "q153_unigram_fit" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(regexp_split_to_array(lower(text),
+          |    '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_words,
           |  regexp_replace(lower(text), '[ \t\n\r]+', '', 'g') AS joined
           |FROM documents WHERE text IS NOT NULL
           |ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,224 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fitted unigram-LM piece table for the Viterbi segmentation kernels
+  * [[UnigramEncodeOf]] / [[UnigramScoreOf]] — the SentencePiece-style
+  * tokenizer family (T5/Gemma) next to [[BpeModel]]'s merge family
+  * (GPT-2/Llama). Part of this repo's LLM-pipeline extension surface
+  * (the reference's scope ends at whole-string label vocabularies,
+  * `tfrecorder/beam_pipeline.py:200-217`).
+  *
+  * A unigram model is a SET of pieces with log-probability scores; a
+  * word's tokenization is the segmentation maximizing the SUM of piece
+  * scores (Kudo, "Subword Regularization", ACL 2018 — the Viterbi
+  * decode, not the sampling form). Scores are integer MICRO-nats
+  * (`scoresMicro`), so every DP comparison and every emitted total is
+  * exact integer arithmetic — an external engine can replay a
+  * segmentation's score by summing constants (the fixed-point
+  * discipline of the DSIR/BM25 kernels).
+  *
+  * Deterministic DP contract (spec-pinned):
+  *  - symbols are Unicode CODE POINTS (the [[BpeModel]] rule);
+  *  - dp over word prefixes; candidate pieces ending at position i are
+  *    vocabulary pieces of length ≤ [[maxPieceLen]], plus the UNKNOWN
+  *    single code point at score `unkScoreMicro` when (and only when)
+  *    that code point is not itself a vocabulary piece — so every word
+  *    has a segmentation and the concatenation of a word's pieces
+  *    equals the word, for ANY model (the BPE losslessness invariant);
+  *  - on equal total score the LONGEST final piece wins at each
+  *    position (deterministic leftmost-longest flavor);
+  *  - words longer than `maxWordLen` code points are emitted as ONE
+  *    piece scored `unkScoreMicro` (the [[BpeModel]] long-word rule).
+  *
+  * `pretok` selects the [[BpeModel.pretokenize]] word-boundary rule —
+  * pieces never cross word boundaries, exactly like merges.
+  */
+final class UnigramModel(val pieces: Array[String],
+                         val scoresMicro: Array[Long],
+                         val maxWordLen: Int = 1024,
+                         val pretok: String = BpeModel.PretokWs,
+                         val unkScoreMicro: Long =
+                           UnigramModel.DefaultUnkMicro)
+    extends Serializable {
+  require(pieces.length == scoresMicro.length,
+    "pieces/scores arrays misaligned")
+  require(pieces.forall(_.nonEmpty), "pieces must be non-empty strings")
+  require(maxWordLen >= 1, "maxWordLen must be >= 1")
+  require(pretok == BpeModel.PretokWs || pretok == BpeModel.PretokCjk,
+    s"unknown pretokenizer '$pretok'")
+
+  /** piece → micro score; duplicate pieces fail loud (two scores for
+    * one piece would make the DP ambiguous).
+    */
+  @transient private lazy val lookup: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) {
+      val prev = m.put(pieces(i), java.lang.Long.valueOf(scoresMicro(i)))
+      require(prev == null, s"duplicate piece '${pieces(i)}'")
+      i += 1
+    }
+    m
+  }
+
+  /** Longest piece in the vocabulary, in code points — the DP's
+    * backward window.
+    */
+  @transient private lazy val maxPieceLen: Int =
+    if (pieces.isEmpty) 1
+    else pieces.iterator.map(p => p.codePointCount(0, p.length)).max
+
+  /** Viterbi-segment one word into (pieces, total micro score). */
+  def segmentWord(w: String): (Array[String], Long) = {
+    val n = w.codePointCount(0, w.length)
+    if (n > maxWordLen)
+      return (Array(w), unkScoreMicro)
+    // code-point boundaries: cp i spans chars offs(i) until offs(i+1)
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var cp = 0
+    while (cp < n) { offs(cp) = ci; ci = w.offsetByCodePoints(ci, 1); cp += 1 }
+    offs(n) = w.length
+    val NegInf = Long.MinValue
+    val dp = Array.fill(n + 1)(NegInf)
+    val back = new Array[Int](n + 1) // start cp index of the chosen piece
+    dp(0) = 0L
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(0, i - maxPieceLen)
+      // j descending = shorter piece first; ties replace (>=), so the
+      // LONGEST final piece wins — the documented tie rule
+      var j = i - 1
+      while (j >= lo) {
+        if (dp(j) != NegInf) {
+          val piece = w.substring(offs(j), offs(i))
+          val s = lookup.get(piece)
+          val sc: Long =
+            if (s != null) s.longValue()
+            else if (i - j == 1) unkScoreMicro // unknown single cp
+            else NegInf
+          if (sc != NegInf) {
+            val cand = dp(j) + sc
+            if (cand >= dp(i)) { dp(i) = cand; back(i) = j }
+          }
+        }
+        j -= 1
+      }
+      i += 1
+    }
+    // dp(n) is always reachable: the unknown-single-cp fallback covers
+    // every position
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var at = n
+    while (at > 0) {
+      val j = back(at)
+      out += w.substring(offs(j), offs(at))
+      at = j
+    }
+    (out.reverseIterator.toArray, dp(n))
+  }
+
+  /** Pretokenize then per-word segment; flat piece array in reading
+    * order.
+    */
+  def encode(text: UTF8String): ArrayData = {
+    val ws = BpeModel.pretokenize(text.toString, pretok, maxWordLen,
+      BpeModel.SymCodepoints)
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var i = 0
+    while (i < ws.length) {
+      val (ps, _) = segmentWord(ws(i))
+      var j = 0
+      while (j < ps.length) { out += UTF8String.fromString(ps(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Pretokenize then per-word segment; total micro score over all
+    * words (the document's unigram-LM segmentation score).
+    */
+  def score(text: UTF8String): Long = {
+    val ws = BpeModel.pretokenize(text.toString, pretok, maxWordLen,
+      BpeModel.SymCodepoints)
+    var total = 0L
+    var i = 0
+    while (i < ws.length) { total += segmentWord(ws(i))._2; i += 1 }
+    total
+  }
+}
+
+object UnigramModel {
+  /** Default unknown-code-point score: far below any fitted piece, so
+    * the fallback never outcompetes real vocabulary.
+    */
+  val DefaultUnkMicro: Long = -20000000L
+}
+
+/** `graft_unigram_encode(text, pieces, scoresMicro[, maxWordLen[,
+  * pretok[, unkScoreMicro]]])`: text → `array<string>` unigram-LM
+  * pieces, the fitted table riding the plan as a reference object (the
+  * [[BpeEncodeOf]] shape). Zero joins, zero shuffle, streaming-safe.
+  * Null text → null; no tokens → empty array.
+  */
+case class UnigramEncodeOf(child: Expression, model: UnigramModel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    model.encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramModel", model,
+      "graft.functions.UnigramModel")
+    defineCodeGen(ctx, ev, text => s"$ref.encode($text)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : UnigramEncodeOf = copy(child = newChild)
+  override def prettyName: String = "graft_unigram_encode"
+}
+
+/** `graft_unigram_score(text, pieces, scoresMicro[, maxWordLen[,
+  * pretok[, unkScoreMicro]]])`: the total integer micro-nat score of
+  * [[UnigramEncodeOf]]'s segmentation — emitted separately so score
+  * consumers (quality gates, fit diagnostics) don't materialize the
+  * piece array.
+  */
+case class UnigramScoreOf(child: Expression, model: UnigramModel)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(model.score(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramModel", model,
+      "graft.functions.UnigramModel")
+    defineCodeGen(ctx, ev, text => s"$ref.score($text)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : UnigramScoreOf = copy(child = newChild)
+  override def prettyName: String = "graft_unigram_score"
+}

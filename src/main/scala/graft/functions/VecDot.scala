@@ -402,6 +402,18 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_bpe_unbytes takes (text)")
         BpeUnbytesOf(exprs(0))
       }),
+    (FunctionIdentifier("graft_unigram_encode"),
+      new ExpressionInfo(classOf[UnigramEncodeOf].getName,
+        "graft_unigram_encode"),
+      (exprs: Seq[Expression]) =>
+        UnigramEncodeOf(exprs.headOption.orNull,
+          unigramModelOf("graft_unigram_encode", exprs))),
+    (FunctionIdentifier("graft_unigram_score"),
+      new ExpressionInfo(classOf[UnigramScoreOf].getName,
+        "graft_unigram_score"),
+      (exprs: Seq[Expression]) =>
+        UnigramScoreOf(exprs.headOption.orNull,
+          unigramModelOf("graft_unigram_score", exprs))),
     (FunctionIdentifier("graft_multi_contains"),
       new ExpressionInfo(classOf[MultiContainsOf].getName,
         "graft_multi_contains"),
@@ -438,6 +450,36 @@ object GraftFunctions {
           exprs(3).eval().asInstanceOf[Number].longValue()))
       }),
   )
+
+  /** Shared builder for the two unigram kernels: (text, pieces,
+    * scoresMicro[, maxWordLen[, pretok[, unkScoreMicro]]]) with literal
+    * model arrays, defaults matching [[UnigramModel]]'s.
+    */
+  private def unigramModelOf(fn: String, exprs: Seq[Expression])
+      : UnigramModel = {
+    require(exprs.length >= 3 && exprs.length <= 6,
+      s"$fn takes (text, pieces, scoresMicro[, maxWordLen[, pretok[, " +
+        "unkScoreMicro]]]) with literal model arrays")
+    require(exprs(1).foldable && exprs(2).foldable,
+      s"$fn pieces/scoresMicro must be literal arrays")
+    val pa = exprs(1).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val pieces = (0 until pa.numElements())
+      .map(i => pa.getUTF8String(i).toString).toArray
+    val scores = exprs(2).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    def lit(i: Int, what: String): Any = {
+      require(exprs(i).foldable, s"$fn $what must be a literal")
+      exprs(i).eval()
+    }
+    new UnigramModel(pieces, scores,
+      if (exprs.length < 4) 1024
+      else lit(3, "maxWordLen").asInstanceOf[Number].intValue(),
+      if (exprs.length < 5) BpeModel.PretokWs else lit(4, "pretok").toString,
+      if (exprs.length < 6) UnigramModel.DefaultUnkMicro
+      else lit(5, "unkScoreMicro").asInstanceOf[Number].longValue())
+  }
 
   /** Idempotent per-session registration — operator entry points call this
     * so the engine works on any session, configured or not.

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * scan speed; the only shuffles are whatever aggregation the caller adds
   * on top.
   */
-object TextAnalysis {
+object TextAnalysis extends TextUnigram {
 
   /** Whitespace tokens (empties removed — `split` on a text that starts
     * with a separator yields a leading "" we drop).

@@ -1,0 +1,225 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) subword tokenization — the
+  * T5/Gemma tokenizer family next to BPE's GPT-2/Llama family. One
+  * family of the [[TextAnalysis]] surface (trait-mixin split, the
+  * Dedup precedent): every member is documented as part of — and
+  * reached through — `object TextAnalysis`.
+  */
+private[graft] trait TextUnigram { this: TextAnalysis.type =>
+
+  /** Fit a [[graft.functions.UnigramModel]]: ONE corpus pass
+    * aggregates the word-occurrence table (the only corpus-sized work
+    * — the same bounded-driver-table economics as [[bpeFit]], same
+    * `graft_bpe_words` pretokenizer kernel, same fail-loud `maxWords`
+    * bound), then a deterministic Viterbi-EM refinement driver-side:
+    *
+    *  1. SEED: every code-point substring of length ≤ `maxPieceLen`
+    *     of every table word, occurrence-count-weighted (overlapping
+    *     occurrences count — the substring-frequency seeding of the
+    *     SentencePiece trainer, with the suffix-array machinery
+    *     replaced by the bounded word table it exists to approximate);
+    *     multi-cp pieces need `minPieceCount` total weight, single
+    *     code points are always kept (coverage — the trainer never
+    *     strands a character), and the inventory is capped at
+    *     `seedSize` multis by (count desc, piece asc).
+    *  2. EM (`emIters` rounds of hard/Viterbi EM — Kudo §3.2's E-step
+    *     with the max instead of the sum, the deterministic choice):
+    *     segment every table word under the current scores, recount
+    *     piece usage weighted by word count, re-score with add-one
+    *     smoothing in integer micro-nats
+    *     (`floor(1e6 · ln((usage+1)/(total+|V|)))`, StrictMath — bit
+    *     reproducible), and after the FIRST round prune the inventory
+    *     to `vocabSize`: all single code points plus the top multis by
+    *     (usage desc, piece asc). Pruning once, early, lets the
+    *     remaining rounds settle scores over the final inventory.
+    *
+    * The result is a piece table whose segmentations an external
+    * engine can replay by summing score constants (q151's oracle
+    * does, brute-force). Unknown code points at encode time fall back
+    * to [[graft.functions.UnigramModel.DefaultUnkMicro]].
+    */
+  def unigramFit(df: DataFrame, textCol: String, vocabSize: Int,
+                 maxPieceLen: Int = 8, emIters: Int = 3,
+                 minPieceCount: Long = 2L, seedSize: Int = 1 << 16,
+                 minWordCount: Long = 1L, maxWords: Int = 1 << 16,
+                 maxWordLen: Int = 1024,
+                 pretok: String = graft.functions.BpeModel.PretokWs)
+      : graft.functions.UnigramModel = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    require(maxPieceLen >= 2, "maxPieceLen must be >= 2")
+    require(emIters >= 1, "emIters must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val rows = df.select(explode(call_function("graft_bpe_words",
+        lower(col(textCol)), lit(pretok), lit(maxWordLen),
+        lit(graft.functions.BpeModel.SymCodepoints))).as("w"))
+      .filter(length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minWordCount)
+      .collect()
+    require(rows.length <= maxWords,
+      s"word table has ${rows.length} entries (> $maxWords): raise " +
+        "minWordCount — a vocabulary too big to fold on the driver " +
+        "needs a sampled fit, not a silent truncation")
+    val words = rows.map(_.getString(0))
+    val counts = rows.map(_.getLong(1))
+    // seed inventory: substring counts over code points
+    val sub = scala.collection.mutable.HashMap.empty[String, Long]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi); val c = counts(wi)
+      val n = w.codePointCount(0, w.length)
+      val offs = new Array[Int](n + 1)
+      var ci = 0
+      var cp = 0
+      while (cp < n) {
+        offs(cp) = ci; ci = w.offsetByCodePoints(ci, 1); cp += 1
+      }
+      offs(n) = w.length
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j <= math.min(n, i + maxPieceLen)) {
+          val s = w.substring(offs(i), offs(j))
+          sub(s) = sub.getOrElse(s, 0L) + c
+          j += 1
+        }
+        i += 1
+      }
+      wi += 1
+    }
+    val singles = sub.keysIterator
+      .filter(p => p.codePointCount(0, p.length) == 1).toArray.sorted
+    var multis = sub.iterator
+      .filter { case (p, c) =>
+        p.codePointCount(0, p.length) >= 2 && c >= minPieceCount }
+      .toArray
+      .sortBy { case (p, c) => (-c, p) }
+      .take(seedSize)
+      .map(_._1)
+    def scoresOf(usage: collection.Map[String, Long],
+                 inventory: Array[String]): Array[Long] = {
+      val total = usage.valuesIterator.sum
+      val v = inventory.length.toLong
+      inventory.map { p =>
+        val u = usage.getOrElse(p, 0L)
+        math.floor(1e6 * StrictMath.log(
+          (u + 1).toDouble / (total + v).toDouble)).toLong
+      }
+    }
+    // round 0 scores straight from the raw substring counts
+    var inventory = singles ++ multis
+    var scores = scoresOf(sub, inventory)
+    var it = 0
+    while (it < emIters) {
+      val model = new graft.functions.UnigramModel(inventory, scores,
+        maxWordLen, pretok)
+      val usage = scala.collection.mutable.HashMap.empty[String, Long]
+      wi = 0
+      while (wi < words.length) {
+        val (ps, _) = model.segmentWord(words(wi))
+        var k = 0
+        while (k < ps.length) {
+          usage(ps(k)) = usage.getOrElse(ps(k), 0L) + counts(wi)
+          k += 1
+        }
+        wi += 1
+      }
+      if (it == 0) {
+        // prune to vocabSize: singles always survive; multis by usage
+        val keepMultis = math.max(0, vocabSize - singles.length)
+        multis = multis
+          .map(p => (p, usage.getOrElse(p, 0L)))
+          .filter(_._2 > 0L)
+          .sortBy { case (p, u) => (-u, p) }
+          .take(keepMultis)
+          .map(_._1)
+        inventory = singles ++ multis
+      }
+      scores = scoresOf(usage, inventory)
+      it += 1
+    }
+    new graft.functions.UnigramModel(inventory, scores, maxWordLen, pretok)
+  }
+
+  /** Persist a fitted [[graft.functions.UnigramModel]] as a reusable
+    * job artifact — the [[bpeModelSave]] lifecycle for the piece
+    * table. Layout under `path`:
+    *  - `pieces/`: one parquet row per piece (`piece`,
+    *    `score_micro`), ordered by piece (a unigram model is a SET —
+    *    unlike the merge table, order carries nothing; sorting makes
+    *    the artifact byte-deterministic);
+    *  - `meta.json`: `max_word_len`, `pretok`, `unk_score_micro`;
+    *  - the [[ArtifactVersion]] marker for snapshot-pinning consumers.
+    */
+  def unigramModelSave(spark: org.apache.spark.sql.SparkSession,
+                       model: graft.functions.UnigramModel,
+                       path: String): Unit = {
+    import spark.implicits._
+    model.pieces.indices
+      .map(i => (model.pieces(i), model.scoresMicro(i)))
+      .sortBy(_._1)
+      .toDF("piece", "score_micro")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pieces")
+    graft.Fs.writeString(graft.Fs.join(path, "meta.json"),
+      s"""{"max_word_len": ${model.maxWordLen}, """ +
+        s""""pretok": "${model.pretok}", """ +
+        s""""unk_score_micro": ${model.unkScoreMicro}}""")
+    ArtifactVersion.stamp(path)
+  }
+
+  /** Load a [[unigramModelSave]] artifact. Duplicate pieces fail loud
+    * (two scores for one piece would make the DP ambiguous —
+    * [[graft.functions.UnigramModel]]'s own constructor check).
+    */
+  def unigramModelLoad(spark: org.apache.spark.sql.SparkSession,
+                       path: String): graft.functions.UnigramModel = {
+    val meta = graft.Fs.readString(graft.Fs.join(path, "meta.json"))
+    def field(name: String): String = {
+      val m = (s""""$name"\\s*:\\s*"?([^",}]+)"?""").r
+        .findFirstMatchIn(meta)
+      require(m.nonEmpty, s"meta.json at $path lacks $name")
+      m.get.group(1).trim
+    }
+    val rows = spark.read.parquet(s"$path/pieces")
+      .select("piece", "score_micro").orderBy("piece")
+      .collect()
+    new graft.functions.UnigramModel(
+      rows.map(_.getString(0)), rows.map(_.getLong(1)),
+      field("max_word_len").toInt, field("pretok"),
+      field("unk_score_micro").toLong)
+  }
+
+  /** Apply a fitted unigram model as ONE codegen'd scan: (id, pieces)
+    * with the flat piece array in reading order — the
+    * [[bpeEncodeKernel]] twin (model-as-reference-object, zero joins,
+    * zero shuffle, streaming-safe). Piece concatenation per word is
+    * content-identical to the word for ANY model.
+    */
+  def unigramEncodeKernel(docs: DataFrame, idCol: String, textCol: String,
+                          model: graft.functions.UnigramModel): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        call_function("graft_unigram_encode", lower(col(textCol)),
+          lit(model.pieces), lit(model.scoresMicro), lit(model.maxWordLen),
+          lit(model.pretok), lit(model.unkScoreMicro)).as("pieces"))
+  }
+
+  /** The total integer micro-nat Viterbi score of each document's
+    * segmentation — same scan shape as [[unigramEncodeKernel]] without
+    * materializing the piece arrays (quality gates, fit diagnostics).
+    */
+  def unigramScoreKernel(docs: DataFrame, idCol: String, textCol: String,
+                         model: graft.functions.UnigramModel): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        call_function("graft_unigram_score", lower(col(textCol)),
+          lit(model.pieces), lit(model.scoresMicro), lit(model.maxWordLen),
+          lit(model.pretok), lit(model.unkScoreMicro)).as("score_micro"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import graft.functions.UnigramModel
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer semantics: hand-computed Viterbi segmentations
+  * (incl. the tie rule and the unknown-code-point fallback), the fit's
+  * learning/determinism/fail-loud contracts, BPE-family parity on the
+  * shared pretokenizer, and the artifact round-trip.
+  */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def model(ps: (String, Long)*): UnigramModel =
+    new UnigramModel(ps.map(_._1).toArray, ps.map(_._2).toArray)
+
+  test("Viterbi picks the max-score segmentation (hand-computed)") {
+    val m = model("a" -> -1000000L, "b" -> -1100000L, "ab" -> -1900000L,
+      "abc" -> -3500000L, "c" -> -1200000L, "bc" -> -2000000L)
+    // a+b+c = -3.3M, ab+c = -3.1M, a+bc = -3.0M (best), abc = -3.5M
+    val (ps, sc) = m.segmentWord("abc")
+    assert(ps.toSeq == Seq("a", "bc") && sc == -3000000L)
+    // unreachable-by-multis word: singles chain
+    assert(m.segmentWord("cba")._1.toSeq == Seq("c", "b", "a"))
+  }
+
+  test("score ties: the longest final piece wins at each position") {
+    val m = model("a" -> -1000000L, "b" -> -1000000L, "ab" -> -2000000L)
+    val (ps, sc) = m.segmentWord("ab") // a+b ties ab at -2M
+    assert(ps.toSeq == Seq("ab") && sc == -2000000L)
+  }
+
+  test("unknown code points fall back at unkScoreMicro; losslessness " +
+      "holds on any input; long words emit one unk piece") {
+    val m = new UnigramModel(Array("a"), Array(-1000000L), maxWordLen = 6)
+    val (ps, sc) = m.segmentWord("axa")
+    assert(ps.toSeq == Seq("a", "x", "a"))
+    assert(sc == -1000000L + UnigramModel.DefaultUnkMicro + -1000000L)
+    // non-BMP unknown is ONE piece, never a surrogate pair split
+    val (ps2, _) = m.segmentWord("a😀a")
+    assert(ps2.toSeq == Seq("a", "😀", "a"))
+    // longer than maxWordLen: single piece, unk score
+    val (ps3, sc3) = m.segmentWord("aaaaaaa")
+    assert(ps3.toSeq == Seq("aaaaaaa") &&
+      sc3 == UnigramModel.DefaultUnkMicro)
+    // duplicate pieces fail loud
+    intercept[IllegalArgumentException] {
+      new UnigramModel(Array("a", "a"), Array(-1L, -2L)).segmentWord("a")
+    }
+  }
+
+  test("encode/score kernels: pretokenized flat pieces, exact micro " +
+      "sums, null routing") {
+    val m = model("a" -> -1000000L, "b" -> -1100000L, "ab" -> -1900000L)
+    val docs = Seq((1L, "ab a B"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val enc = TextAnalysis.unigramEncodeKernel(docs, "id", "text", m)
+      .as[(Long, Seq[String])].collect().toMap
+    // lowercased: "ab" -> [ab], "a" -> [a], "b" -> [b]; null dropped
+    assert(enc(1L) == Seq("ab", "a", "b") && !enc.contains(2L))
+    val sc = TextAnalysis.unigramScoreKernel(docs, "id", "text", m)
+      .as[(Long, Long)].collect().toMap
+    assert(sc(1L) == -1900000L + -1000000L + -1100000L)
+  }
+
+  test("fit learns frequent multi-cp pieces, is deterministic, " +
+      "re-encodes losslessly, and fails loud past maxWords") {
+    val docs = (0 until 50).map(i => (i.toLong,
+      "the the quick quick brown fox " + (if (i % 2 == 0) "the" else "fox")))
+      .toDF("id", "text")
+    val m1 = TextAnalysis.unigramFit(docs, "text", vocabSize = 40,
+      emIters = 2)
+    val m2 = TextAnalysis.unigramFit(docs, "text", vocabSize = 40,
+      emIters = 2)
+    assert(m1.pieces.toSeq == m2.pieces.toSeq &&
+      m1.scoresMicro.toSeq == m2.scoresMicro.toSeq)
+    // a corpus this skewed must learn whole words as pieces
+    assert(m1.pieces.contains("the") && m1.pieces.contains("fox"))
+    // lossless re-encode of the fit corpus
+    val joined = TextAnalysis.unigramEncodeKernel(docs, "id", "text", m1)
+      .select(col("id"), concat_ws("", col("pieces")).as("j"))
+      .join(docs.select(col("id"),
+        regexp_replace(lower(col("text")), "[ \\t\\n\\r]+", "")
+          .as("want")), "id")
+      .filter(col("j") =!= col("want")).count()
+    assert(joined == 0L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramFit(docs, "text", vocabSize = 40, maxWords = 2)
+    }
+  }
+
+  test("BPE-family parity on an ASCII corpus: shared word boundaries, " +
+      "both lossless, piece concat == subword concat") {
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"pack my box with five dozen jugs n$i"))
+      .toDF("id", "text")
+    val um = TextAnalysis.unigramFit(docs, "text", vocabSize = 60,
+      emIters = 2)
+    val bm = TextAnalysis.bpeFit(docs, "text", numMerges = 30,
+      minWordCount = 1L)
+    val u = TextAnalysis.unigramEncodeKernel(docs, "id", "text", um)
+      .select(col("id"), concat_ws("", col("pieces")).as("uj"))
+    val b = TextAnalysis.bpeEncodeKernel(docs, "id", "text", bm)
+      .select(col("id"), concat_ws("", col("subwords")).as("bj"))
+    assert(u.join(b, "id").filter(col("uj") =!= col("bj")).count() == 0L)
+  }
+
+  test("artifact round-trip: save/load reproduces pieces, scores, " +
+      "settings, and segmentations exactly") {
+    val art = tmpDir("graft-unigram-model")
+    val docs = (0 until 20).map(i => (i.toLong, "alpha beta beta gamma"))
+      .toDF("id", "text")
+    val fit = TextAnalysis.unigramFit(docs, "text", vocabSize = 30,
+      emIters = 2)
+    TextAnalysis.unigramModelSave(spark, fit, art)
+    val loaded = TextAnalysis.unigramModelLoad(spark, art)
+    assert(loaded.pieces.zip(loaded.scoresMicro).sorted.toSeq ==
+      fit.pieces.zip(fit.scoresMicro).sorted.toSeq)
+    assert(loaded.maxWordLen == fit.maxWordLen &&
+      loaded.pretok == fit.pretok &&
+      loaded.unkScoreMicro == fit.unkScoreMicro)
+    val got = TextAnalysis.unigramEncodeKernel(docs, "id", "text", loaded)
+      .as[(Long, Seq[String])].collect().toMap
+    val want = TextAnalysis.unigramEncodeKernel(docs, "id", "text", fit)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got == want)
+    // artifact is version-stamped for snapshot-pinning consumers
+    assert(graft.ops.ArtifactVersion.read(art).nonEmpty)
+  }
+}
