@@ -72,6 +72,22 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       ("mjpgC", true, Seq(p6 ^ 0xF8L, p7 ^ 0x1F00L, q8 ^ 0x6L, 0L)))
   }
 
+  /** q152's construction constants (shared by entry and oracle): the
+    * media pattern each document carries is `pats(doc_id % 8)`; the
+    * persisted corpus artifact holds pats(0), pats(1), and a 2-bit
+    * neighbor of pats(2), so documents with doc_id % 8 ∈ {0, 1, 2} are
+    * media duplicates (d = 0, 0, 2 ≤ 3) and the rest are fresh —
+    * all of it replayable as popcount arithmetic over the constants.
+    */
+  private val corpusBuildPats: Seq[Long] = Seq(
+    0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L, 0x00FF00FF00FF00FFL,
+    0x5A5A5A5AA5A5A5A5L, 0x1122334455667788L, 0x99AABBCCDDEEFF01L,
+    0x0F0F0F0FF0F0F0F0L, 0x7777000011110000L)
+
+  private val corpusBuildArtifactSigs: Seq[(String, Long)] = Seq(
+    ("c0", 0x0123456789ABCDEFL), ("c1", 0xF0E1D2C3B4A59687L),
+    ("c2", 0x00FF00FF00FF00FFL ^ 0x3L))
+
   private[graft] def mediaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- multimodal frame-sample planning ----
@@ -338,6 +354,107 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // ---- END-TO-END MULTIMODAL CORPUS BUILD: the composition query
+    //      chaining the full curation front over one corpus — q149's
+    //      text admission (hashed classifier AND DSIR importance),
+    //      media-signature dedup against a PERSISTED hamming artifact
+    //      (q148's machinery; signatures come through the REAL decode:
+    //      WAV fingerprints on even docs, AVI frame hashes on odd
+    //      docs — both land on the same pattern constant), and the
+    //      WebDataset shard export (q86's sink), with one row-level
+    //      admission/drop PROVENANCE row per document. The oracle
+    //      replays every leg — classifier sum, DSIR fit+threshold,
+    //      popcount media match, gate precedence, Knuth-mix shard
+    //      routing — and the `shard`/`exported` columns come from the
+    //      ACTUAL written manifest, so a sink that dropped an admitted
+    //      sample hash-mismatches. Gate precedence (first failing gate
+    //      labels the drop): classifier → dsir → media. ----
+
+    "q152_multimodal_corpus_build" -> ((s, dir) => {
+      def wavOf(p: Long): Array[Byte] = {
+        val amps = new Array[Int](65)
+        amps(0) = 8000
+        for (w <- 0 until 64)
+          amps(w + 1) = amps(w) + (if (((p >>> w) & 1L) == 1L) 100 else -100)
+        val wlen = 160
+        val samples = new Array[Short](65 * wlen)
+        for (w <- 0 until 65; j <- 0 until wlen)
+          samples(w * wlen + j) =
+            (if (j % 2 == 0) amps(w) else -amps(w)).toShort
+        graft.ops.Audio.synthesizeWavPcm16(samples, 8000)
+      }
+      def aviOf(p: Long): Array[Byte] = {
+        val f = new Array[Byte](16 * 16 * 3)
+        for (cy <- 0 until 8; cx <- 0 until 8) {
+          val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255.toByte
+                  else 0.toByte
+          for (dy <- 0 until 2; dx <- 0 until 2; ch <- 0 until 3)
+            f(((cy * 2 + dy) * 16 + (cx * 2 + dx)) * 3 + ch) = v
+        }
+        graft.ops.Video.synthesizeAviRgb24(Seq(f), 16, 16)
+      }
+      val docs0 = t(s, dir, "documents").filter(col("text").isNotNull)
+      // text gates: the q149 admission front verbatim
+      val scored = TextAnalysis.hashedLinearScore(docs0, "doc_id", "text",
+        TextAnalysis.derivedWeights(1 << 20),
+        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+      val dw = Sampling.dsirWeights(docs0, "doc_id", "text",
+        col("lang") === "en", hashBuckets = 1 << 18,
+        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+      // media signatures through the real decoders: only 8 distinct
+      // payloads per modality exist (pattern = doc_id % 8), so the
+      // byte synthesis is a broadcast lookup and the per-row work is
+      // the DECODE — the honest cost at corpus scale
+      val wavLut = s.createDataFrame(corpusBuildPats.zipWithIndex
+        .map { case (p, m) => (m.toLong, wavOf(p)) }).toDF("__m", "wav")
+      val aviLut = s.createDataFrame(corpusBuildPats.zipWithIndex
+        .map { case (p, m) => (m.toLong, aviOf(p)) }).toDF("__m", "avi")
+      val docsM = docs0.select(col("doc_id"),
+        pmod(col("doc_id"), lit(8L)).as("__m"),
+        pmod(col("doc_id"), lit(2L)).as("__par"))
+      val evenSigs = graft.ops.Audio.audioFingerprintStage(
+          docsM.filter(col("__par") === 0).join(broadcast(wavLut), "__m"),
+          "wav")
+        .select(col("doc_id"), col("afp").as("media_sig"))
+      val oddSigs = graft.ops.Video.videoFrameHashStage(
+          docsM.filter(col("__par") === 1).join(broadcast(aviLut), "__m"),
+          "avi")
+        .select(col("doc_id"),
+          element_at(col("frame_hashes"), 1).as("media_sig"))
+      val sigs = evenSigs.unionByName(oddSigs)
+      val art = tmpDir("graft-corpus-media")
+      graft.ops.Dedup.hammingArtifactSave(
+        s.createDataFrame(corpusBuildArtifactSigs).toDF("media_id", "sig"),
+        "media_id", "sig", art)
+      val dups = graft.ops.Dedup.incrementalHammingDuplicates(s, art,
+          sigs, "doc_id", "media_sig")
+        .select(col("batch_id").as("doc_id")).distinct()
+        .withColumn("__dup", lit(true))
+      val st = docs0.select(col("doc_id"), col("text"))
+        .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"))
+        .join(dw.select(col("doc_id"), col("weight_micro")),
+          Seq("doc_id"), "left")
+        .join(dups, Seq("doc_id"), "left")
+        .withColumn("status",
+          when(col("score") < 0, lit("drop_classifier"))
+            .when(col("weight_micro").isNull ||
+              col("weight_micro") < 0, lit("drop_dsir"))
+            .when(col("__dup"), lit("drop_media"))
+            .otherwise(lit("admitted")))
+      val out = tmpDir("graft-corpus-wds")
+      graft.sinks.WebDataset.writeShards(
+        st.filter(col("status") === "admitted").select("doc_id", "text"),
+        "doc_id", Seq("text" -> "txt"), out, numShards = 4, salt = 3L)
+      val written = graft.sinks.WebDataset.readManifest(s, out)
+        .select(regexp_extract(col("entry"), "^([0-9]+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+          col("shard").cast("long").as("shard"))
+      st.join(written, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("status"), col("shard"),
+          col("shard").isNotNull.as("exported"))
+        .orderBy("doc_id")
+    }),
+
     "q115_jsonl_shards" -> ((s, dir) => {
       val out = tmpDir("graft-jsonl")
       graft.sinks.Jsonl.writeShards(
@@ -562,6 +679,57 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
           |       ELSE 'bin' END AS format,
           |  len(text) > 0 AS ok
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // q152 replayed end to end: the q149 classifier + DSIR legs
+      // (their CTEs verbatim, docw LEFT-joined so a no-token doc reads
+      // drop_dsir — the conservative rule), the media-dup leg as
+      // popcount arithmetic over the pattern/artifact constants (dup-
+      // ness is a pure function of doc_id % 8), gate precedence, and
+      // the Knuth-mix shard routing for admitted docs; `exported` is
+      // pinned TRUE exactly on admission, so a sink drop or a phantom
+      // write hash-mismatches against the entry's manifest-derived
+      // columns.
+      "q152_multimodal_corpus_build" -> {
+        val pats = corpusBuildPats.zipWithIndex
+          .map { case (p, m) => s"($m, CAST($p AS BIGINT))" }
+          .mkString(", ")
+        val corpus = corpusBuildArtifactSigs
+          .map { case (_, v) => s"(CAST($v AS BIGINT))" }.mkString(", ")
+        s"""WITH $dsirFitCtes,
+           |docw AS (
+           |  SELECT b.doc_id, CAST(sum(dw) AS BIGINT) AS weight_micro
+           |  FROM b JOIN fw USING (f) GROUP BY 1),
+           |toks AS ($toksSql),
+           |cls AS (
+           |  SELECT doc_id,
+           |    CAST(COALESCE(list_sum(list_transform(t, x ->
+           |      CAST((((md5_number_lower(x) & 1048575) * 2654435761)
+           |            & 4294967295) AS BIGINT) - 2147483648)), 0)
+           |      AS DOUBLE) AS score
+           |  FROM toks WHERE t IS NOT NULL),
+           |pat(m, p) AS (VALUES $pats),
+           |corpus(csig) AS (VALUES $corpus),
+           |patdup AS (
+           |  SELECT m, bool_or(bit_count(xor(p, csig)) <= 3) AS is_dup
+           |  FROM pat CROSS JOIN corpus GROUP BY m),
+           |st AS (
+           |  SELECT c.doc_id,
+           |    CASE WHEN c.score < 0 THEN 'drop_classifier'
+           |      WHEN d.weight_micro IS NULL OR d.weight_micro < 0
+           |        THEN 'drop_dsir'
+           |      WHEN pd.is_dup THEN 'drop_media'
+           |      ELSE 'admitted' END AS status
+           |  FROM cls c
+           |  LEFT JOIN docw d ON d.doc_id = c.doc_id
+           |  JOIN patdup pd ON pd.m = c.doc_id % 8)
+           |SELECT doc_id, status,
+           |  CASE WHEN status = 'admitted'
+           |    THEN CAST(((doc_id + 3) * 2654435761) % 4294967296 % 4
+           |      AS BIGINT)
+           |    ELSE NULL END AS shard,
+           |  status = 'admitted' AS exported
+           |FROM st ORDER BY doc_id""".stripMargin
+      },
 
       // shard membership is a pure function of the key — the manifest
       // replays without reading a single exported byte
