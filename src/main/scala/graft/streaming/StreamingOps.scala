@@ -347,7 +347,10 @@ object StreamingOps {
     */
   def bm25Stream(stream: DataFrame, artifactPath: String, qIdCol: String,
                  qTextCol: String, k: Int = 10, k1: Double = 1.2,
-                 b: Double = 0.75, refreshEveryBatches: Int = 1)(
+                 b: Double = 0.75, refreshEveryBatches: Int = 1,
+                 maintainEveryBatches: Int = 0,
+                 compactDebtFraction: Double = 0.2,
+                 onMaintenance: (String, Long) => Unit = null)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
@@ -360,6 +363,19 @@ object StreamingOps {
         sink(graft.ops.TextAnalysis.bm25TopKFromSnapshot(
           pin.get(mb.sparkSession, batchId), mb.toDF(), qIdCol, qTextCol,
           k, k1, b), batchId)
+        // self-maintenance (r15): the q143 planner DECIDES, the service
+        // EXECUTES compacts. bm25ArtifactsCompact advances postings by
+        // GENERATION (keepGenerations = 2), so even OTHER processes'
+        // pinned snapshots survive this one — the q129 contract; the
+        // local pin still invalidates to adopt the compacted layout
+        // (and its restored pruning) on the very next batch.
+        maintainStep(batchId, maintainEveryBatches, onMaintenance,
+          () => graft.ops.TextAnalysis.bm25MaintenancePlan(
+            mb.sparkSession, artifactPath, compactDebtFraction)
+            .head().getString(0),
+          () => graft.ops.TextAnalysis.bm25ArtifactsCompact(
+            mb.sparkSession, artifactPath, keepGenerations = 2),
+          pin)
     }
   }
 
@@ -405,6 +421,46 @@ object StreamingOps {
       }
       value
     }
+
+    /** Force the next [[get]] to re-check and reload regardless of the
+      * refresh cadence — for maintenance the service itself just ran
+      * (an in-place IVF compact MOVES the pinned files; waiting for the
+      * cadence would serve a batch from a snapshot whose file listing
+      * points at relocated paths).
+      */
+    def invalidate(): Unit = this.synchronized { version = null }
+  }
+
+  /** Shared planner→execution step of the self-maintaining services:
+    * every `maintainEveryBatches` batches (after the batch's results
+    * are already delivered, so maintenance cost never delays them) the
+    * maintenance PLANNER runs and its verdict executes:
+    *
+    *  - `compact` → `compactNow()` runs inline (foreachBatch callbacks
+    *    for one query are sequential, so no probe is mid-flight in
+    *    THIS service), then the pin is invalidated so the next batch
+    *    reloads the compacted artifact immediately;
+    *  - `rebuild` → surfaced through `onMaintenance` but NOT executed:
+    *    a rebuild needs inputs the service doesn't hold (the corpus, a
+    *    centroid refit decision) — it stays an operator action by
+    *    design;
+    *  - `none` → nothing.
+    *
+    * `onMaintenance(action, batchId)` fires with the planner's verdict
+    * whenever the check runs — the monitoring hook (and the spec's).
+    */
+  private def maintainStep(batchId: Long, maintainEveryBatches: Int,
+                           onMaintenance: (String, Long) => Unit,
+                           plan: () => String, compactNow: () => Unit,
+                           pin: SnapshotPin[_]): Unit = {
+    if (maintainEveryBatches > 0 && batchId % maintainEveryBatches == 0) {
+      val action = plan()
+      if (action == "compact") {
+        compactNow()
+        pin.invalidate()
+      }
+      if (onMaintenance != null) onMaintenance(action, batchId)
+    }
   }
 
   /** Streaming ANN service: a stream of query vectors probed per
@@ -424,7 +480,10 @@ object StreamingOps {
                 qVecCol: String, centroids: DataFrame, centIdCol: String,
                 centVecCol: String, k: Int, nprobe: Int = 3,
                 excludeSelf: Boolean = false,
-                refreshEveryBatches: Int = 1)(
+                refreshEveryBatches: Int = 1,
+                maintainEveryBatches: Int = 0,
+                compactDebtFraction: Double = 0.2,
+                onMaintenance: (String, Long) => Unit = null)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
@@ -437,6 +496,20 @@ object StreamingOps {
           pin.get(mb.sparkSession, batchId), mb.toDF(),
           qIdCol, qVecCol, centroids, centIdCol, centVecCol, k, nprobe,
           excludeSelf), batchId)
+        // self-maintenance (r15): ivfIndexCompact is REBUILD-CLASS for
+        // pinned readers (in-place swap moves the pinned files —
+        // IvfSnapshot's documented contract), which is exactly why the
+        // pin invalidation inside maintainStep matters here: THIS
+        // service reloads on the next batch and never probes relocated
+        // paths. Other processes pinning the same index dir see the
+        // documented rebuild contract (one failed batch + retry).
+        maintainStep(batchId, maintainEveryBatches, onMaintenance,
+          () => graft.ops.Similarity.ivfMaintenancePlan(
+            mb.sparkSession, indexDir, compactDebtFraction)
+            .head().getString(0),
+          () => graft.ops.Similarity.ivfIndexCompact(
+            mb.sparkSession, indexDir),
+          pin)
     }
   }
 

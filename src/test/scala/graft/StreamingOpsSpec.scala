@@ -935,6 +935,110 @@ class StreamingOpsSpec extends SparkSpec {
     assert(q100.take(2).toSet == Set(1L, 3L), s"got $q100")
   }
 
+  test("bm25Stream self-maintenance: the planner verdict drives a " +
+      "mid-stream compact; results stay batch-exact before and after") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 10L).map(i =>
+      (i, if (i <= 5) s"spark engine doc$i" else s"filler words doc$i"))
+      .toDF("doc_id", "text")
+    val art = tmpDir("bm25-maint")
+    graft.ops.TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    // delete 40% -> debt 0.4 > 0.2: the planner must say compact
+    graft.ops.TextAnalysis.bm25ArtifactsDelete(spark, art,
+      Seq(6L, 7L, 8L, 9L).toDF("doc_id"), "doc_id")
+    assert(graft.ops.TextAnalysis.bm25MaintenancePlan(spark, art)
+      .head().getString(0) == "compact")
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Double)]]()
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    val query = StreamingOps.bm25Stream(
+        input.toDF().toDF("qid", "qtext"), art, "qid", "qtext", k = 3,
+        maintainEveryBatches = 1,
+        onMaintenance = (a, b) => actions.synchronized {
+          actions += ((a, b)) }) {
+      (res, id) => got.synchronized { got(id) = canon(res) }
+    }.start()
+    val q1 = Seq((100L, "spark engine"))
+    val q2 = Seq((200L, "spark engine doc3"))
+    try {
+      input.addData(q1: _*); query.processAllAvailable()
+      input.addData(q2: _*); query.processAllAvailable()
+    } finally query.stop()
+    // batch 0 probed the PRE-compact snapshot (tombstone anti-join) and
+    // then compacted; batch 1 probed the compacted generation — both
+    // must equal the batch operator on the survivors
+    def expect(rows: Seq[(Long, String)]) =
+      canon(graft.ops.TextAnalysis.bm25TopKPersisted(spark, art,
+        rows.toDF("qid", "qtext"), "qid", "qtext", k = 3))
+    assert(got(0L).nonEmpty && got(1L).nonEmpty)
+    assert(got(1L) == expect(q2))
+    assert(got(0L).map(r => r._3).forall(d => d <= 5L)) // no deleted doc
+    // the planner verdict sequence: compact at batch 0, healthy after
+    assert(actions.toSeq == Seq(("compact", 0L), ("none", 1L)))
+    assert(graft.ops.TextAnalysis.bm25MaintenancePlan(spark, art)
+      .head().getString(0) == "none")
+  }
+
+  test("annStream self-maintenance: planner-driven in-place compact " +
+      "mid-stream; the service's own pin survives via invalidation") {
+    implicit val sqlCtx = spark.sqlContext
+    def v(axis: Int, j: Int): Array[Float] = {
+      val a = Array.fill(6)(0.01f * j); a(axis) = 1.0f; a
+    }
+    val corpus = Seq(
+      (0L, v(0, 1)), (1L, v(0, 2)), (2L, v(0, 3)),
+      (10L, v(2, 1)), (11L, v(2, 2)), (12L, v(2, 3)),
+    ).toDF("vec_id", "embedding")
+    val centroids = corpus.filter(col("vec_id") % 10 === 0)
+    val dir = tmpDir("ann-maint")
+    graft.ops.Similarity.ivfIndexWrite(corpus, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dir)
+    // delete 2 of 6 -> debt 1/3 > 0.2: the planner must say compact
+    graft.ops.Similarity.ivfIndexDelete(spark, dir,
+      Seq(2L, 12L).toDF("vec_id"), "vec_id")
+    assert(graft.ops.Similarity.ivfMaintenancePlan(spark, dir)
+      .head().getString(0) == "compact")
+    val input = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long)]]()
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id")
+        .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val query = StreamingOps.annStream(
+        input.toDF().toDF("qid", "qvec"), dir, "qid", "qvec",
+        centroids, "vec_id", "embedding", k = 2, nprobe = 1,
+        maintainEveryBatches = 1,
+        onMaintenance = (a, b) => actions.synchronized {
+          actions += ((a, b)) }) {
+      (res, id) => got.synchronized { got(id) = canon(res) }
+    }.start()
+    val b1 = Seq((100L, v(0, 5)))
+    val b2 = Seq((200L, v(2, 4)))
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      // batch 0 compacted IN PLACE (files moved); without the pin
+      // invalidation this next batch would probe relocated paths
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+    assert(got(0L).nonEmpty && got(1L).nonEmpty)
+    // deleted vectors never surface, before or after the compact
+    assert(!got(0L).exists(r => r._3 == 2L || r._3 == 12L))
+    assert(!got(1L).exists(r => r._3 == 2L || r._3 == 12L))
+    // batch 1 equals the batch operator over the compacted index
+    def expect(rows: Seq[(Long, Array[Float])]) =
+      canon(graft.ops.Similarity.ivfTopKFromIndex(spark, dir,
+        rows.toDF("qid", "qvec"), "qid", "qvec", centroids, "vec_id",
+        "embedding", k = 2, nprobe = 1, excludeSelf = false))
+    assert(got(1L) == expect(b2))
+    assert(actions.toSeq == Seq(("compact", 0L), ("none", 1L)))
+    // the tombstones are gone from the files: compact really ran
+    assert(!graft.Fs.exists(s"$dir/_tombstones"))
+  }
+
   test("bm25Stream snapshot pin: version bump refreshes, unchanged version skips re-listing") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
