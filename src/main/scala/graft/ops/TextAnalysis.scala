@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * scan speed; the only shuffles are whatever aggregation the caller adds
   * on top.
   */
-object TextAnalysis extends TextUnigram {
+object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
 
   /** Whitespace tokens (empties removed — `split` on a text that starts
     * with a separator yields a leading "" we drop).
@@ -549,669 +549,6 @@ object TextAnalysis extends TextUnigram {
     regexp_replace(
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       Ipv4Pattern, "<IP>")
-
-  // ---- corpus-frequency scoring ------------------------------------------
-
-  /** Unigram familiarity: score each document by how common its tokens
-    * are in the corpus — the cheap LM-free stand-in for perplexity
-    * filtering (rare-token-heavy docs score low; boilerplate scores
-    * high).
-    *
-    * Fit: the corpus's `vocabSize` most frequent lowercased tokens
-    * (count desc, token asc tie-break — the same two-phase exact top-k
-    * as [[topTerms]], so no single task ever ranks the whole
-    * vocabulary). Apply: broadcast the vocab (bounded by construction)
-    * and aggregate per doc — `n_tokens`, `known_tokens` (in-vocab
-    * occurrences), and `familiarity` = in-vocab corpus-count sum /
-    * n_tokens, an exact integer ratio (engine-independent, unlike a
-    * log-space mean). Docs with no tokens are absent.
-    */
-  def unigramFamiliarity(df: DataFrame, idCol: String, textCol: String,
-                         vocabSize: Int = 1000): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    // Fit and apply are two passes over the corpus by design (the same
-    // fit-on-corpus/apply-per-row shape as Vocab): caching the exploded
-    // token stream would cost more storage than the rescan at corpus
-    // scale. Both passes use the byte-scan kernel tokenizer, so the
-    // repeated work is a scan-speed projection, not the regex split.
-    val toks = df.select(col(idCol),
-      explode(call_function("graft_tokens", lower(col(textCol)))).as("tok"))
-    val vocab = topTerms(df.withColumn("__all", lit(1)), "__all", textCol,
-        k = vocabSize)
-      .select(col("tok"), col("cnt").as("__freq"))
-    toks.join(broadcast(vocab), Seq("tok"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        count(col("__freq")).as("known_tokens"),
-        (coalesce(sum(col("__freq")), lit(0L)).cast("double") /
-          count(lit(1)).cast("double")).as("familiarity"))
-  }
-
-  /** BM25 top-k keyword retrieval over a document corpus — the lexical
-    * complement to the embedding ANN paths (and the retrieval step of a
-    * retrieval-based decontamination or data-exploration pass).
-    * Okapi BM25 with the Lucene-style non-negative idf
-    * `ln(1 + (N - df + 0.5)/(df + 0.5))`; `N` and `avgdl` count every
-    * corpus document (zero-token docs can never match but do shape the
-    * statistics, the conventional choice).
-    *
-    * Determinism: per-term contributions are QUANTIZED to fixed-point
-    * micro-units (`floor(contribution × 1e6)` as a long) and summed as
-    * integers, so the per-document score is independent of aggregation
-    * order — float sums are not — and external SQL replays the result
-    * hash-exactly (the q71 oracle does). The 1e-6 quantum is far below
-    * anything that should influence a ranking decision; ranking ties
-    * break by ascending doc id on the integer score.
-    *
-    * Scale shape: the corpus-sized work is one tokenize+explode pass
-    * into per-(doc, term) counts and one fixed-width join against the
-    * per-doc token-length projection; query terms and their df rows
-    * broadcast (a query workload is small by assumption, and the df
-    * frame is semi-join-bounded to the query vocabulary first).
-    * `maxTermDocFreq` (0 = unlimited) drops terms whose posting lists
-    * exceed the cap — the stop-term fan-out guard, same contract as
-    * [[graft.ops.Dedup.ngramJaccard]]'s doc-frequency cutoff (dropped
-    * terms contribute nothing; idf already makes them near-worthless).
-    *
-    * Returns (query_id, rank, doc_id, score), rank 1..k per query.
-    */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: DataFrame, qIdCol: String, qTextCol: String,
-               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-               maxTermDocFreq: Long = 0L): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val dl = docs.select(col(idCol).as("__doc"),
-      coalesce(call_function("graft_token_count", lower(col(textCol))),
-        lit(0L)).as("__dl"))
-    // global stats: one 2-value aggregate row (k-sized collect)
-    val g = dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("t")).head()
-    val nDocs = g.getLong(0)
-    val totTok = g.getLong(1)
-    require(nDocs > 0, "empty corpus")
-    val avgdl = totTok.toDouble / nDocs // one division, deterministic
-    val tf = docs.select(col(idCol).as("__doc"),
-        explode(call_function("graft_tokens", lower(col(textCol))))
-          .as("__t"))
-      .groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
-    val dfT0 = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
-    val dfT =
-      if (maxTermDocFreq <= 0L) dfT0
-      else dfT0.filter(col("__df") <= maxTermDocFreq)
-    val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
-    val qdf = dfT.join(qt.select("__t").distinct(), Seq("__t"), "left_semi")
-    val joined = tf
-      .join(broadcast(qt), Seq("__t"))
-      .join(broadcast(qdf), Seq("__t"))
-      .join(dl, Seq("__doc"))
-    bm25ScoreAndRank(joined, nDocs, avgdl, k, k1, b)
-  }
-
-  /** The per-query tokenization shared by [[bm25TopK]] and
-    * [[bm25TopKPersisted]]: (query_id, __t), distinct terms per query.
-    */
-  private def bm25QueryTerms(queries: DataFrame, qIdCol: String,
-                             qTextCol: String): DataFrame =
-    queries.select(col(qIdCol).as("query_id"),
-      explode(array_distinct(
-        call_function("graft_tokens", lower(col(qTextCol))))).as("__t"))
-
-  /** The scoring tail shared by [[bm25TopK]] and [[bm25TopKPersisted]] —
-    * ONE implementation so the live and artifact paths cannot drift:
-    * input rows carry (query_id, __doc, __tf, __df, __dl); output is the
-    * fixed-point-summed, rank-windowed (query_id, rank, doc_id, score).
-    */
-  private def bm25ScoreAndRank(joined: DataFrame, nDocs: Long,
-                               avgdl: Double, k: Int, k1: Double,
-                               b: Double): DataFrame = {
-    val contrib = joined
-      .withColumn("__idf", log(lit(1.0) +
-        (lit(nDocs.toDouble) - col("__df") + lit(0.5)) /
-          (col("__df") + lit(0.5))))
-      .withColumn("__c", col("__idf") * (col("__tf") * lit(k1 + 1.0)) /
-        (col("__tf") + lit(k1) *
-          (lit(1.0 - b) + (lit(b) * col("__dl")) / lit(avgdl))))
-      .withColumn("__cm", floor(col("__c") * lit(1e6)).cast("long"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("__sm").desc, col("__doc").asc)
-    contrib.groupBy(col("query_id"), col("__doc"))
-      .agg(sum(col("__cm")).as("__sm"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("__doc").as("doc_id"),
-        (col("__sm").cast("double") / lit(1e6)).as("score"))
-  }
-
-  /** Persist the BM25 retrieval artifacts for a corpus snapshot — the
-    * deployment shape for a standing retrieval service, mirroring the
-    * dedup family's persisted-artifact forms
-    * ([[graft.ops.Dedup.nearDupArtifactsSaveBucketed]] etc.): the
-    * tokenize/count/df passes run ONCE per accepted snapshot, and every
-    * later query batch pays only the scoring probe
-    * ([[bm25TopKPersisted]]), never the corpus-sized index build that
-    * [[bm25TopK]] re-runs per call.
-    *
-    * Layout under `path` (per-doc facts live WITH the posting; per-TERM
-    * and GLOBAL facts live in their own small tables — the split is what
-    * makes [[bm25ArtifactsAppend]] possible, because appending documents
-    * changes every existing term's doc frequency and the global stats,
-    * but never an existing posting row):
-    *  - `postings/`: one row per (term, doc) — (`__t, __doc, __tf,
-    *    __dl`), the term count and the doc's token length (per-doc
-    *    facts, append-stable). Range-partitioned and sorted by
-    *    (`__t, __doc`), so every parquet row group covers a narrow term
-    *    range and a probe's term-literal pushdown skips the rest of the
-    *    corpus at the scan.
-    *  - `df/`: one row per term (`__t, __df`) — term-cardinality-sized
-    *    (bounded by vocabulary, not corpus), rewritten on append.
-    *  - `stats/`: one row (`n_docs`, `total_tokens`) — the global
-    *    statistics BM25's idf and length normalization need.
-    */
-  def bm25ArtifactsSave(docs: DataFrame, idCol: String, textCol: String,
-                        path: String): Unit = {
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val dl = bm25DocLengths(docs, idCol, textCol)
-    val tf = bm25TermCounts(docs, idCol, textCol)
-    tf.join(dl, Seq("__doc"))
-      .repartitionByRange(col("__t"), col("__doc"))
-      .sortWithinPartitions("__t", "__doc")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    // a REBUILD over a previously-maintained path must reset its
-    // lifecycle state: compaction generations + pointers (the fresh
-    // postings live at the legacy name, so the postings reset keeps
-    // it) and any tombstones — stale tombstones would wrongly suppress
-    // re-saved doc ids at probe time. Tombstones are generation-
-    // versioned too (r13), so their pointer and generation dirs reset
-    // alongside the postings'.
-    GenerationTable.reset(path, "postings", deleteLegacy = false)
-    GenerationTable.reset(path, "tombstones", deleteLegacy = true)
-    bm25DfAdvance(path, tf.groupBy("__t").agg(count(lit(1)).as("__df")),
-      keepGenerations = 1)
-    // per-doc length table: the probe never reads it (postings carry
-    // __dl), but [[bm25ArtifactsDelete]] needs it — a zero-token doc
-    // has NO posting row, so postings alone cannot say whether a
-    // deleted id contributed to n_docs
-    dl.write.mode("overwrite").parquet(s"$path/dl")
-    dl.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("__dl")), lit(0L)).as("total_tokens"))
-      .write.mode("overwrite").parquet(s"$path/stats")
-    ArtifactVersion.stamp(path)
-  }
-
-  private def bm25DocLengths(docs: DataFrame, idCol: String,
-                             textCol: String): DataFrame =
-    docs.select(col(idCol).as("__doc"),
-      coalesce(call_function("graft_token_count", lower(col(textCol))),
-        lit(0L)).as("__dl"))
-
-  private def bm25TermCounts(docs: DataFrame, idCol: String,
-                             textCol: String): DataFrame =
-    docs.select(col(idCol).as("__doc"),
-        explode(call_function("graft_tokens", lower(col(textCol))))
-          .as("__t"))
-      .groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
-
-  /** Append a document batch to a persisted [[bm25ArtifactsSave]] index
-    * without re-reading the corpus — the BM25 twin of
-    * [[graft.ops.Similarity.ivfIndexAppend]] and the digest-artifact
-    * ingest paths. The batch's postings land as NEW files under
-    * `postings/` (their own (`__t, __doc`) range layout — pushdown still
-    * prunes per file); the term-cardinality df table and the one-row
-    * `stats/` are the only artifacts REWRITTEN, because they are the
-    * only ones whose values change when documents arrive. The df
-    * rewrite publishes a NEW GENERATION directory and flips the
-    * `df_current` pointer ([[bm25DfAdvance]], r12): a failure
-    * mid-merge leaves the old generation live, and a probe snapshot
-    * pinned between stream refreshes keeps its files intact instead of
-    * crashing on a delete+rename swap — `keepGenerations` bounds the
-    * retained history (snapshot-expiry contract in [[bm25DfAdvance]]).
-    *
-    * Correctness note: this is exactly why the layout keeps `__df` OUT
-    * of the posting rows — an appended corpus changes every existing
-    * term's doc frequency, and a denormalized `__df` would go silently
-    * stale (the probe would score old documents with old idf). The
-    * append-then-probe result is spec-pinned equal to a from-scratch
-    * build over the union corpus, score-for-score.
-    */
-  def bm25ArtifactsAppend(docs: DataFrame, idCol: String, textCol: String,
-                          path: String, keepGenerations: Int = 3): Unit = {
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val spark = docs.sparkSession
-    val dl = bm25DocLengths(docs, idCol, textCol)
-    val tf = bm25TermCounts(docs, idCol, textCol)
-    tf.join(dl, Seq("__doc"))
-      .repartitionByRange(col("__t"), col("__doc"))
-      .sortWithinPartitions("__t", "__doc")
-      .write.mode("append").parquet(bm25PostingsDir(path))
-    dl.write.mode("append").parquet(s"$path/dl")
-    // read old stats BEFORE overwriting (head() materializes the row)
-    val st = spark.read.parquet(s"$path/stats").head()
-    val bs = dl.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
-    val merged = spark.read.parquet(bm25DfDir(path))
-      .unionByName(tf.groupBy("__t").agg(count(lit(1)).as("__df")))
-      .groupBy("__t").agg(sum(col("__df")).as("__df"))
-    bm25DfAdvance(path, merged, keepGenerations)
-    import spark.implicits._
-    Seq((st.getAs[Long]("n_docs") + bs.getAs[Long]("n"),
-        st.getAs[Long]("total_tokens") + bs.getAs[Long]("t")))
-      .toDF("n_docs", "total_tokens")
-      .write.mode("overwrite").parquet(s"$path/stats")
-    ArtifactVersion.stamp(path)
-  }
-
-  /** Delete documents from a persisted BM25 index WITHOUT re-reading the
-    * corpus — the GDPR/takedown path, completing the index lifecycle
-    * (build → [[bm25ArtifactsAppend]] → delete). Deletion rewrites
-    * exactly the artifacts whose VALUES change and tombstones the rest:
-    *
-    *  - `df/` decrements per-term doc frequency by the deleted docs'
-    *    postings (rows reaching 0 drop) — term-cardinality-sized, the
-    *    same tmp+rename swap as append.
-    *  - `dl/` drops the deleted docs' rows (same swap). Rewriting — not
-    *    tombstoning — this table is what makes a REPEATED delete of the
-    *    same id a no-op instead of a double-subtraction.
-    *  - `stats/` subtracts the deleted docs found in `dl/` (n_docs and
-    *    token totals exact even for zero-token docs, which have no
-    *    posting to find them by — the reason `dl/` exists).
-    *  - `postings/` are NOT rewritten (corpus-sized, term-range-sorted;
-    *    an in-place rewrite would be a full rebuild): deleted ids land
-    *    in the current tombstone GENERATION ([[bm25TombstonesDir]])
-    *    and [[bm25TopKPersisted]] anti-joins them at probe time.
-    *    Tombstones accumulate across delete batches — once they are a
-    *    material fraction of the corpus, fold them with
-    *    [[bm25ArtifactsCompact]] (corpus-free); the probe cost of the
-    *    anti-join is proportional to tombstone count, not corpus.
-    *
-    * After a delete, probes are score-for-score identical to a
-    * from-scratch build over the surviving corpus (spec-pinned; q119
-    * proves it against the full external replay). Ids absent from the
-    * index are ignored. Fails loud on a pre-`dl/` index (older layout):
-    * rebuild once to adopt the lifecycle.
-    *
-    * Consistency: each table update is individually atomic (tmp+rename
-    * swap — readers never see a half-written table), but like
-    * [[bm25ArtifactsAppend]] the multi-table sequence is not one
-    * transaction: a job that dies BETWEEN table updates leaves a
-    * readable but cross-table-inconsistent index. Do not re-run the
-    * delete (df/ would double-subtract); rebuild from the corpus.
-    */
-  def bm25ArtifactsDelete(spark: org.apache.spark.sql.SparkSession,
-                          path: String, ids: DataFrame,
-                          idCol: String, keepGenerations: Int = 3): Unit = {
-    require(graft.Fs.exists(s"$path/dl"),
-      s"$path has no dl/ table (pre-delete layout) — rebuild the index " +
-        "with bm25ArtifactsSave once to enable deletes")
-    val del = ids.select(col(idCol).as("__doc")).distinct()
-    val dl = spark.read.parquet(s"$path/dl")
-    // removed BEFORE the dl/ swap, EAGERLY checkpointed: a cached plan
-    // could be evicted and silently recomputed against the post-swap
-    // dl/ (losing the tombstones); the checkpoint severs the lineage
-    val removed = dl.join(del, Seq("__doc")).localCheckpoint(true)
-    val rm = removed.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
-    val nRemoved = rm.getAs[Long]("n")
-    if (nRemoved > 0L) {
-      // per-term decrement from the deleted docs' postings — joined
-      // against `removed` (the dl/-intersected live set), NOT the raw
-      // request `del`: tombstoned docs keep their postings rows, so a
-      // batch mixing an already-deleted id with a live one would
-      // double-subtract the re-deleted id's terms from df/ (corrupting
-      // idf, and via the __df > 0 filter possibly dropping still-live
-      // terms entirely). `removed` is exactly the set whose counts are
-      // still in df/.
-      val dec = spark.read.parquet(bm25PostingsDir(path))
-        .join(removed.select("__doc"), Seq("__doc"))
-        .groupBy("__t").agg(count(lit(1)).as("__dec"))
-      val newDf = spark.read.parquet(bm25DfDir(path))
-        .join(dec, Seq("__t"), "left")
-        .select(col("__t"),
-          (col("__df") - coalesce(col("__dec"), lit(0L))).as("__df"))
-        .filter(col("__df") > 0L)
-      bm25DfAdvance(path, newDf, keepGenerations)
-      swapTable(spark, dl.join(del, Seq("__doc"), "left_anti"),
-        s"$path/dl")
-      val st = spark.read.parquet(s"$path/stats").head()
-      import spark.implicits._
-      Seq((st.getAs[Long]("n_docs") - nRemoved,
-          st.getAs[Long]("total_tokens") - rm.getAs[Long]("t")))
-        .toDF("n_docs", "total_tokens")
-        .write.mode("overwrite").parquet(s"$path/stats")
-      removed.select("__doc")
-        .write.mode("append").parquet(bm25TombstonesDir(path))
-      ArtifactVersion.stamp(path)
-    }
-    removed.unpersist()
-  }
-
-  /** Rewrite-and-swap a small artifact table (the dl/ pattern): a
-    * failure mid-merge leaves the old table readable, never a
-    * half-written one. Used only for tables no PROBE ever pins (dl/ is
-    * read exclusively inside [[bm25ArtifactsDelete]] itself); the
-    * probe-pinned df table uses [[bm25DfAdvance]] generations instead,
-    * because this swap deletes the old files a pinned snapshot still
-    * references.
-    */
-  private def swapTable(spark: org.apache.spark.sql.SparkSession,
-                        table: DataFrame, dest: String): Unit = {
-    val tmp = s"${dest}_tmp"
-    table.write.mode("overwrite").parquet(tmp)
-    graft.Fs.deleteRecursively(dest)
-    require(graft.Fs.rename(tmp, dest),
-      s"failed to move rewritten table into place at $dest")
-  }
-
-  /** Current directory of a generation-versioned artifact table — see
-    * [[GenerationTable.dir]] (the machinery was factored out in r13
-    * when the DSIR model artifact adopted the same discipline).
-    */
-  private[graft] def bm25TableDir(path: String, base: String): String =
-    GenerationTable.dir(path, base)
-
-  private[graft] def bm25DfDir(path: String): String =
-    bm25TableDir(path, "df")
-
-  private[graft] def bm25PostingsDir(path: String): String =
-    bm25TableDir(path, "postings")
-
-  /** The tombstone table is generation-versioned too (r13):
-    * [[bm25ArtifactsDelete]] APPENDS into the current generation
-    * (additive — pinned snapshots unaffected), and
-    * [[bm25ArtifactsCompact]] retires folded tombstones by publishing
-    * an EMPTY next generation instead of deleting the directory a
-    * pinned [[Bm25Snapshot]] still anti-joins — the in-place delete
-    * could FileNotFound a streaming probe for up to refresh-interval
-    * batches, and a crash between that delete and the version stamp
-    * left pinned readers failing with no reload trigger.
-    */
-  private[graft] def bm25TombstonesDir(path: String): String =
-    bm25TableDir(path, "tombstones")
-
-  /** Publish a new generation of an artifact table — see
-    * [[GenerationTable.advance]] for the full pointer/retention
-    * contract (readers pinned to an older generation — a
-    * [[Bm25Snapshot]] between stream refreshes — keep intact files for
-    * `keepGenerations` publishes).
-    */
-  private def bm25TableAdvance(path: String, base: String,
-                               table: DataFrame, keepGenerations: Int,
-                               deleteLegacy: Boolean = false): Unit =
-    GenerationTable.advance(path, base, keepGenerations, deleteLegacy) {
-      dir => table.write.mode("overwrite").parquet(dir)
-    }
-
-  private def bm25DfAdvance(path: String, table: DataFrame,
-                            keepGenerations: Int): Unit =
-    bm25TableAdvance(path, "df", table, keepGenerations)
-
-  /** Fold accumulated [[bm25ArtifactsDelete]] tombstones into the
-    * postings WITHOUT re-reading the corpus — the compaction step that
-    * completes the index lifecycle (build → append → delete →
-    * compact): the surviving postings rewrite into a fresh
-    * `postings_gNNNN` generation with the (`__t, __doc`) range layout
-    * restored (term-literal pushdown prunes like a fresh build again),
-    * the `postings_current` pointer flips, the tombstones drop, and
-    * the probe's anti-join branch disappears from future snapshots.
-    * df/dl/stats are untouched — deletion already maintained their
-    * values; the tombstones were only ever a postings-side patch.
-    *
-    * Cost: ONE scan + range-repartition of the current postings
-    * generation — corpus-sized but corpus-FREE (no raw text needed),
-    * which is what makes periodic compaction schedulable from the
-    * artifact alone. Generation retention follows [[bm25TableAdvance]]
-    * with `deleteLegacy` (reclaiming superseded postings space is the
-    * point); pinned snapshots keep `keepGenerations` of safety.
-    * Returns false (no-op) when there are no tombstones to fold.
-    * Probe results are identical before and after by construction
-    * (spec + q129 pin it).
-    */
-  def bm25ArtifactsCompact(spark: org.apache.spark.sql.SparkSession,
-                           path: String,
-                           keepGenerations: Int = 2): Boolean = {
-    val tombDir = bm25TombstonesDir(path)
-    if (!graft.Fs.exists(tombDir)) return false
-    val tomb = spark.read.parquet(tombDir)
-    // a previous compact leaves an EMPTY current tombstone generation —
-    // nothing to fold, don't rewrite the corpus-sized postings
-    if (tomb.isEmpty) return false
-    val survivors = spark.read.parquet(bm25PostingsDir(path))
-      .join(tomb, Seq("__doc"), "left_anti")
-      .repartitionByRange(col("__t"), col("__doc"))
-      .sortWithinPartitions("__t", "__doc")
-    bm25TableAdvance(path, "postings", survivors, keepGenerations,
-      deleteLegacy = true)
-    // retire the folded tombstones by GENERATION, not in-place delete
-    // (r13, judge-found): a pinned Bm25Snapshot loaded while tombstones
-    // existed still anti-joins those exact files — deleting them threw
-    // FileNotFound at its next probe, and a crash between the delete
-    // and the stamp stranded pinned readers with no version bump to
-    // trigger a reload. Publishing an empty next generation keeps the
-    // old files intact for `keepGenerations` publishes (the same
-    // retention contract as df/postings); with keepGenerations = 1 the
-    // old tombstones drop immediately — the caller's explicit
-    // space-over-pins choice. A crash anywhere in this sequence leaves
-    // every reachable pointer serving complete files: old pointer →
-    // old tombstones over old-or-new postings (anti-join of already-
-    // removed docs is a no-op), new pointer → empty tombstones over
-    // compacted postings.
-    bm25TableAdvance(path, "tombstones", tomb.limit(0), keepGenerations,
-      deleteLegacy = true)
-    ArtifactVersion.stamp(path)
-    true
-  }
-
-  /** Cross-table consistency audit of a persisted [[bm25ArtifactsSave]]
-    * artifact — the detector for the failure mode the
-    * [[bm25ArtifactsDelete]] contract warns about (a job dying BETWEEN
-    * table updates leaves a readable but cross-table-inconsistent
-    * index, and a re-run would double-subtract df). Run it before
-    * trusting an artifact whose maintenance job may have died, or on a
-    * schedule next to compaction. Returns one row per invariant:
-    * (check, ok, observed, expected), where the frame is all-`ok` iff
-    * every derived table agrees with a recount from the live postings:
-    *
-    *  - `stats_n_docs` / `stats_total_tokens` == the dl/ table's count
-    *    and token sum (the pair every delete rewrites together).
-    *  - `df_matches_postings`: the df/ table is EXACTLY the per-term
-    *    live-doc count recomputed from tombstone-filtered postings —
-    *    a missing term, an extra term, or any drifted count fails
-    *    (observed = number of disagreeing terms).
-    *  - `postings_docs_have_dl`: every live posting doc has a dl/ row
-    *    (observed = orphaned docs).
-    *  - `tombstones_not_in_dl`: no tombstoned doc still has a dl/ row
-    *    (a delete crash between the tombstone append and the dl swap
-    *    shows up here).
-    *
-    * Cost: ONE scan of the live postings (corpus-sized, corpus-FREE —
-    * schedulable from the artifact alone, the [[bm25ArtifactsCompact]]
-    * economics) plus the vocabulary-sized df/dl comparisons.
-    */
-  def bm25ArtifactsValidate(spark: org.apache.spark.sql.SparkSession,
-                            path: String): DataFrame = {
-    import spark.implicits._
-    val st = spark.read.parquet(s"$path/stats").head()
-    val dl = spark.read.parquet(s"$path/dl")
-    val tombDir = bm25TombstonesDir(path)
-    val postingsRaw = spark.read.parquet(bm25PostingsDir(path))
-    val live =
-      if (graft.Fs.exists(tombDir))
-        postingsRaw.join(spark.read.parquet(tombDir), Seq("__doc"),
-          "left_anti")
-      else postingsRaw
-    val dlAgg = dl.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
-    val recount = live.groupBy("__t").agg(count(lit(1)).as("__rc"))
-    val dfMismatch = spark.read.parquet(bm25DfDir(path))
-      .join(recount, Seq("__t"), "full_outer")
-      .filter(!(col("__df") <=> col("__rc")))
-      .count()
-    val orphanDocs = live.select("__doc").distinct()
-      .join(dl, Seq("__doc"), "left_anti").count()
-    val tombInDl =
-      if (graft.Fs.exists(tombDir))
-        spark.read.parquet(tombDir).join(dl, Seq("__doc"), "left_semi")
-          .count()
-      else 0L
-    Seq(
-      ("stats_n_docs", st.getAs[Long]("n_docs") == dlAgg.getAs[Long]("n"),
-        dlAgg.getAs[Long]("n"), st.getAs[Long]("n_docs")),
-      ("stats_total_tokens",
-        st.getAs[Long]("total_tokens") == dlAgg.getAs[Long]("t"),
-        dlAgg.getAs[Long]("t"), st.getAs[Long]("total_tokens")),
-      ("df_matches_postings", dfMismatch == 0L, dfMismatch, 0L),
-      ("postings_docs_have_dl", orphanDocs == 0L, orphanDocs, 0L),
-      ("tombstones_not_in_dl", tombInDl == 0L, tombInDl, 0L),
-    ).toDF("check", "ok", "observed", "expected")
-  }
-
-  /** Maintenance planner for a persisted BM25 artifact — the lexical
-    * twin of [[graft.ops.Similarity.ivfMaintenancePlan]], same
-    * integer-micro-unit verdict contract (the q143 oracle replays the
-    * threshold arithmetic). The one debt metric: tombstoned docs as a
-    * fraction of the PHYSICAL doc population (live `stats.n_docs` +
-    * distinct tombstones) — the share of postings every probe
-    * anti-joins away. Compaction folds it corpus-free at ~1/5 rebuild
-    * cost (BASELINE r12), so: `rebuild` past `rebuildDebtFraction`
-    * (mostly-dead artifact — rebuilding the survivors IS the fold),
-    * `compact` past `compactDebtFraction`, else `none`. Output schema
-    * matches the IVF planner (skew has no lexical analog → 0) so a
-    * fleet scheduler unions the verdicts across artifact families.
-    */
-  def bm25MaintenancePlan(spark: org.apache.spark.sql.SparkSession,
-                          path: String,
-                          compactDebtFraction: Double = 0.2,
-                          rebuildDebtFraction: Double = 0.5): DataFrame = {
-    import spark.implicits._
-    require(compactDebtFraction > 0 && rebuildDebtFraction > 0,
-      "thresholds must be positive")
-    val live = spark.read.parquet(s"$path/stats").head()
-      .getAs[Long]("n_docs")
-    val tombDir = bm25TombstonesDir(path)
-    val tombs =
-      if (graft.Fs.exists(tombDir))
-        spark.read.parquet(tombDir).select("__doc").distinct().count()
-      else 0L
-    val debtMicro =
-      if (live + tombs == 0) 0L
-      else (BigInt(tombs) * 1000000 / (live + tombs)).toLong
-    val cThr = math.floor(compactDebtFraction * 1e6).toLong
-    val rThr = math.floor(rebuildDebtFraction * 1e6).toLong
-    val (action, reason) =
-      if (debtMicro > rThr)
-        ("rebuild", s"debt_micro=$debtMicro > rebuild_micro=$rThr")
-      else if (debtMicro > cThr)
-        ("compact", s"debt_micro=$debtMicro > compact_micro=$cThr")
-      else ("none", "healthy")
-    Seq((action, reason, live, tombs, debtMicro, 0L))
-      .toDF("action", "reason", "live_rows", "tombstones", "debt_micro",
-        "skew_micro")
-  }
-
-  /** BM25 top-k against a persisted [[bm25ArtifactsSave]] snapshot —
-    * scoring only, scores fixed-point-IDENTICAL to [[bm25TopK]] on the
-    * same corpus (both run [[bm25ScoreAndRank]] on the same inputs; q78
-    * proves it against the q71 oracle).
-    *
-    * Scale shape: the query batch's distinct terms (collected, bounded
-    * by `maxPushdownTerms`) push down as a term-literal IN filter into
-    * the postings scan — with the artifact's (term, doc) range layout,
-    * row groups not containing a query term never leave the parquet
-    * footer, so a probe reads ~|hit postings|, not the corpus. Above the
-    * cap the probe falls back to the broadcast hash join alone (still
-    * zero corpus shuffle, but a full artifact scan). The only exchange
-    * anywhere is the query-hit-sized (query_id, doc) aggregate.
-    */
-  def bm25TopKPersisted(spark: org.apache.spark.sql.SparkSession,
-                        path: String, queries: DataFrame, qIdCol: String,
-                        qTextCol: String, k: Int = 10, k1: Double = 1.2,
-                        b: Double = 0.75, maxTermDocFreq: Long = 0L,
-                        maxPushdownTerms: Int = 8192): DataFrame =
-    bm25TopKFromSnapshot(bm25SnapshotLoad(spark, path), queries,
-      qIdCol, qTextCol, k, k1, b, maxTermDocFreq, maxPushdownTerms)
-
-  /** One resolved read of a [[bm25ArtifactsSave]] artifact: global
-    * stats, the tombstone-filtered postings relation, and the df table,
-    * plus the [[ArtifactVersion]] token captured at load. The relations
-    * pin the FILE LISTING taken at load time (Spark resolves a parquet
-    * relation's file index once), which is the point: a standing
-    * retrieval service probes the same snapshot every batch for free
-    * and re-loads only when the version token moves —
-    * [[graft.streaming.StreamingOps.bm25Stream]]'s refresh discipline.
-    * Files appended after load are intentionally invisible until then.
-    * Maintenance-safety: [[bm25ArtifactsAppend]]/`Delete` never remove
-    * files a snapshot can hold (postings append additively; the df
-    * table advances by GENERATION with bounded retention —
-    * [[bm25DfAdvance]]). A full in-place REBUILD
-    * ([[bm25ArtifactsSave]] over the same path) is the one operation
-    * that does delete pinned postings files: run it with streaming
-    * consumers paused, or accept one failed batch and restart the
-    * query (streaming retries re-resolve the new artifact).
-    */
-  final case class Bm25Snapshot(path: String, version: Option[String],
-                                nDocs: Long, avgdl: Double,
-                                postings: DataFrame, dfTable: DataFrame)
-
-  def bm25SnapshotLoad(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Bm25Snapshot = {
-    // version token FIRST, data after: a write landing mid-load then
-    // leaves the snapshot carrying the OLD token with (possibly) newer
-    // data, so the next refresh check sees a mismatch and re-loads —
-    // one spurious reload. The inverted order would pin old data under
-    // the new token and never refresh.
-    val version = ArtifactVersion.read(path)
-    val st = spark.read.parquet(s"$path/stats").head()
-    val nDocs = st.getAs[Long]("n_docs")
-    val totTok = st.getAs[Long]("total_tokens")
-    require(nDocs > 0, "empty corpus artifact")
-    val avgdl = totTok.toDouble / nDocs // same one division as bm25TopK
-    val postingsRaw = spark.read.parquet(bm25PostingsDir(path))
-    // deleted docs ([[bm25ArtifactsDelete]]) are tombstoned, not
-    // rewritten out of the corpus-sized postings: anti-join them here.
-    // The branch only exists after a delete, so pre-delete probe plans
-    // (and their pushdown plan pins) are untouched. Post-compact the
-    // current tombstone GENERATION is an empty table ([[bm25
-    // ArtifactsCompact]]) — the anti-join branch stays but filters
-    // nothing; only a fresh [[bm25ArtifactsSave]] rebuild removes it.
-    val tombDir = bm25TombstonesDir(path)
-    val postings =
-      if (graft.Fs.exists(tombDir))
-        postingsRaw.join(spark.read.parquet(tombDir),
-          Seq("__doc"), "left_anti")
-      else postingsRaw
-    Bm25Snapshot(path, version, nDocs, avgdl,
-      postings, spark.read.parquet(bm25DfDir(path)))
-  }
-
-  def bm25TopKFromSnapshot(snap: Bm25Snapshot, queries: DataFrame,
-                           qIdCol: String, qTextCol: String, k: Int = 10,
-                           k1: Double = 1.2, b: Double = 0.75,
-                           maxTermDocFreq: Long = 0L,
-                           maxPushdownTerms: Int = 8192): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
-    val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
-    // limit+collect bounds driver memory: past the cap we only lose the
-    // scan pushdown, never correctness (the join still filters exactly)
-    val termSample = qt.select("__t").distinct()
-      .limit(maxPushdownTerms + 1).collect().map(_.getString(0))
-    val postings =
-      if (termSample.length <= maxPushdownTerms)
-        snap.postings.where(col("__t").isin(termSample.toIndexedSeq: _*))
-      else snap.postings
-    // per-term doc frequencies come from the split df/ table (the layout
-    // that keeps appends honest): bounded to the query vocabulary by a
-    // broadcast semi-ish join before touching the postings, with the
-    // stop-term guard applied where the df rows live
-    val dfQ0 = snap.dfTable
-      .join(broadcast(qt.select("__t").distinct()), Seq("__t"))
-    val dfQ =
-      if (maxTermDocFreq <= 0L) dfQ0
-      else dfQ0.filter(col("__df") <= maxTermDocFreq)
-    bm25ScoreAndRank(
-      postings.join(broadcast(qt), Seq("__t"))
-        .join(broadcast(dfQ), Seq("__t")),
-      snap.nDocs, snap.avgdl, k, k1, b)
-  }
 
   // ---- chunking -----------------------------------------------------------
 
@@ -1752,335 +1089,6 @@ object TextAnalysis extends TextUnigram {
     // positives; emptiness checks belong to the quality filters)
     docs.filter(col(textCol).isNull ||
       size(call_function("graft_multi_contains", t, lit(pats))) === 0)
-  }
-
-  // ---- tokenized-dataset materialization ----------------------------------
-
-  /** Text → `array<long>` token ids against a fitted vocabulary — the
-    * LAST materialization step of a training-corpus build (what the
-    * packed sequences and shard sinks actually carry). Exact
-    * string-keyed formulation: posexplode the lowercased tokens,
-    * broadcast-join the (token → id) table, re-assemble in position
-    * order; OOV → `oovId` (the Vocab A2 convention, -1). One row per
-    * non-null-text document; zero-token text → empty array. This is
-    * the external-replay twin of [[tokenizeToIdsKernel]] — the
-    * bigramLmScore/kernel split — and the aggregate is the plan cost:
-    * one (id, pos, tid) exchange to rebuild arrays.
-    *
-    * `vocab` is any (tokenCol, idCol) frame — [[tokenVocabFit]]'s
-    * (token, rank) output is the natural source. Tokens must be
-    * whitespace-free (they are, if they came from a tokenizer fit).
-    */
-  def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
-                    vocab: DataFrame, tokenCol: String = "token",
-                    vocabIdCol: String = "rank",
-                    oovId: Long = -1L): DataFrame = {
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), lower(col(textCol)).as("__t"))
-    val ex = base.select(col(idCol),
-      posexplode(tokens(col("__t"))).as(Seq("__pos", "__tok")))
-    val v = broadcast(vocab.select(col(tokenCol).as("__tok"),
-      col(vocabIdCol).cast("long").as("__tid")))
-    val assembled = ex.join(v, Seq("__tok"), "left")
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("__pos"),
-          coalesce(col("__tid"), lit(oovId)).as("__tid")))),
-        e => e.getField("__tid")).as("token_ids"))
-    base.select(col(idCol)).join(assembled, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("token_ids"), array().cast("array<long>"))
-          .as("token_ids"))
-  }
-
-  /** Zero-shuffle twin of [[tokenizeToIds]]: ONE codegen'd byte-scan
-    * per document — tokenize, hash, binary-search the fitted
-    * [[graft.functions.TokenIdModel]] riding the plan — no explode, no
-    * join, no array re-assembly exchange; streams unchanged. The
-    * production materialization path at 100 TB (the corpus's only pass
-    * is the scan itself); value-identical to the join form modulo the
-    * priced 2⁻⁶⁴ per-pair hash-collision rate (parity spec-pinned).
-    */
-  def tokenizeToIdsKernel(docs: DataFrame, idCol: String, textCol: String,
-                          model: graft.functions.TokenIdModel): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        call_function("graft_token_ids", lower(col(textCol)),
-          lit(model.keys), lit(model.ids), lit(model.oovId))
-          .as("token_ids"))
-  }
-
-  /** Fit a [[graft.functions.TokenIdModel]] from a (token, id) frame —
-    * typically [[tokenVocabFit]] output. Collects the vocabulary
-    * (bounded by construction) and fails loud on an in-vocab hash
-    * collision.
-    */
-  def tokenIdModel(vocab: DataFrame, tokenCol: String = "token",
-                   vocabIdCol: String = "rank",
-                   oovId: Long = -1L): graft.functions.TokenIdModel =
-    graft.functions.TokenIdModel.fromPairs(
-      vocab.select(col(tokenCol), col(vocabIdCol).cast("long")).collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq,
-      oovId)
-
-  // ---- learned BPE subword tokenization ------------------------------------
-
-  /** Top-k adjacent character-pair statistics over the corpus's word
-    * OCCURRENCES — exactly the frequency table [[bpeFit]]'s first merge
-    * round maximizes (every adjacent position counts, including
-    * overlapping runs: "aaa" contributes (a,a) twice, the classic
-    * get_stats rule). Ordering: count desc, then (left, right) asc —
-    * the fit's deterministic tie-break, replayable in external SQL
-    * (q125). Words longer than `maxWordLen` are skipped, matching the
-    * fit. One explode pass; the only exchange is the pair aggregate.
-    */
-  def bpePairStats(df: DataFrame, textCol: String, k: Int = 20,
-                   maxWordLen: Int = 1024,
-                   pretok: String = graft.functions.BpeModel.PretokWs,
-                   symbols: String =
-                     graft.functions.BpeModel.SymCodepoints)
-      : DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("left"), col("right"))
-    // under symbols="bytes" the kernel emits byte-alphabet words, so
-    // the per-position substring pairs below ARE byte pairs
-    df.select(explode(call_function("graft_bpe_words",
-        lower(col(textCol)), lit(pretok), lit(maxWordLen),
-        lit(symbols))).as("w"))
-      .filter(length(col("w")) >= 2 && length(col("w")) <= maxWordLen)
-      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
-        i => struct(substring(col("w"), i, lit(1)).as("left"),
-          substring(col("w"), i + 1, lit(1)).as("right")))).as("p"))
-      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("rank", "left", "right", "cnt")
-  }
-
-  /** Fit a [[graft.functions.BpeModel]]: ONE corpus pass aggregates the
-    * word-occurrence table (the only corpus-sized work — byte-pair
-    * merges then run driver-side over that bounded table, which is how
-    * reference BPE trainers operate), then `numMerges` rounds of
-    * count-weighted pair selection (count desc, (left, right) asc
-    * tie-break; every adjacent position counts) and left-to-right
-    * non-overlapping merge application. Stops early when no pair
-    * reaches `minPairCount` — a merge supported by one stray word is
-    * noise. `maxWords` bounds the driver table; raise `minWordCount`
-    * for corpora with bigger vocabularies (the [[bigramLmFit]]
-    * fail-loud discipline).
-    */
-  def bpeFit(df: DataFrame, textCol: String, numMerges: Int,
-             minWordCount: Long = 1L, maxWords: Int = 1 << 16,
-             minPairCount: Long = 2L,
-             maxWordLen: Int = 1024,
-             pretok: String = graft.functions.BpeModel.PretokWs,
-             symbols: String = graft.functions.BpeModel.SymCodepoints)
-      : graft.functions.BpeModel = {
-    require(numMerges >= 1 && numMerges <= 65536,
-      "numMerges must be in [1, 65536]")
-    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    // under symbols="bytes" the word extractor emits byte-alphabet
-    // words (word length = UTF-8 byte count), so the whole driver-side
-    // merge machinery below runs unchanged over byte symbols
-    val rows = df.select(explode(call_function("graft_bpe_words",
-        lower(col(textCol)), lit(pretok), lit(maxWordLen),
-        lit(symbols))).as("w"))
-      .filter(length(col("w")) >= 2 && length(col("w")) <= maxWordLen)
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minWordCount)
-      .collect()
-    require(rows.length <= maxWords,
-      s"word table has ${rows.length} entries (> $maxWords): raise " +
-        "minWordCount — a vocabulary too big to fold on the driver " +
-        "needs a sampled fit, not a silent truncation")
-    // Symbolized word table (code-point symbols; merges mutate the
-    // arrays in place) + INCREMENTAL pair statistics: the full pair
-    // table is built once, then each merge round updates only the
-    // words that contain the merged pair — subtract their old adjacent
-    // pairs, apply the merge, add the new ones. Identical stats (hence
-    // the identical merge sequence — spec-pinned against a full-
-    // recompute reference) at O(affected-word chars) per round instead
-    // of O(table chars): a 32k-merge vocab stops being
-    // O(numMerges × corpus-vocab) driver work. Selection is a lazy-
-    // deletion max-heap ordered by the fit's deterministic tie-break
-    // (count desc, then (left, right) asc); stale entries — pushed
-    // before a later count change — are dropped when popped by
-    // checking against the live stats map.
-    val words: Array[Array[String]] = rows.map(r =>
-      graft.functions.BpeModel.symbols(r.getString(0)))
-    val counts: Array[Long] = rows.map(_.getLong(1))
-    val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
-    // superset index: word indices that EVER contained the pair (no
-    // removal on decrement; stale members are skipped by re-checking
-    // adjacency when the pair is merged)
-    val where = scala.collection.mutable.HashMap
-      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
-    val heapOrd = new Ordering[(Long, String, String)] {
-      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
-        val c = java.lang.Long.compare(a._1, b._1)
-        if (c != 0) c
-        else {
-          val l = b._2.compareTo(a._2) // smaller left wins the tie
-          if (l != 0) l else b._3.compareTo(a._3)
-        }
-      }
-    }
-    val heap = scala.collection.mutable.PriorityQueue
-      .empty[(Long, String, String)](heapOrd)
-    def addPairs(i: Int, sign: Long,
-                 touched: scala.collection.mutable.HashSet[(String, String)])
-        : Unit = {
-      val s = words(i); val c = counts(i) * sign
-      var j = 0
-      while (j < s.length - 1) {
-        val p = (s(j), s(j + 1))
-        stats(p) = stats.getOrElse(p, 0L) + c
-        if (sign > 0)
-          where.getOrElseUpdate(p,
-            scala.collection.mutable.HashSet.empty[Int]) += i
-        if (touched != null) touched += p
-        j += 1
-      }
-    }
-    var i = 0
-    while (i < words.length) { addPairs(i, 1L, null); i += 1 }
-    stats.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
-    val lefts = Array.newBuilder[String]
-    val rights = Array.newBuilder[String]
-    var round = 0
-    var exhausted = false
-    while (round < numMerges && !exhausted) {
-      var best: (String, String) = null
-      var bestC = 0L
-      while (best == null && heap.nonEmpty) {
-        val (c, l, r) = heap.dequeue()
-        if (c > 0L && stats.getOrElse((l, r), 0L) == c) {
-          best = (l, r); bestC = c
-        } // else: stale entry, drop
-      }
-      if (best == null || bestC < minPairCount) exhausted = true
-      else {
-        lefts += best._1; rights += best._2
-        val merged = best._1 + best._2
-        val touched =
-          scala.collection.mutable.HashSet.empty[(String, String)]
-        // iterate a snapshot: addPairs mutates `where` member sets
-        val affected = where.getOrElse(best,
-          scala.collection.mutable.HashSet.empty[Int]).toArray
-        java.util.Arrays.sort(affected)
-        var a = 0
-        while (a < affected.length) {
-          val w = affected(a)
-          val s = words(w)
-          var has = false
-          var j = 0
-          while (!has && j < s.length - 1) {
-            has = s(j) == best._1 && s(j + 1) == best._2; j += 1
-          }
-          if (has) {
-            addPairs(w, -1L, touched)
-            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
-            j = 0
-            while (j < s.length) {
-              if (j < s.length - 1 && s(j) == best._1 && s(j + 1) == best._2)
-                { out += merged; j += 2 }
-              else { out += s(j); j += 1 }
-            }
-            words(w) = out.toArray
-            addPairs(w, 1L, touched)
-          }
-          a += 1
-        }
-        touched.foreach { p =>
-          val c = stats.getOrElse(p, 0L)
-          if (c > 0L) heap.enqueue((c, p._1, p._2))
-          else { stats.remove(p); where.remove(p) }
-        }
-        round += 1
-      }
-    }
-    new graft.functions.BpeModel(lefts.result(), rights.result(),
-      maxWordLen, pretok, symbols)
-  }
-
-  /** Persist a fitted [[graft.functions.BpeModel]] as a reusable job
-    * artifact — the tokenizer-lifecycle step every multi-job pipeline
-    * needs (fit ONCE over the curated corpus, then encode in every
-    * training-data job and in [[graft.streaming.StreamingOps]]
-    * streams without refitting). Layout under `path`:
-    *  - `merges/`: one parquet row per merge (`rank`, `left`,
-    *    `right`) — rank = application order, externally readable (the
-    *    table IS the model, exactly the classic `merges.txt` content);
-    *  - `meta.json`: `max_word_len` + `pretok` + `symbols`, the
-    *    settings the encoder must agree with the fit on;
-    *  - the [[ArtifactVersion]] marker, so standing consumers can
-    *    snapshot-pin the model like the BM25/IVF artifacts.
-    */
-  def bpeModelSave(spark: org.apache.spark.sql.SparkSession,
-                   model: graft.functions.BpeModel, path: String): Unit = {
-    import spark.implicits._
-    model.lefts.indices
-      .map(i => (i.toLong, model.lefts(i), model.rights(i)))
-      .toDF("rank", "left", "right")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
-    graft.Fs.writeString(graft.Fs.join(path, "meta.json"),
-      s"""{"max_word_len": ${model.maxWordLen}, """ +
-        s""""pretok": "${model.pretok}", """ +
-        s""""symbols": "${model.symbolsKind}"}""")
-    ArtifactVersion.stamp(path)
-  }
-
-  /** Load a [[bpeModelSave]] artifact. Fails loud on a gapped or
-    * duplicated rank sequence — merge ORDER is the model; a silently
-    * reordered table would encode different subwords.
-    */
-  def bpeModelLoad(spark: org.apache.spark.sql.SparkSession,
-                   path: String): graft.functions.BpeModel = {
-    val meta = graft.Fs.readString(graft.Fs.join(path, "meta.json"))
-    def field(name: String): String = {
-      val m = (s""""$name"\\s*:\\s*"?([^",}]+)"?""").r
-        .findFirstMatchIn(meta)
-      require(m.nonEmpty, s"meta.json at $path lacks $name")
-      m.get.group(1).trim
-    }
-    val rows = spark.read.parquet(s"$path/merges")
-      .select("rank", "left", "right").orderBy("rank")
-      .collect()
-    rows.iterator.zipWithIndex.foreach { case (r, i) =>
-      require(r.getLong(0) == i.toLong,
-        s"merge table at $path has rank ${r.getLong(0)} at position $i " +
-          "— gapped or duplicated ranks would reorder the merge " +
-          "sequence; rebuild the artifact")
-    }
-    // legacy (pre-r14) artifacts lack the symbols field — they were
-    // all fitted with code-point symbols, so default rather than fail
-    val symbols = (s""""symbols"\\s*:\\s*"([^"]+)"""").r
-      .findFirstMatchIn(meta).map(_.group(1))
-      .getOrElse(graft.functions.BpeModel.SymCodepoints)
-    new graft.functions.BpeModel(
-      rows.map(_.getString(1)), rows.map(_.getString(2)),
-      field("max_word_len").toInt, field("pretok"), symbols)
-  }
-
-  /** Apply a fitted BPE model as ONE codegen'd scan: (id, subwords) with
-    * the flat subword array in reading order — the learned-tokenizer
-    * twin of [[tokenizeToIdsKernel]] (same model-as-reference-object
-    * shape, zero joins, zero shuffle, streaming-safe). Subword
-    * concatenation per word is content-identical to the word for ANY
-    * model (q126 proves it corpus-wide).
-    */
-  def bpeEncodeKernel(docs: DataFrame, idCol: String, textCol: String,
-                      model: graft.functions.BpeModel): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        call_function("graft_bpe_encode", lower(col(textCol)),
-          lit(model.lefts), lit(model.rights), lit(model.maxWordLen),
-          lit(model.pretok), lit(model.symbolsKind)).as("subwords"))
   }
 
   // ---- normalization ------------------------------------------------------

@@ -1,0 +1,344 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tokenizer kernels: vocabulary token-id materialization and learned
+  * BPE (fit / persist / encode). One family of the [[TextAnalysis]]
+  * surface (trait-mixin split, the Dedup precedent): every member is
+  * documented as part of — and reached through — `object TextAnalysis`.
+  * The unigram-LM sibling lives in [[TextUnigram]].
+  */
+private[graft] trait TextTokenizers { this: TextAnalysis.type =>
+
+  // ---- tokenized-dataset materialization ----------------------------------
+
+  /** Text → `array<long>` token ids against a fitted vocabulary — the
+    * LAST materialization step of a training-corpus build (what the
+    * packed sequences and shard sinks actually carry). Exact
+    * string-keyed formulation: posexplode the lowercased tokens,
+    * broadcast-join the (token → id) table, re-assemble in position
+    * order; OOV → `oovId` (the Vocab A2 convention, -1). One row per
+    * non-null-text document; zero-token text → empty array. This is
+    * the external-replay twin of [[tokenizeToIdsKernel]] — the
+    * bigramLmScore/kernel split — and the aggregate is the plan cost:
+    * one (id, pos, tid) exchange to rebuild arrays.
+    *
+    * `vocab` is any (tokenCol, idCol) frame — [[tokenVocabFit]]'s
+    * (token, rank) output is the natural source. Tokens must be
+    * whitespace-free (they are, if they came from a tokenizer fit).
+    */
+  def tokenizeToIds(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, tokenCol: String = "token",
+                    vocabIdCol: String = "rank",
+                    oovId: Long = -1L): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), lower(col(textCol)).as("__t"))
+    val ex = base.select(col(idCol),
+      posexplode(tokens(col("__t"))).as(Seq("__pos", "__tok")))
+    val v = broadcast(vocab.select(col(tokenCol).as("__tok"),
+      col(vocabIdCol).cast("long").as("__tid")))
+    val assembled = ex.join(v, Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"),
+          coalesce(col("__tid"), lit(oovId)).as("__tid")))),
+        e => e.getField("__tid")).as("token_ids"))
+    base.select(col(idCol)).join(assembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<long>"))
+          .as("token_ids"))
+  }
+
+  /** Zero-shuffle twin of [[tokenizeToIds]]: ONE codegen'd byte-scan
+    * per document — tokenize, hash, binary-search the fitted
+    * [[graft.functions.TokenIdModel]] riding the plan — no explode, no
+    * join, no array re-assembly exchange; streams unchanged. The
+    * production materialization path at 100 TB (the corpus's only pass
+    * is the scan itself); value-identical to the join form modulo the
+    * priced 2⁻⁶⁴ per-pair hash-collision rate (parity spec-pinned).
+    */
+  def tokenizeToIdsKernel(docs: DataFrame, idCol: String, textCol: String,
+                          model: graft.functions.TokenIdModel): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        call_function("graft_token_ids", lower(col(textCol)),
+          lit(model.keys), lit(model.ids), lit(model.oovId))
+          .as("token_ids"))
+  }
+
+  /** Fit a [[graft.functions.TokenIdModel]] from a (token, id) frame —
+    * typically [[tokenVocabFit]] output. Collects the vocabulary
+    * (bounded by construction) and fails loud on an in-vocab hash
+    * collision.
+    */
+  def tokenIdModel(vocab: DataFrame, tokenCol: String = "token",
+                   vocabIdCol: String = "rank",
+                   oovId: Long = -1L): graft.functions.TokenIdModel =
+    graft.functions.TokenIdModel.fromPairs(
+      vocab.select(col(tokenCol), col(vocabIdCol).cast("long")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq,
+      oovId)
+
+  // ---- learned BPE subword tokenization ------------------------------------
+
+  /** Top-k adjacent character-pair statistics over the corpus's word
+    * OCCURRENCES — exactly the frequency table [[bpeFit]]'s first merge
+    * round maximizes (every adjacent position counts, including
+    * overlapping runs: "aaa" contributes (a,a) twice, the classic
+    * get_stats rule). Ordering: count desc, then (left, right) asc —
+    * the fit's deterministic tie-break, replayable in external SQL
+    * (q125). Words longer than `maxWordLen` are skipped, matching the
+    * fit. One explode pass; the only exchange is the pair aggregate.
+    */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int = 20,
+                   maxWordLen: Int = 1024,
+                   pretok: String = graft.functions.BpeModel.PretokWs,
+                   symbols: String =
+                     graft.functions.BpeModel.SymCodepoints)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("left"), col("right"))
+    // under symbols="bytes" the kernel emits byte-alphabet words, so
+    // the per-position substring pairs below ARE byte pairs
+    df.select(explode(call_function("graft_bpe_words",
+        lower(col(textCol)), lit(pretok), lit(maxWordLen),
+        lit(symbols))).as("w"))
+      .filter(length(col("w")) >= 2 && length(col("w")) <= maxWordLen)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => struct(substring(col("w"), i, lit(1)).as("left"),
+          substring(col("w"), i + 1, lit(1)).as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "left", "right", "cnt")
+  }
+
+  /** Fit a [[graft.functions.BpeModel]]: ONE corpus pass aggregates the
+    * word-occurrence table (the only corpus-sized work — byte-pair
+    * merges then run driver-side over that bounded table, which is how
+    * reference BPE trainers operate), then `numMerges` rounds of
+    * count-weighted pair selection (count desc, (left, right) asc
+    * tie-break; every adjacent position counts) and left-to-right
+    * non-overlapping merge application. Stops early when no pair
+    * reaches `minPairCount` — a merge supported by one stray word is
+    * noise. `maxWords` bounds the driver table; raise `minWordCount`
+    * for corpora with bigger vocabularies (the [[bigramLmFit]]
+    * fail-loud discipline).
+    */
+  def bpeFit(df: DataFrame, textCol: String, numMerges: Int,
+             minWordCount: Long = 1L, maxWords: Int = 1 << 16,
+             minPairCount: Long = 2L,
+             maxWordLen: Int = 1024,
+             pretok: String = graft.functions.BpeModel.PretokWs,
+             symbols: String = graft.functions.BpeModel.SymCodepoints)
+      : graft.functions.BpeModel = {
+    require(numMerges >= 1 && numMerges <= 65536,
+      "numMerges must be in [1, 65536]")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // under symbols="bytes" the word extractor emits byte-alphabet
+    // words (word length = UTF-8 byte count), so the whole driver-side
+    // merge machinery below runs unchanged over byte symbols
+    val rows = df.select(explode(call_function("graft_bpe_words",
+        lower(col(textCol)), lit(pretok), lit(maxWordLen),
+        lit(symbols))).as("w"))
+      .filter(length(col("w")) >= 2 && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minWordCount)
+      .collect()
+    require(rows.length <= maxWords,
+      s"word table has ${rows.length} entries (> $maxWords): raise " +
+        "minWordCount — a vocabulary too big to fold on the driver " +
+        "needs a sampled fit, not a silent truncation")
+    // Symbolized word table (code-point symbols; merges mutate the
+    // arrays in place) + INCREMENTAL pair statistics: the full pair
+    // table is built once, then each merge round updates only the
+    // words that contain the merged pair — subtract their old adjacent
+    // pairs, apply the merge, add the new ones. Identical stats (hence
+    // the identical merge sequence — spec-pinned against a full-
+    // recompute reference) at O(affected-word chars) per round instead
+    // of O(table chars): a 32k-merge vocab stops being
+    // O(numMerges × corpus-vocab) driver work. Selection is a lazy-
+    // deletion max-heap ordered by the fit's deterministic tie-break
+    // (count desc, then (left, right) asc); stale entries — pushed
+    // before a later count change — are dropped when popped by
+    // checking against the live stats map.
+    val words: Array[Array[String]] = rows.map(r =>
+      graft.functions.BpeModel.symbols(r.getString(0)))
+    val counts: Array[Long] = rows.map(_.getLong(1))
+    val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // superset index: word indices that EVER contained the pair (no
+    // removal on decrement; stale members are skipped by re-checking
+    // adjacency when the pair is merged)
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2) // smaller left wins the tie
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)](heapOrd)
+    def addPairs(i: Int, sign: Long,
+                 touched: scala.collection.mutable.HashSet[(String, String)])
+        : Unit = {
+      val s = words(i); val c = counts(i) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        stats(p) = stats.getOrElse(p, 0L) + c
+        if (sign > 0)
+          where.getOrElseUpdate(p,
+            scala.collection.mutable.HashSet.empty[Int]) += i
+        if (touched != null) touched += p
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { addPairs(i, 1L, null); i += 1 }
+    stats.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+    val lefts = Array.newBuilder[String]
+    val rights = Array.newBuilder[String]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      var best: (String, String) = null
+      var bestC = 0L
+      while (best == null && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (c > 0L && stats.getOrElse((l, r), 0L) == c) {
+          best = (l, r); bestC = c
+        } // else: stale entry, drop
+      }
+      if (best == null || bestC < minPairCount) exhausted = true
+      else {
+        lefts += best._1; rights += best._2
+        val merged = best._1 + best._2
+        val touched =
+          scala.collection.mutable.HashSet.empty[(String, String)]
+        // iterate a snapshot: addPairs mutates `where` member sets
+        val affected = where.getOrElse(best,
+          scala.collection.mutable.HashSet.empty[Int]).toArray
+        java.util.Arrays.sort(affected)
+        var a = 0
+        while (a < affected.length) {
+          val w = affected(a)
+          val s = words(w)
+          var has = false
+          var j = 0
+          while (!has && j < s.length - 1) {
+            has = s(j) == best._1 && s(j + 1) == best._2; j += 1
+          }
+          if (has) {
+            addPairs(w, -1L, touched)
+            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == best._1 && s(j + 1) == best._2)
+                { out += merged; j += 2 }
+              else { out += s(j); j += 1 }
+            }
+            words(w) = out.toArray
+            addPairs(w, 1L, touched)
+          }
+          a += 1
+        }
+        touched.foreach { p =>
+          val c = stats.getOrElse(p, 0L)
+          if (c > 0L) heap.enqueue((c, p._1, p._2))
+          else { stats.remove(p); where.remove(p) }
+        }
+        round += 1
+      }
+    }
+    new graft.functions.BpeModel(lefts.result(), rights.result(),
+      maxWordLen, pretok, symbols)
+  }
+
+  /** Persist a fitted [[graft.functions.BpeModel]] as a reusable job
+    * artifact — the tokenizer-lifecycle step every multi-job pipeline
+    * needs (fit ONCE over the curated corpus, then encode in every
+    * training-data job and in [[graft.streaming.StreamingOps]]
+    * streams without refitting). Layout under `path`:
+    *  - `merges/`: one parquet row per merge (`rank`, `left`,
+    *    `right`) — rank = application order, externally readable (the
+    *    table IS the model, exactly the classic `merges.txt` content);
+    *  - `meta.json`: `max_word_len` + `pretok` + `symbols`, the
+    *    settings the encoder must agree with the fit on;
+    *  - the [[ArtifactVersion]] marker, so standing consumers can
+    *    snapshot-pin the model like the BM25/IVF artifacts.
+    */
+  def bpeModelSave(spark: org.apache.spark.sql.SparkSession,
+                   model: graft.functions.BpeModel, path: String): Unit = {
+    import spark.implicits._
+    model.lefts.indices
+      .map(i => (i.toLong, model.lefts(i), model.rights(i)))
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    graft.Fs.writeString(graft.Fs.join(path, "meta.json"),
+      s"""{"max_word_len": ${model.maxWordLen}, """ +
+        s""""pretok": "${model.pretok}", """ +
+        s""""symbols": "${model.symbolsKind}"}""")
+    ArtifactVersion.stamp(path)
+  }
+
+  /** Load a [[bpeModelSave]] artifact. Fails loud on a gapped or
+    * duplicated rank sequence — merge ORDER is the model; a silently
+    * reordered table would encode different subwords.
+    */
+  def bpeModelLoad(spark: org.apache.spark.sql.SparkSession,
+                   path: String): graft.functions.BpeModel = {
+    val meta = graft.Fs.readString(graft.Fs.join(path, "meta.json"))
+    def field(name: String): String = {
+      val m = (s""""$name"\\s*:\\s*"?([^",}]+)"?""").r
+        .findFirstMatchIn(meta)
+      require(m.nonEmpty, s"meta.json at $path lacks $name")
+      m.get.group(1).trim
+    }
+    val rows = spark.read.parquet(s"$path/merges")
+      .select("rank", "left", "right").orderBy("rank")
+      .collect()
+    rows.iterator.zipWithIndex.foreach { case (r, i) =>
+      require(r.getLong(0) == i.toLong,
+        s"merge table at $path has rank ${r.getLong(0)} at position $i " +
+          "— gapped or duplicated ranks would reorder the merge " +
+          "sequence; rebuild the artifact")
+    }
+    // legacy (pre-r14) artifacts lack the symbols field — they were
+    // all fitted with code-point symbols, so default rather than fail
+    val symbols = (s""""symbols"\\s*:\\s*"([^"]+)"""").r
+      .findFirstMatchIn(meta).map(_.group(1))
+      .getOrElse(graft.functions.BpeModel.SymCodepoints)
+    new graft.functions.BpeModel(
+      rows.map(_.getString(1)), rows.map(_.getString(2)),
+      field("max_word_len").toInt, field("pretok"), symbols)
+  }
+
+  /** Apply a fitted BPE model as ONE codegen'd scan: (id, subwords) with
+    * the flat subword array in reading order — the learned-tokenizer
+    * twin of [[tokenizeToIdsKernel]] (same model-as-reference-object
+    * shape, zero joins, zero shuffle, streaming-safe). Subword
+    * concatenation per word is content-identical to the word for ANY
+    * model (q126 proves it corpus-wide).
+    */
+  def bpeEncodeKernel(docs: DataFrame, idCol: String, textCol: String,
+                      model: graft.functions.BpeModel): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        call_function("graft_bpe_encode", lower(col(textCol)),
+          lit(model.lefts), lit(model.rights), lit(model.maxWordLen),
+          lit(model.pretok), lit(model.symbolsKind)).as("subwords"))
+  }
+
+}
