@@ -637,6 +637,111 @@ object StreamingOps {
     }
   }
 
+  /** Streaming unigram-LM tokenization against a persisted
+    * [[graft.ops.TextAnalysis.unigramModelSave]] artifact — the
+    * [[bpeEncodeStream]] discipline verbatim for the piece-table
+    * family: the model loads once, rides every batch's encode Project
+    * as a plan reference object ([[graft.ops.TextAnalysis
+    * .unigramEncodeKernel]] — zero joins, zero shuffle, batch-parity
+    * by construction), re-loads only when the [[graft.ops
+    * .ArtifactVersion]] marker moves, so a refit is a hot swap.
+    */
+  def unigramEncodeStream(stream: DataFrame, modelPath: String,
+                          idCol: String, textCol: String,
+                          refreshEveryBatches: Int = 1)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    val pin = new SnapshotPin(modelPath, refreshEveryBatches)(
+      spark => graft.ops.TextAnalysis.unigramModelLoad(spark, modelPath))
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        sink(graft.ops.TextAnalysis.unigramEncodeKernel(mb.toDF(), idCol,
+          textCol, pin.get(mb.sparkSession, batchId)), batchId)
+    }
+  }
+
+  /** [[curationStreamDsir]] with MEDIA-signature dedup composed in —
+    * the streaming twin of the q152 multimodal corpus build: admission
+    * = classifier gate AND DSIR importance threshold, then text
+    * corpus-digest dedup, then media hamming dedup (each row carries a
+    * 64-bit signature in `sigCol`, emitted upstream by the stateless
+    * fingerprint stages — [[graft.ops.Audio.audioFingerprintStage]] /
+    * [[graft.ops.Video.videoFrameHashStage]] / [[graft.ops.Multimodal
+    * .perceptualHashStage]] all run on streams, spec-proven), and
+    * finally the per-batch WebDataset export. The media leg probes the
+    * persisted [[graft.ops.Dedup.hammingArtifactSave]] artifact AND
+    * collapses intra-batch near-duplicates (min-key representative —
+    * the [[hammingDedupStream]] rule), with the same economics: batch-
+    * sized cost plus a fixed-width artifact scan, corpus media bytes
+    * never re-read. Gate order is cost order: classifier projection →
+    * DSIR broadcast join → digest anti-join → media probe → export.
+    * Null signatures pass the media leg (a text-only row has no media
+    * to dedup — the conservative reading; reject upstream if media is
+    * mandatory). Parity spec composes the batch legs in
+    * StreamingOpsSpec.
+    */
+  def curationStreamMultimodal(stream: DataFrame, keyCol: String,
+                               textCol: String, sigCol: String,
+                               weights: Array[Double], minScore: Double,
+                               dsirModelPath: String, minWeightMicro: Long,
+                               corpusDigests: DataFrame,
+                               hammingArtifactPath: String,
+                               entries: Seq[(String, String)], dir: String,
+                               numShardsPerBatch: Int,
+                               maxDistance: Int = 3, salt: Long = 0L,
+                               intercept: Double = 0.0,
+                               scoreCol: String = "score",
+                               dsirCol: String = "dsir_micro",
+                               hashKind: Int =
+                                 graft.functions.SketchOps.HashXx64,
+                               refreshEveryBatches: Int = 1)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    Seq(scoreCol, dsirCol).foreach(c =>
+      require(!stream.columns.contains(c),
+        s"input already has a '$c' column; pass a different name"))
+    requireNoFp(stream)
+    graft.functions.GraftFunctions.ensureRegistered(stream.sparkSession)
+    val pin = new SnapshotPin(dsirModelPath, refreshEveryBatches)(
+      spark => graft.ops.Sampling.dsirModelLoad(spark, dsirModelPath))
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val scored = mb.toDF()
+          .withColumn(scoreCol,
+            call_function("graft_linear_score", col(textCol),
+              lit(weights), lit(hashKind)) + lit(intercept))
+          .filter(col(scoreCol) >= minScore)
+        val dw = graft.ops.Sampling.dsirApplyFromSnapshot(
+            pin.get(mb.sparkSession, batchId), scored, keyCol, textCol)
+          .select(col(keyCol), col("weight_micro").as(dsirCol))
+        val admitted = scored.join(dw, Seq(keyCol))
+          .filter(col(dsirCol) >= minWeightMicro)
+        val fresh = admitted
+          .withColumn("__fp",
+            graft.ops.TextAnalysis.fingerprint(col(textCol)))
+          .join(corpusDigests, Seq("__fp"), "left_anti")
+          .drop("__fp")
+        val corpusDup = graft.ops.Dedup.incrementalHammingDuplicates(
+            mb.sparkSession, hammingArtifactPath, fresh, keyCol, sigCol,
+            maxDistance)
+          .select(col("batch_id").as(keyCol))
+        val intraDup = graft.ops.Dedup.hammingDuplicates(
+            fresh, keyCol, sigCol, maxDistance)
+          .select(col("id_b").as(keyCol))
+        val novel = fresh.join(
+          corpusDup.unionByName(intraDup).distinct(),
+          Seq(keyCol), "left_anti")
+        graft.sinks.WebDataset.writeShards(
+          novel.withColumn(scoreCol, col(scoreCol).cast("string"))
+            .withColumn(dsirCol, col(dsirCol).cast("string")),
+          keyCol, entries, graft.Fs.join(dir, s"batch=$batchId"),
+          numShardsPerBatch, salt)
+    }
+  }
+
   /** Streaming WebDataset export: each micro-batch becomes its own
     * complete shard set under `dir/batch=<id>/` via
     * [[graft.sinks.WebDataset.writeShards]] — the "export as it

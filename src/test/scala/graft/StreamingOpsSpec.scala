@@ -1209,6 +1209,132 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("unigramEncodeStream: hot tokenizer swap on version bump, " +
+      "batch parity per model") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.UnigramModel
+    // model A segments 'abc' as [ab, c] (c unknown -> unk fallback);
+    // model B has the whole word as its best piece
+    val modelA = new UnigramModel(Array("a", "b", "ab"),
+      Array(-2000000L, -2000000L, -1000000L))
+    val modelB = new UnigramModel(Array("a", "b", "c", "abc"),
+      Array(-2000000L, -2000000L, -2000000L, -1000000L))
+    val art = tmpDir("unigram-stream-model")
+    graft.ops.TextAnalysis.unigramModelSave(spark, modelA, art)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Map[Long, Seq[String]]]()
+    val query = StreamingOps.unigramEncodeStream(
+        input.toDF().toDF("doc_id", "text"), art, "doc_id", "text") {
+      (res, id) => got.synchronized {
+        got(id) = res.as[(Long, Seq[String])].collect().toMap }
+    }.start()
+    try {
+      input.addData((10L, "abc")); query.processAllAvailable()
+      assert(got(0L)(10L) == Seq("ab", "c")) // c via the unk fallback
+      graft.ops.TextAnalysis.unigramModelSave(spark, modelB, art)
+      input.addData((11L, "abc")); query.processAllAvailable()
+      assert(got(1L)(11L) == Seq("abc"), s"hot swap: ${got(1L)}")
+      val batch = graft.ops.TextAnalysis.unigramEncodeKernel(
+          Seq((11L, "abc")).toDF("doc_id", "text"), "doc_id", "text",
+          graft.ops.TextAnalysis.unigramModelLoad(spark, art))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(batch == got(1L))
+    } finally query.stop()
+  }
+
+  test("curationStreamMultimodal: classifier, DSIR, digest, and media " +
+      "gates compose; equals the composed batch legs per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("curation-mm-stream")
+    val w = graft.ops.TextAnalysis.derivedWeights(1 << 12)
+    val fitCorpus = Seq(
+      (1L, "spark stream join window batch", true),
+      (2L, "spark join stream shuffle state", true),
+      (3L, "pelican marmalade bicycle", false),
+      (4L, "bicycle pelican gravel marmalade", false),
+    ).toDF("id", "text", "is_target")
+    val modelPath = tmpDir("curation-mm-model")
+    graft.ops.Sampling.dsirModelSave(fitCorpus, "id", "text",
+      col("is_target"), modelPath, hashBuckets = 1 << 14)
+    val digests = graft.ops.Dedup.corpusDigests(
+      Seq((100L, "seen spark stream join")).toDF("id", "text"),
+      "text").cache()
+    digests.count()
+    // persisted media-signature corpus: M0 exact and M1's 2-bit
+    // neighbor must both reject
+    val m0 = 0x0123456789ABCDEFL
+    val m1 = 0xF0E1D2C3B4A59687L
+    val hammArt = tmpDir("curation-mm-hamm")
+    graft.ops.Dedup.hammingArtifactSave(
+      Seq(("c0", m0), ("c1", m1)).toDF("id", "sig"), "id", "sig", hammArt)
+    def scoreOf(text: String): Double =
+      graft.ops.TextAnalysis.hashedLinearScore(
+        Seq((0L, text)).toDF("id", "text"), "id", "text", w)
+        .select("score").as[Double].head()
+    def dsirOf(text: String): Long =
+      graft.ops.Sampling.dsirModelApply(spark, modelPath,
+          Seq((0L, text)).toDF("id", "text"), "id", "text")
+        .select("weight_micro").as[Long].head()
+    val sp = 0x1122334455667788L // the intra-batch planted signature
+    val rows: Seq[(Long, String, Option[Long])] = Seq(
+      (1L, "seen spark stream join", Some(0x5A5A5A5AA5A5A5A5L)), // digest dup
+      (2L, "spark stream join window", Some(m0)),        // media corpus dup
+      (3L, "pelican marmalade bicycle", Some(0x7777000011110000L)), // DSIR cut
+      (4L, "spark join state shuffle", Some(m1 ^ 0x3L)), // media near-dup
+      (5L, "spark stream join state", Some(sp)),         // intra pair: kept
+      (6L, "spark join stream window", Some(sp ^ 0x1L)), // intra pair: drop
+      (7L, "spark stream shuffle join", None),           // no media: passes
+    )
+    val texts = rows.map(_._2)
+    val thr = texts.map(scoreOf).min - 1.0
+    val offW = dsirOf("pelican marmalade bicycle")
+    val onW = texts.filterNot(_ == "pelican marmalade bicycle")
+      .map(dsirOf).min
+    assert(offW < onW, "construction: importance must separate the rows")
+    val minMicro = (offW + onW) / 2
+    val input = MemoryStream[(Long, String, Option[Long])]
+    val query = graft.streaming.StreamingOps.curationStreamMultimodal(
+        input.toDF().toDF("id", "text", "sig"), "id", "text", "sig", w,
+        thr, modelPath, minMicro, digests, hammArt,
+        Seq("text" -> "txt", "dsir_micro" -> "json"), dir,
+        numShardsPerBatch = 2, salt = 3L)
+      .option("checkpointLocation", tmpDir("curation-mm-ckpt"))
+      .start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = graft.sinks.WebDataset.readSamples(spark, s"$dir/batch=0")
+      .select("key").as[String].collect().map(_.toLong).toSet
+    // each drop by its own gate: 1 digest, 2+4 media corpus, 3 DSIR,
+    // 6 intra-batch (5 is its min-key representative), 7 null-sig pass
+    assert(got == Set(5L, 7L))
+    // the composed BATCH legs land on the same admitted set
+    val batchIds = {
+      val scored = rows.toDF("id", "text", "sig")
+        .withColumn("score",
+          call_function("graft_linear_score", col("text"), lit(w), lit(0)))
+        .filter(col("score") >= thr)
+      val dwf = graft.ops.Sampling.dsirModelApply(spark, modelPath,
+          scored, "id", "text")
+        .select(col("id"), col("weight_micro").as("dsir_micro"))
+      val fresh = scored.join(dwf, Seq("id"))
+        .filter(col("dsir_micro") >= minMicro)
+        .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+        .join(digests, Seq("__fp"), "left_anti")
+        .drop("__fp")
+      val corpusDup = graft.ops.Dedup.incrementalHammingDuplicates(
+          spark, hammArt, fresh, "id", "sig")
+        .select(col("batch_id").as("id"))
+      val intraDup = graft.ops.Dedup.hammingDuplicates(fresh, "id", "sig")
+        .select(col("id_b").as("id"))
+      fresh.join(corpusDup.unionByName(intraDup).distinct(),
+          Seq("id"), "left_anti")
+        .select("id").as[Long].collect().toSet
+    }
+    assert(batchIds == got)
+  }
+
   test("dsirStream: batch parity, OOV smoothing, refit hot swap on version bump") {
     implicit val sqlCtx = spark.sqlContext
     val corpusA = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b"))
