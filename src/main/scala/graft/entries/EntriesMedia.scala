@@ -88,6 +88,25 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
     ("c0", 0x0123456789ABCDEFL), ("c1", 0xF0E1D2C3B4A59687L),
     ("c2", 0x00FF00FF00FF00FFL ^ 0x3L))
 
+  /** q154's construction constants (shared by entry and oracle): per
+    * video, a frame-pattern sequence whose adjacent popcount deltas
+    * are planted — small drifts (static scene), a hard cut, a
+    * boundary-exact delta — plus an all-static clip that must emit
+    * nothing.
+    */
+  private val sceneSets: Seq[(String, Seq[Long])] = {
+    val a = 0x00000000FFFFFFFFL
+    val b = 0x5A5A5A5AA5A5A5A5L
+    Seq(
+      // deltas: 2 (no cut at minDelta 8), 18, 8 (boundary, inclusive)
+      "clipA" -> Seq(a, a ^ 0x3L, a ^ 0x3L ^ 0x3FFFFL,
+        a ^ 0x3L ^ 0x3FFFFL ^ 0xFFL),
+      // one hard cut between two static scenes (delta = popcount(a^b))
+      "clipB" -> Seq(a, a, b, b),
+      // static: 0-delta everywhere, no rows
+      "clipC" -> Seq(b, b, b))
+  }
+
   private[graft] def mediaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- multimodal frame-sample planning ----
@@ -352,6 +371,33 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       graft.ops.Dedup.incrementalHammingDuplicates(s, base, batch,
           "media_id", "sig")
         .orderBy("batch_id", "corpus_id")
+    }),
+
+    // ---- scene-cut detection over REAL decoded frames: consecutive
+    //      frame-hash popcount deltas thresholded — the keyframe
+    //      machinery for video curation. The construction gives every
+    //      adjacent pair an exact planted delta, so the oracle replays
+    //      the cut list as pure popcount arithmetic over the constants
+    //      (the q147 discipline applied to the temporal axis). ----
+
+    "q154_video_scene_cuts" -> ((s, dir) => {
+      def frame(p: Long): Array[Byte] = {
+        val f = new Array[Byte](16 * 16 * 3)
+        for (cy <- 0 until 8; cx <- 0 until 8) {
+          val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255.toByte
+                  else 0.toByte
+          for (dy <- 0 until 2; dx <- 0 until 2; ch <- 0 until 3)
+            f(((cy * 2 + dy) * 16 + (cx * 2 + dx)) * 3 + ch) = v
+        }
+        f
+      }
+      val vids = sceneSets.map { case (name, ps) =>
+        (name, graft.ops.Video.synthesizeAviRgb24(ps.map(frame), 16, 16))
+      }
+      graft.ops.Video.sceneCuts(
+          s.createDataFrame(vids).toDF("video_id", "avi"),
+          "video_id", "avi", minDelta = 8)
+        .orderBy("video_id", "frame_idx")
     }),
 
     // ---- END-TO-END MULTIMODAL CORPUS BUILD: the composition query
@@ -679,6 +725,24 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
           |       ELSE 'bin' END AS format,
           |  len(text) > 0 AS ok
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // q154's expected cut list replayed from the construction
+      // constants: adjacent-pattern popcounts thresholded at the
+      // entry's minDelta — a decode drift, an off-by-one in the frame
+      // indexing, or an exclusive threshold all break the hash.
+      "q154_video_scene_cuts" -> {
+        val rows = sceneSets.flatMap { case (name, ps) =>
+          (1 until ps.length).flatMap { i =>
+            val d = java.lang.Long.bitCount(ps(i - 1) ^ ps(i))
+            if (d >= 8) Some(s"('$name', $i, $d)") else None
+          }
+        }
+        s"""SELECT video_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           |  CAST(delta AS BIGINT) AS delta
+           |FROM (VALUES ${rows.mkString(", ")})
+           |  AS t(video_id, frame_idx, delta)
+           |ORDER BY video_id, frame_idx""".stripMargin
+      },
 
       // q152 replayed end to end: the q149 classifier + DSIR legs
       // (their CTEs verbatim, docw LEFT-joined so a no-token doc reads

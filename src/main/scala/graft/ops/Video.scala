@@ -434,6 +434,81 @@ object Video {
     }(Encoders.row(outSchema))
   }
 
+  /** Scene-cut detection over the sampled frame hashes: a cut is a
+    * position whose hash differs from its predecessor by at least
+    * `minDelta` bits (an aHash jump means the 8×8 luma structure
+    * moved — a hard cut or a major scene change; gradual fades spread
+    * their delta across frames and need a lower threshold). Emits one
+    * row per cut: (idCol, frame_idx, delta), where `frame_idx` indexes
+    * the SAMPLED sequence (multiply by `stride` for the container
+    * frame number) and `delta` is the exact popcount — pure integer
+    * arithmetic an oracle replays from construction constants.
+    *
+    * Scale shape: the whole computation is scan-local — decode stage,
+    * then one codegen'd transform/filter/explode over each video's own
+    * hash array. ZERO shuffles; 12 bytes out per cut.
+    */
+  def sceneCuts(df: DataFrame, idCol: String, binaryCol: String,
+                minDelta: Int = 16, stride: Int = 1,
+                maxFrames: Int = 64): DataFrame = {
+    require(minDelta >= 1 && minDelta <= 64,
+      "minDelta must be in [1, 64]")
+    // size >= 2: a 0/1-frame video has no adjacent pair, and Spark's
+    // sequence(1, 0) would DESCEND rather than be empty
+    videoFrameHashStage(df, binaryCol, stride = stride,
+        maxFrames = maxFrames)
+      .filter(col("frame_hashes").isNotNull &&
+        size(col("frame_hashes")) >= 2)
+      .select(col(idCol),
+        explode(filter(
+          transform(sequence(lit(1), size(col("frame_hashes")) - 1),
+            i => struct(i.cast("long").as("frame_idx"),
+              bit_count(element_at(col("frame_hashes"), i + 1)
+                .bitwiseXOR(element_at(col("frame_hashes"), i)))
+                .cast("long").as("delta"))),
+          s => s.getField("delta") >= minDelta)).as("cut"))
+      .select(col(idCol), col("cut.frame_idx").as("frame_idx"),
+        col("cut.delta").as("delta"))
+  }
+
+  /** Keyframe signature: each video's first sampled frame hash plus
+    * the hash at every scene cut — the standard low-cost video
+    * signature (near-identical content that merely shifts its cut
+    * timing keeps the same keyframe SET). Returns (idCol,
+    * keyframe_hashes: array<long>, distinct, ascending). Feed it to
+    * [[Dedup.hammingArtifactSave]] via explode, or compare sets with
+    * [[videoNearDuplicatesHamming]]'s machinery — keyframes are just a
+    * cheaper frame sample. Same zero-shuffle scan-local shape as
+    * [[sceneCuts]].
+    */
+  def sceneKeyframeHashes(df: DataFrame, idCol: String, binaryCol: String,
+                          minDelta: Int = 16, stride: Int = 1,
+                          maxFrames: Int = 64): DataFrame = {
+    require(minDelta >= 1 && minDelta <= 64,
+      "minDelta must be in [1, 64]")
+    videoFrameHashStage(df, binaryCol, stride = stride,
+        maxFrames = maxFrames)
+      .filter(col("frame_hashes").isNotNull &&
+        size(col("frame_hashes")) >= 1)
+      .select(col(idCol),
+        array_sort(array_distinct(concat(
+          slice(col("frame_hashes"), 1, 1),
+          // size >= 2 guard: sequence(1, 0) would descend (see
+          // sceneCuts); a 1-frame video's keyframe is just that frame
+          when(size(col("frame_hashes")) >= 2,
+            transform(filter(
+              transform(sequence(lit(1), size(col("frame_hashes")) - 1),
+                i => struct(
+                  bit_count(element_at(col("frame_hashes"), i + 1)
+                    .bitwiseXOR(element_at(col("frame_hashes"), i)))
+                    .as("d"),
+                  element_at(col("frame_hashes"), i + 1).as("h"))),
+              s => s.getField("d") >= minDelta),
+              s => s.getField("h")))
+            .otherwise(array().cast("array<bigint>")))))
+          .as("keyframe_hashes"))
+  }
+
   /** Near-duplicate videos by frame-hash-set overlap: decode once
     * ([[videoFrameHashStage]]), explode each video's DISTINCT sampled
     * frame hashes, drop hashes present in more than `maxFrameDocFreq`

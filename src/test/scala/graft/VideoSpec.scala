@@ -200,6 +200,45 @@ class VideoSpec extends SparkSpec {
     assert(loose.exists(r => r._1 == "far" || r._2 == "far"))
   }
 
+  test("sceneCuts and sceneKeyframeHashes: exact popcount deltas, " +
+      "threshold boundary, keyframe set invariance to cut timing") {
+    // consecutive patterns with constructed deltas: p->p^3 (2 bits,
+    // below the default 16), then a full scene change (32 bits), then
+    // a 16-bit jump exactly AT the boundary (inclusive)
+    val p1 = 0x00000000FFFFFFFFL
+    val p2 = p1 ^ 0x3L                    // delta 2: not a cut
+    val p3 = p1 ^ 0xFFFFFFFF00000000L ^ 0x3L // vs p2: 64 bits? compute below
+    val p4 = p3 ^ 0xFFFFL                 // delta 16: boundary cut
+    val ps = Seq(p1, p2, p3, p4)
+    val avi = Video.synthesizeAviRgb24(ps.map(grayFrame(_, 16, 16)), 16, 16)
+    val df = spark.createDataFrame(Seq(("v", avi))).toDF("id", "avi")
+    val cuts = Video.sceneCuts(df, "id", "avi", minDelta = 16)
+      .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+    val d23 = java.lang.Long.bitCount(p2 ^ p3)
+    assert(cuts == Seq(("v", 2L, d23.toLong), ("v", 3L, 16L)))
+    // keyframes: first frame + each cut's frame, distinct ascending
+    val kf = Video.sceneKeyframeHashes(df, "id", "avi", minDelta = 16)
+      .as[(String, Seq[Long])].collect().head._2
+    assert(kf == Seq(p1, p3, p4).distinct.sorted)
+    // a trimmed copy (drops the leading no-cut frames) keeps the same
+    // keyframe SET from the shared scenes — the cut-timing invariance
+    // that makes keyframes a signature
+    val trimmed = Video.synthesizeAviRgb24(
+      Seq(p3, p4).map(grayFrame(_, 16, 16)), 16, 16)
+    val kf2 = Video.sceneKeyframeHashes(
+        spark.createDataFrame(Seq(("t", trimmed))).toDF("id", "avi"),
+        "id", "avi", minDelta = 16)
+      .as[(String, Seq[Long])].collect().head._2
+    assert(kf2 == Seq(p3, p4).sorted)
+    // single-frame video: no cuts, the one frame is the keyframe
+    val single = Video.synthesizeAviRgb24(
+      Seq(grayFrame(p1, 16, 16)), 16, 16)
+    val sdf = spark.createDataFrame(Seq(("s", single))).toDF("id", "avi")
+    assert(Video.sceneCuts(sdf, "id", "avi").count() == 0L)
+    assert(Video.sceneKeyframeHashes(sdf, "id", "avi")
+      .as[(String, Seq[Long])].collect().head._2 == Seq(p1))
+  }
+
   test("videoNearDuplicates: clone and overlap pairs, ubiquitous-frame " +
       "cap excludes the shared black frame") {
     val mk = (ps: Seq[Long]) =>
