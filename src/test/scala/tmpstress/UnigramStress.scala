@@ -1,0 +1,74 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-kernel throughput at scale: 1M synthetic documents
+  * (~55 words each from a power-law-ish vocabulary) through the
+  * unigram-LM Viterbi kernel and the BPE merge kernel, both fitted on
+  * a 20k-doc sample. Measures the scan-local encode cost the kernels
+  * were built for (model riding the plan, zero joins/shuffle) plus
+  * each fit's driver-bounded cost; correctness is the losslessness
+  * count (piece/subword concat must rebuild every doc).
+  */
+object UnigramStress {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // deterministic synthetic corpus: word w_k with k ~ mixed id, short
+    // common words + longer rare ones (the shape subword learning eats)
+    val docs = spark.range(n).select(col("id"),
+      concat_ws(" ", (0 until 55).map { j =>
+        val k = pmod(hash(col("id"), lit(j)), lit(1000))
+        concat(lit("w"),
+          conv(pmod(k, lit(97)).cast("string"), 10, 36),
+          when(k % 7 === 0, lit("ing")).otherwise(lit("")),
+          when(k % 13 === 0, lit("ation")).otherwise(lit("")))
+      }: _*).as("text"))
+      .localCheckpoint(true)
+    val sample = docs.filter(col("id") % 50 === 0)
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"MARKER_${label}=${(System.nanoTime() - t0) / 1e9}%.1f")
+      a
+    }
+    val um = timed("unigram_fit_sec") {
+      graft.ops.TextAnalysis.unigramFit(sample, "text", vocabSize = 4000,
+        emIters = 2, minWordCount = 2L, maxWords = 1 << 17)
+    }
+    println(s"MARKER_unigram_pieces=${um.pieces.length}")
+    val bm = timed("bpe_fit_sec") {
+      graft.ops.TextAnalysis.bpeFit(sample, "text", numMerges = 2000,
+        minWordCount = 2L, maxWords = 1 << 17)
+    }
+    timed("unigram_encode_sec") {
+      val bad = graft.ops.TextAnalysis.unigramEncodeKernel(
+          docs, "id", "text", um)
+        .join(docs, "id")
+        .filter(concat_ws("", col("pieces")) =!=
+          regexp_replace(lower(col("text")), " ", "")).count()
+      println(s"MARKER_unigram_lossless_violations=$bad")
+    }
+    timed("bpe_encode_sec") {
+      val bad = graft.ops.TextAnalysis.bpeEncodeKernel(
+          docs, "id", "text", bm)
+        .join(docs, "id")
+        .filter(concat_ws("", col("subwords")) =!=
+          regexp_replace(lower(col("text")), " ", "")).count()
+      println(s"MARKER_bpe_lossless_violations=$bad")
+    }
+    // pure-scan throughput without the verify join: count pieces
+    timed("unigram_scan_sec") {
+      println("MARKER_total_pieces=" + graft.ops.TextAnalysis
+        .unigramEncodeKernel(docs, "id", "text", um)
+        .select(sum(size(col("pieces")))).as[Long].head())
+    }
+    spark.stop()
+  }
+}
