@@ -538,7 +538,10 @@ object StreamingOps {
                    candidatesPerLeg: Int = 20, lexWeight: Double = 1.0,
                    semWeight: Double = 1.0, rrfK: Int = 60,
                    nprobe: Int = 3, k1: Double = 1.2, b: Double = 0.75,
-                   refreshEveryBatches: Int = 1)(
+                   refreshEveryBatches: Int = 1,
+                   maintainEveryBatches: Int = 0,
+                   compactDebtFraction: Double = 0.2,
+                   onMaintenance: (String, String, Long) => Unit = null)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
@@ -566,6 +569,29 @@ object StreamingOps {
         sink(graft.ops.Retrieval.rrfFuse(
           Seq((lex, "doc_id", lexWeight), (sem, "neighbor_id", semWeight)),
           k, rrfK), batchId)
+        // self-maintenance on BOTH legs independently (r15, the
+        // bm25Stream/annStream wiring): each artifact has its own
+        // planner, its own compact semantics (BM25 generation-safe,
+        // IVF rebuild-class — see those services), its own pin
+        // invalidation; `onMaintenance(leg, action, batchId)`
+        maintainStep(batchId, maintainEveryBatches,
+          if (onMaintenance == null) null
+          else (a: String, b2: Long) => onMaintenance("bm25", a, b2),
+          () => graft.ops.TextAnalysis.bm25MaintenancePlan(
+            mb.sparkSession, bm25Path, compactDebtFraction)
+            .head().getString(0),
+          () => graft.ops.TextAnalysis.bm25ArtifactsCompact(
+            mb.sparkSession, bm25Path, keepGenerations = 2),
+          lexPin)
+        maintainStep(batchId, maintainEveryBatches,
+          if (onMaintenance == null) null
+          else (a: String, b2: Long) => onMaintenance("ann", a, b2),
+          () => graft.ops.Similarity.ivfMaintenancePlan(
+            mb.sparkSession, indexDir, compactDebtFraction)
+            .head().getString(0),
+          () => graft.ops.Similarity.ivfIndexCompact(
+            mb.sparkSession, indexDir),
+          semPin)
     }
   }
 

@@ -935,6 +935,69 @@ class StreamingOpsSpec extends SparkSpec {
     assert(q100.take(2).toSet == Set(1L, 3L), s"got $q100")
   }
 
+  test("hybridStream self-maintenance: both legs' planners fire " +
+      "independently; fused results stay batch-exact after both compacts") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 10L).map(i =>
+      (i, if (i <= 5) s"spark engine doc$i" else s"filler words doc$i"))
+      .toDF("doc_id", "text")
+    def v(x: Float, y: Float) = Array(x, y, 0.01f, 0.01f)
+    val emb = (1L to 10L).map(i =>
+      (i, if (i <= 5) v(1f, 0.01f * i) else v(0.01f * i, 1f)))
+      .toDF("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") === 1L ||
+      col("vec_id") === 6L)
+    val art = tmpDir("hyb-maint-bm25"); val idx = tmpDir("hyb-maint-ivf")
+    graft.ops.TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    graft.ops.Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", idx)
+    // push BOTH artifacts past the 0.2 debt threshold; SAME ids on
+    // both sides (a doc deleted from only one artifact legitimately
+    // keeps surfacing through the other leg)
+    graft.ops.TextAnalysis.bm25ArtifactsDelete(spark, art,
+      Seq(7L, 8L, 9L).toDF("doc_id"), "doc_id")
+    graft.ops.Similarity.ivfIndexDelete(spark, idx,
+      Seq(7L, 8L, 9L).toDF("vec_id"), "vec_id")
+    val input = MemoryStream[(Long, String, Array[Float])]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Double)]]()
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val query = StreamingOps.hybridStream(
+        input.toDF().toDF("qid", "qtext", "qvec"), art, idx,
+        "qid", "qtext", "qvec", centroids, "vec_id", "embedding",
+        k = 3, candidatesPerLeg = 3, nprobe = 2,
+        maintainEveryBatches = 1,
+        onMaintenance = (leg, a, b) => actions.synchronized {
+          actions += ((leg, a, b)) }) {
+      (res, id) => got.synchronized { got(id) = canon(res) }
+    }.start()
+    val b1 = Seq((100L, "spark engine", v(1f, 0f)))
+    val b2 = Seq((200L, "filler doc6", v(0f, 1f)))
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+    assert(actions.toSeq == Seq(("bm25", "compact", 0L),
+      ("ann", "compact", 0L), ("bm25", "none", 1L), ("ann", "none", 1L)))
+    // deleted docs/vectors never surface; batch 1 equals the batch RRF
+    // over the COMPACTED artifacts
+    val deleted = Set(7L, 8L, 9L)
+    assert(got(0L).nonEmpty && !got(0L).exists(r => deleted(r._3)))
+    assert(got(1L).nonEmpty && !got(1L).exists(r => deleted(r._3)))
+    val q2 = b2.toDF("qid", "qtext", "qvec")
+    val lex = graft.ops.TextAnalysis.bm25TopKPersisted(spark, art,
+      q2, "qid", "qtext", k = 3)
+    val sem = graft.ops.Similarity.ivfTopKFromIndex(spark, idx,
+      q2, "qid", "qvec", centroids, "vec_id", "embedding", k = 3,
+      nprobe = 2, excludeSelf = false)
+    assert(got(1L) == canon(graft.ops.Retrieval.rrfFuse(
+      Seq((lex, "doc_id", 1.0), (sem, "neighbor_id", 1.0)), k = 3)))
+    assert(!graft.Fs.exists(s"$idx/_tombstones"))
+  }
+
   test("bm25Stream self-maintenance: the planner verdict drives a " +
       "mid-stream compact; results stay batch-exact before and after") {
     implicit val sqlCtx = spark.sqlContext
