@@ -66,10 +66,20 @@ private[graft] trait TextUnigram { this: TextAnalysis.type =>
         "needs a sampled fit, not a silent truncation")
     val words = rows.map(_.getString(0))
     val counts = rows.map(_.getLong(1))
-    // seed inventory: substring counts over code points
+    // seed inventory: substring counts over code points. The inventory
+    // is bounded FAIL-LOUD (the maxWords discipline): the substring
+    // count grows as Σ word-len × maxPieceLen, which a table of long
+    // words can push far past driver memory even under maxWords —
+    // 8M distinct substrings ≈ low-hundreds of MB of map overhead.
+    val maxSeedSubstrings = 8 << 20
     val sub = scala.collection.mutable.HashMap.empty[String, Long]
     var wi = 0
     while (wi < words.length) {
+      require(sub.size <= maxSeedSubstrings,
+        s"substring seed inventory exceeded $maxSeedSubstrings distinct " +
+          "pieces: lower maxPieceLen / maxWordLen or raise minWordCount " +
+          "— a seed too big to fold on the driver needs a sampled fit, " +
+          "not a silent truncation")
       val w = words(wi); val c = counts(wi)
       val n = w.codePointCount(0, w.length)
       val offs = new Array[Int](n + 1)

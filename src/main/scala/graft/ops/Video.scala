@@ -394,7 +394,10 @@ object Video {
     */
   def reencodeAsMjpeg(avi: Array[Byte], quality: Float = 0.85f)
       : Option[Array[Byte]] =
-    decodeAvi(avi).map { c =>
+    // filter, not map: a decodable but FRAME-LESS container (empty
+    // movi) has nothing to re-encode — route None, don't throw into
+    // the writer's nonEmpty requirement
+    decodeAvi(avi).filter(_.frames.nonEmpty).map { c =>
       synthesizeAviMjpeg(
         c.frames.map(g => encodeJpegLuma(g, c.width, c.height, quality)),
         c.width, c.height, c.microSecPerFrame)

@@ -454,11 +454,24 @@ object StreamingOps {
                            plan: () => String, compactNow: () => Unit,
                            pin: SnapshotPin[_]): Unit = {
     if (maintainEveryBatches > 0 && batchId % maintainEveryBatches == 0) {
-      val action = plan()
-      if (action == "compact") {
-        compactNow()
-        pin.invalidate()
-      }
+      // contained: the batch's results already reached the sink — a
+      // maintenance failure (planner scan racing an external rebuild,
+      // compact FS hiccup) must not fail the query and roll THAT batch
+      // into a retry. Surfaced as action "error: …" through the
+      // callback; the next scheduled check retries naturally. The pin
+      // still invalidates on a failed compact: a half-applied IVF swap
+      // is exactly when probing a stale file listing is most dangerous.
+      val action =
+        try {
+          val a = plan()
+          if (a == "compact") {
+            try compactNow()
+            finally pin.invalidate()
+          }
+          a
+        } catch {
+          case e: Exception => s"error: ${e.getMessage}"
+        }
       if (onMaintenance != null) onMaintenance(action, batchId)
     }
   }
