@@ -107,6 +107,17 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       "clipC" -> Seq(b, b, b))
   }
 
+  /** q155's construction constants (shared by entry and oracle): per
+    * clip, a window pattern of 'S' (amplitude 2 square wave — window
+    * energy exactly 160·2² = 640) and 'L' (amplitude 3000 — energy
+    * 1.44×10⁹), thresholded INCLUSIVELY at 640 so the S energy sits
+    * exactly on the boundary. Expected spans are the maximal S-runs.
+    */
+  private val silencePatterns: Seq[(String, String)] = Seq(
+    ("podcastA", "SSLLLSSSLL"), // lead-in silence + a mid pause
+    ("trimB", "LLLL"),          // no silence: zero rows
+    ("pauseC", "SLSLS"))        // alternating single-window pauses
+
   private[graft] def mediaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- multimodal frame-sample planning ----
@@ -371,6 +382,32 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       graft.ops.Dedup.incrementalHammingDuplicates(s, base, batch,
           "media_id", "sig")
         .orderBy("batch_id", "corpus_id")
+    }),
+
+    // ---- audio silence-span detection over REAL WAV bytes: window
+    //      energies in exact integer units (the fingerprint
+    //      quantization), inclusive threshold, maximal-run merging —
+    //      the trim/segment primitive of audio curation. The oracle
+    //      replays the span list from the construction pattern
+    //      (energies are planted constants, one sitting exactly ON the
+    //      threshold). ----
+
+    "q155_audio_silence_spans" -> ((s, dir) => {
+      val wlen = 160
+      val clips = silencePatterns.map { case (name, pat) =>
+        val samples = new Array[Short](pat.length * wlen)
+        for ((ch, w) <- pat.zipWithIndex) {
+          val amp = if (ch == 'S') 2 else 3000
+          for (j <- 0 until wlen)
+            samples(w * wlen + j) =
+              (if (j % 2 == 0) amp else -amp).toShort
+        }
+        (name, graft.ops.Audio.synthesizeWavPcm16(samples, 8000))
+      }
+      graft.ops.Audio.audioSilenceStage(
+          s.createDataFrame(clips).toDF("clip_id", "wav"),
+          "clip_id", "wav", windowSamples = wlen, maxEnergy = 640L)
+        .orderBy("clip_id", "start_window")
     }),
 
     // ---- scene-cut detection over REAL decoded frames: consecutive
@@ -725,6 +762,32 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
           |       ELSE 'bin' END AS format,
           |  len(text) > 0 AS ok
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // q155's expected spans replayed from the construction pattern:
+      // the maximal S-runs of each clip's window string — a decode
+      // drift, an energy off-by-one (the S windows sit exactly ON the
+      // inclusive threshold), or a merge bug all break the hash.
+      "q155_audio_silence_spans" -> {
+        val rows = silencePatterns.flatMap { case (name, pat) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < pat.length) {
+            if (pat(i) == 'S') {
+              var j = i
+              while (j + 1 < pat.length && pat(j + 1) == 'S') j += 1
+              out += s"('$name', $i, $j, ${j - i + 1})"
+              i = j + 1
+            } else i += 1
+          }
+          out
+        }
+        s"""SELECT clip_id, CAST(start_window AS BIGINT) AS start_window,
+           |  CAST(end_window AS BIGINT) AS end_window,
+           |  CAST(n_windows AS BIGINT) AS n_windows
+           |FROM (VALUES ${rows.mkString(", ")})
+           |  AS t(clip_id, start_window, end_window, n_windows)
+           |ORDER BY clip_id, start_window""".stripMargin
+      },
 
       // q154's expected cut list replayed from the construction
       // constants: adjacent-pattern popcounts thresholded at the

@@ -359,6 +359,74 @@ object Audio {
     }(Encoders.row(outSchema))
   }
 
+  /** Silent spans of one mono clip: window the frames into FULL
+    * windows of `windowSamples` (a trailing partial window is ignored
+    * — it has no comparable energy budget; documented), compute each
+    * window's exact integer energy (Σ of squared re-quantized 16-bit
+    * samples — the [[fingerprint64]] quantization, so every comparison
+    * replays as integer arithmetic), and merge maximal runs of windows
+    * with energy ≤ `maxEnergy` (inclusive) into (startWindow,
+    * endWindow) spans, both ends inclusive.
+    */
+  def silenceSpans(frames: Array[Float], windowSamples: Int,
+                   maxEnergy: Long): Seq[(Int, Int)] = {
+    require(windowSamples >= 1, "windowSamples must be >= 1")
+    require(maxEnergy >= 0, "maxEnergy must be >= 0")
+    if (frames == null) return Seq.empty
+    val n = frames.length / windowSamples
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var runStart = -1
+    var b = 0
+    while (b < n) {
+      var e = 0L
+      var i = b * windowSamples
+      val end = i + windowSamples
+      while (i < end) {
+        val q = math.round(frames(i) * 32768f).toLong
+        e += q * q
+        i += 1
+      }
+      if (e <= maxEnergy) { if (runStart < 0) runStart = b }
+      else if (runStart >= 0) { out += ((runStart, b - 1)); runStart = -1 }
+      b += 1
+    }
+    if (runStart >= 0) out += ((runStart, n - 1))
+    out.toSeq
+  }
+
+  /** Silence-span stage: binary WAV column → exploded (idCol,
+    * start_window, end_window, n_windows) rows, one per silent span —
+    * the trim/segment primitive of an audio-curation pipeline (strip
+    * lead-in/lead-out silence, split long recordings at pauses, or
+    * gate clips that are MOSTLY silence). Decode → downmix →
+    * [[silenceSpans]] per partition; undecodable payloads emit no
+    * rows; 24 bytes out per span regardless of payload size. Window
+    * indexes multiply by `windowSamples` for sample offsets.
+    */
+  def audioSilenceStage(df: DataFrame, idCol: String, binaryCol: String,
+                        windowSamples: Int, maxEnergy: Long): DataFrame = {
+    require(windowSamples >= 1, "windowSamples must be >= 1")
+    val idIdx = df.columns.indexOf(idCol)
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(idIdx >= 0, s"missing column $idCol")
+    require(binIdx >= 0, s"missing column $binaryCol")
+    val outSchema = StructType(Seq(
+      df.schema.fields(idIdx),
+      StructField("start_window", LongType, nullable = false),
+      StructField("end_window", LongType, nullable = false),
+      StructField("n_windows", LongType, nullable = false)))
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        decodeWav(row.getAs[Array[Byte]](binIdx)).toSeq.flatMap { c =>
+          silenceSpans(c.frames, windowSamples, maxEnergy).map {
+            case (s, e) => Row(row.get(idIdx), s.toLong, e.toLong,
+              (e - s + 1).toLong)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Near-duplicate audio pairs by fingerprint Hamming distance:
     * [[audioFingerprintStage]] (one decode pass, 8-byte signatures) →
     * [[Dedup.hammingDuplicates]]' banded self-join (complete for

@@ -239,4 +239,32 @@ class AudioSpec extends SparkSpec {
     } yield (x, y, d.toLong)).sorted
     assert(got.toSeq == want)
   }
+
+  test("silenceSpans: exact integer energies, inclusive threshold, " +
+      "run merging, trailing-partial-window and boundary rules") {
+    // windows of 4 samples; amp a contributes 4·a² exactly
+    def win(amp: Short): Array[Short] =
+      Array[Short](amp, (-amp).toShort, amp, (-amp).toShort)
+    val frames = (win(0) ++ win(2) ++ win(100) ++ win(0) ++ win(0) ++
+      win(100) ++ Array[Short](0, 0)) // trailing partial: ignored
+      .map(_ / 32768f)
+    // energies: 0, 16, 40000, 0, 0, 40000 — threshold 16 INCLUSIVE
+    assert(Audio.silenceSpans(frames, 4, 16L) == Seq((0, 1), (3, 4)))
+    // threshold 15: window 1 (energy 16) is no longer silent
+    assert(Audio.silenceSpans(frames, 4, 15L) == Seq((0, 0), (3, 4)))
+    // all-silent clip: one span to the last FULL window
+    assert(Audio.silenceSpans(Array.fill(10)(0f), 4, 0L) == Seq((0, 1)))
+    assert(Audio.silenceSpans(null, 4, 0L).isEmpty)
+    // the stage: decode + explode; undecodable emits no rows
+    val wav = Audio.synthesizeWavPcm16(
+      (win(0) ++ win(2) ++ win(100) ++ win(0) ++ win(0) ++ win(100)),
+      8000)
+    val df = spark.createDataFrame(Seq(
+      ("a", wav), ("bad", "junk".getBytes))).toDF("clip_id", "wav")
+    val got = Audio.audioSilenceStage(df, "clip_id", "wav",
+        windowSamples = 4, maxEnergy = 16L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._2)
+    assert(got.toSeq == Seq(("a", 0L, 1L, 2L), ("a", 3L, 4L, 2L)))
+  }
 }
