@@ -581,6 +581,32 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- per-line language spans: multilingual-document segmentation
+    //      (gaps-and-islands over q13's per-line verdicts). The entry
+    //      DERIVES a deterministic multilingual text per document —
+    //      marker-laden lines in four languages, an empty line, a
+    //      parity-dependent tail that either MERGES into the de span
+    //      or opens an fr one — so expected spans are a pure function
+    //      of doc_id parity and the oracle replays them exactly
+    //      (posexplode order, per-line langId, island merging,
+    //      empty-line 'und', 0-based inclusive indexes). ----
+
+    "q156_lang_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val multi = docs.select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("the quick brown "), col("source")),
+          lit("el que de la"),
+          lit("es la que y"),
+          lit(""),
+          lit("der und das ist"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("die nicht ein mit"))
+            .otherwise(lit("le est dans les"))).as("mx"))
+      TextAnalysis.langSpans(multi, "doc_id", "mx")
+        .orderBy("doc_id", "span_no")
+    }),
+
     // ---- unigram-LM (SentencePiece-style) tokenizer, the BPE
     //      sibling: q151 pins the Viterbi DP EXACTLY — constructed
     //      piece table through the full artifact lifecycle (save →
@@ -1241,6 +1267,27 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  regexp_replace(lower(text), '[ \t\n\r]+', '', 'g') AS joined
           |FROM documents WHERE text IS NOT NULL
           |ORDER BY doc_id""".stripMargin,
+
+      // q156's expected spans: a pure function of doc parity — even
+      // docs' tail line merges into the de span, odd docs' opens an fr
+      // one; the en/es/und/de prefix is common. A langId drift, an
+      // island-merge bug, or an index off-by-one all break the hash.
+      "q156_lang_spans" ->
+        """WITH base AS (
+          |  SELECT doc_id, doc_id % 2 = 0 AS ev FROM documents
+          |  WHERE text IS NOT NULL),
+          |v(ev, span_no, lang, start_line, end_line, n_lines) AS (VALUES
+          |  (true,  0, 'en',  0, 0, 1), (true,  1, 'es',  1, 2, 2),
+          |  (true,  2, 'und', 3, 3, 1), (true,  3, 'de',  4, 5, 2),
+          |  (false, 0, 'en',  0, 0, 1), (false, 1, 'es',  1, 2, 2),
+          |  (false, 2, 'und', 3, 3, 1), (false, 3, 'de',  4, 4, 1),
+          |  (false, 4, 'fr',  5, 5, 1))
+          |SELECT doc_id, CAST(span_no AS BIGINT) AS span_no, lang,
+          |  CAST(start_line AS BIGINT) AS start_line,
+          |  CAST(end_line AS BIGINT) AS end_line,
+          |  CAST(n_lines AS BIGINT) AS n_lines
+          |FROM base JOIN v ON v.ev = base.ev
+          |ORDER BY doc_id, span_no""".stripMargin,
 
       // q151's expected rows BRUTE-FORCED over the construction
       // constants: for each fixture word, EVERY segmentation into

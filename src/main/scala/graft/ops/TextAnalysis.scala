@@ -192,6 +192,44 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** Per-LINE language identification merged into maximal
+    * same-language spans — multilingual-document segmentation (route a
+    * doc's English boilerplate and its CJK body to different pipeline
+    * arms, strip embedded foreign navigation, or train per-language
+    * tokenizers on clean strata). Each '\n' line gets [[langId]]'s
+    * verdict (empty/markerless lines read 'und' — code blocks and
+    * blank separators form their own spans, deliberately), and
+    * consecutive same-language lines merge into one span row:
+    * (idCol, span_no, lang, start_line, end_line, n_lines), span_no
+    * 0-based in reading order, line indexes 0-based inclusive.
+    *
+    * Scale shape: one explode (line-sized rows, not a shuffle), then
+    * the gaps-and-islands window pair partitioned BY DOCUMENT — the
+    * per-doc line counts bound every window buffer, and the one
+    * exchange carries (id, line_no, lang) triples, never text.
+    */
+  def langSpans(df: DataFrame, idCol: String, textCol: String,
+                profiles: Seq[(String, Seq[String])] = defaultLangProfiles)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("line_idx")
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "__line")))
+      .withColumn("__lang", langId(col("__line"), profiles))
+      .withColumn("__chg",
+        when(lag(col("__lang"), 1).over(w).isNull ||
+          col("__lang") =!= lag(col("__lang"), 1).over(w), 1L)
+          .otherwise(0L))
+      .withColumn("__span", sum(col("__chg")).over(w))
+      .groupBy(col(idCol), col("__span"), col("__lang").as("lang"))
+      .agg(min(col("line_idx")).cast("long").as("start_line"),
+        max(col("line_idx")).cast("long").as("end_line"),
+        count(lit(1)).as("n_lines"))
+      .select(col(idCol), (col("__span") - 1L).as("span_no"), col("lang"),
+        col("start_line"), col("end_line"), col("n_lines"))
+  }
+
   /** fastText-/CCNet-style hashed bag-of-tokens linear classifier
     * SCORING — the model-based quality-filter step of a corpus build
     * (train offline, score every document at ingest). `weights` is the

@@ -47,6 +47,25 @@ class OpsSpec extends SparkSpec {
     assert(und == "und")
   }
 
+  test("langSpans: island merging, empty-line und, single-line and " +
+      "all-und docs, null routing") {
+    val rows = Seq(
+      (1L, "the of is\nthe and was\nel la que\n\nder das ist"),
+      (2L, "the of is"),           // one line, one span
+      (3L, "zzz\nqqq"),            // all und: one merged span
+      (4L, null.asInstanceOf[String]))
+    val got = TextAnalysis.langSpans(rows.toDF("id", "text"), "id", "text")
+      .as[(Long, Long, String, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "en", 0L, 1L, 2L),  // two en lines merge
+      (1L, 1L, "es", 2L, 2L, 1L),
+      (1L, 2L, "und", 3L, 3L, 1L), // the empty line
+      (1L, 3L, "de", 4L, 4L, 1L),
+      (2L, 0L, "en", 0L, 0L, 1L),
+      (3L, 0L, "und", 0L, 1L, 2L)))
+  }
+
   test("fingerprints: md5 matches duplicate texts, rolling hash is order-sensitive") {
     val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")))
       .as[(Long, String)].collect().toMap
