@@ -38,6 +38,30 @@ private[graft] trait EntriesConvert { this: SparkEntry.type =>
         .orderBy("o_orderkey")
     }),
 
+    // ---- leak-proof GROUP split: rows sharing a group key (site,
+    //      domain, conversation) land in ONE split by construction —
+    //      the eval-hygiene rule row-keyed splits can't express. The
+    //      entry groups documents into 10-doc "sites", assigns splits
+    //      by the mixed group key, and emits one row per site with an
+    //      engine-computed distinct-split count the oracle pins to 1 —
+    //      a leak (any site straddling splits) would break the hash
+    //      before anyone reads the eval numbers. ----
+
+    "q157_group_split" -> ((s, dir) => {
+      val sites = t(s, dir, "documents")
+        .select((col("doc_id") / 10).cast("long").as("site_id"))
+        .withColumn("split",
+          SplitStage.splitByGroup(col("site_id"), trainPct = 80,
+            validationPct = 10, salt = 7L))
+      sites.groupBy("site_id")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split")).as("n_splits"),
+          first(col("split")).as("split"))
+        .select(col("site_id"), col("split"), col("n_docs"),
+          col("n_splits"))
+        .orderBy("site_id")
+    }),
+
     "q04_discard_route" -> ((s, dir) => {
       SplitStage.partition(routedEvents(s, dir), "split")(SplitStage.Discard)
         .select("event_id", "event_type")
@@ -242,6 +266,25 @@ private[graft] trait EntriesConvert { this: SparkEntry.type =>
       "q02_split_counts" ->
         """SELECT o_orderpriority, count(*) AS cnt FROM orders
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+      // q157: the Knuth-mix bucket replayed per site (the q86 shard
+      // formula at percent granularity), thresholds 80/10/10, and the
+      // leak-proof invariant pinned as the literal 1
+      "q157_group_split" ->
+        """WITH s AS (
+          |  SELECT CAST(doc_id // 10 AS BIGINT) AS site_id
+          |  FROM documents),
+          |g AS (SELECT site_id, CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM s GROUP BY 1),
+          |b AS (SELECT site_id, n_docs,
+          |    ((site_id + 7) * 2654435761) % 4294967296 % 100 AS bkt
+          |  FROM g)
+          |SELECT site_id,
+          |  CASE WHEN bkt < 80 THEN 'TRAIN'
+          |    WHEN bkt < 90 THEN 'VALIDATION'
+          |    ELSE 'TEST' END AS split,
+          |  n_docs, CAST(1 AS BIGINT) AS n_splits
+          |FROM b ORDER BY site_id""".stripMargin,
 
       "q03_partition_train" ->
         s"""WITH so AS ($splitOrdersSql)

@@ -41,6 +41,33 @@ object SplitStage {
   def normalize(df: DataFrame, splitKey: String): DataFrame =
     df.withColumn(splitKey, normalizedSplit(col(splitKey)))
 
+  /** LEAK-PROOF split assignment keyed on a GROUP: every row sharing
+    * `groupKey` (a site, a domain, a conversation, a document family)
+    * lands in the SAME split — the eval-set hygiene rule the
+    * reference's row-keyed splits cannot express (near-duplicate or
+    * correlated rows straddling TRAIN and TEST leak evaluation
+    * signal). Bucket = Knuth-mixed group key mod 100 (the
+    * [[graft.ops.Sampling.mixedKey]] contract — deterministic,
+    * engine-portable, external-SQL-replayable); `trainPct` buckets →
+    * TRAIN, the next `validationPct` → VALIDATION, the rest → TEST.
+    * Group-atomicity holds BY CONSTRUCTION (the split is a pure
+    * function of the group key); feed the result to [[normalize]] /
+    * [[partition]] like any other split column. String group keys:
+    * hash to a long first (`xxhash64`) — the
+    * [[graft.sinks.WebDataset.writeShards]] contract.
+    */
+  def splitByGroup(groupKey: Column, trainPct: Int = 80,
+                   validationPct: Int = 10, salt: Long = 0L): Column = {
+    require(trainPct >= 1 && validationPct >= 0 &&
+      trainPct + validationPct <= 100,
+      "need 1 <= trainPct, 0 <= validationPct, trainPct+validationPct <= 100")
+    val bucket = pmod(graft.ops.Sampling.mixedKey(groupKey, salt),
+      lit(100L))
+    when(bucket < trainPct, lit(Train))
+      .when(bucket < trainPct + validationPct, lit(Validation))
+      .otherwise(lit(Test))
+  }
+
   /** One filtered view per split value over a (caller-cached) upstream.
     * Spark has no multi-output operator; caching the normalized upstream
     * makes the four filters share one compute of the expensive stages

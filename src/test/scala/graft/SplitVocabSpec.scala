@@ -92,4 +92,32 @@ class SplitVocabSpec extends SparkSpec {
       .as[Long].collect().toSeq
     assert(applied == Seq(1L, 0L, -1L))
   }
+
+  test("splitByGroup: group atomicity by construction, exact mix " +
+      "thresholds, proportions roughly honored, bad args fail") {
+    // rows of many groups, several rows per group: every group must
+    // land whole in one split
+    val rows = (0L until 3000L).map(i => (i, i / 3)).toDF("id", "grp")
+      .withColumn("split",
+        graft.operators.SplitStage.splitByGroup(col("grp"), 80, 10, 7L))
+    val leaks = rows.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(leaks == 0L)
+    // threshold replay: bucket = ((grp+7)*2654435761) % 2^32 % 100
+    val got = rows.select("grp", "split").distinct()
+      .as[(Long, String)].collect().toMap
+    for (g <- 0L until 1000L) {
+      val bkt = (((g + 7) * 2654435761L) % 4294967296L) % 100L
+      val want = if (bkt < 80) "TRAIN" else if (bkt < 90) "VALIDATION"
+        else "TEST"
+      assert(got(g) == want, s"group $g bucket $bkt")
+    }
+    // proportions within a loose band (mix quality, not exactness)
+    val n = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("TRAIN") > 700 && n("VALIDATION") > 50 && n("TEST") > 50)
+    intercept[IllegalArgumentException] {
+      graft.operators.SplitStage.splitByGroup(col("grp"), 95, 10)
+    }
+  }
 }
