@@ -118,6 +118,23 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
     ("trimB", "LLLL"),          // no silence: zero rows
     ("pauseC", "SLSLS"))        // alternating single-window pauses
 
+  /** q148/q158's shared construction constants: the corpus signature
+    * set (c5 arrives by APPEND), the probe batch with planted exact /
+    * boundary / out-of-budget neighbors, and q158's takedown set.
+    */
+  private val hammCorpus: Seq[(String, Long)] = Seq(
+    ("c1", 0x0123456789ABCDEFL), ("c2", 0xF0E1D2C3B4A59687L),
+    ("c3", 0x00FF00FF00FF00FFL), ("c4", 0x5A5A5A5AA5A5A5A5L),
+    ("c5", 0x1122334455667788L))
+  private val hammBatch: Seq[(String, Long)] = Seq(
+    ("b1", 0x0123456789ABCDEFL),          // exact re-upload of c1
+    ("b2", 0xF0E1D2C3B4A59687L ^ 0x7L),   // 3 bits off c2 (boundary)
+    ("b3", 0x00FF00FF00FF00FFL ^ 0x1FL),  // 5 bits: never pairs
+    ("b4", 0x7777000011110000L),          // fresh
+    ("b5", 0x0123456789ABCDEFL ^ 0x1L),   // 1 bit off c1
+    ("b6", 0x1122334455667788L ^ 0x3L))   // 2 bits off the appended c5
+  private val hammDeleted: Seq[String] = Seq("c2", "c5")
+
   private[graft] def mediaQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- multimodal frame-sample planning ----
@@ -538,6 +555,44 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- media-artifact takedown lifecycle: build → append → DELETE
+    //      (tombstones, probe-effective immediately) → planner says
+    //      compact → COMPACT (swap-aside rewrite of sigs + rebuilt
+    //      keys) → planner says none → probe. The oracle brute-forces
+    //      the SURVIVOR pair set and pins four engine-computed
+    //      lifecycle booleans TRUE, including probe-invariance across
+    //      the compact — a tombstone leak, a lost survivor, or a stale
+    //      planner all break the hash. ----
+
+    "q158_media_artifact_lifecycle" -> ((s, dir) => {
+      val base = tmpDir("graft-hamm-lc")
+      graft.ops.Dedup.hammingArtifactSave(
+        s.createDataFrame(hammCorpus.take(4)).toDF("media_id", "sig"),
+        "media_id", "sig", base)
+      graft.ops.Dedup.hammingArtifactAppend(s, base,
+        s.createDataFrame(hammCorpus.drop(4)).toDF("media_id", "sig"),
+        "media_id", "sig")
+      graft.ops.Dedup.hammingArtifactDelete(s, base,
+        s.createDataFrame(hammDeleted.map(Tuple1(_))).toDF("media_id"),
+        "media_id")
+      val batch = s.createDataFrame(hammBatch).toDF("media_id", "sig")
+      def probe() = graft.ops.Dedup.incrementalHammingDuplicates(
+        s, base, batch, "media_id", "sig")
+      val before = probe().collect().toSet
+      val planBefore = graft.ops.Dedup.hammingMaintenancePlan(s, base)
+        .head().getString(0)
+      val didCompact = graft.ops.Dedup.hammingArtifactCompact(s, base)
+      val planAfter = graft.ops.Dedup.hammingMaintenancePlan(s, base)
+        .head().getString(0)
+      probe()
+        .withColumn("plan_was_compact", lit(planBefore == "compact"))
+        .withColumn("did_compact", lit(didCompact))
+        .withColumn("plan_now_none", lit(planAfter == "none"))
+        .withColumn("probe_invariant",
+          lit(probe().collect().toSet == before))
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     "q115_jsonl_shards" -> ((s, dir) => {
       val out = tmpDir("graft-jsonl")
       graft.sinks.Jsonl.writeShards(
@@ -683,6 +738,27 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
            |SELECT id_a, id_b, shared_frames, jaccard
            |FROM j WHERE jaccard >= 0.1
            |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // q158's brute-force survivor replay: every (batch, surviving
+      // corpus) pair's exact popcount threshold — the deleted c2/c5
+      // rows (and ONLY those) vanish from q148's pair set — plus the
+      // four lifecycle booleans pinned TRUE.
+      "q158_media_artifact_lifecycle" -> {
+        val surv = hammCorpus.filterNot {
+          case (n, _) => hammDeleted.contains(n) }
+        def vals(xs: Seq[(String, Long)]) =
+          xs.map { case (n, v) => s"('$n', CAST($v AS BIGINT))" }
+            .mkString(", ")
+        s"""WITH corpus(corpus_id, csig) AS (VALUES ${vals(surv)}),
+           |b(batch_id, bsig) AS (VALUES ${vals(hammBatch)})
+           |SELECT batch_id, corpus_id,
+           |  CAST(bit_count(xor(bsig, csig)) AS BIGINT) AS hamming,
+           |  TRUE AS plan_was_compact, TRUE AS did_compact,
+           |  TRUE AS plan_now_none, TRUE AS probe_invariant
+           |FROM b CROSS JOIN corpus
+           |WHERE bit_count(xor(bsig, csig)) <= 3
+           |ORDER BY batch_id, corpus_id""".stripMargin
       },
 
       // q150 replayed as REAL SQL over the construction constants: the

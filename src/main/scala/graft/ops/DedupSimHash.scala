@@ -253,6 +253,115 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
     ArtifactVersion.stamp(path)
   }
 
+  /** Delete corpus items from a persisted [[hammingArtifactSave]]
+    * artifact WITHOUT touching its files — the media twin of
+    * [[graft.ops.Similarity.ivfIndexDelete]] (GDPR/takedown on a media
+    * corpus): deleted ids append into `_tombstones/` under the
+    * artifact and every probe anti-joins them. Purely additive, so
+    * pinned readers never break; the version stamp makes standing
+    * consumers pick the delete up at their next re-read. Repeating a
+    * delete is a no-op; ids absent from the corpus are ignored. The
+    * banded `keys/` index is NOT touched: a key row whose signature
+    * has only deleted ids still generates candidates that die at the
+    * ids join — correct, merely compaction debt
+    * ([[hammingArtifactCompact]] reclaims it).
+    */
+  def hammingArtifactDelete(spark: org.apache.spark.sql.SparkSession,
+                            path: String, ids: DataFrame,
+                            idCol: String): Unit = {
+    ids.select(col(idCol).as("__del_id")).distinct()
+      .write.mode("append").parquet(graft.Fs.join(path, "_tombstones"))
+    ArtifactVersion.stamp(path)
+  }
+
+  /** Fold accumulated [[hammingArtifactDelete]] tombstones into the
+    * artifact: rewrite `sigs/` to the survivors, rebuild `keys/` from
+    * the surviving DISTINCT signatures (by READ-BACK of the just-
+    * written sigs — the save-path consistency rule), drop the
+    * tombstones, stamp. Corpus-free (reads only the fixed-width
+    * artifact tables) but REBUILD-CLASS for pinned readers: the
+    * rewrite swaps the table directories in place (write tmp siblings,
+    * stage aside, swap, delete — every failure point leaves a complete
+    * artifact, the [[graft.ops.Similarity.ivfIndexCompact]] crash
+    * contract). [[graft.streaming.StreamingOps.hammingDedupStream]]
+    * re-reads the artifact per micro-batch, so it adopts a compact at
+    * the next batch with no pin to invalidate. Returns false (no-op)
+    * when there are no tombstones to fold.
+    */
+  def hammingArtifactCompact(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Boolean = {
+    val tombDir = graft.Fs.join(path, "_tombstones")
+    if (!graft.Fs.exists(tombDir)) return false
+    val tomb = spark.read.parquet(tombDir)
+    if (tomb.isEmpty) { graft.Fs.deleteRecursively(tombDir); return false }
+    val sigsDir = graft.Fs.join(path, "sigs")
+    val keysDir = graft.Fs.join(path, "keys")
+    val scheme = spark.read.parquet(graft.Fs.join(path, "_meta"))
+      .head().getString(0)
+    val sigsTmp = sigsDir + "_compact_tmp"
+    val keysTmp = keysDir + "_compact_tmp"
+    spark.read.parquet(sigsDir)
+      .join(tomb, col("id") === col("__del_id"), "left_anti")
+      .write.mode("overwrite").parquet(sigsTmp)
+    spark.read.parquet(sigsTmp)
+      .select("__sig").distinct()
+      .select(col("__sig"),
+        explode(array(hammingKeyCols("__sig", scheme): _*)).as("kk"))
+      .select(col("__sig"), col("kk.t").as("t"), col("kk.key").as("key"))
+      .write.mode("overwrite").parquet(keysTmp)
+    def swap(live: String, tmp: String): Unit = {
+      val old = live + "_compact_old"
+      graft.Fs.deleteRecursively(old) // leftover from a prior crash
+      require(graft.Fs.rename(live, old),
+        s"failed to stage $live aside for compaction (artifact untouched)")
+      val in = graft.Fs.rename(tmp, live)
+      if (!in) require(graft.Fs.rename(old, live),
+        s"compaction swap failed AND rollback failed — live table at $old")
+      require(in, s"failed to move compacted table into place at $live " +
+        "(original restored)")
+      graft.Fs.deleteRecursively(old)
+    }
+    swap(sigsDir, sigsTmp)
+    swap(keysDir, keysTmp)
+    graft.Fs.deleteRecursively(tombDir)
+    ArtifactVersion.stamp(path)
+    true
+  }
+
+  /** Maintenance planner for a persisted hamming artifact — the media
+    * twin of [[graft.ops.TextAnalysis.bm25MaintenancePlan]]: debt =
+    * tombstoned ids / total ids in exact micro units; `compact` past
+    * `compactDebtFraction`. No rebuild tier — the artifact has no
+    * skew concept (bands are fixed-width) and no corpus-side input a
+    * rebuild would refit. Same (action, reason, live_rows, tombstones,
+    * debt_micro, skew_micro) row shape as the BM25/IVF planners, so
+    * one monitoring surface reads all three.
+    */
+  def hammingMaintenancePlan(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             compactDebtFraction: Double = 0.2)
+      : DataFrame = {
+    import spark.implicits._
+    require(compactDebtFraction > 0, "threshold must be positive")
+    val total = spark.read.parquet(graft.Fs.join(path, "sigs")).count()
+    val tombDir = graft.Fs.join(path, "_tombstones")
+    val tombs =
+      if (graft.Fs.exists(tombDir))
+        spark.read.parquet(tombDir).select("__del_id").distinct().count()
+      else 0L
+    val debtMicro =
+      if (total == 0) 0L
+      else (BigInt(tombs) * 1000000 / total).toLong
+    val cThr = math.floor(compactDebtFraction * 1e6).toLong
+    val (action, reason) =
+      if (debtMicro > cThr)
+        ("compact", s"debt_micro=$debtMicro > compact_micro=$cThr")
+      else ("none", "healthy")
+    Seq((action, reason, total - tombs, tombs, debtMicro, 0L))
+      .toDF("action", "reason", "live_rows", "tombstones", "debt_micro",
+        "skew_micro")
+  }
+
   /** Probe a new batch against the persisted signature corpus: which
     * batch items are within `maxDistance` bits of something already
     * ingested? Batch signatures band with the artifact's OWN scheme
@@ -277,8 +386,17 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
       .head().getString(0)
     val corpusKeys = spark.read.parquet(graft.Fs.join(path, "keys"))
       .select(col("__sig").as("__csig"), col("t"), col("key"))
-    val corpusIds = spark.read.parquet(graft.Fs.join(path, "sigs"))
+    // deleted corpus items ([[hammingArtifactDelete]]) are tombstoned,
+    // not rewritten: anti-join them here so a taken-down item stops
+    // pairing immediately (the branch only exists after a delete)
+    val corpusIdsRaw = spark.read.parquet(graft.Fs.join(path, "sigs"))
       .select(col("id").as("corpus_id"), col("__sig").as("__csig"))
+    val tombDir = graft.Fs.join(path, "_tombstones")
+    val corpusIds =
+      if (graft.Fs.exists(tombDir))
+        corpusIdsRaw.join(spark.read.parquet(tombDir),
+          col("corpus_id") === col("__del_id"), "left_anti")
+      else corpusIdsRaw
     val bids = batch.select(col(idCol).as("batch_id"),
         col(sigCol).as("__bsig"))
       .filter(col("__bsig").isNotNull)

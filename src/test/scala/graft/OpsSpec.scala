@@ -3170,6 +3170,51 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hamming artifact takedown lifecycle: delete is probe-effective " +
+      "immediately and idempotent, compact is probe-invisible and " +
+      "reclaims keys, planner tracks the debt") {
+    val rnd = new scala.util.Random(99)
+    val corpus = (0 until 30).map(i => (s"c$i", rnd.nextLong()))
+    val batch = corpus.map { case (n, s) => (s"b-$n", s) } // exact probes
+    val dir = tmpDir("hamm-lifecycle")
+    Dedup.hammingArtifactSave(corpus.toDF("id", "sig"), "id", "sig", dir)
+    def probe() = Dedup.incrementalHammingDuplicates(spark, dir,
+        batch.toDF("id", "sig"), "id", "sig")
+      .as[(String, String, Long)].collect().toSet
+    assert(probe().size == 30)
+    // delete 10 (incl. a repeat and an absent id: both harmless)
+    val del = (0 until 10).map(i => s"c$i") ++ Seq("c0", "ghost")
+    Dedup.hammingArtifactDelete(spark, dir, del.map(Tuple1(_)).toDF("id"),
+      "id")
+    val afterDelete = probe()
+    assert(afterDelete.size == 20 &&
+      !afterDelete.exists(r => (0 until 10).exists(i => r._2 == s"c$i")))
+    // planner: 11 distinct tombstones / 30 sigs > 0.2 -> compact
+    assert(Dedup.hammingMaintenancePlan(spark, dir)
+      .head().getString(0) == "compact")
+    val v0 = graft.ops.ArtifactVersion.read(dir)
+    assert(Dedup.hammingArtifactCompact(spark, dir))
+    assert(graft.ops.ArtifactVersion.read(dir) != v0) // stamped
+    assert(probe() == afterDelete) // probe-invisible
+    assert(Dedup.hammingMaintenancePlan(spark, dir)
+      .head().getString(0) == "none")
+    // keys/ really shrank to the survivors' banding (4 rows per sig)
+    assert(spark.read.parquet(s"$dir/keys").count() ==
+      spark.read.parquet(s"$dir/sigs").select("__sig").distinct()
+        .count() * 4)
+    // compact without tombstones: no-op, artifact untouched
+    val v1 = graft.ops.ArtifactVersion.read(dir)
+    assert(!Dedup.hammingArtifactCompact(spark, dir))
+    assert(graft.ops.ArtifactVersion.read(dir) == v1)
+    // append after compact still probes correctly
+    Dedup.hammingArtifactAppend(spark, dir,
+      Seq(("c99", 0x1234321L)).toDF("id", "sig"), "id", "sig")
+    assert(Dedup.incrementalHammingDuplicates(spark, dir,
+        Seq(("bx", 0x1234321L ^ 0x3L)).toDF("id", "sig"), "id", "sig")
+      .as[(String, String, Long)].collect().toSet ==
+      Set(("bx", "c99", 2L)))
+  }
+
   // ---- C4-style line filter ----
 
   test("c4LineFilter: terminal-punct/word-count/token line rules, doc flags, NULL text") {
