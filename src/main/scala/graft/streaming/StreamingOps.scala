@@ -465,8 +465,10 @@ object StreamingOps {
         try {
           val a = plan()
           if (a == "compact") {
+            // pin is null for services that re-read the artifact per
+            // batch (hammingDedupStream) — nothing to invalidate
             try compactNow()
-            finally pin.invalidate()
+            finally if (pin != null) pin.invalidate()
           }
           a
         } catch {
@@ -966,7 +968,10 @@ object StreamingOps {
     * self-join on 8-byte signatures.
     */
   def hammingDedupStream(stream: DataFrame, idCol: String, sigCol: String,
-                         artifactPath: String, maxDistance: Int = 3)(
+                         artifactPath: String, maxDistance: Int = 3,
+                         maintainEveryBatches: Int = 0,
+                         compactDebtFraction: Double = 0.2,
+                         onMaintenance: (String, Long) => Unit = null)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
@@ -985,6 +990,16 @@ object StreamingOps {
           .select(col("id_b").as(idCol))
         val dupIds = corpusDup.unionByName(intraDup).distinct()
         sink(batch.join(dupIds, Seq(idCol), "left_anti"), batchId)
+        // self-maintenance (r15, the bm25Stream wiring): this service
+        // re-reads the artifact per batch — no pin to invalidate, the
+        // compacted layout is simply what the next batch reads
+        maintainStep(batchId, maintainEveryBatches, onMaintenance,
+          () => graft.ops.Dedup.hammingMaintenancePlan(
+            mb.sparkSession, artifactPath, compactDebtFraction)
+            .head().getString(0),
+          () => graft.ops.Dedup.hammingArtifactCompact(
+            mb.sparkSession, artifactPath),
+          null)
     }
 
   /** Gap-based sessionization with the BUILT-IN `session_window`

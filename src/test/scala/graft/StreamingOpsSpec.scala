@@ -411,8 +411,12 @@ class StreamingOpsSpec extends SparkSpec {
       Seq(("c1", p1), ("c2", p2)).toDF("id", "sig"), "id", "sig", dir)
     val input = MemoryStream[(String, Long)]
     val admitted = scala.collection.mutable.Map[Long, Set[String]]()
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val query = StreamingOps.hammingDedupStream(
-        input.toDF().toDF("id", "sig"), "id", "sig", dir) {
+        input.toDF().toDF("id", "sig"), "id", "sig", dir,
+        maintainEveryBatches = 1,
+        onMaintenance = (a, b) => actions.synchronized {
+          actions += ((a, b)) }) {
       (df, bid) =>
         admitted(bid) = df.select("id").as[String].collect().toSet
     }.option("checkpointLocation", tmpDir("hamm-stream-ckpt")).start()
@@ -432,10 +436,23 @@ class StreamingOpsSpec extends SparkSpec {
       input.addData(("b6", f1), ("b7", f1 ^ 0x6L), ("b8", f1),
         ("b9", 0x0F0F0F0F0F0F0F0FL))
       query.processAllAvailable()
+      // a mid-stream TAKEDOWN deletes c1 (2 tombstones / 3 sigs past
+      // the 0.2 debt bar): the next batch probes WITHOUT c1, and its
+      // maintenance step executes the planner's compact verdict
+      graft.ops.Dedup.hammingArtifactDelete(spark, dir,
+        Seq("c1", "c2").map(Tuple1(_)).toDF("id"), "id")
+      input.addData(("b10", p1), ("b11", q5 ^ 0x2L))
+      query.processAllAvailable()
     } finally query.stop()
     assert(admitted(0L) == Set("b3"))
     assert(admitted(1L) == Set("b5"))
     assert(admitted(2L) == Set("b6", "b9"))
+    // b10 re-uploads the TAKEN-DOWN c1: now admitted (the takedown is
+    // probe-effective); b11 still rejects against the surviving c3
+    assert(admitted(3L) == Set("b10"))
+    assert(actions.toSeq == Seq(("none", 0L), ("none", 1L), ("none", 2L),
+      ("compact", 3L)))
+    assert(!graft.Fs.exists(s"$dir/_tombstones")) // compact folded them
   }
 
   test("streaming dedup keeps the first arrival of each distinct text") {
