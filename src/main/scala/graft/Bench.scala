@@ -58,15 +58,18 @@ object Bench {
     * back `parsed: null`, and r12's tail showed only the t_start section
     * (cumulative offsets of 97–151 s that READ like query times). This
     * line is what actually lands in BENCH_r{N}.json: query keys are
-    * shortened to their unique `qNN` prefix, entries ordered
-    * slowest-first, values are CENTISECOND INTEGERS (declared by the
-    * `q_unit` field and the note; 2-decimal seconds at 149 queries blew
-    * the window and dropped the 11 fastest — r14's `omitted: 11`, its
-    * one named bench defect), `-1` = failed query. Fastest entries are
-    * dropped only if the line would STILL exceed `budget` (the
-    * `omitted` field then says how many). `value` stays the FULL-suite
-    * total in seconds. Spec-pinned ≤ budget AND `omitted: 0` on the
-    * real committed suite.
+    * the NUMBER of their unique `qNN` prefix (the `q_key` field
+    * declares it; collisions keep full names), entries ordered
+    * slowest-first, values are CENTISECOND INTEGERS (declared by
+    * `q_unit`; 2-decimal seconds at 149 queries blew the window and
+    * dropped the 11 fastest — r14's `omitted: 11`, its one named bench
+    * defect — and the r15 first cut of this encoding hit `omitted: 1`
+    * again at 158, hence the number-keys + pointer-only note), `-1` =
+    * failed query. Fastest entries are dropped only if the line would
+    * STILL exceed `budget` (the `omitted` field then says how many).
+    * `value` stays the FULL-suite total in seconds. Spec-pinned ≤
+    * budget AND `omitted: 0` on the real committed suite PLUS 15
+    * synthetic future queries.
     */
   def summaryLine(results: Seq[(String, Double)], sfDir: String,
                   budget: Int = 1800): String = {
@@ -78,8 +81,11 @@ object Bench {
       case (p, g) if g.size > 1 => p
     }.toSet
     val byName = results.toMap
+    // key = the query NUMBER ("143" for q143_…): the 'q' is one char
+    // per entry the window can't spare at 170+ queries; prefix
+    // collisions fall back to the full name (which keeps its 'q')
     val short = prefixes.map { case (n, p) =>
-      (if (collides(p)) n else p) -> byName(n)
+      (if (collides(p)) n else p.stripPrefix("q")) -> byName(n)
     }.sortBy { case (_, v) => -v }
     // the failure sentinel stays -1 (not -100): a reader treating it as
     // centiseconds would see -0.01 s, which still reads as "failed"
@@ -92,10 +98,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
         s""""sf":"$sfDir","n_queries":${results.size},""" +
         s""""omitted":${results.size - keep},""" +
-        s""""q_unit":"centisec",""" +
-        s""""note":"queries = CENTISECOND ints, keys = qNN prefix,""" +
-        s""" slowest first, -1 = failed; full record in""" +
-        s""" BENCH_LOCAL_latest.json",""" +
+        s""""q_unit":"centisec","q_key":"number sans q",""" +
+        s""""note":"full: BENCH_LOCAL_latest.json",""" +
         s""""queries":{$qs}}"""
     }
     // largest slowest-first subset that fits; at most ~160 queries so the

@@ -133,32 +133,44 @@ class BenchHonestySpec extends SparkSpec {
       s"summary drops queries on the real suite: " +
         """"omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1)))
     assert(line.contains("\"q_unit\":\"centisec\""))
-    // slowest-first and short-keyed: the slowest query's qNN prefix is
+    // HEADROOM: the suite grows every round (158 queries hit
+    // omitted:1 at r15 before the note trim) — a synthetic suite 15
+    // queries bigger than today's, with realistic multi-second values,
+    // must still fit whole
+    val grown = results ++ (0 until 15).map(i =>
+      (f"q${900 + i}%d_future_query_name" -> 12.34))
+    val gline = Bench.summaryLine(grown, "/root/testdata/sf0.1")
+    assert(gline.length <= 1800 && gline.contains("\"omitted\":0"),
+      s"summary lacks growth headroom: ${gline.length} chars, " +
+        """"omitted":(\d+)""".r.findFirstMatchIn(gline).map(_.group(1)))
+    // slowest-first and number-keyed: the slowest query's number is
     // the first key in the queries object
     val slowest = results.maxBy(_._2)._1.takeWhile(_ != '_')
+      .stripPrefix("q")
     val qIdx = line.indexOf("\"queries\":{")
     assert(line.startsWith("\"" + slowest + "\":", qIdx + 11),
       s"first summary entry is not the slowest query ($slowest): " +
         line.substring(qIdx, math.min(line.length, qIdx + 60)))
     // every retained key is unique (prefix collisions fall back to the
     // full name rather than silently merging two queries)
-    val keys = """"(q[A-Za-z0-9_]+)":""".r
+    val keys = """"([A-Za-z0-9_]+)":(-?\d+)[,}]""".r
       .findAllMatchIn(line.substring(qIdx + 11)).map(_.group(1)).toSeq
     assert(keys.distinct.size == keys.size)
-    // collision fallback: two names sharing a qNN prefix keep full names;
-    // values are centisecond ints (2.0 s -> 200), failures stay -1
+    // collision fallback: two names sharing a qNN prefix keep full
+    // names (incl. the q); values are centisecond ints (2.0 s -> 200),
+    // failures stay -1
     val coll = Bench.summaryLine(
       Seq("q1_alpha" -> 2.0, "q1_beta" -> 1.0, "q2_gamma" -> 0.505,
         "q3_failed" -> -1.0), "/x")
     assert(coll.contains("\"q1_alpha\":200") &&
-      coll.contains("\"q1_beta\":100") && coll.contains("\"q2\":51") &&
-      coll.contains("\"q3\":-1"))
+      coll.contains("\"q1_beta\":100") && coll.contains("\"2\":51") &&
+      coll.contains("\"3\":-1"))
     // over-budget input degrades by dropping FASTEST entries and says so
     val many = (1 to 400).map(i => f"q$i%03d_very_long_query_name" -> i.toDouble)
     val tight = Bench.summaryLine(many, "/x", budget = 600)
     assert(tight.length <= 600)
     assert(""""omitted":(\d+)""".r.findFirstMatchIn(tight)
       .exists(_.group(1).toInt > 0))
-    assert(tight.contains("\"q400\":40000") && !tight.contains("\"q001\":"))
+    assert(tight.contains("\"400\":40000") && !tight.contains("\"001\":"))
   }
 }
