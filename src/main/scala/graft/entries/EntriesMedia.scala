@@ -584,12 +584,15 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       val didCompact = graft.ops.Dedup.hammingArtifactCompact(s, base)
       val planAfter = graft.ops.Dedup.hammingMaintenancePlan(s, base)
         .head().getString(0)
+      val auditOk = graft.ops.Dedup.hammingArtifactValidate(s, base)
+        .filter(!col("ok")).count() == 0L
       probe()
         .withColumn("plan_was_compact", lit(planBefore == "compact"))
         .withColumn("did_compact", lit(didCompact))
         .withColumn("plan_now_none", lit(planAfter == "none"))
         .withColumn("probe_invariant",
           lit(probe().collect().toSet == before))
+        .withColumn("audit_ok", lit(auditOk))
         .orderBy("batch_id", "corpus_id")
     }),
 
@@ -755,7 +758,8 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
            |SELECT batch_id, corpus_id,
            |  CAST(bit_count(xor(bsig, csig)) AS BIGINT) AS hamming,
            |  TRUE AS plan_was_compact, TRUE AS did_compact,
-           |  TRUE AS plan_now_none, TRUE AS probe_invariant
+           |  TRUE AS plan_now_none, TRUE AS probe_invariant,
+           |  TRUE AS audit_ok
            |FROM b CROSS JOIN corpus
            |WHERE bit_count(xor(bsig, csig)) <= 3
            |ORDER BY batch_id, corpus_id""".stripMargin

@@ -328,6 +328,67 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
     true
   }
 
+  /** Consistency audit of a persisted [[hammingArtifactSave]] artifact
+    * — the media twin of [[graft.ops.Similarity.ivfIndexValidate]] /
+    * [[graft.ops.TextAnalysis.bm25ArtifactsValidate]], completing the
+    * lifecycle symmetry (build → append → delete → compact → plan →
+    * VALIDATE). Fixed-width scans only. Invariants, in the shared
+    * (check, ok, observed, expected) row shape:
+    *
+    *  - `ids_unique`: no id appears twice among live rows (a
+    *    re-appended batch would pair every probe twice);
+    *  - `keys_cover_sigs`: every distinct signature in `sigs/` has at
+    *    least the scheme's band count of `keys/` rows (4 bands / 20
+    *    block-triples — a gap means probes MISS that signature's
+    *    candidates; appended duplicates above the floor are harmless,
+    *    the probe distincts candidates);
+    *  - `no_orphan_keys`: every keyed signature still exists in
+    *    `sigs/` (orphans are compaction debt only — a sig whose last
+    *    id was deleted keeps generating candidates that die at the
+    *    ids join — so `ok` is always true; the row makes the waste
+    *    visible, [[hammingArtifactCompact]] reclaims it);
+    *  - `tombstones_resolved`: pending tombstone count (debt — always
+    *    `ok`, the planner acts on it).
+    */
+  def hammingArtifactValidate(spark: org.apache.spark.sql.SparkSession,
+                              path: String): DataFrame = {
+    import spark.implicits._
+    val scheme = spark.read.parquet(graft.Fs.join(path, "_meta"))
+      .head().getString(0)
+    val bands = if (scheme == "bands") 4L else 20L
+    val sigs = spark.read.parquet(graft.Fs.join(path, "sigs"))
+    val tombDir = graft.Fs.join(path, "_tombstones")
+    val tombs =
+      if (graft.Fs.exists(tombDir))
+        spark.read.parquet(tombDir).select("__del_id").distinct()
+      else spark.emptyDataFrame.withColumn("__del_id", lit(null))
+        .limit(0)
+    val live =
+      if (graft.Fs.exists(tombDir))
+        sigs.join(tombs, sigs("id") === col("__del_id"), "left_anti")
+      else sigs
+    val liveAgg = live.agg(count(lit(1)).as("rows"),
+      countDistinct(col("id")).as("ids")).head()
+    val keySigs = spark.read.parquet(graft.Fs.join(path, "keys"))
+      .groupBy("__sig").agg(count(lit(1)).as("__n"))
+    val distinctSigs = sigs.select(col("__sig")).distinct()
+    val underKeyed = distinctSigs
+      .join(keySigs.filter(col("__n") >= bands), Seq("__sig"),
+        "left_anti").count()
+    val orphans = keySigs.join(distinctSigs, Seq("__sig"), "left_anti")
+      .count()
+    val debt =
+      if (graft.Fs.exists(tombDir)) tombs.count() else 0L
+    Seq(
+      ("ids_unique",
+        liveAgg.getAs[Long]("rows") == liveAgg.getAs[Long]("ids"),
+        liveAgg.getAs[Long]("rows") - liveAgg.getAs[Long]("ids"), 0L),
+      ("keys_cover_sigs", underKeyed == 0L, underKeyed, 0L),
+      ("no_orphan_keys", true, orphans, 0L),
+      ("tombstones_resolved", true, debt, 0L),
+    ).toDF("check", "ok", "observed", "expected")
+  }
+
   /** Maintenance planner for a persisted hamming artifact — the media
     * twin of [[graft.ops.TextAnalysis.bm25MaintenancePlan]]: debt =
     * tombstoned ids / total ids in exact micro units; `compact` past

@@ -3202,6 +3202,13 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/keys").count() ==
       spark.read.parquet(s"$dir/sigs").select("__sig").distinct()
         .count() * 4)
+    // audit after compact: all invariants hold, zero orphans/debt
+    val audit = Dedup.hammingArtifactValidate(spark, dir)
+      .as[(String, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(audit.values.forall(_._1))
+    assert(audit("no_orphan_keys")._2 == 0L)
+    assert(audit("tombstones_resolved")._2 == 0L)
     // compact without tombstones: no-op, artifact untouched
     val v1 = graft.ops.ArtifactVersion.read(dir)
     assert(!Dedup.hammingArtifactCompact(spark, dir))
