@@ -602,7 +602,10 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           lit("der und das ist"),
           when(pmod(col("doc_id"), lit(2)) === 0,
             lit("die nicht ein mit"))
-            .otherwise(lit("le est dans les"))).as("mx"))
+            .otherwise(lit("le est dans les")),
+          // REAL unsegmented Chinese — one whitespace token, zero
+          // marker hits; only Han script-range scoring can call it
+          lit("这是一段没有空格的中文文本")).as("mx"))
       TextAnalysis.langSpans(multi, "doc_id", "mx")
         .orderBy("doc_id", "span_no")
     }),
@@ -881,9 +884,15 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         val es = hits(Seq("el", "la", "de", "que", "y", "los", "es", "una"))
         val de = hits(Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"))
         val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans", "que"))
-        val zh = hits(Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+        // zh scores by Han-script CODE POINTS (RE2 replays the engine's
+        // scriptRangeClass verbatim), not marker tokens — unsegmented
+        // Chinese has no whitespace tokens to match
+        // (DuckDB single-quoted literals pass backslashes through
+        // verbatim — no doubling)
+        val zh = "len(regexp_extract_all(text, " +
+          s"'${graft.ops.TextAnalysis.scriptRangeClass(graft.ops.TextAnalysis.hanScriptRanges)}'))"
         s"""WITH toks AS (
-           |  SELECT doc_id,
+           |  SELECT doc_id, text,
            |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
            |      x -> len(x) > 0) AS lt
            |  FROM documents),
@@ -1270,8 +1279,10 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
 
       // q156's expected spans: a pure function of doc parity — even
       // docs' tail line merges into the de span, odd docs' opens an fr
-      // one; the en/es/und/de prefix is common. A langId drift, an
-      // island-merge bug, or an index off-by-one all break the hash.
+      // one; the en/es/und/de prefix and the final UNSEGMENTED-zh line
+      // (Han script-range scoring — no whitespace marker token exists
+      // to hit) are common. A langId drift, an island-merge bug, or an
+      // index off-by-one all break the hash.
       "q156_lang_spans" ->
         """WITH base AS (
           |  SELECT doc_id, doc_id % 2 = 0 AS ev FROM documents
@@ -1279,9 +1290,10 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |v(ev, span_no, lang, start_line, end_line, n_lines) AS (VALUES
           |  (true,  0, 'en',  0, 0, 1), (true,  1, 'es',  1, 2, 2),
           |  (true,  2, 'und', 3, 3, 1), (true,  3, 'de',  4, 5, 2),
+          |  (true,  4, 'zh',  6, 6, 1),
           |  (false, 0, 'en',  0, 0, 1), (false, 1, 'es',  1, 2, 2),
           |  (false, 2, 'und', 3, 3, 1), (false, 3, 'de',  4, 4, 1),
-          |  (false, 4, 'fr',  5, 5, 1))
+          |  (false, 4, 'fr',  5, 5, 1), (false, 5, 'zh',  6, 6, 1))
           |SELECT doc_id, CAST(span_no AS BIGINT) AS span_no, lang,
           |  CAST(start_line AS BIGINT) AS start_line,
           |  CAST(end_line AS BIGINT) AS end_line,

@@ -391,8 +391,9 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
 
   /** Maintenance planner for a persisted hamming artifact — the media
     * twin of [[graft.ops.TextAnalysis.bm25MaintenancePlan]]: debt =
-    * tombstoned ids / total ids in exact micro units; `compact` past
-    * `compactDebtFraction`. No rebuild tier — the artifact has no
+    * sig rows a compaction would reclaim (rows whose id is tombstoned,
+    * counted by anti-join) / total sig rows, in exact micro units;
+    * `compact` past `compactDebtFraction`. No rebuild tier — the artifact has no
     * skew concept (bands are fixed-width) and no corpus-side input a
     * rebuild would refit. Same (action, reason, live_rows, tombstones,
     * debt_micro, skew_micro) row shape as the BM25/IVF planners, so
@@ -404,21 +405,31 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
       : DataFrame = {
     import spark.implicits._
     require(compactDebtFraction > 0, "threshold must be positive")
-    val total = spark.read.parquet(graft.Fs.join(path, "sigs")).count()
+    val sigs = spark.read.parquet(graft.Fs.join(path, "sigs"))
     val tombDir = graft.Fs.join(path, "_tombstones")
-    val tombs =
-      if (graft.Fs.exists(tombDir))
-        spark.read.parquet(tombDir).select("__del_id").distinct().count()
-      else 0L
+    // live/debt via the anti-join (the [[hammingArtifactValidate]]
+    // computation), NOT total − count(distinct tombstones): ghost
+    // tombstones (ids never ingested — allowed by delete) and ids
+    // appearing in multiple sig rows would otherwise skew live_rows
+    // (even negative) and push debt_micro past 1e6
+    val (total, live, tombs) =
+      if (graft.Fs.exists(tombDir)) {
+        val t = spark.read.parquet(tombDir).select("__del_id").distinct()
+        val agg = sigs
+          .join(t.hint("broadcast"), sigs("id") === col("__del_id"),
+            "left_anti")
+          .agg(count(lit(1)).as("live")).head().getLong(0)
+        (sigs.count(), agg, t.count())
+      } else { val n = sigs.count(); (n, n, 0L) }
     val debtMicro =
       if (total == 0) 0L
-      else (BigInt(tombs) * 1000000 / total).toLong
+      else (BigInt(total - live) * 1000000 / total).toLong
     val cThr = math.floor(compactDebtFraction * 1e6).toLong
     val (action, reason) =
       if (debtMicro > cThr)
         ("compact", s"debt_micro=$debtMicro > compact_micro=$cThr")
       else ("none", "healthy")
-    Seq((action, reason, total - tombs, tombs, debtMicro, 0L))
+    Seq((action, reason, live, tombs, debtMicro, 0L))
       .toDF("action", "reason", "live_rows", "tombstones", "debt_micro",
         "skew_micro")
   }

@@ -165,28 +165,85 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
       (repl === 0L && ctrl === 0L && moji === 0L).as("is_clean"))
   }
 
-  /** Marker-token profiles for the n-gram/stopword language-ID heuristic.
-    * Small on purpose: they broadcast as literals inside the plan.
+  /** A language-ID profile. `markers` score by whitespace-TOKEN hits —
+    * right for space-delimited languages. `scriptRanges` score by CODE
+    * POINTS inside the inclusive Unicode ranges — required for scripts
+    * written without inter-word spaces: whitespace tokenization turns
+    * an unsegmented Chinese line into ONE long token that no marker
+    * list can ever hit (the r15 verdict's weak spot), while nearly
+    * every code point of such a line sits in its script's blocks. A
+    * profile may carry both; its score is the sum. At least one must
+    * be non-empty.
     */
-  val defaultLangProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "was"),
-    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que"),
-    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"),
+  final case class LangProfile(lang: String,
+                               markers: Seq[String] = Nil,
+                               scriptRanges: Seq[(Int, Int)] = Nil) {
+    require(markers.nonEmpty || scriptRanges.nonEmpty,
+      s"profile '$lang' needs markers and/or scriptRanges")
+  }
+
+  /** Han ranges for the zh profile: the [[graft.functions.BpeModel
+    * .isCjk]] blocks MINUS Hiragana/Katakana/Hangul — those scripts
+    * identify ja/ko, not zh, so a future ja profile (Kana ranges +
+    * particles) stays separable instead of tying every Japanese line
+    * with the zh score.
+    */
+  val hanScriptRanges: Seq[(Int, Int)] = Seq(
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0xF900, 0xFAFF),
+    (0x20000, 0x2FFFF))
+
+  /** Default profiles: marker tokens for the space-delimited European
+    * languages, Han script-range scoring for zh. Small on purpose:
+    * they broadcast as literals inside the plan.
+    */
+  val defaultLangProfiles: Seq[LangProfile] = Seq(
+    LangProfile("en",
+      markers = Seq("the", "and", "of", "to", "is", "that", "it", "was")),
+    LangProfile("es",
+      markers = Seq("el", "la", "de", "que", "y", "los", "es", "una")),
+    LangProfile("de",
+      markers = Seq("der", "die", "und", "das", "ist", "nicht", "ein",
+        "mit")),
+    LangProfile("fr",
+      markers = Seq("le", "la", "les", "et", "est", "une", "dans",
+        "que")),
+    LangProfile("zh", scriptRanges = hanScriptRanges),
   )
 
-  /** Language-ID: score each profile by marker-token hits per token and
-    * take the argmax (ties broken by profile order; "und" = undetermined
-    * when nothing matches). Pure expression — argmax via array_max over
-    * (score, -index) structs.
+  /** One regex character class covering the ranges — both Java regex
+    * (Spark) and RE2 (DuckDB — what keeps q13/q156 oracle-replayable)
+    * parse `\x{...}` range endpoints, including supplementary-plane
+    * ones, and count a surrogate pair as ONE match.
+    */
+  def scriptRangeClass(ranges: Seq[(Int, Int)]): String =
+    ranges.map { case (lo, hi) => f"\\x{$lo%X}-\\x{$hi%X}" }
+      .mkString("[", "", "]")
+
+  /** Language-ID: score each profile (marker-token hits + script-range
+    * code-point count, see [[LangProfile]]) and take the argmax (ties
+    * broken by profile order; "und" = undetermined when nothing
+    * matches). Mixed lines route to the dominant evidence — "the cat
+    * 的" stays en (tie, en first), a markerless CJK-majority line
+    * reads zh. Pure expression — argmax via array_max over
+    * (score, -index) structs; the marker leg is a token-array filter,
+    * the script leg ONE regexp_count scan — both codegen'd,
+    * zero-shuffle.
     */
   def langId(text: Column,
-             profiles: Seq[(String, Seq[String])] = defaultLangProfiles): Column = {
+             profiles: Seq[LangProfile] = defaultLangProfiles): Column = {
     val toks = tokens(lower(text))
-    val scored = profiles.zipWithIndex.map { case ((lang, markers), i) =>
-      val hits = size(filter(toks, t => t.isin(markers.map(lit): _*)))
-      struct(hits.as("score"), lit(-i).as("prio"), lit(lang).as("lang"))
+    val scored = profiles.zipWithIndex.map { case (p, i) =>
+      val parts =
+        (if (p.markers.nonEmpty)
+          Seq(size(filter(toks,
+            t => t.isin(p.markers.map(lit): _*))).cast("long"))
+        else Nil) ++
+        (if (p.scriptRanges.nonEmpty)
+          Seq(regexp_count(text,
+            lit(scriptRangeClass(p.scriptRanges))).cast("long"))
+        else Nil)
+      val hits = parts.reduce(_ + _)
+      struct(hits.as("score"), lit(-i).as("prio"), lit(p.lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
@@ -197,7 +254,7 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
     * doc's English boilerplate and its CJK body to different pipeline
     * arms, strip embedded foreign navigation, or train per-language
     * tokenizers on clean strata). Each '\n' line gets [[langId]]'s
-    * verdict (empty/markerless lines read 'und' — code blocks and
+    * verdict (empty/evidence-free lines read 'und' — code blocks and
     * blank separators form their own spans, deliberately), and
     * consecutive same-language lines merge into one span row:
     * (idCol, span_no, lang, start_line, end_line, n_lines), span_no
@@ -209,7 +266,7 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
     * exchange carries (id, line_no, lang) triples, never text.
     */
   def langSpans(df: DataFrame, idCol: String, textCol: String,
-                profiles: Seq[(String, Seq[String])] = defaultLangProfiles)
+                profiles: Seq[LangProfile] = defaultLangProfiles)
       : DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("line_idx")

@@ -56,6 +56,12 @@ private[graft] trait TextUnigram { this: TextAnalysis.type =>
     val rows = df.select(explode(call_function("graft_bpe_words",
         lower(col(textCol)), lit(pretok), lit(maxWordLen),
         lit(graft.functions.BpeModel.SymCodepoints))).as("w"))
+      // CODE-POINT bound, consistent with segmentWord's unit: Spark's
+      // length() counts UTF8String.numChars = code points (a surrogate
+      // pair is ONE), not UTF-16 units — UnigramSpec pins a non-BMP
+      // word at exactly maxWordLen code points surviving the fit. The
+      // filter is load-bearing only under 'ws' pretok (whose words
+      // graft_bpe_words emits unbounded); 'cjk' chunks at the bound.
       .filter(length(col("w")) <= maxWordLen)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minWordCount)

@@ -47,6 +47,26 @@ class OpsSpec extends SparkSpec {
     assert(und == "und")
   }
 
+  test("langId on CJK: unsegmented zh scores by Han script ranges, " +
+      "mixed lines route to the dominant evidence") {
+    def lid(s: String): String = Seq(s).toDF("text")
+      .select(TextAnalysis.langId(col("text"))).as[String].head()
+    // real Chinese: no whitespace → ONE token, zero marker hits; the
+    // script leg counts every Han code point
+    assert(lid("这是一段没有空格的中文文本") == "zh")
+    // supplementary-plane Han (U+20000, a surrogate pair) counts too
+    assert(lid("𠀀𠀁𠀂") == "zh")
+    // Han-majority mixed line: 4 Han cp beat 1 en marker hit
+    assert(lid("the 这是中文") == "zh")
+    // tie (1 en marker vs 1 Han cp) breaks by profile order → en
+    assert(lid("the cat 的") == "en")
+    // kana/hangul are NOT in the zh profile: a markerless ja line
+    // stays und rather than mis-tying zh
+    assert(lid("ひらがなカタカナ") == "und")
+    // emoji/CJK punctuation are outside the Han ranges
+    assert(lid("😀😀 、。") == "und")
+  }
+
   test("langSpans: island merging, empty-line und, single-line and " +
       "all-und docs, null routing") {
     val rows = Seq(

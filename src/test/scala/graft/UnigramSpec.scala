@@ -90,6 +90,20 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("fit word-length bound counts CODE POINTS, not UTF-16 units: a " +
+      "non-BMP word at the bound enters the fit, one past it does not") {
+    // "😀😁😂😃" = 4 code points but 8 UTF-16 units — a UTF-16-unit
+    // bound would wrongly exclude it at maxWordLen=4
+    val docs = (0 until 10).map(i => (i.toLong, "😀😁😂😃 😀😁😂😃😄"))
+      .toDF("id", "text")
+    val m = TextAnalysis.unigramFit(docs, "text", vocabSize = 20,
+      maxPieceLen = 2, emIters = 1, maxWordLen = 4)
+    assert(m.pieces.contains("😀") && m.pieces.contains("😃"))
+    // the 5-code-point word is filtered: its unique tail cp never
+    // enters the inventory
+    assert(!m.pieces.contains("😄"))
+  }
+
   test("BPE-family parity on an ASCII corpus: shared word boundaries, " +
       "both lossless, piece concat == subword concat") {
     val docs = (0 until 30).map(i =>
