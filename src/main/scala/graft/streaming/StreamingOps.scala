@@ -350,7 +350,8 @@ object StreamingOps {
                  b: Double = 0.75, refreshEveryBatches: Int = 1,
                  maintainEveryBatches: Int = 0,
                  compactDebtFraction: Double = 0.2,
-                 onMaintenance: (String, Long) => Unit = null)(
+                 onMaintenance: (String, Long) => Unit = null,
+                 rebuildNow: () => Unit = null)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
@@ -375,7 +376,7 @@ object StreamingOps {
             .head().getString(0),
           () => graft.ops.TextAnalysis.bm25ArtifactsCompact(
             mb.sparkSession, artifactPath, keepGenerations = 2),
-          pin)
+          pin, rebuildNow)
     }
   }
 
@@ -440,10 +441,15 @@ object StreamingOps {
     *    for one query are sequential, so no probe is mid-flight in
     *    THIS service), then the pin is invalidated so the next batch
     *    reloads the compacted artifact immediately;
-    *  - `rebuild` → surfaced through `onMaintenance` but NOT executed:
-    *    a rebuild needs inputs the service doesn't hold (the corpus, a
-    *    centroid refit decision) — it stays an operator action by
-    *    design;
+    *  - `rebuild` → executed ONLY when the caller supplied a
+    *    `rebuildNow` thunk: a rebuild needs inputs the service doesn't
+    *    hold (the corpus, a centroid refit decision), so the caller
+    *    wires its corpus accessor in — the thunk must republish the
+    *    artifact (every rebuild operator bumps the
+    *    [[graft.ops.ArtifactVersion]] token, and generation-publish
+    *    keeps concurrently-pinned readers alive, the q129/q135
+    *    machinery). Without a thunk the verdict is surfaced through
+    *    `onMaintenance` and NOT executed — the conservative default;
     *  - `none` → nothing.
     *
     * `onMaintenance(action, batchId)` fires with the planner's verdict
@@ -452,7 +458,8 @@ object StreamingOps {
   private def maintainStep(batchId: Long, maintainEveryBatches: Int,
                            onMaintenance: (String, Long) => Unit,
                            plan: () => String, compactNow: () => Unit,
-                           pin: SnapshotPin[_]): Unit = {
+                           pin: SnapshotPin[_],
+                           rebuildNow: () => Unit = null): Unit = {
     if (maintainEveryBatches > 0 && batchId % maintainEveryBatches == 0) {
       // contained: the batch's results already reached the sink — a
       // maintenance failure (planner scan racing an external rebuild,
@@ -468,6 +475,14 @@ object StreamingOps {
             // pin is null for services that re-read the artifact per
             // batch (hammingDedupStream) — nothing to invalidate
             try compactNow()
+            finally if (pin != null) pin.invalidate()
+          } else if (a == "rebuild" && rebuildNow != null) {
+            // same containment + invalidation shape as compact: the
+            // thunk republishes, the local pin adopts the new
+            // generation on the very next batch (even on failure —
+            // a half-published rebuild is when a stale listing is
+            // most dangerous)
+            try rebuildNow()
             finally if (pin != null) pin.invalidate()
           }
           a
@@ -498,7 +513,8 @@ object StreamingOps {
                 refreshEveryBatches: Int = 1,
                 maintainEveryBatches: Int = 0,
                 compactDebtFraction: Double = 0.2,
-                onMaintenance: (String, Long) => Unit = null)(
+                onMaintenance: (String, Long) => Unit = null,
+                rebuildNow: () => Unit = null)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
@@ -524,7 +540,7 @@ object StreamingOps {
             .head().getString(0),
           () => graft.ops.Similarity.ivfIndexCompact(
             mb.sparkSession, indexDir),
-          pin)
+          pin, rebuildNow)
     }
   }
 
@@ -556,7 +572,9 @@ object StreamingOps {
                    refreshEveryBatches: Int = 1,
                    maintainEveryBatches: Int = 0,
                    compactDebtFraction: Double = 0.2,
-                   onMaintenance: (String, String, Long) => Unit = null)(
+                   onMaintenance: (String, String, Long) => Unit = null,
+                   bm25RebuildNow: () => Unit = null,
+                   annRebuildNow: () => Unit = null)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] = {
@@ -597,7 +615,7 @@ object StreamingOps {
             .head().getString(0),
           () => graft.ops.TextAnalysis.bm25ArtifactsCompact(
             mb.sparkSession, bm25Path, keepGenerations = 2),
-          lexPin)
+          lexPin, bm25RebuildNow)
         maintainStep(batchId, maintainEveryBatches,
           if (onMaintenance == null) null
           else (a: String, b2: Long) => onMaintenance("ann", a, b2),
@@ -606,7 +624,7 @@ object StreamingOps {
             .head().getString(0),
           () => graft.ops.Similarity.ivfIndexCompact(
             mb.sparkSession, indexDir),
-          semPin)
+          semPin, annRebuildNow)
     }
   }
 
@@ -713,8 +731,10 @@ object StreamingOps {
     * .perceptualHashStage]] all run on streams, spec-proven), and
     * finally the per-batch WebDataset export. The media leg probes the
     * persisted [[graft.ops.Dedup.hammingArtifactSave]] artifact AND
-    * collapses intra-batch near-duplicates (min-key representative —
-    * the [[hammingDedupStream]] rule), with the same economics: batch-
+    * collapses intra-batch near-duplicates (drop-any-lower-key-
+    * neighbor, the [[hammingDedupStream]] rule — survivors are the
+    * neighbor graph's local minima; chains over-drop transitively,
+    * see there), with the same economics: batch-
     * sized cost plus a fixed-width artifact scan, corpus media bytes
     * never re-read. Gate order is cost order: classifier projection →
     * DSIR broadcast join → digest anti-join → media probe → export.
@@ -960,12 +980,18 @@ object StreamingOps {
     * ADVICE — two copies arriving in the same micro-batch would both
     * miss the corpus artifact and both be admitted): the batch's own
     * [[graft.ops.Dedup.hammingDuplicates]] pairs drop every item that
-    * has a LOWER-id neighbor within `maxDistance`, keeping one
-    * deterministic representative per duplicate pair (greedy min-id —
-    * an item whose only neighbor was itself dropped still survives,
-    * the standard non-transitive-hamming trade, same as the batch
-    * survivor convention). Per-batch cost: one batch-sized banded
-    * self-join on 8-byte signatures.
+    * has a LOWER-id neighbor within `maxDistance` — survivors are
+    * exactly the LOCAL MINIMA of the neighbor graph, so no two
+    * survivors are near-duplicates of each other, and the drop is
+    * transitive on chains: in a<b<c with pairs (a,b),(b,c) both b and
+    * c drop even though c's only neighbor b was itself dropped (c's
+    * content is represented only through the chain). That greedy
+    * one-pass trade is deliberate: keeping c would need an iterative
+    * closure (connected-component representative selection) per
+    * micro-batch; callers who want chain-preserving semantics should
+    * batch-dedup with [[graft.ops.Dedup.duplicateClusters]] instead.
+    * Per-batch cost: one batch-sized banded self-join on 8-byte
+    * signatures.
     */
   def hammingDedupStream(stream: DataFrame, idCol: String, sigCol: String,
                          artifactPath: String, maxDistance: Int = 3,

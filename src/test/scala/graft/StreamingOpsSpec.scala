@@ -1063,6 +1063,79 @@ class StreamingOpsSpec extends SparkSpec {
       .head().getString(0) == "none")
   }
 
+  test("bm25Stream self-maintenance: a planner-verdict REBUILD executes " +
+      "the caller-supplied thunk mid-stream; without the thunk it is " +
+      "surfaced, not executed") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (1L to 10L).map(i =>
+      (i, if (i <= 4) s"spark engine doc$i" else s"filler words doc$i"))
+      .toDF("doc_id", "text")
+    val art = tmpDir("bm25-rebuild")
+    graft.ops.TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text", art)
+    // delete 60% -> debt 0.6 > 0.5: the planner must say rebuild
+    graft.ops.TextAnalysis.bm25ArtifactsDelete(spark, art,
+      (5L to 10L).toDF("doc_id"), "doc_id")
+    assert(graft.ops.TextAnalysis.bm25MaintenancePlan(spark, art)
+      .head().getString(0) == "rebuild")
+    val survivors = docs.filter(col("doc_id") <= 4L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    // phase 1: NO thunk — the verdict is surfaced but nothing runs,
+    // the conservative default (the artifact keeps its tombstone debt)
+    locally {
+      val input = MemoryStream[(Long, String)]
+      val actions = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val query = StreamingOps.bm25Stream(
+          input.toDF().toDF("qid", "qtext"), art, "qid", "qtext", k = 3,
+          maintainEveryBatches = 1,
+          onMaintenance = (a, b) => actions.synchronized {
+            actions += ((a, b)) }) {
+        (_, _) => ()
+      }.start()
+      try {
+        input.addData((100L, "spark engine")); query.processAllAvailable()
+      } finally query.stop()
+      assert(actions.toSeq == Seq(("rebuild", 0L)))
+      assert(graft.ops.TextAnalysis.bm25MaintenancePlan(spark, art)
+        .head().getString(0) == "rebuild") // still pending
+    }
+    // phase 2: the caller wires its corpus accessor in — the verdict
+    // EXECUTES after batch 0's delivery; batch 1 probes the rebuilt
+    // artifact (pin invalidated -> reloaded), batch-exact
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Double)]]()
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val query = StreamingOps.bm25Stream(
+        input.toDF().toDF("qid", "qtext"), art, "qid", "qtext", k = 3,
+        maintainEveryBatches = 1,
+        onMaintenance = (a, b) => actions.synchronized {
+          actions += ((a, b)) },
+        rebuildNow = () => graft.ops.TextAnalysis.bm25ArtifactsSave(
+          survivors, "doc_id", "text", art)) {
+      (res, id) => got.synchronized { got(id) = canon(res) }
+    }.start()
+    val q1 = Seq((100L, "spark engine"))
+    val q2 = Seq((200L, "spark engine doc3"))
+    try {
+      input.addData(q1: _*); query.processAllAvailable()
+      input.addData(q2: _*); query.processAllAvailable()
+    } finally query.stop()
+    // batch 0 probed the tombstone-suppressed pre-rebuild snapshot;
+    // batch 1 the rebuilt generation — both surface survivors only
+    assert(got(0L).nonEmpty && got(1L).nonEmpty)
+    assert(got(0L).map(_._3).forall(_ <= 4L))
+    def expect(rows: Seq[(Long, String)]) =
+      canon(graft.ops.TextAnalysis.bm25TopKPersisted(spark, art,
+        rows.toDF("qid", "qtext"), "qid", "qtext", k = 3))
+    assert(got(1L) == expect(q2))
+    assert(actions.toSeq == Seq(("rebuild", 0L), ("none", 1L)))
+    // the rebuild really reset the lifecycle: healthy, tombstones gone
+    assert(graft.ops.TextAnalysis.bm25MaintenancePlan(spark, art)
+      .head().getString(0) == "none")
+  }
+
   test("annStream self-maintenance: planner-driven in-place compact " +
       "mid-stream; the service's own pin survives via invalidation") {
     implicit val sqlCtx = spark.sqlContext
