@@ -61,6 +61,56 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
     (all.head._1, all.head._2)
   }
 
+  /** q160's fixture docs (byte_fallback mode, same q151 piece table):
+    * unknown code points of every UTF-8 width — 1-byte ASCII outside
+    * the {a..e} vocabulary, 2-byte é, 3-byte CJK, 4-byte emoji and a
+    * supplementary-plane Han cp (a surrogate PAIR in UTF-16) — mixed
+    * with known pieces, plus a fully-covered doc where the fallback
+    * must never fire.
+    */
+  private val unigramBfDocs: Seq[(Long, String)] = Seq(
+    (1L, "ab🙂cd"), // ab🙂cd: 4-byte emoji between pieces
+    (2L, "héllo"),       // héllo: 2-byte é, unknown ASCII around
+    (3L, "中文 ab"),  // 中文 ab: two 3-byte cps, then vocab
+    (4L, "abcde"),            // fully known: zero byte pieces
+    (5L, "a𠀀b"))   // a𠀀b: 4-byte supplementary Han
+
+  /** [[unigramBrute]] with SentencePiece byte_fallback semantics: an
+    * unknown single code point contributes its UTF-8 bytes as reserved
+    * `<0xXX>` pieces at [[graft.functions.UnigramModel
+    * .DefaultByteMicro]] each; strict argmax asserted as in q151.
+    */
+  private def unigramBruteBf(w: String): (Seq[String], Long) = {
+    val vocab = unigramFixturePieces.toMap
+    val byteMicro = graft.functions.UnigramModel.DefaultByteMicro
+    def segs(s: String): Seq[(List[String], Long)] =
+      if (s.isEmpty) Seq((Nil, 0L))
+      else {
+        val nCp = s.codePointCount(0, s.length)
+        (1 to nCp).flatMap { k =>
+          val end = s.offsetByCodePoints(0, k)
+          val piece = s.substring(0, end)
+          val cand: Option[(List[String], Long)] = vocab.get(piece)
+            .map(sc => (List(piece), sc))
+            .orElse(if (k == 1) {
+              val bs = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              Some((bs.toList.map(b =>
+                graft.functions.UnigramModel.bytePiece(b & 0xFF)),
+                bs.length.toLong * byteMicro))
+            } else None)
+          cand.toSeq.flatMap { case (ps, pv) =>
+            segs(s.substring(end)).map { case (rest, rs) =>
+              (ps ::: rest, pv + rs) }
+          }
+        }
+      }
+    val all = segs(w).sortBy(-_._2)
+    require(all.size == 1 || all.head._2 > all(1)._2,
+      s"q160 fixture word '$w' has tied optimal segmentations — " +
+        "adjust the piece scores")
+    (all.head._1, all.head._2)
+  }
+
   private[graft] def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis (extensions) ----
@@ -641,6 +691,44 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           size(col("pieces")).cast("long").as("n_pieces"),
           col("score_micro"),
           concat_ws("|", col("pieces")).as("pieces"),
+          lit(tableEqual).as("table_equal"))
+        .orderBy("doc_id")
+    }),
+
+    // byte_fallback through the artifact lifecycle: unknown code
+    // points of every UTF-8 width emit reserved <0xXX> byte pieces,
+    // and graft_unigram_decode inverts the piece stream back to the
+    // exact text — losslessness engine-computed per row, the expected
+    // piece sequences brute-forced at oracle-build time (q151's
+    // discipline with the byte legs in the enumeration)
+    "q160_unigram_byte_fallback" -> ((s, dir) => {
+      val art = tmpDir("graft-unigram-bf")
+      val fitted = new graft.functions.UnigramModel(
+        unigramFixturePieces.map(_._1).toArray,
+        unigramFixturePieces.map(_._2).toArray,
+        byteFallback = true)
+      TextAnalysis.unigramModelSave(s, fitted, art)
+      val loaded = TextAnalysis.unigramModelLoad(s, art)
+      val tableEqual = loaded.pieces.zip(loaded.scoresMicro).sorted.toSeq ==
+        fitted.pieces.zip(fitted.scoresMicro).sorted.toSeq &&
+        loaded.byteFallback == fitted.byteFallback &&
+        loaded.byteScoreMicro == fitted.byteScoreMicro &&
+        loaded.unkScoreMicro == fitted.unkScoreMicro
+      val docs = s.createDataFrame(unigramBfDocs).toDF("doc_id", "text")
+      TextAnalysis.unigramEncodeKernel(docs, "doc_id", "text", loaded)
+        .join(TextAnalysis.unigramScoreKernel(docs, "doc_id", "text",
+          loaded), "doc_id")
+        .join(docs, "doc_id")
+        .withColumn("decoded",
+          call_function("graft_unigram_decode", col("pieces")))
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          col("score_micro"),
+          concat_ws("|", col("pieces")).as("pieces"),
+          col("decoded"),
+          (col("decoded") ===
+            regexp_replace(lower(col("text")), "\\s+", ""))
+            .as("lossless"),
           lit(tableEqual).as("table_equal"))
         .orderBy("doc_id")
     }),
@@ -1323,6 +1411,36 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
            |  pieces, table_equal
            |FROM (VALUES ${rows.mkString(", ")})
            |  AS t(doc_id, n_pieces, score_micro, pieces, table_equal)
+           |ORDER BY doc_id""".stripMargin
+      },
+
+      // q160's expected rows brute-forced WITH the byte legs: every
+      // segmentation into vocabulary pieces or per-byte <0xXX> runs is
+      // enumerated, the decode inversion is asserted at build time
+      // (decoded == whitespace-stripped lowercased text), and the
+      // literal VALUES pin pieces, scores, decode, and both contract
+      // booleans — a fallback-score drift, a byte-order bug, or a
+      // decode regression all hash-mismatch
+      "q160_unigram_byte_fallback" -> {
+        val rows = unigramBfDocs.map { case (id, text) =>
+          val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          val perWord = words.map(unigramBruteBf)
+          val pieces = perWord.flatMap(_._1)
+          val score = perWord.map(_._2).sum
+          val decoded = graft.functions.UnigramModel
+            .decodePieces(pieces.iterator)
+          require(decoded == text.toLowerCase.replaceAll("\\s+", ""),
+            s"q160 oracle: decode inversion failed for doc $id")
+          s"($id, ${pieces.length}, $score, " +
+            s"'${pieces.mkString("|")}', '$decoded', TRUE, TRUE)"
+        }
+        s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(n_pieces AS BIGINT) AS n_pieces,
+           |  CAST(score_micro AS BIGINT) AS score_micro,
+           |  pieces, decoded, lossless, table_equal
+           |FROM (VALUES ${rows.mkString(", ")})
+           |  AS t(doc_id, n_pieces, score_micro, pieces, decoded,
+           |    lossless, table_equal)
            |ORDER BY doc_id""".stripMargin
       },
 

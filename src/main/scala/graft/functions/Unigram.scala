@@ -36,6 +36,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - words longer than `maxWordLen` code points are emitted as ONE
   *    piece scored `unkScoreMicro` (the [[BpeModel]] long-word rule).
   *
+  * `byteFallback` = the SentencePiece `byte_fallback` semantics: an
+  * unknown single code point is emitted as its UTF-8 bytes rendered as
+  * the reserved byte pieces `<0x00>`..`<0xFF>` (uppercase hex, the
+  * SentencePiece literal convention), each scored a fixed
+  * `byteScoreMicro` — so emoji-heavy or mixed-script crawl text stays
+  * LOSSLESSLY round-trippable ([[UnigramModel.decodePieces]] inverts
+  * any encode output) instead of collapsing every unknown character
+  * onto one UNK symbol. The `<0xXX>` strings are reserved exactly as
+  * in SentencePiece: a fitted vocabulary piece of that shape scores as
+  * vocabulary but still DECODES as its byte. The over-long-word rule
+  * is unchanged (one whole-word piece — itself lossless). Off by
+  * default.
+  *
   * `pretok` selects the [[BpeModel.pretokenize]] word-boundary rule —
   * pieces never cross word boundaries, exactly like merges.
   */
@@ -44,7 +57,10 @@ final class UnigramModel(val pieces: Array[String],
                          val maxWordLen: Int = 1024,
                          val pretok: String = BpeModel.PretokWs,
                          val unkScoreMicro: Long =
-                           UnigramModel.DefaultUnkMicro)
+                           UnigramModel.DefaultUnkMicro,
+                         val byteFallback: Boolean = false,
+                         val byteScoreMicro: Long =
+                           UnigramModel.DefaultByteMicro)
     extends Serializable {
   require(pieces.length == scoresMicro.length,
     "pieces/scores arrays misaligned")
@@ -101,7 +117,13 @@ final class UnigramModel(val pieces: Array[String],
           val s = lookup.get(piece)
           val sc: Long =
             if (s != null) s.longValue()
-            else if (i - j == 1) unkScoreMicro // unknown single cp
+            else if (i - j == 1) {
+              // unknown single cp: one UNK symbol, or (byte_fallback)
+              // its UTF-8 bytes at byteScoreMicro each
+              if (byteFallback)
+                UnigramModel.utf8Len(piece.codePointAt(0)) * byteScoreMicro
+              else unkScoreMicro
+            }
             else NegInf
           if (sc != NegInf) {
             val cand = dp(j) + sc
@@ -118,7 +140,15 @@ final class UnigramModel(val pieces: Array[String],
     var at = n
     while (at > 0) {
       val j = back(at)
-      out += w.substring(offs(j), offs(at))
+      val piece = w.substring(offs(j), offs(at))
+      if (byteFallback && at - j == 1 && lookup.get(piece) == null) {
+        // unknown single cp under byte_fallback: its UTF-8 bytes as
+        // byte pieces — appended in REVERSE byte order because the
+        // whole buffer reverses below
+        val bs = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var k = bs.length - 1
+        while (k >= 0) { out += UnigramModel.bytePiece(bs(k) & 0xFF); k -= 1 }
+      } else out += piece
       at = j
     }
     (out.reverseIterator.toArray, dp(n))
@@ -159,6 +189,97 @@ object UnigramModel {
     * the fallback never outcompetes real vocabulary.
     */
   val DefaultUnkMicro: Long = -20000000L
+
+  /** Default per-BYTE fallback score (byte_fallback mode): also far
+    * below any fitted piece; prime-offset so synthetic fixtures don't
+    * tie against vocabulary paths.
+    */
+  val DefaultByteMicro: Long = -9000017L
+
+  /** UTF-8 byte length of one code point. */
+  def utf8Len(cp: Int): Int =
+    if (cp < 0x80) 1 else if (cp < 0x800) 2
+    else if (cp < 0x10000) 3 else 4
+
+  /** The reserved byte-piece literal for byte value `b` —
+    * SentencePiece's `<0xXX>` convention, uppercase hex.
+    */
+  def bytePiece(b: Int): String = f"<0x$b%02X>"
+
+  /** Is `p` a reserved byte piece? Exact shape `<0xXX>`, uppercase hex
+    * only — what [[bytePiece]] emits; a lowercase or odd-width
+    * lookalike is an ordinary piece.
+    */
+  def isBytePiece(p: String): Boolean =
+    p.length == 6 && p.charAt(0) == '<' && p.charAt(1) == '0' &&
+      p.charAt(2) == 'x' && p.charAt(5) == '>' &&
+      isHexUpper(p.charAt(3)) && isHexUpper(p.charAt(4))
+
+  private def isHexUpper(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F')
+
+  /** Invert an encode output: byte-piece RUNS collapse to their bytes
+    * and decode as UTF-8, ordinary pieces pass through verbatim — so
+    * `decodePieces(encode(w))` == `w` for any word within
+    * `maxWordLen` (the byte_fallback losslessness contract; spec-
+    * pinned). Byte runs not produced by an encode (hand-built,
+    * malformed UTF-8) decode with the platform replacement character —
+    * the standard lossy-input convention, never an exception.
+    */
+  def decodePieces(ps: Iterator[String]): String = {
+    val sb = new java.lang.StringBuilder
+    val run = new java.io.ByteArrayOutputStream
+    def flush(): Unit = if (run.size() > 0) {
+      sb.append(new String(run.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      run.reset()
+    }
+    while (ps.hasNext) {
+      val p = ps.next()
+      if (isBytePiece(p))
+        run.write(Integer.parseInt(p.substring(3, 5), 16))
+      else { flush(); sb.append(p) }
+    }
+    flush()
+    sb.toString
+  }
+
+  /** [[decodePieces]] over Catalyst array data — the
+    * [[UnigramDecodeOf]] kernel body.
+    */
+  def decodeArray(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val it = (0 until n).iterator.map(i => arr.getUTF8String(i).toString)
+    UTF8String.fromString(decodePieces(it))
+  }
+}
+
+/** `graft_unigram_decode(pieces)`: invert a unigram-LM piece array
+  * (byte-fallback aware — `<0xXX>` runs reassemble to UTF-8, ordinary
+  * pieces concatenate) back to the text the pieces spell. The
+  * verification/consumption twin of [[UnigramEncodeOf]], exactly as
+  * `graft_bpe_unbytes` is for byte-mode BPE. Null array → null.
+  */
+case class UnigramDecodeOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs an array<string> column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramModel.decodeArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, arr =>
+      s"graft.functions.UnigramModel.decodeArray($arr)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : UnigramDecodeOf = copy(child = newChild)
+  override def prettyName: String = "graft_unigram_decode"
 }
 
 /** `graft_unigram_encode(text, pieces, scoresMicro[, maxWordLen[,

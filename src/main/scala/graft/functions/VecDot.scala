@@ -414,6 +414,14 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         UnigramScoreOf(exprs.headOption.orNull,
           unigramModelOf("graft_unigram_score", exprs))),
+    (FunctionIdentifier("graft_unigram_decode"),
+      new ExpressionInfo(classOf[UnigramDecodeOf].getName,
+        "graft_unigram_decode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          "graft_unigram_decode takes (pieces)")
+        UnigramDecodeOf(exprs.head)
+      }),
     (FunctionIdentifier("graft_multi_contains"),
       new ExpressionInfo(classOf[MultiContainsOf].getName,
         "graft_multi_contains"),
@@ -452,14 +460,16 @@ object GraftFunctions {
   )
 
   /** Shared builder for the two unigram kernels: (text, pieces,
-    * scoresMicro[, maxWordLen[, pretok[, unkScoreMicro]]]) with literal
-    * model arrays, defaults matching [[UnigramModel]]'s.
+    * scoresMicro[, maxWordLen[, pretok[, unkScoreMicro[, byteFallback[,
+    * byteScoreMicro]]]]]) with literal model arrays, defaults matching
+    * [[UnigramModel]]'s.
     */
   private def unigramModelOf(fn: String, exprs: Seq[Expression])
       : UnigramModel = {
-    require(exprs.length >= 3 && exprs.length <= 6,
+    require(exprs.length >= 3 && exprs.length <= 8,
       s"$fn takes (text, pieces, scoresMicro[, maxWordLen[, pretok[, " +
-        "unkScoreMicro]]]) with literal model arrays")
+        "unkScoreMicro[, byteFallback[, byteScoreMicro]]]]]) with " +
+        "literal model arrays")
     require(exprs(1).foldable && exprs(2).foldable,
       s"$fn pieces/scoresMicro must be literal arrays")
     val pa = exprs(1).eval()
@@ -478,7 +488,11 @@ object GraftFunctions {
       else lit(3, "maxWordLen").asInstanceOf[Number].intValue(),
       if (exprs.length < 5) BpeModel.PretokWs else lit(4, "pretok").toString,
       if (exprs.length < 6) UnigramModel.DefaultUnkMicro
-      else lit(5, "unkScoreMicro").asInstanceOf[Number].longValue())
+      else lit(5, "unkScoreMicro").asInstanceOf[Number].longValue(),
+      if (exprs.length < 7) false
+      else lit(6, "byteFallback").asInstanceOf[Boolean],
+      if (exprs.length < 8) UnigramModel.DefaultByteMicro
+      else lit(7, "byteScoreMicro").asInstanceOf[Number].longValue())
   }
 
   /** Idempotent per-session registration — operator entry points call this

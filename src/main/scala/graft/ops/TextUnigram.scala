@@ -168,7 +168,8 @@ private[graft] trait TextUnigram { this: TextAnalysis.type =>
     *    `score_micro`), ordered by piece (a unigram model is a SET —
     *    unlike the merge table, order carries nothing; sorting makes
     *    the artifact byte-deterministic);
-    *  - `meta.json`: `max_word_len`, `pretok`, `unk_score_micro`;
+    *  - `meta.json`: `max_word_len`, `pretok`, `unk_score_micro`,
+    *    `byte_fallback`, `byte_score_micro`;
     *  - the [[ArtifactVersion]] marker for snapshot-pinning consumers.
     */
   def unigramModelSave(spark: org.apache.spark.sql.SparkSession,
@@ -183,22 +184,28 @@ private[graft] trait TextUnigram { this: TextAnalysis.type =>
     graft.Fs.writeString(graft.Fs.join(path, "meta.json"),
       s"""{"max_word_len": ${model.maxWordLen}, """ +
         s""""pretok": "${model.pretok}", """ +
-        s""""unk_score_micro": ${model.unkScoreMicro}}""")
+        s""""unk_score_micro": ${model.unkScoreMicro}, """ +
+        s""""byte_fallback": ${model.byteFallback}, """ +
+        s""""byte_score_micro": ${model.byteScoreMicro}}""")
     ArtifactVersion.stamp(path)
   }
 
   /** Load a [[unigramModelSave]] artifact. Duplicate pieces fail loud
     * (two scores for one piece would make the DP ambiguous —
     * [[graft.functions.UnigramModel]]'s own constructor check).
+    * `byte_fallback`/`byte_score_micro` default to off when absent —
+    * artifacts written before the byte-fallback mode load unchanged.
     */
   def unigramModelLoad(spark: org.apache.spark.sql.SparkSession,
                        path: String): graft.functions.UnigramModel = {
     val meta = graft.Fs.readString(graft.Fs.join(path, "meta.json"))
+    def fieldOpt(name: String): Option[String] =
+      (s""""$name"\\s*:\\s*"?([^",}]+)"?""").r
+        .findFirstMatchIn(meta).map(_.group(1).trim)
     def field(name: String): String = {
-      val m = (s""""$name"\\s*:\\s*"?([^",}]+)"?""").r
-        .findFirstMatchIn(meta)
-      require(m.nonEmpty, s"meta.json at $path lacks $name")
-      m.get.group(1).trim
+      val v = fieldOpt(name)
+      require(v.nonEmpty, s"meta.json at $path lacks $name")
+      v.get
     }
     val rows = spark.read.parquet(s"$path/pieces")
       .select("piece", "score_micro").orderBy("piece")
@@ -206,7 +213,10 @@ private[graft] trait TextUnigram { this: TextAnalysis.type =>
     new graft.functions.UnigramModel(
       rows.map(_.getString(0)), rows.map(_.getLong(1)),
       field("max_word_len").toInt, field("pretok"),
-      field("unk_score_micro").toLong)
+      field("unk_score_micro").toLong,
+      fieldOpt("byte_fallback").exists(_.toBoolean),
+      fieldOpt("byte_score_micro").map(_.toLong)
+        .getOrElse(graft.functions.UnigramModel.DefaultByteMicro))
   }
 
   /** Apply a fitted unigram model as ONE codegen'd scan: (id, pieces)
@@ -222,7 +232,9 @@ private[graft] trait TextUnigram { this: TextAnalysis.type =>
       .select(col(idCol),
         call_function("graft_unigram_encode", lower(col(textCol)),
           lit(model.pieces), lit(model.scoresMicro), lit(model.maxWordLen),
-          lit(model.pretok), lit(model.unkScoreMicro)).as("pieces"))
+          lit(model.pretok), lit(model.unkScoreMicro),
+          lit(model.byteFallback), lit(model.byteScoreMicro))
+          .as("pieces"))
   }
 
   /** The total integer micro-nat Viterbi score of each document's
@@ -236,6 +248,8 @@ private[graft] trait TextUnigram { this: TextAnalysis.type =>
       .select(col(idCol),
         call_function("graft_unigram_score", lower(col(textCol)),
           lit(model.pieces), lit(model.scoresMicro), lit(model.maxWordLen),
-          lit(model.pretok), lit(model.unkScoreMicro)).as("score_micro"))
+          lit(model.pretok), lit(model.unkScoreMicro),
+          lit(model.byteFallback), lit(model.byteScoreMicro))
+          .as("score_micro"))
   }
 }

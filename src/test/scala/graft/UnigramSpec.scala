@@ -50,6 +50,52 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("byte_fallback: unknown code points emit <0xXX> UTF-8 byte " +
+      "pieces; decodePieces inverts any encode; artifact round-trips " +
+      "the mode") {
+    val m = new UnigramModel(Array("a", "ab"),
+      Array(-1000000L, -1500000L), byteFallback = true)
+    // 1-byte unknown: one byte piece at byteScoreMicro
+    val (ps1, sc1) = m.segmentWord("axa")
+    assert(ps1.toSeq == Seq("a", "<0x78>", "a"))
+    assert(sc1 == -2000000L + UnigramModel.DefaultByteMicro)
+    // widths 2 (é), 3 (中), 4 (😀 — surrogate pair, FOUR bytes, never
+    // a pair split): byte count drives both pieces and score
+    val (ps2, sc2) = m.segmentWord("é中😀")
+    assert(ps2.toSeq == Seq("<0xC3>", "<0xA9>", "<0xE4>", "<0xB8>",
+      "<0xAD>", "<0xF0>", "<0x9F>", "<0x98>", "<0x80>"))
+    assert(sc2 == 9L * UnigramModel.DefaultByteMicro)
+    // losslessness: decodePieces inverts the piece stream exactly,
+    // vocabulary and byte runs interleaved
+    for (w <- Seq("axa", "é中😀", "ab😀x中é", "ab", "𠀀"))
+      assert(UnigramModel.decodePieces(m.segmentWord(w)._1.iterator) == w)
+    // a vocabulary piece SHAPED like a byte piece decodes as its byte
+    // (the SentencePiece reserved-piece contract), and lowercase or
+    // odd-shape lookalikes stay ordinary pieces
+    assert(UnigramModel.isBytePiece("<0x7F>") &&
+      !UnigramModel.isBytePiece("<0x7f>") &&
+      !UnigramModel.isBytePiece("<0x7>") && !UnigramModel.isBytePiece("x"))
+    // off by default: the unk path is byte-free
+    assert(new UnigramModel(Array("a"), Array(-1L))
+      .segmentWord("x")._1.toSeq == Seq("x"))
+    // artifact round-trip carries the mode and the byte score
+    val dir = tmpDir("unigram-bf-art")
+    TextAnalysis.unigramModelSave(spark, m, dir)
+    val back = TextAnalysis.unigramModelLoad(spark, dir)
+    assert(back.byteFallback && back.byteScoreMicro == m.byteScoreMicro)
+    assert(back.segmentWord("é中😀")._1.toSeq == ps2.toSeq)
+    // pre-byte-fallback artifacts (no meta fields) load with the mode
+    // off — rewrite meta.json without the new fields to simulate
+    val legacy = tmpDir("unigram-legacy-art")
+    TextAnalysis.unigramModelSave(spark,
+      new UnigramModel(Array("a"), Array(-1000000L)), legacy)
+    graft.Fs.writeString(graft.Fs.join(legacy, "meta.json"),
+      """{"max_word_len": 1024, "pretok": "ws", """ +
+        """"unk_score_micro": -20000000}""")
+    val legacyBack = TextAnalysis.unigramModelLoad(spark, legacy)
+    assert(!legacyBack.byteFallback)
+  }
+
   test("encode/score kernels: pretokenized flat pieces, exact micro " +
       "sums, null routing") {
     val m = model("a" -> -1000000L, "b" -> -1100000L, "ab" -> -1900000L)
