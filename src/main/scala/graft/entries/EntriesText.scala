@@ -660,6 +660,42 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id", "span_no")
     }),
 
+    // ---- per-span language ROUTING: q156's spans consumed as
+    //      sub-documents (langSpanExtract), each routed through its
+    //      language's own admission gate — token-count floors for the
+    //      space-delimited languages, a code-point floor for zh
+    //      (whitespace tokens are meaningless on unsegmented CJK: the
+    //      zh span is ONE token and a blanket token gate would drop
+    //      exactly the text the span machinery exists to save), und
+    //      never admitted. Provenance (doc_id, span_no) carried
+    //      through; the oracle replays extraction, reassembly, and
+    //      every gate from the parity construction. ----
+
+    "q161_lang_span_route" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val multi = docs.select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("the quick brown "), col("source")),
+          lit("el que de la"),
+          lit("es la que y"),
+          lit(""),
+          lit("der und das ist"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("die nicht ein mit"))
+            .otherwise(lit("le est dans les")),
+          lit("这是一段没有空格的中文文本")).as("mx"))
+      TextAnalysis.langSpanExtract(multi, "doc_id", "mx")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("span_text")))
+        .withColumn("n_cp", length(col("span_text")).cast("long"))
+        .withColumn("admitted",
+          when(col("lang") === "und", lit(false))
+            .when(col("lang") === "zh", col("n_cp") >= 8L)
+            .otherwise(col("n_tokens") >= 3L))
+        .select("doc_id", "span_no", "lang", "span_text", "n_tokens",
+          "n_cp", "admitted")
+        .orderBy("doc_id", "span_no")
+    }),
+
     // ---- unigram-LM (SentencePiece-style) tokenizer, the BPE
     //      sibling: q151 pins the Viterbi DP EXACTLY — constructed
     //      piece table through the full artifact lifecycle (save →
@@ -1412,6 +1448,46 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
            |FROM (VALUES ${rows.mkString(", ")})
            |  AS t(doc_id, n_pieces, score_micro, pieces, table_equal)
            |ORDER BY doc_id""".stripMargin
+      },
+
+      // q161 replayed from the parity construction: every span's
+      // reassembled text (chr(10)-joined lines), token and code-point
+      // counts, and per-language admission gates — an extraction
+      // off-by-one, a reassembly drift, or a gate swap (token floor
+      // applied to zh, cp floor to the European spans) all
+      // hash-mismatch
+      "q161_lang_span_route" -> {
+        val ntok = "CAST(len(list_filter(regexp_split_to_array(" +
+          "span_text, '\\s+'), x -> len(x) > 0)) AS BIGINT)"
+        s"""WITH base AS (
+           |  SELECT doc_id, source, doc_id % 2 = 0 AS ev
+           |  FROM documents WHERE text IS NOT NULL),
+           |spans AS (
+           |  SELECT doc_id, 0 AS span_no, 'en' AS lang,
+           |    'the quick brown ' || source AS span_text FROM base
+           |  UNION ALL
+           |  SELECT doc_id, 1, 'es',
+           |    'el que de la' || chr(10) || 'es la que y' FROM base
+           |  UNION ALL
+           |  SELECT doc_id, 2, 'und', '' FROM base
+           |  UNION ALL
+           |  SELECT doc_id, 3, 'de',
+           |    CASE WHEN ev
+           |      THEN 'der und das ist' || chr(10) || 'die nicht ein mit'
+           |      ELSE 'der und das ist' END FROM base
+           |  UNION ALL
+           |  SELECT doc_id, 4, 'fr', 'le est dans les' FROM base
+           |  WHERE NOT ev
+           |  UNION ALL
+           |  SELECT doc_id, CASE WHEN ev THEN 4 ELSE 5 END, 'zh',
+           |    '这是一段没有空格的中文文本' FROM base)
+           |SELECT doc_id, CAST(span_no AS BIGINT) AS span_no, lang,
+           |  span_text, $ntok AS n_tokens,
+           |  CAST(length(span_text) AS BIGINT) AS n_cp,
+           |  CASE WHEN lang = 'und' THEN FALSE
+           |       WHEN lang = 'zh' THEN length(span_text) >= 8
+           |       ELSE $ntok >= 3 END AS admitted
+           |FROM spans ORDER BY doc_id, span_no""".stripMargin
       },
 
       // q160's expected rows brute-forced WITH the byte legs: every

@@ -287,6 +287,35 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
         col("start_line"), col("end_line"), col("n_lines"))
   }
 
+  /** Materialize each [[langSpans]] span as its own SUB-DOCUMENT —
+    * the consumption side of span detection: (idCol, span_no, lang,
+    * start_line, end_line, n_lines, span_text) where `span_text` is
+    * the span's lines re-joined with '\n'. Downstream, each row routes
+    * like a document (per-language quality gates, per-language
+    * tokenizer fit, per-language export — the q152 composition
+    * discipline), with (idCol, span_no) as its provenance key back to
+    * the source document.
+    *
+    * Scale shape: [[langSpans]] runs verbatim (triples-only
+    * exchanges), then ONE doc-keyed equi-join brings the text back and
+    * a codegen'd slice-of-split projection cuts each span's lines —
+    * the only exchange carrying text is that join, once, and each
+    * span row carries only ITS lines, never the whole document.
+    */
+  def langSpanExtract(df: DataFrame, idCol: String, textCol: String,
+                      profiles: Seq[LangProfile] = defaultLangProfiles)
+      : DataFrame = {
+    langSpans(df, idCol, textCol, profiles)
+      .join(df.filter(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol), col("span_no"), col("lang"),
+        col("start_line"), col("end_line"), col("n_lines"),
+        array_join(slice(split(col(textCol), "\n"),
+            (col("start_line") + 1L).cast("int"),
+            col("n_lines").cast("int")), "\n")
+          .as("span_text"))
+  }
+
   /** fastText-/CCNet-style hashed bag-of-tokens linear classifier
     * SCORING — the model-based quality-filter step of a corpus build
     * (train offline, score every document at ingest). `weights` is the

@@ -86,6 +86,36 @@ class OpsSpec extends SparkSpec {
       (3L, 0L, "und", 0L, 1L, 2L)))
   }
 
+  test("langSpanExtract: span_text is the span's lines rejoined; " +
+      "multi-line spans keep internal newlines; provenance and null " +
+      "routing hold") {
+    val rows = Seq(
+      (1L, "the of is\nthe and was\nel la que\n\nder das ist"),
+      (2L, "这是没有空格的中文"),
+      (3L, null.asInstanceOf[String]))
+    val got = TextAnalysis.langSpanExtract(
+        rows.toDF("id", "text"), "id", "text")
+      .select("id", "span_no", "lang", "span_text")
+      .as[(Long, Long, String, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "en", "the of is\nthe and was"), // rejoined with \n
+      (1L, 1L, "es", "el la que"),
+      (1L, 2L, "und", ""),
+      (1L, 3L, "de", "der das ist"),
+      (2L, 0L, "zh", "这是没有空格的中文")))
+    // reassembly is lossless per document: spans concatenated in
+    // span_no order with '\n' rebuild the original text
+    val rebuilt = TextAnalysis.langSpanExtract(
+        rows.toDF("id", "text"), "id", "text")
+      .groupBy("id")
+      .agg(concat_ws("\n", array_sort(collect_list(
+        struct(col("span_no"), col("span_text")))).getField("span_text"))
+        .as("rebuilt"))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt(1L) == rows.head._2 && rebuilt(2L) == rows(1)._2)
+  }
+
   test("fingerprints: md5 matches duplicate texts, rolling hash is order-sensitive") {
     val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")))
       .as[(Long, String)].collect().toMap
