@@ -1,0 +1,101 @@
+package tmpstress
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Trimmed/clipped-copy video matching at scale
+  * ([[graft.ops.Video.videoContainedDuplicates]], q159): 1M synthesized
+  * uncompressed AVIs in 100k families × 10 variants.
+  *
+  *  - variant 0: the FEATURE — 12 family-unique content frames + black
+  *    (~9.8 KB, 16×16 RGB24);
+  *  - variant 1: a TRIM of frames 3..5 with 2-bit per-frame drifts, in
+  *    feature order + black — Dice reads (3+3)/(3+12) = 0.4 and misses
+  *    it at any ≥0.5 threshold; containment reads 1.0;
+  *  - variant 2: a REVERSED BAG of drifted frames 6..8 + black —
+  *    containment 1.0, order agreement 0.0: the order gate's kill;
+  *  - variants 3-9: family-unique frames + black — never pair.
+  *
+  * EVERY video carries the black frame (df = 10⁶ — the cap must drop
+  * it). Expected: the ORDER-GATED run returns exactly the 100k
+  * (feature, trim) pairs; the ungated run additionally admits the 100k
+  * reversed bags (200k total) — the delta IS the gate doing its job,
+  * counted at scale.
+  */
+object ContainStress {
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  // ×64 packing so frame keys never alias across families (the
+  // VideoStress lesson); 0 reserved for the ubiquitous black frame
+  private def pat(fam: Long, k: Int): Long = {
+    val p = mix64(fam * 64 + k)
+    if (p == 0L || p == -1L) 1L << (k + 1) else p
+  }
+
+  def framesOf(id: Long): Seq[Long] = {
+    val fam = id / 10
+    val v = (id % 10).toInt
+    val content =
+      if (v == 0) (1 to 12).map(pat(fam, _))
+      // trim of feature frames 3..5, 2-bit drifts, feature ORDER
+      else if (v == 1) Seq(pat(fam, 3) ^ 0x3L, pat(fam, 4) ^ 0x5L,
+        pat(fam, 5) ^ 0x6L)
+      // reversed bag of drifted feature frames 6..8
+      else if (v == 2) Seq(pat(fam, 8) ^ 0x3L, pat(fam, 7) ^ 0x5L,
+        pat(fam, 6) ^ 0x6L)
+      else Seq(pat(fam, 13 + v), pat(fam, 23 + v), pat(fam, 33 + v))
+    content :+ 0L
+  }
+
+  private def frame(p: Long): Array[Byte] = {
+    val f = new Array[Byte](16 * 16 * 3)
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val v = if (((p >>> (cy * 8 + cx)) & 1L) == 1L) 255.toByte else 0.toByte
+      for (dy <- 0 until 2; dx <- 0 until 2; c <- 0 until 3)
+        f(((cy * 2 + dy) * 16 + (cx * 2 + dx)) * 3 + c) = v
+    }
+    f
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val schema = StructType(Seq(
+      StructField("video_id", LongType, nullable = false),
+      StructField("avi", BinaryType, nullable = false)))
+    val vids = spark.createDataFrame(
+      spark.range(n).toDF("id").repartition(64).rdd.map { r =>
+        val id = r.getLong(0)
+        Row(id, graft.ops.Video.synthesizeAviRgb24(
+          framesOf(id).map(frame), 16, 16))
+      }, schema)
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"MARKER_${label}=${(System.nanoTime() - t0) / 1e9}%.1f")
+      a
+    }
+    val gated = timed("gated_sec") {
+      graft.ops.Video.videoContainedDuplicates(vids, "video_id", "avi",
+        maxDistance = 3, minContainment = 0.8, minOrderFraction = 0.75,
+        maxFrameDocFreq = 10).count()
+    }
+    println(s"MARKER_gated_pairs=$gated (expect ${n / 10})")
+    val ungated = timed("ungated_sec") {
+      graft.ops.Video.videoContainedDuplicates(vids, "video_id", "avi",
+        maxDistance = 3, minContainment = 0.8, minOrderFraction = 0.0,
+        maxFrameDocFreq = 10).count()
+    }
+    println(s"MARKER_ungated_pairs=$ungated (expect ${2 * (n / 10)})")
+    spark.stop()
+  }
+}
