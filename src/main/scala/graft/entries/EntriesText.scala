@@ -655,7 +655,11 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
             .otherwise(lit("le est dans les")),
           // REAL unsegmented Chinese — one whitespace token, zero
           // marker hits; only Han script-range scoring can call it
-          lit("这是一段没有空格的中文文本")).as("mx"))
+          lit("这是一段没有空格的中文文本"),
+          // REAL unsegmented Japanese — kana (5 cps) + particle
+          // evidence outweighs the kanji-count zh leg (3 cps), so the
+          // ja/zh separability is pinned, not just claimed
+          lit("これは日本語です")).as("mx"))
       TextAnalysis.langSpans(multi, "doc_id", "mx")
         .orderBy("doc_id", "span_no")
     }),
@@ -1010,11 +1014,16 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans", "que"))
         // zh scores by Han-script CODE POINTS (RE2 replays the engine's
         // scriptRangeClass verbatim), not marker tokens — unsegmented
-        // Chinese has no whitespace tokens to match
+        // Chinese has no whitespace tokens to match; ja sums BOTH legs:
+        // particle-marker token hits + Kana code points
         // (DuckDB single-quoted literals pass backslashes through
         // verbatim — no doubling)
         val zh = "len(regexp_extract_all(text, " +
           s"'${graft.ops.TextAnalysis.scriptRangeClass(graft.ops.TextAnalysis.hanScriptRanges)}'))"
+        val ja = hits(Seq("の", "は", "が", "を", "です", "ます", "した",
+          "こと")) +
+          " + len(regexp_extract_all(text, " +
+          s"'${graft.ops.TextAnalysis.scriptRangeClass(graft.ops.TextAnalysis.kanaScriptRanges)}'))"
         s"""WITH toks AS (
            |  SELECT doc_id, text,
            |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -1022,15 +1031,18 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
            |  FROM documents),
            |scored AS (
            |  SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de,
-           |    $fr AS s_fr, $zh AS s_zh FROM toks)
+           |    $fr AS s_fr, $ja AS s_ja, $zh AS s_zh FROM toks)
            |SELECT doc_id,
            |  CASE
            |    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de
-           |      AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |      AND s_en >= s_fr AND s_en >= s_ja AND s_en >= s_zh
+           |      THEN 'en'
            |    WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr
-           |      AND s_es >= s_zh THEN 'es'
-           |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-           |    WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+           |      AND s_es >= s_ja AND s_es >= s_zh THEN 'es'
+           |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_ja
+           |      AND s_de >= s_zh THEN 'de'
+           |    WHEN s_fr > 0 AND s_fr >= s_ja AND s_fr >= s_zh THEN 'fr'
+           |    WHEN s_ja > 0 AND s_ja >= s_zh THEN 'ja'
            |    WHEN s_zh > 0 THEN 'zh'
            |    ELSE 'und' END AS lang_pred
            |FROM scored ORDER BY doc_id""".stripMargin
@@ -1403,10 +1415,11 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
 
       // q156's expected spans: a pure function of doc parity — even
       // docs' tail line merges into the de span, odd docs' opens an fr
-      // one; the en/es/und/de prefix and the final UNSEGMENTED-zh line
-      // (Han script-range scoring — no whitespace marker token exists
-      // to hit) are common. A langId drift, an island-merge bug, or an
-      // index off-by-one all break the hash.
+      // one; the en/es/und/de prefix and the final UNSEGMENTED zh + ja
+      // lines (script-range scoring — zh by Han count, ja by kana +
+      // particles OUTWEIGHING its own kanji's zh count) are common. A
+      // langId drift, an island-merge bug, or an index off-by-one all
+      // break the hash.
       "q156_lang_spans" ->
         """WITH base AS (
           |  SELECT doc_id, doc_id % 2 = 0 AS ev FROM documents
@@ -1414,10 +1427,11 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |v(ev, span_no, lang, start_line, end_line, n_lines) AS (VALUES
           |  (true,  0, 'en',  0, 0, 1), (true,  1, 'es',  1, 2, 2),
           |  (true,  2, 'und', 3, 3, 1), (true,  3, 'de',  4, 5, 2),
-          |  (true,  4, 'zh',  6, 6, 1),
+          |  (true,  4, 'zh',  6, 6, 1), (true,  5, 'ja',  7, 7, 1),
           |  (false, 0, 'en',  0, 0, 1), (false, 1, 'es',  1, 2, 2),
           |  (false, 2, 'und', 3, 3, 1), (false, 3, 'de',  4, 4, 1),
-          |  (false, 4, 'fr',  5, 5, 1), (false, 5, 'zh',  6, 6, 1))
+          |  (false, 4, 'fr',  5, 5, 1), (false, 5, 'zh',  6, 6, 1),
+          |  (false, 6, 'ja',  7, 7, 1))
           |SELECT doc_id, CAST(span_no AS BIGINT) AS span_no, lang,
           |  CAST(start_line AS BIGINT) AS start_line,
           |  CAST(end_line AS BIGINT) AS end_line,

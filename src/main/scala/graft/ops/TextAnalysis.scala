@@ -184,17 +184,30 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
 
   /** Han ranges for the zh profile: the [[graft.functions.BpeModel
     * .isCjk]] blocks MINUS Hiragana/Katakana/Hangul — those scripts
-    * identify ja/ko, not zh, so a future ja profile (Kana ranges +
-    * particles) stays separable instead of tying every Japanese line
-    * with the zh score.
+    * identify ja/ko, not zh, so the ja profile (Kana ranges +
+    * particles, below) stays separable instead of tying every
+    * Japanese line with the zh score.
     */
   val hanScriptRanges: Seq[(Int, Int)] = Seq(
     (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0xF900, 0xFAFF),
     (0x20000, 0x2FFFF))
 
+  /** Kana ranges for the ja profile: Hiragana, Katakana (+ phonetic
+    * extensions, halfwidth forms). Kana is the ja DISCRIMINATOR —
+    * kanji counts toward zh, so mixed ja text wins exactly when its
+    * kana (+ particle-marker) evidence outweighs its kanji count; a
+    * kanji-only headline reads zh, the documented heuristic boundary.
+    */
+  val kanaScriptRanges: Seq[(Int, Int)] = Seq(
+    (0x3040, 0x309F), (0x30A0, 0x30FF), (0x31F0, 0x31FF),
+    (0xFF66, 0xFF9F))
+
   /** Default profiles: marker tokens for the space-delimited European
-    * languages, Han script-range scoring for zh. Small on purpose:
-    * they broadcast as literals inside the plan.
+    * languages, Kana ranges + particle markers for ja (both legs — the
+    * sum scores tokenized AND unsegmented Japanese), Han script-range
+    * scoring for zh. ja sits BEFORE zh so equal kana/kanji evidence
+    * reads ja. Small on purpose: they broadcast as literals inside the
+    * plan.
     */
   val defaultLangProfiles: Seq[LangProfile] = Seq(
     LangProfile("en",
@@ -207,6 +220,10 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
     LangProfile("fr",
       markers = Seq("le", "la", "les", "et", "est", "une", "dans",
         "que")),
+    LangProfile("ja",
+      markers = Seq("の", "は", "が", "を", "です", "ます", "した",
+        "こと"),
+      scriptRanges = kanaScriptRanges),
     LangProfile("zh", scriptRanges = hanScriptRanges),
   )
 

@@ -60,10 +60,19 @@ class OpsSpec extends SparkSpec {
     assert(lid("the 这是中文") == "zh")
     // tie (1 en marker vs 1 Han cp) breaks by profile order → en
     assert(lid("the cat 的") == "en")
-    // kana/hangul are NOT in the zh profile: a markerless ja line
-    // stays und rather than mis-tying zh
-    assert(lid("ひらがなカタカナ") == "und")
-    // emoji/CJK punctuation are outside the Han ranges
+    // kana is the ja discriminator (NOT in the zh ranges): real mixed
+    // Japanese — kana 5 + particle markers outweigh its kanji's zh
+    // count of 3
+    assert(lid("これは日本語です") == "ja")
+    assert(lid("ひらがなカタカナ") == "ja")
+    // a kanji-only line reads zh — the documented heuristic boundary
+    // (no kana evidence exists to claim ja)
+    assert(lid("日本語") == "zh")
+    // tokenized ja sums BOTH legs: marker hits + kana cps
+    assert(lid("です は の") == "ja")
+    // hangul is in neither profile; emoji/CJK punctuation outside all
+    // ranges
+    assert(lid("한국어") == "und")
     assert(lid("😀😀 、。") == "und")
   }
 
