@@ -102,6 +102,31 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       ("vidX", false, x :+ 0L))
   }
 
+  /** q162's construction constants (shared by entry and oracle): a
+    * full-length recording of 8 planted segment fingerprints behind a
+    * shared intro JINGLE segment (the audio boilerplate — in every
+    * clip, df = 4 > cap 3, must be capped), a 3-segment TRIM of its
+    * middle with 2-bit drifts in recording order, a REVERSED drifted
+    * bag of three other segments (containment 1.0, order 0 — killed by
+    * the gate), and an unrelated show. The clip↔bag cross-drifts match
+    * 2 of 3 segments (distance 2) — containment 2/3 < 0.8, filtered by
+    * the containment floor, which pins that floor too. Segment
+    * fingerprints equal the planted longs exactly (the q144
+    * amplitude-walk property per segment).
+    */
+  private val audioContainSets: Seq[(String, Seq[Long])] = {
+    val r = Seq(0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+      0x00FF00FF00FF00FFL, 0x5A5A5A5AA5A5A5A5L, 0x1122334455667788L,
+      0x99AABBCCDDEEFF01L, 0x0F0F0F0FF0F0F0F0L, 0x7777000011110000L)
+    val jingle = 0x3C3C3C3CC3C3C3C3L
+    val x = Seq(0x8844221188442211L, 0x7E7E7E7E81818181L)
+    Seq(
+      ("podcastA", jingle +: r),
+      ("clipA", Seq(jingle, r(3) ^ 0x3L, r(4) ^ 0x5L, r(5) ^ 0x6L)),
+      ("bagA", Seq(jingle, r(6) ^ 0x3L, r(5) ^ 0x5L, r(4) ^ 0x6L)),
+      ("showX", jingle +: x))
+  }
+
   /** q152's construction constants (shared by entry and oracle): the
     * media pattern each document carries is `pats(doc_id % 8)`; the
     * persisted corpus artifact holds pats(0), pats(1), and a 2-bit
@@ -435,6 +460,41 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
           s.createDataFrame(vids).toDF("video_id", "avi"),
           "video_id", "avi", maxDistance = 3, minContainment = 0.8,
           minOrderFraction = 0.75, maxFrameDocFreq = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- trimmed/clipped-copy AUDIO matching: the q159 containment +
+    //      order machinery on per-SEGMENT fingerprint timelines (a
+    //      whole-clip fingerprint spreads its windows over the full
+    //      duration — useless for clips). REAL WAV decode end to end;
+    //      the shared intro jingle is the audio boilerplate the df cap
+    //      must drop; the clip↔bag cross-drift pins the containment
+    //      floor; the reversed bag pins the order gate. Oracle = the
+    //      q159 brute-force shape over the segment constants. ----
+
+    "q162_audio_contained_dups" -> ((s, dir) => {
+      val wlen = 16
+      val seg = 65 * wlen
+      def wav(pats: Seq[Long]): Array[Byte] = {
+        val samples = new Array[Short](pats.length * seg)
+        for ((p, k) <- pats.zipWithIndex) {
+          val amps = new Array[Int](65)
+          amps(0) = 8000
+          for (w <- 0 until 64)
+            amps(w + 1) = amps(w) +
+              (if (((p >>> w) & 1L) == 1L) 100 else -100)
+          for (w <- 0 until 65; j <- 0 until wlen)
+            samples(k * seg + w * wlen + j) =
+              (if (j % 2 == 0) amps(w) else -amps(w)).toShort
+        }
+        graft.ops.Audio.synthesizeWavPcm16(samples, 8000)
+      }
+      val clips = audioContainSets.map { case (n, ps) => (n, wav(ps)) }
+      graft.ops.Audio.audioContainedDuplicates(
+          s.createDataFrame(clips).toDF("clip_id", "wav"),
+          "clip_id", "wav", segmentSamples = seg, maxDistance = 3,
+          minContainment = 0.8, minOrderFraction = 0.75,
+          maxSegmentDocFreq = 3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -951,6 +1011,72 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
            |  JOIN m r ON f.va = r.vb AND f.vb = r.va AND f.va < f.vb
            |  JOIN sizes sa ON sa.video_id = f.va
            |  JOIN sizes sb ON sb.video_id = f.vb)
+           |SELECT id_a, id_b, matched_a, matched_b, containment,
+           |  order_frac
+           |FROM j WHERE containment >= 0.8 AND order_frac >= 0.75
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // q162 replayed as REAL SQL over the segment constants — the
+      // q159 brute-force shape verbatim (the fingerprints ARE the
+      // planted longs by the q144 walk property): df cap (the jingle),
+      // hamming match, first-position alignment, the lag-walk order
+      // fraction, containment floor (the clip↔bag 2/3 pairing must be
+      // filtered BY CONTAINMENT, the reversed bag BY ORDER)
+      "q162_audio_contained_dups" -> {
+        val vf = audioContainSets.flatMap { case (n, ps) =>
+          ps.zipWithIndex.map { case (p, i) =>
+            s"('$n', $i, CAST($p AS BIGINT))" } }
+        s"""WITH vf(clip_id, pos, fh) AS (VALUES ${vf.mkString(", ")}),
+           |kept AS (
+           |  SELECT clip_id, pos, fh FROM vf
+           |  WHERE fh IN (
+           |    SELECT fh FROM (
+           |      SELECT fh, count(DISTINCT clip_id) AS df
+           |      FROM vf GROUP BY fh)
+           |    WHERE df <= 3)),
+           |dk AS (
+           |  SELECT clip_id, fh, CAST(min(pos) AS BIGINT) AS pos
+           |  FROM kept GROUP BY clip_id, fh),
+           |sizes AS (SELECT clip_id, CAST(count(*) AS BIGINT) AS n
+           |  FROM dk GROUP BY clip_id),
+           |mrows AS (
+           |  SELECT a.clip_id AS va, b.clip_id AS vb, a.fh AS fa,
+           |    a.pos AS pos_a, min(b.pos) AS pos_b
+           |  FROM dk a
+           |  JOIN dk b ON a.clip_id <> b.clip_id
+           |    AND bit_count(xor(a.fh, b.fh)) <= 3
+           |  GROUP BY a.clip_id, b.clip_id, a.fh, a.pos),
+           |ord AS (
+           |  SELECT va, vb, pos_b,
+           |    lag(pos_b) OVER (PARTITION BY va, vb ORDER BY pos_a)
+           |      AS prev
+           |  FROM mrows),
+           |m AS (
+           |  SELECT va, vb, CAST(count(*) AS BIGINT) AS matched,
+           |    sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS steps,
+           |    sum(CASE WHEN prev IS NOT NULL AND pos_b > prev
+           |      THEN 1 ELSE 0 END) AS n_asc
+           |  FROM ord GROUP BY va, vb),
+           |j AS (
+           |  SELECT f.va AS id_a, f.vb AS id_b,
+           |    f.matched AS matched_a, r.matched AS matched_b,
+           |    greatest(
+           |      CAST(f.matched AS DOUBLE) / CAST(sa.n AS DOUBLE),
+           |      CAST(r.matched AS DOUBLE) / CAST(sb.n AS DOUBLE))
+           |      AS containment,
+           |    least(
+           |      CASE WHEN f.steps = 0 THEN 1.0
+           |        ELSE CAST(f.n_asc AS DOUBLE) / CAST(f.steps AS DOUBLE)
+           |        END,
+           |      CASE WHEN r.steps = 0 THEN 1.0
+           |        ELSE CAST(r.n_asc AS DOUBLE) / CAST(r.steps AS DOUBLE)
+           |        END) AS order_frac
+           |  FROM m f
+           |  JOIN m r ON f.va = r.vb AND f.vb = r.va AND f.va < f.vb
+           |  JOIN sizes sa ON sa.clip_id = f.va
+           |  JOIN sizes sb ON sb.clip_id = f.vb)
            |SELECT id_a, id_b, matched_a, matched_b, containment,
            |  order_frac
            |FROM j WHERE containment >= 0.8 AND order_frac >= 0.75

@@ -427,6 +427,84 @@ object Audio {
     }(Encoders.row(outSchema))
   }
 
+  /** Per-SEGMENT fingerprints: the clip's mono frames split into FULL
+    * segments of `segmentSamples` (trailing partial ignored — the
+    * [[silenceSpans]] full-windows rule), each segment fingerprinted
+    * by [[fingerprint64]] independently → exploded (idCol, seg_idx,
+    * sig) rows, at most `maxSegments` per clip. A whole-clip
+    * [[fingerprint64]] spreads its 65 windows over the FULL duration,
+    * so trimming changes every window boundary and the signature is
+    * useless for clip detection; per-segment fingerprints give a
+    * positioned signature TIMELINE — exactly what
+    * [[Dedup.containedHammingDuplicates]] consumes. Segments must be
+    * ≥ [[FingerprintWindows]] samples (the fingerprint needs its 65
+    * windows); undecodable or sub-segment payloads emit no rows;
+    * 16 bytes out per segment regardless of payload size.
+    *
+    * Alignment contract (documented, not hidden): matching is at
+    * SEGMENT granularity — a trim that cuts mid-segment shifts every
+    * later segment's window grid and its fingerprints drift
+    * arbitrarily. Real pipelines cut at silence boundaries
+    * ([[audioSilenceStage]]) and fingerprint the cuts with the same
+    * `segmentSamples`, which keeps the grid aligned by construction.
+    */
+  def audioSegmentFingerprintStage(df: DataFrame, idCol: String,
+                                   binaryCol: String,
+                                   segmentSamples: Int,
+                                   maxSegments: Int = 256): DataFrame = {
+    require(segmentSamples >= FingerprintWindows,
+      s"segmentSamples must be >= $FingerprintWindows (the fingerprint" +
+        " needs its windows)")
+    require(maxSegments >= 1, "maxSegments must be >= 1")
+    val idIdx = df.columns.indexOf(idCol)
+    val binIdx = df.columns.indexOf(binaryCol)
+    require(idIdx >= 0, s"missing column $idCol")
+    require(binIdx >= 0, s"missing column $binaryCol")
+    val outSchema = StructType(Seq(
+      df.schema.fields(idIdx),
+      StructField("seg_idx", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        decodeWav(row.getAs[Array[Byte]](binIdx)).toSeq.flatMap { c =>
+          val n = math.min(c.frames.length / segmentSamples, maxSegments)
+          (0 until n).flatMap { k =>
+            fingerprint64(java.util.Arrays.copyOfRange(
+              c.frames, k * segmentSamples, (k + 1) * segmentSamples))
+              .map(sig => Row(row.get(idIdx), k.toLong, sig))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Trimmed/clipped-copy audio detection — the
+    * [[graft.ops.Video.videoContainedDuplicates]] twin: per-segment
+    * fingerprint timeline ([[audioSegmentFingerprintStage]]) through
+    * [[Dedup.containedHammingDuplicates]] — max-containment scoring
+    * (a 30 s clip of a 2 h recording scores 1.0 where whole-clip
+    * fingerprints and Dice-style overlap both go blind) plus the
+    * optional temporal order gate that rejects scrambled segment bags
+    * (mashups, supercuts). Segment-granularity alignment contract
+    * documented on the stage. Audio bytes never shuffle — 16 bytes per
+    * segment on the wire.
+    */
+  def audioContainedDuplicates(df: DataFrame, idCol: String,
+                               binaryCol: String, segmentSamples: Int,
+                               maxDistance: Int = 3,
+                               minContainment: Double = 0.8,
+                               minOrderFraction: Double = 0.0,
+                               maxSegments: Int = 256,
+                               maxSegmentDocFreq: Long = 100000L,
+                               scheme: String = "bands"): DataFrame =
+    Dedup.containedHammingDuplicates(
+      audioSegmentFingerprintStage(df, idCol, binaryCol, segmentSamples,
+        maxSegments),
+      idCol, "seg_idx", "sig",
+      maxDistance = maxDistance, minContainment = minContainment,
+      minOrderFraction = minOrderFraction,
+      maxSigDocFreq = maxSegmentDocFreq, scheme = scheme)
+
   /** Near-duplicate audio pairs by fingerprint Hamming distance:
     * [[audioFingerprintStage]] (one decode pass, 8-byte signatures) →
     * [[Dedup.hammingDuplicates]]' banded self-join (complete for

@@ -158,6 +158,132 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
     * batch self-join and the persisted-artifact probe so the two paths
     * can never band differently.
     */
+  /** Trimmed/clipped-copy detection over POSITIONED 64-bit signature
+    * sequences — the generalized core of [[graft.ops.Video
+    * .videoContainedDuplicates]] (and its audio twin): input is one
+    * row per (id, position, signature) — a video's sampled frame
+    * hashes, an audio clip's per-segment fingerprints, any
+    * fixed-width signature timeline. Signatures dedup per id to their
+    * FIRST position (injective — one position holds one signature),
+    * ubiquitous signatures past `maxSigDocFreq` are dropped (the
+    * boilerplate cutoff), candidates come from the banded
+    * [[hammingKeyCols]] scheme over DISTINCT capped signatures
+    * (pigeonhole-complete at `maxDistance` ≤ 3), and each candidate
+    * pair scores
+    *
+    *  - `containment` = max(matched_a/|A|, matched_b/|B|) — a clip
+    *    fully covered by its source reads 1.0 regardless of source
+    *    length (the q97/q99 containment lesson), where Dice/Jaccard
+    *    read ~clip/source and go blind;
+    *  - `order_frac` = per direction, the fraction of consecutive
+    *    matched signatures (walked in A-position order) whose
+    *    first-match B-positions strictly ascend, min over both
+    *    directions — 1.0 for a contiguous trim, ~0 for a reversed /
+    *    scrambled bag; single-match pairs read 1.0 (no order evidence
+    *    against them); `minOrderFraction` = 0.0 disables the gate.
+    *
+    * Returns (id_a, id_b, matched_a, matched_b, containment,
+    * order_frac), id_a < id_b; both scores are IEEE divisions of small
+    * ints, oracle-replayable brute-force.
+    *
+    * Scale shape: the banding join is distinct-signature-sized, never
+    * item-pair-sized; the order pass is one window PARTITIONED BY THE
+    * CANDIDATE PAIR over matched rows only (post-cap, post-verify
+    * cardinality — each buffer holds one pair's matched signatures);
+    * the dedup and cap layers are [[Dedup.tracked]]-pinned so the
+    * caller's upstream stage (a media decode) runs once.
+    */
+  def containedHammingDuplicates(df: DataFrame, idCol: String,
+                                 posCol: String, sigCol: String,
+                                 maxDistance: Int = 3,
+                                 minContainment: Double = 0.8,
+                                 minOrderFraction: Double = 0.0,
+                                 maxSigDocFreq: Long = 100000L,
+                                 scheme: String = "bands"): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      "minContainment must be in (0, 1]")
+    require(minOrderFraction >= 0 && minOrderFraction <= 1,
+      "minOrderFraction must be in [0, 1]")
+    require(maxDistance >= 0, "maxDistance must be >= 0")
+    require(maxSigDocFreq >= 1, "maxSigDocFreq must be >= 1")
+    val deduped = Dedup.tracked(
+      df.filter(col(sigCol).isNotNull)
+        .select(col(idCol).as("__cid"), col(sigCol).as("__sig"),
+          col(posCol).cast("long").as("__pos"))
+        .groupBy("__cid", "__sig")
+        .agg(min(col("__pos")).as("__pos")))
+    val capped = Dedup.tracked(deduped.join(
+      deduped.groupBy("__sig")
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxSigDocFreq)
+        .select("__sig"),
+      Seq("__sig"), "left_anti"))
+    val sizes = capped.groupBy("__cid")
+      .agg(count(lit(1)).as("__n"))
+    // banded candidates over distinct signatures + identity edges
+    val sigs = capped.select("__sig").distinct()
+    val keyed = sigs
+      .select(col("__sig"),
+        explode(array(hammingKeyCols("__sig", scheme): _*)).as("kk"))
+      .select(col("__sig"), col("kk.t").as("t"), col("kk.key").as("key"))
+    val ka = keyed.select(col("__sig").as("fa"), col("t"), col("key"))
+    val kb = keyed.select(col("__sig").as("fb"), col("t").as("tb"),
+      col("key").as("kb"))
+    val canon = ka
+      .join(kb, ka("t") === kb("tb") && ka("key") === kb("kb") &&
+        ka("fa") < kb("fb"))
+      .select(col("fa"), col("fb")).distinct()
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= maxDistance)
+    val edges = canon
+      .unionByName(canon.select(col("fb").as("fa"), col("fa").as("fb")))
+      .unionByName(sigs.select(col("__sig").as("fa"), col("__sig").as("fb")))
+    // one row per (ordered pair, matched A-signature): its A position
+    // plus its FIRST matching B position (min — one signature may
+    // match several of the other side's, the earliest is canonical)
+    val mrows = capped
+      .select(col("__cid").as("__va"), col("__sig").as("fa"),
+        col("__pos").as("pos_a"))
+      .join(edges, Seq("fa"))
+      .join(capped.select(col("__cid").as("__vb"), col("__sig").as("fb"),
+          col("__pos").as("__pb")),
+        Seq("fb"))
+      .filter(col("__va") =!= col("__vb"))
+      .groupBy("__va", "__vb", "fa", "pos_a")
+      .agg(min(col("__pb")).as("pos_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__va", "__vb").orderBy("pos_a")
+    val m = mrows
+      .withColumn("__prev", lag(col("pos_b"), 1).over(w))
+      .groupBy("__va", "__vb")
+      .agg(count(lit(1)).as("__matched"),
+        sum(when(col("__prev").isNotNull, 1L).otherwise(0L)).as("__steps"),
+        sum(when(col("__prev").isNotNull && col("pos_b") > col("__prev"),
+          1L).otherwise(0L)).as("__nasc"))
+      .withColumn("__ofrac",
+        when(col("__steps") === 0L, lit(1.0))
+          .otherwise(col("__nasc").cast("double") /
+            col("__steps").cast("double")))
+    val fwd = m.filter(col("__va") < col("__vb"))
+      .select(col("__va").as("id_a"), col("__vb").as("id_b"),
+        col("__matched").as("matched_a"), col("__ofrac").as("__oa"))
+    val rev = m.filter(col("__va") > col("__vb"))
+      .select(col("__vb").as("id_a"), col("__va").as("id_b"),
+        col("__matched").as("matched_b"), col("__ofrac").as("__ob"))
+    fwd.join(rev, Seq("id_a", "id_b"))
+      .join(sizes.withColumnRenamed("__cid", "id_a")
+        .withColumnRenamed("__n", "__na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("__cid", "id_b")
+        .withColumnRenamed("__n", "__nb"), Seq("id_b"))
+      .withColumn("containment",
+        greatest(col("matched_a").cast("double") / col("__na").cast("double"),
+          col("matched_b").cast("double") / col("__nb").cast("double")))
+      .withColumn("order_frac", least(col("__oa"), col("__ob")))
+      .filter(col("containment") >= minContainment &&
+        col("order_frac") >= minOrderFraction)
+      .select(col("id_a"), col("id_b"), col("matched_a"),
+        col("matched_b"), col("containment"), col("order_frac"))
+  }
+
   private[ops] def hammingKeyCols(sigCol: String, scheme: String)
       : Seq[Column] = scheme match {
     case "bands" =>

@@ -708,13 +708,13 @@ object Video {
     * order_frac), id_a < id_b; both scores are IEEE divisions of small
     * ints, oracle-replayable brute-force.
     *
-    * Scale shape: identical to [[videoNearDuplicatesHamming]] —
-    * banded candidates over DISTINCT capped frame hashes
-    * ([[Dedup.hammingKeyCols]], pigeonhole-complete at `maxDistance`
-    * ≤ 3), `maxFrameDocFreq` cutoff ON by default, video bytes never
-    * shuffle. The order pass adds one pair-sized window (partitioned
-    * by the candidate pair, already post-cap and post-threshold in
-    * cardinality terms — matched-row-sized, never frame-cross-sized).
+    * The matcher itself is [[Dedup.containedHammingDuplicates]] — the
+    * generalized positioned-signature core shared with
+    * [[Audio.audioContainedDuplicates]]; this wrapper contributes the
+    * decode stage and the (video, position, frame-hash) timeline.
+    * Scale shape documented there: banded candidates over DISTINCT
+    * capped frame hashes, the order pass one pair-sized window over
+    * matched rows, video bytes never shuffle.
     */
   def videoContainedDuplicates(df: DataFrame, idCol: String,
                                binaryCol: String, maxDistance: Int = 3,
@@ -722,94 +722,15 @@ object Video {
                                minOrderFraction: Double = 0.0,
                                stride: Int = 1, maxFrames: Int = 64,
                                maxFrameDocFreq: Long = 100000L,
-                               scheme: String = "bands"): DataFrame = {
-    require(minContainment > 0 && minContainment <= 1,
-      "minContainment must be in (0, 1]")
-    require(minOrderFraction >= 0 && minOrderFraction <= 1,
-      "minOrderFraction must be in [0, 1]")
-    require(maxDistance >= 0, "maxDistance must be >= 0")
-    require(maxFrameDocFreq >= 1, "maxFrameDocFreq must be >= 1")
-    // positions matter here: keep each distinct hash's FIRST sampled
-    // position (injective — one position holds one hash), the
-    // canonical timeline the order gate walks
-    val hashed = Dedup.tracked(
+                               scheme: String = "bands"): DataFrame =
+    Dedup.containedHammingDuplicates(
       videoFrameHashStage(df, binaryCol, stride = stride,
           maxFrames = maxFrames)
         .filter(col("frame_hashes").isNotNull)
         .select(col(idCol).as("__vid"),
-          posexplode(col("frame_hashes")).as(Seq("__pos", "__fh")))
-        .groupBy("__vid", "__fh")
-        .agg(min(col("__pos")).cast("long").as("__pos")))
-    val capped = Dedup.tracked(hashed.join(
-      hashed.groupBy("__fh")
-        .agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxFrameDocFreq)
-        .select("__fh"),
-      Seq("__fh"), "left_anti"))
-    val sizes = capped.groupBy("__vid")
-      .agg(count(lit(1)).as("__n"))
-    // banded candidates over distinct hashes + identity, exactly the
-    // videoNearDuplicatesHamming edge stage
-    val sigs = capped.select("__fh").distinct()
-    val keyed = sigs
-      .select(col("__fh"),
-        explode(array(Dedup.hammingKeyCols("__fh", scheme): _*)).as("kk"))
-      .select(col("__fh"), col("kk.t").as("t"), col("kk.key").as("key"))
-    val ka = keyed.select(col("__fh").as("fa"), col("t"), col("key"))
-    val kb = keyed.select(col("__fh").as("fb"), col("t").as("tb"),
-      col("key").as("kb"))
-    val canon = ka
-      .join(kb, ka("t") === kb("tb") && ka("key") === kb("kb") &&
-        ka("fa") < kb("fb"))
-      .select(col("fa"), col("fb")).distinct()
-      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= maxDistance)
-    val edges = canon
-      .unionByName(canon.select(col("fb").as("fa"), col("fa").as("fb")))
-      .unionByName(sigs.select(col("__fh").as("fa"), col("__fh").as("fb")))
-    // one row per (ordered pair, matched A-frame): the frame's A
-    // position plus its FIRST matching B position (min — one frame may
-    // match several of the other side's, the earliest is canonical)
-    val mrows = capped
-      .select(col("__vid").as("__va"), col("__fh").as("fa"),
-        col("__pos").as("pos_a"))
-      .join(edges, Seq("fa"))
-      .join(capped.select(col("__vid").as("__vb"), col("__fh").as("fb"),
-          col("__pos").as("__pb")),
-        Seq("fb"))
-      .filter(col("__va") =!= col("__vb"))
-      .groupBy("__va", "__vb", "fa", "pos_a")
-      .agg(min(col("__pb")).as("pos_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__va", "__vb").orderBy("pos_a")
-    val m = mrows
-      .withColumn("__prev", lag(col("pos_b"), 1).over(w))
-      .groupBy("__va", "__vb")
-      .agg(count(lit(1)).as("__matched"),
-        sum(when(col("__prev").isNotNull, 1L).otherwise(0L)).as("__steps"),
-        sum(when(col("__prev").isNotNull && col("pos_b") > col("__prev"),
-          1L).otherwise(0L)).as("__nasc"))
-      .withColumn("__ofrac",
-        when(col("__steps") === 0L, lit(1.0))
-          .otherwise(col("__nasc").cast("double") /
-            col("__steps").cast("double")))
-    val fwd = m.filter(col("__va") < col("__vb"))
-      .select(col("__va").as("id_a"), col("__vb").as("id_b"),
-        col("__matched").as("matched_a"), col("__ofrac").as("__oa"))
-    val rev = m.filter(col("__va") > col("__vb"))
-      .select(col("__vb").as("id_a"), col("__va").as("id_b"),
-        col("__matched").as("matched_b"), col("__ofrac").as("__ob"))
-    fwd.join(rev, Seq("id_a", "id_b"))
-      .join(sizes.withColumnRenamed("__vid", "id_a")
-        .withColumnRenamed("__n", "__na"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("__vid", "id_b")
-        .withColumnRenamed("__n", "__nb"), Seq("id_b"))
-      .withColumn("containment",
-        greatest(col("matched_a").cast("double") / col("__na").cast("double"),
-          col("matched_b").cast("double") / col("__nb").cast("double")))
-      .withColumn("order_frac", least(col("__oa"), col("__ob")))
-      .filter(col("containment") >= minContainment &&
-        col("order_frac") >= minOrderFraction)
-      .select(col("id_a"), col("id_b"), col("matched_a"),
-        col("matched_b"), col("containment"), col("order_frac"))
-  }
+          posexplode(col("frame_hashes")).as(Seq("__pos", "__fh"))),
+      "__vid", "__pos", "__fh",
+      maxDistance = maxDistance, minContainment = minContainment,
+      minOrderFraction = minOrderFraction,
+      maxSigDocFreq = maxFrameDocFreq, scheme = scheme)
 }

@@ -240,6 +240,69 @@ class AudioSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("audioSegmentFingerprintStage: per-segment pattern recovery, " +
+      "trailing partial ignored, maxSegments cap, junk routing") {
+    import spark.implicits._
+    val wlen = 16
+    val seg = 65 * wlen
+    val (p1, p2, p3) = (0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+      0x00FF00FF00FF00FFL)
+    def multi(ps: Seq[Long], extra: Int = 0): Array[Byte] = {
+      val out = new Array[Short](ps.length * seg + extra)
+      for ((p, k) <- ps.zipWithIndex)
+        System.arraycopy(patternClip(p, wlen), 0, out, k * seg, seg)
+      Audio.synthesizeWavPcm16(out, 8000)
+    }
+    val df = Seq(
+      ("a", multi(Seq(p1, p2, p3), extra = 37)), // partial tail ignored
+      ("junk", Array[Byte](1, 2, 3))).toDF("id", "wav")
+    val got = Audio.audioSegmentFingerprintStage(df, "id", "wav", seg)
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(("a", 0L, p1), ("a", 1L, p2), ("a", 2L, p3)))
+    // maxSegments truncates the timeline deterministically
+    val capped = Audio.audioSegmentFingerprintStage(df, "id", "wav", seg,
+        maxSegments = 2)
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(capped == Seq(("a", 0L, p1), ("a", 1L, p2)))
+  }
+
+  test("audioContainedDuplicates: a trimmed clip pairs at containment " +
+      "1.0; a reversed segment bag dies on the order gate; the shared " +
+      "jingle is capped") {
+    import spark.implicits._
+    val wlen = 16
+    val seg = 65 * wlen
+    val r = Seq(0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+      0x00FF00FF00FF00FFL, 0x5A5A5A5AA5A5A5A5L, 0x1122334455667788L,
+      0x99AABBCCDDEEFF01L, 0x0F0F0F0FF0F0F0F0L)
+    val jingle = 0x3C3C3C3CC3C3C3C3L
+    def multi(ps: Seq[Long]): Array[Byte] = {
+      val out = new Array[Short](ps.length * seg)
+      for ((p, k) <- ps.zipWithIndex)
+        System.arraycopy(patternClip(p, wlen), 0, out, k * seg, seg)
+      Audio.synthesizeWavPcm16(out, 8000)
+    }
+    val clips = Seq(
+      ("rec", multi(jingle +: r)),
+      ("clip", multi(Seq(jingle, r(3) ^ 0x3L, r(4) ^ 0x5L, r(5) ^ 0x6L))),
+      ("bag", multi(Seq(jingle, r(6) ^ 0x3L, r(5) ^ 0x5L, r(4) ^ 0x6L))))
+    val df = spark.createDataFrame(clips).toDF("id", "wav")
+    val got = Audio.audioContainedDuplicates(df, "id", "wav",
+        segmentSamples = seg, maxDistance = 3, minContainment = 0.8,
+        minOrderFraction = 0.75, maxSegmentDocFreq = 2)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    // clip⋈rec only: the bag's containment-1.0 pairing dies on order,
+    // the clip⋈bag cross-drift (2 of 3 segments) dies on containment
+    assert(got == Seq(("clip", "rec", 3L, 3L, 1.0, 1.0)))
+    // gate off: the bag pairs with the recording on pure containment
+    val noGate = Audio.audioContainedDuplicates(df, "id", "wav",
+        segmentSamples = seg, maxDistance = 3, minContainment = 0.8,
+        minOrderFraction = 0.0, maxSegmentDocFreq = 2)
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    val bagRec = noGate.find(r2 => r2._1 == "bag" && r2._2 == "rec")
+    assert(bagRec.exists(r2 => r2._5 == 1.0 && r2._6 == 0.0))
+  }
+
   test("silenceSpans: exact integer energies, inclusive threshold, " +
       "run merging, trailing-partial-window and boundary rules") {
     // windows of 4 samples; amp a contributes 4·a² exactly
