@@ -127,6 +127,42 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       ("showX", jingle +: x))
   }
 
+  /** q163's construction constants (shared by entry and oracle): the
+    * persisted-clip-detection lifecycle — two saved recordings sharing
+    * an intro JINGLE (df 2 > cap 1 at SAVE time → `capped/`), a third
+    * recording arriving by APPEND, recB taken down by tombstone DELETE;
+    * the probe batch holds a drifted trim of recA (pairs), a reversed
+    * bag of recA segments (containment 1.0, killed by order), an exact
+    * re-upload of the DELETED recB (must NOT pair — takedown proof), a
+    * drifted trim of the APPENDED recC (pairs — append visibility),
+    * and fresh content.
+    */
+  private val clipArtSegs: (Seq[Long], Seq[Long], Seq[Long], Seq[Long],
+      Long) = (
+    Seq(0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L, 0x00FF00FF00FF00FFL,
+      0x5A5A5A5AA5A5A5A5L, 0x1122334455667788L, 0x99AABBCCDDEEFF01L,
+      0x0F0F0F0FF0F0F0F0L, 0x7777000011110000L), // recA segments
+    Seq(0x1234123412341234L, 0xABCDABCDABCDABCDL, 0x0000FFFF0000FFFFL,
+      0x00000000FFFFFFFFL),                       // recB segments
+    Seq(0xDEADBEEF01234567L, 0xCAFEBABE89ABCDEFL, 0x5555AAAA3333CCCCL),
+                                                  // recC segments
+    Seq(0x7E7E7E7E81818181L, 0x8844221188442211L), // fresh content
+    0x3C3C3C3CC3C3C3C3L)                          // the shared jingle
+
+  private def clipArtSaved: Seq[(String, Seq[Long])] = {
+    val (r, sp, _, _, j) = clipArtSegs
+    Seq("recA" -> (j +: r), "recB" -> (j +: sp))
+  }
+  private def clipArtBatch: Seq[(String, Seq[Long])] = {
+    val (r, sp, c, x, j) = clipArtSegs
+    Seq(
+      "bagA" -> Seq(j, r(6) ^ 0x3L, r(5) ^ 0x5L, r(4) ^ 0x6L),
+      "clipA" -> Seq(j, r(3) ^ 0x3L, r(4) ^ 0x5L, r(5) ^ 0x6L),
+      "clipC" -> Seq(c(1) ^ 0x1L, c(2) ^ 0x2L),
+      "freshX" -> x,
+      "reupB" -> sp)
+  }
+
   /** q152's construction constants (shared by entry and oracle): the
     * media pattern each document carries is `pats(doc_id % 8)`; the
     * persisted corpus artifact holds pats(0), pats(1), and a 2-bit
@@ -532,6 +568,35 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       )).toDF("media_id", "sig")
       graft.ops.Dedup.incrementalHammingDuplicates(s, base, batch,
           "media_id", "sig")
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // ---- INCREMENTAL clip detection against a PERSISTED positioned-
+    //      timeline artifact: "is this upload a trim of something we
+    //      hold?" asked per ingest batch with zero corpus re-decode —
+    //      save (with the save-time df cap) → append → tombstone
+    //      delete → probe, all in-query; the oracle brute-forces both
+    //      scoring directions over the constants, so the banded
+    //      candidate path, the capped/-table batch-side cap, the
+    //      append visibility, and the takedown are each proven by a
+    //      row that exists or is absent. ----
+
+    "q163_incremental_clip_dedup" -> ((s, dir) => {
+      val base = tmpDir("graft-contain-art")
+      def tl(rows: Seq[(String, Seq[Long])]) =
+        s.createDataFrame(rows.flatMap { case (n, ps) =>
+          ps.zipWithIndex.map { case (p, i) => (n, i.toLong, p) } })
+          .toDF("media_id", "pos", "sig")
+      graft.ops.Dedup.containedArtifactSave(tl(clipArtSaved),
+        "media_id", "pos", "sig", base, maxSigDocFreq = 1)
+      graft.ops.Dedup.containedArtifactAppend(s, base,
+        tl(Seq("recC" -> clipArtSegs._3)), "media_id", "pos", "sig")
+      graft.ops.Dedup.hammingArtifactDelete(s, base,
+        s.createDataFrame(Seq(Tuple1("recB"))).toDF("media_id"),
+        "media_id")
+      graft.ops.Dedup.incrementalContainedDuplicates(s, base,
+          tl(clipArtBatch), "media_id", "pos", "sig", maxDistance = 3,
+          minContainment = 0.8, minOrderFraction = 0.75)
         .orderBy("batch_id", "corpus_id")
     }),
 
@@ -1081,6 +1146,101 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
            |  order_frac
            |FROM j WHERE containment >= 0.8 AND order_frac >= 0.75
            |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // q163 replayed as REAL SQL over the construction constants:
+      // save-time df cap over the SAVED corpus only (the append never
+      // re-caps — the documented contract), recB's rows removed (the
+      // tombstone), both scoring directions brute-forced (hamming
+      // match, first-position alignment, lag-walk order fraction),
+      // containment from the stored-size semantics — an append
+      // invisibility, a surviving takedown pair, a cap leak, or a gate
+      // off-by-one all break the hash
+      "q163_incremental_clip_dedup" -> {
+        def vals(rows: Seq[(String, Seq[Long])]) =
+          rows.flatMap { case (n, ps) =>
+            ps.zipWithIndex.map { case (p, i) =>
+              s"('$n', $i, CAST($p AS BIGINT))" } }.mkString(", ")
+        s"""WITH saved(cid, pos, sig) AS (VALUES ${vals(clipArtSaved)}),
+           |appended(cid, pos, sig) AS (VALUES
+           |  ${vals(Seq("recC" -> clipArtSegs._3))}),
+           |batch0(bid, pos, sig) AS (VALUES ${vals(clipArtBatch)}),
+           |capped AS (
+           |  SELECT sig FROM (
+           |    SELECT sig, count(DISTINCT cid) AS df
+           |    FROM saved GROUP BY sig)
+           |  WHERE df > 1),
+           |corpus AS (
+           |  SELECT cid, CAST(pos AS BIGINT) AS pos, sig FROM (
+           |    SELECT * FROM saved
+           |    UNION ALL SELECT * FROM appended)
+           |  WHERE sig NOT IN (SELECT sig FROM capped)
+           |    AND cid <> 'recB'),
+           |csizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n
+           |  FROM corpus GROUP BY cid),
+           |bt AS (
+           |  SELECT bid, CAST(pos AS BIGINT) AS pos, sig FROM batch0
+           |  WHERE sig NOT IN (SELECT sig FROM capped)),
+           |bsizes AS (SELECT bid, CAST(count(*) AS BIGINT) AS n
+           |  FROM bt GROUP BY bid),
+           |mb AS (
+           |  SELECT b.bid, c.cid, b.sig, b.pos AS pos_a,
+           |    min(c.pos) AS pos_b
+           |  FROM bt b JOIN corpus c
+           |    ON bit_count(xor(b.sig, c.sig)) <= 3
+           |  GROUP BY b.bid, c.cid, b.sig, b.pos),
+           |ordb AS (
+           |  SELECT bid, cid, pos_b,
+           |    lag(pos_b) OVER (PARTITION BY bid, cid ORDER BY pos_a)
+           |      AS prev
+           |  FROM mb),
+           |sb AS (
+           |  SELECT bid, cid, CAST(count(*) AS BIGINT) AS matched,
+           |    sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS steps,
+           |    sum(CASE WHEN prev IS NOT NULL AND pos_b > prev
+           |      THEN 1 ELSE 0 END) AS n_asc
+           |  FROM ordb GROUP BY bid, cid),
+           |mc AS (
+           |  SELECT b.bid, c.cid, c.sig, c.pos AS pos_a,
+           |    min(b.pos) AS pos_b
+           |  FROM bt b JOIN corpus c
+           |    ON bit_count(xor(b.sig, c.sig)) <= 3
+           |  GROUP BY b.bid, c.cid, c.sig, c.pos),
+           |ordc AS (
+           |  SELECT bid, cid, pos_b,
+           |    lag(pos_b) OVER (PARTITION BY bid, cid ORDER BY pos_a)
+           |      AS prev
+           |  FROM mc),
+           |sc AS (
+           |  SELECT bid, cid, CAST(count(*) AS BIGINT) AS matched,
+           |    sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS steps,
+           |    sum(CASE WHEN prev IS NOT NULL AND pos_b > prev
+           |      THEN 1 ELSE 0 END) AS n_asc
+           |  FROM ordc GROUP BY bid, cid),
+           |j AS (
+           |  SELECT sb.bid AS batch_id, sb.cid AS corpus_id,
+           |    sb.matched AS matched_batch, sc.matched AS matched_corpus,
+           |    greatest(
+           |      CAST(sb.matched AS DOUBLE) / CAST(bz.n AS DOUBLE),
+           |      CAST(sc.matched AS DOUBLE) / CAST(cz.n AS DOUBLE))
+           |      AS containment,
+           |    least(
+           |      CASE WHEN sb.steps = 0 THEN 1.0
+           |        ELSE CAST(sb.n_asc AS DOUBLE) / CAST(sb.steps AS DOUBLE)
+           |        END,
+           |      CASE WHEN sc.steps = 0 THEN 1.0
+           |        ELSE CAST(sc.n_asc AS DOUBLE) / CAST(sc.steps AS DOUBLE)
+           |        END) AS order_frac
+           |  FROM sb
+           |  JOIN sc ON sb.bid = sc.bid AND sb.cid = sc.cid
+           |  JOIN bsizes bz ON bz.bid = sb.bid
+           |  JOIN csizes cz ON cz.cid = sb.cid)
+           |SELECT batch_id, corpus_id, matched_batch, matched_corpus,
+           |  containment, order_frac
+           |FROM j WHERE containment >= 0.8 AND order_frac >= 0.75
+           |ORDER BY batch_id, corpus_id""".stripMargin
       },
 
       // q148's brute-force replay: every (batch, corpus) pair's exact

@@ -308,6 +308,219 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
       }.toSeq
   }
 
+  /** Persist the corpus side of standing CLIP detection — the
+    * positioned-timeline twin of [[hammingArtifactSave]], consumed by
+    * [[incrementalContainedDuplicates]]: "is this new upload a
+    * trim/clip of something we already hold?" asked per ingest batch
+    * without re-decoding any corpus media. Tables under `path`:
+    *
+    *  - `sigs/`: one (id, __pos, __sig) row per corpus item × distinct
+    *    signature, deduped at save time to each signature's FIRST
+    *    position (the canonical timeline [[containedHammingDuplicates]]
+    *    walks);
+    *  - `sizes/`: (id, __n) — each item's capped distinct-signature
+    *    count, the containment denominator (stored so a probe never
+    *    aggregates the corpus);
+    *  - `keys/`: the banded (t, key, __sig) index over DISTINCT capped
+    *    signatures (read back from the written sigs — the save-path
+    *    consistency rule);
+    *  - `capped/`: the signatures DROPPED by `maxSigDocFreq` (corpus
+    *    document frequency at save time — black frames, station
+    *    idents, intro jingles). Stored so probes remove the same
+    *    signatures from the BATCH side before sizing: results then
+    *    match [[containedHammingDuplicates]]'s cap semantics, where a
+    *    capped signature exists on NEITHER side. Ubiquitous-signature-
+    *    sized (tiny by construction);
+    *  - `_meta` pins the banding scheme; [[ArtifactVersion]] stamps
+    *    refreshes.
+    *
+    * [[hammingArtifactDelete]] works against this artifact unchanged
+    * (tombstones are id-keyed and purely additive); compaction and the
+    * maintenance planner inherit the hamming artifact's design when
+    * needed.
+    */
+  def containedArtifactSave(df: DataFrame, idCol: String, posCol: String,
+                            sigCol: String, path: String,
+                            maxSigDocFreq: Long = 100000L,
+                            scheme: String = "bands"): Unit = {
+    require(scheme == "blocks" || scheme == "bands",
+      s"unknown candidate scheme '$scheme' (expected blocks | bands)")
+    require(maxSigDocFreq >= 1, "maxSigDocFreq must be >= 1")
+    val spark = df.sparkSession
+    val deduped = df.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("id"), col(sigCol).as("__sig"),
+        col(posCol).cast("long").as("__pos"))
+      .groupBy("id", "__sig").agg(min(col("__pos")).as("__pos"))
+    val hot = deduped.groupBy("__sig")
+      .agg(countDistinct(col("id")).as("__df"))
+      .filter(col("__df") > maxSigDocFreq)
+      .select("__sig")
+    hot.write.mode("overwrite").parquet(graft.Fs.join(path, "capped"))
+    // anti-join against the WRITTEN capped table (read-back) so sigs/
+    // and capped/ can never disagree over a non-deterministic plan
+    deduped.join(spark.read.parquet(graft.Fs.join(path, "capped")),
+        Seq("__sig"), "left_anti")
+      .write.mode("overwrite").parquet(graft.Fs.join(path, "sigs"))
+    val written = spark.read.parquet(graft.Fs.join(path, "sigs"))
+    written.groupBy("id").agg(count(lit(1)).as("__n"))
+      .write.mode("overwrite").parquet(graft.Fs.join(path, "sizes"))
+    written.select("__sig").distinct()
+      .select(col("__sig"),
+        explode(array(hammingKeyCols("__sig", scheme): _*)).as("kk"))
+      .select(col("__sig"), col("kk.t").as("t"), col("kk.key").as("key"))
+      .write.mode("overwrite").parquet(graft.Fs.join(path, "keys"))
+    spark.createDataFrame(Seq(Tuple1(scheme))).toDF("__scheme")
+      .write.mode("overwrite").parquet(graft.Fs.join(path, "_meta"))
+    ArtifactVersion.stamp(path)
+  }
+
+  /** Grow a [[containedArtifactSave]] artifact with NEW items — batch
+    * (id, pos, sig) rows append into `sigs/`/`sizes/`/`keys/`, existing
+    * files never read or rewritten (the [[hammingArtifactAppend]]
+    * economics; one eager localCheckpoint pins a single evaluation of
+    * the batch plan across the three writes). Contract: appended ids
+    * must be NEW (an existing id would double its `sizes/` row — ids
+    * are upload identities, re-ingest goes through delete+append).
+    * Signatures in `capped/` are dropped from the batch (the save-time
+    * cap); the cap itself is NOT re-evaluated on append — a signature
+    * that becomes ubiquitous only across appends keeps generating
+    * (cheap, correct) candidates until the next full save.
+    */
+  def containedArtifactAppend(spark: org.apache.spark.sql.SparkSession,
+                              path: String, df: DataFrame, idCol: String,
+                              posCol: String, sigCol: String): Unit = {
+    val scheme = spark.read.parquet(graft.Fs.join(path, "_meta"))
+      .head().getString(0)
+    val batch = df.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("id"), col(sigCol).as("__sig"),
+        col(posCol).cast("long").as("__pos"))
+      .groupBy("id", "__sig").agg(min(col("__pos")).as("__pos"))
+      .join(spark.read.parquet(graft.Fs.join(path, "capped")),
+        Seq("__sig"), "left_anti")
+      .localCheckpoint(true)
+    try {
+      batch.write.mode("append").parquet(graft.Fs.join(path, "sigs"))
+      batch.groupBy("id").agg(count(lit(1)).as("__n"))
+        .write.mode("append").parquet(graft.Fs.join(path, "sizes"))
+      batch.select("__sig").distinct()
+        .select(col("__sig"),
+          explode(array(hammingKeyCols("__sig", scheme): _*)).as("kk"))
+        .select(col("__sig"), col("kk.t").as("t"), col("kk.key").as("key"))
+        .write.mode("append").parquet(graft.Fs.join(path, "keys"))
+    } finally batch.unpersist(blocking = false)
+    ArtifactVersion.stamp(path)
+  }
+
+  /** Probe a [[containedArtifactSave]] artifact with an ingest batch of
+    * positioned signature timelines: returns every (batch item, corpus
+    * item) pair whose capped timelines stand in a containment/order
+    * relation — [[containedHammingDuplicates]]'s scoring computed
+    * batch-vs-corpus instead of corpus-vs-corpus, with the corpus side
+    * read ONLY through the fixed-width artifact tables (banded
+    * candidate join, matched-signature fetch from `sigs/`, stored
+    * `sizes/` denominators — corpus media never re-decoded, never
+    * re-read; the q54/q72 ingest economics). Batch signatures found in
+    * `capped/` are removed before sizing, so scores equal the batch
+    * operator's cap semantics. [[hammingArtifactDelete]] tombstones are
+    * anti-joined — a taken-down corpus item stops pairing immediately.
+    *
+    * Returns (batch_id, corpus_id, matched_batch, matched_corpus,
+    * containment, order_frac); thresholds as in
+    * [[containedHammingDuplicates]].
+    */
+  def incrementalContainedDuplicates(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, batch: DataFrame,
+                                     idCol: String, posCol: String,
+                                     sigCol: String, maxDistance: Int = 3,
+                                     minContainment: Double = 0.8,
+                                     minOrderFraction: Double = 0.0)
+      : DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      "minContainment must be in (0, 1]")
+    require(minOrderFraction >= 0 && minOrderFraction <= 1,
+      "minOrderFraction must be in [0, 1]")
+    require(maxDistance >= 0, "maxDistance must be >= 0")
+    val scheme = spark.read.parquet(graft.Fs.join(path, "_meta"))
+      .head().getString(0)
+    val tombDir = graft.Fs.join(path, "_tombstones")
+    def antiTomb(df: DataFrame, idc: String): DataFrame =
+      if (graft.Fs.exists(tombDir))
+        df.join(spark.read.parquet(tombDir), col(idc) === col("__del_id"),
+          "left_anti")
+      else df
+    val corpusRows = antiTomb(
+      spark.read.parquet(graft.Fs.join(path, "sigs"))
+        .select(col("id").as("corpus_id"), col("__sig").as("__csig"),
+          col("__pos").as("__cpos")), "corpus_id")
+    val corpusSizes = antiTomb(
+      spark.read.parquet(graft.Fs.join(path, "sizes"))
+        .select(col("id").as("corpus_id"), col("__n").as("__nc")),
+      "corpus_id")
+    val corpusKeys = spark.read.parquet(graft.Fs.join(path, "keys"))
+      .select(col("__sig").as("__csig"), col("t"), col("key"))
+    // batch timeline: first-position dedup, then the artifact's cap
+    // list removed BEFORE sizing (capped signatures exist on neither
+    // side — the batch-operator semantics)
+    val bt = Dedup.tracked(
+      batch.filter(col(sigCol).isNotNull)
+        .select(col(idCol).as("batch_id"), col(sigCol).as("__bsig"),
+          col(posCol).cast("long").as("__bpos"))
+        .groupBy("batch_id", "__bsig").agg(min(col("__bpos")).as("__bpos"))
+        .join(spark.read.parquet(graft.Fs.join(path, "capped"))
+          .select(col("__sig").as("__bsig")), Seq("__bsig"), "left_anti"))
+    val batchSizes = bt.groupBy("batch_id").agg(count(lit(1)).as("__nb"))
+    val batchKeys = bt.select("__bsig").distinct()
+      .select(col("__bsig"),
+        explode(array(hammingKeyCols("__bsig", scheme): _*)).as("kk"))
+      .select(col("__bsig"), col("kk.t").as("t"), col("kk.key").as("key"))
+    // verified signature pairs (equality arrives through the band join
+    // — identical sigs share every band, no identity union needed)
+    val sigPairs = Dedup.tracked(batchKeys.join(corpusKeys, Seq("t", "key"))
+      .select("__bsig", "__csig").distinct()
+      .filter(bit_count(col("__bsig").bitwiseXOR(col("__csig")))
+        <= maxDistance))
+    // matched rows per ordered pair, both directions: each side's
+    // matched signatures aligned to their FIRST matching position on
+    // the other side (the containedHammingDuplicates canonicalization)
+    val joined = Dedup.tracked(sigPairs
+      .join(bt, Seq("__bsig"))
+      .join(corpusRows, Seq("__csig")))
+    def direction(sigC: String, posA: String, posB: String,
+                  matchedAs: String, ofracAs: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("batch_id", "corpus_id").orderBy("__pa")
+      joined.groupBy(col("batch_id"), col("corpus_id"), col(sigC),
+          col(posA).as("__pa"))
+        .agg(min(col(posB)).as("__pb"))
+        .withColumn("__prev", lag(col("__pb"), 1).over(w))
+        .groupBy("batch_id", "corpus_id")
+        .agg(count(lit(1)).as(matchedAs),
+          sum(when(col("__prev").isNotNull, 1L).otherwise(0L))
+            .as("__steps"),
+          sum(when(col("__prev").isNotNull && col("__pb") > col("__prev"),
+            1L).otherwise(0L)).as("__nasc"))
+        .withColumn(ofracAs,
+          when(col("__steps") === 0L, lit(1.0))
+            .otherwise(col("__nasc").cast("double") /
+              col("__steps").cast("double")))
+        .drop("__steps", "__nasc")
+    }
+    direction("__bsig", "__bpos", "__cpos", "matched_batch", "__ob")
+      .join(direction("__csig", "__cpos", "__bpos", "matched_corpus",
+        "__oc"), Seq("batch_id", "corpus_id"))
+      .join(batchSizes, Seq("batch_id"))
+      .join(corpusSizes, Seq("corpus_id"))
+      .withColumn("containment",
+        greatest(
+          col("matched_batch").cast("double") / col("__nb").cast("double"),
+          col("matched_corpus").cast("double") / col("__nc").cast("double")))
+      .withColumn("order_frac", least(col("__ob"), col("__oc")))
+      .filter(col("containment") >= minContainment &&
+        col("order_frac") >= minOrderFraction)
+      .select(col("batch_id"), col("corpus_id"), col("matched_batch"),
+        col("matched_corpus"), col("containment"), col("order_frac"))
+  }
+
   /** Persist the corpus side of a standing 64-bit-signature dedup —
     * the media twin of [[DedupIncremental]]'s digest / band-bucket
     * artifacts, for SimHash, pHash, audio-fingerprint, and frame-hash

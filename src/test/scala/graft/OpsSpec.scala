@@ -3194,6 +3194,68 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalContainedDuplicates: probe equals the batch operator " +
+      "on the union (uncapped); save-time cap, append visibility, and " +
+      "takedown hold") {
+    import spark.implicits._
+    val m = Seq(0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+      0x00FF00FF00FF00FFL, 0x5A5A5A5AA5A5A5A5L, 0x1122334455667788L,
+      0x99AABBCCDDEEFF01L)
+    val n = Seq(0x0F0F0F0FF0F0F0F0L, 0x7777000011110000L,
+      0x1234123412341234L)
+    def tl(rows: Seq[(String, Seq[Long])]) =
+      rows.flatMap { case (id, ps) =>
+        ps.zipWithIndex.map { case (p, i) => (id, i.toLong, p) } }
+        .toDF("id", "pos", "sig")
+    val corpus = Seq("c_rec" -> m, "c_other" -> n)
+    val batch = Seq(
+      "b_clip" -> Seq(m(2) ^ 0x3L, m(3) ^ 0x5L),
+      "b_bag" -> Seq(m(5) ^ 0x3L, m(4) ^ 0x5L),
+      "b_fresh" -> Seq(0x8844221188442211L))
+    // parity: uncapped probe == the batch operator over the union,
+    // restricted to cross (batch, corpus) pairs — b_ < c_ makes the
+    // operator's (id_a, id_b) orientation the probe's (batch, corpus)
+    val dir = tmpDir("contain-art-parity")
+    graft.ops.Dedup.containedArtifactSave(tl(corpus), "id", "pos", "sig",
+      dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long, Long, Double, Double)]
+        .collect().toSet
+    val probe = canon(graft.ops.Dedup.incrementalContainedDuplicates(
+      spark, dir, tl(batch), "id", "pos", "sig", maxDistance = 3,
+      minContainment = 0.1, minOrderFraction = 0.0))
+    val unionOp = canon(graft.ops.Dedup.containedHammingDuplicates(
+        tl(corpus ++ batch), "id", "pos", "sig", maxDistance = 3,
+        minContainment = 0.1, minOrderFraction = 0.0)
+      .filter(col("id_a").startsWith("b_") &&
+        col("id_b").startsWith("c_")))
+    assert(probe == unionOp && probe.nonEmpty)
+    // lifecycle: shared jingle capped at SAVE time, append visible,
+    // takedown immediate
+    val jingle = 0x3C3C3C3CC3C3C3C3L
+    val c = Seq(0xDEADBEEF01234567L, 0xCAFEBABE89ABCDEFL)
+    val dir2 = tmpDir("contain-art-lc")
+    graft.ops.Dedup.containedArtifactSave(
+      tl(Seq("c_recA" -> (jingle +: m), "c_recB" -> (jingle +: n))),
+      "id", "pos", "sig", dir2, maxSigDocFreq = 1)
+    graft.ops.Dedup.containedArtifactAppend(spark, dir2,
+      tl(Seq("c_recC" -> c)), "id", "pos", "sig")
+    graft.ops.Dedup.hammingArtifactDelete(spark, dir2,
+      Seq("c_recB").toDF("id"), "id")
+    val got = canon(graft.ops.Dedup.incrementalContainedDuplicates(
+      spark, dir2, tl(Seq(
+        // jingle rides along and must be cap-removed from nb (else
+        // containment would read 2/3, under the 0.8 floor)
+        "b_trimA" -> Seq(jingle, m(1) ^ 0x3L, m(2) ^ 0x5L),
+        "b_reupB" -> n,                       // deleted corpus item
+        "b_trimC" -> Seq(c(0) ^ 0x1L, c(1) ^ 0x2L))),
+      "id", "pos", "sig", maxDistance = 3, minContainment = 0.8,
+      minOrderFraction = 0.75))
+    assert(got == Set(
+      ("b_trimA", "c_recA", 2L, 2L, 1.0, 1.0),
+      ("b_trimC", "c_recC", 2L, 2L, 1.0, 1.0)))
+  }
+
   test("incrementalHammingDuplicates: artifact save/append/probe == " +
       "brute force, scheme pinned from meta, layout-independent appends") {
     val rnd = new scala.util.Random(77)
