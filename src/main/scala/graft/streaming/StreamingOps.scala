@@ -1028,6 +1028,66 @@ object StreamingOps {
           null)
     }
 
+  /** Streaming CLIP-dedup admission — the [[hammingDedupStream]] twin
+    * for positioned signature timelines: each micro-batch of items
+    * (idCol + an `array<long>` timeline column — a video's sampled
+    * frame hashes, an audio clip's segment fingerprints) is probed
+    * against a persisted [[graft.ops.Dedup.containedArtifactSave]]
+    * artifact, and items standing in a containment/order relation with
+    * a corpus item (trims, clips, re-encoded excerpts — the
+    * [[graft.ops.Dedup.incrementalContainedDuplicates]] thresholds)
+    * are dropped. Intra-batch clips collapse too (a source and its
+    * clip arriving in the same batch would both miss the corpus): the
+    * batch's own [[graft.ops.Dedup.containedHammingDuplicates]] pairs
+    * drop the SHORTER side — the clip, keeping the longest version of
+    * the content (distinct-signature count decides; equal lengths keep
+    * the min id). Chains over-drop greedily exactly as documented on
+    * [[hammingDedupStream]].
+    *
+    * Per-batch cost: one batch-sized banded self-join plus the
+    * fixed-width artifact probe — corpus media never re-read. The
+    * artifact re-reads per batch (no pin), so
+    * [[graft.ops.Dedup.containedArtifactAppend]]s and
+    * [[graft.ops.Dedup.hammingArtifactDelete]] takedowns are visible
+    * at the very next batch (spec-pinned).
+    */
+  def clipDedupStream(stream: DataFrame, idCol: String, sigsCol: String,
+                      artifactPath: String, maxDistance: Int = 3,
+                      minContainment: Double = 0.8,
+                      minOrderFraction: Double = 0.0)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val batch = mb.toDF()
+        val tl = batch
+          .filter(col(sigsCol).isNotNull)
+          .select(col(idCol),
+            posexplode(col(sigsCol)).as(Seq("__pos", "__sig")))
+        val corpusDup = graft.ops.Dedup.incrementalContainedDuplicates(
+            mb.sparkSession, artifactPath, tl, idCol, "__pos", "__sig",
+            maxDistance, minContainment, minOrderFraction)
+          .select(col("batch_id").as(idCol))
+        // intra-batch: keep the LONGEST version of clipped content —
+        // per pair, the side with fewer distinct signatures is the
+        // clip and drops; equal lengths keep the canonical min id
+        val sizes = tl.groupBy(idCol)
+          .agg(countDistinct(col("__sig")).as("__n"))
+        val intraDup = graft.ops.Dedup.containedHammingDuplicates(
+            tl, idCol, "__pos", "__sig", maxDistance, minContainment,
+            minOrderFraction)
+          .join(sizes.select(col(idCol).as("id_a"), col("__n").as("__na")),
+            Seq("id_a"))
+          .join(sizes.select(col(idCol).as("id_b"), col("__n").as("__nb")),
+            Seq("id_b"))
+          .select(when(col("__na") < col("__nb"), col("id_a"))
+            .otherwise(col("id_b")).as(idCol))
+        val dupIds = corpusDup.unionByName(intraDup).distinct()
+        sink(batch.join(dupIds, Seq(idCol), "left_anti"), batchId)
+    }
+
   /** Gap-based sessionization with the BUILT-IN `session_window`
     * aggregate (Catalyst-native state, watermark-evicted): one row per
     * closed session with start/end/count. The streaming twin of the

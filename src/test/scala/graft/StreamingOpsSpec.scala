@@ -455,6 +455,50 @@ class StreamingOpsSpec extends SparkSpec {
     assert(!graft.Fs.exists(s"$dir/_tombstones")) // compact folded them
   }
 
+  test("clipDedupStream: corpus trims drop, intra-batch clips collapse " +
+      "to the longest version, a takedown re-admits next batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = Seq(0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+      0x00FF00FF00FF00FFL, 0x5A5A5A5AA5A5A5A5L, 0x1122334455667788L,
+      0x99AABBCCDDEEFF01L)
+    val s2 = Seq(0x0F0F0F0FF0F0F0F0L, 0x7777000011110000L,
+      0x1234123412341234L, 0xABCDABCDABCDABCDL)
+    val art = tmpDir("clip-stream-art")
+    graft.ops.Dedup.containedArtifactSave(
+      m.zipWithIndex.map { case (p, i) => ("recA", i.toLong, p) }
+        .toDF("id", "pos", "sig"),
+      "id", "pos", "sig", art)
+    val input = MemoryStream[(String, Array[Long])]
+    val got = scala.collection.mutable.Map[Long, Set[String]]()
+    val query = StreamingOps.clipDedupStream(
+        input.toDF().toDF("id", "sigs"), "id", "sigs", art,
+        maxDistance = 3, minContainment = 0.8,
+        minOrderFraction = 0.75) {
+      (res, id) => got.synchronized {
+        got(id) = res.select("id").as[String].collect().toSet }
+    }.start()
+    val trimA = ("trimA", Array(m(2) ^ 0x3L, m(3) ^ 0x5L))
+    try {
+      // batch 0: trimA is a corpus clip (drops); sourceS is fresh
+      // (kept); clipS is sourceS's 2-of-4 excerpt arriving in the SAME
+      // batch — the intra-batch collapse keeps the LONGER sourceS
+      input.addData(
+        trimA,
+        ("sourceS", s2.toArray),
+        ("clipS", Array(s2(1) ^ 0x1L, s2(2) ^ 0x2L)),
+        ("freshX", Array(0x8844221188442211L)))
+      query.processAllAvailable()
+      // takedown between batches: the artifact re-reads per batch, so
+      // the delete is visible immediately
+      graft.ops.Dedup.hammingArtifactDelete(spark, art,
+        Seq("recA").toDF("id"), "id")
+      input.addData(trimA)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(got(0L) == Set("sourceS", "freshX"))
+    assert(got(1L) == Set("trimA"))
+  }
+
   test("streaming dedup keeps the first arrival of each distinct text") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

@@ -1,0 +1,110 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Incremental clip detection at scale
+  * ([[graft.ops.Dedup.containedArtifactSave]] /
+  * `incrementalContainedDuplicates`, q163): a 1M-item corpus of 8-sig
+  * positioned timelines (8M sig rows + a ubiquitous JINGLE signature in
+  * every item — the save-time cap must drop it or the banded index
+  * gains one posting list with df 10⁶) persisted once, probed by a
+  * 100k-item ingest batch:
+  *
+  *  - ids ≡ 0 (mod 4): a 3-sig TRIM of corpus item id×13 (mod n) with
+  *    1-2 bit drifts, in order → must pair (containment 1.0);
+  *  - ids ≡ 1 (mod 4): the REVERSED drifted bag of the same segments →
+  *    containment 1.0, killed by the order gate;
+  *  - else: fresh content → no pairs.
+  *
+  * Expected gated pairs = exactly the 25k planted trims; the ungated
+  * control adds exactly the 25k bags. The probe never re-reads corpus
+  * "media" — there is none to read; the artifact IS the fixed-width
+  * representation, and the measured probe time is the standing
+  * ingest-gate cost per 100k uploads against a 1M corpus.
+  */
+object ContainArtStress {
+  val Jingle = 0x3C3C3C3CC3C3C3C3L
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val nb = args.lift(1).map(_.toLong).getOrElse(100000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      // the splitmix64 column generator overflows long multiplication
+      // BY DESIGN (wrapping arithmetic) — fixture-generator-only setting
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"MARKER_${label}=${(System.nanoTime() - t0) / 1e9}%.1f")
+      a
+    }
+    val dir = "/tmp/graft-contain-stress-art"
+    graft.Fs.deleteRecursively(dir)
+    // corpus: 9 rows per item (jingle at pos 0 + 8 content sigs)
+    val corpus = spark.range(n).select(col("id"),
+        explode(sequence(lit(0), lit(8))).as("k"))
+      .select(col("id").cast("string").as("id"),
+        col("k").cast("long").as("pos"),
+        when(col("k") === 0, lit(Jingle))
+          .otherwise(udfFreePat(col("id"), col("k"))).as("sig"))
+    timed("save_sec") {
+      graft.ops.Dedup.containedArtifactSave(corpus, "id", "pos", "sig",
+        dir, maxSigDocFreq = 10)
+    }
+    // batch timelines (jingle rides along on every item)
+    val batch = spark.range(nb).select(col("id"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .select(concat(lit("b"), col("id")).as("bid"),
+        col("id").as("__i"), col("k").cast("long").as("pos"),
+        col("k"))
+      .withColumn("__tgt", (col("__i") * 13L) % n)
+      .withColumn("sig",
+        when(col("k") === 0, lit(Jingle))
+          .when(col("__i") % 4 === 0,
+            // trim of segments 3..5, 1-2 bit drifts, in order
+            udfFreePat(col("__tgt"), col("k") + lit(2))
+              .bitwiseXOR(col("k")))
+          .when(col("__i") % 4 === 1,
+            // the REVERSED bag of the same segments
+            udfFreePat(col("__tgt"), lit(8) - col("k"))
+              .bitwiseXOR(col("k")))
+          .otherwise(udfFreePat(col("__i") + lit(7654321), col("k") + lit(40))))
+      .select(col("bid"), col("pos"), col("sig"))
+    val gated = timed("probe_gated_sec") {
+      graft.ops.Dedup.incrementalContainedDuplicates(spark, dir, batch,
+        "bid", "pos", "sig", maxDistance = 3, minContainment = 0.8,
+        minOrderFraction = 0.75).count()
+    }
+    println(s"MARKER_gated_pairs=$gated (expect ${nb / 4 + (if (nb % 4 > 0) 1 else 0)})")
+    val ungated = timed("probe_ungated_sec") {
+      graft.ops.Dedup.incrementalContainedDuplicates(spark, dir, batch,
+        "bid", "pos", "sig", maxDistance = 3, minContainment = 0.8,
+        minOrderFraction = 0.0).count()
+    }
+    println(s"MARKER_ungated_pairs=$ungated")
+    spark.stop()
+  }
+
+  /** splitmix64 as a pure column expression (no UDF) — the generator
+    * is only required to be deterministic and well-mixed, both sides
+    * (corpus build, batch build) use THIS function.
+    */
+  private def udfFreePat(item: org.apache.spark.sql.Column,
+                         k: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val z0 = item * 64L + k + lit(0x9E3779B97F4A7C15L)
+    val z1 = (z0.bitwiseXOR(shiftrightunsigned(z0, 30))) *
+      lit(0xBF58476D1CE4E5B9L)
+    val z2 = (z1.bitwiseXOR(shiftrightunsigned(z1, 27))) *
+      lit(0x94D049BB133111EBL)
+    val p = z2.bitwiseXOR(shiftrightunsigned(z2, 31))
+    when(p === 0L || p === -1L || p === Jingle,
+      expr("shiftleft(1L, 2)")).otherwise(p)
+  }
+}
