@@ -163,6 +163,101 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       "reupB" -> sp)
   }
 
+  /** The q163/q164 shared oracle: both scoring directions brute-forced
+    * over the clip-artifact constants (save-time cap over the SAVED
+    * corpus only, recB's rows removed by the tombstone, hamming match,
+    * first-position alignment, lag-walk order fractions, stored-size
+    * containment). q164 appends its five lifecycle booleans via
+    * `extraCols` — the compact is probe-invisible, so the row set is
+    * q163's exactly.
+    */
+  private def clipLifecycleOracle(extraCols: String): String = {
+    def vals(rows: Seq[(String, Seq[Long])]) =
+      rows.flatMap { case (n, ps) =>
+        ps.zipWithIndex.map { case (p, i) =>
+          s"('$n', $i, CAST($p AS BIGINT))" } }.mkString(", ")
+    s"""WITH saved(cid, pos, sig) AS (VALUES ${vals(clipArtSaved)}),
+       |appended(cid, pos, sig) AS (VALUES
+       |  ${vals(Seq("recC" -> clipArtSegs._3))}),
+       |batch0(bid, pos, sig) AS (VALUES ${vals(clipArtBatch)}),
+       |capped AS (
+       |  SELECT sig FROM (
+       |    SELECT sig, count(DISTINCT cid) AS df
+       |    FROM saved GROUP BY sig)
+       |  WHERE df > 1),
+       |corpus AS (
+       |  SELECT cid, CAST(pos AS BIGINT) AS pos, sig FROM (
+       |    SELECT * FROM saved
+       |    UNION ALL SELECT * FROM appended)
+       |  WHERE sig NOT IN (SELECT sig FROM capped)
+       |    AND cid <> 'recB'),
+       |csizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n
+       |  FROM corpus GROUP BY cid),
+       |bt AS (
+       |  SELECT bid, CAST(pos AS BIGINT) AS pos, sig FROM batch0
+       |  WHERE sig NOT IN (SELECT sig FROM capped)),
+       |bsizes AS (SELECT bid, CAST(count(*) AS BIGINT) AS n
+       |  FROM bt GROUP BY bid),
+       |mb AS (
+       |  SELECT b.bid, c.cid, b.sig, b.pos AS pos_a,
+       |    min(c.pos) AS pos_b
+       |  FROM bt b JOIN corpus c
+       |    ON bit_count(xor(b.sig, c.sig)) <= 3
+       |  GROUP BY b.bid, c.cid, b.sig, b.pos),
+       |ordb AS (
+       |  SELECT bid, cid, pos_b,
+       |    lag(pos_b) OVER (PARTITION BY bid, cid ORDER BY pos_a)
+       |      AS prev
+       |  FROM mb),
+       |sb AS (
+       |  SELECT bid, cid, CAST(count(*) AS BIGINT) AS matched,
+       |    sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS steps,
+       |    sum(CASE WHEN prev IS NOT NULL AND pos_b > prev
+       |      THEN 1 ELSE 0 END) AS n_asc
+       |  FROM ordb GROUP BY bid, cid),
+       |mc AS (
+       |  SELECT b.bid, c.cid, c.sig, c.pos AS pos_a,
+       |    min(b.pos) AS pos_b
+       |  FROM bt b JOIN corpus c
+       |    ON bit_count(xor(b.sig, c.sig)) <= 3
+       |  GROUP BY b.bid, c.cid, c.sig, c.pos),
+       |ordc AS (
+       |  SELECT bid, cid, pos_b,
+       |    lag(pos_b) OVER (PARTITION BY bid, cid ORDER BY pos_a)
+       |      AS prev
+       |  FROM mc),
+       |sc AS (
+       |  SELECT bid, cid, CAST(count(*) AS BIGINT) AS matched,
+       |    sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS steps,
+       |    sum(CASE WHEN prev IS NOT NULL AND pos_b > prev
+       |      THEN 1 ELSE 0 END) AS n_asc
+       |  FROM ordc GROUP BY bid, cid),
+       |j AS (
+       |  SELECT sb.bid AS batch_id, sb.cid AS corpus_id,
+       |    sb.matched AS matched_batch, sc.matched AS matched_corpus,
+       |    greatest(
+       |      CAST(sb.matched AS DOUBLE) / CAST(bz.n AS DOUBLE),
+       |      CAST(sc.matched AS DOUBLE) / CAST(cz.n AS DOUBLE))
+       |      AS containment,
+       |    least(
+       |      CASE WHEN sb.steps = 0 THEN 1.0
+       |        ELSE CAST(sb.n_asc AS DOUBLE) / CAST(sb.steps AS DOUBLE)
+       |        END,
+       |      CASE WHEN sc.steps = 0 THEN 1.0
+       |        ELSE CAST(sc.n_asc AS DOUBLE) / CAST(sc.steps AS DOUBLE)
+       |        END) AS order_frac
+       |  FROM sb
+       |  JOIN sc ON sb.bid = sc.bid AND sb.cid = sc.cid
+       |  JOIN bsizes bz ON bz.bid = sb.bid
+       |  JOIN csizes cz ON cz.cid = sb.cid)
+       |SELECT batch_id, corpus_id, matched_batch, matched_corpus,
+       |  containment, order_frac$extraCols
+       |FROM j WHERE containment >= 0.8 AND order_frac >= 0.75
+       |ORDER BY batch_id, corpus_id""".stripMargin
+  }
+
   /** q152's construction constants (shared by entry and oracle): the
     * media pattern each document carries is `pats(doc_id % 8)`; the
     * persisted corpus artifact holds pats(0), pats(1), and a 2-bit
@@ -597,6 +692,52 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       graft.ops.Dedup.incrementalContainedDuplicates(s, base,
           tl(clipArtBatch), "media_id", "pos", "sig", maxDistance = 3,
           minContainment = 0.8, minOrderFraction = 0.75)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
+    // ---- clip-artifact takedown lifecycle: q163's build → append →
+    //      DELETE, then planner says compact → COMPACT (sizes pruned,
+    //      sigs/keys folded, tombstones dropped) → planner says none →
+    //      probe + AUDIT. Same discipline as q158: the oracle pins the
+    //      probe rows (q163's exact expectation) plus five engine-
+    //      computed lifecycle booleans, including probe-invariance
+    //      across the compact as a two-sided exceptAll. ----
+
+    "q164_clip_artifact_lifecycle" -> ((s, dir) => {
+      val base = tmpDir("graft-contain-lc")
+      def tl(rows: Seq[(String, Seq[Long])]) =
+        s.createDataFrame(rows.flatMap { case (n, ps) =>
+          ps.zipWithIndex.map { case (p, i) => (n, i.toLong, p) } })
+          .toDF("media_id", "pos", "sig")
+      graft.ops.Dedup.containedArtifactSave(tl(clipArtSaved),
+        "media_id", "pos", "sig", base, maxSigDocFreq = 1)
+      graft.ops.Dedup.containedArtifactAppend(s, base,
+        tl(Seq("recC" -> clipArtSegs._3)), "media_id", "pos", "sig")
+      graft.ops.Dedup.hammingArtifactDelete(s, base,
+        s.createDataFrame(Seq(Tuple1("recB"))).toDF("media_id"),
+        "media_id")
+      def probe() = graft.ops.Dedup.incrementalContainedDuplicates(s, base,
+        tl(clipArtBatch), "media_id", "pos", "sig", maxDistance = 3,
+        minContainment = 0.8, minOrderFraction = 0.75)
+      // pin the pre-compact probe eagerly (the q158 rule — a lazy
+      // frame would re-read the post-swap artifact)
+      val before = probe().localCheckpoint(true)
+      val planBefore = graft.ops.Dedup.hammingMaintenancePlan(s, base)
+        .head().getString(0)
+      val didCompact = graft.ops.Dedup.containedArtifactCompact(s, base)
+      val planAfter = graft.ops.Dedup.hammingMaintenancePlan(s, base)
+        .head().getString(0)
+      val auditOk = graft.ops.Dedup.containedArtifactValidate(s, base)
+        .filter(!col("ok")).count() == 0L
+      val after = probe()
+      val probeInvariant = after.exceptAll(before).count() == 0L &&
+        before.exceptAll(after).count() == 0L
+      after
+        .withColumn("plan_was_compact", lit(planBefore == "compact"))
+        .withColumn("did_compact", lit(didCompact))
+        .withColumn("plan_now_none", lit(planAfter == "none"))
+        .withColumn("probe_invariant", lit(probeInvariant))
+        .withColumn("audit_ok", lit(auditOk))
         .orderBy("batch_id", "corpus_id")
     }),
 
@@ -1148,6 +1289,17 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
            |ORDER BY id_a, id_b""".stripMargin
       },
 
+      // q164 = q163's probe expectation (the compact is probe-
+      // INVISIBLE, so the same brute-forced rows) + five engine-
+      // computed lifecycle booleans pinned TRUE: planner said compact
+      // (debt 4/15 > 0.2), the compact ran, the planner then read
+      // none, the probe survived the swap row-for-row (two-sided
+      // exceptAll), and the six-invariant audit is clean
+      "q164_clip_artifact_lifecycle" -> clipLifecycleOracle(
+        ", TRUE AS plan_was_compact, TRUE AS did_compact" +
+          ", TRUE AS plan_now_none, TRUE AS probe_invariant" +
+          ", TRUE AS audit_ok"),
+
       // q163 replayed as REAL SQL over the construction constants:
       // save-time df cap over the SAVED corpus only (the append never
       // re-caps — the documented contract), recB's rows removed (the
@@ -1156,92 +1308,7 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       // containment from the stored-size semantics — an append
       // invisibility, a surviving takedown pair, a cap leak, or a gate
       // off-by-one all break the hash
-      "q163_incremental_clip_dedup" -> {
-        def vals(rows: Seq[(String, Seq[Long])]) =
-          rows.flatMap { case (n, ps) =>
-            ps.zipWithIndex.map { case (p, i) =>
-              s"('$n', $i, CAST($p AS BIGINT))" } }.mkString(", ")
-        s"""WITH saved(cid, pos, sig) AS (VALUES ${vals(clipArtSaved)}),
-           |appended(cid, pos, sig) AS (VALUES
-           |  ${vals(Seq("recC" -> clipArtSegs._3))}),
-           |batch0(bid, pos, sig) AS (VALUES ${vals(clipArtBatch)}),
-           |capped AS (
-           |  SELECT sig FROM (
-           |    SELECT sig, count(DISTINCT cid) AS df
-           |    FROM saved GROUP BY sig)
-           |  WHERE df > 1),
-           |corpus AS (
-           |  SELECT cid, CAST(pos AS BIGINT) AS pos, sig FROM (
-           |    SELECT * FROM saved
-           |    UNION ALL SELECT * FROM appended)
-           |  WHERE sig NOT IN (SELECT sig FROM capped)
-           |    AND cid <> 'recB'),
-           |csizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n
-           |  FROM corpus GROUP BY cid),
-           |bt AS (
-           |  SELECT bid, CAST(pos AS BIGINT) AS pos, sig FROM batch0
-           |  WHERE sig NOT IN (SELECT sig FROM capped)),
-           |bsizes AS (SELECT bid, CAST(count(*) AS BIGINT) AS n
-           |  FROM bt GROUP BY bid),
-           |mb AS (
-           |  SELECT b.bid, c.cid, b.sig, b.pos AS pos_a,
-           |    min(c.pos) AS pos_b
-           |  FROM bt b JOIN corpus c
-           |    ON bit_count(xor(b.sig, c.sig)) <= 3
-           |  GROUP BY b.bid, c.cid, b.sig, b.pos),
-           |ordb AS (
-           |  SELECT bid, cid, pos_b,
-           |    lag(pos_b) OVER (PARTITION BY bid, cid ORDER BY pos_a)
-           |      AS prev
-           |  FROM mb),
-           |sb AS (
-           |  SELECT bid, cid, CAST(count(*) AS BIGINT) AS matched,
-           |    sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
-           |      AS steps,
-           |    sum(CASE WHEN prev IS NOT NULL AND pos_b > prev
-           |      THEN 1 ELSE 0 END) AS n_asc
-           |  FROM ordb GROUP BY bid, cid),
-           |mc AS (
-           |  SELECT b.bid, c.cid, c.sig, c.pos AS pos_a,
-           |    min(b.pos) AS pos_b
-           |  FROM bt b JOIN corpus c
-           |    ON bit_count(xor(b.sig, c.sig)) <= 3
-           |  GROUP BY b.bid, c.cid, c.sig, c.pos),
-           |ordc AS (
-           |  SELECT bid, cid, pos_b,
-           |    lag(pos_b) OVER (PARTITION BY bid, cid ORDER BY pos_a)
-           |      AS prev
-           |  FROM mc),
-           |sc AS (
-           |  SELECT bid, cid, CAST(count(*) AS BIGINT) AS matched,
-           |    sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
-           |      AS steps,
-           |    sum(CASE WHEN prev IS NOT NULL AND pos_b > prev
-           |      THEN 1 ELSE 0 END) AS n_asc
-           |  FROM ordc GROUP BY bid, cid),
-           |j AS (
-           |  SELECT sb.bid AS batch_id, sb.cid AS corpus_id,
-           |    sb.matched AS matched_batch, sc.matched AS matched_corpus,
-           |    greatest(
-           |      CAST(sb.matched AS DOUBLE) / CAST(bz.n AS DOUBLE),
-           |      CAST(sc.matched AS DOUBLE) / CAST(cz.n AS DOUBLE))
-           |      AS containment,
-           |    least(
-           |      CASE WHEN sb.steps = 0 THEN 1.0
-           |        ELSE CAST(sb.n_asc AS DOUBLE) / CAST(sb.steps AS DOUBLE)
-           |        END,
-           |      CASE WHEN sc.steps = 0 THEN 1.0
-           |        ELSE CAST(sc.n_asc AS DOUBLE) / CAST(sc.steps AS DOUBLE)
-           |        END) AS order_frac
-           |  FROM sb
-           |  JOIN sc ON sb.bid = sc.bid AND sb.cid = sc.cid
-           |  JOIN bsizes bz ON bz.bid = sb.bid
-           |  JOIN csizes cz ON cz.cid = sb.cid)
-           |SELECT batch_id, corpus_id, matched_batch, matched_corpus,
-           |  containment, order_frac
-           |FROM j WHERE containment >= 0.8 AND order_frac >= 0.75
-           |ORDER BY batch_id, corpus_id""".stripMargin
-      },
+      "q163_incremental_clip_dedup" -> clipLifecycleOracle(""),
 
       // q148's brute-force replay: every (batch, corpus) pair's exact
       // two's-complement popcount of the xor, thresholded — the banded

@@ -411,6 +411,108 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
     ArtifactVersion.stamp(path)
   }
 
+  /** Fold [[hammingArtifactDelete]] tombstones into a
+    * [[containedArtifactSave]] artifact — the positioned-timeline
+    * compact, completing the lifecycle symmetry (build → append →
+    * delete → COMPACT → plan → validate): prune `sizes/` to survivors
+    * FIRST (its own swap — a crash between the two phases leaves the
+    * tombstones in place, so probes stay correct: a deleted id's
+    * `sizes/` row is unreachable once its sig rows anti-join away),
+    * then fold `sigs/`/`keys/` and drop the tombstones through
+    * [[hammingArtifactCompact]] verbatim (the sig-row anti-join keeps
+    * ALL columns, `__pos` included, and the keys read-back rebuild is
+    * layout-identical). `capped/` is untouched — the save-time cap
+    * semantics persist across compaction. Returns false (no-op) when
+    * there is nothing to fold. [[hammingMaintenancePlan]] reads this
+    * artifact unchanged (debt = reclaimable sig rows / total — the
+    * same economics), so the planner → execution wiring is shared.
+    */
+  def containedArtifactCompact(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Boolean = {
+    val tombDir = graft.Fs.join(path, "_tombstones")
+    if (!graft.Fs.exists(tombDir)) return false
+    val tomb = spark.read.parquet(tombDir)
+    if (tomb.isEmpty) { graft.Fs.deleteRecursively(tombDir); return false }
+    val sizesDir = graft.Fs.join(path, "sizes")
+    val sizesTmp = sizesDir + "_compact_tmp"
+    spark.read.parquet(sizesDir)
+      .join(tomb, col("id") === col("__del_id"), "left_anti")
+      .write.mode("overwrite").parquet(sizesTmp)
+    val old = sizesDir + "_compact_old"
+    graft.Fs.deleteRecursively(old)
+    require(graft.Fs.rename(sizesDir, old),
+      s"failed to stage $sizesDir aside for compaction (artifact untouched)")
+    val in = graft.Fs.rename(sizesTmp, sizesDir)
+    if (!in) require(graft.Fs.rename(old, sizesDir),
+      s"compaction swap failed AND rollback failed — live table at $old")
+    require(in, s"failed to move compacted table into place at $sizesDir " +
+      "(original restored)")
+    graft.Fs.deleteRecursively(old)
+    hammingArtifactCompact(spark, path)
+  }
+
+  /** Consistency audit of a [[containedArtifactSave]] artifact — the
+    * positioned-timeline [[hammingArtifactValidate]], same
+    * (check, ok, observed, expected) row shape. Fixed-width scans only:
+    *
+    *  - `timeline_unique`: no live (id, signature) row appears twice
+    *    (a re-appended id would double its matched counts);
+    *  - `keys_cover_sigs` / `no_orphan_keys`: the banded index covers
+    *    every live distinct signature (a gap loses probe candidates) /
+    *    orphans are compaction debt only, always `ok`;
+    *  - `sizes_match`: every live id's stored denominator equals its
+    *    live sig-row count (a drift mis-scores every containment
+    *    involving that id);
+    *  - `capped_leak`: no `capped/` signature appears in `sigs/` (a
+    *    leak would size batch and corpus inconsistently);
+    *  - `tombstones_resolved`: pending tombstone count (debt — always
+    *    `ok`, the planner acts on it).
+    */
+  def containedArtifactValidate(spark: org.apache.spark.sql.SparkSession,
+                                path: String): DataFrame = {
+    import spark.implicits._
+    val scheme = spark.read.parquet(graft.Fs.join(path, "_meta"))
+      .head().getString(0)
+    val bands = if (scheme == "bands") 4L else 20L
+    val sigs = spark.read.parquet(graft.Fs.join(path, "sigs"))
+    val tombDir = graft.Fs.join(path, "_tombstones")
+    val (live, debt) =
+      if (graft.Fs.exists(tombDir)) {
+        val t = spark.read.parquet(tombDir).select("__del_id").distinct()
+        (sigs.join(t, sigs("id") === col("__del_id"), "left_anti"),
+          t.count())
+      } else (sigs, 0L)
+    val liveAgg = live.agg(count(lit(1)).as("rows"),
+      countDistinct(col("id"), col("__sig")).as("cells")).head()
+    val keySigs = spark.read.parquet(graft.Fs.join(path, "keys"))
+      .groupBy("__sig").agg(count(lit(1)).as("__n"))
+    val distinctSigs = sigs.select(col("__sig")).distinct()
+    val underKeyed = distinctSigs
+      .join(keySigs.filter(col("__n") >= bands), Seq("__sig"),
+        "left_anti").count()
+    val orphans = keySigs.join(distinctSigs, Seq("__sig"), "left_anti")
+      .count()
+    val sizeMismatch = live.groupBy("id")
+      .agg(count(lit(1)).as("__actual"))
+      .join(spark.read.parquet(graft.Fs.join(path, "sizes")), Seq("id"),
+        "left")
+      .filter(col("__n").isNull || col("__n") =!= col("__actual"))
+      .count()
+    val capLeak = sigs
+      .join(spark.read.parquet(graft.Fs.join(path, "capped")),
+        Seq("__sig"), "left_semi").count()
+    Seq(
+      ("timeline_unique",
+        liveAgg.getAs[Long]("rows") == liveAgg.getAs[Long]("cells"),
+        liveAgg.getAs[Long]("rows") - liveAgg.getAs[Long]("cells"), 0L),
+      ("keys_cover_sigs", underKeyed == 0L, underKeyed, 0L),
+      ("no_orphan_keys", true, orphans, 0L),
+      ("sizes_match", sizeMismatch == 0L, sizeMismatch, 0L),
+      ("capped_leak", capLeak == 0L, capLeak, 0L),
+      ("tombstones_resolved", true, debt, 0L),
+    ).toDF("check", "ok", "observed", "expected")
+  }
+
   /** Probe a [[containedArtifactSave]] artifact with an ingest batch of
     * positioned signature timelines: returns every (batch item, corpus
     * item) pair whose capped timelines stand in a containment/order

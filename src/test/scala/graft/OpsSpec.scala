@@ -3256,6 +3256,52 @@ class OpsSpec extends SparkSpec {
       ("b_trimC", "c_recC", 2L, 2L, 1.0, 1.0)))
   }
 
+  test("contained-artifact lifecycle: compact is probe-invisible and " +
+      "prunes sizes; validate greens a healthy artifact and catches a " +
+      "doubled append") {
+    import spark.implicits._
+    val m = Seq(0x0123456789ABCDEFL, 0xF0E1D2C3B4A59687L,
+      0x00FF00FF00FF00FFL, 0x5A5A5A5AA5A5A5A5L)
+    val n = Seq(0x1122334455667788L, 0x99AABBCCDDEEFF01L)
+    def tl(rows: Seq[(String, Seq[Long])]) =
+      rows.flatMap { case (id, ps) =>
+        ps.zipWithIndex.map { case (p, i) => (id, i.toLong, p) } }
+        .toDF("id", "pos", "sig")
+    val dir = tmpDir("contain-lc")
+    graft.ops.Dedup.containedArtifactSave(
+      tl(Seq("c_recA" -> m, "c_recB" -> n)), "id", "pos", "sig", dir)
+    graft.ops.Dedup.hammingArtifactDelete(spark, dir,
+      Seq("c_recB").toDF("id"), "id")
+    def probe() = graft.ops.Dedup.incrementalContainedDuplicates(
+        spark, dir, tl(Seq(
+          "b_trimA" -> Seq(m(1) ^ 0x3L, m(2) ^ 0x5L),
+          "b_reupB" -> n)),
+        "id", "pos", "sig", minContainment = 0.8,
+        minOrderFraction = 0.75)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSet
+    val before = probe()
+    assert(before == Set(("b_trimA", "c_recA", 2L, 2L, 1.0, 1.0)))
+    // compact: true, probe-invisible, sizes pruned, tombstones gone
+    assert(graft.ops.Dedup.containedArtifactCompact(spark, dir))
+    assert(probe() == before)
+    assert(!graft.Fs.exists(s"$dir/_tombstones"))
+    assert(spark.read.parquet(s"$dir/sizes").count() == 1L) // recA only
+    assert(spark.read.parquet(s"$dir/sigs")
+      .filter(col("id") === "c_recB").count() == 0L)
+    // repeat compact: no-op
+    assert(!graft.ops.Dedup.containedArtifactCompact(spark, dir))
+    // healthy artifact: every audit row ok
+    assert(graft.ops.Dedup.containedArtifactValidate(spark, dir)
+      .filter(!col("ok")).count() == 0L)
+    // a doubled append (contract violation: re-ingested id) trips
+    // timeline_unique AND sizes_match
+    graft.ops.Dedup.containedArtifactAppend(spark, dir,
+      tl(Seq("c_recA" -> m)), "id", "pos", "sig")
+    val bad = graft.ops.Dedup.containedArtifactValidate(spark, dir)
+      .filter(!col("ok")).select("check").as[String].collect().toSet
+    assert(bad == Set("timeline_unique", "sizes_match"))
+  }
+
   test("incrementalHammingDuplicates: artifact save/append/probe == " +
       "brute force, scheme pinned from meta, layout-independent appends") {
     val rnd = new scala.util.Random(77)
