@@ -1049,12 +1049,19 @@ object StreamingOps {
     * artifact re-reads per batch (no pin), so
     * [[graft.ops.Dedup.containedArtifactAppend]]s and
     * [[graft.ops.Dedup.hammingArtifactDelete]] takedowns are visible
-    * at the very next batch (spec-pinned).
+    * at the very next batch (spec-pinned). Self-maintenance as in
+    * [[hammingDedupStream]]: the shared
+    * [[graft.ops.Dedup.hammingMaintenancePlan]] decides (it reads this
+    * artifact unchanged), [[graft.ops.Dedup.containedArtifactCompact]]
+    * executes — the sizes-aware fold.
     */
   def clipDedupStream(stream: DataFrame, idCol: String, sigsCol: String,
                       artifactPath: String, maxDistance: Int = 3,
                       minContainment: Double = 0.8,
-                      minOrderFraction: Double = 0.0)(
+                      minOrderFraction: Double = 0.0,
+                      maintainEveryBatches: Int = 0,
+                      compactDebtFraction: Double = 0.2,
+                      onMaintenance: (String, Long) => Unit = null)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
           org.apache.spark.sql.Row] =
@@ -1086,6 +1093,13 @@ object StreamingOps {
             .otherwise(col("id_b")).as(idCol))
         val dupIds = corpusDup.unionByName(intraDup).distinct()
         sink(batch.join(dupIds, Seq(idCol), "left_anti"), batchId)
+        maintainStep(batchId, maintainEveryBatches, onMaintenance,
+          () => graft.ops.Dedup.hammingMaintenancePlan(
+            mb.sparkSession, artifactPath, compactDebtFraction)
+            .head().getString(0),
+          () => graft.ops.Dedup.containedArtifactCompact(
+            mb.sparkSession, artifactPath),
+          null)
     }
 
   /** Gap-based sessionization with the BUILT-IN `session_window`

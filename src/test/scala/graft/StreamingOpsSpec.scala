@@ -470,10 +470,13 @@ class StreamingOpsSpec extends SparkSpec {
       "id", "pos", "sig", art)
     val input = MemoryStream[(String, Array[Long])]
     val got = scala.collection.mutable.Map[Long, Set[String]]()
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     val query = StreamingOps.clipDedupStream(
         input.toDF().toDF("id", "sigs"), "id", "sigs", art,
         maxDistance = 3, minContainment = 0.8,
-        minOrderFraction = 0.75) {
+        minOrderFraction = 0.75, maintainEveryBatches = 1,
+        onMaintenance = (a, b) => actions.synchronized {
+          actions += ((a, b)) }) {
       (res, id) => got.synchronized {
         got(id) = res.select("id").as[String].collect().toSet }
     }.start()
@@ -497,6 +500,12 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
     assert(got(0L) == Set("sourceS", "freshX"))
     assert(got(1L) == Set("trimA"))
+    // self-maintenance: healthy at batch 0, the takedown's 100% debt
+    // drives a planner-verdict compact after batch 1's delivery —
+    // executed by the sizes-aware containedArtifactCompact
+    assert(actions.toSeq == Seq(("none", 0L), ("compact", 1L)))
+    assert(!graft.Fs.exists(s"$art/_tombstones"))
+    assert(spark.read.parquet(s"$art/sizes").count() == 0L)
   }
 
   test("streaming dedup keeps the first arrival of each distinct text") {
