@@ -1024,6 +1024,8 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           "こと")) +
           " + len(regexp_extract_all(text, " +
           s"'${graft.ops.TextAnalysis.scriptRangeClass(graft.ops.TextAnalysis.kanaScriptRanges)}'))"
+        val ko = "len(regexp_extract_all(text, " +
+          s"'${graft.ops.TextAnalysis.scriptRangeClass(graft.ops.TextAnalysis.hangulScriptRanges)}'))"
         s"""WITH toks AS (
            |  SELECT doc_id, text,
            |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -1031,18 +1033,23 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
            |  FROM documents),
            |scored AS (
            |  SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de,
-           |    $fr AS s_fr, $ja AS s_ja, $zh AS s_zh FROM toks)
+           |    $fr AS s_fr, $ja AS s_ja, $ko AS s_ko, $zh AS s_zh
+           |  FROM toks)
            |SELECT doc_id,
            |  CASE
            |    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de
-           |      AND s_en >= s_fr AND s_en >= s_ja AND s_en >= s_zh
-           |      THEN 'en'
+           |      AND s_en >= s_fr AND s_en >= s_ja AND s_en >= s_ko
+           |      AND s_en >= s_zh THEN 'en'
            |    WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr
-           |      AND s_es >= s_ja AND s_es >= s_zh THEN 'es'
+           |      AND s_es >= s_ja AND s_es >= s_ko AND s_es >= s_zh
+           |      THEN 'es'
            |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_ja
-           |      AND s_de >= s_zh THEN 'de'
-           |    WHEN s_fr > 0 AND s_fr >= s_ja AND s_fr >= s_zh THEN 'fr'
-           |    WHEN s_ja > 0 AND s_ja >= s_zh THEN 'ja'
+           |      AND s_de >= s_ko AND s_de >= s_zh THEN 'de'
+           |    WHEN s_fr > 0 AND s_fr >= s_ja AND s_fr >= s_ko
+           |      AND s_fr >= s_zh THEN 'fr'
+           |    WHEN s_ja > 0 AND s_ja >= s_ko AND s_ja >= s_zh
+           |      THEN 'ja'
+           |    WHEN s_ko > 0 AND s_ko >= s_zh THEN 'ko'
            |    WHEN s_zh > 0 THEN 'zh'
            |    ELSE 'und' END AS lang_pred
            |FROM scored ORDER BY doc_id""".stripMargin

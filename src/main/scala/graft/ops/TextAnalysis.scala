@@ -202,6 +202,14 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
     (0x3040, 0x309F), (0x30A0, 0x30FF), (0x31F0, 0x31FF),
     (0xFF66, 0xFF9F))
 
+  /** Hangul ranges for the ko profile: Syllables + the Jamo blocks.
+    * Hangul overlaps neither Han nor Kana, so ko needs no marker leg
+    * and no ordering care — Korean writes essentially all content
+    * morphemes in Hangul.
+    */
+  val hangulScriptRanges: Seq[(Int, Int)] = Seq(
+    (0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F))
+
   /** Default profiles: marker tokens for the space-delimited European
     * languages, Kana ranges + particle markers for ja (both legs — the
     * sum scores tokenized AND unsegmented Japanese), Han script-range
@@ -224,6 +232,7 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
       markers = Seq("の", "は", "が", "を", "です", "ます", "した",
         "こと"),
       scriptRanges = kanaScriptRanges),
+    LangProfile("ko", scriptRanges = hangulScriptRanges),
     LangProfile("zh", scriptRanges = hanScriptRanges),
   )
 

@@ -70,9 +70,10 @@ class OpsSpec extends SparkSpec {
     assert(lid("日本語") == "zh")
     // tokenized ja sums BOTH legs: marker hits + kana cps
     assert(lid("です は の") == "ja")
-    // hangul is in neither profile; emoji/CJK punctuation outside all
-    // ranges
-    assert(lid("한국어") == "und")
+    // hangul identifies ko (the trio: Han→zh, Kana→ja, Hangul→ko —
+    // the scripts don't overlap, so no ordering care is needed)
+    assert(lid("한국어입니다") == "ko")
+    // emoji/CJK punctuation are outside every profile's ranges
     assert(lid("😀😀 、。") == "und")
   }
 
