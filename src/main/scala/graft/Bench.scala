@@ -81,11 +81,16 @@ object Bench {
       case (p, g) if g.size > 1 => p
     }.toSet
     val byName = results.toMap
-    // key = the query NUMBER ("143" for q143_…): the 'q' is one char
-    // per entry the window can't spare at 170+ queries; prefix
-    // collisions fall back to the full name (which keeps its 'q')
+    // key = the query NUMBER ("143" for q143_…, "5" for q05_…): the 'q'
+    // and the zero padding are chars per entry the window can't spare
+    // at 170+ queries; prefix collisions fall back to the full name
+    // (which keeps its 'q')
+    def num(p: String): String = {
+      val s = p.stripPrefix("q").dropWhile(_ == '0')
+      if (s.isEmpty) "0" else s
+    }
     val short = prefixes.map { case (n, p) =>
-      (if (collides(p)) n else p.stripPrefix("q")) -> byName(n)
+      (if (collides(p)) n else num(p)) -> byName(n)
     }.sortBy { case (_, v) => -v }
     // the failure sentinel stays -1 (not -100): a reader treating it as
     // centiseconds would see -0.01 s, which still reads as "failed"
@@ -95,11 +100,13 @@ object Bench {
       val qs = short.take(keep)
         .map { case (k, v) => "\"" + k + "\":" + cs(v) }
         .mkString(",")
+      // "omitted" doubles as parseCommitted's refusal marker — never
+      // rename it; n_queries was dropped r16 (redundant with
+      // |queries| + omitted) to buy per-entry headroom
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
-        s""""sf":"$sfDir","n_queries":${results.size},""" +
-        s""""omitted":${results.size - keep},""" +
+        s""""sf":"$sfDir","omitted":${results.size - keep},""" +
         s""""q_unit":"centisec","q_key":"number sans q",""" +
-        s""""note":"full: BENCH_LOCAL_latest.json",""" +
+        s""""note":"BENCH_LOCAL_latest.json",""" +
         s""""queries":{$qs}}"""
     }
     // largest slowest-first subset that fits; at most ~160 queries so the
