@@ -181,6 +181,15 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
     *    directions — 1.0 for a contiguous trim, ~0 for a reversed /
     *    scrambled bag; single-match pairs read 1.0 (no order evidence
     *    against them); `minOrderFraction` = 0.0 disables the gate.
+    *    Calibration trade (explicit): each out-of-order INSERTION
+    *    (an overlaid watermark frame, an ad segment) costs one
+    *    descending step, so a threshold of `t` tolerates about
+    *    `(1-t)·matched` insertions — 0.75 forgives one per four
+    *    matched signatures. A subsequence metric (LIS/matched) would
+    *    forgive insertions more gracefully but loses the
+    *    plain-SQL-replayable walk; if real corpora show
+    *    insertion-heavy clips, lower the threshold before reaching
+    *    for LIS — reversed/scrambled bags sit near 0 either way.
     *
     * Returns (id_a, id_b, matched_a, matched_b, containment,
     * order_frac), id_a < id_b; both scores are IEEE divisions of small
