@@ -3257,6 +3257,71 @@ class OpsSpec extends SparkSpec {
       ("b_trimC", "c_recC", 2L, 2L, 1.0, 1.0)))
   }
 
+  test("containedHammingDuplicates == brute force on random planted " +
+      "timelines, at both loose and gated thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    def mask(): Long = {
+      var m = 1L << rnd.nextInt(64)
+      (0 until rnd.nextInt(3)).foreach(_ => m |= 1L << rnd.nextInt(64))
+      m // 1-3 set bits
+    }
+    // 12 sources × 8 sigs; 6 drifted 3-sig trims; 4 reversed bags;
+    // 8 fresh shorties — ids sort so trims/bags pair canonically
+    val sources = (0 until 12).map(i =>
+      f"src$i%02d" -> Seq.fill(8)(rnd.nextLong()))
+    val trims = (0 until 6).map { i =>
+      val (_, sigs) = sources(i)
+      val at = rnd.nextInt(5)
+      f"trim$i%02d" -> sigs.slice(at, at + 3).map(_ ^ mask())
+    }
+    val bags = (0 until 4).map { i =>
+      val (_, sigs) = sources(6 + i)
+      f"bag$i%02d" -> sigs.slice(2, 5).reverse.map(_ ^ mask())
+    }
+    val fresh = (0 until 8).map(i =>
+      f"new$i%02d" -> Seq.fill(4)(rnd.nextLong()))
+    val items = (sources ++ trims ++ bags ++ fresh).toMap
+    def brute(maxD: Int, minC: Double, minO: Double) = {
+      def timeline(sigs: Seq[Long]): Seq[(Long, Long)] =
+        sigs.zipWithIndex.groupBy(_._1)
+          .map { case (s, g) => (s, g.map(_._2).min.toLong) }.toSeq
+      def dir(a: Seq[(Long, Long)], b: Seq[(Long, Long)]) = {
+        val rows = a.flatMap { case (sa, pa) =>
+          val cands = b.filter { case (sb, _) =>
+            java.lang.Long.bitCount(sa ^ sb) <= maxD }
+          if (cands.isEmpty) None else Some((pa, cands.map(_._2).min))
+        }.sortBy(_._1)
+        val ofrac =
+          if (rows.size <= 1) 1.0
+          else rows.sliding(2).count(w => w(1)._2 > w(0)._2).toDouble /
+            (rows.size - 1)
+        (rows.size.toLong, ofrac)
+      }
+      (for {
+        (ia, sa) <- items.toSeq; (ib, sb) <- items.toSeq if ia < ib
+        ta = timeline(sa); tb = timeline(sb)
+        (ma, oa) = dir(ta, tb); (mb, ob) = dir(tb, ta)
+        if ma > 0 && mb > 0
+        cont = math.max(ma.toDouble / ta.size, mb.toDouble / tb.size)
+        of = math.min(oa, ob)
+        if cont >= minC && of >= minO
+      } yield (ia, ib, ma, mb, cont, of)).toSet
+    }
+    val df = items.toSeq.flatMap { case (id, sigs) =>
+      sigs.zipWithIndex.map { case (s, i) => (id, i.toLong, s) } }
+      .toDF("id", "pos", "sig")
+    def got(minC: Double, minO: Double) =
+      graft.ops.Dedup.containedHammingDuplicates(df, "id", "pos", "sig",
+          maxDistance = 3, minContainment = minC, minOrderFraction = minO)
+        .as[(String, String, Long, Long, Double, Double)].collect().toSet
+    // loose thresholds: maximal row coverage, every score compared
+    val loose = got(0.3, 0.0)
+    assert(loose == brute(3, 0.3, 0.0) && loose.size >= 10)
+    // gated: the production thresholds
+    assert(got(0.8, 0.75) == brute(3, 0.8, 0.75))
+  }
+
   test("contained-artifact lifecycle: compact is probe-invisible and " +
       "prunes sizes; validate greens a healthy artifact and catches a " +
       "doubled append") {
