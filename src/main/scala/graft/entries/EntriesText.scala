@@ -368,6 +368,45 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- classifier TRAINING (the fit side of q85's scorer): a
+    //      deterministic full-batch logistic fit on a constructed
+    //      separable seed set (disjoint class-token bags + balanced
+    //      shared noise, immune to testdata drift), then HELD-OUT
+    //      scoring through the very weights it learned. The oracle
+    //      pins every held-out decision to the construction truth and
+    //      the monotone loss trajectory as an engine-computed boolean
+    //      — a featurization drift between fit and score, a
+    //      non-descending update, or any nondeterminism breaks the
+    //      hash. ----
+
+    "q165_classifier_fit" -> ((s, dir) => {
+      def doc(i: Long): (Long, String, Long) = {
+        val label = i % 2
+        val cls =
+          if (label == 1) "crisp coherent structured prose paragraph"
+          else "buy click free casino jackpot winner"
+        (i, s"$cls the and of filler${i % 7}", label)
+      }
+      val train = s.createDataFrame((0L until 160L).map(doc))
+        .toDF("id", "text", "label")
+      val holdout = s.createDataFrame((160L until 200L).map(doc))
+        .toDF("id", "text", "label")
+      val m = TextAnalysis.hashedLinearFit(train, "text", "label",
+        dim = 1 << 10, epochs = 25)
+      val lossDescended =
+        m.lossMicroByEpoch.head > m.lossMicroByEpoch.last &&
+        m.lossMicroByEpoch.sliding(2).forall(w => w(1) <= w(0))
+      TextAnalysis.hashedLinearScore(holdout, "id", "text",
+          m.weights, m.intercept, m.hashKind)
+        .join(holdout.select("id", "label"), "id")
+        .select(col("id").as("doc_id"),
+          col("label").cast("long").as("label"),
+          (col("score") > 0).cast("long").as("predicted"),
+          ((col("score") > 0) === (col("label") === 1)).as("correct"),
+          lit(lossDescended).as("loss_descended"))
+        .orderBy("doc_id")
+    }),
+
     // ---- bigram LM familiarity: the CCNet-style perplexity gate as
     //      exact integer arithmetic — fit add-one smoothed bigram stats
     //      on the English stratum, score EVERY document by mean smoothed
@@ -1266,6 +1305,19 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
       // integer table w[b] = ((b·2654435761) mod 2^32) − 2^31. Weights
       // are integer-valued, docs are ≪ 2^21 tokens, so the double sum
       // is exact on both engines.
+      // q165's held-out truth is the construction: the class-token
+      // bags are disjoint and the noise is class-balanced, so a
+      // descending deterministic fit MUST classify every held-out doc
+      // by its bag — predicted == label for ids 160..199, with the
+      // engine-computed correctness and loss-trajectory booleans
+      // pinned TRUE
+      "q165_classifier_fit" ->
+        """SELECT doc_id, CAST(doc_id % 2 AS BIGINT) AS label,
+          |  CAST(doc_id % 2 AS BIGINT) AS predicted,
+          |  TRUE AS correct, TRUE AS loss_descended
+          |FROM range(160, 200) AS t(doc_id)
+          |ORDER BY doc_id""".stripMargin,
+
       "q85_quality_classifier" ->
         s"""WITH toks AS ($toksSql)
            |SELECT doc_id,

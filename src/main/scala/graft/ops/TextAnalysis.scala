@@ -368,6 +368,102 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
     * n_tokens) — score = intercept + Σ w[bucket(token)], NULL for NULL
     * text, `intercept` alone for a token-free text.
     */
+  /** A [[hashedLinearFit]] result: the weight table and intercept feed
+    * [[hashedLinearScore]] directly; `lossMicroByEpoch` is the exact
+    * integer-micro training-loss trajectory (evidence the fit
+    * descended, and the regression pin a spec can hold).
+    */
+  final case class FittedLinearModel(weights: Array[Double],
+                                     intercept: Double,
+                                     lossMicroByEpoch: Seq[Long],
+                                     hashKind: Int)
+
+  /** TRAIN the fastText-/CCNet-style quality classifier in-engine —
+    * the fit side of [[hashedLinearScore]] (whose scaladoc says "train
+    * offline"; this closes that loop for the common case: a labeled
+    * seed set — curated "quality" vs crawl "junk" — fitted once, then
+    * scored over the corpus at ingest). Deterministic FULL-BATCH
+    * logistic regression over the same hashed bag-of-tokens features
+    * the scorer uses (`graft_token_buckets`, same `hashKind`, same
+    * raw-text featurization — fit/score parity BY CONSTRUCTION).
+    *
+    * Determinism discipline (the DSIR/BM25 fixed-point rule): each
+    * doc's residual `sigmoid(score) − label` and its logistic loss
+    * quantize to integer MICRO units inside the scan, so every
+    * aggregation is an exact long sum — partition order cannot change
+    * the fit — and the weight update is exact BigInt arithmetic on the
+    * driver. Two fits on the same data are bit-identical
+    * (spec-pinned).
+    *
+    * Scale shape: per epoch, ONE gradient pass (explode buckets →
+    * groupBy bucket, at most `dim` result rows) and ONE doc-level
+    * aggregate (loss + intercept gradient + count); the weight table
+    * (≤ 2^22 doubles) rides each epoch's scan as a plan literal and
+    * lives on the driver between epochs. Full-batch GD = `epochs`
+    * corpus scans — the deliberate trade for determinism (SGD's
+    * per-row updates cannot be both parallel and order-stable).
+    */
+  def hashedLinearFit(df: DataFrame, textCol: String, labelCol: String,
+                      dim: Int = 1 << 12, epochs: Int = 20,
+                      lrMicro: Long = 2000000L,
+                      hashKind: Int = graft.functions.SketchOps.HashXx64)
+      : FittedLinearModel = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+    require(epochs >= 1, "epochs must be >= 1")
+    require(lrMicro > 0, "lrMicro must be positive")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val wMicro = new Array[Long](dim)
+    var bMicro = 0L
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // one persisted projection of exactly what every epoch re-reads —
+    // scoped-plain persist (not Dedup.tracked): its lifetime ends
+    // inside this call, and draining the global registry here could
+    // strip a composing caller's own live intermediates
+    val base = df
+      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("double").as("__y"),
+        col(textCol).as("__t"),
+        call_function("graft_token_buckets", col(textCol), lit(dim),
+          lit(hashKind)).as("__b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = base.count()
+      require(n > 0, "no labeled rows to fit on")
+      for (_ <- 0 until epochs) {
+        val w = wMicro.map(_ / 1e6)
+        val scored = base.select(col("__y"), col("__b"),
+          (call_function("graft_linear_score", col("__t"), lit(w),
+            lit(hashKind)) + lit(bMicro / 1e6)).as("__s"))
+          // residual and loss quantized to micro INSIDE the scan: all
+          // downstream sums are exact longs (order-proof). Loss via the
+          // stable log1p(exp(-|s|)) form, branch on the label
+          .select(col("__y"), col("__b"),
+            round((lit(1.0) / (lit(1.0) + exp(-col("__s"))) - col("__y"))
+              * 1e6).cast("long").as("__r"),
+            round((log1p(exp(-abs(col("__s")))) +
+              when((col("__s") > 0) =!= (col("__y") > 0.5),
+                abs(col("__s"))).otherwise(lit(0.0))) * 1e6)
+              .cast("long").as("__l"))
+        val head = scored.agg(sum(col("__r")).as("rs"),
+          sum(col("__l")).as("ls")).head()
+        val (rSum, lSum) = (head.getLong(0), head.getLong(1))
+        val grads = scored
+          .select(explode(col("__b")).as("__bk"), col("__r"))
+          .groupBy("__bk").agg(sum(col("__r")).as("__g"))
+          .collect()
+        val denom = BigInt(1000000L) * n
+        grads.foreach { row =>
+          val b = row.getLong(0).toInt
+          wMicro(b) -= (BigInt(lrMicro) * row.getLong(1) / denom).toLong
+        }
+        bMicro -= (BigInt(lrMicro) * rSum / denom).toLong
+        losses += lSum / n // mean loss in micro units, exact division
+      }
+    } finally base.unpersist(blocking = false)
+    FittedLinearModel(wMicro.map(_ / 1e6), bMicro / 1e6,
+      losses.toSeq, hashKind)
+  }
+
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
                         weights: Array[Double],
                         intercept: Double = 0.0,

@@ -3257,6 +3257,50 @@ class OpsSpec extends SparkSpec {
       ("b_trimC", "c_recC", 2L, 2L, 1.0, 1.0)))
   }
 
+  test("hashedLinearFit: separable classes learn to 100% train AND " +
+      "held-out accuracy, loss descends, fits are bit-identical, " +
+      "fit/score featurization agrees") {
+    import spark.implicits._
+    def doc(i: Long): (Long, String, Long) = {
+      val label = i % 2
+      val cls =
+        if (label == 1) "crisp coherent structured prose paragraph"
+        else "buy click free casino jackpot winner"
+      // shared noise both classes carry equally, plus a per-doc salt
+      (i, s"$cls the and of filler${i % 7}", label)
+    }
+    val train = (0L until 160L).map(doc).toDF("id", "text", "label")
+    val holdout = (160L until 200L).map(doc).toDF("id", "text", "label")
+    val m = TextAnalysis.hashedLinearFit(train, "text", "label",
+      dim = 1 << 10, epochs = 25)
+    // loss strictly descends from epoch 1 to the end, and by a lot
+    assert(m.lossMicroByEpoch.head > m.lossMicroByEpoch.last * 2)
+    assert(m.lossMicroByEpoch.sliding(2).forall(w => w(1) <= w(0)))
+    // train and HELD-OUT accuracy 100% (same class tokens, fresh ids)
+    def acc(df: org.apache.spark.sql.DataFrame): Double = {
+      val scored = TextAnalysis.hashedLinearScore(df, "id", "text",
+        m.weights, m.intercept, m.hashKind)
+        .join(df.select("id", "label"), "id")
+      val ok = scored.filter((col("score") > 0) === (col("label") === 1))
+        .count()
+      ok.toDouble / df.count()
+    }
+    assert(acc(train) == 1.0 && acc(holdout) == 1.0)
+    // determinism: a second fit on the same data is bit-identical
+    val m2 = TextAnalysis.hashedLinearFit(train, "text", "label",
+      dim = 1 << 10, epochs = 25)
+    assert(m2.weights.toSeq == m.weights.toSeq &&
+      m2.intercept == m.intercept &&
+      m2.lossMicroByEpoch == m.lossMicroByEpoch)
+    // a null-text row is dropped, not NPEd
+    val withNulls = train.unionByName(
+      Seq((999L, null.asInstanceOf[String], 1L))
+        .toDF("id", "text", "label"))
+    val m3 = TextAnalysis.hashedLinearFit(withNulls, "text", "label",
+      dim = 1 << 10, epochs = 1)
+    assert(m3.weights.length == 1024)
+  }
+
   test("containedHammingDuplicates == brute force on random planted " +
       "timelines, at both loose and gated thresholds") {
     import spark.implicits._
