@@ -391,8 +391,12 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .toDF("id", "text", "label")
       val holdout = s.createDataFrame((160L until 200L).map(doc))
         .toDF("id", "text", "label")
+      // small dim + few epochs deliberately: each epoch re-plans with
+      // a fresh weight-array literal, so the fixture pays ~2 codegen
+      // rounds per epoch — 10 epochs at lr 4.0 separate this seed set
+      // with margin (the loss booleans prove it in-run)
       val m = TextAnalysis.hashedLinearFit(train, "text", "label",
-        dim = 1 << 10, epochs = 25)
+        dim = 1 << 8, epochs = 10, lrMicro = 4000000L)
       val lossDescended =
         m.lossMicroByEpoch.head > m.lossMicroByEpoch.last &&
         m.lossMicroByEpoch.sliding(2).forall(w => w(1) <= w(0))
