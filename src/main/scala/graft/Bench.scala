@@ -77,20 +77,23 @@ object Bench {
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map { case (_, v) => math.max(v, 0.0) }.sum
     val prefixes = results.map { case (n, _) => n -> n.takeWhile(_ != '_') }
-    val collides = prefixes.groupBy(_._2).collect {
-      case (p, g) if g.size > 1 => p
-    }.toSet
     val byName = results.toMap
     // key = the query NUMBER ("143" for q143_…, "5" for q05_…): the 'q'
     // and the zero padding are chars per entry the window can't spare
-    // at 170+ queries; prefix collisions fall back to the full name
+    // at 170+ queries; collisions fall back to the full name
     // (which keeps its 'q')
     def num(p: String): String = {
       val s = p.stripPrefix("q").dropWhile(_ == '0')
       if (s.isEmpty) "0" else s
     }
+    // collide on the NORMALIZED key, not the raw prefix: q05_x/q5_y
+    // (or q050/q50) shorten to the same number and must both keep
+    // their full names
+    val collides = prefixes.groupBy { case (_, p) => num(p) }.collect {
+      case (k, g) if g.size > 1 => k
+    }.toSet
     val short = prefixes.map { case (n, p) =>
-      (if (collides(p)) n else num(p)) -> byName(n)
+      (if (collides(num(p))) n else num(p)) -> byName(n)
     }.sortBy { case (_, v) => -v }
     // the failure sentinel stays -1 (not -100): a reader treating it as
     // centiseconds would see -0.01 s, which still reads as "failed"

@@ -249,7 +249,16 @@ object UnigramModel {
     */
   def decodeArray(arr: ArrayData): UTF8String = {
     val n = arr.numElements()
-    val it = (0 until n).iterator.map(i => arr.getUTF8String(i).toString)
+    val it = (0 until n).iterator.map { i =>
+      // registered SQL surface: arbitrary array<string> can carry null
+      // elements — fail with a named error, not an NPE from getUTF8String
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_unigram_decode: piece $i is NULL (pieces must be " +
+            "non-null strings; a null ARRAY decodes to null, a null " +
+            "ELEMENT is malformed input)")
+      arr.getUTF8String(i).toString
+    }
     UTF8String.fromString(decodePieces(it))
   }
 }

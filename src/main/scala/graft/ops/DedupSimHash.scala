@@ -209,6 +209,8 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
                                  minOrderFraction: Double = 0.0,
                                  maxSigDocFreq: Long = 100000L,
                                  scheme: String = "bands"): DataFrame = {
+    require(scheme == "blocks" || scheme == "bands",
+      s"scheme must be 'blocks' or 'bands', got '$scheme'")
     require(minContainment > 0 && minContainment <= 1,
       "minContainment must be in (0, 1]")
     require(minOrderFraction >= 0 && minOrderFraction <= 1,

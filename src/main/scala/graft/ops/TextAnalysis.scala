@@ -427,8 +427,17 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
           lit(hashKind)).as("__b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = base.count()
+      // one aggregate over the persisted base gates the fit: row count
+      // AND label domain — a label outside {0,1} would silently feed a
+      // nonsense residual (sigmoid(s) - 2) into every epoch
+      val gate = base.agg(count(lit(1)).as("n"),
+        sum(when(col("__y") =!= 0.0 && col("__y") =!= 1.0, 1L)
+          .otherwise(0L)).as("bad")).head()
+      val n = gate.getLong(0)
       require(n > 0, "no labeled rows to fit on")
+      require(gate.getLong(1) == 0L,
+        s"labelCol '$labelCol' must be 0 or 1 for the logistic fit; " +
+          s"${gate.getLong(1)} rows are outside {0,1}")
       for (_ <- 0 until epochs) {
         val w = wMicro.map(_ / 1e6)
         val scored = base.select(col("__y"), col("__b"),

@@ -165,6 +165,15 @@ class BenchHonestySpec extends SparkSpec {
     assert(coll.contains("\"q1_alpha\":200") &&
       coll.contains("\"q1_beta\":100") && coll.contains("\"2\":51") &&
       coll.contains("\"3\":-1"))
+    // collisions are detected on the NORMALIZED number, not the raw
+    // prefix: q05_x and q5_y both shorten to "5" and must both keep
+    // full names instead of emitting a duplicate JSON key
+    val norm = Bench.summaryLine(
+      Seq("q05_x" -> 1.0, "q5_y" -> 2.0, "q050_z" -> 3.0,
+        "q50_w" -> 4.0), "/x")
+    assert(norm.contains("\"q05_x\":100") && norm.contains("\"q5_y\":200") &&
+      norm.contains("\"q050_z\":300") && norm.contains("\"q50_w\":400"),
+      norm)
     // over-budget input degrades by dropping FASTEST entries and says so
     val many = (1 to 400).map(i => f"q$i%03d_very_long_query_name" -> i.toDouble)
     val tight = Bench.summaryLine(many, "/x", budget = 600)

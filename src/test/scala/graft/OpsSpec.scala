@@ -3299,6 +3299,15 @@ class OpsSpec extends SparkSpec {
     val m3 = TextAnalysis.hashedLinearFit(withNulls, "text", "label",
       dim = 1 << 10, epochs = 1)
     assert(m3.weights.length == 1024)
+    // labels outside {0,1} fail loud (a 2 would silently feed the
+    // nonsense residual sigmoid(s) - 2 into every epoch)
+    val badLabel = train.unionByName(
+      Seq((998L, "stray row", 2L)).toDF("id", "text", "label"))
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.hashedLinearFit(badLabel, "text", "label",
+        dim = 1 << 10, epochs = 1)
+    }
+    assert(ex.getMessage.contains("outside {0,1}"))
   }
 
   test("containedHammingDuplicates == brute force on random planted " +
@@ -3364,6 +3373,12 @@ class OpsSpec extends SparkSpec {
     assert(loose == brute(3, 0.3, 0.0) && loose.size >= 10)
     // gated: the production thresholds
     assert(got(0.8, 0.75) == brute(3, 0.8, 0.75))
+    // scheme typos fail loud instead of silently routing to 'blocks'
+    val schemeEx = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.containedHammingDuplicates(df, "id", "pos", "sig",
+        scheme = "band")
+    }
+    assert(schemeEx.getMessage.contains("'blocks' or 'bands'"))
   }
 
   test("contained-artifact lifecycle: compact is probe-invisible and " +

@@ -69,6 +69,22 @@ class UnigramSpec extends SparkSpec {
     // vocabulary and byte runs interleaved
     for (w <- Seq("axa", "é中😀", "ab😀x中é", "ab", "𠀀"))
       assert(UnigramModel.decodePieces(m.segmentWord(w)._1.iterator) == w)
+    // SQL surface: a null ARRAY decodes to null; a null ELEMENT is
+    // malformed input and fails with a named error, not an NPE
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val nullArr = Seq(Tuple1(null.asInstanceOf[Array[String]]))
+      .toDF("p")
+      .selectExpr("graft_unigram_decode(p) AS d").head()
+    assert(nullArr.isNullAt(0))
+    val nullElem = intercept[Exception] {
+      Seq(Tuple1(Array("a", null.asInstanceOf[String], "b"))).toDF("p")
+        .selectExpr("graft_unigram_decode(p) AS d").head()
+    }
+    assert(Option(nullElem.getMessage).getOrElse(
+      nullElem.getCause.getMessage).contains("piece 1 is NULL") ||
+      Option(nullElem.getCause).exists(
+        _.getMessage.contains("piece 1 is NULL")))
     // a vocabulary piece SHAPED like a byte piece decodes as its byte
     // (the SentencePiece reserved-piece contract), and lowercase or
     // odd-shape lookalikes stay ordinary pieces
