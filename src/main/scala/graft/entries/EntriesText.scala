@@ -411,6 +411,76 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- HTML→text extraction (the stage in FRONT of every line/
+    //      quality rule on a web corpus): markup built from the
+    //      documents table by pure concatenation, so the oracle
+    //      rebuilds the identical pages and replays every rule —
+    //      container strip, boundary split, anchor extraction, entity
+    //      decode, normalization, and the three keep/drop rules —
+    //      block by block. The nav block fails tag+density, the
+    //      footer fails tag alone, the tiny-link li fails length+
+    //      density, and the div's density verdict VARIES with the
+    //      document's own token lengths (the rule is exercised both
+    //      ways on real data). ----
+
+    "q166_html_extract" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val built = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title>Doc about "), col("source"),
+        lit("</title><script>var x = '<p>fake</p>';</script>"),
+        lit("<style>p { color: red; }</style></head>"),
+        lit("<body><!-- hidden <div>comment</div> -->"),
+        lit("<h1>Report on "), col("source"), lit("</h1>"),
+        lit("<nav><a href=\"/home\">Home page</a> " +
+          "<a href=\"/about\">About this site</a></nav>"),
+        lit("<p>"), array_join(slice(toks, lit(1), lit(10)), " "),
+        lit(" &amp; more &#8212; details follow.</p>"),
+        lit("<div>Related reading: <a href=\"/x\">"),
+        array_join(slice(toks, lit(3), lit(4)), " "),
+        lit("</a> plus surrounding context words.</div>"),
+        lit("<ul><li>first item: "), col("lang"),
+        lit(" text</li><li><a href=\"/y\">tiny link</a></li></ul>"),
+        lit("<footer>Copyright&nbsp;&copy; the site owners</footer>" +
+          "</body></html>")).as("html"))
+      graft.ops.Html.extractBlocks(built, "doc_id", "html")
+        .orderBy("doc_id", "block_no")
+    }),
+
+    // ---- the full web-corpus front door COMPOSED: markup → block
+    //      extraction (q166's rules) → C4 line filter (q106's rules)
+    //      → token-count quality gate, one declarative chain — the
+    //      heading survives extraction but fails the line rule (no
+    //      terminal punct), the JavaScript plea survives extraction
+    //      but fails the line token rule, nav/footer/short die at
+    //      extraction. The oracle replays all three stages. ----
+
+    "q170_html_pipeline" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val built = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<body><h1>Corpus heading without punct</h1>"),
+        lit("<nav><a href=\"/h\">Home page link</a> " +
+          "<a href=\"/a\">About this site</a></nav>"),
+        lit("<p>"), array_join(slice(toks, lit(1), lit(10)), " "),
+        lit(" closes properly.</p>"),
+        lit("<p>Solid follow-up about "), col("source"),
+        lit(" material.</p>"),
+        lit("<div>Short.</div>"),
+        lit("<p>Please enable JavaScript to continue browsing.</p>"),
+        lit("<footer>All rights reserved by this site.</footer>" +
+          "</body>")).as("html"))
+      val extracted = graft.ops.Html.extractText(built, "doc_id", "html")
+      TextAnalysis.c4LineFilter(extracted, "doc_id", "text",
+          minLineWords = 3, minKeptLines = 2)
+        .select(col("doc_id"), col("text"),
+          col("kept_blocks"), col("dropped_blocks"),
+          col("kept_lines"), col("dropped_lines"),
+          TextAnalysis.tokenCount(col("text")).as("token_count"),
+          col("is_kept").as("c4_kept"))
+        .withColumn("final_kept",
+          col("c4_kept") && col("token_count") >= 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- bigram LM familiarity: the CCNet-style perplexity gate as
     //      exact integer arithmetic — fit add-one smoothed bigram stats
     //      on the English stratum, score EVERY document by mean smoothed
@@ -1756,6 +1826,193 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
             |SELECT doc_id, host, n_chars FROM h
             |WHERE host IN (SELECT host FROM pass)
             |ORDER BY doc_id""".stripMargin),
+
+      // The HTML extraction replayed rule by rule: rebuild the pages
+      // by the same concatenation, strip comment/script/style
+      // containers, split on the block-boundary tag set, label each
+      // segment by its preceding boundary token, then per segment
+      // extract anchors / strip tags / decode entities (amp LAST —
+      // the kernel's single pass) / collapse whitespace, and apply
+      // the three keep rules (length, link density, structural tag).
+      "q166_html_extract" ->
+        """WITH toks AS (
+          |  SELECT doc_id, source, lang,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |built AS (
+          |  SELECT doc_id,
+          |    '<html><head><title>Doc about ' || source ||
+          |    '</title><script>var x = ''<p>fake</p>'';</script>' ||
+          |    '<style>p { color: red; }</style></head>' ||
+          |    '<body><!-- hidden <div>comment</div> -->' ||
+          |    '<h1>Report on ' || source || '</h1>' ||
+          |    '<nav><a href="/home">Home page</a> ' ||
+          |    '<a href="/about">About this site</a></nav>' ||
+          |    '<p>' || array_to_string(t[1:10], ' ') ||
+          |    ' &amp; more &#8212; details follow.</p>' ||
+          |    '<div>Related reading: <a href="/x">' ||
+          |    array_to_string(t[3:6], ' ') ||
+          |    '</a> plus surrounding context words.</div>' ||
+          |    '<ul><li>first item: ' || lang ||
+          |    ' text</li><li><a href="/y">tiny link</a></li></ul>' ||
+          |    '<footer>Copyright&nbsp;&copy; the site owners</footer>' ||
+          |    '</body></html>' AS html
+          |  FROM toks),
+          |strip AS (
+          |  SELECT doc_id,
+          |    regexp_replace(regexp_replace(regexp_replace(html,
+          |      '(?s)<!--.*?-->', '', 'g'),
+          |      '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+          |      '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g') AS h
+          |  FROM built),
+          |seg0 AS (
+          |  SELECT doc_id,
+          |    string_split_regex(h,
+          |      '(?i)</?(article|aside|blockquote|body|br|dd|div|dl|dt|fieldset|figcaption|figure|footer|form|h1|h2|h3|h4|h5|h6|head|header|hr|html|li|main|nav|ol|p|pre|section|table|tbody|td|tfoot|th|thead|title|tr|ul)\b[^>]*>')
+          |      AS segs,
+          |    list_prepend('', regexp_extract_all(h,
+          |      '(?i)</?(article|aside|blockquote|body|br|dd|div|dl|dt|fieldset|figcaption|figure|footer|form|h1|h2|h3|h4|h5|h6|head|header|hr|html|li|main|nav|ol|p|pre|section|table|tbody|td|tfoot|th|thead|title|tr|ul)\b[^>]*>'))
+          |      AS bs
+          |  FROM strip),
+          |seg AS (
+          |  SELECT doc_id, unnest(segs) AS seg, unnest(bs) AS bound,
+          |    unnest(range(1, len(segs) + 1)) AS idx
+          |  FROM seg0),
+          |dec AS (
+          |  SELECT doc_id, idx,
+          |    CASE WHEN bound = '' THEN ''
+          |      ELSE (CASE WHEN bound LIKE '</%' THEN '/' ELSE '' END) ||
+          |        lower(regexp_extract(bound, '</?([a-zA-Z0-9]+)', 1))
+          |      END AS tag,
+          |    list_transform(
+          |      regexp_extract_all(seg, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+          |      a -> len(trim(regexp_replace(replace(replace(replace(
+          |        replace(replace(replace(
+          |          regexp_replace(a, '<[^>]*>', '', 'g'),
+          |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |          '&#8212;', chr(8212)), '&nbsp;', chr(160)),
+          |          '&amp;', '&'),
+          |        '\s+', ' ', 'g')))) AS alens,
+          |    trim(regexp_replace(replace(replace(replace(replace(
+          |      replace(replace(
+          |        regexp_replace(seg, '<[^>]*>', '', 'g'),
+          |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |        '&#8212;', chr(8212)), '&nbsp;', chr(160)),
+          |        '&amp;', '&'),
+          |      '\s+', ' ', 'g')) AS txt
+          |  FROM seg),
+          |rows_ AS (
+          |  SELECT doc_id, idx, tag, txt,
+          |    CAST(len(txt) AS BIGINT) AS n_chars,
+          |    CAST(COALESCE(list_sum(alens), 0) AS BIGINT) AS anchor_chars
+          |  FROM dec WHERE len(txt) > 0),
+          |num AS (
+          |  SELECT doc_id,
+          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+          |      AS BIGINT) AS block_no,
+          |    tag, txt AS text, n_chars, anchor_chars,
+          |    CAST(anchor_chars AS DOUBLE) / n_chars AS link_density
+          |  FROM rows_)
+          |SELECT doc_id, block_no, tag, text, n_chars, anchor_chars,
+          |  link_density,
+          |  (n_chars >= 15 AND link_density <= 1.0/3.0
+          |    AND tag NOT IN ('nav','header','footer','aside')) AS is_kept
+          |FROM num ORDER BY doc_id, block_no""".stripMargin,
+
+      // The three-stage pipeline replayed: rebuild the page, replay
+      // extraction (boundary split, anchor density, tag/length rules),
+      // replay the C4 line rules on the reassembled text, replay the
+      // token gate — stage outputs pinned jointly in one result.
+      "q170_html_pipeline" ->
+        """WITH toks AS (
+          |  SELECT doc_id, source,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |built AS (
+          |  SELECT doc_id,
+          |    '<body><h1>Corpus heading without punct</h1>' ||
+          |    '<nav><a href="/h">Home page link</a> ' ||
+          |    '<a href="/a">About this site</a></nav>' ||
+          |    '<p>' || array_to_string(t[1:10], ' ') ||
+          |    ' closes properly.</p>' ||
+          |    '<p>Solid follow-up about ' || source || ' material.</p>' ||
+          |    '<div>Short.</div>' ||
+          |    '<p>Please enable JavaScript to continue browsing.</p>' ||
+          |    '<footer>All rights reserved by this site.</footer>' ||
+          |    '</body>' AS html
+          |  FROM toks),
+          |seg0 AS (
+          |  SELECT doc_id,
+          |    string_split_regex(html,
+          |      '(?i)</?(article|aside|blockquote|body|br|dd|div|dl|dt|fieldset|figcaption|figure|footer|form|h1|h2|h3|h4|h5|h6|head|header|hr|html|li|main|nav|ol|p|pre|section|table|tbody|td|tfoot|th|thead|title|tr|ul)\b[^>]*>')
+          |      AS segs,
+          |    list_prepend('', regexp_extract_all(html,
+          |      '(?i)</?(article|aside|blockquote|body|br|dd|div|dl|dt|fieldset|figcaption|figure|footer|form|h1|h2|h3|h4|h5|h6|head|header|hr|html|li|main|nav|ol|p|pre|section|table|tbody|td|tfoot|th|thead|title|tr|ul)\b[^>]*>'))
+          |      AS bs
+          |  FROM built),
+          |seg AS (
+          |  SELECT doc_id, unnest(segs) AS seg, unnest(bs) AS bound,
+          |    unnest(range(1, len(segs) + 1)) AS idx
+          |  FROM seg0),
+          |blocks AS (
+          |  SELECT doc_id, idx,
+          |    CASE WHEN bound = '' THEN ''
+          |      ELSE (CASE WHEN bound LIKE '</%' THEN '/' ELSE '' END) ||
+          |        lower(regexp_extract(bound, '</?([a-zA-Z0-9]+)', 1))
+          |      END AS tag,
+          |    trim(regexp_replace(regexp_replace(seg, '<[^>]*>', '', 'g'),
+          |      '\s+', ' ', 'g')) AS txt,
+          |    list_transform(
+          |      regexp_extract_all(seg, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1),
+          |      a -> len(trim(regexp_replace(
+          |        regexp_replace(a, '<[^>]*>', '', 'g'),
+          |        '\s+', ' ', 'g')))) AS alens
+          |  FROM seg),
+          |bk AS (
+          |  SELECT doc_id, idx, tag, txt,
+          |    len(txt) AS n_chars,
+          |    COALESCE(list_sum(alens), 0) AS anchor_chars
+          |  FROM blocks WHERE len(txt) > 0),
+          |ext AS (
+          |  SELECT doc_id,
+          |    array_to_string(list(txt ORDER BY idx)
+          |      FILTER (WHERE kept), chr(10)) AS text,
+          |    CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS kept_blocks,
+          |    CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT)
+          |      AS dropped_blocks
+          |  FROM (SELECT *,
+          |      (n_chars >= 15
+          |        AND CAST(anchor_chars AS DOUBLE) / n_chars <= 1.0/3.0
+          |        AND tag NOT IN ('nav','header','footer','aside'))
+          |        AS kept
+          |    FROM bk) GROUP BY doc_id),
+          |k AS (
+          |  SELECT doc_id, text, kept_blocks, dropped_blocks,
+          |    string_split(text, chr(10)) AS ls,
+          |    list_filter(string_split(text, chr(10)), l ->
+          |      regexp_matches(trim(l), '[.!?"]$')
+          |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+          |        w -> len(w) > 0)) >= 3
+          |      AND NOT contains(lower(trim(l)), 'javascript')) AS kl
+          |  FROM ext),
+          |fin AS (
+          |  SELECT doc_id, array_to_string(kl, chr(10)) AS ftext,
+          |    kept_blocks, dropped_blocks,
+          |    CAST(len(kl) AS BIGINT) AS kept_lines,
+          |    CAST(len(ls) - len(kl) AS BIGINT) AS dropped_lines,
+          |    (len(kl) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
+          |      AND NOT contains(text, '{')) AS c4_kept
+          |  FROM k)
+          |SELECT doc_id, ftext AS text, kept_blocks, dropped_blocks,
+          |  kept_lines, dropped_lines,
+          |  CAST(len(list_filter(regexp_split_to_array(ftext, '\s+'),
+          |    w -> len(w) > 0)) AS BIGINT) AS token_count,
+          |  c4_kept,
+          |  (c4_kept AND len(list_filter(regexp_split_to_array(ftext,
+          |    '\s+'), w -> len(w) > 0)) >= 8) AS final_kept
+          |FROM fin ORDER BY doc_id""".stripMargin,
 
       // The C4 rule set replayed literally: same line split, same
       // trimmed terminal-punct regex (RE2 ≡ Java here), same word-count

@@ -1,0 +1,285 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass HTML → text-block extraction, the front door every
+  * web-scale corpus (C4, CCNet, FineWeb) walks through before any line
+  * or quality rule can run. Part of this repo's LLM-pipeline extension
+  * surface (the reference's scope starts at already-clean CSV text,
+  * `tfrecorder/input_processors.py`); the downstream rules it feeds
+  * are [[graft.ops.TextAnalysis.c4LineFilter]] and the quality family.
+  *
+  * The kernel is one linear walk over the raw markup — no DOM, no
+  * backtracking regex — emitting one row per TEXT BLOCK with the
+  * jusText-style boilerplate signal (anchor-text volume) attached.
+  * Every rule is deliberately regexp-replayable so an external SQL
+  * engine can reproduce each block and each keep/drop decision:
+  *
+  *  - **Removed containers**: `<!-- … -->` comments, `<script …>…
+  *    </script>`, `<style …>…</style>` (case-insensitive close;
+  *    unterminated container swallows the rest of the input),
+  *    `<!…>` / `<?…>` declarations.
+  *  - **Tags**: `<` + optional `/` + an ASCII letter starts a tag;
+  *    anything else after `<` is literal text ("3 < 5" survives).
+  *    Tags are skipped to `>`, honoring single/double-quoted attribute
+  *    values (a `>` inside a quoted attribute does not end the tag —
+  *    the one place the walk is MORE robust than the `<[^>]*>` replay;
+  *    fixtures avoid quoted `>`).
+  *  - **Block segmentation**: boundary tags ([[HtmlOps.BlockTags]],
+  *    open or close) flush the current block. A block's `tag` label is
+  *    the token of the boundary that STARTED it — lowercased name,
+  *    `/`-prefixed for a close boundary (`"/p"`), `""` before the
+  *    first boundary. No element stack: the label is exactly what a
+  *    split-on-boundary replay can recover, and the open-boundary case
+  *    (the one the nav/footer drop rules key on) is always right.
+  *  - **Anchors**: `<a …>` opens a run, `</a>` closes it; a run
+  *    counts toward `anchor_chars` only when its close appears in the
+  *    SAME block (a run left open at a block boundary keeps its text
+  *    but drops its count — mirroring what a per-segment
+  *    `<a…>(.*?)</a>` extraction can see). A nested `<a>` neither
+  *    restarts nor double-counts; `</a>` without an open is ignored.
+  *  - **Entities**: named (`amp lt gt quot apos nbsp`→U+00A0) and
+  *    numeric (`&#NNN;` decimal, `&#xHH;` hex) decode to their code
+  *    point when it is a valid non-surrogate scalar; anything else
+  *    stays literal. Decoding is single-pass: `&amp;lt;` yields the
+  *    literal text `&lt;` (equivalent to an amp-LAST chained replace),
+  *    and a decoded `<` is text, never a tag.
+  *  - **Normalization**: per block, runs of Java `\s` collapse to one
+  *    space and the result is trimmed; empty blocks are not emitted.
+  *    `anchor_chars` counts code points of each closed run after the
+  *    same normalization.
+  */
+object HtmlOps {
+
+  /** Tags that segment the text flow (HTML block-level display set +
+    * the document skeleton + `br`/`hr` separators).
+    */
+  val BlockTags: Set[String] = Set(
+    "p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "br", "hr", "table", "thead", "tbody", "tfoot", "tr", "td", "th",
+    "blockquote", "pre", "section", "article", "aside", "nav",
+    "header", "footer", "main", "figure", "figcaption", "dl", "dt",
+    "dd", "form", "fieldset", "title", "body", "html", "head")
+
+  /** The boundary-tag alternation for a regexp replay of the block
+    * split (documentation + spec cross-check; the kernel itself never
+    * runs a regex).
+    */
+  def blockTagPattern: String =
+    "(?i)</?(" + BlockTags.toSeq.sorted.mkString("|") + ")\\b[^>]*>"
+
+  val BlocksType: ArrayType = ArrayType(StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("anchor_chars", IntegerType, nullable = false))),
+    containsNull = false)
+
+  /** Collapse Java-`\s` runs to one space and trim — the exact
+    * semantics of `regexp_replace(t, '\s+', ' ', 'g')` + `trim`.
+    */
+  private[functions] def normalizeWs(sb: CharSequence): String = {
+    val out = new java.lang.StringBuilder(sb.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+          c == '\f' || c == '\r') {
+        pendingSpace = out.length() > 0 // leading whitespace trims away
+      } else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString // trailing whitespace was never appended
+  }
+
+  /** Decode the entity starting at `s(i) == '&'`. Returns
+    * `(codePoint, indexAfterSemicolon)`, or `(-1, _)` when the run is
+    * not a decodable entity (caller emits the literal `&`).
+    */
+  private[functions] def decodeEntity(s: String, i: Int): (Int, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i < 2 || semi - i > 10) return (-1, i)
+    val body = s.substring(i + 1, semi)
+    val cp =
+      if (body.length > 1 && body.charAt(0) == '#') {
+        val num = body.substring(1)
+        try {
+          if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+            Integer.parseInt(num.substring(1), 16)
+          else Integer.parseInt(num)
+        } catch { case _: NumberFormatException => -1 }
+      } else body match {
+        case "amp" => '&'.toInt
+        case "lt" => '<'.toInt
+        case "gt" => '>'.toInt
+        case "quot" => '"'.toInt
+        case "apos" => '\''.toInt
+        case "nbsp" => 0xA0
+        case _ => -1
+      }
+    if (cp <= 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF))
+      (-1, i)
+    else (cp, semi + 1)
+  }
+
+  private def indexOfIgnoreCase(s: String, target: String,
+                                from: Int): Int = {
+    val n = s.length; val m = target.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      if (s.regionMatches(true, i, target, 0, m)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** The kernel body: raw markup → array of
+    * `struct<tag, text, anchor_chars>` rows, one per non-empty text
+    * block, in document order. Static so codegen calls it directly
+    * (the [[UnigramModel.decodeArray]] pattern).
+    */
+  def extractBlocks(html: UTF8String): ArrayData = {
+    if (html == null) return null
+    val s = html.toString
+    val n = s.length
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val text = new java.lang.StringBuilder
+    val anchor = new java.lang.StringBuilder
+    var anchorOpen = false
+    var anchorChars = 0
+    var label = ""
+
+    def appendCp(cp: Int): Unit = {
+      text.appendCodePoint(cp)
+      if (anchorOpen) anchor.appendCodePoint(cp)
+    }
+    def closeAnchorRun(): Unit = if (anchorOpen) {
+      val a = normalizeWs(anchor)
+      anchorChars += a.codePointCount(0, a.length)
+      anchor.setLength(0)
+      anchorOpen = false
+    }
+    def flush(newLabel: String): Unit = {
+      // a run left open at the boundary keeps its text, loses its count
+      anchor.setLength(0)
+      anchorOpen = false
+      val t = normalizeWs(text)
+      if (t.nonEmpty)
+        rows += InternalRow(UTF8String.fromString(label),
+          UTF8String.fromString(t), anchorChars)
+      text.setLength(0)
+      anchorChars = 0
+      label = newLabel
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n &&
+            (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val e = s.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        } else {
+          var j = i + 1
+          var close = false
+          if (j < n && s.charAt(j) == '/') { close = true; j += 1 }
+          var k = j
+          while (k < n && {
+            val ch = s.charAt(k)
+            (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+              (k > j && ch >= '0' && ch <= '9')
+          }) k += 1
+          if (k == j) { // not a tag: literal '<'
+            appendCp('<')
+            i += 1
+          } else {
+            val name = s.substring(j, k).toLowerCase(java.util.Locale.ROOT)
+            // scan to the closing '>', honoring quoted attribute values
+            var m = k
+            var quote = ' '
+            var endIdx = -1
+            var selfClose = false
+            while (m < n && endIdx < 0) {
+              val ch = s.charAt(m)
+              if (quote != ' ') { if (ch == quote) quote = ' ' }
+              else if (ch == '"' || ch == '\'') quote = ch
+              else if (ch == '>') {
+                selfClose = m > k && s.charAt(m - 1) == '/'
+                endIdx = m + 1
+              }
+              m += 1
+            }
+            if (endIdx < 0) endIdx = n
+            if (!close && !selfClose &&
+                (name == "script" || name == "style")) {
+              val e = indexOfIgnoreCase(s, "</" + name, endIdx)
+              if (e < 0) i = n
+              else {
+                val g = s.indexOf('>', e)
+                i = if (g < 0) n else g + 1
+              }
+            } else {
+              if (BlockTags.contains(name))
+                flush((if (close) "/" else "") + name)
+              else if (name == "a") {
+                if (close) closeAnchorRun()
+                else if (!selfClose && !anchorOpen) anchorOpen = true
+              }
+              i = endIdx
+            }
+          }
+        }
+      } else if (c == '&') {
+        val (cp, next) = decodeEntity(s, i)
+        if (cp >= 0) { appendCp(cp); i = next }
+        else { appendCp('&'); i += 1 }
+      } else {
+        text.append(c)
+        if (anchorOpen) anchor.append(c)
+        i += 1
+      }
+    }
+    flush("")
+    new GenericArrayData(rows.toArray)
+  }
+}
+
+/** `graft_html_blocks(html)`: raw markup → `array<struct<tag, text,
+  * anchor_chars>>` text blocks via the [[HtmlOps]] single-pass walk.
+  * Scan-local, zero shuffle, whole-stage-codegen'd (static-call body,
+  * the [[UnigramDecodeOf]] shape). Null markup → null.
+  */
+case class HtmlBlocksOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlOps.BlocksType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlOps.extractBlocks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"graft.functions.HtmlOps.extractBlocks($h)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HtmlBlocksOf = copy(child = newChild)
+  override def prettyName: String = "graft_html_blocks"
+}

@@ -422,6 +422,13 @@ object GraftFunctions {
           "graft_unigram_decode takes (pieces)")
         UnigramDecodeOf(exprs.head)
       }),
+    (FunctionIdentifier("graft_html_blocks"),
+      new ExpressionInfo(classOf[HtmlBlocksOf].getName,
+        "graft_html_blocks"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_html_blocks takes (html)")
+        HtmlBlocksOf(exprs.head)
+      }),
     (FunctionIdentifier("graft_multi_contains"),
       new ExpressionInfo(classOf[MultiContainsOf].getName,
         "graft_multi_contains"),

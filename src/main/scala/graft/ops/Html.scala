@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → clean text for corpus building: the boilerplate-extraction
+  * stage (jusText / trafilatura family) in front of
+  * [[TextAnalysis.c4LineFilter]] and the quality gates. The parse
+  * itself is the scan-local [[graft.functions.HtmlOps]] kernel
+  * (`graft_html_blocks`); this layer attaches the keep/drop RULES and
+  * the per-document reassembly.
+  *
+  * Scale shape: [[extractBlocks]] is a single generated-column pass —
+  * zero joins, zero shuffle, whole-stage codegen end to end; markup
+  * crosses the wire exactly once. [[extractText]] adds the one
+  * unavoidable exchange (the per-document regroup) and nothing else;
+  * at 100 TB the regroup is the same doc-id shuffle every downstream
+  * per-document stage needs anyway.
+  */
+object Html {
+
+  /** jusText-style default: a block more than a third of whose
+    * (normalized) characters live inside anchors is link boilerplate.
+    */
+  val DefaultMaxLinkDensity: Double = 1.0 / 3.0
+
+  /** Blocks shorter than this (normalized code points) carry no
+    * training signal on their own — nav crumbs, button labels.
+    */
+  val DefaultMinChars: Int = 15
+
+  /** Structural-boilerplate labels dropped regardless of content. Only
+    * OPEN-boundary labels appear here — the kernel labels a block by
+    * the boundary that started it, so `<nav>…` content is always
+    * labeled `nav`.
+    */
+  val DefaultDropTags: Seq[String] =
+    Seq("nav", "header", "footer", "aside")
+
+  /** One row per text block: `(id, block_no, tag, text, n_chars,
+    * anchor_chars, link_density)` — `block_no` 1-based in document
+    * order, `n_chars` in code points of the normalized text,
+    * `link_density = anchor_chars / n_chars` (an IEEE division of two
+    * small ints, replayable exactly).
+    */
+  def blocks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        posexplode(call_function("graft_html_blocks", col(htmlCol)))
+          .as(Seq("__p", "__b")))
+      .select(col(idCol),
+        (col("__p") + 1).cast("long").as("block_no"),
+        col("__b.tag").as("tag"),
+        col("__b.text").as("text"),
+        length(col("__b.text")).cast("long").as("n_chars"),
+        col("__b.anchor_chars").cast("long").as("anchor_chars"))
+      .withColumn("link_density",
+        col("anchor_chars").cast("double") / col("n_chars"))
+  }
+
+  private def keepRule(maxLinkDensity: Double, minChars: Int,
+                       dropTags: Seq[String]): Column =
+    col("n_chars") >= minChars &&
+      col("link_density") <= maxLinkDensity &&
+      !col("tag").isin(dropTags: _*)
+
+  /** [[blocks]] plus the three keep/drop rules as an `is_kept` flag —
+    * every decision visible per block, the audit form an external
+    * engine replays rule by rule.
+    */
+  def extractBlocks(df: DataFrame, idCol: String, htmlCol: String,
+                    maxLinkDensity: Double = DefaultMaxLinkDensity,
+                    minChars: Int = DefaultMinChars,
+                    dropTags: Seq[String] = DefaultDropTags): DataFrame = {
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      "maxLinkDensity must be in [0, 1]")
+    require(minChars >= 1, "minChars must be >= 1")
+    blocks(df, idCol, htmlCol)
+      .withColumn("is_kept", keepRule(maxLinkDensity, minChars, dropTags))
+  }
+
+  /** Per-document clean text: kept blocks in document order joined
+    * with `\n` (one block per line — exactly the shape
+    * [[TextAnalysis.c4LineFilter]] consumes), plus kept/dropped
+    * counts. Documents whose markup yields zero blocks at all (null or
+    * text-free HTML) do not appear; documents where every block is
+    * dropped appear with empty text.
+    */
+  def extractText(df: DataFrame, idCol: String, htmlCol: String,
+                  maxLinkDensity: Double = DefaultMaxLinkDensity,
+                  minChars: Int = DefaultMinChars,
+                  dropTags: Seq[String] = DefaultDropTags): DataFrame =
+    extractBlocks(df, idCol, htmlCol, maxLinkDensity, minChars, dropTags)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("is_kept"),
+            struct(col("block_no"), col("text"))))),
+          b => b.getField("text")), "\n").as("text"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("kept_blocks"),
+        sum(when(col("is_kept"), 0L).otherwise(1L)).as("dropped_blocks"))
+}

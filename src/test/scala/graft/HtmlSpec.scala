@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HtmlOps
+import graft.ops.Html
+
+/** The HTML→text extraction contract: single-pass parse semantics
+  * (containers, tags, entities, anchors, block labels), the documented
+  * regexp-replay equivalences, and the keep/drop rule layer.
+  */
+class HtmlSpec extends SparkSpec {
+
+  private def blocks(html: String): Seq[(String, String, Int)] = {
+    val arr = HtmlOps.extractBlocks(
+      org.apache.spark.unsafe.types.UTF8String.fromString(html))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+        r.getInt(2))
+    }
+  }
+
+  test("block segmentation: boundary tags flush; labels are the " +
+      "starting boundary's token; empty blocks are not emitted") {
+    assert(blocks("<html><body><h1>Title</h1><p>One two.</p>" +
+      "<div>Three</div></body></html>") == Seq(
+      ("h1", "Title", 0), ("p", "One two.", 0), ("div", "Three", 0)))
+    // text before any boundary gets label ""; text after a CLOSE
+    // boundary gets the /-prefixed token (the no-stack contract)
+    assert(blocks("lead<div>a<p>b</p>c</div>") == Seq(
+      ("", "lead", 0), ("div", "a", 0), ("p", "b", 0), ("/p", "c", 0)))
+    // inline tags do not segment; br/hr do
+    assert(blocks("<p>a <b>bold</b> c<br>next</p>") == Seq(
+      ("p", "a bold c", 0), ("br", "next", 0)))
+  }
+
+  test("containers removed: comments, script (with fake tags inside), " +
+      "style; declarations skipped; unterminated swallows the rest") {
+    assert(blocks("<p>a<!-- hidden <p>x</p> -->b</p>") ==
+      Seq(("p", "ab", 0)))
+    assert(blocks("<p>a<script>var x = '<p>no</p>';</script>b</p>") ==
+      Seq(("p", "ab", 0)))
+    assert(blocks("<p>a<SCRIPT src=\"x\">z</ScRiPt>b</p>") ==
+      Seq(("p", "ab", 0)))
+    assert(blocks("<p>a<style>p { color: red }</style>b</p>") ==
+      Seq(("p", "ab", 0)))
+    assert(blocks("<!DOCTYPE html><?xml v?><p>a</p>") ==
+      Seq(("p", "a", 0)))
+    assert(blocks("<p>a<script>never closed") == Seq(("p", "a", 0)))
+    assert(blocks("<p>a<!-- never closed") == Seq(("p", "a", 0)))
+    // a SELF-CLOSING script does not open a container
+    assert(blocks("<p>a<script src=\"x\"/>b</p>") == Seq(("p", "ab", 0)))
+  }
+
+  test("tags vs literal '<': only letter-led runs are tags; quoted " +
+      "attribute values may hide '>'") {
+    assert(blocks("<p>3 < 5 and x <= y</p>") ==
+      Seq(("p", "3 < 5 and x <= y", 0)))
+    assert(blocks("<p>a<img alt=\"x > y\">b</p>") == Seq(("p", "ab", 0)))
+    assert(blocks("<p>a<span data-s='q>r'>b</span></p>") ==
+      Seq(("p", "ab", 0)))
+    // unterminated tag swallows the rest (EOF-safe)
+    assert(blocks("<p>a<span b") == Seq(("p", "a", 0)))
+  }
+
+  test("entities: named + numeric decode once; invalid/unknown stay " +
+      "literal; decoded '<' is text, never a tag") {
+    assert(blocks("<p>a &amp; b &lt;tag&gt; &quot;q&quot; &apos;s&apos;</p>")
+      == Seq(("p", "a & b <tag> \"q\" 's'", 0)))
+    // single-pass: &amp;lt; is the literal text &lt;
+    assert(blocks("<p>&amp;lt;</p>") == Seq(("p", "&lt;", 0)))
+    // numeric decimal, hex, and an astral code point (4-byte emoji)
+    assert(blocks("<p>&#8212;&#x2014;&#x1F600;</p>") ==
+      Seq(("p", "——😀", 0)))
+    // invalid: unknown name, surrogate, out of range, unterminated
+    assert(blocks("<p>&copy; &#xD800; &#1114112; &amp</p>") ==
+      Seq(("p", "&copy; &#xD800; &#1114112; &amp", 0)))
+    // nbsp decodes to U+00A0, which is NOT \s and survives collapse
+    assert(blocks("<p>a&nbsp;b</p>") == Seq(("p", "a\u00A0b", 0)))
+  }
+
+  test("whitespace: java-\\s runs collapse to one space, trimmed; " +
+      "anchor runs normalized the same way") {
+    assert(blocks("<p>  a\t\tb\r\nc  </p>") == Seq(("p", "a b c", 0)))
+    assert(blocks("<p>\n \t</p><p>x</p>") == Seq(("p", "x", 0)))
+  }
+
+  test("anchors: closed runs count normalized code points; separate " +
+      "runs sum per-run; unclosed at block end keeps text, drops " +
+      "count; nested <a> matches the first-close replay") {
+    assert(blocks("<p>see <a href=\"/x\">the  link</a> now</p>") ==
+      Seq(("p", "see the link now", 8)))
+    // two runs: counts are per-run (no phantom join between them)
+    assert(blocks("<div><a>Home</a> <a>About us</a> x</div>") ==
+      Seq(("div", "Home About us x", 12)))
+    // run left open at the block boundary: text kept, count dropped,
+    // and the continuation in the next block has no open run
+    assert(blocks("<p><a>x<p>y</a></p>") ==
+      Seq(("p", "x", 0), ("p", "y", 0)))
+    // nested <a> == non-greedy first-close semantics
+    assert(blocks("<p><a>p<a>q</a>r</a>s</p>") == Seq(("p", "pqrs", 2)))
+    // </a> with no open run is ignored; self-closing <a/> opens nothing
+    assert(blocks("<p>a</a>b<a/>c</p>") == Seq(("p", "abc", 0)))
+    // astral chars count as ONE code point
+    assert(blocks("<p><a>&#x1F600;&#x1F600;</a></p>") ==
+      Seq(("p", "😀😀", 2)))
+  }
+
+  test("null/empty/tag-free inputs") {
+    assert(HtmlOps.extractBlocks(null) == null)
+    assert(blocks("") == Seq.empty)
+    assert(blocks("<p></p><div>  </div>") == Seq.empty)
+    assert(blocks("plain text, no markup") ==
+      Seq(("", "plain text, no markup", 0)))
+  }
+
+  test("kernel == regexp replay on a representative page (the oracle " +
+      "equivalence the q166 fixture leans on)") {
+    val html = "<html><head><title>T</title>" +
+      "<script>var a='<p>no</p>';</script><style>p{}</style></head>" +
+      "<body><!-- c --><h1>Big Report</h1>" +
+      "<nav><a href=\"/h\">Home</a> <a href=\"/a\">About us</a></nav>" +
+      "<p>Words &amp; more &#8212; details here.</p>" +
+      "<div>Related: <a href=\"/x\">this link</a> plus context.</div>" +
+      "<ul><li>alpha beta</li><li><a href=\"/y\">delta</a></li></ul>" +
+      "<footer>Copyright &copy; site</footer></body></html>"
+    // the replay: strip containers, split on boundary tags, then per
+    // segment extract anchors / strip tags / decode / normalize
+    val noC = "(?s)<!--.*?-->".r.replaceAllIn(html, "")
+    val noS = "(?is)<script\\b[^>]*>.*?</script\\s*>".r
+      .replaceAllIn(noC, "")
+    val noSt = "(?is)<style\\b[^>]*>.*?</style\\s*>".r
+      .replaceAllIn(noS, "")
+    val pat = HtmlOps.blockTagPattern
+    val bounds = pat.r.findAllMatchIn(noSt).map(_.matched).toSeq
+    val segs = noSt.split(pat, -1).toSeq
+    def decode(t: String): String = {
+      // amp-LAST chained replace == the kernel's single pass
+      t.replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&apos;", "'")
+        .replace("&nbsp;", " ").replace("&#8212;", "—")
+        .replace("&amp;", "&")
+    }
+    def norm(t: String): String =
+      t.replaceAll("\\s+", " ").trim
+    val replay = segs.zipWithIndex.flatMap { case (seg, i) =>
+      val tag = if (i == 0) ""
+        else "(?i)^</?([a-z0-9]+)".r.findFirstMatchIn(bounds(i - 1))
+          .map(m => (if (bounds(i - 1).startsWith("</")) "/" else "") +
+            m.group(1).toLowerCase).get
+      val anchors = "(?is)<a\\b[^>]*>(.*?)</a\\s*>".r
+        .findAllMatchIn(seg).map(_.group(1)).toSeq
+      val aChars = anchors.map(a =>
+        norm(decode(a.replaceAll("<[^>]*>", ""))))
+        .map(s => s.codePointCount(0, s.length)).sum
+      val txt = norm(decode(seg.replaceAll("<[^>]*>", "")))
+      if (txt.isEmpty) None else Some((tag, txt, aChars))
+    }
+    assert(blocks(html) == replay)
+    assert(replay.exists(_._1 == "nav") && replay.exists(_._2
+      .contains("Words & more — details here.")))
+  }
+
+  test("ops layer: per-block rules and per-document reassembly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<body><nav><a>Home</a> <a>About</a></nav>" +
+        "<p>This paragraph easily clears the minimum length bar.</p>" +
+        "<div>See <a href=\"/x\">just links here really</a> ok</div>" +
+        "<footer>Copyright notice long enough to pass length</footer>" +
+        "<p>tiny</p></body>"),
+      (2L, "<p>Second document with one clean healthy block.</p>"),
+      (3L, "<p></p>"), // no blocks at all -> absent from both outputs
+      (4L, "<div><a>all anchor text in this block</a></div>")) // all dropped
+      .toDF("doc_id", "html")
+    val b = Html.extractBlocks(df, "doc_id", "html")
+      .orderBy("doc_id", "block_no")
+      .as[(Long, Long, String, String, Long, Long, Double, Boolean)]
+      .collect()
+    val byDoc = b.groupBy(_._1)
+    // doc 1: nav dropped (tag rule), big p kept, link-heavy div
+    // dropped (density), footer dropped (tag), tiny p dropped (length)
+    val d1 = byDoc(1L).map(r => (r._3, r._8)).toSeq
+    assert(d1 == Seq(("nav", false), ("p", true), ("div", false),
+      ("footer", false), ("p", false)))
+    // density check: div block "See just links here really ok" =
+    // 29 chars, anchor 22 -> 22/29 > 1/3
+    val div1 = byDoc(1L).find(_._3 == "div").get
+    assert(div1._5 == 29L && div1._6 == 22L &&
+      div1._7 == 22.0 / 29.0 && !div1._8)
+    assert(byDoc(4L).map(_._8).toSeq == Seq(false))
+    assert(!byDoc.contains(3L))
+    val t = Html.extractText(df, "doc_id", "html")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(t == Seq(
+      (1L, "This paragraph easily clears the minimum length bar.", 1L, 4L),
+      (2L, "Second document with one clean healthy block.", 1L, 0L),
+      (4L, "", 0L, 1L)))
+    // multi-kept-block order: blocks join in document order
+    val multi = Seq((9L, "<p>First block long enough to keep.</p>" +
+      "<p>Second block also long enough to keep.</p>")).toDF("doc_id", "html")
+    assert(Html.extractText(multi, "doc_id", "html")
+      .select("text").as[String].head() ==
+      "First block long enough to keep.\n" +
+        "Second block also long enough to keep.")
+  }
+
+  test("plan shape: extractBlocks is one scan-local projection — no " +
+      "exchange, whole-stage codegen") {
+    import spark.implicits._
+    val df = Seq((1L, "<p>hello world block</p>")).toDF("doc_id", "html")
+    val plan = Html.extractBlocks(df, "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // the codegen stars: every operator (Project, Generate) rides in
+    // whole-stage-codegen stage 1
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Generate"),
+      plan)
+  }
+}

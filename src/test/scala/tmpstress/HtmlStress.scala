@@ -1,0 +1,82 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** HTML-extraction kernel throughput at 1M pages (q166's
+  * `graft_html_blocks` + the rule layer): each page is a realistic
+  * web shape — head with title/script/style, a nav link bar, six
+  * 32-word paragraphs each carrying an inline anchor, a link-farm
+  * div, a footer — ~6.5 KB of markup per page, ~6.5 GB per pass.
+  * Every page yields exactly 10 text blocks (title, nav, 6×p, div,
+  * footer), of which the 6 paragraphs survive the default rules (nav
+  * and the link farm die on density, footer on tag, title on length
+  * for most ids) — the block count and kept-block count are exact
+  * invariants asserted per rep, so the timing is also a correctness
+  * check at scale.
+  *
+  * Run: `sbt "Test/runMain tmpstress.HtmlStress"`
+  */
+object HtmlStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def w(salt: Int) = md5(concat(
+      pmod(col("id") + salt, lit(9973L)).cast("string"), lit("w")))
+    def words(k: Int, n: Int) = concat_ws(" ",
+      (0 until n).map(j => w(k * 37 + j)): _*)
+    def para(k: Int) = concat(lit("<p>"), words(k, 25),
+      lit(" see <a href=\"/l\">"), words(k + 500, 2), lit("</a> "),
+      words(k + 1000, 4), lit(" tail.</p>"))
+    val html = concat(Seq(
+      lit("<html><head><title>page "), col("id").cast("string"),
+      lit("</title><script>var a='<p>x</p>';</script>" +
+        "<style>p{x:1}</style></head><body>"),
+      lit("<nav><a href=\"/h\">"), words(1, 2),
+      lit("</a> <a href=\"/a\">"), words(2, 2), lit("</a></nav>")) ++
+      (0 until 6).map(para) ++ Seq(
+      lit("<div><a>"), words(3, 2), lit("</a> <a>"), words(4, 2),
+      lit("</a> <a>"), words(5, 2), lit("</a></div>"),
+      lit("<footer>copyright "), w(6), lit("</footer></body></html>")): _*)
+    val corpus = spark.range(nDocs)
+      .select(col("id").as("doc_id"), html.as("html"))
+      .repartition(64).cache()
+    val bytes = corpus.agg(sum(length(col("html")))).head().getLong(0)
+    println(s"MARKER corpus=${corpus.count()} markup_chars=$bytes")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"MARKER $label%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    for (rep <- 1 to 3) {
+      val b = time(s"blocks rep$rep") {
+        graft.ops.Html.extractBlocks(corpus, "doc_id", "html")
+          .agg(count(lit(1)), sum(col("n_chars")),
+            sum(col("anchor_chars")),
+            sum(when(col("is_kept"), 1L).otherwise(0L))).head()
+      }
+      val t = time(s"text   rep$rep") {
+        graft.ops.Html.extractText(corpus, "doc_id", "html")
+          .agg(count(lit(1)), sum(length(col("text"))),
+            sum(col("kept_blocks"))).head()
+      }
+      println(s"MARKER rep$rep blocks=${b.getLong(0)} " +
+        s"kept=${b.getLong(3)} docs=${t.getLong(0)} " +
+        s"kept2=${t.getLong(2)} text_chars=${t.getLong(1)}")
+      assert(b.getLong(0) == 10L * nDocs,
+        s"expected ${10 * nDocs} blocks, got ${b.getLong(0)}")
+      assert(b.getLong(3) == 6L * nDocs,
+        s"expected ${6 * nDocs} kept, got ${b.getLong(3)}")
+      assert(t.getLong(0) == nDocs && t.getLong(2) == 6L * nDocs)
+    }
+    spark.stop()
+  }
+}
