@@ -487,6 +487,86 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
     //      bigram probability in micro-units; the oracle refits and
     //      rescores the identical integer model ----
 
+    // ---- classifier OPERATING-POINT harness (the q73-recall/q145-
+    //      quality discipline applied to the q165 classifier): train
+    //      the same deterministic fit, score a TIERED holdout whose
+    //      rank structure is construction-forced — constant text per
+    //      tier, so within-tier scores tie exactly and id breaks
+    //      ranks; five mislabeled traps share the strong-negative
+    //      text, making the AUC the exact ratio 850/1000 with real
+    //      tie-handling (U2 halves) in the numerator. The oracle
+    //      derives every confusion count and the AUC from the tier
+    //      table alone. ----
+
+    "q168_classifier_tuning" -> ((s, dir) => {
+      def trainDoc(i: Long): (Long, String, Long) = {
+        val label = i % 2
+        val cls =
+          if (label == 1) "crisp coherent structured prose paragraph"
+          else "buy click free casino jackpot winner"
+        (i, s"$cls the and of filler${i % 7}", label)
+      }
+      val train = s.createDataFrame((0L until 160L).map(trainDoc))
+        .toDF("id", "text", "label")
+      val m = TextAnalysis.hashedLinearFit(train, "text", "label",
+        dim = 1 << 8, epochs = 10, lrMicro = 4000000L)
+      def tier(i: Long): (Long, String, Long) =
+        if (i < 10) (i, "crisp coherent structured prose paragraph", 1L)
+        else if (i < 20) (i, "crisp coherent the and of", 1L)
+        else if (i < 30) (i, "buy click the and of", 0L)
+        else if (i < 40) (i, "buy click free casino jackpot winner", 0L)
+        else (i, "buy click free casino jackpot winner", 1L) // traps
+      val holdout = s.createDataFrame((0L until 45L).map(tier))
+        .toDF("id", "text", "label")
+      val scored = TextAnalysis.hashedLinearScore(holdout, "id", "text",
+          m.weights, m.intercept, m.hashKind)
+        .join(holdout.select("id", "label"), "id")
+      TextAnalysis.classifierSweep(scored, "id", "label", "score",
+        Seq(10, 20, 30, 40, 45))
+    }),
+
+    // ---- order-3 LM with backoff (the KenLM-class upgrade of q100's
+    //      bigram gate): fit pruned 1/2/3-gram tables on the English
+    //      stratum, score EVERY document position at the highest order
+    //      whose context survives pruning, exact integer micro-nats;
+    //      order_sum pins every backoff decision. The oracle refits
+    //      and rescores the identical integer trigram model. ----
+
+    "q167_ngram_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.ngramLmScore(docs.select("doc_id", "text"), "doc_id",
+          "text", docs.filter(col("lang") === "en"), "text",
+          order = 3, minCounts = Seq(1L, 2L, 2L))
+        .orderBy("doc_id")
+    }),
+
+    // ---- the CCNet-shaped admission gate COMPOSED: trigram-backoff
+    //      familiarity (q167's model, threshold at the corpus median)
+    //      AND q23's structural quality rules — both verdicts and the
+    //      conjunction exposed per document. ----
+
+    "q171_perplexity_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.ngramLmScore(docs.select("doc_id", "text"),
+        "doc_id", "text", docs.filter(col("lang") === "en"), "text",
+        order = 3, minCounts = Seq(1L, 2L, 2L))
+      val q = docs.select(col("doc_id"),
+          TextAnalysis.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
+          col("q.n_distinct_tokens").as("n_distinct_tokens"),
+          col("q.mean_token_len").as("mean_token_len"))
+      lm.join(q, "doc_id")
+        .select(col("doc_id"), col("n_positions"), col("mean_micro"),
+          col("n_tokens"),
+          (col("mean_micro") >= 27000L).as("familiar"),
+          (col("n_tokens") >= 40 && col("mean_token_len") >= 3.0 &&
+            col("mean_token_len") <= 10.0 &&
+            col("n_distinct_tokens").cast("double") >=
+              col("n_tokens") * 0.2).as("quality_ok"))
+        .withColumn("is_kept", col("familiar") && col("quality_ok"))
+        .orderBy("doc_id")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -1760,6 +1840,186 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
       // both engines divide nonnegative integers. Shared verbatim with
       // q105 (the single-pass kernel path): both engine formulations
       // are value-identical by construction, so one SQL proves both.
+      // The sweep's truth derived from the tier construction alone:
+      // rank layout (srank orders tiers by forced score, rlo the
+      // first rank after id tie-break), confusion counts per cut,
+      // U2 = 2·concordant + tied from the tier sizes.
+      "q168_classifier_tuning" ->
+        """WITH tiers(tier, n, label, srank, rlo) AS (
+          |  VALUES ('sp', 10, 1, 4, 1), ('wp', 10, 1, 3, 11),
+          |    ('wn', 10, 0, 2, 21), ('sn', 10, 0, 1, 31),
+          |    ('trap', 5, 1, 1, 41)),
+          |rows_ AS (
+          |  SELECT label, rlo + i AS r
+          |  FROM tiers, unnest(range(n)) AS u(i)),
+          |cuts(k) AS (VALUES (10), (20), (30), (40), (45)),
+          |pn AS (SELECT
+          |  CAST(sum(CASE WHEN label = 1 THEN n ELSE 0 END) AS BIGINT) p,
+          |  CAST(sum(CASE WHEN label = 0 THEN n ELSE 0 END) AS BIGINT) ng
+          |  FROM tiers),
+          |auc AS (
+          |  SELECT CAST(sum(t.n * (
+          |    2 * COALESCE((SELECT sum(b.n) FROM tiers b
+          |      WHERE b.label = 0 AND b.srank < t.srank), 0)
+          |    + COALESCE((SELECT sum(e.n) FROM tiers e
+          |      WHERE e.label = 0 AND e.srank = t.srank), 0)))
+          |    AS BIGINT) AS u2
+          |  FROM tiers t WHERE t.label = 1),
+          |conf AS (
+          |  SELECT k,
+          |    CAST(sum(CASE WHEN r <= k AND label = 1 THEN 1 ELSE 0 END)
+          |      AS BIGINT) tp,
+          |    CAST(sum(CASE WHEN r <= k AND label = 0 THEN 1 ELSE 0 END)
+          |      AS BIGINT) fp
+          |  FROM rows_, cuts GROUP BY k)
+          |SELECT CAST(k AS BIGINT) AS cut, tp, fp,
+          |  (SELECT p FROM pn) - tp AS fn,
+          |  (SELECT ng FROM pn) - fp AS tn,
+          |  (1000000 * tp) // (tp + fp) AS precision_micro,
+          |  (1000000 * tp) // (SELECT p FROM pn) AS recall_micro,
+          |  (SELECT u2 FROM auc) AS auc_num,
+          |  2 * (SELECT p FROM pn) * (SELECT ng FROM pn) AS auc_den
+          |FROM conf ORDER BY cut""".stripMargin,
+
+      // The trigram backoff model refit and rescored from scratch:
+      // same tokenization, same pruning, same per-position
+      // highest-surviving-context selection, same integer floors.
+      "q167_ngram_lm" ->
+        """WITH tk AS (
+          |  SELECT doc_id, lang,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |g1 AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT unnest(t) AS g FROM tk WHERE lang = 'en')
+          |  GROUP BY g HAVING count(*) >= 1),
+          |g2 AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT array_to_string(t[i:i+1], ' ') AS g
+          |    FROM tk, unnest(range(1, len(t))) AS r(i)
+          |    WHERE lang = 'en' AND len(t) >= 2)
+          |  GROUP BY g HAVING count(*) >= 2),
+          |g3 AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT array_to_string(t[i:i+2], ' ') AS g
+          |    FROM tk, unnest(range(1, len(t) - 1)) AS r(i)
+          |    WHERE lang = 'en' AND len(t) >= 3)
+          |  GROUP BY g HAVING count(*) >= 2),
+          |vt AS (SELECT CAST(count(*) AS BIGINT) + 1 AS v1,
+          |  CAST(COALESCE(sum(c), 0) AS BIGINT) AS tt FROM g1),
+          |pos AS (
+          |  SELECT doc_id,
+          |    array_to_string(t[i-2:i], ' ') AS pg3,
+          |    array_to_string(t[i-2:i-1], ' ') AS px3,
+          |    array_to_string(t[i-1:i], ' ') AS pg2,
+          |    t[i-1] AS px2, t[i] AS pg1
+          |  FROM tk, unnest(range(3, len(t) + 1)) AS r(i)
+          |  WHERE len(t) >= 3),
+          |j AS (
+          |  SELECT p.doc_id,
+          |    CASE WHEN x3.c IS NOT NULL
+          |        THEN (1000000 * (COALESCE(c3.c, 0) + 1)) //
+          |          (x3.c + (SELECT v1 FROM vt))
+          |      WHEN x2.c IS NOT NULL
+          |        THEN (1000000 * (COALESCE(c2.c, 0) + 1)) //
+          |          (x2.c + (SELECT v1 FROM vt))
+          |      ELSE (1000000 * (COALESCE(c1.c, 0) + 1)) //
+          |        ((SELECT tt FROM vt) + (SELECT v1 FROM vt)) END AS m,
+          |    CASE WHEN x3.c IS NOT NULL THEN 3
+          |      WHEN x2.c IS NOT NULL THEN 2 ELSE 1 END AS o
+          |  FROM pos p
+          |  LEFT JOIN g3 c3 ON p.pg3 = c3.g
+          |  LEFT JOIN g2 x3 ON p.px3 = x3.g
+          |  LEFT JOIN g2 c2 ON p.pg2 = c2.g
+          |  LEFT JOIN g1 x2 ON p.px2 = x2.g
+          |  LEFT JOIN g1 c1 ON p.pg1 = c1.g)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions,
+          |  CAST(sum(m) AS BIGINT) AS score_micro,
+          |  CAST(sum(o) AS BIGINT) AS order_sum,
+          |  CAST(sum(m) // count(*) AS BIGINT) AS mean_micro
+          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // q167's trigram replay joined with q23's quality-rule replay;
+      // the gate thresholds replayed literally.
+      "q171_perplexity_gate" ->
+        """WITH tk AS (
+          |  SELECT doc_id, lang,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |g1 AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT unnest(t) AS g FROM tk WHERE lang = 'en')
+          |  GROUP BY g HAVING count(*) >= 1),
+          |g2 AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT array_to_string(t[i:i+1], ' ') AS g
+          |    FROM tk, unnest(range(1, len(t))) AS r(i)
+          |    WHERE lang = 'en' AND len(t) >= 2)
+          |  GROUP BY g HAVING count(*) >= 2),
+          |g3 AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT array_to_string(t[i:i+2], ' ') AS g
+          |    FROM tk, unnest(range(1, len(t) - 1)) AS r(i)
+          |    WHERE lang = 'en' AND len(t) >= 3)
+          |  GROUP BY g HAVING count(*) >= 2),
+          |vt AS (SELECT CAST(count(*) AS BIGINT) + 1 AS v1,
+          |  CAST(COALESCE(sum(c), 0) AS BIGINT) AS tt FROM g1),
+          |pos AS (
+          |  SELECT doc_id,
+          |    array_to_string(t[i-2:i], ' ') AS pg3,
+          |    array_to_string(t[i-2:i-1], ' ') AS px3,
+          |    array_to_string(t[i-1:i], ' ') AS pg2,
+          |    t[i-1] AS px2, t[i] AS pg1
+          |  FROM tk, unnest(range(3, len(t) + 1)) AS r(i)
+          |  WHERE len(t) >= 3),
+          |j AS (
+          |  SELECT p.doc_id,
+          |    CASE WHEN x3.c IS NOT NULL
+          |        THEN (1000000 * (COALESCE(c3.c, 0) + 1)) //
+          |          (x3.c + (SELECT v1 FROM vt))
+          |      WHEN x2.c IS NOT NULL
+          |        THEN (1000000 * (COALESCE(c2.c, 0) + 1)) //
+          |          (x2.c + (SELECT v1 FROM vt))
+          |      ELSE (1000000 * (COALESCE(c1.c, 0) + 1)) //
+          |        ((SELECT tt FROM vt) + (SELECT v1 FROM vt)) END AS m
+          |  FROM pos p
+          |  LEFT JOIN g3 c3 ON p.pg3 = c3.g
+          |  LEFT JOIN g2 x3 ON p.px3 = x3.g
+          |  LEFT JOIN g2 c2 ON p.pg2 = c2.g
+          |  LEFT JOIN g1 x2 ON p.px2 = x2.g
+          |  LEFT JOIN g1 c1 ON p.pg1 = c1.g),
+          |lm AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions,
+          |    CAST(sum(m) // count(*) AS BIGINT) AS mean_micro
+          |  FROM j GROUP BY doc_id),
+          |rawtk AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |feats AS (
+          |  SELECT doc_id,
+          |    CAST(len(t) AS BIGINT) AS n_tokens,
+          |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+          |    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+          |      CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+          |        / len(t) END AS mean_token_len
+          |  FROM rawtk)
+          |SELECT lm.doc_id, lm.n_positions, lm.mean_micro, f.n_tokens,
+          |  (lm.mean_micro >= 27000) AS familiar,
+          |  (f.n_tokens >= 40 AND f.mean_token_len >= 3.0
+          |    AND f.mean_token_len <= 10.0
+          |    AND CAST(f.n_distinct_tokens AS DOUBLE) >= f.n_tokens * 0.2)
+          |    AS quality_ok,
+          |  ((lm.mean_micro >= 27000) AND (f.n_tokens >= 40
+          |    AND f.mean_token_len >= 3.0 AND f.mean_token_len <= 10.0
+          |    AND CAST(f.n_distinct_tokens AS DOUBLE) >=
+          |      f.n_tokens * 0.2)) AS is_kept
+          |FROM lm JOIN feats f ON lm.doc_id = f.doc_id
+          |ORDER BY lm.doc_id""".stripMargin,
+
       "q100_bigram_lm" ->
         """WITH toks AS (
           |  SELECT doc_id, lang,

@@ -1,0 +1,160 @@
+package graft.functions
+
+import java.util.Arrays
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fitted order-n language model with BACKOFF for the single-pass
+  * scoring kernel [[NgramLmOf]] — the CCNet-style 5-gram-KenLM
+  * familiarity gate generalized past [[BigramLmModel]]'s order 2, in
+  * the same exact integer micro-nat arithmetic.
+  *
+  * Tables: for k = 1..order, the pruned k-gram count table keyed by
+  * 64-bit chained token hashes (`keys(k-1)` / `counts(k-1)`, sorted,
+  * binary-searched). A k-gram's key left-folds [[SketchOps]] token
+  * hashes through `XXH64.hashLong(h_next, acc)` — the 1-gram key IS
+  * the token hash and the 2-gram key equals [[BigramLmModel]]'s
+  * `hashLong(h2, h1)`, so the chaining is the strict generalization.
+  *
+  * Scoring contract (spec- and oracle-pinned, shared EXACTLY with the
+  * string-keyed join formulation `TextAnalysis.ngramLmScore`): a
+  * document with fewer than `order` tokens is absent; otherwise every
+  * position `i` in `order..len` (1-based) contributes once, at the
+  * HIGHEST order whose context survives in the pruned tables:
+  *
+  *  - for k = order down to 2: let ctx be the (k-1)-gram ending at
+  *    i-1; if ctx is PRESENT in table k-1, the contribution is
+  *    `floor(1e6 * (c_k(gram) + 1) / (c_{k-1}(ctx) + V + 1))` (add-one
+  *    smoothing at the chosen order; an unseen gram under a seen
+  *    context scores the small-but-positive numerator 1);
+  *  - else back off; at k = 1 the contribution is
+  *    `floor(1e6 * (c_1(w) + 1) / (T + V + 1))` where `T` is the
+  *    pruned-unigram token total and `V` the pruned vocabulary size.
+  *
+  * The per-position chosen order is also summed (`order_sum`) so an
+  * external replay pins every backoff DECISION, not just the total.
+  * All operands are nonnegative longs — truncating division is floor
+  * division, and sums are order-proof.
+  */
+final class NgramLmModel(val keys: Array[Array[Long]],
+                         val counts: Array[Array[Long]],
+                         val vPlus1: Long,
+                         val tokenTotal: Long) extends Serializable {
+  val order: Int = keys.length
+  require(order >= 2 && order <= 8, "order must be in [2, 8]")
+  require(counts.length == order, "keys/counts order mismatch")
+  require(vPlus1 >= 1L, "vPlus1 must be >= 1")
+  require(tokenTotal >= 0L, "tokenTotal must be >= 0")
+  (0 until order).foreach { k =>
+    require(keys(k).length == counts(k).length,
+      s"${k + 1}-gram arrays misaligned")
+    // the BigramLmModel sorted-probe invariant, per order
+    require((1 until keys(k).length).forall(i =>
+      keys(k)(i - 1) < keys(k)(i)),
+      s"${k + 1}-gram keys must be strictly ascending")
+  }
+
+  /** One-pass backoff score. Returns
+    * `[n_positions, score_micro, order_sum]`, or null for fewer than
+    * `order` tokens.
+    */
+  def score(text: UTF8String): Array[Long] = {
+    val hs = SketchOps.tokenHashes(text)
+    val len = hs.length
+    if (len < order) return null
+    var sum = 0L
+    var osum = 0L
+    var i = order - 1 // 0-based target position
+    while (i < len) {
+      var contrib = 0L
+      var used = 0
+      var k = order
+      while (k >= 2 && used == 0) {
+        // context = (k-1)-gram ending at i-1, left-folded
+        var h = hs(i - k + 1)
+        var j = i - k + 2
+        while (j <= i - 1) { h = XXH64.hashLong(hs(j), h); j += 1 }
+        val ci = Arrays.binarySearch(keys(k - 2), h)
+        if (ci >= 0) {
+          // the k-gram ending at i extends the context chain by one
+          val gi = Arrays.binarySearch(keys(k - 1), XXH64.hashLong(hs(i), h))
+          val cG = if (gi >= 0) counts(k - 1)(gi) else 0L
+          contrib = (1000000L * (cG + 1L)) / (counts(k - 2)(ci) + vPlus1)
+          used = k
+        }
+        k -= 1
+      }
+      if (used == 0) {
+        val ui = Arrays.binarySearch(keys(0), hs(i))
+        val c1 = if (ui >= 0) counts(0)(ui) else 0L
+        contrib = (1000000L * (c1 + 1L)) / (tokenTotal + vPlus1)
+        used = 1
+      }
+      sum += contrib
+      osum += used
+      i += 1
+    }
+    Array((len - order + 1).toLong, sum, osum)
+  }
+}
+
+/** `graft_ngram_lm(text, vPlus1, tokenTotal, keys1, counts1, …,
+  * keysN, countsN)`: single-pass order-n backoff-LM familiarity —
+  * struct(n_positions, score_micro, order_sum) from ONE byte-scan,
+  * the fitted model riding the plan as a reference object (the
+  * [[BigramLmOf]] shape). Zero joins, zero shuffle, streaming-safe.
+  * Null text or fewer than `order` tokens → null.
+  */
+case class NgramLmOf(child: Expression, model: NgramLmModel)
+    extends UnaryExpression {
+  override def dataType: DataType = NgramLmOf.schema
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = model.score(input.asInstanceOf[UTF8String])
+    if (a == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0), a(1), a(2)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramLmModel", model,
+      "graft.functions.NgramLmModel")
+    nullSafeCodeGen(ctx, ev, text => {
+      val arr = ctx.freshName("lmScore")
+      s"""
+         |long[] $arr = $ref.score($text);
+         |if ($arr == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[] { java.lang.Long.valueOf($arr[0]),
+         |        java.lang.Long.valueOf($arr[1]),
+         |        java.lang.Long.valueOf($arr[2]) });
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramLmOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_ngram_lm"
+}
+
+object NgramLmOf {
+  val schema: StructType = StructType(Seq(
+    StructField("n_positions", LongType, nullable = false),
+    StructField("score_micro", LongType, nullable = false),
+    StructField("order_sum", LongType, nullable = false)))
+}

@@ -343,6 +343,29 @@ object GraftFunctions {
           longs(exprs(3), "biKeys"), longs(exprs(4), "biCounts"),
           exprs(5).eval().asInstanceOf[Number].longValue()))
       }),
+    (FunctionIdentifier("graft_ngram_lm"),
+      new ExpressionInfo(classOf[NgramLmOf].getName, "graft_ngram_lm"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 7 && exprs.length % 2 == 1,
+          "graft_ngram_lm takes (text, vPlus1, tokenTotal, keys1, " +
+            "counts1, ..., keysN, countsN) with literal model arrays " +
+            "(N >= 2)")
+        def longs(e: Expression, what: String): Array[Long] = {
+          require(e.foldable, s"graft_ngram_lm $what must be a literal " +
+            "array<long>")
+          e.eval().asInstanceOf[ArrayData].toLongArray()
+        }
+        require(exprs(1).foldable && exprs(2).foldable,
+          "graft_ngram_lm vPlus1/tokenTotal must be literals")
+        val order = (exprs.length - 3) / 2
+        NgramLmOf(exprs(0), new NgramLmModel(
+          (0 until order).map(k =>
+            longs(exprs(3 + 2 * k), s"keys${k + 1}")).toArray,
+          (0 until order).map(k =>
+            longs(exprs(4 + 2 * k), s"counts${k + 1}")).toArray,
+          exprs(1).eval().asInstanceOf[Number].longValue(),
+          exprs(2).eval().asInstanceOf[Number].longValue()))
+      }),
     (FunctionIdentifier("graft_bpe_encode"),
       new ExpressionInfo(classOf[BpeEncodeOf].getName, "graft_bpe_encode"),
       (exprs: Seq[Expression]) => {

@@ -1261,6 +1261,269 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
       .withColumn("mean_micro", expr("score_micro div n_bigrams"))
   }
 
+  /** Operating-point evidence for a trained classifier gate — the
+    * threshold/quality harness the ANN family has in q73's recall and
+    * retrieval in q145/q146: given scored+labeled HOLDOUT rows, emit
+    * one row per rank cut `k` with exact integer confusion counts
+    * (predicted-positive = the top-k rows by `(score DESC, id ASC)` —
+    * rank cuts, not score thresholds, so the sweep is replayable
+    * without replaying float scores) plus micro-precision/recall, and
+    * the exact tie-aware AUC as a ratio of integers:
+    * `auc_num = 2·concordant + tied`, `auc_den = 2·P·N`
+    * (the Mann-Whitney U2 form — ties count half, in halves, so the
+    * arithmetic never leaves the integers).
+    *
+    * Scale boundary (deliberate, documented): ranking and the AUC use
+    * ONE global ordering — this evaluates calibration HOLDOUTS, which
+    * are sample-sized by construction, not corpora. Labels must be
+    * {0,1} (the [[hashedLinearFit]] gate), both classes non-empty.
+    *
+    * Returns `(cut, tp, fp, fn, tn, precision_micro, recall_micro,
+    * auc_num, auc_den)` ordered by cut.
+    */
+  def classifierSweep(scored: DataFrame, idCol: String, labelCol: String,
+                      scoreCol: String, cuts: Seq[Int]): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ >= 1),
+      "cuts must be >= 1 rank positions")
+    require(cuts.distinct.length == cuts.length, "cuts must be distinct")
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val base = scored.select(col(idCol).as("__id"),
+        col(labelCol).cast("long").as("__y"),
+        col(scoreCol).cast("double").as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gate = base.agg(count(lit(1)).as("n"),
+        sum(when(col("__y") =!= 0L && col("__y") =!= 1L, 1L)
+          .otherwise(0L)).as("bad"),
+        sum(col("__y")).as("p")).head()
+      require(gate.getLong(1) == 0L,
+        s"labelCol '$labelCol' must be 0 or 1; ${gate.getLong(1)} rows " +
+          "are outside {0,1}")
+      val nPos = gate.getLong(2)
+      val nNeg = gate.getLong(0) - nPos
+      require(nPos > 0 && nNeg > 0,
+        s"both classes must be present (pos=$nPos, neg=$nNeg)")
+      val ranked = base.withColumn("__r", row_number().over(
+        Window.orderBy(col("__s").desc, col("__id").asc)))
+      // exact AUC over distinct-score groups: U2 = Σ np·(2·negBelow + nn)
+      val u2 = base.groupBy(col("__s"))
+        .agg(sum(col("__y")).as("__np"),
+          (count(lit(1)) - sum(col("__y"))).as("__nn"))
+        .withColumn("__below", coalesce(sum(col("__nn")).over(
+          Window.orderBy(col("__s"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .agg(sum(col("__np") * (lit(2L) * col("__below") + col("__nn"))))
+        .head().getLong(0)
+      ranked.crossJoin(broadcast(cuts.toDF("cut")))
+        .groupBy(col("cut"))
+        .agg(
+          sum(when(col("__r") <= col("cut") && col("__y") === 1L, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("__r") <= col("cut") && col("__y") === 0L, 1L)
+            .otherwise(0L)).as("fp"))
+        .select(col("cut").cast("long").as("cut"), col("tp"), col("fp"),
+          (lit(nPos) - col("tp")).as("fn"),
+          (lit(nNeg) - col("fp")).as("tn"),
+          expr("(1000000L * tp) div (tp + fp)").as("precision_micro"),
+          expr(s"(1000000L * tp) div ${nPos}L").as("recall_micro"),
+          lit(u2).as("auc_num"),
+          lit(2L * nPos * nNeg).as("auc_den"))
+        .orderBy("cut")
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** Order-n language-model familiarity with BACKOFF — the CCNet gate
+    * the bigram form approximates, at the 5-gram-KenLM order class, in
+    * the same exact integer micro-nat arithmetic. For k = 1..`order`,
+    * fit pruned k-gram count tables on the reference stratum; then
+    * score each target position at the HIGHEST order whose context
+    * (the (k-1)-gram ending just before it) survives pruning:
+    * `floor(1e6 * (c_k(gram)+1) / (c_{k-1}(ctx)+V+1))`, backing off
+    * k→k-1 when the context is unseen and bottoming out at the
+    * unigram `floor(1e6 * (c_1(w)+1) / (T+V+1))` (`V` = pruned vocab
+    * size, `T` = pruned-unigram token total). `order_sum` (the sum of
+    * the chosen order over positions) rides the output so a replay
+    * pins every backoff decision, not just the score.
+    *
+    * Scale shape (the [[bigramLmScore]] contract, generalized): the
+    * fit is `order` map-side-combinable aggregates over the reference,
+    * each pruned by its `minCounts(k-1)` knob; the pruned tables enter
+    * scoring as 2·order-1 BROADCAST joins onto the target's exploded
+    * position stream — the corpus never shuffles, and the only
+    * corpus-sized exchange is the per-doc aggregate. An n-gram table
+    * too big to broadcast is a table you should prune harder.
+    *
+    * Returns `(idCol, n_positions, score_micro, order_sum,
+    * mean_micro)`; documents with fewer than `order` tokens have no
+    * full-context position and are absent.
+    */
+  def ngramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                   ref: DataFrame, refTextCol: String,
+                   order: Int = 3,
+                   minCounts: Seq[Long] = Seq(1L, 2L, 2L)): DataFrame = {
+    require(order >= 2 && order <= 8, "order must be in [2, 8]")
+    require(minCounts.length == order,
+      s"minCounts must have one threshold per order (expected $order, " +
+        s"got ${minCounts.length})")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    def toks(c: Column): Column = call_function("graft_tokens", lower(c))
+    def gramsOf(k: Int): DataFrame =
+      ref.select(toks(col(refTextCol)).as("__tk"))
+        .filter(size(col("__tk")) >= k)
+        .select(explode(transform(
+          sequence(lit(k), size(col("__tk"))),
+          i => array_join(slice(col("__tk"), i - (k - 1), lit(k)), " ")))
+          .as("g"))
+        .groupBy("g").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= minCounts(k - 1))
+    val tables = (1 to order).map(k => k -> gramsOf(k)).toMap
+    // V and T observed eagerly (the bigramLmScore trade: one small
+    // reference job instead of caching)
+    val vt = tables(1).agg(count(lit(1)),
+      coalesce(sum(col("__c")), lit(0L))).head()
+    val vPlus1 = vt.getLong(0) + 1L
+    val tokenTotal = vt.getLong(1)
+    val pos = docs
+      .select(col(idCol), toks(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= order)
+      .select(col(idCol), explode(transform(
+        sequence(lit(order), size(col("__tk"))),
+        i => struct(
+          (1 to order).map(k =>
+            array_join(slice(col("__tk"), i - (k - 1), lit(k)), " ")
+              .as(s"g$k")) ++
+          (2 to order).map(k =>
+            array_join(slice(col("__tk"), i - (k - 1), lit(k - 1)), " ")
+              .as(s"x$k")): _*))).as("__p"))
+      .select(col(idCol) +:
+        ((1 to order).map(k => col(s"__p.g$k").as(s"__g$k")) ++
+          (2 to order).map(k => col(s"__p.x$k").as(s"__x$k"))): _*)
+    var cur = pos
+    for (k <- 1 to order)
+      cur = cur.join(broadcast(tables(k)
+        .select(col("g").as(s"__g$k"), col("__c").as(s"__cg$k"))),
+        Seq(s"__g$k"), "left")
+    for (k <- 2 to order)
+      cur = cur.join(broadcast(tables(k - 1)
+        .select(col("g").as(s"__x$k"), col("__c").as(s"__cx$k"))),
+        Seq(s"__x$k"), "left")
+    var contrib: Column =
+      expr(s"(1000000L * (coalesce(__cg1, 0L) + 1L)) div " +
+        s"${tokenTotal + vPlus1}L")
+    var ord: Column = lit(1L)
+    for (k <- 2 to order) { // ascending wrap: the highest order wins
+      val hit = col(s"__cx$k").isNotNull
+      contrib = when(hit,
+        expr(s"(1000000L * (coalesce(__cg$k, 0L) + 1L)) div " +
+          s"(__cx$k + ${vPlus1}L)")).otherwise(contrib)
+      ord = when(hit, lit(k.toLong)).otherwise(ord)
+    }
+    cur.select(col(idCol), contrib.as("__m"), ord.as("__o"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(col("__m")).as("score_micro"),
+        sum(col("__o")).as("order_sum"))
+      .withColumn("mean_micro", expr("score_micro div n_positions"))
+  }
+
+  /** Fit a [[graft.functions.NgramLmModel]] for the single-pass
+    * backoff-scoring kernel: the same pruned per-order aggregates as
+    * [[ngramLmScore]], COLLECTED (pruning makes that legal —
+    * `maxEntries` fails fast if the knobs don't bound the model) and
+    * re-keyed by the kernel's left-folded 64-bit token-hash chains.
+    * `V`/`T` are the string-distinct pruned values, identical to the
+    * join formulation's; hash-collided entries merge by summing,
+    * deterministically (the [[bigramLmFit]] contract).
+    */
+  def ngramLmFit(ref: DataFrame, refTextCol: String,
+                 order: Int = 3,
+                 minCounts: Seq[Long] = Seq(1L, 2L, 2L),
+                 maxEntries: Int = 1 << 22): graft.functions.NgramLmModel = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    require(order >= 2 && order <= 8, "order must be in [2, 8]")
+    require(minCounts.length == order,
+      s"minCounts must have one threshold per order")
+    graft.functions.GraftFunctions.ensureRegistered(ref.sparkSession)
+    def tokHash(s: String): Long = {
+      val u = UTF8String.fromString(s)
+      XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    }
+    def gramKey(g: String): Long = {
+      val ws = g.split(' ')
+      var h = tokHash(ws(0))
+      var i = 1
+      while (i < ws.length) { h = XXH64.hashLong(tokHash(ws(i)), h); i += 1 }
+      h
+    }
+    def mergeSorted(pairs: Array[(Long, Long)]): (Array[Long], Array[Long]) = {
+      val sorted = pairs.sortBy(_._1)
+      val keys = Array.newBuilder[Long]
+      val counts = Array.newBuilder[Long]
+      var i = 0
+      while (i < sorted.length) {
+        val k = sorted(i)._1
+        var c = sorted(i)._2
+        var j = i + 1
+        while (j < sorted.length && sorted(j)._1 == k) {
+          c += sorted(j)._2; j += 1
+        }
+        keys += k; counts += c; i = j
+      }
+      (keys.result(), counts.result())
+    }
+    def toks(c: Column): Column = call_function("graft_tokens", lower(c))
+    var tokenTotal = 0L
+    var vocabV = 0L
+    val perOrder = (1 to order).map { k =>
+      val rows = ref.select(toks(col(refTextCol)).as("__tk"))
+        .filter(size(col("__tk")) >= k)
+        .select(explode(transform(
+          sequence(lit(k), size(col("__tk"))),
+          i => array_join(slice(col("__tk"), i - (k - 1), lit(k)), " ")))
+          .as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minCounts(k - 1))
+        .collect()
+      require(rows.length <= maxEntries,
+        s"pruned $k-gram table has ${rows.length} entries (> $maxEntries): " +
+          "raise minCounts — an n-gram LM too big to ship per-executor " +
+          "belongs in the broadcast-join formulation (ngramLmScore)")
+      if (k == 1) {
+        vocabV = rows.length.toLong
+        tokenTotal = rows.map(_.getLong(1)).sum
+      }
+      mergeSorted(rows.map(r => (gramKey(r.getString(0)), r.getLong(1))))
+    }
+    new graft.functions.NgramLmModel(perOrder.map(_._1).toArray,
+      perOrder.map(_._2).toArray, vocabV + 1L, tokenTotal)
+  }
+
+  /** [[ngramLmScore]]'s production twin: score with a pre-fitted
+    * [[graft.functions.NgramLmModel]] in ONE codegen'd byte-scan per
+    * document — no position explode, no joins, no shuffle; the model
+    * rides the plan as a reference object. Same output frame and
+    * absent-under-`order`-tokens contract; equality of the two paths
+    * is spec-pinned (modulo the priced 64-bit collisions).
+    */
+  def ngramLmScoreKernel(docs: DataFrame, idCol: String, textCol: String,
+                         model: graft.functions.NgramLmModel): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val args = Seq(lower(col(textCol)), lit(model.vPlus1),
+      lit(model.tokenTotal)) ++
+      (0 until model.order).flatMap(k =>
+        Seq(lit(model.keys(k)), lit(model.counts(k))))
+    docs.select(col(idCol),
+        call_function("graft_ngram_lm", args: _*).as("__lm"))
+      .filter(col("__lm").isNotNull)
+      .select(col(idCol), col("__lm.n_positions").as("n_positions"),
+        col("__lm.score_micro").as("score_micro"),
+        col("__lm.order_sum").as("order_sum"))
+      .withColumn("mean_micro", expr("score_micro div n_positions"))
+  }
+
   /** Exact-substring attribution probe: which corpus documents contain
     * each query string VERBATIM — the takedown/quote-attribution scan
     * ("which training docs carry this sentence?"). Distinct from

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** Order-n backoff LM: join formulation == independent brute force ==
+  * scan kernel, backoff decisions pinned per position, edge contracts.
+  */
+class NgramLmSpec extends SparkSpec {
+
+  /** Independent reimplementation of the documented contract (string
+    * maps + per-position loop — no Spark, no hashes).
+    */
+  private def brute(refDocs: Seq[String], docs: Seq[(Long, String)],
+                    order: Int, minCounts: Seq[Long])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def gramsOf(k: Int): Map[String, Long] =
+      refDocs.flatMap(d => toks(d).sliding(k).filter(_.size == k)
+          .map(_.mkString(" ")))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= minCounts(k - 1)).toMap
+    val tables = (1 to order).map(k => k -> gramsOf(k)).toMap
+    val v1 = tables(1).size + 1L
+    val tt = tables(1).values.sum
+    docs.flatMap { case (id, text) =>
+      val t = toks(text)
+      if (t.size < order) None else {
+        var sum = 0L; var osum = 0L
+        for (i <- (order - 1) until t.size) { // 0-based target
+          var contrib = -1L; var used = 0
+          for (k <- order to 2 by -1 if used == 0) {
+            val ctx = t.slice(i - k + 1, i).mkString(" ")
+            tables(k - 1).get(ctx).foreach { cCtx =>
+              val cG = tables(k)
+                .getOrElse(t.slice(i - k + 1, i + 1).mkString(" "), 0L)
+              contrib = (1000000L * (cG + 1L)) / (cCtx + v1)
+              used = k
+            }
+          }
+          if (used == 0) {
+            contrib = (1000000L * (tables(1).getOrElse(t(i), 0L) + 1L)) /
+              (tt + v1)
+            used = 1
+          }
+          sum += contrib; osum += used
+        }
+        Some(id -> ((t.size - order + 1).toLong, sum, osum, sum / (t.size - order + 1)))
+      }
+    }.toMap
+  }
+
+  private def run(refDocs: Seq[String], docs: Seq[(Long, String)],
+                  order: Int, minCounts: Seq[Long]) = {
+    import spark.implicits._
+    val refDf = refDocs.map(Tuple1(_)).toDF("text")
+    val docsDf = docs.toDF("id", "text")
+    val join = TextAnalysis.ngramLmScore(docsDf, "id", "text",
+        refDf, "text", order, minCounts)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val kern = TextAnalysis.ngramLmScoreKernel(docsDf, "id", "text",
+        TextAnalysis.ngramLmFit(refDf, "text", order, minCounts))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    (join, kern)
+  }
+
+  test("trigram backoff == brute force == kernel on a fixture that " +
+      "exercises all three orders per document") {
+    val ref = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox sleeps under the lazy dog",
+      "the quick red fox jumps over a fence",
+      "a quick brown cat jumps over the fence")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), // mostly order-3 positions
+      (2L, "the quick shiny fox"),       // unseen ctx -> order 2/1 mix
+      (3L, "zebra xylophone quartz"),    // everything unseen -> order 1
+      (4L, "the quick"),                 // < order tokens: absent
+      (5L, "over the lazy dog again"))   // seen mid-sentence grams
+    for (minCounts <- Seq(Seq(1L, 1L, 1L), Seq(1L, 2L, 2L))) {
+      val exp = brute(ref, docs, 3, minCounts)
+      val (join, kern) = run(ref, docs, 3, minCounts)
+      assert(join == exp, s"join vs brute at $minCounts")
+      assert(kern == exp, s"kernel vs brute at $minCounts")
+      assert(!join.contains(4L))
+    }
+    // the loose fit really does use all three orders somewhere
+    val exp = brute(ref, docs, 3, Seq(1L, 1L, 1L))
+    val orders = exp.map { case (id, (n, _, osum, _)) =>
+      id -> (osum, n) }
+    assert(orders(1L)._1 == 3 * orders(1L)._2, "doc 1 all order-3")
+    assert(orders(3L)._1 == orders(3L)._2, "doc 3 all order-1")
+    assert(orders(2L)._1 > orders(2L)._2 &&
+      orders(2L)._1 < 3 * orders(2L)._2, "doc 2 mixes orders")
+  }
+
+  test("order 4 and order 2 work; order-2 backoff differs from the " +
+      "always-order-2 bigram model by design") {
+    val ref = Seq("a b c d a b c e a b d c")
+    val docs = Seq((1L, "a b c d"), (2L, "q q q q"))
+    for (order <- Seq(2, 4)) {
+      val mc = Seq.fill(order)(1L)
+      val exp = brute(ref, docs, order, mc)
+      val (join, kern) = run(ref, docs, order, mc)
+      assert(join == exp && kern == exp, s"order $order")
+    }
+    // unseen context backs off to the unigram floor, unlike
+    // bigramLmScore which stays at order 2 with c1 = 0
+    val exp2 = brute(ref, docs, 2, Seq(1L, 1L))
+    assert(exp2(2L)._3 == exp2(2L)._1, "all order-1 for unseen q")
+  }
+
+  test("fail-loud contracts: order bounds, minCounts arity, model " +
+      "invariants, registry arg shape") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramLmScore(df, "id", "text", df, "text", order = 1,
+        minCounts = Seq(1L))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramLmScore(df, "id", "text", df, "text", order = 3,
+        minCounts = Seq(1L, 1L))
+    }
+    intercept[IllegalArgumentException] {
+      new graft.functions.NgramLmModel(
+        Array(Array(2L, 1L), Array.empty[Long]),
+        Array(Array(1L, 1L), Array.empty[Long]), 1L, 0L)
+    }
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_ngram_lm('a b', 1L, 0L, array(1L))")
+    }
+    assert(e.getMessage.contains("graft_ngram_lm") ||
+      Option(e.getCause).exists(_.getMessage.contains("graft_ngram_lm")))
+  }
+}

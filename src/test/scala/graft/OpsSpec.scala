@@ -3310,6 +3310,41 @@ class OpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("outside {0,1}"))
   }
 
+  test("classifierSweep: hand-computed confusion counts at rank cuts, " +
+      "tie-aware exact AUC, fail-loud gates") {
+    import spark.implicits._
+    // scores: id1 pos 3.0, id2 pos 2.0, id3 neg 2.0 (TIED with id2),
+    // id4 neg 1.0, id5 pos 0.5 -> rank order (score desc, id asc):
+    // 1(p), 2(p), 3(n), 4(n), 5(p)
+    val scored = Seq((1L, 1L, 3.0), (2L, 1L, 2.0), (3L, 0L, 2.0),
+      (4L, 0L, 1.0), (5L, 1L, 0.5)).toDF("id", "label", "score")
+    val out = TextAnalysis.classifierSweep(scored, "id", "label",
+        "score", Seq(1, 3, 5))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // AUC: P=3, N=2. pairs: (1,3)+ (1,4)+ (2,3)tie (2,4)+ (5,3)- (5,4)-
+    // U2 = 2*3 + 1 = 7; den = 2*3*2 = 12
+    assert(out == Seq(
+      (1L, 1L, 0L, 2L, 2L, 1000000L, 333333L, 7L, 12L),
+      (3L, 2L, 1L, 1L, 1L, 666666L, 666666L, 7L, 12L),
+      (5L, 3L, 2L, 0L, 0L, 600000L, 1000000L, 7L, 12L)))
+    // single-class and bad-label inputs fail loud
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierSweep(
+        Seq((1L, 1L, 1.0), (2L, 1L, 0.5)).toDF("id", "label", "score"),
+        "id", "label", "score", Seq(1))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierSweep(
+        Seq((1L, 2L, 1.0), (2L, 0L, 0.5)).toDF("id", "label", "score"),
+        "id", "label", "score", Seq(1))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.classifierSweep(scored, "id", "label", "score",
+        Seq(1, 1))
+    }
+  }
+
   test("containedHammingDuplicates == brute force on random planted " +
       "timelines, at both loose and gated thresholds") {
     import spark.implicits._

@@ -1,0 +1,92 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Order-3 backoff-LM throughput at 1M documents (q167's family):
+  * 200-token docs over a 9,973-word vocabulary. 90% of docs follow
+  * the consecutive chain `(id + j) mod P` — every adjacent pair and
+  * triple recurs corpus-wide, so all their positions score at order 3
+  * (order_sum = 3 × 198 per doc). 10% use the quadratic stride
+  * `(3·id + j²) mod P` — same vocabulary, novel adjacencies, so they
+  * back off: position 2's context (diff 1) is the one seen bigram
+  * (order 3), every later context has diff ≥ 3 (order 2), giving the
+  * exact order_sum 3 + 2·197 = 397 per doc. Both numbers are asserted
+  * — the stress measures the backoff logic actually running, not just
+  * a scan.
+  *
+  * Measures: fit (3 pruned aggregates over a 100k-doc reference +
+  * driver hashing), the scan kernel (3 reps), and the broadcast-join
+  * formulation (1 rep) over the same 1M docs for the comparison the
+  * kernel exists to win.
+  *
+  * Run: `sbt "Test/runMain tmpstress.NgramLmStress"`
+  */
+object NgramLmStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val P = 9973L
+    def word(e: org.apache.spark.sql.Column) =
+      md5(concat(pmod(e, lit(P)).cast("string"), lit("w")))
+    val structured = concat_ws(" ",
+      (0 until 200).map(j => word(col("id") + j)): _*)
+    val scrambled = concat_ws(" ",
+      (0 until 200).map(j => word(col("id") * 3 + j * j)): _*)
+    val corpus = spark.range(nDocs).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) === 0, scrambled)
+          .otherwise(structured).as("text"))
+      .repartition(64).cache()
+    println(s"MARKER corpus=${corpus.count()}")
+    val ref = corpus.filter(pmod(col("doc_id"), lit(10)) === 1)
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"MARKER $label%-16s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val model = time("fit") {
+      graft.ops.TextAnalysis.ngramLmFit(ref, "text", order = 3,
+        minCounts = Seq(1L, 2L, 2L))
+    }
+    println(s"MARKER model uni=${model.keys(0).length} " +
+      s"bi=${model.keys(1).length} tri=${model.keys(2).length} " +
+      s"vPlus1=${model.vPlus1} T=${model.tokenTotal}")
+
+    for (rep <- 1 to 3) {
+      val r = time(s"kernel rep$rep") {
+        graft.ops.TextAnalysis.ngramLmScoreKernel(
+            corpus, "doc_id", "text", model)
+          .withColumn("__cls", pmod(col("doc_id"), lit(10)) === 0)
+          .groupBy("__cls")
+          .agg(count(lit(1)), sum(col("n_positions")),
+            sum(col("order_sum")), sum(col("score_micro")))
+          .collect().map(x => (x.getBoolean(0),
+            (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))))
+          .toMap
+      }
+      val (nS, posS, ordS, _) = r(false) // structured
+      val (nQ, posQ, ordQ, _) = r(true)  // scrambled
+      println(s"MARKER rep$rep structured docs=$nS ord=$ordS " +
+        s"scrambled docs=$nQ ord=$ordQ")
+      assert(posS == 198L * nS && ordS == 3L * posS,
+        s"structured docs must score all-order-3: $ordS vs ${3L * posS}")
+      assert(posQ == 198L * nQ && ordQ == 397L * nQ,
+        s"scrambled docs must score 3+2*197=397 each: $ordQ vs ${397L * nQ}")
+    }
+    val j = time("join 1rep") {
+      graft.ops.TextAnalysis.ngramLmScore(corpus, "doc_id", "text",
+          ref, "text", order = 3, minCounts = Seq(1L, 2L, 2L))
+        .agg(count(lit(1)), sum(col("order_sum"))).head()
+    }
+    println(s"MARKER join docs=${j.getLong(0)} ord_sum=${j.getLong(1)}")
+    spark.stop()
+  }
+}
