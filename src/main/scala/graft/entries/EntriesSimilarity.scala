@@ -190,6 +190,42 @@ private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
         .orderBy("artifact")
     }),
 
+    // ---- REGISTRY-level maintenance sweep (q143 planned per
+    //      artifact; this is the ops-scheduler form): four families
+    //      built under one registry — bm25 and flat-hamming healthy,
+    //      ivf with its real measured skew, a clip artifact pushed
+    //      past the compact bar by a one-third takedown — plus one
+    //      unrecognizable child that must yield a skip row, not fail
+    //      the sweep. The oracle recomputes every family's debt/skew
+    //      from the construction and replays each verdict. ----
+
+    "q169_maintenance_sweep" -> ((s, dir) => {
+      val reg = tmpDir("graft-maint-reg")
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      TextAnalysis.bm25ArtifactsSave(docs, "doc_id", "text",
+        graft.Fs.join(reg, "bm25_docs"))
+      Similarity.ivfIndexWrite(emb, "vec_id", "embedding",
+        emb.filter(pmod(col("vec_id"), lit(43)) === 0), "vec_id",
+        "embedding", graft.Fs.join(reg, "ivf_embeddings"))
+      graft.ops.Dedup.hammingArtifactSave(
+        docs.select(col("doc_id").cast("string").as("id"),
+          (col("doc_id") * 1000003L).as("sig")),
+        "id", "sig", graft.Fs.join(reg, "media_sigs"))
+      val clipDir = graft.Fs.join(reg, "clips")
+      graft.ops.Dedup.containedArtifactSave(
+        docs.select(col("doc_id"),
+            explode(sequence(lit(0L), lit(3L))).as("pos"))
+          .select(concat(lit("v"), col("doc_id")).as("id"),
+            col("pos"), (col("doc_id") * 31L + col("pos") * 7L).as("sig")),
+        "id", "pos", "sig", clipDir)
+      graft.ops.Dedup.hammingArtifactDelete(s, clipDir,
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(concat(lit("v"), col("doc_id")).as("id")), "id")
+      graft.Fs.mkdirs(graft.Fs.join(reg, "not_an_artifact"))
+      graft.ops.Maintenance.sweep(s, reg)
+    }),
+
     // ---- fitted-centroid assignment: fitCentroids' SQL-replayable hash
     //      seeding (LCG rank over ids) + the nearest-centroid kernel ----
 
@@ -305,6 +341,77 @@ private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
       // (q49's CTEs), tombstone counts from the delete predicates,
       // micro-unit integer division, and the decision CASE itself —
       // engine and SQL must agree on every ACTION string
+      // Every family's debt/skew recomputed from the q169 construction
+      // (doc counts for bm25/hamming/clip, the full centroid
+      // assignment for ivf), each verdict replayed through the same
+      // threshold CASE the planners apply.
+      "q169_maintenance_sweep" ->
+        s"""WITH d AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n3
+           |  FROM documents),
+           |cent AS (
+           |  SELECT vec_id AS centroid_id, embedding AS cv
+           |  FROM embeddings WHERE vec_id % 43 = 0),
+           |assigned AS (
+           |  SELECT vec_id, centroid_id FROM (
+           |    SELECT e.vec_id, c.centroid_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+           |          c.centroid_id ASC) AS rn
+           |    FROM embeddings e CROSS JOIN cent c)
+           |  WHERE rn = 1),
+           |lists AS (
+           |  SELECT centroid_id, CAST(count(*) AS BIGINT) AS l
+           |  FROM assigned GROUP BY centroid_id),
+           |ivf AS (
+           |  SELECT CAST(sum(l) AS BIGINT) AS live,
+           |    CAST(max(l) AS BIGINT) * CAST(count(*) AS BIGINT)
+           |      * 1000000 // CAST(sum(l) AS BIGINT) AS skew
+           |  FROM lists),
+           |rows_ AS (
+           |  SELECT 'bm25_docs' AS artifact, 'bm25' AS family,
+           |    (SELECT n FROM d) AS live, CAST(0 AS BIGINT) AS tombs,
+           |    CAST(0 AS BIGINT) AS debt, CAST(0 AS BIGINT) AS skew,
+           |    false AS skip
+           |  UNION ALL
+           |  SELECT 'clips', 'clip',
+           |    4 * ((SELECT n FROM d) - (SELECT n3 FROM d)),
+           |    (SELECT n3 FROM d),
+           |    (4 * (SELECT n3 FROM d)) * 1000000
+           |      // (4 * (SELECT n FROM d)),
+           |    0, false
+           |  UNION ALL
+           |  SELECT 'ivf_embeddings', 'ivf', (SELECT live FROM ivf), 0,
+           |    0, (SELECT skew FROM ivf), false
+           |  UNION ALL
+           |  SELECT 'media_sigs', 'hamming', (SELECT n FROM d), 0, 0, 0,
+           |    false
+           |  UNION ALL
+           |  SELECT 'not_an_artifact', 'unknown', 0, 0, 0, 0, true)
+           |SELECT artifact, family,
+           |  CASE WHEN skip THEN 'skip'
+           |    WHEN family = 'ivf' AND skew > 8000000 THEN 'rebuild'
+           |    WHEN family IN ('ivf', 'bm25') AND debt > 500000
+           |      THEN 'rebuild'
+           |    WHEN debt > 200000 THEN 'compact'
+           |    ELSE 'none' END AS action,
+           |  CASE WHEN skip THEN 'unrecognized layout'
+           |    WHEN family = 'ivf' AND skew > 8000000 THEN
+           |      'skew_micro=' || CAST(skew AS VARCHAR) ||
+           |      ' > skew_threshold_micro=8000000'
+           |    WHEN family IN ('ivf', 'bm25') AND debt > 500000 THEN
+           |      'debt_micro=' || CAST(debt AS VARCHAR) ||
+           |      ' > rebuild_micro=500000'
+           |    WHEN debt > 200000 THEN
+           |      'debt_micro=' || CAST(debt AS VARCHAR) ||
+           |      ' > compact_micro=200000'
+           |    ELSE 'healthy' END AS reason,
+           |  live AS live_rows, tombs AS tombstones, debt AS debt_micro,
+           |  skew AS skew_micro
+           |FROM rows_ ORDER BY artifact""".stripMargin,
+
       "q143_maintenance_plan" ->
         s"""WITH cent AS (
            |  SELECT vec_id AS centroid_id, embedding AS cv

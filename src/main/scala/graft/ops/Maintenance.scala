@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registry-level maintenance sweep — the form a real ops scheduler
+  * consumes. The per-family planners
+  * ([[TextAnalysis.bm25MaintenancePlan]],
+  * [[Similarity.ivfMaintenancePlan]],
+  * [[Dedup.hammingMaintenancePlan]] — the latter shared by flat
+  * hamming and positioned-clip artifacts) each emit one
+  * `(action, reason, live_rows, tombstones, debt_micro, skew_micro)`
+  * verdict for one artifact; this sweep walks a DIRECTORY of
+  * artifacts, recognizes each family from its on-disk layout, and
+  * unions the verdicts into one consolidated plan table.
+  *
+  * Family fingerprints (each save layout is disjoint by construction):
+  * `postings/` → bm25; `sizes/` → clip (positioned timelines, compacted
+  * by [[Dedup.containedArtifactCompact]]); `sigs/` without `sizes/` →
+  * flat hamming; `centroid_id=`-partitioned parquet → ivf. A child
+  * matching none yields a `skip`/`unrecognized layout` row instead of
+  * failing the sweep — one broken artifact must not hide the other
+  * verdicts from the scheduler.
+  *
+  * Scale shape: the registry listing is driver-side and
+  * artifact-count-sized (a fleet has hundreds of artifacts, not
+  * billions); each verdict is that planner's own fixed-width scan.
+  * Nothing here touches a corpus.
+  */
+object Maintenance {
+
+  /** Layout-fingerprint family of one artifact directory:
+    * `bm25 | clip | hamming | ivf | unknown`.
+    */
+  def artifactFamily(path: String): String =
+    if (graft.Fs.exists(graft.Fs.join(path, "postings"))) "bm25"
+    else if (graft.Fs.exists(graft.Fs.join(path, "sizes"))) "clip"
+    else if (graft.Fs.exists(graft.Fs.join(path, "sigs"))) "hamming"
+    else if (graft.Fs.list(path).exists(st => st.isDirectory &&
+      st.getPath.getName.startsWith("centroid_id="))) "ivf"
+    else "unknown"
+
+  /** One consolidated plan table over every artifact under
+    * `registryDir`: `(artifact, family, action, reason, live_rows,
+    * tombstones, debt_micro, skew_micro)`, ordered by artifact name.
+    * Underscore-prefixed children (markers, stamps) are not artifacts
+    * and are skipped entirely.
+    */
+  def sweep(spark: SparkSession, registryDir: String,
+            compactDebtFraction: Double = 0.2,
+            rebuildDebtFraction: Double = 0.5,
+            rebuildListSkew: Double = 8.0): DataFrame = {
+    import spark.implicits._
+    // Fs.listNames is files-only; artifacts are DIRECTORIES
+    val children = graft.Fs.list(registryDir)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).sorted
+    require(children.nonEmpty,
+      s"no artifact directories under $registryDir")
+    children.map { name =>
+      val p = graft.Fs.join(registryDir, name)
+      val fam = artifactFamily(p)
+      val plan = fam match {
+        case "bm25" => TextAnalysis.bm25MaintenancePlan(spark, p,
+          compactDebtFraction, rebuildDebtFraction)
+        case "clip" | "hamming" =>
+          Dedup.hammingMaintenancePlan(spark, p, compactDebtFraction)
+        case "ivf" => Similarity.ivfMaintenancePlan(spark, p,
+          compactDebtFraction, rebuildDebtFraction, rebuildListSkew)
+        case _ => Seq(("skip", "unrecognized layout", 0L, 0L, 0L, 0L))
+          .toDF("action", "reason", "live_rows", "tombstones",
+            "debt_micro", "skew_micro")
+      }
+      plan.select(lit(name).as("artifact"), lit(fam).as("family"),
+        col("*"))
+    }.reduce(_.unionByName(_)).orderBy("artifact")
+  }
+
+  /** Execute a sweep's actionable verdicts — the scheduler's ACT step
+    * after [[sweep]]'s plan step. `compact` rows dispatch to their
+    * family's compactor inline (every compactor is corpus-free: it
+    * folds tombstones into the artifact's own files). `rebuild` rows
+    * are NOT executed here — a rebuild needs inputs the artifact alone
+    * doesn't hold (the corpus, a centroid refit), the same boundary as
+    * the streaming services' caller-wired `rebuildNow` thunk — and
+    * come back `executed = false` for the scheduler to route to an
+    * owner with corpus access, as do `skip`/`none` rows.
+    *
+    * Returns `(artifact, family, action, executed)` in plan order.
+    * Streaming services reading these artifacts re-pin on their next
+    * batch (per-batch re-readers immediately; snapshot-pinned readers
+    * on generation publish — the q129/q135 machinery).
+    */
+  def executeSweep(spark: SparkSession, registryDir: String,
+                   plan: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = plan.select("artifact", "family", "action").collect()
+      .map { r =>
+        val name = r.getString(0)
+        val fam = r.getString(1)
+        val action = r.getString(2)
+        val p = graft.Fs.join(registryDir, name)
+        val executed = action == "compact" && (fam match {
+          case "bm25" => TextAnalysis.bm25ArtifactsCompact(spark, p); true
+          case "clip" => Dedup.containedArtifactCompact(spark, p); true
+          case "hamming" => Dedup.hammingArtifactCompact(spark, p); true
+          case "ivf" => Similarity.ivfIndexCompact(spark, p); true
+          case _ => false
+        })
+        (name, fam, action, executed)
+      }
+    rows.toSeq.toDF("artifact", "family", "action", "executed")
+  }
+}

@@ -522,6 +522,80 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$art/sizes").count() == 0L)
   }
 
+  test("registry sweep plans and executes maintenance across the " +
+      "artifacts behind two streaming services; both services probe " +
+      "the compacted state") {
+    implicit val sqlCtx = spark.sqlContext
+    val reg = tmpDir("maint-sweep-reg")
+    val hammDir = graft.Fs.join(reg, "media")
+    val clipDir = graft.Fs.join(reg, "clips")
+    val p1 = 0x0123456789ABCDEFL
+    val p2 = 0xF0E1D2C3B4A59687L
+    val p3 = 0x00FF00FF00FF00FFL
+    graft.ops.Dedup.hammingArtifactSave(
+      Seq(("c1", p1), ("c2", p2), ("c3", p3)).toDF("id", "sig"),
+      "id", "sig", hammDir)
+    val ra = Seq(0x1122334455667788L, 0x99AABBCCDDEEFF01L,
+      0x5A5A5A5AA5A5A5A5L)
+    val rb = Seq(0x0F0F0F0FF0F0F0F0L, 0x7777000011110000L,
+      0x1234123412341234L)
+    graft.ops.Dedup.containedArtifactSave(
+      (ra.zipWithIndex.map { case (s, i) => ("recA", i.toLong, s) } ++
+        rb.zipWithIndex.map { case (s, i) => ("recB", i.toLong, s) })
+        .toDF("id", "pos", "sig"), "id", "pos", "sig", clipDir)
+    // takedowns: 1/3 of media ids, recA = half the clip rows — both
+    // past the default 0.2 debt bar
+    graft.ops.Dedup.hammingArtifactDelete(spark, hammDir,
+      Seq("c1").toDF("id"), "id")
+    graft.ops.Dedup.hammingArtifactDelete(spark, clipDir,
+      Seq("recA").toDF("id"), "id")
+    // PLAN: one consolidated registry table, family-dispatched
+    val plan = graft.ops.Maintenance.sweep(spark, reg)
+    assert(plan.select("artifact", "family", "action")
+      .as[(String, String, String)].collect().toSeq == Seq(
+      ("clips", "clip", "compact"), ("media", "hamming", "compact")))
+    // ACT: the sweep executes both compacts — maintenance belongs to
+    // the registry scheduler here; the services run WITHOUT
+    // self-maintenance (maintainEveryBatches = 0)
+    assert(graft.ops.Maintenance.executeSweep(spark, reg, plan)
+      .as[(String, String, String, Boolean)].collect().toSeq == Seq(
+      ("clips", "clip", "compact", true),
+      ("media", "hamming", "compact", true)))
+    assert(!graft.Fs.exists(s"$hammDir/_tombstones") &&
+      !graft.Fs.exists(s"$clipDir/_tombstones"))
+    assert(spark.read.parquet(s"$clipDir/sizes")
+      .filter(col("id") === "recA").count() == 0L)
+    // both services probe the COMPACTED artifacts on their next batch:
+    // taken-down content re-admits, surviving content still rejects
+    val in1 = MemoryStream[(String, Long)]
+    val got1 = scala.collection.mutable.Map[Long, Set[String]]()
+    val q1 = StreamingOps.hammingDedupStream(
+        in1.toDF().toDF("id", "sig"), "id", "sig", hammDir) {
+      (df, bid) => got1.synchronized {
+        got1(bid) = df.select("id").as[String].collect().toSet }
+    }.option("checkpointLocation", tmpDir("sweep-hamm-ckpt")).start()
+    try {
+      in1.addData(("b1", p1), ("b2", p2 ^ 0x1L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(got1(0L) == Set("b1")) // c1 taken down; c2 still rejects b2
+    val in2 = MemoryStream[(String, Array[Long])]
+    val got2 = scala.collection.mutable.Map[Long, Set[String]]()
+    val q2 = StreamingOps.clipDedupStream(
+        in2.toDF().toDF("id", "sigs"), "id", "sigs", clipDir,
+        maxDistance = 3, minContainment = 0.8,
+        minOrderFraction = 0.75) {
+      (df, bid) => got2.synchronized {
+        got2(bid) = df.select("id").as[String].collect().toSet }
+    }.start()
+    try {
+      in2.addData(("trimA", Array(ra(0) ^ 0x1L, ra(1) ^ 0x2L)),
+        ("trimB", Array(rb(0) ^ 0x1L, rb(1) ^ 0x2L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got2(0L) == Set("trimA")) // recA gone; recB still rejects trimB
+  }
+
   test("streaming dedup keeps the first arrival of each distinct text") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
