@@ -3416,6 +3416,54 @@ class OpsSpec extends SparkSpec {
     assert(schemeEx.getMessage.contains("'blocks' or 'bands'"))
   }
 
+  test("order-gate insertion calibration: k out-of-order insertions " +
+      "per 10 matched cost order_frac = 9/(9+k) exactly; the 0.75 " +
+      "default admits k <= 3 and kills k = 4 and reversed bags " +
+      "(OrderGateStress's planted math, spec-pinned)") {
+    import spark.implicits._
+    def sig(j: Int): Long = { // mix64: pairwise far apart in bits
+      var z = j.toLong + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val source = (1 to 20).map(j => (0L, (j - 1).toLong, sig(j)))
+    // clip with k insertions: window source 6..15 (2-bit drifts), k
+    // drifted copies of early source sigs interleaved after base
+    // positions 3, 6, 9, 12 — the watermark/ad-segment shape
+    def clip(id: Long, k: Int, reversed: Boolean = false)
+        : Seq[(Long, Long, Long)] = {
+      val base = (6 to 15).map(j => sig(j) ^ 0x3L).toIndexedSeq
+      val seq0 =
+        if (reversed) base.reverse
+        else (0 until k).foldLeft(base) { (acc, i) =>
+          // insert positions shift as earlier insertions land
+          val at = 3 * (i + 1) + i
+          (acc.take(at) :+ (sig(i + 1) ^ 0x5L)) ++ acc.drop(at)
+        }
+      seq0.zipWithIndex.map { case (s, i) => (id, i.toLong, s) }
+    }
+    val tl = (source ++ clip(1L, 0) ++ clip(2L, 1) ++ clip(3L, 2) ++
+      clip(4L, 3) ++ clip(5L, 4) ++ clip(6L, 0, reversed = true))
+      .toDF("id", "pos", "sig")
+    val ungated = graft.ops.Dedup.containedHammingDuplicates(tl, "id",
+        "pos", "sig", maxDistance = 3, minContainment = 0.8,
+        minOrderFraction = 0.0)
+      .filter(col("id_a") === 0L)
+      .select("id_b", "order_frac")
+      .as[(Long, Double)].collect().toMap
+    assert(ungated == Map(1L -> 1.0, 2L -> 9.0 / 10, 3L -> 9.0 / 11,
+      4L -> 9.0 / 12, 5L -> 9.0 / 13, 6L -> 0.0))
+    // the calibrated default: 1-3 insertions per 10 matched admit,
+    // 4 insertions and the reversed bag do not
+    val gated = graft.ops.Dedup.containedHammingDuplicates(tl, "id",
+        "pos", "sig", maxDistance = 3, minContainment = 0.8,
+        minOrderFraction = 0.75)
+      .filter(col("id_a") === 0L)
+      .select("id_b").as[Long].collect().toSet
+    assert(gated == Set(1L, 2L, 3L, 4L))
+  }
+
   test("contained-artifact lifecycle: compact is probe-invisible and " +
       "prunes sizes; validate greens a healthy artifact and catches a " +
       "doubled append") {

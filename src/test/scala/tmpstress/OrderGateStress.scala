@@ -1,0 +1,144 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Insertion-calibration for the containment ORDER gate
+  * (`containedHammingDuplicates`'s `minOrderFraction`, the
+  * DedupSimHash trade note): 1M planted items in 500k
+  * (source, clip) families over 5 clip classes —
+  *
+  *  - class k ∈ {0,1,2,3}: a 10-signature contiguous window of its
+  *    20-signature source (2-bit drifts) with k OUT-OF-ORDER
+  *    insertions interleaved (drifted copies of early source
+  *    signatures — the watermark-frame / ad-segment shape). The
+  *    strict-ascent walk charges one descending step per insertion:
+  *    forward order_frac = 9/(9+k) exactly (the reverse walk pays at
+  *    most one step — (8+k)/(9+k) for k ≥ 1, 1.0 at k = 0 — so the
+  *    min is always the forward walk);
+  *  - class 4: the same window REVERSED — order_frac 0.0, the bag the
+  *    gate exists to kill.
+  *
+  * The ungated run reports the measured pass matrix (class ×
+  * threshold ∈ {0.6, 0.7, 0.75, 0.8, 0.9}); the gated run at the 0.75
+  * default is the headline timing. The calibration verdict this
+  * measures: at 0.75 every real-shaped insertion class (1–3 per 10
+  * matched) passes and every reversed bag fails — 0.80 would already
+  * lose the 3-insertion class (9/12 = 0.75 < 0.8), so 0.75 stays the
+  * default.
+  *
+  * Run: `sbt "Test/runMain tmpstress.OrderGateStress"`
+  */
+object OrderGateStress {
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  // ×64 packing so signatures never alias across families (the
+  // ContainStress discipline); k in 1..20 are source positions
+  private def pat(fam: Long, k: Int): Long = {
+    val p = mix64(fam * 64 + k)
+    if (p == 0L || p == -1L) 1L << (k + 1) else p
+  }
+
+  /** (id, pos, sig) rows of one item; ids: source = 2·fam,
+    * clip = 2·fam + 1; class = fam % 5.
+    */
+  def rowsOf(itemId: Long): Seq[(Long, Long, Long)] = {
+    val fam = itemId / 2
+    val sigs: Seq[Long] =
+      if (itemId % 2 == 0) (1 to 20).map(pat(fam, _))
+      else {
+        val cls = (fam % 5).toInt
+        val base = (6 to 15).map(pat(fam, _) ^ 0x3L)
+        if (cls == 4) base.reverse
+        else {
+          // k insertions after base positions 3, 6, 9 (1-based)
+          val ins = (1 to cls).map(j => pat(fam, j) ^ 0x5L)
+          val b = base.toIndexedSeq
+          cls match {
+            case 0 => b
+            case 1 => b.take(3) ++ Seq(ins(0)) ++ b.drop(3)
+            case 2 => b.take(3) ++ Seq(ins(0)) ++ b.slice(3, 6) ++
+              Seq(ins(1)) ++ b.drop(6)
+            case _ => b.take(3) ++ Seq(ins(0)) ++ b.slice(3, 6) ++
+              Seq(ins(1)) ++ b.slice(6, 9) ++ Seq(ins(2)) ++ b.drop(9)
+          }
+        }
+      }
+    sigs.zipWithIndex.map { case (s, i) => (itemId, i.toLong, s) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nItems = if (args.nonEmpty) args(0).toLong else 1000000L
+    require(nItems % 10 == 0, "items must be a multiple of 10")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val tl = spark.range(nItems).repartition(64)
+      .flatMap(id => rowsOf(id)).toDF("id", "pos", "sig")
+      .cache()
+    println(s"MARKER rows=${tl.count()} items=$nItems")
+    val perClass = nItems / 10 // families per class
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"MARKER $label%-14s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+
+    // one UNGATED pass; the pass matrix folds from the returned scores
+    val thresholds = Seq(0.6, 0.7, 0.75, 0.8, 0.9)
+    val matrix = timed("ungated") {
+      graft.ops.Dedup.containedHammingDuplicates(tl, "id", "pos", "sig",
+          maxDistance = 3, minContainment = 0.8, minOrderFraction = 0.0)
+        .withColumn("cls", expr("int((id_a div 2) % 5)"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n"),
+          (Seq(min("order_frac").as("lo"), max("order_frac").as("hi")) ++
+            thresholds.map(t => sum(when(col("order_frac") >= t, 1L)
+              .otherwise(0L)).as(s"pass_$t"))): _*)
+        .orderBy("cls").collect()
+    }
+    matrix.foreach { r =>
+      println(s"MARKER class=${r.getInt(0)} n=${r.getLong(1)} " +
+        s"order_lo=${r.getDouble(2)} order_hi=${r.getDouble(3)} " +
+        thresholds.zipWithIndex.map { case (t, i) =>
+          s"pass@$t=${r.getLong(4 + i)}" }.mkString(" "))
+    }
+    // planted math holds exactly: every family pairs once, each class
+    // reads its constructed order_frac, the pass matrix is all-or-none
+    matrix.foreach { r =>
+      val cls = r.getInt(0)
+      assert(r.getLong(1) == perClass,
+        s"class $cls: ${r.getLong(1)} pairs, expected $perClass")
+      val expected = if (cls == 4) 0.0 else 9.0 / (9 + cls)
+      assert(r.getDouble(2) == expected && r.getDouble(3) == expected,
+        s"class $cls order_frac ${r.getDouble(2)}..${r.getDouble(3)} " +
+          s"!= $expected")
+      thresholds.zipWithIndex.foreach { case (t, i) =>
+        val want = if (expected >= t) perClass else 0L
+        assert(r.getLong(4 + i) == want,
+          s"class $cls pass@$t = ${r.getLong(4 + i)}, want $want")
+      }
+    }
+    // headline: the gated run at the justified 0.75 default admits
+    // exactly the four insertion classes
+    val gated = timed("gated_0.75") {
+      graft.ops.Dedup.containedHammingDuplicates(tl, "id", "pos", "sig",
+          maxDistance = 3, minContainment = 0.8,
+          minOrderFraction = 0.75).count()
+    }
+    println(s"MARKER gated_pairs=$gated expected=${4 * perClass}")
+    assert(gated == 4 * perClass)
+    spark.stop()
+  }
+}
