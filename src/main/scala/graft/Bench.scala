@@ -105,11 +105,16 @@ object Bench {
         .mkString(",")
       // "omitted" doubles as parseCommitted's refusal marker — never
       // rename it; n_queries was dropped r16 (redundant with
-      // |queries| + omitted) to buy per-entry headroom
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
-        s""""sf":"$sfDir","omitted":${results.size - keep},""" +
-        s""""q_unit":"centisec","q_key":"number sans q",""" +
-        s""""note":"BENCH_LOCAL_latest.json",""" +
+      // |queries| + omitted), and r17 trimmed the sf to its basename,
+      // dropped the pointer note (exact seconds live in
+      // BENCH_LOCAL_latest.json, documented in BASELINE.md) and
+      // shortened the q_key label — each a few entries of headroom at
+      // 171 queries. The committed FILE keeps the full sf path;
+      // parseCommitted's SF scoping reads that file, not this line.
+      val sfName = sfDir.stripSuffix("/").split('/').last
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec",""" +
+        s""""sf":"$sfName","omitted":${results.size - keep},""" +
+        s""""q_unit":"centisec","q_key":"num",""" +
         s""""queries":{$qs}}"""
     }
     // largest slowest-first subset that fits; at most ~160 queries so the

@@ -257,6 +257,193 @@ object HtmlOps {
   }
 }
 
+/** [[HtmlOps]] continued: link extraction. */
+object HtmlLinks {
+
+  /** Raw markup → `array<string>` of href values in document order —
+    * the URL-frontier / link-graph front of a web pipeline, feeding
+    * [[graft.ops.TextAnalysis.canonicalizeUrl]]. Same single walk and
+    * container semantics as [[HtmlOps.extractBlocks]] (comments,
+    * script/style bodies, and declarations can never contribute a
+    * link); from each OPEN `<a …>` tag the FIRST attribute named
+    * exactly `href` (case-insensitive, whitespace-separated — a
+    * `data-href` never matches) yields its value with entities
+    * decoded by the same single pass (`&amp;` inside query strings is
+    * the common case). Quoted (either quote) and unquoted values are
+    * parsed; an empty `href=""` yields the empty string; an `<a>`
+    * without href yields nothing. Null markup → null.
+    *
+    * Replay contract: after container strip, per-match
+    * `(?is)<a\b[^>]*?[\s]href\s*=\s*"([^"]*)"` + the amp-last entity
+    * replace chain reproduces the double-quoted form exactly (the
+    * q166 fixture discipline); single-quoted/unquoted forms are
+    * kernel robustness, spec-pinned.
+    */
+  def extractLinks(html: UTF8String): ArrayData = {
+    if (html == null) return null
+    val s = html.toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+
+    def decodeAll(raw: String): String = {
+      val sb = new java.lang.StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '&') {
+          val (cp, next) = HtmlOps.decodeEntity(raw, i)
+          if (cp >= 0) { sb.appendCodePoint(cp); i = next }
+          else { sb.append('&'); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n &&
+            (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val e = s.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+        } else {
+          var j = i + 1
+          var close = false
+          if (j < n && s.charAt(j) == '/') { close = true; j += 1 }
+          var k = j
+          while (k < n && {
+            val ch = s.charAt(k)
+            (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+              (k > j && ch >= '0' && ch <= '9')
+          }) k += 1
+          if (k == j) i += 1 // literal '<'
+          else {
+            val name = s.substring(j, k).toLowerCase(java.util.Locale.ROOT)
+            // attribute walk to '>': quote-aware, capturing the first
+            // href of an OPEN <a>
+            var m = k
+            var endIdx = -1
+            var href: String = null
+            val wantHref = !close && name == "a"
+            while (m < n && endIdx < 0) {
+              val ch = s.charAt(m)
+              if (ch == '>') endIdx = m + 1
+              else if (ch == '"' || ch == '\'') {
+                // a quoted value not consumed by attr parsing below
+                // (value without name) — skip it wholesale
+                val e = s.indexOf(ch, m + 1)
+                m = if (e < 0) n - 1 else e
+                m += 1
+              } else if (ch == ' ' || ch == '\t' || ch == '\n' ||
+                  ch == '\r' || ch == '/') m += 1
+              else {
+                // attribute name
+                val a0 = m
+                while (m < n && {
+                  val d = s.charAt(m)
+                  d != '=' && d != '>' && d != ' ' && d != '\t' &&
+                    d != '\n' && d != '\r' && d != '/'
+                }) m += 1
+                val aName = s.substring(a0, m)
+                  .toLowerCase(java.util.Locale.ROOT)
+                // optional whitespace, then optional = value
+                var v: String = null
+                var p = m
+                while (p < n && (s.charAt(p) == ' ' || s.charAt(p) == '\t' ||
+                  s.charAt(p) == '\n' || s.charAt(p) == '\r')) p += 1
+                if (p < n && s.charAt(p) == '=') {
+                  p += 1
+                  while (p < n && (s.charAt(p) == ' ' ||
+                    s.charAt(p) == '\t' || s.charAt(p) == '\n' ||
+                    s.charAt(p) == '\r')) p += 1
+                  if (p < n && (s.charAt(p) == '"' || s.charAt(p) == '\'')) {
+                    val qc = s.charAt(p)
+                    val e = s.indexOf(qc, p + 1)
+                    if (e < 0) { v = s.substring(p + 1); p = n }
+                    else { v = s.substring(p + 1, e); p = e + 1 }
+                  } else {
+                    val v0 = p
+                    while (p < n && {
+                      val d = s.charAt(p)
+                      d != '>' && d != ' ' && d != '\t' && d != '\n' &&
+                        d != '\r'
+                    }) p += 1
+                    v = s.substring(v0, p)
+                  }
+                }
+                if (wantHref && href == null && aName == "href" &&
+                  v != null) href = v
+                m = p
+              }
+            }
+            if (endIdx < 0) endIdx = n
+            if (wantHref && href != null)
+              out += UTF8String.fromString(decodeAll(href))
+            if (!close && (name == "script" || name == "style")) {
+              // self-closing check: char before '>' (quote-aware walk
+              // already consumed attrs, so this is the raw heuristic
+              // shared with extractBlocks)
+              val selfClose = endIdx - 2 >= 0 && s.charAt(endIdx - 2) == '/'
+              if (!selfClose && endIdx <= n && endIdx > 0 &&
+                  s.charAt(endIdx - 1) == '>') {
+                val e2 = indexOfIgnoreCaseLinks(s, "</" + name, endIdx)
+                if (e2 < 0) i = n
+                else {
+                  val g = s.indexOf('>', e2)
+                  i = if (g < 0) n else g + 1
+                }
+              } else i = endIdx
+            } else i = endIdx
+          }
+        }
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def indexOfIgnoreCaseLinks(s: String, target: String,
+                                     from: Int): Int = {
+    val n = s.length; val m = target.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      if (s.regionMatches(true, i, target, 0, m)) return i
+      i += 1
+    }
+    -1
+  }
+}
+
+/** `graft_html_links(html)`: href extraction via
+  * [[HtmlLinks.extractLinks]] — scan-local, zero shuffle, codegen'd
+  * (the [[HtmlBlocksOf]] shape). Null markup → null.
+  */
+case class HtmlLinksOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlLinks.extractLinks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"graft.functions.HtmlLinks.extractLinks($h)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HtmlLinksOf = copy(child = newChild)
+  override def prettyName: String = "graft_html_links"
+}
+
 /** `graft_html_blocks(html)`: raw markup → `array<struct<tag, text,
   * anchor_chars>>` text blocks via the [[HtmlOps]] single-pass walk.
   * Scan-local, zero shuffle, whole-stage-codegen'd (static-call body,

@@ -452,6 +452,13 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_html_blocks takes (html)")
         HtmlBlocksOf(exprs.head)
       }),
+    (FunctionIdentifier("graft_html_links"),
+      new ExpressionInfo(classOf[HtmlLinksOf].getName,
+        "graft_html_links"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_html_links takes (html)")
+        HtmlLinksOf(exprs.head)
+      }),
     (FunctionIdentifier("graft_multi_contains"),
       new ExpressionInfo(classOf[MultiContainsOf].getName,
         "graft_multi_contains"),

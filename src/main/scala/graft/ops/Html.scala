@@ -79,6 +79,23 @@ object Html {
       .withColumn("is_kept", keepRule(maxLinkDensity, minChars, dropTags))
   }
 
+  /** One row per extracted href: `(id, link_no, href)` — link_no
+    * 1-based in document order, entities decoded
+    * ([[graft.functions.HtmlLinks.extractLinks]]). The URL-frontier /
+    * link-graph front: compose with
+    * [[TextAnalysis.canonicalizeUrl]] / [[TextAnalysis.urlHost]] /
+    * [[TextAnalysis.domainStats]] downstream. Scan-local, zero
+    * shuffle — markup crosses the wire once.
+    */
+  def links(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        posexplode(call_function("graft_html_links", col(htmlCol)))
+          .as(Seq("__p", "__h")))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("link_no"),
+        col("__h").as("href"))
+  }
+
   /** Per-document clean text: kept blocks in document order joined
     * with `\n` (one block per line — exactly the shape
     * [[TextAnalysis.c4LineFilter]] consumes), plus kept/dropped
