@@ -567,6 +567,37 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- link extraction → URL frontier (the link-graph front of a
+    //      web pipeline): hrefs pulled from markup by the single-pass
+    //      kernel (script/comment links never leak, entities decode,
+    //      href-less and empty anchors handled), then q93's
+    //      tracking-stripped canonicalization + host — the exact
+    //      composition a crawler's frontier dedup runs. ----
+
+    "q172_html_links" -> ((s, dir) => {
+      val built = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><body><p>See " +
+          "<a href=\"HTTP://WWW.Example.COM:80/p/"), col("source"),
+        lit("?z=1&amp;a=2#frag\">first</a> and " +
+          "<a href=\"https://news.site.org:443/t?utm_source=feed" +
+          "&amp;id="), pmod(col("doc_id"), lit(97)).cast("string"),
+        lit("\">second</a>.</p>"),
+        lit("<nav><a href=\"/rel/"), col("lang"),
+        lit("\">rel</a> <a name=\"x\">nohref</a> " +
+          "<a href=\"\">empty</a></nav>"),
+        lit("<script>var s='<a href=\"http://no.example.com/\">" +
+          "fake</a>';</script>"),
+        lit("<!-- <a href=\"http://comment.example.com/\">c</a> -->"),
+        lit("</body></html>")).as("html"))
+      val links = graft.ops.Html.links(built, "doc_id", "html")
+      val canon = TextAnalysis.canonicalizeUrl(col("href"),
+        stripTracking = true)
+      links.select(col("doc_id"), col("link_no"), col("href"),
+          canon.as("canonical"),
+          TextAnalysis.urlHost(canon).as("host"))
+        .orderBy("doc_id", "link_no")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -2019,6 +2050,74 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |      f.n_tokens * 0.2)) AS is_kept
           |FROM lm JOIN feats f ON lm.doc_id = f.doc_id
           |ORDER BY lm.doc_id""".stripMargin,
+
+      // Link extraction replayed: container strip, the \s-bounded
+      // double-quoted href capture in document order, amp-last entity
+      // decode, then q93's canonicalization CTEs verbatim.
+      "q172_html_links" ->
+        """WITH built AS (
+          |  SELECT doc_id,
+          |    '<html><body><p>See <a href="HTTP://WWW.Example.COM:80/p/'
+          |    || source || '?z=1&amp;a=2#frag">first</a> and '
+          |    || '<a href="https://news.site.org:443/t?utm_source=feed'
+          |    || '&amp;id=' || (doc_id % 97) || '">second</a>.</p>'
+          |    || '<nav><a href="/rel/' || lang
+          |    || '">rel</a> <a name="x">nohref</a> '
+          |    || '<a href="">empty</a></nav>'
+          |    || '<script>var s=''<a href="http://no.example.com/">'
+          |    || 'fake</a>'';</script>'
+          |    || '<!-- <a href="http://comment.example.com/">c</a> -->'
+          |    || '</body></html>' AS html
+          |  FROM documents),
+          |strip AS (
+          |  SELECT doc_id,
+          |    regexp_replace(regexp_replace(html,
+          |      '(?s)<!--.*?-->', '', 'g'),
+          |      '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g') AS h
+          |  FROM built),
+          |l AS (
+          |  SELECT doc_id,
+          |    unnest(regexp_extract_all(h,
+          |      '(?is)<a\b[^>]*?[\s]href\s*=\s*"([^"]*)"', 1)) AS raw,
+          |    CAST(unnest(range(1, len(regexp_extract_all(h,
+          |      '(?is)<a\b[^>]*?[\s]href\s*=\s*"([^"]*)"', 1)) + 1))
+          |      AS BIGINT) AS link_no
+          |  FROM strip),
+          |dec AS (
+          |  SELECT doc_id, link_no,
+          |    replace(replace(replace(replace(replace(raw,
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |      '&nbsp;', chr(160)), '&amp;', '&') AS href
+          |  FROM l),
+          |nofrag AS (SELECT doc_id, link_no, href,
+          |    regexp_replace(href, '#.*', '') AS u
+          |  FROM dec),
+          |parts AS (SELECT doc_id, link_no, href,
+          |    lower(regexp_extract(u, '^[^/?#]*//[^/?#]*')) AS prefix,
+          |    regexp_extract(u, '^[^/?#]*//[^/?#]*([^?#]*)', 1) AS path,
+          |    regexp_extract(u, '\?([^#]*)', 1) AS q
+          |  FROM nofrag),
+          |kept AS (SELECT doc_id, link_no, href, prefix, path,
+          |    list_sort(list_filter(list_filter(
+          |      string_split(q, '&'), x -> len(x) > 0),
+          |      x -> NOT regexp_matches(x,
+          |        '^(utm_[^=]*|fbclid|gclid|dclid|gbraid|wbraid|msclkid|mc_eid|mc_cid|igshid|yclid|_ga|_gl)(=.*)?$')))
+          |      AS ks
+          |  FROM parts),
+          |canon AS (SELECT doc_id, link_no, href,
+          |    CASE WHEN prefix = '' THEN href ELSE
+          |      regexp_replace(regexp_replace(prefix,
+          |        '^(https://[^/:]+):443$', '\1'),
+          |        '^(http://[^/:]+):80$', '\1')
+          |      || path ||
+          |      CASE WHEN len(ks) = 0 THEN ''
+          |        ELSE '?' || list_aggr(ks, 'string_agg', '&') END
+          |    END AS canonical
+          |  FROM kept)
+          |SELECT doc_id, link_no, href, canonical,
+          |  regexp_extract(canonical, '^[a-z][a-z0-9+.-]*://([^/:?#]+)',
+          |    1) AS host
+          |FROM canon ORDER BY doc_id, link_no""".stripMargin,
 
       "q100_bigram_lm" ->
         """WITH toks AS (

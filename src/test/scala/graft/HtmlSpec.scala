@@ -206,6 +206,66 @@ class HtmlSpec extends SparkSpec {
         "Second block also long enough to keep.")
   }
 
+  private def links(html: String): Seq[String] = {
+    val arr = graft.functions.HtmlLinks.extractLinks(
+      org.apache.spark.unsafe.types.UTF8String.fromString(html))
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  test("link extraction: document order, entity decode, quote forms, " +
+      "href-attribute exactness, container immunity") {
+    assert(links("""<p><a href="http://a/">x</a> <a href="/b?x=1&amp;y=2">y</a></p>""")
+      == Seq("http://a/", "/b?x=1&y=2"))
+    // single-quoted and unquoted values parse (kernel robustness past
+    // the double-quoted replay subset)
+    assert(links("<a href='/sq'>s</a><a href=/uq>u</a>") ==
+      Seq("/sq", "/uq"))
+    // whitespace around '=' and attribute order don't matter; the
+    // FIRST href wins on a malformed duplicate
+    assert(links("""<a class="c" HREF = "/h1" href="/h2">x</a>""") ==
+      Seq("/h1"))
+    // an attribute merely ENDING in href never matches
+    assert(links("""<a data-href="/no">x</a>""") == Seq.empty)
+    // close tags, href-less and empty anchors
+    assert(links("""<a name="n">x</a><a href="">e</a></a href="/c">""") ==
+      Seq(""))
+    // links inside script/style/comments never leak
+    assert(links("<script>var a='<a href=\"/s\">x</a>';</script>" +
+      "<!-- <a href=\"/c\">c</a> --><style>a{}</style>" +
+      "<a href=\"/real\">r</a>") == Seq("/real"))
+    // null/empty/no-markup inputs
+    assert(graft.functions.HtmlLinks.extractLinks(null) == null)
+    assert(links("") == Seq.empty && links("no anchors here") == Seq.empty)
+  }
+
+  test("link kernel == regexp replay on a double-quoted page (the " +
+      "q172 oracle equivalence)") {
+    val html = "<body><p><a href=\"HTTP://X.com:80/p?b=2&amp;a=1#f\">" +
+      "one</a> <a name=\"n\">skip</a> <a href=\"/rel\">two</a></p>" +
+      "<script>'<a href=\"/fake\">'</script>" +
+      "<!--<a href=\"/c\">--><a href=\"\">three</a></body>"
+    val noC = "(?s)<!--.*?-->".r.replaceAllIn(html, "")
+    val noS = "(?is)<script\\b[^>]*>.*?</script\\s*>".r
+      .replaceAllIn(noC, "")
+    val replay = "(?is)<a\\b[^>]*?[\\s]href\\s*=\\s*\"([^\"]*)\"".r
+      .findAllMatchIn(noS).map(_.group(1)
+        .replace("&lt;", "<").replace("&gt;", ">")
+        .replace("&quot;", "\"").replace("&amp;", "&")).toSeq
+    assert(links(html) == replay &&
+      replay == Seq("HTTP://X.com:80/p?b=2&a=1#f", "/rel", ""))
+  }
+
+  test("ops layer: Html.links frame, zero exchange") {
+    import spark.implicits._
+    val df = Seq((7L, "<a href=\"/a\">a</a><a href=\"/b\">b</a>"))
+      .toDF("doc_id", "html")
+    val out = Html.links(df, "doc_id", "html")
+    assert(out.as[(Long, Long, String)].collect().toSeq ==
+      Seq((7L, 1L, "/a"), (7L, 2L, "/b")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("plan shape: extractBlocks is one scan-local projection — no " +
       "exchange, whole-stage codegen") {
     import spark.implicits._
