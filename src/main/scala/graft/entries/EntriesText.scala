@@ -540,6 +540,25 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- the ngram model's PERSISTED lifecycle: fit q167's trigram
+    //      tables, SAVE the artifact, LOAD it back, score the corpus
+    //      through the single-pass kernel — the serving path of the
+    //      q167 gate (fit offline, persist, gate the ingest). The
+    //      oracle is q167's replay VERBATIM: the artifact round-trip
+    //      and the hashed kernel must land on the join formulation's
+    //      exact integers, document by document. ----
+
+    "q173_ngram_model_artifact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val art = tmpDir("graft-ngram-model")
+      TextAnalysis.ngramLmModelSave(s,
+        TextAnalysis.ngramLmFit(docs.filter(col("lang") === "en"),
+          "text", order = 3, minCounts = Seq(1L, 2L, 2L)), art)
+      TextAnalysis.ngramLmScoreKernel(docs.select("doc_id", "text"),
+          "doc_id", "text", TextAnalysis.ngramLmModelLoad(s, art))
+        .orderBy("doc_id")
+    }),
+
     // ---- the CCNet-shaped admission gate COMPOSED: trigram-backoff
     //      familiarity (q167's model, threshold at the corpus median)
     //      AND q23's structural quality rules — both verdicts and the
@@ -1138,6 +1157,64 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
     }),
 
   )
+
+  /** q167's trigram replay — shared verbatim with q173 (the persisted
+    * kernel path must reproduce the join formulation exactly). */
+  private val ngramLmReplaySql: String =
+    """WITH tk AS (
+          |  SELECT doc_id, lang,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |g1 AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT unnest(t) AS g FROM tk WHERE lang = 'en')
+          |  GROUP BY g HAVING count(*) >= 1),
+          |g2 AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT array_to_string(t[i:i+1], ' ') AS g
+          |    FROM tk, unnest(range(1, len(t))) AS r(i)
+          |    WHERE lang = 'en' AND len(t) >= 2)
+          |  GROUP BY g HAVING count(*) >= 2),
+          |g3 AS (
+          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+          |    SELECT array_to_string(t[i:i+2], ' ') AS g
+          |    FROM tk, unnest(range(1, len(t) - 1)) AS r(i)
+          |    WHERE lang = 'en' AND len(t) >= 3)
+          |  GROUP BY g HAVING count(*) >= 2),
+          |vt AS (SELECT CAST(count(*) AS BIGINT) + 1 AS v1,
+          |  CAST(COALESCE(sum(c), 0) AS BIGINT) AS tt FROM g1),
+          |pos AS (
+          |  SELECT doc_id,
+          |    array_to_string(t[i-2:i], ' ') AS pg3,
+          |    array_to_string(t[i-2:i-1], ' ') AS px3,
+          |    array_to_string(t[i-1:i], ' ') AS pg2,
+          |    t[i-1] AS px2, t[i] AS pg1
+          |  FROM tk, unnest(range(3, len(t) + 1)) AS r(i)
+          |  WHERE len(t) >= 3),
+          |j AS (
+          |  SELECT p.doc_id,
+          |    CASE WHEN x3.c IS NOT NULL
+          |        THEN (1000000 * (COALESCE(c3.c, 0) + 1)) //
+          |          (x3.c + (SELECT v1 FROM vt))
+          |      WHEN x2.c IS NOT NULL
+          |        THEN (1000000 * (COALESCE(c2.c, 0) + 1)) //
+          |          (x2.c + (SELECT v1 FROM vt))
+          |      ELSE (1000000 * (COALESCE(c1.c, 0) + 1)) //
+          |        ((SELECT tt FROM vt) + (SELECT v1 FROM vt)) END AS m,
+          |    CASE WHEN x3.c IS NOT NULL THEN 3
+          |      WHEN x2.c IS NOT NULL THEN 2 ELSE 1 END AS o
+          |  FROM pos p
+          |  LEFT JOIN g3 c3 ON p.pg3 = c3.g
+          |  LEFT JOIN g2 x3 ON p.px3 = x3.g
+          |  LEFT JOIN g2 c2 ON p.pg2 = c2.g
+          |  LEFT JOIN g1 x2 ON p.px2 = x2.g
+          |  LEFT JOIN g1 c1 ON p.pg1 = c1.g)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions,
+          |  CAST(sum(m) AS BIGINT) AS score_micro,
+          |  CAST(sum(o) AS BIGINT) AS order_sum,
+          |  CAST(sum(m) // count(*) AS BIGINT) AS mean_micro
+          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private[graft] def textOracle: Map[String, String] = Map(
 
@@ -1915,61 +1992,13 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
       // The trigram backoff model refit and rescored from scratch:
       // same tokenization, same pruning, same per-position
       // highest-surviving-context selection, same integer floors.
-      "q167_ngram_lm" ->
-        """WITH tk AS (
-          |  SELECT doc_id, lang,
-          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-          |      x -> len(x) > 0) AS t
-          |  FROM documents),
-          |g1 AS (
-          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
-          |    SELECT unnest(t) AS g FROM tk WHERE lang = 'en')
-          |  GROUP BY g HAVING count(*) >= 1),
-          |g2 AS (
-          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
-          |    SELECT array_to_string(t[i:i+1], ' ') AS g
-          |    FROM tk, unnest(range(1, len(t))) AS r(i)
-          |    WHERE lang = 'en' AND len(t) >= 2)
-          |  GROUP BY g HAVING count(*) >= 2),
-          |g3 AS (
-          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
-          |    SELECT array_to_string(t[i:i+2], ' ') AS g
-          |    FROM tk, unnest(range(1, len(t) - 1)) AS r(i)
-          |    WHERE lang = 'en' AND len(t) >= 3)
-          |  GROUP BY g HAVING count(*) >= 2),
-          |vt AS (SELECT CAST(count(*) AS BIGINT) + 1 AS v1,
-          |  CAST(COALESCE(sum(c), 0) AS BIGINT) AS tt FROM g1),
-          |pos AS (
-          |  SELECT doc_id,
-          |    array_to_string(t[i-2:i], ' ') AS pg3,
-          |    array_to_string(t[i-2:i-1], ' ') AS px3,
-          |    array_to_string(t[i-1:i], ' ') AS pg2,
-          |    t[i-1] AS px2, t[i] AS pg1
-          |  FROM tk, unnest(range(3, len(t) + 1)) AS r(i)
-          |  WHERE len(t) >= 3),
-          |j AS (
-          |  SELECT p.doc_id,
-          |    CASE WHEN x3.c IS NOT NULL
-          |        THEN (1000000 * (COALESCE(c3.c, 0) + 1)) //
-          |          (x3.c + (SELECT v1 FROM vt))
-          |      WHEN x2.c IS NOT NULL
-          |        THEN (1000000 * (COALESCE(c2.c, 0) + 1)) //
-          |          (x2.c + (SELECT v1 FROM vt))
-          |      ELSE (1000000 * (COALESCE(c1.c, 0) + 1)) //
-          |        ((SELECT tt FROM vt) + (SELECT v1 FROM vt)) END AS m,
-          |    CASE WHEN x3.c IS NOT NULL THEN 3
-          |      WHEN x2.c IS NOT NULL THEN 2 ELSE 1 END AS o
-          |  FROM pos p
-          |  LEFT JOIN g3 c3 ON p.pg3 = c3.g
-          |  LEFT JOIN g2 x3 ON p.px3 = x3.g
-          |  LEFT JOIN g2 c2 ON p.pg2 = c2.g
-          |  LEFT JOIN g1 x2 ON p.px2 = x2.g
-          |  LEFT JOIN g1 c1 ON p.pg1 = c1.g)
-          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions,
-          |  CAST(sum(m) AS BIGINT) AS score_micro,
-          |  CAST(sum(o) AS BIGINT) AS order_sum,
-          |  CAST(sum(m) // count(*) AS BIGINT) AS mean_micro
-          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q167_ngram_lm" -> ngramLmReplaySql,
+
+      // The persisted-artifact serving path must land on the join
+      // formulation's exact integers (kernel == join, the spec-pinned
+      // equality; the artifact round-trip adds nothing): q167's
+      // replay verbatim.
+      "q173_ngram_model_artifact" -> ngramLmReplaySql,
 
       // q167's trigram replay joined with q23's quality-rule replay;
       // the gate thresholds replayed literally.

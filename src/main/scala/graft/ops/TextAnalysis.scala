@@ -1524,6 +1524,62 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
       .withColumn("mean_micro", expr("score_micro div n_positions"))
   }
 
+  /** Persist a fitted [[graft.functions.NgramLmModel]] as a reusable
+    * job artifact — the [[bpeModelSave]]/[[unigramModelSave]]
+    * lifecycle for the gram tables. Layout under `path`:
+    *  - `tables/`: one parquet row per entry (`k`, `key`, `count`),
+    *    sorted by (k, key) — byte-deterministic;
+    *  - `meta.json`: `order`, `v_plus1`, `token_total`;
+    *  - the [[ArtifactVersion]] marker for snapshot-pinning consumers
+    *    (a refit is a hot swap, the streaming-service contract).
+    * The model is bounded by the fit's `maxEntries` gate, so the
+    * driver-side round-trip is by-construction legal.
+    */
+  def ngramLmModelSave(spark: org.apache.spark.sql.SparkSession,
+                       model: graft.functions.NgramLmModel,
+                       path: String): Unit = {
+    import spark.implicits._
+    (0 until model.order).flatMap(k =>
+      model.keys(k).indices.map(i =>
+        (k + 1, model.keys(k)(i), model.counts(k)(i))))
+      .toDF("k", "key", "count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/tables")
+    graft.Fs.writeString(graft.Fs.join(path, "meta.json"),
+      s"""{"order": ${model.order}, "v_plus1": ${model.vPlus1}, """ +
+        s""""token_total": ${model.tokenTotal}}""")
+    ArtifactVersion.stamp(path)
+  }
+
+  /** Load a [[ngramLmModelSave]] artifact. Per-order keys re-sort on
+    * load (the model constructor enforces strict ascent — a corrupted
+    * table fails loud there); a `k` outside `1..order` fails loud
+    * here.
+    */
+  def ngramLmModelLoad(spark: org.apache.spark.sql.SparkSession,
+                       path: String): graft.functions.NgramLmModel = {
+    val meta = graft.Fs.readString(graft.Fs.join(path, "meta.json"))
+    def field(name: String): Long = {
+      val v = (s""""$name"\\s*:\\s*(-?\\d+)""").r
+        .findFirstMatchIn(meta).map(_.group(1))
+      require(v.nonEmpty, s"meta.json at $path lacks $name")
+      v.get.toLong
+    }
+    val order = field("order").toInt
+    val rows = spark.read.parquet(s"$path/tables")
+      .select("k", "key", "count").orderBy("k", "key").collect()
+    val keys = Array.fill(order)(Array.newBuilder[Long])
+    val counts = Array.fill(order)(Array.newBuilder[Long])
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      require(k >= 1 && k <= order,
+        s"tables at $path carry order $k outside 1..$order")
+      keys(k - 1) += r.getLong(1)
+      counts(k - 1) += r.getLong(2)
+    }
+    new graft.functions.NgramLmModel(keys.map(_.result()),
+      counts.map(_.result()), field("v_plus1"), field("token_total"))
+  }
+
   /** Exact-substring attribution probe: which corpus documents contain
     * each query string VERBATIM — the takedown/quote-attribution scan
     * ("which training docs carry this sentence?"). Distinct from

@@ -721,6 +721,34 @@ object StreamingOps {
     }
   }
 
+  /** Streaming order-n LM familiarity against a persisted
+    * [[graft.ops.TextAnalysis.ngramLmModelSave]] artifact — the
+    * [[unigramEncodeStream]] discipline for the backoff-gram family:
+    * the model loads once, rides every batch's scoring Project as a
+    * plan reference object ([[graft.ops.TextAnalysis
+    * .ngramLmScoreKernel]] — zero joins, zero shuffle, batch-parity by
+    * construction), re-loads only when the
+    * [[graft.ops.ArtifactVersion]] marker moves — a refit on a newer
+    * reference stratum is a hot swap mid-stream. This is the CCNet
+    * admission gate's serving form: fit offline (q167's tables),
+    * persist, gate the 24/7 ingest on `mean_micro`.
+    */
+  def ngramLmStream(stream: DataFrame, modelPath: String,
+                    idCol: String, textCol: String,
+                    refreshEveryBatches: Int = 1)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    val pin = new SnapshotPin(modelPath, refreshEveryBatches)(
+      spark => graft.ops.TextAnalysis.ngramLmModelLoad(spark, modelPath))
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        sink(graft.ops.TextAnalysis.ngramLmScoreKernel(mb.toDF(), idCol,
+          textCol, pin.get(mb.sparkSession, batchId)), batchId)
+    }
+  }
+
   /** [[curationStreamDsir]] with MEDIA-signature dedup composed in —
     * the streaming twin of the q152 multimodal corpus build: admission
     * = classifier gate AND DSIR importance threshold, then text

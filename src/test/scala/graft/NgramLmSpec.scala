@@ -113,6 +113,45 @@ class NgramLmSpec extends SparkSpec {
     assert(exp2(2L)._3 == exp2(2L)._1, "all order-1 for unseen q")
   }
 
+  test("model artifact: save/load round-trips tables, meta, and every " +
+      "score; corrupted order fails loud; version stamp moves on " +
+      "re-save") {
+    import spark.implicits._
+    val ref = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox sleeps").map(Tuple1(_)).toDF("text")
+    val m = TextAnalysis.ngramLmFit(ref, "text", order = 3,
+      minCounts = Seq(1L, 1L, 1L))
+    val art = tmpDir("ngram-artifact")
+    TextAnalysis.ngramLmModelSave(spark, m, art)
+    val v1 = graft.ops.ArtifactVersion.read(art)
+    val back = TextAnalysis.ngramLmModelLoad(spark, art)
+    assert(back.order == m.order && back.vPlus1 == m.vPlus1 &&
+      back.tokenTotal == m.tokenTotal)
+    (0 until m.order).foreach { k =>
+      assert(back.keys(k).toSeq == m.keys(k).toSeq &&
+        back.counts(k).toSeq == m.counts(k).toSeq, s"order ${k + 1}")
+    }
+    val docs = Seq((1L, "the quick brown fox"), (2L, "zebra ox quartz"))
+      .toDF("id", "text")
+    assert(TextAnalysis.ngramLmScoreKernel(docs, "id", "text", back)
+      .collect().toSeq ==
+      TextAnalysis.ngramLmScoreKernel(docs, "id", "text", m)
+        .collect().toSeq)
+    // re-save bumps the version marker (the hot-swap signal)
+    TextAnalysis.ngramLmModelSave(spark, m, art)
+    assert(graft.ops.ArtifactVersion.read(art) != v1)
+    // a table row with an order outside 1..order fails loud
+    spark.read.parquet(s"$art/tables")
+      .unionByName(Seq((9, 1L, 1L)).toDF("k", "key", "count"))
+      .write.mode("overwrite").parquet(s"$art/tables2")
+    graft.Fs.deleteRecursively(s"$art/tables")
+    graft.Fs.rename(s"$art/tables2", s"$art/tables")
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.ngramLmModelLoad(spark, art)
+    }
+    assert(ex.getMessage.contains("order 9"))
+  }
+
   test("fail-loud contracts: order bounds, minCounts arity, model " +
       "invariants, registry arg shape") {
     import spark.implicits._

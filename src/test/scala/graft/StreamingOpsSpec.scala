@@ -1536,6 +1536,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ngramLmStream: hot model swap on version bump, batch parity " +
+      "per model") {
+    implicit val sqlCtx = spark.sqlContext
+    // model A is fitted on 'a b c' chains, model B on 'x y z' chains —
+    // the same probe text scores differently under each
+    val refA = Seq.fill(4)("a b c a b c a b c").map(Tuple1(_))
+      .toDF("text")
+    val refB = Seq.fill(4)("x y z x y z x y z").map(Tuple1(_))
+      .toDF("text")
+    val art = tmpDir("ngram-stream-model")
+    graft.ops.TextAnalysis.ngramLmModelSave(spark,
+      graft.ops.TextAnalysis.ngramLmFit(refA, "text", order = 3,
+        minCounts = Seq(1L, 1L, 1L)), art)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Map[Long, (Long, Long, Long, Long)]]()
+    val query = StreamingOps.ngramLmStream(
+        input.toDF().toDF("doc_id", "text"), art, "doc_id", "text") {
+      (res, id) => got.synchronized {
+        got(id) = res.as[(Long, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap }
+    }.start()
+    try {
+      input.addData((10L, "a b c a"), (11L, "x y")) // 11: < order, absent
+      query.processAllAvailable()
+      assert(got(0L).keySet == Set(10L))
+      assert(got(0L)(10L)._3 == 6L, "all order-3 under model A")
+      // refit on the B stratum + version bump -> the NEXT batch scores
+      // through the swapped tables: 'a b c a' now backs off to order 1
+      graft.ops.TextAnalysis.ngramLmModelSave(spark,
+        graft.ops.TextAnalysis.ngramLmFit(refB, "text", order = 3,
+          minCounts = Seq(1L, 1L, 1L)), art)
+      input.addData((12L, "a b c a"))
+      query.processAllAvailable()
+      assert(got(1L)(12L)._3 == 2L, s"hot swap: ${got(1L)}")
+      // batch parity against the loaded artifact
+      val batch = graft.ops.TextAnalysis.ngramLmScoreKernel(
+          Seq((12L, "a b c a")).toDF("doc_id", "text"), "doc_id", "text",
+          graft.ops.TextAnalysis.ngramLmModelLoad(spark, art))
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(batch == got(1L))
+    } finally query.stop()
+  }
+
   test("curationStreamMultimodal: classifier, DSIR, digest, and media " +
       "gates compose; equals the composed batch legs per batch") {
     implicit val sqlCtx = spark.sqlContext
