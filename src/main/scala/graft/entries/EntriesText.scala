@@ -586,6 +586,31 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- document metadata from markup: lang / charset /
+    //      description / title — the routing+provenance fields read
+    //      before any content rule. The fixture plants every trap:
+    //      uppercase attribute names and values (lowercased+trimmed),
+    //      swapped attribute order on the REAL description, a
+    //      case-variant name, decoys inside script and comment, a
+    //      second description that must NOT override (first wins),
+    //      entities + whitespace runs in the content. ----
+
+    "q174_html_metadata" -> ((s, dir) => {
+      val built = t(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<!DOCTYPE html><html LANG=\""), upper(col("lang")),
+        lit(" \"><head><meta charset=\"UTF-8\"><title> Doc  "),
+        col("doc_id"), lit(" : "), col("source"), lit(" </title>"),
+        lit("<script>'<meta name=\"description\" content=\"fake\">'" +
+          "</script>"),
+        lit("<!-- <meta name=\"description\" content=\"ghost\"> -->"),
+        lit("<meta content=\"Summary of "), col("source"),
+        lit(" &amp; more   words\" name=\"Description\">"),
+        lit("<meta name=\"description\" content=\"second wins not\">"),
+        lit("<meta name=\"keywords\" content=\"k1,k2\"></head>"),
+        lit("<body><p>body text here</p></body></html>")).as("html"))
+      graft.ops.Html.metadata(built, "doc_id", "html").orderBy("doc_id")
+    }),
+
     // ---- link extraction → URL frontier (the link-graph front of a
     //      web pipeline): hrefs pulled from markup by the single-pass
     //      kernel (script/comment links never leak, entities decode,
@@ -2079,6 +2104,60 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |      f.n_tokens * 0.2)) AS is_kept
           |FROM lm JOIN feats f ON lm.doc_id = f.doc_id
           |ORDER BY lm.doc_id""".stripMargin,
+
+      // Metadata replayed: container strip, first-match captures for
+      // lang/charset, the in-order meta-tag list filtered on a
+      // case-insensitive name=description (attribute order free via
+      // the per-tag second capture), entity decode + whitespace
+      // collapse on description and title.
+      "q174_html_metadata" ->
+        """WITH built AS (
+          |  SELECT doc_id,
+          |    '<!DOCTYPE html><html LANG="' || upper(lang)
+          |    || ' "><head><meta charset="UTF-8"><title> Doc  '
+          |    || doc_id || ' : ' || source || ' </title>'
+          |    || '<script>''<meta name="description" content="fake">''</script>'
+          |    || '<!-- <meta name="description" content="ghost"> -->'
+          |    || '<meta content="Summary of ' || source
+          |    || ' &amp; more   words" name="Description">'
+          |    || '<meta name="description" content="second wins not">'
+          |    || '<meta name="keywords" content="k1,k2"></head>'
+          |    || '<body><p>body text here</p></body></html>' AS html
+          |  FROM documents),
+          |strip AS (
+          |  SELECT doc_id,
+          |    regexp_replace(regexp_replace(html,
+          |      '(?s)<!--.*?-->', '', 'g'),
+          |      '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g') AS h
+          |  FROM built),
+          |fields AS (
+          |  SELECT doc_id,
+          |    lower(trim(regexp_extract(h,
+          |      '(?is)<html\b[^>]*?[\s]lang\s*=\s*"([^"]*)"', 1)))
+          |      AS lang,
+          |    lower(trim(regexp_extract(h,
+          |      '(?is)<meta\b[^>]*?[\s]charset\s*=\s*"([^"]*)"', 1)))
+          |      AS charset,
+          |    list_filter(regexp_extract_all(h, '(?is)<meta\b[^>]*>'),
+          |      m -> regexp_matches(m,
+          |        '(?is)[\s]name\s*=\s*"description"')) AS descs,
+          |    regexp_extract(h, '(?is)<title\b[^>]*>(.*?)</title', 1)
+          |      AS rawtitle
+          |  FROM strip)
+          |SELECT doc_id, lang, charset,
+          |  CASE WHEN len(descs) = 0 THEN NULL ELSE
+          |    trim(regexp_replace(replace(replace(replace(replace(
+          |      replace(regexp_extract(descs[1],
+          |        '(?is)[\s]content\s*=\s*"([^"]*)"', 1),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |      '&nbsp;', chr(160)), '&amp;', '&'),
+          |      '\s+', ' ', 'g')) END AS description,
+          |  trim(regexp_replace(replace(replace(replace(replace(
+          |    replace(regexp_replace(rawtitle, '<[^>]*>', '', 'g'),
+          |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |    '&nbsp;', chr(160)), '&amp;', '&'),
+          |    '\s+', ' ', 'g')) AS title
+          |FROM fields ORDER BY doc_id""".stripMargin,
 
       // Link extraction replayed: container strip, the \s-bounded
       // double-quoted href capture in document order, amp-last entity

@@ -281,24 +281,47 @@ object HtmlLinks {
     */
   def extractLinks(html: UTF8String): ArrayData = {
     if (html == null) return null
-    val s = html.toString
-    val n = s.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-
-    def decodeAll(raw: String): String = {
-      val sb = new java.lang.StringBuilder(raw.length)
-      var i = 0
-      while (i < raw.length) {
-        val c = raw.charAt(i)
-        if (c == '&') {
-          val (cp, next) = HtmlOps.decodeEntity(raw, i)
-          if (cp >= 0) { sb.appendCodePoint(cp); i = next }
-          else { sb.append('&'); i += 1 }
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
+    walkTags(html.toString) { (name, close, attrs) =>
+      if (!close && name == "a")
+        // FIRST valued href wins (a bare `href` with no value is not
+        // a link, matching the replay regexp's `href="…"` shape)
+        attrs.find(p => p._1 == "href" && p._2 != null).foreach {
+          case (_, v) => out += UTF8String.fromString(decodeAll(v))
+        }
     }
+    new GenericArrayData(out.toArray)
+  }
 
+  /** Entity-decode a raw attribute value (the [[HtmlOps.decodeEntity]]
+    * single pass over a standalone string).
+    */
+  private[functions] def decodeAll(raw: String): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '&') {
+        val (cp, next) = HtmlOps.decodeEntity(raw, i)
+        if (cp >= 0) { sb.appendCodePoint(cp); i = next }
+        else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The shared tag walk behind [[extractLinks]] and
+    * [[HtmlMetaOps.extractMeta]]: containers (comments, script/style
+    * bodies, declarations) skipped with [[HtmlOps.extractBlocks]]'s
+    * exact semantics, each remaining tag's attributes parsed
+    * quote-aware (name lowercased; valueless attrs carry null) and
+    * delivered to `onTag(name, isClose, attrs)` in document order.
+    * Attribute VALUES are raw — callers decode entities where the
+    * value's semantics need it.
+    */
+  private[functions] def walkTags(s: String)(
+      onTag: (String, Boolean, Seq[(String, String)]) => Unit): Unit = {
+    val n = s.length
     var i = 0
     while (i < n) {
       val c = s.charAt(i)
@@ -323,25 +346,22 @@ object HtmlLinks {
           if (k == j) i += 1 // literal '<'
           else {
             val name = s.substring(j, k).toLowerCase(java.util.Locale.ROOT)
-            // attribute walk to '>': quote-aware, capturing the first
-            // href of an OPEN <a>
+            // attribute walk to '>': quote-aware
             var m = k
             var endIdx = -1
-            var href: String = null
-            val wantHref = !close && name == "a"
+            val attrs = scala.collection.mutable.ArrayBuffer
+              .empty[(String, String)]
             while (m < n && endIdx < 0) {
               val ch = s.charAt(m)
               if (ch == '>') endIdx = m + 1
               else if (ch == '"' || ch == '\'') {
-                // a quoted value not consumed by attr parsing below
-                // (value without name) — skip it wholesale
+                // a quoted run with no attribute name — skip wholesale
                 val e = s.indexOf(ch, m + 1)
                 m = if (e < 0) n - 1 else e
                 m += 1
               } else if (ch == ' ' || ch == '\t' || ch == '\n' ||
                   ch == '\r' || ch == '/') m += 1
               else {
-                // attribute name
                 val a0 = m
                 while (m < n && {
                   val d = s.charAt(m)
@@ -350,7 +370,6 @@ object HtmlLinks {
                 }) m += 1
                 val aName = s.substring(a0, m)
                   .toLowerCase(java.util.Locale.ROOT)
-                // optional whitespace, then optional = value
                 var v: String = null
                 var p = m
                 while (p < n && (s.charAt(p) == ' ' || s.charAt(p) == '\t' ||
@@ -375,17 +394,14 @@ object HtmlLinks {
                     v = s.substring(v0, p)
                   }
                 }
-                if (wantHref && href == null && aName == "href" &&
-                  v != null) href = v
+                attrs += ((aName, v))
                 m = p
               }
             }
             if (endIdx < 0) endIdx = n
-            if (wantHref && href != null)
-              out += UTF8String.fromString(decodeAll(href))
+            onTag(name, close, attrs.toSeq)
             if (!close && (name == "script" || name == "style")) {
-              // self-closing check: char before '>' (quote-aware walk
-              // already consumed attrs, so this is the raw heuristic
+              // self-closing check: char before '>' (the raw heuristic
               // shared with extractBlocks)
               val selfClose = endIdx - 2 >= 0 && s.charAt(endIdx - 2) == '/'
               if (!selfClose && endIdx <= n && endIdx > 0 &&
@@ -402,7 +418,6 @@ object HtmlLinks {
         }
       } else i += 1
     }
-    new GenericArrayData(out.toArray)
   }
 
   private def indexOfIgnoreCaseLinks(s: String, target: String,
@@ -442,6 +457,86 @@ case class HtmlLinksOf(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression)
       : HtmlLinksOf = copy(child = newChild)
   override def prettyName: String = "graft_html_links"
+}
+
+/** Document-level metadata from markup — the fields a web-corpus
+  * builder keys routing and provenance on before any content rule
+  * runs. One [[HtmlLinks.walkTags]] pass; per field the FIRST
+  * occurrence wins (the replay regexp's first-match semantics):
+  *
+  *  - `lang`: the `lang` attribute of the first `<html …>` tag,
+  *    trimmed and lowercased (BCP 47 is case-insensitive);
+  *  - `charset`: the `charset` attribute of the first `<meta …>`
+  *    carrying one, trimmed and lowercased;
+  *  - `description`: the `content` of the first
+  *    `<meta name="description" …>` (name case-insensitive, attribute
+  *    order free), entity-decoded and whitespace-normalized like a
+  *    block text.
+  *
+  * Absent fields are null; the struct itself is null only for null
+  * markup. Meta tags inside comments/script/style never count (the
+  * container semantics of the shared walk).
+  */
+object HtmlMetaOps {
+  val MetaType: StructType = StructType(Seq(
+    StructField("lang", StringType, nullable = true),
+    StructField("charset", StringType, nullable = true),
+    StructField("description", StringType, nullable = true)))
+
+  def extractMeta(html: UTF8String): InternalRow = {
+    if (html == null) return null
+    var lang: String = null
+    var charset: String = null
+    var desc: String = null
+    HtmlLinks.walkTags(html.toString) { (name, close, attrs) =>
+      if (!close) {
+        if (name == "html" && lang == null)
+          attrs.find(p => p._1 == "lang" && p._2 != null).foreach(p =>
+            lang = HtmlLinks.decodeAll(p._2).trim
+              .toLowerCase(java.util.Locale.ROOT))
+        else if (name == "meta") {
+          if (charset == null)
+            attrs.find(p => p._1 == "charset" && p._2 != null).foreach(
+              p => charset = HtmlLinks.decodeAll(p._2).trim
+                .toLowerCase(java.util.Locale.ROOT))
+          if (desc == null &&
+              attrs.exists(p => p._1 == "name" && p._2 != null &&
+                p._2.equalsIgnoreCase("description")))
+            attrs.find(p => p._1 == "content" && p._2 != null).foreach(
+              p => desc = HtmlOps.normalizeWs(HtmlLinks.decodeAll(p._2)))
+        }
+      }
+    }
+    def u(v: String): Any =
+      if (v == null) null else UTF8String.fromString(v)
+    InternalRow(u(lang), u(charset), u(desc))
+  }
+}
+
+/** `graft_html_meta(html)`: `struct(lang, charset, description)` via
+  * [[HtmlMetaOps.extractMeta]] — scan-local, zero shuffle, codegen'd.
+  * Null markup → null.
+  */
+case class HtmlMetaOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlMetaOps.MetaType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlMetaOps.extractMeta(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"graft.functions.HtmlMetaOps.extractMeta($h)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HtmlMetaOf = copy(child = newChild)
+  override def prettyName: String = "graft_html_meta"
 }
 
 /** `graft_html_blocks(html)`: raw markup → `array<struct<tag, text,

@@ -452,6 +452,13 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_html_blocks takes (html)")
         HtmlBlocksOf(exprs.head)
       }),
+    (FunctionIdentifier("graft_html_meta"),
+      new ExpressionInfo(classOf[HtmlMetaOf].getName,
+        "graft_html_meta"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_html_meta takes (html)")
+        HtmlMetaOf(exprs.head)
+      }),
     (FunctionIdentifier("graft_html_links"),
       new ExpressionInfo(classOf[HtmlLinksOf].getName,
         "graft_html_links"),

@@ -96,6 +96,27 @@ object Html {
         col("__h").as("href"))
   }
 
+  /** Per-document metadata: `(id, lang, charset, description, title)`
+    * — the routing/provenance fields a corpus builder reads before
+    * any content rule ([[graft.functions.HtmlMetaOps]] for the
+    * attribute-borne three; `title` is the first `title`-labeled
+    * block's text, sharing [[blocks]]' normalization). All fields
+    * null when absent. One kernel pass per field family, zero
+    * shuffle.
+    */
+  def metadata(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        call_function("graft_html_meta", col(htmlCol)).as("__m"),
+        filter(call_function("graft_html_blocks", col(htmlCol)),
+          b => b.getField("tag") === "title").as("__t"))
+      .select(col(idCol), col("__m.lang").as("lang"),
+        col("__m.charset").as("charset"),
+        col("__m.description").as("description"),
+        when(size(col("__t")) > 0, element_at(col("__t"), 1)
+          .getField("text")).as("title"))
+  }
+
   /** Per-document clean text: kept blocks in document order joined
     * with `\n` (one block per line — exactly the shape
     * [[TextAnalysis.c4LineFilter]] consumes), plus kept/dropped

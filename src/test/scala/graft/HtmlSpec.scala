@@ -255,6 +255,50 @@ class HtmlSpec extends SparkSpec {
       replay == Seq("HTTP://X.com:80/p?b=2&a=1#f", "/rel", ""))
   }
 
+  private def meta(html: String): (String, String, String) = {
+    val r = graft.functions.HtmlMetaOps.extractMeta(
+      org.apache.spark.unsafe.types.UTF8String.fromString(html))
+    def f(i: Int) = if (r.isNullAt(i)) null else r.getUTF8String(i).toString
+    (f(0), f(1), f(2))
+  }
+
+  test("metadata: first occurrence wins per field, attribute order and " +
+      "case free, containers immune, absent fields null") {
+    assert(meta("<html LANG=\" EN \"><meta charset=\"UTF-8\">" +
+      "<meta content=\"a &amp; b   c\" name=\"Description\">" +
+      "<meta name=\"description\" content=\"loser\">") ==
+      (("en", "utf-8", "a & b c")))
+    // decoys in script/comment never count; a second <html> never
+    // overrides
+    assert(meta("<script>'<meta name=\"description\" content=\"f\">'" +
+      "</script><!--<html lang=\"xx\">--><html lang=\"ja\">" +
+      "<html lang=\"ko\"><meta name=\"description\" content=\"real\">")
+      == (("ja", null, "real")))
+    // absent everything; valueless attrs don't match
+    assert(meta("<p>no meta</p>") == ((null, null, null)))
+    assert(meta("<html lang><meta charset><meta name content=\"x\">") ==
+      ((null, null, null)))
+    assert(graft.functions.HtmlMetaOps.extractMeta(null) == null)
+  }
+
+  test("ops layer: Html.metadata frame incl. title from the block walk") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<html lang=\"en\"><head><title> T  one </title>" +
+        "<meta charset=\"u8\"><meta name=\"description\" " +
+        "content=\"d\"></head><body>x</body></html>"),
+      (2L, "<body><p>untitled</p></body>"))
+      .toDF("doc_id", "html")
+    val out = Html.metadata(df, "doc_id", "html").orderBy("doc_id")
+      .as[(Long, Option[String], Option[String], Option[String],
+        Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some("en"), Some("u8"), Some("d"), Some("T one")),
+      (2L, None, None, None, None)))
+    assert(!Html.metadata(df, "doc_id", "html").queryExecution
+      .executedPlan.toString.contains("Exchange"))
+  }
+
   test("ops layer: Html.links frame, zero exchange") {
     import spark.implicits._
     val df = Seq((7L, "<a href=\"/a\">a</a><a href=\"/b\">b</a>"))
