@@ -749,6 +749,49 @@ object StreamingOps {
     }
   }
 
+  /** Streaming WEB-ingest front: raw MARKUP in, curated text out —
+    * the q170 pipeline as a 24/7 admission service. Per micro-batch:
+    * [[graft.ops.Html.extractText]] (the scan-local block kernel +
+    * density/length/tag rules + per-doc reassembly),
+    * [[graft.ops.TextAnalysis.c4LineFilter]] line rules, a token-count
+    * floor on the surviving text, then corpus-digest dedup (the
+    * [[curationStream]] anti-join against `corpusDigests`' `__fp`
+    * md5 column) — only clean, novel documents reach the sink, with
+    * `kept_blocks`/`kept_lines`/`token_count` provenance attached.
+    * Every leg is the batch operator verbatim (parity spec); the only
+    * per-batch exchange is extractText's doc regroup, batch-sized.
+    */
+  def htmlCurationStream(stream: DataFrame, idCol: String,
+                         htmlCol: String, corpusDigests: DataFrame,
+                         minTokens: Long = 8L, minKeptLines: Int = 2,
+                         maxLinkDensity: Double =
+                           graft.ops.Html.DefaultMaxLinkDensity,
+                         minChars: Int = graft.ops.Html.DefaultMinChars,
+                         dropTags: Seq[String] =
+                           graft.ops.Html.DefaultDropTags)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val extracted = graft.ops.Html.extractText(mb.toDF(), idCol,
+          htmlCol, maxLinkDensity, minChars, dropTags)
+        val filtered = graft.ops.TextAnalysis.c4LineFilter(extracted,
+            idCol, "text", minKeptLines = minKeptLines)
+          .withColumn("token_count",
+            graft.ops.TextAnalysis.tokenCount(col("text")))
+          .filter(col("is_kept") && col("token_count") >= minTokens)
+        val fresh = filtered
+          .withColumn("__fp",
+            graft.ops.TextAnalysis.fingerprint(col("text")))
+          .join(corpusDigests, Seq("__fp"), "left_anti")
+          .drop("__fp")
+        sink(fresh.select(col(idCol), col("text"), col("kept_blocks"),
+          col("dropped_blocks"), col("kept_lines"), col("dropped_lines"),
+          col("token_count")), batchId)
+    }
+
   /** [[curationStreamDsir]] with MEDIA-signature dedup composed in —
     * the streaming twin of the q152 multimodal corpus build: admission
     * = classifier gate AND DSIR importance threshold, then text

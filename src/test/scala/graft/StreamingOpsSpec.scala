@@ -1580,6 +1580,64 @@ class StreamingOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("htmlCurationStream: markup in, curated text out — each gate " +
+      "fires on its own row; equals the composed batch legs") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = "<body><p>This first paragraph is long and ends " +
+      "cleanly.</p><p>The second paragraph also ends properly.</p>" +
+      "<nav><a href=\"/h\">Home page links</a></nav></body>"
+    // all-boilerplate: nav + link farm + short -> zero kept blocks
+    val boiler = "<nav><a>Home page</a> <a>About this site</a></nav>" +
+      "<div><a>only anchor text lives here</a></div><p>tiny</p>"
+    // survives extraction, fails C4 (no terminal punct anywhere)
+    val noPunct = "<body><p>heading style line without punctuation" +
+      "</p><p>another line missing its terminal mark</p></body>"
+    // clean but its EXTRACTED text is already in the corpus digests
+    val dupHtml = "<body><p>Known corpus paragraph ends here.</p>" +
+      "<p>Second known paragraph also ends here.</p></body>"
+    val dupText = "Known corpus paragraph ends here.\n" +
+      "Second known paragraph also ends here."
+    val digests = Seq(Tuple1(dupText)).toDF("t")
+      .select(graft.ops.TextAnalysis.fingerprint(col("t")).as("__fp"))
+    val rows = Seq((1L, good), (2L, boiler), (3L, noPunct),
+      (4L, dupHtml))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Map[Long, (String, Long, Long)]]()
+    val query = StreamingOps.htmlCurationStream(
+        input.toDF().toDF("doc_id", "html"), "doc_id", "html",
+        digests) { (res, id) =>
+      got.synchronized {
+        got(id) = res.select("doc_id", "text", "kept_blocks",
+            "kept_lines")
+          .as[(Long, String, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap }
+    }.option("checkpointLocation", tmpDir("html-cur-ckpt")).start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(got(0L).keySet == Set(1L))
+    assert(got(0L)(1L) == (("This first paragraph is long and ends " +
+      "cleanly.\nThe second paragraph also ends properly.", 2L, 2L)))
+    // parity: the composed batch legs land on the same admitted set
+    val batch = {
+      val ext = graft.ops.Html.extractText(rows.toDF("doc_id", "html"),
+        "doc_id", "html")
+      graft.ops.TextAnalysis.c4LineFilter(ext, "doc_id", "text",
+          minKeptLines = 2)
+        .withColumn("token_count",
+          graft.ops.TextAnalysis.tokenCount(col("text")))
+        .filter(col("is_kept") && col("token_count") >= 8L)
+        .withColumn("__fp",
+          graft.ops.TextAnalysis.fingerprint(col("text")))
+        .join(digests, Seq("__fp"), "left_anti")
+        .select("doc_id", "text", "kept_blocks", "kept_lines")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    }
+    assert(batch == got(0L))
+  }
+
   test("curationStreamMultimodal: classifier, DSIR, digest, and media " +
       "gates compose; equals the composed batch legs per batch") {
     implicit val sqlCtx = spark.sqlContext
