@@ -68,9 +68,25 @@ object HtmlStress {
           .agg(count(lit(1)), sum(length(col("text"))),
             sum(col("kept_blocks"))).head()
       }
+      val l = time(s"links  rep$rep") {
+        graft.ops.Html.links(corpus, "doc_id", "html")
+          .agg(count(lit(1)), sum(length(col("href")))).head()
+      }
+      val m = time(s"meta   rep$rep") {
+        graft.ops.Html.metadata(corpus, "doc_id", "html")
+          .agg(count(lit(1)),
+            sum(when(col("title").isNotNull, 1L).otherwise(0L))).head()
+      }
       println(s"MARKER rep$rep blocks=${b.getLong(0)} " +
         s"kept=${b.getLong(3)} docs=${t.getLong(0)} " +
-        s"kept2=${t.getLong(2)} text_chars=${t.getLong(1)}")
+        s"kept2=${t.getLong(2)} text_chars=${t.getLong(1)} " +
+        s"links=${l.getLong(0)} metas=${m.getLong(0)} " +
+        s"titled=${m.getLong(1)}")
+      // links per page: 2 nav + 6 inline = 8 exactly (the farm anchors
+      // carry no href — href-less anchors are not links); every page
+      // carries a title block
+      assert(l.getLong(0) == 8L * nDocs, s"links ${l.getLong(0)}")
+      assert(m.getLong(0) == nDocs && m.getLong(1) == nDocs)
       assert(b.getLong(0) == 10L * nDocs,
         s"expected ${10 * nDocs} blocks, got ${b.getLong(0)}")
       assert(b.getLong(3) == 6L * nDocs,
