@@ -111,10 +111,13 @@ object Bench {
       // shortened the q_key label — each a few entries of headroom at
       // 171 queries. The committed FILE keeps the full sf path;
       // parseCommitted's SF scoping reads that file, not this line.
+      // "q_unit":"cs" = centiseconds; keys are bare query numbers
+      // (collisions keep full names) — both documented in BASELINE.md;
+      // the q_key field was dropped at 174 queries for headroom
       val sfName = sfDir.stripSuffix("/").split('/').last
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec",""" +
         s""""sf":"$sfName","omitted":${results.size - keep},""" +
-        s""""q_unit":"centisec","q_key":"num",""" +
+        s""""q_unit":"cs",""" +
         s""""queries":{$qs}}"""
     }
     // largest slowest-first subset that fits; at most ~160 queries so the

@@ -132,7 +132,7 @@ class BenchHonestySpec extends SparkSpec {
     assert(line.contains("\"omitted\":0"),
       s"summary drops queries on the real suite: " +
         """"omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1)))
-    assert(line.contains("\"q_unit\":\"centisec\""))
+    assert(line.contains("\"q_unit\":\"cs\""))
     // HEADROOM: the suite grows every round (158 queries hit
     // omitted:1 at r15 before the note trim) — a synthetic suite 15
     // queries bigger than today's, with realistic multi-second values,
