@@ -642,6 +642,55 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id", "link_no")
     }),
 
+    // ---- robots.txt politeness gate (RFC 9309): per-host robots
+    //      bodies built by concatenation (star group on every host;
+    //      odd-numbered sources add a graftbot/otherbot group with a
+    //      per-host disallow), per-document frontier URLs whose path
+    //      case exercises every rule: prefix disallow, longer-allow
+    //      override, `*`+`$` anchored wildcard vs the .gift trap,
+    //      query-string participation, the named-group-shadows-star
+    //      divergence (private/gif allowed on graftbot hosts), the
+    //      allow-wins tie, and a host with no robots at all. The
+    //      oracle replays the full parse (line explode, group
+    //      windows, UA specificity) and every verdict. ----
+
+    "q175_robots_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val starBody =
+        "# corpus politeness\nUser-Agent: *\nDisallow: /private/\n" +
+        "Allow: /private/pub\nDisallow: /*.gif$\n" +
+        "Disallow: /search?q=\nCrawl-delay: 10\nDisallow:\n"
+      val hosts = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          concat(lit(starBody),
+            when(pmod(substring(col("source"), 4, 10).cast("long"),
+                lit(2)) === 1,
+              concat(lit("\nUser-agent: graftbot\n" +
+                "User-agent: otherbot\nDisallow: /tmp/\n" +
+                "Allow: /tmp/keep*\nDisallow: /src/"),
+                col("source"), lit("/\n")))
+              .otherwise(lit(""))).as("robots"))
+      val rules = graft.ops.Robots.rules(hosts, "host", "robots",
+        "graftbot")
+      val c = pmod(col("doc_id"), lit(8))
+      val path = when(c === 1,
+          when(col("lang") === "fr", lit("/search?q=fr"))
+            .otherwise(concat(lit("/public/"), col("lang"))))
+        .when(c === 2, lit("/private/docs"))
+        .when(c === 3, lit("/private/pub/x"))
+        .when(c === 4, lit("/img/pic.gif"))
+        .when(c === 5, lit("/img/pic.gift"))
+        .when(c === 6, when(col("lang") === "en", lit("/tmp/keep/x"))
+          .otherwise(lit("/tmp/drop/x")))
+        .otherwise(concat(lit("/src/"), col("source"), lit("/page")))
+      val urls = docs.select(col("doc_id"),
+        when(c === 0, lit("https://norobots.example.org/private/x"))
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com"), path)).as("url"))
+      graft.ops.Robots.gate(urls, "doc_id", "url", rules)
+        .orderBy("doc_id")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -1242,6 +1291,132 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private[graft] def textOracle: Map[String, String] = Map(
+
+      // RFC 9309 replayed end to end: robots bodies rebuilt by the
+      // same concatenation, line explode + comment strip + directive
+      // filter, group numbering via the lag/cumsum windows, UA
+      // specificity (prefix match on the product token, star at 0),
+      // the fixed metachar-escape chain to a regex per rule, and the
+      // longest-match / allow-tie / earliest-line verdict per URL.
+      "q175_robots_gate" ->
+        """WITH hosts AS (
+          |  SELECT DISTINCT source, source || '.example.com' AS host,
+          |    '# corpus politeness' || chr(10) || 'User-Agent: *'
+          |    || chr(10) || 'Disallow: /private/' || chr(10)
+          |    || 'Allow: /private/pub' || chr(10)
+          |    || 'Disallow: /*.gif$' || chr(10)
+          |    || 'Disallow: /search?q=' || chr(10)
+          |    || 'Crawl-delay: 10' || chr(10) || 'Disallow:' || chr(10)
+          |    || CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 1
+          |      THEN chr(10) || 'User-agent: graftbot' || chr(10)
+          |        || 'User-agent: otherbot' || chr(10)
+          |        || 'Disallow: /tmp/' || chr(10)
+          |        || 'Allow: /tmp/keep*' || chr(10)
+          |        || 'Disallow: /src/' || source || '/' || chr(10)
+          |      ELSE '' END AS robots
+          |  FROM documents),
+          |lines0 AS (
+          |  SELECT host,
+          |    CAST(unnest(range(1,
+          |      len(string_split(robots, chr(10))) + 1)) AS BIGINT)
+          |      AS line_no,
+          |    unnest(string_split(robots, chr(10))) AS raw
+          |  FROM hosts),
+          |kv AS (
+          |  SELECT host, line_no,
+          |    lower(trim(regexp_extract(
+          |      trim(regexp_replace(raw, '#.*', '', 'g')),
+          |      '^([^:]*):', 1))) AS key,
+          |    trim(regexp_extract(
+          |      trim(regexp_replace(raw, '#.*', '', 'g')),
+          |      '^[^:]*:(.*)', 1)) AS value
+          |  FROM lines0),
+          |drc AS (
+          |  SELECT host, line_no, key, value,
+          |    key = 'user-agent' AS is_ua
+          |  FROM kv
+          |  WHERE key IN ('user-agent', 'allow', 'disallow')
+          |    AND value <> ''),
+          |grp0 AS (
+          |  SELECT *, coalesce(lag(is_ua) OVER
+          |    (PARTITION BY host ORDER BY line_no), FALSE) AS prev_ua
+          |  FROM drc),
+          |grp AS (
+          |  SELECT host, line_no, key, value, is_ua,
+          |    sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY host ORDER BY line_no) AS group_id
+          |  FROM grp0),
+          |uam AS (
+          |  SELECT host, group_id,
+          |    CASE WHEN value = '*' THEN 0
+          |      WHEN starts_with('graftbot', lower(value))
+          |      THEN len(value) END AS match_len
+          |  FROM grp WHERE is_ua AND group_id > 0),
+          |sel AS (
+          |  SELECT DISTINCT u.host, u.group_id
+          |  FROM uam u JOIN (SELECT host, max(match_len) AS best
+          |    FROM uam GROUP BY 1) b
+          |    ON u.host = b.host AND u.match_len = b.best),
+          |rls AS (
+          |  SELECT g.host, g.line_no AS rule_no,
+          |    g.key = 'allow' AS allow, g.value AS pattern
+          |  FROM grp g JOIN sel s
+          |    ON g.host = s.host AND g.group_id = s.group_id
+          |  WHERE NOT g.is_ua AND g.group_id > 0),
+          |rx AS (
+          |  SELECT host, rule_no, allow, pattern,
+          |    '^' || replace(replace(replace(replace(replace(replace(
+          |      replace(replace(replace(replace(replace(replace(
+          |      replace(replace(
+          |        CASE WHEN ends_with(pattern, '$')
+          |          THEN substr(pattern, 1, len(pattern) - 1)
+          |          ELSE pattern END,
+          |      '\', '\\'), '.', '\.'), '+', '\+'), '?', '\?'),
+          |      '(', '\('), ')', '\)'), '[', '\['), ']', '\]'),
+          |      '{', '\{'), '}', '\}'), '|', '\|'), '^', '\^'),
+          |      '$', '\$'), '*', '.*')
+          |    || CASE WHEN ends_with(pattern, '$') THEN '$'
+          |       ELSE '' END AS rx
+          |  FROM rls),
+          |urls AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 8 = 0
+          |      THEN 'https://norobots.example.org/private/x'
+          |      ELSE 'https://' || source || '.example.com' ||
+          |        CASE doc_id % 8
+          |          WHEN 1 THEN CASE WHEN lang = 'fr'
+          |            THEN '/search?q=fr'
+          |            ELSE '/public/' || lang END
+          |          WHEN 2 THEN '/private/docs'
+          |          WHEN 3 THEN '/private/pub/x'
+          |          WHEN 4 THEN '/img/pic.gif'
+          |          WHEN 5 THEN '/img/pic.gift'
+          |          WHEN 6 THEN CASE WHEN lang = 'en'
+          |            THEN '/tmp/keep/x' ELSE '/tmp/drop/x' END
+          |          ELSE '/src/' || source || '/page' END
+          |    END AS url
+          |  FROM documents),
+          |parsed AS (
+          |  SELECT doc_id, url,
+          |    regexp_extract(url,
+          |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+          |    coalesce(nullif(regexp_extract(url,
+          |      '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1), ''), '/')
+          |      AS path
+          |  FROM urls),
+          |m AS (
+          |  SELECT p.doc_id, r.rule_no, r.allow, r.pattern
+          |  FROM parsed p JOIN rx r ON p.host = r.host
+          |    AND regexp_matches(p.path, r.rx)),
+          |best AS (
+          |  SELECT doc_id, allow, pattern FROM m
+          |  QUALIFY row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY len(pattern) DESC, allow DESC, rule_no ASC) = 1)
+          |SELECT p.doc_id, p.url, p.host, p.path,
+          |  coalesce(b.allow, TRUE) AS is_allowed,
+          |  b.allow AS rule_allow, b.pattern AS rule_pattern
+          |FROM parsed p LEFT JOIN best b ON p.doc_id = b.doc_id
+          |ORDER BY p.doc_id""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and URL admission (RFC 9309), the politeness
+  * gate of a web-crawl ingest front. Part of this repo's LLM-pipeline
+  * extension surface (the reference starts at already-fetched CSV
+  * text, `tfrecorder/input_processors.py`); upstream of
+  * [[graft.ops.Html]] the way a crawler runs it: frontier URL →
+  * robots verdict → fetch → extract.
+  *
+  * Everything is relational — line explode, window-numbered groups,
+  * regex-translated path rules — so a SQL engine can replay every
+  * parse step and every per-URL verdict exactly (the q166/q172
+  * oracle discipline). Semantics follow RFC 9309 with the documented
+  * choices:
+  *
+  *  - **Lines / directives**: records split on `\n` (a lone `\r`
+  *    before it is stripped), `#` comments removed, keys
+  *    case-insensitive. Only `user-agent` / `allow` / `disallow`
+  *    participate; other directives (`sitemap`, `crawl-delay`) and
+  *    malformed lines are ignored.
+  *  - **Groups**: a maximal run of consecutive `user-agent` lines
+  *    opens a group that owns the rule lines after it until the next
+  *    `user-agent` run (RFC 9309 §2.2.1). Rules before any
+  *    `user-agent` line belong to no group and are ignored.
+  *  - **Group selection** (per host, for a product token): a
+  *    `user-agent` value matches when it is `*` or a case-insensitive
+  *    PREFIX of the product token (the RFC's "beginning of the
+  *    product token" match). The crawler obeys the most specific
+  *    match: every group containing a value of the maximum match
+  *    length is selected (all of them — the RFC's multiple-group
+  *    combine), `*` groups only when no named value matches.
+  *  - **Empty values**: `Disallow:` with an empty value means
+  *    "nothing disallowed" (RFC 9309 §2.2.2) — empty-pattern rules
+  *    (and empty `user-agent` values) are dropped at parse.
+  *  - **Rule matching**: a rule pattern matches a URL's path+query
+  *    as a prefix; `*` matches any run of characters and a TRAILING
+  *    `$` anchors the end (both per RFC 9309 §2.2.3); any other
+  *    character — including an interior `$` — is literal. The
+  *    translation to a regex is a fixed replace chain
+  *    ([[Robots.patternRegex]]) an external engine reproduces
+  *    verbatim. Percent-encoding is compared as-is (no decode pass;
+  *    canonicalize URLs upstream via
+  *    [[TextAnalysis.canonicalizeUrl]]).
+  *  - **Precedence**: among matching rules the longest pattern (raw
+  *    characters, `*`/`$` included) wins; at equal length `allow`
+  *    beats `disallow` (RFC 9309 §2.2.2); any remaining tie goes to
+  *    the earliest line. No matching rule — or no rules at all for
+  *    the host — means ALLOWED (the RFC default).
+  *
+  * Scale shape: [[rules]] windows over (host, line_no) — robots
+  * bodies are per-host small by the format's contract, so the
+  * partition key is never skewed past one file's line count.
+  * [[gate]] is one equi-join on `host` (AQE broadcasts the rules side
+  * when the host universe is small; at web scale it is a plain
+  * shuffled join on a well-distributed key) plus one per-URL
+  * aggregate. URLs cross the wire twice (join + verdict regroup),
+  * robots text once at parse.
+  */
+object Robots {
+
+  /** Regex metacharacters escaped literally inside a rule pattern.
+    * Backslash first (so later escapes stay single), `*` deliberately
+    * absent (it becomes `.*`), `$` escaped here because only a
+    * TRAILING `$` is an anchor and that one is split off before this
+    * chain runs.
+    */
+  private val Metas: Seq[String] =
+    Seq("\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$")
+
+  /** The rule-pattern → anchored regex translation: strip one
+    * trailing `$` (remembering it), escape every regex metachar,
+    * `*` → `.*`, then `^` prefix + the optional `$` anchor. A pure
+    * replace chain — the oracle rebuilds it with the same fixed
+    * `replace` calls.
+    */
+  def patternRegex(pattern: Column): Column = {
+    val anchored = endswith(pattern, lit("$"))
+    val core = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val escaped = Metas.foldLeft(core)((c, m) =>
+      replace(c, lit(m), lit("\\" + m)))
+    concat(lit("^"), replace(escaped, lit("*"), lit(".*")),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Parse robots bodies and select the group(s) governing
+    * `userAgent`: one row per effective rule, `(host, rule_no,
+    * allow, pattern)` — `rule_no` is the 1-based line number in the
+    * body (unique per host, the deterministic tie-breaker).
+    *
+    * @param df        one row per host: `(hostCol, robotsCol)`
+    * @param userAgent the crawler's product token (e.g. "graftbot")
+    */
+  def rules(df: DataFrame, hostCol: String, robotsCol: String,
+            userAgent: String): DataFrame = {
+    require(userAgent.nonEmpty && !userAgent.contains("*"),
+      "userAgent must be a concrete product token")
+    val tok = userAgent.toLowerCase(java.util.Locale.ROOT)
+    val host = col(hostCol)
+
+    val lines = df.select(host.as("host"),
+        posexplode(split(replace(col(robotsCol), lit("\r"), lit("")),
+          "\n")).as(Seq("__p", "__raw")))
+      .select(col("host"), (col("__p") + 1).cast("long").as("line_no"),
+        trim(regexp_replace(col("__raw"), "#.*", "")).as("__line"))
+      .select(col("host"), col("line_no"),
+        lower(trim(regexp_extract(col("__line"), "^([^:]*):", 1)))
+          .as("key"),
+        trim(regexp_extract(col("__line"), "^[^:]*:(.*)", 1))
+          .as("value"))
+      .filter(col("key").isin("user-agent", "allow", "disallow") &&
+        col("value") =!= "")
+
+    val w = Window.partitionBy("host").orderBy("line_no")
+    val grouped = lines
+      .withColumn("is_ua", col("key") === "user-agent")
+      .withColumn("group_id",
+        sum(when(col("is_ua") &&
+          !coalesce(lag(col("is_ua"), 1).over(w), lit(false)), 1L)
+          .otherwise(0L)).over(w))
+      .filter(col("group_id") > 0)
+
+    // Which groups govern `tok`: match_len 0 for `*`, prefix length
+    // for a named value, null otherwise; the max over the host is the
+    // specificity bar and every group reaching it is selected.
+    val uaMatch = grouped.filter(col("is_ua"))
+      .select(col("host"), col("group_id"),
+        when(col("value") === "*", lit(0L))
+          .when(lit(tok).startsWith(lower(col("value"))),
+            length(col("value")).cast("long")).as("match_len"))
+    val best = uaMatch.groupBy("host")
+      .agg(max(col("match_len")).as("best_len"))
+    val selected = uaMatch.join(best, "host")
+      .filter(col("match_len") === col("best_len"))
+      .select("host", "group_id").distinct()
+
+    grouped.filter(!col("is_ua"))
+      .join(selected, Seq("host", "group_id"))
+      .select(col("host"), col("line_no").as("rule_no"),
+        (col("key") === "allow").as("allow"),
+        col("value").as("pattern"))
+  }
+
+  /** Per-URL robots verdict: the input row plus `host`, `path`
+    * (path+query, `/` when absent), `is_allowed`, and the winning
+    * rule's `rule_allow` / `rule_pattern` (null when no rule
+    * matched). URLs whose host has no rules — or no robots at all —
+    * are allowed. `urlCol` should already be canonical
+    * ([[TextAnalysis.canonicalizeUrl]]): the host extract is the
+    * [[TextAnalysis.urlHost]] one.
+    *
+    * @param rulesDf output of [[rules]] (or the same shape)
+    */
+  def gate(urls: DataFrame, idCol: String, urlCol: String,
+           rulesDf: DataFrame): DataFrame = {
+    val url = col(urlCol)
+    val withPath = urls.select(col(idCol), url.as("url"),
+      TextAnalysis.urlHost(url).as("host"),
+      coalesce(nullif(
+        regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)", 1),
+        lit("")), lit("/")).as("path"))
+    val r = rulesDf.select(col("host").as("__rhost"), col("rule_no"),
+      col("allow"), col("pattern"),
+      patternRegex(col("pattern")).as("__rx"))
+    withPath.join(r, withPath("host") === col("__rhost") &&
+        regexp_like(col("path"), col("__rx")), "left")
+      .groupBy(col(idCol), col("url"), col("host"), col("path"))
+      .agg(max(when(col("rule_no").isNotNull,
+        struct(length(col("pattern")).as("len"),
+          col("allow").as("allow"), (-col("rule_no")).as("neg_no"),
+          col("pattern").as("pattern")))).as("__best"))
+      .select(col(idCol), col("url"), col("host"), col("path"),
+        coalesce(col("__best.allow"), lit(true)).as("is_allowed"),
+        col("__best.allow").as("rule_allow"),
+        col("__best.pattern").as("rule_pattern"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Robots
+
+/** RFC 9309 semantics: grouping, group selection by UA specificity,
+  * longest-match precedence with the allow tie rule, wildcard/anchor
+  * pattern translation, and the allowed-by-default paths.
+  */
+class RobotsSpec extends SparkSpec {
+
+  private def rulesOf(body: String, ua: String): Seq[(Long, Boolean, String)] = {
+    val df = spark.createDataFrame(Seq(("h", body))).toDF("host", "robots")
+    Robots.rules(df, "host", "robots", ua)
+      .orderBy("rule_no")
+      .collect().toSeq
+      .map(r => (r.getLong(1), r.getBoolean(2), r.getString(3)))
+  }
+
+  private def verdict(body: String, url: String, ua: String)
+      : (Boolean, Option[String]) = {
+    val rules = Robots.rules(
+      spark.createDataFrame(Seq(
+        ("h.example.com", body))).toDF("host", "robots"),
+      "host", "robots", ua)
+    val urls = spark.createDataFrame(Seq((1L, url))).toDF("id", "url")
+    val row = Robots.gate(urls, "id", "url", rules).collect().head
+    (row.getAs[Boolean]("is_allowed"),
+      Option(row.getAs[String]("rule_pattern")))
+  }
+
+  private val body =
+    """# politeness file
+      |User-Agent: *
+      |Disallow: /private/
+      |Allow: /private/pub
+      |Disallow: /*.gif$
+      |Crawl-delay: 10
+      |Disallow:
+      |
+      |User-agent: graftbot
+      |User-agent: otherbot
+      |Disallow: /tmp/
+      |Allow: /tmp/keep*
+      |
+      |User-agent: graftbot-images
+      |Disallow: /
+      |""".stripMargin
+
+  test("parse: comments stripped, case-insensitive keys, empty values " +
+      "dropped, non-participating directives ignored, groups numbered") {
+    // star group rules (graftbot absent -> wildcard group governs)
+    assert(rulesOf(body, "randombot") == Seq(
+      (3L, false, "/private/"), (4L, true, "/private/pub"),
+      (5L, false, "/*.gif$")))
+  }
+
+  test("group selection: longest UA prefix wins over *, " +
+      "longer named value wins over shorter, prefix is directional") {
+    // graftbot matches 'graftbot' (8) but NOT 'graftbot-images'
+    // (a UA value longer than the token is not a prefix of it)
+    assert(rulesOf(body, "graftbot") == Seq(
+      (11L, false, "/tmp/"), (12L, true, "/tmp/keep*")))
+    // graftbot-images token matches both names; 15 > 8 wins
+    assert(rulesOf(body, "graftbot-images") == Seq((15L, false, "/")))
+    // multi-UA group: otherbot reaches the same group as graftbot
+    assert(rulesOf(body, "otherbot") == Seq(
+      (11L, false, "/tmp/"), (12L, true, "/tmp/keep*")))
+  }
+
+  test("group selection: every group at the best specificity is " +
+      "combined; rules before any user-agent line are ignored") {
+    val b =
+      """Disallow: /orphan/
+        |User-agent: graftbot
+        |Disallow: /a/
+        |User-agent: graftbot
+        |Disallow: /b/
+        |""".stripMargin
+    assert(rulesOf(b, "graftbot").map(_._3) == Seq("/a/", "/b/"))
+  }
+
+  test("matching: prefix by default, * wildcard, trailing $ anchor, " +
+      "interior $ literal, metacharacters literal") {
+    val b =
+      """User-agent: *
+        |Disallow: /*.gif$
+        |Disallow: /p+q/
+        |Disallow: /cash$money
+        |""".stripMargin
+    assert(verdict(b, "https://h.example.com/img/x.gif", "bot")._1 == false)
+    // $ anchors: .gift does NOT match
+    assert(verdict(b, "https://h.example.com/img/x.gift", "bot")._1 == true)
+    // regex metachars in patterns are literal
+    assert(verdict(b, "https://h.example.com/p+q/x", "bot")._1 == false)
+    assert(verdict(b, "https://h.example.com/ppq/x", "bot")._1 == true)
+    // interior $ is literal
+    assert(verdict(b, "https://h.example.com/cash$money/x", "bot")._1 == false)
+  }
+
+  test("precedence: longest pattern wins; allow beats disallow at " +
+      "equal length; no match or no rules means allowed") {
+    assert(verdict(body, "https://h.example.com/private/x", "graftbot")._1
+      == true) // graftbot group has no /private rule
+    assert(verdict(body, "https://h.example.com/private/x", "randombot")
+      == (false, Some("/private/")))
+    assert(verdict(body, "https://h.example.com/private/pub/x", "randombot")
+      == (true, Some("/private/pub")))
+    val tie =
+      """User-agent: *
+        |Disallow: /dir/
+        |Allow: /dir2/
+        |""".stripMargin
+    // /dir2/ (6) vs /dir/ (5): for path /dir2/... only allow matches
+    // anyway; force the real tie with equal-length patterns:
+    val tie2 =
+      """User-agent: *
+        |Disallow: /abc/
+        |Allow: /abc/
+        |""".stripMargin
+    assert(verdict(tie2, "https://h.example.com/abc/x", "bot")
+      == (true, Some("/abc/")))
+    assert(verdict(tie, "https://h.example.com/elsewhere", "bot")._1 == true)
+    // query string participates in the match
+    val q = "User-agent: *\nDisallow: /search?q=\n"
+    assert(verdict(q, "https://h.example.com/search?q=x", "bot")._1 == false)
+    assert(verdict(q, "https://h.example.com/search", "bot")._1 == true)
+  }
+
+  test("gate: hosts with no robots row are allowed; path defaults " +
+      "to / when the URL has none; fragments are excluded") {
+    val rules = Robots.rules(
+      spark.createDataFrame(Seq(("a.com", "User-agent: *\nDisallow: /")))
+        .toDF("host", "robots"), "host", "robots", "graftbot")
+    val urls = spark.createDataFrame(Seq(
+        (1L, "https://a.com/x"), (2L, "https://b.com/x"),
+        (3L, "https://b.com"), (4L, "https://a.com#frag")))
+      .toDF("id", "url")
+    val got = Robots.gate(urls, "id", "url", rules)
+      .orderBy("id").collect().toSeq
+      .map(r => (r.getLong(0), r.getAs[String]("path"),
+        r.getAs[Boolean]("is_allowed")))
+    assert(got == Seq((1L, "/x", false), (2L, "/x", true),
+      (3L, "/", true), (4L, "/", false)))
+  }
+
+  test("rules rejects wildcard or empty product tokens") {
+    val df = spark.createDataFrame(Seq(("h", "x"))).toDF("host", "robots")
+    intercept[IllegalArgumentException] {
+      Robots.rules(df, "host", "robots", "*")
+    }
+    intercept[IllegalArgumentException] {
+      Robots.rules(df, "host", "robots", "")
+    }
+  }
+}
