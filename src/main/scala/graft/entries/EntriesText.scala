@@ -691,6 +691,32 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- link-graph authority (the domain-rank curation signal):
+    //      a deterministic host graph derived from the corpus — every
+    //      host links the hub, a modular cross-edge fans hosts into
+    //      each other (self-loops included when the residue lands on
+    //      the source itself), every third document links the sink;
+    //      hub and sink never link out (two dangling nodes feeding
+    //      the pool). Three exact integer power iterations; the
+    //      oracle unrolls all three with the same floor divisions. ----
+
+    "q176_link_authority" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = concat(col("source"), lit(".example.com"))
+      val edges = docs.select(src.as("src"),
+          lit("hub.example.org").as("dst"))
+        .union(docs.select(src.as("src"),
+          concat(lit("src"), pmod(pmod(col("doc_id"), lit(97)),
+            lit(20)), lit(".example.com")).as("dst")))
+        .union(docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(src.as("src"), lit("sink.example.org").as("dst")))
+      graft.ops.LinkGraph.pageRankMicro(edges, "src", "dst",
+          iterations = 3)
+        .select(col("node").as("host"), col("rank_micro"),
+          col("in_deg"), col("out_deg"))
+        .orderBy("host")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -1417,6 +1443,65 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  b.allow AS rule_allow, b.pattern AS rule_pattern
           |FROM parsed p LEFT JOIN best b ON p.doc_id = b.doc_id
           |ORDER BY p.doc_id""".stripMargin,
+
+      // Three power iterations unrolled, every division a floor on
+      // non-negative integers: damped mass, per-edge fan-out split,
+      // dangling pool share — the same arithmetic in the same order.
+      "q176_link_authority" ->
+        """WITH e AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT source || '.example.com' AS src,
+          |      'hub.example.org' AS dst FROM documents
+          |    UNION ALL
+          |    SELECT source || '.example.com',
+          |      'src' || ((doc_id % 97) % 20) || '.example.com'
+          |      FROM documents
+          |    UNION ALL
+          |    SELECT source || '.example.com', 'sink.example.org'
+          |      FROM documents WHERE doc_id % 3 = 0)),
+          |nodes AS (SELECT src AS node FROM e
+          |  UNION SELECT dst FROM e),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+          |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS odeg
+          |  FROM e GROUP BY 1),
+          |ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS ideg
+          |  FROM e GROUP BY 1),
+          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+          |d1 AS (SELECT r.node, r.r * 850000 // 1000000 AS damped,
+          |    o.odeg FROM r0 r LEFT JOIN od o USING (node)),
+          |c1 AS (SELECT e.dst AS node, sum(d.damped // d.odeg) AS inc
+          |  FROM e JOIN d1 d ON e.src = d.node GROUP BY 1),
+          |p1 AS (SELECT coalesce(sum(damped), 0) AS pool
+          |  FROM d1 WHERE odeg IS NULL),
+          |r1 AS (SELECT nd.node, 150000
+          |    + (SELECT pool FROM p1) // (SELECT n_nodes FROM nn)
+          |    + coalesce(c.inc, 0) AS r
+          |  FROM nodes nd LEFT JOIN c1 c USING (node)),
+          |d2 AS (SELECT r.node, r.r * 850000 // 1000000 AS damped,
+          |    o.odeg FROM r1 r LEFT JOIN od o USING (node)),
+          |c2 AS (SELECT e.dst AS node, sum(d.damped // d.odeg) AS inc
+          |  FROM e JOIN d2 d ON e.src = d.node GROUP BY 1),
+          |p2 AS (SELECT coalesce(sum(damped), 0) AS pool
+          |  FROM d2 WHERE odeg IS NULL),
+          |r2 AS (SELECT nd.node, 150000
+          |    + (SELECT pool FROM p2) // (SELECT n_nodes FROM nn)
+          |    + coalesce(c.inc, 0) AS r
+          |  FROM nodes nd LEFT JOIN c2 c USING (node)),
+          |d3 AS (SELECT r.node, r.r * 850000 // 1000000 AS damped,
+          |    o.odeg FROM r2 r LEFT JOIN od o USING (node)),
+          |c3 AS (SELECT e.dst AS node, sum(d.damped // d.odeg) AS inc
+          |  FROM e JOIN d3 d ON e.src = d.node GROUP BY 1),
+          |p3 AS (SELECT coalesce(sum(damped), 0) AS pool
+          |  FROM d3 WHERE odeg IS NULL),
+          |r3 AS (SELECT nd.node, 150000
+          |    + (SELECT pool FROM p3) // (SELECT n_nodes FROM nn)
+          |    + coalesce(c.inc, 0) AS r
+          |  FROM nodes nd LEFT JOIN c3 c USING (node))
+          |SELECT r3.node AS host, r3.r AS rank_micro,
+          |  coalesce(ind.ideg, 0) AS in_deg,
+          |  coalesce(od.odeg, 0) AS out_deg
+          |FROM r3 LEFT JOIN ind USING (node) LEFT JOIN od USING (node)
+          |ORDER BY host""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.LinkGraph
+
+/** Exact-integer PageRank semantics: hand-computed two-iteration
+  * ranks on a 4-node graph with a dangling node, floor-division
+  * points included, edge dedup and degree reporting.
+  */
+class LinkGraphSpec extends SparkSpec {
+
+  // a→b, a→c, b→c, c→d; d dangles. A duplicate a→b row and a null
+  // row must not change anything.
+  private def edges = spark.createDataFrame(Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"),
+      ("a", "b"))).toDF("s", "d")
+    .union(spark.createDataFrame(Seq((null.asInstanceOf[String], "x")))
+      .toDF("s", "d"))
+
+  private def ranks(iters: Int): Map[String, (Long, Long, Long)] =
+    LinkGraph.pageRankMicro(edges, "s", "d", iterations = iters)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("one exact iteration: damping, fan-out splits, dangling pool") {
+    // r0 = 1e6 each; damped = 850000; a sends 425000 to b and c,
+    // b sends 850000 to c, c sends 850000 to d; pool (d) = 850000,
+    // share = 212500; base = 150000.
+    val r1 = ranks(1)
+    assert(r1("a") == ((362500L, 0L, 2L)))
+    assert(r1("b") == ((787500L, 1L, 1L)))
+    assert(r1("c") == ((1637500L, 2L, 1L)))
+    assert(r1("d") == ((1212500L, 1L, 0L)))
+    // null endpoints dropped entirely (no 'x' node)
+    assert(!r1.contains("x"))
+  }
+
+  test("second iteration hits the floor-division points exactly") {
+    // damped: a 308125, b 669375, c 1391875, d 1030625.
+    // a/2 = 154062 (floor of .5); pool share = 1030625/4 = 257656
+    // (floor of .25).
+    val r2 = ranks(2)
+    assert(r2("a")._1 == 407656L)
+    assert(r2("b")._1 == 561718L)
+    assert(r2("c")._1 == 1231093L)
+    assert(r2("d")._1 == 1799531L)
+  }
+
+  test("mass conservation up to floor leakage; parameter guards") {
+    val total = ranks(3).values.map(_._1).sum
+    // 4e6 total minus at most (out_deg + 2) micro per node-iteration
+    assert(total <= 4000000L && total >= 4000000L - 3 * 4 * 6)
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRankMicro(edges, "s", "d", 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.pageRankMicro(edges, "s", "d", 3, dampingMicro = 2000000L)
+    }
+  }
+}
