@@ -717,6 +717,101 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("host")
     }),
 
+    // ---- WARC container ingest (the wire format a CommonCrawl-
+    //      shaped corpus arrives in): per-document three-record WARC
+    //      files built by concatenation — warcinfo, request capture,
+    //      HTTP response wrapping the page markup (404s every 11th
+    //      document) — with Content-Length computed as OCTET length,
+    //      so the multibyte zh/de texts force byte-exact framing.
+    //      The kernel must walk the real bytes (the response payload
+    //      contains the \r\n\r\n terminator a split-scan trips on);
+    //      the oracle rebuilds every field from the same pieces. ----
+
+    "q177_warc_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crlf = "\r\n"
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id"))
+      val html = concat(lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val is404 = pmod(col("doc_id"), lit(11)) === 0
+      val infoPayload =
+        lit(s"software: graft${crlf}format: WARC File Format 1.1$crlf")
+      val reqPayload = concat(lit("GET /doc/"), col("doc_id"),
+        lit(s" HTTP/1.1${crlf}Host: "), col("source"),
+        lit(s".example.com${crlf}User-Agent: graftbot$crlf$crlf"))
+      val respPayload = concat(
+        when(is404, lit(s"HTTP/1.1 404 Not Found$crlf"))
+          .otherwise(lit(s"HTTP/1.1 200 OK$crlf")),
+        lit(s"Content-Type: text/html; charset=utf-8${crlf}X-Source: "),
+        col("source"), lit(s"$crlf$crlf"),
+        when(is404, lit("<html><body><p>gone</p></body></html>"))
+          .otherwise(html))
+      def record(no: Int, headers: org.apache.spark.sql.Column,
+                 payload: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        concat(lit(s"WARC/1.0${crlf}WARC-Record-ID: <urn:graft:"),
+          col("doc_id"), lit(s"-$no>$crlf"), headers,
+          lit("Content-Length: "),
+          octet_length(payload).cast("string"),
+          lit(s"$crlf$crlf"), payload, lit(s"$crlf$crlf"))
+      val warc = concat(
+        record(1, lit("WARC-Type: warcinfo" + crlf +
+          s"Content-Type: application/warc-fields$crlf"), infoPayload),
+        record(2, concat(lit("WARC-Type: request" + crlf +
+          "WARC-Target-URI: "), url, lit(crlf)), reqPayload),
+        record(3, concat(lit("WARC-Type: response" + crlf +
+          "WARC-Target-URI: "), url,
+          lit(crlf + "WARC-Date: 2026-08-16T00:00:00Z" + crlf +
+            s"Content-Type: application/http;msgtype=response$crlf")),
+          respPayload))
+      graft.ops.Warc.records(
+          docs.select(col("doc_id"), warc.as("warc")), "doc_id", "warc")
+        .orderBy("doc_id", "rec_no")
+    }),
+
+    // ---- crawl-frontier admission COMPOSED (the q172→q175 chain as
+    //      one operator): per-document outlinks — an absolute URL
+    //      with every canonicalization trap, root-relative paths
+    //      whose robots fate hangs on the language, a
+    //      protocol-relative CDN link, and three droppable hrefs
+    //      (mailto, bare relative, ftp) — resolved against the page,
+    //      canonicalized, URL-deduplicated, robots-gated (the fixed
+    //      3-line star body makes the parsed rules construction
+    //      constants the oracle states literally), and filtered
+    //      against the seen set (every /rel/en URL pre-crawled). ----
+
+    "q178_crawl_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pageUrl = concat(lit("https://"), col("source"),
+        lit(".example.com/dir/page"), pmod(col("doc_id"), lit(5)))
+      val c = pmod(col("doc_id"), lit(6))
+      val href = when(c === 0, concat(lit("HTTP://"), col("source"),
+          lit(".Example.COM:80/abs/"), col("lang"),
+          lit("?utm_source=x&b=2#f")))
+        .when(c === 1,
+          when(col("lang") === "de", lit("/private/x"))
+            .when(col("lang") === "es", lit("/private/pub/es"))
+            .otherwise(concat(lit("/rel/"), col("lang"))))
+        .when(c === 2, lit("//cdn.example.net/lib.js"))
+        .when(c === 3, lit("mailto:someone@example.com"))
+        .when(c === 4, lit("sub/page.html"))
+        .otherwise(lit("ftp://files.example.com/x"))
+      val links = docs.select(pageUrl.as("page_url"), href.as("href"))
+      val rules = graft.ops.Robots.rules(
+        docs.select(col("source")).distinct()
+          .select(concat(col("source"), lit(".example.com")).as("host"),
+            lit("User-agent: *\nDisallow: /private/\n" +
+              "Allow: /private/pub\n").as("robots")),
+        "host", "robots", "graftbot")
+      val seen = docs.select(col("source")).distinct()
+        .select(md5(concat(lit("https://"), col("source"),
+          lit(".example.com/rel/en")).cast("binary")).as("__fp"))
+      graft.ops.Robots.frontier(links, "page_url", "href", rules, seen)
+        .orderBy("url")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -1502,6 +1597,155 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  coalesce(od.odeg, 0) AS out_deg
           |FROM r3 LEFT JOIN ind USING (node) LEFT JOIN od USING (node)
           |ORDER BY host""".stripMargin,
+
+      // Every record field rebuilt from the construction pieces:
+      // content_length as strlen (BYTES — the multibyte texts make
+      // char counting fail loud), bodies per the HTTP-split rule,
+      // statuses from the 404 residue. The kernel side has no such
+      // shortcut: it recovers the same values only by framing the
+      // real bytes correctly.
+      "q177_warc_ingest" ->
+        """WITH base AS (
+          |  SELECT doc_id, source, text, c.crlf,
+          |    'https://' || source || '.example.com/doc/' || doc_id
+          |      AS url,
+          |    doc_id % 11 = 0 AS is404,
+          |    '<html><head><title>Doc ' || doc_id
+          |      || '</title></head><body><p>' || text
+          |      || '</p></body></html>' AS html
+          |  FROM documents, (SELECT chr(13) || chr(10) AS crlf) c),
+          |pay AS (
+          |  SELECT *,
+          |    'software: graft' || crlf
+          |      || 'format: WARC File Format 1.1' || crlf AS p1,
+          |    'GET /doc/' || doc_id || ' HTTP/1.1' || crlf
+          |      || 'Host: ' || source || '.example.com' || crlf
+          |      || 'User-Agent: graftbot' || crlf || crlf AS p2,
+          |    CASE WHEN is404 THEN 'HTTP/1.1 404 Not Found'
+          |      ELSE 'HTTP/1.1 200 OK' END || crlf
+          |      || 'Content-Type: text/html; charset=utf-8' || crlf
+          |      || 'X-Source: ' || source || crlf || crlf
+          |      || CASE WHEN is404
+          |        THEN '<html><body><p>gone</p></body></html>'
+          |        ELSE html END AS p3,
+          |    CASE WHEN is404
+          |      THEN '<html><body><p>gone</p></body></html>'
+          |      ELSE html END AS body3
+          |  FROM base)
+          |SELECT doc_id, CAST(1 AS BIGINT) AS rec_no,
+          |  'warcinfo' AS warc_type,
+          |  CAST(NULL AS VARCHAR) AS target_uri,
+          |  CAST(NULL AS VARCHAR) AS warc_date,
+          |  '<urn:graft:' || doc_id || '-1>' AS record_id,
+          |  'application/warc-fields' AS content_type,
+          |  CAST(strlen(p1) AS BIGINT) AS content_length,
+          |  CAST(NULL AS INTEGER) AS http_status,
+          |  CAST(NULL AS VARCHAR) AS http_content_type,
+          |  p1 AS body FROM pay
+          |UNION ALL
+          |SELECT doc_id, 2, 'request', url, NULL,
+          |  '<urn:graft:' || doc_id || '-2>', NULL,
+          |  CAST(strlen(p2) AS BIGINT), NULL, NULL, p2 FROM pay
+          |UNION ALL
+          |SELECT doc_id, 3, 'response', url, '2026-08-16T00:00:00Z',
+          |  '<urn:graft:' || doc_id || '-3>',
+          |  'application/http;msgtype=response',
+          |  CAST(strlen(p3) AS BIGINT),
+          |  CASE WHEN is404 THEN 404 ELSE 200 END,
+          |  'text/html; charset=utf-8', body3 FROM pay
+          |ORDER BY doc_id, rec_no""".stripMargin,
+
+      // The whole admission chain replayed: resolve CASE, the q93
+      // canonicalization CTEs, URL distinct, the robots verdict with
+      // the fixed body's rules stated as the construction constants
+      // they are (lines 2/3 of a 3-line star-only body, regexes from
+      // the same escape chain), and the md5 seen anti-join.
+      "q178_crawl_frontier" ->
+        """WITH links AS (
+          |  SELECT 'https://' || source || '.example.com/dir/page'
+          |      || (doc_id % 5) AS page_url,
+          |    CASE doc_id % 6
+          |      WHEN 0 THEN 'HTTP://' || source
+          |        || '.Example.COM:80/abs/' || lang
+          |        || '?utm_source=x&b=2#f'
+          |      WHEN 1 THEN CASE WHEN lang = 'de' THEN '/private/x'
+          |        WHEN lang = 'es' THEN '/private/pub/es'
+          |        ELSE '/rel/' || lang END
+          |      WHEN 2 THEN '//cdn.example.net/lib.js'
+          |      WHEN 3 THEN 'mailto:someone@example.com'
+          |      WHEN 4 THEN 'sub/page.html'
+          |      ELSE 'ftp://files.example.com/x' END AS href
+          |  FROM documents),
+          |resolved AS (
+          |  SELECT DISTINCT
+          |    CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+          |      THEN CASE WHEN regexp_matches(lower(href), '^https?:')
+          |        THEN href END
+          |    WHEN starts_with(href, '//')
+          |      THEN regexp_extract(page_url,
+          |        '^([a-z][a-z0-9+.-]*):', 1) || ':' || href
+          |    WHEN starts_with(href, '/')
+          |      THEN regexp_extract(page_url,
+          |        '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) || href
+          |    END AS u
+          |  FROM links),
+          |nn AS (SELECT u FROM resolved WHERE u IS NOT NULL),
+          |nofrag AS (SELECT u, regexp_replace(u, '#.*', '') AS nf
+          |  FROM nn),
+          |parts AS (SELECT u,
+          |    lower(regexp_extract(nf, '^[^/?#]*//[^/?#]*')) AS prefix,
+          |    regexp_extract(nf, '^[^/?#]*//[^/?#]*([^?#]*)', 1)
+          |      AS path0,
+          |    regexp_extract(nf, '\?([^#]*)', 1) AS q
+          |  FROM nofrag),
+          |kept AS (SELECT u, prefix, path0,
+          |    list_sort(list_filter(list_filter(
+          |      string_split(q, '&'), x -> len(x) > 0),
+          |      x -> NOT regexp_matches(x,
+          |        '^(utm_[^=]*|fbclid|gclid|dclid|gbraid|wbraid|msclkid|mc_eid|mc_cid|igshid|yclid|_ga|_gl)(=.*)?$')))
+          |      AS ks
+          |  FROM parts),
+          |canon AS (SELECT DISTINCT
+          |    CASE WHEN prefix = '' THEN u ELSE
+          |      regexp_replace(regexp_replace(prefix,
+          |        '^(https://[^/:]+):443$', '\1'),
+          |        '^(http://[^/:]+):80$', '\1')
+          |      || path0 ||
+          |      CASE WHEN len(ks) = 0 THEN ''
+          |        ELSE '?' || list_aggr(ks, 'string_agg', '&') END
+          |    END AS url
+          |  FROM kept),
+          |hosts AS (SELECT DISTINCT source || '.example.com' AS host
+          |  FROM documents),
+          |rules AS (
+          |  SELECT host, rule_no, allow, pattern, rx
+          |  FROM hosts CROSS JOIN (VALUES
+          |    (CAST(2 AS BIGINT), FALSE, '/private/', '^/private/'),
+          |    (CAST(3 AS BIGINT), TRUE, '/private/pub',
+          |      '^/private/pub'))
+          |    AS t(rule_no, allow, pattern, rx)),
+          |parsed AS (SELECT url,
+          |    regexp_extract(url,
+          |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+          |    coalesce(nullif(regexp_extract(url,
+          |      '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1), ''), '/')
+          |      AS path
+          |  FROM canon),
+          |m AS (SELECT p.url, r.rule_no, r.allow, r.pattern
+          |  FROM parsed p JOIN rules r ON p.host = r.host
+          |    AND regexp_matches(p.path, r.rx)),
+          |best AS (SELECT url, allow FROM m
+          |  QUALIFY row_number() OVER (PARTITION BY url
+          |    ORDER BY len(pattern) DESC, allow DESC, rule_no ASC) = 1),
+          |gated AS (SELECT p.url, p.host, p.path
+          |  FROM parsed p LEFT JOIN best b USING (url)
+          |  WHERE coalesce(b.allow, TRUE)),
+          |seen AS (SELECT DISTINCT
+          |    md5('https://' || source || '.example.com/rel/en') AS fp
+          |  FROM documents)
+          |SELECT g.url, g.host, g.path FROM gated g
+          |WHERE md5(g.url) NOT IN (SELECT fp FROM seen)
+          |ORDER BY g.url""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

@@ -466,6 +466,19 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_html_links takes (html)")
         HtmlLinksOf(exprs.head)
       }),
+    (FunctionIdentifier("graft_warc_records"),
+      new ExpressionInfo(classOf[WarcRecordsOf].getName,
+        "graft_warc_records"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_warc_records takes (warc)")
+        WarcRecordsOf(exprs.head)
+      }),
+    (FunctionIdentifier("graft_gunzip"),
+      new ExpressionInfo(classOf[GunzipOf].getName, "graft_gunzip"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_gunzip takes (binary)")
+        GunzipOf(exprs.head)
+      }),
     (FunctionIdentifier("graft_multi_contains"),
       new ExpressionInfo(classOf[MultiContainsOf].getName,
         "graft_multi_contains"),

@@ -1,0 +1,260 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC (ISO 28500) container parsing — the wire format every
+  * CommonCrawl-shaped web corpus arrives in, upstream of the HTML
+  * extraction front ([[HtmlOps]]): WARC bytes → records → HTTP
+  * response split → markup. Part of the LLM-pipeline extension
+  * surface (the reference ingests already-extracted CSV text).
+  *
+  * The parser is one linear walk over the raw bytes (the
+  * [[graft.ops.Audio]] / [[graft.ops.Video]] hand-parser discipline —
+  * no library, no backtracking):
+  *
+  *  - A record is `WARC/…` version line, header lines, an empty
+  *    line, exactly `Content-Length` payload BYTES, then blank-line
+  *    padding before the next record (any run of CR/LF accepted —
+  *    the spec mandates two CRLFs; real crawls contain both
+  *    endings). Header names are case-insensitive; values trim.
+  *  - `Content-Length` is the framing truth: payloads may contain
+  *    anything, including the `\r\n\r\n` sequences a split-based
+  *    scan would trip on. A record that frames past the end of the
+  *    input, a missing/invalid Content-Length, or a non-`WARC/`
+  *    version line ends the parse at that point: records BEFORE the
+  *    damage are returned (route-not-throw, the media-decoder
+  *    contract) — a corrupt tail never throws an executor.
+  *  - HTTP split: a payload starting with `HTTP/` is a response —
+  *    status = the integer after the first space of the status
+  *    line, `http_content_type` = its `Content-Type` header, `body`
+  *    = the bytes after the header terminator (`\r\n\r\n` or
+  *    `\n\n`), UTF-8 decoded. Any other payload (request captures,
+  *    warcinfo fields) lands whole in `body` with null HTTP fields.
+  *  - `content_length` reported is the HEADER value — by
+  *    construction also the framed byte count, so an external
+  *    engine can replay it as the byte length of the payload it
+  *    rebuilds.
+  *
+  * Scale shape: scan-local and codegen'd like the HTML kernels —
+  * WARC bytes cross the wire once (or never, when the kernel rides
+  * the binaryFile scan); the explode emits fixed-width fields plus
+  * the body text. Parallelism unit is the file (CommonCrawl ships
+  * ~64k ~1 GB segments per crawl — far more files than executors),
+  * each file one linear pass.
+  */
+object WarcOps {
+
+  val RecordType: StructType = StructType(Seq(
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("record_id", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("body", StringType, nullable = true)))
+
+  val RecordsType: ArrayType = ArrayType(RecordType, containsNull = false)
+
+  private def startsWithAscii(b: Array[Byte], p: Int, s: String): Boolean = {
+    if (p + s.length > b.length) return false
+    var i = 0
+    while (i < s.length) {
+      if (b(p + i) != s.charAt(i).toByte) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Next `\n` at or after `p`, or length. */
+  private def lineEnd(b: Array[Byte], p: Int): Int = {
+    var i = p
+    while (i < b.length && b(i) != '\n') i += 1
+    i
+  }
+
+  /** The line [p, lineEnd) as a string, trailing `\r` stripped. */
+  private def lineAt(b: Array[Byte], p: Int, e: Int): String = {
+    val stop = if (e > p && b(e - 1) == '\r') e - 1 else e
+    new String(b, p, stop - p, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def parseRecords(bytes: Array[Byte]): ArrayData = {
+    if (bytes == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val n = bytes.length
+    var p = 0
+    var ok = true
+    while (ok && p < n) {
+      while (p < n && (bytes(p) == '\r' || bytes(p) == '\n')) p += 1
+      if (p >= n) ok = false
+      else if (!startsWithAscii(bytes, p, "WARC/")) ok = false
+      else {
+        // version line
+        var e = lineEnd(bytes, p)
+        p = math.min(e + 1, n)
+        // header block until the empty line
+        var warcType: String = null
+        var uri: String = null
+        var date: String = null
+        var recId: String = null
+        var cType: String = null
+        var cLen: Long = -1L
+        var inHeaders = true
+        while (inHeaders && p < n) {
+          e = lineEnd(bytes, p)
+          val line = lineAt(bytes, p, e)
+          p = math.min(e + 1, n)
+          if (line.isEmpty) inHeaders = false
+          else {
+            val c = line.indexOf(':')
+            if (c > 0) {
+              val k = line.substring(0, c).trim
+                .toLowerCase(java.util.Locale.ROOT)
+              val v = line.substring(c + 1).trim
+              k match {
+                case "warc-type" => warcType = v
+                case "warc-target-uri" => uri = v
+                case "warc-date" => date = v
+                case "warc-record-id" => recId = v
+                case "content-type" => cType = v
+                case "content-length" =>
+                  cLen = try v.toLong catch { case _: Exception => -1L }
+                case _ =>
+              }
+            }
+          }
+        }
+        if (inHeaders || cLen < 0L || p + cLen > n) ok = false
+        else {
+          val payloadStart = p
+          val payloadEnd = p + cLen.toInt
+          p = payloadEnd
+          var status: java.lang.Integer = null
+          var httpCt: String = null
+          var bodyStart = payloadStart
+          if (startsWithAscii(bytes, payloadStart, "HTTP/")) {
+            // status line
+            var he = lineEnd(bytes, payloadStart)
+            val statusLine = lineAt(bytes, payloadStart, he)
+            val sp1 = statusLine.indexOf(' ')
+            if (sp1 > 0) {
+              val rest = statusLine.substring(sp1 + 1).trim
+              val sp2 = rest.indexOf(' ')
+              val tok = if (sp2 > 0) rest.substring(0, sp2) else rest
+              try status = Integer.valueOf(tok.trim.toInt)
+              catch { case _: Exception => }
+            }
+            var hp = math.min(he + 1, payloadEnd)
+            var inHttp = true
+            while (inHttp && hp < payloadEnd) {
+              he = math.min(lineEnd(bytes, hp), payloadEnd)
+              val line = lineAt(bytes, hp, he)
+              hp = math.min(he + 1, payloadEnd)
+              if (line.isEmpty) inHttp = false
+              else {
+                val c = line.indexOf(':')
+                if (c > 0 && line.substring(0, c).trim
+                    .equalsIgnoreCase("content-type"))
+                  httpCt = line.substring(c + 1).trim
+              }
+            }
+            bodyStart = if (inHttp) payloadEnd else hp
+          }
+          def u(v: String): Any =
+            if (v == null) null else UTF8String.fromString(v)
+          out += InternalRow(u(warcType), u(uri), u(date), u(recId),
+            u(cType), cLen, status,
+            u(httpCt),
+            UTF8String.fromBytes(bytes, bodyStart,
+              payloadEnd - bodyStart))
+        }
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  def parseRecordsAny(input: Any): ArrayData = input match {
+    case null => null
+    case u: UTF8String => parseRecords(u.getBytes)
+    case b: Array[Byte] => parseRecords(b)
+  }
+
+  /** Multi-member gzip decode (CommonCrawl gzips each WARC record as
+    * its own member; `GZIPInputStream` walks concatenated members).
+    * Null/corrupt input → null (route-not-throw).
+    */
+  def gunzip(input: Array[Byte]): Array[Byte] = {
+    if (input == null || input.isEmpty) return null
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(input), 65536)
+      val out = new java.io.ByteArrayOutputStream(input.length * 4)
+      val buf = new Array[Byte](65536)
+      var r = in.read(buf)
+      while (r >= 0) {
+        out.write(buf, 0, r)
+        r = in.read(buf)
+      }
+      out.toByteArray
+    } catch { case _: java.io.IOException => null }
+  }
+}
+
+/** `graft_warc_records(warc)`: WARC bytes (binary or string) →
+  * `array<struct<…>>` records via [[WarcOps.parseRecords]] —
+  * scan-local, zero shuffle, codegen'd (static-call body). Null
+  * input → null.
+  */
+case class WarcRecordsOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WarcOps.RecordsType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string or binary column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WarcOps.parseRecordsAny(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, w =>
+      s"graft.functions.WarcOps.parseRecordsAny($w)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WarcRecordsOf = copy(child = newChild)
+  override def prettyName: String = "graft_warc_records"
+}
+
+/** `graft_gunzip(binary)`: multi-member gzip decode via
+  * [[WarcOps.gunzip]]; null on corrupt input.
+  */
+case class GunzipOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a binary column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WarcOps.gunzip(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.WarcOps.gunzip($b)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : GunzipOf = copy(child = newChild)
+  override def prettyName: String = "graft_gunzip"
+}

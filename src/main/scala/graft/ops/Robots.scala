@@ -145,6 +145,37 @@ object Robots {
         col("value").as("pattern"))
   }
 
+  /** Crawl-frontier admission, the composition a crawler runs on
+    * every fetched page's outlinks: href → absolute URL
+    * ([[TextAnalysis.resolveHref]] — non-http(s) and relative-path
+    * hrefs drop), tracking-stripped canonicalization
+    * ([[TextAnalysis.canonicalizeUrl]]), URL-level dedup, robots
+    * verdict ([[gate]]), then the unseen filter (md5-digest
+    * anti-join against `seenDigests`' `__fp` column — the
+    * curation-stream corpus-digest convention). Returns the admitted
+    * frontier: distinct `(url, host, path)`.
+    *
+    * Scale shape: one distinct on canonical URLs (the dedup a
+    * frontier needs anyway), the [[gate]] join + verdict regroup,
+    * one anti-join — all keyed on well-distributed URL/host keys;
+    * page text never enters (the input is the links table).
+    */
+  def frontier(links: DataFrame, pageUrlCol: String, hrefCol: String,
+               rulesDf: DataFrame, seenDigests: DataFrame): DataFrame = {
+    val resolved = links.select(
+        TextAnalysis.canonicalizeUrl(
+          TextAnalysis.resolveHref(col(pageUrlCol), col(hrefCol)),
+          stripTracking = true).as("url"))
+      .filter(col("url").isNotNull)
+      .distinct()
+    gate(resolved.select(col("url").as("__uid"), col("url")),
+        "__uid", "url", rulesDf)
+      .filter(col("is_allowed"))
+      .withColumn("__fp", md5(col("url").cast("binary")))
+      .join(seenDigests.select(col("__fp")), Seq("__fp"), "left_anti")
+      .select(col("url"), col("host"), col("path"))
+  }
+
   /** Per-URL robots verdict: the input row plus `host`, `path`
     * (path+query, `/` when absent), `is_allowed`, and the winning
     * rule's `rule_allow` / `rule_pattern` (null when no rule

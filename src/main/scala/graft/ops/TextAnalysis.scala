@@ -766,6 +766,26 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
   def urlHost(canonicalUrl: Column): Column =
     regexp_extract(canonicalUrl, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
 
+  /** Resolve an extracted href against its page URL, crawl-frontier
+    * style — the subset of RFC 3986 resolution a frontier actually
+    * admits, as pure Column logic an external engine replays as one
+    * CASE: an absolute `http(s)` URL passes through (any OTHER
+    * scheme — mailto, javascript, ftp — resolves to null, dropped);
+    * a protocol-relative `//host/…` takes the page's scheme; a
+    * root-relative `/…` takes the page's origin. Everything else —
+    * relative paths, bare fragments, empty hrefs — is null: resolving
+    * dot-segments against the page path buys little frontier coverage
+    * at the cost of replayability, the documented trade.
+    */
+  def resolveHref(pageUrl: Column, href: Column): Column = {
+    val scheme = regexp_extract(pageUrl, "^([a-z][a-z0-9+.-]*):", 1)
+    val origin = regexp_extract(pageUrl, "^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
+        when(lower(href).rlike("^https?:"), href))
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(origin, href))
+  }
+
   /** Last-two-label apex domain of a host — the per-SITE cap key where
     * [[urlHost]] is the per-host one. A heuristic, not the public
     * suffix list (which is data, not an algorithm): `a.co.uk` yields

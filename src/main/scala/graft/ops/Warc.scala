@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC ingest (DataFrame layer over the
+  * [[graft.functions.WarcOps]] kernel): the front door for
+  * CommonCrawl-shaped corpora — WARC files → records → HTTP
+  * responses → [[Html]] extraction → the line/quality gates.
+  *
+  * Scale shape: [[records]] is a scan-local kernel projection +
+  * posexplode (zero joins, zero shuffle — WARC bytes cross the wire
+  * at most once, and not at all when the kernel rides the
+  * binaryFile scan in [[readWarcFiles]]). Files are the parallelism
+  * unit — a crawl ships tens of thousands — and each file is one
+  * linear parse. [[responses]] is the same plan plus a filter that
+  * reaches the Generate.
+  */
+object Warc {
+
+  /** One row per WARC record: `(id, rec_no, warc_type, target_uri,
+    * warc_date, record_id, content_type, content_length,
+    * http_status, http_content_type, body)` — `rec_no` 1-based in
+    * file order. `warcCol` may be string or binary.
+    */
+  def records(df: DataFrame, idCol: String, warcCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        posexplode(call_function("graft_warc_records", col(warcCol)))
+          .as(Seq("__p", "__r")))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("rec_no"),
+        col("__r.warc_type").as("warc_type"),
+        col("__r.target_uri").as("target_uri"),
+        col("__r.warc_date").as("warc_date"),
+        col("__r.record_id").as("record_id"),
+        col("__r.content_type").as("content_type"),
+        col("__r.content_length").as("content_length"),
+        col("__r.http_status").as("http_status"),
+        col("__r.http_content_type").as("http_content_type"),
+        col("__r.body").as("body"))
+  }
+
+  /** The fetch-result table an ingest front consumes: `response`
+    * records only, `(id, rec_no, target_uri, warc_date, http_status,
+    * http_content_type, body)`.
+    */
+  def responses(df: DataFrame, idCol: String, warcCol: String): DataFrame =
+    records(df, idCol, warcCol)
+      .filter(lower(col("warc_type")) === "response")
+      .select(col(idCol), col("rec_no"), col("target_uri"),
+        col("warc_date"), col("http_status"), col("http_content_type"),
+        col("body"))
+
+  /** Read `.warc` / `.warc.gz` files (glob) into records —
+    * binaryFile scan, per-file gunzip (multi-member, the
+    * one-member-per-record CommonCrawl layout), kernel parse. One
+    * row per record with the source `path` carried as the id.
+    */
+  def readWarcFiles(spark: SparkSession, glob: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val files = spark.read.format("binaryFile").load(glob)
+      .select(col("path"),
+        when(col("path").endsWith(".gz"),
+          call_function("graft_gunzip", col("content")))
+          .otherwise(col("content")).as("warc"))
+    records(files, "path", "warc")
+  }
+}

@@ -792,6 +792,36 @@ object StreamingOps {
           col("token_count")), batchId)
     }
 
+  /** Streaming crawl-frontier front, the loop-closing leg of the
+    * web-ingest story: fetched pages (url + markup) in, admitted
+    * NOVEL frontier URLs out. Per micro-batch, the batch operators
+    * verbatim: [[graft.ops.Html.links]] (scan-local href kernel,
+    * keyed by the page URL so resolution context rides along) →
+    * [[graft.ops.Robots.frontier]] (resolve → canonicalize →
+    * URL dedup → robots verdict against the caller's parsed rules →
+    * seen-digest anti-join). `rulesDf`/`seenDigests` re-evaluate per
+    * batch — back them with parquet the caller appends (sink the
+    * admitted URLs' digests back to the seen store) and the frontier
+    * stays novel across batches, the artifact-backed convention of
+    * every admission front here. Parity with the composed batch legs
+    * is by construction; the spec pins each gate.
+    */
+  def crawlFrontierStream(stream: DataFrame, pageUrlCol: String,
+                          htmlCol: String, rulesDf: DataFrame,
+                          seenDigests: DataFrame)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val links = graft.ops.Html.links(
+          mb.toDF().select(col(pageUrlCol), col(htmlCol)),
+          pageUrlCol, htmlCol)
+        sink(graft.ops.Robots.frontier(links, pageUrlCol, "href",
+          rulesDf, seenDigests), batchId)
+    }
+
   /** [[curationStreamDsir]] with MEDIA-signature dedup composed in —
     * the streaming twin of the q152 multimodal corpus build: admission
     * = classifier gate AND DSIR importance threshold, then text

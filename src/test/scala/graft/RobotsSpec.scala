@@ -144,6 +144,36 @@ class RobotsSpec extends SparkSpec {
       (3L, "/", true), (4L, "/", false)))
   }
 
+  test("frontier: resolve rules (abs http passes, other schemes and " +
+      "relative paths drop), canonicalization, robots verdict, URL " +
+      "dedup, seen filter") {
+    val rules = Robots.rules(spark.createDataFrame(Seq(
+        ("a.com", "User-agent: *\nDisallow: /private/\n" +
+          "Allow: /private/pub\n"))).toDF("host", "robots"),
+      "host", "robots", "graftbot")
+    val links = spark.createDataFrame(Seq(
+        ("https://a.com/page", "HTTP://A.COM:80/x?utm_source=t&b=1#f"),
+        ("https://a.com/page", "/private/x"),
+        ("https://a.com/page", "/private/pub/ok"),
+        ("https://a.com/page", "//cdn.b.net/l.js"),
+        ("https://a.com/page", "mailto:x@a.com"),
+        ("https://a.com/page", "javascript:void(0)"),
+        ("https://a.com/page", "rel/path.html"),
+        ("https://a.com/page", "/seen"),
+        ("https://a.com/page2", "/seen")))
+      .toDF("page_url", "href")
+    val seen = spark.createDataFrame(Seq(Tuple1("https://a.com/seen")))
+      .toDF("u")
+      .select(md5(col("u").cast("binary")).as("__fp"))
+    val got = Robots.frontier(links, "page_url", "href", rules, seen)
+      .orderBy("url").collect().toSeq
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got == Seq(
+      ("http://a.com/x?b=1", "a.com"),
+      ("https://a.com/private/pub/ok", "a.com"),
+      ("https://cdn.b.net/l.js", "cdn.b.net")))
+  }
+
   test("rules rejects wildcard or empty product tokens") {
     val df = spark.createDataFrame(Seq(("h", "x"))).toDF("host", "robots")
     intercept[IllegalArgumentException] {

@@ -1638,6 +1638,44 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == got(0L))
   }
 
+  test("crawlFrontierStream: href kernel + resolve + robots + seen " +
+      "gates per batch; equals the composed batch legs") {
+    implicit val sqlCtx = spark.sqlContext
+    val rules = graft.ops.Robots.rules(
+      Seq(("site.com", "User-agent: *\nDisallow: /private/\n"))
+        .toDF("host", "robots"), "host", "robots", "graftbot")
+    val seen = Seq(Tuple1("https://site.com/seen1")).toDF("u")
+      .select(md5(col("u").cast("binary")).as("__fp"))
+    val pages = Seq(
+      ("https://site.com/a",
+        "<p><a href=\"/new1\">x</a> <a href=\"/private/p\">y</a></p>"),
+      ("https://site.com/b",
+        "<p><a href=\"/new1\">dup</a> <a href=\"/seen1\">z</a> " +
+        "<a href=\"mailto:m@x\">m</a> <a href=\"/new2\">w</a></p>"))
+    val input = MemoryStream[(String, String)]
+    val got = scala.collection.mutable.Map[Long, Set[String]]()
+    val query = StreamingOps.crawlFrontierStream(
+        input.toDF().toDF("page_url", "html"), "page_url", "html",
+        rules, seen) { (res, id) =>
+      got.synchronized { got(id) = res.select("url").as[String]
+        .collect().toSet }
+    }.option("checkpointLocation", tmpDir("frontier-ckpt")).start()
+    try {
+      input.addData(pages: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // /new1 admitted ONCE (URL dedup across pages), /new2 admitted,
+    // /private/p robots-blocked, /seen1 seen-killed, mailto dropped
+    assert(got(0L) ==
+      Set("https://site.com/new1", "https://site.com/new2"))
+    // parity: the composed batch legs
+    val batch = graft.ops.Robots.frontier(
+        graft.ops.Html.links(pages.toDF("page_url", "html"),
+          "page_url", "html"), "page_url", "href", rules, seen)
+      .select("url").as[String].collect().toSet
+    assert(batch == got(0L))
+  }
+
   test("curationStreamMultimodal: classifier, DSIR, digest, and media " +
       "gates compose; equals the composed batch legs per batch") {
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.WarcOps
+import graft.ops.Warc
+
+/** WARC parse semantics: Content-Length framing (payloads containing
+  * header-terminator bytes and fake version lines), HTTP response
+  * split, lenient inter-record padding, route-not-throw on corrupt
+  * tails, multi-member gunzip, and the file-read path.
+  */
+class WarcSpec extends SparkSpec {
+
+  private def rec(headers: Seq[(String, String)], payload: String): String = {
+    val h = headers.map { case (k, v) => s"$k: $v\r\n" }.mkString
+    val bytes = payload.getBytes("UTF-8").length
+    s"WARC/1.0\r\n${h}Content-Length: $bytes\r\n\r\n$payload\r\n\r\n"
+  }
+
+  private val htmlBody = "<html><body><p>seen &amp; kept — 三体</p></body></html>"
+  private val responsePayload =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+    "X-Trap: WARC/1.0\r\n\r\n" + htmlBody
+  private val warc =
+    rec(Seq("WARC-Type" -> "warcinfo",
+        "Content-Type" -> "application/warc-fields"),
+      "software: graft\r\n") +
+    rec(Seq("WARC-Type" -> "request",
+        "WARC-Target-URI" -> "https://h.example.com/p"),
+      "GET /p HTTP/1.1\r\nHost: h.example.com\r\n\r\n") +
+    rec(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://h.example.com/p",
+        "WARC-Date" -> "2026-08-16T00:00:00Z",
+        "WARC-Record-ID" -> "<urn:uuid:1>"),
+      responsePayload)
+
+  private def parse(w: String) = {
+    val df = spark.createDataFrame(Seq((1L, w))).toDF("id", "warc")
+    Warc.records(df, "id", "warc").orderBy("rec_no").collect().toSeq
+  }
+
+  test("three-record file: fields, byte-exact content_length for a " +
+      "multibyte payload, HTTP split only on HTTP/ payloads") {
+    val rows = parse(warc)
+    assert(rows.map(_.getAs[String]("warc_type")) ==
+      Seq("warcinfo", "request", "response"))
+    val info = rows(0)
+    assert(info.getAs[String]("target_uri") == null)
+    assert(info.getAs[String]("content_type") == "application/warc-fields")
+    assert(info.getAs[Long]("content_length") == 17L)
+    assert(info.getAs[String]("body") == "software: graft\r\n")
+    assert(info.getAs[Any]("http_status") == null)
+    val req = rows(1)
+    assert(req.getAs[String]("target_uri") == "https://h.example.com/p")
+    // request payloads are NOT HTTP-split (they don't start HTTP/)
+    assert(req.getAs[Any]("http_status") == null)
+    assert(req.getAs[String]("body").startsWith("GET /p HTTP/1.1"))
+    val resp = rows(2)
+    assert(resp.getAs[Int]("http_status") == 200)
+    assert(resp.getAs[String]("http_content_type") ==
+      "text/html; charset=utf-8")
+    assert(resp.getAs[String]("body") == htmlBody)
+    assert(resp.getAs[Long]("content_length") ==
+      responsePayload.getBytes("UTF-8").length)
+    assert(resp.getAs[String]("warc_date") == "2026-08-16T00:00:00Z")
+    assert(resp.getAs[String]("record_id") == "<urn:uuid:1>")
+  }
+
+  test("framing is Content-Length, not delimiter scan: payloads " +
+      "carrying \\r\\n\\r\\n and fake WARC/ lines do not split") {
+    // the response payload contains \r\n\r\n (HTTP terminator) and
+    // the header value trap 'WARC/1.0'; all three records survive
+    assert(parse(warc).size == 3)
+    // a payload that IS a fake warc record, framed correctly
+    val trap = rec(Seq("WARC-Type" -> "resource"),
+      "WARC/1.0\r\nWARC-Type: fake\r\nContent-Length: 0\r\n\r\n")
+    val rows = parse(trap + rec(Seq("WARC-Type" -> "metadata"), "x"))
+    assert(rows.map(_.getAs[String]("warc_type")) ==
+      Seq("resource", "metadata"))
+  }
+
+  test("route-not-throw: truncated tail, bad length, or a non-WARC " +
+      "head stop the parse at the damage; records before it survive") {
+    val good = rec(Seq("WARC-Type" -> "metadata"), "ok")
+    val truncated = good +
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    assert(parse(truncated).map(_.getAs[String]("warc_type")) ==
+      Seq("metadata"))
+    val badLen = good +
+      "WARC/1.0\r\nWARC-Type: x\r\nContent-Length: zap\r\n\r\n"
+    assert(parse(badLen).size == 1)
+    val noLen = good + "WARC/1.0\r\nWARC-Type: x\r\n\r\nbody"
+    assert(parse(noLen).size == 1)
+    assert(parse("HTTP/1.1 200 OK\r\n\r\n").isEmpty)
+    // null input → null array → zero rows from the explode
+    val df = spark.createDataFrame(Seq((1L, null.asInstanceOf[String])))
+      .toDF("id", "warc")
+    assert(Warc.records(df, "id", "warc").count() == 0L)
+  }
+
+  test("lenient endings: LF-only header lines and single-CRLF " +
+      "inter-record padding parse; header names case-insensitive") {
+    val lf = "WARC/1.0\nwarc-type: METADATA\ncontent-length: 2\n\nhi\n" +
+      "WARC/1.0\nWARC-TYPE: resource\nContent-Length: 0\n\n"
+    val rows = parse(lf)
+    assert(rows.map(r => (r.getAs[String]("warc_type"),
+      r.getAs[String]("body"))) ==
+      Seq(("METADATA", "hi"), ("resource", "")))
+  }
+
+  test("gunzip: multi-member streams concatenate; corrupt input is " +
+      "null; the file-read path parses .warc and .warc.gz") {
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bo.toByteArray
+    }
+    val two = gz("hello ") ++ gz("world")
+    assert(new String(WarcOps.gunzip(two), "UTF-8") == "hello world")
+    assert(WarcOps.gunzip("nope".getBytes) == null)
+    assert(WarcOps.gunzip(null) == null)
+
+    val dir = tmpDir("graft-warc")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.warc"), warc.getBytes("UTF-8"))
+    // one gzip member per record — the CommonCrawl layout
+    val members = Seq(
+      rec(Seq("WARC-Type" -> "warcinfo"), "software: graft\r\n"),
+      rec(Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> "https://z.example.com/"),
+        "HTTP/1.1 404 Not Found\r\n\r\ngone"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "b.warc.gz"),
+      members.map(gz).reduce(_ ++ _))
+    val got = Warc.readWarcFiles(spark, dir + "/*")
+      .select(col("path"), col("warc_type"), col("http_status"))
+      .collect().toSeq
+      .map(r => (r.getString(0).split('/').last, r.getString(1),
+        Option(r.getAs[Any]("http_status"))))
+      .sortBy(t => (t._1, t._2))
+    assert(got == Seq(
+      ("a.warc", "request", None), ("a.warc", "response", Some(200)),
+      ("a.warc", "warcinfo", None),
+      ("b.warc.gz", "response", Some(404)),
+      ("b.warc.gz", "warcinfo", None)))
+  }
+
+  test("responses: only response records, fetch-result shape") {
+    val df = spark.createDataFrame(Seq((7L, warc))).toDF("id", "warc")
+    val got = Warc.responses(df, "id", "warc").collect().toSeq
+    assert(got.size == 1)
+    assert(got.head.getAs[Int]("http_status") == 200)
+    assert(got.head.getAs[String]("body") == htmlBody)
+  }
+}
