@@ -812,6 +812,72 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("url")
     }),
 
+    // ---- sitemap ingest (the crawler's second URL source): per-doc
+    //      XML built by concatenation — every 7th document a
+    //      sitemapindex (two child sitemaps, one with lastmod), the
+    //      rest urlsets with an entity+whitespace loc, a bare loc,
+    //      and a loc-less entry that must drop while keeping its
+    //      positional entry_no gap. The oracle replays block capture,
+    //      field extracts, trim, and the amp-last decode. ----
+
+    "q179_sitemap_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val urlset = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset " +
+          "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        lit("<url><loc> https://"), col("source"),
+        lit(".example.com/p?a=1&amp;b="), col("lang"),
+        lit(" </loc><lastmod>2026-08-0"),
+        pmod(col("doc_id"), lit(9)) + 1, lit("</lastmod></url>\n"),
+        lit("<url><loc>https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id"),
+        lit("</loc></url>\n"),
+        lit("<url><lastmod>2026-01-01</lastmod></url>\n</urlset>"))
+      val index = concat(
+        lit("<sitemapindex><sitemap><loc>https://"), col("source"),
+        lit(".example.com/sitemap-1.xml</loc>" +
+          "<lastmod>2026-07-01</lastmod></sitemap>"),
+        lit("<sitemap><loc>\nhttps://"), col("source"),
+        lit(".example.com/sitemap-2.xml</loc></sitemap>" +
+          "</sitemapindex>"))
+      graft.ops.Html.sitemapEntries(
+          docs.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7)) === 0, index)
+              .otherwise(urlset).as("xml")), "doc_id", "xml")
+        .orderBy("doc_id", "kind", "entry_no")
+    }),
+
+    // ---- politeness scheduling (the crawl loop's last leg):
+    //      Crawl-delay parsed through the full group machinery —
+    //      graftbot groups shadow star delays on odd hosts, a
+    //      non-numeric star value leaves every-5th even host on the
+    //      default — then the per-host slot schedule over the
+    //      deterministic URL ordering. The oracle replays the parse
+    //      (directive filter, group windows, UA specificity,
+    //      try_cast, earliest-line pick) and the window schedule. ----
+
+    "q180_fetch_schedule" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = substring(col("source"), 4, 10).cast("long")
+      val bodies = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          concat(lit("User-agent: *\nCrawl-delay: "),
+            when(pmod(k, lit(5)) === 0, lit("fast"))
+              .otherwise((pmod(k, lit(3)) + 2).cast("string")),
+            lit("\n"),
+            when(pmod(k, lit(2)) === 1,
+              lit("User-agent: graftbot\nCrawl-delay: 1\n"))
+              .otherwise(lit(""))).as("robots"))
+      val delays = graft.ops.Robots.crawlDelays(bodies, "host",
+        "robots", "graftbot")
+      val urls = docs.select(concat(lit("https://"), col("source"),
+          lit(".example.com/u/"), pmod(col("doc_id"), lit(13)))
+          .as("url")).distinct()
+      graft.ops.Robots.fetchSchedule(urls, "url", delays,
+          defaultDelayMicros = 5000000L)
+        .orderBy("url")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -1746,6 +1812,150 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |SELECT g.url, g.host, g.path FROM gated g
           |WHERE md5(g.url) NOT IN (SELECT fp FROM seen)
           |ORDER BY g.url""".stripMargin,
+
+      // Sitemap replay: the same block-capture regexes (lazy dot,
+      // \b-guarded tag), positional entry numbering BEFORE the
+      // loc-less drop, trim + amp-last entity decode.
+      "q179_sitemap_ingest" ->
+        """WITH built AS (
+          |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN
+          |    '<sitemapindex><sitemap><loc>https://' || source
+          |    || '.example.com/sitemap-1.xml</loc>'
+          |    || '<lastmod>2026-07-01</lastmod></sitemap>'
+          |    || '<sitemap><loc>' || chr(10) || 'https://' || source
+          |    || '.example.com/sitemap-2.xml</loc></sitemap>'
+          |    || '</sitemapindex>'
+          |  ELSE
+          |    '<?xml version="1.0" encoding="UTF-8"?>' || chr(10)
+          |    || '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+          |    || chr(10) || '<url><loc> https://' || source
+          |    || '.example.com/p?a=1&amp;b=' || lang
+          |    || ' </loc><lastmod>2026-08-0' || (doc_id % 9 + 1)
+          |    || '</lastmod></url>' || chr(10)
+          |    || '<url><loc>https://' || source
+          |    || '.example.com/doc/' || doc_id || '</loc></url>'
+          |    || chr(10)
+          |    || '<url><lastmod>2026-01-01</lastmod></url>'
+          |    || chr(10) || '</urlset>'
+          |  END AS xml FROM documents),
+          |u AS (
+          |  SELECT doc_id, 'url' AS kind,
+          |    CAST(unnest(range(1, len(regexp_extract_all(xml,
+          |      '(?is)<url\b[^>]*>(.*?)</url>', 1)) + 1)) AS BIGINT)
+          |      AS entry_no,
+          |    unnest(regexp_extract_all(xml,
+          |      '(?is)<url\b[^>]*>(.*?)</url>', 1)) AS b
+          |  FROM built
+          |  UNION ALL
+          |  SELECT doc_id, 'sitemap',
+          |    CAST(unnest(range(1, len(regexp_extract_all(xml,
+          |      '(?is)<sitemap\b[^>]*>(.*?)</sitemap>', 1)) + 1))
+          |      AS BIGINT),
+          |    unnest(regexp_extract_all(xml,
+          |      '(?is)<sitemap\b[^>]*>(.*?)</sitemap>', 1))
+          |  FROM built),
+          |f AS (
+          |  SELECT doc_id, kind, entry_no,
+          |    replace(replace(replace(replace(replace(
+          |      trim(regexp_extract(b,
+          |        '(?is)<loc>\s*(.*?)\s*</loc>', 1)),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |      '&apos;', chr(39)), '&amp;', '&') AS loc,
+          |    nullif(trim(regexp_extract(b,
+          |      '(?is)<lastmod>\s*(.*?)\s*</lastmod>', 1)), '')
+          |      AS lastmod
+          |  FROM u)
+          |SELECT doc_id, kind, entry_no, loc, lastmod FROM f
+          |WHERE loc <> ''
+          |ORDER BY doc_id, kind, entry_no""".stripMargin,
+
+      // Crawl-delay parse replayed through the q175 group skeleton
+      // restricted to the crawl-delay directive family (its own
+      // grouping line set, the documented per-family rule), try_cast
+      // integer seconds, earliest line per host; then the schedule
+      // window verbatim.
+      "q180_fetch_schedule" ->
+        """WITH ksrc AS (
+          |  SELECT DISTINCT source,
+          |    CAST(substr(source, 4) AS BIGINT) AS k FROM documents),
+          |hosts AS (
+          |  SELECT source || '.example.com' AS host,
+          |    'User-agent: *' || chr(10) || 'Crawl-delay: '
+          |    || CASE WHEN k % 5 = 0 THEN 'fast'
+          |       ELSE CAST(k % 3 + 2 AS VARCHAR) END || chr(10)
+          |    || CASE WHEN k % 2 = 1 THEN 'User-agent: graftbot'
+          |       || chr(10) || 'Crawl-delay: 1' || chr(10)
+          |       ELSE '' END AS robots
+          |  FROM ksrc),
+          |lines0 AS (
+          |  SELECT host,
+          |    CAST(unnest(range(1,
+          |      len(string_split(robots, chr(10))) + 1)) AS BIGINT)
+          |      AS line_no,
+          |    unnest(string_split(robots, chr(10))) AS raw
+          |  FROM hosts),
+          |kv AS (
+          |  SELECT host, line_no,
+          |    lower(trim(regexp_extract(
+          |      trim(regexp_replace(raw, '#.*', '', 'g')),
+          |      '^([^:]*):', 1))) AS key,
+          |    trim(regexp_extract(
+          |      trim(regexp_replace(raw, '#.*', '', 'g')),
+          |      '^[^:]*:(.*)', 1)) AS value
+          |  FROM lines0),
+          |drc AS (
+          |  SELECT host, line_no, key, value,
+          |    key = 'user-agent' AS is_ua
+          |  FROM kv
+          |  WHERE key IN ('user-agent', 'crawl-delay')
+          |    AND value <> ''),
+          |grp0 AS (
+          |  SELECT *, coalesce(lag(is_ua) OVER
+          |    (PARTITION BY host ORDER BY line_no), FALSE) AS prev_ua
+          |  FROM drc),
+          |grp AS (
+          |  SELECT host, line_no, key, value, is_ua,
+          |    sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY host ORDER BY line_no) AS group_id
+          |  FROM grp0),
+          |uam AS (
+          |  SELECT host, group_id,
+          |    CASE WHEN value = '*' THEN 0
+          |      WHEN starts_with('graftbot', lower(value))
+          |      THEN len(value) END AS match_len
+          |  FROM grp WHERE is_ua AND group_id > 0),
+          |sel AS (
+          |  SELECT DISTINCT u.host, u.group_id
+          |  FROM uam u JOIN (SELECT host, max(match_len) AS best
+          |    FROM uam GROUP BY 1) b
+          |    ON u.host = b.host AND u.match_len = b.best),
+          |cd AS (
+          |  SELECT g.host, g.line_no,
+          |    TRY_CAST(g.value AS BIGINT) AS secs
+          |  FROM grp g JOIN sel s
+          |    ON g.host = s.host AND g.group_id = s.group_id
+          |  WHERE NOT g.is_ua AND g.group_id > 0
+          |    AND TRY_CAST(g.value AS BIGINT) IS NOT NULL
+          |    AND TRY_CAST(g.value AS BIGINT) >= 0),
+          |delays AS (
+          |  SELECT host, secs * 1000000 AS delay_micros FROM cd
+          |  QUALIFY row_number() OVER (PARTITION BY host
+          |    ORDER BY line_no) = 1),
+          |urls AS (SELECT DISTINCT 'https://' || source
+          |    || '.example.com/u/' || (doc_id % 13) AS url
+          |  FROM documents),
+          |wh AS (SELECT url, regexp_extract(url,
+          |    '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+          |  FROM urls),
+          |sched AS (
+          |  SELECT url, w.host,
+          |    coalesce(d.delay_micros, 5000000) AS delay_micros,
+          |    CAST(row_number() OVER (PARTITION BY w.host
+          |      ORDER BY url) - 1 AS BIGINT) AS slot
+          |  FROM wh w LEFT JOIN delays d ON w.host = d.host)
+          |SELECT url, host, slot, slot * delay_micros AS offset_micros,
+          |  delay_micros
+          |FROM sched ORDER BY url""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

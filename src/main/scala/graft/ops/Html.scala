@@ -96,6 +96,49 @@ object Html {
         col("__h").as("href"))
   }
 
+  /** XML entity decode for sitemap fields — the sitemaps.org escape
+    * set, amp LAST (single-pass equivalence, the [[graft.functions
+    * .HtmlLinks]] convention).
+    */
+  private val SitemapEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&apos;" -> "'", "&amp;" -> "&")
+
+  private def sitemapKind(df: DataFrame, idCol: String, xmlCol: String,
+                          kind: String, tag: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(col(xmlCol),
+          lit(s"(?is)<$tag\\b[^>]*>(.*?)</$tag>"), lit(1)))
+          .as(Seq("__p", "__b")))
+      .select(col(idCol), lit(kind).as("kind"),
+        (col("__p") + 1).cast("long").as("entry_no"),
+        trim(regexp_extract(col("__b"),
+          "(?is)<loc>\\s*(.*?)\\s*</loc>", 1)).as("__loc"),
+        nullif(trim(regexp_extract(col("__b"),
+          "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)), lit(""))
+          .as("lastmod"))
+      .withColumn("loc", SitemapEntities.foldLeft(col("__loc")) {
+        case (c, (a, b)) => replace(c, lit(a), lit(b)) })
+      .filter(col("loc") =!= "")
+      .select(idCol, "kind", "entry_no", "loc", "lastmod")
+
+  /** Sitemap (sitemaps.org) entries — the crawler's OTHER URL source
+    * beside page links: `(id, kind, entry_no, loc, lastmod)` with
+    * `kind` `'url'` (a `<urlset>` page entry) or `'sitemap'` (a
+    * `<sitemapindex>` child to fetch next), `entry_no` 1-based per
+    * kind in document order. `loc` is trimmed and entity-decoded;
+    * entries without a `loc` are dropped; `lastmod` is the raw
+    * trimmed value (null when absent). Lazy-dot block capture +
+    * field extracts — every step a regexp an external engine
+    * replays. Scan-local, zero shuffle; compose with
+    * [[graft.ops.Robots.frontier]] downstream exactly like page
+    * links.
+    */
+  def sitemapEntries(df: DataFrame, idCol: String, xmlCol: String)
+      : DataFrame =
+    sitemapKind(df, idCol, xmlCol, "url", "url")
+      .unionAll(sitemapKind(df, idCol, xmlCol, "sitemap", "sitemap"))
+
   /** Per-document metadata: `(id, lang, charset, description, title)`
     * — the routing/provenance fields a corpus builder reads before
     * any content rule ([[graft.functions.HtmlMetaOps]] for the

@@ -95,14 +95,22 @@ object Robots {
     * @param df        one row per host: `(hostCol, robotsCol)`
     * @param userAgent the crawler's product token (e.g. "graftbot")
     */
-  def rules(df: DataFrame, hostCol: String, robotsCol: String,
-            userAgent: String): DataFrame = {
+  private def token(userAgent: String): String = {
     require(userAgent.nonEmpty && !userAgent.contains("*"),
       "userAgent must be a concrete product token")
-    val tok = userAgent.toLowerCase(java.util.Locale.ROOT)
-    val host = col(hostCol)
+    userAgent.toLowerCase(java.util.Locale.ROOT)
+  }
 
-    val lines = df.select(host.as("host"),
+  /** Lines → directives → window-numbered groups, restricted to
+    * `user-agent` plus `keys` (the directive family being parsed —
+    * grouping runs over exactly the participating lines, so each
+    * family sees the RFC's "maximal user-agent run opens a group"
+    * structure on its own line set).
+    */
+  private def groupedDirectives(df: DataFrame, hostCol: String,
+                                robotsCol: String,
+                                keys: Seq[String]): DataFrame = {
+    val lines = df.select(col(hostCol).as("host"),
         posexplode(split(replace(col(robotsCol), lit("\r"), lit("")),
           "\n")).as(Seq("__p", "__raw")))
       .select(col("host"), (col("__p") + 1).cast("long").as("line_no"),
@@ -112,21 +120,23 @@ object Robots {
           .as("key"),
         trim(regexp_extract(col("__line"), "^[^:]*:(.*)", 1))
           .as("value"))
-      .filter(col("key").isin("user-agent", "allow", "disallow") &&
+      .filter(col("key").isin("user-agent" +: keys: _*) &&
         col("value") =!= "")
-
     val w = Window.partitionBy("host").orderBy("line_no")
-    val grouped = lines
+    lines
       .withColumn("is_ua", col("key") === "user-agent")
       .withColumn("group_id",
         sum(when(col("is_ua") &&
           !coalesce(lag(col("is_ua"), 1).over(w), lit(false)), 1L)
           .otherwise(0L)).over(w))
       .filter(col("group_id") > 0)
+  }
 
-    // Which groups govern `tok`: match_len 0 for `*`, prefix length
-    // for a named value, null otherwise; the max over the host is the
-    // specificity bar and every group reaching it is selected.
+  /** Which groups govern `tok`: match_len 0 for `*`, prefix length
+    * for a named value, null otherwise; the max over the host is the
+    * specificity bar and every group reaching it is selected.
+    */
+  private def selectedGroups(grouped: DataFrame, tok: String): DataFrame = {
     val uaMatch = grouped.filter(col("is_ua"))
       .select(col("host"), col("group_id"),
         when(col("value") === "*", lit(0L))
@@ -134,15 +144,68 @@ object Robots {
             length(col("value")).cast("long")).as("match_len"))
     val best = uaMatch.groupBy("host")
       .agg(max(col("match_len")).as("best_len"))
-    val selected = uaMatch.join(best, "host")
+    uaMatch.join(best, "host")
       .filter(col("match_len") === col("best_len"))
       .select("host", "group_id").distinct()
+  }
 
+  def rules(df: DataFrame, hostCol: String, robotsCol: String,
+            userAgent: String): DataFrame = {
+    val tok = token(userAgent)
+    val grouped = groupedDirectives(df, hostCol, robotsCol,
+      Seq("allow", "disallow"))
     grouped.filter(!col("is_ua"))
-      .join(selected, Seq("host", "group_id"))
+      .join(selectedGroups(grouped, tok), Seq("host", "group_id"))
       .select(col("host"), col("line_no").as("rule_no"),
         (col("key") === "allow").as("allow"),
         col("value").as("pattern"))
+  }
+
+  /** The governing group's `Crawl-delay` per host (the de-facto
+    * politeness directive — not in RFC 9309 but honored by most
+    * engines), as `(host, delay_micros)`: integer SECONDS only
+    * (fractional or non-numeric values are ignored — cross-engine
+    * float parsing is not replayable), earliest line wins, hosts
+    * without a usable value absent. Grouping/selection are the
+    * [[rules]] machinery run over the crawl-delay line set.
+    */
+  def crawlDelays(df: DataFrame, hostCol: String, robotsCol: String,
+                  userAgent: String): DataFrame = {
+    val tok = token(userAgent)
+    val grouped = groupedDirectives(df, hostCol, robotsCol,
+      Seq("crawl-delay"))
+    grouped.filter(!col("is_ua"))
+      .withColumn("__secs", expr("try_cast(value AS BIGINT)"))
+      .filter(col("__secs").isNotNull && col("__secs") >= 0L)
+      .join(selectedGroups(grouped, tok), Seq("host", "group_id"))
+      .groupBy("host")
+      .agg(min(struct(col("line_no"), col("__secs"))).as("__first"))
+      .select(col("host"),
+        (col("__first.__secs") * 1000000L).as("delay_micros"))
+  }
+
+  /** Per-host politeness schedule over an admitted frontier: URLs of
+    * one host are fetch slots `delay_micros` apart (its
+    * [[crawlDelays]] value, `defaultDelayMicros` otherwise), ordered
+    * by URL — `(url, host, slot, offset_micros, delay_micros)`,
+    * slot 0-based. Pure window arithmetic, one exchange on `host`
+    * (skew bound: a host's slot count is its frontier share, which
+    * the per-domain caps upstream already bound).
+    */
+  def fetchSchedule(urls: DataFrame, urlCol: String,
+                    delays: DataFrame,
+                    defaultDelayMicros: Long = 1000000L): DataFrame = {
+    require(defaultDelayMicros >= 0L, "defaultDelayMicros must be >= 0")
+    val withHost = urls.select(col(urlCol).as("url"),
+      TextAnalysis.urlHost(col(urlCol)).as("host"))
+    val w = Window.partitionBy("host").orderBy("url")
+    withHost.join(delays, Seq("host"), "left")
+      .withColumn("delay_micros",
+        coalesce(col("delay_micros"), lit(defaultDelayMicros)))
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .select(col("url"), col("host"), col("slot"),
+        (col("slot") * col("delay_micros")).as("offset_micros"),
+        col("delay_micros"))
   }
 
   /** Crawl-frontier admission, the composition a crawler runs on

@@ -310,6 +310,39 @@ class HtmlSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("sitemapEntries: urlset and sitemapindex blocks, loc trim + " +
+      "entity decode, loc-less entries dropped, lastmod optional") {
+    import spark.implicits._
+    val urlset =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc> https://a.com/p?x=1&amp;y=2 </loc>
+        |  <lastmod>2026-08-01</lastmod></url>
+        |<url><loc>https://a.com/q</loc></url>
+        |<url><lastmod>2026-08-02</lastmod></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>
+        |<lastmod>2026-07-01</lastmod></sitemap>
+        |<sitemap><loc>https://a.com/s2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val got = Html.sitemapEntries(
+        Seq((1L, urlset), (2L, index)).toDF("id", "xml"), "id", "xml")
+      .orderBy("id", "kind", "entry_no").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), Option(r.getString(4))))
+    assert(got == Seq(
+      (1L, "url", 1L, "https://a.com/p?x=1&y=2", Some("2026-08-01")),
+      (1L, "url", 2L, "https://a.com/q", None),
+      (2L, "sitemap", 1L, "https://a.com/s1.xml", Some("2026-07-01")),
+      (2L, "sitemap", 2L, "https://a.com/s2.xml", None)))
+    // <urlset> does not match the <url> block pattern (no \b between
+    // 'url' and 's'), so a urlset with zero <url> children is empty
+    assert(Html.sitemapEntries(
+      Seq((1L, "<urlset></urlset>")).toDF("id", "xml"), "id", "xml")
+      .count() == 0L)
+  }
+
   test("plan shape: extractBlocks is one scan-local projection — no " +
       "exchange, whole-stage codegen") {
     import spark.implicits._

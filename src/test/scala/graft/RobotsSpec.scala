@@ -174,6 +174,45 @@ class RobotsSpec extends SparkSpec {
       ("https://cdn.b.net/l.js", "cdn.b.net")))
   }
 
+  test("crawlDelays: group selection applies, integer seconds only, " +
+      "earliest line wins, non-numeric/negative/absent ignored") {
+    val bodies = spark.createDataFrame(Seq(
+        // graftbot group (delay 1) shadows star (delay 9); second
+        // value in the same group loses to the first line
+        ("a.com", "User-agent: *\nCrawl-delay: 9\n" +
+          "User-agent: graftbot\nCrawl-delay: 1\nCrawl-delay: 7\n"),
+        // non-numeric and fractional ignored -> no row
+        ("b.com", "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 2.5\n"),
+        // negative ignored, later valid integer wins
+        ("c.com", "User-agent: *\nCrawl-delay: -3\nCrawl-delay: 4\n"),
+        ("d.com", "User-agent: *\nDisallow: /x\n")))
+      .toDF("host", "robots")
+    val got = Robots.crawlDelays(bodies, "host", "robots", "graftbot")
+      .orderBy("host").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got == Seq(("a.com", 1000000L), ("c.com", 4000000L)))
+  }
+
+  test("fetchSchedule: per-host slots delay apart, URL-ordered, " +
+      "default delay for hosts without a usable value") {
+    val delays = spark.createDataFrame(Seq(("a.com", 2000000L)))
+      .toDF("host", "delay_micros")
+    val urls = spark.createDataFrame(Seq(
+        Tuple1("https://a.com/b"), Tuple1("https://a.com/a"),
+        Tuple1("https://a.com/c"), Tuple1("https://z.com/only")))
+      .toDF("url")
+    val got = Robots.fetchSchedule(urls, "url", delays,
+        defaultDelayMicros = 500000L)
+      .orderBy("url").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got == Seq(
+      ("https://a.com/a", 0L, 0L, 2000000L),
+      ("https://a.com/b", 1L, 2000000L, 2000000L),
+      ("https://a.com/c", 2L, 4000000L, 2000000L),
+      ("https://z.com/only", 0L, 0L, 500000L)))
+  }
+
   test("rules rejects wildcard or empty product tokens") {
     val df = spark.createDataFrame(Seq(("h", "x"))).toDF("host", "robots")
     intercept[IllegalArgumentException] {
