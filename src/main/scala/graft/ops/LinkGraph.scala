@@ -61,20 +61,23 @@ object LinkGraph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val n = nodes.count()
     val outDeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("out_deg")).persist()
+      .agg(count(lit(1)).as("out_deg"))
+    // the node universe CARRIES its out-degree (null = dangling):
+    // built once, reused every iteration — one join per iteration
+    // (contrib back onto the universe) instead of two
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outDeg, Seq("node"), "left").persist()
+    val n = nodes.count()
     val base = 1000000L - dampingMicro
 
-    var rank = nodes.select(col("node"), lit(1000000L).as("rank_micro"))
+    var rank = nodes.select(col("node"), col("out_deg"),
+      lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iterations) {
-      val damped = rank.join(outDeg, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"rank_micro * ${dampingMicro}L div 1000000L")
-            .as("damped"),
-          col("out_deg"))
+      val damped = rank.select(col("node"), col("out_deg"),
+        expr(s"rank_micro * ${dampingMicro}L div 1000000L")
+          .as("damped"))
       val contrib = e.join(
           damped.filter(col("out_deg").isNotNull)
             .select(col("node").as("src"),
@@ -85,7 +88,7 @@ object LinkGraph {
         .agg(coalesce(sum(col("damped")), lit(0L)).as("dangling_total"))
       rank = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(pool))
-        .select(col("node"),
+        .select(col("node"), col("out_deg"),
           (lit(base) + expr(s"dangling_total div ${n}L") +
             coalesce(col("incoming"), lit(0L))).as("rank_micro"))
         .persist()
@@ -94,7 +97,6 @@ object LinkGraph {
     val inDeg = e.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("in_deg"))
     rank.join(inDeg, Seq("node"), "left")
-      .join(outDeg, Seq("node"), "left")
       .select(col("node"), col("rank_micro"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"))

@@ -1,0 +1,203 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Crawl-front operators at corpus scale, each pass carrying an exact
+  * planted invariant so the timing is also a correctness check:
+  *
+  *  - **robots gate**: 1M frontier URLs over 19,997 hosts (~5 rules
+  *    each, ~100k rule rows — the AQE-broadcast shape); named-group
+  *    shadowing on odd hosts makes the verdict depend on BOTH the
+  *    path case and the host parity. Expected allowed count is
+  *    recomputed independently from the construction arithmetic.
+  *  - **frontier**: the same URLs as (page, href) pairs — 25%
+  *    root-relative uniques, 25% shared duplicates, 25% mailto
+  *    drops, 25% tracking-parameter absolutes — through resolve +
+  *    canonicalize + dedup + gate + seen anti-join, admitted count
+  *    exact.
+  *  - **PageRank**: 1M nodes / ~2.01M distinct edges (a 7919-stride
+  *    permutation ring + a ring successor + every-100th node → hub),
+  *    3 exact integer iterations; node count and the floor-leak mass
+  *    bound are asserted.
+  *  - **WARC parse**: 100k synthetic files × 10 HTTP response
+  *    records (1M records, ~3.5 KB/file), byte-exact Content-Length
+  *    framing; record count and the planted 404 count are exact.
+  *
+  * Run: `sbt "Test/runMain tmpstress.CrawlStress"`
+  */
+object CrawlStress {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    val hosts = 19997L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"MARKER $label%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- robots rules: star group everywhere, graftbot group on
+    //      odd hosts (shadowing the star rules entirely) ----
+    val hostCol = concat(lit("h"), pmod(col("id"), lit(hosts)),
+      lit(".example.com"))
+    val bodies = spark.range(hosts)
+      .select(concat(lit("h"), col("id"), lit(".example.com")).as("host"),
+        concat(lit("User-agent: *\nDisallow: /private/\n" +
+          "Allow: /private/pub\nDisallow: /*.gif$\n"),
+          when(pmod(col("id"), lit(2)) === 1,
+            lit("User-agent: graftbot\nDisallow: /page/\n"))
+            .otherwise(lit(""))).as("robots"))
+    val rules = time("rules_parse") {
+      val r = graft.ops.Robots.rules(bodies, "host", "robots",
+        "graftbot").cache()
+      println(s"MARKER rule_rows=${r.count()}")
+      r
+    }
+
+    val c = pmod(col("id"), lit(4))
+    val path = when(c === 0, concat(lit("/private/"), col("id")))
+      .when(c === 1, concat(lit("/private/pub/"), col("id")))
+      .when(c === 2, concat(lit("/img/"), col("id"), lit(".gif")))
+      .otherwise(concat(lit("/page/"), col("id")))
+    val urls = spark.range(n)
+      .select(col("id"), concat(lit("https://"), hostCol, path)
+        .as("url"))
+      .repartition(64).cache()
+    urls.count()
+
+    // independent expected-allowed arithmetic: odd host -> only the
+    // graftbot group applies (blocked iff /page/); even host -> star
+    // rules (blocked for /private/ [not pub] and .gif)
+    val oddHost = pmod(pmod(col("id"), lit(hosts)), lit(2)) === 1
+    val expAllowed = spark.range(n).filter(
+      when(oddHost, c =!= 3)
+        .otherwise(c === 1 || c === 3)).count()
+
+    for (rep <- 1 to 3) {
+      val got = time(s"robots_gate rep$rep") {
+        graft.ops.Robots.gate(urls, "id", "url", rules)
+          .agg(sum(when(col("is_allowed"), 1L).otherwise(0L))).head()
+          .getLong(0)
+      }
+      assert(got == expAllowed, s"allowed $got != expected $expAllowed")
+      println(s"MARKER rep$rep allowed=$got of $n")
+    }
+
+    // ---- frontier: resolve/canonicalize/dedup/gate/seen ----
+    val f = pmod(col("id"), lit(4))
+    val href = when(f === 0, concat(lit("/page/"), col("id")))
+      .when(f === 1, concat(lit("/shared/"), pmod(col("id"), lit(1000))))
+      .when(f === 2, lit("mailto:x@example.com"))
+      .otherwise(concat(lit("HTTP://H"), pmod(col("id"), lit(hosts)),
+        lit(".EXAMPLE.COM:80/abs/"), col("id"),
+        lit("?utm_source=x&k=1")))
+    val links = spark.range(n)
+      .select(concat(lit("https://"), hostCol, lit("/base")).as("page_url"),
+        href.as("href")).repartition(64).cache()
+    links.count()
+    val seen = spark.range(500)
+      .select(md5(concat(lit("https://h"),
+        pmod(col("id") * 4 + 1, lit(hosts)), lit(".example.com/shared/"),
+        pmod(col("id") * 4 + 1, lit(1000))).cast("binary")).as("__fp"))
+      .cache()
+    seen.count()
+    // expected: f=0 rows -> /page/<id> unique per id, blocked on odd
+    // hosts; f=1 -> (host,id%1000) dedups, minus the 500 seen;
+    // f=2 -> dropped; f=3 -> http absolutes, unique, allowed (no /abs
+    // rule in either group)
+    val exp0 = spark.range(n).filter(f === 0 && !oddHost).count()
+    val exp1 = spark.range(n).filter(f === 1)
+      .select(pmod(col("id"), lit(hosts)).as("h"),
+        pmod(col("id"), lit(1000)).as("s")).distinct().count() - 500
+    val exp3 = spark.range(n).filter(f === 3).count()
+    val expFrontier = exp0 + exp1 + exp3
+    for (rep <- 1 to 3) {
+      val got = time(s"frontier rep$rep") {
+        graft.ops.Robots.frontier(links, "page_url", "href", rules,
+          seen).count()
+      }
+      assert(got == expFrontier,
+        s"frontier $got != expected $expFrontier")
+      println(s"MARKER rep$rep admitted=$got")
+    }
+
+    // ---- PageRank: 1M nodes, ~2.01M distinct edges, 3 iterations ----
+    val ring = spark.range(n).select(col("id").as("src"),
+      pmod(col("id") * 7919L, lit(n)).as("dst"))
+    val succ = spark.range(n).select(col("id").as("src"),
+      pmod(col("id") + 1L, lit(n)).as("dst"))
+    val toHub = spark.range(n).filter(pmod(col("id"), lit(100)) === 0)
+      .select(col("id").as("src"), lit(0L).as("dst"))
+    val edges = ring.union(succ).union(toHub).cache()
+    println(s"MARKER edge_rows=${edges.count()}")
+    for (rep <- 1 to 3) {
+      val r = time(s"pagerank3 rep$rep") {
+        graft.ops.LinkGraph.pageRankMicro(edges, "src", "dst",
+            iterations = 3)
+          .agg(count(lit(1)), sum(col("rank_micro"))).head()
+      }
+      // the operator persists its per-iteration ranks; clear the
+      // cache registry so the next rep re-runs the real work (then
+      // re-warm the edges input)
+      spark.catalog.clearCache()
+      edges.cache().count()
+      val (cnt, mass) = (r.getLong(0), r.getLong(1))
+      // every node has out-degree >= 2: floor leak per node-iteration
+      // <= out_deg + 2 <= 5 micro; 3 iterations
+      assert(cnt == n, s"node count $cnt != $n")
+      assert(mass <= n * 1000000L && mass >= n * 1000000L - n * 15L,
+        s"mass $mass outside the leak bound")
+      println(s"MARKER rep$rep nodes=$cnt mass=$mass")
+    }
+
+    // ---- WARC: 100k files x 10 records ----
+    val nFiles = n / 10
+    def rec(j: Int): org.apache.spark.sql.Column = {
+      val recId = col("id") * 10 + j
+      val is404 = pmod(recId, lit(7)) === 0
+      val payload = concat(
+        when(is404, lit("HTTP/1.1 404 Not Found\r\n"))
+          .otherwise(lit("HTTP/1.1 200 OK\r\n")),
+        lit("Content-Type: text/html; charset=utf-8\r\n\r\n"),
+        lit("<html><head><title>r"), recId,
+        lit("</title></head><body><p>payload for record "), recId,
+        lit(" with some body text that pads the page out to a " +
+          "plausible few hundred bytes of markup content "),
+        md5(recId.cast("string")), lit("</p></body></html>"))
+      concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: https://h"), pmod(recId, lit(hosts)),
+        lit(".example.com/r/"), recId,
+        lit("\r\nContent-Length: "),
+        octet_length(payload).cast("string"),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    }
+    val files = spark.range(nFiles)
+      .select(col("id"), concat((0 until 10).map(rec): _*).as("warc"))
+      .repartition(64).cache()
+    val wbytes = files.agg(sum(octet_length(col("warc")))).head().getLong(0)
+    println(s"MARKER warc_files=${files.count()} warc_bytes=$wbytes")
+    val exp404 = spark.range(nFiles * 10)
+      .filter(pmod(col("id"), lit(7)) === 0).count()
+    for (rep <- 1 to 3) {
+      val r = time(s"warc_parse rep$rep") {
+        graft.ops.Warc.records(files, "id", "warc")
+          .agg(count(lit(1)),
+            sum(when(col("http_status") === 404, 1L).otherwise(0L)),
+            sum(col("content_length"))).head()
+      }
+      assert(r.getLong(0) == nFiles * 10,
+        s"records ${r.getLong(0)} != ${nFiles * 10}")
+      assert(r.getLong(1) == exp404, s"404s ${r.getLong(1)} != $exp404")
+      println(s"MARKER rep$rep records=${r.getLong(0)} " +
+        s"n404=${r.getLong(1)} payload_bytes=${r.getLong(2)}")
+    }
+    spark.stop()
+  }
+}
