@@ -792,6 +792,52 @@ object StreamingOps {
           col("token_count")), batchId)
     }
 
+  /** The web-ingest story end to end as ONE standing service:
+    * WARC bytes in (the format a CommonCrawl-shaped feed actually
+    * delivers), curated text out. Per micro-batch, the batch
+    * operators verbatim: [[graft.ops.Warc.records]] (byte-exact
+    * framing kernel) → keep `response` records with HTTP 200 and an
+    * HTML content type (prefix match on `text/html` — charset
+    * parameters ride behind it) → the [[htmlCurationStream]] legs
+    * over the payload markup (extraction rules, C4 line rules,
+    * token floor, corpus-digest dedup), keyed by `WARC-Target-URI`.
+    * Rows whose record is non-response, non-200, or non-HTML drop
+    * before any markup work — the cheap-gate-first order. The sink
+    * receives `(target_uri, text, kept_blocks, dropped_blocks,
+    * kept_lines, dropped_lines, token_count)`.
+    */
+  def warcCurationStream(stream: DataFrame, idCol: String,
+                         warcCol: String, corpusDigests: DataFrame,
+                         minTokens: Long = 8L, minKeptLines: Int = 2)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val pages = graft.ops.Warc.responses(mb.toDF(), idCol, warcCol)
+          .filter(col("http_status") === 200 &&
+            col("http_content_type").startsWith("text/html") &&
+            col("target_uri").isNotNull)
+          .select(col("target_uri"), col("body").as("html"))
+        val extracted = graft.ops.Html.extractText(pages,
+          "target_uri", "html")
+        val filtered = graft.ops.TextAnalysis.c4LineFilter(extracted,
+            "target_uri", "text", minKeptLines = minKeptLines)
+          .withColumn("token_count",
+            graft.ops.TextAnalysis.tokenCount(col("text")))
+          .filter(col("is_kept") && col("token_count") >= minTokens)
+        val fresh = filtered
+          .withColumn("__fp",
+            graft.ops.TextAnalysis.fingerprint(col("text")))
+          .join(corpusDigests, Seq("__fp"), "left_anti")
+          .drop("__fp")
+        sink(fresh.select(col("target_uri"), col("text"),
+          col("kept_blocks"), col("dropped_blocks"),
+          col("kept_lines"), col("dropped_lines"),
+          col("token_count")), batchId)
+    }
+
   /** Streaming crawl-frontier front, the loop-closing leg of the
     * web-ingest story: fetched pages (url + markup) in, admitted
     * NOVEL frontier URLs out. Per micro-batch, the batch operators

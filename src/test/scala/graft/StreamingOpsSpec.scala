@@ -1638,6 +1638,79 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == got(0L))
   }
 
+  test("warcCurationStream: WARC bytes in, curated text out — record/" +
+      "status/content-type gates before any markup work, then the " +
+      "html-curation legs; equals the composed batch legs") {
+    implicit val sqlCtx = spark.sqlContext
+    def rec(tpe: String, uri: String, payload: String): String =
+      s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+      s"$payload\r\n\r\n"
+    def http(status: String, ct: String, body: String): String =
+      s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n\r\n$body"
+    val goodHtml = "<body><p>This first paragraph is long and ends " +
+      "cleanly.</p><p>The second paragraph also ends properly.</p>" +
+      "<nav><a href=\"/h\">Home page links</a></nav></body>"
+    val dupHtml = "<body><p>Known corpus paragraph ends here.</p>" +
+      "<p>Second known paragraph also ends here.</p></body>"
+    val dupText = "Known corpus paragraph ends here.\n" +
+      "Second known paragraph also ends here."
+    val digests = Seq(Tuple1(dupText)).toDF("t")
+      .select(graft.ops.TextAnalysis.fingerprint(col("t")).as("__fp"))
+    val warc =
+      rec("warcinfo", "ignored", "software: graft\r\n") +
+      rec("response", "https://a.com/good",
+        http("200 OK", "text/html; charset=utf-8", goodHtml)) +
+      rec("response", "https://a.com/gone",
+        http("404 Not Found", "text/html", goodHtml)) +
+      rec("response", "https://a.com/api",
+        http("200 OK", "application/json", "{\"p\": \"not html\"}")) +
+      rec("response", "https://a.com/nopunct", http("200 OK",
+        "text/html", "<p>heading without punctuation</p>")) +
+      rec("response", "https://a.com/dup",
+        http("200 OK", "text/html", dupHtml))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Map[String, (Long, Long)]]()
+    val query = StreamingOps.warcCurationStream(
+        input.toDF().toDF("file_id", "warc"), "file_id", "warc",
+        digests) { (res, id) =>
+      got.synchronized {
+        got(id) = res.select("target_uri", "kept_blocks", "token_count")
+          .as[(String, Long, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap }
+    }.option("checkpointLocation", tmpDir("warc-cur-ckpt")).start()
+    try {
+      input.addData((1L, warc))
+      query.processAllAvailable()
+    } finally query.stop()
+    // only /good survives: warcinfo isn't a response, /gone fails the
+    // status gate, /api the content-type gate, /nopunct the C4 rules,
+    // /dup the corpus digests
+    assert(got(0L).keySet == Set("https://a.com/good"))
+    assert(got(0L)("https://a.com/good")._1 == 2L)
+    // parity: the composed batch legs
+    val batch = {
+      val pages = graft.ops.Warc.responses(
+          Seq((1L, warc)).toDF("file_id", "warc"), "file_id", "warc")
+        .filter(col("http_status") === 200 &&
+          col("http_content_type").startsWith("text/html"))
+        .select(col("target_uri"), col("body").as("html"))
+      val ext = graft.ops.Html.extractText(pages, "target_uri", "html")
+      graft.ops.TextAnalysis.c4LineFilter(ext, "target_uri", "text",
+          minKeptLines = 2)
+        .withColumn("token_count",
+          graft.ops.TextAnalysis.tokenCount(col("text")))
+        .filter(col("is_kept") && col("token_count") >= 8L)
+        .withColumn("__fp",
+          graft.ops.TextAnalysis.fingerprint(col("text")))
+        .join(digests, Seq("__fp"), "left_anti")
+        .select("target_uri", "kept_blocks", "token_count")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    }
+    assert(batch == got(0L))
+  }
+
   test("crawlFrontierStream: href kernel + resolve + robots + seen " +
       "gates per batch; equals the composed batch legs") {
     implicit val sqlCtx = spark.sqlContext
