@@ -878,6 +878,87 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("url")
     }),
 
+    // ---- anchor-text aggregation (the link-graph's TEXT signal —
+    //      what the web calls a page): per-page anchors with
+    //      entities, inline markup inside the element, a sponsored
+    //      duplicate that must die on rel=nofollow token matching,
+    //      a relative link filtered by the absolute-target rule, and
+    //      a script decoy; surviving (target, text) pairs aggregate
+    //      to exact counts + sorted distinct texts. Targets are
+    //      constructed pre-canonical, so the canonicalization pass
+    //      the query still runs replays as identity. ----
+
+    "q181_anchor_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val built = docs.select(col("doc_id"), concat(
+        lit("<body><p>Read <a href=\"https://hub.example.org/t/"),
+        pmod(col("doc_id"), lit(50)), lit("\">"), col("source"),
+        lit(" &amp; friends</a> then <a rel=\"Sponsored NOFOLLOW\" " +
+          "href=\"https://hub.example.org/t/"),
+        pmod(col("doc_id"), lit(50)),
+        lit("\">sponsored link</a> and <a href=\"/local/"),
+        col("lang"), lit("\"><b>"), col("lang"),
+        lit("</b> page</a>.</p><script>'<a href=\"https://no" +
+          ".example.com/\">x</a>'</script></body>")).as("html"))
+      val a = graft.ops.Html.anchors(built, "doc_id", "html")
+      val canon = TextAnalysis.canonicalizeUrl(col("href"),
+        stripTracking = true)
+      a.filter(col("href").isNotNull &&
+          !coalesce(array_contains(split(col("rel"), "\\s+"),
+            "nofollow"), lit(false)))
+        .select(canon.as("target"), col("text"))
+        .filter(col("target").rlike("^https?://"))
+        .groupBy("target")
+        .agg(count(lit(1)).as("n_anchors"),
+          array_join(array_sort(collect_set(col("text"))), " | ")
+            .as("anchor_texts"))
+        .orderBy("target")
+    }),
+
+    // ---- nofollow-aware frontier (page meta + link rel + robots
+    //      composed): every 5th page carries a robots meta whose
+    //      nofollow must kill ALL its outlinks (a second "all" meta
+    //      must not override — first wins); rel="ugc nofollow" kills
+    //      its link everywhere; the zh follow-links die on a one-rule
+    //      robots body; every fr follow-link is pre-seen. ----
+
+    "q182_nofollow_frontier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pageUrl = concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), pmod(col("doc_id"), lit(7)))
+      val built = docs.select(col("doc_id"), pageUrl.as("page_url"),
+        concat(lit("<html><head>"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit("<meta name=\"robots\" content=\"noindex, NOFOLLOW\">"))
+            .otherwise(lit("")),
+          lit("<meta name=\"robots\" content=\"all\">" +
+            "</head><body><p><a href=\"/f/"), col("lang"),
+          lit("\">follow me</a><a rel=\"ugc nofollow\" href=\"/n/"),
+          col("lang"), lit("\">spam</a><a rel=\"author\" href=\"/a/"),
+          pmod(col("doc_id"), lit(11)),
+          lit("\">ok rel</a></p></body></html>")).as("html"))
+      val meta = built.select(col("doc_id"), col("page_url"),
+        graft.ops.Html.metaRobots(col("html")).as("mr"))
+      val followable = graft.ops.Html.anchors(built, "doc_id", "html")
+        .join(meta, "doc_id")
+        .filter(!coalesce(array_contains(
+          split(col("mr"), "\\s*,\\s*"), "nofollow"), lit(false)))
+        .filter(col("href").isNotNull &&
+          !coalesce(array_contains(split(col("rel"), "\\s+"),
+            "nofollow"), lit(false)))
+      val rules = graft.ops.Robots.rules(
+        docs.select(col("source")).distinct()
+          .select(concat(col("source"), lit(".example.com")).as("host"),
+            lit("User-agent: *\nDisallow: /f/zh\n").as("robots")),
+        "host", "robots", "graftbot")
+      val seen = docs.select(col("source")).distinct()
+        .select(md5(concat(lit("https://"), col("source"),
+          lit(".example.com/f/fr")).cast("binary")).as("__fp"))
+      graft.ops.Robots.frontier(followable, "page_url", "href",
+          rules, seen)
+        .orderBy("url")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -1956,6 +2037,154 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |SELECT url, host, slot, slot * delay_micros AS offset_micros,
           |  delay_micros
           |FROM sched ORDER BY url""".stripMargin,
+
+      // Anchor capture, attribute extracts, tag-strip-then-decode
+      // text normalization, the rel token filter, and the exact
+      // aggregation all replayed; targets are pre-canonical by
+      // construction so the query's canonicalization pass replays as
+      // identity on these values.
+      "q181_anchor_text" ->
+        """WITH built AS (
+          |  SELECT doc_id,
+          |    '<body><p>Read <a href="https://hub.example.org/t/'
+          |    || (doc_id % 50) || '">' || source
+          |    || ' &amp; friends</a> then <a rel="Sponsored NOFOLLOW" '
+          |    || 'href="https://hub.example.org/t/' || (doc_id % 50)
+          |    || '">sponsored link</a> and <a href="/local/' || lang
+          |    || '"><b>' || lang || '</b> page</a>.</p>'
+          |    || '<script>''<a href="https://no.example.com/">x</a>'''
+          |    || '</script></body>' AS html
+          |  FROM documents),
+          |strip AS (
+          |  SELECT doc_id, regexp_replace(regexp_replace(
+          |    regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+          |    '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+          |    '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g') AS h
+          |  FROM built),
+          |a AS (
+          |  SELECT doc_id, unnest(regexp_extract_all(h,
+          |    '(?is)(<a\b[^>]*>.*?</a\s*>)', 1)) AS m
+          |  FROM strip),
+          |f AS (
+          |  SELECT doc_id,
+          |    nullif(replace(replace(replace(replace(replace(
+          |      regexp_extract(m,
+          |        '(?is)<a\b[^>]*?[\s]href\s*=\s*"([^"]*)"', 1),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |      '&nbsp;', chr(160)), '&amp;', '&'), '') AS href,
+          |    nullif(lower(regexp_extract(m,
+          |      '(?is)<a\b[^>]*?[\s]rel\s*=\s*"([^"]*)"', 1)), '')
+          |      AS rel,
+          |    nullif(trim(regexp_replace(replace(replace(replace(
+          |      replace(replace(regexp_replace(regexp_replace(m,
+          |        '(?is)^<a\b[^>]*>|</a\s*>$', '', 'g'),
+          |        '<[^>]*>', ' ', 'g'),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |      '&nbsp;', chr(160)), '&amp;', '&'),
+          |      '\s+', ' ', 'g')), '') AS text
+          |  FROM a)
+          |SELECT href AS target, CAST(count(*) AS BIGINT) AS n_anchors,
+          |  string_agg(DISTINCT text, ' | ' ORDER BY text)
+          |    AS anchor_texts
+          |FROM f
+          |WHERE href IS NOT NULL
+          |  AND NOT coalesce(list_contains(
+          |    regexp_split_to_array(rel, '\s+'), 'nofollow'), FALSE)
+          |  AND regexp_matches(href, '^https?://')
+          |GROUP BY href ORDER BY target""".stripMargin,
+
+      // Page meta (first-wins via the filtered meta list), link rel
+      // tokens, the resolve CASE, the one-rule robots verdict
+      // (construction constants for a fixed 2-line body), and the
+      // seen anti-join — all replayed; canonicalization is identity
+      // on these clean root-relative resolutions.
+      "q182_nofollow_frontier" ->
+        """WITH built AS (
+          |  SELECT doc_id, lang,
+          |    'https://' || source || '.example.com/p/'
+          |      || (doc_id % 7) AS page_url,
+          |    '<html><head>' || CASE WHEN doc_id % 5 = 0
+          |      THEN '<meta name="robots" content="noindex, NOFOLLOW">'
+          |      ELSE '' END
+          |    || '<meta name="robots" content="all"></head><body><p>'
+          |    || '<a href="/f/' || lang || '">follow me</a>'
+          |    || '<a rel="ugc nofollow" href="/n/' || lang
+          |    || '">spam</a><a rel="author" href="/a/'
+          |    || (doc_id % 11) || '">ok rel</a></p></body></html>'
+          |      AS html
+          |  FROM documents),
+          |strip AS (
+          |  SELECT doc_id, page_url, regexp_replace(regexp_replace(
+          |    regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+          |    '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g'),
+          |    '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g') AS h
+          |  FROM built),
+          |mrx AS (
+          |  SELECT doc_id, list_filter(regexp_extract_all(h,
+          |      '(?is)(<meta\b[^>]*>)', 1),
+          |    m -> regexp_matches(m, '(?is)[\s]name\s*=\s*"robots"'))
+          |    AS metas
+          |  FROM strip),
+          |mr AS (
+          |  SELECT doc_id, CASE WHEN len(metas) = 0 THEN NULL
+          |    ELSE nullif(lower(trim(regexp_extract(metas[1],
+          |      '(?is)[\s]content\s*=\s*"([^"]*)"', 1))), '') END
+          |    AS mr
+          |  FROM mrx),
+          |a AS (
+          |  SELECT doc_id, page_url, unnest(regexp_extract_all(h,
+          |    '(?is)(<a\b[^>]*>.*?</a\s*>)', 1)) AS m
+          |  FROM strip),
+          |f AS (
+          |  SELECT a.doc_id, a.page_url,
+          |    nullif(replace(replace(replace(replace(replace(
+          |      regexp_extract(m,
+          |        '(?is)<a\b[^>]*?[\s]href\s*=\s*"([^"]*)"', 1),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |      '&nbsp;', chr(160)), '&amp;', '&'), '') AS href,
+          |    nullif(lower(regexp_extract(m,
+          |      '(?is)<a\b[^>]*?[\s]rel\s*=\s*"([^"]*)"', 1)), '')
+          |      AS rel
+          |  FROM a),
+          |fol AS (
+          |  SELECT f.* FROM f JOIN mr ON f.doc_id = mr.doc_id
+          |  WHERE NOT coalesce(list_contains(
+          |      regexp_split_to_array(mr.mr, '\s*,\s*'), 'nofollow'),
+          |      FALSE)
+          |    AND f.href IS NOT NULL
+          |    AND NOT coalesce(list_contains(
+          |      regexp_split_to_array(f.rel, '\s+'), 'nofollow'),
+          |      FALSE)),
+          |resolved AS (
+          |  SELECT DISTINCT
+          |    CASE WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+          |      THEN CASE WHEN regexp_matches(lower(href), '^https?:')
+          |        THEN href END
+          |    WHEN starts_with(href, '//')
+          |      THEN regexp_extract(page_url,
+          |        '^([a-z][a-z0-9+.-]*):', 1) || ':' || href
+          |    WHEN starts_with(href, '/')
+          |      THEN regexp_extract(page_url,
+          |        '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) || href
+          |    END AS url
+          |  FROM fol),
+          |parsed AS (
+          |  SELECT url,
+          |    regexp_extract(url,
+          |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+          |    coalesce(nullif(regexp_extract(url,
+          |      '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1), ''), '/')
+          |      AS path
+          |  FROM resolved WHERE url IS NOT NULL),
+          |gated AS (
+          |  SELECT url, host, path FROM parsed
+          |  WHERE NOT regexp_matches(path, '^/f/zh')),
+          |seen AS (SELECT DISTINCT
+          |    md5('https://' || source || '.example.com/f/fr') AS fp
+          |  FROM documents)
+          |SELECT g.url, g.host, g.path FROM gated g
+          |WHERE md5(g.url) NOT IN (SELECT fp FROM seen)
+          |ORDER BY g.url""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

@@ -96,6 +96,72 @@ object Html {
         col("__h").as("href"))
   }
 
+  /** Comment/script/style strip as pure Column regexps — the replay
+    * CTE every HTML oracle opens with, exposed for the Column-level
+    * fronts below ([[anchors]], [[metaRobots]]). The KERNEL walks
+    * ([[blocks]], [[links]], [[metadata]]) remain the robust path
+    * (quoted `>` inside attributes, unterminated containers); these
+    * regexp forms are exactly as strong as their replay, which is
+    * the point.
+    */
+  def stripContainers(html: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(html,
+      "(?s)<!--.*?-->", ""),
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", ""),
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", "")
+
+  /** The amp-last entity replace chain (the HTML oracle convention —
+    * single-pass-equivalent for the named set).
+    */
+  private def decodeEntities(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&nbsp;" -> "\u00a0", "&amp;" -> "&").foldLeft(c) {
+      case (x, (a, b)) => replace(x, lit(a), lit(b)) }
+
+  /** One row per anchor ELEMENT with its text — the anchor-text
+    * aggregation / nofollow front (where [[links]] yields hrefs
+    * only): `(id, anchor_no, href, rel, text)`, `anchor_no` 1-based
+    * in document order, `href`/`rel` from the double-quoted
+    * attribute forms (null when absent; `rel` lowercased — token
+    * set per the HTML spec), `text` = the element's inner markup
+    * with tags stripped, entities decoded, whitespace collapsed
+    * (empty → null). Pure regexp Column ops after
+    * [[stripContainers]], each step its own replay. Scan-local,
+    * zero shuffle.
+    */
+  def anchors(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(stripContainers(col(htmlCol)),
+          lit("(?is)(<a\\b[^>]*>.*?</a\\s*>)"), lit(1)))
+          .as(Seq("__p", "__a")))
+      .select(col(idCol),
+        (col("__p") + 1).cast("long").as("anchor_no"),
+        nullif(decodeEntities(regexp_extract(col("__a"),
+          "(?is)<a\\b[^>]*?[\\s]href\\s*=\\s*\"([^\"]*)\"", 1)),
+          lit("")).as("__rawhref"),
+        nullif(lower(regexp_extract(col("__a"),
+          "(?is)<a\\b[^>]*?[\\s]rel\\s*=\\s*\"([^\"]*)\"", 1)),
+          lit("")).as("rel"),
+        nullif(trim(regexp_replace(decodeEntities(regexp_replace(
+          regexp_replace(col("__a"), "(?is)^<a\\b[^>]*>|</a\\s*>$", ""),
+          "<[^>]*>", " ")), "\\s+", " ")), lit("")).as("text"))
+      .withColumnRenamed("__rawhref", "href")
+
+  /** The page-level `<meta name="robots" content="…">` directive set
+    * (lowercased, null when absent; FIRST occurrence wins, attribute
+    * order free — the [[metadata]] description discipline as a
+    * Column). Gate crawl frontiers on `noindex`/`nofollow` tokens.
+    */
+  def metaRobots(html: Column): Column = {
+    val metas = filter(
+      regexp_extract_all(stripContainers(html),
+        lit("(?is)(<meta\\b[^>]*>)"), lit(1)),
+      m => m.rlike("(?is)[\\s]name\\s*=\\s*\"robots\""))
+    when(size(metas) > 0,
+      nullif(lower(trim(regexp_extract(element_at(metas, 1),
+        "(?is)[\\s]content\\s*=\\s*\"([^\"]*)\"", 1))), lit("")))
+  }
+
   /** XML entity decode for sitemap fields — the sitemaps.org escape
     * set, amp LAST (single-pass equivalence, the [[graft.functions
     * .HtmlLinks]] convention).

@@ -343,6 +343,42 @@ class HtmlSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("anchors: element capture with text, href/rel attributes, " +
+      "container decoys immune, inner tags stripped, empties null") {
+    import spark.implicits._
+    val html = "<body><p>See <a href=\"/x\" rel=\"NOFOLLOW\">First " +
+      "&amp; <b>bold</b> text</a> and <a href=\"/y?a=1&amp;b=2\">" +
+      "plain</a> <a name=\"n\">no href</a> <a href=\"/e\"></a></p>" +
+      "<script>'<a href=\"/no\">s</a>'</script>" +
+      "<!-- <a href=\"/c\">c</a> --></body>"
+    val got = Html.anchors(Seq((1L, html)).toDF("id", "html"),
+        "id", "html")
+      .orderBy("anchor_no").collect().toSeq
+      .map(r => (r.getLong(1), Option(r.getString(2)),
+        Option(r.getString(3)), Option(r.getString(4))))
+    assert(got == Seq(
+      (1L, Some("/x"), Some("nofollow"), Some("First & bold text")),
+      (2L, Some("/y?a=1&b=2"), None, Some("plain")),
+      (3L, None, None, Some("no href")),
+      (4L, Some("/e"), None, None)))
+  }
+
+  test("metaRobots: first occurrence wins, attribute order free, " +
+      "containers immune, absent or contentless is null") {
+    import spark.implicits._
+    def mr(html: String): Option[String] =
+      Seq(Tuple1(html)).toDF("h")
+        .select(Html.metaRobots(col("h")).as("m"))
+        .collect().headOption.flatMap(r => Option(r.getString(0)))
+    assert(mr("<head><meta content=\"NOINDEX, nofollow\" " +
+      "name=\"Robots\"><meta name=\"robots\" content=\"all\">" +
+      "</head>") == Some("noindex, nofollow"))
+    assert(mr("<script>'<meta name=\"robots\" content=\"none\">'" +
+      "</script><meta name=\"robots\" content=\"all\">") == Some("all"))
+    assert(mr("<meta name=\"description\" content=\"x\">") == None)
+    assert(mr("<meta name=\"robots\" content=\"\">") == None)
+  }
+
   test("plan shape: extractBlocks is one scan-local projection — no " +
       "exchange, whole-stage codegen") {
     import spark.implicits._
