@@ -77,11 +77,27 @@ object HtmlStress {
           .agg(count(lit(1)),
             sum(when(col("title").isNotNull, 1L).otherwise(0L))).head()
       }
+      // the regexp-based anchor-element front (r17): 8 hrefs + 3
+      // href-less farm anchors per page = 11 elements; nofollow
+      // tokens absent by construction
+      val an = time(s"anchors rep$rep") {
+        graft.ops.Html.anchors(corpus, "doc_id", "html")
+          .agg(count(lit(1)),
+            sum(when(col("href").isNotNull, 1L).otherwise(0L)),
+            sum(length(col("text")))).head()
+      }
+      val mrb = time(s"metarob rep$rep") {
+        corpus.select(graft.ops.Html.metaRobots(col("html")).as("m"))
+          .agg(sum(when(col("m").isNotNull, 1L).otherwise(0L))).head()
+      }
+      assert(an.getLong(0) == 11L * nDocs, s"anchors ${an.getLong(0)}")
+      assert(an.getLong(1) == 8L * nDocs)
+      assert(mrb.getLong(0) == 0L)
       println(s"MARKER rep$rep blocks=${b.getLong(0)} " +
         s"kept=${b.getLong(3)} docs=${t.getLong(0)} " +
         s"kept2=${t.getLong(2)} text_chars=${t.getLong(1)} " +
         s"links=${l.getLong(0)} metas=${m.getLong(0)} " +
-        s"titled=${m.getLong(1)}")
+        s"titled=${m.getLong(1)} anchors=${an.getLong(0)}")
       // links per page: 2 nav + 6 inline = 8 exactly (the farm anchors
       // carry no href — href-less anchors are not links); every page
       // carries a title block
