@@ -959,6 +959,64 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("url")
     }),
 
+    // ---- sitemap discovery (the robots→sitemap link of the crawl
+    //      loop): per-host robots bodies carry a Sitemap directive
+    //      before any group, odd hosts a second one textually INSIDE
+    //      the star group (group-independent per RFC 9309 §2.3 — it
+    //      must still count), a commented decoy, and raw-case URL
+    //      values; each discovered sitemap then "fetches" a 2-url
+    //      urlset derived from its host and flows through the q179
+    //      parser, provenance (host, line_no) carried through. ----
+
+    "q183_sitemap_discovery" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = substring(col("source"), 4, 10).cast("long")
+      val bodies = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          concat(lit("# Sitemap: https://decoy.example.com/no.xml\n" +
+            "Sitemap: https://"), col("source"),
+            lit(".example.com/sitemap-index.xml\nUser-agent: *\n" +
+              "Disallow: /private/\n"),
+            when(pmod(k, lit(2)) === 1,
+              concat(lit("sitemap: HTTPS://"), upper(col("source")),
+                lit(".Example.COM/Extra.xml\n")))
+              .otherwise(lit(""))).as("robots"))
+      val disc = graft.ops.Robots.sitemaps(bodies, "host", "robots")
+      val xml = disc.select(col("host"), col("line_no"),
+        col("sitemap_url"),
+        concat(lit("<urlset><url><loc>https://"), col("host"),
+          lit("/from-sitemap/1</loc></url><url><loc> https://"),
+          col("host"),
+          lit("/from-sitemap/2 </loc><lastmod>2026-08-10</lastmod>" +
+            "</url></urlset>")).as("xml"))
+      graft.ops.Html.sitemapEntries(xml, "sitemap_url", "xml")
+        .join(disc, "sitemap_url")
+        .select(col("host"), col("line_no"), col("sitemap_url"),
+          col("kind"), col("entry_no"), col("loc"), col("lastmod"))
+        .orderBy("host", "line_no", "entry_no")
+    }),
+
+    // ---- PageRank convergence harness (the q168 operating-point
+    //      discipline on the power iteration): exact integer L1/max
+    //      rank deltas per iteration over q176's host graph — the
+    //      evidence for choosing an iteration count. The oracle
+    //      recomputes every delta from the unrolled iterations. ----
+
+    "q184_pagerank_convergence" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = concat(col("source"), lit(".example.com"))
+      val edges = docs.select(src.as("src"),
+          lit("hub.example.org").as("dst"))
+        .union(docs.select(src.as("src"),
+          concat(lit("src"), pmod(pmod(col("doc_id"), lit(97)),
+            lit(20)), lit(".example.com")).as("dst")))
+        .union(docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(src.as("src"), lit("sink.example.org").as("dst")))
+      graft.ops.LinkGraph.pageRankDeltas(edges, "src", "dst",
+          iterations = 3)
+        .orderBy("iteration")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -2185,6 +2243,145 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |SELECT g.url, g.host, g.path FROM gated g
           |WHERE md5(g.url) NOT IN (SELECT fp FROM seen)
           |ORDER BY g.url""".stripMargin,
+
+      // Discovery replay: line explode + comment strip + the
+      // case-insensitive sitemap key (value raw, first-colon split),
+      // then the q179 urlset replay with provenance carried through
+      // the construction instead of a join.
+      "q183_sitemap_discovery" ->
+        """WITH ksrc AS (
+          |  SELECT DISTINCT source,
+          |    CAST(substr(source, 4) AS BIGINT) AS k FROM documents),
+          |bodies AS (
+          |  SELECT source || '.example.com' AS host,
+          |    '# Sitemap: https://decoy.example.com/no.xml' || chr(10)
+          |    || 'Sitemap: https://' || source
+          |    || '.example.com/sitemap-index.xml' || chr(10)
+          |    || 'User-agent: *' || chr(10)
+          |    || 'Disallow: /private/' || chr(10)
+          |    || CASE WHEN k % 2 = 1 THEN 'sitemap: HTTPS://'
+          |      || upper(source) || '.Example.COM/Extra.xml'
+          |      || chr(10) ELSE '' END AS robots
+          |  FROM ksrc),
+          |lines0 AS (
+          |  SELECT host,
+          |    CAST(unnest(range(1,
+          |      len(string_split(robots, chr(10))) + 1)) AS BIGINT)
+          |      AS line_no,
+          |    unnest(string_split(robots, chr(10))) AS raw
+          |  FROM bodies),
+          |kv AS (
+          |  SELECT host, line_no,
+          |    lower(trim(regexp_extract(
+          |      trim(regexp_replace(raw, '#.*', '', 'g')),
+          |      '^([^:]*):', 1))) AS key,
+          |    trim(regexp_extract(
+          |      trim(regexp_replace(raw, '#.*', '', 'g')),
+          |      '^[^:]*:(.*)', 1)) AS value
+          |  FROM lines0),
+          |disc AS (
+          |  SELECT host, line_no, value AS sitemap_url
+          |  FROM kv WHERE key = 'sitemap' AND value <> ''),
+          |xml AS (
+          |  SELECT host, line_no, sitemap_url,
+          |    '<urlset><url><loc>https://' || host
+          |    || '/from-sitemap/1</loc></url><url><loc> https://'
+          |    || host || '/from-sitemap/2 </loc>'
+          |    || '<lastmod>2026-08-10</lastmod></url></urlset>' AS xml
+          |  FROM disc),
+          |u AS (
+          |  SELECT host, line_no, sitemap_url, 'url' AS kind,
+          |    CAST(unnest(range(1, len(regexp_extract_all(xml,
+          |      '(?is)<url\b[^>]*>(.*?)</url>', 1)) + 1)) AS BIGINT)
+          |      AS entry_no,
+          |    unnest(regexp_extract_all(xml,
+          |      '(?is)<url\b[^>]*>(.*?)</url>', 1)) AS b
+          |  FROM xml),
+          |f AS (
+          |  SELECT host, line_no, sitemap_url, kind, entry_no,
+          |    replace(replace(replace(replace(replace(
+          |      trim(regexp_extract(b,
+          |        '(?is)<loc>\s*(.*?)\s*</loc>', 1)),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          |      '&apos;', chr(39)), '&amp;', '&') AS loc,
+          |    nullif(trim(regexp_extract(b,
+          |      '(?is)<lastmod>\s*(.*?)\s*</lastmod>', 1)), '')
+          |      AS lastmod
+          |  FROM u)
+          |SELECT host, line_no, sitemap_url, kind, entry_no, loc,
+          |  lastmod
+          |FROM f WHERE loc <> ''
+          |ORDER BY host, line_no, entry_no""".stripMargin,
+
+      // q176's unrolled iterations with per-step exact delta
+      // aggregates.
+      "q184_pagerank_convergence" ->
+        """WITH e AS (
+          |  SELECT DISTINCT src, dst FROM (
+          |    SELECT source || '.example.com' AS src,
+          |      'hub.example.org' AS dst FROM documents
+          |    UNION ALL
+          |    SELECT source || '.example.com',
+          |      'src' || ((doc_id % 97) % 20) || '.example.com'
+          |      FROM documents
+          |    UNION ALL
+          |    SELECT source || '.example.com', 'sink.example.org'
+          |      FROM documents WHERE doc_id % 3 = 0)),
+          |nodes AS (SELECT src AS node FROM e
+          |  UNION SELECT dst FROM e),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nodes),
+          |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS odeg
+          |  FROM e GROUP BY 1),
+          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+          |d1 AS (SELECT r.node, r.r * 850000 // 1000000 AS damped,
+          |    o.odeg FROM r0 r LEFT JOIN od o USING (node)),
+          |c1 AS (SELECT e.dst AS node, sum(d.damped // d.odeg) AS inc
+          |  FROM e JOIN d1 d ON e.src = d.node GROUP BY 1),
+          |p1 AS (SELECT coalesce(sum(damped), 0) AS pool
+          |  FROM d1 WHERE odeg IS NULL),
+          |r1 AS (SELECT nd.node, 150000
+          |    + (SELECT pool FROM p1) // (SELECT n_nodes FROM nn)
+          |    + coalesce(c.inc, 0) AS r
+          |  FROM nodes nd LEFT JOIN c1 c USING (node)),
+          |d2 AS (SELECT r.node, r.r * 850000 // 1000000 AS damped,
+          |    o.odeg FROM r1 r LEFT JOIN od o USING (node)),
+          |c2 AS (SELECT e.dst AS node, sum(d.damped // d.odeg) AS inc
+          |  FROM e JOIN d2 d ON e.src = d.node GROUP BY 1),
+          |p2 AS (SELECT coalesce(sum(damped), 0) AS pool
+          |  FROM d2 WHERE odeg IS NULL),
+          |r2 AS (SELECT nd.node, 150000
+          |    + (SELECT pool FROM p2) // (SELECT n_nodes FROM nn)
+          |    + coalesce(c.inc, 0) AS r
+          |  FROM nodes nd LEFT JOIN c2 c USING (node)),
+          |d3 AS (SELECT r.node, r.r * 850000 // 1000000 AS damped,
+          |    o.odeg FROM r2 r LEFT JOIN od o USING (node)),
+          |c3 AS (SELECT e.dst AS node, sum(d.damped // d.odeg) AS inc
+          |  FROM e JOIN d3 d ON e.src = d.node GROUP BY 1),
+          |p3 AS (SELECT coalesce(sum(damped), 0) AS pool
+          |  FROM d3 WHERE odeg IS NULL),
+          |r3 AS (SELECT nd.node, 150000
+          |    + (SELECT pool FROM p3) // (SELECT n_nodes FROM nn)
+          |    + coalesce(c.inc, 0) AS r
+          |  FROM nodes nd LEFT JOIN c3 c USING (node))
+          |SELECT * FROM (
+          |  SELECT CAST(1 AS BIGINT) AS iteration,
+          |    CAST((SELECT sum(abs(r1.r - r0.r)) FROM r1
+          |      JOIN r0 USING (node)) AS BIGINT) AS l1_delta_micro,
+          |    CAST((SELECT max(abs(r1.r - r0.r)) FROM r1
+          |      JOIN r0 USING (node)) AS BIGINT) AS max_delta_micro
+          |  UNION ALL
+          |  SELECT 2,
+          |    CAST((SELECT sum(abs(r2.r - r1.r)) FROM r2
+          |      JOIN r1 USING (node)) AS BIGINT),
+          |    CAST((SELECT max(abs(r2.r - r1.r)) FROM r2
+          |      JOIN r1 USING (node)) AS BIGINT)
+          |  UNION ALL
+          |  SELECT 3,
+          |    CAST((SELECT sum(abs(r3.r - r2.r)) FROM r3
+          |      JOIN r2 USING (node)) AS BIGINT),
+          |    CAST((SELECT max(abs(r3.r - r2.r)) FROM r3
+          |      JOIN r2 USING (node)) AS BIGINT))
+          |ORDER BY iteration""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

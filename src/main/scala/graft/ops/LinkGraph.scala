@@ -101,4 +101,74 @@ object LinkGraph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"))
   }
+
+  /** Convergence evidence for [[pageRankMicro]] — the
+    * operating-point harness (how many iterations does THIS graph
+    * need?), the q73-recall/q168-sweep discipline applied to the
+    * power iteration: one row per iteration with the EXACT integer
+    * L1 and max per-node rank deltas vs the previous iteration
+    * (micro units — all pure long arithmetic, so two engines land on
+    * identical rows). Pick the iteration count where `l1_delta_micro`
+    * crosses your tolerance; at web scale deltas shrink
+    * geometrically with the damping factor, so the row count needed
+    * is small and this harness runs once per graph generation, not
+    * per query. One extra node-keyed join per iteration over
+    * [[pageRankMicro]]'s own work; per-iteration driver aggregates
+    * (evidence harnesses are sample-shaped actions by contract —
+    * the q168 scale boundary).
+    */
+  def pageRankDeltas(edges: DataFrame, srcCol: String, dstCol: String,
+                     iterations: Int,
+                     dampingMicro: Long = 850000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      "iterations must be in [1, 50]")
+    require(dampingMicro >= 0L && dampingMicro <= 1000000L,
+      "dampingMicro must be in [0, 1000000]")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist()
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outDeg, Seq("node"), "left").persist()
+    val n = nodes.count()
+    val base = 1000000L - dampingMicro
+
+    var rank = nodes.select(col("node"), col("out_deg"),
+      lit(1000000L).as("rank_micro"))
+    val deltas = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    for (i <- 1 to iterations) {
+      val damped = rank.select(col("node"), col("out_deg"),
+        expr(s"rank_micro * ${dampingMicro}L div 1000000L")
+          .as("damped"))
+      val contrib = e.join(
+          damped.filter(col("out_deg").isNotNull)
+            .select(col("node").as("src"),
+              expr("damped div out_deg").as("c")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("incoming"))
+      val pool = damped.filter(col("out_deg").isNull)
+        .agg(coalesce(sum(col("damped")), lit(0L)).as("dangling_total"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(pool))
+        .select(col("node"), col("out_deg"),
+          (lit(base) + expr(s"dangling_total div ${n}L") +
+            coalesce(col("incoming"), lit(0L))).as("rank_micro"))
+        .persist()
+      val d = next.join(
+          rank.select(col("node"), col("rank_micro").as("__prev")),
+          "node")
+        .agg(sum(abs(col("rank_micro") - col("__prev"))).as("l1"),
+          max(abs(col("rank_micro") - col("__prev"))).as("mx"))
+        .head()
+      deltas += ((i.toLong, d.getLong(0), d.getLong(1)))
+      rank = next
+    }
+    spark.createDataFrame(deltas.toSeq)
+      .toDF("iteration", "l1_delta_micro", "max_delta_micro")
+  }
 }

@@ -101,16 +101,14 @@ object Robots {
     userAgent.toLowerCase(java.util.Locale.ROOT)
   }
 
-  /** Lines → directives → window-numbered groups, restricted to
-    * `user-agent` plus `keys` (the directive family being parsed —
-    * grouping runs over exactly the participating lines, so each
-    * family sees the RFC's "maximal user-agent run opens a group"
-    * structure on its own line set).
+  /** Lines → `(host, line_no, key, value)` directive rows (comment
+    * strip, case-insensitive keys, values trimmed with everything
+    * after the FIRST colon kept — `Sitemap:` values carry their own
+    * colons).
     */
-  private def groupedDirectives(df: DataFrame, hostCol: String,
-                                robotsCol: String,
-                                keys: Seq[String]): DataFrame = {
-    val lines = df.select(col(hostCol).as("host"),
+  private def directiveLines(df: DataFrame, hostCol: String,
+                             robotsCol: String): DataFrame =
+    df.select(col(hostCol).as("host"),
         posexplode(split(replace(col(robotsCol), lit("\r"), lit("")),
           "\n")).as(Seq("__p", "__raw")))
       .select(col("host"), (col("__p") + 1).cast("long").as("line_no"),
@@ -120,6 +118,31 @@ object Robots {
           .as("key"),
         trim(regexp_extract(col("__line"), "^[^:]*:(.*)", 1))
           .as("value"))
+
+  /** `Sitemap:` discovery (RFC 9309 §2.3 — the directive is
+    * GROUP-INDEPENDENT: every occurrence applies regardless of any
+    * user-agent group it textually sits inside): `(host, line_no,
+    * sitemap_url)` in line order, values kept raw (they are absolute
+    * URLs, case-significant past the scheme). The discovery link
+    * into [[Html.sitemapEntries]] → [[frontier]].
+    */
+  def sitemaps(df: DataFrame, hostCol: String,
+               robotsCol: String): DataFrame =
+    directiveLines(df, hostCol, robotsCol)
+      .filter(col("key") === "sitemap" && col("value") =!= "")
+      .select(col("host"), col("line_no"),
+        col("value").as("sitemap_url"))
+
+  /** Lines → directives → window-numbered groups, restricted to
+    * `user-agent` plus `keys` (the directive family being parsed —
+    * grouping runs over exactly the participating lines, so each
+    * family sees the RFC's "maximal user-agent run opens a group"
+    * structure on its own line set).
+    */
+  private def groupedDirectives(df: DataFrame, hostCol: String,
+                                robotsCol: String,
+                                keys: Seq[String]): DataFrame = {
+    val lines = directiveLines(df, hostCol, robotsCol)
       .filter(col("key").isin("user-agent" +: keys: _*) &&
         col("value") =!= "")
     val w = Window.partitionBy("host").orderBy("line_no")

@@ -46,6 +46,17 @@ class LinkGraphSpec extends SparkSpec {
     assert(r2("d")._1 == 1799531L)
   }
 
+  test("pageRankDeltas: exact L1/max deltas per iteration from the " +
+      "hand-computed ranks") {
+    val got = LinkGraph.pageRankDeltas(edges, "s", "d", iterations = 2)
+      .orderBy("iteration").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // iter1: |r1-r0| = 637500+212500+637500+212500; max 637500
+    // iter2: 45156+225782+406407+587031; max 587031
+    assert(got == Seq((1L, 1700000L, 637500L),
+      (2L, 1264376L, 587031L)))
+  }
+
   test("mass conservation up to floor leakage; parameter guards") {
     val total = ranks(3).values.map(_._1).sum
     // 4e6 total minus at most (out_deg + 2) micro per node-iteration

@@ -213,6 +213,27 @@ class RobotsSpec extends SparkSpec {
       ("https://z.com/only", 0L, 0L, 500000L)))
   }
 
+  test("sitemaps: group-independent discovery, raw values with their " +
+      "colons, comment decoys dead, key case-insensitive") {
+    val body =
+      """# Sitemap: https://decoy.example.com/no.xml
+        |User-agent: *
+        |Disallow: /x
+        |Sitemap: https://h.example.com/s1.xml
+        |SITEMAP: HTTPS://h.example.com/S2.xml
+        |Sitemap:
+        |""".stripMargin
+    val got = Robots.sitemaps(
+        spark.createDataFrame(Seq(("h", body))).toDF("host", "robots"),
+        "host", "robots")
+      .orderBy("line_no").collect().toSeq
+      .map(r => (r.getLong(1), r.getString(2)))
+    // line 4 sits INSIDE the star group and still counts; raw case
+    // kept; the empty value and the comment decoy are dropped
+    assert(got == Seq((4L, "https://h.example.com/s1.xml"),
+      (5L, "HTTPS://h.example.com/S2.xml")))
+  }
+
   test("rules rejects wildcard or empty product tokens") {
     val df = spark.createDataFrame(Seq(("h", "x"))).toDF("host", "robots")
     intercept[IllegalArgumentException] {
