@@ -100,25 +100,35 @@ object Bench {
     def cs(v: Double): String =
       if (v < 0) "-1" else math.round(v * 100).toString
     def line(keep: Int): String = {
-      val qs = short.take(keep)
-        .map { case (k, v) => "\"" + k + "\":" + cs(v) }
+      val kept = short.take(keep)
+      // numbered keys are bare digits; a collision kept its full
+      // name (leading 'q') and rides in the small q_named object so
+      // the main array stays pure numbers
+      val (named, numbered) = kept.partition {
+        case (k, _) => k.startsWith("q")
+      }
+      val qs = numbered.map { case (k, v) => k + "," + cs(v) }
         .mkString(",")
+      val namedField =
+        if (named.isEmpty) ""
+        else ""","q_named":{""" + named.map { case (k, v) =>
+          "\"" + k + "\":" + cs(v) }.mkString(",") + "}"
       // "omitted" doubles as parseCommitted's refusal marker — never
       // rename it; n_queries was dropped r16 (redundant with
-      // |queries| + omitted), and r17 trimmed the sf to its basename,
-      // dropped the pointer note (exact seconds live in
-      // BENCH_LOCAL_latest.json, documented in BASELINE.md) and
-      // shortened the q_key label — each a few entries of headroom at
-      // 171 queries. The committed FILE keeps the full sf path;
-      // parseCommitted's SF scoping reads that file, not this line.
-      // "q_unit":"cs" = centiseconds; keys are bare query numbers
-      // (collisions keep full names) — both documented in BASELINE.md;
-      // the q_key field was dropped at 174 queries for headroom
+      // |queries| + omitted), r17 trimmed the sf to its basename,
+      // dropped the pointer note and the q_key label, and finally
+      // (at 184 queries) moved "queries" from an object to a FLAT
+      // PAIR ARRAY [id, cs, id, cs, …] slowest-first — ~3 chars per
+      // entry over the quoted-key object form, the difference
+      // between omitted:10 and ~70 queries of headroom. Decoding is
+      // documented in BASELINE.md; the committed FILE keeps the full
+      // object form ("queries":{"qNN_name": seconds}) — this summary
+      // is only the driver's stdout-tail capture.
       val sfName = sfDir.stripSuffix("/").split('/').last
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec",""" +
         s""""sf":"$sfName","omitted":${results.size - keep},""" +
-        s""""q_unit":"cs",""" +
-        s""""queries":{$qs}}"""
+        s""""q_unit":"cs","q_form":"pairs",""" +
+        s""""queries":[$qs]$namedField}"""
     }
     // largest slowest-first subset that fits; at most ~160 queries so the
     // quadratic retry is trivial

@@ -133,53 +133,62 @@ class BenchHonestySpec extends SparkSpec {
       s"summary drops queries on the real suite: " +
         """"omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1)))
     assert(line.contains("\"q_unit\":\"cs\""))
+    assert(line.contains("\"q_form\":\"pairs\""))
     // HEADROOM: the suite grows every round (158 queries hit
-    // omitted:1 at r15 before the note trim) — a synthetic suite 15
-    // queries bigger than today's, with realistic multi-second values,
-    // must still fit whole
+    // omitted:1 at r15 before the note trim; 184 hit omitted:10 under
+    // the object encoding before the r17 pair-array move) — a
+    // synthetic suite 15 queries bigger than today's, with realistic
+    // multi-second values, must still fit whole
     val grown = results ++ (0 until 15).map(i =>
       (f"q${900 + i}%d_future_query_name" -> 12.34))
     val gline = Bench.summaryLine(grown, "/root/testdata/sf0.1")
     assert(gline.length <= 1800 && gline.contains("\"omitted\":0"),
       s"summary lacks growth headroom: ${gline.length} chars, " +
         """"omitted":(\d+)""".r.findFirstMatchIn(gline).map(_.group(1)))
-    // slowest-first and number-keyed: the slowest query's number is
-    // the first key in the queries object
+    // decode the pair array: [id, cs, id, cs, …]
+    def pairs(l: String): Seq[(String, Long)] = {
+      val a = l.indexOf("\"queries\":[")
+      val b = l.indexOf("]", a)
+      val body = l.substring(a + 11, b)
+      if (body.isEmpty) Seq.empty
+      else body.split(',').grouped(2)
+        .map(g => g(0) -> g(1).toLong).toSeq
+    }
+    val ps = pairs(line)
+    // slowest-first: the slowest query's number leads the array
     val slowest = results.maxBy(_._2)._1.takeWhile(_ != '_')
-      .stripPrefix("q")
-    val qIdx = line.indexOf("\"queries\":{")
-    assert(line.startsWith("\"" + slowest + "\":", qIdx + 11),
-      s"first summary entry is not the slowest query ($slowest): " +
-        line.substring(qIdx, math.min(line.length, qIdx + 60)))
-    // every retained key is unique (prefix collisions fall back to the
-    // full name rather than silently merging two queries)
-    val keys = """"([A-Za-z0-9_]+)":(-?\d+)[,}]""".r
-      .findAllMatchIn(line.substring(qIdx + 11)).map(_.group(1)).toSeq
-    assert(keys.distinct.size == keys.size)
+      .stripPrefix("q").dropWhile(_ == '0')
+    assert(ps.head._1 == slowest,
+      s"first summary entry ${ps.head} is not the slowest ($slowest)")
+    // every retained id is unique and the values are centiseconds
+    assert(ps.map(_._1).distinct.size == ps.size)
+    assert(ps.size == results.size)
     // collision fallback: two names sharing a qNN prefix keep full
-    // names (incl. the q); values are centisecond ints (2.0 s -> 200),
+    // names (incl. the q) in the q_named OBJECT; the main array stays
+    // pure numbers; values are centisecond ints (2.0 s -> 200),
     // failures stay -1
     val coll = Bench.summaryLine(
       Seq("q1_alpha" -> 2.0, "q1_beta" -> 1.0, "q2_gamma" -> 0.505,
         "q3_failed" -> -1.0), "/x")
-    assert(coll.contains("\"q1_alpha\":200") &&
-      coll.contains("\"q1_beta\":100") && coll.contains("\"2\":51") &&
-      coll.contains("\"3\":-1"))
+    assert(coll.contains(""""q_named":{"q1_alpha":200,"q1_beta":100}""")
+      && coll.contains("\"queries\":[2,51,3,-1]"), coll)
     // collisions are detected on the NORMALIZED number, not the raw
     // prefix: q05_x and q5_y both shorten to "5" and must both keep
-    // full names instead of emitting a duplicate JSON key
+    // full names instead of colliding
     val norm = Bench.summaryLine(
       Seq("q05_x" -> 1.0, "q5_y" -> 2.0, "q050_z" -> 3.0,
         "q50_w" -> 4.0), "/x")
     assert(norm.contains("\"q05_x\":100") && norm.contains("\"q5_y\":200") &&
-      norm.contains("\"q050_z\":300") && norm.contains("\"q50_w\":400"),
-      norm)
+      norm.contains("\"q050_z\":300") && norm.contains("\"q50_w\":400") &&
+      norm.contains("\"queries\":[]"), norm)
     // over-budget input degrades by dropping FASTEST entries and says so
     val many = (1 to 400).map(i => f"q$i%03d_very_long_query_name" -> i.toDouble)
     val tight = Bench.summaryLine(many, "/x", budget = 600)
     assert(tight.length <= 600)
     assert(""""omitted":(\d+)""".r.findFirstMatchIn(tight)
       .exists(_.group(1).toInt > 0))
-    assert(tight.contains("\"400\":40000") && !tight.contains("\"001\":"))
+    val tp = pairs(tight)
+    assert(tp.head == ("400" -> 40000L) && !tp.map(_._1).contains("1"),
+      tight)
   }
 }
