@@ -101,11 +101,13 @@ object Bench {
       if (v < 0) "-1" else math.round(v * 100).toString
     def line(keep: Int): String = {
       val kept = short.take(keep)
-      // numbered keys are bare digits; a collision kept its full
-      // name (leading 'q') and rides in the small q_named object so
-      // the main array stays pure numbers
+      // numbered keys are bare digits; anything else (a collision
+      // kept its full name, or a result whose name never had the qNN
+      // form) rides in the small q_named object so the main array
+      // stays pure numbers — routing on isDigit, not a 'q' prefix,
+      // keeps a non-qNN name from emitting an unquoted bareword
       val (named, numbered) = kept.partition {
-        case (k, _) => k.startsWith("q")
+        case (k, _) => !k.forall(_.isDigit)
       }
       val qs = numbered.map { case (k, v) => k + "," + cs(v) }
         .mkString(",")

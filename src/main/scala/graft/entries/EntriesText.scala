@@ -1661,7 +1661,8 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  SELECT host, line_no, key, value,
           |    key = 'user-agent' AS is_ua
           |  FROM kv
-          |  WHERE key IN ('user-agent', 'allow', 'disallow')
+          |  WHERE key IN ('user-agent', 'allow', 'disallow',
+          |      'crawl-delay', 'sitemap')
           |    AND value <> ''),
           |grp0 AS (
           |  SELECT *, coalesce(lag(is_ua) OVER
@@ -1688,7 +1689,8 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |    g.key = 'allow' AS allow, g.value AS pattern
           |  FROM grp g JOIN sel s
           |    ON g.host = s.host AND g.group_id = s.group_id
-          |  WHERE NOT g.is_ua AND g.group_id > 0),
+          |  WHERE NOT g.is_ua AND g.group_id > 0
+          |    AND g.key IN ('allow', 'disallow')),
           |rx AS (
           |  SELECT host, rule_no, allow, pattern,
           |    '^' || replace(replace(replace(replace(replace(replace(
@@ -1797,7 +1799,7 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |    + (SELECT pool FROM p3) // (SELECT n_nodes FROM nn)
           |    + coalesce(c.inc, 0) AS r
           |  FROM nodes nd LEFT JOIN c3 c USING (node))
-          |SELECT r3.node AS host, r3.r AS rank_micro,
+          |SELECT r3.node AS host, CAST(r3.r AS BIGINT) AS rank_micro,
           |  coalesce(ind.ideg, 0) AS in_deg,
           |  coalesce(od.odeg, 0) AS out_deg
           |FROM r3 LEFT JOIN ind USING (node) LEFT JOIN od USING (node)
@@ -2008,11 +2010,11 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |WHERE loc <> ''
           |ORDER BY doc_id, kind, entry_no""".stripMargin,
 
-      // Crawl-delay parse replayed through the q175 group skeleton
-      // restricted to the crawl-delay directive family (its own
-      // grouping line set, the documented per-family rule), try_cast
-      // integer seconds, earliest line per host; then the schedule
-      // window verbatim.
+      // Crawl-delay parse replayed through the q175 group skeleton —
+      // groups computed over the FULL recognized-directive line set
+      // (any family's rule line closes a user-agent run, RFC 9309),
+      // then filtered to crawl-delay — try_cast integer seconds,
+      // earliest line per host; then the schedule window verbatim.
       "q180_fetch_schedule" ->
         """WITH ksrc AS (
           |  SELECT DISTINCT source,
@@ -2046,7 +2048,8 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  SELECT host, line_no, key, value,
           |    key = 'user-agent' AS is_ua
           |  FROM kv
-          |  WHERE key IN ('user-agent', 'crawl-delay')
+          |  WHERE key IN ('user-agent', 'allow', 'disallow',
+          |      'crawl-delay', 'sitemap')
           |    AND value <> ''),
           |grp0 AS (
           |  SELECT *, coalesce(lag(is_ua) OVER
@@ -2074,6 +2077,7 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  FROM grp g JOIN sel s
           |    ON g.host = s.host AND g.group_id = s.group_id
           |  WHERE NOT g.is_ua AND g.group_id > 0
+          |    AND g.key = 'crawl-delay'
           |    AND TRY_CAST(g.value AS BIGINT) IS NOT NULL
           |    AND TRY_CAST(g.value AS BIGINT) >= 0),
           |delays AS (

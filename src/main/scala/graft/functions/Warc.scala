@@ -187,24 +187,40 @@ object WarcOps {
     case b: Array[Byte] => parseRecords(b)
   }
 
+  /** Decompressed output past this routes to null instead of
+    * OutOfMemory/negative-size throws — a single byte array caps at
+    * `Int.MaxValue` and a >1 GiB payload in one row is a corrupt or
+    * hostile member at corpus scale, not data. (Real CommonCrawl
+    * segments are per-RECORD gzip members read file-split-parallel
+    * upstream; this per-row decode sees one member or a few.)
+    */
+  val MaxGunzipBytes: Int = 1 << 30
+
   /** Multi-member gzip decode (CommonCrawl gzips each WARC record as
     * its own member; `GZIPInputStream` walks concatenated members).
-    * Null/corrupt input → null (route-not-throw).
+    * Null/corrupt/oversized input → null (route-not-throw): the catch
+    * is `NonFatal`, so a task never dies on one bad row. The initial
+    * buffer sizing clamps `length * 4` in LONG arithmetic — an Int
+    * product overflows negative past 512 MiB input.
     */
   def gunzip(input: Array[Byte]): Array[Byte] = {
     if (input == null || input.isEmpty) return null
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(input), 65536)
-      val out = new java.io.ByteArrayOutputStream(input.length * 4)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(input.length.toLong * 4, 1L << 20).toInt)
       val buf = new Array[Byte](65536)
+      var total = 0L
       var r = in.read(buf)
       while (r >= 0) {
+        total += r
+        if (total > MaxGunzipBytes) return null
         out.write(buf, 0, r)
         r = in.read(buf)
       }
       out.toByteArray
-    } catch { case _: java.io.IOException => null }
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 }
 

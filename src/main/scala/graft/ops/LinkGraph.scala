@@ -41,11 +41,41 @@ import org.apache.spark.sql.functions._
   * node/edge-sized shuffles for K iterations, partial aggregation
   * map-side on the contribution sum. The dangling pool is a one-row
   * aggregate broadcast back (a literal broadcast, not a cartesian).
-  * Each iteration's ranks are persisted to cut lineage (swap for
-  * `localCheckpoint` at high iteration counts); the harness drains
-  * the pins after the query collects.
+  *
+  * Cache lifecycle is OPERATOR-OWNED: each iteration's rank table is
+  * persisted (MEMORY_AND_DISK) and eagerly materialized, then the
+  * previous iteration's pin is released — at any moment the operator
+  * holds one node-sized rank table plus the edge/universe tables, not
+  * K of them. The edge and universe pins are released before return;
+  * only the final result stays pinned (callers `unpersist()` it when
+  * done, or let the session drain it). Eviction spills to disk rather
+  * than recomputing the unpersisted chain; surviving executor LOSS at
+  * very high K needs a reliable checkpoint dir, which is a deployment
+  * concern, not an operator default.
   */
 object LinkGraph {
+
+  /** Persist + eagerly materialize one rank generation, release the
+    * previous one, and return the new pin alongside a LINEAGE-
+    * TRUNCATED view of it. The truncation is the load-bearing half:
+    * each iteration's plan references the previous rank TWICE
+    * (contribution join + dangling pool), so without a plan boundary
+    * the logical plan doubles per iteration — 2^K nodes by iteration
+    * K, which OOMs plan stringification/AQE near K=10 and melts the
+    * optimizer long before that. Rewrapping the cached rows behind an
+    * RDD boundary (`createDataFrame(cached.rdd, schema)`) keeps every
+    * generation's plan O(1); downstream reads hit the cache. The pin
+    * handle stays a plain persisted Dataset so `unpersist` works
+    * (`localCheckpoint`'s blocks can't be dropped via the Dataset
+    * API).
+    */
+  private def pinGeneration(df: DataFrame, prev: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    val cached = df.persist()
+    cached.count() // materialize before dropping the previous pin
+    prev.foreach(_.unpersist(blocking = false))
+    (cached, df.sparkSession.createDataFrame(cached.rdd, cached.schema))
+  }
 
   /** `(node, rank_micro, in_deg, out_deg)` after `iterations` exact
     * power iterations, one row per distinct endpoint of `edges`.
@@ -74,6 +104,7 @@ object LinkGraph {
 
     var rank = nodes.select(col("node"), col("out_deg"),
       lit(1000000L).as("rank_micro"))
+    var pinned: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val damped = rank.select(col("node"), col("out_deg"),
         expr(s"rank_micro * ${dampingMicro}L div 1000000L")
@@ -86,20 +117,28 @@ object LinkGraph {
         .agg(sum(col("c")).as("incoming"))
       val pool = damped.filter(col("out_deg").isNull)
         .agg(coalesce(sum(col("damped")), lit(0L)).as("dangling_total"))
-      rank = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(pool))
         .select(col("node"), col("out_deg"),
           (lit(base) + expr(s"dangling_total div ${n}L") +
             coalesce(col("incoming"), lit(0L))).as("rank_micro"))
-        .persist()
+      val (pin, view) = pinGeneration(next, pinned)
+      pinned = Some(pin)
+      rank = view
     }
 
     val inDeg = e.groupBy(col("dst").as("node"))
       .agg(count(lit(1)).as("in_deg"))
-    rank.join(inDeg, Seq("node"), "left")
+    val out = rank.join(inDeg, Seq("node"), "left")
       .select(col("node"), col("rank_micro"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .persist()
+    out.count()
+    pinned.foreach(_.unpersist(blocking = false))
+    nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    out
   }
 
   /** Convergence evidence for [[pageRankMicro]] — the
@@ -139,6 +178,7 @@ object LinkGraph {
 
     var rank = nodes.select(col("node"), col("out_deg"),
       lit(1000000L).as("rank_micro"))
+    var pinned: Option[DataFrame] = None
     val deltas = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long)]
     for (i <- 1 to iterations) {
@@ -158,16 +198,23 @@ object LinkGraph {
         .select(col("node"), col("out_deg"),
           (lit(base) + expr(s"dangling_total div ${n}L") +
             coalesce(col("incoming"), lit(0L))).as("rank_micro"))
-        .persist()
-      val d = next.join(
+      // the delta join still needs the PREVIOUS generation, so pin
+      // the new one first, compute the delta, then drop the old pin
+      val cached = next.persist()
+      val d = cached.join(
           rank.select(col("node"), col("rank_micro").as("__prev")),
           "node")
         .agg(sum(abs(col("rank_micro") - col("__prev"))).as("l1"),
           max(abs(col("rank_micro") - col("__prev"))).as("mx"))
         .head()
       deltas += ((i.toLong, d.getLong(0), d.getLong(1)))
-      rank = next
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned = Some(cached)
+      rank = spark.createDataFrame(cached.rdd, cached.schema)
     }
+    pinned.foreach(_.unpersist(blocking = false))
+    nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     spark.createDataFrame(deltas.toSeq)
       .toDF("iteration", "l1_delta_micro", "max_delta_micro")
   }

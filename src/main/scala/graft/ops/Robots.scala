@@ -133,18 +133,27 @@ object Robots {
       .select(col("host"), col("line_no"),
         col("value").as("sitemap_url"))
 
-  /** Lines → directives → window-numbered groups, restricted to
-    * `user-agent` plus `keys` (the directive family being parsed —
-    * grouping runs over exactly the participating lines, so each
-    * family sees the RFC's "maximal user-agent run opens a group"
-    * structure on its own line set).
+  /** Every directive key that terminates a `User-agent:` run. Group
+    * boundaries are computed over THIS whole set — RFC 9309 / the
+    * Google parser end a user-agent run at any non-UA rule line, so
+    * two UA groups separated only by another family's line (e.g.
+    * `User-agent: a / Disallow: /x / User-agent: b / Crawl-delay: 7`)
+    * must NOT merge.
+    */
+  private val GroupingKeys =
+    Seq("user-agent", "allow", "disallow", "crawl-delay", "sitemap")
+
+  /** Lines → directives → window-numbered groups over the FULL
+    * recognized-directive line set ([[GroupingKeys]] — so a rule line
+    * of ANY family closes a user-agent run), then filtered to
+    * `user-agent` plus `keys` (the family being parsed). Group ids
+    * are run-start counts, so they stay stable under the filter.
     */
   private def groupedDirectives(df: DataFrame, hostCol: String,
                                 robotsCol: String,
                                 keys: Seq[String]): DataFrame = {
     val lines = directiveLines(df, hostCol, robotsCol)
-      .filter(col("key").isin("user-agent" +: keys: _*) &&
-        col("value") =!= "")
+      .filter(col("key").isin(GroupingKeys: _*) && col("value") =!= "")
     val w = Window.partitionBy("host").orderBy("line_no")
     lines
       .withColumn("is_ua", col("key") === "user-agent")
@@ -152,7 +161,8 @@ object Robots {
         sum(when(col("is_ua") &&
           !coalesce(lag(col("is_ua"), 1).over(w), lit(false)), 1L)
           .otherwise(0L)).over(w))
-      .filter(col("group_id") > 0)
+      .filter(col("group_id") > 0 &&
+        col("key").isin("user-agent" +: keys: _*))
   }
 
   /** Which groups govern `tok`: match_len 0 for `*`, prefix length

@@ -57,6 +57,26 @@ class LinkGraphSpec extends SparkSpec {
       (2L, 1264376L, 587031L)))
   }
 
+  test("operator-owned cache lifecycle: a K=10 call leaves only its " +
+      "result pinned; unpersisting it leaves nothing") {
+    // distinct storage fingerprint per cached plan: count cached RDDs
+    // via the SparkContext's persistence registry
+    def pinnedCount: Int =
+      spark.sparkContext.getPersistentRDDs.size
+    val before = pinnedCount
+    val out = LinkGraph.pageRankMicro(edges, "s", "d", iterations = 10)
+    out.count()
+    // K iteration tables + edges + universe all released inside the
+    // call; only the result's own cache survives
+    assert(pinnedCount <= before + 1)
+    out.unpersist(blocking = true)
+    assert(pinnedCount <= before)
+    val beforeD = pinnedCount
+    LinkGraph.pageRankDeltas(edges, "s", "d", iterations = 5).collect()
+    // deltas returns a local table: nothing stays pinned at all
+    assert(pinnedCount <= beforeD)
+  }
+
   test("mass conservation up to floor leakage; parameter guards") {
     val total = ranks(3).values.map(_._1).sum
     // 4e6 total minus at most (out_deg + 2) micro per node-iteration

@@ -1,0 +1,84 @@
+package graft
+
+import scala.sys.process._
+
+/** Oracle-output TYPE lint — the r17 lesson made standing: q176's
+  * oracle returned a DuckDB HUGEINT (`sum(BIGINT)` is INT128 and it
+  * propagates through integer arithmetic), which the driver's hasher
+  * formats differently from the engine's INT64 even when every VALUE
+  * is equal — local value-compare green, driver hash red. This spec
+  * replays EVERY registered oracle through DuckDB (the driver's own
+  * comparator tool) against the sf0.001 tables and fails on any
+  * HUGEINT/UHUGEINT output column: sum-derived integer outputs must
+  * be `CAST(... AS BIGINT)` (the q184 convention).
+  *
+  * Cancels (does not fail) when python3+duckdb or the testdata are
+  * absent — the lint is a dev/driver-environment gate, not a library
+  * runtime dependency.
+  */
+class OracleTypeLintSpec extends SparkSpec {
+
+  test("no oracle query returns a HUGEINT/UHUGEINT column " +
+      "(driver-hash-incompatible INT128)") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir, "lineitem.parquet").exists(),
+      "testdata not present")
+    val probe = try {
+      Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ()))
+    } catch { case _: java.io.IOException => 127 }
+    assume(probe == 0, "python3+duckdb not present")
+
+    val tmp = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+    val json = SparkEntry.oracleSql.toSeq.sortBy(_._1).map {
+      case (k, v) =>
+        def esc(s: String) = s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
+        "\"" + esc(k) + "\": \"" + esc(v) + "\""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+
+    val script =
+      s"""
+         |import json, duckdb, sys
+         |con = duckdb.connect()
+         |sf = ${"\"" + sfDir + "\""}
+         |for t in ['region','nation','customer','supplier','part',
+         |          'orders','lineitem','events','documents','embeddings']:
+         |    con.execute(
+         |      f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+         |bad = []
+         |for name, sql in sorted(json.load(open(${"\"" + tmp.toString + "\""})).items()):
+         |    try:
+         |        rel = con.sql(sql)
+         |        tys = [str(t).upper() for t in rel.types]
+         |    except Exception as e:
+         |        bad.append((name, 'ERROR ' + str(e).split(chr(10))[0][:200]))
+         |        continue
+         |    hit = [f'{c}:{t}' for c, t in zip(rel.columns, tys)
+         |           if 'HUGEINT' in t]
+         |    if hit:
+         |        bad.append((name, ' '.join(hit)))
+         |for name, why in bad:
+         |    print('LINT', name, why)
+         |print('LINT_DONE', len(bad))
+         |""".stripMargin
+    val out = new StringBuilder
+    val rc = Process(Seq("python3", "-c", script))
+      .!(ProcessLogger(l => out.append(l).append('\n'), l => out.append(l).append('\n')))
+    java.nio.file.Files.deleteIfExists(tmp)
+    val text = out.toString
+    assert(rc == 0 && text.contains("LINT_DONE"),
+      s"lint harness failed rc=$rc:\n${text.take(4000)}")
+    val hits = text.linesIterator.filter(_.startsWith("LINT ")).toSeq
+    assert(hits.isEmpty,
+      "oracle outputs must not be HUGEINT (cast sum-derived columns " +
+        s"to BIGINT):\n${hits.mkString("\n")}")
+  }
+}

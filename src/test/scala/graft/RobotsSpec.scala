@@ -193,6 +193,29 @@ class RobotsSpec extends SparkSpec {
     assert(got == Seq(("a.com", 1000000L), ("c.com", 4000000L)))
   }
 
+  test("grouping: a rule line of ANY family ends a user-agent run — " +
+      "two UA groups separated only by another family's line never " +
+      "merge (RFC 9309)") {
+    // 'User-agent: a / Disallow: /x / User-agent: b / Crawl-delay: 7':
+    // the Disallow closes a's run, so b opens its OWN group and the
+    // crawl-delay belongs to b alone
+    val body = "User-agent: abot\nDisallow: /x\n" +
+      "User-agent: bbot\nCrawl-delay: 7\n"
+    val df = spark.createDataFrame(Seq(("h", body))).toDF("host", "robots")
+    assert(Robots.crawlDelays(df, "host", "robots", "abot")
+      .collect().isEmpty)
+    assert(Robots.crawlDelays(df, "host", "robots", "bbot")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      == Seq(("h", 7000000L)))
+    // ...and symmetrically the Crawl-delay line would close a run for
+    // the rules family: a disallow after b's crawl-delay is b's, not
+    // part of a merged a+b group
+    assert(rulesOf(body + "Disallow: /y\n", "abot")
+      == Seq((2L, false, "/x")))
+    assert(rulesOf(body + "Disallow: /y\n", "bbot")
+      == Seq((5L, false, "/y")))
+  }
+
   test("fetchSchedule: per-host slots delay apart, URL-ordered, " +
       "default delay for hosts without a usable value") {
     val delays = spark.createDataFrame(Seq(("a.com", 2000000L)))
