@@ -1017,6 +1017,70 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("iteration")
     }),
 
+    // ---- HTTP body decoding in the WARC front (real CommonCrawl
+    //      bodies arrive Transfer-Encoding: chunked and/or
+    //      Content-Encoding: gzip/deflate): six per-doc variants —
+    //      identity, chunked (two chunks, one size-line extension,
+    //      UPPERCASE hex), gzip, chunked-over-gzip (decode order),
+    //      a TRUNCATED chunk stream and an unknown coding (br), the
+    //      last two routing body to null while the record survives.
+    //      Records are assembled as BINARY (gzip bodies are not
+    //      UTF-8); the oracle rebuilds every decoded body from the
+    //      construction pieces — the kernel recovers the same text
+    //      only by de-chunking and inflating the real bytes. ----
+
+    "q185_warc_http_decode" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = t(s, dir, "documents")
+      val crlf = "\r\n"
+      def b(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        c.cast("binary")
+      val v = pmod(col("doc_id"), lit(6)).cast("long")
+      val html = concat(lit("<p>"), col("text"), lit("</p>"))
+      val gz = call_function("graft_gzip", html)
+      val tail2 = concat(col("text"), lit("</p>"))
+      // "<p>" is 3 ASCII bytes; the second chunk size is data-driven
+      val chunkedPlain = concat(
+        b(lit("3;ext=x" + crlf + "<p>" + crlf)),
+        b(concat(conv(octet_length(tail2).cast("string"),
+          10, 16), lit(crlf))),
+        b(tail2), b(lit(crlf)), b(lit("0" + crlf + crlf)))
+      val chunkedGz = concat(
+        b(concat(conv(octet_length(gz).cast("string"), 10, 16),
+          lit(crlf))),
+        gz, b(lit(crlf)), b(lit("0" + crlf + crlf)))
+      val encBody = when(v === 1, chunkedPlain)
+        .when(v === 2, gz)
+        .when(v === 3, chunkedGz)
+        .when(v === 4, b(lit("5" + crlf + "ab")))
+        .otherwise(b(html)) // 0 identity; 5 rides Content-Encoding: br
+      val extraHeaders = when(v === 1 || v === 4,
+          lit("Transfer-Encoding: chunked" + crlf))
+        .when(v === 2, lit("Content-Encoding: gzip" + crlf))
+        .when(v === 3, lit("Transfer-Encoding: chunked" + crlf +
+          "Content-Encoding: gzip" + crlf))
+        .when(v === 5, lit("Content-Encoding: br" + crlf))
+        .otherwise(lit(""))
+      val payload = concat(
+        b(concat(lit("HTTP/1.1 200 OK" + crlf +
+            "Content-Type: text/html; charset=utf-8" + crlf),
+          extraHeaders, lit(crlf))),
+        encBody)
+      val warc = concat(
+        b(concat(lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+            "WARC-Target-URI: https://"), col("source"),
+          lit(".example.com/doc/"), col("doc_id"),
+          lit(crlf + "Content-Length: "),
+          octet_length(payload).cast("string"), lit(crlf + crlf))),
+        payload, b(lit(crlf + crlf)))
+      graft.ops.Warc.records(
+          docs.select(col("doc_id"), warc.as("warc")), "doc_id", "warc")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(6)).cast("long")
+            .as("variant"),
+          col("http_status"), col("http_content_type"), col("body"))
+        .orderBy("doc_id")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -2386,6 +2450,19 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |    CAST((SELECT max(abs(r3.r - r2.r)) FROM r3
           |      JOIN r2 USING (node)) AS BIGINT))
           |ORDER BY iteration""".stripMargin,
+
+      // Decoded bodies rebuilt from the construction pieces: variants
+      // 0-3 all decode back to '<p>' || text || '</p>' (identity,
+      // de-chunked, gunzipped, both); the truncated chunk stream (4)
+      // and the unknown coding (5) are NULL — the engine has no
+      // shortcut, it must frame, de-chunk and inflate the real bytes.
+      "q185_warc_http_decode" ->
+        """SELECT doc_id, doc_id % 6 AS variant,
+          |  200 AS http_status,
+          |  'text/html; charset=utf-8' AS http_content_type,
+          |  CASE WHEN doc_id % 6 IN (4, 5) THEN NULL
+          |    ELSE '<p>' || text || '</p>' END AS body
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

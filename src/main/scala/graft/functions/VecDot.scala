@@ -479,6 +479,12 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_gunzip takes (binary)")
         GunzipOf(exprs.head)
       }),
+    (FunctionIdentifier("graft_gzip"),
+      new ExpressionInfo(classOf[GzipOf].getName, "graft_gzip"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_gzip takes (string|binary)")
+        GzipOf(exprs.head)
+      }),
     (FunctionIdentifier("graft_multi_contains"),
       new ExpressionInfo(classOf[MultiContainsOf].getName,
         "graft_multi_contains"),

@@ -36,6 +36,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    = the bytes after the header terminator (`\r\n\r\n` or
   *    `\n\n`), UTF-8 decoded. Any other payload (request captures,
   *    warcinfo fields) lands whole in `body` with null HTTP fields.
+  *  - HTTP body DECODING (real CommonCrawl captures arrive framed
+  *    and compressed): `Transfer-Encoding: chunked` is de-chunked
+  *    (hex sizes, extensions ignored, trailers dropped), then
+  *    `Content-Encoding: gzip`/`x-gzip` is gunzipped and `deflate`
+  *    inflated (zlib first, raw fallback) before the UTF-8 decode.
+  *    A truncated/malformed chunk stream, a corrupt compressed
+  *    body, or an UNKNOWN content-coding (`br`, `compress`) routes
+  *    that record's `body` to null — the record row survives with
+  *    its status/URI intact, and the parse continues (the
+  *    route-not-throw decoder contract). `content_length` stays the
+  *    header (framed/ENCODED) value.
   *  - `content_length` reported is the HEADER value — by
   *    construction also the framed byte count, so an external
   *    engine can replay it as the byte length of the payload it
@@ -139,6 +150,8 @@ object WarcOps {
           p = payloadEnd
           var status: java.lang.Integer = null
           var httpCt: String = null
+          var httpTe: String = null
+          var httpCe: String = null
           var bodyStart = payloadStart
           if (startsWithAscii(bytes, payloadStart, "HTTP/")) {
             // status line
@@ -161,9 +174,19 @@ object WarcOps {
               if (line.isEmpty) inHttp = false
               else {
                 val c = line.indexOf(':')
-                if (c > 0 && line.substring(0, c).trim
-                    .equalsIgnoreCase("content-type"))
-                  httpCt = line.substring(c + 1).trim
+                if (c > 0) {
+                  val k = line.substring(0, c).trim
+                    .toLowerCase(java.util.Locale.ROOT)
+                  k match {
+                    case "content-type" =>
+                      httpCt = line.substring(c + 1).trim
+                    case "transfer-encoding" =>
+                      httpTe = line.substring(c + 1).trim
+                    case "content-encoding" =>
+                      httpCe = line.substring(c + 1).trim
+                    case _ =>
+                  }
+                }
               }
             }
             bodyStart = if (inHttp) payloadEnd else hp
@@ -173,8 +196,7 @@ object WarcOps {
           out += InternalRow(u(warcType), u(uri), u(date), u(recId),
             u(cType), cLen, status,
             u(httpCt),
-            UTF8String.fromBytes(bytes, bodyStart,
-              payloadEnd - bodyStart))
+            decodeBody(bytes, bodyStart, payloadEnd, httpTe, httpCe))
         }
       }
     }
@@ -185,6 +207,117 @@ object WarcOps {
     case null => null
     case u: UTF8String => parseRecords(u.getBytes)
     case b: Array[Byte] => parseRecords(b)
+  }
+
+  /** HTTP body → decoded UTF8String: de-chunk per
+    * `Transfer-Encoding`, then decompress per `Content-Encoding`
+    * (gzip/x-gzip/deflate; identity passes through). Null on any
+    * truncated chunk stream, corrupt compressed data, or unknown
+    * content-coding — the record survives, the body is honestly
+    * undecodable. The no-encoding fast path stays the zero-copy
+    * byte-slice decode.
+    */
+  private def decodeBody(b: Array[Byte], from: Int, to: Int,
+                         te: String, ce: String): UTF8String = {
+    val chunked = te != null &&
+      te.toLowerCase(java.util.Locale.ROOT).contains("chunked")
+    val enc = if (ce == null) ""
+      else ce.trim.toLowerCase(java.util.Locale.ROOT)
+    if (!chunked && (enc.isEmpty || enc == "identity"))
+      return UTF8String.fromBytes(b, from, to - from)
+    var cur: Array[Byte] =
+      if (chunked) dechunk(b, from, to)
+      else java.util.Arrays.copyOfRange(b, from, to)
+    if (cur == null) return null
+    enc match {
+      case "" | "identity" =>
+      case "gzip" | "x-gzip" => cur = gunzip(cur)
+      case "deflate" => cur = inflate(cur)
+      case _ => cur = null // br/compress/unknown: undecodable here
+    }
+    if (cur == null) null else UTF8String.fromBytes(cur)
+  }
+
+  /** RFC 9112 §7.1 chunked decoding over `[from, to)`: hex size line
+    * (extensions after `;` ignored), size bytes, CRLF, …, a zero
+    * chunk ends the stream (trailer fields dropped). Null on any
+    * malformed size, truncated data, missing terminator, or a
+    * stream that never reaches its last chunk.
+    */
+  private def dechunk(b: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(16, math.min(to - from, 1 << 20)))
+    var p = from
+    while (p < to) {
+      var e = p
+      while (e < to && b(e) != '\n') e += 1
+      if (e >= to) return null // size line truncated
+      val line = lineAt(b, p, e)
+      val semi = line.indexOf(';')
+      val hexs = (if (semi >= 0) line.substring(0, semi) else line).trim
+      val size =
+        try java.lang.Long.parseLong(hexs, 16)
+        catch { case _: Exception => return null }
+      if (size < 0L || size > MaxGunzipBytes.toLong - out.size()) return null
+      p = e + 1
+      if (size == 0L) return out.toByteArray // trailers ignored
+      if (p + size > to) return null // chunk data truncated
+      out.write(b, p, size.toInt)
+      p += size.toInt
+      if (p < to && b(p) == '\r') p += 1
+      if (p < to && b(p) == '\n') p += 1
+      else return null // missing chunk terminator
+    }
+    null // no last-chunk marker
+  }
+
+  /** `deflate` content-coding: zlib-wrapped per RFC 9110, raw
+    * DEFLATE fallback (a well-known server deviation). Null on
+    * corrupt/oversized input.
+    */
+  def inflate(input: Array[Byte]): Array[Byte] = {
+    if (input == null || input.isEmpty) return null
+    def run(raw: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(input)
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(input.length.toLong * 4, 1L << 20).toInt)
+        val buf = new Array[Byte](65536)
+        var total = 0L
+        while (!inf.finished()) {
+          val r = inf.inflate(buf)
+          if (r == 0 && (inf.needsInput() || inf.needsDictionary()))
+            return null // truncated or preset-dictionary stream
+          total += r
+          if (total > MaxGunzipBytes) return null
+          out.write(buf, 0, r)
+        }
+        out.toByteArray
+      } catch { case scala.util.control.NonFatal(_) => null }
+      finally inf.end()
+    }
+    val zlib = run(raw = false)
+    if (zlib != null) zlib else run(raw = true)
+  }
+
+  /** Single-member gzip COMPRESS (the [[gunzip]] inverse) — fixture
+    * construction and sink-side symmetry; null in → null out.
+    */
+  def gzip(input: Array[Byte]): Array[Byte] = {
+    if (input == null) return null
+    val bos = new java.io.ByteArrayOutputStream(
+      math.max(64, input.length / 2))
+    val gz = new java.util.zip.GZIPOutputStream(bos, 65536)
+    gz.write(input)
+    gz.close()
+    bos.toByteArray
+  }
+
+  def gzipAny(input: Any): Array[Byte] = input match {
+    case null => null
+    case u: UTF8String => gzip(u.getBytes)
+    case b: Array[Byte] => gzip(b)
   }
 
   /** Decompressed output past this routes to null instead of
@@ -273,4 +406,29 @@ case class GunzipOf(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression)
       : GunzipOf = copy(child = newChild)
   override def prettyName: String = "graft_gunzip"
+}
+
+/** `graft_gzip(string|binary)`: single-member gzip compress via
+  * [[WarcOps.gzip]] — the [[GunzipOf]] inverse (fixture
+  * construction, sink symmetry).
+  */
+case class GzipOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string or binary column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WarcOps.gzipAny(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.WarcOps.gzipAny($b)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : GzipOf = copy(child = newChild)
+  override def prettyName: String = "graft_gzip"
 }

@@ -146,6 +146,107 @@ class WarcSpec extends SparkSpec {
       ("b.warc.gz", "warcinfo", None)))
   }
 
+  private def recB(headers: Seq[(String, String)],
+                   payload: Array[Byte]): Array[Byte] = {
+    val h = headers.map { case (k, v) => s"$k: $v\r\n" }.mkString
+    s"WARC/1.0\r\n${h}Content-Length: ${payload.length}\r\n\r\n"
+      .getBytes("UTF-8") ++ payload ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  private def httpPayload(extra: String, body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$extra\r\n")
+      .getBytes("UTF-8") ++ body
+
+  private def chunked(pieces: Seq[Array[Byte]]): Array[Byte] =
+    pieces.zipWithIndex.flatMap { case (p, i) =>
+      // uppercase hex + a chunk extension on the first size line
+      val ext = if (i == 0) ";graft=1" else ""
+      (p.length.toHexString.toUpperCase + ext + "\r\n").getBytes("UTF-8") ++
+        p ++ "\r\n".getBytes("UTF-8")
+    }.toArray ++ "0\r\n\r\n".getBytes("UTF-8")
+
+  private def parseB(w: Array[Byte]) = {
+    val df = spark.createDataFrame(Seq((1L, w))).toDF("id", "warc")
+    Warc.records(df, "id", "warc").orderBy("rec_no").collect().toSeq
+  }
+
+  private def bodyOf(payload: Array[Byte]): Option[String] = {
+    val rows = parseB(recB(Seq("WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://h.example.com/p"), payload))
+    assert(rows.size == 1)
+    Option(rows.head.getAs[String]("body"))
+  }
+
+  test("HTTP body decoding: chunked (extensions, uppercase hex, " +
+      "multibyte split mid-sequence), gzip, chunked-over-gzip, " +
+      "deflate zlib and raw") {
+    val bytes = htmlBody.getBytes("UTF-8")
+    // split INSIDE the multibyte em-dash region: chunk boundaries are
+    // byte positions, not char positions
+    val mid = bytes.length - 7
+    assert(bodyOf(httpPayload("Transfer-Encoding: chunked\r\n",
+      chunked(Seq(bytes.take(mid), bytes.drop(mid)))))
+      .contains(htmlBody))
+    assert(bodyOf(httpPayload("Content-Encoding: gzip\r\n",
+      WarcOps.gzip(bytes))).contains(htmlBody))
+    assert(bodyOf(httpPayload("Content-Encoding: x-gzip\r\n",
+      WarcOps.gzip(bytes))).contains(htmlBody))
+    assert(bodyOf(httpPayload(
+      "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n",
+      chunked(Seq(WarcOps.gzip(bytes))))).contains(htmlBody))
+    def deflate(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    assert(bodyOf(httpPayload("Content-Encoding: deflate\r\n",
+      deflate(raw = false))).contains(htmlBody))
+    assert(bodyOf(httpPayload("Content-Encoding: deflate\r\n",
+      deflate(raw = true))).contains(htmlBody))
+  }
+
+  test("HTTP body decode failures route body to null; the record " +
+      "row survives and the parse continues past it") {
+    // truncated chunk data, bad hex size, missing terminator,
+    // corrupt gzip, unknown coding — all null bodies
+    assert(bodyOf(httpPayload("Transfer-Encoding: chunked\r\n",
+      "5\r\nab".getBytes("UTF-8"))).isEmpty)
+    assert(bodyOf(httpPayload("Transfer-Encoding: chunked\r\n",
+      "zz\r\nab\r\n0\r\n\r\n".getBytes("UTF-8"))).isEmpty)
+    assert(bodyOf(httpPayload("Transfer-Encoding: chunked\r\n",
+      "2\r\nabXX0\r\n\r\n".getBytes("UTF-8"))).isEmpty)
+    assert(bodyOf(httpPayload("Content-Encoding: gzip\r\n",
+      "not gzip".getBytes("UTF-8"))).isEmpty)
+    assert(bodyOf(httpPayload("Content-Encoding: br\r\n",
+      "brotli?".getBytes("UTF-8"))).isEmpty)
+    // a bad record between two good ones: framing intact, so the
+    // parse reaches the third record
+    val w = recB(Seq("WARC-Type" -> "response"),
+        httpPayload("", htmlBody.getBytes("UTF-8"))) ++
+      recB(Seq("WARC-Type" -> "response"),
+        httpPayload("Transfer-Encoding: chunked\r\n",
+          "5\r\nab".getBytes("UTF-8"))) ++
+      recB(Seq("WARC-Type" -> "response"),
+        httpPayload("", "ok".getBytes("UTF-8")))
+    val rows = parseB(w)
+    assert(rows.map(r => Option(r.getAs[String]("body"))) ==
+      Seq(Some(htmlBody), None, Some("ok")))
+    assert(rows.map(_.getAs[Int]("http_status")) == Seq(200, 200, 200))
+  }
+
+  test("graft_gzip round-trips through graft_gunzip as columns") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = spark.createDataFrame(Seq(Tuple1(htmlBody))).toDF("t")
+    val got = df.select(
+        call_function("graft_gunzip",
+          call_function("graft_gzip", col("t"))).cast("string").as("r"))
+      .collect().head.getString(0)
+    assert(got == htmlBody)
+  }
+
   test("responses: only response records, fetch-result shape") {
     val df = spark.createDataFrame(Seq((7L, warc))).toDF("id", "warc")
     val got = Warc.responses(df, "id", "warc").collect().toSeq
