@@ -466,6 +466,13 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_html_links takes (html)")
         HtmlLinksOf(exprs.head)
       }),
+    (FunctionIdentifier("graft_html_anchors"),
+      new ExpressionInfo(classOf[HtmlAnchorsOf].getName,
+        "graft_html_anchors"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_html_anchors takes (html)")
+        HtmlAnchorsOf(exprs.head)
+      }),
     (FunctionIdentifier("graft_warc_records"),
       new ExpressionInfo(classOf[WarcRecordsOf].getName,
         "graft_warc_records"),

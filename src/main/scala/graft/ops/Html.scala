@@ -121,15 +121,36 @@ object Html {
   /** One row per anchor ELEMENT with its text — the anchor-text
     * aggregation / nofollow front (where [[links]] yields hrefs
     * only): `(id, anchor_no, href, rel, text)`, `anchor_no` 1-based
-    * in document order, `href`/`rel` from the double-quoted
-    * attribute forms (null when absent; `rel` lowercased — token
-    * set per the HTML spec), `text` = the element's inner markup
-    * with tags stripped, entities decoded, whitespace collapsed
-    * (empty → null). Pure regexp Column ops after
-    * [[stripContainers]], each step its own replay. Scan-local,
-    * zero shuffle.
+    * in document order, `href`/`rel` from the first valued
+    * attribute (null when absent/empty; `rel` lowercased — token
+    * set per the HTML spec), `text` = the element's inner text with
+    * inner tags as separators, entities decoded, whitespace
+    * collapsed (empty → null). KERNEL path: the
+    * `graft_html_anchors` quote-aware walk (correct on quoted `>`
+    * inside attributes, ~2× the regexp form at 1M pages — builder
+    * stress row in BASELINE.md); [[anchorsRegexp]] is the oracle
+    * replay, equivalence spec-pinned. Scan-local, zero shuffle.
     */
-  def anchors(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+  def anchors(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        posexplode(call_function("graft_html_anchors", col(htmlCol)))
+          .as(Seq("__p", "__a")))
+      .select(col(idCol),
+        (col("__p") + 1).cast("long").as("anchor_no"),
+        col("__a.href").as("href"), col("__a.rel").as("rel"),
+        col("__a.text").as("text"))
+  }
+
+  /** [[anchors]]' regexp twin — pure Column ops after
+    * [[stripContainers]], each step its own oracle replay (the q172
+    * kernel-vs-regexp discipline: the regexp form IS the replay SQL,
+    * so keeping it callable pins the equivalence in-engine).
+    * Double-quoted attribute forms only; mis-parses quoted `>`
+    * inside attributes — use [[anchors]] in production.
+    */
+  def anchorsRegexp(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame =
     df.select(col(idCol),
         posexplode(regexp_extract_all(stripContainers(col(htmlCol)),
           lit("(?is)(<a\\b[^>]*>.*?</a\\s*>)"), lit(1)))
@@ -148,11 +169,24 @@ object Html {
       .withColumnRenamed("__rawhref", "href")
 
   /** The page-level `<meta name="robots" content="…">` directive set
-    * (lowercased, null when absent; FIRST occurrence wins, attribute
-    * order free — the [[metadata]] description discipline as a
-    * Column). Gate crawl frontiers on `noindex`/`nofollow` tokens.
+    * (lowercased, null when absent; the FIRST robots-named meta
+    * ELEMENT decides — the [[metadata]] description discipline).
+    * Gate crawl frontiers on `noindex`/`nofollow` tokens. KERNEL
+    * path — the `robots` field of the `graft_html_meta` walk;
+    * [[metaRobotsRegexp]] is the oracle replay. Registration rides
+    * the ACTIVE session (the Column-only signature has no session
+    * handle; every driver-side caller has an active one).
     */
   def metaRobots(html: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.ensureRegistered)
+    call_function("graft_html_meta", html).getField("robots")
+  }
+
+  /** [[metaRobots]]' regexp twin (the replay SQL as a Column,
+    * equivalence spec-pinned; double-quoted forms only).
+    */
+  def metaRobotsRegexp(html: Column): Column = {
     val metas = filter(
       regexp_extract_all(stripContainers(html),
         lit("(?is)(<meta\\b[^>]*>)"), lit(1)),

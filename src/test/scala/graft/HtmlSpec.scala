@@ -363,6 +363,70 @@ class HtmlSpec extends SparkSpec {
       (4L, Some("/e"), None, None)))
   }
 
+  test("anchors kernel ≡ regexp replay on replayable shapes; kernel " +
+      "wins on quoted '>' in attributes and single-quoted/unquoted " +
+      "attrs (the documented robustness gap)") {
+    import spark.implicits._
+    // the replayable family: double-quoted attrs, entities, inner
+    // markup, decoys, empties, nested <a>, self-closing <a/> capture
+    val replayable = Seq(
+      "<body><p>See <a href=\"/x\" rel=\"NOFOLLOW\">First &amp; " +
+        "<b>bold</b> text</a> and <a href=\"/y?a=1&amp;b=2\">plain" +
+        "</a> <a name=\"n\">no href</a> <a href=\"/e\"></a></p>" +
+        "<script>'<a href=\"/no\">s</a>'</script>" +
+        "<!-- <a href=\"/c\">c</a> --></body>",
+      "<a href=\"/outer\">a <a href=\"/inner\">b</a> tail</a>",
+      "<a href=\"/sc\"/>middle<a href=\"/x\">t</a>",
+      "<p>no anchors at all</p>",
+      "<a href=\"/u\">unclosed at eof",
+      "<a rel=\"UGC Sponsored\" href=\"/r\">&lt;tok&gt;</a>")
+    val df = replayable.zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("id", "html")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id", "anchor_no").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+          Option(r.getString(3)), Option(r.getString(4))))
+    assert(rows(Html.anchors(df, "id", "html")) ==
+      rows(Html.anchorsRegexp(df, "id", "html")))
+
+    // robustness: a quoted '>' inside an attribute value — the
+    // regexp's [^>]* stops at it; the kernel walks the quote
+    val tricky = Seq((1L, "<a href=\"/q\" title=\"a > b\">text</a>" +
+      "<a href='/sq' rel='Nofollow'>sq</a><a href=/uq>uq</a>"))
+      .toDF("id", "html")
+    assert(rows(Html.anchors(tricky, "id", "html")) == Seq(
+      (1L, 1L, Some("/q"), None, Some("text")),
+      (1L, 2L, Some("/sq"), Some("nofollow"), Some("sq")),
+      (1L, 3L, Some("/uq"), None, Some("uq"))))
+  }
+
+  test("metaRobots kernel ≡ regexp replay on replayable shapes; " +
+      "kernel parses quoted '>' in content") {
+    import spark.implicits._
+    val replayable = Seq(
+      "<head><meta content=\"NOINDEX, nofollow\" name=\"Robots\">" +
+        "<meta name=\"robots\" content=\"all\"></head>",
+      "<script>'<meta name=\"robots\" content=\"none\">'</script>" +
+        "<meta name=\"robots\" content=\"all\">",
+      "<meta name=\"description\" content=\"x\">",
+      "<meta name=\"robots\" content=\"\">",
+      "no meta here")
+    val df = replayable.zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("id", "h")
+    val both = df.select(col("id"),
+        Html.metaRobots(col("h")).as("k"),
+        Html.metaRobotsRegexp(col("h")).as("r"))
+      .orderBy("id").collect().toSeq
+    assert(both.forall(r =>
+      Option(r.getString(1)) == Option(r.getString(2))))
+    // quoted '>' inside another attribute of the same meta tag: the
+    // regexp's <meta\b[^>]* capture stops early and misses content
+    val got = Seq(Tuple1("<meta name=\"robots\" " +
+        "title=\"a > b\" content=\"NoIndex\">")).toDF("h")
+      .select(Html.metaRobots(col("h")).as("m")).collect().head
+    assert(got.getString(0) == "noindex")
+  }
+
   test("metaRobots: first occurrence wins, attribute order free, " +
       "containers immune, absent or contentless is null") {
     import spark.implicits._

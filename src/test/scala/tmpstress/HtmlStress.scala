@@ -77,11 +77,18 @@ object HtmlStress {
           .agg(count(lit(1)),
             sum(when(col("title").isNotNull, 1L).otherwise(0L))).head()
       }
-      // the regexp-based anchor-element front (r17): 8 hrefs + 3
+      // the anchor-element front (kernel since r18): 8 hrefs + 3
       // href-less farm anchors per page = 11 elements; nofollow
-      // tokens absent by construction
+      // tokens absent by construction. The regexp twin runs in the
+      // SAME rep so the 2× claim is same-box, same-pass honest.
       val an = time(s"anchors rep$rep") {
         graft.ops.Html.anchors(corpus, "doc_id", "html")
+          .agg(count(lit(1)),
+            sum(when(col("href").isNotNull, 1L).otherwise(0L)),
+            sum(length(col("text")))).head()
+      }
+      val anRx = time(s"anch_rx rep$rep") {
+        graft.ops.Html.anchorsRegexp(corpus, "doc_id", "html")
           .agg(count(lit(1)),
             sum(when(col("href").isNotNull, 1L).otherwise(0L)),
             sum(length(col("text")))).head()
@@ -90,9 +97,16 @@ object HtmlStress {
         corpus.select(graft.ops.Html.metaRobots(col("html")).as("m"))
           .agg(sum(when(col("m").isNotNull, 1L).otherwise(0L))).head()
       }
+      val mrbRx = time(s"mrob_rx rep$rep") {
+        corpus.select(graft.ops.Html.metaRobotsRegexp(col("html")).as("m"))
+          .agg(sum(when(col("m").isNotNull, 1L).otherwise(0L))).head()
+      }
       assert(an.getLong(0) == 11L * nDocs, s"anchors ${an.getLong(0)}")
       assert(an.getLong(1) == 8L * nDocs)
-      assert(mrb.getLong(0) == 0L)
+      assert(anRx.getLong(0) == an.getLong(0) &&
+        anRx.getLong(1) == an.getLong(1) &&
+        anRx.getLong(2) == an.getLong(2), "kernel/regexp divergence")
+      assert(mrb.getLong(0) == 0L && mrbRx.getLong(0) == 0L)
       println(s"MARKER rep$rep blocks=${b.getLong(0)} " +
         s"kept=${b.getLong(3)} docs=${t.getLong(0)} " +
         s"kept2=${t.getLong(2)} text_chars=${t.getLong(1)} " +
