@@ -1081,6 +1081,59 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- the crawl loop CLOSED (q178 admission + q180 politeness +
+    //      q179 sitemap lastmod composed): per-host robots bodies
+    //      carry a disallow and a crawl-delay; page outlinks discover
+    //      /p/N pages (plus a /private decoy the gate kills); each
+    //      host's sitemap contributes an overlapping /p/0 (source
+    //      must flip to 'sitemap' and carry its lastmod), a fresh and
+    //      an undated URL, and a /private decoy; /p/2 is pre-seen on
+    //      every host. Fetch order inside a host: lastmod DESC NULLS
+    //      LAST then url; slots delay apart. ----
+
+    "q186_crawl_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val host = concat(col("source"), lit(".example.com"))
+      val k = substring(col("source"), 4, 10).cast("long")
+      val hosts = docs.select(col("source")).distinct()
+        .select(host.as("host"), k.as("k"))
+      val robots = hosts.select(col("host"),
+        concat(lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
+          pmod(col("k"), lit(3)) + 1, lit("\n")).as("robots"))
+      val rules = graft.ops.Robots.rules(robots, "host", "robots",
+        "graftbot")
+      val delays = graft.ops.Robots.crawlDelays(robots, "host",
+        "robots", "graftbot")
+      val links = docs.select(
+        concat(lit("https://"), host, lit("/page/"),
+          pmod(col("doc_id"), lit(13))).as("page_url"),
+        explode(array(
+          concat(lit("/p/"), pmod(col("doc_id"), lit(7))),
+          concat(lit("/private/"), pmod(col("doc_id"), lit(5)))))
+          .as("href"))
+      val lm = concat(lit("2026-03-0"), pmod(col("k"), lit(9)) + 1)
+      val lmFresh = concat(lit("2026-08-0"), pmod(col("k"), lit(9)) + 1)
+      val xml = hosts.select(col("host"), concat(
+        lit("<urlset><url><loc>https://"), col("host"),
+        lit("/p/0</loc><lastmod>"), lm, lit("</lastmod></url>"),
+        lit("<url><loc>https://"), col("host"),
+        lit("/s/fresh</loc><lastmod>"), lmFresh,
+        lit("</lastmod></url>"),
+        lit("<url><loc>https://"), col("host"),
+        lit("/s/stale</loc></url>"),
+        lit("<url><loc>https://"), col("host"),
+        lit("/private/x</loc><lastmod>2026-01-01</lastmod></url>" +
+          "</urlset>")).as("xml"))
+      val smaps = graft.ops.Html.sitemapEntries(xml, "host", "xml")
+        .filter(col("kind") === "url")
+        .select(col("loc"), col("lastmod"))
+      val seen = hosts.select(md5(concat(lit("https://"), col("host"),
+        lit("/p/2")).cast("binary")).as("__fp"))
+      graft.ops.Robots.crawlPlan(links, "page_url", "href",
+          smaps, "loc", "lastmod", rules, delays, seen)
+        .orderBy("url")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -2463,6 +2516,70 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  CASE WHEN doc_id % 6 IN (4, 5) THEN NULL
           |    ELSE '<p>' || text || '</p>' END AS body
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // The crawl plan replayed from the construction pieces: link
+      // URLs from doc_id%7, sitemap URLs per host (overlap /p/0
+      // flips source to sitemap and carries lastmod), the /private
+      // family dead on the one rule, /p/2 dead on the seen digest,
+      // per-host slots ordered lastmod DESC NULLS LAST then url,
+      // delays (k%3+1) seconds.
+      "q186_crawl_plan" ->
+        """WITH ksrc AS (
+          |  SELECT DISTINCT source,
+          |    CAST(substr(source, 4) AS BIGINT) AS k FROM documents),
+          |hosts AS (
+          |  SELECT source || '.example.com' AS host, k FROM ksrc),
+          |linkurls AS (
+          |  SELECT DISTINCT 'https://' || source
+          |    || '.example.com/p/' || (doc_id % 7) AS url
+          |  FROM documents),
+          |smurls AS (
+          |  SELECT 'https://' || host || '/p/0' AS url,
+          |    '2026-03-0' || (k % 9 + 1) AS lastmod FROM hosts
+          |  UNION ALL
+          |  SELECT 'https://' || host || '/s/fresh',
+          |    '2026-08-0' || (k % 9 + 1) FROM hosts
+          |  UNION ALL
+          |  SELECT 'https://' || host || '/s/stale', NULL FROM hosts
+          |  UNION ALL
+          |  SELECT 'https://' || host || '/private/x', '2026-01-01'
+          |    FROM hosts),
+          |cand AS (
+          |  SELECT url, max(lastmod) AS lastmod, max(sm) AS sm FROM (
+          |    SELECT url, CAST(NULL AS VARCHAR) AS lastmod, 0 AS sm
+          |      FROM linkurls
+          |    UNION ALL
+          |    SELECT url, lastmod, 1 FROM smurls
+          |    UNION ALL
+          |    SELECT DISTINCT 'https://' || source
+          |        || '.example.com/private/' || (doc_id % 5),
+          |      CAST(NULL AS VARCHAR), 0 FROM documents)
+          |  GROUP BY 1),
+          |adm AS (
+          |  SELECT url,
+          |    regexp_extract(url,
+          |      '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host,
+          |    regexp_extract(url,
+          |      '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1) AS path,
+          |    lastmod, sm
+          |  FROM cand
+          |  WHERE regexp_extract(url,
+          |      '^[a-z][a-z0-9+.-]*://[^/?#]+([^#]*)', 1)
+          |      NOT LIKE '/private/%'
+          |    AND url NOT LIKE '%/p/2'),
+          |plan AS (
+          |  SELECT a.url, a.host, a.path,
+          |    CASE WHEN a.sm = 1 THEN 'sitemap' ELSE 'link' END
+          |      AS source,
+          |    a.lastmod,
+          |    CAST(row_number() OVER (PARTITION BY a.host
+          |      ORDER BY a.lastmod DESC NULLS LAST, a.url) - 1
+          |      AS BIGINT) AS slot,
+          |    (h.k % 3 + 1) * 1000000 AS delay_micros
+          |  FROM adm a JOIN hosts h ON a.host = h.host)
+          |SELECT url, host, path, source, lastmod, slot,
+          |  slot * delay_micros AS offset_micros, delay_micros
+          |FROM plan ORDER BY url""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

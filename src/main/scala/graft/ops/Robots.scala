@@ -272,6 +272,73 @@ object Robots {
       .select(col("url"), col("host"), col("path"))
   }
 
+  /** The crawl LOOP closed: admission ([[frontier]] semantics) +
+    * sitemap discovery + politeness ([[fetchSchedule]]) + lastmod-
+    * aware recrawl priority composed into the ONE table a crawler
+    * consumes (the consolidated-plan discipline). Candidates come
+    * from two sources — page outlinks (resolved + canonicalized) and
+    * sitemap `<url>` entries (canonicalized `loc` with its
+    * `lastmod`) — deduplicated per canonical URL (a URL in both
+    * keeps `source = 'sitemap'` and its lastmod), robots-gated,
+    * anti-joined against the seen digests, then slotted per host:
+    * fetch order inside a host is `lastmod DESC NULLS LAST, url`
+    * (freshest sitemap-dated pages first, undated pages in URL
+    * order), slots `delay_micros` apart from [[crawlDelays]] (the
+    * default where a host has none).
+    *
+    * Returns `(url, host, path, source, lastmod, slot,
+    * offset_micros, delay_micros)`.
+    *
+    * Scale shape: the [[frontier]] exchanges (URL dedup, gate join,
+    * anti-join) plus ONE extra URL-keyed aggregate for the source
+    * merge and the same host-keyed window [[fetchSchedule]] owns;
+    * page text never enters, sitemap XML parses upstream
+    * ([[Html.sitemapEntries]] is scan-local).
+    */
+  def crawlPlan(links: DataFrame, pageUrlCol: String, hrefCol: String,
+                sitemapUrls: DataFrame, locCol: String,
+                lastmodCol: String,
+                rulesDf: DataFrame, delays: DataFrame,
+                seenDigests: DataFrame,
+                defaultDelayMicros: Long = 1000000L): DataFrame = {
+    require(defaultDelayMicros >= 0L, "defaultDelayMicros must be >= 0")
+    val fromLinks = links.select(
+        TextAnalysis.canonicalizeUrl(
+          TextAnalysis.resolveHref(col(pageUrlCol), col(hrefCol)),
+          stripTracking = true).as("url"))
+      .filter(col("url").isNotNull).distinct()
+      .select(col("url"), lit(null).cast("string").as("lastmod"),
+        lit(0).as("__sm"))
+    val fromMaps = sitemapUrls.select(
+        TextAnalysis.canonicalizeUrl(col(locCol).cast("string"),
+          stripTracking = true).as("url"),
+        col(lastmodCol).cast("string").as("lastmod"))
+      .filter(col("url").isNotNull)
+      .select(col("url"), col("lastmod"), lit(1).as("__sm"))
+    val cand = fromLinks.unionAll(fromMaps)
+      .groupBy("url")
+      .agg(max(col("lastmod")).as("lastmod"), max(col("__sm")).as("__sm"))
+    val admitted = gate(cand.select(col("url").as("__uid"), col("url")),
+        "__uid", "url", rulesDf)
+      .filter(col("is_allowed"))
+      .withColumn("__fp", md5(col("url").cast("binary")))
+      .join(seenDigests.select(col("__fp")), Seq("__fp"), "left_anti")
+      .select(col("url"), col("host"), col("path"))
+      .join(cand, Seq("url"))
+    val w = Window.partitionBy("host")
+      .orderBy(col("lastmod").desc_nulls_last, col("url"))
+    admitted.join(delays, Seq("host"), "left")
+      .withColumn("delay_micros",
+        coalesce(col("delay_micros"), lit(defaultDelayMicros)))
+      .withColumn("slot", (row_number().over(w) - 1).cast("long"))
+      .select(col("url"), col("host"), col("path"),
+        when(col("__sm") === 1, lit("sitemap")).otherwise(lit("link"))
+          .as("source"),
+        col("lastmod"), col("slot"),
+        (col("slot") * col("delay_micros")).as("offset_micros"),
+        col("delay_micros"))
+  }
+
   /** Per-URL robots verdict: the input row plus `host`, `path`
     * (path+query, `/` when absent), `is_allowed`, and the winning
     * rule's `rule_allow` / `rule_pattern` (null when no rule

@@ -868,6 +868,40 @@ object StreamingOps {
           rulesDf, seenDigests), batchId)
     }
 
+  /** [[crawlFrontierStream]] with the loop fully closed — fetched
+    * pages in, the ONE fetch table out ([[graft.ops.Robots
+    * .crawlPlan]]): admission + sitemap-discovered URLs (source
+    * merge, lastmod priority) + per-host politeness slots per batch.
+    * `sitemapUrls`/`rulesDf`/`delays`/`seenDigests` re-evaluate per
+    * batch — back them with parquet the caller appends (sink the
+    * planned URLs' digests back to the seen store; append newly
+    * discovered sitemap entries from [[graft.ops.Html
+    * .sitemapEntries]] runs) and each batch's plan is novel and
+    * freshness-ordered. Parity with the composed batch leg is by
+    * construction; the spec pins it against [[graft.ops.Robots
+    * .crawlPlan]] on the same rows.
+    */
+  def crawlPlanStream(stream: DataFrame, pageUrlCol: String,
+                      htmlCol: String,
+                      sitemapUrls: DataFrame, locCol: String,
+                      lastmodCol: String,
+                      rulesDf: DataFrame, delays: DataFrame,
+                      seenDigests: DataFrame,
+                      defaultDelayMicros: Long = 1000000L)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val links = graft.ops.Html.links(
+          mb.toDF().select(col(pageUrlCol), col(htmlCol)),
+          pageUrlCol, htmlCol)
+        sink(graft.ops.Robots.crawlPlan(links, pageUrlCol, "href",
+          sitemapUrls, locCol, lastmodCol, rulesDf, delays,
+          seenDigests, defaultDelayMicros), batchId)
+    }
+
   /** [[curationStreamDsir]] with MEDIA-signature dedup composed in —
     * the streaming twin of the q152 multimodal corpus build: admission
     * = classifier gate AND DSIR importance threshold, then text

@@ -1749,6 +1749,70 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == got(0L))
   }
 
+  test("crawlPlanStream: admission + sitemap merge + politeness " +
+      "slots per batch; equals the composed batch leg") {
+    implicit val sqlCtx = spark.sqlContext
+    val rules = graft.ops.Robots.rules(
+      Seq(("site.com", "User-agent: *\nDisallow: /private/\n" +
+        "Crawl-delay: 2\n")).toDF("host", "robots"),
+      "host", "robots", "graftbot")
+    val delays = graft.ops.Robots.crawlDelays(
+      Seq(("site.com", "User-agent: *\nCrawl-delay: 2\n"))
+        .toDF("host", "robots"), "host", "robots", "graftbot")
+    val seen = Seq(Tuple1("https://site.com/seen1")).toDF("u")
+      .select(md5(col("u").cast("binary")).as("__fp"))
+    val smaps = Seq(
+      ("https://site.com/new1", "2026-08-01"), // overlap: link+sitemap
+      ("https://site.com/fresh", "2026-08-09"),
+      ("https://site.com/stale", null),
+      ("https://site.com/private/x", "2026-01-01"))
+      .toDF("loc", "lastmod")
+    val pages = Seq(
+      ("https://site.com/a",
+        "<p><a href=\"/new1\">x</a> <a href=\"/private/p\">y</a>" +
+        " <a href=\"/seen1\">z</a> <a href=\"/new2\">w</a></p>"))
+    val input = MemoryStream[(String, String)]
+    val got = scala.collection.mutable.Map[Long,
+      Seq[(String, String, Option[String], Long, Long, Long)]]()
+    val query = StreamingOps.crawlPlanStream(
+        input.toDF().toDF("page_url", "html"), "page_url", "html",
+        smaps, "loc", "lastmod", rules, delays, seen) { (res, id) =>
+      got.synchronized {
+        got(id) = res.orderBy("url").collect().toSeq.map(r =>
+          (r.getAs[String]("url"), r.getAs[String]("source"),
+            Option(r.getAs[String]("lastmod")), r.getAs[Long]("slot"),
+            r.getAs[Long]("offset_micros"),
+            r.getAs[Long]("delay_micros")))
+      }
+    }.option("checkpointLocation", tmpDir("crawlplan-ckpt")).start()
+    try {
+      input.addData(pages: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // slots: fresh (2026-08-09) then new1 (2026-08-01, sitemap wins
+    // the source merge) then the undated {new2, stale} in url order;
+    // private and seen dead; delay 2 s
+    assert(got(0L) == Seq(
+      ("https://site.com/fresh", "sitemap", Some("2026-08-09"),
+        0L, 0L, 2000000L),
+      ("https://site.com/new1", "sitemap", Some("2026-08-01"),
+        1L, 2000000L, 2000000L),
+      ("https://site.com/new2", "link", None, 2L, 4000000L, 2000000L),
+      ("https://site.com/stale", "sitemap", None, 3L, 6000000L,
+        2000000L)))
+    // parity: the composed batch leg
+    val batch = graft.ops.Robots.crawlPlan(
+        graft.ops.Html.links(pages.toDF("page_url", "html"),
+          "page_url", "html"), "page_url", "href",
+        smaps, "loc", "lastmod", rules, delays, seen)
+      .orderBy("url").collect().toSeq.map(r =>
+        (r.getAs[String]("url"), r.getAs[String]("source"),
+          Option(r.getAs[String]("lastmod")), r.getAs[Long]("slot"),
+          r.getAs[Long]("offset_micros"),
+          r.getAs[Long]("delay_micros")))
+    assert(batch == got(0L))
+  }
+
   test("curationStreamMultimodal: classifier, DSIR, digest, and media " +
       "gates compose; equals the composed batch legs per batch") {
     implicit val sqlCtx = spark.sqlContext
