@@ -360,6 +360,11 @@ object Robots {
     val r = rulesDf.select(col("host").as("__rhost"), col("rule_no"),
       col("allow"), col("pattern"),
       patternRegex(col("pattern")).as("__rx"))
+    // the per-rule pattern is a COLUMN in this join filter; measured
+    // (r18, 5M alternating-pattern rows): Spark 4.1's regexp_like
+    // amortizes non-literal compiles to parity with an explicit
+    // compiled-pattern cache (0.37-0.42 s both), so the built-in
+    // stays — see BASELINE.md "robots gate regex adjudication"
     withPath.join(r, withPath("host") === col("__rhost") &&
         regexp_like(col("path"), col("__rx")), "left")
       .groupBy(col(idCol), col("url"), col("host"), col("path"))
