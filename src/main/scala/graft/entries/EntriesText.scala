@@ -1134,6 +1134,36 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("url")
     }),
 
+    // ---- authority-weighted crawl budget (the q176→q186 chain
+    //      closed): a one-iteration exact PageRank over the
+    //      doc-derived host graph (every source links its doc_id%5
+    //      target — five hub hosts absorb the mass, no dangling
+    //      nodes so the pool is zero and the oracle replays one
+    //      contribution round), then 37 fetch slots apportioned
+    //      largest-remainder over the plan's hosts and the schedule
+    //      truncated to each host's quota. ----
+
+    "q187_crawl_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val host = concat(col("source"), lit(".example.com"))
+      val edges = docs.select(host.as("src"),
+        concat(lit("src"), pmod(col("doc_id"), lit(5)),
+          lit(".example.com")).as("dst"))
+      val ranks = graft.ops.LinkGraph.pageRankMicro(edges, "src",
+        "dst", iterations = 1)
+      val urls = docs.select(concat(lit("https://"), host, lit("/u/"),
+        pmod(col("doc_id"), lit(9))).as("url")).distinct()
+      val k = substring(col("source"), 4, 10).cast("long")
+      val delays = docs.select(col("source")).distinct()
+        .select(host.as("host"),
+          ((pmod(k, lit(4)) + 1) * 1000000L).as("delay_micros"))
+      val sched = graft.ops.Robots.fetchSchedule(urls, "url", delays)
+      graft.ops.Robots.crawlBudget(sched, "host", "slot",
+          ranks.select(col("node").as("host"), col("rank_micro")),
+          "host", "rank_micro", totalBudget = 37L)
+        .orderBy("url")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -2580,6 +2610,70 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |SELECT url, host, path, source, lastmod, slot,
           |  slot * delay_micros AS offset_micros, delay_micros
           |FROM plan ORDER BY url""".stripMargin,
+
+      // One exact PageRank round replayed from the construction (no
+      // dangling nodes -> zero pool; every start rank 1e6 damps to
+      // 850000), then the largest-remainder apportionment verbatim:
+      // base = B*r div R, leftover seats by (rem DESC, host ASC),
+      // schedule truncated at each host's quota.
+      "q187_crawl_budget" ->
+        """WITH ksrc AS (
+          |  SELECT DISTINCT source,
+          |    CAST(substr(source, 4) AS BIGINT) AS k FROM documents),
+          |hosts AS (
+          |  SELECT source || '.example.com' AS host, k FROM ksrc),
+          |e AS (
+          |  SELECT DISTINCT source || '.example.com' AS src,
+          |    'src' || (doc_id % 5) || '.example.com' AS dst
+          |  FROM documents),
+          |od AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS odeg
+          |  FROM e GROUP BY 1),
+          |contrib AS (
+          |  SELECT e.dst AS node,
+          |    CAST(sum(850000 // o.odeg) AS BIGINT) AS inc
+          |  FROM e JOIN od o ON e.src = o.node GROUP BY 1),
+          |ranks AS (
+          |  SELECT h.host AS node,
+          |    150000 + coalesce(c.inc, 0) AS r
+          |  FROM hosts h LEFT JOIN contrib c ON h.host = c.node),
+          |urls AS (
+          |  SELECT DISTINCT 'https://' || source
+          |      || '.example.com/u/' || (doc_id % 9) AS url,
+          |    source || '.example.com' AS host FROM documents),
+          |sched AS (
+          |  SELECT url, host,
+          |    CAST(row_number() OVER (PARTITION BY host
+          |      ORDER BY url) - 1 AS BIGINT) AS slot
+          |  FROM urls),
+          |hr AS (
+          |  SELECT p.host, coalesce(r.r, 0) AS r
+          |  FROM (SELECT DISTINCT host FROM sched) p
+          |  LEFT JOIN ranks r ON p.host = r.node),
+          |tot AS (SELECT CAST(sum(r) AS BIGINT) AS r0 FROM hr),
+          |sc AS (SELECT host, r // greatest(1,
+          |    (SELECT r0 FROM tot) // 1000000000) AS rs FROM hr),
+          |tot2 AS (SELECT CAST(sum(rs) AS BIGINT) AS rst FROM sc),
+          |based AS (
+          |  SELECT host,
+          |    CAST(37 * rs // (SELECT rst FROM tot2) AS BIGINT)
+          |      AS base,
+          |    CAST(37 * rs % (SELECT rst FROM tot2) AS BIGINT)
+          |      AS rem
+          |  FROM sc),
+          |seats AS (
+          |  SELECT 37 - CAST(sum(base) AS BIGINT) AS s FROM based),
+          |quota AS (
+          |  SELECT host, base + CASE WHEN row_number()
+          |      OVER (ORDER BY rem DESC, host ASC)
+          |      <= (SELECT s FROM seats) THEN 1 ELSE 0 END AS quota
+          |  FROM based)
+          |SELECT s.url, s.host, s.slot,
+          |  s.slot * d.delay AS offset_micros,
+          |  d.delay AS delay_micros, q.quota
+          |FROM sched s JOIN quota q USING (host)
+          |JOIN (SELECT host, (k % 4 + 1) * 1000000 AS delay
+          |  FROM hosts) d USING (host)
+          |WHERE s.slot < q.quota ORDER BY url""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

@@ -339,6 +339,73 @@ object Robots {
         col("delay_micros"))
   }
 
+  /** Authority-weighted crawl BUDGET over a fetch plan — the
+    * composition that closes the q176→q186 chain: a per-cycle fetch
+    * budget apportioned across hosts proportionally to an authority
+    * signal (e.g. [[LinkGraph.pageRankMicro]] host ranks), then the
+    * plan truncated to each host's quota (its first `quota` fetch
+    * slots — which [[crawlPlan]] already ordered freshest-first).
+    *
+    * Apportionment is EXACT integer largest-remainder (Hamilton):
+    * `base_h = B * r_h div R` and the `B - Σ base` leftover seats go
+    * to the largest remainders (`B * r_h mod R`, host ascending on
+    * ties) — quotas sum to exactly `B`, and two engines land on
+    * identical quotas. Ranks are clamped at 0, hosts absent from
+    * `ranks` rank 0 (quota only via remainder seats), and an all-zero
+    * rank table falls back to uniform apportionment. To keep
+    * `B * r` inside i64 at web scale, ranks first scale down to ~1e9
+    * total resolution (`r div max(1, R div 1e9)` — exact, replayable,
+    * and a no-op when total rank mass already fits).
+    *
+    * Returns the plan rows with `slot < quota`, plus the `quota`
+    * column.
+    *
+    * Scale shape: the host-quota table is host-count-sized by
+    * contract (two one-row broadcast totals, one host-keyed window —
+    * single-partition by design, like every host-level evidence
+    * table here); the plan filter is one broadcastable host join.
+    */
+  def crawlBudget(plan: DataFrame, hostCol: String, slotCol: String,
+                  ranks: DataFrame, rankHostCol: String,
+                  rankCol: String, totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0L && totalBudget <= 1000000000L,
+      "totalBudget must be in [0, 1e9]")
+    val r = ranks.select(col(rankHostCol).as("__bhost"),
+      greatest(col(rankCol).cast("long"), lit(0L)).as("__r"))
+    val hosts = plan.select(col(hostCol).as("__bhost")).distinct()
+      .join(r, Seq("__bhost"), "left")
+      .select(col("__bhost"), coalesce(col("__r"), lit(0L)).as("__r"))
+    val tot0 = hosts.agg(sum(col("__r")).as("__R0"),
+      count(lit(1)).as("__n"))
+    val scaled = hosts.crossJoin(broadcast(tot0))
+      .select(col("__bhost"), col("__n"),
+        when(col("__R0") > 0L,
+          expr("__r div greatest(1L, __R0 div 1000000000L)"))
+          .otherwise(lit(1L)).as("__rs"))
+    val tot = scaled.agg(sum(col("__rs")).as("__RsRaw"),
+      max(col("__n")).as("__n2"))
+    val based = scaled.crossJoin(broadcast(tot))
+      .select(col("__bhost"),
+        when(col("__RsRaw") > 0L, col("__rs")).otherwise(lit(1L))
+          .as("__rs2"),
+        when(col("__RsRaw") > 0L, col("__RsRaw"))
+          .otherwise(col("__n2")).as("__Rs"))
+      .select(col("__bhost"),
+        expr(s"${totalBudget}L * __rs2 div __Rs").as("__base"),
+        expr(s"${totalBudget}L * __rs2 % __Rs").as("__rem"))
+    val seats = based.agg(
+      (lit(totalBudget) - sum(col("__base"))).as("__seats"))
+    val w = Window.orderBy(col("__rem").desc, col("__bhost").asc)
+    val quota = based.crossJoin(broadcast(seats))
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .select(col("__bhost"),
+        (col("__base") + when(col("__pos") <= col("__seats"), 1L)
+          .otherwise(0L)).as("quota"))
+    plan.join(quota, plan(hostCol) === quota("__bhost"))
+      .filter(col(slotCol) < col("quota"))
+      .drop("__bhost")
+  }
+
   /** Per-URL robots verdict: the input row plus `host`, `path`
     * (path+query, `/` when absent), `is_allowed`, and the winning
     * rule's `rule_allow` / `rule_pattern` (null when no rule

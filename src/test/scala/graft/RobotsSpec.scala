@@ -257,6 +257,58 @@ class RobotsSpec extends SparkSpec {
       (5L, "HTTPS://h.example.com/S2.xml")))
   }
 
+  test("crawlBudget: exact largest-remainder apportionment — " +
+      "remainder seats, host-asc ties, missing/negative ranks, " +
+      "uniform zero fallback, zero budget") {
+    def plan(hosts: String*) =
+      spark.createDataFrame(hosts.flatMap(h =>
+        (0 until 6).map(s => (s"https://$h/u/$s", h, s.toLong))))
+        .toDF("url", "host", "slot")
+    def ranks(rs: (String, Long)*) =
+      spark.createDataFrame(rs).toDF("host", "rank_micro")
+    def quotas(got: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      got.groupBy("host").agg(count(lit(1)).as("n"),
+          max(col("quota")).as("q"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+    // exact division: B=6 over ranks 2:1 -> 4 and 2, no seats
+    assert(quotas(Robots.crawlBudget(plan("a", "b"), "host", "slot",
+      ranks("a" -> 2L, "b" -> 1L), "host", "rank_micro", 6L)) ==
+      Map("a" -> ((4L, 4L)), "b" -> ((2L, 2L))))
+    // remainder seat to the larger remainder: B=7 -> base 4+2,
+    // rems 2 and 1 of 3 -> a takes the seat
+    assert(quotas(Robots.crawlBudget(plan("a", "b"), "host", "slot",
+      ranks("a" -> 2L, "b" -> 1L), "host", "rank_micro", 7L)) ==
+      Map("a" -> ((5L, 5L)), "b" -> ((2L, 2L))))
+    // tie remainders -> host ascending: B=3 over 1:1 -> a 2, b 1
+    assert(quotas(Robots.crawlBudget(plan("a", "b"), "host", "slot",
+      ranks("a" -> 5L, "b" -> 5L), "host", "rank_micro", 3L)) ==
+      Map("a" -> ((2L, 2L)), "b" -> ((1L, 1L))))
+    // a host missing from ranks (or clamped negative) ranks 0:
+    // rem 0, no seat at B=4 (bases consume it) -> filtered out
+    val m = quotas(Robots.crawlBudget(plan("a", "b", "c"), "host",
+      "slot", ranks("a" -> 2L, "b" -> -7L), "host", "rank_micro", 4L))
+    assert(m == Map("a" -> ((4L, 4L))))
+    // all-zero ranks -> uniform: B=3 over {a,b} -> 2 and 1
+    assert(quotas(Robots.crawlBudget(plan("a", "b"), "host", "slot",
+      ranks("a" -> 0L, "b" -> 0L), "host", "rank_micro", 3L)) ==
+      Map("a" -> ((2L, 2L)), "b" -> ((1L, 1L))))
+    // zero budget -> empty
+    assert(Robots.crawlBudget(plan("a"), "host", "slot",
+      ranks("a" -> 1L), "host", "rank_micro", 0L).count() == 0L)
+    // quotas always sum to B when every host has enough slots:
+    // B=11 over three uneven ranks
+    val q3 = quotas(Robots.crawlBudget(plan("a", "b", "c"), "host",
+      "slot", ranks("a" -> 6L, "b" -> 3L, "c" -> 2L), "host",
+      "rank_micro", 11L))
+    assert(q3.values.map(_._2).sum == 11L &&
+      q3.values.forall { case (n, q) => n == q })
+    intercept[IllegalArgumentException] {
+      Robots.crawlBudget(plan("a"), "host", "slot",
+        ranks("a" -> 1L), "host", "rank_micro", -1L)
+    }
+  }
+
   test("rules rejects wildcard or empty product tokens") {
     val df = spark.createDataFrame(Seq(("h", "x"))).toDF("host", "robots")
     intercept[IllegalArgumentException] {
