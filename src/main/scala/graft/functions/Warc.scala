@@ -148,59 +148,185 @@ object WarcOps {
           val payloadStart = p
           val payloadEnd = p + cLen.toInt
           p = payloadEnd
-          var status: java.lang.Integer = null
-          var httpCt: String = null
-          var httpTe: String = null
-          var httpCe: String = null
-          var bodyStart = payloadStart
-          if (startsWithAscii(bytes, payloadStart, "HTTP/")) {
-            // status line
-            var he = lineEnd(bytes, payloadStart)
-            val statusLine = lineAt(bytes, payloadStart, he)
-            val sp1 = statusLine.indexOf(' ')
-            if (sp1 > 0) {
-              val rest = statusLine.substring(sp1 + 1).trim
-              val sp2 = rest.indexOf(' ')
-              val tok = if (sp2 > 0) rest.substring(0, sp2) else rest
-              try status = Integer.valueOf(tok.trim.toInt)
-              catch { case _: Exception => }
-            }
-            var hp = math.min(he + 1, payloadEnd)
-            var inHttp = true
-            while (inHttp && hp < payloadEnd) {
-              he = math.min(lineEnd(bytes, hp), payloadEnd)
-              val line = lineAt(bytes, hp, he)
-              hp = math.min(he + 1, payloadEnd)
-              if (line.isEmpty) inHttp = false
-              else {
-                val c = line.indexOf(':')
-                if (c > 0) {
-                  val k = line.substring(0, c).trim
-                    .toLowerCase(java.util.Locale.ROOT)
-                  k match {
-                    case "content-type" =>
-                      httpCt = line.substring(c + 1).trim
-                    case "transfer-encoding" =>
-                      httpTe = line.substring(c + 1).trim
-                    case "content-encoding" =>
-                      httpCe = line.substring(c + 1).trim
-                    case _ =>
-                  }
-                }
-              }
-            }
-            bodyStart = if (inHttp) payloadEnd else hp
-          }
+          val (status, httpCt, bodyU) =
+            splitHttp(bytes, payloadStart, payloadEnd)
           def u(v: String): Any =
             if (v == null) null else UTF8String.fromString(v)
           out += InternalRow(u(warcType), u(uri), u(date), u(recId),
-            u(cType), cLen, status,
-            u(httpCt),
-            decodeBody(bytes, bodyStart, payloadEnd, httpTe, httpCe))
+            u(cType), cLen, status, u(httpCt), bodyU)
         }
       }
     }
     new GenericArrayData(out.toArray[Any])
+  }
+
+  /** The HTTP-response split + body decode over one record payload
+    * `[payloadStart, payloadEnd)` — shared by the whole-buffer kernel
+    * ([[parseRecords]]) and the incremental file reader
+    * ([[streamRecords]]): `(http_status, http_content_type, body)`
+    * with non-`HTTP/` payloads landing whole in `body` and null HTTP
+    * fields.
+    */
+  private[functions] def splitHttp(bytes: Array[Byte], payloadStart: Int,
+                                   payloadEnd: Int)
+      : (java.lang.Integer, String, UTF8String) = {
+    var status: java.lang.Integer = null
+    var httpCt: String = null
+    var httpTe: String = null
+    var httpCe: String = null
+    var bodyStart = payloadStart
+    if (startsWithAscii(bytes, payloadStart, "HTTP/")) {
+      // status line
+      var he = lineEnd(bytes, payloadStart)
+      val statusLine = lineAt(bytes, payloadStart, he)
+      val sp1 = statusLine.indexOf(' ')
+      if (sp1 > 0) {
+        val rest = statusLine.substring(sp1 + 1).trim
+        val sp2 = rest.indexOf(' ')
+        val tok = if (sp2 > 0) rest.substring(0, sp2) else rest
+        try status = Integer.valueOf(tok.trim.toInt)
+        catch { case _: Exception => }
+      }
+      var hp = math.min(he + 1, payloadEnd)
+      var inHttp = true
+      while (inHttp && hp < payloadEnd) {
+        he = math.min(lineEnd(bytes, hp), payloadEnd)
+        val line = lineAt(bytes, hp, he)
+        hp = math.min(he + 1, payloadEnd)
+        if (line.isEmpty) inHttp = false
+        else {
+          val c = line.indexOf(':')
+          if (c > 0) {
+            val k = line.substring(0, c).trim
+              .toLowerCase(java.util.Locale.ROOT)
+            k match {
+              case "content-type" =>
+                httpCt = line.substring(c + 1).trim
+              case "transfer-encoding" =>
+                httpTe = line.substring(c + 1).trim
+              case "content-encoding" =>
+                httpCe = line.substring(c + 1).trim
+              case _ =>
+            }
+          }
+        }
+      }
+      bodyStart = if (inHttp) payloadEnd else hp
+    }
+    (status, httpCt,
+      decodeBody(bytes, bodyStart, payloadEnd, httpTe, httpCe))
+  }
+
+  /** One WARC record as plain Scala values — the row type of the
+    * incremental file reader ([[streamRecords]]); field names match
+    * the kernel's [[RecordType]].
+    */
+  final case class WarcRecordRow(
+      warc_type: Option[String], target_uri: Option[String],
+      warc_date: Option[String], record_id: Option[String],
+      content_type: Option[String], content_length: Long,
+      http_status: Option[Int], http_content_type: Option[String],
+      body: Option[String])
+
+  /** Incremental record iterator over a WARC byte STREAM — the
+    * whole-segment path for real crawls: a ~1 GB CommonCrawl
+    * `.warc.gz` decompresses to 3–4 GiB, past any single byte
+    * array, so the file reader wraps a `GZIPInputStream` (multi-
+    * member) and parses record-by-record holding only ONE record's
+    * payload at a time. Same grammar and route-not-throw contract as
+    * [[parseRecords]]: records before any damage are returned, a
+    * truncated/corrupt tail (or a payload past [[MaxGunzipBytes]])
+    * ends the iteration, never throws. The HTTP split + body decode
+    * is [[splitHttp]] — byte-identical to the kernel path,
+    * spec-pinned.
+    */
+  def streamRecords(in0: java.io.InputStream): Iterator[WarcRecordRow] = {
+    val in = new java.io.BufferedInputStream(in0, 1 << 16)
+    new scala.collection.AbstractIterator[WarcRecordRow] {
+      private var nextRec: WarcRecordRow = _
+      private var done = false
+
+      /** Next line (to `\n`, trailing `\r` stripped); null at EOF
+        * before any byte.
+        */
+      private def readLine(): String = {
+        var c = in.read()
+        if (c < 0) return null
+        val bo = new java.io.ByteArrayOutputStream(128)
+        while (c >= 0 && c != '\n') { bo.write(c); c = in.read() }
+        val b = bo.toByteArray
+        val len = if (b.nonEmpty && b(b.length - 1) == '\r')
+          b.length - 1 else b.length
+        new String(b, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+      }
+
+      private def advance(): Unit = {
+        try {
+          var line = readLine()
+          while (line != null && line.isEmpty) line = readLine()
+          if (line == null || !line.startsWith("WARC/")) {
+            done = true; return
+          }
+          var warcType: String = null
+          var uri: String = null
+          var date: String = null
+          var recId: String = null
+          var cType: String = null
+          var cLen = -1L
+          var l = readLine()
+          while (l != null && l.nonEmpty) {
+            val c = l.indexOf(':')
+            if (c > 0) {
+              val k = l.substring(0, c).trim
+                .toLowerCase(java.util.Locale.ROOT)
+              val v = l.substring(c + 1).trim
+              k match {
+                case "warc-type" => warcType = v
+                case "warc-target-uri" => uri = v
+                case "warc-date" => date = v
+                case "warc-record-id" => recId = v
+                case "content-type" => cType = v
+                case "content-length" =>
+                  cLen = try v.toLong catch { case _: Exception => -1L }
+                case _ =>
+              }
+            }
+            l = readLine()
+          }
+          if (l == null || cLen < 0L || cLen > MaxGunzipBytes) {
+            done = true; return
+          }
+          val payload = new Array[Byte](cLen.toInt)
+          var off = 0
+          var r = 0
+          while (off < payload.length && r >= 0) {
+            r = in.read(payload, off, payload.length - off)
+            if (r > 0) off += r
+          }
+          if (off < payload.length) { done = true; return }
+          val (status, httpCt, bodyU) =
+            splitHttp(payload, 0, payload.length)
+          nextRec = WarcRecordRow(Option(warcType), Option(uri),
+            Option(date), Option(recId), Option(cType), cLen,
+            Option(status).map(_.intValue),
+            Option(httpCt),
+            Option(bodyU).map(_.toString))
+        } catch {
+          case scala.util.control.NonFatal(_) => done = true
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): WarcRecordRow = {
+        if (!hasNext) throw new NoSuchElementException("end of WARC")
+        val r = nextRec
+        nextRec = null
+        r
+      }
+    }
   }
 
   def parseRecordsAny(input: Any): ArrayData = input match {

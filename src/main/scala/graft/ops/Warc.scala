@@ -51,18 +51,42 @@ object Warc {
         col("warc_date"), col("http_status"), col("http_content_type"),
         col("body"))
 
-  /** Read `.warc` / `.warc.gz` files (glob) into records —
-    * binaryFile scan, per-file gunzip (multi-member, the
-    * one-member-per-record CommonCrawl layout), kernel parse. One
-    * row per record with the source `path` carried as the id.
+  /** Read `.warc` / `.warc.gz` files (glob) into records — one row
+    * per record with the source `path` carried as the id, same
+    * schema as [[records]].
+    *
+    * STREAMING decode (r18): a real ~1 GB CommonCrawl segment
+    * decompresses to 3–4 GiB — past any single byte array — so this
+    * path wraps each file's bytes in a (multi-member)
+    * `GZIPInputStream` and parses record-by-record via
+    * [[graft.functions.WarcOps.streamRecords]], holding one
+    * COMPRESSED file plus one record payload in memory at a time.
+    * Same grammar, route-not-throw, and HTTP-split/body-decode as
+    * the kernel (shared `splitHttp`, parity spec-pinned). Files are
+    * the parallelism unit; the per-file cap is binaryFile's 2 GiB
+    * COMPRESSED bound, which every CommonCrawl segment clears.
     */
   def readWarcFiles(spark: SparkSession, glob: String): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val files = spark.read.format("binaryFile").load(glob)
-      .select(col("path"),
-        when(col("path").endsWith(".gz"),
-          call_function("graft_gunzip", col("content")))
-          .otherwise(col("content")).as("warc"))
-    records(files, "path", "warc")
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (path, content) =>
+          val raw = new java.io.ByteArrayInputStream(content)
+          val in: java.io.InputStream =
+            if (path.endsWith(".gz"))
+              try new java.util.zip.GZIPInputStream(raw, 65536)
+              catch { // not actually gzip: zero records, not a throw
+                case scala.util.control.NonFatal(_) =>
+                  new java.io.ByteArrayInputStream(Array.emptyByteArray)
+              }
+            else raw
+          graft.functions.WarcOps.streamRecords(in).zipWithIndex.map {
+            case (r, i) => (path, i + 1L, r)
+          }
+        }
+      }
+      .select(col("_1").as("path"), col("_2").as("rec_no"), col("_3.*"))
   }
 }

@@ -247,6 +247,63 @@ class WarcSpec extends SparkSpec {
     assert(got == htmlBody)
   }
 
+  test("streaming file reader ≡ kernel on the same bytes (decode " +
+      "variants, multibyte, truncated tail) — one record in memory " +
+      "at a time, multi-member gzip") {
+    val bytes = htmlBody.getBytes("UTF-8")
+    val mid = bytes.length - 7
+    val full = recB(Seq("WARC-Type" -> "warcinfo"),
+        "software: graft\r\n".getBytes("UTF-8")) ++
+      recB(Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> "https://h.example.com/a"),
+        httpPayload("Transfer-Encoding: chunked\r\n",
+          chunked(Seq(bytes.take(mid), bytes.drop(mid))))) ++
+      recB(Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> "https://h.example.com/b"),
+        httpPayload("Content-Encoding: gzip\r\n", WarcOps.gzip(bytes))) ++
+      recB(Seq("WARC-Type" -> "response"),
+        httpPayload("Transfer-Encoding: chunked\r\n",
+          "5\r\nab".getBytes("UTF-8"))) // body null, record survives
+    def rows(d: org.apache.spark.sql.DataFrame, idName: String) =
+      d.orderBy("rec_no").collect().toSeq.map(r =>
+        (r.getAs[Long]("rec_no"), r.getAs[String]("warc_type"),
+          Option(r.getAs[String]("target_uri")),
+          r.getAs[Long]("content_length"),
+          Option(r.getAs[Any]("http_status")),
+          Option(r.getAs[String]("body"))))
+    val kernel = rows(Warc.records(
+      spark.createDataFrame(Seq((1L, full))).toDF("id", "warc"),
+      "id", "warc"), "id")
+
+    val dir = tmpDir("graft-warc-stream")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "x.warc"), full)
+    assert(rows(Warc.readWarcFiles(spark, dir + "/x.warc"), "path")
+      == kernel)
+    // one gzip member per RECORD (the CommonCrawl layout), read
+    // through the streaming GZIPInputStream path
+    val memberized = Seq(
+        recB(Seq("WARC-Type" -> "warcinfo"),
+          "software: graft\r\n".getBytes("UTF-8")),
+        recB(Seq("WARC-Type" -> "response",
+            "WARC-Target-URI" -> "https://h.example.com/a"),
+          httpPayload("Transfer-Encoding: chunked\r\n",
+            chunked(Seq(bytes.take(mid), bytes.drop(mid))))))
+      .map(WarcOps.gzip).reduce(_ ++ _)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "y.warc.gz"), memberized)
+    assert(rows(Warc.readWarcFiles(spark, dir + "/y.warc.gz"), "path")
+      == kernel.take(2))
+    // a corrupt tail ends the stream AFTER the good records (the
+    // kernel contract), and a non-gzip .gz yields zero records
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "z.warc"),
+      full.take(2) ++ "not a warc".getBytes("UTF-8"))
+    assert(Warc.readWarcFiles(spark, dir + "/z.warc").count() == 0L)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "w.warc.gz"),
+      "definitely not gzip".getBytes("UTF-8"))
+    assert(Warc.readWarcFiles(spark, dir + "/w.warc.gz").count() == 0L)
+  }
+
   test("responses: only response records, fetch-result shape") {
     val df = spark.createDataFrame(Seq((7L, warc))).toDF("id", "warc")
     val got = Warc.responses(df, "id", "warc").collect().toSeq

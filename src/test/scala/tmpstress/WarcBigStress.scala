@@ -1,0 +1,77 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The claim behind the r18 streaming WARC reader: a segment whose
+  * DECOMPRESSED size exceeds any single byte array (> 2 GiB) parses
+  * record-by-record through `readWarcFiles`. The old path (whole-file
+  * gunzip into one array, then the kernel) could not represent this
+  * file at all. Writes ~1M records of ~2.3 KB payload (≈ 2.3 GiB
+  * decompressed, one gzip member per 10k records — the CommonCrawl
+  * per-record-member layout at coarser grain), reads it back, asserts
+  * exact record count, planted 404 count, and a body spot-invariant.
+  *
+  * Run: `SPARK_DRIVER_MEM=16g sbt "Test/runMain tmpstress.WarcBigStress"`
+  */
+object WarcBigStress {
+  def main(args: Array[String]): Unit = {
+    val nRecords = if (args.nonEmpty) args(0).toInt else 1000000
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-warc-big").toString
+    val path = java.nio.file.Paths.get(dir, "big.warc.gz")
+    val pad = "x" * 2048
+    val t0 = System.nanoTime()
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path), 1 << 20)
+    var gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+    var decompressed = 0L
+    var i = 0
+    while (i < nRecords) {
+      val is404 = i % 7 == 0
+      val status = if (is404) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+      val body = s"<html><body><p>record $i $pad</p></body></html>"
+      val payload = s"$status\r\nContent-Type: text/html\r\n\r\n$body"
+      val rec = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://h${i % 997}.example.com/r/$i\r\n" +
+        s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+        payload + "\r\n\r\n"
+      val bytes = rec.getBytes("UTF-8")
+      gz.write(bytes)
+      decompressed += bytes.length
+      i += 1
+      if (i % 10000 == 0 && i < nRecords) { // next gzip member
+        gz.finish()
+        gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+      }
+    }
+    gz.finish(); out.close()
+    val compressed = java.nio.file.Files.size(path)
+    println(f"MARKER wrote records=$nRecords decompressed=$decompressed " +
+      f"(${decompressed / 1073741824.0}%.2f GiB) compressed=$compressed " +
+      f"write=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(decompressed > Int.MaxValue.toLong,
+      "fixture must exceed a single byte array to prove the claim")
+
+    for (rep <- 1 to 2) {
+      val t1 = System.nanoTime()
+      val got = graft.ops.Warc.readWarcFiles(spark, path.toString)
+        .agg(count(lit(1)),
+          sum(when(col("http_status") === 404, 1L).otherwise(0L)),
+          sum(length(col("body")))).head()
+      val sec = (System.nanoTime() - t1) / 1e9
+      println(f"MARKER rep$rep parse=$sec%.1f s records=${got.getLong(0)} " +
+        s"n404=${got.getLong(1)} body_chars=${got.getLong(2)}")
+      assert(got.getLong(0) == nRecords.toLong)
+      assert(got.getLong(1) == (nRecords + 6) / 7)
+    }
+    // the file is a temp artifact; leave cleanup to the OS tmp reaper
+    spark.stop()
+  }
+}
