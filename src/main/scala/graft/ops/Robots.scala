@@ -318,13 +318,18 @@ object Robots {
     val cand = fromLinks.unionAll(fromMaps)
       .groupBy("url")
       .agg(max(col("lastmod")).as("lastmod"), max(col("__sm")).as("__sm"))
-    val admitted = gate(cand.select(col("url").as("__uid"), col("url")),
-        "__uid", "url", rulesDf)
+    // lastmod/source ride the gate as a STRUCT id (1:1 with the url
+    // key), so the candidate aggregate computes ONCE — no join-back,
+    // no duplicated subtree in the plan
+    val admitted = gate(cand.select(
+          struct(col("lastmod"), col("__sm")).as("__meta"), col("url")),
+        "__meta", "url", rulesDf)
       .filter(col("is_allowed"))
       .withColumn("__fp", md5(col("url").cast("binary")))
       .join(seenDigests.select(col("__fp")), Seq("__fp"), "left_anti")
-      .select(col("url"), col("host"), col("path"))
-      .join(cand, Seq("url"))
+      .select(col("url"), col("host"), col("path"),
+        col("__meta.lastmod").as("lastmod"),
+        col("__meta.__sm").as("__sm"))
     val w = Window.partitionBy("host")
       .orderBy(col("lastmod").desc_nulls_last, col("url"))
     admitted.join(delays, Seq("host"), "left")
@@ -361,9 +366,11 @@ object Robots {
     * column.
     *
     * Scale shape: the host-quota table is host-count-sized by
-    * contract (two one-row broadcast totals, one host-keyed window —
-    * single-partition by design, like every host-level evidence
-    * table here); the plan filter is one broadcastable host join.
+    * contract; stage totals and the seat ordering are unpartitioned
+    * windows over it (single-partition by design, like every
+    * host-level evidence table here — and one plan subtree, where
+    * chained broadcast-total crossJoins would double it per stage);
+    * the plan filter is one broadcastable host join.
     */
   def crawlBudget(plan: DataFrame, hostCol: String, slotCol: String,
                   ranks: DataFrame, rankHostCol: String,
@@ -375,29 +382,28 @@ object Robots {
     val hosts = plan.select(col(hostCol).as("__bhost")).distinct()
       .join(r, Seq("__bhost"), "left")
       .select(col("__bhost"), coalesce(col("__r"), lit(0L)).as("__r"))
-    val tot0 = hosts.agg(sum(col("__r")).as("__R0"),
-      count(lit(1)).as("__n"))
-    val scaled = hosts.crossJoin(broadcast(tot0))
-      .select(col("__bhost"), col("__n"),
-        when(col("__R0") > 0L,
-          expr("__r div greatest(1L, __R0 div 1000000000L)"))
-          .otherwise(lit(1L)).as("__rs"))
-    val tot = scaled.agg(sum(col("__rs")).as("__RsRaw"),
-      max(col("__n")).as("__n2"))
-    val based = scaled.crossJoin(broadcast(tot))
-      .select(col("__bhost"),
-        when(col("__RsRaw") > 0L, col("__rs")).otherwise(lit(1L))
-          .as("__rs2"),
-        when(col("__RsRaw") > 0L, col("__RsRaw"))
-          .otherwise(col("__n2")).as("__Rs"))
-      .select(col("__bhost"),
-        expr(s"${totalBudget}L * __rs2 div __Rs").as("__base"),
-        expr(s"${totalBudget}L * __rs2 % __Rs").as("__rem"))
-    val seats = based.agg(
-      (lit(totalBudget) - sum(col("__base"))).as("__seats"))
-    val w = Window.orderBy(col("__rem").desc, col("__bhost").asc)
-    val quota = based.crossJoin(broadcast(seats))
-      .withColumn("__pos", row_number().over(w).cast("long"))
+    // every stage total rides an UNPARTITIONED window over the
+    // host-quota frame (single-partition by contract — it is the
+    // host-count-sized evidence table), so the host subtree appears
+    // ONCE in the plan instead of doubling per broadcast-total stage
+    val wAll = Window.partitionBy()
+    val wPos = Window.orderBy(col("__rem").desc, col("__bhost").asc)
+    val quota = hosts
+      .withColumn("__R0", sum(col("__r")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__rs", when(col("__R0") > 0L,
+        expr("__r div greatest(1L, __R0 div 1000000000L)"))
+        .otherwise(lit(1L)))
+      .withColumn("__RsRaw", sum(col("__rs")).over(wAll))
+      .withColumn("__rs2",
+        when(col("__RsRaw") > 0L, col("__rs")).otherwise(lit(1L)))
+      .withColumn("__Rs",
+        when(col("__RsRaw") > 0L, col("__RsRaw")).otherwise(col("__n")))
+      .withColumn("__base", expr(s"${totalBudget}L * __rs2 div __Rs"))
+      .withColumn("__rem", expr(s"${totalBudget}L * __rs2 % __Rs"))
+      .withColumn("__seats",
+        lit(totalBudget) - sum(col("__base")).over(wAll))
+      .withColumn("__pos", row_number().over(wPos).cast("long"))
       .select(col("__bhost"),
         (col("__base") + when(col("__pos") <= col("__seats"), 1L)
           .otherwise(0L)).as("quota"))
