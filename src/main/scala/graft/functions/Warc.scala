@@ -247,13 +247,19 @@ object WarcOps {
       private var done = false
 
       /** Next line (to `\n`, trailing `\r` stripped); null at EOF
-        * before any byte.
+        * before any byte OR on a line past 1 MiB (no real WARC/HTTP
+        * header line approaches that — an unbounded line is damage,
+        * and buffering it unchecked would let one corrupt file OOM
+        * the task).
         */
       private def readLine(): String = {
         var c = in.read()
         if (c < 0) return null
         val bo = new java.io.ByteArrayOutputStream(128)
-        while (c >= 0 && c != '\n') { bo.write(c); c = in.read() }
+        while (c >= 0 && c != '\n') {
+          if (bo.size() >= (1 << 20)) return null
+          bo.write(c); c = in.read()
+        }
         val b = bo.toByteArray
         val len = if (b.nonEmpty && b(b.length - 1) == '\r')
           b.length - 1 else b.length
@@ -345,8 +351,14 @@ object WarcOps {
     */
   private def decodeBody(b: Array[Byte], from: Int, to: Int,
                          te: String, ce: String): UTF8String = {
-    val chunked = te != null &&
-      te.toLowerCase(java.util.Locale.ROOT).contains("chunked")
+    // any transfer-coding BESIDES chunked/identity (e.g. a TE-level
+    // gzip) would leave the body still-encoded after de-chunking —
+    // route to null rather than hand garbage downstream
+    val teTokens = if (te == null) Array.empty[String]
+      else te.toLowerCase(java.util.Locale.ROOT).split(',').map(_.trim)
+        .filter(t => t.nonEmpty && t != "identity")
+    val chunked = teTokens.contains("chunked")
+    if (teTokens.exists(_ != "chunked")) return null
     val enc = if (ce == null) ""
       else ce.trim.toLowerCase(java.util.Locale.ROOT)
     if (!chunked && (enc.isEmpty || enc == "identity"))

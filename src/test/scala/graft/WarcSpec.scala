@@ -222,6 +222,13 @@ class WarcSpec extends SparkSpec {
       "not gzip".getBytes("UTF-8"))).isEmpty)
     assert(bodyOf(httpPayload("Content-Encoding: br\r\n",
       "brotli?".getBytes("UTF-8"))).isEmpty)
+    // a transfer-coding besides chunked (TE-level gzip) would leave
+    // the body still-encoded — null, not garbage; identity tokens
+    // are transparent
+    assert(bodyOf(httpPayload("Transfer-Encoding: gzip, chunked\r\n",
+      chunked(Seq(htmlBody.getBytes("UTF-8"))))).isEmpty)
+    assert(bodyOf(httpPayload("Transfer-Encoding: identity, chunked\r\n",
+      chunked(Seq(htmlBody.getBytes("UTF-8"))))).contains(htmlBody))
     // a bad record between two good ones: framing intact, so the
     // parse reaches the third record
     val w = recB(Seq("WARC-Type" -> "response"),
