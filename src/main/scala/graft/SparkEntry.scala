@@ -22,7 +22,8 @@ import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJo
   */
 object SparkEntry extends EntriesConvert with EntriesDedup
     with EntriesText with EntriesSampling with EntriesSimilarity
-    with EntriesEvents with EntriesMedia with EntriesRetrieval {
+    with EntriesEvents with EntriesMedia with EntriesRetrieval
+    with EntriesCode {
 
   private[graft] def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
@@ -650,7 +651,8 @@ object SparkEntry extends EntriesConvert with EntriesDedup
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     convertQueries ++ dedupQueries ++ textQueries ++ samplingQueries ++
-      similarityQueries ++ eventsQueries ++ mediaQueries ++ retrievalQueries
+      similarityQueries ++ eventsQueries ++ mediaQueries ++
+      retrievalQueries ++ codeQueries
 
 
   /** DuckDB-runnable oracles, column-name-aligned with the Spark results.
@@ -659,7 +661,8 @@ object SparkEntry extends EntriesConvert with EntriesDedup
     */
   def oracleSql: Map[String, String] = {
     val base = convertOracle ++ dedupOracle ++ textOracle ++ samplingOracle ++
-      similarityOracle ++ eventsOracle ++ mediaOracle ++ retrievalOracle
+      similarityOracle ++ eventsOracle ++ mediaOracle ++
+      retrievalOracle ++ codeOracle
     // q105 is q100's single-pass-kernel twin, q114 is q113's — each
     // engine-path pair is value-identical by construction, so ONE
     // oracle SQL proves both (the q71/q78 shared-oracle precedent).

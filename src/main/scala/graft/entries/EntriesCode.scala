@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Code
+
+/** Code-corpus curation queries (r18): language routing, structural
+  * quality + keep verdicts, license detection — the The-Stack /
+  * StarCoder-style front over source files ([[graft.ops.Code]]).
+  *
+  * One family of the [[SparkEntry]] query registry; every entry is
+  * mixed into `object SparkEntry`, which remains the sole driver
+  * contract. Fixtures are construction-derived from the documents
+  * table so every oracle replays the pieces, not the parse.
+  */
+private[graft] trait EntriesCode { this: SparkEntry.type =>
+
+  private[graft] def codeQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- language routing: 12-way extension cycle including an
+    //      unknown extension (dat) and a dotless basename (Makefile),
+    //      with a 3-way shebang cycle (env-python3 / bash / none) —
+    //      the extension must WIN where recognized, the shebang must
+    //      decide the unknowns, and the leftovers must be null ----
+
+    "q188_code_language" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exts = array(Seq("py", "jsx", "cpp", "h", "rs", "go", "md",
+        "yaml", "dat", "", "sh", "tsx").map(lit): _*)
+      val e = element_at(exts, (pmod(col("doc_id"), lit(12)) + 1)
+        .cast("int"))
+      val path = when(e === "",
+          concat(lit("repo/"), col("source"), lit("/Makefile")))
+        .otherwise(concat(lit("repo/"), col("source"), lit("/f"),
+          col("doc_id"), lit("."), e))
+      val sb = pmod(col("doc_id"), lit(3))
+      val body = concat(
+        when(sb === 0, lit("#!/usr/bin/env python3\n"))
+          .when(sb === 1, lit("#!/bin/bash\n")).otherwise(lit("")),
+        col("text"))
+      docs.select(col("doc_id"), path.as("path"),
+          Code.languageOf(path, body).as("language"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- structural quality: two data-driven lines + a constant
+    //      line per doc; every 7th adds a 1200-char line (max-line
+    //      kill), every 5th an 840-char non-alphabetic tail (alpha
+    //      kill), every 11th an auto-generated marker ----
+
+    "q189_code_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val built = concat(
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("// auto-generated do not edit\n")).otherwise(lit("")),
+        substring(col("text"), 1, 40), lit("\n"),
+        substring(col("text"), 41, 80), lit("\nshort line"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("\n"), repeat(lit("x"), 1200))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit("\n"), repeat(lit("0123456789+/=_"), 60)))
+          .otherwise(lit("")))
+      Code.quality(docs.select(col("doc_id"), built.as("t")),
+          "doc_id", "t")
+        .orderBy("doc_id")
+    }),
+
+    // ---- license detection: SPDX beats a co-present MIT phrase;
+    //      MIT / Apache-2.0 / GPL-2.0 phrase probes; no-license
+    //      rows null/null ----
+
+    "q190_license_scan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = pmod(col("doc_id"), lit(5))
+      val header = when(v === 0,
+          lit("// SPDX-License-Identifier: Apache-2.0\n" +
+            "// Permission is hereby granted, free of charge\n"))
+        .when(v === 1, lit("/* Permission is hereby granted, free " +
+          "of charge, to any person */\n"))
+        .when(v === 2, lit("# Licensed under the Apache License, " +
+          "Version 2.0 (the \"License\")\n"))
+        .when(v === 3, lit("// This program is free software: GNU " +
+          "General Public License version 2\n"))
+        .otherwise(lit(""))
+      Code.licenses(docs.select(col("doc_id"),
+          concat(header, col("text")).as("t")), "doc_id", "t")
+        .orderBy("doc_id")
+    }),
+  )
+
+  private[graft] def codeOracle: Map[String, String] = Map(
+
+    "q188_code_language" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    ['py','jsx','cpp','h','rs','go','md','yaml','dat','',
+        |     'sh','tsx'][CAST(doc_id % 12 AS INT) + 1] AS e,
+        |    doc_id % 3 AS sb
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN e = '' THEN 'repo/' || source || '/Makefile'
+        |    ELSE 'repo/' || source || '/f' || doc_id || '.' || e
+        |  END AS path,
+        |  CASE e WHEN 'py' THEN 'python' WHEN 'jsx' THEN 'javascript'
+        |    WHEN 'cpp' THEN 'cpp' WHEN 'h' THEN 'c'
+        |    WHEN 'rs' THEN 'rust' WHEN 'go' THEN 'go'
+        |    WHEN 'md' THEN 'markdown' WHEN 'yaml' THEN 'yaml'
+        |    WHEN 'sh' THEN 'shell' WHEN 'tsx' THEN 'typescript'
+        |    ELSE CASE WHEN sb = 0 THEN 'python'
+        |      WHEN sb = 1 THEN 'shell' END
+        |  END AS language
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q189_code_quality" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN '// auto-generated do not edit' || chr(10)
+        |      ELSE '' END
+        |    || substr(text, 1, 40) || chr(10)
+        |    || substr(text, 41, 80) || chr(10) || 'short line'
+        |    || CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || repeat('x', 1200) ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |      THEN chr(10) || repeat('0123456789+/=_', 60)
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(list_max(list_transform(string_split(t, chr(10)),
+        |      x -> len(x))) AS BIGINT) AS max_line_chars,
+        |    CAST(len(replace(t, chr(10), '')) AS BIGINT) AS total,
+        |    CAST(len(regexp_replace(t, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS alpha,
+        |    regexp_matches(substr(t, 1, 300),
+        |      '(?i)(auto-?generated|do not edit|generated by)')
+        |      AS is_autogenerated
+        |  FROM built)
+        |SELECT doc_id, n_lines, max_line_chars,
+        |  total * 1000000 // n_lines AS mean_line_micro,
+        |  alpha * 1000000 // greatest(total, 1) AS alpha_micro,
+        |  is_autogenerated,
+        |  (max_line_chars <= 1000
+        |   AND total * 1000000 // n_lines <= 100000000
+        |   AND alpha * 1000000 // greatest(total, 1) >= 250000
+        |   AND NOT is_autogenerated) AS is_kept
+        |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q190_license_scan" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'Apache-2.0' WHEN 1 THEN 'MIT'
+        |    WHEN 2 THEN 'Apache-2.0' WHEN 3 THEN 'GPL-2.0' END
+        |    AS license,
+        |  CASE doc_id % 5 WHEN 0 THEN 'spdx' WHEN 1 THEN 'header'
+        |    WHEN 2 THEN 'header' WHEN 3 THEN 'header' END
+        |    AS license_source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
