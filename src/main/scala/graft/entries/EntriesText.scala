@@ -1164,6 +1164,41 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("url")
     }),
 
+    // ---- RSS/Atom feed ingest (the crawler's third URL source):
+    //      even docs publish an RSS channel (entity link, CDATA
+    //      title, a link-less item whose entry_no gap must survive,
+    //      a pubDate-less item), odd docs an Atom feed (href
+    //      ATTRIBUTE with rel noise, updated timestamp, a link-less
+    //      entry, a CDATA title carrying a literal '<'). ----
+
+    "q191_feed_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val host = concat(col("source"), lit(".example.com"))
+      val rss = concat(
+        lit("<rss><channel><item><title><![CDATA[Ep "), col("doc_id"),
+        lit(" & more]]></title><link>https://"), host,
+        lit("/ep?a=1&amp;b=2</link><pubDate> Mon, 16 Aug 2026 " +
+          "</pubDate></item>" +
+          "<item><title>no link here</title></item>" +
+          "<item><title>Plain &amp; simple</title><link>https://"),
+        host, lit("/plain/"), col("doc_id"),
+        lit("</link></item></channel></rss>"))
+      val atom = concat(
+        lit("<feed><entry><title>A one</title>" +
+          "<link rel=\"alternate\" href=\"https://"), host,
+        lit("/a?x=1&amp;y=2\"/><updated> 2026-08-16T00:00:00Z " +
+          "</updated></entry>" +
+          "<entry><title>linkless</title></entry>" +
+          "<entry><title><![CDATA[A <3>]]></title><link href=\"https://"),
+        host, lit("/b/"), col("doc_id"),
+        lit("\"/></entry></feed>"))
+      val xml = when(pmod(col("doc_id"), lit(2)) === 0, rss)
+        .otherwise(atom)
+      graft.ops.Html.feedEntries(
+          docs.select(col("doc_id"), xml.as("xml")), "doc_id", "xml")
+        .orderBy("doc_id", "entry_no")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -2674,6 +2709,36 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |JOIN (SELECT host, (k % 4 + 1) * 1000000 AS delay
           |  FROM hosts) d USING (host)
           |WHERE s.slot < q.quota ORDER BY url""".stripMargin,
+
+      // Feed rows rebuilt from the construction pieces: decoded
+      // links, CDATA titles raw, the link-less entries leave their
+      // positional gaps (entry_no 2 absent on every doc).
+      "q191_feed_ingest" ->
+        """WITH d AS (SELECT doc_id, source FROM documents),
+          |rss AS (
+          |  SELECT doc_id, 'rss' AS kind, 1 AS entry_no,
+          |    'https://' || source || '.example.com/ep?a=1&b=2'
+          |      AS link,
+          |    'Ep ' || doc_id || ' & more' AS title,
+          |    'Mon, 16 Aug 2026' AS published
+          |  FROM d WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id, 'rss', 3,
+          |    'https://' || source || '.example.com/plain/' || doc_id,
+          |    'Plain & simple', NULL FROM d WHERE doc_id % 2 = 0),
+          |atom AS (
+          |  SELECT doc_id, 'atom' AS kind, 1 AS entry_no,
+          |    'https://' || source || '.example.com/a?x=1&y=2',
+          |    'A one', '2026-08-16T00:00:00Z'
+          |  FROM d WHERE doc_id % 2 = 1
+          |  UNION ALL
+          |  SELECT doc_id, 'atom', 3,
+          |    'https://' || source || '.example.com/b/' || doc_id,
+          |    'A <3>', NULL FROM d WHERE doc_id % 2 = 1)
+          |SELECT doc_id, kind, CAST(entry_no AS BIGINT) AS entry_no,
+          |  link, title, published
+          |FROM (SELECT * FROM rss UNION ALL SELECT * FROM atom)
+          |ORDER BY doc_id, entry_no""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

@@ -239,6 +239,60 @@ object Html {
     sitemapKind(df, idCol, xmlCol, "url", "url")
       .unionAll(sitemapKind(df, idCol, xmlCol, "sitemap", "sitemap"))
 
+  /** RSS/Atom feed ingest — the crawler's THIRD URL source beside
+    * page links and sitemaps: `(id, kind, entry_no, link, title,
+    * published)` with `kind` `'rss'` (`<item>` blocks: `<link>`
+    * element text, `<pubDate>`) or `'atom'` (`<entry>` blocks:
+    * `<link href="…">` attribute, `<updated>`), `entry_no` 1-based
+    * per kind in document order with positional gaps surviving
+    * link-less entries (the [[sitemapEntries]] discipline). Titles
+    * unwrap one `<![CDATA[…]]>` layer (content RAW — CDATA is
+    * already literal) or entity-decode otherwise; links
+    * entity-decode (the `&amp;` query-string case); `published` is
+    * the raw trimmed value, null when absent. Lazy-dot block capture
+    * + field extracts — every step a regexp an external engine
+    * replays. Scan-local, zero shuffle; compose with
+    * [[graft.ops.Robots.frontier]] / [[graft.ops.Robots.crawlPlan]]
+    * downstream exactly like sitemap entries.
+    */
+  def feedEntries(df: DataFrame, idCol: String, xmlCol: String)
+      : DataFrame =
+    feedKind(df, idCol, xmlCol, "rss", "item")
+      .unionAll(feedKind(df, idCol, xmlCol, "atom", "entry"))
+
+  private def feedKind(df: DataFrame, idCol: String, xmlCol: String,
+                       kind: String, tag: String): DataFrame = {
+    val isAtom = kind == "atom"
+    val linkRaw =
+      if (isAtom)
+        regexp_extract(col("__b"),
+          "(?is)<link\\b[^>]*?[\\s]href\\s*=\\s*\"([^\"]*)\"", 1)
+      else
+        trim(regexp_extract(col("__b"),
+          "(?is)<link>\\s*(.*?)\\s*</link>", 1))
+    val titleRaw = regexp_extract(col("__b"),
+      "(?is)<title[^>]*>\\s*(.*?)\\s*</title>", 1)
+    val cdata = regexp_extract(titleRaw,
+      "(?s)^<!\\[CDATA\\[(.*)\\]\\]>$", 1)
+    val title = when(titleRaw.rlike("(?s)^<!\\[CDATA\\[.*\\]\\]>$"),
+        cdata)
+      .otherwise(SitemapEntities.foldLeft(titleRaw) {
+        case (c, (a, b)) => replace(c, lit(a), lit(b)) })
+    val published = nullif(trim(regexp_extract(col("__b"),
+      if (isAtom) "(?is)<updated>\\s*(.*?)\\s*</updated>"
+      else "(?is)<pubDate>\\s*(.*?)\\s*</pubDate>", 1)), lit(""))
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(col(xmlCol),
+          lit(s"(?is)<$tag\\b[^>]*>(.*?)</$tag>"), lit(1)))
+          .as(Seq("__p", "__b")))
+      .select(col(idCol), lit(kind).as("kind"),
+        (col("__p") + 1).cast("long").as("entry_no"),
+        SitemapEntities.foldLeft(linkRaw) {
+          case (c, (a, b)) => replace(c, lit(a), lit(b)) }.as("link"),
+        nullif(title, lit("")).as("title"), published.as("published"))
+      .filter(col("link") =!= "")
+  }
+
   /** Per-document metadata: `(id, lang, charset, description, title)`
     * — the routing/provenance fields a corpus builder reads before
     * any content rule ([[graft.functions.HtmlMetaOps]] for the

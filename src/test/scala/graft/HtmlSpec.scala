@@ -363,6 +363,37 @@ class HtmlSpec extends SparkSpec {
       (4L, Some("/e"), None, None)))
   }
 
+  test("feedEntries: rss link text vs atom href attribute, CDATA " +
+      "titles raw, entity decode, link-less gaps, first field wins") {
+    import spark.implicits._
+    val rss = "<rss><channel>" +
+      "<item><title><![CDATA[T &amp; raw]]></title>" + // CDATA stays RAW
+      "<link>https://h/a?x=1&amp;y=2</link>" +
+      "<link>https://h/second-ignored</link>" + // first link wins
+      "<pubDate>D1</pubDate></item>" +
+      "<item><link>https://h/b</link></item>" + // no title -> null
+      "<item><title>gap</title></item>" + // no link -> dropped, gap
+      "<item><title>T &lt;3&gt;</title><link>https://h/c</link></item>" +
+      "</channel></rss>"
+    val atom = "<feed><entry><title>A</title>" +
+      "<link rel=\"self\" href=\"https://h/self\"/>" + // first href wins
+      "<link href=\"https://h/alt\"/>" +
+      "<updated>U1</updated></entry>" +
+      "<entry><title>x</title><link>no-href-attr</link></entry>" +
+      "</feed>"
+    val got = Html.feedEntries(
+        Seq((1L, rss), (2L, atom)).toDF("id", "xml"), "id", "xml")
+      .orderBy("id", "entry_no").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), Option(r.getString(4)), Option(r.getString(5))))
+    assert(got == Seq(
+      (1L, "rss", 1L, "https://h/a?x=1&y=2", Some("T &amp; raw"),
+        Some("D1")),
+      (1L, "rss", 2L, "https://h/b", None, None),
+      (1L, "rss", 4L, "https://h/c", Some("T <3>"), None),
+      (2L, "atom", 1L, "https://h/self", Some("A"), Some("U1"))))
+  }
+
   test("anchors kernel ≡ regexp replay on replayable shapes; kernel " +
       "wins on quoted '>' in attributes and single-quoted/unquoted " +
       "attrs (the documented robustness gap)") {
