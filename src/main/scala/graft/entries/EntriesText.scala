@@ -1199,6 +1199,33 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id", "entry_no")
     }),
 
+    // ---- markdown → training text (the GitHub-corpus extraction):
+    //      a built README per doc exercising every chain step —
+    //      heading, emphasis, inline code, link, image, blockquote,
+    //      both list-marker forms, a fenced code block whose SECRET
+    //      sentinel must vanish, a horizontal rule, strong text.
+    //      The oracle replays the fixed regexp chain step for step. ----
+
+    "q192_markdown_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nl = "\n"
+      val md = concat(
+        lit("# Title "), substring(col("text"), 1, 20), lit(nl),
+        lit("Intro *em-span* with `code span` and a [link "),
+        col("doc_id"), lit("](https://x/"), col("doc_id"),
+        lit(") plus ![alt "), col("doc_id"), lit("](i.png)."), lit(nl),
+        lit("> quoted "), col("lang"), lit(nl),
+        lit("- item one" + nl),
+        lit("2. item two "), col("doc_id"), lit(nl),
+        lit("```" + nl + "SECRET "), col("doc_id"),
+        lit(nl + "```" + nl),
+        lit("---" + nl),
+        lit("Tail **strong "), col("source"), lit("** end."))
+      graft.ops.Markdown.extract(
+          docs.select(col("doc_id"), md.as("md")), "doc_id", "md")
+        .orderBy("doc_id")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -2739,6 +2766,62 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  link, title, published
           |FROM (SELECT * FROM rss UNION ALL SELECT * FROM atom)
           |ORDER BY doc_id, entry_no""".stripMargin,
+
+      // The markdown extraction chain replayed step for step (same
+      // fixed order: fences, images, links, code spans, headings,
+      // quotes, lists, rules, strong, em, newline collapse, trim);
+      // structure counts from the PRE-strip text.
+      "q192_markdown_text" ->
+        """WITH built AS (
+          |  SELECT doc_id,
+          |    '# Title ' || substr(text, 1, 20) || chr(10)
+          |    || 'Intro *em-span* with `code span` and a [link '
+          |    || doc_id || '](https://x/' || doc_id
+          |    || ') plus ![alt ' || doc_id || '](i.png).' || chr(10)
+          |    || '> quoted ' || lang || chr(10)
+          |    || '- item one' || chr(10)
+          |    || '2. item two ' || doc_id || chr(10)
+          |    || '```' || chr(10) || 'SECRET ' || doc_id || chr(10)
+          |    || '```' || chr(10) || '---' || chr(10)
+          |    || 'Tail **strong ' || source || '** end.' AS md
+          |  FROM documents),
+          |chain AS (
+          |  SELECT doc_id, md,
+          |    trim(regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(md,
+          |      '(?s)```.*?```', '', 'g'),
+          |      '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+          |      '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+          |      '`([^`]*)`', '\1', 'g'),
+          |      '(?m)^#{1,6}[ \t]+', '', 'g'),
+          |      '(?m)^>[ \t]?', '', 'g'),
+          |      '(?m)^[ \t]*(?:[-*+]|\d+\.)[ \t]+', '', 'g'),
+          |      '(?m)^(?:-{3,}|\*{3,}|={3,})[ \t]*$', '', 'g'),
+          |      '\*\*([^*]+)\*\*|__([^_]+)__', '\1\2', 'g'),
+          |      '\*([^*\n]+)\*', '\1', 'g'),
+          |      '\n{3,}', chr(10) || chr(10), 'g')) AS text
+          |  FROM built)
+          |SELECT doc_id, text,
+          |  CAST((len(md) - len(replace(md, '```', ''))) // 3 // 2
+          |    AS BIGINT) AS n_fences,
+          |  CAST(len(regexp_extract_all(md,
+          |      '\[[^\]]*\]\([^)]*\)'))
+          |    - len(regexp_extract_all(md,
+          |      '!\[[^\]]*\]\([^)]*\)')) AS BIGINT) AS n_links,
+          |  CAST(len(regexp_extract_all(md,
+          |    '!\[[^\]]*\]\([^)]*\)')) AS BIGINT) AS n_images,
+          |  CAST(len(regexp_extract_all(md,
+          |    '(?m)^#{1,6}[ \t]')) AS BIGINT) AS n_headings
+          |FROM chain ORDER BY doc_id""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

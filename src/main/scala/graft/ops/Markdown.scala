@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Markdown → training text — the extraction step a GitHub-shaped
+  * corpus runs on its `.md` mass (the [[Html]] front's sibling for
+  * the other big markup family). A FIXED, ordered regexp chain, every
+  * step replayable by an external engine (the q175 parse-replay
+  * discipline; no CommonMark engine dependency, and the chain order
+  * IS the spec):
+  *
+  *  1. fenced code blocks (``` … ```) drop whole — code is routed to
+  *     the code front ([[Code]]), not mixed into prose;
+  *  2. images `![alt](url)` keep their alt text;
+  *  3. links `[text](url)` keep their text (after images, so the
+  *     leading `!` form never half-matches);
+  *  4. inline code spans keep their content (backticks strip);
+  *  5. ATX heading markers (`#{1,6} `), blockquote markers (`> `),
+  *     list markers (`- * +` or `N.`), and horizontal-rule /
+  *     setext-underline lines (`---`/`***`/`===`) strip per line;
+  *  6. `**strong**` / `__strong__` / `*em*` unwrap. Single-underscore
+  *     emphasis is deliberately NOT unwrapped — `snake_case` is far
+  *     more common than `_em_` in a code-adjacent corpus (documented
+  *     trade);
+  *  7. 3+ newlines collapse to a blank line, ends trim.
+  *
+  * [[stats]] counts the structures BEFORE stripping (fences, links,
+  * images, headings) — the routing signals a curation front keys on
+  * (a README wall of links scores differently from prose).
+  *
+  * Scale shape: pure Column regexp chains over the file scan — zero
+  * UDFs, zero joins, zero shuffle.
+  */
+object Markdown {
+
+  /** The extraction chain (see object doc for the order contract). */
+  def text(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?s)```.*?```", "")
+    val noImg = regexp_replace(noFence,
+      "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImg,
+      "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noCode = regexp_replace(noLink, "`([^`]*)`", "$1")
+    // [ \t] not \s in the line-anchored classes: under (?m) a \s can
+    // cross the newline and merge lines
+    val noHead = regexp_replace(noCode, "(?m)^#{1,6}[ \t]+", "")
+    val noQuote = regexp_replace(noHead, "(?m)^>[ \t]?", "")
+    val noList = regexp_replace(noQuote,
+      "(?m)^[ \t]*(?:[-*+]|\\d+\\.)[ \t]+", "")
+    val noRule = regexp_replace(noList,
+      "(?m)^(?:-{3,}|\\*{3,}|={3,})[ \t]*$", "")
+    val noStrong = regexp_replace(noRule,
+      "\\*\\*([^*]+)\\*\\*|__([^_]+)__", "$1$2")
+    val noEm = regexp_replace(noStrong, "\\*([^*\n]+)\\*", "$1")
+    trim(regexp_replace(noEm, "\n{3,}", "\n\n"))
+  }
+
+  /** `(id, text, n_fences, n_links, n_images, n_headings)` — the
+    * extracted text plus pre-strip structure counts.
+    */
+  def extract(df: DataFrame, idCol: String, mdCol: String): DataFrame = {
+    val md = col(mdCol)
+    val fenceMarks = (length(md) -
+      length(regexp_replace(md, "```", ""))) / 3
+    val allLinks = size(regexp_extract_all(md,
+      lit("\\[[^\\]]*\\]\\([^)]*\\)"), lit(0)))
+    val images = size(regexp_extract_all(md,
+      lit("!\\[[^\\]]*\\]\\([^)]*\\)"), lit(0)))
+    df.select(col(idCol), text(md).as("text"),
+      (fenceMarks.cast("long") / 2L).cast("long").as("n_fences"),
+      (allLinks - images).cast("long").as("n_links"),
+      images.cast("long").as("n_images"),
+      size(regexp_extract_all(md, lit("(?m)^#{1,6}[ \t]"), lit(0)))
+        .cast("long").as("n_headings"))
+  }
+}

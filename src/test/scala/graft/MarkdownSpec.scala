@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Markdown
+
+/** Markdown extraction chain semantics — order contract, the
+  * snake_case trade, structure counts.
+  */
+class MarkdownSpec extends SparkSpec {
+
+  private def ext(md: String): (String, Long, Long, Long, Long) = {
+    val df = spark.createDataFrame(Seq((1L, md))).toDF("id", "md")
+    val r = Markdown.extract(df, "id", "md").collect().head
+    (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5))
+  }
+
+  test("chain: fences drop whole, images keep alt, links keep text, " +
+      "code spans unwrap, markers strip, strong/em unwrap") {
+    val md = "# Head\n\nSee [docs](https://d/x) and ![logo](l.png) " +
+      "with `inline()` code.\n\n```scala\nval secret = 1\n```\n\n" +
+      "> quote line\n- bullet\n2. numbered\n---\n**bold** and *em* " +
+      "and snake_case stays."
+    val (t, f, l, i, h) = ext(md)
+    assert(!t.contains("secret") && !t.contains("```"))
+    assert(t.startsWith("Head\n\nSee docs and logo with inline() code."))
+    assert(t.contains("quote line\nbullet\nnumbered"))
+    assert(t.contains("bold and em and snake_case stays."))
+    assert((f, l, i, h) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("boundaries: unterminated fence survives (no closing match), " +
+      "3+ newlines collapse, __strong__ unwraps, #NoSpace is not a " +
+      "heading, counts see the pre-strip text") {
+    val (t1, f1, _, _, h1) = ext("pre\n```\nopen fence no close")
+    assert(t1.contains("open fence no close") && f1 == 0L && h1 == 0L)
+    val (t2, _, _, _, _) = ext("a\n\n\n\n\nb")
+    assert(t2 == "a\n\nb")
+    val (t3, _, _, _, h3) = ext("__very__ #NoSpace\n#also-not-heading")
+    assert(t3 == "very #NoSpace\n#also-not-heading" && h3 == 0L)
+    // two fences, three links of which one image, two headings
+    val (_, f4, l4, i4, h4) = ext("# a\n## b\n```x``` and ```y```\n" +
+      "[1](u) [2](v) ![3](w)")
+    assert((f4, l4, i4, h4) == ((2L, 2L, 1L, 2L)))
+  }
+}
