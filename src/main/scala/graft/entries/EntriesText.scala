@@ -1226,6 +1226,55 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- the THIRD robots leg composed (robots.txt is q175, meta
+    //      robots q182): X-Robots-Tag HTTP headers captured by the
+    //      WARC kernel — first header wins (an 'all' decoy rides
+    //      every 8th doc), token matching case-insensitive, 'none'
+    //      implies both noindex and nofollow, meta directives union
+    //      in (restrictive-union, the Google rule). ----
+
+    "q193_xrobots_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crlf = "\r\n"
+      val v = pmod(col("doc_id"), lit(4))
+      val html = concat(lit("<html><head>"),
+        when(v === 2,
+          lit("<meta name=\"robots\" content=\"noindex\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>"), col("text"),
+        lit("</p></body></html>"))
+      val payload = concat(
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf),
+        when(v === 0, lit("X-Robots-Tag: noindex, nofollow" + crlf))
+          .when(v === 1, lit("X-Robots-Tag: NOFOLLOW" + crlf))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(8)) === 0,
+          lit("X-Robots-Tag: all" + crlf)).otherwise(lit("")),
+        lit(crlf), html)
+      val warc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: https://"),
+        col("source"), lit(".example.com/d/"), col("doc_id"),
+        lit(crlf + "Content-Length: "),
+        octet_length(payload).cast("string"), lit(crlf + crlf),
+        payload, lit(crlf + crlf))
+      val resp = graft.ops.Warc.responses(
+        docs.select(col("doc_id"), warc.as("warc")), "doc_id", "warc")
+      val hdrTokens = split(
+        lower(coalesce(col("http_x_robots"), lit(""))), "\\s*,\\s*")
+      val metaTokens = split(
+        coalesce(graft.ops.Html.metaRobots(col("body")), lit("")),
+        "\\s*,\\s*")
+      def has(tok: String) =
+        array_contains(hdrTokens, tok) || array_contains(metaTokens, tok)
+      resp.select(col("doc_id"), col("http_x_robots"),
+          graft.ops.Html.metaRobots(col("body")).as("meta_robots"),
+          (!(has("noindex") || has("none"))).as("is_indexable"),
+          (!(has("nofollow") || has("none"))).as("is_followable"))
+        .orderBy("doc_id")
+    }),
+
     "q100_bigram_lm" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.bigramLmScore(docs.select("doc_id", "text"), "doc_id",
@@ -2057,18 +2106,19 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  CAST(strlen(p1) AS BIGINT) AS content_length,
           |  CAST(NULL AS INTEGER) AS http_status,
           |  CAST(NULL AS VARCHAR) AS http_content_type,
+          |  CAST(NULL AS VARCHAR) AS http_x_robots,
           |  p1 AS body FROM pay
           |UNION ALL
           |SELECT doc_id, 2, 'request', url, NULL,
           |  '<urn:graft:' || doc_id || '-2>', NULL,
-          |  CAST(strlen(p2) AS BIGINT), NULL, NULL, p2 FROM pay
+          |  CAST(strlen(p2) AS BIGINT), NULL, NULL, NULL, p2 FROM pay
           |UNION ALL
           |SELECT doc_id, 3, 'response', url, '2026-08-16T00:00:00Z',
           |  '<urn:graft:' || doc_id || '-3>',
           |  'application/http;msgtype=response',
           |  CAST(strlen(p3) AS BIGINT),
           |  CASE WHEN is404 THEN 404 ELSE 200 END,
-          |  'text/html; charset=utf-8', body3 FROM pay
+          |  'text/html; charset=utf-8', NULL, body3 FROM pay
           |ORDER BY doc_id, rec_no""".stripMargin,
 
       // The whole admission chain replayed: resolve CASE, the q93
@@ -2822,6 +2872,21 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  CAST(len(regexp_extract_all(md,
           |    '(?m)^#{1,6}[ \t]')) AS BIGINT) AS n_headings
           |FROM chain ORDER BY doc_id""".stripMargin,
+
+      // Verdicts from the construction residues: v0 header kills
+      // both, v1 header kills follow only, v2 meta kills index only,
+      // v3 clean; the 'all' decoy on every 8th doc (always v0) must
+      // not override the first header.
+      "q193_xrobots_gate" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 4 = 0 THEN 'noindex, nofollow'
+          |    WHEN doc_id % 4 = 1 THEN 'NOFOLLOW' END
+          |    AS http_x_robots,
+          |  CASE WHEN doc_id % 4 = 2 THEN 'noindex' END
+          |    AS meta_robots,
+          |  doc_id % 4 IN (1, 3) AS is_indexable,
+          |  doc_id % 4 IN (2, 3) AS is_followable
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q58_corpus_report" ->
         """SELECT source, lang,

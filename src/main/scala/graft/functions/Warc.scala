@@ -70,6 +70,7 @@ object WarcOps {
     StructField("content_length", LongType, nullable = false),
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_content_type", StringType, nullable = true),
+    StructField("http_x_robots", StringType, nullable = true),
     StructField("body", StringType, nullable = true)))
 
   val RecordsType: ArrayType = ArrayType(RecordType, containsNull = false)
@@ -148,12 +149,12 @@ object WarcOps {
           val payloadStart = p
           val payloadEnd = p + cLen.toInt
           p = payloadEnd
-          val (status, httpCt, bodyU) =
+          val (status, httpCt, httpXr, bodyU) =
             splitHttp(bytes, payloadStart, payloadEnd)
           def u(v: String): Any =
             if (v == null) null else UTF8String.fromString(v)
           out += InternalRow(u(warcType), u(uri), u(date), u(recId),
-            u(cType), cLen, status, u(httpCt), bodyU)
+            u(cType), cLen, status, u(httpCt), u(httpXr), bodyU)
         }
       }
     }
@@ -169,9 +170,10 @@ object WarcOps {
     */
   private[functions] def splitHttp(bytes: Array[Byte], payloadStart: Int,
                                    payloadEnd: Int)
-      : (java.lang.Integer, String, UTF8String) = {
+      : (java.lang.Integer, String, String, UTF8String) = {
     var status: java.lang.Integer = null
     var httpCt: String = null
+    var httpXr: String = null
     var httpTe: String = null
     var httpCe: String = null
     var bodyStart = payloadStart
@@ -202,6 +204,8 @@ object WarcOps {
             k match {
               case "content-type" =>
                 httpCt = line.substring(c + 1).trim
+              case "x-robots-tag" => // first header wins
+                if (httpXr == null) httpXr = line.substring(c + 1).trim
               case "transfer-encoding" =>
                 httpTe = line.substring(c + 1).trim
               case "content-encoding" =>
@@ -213,7 +217,7 @@ object WarcOps {
       }
       bodyStart = if (inHttp) payloadEnd else hp
     }
-    (status, httpCt,
+    (status, httpCt, httpXr,
       decodeBody(bytes, bodyStart, payloadEnd, httpTe, httpCe))
   }
 
@@ -226,7 +230,7 @@ object WarcOps {
       warc_date: Option[String], record_id: Option[String],
       content_type: Option[String], content_length: Long,
       http_status: Option[Int], http_content_type: Option[String],
-      body: Option[String])
+      http_x_robots: Option[String], body: Option[String])
 
   /** Incremental record iterator over a WARC byte STREAM — the
     * whole-segment path for real crawls: a ~1 GB CommonCrawl
@@ -310,12 +314,12 @@ object WarcOps {
             if (r > 0) off += r
           }
           if (off < payload.length) { done = true; return }
-          val (status, httpCt, bodyU) =
+          val (status, httpCt, httpXr, bodyU) =
             splitHttp(payload, 0, payload.length)
           nextRec = WarcRecordRow(Option(warcType), Option(uri),
             Option(date), Option(recId), Option(cType), cLen,
             Option(status).map(_.intValue),
-            Option(httpCt),
+            Option(httpCt), Option(httpXr),
             Option(bodyU).map(_.toString))
         } catch {
           case scala.util.control.NonFatal(_) => done = true

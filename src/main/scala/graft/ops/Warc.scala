@@ -37,6 +37,7 @@ object Warc {
         col("__r.content_length").as("content_length"),
         col("__r.http_status").as("http_status"),
         col("__r.http_content_type").as("http_content_type"),
+        col("__r.http_x_robots").as("http_x_robots"),
         col("__r.body").as("body"))
   }
 
@@ -49,7 +50,7 @@ object Warc {
       .filter(lower(col("warc_type")) === "response")
       .select(col(idCol), col("rec_no"), col("target_uri"),
         col("warc_date"), col("http_status"), col("http_content_type"),
-        col("body"))
+        col("http_x_robots"), col("body"))
 
   /** Read `.warc` / `.warc.gz` files (glob) into records — one row
     * per record with the source `path` carried as the id, same
