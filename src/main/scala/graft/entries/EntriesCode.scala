@@ -87,6 +87,27 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
           concat(header, col("text")).as("t")), "doc_id", "t")
         .orderBy("doc_id")
     }),
+
+    // ---- notebook cell extraction: the fixture BUILDS real ipynb
+    //      JSON via to_json (so arbitrary corpus text is escaped the
+    //      only correct way) and the operator must parse it back;
+    //      the oracle states the expected cells from the raw pieces
+    //      — the escaping round-trip has no SQL shortcut ----
+
+    "q194_notebook_cells" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nb = to_json(struct(array(
+        struct(lit("markdown").as("cell_type"),
+          array(concat(lit("# Doc "), col("doc_id"), lit("\n")),
+            col("text")).as("source")),
+        struct(lit("code").as("cell_type"),
+          array(lit("import graft\n"),
+            concat(lit("run("), col("doc_id"), lit(")")))
+            .as("source"))).as("cells")))
+      Code.notebookCells(docs.select(col("doc_id"), nb.as("nb")),
+          "doc_id", "nb")
+        .orderBy("doc_id", "cell_no")
+    }),
   )
 
   private[graft] def codeOracle: Map[String, String] = Map(
@@ -157,5 +178,16 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
         |    WHEN 2 THEN 'header' WHEN 3 THEN 'header' END
         |    AS license_source
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q194_notebook_cells" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS cell_no,
+        |  'markdown' AS cell_type,
+        |  '# Doc ' || doc_id || chr(10) || text AS source
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 2, 'code',
+        |  'import graft' || chr(10) || 'run(' || doc_id || ')'
+        |FROM documents
+        |ORDER BY doc_id, cell_no""".stripMargin,
   )
 }
