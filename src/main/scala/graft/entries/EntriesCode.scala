@@ -108,6 +108,26 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
           "doc_id", "nb")
         .orderBy("doc_id", "cell_no")
     }),
+
+    // ---- comment-strip dedup normalization: consecutive docs share
+    //      code (keyed on doc_id div 2) but carry per-doc comments;
+    //      a quote trap (`#` and `//` inside a string) must survive
+    //      the strip; n_same counts stripped-identical copies ----
+
+    "q195_comment_strip_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val code = concat(lit("# header "), col("doc_id"), lit("\n"),
+        lit("x = \"keep # this // and this\"\n"),
+        lit("def f"), expr("doc_id div 2"), lit("(): pass\n"),
+        lit("# trailing "), col("doc_id"))
+      docs.select(col("doc_id"),
+          expr("doc_id div 2").as("pair_id"),
+          Code.stripComments(code, lit("hash")).as("stripped"))
+        .withColumn("n_same", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy("stripped")).cast("long"))
+        .orderBy("doc_id")
+    }),
   )
 
   private[graft] def codeOracle: Map[String, String] = Map(
@@ -189,5 +209,20 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
         |  'import graft' || chr(10) || 'run(' || doc_id || ')'
         |FROM documents
         |ORDER BY doc_id, cell_no""".stripMargin,
+
+    // The stripped text stated from the construction (line comments
+    // leave their newline; the quote trap survives verbatim); n_same
+    // from the same window the engine runs.
+    "q195_comment_strip_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id, doc_id // 2 AS pair_id,
+        |    chr(10) || 'x = "keep # this // and this"' || chr(10)
+        |    || 'def f' || (doc_id // 2) || '(): pass' || chr(10)
+        |    AS stripped
+        |  FROM documents)
+        |SELECT doc_id, pair_id, stripped,
+        |  CAST(count(*) OVER (PARTITION BY stripped) AS BIGINT)
+        |    AS n_same
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Quote-aware comment stripping — the normalizer code dedup runs
+  * before fingerprinting (comments and license headers churn between
+  * copies while the code stays identical; a regexp cannot do this —
+  * `"https://x"` contains `//`, `"# not a comment"` contains `#`, so
+  * the scanner must track string state).
+  *
+  * One linear pass (the hand-parser discipline). Styles:
+  *
+  *  - `c`: `// line` and `/* block */` comments; `'`, `"`, and
+  *    `` ` `` quotes with backslash escapes;
+  *  - `hash`: `# line`; `'`/`"` quotes with backslash escapes;
+  *  - `sql`: `-- line` and `/* block */`; `'`/`"` quotes where a
+  *    DOUBLED quote is the escape (the SQL rule falls out of
+  *    close-then-reopen for free);
+  *  - `none`: identity.
+  *
+  * Line comments strip up to (not including) the newline, so line
+  * structure survives; block comments strip whole, including any
+  * newlines inside (documented — a block comment is one token). An
+  * unterminated block comment strips to end of input; an
+  * unterminated string keeps everything (string state wins — the
+  * conservative read for dedup normalization). Triple-quoted Python
+  * docstrings are STRINGS and correctly survive.
+  */
+object CodeComments {
+
+  def strip(text: UTF8String, style: UTF8String): UTF8String = {
+    if (text == null) return null
+    val st = if (style == null) "none"
+      else style.toString.toLowerCase(java.util.Locale.ROOT)
+    if (st != "c" && st != "hash" && st != "sql") return text
+    val s = text.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var quote: Char = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        sb.append(c)
+        if (c == '\\' && st != "sql" && i + 1 < n) {
+          sb.append(s.charAt(i + 1)); i += 2
+        } else {
+          if (c == quote) quote = 0
+          i += 1
+        }
+      } else if (c == '"' || c == '\'' || (st == "c" && c == '`')) {
+        quote = c; sb.append(c); i += 1
+      } else if (st != "hash" && c == '/' && i + 1 < n &&
+          s.charAt(i + 1) == '*') {
+        val e = s.indexOf("*/", i + 2)
+        i = if (e < 0) n else e + 2
+      } else if (st == "c" && c == '/' && i + 1 < n &&
+          s.charAt(i + 1) == '/') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (st == "hash" && c == '#') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (st == "sql" && c == '-' && i + 1 < n &&
+          s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `graft_strip_comments(text, style)`: [[CodeComments.strip]] as a
+  * codegen'd expression — scan-local, zero shuffle. Null on a null
+  * side (the ops layer coalesces unknown styles to `'none'` before
+  * calling, so the style side is never null in practice); unknown
+  * style strings are identity.
+  */
+case class StripCommentsOf(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two string columns, got " +
+          s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+
+  override def nullSafeEval(text: Any, style: Any): Any =
+    CodeComments.strip(text.asInstanceOf[UTF8String],
+      style.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, st) =>
+      s"graft.functions.CodeComments.strip($t, $st)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): StripCommentsOf =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_strip_comments"
+}

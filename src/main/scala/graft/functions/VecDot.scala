@@ -486,6 +486,14 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_gunzip takes (binary)")
         GunzipOf(exprs.head)
       }),
+    (FunctionIdentifier("graft_strip_comments"),
+      new ExpressionInfo(classOf[StripCommentsOf].getName,
+        "graft_strip_comments"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_strip_comments takes (text, style)")
+        StripCommentsOf(exprs(0), exprs(1))
+      }),
     (FunctionIdentifier("graft_gzip"),
       new ExpressionInfo(classOf[GzipOf].getName, "graft_gzip"),
       (exprs: Seq[Expression]) => {
