@@ -128,6 +128,36 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
             .partitionBy("stripped")).cast("long"))
         .orderBy("doc_id")
     }),
+
+    // ---- SFT conversation assembly: five variants — valid with and
+    //      without a system turn, a double-user alternation break, a
+    //      dangling user tail, an assistant-first start; fixture
+    //      conversations BUILD real JSON via to_json (corpus text
+    //      escaped correctly), verdicts + rendered template replayed
+    //      from the pieces ----
+
+    "q196_sft_assembly" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def turn(role: String, c: org.apache.spark.sql.Column) =
+        struct(lit(role).as("role"), c.as("content"))
+      val v = pmod(col("doc_id"), lit(5))
+      val conv = to_json(
+        when(v === 0, array(turn("system", lit("be brief")),
+          turn("user", col("text")),
+          turn("assistant", concat(lit("ok "), col("doc_id")))))
+        .when(v === 1, array(turn("user", col("text")),
+          turn("assistant", lit("a"))))
+        .when(v === 2, array(turn("user", lit("u")),
+          turn("user", lit("u2"))))
+        .when(v === 3, array(turn("user", lit("u")),
+          turn("assistant", lit("a")),
+          turn("user", lit("dangling"))))
+        .otherwise(array(turn("assistant", lit("starts wrong")))))
+      val df2 = docs.select(col("doc_id"), conv.as("conv"))
+      graft.ops.Chat.validate(df2, "doc_id", "conv")
+        .join(graft.ops.Chat.render(df2, "doc_id", "conv"), "doc_id")
+        .orderBy("doc_id")
+    }),
   )
 
   private[graft] def codeOracle: Map[String, String] = Map(
@@ -224,5 +254,28 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
         |  CAST(count(*) OVER (PARTITION BY stripped) AS BIGINT)
         |    AS n_same
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q196_sft_assembly" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 2
+        |    WHEN 2 THEN 2 WHEN 3 THEN 3 WHEN 4 THEN 1 END
+        |    AS BIGINT) AS n_turns,
+        |  doc_id % 5 IN (0, 1) AS is_valid,
+        |  CASE doc_id % 5 WHEN 2 THEN 'alternation'
+        |    WHEN 3 THEN 'ends_with_user'
+        |    WHEN 4 THEN 'alternation' END AS reason,
+        |  CASE WHEN doc_id % 5 = 0 THEN
+        |    '<|system|>' || chr(10) || 'be brief' || chr(10)
+        |    || '<|end|>' || chr(10)
+        |    || '<|user|>' || chr(10) || text || chr(10)
+        |    || '<|end|>' || chr(10)
+        |    || '<|assistant|>' || chr(10) || 'ok ' || doc_id
+        |    || chr(10) || '<|end|>' || chr(10)
+        |  WHEN doc_id % 5 = 1 THEN
+        |    '<|user|>' || chr(10) || text || chr(10)
+        |    || '<|end|>' || chr(10)
+        |    || '<|assistant|>' || chr(10) || 'a' || chr(10)
+        |    || '<|end|>' || chr(10) END AS rendered
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

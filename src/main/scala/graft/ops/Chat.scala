@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Instruction/SFT corpus assembly — the conversation-shaped tail of
+  * a training-data pipeline: chat JSON in, validated + rendered
+  * training examples out. Pure Column logic over `from_json` and
+  * higher-order array functions — zero UDFs, zero joins, scan-local.
+  *
+  * Conversations are the de-facto interchange shape: a JSON array of
+  * `{role, content}` turns. [[validate]] enforces the SFT contract —
+  * parseable, non-empty, at most one `system` turn and only in first
+  * position, the remainder strictly alternating `user`/`assistant`
+  * starting with `user` (any unknown or misplaced role fails
+  * alternation), ending on `assistant` (a trailing user turn has no
+  * label to train on). The FIRST failed check names the rejection
+  * (`unparsed | empty | system_position | alternation |
+  * ends_with_user`), the route-not-throw audit trail.
+  *
+  * [[render]] emits the fixed template
+  * `<|role|>\ncontent\n<|end|>\n` per turn in order — deterministic
+  * concatenation, so two engines produce identical training text.
+  */
+object Chat {
+
+  val TurnsSchema = "ARRAY<STRUCT<role: STRING, content: STRING>>"
+
+  private def parsed(jsonCol: Column): Column =
+    from_json(jsonCol, TurnsSchema, Map.empty[String, String])
+
+  /** One row per turn: `(id, turn_no, role, content)` — malformed
+    * documents emit no rows (PERMISSIVE null → empty explode).
+    */
+  def turns(df: DataFrame, idCol: String, jsonCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(parsed(col(jsonCol))).as(Seq("__p", "__t")))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("turn_no"),
+        col("__t.role").as("role"), col("__t.content").as("content"))
+
+  /** The first-failed-check rejection reason (null = valid) over a
+    * parsed turns array — shared by [[validate]] and [[render]] so
+    * the two stay one projection each (no self-join).
+    */
+  private def reasonOf(t: Column): Column = {
+    val roles = transform(t, x => x.getField("role"))
+    val n = size(roles)
+    // the body after an optional leading system turn
+    val body = when(n > 0 && element_at(roles, 1) === "system",
+      slice(roles, lit(2), n - 1)).otherwise(roles)
+    val bn = size(body)
+    // strict user/assistant alternation starting at user — any
+    // unknown/misplaced role (a mid-conversation system included)
+    // differs from its expected slot value
+    val alternates = forall(
+      zip_with(body, sequence(lit(1), greatest(bn, lit(1))),
+        (r, i) => r === when(pmod(i, lit(2)) === 1, "user")
+          .otherwise("assistant")),
+      x => x)
+    when(t.isNull, "unparsed")
+      .when(n === 0, "empty")
+      .when(exists(zip_with(roles, sequence(lit(1), greatest(n, lit(1))),
+          (r, i) => r === "system" && i =!= 1), x => x),
+        "system_position")
+      .when(bn === 0 || !alternates, "alternation")
+      .when(element_at(body, bn) =!= "assistant", "ends_with_user")
+  }
+
+  /** `(id, n_turns, is_valid, reason)` — the SFT-contract verdict;
+    * `n_turns` null when unparseable, `reason` null when valid.
+    */
+  def validate(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    val t = parsed(col(jsonCol))
+    val reason = reasonOf(t)
+    df.select(col(idCol),
+      when(t.isNotNull, size(t).cast("long")).as("n_turns"),
+      reason.isNull.as("is_valid"), reason.as("reason"))
+  }
+
+  /** `(id, rendered)` — the fixed per-turn template concatenated in
+    * order; null for documents [[validate]] rejects. One projection,
+    * no self-join (the shared [[reasonOf]] expression).
+    */
+  def render(df: DataFrame, idCol: String, jsonCol: String): DataFrame = {
+    val t = parsed(col(jsonCol))
+    val rendered = aggregate(t, lit(""), (acc, x) =>
+      concat(acc, lit("<|"), x.getField("role"), lit("|>\n"),
+        coalesce(x.getField("content"), lit("")), lit("\n<|end|>\n")))
+    df.select(col(idCol),
+      when(reasonOf(t).isNull, rendered).as("rendered"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Chat
+
+/** SFT conversation semantics: parse, the first-failed-check reason
+  * ladder, template rendering.
+  */
+class ChatSpec extends SparkSpec {
+
+  private def verdict(json: String): (Option[Long], Boolean, Option[String]) = {
+    val df = spark.createDataFrame(Seq((1L, json))).toDF("id", "c")
+    val r = Chat.validate(df, "id", "c").collect().head
+    (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      r.getBoolean(2), Option(r.getString(3)))
+  }
+
+  private def rendered(json: String): Option[String] = {
+    val df = spark.createDataFrame(Seq((1L, json))).toDF("id", "c")
+    Option(Chat.render(df, "id", "c").collect().head.getString(1))
+  }
+
+  test("validate: the reason ladder fires first-match — unparsed, " +
+      "empty, system_position, alternation (incl. unknown roles and " +
+      "system-only), ends_with_user") {
+    assert(verdict("not json") == ((None, false, Some("unparsed"))))
+    assert(verdict("[]") == ((Some(0L), false, Some("empty"))))
+    assert(verdict("""[{"role":"user","content":"u"},
+        {"role":"system","content":"late"}]""".replace("\n", ""))
+      == ((Some(2L), false, Some("system_position"))))
+    assert(verdict("""[{"role":"user","content":"u"},
+        {"role":"user","content":"u2"}]""".replace("\n", ""))
+      == ((Some(2L), false, Some("alternation"))))
+    assert(verdict("""[{"role":"narrator","content":"x"}]""")
+      == ((Some(1L), false, Some("alternation"))))
+    assert(verdict("""[{"role":"system","content":"s"}]""")
+      == ((Some(1L), false, Some("alternation")))) // empty body
+    assert(verdict("""[{"role":"assistant","content":"a"}]""")
+      == ((Some(1L), false, Some("alternation")))) // assistant-first
+    assert(verdict("""[{"role":"user","content":"u"}]""")
+      == ((Some(1L), false, Some("ends_with_user"))))
+    assert(verdict("""[{"role":"user","content":"u"},
+        {"role":"assistant","content":"a"},
+        {"role":"user","content":"u2"},
+        {"role":"assistant","content":"a2"}]""".replace("\n", ""))
+      == ((Some(4L), true, None)))
+    assert(verdict("""[{"role":"system","content":"s"},
+        {"role":"user","content":"u"},
+        {"role":"assistant","content":"a"}]""".replace("\n", ""))
+      == ((Some(3L), true, None)))
+  }
+
+  test("render: fixed template in turn order, null content empty, " +
+      "invalid conversations render null") {
+    assert(rendered("""[{"role":"user","content":"hi"},
+        {"role":"assistant","content":"yo"}]""".replace("\n", ""))
+      == Some("<|user|>\nhi\n<|end|>\n<|assistant|>\nyo\n<|end|>\n"))
+    assert(rendered("""[{"role":"user"},
+        {"role":"assistant","content":"a"}]""".replace("\n", ""))
+      == Some("<|user|>\n\n<|end|>\n<|assistant|>\na\n<|end|>\n"))
+    assert(rendered("""[{"role":"user","content":"dangling"}]""")
+      == None)
+    assert(rendered("nope") == None)
+  }
+
+  test("turns: one row per turn in order; malformed emits none") {
+    val df = spark.createDataFrame(Seq(
+        (1L, """[{"role":"user","content":"u"},
+          {"role":"assistant","content":"a"}]""".replace("\n", "")),
+        (2L, "broken"))).toDF("id", "c")
+    val got = Chat.turns(df, "id", "c").orderBy("id", "turn_no")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    assert(got == Seq((1L, 1L, "user", "u"),
+      (1L, 2L, "assistant", "a")))
+  }
+}
