@@ -158,6 +158,30 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
         .join(graft.ops.Chat.render(df2, "doc_id", "conv"), "doc_id")
         .orderBy("doc_id")
     }),
+
+    // ---- preference-pair length-bias audit (the RLHF/DPO curation
+    //      number): per-source pairs where doc_id%3 plants
+    //      chosen-longer, rejected-longer (exact −3 token delta),
+    //      and invalid rows (chosen == rejected on %6==2, blank
+    //      prompt on %6==5); the audit's exact integer stats replay
+    //      from the construction + the whitespace tokenizer ----
+
+    "q197_preference_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prompt = when(pmod(col("doc_id"), lit(6)) === 5, lit("  "))
+        .otherwise(concat(lit("Q: "), substring(col("text"), 1, 30)))
+      val chosen = concat(col("text"), lit(" final answer"))
+      val rejected = when(pmod(col("doc_id"), lit(6)) === 2, chosen)
+        .when(pmod(col("doc_id"), lit(3)) === 0,
+          substring(col("text"), 1, 15))
+        .otherwise(concat(col("text"),
+          lit(" extra tail words appended here")))
+      graft.ops.Chat.preferenceAudit(
+          docs.select(col("source"), prompt.as("prompt"),
+            chosen.as("chosen"), rejected.as("rejected")),
+          "source", "prompt", "chosen", "rejected")
+        .orderBy("source")
+    }),
   )
 
   private[graft] def codeOracle: Map[String, String] = Map(
@@ -277,5 +301,45 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
         |    || '<|assistant|>' || chr(10) || 'a' || chr(10)
         |    || '<|end|>' || chr(10) END AS rendered
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q197_preference_audit" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 6 = 5 THEN '  '
+        |      ELSE 'Q: ' || substr(text, 1, 30) END AS prompt,
+        |    text || ' final answer' AS chosen,
+        |    CASE WHEN doc_id % 6 = 2 THEN text || ' final answer'
+        |      WHEN doc_id % 3 = 0 THEN substr(text, 1, 15)
+        |      ELSE text || ' extra tail words appended here'
+        |    END AS rejected
+        |  FROM documents),
+        |tc AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(regexp_split_to_array(chosen,
+        |      '\s+'), x -> len(x) > 0)) AS BIGINT) AS ct,
+        |    CAST(len(list_filter(regexp_split_to_array(rejected,
+        |      '\s+'), x -> len(x) > 0)) AS BIGINT) AS rt,
+        |    (trim(prompt) <> '' AND trim(chosen) <> ''
+        |     AND trim(rejected) <> '' AND chosen <> rejected) AS v
+        |  FROM base),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_valid,
+        |    CAST(sum(CASE WHEN v AND ct - rt > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_chosen_longer,
+        |    CAST(sum(CASE WHEN v AND ct - rt < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rejected_longer,
+        |    CAST(coalesce(sum(CASE WHEN v THEN ct - rt END), 0)
+        |      AS BIGINT) AS dsum
+        |  FROM tc GROUP BY 1)
+        |SELECT source, n_pairs, n_valid, n_chosen_longer,
+        |  n_rejected_longer,
+        |  CASE WHEN dsum >= 0
+        |    THEN dsum * 1000000 // greatest(n_valid, 1)
+        |    ELSE -((-dsum) * 1000000 // greatest(n_valid, 1))
+        |  END AS mean_len_delta_micro
+        |FROM agg ORDER BY source""".stripMargin,
   )
 }

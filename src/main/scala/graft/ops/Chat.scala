@@ -77,6 +77,49 @@ object Chat {
       reason.isNull.as("is_valid"), reason.as("reason"))
   }
 
+  /** Preference-pair curation (the RLHF/DPO data shape): per-pair
+    * validation plus the LENGTH-BIAS audit — reward models learn
+    * "longer is better" when chosen responses run systematically
+    * longer, so the per-group audit is the number a curation front
+    * gates on before training. `(<groupCol>, n_pairs, n_valid,
+    * n_chosen_longer, n_rejected_longer, mean_len_delta_micro)` —
+    * a pair is valid when prompt/chosen/rejected are all non-empty
+    * and chosen ≠ rejected; deltas are whitespace-token counts
+    * (chosen − rejected) over VALID pairs, mean in exact micro.
+    * One groupBy exchange; everything else scan-local.
+    */
+  def preferenceAudit(df: DataFrame, groupCol: String,
+                      promptCol: String, chosenCol: String,
+                      rejectedCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    def tok(c: Column) = call_function("graft_token_count", c)
+    val valid = col(promptCol).isNotNull && col(chosenCol).isNotNull &&
+      col(rejectedCol).isNotNull &&
+      trim(col(promptCol)) =!= "" && trim(col(chosenCol)) =!= "" &&
+      trim(col(rejectedCol)) =!= "" &&
+      col(chosenCol) =!= col(rejectedCol)
+    val delta = tok(col(chosenCol)) - tok(col(rejectedCol))
+    df.select(col(groupCol), valid.as("__v"),
+        when(valid, delta).as("__d"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__v"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("__v") && col("__d") > 0, 1L).otherwise(0L))
+          .as("n_chosen_longer"),
+        sum(when(col("__v") && col("__d") < 0, 1L).otherwise(0L))
+          .as("n_rejected_longer"),
+        coalesce(sum(col("__d")), lit(0L)).as("__dsum"))
+      .select(col(groupCol), col("n_pairs"), col("n_valid"),
+        col("n_chosen_longer"), col("n_rejected_longer"),
+        // sign-split: Spark `div` truncates while DuckDB `//` floors
+        // on negatives — dividing the absolute value keeps both
+        // engines on the shared non-negative floor semantics
+        expr("CASE WHEN __dsum >= 0L " +
+          "THEN __dsum * 1000000L div greatest(n_valid, 1L) " +
+          "ELSE -((-__dsum) * 1000000L div greatest(n_valid, 1L)) " +
+          "END").as("mean_len_delta_micro"))
+  }
+
   /** `(id, rendered)` — the fixed per-turn template concatenated in
     * order; null for documents [[validate]] rejects. One projection,
     * no self-join (the shared [[reasonOf]] expression).

@@ -63,6 +63,29 @@ class ChatSpec extends SparkSpec {
     assert(rendered("nope") == None)
   }
 
+  test("preferenceAudit: validity gates, longer-side counts, and " +
+      "the sign-split exact mean delta (negative case included)") {
+    val rows = Seq(
+      // g1: deltas +2 and -5 over 2 valid -> dsum -3, mean
+      // -(3*1e6 div 2) = -1500000
+      ("g1", "p", "one two three four", "one two"),
+      ("g1", "p", "a b", "a b c d e f g"),
+      ("g1", "p", "same same", "same same"), // invalid: equal
+      ("g1", " ", "x y", "z"),               // invalid: blank prompt
+      // g2: all invalid -> zero mean on the greatest(1) floor
+      ("g2", "p", "dup", "dup"))
+    val got = graft.ops.Chat.preferenceAudit(
+        spark.createDataFrame(rows)
+          .toDF("src", "prompt", "chosen", "rejected"),
+        "src", "prompt", "chosen", "rejected")
+      .orderBy("src").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got == Seq(
+      ("g1", 4L, 2L, 1L, 1L, -1500000L),
+      ("g2", 1L, 0L, 0L, 0L, 0L)))
+  }
+
   test("turns: one row per turn in order; malformed emits none") {
     val df = spark.createDataFrame(Seq(
         (1L, """[{"role":"user","content":"u"},
