@@ -902,6 +902,27 @@ object StreamingOps {
           seenDigests, defaultDelayMicros), batchId)
     }
 
+  /** SFT-assembly admission front: conversation JSON in, validated +
+    * rendered training rows out per micro-batch ([[graft.ops.Chat]]
+    * verbatim — the batch legs, so parity is by construction).
+    * Rejected conversations emit with `rendered = null` and their
+    * `reason`, the route-not-throw audit trail a curation pipeline
+    * sinks alongside the corpus.
+    */
+  def sftAssemblyStream(stream: DataFrame, idCol: String,
+                        jsonCol: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        val df = mb.toDF().select(col(idCol), col(jsonCol))
+        sink(graft.ops.Chat.validate(df, idCol, jsonCol)
+          .join(graft.ops.Chat.render(df, idCol, jsonCol), idCol),
+          batchId)
+    }
+
   /** [[curationStreamDsir]] with MEDIA-signature dedup composed in —
     * the streaming twin of the q152 multimodal corpus build: admission
     * = classifier gate AND DSIR importance threshold, then text

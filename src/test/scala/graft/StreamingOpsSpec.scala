@@ -1813,6 +1813,45 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == got(0L))
   }
 
+  test("sftAssemblyStream: validate + render per batch; equals the " +
+      "composed batch legs") {
+    implicit val sqlCtx = spark.sqlContext
+    val convs = Seq(
+      (1L, """[{"role":"user","content":"hi"},""" +
+        """{"role":"assistant","content":"yo"}]"""),
+      (2L, """[{"role":"user","content":"dangling"}]"""),
+      (3L, "broken json"))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long,
+      Seq[(Long, Boolean, Option[String], Option[String])]]()
+    val query = StreamingOps.sftAssemblyStream(
+        input.toDF().toDF("id", "conv"), "id", "conv") { (res, bid) =>
+      got.synchronized {
+        got(bid) = res.orderBy("id").collect().toSeq.map(r =>
+          (r.getAs[Long]("id"), r.getAs[Boolean]("is_valid"),
+            Option(r.getAs[String]("reason")),
+            Option(r.getAs[String]("rendered"))))
+      }
+    }.option("checkpointLocation", tmpDir("sft-ckpt")).start()
+    try {
+      input.addData(convs: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(got(0L) == Seq(
+      (1L, true, None,
+        Some("<|user|>\nhi\n<|end|>\n<|assistant|>\nyo\n<|end|>\n")),
+      (2L, false, Some("ends_with_user"), None),
+      (3L, false, Some("unparsed"), None)))
+    val df = convs.toDF("id", "conv")
+    val batch = graft.ops.Chat.validate(df, "id", "conv")
+      .join(graft.ops.Chat.render(df, "id", "conv"), "id")
+      .orderBy("id").collect().toSeq.map(r =>
+        (r.getAs[Long]("id"), r.getAs[Boolean]("is_valid"),
+          Option(r.getAs[String]("reason")),
+          Option(r.getAs[String]("rendered"))))
+    assert(batch == got(0L))
+  }
+
   test("curationStreamMultimodal: classifier, DSIR, digest, and media " +
       "gates compose; equals the composed batch legs per batch") {
     implicit val sqlCtx = spark.sqlContext
