@@ -1226,6 +1226,43 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- wikitext → training text (the Wikipedia-dump extraction,
+    //      the THIRD markup family next to HTML and Markdown): a
+    //      built article per doc exercising every chain step —
+    //      comment, nested template, paired + self-closing refs
+    //      (each hiding a SECRET sentinel), heading, piped / plain /
+    //      external / bare links, a File link with a captioned inner
+    //      link, a table cell sentinel, list markers, quote emphasis,
+    //      entity decode order (&amp;lt; must single-decode).
+    //      The oracle replays the fixed chain step for step. ----
+
+    "q198_wikitext_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nl = "\n"
+      val wt = concat(
+        lit("<!-- gen "), col("doc_id"), lit(" -->{{Infobox|name={{n|"),
+        col("source"), lit("}}|id="), col("doc_id"), lit("}}" + nl),
+        lit("'''Title "), col("doc_id"),
+        lit("''' is a thing.<ref>SECRETREF "), col("doc_id"),
+        lit("</ref><ref name=g/>" + nl),
+        lit("== History ==" + nl),
+        lit("See [[target|piped "), col("lang"),
+        lit("]] and [[Plain "), col("doc_id"),
+        lit("]] with [https://x.org/"), col("doc_id"),
+        lit(" ext label] and [https://bare.org/"), col("doc_id"),
+        lit("]." + nl),
+        lit("[[File:img"), col("doc_id"),
+        lit(".png|thumb|A [[cap|tion]] caption]]" + nl),
+        lit("{| class=\"wikitable\"" + nl + "| SECRETCELL "),
+        col("doc_id"), lit(nl + "|}" + nl),
+        lit("* item ''em "), col("source"), lit("''" + nl),
+        lit("# second" + nl),
+        lit("&amp; &lt;b&gt; &nbsp;end"))
+      graft.ops.Wikitext.extract(
+          docs.select(col("doc_id"), wt.as("wt")), "doc_id", "wt")
+        .orderBy("doc_id")
+    }),
+
     // ---- the THIRD robots leg composed (robots.txt is q175, meta
     //      robots q182): X-Robots-Tag HTTP headers captured by the
     //      WARC kernel — first header wins (an 'all' decoy rides
@@ -2871,6 +2908,97 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |    '!\[[^\]]*\]\([^)]*\)')) AS BIGINT) AS n_images,
           |  CAST(len(regexp_extract_all(md,
           |    '(?m)^#{1,6}[ \t]')) AS BIGINT) AS n_headings
+          |FROM chain ORDER BY doc_id""".stripMargin,
+
+      // The wikitext extraction chain replayed step for step (same
+      // fixed order: comments, self-closing + paired refs, 3×
+      // innermost templates, 2× innermost tables, File links with
+      // depth-1 captions, piped/plain/external/bare links, quote
+      // emphasis 5-3-2, headings, list markers, tag strip, entity
+      // decode with &amp; LAST, newline collapse, trim); structure
+      // counts from the PRE-strip text. Apostrophe-bearing patterns
+      // ride repeat(chr(39),n) so the SQL stays readable.
+      "q198_wikitext_text" ->
+        """WITH built AS (
+          |  SELECT doc_id,
+          |    '<!-- gen ' || doc_id || ' -->{{Infobox|name={{n|'
+          |    || source || '}}|id=' || doc_id || '}}' || chr(10)
+          |    || repeat(chr(39),3) || 'Title ' || doc_id
+          |    || repeat(chr(39),3) || ' is a thing.<ref>SECRETREF '
+          |    || doc_id || '</ref><ref name=g/>' || chr(10)
+          |    || '== History ==' || chr(10)
+          |    || 'See [[target|piped ' || lang || ']] and [[Plain '
+          |    || doc_id || ']] with [https://x.org/' || doc_id
+          |    || ' ext label] and [https://bare.org/' || doc_id
+          |    || '].' || chr(10)
+          |    || '[[File:img' || doc_id
+          |    || '.png|thumb|A [[cap|tion]] caption]]' || chr(10)
+          |    || '{| class="wikitable"' || chr(10) || '| SECRETCELL '
+          |    || doc_id || chr(10) || '|}' || chr(10)
+          |    || '* item ' || repeat(chr(39),2) || 'em ' || source
+          |    || repeat(chr(39),2) || chr(10)
+          |    || '# second' || chr(10)
+          |    || '&amp; &lt;b&gt; &nbsp;end' AS wt
+          |  FROM documents),
+          |chain AS (
+          |  SELECT doc_id, wt,
+          |    trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(wt,
+          |      '(?s)<!--.*?-->', '', 'g'),
+          |      '<ref[^>]*/>', '', 'g'),
+          |      '(?s)<ref[^>]*>.*?</ref>', '', 'g'),
+          |      '\{\{[^{}]*\}\}', '', 'g'),
+          |      '\{\{[^{}]*\}\}', '', 'g'),
+          |      '\{\{[^{}]*\}\}', '', 'g'),
+          |      '(?s)\{\|(?:[^{]|\{[^|])*?\|\}', '', 'g'),
+          |      '(?s)\{\|(?:[^{]|\{[^|])*?\|\}', '', 'g'),
+          |      '\[\[(?:File|Image):[^\[\]]*(?:\[\[[^\[\]]*\]\][^\[\]]*)*\]\]',
+          |        '', 'g'),
+          |      '\[\[[^\[\]|]*\|([^\[\]]*)\]\]', '\1', 'g'),
+          |      '\[\[([^\[\]]*)\]\]', '\1', 'g'),
+          |      '\[https?://[^ \t\]]*[ \t]+([^\]]*)\]', '\1', 'g'),
+          |      '\[https?://[^\]]*\]', '', 'g'),
+          |      repeat(chr(39),5) || '([^' || chr(39) || ']+)'
+          |        || repeat(chr(39),5), '\1', 'g'),
+          |      repeat(chr(39),3) || '([^' || chr(39) || ']+)'
+          |        || repeat(chr(39),3), '\1', 'g'),
+          |      repeat(chr(39),2) || '([^' || chr(39) || ']+)'
+          |        || repeat(chr(39),2), '\1', 'g'),
+          |      '(?m)^={2,6}[ \t]*(.*?)[ \t]*={2,6}[ \t]*$', '\1', 'g'),
+          |      '(?m)^[*#:;]+[ \t]*', '', 'g'),
+          |      '<[^>]+>', '', 'g'),
+          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          |      '&quot;', '"'), '&amp;', '&'),
+          |    '\n{3,}', chr(10) || chr(10), 'g')) AS text
+          |  FROM built)
+          |SELECT doc_id, text,
+          |  CAST((len(wt) - len(replace(wt, '{{', ''))) // 2
+          |    AS BIGINT) AS n_templates,
+          |  CAST((len(wt) - len(replace(wt, '[[', ''))) // 2
+          |    AS BIGINT) AS n_links,
+          |  CAST((len(wt) - len(replace(wt, '<ref', ''))) // 4
+          |    AS BIGINT) AS n_refs,
+          |  CAST(len(regexp_extract_all(wt, '(?m)^={2,6}'))
+          |    AS BIGINT) AS n_headings
           |FROM chain ORDER BY doc_id""".stripMargin,
 
       // Verdicts from the construction residues: v0 header kills

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MediaWiki wikitext → training text — the THIRD big markup family
+  * next to [[Html]] (crawled web) and [[Markdown]] (GitHub): Wikipedia
+  * dumps ship as wikitext, and an encyclopedic corpus is a staple
+  * pretraining slice. Same discipline as the siblings: a FIXED,
+  * ordered regexp chain, every step replayable by an external RE2
+  * engine (no backreferences, no recursion — the q175 parse-replay
+  * rule), and the chain order IS the spec:
+  *
+  *  1. HTML comments `<!-- … -->` drop;
+  *  2. `<ref…>…</ref>` and self-closing `<ref…/>` drop whole —
+  *     citations are navigation, not prose (any tag whose name starts
+  *     `ref` is treated as the ref family, `<references/>` included);
+  *  3. templates `{{…}}` drop, innermost-first, BOUNDED DEPTH 3
+  *     (three passes of the brace-free-body pattern — a regexp cannot
+  *     recurse; 4+-deep nests leave the outer shell, and an
+  *     unterminated `{{` survives verbatim — both conservative,
+  *     spec-pinned);
+  *  4. tables `{| … |}` drop whole, innermost-first (the body
+  *     pattern admits no inner `{|`, so nesting resolves from the
+  *     inside), BOUNDED DEPTH 2 (two passes); runs AFTER templates so
+  *     `{{…}}` braces inside a cell can't block the body pattern;
+  *  5. `[[File:…]]` / `[[Image:…]]` drop whole including captions,
+  *     tolerating DEPTH-1 nested links inside the caption (the
+  *     `(?:\[\[…\]\]…)*` tail — exact, not a bound);
+  *  6. piped links `[[target|text]]` keep everything after the FIRST
+  *     pipe (multi-pipe display rules are a File-link feature; in
+  *     prose links the documented rule is "after the first pipe");
+  *     then plain links `[[target]]` keep the target;
+  *  7. external links `[http(s)://url label]` keep the label; bare
+  *     `[http(s)://url]` drop;
+  *  8. quote emphasis unwraps outermost-first: `'''''…'''''`, then
+  *     `'''…'''`, then `''…''`;
+  *  9. headings `== H ==` keep H (2–6 `=`, both sides, per line);
+  * 10. list/indent markers `* # : ;` strip at line start;
+  * 11. remaining HTML tags strip (keeps their content — `<nowiki>`
+  *     wrappers unwrap, a documented simplification);
+  * 12. the five common entities decode (`&lt; &gt; &quot; &nbsp;`
+  *     first, `&amp;` LAST so `&amp;lt;` single-decodes to `&lt;`);
+  * 13. 3+ newlines collapse to a blank line, ends trim.
+  *
+  * [[extract]] also emits pre-strip structure counts (templates,
+  * links, refs, headings) — the routing signals (an infobox-dominated
+  * stub scores differently from prose) — mirroring
+  * [[Markdown.extract]].
+  *
+  * Scale shape: pure Column regexp chain over the document scan —
+  * zero UDFs, zero joins, zero shuffle; streams unchanged.
+  */
+object Wikitext {
+
+  /** The extraction chain (see object doc for the order contract). */
+  def text(wt: Column): Column = {
+    val noComment = regexp_replace(wt, "(?s)<!--.*?-->", "")
+    val noRefSelf = regexp_replace(noComment, "<ref[^>]*/>", "")
+    val noRef = regexp_replace(noRefSelf, "(?s)<ref[^>]*>.*?</ref>", "")
+    // bounded-depth-3 template removal: innermost (brace-free) bodies
+    // vanish each pass
+    val tpl = "\\{\\{[^{}]*\\}\\}"
+    val noTpl = regexp_replace(
+      regexp_replace(regexp_replace(noRef, tpl, ""), tpl, ""), tpl, "")
+    // body admits any char except an inner table open `{|` — so the
+    // innermost table matches first and nesting resolves per pass
+    val tbl = "(?s)\\{\\|(?:[^{]|\\{[^|])*?\\|\\}"
+    val noTbl = regexp_replace(regexp_replace(noTpl, tbl, ""), tbl, "")
+    val noFile = regexp_replace(noTbl,
+      "\\[\\[(?:File|Image):[^\\[\\]]*(?:\\[\\[[^\\[\\]]*\\]\\][^\\[\\]]*)*\\]\\]",
+      "")
+    val noPiped = regexp_replace(noFile,
+      "\\[\\[[^\\[\\]|]*\\|([^\\[\\]]*)\\]\\]", "$1")
+    val noPlain = regexp_replace(noPiped, "\\[\\[([^\\[\\]]*)\\]\\]", "$1")
+    val noExtLbl = regexp_replace(noPlain,
+      "\\[https?://[^ \t\\]]*[ \t]+([^\\]]*)\\]", "$1")
+    val noExt = regexp_replace(noExtLbl, "\\[https?://[^\\]]*\\]", "")
+    val noQ5 = regexp_replace(noExt, "'''''([^']+)'''''", "$1")
+    val noQ3 = regexp_replace(noQ5, "'''([^']+)'''", "$1")
+    val noQ2 = regexp_replace(noQ3, "''([^']+)''", "$1")
+    val noHead = regexp_replace(noQ2,
+      "(?m)^={2,6}[ \t]*(.*?)[ \t]*={2,6}[ \t]*$", "$1")
+    val noList = regexp_replace(noHead, "(?m)^[*#:;]+[ \t]*", "")
+    val noTag = regexp_replace(noList, "<[^>]+>", "")
+    val decoded = replace(
+      replace(
+        replace(
+          replace(
+            replace(noTag, lit("&nbsp;"), lit(" ")),
+            lit("&lt;"), lit("<")),
+          lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")),
+      lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\n{3,}", "\n\n"))
+  }
+
+  /** `(id, text, n_templates, n_links, n_refs, n_headings)` — the
+    * extracted text plus pre-strip structure counts. Marker counts use
+    * exact substring arithmetic (`{{`, `[[`, `<ref`) so they replay as
+    * plain `replace`-length deltas; headings count `(?m)^={2,6}` line
+    * starts.
+    */
+  def extract(df: DataFrame, idCol: String, wtCol: String): DataFrame = {
+    val wt = col(wtCol)
+    def marks(m: String): Column =
+      ((length(wt) - length(replace(wt, lit(m), lit("")))) /
+        lit(m.length)).cast("long")
+    df.select(col(idCol), text(wt).as("text"),
+      marks("{{").as("n_templates"),
+      marks("[[").as("n_links"),
+      marks("<ref").as("n_refs"),
+      size(regexp_extract_all(wt, lit("(?m)^={2,6}"), lit(0)))
+        .cast("long").as("n_headings"))
+  }
+}

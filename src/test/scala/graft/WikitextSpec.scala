@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.Wikitext
+
+/** Wikitext extraction chain semantics — order contract, bounded
+  * nesting rules, link/emphasis forms, entity decode order.
+  */
+class WikitextSpec extends SparkSpec {
+
+  private def ext(wt: String): (String, Long, Long, Long, Long) = {
+    val df = spark.createDataFrame(Seq((1L, wt))).toDF("id", "wt")
+    val r = Wikitext.extract(df, "id", "wt").collect().head
+    (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5))
+  }
+
+  test("chain: comments, refs (paired + self-closing), nested " +
+      "templates, tables, file links with captioned inner links, " +
+      "piped/plain/external links, quote emphasis, headings, lists") {
+    val wt = "<!-- hidden -->{{Infobox|name={{nested|X}}|n=1}}\n" +
+      "'''Bold title''' is a thing.<ref name=\"a\">CITE</ref>" +
+      "<ref group=x/>\n" +
+      "== History ==\n" +
+      "See [[target|piped text]] and [[Plain link]] plus " +
+      "[https://x.org/a ext label] and [https://bare.org/b].\n" +
+      "[[File:img.png|thumb|A [[cap|tion]] caption]]\n" +
+      "{| class=\"wikitable\"\n| CELL\n|}\n" +
+      "* item ''em'' and '''''both'''''\n" +
+      "# second\n" +
+      "&amp;lt; stays &lt;tag&gt; &nbsp;done"
+    val (t, tpl, lnk, ref, hd) = ext(wt)
+    assert(!t.contains("hidden") && !t.contains("Infobox") &&
+      !t.contains("nested") && !t.contains("CITE") &&
+      !t.contains("CELL") && !t.contains("img.png") &&
+      !t.contains("caption"))
+    assert(t.contains("Bold title is a thing."))
+    assert(t.contains("History\nSee piped text and Plain link plus " +
+      "ext label and ."))
+    assert(t.contains("item em and both\nsecond"))
+    // &amp;lt; single-decodes to &lt;; real &lt;/&gt; decode; &nbsp;
+    // becomes a space. "<tag>" decoded from entities is NOT re-stripped
+    // (tag stripping runs before entity decode — the chain order).
+    assert(t.contains("&lt; stays <tag>  done"))
+    assert((tpl, lnk, ref, hd) == ((2L, 4L, 2L, 1L)))
+  }
+
+  test("bounded rules: depth-4 template leaves the outer shell, " +
+      "unterminated template survives, nested table drops in two " +
+      "passes, multi-pipe keeps after the FIRST pipe") {
+    val (t1, _, _, _, _) =
+      ext("a {{1|{{2|{{3|{{4|deep}}}}}}}} b")
+    // three passes remove 4, 3, 2 — the outermost shell remains
+    assert(t1 == "a {{1|}} b")
+    val (t2, _, _, _, _) = ext("open {{never closed")
+    assert(t2 == "open {{never closed")
+    val (t3, _, _, _, _) = ext("x {|outer\n{|inner\n|}\n|} y")
+    assert(t3 == "x  y")
+    val (t4, _, _, _, _) = ext("[[a|b|c]]")
+    assert(t4 == "b|c")
+  }
+
+  test("headings need both fences; single quotes and snake-brace " +
+      "text untouched; counts see pre-strip text") {
+    val (t1, _, _, _, h1) = ext("== open heading\nplain == middle")
+    assert(t1.contains("== open heading") && h1 == 1L)
+    val (t2, _, _, _, _) = ext("it's a 'quoted' word")
+    assert(t2 == "it's a 'quoted' word")
+    val (_, tpl3, lnk3, ref3, h3) =
+      ext("{{a}} {{b}} [[x]] <ref>z</ref>\n== h ==\n=== h3 ===")
+    assert((tpl3, lnk3, ref3, h3) == ((2L, 1L, 1L, 2L)))
+  }
+
+  test("null and empty route clean") {
+    val df = spark.createDataFrame(
+      Seq((1L, null.asInstanceOf[String]), (2L, ""))).toDF("id", "wt")
+    val rows = Wikitext.extract(df, "id", "wt")
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getString(1) == "")
+  }
+}
