@@ -1263,6 +1263,43 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- mailing-list reply-chain cleanup: a built email per doc —
+    //      attribution + three quoted lines (one indented, one
+    //      double-deep), a PGP block on every 3rd doc (tail after it
+    //      must survive), an Outlook original-message tail on
+    //      doc_id%3=1 (kills everything below incl. a co-present
+    //      signature), an RFC 3676 signature on even docs; every
+    //      dropped region carries a SECRET sentinel. Oracle replays
+    //      the fixed chain step for step. ----
+
+    "q199_reply_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nl = "\n"
+      val v = pmod(col("doc_id"), lit(3))
+      val mail = concat(
+        lit("Hello "), col("source"), lit("," + nl),
+        lit("real content "), col("doc_id"), lit(" keeps." + nl),
+        lit("On Mon, Aug 16 2026, Alice <a@x.org> wrote:" + nl),
+        lit("> quoted SECRETQ "), col("doc_id"), lit(nl),
+        lit("> > deeper" + nl + " > indented" + nl),
+        lit("More real "), col("lang"), lit("." + nl),
+        when(v === 0, concat(
+          lit("-----BEGIN PGP SIGNATURE-----" + nl + "SECRETPGP "),
+          col("doc_id"),
+          lit(nl + "-----END PGP SIGNATURE-----" + nl)))
+          .otherwise(lit("")),
+        lit("tail "), col("doc_id"), lit(" stays."),
+        when(v === 1, concat(
+          lit(nl + "-----Original Message-----" + nl + "From: Bob" +
+            nl + "SECRETOM "), col("doc_id"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0, concat(
+          lit(nl + "-- " + nl + "SECRETSIG "), col("doc_id"),
+          lit(nl + "Alice"))).otherwise(lit("")))
+      graft.ops.Mail.replyClean(
+          docs.select(col("doc_id"), mail.as("mail")), "doc_id", "mail")
+        .orderBy("doc_id")
+    }),
+
     // ---- the THIRD robots leg composed (robots.txt is q175, meta
     //      robots q182): X-Robots-Tag HTTP headers captured by the
     //      WARC kernel — first header wins (an 'all' decoy rides
@@ -2999,6 +3036,64 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |    AS BIGINT) AS n_refs,
           |  CAST(len(regexp_extract_all(wt, '(?m)^={2,6}'))
           |    AS BIGINT) AS n_headings
+          |FROM chain ORDER BY doc_id""".stripMargin,
+
+      // The reply-chain cleanup replayed step for step (PGP block,
+      // Outlook original-message to end, RFC 3676 signature to end,
+      // attribution lines, quoted lines, newline collapse); pre-strip
+      // signals replay on the raw built mail.
+      "q199_reply_clean" ->
+        """WITH built AS (
+          |  SELECT doc_id,
+          |    'Hello ' || source || ',' || chr(10)
+          |    || 'real content ' || doc_id || ' keeps.' || chr(10)
+          |    || 'On Mon, Aug 16 2026, Alice <a@x.org> wrote:'
+          |    || chr(10)
+          |    || '> quoted SECRETQ ' || doc_id || chr(10)
+          |    || '> > deeper' || chr(10) || ' > indented' || chr(10)
+          |    || 'More real ' || lang || '.' || chr(10)
+          |    || CASE WHEN doc_id % 3 = 0 THEN
+          |         '-----BEGIN PGP SIGNATURE-----' || chr(10)
+          |         || 'SECRETPGP ' || doc_id || chr(10)
+          |         || '-----END PGP SIGNATURE-----' || chr(10)
+          |       ELSE '' END
+          |    || 'tail ' || doc_id || ' stays.'
+          |    || CASE WHEN doc_id % 3 = 1 THEN
+          |         chr(10) || '-----Original Message-----' || chr(10)
+          |         || 'From: Bob' || chr(10) || 'SECRETOM ' || doc_id
+          |       ELSE '' END
+          |    || CASE WHEN doc_id % 2 = 0 THEN
+          |         chr(10) || '-- ' || chr(10) || 'SECRETSIG '
+          |         || doc_id || chr(10) || 'Alice'
+          |       ELSE '' END AS mail
+          |  FROM documents),
+          |chain AS (
+          |  SELECT doc_id, mail,
+          |    trim(regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(mail,
+          |      '(?s)-----BEGIN PGP [A-Z ]+-----.*?-----END PGP [A-Z ]+-----',
+          |        '', 'g'),
+          |      '(?s)\n-----Original Message-----.*', '', 'g'),
+          |      '(?s)\n--[ \t]?\n.*', '', 'g'),
+          |      '(?m)^On [^\n]{0,200} (?:wrote|writes):[ \t]*\n?',
+          |        '', 'g'),
+          |      '(?m)^[ \t]*>[^\n]*\n?', '', 'g'),
+          |    '\n{3,}', chr(10) || chr(10), 'g'),
+          |    ' ' || chr(9) || chr(10)) AS text
+          |  FROM built)
+          |SELECT doc_id, text,
+          |  CAST(len(regexp_extract_all(mail, '(?m)^[ \t]*>'))
+          |    AS BIGINT) AS n_quoted_lines,
+          |  CAST(len(regexp_extract_all(mail,
+          |    '(?m)^On [^\n]{0,200} (?:wrote|writes):[ \t]*$'))
+          |    AS BIGINT) AS n_attrib_lines,
+          |  len(regexp_extract_all(mail, '\n--[ \t]?\n')) > 0
+          |    AS has_signature,
+          |  contains(mail, '-----BEGIN PGP ') AS has_pgp
           |FROM chain ORDER BY doc_id""".stripMargin,
 
       // Verdicts from the construction residues: v0 header kills

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mailing-list / forum reply-chain cleanup — the de-threading step an
+  * email-shaped corpus (pipermail archives, Usenet, forum dumps) runs
+  * before any quality rule: without it every reply re-trains the
+  * thread's whole history (quoted copies are the dominant duplication
+  * mode in list archives, and signatures/PGP blocks are boilerplate
+  * that poisons n-gram stats). Same discipline as the markup fronts
+  * ([[Html]]/[[Markdown]]/[[Wikitext]]): a FIXED, ordered,
+  * RE2-replayable regexp chain — the order IS the spec:
+  *
+  *  1. PGP blocks (`-----BEGIN PGP …----- … -----END PGP …-----`)
+  *     drop whole; an unterminated BEGIN survives verbatim
+  *     (conservative, spec-pinned);
+  *  2. Outlook-style `-----Original Message-----` drops from the
+  *     marker line to the END — everything below it is the quoted
+  *     prior mail (headers included);
+  *  3. the RFC 3676 signature delimiter (a line that is exactly `--`
+  *     plus an optional trailing space/tab) drops from the delimiter
+  *     to the END. The delimiter must be FOLLOWED by a newline — a
+  *     bare trailing `--` line has no signature body below it and
+  *     stays (spec-pinned);
+  *  4. attribution lines (`On … wrote:` / `On … writes:`, the whole
+  *     line, ≤ 200 chars of middle — a wrapped multi-line attribution
+  *     is out of scope and survives to the quote rule's mercy) drop;
+  *  5. quoted lines drop whole: any line whose first non-blank char
+  *     is `>` (any depth — `>>`/`> >` start with the same prefix);
+  *  6. 3+ newlines collapse to a blank line, ends trim.
+  *
+  * [[replyClean]] also emits pre-strip signals: quoted-line and
+  * attribution-line counts, signature/PGP presence — the routing
+  * numbers a list-corpus curation front keys on (a 95%-quote reply is
+  * a drop candidate BEFORE extraction; compare `TextAnalysis`'s
+  * quality gates which run after).
+  *
+  * Scale shape: pure Column regexp chain over the document scan —
+  * zero UDFs, zero joins, zero shuffle; streams unchanged.
+  */
+object Mail {
+
+  private val pgpPat =
+    "(?s)-----BEGIN PGP [A-Z ]+-----.*?-----END PGP [A-Z ]+-----"
+  private val origPat = "(?s)\n-----Original Message-----.*"
+  private val sigPat = "(?s)\n--[ \t]?\n.*"
+  private val attribPat = "(?m)^On [^\n]{0,200} (?:wrote|writes):[ \t]*\n?"
+  private val quotePat = "(?m)^[ \t]*>[^\n]*\n?"
+
+  /** The cleanup chain (see object doc for the order contract). */
+  def text(mail: Column): Column = {
+    val noPgp = regexp_replace(mail, pgpPat, "")
+    val noOrig = regexp_replace(noPgp, origPat, "")
+    val noSig = regexp_replace(noOrig, sigPat, "")
+    val noAttrib = regexp_replace(noSig, attribPat, "")
+    val noQuote = regexp_replace(noAttrib, quotePat, "")
+    // explicit trim set: stripped trailing regions leave newlines at
+    // the ends, and plain trim() (both engines) strips spaces only
+    trim(regexp_replace(noQuote, "\n{3,}", "\n\n"), " \t\n")
+  }
+
+  /** `(id, text, n_quoted_lines, n_attrib_lines, has_signature,
+    * has_pgp)` — the cleaned text plus pre-strip routing signals.
+    * Counts/flags use the SAME patterns the strip rules fire on, so a
+    * flag is true iff the corresponding rule did work.
+    */
+  def replyClean(df: DataFrame, idCol: String, mailCol: String): DataFrame = {
+    val m = col(mailCol)
+    df.select(col(idCol), text(m).as("text"),
+      size(regexp_extract_all(m, lit("(?m)^[ \t]*>"), lit(0)))
+        .cast("long").as("n_quoted_lines"),
+      size(regexp_extract_all(m,
+          lit("(?m)^On [^\n]{0,200} (?:wrote|writes):[ \t]*$"), lit(0)))
+        .cast("long").as("n_attrib_lines"),
+      (size(regexp_extract_all(m, lit("\n--[ \t]?\n"), lit(0))) > 0)
+        .as("has_signature"),
+      m.contains("-----BEGIN PGP ").as("has_pgp"))
+  }
+}

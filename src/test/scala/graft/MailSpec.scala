@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.Mail
+
+/** Reply-chain cleanup semantics — rule order, the RFC 3676 delimiter
+  * contract, conservative unterminated forms, pre-strip signals.
+  */
+class MailSpec extends SparkSpec {
+
+  private def ext(mail: String): (String, Long, Long, Boolean, Boolean) = {
+    val df = spark.createDataFrame(Seq((1L, mail))).toDF("id", "m")
+    val r = Mail.replyClean(df, "id", "m").collect().head
+    (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+      r.getBoolean(5))
+  }
+
+  test("chain: PGP block drops whole (tail after it stays), Outlook " +
+      "original-message drops to end, signature drops to end, " +
+      "attribution and quoted lines drop, newlines collapse") {
+    val mail = "Hello team,\nreal content keeps.\n" +
+      "On Mon, Aug 16 2026, Alice <a@x.org> wrote:\n" +
+      "> quoted SECRETQ\n" +
+      "> > deeper\n" +
+      " > indented quote\n" +
+      "More real text.\n" +
+      "-----BEGIN PGP SIGNATURE-----\nSECRETPGP\n" +
+      "-----END PGP SIGNATURE-----\n" +
+      "tail stays.\n" +
+      "-- \nSECRETSIG\ntwo sig lines"
+    val (t, nq, na, sig, pgp) = ext(mail)
+    assert(!t.contains("SECRETQ") && !t.contains("SECRETPGP") &&
+      !t.contains("SECRETSIG") && !t.contains("wrote:"))
+    assert(t == "Hello team,\nreal content keeps.\nMore real text.\n\n" +
+      "tail stays.")
+    assert((nq, na, sig, pgp) == ((3L, 1L, true, true)))
+  }
+
+  test("outlook marker kills everything below incl. a signature; " +
+      "'writes:' variant matches; >200-char attribution middle does " +
+      "not") {
+    val (t1, _, na1, sig1, _) = ext("keep this\n" +
+      "-----Original Message-----\nFrom: Bob\nSECRETOM\n-- \nsig")
+    assert(t1 == "keep this" && na1 == 0L && sig1)
+    val (t2, _, na2, _, _) = ext("keep\nOn a day, Bob writes:\n> q")
+    assert(t2 == "keep" && na2 == 1L)
+    val long = "x" * 201
+    val (t3, _, na3, _, _) = ext(s"keep\nOn $long wrote:\nafter")
+    assert(t3.contains("wrote:") && na3 == 0L)
+  }
+
+  test("conservative boundaries: unterminated PGP survives, bare " +
+      "trailing -- line is not a signature, --- rule line is not a " +
+      "delimiter, quoted signature dies as a quote") {
+    val (t1, _, _, _, pgp1) =
+      ext("a\n-----BEGIN PGP SIGNATURE-----\nno end marker")
+    assert(t1.contains("no end marker") && pgp1)
+    val (t2, _, _, sig2, _) = ext("body\n--")
+    assert(t2 == "body\n--" && !sig2)
+    val (t3, _, _, sig3, _) = ext("body\n---\nmore")
+    assert(t3 == "body\n---\nmore" && !sig3)
+    val (t4, nq4, _, sig4, _) = ext("body\n> -- \n> quoted sig")
+    assert(t4 == "body" && nq4 == 2L && !sig4)
+  }
+
+  test("null and empty route clean") {
+    val df = spark.createDataFrame(
+      Seq((1L, null.asInstanceOf[String]), (2L, ""))).toDF("id", "m")
+    val rows = Mail.replyClean(df, "id", "m").orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getString(1) == "")
+    assert(rows(1).getLong(2) == 0L && !rows(1).getBoolean(4))
+  }
+}
