@@ -1300,6 +1300,32 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- HTML table → cell extraction (the structured-data front):
+    //      two tables per doc — headers (one carrying a quoted '>'
+    //      attribute trap the regexp twin cannot parse), an
+    //      inner-markup cell, an entity cell, an EMPTY cell (null
+    //      text), a caption that must never emit. The oracle states
+    //      the expected (table, row, col) grid from the construction
+    //      pieces. ----
+
+    "q200_html_tables" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body><p>intro "), col("doc_id"), lit("</p>"),
+        lit("<table class=\"data\"><caption>Cap</caption>"),
+        lit("<tr><th>Name</th><th title=\">q\">Count "),
+        col("doc_id"), lit("</th></tr>"),
+        lit("<tr><td>alpha "), col("lang"), lit("</td><td><b>"),
+        pmod(col("doc_id"), lit(7)), lit("</b> ok</td></tr>"),
+        lit("<tr><td>beta &amp; "), col("source"),
+        lit("</td><td></td></tr>"),
+        lit("</table><p>mid</p><table><tr><td>solo "), col("doc_id"),
+        lit("</td></tr></table></body></html>"))
+      graft.ops.Html.tableCells(
+          docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy("doc_id", "table_no", "row_no", "col_no")
+    }),
+
     // ---- the THIRD robots leg composed (robots.txt is q175, meta
     //      robots q182): X-Robots-Tag HTTP headers captured by the
     //      WARC kernel — first header wins (an 'all' decoy rides
@@ -3095,6 +3121,33 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |    AS has_signature,
           |  contains(mail, '-----BEGIN PGP ') AS has_pgp
           |FROM chain ORDER BY doc_id""".stripMargin,
+
+      // The expected cell grid stated from the construction pieces
+      // (the q191/q193 convention — a DuckDB regexp table parser
+      // would only re-test the regexp twin, and the fixture's quoted
+      // '>' attribute is deliberately NOT regexp-parseable): inner
+      // <b> tags become separators, &amp; decodes, the empty cell is
+      // null, the caption never emits.
+      "q200_html_tables" ->
+        """WITH cells AS (
+          |  SELECT doc_id, 1 AS table_no, 1 AS row_no, 1 AS col_no,
+          |    TRUE AS is_header, 'Name' AS text FROM documents
+          |  UNION ALL SELECT doc_id, 1, 1, 2, TRUE,
+          |    'Count ' || doc_id FROM documents
+          |  UNION ALL SELECT doc_id, 1, 2, 1, FALSE,
+          |    'alpha ' || lang FROM documents
+          |  UNION ALL SELECT doc_id, 1, 2, 2, FALSE,
+          |    (doc_id % 7) || ' ok' FROM documents
+          |  UNION ALL SELECT doc_id, 1, 3, 1, FALSE,
+          |    'beta & ' || source FROM documents
+          |  UNION ALL SELECT doc_id, 1, 3, 2, FALSE,
+          |    NULL FROM documents
+          |  UNION ALL SELECT doc_id, 2, 1, 1, FALSE,
+          |    'solo ' || doc_id FROM documents)
+          |SELECT doc_id, CAST(table_no AS BIGINT) AS table_no,
+          |  CAST(row_no AS BIGINT) AS row_no,
+          |  CAST(col_no AS BIGINT) AS col_no, is_header, text
+          |FROM cells ORDER BY doc_id, table_no, row_no, col_no""".stripMargin,
 
       // Verdicts from the construction residues: v0 header kills
       // both, v1 header kills follow only, v2 meta kills index only,

@@ -692,3 +692,124 @@ case class HtmlBlocksOf(child: Expression) extends UnaryExpression {
       : HtmlBlocksOf = copy(child = newChild)
   override def prettyName: String = "graft_html_blocks"
 }
+
+/** One-pass `<table>` → cell extraction — the structured-data front a
+  * web corpus runs where [[HtmlOps.extractBlocks]] would flatten
+  * tabular content into prose: table corpora (TaPas/TableFormer-style
+  * pretraining, infobox/spec-sheet mining) need `(table, row, col)`
+  * coordinates, not a text soup. Same single [[HtmlLinks.walkTagsText]]
+  * walk as the anchor front (quote-aware attributes, container bodies
+  * invisible), with a TABLE-CONTEXT STACK so nested tables attribute
+  * every cell to the INNERMOST open table:
+  *
+  *  - `<table>` pushes a context; `table_no` is the 0-based document
+  *    order of table OPENS (the ops layer rebases to 1);
+  *  - `<tr>` closes any open cell and starts the next row; a cell tag
+  *    with no `<tr>` seen yet opens row 0 implicitly;
+  *  - `<td>`/`<th>` closes any open cell and opens the next
+  *    (`is_header` = `th`); explicit `</td>`/`</th>`/`</tr>`/
+  *    `</table>` closes emit too, so unclosed cells (ubiquitous in
+  *    real markup) still land in the right coordinates;
+  *  - cell text: text runs entity-decoded, inner tags (including a
+  *    nested table's whole subtree) contribute a single space
+  *    separator, whitespace collapsed, empty → null — the
+  *    [[HtmlAnchors]] text contract;
+  *  - text outside an open cell (captions, whitespace between rows)
+  *    is never emitted; table-family tags with NO open table are
+  *    ignored.
+  *
+  * Emission order is cell-CLOSE document order (an inner table's
+  * cells emit before its host cell); the `(table_no, row_no, col_no)`
+  * coordinates are the stable key, not the array position.
+  */
+object HtmlTables {
+  val CellType: StructType = StructType(Seq(
+    StructField("table_no", IntegerType, nullable = false),
+    StructField("row_no", IntegerType, nullable = false),
+    StructField("col_no", IntegerType, nullable = false),
+    StructField("is_header", BooleanType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  val CellsType: ArrayType = ArrayType(CellType, containsNull = false)
+
+  private final class Ctx(val tableNo: Int) {
+    var rowNo: Int = -1
+    var colNo: Int = -1
+    var cellOpen: Boolean = false
+    var isHeader: Boolean = false
+    val buf = new java.lang.StringBuilder
+  }
+
+  def extractCells(html: UTF8String): ArrayData = {
+    if (html == null) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Ctx]
+    var nextTable = 0
+    def top: Ctx = stack.last
+    def closeCell(): Unit = if (stack.nonEmpty && top.cellOpen) {
+      val c = top
+      val t = HtmlOps.normalizeWs(c.buf)
+      out += InternalRow(c.tableNo, math.max(c.rowNo, 0), c.colNo,
+        c.isHeader, if (t.isEmpty) null else UTF8String.fromString(t))
+      c.cellOpen = false
+      c.buf.setLength(0)
+    }
+    HtmlLinks.walkTagsText(html.toString)(
+      (name, close, _) => {
+        name match {
+          case "table" if !close =>
+            // a table open inside an open cell: the HOST cell stays
+            // open (it resumes accumulating after the inner table
+            // closes) with a single space marking the subtree's spot
+            if (stack.nonEmpty && top.cellOpen) top.buf.append(' ')
+            stack += new Ctx({ val t = nextTable; nextTable += 1; t })
+          case "table" if close =>
+            if (stack.nonEmpty) { closeCell(); stack.remove(stack.length - 1) }
+          case "tr" if stack.nonEmpty =>
+            closeCell()
+            if (!close) { top.rowNo += 1; top.colNo = -1 }
+          case "td" | "th" if stack.nonEmpty =>
+            closeCell()
+            if (!close) {
+              val c = top
+              if (c.rowNo < 0) c.rowNo = 0
+              c.colNo += 1
+              c.cellOpen = true
+              c.isHeader = name == "th"
+            }
+          case _ =>
+            if (stack.nonEmpty && top.cellOpen &&
+              name != "script" && name != "style") top.buf.append(' ')
+        }
+      },
+      run => if (stack.nonEmpty && top.cellOpen)
+        top.buf.append(HtmlLinks.decodeAll(run)))
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_html_tables(html)`: `array<struct<table_no, row_no, col_no,
+  * is_header, text>>` via [[HtmlTables.extractCells]] — scan-local,
+  * zero shuffle, codegen'd. Null markup → null.
+  */
+case class HtmlTablesOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlTables.CellsType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlTables.extractCells(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"graft.functions.HtmlTables.extractCells($h)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HtmlTablesOf = copy(child = newChild)
+  override def prettyName: String = "graft_html_tables"
+}

@@ -473,6 +473,13 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_html_anchors takes (html)")
         HtmlAnchorsOf(exprs.head)
       }),
+    (FunctionIdentifier("graft_html_tables"),
+      new ExpressionInfo(classOf[HtmlTablesOf].getName,
+        "graft_html_tables"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_html_tables takes (html)")
+        HtmlTablesOf(exprs.head)
+      }),
     (FunctionIdentifier("graft_warc_records"),
       new ExpressionInfo(classOf[WarcRecordsOf].getName,
         "graft_warc_records"),

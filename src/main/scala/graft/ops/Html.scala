@@ -196,6 +196,65 @@ object Html {
         "(?is)[\\s]content\\s*=\\s*\"([^\"]*)\"", 1))), lit("")))
   }
 
+  /** One row per table CELL with `(table_no, row_no, col_no)`
+    * coordinates — the structured-data front where [[blocks]] would
+    * flatten tabular content into prose (table-corpus pretraining,
+    * infobox/spec-sheet mining): `(id, table_no, row_no, col_no,
+    * is_header, text)`, all ordinals 1-based in document order,
+    * `is_header` = `<th>`, `text` = entity-decoded inner text with
+    * inner tags (including a nested table's whole subtree) as single
+    * spaces, whitespace collapsed, empty → null. KERNEL path: the
+    * `graft_html_tables` stack walk — nested tables attribute cells
+    * to the INNERMOST table, unclosed `<td>`/`<tr>` (ubiquitous in
+    * real markup) close implicitly at the next cell/row/table
+    * boundary, quoted `>` inside attributes parses correctly.
+    * [[tableCellsRegexp]] is the replay twin (well-formed,
+    * double-quoted, explicitly-closed, non-nested shapes only),
+    * equivalence spec-pinned. Scan-local, zero shuffle.
+    */
+  def tableCells(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+        explode(call_function("graft_html_tables", col(htmlCol)))
+          .as("__c"))
+      .select(col(idCol),
+        (col("__c.table_no") + 1).cast("long").as("table_no"),
+        (col("__c.row_no") + 1).cast("long").as("row_no"),
+        (col("__c.col_no") + 1).cast("long").as("col_no"),
+        col("__c.is_header").as("is_header"),
+        col("__c.text").as("text"))
+  }
+
+  /** [[tableCells]]' regexp twin — three nested lazy-dot block
+    * captures (table → tr → td/th) after [[stripContainers]], each a
+    * replayable regexp. Requires well-formed explicitly-closed
+    * double-quoted markup and mis-parses nesting and quoted `>`;
+    * use [[tableCells]] in production.
+    */
+  def tableCellsRegexp(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame =
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(stripContainers(col(htmlCol)),
+          lit("(?is)<table\\b[^>]*>(.*?)</table\\s*>"), lit(1)))
+          .as(Seq("__tp", "__tb")))
+      .select(col(idCol), (col("__tp") + 1).cast("long").as("table_no"),
+        posexplode(regexp_extract_all(col("__tb"),
+          lit("(?is)<tr\\b[^>]*>(.*?)</tr\\s*>"), lit(1)))
+          .as(Seq("__rp", "__rb")))
+      .select(col(idCol), col("table_no"),
+        (col("__rp") + 1).cast("long").as("row_no"),
+        posexplode(regexp_extract_all(col("__rb"),
+          lit("(?is)(<t[dh]\\b[^>]*>.*?</t[dh]\\s*>)"), lit(1)))
+          .as(Seq("__cp", "__cb")))
+      .select(col(idCol), col("table_no"), col("row_no"),
+        (col("__cp") + 1).cast("long").as("col_no"),
+        col("__cb").rlike("(?is)^<th").as("is_header"),
+        nullif(trim(regexp_replace(decodeEntities(regexp_replace(
+          regexp_replace(col("__cb"),
+            "(?is)^<t[dh]\\b[^>]*>|</t[dh]\\s*>$", ""),
+          "<[^>]*>", " ")), "\\s+", " ")), lit("")).as("text"))
+
   /** XML entity decode for sitemap fields — the sitemaps.org escape
     * set, amp LAST (single-pass equivalence, the [[graft.functions
     * .HtmlLinks]] convention).

@@ -486,4 +486,69 @@ class HtmlSpec extends SparkSpec {
     assert(plan.contains("*(1) Project") && plan.contains("*(1) Generate"),
       plan)
   }
+
+  private def cells(html: String): Seq[(Long, Long, Long, Boolean, Option[String])] = {
+    import spark.implicits._
+    Html.tableCells(Seq((1L, html)).toDF("id", "h"), "id", "h")
+      .orderBy("table_no", "row_no", "col_no")
+      .collect().toSeq.map(r => (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), Option(r.getString(5))))
+  }
+
+  test("tableCells: headers, body rows, entity decode, inner tags " +
+      "as separators, empty cell null, caption and between-row text " +
+      "never emitted, second table increments table_no") {
+    val html = "<p>intro</p><table class=\"d\"><caption>Cap</caption>" +
+      "<tr><th>Name</th><th>Count</th></tr>" +
+      "<tr><td>alpha &amp; co</td><td><b>7</b> ok</td></tr>" +
+      "<tr><td></td><td>end</td></tr></table>" +
+      "<p>mid</p><table><tr><td>solo</td></tr></table>"
+    assert(cells(html) == Seq(
+      (1L, 1L, 1L, true, Some("Name")), (1L, 1L, 2L, true, Some("Count")),
+      (1L, 2L, 1L, false, Some("alpha & co")),
+      (1L, 2L, 2L, false, Some("7 ok")),
+      (1L, 3L, 1L, false, None), (1L, 3L, 2L, false, Some("end")),
+      (2L, 1L, 1L, false, Some("solo"))))
+  }
+
+  test("tableCells robustness: unclosed td/tr close implicitly, " +
+      "cells with no tr open row 1, quoted '>' inside an attribute " +
+      "parses, table tags outside any table are ignored") {
+    assert(cells("<table><tr><td>a<td>b<tr><td>c</table>") == Seq(
+      (1L, 1L, 1L, false, Some("a")), (1L, 1L, 2L, false, Some("b")),
+      (1L, 2L, 1L, false, Some("c"))))
+    assert(cells("<table><td>no row</td></table>") == Seq(
+      (1L, 1L, 1L, false, Some("no row"))))
+    assert(cells("<table><tr><td title=\"a>b\">q</td></tr></table>") ==
+      Seq((1L, 1L, 1L, false, Some("q"))))
+    assert(cells("<td>stray</td><tr>x</tr>") == Seq())
+  }
+
+  test("tableCells nesting: inner table owns its cells (innermost " +
+      "attribution), host cell resumes with a space separator") {
+    val html = "<table><tr><td>before " +
+      "<table><tr><td>inner</td></tr></table>" +
+      "after</td></tr></table>"
+    assert(cells(html) == Seq(
+      (1L, 1L, 1L, false, Some("before after")),
+      (2L, 1L, 1L, false, Some("inner"))))
+  }
+
+  test("tableCells kernel == regexp twin on the replayable shape; " +
+      "null routes null") {
+    import spark.implicits._
+    val html = "<table id=\"t\"><tr><th>H &amp; h</th></tr>" +
+      "<tr><td>v <i>em</i> w</td><td>x</td></tr></table>" +
+      "<table><tr><td>two</td></tr></table>"
+    val df = Seq((1L, html)).toDF("id", "h")
+    val k = Html.tableCells(df, "id", "h")
+      .orderBy("table_no", "row_no", "col_no").collect().toSeq
+    val r = Html.tableCellsRegexp(df, "id", "h")
+      .orderBy("table_no", "row_no", "col_no").collect().toSeq
+    assert(k == r && k.length == 4)
+    val n = Html.tableCells(
+      Seq((1L, null.asInstanceOf[String])).toDF("id", "h"), "id", "h")
+      .collect()
+    assert(n.isEmpty) // explode of null array emits no rows
+  }
 }
