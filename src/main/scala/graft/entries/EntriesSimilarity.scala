@@ -20,6 +20,24 @@ private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
 
     // ---- similarity search (extensions) ----
 
+    // ---- margin-based bitext mining (Artetxe & Schwenk): the two
+    //      "languages" are the embedding parity classes; k=4 ratio
+    //      margins in exact integer micro after the one floor-
+    //      quantization, mutual-best intersection, floor 1.0 (a pair
+    //      must beat both sides' neighborhood means). Oracle replays
+    //      quantize → top-k → sums → margin div → gate → mutual. ----
+
+    "q201_bitext_mine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Bitext.minedPairs(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+          "embedding",
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
+          "embedding",
+          k = 4, marginFloorMicro = 1000000L)
+        .orderBy("src_id")
+    }),
+
     "q16_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -306,6 +324,66 @@ private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
   )
 
   private[graft] def similarityOracle: Map[String, String] = Map(
+
+      // The full margin-mining contract replayed: floor-quantized
+      // double cosine (the one float step — the q16-proven
+      // list_dot_product parity), positive gate, (cosµ desc, id asc)
+      // top-4 per side, neighborhood sums CAST BIGINT (the q176
+      // HUGEINT lesson), the integer margin division (all terms
+      // positive so // == div), the 1.0 floor, mutual-best
+      // intersection.
+      "q201_bitext_mine" ->
+        """WITH s AS (SELECT vec_id AS src_id,
+          |    embedding::DOUBLE[] AS v FROM embeddings
+          |  WHERE vec_id % 2 = 0),
+          |t AS (SELECT vec_id AS tgt_id,
+          |    embedding::DOUBLE[] AS v FROM embeddings
+          |  WHERE vec_id % 2 = 1),
+          |pos AS (
+          |  SELECT * FROM (
+          |    SELECT s.src_id, t.tgt_id,
+          |      CAST(floor((CASE WHEN list_dot_product(s.v, s.v) = 0
+          |          OR list_dot_product(t.v, t.v) = 0 THEN 0.0
+          |        ELSE list_dot_product(s.v, t.v) /
+          |          (sqrt(list_dot_product(s.v, s.v)) *
+          |           sqrt(list_dot_product(t.v, t.v))) END)
+          |        * 1000000) AS BIGINT) AS cos_micro
+          |    FROM s, t)
+          |  WHERE cos_micro > 0),
+          |tops AS (SELECT *, row_number() OVER (PARTITION BY src_id
+          |    ORDER BY cos_micro DESC, tgt_id ASC) AS rs FROM pos),
+          |topt AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+          |    ORDER BY cos_micro DESC, src_id ASC) AS rt FROM pos),
+          |ks AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS sum_s,
+          |    CAST(count(*) AS BIGINT) AS n_s
+          |  FROM tops WHERE rs <= 4 GROUP BY src_id),
+          |kt AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS sum_t,
+          |    CAST(count(*) AS BIGINT) AS n_t
+          |  FROM topt WHERE rt <= 4 GROUP BY tgt_id),
+          |cand AS (
+          |  SELECT DISTINCT src_id, tgt_id, cos_micro FROM (
+          |    SELECT src_id, tgt_id, cos_micro FROM tops WHERE rs <= 4
+          |    UNION ALL
+          |    SELECT src_id, tgt_id, cos_micro FROM topt WHERE rt <= 4)),
+          |gated AS (
+          |  SELECT src_id, tgt_id,
+          |    (cos_micro * 2000000 * n_s * n_t) //
+          |      (sum_s * n_t + sum_t * n_s) AS margin_micro
+          |  FROM cand JOIN ks USING (src_id) JOIN kt USING (tgt_id)
+          |  WHERE sum_s * n_t + sum_t * n_s > 0
+          |    AND (cos_micro * 2000000 * n_s * n_t) //
+          |      (sum_s * n_t + sum_t * n_s) >= 1000000),
+          |best AS (
+          |  SELECT *,
+          |    row_number() OVER (PARTITION BY src_id
+          |      ORDER BY margin_micro DESC, tgt_id ASC) AS bs,
+          |    row_number() OVER (PARTITION BY tgt_id
+          |      ORDER BY margin_micro DESC, src_id ASC) AS bt
+          |  FROM gated)
+          |SELECT src_id, tgt_id,
+          |  CAST(margin_micro AS BIGINT) AS margin_micro
+          |FROM best WHERE bs = 1 AND bt = 1
+          |ORDER BY src_id""".stripMargin,
 
       // Symmetric int8 quantization replayed: scale = max|v|/127, q_i =
       // floor(|x|/s + 0.5) signed (spelled out, not library round), score

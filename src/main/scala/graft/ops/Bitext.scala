@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext mining (Artetxe & Schwenk, ACL 2019; the
+  * CCMatrix/NLLB curation recipe) — the parallel-corpus front: given
+  * two embedding sets in a shared multilingual space (LASER-style),
+  * mine sentence pairs whose similarity stands OUT of each side's
+  * neighborhood, not merely above an absolute threshold. Absolute
+  * cosine gates fail on hubs (a generic sentence is near everything);
+  * the ratio margin
+  *
+  *   margin(x, y) = cos(x, y) / ((avgₖ(x) + avgₖ(y)) / 2)
+  *
+  * normalizes by the mean similarity of each side's k nearest
+  * neighbors, so a pair is mined only when it beats BOTH local
+  * baselines, and only when MUTUAL-BEST (x's best candidate by margin
+  * is y and vice versa — the strict CCMatrix intersection rule).
+  *
+  * Exactness contract (the q55/q197 integer-micro discipline): raw
+  * cosines quantize ONCE to micro units — `floor(cos · 10⁶)` on the
+  * IEEE double, the only float step, replayable bit-exactly — and
+  * every downstream comparison (top-k rank, neighborhood sums, the
+  * margin ratio, the floor gate, mutual-best argmax) is exact BIGINT
+  * arithmetic:
+  *
+  *   margin_micro = (cosµ · 2·10⁶ · nₛ · nₜ) div (sumₛ·nₜ + sumₜ·nₛ)
+  *
+  * (nₛ/nₜ = actual neighbor counts, ≤ k, so short neighborhoods
+  * average over what exists; all terms positive — non-positive
+  * cosines are dropped before ranking, a mined "translation" with
+  * cos ≤ 0 is noise by definition — so `div` truncation agrees with
+  * DuckDB `//` flooring). Ties rank by partner id ascending.
+  *
+  * Scale shape: [[minedPairsFromScores]] is the real operator — two
+  * window passes over the candidate pair set (src-keyed, tgt-keyed),
+  * two neighbor-count-sized aggregate tables joined back, two more
+  * windows for mutual-best; every exchange is keyed on an id, pairs
+  * only (vectors never shuffle past scoring). [[minedPairs]] is the
+  * brute-force scorer (broadcast the smaller side, one corpus scan —
+  * the [[Similarity.bruteForceTopK]] baseline shape); at 100 TB feed
+  * the candidate set from [[Similarity.ivfTopK]] / LSH buckets
+  * instead and call [[minedPairsFromScores]] on its output.
+  */
+object Bitext {
+
+  /** Mine mutual-best pairs from a pre-scored candidate set —
+    * `scored` carries one row per candidate pair:
+    * `(src_id, tgt_id, cos_micro)` with `cos_micro` the
+    * floor-quantized cosine (any candidate generator: brute, IVF,
+    * LSH). Returns `(src_id, tgt_id, margin_micro)`.
+    */
+  def minedPairsFromScores(scored: DataFrame, k: Int,
+                           marginFloorMicro: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // the scored candidate set feeds FOUR consumers (both top-k
+    // windows and, through them, both sum tables and the candidate
+    // union) — without a pin the SCORING stage (the expensive part:
+    // brute cross-score or the ANN probe) re-executes per consumer.
+    // Tracked like every Dedup intermediate: the standing
+    // releaseIntermediates() drain owns the lifecycle.
+    val pos = Dedup.tracked(scored.filter(col("cos_micro") > 0))
+    val wS = Window.partitionBy("src_id")
+      .orderBy(col("cos_micro").desc, col("tgt_id").asc)
+    val wT = Window.partitionBy("tgt_id")
+      .orderBy(col("cos_micro").desc, col("src_id").asc)
+    val topS = pos.withColumn("__rs", row_number().over(wS))
+      .filter(col("__rs") <= k)
+    val topT = pos.withColumn("__rt", row_number().over(wT))
+      .filter(col("__rt") <= k)
+    val sumS = topS.groupBy("src_id").agg(
+      sum("cos_micro").as("__sum_s"), count(lit(1)).as("__n_s"))
+    val sumT = topT.groupBy("tgt_id").agg(
+      sum("cos_micro").as("__sum_t"), count(lit(1)).as("__n_t"))
+    val cand = topS.select("src_id", "tgt_id", "cos_micro")
+      .unionByName(topT.select("src_id", "tgt_id", "cos_micro"))
+      .distinct()
+    val margins = cand
+      .join(sumS, "src_id").join(sumT, "tgt_id")
+      .withColumn("margin_micro",
+        expr("(cos_micro * 2000000L * __n_s * __n_t) div " +
+          "(__sum_s * __n_t + __sum_t * __n_s)"))
+      .filter(col("margin_micro") >= marginFloorMicro)
+    val wBs = Window.partitionBy("src_id")
+      .orderBy(col("margin_micro").desc, col("tgt_id").asc)
+    val wBt = Window.partitionBy("tgt_id")
+      .orderBy(col("margin_micro").desc, col("src_id").asc)
+    margins
+      .withColumn("__bs", row_number().over(wBs))
+      .withColumn("__bt", row_number().over(wBt))
+      .filter(col("__bs") === 1 && col("__bt") === 1)
+      .select("src_id", "tgt_id", "margin_micro")
+  }
+
+  /** Brute-force scorer + [[minedPairsFromScores]]: every (src, tgt)
+    * cosine via the `graft_vec_dot` kernel with the smaller side
+    * broadcast — the exactness baseline and the right call at fixture
+    * scale. Quantization happens HERE (the one float step).
+    */
+  def minedPairs(src: DataFrame, srcIdCol: String, srcVecCol: String,
+                 tgt: DataFrame, tgtIdCol: String, tgtVecCol: String,
+                 k: Int,
+                 marginFloorMicro: Long = 1000000L): DataFrame = {
+    Similarity.registered(src)
+    val s = broadcast(src.select(
+      col(srcIdCol).as("src_id"), col(srcVecCol).as("__sv")))
+    val t = tgt.select(col(tgtIdCol).as("tgt_id"), col(tgtVecCol).as("__tv"))
+    val scored = t.join(s, lit(true))
+      .select(col("src_id"), col("tgt_id"),
+        floor(Similarity.fastCosine(col("__sv"), col("__tv")) *
+          lit(1000000.0)).cast("long").as("cos_micro"))
+    minedPairsFromScores(scored, k, marginFloorMicro)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.ops.Bitext
+
+/** Margin-based bitext mining — independent in-test replay of the
+  * full integer-micro contract (quantize → top-k → neighborhood sums
+  * → margin div → floor gate → mutual-best), plus planted semantic
+  * cases and the edge rules.
+  */
+class BitextSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vid", "vec")
+  }
+
+  private def mine(src: Seq[(Long, Array[Float])],
+                   tgt: Seq[(Long, Array[Float])],
+                   k: Int, floor: Long): Set[(Long, Long, Long)] =
+    Bitext.minedPairs(df(src), "vid", "vec", df(tgt), "vid", "vec",
+        k, floor)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  /** The documented contract, reimplemented independently (plain
+    * Scala arithmetic, no operator code): floor-quantized sequential
+    * double cosine, positive gate, (cosµ desc, id asc) top-k,
+    * integer margin, floor gate, mutual-best.
+    */
+  private def replay(src: Seq[(Long, Array[Float])],
+                     tgt: Seq[(Long, Array[Float])],
+                     k: Int, floor: Long): Set[(Long, Long, Long)] = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val pos = for {
+      (si, sv) <- src; (ti, tv) <- tgt
+      n = math.sqrt(dot(sv, sv)) * math.sqrt(dot(tv, tv))
+      c = if (n == 0.0) 0.0 else dot(sv, tv) / n
+      m = math.floor(c * 1000000.0).toLong
+      if m > 0
+    } yield (si, ti, m)
+    def topk[A](rows: Seq[(Long, Long, Long)], key: ((Long, Long, Long)) => Long,
+                other: ((Long, Long, Long)) => Long): Map[Long, Seq[(Long, Long, Long)]] =
+      rows.groupBy(key).map { case (g, rs) =>
+        g -> rs.sortBy(r => (-r._3, other(r))).take(k) }
+    val tS = topk(pos, _._1, _._2)
+    val tT = topk(pos, _._2, _._1)
+    val sumS = tS.map { case (g, rs) => g -> (rs.map(_._3).sum, rs.length.toLong) }
+    val sumT = tT.map { case (g, rs) => g -> (rs.map(_._3).sum, rs.length.toLong) }
+    val cand = (tS.values.flatten ++ tT.values.flatten).toSet
+    val gated = cand.flatMap { case (si, ti, m) =>
+      val (ss, ns) = sumS(si); val (st, nt) = sumT(ti)
+      val den = ss * nt + st * ns
+      if (den <= 0) None else {
+        val mm = (m * 2000000L * ns * nt) / den
+        if (mm >= floor) Some((si, ti, mm)) else None
+      }
+    }.toSeq
+    val bestS = gated.groupBy(_._1).map { case (_, rs) =>
+      rs.minBy(r => (-r._3, r._2)) }.toSet
+    val bestT = gated.groupBy(_._2).map { case (_, rs) =>
+      rs.minBy(r => (-r._3, r._1)) }.toSet
+    bestS.intersect(bestT)
+  }
+
+  // deterministic varied fixture: two "languages" of 8 sentences each
+  private def fix(idBase: Long, seed: Int): Seq[(Long, Array[Float])] =
+    (0 until 8).map { i =>
+      (idBase + i, Array.tabulate(4) { d =>
+        (((i * 7 + d * 13 + seed * 29) % 17) - 5).toFloat
+      })
+    }
+
+  test("operator == independent replay on a varied fixture, " +
+      "at k=2 and k=4, tight and loose floors") {
+    val s = fix(100L, 1); val t = fix(200L, 2)
+    for (k <- Seq(2, 4); floor <- Seq(900000L, 1050000L)) {
+      val got = mine(s, t, k, floor)
+      val want = replay(s, t, k, floor)
+      assert(got == want, s"k=$k floor=$floor")
+      assert(want.nonEmpty || floor > 1000000L)
+    }
+  }
+
+  test("planted semantics: an exact translation pair mines with " +
+      "margin > 1.0; mutual-best keeps each side at most once") {
+    // s0 == t0 exactly; the rest are mutually mediocre
+    val s = (0L, Array(4f, 1f, 0f, 2f)) +: fix(10L, 3)
+    val t = (1000L, Array(4f, 1f, 0f, 2f)) +: fix(2000L, 4)
+    val got = mine(s, t, 3, 1000000L)
+    val exact = got.find { case (si, ti, _) => si == 0L && ti == 1000L }
+    assert(exact.nonEmpty, s"exact pair not mined: $got")
+    assert(exact.get._3 > 1000000L)
+    assert(got.map(_._1).size == got.size &&
+      got.map(_._2).size == got.size) // sets: each src/tgt once
+    assert(got == replay(s, t, 3, 1000000L))
+  }
+
+  test("edges: orthogonal sides mine nothing (non-positive cosines " +
+      "drop), an impossible floor mines nothing, k=1 works") {
+    val s = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+    val t = Seq((3L, Array(0f, 0f)))
+    assert(mine(s, t, 2, 0L).isEmpty) // zero-norm → cos 0 → dropped
+    val s2 = Seq((1L, Array(1f, 0f)))
+    val t2 = Seq((2L, Array(-1f, 0f)))
+    assert(mine(s2, t2, 1, 0L).isEmpty) // negative cosine dropped
+    val s3 = Seq((1L, Array(1f, 1f)))
+    val t3 = Seq((2L, Array(1f, 1f)), (3L, Array(1f, 0f)))
+    val m3 = mine(s3, t3, 1, 0L)
+    // k=1: s1's only candidate is t2 (cos 1); t3 enters via its own
+    // top-1 but loses mutual-best to the exact pair
+    assert(m3.map(t => (t._1, t._2)) == Set((1L, 2L)))
+    assert(mine(s3, t3, 2, Long.MaxValue).isEmpty)
+  }
+}
