@@ -38,6 +38,27 @@ private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
         .orderBy("src_id")
     }),
 
+    // ---- the IVF production path for q201's miner: shared coarse
+    //      quantizer (every 11th embedding), nprobe=3 candidate
+    //      generation through the two centroid-keyed joins, the SAME
+    //      mining tail — proves the pluggable-scorer contract the
+    //      100 TB story rests on. ----
+
+    "q202_bitext_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val cand = graft.ops.Bitext.ivfCandidates(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id",
+        "embedding",
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id",
+        "embedding",
+        cents, "centroid_id", "embedding", nprobe = 3)
+      graft.ops.Bitext.minedPairsFromScores(cand, k = 4,
+          marginFloorMicro = 1000000L)
+        .orderBy("src_id")
+    }),
+
     "q16_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(
@@ -323,67 +344,119 @@ private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
 
   )
 
+  /** The q201/q202 shared margin-mining tail replay — expects `s`
+    * `(src_id, v)`, `t` `(tgt_id, v)`, and a `cand0` CTE of raw
+    * scored candidates `(src_id, tgt_id, cos_micro)`: positive gate,
+    * (cosµ desc, id asc) top-k per side, neighborhood sums CAST
+    * BIGINT (the q176 HUGEINT lesson), the integer margin division
+    * (all terms positive so `//` == `div`), the floor, mutual-best
+    * intersection.
+    */
+  private def bitextTailSql(k: Int, floorMicro: Long): String =
+    s"""pos AS (SELECT * FROM cand0 WHERE cos_micro > 0),
+       |tops AS (SELECT *, row_number() OVER (PARTITION BY src_id
+       |    ORDER BY cos_micro DESC, tgt_id ASC) AS rs FROM pos),
+       |topt AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
+       |    ORDER BY cos_micro DESC, src_id ASC) AS rt FROM pos),
+       |ks AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS sum_s,
+       |    CAST(count(*) AS BIGINT) AS n_s
+       |  FROM tops WHERE rs <= $k GROUP BY src_id),
+       |kt AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS sum_t,
+       |    CAST(count(*) AS BIGINT) AS n_t
+       |  FROM topt WHERE rt <= $k GROUP BY tgt_id),
+       |cand AS (
+       |  SELECT DISTINCT src_id, tgt_id, cos_micro FROM (
+       |    SELECT src_id, tgt_id, cos_micro FROM tops WHERE rs <= $k
+       |    UNION ALL
+       |    SELECT src_id, tgt_id, cos_micro FROM topt WHERE rt <= $k)),
+       |gated AS (
+       |  SELECT src_id, tgt_id,
+       |    (cos_micro * 2000000 * n_s * n_t) //
+       |      (sum_s * n_t + sum_t * n_s) AS margin_micro
+       |  FROM cand JOIN ks USING (src_id) JOIN kt USING (tgt_id)
+       |  WHERE sum_s * n_t + sum_t * n_s > 0
+       |    AND (cos_micro * 2000000 * n_s * n_t) //
+       |      (sum_s * n_t + sum_t * n_s) >= $floorMicro),
+       |best AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY margin_micro DESC, tgt_id ASC) AS bs,
+       |    row_number() OVER (PARTITION BY tgt_id
+       |      ORDER BY margin_micro DESC, src_id ASC) AS bt
+       |  FROM gated)
+       |SELECT src_id, tgt_id,
+       |  CAST(margin_micro AS BIGINT) AS margin_micro
+       |FROM best WHERE bs = 1 AND bt = 1
+       |ORDER BY src_id""".stripMargin
+
+  private val bitextSidesSql =
+    """s AS (SELECT vec_id AS src_id,
+      |    embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE vec_id % 2 = 0),
+      |t AS (SELECT vec_id AS tgt_id,
+      |    embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE vec_id % 2 = 1)""".stripMargin
+
   private[graft] def similarityOracle: Map[String, String] = Map(
 
-      // The full margin-mining contract replayed: floor-quantized
-      // double cosine (the one float step — the q16-proven
-      // list_dot_product parity), positive gate, (cosµ desc, id asc)
-      // top-4 per side, neighborhood sums CAST BIGINT (the q176
-      // HUGEINT lesson), the integer margin division (all terms
-      // positive so // == div), the 1.0 floor, mutual-best
-      // intersection.
+      // The brute margin-mining contract replayed: floor-quantized
+      // double cosine over every pair (the one float step — the
+      // q16-proven list_dot_product parity), then the shared tail.
       "q201_bitext_mine" ->
-        """WITH s AS (SELECT vec_id AS src_id,
-          |    embedding::DOUBLE[] AS v FROM embeddings
-          |  WHERE vec_id % 2 = 0),
-          |t AS (SELECT vec_id AS tgt_id,
-          |    embedding::DOUBLE[] AS v FROM embeddings
-          |  WHERE vec_id % 2 = 1),
-          |pos AS (
-          |  SELECT * FROM (
-          |    SELECT s.src_id, t.tgt_id,
-          |      CAST(floor((CASE WHEN list_dot_product(s.v, s.v) = 0
-          |          OR list_dot_product(t.v, t.v) = 0 THEN 0.0
-          |        ELSE list_dot_product(s.v, t.v) /
-          |          (sqrt(list_dot_product(s.v, s.v)) *
-          |           sqrt(list_dot_product(t.v, t.v))) END)
-          |        * 1000000) AS BIGINT) AS cos_micro
-          |    FROM s, t)
-          |  WHERE cos_micro > 0),
-          |tops AS (SELECT *, row_number() OVER (PARTITION BY src_id
-          |    ORDER BY cos_micro DESC, tgt_id ASC) AS rs FROM pos),
-          |topt AS (SELECT *, row_number() OVER (PARTITION BY tgt_id
-          |    ORDER BY cos_micro DESC, src_id ASC) AS rt FROM pos),
-          |ks AS (SELECT src_id, CAST(sum(cos_micro) AS BIGINT) AS sum_s,
-          |    CAST(count(*) AS BIGINT) AS n_s
-          |  FROM tops WHERE rs <= 4 GROUP BY src_id),
-          |kt AS (SELECT tgt_id, CAST(sum(cos_micro) AS BIGINT) AS sum_t,
-          |    CAST(count(*) AS BIGINT) AS n_t
-          |  FROM topt WHERE rt <= 4 GROUP BY tgt_id),
-          |cand AS (
-          |  SELECT DISTINCT src_id, tgt_id, cos_micro FROM (
-          |    SELECT src_id, tgt_id, cos_micro FROM tops WHERE rs <= 4
-          |    UNION ALL
-          |    SELECT src_id, tgt_id, cos_micro FROM topt WHERE rt <= 4)),
-          |gated AS (
-          |  SELECT src_id, tgt_id,
-          |    (cos_micro * 2000000 * n_s * n_t) //
-          |      (sum_s * n_t + sum_t * n_s) AS margin_micro
-          |  FROM cand JOIN ks USING (src_id) JOIN kt USING (tgt_id)
-          |  WHERE sum_s * n_t + sum_t * n_s > 0
-          |    AND (cos_micro * 2000000 * n_s * n_t) //
-          |      (sum_s * n_t + sum_t * n_s) >= 1000000),
-          |best AS (
-          |  SELECT *,
-          |    row_number() OVER (PARTITION BY src_id
-          |      ORDER BY margin_micro DESC, tgt_id ASC) AS bs,
-          |    row_number() OVER (PARTITION BY tgt_id
-          |      ORDER BY margin_micro DESC, src_id ASC) AS bt
-          |  FROM gated)
-          |SELECT src_id, tgt_id,
-          |  CAST(margin_micro AS BIGINT) AS margin_micro
-          |FROM best WHERE bs = 1 AND bt = 1
-          |ORDER BY src_id""".stripMargin,
+        s"""WITH $bitextSidesSql,
+           |cand0 AS (
+           |  SELECT s.src_id, t.tgt_id,
+           |    CAST(floor((${cosSql("s.v", "t.v")})
+           |      * 1000000) AS BIGINT) AS cos_micro
+           |  FROM s, t),
+           |${bitextTailSql(4, 1000000L)}""".stripMargin,
+
+      // The IVF production path replayed: shared coarse quantizer
+      // (every 11th embedding), float-cosine assignment (rn = 1) and
+      // nprobe=3 probe lists per side, candidate pairs from the two
+      // centroid-keyed joins, dedup BEFORE scoring, then the same
+      // quantize + shared tail as q201.
+      "q202_bitext_ivf" ->
+        s"""WITH $bitextSidesSql,
+           |cents AS (SELECT vec_id AS centroid_id,
+           |    embedding::DOUBLE[] AS cv FROM embeddings
+           |  WHERE vec_id % 11 = 0),
+           |sprob AS (SELECT src_id, centroid_id FROM (
+           |  SELECT s.src_id, c.centroid_id,
+           |    row_number() OVER (PARTITION BY s.src_id
+           |      ORDER BY ${cosSql("s.v", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |  FROM s CROSS JOIN cents c) WHERE rn <= 3),
+           |sassign AS (SELECT src_id, centroid_id FROM (
+           |  SELECT s.src_id, c.centroid_id,
+           |    row_number() OVER (PARTITION BY s.src_id
+           |      ORDER BY ${cosSql("s.v", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |  FROM s CROSS JOIN cents c) WHERE rn = 1),
+           |tprob AS (SELECT tgt_id, centroid_id FROM (
+           |  SELECT t.tgt_id, c.centroid_id,
+           |    row_number() OVER (PARTITION BY t.tgt_id
+           |      ORDER BY ${cosSql("t.v", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |  FROM t CROSS JOIN cents c) WHERE rn <= 3),
+           |tassign AS (SELECT tgt_id, centroid_id FROM (
+           |  SELECT t.tgt_id, c.centroid_id,
+           |    row_number() OVER (PARTITION BY t.tgt_id
+           |      ORDER BY ${cosSql("t.v", "c.cv")} DESC,
+           |        c.centroid_id ASC) AS rn
+           |  FROM t CROSS JOIN cents c) WHERE rn = 1),
+           |pairs AS (SELECT DISTINCT src_id, tgt_id FROM (
+           |  SELECT p.src_id, a.tgt_id
+           |  FROM sprob p JOIN tassign a USING (centroid_id)
+           |  UNION ALL
+           |  SELECT a.src_id, p.tgt_id
+           |  FROM tprob p JOIN sassign a USING (centroid_id))),
+           |cand0 AS (
+           |  SELECT p.src_id, p.tgt_id,
+           |    CAST(floor((${cosSql("s.v", "t.v")})
+           |      * 1000000) AS BIGINT) AS cos_micro
+           |  FROM pairs p JOIN s USING (src_id) JOIN t USING (tgt_id)),
+           |${bitextTailSql(4, 1000000L)}""".stripMargin,
 
       // Symmetric int8 quantization replayed: scale = max|v|/127, q_i =
       // floor(|x|/s + 0.5) signed (spelled out, not library round), score

@@ -94,6 +94,58 @@ object Bitext {
       .select("src_id", "tgt_id", "margin_micro")
   }
 
+  /** IVF candidate generator — the SCALE path's scorer: both sides
+    * share one coarse quantizer (a shared multilingual space admits a
+    * shared centroid set — the standard FAISS-bitext setup), each
+    * side's vectors assign to their nearest centroid, and a pair is a
+    * candidate when either side's assigned centroid lands in the
+    * OTHER side's `nprobe` probe list:
+    *
+    *   candidates = (src probes ⋈ tgt assignment) ∪
+    *                (tgt probes ⋈ src assignment)
+    *
+    * so the only pair-producing joins are CENTROID-keyed (the IVF
+    * economics — never all-pairs), the candidate id set dedups before
+    * vectors re-attach, and scoring quantizes once (the
+    * [[minedPairsFromScores]] contract). Assignment/probe ranking is
+    * float cosine with centroid-id tie-break — the house IVF replay
+    * convention. Returns `(src_id, tgt_id, cos_micro)` ready for
+    * [[minedPairsFromScores]].
+    */
+  def ivfCandidates(src: DataFrame, srcIdCol: String, srcVecCol: String,
+                    tgt: DataFrame, tgtIdCol: String, tgtVecCol: String,
+                    centroids: DataFrame, centIdCol: String,
+                    centVecCol: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    Similarity.registered(src)
+    val cents = broadcast(centroids.select(
+      col(centIdCol).as("__cid"), col(centVecCol).as("__cv")))
+    val s = src.select(col(srcIdCol).as("src_id"), col(srcVecCol).as("__sv"))
+    val t = tgt.select(col(tgtIdCol).as("tgt_id"), col(tgtVecCol).as("__tv"))
+    def ranked(df: DataFrame, idCol: String, vecCol: String,
+               limit: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(
+        Similarity.fastCosine(col(vecCol), col("__cv")).desc,
+        col("__cid").asc)
+      df.join(cents, lit(true))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= limit)
+        .select(col(idCol), col("__cid"))
+    }
+    val sProbes = ranked(s, "src_id", "__sv", nprobe)
+    val sAssign = ranked(s, "src_id", "__sv", 1)
+    val tProbes = ranked(t, "tgt_id", "__tv", nprobe)
+    val tAssign = ranked(t, "tgt_id", "__tv", 1)
+    val pairs = sProbes.join(tAssign, "__cid").select("src_id", "tgt_id")
+      .unionByName(tProbes.join(sAssign, "__cid")
+        .select("src_id", "tgt_id"))
+      .distinct()
+    pairs.join(s, "src_id").join(t, "tgt_id")
+      .select(col("src_id"), col("tgt_id"),
+        floor(Similarity.fastCosine(col("__sv"), col("__tv")) *
+          lit(1000000.0)).cast("long").as("cos_micro"))
+  }
+
   /** Brute-force scorer + [[minedPairsFromScores]]: every (src, tgt)
     * cosine via the `graft_vec_dot` kernel with the smaller side
     * broadcast — the exactness baseline and the right call at fixture

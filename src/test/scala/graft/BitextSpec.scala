@@ -99,6 +99,33 @@ class BitextSpec extends SparkSpec {
     assert(got == replay(s, t, 3, 1000000L))
   }
 
+  test("ivfCandidates: centroid-keyed candidate generation feeds the " +
+      "same tail — the planted exact pair survives the approximate " +
+      "path, and candidate scores equal brute scores pairwise") {
+    val s = (0L, Array(4f, 1f, 0f, 2f)) +: fix(10L, 3)
+    val t = (1000L, Array(4f, 1f, 0f, 2f)) +: fix(2000L, 4)
+    val cents = Seq((500L, Array(4f, 1f, 0f, 2f)),
+      (501L, Array(-1f, 2f, 3f, 0f)), (502L, Array(1f, -1f, 1f, -1f)))
+    val cand = Bitext.ivfCandidates(df(s), "vid", "vec",
+      df(t), "vid", "vec", df(cents), "vid", "vec", nprobe = 2)
+    val mined = Bitext.minedPairsFromScores(cand, 3, 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined.contains((0L, 1000L)), s"exact pair lost: $mined")
+    // every candidate's quantized score equals the brute computation
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var x = 0.0; var i = 0
+      while (i < a.length) { x += a(i).toDouble * b(i).toDouble; i += 1 }
+      x
+    }
+    val sv = s.toMap; val tv = t.toMap
+    cand.collect().foreach { r =>
+      val (si, ti, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val n = math.sqrt(dot(sv(si), sv(si))) * math.sqrt(dot(tv(ti), tv(ti)))
+      val c = if (n == 0.0) 0.0 else dot(sv(si), tv(ti)) / n
+      assert(m == math.floor(c * 1000000.0).toLong, s"($si,$ti)")
+    }
+  }
+
   test("edges: orthogonal sides mine nothing (non-positive cosines " +
       "drop), an impossible floor mines nothing, k=1 works") {
     val s = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))

@@ -1,0 +1,126 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r18 markup-front throughput at 1M docs: the wikitext chain
+  * (q198), the reply-chain cleanup (q199), and the table-cell kernel
+  * (q200). Each doc is a realistic shape (md5 word soup, ~2–4 KB),
+  * and each pass asserts EXACT planted invariants per rep — sentinel
+  * survival zero, structure counts exact multiples of the corpus —
+  * so the timing is also a correctness check at scale.
+  *
+  * Run: `sbt "Test/runMain tmpstress.MarkupStress"`
+  */
+object MarkupStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def w(salt: Int) = md5(concat(
+      pmod(col("id") + salt, lit(9973L)).cast("string"), lit("w")))
+    def words(k: Int, n: Int) = concat_ws(" ",
+      (0 until n).map(j => w(k * 37 + j)): _*)
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"MARKER $label%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // ---- wikitext: infobox w/ nested template, 2 refs, 2 headings,
+    //      4 paragraphs with piped/plain/ext links, a table, lists ----
+    val wikitext = concat(Seq(
+      lit("{{Infobox thing|name={{n|"), w(1), lit("}}|id="),
+      col("id").cast("string"), lit("}}\n'''"), words(2, 3),
+      lit("''' is a thing.<ref>SECRETREF "), col("id").cast("string"),
+      lit("</ref><ref name=g/>\n== History ==\n")) ++
+      (0 until 4).map(k => concat(words(k + 10, 20),
+        lit(" [[target|"), w(k + 50), lit("]] and [[plain "), w(k + 60),
+        lit("]] see [https://x.org/p "), w(k + 70), lit("].\n"))) ++ Seq(
+      lit("== Uses ==\n{| class=\"wikitable\"\n| SECRETCELL "), w(3),
+      lit("\n|}\n* item ''"), words(4, 4), lit("''\n# "), words(5, 6),
+      lit("\n&amp; done")): _*)
+    val wiki = spark.range(nDocs)
+      .select(col("id").as("doc_id"), wikitext.as("wt"))
+      .repartition(64).cache()
+    println(s"MARKER wiki corpus=${wiki.count()} chars=" +
+      wiki.agg(sum(length(col("wt")))).head().getLong(0))
+    for (rep <- 1 to 3) time(s"wikitext rep$rep") {
+      val r = graft.ops.Wikitext.extract(wiki, "doc_id", "wt")
+        .agg(sum(when(col("text").contains("SECRET"), 1L).otherwise(0L)),
+          sum("n_templates"), sum("n_refs"), sum("n_headings"),
+          count(lit(1))).head()
+      assert(r.getLong(0) == 0L, s"sentinels survived: ${r.getLong(0)}")
+      assert(r.getLong(1) == 2L * nDocs && r.getLong(2) == 2L * nDocs &&
+        r.getLong(3) == 2L * nDocs && r.getLong(4) == nDocs, r.toString)
+    }
+    wiki.unpersist(blocking = true)
+
+    // ---- mail: attribution + 6 quoted lines, PGP block, signature ----
+    val mail = concat(Seq(
+      lit("Hello "), w(1), lit(",\n"), words(2, 30), lit("\n"),
+      lit("On Mon, Aug 16 2026, "), w(3),
+      lit(" <a@x.org> wrote:\n")) ++
+      (0 until 6).map(k => concat(lit("> SECRETQ "), words(k + 20, 12),
+        lit("\n"))) ++ Seq(
+      words(6, 25), lit(" tail.\n-----BEGIN PGP SIGNATURE-----\n" +
+        "SECRETPGP "), w(7),
+      lit("\n-----END PGP SIGNATURE-----\n"), words(8, 10),
+      lit(" stays.\n-- \nSECRETSIG "), w(9)): _*)
+    val mails = spark.range(nDocs)
+      .select(col("id").as("doc_id"), mail.as("m"))
+      .repartition(64).cache()
+    println(s"MARKER mail corpus=${mails.count()} chars=" +
+      mails.agg(sum(length(col("m")))).head().getLong(0))
+    for (rep <- 1 to 3) time(s"mail rep$rep") {
+      val r = graft.ops.Mail.replyClean(mails, "doc_id", "m")
+        .agg(sum(when(col("text").contains("SECRET"), 1L).otherwise(0L)),
+          sum("n_quoted_lines"), sum("n_attrib_lines"),
+          sum(when(col("has_signature") && col("has_pgp"), 1L)
+            .otherwise(0L))).head()
+      assert(r.getLong(0) == 0L, s"sentinels survived: ${r.getLong(0)}")
+      assert(r.getLong(1) == 6L * nDocs && r.getLong(2) == nDocs &&
+        r.getLong(3) == nDocs, r.toString)
+    }
+    mails.unpersist(blocking = true)
+
+    // ---- tables: 2 tables/page — 1 header row (4 th) + 4 body rows
+    //      × 4 cols (one empty cell per body row) + a 1-cell second
+    //      table → 4 + 16 + 1 = 21 cells, 4 headers, 4 nulls/page ----
+    val row4 = (0 until 4).map(k => concat(
+      lit("<tr><td>"), words(k + 30, 5), lit("</td><td>"), w(k + 40),
+      lit("</td><td><b>"), w(k + 45), lit("</b> x</td><td></td></tr>")))
+    val page = concat(Seq(
+      lit("<html><body><p>"), words(1, 40), lit("</p>"),
+      lit("<table class=\"d\"><caption>c</caption><tr><th>A</th>" +
+        "<th>B</th><th>C</th><th title=\">q\">D</th></tr>")) ++
+      row4 ++ Seq(
+      lit("</table><p>"), words(2, 30),
+      lit("</p><table><tr><td>solo "), w(5),
+      lit("</td></tr></table></body></html>")): _*)
+    val pages = spark.range(nDocs)
+      .select(col("id").as("doc_id"), page.as("html"))
+      .repartition(64).cache()
+    println(s"MARKER table corpus=${pages.count()} chars=" +
+      pages.agg(sum(length(col("html")))).head().getLong(0))
+    for (rep <- 1 to 3) time(s"tables rep$rep") {
+      val r = graft.ops.Html.tableCells(pages, "doc_id", "html")
+        .agg(count(lit(1)),
+          sum(when(col("is_header"), 1L).otherwise(0L)),
+          sum(when(col("text").isNull, 1L).otherwise(0L)),
+          max("table_no"), max("row_no"), max("col_no")).head()
+      assert(r.getLong(0) == 21L * nDocs, s"cells: ${r.getLong(0)}")
+      assert(r.getLong(1) == 4L * nDocs && r.getLong(2) == 4L * nDocs,
+        r.toString)
+      assert(r.getLong(3) == 2L && r.getLong(4) == 5L &&
+        r.getLong(5) == 4L, r.toString)
+    }
+    spark.stop()
+  }
+}
