@@ -1326,6 +1326,31 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id", "table_no", "row_no", "col_no")
     }),
 
+    // ---- TAPEX-style table linearization over the q200 fixture: the
+    //      serialization a table-pretraining corpus tokenizes — HEAD:
+    //      segments for all-th rows, ROW n: otherwise, cells in
+    //      column order with ' | ' (the empty cell renders empty so
+    //      positions stay readable). Oracle states both tables'
+    //      strings from the construction pieces. ----
+
+    "q203_table_linearize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body><p>intro "), col("doc_id"), lit("</p>"),
+        lit("<table class=\"data\"><caption>Cap</caption>"),
+        lit("<tr><th>Name</th><th title=\">q\">Count "),
+        col("doc_id"), lit("</th></tr>"),
+        lit("<tr><td>alpha "), col("lang"), lit("</td><td><b>"),
+        pmod(col("doc_id"), lit(7)), lit("</b> ok</td></tr>"),
+        lit("<tr><td>beta &amp; "), col("source"),
+        lit("</td><td></td></tr>"),
+        lit("</table><p>mid</p><table><tr><td>solo "), col("doc_id"),
+        lit("</td></tr></table></body></html>"))
+      graft.ops.Html.linearizeTables(
+          docs.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy("doc_id", "table_no")
+    }),
+
     // ---- the THIRD robots leg composed (robots.txt is q175, meta
     //      robots q182): X-Robots-Tag HTTP headers captured by the
     //      WARC kernel — first header wins (an 'all' decoy rides
@@ -3148,6 +3173,25 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  CAST(row_no AS BIGINT) AS row_no,
           |  CAST(col_no AS BIGINT) AS col_no, is_header, text
           |FROM cells ORDER BY doc_id, table_no, row_no, col_no""".stripMargin,
+
+      // Both tables' linearized strings stated from the construction:
+      // the header row renders HEAD:, body rows ROW n:, the empty
+      // trailing cell renders empty after its ' | ' separator.
+      "q203_table_linearize" ->
+        """WITH lin AS (
+          |  SELECT doc_id, 1 AS table_no, 3 AS n_rows, 2 AS n_cols,
+          |    'HEAD: Name | Count ' || doc_id ||
+          |    ' ROW 2: alpha ' || lang || ' | ' || (doc_id % 7)
+          |    || ' ok' ||
+          |    ' ROW 3: beta & ' || source || ' | ' AS linearized
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT doc_id, 2, 1, 1, 'ROW 1: solo ' || doc_id
+          |  FROM documents)
+          |SELECT doc_id, CAST(table_no AS BIGINT) AS table_no,
+          |  CAST(n_rows AS BIGINT) AS n_rows,
+          |  CAST(n_cols AS BIGINT) AS n_cols, linearized
+          |FROM lin ORDER BY doc_id, table_no""".stripMargin,
 
       // Verdicts from the construction residues: v0 header kills
       // both, v1 header kills follow only, v2 meta kills index only,

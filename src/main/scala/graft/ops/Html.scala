@@ -255,6 +255,49 @@ object Html {
             "(?is)^<t[dh]\\b[^>]*>|</t[dh]\\s*>$", ""),
           "<[^>]*>", " ")), "\\s+", " ")), lit("")).as("text"))
 
+  /** Table LINEARIZATION over [[tableCells]] — the TAPEX/TaPas-style
+    * serialization a table-pretraining corpus feeds the tokenizer:
+    * one row per table, `(id, table_no, n_rows, n_cols, linearized)`
+    * where `linearized` renders each row in `row_no` order as a
+    * segment — `HEAD:` when EVERY cell in the row is a `<th>`, else
+    * `ROW <row_no>:` — with cells in `col_no` order joined by
+    * ` | ` (null cells render empty, so column positions stay
+    * readable), segments joined by a single space.
+    *
+    * Shape: the cell explode, one (id, table, row) aggregate, one
+    * (id, table) aggregate — both exchanges carry cell TEXT sized
+    * rows; in-row/in-table order is imposed by `array_sort` over
+    * (ordinal, text) structs inside the aggregate, never by a global
+    * sort.
+    */
+  def linearizeTables(df: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame = {
+    val cells = tableCells(df, idCol, htmlCol)
+    val rows = cells
+      .groupBy(col(idCol), col("table_no"), col("row_no"))
+      .agg(
+        concat_ws(" | ", transform(
+          array_sort(collect_list(struct(col("col_no"),
+            coalesce(col("text"), lit("")).as("t")))),
+          x => x.getField("t"))).as("__row"),
+        min(col("is_header")).as("__all_th"),
+        max("col_no").as("__nc"))
+    rows
+      .select(col(idCol), col("table_no"), col("row_no"), col("__nc"),
+        concat(
+          when(col("__all_th"), lit("HEAD:"))
+            .otherwise(concat(lit("ROW "), col("row_no"), lit(":"))),
+          lit(" "), col("__row")).as("__seg"))
+      .groupBy(col(idCol), col("table_no"))
+      .agg(
+        max("row_no").as("n_rows"),
+        max("__nc").as("n_cols"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("row_no"),
+            col("__seg").as("s")))),
+          x => x.getField("s"))).as("linearized"))
+  }
+
   /** XML entity decode for sitemap fields — the sitemaps.org escape
     * set, amp LAST (single-pass equivalence, the [[graft.functions
     * .HtmlLinks]] convention).

@@ -551,4 +551,19 @@ class HtmlSpec extends SparkSpec {
       .collect()
     assert(n.isEmpty) // explode of null array emits no rows
   }
+
+  test("linearizeTables: HEAD only when EVERY cell is th (a mixed " +
+      "th+td row is ROW), null cells render empty between separators, " +
+      "segments ride row order") {
+    import spark.implicits._
+    val html = "<table><tr><th>a</th><td>b</td></tr>" +
+      "<tr><th>h1</th><th>h2</th></tr>" +
+      "<tr><td></td><td>v</td></tr></table>"
+    val r = Html.linearizeTables(
+        Seq((1L, html)).toDF("id", "h"), "id", "h")
+      .collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 3L && r.getLong(3) == 2L)
+    assert(r.getString(4) ==
+      "ROW 1: a | b HEAD: h1 | h2 ROW 3:  | v")
+  }
 }

@@ -2278,4 +2278,46 @@ class StreamingOpsSpec extends SparkSpec {
       (ts("2026-01-01 10:45:00"), ts("2026-01-01 10:45:00"), 1L),
       (ts("2026-01-01 12:00:00"), ts("2026-01-01 12:00:00"), 1L)))
   }
+
+  test("r18 markup fronts stream statelessly with batch parity: " +
+      "wikitext chain, reply-chain cleanup, table-cell kernel") {
+    // all three are pure per-row projections (+ a Generate for the
+    // cell explode) — no state, no watermark; an ingest service can
+    // run them per micro-batch unchanged
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "{{t|x}} '''B''' <ref>R</ref>\n== H ==\n[[a|b]] done",
+        "hello\n> quoted\n-- \nsig",
+        "<table><tr><th>h</th></tr><tr><td>v</td><td></td></tr></table>"),
+      (2L, "plain {{never",
+        "On x, y wrote:\n> q\nkeep",
+        "<p>none</p>"))
+    val input = MemoryStream[(Long, String, String, String)]
+    val base = input.toDF().toDF("id", "wt", "mail", "html")
+    val qW = graft.ops.Wikitext.extract(base, "id", "wt")
+      .writeStream.format("memory").queryName("wt_stream")
+      .outputMode("append").start()
+    val qM = graft.ops.Mail.replyClean(base, "id", "mail")
+      .writeStream.format("memory").queryName("mail_stream")
+      .outputMode("append").start()
+    val qT = graft.ops.Html.tableCells(base, "id", "html")
+      .writeStream.format("memory").queryName("cells_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.head)
+      Seq(qW, qM, qT).foreach(_.processAllAvailable())
+      input.addData(rows(1))
+      Seq(qW, qM, qT).foreach(_.processAllAvailable())
+    } finally Seq(qW, qM, qT).foreach(_.stop())
+    val bdf = rows.toDF("id", "wt", "mail", "html")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(sorted(spark.table("wt_stream")) ==
+      sorted(graft.ops.Wikitext.extract(bdf, "id", "wt")))
+    assert(sorted(spark.table("mail_stream")) ==
+      sorted(graft.ops.Mail.replyClean(bdf, "id", "mail")))
+    assert(sorted(spark.table("cells_stream")) ==
+      sorted(graft.ops.Html.tableCells(bdf, "id", "html")))
+    assert(spark.table("cells_stream").count() == 3) // th, td, empty td
+  }
 }
