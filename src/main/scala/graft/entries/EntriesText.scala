@@ -111,6 +111,34 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
     (all.head._1, all.head._2)
   }
 
+  /** The q198/q204 built wikitext article — one Column expression over
+    * the documents table, shared by both entries so engine and
+    * composed-pipeline fixtures can never drift (the SQL twin is
+    * [[wikiChainCtes]]).
+    */
+  private def wikiArticle: org.apache.spark.sql.Column = {
+    val nl = "\n"
+    concat(
+      lit("<!-- gen "), col("doc_id"), lit(" -->{{Infobox|name={{n|"),
+      col("source"), lit("}}|id="), col("doc_id"), lit("}}" + nl),
+      lit("'''Title "), col("doc_id"),
+      lit("''' is a thing.<ref>SECRETREF "), col("doc_id"),
+      lit("</ref><ref name=g/>" + nl),
+      lit("== History ==" + nl),
+      lit("See [[target|piped "), col("lang"),
+      lit("]] and [[Plain "), col("doc_id"),
+      lit("]] with [https://x.org/"), col("doc_id"),
+      lit(" ext label] and [https://bare.org/"), col("doc_id"),
+      lit("]." + nl),
+      lit("[[File:img"), col("doc_id"),
+      lit(".png|thumb|A [[cap|tion]] caption]]" + nl),
+      lit("{| class=\"wikitable\"" + nl + "| SECRETCELL "),
+      col("doc_id"), lit(nl + "|}" + nl),
+      lit("* item ''em "), col("source"), lit("''" + nl),
+      lit("# second" + nl),
+      lit("&amp; &lt;b&gt; &nbsp;end"))
+  }
+
   private[graft] def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- text analysis (extensions) ----
@@ -1238,28 +1266,32 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
 
     "q198_wikitext_text" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val nl = "\n"
-      val wt = concat(
-        lit("<!-- gen "), col("doc_id"), lit(" -->{{Infobox|name={{n|"),
-        col("source"), lit("}}|id="), col("doc_id"), lit("}}" + nl),
-        lit("'''Title "), col("doc_id"),
-        lit("''' is a thing.<ref>SECRETREF "), col("doc_id"),
-        lit("</ref><ref name=g/>" + nl),
-        lit("== History ==" + nl),
-        lit("See [[target|piped "), col("lang"),
-        lit("]] and [[Plain "), col("doc_id"),
-        lit("]] with [https://x.org/"), col("doc_id"),
-        lit(" ext label] and [https://bare.org/"), col("doc_id"),
-        lit("]." + nl),
-        lit("[[File:img"), col("doc_id"),
-        lit(".png|thumb|A [[cap|tion]] caption]]" + nl),
-        lit("{| class=\"wikitable\"" + nl + "| SECRETCELL "),
-        col("doc_id"), lit(nl + "|}" + nl),
-        lit("* item ''em "), col("source"), lit("''" + nl),
-        lit("# second" + nl),
-        lit("&amp; &lt;b&gt; &nbsp;end"))
       graft.ops.Wikitext.extract(
-          docs.select(col("doc_id"), wt.as("wt")), "doc_id", "wt")
+          docs.select(col("doc_id"), wikiArticle.as("wt")),
+          "doc_id", "wt")
+        .orderBy("doc_id")
+    }),
+
+    // ---- the wiki-corpus PIPELINE composed (the q170 discipline for
+    //      the wikitext family): build → extract → C4 line rules →
+    //      token gate, stage outputs pinned jointly — proves the
+    //      extracted text's line structure flows into the standing
+    //      quality machinery. ----
+
+    "q204_wikitext_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val extracted = graft.ops.Wikitext.extract(
+          docs.select(col("doc_id"), wikiArticle.as("wt")),
+          "doc_id", "wt")
+        .select("doc_id", "text")
+      TextAnalysis.c4LineFilter(extracted, "doc_id", "text",
+          minLineWords = 3, minKeptLines = 2)
+        .select(col("doc_id"), col("text"),
+          col("kept_lines"), col("dropped_lines"),
+          TextAnalysis.tokenCount(col("text")).as("token_count"),
+          col("is_kept").as("c4_kept"))
+        .withColumn("final_kept",
+          col("c4_kept") && col("token_count") >= 8)
         .orderBy("doc_id")
     }),
 
@@ -1998,6 +2030,83 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  CAST(sum(o) AS BIGINT) AS order_sum,
           |  CAST(sum(m) // count(*) AS BIGINT) AS mean_micro
           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The q198 built-article + extraction-chain replay CTEs (built,
+    * chain), shared by the q198 oracle and the composed-pipeline
+    * oracle (q204) so the two can never drift.
+    */
+  private val wikiChainCtes =
+    """built AS (
+          |  SELECT doc_id,
+          |    '<!-- gen ' || doc_id || ' -->{{Infobox|name={{n|'
+          |    || source || '}}|id=' || doc_id || '}}' || chr(10)
+          |    || repeat(chr(39),3) || 'Title ' || doc_id
+          |    || repeat(chr(39),3) || ' is a thing.<ref>SECRETREF '
+          |    || doc_id || '</ref><ref name=g/>' || chr(10)
+          |    || '== History ==' || chr(10)
+          |    || 'See [[target|piped ' || lang || ']] and [[Plain '
+          |    || doc_id || ']] with [https://x.org/' || doc_id
+          |    || ' ext label] and [https://bare.org/' || doc_id
+          |    || '].' || chr(10)
+          |    || '[[File:img' || doc_id
+          |    || '.png|thumb|A [[cap|tion]] caption]]' || chr(10)
+          |    || '{| class="wikitable"' || chr(10) || '| SECRETCELL '
+          |    || doc_id || chr(10) || '|}' || chr(10)
+          |    || '* item ' || repeat(chr(39),2) || 'em ' || source
+          |    || repeat(chr(39),2) || chr(10)
+          |    || '# second' || chr(10)
+          |    || '&amp; &lt;b&gt; &nbsp;end' AS wt
+          |  FROM documents),
+          |chain AS (
+          |  SELECT doc_id, wt,
+          |    trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(wt,
+          |      '(?s)<!--.*?-->', '', 'g'),
+          |      '<ref[^>]*/>', '', 'g'),
+          |      '(?s)<ref[^>]*>.*?</ref>', '', 'g'),
+          |      '\{\{[^{}]*\}\}', '', 'g'),
+          |      '\{\{[^{}]*\}\}', '', 'g'),
+          |      '\{\{[^{}]*\}\}', '', 'g'),
+          |      '(?s)\{\|(?:[^{]|\{[^|])*?\|\}', '', 'g'),
+          |      '(?s)\{\|(?:[^{]|\{[^|])*?\|\}', '', 'g'),
+          |      '\[\[(?:File|Image):[^\[\]]*(?:\[\[[^\[\]]*\]\][^\[\]]*)*\]\]',
+          |        '', 'g'),
+          |      '\[\[[^\[\]|]*\|([^\[\]]*)\]\]', '\1', 'g'),
+          |      '\[\[([^\[\]]*)\]\]', '\1', 'g'),
+          |      '\[https?://[^ \t\]]*[ \t]+([^\]]*)\]', '\1', 'g'),
+          |      '\[https?://[^\]]*\]', '', 'g'),
+          |      repeat(chr(39),5) || '([^' || chr(39) || ']+)'
+          |        || repeat(chr(39),5), '\1', 'g'),
+          |      repeat(chr(39),3) || '([^' || chr(39) || ']+)'
+          |        || repeat(chr(39),3), '\1', 'g'),
+          |      repeat(chr(39),2) || '([^' || chr(39) || ']+)'
+          |        || repeat(chr(39),2), '\1', 'g'),
+          |      '(?m)^={2,6}[ \t]*(.*?)[ \t]*={2,6}[ \t]*$', '\1', 'g'),
+          |      '(?m)^[*#:;]+[ \t]*', '', 'g'),
+          |      '<[^>]+>', '', 'g'),
+          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          |      '&quot;', '"'), '&amp;', '&'),
+          |    '\n{3,}', chr(10) || chr(10), 'g')) AS text
+          |  FROM built)""".stripMargin
 
   private[graft] def textOracle: Map[String, String] = Map(
 
@@ -3007,78 +3116,8 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
       // counts from the PRE-strip text. Apostrophe-bearing patterns
       // ride repeat(chr(39),n) so the SQL stays readable.
       "q198_wikitext_text" ->
-        """WITH built AS (
-          |  SELECT doc_id,
-          |    '<!-- gen ' || doc_id || ' -->{{Infobox|name={{n|'
-          |    || source || '}}|id=' || doc_id || '}}' || chr(10)
-          |    || repeat(chr(39),3) || 'Title ' || doc_id
-          |    || repeat(chr(39),3) || ' is a thing.<ref>SECRETREF '
-          |    || doc_id || '</ref><ref name=g/>' || chr(10)
-          |    || '== History ==' || chr(10)
-          |    || 'See [[target|piped ' || lang || ']] and [[Plain '
-          |    || doc_id || ']] with [https://x.org/' || doc_id
-          |    || ' ext label] and [https://bare.org/' || doc_id
-          |    || '].' || chr(10)
-          |    || '[[File:img' || doc_id
-          |    || '.png|thumb|A [[cap|tion]] caption]]' || chr(10)
-          |    || '{| class="wikitable"' || chr(10) || '| SECRETCELL '
-          |    || doc_id || chr(10) || '|}' || chr(10)
-          |    || '* item ' || repeat(chr(39),2) || 'em ' || source
-          |    || repeat(chr(39),2) || chr(10)
-          |    || '# second' || chr(10)
-          |    || '&amp; &lt;b&gt; &nbsp;end' AS wt
-          |  FROM documents),
-          |chain AS (
-          |  SELECT doc_id, wt,
-          |    trim(regexp_replace(
-          |    replace(replace(replace(replace(replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(
-          |    regexp_replace(wt,
-          |      '(?s)<!--.*?-->', '', 'g'),
-          |      '<ref[^>]*/>', '', 'g'),
-          |      '(?s)<ref[^>]*>.*?</ref>', '', 'g'),
-          |      '\{\{[^{}]*\}\}', '', 'g'),
-          |      '\{\{[^{}]*\}\}', '', 'g'),
-          |      '\{\{[^{}]*\}\}', '', 'g'),
-          |      '(?s)\{\|(?:[^{]|\{[^|])*?\|\}', '', 'g'),
-          |      '(?s)\{\|(?:[^{]|\{[^|])*?\|\}', '', 'g'),
-          |      '\[\[(?:File|Image):[^\[\]]*(?:\[\[[^\[\]]*\]\][^\[\]]*)*\]\]',
-          |        '', 'g'),
-          |      '\[\[[^\[\]|]*\|([^\[\]]*)\]\]', '\1', 'g'),
-          |      '\[\[([^\[\]]*)\]\]', '\1', 'g'),
-          |      '\[https?://[^ \t\]]*[ \t]+([^\]]*)\]', '\1', 'g'),
-          |      '\[https?://[^\]]*\]', '', 'g'),
-          |      repeat(chr(39),5) || '([^' || chr(39) || ']+)'
-          |        || repeat(chr(39),5), '\1', 'g'),
-          |      repeat(chr(39),3) || '([^' || chr(39) || ']+)'
-          |        || repeat(chr(39),3), '\1', 'g'),
-          |      repeat(chr(39),2) || '([^' || chr(39) || ']+)'
-          |        || repeat(chr(39),2), '\1', 'g'),
-          |      '(?m)^={2,6}[ \t]*(.*?)[ \t]*={2,6}[ \t]*$', '\1', 'g'),
-          |      '(?m)^[*#:;]+[ \t]*', '', 'g'),
-          |      '<[^>]+>', '', 'g'),
-          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-          |      '&quot;', '"'), '&amp;', '&'),
-          |    '\n{3,}', chr(10) || chr(10), 'g')) AS text
-          |  FROM built)
-          |SELECT doc_id, text,
+        (s"WITH $wikiChainCtes\n" +
+          """SELECT doc_id, text,
           |  CAST((len(wt) - len(replace(wt, '{{', ''))) // 2
           |    AS BIGINT) AS n_templates,
           |  CAST((len(wt) - len(replace(wt, '[[', ''))) // 2
@@ -3087,7 +3126,36 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |    AS BIGINT) AS n_refs,
           |  CAST(len(regexp_extract_all(wt, '(?m)^={2,6}'))
           |    AS BIGINT) AS n_headings
-          |FROM chain ORDER BY doc_id""".stripMargin,
+          |FROM chain ORDER BY doc_id""".stripMargin),
+
+      // The composed wiki pipeline: the SAME chain CTEs, then the C4
+      // line rules (punct-terminal, >= 3 words, no 'javascript';
+      // doc gate kept-lines >= 2, no lorem/curly) and the token gate
+      // — the q170 joint-stage pinning for the wikitext family.
+      "q204_wikitext_pipeline" ->
+        (s"WITH $wikiChainCtes,\n" +
+          """k AS (
+          |  SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+          |    list_filter(string_split(text, chr(10)), l ->
+          |      regexp_matches(trim(l), '[.!?"]$')
+          |      AND len(list_filter(regexp_split_to_array(trim(l),
+          |        '\s+'), w -> len(w) > 0)) >= 3
+          |      AND NOT contains(lower(trim(l)), 'javascript')) AS kl
+          |  FROM chain),
+          |fin AS (
+          |  SELECT doc_id, array_to_string(kl, chr(10)) AS ftext,
+          |    CAST(len(kl) AS BIGINT) AS kept_lines,
+          |    CAST(len(ls) - len(kl) AS BIGINT) AS dropped_lines,
+          |    (len(kl) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
+          |      AND NOT contains(text, '{')) AS c4_kept
+          |  FROM k)
+          |SELECT doc_id, ftext AS text, kept_lines, dropped_lines,
+          |  CAST(len(list_filter(regexp_split_to_array(ftext, '\s+'),
+          |    x -> len(x) > 0)) AS BIGINT) AS token_count,
+          |  c4_kept,
+          |  (c4_kept AND len(list_filter(regexp_split_to_array(ftext,
+          |    '\s+'), x -> len(x) > 0)) >= 8) AS final_kept
+          |FROM fin ORDER BY doc_id""".stripMargin),
 
       // The reply-chain cleanup replayed step for step (PGP block,
       // Outlook original-message to end, RFC 3676 signature to end,

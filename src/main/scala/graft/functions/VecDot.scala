@@ -473,6 +473,13 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_html_anchors takes (html)")
         HtmlAnchorsOf(exprs.head)
       }),
+    (FunctionIdentifier("graft_wikitext_text"),
+      new ExpressionInfo(classOf[WikitextTextOf].getName,
+        "graft_wikitext_text"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_wikitext_text takes (wt)")
+        WikitextTextOf(exprs.head)
+      }),
     (FunctionIdentifier("graft_html_tables"),
       new ExpressionInfo(classOf[HtmlTablesOf].getName,
         "graft_html_tables"),

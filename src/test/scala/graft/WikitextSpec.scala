@@ -77,4 +77,46 @@ class WikitextSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(rows(0).isNullAt(1) && rows(1).getString(1) == "")
   }
+
+  test("kernel == chain on the generated shape grammar, including " +
+      "unterminated, unbalanced, interleaved, and deep-nest edges") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pieces = Seq(
+      "{{t|x}}", "{{a|{{b}}}}", "{{1|{{2|{{3|{{4|d}}}}}}}}", "{{open",
+      "}} stray", "{|\n|cell\n|}", "{|o\n{|i\n|}\n|}", "{|unterminated",
+      "|} stray", "{{a|}}", "{| x {{a|}} y |}", "{{ a {| b }} c |}",
+      "{{{triple}}}",
+      "<!-- c -->", "<!-- unterminated", "<ref>cite</ref>", "<ref n=g/>",
+      "<ref>unclosed", "</ref> stray", "<references/>",
+      "<ref a=\"x>y\">q</ref>",
+      "[[plain]]", "[[a|b]]", "[[a|b|c]]", "[[a [[b]] c]]", "[[open",
+      "[[File:x.png|cap]]", "[[File:x|A [[c|d]] e]]", "[[Image:y]]",
+      "[[File:z|lone [ bracket]]",
+      "[https://u lbl]", "[http://u]", "[https://u", "[https://u  two w]",
+      "'''''b5'''''", "'''b3'''", "''b2''", "'''a''", "''''a''''",
+      "'''''''x'''''''", "it's a 'q' w",
+      "== H ==", "=== H3 ===", "====", "== open", "=x=", "== a == b ==",
+      "== x ===", "========", "==\t tabbed \t==",
+      "* li", "# nl", ":; ind", "*#mix", "  * not-first-col",
+      "<b>tag</b>", "<unclosed", "a < b", "x <tag attr=1> y", "<>",
+      "&amp; &lt; &gt; &quot; &nbsp; &amp;lt;",
+      "plain words", "\n\n\n\n", "\n\n", " lead and trail ")
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 400).map { i =>
+      val k = 2 + rnd.nextInt(6)
+      (i.toLong, (0 until k)
+        .map(_ => pieces(rnd.nextInt(pieces.length)))
+        .mkString(" ", "\n", " "))
+    } ++ pieces.zipWithIndex.map { case (p, i) => (1000L + i, p) }
+    val df = docs.toDF("id", "wt")
+    val r = df.select(col("id"),
+        graft.ops.Wikitext.text(col("wt")).as("k"),
+        graft.ops.Wikitext.textChain(col("wt")).as("c"))
+      .collect()
+    val bad = r.filter(row => row.getString(1) != row.getString(2))
+    assert(bad.isEmpty, bad.take(3).map(row =>
+      s"id=${row.getLong(0)}\nkernel=[${row.getString(1)}]\n" +
+        s"chain =[${row.getString(2)}]").mkString("\n---\n"))
+  }
 }

@@ -60,6 +60,16 @@ object MarkupStress {
       assert(r.getLong(1) == 2L * nDocs && r.getLong(2) == 2L * nDocs &&
         r.getLong(3) == 2L * nDocs && r.getLong(4) == nDocs, r.toString)
     }
+    // the regexp-chain twin, same reps — the kernel-promotion ratio;
+    // value parity asserted against a kernel sum computed outside the
+    // timed window (chain == kernel at corpus scale)
+    val kernelSum = wiki.agg(sum(length(
+      graft.ops.Wikitext.text(col("wt"))))).head().getLong(0)
+    for (rep <- 1 to 3) time(s"wikichain rep$rep") {
+      val r = wiki.agg(sum(length(
+        graft.ops.Wikitext.textChain(col("wt"))))).head().getLong(0)
+      assert(r == kernelSum, s"chain=$r kernel=$kernelSum")
+    }
     wiki.unpersist(blocking = true)
 
     // ---- mail: attribution + 6 quoted lines, PGP block, signature ----
