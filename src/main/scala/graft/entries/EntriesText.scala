@@ -1332,6 +1332,34 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- the reply-chain front's PURPOSE composed: de-threading
+    //      makes re-posted bodies exact duplicates that the raw
+    //      archive hides (every thread's v2 re-send differs from its
+    //      v0 original ONLY by signature), then exact-dedup
+    //      provenance recovers (dropped=v2 → survivor=v0) pairs while
+    //      each v1 reply survives as its own content. ----
+
+    "q205_reply_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = pmod(col("doc_id"), lit(3))
+      val thread = col("doc_id") - v
+      val nl = "\n"
+      val mail = concat(
+        when(v === 1, concat(
+          lit("On Mon, Bob wrote:" + nl + "> base body of thread "),
+          thread, lit("." + nl + "extra reply "), thread, lit(".")))
+          .otherwise(concat(
+            lit("base body of thread "), thread, lit("."))),
+        lit(nl + "-- " + nl + "sig "),
+        when(v === 2, concat(lit("DIFFERENT "), col("doc_id")))
+          .otherwise(col("doc_id").cast("string")))
+      val cleaned = graft.ops.Mail.replyClean(
+          docs.select(col("doc_id"), mail.as("mail")), "doc_id", "mail")
+        .select("doc_id", "text")
+      Dedup.exactProvenance(cleaned, "text", "doc_id")
+        .orderBy("dropped_id")
+    }),
+
     // ---- HTML table → cell extraction (the structured-data front):
     //      two tables per doc — headers (one carrying a quoted '>'
     //      attribute trap the regexp twin cannot parse), an
@@ -3214,6 +3242,16 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |    AS has_signature,
           |  contains(mail, '-----BEGIN PGP ') AS has_pgp
           |FROM chain ORDER BY doc_id""".stripMargin,
+
+      // The composed outcome stated from the construction (the chain
+      // itself is hash-verified by q199): after de-threading, each
+      // thread's v2 re-send equals its v0 original exactly, and the
+      // v1 reply is distinct — so provenance is exactly (v2 → v0).
+      "q205_reply_dedup" ->
+        """SELECT doc_id AS dropped_id,
+          |  doc_id - 2 AS survivor_id
+          |FROM documents WHERE doc_id % 3 = 2
+          |ORDER BY dropped_id""".stripMargin,
 
       // The expected cell grid stated from the construction pieces
       // (the q191/q193 convention — a DuckDB regexp table parser
