@@ -1360,6 +1360,33 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("dropped_id")
     }),
 
+    // ---- validated PII beyond pattern shapes: Luhn-checked cards
+    //      (four formats across docs; a 16-digit Luhn-INVALID order
+    //      id and a 12-digit run must stay — a regexp cannot make
+    //      that call) + E.164 phones, composed after the email/IP
+    //      legs. Oracle states the redacted text from construction.
+    //      ----
+
+    "q206_pii_extended" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v = pmod(col("doc_id"), lit(4))
+      val card = when(v === 0, "4111111111111111")
+        .when(v === 1, "5500 0055 5555 5559")
+        .when(v === 2, "3782-822463-10005")
+        .otherwise("4222222222222")
+      val txt = concat(
+        lit("Contact user"), col("doc_id"),
+        lit("@example.com or +1 (415) 555-0173 now.\nCard "), card,
+        lit(" ok.\nOrder 4111111111111112 id 123456789012 from 10.0.0."),
+        pmod(col("doc_id"), lit(200)), lit("."))
+      val ext = TextAnalysis.redactPiiExtended(txt)
+      docs.select(col("doc_id"),
+          ext.getField("redacted").as("redacted"),
+          ext.getField("n_cards").cast("long").as("n_cards"),
+          ext.getField("n_phones").cast("long").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
     // ---- HTML table → cell extraction (the structured-data front):
     //      two tables per doc — headers (one carrying a quoted '>'
     //      attribute trap the regexp twin cannot parse), an
@@ -3252,6 +3279,21 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  doc_id - 2 AS survivor_id
           |FROM documents WHERE doc_id % 3 = 2
           |ORDER BY dropped_id""".stripMargin,
+
+      // The redaction stated from construction: every variant's card
+      // Luhn-validates (4111…1111 / 5500 0055… spaced / 3782-…
+      // dashed amex / 4222…2222 13-digit), the 4111…1112 order id
+      // and the 12-digit run stay verbatim, the email/IP legs fire,
+      // the phone redacts through its ( ) - separators.
+      "q206_pii_extended" ->
+        """SELECT doc_id,
+          |  'Contact <EMAIL> or <PHONE> now.' || chr(10)
+          |  || 'Card <CARD> ok.' || chr(10)
+          |  || 'Order 4111111111111112 id 123456789012 from <IP>.'
+          |    AS redacted,
+          |  CAST(1 AS BIGINT) AS n_cards,
+          |  CAST(1 AS BIGINT) AS n_phones
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       // The expected cell grid stated from the construction pieces
       // (the q191/q193 convention — a DuckDB regexp table parser

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Validated payment-card and phone-number redaction — the PII pass a
+  * real corpus scrubber runs beyond emails/IPs (which
+  * [[graft.ops.TextAnalysis.redactPii]] already covers): card-shaped
+  * digit runs are only PII when they Luhn-validate (a 16-digit order
+  * id is not a card; redacting it would vandalize the corpus), and
+  * regexp_replace cannot carry a checksum — so this is a kernel by
+  * necessity, not preference. One linear scan:
+  *
+  *  - `+` followed by a digit opens a PHONE candidate: digits and
+  *    free ` ( ) -` separators, the candidate ending at the LAST
+  *    digit reached within 24 chars of the `+` (the bound stops a
+  *    dash-rule line from being eaten); 7–15 digits total (E.164) →
+  *    `<PHONE>`; otherwise the `+` is emitted alone and the scan
+  *    resumes at the next char (the one-char-advance regex
+  *    convention — the digits then get their own card scan);
+  *  - a digit opens a CARD candidate: digits with single ` ` or `-`
+  *    separators BETWEEN digits (double separators break the run),
+  *    13–19 digits total AND Luhn-valid → `<CARD>`; otherwise the
+  *    whole run is emitted verbatim and the scan resumes after it
+  *    (a failed card run's digits are one token — resuming inside it
+  *    would shave prefixes until a Luhn-valid suffix appeared);
+  *  - everything else copies through.
+  *
+  * Returns `struct(redacted, n_cards, n_phones)` so counting and
+  * redaction can never disagree. Scan-local, zero shuffle, codegen'd;
+  * streams unchanged.
+  */
+object PiiOps {
+  val ExtType: StructType = StructType(Seq(
+    StructField("redacted", StringType, nullable = true),
+    StructField("n_cards", IntegerType, nullable = false),
+    StructField("n_phones", IntegerType, nullable = false)))
+
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** Luhn checksum over the digit string (standard: from the right,
+    * double every second digit, subtract 9 over 9, sum % 10 == 0).
+    */
+  private[functions] def luhn(digits: java.lang.StringBuilder): Boolean = {
+    var sum = 0
+    var second = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      var d = digits.charAt(i) - '0'
+      if (second) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      second = !second
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  def extended(text: UTF8String): InternalRow = {
+    if (text == null) return null
+    val s = text.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var cards = 0
+    var phones = 0
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '+' && i + 1 < n && isDigit(s.charAt(i + 1))) {
+        // phone candidate: digits and free ` ( ) -` separators, ends
+        // at the LAST DIGIT reached, scan bounded at 24 chars past
+        // the `+` (phones are messy; the bound stops a dash-rule line
+        // from being eaten)
+        var j = i + 1
+        var nd = 0
+        var lastDigit = i
+        var ok = true
+        while (ok && j < n && j - i <= 24) {
+          val d = s.charAt(j)
+          if (isDigit(d)) { nd += 1; lastDigit = j; j += 1 }
+          else if (d == ' ' || d == '(' || d == ')' || d == '-') j += 1
+          else ok = false
+        }
+        if (nd >= 7 && nd <= 15) {
+          sb.append("<PHONE>"); phones += 1; i = lastDigit + 1
+        } else { sb.append('+'); i += 1 }
+      } else if (isDigit(c)) {
+        // card candidate: digits with single [ -] separators BETWEEN
+        // digits
+        val digits = new java.lang.StringBuilder(20)
+        var j = i
+        var lastDigit = i
+        var done = false
+        while (!done && j < n) {
+          val d = s.charAt(j)
+          if (isDigit(d)) { digits.append(d); lastDigit = j; j += 1 }
+          else if ((d == ' ' || d == '-') && j + 1 < n &&
+            isDigit(s.charAt(j + 1))) j += 1
+          else done = true
+        }
+        if (digits.length >= 13 && digits.length <= 19 && luhn(digits)) {
+          sb.append("<CARD>"); cards += 1
+        } else sb.append(s, i, lastDigit + 1)
+        i = lastDigit + 1
+      } else { sb.append(c); i += 1 }
+    }
+    InternalRow(UTF8String.fromString(sb.toString), cards, phones)
+  }
+}
+
+/** `graft_pii_extended(text)`: `struct(redacted, n_cards, n_phones)`
+  * via [[PiiOps.extended]] — scan-local, zero shuffle, codegen'd
+  * (static-call body, the [[HtmlMetaOf]] shape). Null text → null.
+  */
+case class PiiExtendedOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PiiOps.ExtType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PiiOps.extended(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"graft.functions.PiiOps.extended($h)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PiiExtendedOf = copy(child = newChild)
+  override def prettyName: String = "graft_pii_extended"
+}

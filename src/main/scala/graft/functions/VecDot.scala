@@ -473,6 +473,13 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_html_anchors takes (html)")
         HtmlAnchorsOf(exprs.head)
       }),
+    (FunctionIdentifier("graft_pii_extended"),
+      new ExpressionInfo(classOf[PiiExtendedOf].getName,
+        "graft_pii_extended"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_pii_extended takes (text)")
+        PiiExtendedOf(exprs.head)
+      }),
     (FunctionIdentifier("graft_wikitext_text"),
       new ExpressionInfo(classOf[WikitextTextOf].getName,
         "graft_wikitext_text"),

@@ -825,6 +825,23 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       Ipv4Pattern, "<IP>")
 
+  /** [[redactPii]] plus the VALIDATED detectors a real scrubber needs
+    * beyond pattern shapes: Luhn-checked payment cards (a 16-digit
+    * order id is NOT a card — redacting it would vandalize the
+    * corpus, and a regexp cannot carry a checksum, so this leg is the
+    * `graft_pii_extended` kernel) and `+`-prefixed E.164 phones
+    * (7–15 digits with single separators). Emails/IPs redact FIRST
+    * (the [[redactPii]] order contract), then the kernel walks the
+    * result. Returns `struct(redacted, n_cards, n_phones)` so counts
+    * and redaction can never disagree; null text → null struct.
+    * Pure projection, scan-speed at any scale; streams unchanged.
+    */
+  def redactPiiExtended(text: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.ensureRegistered)
+    call_function("graft_pii_extended", redactPii(text))
+  }
+
   // ---- chunking -----------------------------------------------------------
 
   /** Split each document into overlapping token-budget chunks — the

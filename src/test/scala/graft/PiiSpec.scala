@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** Validated PII redaction — the Luhn gate, separator rules, E.164
+  * bounds, the one-char-advance rescan, and count/redaction
+  * agreement.
+  */
+class PiiSpec extends SparkSpec {
+
+  private def ext(text: String): (String, Int, Int) = {
+    import spark.implicits._
+    val r = Seq(Tuple1(text)).toDF("t")
+      .select(TextAnalysis.redactPiiExtended(col("t")).as("e"))
+      .select("e.redacted", "e.n_cards", "e.n_phones")
+      .collect().head
+    (r.getString(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Independent Luhn replay for the self-derived fixtures. */
+  private def luhnOk(s: String): Boolean = {
+    val sum = s.reverse.zipWithIndex.map { case (c, i) =>
+      val d = c - '0'
+      if (i % 2 == 1) { val x = d * 2; if (x > 9) x - 9 else x } else d
+    }.sum
+    sum % 10 == 0
+  }
+
+  test("cards: Luhn-valid redacts across plain/spaced/dashed/mixed " +
+      "formats at 13/15/16/19 digits; Luhn-invalid, 12-digit, " +
+      "20-digit, and double-separator runs stay verbatim") {
+    assert(ext("pay 4111111111111111 now") == (("pay <CARD> now", 1, 0)))
+    assert(ext("pay 5500 0055 5555 5559 now") ==
+      (("pay <CARD> now", 1, 0)))
+    assert(ext("pay 3782-822463-10005 now") == (("pay <CARD> now", 1, 0)))
+    assert(ext("pay 4111-1111 1111-1111 now") ==
+      (("pay <CARD> now", 1, 0)))
+    assert(ext("pay 4222222222222 now") == (("pay <CARD> now", 1, 0)))
+    // self-derived 19-digit valid: 18 ones + the check digit
+    val valid19 = (0 to 9).map(d => "111111111111111111" + d)
+      .find(luhnOk).get
+    assert(ext(s"pay $valid19 now") == (("pay <CARD> now", 1, 0)))
+    assert(ext("order 4111111111111112 ok") ==
+      (("order 4111111111111112 ok", 0, 0)))
+    assert(ext("id 123456789012 ok") == (("id 123456789012 ok", 0, 0)))
+    assert(ext("run 41111111111111111111 ok") ==
+      (("run 41111111111111111111 ok", 0, 0)))
+    assert(ext("a 4111  1111 1111 1111 b") ==
+      (("a 4111  1111 1111 1111 b", 0, 0))) // double space breaks
+  }
+
+  test("phones: E.164 bounds, parens/dash separators, the failed-+ " +
+      "one-char rescan finds a valid card behind it") {
+    assert(ext("call +1 (415) 555-0173 now") ==
+      (("call <PHONE> now", 0, 1)))
+    assert(ext("call +14155550173.") == (("call <PHONE>.", 0, 1)))
+    assert(ext("v +123456 x") == (("v +123456 x", 0, 0))) // 6 < 7
+    assert(ext("v +123456789012345 x") == (("v <PHONE> x", 0, 1))) // 15
+    // 16 digits: fails the phone gate; the rescan card-checks them
+    assert(ext("v +4111111111111111 x") == (("v +<CARD> x", 1, 0)))
+    assert(ext("v +1111111111111111 x") ==
+      (("v +1111111111111111 x", 0, 0))) // 16, fails Luhn too
+  }
+
+  test("composition with the email/IP legs; counts agree with " +
+      "redactions; null and empty route clean") {
+    val (t, c, p) = ext("a@b.com and 10.1.2.3 and 4111111111111111 " +
+      "and +4915112345678")
+    assert(t == "<EMAIL> and <IP> and <CARD> and <PHONE>")
+    assert((c, p) == ((1, 1)))
+    import spark.implicits._
+    val rows = Seq((1L, null.asInstanceOf[String]), (2L, ""))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.redactPiiExtended(col("t")).as("e"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1))
+    assert(rows(1).getStruct(1).getString(0) == "" &&
+      rows(1).getStruct(1).getInt(1) == 0)
+  }
+}
