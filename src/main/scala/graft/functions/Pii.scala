@@ -41,6 +41,120 @@ object PiiOps {
     StructField("n_phones", IntegerType, nullable = false)))
 
   private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+  private def isAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isWord(c: Char): Boolean =
+    isAlpha(c) || isDigit(c) || c == '_'
+  private def isLocal(c: Char): Boolean =
+    isAlpha(c) || isDigit(c) || c == '.' || c == '_' || c == '%' ||
+      c == '+' || c == '-'
+  private def isDomain(c: Char): Boolean =
+    isAlpha(c) || isDigit(c) || c == '.' || c == '-'
+
+  /** The email pass — [[graft.ops.TextAnalysis.EmailPattern]]'s exact
+    * leftmost-greedy semantics as a scan: local run, `@`, domain run,
+    * then the backtracking emulation — the RIGHTMOST dot in the
+    * domain run with ≥ 2 letters immediately after wins, the match
+    * ending at the end of that letter run. A local run not followed
+    * by `@` (or with no viable dot) fails for every suffix start too
+    * (same run end, same domain), so the whole run emits verbatim.
+    */
+  private[graft] def emailScan(s: String): String = {
+    if (s.indexOf('@') < 0) return s
+    val n = s.length; val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isLocal(c)) {
+        var l = i
+        while (l < n && isLocal(s.charAt(l))) l += 1
+        if (l < n && s.charAt(l) == '@') {
+          var d = l + 1
+          while (d < n && isDomain(s.charAt(d))) d += 1
+          // rightmost viable dot in [l+2, d): domain part before it
+          // must be non-empty
+          var end = -1
+          var q = d - 1
+          while (end < 0 && q >= l + 2) {
+            if (s.charAt(q) == '.') {
+              var k = q + 1
+              while (k < n && isAlpha(s.charAt(k))) k += 1
+              if (k - q - 1 >= 2) end = k
+            }
+            q -= 1
+          }
+          if (end >= 0) { sb.append("<EMAIL>"); i = end }
+          else { sb.append(s, i, l); i = l } // run + let '@' re-emit
+        } else { sb.append(s, i, l); i = l }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The IPv4 pass — [[graft.ops.TextAnalysis.Ipv4Pattern]]'s exact
+    * shape (`\b` then four 1–3-digit octets `\b`, shape-only — no
+    * 0–255 range check, matching the regexp): greedy octets with the
+    * bounded backtracking search the regex engine does.
+    */
+  private[graft] def ipScan(s: String): String = {
+    if (s.indexOf('.') < 0) return s
+    val n = s.length; val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val boundary = sb.length == 0 || !isWord(sb.charAt(sb.length - 1))
+      if (isDigit(c) && boundary) {
+        val end = matchIp(s, i)
+        if (end >= 0) { sb.append("<IP>"); i = end }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Greedy-with-backtracking four-octet match from `from`; returns
+    * the end index (with a trailing word boundary) or -1.
+    */
+  private def matchIp(s: String, from: Int): Int = {
+    val n = s.length
+    def digits(p: Int): Int = {
+      var k = p
+      while (k < n && k - p < 3 && isDigit(s.charAt(k))) k += 1
+      k - p
+    }
+    val d1 = digits(from)
+    var l1 = d1
+    while (l1 >= 1) {
+      val p1 = from + l1
+      if (p1 < n && s.charAt(p1) == '.') {
+        val d2 = digits(p1 + 1)
+        var l2 = d2
+        while (l2 >= 1) {
+          val p2 = p1 + 1 + l2
+          if (p2 < n && s.charAt(p2) == '.') {
+            val d3 = digits(p2 + 1)
+            var l3 = d3
+            while (l3 >= 1) {
+              val p3 = p2 + 1 + l3
+              if (p3 < n && s.charAt(p3) == '.') {
+                val d4 = digits(p3 + 1)
+                var l4 = d4
+                while (l4 >= 1) {
+                  val p4 = p3 + 1 + l4
+                  if (p4 >= n || !isWord(s.charAt(p4))) return p4
+                  l4 -= 1
+                }
+              }
+              l3 -= 1
+            }
+          }
+          l2 -= 1
+        }
+      }
+      l1 -= 1
+    }
+    -1
+  }
 
   /** Luhn checksum over the digit string (standard: from the right,
     * double every second digit, subtract 9 over 9, sum % 10 == 0).
@@ -61,7 +175,12 @@ object PiiOps {
 
   def extended(text: UTF8String): InternalRow = {
     if (text == null) return null
-    val s = text.toString
+    // the four detectors run as SEQUENTIAL per-doc scans in the
+    // composed-pass order (emails, IPs, then phones/cards) — exactly
+    // the regexp-pass semantics, the wikitext-kernel discipline; the
+    // email/IP regexp forms in TextAnalysis remain the oracle replay,
+    // equivalence property-pinned in PiiSpec
+    val s = ipScan(emailScan(text.toString))
     val n = s.length
     val sb = new java.lang.StringBuilder(n)
     var cards = 0

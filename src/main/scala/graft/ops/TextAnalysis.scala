@@ -830,16 +830,20 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
     * order id is NOT a card — redacting it would vandalize the
     * corpus, and a regexp cannot carry a checksum, so this leg is the
     * `graft_pii_extended` kernel) and `+`-prefixed E.164 phones
-    * (7–15 digits with single separators). Emails/IPs redact FIRST
-    * (the [[redactPii]] order contract), then the kernel walks the
-    * result. Returns `struct(redacted, n_cards, n_phones)` so counts
-    * and redaction can never disagree; null text → null struct.
-    * Pure projection, scan-speed at any scale; streams unchanged.
+    * (7–15 digits with separators). ALL FOUR legs ride the kernel as
+    * sequential per-doc scans in the composed-pass order — emails,
+    * IPs (their exact [[EmailPattern]]/[[Ipv4Pattern]] semantics,
+    * equivalence property-pinned; the regexp forms in [[redactPii]]
+    * remain the oracle replay, measured 26× slower at 1M docs), then
+    * phones/cards. Returns `struct(redacted, n_cards, n_phones)` so
+    * counts and redaction can never disagree; null text → null
+    * struct. Pure projection, scan-speed at any scale; streams
+    * unchanged.
     */
   def redactPiiExtended(text: Column): Column = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.functions.GraftFunctions.ensureRegistered)
-    call_function("graft_pii_extended", redactPii(text))
+    call_function("graft_pii_extended", text)
   }
 
   // ---- chunking -----------------------------------------------------------

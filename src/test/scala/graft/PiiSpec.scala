@@ -78,4 +78,41 @@ class PiiSpec extends SparkSpec {
     assert(rows(1).getStruct(1).getString(0) == "" &&
       rows(1).getStruct(1).getInt(1) == 0)
   }
+
+  test("email/IP kernel scans == the regexp replay passes on a " +
+      "generated shape grammar (greedy domain backtracking, word " +
+      "boundaries, glued runs)") {
+    import spark.implicits._
+    import graft.functions.PiiOps
+    val pieces = Seq(
+      "a@b.com", "first.last+tag@sub.domain.org", "x@y.co.uk,",
+      "a@b.com2", "a@x.yy.z", "a@x.y.zz2", "no-at-here", "x@@y.com",
+      "a@b", "a@b.", "@b.com", "user@", "1.2.3.4@x.com",
+      "4111111111111111a@b.com", "a@10.0.0.1", "a@b.co10.0.0.1",
+      "10.0.0.1", "10.0.0.1a", "a10.0.0.1", "1234.1.1.1", "1.2.3.4.5",
+      "12.34.56.789a", "256.300.999.111", "1.2.3", "10 .0.0.1",
+      "v1.2.3-rc", "semver 1.22.333", "x_10.0.0.1", "10.0.0.1_y",
+      "plain words here", ".com", "a.b.c@d.ee ip 9.9.9.9")
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 300).map { i =>
+      val k = 2 + rnd.nextInt(5)
+      (i.toLong, (0 until k)
+        .map(_ => pieces(rnd.nextInt(pieces.length)))
+        .mkString(" "))
+    } ++ pieces.zipWithIndex.map { case (p, i) => (1000L + i, p) }
+    // kernel scans, run directly (the expression wraps these)
+    val kernel = docs.map { case (id, s) =>
+      (id, PiiOps.ipScan(PiiOps.emailScan(s)))
+    }
+    // regexp replay: the redactPii Column passes
+    val replay = docs.toDF("id", "t")
+      .select(col("id"),
+        graft.ops.TextAnalysis.redactPii(col("t")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val bad = kernel.filter { case (id, k) => k != replay(id) }
+    assert(bad.isEmpty, bad.take(3).map { case (id, k) =>
+      s"id=$id\nkernel=[$k]\nregexp=[${replay(id)}]\n" +
+        s"input =[${docs.find(_._1 == id).get._2}]"
+    }.mkString("\n---\n"))
+  }
 }

@@ -2320,4 +2320,28 @@ class StreamingOpsSpec extends SparkSpec {
       sorted(graft.ops.Html.tableCells(bdf, "id", "html")))
     assert(spark.table("cells_stream").count() == 3) // th, td, empty td
   }
+
+  test("redactPiiExtended streams statelessly with batch parity " +
+      "(the scrub-at-ingest service leg)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "pay 4111111111111111 or call +14155550173 via a@b.com"),
+      (2L, "order 4111111111111112 stays"))
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF().toDF("id", "t")
+      .select(col("id"),
+        graft.ops.TextAnalysis.redactPiiExtended(col("t")).as("e"))
+      .select(col("id"), col("e.redacted"), col("e.n_cards"))
+    val q = out.writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pii_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "pay <CARD> or call <PHONE> via <EMAIL>", 1),
+      (2L, "order 4111111111111112 stays", 0)))
+  }
 }
