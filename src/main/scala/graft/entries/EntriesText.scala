@@ -568,6 +568,28 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- the corpus-quality dashboard over the LM gate: bucket
+    //      documents by mean per-position probability (2000-micro bins
+    //      — ~21 populated bins over the real corpus at sf0.01)
+    //      and aggregate counts + position mass per bucket — the
+    //      histogram a curation team reads before picking the q171
+    //      gate threshold. Pure integer arithmetic on q167's exact
+    //      scores. ----
+
+    "q207_perplexity_histogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.ngramLmScore(docs.select("doc_id", "text"), "doc_id",
+          "text", docs.filter(col("lang") === "en"), "text",
+          order = 3, minCounts = Seq(1L, 2L, 2L))
+        .withColumn("bucket", expr("mean_micro div 2000"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_positions").as("total_positions"),
+          min("mean_micro").as("min_mean"),
+          max("mean_micro").as("max_mean"))
+        .orderBy("bucket")
+    }),
+
     // ---- the ngram model's PERSISTED lifecycle: fit q167's trigram
     //      tables, SAVE the artifact, LOAD it back, score the corpus
     //      through the single-pass kernel — the serving path of the
@@ -4131,6 +4153,17 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
       // same tokenization, same pruning, same per-position
       // highest-surviving-context selection, same integer floors.
       "q167_ngram_lm" -> ngramLmReplaySql,
+
+      // q167's replay wrapped in the decile bucketing — exact integer
+      // floor-division buckets over the same per-doc means.
+      "q207_perplexity_histogram" ->
+        ("WITH base AS (\n" + ngramLmReplaySql + "\n)\n" +
+          """SELECT CAST(mean_micro // 2000 AS BIGINT) AS bucket,
+            |  CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(n_positions) AS BIGINT) AS total_positions,
+            |  CAST(min(mean_micro) AS BIGINT) AS min_mean,
+            |  CAST(max(mean_micro) AS BIGINT) AS max_mean
+            |FROM base GROUP BY 1 ORDER BY bucket""".stripMargin),
 
       // The persisted-artifact serving path must land on the join
       // formulation's exact integers (kernel == join, the spec-pinned
