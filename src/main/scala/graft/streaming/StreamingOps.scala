@@ -902,6 +902,46 @@ object StreamingOps {
           seenDigests, defaultDelayMicros), batchId)
     }
 
+  /** Streaming bitext mining service — a parallel-corpus builder
+    * admitting pairs as new TARGET-side sentences land: each
+    * micro-batch mines against the static source-side embedding set
+    * through the q202 path verbatim ([[graft.ops.Bitext
+    * .ivfCandidates]] — shared coarse quantizer, centroid-keyed
+    * candidate joins, never all-pairs — then the exact
+    * [[graft.ops.Bitext.minedPairsFromScores]] tail), so stream
+    * results equal the batch call on the same rows BY CONSTRUCTION
+    * (parity spec in StreamingOpsSpec). Margins and mutual-best are
+    * per-batch — the approximate-neighborhood convention the batch
+    * operator already documents. `src`/`centroids` are static frames
+    * the caller loads (pin or re-read per the artifact economics);
+    * the tracked scoring cache drains per batch.
+    */
+  def bitextStream(stream: DataFrame, tgtIdCol: String,
+                   tgtVecCol: String,
+                   src: DataFrame, srcIdCol: String, srcVecCol: String,
+                   centroids: DataFrame, centIdCol: String,
+                   centVecCol: String,
+                   nprobe: Int, k: Int, marginFloorMicro: Long)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        // the micro-batch executes on the stream's CLONED session —
+        // register the kernels there, not on the static frames'
+        // original session
+        graft.functions.GraftFunctions.ensureRegistered(mb.sparkSession)
+        Dedup.withReleasedIntermediates {
+          val cand = graft.ops.Bitext.ivfCandidates(
+            src, srcIdCol, srcVecCol,
+            mb.toDF(), tgtIdCol, tgtVecCol,
+            centroids, centIdCol, centVecCol, nprobe)
+          graft.ops.Bitext.minedPairsFromScores(cand, k,
+            marginFloorMicro)
+        }(res => sink(res, batchId))
+    }
+
   /** SFT-assembly admission front: conversation JSON in, validated +
     * rendered training rows out per micro-batch ([[graft.ops.Chat]]
     * verbatim — the batch legs, so parity is by construction).

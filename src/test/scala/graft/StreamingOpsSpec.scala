@@ -2344,4 +2344,52 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, "pay <CARD> or call <PHONE> via <EMAIL>", 1),
       (2L, "order 4111111111111112 stays", 0)))
   }
+
+  test("bitextStream: per-batch mining equals the batch q202 path on " +
+      "the same rows; the planted exact pair admits; caches drain") {
+    implicit val sqlCtx = spark.sqlContext
+    def vecs(idBase: Long, seed: Int): Seq[(Long, Array[Float])] =
+      (0 until 8).map { i =>
+        (idBase + i, Array.tabulate(4) { d =>
+          (((i * 7 + d * 13 + seed * 29) % 17) - 5).toFloat
+        })
+      }
+    val src = ((0L, Array(4f, 1f, 0f, 2f)) +: vecs(10L, 3))
+      .toDF("src_id", "vec")
+    val cents = Seq((500L, Array(4f, 1f, 0f, 2f)),
+      (501L, Array(-1f, 2f, 3f, 0f)), (502L, Array(1f, -1f, 1f, -1f)))
+      .toDF("cid", "cv")
+    val tgtRows = (1000L, Array(4f, 1f, 0f, 2f)) +: vecs(2000L, 4)
+    val input = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    val q = graft.streaming.StreamingOps.bitextStream(
+        input.toDF().toDF("tgt_id", "tvec"), "tgt_id", "tvec",
+        src, "src_id", "vec", cents, "cid", "cv",
+        nprobe = 2, k = 3, marginFloorMicro = 1000000L) { (df, bid) =>
+      got ++= df.collect().map(r =>
+        (bid, r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.start()
+    try {
+      input.addData(tgtRows.take(4): _*)
+      q.processAllAvailable()
+      input.addData(tgtRows.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // parity: each batch equals the batch-path call on its rows
+    for ((bid, rows) <- Seq((0L, tgtRows.take(4)), (1L, tgtRows.drop(4)))) {
+      val batch = graft.ops.Bitext.minedPairsFromScores(
+        graft.ops.Bitext.ivfCandidates(src, "src_id", "vec",
+          rows.toDF("tgt_id", "tvec"), "tgt_id", "tvec",
+          cents, "cid", "cv", nprobe = 2), 3, 1000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got.filter(_._1 == bid)
+        .map(t => (t._2, t._3, t._4)).toSet == batch, s"batch $bid")
+    }
+    assert(got.exists(t => t._2 == 0L && t._3 == 1000L),
+      "the planted exact pair must admit")
+    assert(graft.ops.Dedup.releaseIntermediates() == (()),
+      "drain is idempotent") // per-batch drain already ran
+  }
 }
