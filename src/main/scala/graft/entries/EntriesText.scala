@@ -1382,6 +1382,37 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("dropped_id")
     }),
 
+    // ---- LaTeX → training text (the arXiv-corpus extraction, the
+    //      FOURTH markup family): a built article per doc exercising
+    //      every chain step — a comment, a nested prose command, an
+    //      inline and two display-math forms (each hiding a SECRET
+    //      sentinel in the dropped/marked region), a dropped float, a
+    //      kept href, cite/ref machinery, escaped % and $, an itemize
+    //      body with a line break. Oracle replays the chain step for
+    //      step. ----
+
+    "q208_latex_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tex = concat(
+        lit("% intro SECRETCOMMENT "), col("doc_id"), lit("\n"),
+        lit("\\section{Intro "), col("doc_id"), lit("}\n"),
+        lit("Real \\textbf{bold \\emph{deep "), col("lang"),
+        lit("}} text: inline $x^2_"), col("doc_id"),
+        lit("$ and 100\\% of \\$5.\n"),
+        lit("$$\\int SECRETDISP$$\n"),
+        lit("\\begin{equation}E=mc^2 SECRETEQ\\end{equation}\n"),
+        lit("\\begin{figure}\nSECRETFIG "), col("doc_id"),
+        lit("\n\\end{figure}\n"),
+        lit("See \\href{http://x/"), col("doc_id"),
+        lit("}{link text} \\cite{SECRETCITE} and \\ref{fig} " +
+          "done~now.\n"),
+        lit("\\begin{itemize}\n\\item first "), col("source"),
+        lit(" \\\\ second half\n\\end{itemize}"))
+      graft.ops.Latex.extract(
+          docs.select(col("doc_id"), tex.as("tex")), "doc_id", "tex")
+        .orderBy("doc_id")
+    }),
+
     // ---- validated PII beyond pattern shapes: Luhn-checked cards
     //      (four formats across docs; a 16-digit Luhn-INVALID order
     //      id and a 12-digit run must stay — a regexp cannot make
@@ -3301,6 +3332,104 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  doc_id - 2 AS survivor_id
           |FROM documents WHERE doc_id % 3 = 2
           |ORDER BY dropped_id""".stripMargin,
+
+      // The LaTeX extraction chain replayed step for step (protect
+      // escaped %/$ as chr(1)/chr(2), comments, floats, display →
+      // <MATH> across all three forms, inline math, href-keeps-text,
+      // drop-arg machinery, keep-arg unwrap ×2, unescape, \\ → NL,
+      // env markers, bare commands, braces, tilde, space/newline
+      // collapse, restore, trim); structure counts from the raw TeX.
+      "q208_latex_text" ->
+        """WITH built AS (
+          |  SELECT doc_id,
+          |    '% intro SECRETCOMMENT ' || doc_id || chr(10)
+          |    || '\section{Intro ' || doc_id || '}' || chr(10)
+          |    || 'Real \textbf{bold \emph{deep ' || lang
+          |    || '}} text: inline $x^2_' || doc_id
+          |    || '$ and 100\% of \$5.' || chr(10)
+          |    || '$$\int SECRETDISP$$' || chr(10)
+          |    || '\begin{equation}E=mc^2 SECRETEQ\end{equation}'
+          |    || chr(10)
+          |    || '\begin{figure}' || chr(10) || 'SECRETFIG ' || doc_id
+          |    || chr(10) || '\end{figure}' || chr(10)
+          |    || 'See \href{http://x/' || doc_id
+          |    || '}{link text} \cite{SECRETCITE} and \ref{fig} '
+          |    || 'done~now.' || chr(10)
+          |    || '\begin{itemize}' || chr(10) || '\item first '
+          |    || source || ' \\ second half' || chr(10)
+          |    || '\end{itemize}' AS tex
+          |  FROM documents),
+          |chain AS (
+          |  SELECT doc_id, tex,
+          |    trim(
+          |    replace(replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |    regexp_replace(
+          |      replace(replace(tex, '\%', chr(1)), '\$', chr(2)),
+          |      '(?m)%[^\n]*', '', 'g'),
+          |      '(?s)\\begin\{figure\*?\}.*?\\end\{figure\*?\}',
+          |        '', 'g'),
+          |      '(?s)\\begin\{table\*?\}.*?\\end\{table\*?\}',
+          |        '', 'g'),
+          |      '(?s)\\begin\{tikzpicture\*?\}.*?\\end\{tikzpicture\*?\}',
+          |        '', 'g'),
+          |      '(?s)\$\$.*?\$\$', '<MATH>', 'g'),
+          |      '(?s)\\\[.*?\\\]', '<MATH>', 'g'),
+          |      '(?s)\\begin\{equation\*?\}.*?\\end\{equation\*?\}',
+          |        '<MATH>', 'g'),
+          |      '(?s)\\begin\{align\*?\}.*?\\end\{align\*?\}',
+          |        '<MATH>', 'g'),
+          |      '(?s)\\begin\{gather\*?\}.*?\\end\{gather\*?\}',
+          |        '<MATH>', 'g'),
+          |      '\$[^$]*\$', '<MATH>', 'g'),
+          |      '\\href\{[^{}]*\}\{([^{}]*)\}', '\1', 'g'),
+          |      '\\(?:cite[pt]?|ref|eqref|label|includegraphics|footnote|url)(?:\[[^\]]*\])?\{[^{}]*\}',
+          |        '', 'g'),
+          |      '\\(?:section|subsection|subsubsection|paragraph|title|author|textbf|textit|emph|texttt|underline|mbox|text)\*?\{([^{}]*)\}',
+          |        '\1', 'g'),
+          |      '\\(?:section|subsection|subsubsection|paragraph|title|author|textbf|textit|emph|texttt|underline|mbox|text)\*?\{([^{}]*)\}',
+          |        '\1', 'g'),
+          |      '\\([&_#$])', '\1', 'g'),
+          |      '\\\\', chr(10), 'g'),
+          |      '\\(?:begin|end)\{[a-zA-Z*]+\}', '', 'g'),
+          |      '\\[a-zA-Z]+\*?', '', 'g'),
+          |      '[{}]', '', 'g'),
+          |      '~', ' '),
+          |      '[ \t]{2,}', ' ', 'g'),
+          |      '\n{3,}', chr(10) || chr(10), 'g'),
+          |      chr(1), '%'), chr(2), '$'),
+          |    ' ' || chr(9) || chr(10)) AS text
+          |  FROM built)
+          |SELECT doc_id, text,
+          |  CAST((len(tex) - len(replace(tex, '\begin{', ''))) // 7
+          |    AS BIGINT) AS n_envs,
+          |  CAST(len(tex) - len(replace(tex, '$', ''))
+          |    AS BIGINT) AS n_math,
+          |  CAST((len(tex) - len(replace(tex, '\cite', ''))) // 5
+          |    AS BIGINT) AS n_cites,
+          |  CAST((len(tex) - len(replace(tex, '\section', ''))) // 8
+          |    AS BIGINT) AS n_sections
+          |FROM chain ORDER BY doc_id""".stripMargin,
 
       // The redaction stated from construction: every variant's card
       // Luhn-validates (4111…1111 / 5500 0055… spaced / 3782-…

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LaTeX → training text — the FOURTH markup family next to
+  * [[Html]] (crawl), [[Markdown]] (GitHub), and [[Wikitext]]
+  * (Wikipedia): arXiv-class corpora ship as LaTeX source, and the
+  * standard corpus recipe (the Pile/RedPajama arXiv slice) strips
+  * commands to prose while marking math. Same discipline as the
+  * siblings — a FIXED, ordered, RE2-replayable regexp chain (no
+  * pattern backreferences: starred-env alternatives are spelled out),
+  * the chain order IS the spec:
+  *
+  *  1. escaped `\%`/`\$` protect as `chr(1)`/`chr(2)` (so the
+  *     comment and math rules can't eat "100\% sure" or "\$5
+  *     price"), restored at step 12;
+  *  2. comments: `%` to end of line drops (the newline stays);
+  *  3. float environments drop whole: figure/table/tikzpicture,
+  *     starred or not (non-greedy to the matching literal `\end`,
+  *     unterminated survives — the [[Wikitext]] conservative rule);
+  *  4. display math becomes `<MATH>`: `$$…$$`, `\[…\]`, and the
+  *     equation/align/gather environments (starred or not) — math is
+  *     MARKED, not dropped: the placeholder keeps sentence structure
+  *     and token accounting honest;
+  *  5. inline `$…$` becomes `<MATH>`;
+  *  6. `\href{url}{text}` keeps the text (before the generic
+  *     drop-arg rule, which would eat its first argument only);
+  *  7. reference/citation machinery drops with its argument (incl.
+  *     an optional `[..]`): cite/citep/citet, ref/eqref, label,
+  *     includegraphics, footnote, url;
+  *  8. prose commands UNWRAP their argument (two passes — bounded
+  *     nesting depth 2, the template discipline): section family,
+  *     title/author, textbf/textit/emph/texttt/underline, mbox/text;
+  *  9. escaped specials unescape (`\&` `\_` `\#` `\$`), `\\` becomes
+  *     a newline, then `\begin{…}`/`\end{…}` markers of the KEPT
+  *     environments drop (so itemize/center bodies stay without
+  *     their names leaking as text), then any remaining bare
+  *     `\command` drops;
+  * 10. leftover braces strip, `~` becomes a space;
+  * 11. runs of 2+ spaces/tabs collapse to one (command removal
+  *     leaves double spaces), 3+ newlines collapse to a blank line;
+  * 12. `chr(1)`/`chr(2)` restore to `%`/`$`, ends trim.
+  *
+  * [[extract]] adds pre-strip structure counts (environments, math
+  * delimiters, citations, sections) — the routing signals (a
+  * 90%-equation derivation sheet routes differently from prose).
+  *
+  * Scale shape: pure Column regexp chain over the document scan —
+  * zero UDFs, zero joins, zero shuffle; streams unchanged.
+  */
+object Latex {
+
+  private val DropEnvs = Seq("figure", "table", "tikzpicture")
+  private val MathEnvs = Seq("equation", "align", "gather")
+  private val DropArgCmds =
+    "cite[pt]?|ref|eqref|label|includegraphics|footnote|url"
+  private val KeepArgCmds =
+    "section|subsection|subsubsection|paragraph|title|author|" +
+      "textbf|textit|emph|texttt|underline|mbox|text"
+
+  /** The extraction chain (see object doc for the order contract). */
+  def text(tex: Column): Column = {
+    // escaped % and $ protect as control chars so the comment and
+    // math rules can't eat "100\% sure" or "\$5 price"; restored at
+    // the end
+    val protectPct = replace(
+      replace(tex, lit("\\%"), lit("\u0001")),
+      lit("\\$"), lit("\u0002"))
+    val noComment = regexp_replace(protectPct, "(?m)%[^\n]*", "")
+    val noFloats = DropEnvs.foldLeft(noComment) { (c, e) =>
+      regexp_replace(c,
+        s"(?s)\\\\begin\\{$e\\*?\\}.*?\\\\end\\{$e\\*?\\}", "")
+    }
+    val noDisp0 = regexp_replace(noFloats, "(?s)\\$\\$.*?\\$\\$", "<MATH>")
+    val noDisp1 = regexp_replace(noDisp0, "(?s)\\\\\\[.*?\\\\\\]", "<MATH>")
+    val noDisp = MathEnvs.foldLeft(noDisp1) { (c, e) =>
+      regexp_replace(c,
+        s"(?s)\\\\begin\\{$e\\*?\\}.*?\\\\end\\{$e\\*?\\}", "<MATH>")
+    }
+    val noInline = regexp_replace(noDisp, "\\$[^$]*\\$", "<MATH>")
+    val noHref = regexp_replace(noInline,
+      "\\\\href\\{[^{}]*\\}\\{([^{}]*)\\}", "$1")
+    val noDropArg = regexp_replace(noHref,
+      s"\\\\(?:$DropArgCmds)(?:\\[[^\\]]*\\])?\\{[^{}]*\\}", "")
+    val keepPat = s"\\\\(?:$KeepArgCmds)\\*?\\{([^{}]*)\\}"
+    val unwrapped = regexp_replace(
+      regexp_replace(noDropArg, keepPat, "$1"), keepPat, "$1")
+    val unescaped = regexp_replace(unwrapped, "\\\\([&_#$])", "$1")
+    val lineBreaks = regexp_replace(unescaped, "\\\\\\\\", "\n")
+    val noEnvMarkers = regexp_replace(lineBreaks,
+      "\\\\(?:begin|end)\\{[a-zA-Z*]+\\}", "")
+    val noBare = regexp_replace(noEnvMarkers, "\\\\[a-zA-Z]+\\*?", "")
+    val noBraces = regexp_replace(noBare, "[{}]", "")
+    val noTilde = replace(noBraces, lit("~"), lit(" "))
+    val oneSpace = regexp_replace(noTilde, "[ \t]{2,}", " ")
+    val collapsed = regexp_replace(oneSpace, "\n{3,}", "\n\n")
+    trim(replace(
+      replace(collapsed, lit("\u0001"), lit("%")),
+      lit("\u0002"), lit("$")), " \t\n")
+  }
+
+  /** `(id, text, n_envs, n_math, n_cites, n_sections)` — the
+    * extracted text plus pre-strip structure counts (exact substring
+    * arithmetic over the RAW source, replayable as replace-length
+    * deltas; `n_math` counts `$` characters — inline pairs count 2,
+    * display 4, the raw accounting a router thresholds on).
+    */
+  def extract(df: DataFrame, idCol: String, texCol: String): DataFrame = {
+    val tex = col(texCol)
+    def marks(m: String): Column =
+      ((length(tex) - length(replace(tex, lit(m), lit("")))) /
+        lit(m.length)).cast("long")
+    df.select(col(idCol), text(tex).as("text"),
+      marks("\\begin{").as("n_envs"),
+      marks("$").as("n_math"),
+      marks("\\cite").as("n_cites"),
+      marks("\\section").as("n_sections"))
+  }
+}

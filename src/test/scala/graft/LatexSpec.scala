@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Latex
+
+/** LaTeX extraction chain semantics — protect/restore order, math
+  * placeholders, command families, environment rules.
+  */
+class LatexSpec extends SparkSpec {
+
+  private def ext(tex: String): (String, Long, Long, Long, Long) = {
+    val df = spark.createDataFrame(Seq((1L, tex))).toDF("id", "tex")
+    val r = Latex.extract(df, "id", "tex").collect().head
+    (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5))
+  }
+
+  test("chain: comments drop, floats drop whole, display and inline " +
+      "math become <MATH>, href keeps text, cite/ref drop, prose " +
+      "commands unwrap (nested), escapes restore, env markers and " +
+      "bare commands vanish") {
+    val tex = "% SECRETCOMMENT\n" +
+      "\\section{Intro 7}\n" +
+      "Real \\textbf{bold \\emph{deep en}} text: $x^2$ and " +
+      "100\\% of \\$5.\n" +
+      "$$\\int SECRETDISP$$\n" +
+      "\\begin{equation}SECRETEQ\\end{equation}\n" +
+      "\\begin{figure}\nSECRETFIG\n\\end{figure}\n" +
+      "See \\href{http://x}{link text} \\cite{SECRETCITE} and " +
+      "\\ref{fig} done~now.\n" +
+      "\\begin{itemize}\n\\item itemized \\\\ broken\n\\end{itemize}"
+    val (t, envs, math, cites, secs) = ext(tex)
+    assert(!t.contains("SECRET"), t)
+    assert(t.startsWith("Intro 7\nReal bold deep en text: <MATH> and " +
+      "100% of $5."), t)
+    assert(t.contains("<MATH>\n<MATH>"), t)
+    assert(t.contains("See link text and done now."), t)
+    assert(t.contains("itemized \nbroken") ||
+      t.contains("itemized \n broken"), t)
+    assert((envs, math, cites, secs) == ((3L, 7L, 1L, 1L)))
+  }
+
+  test("boundaries: unterminated figure survives, escaped dollar is " +
+      "not math, unknown commands drop bare, starred sections " +
+      "unwrap, tildes and multi-space collapse") {
+    val (t1, _, _, _, _) = ext("a\n\\begin{figure}\nno end marker")
+    assert(t1.contains("no end marker"))
+    val (t2, _, m2, _, _) = ext("price \\$10 and \\$20 only")
+    assert(t2 == "price $10 and $20 only" && m2 == 2L)
+    val (t3, _, _, _, _) = ext("\\maketitle\\noindent hi \\unknowncmd x")
+    assert(t3 == "hi x")
+    val (t4, _, _, _, s4) = ext("\\section*{Starred}")
+    assert(t4 == "Starred" && s4 == 1L)
+    val (t5, _, _, _, _) = ext("a~b   c")
+    assert(t5 == "a b c")
+  }
+
+  test("null and empty route clean") {
+    val df = spark.createDataFrame(
+      Seq((1L, null.asInstanceOf[String]), (2L, ""))).toDF("id", "tex")
+    val rows = Latex.extract(df, "id", "tex").orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(1).getString(1) == "")
+  }
+}
