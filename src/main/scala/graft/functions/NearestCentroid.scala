@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Static kernel for [[NearestCentroid]], callable from generated code. */
@@ -76,6 +76,101 @@ object VecOps {
       c += 1
     }
     bestId
+  }
+
+  /** Top-`k` centroid ids by cosine, ordered (score desc, id asc) —
+    * the probe-list generalization of [[nearestCentroid]] (element 0
+    * IS that kernel's assignment). Value semantics are the window
+    * formulation's exactly (`row_number over (order by cosine desc,
+    * id asc)` with descending NULLS LAST): same left-to-right double
+    * accumulation, zero-norm pairs score 0.0, dim-mismatched
+    * centroids rank after every scored one in id order, a row with a
+    * null ELEMENT degenerates to the first `min(k, C)` ids ascending
+    * (all scores null → the id tie-break decides alone). One
+    * deliberate corner divergence (the [[nearestCentroid]] null-vector
+    * precedent): for a ZERO-NORM row the window form's zero-norm guard
+    * fired before the null dot, scoring even dim-MISMATCHED centroids
+    * 0.0 and letting them tie into the probe list by id; here a
+    * mismatched centroid NEVER ranks above a scored one — a centroid
+    * of the wrong dimensionality is not a meaningful probe for any
+    * row, zero-norm included. Output
+    * length is always `min(k, C)`. Selection is an insertion pass
+    * over the id-ascending centroid walk with strict `>` comparisons,
+    * so equal scores keep the lower id first — no sort, O(C·k) worst
+    * case with k small (nprobe-sized).
+    */
+  def nearestCentroids(arr: ArrayData, elemKind: Int, k: Int,
+                       ids: Array[Long], vecs: Array[Array[Double]],
+                       norms: Array[Double]): ArrayData = {
+    val m = math.min(k, ids.length)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        val out = new Array[Long](m)
+        var j = 0
+        while (j < m) { out(j) = ids(j); j += 1 }
+        return new GenericArrayData(out)
+      }
+      i += 1
+    }
+    val xs = new Array[Double](n)
+    elemKind match {
+      case 0 =>
+        val a = arr.toFloatArray(); i = 0
+        while (i < n) { xs(i) = a(i).toDouble; i += 1 }
+      case 1 =>
+        val a = arr.toDoubleArray(); i = 0
+        while (i < n) { xs(i) = a(i); i += 1 }
+      case 2 =>
+        val a = arr.toIntArray(); i = 0
+        while (i < n) { xs(i) = a(i).toDouble; i += 1 }
+      case _ =>
+        val a = arr.toLongArray(); i = 0
+        while (i < n) { xs(i) = a(i).toDouble; i += 1 }
+    }
+    var daa = 0.0
+    i = 0
+    while (i < n) { daa += xs(i) * xs(i); i += 1 }
+    val na = math.sqrt(daa)
+    val selIdx = new Array[Int](m)
+    val selScore = new Array[Double](m)
+    var cnt = 0
+    var c = 0
+    while (c < vecs.length) {
+      val cv = vecs(c)
+      if (cv.length == n) {
+        var d = 0.0
+        i = 0
+        while (i < n) { d += xs(i) * cv(i); i += 1 }
+        val nn = na * norms(c)
+        val s = if (nn == 0.0) 0.0 else d / nn
+        if (cnt < m || s > selScore(cnt - 1)) {
+          var p = if (cnt < m) cnt else m - 1
+          while (p > 0 && selScore(p - 1) < s) {
+            selScore(p) = selScore(p - 1); selIdx(p) = selIdx(p - 1)
+            p -= 1
+          }
+          selScore(p) = s; selIdx(p) = c
+          if (cnt < m) cnt += 1
+        }
+      }
+      c += 1
+    }
+    // dim-mismatched centroids score null under the window form —
+    // descending NULLS LAST puts them after every scored centroid,
+    // id ascending among themselves
+    if (cnt < m) {
+      c = 0
+      while (c < vecs.length && cnt < m) {
+        if (vecs(c).length != n) { selIdx(cnt) = c; cnt += 1 }
+        c += 1
+      }
+    }
+    val out = new Array[Long](cnt)
+    var j = 0
+    while (j < cnt) { out(j) = ids(selIdx(j)); j += 1 }
+    new GenericArrayData(out)
   }
 }
 
@@ -156,4 +251,75 @@ case class NearestCentroid(child: Expression, ids: Seq[Long],
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
   override def prettyName: String = "graft_nearest_centroid"
+}
+
+/** `graft_nearest_centroids(vec, k, idsLiteral, vecsLiteral)`: the top-k
+  * centroid ids by cosine similarity to `vec`, ordered (score desc, id
+  * asc) — the PROBE-LIST kernel. Same expression-state centroid capture
+  * as [[NearestCentroid]] (element 0 of the result IS that kernel's
+  * assignment, so one call per row yields assignment AND probes), same
+  * zero-join / zero-shuffle / in-codegen economics. This retires the
+  * last window-based probe formulation (`crossJoin(broadcast(centroids))`
+  * + `row_number ≤ nprobe`), which expanded every vector into C rows and
+  * shuffled the expanded set — at bitext-mining scale BOTH sides are
+  * corpus-sized, so that exchange was the plan's scale-killer. Null
+  * vector → null (the [[NearestCentroid]] convention: failed decodes
+  * drop out of candidate generation entirely).
+  */
+case class NearestCentroids(child: Expression, k: Int, ids: Seq[Long],
+                            vecs: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(k >= 1, s"graft_nearest_centroids needs k >= 1, got $k")
+  require(ids.nonEmpty && ids.length == vecs.length,
+    "graft_nearest_centroids needs a non-empty centroid set")
+  require((1 until ids.length).forall(i => ids(i - 1) < ids(i)),
+    "centroid ids must be strictly ascending (sorted, distinct)")
+
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+  @transient private lazy val vecArr: Array[Array[Double]] =
+    vecs.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    vecArr.map { cv =>
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+      math.sqrt(acc)
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a numeric array, got ${other.simpleString}")
+  }
+
+  private def elemKind: Int = child.dataType match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case _ => 3
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    VecOps.nearestCentroids(input.asInstanceOf[ArrayData], elemKind, k,
+      idArr, vecArr, norms)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", idArr, "long[]")
+    val vecsRef = ctx.addReferenceObj("centVecs", vecArr, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = graft.functions.VecOps.nearestCentroids(
+         |  $arr, $elemKind, $k, $idsRef, $vecsRef, $normsRef);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_centroids"
 }

@@ -200,6 +200,21 @@ object GraftFunctions {
         NearestCentroid(exprs(0),
           scala.collection.immutable.ArraySeq.unsafeWrapArray(ids), vecs)
       }),
+    (FunctionIdentifier("graft_nearest_centroids"),
+      new ExpressionInfo(classOf[NearestCentroids].getName, "graft_nearest_centroids"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          "graft_nearest_centroids takes (vec, k, idsLiteral, vecsLiteral)")
+        require(exprs(2).foldable && exprs(3).foldable,
+          "graft_nearest_centroids centroid ids/vectors must be literals")
+        val ids = exprs(2).eval().asInstanceOf[ArrayData].toLongArray()
+        val m = exprs(3).eval().asInstanceOf[ArrayData]
+        val vecs = Seq.tabulate(m.numElements())(i =>
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            m.getArray(i).toDoubleArray()): Seq[Double])
+        NearestCentroids(exprs(0), litInt(exprs(1), "k"),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(ids), vecs)
+      }),
     (FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (exprs: Seq[Expression]) => {

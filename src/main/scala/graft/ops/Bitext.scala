@@ -109,7 +109,19 @@ object Bitext {
     * vectors re-attach, and scoring quantizes once (the
     * [[minedPairsFromScores]] contract). Assignment/probe ranking is
     * float cosine with centroid-id tie-break — the house IVF replay
-    * convention. Returns `(src_id, tgt_id, cos_micro)` ready for
+    * convention, computed IN PLACE by the codegen'd
+    * [[graft.functions.NearestCentroids]] probe kernel: ONE scan per
+    * side yields the id-ordered probe array, whose element 0 IS the
+    * assignment ([[Similarity.ivfAssign]]'s top-1 semantics), so each
+    * side's vectors are scored against the centroid set exactly once
+    * and nothing shuffles before the centroid-keyed pair joins. (The
+    * earlier formulation crossJoined each side against the broadcast
+    * centroid frame and ranked through an id-keyed `row_number`
+    * window — an exchange of |side|×C rows, TWICE per side, with both
+    * sides corpus-sized in bitext. That was this operator's
+    * scale-killer; the kernel replaces it with a zero-shuffle
+    * projection, value-identical — equivalence spec-pinned in
+    * BitextSpec.) Returns `(src_id, tgt_id, cos_micro)` ready for
     * [[minedPairsFromScores]].
     */
   def ivfCandidates(src: DataFrame, srcIdCol: String, srcVecCol: String,
@@ -118,27 +130,28 @@ object Bitext {
                     centVecCol: String, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     Similarity.registered(src)
-    val cents = broadcast(centroids.select(
-      col(centIdCol).as("__cid"), col(centVecCol).as("__cv")))
+    val (cids, cvecs) =
+      Similarity.collectCentroids(centroids, centIdCol, centVecCol)
     val s = src.select(col(srcIdCol).as("src_id"), col(srcVecCol).as("__sv"))
     val t = tgt.select(col(tgtIdCol).as("tgt_id"), col(tgtVecCol).as("__tv"))
-    def ranked(df: DataFrame, idCol: String, vecCol: String,
-               limit: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(
-        Similarity.fastCosine(col(vecCol), col("__cv")).desc,
-        col("__cid").asc)
-      df.join(cents, lit(true))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= limit)
-        .select(col(idCol), col("__cid"))
-    }
-    val sProbes = ranked(s, "src_id", "__sv", nprobe)
-    val sAssign = ranked(s, "src_id", "__sv", 1)
-    val tProbes = ranked(t, "tgt_id", "__tv", nprobe)
-    val tAssign = ranked(t, "tgt_id", "__tv", 1)
-    val pairs = sProbes.join(tAssign, "__cid").select("src_id", "tgt_id")
-      .unionByName(tProbes.join(sAssign, "__cid")
-        .select("src_id", "tgt_id"))
+    // one kernel call per row: posexplode the probe array so probes
+    // (all positions) and the assignment (position 0) come from the
+    // SAME scored pass — ranking never happens twice per side
+    def exploded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(col(idCol),
+          posexplode(Similarity.probeIdsCol(col(vecCol), cids, cvecs,
+            nprobe)).as(Seq("__pos", "__cid")))
+    val sExp = exploded(s, "src_id", "__sv")
+    val tExp = exploded(t, "tgt_id", "__tv")
+    val pairs = sExp.select("src_id", "__cid")
+      .join(tExp.filter(col("__pos") === 0).select("tgt_id", "__cid"),
+        "__cid")
+      .select("src_id", "tgt_id")
+      .unionByName(
+        tExp.select("tgt_id", "__cid")
+          .join(sExp.filter(col("__pos") === 0).select("src_id", "__cid"),
+            "__cid")
+          .select("src_id", "tgt_id"))
       .distinct()
     pairs.join(s, "src_id").join(t, "tgt_id")
       .select(col("src_id"), col("tgt_id"),
@@ -147,9 +160,12 @@ object Bitext {
   }
 
   /** Brute-force scorer + [[minedPairsFromScores]]: every (src, tgt)
-    * cosine via the `graft_vec_dot` kernel with the smaller side
-    * broadcast — the exactness baseline and the right call at fixture
-    * scale. Quantization happens HERE (the one float step).
+    * cosine via the `graft_vec_dot` kernel with the SRC side broadcast
+    * — the exactness baseline and the right call at fixture scale.
+    * The broadcast side is positional, not size-inferred: callers must
+    * pass the smaller set as `src` (a corpus-sized `src` would be
+    * collected to the driver). Quantization happens HERE (the one
+    * float step).
     */
   def minedPairs(src: DataFrame, srcIdCol: String, srcVecCol: String,
                  tgt: DataFrame, tgtIdCol: String, tgtVecCol: String,

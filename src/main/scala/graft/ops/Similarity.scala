@@ -387,7 +387,7 @@ object Similarity {
     * id-ascending parallel arrays — the shape the
     * [[graft.functions.NearestCentroid]] kernel captures.
     */
-  private def collectCentroids(centroids: DataFrame, centIdCol: String,
+  private[ops] def collectCentroids(centroids: DataFrame, centIdCol: String,
                                centVecCol: String): (Array[Long], Array[Array[Double]]) = {
     val rows = centroids
       .select(col(centIdCol).cast("long"), col(centVecCol))
@@ -431,6 +431,23 @@ object Similarity {
           scala.collection.immutable.ArraySeq.unsafeWrapArray(v)).toSeq))
         .as("centroid_id"))
   }
+
+  /** Probe-list column over a COLLECTED centroid set: the top-`nprobe`
+    * centroid ids by cosine (score desc, id asc) as an `array<long>`,
+    * via the codegen'd [[graft.functions.NearestCentroids]] kernel —
+    * zero joins, zero shuffle, zero row expansion, element 0 being the
+    * [[ivfAssign]] assignment. This is the scale path when the frame
+    * holding the vectors is corpus-sized (bitext mining probes BOTH
+    * sides): the window formulation's crossJoin+row_number expanded
+    * every vector into C rows and shuffled the expansion.
+    */
+  private[ops] def probeIdsCol(vec: Column, ids: Array[Long],
+                               vecs: Array[Array[Double]],
+                               nprobe: Int): Column =
+    call_function("graft_nearest_centroids", vec, lit(nprobe),
+      typedLit(scala.collection.immutable.ArraySeq.unsafeWrapArray(ids)),
+      typedLit(vecs.map(v =>
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(v)).toSeq))
 
   /** Per-query probe lists: the `nprobe` nearest centroids by cosine
     * (ties → lowest centroid id). Shared by the in-memory and persisted

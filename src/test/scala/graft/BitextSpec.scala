@@ -126,6 +126,85 @@ class BitextSpec extends SparkSpec {
     }
   }
 
+  test("graft_nearest_centroids kernel == the retired window " +
+      "formulation (cosine desc nulls-last, id asc) across ties, " +
+      "dim-mismatched centroids, null elements, zero vectors, k > C") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // 40 deterministic vectors + a null-element row + a zero vector
+    val rows: Seq[(Long, Seq[Any])] =
+      (0 until 40).map { i =>
+        (i.toLong, Seq.tabulate(4)(d =>
+          (((i * 11 + d * 17) % 23) - 7).toFloat: Any))
+      } :+ (97L, Seq[Any](1.0f, null, 2.0f, 0.5f)) :+
+        (98L, Seq[Any](0f, 0f, 0f, 0f))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("vec", ArrayType(FloatType, containsNull = true))))
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v) }),
+      schema)
+    // 7 centroids: ids ascending; 30 and 40 are an exact TIE pair;
+    // 60 has dim 3 (mismatch — null cosine, ranks last by id)
+    val cents: Seq[(Long, Seq[Double])] = Seq(
+      10L -> Seq(1.0, 2.0, -1.0, 0.5), 20L -> Seq(-3.0, 1.0, 0.0, 2.0),
+      30L -> Seq(2.0, 2.0, 2.0, 2.0), 40L -> Seq(2.0, 2.0, 2.0, 2.0),
+      50L -> Seq(0.0, -1.0, 4.0, 1.0), 60L -> Seq(1.0, 1.0, 1.0),
+      70L -> Seq(-1.0, 0.0, 0.0, -2.0))
+    val centDf = {
+      import spark.implicits._
+      cents.toDF("cid", "cv")
+    }
+    val ids = cents.map(_._1)
+    val cvs = cents.map(_._2)
+    for (k <- Seq(1, 3, 7, 10)) {
+      val got = vecs.select(col("id"),
+          call_function("graft_nearest_centroids", col("vec"), lit(k),
+            typedLit(ids), typedLit(cvs)).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val w = Window.partitionBy("id")
+        .orderBy(graft.ops.Similarity.cosine(col("vec"), col("cv")).desc,
+          col("cid").asc)
+      val want = vecs.crossJoin(broadcast(centDf))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("id", "rn", "cid")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toSeq }
+      // id 98 (the zero vector) is the documented corner divergence:
+      // the window form's zero-norm guard scored even the dim-
+      // MISMATCHED centroid 0.0 (tying it in by id); the kernel keeps
+      // mismatched centroids last always — pinned below, not here
+      rows.filter(_._1 != 98L).foreach { case (id, _) =>
+        assert(got(id) == want(id), s"id=$id k=$k")
+      }
+      // zero vector: matched centroids tie at 0.0 (id asc), the
+      // dim-3 centroid 60 ranks LAST (never a meaningful probe)
+      val matchedThenMismatched =
+        (cents.filter(_._2.length == 4).map(_._1) ++
+          cents.filter(_._2.length != 4).map(_._1)).take(math.min(k, 7))
+      assert(got(98L) == matchedThenMismatched, s"zero-vec corner k=$k")
+      // element 0 IS the graft_nearest_centroid assignment
+      val top1 = vecs.select(col("id"),
+          call_function("graft_nearest_centroid", col("vec"),
+            typedLit(ids), typedLit(cvs)).as("a"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (id, _) =>
+        assert(got(id).head == top1(id), s"assignment id=$id k=$k")
+      }
+    }
+    // a null ARRAY yields a null probe list (failed decodes drop out)
+    val nullRow = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(99L, null))), schema)
+    val r = nullRow.select(call_function("graft_nearest_centroids",
+      col("vec"), lit(3), typedLit(ids), typedLit(cvs))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
   test("edges: orthogonal sides mine nothing (non-positive cosines " +
       "drop), an impossible floor mines nothing, k=1 works") {
     val s = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))

@@ -1,0 +1,97 @@
+package tmpstress
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** r19 bitext assignment/probe-leg adjudication at sf1 (20k
+  * embeddings × 64 dims, ~1.8k centroids): the retired window
+  * formulation (crossJoin every side vector against all C centroids +
+  * id-keyed row_number — an exchange of |side|×C rows, four legs) vs
+  * the `graft_nearest_centroids` kernel path now in
+  * [[graft.ops.Bitext.ivfCandidates]] (one zero-shuffle projection
+  * per side). Planted invariant: the two candidate sets are
+  * value-IDENTICAL (exceptAll both directions empty), so the measured
+  * delta is pure leg cost, not semantics.
+  *
+  * Run: `sbt "Test/runMain tmpstress.BitextStress"` (needs /tmp/sf1
+  * from GenSf1).
+  */
+object BitextStress {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/sf1"
+    val nprobe = 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val src = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val tgt = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cents = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    println(s"MARKER sides=${src.count()}/${tgt.count()} " +
+      s"centroids=${cents.count()}")
+
+    def fastCos(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) = {
+      val d = call_function("graft_vec_dot", a, b)
+      val n = sqrt(call_function("graft_vec_dot", a, a)) *
+        sqrt(call_function("graft_vec_dot", b, b))
+      when(n === 0.0, 0.0).otherwise(d / n)
+    }
+
+    // the RETIRED formulation, verbatim shape (four ranked legs)
+    def oldCandidates(): DataFrame = {
+      val cb = broadcast(cents.select(col("centroid_id").as("__cid"),
+        col("embedding").as("__cv")))
+      val s = src.select(col("vec_id").as("src_id"),
+        col("embedding").as("__sv"))
+      val t = tgt.select(col("vec_id").as("tgt_id"),
+        col("embedding").as("__tv"))
+      def ranked(df: DataFrame, idCol: String, vecCol: String,
+                 limit: Int): DataFrame = {
+        val w = Window.partitionBy(idCol).orderBy(
+          fastCos(col(vecCol), col("__cv")).desc, col("__cid").asc)
+        df.join(cb, lit(true))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= limit)
+          .select(col(idCol), col("__cid"))
+      }
+      val sP = ranked(s, "src_id", "__sv", nprobe)
+      val sA = ranked(s, "src_id", "__sv", 1)
+      val tP = ranked(t, "tgt_id", "__tv", nprobe)
+      val tA = ranked(t, "tgt_id", "__tv", 1)
+      sP.join(tA, "__cid").select("src_id", "tgt_id")
+        .unionByName(tP.join(sA, "__cid").select("src_id", "tgt_id"))
+        .distinct()
+    }
+
+    def newCandidates(): DataFrame =
+      graft.ops.Bitext.ivfCandidates(src, "vec_id", "embedding",
+          tgt, "vec_id", "embedding",
+          cents, "centroid_id", "embedding", nprobe)
+        .select("src_id", "tgt_id")
+
+    for (rep <- 1 to 3) {
+      var t0 = System.nanoTime()
+      val nOld = oldCandidates().count()
+      val oldSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val nNew = newCandidates().count()
+      val newSec = (System.nanoTime() - t0) / 1e9
+      println(f"MARKER rep$rep old=$oldSec%.2f s new=$newSec%.2f s " +
+        f"(${oldSec / newSec}%.2fx) pairs=$nOld/$nNew")
+      assert(nOld == nNew, s"candidate counts diverge: $nOld vs $nNew")
+    }
+    // value identity, not just counts
+    val o = oldCandidates(); val n = newCandidates()
+    val dA = n.exceptAll(o).count(); val dB = o.exceptAll(n).count()
+    println(s"MARKER except new-old=$dA old-new=$dB")
+    assert(dA == 0 && dB == 0, "candidate sets diverge")
+    spark.stop()
+  }
+}
