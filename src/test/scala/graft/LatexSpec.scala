@@ -54,6 +54,23 @@ class LatexSpec extends SparkSpec {
     assert(t5 == "a b c")
   }
 
+  test("documented limitation: a line break immediately before a " +
+      "comment ('\\\\%...') is consumed by the escaped-percent " +
+      "protect (plain substring replace — the tail backslash+percent " +
+      "of '\\\\%' reads as '\\%'), so the '\\\\' newline is lost and " +
+      "the comment text KEPT; the DuckDB oracle replays the same " +
+      "chain, so parity holds — this pin is the contract") {
+    val (t, _, _, _, _) =
+      ext("line one \\\\% trailing comment\nnext line")
+    // real LaTeX would break the line and drop ' trailing comment';
+    // the chain instead emits a literal \% and keeps the tail
+    assert(t == "line one \\% trailing comment\nnext line", t)
+    // the common shapes around it are unaffected: a bare comment
+    // still drops, a lone escaped percent still restores
+    assert(ext("keep % drop this\nnext")._1 == "keep \nnext")
+    assert(ext("100\\% sure")._1 == "100% sure")
+  }
+
   test("null and empty route clean") {
     val df = spark.createDataFrame(
       Seq((1L, null.asInstanceOf[String]), (2L, ""))).toDF("id", "tex")

@@ -2389,7 +2389,12 @@ class StreamingOpsSpec extends SparkSpec {
     }
     assert(got.exists(t => t._2 == 0L && t._3 == 1000L),
       "the planted exact pair must admit")
-    assert(graft.ops.Dedup.releaseIntermediates() == (()),
-      "drain is idempotent") // per-batch drain already ran
+    // drain empties the tracked registry and is idempotent — assert
+    // the OBSERVABLE state (count 0 after each call), not Unit == Unit
+    graft.ops.Dedup.releaseIntermediates()
+    assert(graft.ops.Dedup.trackedIntermediateCount == 0,
+      "drain must empty the tracked-intermediate registry")
+    graft.ops.Dedup.releaseIntermediates() // idempotent re-drain
+    assert(graft.ops.Dedup.trackedIntermediateCount == 0)
   }
 }
