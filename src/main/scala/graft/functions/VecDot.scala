@@ -495,6 +495,13 @@ object GraftFunctions {
         require(exprs.length == 1, "graft_pii_extended takes (text)")
         PiiExtendedOf(exprs.head)
       }),
+    (FunctionIdentifier("graft_secrets"),
+      new ExpressionInfo(classOf[SecretsOf].getName,
+        "graft_secrets"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_secrets takes (text)")
+        SecretsOf(exprs.head)
+      }),
     (FunctionIdentifier("graft_wikitext_text"),
       new ExpressionInfo(classOf[WikitextTextOf].getName,
         "graft_wikitext_text"),
