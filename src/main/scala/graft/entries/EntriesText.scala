@@ -1131,6 +1131,61 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- UNIVERSAL markup ingest (the q169/q186 consolidated-plan
+    //      discipline applied to ingest): one mixed crawl capture —
+    //      a 5-way Content-Type cycle over the SAME WARC table —
+    //      routed by Warc.routeMarkup to the four markup families'
+    //      standing extraction chains in ONE projection; the binary
+    //      (octet-stream) row routes family/text null (route, don't
+    //      guess). Bodies are construction-derived so the oracle
+    //      states each family's extracted text literally. ----
+
+    "q210_universal_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val crlf = "\r\n"
+      val v = pmod(col("doc_id"), lit(5))
+      val ct = when(v === 0, "text/html; charset=utf-8")
+        .when(v === 1, "text/markdown")
+        .when(v === 2, "text/x-wiki")
+        .when(v === 3, "application/x-latex")
+        .otherwise(lit("application/octet-stream"))
+      val body = when(v === 0, concat(
+          lit("<html><body><nav>Nav menu links here</nav>" +
+            "<p>Alpha paragraph for doc "), col("doc_id"),
+          lit(" in "), col("lang"),
+          lit(" with enough length to keep.</p><p>short</p>" +
+            "</body></html>")))
+        .when(v === 1, concat(
+          lit("# Doc "), col("doc_id"), lit("\n\nProse for **doc** "),
+          col("doc_id"), lit(" with [a link](http://x/"),
+          col("doc_id"), lit(") inline.\n\n```\nhidden code "),
+          col("doc_id"), lit("\n```")))
+        .when(v === 2, concat(
+          lit("== Doc "), col("doc_id"),
+          lit(" ==\n'''Strong''' start [[Page|label]] in "),
+          col("lang"), lit(".<ref>SECRETREF</ref>\n* item one for "),
+          col("doc_id")))
+        .when(v === 3, concat(
+          lit("\\section{Doc "), col("doc_id"),
+          lit("}\nProse $x_"), col("doc_id"), lit("$ for \\textbf{"),
+          col("lang"), lit("} here.")))
+        .otherwise(concat(lit("BINARYBLOB "), col("doc_id")))
+      val payload = concat(lit("HTTP/1.1 200 OK" + crlf +
+          "Content-Type: "), ct, lit(crlf + crlf), body)
+      val warc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id"),
+        lit(crlf + "Content-Length: "),
+        octet_length(payload).cast("string"), lit(crlf + crlf),
+        payload, lit(crlf + crlf))
+      val responses = graft.ops.Warc.responses(
+        docs.select(col("doc_id"), warc.as("warc")), "doc_id", "warc")
+      graft.ops.Warc.routeMarkup(responses, "http_content_type", "body")
+        .select("doc_id", "http_content_type", "family", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- the crawl loop CLOSED (q178 admission + q180 politeness +
     //      q179 sitemap lastmod composed): per-host robots bodies
     //      carry a disallow and a crawl-delay; page outlinks discover
@@ -2999,6 +3054,34 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |  'text/html; charset=utf-8' AS http_content_type,
           |  CASE WHEN doc_id % 6 IN (4, 5) THEN NULL
           |    ELSE '<p>' || text || '</p>' END AS body
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // Each family's extracted text stated literally from the
+      // construction pieces (the per-family chains are proven at
+      // operator grain by q166/q191/q198/q208; this query proves the
+      // ROUTING composition). The markdown tail keeps its '\n\n' —
+      // the chain's trim is space-only, documented operator behavior.
+      "q210_universal_ingest" ->
+        """SELECT doc_id,
+          |  CASE doc_id % 5
+          |    WHEN 0 THEN 'text/html; charset=utf-8'
+          |    WHEN 1 THEN 'text/markdown'
+          |    WHEN 2 THEN 'text/x-wiki'
+          |    WHEN 3 THEN 'application/x-latex'
+          |    ELSE 'application/octet-stream' END AS http_content_type,
+          |  CASE doc_id % 5 WHEN 0 THEN 'html' WHEN 1 THEN 'markdown'
+          |    WHEN 2 THEN 'wikitext' WHEN 3 THEN 'latex' END AS family,
+          |  CASE doc_id % 5
+          |    WHEN 0 THEN 'Alpha paragraph for doc ' || doc_id
+          |      || ' in ' || lang || ' with enough length to keep.'
+          |    WHEN 1 THEN 'Doc ' || doc_id || chr(10) || chr(10)
+          |      || 'Prose for doc ' || doc_id || ' with a link inline.'
+          |      || chr(10) || chr(10)
+          |    WHEN 2 THEN 'Doc ' || doc_id || chr(10)
+          |      || 'Strong start label in ' || lang || '.' || chr(10)
+          |      || 'item one for ' || doc_id
+          |    WHEN 3 THEN 'Doc ' || doc_id || chr(10)
+          |      || 'Prose <MATH> for ' || lang || ' here.' END AS text
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       // The crawl plan replayed from the construction pieces: link

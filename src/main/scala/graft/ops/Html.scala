@@ -423,6 +423,32 @@ object Html {
     * text-free HTML) do not appear; documents where every block is
     * dropped appear with empty text.
     */
+  /** Column form of [[extractText]]'s kept-block text (same three
+    * keep/drop rules, same `\n` join, no kept/dropped counts): the
+    * shape a CONTENT-TYPE ROUTER needs — one projection, no
+    * explode/re-aggregate round trip, so it can sit inside a CASE
+    * beside the other markup families' extraction columns
+    * ([[Warc.routeMarkup]]). Zero-block documents yield `''` here
+    * (the df form omits them — that difference is the aggregation's,
+    * not the rule's). Registration rides the active session (the
+    * [[metaRobots]] Column-only convention).
+    */
+  def textOf(html: Column,
+             maxLinkDensity: Double = DefaultMaxLinkDensity,
+             minChars: Int = DefaultMinChars,
+             dropTags: Seq[String] = DefaultDropTags): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.ensureRegistered)
+    val kept = filter(call_function("graft_html_blocks", html), b => {
+      val n = length(b.getField("text"))
+      n >= minChars &&
+        (b.getField("anchor_chars").cast("double") /
+          n.cast("double")) <= maxLinkDensity &&
+        !b.getField("tag").isin(dropTags: _*)
+    })
+    array_join(transform(kept, b => b.getField("text")), "\n")
+  }
+
   def extractText(df: DataFrame, idCol: String, htmlCol: String,
                   maxLinkDensity: Double = DefaultMaxLinkDensity,
                   minChars: Int = DefaultMinChars,

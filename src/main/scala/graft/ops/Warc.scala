@@ -90,4 +90,49 @@ object Warc {
       }
       .select(col("_1").as("path"), col("_2").as("rec_no"), col("_3.*"))
   }
+
+  /** Content-type → markup-family routing table: lowercased HTTP
+    * `Content-Type` substring → family. First match in order wins
+    * (the parameter tail — `; charset=…` — never interferes because
+    * matching is substring, the q193 header convention).
+    */
+  val MarkupFamilies: Seq[(String, String)] = Seq(
+    "text/html" -> "html", "application/xhtml" -> "html",
+    "text/markdown" -> "markdown", "text/x-markdown" -> "markdown",
+    "text/x-wiki" -> "wikitext",
+    "application/x-latex" -> "latex", "application/x-tex" -> "latex",
+    "text/x-tex" -> "latex")
+
+  /** Universal markup ingest — the composition the crawl loop hands
+    * a mixed capture to: route each fetched body by Content-Type to
+    * its markup family and extract training text with that family's
+    * standing chain, in ONE projection over the fetch table:
+    *
+    *   html     → [[Html.textOf]] (kept blocks, the q166 rules)
+    *   markdown → [[Markdown.text]]
+    *   wikitext → [[Wikitext.text]]
+    *   latex    → [[Latex.text]]
+    *   other    → family null, text null (route, don't guess — a
+    *              PDF or image body is not prose)
+    *
+    * Returns `(idCol, cols…, family, text)` preserving `df`'s
+    * columns. Scale shape: every family's extractor is a scan-local
+    * Column chain (kernel or regexp), so the whole router is ONE
+    * whole-stage-codegen projection — markup bytes cross the wire at
+    * most once, and not at all when this rides the
+    * [[readWarcFiles]]/[[responses]] scan.
+    */
+  def routeMarkup(df: DataFrame, ctCol: String,
+                  bodyCol: String): DataFrame = {
+    val ct = lower(coalesce(col(ctCol), lit("")))
+    val family = MarkupFamilies.foldRight(lit(null).cast("string")) {
+      case ((sub, fam), acc) => when(ct.contains(sub), fam).otherwise(acc)
+    }
+    val body = col(bodyCol)
+    val text = when(col("family") === "html", Html.textOf(body))
+      .when(col("family") === "markdown", Markdown.text(body))
+      .when(col("family") === "wikitext", Wikitext.text(body))
+      .when(col("family") === "latex", Latex.text(body))
+    df.withColumn("family", family).withColumn("text", text)
+  }
 }

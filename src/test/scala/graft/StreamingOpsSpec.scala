@@ -38,6 +38,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.find(_._1 == 2L).get._2 == 1.5) // empty → intercept
   }
 
+  test("routeMarkup routes a mixed-capture stream statelessly, " +
+      "batch parity held across all four families and the null route") {
+    // the universal-ingest router is ONE projection (every family's
+    // extractor is a scan-local Column chain), so it runs on a
+    // fetch-result stream unchanged — no state, no watermark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val out = graft.ops.Warc.routeMarkup(
+      input.toDF().toDF("id", "ct", "body"), "ct", "body")
+    val query = out.writeStream.format("memory")
+      .queryName("route_stream").outputMode("append").start()
+    val rows = Seq(
+      (0L, "text/html; charset=utf-8",
+        "<html><body><nav>menu</nav><p>Kept paragraph long enough " +
+          "to pass the block rules.</p></body></html>"),
+      (1L, "text/markdown", "# H\n\nProse **x** [t](u) here."),
+      (2L, "text/x-wiki", "== T ==\n'''B''' [[P|l]] done."),
+      (3L, "application/x-latex", "\\section{T}\nMath $x$ end."),
+      (4L, "application/octet-stream", "BLOB"),
+      (5L, null, "no content type at all"))
+    try {
+      input.addData(rows.take(3): _*)
+      query.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("route_stream")
+      .select("id", "family", "text")
+      .as[(Long, Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    val batch = graft.ops.Warc.routeMarkup(
+        rows.toDF("id", "ct", "body"), "ct", "body")
+      .select("id", "family", "text")
+      .as[(Long, Option[String], Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.map(_._2) == Seq(Some("html"), Some("markdown"),
+      Some("wikitext"), Some("latex"), None, None))
+    assert(streamed(4)._3.isEmpty && streamed(5)._3.isEmpty)
+  }
+
   test("webDatasetStream: per-batch shard sets, batch-local determinism") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("wds-stream")

@@ -318,4 +318,32 @@ class WarcSpec extends SparkSpec {
     assert(got.head.getAs[Int]("http_status") == 200)
     assert(got.head.getAs[String]("body") == htmlBody)
   }
+
+  test("routeMarkup: content-type variants route to their family " +
+      "(substring, case-insensitive, parameter-tolerant), unknown " +
+      "and null types route family/text null") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      (1L, "TEXT/HTML", "html"),
+      (2L, "application/xhtml+xml; charset=utf-8", "html"),
+      (3L, "text/x-markdown", "markdown"),
+      (4L, "text/x-wiki; charset=UTF-8", "wikitext"),
+      (5L, "text/x-tex", "latex"),
+      (6L, "application/x-tex", "latex"),
+      (7L, "application/pdf", null),
+      (8L, null, null))
+    val df = spark.createDataFrame(
+      cases.map { case (i, ct, _) => (i, ct, "<p>Body long enough to keep for html.</p>") })
+      .toDF("id", "ct", "body")
+    val got = Warc.routeMarkup(df, "ct", "body")
+      .select("id", "family").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    cases.foreach { case (i, _, fam) => assert(got(i) == fam, s"id=$i") }
+    // null family => null text even with a non-null body
+    val nulls = Warc.routeMarkup(df, "ct", "body")
+      .filter(col("family").isNull)
+    assert(nulls.count() == 2 &&
+      nulls.filter(col("text").isNotNull).count() == 0)
+  }
 }
