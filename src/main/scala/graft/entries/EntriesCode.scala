@@ -183,6 +183,49 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
         .orderBy("source")
     }),
 
+    // ---- SFT decontamination (q196's assembly composed with the
+    //      q51 n-gram screen, per-TURN attribution): every doc gets
+    //      a system/user/assistant conversation whose user turn
+    //      carries the corpus text (data-driven overlap with the
+    //      %11 benchmark docs), every 13th doc's assistant turn
+    //      leaks a fixed eval passphrase planted in the benchmark,
+    //      and every 17th+3 doc is INVALID (dangling user) and must
+    //      emit no rows; conv_clean aggregates the turn verdicts.
+    //      Oracle replays turns from construction + the q51 shingle
+    //      join. ----
+
+    "q211_sft_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def turn(role: String, c: org.apache.spark.sql.Column) =
+        struct(lit(role).as("role"), c.as("content"))
+      val assistant = when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("recall the secret eval passphrase tokens here now"))
+        .otherwise(concat(lit("The answer is "), col("doc_id"),
+          lit(" words only")))
+      val conv = to_json(
+        when(pmod(col("doc_id"), lit(17)) === 3,
+          array(turn("user", lit("dangling user tail"))))
+        .otherwise(array(
+          turn("system", lit("be brief")),
+          turn("user", concat(lit("Please answer: "), col("text"))),
+          turn("assistant", assistant))))
+      val bench = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("text"))
+        .unionByName(s.range(1).select(
+          lit("the secret eval passphrase tokens here").as("text")))
+      val screened = graft.ops.Chat.decontaminateTurns(
+        docs.select(col("doc_id"), conv.as("conv")), "doc_id", "conv",
+        bench, "text", n = 3)
+      screened
+        .withColumn("conv_clean",
+          min(when(col("is_clean"), 1L).otherwise(0L))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id")) === 1L)
+        .select("doc_id", "turn_no", "role", "contaminated_ngrams",
+          "is_clean", "conv_clean")
+        .orderBy("doc_id", "turn_no")
+    }),
+
     // ---- secrets/credential scrub (the Stack-class pre-training
     //      hygiene step): a 4-way secret cycle (AWS key / GitHub
     //      token / Slack token / PEM private-key block) plus, on
@@ -384,6 +427,62 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
         |    ELSE -((-dsum) * 1000000 // greatest(n_valid, 1))
         |  END AS mean_len_delta_micro
         |FROM agg ORDER BY source""".stripMargin,
+
+      // Turns replayed from construction (invalid %17==3 docs emit
+      // none), the screen replayed with the q51 shingle machinery:
+      // distinct per-turn 3-grams joined against the distinct
+      // benchmark set (%11 docs' texts + the planted passphrase);
+      // conv_clean is the per-doc AND over turn verdicts.
+    "q211_sft_decontaminate" ->
+      """WITH turns AS (
+        |  SELECT doc_id, 1 AS turn_no, 'system' AS role,
+        |    'be brief' AS content
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'user', 'Please answer: ' || text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'assistant',
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN 'recall the secret eval passphrase tokens here now'
+        |      ELSE 'The answer is ' || doc_id || ' words only' END
+        |  FROM documents WHERE doc_id % 17 <> 3),
+        |ttoks AS (
+        |  SELECT doc_id, turn_no, role,
+        |    list_filter(regexp_split_to_array(content, '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM turns),
+        |tsh AS (
+        |  SELECT DISTINCT doc_id, turn_no,
+        |    unnest([array_to_string(t[i:i+2], ' ')
+        |            for i in range(1, len(t) - 1)]) AS s
+        |  FROM ttoks WHERE len(t) >= 3),
+        |btoks AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT list_filter(regexp_split_to_array(
+        |      'the secret eval passphrase tokens here', '\s+'),
+        |      x -> len(x) > 0)),
+        |bsh AS (
+        |  SELECT DISTINCT
+        |    unnest([array_to_string(t[i:i+2], ' ')
+        |            for i in range(1, len(t) - 1)]) AS s
+        |  FROM btoks WHERE len(t) >= 3),
+        |hits AS (
+        |  SELECT doc_id, turn_no, CAST(count(*) AS BIGINT) AS c
+        |  FROM tsh JOIN bsh USING (s) GROUP BY 1, 2),
+        |verdicts AS (
+        |  SELECT tt.doc_id, CAST(tt.turn_no AS BIGINT) AS turn_no,
+        |    tt.role, CAST(coalesce(h.c, 0) AS BIGINT)
+        |      AS contaminated_ngrams,
+        |    coalesce(h.c, 0) = 0 AS is_clean
+        |  FROM ttoks tt LEFT JOIN hits h
+        |    ON tt.doc_id = h.doc_id AND tt.turn_no = h.turn_no)
+        |SELECT doc_id, turn_no, role, contaminated_ngrams, is_clean,
+        |  bool_and(is_clean) OVER (PARTITION BY doc_id) AS conv_clean
+        |FROM verdicts ORDER BY doc_id, turn_no""".stripMargin,
 
       // The redaction stated from construction: the 4-way secret
       // cycle redacts to its placeholder, the password value becomes

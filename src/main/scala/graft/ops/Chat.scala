@@ -132,4 +132,46 @@ object Chat {
     df.select(col(idCol),
       when(reasonOf(t).isNull, rendered).as("rendered"))
   }
+
+  /** SFT decontamination — the RLHF-data hygiene step composed from
+    * the two standing fronts: conversations that pass [[validate]]
+    * are screened per TURN against a held-out benchmark table with
+    * the [[TextAnalysis.decontaminate]] n-gram machinery, so a hit
+    * is ATTRIBUTED to the turn that carries it (an eval question
+    * pasted into a user prompt and an eval answer leaked into an
+    * assistant response are different failures with different
+    * fixes). Invalid conversations emit no rows — they were never
+    * going to training.
+    *
+    * Returns `(id, turn_no, role, content, contaminated_ngrams,
+    * is_clean)`. Scale shape: identical to the pretraining
+    * decontaminator — both sides reduce to 8-byte shingle hashes in
+    * scan-local kernel projections; the only corpus-sized exchanges
+    * are the hash-keyed join (benchmark side broadcast by AQE when
+    * it fits) and the (id, turn_no)-keyed count join-back. Turns
+    * shorter than `n` tokens have no n-grams and are clean by
+    * construction.
+    */
+  def decontaminateTurns(df: DataFrame, idCol: String, jsonCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val t = parsed(col(jsonCol))
+    val valid = df.filter(reasonOf(t).isNull)
+    val ts = turns(valid, idCol, jsonCol)
+    val tSh = ts.select(col(idCol), col("turn_no"),
+      explode(call_function("graft_shingle_hashes", col("content"),
+        lit(n))).as("__h"))
+    val benchSh = bench
+      .select(explode(call_function("graft_shingle_hashes",
+        col(benchTextCol), lit(n))).as("__h"))
+      .distinct()
+    val hits = tSh.join(benchSh, "__h")
+      .groupBy(col(idCol), col("turn_no"))
+      .agg(count(lit(1)).as("contaminated_ngrams"))
+    ts.join(hits, Seq(idCol, "turn_no"), "left")
+      .withColumn("contaminated_ngrams",
+        coalesce(col("contaminated_ngrams"), lit(0L)))
+      .withColumn("is_clean", col("contaminated_ngrams") === 0L)
+  }
 }

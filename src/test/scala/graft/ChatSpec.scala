@@ -98,4 +98,40 @@ class ChatSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, "user", "u"),
       (1L, 2L, "assistant", "a")))
   }
+
+  test("decontaminateTurns: hits attribute to the turn that carries " +
+      "them, invalid conversations emit no rows, short turns are " +
+      "clean by construction") {
+    def conv(turns: (String, String)*): String =
+      turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString("[", ",", "]")
+    val df = spark.createDataFrame(Seq(
+        // user turn pastes the eval question verbatim
+        (1L, conv("user" -> "please solve the planted eval question now",
+          "assistant" -> "sure thing boss no leak here at all")),
+        // assistant turn leaks it instead
+        (2L, conv("user" -> "what is the capital of atlantis exactly",
+          "assistant" -> "the planted eval question text answers it")),
+        // clean on both sides; system turn too short for any 3-gram
+        (3L, conv("system" -> "be brief",
+          "user" -> "unrelated words entirely different here",
+          "assistant" -> "ok")),
+        // invalid (dangling user) — must not appear
+        (4L, conv("user" -> "the planted eval question dangling"))))
+      .toDF("id", "c")
+    val bench = spark.createDataFrame(Seq(
+        Tuple1("the planted eval question"))).toDF("btext")
+    val got = Chat.decontaminateTurns(df, "id", "c", bench, "btext",
+        n = 3)
+      .orderBy("id", "turn_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("contaminated_ngrams"),
+        r.getAs[Boolean]("is_clean"))).toSeq
+    // bench 3-grams: "the planted eval", "planted eval question"
+    assert(got == Seq(
+      (1L, 1L, 2L, false), (1L, 2L, 0L, true),
+      (2L, 1L, 0L, true), (2L, 2L, 2L, false),
+      (3L, 1L, 0L, true), (3L, 2L, 0L, true), (3L, 3L, 0L, true)))
+    assert(!got.exists(_._1 == 4L))
+  }
 }
