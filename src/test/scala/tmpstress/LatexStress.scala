@@ -1,0 +1,78 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r19 LaTeX-front throughput at 1M docs (the last markup family
+  * without a stress row — wikitext/HTML/PII have theirs): a realistic
+  * arXiv-ish article per doc (~2 KB: comment, section machinery,
+  * nested prose commands, inline + display + equation math, a figure
+  * float, cite/ref, href, escaped specials, an itemize with a line
+  * break), every dropped/marked region carrying a SECRET sentinel.
+  * Exact planted invariants per rep: zero sentinel survival, exact
+  * structure counts (3 envs, 8 '$' marks, 1 cite, 1 section per doc),
+  * 3 `<MATH>` placeholders per doc, the escaped `100\%` restored.
+  *
+  * Run: `sbt "Test/runMain tmpstress.LatexStress"`
+  */
+object LatexStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def w(salt: Int) = md5(concat(
+      pmod(col("id") + salt, lit(9973L)).cast("string"), lit("w")))
+    def words(k: Int, n: Int) = concat_ws(" ",
+      (0 until n).map(j => w(k * 37 + j)): _*)
+
+    val tex = concat(Seq(
+      lit("% intro SECRETCOMMENT "), col("id").cast("string"),
+      lit("\n\\section{Intro "), w(1),
+      lit("}\n\\subsection{Detail "), w(2), lit("}\n")) ++
+      (0 until 3).map(k => concat(
+        words(k + 10, 25), lit(" \\textbf{bold \\emph{deep "),
+        w(k + 50), lit("}} more "), words(k + 20, 15), lit(".\n"))) ++
+      Seq(
+        lit("Inline $x^2_i SECRETINL$ and 100\\% of \\$5 plus \\$9.\n"),
+        lit("$$\\int SECRETDISP dx$$\n"),
+        lit("\\begin{equation}E=mc^2 SECRETEQ\\end{equation}\n"),
+        lit("\\begin{figure}\nSECRETFIG "), w(3),
+        lit("\n\\end{figure}\n"),
+        lit("See \\href{http://x/"), col("id").cast("string"),
+        lit("}{link text} \\cite{SECRETCITE} and \\ref{fig} done~now.\n"),
+        lit("\\begin{itemize}\n\\item first "), words(4, 8),
+        lit(" \\\\ second half\n\\end{itemize}\n"), words(5, 20)): _*)
+    val corpus = spark.range(nDocs)
+      .select(col("id").as("doc_id"), tex.as("tex"))
+      .repartition(64).cache()
+    println(s"MARKER corpus=${corpus.count()} chars=" +
+      corpus.agg(sum(length(col("tex")))).head().getLong(0))
+
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val r = graft.ops.Latex.extract(corpus, "doc_id", "tex")
+        .agg(
+          sum(when(col("text").contains("SECRET"), 1L).otherwise(0L)),
+          sum("n_envs"), sum("n_math"), sum("n_cites"),
+          sum("n_sections"),
+          sum(size(split(col("text"), "<MATH>", -1)) - 1).cast("long"),
+          sum(when(col("text").contains("100% of $5 plus $9"), 1L)
+            .otherwise(0L)),
+          count(lit(1))).head()
+      println(f"MARKER latex rep$rep%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      assert(r.getLong(0) == 0L, s"sentinels survived: ${r.getLong(0)}")
+      assert(r.getLong(1) == 3L * nDocs, s"n_envs ${r.getLong(1)}")
+      assert(r.getLong(2) == 8L * nDocs, s"n_math ${r.getLong(2)}")
+      assert(r.getLong(3) == nDocs && r.getLong(4) == nDocs,
+        s"cites/sections ${r.getLong(3)}/${r.getLong(4)}")
+      assert(r.getLong(5) == 3L * nDocs, s"<MATH> ${r.getLong(5)}")
+      assert(r.getLong(6) == nDocs, "escaped % / $ restore")
+      assert(r.getLong(7) == nDocs)
+    }
+    spark.stop()
+  }
+}
