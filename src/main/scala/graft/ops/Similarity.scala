@@ -451,21 +451,27 @@ object Similarity {
 
   /** Per-query probe lists: the `nprobe` nearest centroids by cosine
     * (ties → lowest centroid id). Shared by the in-memory and persisted
-    * IVF paths so their probe semantics cannot diverge.
+    * IVF paths so their probe semantics cannot diverge. Since r19 this
+    * rides the array-returning [[graft.functions.NearestCentroids]]
+    * kernel — one zero-shuffle projection, no crossJoin expansion, no
+    * window exchange — the same retirement [[graft.ops.Bitext]]'s legs
+    * got (kernel ≡ window equivalence pinned in BitextSpec), closing
+    * the LAST window-based centroid ranking in the tree. The query set
+    * is often small, but a batch semantic-search or recall-evaluation
+    * run probes millions of queries, and those paid |queries|×C here.
+    * A null query VECTOR now drops out of probing entirely (the
+    * [[NearestCentroid]] null convention) instead of probing the
+    * lowest-id lists; null ELEMENTS degrade to the id-ascending
+    * prefix exactly as the window's nulls-last ordering did.
     */
   private def ivfProbes(queries: DataFrame, qIdCol: String, qVecCol: String,
                         centroids: DataFrame, centIdCol: String,
                         centVecCol: String, nprobe: Int): DataFrame = {
-    val cent = broadcast(centroids.select(
-      col(centIdCol).as("centroid_id"), col(centVecCol).as("__centv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("__cscore").desc, col("centroid_id").asc)
-    queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
-      .crossJoin(cent)
-      .withColumn("__cscore", fastCosine(col("__qv"), col("__centv")))
-      .withColumn("__crank", row_number().over(w))
-      .filter(col("__crank") <= nprobe)
-      .select("query_id", "__qv", "centroid_id")
+    registered(queries)
+    val (ids, vecs) = collectCentroids(centroids, centIdCol, centVecCol)
+    queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+      explode(probeIdsCol(col(qVecCol), ids, vecs, nprobe))
+        .as("centroid_id"))
   }
 
   /** Build and persist the IVF index: every corpus vector written under
