@@ -183,6 +183,48 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
         .orderBy("source")
     }),
 
+    // ---- the code-curation pipeline COMPOSED (q188 language + q190
+    //      license + q189 quality + q209 secrets in ONE projection —
+    //      Code.curationVerdict): a 5-way license cycle (SPDX /
+    //      MIT-phrase / Apache-phrase / GPL-3 / none), the %11
+    //      autogen and %7 max-line quality kills, a %3 password
+    //      secret, and the permissive-only keep policy. The oracle
+    //      replays quality arithmetic over the same built text
+    //      (the q189 replay) and states the rest from construction.
+    //      ----
+
+    "q212_code_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ext = element_at(array(lit("py"), lit("js"), lit("go"),
+        lit("rs")), (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      val path = concat(lit("repo/"), col("source"), lit("/f"),
+        col("doc_id"), lit("."), ext)
+      val v5 = pmod(col("doc_id"), lit(5))
+      val header = when(v5 === 0,
+          "// SPDX-License-Identifier: Apache-2.0\n")
+        .when(v5 === 1,
+          "/* Permission is hereby granted, free of charge */\n")
+        .when(v5 === 2,
+          "// Licensed under the Apache License, Version 2.0\n")
+        .when(v5 === 3, "// GNU General Public License version 3\n")
+        .otherwise(lit(""))
+      val txt = concat(header,
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          "# auto-generated do not edit\n").otherwise(lit("")),
+        lit("# file "), col("doc_id"), lit("\n"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          "password = \"hunter2hunter2hunter2\"\n")
+          .otherwise(lit("token = ok\n")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(repeat(lit("x"), 1200), lit("\n"))).otherwise(lit("")),
+        lit("done doc "), col("doc_id"), lit(" end"))
+      graft.ops.Code.curationVerdict(
+          docs.select(col("doc_id"), path.as("path"), txt.as("t")),
+          "doc_id", "path", "t")
+        .drop("redacted")
+        .orderBy("doc_id")
+    }),
+
     // ---- SFT decontamination (q196's assembly composed with the
     //      q51 n-gram screen, per-TURN attribution): every doc gets
     //      a system/user/assistant conversation whose user turn
@@ -427,6 +469,73 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
         |    ELSE -((-dsum) * 1000000 // greatest(n_valid, 1))
         |  END AS mean_len_delta_micro
         |FROM agg ORDER BY source""".stripMargin,
+
+      // Quality stats replayed over the identically-built text (the
+      // q189 replay CTEs); language/license/secrets stated from
+      // construction; keep = quality AND permissive license.
+    "q212_code_curation" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '// SPDX-License-Identifier: Apache-2.0'
+        |        || chr(10)
+        |      WHEN 1 THEN '/* Permission is hereby granted, '
+        |        || 'free of charge */' || chr(10)
+        |      WHEN 2 THEN '// Licensed under the Apache License, '
+        |        || 'Version 2.0' || chr(10)
+        |      WHEN 3 THEN '// GNU General Public License version 3'
+        |        || chr(10)
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |      THEN '# auto-generated do not edit' || chr(10)
+        |      ELSE '' END
+        |    || '# file ' || doc_id || chr(10)
+        |    || CASE WHEN doc_id % 3 = 0
+        |      THEN 'password = "hunter2hunter2hunter2"' || chr(10)
+        |      ELSE 'token = ok' || chr(10) END
+        |    || CASE WHEN doc_id % 7 = 0
+        |      THEN repeat('x', 1200) || chr(10) ELSE '' END
+        |    || 'done doc ' || doc_id || ' end' AS t
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(list_max(list_transform(string_split(t, chr(10)),
+        |      x -> len(x))) AS BIGINT) AS max_line_chars,
+        |    CAST(len(replace(t, chr(10), '')) AS BIGINT) AS total,
+        |    CAST(len(regexp_replace(t, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) AS alpha,
+        |    regexp_matches(substr(t, 1, 300),
+        |      '(?i)(auto-?generated|do not edit|generated by)')
+        |      AS is_autogenerated
+        |  FROM built),
+        |q AS (
+        |  SELECT doc_id, n_lines, max_line_chars,
+        |    total * 1000000 // n_lines AS mean_line_micro,
+        |    alpha * 1000000 // greatest(total, 1) AS alpha_micro,
+        |    is_autogenerated,
+        |    (max_line_chars <= 1000
+        |     AND total * 1000000 // n_lines <= 100000000
+        |     AND alpha * 1000000 // greatest(total, 1) >= 250000
+        |     AND NOT is_autogenerated) AS is_quality_kept
+        |  FROM st)
+        |SELECT q.doc_id,
+        |  CASE q.doc_id % 4 WHEN 0 THEN 'python'
+        |    WHEN 1 THEN 'javascript' WHEN 2 THEN 'go'
+        |    ELSE 'rust' END AS language,
+        |  CASE q.doc_id % 5 WHEN 0 THEN 'Apache-2.0' WHEN 1 THEN 'MIT'
+        |    WHEN 2 THEN 'Apache-2.0' WHEN 3 THEN 'GPL-3.0' END
+        |    AS license,
+        |  CASE q.doc_id % 5 WHEN 0 THEN 'spdx' WHEN 1 THEN 'header'
+        |    WHEN 2 THEN 'header' WHEN 3 THEN 'header' END
+        |    AS license_source,
+        |  n_lines, max_line_chars, mean_line_micro, alpha_micro,
+        |  is_autogenerated,
+        |  CAST(CASE WHEN q.doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_secrets,
+        |  is_quality_kept,
+        |  (is_quality_kept AND q.doc_id % 5 IN (0, 1, 2)) AS is_kept
+        |FROM q ORDER BY q.doc_id""".stripMargin,
 
       // Turns replayed from construction (invalid %17==3 docs emit
       // none), the screen replayed with the q51 shingle machinery:
