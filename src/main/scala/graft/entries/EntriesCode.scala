@@ -268,6 +268,33 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
         .orderBy("doc_id", "turn_no")
     }),
 
+    // ---- the SFT hygiene chain CLOSED (q196 validate/render → q205
+    //      exact-dup provenance): conversations whose content keys on
+    //      doc_id div 3 render IDENTICALLY within each 3-doc group
+    //      (re-posted instruction data — the dominant SFT dup mode),
+    //      every 17th+3 doc is invalid (dangling user) and exits at
+    //      the validity gate BEFORE dedup, so the group survivor is
+    //      the min VALID id. Oracle replays group identity from
+    //      construction. ----
+
+    "q213_sft_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def turn(role: String, c: org.apache.spark.sql.Column) =
+        struct(lit(role).as("role"), c.as("content"))
+      val g = expr("doc_id div 3")
+      val conv = to_json(
+        when(pmod(col("doc_id"), lit(17)) === 3,
+          array(turn("user", lit("dangling user tail"))))
+        .otherwise(array(
+          turn("user", concat(lit("question "), g, lit(" about data"))),
+          turn("assistant", concat(lit("answer "), g, lit(" done"))))))
+      val rendered = graft.ops.Chat.render(
+          docs.select(col("doc_id"), conv.as("conv")), "doc_id", "conv")
+        .filter(col("rendered").isNotNull)
+      graft.ops.Dedup.exactProvenance(rendered, "rendered", "doc_id")
+        .orderBy("dropped_id")
+    }),
+
     // ---- secrets/credential scrub (the Stack-class pre-training
     //      hygiene step): a 4-way secret cycle (AWS key / GitHub
     //      token / Slack token / PEM private-key block) plus, on
@@ -469,6 +496,20 @@ private[graft] trait EntriesCode { this: SparkEntry.type =>
         |    ELSE -((-dsum) * 1000000 // greatest(n_valid, 1))
         |  END AS mean_len_delta_micro
         |FROM agg ORDER BY source""".stripMargin,
+
+      // Group identity from construction: valid docs sharing
+      // doc_id // 3 render identically; survivor = min valid id of
+      // the group, every other valid member drops to it.
+    "q213_sft_dedup" ->
+      """WITH valid AS (
+        |  SELECT doc_id, doc_id // 3 AS g FROM documents
+        |  WHERE doc_id % 17 <> 3),
+        |surv AS (
+        |  SELECT g, min(doc_id) AS survivor_id FROM valid GROUP BY g)
+        |SELECT v.doc_id AS dropped_id, s.survivor_id
+        |FROM valid v JOIN surv s USING (g)
+        |WHERE v.doc_id <> s.survivor_id
+        |ORDER BY dropped_id""".stripMargin,
 
       // Quality stats replayed over the identically-built text (the
       // q189 replay CTEs); language/license/secrets stated from
