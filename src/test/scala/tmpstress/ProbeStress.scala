@@ -1,0 +1,101 @@
+package tmpstress
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** r19 probe-leg adjudication at batch-query scale: the retired
+  * window formulation of per-query probe lists (crossJoin every query
+  * against all C centroids + row_number ≤ nprobe) vs the
+  * `graft_nearest_centroids` kernel path now in
+  * `Similarity.ivfProbes` — measured over 100k synthetic queries ×
+  * the sf1 centroid set (~1.8k centroids, 64 dims), nprobe=3. The
+  * query set is small in the interactive case, but batch
+  * semantic-search / recall-evaluation runs probe millions, and the
+  * window form shuffled |queries|×C rows. Planted invariant: the two
+  * probe sets are value-IDENTICAL.
+  *
+  * Run: `sbt "Test/runMain tmpstress.ProbeStress"` (needs /tmp/sf1).
+  */
+object ProbeStress {
+  def main(args: Array[String]): Unit = {
+    val nQueries = if (args.nonEmpty) args(0).toLong else 100000L
+    val nprobe = 3
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+
+    val emb = spark.read.parquet("/tmp/sf1/embeddings.parquet")
+    val cents = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    // synthetic query vectors: 64 dims, deterministic per (id, dim)
+    val qvec = transform(sequence(lit(0), lit(63)), d =>
+      (pmod(col("id") * 31L + d.cast("long") * 17L, lit(101L)) - 50L)
+        .cast("float"))
+    val queries = spark.range(nQueries)
+      .select(col("id").as("vec_id"), qvec.as("embedding"))
+      .repartition(32).cache()
+    println(s"MARKER queries=${queries.count()} " +
+      s"centroids=${cents.count()}")
+
+    def fastCos(a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) = {
+      val d = call_function("graft_vec_dot", a, b)
+      val n = sqrt(call_function("graft_vec_dot", a, a)) *
+        sqrt(call_function("graft_vec_dot", b, b))
+      when(n === 0.0, 0.0).otherwise(d / n)
+    }
+
+    // the RETIRED window formulation, verbatim shape
+    def windowProbes(): DataFrame = {
+      val cent = broadcast(cents.select(col("centroid_id"),
+        col("embedding").as("__centv")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("__cscore").desc, col("centroid_id").asc)
+      queries.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv"))
+        .crossJoin(cent)
+        .withColumn("__cscore", fastCos(col("__qv"), col("__centv")))
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= nprobe)
+        .select("query_id", "centroid_id")
+    }
+
+    // the ivfProbes kernel path, reproduced verbatim (the method is
+    // private; this is the same collect + graft_nearest_centroids
+    // projection it performs)
+    val collected = cents
+      .select(col("centroid_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1)
+    val cIds = collected.map(_._1).toSeq
+    val cVecs = collected.map(_._2).toSeq
+    def kernelProbes(): DataFrame =
+      queries.select(col("vec_id").as("query_id"),
+        explode(call_function("graft_nearest_centroids",
+          col("embedding"), lit(nprobe), typedLit(cIds),
+          typedLit(cVecs))).as("centroid_id"))
+
+    for (rep <- 1 to 3) {
+      var t0 = System.nanoTime()
+      val nW = windowProbes().count()
+      val wSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val nK = kernelProbes().count()
+      val kSec = (System.nanoTime() - t0) / 1e9
+      println(f"MARKER rep$rep window=$wSec%.2f s kernel=$kSec%.2f s " +
+        f"(${wSec / kSec}%.1fx) rows=$nW/$nK")
+      assert(nW == nK, s"probe counts diverge: $nW vs $nK")
+    }
+    val dA = kernelProbes().exceptAll(windowProbes()).count()
+    val dB = windowProbes().exceptAll(kernelProbes()).count()
+    println(s"MARKER except kernel-window=$dA window-kernel=$dB")
+    assert(dA == 0 && dB == 0, "probe sets diverge")
+    spark.stop()
+  }
+}
