@@ -1143,11 +1143,12 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
     "q210_universal_ingest" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val crlf = "\r\n"
-      val v = pmod(col("doc_id"), lit(5))
+      val v = pmod(col("doc_id"), lit(6))
       val ct = when(v === 0, "text/html; charset=utf-8")
         .when(v === 1, "text/markdown")
         .when(v === 2, "text/x-wiki")
         .when(v === 3, "application/x-latex")
+        .when(v === 5, "text/plain; charset=utf-8")
         .otherwise(lit("application/octet-stream"))
       val body = when(v === 0, concat(
           lit("<html><body><nav>Nav menu links here</nav>" +
@@ -1169,19 +1170,26 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           lit("\\section{Doc "), col("doc_id"),
           lit("}\nProse $x_"), col("doc_id"), lit("$ for \\textbf{"),
           col("lang"), lit("} here.")))
+        .when(v === 5, concat(
+          lit("# Readme "), col("doc_id"), lit("\n\nMislabeled for "),
+          col("doc_id"), lit(" here.")))
         .otherwise(concat(lit("BINARYBLOB "), col("doc_id")))
       val payload = concat(lit("HTTP/1.1 200 OK" + crlf +
           "Content-Type: "), ct, lit(crlf + crlf), body)
+      // v5 serves markdown as text/plain but the URL says README.md —
+      // the extension fallback must route it
       val warc = concat(
         lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
           "WARC-Target-URI: https://"), col("source"),
         lit(".example.com/doc/"), col("doc_id"),
+        when(v === 5, "/README.md").otherwise(lit("")),
         lit(crlf + "Content-Length: "),
         octet_length(payload).cast("string"), lit(crlf + crlf),
         payload, lit(crlf + crlf))
       val responses = graft.ops.Warc.responses(
         docs.select(col("doc_id"), warc.as("warc")), "doc_id", "warc")
-      graft.ops.Warc.routeMarkup(responses, "http_content_type", "body")
+      graft.ops.Warc.routeMarkup(responses, "http_content_type", "body",
+          uriCol = Some("target_uri"))
         .select("doc_id", "http_content_type", "family", "text")
         .orderBy("doc_id")
     }),
@@ -3063,15 +3071,17 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
       // the chain's trim is space-only, documented operator behavior.
       "q210_universal_ingest" ->
         """SELECT doc_id,
-          |  CASE doc_id % 5
+          |  CASE doc_id % 6
           |    WHEN 0 THEN 'text/html; charset=utf-8'
           |    WHEN 1 THEN 'text/markdown'
           |    WHEN 2 THEN 'text/x-wiki'
           |    WHEN 3 THEN 'application/x-latex'
+          |    WHEN 5 THEN 'text/plain; charset=utf-8'
           |    ELSE 'application/octet-stream' END AS http_content_type,
-          |  CASE doc_id % 5 WHEN 0 THEN 'html' WHEN 1 THEN 'markdown'
-          |    WHEN 2 THEN 'wikitext' WHEN 3 THEN 'latex' END AS family,
-          |  CASE doc_id % 5
+          |  CASE doc_id % 6 WHEN 0 THEN 'html' WHEN 1 THEN 'markdown'
+          |    WHEN 2 THEN 'wikitext' WHEN 3 THEN 'latex'
+          |    WHEN 5 THEN 'markdown' END AS family,
+          |  CASE doc_id % 6
           |    WHEN 0 THEN 'Alpha paragraph for doc ' || doc_id
           |      || ' in ' || lang || ' with enough length to keep.'
           |    WHEN 1 THEN 'Doc ' || doc_id || chr(10) || chr(10)
@@ -3081,7 +3091,9 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           |      || 'Strong start label in ' || lang || '.' || chr(10)
           |      || 'item one for ' || doc_id
           |    WHEN 3 THEN 'Doc ' || doc_id || chr(10)
-          |      || 'Prose <MATH> for ' || lang || ' here.' END AS text
+          |      || 'Prose <MATH> for ' || lang || ' here.'
+          |    WHEN 5 THEN 'Readme ' || doc_id || chr(10) || chr(10)
+          |      || 'Mislabeled for ' || doc_id || ' here.' END AS text
           |FROM documents ORDER BY doc_id""".stripMargin,
 
       // The crawl plan replayed from the construction pieces: link

@@ -103,6 +103,18 @@ object Warc {
     "application/x-latex" -> "latex", "application/x-tex" -> "latex",
     "text/x-tex" -> "latex")
 
+  /** URL-extension → markup-family fallback table (lowercased last
+    * dot-suffix of the URL path — the [[Code.extensionOf]] rule,
+    * query/fragment stripped first). Real crawls mislabel:
+    * `text/plain` READMEs, generic `application/octet-stream` —
+    * the extension decides when the Content-Type cannot.
+    */
+  val ExtensionFamilies: Seq[(String, String)] = Seq(
+    "html" -> "html", "htm" -> "html",
+    "md" -> "markdown", "markdown" -> "markdown",
+    "wiki" -> "wikitext", "wikitext" -> "wikitext",
+    "tex" -> "latex", "latex" -> "latex")
+
   /** Universal markup ingest — the composition the crawl loop hands
     * a mixed capture to: route each fetched body by Content-Type to
     * its markup family and extract training text with that family's
@@ -115,6 +127,15 @@ object Warc {
     *   other    → family null, text null (route, don't guess — a
     *              PDF or image body is not prose)
     *
+    * With `uriCol` given, an URL-EXTENSION fallback decides when the
+    * Content-Type routes nothing (null, `text/plain`,
+    * `octet-stream`, …): the lowercased last dot-suffix of the URL
+    * path (query/fragment stripped) against [[ExtensionFamilies]] —
+    * a mislabeled `README.md` served as text/plain still routes to
+    * markdown. A recognized Content-Type always WINS over the
+    * extension (the server's claim is the stronger signal when it
+    * makes one).
+    *
     * Returns `(idCol, cols…, family, text)` preserving `df`'s
     * columns. Scale shape: every family's extractor is a scan-local
     * Column chain (kernel or regexp), so the whole router is ONE
@@ -122,11 +143,20 @@ object Warc {
     * most once, and not at all when this rides the
     * [[readWarcFiles]]/[[responses]] scan.
     */
-  def routeMarkup(df: DataFrame, ctCol: String,
-                  bodyCol: String): DataFrame = {
+  def routeMarkup(df: DataFrame, ctCol: String, bodyCol: String,
+                  uriCol: Option[String] = None): DataFrame = {
     val ct = lower(coalesce(col(ctCol), lit("")))
-    val family = MarkupFamilies.foldRight(lit(null).cast("string")) {
+    val ctFamily = MarkupFamilies.foldRight(lit(null).cast("string")) {
       case ((sub, fam), acc) => when(ct.contains(sub), fam).otherwise(acc)
+    }
+    val family = uriCol.fold(ctFamily) { u =>
+      val ext = lower(regexp_extract(
+        regexp_replace(col(u), "[?#].*", ""), "\\.([A-Za-z0-9]+)$", 1))
+      val extFamily = ExtensionFamilies
+        .foldRight(lit(null).cast("string")) {
+          case ((e, fam), acc) => when(ext === e, fam).otherwise(acc)
+        }
+      coalesce(ctFamily, extFamily)
     }
     val body = col(bodyCol)
     val text = when(col("family") === "html", Html.textOf(body))

@@ -346,4 +346,28 @@ class WarcSpec extends SparkSpec {
     assert(nulls.count() == 2 &&
       nulls.filter(col("text").isNotNull).count() == 0)
   }
+
+  test("routeMarkup extension fallback: decides when the Content-Type " +
+      "routes nothing; a recognized Content-Type WINS over a " +
+      "conflicting extension; query/fragment stripped first") {
+    val cases = Seq(
+      // ct useless, extension decides
+      (1L, "text/plain", "https://x/a/README.md", "markdown"),
+      (2L, null, "https://x/page.HTM", "html"),
+      (3L, "application/octet-stream", "https://x/p.tex?v=1#s", "latex"),
+      (4L, "text/plain", "https://x/art.wiki", "wikitext"),
+      // recognized ct beats the conflicting extension
+      (5L, "text/html", "https://x/README.md", "html"),
+      // nothing recognizes: stays null
+      (6L, "text/plain", "https://x/data.bin", null),
+      (7L, "application/pdf", "https://x/doc", null))
+    val df = spark.createDataFrame(
+        cases.map { case (i, ct, u, _) => (i, ct, u, "body text") })
+      .toDF("id", "ct", "uri", "body")
+    val got = Warc.routeMarkup(df, "ct", "body", uriCol = Some("uri"))
+      .select("id", "family").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    cases.foreach { case (i, _, _, fam) => assert(got(i) == fam, s"id=$i") }
+  }
 }
