@@ -1131,6 +1131,34 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("doc_id")
     }),
 
+    // ---- incoming anchor-text aggregation (the web-IR page signal:
+    //      what OTHER pages call a page): each doc links a
+    //      parity-derived target relatively, a canonicalization-trap
+    //      absolute target (uppercase authority, :80, unsorted query
+    //      with a trailing &, a fragment), a nofollow spam anchor and
+    //      an empty-text anchor that must both drop; the target-keyed
+    //      aggregate collects sorted distinct texts. Oracle replays
+    //      the contribution table from construction. ----
+
+    "q214_anchor_text_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pageUrl = concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), pmod(col("doc_id"), lit(5)))
+      val html = concat(
+        lit("<html><body><p>intro</p><a href=\"/t/"),
+        pmod(col("doc_id"), lit(7)), lit("\">label "),
+        pmod(col("doc_id"), lit(3)),
+        lit("</a><a href=\"HTTP://"), col("source"),
+        lit(".Example.COM:80/t/0?b=2&a=1&#f\">home link</a>"),
+        lit("<a rel=\"ugc nofollow\" href=\"/t/99\">spam</a>"),
+        lit("<a href=\"/t/98\"><img src=\"x.png\"/></a>"),
+        lit("</body></html>"))
+      graft.ops.Html.incomingAnchorTexts(
+          docs.select(col("doc_id"), pageUrl.as("page_url"),
+            html.as("html")), "doc_id", "page_url", "html")
+        .orderBy("target_url")
+    }),
+
     // ---- UNIVERSAL markup ingest (the q169/q186 consolidated-plan
     //      discipline applied to ingest): one mixed crawl capture —
     //      a 5-way Content-Type cycle over the SAME WARC table —
@@ -3069,6 +3097,30 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
       // operator grain by q166/q191/q198/q208; this query proves the
       // ROUTING composition). The markdown tail keeps its '\n\n' —
       // the chain's trim is space-only, documented operator behavior.
+      // Contribution table from construction: each doc adds
+      // (https relative target by doc_id%7, 'label '||doc_id%3) and
+      // (the canonicalized http absolute /t/0?a=1&b=2, 'home link');
+      // nofollow and empty-text anchors never contribute. Aggregate
+      // = counts + sorted distinct texts per target.
+    "q214_anchor_text_index" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example.com/t/' || (doc_id % 7)
+        |      AS target_url,
+        |    'label ' || (doc_id % 3) AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'http://' || source || '.example.com/t/0?a=1&b=2',
+        |    'home link'
+        |  FROM documents)
+        |SELECT target_url,
+        |  CAST(count(*) AS BIGINT) AS n_anchors,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sources,
+        |  list_aggr(list_sort(list_distinct(list(text))),
+        |    'string_agg', ' | ') AS anchor_texts
+        |FROM a GROUP BY target_url ORDER BY target_url""".stripMargin,
+
       "q210_universal_ingest" ->
         """SELECT doc_id,
           |  CASE doc_id % 6

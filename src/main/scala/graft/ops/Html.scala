@@ -142,6 +142,43 @@ object Html {
         col("__a.text").as("text"))
   }
 
+  /** Incoming anchor-text aggregation — the classic web-corpus page
+    * signal (what OTHER pages call a page; retrieval systems index it
+    * beside body text, and it labels pages their own markup never
+    * describes): every followable anchor's href resolves against its
+    * page URL, canonicalizes, and the TARGET-keyed aggregate collects
+    * the distinct anchor texts pointing at it. Nofollow anchors
+    * (`rel` token set per the HTML spec), empty-text anchors, and
+    * unresolvable hrefs (mailto/ftp/relative-without-slash) drop —
+    * the [[graft.ops.Robots]]-front conventions.
+    *
+    * Returns `(target_url, n_anchors, n_sources, anchor_texts)` with
+    * `anchor_texts` = the sorted distinct texts joined by ` | `
+    * (deterministic at any parallelism) and `n_sources` = distinct
+    * linking documents. Scale shape: one kernel scan projection +
+    * posexplode, then ONE target-keyed aggregate exchange — anchor
+    * rows (not pages) cross the wire, pre-aggregated map-side.
+    */
+  def incomingAnchorTexts(df: DataFrame, idCol: String, urlCol: String,
+                          htmlCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol), col(urlCol),
+        posexplode(call_function("graft_html_anchors", col(htmlCol)))
+          .as(Seq("__p", "__a")))
+      .select(col(idCol),
+        TextAnalysis.canonicalizeUrl(TextAnalysis.resolveHref(
+          col(urlCol), col("__a.href"))).as("target_url"),
+        col("__a.rel").as("rel"), col("__a.text").as("text"))
+      .filter(col("target_url").isNotNull && col("text").isNotNull &&
+        !coalesce(array_contains(split(col("rel"), "\\s+"),
+          "nofollow"), lit(false)))
+      .groupBy("target_url")
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col(idCol)).as("n_sources"),
+        array_join(sort_array(collect_set(col("text"))), " | ")
+          .as("anchor_texts"))
+  }
+
   /** [[anchors]]' regexp twin — pure Column ops after
     * [[stripContainers]], each step its own oracle replay (the q172
     * kernel-vs-regexp discipline: the regexp form IS the replay SQL,
