@@ -111,6 +111,59 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
     (all.head._1, all.head._2)
   }
 
+  /** The langId oracle replay, factored for reuse (q13 per-doc,
+    * q215 host-profile aggregate): `langPredCtes` = the toks+scored
+    * CTE bodies (marker-token hits per Latin profile, script
+    * code-point counts for zh/ja/ko — RE2 replays
+    * [[TextAnalysis.scriptRangeClass]] verbatim; DuckDB single-quoted
+    * literals pass backslashes through, no doubling), `langPredCase`
+    * = the profile-order argmax CASE over the scored columns.
+    */
+  private[graft] lazy val (langPredCtes, langPredCase): (String, String) = {
+    def hits(markers: Seq[String]): String =
+      s"len(list_filter(lt, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
+    val en = hits(Seq("the", "and", "of", "to", "is", "that", "it", "was"))
+    val es = hits(Seq("el", "la", "de", "que", "y", "los", "es", "una"))
+    val de = hits(Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"))
+    val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans", "que"))
+    val zh = "len(regexp_extract_all(text, " +
+      s"'${graft.ops.TextAnalysis.scriptRangeClass(graft.ops.TextAnalysis.hanScriptRanges)}'))"
+    val ja = hits(Seq("の", "は", "が", "を", "です", "ます", "した",
+      "こと")) +
+      " + len(regexp_extract_all(text, " +
+      s"'${graft.ops.TextAnalysis.scriptRangeClass(graft.ops.TextAnalysis.kanaScriptRanges)}'))"
+    val ko = "len(regexp_extract_all(text, " +
+      s"'${graft.ops.TextAnalysis.scriptRangeClass(graft.ops.TextAnalysis.hangulScriptRanges)}'))"
+    val ctes =
+      s"""toks AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      x -> len(x) > 0) AS lt
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de,
+         |    $fr AS s_fr, $ja AS s_ja, $ko AS s_ko, $zh AS s_zh
+         |  FROM toks)""".stripMargin
+    val cas =
+      """CASE
+        |    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de
+        |      AND s_en >= s_fr AND s_en >= s_ja AND s_en >= s_ko
+        |      AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr
+        |      AND s_es >= s_ja AND s_es >= s_ko AND s_es >= s_zh
+        |      THEN 'es'
+        |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_ja
+        |      AND s_de >= s_ko AND s_de >= s_zh THEN 'de'
+        |    WHEN s_fr > 0 AND s_fr >= s_ja AND s_fr >= s_ko
+        |      AND s_fr >= s_zh THEN 'fr'
+        |    WHEN s_ja > 0 AND s_ja >= s_ko AND s_ja >= s_zh
+        |      THEN 'ja'
+        |    WHEN s_ko > 0 AND s_ko >= s_zh THEN 'ko'
+        |    WHEN s_zh > 0 THEN 'zh'
+        |    ELSE 'und' END""".stripMargin
+    (ctes, cas)
+  }
+
   /** The q198/q204 built wikitext article — one Column expression over
     * the documents table, shared by both entries so engine and
     * composed-pipeline fixtures can never drift (the SQL twin is
@@ -1129,6 +1182,35 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
             .as("variant"),
           col("http_status"), col("http_content_type"), col("body"))
         .orderBy("doc_id")
+    }),
+
+    // ---- per-host corpus profile (the crawl-allocation signal a
+    //      frontier prioritizes on beyond authority — q187's
+    //      complement): per source host, document count, how often
+    //      the detected language AGREES with the declared one, the
+    //      mean lexical-diversity micro, and the within-host exact-
+    //      dup count. One scan projection + ONE host-keyed aggregate.
+    //      Oracle reuses the q13 langId replay CTEs verbatim. ----
+
+    "q215_host_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val f = TextAnalysis.qualityFeatures(col("text"))
+      val per = docs.select(col("source"),
+        (TextAnalysis.langId(col("text")) === col("lang")).as("agree"),
+        when(f.getField("n_tokens") > 0,
+          expr("1000000L") * f.getField("n_distinct_tokens"))
+          .otherwise(lit(0L)).as("__num"),
+        f.getField("n_tokens").as("__den"),
+        TextAnalysis.fingerprint(col("text")).as("__fp"))
+      per.select(col("source"), col("agree"),
+          when(col("__den") > 0, expr("__num div __den"))
+            .otherwise(lit(0L)).as("__divm"), col("__fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("agree"), 1L).otherwise(0L)).as("n_lang_agree"),
+          expr("sum(__divm) div count(1)").as("mean_diversity_micro"),
+          (count(lit(1)) - countDistinct(col("__fp"))).as("n_dup_docs"))
+        .orderBy("source")
     }),
 
     // ---- incoming anchor-text aggregation (the web-IR page signal:
@@ -3097,6 +3179,30 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
       // operator grain by q166/q191/q198/q208; this query proves the
       // ROUTING composition). The markdown tail keeps its '\n\n' —
       // the chain's trim is space-only, documented operator behavior.
+      // The q13 replay CTEs verbatim + per-doc diversity micro and
+      // md5 fingerprints, aggregated per source: agreement count,
+      // floor-mean diversity, n_docs - distinct fingerprints.
+    "q215_host_profile" ->
+      s"""WITH $langPredCtes,
+         |lp AS (SELECT doc_id, $langPredCase AS lang_pred
+         |  FROM scored),
+         |per AS (
+         |  SELECT d.source,
+         |    CASE WHEN lp.lang_pred = d.lang THEN 1 ELSE 0 END AS agree,
+         |    CASE WHEN len(tk.lt) > 0
+         |      THEN 1000000 * len(list_distinct(tk.lt)) // len(tk.lt)
+         |      ELSE 0 END AS divm,
+         |    md5(d.text) AS fp
+         |  FROM documents d
+         |  JOIN lp ON lp.doc_id = d.doc_id
+         |  JOIN toks tk ON tk.doc_id = d.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(agree) AS BIGINT) AS n_lang_agree,
+         |  CAST(sum(divm) // count(*) AS BIGINT)
+         |    AS mean_diversity_micro,
+         |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs
+         |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
       // Contribution table from construction: each doc adds
       // (https relative target by doc_id%7, 'label '||doc_id%3) and
       // (the canonicalized http absolute /t/0?a=1&b=2, 'home link');
@@ -3742,55 +3848,10 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
            |      / len(t) END AS stopword_ratio
            |FROM toks ORDER BY doc_id""".stripMargin,
 
-      "q13_lang_id" -> {
-        def hits(markers: Seq[String]): String =
-          s"len(list_filter(lt, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))"
-        val en = hits(Seq("the", "and", "of", "to", "is", "that", "it", "was"))
-        val es = hits(Seq("el", "la", "de", "que", "y", "los", "es", "una"))
-        val de = hits(Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"))
-        val fr = hits(Seq("le", "la", "les", "et", "est", "une", "dans", "que"))
-        // zh scores by Han-script CODE POINTS (RE2 replays the engine's
-        // scriptRangeClass verbatim), not marker tokens — unsegmented
-        // Chinese has no whitespace tokens to match; ja sums BOTH legs:
-        // particle-marker token hits + Kana code points
-        // (DuckDB single-quoted literals pass backslashes through
-        // verbatim — no doubling)
-        val zh = "len(regexp_extract_all(text, " +
-          s"'${graft.ops.TextAnalysis.scriptRangeClass(graft.ops.TextAnalysis.hanScriptRanges)}'))"
-        val ja = hits(Seq("の", "は", "が", "を", "です", "ます", "した",
-          "こと")) +
-          " + len(regexp_extract_all(text, " +
-          s"'${graft.ops.TextAnalysis.scriptRangeClass(graft.ops.TextAnalysis.kanaScriptRanges)}'))"
-        val ko = "len(regexp_extract_all(text, " +
-          s"'${graft.ops.TextAnalysis.scriptRangeClass(graft.ops.TextAnalysis.hangulScriptRanges)}'))"
-        s"""WITH toks AS (
-           |  SELECT doc_id, text,
-           |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
-           |      x -> len(x) > 0) AS lt
-           |  FROM documents),
-           |scored AS (
-           |  SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de,
-           |    $fr AS s_fr, $ja AS s_ja, $ko AS s_ko, $zh AS s_zh
-           |  FROM toks)
-           |SELECT doc_id,
-           |  CASE
-           |    WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de
-           |      AND s_en >= s_fr AND s_en >= s_ja AND s_en >= s_ko
-           |      AND s_en >= s_zh THEN 'en'
-           |    WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr
-           |      AND s_es >= s_ja AND s_es >= s_ko AND s_es >= s_zh
-           |      THEN 'es'
-           |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_ja
-           |      AND s_de >= s_ko AND s_de >= s_zh THEN 'de'
-           |    WHEN s_fr > 0 AND s_fr >= s_ja AND s_fr >= s_ko
-           |      AND s_fr >= s_zh THEN 'fr'
-           |    WHEN s_ja > 0 AND s_ja >= s_ko AND s_ja >= s_zh
-           |      THEN 'ja'
-           |    WHEN s_ko > 0 AND s_ko >= s_zh THEN 'ko'
-           |    WHEN s_zh > 0 THEN 'zh'
-           |    ELSE 'und' END AS lang_pred
-           |FROM scored ORDER BY doc_id""".stripMargin
-      },
+      "q13_lang_id" ->
+        s"""WITH $langPredCtes
+           |SELECT doc_id, $langPredCase AS lang_pred
+           |FROM scored ORDER BY doc_id""".stripMargin,
 
       "q15_fingerprint" ->
         """SELECT doc_id, md5(text) AS fp FROM documents
