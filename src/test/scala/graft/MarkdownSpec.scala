@@ -43,4 +43,14 @@ class MarkdownSpec extends SparkSpec {
       "[1](u) [2](v) ![3](w)")
     assert((f4, l4, i4, h4) == ((2L, 2L, 1L, 2L)))
   }
+
+  test("documented limitation: the final trim is SPACE-only, so " +
+      "newlines left at the ends (e.g. by a trailing fence drop) " +
+      "survive — the q210 oracle states this shape, this pin is the " +
+      "contract") {
+    val (t, _, _, _, _) = ext("prose line.\n\n```\ncode\n```")
+    assert(t == "prose line.\n\n", t.replace("\n", "\\n"))
+    val (t2, _, _, _, _) = ext("   padded prose   ")
+    assert(t2 == "padded prose") // spaces DO trim
+  }
 }
