@@ -204,6 +204,17 @@ class HtmlSpec extends SparkSpec {
       .select("text").as[String].head() ==
       "First block long enough to keep.\n" +
         "Second block also long enough to keep.")
+    // textOf (the Column form the q210 router rides) must agree with
+    // extractText on every doc that HAS blocks — same keep rules,
+    // same join; only the zero-block aggregation gap differs
+    // (extractText omits doc 3, textOf yields '')
+    val colForm = df.select(col("doc_id"),
+        Html.textOf(col("html")).as("text"))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(colForm.filter(_._1 != 3L) ==
+      t.map(r => (r._1, r._2)))
+    assert(colForm.find(_._1 == 3L).get._2 == "")
   }
 
   private def links(html: String): Seq[String] = {
