@@ -1219,8 +1219,13 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
     //      absolute target (uppercase authority, :80, unsorted query
     //      with a trailing &, a fragment), a nofollow spam anchor and
     //      an empty-text anchor that must both drop; the target-keyed
-    //      aggregate collects sorted distinct texts. Oracle replays
-    //      the contribution table from construction. ----
+    //      aggregate keeps the first maxTexts=2 distinct texts
+    //      ascending (the /t/k targets carry 3 distinct labels, so
+    //      the cap BINDS there and leaves the single-text /t/0
+    //      canonical target untouched) plus the uncapped n_texts
+    //      count. Oracle replays the contribution table from
+    //      construction with the capPerKey window-rank pattern over
+    //      the distinct (target, text) pairs. ----
 
     "q214_anchor_text_index" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1237,7 +1242,8 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         lit("</body></html>"))
       graft.ops.Html.incomingAnchorTexts(
           docs.select(col("doc_id"), pageUrl.as("page_url"),
-            html.as("html")), "doc_id", "page_url", "html")
+            html.as("html")), "doc_id", "page_url", "html",
+          maxTexts = 2)
         .orderBy("target_url")
     }),
 
@@ -3207,7 +3213,10 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
       // (https relative target by doc_id%7, 'label '||doc_id%3) and
       // (the canonicalized http absolute /t/0?a=1&b=2, 'home link');
       // nofollow and empty-text anchors never contribute. Aggregate
-      // = counts + sorted distinct texts per target.
+      // = counts + the first maxTexts=2 distinct texts ascending,
+      // replayed as the capPerKey window-rank over the DISTINCT
+      // (target, text) pairs (the q87 oracle pattern), + the
+      // uncapped distinct-text count.
     "q214_anchor_text_index" ->
       """WITH a AS (
         |  SELECT doc_id,
@@ -3219,13 +3228,24 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         |  SELECT doc_id,
         |    'http://' || source || '.example.com/t/0?a=1&b=2',
         |    'home link'
-        |  FROM documents)
-        |SELECT target_url,
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT target_url, text,
+        |    row_number() OVER (PARTITION BY target_url
+        |      ORDER BY text) AS rn
+        |  FROM (SELECT DISTINCT target_url, text FROM a)),
+        |capped AS (
+        |  SELECT target_url,
+        |    list_aggr(list_sort(list(text)), 'string_agg', ' | ')
+        |      AS anchor_texts
+        |  FROM ranked WHERE rn <= 2 GROUP BY target_url)
+        |SELECT a.target_url,
         |  CAST(count(*) AS BIGINT) AS n_anchors,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sources,
-        |  list_aggr(list_sort(list_distinct(list(text))),
-        |    'string_agg', ' | ') AS anchor_texts
-        |FROM a GROUP BY target_url ORDER BY target_url""".stripMargin,
+        |  CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT a.text) AS BIGINT) AS n_texts,
+        |  any_value(c.anchor_texts) AS anchor_texts
+        |FROM a JOIN capped c ON c.target_url = a.target_url
+        |GROUP BY a.target_url ORDER BY a.target_url""".stripMargin,
 
       "q210_universal_ingest" ->
         """SELECT doc_id,

@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** `graft_cap_set(value, k)`: the k-bounded twin of `collect_set` —
+  * ONE map-side-combinable aggregate keeping the k SMALLEST distinct
+  * values per group under the type's natural ascending order. Returns
+  * `array<valueType>` sorted ascending (deterministic at any
+  * parallelism); an empty group evaluates to an empty array; NULL
+  * values are ignored.
+  *
+  * Why it exists: `collect_set` grows one aggregation buffer per group
+  * without bound — at web scale a hot group (a homepage's incoming
+  * anchor texts: millions of distinct strings from millions of linking
+  * pages) blows the buffer, exactly the hazard
+  * [[graft.ops.Dedup]].exactProvenance avoids by never collecting and
+  * [[TopKAgg]] bounds for (score, id) ranking. This is the
+  * set-semantics member of that family: partial aggregation bounds the
+  * shuffle to ≤ k distinct values per (map task, group), and the hot
+  * group's final merge folds k-bounded sets, never its row count.
+  * [[TopKAgg]] can't substitute — its heap admits duplicate (score, id)
+  * pairs, so repeated values would consume cap slots.
+  *
+  * "k smallest, ascending" (rather than insertion-order-first) is the
+  * one cap rule that is deterministic under any partitioning AND
+  * replayable by an oracle as
+  * `row_number() OVER (PARTITION BY g ORDER BY v) <= k` over the
+  * distinct pairs — the q87/capPerKey window-replay discipline.
+  *
+  * Buffer: a sorted array of at most k distinct values — offer is a
+  * binary search (duplicate → no-op; insert only while below the cap
+  * or when smaller than the current maximum). Serialization rides an
+  * `UnsafeProjection` over the single value type with a length prefix
+  * per entry (the [[TopKAgg]] wire pattern), so any orderable type
+  * serializes without a hand-rolled format.
+  */
+case class CapSetAgg(child: Expression, k: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CapSetAgg.Buf]
+    with UnaryLike[Expression] {
+
+  require(k >= 1, s"graft_cap_set needs k >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+
+  @transient private lazy val ord: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(child.dataType)
+
+  override def dataType: DataType =
+    ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): CapSetAgg.Buf =
+    new CapSetAgg.Buf(k)
+
+  override def update(buffer: CapSetAgg.Buf,
+                      input: InternalRow): CapSetAgg.Buf = {
+    val v = child.eval(input)
+    // eval over unsafe rows returns views into reused buffers and the
+    // set outlives the input row — but on a hot group almost every
+    // offer is a duplicate or ranks past the cap, so the copy happens
+    // lazily INSIDE offer, only when the value is actually stored
+    if (v != null) buffer.offer(v, ord, InternalRow.copyValue)
+    buffer
+  }
+
+  override def merge(buffer: CapSetAgg.Buf,
+                     other: CapSetAgg.Buf): CapSetAgg.Buf = {
+    // fold the smaller set into the larger: min(n,m) offers, not n+m
+    val (into, from) =
+      if (buffer.size >= other.size) (buffer, other) else (other, buffer)
+    from.foreach(v => into.offer(v, ord))
+    into
+  }
+
+  override def eval(buffer: CapSetAgg.Buf): Any =
+    new GenericArrayData(buffer.toSortedArray)
+
+  @transient private lazy val serProj =
+    UnsafeProjection.create(Array(child.dataType))
+
+  override def serialize(buffer: CapSetAgg.Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buffer.size)
+    buffer.foreach { v =>
+      val bytes = serProj(InternalRow(v)).getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CapSetAgg.Buf = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new CapSetAgg.Buf(k)
+    var j = 0
+    while (j < n) {
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      val row = new UnsafeRow(1)
+      row.pointTo(rowBytes, len)
+      buf.offer(InternalRow.copyValue(row.get(0, child.dataType)), ord)
+      j += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CapSetAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CapSetAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): CapSetAgg = copy(child = newChild)
+  override def prettyName: String = "graft_cap_set"
+}
+
+object CapSetAgg {
+  /** Sorted-ascending bounded distinct array: `offer` binary-searches;
+    * a present value is a no-op, an absent one inserts while n < k or
+    * evicts the current maximum when it ranks smaller.
+    */
+  final class Buf(k: Int) {
+    private val values = new Array[Any](k)
+    private var n = 0
+
+    def size: Int = n
+
+    def foreach(f: Any => Unit): Unit = {
+      var j = 0
+      while (j < n) { f(values(j)); j += 1 }
+    }
+
+    def toSortedArray: Array[Any] = {
+      val out = new Array[Any](n)
+      System.arraycopy(values, 0, out, 0, n)
+      out
+    }
+
+    def offer(v: Any, ord: Ordering[Any],
+              copy: Any => Any = identity): Unit = {
+      // binary search for the insertion point (first index with
+      // values(idx) >= v)
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.compare(values(mid), v) < 0) lo = mid + 1 else hi = mid
+      }
+      val present = lo < n && ord.compare(values(lo), v) == 0
+      if (!present) {
+        if (n < k) {
+          System.arraycopy(values, lo, values, lo + 1, n - lo)
+          values(lo) = copy(v)
+          n += 1
+        } else if (lo < k) { // smaller than the current maximum
+          System.arraycopy(values, lo, values, lo + 1, k - lo - 1)
+          values(lo) = copy(v)
+        }
+      }
+    }
+  }
+}

@@ -302,6 +302,12 @@ object GraftFunctions {
         require(exprs.length == 3, "graft_top_k takes (score, id, k)")
         TopKAgg(exprs(0), exprs(1), litInt(exprs(2), "k"))
       }),
+    (FunctionIdentifier("graft_cap_set"),
+      new ExpressionInfo(classOf[CapSetAgg].getName, "graft_cap_set"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_cap_set takes (value, k)")
+        CapSetAgg(exprs(0), litInt(exprs(1), "k"))
+      }),
     (FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "graft_sorted_intersect_count"),

@@ -152,15 +152,30 @@ object Html {
     * unresolvable hrefs (mailto/ftp/relative-without-slash) drop —
     * the [[graft.ops.Robots]]-front conventions.
     *
-    * Returns `(target_url, n_anchors, n_sources, anchor_texts)` with
-    * `anchor_texts` = the sorted distinct texts joined by ` | `
-    * (deterministic at any parallelism) and `n_sources` = distinct
-    * linking documents. Scale shape: one kernel scan projection +
-    * posexplode, then ONE target-keyed aggregate exchange — anchor
-    * rows (not pages) cross the wire, pre-aggregated map-side.
+    * Returns `(target_url, n_anchors, n_sources, n_texts,
+    * anchor_texts)` with `anchor_texts` = the first `maxTexts`
+    * distinct texts in ascending order, joined by ` | `, `n_texts` =
+    * the TOTAL distinct-text count (so a bound cap is observable),
+    * and `n_sources` = distinct linking documents.
+    *
+    * The cap is load-bearing at web scale: a popular target (a
+    * homepage linked by millions of pages, each with its own wording)
+    * would grow an uncapped `collect_set` buffer without bound — the
+    * hot-key class [[graft.functions.TopKAgg]] exists to bound. Texts
+    * ride `graft_cap_set` ([[graft.functions.CapSetAgg]]): map tasks
+    * ship ≤ `maxTexts` distinct texts per target, the hot target's
+    * final merge folds k-bounded sets, and "k smallest ascending" is
+    * the one cap rule both deterministic under any partitioning and
+    * oracle-replayable as a `row_number()` window over the distinct
+    * pairs. Scale shape: one kernel scan projection + posexplode,
+    * then ONE target-keyed aggregate exchange — anchor rows (not
+    * pages) cross the wire, every aggregate pre-combined map-side
+    * with bounded buffers.
     */
   def incomingAnchorTexts(df: DataFrame, idCol: String, urlCol: String,
-                          htmlCol: String): DataFrame = {
+                          htmlCol: String,
+                          maxTexts: Int = 64): DataFrame = {
+    require(maxTexts >= 1, "maxTexts must be >= 1")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.select(col(idCol), col(urlCol),
         posexplode(call_function("graft_html_anchors", col(htmlCol)))
@@ -175,8 +190,9 @@ object Html {
       .groupBy("target_url")
       .agg(count(lit(1)).as("n_anchors"),
         countDistinct(col(idCol)).as("n_sources"),
-        array_join(sort_array(collect_set(col("text"))), " | ")
-          .as("anchor_texts"))
+        countDistinct(col("text")).as("n_texts"),
+        array_join(call_function("graft_cap_set",
+          col("text"), lit(maxTexts)), " | ").as("anchor_texts"))
   }
 
   /** [[anchors]]' regexp twin — pure Column ops after

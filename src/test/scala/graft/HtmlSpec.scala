@@ -577,4 +577,96 @@ class HtmlSpec extends SparkSpec {
     assert(r.getString(4) ==
       "ROW 1: a | b HEAD: h1 | h2 ROW 3:  | v")
   }
+
+  test("incomingAnchorTexts: nofollow is rel TOKEN matching (a " +
+      "'nofollower' token keeps, any position in the token set " +
+      "drops), rel-null keeps, empty-text and unresolvable-href " +
+      "anchors drop") {
+    import spark.implicits._
+    val rows = Seq(
+      // plain anchor, no rel → keeps
+      (1L, "https://a.example.com/p/1",
+        "<a href=\"/t/x\">alpha</a>"),
+      // rel token set containing nofollow anywhere → drops
+      (2L, "https://a.example.com/p/2",
+        "<a rel=\"ugc nofollow sponsored\" href=\"/t/x\">spam</a>"),
+      (3L, "https://a.example.com/p/3",
+        "<a rel=\"nofollow\" href=\"/t/x\">spam2</a>"),
+      // token PREFIX is not the token: keeps (substring matching
+      // would wrongly drop this)
+      (4L, "https://a.example.com/p/4",
+        "<a rel=\"nofollower\" href=\"/t/x\">beta</a>"),
+      // empty text (img-only body) → drops
+      (5L, "https://a.example.com/p/5",
+        "<a href=\"/t/x\"><img src=\"i.png\"/></a>"),
+      // unresolvable href (mailto) → drops
+      (6L, "https://a.example.com/p/6",
+        "<a href=\"mailto:x@example.com\">mail</a>"))
+      .toDF("id", "url", "h")
+    val r = Html.incomingAnchorTexts(rows, "id", "url", "h")
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "https://a.example.com/t/x")
+    assert(row.getLong(1) == 2L)                 // n_anchors: docs 1, 4
+    assert(row.getLong(2) == 2L)                 // n_sources
+    assert(row.getLong(3) == 2L)                 // n_texts
+    assert(row.getString(4) == "alpha | beta")
+  }
+
+  test("incomingAnchorTexts cap: first-maxTexts distinct texts " +
+      "ascending, duplicates never consume slots, n_texts stays " +
+      "uncapped, and a large cap reproduces the uncapped collect_set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 9 docs → target /t/0 with texts t0..t8; doc 9 repeats 'b 0'
+    // from another page (a duplicate text must not evict a slot)
+    val docs = (0L to 8L).map(i =>
+      (i, s"https://h.example.com/p/$i",
+        s"<a href=\"/t/0\">b $i</a>")) :+
+      (9L, "https://h.example.com/p/9", "<a href=\"/t/0\">b 0</a>")
+    val df = docs.toDF("id", "url", "h")
+    val capped = Html.incomingAnchorTexts(df, "id", "url", "h",
+      maxTexts = 3).collect().head
+    assert(capped.getLong(1) == 10L && capped.getLong(2) == 10L)
+    assert(capped.getLong(3) == 9L) // total distinct, uncapped
+    assert(capped.getString(4) == "b 0 | b 1 | b 2")
+    // cap >= distinct count reproduces the uncapped set exactly
+    val wide = Html.incomingAnchorTexts(df, "id", "url", "h",
+      maxTexts = 64).collect().head
+    assert(wide.getString(4) ==
+      (0 to 8).map(i => s"b $i").mkString(" | "))
+  }
+
+  test("graft_cap_set: k smallest distinct ascending under hostile " +
+      "partitioning; NULLs ignored; empty group → empty array; " +
+      "parity with sort_array(collect_set)[0:k] on every group") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // 5k rows, 7 groups, values deliberately offered in DESCENDING
+    // order (worst case for a keep-smallest buffer), each value
+    // duplicated 3×, plus nulls sprinkled in
+    val df = spark.range(5000)
+      .select(
+        pmod(col("id"), lit(7L)).as("g"),
+        when(pmod(col("id"), lit(11L)) === 0, lit(null))
+          .otherwise(format_string("v%04d", lit(4999) - col("id")))
+          .as("v"))
+      .union(spark.range(5000).select(pmod(col("id"), lit(7L)),
+        format_string("v%04d", pmod(col("id"), lit(50L)))))
+      .repartition(13) // force multi-partition partial aggregation
+    val got = df.groupBy("g")
+      .agg(call_function("graft_cap_set", col("v"), lit(25)).as("c"))
+    val want = df.groupBy("g")
+      .agg(slice(sort_array(collect_set(col("v"))), 1, 25).as("c"))
+    assert(got.orderBy("g").collect().toSeq ==
+      want.orderBy("g").collect().toSeq)
+    // empty group (all-null values) → empty array, not null
+    val e = Seq((1L, null.asInstanceOf[String])).toDF("g", "v")
+      .groupBy("g")
+      .agg(call_function("graft_cap_set", col("v"), lit(4)).as("c"))
+      .collect().head
+    assert(e.getSeq[String](1).isEmpty)
+  }
 }

@@ -1,0 +1,99 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r20 hot-target anchor-index stress: the q214 operator against the
+  * exact skew the cap exists for — ONE homepage target receiving an
+  * anchor from every page (1M anchors, ~1M DISTINCT texts), beside a
+  * 100k-target tail. Invariants are exact from construction: the hot
+  * row keeps maxTexts=16 texts with n_texts = the planted distinct
+  * count and n_anchors = nDocs; every tail target aggregates its ~10
+  * texts unclipped. Also prices the capped `graft_cap_set` aggregate
+  * against the uncapped `collect_set` formulation on the same corpus
+  * (the uncapped path materializes a ~1M-element set in ONE
+  * aggregation buffer — exactly the blow-up the cap bounds).
+  *
+  * Run: `sbt "Test/runMain tmpstress.AnchorStress"`
+  */
+object AnchorStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // every page links the hot homepage with page-specific wording
+    // (i → distinct text), plus one of 100k ABSOLUTE tail targets
+    // (absolute so the per-page host doesn't fan the tail out) with
+    // one of 10 texts from the id/100000 stripe
+    val html = concat(
+      lit("<html><body><a href=\"https://hot.example.com/\">visit "),
+      col("id"), lit(" here</a>"),
+      lit("<a href=\"https://tail.example.com/t/"),
+      pmod(col("id"), lit(100000L)), lit("\">tail "),
+      pmod(floor(col("id") / lit(100000L)).cast("long"), lit(10L)),
+      lit("</a>"),
+      lit("<a rel=\"nofollow\" href=\"/t/9\">spam</a>"),
+      lit("</body></html>"))
+    val corpus = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat(lit("https://h"), pmod(col("id"), lit(97L)),
+          lit(".example.com/p/"), col("id")).as("page_url"),
+        html.as("html"))
+      .repartition(64).cache()
+    println(s"MARKER corpus=${corpus.count()}")
+
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val all = graft.ops.Html.incomingAnchorTexts(
+          corpus, "doc_id", "page_url", "html", maxTexts = 16)
+        .collect() // ONE action: hot + tail invariants checked driver-side
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (hotRows, tailRows) =
+        all.partition(_.getString(0) == "https://hot.example.com/")
+      val hot = hotRows.head
+      val tails = org.apache.spark.sql.Row(
+        tailRows.length.toLong,
+        tailRows.map(_.getLong(1)).sum,
+        tailRows.map(_.getLong(3)).max,
+        0L)
+      // hot target: all anchors counted, texts capped at 16, distinct
+      // count uncapped ('visit <i> here' is distinct per page)
+      assert(hot.getLong(1) == nDocs, s"hot n_anchors ${hot.getLong(1)}")
+      assert(hot.getLong(3) == nDocs, s"hot n_texts ${hot.getLong(3)}")
+      assert(hot.getString(4).split(" \\| ").length == 16)
+      // tail: 100k targets, each ≤10 distinct texts, nofollow absent
+      assert(tails.getLong(0) == 100000L)
+      assert(tails.getLong(1) == nDocs)
+      assert(tails.getLong(2) <= 10L)
+      println(f"MARKER capped rep=$rep sec=$dt%.2f hotTexts=16" +
+        s" hotDistinct=${hot.getLong(3)}")
+    }
+
+    // the uncapped formulation on the same corpus (collect_set builds
+    // the full ~1M-element hot buffer) — priced for the BASELINE row
+    for (rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val n = corpus.select(col("doc_id"), col("page_url"),
+          posexplode(call_function("graft_html_anchors", col("html")))
+            .as(Seq("__p", "__a")))
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.canonicalizeUrl(
+            graft.ops.TextAnalysis.resolveHref(
+              col("page_url"), col("__a.href"))).as("target_url"),
+          col("__a.text").as("text"))
+        .filter(col("target_url").isNotNull && col("text").isNotNull)
+        .groupBy("target_url")
+        .agg(count(lit(1)).as("n_anchors"),
+          countDistinct(col("doc_id")).as("n_sources"),
+          countDistinct(col("text")).as("n_texts"),
+          size(collect_set(col("text"))).as("n"))
+        .agg(max(col("n"))).collect()(0).getInt(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"MARKER uncapped rep=$rep sec=$dt%.2f maxSet=$n")
+    }
+    spark.stop()
+  }
+}
