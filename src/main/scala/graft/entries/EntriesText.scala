@@ -1213,6 +1213,47 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("source")
     }),
 
+    // ---- compression-ratio quality gate (the CCNet/RefinedWeb
+    //      deflate signal — language-agnostic, nothing fitted):
+    //      three planted compressibility classes on doc_id%3 —
+    //      boilerplate repetition (ratio ≈0.05–0.07), hex-word prose
+    //      (≈0.56–0.57), base64 blob (≈0.83–0.84) — gated by the
+    //      [0.2, 0.7] band COMPOSED with the q23 distinct-ratio
+    //      structural leg. The kernel ratio is engine-only (a
+    //      Deflater has no SQL form — the Luhn/entropy precedent);
+    //      the oracle rebuilds the IDENTICAL texts (md5/repeat/
+    //      to_base64 exist in both engines, parity pinned by
+    //      n_chars), replays the structural leg over them, and
+    //      states the band verdicts from construction. ----
+
+    "q216_compression_gate" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs = t(s, dir, "documents")
+      val v = pmod(col("doc_id"), lit(3))
+      val rep = concat(lit("Doc "), col("doc_id"), lit(": "),
+        repeat(lit("common boilerplate navigation footer menu "),
+          (lit(20) + pmod(col("doc_id"), lit(10))).cast("int")))
+      val nat = concat_ws(" ", (0 until 20).map(j =>
+        md5(concat(col("doc_id").cast("string"), lit(s"s$j")))): _*)
+      // Spark's base64 is the MIME encoder (CRLF every 76 chars);
+      // strip the breaks to the canonical single-line form DuckDB's
+      // to_base64 emits
+      val ent = replace(base64(to_binary(concat((0 until 20).map(j =>
+        md5(concat(col("doc_id").cast("string"), lit(s"e$j")))): _*),
+        lit("hex"))), lit("\r\n"), lit(""))
+      val text = when(v === 0, rep).when(v === 1, nat).otherwise(ent)
+      val f = TextAnalysis.qualityFeatures(text)
+      docs.select(col("doc_id"),
+          length(text).cast("long").as("n_chars"),
+          TextAnalysis.compressionGate(text).as("compression_reason"),
+          (f.getField("n_distinct_tokens").cast("double") >=
+            f.getField("n_tokens").cast("double") * 0.2)
+            .as("structural_ok"))
+        .withColumn("kept",
+          col("compression_reason") === "ok" && col("structural_ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- incoming anchor-text aggregation (the web-IR page signal:
     //      what OTHER pages call a page): each doc links a
     //      parity-derived target relatively, a canonicalization-trap
@@ -3208,6 +3249,47 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
          |    AS mean_diversity_micro,
          |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs
          |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+      // The three class texts rebuilt verbatim (md5/repeat/to_base64
+      // exist in both engines — n_chars pins the construction
+      // parity), the structural leg replayed over them with the q23
+      // tokenizer replay, the deflate-band verdicts stated from
+      // construction (the kernel has no SQL form; the measured class
+      // ratios sit 0.05/0.57/0.83 against the [0.2, 0.7] band).
+    "q216_compression_gate" -> {
+      val natSql = (0 until 20).map(j => s"md5(doc_id || 's$j')")
+        .mkString(" || ' ' || ")
+      val entSql = "to_base64(from_hex(" +
+        (0 until 20).map(j => s"md5(doc_id || 'e$j')").mkString(" || ") +
+        "))"
+      s"""WITH built AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN 'Doc ' || doc_id || ': ' ||
+         |        repeat('common boilerplate navigation footer menu ',
+         |          CAST(20 + doc_id % 10 AS INT))
+         |      WHEN 1 THEN $natSql
+         |      ELSE $entSql END AS text
+         |  FROM documents),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> len(x) > 0) AS t
+         |  FROM built)
+         |SELECT b.doc_id,
+         |  CAST(length(b.text) AS BIGINT) AS n_chars,
+         |  CASE CAST(b.doc_id % 3 AS INT)
+         |    WHEN 0 THEN 'too_compressible'
+         |    WHEN 1 THEN 'ok'
+         |    ELSE 'too_random' END AS compression_reason,
+         |  CAST(len(list_distinct(tk.t)) AS DOUBLE)
+         |    >= len(tk.t) * 0.2 AS structural_ok,
+         |  (b.doc_id % 3 = 1
+         |    AND CAST(len(list_distinct(tk.t)) AS DOUBLE)
+         |      >= len(tk.t) * 0.2) AS kept
+         |FROM built b JOIN toks tk ON tk.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    },
 
       // Contribution table from construction: each doc adds
       // (https relative target by doc_id%7, 'label '||doc_id%3) and

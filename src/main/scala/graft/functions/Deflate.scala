@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compression-ratio quality signal — the CCNet/RefinedWeb deflate
+  * gate: near-duplicate boilerplate and template spam compress far
+  * below natural prose, encoded blobs and garbled decodes compress
+  * far above it, and the ratio is language-agnostic (no tokenizer, no
+  * stopword list — the one quality signal that needs nothing fitted).
+  * A Deflater is a stateful native codec no SQL expression carries, so
+  * this is the kernel-by-necessity class (the Luhn/entropy precedent —
+  * [[SecretsOps]]); the oracle strategy is planted compressibility
+  * classes whose verdicts are stated from construction.
+  *
+  * `deflateLen` = compressed byte length of the UTF-8 text under RAW
+  * deflate (nowrap — no zlib header/checksum, so short documents
+  * aren't distorted by constant framing bytes), level 6 (zlib
+  * default). The ratio consumed downstream is integer micro
+  * arithmetic: `1000000 * deflate_len div n_bytes`
+  * ([[graft.ops.TextAnalysis.compressionRatioMicro]]).
+  *
+  * One `Deflater` per thread (allocation is a native malloc; reset()
+  * between documents), matching Spark's one-thread-per-task model —
+  * scan-local, zero shuffle, codegen'd.
+  */
+object DeflateOps {
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = */ true)
+  }
+
+  /** Raw-deflate compressed length of the text's UTF-8 bytes; 0 for
+    * the empty string. */
+  def deflateLen(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    if (bytes.isEmpty) return 0L
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
+}
+
+/** `graft_deflate_len(text)`: compressed UTF-8 byte length via
+  * [[DeflateOps.deflateLen]] — scan-local, zero shuffle, codegen'd
+  * (the [[GzipOf]] shape). Null text → null.
+  */
+case class DeflateLenOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateOps.deflateLen(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.DeflateOps.deflateLen($t)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DeflateLenOf = copy(child = newChild)
+  override def prettyName: String = "graft_deflate_len"
+}

@@ -302,6 +302,12 @@ object GraftFunctions {
         require(exprs.length == 3, "graft_top_k takes (score, id, k)")
         TopKAgg(exprs(0), exprs(1), litInt(exprs(2), "k"))
       }),
+    (FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLenOf].getName, "graft_deflate_len"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_deflate_len takes (text)")
+        DeflateLenOf(exprs(0))
+      }),
     (FunctionIdentifier("graft_cap_set"),
       new ExpressionInfo(classOf[CapSetAgg].getName, "graft_cap_set"),
       (exprs: Seq[Expression]) => {

@@ -82,6 +82,43 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
       stopwordRatio(text, stopwords).as("stopword_ratio"),
     )
 
+  /** Deflate compression ratio in integer micro —
+    * `1000000 * deflate_len div utf8_bytes` (0 for empty/whitespace-
+    * free-of-bytes text) — the CCNet/RefinedWeb language-agnostic
+    * quality signal: boilerplate/template spam compresses far below
+    * natural prose, encoded blobs and garbled decodes far above it.
+    * Rides the `graft_deflate_len` kernel
+    * ([[graft.functions.DeflateOps]] — a Deflater is not expressible
+    * in SQL, the Luhn/entropy kernel-by-necessity class), so callers
+    * must have [[graft.functions.GraftFunctions.ensureRegistered]]
+    * run (every df-taking operator here does). The division is EXACT
+    * integer floor without leaving long arithmetic: subtracting
+    * `pmod` first makes the numerator exactly divisible, and double
+    * division of exactly-divisible longs < 2^53 is exact.
+    */
+  def compressionRatioMicro(text: Column): Column = {
+    val num = call_function("graft_deflate_len", text) * lit(1000000L)
+    val den = octet_length(text).cast("long")
+    when(den > 0, ((num - pmod(num, den)) / den).cast("long"))
+      .otherwise(lit(0L))
+  }
+
+  /** The deflate-band gate verdict over [[compressionRatioMicro]]:
+    * `'too_compressible'` below `minMicro` (near-duplicate
+    * boilerplate, template spam), `'too_random'` above `maxMicro`
+    * (encoded blobs, garbled decodes, minified bundles), `'ok'`
+    * inside the band. Defaults are the wide CCNet-style band — a
+    * corpus pipeline composes this as one more reason leg beside the
+    * q23 structural rules.
+    */
+  def compressionGate(text: Column, minMicro: Long = 200000L,
+                      maxMicro: Long = 700000L): Column = {
+    val r = compressionRatioMicro(text)
+    when(r < minMicro, lit("too_compressible"))
+      .when(r > maxMicro, lit("too_random"))
+      .otherwise(lit("ok"))
+  }
+
   /** The classic UTF-8-read-as-Latin-1/cp1252 double-encoding markers:
     * curly quotes/dashes become `â€¦` sequences, accented Latin letters
     * become `Ã?` pairs, NBSP becomes `Â `, and a mis-decoded U+FFFD

@@ -3885,4 +3885,40 @@ class OpsSpec extends SparkSpec {
         "doc_id", "n_tokens", seqLen = 4)
     }
   }
+
+  test("deflate kernel: empty -> 0, null -> null, ratio is exact " +
+      "integer micro, and the three compressibility classes order " +
+      "repetitive < prose < random with wide margins") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val r = Seq(
+      (1L, ""), (2L, null.asInstanceOf[String]),
+      (3L, "a" * 4000),                                   // degenerate run
+      (4L, Seq.tabulate(120)(i => s"w${i * 7919 % 997}x${i}").mkString(" ")))
+      .toDF("id", "t")
+      .select(col("id"), call_function("graft_deflate_len", col("t")).as("dl"),
+        graft.ops.TextAnalysis.compressionRatioMicro(col("t")).as("rm"))
+      .orderBy("id").collect()
+    assert(r(0).getLong(1) == 0L && r(0).getLong(2) == 0L)
+    assert(r(1).isNullAt(1) && r(1).getLong(2) == 0L)     // null text -> ratio 0
+    // 4000 identical bytes deflate to a handful: ratio far below 0.01
+    assert(r(2).getLong(2) < 10000L)
+    // varied word soup sits inside the keep band
+    assert(r(3).getLong(2) > 200000L && r(3).getLong(2) < 700000L)
+    // exactness: micro == floor(1e6 * deflate_len / bytes) recomputed
+    // driver-side from the kernel's own length
+    val chk = Seq((1L, "abcabcabc zzz qqq " * 7)).toDF("id", "t")
+      .select(call_function("graft_deflate_len", col("t")).as("dl"),
+        octet_length(col("t")).cast("long").as("n"),
+        graft.ops.TextAnalysis.compressionRatioMicro(col("t")).as("rm"))
+      .collect().head
+    assert(chk.getLong(2) == 1000000L * chk.getLong(0) / chk.getLong(1))
+    // gate verdict legs
+    val g = Seq(("x" * 1000), ("mixed prose with many different words " +
+      Seq.tabulate(60)(i => s"tok${i * 31 % 101}").mkString(" ")))
+      .toDF("t")
+      .select(graft.ops.TextAnalysis.compressionGate(col("t")).as("v"))
+      .collect().map(_.getString(0)).toSeq
+    assert(g == Seq("too_compressible", "ok"))
+  }
 }

@@ -1,0 +1,58 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r20 deflate-gate throughput at 1M docs: the q216 three-class
+  * construction (boilerplate repetition / hex-word prose / base64
+  * blob, ~1.9 GB total) with exact planted invariants — every class
+  * member must land in its band, so the gate's verdict histogram is
+  * exactly (nDocs/3)-sized per reason. Prices the kernel scan
+  * (ThreadLocal Deflater, reset per doc) against the corpus size.
+  *
+  * Run: `sbt "Test/runMain tmpstress.DeflateStress"`
+  */
+object DeflateStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+
+    val v = pmod(col("id"), lit(3L))
+    val rep = concat(lit("Doc "), col("id"), lit(": "),
+      repeat(lit("common boilerplate navigation footer menu "),
+        (lit(20) + pmod(col("id"), lit(10L))).cast("int")))
+    val nat = concat_ws(" ", (0 until 20).map(j =>
+      md5(concat(col("id").cast("string"), lit(s"s$j")))): _*)
+    val ent = replace(base64(to_binary(concat((0 until 20).map(j =>
+      md5(concat(col("id").cast("string"), lit(s"e$j")))): _*),
+      lit("hex"))), lit("\r\n"), lit(""))
+    val corpus = spark.range(nDocs)
+      .select(col("id"), when(v === 0, rep).when(v === 1, nat)
+        .otherwise(ent).as("t"))
+      .repartition(64).cache()
+    val bytes = corpus.agg(sum(octet_length(col("t")))).head().getLong(0)
+    println(s"MARKER corpus=${corpus.count()} bytes=$bytes")
+
+    for (rep <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val hist = corpus.select(
+          graft.ops.TextAnalysis.compressionGate(col("t")).as("v"))
+        .groupBy("v").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val dt = (System.nanoTime() - t0) / 1e9
+      val third = nDocs / 3
+      assert(hist("too_compressible") >= third &&
+        hist("too_compressible") <= third + 1, hist.toString)
+      assert(hist("ok") >= third && hist("ok") <= third + 1)
+      assert(hist("too_random") >= third && hist("too_random") <= third + 1)
+      println(f"MARKER gate rep=$rep sec=$dt%.2f " +
+        f"mbps=${bytes / 1e6 / dt}%.0f hist=$hist")
+    }
+    spark.stop()
+  }
+}
