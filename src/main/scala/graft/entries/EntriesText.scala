@@ -1213,6 +1213,151 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("source")
     }),
 
+    // ---- THE RAW-BYTES CAPSTONE: WARC segment → packed training
+    //      shards in ONE query, every leg an already-oracle-proven
+    //      operator — q177 WARC parse → q210 Content-Type routing
+    //      (with the README.md extension-fallback arm) → q149
+    //      admission (hashed-linear classifier + DSIR, target =
+    //      html pages) → q10 digest dedup (planted shared bodies)
+    //      → q134 stream packing (256-token sequences, docs
+    //      splitting across boundaries) → q115 JSONL shard export
+    //      with the manifest read BACK from the files and joined
+    //      onto every fragment row. Per-doc provenance rides a
+    //      first-failed-reason ladder (the q196 discipline):
+    //      drop_fetch (404) → drop_route (binary) → drop_dup →
+    //      drop_classifier → drop_dsir → admitted (dedup BEFORE
+    //      scoring: classifier and DSIR run once per unique text —
+    //      the real cost ordering — and the planted leader-copy
+    //      groups make drop_dup deterministic at every SF).
+    //      The oracle replays the ENTIRE chain from the byte
+    //      construction: extraction texts stated per family,
+    //      classifier/DSIR in md5-lo64 integer arithmetic, md5
+    //      survivor windows, the q134 layout arithmetic, and the
+    //      shard mix in HUGEINT (fragment keys overflow BIGINT
+    //      multiplication — the q176 lesson). ----
+
+    "q217_warc_training_capstone" -> ((s, dir) => {
+      graft.functions.GraftFunctions.ensureRegistered(s)
+      val docs0 = t(s, dir, "documents")
+      // each 30-block's v=4 pages serve their block LEADER's body
+      // verbatim (leader = doc_id - doc_id%30, always v=0 since
+      // 30 % 6 = 0) — identical text ⇒ identical gate outcomes, so
+      // passing dup groups exist at every SF and drop_dup fires
+      val docs = docs0.join(
+        docs0.select(col("doc_id").as("__lid"),
+          col("text").as("__ltext")),
+        col("__lid") === col("doc_id") - pmod(col("doc_id"), lit(30)))
+      val crlf = "\r\n"
+      val v = pmod(col("doc_id"), lit(6))
+      val ct = when(v === 1, lit("text/markdown"))
+        .when(v === 3, lit("application/octet-stream"))
+        .when(v === 5, lit("text/plain; charset=utf-8"))
+        .otherwise(lit("text/html; charset=utf-8"))
+      val body = when(v === 0, concat(lit("<html><body><p>"),
+          col("text"), lit("</p></body></html>")))
+        .when(v === 1, concat(lit("# Doc "), col("doc_id"),
+          lit("\n\n"), col("text")))
+        .when(v === 2, lit("<html><body><p>page gone away</p></body></html>"))
+        .when(v === 3, concat(lit("BINARYBLOB "), col("doc_id")))
+        .when(v === 4, concat(lit("<p>"), col("__ltext"), lit("</p>")))
+        .otherwise(concat(lit("Readme "), col("doc_id"),
+          lit("\n\n"), col("text")))
+      val statusLine = when(v === 2, lit("HTTP/1.1 404 Not Found"))
+        .otherwise(lit("HTTP/1.1 200 OK"))
+      val payload = concat(statusLine, lit(crlf + "Content-Type: "),
+        ct, lit(crlf + crlf), body)
+      val warc = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id"),
+        when(v === 5, lit("/README.md")).otherwise(lit("")),
+        lit(crlf + "Content-Length: "),
+        octet_length(payload).cast("string"),
+        lit(crlf + crlf), payload, lit(crlf + crlf))
+      // two fan-out points pinned (.cache(), drained by the Verify/
+      // Bench per-query sweep): the WARC parse feeds routing AND the
+      // status ladder; the extracted table feeds dedup, both gates,
+      // and the ladder joins — without the pins every downstream
+      // action re-parses the bytes
+      val fetched = graft.ops.Warc.responses(
+        docs.select(col("doc_id"), warc.as("warc")), "doc_id", "warc")
+        .cache()
+      val routed = graft.ops.Warc.routeMarkup(
+        fetched.filter(col("http_status") === 200),
+        "http_content_type", "body", uriCol = Some("target_uri"))
+      // crawl-side page metadata (declared language) joins back onto
+      // the extracted rows — the DSIR target is the q149 original
+      // (fit importance toward English pages)
+      val extracted = routed.filter(col("family").isNotNull)
+        .select(col("doc_id"), col("family"), col("text"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .cache()
+      // digest dedup FIRST (the real cost ordering: classifier and
+      // DSIR score each unique text once, never a dup group's copies)
+      val surv = graft.ops.Dedup.exactByFingerprint(
+          extracted.select("doc_id", "text"), "text", "doc_id")
+        .select(col("doc_id").as("__sid"))
+      val unique = extracted.join(surv,
+        extracted("doc_id") === surv("__sid"), "left_semi")
+      val scored = TextAnalysis.hashedLinearScore(unique, "doc_id",
+        "text", TextAnalysis.derivedWeights(1 << 20),
+        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+      val dw = Sampling.dsirWeights(unique, "doc_id", "text",
+        col("lang") === "en", hashBuckets = 1 << 18,
+        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+      val pass = unique
+        .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"))
+        .join(dw.select(col("doc_id"), col("weight_micro")), Seq("doc_id"))
+        .filter(col("score") >= 0 && col("weight_micro") >= 0L)
+      val counted = pass.select(col("doc_id"),
+        coalesce(call_function("graft_token_count", col("text")),
+          lit(0L)).as("n_tokens"))
+      val frags = Sampling.packTokenStream(counted, "doc_id", "n_tokens",
+        seqLen = 256, groups = 16, salt = 13L)
+      val withFk = frags.withColumn("fk",
+        col("doc_id") * lit(1048576L) + col("seq_id"))
+      val out = tmpDir("graft-capstone")
+      graft.sinks.Jsonl.writeShards(
+        withFk.select("fk", "doc_id", "seq_id", "frag_len"), "fk",
+        numShards = 4, out, salt = 17L)
+      val man = graft.sinks.Jsonl.manifest(s, out)
+      val sharded = withFk
+        .withColumn("shard", pmod(Sampling.mixedKey(col("fk"), 17L),
+          lit(4L)))
+        .join(man.select(col("shard").cast("long").as("shard"),
+          col("n_rows").as("shard_rows")), Seq("shard"))
+      val meta = fetched.select(col("doc_id"), col("http_status"))
+        .join(routed.select(col("doc_id"), col("family")),
+          Seq("doc_id"), "left")
+        .join(scored.select(col("doc_id"), col("score")),
+          Seq("doc_id"), "left")
+        .join(dw.select(col("doc_id"), col("weight_micro")),
+          Seq("doc_id"), "left")
+        .join(surv.select(col("__sid").as("doc_id"))
+          .withColumn("__isSurv", lit(true)), Seq("doc_id"), "left")
+        .withColumn("status",
+          when(col("http_status") =!= 200, lit("drop_fetch"))
+            .when(col("family").isNull, lit("drop_route"))
+            .when(col("__isSurv").isNull, lit("drop_dup"))
+            .when(col("score") < 0, lit("drop_classifier"))
+            .when(col("weight_micro") < 0L, lit("drop_dsir"))
+            .otherwise(lit("admitted")))
+        .select(col("doc_id"), col("family"), col("status"))
+      val admitted = meta.filter(col("status") === "admitted")
+        .join(sharded, Seq("doc_id"))
+        .select(col("doc_id"), col("family"), col("status"),
+          col("n_tokens"), col("seq_id"), col("doc_offset"),
+          col("seq_offset"), col("frag_len"), col("shard"),
+          col("shard_rows"))
+      val nulls = Seq("n_tokens", "seq_id", "doc_offset", "seq_offset",
+        "frag_len", "shard", "shard_rows")
+      val dropped = nulls.foldLeft(
+          meta.filter(col("status") =!= "admitted")) {
+        case (d, c) => d.withColumn(c, lit(null).cast("long"))
+      }
+      admitted.unionByName(dropped).orderBy("doc_id", "seq_id")
+    }),
+
     // ---- compression-ratio quality gate (the CCNet/RefinedWeb
     //      deflate signal — language-agnostic, nothing fitted):
     //      three planted compressibility classes on doc_id%3 —
@@ -3249,6 +3394,143 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
          |    AS mean_diversity_micro,
          |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs
          |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
+      // The full capstone chain replayed from the byte construction:
+      // per-family extraction texts stated (html p-unwrap, markdown
+      // heading strip, the README fallback's identity), the q149
+      // classifier/DSIR replay in md5-lo64 integer arithmetic with
+      // is_t = family='html', the md5 survivor window, the q134
+      // 16-group/256-token layout arithmetic, and the export shard
+      // mix in HUGEINT (fragment keys doc_id*2^20+seq_id overflow
+      // BIGINT multiplication).
+    "q217_warc_training_capstone" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text, CAST(doc_id % 6 AS INT) AS v
+        |  FROM documents),
+        |ext AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.v IN (0, 4) THEN 'html' ELSE 'markdown' END
+        |      AS family,
+        |    CASE b.v WHEN 0 THEN b.text
+        |      WHEN 1 THEN 'Doc ' || b.doc_id || chr(10) || chr(10)
+        |        || b.text
+        |      WHEN 4 THEN ld.text
+        |      ELSE 'Readme ' || b.doc_id || chr(10) || chr(10)
+        |        || b.text
+        |      END AS text
+        |  FROM base b
+        |  JOIN documents ld ON ld.doc_id = b.doc_id - (b.doc_id % 30)
+        |  WHERE b.v IN (0, 1, 4, 5)),
+        |surv AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS sid
+        |    FROM ext)
+        |  WHERE doc_id = sid),
+        |etoks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text,
+        |    '\s+'), x -> len(x) > 0) AS t
+        |  FROM surv),
+        |cls AS (
+        |  SELECT doc_id,
+        |    CAST(COALESCE(list_sum(list_transform(t, x ->
+        |      CAST((((md5_number_lower(x) & 1048575) * 2654435761)
+        |            & 4294967295) AS BIGINT) - 2147483648)), 0)
+        |      AS DOUBLE) AS score
+        |  FROM etoks),
+        |db AS (
+        |  SELECT e.doc_id, b.lang = 'en' AS is_t,
+        |    unnest(list_transform(
+        |      list_filter(regexp_split_to_array(lower(e.text), '\s+'),
+        |        x -> len(x) > 0),
+        |      x -> CAST((md5_number_lower(x) & 262143) AS BIGINT))) AS f
+        |  FROM surv e JOIN base b ON b.doc_id = e.doc_id),
+        |dcounts AS (
+        |  SELECT f, CAST(count(*) AS BIGINT) AS cr,
+        |    CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct
+        |  FROM db GROUP BY 1),
+        |dtot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |  CAST(sum(ct) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS vv
+        |  FROM dcounts),
+        |dfw AS (
+        |  SELECT f,
+        |    CAST(floor(1000000.0 * ln((ct + 1) / CAST(nt + vv AS DOUBLE)))
+        |      AS BIGINT)
+        |    - CAST(floor(1000000.0 * ln((cr + 1) / CAST(nr + vv AS DOUBLE)))
+        |      AS BIGINT) AS dw
+        |  FROM dcounts CROSS JOIN dtot),
+        |docw AS (
+        |  SELECT db.doc_id, CAST(sum(dw) AS BIGINT) AS weight_micro
+        |  FROM db JOIN dfw USING (f) GROUP BY 1),
+        |fin AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN b.v IN (0, 4) THEN 'html'
+        |      WHEN b.v IN (1, 5) THEN 'markdown' END AS family,
+        |    CASE WHEN b.v = 2 THEN 'drop_fetch'
+        |      WHEN b.v = 3 THEN 'drop_route'
+        |      WHEN s.doc_id IS NULL THEN 'drop_dup'
+        |      WHEN c.score < 0 THEN 'drop_classifier'
+        |      WHEN d.weight_micro < 0 THEN 'drop_dsir'
+        |      ELSE 'admitted' END AS status
+        |  FROM base b
+        |  LEFT JOIN surv s ON s.doc_id = b.doc_id
+        |  LEFT JOIN cls c ON c.doc_id = b.doc_id
+        |  LEFT JOIN docw d ON d.doc_id = b.doc_id),
+        |tok AS (
+        |  SELECT s.doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(s.text, '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |    ((s.doc_id + 13) * 2654435761) % 4294967296 AS mix
+        |  FROM surv s
+        |  JOIN cls c ON c.doc_id = s.doc_id
+        |  JOIN docw d ON d.doc_id = s.doc_id
+        |  WHERE c.score >= 0 AND d.weight_micro >= 0),
+        |g AS (SELECT *, mix % 16 AS grp FROM tok WHERE n_tokens > 0),
+        |c2 AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY grp
+        |      ORDER BY mix, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - n_tokens AS s0
+        |  FROM g),
+        |go AS (
+        |  SELECT grp, sum(tot) OVER (ORDER BY grp
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    - tot AS goff
+        |  FROM (SELECT grp, sum(n_tokens) AS tot FROM g GROUP BY grp)),
+        |p2 AS (
+        |  SELECT c2.doc_id, c2.n_tokens,
+        |    CAST(go.goff + c2.s0 AS BIGINT) AS s1
+        |  FROM c2 JOIN go USING (grp)),
+        |f2 AS (
+        |  SELECT doc_id, n_tokens, s1, unnest(generate_series(
+        |    s1 // 256, (s1 + n_tokens - 1) // 256)) AS seq_id
+        |  FROM p2),
+        |fr AS (
+        |  SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+        |    CAST(greatest(0, seq_id * 256 - s1) AS BIGINT) AS doc_offset,
+        |    CAST(greatest(0, s1 - seq_id * 256) AS BIGINT) AS seq_offset,
+        |    CAST(least(s1 + n_tokens, (seq_id + 1) * 256)
+        |      - greatest(s1, seq_id * 256) AS BIGINT) AS frag_len,
+        |    doc_id * 1048576 + CAST(seq_id AS BIGINT) AS fk
+        |  FROM f2),
+        |sh AS (
+        |  SELECT *, CAST(CAST((fk + 17) % 4294967296 AS HUGEINT)
+        |      * 2654435761 % 4294967296 % 4 AS BIGINT) AS shard
+        |  FROM fr),
+        |shc AS (SELECT shard, CAST(count(*) AS BIGINT) AS shard_rows
+        |  FROM sh GROUP BY 1)
+        |SELECT s2.doc_id, f3.family, f3.status, s2.n_tokens, s2.seq_id,
+        |  s2.doc_offset, s2.seq_offset, s2.frag_len, s2.shard,
+        |  c3.shard_rows
+        |FROM sh s2
+        |JOIN fin f3 ON f3.doc_id = s2.doc_id
+        |JOIN shc c3 ON c3.shard = s2.shard
+        |UNION ALL
+        |SELECT doc_id, family, status, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM fin WHERE status <> 'admitted'
+        |ORDER BY doc_id, seq_id""".stripMargin,
 
       // The three class texts rebuilt verbatim (md5/repeat/to_base64
       // exist in both engines — n_chars pins the construction

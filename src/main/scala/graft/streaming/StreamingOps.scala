@@ -838,6 +838,71 @@ object StreamingOps {
           col("token_count")), batchId)
     }
 
+  /** The q217 capstone's ADMISSION front as a standing service —
+    * raw WARC bytes in, training-ready admitted documents out. Per
+    * micro-batch, the batch legs verbatim: [[graft.ops.Warc
+    * .responses]] → HTTP-200 gate → [[graft.ops.Warc.routeMarkup]]
+    * (Content-Type + URL-extension fallback, all four markup
+    * families in one projection) → corpus-digest anti-join (the
+    * cross-batch novelty screen; sink admitted digests back into the
+    * store and the stream stays novel — the artifact-backed
+    * convention) → WITHIN-batch exact dedup (min-id survivor, the
+    * capstone's dedup-before-scoring ordering) → hashed-linear
+    * classifier (stateless weights) → DSIR importance weights from a
+    * PERSISTED [[graft.ops.Sampling.dsirModelSave]] artifact (the
+    * [[dsirStream]] snapshot-pin discipline — a model refit hot-swaps
+    * at the next version check). The sink receives
+    * `(idCol, target_uri, family, text, score, weight_micro,
+    * n_tokens)` for admitted documents only. Packing and shard
+    * export stay batch-side (the layout is a corpus-global
+    * arithmetic); this service feeds them an admitted stream.
+    */
+  def warcTrainingStream(stream: DataFrame, idCol: String,
+                         warcCol: String, corpusDigests: DataFrame,
+                         dsirModelPath: String,
+                         clsWeights: Array[Double],
+                         refreshEveryBatches: Int = 1)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    val pin = new SnapshotPin(dsirModelPath, refreshEveryBatches)(
+      spark => graft.ops.Sampling.dsirModelLoad(spark, dsirModelPath))
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        graft.functions.GraftFunctions.ensureRegistered(mb.sparkSession)
+        val fetched = graft.ops.Warc.responses(mb.toDF(), idCol, warcCol)
+          .filter(col("http_status") === 200)
+        val routed = graft.ops.Warc.routeMarkup(fetched,
+            "http_content_type", "body", uriCol = Some("target_uri"))
+          .filter(col("family").isNotNull)
+          .select(col(idCol), col("target_uri"), col("family"),
+            col("text"))
+        val fresh = routed
+          .withColumn("__fp",
+            graft.ops.TextAnalysis.fingerprint(col("text")))
+          .join(corpusDigests, Seq("__fp"), "left_anti")
+          .drop("__fp")
+        val unique = graft.ops.Dedup.exactByFingerprint(fresh, "text",
+            idCol)
+          .select(col(idCol), col("target_uri"), col("family"),
+            col("text"))
+        val scored = graft.ops.TextAnalysis.hashedLinearScore(unique,
+          idCol, "text", clsWeights,
+          hashKind = graft.functions.SketchOps.HashMd5Lo64)
+        val weighted = graft.ops.Sampling.dsirApplyFromSnapshot(
+          pin.get(mb.sparkSession, batchId), unique, idCol, "text")
+        sink(unique
+          .join(scored.select(col(idCol), col("score")), Seq(idCol))
+          .join(weighted.select(col(idCol), col("weight_micro")),
+            Seq(idCol))
+          .filter(col("score") >= 0 && col("weight_micro") >= 0L)
+          .withColumn("n_tokens",
+            coalesce(call_function("graft_token_count", col("text")),
+              lit(0L))), batchId)
+    }
+  }
+
   /** Streaming crawl-frontier front, the loop-closing leg of the
     * web-ingest story: fetched pages (url + markup) in, admitted
     * NOVEL frontier URLs out. Per micro-batch, the batch operators

@@ -1784,6 +1784,99 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch == got(0L))
   }
 
+  test("warcTrainingStream: WARC bytes → routed families → corpus-" +
+      "digest screen → within-batch dedup → classifier + persisted-" +
+      "DSIR gates; equals the composed batch legs") {
+    implicit val sqlCtx = spark.sqlContext
+    def rec(uri: String, payload: String): String =
+      s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+      s"$payload\r\n\r\n"
+    def http(status: String, ct: String, body: String): String =
+      s"HTTP/1.1 $status\r\nContent-Type: $ct\r\n\r\n$body"
+    val dupBody = "shared capstone duplicate body paragraph kept long"
+    val knownText = "known corpus page body that must screen out"
+    def warcOf(i: Long): String = {
+      val prose = s"unique prose body number $i with words enough to score"
+      (i % 6) match {
+        case 0 => rec(s"https://h.com/p/$i",
+          http("200 OK", "text/html", s"<p>$prose</p>"))
+        case 1 => rec(s"https://h.com/p/$i",
+          http("200 OK", "text/markdown", s"# Doc $i\n\n$prose"))
+        case 2 => rec(s"https://h.com/p/$i",
+          http("404 Not Found", "text/html", "<p>gone away now</p>"))
+        case 3 => rec(s"https://h.com/p/$i",
+          http("200 OK", "application/octet-stream", s"BLOB $i"))
+        case 4 => rec(s"https://h.com/p/$i",
+          http("200 OK", "text/html", s"<p>$dupBody</p>"))
+        case _ => rec(s"https://h.com/p/$i/README.md",
+          http("200 OK", "text/plain", s"Readme $i\n\n$prose"))
+      }
+    }
+    val pages = (0L until 24L).map(i => (i, warcOf(i))) :+
+      (99L, rec("https://h.com/known",
+        http("200 OK", "text/html", s"<p>$knownText</p>")))
+    val digests = Seq(Tuple1(knownText)).toDF("t")
+      .select(graft.ops.TextAnalysis.fingerprint(col("t")).as("__fp"))
+    val w = graft.ops.TextAnalysis.derivedWeights(1 << 20)
+    // batch legs (shared by the parity comparison and the DSIR fit)
+    val batchDf = pages.toDF("file_id", "warc")
+    val fetched = graft.ops.Warc.responses(batchDf, "file_id", "warc")
+      .filter(col("http_status") === 200)
+    val routed = graft.ops.Warc.routeMarkup(fetched,
+        "http_content_type", "body", uriCol = Some("target_uri"))
+      .filter(col("family").isNotNull)
+      .select(col("file_id"), col("target_uri"), col("family"),
+        col("text"))
+    val freshB = routed
+      .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+      .join(digests, Seq("__fp"), "left_anti").drop("__fp")
+    val uniqueB = graft.ops.Dedup.exactByFingerprint(freshB, "text",
+        "file_id")
+      .select(col("file_id"), col("target_uri"), col("family"),
+        col("text"))
+    val art = tmpDir("warc-train-dsir")
+    graft.ops.Sampling.dsirModelSave(uniqueB, "file_id", "text",
+      pmod(col("file_id"), lit(2)) === 0, art, hashBuckets = 1 << 18,
+      hashKind = graft.functions.SketchOps.HashMd5Lo64)
+    val batch = uniqueB
+      .join(graft.ops.TextAnalysis.hashedLinearScore(uniqueB, "file_id",
+        "text", w, hashKind = graft.functions.SketchOps.HashMd5Lo64)
+        .select(col("file_id"), col("score")), Seq("file_id"))
+      .join(graft.ops.Sampling.dsirModelApply(spark, art, uniqueB,
+        "file_id", "text")
+        .select(col("file_id"), col("weight_micro")), Seq("file_id"))
+      .filter(col("score") >= 0 && col("weight_micro") >= 0L)
+      .select("file_id", "family", "score", "weight_micro")
+      .as[(Long, String, Double, Long)].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[
+      Long, Set[(Long, String, Double, Long)]]()
+    val query = StreamingOps.warcTrainingStream(
+        input.toDF().toDF("file_id", "warc"), "file_id", "warc",
+        digests, art, w) { (res, id) =>
+      got.synchronized {
+        got(id) = res.select("file_id", "family", "score",
+            "weight_micro")
+          .as[(Long, String, Double, Long)].collect().toSet }
+    }.option("checkpointLocation", tmpDir("warc-train-ckpt")).start()
+    try {
+      input.addData(pages: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+    // parity with the composed batch legs, exactly
+    assert(got(0L) == batch)
+    val admittedIds = got(0L).map(_._1)
+    // the known-corpus page screened out; at most one dup survivor,
+    // and if present it is the MIN id of the v=4 class
+    assert(!admittedIds.contains(99L))
+    val dupIds = admittedIds.filter(i => i != 99L && i % 6 == 4)
+    assert(dupIds.size <= 1 && dupIds.forall(_ == 4L))
+    // the 404 and binary pages never admit
+    assert(admittedIds.forall(i => i % 6 != 2 && i % 6 != 3))
+    assert(got(0L).nonEmpty) // the gates admit SOMETHING on this fixture
+  }
+
   test("crawlFrontierStream: href kernel + resolve + robots + seen " +
       "gates per batch; equals the composed batch legs") {
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,133 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Sampling, TextAnalysis, Warc}
+
+/** r20 capstone stress: the q217 raw-WARC-bytes → packed-shards chain
+  * at 100k pages (~6× record framing, ~66k routed bodies). Exact
+  * planted invariants: drop_fetch and drop_route are each nDocs/6 by
+  * construction; drop_dup is EXACTLY the v=4 count (dedup-first
+  * ladder — every leader-copy drops to its block leader regardless of
+  * gate outcomes); the fragment layout conserves tokens (sum of
+  * frag_len == sum of admitted n_tokens) and the exported shard
+  * manifest's row counts sum to the fragment count. Prices the whole
+  * chain wall-clock, fetch to manifest.
+  *
+  * Run: `sbt "Test/runMain tmpstress.CapstoneStress"`
+  */
+object CapstoneStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 100000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val crlf = "\r\n"
+
+    def words(k: Int, n: Int) = concat_ws(" ",
+      (0 until n).map(j => md5(concat(col("id").cast("string"),
+        lit(s"w$k$j")))): _*)
+    val docs0 = spark.range(nDocs).select(col("id").as("doc_id"),
+      words(1, 30).as("text"),
+      when(pmod(col("id"), lit(3L)) === 0, "en").otherwise("de")
+        .as("lang"),
+      concat(lit("src"), pmod(col("id"), lit(97L))).as("source"))
+    val docs = docs0.join(
+      docs0.select(col("doc_id").as("__lid"), col("text").as("__ltext")),
+      col("__lid") === col("doc_id") - pmod(col("doc_id"), lit(30)))
+    val v = pmod(col("doc_id"), lit(6))
+    val ct = when(v === 1, lit("text/markdown"))
+      .when(v === 3, lit("application/octet-stream"))
+      .when(v === 5, lit("text/plain; charset=utf-8"))
+      .otherwise(lit("text/html; charset=utf-8"))
+    val body = when(v === 0, concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>")))
+      .when(v === 1, concat(lit("# Doc "), col("doc_id"), lit("\n\n"),
+        col("text")))
+      .when(v === 2, lit("<html><body><p>page gone away</p></body></html>"))
+      .when(v === 3, concat(lit("BINARYBLOB "), col("doc_id")))
+      .when(v === 4, concat(lit("<p>"), col("__ltext"), lit("</p>")))
+      .otherwise(concat(lit("Readme "), col("doc_id"), lit("\n\n"),
+        col("text")))
+    val statusLine = when(v === 2, lit("HTTP/1.1 404 Not Found"))
+      .otherwise(lit("HTTP/1.1 200 OK"))
+    val payload = concat(statusLine, lit(crlf + "Content-Type: "), ct,
+      lit(crlf + crlf), body)
+    val warc = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: https://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id"),
+      when(v === 5, lit("/README.md")).otherwise(lit("")),
+      lit(crlf + "Content-Length: "),
+      octet_length(payload).cast("string"),
+      lit(crlf + crlf), payload, lit(crlf + crlf))
+    val corpus = docs.select(col("doc_id"), col("lang"),
+      warc.as("warc")).repartition(64).cache()
+    println(s"MARKER corpus=${corpus.count()} bytes=" +
+      corpus.agg(sum(octet_length(col("warc")))).head().getLong(0))
+
+    val t0 = System.nanoTime()
+    val fetched = Warc.responses(corpus, "doc_id", "warc").cache()
+    val routed = Warc.routeMarkup(
+      fetched.filter(col("http_status") === 200),
+      "http_content_type", "body", uriCol = Some("target_uri"))
+    val extracted = routed.filter(col("family").isNotNull)
+      .select(col("doc_id"), col("family"), col("text"))
+      .join(corpus.select("doc_id", "lang"), Seq("doc_id"))
+      .cache()
+    val surv = Dedup.exactByFingerprint(
+        extracted.select("doc_id", "text"), "text", "doc_id")
+      .select(col("doc_id").as("__sid"))
+    val unique = extracted.join(surv,
+      extracted("doc_id") === surv("__sid"), "left_semi")
+    val scored = TextAnalysis.hashedLinearScore(unique, "doc_id",
+      "text", TextAnalysis.derivedWeights(1 << 20),
+      hashKind = graft.functions.SketchOps.HashMd5Lo64)
+    val dw = Sampling.dsirWeights(unique, "doc_id", "text",
+      col("lang") === "en", hashBuckets = 1 << 18,
+      hashKind = graft.functions.SketchOps.HashMd5Lo64)
+    val pass = unique
+      .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"))
+      .join(dw.select(col("doc_id"), col("weight_micro")), Seq("doc_id"))
+      .filter(col("score") >= 0 && col("weight_micro") >= 0L)
+    val counted = pass.select(col("doc_id"),
+      coalesce(call_function("graft_token_count", col("text")), lit(0L))
+        .as("n_tokens"))
+    val frags = Sampling.packTokenStream(counted, "doc_id", "n_tokens",
+      seqLen = 256, groups = 16, salt = 13L)
+    val withFk = frags.withColumn("fk",
+      col("doc_id") * lit(1048576L) + col("seq_id")).cache()
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-capstress").toString
+    graft.sinks.Jsonl.writeShards(
+      withFk.select("fk", "doc_id", "seq_id", "frag_len"), "fk",
+      numShards = 8, out, salt = 17L)
+    val manRows = graft.sinks.Jsonl.manifest(spark, out)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    val nFrag = withFk.count()
+    val fragTok = withFk.agg(sum(col("frag_len"))).head().getLong(0)
+    val admTok = counted.agg(sum(col("n_tokens"))).head().getLong(0)
+    val dt = (System.nanoTime() - t0) / 1e9
+
+    // planted invariants
+    val sixth = nDocs / 6
+    val nFetchDrop = fetched.filter(col("http_status") =!= 200).count()
+    val nRouteDrop = routed.filter(col("family").isNull).count()
+    val nDup = extracted.count() - unique.count()
+    assert(nFetchDrop == sixth + (if (nDocs % 6 > 2) 1 else 0) ||
+      nFetchDrop == sixth, s"fetch $nFetchDrop")
+    assert(nRouteDrop == sixth || nRouteDrop == sixth + 1,
+      s"route $nRouteDrop")
+    assert(nDup == nDocs / 6 || nDup == nDocs / 6 + 1, s"dup $nDup")
+    assert(fragTok == admTok, s"token conservation $fragTok != $admTok")
+    assert(manRows == nFrag, s"manifest $manRows != $nFrag")
+    println(f"MARKER capstone sec=$dt%.2f admitted=${counted.count()} " +
+      s"frags=$nFrag dup=$nDup fetchDrop=$nFetchDrop " +
+      s"routeDrop=$nRouteDrop manifestRows=$manRows")
+    spark.stop()
+  }
+}
