@@ -1433,6 +1433,66 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .orderBy("target_url")
     }),
 
+    // ---- anchor text INDEXED beside body text — q214's consumer (the
+    //      classic web-IR ranking signal: anchor text labels pages
+    //      their own markup never describes): every page carries two
+    //      followable anchors (plus a nofollow decoy that must NOT
+    //      index) whose targets are doc ids mod 41, the aggregated
+    //      anchor texts become those 41 documents' SECOND retrieval
+    //      field, and field-weighted BM25 (body ×1, anchor ×3 — each
+    //      field its OWN corpus statistics) ranks. Query terms split
+    //      deliberately: alpha/beta/vector exist ONLY in anchor text,
+    //      customer/spark/stream only in bodies — a field mixup, a
+    //      shared-df bug, or a weight drift all rerank. Runs the
+    //      PERSISTED path too (per-field bm25ArtifactsSave roots — a
+    //      field IS an artifact, lifecycle unchanged) and pins
+    //      live ≡ persisted in-result (the q151 table_equal style).
+    //      The oracle replays the anchor aggregation from construction
+    //      and both field chains' integer-micro weighted sum. ----
+
+    "q219_anchor_field_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pageUrl = concat(lit("https://h.example.com/p/"), col("doc_id"))
+      val html = concat(
+        lit("<html><body><a href=\"/d/"), pmod(col("doc_id"), lit(41)),
+        lit("\">alpha "), col("source"), lit("</a>"),
+        lit("<a href=\"/d/"), pmod(col("doc_id") * 7 + 3, lit(41)),
+        lit("\">vector beta "), pmod(col("doc_id"), lit(5)), lit("</a>"),
+        lit("<a rel=\"nofollow\" href=\"/d/1\">alpha spam decoy</a>"),
+        lit("</body></html>"))
+      val anchorField = graft.ops.Html.incomingAnchorTexts(
+          docs.select(col("doc_id"), pageUrl.as("page_url"),
+            html.as("html")), "doc_id", "page_url", "html",
+          maxTexts = 64)
+        .select(regexp_extract(col("target_url"), "/d/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+          col("anchor_texts").as("anchor"))
+      val fielded = docs.select(col("doc_id"), col("text").as("body"))
+        .join(anchorField, Seq("doc_id"), "left")
+      val queries = s.createDataFrame(Seq(
+        (1L, "alpha vector"),
+        (2L, "customer beta query"),
+        (3L, "spark alpha stream"))).toDF("qid", "qtext")
+      val live = TextAnalysis.bm25TopKFields(fielded, "doc_id",
+        Seq(("body", 1L), ("anchor", 3L)), queries, "qid", "qtext",
+        k = 10)
+      val bodyArt = tmpDir("graft-bm25-body")
+      val anchArt = tmpDir("graft-bm25-anchor")
+      TextAnalysis.bm25ArtifactsSave(
+        fielded.filter(col("body").isNotNull).select("doc_id", "body"),
+        "doc_id", "body", bodyArt)
+      TextAnalysis.bm25ArtifactsSave(
+        fielded.filter(col("anchor").isNotNull)
+          .select("doc_id", "anchor"), "doc_id", "anchor", anchArt)
+      val persisted = TextAnalysis.bm25TopKPersistedFields(s,
+        Seq((bodyArt, 1L), (anchArt, 3L)), queries, "qid", "qtext",
+        k = 10)
+      val pathsEqual = live.exceptAll(persisted).isEmpty &&
+        persisted.exceptAll(live).isEmpty
+      live.withColumn("paths_equal", lit(pathsEqual))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- UNIVERSAL markup ingest (the q169/q186 consolidated-plan
     //      discipline applied to ingest): one mixed crawl capture —
     //      a 5-way Content-Type cycle over the SAME WARC table —
@@ -2228,6 +2288,65 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
             .otherwise(col("n_tokens") >= 3L))
         .select("doc_id", "span_no", "lang", "span_text", "n_tokens",
           "n_cp", "admitted")
+        .orderBy("doc_id", "span_no")
+    }),
+
+    // ---- PER-LANGUAGE corpus build — the multilingual twin of q118:
+    //      q161's span extraction + admission gates feed per-language
+    //      tokenizer FITS (topTerms grouped by lang: ONE pass ranks
+    //      every language's vocabulary — no per-language driver loop)
+    //      and per-language token-id materialization (tokenizeToIdsBy:
+    //      each span joins only ITS language's vocab rows), with
+    //      span-level provenance and a salted per-language export-shard
+    //      assignment. vocabSize = 4 is deliberately below every
+    //      language's distinct-token count so OOV is REAL and
+    //      doc-varying (the en span's source token ranks in or out by
+    //      corpus frequency; es rank-5/6 tokens are uniformly OOV); the
+    //      unsegmented zh span is ONE token — rank 1, never OOV,
+    //      exactly the text the q161 cp-gate exists to admit. The
+    //      oracle replays the full chain: spans from the parity
+    //      construction, gates, the per-lang rank window, the q113
+    //      positional fold, and the shard arithmetic. ----
+
+    "q218_per_lang_build" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+      val multi = docs.select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("the quick brown "), col("source")),
+          lit("el que de la"),
+          lit("es la que y"),
+          lit(""),
+          lit("der und das ist"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("die nicht ein mit"))
+            .otherwise(lit("le est dans les")),
+          lit("这是一段没有空格的中文文本")).as("mx"))
+      val gated = TextAnalysis.langSpanExtract(multi, "doc_id", "mx")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("span_text")))
+        .withColumn("n_cp", length(col("span_text")).cast("long"))
+        .withColumn("admitted",
+          when(col("lang") === "und", lit(false))
+            .when(col("lang") === "zh", col("n_cp") >= 8L)
+            .otherwise(col("n_tokens") >= 3L))
+      val adm = gated.filter(col("admitted"))
+      val vocab = TextAnalysis.topTerms(adm, "lang", "span_text", k = 4)
+      val ids = TextAnalysis.tokenizeToIdsBy(adm,
+          Seq("doc_id", "span_no"), "lang", "span_text", vocab, "lang")
+        .select(col("doc_id"), col("span_no"),
+          size(filter(col("token_ids"), x => x === -1L)).cast("long")
+            .as("n_oov"),
+          aggregate(zip_with(col("token_ids"),
+              sequence(lit(1L), size(col("token_ids")).cast("long")),
+              (t, o) => (t + lit(2L)) * o),
+            lit(0L), (a, x) => a + x).as("ids_fold"))
+      gated.join(ids, Seq("doc_id", "span_no"), "left")
+        .select(col("doc_id"), col("span_no"), col("lang"),
+          col("admitted"), col("n_tokens"), col("n_cp"), col("n_oov"),
+          col("ids_fold"),
+          when(col("admitted"),
+            pmod(pmod((col("doc_id") * 16 + col("span_no") + 13) *
+              lit(2654435761L), lit(4294967296L)), lit(3L)))
+            .as("shard_no"))
         .orderBy("doc_id", "span_no")
     }),
 
@@ -3611,6 +3730,117 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         |FROM a JOIN capped c ON c.target_url = a.target_url
         |GROUP BY a.target_url ORDER BY a.target_url""".stripMargin,
 
+      // The anchor-field replay: followable anchors from construction
+      // (nofollow decoy excluded), distinct texts per target sorted
+      // ascending joined ' | ' (the cap of 64 never binds: ≤ 20
+      // sources + 5 beta variants per target), then the bm25Sql
+      // contrib chain TWICE — each field with its OWN dl/stats/tf/df
+      // over its own corpus — and the weighted integer-micro fold
+      // (body ×1, anchor ×3) before one rank window. paths_equal is
+      // engine-computed (live ≡ persisted), stated TRUE here.
+    "q219_anchor_field_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (1, 'alpha vector'),
+        |    (2, 'customer beta query'),
+        |    (3, 'spark alpha stream')),
+        |qt AS (SELECT query_id,
+        |    unnest(list_distinct(list_filter(regexp_split_to_array(
+        |      lower(qtext), '\s+'), x -> len(x) > 0))) AS t
+        |  FROM q),
+        |anch AS (
+        |  SELECT doc_id % 41 AS m, 'alpha ' || source AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id * 7 + 3) % 41,
+        |    'vector beta ' || CAST(doc_id % 5 AS VARCHAR)
+        |  FROM documents),
+        |afield AS (
+        |  SELECT m AS doc_id,
+        |    array_to_string(list_sort(list_distinct(list(text))), ' | ')
+        |      AS atext
+        |  FROM anch GROUP BY m),
+        |bodyd AS (SELECT doc_id, lower(text) AS lt FROM documents
+        |  WHERE text IS NOT NULL),
+        |ancd AS (SELECT doc_id, lower(atext) AS lt FROM afield),
+        |bdl AS (SELECT doc_id,
+        |    COALESCE(CAST(len(list_filter(regexp_split_to_array(lt,
+        |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS dl
+        |  FROM bodyd),
+        |bstats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS BIGINT) AS tot FROM bdl),
+        |btoks AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lt, '\s+'),
+        |      x -> len(x) > 0)) AS t
+        |  FROM bodyd),
+        |btf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM btoks GROUP BY doc_id, t),
+        |bdf AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+        |  FROM btf GROUP BY t),
+        |bcontrib AS (
+        |  SELECT qt.query_id, btf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5)
+        |        / (d.df + 0.5))
+        |      * (btf.tf * 2.2)
+        |      / (btf.tf + 1.2 * (0.25 + (0.75 * bdl.dl)
+        |        / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS cm
+        |  FROM btf
+        |  JOIN qt ON qt.t = btf.t
+        |  JOIN bdf d ON d.t = btf.t
+        |  JOIN bdl ON bdl.doc_id = btf.doc_id
+        |  CROSS JOIN bstats s),
+        |bscores AS (SELECT query_id, doc_id,
+        |    CAST(sum(cm) AS BIGINT) AS sm
+        |  FROM bcontrib GROUP BY query_id, doc_id),
+        |adl AS (SELECT doc_id,
+        |    COALESCE(CAST(len(list_filter(regexp_split_to_array(lt,
+        |      '\s+'), x -> len(x) > 0)) AS BIGINT), 0) AS dl
+        |  FROM ancd),
+        |astats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS BIGINT) AS tot FROM adl),
+        |atoks AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lt, '\s+'),
+        |      x -> len(x) > 0)) AS t
+        |  FROM ancd),
+        |atf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM atoks GROUP BY doc_id, t),
+        |adf AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+        |  FROM atf GROUP BY t),
+        |acontrib AS (
+        |  SELECT qt.query_id, atf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5)
+        |        / (d.df + 0.5))
+        |      * (atf.tf * 2.2)
+        |      / (atf.tf + 1.2 * (0.25 + (0.75 * adl.dl)
+        |        / (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE))))
+        |      * 1000000.0) AS BIGINT) AS cm
+        |  FROM atf
+        |  JOIN qt ON qt.t = atf.t
+        |  JOIN adf d ON d.t = atf.t
+        |  JOIN adl ON adl.doc_id = atf.doc_id
+        |  CROSS JOIN astats s),
+        |ascores AS (SELECT query_id, doc_id,
+        |    CAST(sum(cm) AS BIGINT) AS sm
+        |  FROM acontrib GROUP BY query_id, doc_id),
+        |wsum AS (
+        |  SELECT query_id, doc_id, CAST(sum(wm) AS BIGINT) AS sm
+        |  FROM (
+        |    SELECT query_id, doc_id, sm AS wm FROM bscores
+        |    UNION ALL
+        |    SELECT query_id, doc_id, 3 * sm FROM ascores) u
+        |  GROUP BY query_id, doc_id),
+        |ranked AS (SELECT query_id, doc_id, sm,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sm DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM wsum)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+        |  CAST(sm AS DOUBLE) / 1000000.0 AS score,
+        |  TRUE AS paths_equal
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
       "q210_universal_ingest" ->
         """SELECT doc_id,
           |  CASE doc_id % 6
@@ -4704,6 +4934,81 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
            |       WHEN lang = 'zh' THEN length(span_text) >= 8
            |       ELSE $ntok >= 3 END AS admitted
            |FROM spans ORDER BY doc_id, span_no""".stripMargin
+      },
+
+      // The per-language build replayed end to end: the q161 span
+      // construction + gates, the per-lang vocab rank window (count
+      // desc, token asc — topTerms' contract, partitioned by lang),
+      // the q113 positional fold against each language's OWN id
+      // space, and the salted export-shard arithmetic. A vocab-rank
+      // drift in ANY language, a cross-language token leak, or a
+      // fold off-by-one all hash-mismatch.
+      "q218_per_lang_build" -> {
+        val ntok = "CAST(len(list_filter(regexp_split_to_array(" +
+          "span_text, '\\s+'), x -> len(x) > 0)) AS BIGINT)"
+        s"""WITH base AS (
+           |  SELECT doc_id, source, doc_id % 2 = 0 AS ev
+           |  FROM documents WHERE text IS NOT NULL),
+           |spans AS (
+           |  SELECT doc_id, 0 AS span_no, 'en' AS lang,
+           |    'the quick brown ' || source AS span_text FROM base
+           |  UNION ALL
+           |  SELECT doc_id, 1, 'es',
+           |    'el que de la' || chr(10) || 'es la que y' FROM base
+           |  UNION ALL
+           |  SELECT doc_id, 2, 'und', '' FROM base
+           |  UNION ALL
+           |  SELECT doc_id, 3, 'de',
+           |    CASE WHEN ev
+           |      THEN 'der und das ist' || chr(10) || 'die nicht ein mit'
+           |      ELSE 'der und das ist' END FROM base
+           |  UNION ALL
+           |  SELECT doc_id, 4, 'fr', 'le est dans les' FROM base
+           |  WHERE NOT ev
+           |  UNION ALL
+           |  SELECT doc_id, CASE WHEN ev THEN 4 ELSE 5 END, 'zh',
+           |    '这是一段没有空格的中文文本' FROM base),
+           |gated AS (
+           |  SELECT doc_id, CAST(span_no AS BIGINT) AS span_no, lang,
+           |    span_text, $ntok AS n_tokens,
+           |    CAST(length(span_text) AS BIGINT) AS n_cp,
+           |    CASE WHEN lang = 'und' THEN FALSE
+           |         WHEN lang = 'zh' THEN length(span_text) >= 8
+           |         ELSE $ntok >= 3 END AS admitted
+           |  FROM spans),
+           |dtok AS (
+           |  SELECT doc_id, span_no, lang, unnest(ts) AS tok,
+           |    unnest(range(1, len(ts) + 1)) AS ord
+           |  FROM (SELECT doc_id, span_no, lang,
+           |      list_filter(regexp_split_to_array(lower(span_text),
+           |        '\\s+'), x -> len(x) > 0) AS ts
+           |    FROM gated WHERE admitted)),
+           |c AS (SELECT lang, tok, count(*) AS cnt
+           |  FROM dtok GROUP BY lang, tok),
+           |vocab AS (
+           |  SELECT lang, tok, CAST(row_number() OVER (
+           |    PARTITION BY lang ORDER BY cnt DESC, tok ASC)
+           |    AS BIGINT) AS rank
+           |  FROM c QUALIFY rank <= 4),
+           |j AS (
+           |  SELECT d.doc_id, d.span_no, d.ord,
+           |    COALESCE(v.rank, -1) AS tid
+           |  FROM dtok d LEFT JOIN vocab v
+           |    ON v.lang = d.lang AND v.tok = d.tok),
+           |a AS (
+           |  SELECT doc_id, span_no,
+           |    CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_oov,
+           |    CAST(sum((tid + 2) * ord) AS BIGINT) AS ids_fold
+           |  FROM j GROUP BY doc_id, span_no)
+           |SELECT g.doc_id, g.span_no, g.lang, g.admitted,
+           |  g.n_tokens, g.n_cp, a.n_oov, a.ids_fold,
+           |  CASE WHEN g.admitted THEN
+           |    (g.doc_id * 16 + g.span_no + 13) * 2654435761
+           |      % 4294967296 % 3
+           |  END AS shard_no
+           |FROM gated g LEFT JOIN a USING (doc_id, span_no)
+           |ORDER BY g.doc_id, g.span_no""".stripMargin
       },
 
       // q160's expected rows brute-forced WITH the byte legs: every

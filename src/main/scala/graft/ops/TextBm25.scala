@@ -109,6 +109,101 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
     bm25ScoreAndRank(joined, nDocs, avgdl, k, k1, b)
   }
 
+  /** One field's live-index BM25 scoring stopped BEFORE the rank cut —
+    * the per-(query, doc) integer-micro sums [[bm25TopKFields]] folds.
+    * Exactly [[bm25TopK]]'s body with the rank window replaced by the
+    * grouped micro sum; the field's corpus is the rows where `textCol`
+    * is non-null (an absent field neither matches nor shapes N/avgdl —
+    * a doc with no inlinks is not a short anchor document, it has no
+    * anchor document at all).
+    */
+  private def bm25FieldScores(docs: DataFrame, idCol: String,
+                              textCol: String, qt: DataFrame, k1: Double,
+                              b: Double, maxTermDocFreq: Long)
+      : DataFrame = {
+    val present = docs.filter(col(textCol).isNotNull)
+    val dl = present.select(col(idCol).as("__doc"),
+      coalesce(call_function("graft_token_count", lower(col(textCol))),
+        lit(0L)).as("__dl"))
+    val g = dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("t")).head()
+    val nDocs = g.getLong(0)
+    require(nDocs > 0, s"empty field corpus: $textCol")
+    val avgdl = g.getLong(1).toDouble / nDocs
+    val tf = present.select(col(idCol).as("__doc"),
+        explode(call_function("graft_tokens", lower(col(textCol))))
+          .as("__t"))
+      .groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
+    val dfT0 = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val dfT =
+      if (maxTermDocFreq <= 0L) dfT0
+      else dfT0.filter(col("__df") <= maxTermDocFreq)
+    val qdf = dfT.join(qt.select("__t").distinct(), Seq("__t"), "left_semi")
+    bm25ContribMicro(tf.join(broadcast(qt), Seq("__t"))
+        .join(broadcast(qdf), Seq("__t"))
+        .join(dl, Seq("__doc")), nDocs, avgdl, k1, b)
+      .groupBy(col("query_id"), col("__doc"))
+      .agg(sum(col("__cm")).as("__sm"))
+  }
+
+  /** Field-weighted BM25 over MULTIPLE text fields of one document set
+    * — the anchor-text-beside-body retrieval composition (web IR's
+    * oldest ranking trick: [[graft.ops.Html.incomingAnchorTexts]]'
+    * output labels pages their own body never describes, so retrieval
+    * indexes it as a second field). Each field is its OWN BM25 corpus —
+    * its own df table, its own N/avgdl over the rows where the field is
+    * non-null — scored by [[bm25FieldScores]]; a document's total is
+    * the exact long sum `Σ_field weight × field_micro_score` (integer
+    * weights × integer micros, so the fold is order-independent and an
+    * external engine replays it hash-exactly), ranked (desc, doc-id
+    * asc tie-break) and emitted as (query_id, rank, doc_id, score)
+    * with score = weighted micros / 1e6. This is the per-field-boost
+    * simplification of BM25F (per-field length normalization, weights
+    * OUTSIDE the saturation) — the Lucene multi-field convention, not
+    * Robertson's shared-saturation variant.
+    *
+    * Scale shape: one [[bm25TopK]]-shaped pass per field (fields are
+    * few and the passes are independent scans), then a fold over
+    * per-(query, doc) micro rows — fixed-width, query-bounded. A
+    * sparse field (anchors exist for a fraction of docs) scans only
+    * its non-null rows.
+    */
+  def bm25TopKFields(docs: DataFrame, idCol: String,
+                     fields: Seq[(String, Long)],
+                     queries: DataFrame, qIdCol: String, qTextCol: String,
+                     k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                     maxTermDocFreq: Long = 0L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(fields.nonEmpty, "at least one field")
+    require(fields.forall(_._2 >= 1L), "field weights must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
+    bm25FoldFieldScores(fields.map { case (textCol, weight) =>
+      (bm25FieldScores(docs, idCol, textCol, qt, k1, b, maxTermDocFreq),
+        weight)
+    }, k)
+  }
+
+  /** The shared fielded fold: per-field (query_id, __doc, __sm) frames
+    * scale by their integer weights, union, group-sum, rank — one
+    * implementation under both the live ([[bm25TopKFields]]) and
+    * persisted ([[bm25TopKPersistedFields]]) paths.
+    */
+  private def bm25FoldFieldScores(scored: Seq[(DataFrame, Long)], k: Int)
+      : DataFrame = {
+    val weighted = scored.map { case (s, w) =>
+      s.select(col("query_id"), col("__doc"),
+        (col("__sm") * lit(w)).as("__wm"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__sm").desc, col("__doc").asc)
+    weighted.groupBy(col("query_id"), col("__doc"))
+      .agg(sum(col("__wm")).as("__sm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("__doc").as("doc_id"),
+        (col("__sm").cast("double") / lit(1e6)).as("score"))
+  }
+
   /** The per-query tokenization shared by [[bm25TopK]] and
     * [[bm25TopKPersisted]]: (query_id, __t), distinct terms per query.
     */
@@ -126,7 +221,26 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
   private def bm25ScoreAndRank(joined: DataFrame, nDocs: Long,
                                avgdl: Double, k: Int, k1: Double,
                                b: Double): DataFrame = {
-    val contrib = joined
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("__sm").desc, col("__doc").asc)
+    bm25ContribMicro(joined, nDocs, avgdl, k1, b)
+      .groupBy(col("query_id"), col("__doc"))
+      .agg(sum(col("__cm")).as("__sm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("__doc").as("doc_id"),
+        (col("__sm").cast("double") / lit(1e6)).as("score"))
+  }
+
+  /** The quantized per-(query, doc, term) contribution — the one place
+    * the BM25 formula lives: Lucene idf × tf saturation × length
+    * normalization, floored to integer micro units (`__cm`) so every
+    * downstream sum is exact long arithmetic.
+    */
+  private def bm25ContribMicro(joined: DataFrame, nDocs: Long,
+                               avgdl: Double, k1: Double, b: Double)
+      : DataFrame =
+    joined
       .withColumn("__idf", log(lit(1.0) +
         (lit(nDocs.toDouble) - col("__df") + lit(0.5)) /
           (col("__df") + lit(0.5))))
@@ -134,15 +248,6 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
         (col("__tf") + lit(k1) *
           (lit(1.0 - b) + (lit(b) * col("__dl")) / lit(avgdl))))
       .withColumn("__cm", floor(col("__c") * lit(1e6)).cast("long"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-      .orderBy(col("__sm").desc, col("__doc").asc)
-    contrib.groupBy(col("query_id"), col("__doc"))
-      .agg(sum(col("__cm")).as("__sm"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("__doc").as("doc_id"),
-        (col("__sm").cast("double") / lit(1e6)).as("score"))
-  }
 
   /** Persist the BM25 retrieval artifacts for a corpus snapshot — the
     * deployment shape for a standing retrieval service, mirroring the
@@ -652,6 +757,20 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
     require(k >= 1, "k must be >= 1")
     graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
+    val (joined, nDocs, avgdl) =
+      bm25SnapshotJoined(snap, qt, maxTermDocFreq, maxPushdownTerms)
+    bm25ScoreAndRank(joined, nDocs, avgdl, k, k1, b)
+  }
+
+  /** The snapshot-probe join shared by the single-field and fielded
+    * persisted paths: term-literal scan pushdown + the df-table
+    * broadcast, returning the (query_id, __doc, __tf, __df, __dl) rows
+    * plus the snapshot's global statistics.
+    */
+  private def bm25SnapshotJoined(snap: Bm25Snapshot, qt: DataFrame,
+                                 maxTermDocFreq: Long,
+                                 maxPushdownTerms: Int)
+      : (DataFrame, Long, Double) = {
     // limit+collect bounds driver memory: past the cap we only lose the
     // scan pushdown, never correctness (the join still filters exactly)
     val termSample = qt.select("__t").distinct()
@@ -669,10 +788,40 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
     val dfQ =
       if (maxTermDocFreq <= 0L) dfQ0
       else dfQ0.filter(col("__df") <= maxTermDocFreq)
-    bm25ScoreAndRank(
-      postings.join(broadcast(qt), Seq("__t"))
-        .join(broadcast(dfQ), Seq("__t")),
-      snap.nDocs, snap.avgdl, k, k1, b)
+    (postings.join(broadcast(qt), Seq("__t"))
+      .join(broadcast(dfQ), Seq("__t")), snap.nDocs, snap.avgdl)
+  }
+
+  /** [[bm25TopKFields]] against PERSISTED per-field artifacts — each
+    * field is its own [[bm25ArtifactsSave]] root (its own postings, df
+    * table, and global stats; append/delete/compact lifecycle
+    * unchanged — a field IS an artifact), probed with the
+    * [[bm25TopKPersisted]] term-pushdown discipline and folded by the
+    * same weighted-long-sum tail as the live path. The deployment
+    * shape for body+anchor retrieval: the anchor index rebuilds on the
+    * link graph's cadence, the body index on the corpus's, and neither
+    * rebuild touches the other's files.
+    */
+  def bm25TopKPersistedFields(spark: org.apache.spark.sql.SparkSession,
+                              fields: Seq[(String, Long)],
+                              queries: DataFrame, qIdCol: String,
+                              qTextCol: String, k: Int = 10,
+                              k1: Double = 1.2, b: Double = 0.75,
+                              maxTermDocFreq: Long = 0L,
+                              maxPushdownTerms: Int = 8192): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(fields.nonEmpty, "at least one field")
+    require(fields.forall(_._2 >= 1L), "field weights must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
+    bm25FoldFieldScores(fields.map { case (path, weight) =>
+      val (joined, nDocs, avgdl) = bm25SnapshotJoined(
+        bm25SnapshotLoad(spark, path), qt, maxTermDocFreq,
+        maxPushdownTerms)
+      (bm25ContribMicro(joined, nDocs, avgdl, k1, b)
+        .groupBy(col("query_id"), col("__doc"))
+        .agg(sum(col("__cm")).as("__sm")), weight)
+    }, k)
   }
 
 }

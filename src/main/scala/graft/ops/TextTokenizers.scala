@@ -82,6 +82,78 @@ private[graft] trait TextTokenizers { this: TextAnalysis.type =>
         .map(r => (r.getString(0), r.getLong(1))).toSeq,
       oovId)
 
+  /** Per-STRATUM token-id materialization — [[tokenizeToIds]] against a
+    * per-stratum vocabulary table ([[topTerms]] grouped by language is
+    * the natural source: one fit pass ranks every language's top-k at
+    * once): each row's tokens join only ITS stratum's vocabulary rows,
+    * so ONE pass materializes a multilingual corpus against
+    * per-language tokenizers. A stratum absent from `vocab` maps every
+    * token to `oovId` (the left-join miss — same contract as an
+    * in-vocab miss, deliberately: an unfitted language is all-OOV, not
+    * an error). `idCols` is the row's unique key (a span corpus keys by
+    * (doc_id, span_no)); the stratum column rides the output.
+    *
+    * Scale shape: the vocab table is (strata × vocabSize)-bounded and
+    * broadcasts; the array re-assembly group-by on `idCols` is the one
+    * corpus-sized exchange — the same cost as [[tokenizeToIds]], paid
+    * once per materialization. [[tokenizeToIdsKernelBy]] is the
+    * zero-shuffle production twin.
+    */
+  def tokenizeToIdsBy(docs: DataFrame, idCols: Seq[String],
+                      stratumCol: String, textCol: String,
+                      vocab: DataFrame, vocabStratumCol: String,
+                      tokenCol: String = "tok", vocabIdCol: String = "rank",
+                      oovId: Long = -1L): DataFrame = {
+    require(idCols.nonEmpty, "idCols must be non-empty")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(idCols.map(col) ++ Seq(col(stratumCol),
+        lower(col(textCol)).as("__t")): _*)
+    val ex = base.select(idCols.map(col) ++ Seq(col(stratumCol),
+      posexplode(tokens(col("__t"))).as(Seq("__pos", "__tok"))): _*)
+    val v = broadcast(vocab.select(
+      col(vocabStratumCol).as(stratumCol), col(tokenCol).as("__tok"),
+      col(vocabIdCol).cast("long").as("__tid")))
+    val assembled = ex.join(v, Seq(stratumCol, "__tok"), "left")
+      .groupBy(idCols.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"),
+          coalesce(col("__tid"), lit(oovId)).as("__tid")))),
+        e => e.getField("__tid")).as("token_ids"))
+    base.select(idCols.map(col) :+ col(stratumCol): _*)
+      .join(assembled, idCols, "left")
+      .select(idCols.map(col) ++ Seq(col(stratumCol),
+        coalesce(col("token_ids"), array().cast("array<long>"))
+          .as("token_ids")): _*)
+  }
+
+  /** Zero-shuffle twin of [[tokenizeToIdsBy]]: a bounded
+    * when-chain over the strata dispatches each row to ITS stratum's
+    * [[graft.functions.TokenIdModel]] kernel scan — per-language
+    * tokenizers as plan objects, no explode, no join, no re-assembly
+    * exchange (the [[tokenizeToIdsKernel]] economics, multiplied by a
+    * language count that is bounded by construction). Rows whose
+    * stratum has no model tokenize all-OOV via the shared empty model —
+    * value parity with the join form's left-join miss (spec-pinned).
+    */
+  def tokenizeToIdsKernelBy(docs: DataFrame, idCols: Seq[String],
+                            stratumCol: String, textCol: String,
+                            models: Seq[(String, graft.functions.TokenIdModel)],
+                            oovId: Long = -1L): DataFrame = {
+    require(idCols.nonEmpty, "idCols must be non-empty")
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    def idsWith(keys: Array[Long], ids: Array[Long]): Column =
+      call_function("graft_token_ids", lower(col(textCol)),
+        lit(keys), lit(ids), lit(oovId))
+    val fallback = idsWith(Array.empty[Long], Array.empty[Long])
+    val dispatched = models.foldLeft(org.apache.spark.sql.functions
+        .when(lit(false), fallback)) { case (acc, (s, m)) =>
+      acc.when(col(stratumCol) === lit(s), idsWith(m.keys, m.ids))
+    }.otherwise(fallback)
+    docs.filter(col(textCol).isNotNull)
+      .select(idCols.map(col) ++ Seq(col(stratumCol),
+        dispatched.as("token_ids")): _*)
+  }
+
   // ---- learned BPE subword tokenization ------------------------------------
 
   /** Top-k adjacent character-pair statistics over the corpus's word

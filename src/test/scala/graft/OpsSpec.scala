@@ -1436,6 +1436,107 @@ class OpsSpec extends SparkSpec {
       s"expected NO term pushdown past the cap in:\n$fbPlan")
   }
 
+  test("tokenizeToIdsBy: per-stratum id spaces; unfitted stratum all-OOV; kernel twin matches") {
+    val corpus = Seq(
+      (1L, 1L, "en", "alpha beta alpha"),
+      (1L, 2L, "de", "alpha gamma"),          // de's OWN id space
+      (2L, 1L, "en", "beta zz"),              // zz in-vocab nowhere
+      (2L, 2L, "fr", "alpha beta"),           // fr unfitted → all-OOV
+      (3L, 1L, "en", ""),                     // zero tokens → empty array
+      (4L, 1L, "de", null.asInstanceOf[String]), // null text → no row
+    ).toDF("doc_id", "span_no", "lang", "text")
+    // the same token ("alpha") carries DIFFERENT ids per stratum —
+    // exactly what a shared vocab table cannot express
+    val vocab = Seq(
+      ("en", "alpha", 1L), ("en", "beta", 2L),
+      ("de", "gamma", 1L), ("de", "alpha", 2L),
+    ).toDF("lang", "tok", "rank")
+    val out = TextAnalysis.tokenizeToIdsBy(corpus, Seq("doc_id", "span_no"),
+        "lang", "text", vocab, "lang")
+      .as[(Long, Long, String, Seq[Long])].collect()
+      .map(r => ((r._1, r._2), r._4)).toMap
+    assert(out((1L, 1L)) == Seq(1L, 2L, 1L))
+    assert(out((1L, 2L)) == Seq(2L, 1L))
+    assert(out((2L, 1L)) == Seq(2L, -1L))
+    assert(out((2L, 2L)) == Seq(-1L, -1L))
+    assert(out((3L, 1L)) == Seq.empty)
+    assert(!out.contains((4L, 1L)) && out.size == 5)
+    // the zero-shuffle kernel dispatch: per-stratum TokenIdModels as
+    // plan objects, value parity on every row incl. the unfitted-
+    // stratum all-OOV contract (shared empty-model fallback)
+    val models = Seq(
+      "en" -> graft.functions.TokenIdModel.fromPairs(
+        Seq("alpha" -> 1L, "beta" -> 2L), -1L),
+      "de" -> graft.functions.TokenIdModel.fromPairs(
+        Seq("gamma" -> 1L, "alpha" -> 2L), -1L))
+    val kOut = TextAnalysis.tokenizeToIdsKernelBy(corpus,
+        Seq("doc_id", "span_no"), "lang", "text", models)
+      .as[(Long, Long, String, Seq[Long])].collect()
+      .map(r => ((r._1, r._2), r._4)).toMap
+    assert(kOut == out)
+    // and the kernel plan is join-free (the tokenizeToIdsKernel economics)
+    val plan = TextAnalysis.tokenizeToIdsKernelBy(corpus,
+        Seq("doc_id", "span_no"), "lang", "text", models)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected no join in:\n$plan")
+  }
+
+  test("bm25TopKFields: per-field corpora, weighted long fold, persisted-roots parity") {
+    val fielded = Seq(
+      (1L, "spark engine body text", null.asInstanceOf[String]),
+      (2L, "filler body words here", "spark hub"),
+      (3L, "spark spark spark mentions", "spark ref label"),
+      (4L, "unrelated content entirely", null.asInstanceOf[String]),
+    ).toDF("doc_id", "body", "anchor")
+    val qs = Seq((7L, "spark")).toDF("qid", "qtext")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    // one field at weight 1 IS bm25TopK over that field's corpus
+    assert(canon(TextAnalysis.bm25TopKFields(fielded, "doc_id",
+        Seq(("body", 1L)), qs, "qid", "qtext", k = 10)) ==
+      canon(TextAnalysis.bm25TopK(fielded.select("doc_id", "body"),
+        "doc_id", "body", qs, "qid", "qtext", k = 10)))
+    // the anchor field's statistics are its OWN: its corpus is the 2
+    // non-null-anchor docs (N=2, its own df/avgdl), not the 4-doc body
+    // corpus — doc 2 matches via anchor alone and appears
+    val out = canon(TextAnalysis.bm25TopKFields(fielded, "doc_id",
+      Seq(("body", 1L), ("anchor", 3L)), qs, "qid", "qtext", k = 10))
+    assert(out.map(_._3).toSet == Set(1L, 2L, 3L))
+    // cross-field additivity, exact in micro space: total(3) =
+    // body_micro(3) + 3 × anchor_micro(3)
+    def microOf(fields: Seq[(String, Long)], id: Long): Long = {
+      val m = canon(TextAnalysis.bm25TopKFields(fielded, "doc_id",
+        fields, qs, "qid", "qtext", k = 10))
+        .collectFirst { case (_, _, d, s) if d == id =>
+          math.round(s * 1e6) }
+      m.getOrElse(0L)
+    }
+    assert(microOf(Seq(("body", 1L), ("anchor", 3L)), 3L) ==
+      microOf(Seq(("body", 1L)), 3L) + 3L * microOf(Seq(("anchor", 1L)), 3L))
+    // persisted per-field roots replay the live fold exactly — a field
+    // IS an artifact, the q78 discipline twice over
+    val bodyArt = tmpDir("bm25-fields-body")
+    val anchArt = tmpDir("bm25-fields-anchor")
+    TextAnalysis.bm25ArtifactsSave(fielded.select("doc_id", "body"),
+      "doc_id", "body", bodyArt)
+    TextAnalysis.bm25ArtifactsSave(
+      fielded.filter(col("anchor").isNotNull).select("doc_id", "anchor"),
+      "doc_id", "anchor", anchArt)
+    assert(canon(TextAnalysis.bm25TopKPersistedFields(spark,
+      Seq((bodyArt, 1L), (anchArt, 3L)), qs, "qid", "qtext", k = 10)) == out)
+    // weights below 1 and empty field lists fail loud
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKFields(fielded, "doc_id",
+        Seq(("body", 0L)), qs, "qid", "qtext")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKFields(fielded, "doc_id", Seq.empty,
+        qs, "qid", "qtext")
+    }
+  }
+
   test("bm25ArtifactsAppend: append-then-probe equals the from-scratch union build") {
     // "spark" lives in BOTH halves: its df changes when the batch lands,
     // so the probe scoring base docs with a stale idf would diverge —
