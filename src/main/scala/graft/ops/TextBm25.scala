@@ -813,11 +813,32 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
     require(fields.nonEmpty, "at least one field")
     require(fields.forall(_._2 >= 1L), "field weights must be >= 1")
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    bm25TopKFieldsFromSnapshots(
+      fields.map { case (path, w) => (bm25SnapshotLoad(spark, path), w) },
+      queries, qIdCol, qTextCol, k, k1, b, maxTermDocFreq,
+      maxPushdownTerms)
+  }
+
+  /** [[bm25TopKPersistedFields]] over ALREADY-LOADED snapshots — the
+    * standing-service entry point ([[graft.streaming.StreamingOps
+    * .bm25FieldsStream]] holds one refresh pin per field and probes
+    * here every micro-batch without re-listing any field's files).
+    */
+  def bm25TopKFieldsFromSnapshots(fields: Seq[(Bm25Snapshot, Long)],
+                                  queries: DataFrame, qIdCol: String,
+                                  qTextCol: String, k: Int = 10,
+                                  k1: Double = 1.2, b: Double = 0.75,
+                                  maxTermDocFreq: Long = 0L,
+                                  maxPushdownTerms: Int = 8192)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(fields.nonEmpty, "at least one field")
+    require(fields.forall(_._2 >= 1L), "field weights must be >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(queries.sparkSession)
     val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
-    bm25FoldFieldScores(fields.map { case (path, weight) =>
+    bm25FoldFieldScores(fields.map { case (snap, weight) =>
       val (joined, nDocs, avgdl) = bm25SnapshotJoined(
-        bm25SnapshotLoad(spark, path), qt, maxTermDocFreq,
-        maxPushdownTerms)
+        snap, qt, maxTermDocFreq, maxPushdownTerms)
       (bm25ContribMicro(joined, nDocs, avgdl, k1, b)
         .groupBy(col("query_id"), col("__doc"))
         .agg(sum(col("__cm")).as("__sm")), weight)

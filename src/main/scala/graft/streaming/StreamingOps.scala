@@ -380,6 +380,42 @@ object StreamingOps {
     }
   }
 
+  /** [[bm25Stream]]'s FIELDED twin — the standing body+anchor
+    * retrieval service: one [[SnapshotPin]] per field root (each
+    * field's index refreshes on ITS artifact's version token — the
+    * anchor index rebuilds on the link graph's cadence, the body index
+    * on the corpus's, and neither reload disturbs the other's pin),
+    * probed per micro-batch through [[graft.ops.TextAnalysis
+    * .bm25TopKFieldsFromSnapshots]] with the same weighted
+    * integer-micro fold as the batch path. No inline maintenance here:
+    * each field root is an ordinary bm25 artifact — point
+    * [[graft.ops.Maintenance.sweep]] (or a dedicated [[bm25Stream]])
+    * at it and this service adopts the compacted layout at the next
+    * refresh check.
+    */
+  def bm25FieldsStream(stream: DataFrame, fields: Seq[(String, Long)],
+                       qIdCol: String, qTextCol: String, k: Int = 10,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       refreshEveryBatches: Int = 1)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    require(fields.nonEmpty, "at least one field")
+    val pins = fields.map { case (path, weight) =>
+      (new SnapshotPin(path, refreshEveryBatches)(
+        spark => graft.ops.TextAnalysis.bm25SnapshotLoad(spark, path)),
+        weight)
+    }
+    stream.writeStream.foreachBatch {
+      (mb: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        sink(graft.ops.TextAnalysis.bm25TopKFieldsFromSnapshots(
+          pins.map { case (pin, w) =>
+            (pin.get(mb.sparkSession, batchId), w) },
+          mb.toDF(), qIdCol, qTextCol, k, k1, b), batchId)
+    }
+  }
+
   /** The shared snapshot-refresh discipline of the standing services
     * ([[bm25Stream]], [[annStream]], [[bpeEncodeStream]]): hold a
     * loaded value, re-check the artifact's [[graft.ops

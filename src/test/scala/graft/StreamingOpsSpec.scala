@@ -1066,6 +1066,48 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got(1L) == expect(b2) && got(1L).nonEmpty)
   }
 
+  test("bm25FieldsStream: per-batch fielded rankings equal bm25TopKPersistedFields exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val fielded = Seq(
+      (1L, "spark engine body text", null.asInstanceOf[String]),
+      (2L, "filler body words here", "spark hub"),
+      (3L, "spark spark spark mentions", "spark ref label"),
+      (4L, "unrelated content entirely", null.asInstanceOf[String]),
+    ).toDF("doc_id", "body", "anchor")
+    val bodyArt = tmpDir("bm25fs-body")
+    val anchArt = tmpDir("bm25fs-anchor")
+    graft.ops.TextAnalysis.bm25ArtifactsSave(
+      fielded.select("doc_id", "body"), "doc_id", "body", bodyArt)
+    graft.ops.TextAnalysis.bm25ArtifactsSave(
+      fielded.filter(col("anchor").isNotNull).select("doc_id", "anchor"),
+      "doc_id", "anchor", anchArt)
+    val roots = Seq((bodyArt, 1L), (anchArt, 3L))
+    val b1 = Seq((10L, "spark"), (11L, "filler label"))
+    val b2 = Seq((20L, "hub mentions"))
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Double)]]()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "doc_id", "score")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    val query = StreamingOps.bm25FieldsStream(
+        input.toDF().toDF("qid", "qtext"), roots, "qid", "qtext", k = 4) {
+      (res, id) => got.synchronized { got(id) = canon(res) }
+    }.start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+    } finally query.stop()
+    assert(got.size == 2)
+    def expect(rows: Seq[(Long, String)]) =
+      canon(graft.ops.TextAnalysis.bm25TopKPersistedFields(spark, roots,
+        rows.toDF("qid", "qtext"), "qid", "qtext", k = 4))
+    assert(got(0L) == expect(b1) && got(0L).nonEmpty)
+    assert(got(1L) == expect(b2) && got(1L).nonEmpty)
+    // the anchor-only matcher (doc 2 on "spark") surfaced via its field
+    assert(got(0L).exists(r => r._1 == 10L && r._3 == 2L))
+  }
+
   test("annStream: per-batch neighbors equal ivfTopKFromIndex exactly") {
     implicit val sqlCtx = spark.sqlContext
     def v(axis: Int, j: Int): Array[Float] = {
