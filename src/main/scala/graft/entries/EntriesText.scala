@@ -1487,9 +1487,18 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
       val persisted = TextAnalysis.bm25TopKPersistedFields(s,
         Seq((bodyArt, 1L), (anchArt, 3L)), queries, "qid", "qtext",
         k = 10)
-      val pathsEqual = live.exceptAll(persisted).isEmpty &&
-        persisted.exceptAll(live).isEmpty
-      live.withColumn("paths_equal", lit(pathsEqual))
+      // each path executes ONCE (k×3 rows collect; rank makes the
+      // order canonical) — an exceptAll-style compare would re-run
+      // both corpus-sized pipelines per direction
+      def rows(df: DataFrame) = df.orderBy("query_id", "rank")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      val liveRows = rows(live)
+      val pathsEqual = liveRows == rows(persisted)
+      import s.implicits._
+      liveRows.map(r => (r._1, r._2, r._3, r._4, pathsEqual))
+        .toDF("query_id", "rank", "doc_id", "score", "paths_equal")
         .orderBy("query_id", "rank")
     }),
 
@@ -2340,6 +2349,11 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
               (t, o) => (t + lit(2L)) * o),
             lit(0L), (a, x) => a + x).as("ids_fold"))
       gated.join(ids, Seq("doc_id", "span_no"), "left")
+        // non-foldable predicate on the joined side — the q66 guard:
+        // without it a bare count() lets Catalyst eliminate the left
+        // join against the unique-keyed tokenize aggregate and the
+        // bench would time span extraction alone (BenchHonestySpec)
+        .where(coalesce(col("n_oov"), lit(0L)) >= 0L)
         .select(col("doc_id"), col("span_no"), col("lang"),
           col("admitted"), col("n_tokens"), col("n_cp"), col("n_oov"),
           col("ids_fold"),

@@ -24,7 +24,8 @@ class BenchHonestySpec extends SparkSpec {
     "q67_span_ingest",
     "q76_temperature_mix",
     "q77_jaccard_sweep",
-    "q81_decontaminate_fraction")
+    "q81_decontaminate_fraction",
+    "q218_per_lang_build")
 
   test("count()-optimized plans keep their joins (bench times real work)") {
     assume(haveData, s"$sfDir not present")
