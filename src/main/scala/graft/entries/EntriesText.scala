@@ -1460,15 +1460,27 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         lit("\">vector beta "), pmod(col("doc_id"), lit(5)), lit("</a>"),
         lit("<a rel=\"nofollow\" href=\"/d/1\">alpha spam decoy</a>"),
         lit("</body></html>"))
-      val anchorField = graft.ops.Html.incomingAnchorTexts(
+      // the aggregate is 41 rows (targets = doc ids mod 41) —
+      // materialize it once so the seven-odd downstream actions (field
+      // stats heads, artifact saves, both probes) don't each re-run
+      // the anchor aggregation, and broadcast the literal frame into
+      // the field join
+      val anchorRows = graft.ops.Html.incomingAnchorTexts(
           docs.select(col("doc_id"), pageUrl.as("page_url"),
             html.as("html")), "doc_id", "page_url", "html",
           maxTexts = 64)
         .select(regexp_extract(col("target_url"), "/d/(\\d+)$", 1)
           .cast("long").as("doc_id"),
           col("anchor_texts").as("anchor"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1)))
+      val anchorField = {
+        import s.implicits._
+        anchorRows.toDF("doc_id", "anchor")
+      }
       val fielded = docs.select(col("doc_id"), col("text").as("body"))
-        .join(anchorField, Seq("doc_id"), "left")
+        .join(broadcast(anchorField), Seq("doc_id"), "left")
+        .cache()
       val queries = s.createDataFrame(Seq(
         (1L, "alpha vector"),
         (2L, "customer beta query"),

@@ -1,0 +1,97 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r20 fielded-BM25 stress: a 1M-doc body corpus beside a 100k-doc
+  * anchor field (every 10th doc has inlinks — the realistic sparsity),
+  * probed by a query whose terms split across the fields. Prices
+  * `bm25TopKFields` against single-field `bm25TopK` on the same corpus
+  * (the fielded fold must cost roughly one extra sparse-field pass +
+  * a query-bounded union, never a second corpus scan per direction)
+  * and checks exact invariants from construction:
+  *  - "needle" lives in the BODY of docs ≡ 7 (mod 1000) and in the
+  *    ANCHOR of docs ≡ 3 (mod 10000) — every surfaced doc must come
+  *    from those residue classes, and with anchor weight 3 the
+  *    anchor-field matchers (rarer in their own corpus AND weighted)
+  *    must occupy the whole top-k;
+  *  - single-field fielded == bm25TopK row-for-row at 1M docs.
+  *
+  * Run: `sbt "Test/runMain tmpstress.FieldedBm25Stress"`
+  */
+object FieldedBm25Stress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // body: 12 filler tokens varying per doc + needle for doc%1000==7
+    val body = concat(
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("b"), pmod(col("id") * 13 + lit(j * 29),
+          lit(5000L)))): _*),
+      when(pmod(col("id"), lit(1000L)) === 7L, lit(" needle"))
+        .otherwise(lit("")))
+    // anchor field on every 10th doc: 3 tokens, needle for %10000==3
+    val anchor = when(pmod(col("id"), lit(10L)) === 0L ||
+        pmod(col("id"), lit(10000L)) === 3L,
+      concat(lit("site "), concat(lit("a"), pmod(col("id"), lit(50L))),
+        when(pmod(col("id"), lit(10000L)) === 3L, lit(" needle"))
+          .otherwise(lit(""))))
+    val corpus = spark.range(nDocs).select(col("id").as("doc_id"),
+        body.as("body"), anchor.as("anchor"))
+      .repartition(64).cache()
+    println(s"MARKER corpus=${corpus.count()} anchors=" +
+      corpus.filter(col("anchor").isNotNull).count())
+
+    val qs = Seq((1L, "needle site")).toDF("qid", "qtext")
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"MARKER $name%s dt=${(System.nanoTime() - t0) / 1e9}%.2f")
+      r
+    }
+
+    for (rep <- 1 to 3) {
+      val single = time(s"body_only_rep$rep") {
+        graft.ops.TextAnalysis.bm25TopK(
+            corpus.select("doc_id", "body"), "doc_id", "body",
+            qs, "qid", "qtext", k = 20)
+          .select("query_id", "rank", "doc_id", "score")
+          .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      }
+      val singleFielded = time(s"fielded_one_field_rep$rep") {
+        graft.ops.TextAnalysis.bm25TopKFields(corpus, "doc_id",
+            Seq(("body", 1L)), qs, "qid", "qtext", k = 20)
+          .select("query_id", "rank", "doc_id", "score")
+          .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      }
+      assert(single == singleFielded, "single-field parity broke")
+      val fielded = time(s"fielded_two_fields_rep$rep") {
+        graft.ops.TextAnalysis.bm25TopKFields(corpus, "doc_id",
+            Seq(("body", 1L), ("anchor", 3L)), qs, "qid", "qtext",
+            k = 20)
+          .select("query_id", "rank", "doc_id", "score")
+          .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+      }
+      // membership: every surfaced doc carries needle or site somewhere
+      fielded.foreach { case (_, _, d, _) =>
+        assert(d % 1000 == 7 || d % 10 == 0 || d % 10000 == 3,
+          s"doc $d surfaced without any query term")
+      }
+      // the weighted anchor matchers own the top of the ranking: docs
+      // ≡ 3 (mod 10000) carry needle in a 3-4-token anchor doc (huge
+      // tf share, rare term in the anchor corpus) at weight 3
+      val top = fielded.take(5).map(_._3)
+      assert(top.forall(_ % 10000 == 3),
+        s"expected anchor-needle docs on top, got ${top.toSeq}")
+      println(s"MARKER rep$rep ok top=${top.toSeq}")
+    }
+    println("MARKER OK")
+    spark.stop()
+  }
+}

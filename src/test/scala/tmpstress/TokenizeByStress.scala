@@ -1,0 +1,92 @@
+package tmpstress
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r20 per-stratum tokenizer stress: 1M docs × 20 tokens over 5 strata
+  * (languages), each stratum with its OWN 4000-token vocabulary whose
+  * id assignment differs per stratum — the q218 materialization at
+  * corpus scale. Prices the join-form `tokenizeToIdsBy` (broadcast
+  * vocab join + one array-rebuild exchange) against the zero-shuffle
+  * `tokenizeToIdsKernelBy` when-chain dispatch (5 per-stratum
+  * TokenIdModel kernel scans, no explode, no join).
+  *
+  * Invariants are exact from construction: token j of doc i is
+  * `w((i*17 + j*31) % 6000)` — in-vocab iff the residue < 4000, so the
+  * corpus-total OOV count is computable by pure SQL arithmetic with no
+  * tokenizer in the loop; both forms must land on exactly that count
+  * AND on the same positional-fold total (the q113 fold summed over
+  * the corpus — a cross-form id-assignment drift of even one token
+  * breaks it).
+  *
+  * Run: `sbt "Test/runMain tmpstress.TokenizeByStress"`
+  */
+object TokenizeByStress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nTok = 20
+    // stratum-dependent id spaces: rank of wK in stratum s =
+    // ((K + s*7) % 4000) + 1 — same token, different id per stratum
+    val strata = (0 until 5).map(s => s"lang$s")
+    val vocab = strata.zipWithIndex.flatMap { case (lang, s) =>
+      (0 until 4000).map(k => (lang, s"w$k", ((k + s * 7) % 4000) + 1L))
+    }.toDF("lang", "tok", "rank")
+    val models = strata.zipWithIndex.map { case (lang, s) =>
+      lang -> graft.functions.TokenIdModel.fromPairs(
+        (0 until 4000).map(k => (s"w$k", ((k + s * 7) % 4000) + 1L)),
+        -1L)
+    }
+    val text = concat_ws(" ", (0 until nTok).map(j =>
+      concat(lit("w"), pmod(col("id") * 17 + lit(j * 31), lit(6000L)))): _*)
+    val corpus = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat(lit("lang"), pmod(col("id"), lit(5L))).as("lang"),
+        text.as("text"))
+      .repartition(64).cache()
+    println(s"MARKER corpus=${corpus.count()} " +
+      s"bytes=${corpus.agg(sum(length(col("text")))).head().getLong(0)}")
+
+    // expected corpus OOV total: residue >= 4000, no tokenizer involved
+    val expOov = spark.range(nDocs).select(
+        (0 until nTok).map(j =>
+          when(pmod(col("id") * 17 + lit(j * 31), lit(6000L)) >= 4000L,
+            1L).otherwise(0L)).reduce(_ + _).as("oov"))
+      .agg(sum(col("oov"))).head().getLong(0)
+    println(s"MARKER expected_oov=$expOov of ${nDocs * nTok}")
+
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Long = {
+      val t0 = System.nanoTime()
+      val r = df.select(
+          size(filter(col("token_ids"), x => x === -1L)).cast("long")
+            .as("n_oov"),
+          aggregate(zip_with(col("token_ids"),
+              sequence(lit(1L), size(col("token_ids")).cast("long")),
+              (t, o) => (t + lit(2L)) * o),
+            lit(0L), (a, x) => a + x).as("fold"))
+        .agg(sum(col("n_oov")), sum(col("fold"))).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      assert(r.getLong(0) == expOov,
+        s"$name oov ${r.getLong(0)} != $expOov")
+      println(f"MARKER $name%s dt=$dt%.2f fold=${r.getLong(1)}%d")
+      r.getLong(1)
+    }
+
+    for (rep <- 1 to 3) {
+      val fJoin = audit(s"join_form_rep$rep",
+        graft.ops.TextAnalysis.tokenizeToIdsBy(corpus, Seq("doc_id"),
+          "lang", "text", vocab, "lang"))
+      val fKernel = audit(s"kernel_form_rep$rep",
+        graft.ops.TextAnalysis.tokenizeToIdsKernelBy(corpus,
+          Seq("doc_id"), "lang", "text", models))
+      assert(fJoin == fKernel, s"fold drift: $fJoin vs $fKernel")
+    }
+    println("MARKER OK")
+    spark.stop()
+  }
+}
