@@ -2342,6 +2342,10 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
             lit("die nicht ein mit"))
             .otherwise(lit("le est dans les")),
           lit("这是一段没有空格的中文文本")).as("mx"))
+      // cached: the span-extraction subtree (langSpans windows + the
+      // text join-back) feeds THREE branches of one DAG — the vocab
+      // fit, the tokenize pass, and the provenance join — and Spark
+      // recomputes an uncached subtree per branch
       val gated = TextAnalysis.langSpanExtract(multi, "doc_id", "mx")
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("span_text")))
         .withColumn("n_cp", length(col("span_text")).cast("long"))
@@ -2349,6 +2353,7 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           when(col("lang") === "und", lit(false))
             .when(col("lang") === "zh", col("n_cp") >= 8L)
             .otherwise(col("n_tokens") >= 3L))
+        .cache()
       val adm = gated.filter(col("admitted"))
       val vocab = TextAnalysis.topTerms(adm, "lang", "span_text", k = 4)
       val ids = TextAnalysis.tokenizeToIdsBy(adm,
