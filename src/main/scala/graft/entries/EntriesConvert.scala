@@ -217,8 +217,8 @@ private[graft] trait EntriesConvert { this: SparkEntry.type =>
     "q40_image_pipeline" -> ((s, dir) => {
       val listed = graft.sources.Input.readImageDirectory(s,
         genImageFixtures())
-      val good = s.sparkContext.longAccumulator("q40_good")
-      val bad = s.sparkContext.longAccumulator("q40_bad")
+      val good = s.sparkContext.longAccumulator("image_extract_good")
+      val bad = s.sparkContext.longAccumulator("image_extract_bad")
       graft.operators.ImageStage.extract(listed, Schema.imageCsvSchema,
           good, bad)
         .select(col("image_name"), col("label"), col("image_height"),

@@ -377,8 +377,8 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
     "q94_webdataset_images" -> ((s, dir) => {
       val listed = graft.sources.Input.readImageDirectory(s,
         genImageFixtures())
-      val good = s.sparkContext.longAccumulator("q94_good")
-      val bad = s.sparkContext.longAccumulator("q94_bad")
+      val good = s.sparkContext.longAccumulator("wds_export_good")
+      val bad = s.sparkContext.longAccumulator("wds_export_bad")
       val extracted = graft.operators.ImageStage.extract(listed,
         Schema.imageCsvSchema, good, bad)
       // raw raster payload: our b64 is URL-safe (-_); translate to the
