@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Measurement tooling for the optimization rounds (guide §1.2/§7.2):
+  * dump `.explain("formatted")` of named [[SparkEntry.queries]] entries
+  * to `<outDir>/<name>_<tag>.txt`, under the same session config as
+  * [[Bench]] so the plans match what the bench actually executes.
+  *
+  * Usage:
+  *   `sbt "runMain graft.PlanDump plans/r20 before q143_maintenance_plan ..."`
+  *
+  * Note: building a query's DataFrame runs its in-query eager side
+  * effects (artifact writes, fitted models) — the dumped plan is the
+  * plan of the RETURNED frame, exactly the frame the bench counts.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: PlanDump <outDir> <tag> <query>...")
+    val outDir = args(0)
+    val tag = args(1)
+    val names = args.drop(2).toSeq
+    names.foreach(n => require(SparkEntry.queries.contains(n),
+      s"unknown query '$n'"))
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$outDir/${name}_$tag.txt"),
+        plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      graft.ops.Dedup.releaseIntermediates()
+      spark.catalog.clearCache()
+      println(s"MARKER planned $name -> $outDir/${name}_$tag.txt")
+    }
+    spark.stop()
+  }
+}

@@ -729,9 +729,13 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         .head().getString(0)
       val auditOk = graft.ops.Dedup.containedArtifactValidate(s, base)
         .filter(!col("ok")).count() == 0L
-      val after = probe()
-      val probeInvariant = after.exceptAll(before).count() == 0L &&
-        before.exceptAll(after).count() == 0L
+      // r20: eager pin + one-action two-sided compare (the q158 rule) —
+      // the un-pinned `after` used to re-run the window-heavy probe
+      // pipeline for each exceptAll direction and again at the final
+      // count
+      val after = probe().localCheckpoint(true)
+      val probeInvariant = after.exceptAll(before)
+        .unionByName(before.exceptAll(after)).isEmpty
       after
         .withColumn("plan_was_compact", lit(planBefore == "compact"))
         .withColumn("did_compact", lit(didCompact))
@@ -929,12 +933,19 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         .head().getString(0)
       val auditOk = graft.ops.Dedup.hammingArtifactValidate(s, base)
         .filter(!col("ok")).count() == 0L
-      val after = probe()
+      // r20: pin the post-compact probe EAGERLY too — the un-pinned
+      // frame used to re-run the full probe pipeline three times (once
+      // per exceptAll direction, once more when the returned frame was
+      // counted); one checkpoint makes every consumer read the same
+      // materialized rows
+      val after = probe().localCheckpoint(true)
       // probe-invariance as a DataFrame comparison (two-sided exceptAll
       // both empty), not collect().toSet equality — counts are scalar
-      // aggregates, the pair set itself never lands on the driver
-      val probeInvariant = after.exceptAll(before).count() == 0L &&
-        before.exceptAll(after).count() == 0L
+      // aggregates, the pair set itself never lands on the driver;
+      // r20: both directions under ONE action (union → isEmpty) instead
+      // of two counted jobs
+      val probeInvariant = after.exceptAll(before)
+        .unionByName(before.exceptAll(after)).isEmpty
       after
         .withColumn("plan_was_compact", lit(planBefore == "compact"))
         .withColumn("did_compact", lit(didCompact))

@@ -212,16 +212,14 @@ private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
       TextAnalysis.bm25ArtifactsDelete(s, bmDir,
         docs.filter(pmod(col("doc_id"), lit(2)) === 0).select("doc_id"),
         "doc_id")
-      Similarity.ivfMaintenancePlan(s, ivfDir)
-        .select(lit("ivf_debt").as("artifact"), col("*"))
-        .unionByName(Similarity
-          .ivfMaintenancePlan(s, ivfDir, compactDebtFraction = 0.9,
-            rebuildDebtFraction = 0.95, rebuildListSkew = 1000.0)
-          .select(lit("ivf_lenient").as("artifact"), col("*")))
-        .unionByName(Similarity
-          .ivfMaintenancePlan(s, ivfDir, compactDebtFraction = 0.9,
-            rebuildDebtFraction = 0.95, rebuildListSkew = 1.0)
-          .select(lit("ivf_skew").as("artifact"), col("*")))
+      // r20: the three IVF policies share ONE index scan+aggregate
+      // (ivfMaintenancePlans — metrics are threshold-free, only the
+      // verdict CASE differs per policy); rows bit-identical to the
+      // former three separate ivfMaintenancePlan calls, oracle-reproven
+      Similarity.ivfMaintenancePlans(s, ivfDir, Seq(
+          ("ivf_debt", 0.2, 0.5, 8.0),
+          ("ivf_lenient", 0.9, 0.95, 1000.0),
+          ("ivf_skew", 0.9, 0.95, 1.0)))
         .unionByName(TextAnalysis
           .bm25MaintenancePlan(s, bmDir, compactDebtFraction = 0.2,
             rebuildDebtFraction = 0.4)

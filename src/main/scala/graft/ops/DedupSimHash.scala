@@ -487,35 +487,48 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
     val bands = if (scheme == "bands") 4L else 20L
     val sigs = spark.read.parquet(graft.Fs.join(path, "sigs"))
     val tombDir = graft.Fs.join(path, "_tombstones")
-    val (live, debt) =
+    val (live, tombs) =
       if (graft.Fs.exists(tombDir)) {
         val t = spark.read.parquet(tombDir).select("__del_id").distinct()
-        (sigs.join(t, sigs("id") === col("__del_id"), "left_anti"),
-          t.count())
-      } else (sigs, 0L)
-    val liveAgg = live.agg(count(lit(1)).as("rows"),
-      countDistinct(col("id"), col("__sig")).as("cells")).head()
+        (sigs.join(t, sigs("id") === col("__del_id"), "left_anti"), t)
+      } else (sigs, spark.range(0)
+        .select(col("id").cast("long").as("__del_id")))
     val keySigs = spark.read.parquet(graft.Fs.join(path, "keys"))
       .groupBy("__sig").agg(count(lit(1)).as("__n"))
     val distinctSigs = sigs.select(col("__sig")).distinct()
-    val underKeyed = distinctSigs
-      .join(keySigs.filter(col("__n") >= bands), Seq("__sig"),
-        "left_anti").count()
-    val orphans = keySigs.join(distinctSigs, Seq("__sig"), "left_anti")
-      .count()
-    val sizeMismatch = live.groupBy("id")
-      .agg(count(lit(1)).as("__actual"))
-      .join(spark.read.parquet(graft.Fs.join(path, "sizes")), Seq("id"),
-        "left")
-      .filter(col("__n").isNull || col("__n") =!= col("__actual"))
-      .count()
-    val capLeak = sigs
-      .join(spark.read.parquet(graft.Fs.join(path, "capped")),
-        Seq("__sig"), "left_semi").count()
+    // r20 (guide §1.2): all six invariants under ONE scheduled action —
+    // the 1-row aggregates cross-join into a single row instead of six
+    // driver round-trips (q164 runs this audit inside its lifecycle;
+    // the old form paid a job per count)
+    val agg = live.agg(count(lit(1)).as("rows"),
+        countDistinct(col("id"), col("__sig")).as("cells"))
+      .crossJoin(distinctSigs
+        .join(keySigs.filter(col("__n") >= bands), Seq("__sig"),
+          "left_anti")
+        .agg(count(lit(1)).as("under")))
+      .crossJoin(keySigs.join(distinctSigs, Seq("__sig"), "left_anti")
+        .agg(count(lit(1)).as("orph")))
+      .crossJoin(live.groupBy("id")
+        .agg(count(lit(1)).as("__actual"))
+        .join(spark.read.parquet(graft.Fs.join(path, "sizes")), Seq("id"),
+          "left")
+        .filter(col("__n").isNull || col("__n") =!= col("__actual"))
+        .agg(count(lit(1)).as("mismatch")))
+      .crossJoin(sigs
+        .join(spark.read.parquet(graft.Fs.join(path, "capped")),
+          Seq("__sig"), "left_semi")
+        .agg(count(lit(1)).as("leak")))
+      .crossJoin(tombs.agg(count(lit(1)).as("debt")))
+      .head()
+    val underKeyed = agg.getAs[Long]("under")
+    val orphans = agg.getAs[Long]("orph")
+    val sizeMismatch = agg.getAs[Long]("mismatch")
+    val capLeak = agg.getAs[Long]("leak")
+    val debt = agg.getAs[Long]("debt")
     Seq(
       ("timeline_unique",
-        liveAgg.getAs[Long]("rows") == liveAgg.getAs[Long]("cells"),
-        liveAgg.getAs[Long]("rows") - liveAgg.getAs[Long]("cells"), 0L),
+        agg.getAs[Long]("rows") == agg.getAs[Long]("cells"),
+        agg.getAs[Long]("rows") - agg.getAs[Long]("cells"), 0L),
       ("keys_cover_sigs", underKeyed == 0L, underKeyed, 0L),
       ("no_orphan_keys", true, orphans, 0L),
       ("sizes_match", sizeMismatch == 0L, sizeMismatch, 0L),
@@ -819,22 +832,30 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
       if (graft.Fs.exists(tombDir))
         sigs.join(tombs, sigs("id") === col("__del_id"), "left_anti")
       else sigs
-    val liveAgg = live.agg(count(lit(1)).as("rows"),
-      countDistinct(col("id")).as("ids")).head()
     val keySigs = spark.read.parquet(graft.Fs.join(path, "keys"))
       .groupBy("__sig").agg(count(lit(1)).as("__n"))
     val distinctSigs = sigs.select(col("__sig")).distinct()
-    val underKeyed = distinctSigs
-      .join(keySigs.filter(col("__n") >= bands), Seq("__sig"),
-        "left_anti").count()
-    val orphans = keySigs.join(distinctSigs, Seq("__sig"), "left_anti")
-      .count()
-    val debt =
-      if (graft.Fs.exists(tombDir)) tombs.count() else 0L
+    // r20 (guide §1.2): every invariant under ONE scheduled action —
+    // the four 1-row aggregates cross-join into a single row instead of
+    // four driver round-trips (the old form paid one job per count on
+    // an artifact-sized input, pure orchestration overhead)
+    val agg = live.agg(count(lit(1)).as("rows"),
+        countDistinct(col("id")).as("ids"))
+      .crossJoin(distinctSigs
+        .join(keySigs.filter(col("__n") >= bands), Seq("__sig"),
+          "left_anti")
+        .agg(count(lit(1)).as("under")))
+      .crossJoin(keySigs.join(distinctSigs, Seq("__sig"), "left_anti")
+        .agg(count(lit(1)).as("orph")))
+      .crossJoin(tombs.agg(count(lit(1)).as("debt")))
+      .head()
+    val underKeyed = agg.getAs[Long]("under")
+    val orphans = agg.getAs[Long]("orph")
+    val debt = agg.getAs[Long]("debt")
     Seq(
       ("ids_unique",
-        liveAgg.getAs[Long]("rows") == liveAgg.getAs[Long]("ids"),
-        liveAgg.getAs[Long]("rows") - liveAgg.getAs[Long]("ids"), 0L),
+        agg.getAs[Long]("rows") == agg.getAs[Long]("ids"),
+        agg.getAs[Long]("rows") - agg.getAs[Long]("ids"), 0L),
       ("keys_cover_sigs", underKeyed == 0L, underKeyed, 0L),
       ("no_orphan_keys", true, orphans, 0L),
       ("tombstones_resolved", true, debt, 0L),
@@ -859,19 +880,31 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
     require(compactDebtFraction > 0, "threshold must be positive")
     val sigs = spark.read.parquet(graft.Fs.join(path, "sigs"))
     val tombDir = graft.Fs.join(path, "_tombstones")
-    // live/debt via the anti-join (the [[hammingArtifactValidate]]
-    // computation), NOT total − count(distinct tombstones): ghost
-    // tombstones (ids never ingested — allowed by delete) and ids
-    // appearing in multiple sig rows would otherwise skew live_rows
-    // (even negative) and push debt_micro past 1e6
+    // live/debt via the tombstone-marking join (the
+    // [[hammingArtifactValidate]] computation), NOT total −
+    // count(distinct tombstones): ghost tombstones (ids never ingested
+    // — allowed by delete) and ids appearing in multiple sig rows would
+    // otherwise skew live_rows (even negative) and push debt_micro past
+    // 1e6. r20 (guide §1.2): total/live/tombs out of ONE action — the
+    // left join marks instead of anti-joining (the distinct right side
+    // matches each sig row at most once, so count(1) stays the physical
+    // row count), and the tombstone count rides in as a 1-row cross
+    // join — where the old form paid three scheduled jobs per plan
+    // (sigs.count, anti-join agg, tombstones.count; the sweep calls
+    // this once per hamming/clip artifact).
     val (total, live, tombs) =
       if (graft.Fs.exists(tombDir)) {
         val t = spark.read.parquet(tombDir).select("__del_id").distinct()
-        val agg = sigs
+        val r = sigs
           .join(t.hint("broadcast"), sigs("id") === col("__del_id"),
-            "left_anti")
-          .agg(count(lit(1)).as("live")).head().getLong(0)
-        (sigs.count(), agg, t.count())
+            "left")
+          .agg(count(lit(1)).as("total"),
+            coalesce(sum(when(col("__del_id").isNull, 1L).otherwise(0L)),
+              lit(0L)).as("live"))
+          .crossJoin(t.agg(count(lit(1)).as("tombs")))
+          .head()
+        (r.getAs[Long]("total"), r.getAs[Long]("live"),
+          r.getAs[Long]("tombs"))
       } else { val n = sigs.count(); (n, n, 0L) }
     val debtMicro =
       if (total == 0) 0L

@@ -485,6 +485,17 @@ object Similarity {
                     centroids: DataFrame, centIdCol: String,
                     centVecCol: String, indexDir: String): Unit = {
     ivfAssign(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
+      // cluster rows by their partition value BEFORE the partitioned
+      // write (r20, guide §6 small files / Iceberg distribution-mode
+      // `hash`): without it every scan task opens a writer per centroid
+      // it sees — O(tasks × lists) files, each tiny, plus a commit
+      // protocol over all of them (a 10k-task scan over 10k lists is
+      // 100M ~MB files). The one hash exchange here moves each vector
+      // exactly once and writes one file per list per shuffle
+      // partition. At bench scale (one scan task) it costs one trivial
+      // 2000-row exchange and changes nothing else — the scale hazard
+      // is the unshuffled form, not this.
+      .repartition(col("centroid_id"))
       .write.mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(indexDir)
@@ -544,7 +555,11 @@ object Similarity {
           s"assigns [${assigned.schema.fieldNames.mkString(",")}]; " +
           "append with the index's own column names")
     }
-    assigned.write.mode("append")
+    assigned
+      // same hash-distribution as [[ivfIndexWrite]] (guide §6): one
+      // file per list per shuffle partition instead of per scan task
+      .repartition(col("centroid_id"))
+      .write.mode("append")
       .partitionBy("centroid_id")
       .parquet(indexDir)
     ArtifactVersion.stamp(indexDir)
@@ -648,6 +663,8 @@ object Similarity {
     val tmp = s"${indexDir}_compact_tmp"
     val old = s"${indexDir}_compact_old"
     raw.join(tomb, raw(raw.columns(0)) === tomb("__del_id"), "left_anti")
+      // hash-distribute before the partitioned rewrite ([[ivfIndexWrite]])
+      .repartition(col("centroid_id"))
       .write.mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(tmp)
@@ -762,10 +779,28 @@ object Similarity {
                          indexDir: String,
                          compactDebtFraction: Double = 0.2,
                          rebuildDebtFraction: Double = 0.5,
-                         rebuildListSkew: Double = 8.0): DataFrame = {
+                         rebuildListSkew: Double = 8.0): DataFrame =
+    ivfMaintenancePlans(spark, indexDir,
+      Seq(("", compactDebtFraction, rebuildDebtFraction, rebuildListSkew)))
+      .drop("artifact")
+
+  /** N threshold policies planned from ONE index scan (r20, guide
+    * §1.2): the metrics (live/debt/debt_micro/skew_micro) are
+    * threshold-FREE — only the verdict CASE depends on the policy — so
+    * a scheduler evaluating several policies over the same index (the
+    * q143 shape) pays one scan+aggregate instead of one per policy
+    * (q143: 3 index scans → 1). Rows come back in `settings` order
+    * under the caller's `artifact` tag; each row is bit-identical to a
+    * separate [[ivfMaintenancePlan]] call with that policy.
+    */
+  def ivfMaintenancePlans(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String,
+                          settings: Seq[(String, Double, Double, Double)])
+      : DataFrame = {
     import spark.implicits._
-    require(compactDebtFraction > 0 && rebuildDebtFraction > 0 &&
-      rebuildListSkew > 0, "thresholds must be positive")
+    require(settings.nonEmpty, "at least one policy")
+    settings.foreach { case (_, c, r, sk) =>
+      require(c > 0 && r > 0 && sk > 0, "thresholds must be positive") }
     val raw = spark.read.parquet(indexDir)
     val idCol = raw.columns(0)
     val marked =
@@ -798,20 +833,22 @@ object Similarity {
     val skewMicro =
       if (live == 0) 0L
       else (BigInt(maxList) * nLists * 1000000 / live).toLong
-    val cThr = math.floor(compactDebtFraction * 1e6).toLong
-    val rThr = math.floor(rebuildDebtFraction * 1e6).toLong
-    val sThr = math.floor(rebuildListSkew * 1e6).toLong
-    val (action, reason) =
-      if (skewMicro > sThr)
-        ("rebuild", s"skew_micro=$skewMicro > skew_threshold_micro=$sThr")
-      else if (debtMicro > rThr)
-        ("rebuild", s"debt_micro=$debtMicro > rebuild_micro=$rThr")
-      else if (debtMicro > cThr)
-        ("compact", s"debt_micro=$debtMicro > compact_micro=$cThr")
-      else ("none", "healthy")
-    Seq((action, reason, live, debt, debtMicro, skewMicro))
-      .toDF("action", "reason", "live_rows", "tombstones", "debt_micro",
-        "skew_micro")
+    settings.map { case (tag, compactDebtFraction, rebuildDebtFraction,
+        rebuildListSkew) =>
+      val cThr = math.floor(compactDebtFraction * 1e6).toLong
+      val rThr = math.floor(rebuildDebtFraction * 1e6).toLong
+      val sThr = math.floor(rebuildListSkew * 1e6).toLong
+      val (action, reason) =
+        if (skewMicro > sThr)
+          ("rebuild", s"skew_micro=$skewMicro > skew_threshold_micro=$sThr")
+        else if (debtMicro > rThr)
+          ("rebuild", s"debt_micro=$debtMicro > rebuild_micro=$rThr")
+        else if (debtMicro > cThr)
+          ("compact", s"debt_micro=$debtMicro > compact_micro=$cThr")
+        else ("none", "healthy")
+      (tag, action, reason, live, debt, debtMicro, skewMicro)
+    }.toDF("artifact", "action", "reason", "live_rows", "tombstones",
+      "debt_micro", "skew_micro")
   }
 
   def ivfTopKFromSnapshot(snap: IvfSnapshot,

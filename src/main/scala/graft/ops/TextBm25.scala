@@ -277,9 +277,14 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
   def bm25ArtifactsSave(docs: DataFrame, idCol: String, textCol: String,
                         path: String): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val dl = bm25DocLengths(docs, idCol, textCol)
-    val tf = bm25TermCounts(docs, idCol, textCol)
-    tf.join(dl, Seq("__doc"))
+    val spark = docs.sparkSession
+    // ONE corpus tokenize pass builds the postings (r20, guide §1.2/
+    // §2.4): the per-doc length rides the explode (array size taken
+    // BEFORE the explode) and is carried through the (doc, term)
+    // aggregate — the former `tf.join(dl)` formulation re-scanned and
+    // re-tokenized the corpus for the dl side and paid a join exchange
+    // on __doc for rows the single pass already had together.
+    bm25Postings(docs, idCol, textCol)
       .repartitionByRange(col("__t"), col("__doc"))
       .sortWithinPartitions("__t", "__doc")
       .write.mode("overwrite").parquet(s"$path/postings")
@@ -292,18 +297,48 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
     // alongside the postings'.
     GenerationTable.reset(path, "postings", deleteLegacy = false)
     GenerationTable.reset(path, "tombstones", deleteLegacy = true)
-    bm25DfAdvance(path, tf.groupBy("__t").agg(count(lit(1)).as("__df")),
+    // df from the WRITTEN postings (read-back — a fixed-width artifact
+    // scan with zero corpus re-tokenize; each (__t, __doc) appears
+    // exactly once, so the per-term row count IS the doc frequency).
+    // The old form re-ran the full tokenize+explode+aggregate pipeline
+    // a third time just to count terms.
+    bm25DfAdvance(path, spark.read.parquet(bm25PostingsDir(path))
+        .groupBy("__t").agg(count(lit(1)).as("__df")),
       keepGenerations = 1)
     // per-doc length table: the probe never reads it (postings carry
     // __dl), but [[bm25ArtifactsDelete]] needs it — a zero-token doc
     // has NO posting row, so postings alone cannot say whether a
-    // deleted id contributed to n_docs
-    dl.write.mode("overwrite").parquet(s"$path/dl")
-    dl.agg(count(lit(1)).as("n_docs"),
+    // deleted id contributed to n_docs. This is the second (and last)
+    // corpus tokenize pass.
+    bm25DocLengths(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/dl")
+    // stats from the WRITTEN dl table (read-back, zero re-tokenize)
+    spark.read.parquet(s"$path/dl")
+      .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("__dl")), lit(0L)).as("total_tokens"))
       .write.mode("overwrite").parquet(s"$path/stats")
     ArtifactVersion.stamp(path)
   }
+
+  /** The one-pass postings build shared by [[bm25ArtifactsSave]] and
+    * [[bm25ArtifactsAppend]]: (__doc, __t, __tf, __dl) out of a single
+    * tokenize+explode+aggregate — `__dl` = size of the token array
+    * (byte-for-byte the [[bm25DocLengths]] count: `graft_token_count`
+    * and `size(graft_tokens(...))` share one scan loop, parity
+    * property-pinned) carried through the aggregate via `max` (it is
+    * constant within a (__doc, __t) group). Zero-token and null-text
+    * docs produce no posting row, exactly as the explode in the former
+    * two-pass form.
+    */
+  private def bm25Postings(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    docs.select(col(idCol).as("__doc"),
+        call_function("graft_tokens", lower(col(textCol))).as("__arr"))
+      .select(col("__doc"), explode(col("__arr")).as("__t"),
+        size(col("__arr")).cast("long").as("__dl"))
+      .groupBy("__doc", "__t")
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+      .select("__doc", "__t", "__tf", "__dl")
 
   private def bm25DocLengths(docs: DataFrame, idCol: String,
                              textCol: String): DataFrame =
@@ -344,19 +379,21 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
                           path: String, keepGenerations: Int = 3): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val spark = docs.sparkSession
-    val dl = bm25DocLengths(docs, idCol, textCol)
-    val tf = bm25TermCounts(docs, idCol, textCol)
-    tf.join(dl, Seq("__doc"))
+    // one-pass postings (carried __dl — see [[bm25Postings]]): drops
+    // the former tf⋈dl join exchange and the dl-side corpus re-scan
+    bm25Postings(docs, idCol, textCol)
       .repartitionByRange(col("__t"), col("__doc"))
       .sortWithinPartitions("__t", "__doc")
       .write.mode("append").parquet(bm25PostingsDir(path))
+    val dl = bm25DocLengths(docs, idCol, textCol)
     dl.write.mode("append").parquet(s"$path/dl")
     // read old stats BEFORE overwriting (head() materializes the row)
     val st = spark.read.parquet(s"$path/stats").head()
     val bs = dl.agg(count(lit(1)).as("n"),
       coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
     val merged = spark.read.parquet(bm25DfDir(path))
-      .unionByName(tf.groupBy("__t").agg(count(lit(1)).as("__df")))
+      .unionByName(bm25TermCounts(docs, idCol, textCol)
+        .groupBy("__t").agg(count(lit(1)).as("__df")))
       .groupBy("__t").agg(sum(col("__df")).as("__df"))
     bm25DfAdvance(path, merged, keepGenerations)
     import spark.implicits._
@@ -605,20 +642,30 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
         postingsRaw.join(spark.read.parquet(tombDir), Seq("__doc"),
           "left_anti")
       else postingsRaw
-    val dlAgg = dl.agg(count(lit(1)).as("n"),
-      coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
     val recount = live.groupBy("__t").agg(count(lit(1)).as("__rc"))
-    val dfMismatch = spark.read.parquet(bm25DfDir(path))
-      .join(recount, Seq("__t"), "full_outer")
-      .filter(!(col("__df") <=> col("__rc")))
-      .count()
-    val orphanDocs = live.select("__doc").distinct()
-      .join(dl, Seq("__doc"), "left_anti").count()
-    val tombInDl =
-      if (graft.Fs.exists(tombDir))
-        spark.read.parquet(tombDir).join(dl, Seq("__doc"), "left_semi")
-          .count()
-      else 0L
+    // r20 (guide §1.2): all invariants under ONE scheduled action — the
+    // 1-row aggregates cross-join into a single row instead of four
+    // driver round-trips (q136 audits both artifact families; the old
+    // form paid a job per count)
+    val agg = dl.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__dl")), lit(0L)).as("t"))
+      .crossJoin(spark.read.parquet(bm25DfDir(path))
+        .join(recount, Seq("__t"), "full_outer")
+        .filter(!(col("__df") <=> col("__rc")))
+        .agg(count(lit(1)).as("mismatch")))
+      .crossJoin(live.select("__doc").distinct()
+        .join(dl, Seq("__doc"), "left_anti")
+        .agg(count(lit(1)).as("orph")))
+      .crossJoin(
+        (if (graft.Fs.exists(tombDir))
+           spark.read.parquet(tombDir).join(dl, Seq("__doc"), "left_semi")
+         else spark.range(0).select(col("id").as("__doc")))
+          .agg(count(lit(1)).as("tombdl")))
+      .head()
+    val dlAgg = agg
+    val dfMismatch = agg.getAs[Long]("mismatch")
+    val orphanDocs = agg.getAs[Long]("orph")
+    val tombInDl = agg.getAs[Long]("tombdl")
     Seq(
       ("stats_n_docs", st.getAs[Long]("n_docs") == dlAgg.getAs[Long]("n"),
         dlAgg.getAs[Long]("n"), st.getAs[Long]("n_docs")),
