@@ -838,13 +838,23 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
         graft.ops.Video.synthesizeAviRgb24(Seq(f), 16, 16)
       }
       val docs0 = t(s, dir, "documents").filter(col("text").isNotNull)
-      // text gates: the q149 admission front verbatim
+      // text gates: the q149 admission front verbatim. r20 (the q217
+      // finding, guide §8): both gate-score tables feed the provenance
+      // frame `st`, which is consumed TWICE (the shard write and the
+      // returned manifest join) — un-pinned, the classifier (2^20-
+      // element weight literal in-plan) and the DSIR fit+apply
+      // re-executed once per consumer. Fixed-width per-doc rows; cache
+      // once, bench/verify drain after.
       val scored = TextAnalysis.hashedLinearScore(docs0, "doc_id", "text",
-        TextAnalysis.derivedWeights(1 << 20),
-        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+          TextAnalysis.derivedWeights(1 << 20),
+          hashKind = graft.functions.SketchOps.HashMd5Lo64)
+        .select(col("doc_id"), col("score"))
+        .cache()
       val dw = Sampling.dsirWeights(docs0, "doc_id", "text",
-        col("lang") === "en", hashBuckets = 1 << 18,
-        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+          col("lang") === "en", hashBuckets = 1 << 18,
+          hashKind = graft.functions.SketchOps.HashMd5Lo64)
+        .select(col("doc_id"), col("weight_micro"))
+        .cache()
       // media signatures through the real decoders: only 8 distinct
       // payloads per modality exist (pattern = doc_id % 8), so the
       // byte synthesis is a broadcast lookup and the per-row work is
@@ -870,10 +880,14 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       graft.ops.Dedup.hammingArtifactSave(
         s.createDataFrame(corpusBuildArtifactSigs).toDF("media_id", "sig"),
         "media_id", "sig", art)
+      // cached for the same reason: the dup set rides into `st`, and an
+      // un-pinned frame re-runs the REAL WAV/AVI decode stages once per
+      // `st` consumer
       val dups = graft.ops.Dedup.incrementalHammingDuplicates(s, art,
           sigs, "doc_id", "media_sig")
         .select(col("batch_id").as("doc_id")).distinct()
         .withColumn("__dup", lit(true))
+        .cache()
       val st = docs0.select(col("doc_id"), col("text"))
         .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"))
         .join(dw.select(col("doc_id"), col("weight_micro")),

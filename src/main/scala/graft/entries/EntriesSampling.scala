@@ -313,10 +313,15 @@ private[graft] trait EntriesSampling { this: SparkEntry.type =>
         .select("doc_id", "text")
       val vocab = TextAnalysis.tokenVocabFit(surv, "text", vocabSize = 50)
       val ids = TextAnalysis.tokenizeToIds(surv, "doc_id", "text", vocab)
+      // r20 (guide §8): `counted` feeds BOTH the batch plan and the
+      // join-back below — un-pinned, the whole clean→dedup→tokenize
+      // chain executed twice inside the one final plan; fixed-width
+      // per-doc rows, cached once (bench/verify drain after)
       val counted = ids.select(col("doc_id"),
         size(col("token_ids")).cast("long").as("n_tokens"),
         size(filter(col("token_ids"), x => x === -1L)).cast("long")
           .as("n_oov"))
+        .cache()
       Sampling.lengthBucketBatches(counted, "doc_id", "n_tokens",
           boundaries = Seq(64, 128, 256, 512), batchTokens = 1024,
           groups = 8, salt = 13L)

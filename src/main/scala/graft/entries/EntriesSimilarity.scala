@@ -171,8 +171,11 @@ private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
       Similarity.ivfIndexWrite(union, "vec_id", "embedding",
         refit, "vec_id", "embedding", dirB)
       val queries = drifted.filter(col("vec_id") < 100005L)
+      // r20 (guide §8): the truth ranking feeds BOTH recall evaluations
+      // below — un-pinned, the brute-force scan over the union corpus
+      // ran twice; the post-rank frame is ≤50 rows
       val truth = Similarity.bruteForceTopK(queries, "vec_id", "embedding",
-        union, "vec_id", "embedding", k = 10)
+        union, "vec_id", "embedding", k = 10).cache()
       val stale10 = Similarity.ivfTopKFromIndex(s, dirA, queries,
         "vec_id", "embedding", stale, "vec_id", "embedding",
         k = 10, nprobe = 3)

@@ -1293,21 +1293,35 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .cache()
       // digest dedup FIRST (the real cost ordering: classifier and
-      // DSIR score each unique text once, never a dup group's copies)
+      // DSIR score each unique text once, never a dup group's copies).
+      // r20 (guide §8 "decide with small rows", measured by phase
+      // profile): the survivor set, both gate-score tables, and the
+      // packed-fragment table are each consumed by SEVERAL downstream
+      // actions (the shard write, the provenance ladder, the returned
+      // frame) — un-pinned, the classifier (whose plan embeds a 2^20-
+      // element weight literal), the DSIR fit+apply, and the packing
+      // window re-executed once PER action (pack alone measured 4.4–7.2
+      // s per re-execution at sf0.1). All four are fixed-width per-doc
+      // decision tables — cache them once; bench/verify drain after.
       val surv = graft.ops.Dedup.exactByFingerprint(
           extracted.select("doc_id", "text"), "text", "doc_id")
         .select(col("doc_id").as("__sid"))
+        .cache()
       val unique = extracted.join(surv,
         extracted("doc_id") === surv("__sid"), "left_semi")
       val scored = TextAnalysis.hashedLinearScore(unique, "doc_id",
-        "text", TextAnalysis.derivedWeights(1 << 20),
-        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+          "text", TextAnalysis.derivedWeights(1 << 20),
+          hashKind = graft.functions.SketchOps.HashMd5Lo64)
+        .select(col("doc_id"), col("score"))
+        .cache()
       val dw = Sampling.dsirWeights(unique, "doc_id", "text",
-        col("lang") === "en", hashBuckets = 1 << 18,
-        hashKind = graft.functions.SketchOps.HashMd5Lo64)
+          col("lang") === "en", hashBuckets = 1 << 18,
+          hashKind = graft.functions.SketchOps.HashMd5Lo64)
+        .select(col("doc_id"), col("weight_micro"))
+        .cache()
       val pass = unique
-        .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"))
-        .join(dw.select(col("doc_id"), col("weight_micro")), Seq("doc_id"))
+        .join(scored, Seq("doc_id"))
+        .join(dw, Seq("doc_id"))
         .filter(col("score") >= 0 && col("weight_micro") >= 0L)
       val counted = pass.select(col("doc_id"),
         coalesce(call_function("graft_token_count", col("text")),
@@ -1316,6 +1330,7 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         seqLen = 256, groups = 16, salt = 13L)
       val withFk = frags.withColumn("fk",
         col("doc_id") * lit(1048576L) + col("seq_id"))
+        .cache()
       val out = tmpDir("graft-capstone")
       graft.sinks.Jsonl.writeShards(
         withFk.select("fk", "doc_id", "seq_id", "frag_len"), "fk",

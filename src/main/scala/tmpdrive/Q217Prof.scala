@@ -1,0 +1,46 @@
+package tmpdrive
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntryProbe
+import graft.ops.Sampling
+import graft.ops.TextAnalysis
+
+/** Scratch phase profiler for q217 (delete after use). Mirrors the
+  * query's construction, forcing each phase with the same action shape
+  * so the per-phase wall cost is attributable.
+  */
+object Q217Prof {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s.range(1000).selectExpr("sum(id)").collect()
+    s.read.parquet(s"$dir/documents.parquet").count()
+    var t0 = System.nanoTime()
+    def mark(name: String): Unit = {
+      val t = System.nanoTime()
+      println(f"MARKER $name%-22s ${(t - t0) / 1e9}%.3f s")
+      t0 = t
+    }
+    for (rep <- 1 to 2) {
+      t0 = System.nanoTime()
+      val df = SparkEntryProbe.q217Phases(s, dir, mark)
+      df.count()
+      mark("final_count")
+      s.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      graft.ops.Dedup.releaseIntermediates()
+      s.catalog.clearCache()
+      println(s"MARKER ---- rep $rep done ----")
+    }
+    s.stop()
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, TextAnalysis}
+
+/** Scratch q217 phase replica for Q217Prof (delete after use) — the
+  * query body with a mark() hook after each forced phase.
+  */
+object SparkEntryProbe {
+  def q217Phases(s: SparkSession, dir: String,
+                 mark: String => Unit): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val docs0 = SparkEntry.t(s, dir, "documents")
+    val docs = docs0.join(
+      docs0.select(col("doc_id").as("__lid"),
+        col("text").as("__ltext")),
+      col("__lid") === col("doc_id") - pmod(col("doc_id"), lit(30)))
+    val crlf = "\r\n"
+    val v = pmod(col("doc_id"), lit(6))
+    val ct = when(v === 1, lit("text/markdown"))
+      .when(v === 3, lit("application/octet-stream"))
+      .when(v === 5, lit("text/plain; charset=utf-8"))
+      .otherwise(lit("text/html; charset=utf-8"))
+    val body = when(v === 0, concat(lit("<html><body><p>"),
+        col("text"), lit("</p></body></html>")))
+      .when(v === 1, concat(lit("# Doc "), col("doc_id"),
+        lit("\n\n"), col("text")))
+      .when(v === 2, lit("<html><body><p>page gone away</p></body></html>"))
+      .when(v === 3, concat(lit("BINARYBLOB "), col("doc_id")))
+      .when(v === 4, concat(lit("<p>"), col("__ltext"), lit("</p>")))
+      .otherwise(concat(lit("Readme "), col("doc_id"),
+        lit("\n\n"), col("text")))
+    val statusLine = when(v === 2, lit("HTTP/1.1 404 Not Found"))
+      .otherwise(lit("HTTP/1.1 200 OK"))
+    val payload = concat(statusLine, lit(crlf + "Content-Type: "),
+      ct, lit(crlf + crlf), body)
+    val warc = concat(
+      lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        "WARC-Target-URI: https://"), col("source"),
+      lit(".example.com/doc/"), col("doc_id"),
+      when(v === 5, lit("/README.md")).otherwise(lit("")),
+      lit(crlf + "Content-Length: "),
+      octet_length(payload).cast("string"),
+      lit(crlf + crlf), payload, lit(crlf + crlf))
+    val fetched = graft.ops.Warc.responses(
+      docs.select(col("doc_id"), warc.as("warc")), "doc_id", "warc")
+      .cache()
+    fetched.count(); mark("fetched_cache")
+    val routed = graft.ops.Warc.routeMarkup(
+      fetched.filter(col("http_status") === 200),
+      "http_content_type", "body", uriCol = Some("target_uri"))
+    val extracted = routed.filter(col("family").isNotNull)
+      .select(col("doc_id"), col("family"), col("text"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .cache()
+    extracted.count(); mark("extracted_cache")
+    val surv = graft.ops.Dedup.exactByFingerprint(
+        extracted.select("doc_id", "text"), "text", "doc_id")
+      .select(col("doc_id").as("__sid"))
+    val unique = extracted.join(surv,
+      extracted("doc_id") === surv("__sid"), "left_semi")
+    unique.count(); mark("unique_dedup")
+    val scored = TextAnalysis.hashedLinearScore(unique, "doc_id",
+      "text", TextAnalysis.derivedWeights(1 << 20),
+      hashKind = graft.functions.SketchOps.HashMd5Lo64)
+    scored.count(); mark("scored")
+    val dw = Sampling.dsirWeights(unique, "doc_id", "text",
+      col("lang") === "en", hashBuckets = 1 << 18,
+      hashKind = graft.functions.SketchOps.HashMd5Lo64)
+    dw.count(); mark("dsir")
+    val pass = unique
+      .join(scored.select(col("doc_id"), col("score")), Seq("doc_id"))
+      .join(dw.select(col("doc_id"), col("weight_micro")), Seq("doc_id"))
+      .filter(col("score") >= 0 && col("weight_micro") >= 0L)
+    val counted = pass.select(col("doc_id"),
+      coalesce(call_function("graft_token_count", col("text")),
+        lit(0L)).as("n_tokens"))
+    val frags = Sampling.packTokenStream(counted, "doc_id", "n_tokens",
+      seqLen = 256, groups = 16, salt = 13L)
+    val withFk = frags.withColumn("fk",
+      col("doc_id") * lit(1048576L) + col("seq_id"))
+    withFk.count(); mark("pack")
+    val out = SparkEntry.tmpDir("graft-capstone-prof")
+    graft.sinks.Jsonl.writeShards(
+      withFk.select("fk", "doc_id", "seq_id", "frag_len"), "fk",
+      numShards = 4, out, salt = 17L)
+    mark("write_shards")
+    val man = graft.sinks.Jsonl.manifest(s, out)
+    val sharded = withFk
+      .withColumn("shard", pmod(Sampling.mixedKey(col("fk"), 17L),
+        lit(4L)))
+      .join(man.select(col("shard").cast("long").as("shard"),
+        col("n_rows").as("shard_rows")), Seq("shard"))
+    val meta = fetched.select(col("doc_id"), col("http_status"))
+      .join(routed.select(col("doc_id"), col("family")),
+        Seq("doc_id"), "left")
+      .join(scored.select(col("doc_id"), col("score")),
+        Seq("doc_id"), "left")
+      .join(dw.select(col("doc_id"), col("weight_micro")),
+        Seq("doc_id"), "left")
+      .join(surv.select(col("__sid").as("doc_id"))
+        .withColumn("__isSurv", lit(true)), Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("http_status") =!= 200, lit("drop_fetch"))
+          .when(col("family").isNull, lit("drop_route"))
+          .when(col("__isSurv").isNull, lit("drop_dup"))
+          .when(col("score") < 0, lit("drop_classifier"))
+          .when(col("weight_micro") < 0L, lit("drop_dsir"))
+          .otherwise(lit("admitted")))
+      .select(col("doc_id"), col("family"), col("status"))
+    meta.count(); mark("meta_ladder")
+    val admitted = meta.filter(col("status") === "admitted")
+      .join(sharded, Seq("doc_id"))
+      .select(col("doc_id"), col("family"), col("status"),
+        col("n_tokens"), col("seq_id"), col("doc_offset"),
+        col("seq_offset"), col("frag_len"), col("shard"),
+        col("shard_rows"))
+    val nulls = Seq("n_tokens", "seq_id", "doc_offset", "seq_offset",
+      "frag_len", "shard", "shard_rows")
+    val dropped = nulls.foldLeft(
+        meta.filter(col("status") =!= "admitted")) {
+      case (d, c) => d.withColumn(c, lit(null).cast("long"))
+    }
+    mark("assemble")
+    admitted.unionByName(dropped).orderBy("doc_id", "seq_id")
+  }
+}
