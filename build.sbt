@@ -27,7 +27,14 @@ scalacOptions += "-deprecation"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default heap 24g (r20; was 8g): BASELINE.md r14/r17/r19 document a
+  // reproducible mid-suite degradation of full-bench runs under the 8g
+  // default at 32 threads (273-311 s vs the 240 s class on the same
+  // day, uniform ~1.2-1.65x per-query inflation late in the run) — GC
+  // pressure from 200+ sequential Spark queries in one JVM, absent at
+  // 32g. The box has 128 GiB; 24g keeps headroom for the sbt JVM and
+  // the OS page cache. Still overridable via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // Forked run output goes straight to the console (no sbt [info]/[error]
 // prefixes) so harness mains can print machine-parseable lines (the
