@@ -218,6 +218,31 @@ class IvfIndexSpec extends SparkSpec {
       (r._3, r._4) == ((4L, 5L)), s"$r")
   }
 
+  test("ivfMaintenancePlans: N policies from one scan == N single-policy calls") {
+    // r20: q143 rides the multi-policy form — each row must be
+    // bit-identical to a separate ivfMaintenancePlan call with that
+    // policy, tags in settings order
+    val centroids = vecs.filter($"vec_id" % 10 === 0)
+    val dir = tmpDir("ivf-plans-multi")
+    Similarity.ivfIndexWrite(vecs, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dir)
+    Similarity.ivfIndexDelete(spark, dir,
+      Seq(1L, 2L).toDF("vec_id"), "vec_id")
+    val settings = Seq(
+      ("debt", 0.2, 0.5, 8.0),
+      ("lenient", 0.9, 0.95, 1000.0),
+      ("skew", 0.9, 0.95, 1.2))
+    val multi = Similarity.ivfMaintenancePlans(spark, dir, settings)
+      .as[(String, String, String, Long, Long, Long, Long)].collect()
+    assert(multi.map(_._1).toSeq == settings.map(_._1))
+    settings.zip(multi).foreach { case ((tag, c, r, s), row) =>
+      val single = Similarity.ivfMaintenancePlan(spark, dir, c, r, s)
+        .as[(String, String, Long, Long, Long, Long)].collect()(0)
+      assert((row._2, row._3, row._4, row._5, row._6, row._7) == single,
+        s"policy $tag: multi $row != single $single")
+    }
+  }
+
   test("bm25MaintenancePlan: none / compact / rebuild over real deletes") {
     import graft.ops.TextAnalysis
     val docs = (1L to 10L).map(i => (i, s"alpha beta doc$i"))

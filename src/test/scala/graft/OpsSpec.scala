@@ -1436,6 +1436,64 @@ class OpsSpec extends SparkSpec {
       s"expected NO term pushdown past the cap in:\n$fbPlan")
   }
 
+  test("bm25 one-pass postings build == the two-pass tf⋈dl reference") {
+    // r20: bm25ArtifactsSave/Append build postings in ONE tokenize pass
+    // (__dl = token-array size carried through the (doc, term)
+    // aggregate) and derive df/stats from the written tables. This pins
+    // every artifact table against the former formulation computed
+    // inline: tf (explode+count) joined to dl (graft_token_count), df
+    // from tf, stats from dl — including the edge cases (null text,
+    // empty text, whitespace-only text, repeated tokens).
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (1L, "spark spark engine"),
+      (2L, "  \t  "),          // whitespace-only: dl 0, no postings
+      (3L, null.asInstanceOf[String]), // null: dl 0, no postings
+      (4L, "Engine ENGINE engine"),    // case folding: one term, tf 3
+      (5L, "solo"),
+    ).toDF("doc_id", "text")
+    val art = tmpDir("bm25-onepass")
+    TextAnalysis.bm25ArtifactsSave(corpus, "doc_id", "text", art)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val refDl = corpus.select(col("doc_id").as("__doc"),
+      coalesce(call_function("graft_token_count", lower(col("text"))),
+        lit(0L)).as("__dl"))
+    val refTf = corpus.select(col("doc_id").as("__doc"),
+        explode(call_function("graft_tokens", lower(col("text"))))
+          .as("__t"))
+      .groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
+    val refPostings = refTf.join(refDl, Seq("__doc"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    val gotPostings = spark.read
+      .parquet(TextAnalysis.bm25PostingsDir(art))
+      .select("__doc", "__t", "__tf", "__dl")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(gotPostings == refPostings, s"postings: $gotPostings")
+    val refDf = refTf.groupBy("__t").agg(count(lit(1)).as("__df"))
+      .as[(String, Long)].collect().toSet
+    val gotDf = spark.read.parquet(TextAnalysis.bm25DfDir(art))
+      .as[(String, Long)].collect().toSet
+    assert(gotDf == refDf, s"df: $gotDf")
+    val gotDl = spark.read.parquet(s"$art/dl")
+      .as[(Long, Long)].collect().toSet
+    assert(gotDl == refDl.as[(Long, Long)].collect().toSet, s"dl: $gotDl")
+    val st = spark.read.parquet(s"$art/stats")
+      .as[(Long, Long)].collect()(0)
+    assert(st == ((5L, 7L)), s"stats: $st") // 5 docs, 3+0+0+3+1 tokens
+    // and the append path writes the same one-pass shape
+    TextAnalysis.bm25ArtifactsAppend(
+      Seq((6L, "engine engine"), (7L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", art)
+    val afterAppend = spark.read
+      .parquet(TextAnalysis.bm25PostingsDir(art))
+      .where(col("__doc") === 6L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(afterAppend == Set((6L, "engine", 2L, 2L)), s"$afterAppend")
+    val st2 = spark.read.parquet(s"$art/stats")
+      .as[(Long, Long)].collect()(0)
+    assert(st2 == ((7L, 9L)), s"stats after append: $st2") // +2 docs, +2 tokens
+  }
+
   test("tokenizeToIdsBy: per-stratum id spaces; unfitted stratum all-OOV; kernel twin matches") {
     val corpus = Seq(
       (1L, 1L, "en", "alpha beta alpha"),
