@@ -481,21 +481,28 @@ object Similarity {
     * touches the other clusters' files (verify with
     * `.explain`: `PartitionFilters: [centroid_id IN (...)]`).
     */
+  /** Cluster rows by their partition value BEFORE a partitioned index
+    * write (r20, guide §6 small files / Iceberg distribution-mode
+    * `hash`): without it every scan task opens a writer per centroid it
+    * sees — O(tasks × lists) files, each tiny, plus a commit protocol
+    * over all of them (a 10k-task scan over 10k lists is 100M ~MB
+    * files). The one hash exchange moves each vector exactly once and
+    * writes one file per list per shuffle partition. A SINGLE-partition
+    * input is the degenerate case where the unshuffled write already
+    * emits exactly one file per list — the exchange would be pure
+    * overhead (measured +0.2–0.6 s per lifecycle query at bench scale,
+    * where the one-file sf0.1 scan plans to one task), so it is skipped
+    * there; any multi-task corpus gets the distribution.
+    */
+  private def distributeByList(assigned: DataFrame): DataFrame =
+    if (assigned.queryExecution.toRdd.getNumPartitions <= 1) assigned
+    else assigned.repartition(col("centroid_id"))
+
   def ivfIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, centIdCol: String,
                     centVecCol: String, indexDir: String): Unit = {
-    ivfAssign(corpus, idCol, vecCol, centroids, centIdCol, centVecCol)
-      // cluster rows by their partition value BEFORE the partitioned
-      // write (r20, guide §6 small files / Iceberg distribution-mode
-      // `hash`): without it every scan task opens a writer per centroid
-      // it sees — O(tasks × lists) files, each tiny, plus a commit
-      // protocol over all of them (a 10k-task scan over 10k lists is
-      // 100M ~MB files). The one hash exchange here moves each vector
-      // exactly once and writes one file per list per shuffle
-      // partition. At bench scale (one scan task) it costs one trivial
-      // 2000-row exchange and changes nothing else — the scale hazard
-      // is the unshuffled form, not this.
-      .repartition(col("centroid_id"))
+    distributeByList(
+      ivfAssign(corpus, idCol, vecCol, centroids, centIdCol, centVecCol))
       .write.mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(indexDir)
@@ -555,10 +562,9 @@ object Similarity {
           s"assigns [${assigned.schema.fieldNames.mkString(",")}]; " +
           "append with the index's own column names")
     }
-    assigned
-      // same hash-distribution as [[ivfIndexWrite]] (guide §6): one
-      // file per list per shuffle partition instead of per scan task
-      .repartition(col("centroid_id"))
+    // same hash-distribution as [[ivfIndexWrite]] (guide §6): one file
+    // per list per shuffle partition instead of per scan task
+    distributeByList(assigned)
       .write.mode("append")
       .partitionBy("centroid_id")
       .parquet(indexDir)
@@ -662,9 +668,9 @@ object Similarity {
     val tomb = spark.read.parquet(s"$indexDir/_tombstones")
     val tmp = s"${indexDir}_compact_tmp"
     val old = s"${indexDir}_compact_old"
-    raw.join(tomb, raw(raw.columns(0)) === tomb("__del_id"), "left_anti")
-      // hash-distribute before the partitioned rewrite ([[ivfIndexWrite]])
-      .repartition(col("centroid_id"))
+    // hash-distribute before the partitioned rewrite ([[ivfIndexWrite]])
+    distributeByList(
+      raw.join(tomb, raw(raw.columns(0)) === tomb("__del_id"), "left_anti"))
       .write.mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(tmp)
