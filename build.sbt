@@ -27,14 +27,17 @@ scalacOptions += "-deprecation"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Default heap 24g (r20; was 8g): BASELINE.md r14/r17/r19 document a
-  // reproducible mid-suite degradation of full-bench runs under the 8g
-  // default at 32 threads (273-311 s vs the 240 s class on the same
-  // day, uniform ~1.2-1.65x per-query inflation late in the run) — GC
-  // pressure from 200+ sequential Spark queries in one JVM, absent at
-  // 32g. The box has 128 GiB; 24g keeps headroom for the sbt JVM and
-  // the OS page cache. Still overridable via SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Default heap back to 8g (r21): the r20 24g default was shipped
+  // without an A/B under the driver's protocol and the first official
+  // run under it was the worst since r18. The r21 A/B (full suite,
+  // local[32], cold JVM, sf0.1, idle box, back-to-back) measured
+  // 24g 310.6 s vs 8g 317.0 s — a wash (median per-query ratio 0.98),
+  // and the r20 32-core-only regression class (q207 24.4 s official)
+  // reproduced under NEITHER heap (q207: 3.3 s/2.9 s), so the 24g
+  // default bought nothing and broke config-identity with every 8g-era
+  // record (r19's 233.5 s official run was 8g). Evidence in
+  // BASELINE.md r21. Still overridable via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 // Forked run output goes straight to the console (no sbt [info]/[error]
 // prefixes) so harness mains can print machine-parseable lines (the

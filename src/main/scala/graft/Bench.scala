@@ -52,89 +52,55 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
-  /** Compact stdout summary sized to the DRIVER's ~2000-char stdout-tail
-    * capture window. The full per-query line (all names, t_start, reps)
-    * has been ~15k chars since r5 — every official record r5..r12 came
-    * back `parsed: null`, and r12's tail showed only the t_start section
-    * (cumulative offsets of 97–151 s that READ like query times). This
-    * line is what actually lands in BENCH_r{N}.json: query keys are
-    * the NUMBER of their unique `qNN` prefix (the `q_key` field
-    * declares it; collisions keep full names), entries ordered
-    * slowest-first, values are CENTISECOND INTEGERS (declared by
-    * `q_unit`; 2-decimal seconds at 149 queries blew the window and
-    * dropped the 11 fastest — r14's `omitted: 11`, its one named bench
-    * defect — and the r15 first cut of this encoding hit `omitted: 1`
-    * again at 158, hence the number-keys + pointer-only note), `-1` =
-    * failed query. Fastest entries are dropped only if the line would
-    * STILL exceed `budget` (the `omitted` field then says how many).
-    * `value` stays the FULL-suite total in seconds. Spec-pinned ≤
-    * budget AND `omitted: 0` on the real committed suite PLUS 15
-    * synthetic future queries.
+  /** Compact stdout summary sized to the DRIVER's 2000-char stdout-tail
+    * capture window (measured: BENCH_r12/r20 `tail` length is exactly
+    * 2000). The full per-query line (all names, t_start, reps) has been
+    * ~15k chars since r5 — clipped lines come back `parsed: null`.
+    *
+    * r21 format decision: the r15–r20 compact encodings (number keys,
+    * centisecond values, finally a flat pair array) kept ALL queries on
+    * the line but were NOT decodable by the driver's comparator —
+    * `PERF_r20.json` decoded ZERO queries in both rounds
+    * (`n_common: 0`, `per_query: {}`, `now_bench_ok: false`), so the
+    * driver flew blind on per-query deltas, which is worse than partial
+    * coverage. This line now honors the DECLARED contract —
+    * `"queries": {"<full query name>": seconds, …}` — for as many of
+    * the SLOWEST queries as fit the budget (full names + 2-decimal
+    * seconds ≈ 30 chars/entry → ~55 entries, every query above roughly
+    * half a second; `omitted` counts the fast tail that did not fit).
+    * Failed queries (-1) sort FIRST so a failure is never dropped from
+    * the official record. The COMPLETE per-query record (all names,
+    * ms precision, t_start, reps) is unchanged: it is the first stdout
+    * line and persists to `BENCH_LOCAL_latest.json`. `value` stays the
+    * FULL-suite total in seconds. Spec-pinned ≤ budget on the real
+    * committed suite PLUS 15 synthetic future queries.
     */
   def summaryLine(results: Seq[(String, Double)], sfDir: String,
                   budget: Int = 1800): String = {
     def fmt(v: Double, dec: Int) =
       s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map { case (_, v) => math.max(v, 0.0) }.sum
-    val prefixes = results.map { case (n, _) => n -> n.takeWhile(_ != '_') }
-    val byName = results.toMap
-    // key = the query NUMBER ("143" for q143_…, "5" for q05_…): the 'q'
-    // and the zero padding are chars per entry the window can't spare
-    // at 170+ queries; collisions fall back to the full name
-    // (which keeps its 'q')
-    def num(p: String): String = {
-      val s = p.stripPrefix("q").dropWhile(_ == '0')
-      if (s.isEmpty) "0" else s
+    // slowest-first; failures (-1) ahead of everything — the one entry
+    // class that must never fall off the line
+    val ordered = results.sortBy { case (_, v) =>
+      if (v < 0) Double.NegativeInfinity else -v
     }
-    // collide on the NORMALIZED key, not the raw prefix: q05_x/q5_y
-    // (or q050/q50) shorten to the same number and must both keep
-    // their full names
-    val collides = prefixes.groupBy { case (_, p) => num(p) }.collect {
-      case (k, g) if g.size > 1 => k
-    }.toSet
-    val short = prefixes.map { case (n, p) =>
-      (if (collides(num(p))) n else num(p)) -> byName(n)
-    }.sortBy { case (_, v) => -v }
-    // the failure sentinel stays -1 (not -100): a reader treating it as
-    // centiseconds would see -0.01 s, which still reads as "failed"
-    def cs(v: Double): String =
-      if (v < 0) "-1" else math.round(v * 100).toString
+    def sec(v: Double): String = if (v < 0) "-1" else fmt(v, 2)
     def line(keep: Int): String = {
-      val kept = short.take(keep)
-      // numbered keys are bare digits; anything else (a collision
-      // kept its full name, or a result whose name never had the qNN
-      // form) rides in the small q_named object so the main array
-      // stays pure numbers — routing on isDigit, not a 'q' prefix,
-      // keeps a non-qNN name from emitting an unquoted bareword
-      val (named, numbered) = kept.partition {
-        case (k, _) => !k.forall(_.isDigit)
-      }
-      val qs = numbered.map { case (k, v) => k + "," + cs(v) }
+      val kept = ordered.take(keep)
+      val qs = kept.map { case (k, v) => "\"" + k + "\":" + sec(v) }
         .mkString(",")
-      val namedField =
-        if (named.isEmpty) ""
-        else ""","q_named":{""" + named.map { case (k, v) =>
-          "\"" + k + "\":" + cs(v) }.mkString(",") + "}"
       // "omitted" doubles as parseCommitted's refusal marker — never
-      // rename it; n_queries was dropped r16 (redundant with
-      // |queries| + omitted), r17 trimmed the sf to its basename,
-      // dropped the pointer note and the q_key label, and finally
-      // (at 184 queries) moved "queries" from an object to a FLAT
-      // PAIR ARRAY [id, cs, id, cs, …] slowest-first — ~3 chars per
-      // entry over the quoted-key object form, the difference
-      // between omitted:10 and ~70 queries of headroom. Decoding is
-      // documented in BASELINE.md; the committed FILE keeps the full
-      // object form ("queries":{"qNN_name": seconds}) — this summary
-      // is only the driver's stdout-tail capture.
+      // rename it (a driver BENCH_r{N}.json adopted as the committed
+      // record must parse to empty, not to a partial map)
       val sfName = sfDir.stripSuffix("/").split('/').last
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec",""" +
         s""""sf":"$sfName","omitted":${results.size - keep},""" +
-        s""""q_unit":"cs","q_form":"pairs",""" +
-        s""""queries":[$qs]$namedField}"""
+        s""""queries":{$qs}}"""
     }
-    // largest slowest-first subset that fits; at most ~160 queries so the
+    // largest slowest-first subset that fits; ≤ ~220 queries so the
     // quadratic retry is trivial
-    (short.size to 0 by -1).iterator.map(line)
+    (ordered.size to 0 by -1).iterator.map(line)
       .find(_.length <= budget).getOrElse(line(0))
   }
 

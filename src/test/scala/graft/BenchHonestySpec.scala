@@ -115,9 +115,16 @@ class BenchHonestySpec extends SparkSpec {
   }
 
   test("summary stdout line fits the driver's tail window on the real suite") {
-    // the driver keeps the last ~2000 stdout chars (BENCH_r12.json tail
-    // length: 2000) and sbt's [success] line follows ours — the summary
-    // must fit with headroom or the official record is garbage again
+    // the driver keeps the last 2000 stdout chars (BENCH_r12/r20 tail
+    // length: exactly 2000) and sbt's [success] line follows ours — the
+    // summary must fit with headroom or the official record is garbage
+    // again. r21: the summary is back to the DECLARED driver contract —
+    // "queries" is an OBJECT of FULL query names to seconds — because
+    // the r15–r20 compact all-queries encodings were never decodable by
+    // the driver's comparator (PERF_r20: n_common 0, per_query {} in
+    // BOTH rounds). Partial slowest-first coverage the driver CAN read
+    // beats full coverage it cannot; the complete record stays on the
+    // first stdout line and in BENCH_LOCAL_latest.json.
     val path = java.nio.file.Paths.get("BENCH_COMMITTED.json")
     assume(java.nio.file.Files.exists(path), "BENCH_COMMITTED.json missing")
     val txt = new String(java.nio.file.Files.readAllBytes(path),
@@ -127,69 +134,65 @@ class BenchHonestySpec extends SparkSpec {
     assert(line.length <= 1800, s"summary line ${line.length} chars")
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(!line.contains("t_start") && !line.contains("reps"))
-    // the whole suite must fit: the centisecond encoding exists so the
-    // official record never again drops its fastest queries (r14's
-    // omitted: 11); the q_unit field declares the encoding
-    assert(line.contains("\"omitted\":0"),
-      s"summary drops queries on the real suite: " +
-        """"omitted":(\d+)""".r.findFirstMatchIn(line).map(_.group(1)))
-    assert(line.contains("\"q_unit\":\"cs\""))
-    assert(line.contains("\"q_form\":\"pairs\""))
-    // HEADROOM: the suite grows every round (158 queries hit
-    // omitted:1 at r15 before the note trim; 184 hit omitted:10 under
-    // the object encoding before the r17 pair-array move) — a
-    // synthetic suite 15 queries bigger than today's, with realistic
-    // multi-second values, must still fit whole
+    // the retained entries must be the driver-decodable object form
+    // with FULL names and plain seconds
+    assert(line.contains("\"queries\":{\"q"), line.take(200))
+    def entries(l: String): Seq[(String, Double)] = {
+      val a = l.indexOf("\"queries\":{")
+      val b = l.indexOf("}", a)
+      val body = l.substring(a + 11, b)
+      if (body.isEmpty) Seq.empty
+      else body.split(',').toSeq.map { e =>
+        val Array(k, v) = e.split(':')
+        k.stripPrefix("\"").stripSuffix("\"") -> v.toDouble
+      }
+    }
+    val es = entries(line)
+    assert(es.nonEmpty && es.size >= 40,
+      s"only ${es.size} named entries fit — the window should hold ~55")
+    // every retained key is a real full query name
+    val names = results.map(_._1).toSet
+    assert(es.forall { case (k, _) => names(k) })
+    // slowest-first, and nothing omitted is slower than anything kept:
+    // the driver sees every query that matters
+    val slowest = results.maxBy(_._2)._1
+    assert(es.head._1 == slowest,
+      s"first summary entry ${es.head} is not the slowest ($slowest)")
+    val keptSet = es.map(_._1).toSet
+    val maxOmitted = results.filterNot(r => keptSet(r._1))
+      .map(_._2).maxOption.getOrElse(0.0)
+    val minKept = es.map(_._2).min
+    assert(maxOmitted <= minKept + 0.005,
+      s"an omitted query ($maxOmitted s) is slower than a kept one")
+    // omitted declares the dropped fast tail
+    val om = """"omitted":(\d+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toInt)
+    assert(om.contains(results.size - es.size), s"omitted=$om vs " +
+      s"${results.size - es.size}")
+    // HEADROOM: a suite 15 queries bigger must still fit (the fast tail
+    // absorbs growth — the slowest ~40 stay on the line)
     val grown = results ++ (0 until 15).map(i =>
       (f"q${900 + i}%d_future_query_name" -> 12.34))
     val gline = Bench.summaryLine(grown, "/root/testdata/sf0.1")
-    assert(gline.length <= 1800 && gline.contains("\"omitted\":0"),
-      s"summary lacks growth headroom: ${gline.length} chars, " +
-        """"omitted":(\d+)""".r.findFirstMatchIn(gline).map(_.group(1)))
-    // decode the pair array: [id, cs, id, cs, …]
-    def pairs(l: String): Seq[(String, Long)] = {
-      val a = l.indexOf("\"queries\":[")
-      val b = l.indexOf("]", a)
-      val body = l.substring(a + 11, b)
-      if (body.isEmpty) Seq.empty
-      else body.split(',').grouped(2)
-        .map(g => g(0) -> g(1).toLong).toSeq
+    assert(gline.length <= 1800 && entries(gline).size >= 40,
+      s"summary lacks growth headroom: ${gline.length} chars")
+    // a FAILED query (-1) is never dropped: it sorts ahead of everything
+    val withFail = results.map {
+      case (k, _) if k == results.minBy(_._2)._1 => k -> -1.0
+      case kv => kv
     }
-    val ps = pairs(line)
-    // slowest-first: the slowest query's number leads the array
-    val slowest = results.maxBy(_._2)._1.takeWhile(_ != '_')
-      .stripPrefix("q").dropWhile(_ == '0')
-    assert(ps.head._1 == slowest,
-      s"first summary entry ${ps.head} is not the slowest ($slowest)")
-    // every retained id is unique and the values are centiseconds
-    assert(ps.map(_._1).distinct.size == ps.size)
-    assert(ps.size == results.size)
-    // collision fallback: two names sharing a qNN prefix keep full
-    // names (incl. the q) in the q_named OBJECT; the main array stays
-    // pure numbers; values are centisecond ints (2.0 s -> 200),
-    // failures stay -1
-    val coll = Bench.summaryLine(
-      Seq("q1_alpha" -> 2.0, "q1_beta" -> 1.0, "q2_gamma" -> 0.505,
-        "q3_failed" -> -1.0), "/x")
-    assert(coll.contains(""""q_named":{"q1_alpha":200,"q1_beta":100}""")
-      && coll.contains("\"queries\":[2,51,3,-1]"), coll)
-    // collisions are detected on the NORMALIZED number, not the raw
-    // prefix: q05_x and q5_y both shorten to "5" and must both keep
-    // full names instead of colliding
-    val norm = Bench.summaryLine(
-      Seq("q05_x" -> 1.0, "q5_y" -> 2.0, "q050_z" -> 3.0,
-        "q50_w" -> 4.0), "/x")
-    assert(norm.contains("\"q05_x\":100") && norm.contains("\"q5_y\":200") &&
-      norm.contains("\"q050_z\":300") && norm.contains("\"q50_w\":400") &&
-      norm.contains("\"queries\":[]"), norm)
+    val fline = Bench.summaryLine(withFail, "/root/testdata/sf0.1")
+    assert(entries(fline).head._2 == -1.0,
+      "a failed query fell off the summary line")
     // over-budget input degrades by dropping FASTEST entries and says so
-    val many = (1 to 400).map(i => f"q$i%03d_very_long_query_name" -> i.toDouble)
+    val many = (1 to 400).map(i =>
+      f"q$i%03d_very_long_query_name" -> i.toDouble)
     val tight = Bench.summaryLine(many, "/x", budget = 600)
     assert(tight.length <= 600)
     assert(""""omitted":(\d+)""".r.findFirstMatchIn(tight)
       .exists(_.group(1).toInt > 0))
-    val tp = pairs(tight)
-    assert(tp.head == ("400" -> 40000L) && !tp.map(_._1).contains("1"),
-      tight)
+    val tp = entries(tight)
+    assert(tp.head == ("q400_very_long_query_name" -> 400.0) &&
+      !tp.map(_._1).contains("q001_very_long_query_name"), tight)
   }
 }
