@@ -845,8 +845,8 @@ private[graft] trait EntriesMedia { this: SparkEntry.type =>
       // element weight literal in-plan) and the DSIR fit+apply
       // re-executed once per consumer. Fixed-width per-doc rows; cache
       // once, bench/verify drain after.
-      val scored = TextAnalysis.hashedLinearScore(docs0, "doc_id", "text",
-          TextAnalysis.derivedWeights(1 << 20),
+      val scored = TextAnalysis.hashedLinearScoreDerived(docs0, "doc_id",
+          "text", 1 << 20,
           hashKind = graft.functions.SketchOps.HashMd5Lo64)
         .select(col("doc_id"), col("score"))
         .cache()

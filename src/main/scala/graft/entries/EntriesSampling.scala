@@ -223,8 +223,8 @@ private[graft] trait EntriesSampling { this: SparkEntry.type =>
     //      inner join (the stream's documented conservative rule). ----
     "q149_curation_admission" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val scored = TextAnalysis.hashedLinearScore(docs, "doc_id", "text",
-        TextAnalysis.derivedWeights(1 << 20),
+      val scored = TextAnalysis.hashedLinearScoreDerived(docs, "doc_id",
+        "text", 1 << 20,
         hashKind = graft.functions.SketchOps.HashMd5Lo64)
       val dw = Sampling.dsirWeights(docs, "doc_id", "text",
         col("lang") === "en", hashBuckets = 1 << 18,

@@ -443,8 +443,11 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
       // MD5-lo64 feature hash = DuckDB md5_number_lower, the same
       // external-parity trade q31 makes; production scoring uses the
       // default xx64 kind (kernel parity spec-pinned in OpsSpec)
-      TextAnalysis.hashedLinearScore(t(s, dir, "documents"),
-          "doc_id", "text", TextAnalysis.derivedWeights(1 << 20),
+      // r21: derived-table scoring rides the analytic kernel — no
+      // 2^20-element weight array built per plan or shipped per stage
+      // (bit-identical scores, SketchSpec-pinned)
+      TextAnalysis.hashedLinearScoreDerived(t(s, dir, "documents"),
+          "doc_id", "text", 1 << 20,
           hashKind = graft.functions.SketchOps.HashMd5Lo64)
         .orderBy("doc_id")
     }),
@@ -1309,8 +1312,8 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
         .cache()
       val unique = extracted.join(surv,
         extracted("doc_id") === surv("__sid"), "left_semi")
-      val scored = TextAnalysis.hashedLinearScore(unique, "doc_id",
-          "text", TextAnalysis.derivedWeights(1 << 20),
+      val scored = TextAnalysis.hashedLinearScoreDerived(unique, "doc_id",
+          "text", 1 << 20,
           hashKind = graft.functions.SketchOps.HashMd5Lo64)
         .select(col("doc_id"), col("score"))
         .cache()

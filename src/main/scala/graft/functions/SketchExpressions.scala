@@ -244,6 +244,54 @@ object SketchOps {
     sum
   }
 
+  /** The [[graft.ops.TextAnalysis.derivedWeights]] table entry for one
+    * bucket, computed analytically: ((b·2654435761) mod 2^32) − 2^31.
+    */
+  @inline def derivedWeight(bucket: Int): Double =
+    (((bucket.toLong * 2654435761L) & 0xffffffffL) - 2147483648L).toDouble
+
+  /** [[linearScore]] against the DERIVED stand-in weight table
+    * ([[derivedWeight]]) without materializing it (r21, guide
+    * codegen/expressions): the array form carried a `dim`-element
+    * double[] as a plan reference object — 8 MB at 2^20, boxed through
+    * `lit(...)` on every plan construction and re-serialized with every
+    * stage's task binary. Same per-token addend in the same token
+    * order, so the double sum is bit-identical to
+    * `linearScore(text, derivedWeights(dim), hashKind)`.
+    */
+  def linearScoreDerived(text: UTF8String, dim: Int,
+                         hashKind: Int): Double = {
+    val mask = dim - 1
+    var sum = 0.0
+    if (hashKind == HashMd5Lo64) {
+      val bytes = text.getBytes
+      val n = bytes.length
+      var i = 0
+      while (i < n) {
+        if (!isWs(bytes(i))) {
+          val start = i
+          while (i < n && !isWs(bytes(i))) i += 1
+          sum += derivedWeight(
+            (md5Lo64(bytes, start, i - start) & mask).toInt)
+        } else i += 1
+      }
+    } else {
+      val base = text.getBaseObject
+      val offset = text.getBaseOffset
+      val n = text.numBytes()
+      var i = 0
+      while (i < n) {
+        if (!isWs(text.getByte(i))) {
+          val start = i
+          while (i < n && !isWs(text.getByte(i))) i += 1
+          sum += derivedWeight((XXH64.hashUnsafeBytes(base, offset + start,
+            i - start, 42L) & mask).toInt)
+        } else i += 1
+      }
+    }
+    sum
+  }
+
   /** 64-bit SimHash straight from text: byte-scan tokens, feature hash per
     * token ([[HashXx64]] | [[HashMd5Lo64]]), ±1 per bit into 64 counters,
     * sign fold. Caller handles empty → null.
@@ -1074,6 +1122,45 @@ case class LinearScoreOf(child: Expression, weights: Array[Double],
   override protected def withNewChildInternal(newChild: Expression): LinearScoreOf =
     copy(child = newChild)
   override def prettyName: String = "graft_linear_score"
+}
+
+/** `graft_linear_score_derived(text, dim[, hashKind])`:
+  * [[LinearScoreOf]] specialized to the
+  * [[graft.ops.TextAnalysis.derivedWeights]] stand-in table, with the
+  * weight computed analytically per bucket
+  * ([[SketchOps.derivedWeight]]) instead of carried as a dim-element
+  * array reference object (8 MB at 2^20 — boxed through `lit` on every
+  * plan construction and shipped with every stage's task binary).
+  * Bit-identical scores; null text → null score.
+  */
+case class LinearScoreDerivedOf(child: Expression, dim: Int,
+                                hashKind: Int = 0)
+    extends UnaryExpression {
+  require(dim > 0 && (dim & (dim - 1)) == 0,
+    s"dim must be a power of two, got $dim")
+  require(hashKind == SketchOps.HashXx64 || hashKind == SketchOps.HashMd5Lo64,
+    s"unknown hashKind $hashKind")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchOps.linearScoreDerived(input.asInstanceOf[UTF8String], dim,
+      hashKind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, text =>
+      s"graft.functions.SketchOps.linearScoreDerived($text, $dim, $hashKind)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): LinearScoreDerivedOf =
+    copy(child = newChild)
+  override def prettyName: String = "graft_linear_score_derived"
 }
 
 /** `graft_token_count(text)`: whitespace token count (byte-scan). */

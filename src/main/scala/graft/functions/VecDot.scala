@@ -353,6 +353,15 @@ object GraftFunctions {
         LinearScoreOf(exprs(0), ad.toDoubleArray(),
           if (exprs.length == 3) litInt(exprs(2), "hashKind") else 0)
       }),
+    (FunctionIdentifier("graft_linear_score_derived"),
+      new ExpressionInfo(classOf[LinearScoreDerivedOf].getName,
+        "graft_linear_score_derived"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 || exprs.length == 3,
+          "graft_linear_score_derived takes (text, dim[, hashKind])")
+        LinearScoreDerivedOf(exprs(0), litInt(exprs(1), "dim"),
+          if (exprs.length == 3) litInt(exprs(2), "hashKind") else 0)
+      }),
     (FunctionIdentifier("graft_bigram_lm"),
       new ExpressionInfo(classOf[BigramLmOf].getName, "graft_bigram_lm"),
       (exprs: Seq[Expression]) => {

@@ -533,6 +533,28 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
     Array.tabulate(dim)(b =>
       (((b.toLong * 2654435761L) & 0xffffffffL) - 2147483648L).toDouble)
 
+  /** [[hashedLinearScore]] over the [[derivedWeights]] stand-in table
+    * WITHOUT materializing it (r21, guide codegen/expressions): the
+    * array form boxed `dim` doubles through `lit(...)` on every plan
+    * construction and rode every stage's task binary as an 8 MB (at
+    * 2^20) reference object; the derived kernel computes w[b]
+    * analytically inside the same byte-scan. Scores are bit-identical
+    * (same addend, same token order) — pinned in SketchSpec. Fitted
+    * (non-derived) models keep using [[hashedLinearScore]].
+    */
+  def hashedLinearScoreDerived(df: DataFrame, idCol: String,
+                               textCol: String, dim: Int,
+                               intercept: Double = 0.0,
+                               hashKind: Int =
+                                 graft.functions.SketchOps.HashXx64)
+      : DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol),
+      (call_function("graft_linear_score_derived", col(textCol), lit(dim),
+        lit(hashKind)) + lit(intercept)).as("score"),
+      tokenCount(col(textCol)).as("n_tokens"))
+  }
+
   /** Stable 128-bit content fingerprint (hex MD5 of UTF-8 bytes) — the
     * exact-dedup key.
     */

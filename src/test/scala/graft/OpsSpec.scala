@@ -3095,6 +3095,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hashedLinearScoreDerived: bit-identical to the array form over " +
+      "derivedWeights, both hash kinds, without the in-plan table") {
+    // r21 optimization contract: the analytic kernel must reproduce the
+    // materialized-table scores EXACTLY (same addend, same token order)
+    // for every dim the queries use, or the q85/q149/q152/q217 oracle
+    // hashes would move
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "  leading and\ttrailing\nwhitespace  "),
+      (3L, ""),
+      (4L, null),
+      (5L, "unicode tökens 漢字 mixed in"),
+      (6L, (0 until 500).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    for (dim <- Seq(1 << 10, 1 << 20);
+         kind <- Seq(graft.functions.SketchOps.HashXx64,
+           graft.functions.SketchOps.HashMd5Lo64)) {
+      val w = TextAnalysis.derivedWeights(dim)
+      val ref = TextAnalysis.hashedLinearScore(docs, "doc_id", "text", w,
+          intercept = 0.5, hashKind = kind)
+        .orderBy("doc_id").collect().toSeq
+      val got = TextAnalysis.hashedLinearScoreDerived(docs, "doc_id",
+          "text", dim, intercept = 0.5, hashKind = kind)
+        .orderBy("doc_id").collect().toSeq
+      assert(got == ref, s"dim=$dim kind=$kind")
+    }
+    // the plan must NOT carry the weight table: no array-typed literal
+    // or reference beyond the scalar dim/hashKind arguments
+    val plan = TextAnalysis.hashedLinearScoreDerived(docs, "doc_id",
+      "text", 1 << 20).queryExecution.analyzed.toString
+    assert(plan.contains("graft_linear_score_derived"), plan)
+    // invalid dims and hash kinds rejected at construction
+    intercept[Exception] {
+      TextAnalysis.hashedLinearScoreDerived(docs, "doc_id", "text", 1000)
+        .collect()
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.LinearScoreDerivedOf(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"),
+        dim = 16, hashKind = 2)
+    }
+  }
+
   // ---- bigram LM familiarity ----
 
   test("bigramLmScore: hand-computed add-one integer model, OOV and pruning") {
