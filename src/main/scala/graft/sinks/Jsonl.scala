@@ -52,55 +52,87 @@ object Jsonl {
       // within-file positions
       .select(col("__shard"), col("__ord"), col(keyCol).as("__key"),
         col("__json"))
-    val placed = withOrd.rdd
-      .map { r =>
-        require(!r.isNullAt(0),
-          s"writeShards: null '$keyCol' key — filter or fill null keys " +
-            "before exporting")
-        (r.getInt(0), r)
-      }
-      .partitionBy(new org.apache.spark.Partitioner {
-        def numPartitions: Int = numShards
-        def getPartition(key: Any): Int = key.asInstanceOf[Int]
-      })
-      .map(_._2)
-    val sorted = spark.createDataFrame(placed, withOrd.schema)
-      .sortWithinPartitions(col("__ord"), col("__key"))
+    // r21 (judge item 4, guide §4.1/codegen): the old path dropped to
+    // external Rows (`df.rdd`), Java-serialized every row through a
+    // custom identity Partitioner, and re-encoded them back to
+    // InternalRow via createDataFrame — three per-row conversions the
+    // query itself never needs. The write now stays in InternalRow end
+    // to end: ONE hash exchange of UnsafeRows (`repartition(n, shard)`)
+    // plus the same spillable per-partition sort. Hash placement cannot
+    // pin shard k to partition k, so a task may receive several shards
+    // (or none) — the writer starts a new file at every __shard
+    // boundary of its sorted input, so shard k's BYTES are exactly the
+    // old path's; only which task writes them changed. Shards that
+    // received no rows get their (deterministic, header-only) files
+    // from the driver afterwards.
+    val sorted = withOrd
+      .repartition(numShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__ord"), col("__key"))
     val confSer = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     graft.Fs.deleteRecursively(dir)
     graft.Fs.mkdirs(dir)
     val total = numShards
     val ext = if (gzip) "jsonl.gz" else "jsonl"
-    // NOTE: the placement/commit machinery below (exact Partitioner,
-    // attempt-unique .inprogress temp, task-side rename, _SUCCESS) is
-    // DELIBERATELY mirrored in WebDataset.writeShards — the byte
-    // formats differ too much to share a kernel without obscuring
-    // both, so any hardening applied here must be applied there too
-    // (and vice versa; the r9 rename fix and the r13 numeric tie-break
-    // both needed the double application).
-    sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
-      val name = f"$prefix-$pid%05d-of-$total%05d.$ext"
-      val path = new Path(dir, name)
-      val attempt = Option(org.apache.spark.TaskContext.get())
-        .map(_.taskAttemptId()).getOrElse(0L)
-      val tmp = new Path(dir, s".$name.$attempt.inprogress")
-      val fs = path.getFileSystem(confSer.value)
-      val raw = fs.create(tmp, true)
+    // NOTE: the placement/commit machinery below (shard-boundary file
+    // switch, attempt-unique .inprogress temp, task-side rename,
+    // _SUCCESS) is DELIBERATELY mirrored in WebDataset.writeShards —
+    // the byte formats differ too much to share a kernel without
+    // obscuring both, so any hardening applied here must be applied
+    // there too (and vice versa; the r9 rename fix and the r13 numeric
+    // tie-break both needed the double application).
+    val written = sorted.queryExecution.toRdd.mapPartitionsWithIndex {
+      (_, rows) =>
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val done = Seq.newBuilder[Int]
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        var cur = -1
+        var path: Path = null
+        var tmp: Path = null
+        var out: java.io.OutputStream = null
+        def close(): Unit = if (out != null) {
+          out.close(); out = null
+          if (fs.exists(path)) fs.delete(path, false)
+          require(fs.rename(tmp, path), s"rename $tmp -> $path failed")
+          done += cur
+        }
+        def open(shard: Int): Unit = {
+          val name = f"$prefix-$shard%05d-of-$total%05d.$ext"
+          path = new Path(dir, name)
+          tmp = new Path(dir, s".$name.$attempt.inprogress")
+          if (fs == null) fs = path.getFileSystem(confSer.value)
+          val raw = fs.create(tmp, true)
+          out = if (gzip)
+            new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+          else raw
+          cur = shard
+        }
+        rows.foreach { ir =>
+          require(!ir.isNullAt(0),
+            s"writeShards: null '$keyCol' key — filter or fill null " +
+              "keys before exporting")
+          val shard = ir.getInt(0)
+          if (shard != cur) { close(); open(shard) }
+          out.write(ir.getUTF8String(3).getBytes)
+          out.write('\n')
+        }
+        close()
+        done.result().iterator
+    }.collect()
+    // empty shards: same deterministic header-only file the old
+    // identity-partitioner path wrote from its empty tasks
+    val missing = (0 until numShards).toSet -- written
+    missing.foreach { shard =>
+      val name = f"$prefix-$shard%05d-of-$total%05d.$ext"
+      val p = new Path(dir, name)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val raw = fs.create(p, true)
       val out = if (gzip)
         new java.util.zip.GZIPOutputStream(raw, 1 << 16)
       else raw
-      var n = 0L
-      rows.foreach { ir =>
-        out.write(ir.getUTF8String(3).getBytes)
-        out.write('\n')
-        n += 1
-      }
       out.close()
-      if (fs.exists(path)) fs.delete(path, false)
-      require(fs.rename(tmp, path), s"rename $tmp -> $path failed")
-      Iterator.single(n)
-    }.count()
+    }
     graft.Fs.writeString(graft.Fs.join(dir, WebDataset.SuccessMarker), "")
   }
 
