@@ -55,27 +55,39 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
-  /** Persist + eagerly materialize one rank generation, release the
-    * previous one, and return the new pin alongside a LINEAGE-
-    * TRUNCATED view of it. The truncation is the load-bearing half:
-    * each iteration's plan references the previous rank TWICE
-    * (contribution join + dangling pool), so without a plan boundary
-    * the logical plan doubles per iteration — 2^K nodes by iteration
-    * K, which OOMs plan stringification/AQE near K=10 and melts the
-    * optimizer long before that. Rewrapping the cached rows behind an
-    * RDD boundary (`createDataFrame(cached.rdd, schema)`) keeps every
-    * generation's plan O(1); downstream reads hit the cache. The pin
-    * handle stays a plain persisted Dataset so `unpersist` works
-    * (`localCheckpoint`'s blocks can't be dropped via the Dataset
-    * API).
+  /** Eagerly materialize one rank generation behind a LINEAGE-
+    * TRUNCATED view, releasing the previous generation's blocks. The
+    * truncation is the load-bearing half: each iteration's plan
+    * references the previous rank TWICE (contribution join + dangling
+    * pool), so without a plan boundary the logical plan doubles per
+    * iteration — 2^K nodes by iteration K, which OOMs plan
+    * stringification/AQE near K=10 and melts the optimizer long before
+    * that. r21 (guide codegen/§5): the boundary is now
+    * `localCheckpoint(eager = true)` — the view scans the materialized
+    * INTERNAL rows directly, where the old
+    * `createDataFrame(cached.rdd, schema)` rewrap decoded every cached
+    * row to an external Row and re-encoded it through a RowEncoder
+    * serializer plan on EVERY downstream read (2 reads/iteration + the
+    * final join — K node-table conversions that also cost a fresh
+    * serializer-plan codegen per generation). `localCheckpoint` blocks
+    * can't be dropped via the Dataset API, so the previous generation
+    * is released through the SparkContext persistence registry by RDD
+    * id (single-threaded operator code — the id diff is race-free).
     */
-  private def pinGeneration(df: DataFrame, prev: Option[DataFrame])
-      : (DataFrame, DataFrame) = {
-    val cached = df.persist()
-    cached.count() // materialize before dropping the previous pin
-    prev.foreach(_.unpersist(blocking = false))
-    (cached, df.sparkSession.createDataFrame(cached.rdd, cached.schema))
+  private def pinGeneration(df: DataFrame, prevIds: Set[Int])
+      : (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val view = df.localCheckpoint(true) // materializes this generation
+    val ids = sc.getPersistentRDDs.keySet.diff(before).toSet
+    releaseIds(sc, prevIds)
+    (view, ids)
   }
+
+  private def releaseIds(sc: org.apache.spark.SparkContext,
+                         ids: Set[Int]): Unit =
+    ids.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
   /** `(node, rank_micro, in_deg, out_deg)` after `iterations` exact
     * power iterations, one row per distinct endpoint of `edges`.
@@ -104,7 +116,7 @@ object LinkGraph {
 
     var rank = nodes.select(col("node"), col("out_deg"),
       lit(1000000L).as("rank_micro"))
-    var pinned: Option[DataFrame] = None
+    var pinnedIds = Set.empty[Int]
     for (_ <- 1 to iterations) {
       val damped = rank.select(col("node"), col("out_deg"),
         expr(s"rank_micro * ${dampingMicro}L div 1000000L")
@@ -122,8 +134,8 @@ object LinkGraph {
         .select(col("node"), col("out_deg"),
           (lit(base) + expr(s"dangling_total div ${n}L") +
             coalesce(col("incoming"), lit(0L))).as("rank_micro"))
-      val (pin, view) = pinGeneration(next, pinned)
-      pinned = Some(pin)
+      val (view, ids) = pinGeneration(next, pinnedIds)
+      pinnedIds = ids
       rank = view
     }
 
@@ -135,7 +147,7 @@ object LinkGraph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"))
       .persist()
     out.count()
-    pinned.foreach(_.unpersist(blocking = false))
+    releaseIds(edges.sparkSession.sparkContext, pinnedIds)
     nodes.unpersist(blocking = false)
     e.unpersist(blocking = false)
     out
@@ -178,7 +190,7 @@ object LinkGraph {
 
     var rank = nodes.select(col("node"), col("out_deg"),
       lit(1000000L).as("rank_micro"))
-    var pinned: Option[DataFrame] = None
+    var pinnedIds = Set.empty[Int]
     val deltas = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Long)]
     for (i <- 1 to iterations) {
@@ -200,19 +212,22 @@ object LinkGraph {
             coalesce(col("incoming"), lit(0L))).as("rank_micro"))
       // the delta join still needs the PREVIOUS generation, so pin
       // the new one first, compute the delta, then drop the old pin
-      val cached = next.persist()
-      val d = cached.join(
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val view = next.localCheckpoint(true)
+      val ids = sc.getPersistentRDDs.keySet.diff(before).toSet
+      val d = view.join(
           rank.select(col("node"), col("rank_micro").as("__prev")),
           "node")
         .agg(sum(abs(col("rank_micro") - col("__prev"))).as("l1"),
           max(abs(col("rank_micro") - col("__prev"))).as("mx"))
         .head()
       deltas += ((i.toLong, d.getLong(0), d.getLong(1)))
-      pinned.foreach(_.unpersist(blocking = false))
-      pinned = Some(cached)
-      rank = spark.createDataFrame(cached.rdd, cached.schema)
+      releaseIds(sc, pinnedIds)
+      pinnedIds = ids
+      rank = view
     }
-    pinned.foreach(_.unpersist(blocking = false))
+    releaseIds(spark.sparkContext, pinnedIds)
     nodes.unpersist(blocking = false)
     e.unpersist(blocking = false)
     spark.createDataFrame(deltas.toSeq)
