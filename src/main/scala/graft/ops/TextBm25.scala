@@ -83,29 +83,32 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
                maxTermDocFreq: Long = 0L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val dl = docs.select(col(idCol).as("__doc"),
-      coalesce(call_function("graft_token_count", lower(col(textCol))),
-        lit(0L)).as("__dl"))
-    // global stats: one 2-value aggregate row (k-sized collect)
-    val g = dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("t")).head()
+    // global stats: one 2-value aggregate row (k-sized collect). This
+    // pass must see ZERO-token docs too (they shape n_docs/avgdl but
+    // produce no posting row), so it stays a token-count projection.
+    val g = bm25DocLengths(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
     val nDocs = g.getLong(0)
     val totTok = g.getLong(1)
     require(nDocs > 0, "empty corpus")
     val avgdl = totTok.toDouble / nDocs // one division, deterministic
-    val tf = docs.select(col(idCol).as("__doc"),
-        explode(call_function("graft_tokens", lower(col(textCol))))
-          .as("__t"))
-      .groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
-    val dfT0 = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // r21 (guide §1.2/§2.4 — the r20 artifact-save restructure applied
+    // to the LIVE path): one-pass postings carry __dl in-row, so the
+    // former corpus-sized `tf ⋈ dl on __doc` join exchange — and the
+    // third tokenize pass feeding its dl side — disappear. __dl =
+    // size(tokens) ≡ graft_token_count (shared scan loop, parity
+    // property-pinned); join rows are identical, scores bit-equal.
+    val post = bm25Postings(docs, idCol, textCol)
+    val dfT0 = post.groupBy("__t").agg(count(lit(1)).as("__df"))
     val dfT =
       if (maxTermDocFreq <= 0L) dfT0
       else dfT0.filter(col("__df") <= maxTermDocFreq)
     val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
     val qdf = dfT.join(qt.select("__t").distinct(), Seq("__t"), "left_semi")
-    val joined = tf
+    val joined = post
       .join(broadcast(qt), Seq("__t"))
       .join(broadcast(qdf), Seq("__t"))
-      .join(dl, Seq("__doc"))
     bm25ScoreAndRank(joined, nDocs, avgdl, k, k1, b)
   }
 
@@ -122,25 +125,24 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
                               b: Double, maxTermDocFreq: Long)
       : DataFrame = {
     val present = docs.filter(col(textCol).isNotNull)
-    val dl = present.select(col(idCol).as("__doc"),
-      coalesce(call_function("graft_token_count", lower(col(textCol))),
-        lit(0L)).as("__dl"))
-    val g = dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("t")).head()
+    // zero-token presence still shapes n/avgdl: stats stay a
+    // token-count projection (see [[bm25TopK]])
+    val g = bm25DocLengths(present, idCol, textCol)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
     val nDocs = g.getLong(0)
     require(nDocs > 0, s"empty field corpus: $textCol")
     val avgdl = g.getLong(1).toDouble / nDocs
-    val tf = present.select(col(idCol).as("__doc"),
-        explode(call_function("graft_tokens", lower(col(textCol))))
-          .as("__t"))
-      .groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
-    val dfT0 = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // one-pass postings with __dl in-row (r21): drops the per-field
+    // corpus `tf ⋈ dl` exchange and the dl-side tokenize pass
+    val post = bm25Postings(present, idCol, textCol)
+    val dfT0 = post.groupBy("__t").agg(count(lit(1)).as("__df"))
     val dfT =
       if (maxTermDocFreq <= 0L) dfT0
       else dfT0.filter(col("__df") <= maxTermDocFreq)
     val qdf = dfT.join(qt.select("__t").distinct(), Seq("__t"), "left_semi")
-    bm25ContribMicro(tf.join(broadcast(qt), Seq("__t"))
-        .join(broadcast(qdf), Seq("__t"))
-        .join(dl, Seq("__doc")), nDocs, avgdl, k1, b)
+    bm25ContribMicro(post.join(broadcast(qt), Seq("__t"))
+        .join(broadcast(qdf), Seq("__t")), nDocs, avgdl, k1, b)
       .groupBy(col("query_id"), col("__doc"))
       .agg(sum(col("__cm")).as("__sm"))
   }
@@ -301,8 +303,11 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
     // scan with zero corpus re-tokenize; each (__t, __doc) appears
     // exactly once, so the per-term row count IS the doc frequency).
     // The old form re-ran the full tokenize+explode+aggregate pipeline
-    // a third time just to count terms.
-    bm25DfAdvance(path, spark.read.parquet(bm25PostingsDir(path))
+    // a third time just to count terms. Read back the EXACT directory
+    // this save wrote (r21, ADVICE): resolving through
+    // bm25PostingsDir made correctness depend on the reset-before-read
+    // ordering above — the literal path has no such coupling.
+    bm25DfAdvance(path, spark.read.parquet(s"$path/postings")
         .groupBy("__t").agg(count(lit(1)).as("__df")),
       keepGenerations = 1)
     // per-doc length table: the probe never reads it (postings carry
