@@ -19,6 +19,18 @@ import graft.ops.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TemporalJo
   * key; aggregates output integers (or int-ratio doubles, which are
   * bit-exact across engines); column names/aliases match the oracle SQL
   * exactly.
+  *
+  * CACHE-DRAIN CONTRACT (r21, ADVICE): query lambdas may `.cache()` /
+  * `localCheckpoint` multi-consumer decision tables and do NOT
+  * unpersist them before returning — several return frames depend on
+  * the pinned intermediates, so an in-query unpersist would force
+  * recomputation at the caller's action. Every standing harness
+  * (Bench, BenchOne, Verify, PlanDump) therefore drains after EACH
+  * query: blocking `unpersist` of every `sparkContext
+  * .getPersistentRDDs` value FIRST, then `Dedup.releaseIntermediates()`
+  * and `catalog.clearCache()`. Any OTHER embedding of `queries` (tests,
+  * future harnesses) must do the same per query, or cached RDDs
+  * accumulate across queries until the executor store fills.
   */
 object SparkEntry extends EntriesConvert with EntriesDedup
     with EntriesText with EntriesSampling with EntriesSimilarity

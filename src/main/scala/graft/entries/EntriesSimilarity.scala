@@ -220,7 +220,9 @@ private[graft] trait EntriesSimilarity { this: SparkEntry.type =>
       // verdict CASE differs per policy); rows bit-identical to the
       // former three separate ivfMaintenancePlan calls, oracle-reproven
       Similarity.ivfMaintenancePlans(s, ivfDir, Seq(
-          ("ivf_debt", 0.2, 0.5, 8.0),
+          ("ivf_debt", Similarity.DefaultCompactDebtFraction,
+            Similarity.DefaultRebuildDebtFraction,
+            Similarity.DefaultRebuildListSkew),
           ("ivf_lenient", 0.9, 0.95, 1000.0),
           ("ivf_skew", 0.9, 0.95, 1.0)))
         .unionByName(TextAnalysis

@@ -1331,9 +1331,14 @@ private[graft] trait EntriesText { this: SparkEntry.type =>
           lit(0L)).as("n_tokens"))
       val frags = Sampling.packTokenStream(counted, "doc_id", "n_tokens",
         seqLen = 256, groups = 16, salt = 13L)
+      // packed fragments are the one pinned table here that is
+      // corpus-PROPORTIONAL (one row per doc×sequence overlap, not one
+      // per doc): serialized + disk-spillable storage bounds the
+      // executor-memory cost at scale (r21, guide §5 — the other pins
+      // stay kilobyte-wide proxy tables)
       val withFk = frags.withColumn("fk",
         col("doc_id") * lit(1048576L) + col("seq_id"))
-        .cache()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val out = tmpDir("graft-capstone")
       graft.sinks.Jsonl.writeShards(
         withFk.select("fk", "doc_id", "seq_id", "frag_len"), "fk",

@@ -813,11 +813,23 @@ object Similarity {
     *         debt_micro, skew_micro); `reason` names the triggering
     *         comparison in micro-units, or "healthy".
     */
+  /** The default maintenance-policy thresholds, named once so callers
+    * composing multi-policy [[ivfMaintenancePlans]] tables (q143) can
+    * reference the same values the single-call form defaults to (r21,
+    * ADVICE: re-typed literals silently diverge when defaults move).
+    */
+  val DefaultCompactDebtFraction: Double = 0.2
+  val DefaultRebuildDebtFraction: Double = 0.5
+  val DefaultRebuildListSkew: Double = 8.0
+
   def ivfMaintenancePlan(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String,
-                         compactDebtFraction: Double = 0.2,
-                         rebuildDebtFraction: Double = 0.5,
-                         rebuildListSkew: Double = 8.0): DataFrame =
+                         compactDebtFraction: Double =
+                           DefaultCompactDebtFraction,
+                         rebuildDebtFraction: Double =
+                           DefaultRebuildDebtFraction,
+                         rebuildListSkew: Double =
+                           DefaultRebuildListSkew): DataFrame =
     ivfMaintenancePlans(spark, indexDir,
       Seq(("", compactDebtFraction, rebuildDebtFraction, rebuildListSkew)))
       .drop("artifact")
