@@ -280,6 +280,29 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
                         path: String): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val spark = docs.sparkSession
+    // r21 (guide §2.6 — overlap independent jobs): the postings→df
+    // chain and the dl→stats chain touch disjoint artifact directories
+    // and have no ordering constraint until the final version stamp.
+    // Submitted sequentially they serialized ~4 scheduled jobs; from a
+    // second driver thread, the dl chain's tasks back-fill executors
+    // freed by the postings chain's tail (both chains are corpus-sized
+    // scans at deployment scale). Failures propagate via Await.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dlChain = Future {
+      // per-doc length table: the probe never reads it (postings carry
+      // __dl), but [[bm25ArtifactsDelete]] needs it — a zero-token doc
+      // has NO posting row, so postings alone cannot say whether a
+      // deleted id contributed to n_docs. This is the second (and
+      // last) corpus tokenize pass.
+      bm25DocLengths(docs, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$path/dl")
+      // stats from the WRITTEN dl table (read-back, zero re-tokenize)
+      spark.read.parquet(s"$path/dl")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__dl")), lit(0L)).as("total_tokens"))
+        .write.mode("overwrite").parquet(s"$path/stats")
+    }
     // ONE corpus tokenize pass builds the postings (r20, guide §1.2/
     // §2.4): the per-doc length rides the explode (array size taken
     // BEFORE the explode) and is carried through the (doc, term)
@@ -310,18 +333,7 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
     bm25DfAdvance(path, spark.read.parquet(s"$path/postings")
         .groupBy("__t").agg(count(lit(1)).as("__df")),
       keepGenerations = 1)
-    // per-doc length table: the probe never reads it (postings carry
-    // __dl), but [[bm25ArtifactsDelete]] needs it — a zero-token doc
-    // has NO posting row, so postings alone cannot say whether a
-    // deleted id contributed to n_docs. This is the second (and last)
-    // corpus tokenize pass.
-    bm25DocLengths(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/dl")
-    // stats from the WRITTEN dl table (read-back, zero re-tokenize)
-    spark.read.parquet(s"$path/dl")
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("__dl")), lit(0L)).as("total_tokens"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    Await.result(dlChain, scala.concurrent.duration.Duration.Inf)
     ArtifactVersion.stamp(path)
   }
 
@@ -384,28 +396,41 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
                           path: String, keepGenerations: Int = 3): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val spark = docs.sparkSession
-    // one-pass postings (carried __dl — see [[bm25Postings]]): drops
-    // the former tf⋈dl join exchange and the dl-side corpus re-scan
-    bm25Postings(docs, idCol, textCol)
-      .repartitionByRange(col("__t"), col("__doc"))
-      .sortWithinPartitions("__t", "__doc")
-      .write.mode("append").parquet(bm25PostingsDir(path))
+    // r21 (guide §2.6): three independent chains — the postings
+    // append, the dl→stats update, and the df generation merge — touch
+    // disjoint directories; overlapping them bounds the append's
+    // wall-clock at the longest chain instead of the sum. The old-stats
+    // head runs before the futures so the stats overwrite can never
+    // race its own read.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val st = spark.read.parquet(s"$path/stats").head()
+    val postingsChain = Future {
+      // one-pass postings (carried __dl — see [[bm25Postings]]): drops
+      // the former tf⋈dl join exchange and the dl-side corpus re-scan
+      bm25Postings(docs, idCol, textCol)
+        .repartitionByRange(col("__t"), col("__doc"))
+        .sortWithinPartitions("__t", "__doc")
+        .write.mode("append").parquet(bm25PostingsDir(path))
+    }
+    val dfChain = Future {
+      val merged = spark.read.parquet(bm25DfDir(path))
+        .unionByName(bm25TermCounts(docs, idCol, textCol)
+          .groupBy("__t").agg(count(lit(1)).as("__df")))
+        .groupBy("__t").agg(sum(col("__df")).as("__df"))
+      bm25DfAdvance(path, merged, keepGenerations)
+    }
     val dl = bm25DocLengths(docs, idCol, textCol)
     dl.write.mode("append").parquet(s"$path/dl")
-    // read old stats BEFORE overwriting (head() materializes the row)
-    val st = spark.read.parquet(s"$path/stats").head()
     val bs = dl.agg(count(lit(1)).as("n"),
       coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
-    val merged = spark.read.parquet(bm25DfDir(path))
-      .unionByName(bm25TermCounts(docs, idCol, textCol)
-        .groupBy("__t").agg(count(lit(1)).as("__df")))
-      .groupBy("__t").agg(sum(col("__df")).as("__df"))
-    bm25DfAdvance(path, merged, keepGenerations)
     import spark.implicits._
     Seq((st.getAs[Long]("n_docs") + bs.getAs[Long]("n"),
         st.getAs[Long]("total_tokens") + bs.getAs[Long]("t")))
       .toDF("n_docs", "total_tokens")
       .write.mode("overwrite").parquet(s"$path/stats")
+    Await.result(postingsChain, scala.concurrent.duration.Duration.Inf)
+    Await.result(dfChain, scala.concurrent.duration.Duration.Inf)
     ArtifactVersion.stamp(path)
   }
 
