@@ -373,8 +373,15 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
         Seq("__sig"), "left_anti")
       .write.mode("overwrite").parquet(graft.Fs.join(path, "sigs"))
     val written = spark.read.parquet(graft.Fs.join(path, "sigs"))
-    written.groupBy("id").agg(count(lit(1)).as("__n"))
-      .write.mode("overwrite").parquet(graft.Fs.join(path, "sizes"))
+    // r21 (guide §2.6): sizes/ and keys/ both derive from the WRITTEN
+    // sigs/ but not from each other — overlap the two writes so the
+    // save's wall-clock is the longer one, not the sum
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sizesChain = Future {
+      written.groupBy("id").agg(count(lit(1)).as("__n"))
+        .write.mode("overwrite").parquet(graft.Fs.join(path, "sizes"))
+    }
     written.select("__sig").distinct()
       .select(col("__sig"),
         explode(array(hammingKeyCols("__sig", scheme): _*)).as("kk"))
@@ -382,6 +389,7 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
       .write.mode("overwrite").parquet(graft.Fs.join(path, "keys"))
     spark.createDataFrame(Seq(Tuple1(scheme))).toDF("__scheme")
       .write.mode("overwrite").parquet(graft.Fs.join(path, "_meta"))
+    Await.result(sizesChain, scala.concurrent.duration.Duration.Inf)
     ArtifactVersion.stamp(path)
   }
 
@@ -409,15 +417,25 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
       .join(spark.read.parquet(graft.Fs.join(path, "capped")),
         Seq("__sig"), "left_anti")
       .localCheckpoint(true)
+    // r21 (guide §2.6): the three appends all read the one
+    // checkpointed batch and touch disjoint directories — overlap them
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
     try {
-      batch.write.mode("append").parquet(graft.Fs.join(path, "sigs"))
-      batch.groupBy("id").agg(count(lit(1)).as("__n"))
-        .write.mode("append").parquet(graft.Fs.join(path, "sizes"))
+      val sigsChain = Future {
+        batch.write.mode("append").parquet(graft.Fs.join(path, "sigs"))
+      }
+      val sizesChain = Future {
+        batch.groupBy("id").agg(count(lit(1)).as("__n"))
+          .write.mode("append").parquet(graft.Fs.join(path, "sizes"))
+      }
       batch.select("__sig").distinct()
         .select(col("__sig"),
           explode(array(hammingKeyCols("__sig", scheme): _*)).as("kk"))
         .select(col("__sig"), col("kk.t").as("t"), col("kk.key").as("key"))
         .write.mode("append").parquet(graft.Fs.join(path, "keys"))
+      Await.result(sigsChain, scala.concurrent.duration.Duration.Inf)
+      Await.result(sizesChain, scala.concurrent.duration.Duration.Inf)
     } finally batch.unpersist(blocking = false)
     ArtifactVersion.stamp(path)
   }
@@ -707,13 +725,20 @@ private[graft] trait DedupSimHash { this: Dedup.type =>
     val ids = df.select(col(idCol).as("id"), col(sigCol).as("__sig"))
       .filter(col("__sig").isNotNull)
       .localCheckpoint(true)
+    // r21 (guide §2.6): both appends read the one checkpointed batch
+    // and touch disjoint directories — overlap them
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
     try {
-      ids.write.mode("append").parquet(graft.Fs.join(path, "sigs"))
+      val sigsChain = Future {
+        ids.write.mode("append").parquet(graft.Fs.join(path, "sigs"))
+      }
       ids.select("__sig").distinct()
         .select(col("__sig"),
           explode(array(hammingKeyCols("__sig", scheme): _*)).as("kk"))
         .select(col("__sig"), col("kk.t").as("t"), col("kk.key").as("key"))
         .write.mode("append").parquet(graft.Fs.join(path, "keys"))
+      Await.result(sigsChain, scala.concurrent.duration.Duration.Inf)
     } finally ids.unpersist(blocking = false)
     ArtifactVersion.stamp(path)
   }
