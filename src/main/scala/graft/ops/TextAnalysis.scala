@@ -490,17 +490,29 @@ object TextAnalysis extends TextBm25 with TextTokenizers with TextUnigram {
               when((col("__s") > 0) =!= (col("__y") > 0.5),
                 abs(col("__s"))).otherwise(lit(0.0))) * 1e6)
               .cast("long").as("__l"))
-        val head = scored.agg(sum(col("__r")).as("rs"),
-          sum(col("__l")).as("ls")).head()
-        val (rSum, lSum) = (head.getLong(0), head.getLong(1))
-        val grads = scored
-          .select(explode(col("__b")).as("__bk"), col("__r"))
-          .groupBy("__bk").agg(sum(col("__r")).as("__g"))
+        // ONE action per epoch (r21, guide §1.2): the loss/intercept
+        // sums ride the gradient aggregate as sentinel buckets (-1 =
+        // residual sum, -2 = loss sum — real buckets are masked to
+        // [0, dim), so the sentinels cannot collide) instead of a
+        // separate doc-level aggregate that re-ran the scoring subtree
+        // once more per epoch. Same exact long sums, order-independent.
+        val rows = scored
+          .select(explode(concat(col("__b"),
+            array(lit(-1L), lit(-2L)))).as("__bk"),
+            col("__r"), col("__l"))
+          .groupBy("__bk")
+          .agg(sum(when(col("__bk") === -2L, col("__l"))
+            .otherwise(col("__r"))).as("__g"))
           .collect()
+        var rSum = 0L
+        var lSum = 0L
         val denom = BigInt(1000000L) * n
-        grads.foreach { row =>
-          val b = row.getLong(0).toInt
-          wMicro(b) -= (BigInt(lrMicro) * row.getLong(1) / denom).toLong
+        rows.foreach { row =>
+          val b = row.getLong(0)
+          if (b == -1L) rSum = row.getLong(1)
+          else if (b == -2L) lSum = row.getLong(1)
+          else wMicro(b.toInt) -=
+            (BigInt(lrMicro) * row.getLong(1) / denom).toLong
         }
         bMicro -= (BigInt(lrMicro) * rSum / denom).toLong
         losses += lSum / n // mean loss in micro units, exact division
