@@ -29,6 +29,37 @@ import graft.ops.Sampling
   */
 object Jsonl {
 
+  /** The frame [[writeShards]] executes — package-visible so the spec
+    * can pin its plan shape. r21 (judge item 4, guide §4.1/codegen):
+    * the old path dropped to external Rows (`df.rdd`), Java-serialized
+    * every row through a custom identity Partitioner, and re-encoded
+    * them back to InternalRow via `createDataFrame` — three per-row
+    * conversions the query itself never needs. The write now stays in
+    * InternalRow end to end: ONE hash exchange of UnsafeRows
+    * (`repartition(n, __shard)`) plus the same spillable per-partition
+    * sort. Hash placement cannot pin shard k to partition k, so a task
+    * may receive several shards (or none) — the writer starts a new
+    * file at every __shard boundary of its sorted input, so shard k's
+    * BYTES are exactly the old path's; only which task writes them
+    * changed. Shards that received no rows get their (deterministic,
+    * header-only) files from the driver afterwards.
+    */
+  private[graft] def shardPlan(df: DataFrame, keyCol: String,
+                               numShards: Int, salt: Long): DataFrame =
+    df
+      .withColumn("__json", to_json(struct(df.columns.map(col): _*)))
+      .withColumn("__ord", Sampling.mixedKey(col(keyCol), salt))
+      .withColumn("__shard",
+        pmod(col("__ord"), lit(numShards.toLong)).cast("int"))
+      // numeric key tie-break (NOT a string cast): keys colliding mod
+      // 2^32 must order exactly as the Sampling shard siblings order
+      // them, or the documented key-arithmetic contract mispredicts
+      // within-file positions
+      .select(col("__shard"), col("__ord"), col(keyCol).as("__key"),
+        col("__json"))
+      .repartition(numShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__ord"), col("__key"))
+
   def writeShards(df: DataFrame, keyCol: String, numShards: Int,
                   dir: String, salt: Long = 0L, prefix: String = "part",
                   gzip: Boolean = true): Unit = {
@@ -41,33 +72,7 @@ object Jsonl {
       s"writeShards needs a numeric '$keyCol' key for deterministic " +
         "shard routing; hash string keys to a long (xxhash64) first")
     val spark = df.sparkSession
-    val withOrd = df
-      .withColumn("__json", to_json(struct(df.columns.map(col): _*)))
-      .withColumn("__ord", Sampling.mixedKey(col(keyCol), salt))
-      .withColumn("__shard",
-        pmod(col("__ord"), lit(numShards.toLong)).cast("int"))
-      // numeric key tie-break (NOT a string cast): keys colliding mod
-      // 2^32 must order exactly as the Sampling shard siblings order
-      // them, or the documented key-arithmetic contract mispredicts
-      // within-file positions
-      .select(col("__shard"), col("__ord"), col(keyCol).as("__key"),
-        col("__json"))
-    // r21 (judge item 4, guide §4.1/codegen): the old path dropped to
-    // external Rows (`df.rdd`), Java-serialized every row through a
-    // custom identity Partitioner, and re-encoded them back to
-    // InternalRow via createDataFrame — three per-row conversions the
-    // query itself never needs. The write now stays in InternalRow end
-    // to end: ONE hash exchange of UnsafeRows (`repartition(n, shard)`)
-    // plus the same spillable per-partition sort. Hash placement cannot
-    // pin shard k to partition k, so a task may receive several shards
-    // (or none) — the writer starts a new file at every __shard
-    // boundary of its sorted input, so shard k's BYTES are exactly the
-    // old path's; only which task writes them changed. Shards that
-    // received no rows get their (deterministic, header-only) files
-    // from the driver afterwards.
-    val sorted = withOrd
-      .repartition(numShards, col("__shard"))
-      .sortWithinPartitions(col("__shard"), col("__ord"), col("__key"))
+    val sorted = shardPlan(df, keyCol, numShards, salt)
     val confSer = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     graft.Fs.deleteRecursively(dir)

@@ -76,6 +76,54 @@ class IvfIndexSpec extends SparkSpec {
       s"expected partition pruning on centroid_id in:\n$explain")
   }
 
+  test("ivfIndexWrite distributes multi-task inputs by list: one file " +
+      "per centroid dir; single-small-file inputs skip the exchange") {
+    // r21 (the distributeByList probe fix): the single-task skip is
+    // decided WITHOUT executing the input plan, so pin the observable
+    // at both ends. A corpus read from SEVERAL parquet files plans to
+    // several scan tasks — without the pre-write hash distribution,
+    // each task would open a writer per centroid it sees and every
+    // centroid dir would collect up to one file per task; WITH it,
+    // each centroid's rows land in exactly one task = exactly one
+    // data file per dir.
+    val centroids = vecs.filter($"vec_id" % 10 === 0)
+    val multiSrc = tmpDir("ivf-multisrc")
+    // write a 4-file source whose every file holds rows of ALL three
+    // clusters (round-robin repartition mixes them)
+    vecs.repartition(4).write.mode("overwrite").parquet(multiSrc)
+    val corpus = spark.read.parquet(multiSrc)
+    assert(corpus.inputFiles.length > 1, "fixture must be multi-file")
+    val dir = tmpDir("ivf-dist")
+    Similarity.ivfIndexWrite(corpus, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dir)
+    def dataFiles(d: java.io.File): Seq[String] =
+      d.listFiles().map(_.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_")).toSeq
+    val perDir = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).toSeq
+      .map(d => d.getName -> dataFiles(d).size)
+    assert(perDir.size == 3 && perDir.forall(_._2 == 1),
+      s"expected exactly one data file per list after the hash " +
+        s"distribution, got $perDir")
+    // result parity: the distributed layout reads back identically
+    val back = spark.read.parquet(dir)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(back == vecs.select("vec_id").as[Long].collect().toSet)
+    // degenerate case: ONE small file → provably single task → no
+    // exchange, still one file per list
+    val oneSrc = tmpDir("ivf-onesrc")
+    vecs.coalesce(1).write.mode("overwrite").parquet(oneSrc)
+    val one = spark.read.parquet(oneSrc)
+    assert(one.inputFiles.length == 1)
+    val dir1 = tmpDir("ivf-dist1")
+    Similarity.ivfIndexWrite(one, "vec_id", "embedding",
+      centroids, "vec_id", "embedding", dir1)
+    val perDir1 = new java.io.File(dir1).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).toSeq
+      .map(d => d.getName -> dataFiles(d).size)
+    assert(perDir1.size == 3 && perDir1.forall(_._2 == 1), perDir1)
+  }
+
   test("ivfIndexAppend: appended index ≡ full rebuild; existing files " +
       "untouched") {
     val centroids = vecs.filter($"vec_id" % 10 === 0)

@@ -38,6 +38,26 @@ class JsonlSpec extends SparkSpec {
     assert(bytes1.toSeq == bytes2.toSeq)
   }
 
+  test("writeShards executes with no external-Row boundary in the " +
+      "sink plan (r21: InternalRow end to end)") {
+    // the pre-r21 path round-tripped df.rdd -> identity Partitioner ->
+    // createDataFrame, which surfaces in the plan as a
+    // `Scan ExistingRDD` barrier; the InternalRow path must show one
+    // hash exchange + sort over the original scan instead. shardPlan
+    // IS the frame writeShards executes (same call).
+    val plan = Jsonl.shardPlan(sample, "id", numShards = 3, salt = 5L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD") &&
+      !plan.contains("SerializeFromObject") &&
+      !plan.contains("DeserializeToObject"),
+      s"sink plan crossed an external-Row boundary:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning") &&
+      plan.contains("__shard"),
+      s"expected the one hash exchange on __shard in:\n$plan")
+    assert(plan.contains("Sort ") || plan.contains("Sort["),
+      s"expected the per-partition sort in:\n$plan")
+  }
+
   test("writeShards: plain-text mode, null key fail-fast, column guard") {
     val dir = tmpDir("jsonl-plain")
     Jsonl.writeShards(sample, "id", 2, dir, gzip = false)
