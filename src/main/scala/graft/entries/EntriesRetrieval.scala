@@ -58,13 +58,23 @@ private[graft] trait EntriesRetrieval { this: SparkEntry.type =>
       // system row, in the qrels union, and inside both RRF fusions) —
       // un-pinned, each consumer re-ran the corpus-sized BM25 build /
       // brute-force scoring; the post-rank frames are ≤60 rows, so the
-      // pin is a k-sized cache (bench/verify drain after)
+      // pin is a k-sized cache (bench/verify drain after).
+      // r21: the pins materialize EAGERLY (count of a ≤60-row frame):
+      // Spark's runtime Bloom-filter injection (SPARK-32268) fires on
+      // the qrels⋈system joins here, and an UNmaterialized cache has no
+      // rowCount at planning time, so every injected filter was sized
+      // for the 1M-item default — 1 MB bitmaps per task buffer on
+      // 60-row joins (measured +1.7 s). A materialized cache carries
+      // its exact rowCount and the blooms size to the real k-bounded
+      // legs, which is also the correct shape at corpus scale.
       val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id",
         "text", queries, "qid", "qtext", k = 20).cache()
+      lex.count()
       val emb = t(s, dir, "embeddings")
       val sem = Similarity.bruteForceTopK(
         emb.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 20, excludeSelf = false).cache()
+      sem.count()
       val qrels = lex.filter(col("rank") <= 5)
         .select(col("query_id"), col("doc_id"))
         .unionByName(sem.filter(col("rank") <= 5)
@@ -92,13 +102,17 @@ private[graft] trait EntriesRetrieval { this: SparkEntry.type =>
         (1L, "spark join hash"),
         (2L, "customer order query"),
         (3L, "vector stream window group"))).toDF("qid", "qtext")
-      // r20: same four-consumer pin as q145 (≤60-row frames)
+      // r20: same four-consumer pin as q145 (≤60-row frames); r21:
+      // eager materialization so the injected runtime Bloom filters
+      // size to the real rowCount (see the q145 note)
       val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id",
         "text", queries, "qid", "qtext", k = 20).cache()
+      lex.count()
       val emb = t(s, dir, "embeddings")
       val sem = Similarity.bruteForceTopK(
         emb.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 20, excludeSelf = false).cache()
+      sem.count()
       val qrels = lex.filter(col("rank") <= 5)
         .select(col("query_id"), col("doc_id"))
         .unionByName(sem.filter(col("rank") <= 5)

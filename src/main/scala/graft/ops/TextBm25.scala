@@ -83,32 +83,38 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
                maxTermDocFreq: Long = 0L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
-    // global stats: one 2-value aggregate row (k-sized collect). This
-    // pass must see ZERO-token docs too (they shape n_docs/avgdl but
-    // produce no posting row), so it stays a token-count projection.
-    val g = bm25DocLengths(docs, idCol, textCol)
-      .agg(count(lit(1)).as("n"),
-        coalesce(sum(col("__dl")), lit(0L)).as("t")).head()
+    // NOTE (r21): the one-pass-postings form that bm25FieldScores and
+    // the artifact paths use was trialed here too and REVERTED — the
+    // pure operator (q71) measured flat, but the composed retrieval
+    // queries that cache this frame for four consumers (q145/q146)
+    // measured a robust +0.8–1.3 s under it at fixture scale across
+    // three same-window heap-controlled A/B pairs, and the sf1 pair
+    // was flat, so the change bought nothing measured anywhere. The
+    // dl side below is a token-COUNT projection (no array), not a
+    // second full tokenize-to-array pass.
+    val dl = docs.select(col(idCol).as("__doc"),
+      coalesce(call_function("graft_token_count", lower(col(textCol))),
+        lit(0L)).as("__dl"))
+    // global stats: one 2-value aggregate row (k-sized collect)
+    val g = dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("t")).head()
     val nDocs = g.getLong(0)
     val totTok = g.getLong(1)
     require(nDocs > 0, "empty corpus")
     val avgdl = totTok.toDouble / nDocs // one division, deterministic
-    // r21 (guide §1.2/§2.4 — the r20 artifact-save restructure applied
-    // to the LIVE path): one-pass postings carry __dl in-row, so the
-    // former corpus-sized `tf ⋈ dl on __doc` join exchange — and the
-    // third tokenize pass feeding its dl side — disappear. __dl =
-    // size(tokens) ≡ graft_token_count (shared scan loop, parity
-    // property-pinned); join rows are identical, scores bit-equal.
-    val post = bm25Postings(docs, idCol, textCol)
-    val dfT0 = post.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val tf = docs.select(col(idCol).as("__doc"),
+        explode(call_function("graft_tokens", lower(col(textCol))))
+          .as("__t"))
+      .groupBy("__doc", "__t").agg(count(lit(1)).as("__tf"))
+    val dfT0 = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
     val dfT =
       if (maxTermDocFreq <= 0L) dfT0
       else dfT0.filter(col("__df") <= maxTermDocFreq)
     val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
     val qdf = dfT.join(qt.select("__t").distinct(), Seq("__t"), "left_semi")
-    val joined = post
+    val joined = tf
       .join(broadcast(qt), Seq("__t"))
       .join(broadcast(qdf), Seq("__t"))
+      .join(dl, Seq("__doc"))
     bm25ScoreAndRank(joined, nDocs, avgdl, k, k1, b)
   }
 
@@ -337,22 +343,34 @@ private[graft] trait TextBm25 { this: TextAnalysis.type =>
     ArtifactVersion.stamp(path)
   }
 
-  /** The one-pass postings build shared by [[bm25ArtifactsSave]] and
-    * [[bm25ArtifactsAppend]]: (__doc, __t, __tf, __dl) out of a single
-    * tokenize+explode+aggregate — `__dl` = size of the token array
-    * (byte-for-byte the [[bm25DocLengths]] count: `graft_token_count`
-    * and `size(graft_tokens(...))` share one scan loop, parity
-    * property-pinned) carried through the aggregate via `max` (it is
-    * constant within a (__doc, __t) group). Zero-token and null-text
-    * docs produce no posting row, exactly as the explode in the former
-    * two-pass form.
+  /** The one-pass postings build shared by [[bm25ArtifactsSave]],
+    * [[bm25ArtifactsAppend]], and the live scorers: (__doc, __t, __tf,
+    * __dl) out of a single explode+aggregate — `__dl` =
+    * `graft_token_count` (byte-for-byte `size(graft_tokens(...))`:
+    * shared scan loop, parity property-pinned) carried through the
+    * aggregate via `max` (constant within a (__doc, __t) group).
+    * Zero-token and null-text docs produce no posting row.
+    *
+    * PLAN-SHAPE TRAP (r21, found via plans/r21/q145 diff): the r20
+    * form projected the token ARRAY to an attribute and exploded that
+    * attribute. Catalyst's InferFiltersFromGenerate then inferred
+    * `size(__arr) > 0 AND isnotnull(__arr)` on the cheap attribute,
+    * and predicate pushdown + project collapse inlined the tokenize
+    * into the filter — `graft_tokens` evaluated 2–3× per INPUT row
+    * (filter + projection). Exploding the expensive expression
+    * DIRECTLY keeps the rule away (it skips non-cheap generator
+    * children — the pre-r20 plans prove it), and the per-doc length
+    * rides the count KERNEL (no array allocation) in the same child
+    * projection: one tokenize + one count byte-scan per row, no
+    * inferred-filter re-evaluation.
     */
   private def bm25Postings(docs: DataFrame, idCol: String,
                            textCol: String): DataFrame =
     docs.select(col(idCol).as("__doc"),
-        call_function("graft_tokens", lower(col(textCol))).as("__arr"))
-      .select(col("__doc"), explode(col("__arr")).as("__t"),
-        size(col("__arr")).cast("long").as("__dl"))
+        explode(call_function("graft_tokens", lower(col(textCol))))
+          .as("__t"),
+        coalesce(call_function("graft_token_count", lower(col(textCol))),
+          lit(0L)).as("__dl"))
       .groupBy("__doc", "__t")
       .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
       .select("__doc", "__t", "__tf", "__dl")
